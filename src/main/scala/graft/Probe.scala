@@ -1,0 +1,23 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Ad-hoc debug harness: run a named subset of the registry. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    args.tail.foreach { name =>
+      try {
+        val df = Queries.queries(name)(spark, args.head)
+        println(s"[probe] $name rows=${df.count()}")
+        df.show(3, truncate = false)
+      } catch { case e: Throwable =>
+        println(s"[probe] $name FAILED: ${e.toString.take(500)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,387 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Medallion, Relational}
+import graft.operators.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.{Ingest, StubTickerFetcher}
+
+/** The declared query registry: one entry per SURVEY.md §2 operator row, each
+  * with DuckDB-equivalent oracle SQL where SQL-expressible.
+  *
+  * Determinism rules (SURVEY.md §7.4) hold for every query: explicit as-of
+  * date (never current_date), row_number over total orders (never
+  * monotonically_increasing_id), a trailing total-order orderBy, decimals
+  * fixed-point on both sides, token hashes md5-derived (portable), cosines
+  * rounded to DECIMAL(10,6) before any comparison.
+  */
+object Queries {
+
+  private val asOf = LocalDate.of(2022, 2, 28)
+
+  private def rd(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  final case class Q(name: String,
+                     run: (SparkSession, String) => DataFrame,
+                     oracle: Option[String])
+
+  // ---- shared oracle fragments -------------------------------------------
+
+  /** DuckDB equivalent of Spark's conv(substring(md5(x),1,8),16,10): integer
+    * value of the first 8 md5 hex digits.
+    */
+  private def duckHex(col: String): String =
+    (0 until 8).map { i =>
+      s"(CAST(strpos('0123456789abcdef', substr($col, ${i + 1}, 1)) AS BIGINT) - 1) * ${1L << (4 * (7 - i))}"
+    }.mkString("(", " + ", ")")
+
+  private val duckToks =
+    "SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents"
+
+  private val goldCte =
+    """SELECT l_returnflag,
+      | min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_value,
+      | max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_value,
+      | CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) - min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS diff,
+      | 2022 AS as_of_year, 2 AS as_of_month, 28 AS as_of_day
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // ---- query definitions --------------------------------------------------
+
+  val defs: Seq[Q] = Seq(
+
+    // A1+P2+P3+O1 — the reference's one real analytical query
+    // (codes/silverToGold.scala:10-26).
+    Q("silver_to_gold",
+      (s, dir) => Medallion.silverToGold(rd(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", asOf),
+      Some(s"$goldCte ORDER BY l_returnflag")),
+
+    // S6+A2+O1 — scan → distinct → sort (codes/bronzeToSilver.scala:7-15).
+    Q("bronze_to_silver",
+      (s, dir) => Medallion.bronzeToSilver(
+        rd(s, dir, "lineitem").select("l_returnflag", "l_linestatus", "l_shipdate"),
+        Seq("l_returnflag", "l_linestatus", "l_shipdate")),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem " +
+        "ORDER BY l_returnflag, l_linestatus, l_shipdate")),
+
+    // P4+P5 — surrogate id + stringify-all serving shape
+    // (codes/goldToSynapse.scala:27-34).
+    Q("serve_stringify",
+      (s, dir) => Medallion.stringify(
+        Medallion.withSurrogateId(
+          Medallion.silverToGold(rd(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", asOf),
+          Seq("l_returnflag")))
+        .orderBy("l_returnflag"),
+      Some(s"""WITH gold AS ($goldCte)
+        |SELECT CAST(row_number() OVER (ORDER BY l_returnflag) AS VARCHAR) AS id,
+        | CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+        | CAST(min_value AS VARCHAR) AS min_value, CAST(max_value AS VARCHAR) AS max_value,
+        | CAST(diff AS VARCHAR) AS diff, CAST(as_of_year AS VARCHAR) AS as_of_year,
+        | CAST(as_of_month AS VARCHAR) AS as_of_month, CAST(as_of_day AS VARCHAR) AS as_of_day
+        |FROM gold ORDER BY l_returnflag""".stripMargin)),
+
+    // S1+S2+U1+P1+O1 — poll → JSON parse → union → IN-filter → sort
+    // (etl-vini-azure.py:61-79), deterministic stub feed.
+    Q("ingest_micro_batch",
+      (s, _) => Ingest.ingest(s, new StubTickerFetcher(Ingest.stubBatches), 2),
+      Some("""SELECT symbol, CAST(price AS DECIMAL(10,2)) AS price FROM (VALUES
+        | ('ADAUSDT', 1.18), ('ADAUSDT', 1.19), ('BNBUSDT', 377.40), ('BNBUSDT', 378.01),
+        | ('BTCUSDT', 38277.23), ('BTCUSDT', 38310.50), ('ETHUSDT', 2641.17), ('ETHUSDT', 2650.00),
+        | ('LTCUSDT', 129.99), ('LTCUSDT', 130.25)) AS t(symbol, price)
+        |ORDER BY symbol, price""".stripMargin)),
+
+    // S8+S9 — partitioned overwrite write + partition-recovery scan behind
+    // TableFormat (codes/silverToGold.scala:26, goldToCosmosdb.scala:24-25).
+    // Roundtrip is the identity, so the oracle is silver_to_gold's.
+    Q("gold_partitioned_roundtrip",
+      (s, dir) => {
+        val gold = Medallion.silverToGold(rd(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", asOf)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_gold_roundtrip"
+        graft.io.ParquetTableFormat.write(gold, path,
+          partitionCols = Seq("as_of_year", "as_of_month", "as_of_day"))
+        graft.io.ParquetTableFormat.read(s, path)
+          .select("l_returnflag", "min_value", "max_value", "diff", "as_of_year", "as_of_month", "as_of_day")
+          .orderBy("l_returnflag")
+      },
+      Some(s"$goldCte ORDER BY l_returnflag")),
+
+    // P1 — IN-list filter (etl-vini-azure.py:78).
+    Q("p1_filter_in",
+      (s, dir) => Relational.inFilter(rd(s, dir, "orders"), "o_orderpriority",
+        Seq("1-URGENT", "2-HIGH")).orderBy("o_orderkey"),
+      Some("SELECT * FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') ORDER BY o_orderkey")),
+
+    // P6 — explicit column selection (query_synapse.png SELECT list).
+    Q("p6_projection",
+      (s, dir) => rd(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment").orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey")),
+
+    // O1 — global sort (codes/bronzeToSilver.scala:9).
+    Q("o1_sort",
+      (s, dir) => Relational.sort(rd(s, dir, "part"), col("p_retailprice").desc, col("p_partkey")),
+      Some("SELECT * FROM part ORDER BY p_retailprice DESC, p_partkey")),
+
+    // O2 — top-k (query_synapse.png TOP 100) → TakeOrderedAndProject.
+    Q("o2_topk",
+      (s, dir) => Relational.topK(rd(s, dir, "orders"), 100, col("o_totalprice").desc, col("o_orderkey")),
+      Some("SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")),
+
+    // O3 — full scan (query_cosmosdb.png SELECT *).
+    Q("o3_full_scan",
+      (s, dir) => rd(s, dir, "supplier").orderBy("s_suppkey"),
+      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
+
+    // U1 — union-all of micro-batches (etl-vini-azure.py:67-77).
+    Q("u1_union_all",
+      (s, dir) => {
+        val o = rd(s, dir, "orders")
+        Relational.unionAll(Seq(
+          o.filter(col("o_orderstatus") === "O"),
+          o.filter(col("o_orderstatus") =!= "O"))).orderBy("o_orderkey")
+      },
+      Some("SELECT * FROM (SELECT * FROM orders WHERE o_orderstatus = 'O' " +
+        "UNION ALL SELECT * FROM orders WHERE o_orderstatus <> 'O') ORDER BY o_orderkey")),
+
+    // F1 — regexp_extract (etl-vini-azure.py:175-180's Spark analog).
+    Q("f1_regexp",
+      (s, dir) => Relational.regexpExtractCol(
+        rd(s, dir, "part").select("p_partkey", "p_name"), "p_name", "^([a-z]+)", 1, "first_word")
+        .orderBy("p_partkey"),
+      Some("SELECT p_partkey, p_name, regexp_extract(p_name, '^([a-z]+)', 1) AS first_word " +
+        "FROM part ORDER BY p_partkey")),
+
+    // J1 — broadcast equi-join + aggregation (capability, SURVEY §2.4/§7.3).
+    Q("j1_join_agg",
+      (s, dir) => Relational.joinAgg(rd(s, dir, "orders"), rd(s, dir, "customer"),
+        "o_custkey", "c_custkey", "c_mktsegment",
+        Seq(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("revenue")))
+        .orderBy("c_mktsegment"),
+      Some("SELECT c_mktsegment, count(*) AS n_orders, " +
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+
+    // J2 — left-semi join (capability, SURVEY §2.4/§7.3).
+    Q("j2_semi_join",
+      (s, dir) => Relational.semiJoin(rd(s, dir, "part"),
+        rd(s, dir, "lineitem").filter(col("l_quantity") > 45).select("l_partkey"),
+        "p_partkey", "l_partkey").orderBy("p_partkey"),
+      Some("SELECT * FROM part WHERE p_partkey IN " +
+        "(SELECT l_partkey FROM lineitem WHERE l_quantity > 45) ORDER BY p_partkey")),
+
+    // W1 — row_number per group (deterministic replacement for P4).
+    Q("w1_row_number",
+      (s, dir) => Relational.rowNumberPerGroup(
+        rd(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
+        Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey"))).orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, " +
+        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn " +
+        "FROM orders ORDER BY o_orderkey")),
+
+    // W2 — rolling min/max frame window (windowed generalization of A1).
+    Q("w2_rolling_minmax",
+      (s, dir) => Relational.rollingMinMax(
+        rd(s, dir, "events").select("event_id", "user_id", "value"),
+        "value", Seq("user_id"), Seq(col("event_id")), 2).orderBy("event_id"),
+      Some("SELECT event_id, user_id, value, " +
+        "min(value) OVER w AS roll_min, max(value) OVER w AS roll_max FROM events " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) " +
+        "ORDER BY event_id")),
+
+    // Event-time tumbling window aggregate (batch form of the streaming path).
+    // `ts` arrives as long ns-since-epoch (nanosAsLong — Spark has no ns
+    // timestamp type); convert by integer division, bucket with window().
+    Q("event_window_agg",
+      (s, dir) => rd(s, dir, "events")
+        .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+        .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("total"))
+        .select(col("window.start").cast("string").as("window_start"), col("event_type"), col("n"), col("total"))
+        .orderBy("window_start", "event_type"),
+      Some("SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // X1 — exact dedup, deterministic survivor (lowest doc_id per text).
+    Q("x1_dedup_exact",
+      (s, dir) => Dedup.exactByKey(rd(s, dir, "documents"), Seq("text"), "doc_id")
+        .select("doc_id", "lang", "source").orderBy("doc_id"),
+      Some("SELECT doc_id, lang, source FROM " +
+        "(SELECT doc_id, lang, source, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) " +
+        "WHERE rn = 1 ORDER BY doc_id")),
+
+    // X1 keyed variant over events.
+    Q("x1_dedup_keyed",
+      (s, dir) => Dedup.exactByKey(rd(s, dir, "events"), Seq("user_id", "event_type"), "event_id")
+        .select("event_id", "user_id", "event_type").orderBy("event_id"),
+      Some("SELECT event_id, user_id, event_type FROM " +
+        "(SELECT event_id, user_id, event_type, " +
+        "row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn FROM events) " +
+        "WHERE rn = 1 ORDER BY event_id")),
+
+    // X5 — top-k per group.
+    Q("x5_topk_per_group",
+      (s, dir) => Relational.topKPerGroup(
+        rd(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
+        .orderBy("o_custkey", "rk"),
+      Some("SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
+        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk " +
+        "FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk")),
+
+    // X3 — corpus token frequencies.
+    Q("x3_token_stats",
+      (s, dir) => TextAnalysis.tokenStats(rd(s, dir, "documents"), "text"),
+      Some("SELECT token, count(*) AS cnt FROM " +
+        "(SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents) " +
+        "GROUP BY token ORDER BY cnt DESC, token")),
+
+    // X3 — per-document quality features.
+    Q("x3_quality_score",
+      (s, dir) => TextAnalysis.qualityScore(rd(s, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
+      Some {
+        val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
+        val stops = TextAnalysis.stopwords.map("'" + _ + "'").mkString(", ")
+        val nstop = s"len(list_filter($toks, x -> list_contains([$stops], x)))"
+        s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+          | CAST(len($toks) AS INTEGER) AS n_tokens,
+          | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_bpe_tokens,
+          | CAST($nstop AS INTEGER) AS n_stop,
+          | CAST(CAST($nstop AS DOUBLE) / len($toks) AS DECIMAL(10,4)) AS stop_ratio
+          |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    // X3 — marker-based language ID (oracle-checkable form; the char-n-gram
+    // scorer is langIdNgram, covered by ScalaTest).
+    Q("x3_lang_id",
+      (s, dir) => TextAnalysis.langIdSimple(rd(s, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
+      Some("SELECT doc_id, CASE WHEN contains(text, 'the ') THEN 'en' ELSE 'und' END AS pred_lang " +
+        "FROM documents ORDER BY doc_id")),
+
+    // X3 — exact document fingerprint (md5, engine-portable).
+    Q("x3_fingerprint",
+      (s, dir) => TextAnalysis.fingerprintMd5(rd(s, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
+      Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")),
+
+    // X2 — exact token-set Jaccard join, integer-thresholded (jaccard>=0.95).
+    // Bounded to doc_id<1000: this is the verification path; the scale path is
+    // x2_minhash_lsh below (no bound).
+    Q("x2_jaccard_dedup",
+      (s, dir) => Dedup.jaccardPairs(rd(s, dir, "documents").filter(col("doc_id") < 1000),
+        "doc_id", "text", 1, 19, 20).orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents WHERE doc_id < 1000),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, p.overlap, sa.sz AS size_a, sb.sz AS size_b
+        |FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+        |WHERE 20 * p.overlap >= 19 * (sa.sz + sb.sz - p.overlap)
+        |ORDER BY p.id_a, p.id_b""".stripMargin)),
+
+    // X2 — MinHash+LSH near-dup join (the 100 TB path: signatures are linear,
+    // candidates come from an equi-join on band keys, only candidates verified).
+    Q("x2_minhash_lsh",
+      (s, dir) => Dedup.minhashLshPairs(rd(s, dir, "documents"), "doc_id", "text", 4, 19, 20)
+        .orderBy("id_a", "id_b"),
+      Some {
+        val seeds = Dedup.minhashSeeds.zipWithIndex
+          .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+        s"""WITH toks AS ($duckToks),
+          |h AS (SELECT doc_id, ${duckHex("md5(tok)")} AS h FROM toks),
+          |seeds AS (SELECT * FROM (VALUES $seeds) AS s(seed, a, b)),
+          |mh AS (SELECT doc_id, seed, min((a * h + b) % ${Dedup.minhashP}) AS mh
+          |  FROM h CROSS JOIN seeds GROUP BY doc_id, seed),
+          |bands AS (SELECT doc_id, seed // 4 AS band, string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed) AS key
+          |  FROM mh GROUP BY doc_id, seed // 4),
+          |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
+          |  JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+          |ov AS (SELECT c.id_a, c.id_b, count(*) AS overlap FROM cand c
+          |  JOIN toks ta ON ta.doc_id = c.id_a
+          |  JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
+          |  GROUP BY c.id_a, c.id_b),
+          |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id)
+          |SELECT o.id_a, o.id_b, o.overlap, sa.sz AS size_a, sb.sz AS size_b
+          |FROM ov o JOIN sizes sa ON sa.doc_id = o.id_a JOIN sizes sb ON sb.doc_id = o.id_b
+          |WHERE 20 * o.overlap >= 19 * (sa.sz + sb.sz - o.overlap)
+          |ORDER BY o.id_a, o.id_b""".stripMargin
+      }),
+
+    // X2 — 32-bit SimHash signature per document (linear, join-free).
+    Q("x2_simhash",
+      (s, dir) => Dedup.simhash(rd(s, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
+      Some {
+        val terms = (0 until 32).map { j =>
+          s"CASE WHEN sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) > 0 " +
+            s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        }.mkString(" + ")
+        s"""WITH toks AS ($duckToks),
+          |h AS (SELECT doc_id, ${duckHex("md5(tok)")} AS h FROM toks)
+          |SELECT doc_id, ($terms) AS simhash FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      }),
+
+    // X2 — brute-force cosine pairs >= 0.4 (baseline embedding near-dup).
+    Q("x2_embedding_cosine",
+      (s, dir) => Similarity.cosinePairs(rd(s, dir, "embeddings"), new java.math.BigDecimal("0.400000"))
+        .orderBy("id_a", "id_b"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+        |SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6)) AS cos
+        |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
+        |WHERE cos >= CAST(0.4 AS DECIMAL(10,6)) ORDER BY id_a, id_b""".stripMargin)),
+
+    // X2 — brute-force cosine top-3 neighbours for the first 50 vectors.
+    Q("x2_ann_topk",
+      (s, dir) => Similarity.annTopK(rd(s, dir, "embeddings"), 3, 50).orderBy("id_a", "rk"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6)) AS cos
+        |  FROM s a JOIN s b ON a.vec_id <> b.vec_id WHERE a.vec_id < 50)
+        |SELECT * FROM (SELECT id_a, id_b, cos,
+        |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS INTEGER) AS rk FROM scored)
+        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
+
+    // X2 — LSH-bucketed ANN (scale path; sign-bucket construction is
+    // engine-stable but bucket recall is algorithmic, so rows-only check).
+    Q("x2_ann_lsh",
+      (s, dir) => Similarity.lshTopK(rd(s, dir, "embeddings"), 3, 8, 64).orderBy("id_a", "rk"),
+      None),
+
+    // X3 — rolling polynomial fingerprint (order-sensitive; DuckDB lacks an
+    // init-value fold, so rows-only check + ScalaTest golden values).
+    Q("x3_rolling_fingerprint",
+      (s, dir) => TextAnalysis.rollingFingerprint(rd(s, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
+      None),
+
+    // X4 — multimodal payload column: binary payload + typed metadata.
+    Q("x4_multimodal_meta",
+      (s, dir) => Multimodal.attachPayload(rd(s, dir, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("mime"), length(col("payload")).as("n_bytes"))
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, 'text/plain' AS mime, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes " +
+        "FROM documents ORDER BY doc_id")),
+
+    // X4 — decode/feature-extract plumbing over binary payloads (stub codec;
+    // mapPartitions batch shape — rows-only check + ScalaTest).
+    Q("x4_decode_features",
+      (s, dir) => Multimodal.decodeFeatures(
+        Multimodal.attachPayload(rd(s, dir, "documents"), "doc_id", "text"))
+        .toDF().select("doc_id", "mime", "n_bytes", "width", "height")
+        .orderBy("doc_id"),
+      None)
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map(q => q.name -> q.run).toMap
+
+  val oracles: Map[String, String] =
+    defs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The generic relational surface: filters, sorts, top-k, set ops, joins,
+  * windows (SURVEY.md §2.2-§2.8). All declarative — Catalyst handles pushdown,
+  * pruning, partial aggregation, and TakeOrderedAndProject; nothing here
+  * hand-schedules what the optimizer already does.
+  */
+object Relational {
+
+  /** P1: IN-list filter (reference etl-vini-azure.py:78). Pushed to the scan. */
+  def inFilter(df: DataFrame, column: String, values: Seq[Any]): DataFrame =
+    df.filter(col(column).isin(values: _*))
+
+  /** O1: global sort — range-partitioned exchange, not a single-task sort. */
+  def sort(df: DataFrame, cols: Column*): DataFrame = df.orderBy(cols: _*)
+
+  /** O2: top-k. orderBy+limit collapses to TakeOrderedAndProject: each
+    * partition keeps k rows, the driver merges — no global sort at any scale.
+    */
+  def topK(df: DataFrame, k: Int, cols: Column*): DataFrame = df.orderBy(cols: _*).limit(k)
+
+  /** U1: union-all of micro-batches, by name. */
+  def unionAll(frames: Seq[DataFrame]): DataFrame = frames.reduce(_ unionByName _)
+
+  /** F1: regex extraction (codegen'd built-in, no UDF). */
+  def regexpExtractCol(df: DataFrame, src: String, pattern: String, group: Int, as: String): DataFrame =
+    df.withColumn(as, regexp_extract(col(src), pattern, group))
+
+  /** J1: equi-join + aggregation. The dimension side is explicitly broadcast:
+    * at 100 TB the fact table never shuffles for this join — each executor
+    * streams its scan against the replicated dim.
+    */
+  def joinAgg(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+              groupCol: String, aggs: Seq[Column]): DataFrame =
+    fact.join(broadcast(dim), col(factKey) === col(dimKey))
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+
+  /** J2: left-semi join — existence filter, carries no payload from the right
+    * side through the shuffle.
+    */
+  def semiJoin(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String): DataFrame =
+    left.join(right, col(leftKey) === col(rightKey), "left_semi")
+
+  /** W1: row_number per group over an explicit total order within the group. */
+  def rowNumberPerGroup(df: DataFrame, partCols: Seq[String], orderCols: Seq[Column], as: String = "rn"): DataFrame =
+    df.withColumn(as, row_number().over(
+      Window.partitionBy(partCols.map(col): _*).orderBy(orderCols: _*)))
+
+  /** W2: rolling min/max over a row frame per group. One shuffle on the
+    * partition keys; the frame is evaluated streamingly within each group.
+    */
+  def rollingMinMax(df: DataFrame, valueCol: String, partCols: Seq[String],
+                    orderCols: Seq[Column], preceding: Int): DataFrame = {
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy(orderCols: _*)
+      .rowsBetween(-preceding, Window.currentRow)
+    df.withColumn("roll_min", min(col(valueCol)).over(w))
+      .withColumn("roll_max", max(col(valueCol)).over(w))
+  }
+
+  /** X5: top-k per group = W1 + filter. Unlike global topK, this shuffles once
+    * on the group key and never materializes more than the group's rows.
+    */
+  def topKPerGroup(df: DataFrame, partCols: Seq[String], orderCols: Seq[Column],
+                   k: Int, as: String = "rk"): DataFrame =
+    rowNumberPerGroup(df, partCols, orderCols, as).filter(col(as) <= k)
+}

@@ -1,0 +1,155 @@
+package graft.operators.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact
+  * keyed dedup, n-gram Jaccard similarity join, MinHash+LSH near-dup, and
+  * SimHash fingerprints.
+  *
+  * Everything is engine-portable-deterministic: token hashes derive from
+  * md5 (identical across engines) rather than xxhash64/murmur (Spark-only),
+  * so every operator here has an exact DuckDB oracle.
+  *
+  * 100 TB design: the Jaccard join is the small-scale/verification path (its
+  * common-token self-join is quadratic in token document-frequency); the scale
+  * path is MinHash+LSH — signatures are a linear scan, candidate generation is
+  * an equi-join on band keys (shuffle on band hash, no all-pairs), and only
+  * candidates are verified exactly.
+  */
+object Dedup {
+
+  /** X1: exact keyed dedup, deterministic survivor — keep the row with the
+    * lowest tie-break value per key. dropDuplicates keeps an arbitrary row
+    * (partition-order dependent); this form is stable and oracle-checkable.
+    */
+  def exactByKey(df: DataFrame, keys: Seq[String], tieBreak: String): DataFrame =
+    df.withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreak))))
+      .filter(col("__rn") === 1).drop("__rn")
+
+  /** Distinct whitespace tokens per document. */
+  def tokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), explode(split(col(textCol), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+
+  /** Portable 32-bit token hash: integer value of the first 8 hex digits of
+    * md5(tok). Identical in Spark and DuckDB, unlike xxhash64/murmur3.
+    */
+  val tokenHash = expr("cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint)")
+
+  /** Word-shingle sets of size n (n-gram tokens) per document, for n-gram
+    * Jaccard. n=1 degenerates to [[tokens]].
+    */
+  def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    if (n <= 1) return tokens(docs, idCol, textCol)
+    // sliding word windows via transform over index range — no UDF. The
+    // sequence is always 0..size (ascending, never empty); windows that would
+    // run past the end are nulled and filtered, giving size-n+1 shingles.
+    docs.select(
+        col(idCol).as("doc_id"),
+        expr(s"filter(split($textCol, ' '), x -> x != '')").as("ws"))
+      .select(col("doc_id"), explode(expr(
+        s"filter(transform(sequence(0, size(ws)), " +
+          s"i -> case when i + $n <= size(ws) then concat_ws(' ', slice(ws, i + 1, $n)) end), x -> x is not null)"
+      )).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity join: pairs with
+    * jaccard >= threshNum/threshDen, computed entirely in integers
+    * (den*overlap >= num*union) so both engines agree bit-for-bit.
+    * Returns (id_a, id_b, overlap, size_a, size_b).
+    */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+                   threshNum: Int, threshDen: Int): DataFrame = {
+    val toks = shingles(docs, idCol, textCol, n)
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val pairs = toks.as("a").join(toks.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("overlap"))
+    pairs
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"), col("overlap"),
+        col("sa.sz").as("size_a"), col("sb.sz").as("size_b"))
+      .filter(lit(threshDen) * col("overlap") >=
+        lit(threshNum) * (col("size_a") + col("size_b") - col("overlap")))
+  }
+
+  /** MinHash seeds: fixed (a, b) pairs for h_i(x) = (a*x + b) mod P. a < 2^29
+    * and x < 2^32 keep a*x+b < 2^62 (no overflow). Shared with the oracle SQL.
+    */
+  val minhashP: Long = 2147483647L
+  val minhashSeeds: Seq[(Long, Long)] = Seq(
+    (387143L, 98741L), (204929L, 55333L), (451261L, 7919L), (99371L, 150151L),
+    (287117L, 31337L), (173081L, 62791L), (331999L, 24281L), (411853L, 86243L),
+    (128591L, 41143L), (223823L, 13007L), (364979L, 71993L), (157579L, 92221L),
+    (301237L, 17389L), (437191L, 50021L), (189517L, 66947L), (274877L, 29989L))
+
+  /** MinHash signatures: one row per (doc_id, seed) with the min hash over the
+    * document's token set. Linear in corpus token count.
+    */
+  def minhashSignatures(toks: DataFrame): DataFrame = {
+    val spark = toks.sparkSession
+    import spark.implicits._
+    val seedDf = minhashSeeds.zipWithIndex
+      .map { case ((a, b), i) => (i, a, b) }.toDF("seed", "a", "b")
+    toks.withColumn("h", tokenHash)
+      .crossJoin(broadcast(seedDf))
+      .withColumn("hv", (col("a") * col("h") + col("b")) % lit(minhashP))
+      .groupBy("doc_id", "seed").agg(min("hv").as("mh"))
+  }
+
+  /** X2 (scale path): MinHash+LSH near-dup join. Signatures → band keys →
+    * equi-join on (band, key) for candidates → exact Jaccard verification of
+    * candidates only. Band keys are built from a seed-sorted struct array so
+    * the key string is deterministic under any aggregation order.
+    */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      bandSize: Int, threshNum: Int, threshDen: Int): DataFrame = {
+    val toks = tokens(docs, idCol, textCol)
+    val bands = minhashSignatures(toks)
+      .withColumn("band", (col("seed") / lit(bandSize)).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(sort_array(collect_list(struct(col("seed"), col("mh")))).as("sig"))
+      .withColumn("key", expr("concat_ws('-', transform(sig, x -> cast(x.mh as string)))"))
+      .select("doc_id", "band", "key")
+    val candidates = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    // Verify candidates only: join tokens through the candidate pair list.
+    val overlaps = candidates
+      .join(toks.as("ta"), col("id_a") === col("ta.doc_id"))
+      .join(toks.as("tb"), col("id_b") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("overlap"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    overlaps
+      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"), col("overlap"),
+        col("sa.sz").as("size_a"), col("sb.sz").as("size_b"))
+      .filter(lit(threshDen) * col("overlap") >=
+        lit(threshNum) * (col("size_a") + col("size_b") - col("overlap")))
+  }
+
+  /** X2 variant: 32-bit SimHash per document. Bit j of the signature is the
+    * sign of sum over tokens of (+1 if bit j of token-hash set, else -1).
+    * One explode + one aggregation — linear, no joins.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(docs, idCol, textCol).withColumn("h", tokenHash)
+    val bitSums = (0 until 32).map { j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$j")
+    }
+    val agged = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 32).map { j =>
+      when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agged.select(col("doc_id"), sig.as("simhash"))
+  }
+}

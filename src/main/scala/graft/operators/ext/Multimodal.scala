@@ -1,0 +1,79 @@
+package graft.operators.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column support: media payloads as opaque binary columns with
+  * typed metadata, plus the decode/feature-extract plumbing a training-data
+  * pipeline needs.
+  *
+  * The actual codec step is STUBBED (no image/audio libraries in this
+  * container): [[FakeDecoder]] is a deterministic stand-in with the same
+  * shape a real decoder would have (bytes in → fixed-width feature row out).
+  * Everything around it — schema, batch iteration, partition-parallel
+  * execution, feature schema — is real and tested.
+  *
+  * 100 TB design: payloads ride in the same rows as metadata (no side
+  * channel); decode runs via mapPartitions so per-partition codec state is
+  * initialized once, not per row; feature extraction emits fixed-width
+  * vectors so downstream similarity ops (Similarity.scala) apply unchanged.
+  */
+object Multimodal {
+
+  /** Feature row produced by the (stubbed) decoder. */
+  final case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
+                                 width: Int, height: Int, features: Array[Float])
+
+  /** Deterministic fake decoder — STUB for the real image/audio codec.
+    * Derives pseudo-dimensions and a 8-dim byte-histogram "feature vector"
+    * from the payload bytes alone, so tests are reproducible.
+    */
+  object FakeDecoder {
+    def decode(id: Long, mime: String, payload: Array[Byte]): MediaFeatures = {
+      val hist = new Array[Float](8)
+      var i = 0
+      while (i < payload.length) { hist((payload(i) & 0xff) % 8) += 1f; i += 1 }
+      val n = math.max(payload.length, 1)
+      var j = 0
+      while (j < 8) { hist(j) /= n.toFloat; j += 1 }
+      MediaFeatures(id, mime, payload.length, width = n % 640, height = n % 480, features = hist)
+    }
+  }
+
+  /** Attach a binary payload + typed metadata map to a text table — models
+    * ingesting media blobs next to their source rows. Uses encode() (real
+    * bytes), not a placeholder string.
+    */
+  def attachPayload(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      lit("text/plain").as("mime"),
+      encode(col(textCol), "UTF-8").as("payload"),
+      map(lit("source"), lit("inline"), lit("codec"), lit("utf-8")).as("meta"))
+
+  /** Decode + feature-extract over the payload column. mapPartitions keeps
+    * codec initialization per-partition; the output is a typed Dataset with a
+    * fixed feature schema.
+    */
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    implicit val enc = Encoders.product[MediaFeatures]
+    media.select("doc_id", "mime", "payload").mapPartitions { rows =>
+      // (real codec would be initialized here, once per partition)
+      rows.map { r: Row =>
+        FakeDecoder.decode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
+      }
+    }
+  }
+
+  /** Frame sampling shape for video-like payloads: every k-th chunk of the
+    * payload becomes one "frame" row (explode). Deterministic stand-in for
+    * keyframe extraction; the row-explosion plumbing is the real part.
+    */
+  def sampleFrames(media: DataFrame, chunkBytes: Int, everyK: Int): DataFrame =
+    media.select(col("doc_id"), col("mime"),
+        expr(s"filter(transform(sequence(0, int(length(payload) / $chunkBytes)), " +
+          s"i -> case when i % $everyK = 0 then substring(payload, i * $chunkBytes + 1, $chunkBytes) end), x -> x is not null)")
+          .as("frames"))
+      .select(col("doc_id"), col("mime"), posexplode(col("frames")).as(Seq("frame_no", "frame")))
+}

@@ -1,0 +1,90 @@
+package graft.operators.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Determinism: dot products are computed as an ordered left fold over
+  * double-cast elements (`aggregate(zip_with(...))`), which both Spark and
+  * DuckDB evaluate sequentially in list order — identical IEEE results. The
+  * cosine is rounded to 6 decimals (DECIMAL(10,6)) before any comparison or
+  * ordering, so a sub-ulp cross-engine difference can never flip a filter or
+  * a rank; remaining ties break on vector id.
+  *
+  * 100 TB design: brute force is the correctness baseline (O(n²·d)); the scale
+  * path is [[lshTopK]] — random-hyperplane bucketing turns the cross join into
+  * an equi-join on bucket signature (shuffle on signature, candidates only
+  * within buckets). Recall is tunable by #planes / multi-probe; both paths
+  * share the exact re-scoring step.
+  */
+object Similarity {
+
+  /** Columns: doc-side `vec_id`, `embedding`. Adds `v` (double array) and
+    * `nrm` (L2 norm, rounded-stable only through the final cosine rounding).
+    */
+  private def prep(df: DataFrame): DataFrame =
+    df.select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      .withColumn("nrm", expr("sqrt(aggregate(v, cast(0.0 as double), (s, x) -> s + x * x))"))
+
+  private val dot = expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double), (s, p) -> s + p)")
+
+  private def cosCol = (dot / (col("a.nrm") * col("b.nrm"))).cast(DecimalType(10, 6)).as("cos")
+
+  /** All pairs with cosine >= minCos (brute-force baseline). */
+  def cosinePairs(emb: DataFrame, minCos: java.math.BigDecimal): DataFrame = {
+    val p = prep(emb)
+    p.as("a").join(p.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cosCol)
+      .filter(col("cos") >= lit(minCos))
+  }
+
+  /** Brute-force cosine top-k neighbours for each query vector (queries =
+    * vec_id < queryLimit). Rank on (rounded cosine desc, neighbour id) — total
+    * order, engine-stable.
+    */
+  def annTopK(emb: DataFrame, k: Int, queryLimit: Long): DataFrame = {
+    val p = prep(emb)
+    val q = p.filter(col("vec_id") < queryLimit)
+    val scored = q.as("a").join(p.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cosCol)
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))))
+      .filter(col("rk") <= k)
+  }
+
+  /** Fixed random hyperplanes (seeded, literal — shared with tests). Each
+    * plane is a 64-dim vector of ±1 derived from a deterministic LCG.
+    */
+  def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
+    var state = 88172645463325252L
+    def next(): Long = { // xorshift64 — deterministic, seed fixed
+      state ^= state << 13; state ^= state >>> 7; state ^= state << 17; state
+    }
+    Seq.fill(numPlanes)(Seq.fill(dim)(if ((next() & 1L) == 0L) 1.0 else -1.0))
+  }
+
+  /** X2 scale path: random-hyperplane LSH bucketing + exact re-score within
+    * buckets. Sign bits are taken on the cosine-rounded projection to stay
+    * engine-stable near zero.
+    */
+  def lshTopK(emb: DataFrame, k: Int, numPlanes: Int, dim: Int): DataFrame = {
+    val p = prep(emb)
+    val planes = hyperplanes(numPlanes, dim)
+    val sigBits = planes.zipWithIndex.map { case (plane, i) =>
+      val arr = s"array(${plane.mkString(", ")})"
+      val proj = expr(s"aggregate(zip_with(v, $arr, (x, y) -> x * y), cast(0.0 as double), (s, q) -> s + q)")
+        .cast(DecimalType(18, 6))
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bucketed = p.withColumn("sig", sigBits)
+    val scored = bucketed.as("a").join(bucketed.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cosCol)
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))))
+      .filter(col("rk") <= k)
+  }
+}

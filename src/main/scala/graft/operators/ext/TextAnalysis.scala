@@ -1,0 +1,82 @@
+package graft.operators.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Text-analysis operators over the documents table: token statistics,
+  * quality scoring, token counting (whitespace + BPE-ish regex), language ID,
+  * and document fingerprinting. All built-ins (codegen'd) — no UDFs in the
+  * hot path.
+  */
+object TextAnalysis {
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  private def toks(textCol: String) = s"filter(split($textCol, ' '), x -> x != '')"
+
+  /** Corpus token frequencies: explode → count. Partial aggregation makes the
+    * shuffle carry one row per (partition, token) — safe at any corpus size.
+    */
+  def tokenStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(expr(toks(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+
+  /** Per-document quality features: token counts (whitespace and a BPE-ish
+    * `[a-z]+|[0-9]+` segmentation), character length, stopword count and
+    * ratio. Ratio is DECIMAL(10,4) so both engines round identically.
+    */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("doc_id"),
+      length(col(textCol)).as("n_chars"),
+      expr(s"size(${toks(textCol)})").as("n_tokens"),
+      expr(s"size(regexp_extract_all($textCol, '[a-z]+|[0-9]+', 0))").as("n_bpe_tokens"),
+      expr(s"size(filter(${toks(textCol)}, x -> array_contains(array(${stopwords.map("'" + _ + "'").mkString(",")}), x)))")
+        .as("n_stop"))
+    .withColumn("stop_ratio",
+      (col("n_stop").cast("double") / col("n_tokens")).cast(DecimalType(10, 4)))
+
+  /** Simple marker-based language ID (the oracle-checkable form): presence of
+    * an English stopword bigram. The richer char-n-gram profile scorer is
+    * [[langIdNgram]] (tested in ScalaTest; profiles aren't SQL-portable).
+    */
+  def langIdSimple(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      when(col(textCol).contains("the "), lit("en")).otherwise(lit("und")).as("pred_lang"))
+
+  /** Char-n-gram language scorer: score(lang) = Σ weight of profile trigrams
+    * present in the text; argmax wins. Profiles are tiny literal maps — the
+    * scoring is a codegen'd expression chain, no UDF, no shuffle.
+    */
+  def langIdNgram(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val profiles: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "he ", "ing", " th", "and"),
+      "de" -> Seq("der", "ein", "sch", "ich", "und"),
+      "es" -> Seq("de ", "la ", "os ", "ión", "que"),
+      "fr" -> Seq("le ", "les", "des", "ent", "que"),
+      "zh" -> Seq("zh_", "shi", "de_", "wo ", "ni "))
+    val scores = profiles.map { case (lang, grams) =>
+      lang -> grams.map(g => when(col(textCol).contains(g), 1).otherwise(0)).reduce(_ + _)
+    }
+    val best = scores.toSeq.sortBy(_._1).map { case (lang, s) => struct(s.as("s"), lit(lang).as("l")) }
+    docs.select(col(idCol).as("doc_id"),
+      greatest(best: _*).getField("l").as("pred_lang"))
+  }
+
+  /** Exact document fingerprint: md5 (portable across engines). */
+  def fingerprintMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("fp"))
+
+  /** Rolling polynomial fingerprint over tokens (Rabin-Karp-shaped): an
+    * ordered fold hash = hash*31 + tokenHash (mod 2^61-1). Order-sensitive —
+    * distinguishes permuted documents, unlike set-based Jaccard.
+    */
+  def rollingFingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      // mod after the multiply keeps acc*31 + h < 2^35 — no long overflow
+      expr(s"aggregate(${toks(textCol)}, cast(7 as bigint), " +
+        "(acc, t) -> ((acc * 31) % 1000000007 + cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)) % 1000000007)")
+        .as("fp"))
+}

@@ -1,0 +1,81 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming treatment of the reference's ingest loop
+  * (etl-vini-azure.py:61-77: a 180-second driver-side polling window).
+  *
+  * The batch engine treats that loop as micro-batch accumulate (sources/
+  * Ingest.scala); here the same semantics are expressed as a proper stream:
+  * parse → filter → event-time window with watermark, plus stateful
+  * per-key session aggregation via flatMapGroupsWithState — the pieces a
+  * streaming training-data feed needs (the reference never needs state, so
+  * state here is [EXT] capability).
+  *
+  * All transforms are stream-static safe and tested with MemoryStream.
+  */
+object Streaming {
+
+  /** Parse a stream of raw JSON ticker payloads into typed rows.
+    * Input schema: (payload string, ingest_ts timestamp).
+    */
+  def parseTickStream(raw: DataFrame): DataFrame =
+    raw.select(explode(from_json(col("payload"), graft.model.Schemas.tickerJson)).as("t"),
+        col("ingest_ts"))
+      .select(col("t.symbol").as("symbol"), col("t.price").as("price"), col("ingest_ts"))
+      .filter(col("symbol").isin(graft.sources.Ingest.symbols: _*))
+
+  /** Tumbling event-time window aggregate with a watermark: per-symbol
+    * min/max per window — the streaming generalization of silver→gold.
+    */
+  def windowedMinMax(ticks: DataFrame, windowLen: String, watermark: String): DataFrame =
+    ticks.withWatermark("ingest_ts", watermark)
+      .groupBy(window(col("ingest_ts"), windowLen), col("symbol"))
+      .agg(min("price").as("min_price"), max("price").as("max_price"))
+
+  /** Streaming dedup with bounded state: exact dedup on (symbol, price)
+    * within the watermark horizon — X1's streaming form.
+    */
+  def streamDedup(ticks: DataFrame, watermark: String): DataFrame =
+    ticks.withWatermark("ingest_ts", watermark)
+      .dropDuplicatesWithinWatermark("symbol", "price")
+
+  final case class Tick(symbol: String, price: java.math.BigDecimal, ingest_ts: Timestamp)
+  final case class SymbolSession(symbol: String, n: Long, lo: java.math.BigDecimal, hi: java.math.BigDecimal)
+
+  /** Custom state: running per-symbol tick count + price envelope maintained
+    * across micro-batches. With idleTimeoutMs > 0, idle keys are expired via
+    * a processing-time timeout (note: timeout-driven batches keep the query
+    * busy, so tests that drain with processAllAvailable pass 0 = NoTimeout).
+    */
+  def sessionize(ticks: Dataset[Tick], idleTimeoutMs: Long): Dataset[SymbolSession] = {
+    implicit val se = Encoders.product[SymbolSession]
+    implicit val te = Encoders.STRING
+    val timeout = if (idleTimeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout()
+                  else GroupStateTimeout.NoTimeout()
+    ticks.groupByKey(_.symbol)
+      .flatMapGroupsWithState[SymbolSession, SymbolSession](
+        OutputMode.Update(), timeout) {
+        case (symbol, rows, state: GroupState[SymbolSession]) =>
+          if (state.hasTimedOut) {
+            val out = state.getOption.toSeq
+            state.remove()
+            out.iterator
+          } else {
+            val prev = state.getOption.getOrElse(SymbolSession(symbol, 0L, null, null))
+            val next = rows.foldLeft(prev) { (s, t) =>
+              val lo = if (s.lo == null || t.price.compareTo(s.lo) < 0) t.price else s.lo
+              val hi = if (s.hi == null || t.price.compareTo(s.hi) > 0) t.price else s.hi
+              SymbolSession(symbol, s.n + 1, lo, hi)
+            }
+            state.update(next)
+            if (idleTimeoutMs > 0) state.setTimeoutDuration(idleTimeoutMs)
+            Iterator(next)
+          }
+      }
+  }
+}

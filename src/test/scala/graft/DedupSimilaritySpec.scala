@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ext.{Dedup, Similarity}
+
+class DedupSimilaritySpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exactByKey keeps lowest tie-break per key and is idempotent") {
+    val df = docs((3L, "a b"), (1L, "a b"), (2L, "c d"))
+    val once = Dedup.exactByKey(df, Seq("text"), "doc_id")
+    assert(once.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(Dedup.exactByKey(once, Seq("text"), "doc_id").count() == once.count())
+  }
+
+  test("shingles produces n-1 fewer bigrams than tokens") {
+    val s = Dedup.shingles(docs((1L, "a b c d")), "doc_id", "text", 2)
+    assert(s.collect().map(_.getString(1)).toSet == Set("a b", "b c", "c d"))
+  }
+
+  test("jaccardPairs: identical docs meet any threshold; disjoint docs never") {
+    val df = docs((1L, "x y z"), (2L, "x y z"), (3L, "p q r"))
+    val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 1, 19, 20).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+  }
+
+  test("minhashLshPairs finds exact duplicates (same signature, all bands collide)") {
+    val df = docs((1L, "the quick brown fox"), (2L, "the quick brown fox"), (3L, "entirely different words here"))
+    val pairs = Dedup.minhashLshPairs(df, "doc_id", "text", 4, 19, 20).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+  }
+
+  test("simhash: equal token sets get equal signatures; different sets differ") {
+    val sig = Dedup.simhash(docs((1L, "a b c"), (2L, "c b a"), (3L, "totally other tokens")), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L)) // set semantics: order-insensitive
+    assert(sig(1L) != sig(3L))
+  }
+
+  private def embeddings(rows: (Long, Seq[Float])*) = {
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding")
+  }
+
+  test("cosinePairs: parallel vectors ~1.0, orthogonal filtered out") {
+    val df = embeddings(
+      (1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(2f, 0f, 0f, 0f)), (3L, Seq(0f, 1f, 0f, 0f)))
+    val pairs = Similarity.cosinePairs(df, new java.math.BigDecimal("0.900000")).collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
+    assert(math.abs(pairs.head.getDecimal(2).doubleValue() - 1.0) < 1e-6)
+  }
+
+  test("annTopK ranks the closest neighbour first") {
+    val df = embeddings(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)), (3L, Seq(-1f, 0f)))
+    val top = Similarity.annTopK(df, 2, 1).filter(col("id_a") === 0L)
+      .orderBy("rk").collect().map(_.getLong(1)).toSeq
+    assert(top == Seq(1L, 2L))
+  }
+
+  test("lshTopK: identical vectors share a bucket and rank each other first") {
+    val df = embeddings(
+      (0L, Seq.fill(64)(0.5f)), (1L, Seq.fill(64)(0.5f)), (2L, Seq.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)))
+    val res = Similarity.lshTopK(df, 1, 8, 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(res.contains((0L, 1L)) && res.contains((1L, 0L)))
+  }
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io._
+
+class IoSpec extends SparkSpec {
+  import TestSpark._
+
+  test("ParquetTableFormat: partitioned write + partition recovery on read") {
+    import spark.implicits._
+    val df = Seq(("a", 1, 2022), ("b", 2, 2022), ("c", 3, 2023)).toDF("k", "v", "year")
+    val path = tmpDir("fmt")
+    ParquetTableFormat.write(df, path, partitionCols = Seq("year"))
+    val back = ParquetTableFormat.read(spark, path)
+    assert(back.columns.toSet == Set("k", "v", "year"))
+    // partition column recovered and usable for pruning
+    assert(back.filter(col("year") === 2023).count() == 1)
+    assert(back.count() == 3)
+  }
+
+  test("ParquetTableFormat: dynamic partition overwrite replaces only written partitions") {
+    import spark.implicits._
+    val path = tmpDir("dyn")
+    ParquetTableFormat.write(Seq(("a", 2022), ("b", 2023)).toDF("k", "year"), path, Seq("year"))
+    // second write touches only year=2023; year=2022 must survive
+    ParquetTableFormat.write(Seq(("c", 2023)).toDF("k", "year"), path, Seq("year"))
+    val back = ParquetTableFormat.read(spark, path).collect().map(r => (r.getString(0), r.getInt(1))).toSet
+    assert(back == Set(("a", 2022), ("c", 2023)))
+  }
+
+  test("StagedWarehouseSink: two appends accumulate; staging dir cleaned") {
+    import spark.implicits._
+    val staging = tmpDir("stage"); val wh = tmpDir("wh")
+    val sink = new StagedWarehouseSink(staging, wh)
+    sink.append(Seq(1, 2, 3).toDF("v"), "t")
+    sink.append(Seq(4, 5).toDF("v"), "t")
+    assert(sink.read(spark, "t").count() == 5)
+    assert(new java.io.File(staging).listFiles().forall(_.getName.startsWith(".")))
+  }
+
+  test("JsonDocumentSink: one JSON document per row") {
+    import spark.implicits._
+    val path = tmpDir("docs") + "/out"
+    JsonDocumentSink.write(Seq(("a", "1"), ("b", "2")).toDF("k", "v"), path)
+    val docs = spark.read.text(path).collect().map(_.getString(0)).sorted
+    assert(docs.length == 2 && docs.forall(d => d.startsWith("{") && d.endsWith("}")))
+    assert(docs.head.contains("\"k\":\"a\""))
+  }
+
+  test("LocalParquetStore: recreate + appendBatch + extractToParquet") {
+    import spark.implicits._
+    val store = new LocalParquetStore(tmpDir("store"))
+    store.recreate(spark, "crypto")
+    store.appendBatch(Seq(("BTCUSDT", 1.0), ("ETHUSDT", 2.0)).toDF("symbol", "price"), "crypto")
+    val bronze = tmpDir("bronze") + "/crypto"
+    store.extractToParquet(spark, "crypto", bronze)
+    assert(spark.read.parquet(bronze).count() == 2)
+  }
+}

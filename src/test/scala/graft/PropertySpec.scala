@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, rng}
+
+import graft.operators.{Medallion, Relational}
+
+/** Property-based invariants (SURVEY.md §5.2.3): generated inputs via
+  * ScalaCheck Gen (seeded — deterministic), laws that must hold at any scale.
+  */
+class PropertySpec extends SparkSpec {
+
+  private val rowsGen = Gen.listOfN(30, Gen.zip(Gen.oneOf("a", "b", "c"), Gen.choose(0, 9999)))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, rng.Seed(42L + i)))
+
+  test("distinct is idempotent; union-all counts are additive pre-dedup") {
+    samples(rowsGen, 5).filter(_.nonEmpty).foreach { data =>
+      import spark.implicits._
+      val df = data.toDF("k", "v")
+      val d1 = df.distinct()
+      assert(d1.count() == d1.distinct().count())
+      assert(Relational.unionAll(Seq(df, df)).count() == 2L * df.count())
+    }
+  }
+
+  test("silverToGold: min <= max, diff = max - min, one row per key") {
+    samples(rowsGen, 5).filter(_.nonEmpty).foreach { data =>
+      import spark.implicits._
+      val df = data.toDF("k", "v").select(col("k"), (col("v") / 100.0).as("v"))
+      val gold = Medallion.silverToGold(df, "k", "v", java.time.LocalDate.of(2022, 2, 28)).collect()
+      assert(gold.length == data.map(_._1).distinct.length)
+      gold.foreach { r =>
+        assert(r.getDecimal(1).compareTo(r.getDecimal(2)) <= 0)
+        assert(r.getDecimal(2).subtract(r.getDecimal(1)).compareTo(r.getDecimal(3)) == 0)
+      }
+    }
+  }
+
+  test("stringify round-trip: decimal(10,2) strings parse back to equal values") {
+    samples(Gen.listOfN(20, Gen.choose(-99999L, 99999L)), 5).filter(_.nonEmpty).foreach { vals =>
+      import spark.implicits._
+      val df = vals.toDF("cents")
+        .select((col("cents") / 100.0).cast("decimal(10,2)").as("v"))
+      val strs = Medallion.stringify(df)
+      val back = strs.select(col("v").cast("decimal(10,2)").as("v"))
+      assert(back.except(df).count() == 0 && df.except(back).count() == 0)
+    }
+  }
+}

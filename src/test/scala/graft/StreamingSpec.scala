@@ -1,0 +1,71 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.Streaming
+import graft.streaming.Streaming.Tick
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+  private def dec(s: String) = new java.math.BigDecimal(s)
+
+  test("parseTickStream + windowedMinMax: per-symbol envelope per window") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, Timestamp)]
+    val raw = mem.toDF().toDF("payload", "ingest_ts")
+    val agg = Streaming.windowedMinMax(Streaming.parseTickStream(raw), "1 minute", "10 seconds")
+    val q = agg.writeStream.format("memory").queryName("wmm").outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(
+        ("""[{"symbol":"BTCUSDT","price":10.00},{"symbol":"BTCUSDT","price":12.00}]""", ts(60)),
+        ("""[{"symbol":"ETHUSDT","price":5.00},{"symbol":"XXX","price":1.00}]""", ts(61)))
+      q.processAllAvailable()
+      val rows = spark.table("wmm").select("symbol", "min_price", "max_price").collect()
+        .map(r => (r.getString(0), r.getDecimal(1), r.getDecimal(2))).toSet
+      assert(rows == Set(
+        ("BTCUSDT", dec("10.00"), dec("12.00")),
+        ("ETHUSDT", dec("5.00"), dec("5.00")))) // XXX filtered by symbol list
+    } finally q.stop()
+  }
+
+  test("streamDedup drops duplicate (symbol, price) within the watermark") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, java.math.BigDecimal, Timestamp)]
+    val ticks = mem.toDF().toDF("symbol", "price", "ingest_ts")
+    val q = Streaming.streamDedup(ticks, "1 minute")
+      .writeStream.format("memory").queryName("sd").outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        ("BTCUSDT", dec("10.00"), ts(1)),
+        ("BTCUSDT", dec("10.00"), ts(2)),
+        ("BTCUSDT", dec("11.00"), ts(3)))
+      q.processAllAvailable()
+      assert(spark.table("sd").count() == 2)
+    } finally q.stop()
+  }
+
+  test("sessionize maintains per-symbol running count and price envelope") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[Tick]
+    val q = Streaming.sessionize(mem.toDS(), idleTimeoutMs = 0)
+      .writeStream.format("memory").queryName("sess").outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Tick("BTCUSDT", dec("10.00"), ts(1)), Tick("BTCUSDT", dec("8.00"), ts(2)))
+      q.processAllAvailable()
+      mem.addData(Tick("BTCUSDT", dec("15.00"), ts(3)))
+      q.processAllAvailable()
+      val last = spark.table("sess").orderBy(col("n").desc).collect().head
+      assert(last.getLong(1) == 3L)
+      // encoder widens java BigDecimal to decimal(38,18); compare values not scales
+      assert(last.getDecimal(2).compareTo(dec("8.00")) == 0 && last.getDecimal(3).compareTo(dec("15.00")) == 0)
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ext.{Multimodal, TextAnalysis}
+
+class TextMultimodalSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("tokenStats counts corpus frequencies, most frequent first") {
+    val stats = TextAnalysis.tokenStats(docs((1L, "a b a"), (2L, "a c")), "text").collect()
+    assert(stats.head.getString(0) == "a" && stats.head.getLong(1) == 3L)
+    assert(stats.map(_.getString(0)).toSeq == Seq("a", "b", "c"))
+  }
+
+  test("qualityScore: token counts, stopword ratio") {
+    val r = TextAnalysis.qualityScore(docs((1L, "the cat sat on42 the mat")), "doc_id", "text").collect().head
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(r.getAs[Int]("n_stop") == 2)      // "the" twice
+    assert(r.getAs[Int]("n_bpe_tokens") == 7) // on42 -> on + 42
+    assert(r.getDecimal(5).toString == "0.3333")
+  }
+
+  test("langIdNgram picks the profile with most matching n-grams") {
+    val df = docs((1L, "the thing and the king"), (2L, "der einer schoene und ich"))
+    val out = TextAnalysis.langIdNgram(df, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "en" && out(2L) == "de")
+  }
+
+  test("rollingFingerprint is order-sensitive, unlike set-based dedup") {
+    val fp = TextAnalysis.rollingFingerprint(docs((1L, "a b c"), (2L, "c b a"), (3L, "a b c")), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L))
+  }
+
+  test("attachPayload + decodeFeatures: deterministic stub decode over real binary plumbing") {
+    val media = Multimodal.attachPayload(docs((1L, "hello"), (2L, "worlds!")), "doc_id", "text")
+    val rows = media.collect()
+    assert(rows.forall(_.getAs[Array[Byte]]("payload").nonEmpty))
+    val feats = Multimodal.decodeFeatures(media).collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).n_bytes == 5 && feats(2L).n_bytes == 7)
+    assert(feats(1L).features.length == 8)
+    assert(math.abs(feats(1L).features.sum - 1.0f) < 1e-5)
+    // deterministic: same payload, same features
+    val again = Multimodal.decodeFeatures(media).collect().map(f => f.doc_id -> f.features.toSeq).toMap
+    assert(again(1L) == feats(1L).features.toSeq)
+  }
+
+  test("sampleFrames explodes every k-th chunk with frame numbers") {
+    val media = Multimodal.attachPayload(docs((1L, "abcdefghijklmnopqrstuvwxyz")), "doc_id", "text")
+    val frames = Multimodal.sampleFrames(media, chunkBytes = 4, everyK = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length <= 4))
+  }
+}
