@@ -9,11 +9,18 @@ object Probe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val dump = sys.env.get("SPARK_PROBE_DUMP")
     args.tail.foreach { name =>
       try {
         val df = Queries.queries(name)(spark, args.head)
-        println(s"[probe] $name rows=${df.count()}")
-        df.show(3, truncate = false)
+        dump match {
+          case Some(root) =>
+            df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
+            println(s"[probe] $name dumped to $root/$name")
+          case None =>
+            println(s"[probe] $name rows=${df.count()}")
+            df.show(3, truncate = false)
+        }
       } catch { case e: Throwable =>
         println(s"[probe] $name FAILED: ${e.toString.take(500)}")
       }

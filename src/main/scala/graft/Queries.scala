@@ -288,7 +288,7 @@ object Queries {
     // X2 — MinHash+LSH near-dup join (the 100 TB path: signatures are linear,
     // candidates come from an equi-join on band keys, only candidates verified).
     Q("x2_minhash_lsh",
-      (s, dir) => Dedup.minhashLshPairs(rd(s, dir, "documents"), "doc_id", "text", 4, 19, 20)
+      (s, dir) => Dedup.minhashLshPairs(rd(s, dir, "documents"), "doc_id", "text", 8, 19, 20)
         .orderBy("id_a", "id_b"),
       Some {
         val seeds = Dedup.minhashSeeds.zipWithIndex
@@ -298,19 +298,16 @@ object Queries {
           |seeds AS (SELECT * FROM (VALUES $seeds) AS s(seed, a, b)),
           |mh AS (SELECT doc_id, seed, min((a * h + b) % ${Dedup.minhashP}) AS mh
           |  FROM h CROSS JOIN seeds GROUP BY doc_id, seed),
-          |bands AS (SELECT doc_id, seed // 4 AS band, string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed) AS key
-          |  FROM mh GROUP BY doc_id, seed // 4),
+          |bands AS (SELECT doc_id, seed // 8 AS band, string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed) AS key
+          |  FROM mh GROUP BY doc_id, seed // 8),
           |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
           |  JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-          |ov AS (SELECT c.id_a, c.id_b, count(*) AS overlap FROM cand c
-          |  JOIN toks ta ON ta.doc_id = c.id_a
-          |  JOIN toks tb ON tb.doc_id = c.id_b AND tb.tok = ta.tok
-          |  GROUP BY c.id_a, c.id_b),
-          |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id)
-          |SELECT o.id_a, o.id_b, o.overlap, sa.sz AS size_a, sb.sz AS size_b
-          |FROM ov o JOIN sizes sa ON sa.doc_id = o.id_a JOIN sizes sb ON sb.doc_id = o.id_b
-          |WHERE 20 * o.overlap >= 19 * (sa.sz + sb.sz - o.overlap)
-          |ORDER BY o.id_a, o.id_b""".stripMargin
+          |tsets AS (SELECT doc_id, list(tok) AS toks, count(*) AS sz FROM toks GROUP BY doc_id)
+          |SELECT c.id_a, c.id_b, len(list_intersect(sa.toks, sb.toks)) AS overlap,
+          |  sa.sz AS size_a, sb.sz AS size_b
+          |FROM cand c JOIN tsets sa ON sa.doc_id = c.id_a JOIN tsets sb ON sb.doc_id = c.id_b
+          |WHERE 20 * len(list_intersect(sa.toks, sb.toks)) >= 19 * (sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks)))
+          |ORDER BY c.id_a, c.id_b""".stripMargin
       }),
 
     // X2 — 32-bit SimHash signature per document (linear, join-free).

@@ -107,6 +107,15 @@ object Dedup {
     * equi-join on (band, key) for candidates → exact Jaccard verification of
     * candidates only. Band keys are built from a seed-sorted struct array so
     * the key string is deterministic under any aggregation order.
+    *
+    * Verification joins each candidate pair to two pre-collected token
+    * arrays and intersects them (codegen'd array_intersect) — O(|candidates|)
+    * rows, instead of exploding a per-token join to
+    * O(|candidates| · tokens/doc) rows. With skew-heavy corpora (huge LSH
+    * buckets) that explosion, not signature computation, is the bottleneck.
+    * Wider bands (default bandSize=8 → 2 bands over 16 hashes) keep bucket
+    * collision probability j^8 per band: near-1 for true near-dups at the
+    * 0.95 threshold, far lower for the merely-similar mass.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       bandSize: Int, threshNum: Int, threshDen: Int): DataFrame = {
@@ -122,16 +131,19 @@ object Dedup {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    // Verify candidates only: join tokens through the candidate pair list.
-    val overlaps = candidates
-      .join(toks.as("ta"), col("id_a") === col("ta.doc_id"))
-      .join(toks.as("tb"), col("id_b") === col("tb.doc_id") && col("ta.tok") === col("tb.tok"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("overlap"))
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    overlaps
-      .join(sizes.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("id_b") === col("sb.doc_id"))
-      .select(col("id_a"), col("id_b"), col("overlap"),
+    // Verify candidates only: token-set arrays + array_intersect, no explode.
+    // The per-doc set table is |docs| rows — explicitly broadcast: Spark's
+    // size estimate for an aggregated subplan is defaultSizeInBytes (huge),
+    // so without the hint this becomes a sort-merge join that sorts the
+    // candidate pairs twice. (At true 100 TB doc counts, swap the hint for a
+    // shuffled hash join on doc_id — candidates and sets co-partition.)
+    val tokSets = broadcast(toks.groupBy("doc_id")
+      .agg(collect_set(col("tok")).as("toks"), count(lit(1)).as("sz")))
+    candidates
+      .join(tokSets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(tokSets.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("sa.toks"), col("sb.toks"))).cast("long").as("overlap"),
         col("sa.sz").as("size_a"), col("sb.sz").as("size_b"))
       .filter(lit(threshDen) * col("overlap") >=
         lit(threshNum) * (col("size_a") + col("size_b") - col("overlap")))

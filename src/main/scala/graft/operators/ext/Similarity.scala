@@ -5,14 +5,18 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
+import graft.functions.ArrayOps
+
 /** Similarity search over an embedding column (array<float>).
   *
-  * Determinism: dot products are computed as an ordered left fold over
-  * double-cast elements (`aggregate(zip_with(...))`), which both Spark and
-  * DuckDB evaluate sequentially in list order — identical IEEE results. The
-  * cosine is rounded to 6 decimals (DECIMAL(10,6)) before any comparison or
-  * ordering, so a sub-ulp cross-engine difference can never flip a filter or
-  * a rank; remaining ties break on vector id.
+  * Dot products run through [[graft.functions.FloatDotProduct]] — a native
+  * codegen'd Catalyst expression (one loop, no intermediate arrays) that is
+  * bit-identical to the widen-to-double sequential fold DuckDB's
+  * list_dot_product computes, so the oracle still matches exactly.
+  *
+  * Determinism: cosine is rounded to 6 decimals (DECIMAL(10,6)) before any
+  * comparison or ordering, so a sub-ulp cross-engine difference can never
+  * flip a filter or a rank; remaining ties break on vector id.
   *
   * 100 TB design: brute force is the correctness baseline (O(n²·d)); the scale
   * path is [[lshTopK]] — random-hyperplane bucketing turns the cross join into
@@ -22,16 +26,15 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Similarity {
 
-  /** Columns: doc-side `vec_id`, `embedding`. Adds `v` (double array) and
-    * `nrm` (L2 norm, rounded-stable only through the final cosine rounding).
-    */
-  private def prep(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
-      .withColumn("nrm", expr("sqrt(aggregate(v, cast(0.0 as double), (s, x) -> s + x * x))"))
+  /** Adds `nrm` (L2 norm in double) next to the raw float embedding. */
+  private def prep(df: DataFrame): DataFrame = {
+    ArrayOps.register(df.sparkSession)
+    df.select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("nrm", expr("sqrt(float_dot(v, v))"))
+  }
 
-  private val dot = expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 as double), (s, p) -> s + p)")
-
-  private def cosCol = (dot / (col("a.nrm") * col("b.nrm"))).cast(DecimalType(10, 6)).as("cos")
+  private def cosCol =
+    (expr("float_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm"))).cast(DecimalType(10, 6)).as("cos")
 
   /** All pairs with cosine >= minCos (brute-force baseline). */
   def cosinePairs(emb: DataFrame, minCos: java.math.BigDecimal): DataFrame = {
@@ -56,11 +59,11 @@ object Similarity {
   }
 
   /** Fixed random hyperplanes (seeded, literal — shared with tests). Each
-    * plane is a 64-dim vector of ±1 derived from a deterministic LCG.
+    * plane is a dim-length vector of ±1 derived from a deterministic xorshift.
     */
   def hyperplanes(numPlanes: Int, dim: Int): Seq[Seq[Double]] = {
     var state = 88172645463325252L
-    def next(): Long = { // xorshift64 — deterministic, seed fixed
+    def next(): Long = {
       state ^= state << 13; state ^= state >>> 7; state ^= state << 17; state
     }
     Seq.fill(numPlanes)(Seq.fill(dim)(if ((next() & 1L) == 0L) 1.0 else -1.0))
@@ -71,15 +74,15 @@ object Similarity {
     * engine-stable near zero.
     */
   def lshTopK(emb: DataFrame, k: Int, numPlanes: Int, dim: Int): DataFrame = {
-    val p = prep(emb)
+    val p = prep(emb).withColumn("vd", expr("transform(v, x -> cast(x as double))"))
     val planes = hyperplanes(numPlanes, dim)
     val sigBits = planes.zipWithIndex.map { case (plane, i) =>
       val arr = s"array(${plane.mkString(", ")})"
-      val proj = expr(s"aggregate(zip_with(v, $arr, (x, y) -> x * y), cast(0.0 as double), (s, q) -> s + q)")
+      val proj = expr(s"aggregate(zip_with(vd, $arr, (x, y) -> x * y), cast(0.0 as double), (s, q) -> s + q)")
         .cast(DecimalType(18, 6))
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val bucketed = p.withColumn("sig", sigBits)
+    val bucketed = p.withColumn("sig", sigBits).drop("vd")
     val scored = bucketed.as("a").join(bucketed.as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cosCol)
