@@ -12,6 +12,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed warmup: pay one-off JVM/codegen/scan-setup cost outside the
+    // measurements so the first measured query isn't charged for it.
+    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
     // Full materialization via the noop sink: every row is produced and
     // serialized, nothing is collected to the driver, and Catalyst cannot
     // prune the query down to a metadata scan the way .count() allows.

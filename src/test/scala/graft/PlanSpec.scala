@@ -1,0 +1,55 @@
+package graft
+
+/** Physical-plan audits (SURVEY.md §4.2): the plans the optimizer should pick
+  * at scale, asserted so a regression (lost pushdown, lost broadcast, lost
+  * codegen) fails loudly instead of silently costing a shuffle at 100 TB.
+  */
+class PlanSpec extends SparkSpec {
+  import TestSpark.sf
+
+  private def plan(name: String): String =
+    Queries.queries(name)(spark, sf).queryExecution.executedPlan.toString()
+
+  test("j1_join_agg broadcasts the dimension side (no fact shuffle for the join)") {
+    assert(plan("j1_join_agg").contains("BroadcastHashJoin"))
+  }
+
+  test("j2_semi_join plans a semi join, not an inner join + dedup") {
+    assert(plan("j2_semi_join").contains("LeftSemi"))
+  }
+
+  test("p1_filter_in pushes the IN-list to the parquet scan") {
+    val p = plan("p1_filter_in")
+    assert(p.contains("PushedFilters: [In(o_orderpriority"))
+  }
+
+  test("p6_projection prunes the scan to the selected columns") {
+    val p = plan("p6_projection")
+    assert(p.contains("ReadSchema: struct<c_custkey:bigint,c_name:string,c_mktsegment:string>"))
+  }
+
+  test("o2_topk collapses to TakeOrderedAndProject (per-partition heap, no global sort)") {
+    assert(plan("o2_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("silver_to_gold plans partial+final hash aggregation (map-side combine)") {
+    val p = plan("silver_to_gold")
+    assert(p.contains("partial_min") && p.contains("partial_max"))
+  }
+
+  test("x2_embedding_cosine uses the native float_dot expression, not interpreted lambdas") {
+    val p = Queries.queries("x2_embedding_cosine")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    assert(p.contains("float_dot"))
+    // the composed HOF form would show zip_with/aggregate lambdas in the plan
+    assert(!p.contains("zip_with") && !p.contains("lambdafunction"))
+    // O(n^2) pair generation is a broadcast nested-loop join, no shuffle of the big side
+    assert(p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("j2 semi-join pushes the quantity predicate to the lineitem scan") {
+    val p = plan("j2_semi_join")
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)") ||
+      p.contains("GreaterThan(l_quantity,45.0)"))
+  }
+}
