@@ -51,6 +51,33 @@ object Queries {
       | 2022 AS as_of_year, 2 AS as_of_month, 28 AS as_of_day
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // ---- shared builders ----------------------------------------------------
+
+  private def servingDf(s: SparkSession, dir: String): DataFrame =
+    Medallion.stringify(
+      Medallion.withSurrogateId(
+        Medallion.silverToGold(rd(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", asOf),
+        Seq("l_returnflag")))
+
+  private val servingSql =
+    s"""WITH gold AS ($goldCte)
+      |SELECT CAST(row_number() OVER (ORDER BY l_returnflag) AS VARCHAR) AS id,
+      | CAST(l_returnflag AS VARCHAR) AS l_returnflag,
+      | CAST(min_value AS VARCHAR) AS min_value, CAST(max_value AS VARCHAR) AS max_value,
+      | CAST(diff AS VARCHAR) AS diff, CAST(as_of_year AS VARCHAR) AS as_of_year,
+      | CAST(as_of_month AS VARCHAR) AS as_of_month, CAST(as_of_day AS VARCHAR) AS as_of_day
+      |FROM gold ORDER BY l_returnflag""".stripMargin
+
+  private def freshDir(s: SparkSession, name: String): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/$name"
+    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(path), true)
+    path
+  }
+
+  private val servingCols =
+    Seq("id", "l_returnflag", "min_value", "max_value", "diff", "as_of_year", "as_of_month", "as_of_day")
+
   // ---- query definitions --------------------------------------------------
 
   val defs: Seq[Q] = Seq(
@@ -72,18 +99,47 @@ object Queries {
     // P4+P5 — surrogate id + stringify-all serving shape
     // (codes/goldToSynapse.scala:27-34).
     Q("serve_stringify",
-      (s, dir) => Medallion.stringify(
-        Medallion.withSurrogateId(
-          Medallion.silverToGold(rd(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", asOf),
-          Seq("l_returnflag")))
-        .orderBy("l_returnflag"),
-      Some(s"""WITH gold AS ($goldCte)
-        |SELECT CAST(row_number() OVER (ORDER BY l_returnflag) AS VARCHAR) AS id,
-        | CAST(l_returnflag AS VARCHAR) AS l_returnflag,
-        | CAST(min_value AS VARCHAR) AS min_value, CAST(max_value AS VARCHAR) AS max_value,
-        | CAST(diff AS VARCHAR) AS diff, CAST(as_of_year AS VARCHAR) AS as_of_year,
-        | CAST(as_of_month AS VARCHAR) AS as_of_month, CAST(as_of_day AS VARCHAR) AS as_of_day
-        |FROM gold ORDER BY l_returnflag""".stripMargin)),
+      (s, dir) => servingDf(s, dir).orderBy("l_returnflag"),
+      Some(servingSql)),
+
+    // S10 — staged warehouse bulk load (stage parquet, commit by rename),
+    // then read the warehouse table back. Roundtrip is the identity over the
+    // serving projection, so the serving oracle applies.
+    Q("warehouse_sink_roundtrip",
+      (s, dir) => {
+        val root = freshDir(s, "graft_wh_roundtrip")
+        val sink = new graft.io.StagedWarehouseSink(s"$root/staging", s"$root/warehouse")
+        sink.append(servingDf(s, dir), "gold_serving")
+        sink.read(s, "gold_serving").select(servingCols.map(col): _*).orderBy("l_returnflag")
+      },
+      Some(servingSql)),
+
+    // S11 — document sink: one JSON doc per row, read back through the JSON
+    // reader (schema re-inferred from the documents).
+    Q("document_sink_roundtrip",
+      (s, dir) => {
+        val root = freshDir(s, "graft_doc_roundtrip")
+        graft.io.JsonDocumentSink.write(servingDf(s, dir), s"$root/docs")
+        s.read.json(s"$root/docs").select(servingCols.map(col): _*).orderBy("l_returnflag")
+      },
+      Some(servingSql)),
+
+    // S3+S4+S5 — relational store: DDL recreate, batched append, then the
+    // extract step (table -> snappy parquet in bronze) and a bronze scan.
+    Q("relational_store_roundtrip",
+      (s, dir) => {
+        val root = freshDir(s, "graft_store_roundtrip")
+        val store = new graft.io.LocalParquetStore(s"$root/store")
+        store.recreate(s, "crypto")
+        store.appendBatch(Ingest.ingest(s, new StubTickerFetcher(Ingest.stubBatches), 2), "crypto")
+        store.extractToParquet(s, "crypto", s"$root/bronze/crypto")
+        s.read.parquet(s"$root/bronze/crypto").orderBy("symbol", "price")
+      },
+      Some("""SELECT symbol, CAST(price AS DECIMAL(10,2)) AS price FROM (VALUES
+        | ('ADAUSDT', 1.18), ('ADAUSDT', 1.19), ('BNBUSDT', 377.40), ('BNBUSDT', 378.01),
+        | ('BTCUSDT', 38277.23), ('BTCUSDT', 38310.50), ('ETHUSDT', 2641.17), ('ETHUSDT', 2650.00),
+        | ('LTCUSDT', 129.99), ('LTCUSDT', 130.25)) AS t(symbol, price)
+        |ORDER BY symbol, price""".stripMargin)),
 
     // S1+S2+U1+P1+O1 — poll → JSON parse → union → IN-filter → sort
     // (etl-vini-azure.py:61-79), deterministic stub feed.

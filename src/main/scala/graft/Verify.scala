@@ -22,7 +22,8 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"[verify] $name failed: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.take(3).mkString(" | ")}"
+        println(msg); System.err.println(msg); System.out.flush()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
