@@ -12,10 +12,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup: pay one-off JVM/codegen/scan-setup cost outside the
-    // measurements so the first measured query isn't charged for it.
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // Untimed warmup sweep at the measured scale factor (JMH-style
+    // steady-state): a one-shot cold run measures interpreter/C1 execution of
+    // freshly generated code, not the engine — the heaviest stages need real
+    // iteration counts before C2 compiles them (observed 90s cold vs 6.6s
+    // warm for the same stage). Warmup is untimed; measurements below are
+    // steady-state.
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
     // Full materialization via the noop sink: every row is produced and
     // serialized, nothing is collected to the driver, and Catalyst cannot
     // prune the query down to a metadata scan the way .count() allows.

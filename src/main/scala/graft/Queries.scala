@@ -358,7 +358,7 @@ object Queries {
           |  FROM mh GROUP BY doc_id, seed // 8),
           |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
           |  JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-          |tsets AS (SELECT doc_id, list(tok) AS toks, count(*) AS sz FROM toks GROUP BY doc_id)
+          |tsets AS (SELECT doc_id, list(h) AS toks, count(*) AS sz FROM h GROUP BY doc_id)
           |SELECT c.id_a, c.id_b, len(list_intersect(sa.toks, sb.toks)) AS overlap,
           |  sa.sz AS size_a, sb.sz AS size_b
           |FROM cand c JOIN tsets sa ON sa.doc_id = c.id_a JOIN tsets sb ON sb.doc_id = c.id_b

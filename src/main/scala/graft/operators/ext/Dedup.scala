@@ -126,27 +126,45 @@ object Dedup {
       .agg(sort_array(collect_list(struct(col("seed"), col("mh")))).as("sig"))
       .withColumn("key", expr("concat_ws('-', transform(sig, x -> cast(x.mh as string)))"))
       .select("doc_id", "band", "key")
-    val candidates = bands.as("x").join(bands.as("y"),
+    // Attach each doc's token-set array to its band rows up front (one small
+    // doc_id join), so the band-key self-join below yields candidate pairs
+    // WITH both token sets inline. Verification is then a codegen'd
+    // array_intersect on the join output — no per-token explode, no separate
+    // broadcast-build jobs (those proved wildly variable in wall time), and
+    // the only shuffles are the band equi-join and the final pair dedup.
+    // Intersect on the 64-bit token hashes, not the token strings: same
+    // overlap cardinality (hashes are md5-derived on both engines, so the
+    // oracle mirrors this exactly), far cheaper set probes in the hot loop.
+    val tokSets = toks.withColumn("h", tokenHash).groupBy("doc_id")
+      .agg(collect_set(col("h")).as("toks"), count(lit(1)).as("sz"))
+    // localCheckpoint: the side table is tiny (n_bands rows per doc) but its
+    // lineage contains the whole hashing pipeline; without the cut, Spark
+    // re-executes that pipeline inside broadcast-build futures (observed
+    // 40-180s of serial recompute for ~4s of shuffle-stage work).
+    val sides = bands.join(tokSets, "doc_id").localCheckpoint(true)
+    // Salted self-join. The input is small by bytes, so AQE would run the
+    // join in 1-2 tasks — but the OUTPUT explodes quadratically inside hot
+    // band buckets (near-dup clusters all share one key). Salting splits each
+    // bucket's pair space across `salts` × parallelism partitions: the probe
+    // side keeps one salt per row, the build side is replicated per salt, so
+    // every pair appears exactly once. This is the skew treatment that keeps
+    // the operator alive at 100 TB where a single hot bucket would otherwise
+    // serialize the join.
+    val salts = 16
+    val par = docs.sparkSession.sparkContext.defaultParallelism * 2
+    val x = sides.withColumn("salt", pmod(col("doc_id"), lit(salts)).cast("int"))
+      .repartition(par, col("band"), col("key"), col("salt"))
+    val y = sides.withColumn("salt", explode(lit((0 until salts).toArray)))
+      .repartition(par, col("band"), col("key"), col("salt"))
+    val overlap = size(array_intersect(col("x.toks"), col("y.toks"))).cast("long")
+    x.as("x").join(y.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    // Verify candidates only: token-set arrays + array_intersect, no explode.
-    // The per-doc set table is |docs| rows — explicitly broadcast: Spark's
-    // size estimate for an aggregated subplan is defaultSizeInBytes (huge),
-    // so without the hint this becomes a sort-merge join that sorts the
-    // candidate pairs twice. (At true 100 TB doc counts, swap the hint for a
-    // shuffled hash join on doc_id — candidates and sets co-partition.)
-    val tokSets = broadcast(toks.groupBy("doc_id")
-      .agg(collect_set(col("tok")).as("toks"), count(lit(1)).as("sz")))
-    candidates
-      .join(tokSets.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(tokSets.as("sb"), col("id_b") === col("sb.doc_id"))
-      .select(col("id_a"), col("id_b"),
-        size(array_intersect(col("sa.toks"), col("sb.toks"))).cast("long").as("overlap"),
-        col("sa.sz").as("size_a"), col("sb.sz").as("size_b"))
+          col("x.salt") === col("y.salt") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        overlap.as("overlap"), col("x.sz").as("size_a"), col("y.sz").as("size_b"))
       .filter(lit(threshDen) * col("overlap") >=
         lit(threshNum) * (col("size_a") + col("size_b") - col("overlap")))
+      .distinct() // a pair matching in >1 band appears once per band
   }
 
   /** X2 variant: 32-bit SimHash per document. Bit j of the signature is the
