@@ -341,6 +341,23 @@ object Queries {
         |WHERE 20 * p.overlap >= 19 * (sa.sz + sb.sz - p.overlap)
         |ORDER BY p.id_a, p.id_b""".stripMargin)),
 
+    // X2 — word-bigram (n-gram) Jaccard join: order-sensitive shingles make
+    // this far more discriminative than token sets (reordered near-dups drop
+    // out), and bigram document frequency is low enough that the common-
+    // shingle join stays small without bounding.
+    Q("x2_ngram_jaccard",
+      (s, dir) => Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text", 2, 4, 5)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+        |toks AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2])) AS tok FROM ws),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b, p.overlap, sa.sz AS size_a, sb.sz AS size_b
+        |FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
+        |WHERE 5 * p.overlap >= 4 * (sa.sz + sb.sz - p.overlap)
+        |ORDER BY p.id_a, p.id_b""".stripMargin)),
+
     // X2 — MinHash+LSH near-dup join (the 100 TB path: signatures are linear,
     // candidates come from an equi-join on band keys, only candidates verified).
     Q("x2_minhash_lsh",
