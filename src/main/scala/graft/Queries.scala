@@ -425,6 +425,12 @@ object Queries {
       (s, dir) => Similarity.lshTopK(rd(s, dir, "embeddings"), 3, 8, 64).orderBy("id_a", "rk"),
       None),
 
+    // X2 — IVF-bucketed ANN (coarse quantizer cells + nprobe search; recall
+    // is algorithmic, so rows-only check + ScalaTest recall assertions).
+    Q("x2_ann_ivf",
+      (s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"), 3, 32, 4).orderBy("id_a", "rk"),
+      None),
+
     // X3 — rolling polynomial fingerprint (order-sensitive; DuckDB lacks an
     // init-value fold, so rows-only check + ScalaTest golden values).
     Q("x3_rolling_fingerprint",

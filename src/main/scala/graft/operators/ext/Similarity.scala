@@ -69,6 +69,47 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(if ((next() & 1L) == 0L) 1.0 else -1.0))
   }
 
+  /** X2 scale path, IVF-shaped: partition vectors into `nlist` cells by
+    * nearest centroid, then answer queries by exact re-scoring within the
+    * query's `nprobe` nearest cells only.
+    *
+    * Centroid selection here is a deterministic stand-in (the first `nlist`
+    * vectors by id act as the coarse quantizer); a production build would
+    * train them with seeded KMeans — the plumbing (assign via broadcast
+    * centroid table, search = equi-join on cell id) is identical. Cosines are
+    * rounded before argmax/rank so cell assignment is engine-stable.
+    *
+    * 100 TB: assignment is a linear scan against a broadcast centroid table;
+    * the search join shuffles on cell id (nprobe cells per query), never
+    * all-pairs.
+    */
+  def ivfTopK(emb: DataFrame, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    val p = prep(emb)
+    val cents = broadcast(p.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm")))
+    val simToCent = (expr("float_dot(v, cv)") / (col("nrm") * col("cnrm")))
+      .cast(DecimalType(10, 6))
+    // rank cells per vector once; rows with rk=1 define the index assignment,
+    // rows with rk<=nprobe define the probe set for that vector as a query
+    val ranked = p.join(cents)
+      .withColumn("csim", simToCent)
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))))
+      .filter(col("crk") <= math.max(nprobe, 1))
+    val assigned = ranked.filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val probes = ranked.select(col("vec_id").as("q_id"), col("v").as("qv"),
+      col("nrm").as("qnrm"), col("cell").as("probe_cell"))
+    val scored = probes.join(assigned,
+        col("probe_cell") === col("cell") && col("q_id") =!= col("vec_id"))
+      .select(col("q_id").as("id_a"), col("vec_id").as("id_b"),
+        (expr("float_dot(qv, v)") / (col("qnrm") * col("nrm"))).cast(DecimalType(10, 6)).as("cos"))
+      .distinct() // a neighbour reachable via several probed cells counts once
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))))
+      .filter(col("rk") <= k)
+  }
+
   /** X2 scale path: random-hyperplane LSH bucketing + exact re-score within
     * buckets. Sign bits are taken on the cosine-rounded projection to stay
     * engine-stable near zero.

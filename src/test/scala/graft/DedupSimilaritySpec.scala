@@ -65,6 +65,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top == Seq(1L, 2L))
   }
 
+  test("ivfTopK finds exact duplicates through the probed cells") {
+    val df = embeddings(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0f, 1f, 0f)),          // act as centroids
+      (2L, Seq(0.9f, 0.1f, 0f)), (3L, Seq(0.9f, 0.1f, 0f)),  // dup pair near cell 0
+      (4L, Seq(0f, 0.9f, 0.2f)))
+    val res = Similarity.ivfTopK(df, 1, nlist = 2, nprobe = 1).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res(2L) == 3L && res(3L) == 2L) // nearest neighbour within the cell
+  }
+
+  test("ivfTopK recall vs brute force on real embeddings (nprobe=4 of 16 cells)") {
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val exact = Similarity.annTopK(emb, 1, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, 1, nlist = 16, nprobe = 4)
+      .filter(col("id_a") < 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"IVF top-1 recall $recall too low")
+  }
+
   test("lshTopK: identical vectors share a bucket and rank each other first") {
     val df = embeddings(
       (0L, Seq.fill(64)(0.5f)), (1L, Seq.fill(64)(0.5f)), (2L, Seq.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)))
