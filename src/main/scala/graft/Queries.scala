@@ -431,11 +431,16 @@ object Queries {
       (s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"), 3, 32, 4).orderBy("id_a", "rk"),
       None),
 
-    // X3 — rolling polynomial fingerprint (order-sensitive; DuckDB lacks an
-    // init-value fold, so rows-only check + ScalaTest golden values).
+    // X3 — rolling polynomial fingerprint (order-sensitive Rabin-Karp-shaped
+    // fold; oracle mirrors the fold via list_reduce with a prepended init).
     Q("x3_rolling_fingerprint",
       (s, dir) => TextAnalysis.rollingFingerprint(rd(s, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
-      None),
+      Some {
+        s"""WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)
+          |SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(toks, t -> ${duckHex("md5(t)")})),
+          |  (acc, h) -> ((acc * 31) % 1000000007 + h) % 1000000007) AS fp
+          |FROM ws ORDER BY doc_id""".stripMargin
+      }),
 
     // X4 — multimodal payload column: binary payload + typed metadata.
     Q("x4_multimodal_meta",
