@@ -264,6 +264,27 @@ object Queries {
         "CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // As-of join (operator Spark lacks natively; union+window idiom): each
+    // click joined to the user's latest purchase value at-or-before it.
+    // DuckDB's native ASOF JOIN is the oracle.
+    Q("asof_join",
+      (s, dir) => {
+        val ev = rd(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select("user_id", "event_id", "ts_us")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts_us")
+          .agg(max(col("value").cast(DecimalType(12, 2))).as("p_value"))
+        Relational.asOfJoin(clicks, purchases, "user_id", "ts_us", "event_id", "p_value")
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
+        |purch AS (SELECT user_id, epoch_us(ts) AS ts_us, CAST(max(CAST(value AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS p_value
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id, c.ts_us, p.p_value AS asof_p_value
+        |FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND p.ts_us <= c.ts_us
+        |ORDER BY c.event_id""".stripMargin)),
+
     // X1 — exact dedup, deterministic survivor (lowest doc_id per text).
     Q("x1_dedup_exact",
       (s, dir) => Dedup.exactByKey(rd(s, dir, "documents"), Seq("text"), "doc_id")

@@ -68,4 +68,33 @@ object Relational {
   def topKPerGroup(df: DataFrame, partCols: Seq[String], orderCols: Seq[Column],
                    k: Int, as: String = "rk"): DataFrame =
     rowNumberPerGroup(df, partCols, orderCols, as).filter(col(as) <= k)
+
+  /** As-of join (an operator Spark lacks natively): for each left row, attach
+    * the right-side value with the greatest time <= the left row's time,
+    * per key. Implemented as the union + ordered-window idiom: tag both
+    * sides, sort within each key by (time, side) with right rows first at
+    * ties, and carry the last non-null right value forward. One shuffle on
+    * the key — no range-condition join explosion, no per-row subquery —
+    * which is what keeps it linear at 100 TB.
+    *
+    * The right side must be unique per (key, time) for determinism;
+    * pre-aggregate it if it is not.
+    *
+    * Left columns: (keyCol, idCol, timeCol); right: (keyCol, timeCol, valCol).
+    * Output: (idCol, keyCol, timeCol, asof_<valCol>), left rows only.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
+               idCol: String, valCol: String): DataFrame = {
+    val valType = right.schema(valCol).dataType
+    val tagged = right
+      .select(col(keyCol), col(timeCol), lit(0).as("__side"), col(valCol).as("__v"),
+        lit(null).cast(left.schema(idCol).dataType).as(idCol))
+      .unionByName(left.select(col(keyCol), col(timeCol), lit(1).as("__side"),
+        lit(null).cast(valType).as("__v"), col(idCol)))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(timeCol), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged.withColumn(s"asof_$valCol", last(col("__v"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col(idCol), col(keyCol), col(timeCol), col(s"asof_$valCol"))
+  }
 }

@@ -86,6 +86,20 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF top-1 recall $recall too low")
   }
 
+  test("asOfJoin attaches the latest right value at-or-before each left time") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val clicks = Seq((1L, 10L, 100L), (1L, 11L, 250L), (2L, 12L, 100L))
+      .toDF("user_id", "event_id", "ts_us")
+    val purchases = Seq((1L, 100L, BigDecimal("5.00")), (1L, 200L, BigDecimal("7.00")))
+      .toDF("user_id", "ts_us", "p_value")
+    val out = Relational.asOfJoin(clicks, purchases, "user_id", "ts_us", "event_id", "p_value")
+      .collect().map(r => r.getLong(0) -> Option(r.getDecimal(3)).map(_.toPlainString)).toMap
+    assert(out(10L).get.startsWith("5"))  // ts 100: purchase at 100 matches (<=)
+    assert(out(11L).get.startsWith("7"))  // ts 250: latest purchase at 200
+    assert(out(12L).isEmpty)              // user 2 never purchased
+  }
+
   test("lshTopK: identical vectors share a bucket and rank each other first") {
     val df = embeddings(
       (0L, Seq.fill(64)(0.5f)), (1L, Seq.fill(64)(0.5f)), (2L, Seq.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)))
