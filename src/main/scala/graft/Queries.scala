@@ -211,6 +211,20 @@ object Queries {
       Some("SELECT p_partkey, p_name, regexp_extract(p_name, '^([a-z]+)', 1) AS first_word " +
         "FROM part ORDER BY p_partkey")),
 
+    // A3 — rollup (grouping-sets family; Catalyst built-in, SURVEY §2.3 notes
+    // these come for free — demonstrated here with subtotal + grand-total
+    // rows). NULLS FIRST on both sides: Spark and DuckDB default differently.
+    Q("a3_rollup",
+      (s, dir) => rd(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS qty " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST")),
+
     // J1 — broadcast equi-join + aggregation (capability, SURVEY §2.4/§7.3).
     Q("j1_join_agg",
       (s, dir) => Relational.joinAgg(rd(s, dir, "orders"), rd(s, dir, "customer"),
