@@ -51,6 +51,29 @@ object Queries {
       | 2022 AS as_of_year, 2 AS as_of_month, 28 AS as_of_day
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  /** Driver-gate canonicalization: any COMPUTED decimal column is rendered as
+    * a string on BOTH engine and oracle sides. The driver's hasher reads the
+    * oracle result through a decimal→float64 conversion ("377.40" → "377.4")
+    * while Spark's parquet decimals keep their scale ("377.40") — so a decimal
+    * column hash-mismatches whenever any value has a trailing zero, even
+    * though the values are identical. Strings render identically in both
+    * engines (Spark decimal→string and DuckDB decimal→VARCHAR both keep
+    * scale), which takes representation out of the hash entirely. Raw-table
+    * doubles/ints are unaffected (no conversion happens for them).
+    */
+  private def strCols(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(df.columns.toIndexedSeq.map { c =>
+      if (cols.contains(c)) col(c).cast("string").as(c) else col(c)
+    }: _*)
+
+  /** goldCte with the computed decimals rendered as strings (see [[strCols]]). */
+  private val goldStrSql =
+    s"""SELECT l_returnflag, CAST(min_value AS VARCHAR) AS min_value,
+      | CAST(max_value AS VARCHAR) AS max_value, CAST(diff AS VARCHAR) AS diff,
+      | as_of_year, as_of_month, as_of_day FROM ($goldCte)""".stripMargin
+
+  private val goldStrCols = Seq("min_value", "max_value", "diff")
+
   // ---- shared builders ----------------------------------------------------
 
   private def servingDf(s: SparkSession, dir: String): DataFrame =
@@ -78,6 +101,18 @@ object Queries {
   private val servingCols =
     Seq("id", "l_returnflag", "min_value", "max_value", "diff", "as_of_year", "as_of_month", "as_of_day")
 
+  /** The deterministic stub-feed result (see sources/Ingest.stubBatches),
+    * price rendered as string (see [[strCols]]). Shared by ingest_micro_batch
+    * and relational_store_roundtrip, whose roundtrip is the identity.
+    */
+  private val ingestOracleSql =
+    """SELECT symbol, CAST(price AS VARCHAR) AS price FROM (
+      | SELECT symbol, CAST(price AS DECIMAL(10,2)) AS price FROM (VALUES
+      |  ('ADAUSDT', 1.18), ('ADAUSDT', 1.19), ('BNBUSDT', 377.40), ('BNBUSDT', 378.01),
+      |  ('BTCUSDT', 38277.23), ('BTCUSDT', 38310.50), ('ETHUSDT', 2641.17), ('ETHUSDT', 2650.00),
+      |  ('LTCUSDT', 129.99), ('LTCUSDT', 130.25)) AS t(symbol, price))
+      |ORDER BY symbol, CAST(price AS DECIMAL(10,2))""".stripMargin
+
   // ---- query definitions --------------------------------------------------
 
   val defs: Seq[Q] = Seq(
@@ -85,13 +120,17 @@ object Queries {
     // A1+P2+P3+O1 — the reference's one real analytical query
     // (codes/silverToGold.scala:10-26).
     Q("silver_to_gold",
-      (s, dir) => Medallion.silverToGold(rd(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", asOf),
-      Some(s"$goldCte ORDER BY l_returnflag")),
+      (s, dir) => strCols(
+        Medallion.silverToGold(rd(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", asOf),
+        goldStrCols),
+      Some(s"$goldStrSql ORDER BY l_returnflag")),
 
     // S6+A2+O1 — scan → distinct → sort (codes/bronzeToSilver.scala:7-15).
+    // The scan uses a glob pattern, as the reference does (bronzeToSilver
+    // .scala:3 reads `data/*.parquet`): Spark expands the glob natively.
     Q("bronze_to_silver",
       (s, dir) => Medallion.bronzeToSilver(
-        rd(s, dir, "lineitem").select("l_returnflag", "l_linestatus", "l_shipdate"),
+        s.read.parquet(s"$dir/lineit*.parquet").select("l_returnflag", "l_linestatus", "l_shipdate"),
         Seq("l_returnflag", "l_linestatus", "l_shipdate")),
       Some("SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem " +
         "ORDER BY l_returnflag, l_linestatus, l_shipdate")),
@@ -133,23 +172,15 @@ object Queries {
         store.recreate(s, "crypto")
         store.appendBatch(Ingest.ingest(s, new StubTickerFetcher(Ingest.stubBatches), 2), "crypto")
         store.extractToParquet(s, "crypto", s"$root/bronze/crypto")
-        s.read.parquet(s"$root/bronze/crypto").orderBy("symbol", "price")
+        strCols(s.read.parquet(s"$root/bronze/crypto").orderBy("symbol", "price"), Seq("price"))
       },
-      Some("""SELECT symbol, CAST(price AS DECIMAL(10,2)) AS price FROM (VALUES
-        | ('ADAUSDT', 1.18), ('ADAUSDT', 1.19), ('BNBUSDT', 377.40), ('BNBUSDT', 378.01),
-        | ('BTCUSDT', 38277.23), ('BTCUSDT', 38310.50), ('ETHUSDT', 2641.17), ('ETHUSDT', 2650.00),
-        | ('LTCUSDT', 129.99), ('LTCUSDT', 130.25)) AS t(symbol, price)
-        |ORDER BY symbol, price""".stripMargin)),
+      Some(ingestOracleSql)),
 
     // S1+S2+U1+P1+O1 — poll → JSON parse → union → IN-filter → sort
     // (etl-vini-azure.py:61-79), deterministic stub feed.
     Q("ingest_micro_batch",
-      (s, _) => Ingest.ingest(s, new StubTickerFetcher(Ingest.stubBatches), 2),
-      Some("""SELECT symbol, CAST(price AS DECIMAL(10,2)) AS price FROM (VALUES
-        | ('ADAUSDT', 1.18), ('ADAUSDT', 1.19), ('BNBUSDT', 377.40), ('BNBUSDT', 378.01),
-        | ('BTCUSDT', 38277.23), ('BTCUSDT', 38310.50), ('ETHUSDT', 2641.17), ('ETHUSDT', 2650.00),
-        | ('LTCUSDT', 129.99), ('LTCUSDT', 130.25)) AS t(symbol, price)
-        |ORDER BY symbol, price""".stripMargin)),
+      (s, _) => strCols(Ingest.ingest(s, new StubTickerFetcher(Ingest.stubBatches), 2), Seq("price")),
+      Some(ingestOracleSql)),
 
     // S8+S9 — partitioned overwrite write + partition-recovery scan behind
     // TableFormat (codes/silverToGold.scala:26, goldToCosmosdb.scala:24-25).
@@ -160,11 +191,13 @@ object Queries {
         val path = s"${System.getProperty("java.io.tmpdir")}/graft_gold_roundtrip"
         graft.io.ParquetTableFormat.write(gold, path,
           partitionCols = Seq("as_of_year", "as_of_month", "as_of_day"))
-        graft.io.ParquetTableFormat.read(s, path)
-          .select("l_returnflag", "min_value", "max_value", "diff", "as_of_year", "as_of_month", "as_of_day")
-          .orderBy("l_returnflag")
+        strCols(
+          graft.io.ParquetTableFormat.read(s, path)
+            .select("l_returnflag", "min_value", "max_value", "diff", "as_of_year", "as_of_month", "as_of_day")
+            .orderBy("l_returnflag"),
+          goldStrCols)
       },
-      Some(s"$goldCte ORDER BY l_returnflag")),
+      Some(s"$goldStrSql ORDER BY l_returnflag")),
 
     // P1 — IN-list filter (etl-vini-azure.py:78).
     Q("p1_filter_in",
@@ -213,28 +246,41 @@ object Queries {
 
     // A3 — rollup (grouping-sets family; Catalyst built-in, SURVEY §2.3 notes
     // these come for free — demonstrated here with subtotal + grand-total
-    // rows). NULLS FIRST on both sides: Spark and DuckDB default differently.
+    // rows). Rollup NULL keys are COALESCEd to a sentinel on both sides —
+    // NULL rendering and NULL sort order both leave the hash — and the
+    // computed decimal is rendered as string (see strCols above). The data
+    // columns carry no real NULLs or 'ALL' values, so the sentinel is
+    // unambiguous.
     Q("a3_rollup",
       (s, dir) => rd(s, dir, "lineitem")
         .rollup(col("l_returnflag"), col("l_linestatus"))
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("qty"))
-        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
-      Some("SELECT l_returnflag, l_linestatus, count(*) AS n, " +
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
+          col("n"), col("qty").cast("string").as("qty"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, " +
+        "coalesce(l_linestatus, 'ALL') AS l_linestatus, n, CAST(qty AS VARCHAR) AS qty FROM (" +
+        "SELECT l_returnflag, l_linestatus, count(*) AS n, " +
         "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS qty " +
-        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
-        "ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST")),
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)) " +
+        "ORDER BY l_returnflag, l_linestatus")),
 
     // J1 — broadcast equi-join + aggregation (capability, SURVEY §2.4/§7.3).
+    // revenue is summed exactly in decimal, then rendered as string (strCols).
     Q("j1_join_agg",
-      (s, dir) => Relational.joinAgg(rd(s, dir, "orders"), rd(s, dir, "customer"),
-        "o_custkey", "c_custkey", "c_mktsegment",
-        Seq(count(lit(1)).as("n_orders"),
-          sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("revenue")))
-        .orderBy("c_mktsegment"),
-      Some("SELECT c_mktsegment, count(*) AS n_orders, " +
+      (s, dir) => strCols(
+        Relational.joinAgg(rd(s, dir, "orders"), rd(s, dir, "customer"),
+          "o_custkey", "c_custkey", "c_mktsegment",
+          Seq(count(lit(1)).as("n_orders"),
+            sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("revenue")))
+          .orderBy("c_mktsegment"),
+        Seq("revenue")),
+      Some("SELECT c_mktsegment, n_orders, CAST(revenue AS VARCHAR) AS revenue FROM (" +
+        "SELECT c_mktsegment, count(*) AS n_orders, " +
         "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue " +
-        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment ORDER BY c_mktsegment")),
+        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment) ORDER BY c_mktsegment")),
 
     // J2 — left-semi join (capability, SURVEY §2.4/§7.3).
     Q("j2_semi_join",
@@ -272,10 +318,12 @@ object Queries {
         .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("total"))
-        .select(col("window.start").cast("string").as("window_start"), col("event_type"), col("n"), col("total"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          col("event_type"), col("n"), col("total").cast("string").as("total"))
         .orderBy("window_start", "event_type"),
-      Some("SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS window_start, event_type, count(*) AS n, " +
-        "CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS total " +
+      Some("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, " +
+        "event_type, count(*) AS n, " +
+        "CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS total " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
 
     // As-of join (operator Spark lacks natively; union+window idiom): each
@@ -290,12 +338,13 @@ object Queries {
           .groupBy("user_id", "ts_us")
           .agg(max(col("value").cast(DecimalType(12, 2))).as("p_value"))
         Relational.asOfJoin(clicks, purchases, "user_id", "ts_us", "event_id", "p_value")
+          .withColumn("asof_p_value", coalesce(col("asof_p_value").cast("string"), lit("NA")))
           .orderBy("event_id")
       },
       Some("""WITH clicks AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
         |purch AS (SELECT user_id, epoch_us(ts) AS ts_us, CAST(max(CAST(value AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS p_value
         |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-        |SELECT c.event_id, c.user_id, c.ts_us, p.p_value AS asof_p_value
+        |SELECT c.event_id, c.user_id, c.ts_us, COALESCE(CAST(p.p_value AS VARCHAR), 'NA') AS asof_p_value
         |FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND p.ts_us <= c.ts_us
         |ORDER BY c.event_id""".stripMargin)),
 
@@ -335,7 +384,9 @@ object Queries {
 
     // X3 — per-document quality features.
     Q("x3_quality_score",
-      (s, dir) => TextAnalysis.qualityScore(rd(s, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
+      (s, dir) => TextAnalysis.qualityScore(rd(s, dir, "documents"), "doc_id", "text")
+        .withColumn("stop_ratio", coalesce(col("stop_ratio").cast("string"), lit("NA")))
+        .orderBy("doc_id"),
       Some {
         val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
         val stops = TextAnalysis.stopwords.map("'" + _ + "'").mkString(", ")
@@ -344,7 +395,7 @@ object Queries {
           | CAST(len($toks) AS INTEGER) AS n_tokens,
           | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_bpe_tokens,
           | CAST($nstop AS INTEGER) AS n_stop,
-          | CAST(CAST($nstop AS DOUBLE) / len($toks) AS DECIMAL(10,4)) AS stop_ratio
+          | COALESCE(CAST(CAST(CAST($nstop AS DOUBLE) / nullif(len($toks), 0) AS DECIMAL(10,4)) AS VARCHAR), 'NA') AS stop_ratio
           |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
@@ -433,24 +484,28 @@ object Queries {
 
     // X2 — brute-force cosine pairs >= 0.4 (baseline embedding near-dup).
     Q("x2_embedding_cosine",
-      (s, dir) => Similarity.cosinePairs(rd(s, dir, "embeddings"), new java.math.BigDecimal("0.400000"))
-        .orderBy("id_a", "id_b"),
+      (s, dir) => strCols(
+        Similarity.cosinePairs(rd(s, dir, "embeddings"), new java.math.BigDecimal("0.400000"))
+          .orderBy("id_a", "id_b"),
+        Seq("cos")),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
-        |SELECT * FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |SELECT id_a, id_b, CAST(cos AS VARCHAR) AS cos FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6)) AS cos
         |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
         |WHERE cos >= CAST(0.4 AS DECIMAL(10,6)) ORDER BY id_a, id_b""".stripMargin)),
 
     // X2 — brute-force cosine top-3 neighbours for the first 50 vectors.
     Q("x2_ann_topk",
-      (s, dir) => Similarity.annTopK(rd(s, dir, "embeddings"), 3, 50).orderBy("id_a", "rk"),
+      (s, dir) => strCols(
+        Similarity.annTopK(rd(s, dir, "embeddings"), 3, 50).orderBy("id_a", "rk"),
+        Seq("cos")),
       Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6)) AS cos
         |  FROM s a JOIN s b ON a.vec_id <> b.vec_id WHERE a.vec_id < 50)
-        |SELECT * FROM (SELECT id_a, id_b, cos,
+        |SELECT id_a, id_b, CAST(cos AS VARCHAR) AS cos, rk FROM (SELECT id_a, id_b, cos,
         |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS INTEGER) AS rk FROM scored)
         |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
 

@@ -36,7 +36,10 @@ object TextAnalysis {
       expr(s"size(filter(${toks(textCol)}, x -> array_contains(array(${stopwords.map("'" + _ + "'").mkString(",")}), x)))")
         .as("n_stop"))
     .withColumn("stop_ratio",
-      (col("n_stop").cast("double") / col("n_tokens")).cast(DecimalType(10, 4)))
+      // explicit zero guard: an empty/whitespace-only doc gets NULL on every
+      // engine by construction (non-ANSI divide-by-zero semantics differ)
+      when(col("n_tokens") === 0, lit(null))
+        .otherwise((col("n_stop").cast("double") / col("n_tokens")).cast(DecimalType(10, 4))))
 
   /** Simple marker-based language ID (the oracle-checkable form): presence of
     * an English stopword bigram. The richer char-n-gram profile scorer is
