@@ -4,7 +4,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    // Soft wall-clock budget: once exceeded, stop starting new runs and emit
+    // what we have. Keeps the harness parseable under an external timeout.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1000").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -23,20 +26,46 @@ object Bench {
     // robust against transient host contention during any single pass.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map[String, Double]()
-    (1 to math.max(runs, 1)).foreach { _ =>
+    val everFailed = scala.collection.mutable.Set[String]()
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    // The cumulative result line is (re)printed after EVERY query, flushed:
+    // if the process is killed mid-flight, the last complete stdout line is
+    // still a parseable snapshot of everything measured so far. Failed-all-
+    // passes queries are excluded from the total and listed under "failed";
+    // a failed attempt never updates a timing (a fast crash must not read as
+    // a fast query).
+    def emit(passes: Int): Unit = {
+      val done = names.collect { case (n, _) if best.contains(n) => n -> best(n) }
+      val failed = names.collect { case (n, _) if everFailed(n) && !best.contains(n) => n }
+      val qs = done.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+      val total = done.map(_._2).sum
+      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"passes":$passes,"elapsed":$elapsed,"sf":"$sfDir"}""")
+      System.out.flush()
+    }
+    var stop = false
+    (1 to math.max(runs, 1)).foreach { pass =>
       names.foreach { case (name, fn) =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
-        val sec = (System.nanoTime() - t0) / 1e9
-        best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+        if (!stop && elapsed > budgetS) {
+          System.err.println(f"[bench] budget ${budgetS}%.0f s exceeded at $elapsed%.0f s — emitting partial result")
+          stop = true
+        }
+        if (!stop) {
+          val s0 = System.nanoTime()
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            val sec = (System.nanoTime() - s0) / 1e9
+            best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+          } catch {
+            case e: Throwable =>
+              everFailed += name
+              System.err.println(s"[bench] $name failed: $e")
+          }
+          emit(pass)
+        }
       }
     }
-    val results = names.map { case (name, _) => name -> best(name) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

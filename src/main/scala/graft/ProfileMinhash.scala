@@ -4,10 +4,15 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev harness: timing of the MinHash LSH declared query (bench-style). */
+/** Dev harness: per-stage timing of named declared queries (bench-style).
+  * Usage: runMain graft.ProfileMinhash <sfDir> [query ...] — defaults to the
+  * similarity family. Each query gets a cold pass + 2 warm passes.
+  */
 object ProfileMinhash {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val queries = if (args.length > 1) args.tail.toSeq
+                  else Seq("x2_simhash", "x2_minhash_lsh", "x2_ngram_minhash")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -20,7 +25,7 @@ object ProfileMinhash {
         val si = sc.stageInfo
         val ms = (for {s <- si.submissionTime; c <- si.completionTime} yield c - s).getOrElse(0L)
         stageTotal.addAndGet(ms)
-        if (ms > 2000) println(f"[stage] ${si.stageId} tasks=${si.numTasks} ${ms / 1000.0}%.1f s")
+        if (ms > 2000) println(f"[stage] ${si.stageId} tasks=${si.numTasks} ${ms / 1000.0}%.1f s ${si.name.takeWhile(_ != '\n').take(60)}")
       }
     })
     def time[A](name: String)(f: => A): A = {
@@ -28,17 +33,11 @@ object ProfileMinhash {
       println(f"[profile] $name: ${(System.nanoTime() - t0) / 1e9}%.2f s (stage-time ${stageTotal.get() / 1000.0}%.1f s)")
       r
     }
-    // reproduce Bench context: full warmup sweep at the target SF first
-    time("warmup sweep") {
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, dir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+    queries.foreach { q =>
+      (1 to 3).foreach { i =>
+        time(s"$q #$i")(
+          Queries.queries(q)(spark, dir).write.format("noop").mode("overwrite").save())
       }
-    }
-    (1 to 2).foreach { i =>
-      time(s"declared noop #$i")(
-        Queries.queries("x2_minhash_lsh")(spark, dir)
-          .write.format("noop").mode("overwrite").save())
     }
     spark.stop()
   }

@@ -43,6 +43,35 @@ object Queries {
   private val duckToks =
     "SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents"
 
+  /** DuckDB mirror of Dedup.minhashLshPairs over an arbitrary token CTE:
+    * same seeds, same band keys, same candidate join, same integer-exact
+    * Jaccard verification — so the LSH bucketing itself is oracle-checked.
+    */
+  private def duckMinhashSql(toksSql: String, bandSize: Int, threshNum: Int, threshDen: Int): String = {
+    val seeds = Dedup.minhashSeeds.zipWithIndex
+      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+    s"""WITH toks AS ($toksSql),
+      |h AS (SELECT doc_id, ${duckHex("md5(tok)")} AS h FROM toks),
+      |seeds AS (SELECT * FROM (VALUES $seeds) AS s(seed, a, b)),
+      |mh AS (SELECT doc_id, seed, min((a * h + b) % ${Dedup.minhashP}) AS mh
+      |  FROM h CROSS JOIN seeds GROUP BY doc_id, seed),
+      |bands AS (SELECT doc_id, seed // $bandSize AS band, string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed) AS key
+      |  FROM mh GROUP BY doc_id, seed // $bandSize),
+      |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
+      |  JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+      |tsets AS (SELECT doc_id, list(h) AS toks, count(*) AS sz FROM h GROUP BY doc_id)
+      |SELECT c.id_a, c.id_b, len(list_intersect(sa.toks, sb.toks)) AS overlap,
+      |  sa.sz AS size_a, sb.sz AS size_b
+      |FROM cand c JOIN tsets sa ON sa.doc_id = c.id_a JOIN tsets sb ON sb.doc_id = c.id_b
+      |WHERE $threshDen * len(list_intersect(sa.toks, sb.toks)) >= $threshNum * (sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks)))
+      |ORDER BY c.id_a, c.id_b""".stripMargin
+  }
+
+  /** Word-bigram token CTE (order-sensitive shingles), DuckDB form. */
+  private val duckBigramToks =
+    """SELECT DISTINCT doc_id, unnest(list_transform(range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2])) AS tok
+      | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents)""".stripMargin
+
   private val goldCte =
     """SELECT l_returnflag,
       | min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_value,
@@ -429,12 +458,14 @@ object Queries {
 
     // X2 — word-bigram (n-gram) Jaccard join: order-sensitive shingles make
     // this far more discriminative than token sets (reordered near-dups drop
-    // out), and bigram document frequency is low enough that the common-
-    // shingle join stays small without bounding.
+    // out). Bounded to doc_id < 1500 — the common-shingle self-join is
+    // O(Σ df²), quadratic in shingle document frequency, so like
+    // x2_jaccard_dedup it is the bounded verification path; the unbounded
+    // scale path over the same bigram universe is x2_ngram_minhash below.
     Q("x2_ngram_jaccard",
-      (s, dir) => Dedup.jaccardPairs(rd(s, dir, "documents"), "doc_id", "text", 2, 4, 5)
-        .orderBy("id_a", "id_b"),
-      Some("""WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+      (s, dir) => Dedup.jaccardPairs(rd(s, dir, "documents").filter(col("doc_id") < 1500),
+        "doc_id", "text", 2, 4, 5).orderBy("id_a", "id_b"),
+      Some("""WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents WHERE doc_id < 1500),
         |toks AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2])) AS tok FROM ws),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
@@ -444,30 +475,22 @@ object Queries {
         |WHERE 5 * p.overlap >= 4 * (sa.sz + sb.sz - p.overlap)
         |ORDER BY p.id_a, p.id_b""".stripMargin)),
 
+    // X2 — bigram near-dup at scale: the same MinHash+LSH path as
+    // x2_minhash_lsh but over the word-bigram universe (4 bands × 4 hashes —
+    // narrower bands than the unigram query because the 0.8 threshold needs
+    // bucket collisions at lower similarity). Unbounded: candidate generation
+    // is the band equi-join, never the all-pairs shingle join.
+    Q("x2_ngram_minhash",
+      (s, dir) => Dedup.minhashLshPairs(rd(s, dir, "documents"), "doc_id", "text", 4, 4, 5, shingleN = 2)
+        .orderBy("id_a", "id_b"),
+      Some(duckMinhashSql(duckBigramToks, 4, 4, 5))),
+
     // X2 — MinHash+LSH near-dup join (the 100 TB path: signatures are linear,
     // candidates come from an equi-join on band keys, only candidates verified).
     Q("x2_minhash_lsh",
       (s, dir) => Dedup.minhashLshPairs(rd(s, dir, "documents"), "doc_id", "text", 8, 19, 20)
         .orderBy("id_a", "id_b"),
-      Some {
-        val seeds = Dedup.minhashSeeds.zipWithIndex
-          .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-        s"""WITH toks AS ($duckToks),
-          |h AS (SELECT doc_id, ${duckHex("md5(tok)")} AS h FROM toks),
-          |seeds AS (SELECT * FROM (VALUES $seeds) AS s(seed, a, b)),
-          |mh AS (SELECT doc_id, seed, min((a * h + b) % ${Dedup.minhashP}) AS mh
-          |  FROM h CROSS JOIN seeds GROUP BY doc_id, seed),
-          |bands AS (SELECT doc_id, seed // 8 AS band, string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed) AS key
-          |  FROM mh GROUP BY doc_id, seed // 8),
-          |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
-          |  JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-          |tsets AS (SELECT doc_id, list(h) AS toks, count(*) AS sz FROM h GROUP BY doc_id)
-          |SELECT c.id_a, c.id_b, len(list_intersect(sa.toks, sb.toks)) AS overlap,
-          |  sa.sz AS size_a, sb.sz AS size_b
-          |FROM cand c JOIN tsets sa ON sa.doc_id = c.id_a JOIN tsets sb ON sb.doc_id = c.id_b
-          |WHERE 20 * len(list_intersect(sa.toks, sb.toks)) >= 19 * (sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks)))
-          |ORDER BY c.id_a, c.id_b""".stripMargin
-      }),
+      Some(duckMinhashSql(duckToks, 8, 19, 20))),
 
     // X2 — 32-bit SimHash signature per document (linear, join-free).
     Q("x2_simhash",

@@ -90,14 +90,16 @@ object Dedup {
     (301237L, 17389L), (437191L, 50021L), (189517L, 66947L), (274877L, 29989L))
 
   /** MinHash signatures: one row per (doc_id, seed) with the min hash over the
-    * document's token set. Linear in corpus token count.
+    * document's hashed token set (`hashed` = (doc_id, h)). Linear in corpus
+    * token count: the seed table is a 16-row broadcast, and the (doc_id, seed)
+    * min is partially aggregated map-side before its one shuffle.
     */
-  def minhashSignatures(toks: DataFrame): DataFrame = {
-    val spark = toks.sparkSession
+  def minhashSignatures(hashed: DataFrame): DataFrame = {
+    val spark = hashed.sparkSession
     import spark.implicits._
     val seedDf = minhashSeeds.zipWithIndex
       .map { case ((a, b), i) => (i, a, b) }.toDF("seed", "a", "b")
-    toks.withColumn("h", tokenHash)
+    hashed
       .crossJoin(broadcast(seedDf))
       .withColumn("hv", (col("a") * col("h") + col("b")) % lit(minhashP))
       .groupBy("doc_id", "seed").agg(min("hv").as("mh"))
@@ -106,65 +108,72 @@ object Dedup {
   /** X2 (scale path): MinHash+LSH near-dup join. Signatures → band keys →
     * equi-join on (band, key) for candidates → exact Jaccard verification of
     * candidates only. Band keys are built from a seed-sorted struct array so
-    * the key string is deterministic under any aggregation order.
+    * the key string is deterministic under any aggregation order. With
+    * shingleN > 1 the token universe is word n-grams (order-sensitive), which
+    * makes this the unbounded scale path for n-gram Jaccard too.
     *
-    * Verification joins each candidate pair to two pre-collected token
-    * arrays and intersects them (codegen'd array_intersect) — O(|candidates|)
-    * rows, instead of exploding a per-token join to
-    * O(|candidates| · tokens/doc) rows. With skew-heavy corpora (huge LSH
-    * buckets) that explosion, not signature computation, is the bottleneck.
+    * Everything that moves through the skew-prone band self-join is NARROW —
+    * (doc_id, band, key) only. The wide per-document token arrays join in
+    * AFTER candidate pairs are known, keyed by doc_id, and the intersection
+    * is a codegen'd array_intersect over 64-bit hashes — O(|candidates|)
+    * rows. (A previous shape rode the token arrays through a 16× salted
+    * shuffle; replicating wide rows cost ~180 s at sf0.1 for the same
+    * answer.)
+    *
+    * Skew: hot band buckets (a near-dup cluster shares one key) produce
+    * quadratic candidate rows. The salted self-join splits each bucket's pair
+    * space across `salts` build-side copies — probe keeps one salt per row,
+    * build replicates per salt, every pair appears exactly once — so a single
+    * hot bucket spreads over many tasks instead of serializing one. Salting
+    * narrow rows is cheap; that is what keeps the treatment affordable.
+    *
+    * The twice-consumed intermediates (hashed tokens, band keys, token sets)
+    * are eagerly localCheckpoint'ed: Spark has no common-subexpression
+    * materialization, so without the cut each join side re-executes the
+    * whole upstream pipeline — and worse, when AQE turns a small side into a
+    * broadcast, the broadcast future re-executes that shuffle-bearing
+    * pipeline serially (observed 30-170 s of variance for ~3 s of real
+    * work). With the cut, each linear pipeline runs exactly once and any
+    * broadcast builds from already-materialized blocks. At 100 TB the
+    * checkpoint is a distributed executor-storage write, same order of IO as
+    * the shuffle it replaces.
+    *
     * Wider bands (default bandSize=8 → 2 bands over 16 hashes) keep bucket
     * collision probability j^8 per band: near-1 for true near-dups at the
     * 0.95 threshold, far lower for the merely-similar mass.
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      bandSize: Int, threshNum: Int, threshDen: Int): DataFrame = {
-    val toks = tokens(docs, idCol, textCol)
-    val bands = minhashSignatures(toks)
+                      bandSize: Int, threshNum: Int, threshDen: Int,
+                      shingleN: Int = 1): DataFrame = {
+    val hashed = shingles(docs, idCol, textCol, shingleN)
+      .withColumn("h", tokenHash).select("doc_id", "h")
+      .localCheckpoint(true)
+    val bands = minhashSignatures(hashed)
       .withColumn("band", (col("seed") / lit(bandSize)).cast("int"))
       .groupBy("doc_id", "band")
       .agg(sort_array(collect_list(struct(col("seed"), col("mh")))).as("sig"))
       .withColumn("key", expr("concat_ws('-', transform(sig, x -> cast(x.mh as string)))"))
       .select("doc_id", "band", "key")
-    // Attach each doc's token-set array to its band rows up front (one small
-    // doc_id join), so the band-key self-join below yields candidate pairs
-    // WITH both token sets inline. Verification is then a codegen'd
-    // array_intersect on the join output — no per-token explode, no separate
-    // broadcast-build jobs (those proved wildly variable in wall time), and
-    // the only shuffles are the band equi-join and the final pair dedup.
-    // Intersect on the 64-bit token hashes, not the token strings: same
-    // overlap cardinality (hashes are md5-derived on both engines, so the
-    // oracle mirrors this exactly), far cheaper set probes in the hot loop.
-    val tokSets = toks.withColumn("h", tokenHash).groupBy("doc_id")
-      .agg(collect_set(col("h")).as("toks"), count(lit(1)).as("sz"))
-    // localCheckpoint: the side table is tiny (n_bands rows per doc) but its
-    // lineage contains the whole hashing pipeline; without the cut, Spark
-    // re-executes that pipeline inside broadcast-build futures (observed
-    // 40-180s of serial recompute for ~4s of shuffle-stage work).
-    val sides = bands.join(tokSets, "doc_id").localCheckpoint(true)
-    // Salted self-join. The input is small by bytes, so AQE would run the
-    // join in 1-2 tasks — but the OUTPUT explodes quadratically inside hot
-    // band buckets (near-dup clusters all share one key). Salting splits each
-    // bucket's pair space across `salts` × parallelism partitions: the probe
-    // side keeps one salt per row, the build side is replicated per salt, so
-    // every pair appears exactly once. This is the skew treatment that keeps
-    // the operator alive at 100 TB where a single hot bucket would otherwise
-    // serialize the join.
-    val salts = 16
-    val par = docs.sparkSession.sparkContext.defaultParallelism * 2
-    val x = sides.withColumn("salt", pmod(col("doc_id"), lit(salts)).cast("int"))
-      .repartition(par, col("band"), col("key"), col("salt"))
-    val y = sides.withColumn("salt", explode(lit((0 until salts).toArray)))
-      .repartition(par, col("band"), col("key"), col("salt"))
-    val overlap = size(array_intersect(col("x.toks"), col("y.toks"))).cast("long")
-    x.as("x").join(y.as("y"),
+      .localCheckpoint(true)
+    val salts = 8
+    val x = bands.withColumn("salt", pmod(col("doc_id"), lit(salts)).cast("int"))
+    val y = bands.withColumn("salt", explode(lit((0 until salts).toArray)))
+    val cands = x.as("x").join(y.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.salt") === col("y.salt") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        overlap.as("overlap"), col("x.sz").as("size_a"), col("y.sz").as("size_b"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct() // a pair matching in >1 band appears once per band
+    val tokSets = hashed.groupBy("doc_id")
+      .agg(collect_set(col("h")).as("toks"), count(lit(1)).as("sz"))
+      .localCheckpoint(true)
+    val overlap = size(array_intersect(col("sa.toks"), col("sb.toks"))).cast("long")
+    cands
+      .join(tokSets.as("sa"), col("id_a") === col("sa.doc_id"))
+      .join(tokSets.as("sb"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"), overlap.as("overlap"),
+        col("sa.sz").as("size_a"), col("sb.sz").as("size_b"))
       .filter(lit(threshDen) * col("overlap") >=
         lit(threshNum) * (col("size_a") + col("size_b") - col("overlap")))
-      .distinct() // a pair matching in >1 band appears once per band
   }
 
   /** X2 variant: 32-bit SimHash per document. Bit j of the signature is the
