@@ -145,8 +145,15 @@ object Dedup {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       bandSize: Int, threshNum: Int, threshDen: Int,
                       shingleN: Int = 1): DataFrame = {
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    // Explicit repartition BEFORE each checkpoint: AQE coalesces these tiny-
+    // by-bytes shuffles down to 1 partition, which would serialize the
+    // 16-seed crossjoin, the hot-bucket pair generation, and the checkpoint
+    // write itself. Quadratic-output operators must size partitions by
+    // downstream work, not input bytes.
     val hashed = shingles(docs, idCol, textCol, shingleN)
       .withColumn("h", tokenHash).select("doc_id", "h")
+      .repartition(par, col("doc_id"))
       .localCheckpoint(true)
     val bands = minhashSignatures(hashed)
       .withColumn("band", (col("seed") / lit(bandSize)).cast("int"))
@@ -155,21 +162,33 @@ object Dedup {
       .withColumn("key", expr("concat_ws('-', transform(sig, x -> cast(x.mh as string)))"))
       .select("doc_id", "band", "key")
       .localCheckpoint(true)
-    val salts = 8
+    // Salted self-join over narrow (doc_id, band, key) rows. A hot bucket (a
+    // near-dup cluster sharing one band key) emits quadratic pairs; hashing
+    // the probe side by (band, key, salt) spreads each hot bucket over
+    // `salts` tasks instead of one. The build side replicates per salt so
+    // every pair appears exactly once.
+    val salts = 16
     val x = bands.withColumn("salt", pmod(col("doc_id"), lit(salts)).cast("int"))
+      .repartition(par, col("band"), col("key"), col("salt"))
     val y = bands.withColumn("salt", explode(lit((0 until salts).toArray)))
-    val cands = x.as("x").join(y.as("y"),
+    val cands = x.as("x").join(broadcast(y.as("y")),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.salt") === col("y.salt") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct() // a pair matching in >1 band appears once per band
+      .repartition(par) // round-robin: verify work is per-pair, spread evenly
     val tokSets = hashed.groupBy("doc_id")
       .agg(collect_set(col("h")).as("toks"), count(lit(1)).as("sz"))
       .localCheckpoint(true)
     val overlap = size(array_intersect(col("sa.toks"), col("sb.toks"))).cast("long")
+    // Verify joins: the token-set side is explicitly broadcast so the planner
+    // can never pick the (possibly million-row) candidate side as the build.
+    // At corpus scales where per-doc token sets outgrow a broadcast, swap
+    // these to shuffle-hash joins on doc_id (narrow pair rows shuffle
+    // cheaply) — the narrow-candidates-then-verify architecture is unchanged.
     cands
-      .join(tokSets.as("sa"), col("id_a") === col("sa.doc_id"))
-      .join(tokSets.as("sb"), col("id_b") === col("sb.doc_id"))
+      .join(broadcast(tokSets.as("sa")), col("id_a") === col("sa.doc_id"))
+      .join(broadcast(tokSets.as("sb")), col("id_b") === col("sb.doc_id"))
       .select(col("id_a"), col("id_b"), overlap.as("overlap"),
         col("sa.sz").as("size_a"), col("sb.sz").as("size_b"))
       .filter(lit(threshDen) * col("overlap") >=
