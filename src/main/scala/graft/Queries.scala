@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.{Medallion, Relational}
-import graft.operators.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.ext.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
 import graft.sources.{Ingest, StubTickerFetcher}
 
 /** The declared query registry: one entry per SURVEY.md §2 operator row, each
@@ -119,6 +119,11 @@ object Queries {
       | CAST(diff AS VARCHAR) AS diff, CAST(as_of_year AS VARCHAR) AS as_of_year,
       | CAST(as_of_month AS VARCHAR) AS as_of_month, CAST(as_of_day AS VARCHAR) AS as_of_day
       |FROM gold ORDER BY l_returnflag""".stripMargin
+
+  /** Unique memory-sink names for streaming declared queries (the name is a
+    * session temp view; each invocation gets a fresh one).
+    */
+  private val streamSinkN = new java.util.concurrent.atomic.AtomicLong()
 
   private def freshDir(s: SparkSession, name: String): String = {
     val path = s"${System.getProperty("java.io.tmpdir")}/$name"
@@ -295,6 +300,73 @@ object Queries {
         "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS qty " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)) " +
         "ORDER BY l_returnflag, l_linestatus")),
+
+    // A4 — approximate distinct via an engine-portable HyperLogLog sketch
+    // (md5-derived hashes, integer bucket/rank math, power-of-two harmonic
+    // sum — exact in IEEE double at any aggregation order), emitted as an
+    // integer alongside the exact count so the whole sketch is hash-checkable
+    // against DuckDB computing the identical formula.
+    Q("a4_approx_distinct",
+      (s, dir) => Sketches.hllDistinct(rd(s, dir, "orders"), "o_custkey", 6),
+      Some {
+        val alphaM2 = Sketches.alphaTimesM2(6)
+        s"""WITH h AS (SELECT ${duckHex("md5(CAST(o_custkey AS VARCHAR))")} AS h FROM orders),
+          |b AS (SELECT h % 64 AS bucket, h // 64 AS rest FROM h),
+          |r AS (SELECT bucket, CASE WHEN rest = 0 THEN 27 ELSE 27 - length(printf('%b', rest)) END AS rank FROM b),
+          |mx AS (SELECT bucket, max(rank) AS max_rank FROM r GROUP BY bucket),
+          |agg AS (SELECT count(*) AS nb, sum(power(2.0, -max_rank)) AS s_obs FROM mx)
+          |SELECT (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_distinct,
+          | CAST(floor($alphaM2 / (s_obs + (64 - nb)) * 10000) AS BIGINT) AS hll_estimate_e4
+          |FROM agg""".stripMargin
+      }),
+
+    // U2 — INTERSECT (SURVEY §2.6: the reference has no set ops beyond
+    // union-all; these round out the free Catalyst surface with oracle rows).
+    Q("u2_intersect",
+      (s, dir) => Relational.intersectDistinct(
+        rd(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+        rd(s, dir, "orders").filter(col("o_orderpriority") === "2-HIGH").select("o_custkey"))
+        .orderBy("o_custkey"),
+      Some("SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH' ORDER BY o_custkey")),
+
+    // U3 — EXCEPT.
+    Q("u3_except",
+      (s, dir) => Relational.exceptDistinct(
+        rd(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
+        rd(s, dir, "orders").filter(col("o_orderpriority") === "2-HIGH").select("o_custkey"))
+        .orderBy("o_custkey"),
+      Some("SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
+        "EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH' ORDER BY o_custkey")),
+
+    // §2.9 — the streaming path as a correctness row: the same event-time
+    // tumbling-window aggregate as event_window_agg, but executed through
+    // Structured Streaming (file source → watermark + window → complete-mode
+    // memory sink), drained to completion. The oracle is the batch SQL —
+    // asserting stream/batch equivalence, the property Structured Streaming
+    // guarantees and the one worth checking.
+    Q("stream_window_agg",
+      (s, dir) => {
+        val batchSchema = rd(s, dir, "events").schema
+        // the file stream source requires a directory; select just the events
+        // table out of the shared sf dir with a glob filter
+        val ticks = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ingest_ts", expr("timestamp_micros(ts div 1000)"))
+          .select(col("event_type").as("symbol"), col("value").as("price"), col("ingest_ts"))
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.windowedMinMax(ticks, "1 hour", "1 hour")
+          .writeStream.format("memory").queryName(name).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("symbol").as("event_type"),
+            col("min_price").as("min_value"), col("max_price").as("max_value"))
+          .orderBy("window_start", "event_type")
+      },
+      Some("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, " +
+        "event_type, min(value) AS min_value, max(value) AS max_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
 
     // J1 — broadcast equi-join + aggregation (capability, SURVEY §2.4/§7.3).
     // revenue is summed exactly in decimal, then rendered as string (strCols).
@@ -535,13 +607,14 @@ object Queries {
     // X2 — LSH-bucketed ANN (scale path; sign-bucket construction is
     // engine-stable but bucket recall is algorithmic, so rows-only check).
     Q("x2_ann_lsh",
-      (s, dir) => Similarity.lshTopK(rd(s, dir, "embeddings"), 3, 8, 64).orderBy("id_a", "rk"),
+      (s, dir) => Similarity.lshTopK(rd(s, dir, "embeddings"), 3, 8).orderBy("id_a", "rk"),
       None),
 
-    // X2 — IVF-bucketed ANN (coarse quantizer cells + nprobe search; recall
-    // is algorithmic, so rows-only check + ScalaTest recall assertions).
+    // X2 — IVF-bucketed ANN (seeded-KMeans coarse quantizer + nprobe search;
+    // recall is algorithmic, so rows-only check + ScalaTest recall assertions).
     Q("x2_ann_ivf",
-      (s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"), 3, 32, 4).orderBy("id_a", "rk"),
+      (s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"), 3, 32, 4, trainIters = 5)
+        .orderBy("id_a", "rk"),
       None),
 
     // X3 — rolling polynomial fingerprint (order-sensitive Rabin-Karp-shaped

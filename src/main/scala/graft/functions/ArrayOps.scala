@@ -41,7 +41,13 @@ case class FloatDotProduct(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // Ragged arrays raise rather than silently truncating: DuckDB's
+    // list_dot_product errors on mismatched lengths, and a mixed-dim
+    // embedding corpus should fail loudly, not diverge quietly.
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"float_dot: array length mismatch ($n vs ${y.numElements()})")
     var s = 0.0
     var i = 0
     while (i < n) {
@@ -57,7 +63,11 @@ case class FloatDotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $n = $x.numElements();
+         |if ($n != $y.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "float_dot: array length mismatch (" + $n + " vs " + $y.numElements() + ")");
+         |}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $s += (double) $x.getFloat($i) * (double) $y.getFloat($i);

@@ -9,30 +9,38 @@ import org.apache.spark.sql.types._
   */
 object Schemas {
 
-  /** Ingested ticker row (reference dbo.crypto: symbol varchar(10), price decimal(10,2)).
-    * `ingest_ts` is carried from day one so watermarked/event-time operators can be
-    * added without a schema migration (SURVEY.md §2.9).
+  /** Ingested ticker row (reference dbo.crypto: symbol varchar(10), price
+    * decimal(10,2)) — exactly what [[graft.sources.Ingest.parseBatches]]
+    * produces.
     */
   val bronze: StructType = StructType(Seq(
-    StructField("symbol", StringType, nullable = false),
-    StructField("price", DecimalType(10, 2), nullable = false),
-    StructField("ingest_ts", TimestampType, nullable = true)
+    StructField("symbol", StringType, nullable = true),
+    StructField("price", DecimalType(10, 2), nullable = true)
   ))
+
+  /** Streaming bronze = bronze + ingest_ts, as produced by
+    * [[graft.streaming.Streaming.parseTickStream]]; the event-time column is
+    * what watermarked/event-time operators key on (SURVEY.md §2.9).
+    */
+  val bronzeStreaming: StructType = StructType(
+    bronze.fields.toSeq :+ StructField("ingest_ts", TimestampType, nullable = true))
 
   /** Silver = deduplicated bronze, same columns. */
   val silver: StructType = bronze
 
-  /** Gold = per-symbol min/max/spread + as-of date partition columns
-    * (reference silverToGold.scala:12-26).
+  /** Gold = per-key min/max/spread + as-of date partition columns, exactly as
+    * [[graft.operators.Medallion.silverToGold]] emits them (the reference's
+    * column names — min_value_by_crypto etc., silverToGold.scala:12-26 — are
+    * domain-bound to crypto; the engine uses the generic names).
     */
   val gold: StructType = StructType(Seq(
-    StructField("symbol", StringType, nullable = false),
-    StructField("min_value_by_crypto", DecimalType(10, 2), nullable = true),
-    StructField("max_value_by_crypto", DecimalType(10, 2), nullable = true),
-    StructField("difference_between_min_max", DecimalType(11, 2), nullable = true),
-    StructField("year", IntegerType, nullable = false),
-    StructField("month", IntegerType, nullable = false),
-    StructField("day", IntegerType, nullable = false)
+    StructField("symbol", StringType, nullable = true),
+    StructField("min_value", DecimalType(12, 2), nullable = true),
+    StructField("max_value", DecimalType(12, 2), nullable = true),
+    StructField("diff", DecimalType(12, 2), nullable = true),
+    StructField("as_of_year", IntegerType, nullable = false),
+    StructField("as_of_month", IntegerType, nullable = false),
+    StructField("as_of_day", IntegerType, nullable = false)
   ))
 
   /** Serving = gold + surrogate id, every column stringified

@@ -26,6 +26,14 @@ object Relational {
   /** U1: union-all of micro-batches, by name. */
   def unionAll(frames: Seq[DataFrame]): DataFrame = frames.reduce(_ unionByName _)
 
+  /** U2: set intersection (DISTINCT semantics). Catalyst plans this as an
+    * aggregate + left-semi join — one shuffle per side, no row explosion.
+    */
+  def intersectDistinct(a: DataFrame, b: DataFrame): DataFrame = a.intersect(b)
+
+  /** U3: set difference (DISTINCT semantics) — aggregate + left-anti join. */
+  def exceptDistinct(a: DataFrame, b: DataFrame): DataFrame = a.except(b)
+
   /** F1: regex extraction (codegen'd built-in, no UDF). */
   def regexpExtractCol(df: DataFrame, src: String, pattern: String, group: Int, as: String): DataFrame =
     df.withColumn(as, regexp_extract(col(src), pattern, group))

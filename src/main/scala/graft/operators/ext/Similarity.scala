@@ -69,24 +69,48 @@ object Similarity {
     Seq.fill(numPlanes)(Seq.fill(dim)(if ((next() & 1L) == 0L) 1.0 else -1.0))
   }
 
+  /** Seeded KMeans coarse quantizer for [[ivfTopK]]: trains `nlist` centroids
+    * with MLlib's KMeans (k-means|| init, fixed seed) and returns them as a
+    * (cell, cv array<float>, cnrm) table ready to broadcast. Centroids are a
+    * tiny model (nlist × dim floats) collected once on the driver — the
+    * assignment scan stays fully distributed.
+    */
+  def kmeansCentroids(emb: DataFrame, nlist: Int, iters: Int, seed: Long): DataFrame = {
+    val spark = emb.sparkSession
+    ArrayOps.register(spark)
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = emb.select(array_to_vector(col("embedding")).as("features"))
+    val model = new KMeans().setK(nlist).setMaxIter(iters).setSeed(seed)
+      .setFeaturesCol("features").fit(feat)
+    import spark.implicits._
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (v, i) => (i.toLong, v.toArray.map(_.toFloat)) }
+      .toDF("cell", "cv")
+      .withColumn("cnrm", expr("sqrt(float_dot(cv, cv))"))
+  }
+
   /** X2 scale path, IVF-shaped: partition vectors into `nlist` cells by
     * nearest centroid, then answer queries by exact re-scoring within the
     * query's `nprobe` nearest cells only.
     *
-    * Centroid selection here is a deterministic stand-in (the first `nlist`
-    * vectors by id act as the coarse quantizer); a production build would
-    * train them with seeded KMeans — the plumbing (assign via broadcast
-    * centroid table, search = equi-join on cell id) is identical. Cosines are
-    * rounded before argmax/rank so cell assignment is engine-stable.
+    * With trainIters > 0 the coarse quantizer is seeded KMeans
+    * ([[kmeansCentroids]]); with 0 it is the deterministic stand-in (first
+    * `nlist` vectors by id) that the exact-arithmetic unit tests pin down.
+    * Cosines are rounded before argmax/rank so cell assignment is
+    * engine-stable.
     *
     * 100 TB: assignment is a linear scan against a broadcast centroid table;
     * the search join shuffles on cell id (nprobe cells per query), never
     * all-pairs.
     */
-  def ivfTopK(emb: DataFrame, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+  def ivfTopK(emb: DataFrame, k: Int, nlist: Int, nprobe: Int,
+              trainIters: Int = 0): DataFrame = {
     val p = prep(emb)
-    val cents = broadcast(p.filter(col("vec_id") < nlist)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm")))
+    val cents = broadcast(
+      if (trainIters > 0) kmeansCentroids(emb, nlist, trainIters, seed = 42L)
+      else p.filter(col("vec_id") < nlist)
+        .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm")))
     val simToCent = (expr("float_dot(v, cv)") / (col("nrm") * col("cnrm")))
       .cast(DecimalType(10, 6))
     // rank cells per vector once; rows with rk=1 define the index assignment,
@@ -113,8 +137,16 @@ object Similarity {
   /** X2 scale path: random-hyperplane LSH bucketing + exact re-score within
     * buckets. Sign bits are taken on the cosine-rounded projection to stay
     * engine-stable near zero.
+    *
+    * The hyperplane dimension is derived from the data (size of the first
+    * vector) rather than trusted from the caller: a wrong dim would null-pad
+    * the projection via zip_with, collapse every sign bit to the
+    * otherwise-branch, and silently degrade to one O(n²) bucket.
+    * [[FloatDotProduct]] raises on ragged arrays, so a mixed-dim corpus fails
+    * loudly at re-score rather than returning silent nonsense.
     */
-  def lshTopK(emb: DataFrame, k: Int, numPlanes: Int, dim: Int): DataFrame = {
+  def lshTopK(emb: DataFrame, k: Int, numPlanes: Int): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).head.getInt(0)
     val p = prep(emb).withColumn("vd", expr("transform(v, x -> cast(x as double))"))
     val planes = hyperplanes(numPlanes, dim)
     val sigBits = planes.zipWithIndex.map { case (plane, i) =>

@@ -103,8 +103,54 @@ class DedupSimilaritySpec extends SparkSpec {
   test("lshTopK: identical vectors share a bucket and rank each other first") {
     val df = embeddings(
       (0L, Seq.fill(64)(0.5f)), (1L, Seq.fill(64)(0.5f)), (2L, Seq.tabulate(64)(i => if (i % 2 == 0) 1f else -1f)))
-    val res = Similarity.lshTopK(df, 1, 8, 64).collect()
+    val res = Similarity.lshTopK(df, 1, 8).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(res.contains((0L, 1L)) && res.contains((1L, 0L)))
+  }
+
+  test("lshTopK recall vs brute force on planted near-duplicates (8 planes)") {
+    // The fixture embeddings are pure random vectors (no pair reaches cos 0.5),
+    // which is outside LSH's contract — sign-LSH retrieves NEAR-duplicates.
+    // Plant them: ids 0..29 are tiny perturbations of ids 1000..1029
+    // (cos ≈ 0.9999); brute force is ground truth on the same corpus.
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = Seq.tabulate(128)(i => (1000L + i, vec()))
+    val planted = base.take(30).zipWithIndex.map { case ((_, v), i) =>
+      (i.toLong, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    import spark.implicits._
+    val emb = (base ++ planted).map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val exact = Similarity.annTopK(emb, 1, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(emb, 1, 8)
+      .filter(col("id_a") < 30).filter(col("rk") === 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(lsh.contains).toDouble / exact.size
+    assert(recall >= 0.7, s"LSH top-1 recall $recall too low")
+  }
+
+  test("ivfTopK recall with seeded-KMeans centroids (nprobe=4 of 16 cells)") {
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val exact = Similarity.annTopK(emb, 1, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, 1, nlist = 16, nprobe = 4, trainIters = 5)
+      .filter(col("id_a") < 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ivf.contains).toDouble / exact.size
+    assert(recall >= 0.5, s"trained-IVF top-1 recall $recall too low")
+  }
+
+  test("float_dot raises on ragged arrays instead of silently truncating") {
+    graft.functions.ArrayOps.register(spark)
+    val df = embeddings((0L, Seq(1f, 2f)), (1L, Seq(1f, 2f, 3f)))
+    val ragged = df.as("a").join(df.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(org.apache.spark.sql.functions.expr("float_dot(a.embedding, b.embedding)"))
+    val e = intercept[Exception](ragged.collect())
+    def chain(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: chain(x.getCause))
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("float_dot: array length mismatch"))))
   }
 }

@@ -32,6 +32,22 @@ class MedallionSpec extends SparkSpec {
     assert(once.count() == df.distinct().count())
   }
 
+  test("declared stage schemas match the stage outputs (names + types)") {
+    import spark.implicits._
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name, f.dataType)).toSeq
+    // bronze: exactly what the batch ingest parser emits
+    val bronze = graft.sources.Ingest.parseBatches(spark, graft.sources.Ingest.stubBatches)
+    assert(shape(bronze.schema) == shape(graft.model.Schemas.bronze))
+    // gold: exactly what silverToGold emits (key column name is the caller's)
+    val ticks = Seq(("BTCUSDT", new java.math.BigDecimal("1.00"))).toDF("symbol", "price")
+    val gold = Medallion.silverToGold(ticks, "symbol", "price", asOf)
+    assert(shape(gold.schema) == shape(graft.model.Schemas.gold))
+    // serving: gold + id, all strings
+    val serving = Medallion.stringify(Medallion.withSurrogateId(gold, Seq("symbol")))
+    assert(shape(serving.schema) == shape(graft.model.Schemas.serving))
+  }
+
   test("stringify preserves DECIMAL(_,2) scale in rendered strings") {
     import spark.implicits._
     val df = Seq(("x", new java.math.BigDecimal("0.88")), ("y", new java.math.BigDecimal("12.30")))
