@@ -391,6 +391,35 @@ object Queries {
       Some("SELECT * FROM part WHERE p_partkey IN " +
         "(SELECT l_partkey FROM lineitem WHERE l_quantity > 45) ORDER BY p_partkey")),
 
+    // J3 — left outer join: every customer row survives; the order side is
+    // NULL for customers with no qualifying order. NULLs are COALESCEd to
+    // typed sentinels on both sides so NULL representation stays out of the
+    // hash (asof_join precedent). o_totalprice is a raw double (no computed
+    // arithmetic), so the -1.0 sentinel keeps the column double end-to-end.
+    Q("j3_left_join",
+      (s, dir) => rd(s, dir, "customer").select("c_custkey")
+        .join(rd(s, dir, "orders").filter(col("o_totalprice") > 400000)
+          .select("o_custkey", "o_orderkey", "o_totalprice"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("o_orderkey"),
+          coalesce(col("o_totalprice"), lit(-1.0)).as("o_totalprice"))
+        .orderBy("c_custkey", "o_orderkey"),
+      Some("SELECT c_custkey, coalesce(o_orderkey, -1) AS o_orderkey, " +
+        "coalesce(o_totalprice, -1.0) AS o_totalprice FROM customer " +
+        "LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o ON c_custkey = o_custkey " +
+        "ORDER BY c_custkey, o_orderkey")),
+
+    // J4 — left-anti join: customers with no orders at all (the existence-
+    // negation dual of j2's semi join; carries nothing from the right side).
+    Q("j4_anti_join",
+      (s, dir) => rd(s, dir, "customer")
+        .join(rd(s, dir, "orders").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name").orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c.c_custkey) ORDER BY c_custkey")),
+
     // W1 — row_number per group (deterministic replacement for P4).
     Q("w1_row_number",
       (s, dir) => Relational.rowNumberPerGroup(
@@ -409,6 +438,37 @@ object Queries {
         "min(value) OVER w AS roll_min, max(value) OVER w AS roll_max FROM events " +
         "WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) " +
         "ORDER BY event_id")),
+
+    // W3 — lag/lead offset window functions (prior order's price and next
+    // order's key per customer). Edge NULLs COALESCEd to typed sentinels.
+    Q("w3_lag_lead",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        rd(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+          .withColumn("prev_price", coalesce(lag(col("o_totalprice"), 1).over(w), lit(-1.0)))
+          .withColumn("next_key", coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1L)))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, " +
+        "coalesce(lag(o_totalprice, 1) OVER w, -1.0) AS prev_price, " +
+        "coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_key FROM orders " +
+        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
+        "ORDER BY o_orderkey")),
+
+    // A5 — cube (all grouping-set combinations; completes the rollup family).
+    Q("a5_cube",
+      (s, dir) => rd(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"), col("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, " +
+        "coalesce(l_linestatus, 'ALL') AS l_linestatus, n FROM (" +
+        "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem " +
+        "GROUP BY CUBE(l_returnflag, l_linestatus)) " +
+        "ORDER BY l_returnflag, l_linestatus")),
 
     // Event-time tumbling window aggregate (batch form of the streaming path).
     // `ts` arrives as long ns-since-epoch (nanosAsLong — Spark has no ns
