@@ -11,6 +11,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", ShmLocalDir.path())
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -63,6 +64,15 @@ object Bench {
               System.err.println(s"[bench] $name failed: $e")
           }
           emit(pass)
+          // Driver hygiene between queries: Spark's ContextCleaner reclaims
+          // finished-query state (broadcasts, checkpoint RDD blocks, shuffle
+          // dependencies) only after a GC processes their weak references.
+          // With a large, barely-used heap GC never runs, state from hundreds
+          // of executions accumulates, and identical queries degrade from
+          // ~5 s to ~180 s over a run (measured; ProfileMinhash reproduces
+          // it). One explicit GC per query keeps every measurement on a
+          // clean driver.
+          System.gc()
         }
       }
     }

@@ -15,6 +15,7 @@ object ProfileMinhash {
                   else Seq("x2_simhash", "x2_minhash_lsh", "x2_ngram_minhash")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.local.dir", ShmLocalDir.path())
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -37,6 +38,7 @@ object ProfileMinhash {
       (1 to 3).foreach { i =>
         time(s"$q #$i")(
           Queries.queries(q)(spark, dir).write.format("noop").mode("overwrite").save())
+        if (sys.env.contains("SPARK_GRAFT_GC_BETWEEN")) { System.gc(); Thread.sleep(500) }
       }
     }
     spark.stop()

@@ -10,6 +10,7 @@ object Verify {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", ShmLocalDir.path())
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
       // type for; read as long (ns since epoch) and convert explicitly.
@@ -25,6 +26,8 @@ object Verify {
         val msg = s"[verify] $name failed: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.take(3).mkString(" | ")}"
         println(msg); System.err.println(msg); System.out.flush()
       }
+      // let the ContextCleaner reclaim per-query state (see Bench.scala)
+      System.gc()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
