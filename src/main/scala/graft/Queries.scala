@@ -470,6 +470,123 @@ object Queries {
         "GROUP BY CUBE(l_returnflag, l_linestatus)) " +
         "ORDER BY l_returnflag, l_linestatus")),
 
+    // A6 — exact percentiles (quartiles) per group. percentile() and DuckDB's
+    // quantile_cont share the (n-1)*p linear-interpolation definition; with
+    // p ∈ {.25,.5,.75} the interpolation fraction is an exact binary value,
+    // so the double result is bit-identical before the fixed-point cast.
+    Q("a6_percentile",
+      (s, dir) => rd(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          expr("percentile(l_extendedprice, 0.25)").cast(DecimalType(18, 4)).cast("string").as("p25"),
+          expr("percentile(l_extendedprice, 0.5)").cast(DecimalType(18, 4)).cast("string").as("p50"),
+          expr("percentile(l_extendedprice, 0.75)").cast(DecimalType(18, 4)).cast("string").as("p75"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, " +
+        "CAST(CAST(quantile_cont(l_extendedprice, 0.25) AS DECIMAL(18,4)) AS VARCHAR) AS p25, " +
+        "CAST(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(18,4)) AS VARCHAR) AS p50, " +
+        "CAST(CAST(quantile_cont(l_extendedprice, 0.75) AS DECIMAL(18,4)) AS VARCHAR) AS p75 " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1")),
+
+    // A7 — pivot (wide aggregation): one row per return flag, one column per
+    // line status. Spark's pivot with explicit values is a single partial-agg
+    // pass — no per-column scans. Absent (flag, status) cells are COALESCEd
+    // to a sentinel on both sides so NULL rendering never reaches the hash.
+    Q("a7_pivot",
+      (s, dir) => rd(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)))
+        .select(col("l_returnflag"),
+          coalesce(col("F").cast("string"), lit("-")).as("qty_f"),
+          coalesce(col("O").cast("string"), lit("-")).as("qty_o"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, " +
+        "coalesce(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2)) AS VARCHAR), '-') AS qty_f, " +
+        "coalesce(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'O') AS DECIMAL(18,2)) AS VARCHAR), '-') AS qty_o " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1")),
+
+    // A8 — explicit GROUPING SETS (the general form rollup/cube specialize).
+    // Expressed through spark.sql: the declarative SQL surface is part of the
+    // engine's API, and Catalyst plans it as a single Expand + aggregate.
+    Q("a8_grouping_sets",
+      (s, dir) => {
+        rd(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+        s.sql("SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, " +
+          "coalesce(l_linestatus, 'ALL') AS l_linestatus, count(*) AS n " +
+          "FROM lineitem_gs GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())")
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, " +
+        "coalesce(l_linestatus, 'ALL') AS l_linestatus, count(*) AS n " +
+        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
+        "ORDER BY 1, 2")),
+
+    // W4 — gap-based sessionization over the raw event stream (30-minute
+    // gap). Gap arithmetic runs on integer µs-since-epoch on both sides:
+    // Spark reads ns as long (nanosAsLong) and divides; DuckDB's parquet
+    // reader itself truncates TIMESTAMP_NS to µs, so µs is the finest
+    // precision both engines share.
+    Q("w4_sessionize",
+      (s, dir) => Relational.sessionize(
+          rd(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+          "user_id", "ts_us", "event_id", gapUs = 1800L * 1000 * 1000)
+        .orderBy("user_id", "session_idx"),
+      Some("WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events), " +
+        "y AS (SELECT user_id, event_id, tus, CASE WHEN lag(tus) OVER w IS NULL " +
+        "OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw FROM x " +
+        "WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)), " +
+        "z AS (SELECT user_id, tus, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY tus, event_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM y) " +
+        "SELECT user_id, session_idx, min(tus) AS session_start, max(tus) AS session_end, " +
+        "count(*) AS n_events FROM z GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // J5 — range (band) join: quantity deciles derived from the region table
+    // (5 rows, broadcast). The only scalable plan for a non-equi join against
+    // a small dim — fact side streams once, never shuffles.
+    Q("j5_range_join",
+      (s, dir) => {
+        val bands = rd(s, dir, "region").select(col("r_regionkey").as("band"),
+          (col("r_regionkey") * 10).cast("double").as("lo"),
+          ((col("r_regionkey") + 1) * 10).cast("double").as("hi"))
+        Relational.rangeJoin(rd(s, dir, "lineitem"), bands, "l_quantity", "lo", "hi")
+          .groupBy("band")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("qty"))
+          .select(col("band"), col("n"), col("qty").cast("string").as("qty"))
+          .orderBy("band")
+      },
+      Some("SELECT r_regionkey AS band, count(*) AS n, " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS qty " +
+        "FROM lineitem JOIN region ON l_quantity >= r_regionkey * 10 AND l_quantity < (r_regionkey + 1) * 10 " +
+        "GROUP BY 1 ORDER BY 1")),
+
+    // X2 — per-label embedding centroid accumulators (distributed mean shape:
+    // exact decimal sums + counts; mean = csum/n at the caller, keeping float
+    // summation order out of the engine).
+    Q("x2_centroids",
+      (s, dir) => Similarity.labelCentroidSums(rd(s, dir, "embeddings"), "label")
+        .select(col("label"), col("pos"), col("csum").cast("string").as("csum"), col("n"))
+        .orderBy("label", "pos"),
+      Some("WITH x AS (SELECT label, unnest(range(1, len(embedding) + 1)) AS ord, " +
+        "unnest(embedding) AS u FROM embeddings) " +
+        "SELECT label, CAST(ord - 1 AS INTEGER) AS pos, " +
+        "CAST(CAST(sum(CAST(CAST(u AS DOUBLE) AS DECIMAL(16,6))) AS DECIMAL(20,6)) AS VARCHAR) AS csum, " +
+        "count(*) AS n FROM x GROUP BY 1, 2 ORDER BY 1, 2")),
+
+    // X3 — word-bigram top-5 per language (n-gram explode → count → ranked
+    // top-k per group; both engines build bigrams 1-indexed).
+    Q("x3_ngram_freq",
+      (s, dir) => TextAnalysis.topBigramsPerLang(rd(s, dir, "documents"), "lang", "text", 5)
+        .orderBy("lang", "rk"),
+      Some("WITH ws AS (SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents), " +
+        "bg AS (SELECT lang, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram " +
+        "FROM ws WHERE len(t) >= 2), " +
+        "c AS (SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2) " +
+        "SELECT lang, bigram, cnt, rk FROM (SELECT lang, bigram, cnt, " +
+        "CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS INTEGER) AS rk FROM c) " +
+        "WHERE rk <= 5 ORDER BY lang, rk")),
+
     // Event-time tumbling window aggregate (batch form of the streaming path).
     // `ts` arrives as long ns-since-epoch (nanosAsLong — Spark has no ns
     // timestamp type); convert by integer division, bucket with window().

@@ -77,6 +77,45 @@ object Relational {
                    k: Int, as: String = "rk"): DataFrame =
     rowNumberPerGroup(df, partCols, orderCols, as).filter(col(as) <= k)
 
+  /** W4: gap-based sessionization — the standard event-pipeline operator for
+    * turning a raw click/event stream into sessions. A new session starts when
+    * the gap to the previous event of the same key exceeds `gapNs`. Two
+    * windows over the SAME (key, order) partitioning — Catalyst plans them in
+    * one shuffle + one sort — then one aggregate per (key, session). Linear at
+    * any scale; the only skew risk is a single hyperactive key, which is the
+    * domain's own skew, not the plan's.
+    *
+    * `tsCol` must be a numeric epoch (integer arithmetic — no timestamp-type
+    * drift between engines); `gapUs` is in the same unit as `tsCol`.
+    * `tieCol` breaks ordering ties for a total order (SURVEY §7.4).
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+                 gapUs: Long): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val newSession = when(
+      lag(col(tsCol), 1).over(w).isNull ||
+        col(tsCol) - lag(col(tsCol), 1).over(w) > gapUs, 1).otherwise(0)
+    df.withColumn("__new", newSession)
+      .withColumn("session_idx", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** J5: range (band) join — each fact row lands in the band whose
+    * [lo, hi) interval contains its value. The band table is small by
+    * construction, so it is explicitly broadcast: Catalyst plans a
+    * BroadcastNestedLoopJoin where the fact side streams once and never
+    * shuffles — the only scalable plan for a non-equi join against a small
+    * dimension. (A big-big range join would need bucketized interval
+    * overlap instead; the band-dimension case is the one pipelines hit.)
+    */
+  def rangeJoin(fact: DataFrame, bands: DataFrame, valueCol: String,
+                loCol: String, hiCol: String): DataFrame =
+    fact.join(broadcast(bands), col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
+
   /** As-of join (an operator Spark lacks natively): for each left row, attach
     * the right-side value with the greatest time <= the left row's time,
     * per key. Implemented as the union + ordered-window idiom: tag both

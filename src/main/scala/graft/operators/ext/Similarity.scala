@@ -58,6 +58,22 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Per-label centroid accumulators: dimension-wise sums + counts.
+    * posexplode → partial-aggregated groupBy(label, pos): the shuffle carries
+    * at most (#labels × dim) rows per map partition regardless of corpus
+    * size — the canonical distributed-mean shape. Values are cast
+    * float→double→DECIMAL before summing, so the sum is exact and
+    * order-independent under any partitioning (float summation order would
+    * otherwise make the mean nondeterministic). Callers divide csum/n for
+    * the mean; keeping the division out of the engine keeps float drift out
+    * of the comparison surface.
+    */
+  def labelCentroidSums(emb: DataFrame, labelCol: String): DataFrame =
+    emb.select(col(labelCol).as("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("x").cast("double").cast(DecimalType(16, 6))).cast(DecimalType(20, 6)).as("csum"),
+        count(lit(1)).as("n"))
+
   /** Fixed random hyperplanes (seeded, literal — shared with tests). Each
     * plane is a dim-length vector of ±1 derived from a deterministic xorshift.
     */

@@ -68,6 +68,27 @@ object TextAnalysis {
       greatest(best: _*).getField("l").as("pred_lang"))
   }
 
+  /** Word-bigram frequency top-k per language — the corpus-analytics shape
+    * (n-gram explode → partial-aggregated count → top-k per group). Bigrams
+    * are built 1-indexed via element_at so the construction mirrors SQL list
+    * indexing exactly; docs with fewer than 2 tokens contribute nothing.
+    * One shuffle on (lang, bigram) with map-side combine, one on lang for
+    * the rank — nothing here grows faster than the distinct-bigram count.
+    */
+  def topBigramsPerLang(docs: DataFrame, langCol: String, textCol: String, k: Int): DataFrame = {
+    val t = toks(textCol)
+    import org.apache.spark.sql.expressions.Window
+    docs.filter(expr(s"size($t) >= 2"))
+      .select(col(langCol).as("lang"),
+        explode(expr(
+          s"transform(sequence(1, size($t) - 1), i -> concat(element_at($t, i), ' ', element_at($t, i + 1)))"))
+          .as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram"))))
+      .filter(col("rk") <= k)
+  }
+
   /** Exact document fingerprint: md5 (portable across engines). */
   def fingerprintMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("fp"))

@@ -47,6 +47,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("j5_range_join broadcasts the band table (fact side never shuffles for the join)") {
+    assert(plan("j5_range_join").contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("w4_sessionize runs both windows and the aggregate off one user_id exchange") {
+    val p = plan("w4_sessionize")
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 user_id exchange, plan had $exchanges:\n$p")
+  }
+
   test("j2 semi-join pushes the quantity predicate to the lineitem scan") {
     val p = plan("j2_semi_join")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)") ||

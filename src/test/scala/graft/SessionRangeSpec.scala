@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+import graft.operators.ext.{Similarity, TextAnalysis}
+
+/** Unit coverage for the round-4 operators: gap sessionization, range join,
+  * bigram frequencies, centroid accumulators. Edge cases the sf-data oracle
+  * can't pin down: exact-gap boundaries, sub-2-token documents, band
+  * boundaries, decimal-sum exactness.
+  */
+class SessionRangeSpec extends SparkSpec {
+
+  test("sessionize: strict-gap semantics, per-key restart, bounds and counts") {
+    import spark.implicits._
+    // key 1: gaps of exactly 10 (same session, strict >) then 11 (new session)
+    val df = Seq(
+      (1L, 0L, 1L), (1L, 10L, 2L), (1L, 21L, 3L),
+      (2L, 5L, 4L)
+    ).toDF("user_id", "ts_us", "event_id")
+    val out = Relational.sessionize(df, "user_id", "ts_us", "event_id", gapUs = 10L)
+      .orderBy("user_id", "session_idx").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq ==
+      Seq((1L, 1L, 0L, 10L, 2L), (1L, 2L, 21L, 21L, 1L), (2L, 1L, 5L, 5L, 1L)))
+  }
+
+  test("rangeJoin: [lo, hi) semantics — hi excluded, lo included, no-band rows dropped") {
+    import spark.implicits._
+    val fact = Seq(0.0, 9.99, 10.0, 19.99, 20.0).toDF("v")
+    val bands = Seq((0L, 0.0, 10.0), (1L, 10.0, 20.0)).toDF("band", "lo", "hi")
+    val got = Relational.rangeJoin(fact, bands, "v", "lo", "hi")
+      .groupBy("band").count().orderBy("band").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 2L), (1L, 2L))) // 20.0 falls outside every band
+  }
+
+  test("topBigramsPerLang: sub-2-token docs contribute nothing; ranks are dense per lang") {
+    import spark.implicits._
+    val docs = Seq(
+      ("en", "a b a b c"), ("en", "a"), ("en", ""),
+      ("de", "x y")
+    ).toDF("lang", "text")
+    val out = TextAnalysis.topBigramsPerLang(docs, "lang", "text", 2)
+      .orderBy("lang", "rk").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    // doc1 bigrams: "a b","b a","a b","b c" -> a b:2, b a:1, b c:1 (tie -> lexicographic)
+    assert(out == Seq(("de", "x y", 1L, 1), ("en", "a b", 2L, 1), ("en", "b a", 1L, 2)))
+  }
+
+  test("labelCentroidSums: exact decimal sums, one row per (label, pos)") {
+    import spark.implicits._
+    val emb = Seq(
+      (0, Array(1.5f, -2.25f)), (0, Array(0.5f, 0.25f)), (1, Array(3.0f, 4.0f))
+    ).toDF("label", "embedding")
+    val out = Similarity.labelCentroidSums(emb, "label")
+      .orderBy("label", "pos").collect()
+    assert(out.length == 4)
+    val sums = out.map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2).doubleValue, r.getLong(3))).toSeq
+    assert(sums == Seq((0, 0, 2.0, 2L), (0, 1, -2.0, 2L), (1, 0, 3.0, 1L), (1, 1, 4.0, 1L)))
+  }
+}
