@@ -368,6 +368,28 @@ object Queries {
         "event_type, min(value) AS min_value, max(value) AS max_value " +
         "FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // Streaming dedup-within-watermark executed through a real stream (file
+    // source → dropDuplicatesWithinWatermark → append-mode memory sink),
+    // oracle-checked against batch DISTINCT. Only the dedup keys are emitted:
+    // which duplicate survives within a micro-batch is racy by nature, the
+    // key set is not.
+    Q("stream_dedup",
+      (s, dir) => {
+        val batchSchema = rd(s, dir, "events").schema
+        val ticks = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ingest_ts", expr("timestamp_micros(ts div 1000)"))
+          .select(col("event_type").as("symbol"), col("value").as("price"), col("ingest_ts"))
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.streamDedup(ticks, "1 hour")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+          .select(col("symbol").as("event_type"), col("price").as("value"))
+          .orderBy("event_type", "value")
+      },
+      Some("SELECT DISTINCT event_type, value FROM events ORDER BY 1, 2")),
+
     // J1 — broadcast equi-join + aggregation (capability, SURVEY §2.4/§7.3).
     // revenue is summed exactly in decimal, then rendered as string (strCols).
     Q("j1_join_agg",
@@ -521,6 +543,45 @@ object Queries {
         "coalesce(l_linestatus, 'ALL') AS l_linestatus, count(*) AS n " +
         "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
         "ORDER BY 1, 2")),
+
+    // A9 — the native single-pass HLL (a real Catalyst
+    // TypedImperativeAggregate — the §2.10 custom-UDAF surface). Identical
+    // estimate and oracle math to a4, but the aggregation state is a 64-byte
+    // mergeable rank array partial-aggregated map-side: one pass, no
+    // per-bucket rows on the shuffle at all.
+    Q("a9_hll_native",
+      (s, dir) => {
+        graft.functions.ArrayOps.register(s)
+        rd(s, dir, "orders")
+          .selectExpr("portable_hll(cast(o_custkey as string)) AS hll_estimate_e4")
+      },
+      Some {
+        val alphaM2 = Sketches.alphaTimesM2(6)
+        s"""WITH h AS (SELECT ${duckHex("md5(CAST(o_custkey AS VARCHAR))")} AS h FROM orders),
+          |b AS (SELECT h % 64 AS bucket, h // 64 AS rest FROM h),
+          |r AS (SELECT bucket, CASE WHEN rest = 0 THEN 27 ELSE 27 - length(printf('%b', rest)) END AS rank FROM b),
+          |mx AS (SELECT bucket, max(rank) AS max_rank FROM r GROUP BY bucket),
+          |agg AS (SELECT count(*) AS nb, sum(power(2.0, -max_rank)) AS s_obs FROM mx)
+          |SELECT CAST(floor($alphaM2 / (s_obs + (64 - nb)) * 10000) AS BIGINT) AS hll_estimate_e4 FROM agg""".stripMargin
+      }),
+
+    // A10 — skew-safe two-phase aggregate: salt the grouping key, partial-agg
+    // on (key, salt), final-agg on key. Decimal partial sums are exact, so
+    // the rewrite is semantics-preserving — the oracle is the DIRECT
+    // aggregate, proving salting changes the plan, not the answer. This is
+    // the mitigation applied when one group key dominates at scale.
+    Q("a10_salted_agg",
+      (s, dir) => rd(s, dir, "lineitem")
+        .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
+        .groupBy(col("l_returnflag"), col("salt"))
+        .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("ps"), count(lit(1)).as("pn"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("ps")).cast(DecimalType(18, 2)).cast("string").as("qty"),
+          sum(col("pn")).as("n"))
+        .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS qty, " +
+        "count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1")),
 
     // W4 — gap-based sessionization over the raw event stream (30-minute
     // gap). Gap arithmetic runs on integer µs-since-epoch on both sides:
@@ -812,6 +873,23 @@ object Queries {
         .orderBy("doc_id"),
       Some("SELECT doc_id, 'text/plain' AS mime, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes " +
         "FROM documents ORDER BY doc_id")),
+
+    // X4 — frame-sampling plumbing for video-like payloads: every 4th
+    // 64-byte chunk becomes a frame row. The oracle re-derives the sampling
+    // arithmetic (chunk indices, per-frame byte counts) from the payload
+    // length — checking the explode shape without relying on engine blob
+    // slicing functions.
+    Q("x4_frame_sample",
+      (s, dir) => Multimodal.sampleFrames(
+          Multimodal.attachPayload(rd(s, dir, "documents"), "doc_id", "text"),
+          chunkBytes = 64, everyK = 4)
+        .select(col("doc_id"), col("frame_no"), length(col("frame")).as("frame_bytes"))
+        .orderBy("doc_id", "frame_no"),
+      Some("WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents), " +
+        "f AS (SELECT doc_id, unnest(list_filter(range(0, n // 64 + 1), i -> i % 4 = 0)) AS i, n FROM m) " +
+        "SELECT doc_id, CAST(i // 4 AS INTEGER) AS frame_no, " +
+        "CAST(least(64, n - i * 64) AS INTEGER) AS frame_bytes " +
+        "FROM f ORDER BY doc_id, frame_no")),
 
     // X4 — decode/feature-extract plumbing over binary payloads (stub codec;
     // mapPartitions batch shape — rows-only check + ScalaTest).

@@ -87,5 +87,7 @@ object ArrayOps {
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "float_dot", (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "portable_hll", (exprs: Seq[Expression]) => PortableHllAgg(exprs(0), p = 6), "built-in")
   }
 }

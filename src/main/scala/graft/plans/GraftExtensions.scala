@@ -1,0 +1,26 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{FloatDotProduct, PortableHllAgg}
+
+/** Library entry point for `spark.sql.extensions=graft.plans.GraftExtensions`:
+  * injects graft's native expressions into every session built on the
+  * context, so users get `float_dot` / `portable_hll` without calling a
+  * register method. (The per-session `ArrayOps.register` path remains for
+  * sessions built without the config; both are idempotent.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("float_dot"),
+      new ExpressionInfo(classOf[FloatDotProduct].getName, "float_dot"),
+      (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("portable_hll"),
+      new ExpressionInfo(classOf[PortableHllAgg].getName, "portable_hll"),
+      (exprs: Seq[Expression]) => PortableHllAgg(exprs(0), p = 6)))
+  }
+}

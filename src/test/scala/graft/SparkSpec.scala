@@ -11,6 +11,9 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.local.dir", ShmLocalDir.path())
+      // exercise the library's extensions entry point: float_dot/portable_hll
+      // resolve in every suite without per-suite registration
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
