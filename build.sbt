@@ -31,4 +31,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // Dozens of whole-stage-codegen'd queries in one JVM generate enough Janino
+  // classes to fill the default ~240 MB code cache, after which the JIT shuts
+  // off ("CodeCache is full. Compiler has been disabled.") and later queries
+  // run interpreted — a 10×+ cliff that hits whichever query runs late in a
+  // long session. Size the cache for a query-diverse workload.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -47,10 +47,10 @@ object Queries {
     * same seeds, same band keys, same candidate join, same integer-exact
     * Jaccard verification — so the LSH bucketing itself is oracle-checked.
     */
-  private def duckMinhashSql(toksSql: String, bandSize: Int, threshNum: Int, threshDen: Int): String = {
+  private def duckMinhashCtes(toksSql: String, bandSize: Int, threshNum: Int, threshDen: Int): String = {
     val seeds = Dedup.minhashSeeds.zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-    s"""WITH toks AS ($toksSql),
+    s"""toks AS ($toksSql),
       |h AS (SELECT doc_id, ${duckHex("md5(tok)")} AS h FROM toks),
       |seeds AS (SELECT * FROM (VALUES $seeds) AS s(seed, a, b)),
       |mh AS (SELECT doc_id, seed, min((a * h + b) % ${Dedup.minhashP}) AS mh
@@ -59,13 +59,16 @@ object Queries {
       |  FROM mh GROUP BY doc_id, seed // $bandSize),
       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
       |  JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-      |tsets AS (SELECT doc_id, list(h) AS toks, count(*) AS sz FROM h GROUP BY doc_id)
-      |SELECT c.id_a, c.id_b, len(list_intersect(sa.toks, sb.toks)) AS overlap,
+      |tsets AS (SELECT doc_id, list(h) AS toks, count(*) AS sz FROM h GROUP BY doc_id),
+      |verified AS (SELECT c.id_a, c.id_b, len(list_intersect(sa.toks, sb.toks)) AS overlap,
       |  sa.sz AS size_a, sb.sz AS size_b
       |FROM cand c JOIN tsets sa ON sa.doc_id = c.id_a JOIN tsets sb ON sb.doc_id = c.id_b
-      |WHERE $threshDen * len(list_intersect(sa.toks, sb.toks)) >= $threshNum * (sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks)))
-      |ORDER BY c.id_a, c.id_b""".stripMargin
+      |WHERE $threshDen * len(list_intersect(sa.toks, sb.toks)) >= $threshNum * (sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks))))""".stripMargin
   }
+
+  private def duckMinhashSql(toksSql: String, bandSize: Int, threshNum: Int, threshDen: Int): String =
+    s"WITH ${duckMinhashCtes(toksSql, bandSize, threshNum, threshDen)}\n" +
+      "SELECT id_a, id_b, overlap, size_a, size_b FROM verified ORDER BY id_a, id_b"
 
   /** Word-bigram token CTE (order-sensitive shingles), DuckDB form. */
   private val duckBigramToks =
@@ -277,6 +280,60 @@ object Queries {
         .orderBy("p_partkey"),
       Some("SELECT p_partkey, p_name, regexp_extract(p_name, '^([a-z]+)', 1) AS first_word " +
         "FROM part ORDER BY p_partkey")),
+
+    // F2 — JSON extraction from a raw string column (events.props carries
+    // JSON payloads). get_json_object is codegen'd path extraction — the
+    // semi-structured surface every event pipeline needs; aggregated so the
+    // extraction feeds a numeric pipeline, not just a projection.
+    Q("f2_json_extract",
+      (s, dir) => rd(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"), max(col("k")).as("k_max"))
+        .orderBy("event_type"),
+      Some("SELECT event_type, count(*) AS n, " +
+        "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, " +
+        "max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
+
+    // F3 — date/time function family over the orders dates: truncation,
+    // offset arithmetic, day difference, field extraction. Rendered as
+    // formatted strings / integers so both engines share the surface.
+    Q("f3_datetime_funcs",
+      (s, dir) => rd(s, dir, "orders")
+        .select(col("o_orderkey"),
+          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
+          datediff(to_date(lit("2022-12-31")), to_date(col("o_orderdate"))).as("days_to_eoy"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          quarter(col("o_orderdate")).as("qtr"))
+        .orderBy("o_orderkey"),
+      Some("SELECT o_orderkey, " +
+        "strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start, " +
+        "strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m, " +
+        "CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2022-12-31') AS INTEGER) AS days_to_eoy, " +
+        "CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow, " +
+        "CAST(quarter(o_orderdate) AS INTEGER) AS qtr " +
+        "FROM orders ORDER BY o_orderkey")),
+
+    // F4 — string function family over customer names: case, padding,
+    // slicing, concatenation, edit distance (the fuzzy-match primitive).
+    Q("f4_string_funcs",
+      (s, dir) => rd(s, dir, "customer")
+        .select(col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          lpad(col("c_custkey").cast("string"), 10, "0").as("padded_key"),
+          substring(col("c_name"), 1, 8).as("prefix8"),
+          concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
+          levenshtein(col("c_name"), reverse(col("c_name"))).as("lev_rev"))
+        .orderBy("c_custkey"),
+      Some("SELECT c_custkey, upper(c_name) AS uname, " +
+        "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key, " +
+        "substring(c_name, 1, 8) AS prefix8, " +
+        "concat_ws('|', c_mktsegment, c_name) AS seg_name, " +
+        "CAST(levenshtein(c_name, reverse(c_name)) AS INTEGER) AS lev_rev " +
+        "FROM customer ORDER BY c_custkey")),
 
     // A3 — rollup (grouping-sets family; Catalyst built-in, SURVEY §2.3 notes
     // these come for free — demonstrated here with subtotal + grand-total
@@ -703,6 +760,24 @@ object Queries {
         "(SELECT event_id, user_id, event_type, " +
         "row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn FROM events) " +
         "WHERE rn = 1 ORDER BY event_id")),
+
+    // X1/X2 — the end of the near-dup pipeline: cluster assignment over the
+    // MinHash pair list (connected components by min-label propagation).
+    // The oracle reaches the same fixpoint through a recursive CTE — min
+    // reachable id is path-independent, so both formulations must agree
+    // exactly.
+    Q("x1_dedup_clusters",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 19, 20)
+        Dedup.dedupClusters(docs, "doc_id", pairs).orderBy("doc_id")
+      },
+      Some(s"WITH RECURSIVE ${duckMinhashCtes(duckToks, 8, 19, 20)},\n" +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM verified " +
+        "UNION SELECT id_b, id_a FROM verified), " +
+        "r(doc_id, lab) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT e.dst, r.lab FROM r JOIN edges e ON r.doc_id = e.src) " +
+        "SELECT doc_id, min(lab) AS cluster FROM r GROUP BY doc_id ORDER BY doc_id")),
 
     // X5 — top-k per group.
     Q("x5_topk_per_group",

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native Catalyst expression for the embedding hot path: dot product over two
   * float-array columns, accumulated in double, fully codegen'd.
@@ -80,6 +80,78 @@ case class FloatDotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native intersection-size over two SORTED distinct bigint arrays — the
+  * near-dup verification hot path. The composed form,
+  * size(array_intersect(a, b)), builds a hash set and allocates a result
+  * array per row; on millions of candidate pairs that allocation dominates.
+  * This is a two-pointer merge count: zero allocation, one pass, codegen'd.
+  *
+  * Callers must supply ascending-sorted, duplicate-free arrays (e.g. from
+  * sort_array(collect_set(..))) — with distinct elements the merge count
+  * equals set-intersection size exactly.
+  */
+case class SortedOverlapCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall {
+      _.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }
+    }
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_overlap expects (array<bigint>, array<bigint>), got (${left.dataType}, ${right.dataType})")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_overlap"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements()
+    val ny = y.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < nx && j < ny) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { c += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $nx = $x.numElements();
+         |int $ny = $y.numElements();
+         |int $i = 0; int $j = 0; long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xv = $x.getLong($i);
+         |  long $yv = $y.getLong($j);
+         |  if ($xv == $yv) { $c++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object ArrayOps {
   /** Registers graft's native expressions in the session function registry so
     * they are usable via expr("float_dot(a, b)"). Idempotent.
@@ -89,5 +161,7 @@ object ArrayOps {
       "float_dot", (exprs: Seq[Expression]) => FloatDotProduct(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "portable_hll", (exprs: Seq[Expression]) => PortableHllAgg(exprs(0), p = 6), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_overlap", (exprs: Seq[Expression]) => SortedOverlapCount(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -114,11 +114,13 @@ object Dedup {
     *
     * Everything that moves through the skew-prone band self-join is NARROW —
     * (doc_id, band, key) only. The wide per-document token arrays join in
-    * AFTER candidate pairs are known, keyed by doc_id, and the intersection
-    * is a codegen'd array_intersect over 64-bit hashes — O(|candidates|)
-    * rows. (A previous shape rode the token arrays through a 16× salted
-    * shuffle; replicating wide rows cost ~180 s at sf0.1 for the same
-    * answer.)
+    * AFTER candidate pairs are known, keyed by doc_id; a size-ratio
+    * prefilter (J <= min/max) drops hopeless pairs before either array is
+    * touched, and the intersection for the rest is the native sorted_overlap
+    * two-pointer merge (functions/ArrayOps.scala) — zero allocation,
+    * O(|candidates|) rows. (A previous shape rode the token arrays through a
+    * 16× salted shuffle; replicating wide rows cost ~180 s at sf0.1 for the
+    * same answer.)
     *
     * Skew: hot band buckets (a near-dup cluster shares one key) produce
     * quadratic candidate rows. The salted self-join splits each bucket's pair
@@ -177,22 +179,76 @@ object Dedup {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct() // a pair matching in >1 band appears once per band
       .repartition(par) // round-robin: verify work is per-pair, spread evenly
+    graft.functions.ArrayOps.register(docs.sparkSession)
+    // Sorted distinct token arrays: the native sorted_overlap merge-count
+    // (functions/ArrayOps.scala) needs ascending order, and in exchange the
+    // per-pair verification is a zero-allocation two-pointer loop instead of
+    // array_intersect's hash set + result array per candidate.
     val tokSets = hashed.groupBy("doc_id")
-      .agg(collect_set(col("h")).as("toks"), count(lit(1)).as("sz"))
+      .agg(sort_array(collect_set(col("h"))).as("toks"), count(lit(1)).as("sz"))
       .localCheckpoint(true)
-    val overlap = size(array_intersect(col("sa.toks"), col("sb.toks"))).cast("long")
+    val overlap = expr("sorted_overlap(sa.toks, sb.toks)")
     // Verify joins: the token-set side is explicitly broadcast so the planner
     // can never pick the (possibly million-row) candidate side as the build.
     // At corpus scales where per-doc token sets outgrow a broadcast, swap
     // these to shuffle-hash joins on doc_id (narrow pair rows shuffle
     // cheaply) — the narrow-candidates-then-verify architecture is unchanged.
+    //
+    // The size-ratio filter runs BEFORE the overlap projection: J(A,B) <=
+    // min(|A|,|B|)/max(|A|,|B|), so a pair failing the ratio can never pass
+    // the threshold — those candidates are dropped without touching either
+    // token array.
     cands
       .join(broadcast(tokSets.as("sa")), col("id_a") === col("sa.doc_id"))
       .join(broadcast(tokSets.as("sb")), col("id_b") === col("sb.doc_id"))
+      .filter(lit(threshDen) * least(col("sa.sz"), col("sb.sz")) >=
+        lit(threshNum) * greatest(col("sa.sz"), col("sb.sz")))
       .select(col("id_a"), col("id_b"), overlap.as("overlap"),
         col("sa.sz").as("size_a"), col("sb.sz").as("size_b"))
       .filter(lit(threshDen) * col("overlap") >=
         lit(threshNum) * (col("size_a") + col("size_b") - col("overlap")))
+  }
+
+  /** Dedup-cluster assignment: connected-component labeling over a near-dup
+    * pair list. Every document gets the minimum doc_id reachable through
+    * pair edges — its cluster id — so downstream keeps one survivor per
+    * cluster (the full near-dup dedup pipeline is pairs → clusters → keep
+    * min-id per cluster).
+    *
+    * Iterative min-label propagation to fixpoint: each round, every node
+    * takes the min of its own label and its neighbours' labels — two narrow
+    * (id, label) shuffles per round, converging in O(component diameter)
+    * rounds. Near-dup graphs are dense clusters with tiny diameter, so a
+    * handful of rounds; for adversarially long paths the large-star/
+    * small-star rewrite keeps the same join shape with O(log n) rounds.
+    * The fixpoint (min id per component) is path-independent — identical
+    * under any partitioning, any iteration order, and in the oracle's
+    * recursive-CTE formulation.
+    */
+  def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    aCol: String = "id_a", bCol: String = "id_b",
+                    maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("cluster"))
+      .localCheckpoint(true)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIters) {
+      val prop = labels.join(edges, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id"), col("cluster"))
+        .unionByName(labels)
+        .groupBy("doc_id").agg(min("cluster").as("cluster"))
+        .localCheckpoint(true)
+      // the only driver-side value is this single count — no row data moves
+      val changed = prop.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.cluster") < col("o.cluster")).limit(1).count()
+      converged = changed == 0L
+      labels = prop
+      it += 1
+    }
+    labels
   }
 
   /** X2 variant: 32-bit SimHash per document. Bit j of the signature is the

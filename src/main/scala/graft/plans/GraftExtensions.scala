@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatDotProduct, PortableHllAgg}
+import graft.functions.{FloatDotProduct, PortableHllAgg, SortedOverlapCount}
 
 /** Library entry point for `spark.sql.extensions=graft.plans.GraftExtensions`:
   * injects graft's native expressions into every session built on the
@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("portable_hll"),
       new ExpressionInfo(classOf[PortableHllAgg].getName, "portable_hll"),
       (exprs: Seq[Expression]) => PortableHllAgg(exprs(0), p = 6)))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_overlap"),
+      new ExpressionInfo(classOf[SortedOverlapCount].getName, "sorted_overlap"),
+      (exprs: Seq[Expression]) => SortedOverlapCount(exprs(0), exprs(1))))
   }
 }

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.ArrayOps
+import graft.operators.ext.Dedup
+
+/** Cluster labeling (connected components) and the native sorted_overlap
+  * expression: chain propagation needs multiple rounds, singletons keep
+  * their own id, and the merge-count must equal array_intersect exactly.
+  */
+class DedupClusterSpec extends SparkSpec {
+
+  test("dedupClusters: chains converge to the component min; singletons self-label") {
+    import spark.implicits._
+    val docs = (1L to 6L).toDF("doc_id")
+    // a 3-chain (1-2-3), a 2-clique (5-6), and singleton 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(docs, "doc_id", pairs)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L), (6L, 5L)))
+  }
+
+  test("dedupClusters: label propagates across a long path (diameter > 1 round)") {
+    import spark.implicits._
+    val docs = (1L to 8L).toDF("doc_id")
+    val pairs = (1L to 7L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(docs, "doc_id", pairs)
+      .agg(countDistinct(col("cluster")), min("cluster")).head
+    assert(out.getLong(0) == 1L && out.getLong(1) == 1L)
+  }
+
+  test("sorted_overlap equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    ArrayOps.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      rnd.shuffle((0L to 60L).toList).take(rnd.nextInt(40)).sorted.toArray,
+      rnd.shuffle((0L to 60L).toList).take(rnd.nextInt(40)).sorted.toArray))
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+        expr("sorted_overlap(a, b)").as("fast"),
+        size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .filter(col("fast") =!= col("ref")).count()
+    assert(bad == 0L)
+  }
+}
