@@ -190,6 +190,18 @@ object Queries {
       },
       Some(servingSql)),
 
+    // S13 — CSV format roundtrip: the serving projection written with header
+    // and read back (all-string schema — the serving shape is stringified,
+    // so the roundtrip is the identity and the serving oracle applies).
+    Q("csv_roundtrip",
+      (s, dir) => {
+        val root = freshDir(s, "graft_csv_roundtrip")
+        servingDf(s, dir).write.mode("overwrite").option("header", "true").csv(root)
+        s.read.option("header", "true").csv(root)
+          .select(servingCols.map(col): _*).orderBy("l_returnflag")
+      },
+      Some(servingSql)),
+
     // S11 — document sink: one JSON doc per row, read back through the JSON
     // reader (schema re-inferred from the documents).
     Q("document_sink_roundtrip",
@@ -760,6 +772,35 @@ object Queries {
         "(SELECT event_id, user_id, event_type, " +
         "row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn FROM events) " +
         "WHERE rn = 1 ORDER BY event_id")),
+
+    // X6 — deterministic hash sampling: a stable 5% sample via the portable
+    // md5 bucket (Relational.hashBucket). The same primitive with
+    // "bucket < 90" is the reproducible train/test split — identical output
+    // across runs, engines, and cluster sizes, which rand()/TABLESAMPLE
+    // cannot give.
+    Q("x6_hash_sample",
+      (s, dir) => Relational.hashBucket(rd(s, dir, "orders"), "o_orderkey")
+        .filter(col("bucket") < 5)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+      Some(s"SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
+        s"WHERE ${duckHex("md5(CAST(o_orderkey AS VARCHAR))")} % 100 < 5 " +
+        "ORDER BY o_orderkey")),
+
+    // X1 — decontamination: drop documents whose exact fingerprint appears
+    // in a held-out benchmark set (here: the first 100 doc ids as the
+    // stand-in benchmark). Broadcast anti-join on md5 — the standard
+    // test-set-leak removal step before training.
+    Q("x1_decontaminate",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val bench = docs.filter(col("doc_id") < 100).select(md5(col("text")).as("fp"))
+        docs.select(col("doc_id"), md5(col("text")).as("fp"), col("lang"))
+          .join(broadcast(bench), Seq("fp"), "left_anti")
+          .select("doc_id", "lang").orderBy("doc_id")
+      },
+      Some("SELECT doc_id, lang FROM documents WHERE md5(text) NOT IN " +
+        "(SELECT md5(text) FROM documents WHERE doc_id < 100) ORDER BY doc_id")),
 
     // X1/X2 — the end of the near-dup pipeline: cluster assignment over the
     // MinHash pair list (connected components by min-label propagation).

@@ -77,6 +77,18 @@ object Relational {
                    k: Int, as: String = "rk"): DataFrame =
     rowNumberPerGroup(df, partCols, orderCols, as).filter(col(as) <= k)
 
+  /** X6: deterministic hash bucketing — the portable primitive behind
+    * reproducible sampling and train/test splits. The bucket is derived from
+    * md5 of the key (engine-portable, unlike rand()/TABLESAMPLE/xxhash64),
+    * so "bucket < 5" is a stable 5% sample and "bucket < 90" a stable train
+    * split — identical across runs, engines, and cluster sizes. Pure
+    * codegen'd projection; no shuffle, pushes down with the scan.
+    */
+  def hashBucket(df: DataFrame, keyCol: String, buckets: Int = 100,
+                 as: String = "bucket"): DataFrame =
+    df.withColumn(as, expr(
+      s"cast(conv(substring(md5(cast($keyCol as string)), 1, 8), 16, 10) as bigint) % $buckets"))
+
   /** W4: gap-based sessionization — the standard event-pipeline operator for
     * turning a raw click/event stream into sessions. A new session starts when
     * the gap to the previous event of the same key exceeds `gapNs`. Two
