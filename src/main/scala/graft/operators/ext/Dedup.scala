@@ -233,6 +233,11 @@ object Dedup {
       .distinct().localCheckpoint(true)
     var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("cluster"))
       .localCheckpoint(true)
+    // Labels only ever decrease, so the label sum is strictly monotone until
+    // the fixpoint: equal consecutive sums ⟺ converged. One scalar aggregate
+    // per round (decimal — no overflow at any id range) is the only
+    // driver-side value; no row data ever moves to the driver.
+    var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
     var it = 0
     while (!converged && it < maxIters) {
@@ -241,10 +246,10 @@ object Dedup {
         .unionByName(labels)
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
         .localCheckpoint(true)
-      // the only driver-side value is this single count — no row data moves
-      val changed = prop.as("n").join(labels.as("o"), "doc_id")
-        .filter(col("n.cluster") < col("o.cluster")).limit(1).count()
-      converged = changed == 0L
+      val s = prop.agg(sum(col("cluster").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head.getDecimal(0)
+      converged = prevSum.exists(_.compareTo(s) == 0)
+      prevSum = Some(s)
       labels = prop
       it += 1
     }

@@ -57,6 +57,11 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 user_id exchange, plan had $exchanges:\n$p")
   }
 
+  test("x1_decontaminate plans a broadcast anti-join (corpus side never shuffles)") {
+    val p = plan("x1_decontaminate")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
+  }
+
   test("j2 semi-join pushes the quantity predicate to the lineitem scan") {
     val p = plan("j2_semi_join")
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)") ||
