@@ -671,6 +671,62 @@ object Queries {
         "SELECT user_id, session_idx, min(tus) AS session_start, max(tus) AS session_end, " +
         "count(*) AS n_events FROM z GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // W5 — RANGE frame window (value-based, vs W2's ROWS frame): per-customer
+    // rolling 30-day order total. The frame is defined on integer day offsets
+    // so both engines share exact frame boundaries; tied days fall in one
+    // frame together, making the sum deterministic without a tie-break.
+    Q("w5_range_frame",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
+          .rangeBetween(-30, Window.currentRow)
+        rd(s, dir, "orders")
+          .withColumn("day", datediff(to_date(col("o_orderdate")), to_date(lit("2020-01-01"))))
+          .withColumn("sum30",
+            sum(col("o_totalprice").cast(DecimalType(12, 2))).over(w)
+              .cast(DecimalType(18, 2)).cast("string"))
+          .select("o_orderkey", "o_custkey", "day", "sum30")
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_custkey, day, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER " +
+        "(PARTITION BY o_custkey ORDER BY day RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) " +
+        "AS DECIMAL(18,2)) AS VARCHAR) AS sum30 " +
+        "FROM (SELECT o_orderkey, o_custkey, o_totalprice, " +
+        "CAST(date_diff('day', DATE '2020-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day FROM orders) " +
+        "ORDER BY o_orderkey")),
+
+    // W6 — ranking family: rank / dense_rank / percent_rank are
+    // tie-insensitive (same output for tied rows under any tie order);
+    // ntile IS tie-sensitive, so it runs over an explicit total order.
+    Q("w6_rank_family",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        val wt = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+        rd(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
+          .withColumn("rnk", rank().over(w))
+          .withColumn("drnk", dense_rank().over(w))
+          .withColumn("pr", percent_rank().over(w).cast(DecimalType(10, 6)).cast("string"))
+          .withColumn("nt", ntile(10).over(wt))
+          // (l_orderkey, l_linenumber) is not unique in the synthetic data;
+          // sort on every output column for a total order (duplicate source
+          // rows are identical in all tie-insensitive columns, and nt breaks
+          // the rest)
+          .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "nt")
+      },
+      Some("SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, " +
+        "CAST(rank() OVER w AS INTEGER) AS rnk, " +
+        "CAST(dense_rank() OVER w AS INTEGER) AS drnk, " +
+        "CAST(CAST(percent_rank() OVER w AS DECIMAL(10,6)) AS VARCHAR) AS pr, " +
+        "CAST(ntile(10) OVER wt AS INTEGER) AS nt " +
+        "FROM lineitem " +
+        "WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity), " +
+        "wt AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) " +
+        "ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity, nt")),
+
     // J5 — range (band) join: quantity deciles derived from the region table
     // (5 rows, broadcast). The only scalable plan for a non-equi join against
     // a small dim — fact side streams once, never shuffles.
