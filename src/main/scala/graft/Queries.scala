@@ -613,6 +613,41 @@ object Queries {
         "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
         "ORDER BY 1, 2")),
 
+    // A11 — unpivot (melt), the inverse of A7: gold's min/max/diff columns
+    // become (metric, value) rows. Catalyst plans Expand — one pass, row
+    // count × 3, no shuffle before the final sort.
+    Q("a11_unpivot",
+      (s, dir) => Medallion.silverToGold(rd(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", asOf)
+        .select(col("l_returnflag"),
+          col("min_value").cast("string").as("min_value"),
+          col("max_value").cast("string").as("max_value"),
+          col("diff").cast("string").as("diff"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("min_value"), col("max_value"), col("diff")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric"),
+      Some(s"WITH gold AS ($goldCte) " +
+        "SELECT l_returnflag, metric, value FROM (" +
+        "SELECT l_returnflag, 'min_value' AS metric, CAST(min_value AS VARCHAR) AS value FROM gold " +
+        "UNION ALL SELECT l_returnflag, 'max_value', CAST(max_value AS VARCHAR) FROM gold " +
+        "UNION ALL SELECT l_returnflag, 'diff', CAST(diff AS VARCHAR) FROM gold) " +
+        "ORDER BY l_returnflag, metric")),
+
+    // J6 — correlated EXISTS subquery through the spark.sql surface;
+    // Catalyst rewrites it to the same left-semi join j2 builds with the
+    // DataFrame API (the SQL front door to the join surface).
+    Q("j6_exists_subquery",
+      (s, dir) => {
+        rd(s, dir, "orders").createOrReplaceTempView("orders_j6")
+        rd(s, dir, "lineitem").createOrReplaceTempView("lineitem_j6")
+        s.sql("SELECT o_orderkey, o_totalprice FROM orders_j6 o WHERE EXISTS (" +
+          "SELECT 1 FROM lineitem_j6 l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)")
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_totalprice FROM orders o WHERE EXISTS (" +
+        "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45) " +
+        "ORDER BY o_orderkey")),
+
     // A9 — the native single-pass HLL (a real Catalyst
     // TypedImperativeAggregate — the §2.10 custom-UDAF surface). Identical
     // estimate and oracle math to a4, but the aggregation state is a 64-byte
