@@ -70,6 +70,19 @@ object Queries {
     s"WITH ${duckMinhashCtes(toksSql, bandSize, threshNum, threshDen)}\n" +
       "SELECT id_a, id_b, overlap, size_a, size_b FROM verified ORDER BY id_a, id_b"
 
+  /** SimHash signature CTE chain (toks → hashes → sigs), DuckDB form —
+    * shared by the signature query and the Hamming-pair join.
+    */
+  private val duckSimhashSigsCte: String = {
+    val terms = (0 until 32).map { j =>
+      s"CASE WHEN sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) > 0 " +
+        s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" + ")
+    s"""toks AS ($duckToks),
+      |h AS (SELECT doc_id, ${duckHex("md5(tok)")} AS h FROM toks),
+      |sigs AS (SELECT doc_id, ($terms) AS simhash FROM h GROUP BY doc_id)""".stripMargin
+  }
+
   /** Word-bigram token CTE (order-sensitive shingles), DuckDB form. */
   private val duckBigramToks =
     """SELECT DISTINCT doc_id, unnest(list_transform(range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2])) AS tok
@@ -458,6 +471,40 @@ object Queries {
           .orderBy("event_type", "value")
       },
       Some("SELECT DISTINCT event_type, value FROM events ORDER BY 1, 2")),
+
+    // Custom streaming state (flatMapGroupsWithState) oracle-checked: the
+    // per-key running count/min/max session state, drained to completion —
+    // the final update per key must equal the batch aggregate. Emission
+    // order and intermediate updates are racy; the converged state is not.
+    Q("stream_stateful_agg",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val batchSchema = rd(s, dir, "events").schema
+        val ticks = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ingest_ts", expr("timestamp_micros(ts div 1000)"))
+          .select(col("event_type").as("symbol"),
+            col("value").cast(DecimalType(10, 2)).as("price"), col("ingest_ts"))
+        import s.implicits._
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.sessionize(
+            ticks.as[graft.streaming.Streaming.Tick], idleTimeoutMs = 0)
+          .toDF()
+          .writeStream.format("memory").queryName(name).outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+        // keep only each key's final update (largest n) in case the file
+        // source split the input into several micro-batches
+        val w = Window.partitionBy(col("symbol")).orderBy(col("n").desc)
+        s.table(name).withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+          .select(col("symbol").as("event_type"), col("n"),
+            col("lo").cast(DecimalType(10, 2)).cast("string").as("lo"),
+            col("hi").cast(DecimalType(10, 2)).cast("string").as("hi"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, count(*) AS n, " +
+        "CAST(min(CAST(value AS DECIMAL(10,2))) AS VARCHAR) AS lo, " +
+        "CAST(max(CAST(value AS DECIMAL(10,2))) AS VARCHAR) AS hi " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
 
     // J1 — broadcast equi-join + aggregation (capability, SURVEY §2.4/§7.3).
     // revenue is summed exactly in decimal, then rendered as string (strCols).
@@ -878,6 +925,37 @@ object Queries {
         s"WHERE ${duckHex("md5(CAST(o_orderkey AS VARCHAR))")} % 100 < 5 " +
         "ORDER BY o_orderkey")),
 
+    // X6 — stratified sample: exactly k rows per stratum, deterministically —
+    // rank within each group by the portable md5 hash of the key (a stable
+    // "random" order) and keep the first k. One shuffle on the stratum key.
+    Q("x6_stratified_sample",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("lang"))
+          .orderBy(expr("md5(cast(doc_id as string))"), col("doc_id"))
+        rd(s, dir, "documents").select("doc_id", "lang")
+          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+          .orderBy("lang", "rk")
+      },
+      Some("SELECT doc_id, lang, rk FROM (SELECT doc_id, lang, " +
+        "CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk " +
+        "FROM documents) WHERE rk <= 3 ORDER BY lang, rk")),
+
+    // F5 — array function family: distinct → sort → slice → positional
+    // explode (compared row-wise so no engine-specific array rendering
+    // enters the hash).
+    Q("f5_array_funcs",
+      (s, dir) => rd(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("slice(sort_array(array_distinct(filter(split(text, ' '), x -> x != ''))), 1, 5)").as("t5"))
+        .select(col("doc_id"), posexplode(col("t5")).as(Seq("pos", "tok")))
+        .orderBy("doc_id", "pos"),
+      Some("WITH t AS (SELECT doc_id, " +
+        "(list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))))[1:5] AS t5 FROM documents) " +
+        "SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, tok FROM " +
+        "(SELECT doc_id, unnest(range(1, len(t5) + 1)) AS i, unnest(t5) AS tok FROM t) " +
+        "ORDER BY doc_id, pos")),
+
     // X1 — decontamination: drop documents whose exact fingerprint appears
     // in a held-out benchmark set (here: the first 100 doc ids as the
     // stand-in benchmark). Broadcast anti-join on md5 — the standard
@@ -1012,15 +1090,20 @@ object Queries {
     // X2 — 32-bit SimHash signature per document (linear, join-free).
     Q("x2_simhash",
       (s, dir) => Dedup.simhash(rd(s, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
-      Some {
-        val terms = (0 until 32).map { j =>
-          s"CASE WHEN sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) > 0 " +
-            s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-        }.mkString(" + ")
-        s"""WITH toks AS ($duckToks),
-          |h AS (SELECT doc_id, ${duckHex("md5(tok)")} AS h FROM toks)
-          |SELECT doc_id, ($terms) AS simhash FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"WITH $duckSimhashSigsCte\nSELECT doc_id, simhash FROM sigs ORDER BY doc_id")),
+
+    // X2 — SimHash near-dup pairs: 8-bit band join (pigeonhole-exact for
+    // Hamming <= 3) + popcount verify on candidates only.
+    Q("x2_simhash_pairs",
+      (s, dir) => Dedup.simhashPairs(rd(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $duckSimhashSigsCte,
+        |banded AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS band FROM sigs),
+        |b2 AS (SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS key FROM banded),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.simhash AS sa, y.simhash AS sb
+        |  FROM b2 x JOIN b2 y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin)),
 
     // X2 — brute-force cosine pairs >= 0.4 (baseline embedding near-dup).
     Q("x2_embedding_cosine",

@@ -260,6 +260,30 @@ object Dedup {
     * sign of sum over tokens of (+1 if bit j of token-hash set, else -1).
     * One explode + one aggregation — linear, no joins.
     */
+  /** SimHash near-dup pairs: band the 32-bit signature into four 8-bit keys;
+    * by pigeonhole, any pair within Hamming distance 3 shares at least one
+    * identical band, so the banded equi-join finds ALL such pairs (exact
+    * recall at maxHamming <= 3, not approximate) and only candidates pay the
+    * popcount verify. Same narrow-candidates architecture as MinHash LSH —
+    * the join moves (doc_id, band, key) plus one long; no token data.
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(docs, idCol, textCol).localCheckpoint(true)
+    val banded = sigs.select(col("doc_id"), col("simhash"),
+        explode(expr("sequence(0, 3)")).as("band"))
+      .withColumn("key", expr("(simhash >> (band * 8)) & 255"))
+    val cands = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.simhash").as("sig_a"), col("y.simhash").as("sig_b"))
+      .distinct() // a pair may collide in more than one band
+    cands.withColumn("hamming", expr("cast(bit_count(sig_a ^ sig_b) as int)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(docs, idCol, textCol).withColumn("h", tokenHash)
     val bitSums = (0 until 32).map { j =>
