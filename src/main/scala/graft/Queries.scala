@@ -695,6 +695,30 @@ object Queries {
         "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45) " +
         "ORDER BY o_orderkey")),
 
+    // J7 — multiway join + aggregation: the optimizer-ordering showcase
+    // (customer ⋈ orders ⋈ lineitem, then segment/flag revenue). Declared
+    // through spark.sql so Catalyst owns join order, build-side choice, and
+    // AQE re-planning — nothing is hand-scheduled.
+    Q("j7_multiway_join",
+      (s, dir) => {
+        rd(s, dir, "customer").createOrReplaceTempView("customer_j7")
+        rd(s, dir, "orders").createOrReplaceTempView("orders_j7")
+        rd(s, dir, "lineitem").createOrReplaceTempView("lineitem_j7")
+        s.sql("SELECT c_mktsegment, l_returnflag, count(*) AS n, " +
+          "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (100 - CAST(l_discount * 100 AS DECIMAL(12,0)))) " +
+          "AS DECIMAL(24,2)) AS STRING) AS revenue_e2 " +
+          "FROM customer_j7 JOIN orders_j7 ON c_custkey = o_custkey " +
+          "JOIN lineitem_j7 ON l_orderkey = o_orderkey " +
+          "GROUP BY c_mktsegment, l_returnflag")
+          .orderBy("c_mktsegment", "l_returnflag")
+      },
+      Some("SELECT c_mktsegment, l_returnflag, count(*) AS n, " +
+        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (100 - CAST(l_discount * 100 AS DECIMAL(12,0)))) " +
+        "AS DECIMAL(24,2)) AS VARCHAR) AS revenue_e2 " +
+        "FROM customer JOIN orders ON c_custkey = o_custkey " +
+        "JOIN lineitem ON l_orderkey = o_orderkey " +
+        "GROUP BY c_mktsegment, l_returnflag ORDER BY 1, 2")),
+
     // A9 — the native single-pass HLL (a real Catalyst
     // TypedImperativeAggregate — the §2.10 custom-UDAF surface). Identical
     // estimate and oracle math to a4, but the aggregation state is a 64-byte

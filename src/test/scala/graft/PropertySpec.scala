@@ -38,6 +38,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("dedupClusters equals a reference union-find on random graphs") {
+    import graft.operators.ext.Dedup
+    val edgeGen = Gen.listOfN(25, Gen.zip(Gen.choose(1L, 30L), Gen.choose(1L, 30L)))
+    samples(edgeGen, 4).foreach { edges =>
+      import spark.implicits._
+      val pairs = edges.filter { case (a, b) => a != b }
+        .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      val docs = (1L to 30L).toDF("doc_id")
+      val got = Dedup.dedupClusters(docs, "doc_id", pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference union-find with path compression
+      val parent = scala.collection.mutable.Map((1L to 30L).map(i => i -> i): _*)
+      def find(x: Long): Long = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // normalize: min id per component
+      val want = (1L to 30L).map { i =>
+        val root = find(i)
+        i -> (1L to 30L).filter(j => find(j) == root).min
+      }.toMap
+      assert(got == want)
+    }
+  }
+
   test("stringify round-trip: decimal(10,2) strings parse back to equal values") {
     samples(Gen.listOfN(20, Gen.choose(-99999L, 99999L)), 5).filter(_.nonEmpty).foreach { vals =>
       import spark.implicits._
