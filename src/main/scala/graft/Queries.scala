@@ -719,6 +719,37 @@ object Queries {
         "JOIN lineitem ON l_orderkey = o_orderkey " +
         "GROUP BY c_mktsegment, l_returnflag ORDER BY 1, 2")),
 
+    // J8 — bucketed co-located join: both sides written bucketBy(8) on the
+    // join key, so the sort-merge join (hinted; the small side would
+    // otherwise broadcast at test scale) reads pre-partitioned buckets and
+    // the whole join+agg pipeline plans with ZERO exchanges before the final
+    // output sort — asserted in PlanSpec. At 100 TB this is the technique
+    // for repeated joins on one key: pay the shuffle once at write time,
+    // never again.
+    Q("j8_bucketed_join",
+      (s, dir) => {
+        val root = freshDir(s, "graft_bucketed")
+        s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+        s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
+        rd(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"$root/li").saveAsTable("graft_li_bucketed")
+        rd(s, dir, "orders").select("o_orderkey", "o_totalprice")
+          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"$root/ord").saveAsTable("graft_ord_bucketed")
+        s.table("graft_li_bucketed").hint("merge")
+          .join(s.table("graft_ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n"),
+            sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
+              .cast("string").as("qty"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, count(*) AS n, " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY 1")),
+
     // A9 — the native single-pass HLL (a real Catalyst
     // TypedImperativeAggregate — the §2.10 custom-UDAF surface). Identical
     // estimate and oracle math to a4, but the aggregation state is a 64-byte

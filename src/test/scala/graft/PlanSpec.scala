@@ -57,6 +57,26 @@ class PlanSpec extends SparkSpec {
     assert(exchanges == 1, s"expected 1 user_id exchange, plan had $exchanges:\n$p")
   }
 
+  test("j8_bucketed_join: co-located buckets leave no exchange before the join or agg") {
+    val df = Queries.queries("j8_bucketed_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString()
+    assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+    // bucketed reads satisfy both the join and the same-key aggregation;
+    // the only exchange allowed is the final rangepartitioning output sort
+    assert(!p.contains("Exchange hashpartitioning"), s"unexpected shuffle:\n$p")
+  }
+
+  test("partitioned write + partition-filtered read prunes at the source") {
+    import org.apache.spark.sql.functions.lit
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_prune_test"
+    val df = spark.range(0, 100).withColumn("part", (org.apache.spark.sql.functions.col("id") % 4).cast("int"))
+    df.write.mode("overwrite").partitionBy("part").parquet(root)
+    val scan = spark.read.parquet(root).filter(org.apache.spark.sql.functions.col("part") === lit(2))
+    val p = scan.queryExecution.executedPlan.toString()
+    assert(p.contains("PartitionFilters: [isnotnull(part"), s"expected partition pruning:\n$p")
+    assert(scan.count() == 25)
+  }
+
   test("x1_decontaminate plans a broadcast anti-join (corpus side never shuffles)") {
     val p = plan("x1_decontaminate")
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"))
