@@ -215,6 +215,17 @@ object Queries {
       },
       Some(servingSql)),
 
+    // S13 — ORC format roundtrip (the other columnar format Spark ships):
+    // same identity-roundtrip shape as csv_roundtrip, types preserved.
+    Q("orc_roundtrip",
+      (s, dir) => {
+        val root = freshDir(s, "graft_orc_roundtrip")
+        servingDf(s, dir).write.mode("overwrite").orc(root)
+        s.read.orc(root)
+          .select(servingCols.map(col): _*).orderBy("l_returnflag")
+      },
+      Some(servingSql)),
+
     // S11 — document sink: one JSON doc per row, read back through the JSON
     // reader (schema re-inferred from the documents).
     Q("document_sink_roundtrip",
