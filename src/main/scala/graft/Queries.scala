@@ -800,6 +800,69 @@ object Queries {
         "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS qty, " +
         "count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1")),
 
+    // J9 — skew-safe salted join: the join-side counterpart of a10. Fact rows
+    // scatter across 16 sub-keys by a row-level hash, the dim replicates ×16,
+    // and the hot key becomes 16 independent tasks. The oracle is the DIRECT
+    // join — proving the salt rewrite changes the plan, not the answer.
+    Q("j9_skew_salted_join",
+      (s, dir) => Relational.saltedJoin(
+          rd(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
+          rd(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
+          "l_orderkey", "o_orderkey", "l_linenumber", salts = 16)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
+            .cast("string").as("qty"))
+        .orderBy("o_orderpriority"),
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY 1")),
+
+    // MERGE-style upsert (table maintenance): a CDC batch (every 10th order,
+    // re-priced, status 'U') replaces matching base rows and passes the rest
+    // through. Anti-join + union with the small side broadcast — the base
+    // table streams once and never shuffles. Oracle = updates UNION ALL the
+    // anti-joined base, spelled directly in SQL.
+    Q("merge_upsert",
+      (s, dir) => {
+        val base = rd(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val updates = base.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+        Relational.upsert(base, updates, Seq("o_orderkey")).orderBy("o_orderkey")
+      },
+      Some("WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), " +
+        "updates AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice " +
+        "FROM base WHERE o_orderkey % 10 = 0) " +
+        "SELECT * FROM (SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates) " +
+        "UNION ALL SELECT * FROM updates) ORDER BY o_orderkey")),
+
+    // F6 — map functions: per-priority status→count maps built with
+    // map_from_entries over sorted entries, probed with element_at, then
+    // exploded back to rows. The roundtrip proves the map type plumbing
+    // (build → lookup → explode) without leaving codegen'd built-ins; the
+    // oracle is the flat aggregate the roundtrip must reproduce, plus the
+    // probed lookup re-derived per group.
+    Q("f6_map_funcs",
+      (s, dir) => rd(s, dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("o_orderpriority")
+        .agg(map_from_entries(array_sort(
+          collect_list(struct(col("o_orderstatus"), col("n"))))).as("m"))
+        .withColumn("n_f", coalesce(element_at(col("m"), "F"), lit(-1L)))
+        .select(col("o_orderpriority"), col("n_f"),
+          explode(col("m")).as(Seq("o_orderstatus", "n")))
+        .orderBy("o_orderpriority", "o_orderstatus"),
+      Some("WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n " +
+        "FROM orders GROUP BY 1, 2), " +
+        "f AS (SELECT o_orderpriority, coalesce(max(CASE WHEN o_orderstatus = 'F' THEN n END), -1) AS n_f " +
+        "FROM c GROUP BY 1) " +
+        "SELECT c.o_orderpriority, f.n_f, c.o_orderstatus, c.n " +
+        "FROM c JOIN f ON c.o_orderpriority = f.o_orderpriority " +
+        "ORDER BY 1, 3")),
+
     // W4 — gap-based sessionization over the raw event stream (30-minute
     // gap). Gap arithmetic runs on integer µs-since-epoch on both sides:
     // Spark reads ns as long (nanosAsLong) and divides; DuckDB's parquet

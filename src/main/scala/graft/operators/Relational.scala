@@ -128,6 +128,39 @@ object Relational {
                 loCol: String, hiCol: String): DataFrame =
     fact.join(broadcast(bands), col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
 
+  /** J9: skew-safe salted equi-join — the join-side counterpart of the salted
+    * aggregate (a10). When one join key dominates the fact side, a plain
+    * shuffle join lands the whole hot key in one task; AQE's skew-join split
+    * is the first-line fix, but it cannot help when the hot key's rows must
+    * still meet ONE dim row in ONE task group. The manual rewrite: spread
+    * fact rows across `salts` sub-keys by hashing a per-row column (NOT the
+    * join key — same-key rows must scatter), and replicate each dim row to
+    * all `salts` sub-keys, so the hot key becomes `salts` independent tasks.
+    * Replication costs dim×salts, which is why it applies to fact⋈dim, not
+    * big⋈big; production variants salt only keys above a frequency threshold.
+    * The result set is identical to the direct join — proven by the oracle.
+    *
+    * `rowCol`: any fact column (row-level, need not be unique) whose hash
+    * spreads rows of one key across salts deterministically.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String, dimKey: String,
+                 rowCol: String, salts: Int): DataFrame =
+    fact.withColumn("__fsalt", pmod(hash(col(rowCol)), lit(salts)))
+      .join(dim.withColumn("__dsalt", explode(sequence(lit(0), lit(salts - 1)))),
+        col(factKey) === col(dimKey) && col("__fsalt") === col("__dsalt"))
+      .drop("__fsalt", "__dsalt")
+
+  /** MERGE-style upsert (table maintenance): rows of `updates` replace base
+    * rows with the same key; unmatched update rows are inserts; all other
+    * base rows pass through. Expressed as anti-join + union — the CDC batch
+    * is broadcast (it is small relative to the base by construction), so the
+    * 100 TB base never shuffles: one streamed pass, no sort, no wide state.
+    * Schemas must match by name (enforced by unionByName).
+    */
+  def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    base.join(broadcast(updates.select(keys.map(col): _*)), keys, "left_anti")
+      .unionByName(updates)
+
   /** As-of join (an operator Spark lacks natively): for each left row, attach
     * the right-side value with the greatest time <= the left row's time,
     * per key. Implemented as the union + ordered-window idiom: tag both
