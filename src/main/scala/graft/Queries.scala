@@ -984,6 +984,24 @@ object Queries {
         "CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS INTEGER) AS rk FROM c) " +
         "WHERE rk <= 5 ORDER BY lang, rk")),
 
+    // X3 — character-trigram top-25 via the native char_ngrams Generator
+    // (§2.10 UDTF surface): rows stream lazily out of the UTF8String buffer
+    // into the aggregate — no intermediate shingle arrays, no per-element
+    // lambda dispatch (vs explode(transform(sequence(...)))). Top-25 under a
+    // total order (count desc, then ngram) so the limit boundary is
+    // deterministic on both engines.
+    Q("x3_char_ngrams",
+      (s, dir) => {
+        graft.functions.ArrayOps.register(s)
+        rd(s, dir, "documents")
+          .select(expr("char_ngrams(text, 3)"))
+          .groupBy("ngram").agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("ngram")).limit(25)
+      },
+      Some("WITH g AS (SELECT substr(text, CAST(i AS INTEGER), 3) AS ngram " +
+        "FROM (SELECT text, unnest(generate_series(1, length(text) - 2)) AS i FROM documents)) " +
+        "SELECT ngram, count(*) AS n FROM g GROUP BY 1 ORDER BY n DESC, ngram LIMIT 25")),
+
     // Event-time tumbling window aggregate (batch form of the streaming path).
     // `ts` arrives as long ns-since-epoch (nanosAsLong — Spark has no ns
     // timestamp type); convert by integer division, bucket with window().

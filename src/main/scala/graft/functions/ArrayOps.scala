@@ -163,5 +163,7 @@ object ArrayOps {
       "portable_hll", (exprs: Seq[Expression]) => PortableHllAgg(exprs(0), p = 6), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "sorted_overlap", (exprs: Seq[Expression]) => SortedOverlapCount(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "char_ngrams", (exprs: Seq[Expression]) => CharNgrams(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -87,4 +87,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,45.0)") ||
       p.contains("GreaterThan(l_quantity,45.0)"))
   }
+
+  test("x3_char_ngrams runs the native generator (no intermediate shingle arrays)") {
+    val p = plan("x3_char_ngrams")
+    assert(p.contains("Generate char_ngrams"), s"expected native generator:\n$p")
+    assert(!p.contains("lambdafunction"), s"composed HOF form leaked into the plan:\n$p")
+  }
+
+  test("merge_upsert broadcasts the CDC batch (base side never shuffles for the anti-join)") {
+    val p = plan("merge_upsert")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), s"plan:\n$p")
+  }
+
+  test("dynamic partition pruning: fact partitions pruned by the dim filter at runtime") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_test"
+    spark.range(0, 1000)
+      .withColumn("part", (col("id") % 10).cast("int"))
+      .withColumn("v", col("id") * 2)
+      .write.mode("overwrite").partitionBy("part").parquet(root)
+    val fact = spark.read.parquet(root)
+    val dim = spark.range(0, 10).select(col("id").cast("int").as("d_part"),
+      (col("id") % 5).as("d_cat"))
+    // the partition filter is only knowable at runtime (it comes through the
+    // join); DPP turns the dim filter into a subquery-driven PartitionFilter
+    // on the fact scan instead of reading all 10 partitions
+    val q = fact.join(dim, col("part") === col("d_part")).filter(col("d_cat") === lit(1))
+    val p = q.queryExecution.executedPlan.toString()
+    assert(p.contains("dynamicpruning"), s"expected dynamic partition pruning:\n$p")
+  }
 }

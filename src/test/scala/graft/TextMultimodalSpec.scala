@@ -58,4 +58,26 @@ class TextMultimodalSpec extends SparkSpec {
     assert(frames.nonEmpty)
     assert(frames.forall(_.getAs[Array[Byte]]("frame").length <= 4))
   }
+
+  test("char_ngrams generator: sliding trigrams, short and null inputs emit nothing") {
+    import spark.implicits._
+    val df = Seq((1L, "abcd"), (2L, "ab"), (3L, null: String), (4L, "xyz"))
+      .toDF("doc_id", "t")
+    val out = df.select(col("doc_id"), expr("char_ngrams(t, 3)"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(out == Set((1L, 1, "abc"), (1L, 2, "bcd"), (4L, 1, "xyz")))
+  }
+
+  test("char_ngrams matches the composed explode(transform(sequence)) form") {
+    import spark.implicits._
+    val df = Seq("the quick brown fox", "ab", "aaaa").toDF("t")
+    val native = df.select(expr("char_ngrams(t, 3)")).select("pos", "ngram")
+    val composed = df
+      .select(explode(expr(
+        // sequence(1, 0) is DESCENDING [1, 0] in Spark, so guard short strings
+        "CASE WHEN length(t) >= 3 THEN transform(sequence(1, length(t) - 2), i -> struct(i AS pos, substring(t, i, 3) AS ngram)) " +
+          "ELSE array() END")).as("g"))
+      .select("g.pos", "g.ngram")
+    assert(native.collect().toSet == composed.collect().toSet)
+  }
 }
