@@ -517,6 +517,36 @@ object Queries {
         "CAST(max(CAST(value AS DECIMAL(10,2))) AS VARCHAR) AS hi " +
         "FROM events GROUP BY 1 ORDER BY 1")),
 
+    // Stream-stream interval join executed through two real streams over the
+    // same event file (clicks ⋈ purchases of the same user within 30
+    // minutes), append-mode sink. Watermarks + the bounded time condition
+    // keep join state finite — the only shape a continuous stream join can
+    // take. Oracle = the identical interval self-join in batch SQL (µs
+    // precision on both engines), asserting stream/batch join equivalence.
+    Q("stream_stream_join",
+      (s, dir) => {
+        val batchSchema = rd(s, dir, "events").schema
+        def stream(kind: String, prefix: String) = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .filter(col("event_type") === kind)
+          .select(col("user_id").as(s"${prefix}_user"),
+            col("event_id").as(s"${prefix}_id"),
+            expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"))
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.intervalJoin(
+            stream("click", "c"), stream("purchase", "p"),
+            "c_user", "p_user", "c_ts", "p_ts", "1 hour", "30 minutes")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).select(col("c_id").as("click_id"), col("p_id").as("purchase_id"))
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("SELECT a.event_id AS click_id, b.event_id AS purchase_id " +
+        "FROM events a JOIN events b ON a.user_id = b.user_id " +
+        "AND a.event_type = 'click' AND b.event_type = 'purchase' " +
+        "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE " +
+        "ORDER BY 1, 2")),
+
     // J1 — broadcast equi-join + aggregation (capability, SURVEY §2.4/§7.3).
     // revenue is summed exactly in decimal, then rendered as string (strCols).
     Q("j1_join_agg",

@@ -44,6 +44,23 @@ object Streaming {
     ticks.withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("symbol", "price")
 
+  /** Stream-stream interval join: each left event joined to right events of
+    * the same key whose timestamp falls in [leftTs, leftTs + horizon]. Both
+    * sides carry watermarks and the join condition bounds both timestamps,
+    * so Spark can evict join state once the watermark passes the horizon —
+    * the state stays proportional to (rate × horizon), not the stream's
+    * history, which is what makes a continuous join viable. Column names on
+    * the two sides must be disjoint (rename before calling).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTs: String, rightTs: String,
+                   watermark: String, horizon: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs " +
+          s"AND $rightTs <= $leftTs + INTERVAL $horizon"))
+
   final case class Tick(symbol: String, price: java.math.BigDecimal, ingest_ts: Timestamp)
   final case class SymbolSession(symbol: String, n: Long, lo: java.math.BigDecimal, hi: java.math.BigDecimal)
 
