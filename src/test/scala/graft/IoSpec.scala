@@ -29,6 +29,16 @@ class IoSpec extends SparkSpec {
     assert(back == Set(("a", 2022), ("c", 2023)))
   }
 
+  test("ParquetTableFormat: maxRecordsPerFile bounds output file sizes (small-file/huge-file control)") {
+    val path = tmpDir("mrpf")
+    val df = spark.range(0, 100).coalesce(1).toDF("id")
+    ParquetTableFormat.write(df, path, maxRecordsPerFile = 30L)
+    val files = new java.io.File(path).listFiles().filter(_.getName.endsWith(".parquet"))
+    // 100 rows in one task / 30-row cap -> 4 rolled files, not 1 giant file
+    assert(files.length == 4, s"expected 4 rolled files, got ${files.length}")
+    assert(ParquetTableFormat.read(spark, path).count() == 100)
+  }
+
   test("StagedWarehouseSink: two appends accumulate; staging dir cleaned") {
     import spark.implicits._
     val staging = tmpDir("stage"); val wh = tmpDir("wh")
