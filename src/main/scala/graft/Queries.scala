@@ -1118,6 +1118,87 @@ object Queries {
         "CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk " +
         "FROM documents) WHERE rk <= 3 ORDER BY lang, rk")),
 
+    // X6 — weighted mixture sampling (training-data mixtures): 50% of en,
+    // 25% of de, 10% of everything else, chosen by the portable md5 bucket —
+    // one deterministic filter, reproducible across engines and cluster
+    // sizes, no rand().
+    Q("x6_weighted_mix",
+      (s, dir) => Relational.weightedMix(
+          rd(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang", Map("en" -> 50, "de" -> 25), defaultPct = 10)
+        .select("doc_id", "lang", "bucket")
+        .orderBy("doc_id"),
+      Some(s"SELECT doc_id, lang, ${duckHex("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket " +
+        "FROM documents " +
+        s"WHERE ${duckHex("md5(CAST(doc_id AS VARCHAR))")} % 100 < " +
+        "(CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END) " +
+        "ORDER BY doc_id")),
+
+    // A12 — incremental aggregate merge (the re-aggregation property behind
+    // incremental view maintenance): yesterday's partition and today's are
+    // pre-aggregated SEPARATELY, then merged by combining partials
+    // (sum-of-sums, min-of-mins, max-of-maxes). The oracle is the direct
+    // aggregate over everything — proving the merge is exact, which is what
+    // lets a daily pipeline fold one day of new data into a 100 TB running
+    // aggregate without ever rescanning history.
+    Q("a12_incremental_agg",
+      (s, dir) => {
+        val li = rd(s, dir, "lineitem")
+        def partial(part: DataFrame) = part.groupBy("l_returnflag")
+          .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("ps"),
+            count(lit(1)).as("pn"),
+            min(col("l_quantity").cast(DecimalType(12, 2))).as("pmin"),
+            max(col("l_quantity").cast(DecimalType(12, 2))).as("pmax"))
+        partial(li.filter(col("l_orderkey") % 7 =!= 0))
+          .unionByName(partial(li.filter(col("l_orderkey") % 7 === 0)))
+          .groupBy("l_returnflag")
+          .agg(sum(col("ps")).cast(DecimalType(18, 2)).cast("string").as("qty"),
+            sum(col("pn")).as("n"),
+            min(col("pmin")).cast("string").as("min_qty"),
+            max(col("pmax")).cast("string").as("max_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some("SELECT l_returnflag, " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS qty, " +
+        "count(*) AS n, " +
+        "CAST(min(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS min_qty, " +
+        "CAST(max(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS max_qty " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1")),
+
+    // X3 — PII scrubbing (training-data hygiene): synthetic email+phone are
+    // appended per row (the corpus has none), then scrubbed with patterns in
+    // the RE2 ∩ java.regex dialect — the same literal pattern string runs on
+    // both engines, so the redacted text must match byte-for-byte.
+    Q("x3_pii_scrub",
+      (s, dir) => TextAnalysis.piiScrub(
+          rd(s, dir, "documents").withColumn("text",
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com or +1-555-0100"))),
+          "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, regexp_replace(regexp_replace(" +
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-0100', " +
+        s"'${TextAnalysis.emailRe}', '<EMAIL>', 'g'), " +
+        s"'${TextAnalysis.phoneRe}', '<PHONE>', 'g') AS scrubbed " +
+        "FROM documents ORDER BY doc_id")),
+
+    // X3 — sequence packing (LLM batch assembly): per-shard deterministic
+    // order (md5 of id), running token cumsum, bin = start_offset / 512.
+    // One window per shard — shards pack independently in parallel; the
+    // oracle runs the identical window in DuckDB.
+    Q("x3_seq_packing",
+      (s, dir) => TextAnalysis.packSequences(
+          rd(s, dir, "documents"), "doc_id", "text", "lang", binTokens = 512)
+        .orderBy("doc_id"),
+      Some("SELECT doc_id, lang AS shard, n_tok, " +
+        "CAST(sum(n_tok) OVER w AS BIGINT) AS cum_tok, " +
+        "CAST(floor((sum(n_tok) OVER w - n_tok) / 512) AS BIGINT) AS bin " +
+        "FROM (SELECT doc_id, lang, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok " +
+        "FROM documents) " +
+        "WINDOW w AS (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
+        "ORDER BY doc_id")),
+
     // F5 — array function family: distinct → sort → slice → positional
     // explode (compared row-wise so no engine-specific array rendering
     // enters the hash).

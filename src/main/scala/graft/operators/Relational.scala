@@ -89,6 +89,20 @@ object Relational {
     df.withColumn(as, expr(
       s"cast(conv(substring(md5(cast($keyCol as string)), 1, 8), 16, 10) as bigint) % $buckets"))
 
+  /** X6: weighted mixture sampling (training-data mixtures): keep a
+    * per-stratum percentage of rows, chosen by the same portable md5 bucket
+    * as [[hashBucket]] — "50% of en, 25% of de, 10% of the rest" as one
+    * deterministic filter. Reproducible across runs, engines, and cluster
+    * sizes; pure codegen'd projection + filter, no shuffle, no rand().
+    */
+  def weightedMix(df: DataFrame, keyCol: String, stratumCol: String,
+                  weights: Map[String, Int], defaultPct: Int): DataFrame = {
+    val pct = weights.foldLeft(lit(defaultPct)) { case (acc, (k, p)) =>
+      when(col(stratumCol) === k, p).otherwise(acc)
+    }
+    hashBucket(df, keyCol).filter(col("bucket") < pct)
+  }
+
   /** W4: gap-based sessionization — the standard event-pipeline operator for
     * turning a raw click/event stream into sessions. A new session starts when
     * the gap to the previous event of the same key exceeds `gapNs`. Two

@@ -1,6 +1,7 @@
 package graft.operators.ext
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -103,4 +104,43 @@ object TextAnalysis {
       expr(s"aggregate(${toks(textCol)}, cast(7 as bigint), " +
         "(acc, t) -> ((acc * 31) % 1000000007 + cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)) % 1000000007)")
         .as("fp"))
+
+  /** PII patterns shared with the oracle SQL: RE2-safe (no backrefs, no
+    * lookaround) so Java regex (Spark) and RE2 (DuckDB) agree exactly.
+    */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** PII scrubbing (training-data hygiene): replace email addresses and
+    * phone numbers with typed placeholders. Pure codegen'd regexp_replace
+    * projection — no shuffle, pushes down with the scan; the patterns are
+    * deliberately in the RE2 ∩ java.util.regex dialect so the same literal
+    * pattern string is the oracle.
+    */
+  def piiScrub(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      regexp_replace(regexp_replace(col(textCol), emailRe, "<EMAIL>"), phoneRe, "<PHONE>")
+        .as("scrubbed"))
+
+  /** Sequence packing (LLM batch assembly): assign documents to fixed-size
+    * token bins per shard. Documents are ordered deterministically within
+    * each shard by (md5 of id, id), the running token count is a window
+    * cumsum, and a document's bin is floor(start_offset / binTokens) — the
+    * greedy packing every training pipeline runs before batching.
+    *
+    * Packing is inherently sequential *within a bin stream*; the scale story
+    * is the `shardCol` partition: one window per shard, shards packed
+    * independently in parallel (the global-order variant would funnel the
+    * corpus through one task). One shuffle on the shard key.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    shardCol: String, binTokens: Int): DataFrame = {
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col(idCol).as("doc_id"), col(shardCol).as("shard"),
+        expr(s"size(${toks(textCol)})").as("n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .withColumn("bin", ((col("cum_tok") - col("n_tok")) / binTokens).cast("bigint"))
+  }
 }
