@@ -249,6 +249,27 @@ object Queries {
       },
       Some(ingestOracleSql)),
 
+    // S3 through the catalog front door: CREATE TABLE ... USING parquet,
+    // INSERT INTO ... SELECT, then aggregate the catalog table — the
+    // spark.sql DDL/DML surface a user of the reference's SQL stage would
+    // reach for (etl-vini-azure.py:83-104 does DROP/CREATE/INSERT in T-SQL).
+    Q("sql_ddl_roundtrip",
+      (s, dir) => {
+        val root = freshDir(s, "graft_ddl_roundtrip")
+        s.sql("DROP TABLE IF EXISTS graft_orders_ddl")
+        s.sql("CREATE TABLE graft_orders_ddl (o_orderkey BIGINT, o_orderpriority STRING, " +
+          s"o_totalprice DOUBLE) USING parquet LOCATION '$root/t'")
+        rd(s, dir, "orders").createOrReplaceTempView("orders_ddl_src")
+        s.sql("INSERT INTO graft_orders_ddl SELECT o_orderkey, o_orderpriority, o_totalprice " +
+          "FROM orders_ddl_src WHERE o_orderkey % 100 = 0")
+        s.sql("SELECT o_orderpriority, count(*) AS n, " +
+          "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS STRING) AS total " +
+          "FROM graft_orders_ddl GROUP BY 1 ORDER BY 1")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS total " +
+        "FROM orders WHERE o_orderkey % 100 = 0 GROUP BY 1 ORDER BY 1")),
+
     // S1+S2+U1+P1+O1 — poll → JSON parse → union → IN-filter → sort
     // (etl-vini-azure.py:61-79), deterministic stub feed.
     Q("ingest_micro_batch",

@@ -39,6 +39,19 @@ class IoSpec extends SparkSpec {
     assert(ParquetTableFormat.read(spark, path).count() == 100)
   }
 
+  test("schema evolution: mergeSchema reads old and new files under one widened schema") {
+    import spark.implicits._
+    val path = tmpDir("evolve")
+    // v1 writer: (k, v); later the pipeline adds a quality column
+    Seq(("a", 1), ("b", 2)).toDF("k", "v").write.parquet(s"$path/d1")
+    Seq(("c", 3, 0.9)).toDF("k", "v", "q").write.parquet(s"$path/d2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$path/d1", s"$path/d2")
+    assert(merged.columns.toSet == Set("k", "v", "q"))
+    // old files surface NULL for the new column instead of failing the scan
+    assert(merged.filter(col("q").isNull).count() == 2)
+    assert(merged.filter(col("q").isNotNull).count() == 1)
+  }
+
   test("StagedWarehouseSink: two appends accumulate; staging dir cleaned") {
     import spark.implicits._
     val staging = tmpDir("stage"); val wh = tmpDir("wh")
