@@ -15,6 +15,10 @@ run / fork := true
 // LoggedOutput strategy prefixes every line with "[info] ", which makes the
 // bench/verify JSON lines unparseable to anything scraping sbt's stdout.
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// Drop sbt's own "[success] Total time: ..." footer: a consumer that parses
+// the LAST stdout line must see the bench/verify JSON there, not sbt's epilog.
+Global / showSuccess := false
+Global / showTiming := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

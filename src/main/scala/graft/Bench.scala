@@ -36,13 +36,16 @@ object Bench {
     // passes queries are excluded from the total and listed under "failed";
     // a failed attempt never updates a timing (a fast crash must not read as
     // a fast query).
-    def emit(passes: Int): Unit = {
+    def resultLine(passes: Int): String = {
       val done = names.collect { case (n, _) if best.contains(n) => n -> best(n) }
       val failed = names.collect { case (n, _) if everFailed(n) && !best.contains(n) => n }
       val qs = done.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = done.map(_._2).sum
-      println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"passes":$passes,"elapsed":$elapsed,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"passes":$passes,"elapsed":$elapsed,"sf":"$sfDir"}"""
+    }
+    def emit(passes: Int): Unit = {
+      println(resultLine(passes))
       System.out.flush()
     }
     var stop = false
@@ -76,6 +79,12 @@ object Bench {
         }
       }
     }
+    val finalLine = resultLine(math.max(runs, 1))
     spark.stop()
+    // Re-print the result AFTER SparkContext shutdown: even if a consumer
+    // merges stdout+stderr, no Spark log line can land after this one, so
+    // the last line of the combined stream is always the parseable JSON.
+    println(finalLine)
+    System.out.flush()
   }
 }
