@@ -1092,6 +1092,103 @@ object Queries {
         |FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND p.ts_us <= c.ts_us
         |ORDER BY c.event_id""".stripMargin)),
 
+    // W7 — calendar gap-fill + forward fill (time-series resampling): each
+    // user's purchase panel densified to one row per day over the global
+    // range, gaps carrying the last observed value forward. The fill uses
+    // the portable running-count-of-observations idiom (no IGNORE NULLS).
+    // Output bounded to user_id < 50 AFTER the full panel is computed.
+    Q("w7_gap_fill",
+      (s, dir) => graft.operators.TimeSeries.gapFillDaily(
+          rd(s, dir, "events").filter(col("event_type") === "purchase"),
+          "user_id",
+          to_date(expr("timestamp_micros(ts div 1000)")),
+          col("value").cast(DecimalType(12, 2)))
+        .filter(col("key") < 50)
+        .select(col("key").as("user_id"),
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          coalesce(col("v").cast("string"), lit("NA")).as("v"),
+          coalesce(col("v_filled").cast("string"), lit("NA")).as("v_filled"))
+        .orderBy("user_id", "day"),
+      Some("""WITH p AS (SELECT user_id, date_trunc('day', ts) AS day,
+        |  CAST(value AS DECIMAL(12,2)) AS v0 FROM events WHERE event_type = 'purchase'),
+        |daily AS (SELECT user_id, day, max(v0) AS v FROM p GROUP BY 1, 2),
+        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+        |spine AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |  FROM (SELECT DISTINCT user_id FROM daily), bounds),
+        |j AS (SELECT s.user_id, s.day, d.v FROM spine s
+        |  LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day),
+        |g AS (SELECT user_id, day, v, count(v) OVER (PARTITION BY user_id ORDER BY day
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM j),
+        |f AS (SELECT user_id, day, v, max(v) OVER (PARTITION BY user_id, grp) AS v_filled FROM g)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        |  coalesce(CAST(v AS VARCHAR), 'NA') AS v,
+        |  coalesce(CAST(v_filled AS VARCHAR), 'NA') AS v_filled
+        |FROM f WHERE user_id < 50 ORDER BY user_id, day""".stripMargin)),
+
+    // A13 — count-min heavy hitters over the corpus token stream: the top-15
+    // exact tokens alongside their count-min estimate (d=4 rows × w=256
+    // buckets, md5-derived hashes — the whole sketch is integer arithmetic,
+    // so the oracle recomputes it bit-for-bit). cm_est >= exact_cnt by
+    // construction; the sketch itself is the constant-size mergeable
+    // aggregate that replaces exact counting at stream scale.
+    Q("a13_heavy_hitters",
+      (s, dir) => Sketches.heavyHitters(
+          rd(s, dir, "documents")
+            .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("token")),
+          "token", 4, 256, 15)
+        .orderBy(col("exact_cnt").desc, col("value")),
+      Some(s"""WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS v FROM documents),
+        |seeds AS (SELECT * FROM (VALUES (0), (1), (2), (3)) s(r)),
+        |h AS (SELECT r, v, ${duckHex("md5(CAST(r AS VARCHAR) || ':' || v)")} % 256 AS bucket FROM toks CROSS JOIN seeds),
+        |sk AS (SELECT r, bucket, count(*) AS cnt FROM h GROUP BY 1, 2),
+        |exact AS (SELECT v, count(*) AS exact_cnt FROM toks GROUP BY 1 ORDER BY exact_cnt DESC, v LIMIT 15),
+        |pos AS (SELECT e.v, s.r, ${duckHex("md5(CAST(s.r AS VARCHAR) || ':' || e.v)")} % 256 AS bucket
+        |  FROM exact e CROSS JOIN seeds s),
+        |est AS (SELECT p.v, min(sk.cnt) AS cm_est FROM pos p
+        |  JOIN sk ON sk.r = p.r AND sk.bucket = p.bucket GROUP BY 1)
+        |SELECT e.v AS value, e.exact_cnt, est.cm_est FROM exact e JOIN est ON e.v = est.v
+        |ORDER BY exact_cnt DESC, value""".stripMargin)),
+
+    // J10 — bloom-filter join pruning: a 4096-bit / 3-hash bloom built from
+    // the BUILDING customer keys filters the orders probe side WITHOUT
+    // shuffling it (each lookup is a broadcast join against the 128-word
+    // table) — the semi-join-pushdown shape. Output is the confusion matrix
+    // (bloom_pass × actual match), making the false-positive count itself
+    // the oracle-checked value; false negatives are structurally impossible
+    // and the (0,1) cell must be absent.
+    Q("j10_bloom_prune",
+      (s, dir) => {
+        val cust = rd(s, dir, "customer")
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+        val words = Sketches.bloomWords(cust, "c_custkey", 4096, 3)
+        val probed = Sketches.bloomProbe(
+          rd(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          "o_custkey", words, 4096, 3)
+        probed
+          .join(broadcast(cust.withColumn("__m", lit(1)))
+            .withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"), "left")
+          .withColumn("is_match", coalesce(col("__m"), lit(0)))
+          .groupBy("bloom_pass", "is_match").agg(count(lit(1)).as("n"))
+          .orderBy("bloom_pass", "is_match")
+      },
+      Some(s"""WITH ck AS (SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |seeds AS (SELECT * FROM (VALUES (0), (1), (2)) s(r)),
+        |bpos AS (SELECT ${duckHex("md5(CAST(r AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR))")} % 4096 AS pos
+        |  FROM ck CROSS JOIN seeds),
+        |words AS (SELECT pos // 32 AS word_idx, bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
+        |  FROM bpos GROUP BY 1),
+        |ppos AS (SELECT o_orderkey, o_custkey,
+        |  ${duckHex("md5(CAST(r AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR))")} % 4096 AS pos
+        |  FROM orders CROSS JOIN seeds),
+        |pb AS (SELECT o_orderkey, any_value(o_custkey) AS o_custkey,
+        |  min(coalesce((w.word >> CAST(pos % 32 AS INTEGER)) & 1, 0)) AS bloom_pass
+        |  FROM ppos LEFT JOIN words w ON w.word_idx = pos // 32 GROUP BY o_orderkey),
+        |lab AS (SELECT CAST(pb.bloom_pass AS INTEGER) AS bloom_pass,
+        |  CASE WHEN ck.c_custkey IS NULL THEN 0 ELSE 1 END AS is_match
+        |  FROM pb LEFT JOIN ck ON pb.o_custkey = ck.c_custkey)
+        |SELECT bloom_pass, is_match, count(*) AS n FROM lab GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin)),
+
     // X1 — exact dedup, deterministic survivor (lowest doc_id per text).
     Q("x1_dedup_exact",
       (s, dir) => Dedup.exactByKey(rd(s, dir, "documents"), Seq("text"), "doc_id")

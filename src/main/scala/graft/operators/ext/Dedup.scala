@@ -231,7 +231,12 @@ object Dedup {
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct().localCheckpoint(true)
-    var labels = docs.select(col(idCol).as("doc_id"), col(idCol).as("cluster"))
+    // Only nodes that appear in an edge participate in propagation: every
+    // other document is a singleton cluster by construction and rejoins at
+    // the end. In a near-dup corpus the edge set covers a small fraction of
+    // documents, so the iterated frame is far smaller than the corpus.
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
       .localCheckpoint(true)
     // Labels only ever decrease, so the label sum is strictly monotone until
     // the fixpoint: equal consecutive sums ⟺ converged. One scalar aggregate
@@ -253,7 +258,9 @@ object Dedup {
       labels = prop
       it += 1
     }
-    labels
+    docs.select(col(idCol).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
   /** X2 variant: 32-bit SimHash per document. Bit j of the signature is the

@@ -70,4 +70,98 @@ object Sketches {
     }
     alpha * m * m
   }
+
+  /** Portable row hash for sketch row r over a string value: integer value of
+    * the first 8 md5 hex digits of "r:value" — same formula as the oracle.
+    */
+  private def rowHash(r: org.apache.spark.sql.Column, v: org.apache.spark.sql.Column) = {
+    import org.apache.spark.sql.functions.{concat, lit, conv, substring, md5}
+    conv(substring(md5(concat(r.cast("string"), lit(":"), v)), 1, 8), 16, 10).cast("long")
+  }
+
+  /** Count-min sketch over a value stream: d independent hash rows × w
+    * buckets, counter(r, b) = #occurrences hashing to bucket b under row r.
+    * Entirely integer (md5-derived hashes, modular bucketing, counts), so the
+    * sketch — and any estimate read from it — is bit-identical across
+    * engines.
+    *
+    * 100 TB design: the only shuffle carries at most d×w rows after map-side
+    * partial counting — the sketch is CONSTANT-size regardless of stream
+    * cardinality, and per-bucket counts are mergeable across shards/days
+    * (sum), which is what makes it the streaming/incremental heavy-hitter
+    * primitive.
+    */
+  def countMinSketch(df: DataFrame, valueCol: String, d: Int, w: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val seeds = broadcast((0 until d).toDF("r"))
+    df.select(col(valueCol).cast("string").as("v"))
+      .crossJoin(seeds)
+      .select(col("r"), (rowHash(col("r"), col("v")) % w).as("bucket"))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Heavy hitters with count-min estimates: the k most frequent values (by
+    * exact count — the validation side) alongside their count-min estimate
+    * (min over the d rows of the value's bucket counter). cm_est >= exact_cnt
+    * always; equality shows the sketch resolving that value collision-free.
+    * At corpus scale the exact pass is replaced by sketch+heap; here it is
+    * the oracle check of the sketch itself.
+    */
+  def heavyHitters(df: DataFrame, valueCol: String, d: Int, w: Int, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sketch = countMinSketch(df, valueCol, d, w)
+    val seeds = broadcast((0 until d).toDF("r"))
+    val exact = df.select(col(valueCol).cast("string").as("v"))
+      .groupBy("v").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("v")).limit(k)
+    val est = exact.select("v").crossJoin(seeds)
+      .select(col("v"), col("r"), (rowHash(col("r"), col("v")) % w).as("bucket"))
+      .join(broadcast(sketch), Seq("r", "bucket"))
+      .groupBy("v").agg(min("cnt").as("cm_est"))
+    exact.join(est, Seq("v"))
+      .select(col("v").as("value"), col("exact_cnt"), col("cm_est"))
+  }
+
+  /** Bloom filter over a key set, packed 32 bits per BIGINT word (bit 31 is
+    * the highest used — no sign bit anywhere, so shift semantics agree across
+    * engines). kHashes md5-derived positions per key; one tiny shuffle of at
+    * most mBits/32 words builds it.
+    */
+  def bloomWords(keys: DataFrame, keyCol: String, mBits: Int, kHashes: Int): DataFrame = {
+    val spark = keys.sparkSession
+    import spark.implicits._
+    val seeds = broadcast((0 until kHashes).toDF("r"))
+    keys.select(col(keyCol).cast("string").as("v")).distinct()
+      .crossJoin(seeds)
+      .select((rowHash(col("r"), col("v")) % mBits).as("pos"))
+      .select(expr("cast(pos div 32 as int)").as("word_idx"),
+        expr("shiftleft(cast(1 as bigint), cast(pos % 32 as int))").as("bit"))
+      .groupBy("word_idx").agg(expr("bit_or(bit)").as("word"))
+  }
+
+  /** Probe-side membership test: adds `bloom_pass` (1 = possibly in the set,
+    * 0 = definitely not) without shuffling the probe side — each of the
+    * kHashes lookups is a broadcast join against the <= mBits/32-row word
+    * table. This is the semi-join-pushdown shape: at 100 TB the fact table
+    * streams through map tasks, losing bloom-negative rows before any
+    * exchange, and only survivors pay the exact join.
+    */
+  def bloomProbe(probe: DataFrame, keyCol: String, words: DataFrame,
+                 mBits: Int, kHashes: Int): DataFrame = {
+    var df = probe
+    (0 until kHashes).foreach { i =>
+      val w = words.select(col("word_idx").as(s"__wi$i"), col("word").as(s"__w$i"))
+      df = df.withColumn(s"__pos$i", rowHash(lit(i), col(keyCol).cast("string")) % mBits)
+        .withColumn(s"__wi$i", expr(s"cast(__pos$i div 32 as int)"))
+        .join(broadcast(w), Seq(s"__wi$i"), "left")
+        .withColumn(s"__hit$i",
+          coalesce(expr(s"shiftright(__w$i, cast(__pos$i % 32 as int)) & 1"), lit(0L)))
+        .drop(s"__wi$i", s"__w$i", s"__pos$i")
+    }
+    val pass = (0 until kHashes).map(i => col(s"__hit$i")).reduce(least(_, _))
+    df.withColumn("bloom_pass", pass.cast("int"))
+      .drop((0 until kHashes).map(i => s"__hit$i"): _*)
+  }
 }
