@@ -40,6 +40,14 @@ object Queries {
       s"(CAST(strpos('0123456789abcdef', substr($col, ${i + 1}, 1)) AS BIGINT) - 1) * ${1L << (4 * (7 - i))}"
     }.mkString("(", " + ", ")")
 
+  /** DuckDB mirror of Relational.zValue: the same 2·bits-term bit-interleave
+    * sum over two BIGINT columns.
+    */
+  private def duckZ(x: String, y: String, bits: Int): String =
+    (0 until bits).flatMap { j =>
+      Seq(s"((($x >> $j) & 1) << ${2 * j})", s"((($y >> $j) & 1) << ${2 * j + 1})")
+    }.mkString("(", " + ", ")")
+
   private val duckToks =
     "SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents"
 
@@ -1188,6 +1196,47 @@ object Queries {
         |  FROM pb LEFT JOIN ck ON pb.o_custkey = ck.c_custkey)
         |SELECT bloom_pass, is_match, count(*) AS n FROM lab GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin)),
+
+    // X8 — z-order (Morton) clustering value: interleave 16 bits of customer
+    // key with 16 bits of a price bucket (totalprice/8 — a power-of-two
+    // scale, so the double divide and floor are IEEE-exact in both engines).
+    // Sorting/range-partitioning on zval is the multi-dimensional layout
+    // optimization that lets file min/max statistics prune on EITHER
+    // dimension of a 100 TB table. Pure integer bit arithmetic.
+    Q("x8_zorder",
+      (s, dir) => {
+        val o = rd(s, dir, "orders")
+          .withColumn("x", col("o_custkey").cast("long"))
+          .withColumn("y", least(floor(col("o_totalprice") / 8), lit(65535)).cast("long"))
+        o.withColumn("zval", Relational.zValue(col("x"), col("y"), 16))
+          .select("o_orderkey", "x", "y", "zval")
+          .orderBy("zval", "o_orderkey").limit(1000)
+      },
+      Some(s"""WITH o AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
+        |  CAST(least(floor(o_totalprice / 8), 65535) AS BIGINT) AS y FROM orders)
+        |SELECT o_orderkey, x, y, ${duckZ("x", "y", 16)} AS zval FROM o
+        |ORDER BY zval, o_orderkey LIMIT 1000""".stripMargin)),
+
+    // X3 — TF-IDF with integer-quantized idf = floor(log2(N/df)), computed
+    // as length(bin(N div df)) - 1: no floating-point log anywhere, so the
+    // score is bit-identical cross-engine (classic float tf-idf cannot be
+    // hash-checked across libms). Corpus-wide df/tf aggregates with partial
+    // aggregation; output bounded to doc_id < 100 AFTER full scoring.
+    Q("x3_tfidf",
+      (s, dir) => TextAnalysis.tfIdfTopK(rd(s, dir, "documents"), "doc_id", "text", 5)
+        .filter(col("doc_id") < 100)
+        .orderBy("doc_id", "rk"),
+      Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+        |scored AS (SELECT t.doc_id, t.term, t.tf,
+        |  t.tf * (length(printf('%b', n.n // d.df)) - 1) AS score
+        |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN nn n),
+        |r AS (SELECT doc_id, term, tf, score,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rk FROM scored)
+        |SELECT doc_id, term, tf, score, rk FROM r WHERE rk <= 5 AND doc_id < 100
+        |ORDER BY doc_id, rk""".stripMargin)),
 
     // X1 — exact dedup, deterministic survivor (lowest doc_id per text).
     Q("x1_dedup_exact",

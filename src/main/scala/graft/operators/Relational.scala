@@ -203,4 +203,19 @@ object Relational {
       .filter(col("__side") === 1)
       .select(col(idCol), col(keyCol), col(timeCol), col(s"asof_$valCol"))
   }
+
+  /** Z-order (Morton) value of two non-negative integer dimensions, `bits`
+    * bits each: bit j of x lands at position 2j, bit j of y at 2j+1. Rows
+    * sorted/range-partitioned by this value cluster near in BOTH dimensions,
+    * so min/max file statistics prune on either predicate — the
+    * data-layout optimization behind multi-dimensional clustering of 100 TB
+    * tables. Pure integer bit arithmetic (a 2·bits-term codegen'd sum), so
+    * any engine computes the identical value.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column =
+    (0 until bits).flatMap { j =>
+      Seq(
+        shiftleft(shiftright(x.cast("long"), j).bitwiseAND(lit(1L)), 2 * j),
+        shiftleft(shiftright(y.cast("long"), j).bitwiseAND(lit(1L)), 2 * j + 1))
+    }.reduce(_ + _)
 }

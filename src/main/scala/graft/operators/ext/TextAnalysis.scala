@@ -105,6 +105,35 @@ object TextAnalysis {
         "(acc, t) -> ((acc * 31) % 1000000007 + cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint)) % 1000000007)")
         .as("fp"))
 
+  /** TF-IDF with an INTEGER-quantized idf: idf(term) = floor(log2(N/df)),
+    * computed as length(bin(N div df)) - 1 — no floating-point log anywhere,
+    * so the score (tf × idf) is bit-identical in any engine (cross-libm
+    * log() is not, which is why the classic formula can't be oracle-checked
+    * exactly). Terms present in every document quantize to idf 0 — the
+    * stopword-suppression behaviour tf-idf exists for.
+    *
+    * Shape: tf = one (doc, term) aggregate; df = one term aggregate over the
+    * tf frame (already deduplicated per doc — no second corpus scan); N is a
+    * 1-row broadcast. Partial aggregation bounds every shuffle by distinct
+    * (doc, term) / term counts — safe at corpus scale; top-k per doc is one
+    * key-partitioned window.
+    */
+  def tfIdfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(expr(toks(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(countDistinct(col(idCol)).as("n"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf", expr("length(bin(n div df)) - 1").cast("long"))
+      .withColumn("score", col("tf") * col("idf"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rk"))
+  }
+
   /** PII patterns shared with the oracle SQL: RE2-safe (no backrefs, no
     * lookaround) so Java regex (Spark) and RE2 (DuckDB) agree exactly.
     */

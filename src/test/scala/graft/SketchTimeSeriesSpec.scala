@@ -50,6 +50,39 @@ class SketchTimeSeriesSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(plan).size == 3, plan)
   }
 
+  test("zValue: exact Morton interleave on known bit patterns") {
+    import spark.implicits._
+    import graft.operators.Relational
+    // x=0b1010, y=0b0101 -> z alternates: bit2j=x_j, bit2j+1=y_j
+    // x bits (1,0,1,0 from LSB: 0,1,0,1): x=10 -> 1010b; y=5 -> 0101b
+    // z = sum x_j<<2j + y_j<<2j+1 = (x:0<<0,1<<2,0<<4,1<<6)+(y:1<<1,0<<3,1<<5,0<<7)
+    //   = 4+64 + 2+32 = 102
+    val out = Seq((10L, 5L)).toDF("x", "y")
+      .select(Relational.zValue(col("x"), col("y"), 4).as("z")).head.getLong(0)
+    assert(out == 102L)
+    // interleave is a bijection: distinct inputs -> distinct z
+    val n = Seq.tabulate(16, 16)((a, b) => (a.toLong, b.toLong)).flatten.toDF("x", "y")
+      .select(Relational.zValue(col("x"), col("y"), 4).as("z"))
+      .distinct().count()
+    assert(n == 256)
+  }
+
+  test("tfIdfTopK: ubiquitous terms quantize to idf 0; rarer terms outrank them") {
+    import spark.implicits._
+    import graft.operators.ext.TextAnalysis
+    // 'the' in all 4 docs -> idf floor(log2(4/4))=0 -> score 0
+    // 'rare' in 1 doc -> idf floor(log2(4/1))=2
+    // 'half' in 2 docs -> idf floor(log2(4/2))=1
+    val docs = Seq(
+      (1L, "the rare rare half"), (2L, "the half"), (3L, "the"), (4L, "the")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tfIdfTopK(docs, "doc_id", "text", 2)
+      .orderBy("doc_id", "rk").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(3)))
+    assert(out.take(2).toSeq == Seq((1L, "rare", 4L), (1L, "half", 1L)))
+    assert(out.filter(_._2 == "the").forall(_._3 == 0L))
+  }
+
   test("gapFillDaily: dense global spine, forward fill across gaps, leading nulls kept") {
     import spark.implicits._
     val ev = Seq(
