@@ -245,12 +245,17 @@ object Dedup {
     var prevSum: Option[java.math.BigDecimal] = None
     var converged = false
     var it = 0
-    while (!converged && it < maxIters) {
-      val prop = labels.join(edges, col("doc_id") === col("src"))
+    def propagate(l: org.apache.spark.sql.DataFrame) =
+      l.join(edges, col("doc_id") === col("src"))
         .select(col("dst").as("doc_id"), col("cluster"))
-        .unionByName(labels)
+        .unionByName(l)
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
-        .localCheckpoint(true)
+    while (!converged && it < maxIters) {
+      // TWO hops per materialization: the iteration cost is dominated by the
+      // per-round job/checkpoint overhead, not the tiny label shuffles, so
+      // halving the number of materialized rounds halves the wall time while
+      // the fixpoint (and its path-independence) is unchanged.
+      val prop = propagate(propagate(labels)).localCheckpoint(true)
       val s = prop.agg(sum(col("cluster").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
         .head.getDecimal(0)
       converged = prevSum.exists(_.compareTo(s) == 0)
