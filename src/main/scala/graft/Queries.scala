@@ -1197,6 +1197,33 @@ object Queries {
         |SELECT bloom_pass, is_match, count(*) AS n FROM lab GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin)),
 
+    // P7 — data-quality constraint report (engine form of the reference
+    // DDL's NOT NULL/type-width constraints, etl-vini-azure.py:87-90): one
+    // streamed pass, one violation counter per rule, a row violating when
+    // its predicate is false OR null. The discount rule fires on real rows,
+    // proving the counter counts; the rest hold on the fixture data.
+    Q("p7_constraint_check",
+      (s, dir) => Relational.constraintReport(rd(s, dir, "lineitem"), Seq(
+        "l_quantity_positive" -> (col("l_quantity") > 0),
+        "l_extendedprice_nonneg" -> (col("l_extendedprice") >= 0),
+        "l_shipdate_not_null" -> col("l_shipdate").isNotNull,
+        "l_discount_le_5pct" -> (col("l_discount") <= 0.05),
+        "l_returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"))),
+      Some("""WITH a AS (SELECT
+        |  count(*) FILTER (WHERE NOT coalesce(l_quantity > 0, FALSE)) AS c1,
+        |  count(*) FILTER (WHERE NOT coalesce(l_extendedprice >= 0, FALSE)) AS c2,
+        |  count(*) FILTER (WHERE NOT coalesce(l_shipdate IS NOT NULL, FALSE)) AS c3,
+        |  count(*) FILTER (WHERE NOT coalesce(l_discount <= 0.05, FALSE)) AS c4,
+        |  count(*) FILTER (WHERE NOT coalesce(l_returnflag IN ('A', 'N', 'R'), FALSE)) AS c5
+        |  FROM lineitem)
+        |SELECT rule, n_violations FROM (
+        |  SELECT 'l_quantity_positive' AS rule, c1 AS n_violations FROM a
+        |  UNION ALL SELECT 'l_extendedprice_nonneg', c2 FROM a
+        |  UNION ALL SELECT 'l_shipdate_not_null', c3 FROM a
+        |  UNION ALL SELECT 'l_discount_le_5pct', c4 FROM a
+        |  UNION ALL SELECT 'l_returnflag_domain', c5 FROM a)
+        |ORDER BY rule""".stripMargin)),
+
     // X8 — z-order (Morton) clustering value: interleave 16 bits of customer
     // key with 16 bits of a price bucket (totalprice/8 — a power-of-two
     // scale, so the double divide and floor are IEEE-exact in both engines).

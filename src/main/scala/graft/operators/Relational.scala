@@ -204,6 +204,25 @@ object Relational {
       .select(col(idCol), col(keyCol), col(timeCol), col(s"asof_$valCol"))
   }
 
+  /** Data-quality constraint report (the engine form of the reference DDL's
+    * NOT NULL / type-width constraints, etl-vini-azure.py:87-90, generalized
+    * to arbitrary row predicates): one pass over the table, one violation
+    * counter per rule — a row violates when its predicate is false OR null
+    * (SQL constraint semantics make nulls violations of anything but an
+    * explicit IS NULL test). All counters partial-aggregate map-side, so the
+    * 100 TB scan streams once and shuffles k counters.
+    */
+  def constraintReport(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val aggs = rules.map { case (name, pred) =>
+      sum(when(!coalesce(pred, lit(false)), 1L).otherwise(0L)).as(name)
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackExpr = s"stack(${rules.size}, " +
+      rules.map { case (n, _) => s"'$n', `$n`" }.mkString(", ") +
+      ") as (rule, n_violations)"
+    wide.select(expr(stackExpr)).orderBy("rule")
+  }
+
   /** Z-order (Morton) value of two non-negative integer dimensions, `bits`
     * bits each: bit j of x lands at position 2j, bit j of y at 2j+1. Rows
     * sorted/range-partitioned by this value cluster near in BOTH dimensions,

@@ -36,10 +36,20 @@ object Similarity {
   private def cosCol =
     (expr("float_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm"))).cast(DecimalType(10, 6)).as("cos")
 
-  /** All pairs with cosine >= minCos (brute-force baseline). */
+  /** All pairs with cosine >= minCos (brute-force baseline).
+    *
+    * The DECIMAL(10,6) cast allocates a BigDecimal per pair — by far the most
+    * expensive step of the O(n²) scan — so a cheap double prefilter runs
+    * first with a 1e-6 margin (HALF_UP rounding moves a value by at most
+    * 5e-7, so no pair that could pass the exact decimal filter is dropped);
+    * only the surviving sliver pays the decimal conversion, and the decimal
+    * comparison remains the sole semantic arbiter.
+    */
   def cosinePairs(emb: DataFrame, minCos: java.math.BigDecimal): DataFrame = {
     val p = prep(emb)
+    val rawCos = expr("float_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm"))
     p.as("a").join(p.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(rawCos >= lit(minCos.doubleValue() - 1e-6))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cosCol)
       .filter(col("cos") >= lit(minCos))
   }

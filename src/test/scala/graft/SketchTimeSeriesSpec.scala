@@ -83,6 +83,18 @@ class SketchTimeSeriesSpec extends SparkSpec {
     assert(out.filter(_._2 == "the").forall(_._3 == 0L))
   }
 
+  test("constraintReport: null predicate counts as violation, true rows pass") {
+    import spark.implicits._
+    import graft.operators.Relational
+    val df = Seq[(java.lang.Long, String)]((5L, "ok"), (null, "ok"), (-1L, null))
+      .toDF("v", "s")
+    val out = Relational.constraintReport(df, Seq(
+        "v_positive" -> (col("v") > 0),      // -1 false, null null -> 2 violations
+        "s_not_null" -> col("s").isNotNull)) // one null row -> 1
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out == Map("v_positive" -> 2L, "s_not_null" -> 1L))
+  }
+
   test("gapFillDaily: dense global spine, forward fill across gaps, leading nulls kept") {
     import spark.implicits._
     val ev = Seq(
