@@ -51,6 +51,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("checkpoint restart: resumes from committed offsets with dedup state intact (exactly-once)") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StructType
+    val src = TestSpark.tmpDir("ck-src")
+    val out = TestSpark.tmpDir("ck-out")
+    val ckpt = TestSpark.tmpDir("ck-ckpt")
+    val schema = StructType.fromDDL("symbol string, price decimal(10,2), ingest_ts timestamp")
+    def runOnce(): Unit = {
+      val ticks = spark.readStream.schema(schema).parquet(src)
+      val q = Streaming.streamDedup(ticks, "1 hour")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    Seq(("BTCUSDT", dec("10.00"), ts(1)), ("BTCUSDT", dec("10.00"), ts(2)),
+        ("ETHUSDT", dec("5.00"), ts(3)))
+      .toDF("symbol", "price", "ingest_ts")
+      .select(col("symbol"), col("price").cast("decimal(10,2)").as("price"), col("ingest_ts"))
+      .write.mode("append").parquet(src)
+    runOnce()
+    // second batch arrives after the first run COMMITTED: a cross-run
+    // duplicate (drops only if dedup state survived the restart) + a new key
+    Seq(("BTCUSDT", dec("10.00"), ts(10)), ("ADAUSDT", dec("2.00"), ts(11)))
+      .toDF("symbol", "price", "ingest_ts")
+      .select(col("symbol"), col("price").cast("decimal(10,2)").as("price"), col("ingest_ts"))
+      .write.mode("append").parquet(src)
+    runOnce()
+    val rows = spark.read.parquet(out).select("symbol", "price").collect()
+      .map(r => (r.getString(0), r.getDecimal(1).toPlainString)).toSeq
+    // exactly-once end to end: batch-1 rows not re-emitted on restart (file
+    // sink offsets), cross-run duplicate suppressed (recovered state)
+    assert(rows.sorted == Seq(("ADAUSDT", "2.00"), ("BTCUSDT", "10.00"), ("ETHUSDT", "5.00")))
+  }
+
   test("sessionize maintains per-symbol running count and price envelope") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
