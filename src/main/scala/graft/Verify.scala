@@ -22,18 +22,33 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
+    // Dump queries on a small worker pool: Spark schedules concurrent jobs
+    // from independent threads fine (each query writes its own directory),
+    // and 4-way overlap cuts the gate's wall time ~2-3x — insurance against
+    // any external timeout on the correctness run. Results are unaffected:
+    // every query is its own deterministic plan.
+    val workers = sys.env.getOrElse("SPARK_GRAFT_VERIFY_WORKERS", "4").toInt
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(workers)
+    val doneCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val tasks = SparkEntry.queries.toSeq
       .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        val msg = s"[verify] $name failed: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.take(3).mkString(" | ")}"
-        println(msg); System.err.println(msg); System.out.flush()
+      .map { case (name, fn) =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+              .parquet(s"$outDir/$name")
+            catch { case e: Throwable =>
+              val msg = s"[verify] $name failed: ${Option(e.getMessage).getOrElse(e.toString).linesIterator.take(3).mkString(" | ")}"
+              println(msg); System.err.println(msg); System.out.flush()
+            }
+            // periodic GC so the ContextCleaner reclaims per-query state
+            // (see Bench.scala) without per-query stalls
+            if (doneCount.incrementAndGet() % 8 == 0) System.gc()
+          }
+        })
       }
-      // let the ContextCleaner reclaim per-query state (see Bench.scala)
-      System.gc()
-    }
+    tasks.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
