@@ -1265,6 +1265,33 @@ object Queries {
         |SELECT doc_id, term, tf, score, rk FROM r WHERE rk <= 5 AND doc_id < 100
         |ORDER BY doc_id, rk""".stripMargin)),
 
+    // X3 — document chunking (training/RAG window split): token windows of
+    // 32 with stride 24 (8-token overlap), 1-indexed starts, final partial
+    // window kept. Map-side only — chunking never shuffles. Output bounded
+    // to doc_id < 100 (chunk construction is per-row, the bound loses no
+    // generality).
+    Q("x3_chunk_split",
+      (s, dir) => TextAnalysis.chunkSplit(
+          rd(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text", 32, 24)
+        .orderBy("doc_id", "start_tok"),
+      Some("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        |  FROM documents WHERE doc_id < 100),
+        |nz AS (SELECT doc_id, ws, len(ws) AS n_tok FROM d WHERE len(ws) > 0),
+        |st AS (SELECT doc_id, ws, n_tok, unnest(generate_series(1, n_tok, 24)) AS start_tok FROM nz)
+        |SELECT doc_id, start_tok, array_to_string(ws[start_tok : start_tok + 31], ' ') AS chunk,
+        |  least(32, n_tok - start_tok + 1) AS chunk_tokens
+        |FROM st ORDER BY doc_id, start_tok""".stripMargin)),
+
+    // X3 — intra-document repetition signals (Gopher-style quality rules) as
+    // exact integers: token count, distinct-token count, top-token count.
+    Q("x3_repetition",
+      (s, dir) => TextAnalysis.repetitionStats(rd(s, dir, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_distinct, max(cnt) AS top_token_cnt
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // X1 — exact dedup, deterministic survivor (lowest doc_id per text).
     Q("x1_dedup_exact",
       (s, dir) => Dedup.exactByKey(rd(s, dir, "documents"), Seq("text"), "doc_id")

@@ -134,6 +134,45 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rk"))
   }
 
+  /** Document chunking for training/RAG pipelines: split each document into
+    * token windows of `size` with `stride` (overlapping when stride < size).
+    * Chunk starts are 1-indexed positions 1, 1+stride, 1+2·stride, ... and a
+    * window is emitted while it still contains at least one token (the final
+    * partial window is kept — truncation policy documented, not silent).
+    * Built entirely from sequence/transform/explode — no UDF, map-side only:
+    * chunking never shuffles; it widens a scan by the overlap factor.
+    */
+  def chunkSplit(docs: DataFrame, idCol: String, textCol: String,
+                 size: Int, stride: Int): DataFrame = {
+    require(stride > 0 && size > 0, "size and stride must be positive")
+    docs
+      .select(col(idCol).as("doc_id"), expr(toks(textCol)).as("ws"))
+      .filter(expr("size(ws) > 0"))
+      .select(col("doc_id"), expr("size(ws)").as("n_tok"),
+        posexplode(expr(
+          s"transform(sequence(1, size(ws), $stride), st -> concat_ws(' ', slice(ws, st, $size)))")))
+      .select(col("doc_id"), (col("pos") * stride + 1).cast("long").as("start_tok"),
+        col("col").as("chunk"),
+        least(lit(size), col("n_tok") - (col("pos") * stride + 1) + 1).cast("long").as("chunk_tokens"))
+  }
+
+  /** Intra-document repetition signals (the Gopher-style quality rules
+    * "fraction of distinct words" and "fraction of the most common word"),
+    * emitted as exact integers so any engine agrees bit-for-bit: total
+    * tokens, distinct tokens, and the count of the single most frequent
+    * token. A low distinct fraction or a high top-token fraction marks
+    * degenerate/repetitious text. Two aggregations, both partial-agg safe;
+    * the shuffle carries one row per (doc, distinct token).
+    */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(expr(toks(textCol))).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_token_cnt"))
+
   /** PII patterns shared with the oracle SQL: RE2-safe (no backrefs, no
     * lookaround) so Java regex (Spark) and RE2 (DuckDB) agree exactly.
     */

@@ -83,6 +83,30 @@ class SketchTimeSeriesSpec extends SparkSpec {
     assert(out.filter(_._2 == "the").forall(_._3 == 0L))
   }
 
+  test("chunkSplit: stride windows with overlap, final partial window kept, empty docs dropped") {
+    import spark.implicits._
+    import graft.operators.ext.TextAnalysis
+    val docs = Seq((1L, "a b c d e f g"), (2L, "x"), (3L, " ")).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkSplit(docs, "doc_id", "text", 4, 3)
+      .orderBy("doc_id", "start_tok").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, "a b c d", 4L),   // full window
+      (1L, 4L, "d e f g", 4L),   // overlap of 1 (stride 3 < size 4)
+      (1L, 7L, "g", 1L),         // final partial window
+      (2L, 1L, "x", 1L)))        // doc 3 (whitespace-only) dropped
+  }
+
+  test("repetitionStats: exact token/distinct/top counts per document") {
+    import spark.implicits._
+    import graft.operators.ext.TextAnalysis
+    val docs = Seq((1L, "a a a b"), (2L, "u v w")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionStats(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 4L, 2L, 3L), (2L, 3L, 3L, 1L)))
+  }
+
   test("constraintReport: null predicate counts as violation, true rows pass") {
     import spark.implicits._
     import graft.operators.Relational
