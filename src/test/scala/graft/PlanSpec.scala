@@ -116,4 +116,22 @@ class PlanSpec extends SparkSpec {
     val p = q.queryExecution.executedPlan.toString()
     assert(p.contains("dynamicpruning"), s"expected dynamic partition pruning:\n$p")
   }
+
+  test("x3_chunk_split is map-side only: chunking never shuffles") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val p = graft.operators.ext.TextAnalysis.chunkSplit(docs, "doc_id", "text", 32, 24)
+      .queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), s"expected a shuffle-free plan:\n$p")
+  }
+
+  test("w7_gap_fill runs the cumulative window and the fill window off key exchanges only") {
+    // the only exchanges are hash-partitionings on the fill key (plus the
+    // broadcast of the 2-value bounds row) — nothing repartitions by the
+    // calendar, so keys fill independently at any scale
+    val p = plan("w7_gap_fill")
+    val shuffles = "Exchange (?:hash|range)partitioning\\(([^,)]+)".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(shuffles.nonEmpty && shuffles.forall(s => s.contains("key") || s.contains("user_id")),
+      s"unexpected non-key exchange in:\n$p")
+  }
 }
