@@ -27,32 +27,46 @@ object Bench {
     // robust against transient host contention during any single pass.
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
     val best = scala.collection.mutable.Map[String, Double]()
+    val passesDone = scala.collection.mutable.Map[String, Int]()
     val everFailed = scala.collection.mutable.Set[String]()
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
-    // The cumulative result line is (re)printed after EVERY query, flushed:
-    // if the process is killed mid-flight, the last complete stdout line is
-    // still a parseable snapshot of everything measured so far. Failed-all-
-    // passes queries are excluded from the total and listed under "failed";
-    // a failed attempt never updates a timing (a fast crash must not read as
-    // a fast query).
-    def resultLine(passes: Int): String = {
+    // The consumer of this output keeps only a bounded tail of stdout and
+    // parses the LAST line as JSON, so the result is printed as TWO lines:
+    // first the full per-query map (useful detail, but ~40 bytes per query —
+    // with ~100 queries it outgrows any fixed capture window), then a compact
+    // totals-only summary (~150 bytes, size independent of query count) whose
+    // job is to always be the final, fully-captured, parseable line.
+    def detailLine(): String = {
+      val done = names.collect { case (n, _) if best.contains(n) => n -> best(n) }
+      val qs = done.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s"""{"metric":"queries","queries":$qs,"sf":"$sfDir"}"""
+    }
+    def summaryLine(): String = {
       val done = names.collect { case (n, _) if best.contains(n) => n -> best(n) }
       val failed = names.collect { case (n, _) if everFailed(n) && !best.contains(n) => n }
-      val qs = done.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
       val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
       val total = done.map(_._2).sum
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"passes":$passes,"elapsed":$elapsed,"sf":"$sfDir"}"""
+      // "passes" = the number of measured passes every reported query
+      // actually completed (min across queries), not the configured target:
+      // a budget trip that truncates a query to one cold pass must be visible.
+      val passes = if (done.isEmpty) 0 else done.map { case (n, _) => passesDone.getOrElse(n, 0) }.min
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${done.size},"failed":$fs,"passes":$passes,"elapsed":$elapsed,"sf":"$sfDir"}"""
     }
-    def emit(passes: Int): Unit = {
-      println(resultLine(passes))
+    def emit(): Unit = {
+      println(detailLine())
+      println(summaryLine())
       System.out.flush()
     }
-    // One untimed warmup execution heats the JVM paths every query shares
-    // (parquet reader, shuffle writers, noop sink, codegen infrastructure) so
-    // the first measured query isn't charged for them.
-    try names.head._2(spark, sfDir).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // One untimed warmup heats the JVM paths every query shares (parquet
+    // reader, shuffle writers, noop sink, codegen infrastructure). It is a
+    // NEUTRAL query — a plain scan-and-write of one small table — not one of
+    // the measured queries, so no registered query gets an extra warm
+    // execution the others don't.
+    try {
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .repartition(2).write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
     System.gc()
     // QUERY-MAJOR order: each query runs all its passes back-to-back. The
     // first pass pays that query's codegen/JIT warmup, the next ones measure
@@ -73,6 +87,7 @@ object Bench {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             val sec = (System.nanoTime() - s0) / 1e9
             best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+            passesDone(name) = passesDone.getOrElse(name, 0) + 1
           } catch {
             case e: Throwable =>
               everFailed += name
@@ -89,15 +104,17 @@ object Bench {
           System.gc()
           pass += 1
         }
-        emit(math.max(runs, 1))
+        emit()
       }
     }
-    val finalLine = resultLine(math.max(runs, 1))
+    val lastDetail = detailLine()
+    val lastSummary = summaryLine()
     spark.stop()
     // Re-print the result AFTER SparkContext shutdown: even if a consumer
-    // merges stdout+stderr, no Spark log line can land after this one, so
-    // the last line of the combined stream is always the parseable JSON.
-    println(finalLine)
+    // merges stdout+stderr, no Spark log line can land after these two, so
+    // the last line of the combined stream is always the compact summary.
+    println(lastDetail)
+    println(lastSummary)
     System.out.flush()
   }
 }

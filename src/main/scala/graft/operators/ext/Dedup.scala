@@ -215,15 +215,22 @@ object Dedup {
     * cluster (the full near-dup dedup pipeline is pairs → clusters → keep
     * min-id per cluster).
     *
-    * Iterative min-label propagation to fixpoint: each round, every node
-    * takes the min of its own label and its neighbours' labels — two narrow
-    * (id, label) shuffles per round, converging in O(component diameter)
-    * rounds. Near-dup graphs are dense clusters with tiny diameter, so a
-    * handful of rounds; for adversarially long paths the large-star/
-    * small-star rewrite keeps the same join shape with O(log n) rounds.
-    * The fixpoint (min id per component) is path-independent — identical
-    * under any partitioning, any iteration order, and in the oracle's
-    * recursive-CTE formulation.
+    * Iterative min-label propagation to fixpoint: each hop, every node takes
+    * the min of its own label and its neighbours' labels — narrow (id, label)
+    * shuffles only. Hops per materialized round DOUBLE (1, 2, 4, then 8 per
+    * round): the wall-clock cost is dominated by fixed per-round overhead
+    * (one localCheckpoint job + one scalar-count job), not the tiny label
+    * shuffles, so covering a diameter-d component takes O(log d) materialized
+    * rounds instead of O(d). The fixpoint (min id per component) is
+    * path-independent — identical under any partitioning, any hop schedule,
+    * and in the oracle's recursive-CTE formulation.
+    *
+    * Convergence is detected by a changed-label count piggybacked on the
+    * round's final hop (labels only decrease, so `cluster < self` marks
+    * exactly the rows that hop changed; zero changes in a hop ⟺ global
+    * fixpoint). Only that scalar count reaches the driver — no row data.
+    * Exhausting `maxIters` without converging throws: at scale a silent
+    * partial propagation is a wrong answer with no alarm.
     */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                     aCol: String = "id_a", bCol: String = "id_b",
@@ -238,31 +245,41 @@ object Dedup {
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
       .localCheckpoint(true)
-    // Labels only ever decrease, so the label sum is strictly monotone until
-    // the fixpoint: equal consecutive sums ⟺ converged. One scalar aggregate
-    // per round (decimal — no overflow at any id range) is the only
-    // driver-side value; no row data ever moves to the driver.
-    var prevSum: Option[java.math.BigDecimal] = None
-    var converged = false
-    var it = 0
-    def propagate(l: org.apache.spark.sql.DataFrame) =
+    def hop(l: DataFrame): DataFrame =
       l.join(edges, col("doc_id") === col("src"))
         .select(col("dst").as("doc_id"), col("cluster"))
-        .unionByName(l)
+        .unionByName(l.select("doc_id", "cluster"))
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
+    // The round's FINAL hop also carries each node's pre-hop label ("self"):
+    // min ignores the nulls contributed by neighbour rows, every node
+    // contributes its own, so `cluster < self` afterwards marks exactly the
+    // rows this hop changed — the convergence probe costs no extra pass.
+    def hopTagged(l: DataFrame): DataFrame =
+      l.join(edges, col("doc_id") === col("src"))
+        .select(col("dst").as("doc_id"), col("cluster"),
+          lit(null).cast(l.schema("cluster").dataType).as("self"))
+        .unionByName(l.select(col("doc_id"), col("cluster"), col("cluster").as("self")))
+        .groupBy("doc_id").agg(min("cluster").as("cluster"), min("self").as("self"))
+    // Empty edge set (no near-dups at all): every document is a singleton —
+    // skip propagation entirely. (An empty frame would otherwise also
+    // null-poison any sum-based convergence probe.)
+    var converged = labels.isEmpty
+    var it = 0
+    var hops = 1
     while (!converged && it < maxIters) {
-      // TWO hops per materialization: the iteration cost is dominated by the
-      // per-round job/checkpoint overhead, not the tiny label shuffles, so
-      // halving the number of materialized rounds halves the wall time while
-      // the fixpoint (and its path-independence) is unchanged.
-      val prop = propagate(propagate(labels)).localCheckpoint(true)
-      val s = prop.agg(sum(col("cluster").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-        .head.getDecimal(0)
-      converged = prevSum.exists(_.compareTo(s) == 0)
-      prevSum = Some(s)
-      labels = prop
+      val stepped = (1 until hops).foldLeft(labels)((l, _) => hop(l))
+      val prop = hopTagged(stepped).localCheckpoint(true)
+      val changed = prop.agg(count(when(col("cluster") < col("self"), 1)))
+        .head.getLong(0)
+      converged = changed == 0L
+      labels = prop.select("doc_id", "cluster")
+      hops = math.min(hops * 2, 8)
       it += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedupClusters did not converge within $maxIters rounds; " +
+          "raise maxIters (component diameter exceeds total hop budget)")
     docs.select(col(idCol).as("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))

@@ -30,6 +30,26 @@ class DedupClusterSpec extends SparkSpec {
     assert(out.getLong(0) == 1L && out.getLong(1) == 1L)
   }
 
+  test("dedupClusters: empty pair list → every document is its own singleton") {
+    import spark.implicits._
+    val docs = (1L to 5L).toDF("doc_id")
+    val pairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val out = Dedup.dedupClusters(docs, "doc_id", pairs)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == (1L to 5L).map(i => (i, i)))
+  }
+
+  test("dedupClusters: exhausting maxIters without a fixpoint throws, not silence") {
+    import spark.implicits._
+    val docs = (1L to 12L).toDF("doc_id")
+    // an 11-edge path needs more than one propagation hop end-to-end
+    val pairs = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.dedupClusters(docs, "doc_id", pairs, maxIters = 1).collect()
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("sorted_overlap equals size(array_intersect) on sorted distinct arrays") {
     import spark.implicits._
     ArrayOps.register(spark)
