@@ -78,6 +78,19 @@ object Queries {
     s"WITH ${duckMinhashCtes(toksSql, bandSize, threshNum, threshDen)}\n" +
       "SELECT id_a, id_b, overlap, size_a, size_b FROM verified ORDER BY id_a, id_b"
 
+  /** DuckDB mirror of Similarity.lshTopK's signature bits: the same seeded
+    * ±1 hyperplanes (Similarity.hyperplanes) as literal DOUBLE[] lists,
+    * projection via list_dot_product, sign taken on the DECIMAL(18,6)-rounded
+    * value — bit-identical to the engine's native float_dot path (both widen
+    * float→double and fold sequentially). Expects a column `v` (DOUBLE[]).
+    */
+  private def duckLshSig(numPlanes: Int, dim: Int): String =
+    Similarity.hyperplanes(numPlanes, dim).zipWithIndex.map { case (plane, i) =>
+      val arr = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"CASE WHEN CAST(list_dot_product(v, CAST($arr AS DOUBLE[])) AS DECIMAL(18,6)) >= 0 " +
+        s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString("(", " + ", ")")
+
   /** SimHash signature CTE chain (toks → hashes → sigs), DuckDB form —
     * shared by the signature query and the Hamming-pair join.
     */
@@ -1585,24 +1598,30 @@ object Queries {
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin)),
 
     // X2 — brute-force cosine pairs >= 0.4 (baseline embedding near-dup).
+    // The vec_id < 2000 cap bounds this DECLARED O(n²) baseline at any scale
+    // factor (>= every test SF's full range today, so results are unchanged);
+    // the unbounded scale paths are x2_ann_lsh / x2_ann_ivf.
     Q("x2_embedding_cosine",
       (s, dir) => strCols(
-        Similarity.cosinePairs(rd(s, dir, "embeddings"), new java.math.BigDecimal("0.400000"))
+        Similarity.cosinePairs(rd(s, dir, "embeddings").filter(col("vec_id") < 2000),
+            new java.math.BigDecimal("0.400000"))
           .orderBy("id_a", "id_b"),
         Seq("cos")),
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 2000),
         |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
         |SELECT id_a, id_b, CAST(cos AS VARCHAR) AS cos FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6)) AS cos
         |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
         |WHERE cos >= CAST(0.4 AS DECIMAL(10,6)) ORDER BY id_a, id_b""".stripMargin)),
 
-    // X2 — brute-force cosine top-3 neighbours for the first 50 vectors.
+    // X2 — brute-force cosine top-3 neighbours for the first 50 vectors,
+    // against the same bounded reference corpus (vec_id < 2000, see above).
     Q("x2_ann_topk",
       (s, dir) => strCols(
-        Similarity.annTopK(rd(s, dir, "embeddings"), 3, 50).orderBy("id_a", "rk"),
+        Similarity.annTopK(rd(s, dir, "embeddings").filter(col("vec_id") < 2000), 3, 50)
+          .orderBy("id_a", "rk"),
         Seq("cos")),
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 2000),
         |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
         |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6)) AS cos
@@ -1611,18 +1630,53 @@ object Queries {
         |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS INTEGER) AS rk FROM scored)
         |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
 
-    // X2 — LSH-bucketed ANN (scale path; sign-bucket construction is
-    // engine-stable but bucket recall is algorithmic, so rows-only check).
+    // X2 — LSH-bucketed ANN (scale path). The signature construction is
+    // deterministic (seeded ±1 planes, DECIMAL-rounded projection signs), so
+    // the ENTIRE pipeline — bucketing, candidate join, re-score, rank — has
+    // an exact DuckDB oracle; recall-vs-brute assertions live in ScalaTest.
     Q("x2_ann_lsh",
-      (s, dir) => Similarity.lshTopK(rd(s, dir, "embeddings"), 3, 8).orderBy("id_a", "rk"),
-      None),
+      (s, dir) => strCols(
+        Similarity.lshTopK(rd(s, dir, "embeddings"), 3, 8, dim = 64).orderBy("id_a", "rk"),
+        Seq("cos")),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |sg AS (SELECT vec_id, v, nrm, ${duckLshSig(8, 64)} AS sig FROM s),
+        |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6)) AS cos
+        |  FROM sg a JOIN sg b ON a.sig = b.sig AND a.vec_id <> b.vec_id)
+        |SELECT id_a, id_b, CAST(cos AS VARCHAR) AS cos, rk FROM (SELECT id_a, id_b, cos,
+        |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS INTEGER) AS rk FROM scored)
+        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
 
-    // X2 — IVF-bucketed ANN (seeded-KMeans coarse quantizer + nprobe search;
-    // recall is algorithmic, so rows-only check + ScalaTest recall assertions).
+    // X2 — IVF-bucketed ANN (scale path: broadcast centroid table, cell
+    // equi-join probe). Declared with the deterministic stand-in quantizer
+    // (first nlist vectors as centroids, trainIters=0) — pure rounded-decimal
+    // arithmetic end-to-end, so assignment, probing, and re-scoring all have
+    // an exact DuckDB oracle. The seeded-KMeans-trained quantizer is the same
+    // pipeline with trained centroids; its recall is asserted in ScalaTest
+    // (DedupSimilaritySpec).
     Q("x2_ann_ivf",
-      (s, dir) => Similarity.ivfTopK(rd(s, dir, "embeddings"), 3, 32, 4, trainIters = 5)
-        .orderBy("id_a", "rk"),
-      None),
+      (s, dir) => strCols(
+        Similarity.ivfTopK(rd(s, dir, "embeddings"), 3, 32, 4, trainIters = 0)
+          .orderBy("id_a", "rk"),
+        Seq("cos")),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM s WHERE vec_id < 32),
+        |sim AS (SELECT s.vec_id, c.cell,
+        |  CAST(list_dot_product(s.v, c.cv) / (s.nrm * c.cnrm) AS DECIMAL(10,6)) AS csim
+        |  FROM s CROSS JOIN c),
+        |ranked AS (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crk FROM sim),
+        |assigned AS (SELECT vec_id, cell FROM ranked WHERE crk = 1),
+        |probes AS (SELECT vec_id AS q_id, cell AS probe_cell FROM ranked WHERE crk <= 4),
+        |scored AS (SELECT DISTINCT p.q_id AS id_a, a.vec_id AS id_b,
+        |  CAST(list_dot_product(qs.v, ns.v) / (qs.nrm * ns.nrm) AS DECIMAL(10,6)) AS cos
+        |  FROM probes p JOIN assigned a ON p.probe_cell = a.cell AND p.q_id <> a.vec_id
+        |  JOIN s qs ON qs.vec_id = p.q_id JOIN s ns ON ns.vec_id = a.vec_id)
+        |SELECT id_a, id_b, CAST(cos AS VARCHAR) AS cos, rk FROM (SELECT id_a, id_b, cos,
+        |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS INTEGER) AS rk FROM scored)
+        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
 
     // X3 — rolling polynomial fingerprint (order-sensitive Rabin-Karp-shaped
     // fold; oracle mirrors the fold via list_reduce with a prepended init).
@@ -1660,14 +1714,21 @@ object Queries {
         "CAST(least(64, n - i * 64) AS INTEGER) AS frame_bytes " +
         "FROM f ORDER BY doc_id, frame_no")),
 
-    // X4 — decode/feature-extract plumbing over binary payloads (stub codec;
-    // mapPartitions batch shape — rows-only check + ScalaTest).
+    // X4 — decode/feature-extract plumbing over binary payloads. The codec is
+    // a STUB (no media libs offline) but a deterministic one: its pseudo-
+    // dimensions are md5-derived integers of the payload bytes, so the oracle
+    // re-derives them from the same bytes — verifying the payload flowed
+    // through the mapPartitions batch path unchanged, not just the row count.
     Q("x4_decode_features",
       (s, dir) => Multimodal.decodeFeatures(
         Multimodal.attachPayload(rd(s, dir, "documents"), "doc_id", "text"))
         .toDF().select("doc_id", "mime", "n_bytes", "width", "height")
         .orderBy("doc_id"),
-      None)
+      Some("SELECT doc_id, 'text/plain' AS mime, " +
+        "CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, " +
+        s"CAST(${duckHex("md5(text)")} % 640 AS INTEGER) AS width, " +
+        s"CAST(${duckHex("md5(text)")} % 480 AS INTEGER) AS height " +
+        "FROM documents ORDER BY doc_id"))
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -28,6 +28,12 @@ object Multimodal {
   /** Deterministic fake decoder — STUB for the real image/audio codec.
     * Derives pseudo-dimensions and a 8-dim byte-histogram "feature vector"
     * from the payload bytes alone, so tests are reproducible.
+    *
+    * The pseudo-dimensions are an md5-derived integer transform of the
+    * payload BYTES (first 4 digest bytes as an unsigned 32-bit int, mod
+    * 640/480) — not just the length — so the decode plumbing has an exact
+    * cross-engine oracle: any engine with md5 can recompute them and verify
+    * the payload actually flowed through the codec unchanged.
     */
   object FakeDecoder {
     def decode(id: Long, mime: String, payload: Array[Byte]): MediaFeatures = {
@@ -37,7 +43,11 @@ object Multimodal {
       val n = math.max(payload.length, 1)
       var j = 0
       while (j < 8) { hist(j) /= n.toFloat; j += 1 }
-      MediaFeatures(id, mime, payload.length, width = n % 640, height = n % 480, features = hist)
+      val md = java.security.MessageDigest.getInstance("MD5").digest(payload)
+      val h = ((md(0) & 0xffL) << 24) | ((md(1) & 0xffL) << 16) |
+        ((md(2) & 0xffL) << 8) | (md(3) & 0xffL)
+      MediaFeatures(id, mime, payload.length,
+        width = (h % 640L).toInt, height = (h % 480L).toInt, features = hist)
     }
   }
 

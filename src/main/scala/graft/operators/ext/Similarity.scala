@@ -164,24 +164,30 @@ object Similarity {
     * buckets. Sign bits are taken on the cosine-rounded projection to stay
     * engine-stable near zero.
     *
-    * The hyperplane dimension is derived from the data (size of the first
-    * vector) rather than trusted from the caller: a wrong dim would null-pad
-    * the projection via zip_with, collapse every sign bit to the
-    * otherwise-branch, and silently degrade to one O(n²) bucket.
-    * [[FloatDotProduct]] raises on ragged arrays, so a mixed-dim corpus fails
-    * loudly at re-score rather than returning silent nonsense.
+    * The signature projection is the native codegen'd [[FloatDotProduct]]
+    * against literal ±1 plane arrays — one tight loop per plane inside
+    * whole-stage codegen, no interpreted lambda, no intermediate array (the
+    * composed zip_with/aggregate form evaluates its lambdas interpreted per
+    * element, which on a full-corpus signature scan is the hot path).
+    *
+    * `dim` is the caller-declared embedding dimensionality (a data-contract
+    * property, like a schema): no driver-side data probe is needed to plan
+    * the query. A wrong declaration cannot degrade silently —
+    * [[FloatDotProduct]] raises on ragged arrays, so every row of a
+    * mismatched corpus fails loudly at projection time. Pass dim <= 0 to
+    * derive it from the first row instead (one-row action) when the contract
+    * is unknown.
     */
-  def lshTopK(emb: DataFrame, k: Int, numPlanes: Int): DataFrame = {
-    val dim = emb.select(size(col("embedding"))).head.getInt(0)
-    val p = prep(emb).withColumn("vd", expr("transform(v, x -> cast(x as double))"))
-    val planes = hyperplanes(numPlanes, dim)
+  def lshTopK(emb: DataFrame, k: Int, numPlanes: Int, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else emb.select(size(col("embedding"))).head.getInt(0)
+    val p = prep(emb)
+    val planes = hyperplanes(numPlanes, d)
     val sigBits = planes.zipWithIndex.map { case (plane, i) =>
-      val arr = s"array(${plane.mkString(", ")})"
-      val proj = expr(s"aggregate(zip_with(vd, $arr, (x, y) -> x * y), cast(0.0 as double), (s, q) -> s + q)")
-        .cast(DecimalType(18, 6))
+      val arr = s"array(${plane.map(x => s"cast($x as float)").mkString(", ")})"
+      val proj = expr(s"float_dot(v, $arr)").cast(DecimalType(18, 6))
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
-    val bucketed = p.withColumn("sig", sigBits).drop("vd")
+    val bucketed = p.withColumn("sig", sigBits)
     val scored = bucketed.as("a").join(bucketed.as("b"),
         col("a.sig") === col("b.sig") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cosCol)

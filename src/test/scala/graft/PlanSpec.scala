@@ -47,6 +47,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("x2_ann_lsh projects signatures through native float_dot, not interpreted lambdas") {
+    val p = plan("x2_ann_lsh")
+    assert(p.contains("float_dot"), s"expected native float_dot in plan:\n${p.take(2000)}")
+    // the composed zip_with/aggregate form would evaluate its lambdas
+    // interpreted per element on the full-corpus signature scan
+    assert(!p.contains("zip_with") && !p.contains("lambdafunction"),
+      s"interpreted lambda leaked into the signature projection:\n${p.take(2000)}")
+  }
+
   test("j5_range_join broadcasts the band table (fact side never shuffles for the join)") {
     assert(plan("j5_range_join").contains("BroadcastNestedLoopJoin"))
   }
@@ -129,9 +138,19 @@ class PlanSpec extends SparkSpec {
     // broadcast of the 2-value bounds row) — nothing repartitions by the
     // calendar, so keys fill independently at any scale
     val p = plan("w7_gap_fill")
-    val shuffles = "Exchange (?:hash|range)partitioning\\(([^,)]+)".r
-      .findAllMatchIn(p).map(_.group(1)).toSeq
-    assert(shuffles.nonEmpty && shuffles.forall(s => s.contains("key") || s.contains("user_id")),
-      s"unexpected non-key exchange in:\n$p")
+    // match EVERY shuffle Exchange node and whitelist explicitly:
+    // SinglePartition is the bounds min/max aggregate (2-value row,
+    // legitimately global); any other partitioning must be on the fill key;
+    // BroadcastExchange (the bounds row broadcast) is excluded by the
+    // lookbehind. A narrower regex would let an unexpected repartition hide
+    // by not matching at all.
+    val shuffles = "(?<![A-Za-z])Exchange (\\w+)(?:\\(([^,)]+))?".r
+      .findAllMatchIn(p).map(m => (m.group(1), Option(m.group(2)).getOrElse(""))).toSeq
+    assert(shuffles.nonEmpty, s"expected at least one exchange in:\n$p")
+    shuffles.foreach { case (kind, arg) =>
+      assert(kind == "SinglePartition" ||
+        (kind.endsWith("partitioning") && (arg.contains("key") || arg.contains("user_id"))),
+        s"unexpected exchange '$kind($arg)' in:\n$p")
+    }
   }
 }
