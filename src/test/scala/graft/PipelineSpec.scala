@@ -36,6 +36,16 @@ class PipelineSpec extends SparkSpec {
     // partition pruning columns recovered from layout
     assert(gold.filter(col("as_of_year") === 2022).count() == 5)
 
+    // declared schema contracts: Schemas.gold/serving must equal what the
+    // pipeline actually emits (they drifted once; this pins them). Names and
+    // types — nullability is lossy through a parquet round-trip.
+    assert(gold.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      graft.model.Schemas.gold.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"gold schema drifted from Schemas.gold: ${gold.schema.simpleString}")
+    assert(serving.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      graft.model.Schemas.serving.fields.map(f => (f.name, f.dataType)).toSeq,
+      s"serving schema drifted from Schemas.serving: ${serving.schema.simpleString}")
+
     // serving: all strings + id, landed in both sinks
     assert(serving.schema.fields.forall(_.dataType == StringType))
     assert(wh.read(spark, "gold_serving").count() == 5)

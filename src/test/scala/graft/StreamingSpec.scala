@@ -51,6 +51,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamDedup plan: DeduplicateWithinWatermark behind a watermark (state evicts at the horizon)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(String, java.math.BigDecimal, Timestamp)]
+    val ticks = mem.toDF().toDF("symbol", "price", "ingest_ts")
+    val analyzed = Streaming.streamDedup(ticks, "1 minute").queryExecution.analyzed.toString()
+    // the *WithinWatermark* variant is what bounds dedup state: a plain
+    // Deduplicate over a stream would keep every key seen forever
+    assert(analyzed.contains("DeduplicateWithinWatermark"),
+      s"expected watermark-bounded dedup state:\n$analyzed")
+    assert(analyzed.contains("EventTimeWatermark"),
+      s"expected an event-time watermark feeding the dedup:\n$analyzed")
+  }
+
+  test("intervalJoin plan: watermarks on BOTH sides + two-sided time bound (join state evictable)") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val lm = MemoryStream[(Long, Timestamp)]
+    val rm = MemoryStream[(Long, Timestamp)]
+    val joined = Streaming.intervalJoin(
+      lm.toDF().toDF("l_key", "l_ts"), rm.toDF().toDF("r_key", "r_ts"),
+      "l_key", "r_key", "l_ts", "r_ts", "30 seconds", "1 minute")
+    val analyzed = joined.queryExecution.analyzed.toString()
+    // one watermark per input: with either missing, Spark must buffer that
+    // side's join state forever (state ∝ stream history, not rate × horizon)
+    assert("EventTimeWatermark".r.findAllIn(analyzed).length == 2,
+      s"expected a watermark on each join input:\n$analyzed")
+    // the condition must bound the right timestamp on BOTH ends — the upper
+    // bound (INTERVAL horizon) is what lets the left side's state evict.
+    // (Watermarked attributes print with a -T<delay>ms tag, hence the regex.)
+    assert("r_ts#\\d+-T\\d+ms >= l_ts".r.findFirstIn(analyzed).isDefined &&
+      "r_ts#\\d+-T\\d+ms <= ".r.findFirstIn(analyzed).isDefined &&
+      analyzed.contains("INTERVAL"),
+      s"expected a two-sided time-bound join condition:\n$analyzed")
+  }
+
   test("checkpoint restart: resumes from committed offsets with dedup state intact (exactly-once)") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
