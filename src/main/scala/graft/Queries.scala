@@ -1678,6 +1678,32 @@ object Queries {
         |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS INTEGER) AS rk FROM scored)
         |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
 
+    // X2 — SemDeDup-shaped semantic dedup: coarse-quantize embeddings into
+    // cells, drop every vector with a lower-id near-duplicate cell-mate
+    // (greedy min-id keep). Deterministic stand-in quantizer → the full
+    // assign + within-cell pair + keep-rule pipeline is oracle-checked.
+    Q("x2_semantic_dedup",
+      (s, dir) => Similarity.semanticDedup(rd(s, dir, "embeddings"), 32,
+          new java.math.BigDecimal("0.400000"))
+        .orderBy("vec_id"),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM s WHERE vec_id < 32),
+        |sim AS (SELECT s.vec_id, c.cell,
+        |  CAST(list_dot_product(s.v, c.cv) / (s.nrm * c.cnrm) AS DECIMAL(10,6)) AS csim
+        |  FROM s CROSS JOIN c),
+        |ranked AS (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crk FROM sim),
+        |assigned AS (SELECT r.vec_id, r.cell, s.v, s.nrm FROM ranked r
+        |  JOIN s ON s.vec_id = r.vec_id WHERE r.crk = 1),
+        |dropped AS (SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
+        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6))
+        |    >= CAST(0.4 AS DECIMAL(10,6)))
+        |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+        |FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin)),
+
     // X3 — rolling polynomial fingerprint (order-sensitive Rabin-Karp-shaped
     // fold; oracle mirrors the fold via list_reduce with a prepended init).
     Q("x3_rolling_fingerprint",

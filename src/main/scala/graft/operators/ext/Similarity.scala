@@ -160,6 +160,48 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** X2: semantic deduplication (SemDeDup-shaped, per the public technique:
+    * cluster embeddings with a coarse quantizer, then within each cell drop
+    * all but one representative of every near-duplicate semantic group).
+    *
+    * Greedy min-id keep rule: a vector is dropped iff its rounded cosine to
+    * some LOWER-id cell-mate reaches minCos; survivors are dominated by no
+    * lower id. Deterministic (decimal cosines, integer ids) and single-pass
+    * over within-cell pairs — no iterative component labeling. 100 TB shape:
+    * the quantizer bounds the quadratic term per-cell (cells are the unit of
+    * shuffle), never corpus-wide; the same cheap-double prefilter as
+    * [[cosinePairs]] keeps the decimal cast off hopeless pairs.
+    *
+    * With trainIters=0 the quantizer is the deterministic stand-in (first
+    * nlist vectors by id), making the whole operator oracle-checkable; with
+    * trainIters > 0 the same pipeline runs on seeded-KMeans centroids.
+    */
+  def semanticDedup(emb: DataFrame, nlist: Int, minCos: java.math.BigDecimal,
+                    trainIters: Int = 0): DataFrame = {
+    val p = prep(emb)
+    val cents = broadcast(
+      if (trainIters > 0) kmeansCentroids(emb, nlist, trainIters, seed = 42L)
+      else p.filter(col("vec_id") < nlist)
+        .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm")))
+    val simToCent = (expr("float_dot(v, cv)") / (col("nrm") * col("cnrm")))
+      .cast(DecimalType(10, 6))
+    val assigned = p.join(cents)
+      .withColumn("csim", simToCent)
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val rawCos = expr("float_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm"))
+    val dropped = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(rawCos >= lit(minCos.doubleValue() - 1e-6))
+      .filter(rawCos.cast(DecimalType(10, 6)) >= lit(minCos))
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.select("vec_id", "cell")
+      .join(dropped.select(col("vec_id"), lit(true).as("dropped")), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), col("dropped").isNull.as("keep"))
+  }
+
   /** X2 scale path: random-hyperplane LSH bucketing + exact re-score within
     * buckets. Sign bits are taken on the cosine-rounded projection to stay
     * engine-stable near zero.

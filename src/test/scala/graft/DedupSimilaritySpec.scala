@@ -75,6 +75,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res(2L) == 3L && res(3L) == 2L) // nearest neighbour within the cell
   }
 
+  test("semanticDedup keeps the min id of each within-cell near-dup group") {
+    val df = embeddings(
+      (0L, Seq(1f, 0f, 0f)), (1L, Seq(0f, 1f, 0f)),          // act as centroids
+      (2L, Seq(0.9f, 0.1f, 0f)), (3L, Seq(0.9f, 0.1f, 0f)),  // dup pair → 3 dropped
+      (4L, Seq(0f, 0.9f, 0.2f)))                              // alone near cell 1
+    val res = Similarity.semanticDedup(df, nlist = 2, new java.math.BigDecimal("0.999000"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(res(2L) && !res(3L), "higher id of the dup pair must be dropped")
+    assert(res(4L), "a vector with no near-dup cell-mate survives")
+    assert(res.count(!_._2) == 1)
+  }
+
   test("ivfTopK recall vs brute force on real embeddings (nprobe=4 of 16 cells)") {
     val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
     val exact = Similarity.annTopK(emb, 1, 30).collect()
