@@ -217,11 +217,14 @@ object Dedup {
     *
     * Iterative min-label propagation to fixpoint: each hop, every node takes
     * the min of its own label and its neighbours' labels — narrow (id, label)
-    * shuffles only. Hops per materialized round DOUBLE (1, 2, 4, then 8 per
-    * round): the wall-clock cost is dominated by fixed per-round overhead
-    * (one localCheckpoint job + one scalar-count job), not the tiny label
-    * shuffles, so covering a diameter-d component takes O(log d) materialized
-    * rounds instead of O(d). The fixpoint (min id per component) is
+    * shuffles only. Hops per materialized round double, 2 → 4 → capped at 4:
+    * per-round cost has a fixed floor (one localCheckpoint job + one
+    * scalar-count job), so batching hops amortizes it and covers a
+    * diameter-d component in O(d/4) cheap rounds — while the cap keeps the
+    * final confirmation round (which always runs a full batch to observe
+    * zero changes) from burning a long speculative chain past the fixpoint
+    * (profiled: an 8-hop chain cost more than every earlier round combined,
+    * for changed=0). The fixpoint (min id per component) is
     * path-independent — identical under any partitioning, any hop schedule,
     * and in the oracle's recursive-CTE formulation.
     *
@@ -235,8 +238,15 @@ object Dedup {
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                     aCol: String = "id_a", bCol: String = "id_b",
                     maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    // Symmetrize via explode, not union-of-two-selects: a union reads its
+    // input twice, and each branch would re-execute the caller's entire pair
+    // pipeline (for LSH pairs, the full verify join — measured as the single
+    // largest cost of the declared query). The explode emits both directions
+    // in ONE pass over one execution of the pair plan.
+    val edges = pairs.select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().localCheckpoint(true)
     // Only nodes that appear in an edge participate in propagation: every
     // other document is a singleton cluster by construction and rejoins at
@@ -265,7 +275,7 @@ object Dedup {
     // null-poison any sum-based convergence probe.)
     var converged = labels.isEmpty
     var it = 0
-    var hops = 1
+    var hops = 2
     while (!converged && it < maxIters) {
       val stepped = (1 until hops).foldLeft(labels)((l, _) => hop(l))
       val prop = hopTagged(stepped).localCheckpoint(true)
@@ -273,7 +283,7 @@ object Dedup {
         .head.getLong(0)
       converged = changed == 0L
       labels = prop.select("doc_id", "cluster")
-      hops = math.min(hops * 2, 8)
+      hops = math.min(hops * 2, 4)
       it += 1
     }
     if (!converged)
