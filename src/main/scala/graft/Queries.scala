@@ -1463,6 +1463,25 @@ object Queries {
       Some("SELECT doc_id, lang FROM documents WHERE md5(text) NOT IN " +
         "(SELECT md5(text) FROM documents WHERE doc_id < 100) ORDER BY doc_id")),
 
+    // X1/X7 — n-gram-level decontamination: flag every document sharing any
+    // word 5-gram with the benchmark stand-in (first 100 doc ids). Catches
+    // embedded/quoted test items that exact-fingerprint decontamination
+    // misses; benchmark grams broadcast, corpus shingles map-side.
+    Q("x1_decontaminate_ngram",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        Dedup.ngramContamination(docs, "doc_id", "text",
+            docs.filter(col("doc_id") < 100), 5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, unnest(list_filter(list_transform(range(0, len(ws) + 1),
+        |  i -> CASE WHEN i + 5 <= len(ws) THEN array_to_string(ws[i+1:i+5], ' ') END),
+        |  x -> x IS NOT NULL)) AS tok FROM ws),
+        |bg AS (SELECT DISTINCT tok FROM g WHERE doc_id < 100)
+        |SELECT doc_id, count(*) AS n_hits FROM g JOIN bg USING (tok)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // X1/X2 — the end of the near-dup pipeline: cluster assignment over the
     // MinHash pair list (connected components by min-label propagation).
     // The oracle reaches the same fixpoint through a recursive CTE — min

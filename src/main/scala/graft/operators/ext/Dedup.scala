@@ -209,6 +209,28 @@ object Dedup {
         lit(threshNum) * (col("size_a") + col("size_b") - col("overlap")))
   }
 
+  /** X1/X7: n-gram-level decontamination — flag every training document that
+    * shares ANY word n-gram with a held-out benchmark set. This is the form
+    * LLM training corpora need: exact-fingerprint decontamination only
+    * catches verbatim duplicates, while an n-gram collision also catches
+    * benchmark items quoted or embedded inside a larger document.
+    *
+    * Returns (doc_id, n_hits) for flagged documents only — n_hits = number
+    * of distinct colliding n-grams; callers anti-join on doc_id to drop.
+    *
+    * 100 TB shape: the benchmark side is tiny (a test set), so its distinct
+    * n-grams broadcast; the corpus side shingles map-side and only colliding
+    * (doc, gram) rows reach the count's one key shuffle — a linear scan of
+    * the corpus regardless of benchmark count.
+    */
+  def ngramContamination(docs: DataFrame, idCol: String, textCol: String,
+                         bench: DataFrame, n: Int): DataFrame = {
+    val corpusGrams = shingles(docs, idCol, textCol, n)
+    val benchGrams = shingles(bench, idCol, textCol, n).select("tok").distinct()
+    corpusGrams.join(broadcast(benchGrams), Seq("tok"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** Dedup-cluster assignment: connected-component labeling over a near-dup
     * pair list. Every document gets the minimum doc_id reachable through
     * pair edges — its cluster id — so downstream keeps one survivor per

@@ -43,6 +43,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(sig(1L) != sig(3L))
   }
 
+  test("ngramContamination flags docs embedding a benchmark n-gram, counts distinct hits") {
+    val corpus = docs(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (11L, "intro words then the quick brown fox jumps here"), // embeds bench 5-gram
+      (12L, "completely unrelated text with no overlap at all"))
+    val bench = docs((0L, "the quick brown fox jumps"))
+    val res = Dedup.ngramContamination(corpus, "doc_id", "text", bench, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res.contains(10L) && res.contains(11L), "both docs embed the benchmark 5-gram")
+    assert(!res.contains(12L), "clean doc must not be flagged")
+    assert(res(11L) == 1L, "exactly one distinct colliding 5-gram")
+  }
+
   private def embeddings(rows: (Long, Seq[Float])*) = {
     import spark.implicits._
     rows.toDF("vec_id", "embedding")
