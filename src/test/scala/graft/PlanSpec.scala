@@ -56,6 +56,18 @@ class PlanSpec extends SparkSpec {
       s"interpreted lambda leaked into the signature projection:\n${p.take(2000)}")
   }
 
+  test("x1_decontaminate_ngram broadcasts benchmark grams (corpus side never shuffles for the join)") {
+    val p = plan("x1_decontaminate_ngram")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the benchmark-gram join to broadcast:\n${p.take(2000)}")
+  }
+
+  test("x2_semantic_dedup broadcasts the centroid table for cell assignment") {
+    val p = plan("x2_semantic_dedup")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast centroids (assignment must stay a linear scan):\n${p.take(2000)}")
+  }
+
   test("j5_range_join broadcasts the band table (fact side never shuffles for the join)") {
     assert(plan("j5_range_join").contains("BroadcastNestedLoopJoin"))
   }
