@@ -165,5 +165,7 @@ object ArrayOps {
       "sorted_overlap", (exprs: Seq[Expression]) => SortedOverlapCount(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "char_ngrams", (exprs: Seq[Expression]) => CharNgrams(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_ngrams", (exprs: Seq[Expression]) => WordNgrams(exprs(0), exprs(1)), "built-in")
   }
 }

@@ -41,20 +41,19 @@ object Dedup {
 
   /** Word-shingle sets of size n (n-gram tokens) per document, for n-gram
     * Jaccard. n=1 degenerates to [[tokens]].
+    *
+    * Shingling runs through the native word_ngrams Generator
+    * (functions/WordNgrams.scala): the composed HOF form evaluated three
+    * nested interpreted lambdas per element and materialized the full window
+    * array per document before exploding — the hot path of every n-gram
+    * query. Output semantics are identical (space-split, empties dropped,
+    * size-n+1 windows, distinct per document).
     */
   def shingles(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     if (n <= 1) return tokens(docs, idCol, textCol)
-    // sliding word windows via transform over index range — no UDF. The
-    // sequence is always 0..size (ascending, never empty); windows that would
-    // run past the end are nulled and filtered, giving size-n+1 shingles.
-    docs.select(
-        col(idCol).as("doc_id"),
-        expr(s"filter(split($textCol, ' '), x -> x != '')").as("ws"))
-      .select(col("doc_id"), explode(expr(
-        s"filter(transform(sequence(0, size(ws)), " +
-          s"i -> case when i + $n <= size(ws) then concat_ws(' ', slice(ws, i + 1, $n)) end), x -> x is not null)"
-      )).as("tok"))
-      .filter(col("tok") =!= "").distinct()
+    graft.functions.ArrayOps.register(docs.sparkSession)
+    docs.select(col(idCol).as("doc_id"), expr(s"word_ngrams($textCol, $n)"))
+      .select(col("doc_id"), col("ngram").as("tok")).distinct()
   }
 
   /** Exact n-gram Jaccard similarity join: pairs with

@@ -77,13 +77,13 @@ object TextAnalysis {
     * the rank — nothing here grows faster than the distinct-bigram count.
     */
   def topBigramsPerLang(docs: DataFrame, langCol: String, textCol: String, k: Int): DataFrame = {
-    val t = toks(textCol)
     import org.apache.spark.sql.expressions.Window
-    docs.filter(expr(s"size($t) >= 2"))
-      .select(col(langCol).as("lang"),
-        explode(expr(
-          s"transform(sequence(1, size($t) - 1), i -> concat(element_at($t, i), ' ', element_at($t, i + 1)))"))
-          .as("bigram"))
+    // bigram multiset via the native word_ngrams Generator (lazy rows, no
+    // interpreted HOF lambdas, no per-document window array) — counts keep
+    // duplicate occurrences, so no distinct here
+    graft.functions.ArrayOps.register(docs.sparkSession)
+    docs.select(col(langCol).as("lang"), expr(s"word_ngrams($textCol, 2)"))
+      .select(col("lang"), col("ngram").as("bigram"))
       .groupBy("lang", "bigram").agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("lang")).orderBy(col("cnt").desc, col("bigram"))))

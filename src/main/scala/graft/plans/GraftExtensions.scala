@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharNgrams, FloatDotProduct, PortableHllAgg, SortedOverlapCount}
+import graft.functions.{CharNgrams, FloatDotProduct, PortableHllAgg, SortedOverlapCount, WordNgrams}
 
 /** Library entry point for `spark.sql.extensions=graft.plans.GraftExtensions`:
   * injects graft's native expressions into every session built on the
@@ -30,5 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("char_ngrams"),
       new ExpressionInfo(classOf[CharNgrams].getName, "char_ngrams"),
       (exprs: Seq[Expression]) => CharNgrams(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("word_ngrams"),
+      new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
+      (exprs: Seq[Expression]) => WordNgrams(exprs(0), exprs(1))))
   }
 }

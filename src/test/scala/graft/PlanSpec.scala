@@ -56,6 +56,12 @@ class PlanSpec extends SparkSpec {
       s"interpreted lambda leaked into the signature projection:\n${p.take(2000)}")
   }
 
+  test("x3_ngram_freq shingles through the native word_ngrams generator, lambda-free") {
+    val p = plan("x3_ngram_freq")
+    assert(p.contains("Generate word_ngrams"), s"expected native generator:\n${p.take(2000)}")
+    assert(!p.contains("lambdafunction"), s"interpreted HOF leaked into the plan:\n${p.take(2000)}")
+  }
+
   test("x1_decontaminate_ngram broadcasts benchmark grams (corpus side never shuffles for the join)") {
     val p = plan("x1_decontaminate_ngram")
     assert(p.contains("BroadcastHashJoin"),

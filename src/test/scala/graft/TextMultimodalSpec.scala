@@ -80,4 +80,22 @@ class TextMultimodalSpec extends SparkSpec {
       .select("g.pos", "g.ngram")
     assert(native.collect().toSet == composed.collect().toSet)
   }
+
+  test("word_ngrams matches the composed filter/transform/slice shingle form") {
+    import spark.implicits._
+    graft.functions.ArrayOps.register(spark)
+    // double spaces, leading/trailing space, short and null rows
+    val df = Seq("the quick  brown fox jumps", " a b ", "one", null)
+      .toDF("t")
+    val native = df.select(expr("word_ngrams(t, 2)")).select("pos", "ngram")
+    val composed = df
+      .select(expr("filter(split(t, ' '), x -> x != '')").as("ws"))
+      .select(explode(expr(
+        "filter(transform(sequence(0, size(ws)), " +
+          "i -> case when i + 2 <= size(ws) then struct(i + 1 AS pos, concat_ws(' ', slice(ws, i + 1, 2)) AS ngram) end), " +
+          "x -> x is not null)")).as("g"))
+      .select("g.pos", "g.ngram")
+    assert(native.collect().toSet == composed.collect().toSet)
+    assert(native.count() == 4 + 1 + 0) // 5-token, 2-token, 1-token, null
+  }
 }
