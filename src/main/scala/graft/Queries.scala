@@ -1463,6 +1463,30 @@ object Queries {
       Some("SELECT doc_id, lang FROM documents WHERE md5(text) NOT IN " +
         "(SELECT md5(text) FROM documents WHERE doc_id < 100) ORDER BY doc_id")),
 
+    // X1/X7 — near-dup decontamination (third form, completing exact/n-gram):
+    // drop every document MinHash-LSH-linked to a benchmark doc (first 100
+    // ids), then the benchmark itself. Catches paraphrase-level leaks that
+    // survive both exact fingerprints and literal n-gram collisions. The
+    // oracle replays the full LSH pipeline plus the link-closure in SQL.
+    Q("x1_decontaminate_neardup",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 19, 20)
+        val contaminated = pairs.filter(col("id_a") < 100).select(col("id_b").as("doc_id"))
+          .union(pairs.filter(col("id_b") < 100).select(col("id_a").as("doc_id")))
+          .distinct()
+        docs.select(col("doc_id"), col("lang"))
+          .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+          .filter(col("doc_id") >= 100)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH ${duckMinhashCtes(duckToks, 8, 19, 20)},
+        |contaminated AS (SELECT id_b AS doc_id FROM verified WHERE id_a < 100
+        |  UNION SELECT id_a FROM verified WHERE id_b < 100)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id >= 100 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+        |ORDER BY doc_id""".stripMargin)),
+
     // X1/X7 — n-gram-level decontamination: flag every document sharing any
     // word 5-gram with the benchmark stand-in (first 100 doc ids). Catches
     // embedded/quoted test items that exact-fingerprint decontamination
