@@ -1721,6 +1721,22 @@ object Queries {
         |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS INTEGER) AS rk FROM scored)
         |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
 
+    // X2 — per-dimension int8 quantization of the embedding column (the
+    // standard 4× compression before a large-scale vector index). Affine
+    // scale rounded to DECIMAL(10,6) before the floor, so both engines
+    // bucket identically; per-dim stats shuffle at most (dim) rows.
+    Q("x2_quantize_int8",
+      (s, dir) => Similarity.quantizeInt8(rd(s, dir, "embeddings"))
+        .orderBy("vec_id", "pos"),
+      Some("""WITH x AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS ord,
+        |  unnest(CAST(embedding AS DOUBLE[])) AS u FROM embeddings),
+        |s AS (SELECT ord, min(u) AS mn, max(u) AS mx FROM x GROUP BY ord)
+        |SELECT vec_id, CAST(x.ord - 1 AS INTEGER) AS pos,
+        |  CASE WHEN s.mx = s.mn THEN 0
+        |    ELSE CAST(least(floor(CAST(CAST(255 AS DOUBLE) * (x.u - s.mn) / (s.mx - s.mn) AS DECIMAL(10,6))), 255) AS INTEGER)
+        |  END AS q
+        |FROM x JOIN s USING (ord) ORDER BY vec_id, pos""".stripMargin)),
+
     // X2 — SemDeDup-shaped semantic dedup: coarse-quantize embeddings into
     // cells, drop every vector with a lower-id near-duplicate cell-mate
     // (greedy min-id keep). Deterministic stand-in quantizer → the full

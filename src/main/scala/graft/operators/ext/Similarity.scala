@@ -84,6 +84,34 @@ object Similarity {
       .agg(sum(col("x").cast("double").cast(DecimalType(16, 6))).cast(DecimalType(20, 6)).as("csum"),
         count(lit(1)).as("n"))
 
+  /** X2: per-dimension affine int8 quantization of the embedding column —
+    * the standard compression step before building a large-scale vector
+    * index (4× smaller vectors, integer distance kernels). Returns exploded
+    * (vec_id, pos, q) rows with q in [0, 255]: q = floor(255·(x−min)/(max−min))
+    * per dimension, clamped so x=max lands on 255; a constant dimension
+    * (max=min) quantizes to 0.
+    *
+    * Determinism: the affine scale is computed in IEEE double (bit-identical
+    * across engines for identical inputs) and rounded to DECIMAL(10,6)
+    * BEFORE the floor, so a sub-ulp difference can never flip a bucket;
+    * floor on a decimal is exact in any engine.
+    *
+    * 100 TB shape: per-dim min/max is a posexplode + partially-aggregated
+    * groupBy(pos) — the shuffle carries at most (dim) rows per map
+    * partition — and the stats broadcast back for the quantization scan.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame = {
+    val x = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .withColumn("u", col("v").cast("double"))
+    val stats = x.groupBy("pos").agg(min("u").as("mn"), max("u").as("mx"))
+    val scaled = (lit(255.0) * (col("u") - col("mn")) / (col("mx") - col("mn")))
+      .cast(DecimalType(10, 6))
+    x.join(broadcast(stats), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        when(col("mx") === col("mn"), lit(0))
+          .otherwise(least(floor(scaled), lit(255)).cast("int")).as("q"))
+  }
+
   /** Fixed random hyperplanes (seeded, literal — shared with tests). Each
     * plane is a dim-length vector of ±1 derived from a deterministic xorshift.
     */

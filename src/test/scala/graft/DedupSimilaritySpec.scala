@@ -88,6 +88,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res(2L) == 3L && res(3L) == 2L) // nearest neighbour within the cell
   }
 
+  test("quantizeInt8: min maps to 0, max to 255, constant dims to 0, all in range") {
+    val df = embeddings(
+      (0L, Seq(0f, 5f, 7f)), (1L, Seq(10f, 5f, 3f)), (2L, Seq(2f, 5f, 5f)))
+    val q = Similarity.quantizeInt8(df).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getInt(2)).toMap
+    assert(q((0L, 0)) == 0 && q((1L, 0)) == 255) // dim-0 min and max
+    assert(q((2L, 0)) == 51)                     // 255 * 2/10 = 51 exactly
+    assert(Seq(0L, 1L, 2L).forall(i => q((i, 1)) == 0)) // constant dim
+    assert(q.values.forall(v => v >= 0 && v <= 255))
+  }
+
   test("semanticDedup keeps the min id of each within-cell near-dup group") {
     val df = embeddings(
       (0L, Seq(1f, 0f, 0f)), (1L, Seq(0f, 1f, 0f)),          // act as centroids
