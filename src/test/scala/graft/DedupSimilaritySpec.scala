@@ -167,6 +167,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"LSH top-1 recall $recall too low")
   }
 
+  test("semanticDedup with trained KMeans quantizer drops a planted near-duplicate deterministically") {
+    // plant one exact duplicate pair inside real embeddings; the trained-path
+    // pipeline (KMeans cells instead of the stand-in) must drop the higher id
+    // of the pair (same cell — identical vectors always assign together) and
+    // be run-to-run deterministic (seeded init)
+    val base = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select("vec_id", "embedding").filter(col("vec_id") < 200)
+    val dup = base.filter(col("vec_id") === 7L)
+      .select((col("vec_id") + 10000L).as("vec_id"), col("embedding"))
+    val emb = base.unionByName(dup)
+    def run() = Similarity.semanticDedup(emb, nlist = 8,
+        new java.math.BigDecimal("0.999000"), trainIters = 5)
+      .collect().map(r => (r.getLong(0), r.getBoolean(2))).sortBy(_._1).toSeq
+    val a = run()
+    val m = a.toMap
+    assert(m(7L), "lower id of the planted duplicate pair survives")
+    assert(!m(10007L), "higher id of the planted duplicate pair is dropped")
+    assert(a == run(), "trained path must be deterministic across runs")
+  }
+
   test("ivfTopK recall with seeded-KMeans centroids (nprobe=4 of 16 cells)") {
     val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
     val exact = Similarity.annTopK(emb, 1, 30).collect()
