@@ -567,8 +567,17 @@ object Queries {
     // precision on both engines), asserting stream/batch join equivalence.
     Q("stream_stream_join",
       (s, dir) => {
-        val batchSchema = rd(s, dir, "events").schema
-        def stream(kind: String, prefix: String) = s.readStream.schema(batchSchema)
+        // Isolated session clone: a symmetric stream join keeps one state
+        // store per shuffle partition per side, and each micro-batch pays a
+        // commit per store — the dominant cost at this input rate. Partition
+        // count should track throughput (state ∝ rate × horizon), so size it
+        // to the actual stream rate on a private session instead of the
+        // batch-wide default; nothing leaks into concurrently-running
+        // queries (newSession shares the context, not runtime conf).
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val batchSchema = rd(ss, dir, "events").schema
+        def stream(kind: String, prefix: String) = ss.readStream.schema(batchSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
           .filter(col("event_type") === kind)
           .select(col("user_id").as(s"${prefix}_user"),
@@ -580,7 +589,7 @@ object Queries {
             "c_user", "p_user", "c_ts", "p_ts", "1 hour", "30 minutes")
           .writeStream.format("memory").queryName(name).outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
-        s.table(name).select(col("c_id").as("click_id"), col("p_id").as("purchase_id"))
+        ss.table(name).select(col("c_id").as("click_id"), col("p_id").as("purchase_id"))
           .orderBy("click_id", "purchase_id")
       },
       Some("SELECT a.event_id AS click_id, b.event_id AS purchase_id " +
