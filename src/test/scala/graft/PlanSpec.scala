@@ -68,6 +68,18 @@ class PlanSpec extends SparkSpec {
       s"expected the benchmark-gram join to broadcast:\n${p.take(2000)}")
   }
 
+  test("x2_quantize_int8 broadcasts the per-dim stats back to the quantization scan") {
+    val p = plan("x2_quantize_int8")
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected broadcast dim-stats (the corpus scan must never shuffle for them):\n${p.take(2000)}")
+  }
+
+  test("x1_decontaminate_neardup anti-joins a broadcast contaminated set") {
+    val p = plan("x1_decontaminate_neardup")
+    assert(p.contains("LeftAnti") && p.contains("Broadcast"),
+      s"expected a broadcast anti-join against the contaminated ids:\n${p.take(2000)}")
+  }
+
   test("x2_semantic_dedup broadcasts the centroid table for cell assignment") {
     val p = plan("x2_semantic_dedup")
     assert(p.contains("BroadcastNestedLoopJoin"),
