@@ -1472,6 +1472,24 @@ object Queries {
       Some("SELECT doc_id, lang FROM documents WHERE md5(text) NOT IN " +
         "(SELECT md5(text) FROM documents WHERE doc_id < 100) ORDER BY doc_id")),
 
+    // X6 — token-budget corpus selection: per language, keep documents in
+    // deterministic priority order (n_chars desc, doc_id) until the running
+    // total reaches the budget — the budget-constrained selection step of
+    // training-mix assembly. One key-partitioned window; the total order
+    // makes Spark's default RANGE frame equal ROWS on both engines.
+    Q("x6_budget_select",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+        rd(s, dir, "documents").select("doc_id", "lang", "n_chars")
+          .withColumn("cum", sum("n_chars").over(w))
+          .filter(col("cum") <= 20000)
+          .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+      },
+      Some("SELECT doc_id, lang, n_chars FROM (SELECT doc_id, lang, n_chars, " +
+        "sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS cum " +
+        "FROM documents) WHERE cum <= 20000 ORDER BY doc_id")),
+
     // X1/X7 — near-dup decontamination (third form, completing exact/n-gram):
     // drop every document MinHash-LSH-linked to a benchmark doc (first 100
     // ids), then the benchmark itself. Catches paraphrase-level leaks that
