@@ -1764,6 +1764,29 @@ object Queries {
         |  END AS q
         |FROM x JOIN s USING (ord) ORDER BY vec_id, pos""".stripMargin)),
 
+    // X2 — top-3 neighbours by integer dot product over the int8-quantized
+    // vectors (the search side of the quantized index path; exact integer
+    // scores, so the whole path hash-checks with no rounding discipline).
+    // Queries bounded at vec_id < 50 like the other declared baselines.
+    Q("x2_ann_quantized",
+      (s, dir) => Similarity.quantizedTopK(rd(s, dir, "embeddings"), 3, 50)
+        .orderBy("id_a", "rk"),
+      Some("""WITH x AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS ord,
+        |  unnest(CAST(embedding AS DOUBLE[])) AS u FROM embeddings),
+        |s AS (SELECT ord, min(u) AS mn, max(u) AS mx FROM x GROUP BY ord),
+        |qz AS (SELECT vec_id, x.ord,
+        |  CASE WHEN s.mx = s.mn THEN 0
+        |    ELSE CAST(least(floor(CAST(CAST(255 AS DOUBLE) * (x.u - s.mn) / (s.mx - s.mn) AS DECIMAL(10,6))), 255) AS INTEGER)
+        |  END AS q
+        |  FROM x JOIN s USING (ord)),
+        |v AS (SELECT vec_id, list(CAST(q AS DOUBLE) ORDER BY ord) AS qv FROM qz GROUP BY vec_id),
+        |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id WHERE a.vec_id < 50)
+        |SELECT id_a, id_b, dot, rk FROM (SELECT id_a, id_b, dot,
+        |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY dot DESC, id_b) AS INTEGER) AS rk FROM scored)
+        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
+
     // X2 — SemDeDup-shaped semantic dedup: coarse-quantize embeddings into
     // cells, drop every vector with a lower-id near-duplicate cell-mate
     // (greedy min-id keep). Deterministic stand-in quantizer → the full
