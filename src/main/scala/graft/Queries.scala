@@ -1499,8 +1499,14 @@ object Queries {
       (s, dir) => {
         val docs = rd(s, dir, "documents")
         val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 19, 20)
-        val contaminated = pairs.filter(col("id_a") < 100).select(col("id_b").as("doc_id"))
-          .union(pairs.filter(col("id_b") < 100).select(col("id_a").as("doc_id")))
+        // Single-pass both-direction emit (explode over conditional array):
+        // a union of two selects would execute the LSH verify join TWICE —
+        // minhashLshPairs checkpoints its intermediates but not its final
+        // verify join, the most expensive stage of this query.
+        val contaminated = pairs.select(explode(array(
+            when(col("id_a") < 100, col("id_b")),
+            when(col("id_b") < 100, col("id_a")))).as("doc_id"))
+          .filter(col("doc_id").isNotNull)
           .distinct()
         docs.select(col("doc_id"), col("lang"))
           .join(broadcast(contaminated), Seq("doc_id"), "left_anti")

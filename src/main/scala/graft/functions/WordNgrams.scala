@@ -47,7 +47,14 @@ case class WordNgrams(child: Expression, nExpr: Expression)
     else if (nExpr.dataType != IntegerType || !nExpr.foldable)
       TypeCheckResult.TypeCheckFailure(
         s"word_ngrams expects a foldable integer n, got ${nExpr.sql}")
-    else TypeCheckResult.TypeCheckSuccess
+    else nExpr.eval(InternalRow.empty) match {
+      // n is foldable, so its value is known at analysis time: reject
+      // non-positive n here so misuse fails loudly instead of silently
+      // generating zero rows at runtime.
+      case i: java.lang.Integer if i.intValue() > 0 => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_ngrams expects a positive n, got $other")
+    }
   }
 
   override def elementSchema: StructType = StructType(Seq(
@@ -56,7 +63,7 @@ case class WordNgrams(child: Expression, nExpr: Expression)
 
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val v = child.eval(input)
-    if (v == null || n <= 0) Iterator.empty
+    if (v == null) Iterator.empty
     else {
       // UTF8String.split mirrors SQL split(str, ' ') exactly (regex, limit
       // -1); dropping zero-byte tokens matches the filter(x != '') step.

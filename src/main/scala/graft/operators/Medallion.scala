@@ -66,11 +66,17 @@ object Medallion {
     * count rows per sorted partition, prefix-sum the counts on the driver
     * (O(#partitions)), then assign offsets per partition. Fully parallel, no
     * global window.
+    *
+    * The sorted frame is eagerly localCheckpoint'ed so the count pass and the
+    * assignment pass read the SAME materialized partitions: without the cut,
+    * each `.rdd` action re-executes repartitionByRange + sort from the
+    * lineage — two full range-shuffles and sorts for one logical sort.
     */
   def withScalableSurrogateId(df: DataFrame, orderCols: Seq[String]): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.repartitionByRange(orderCols.map(col): _*)
       .sortWithinPartitions(orderCols.map(col): _*)
+      .localCheckpoint(true)
     val schema = org.apache.spark.sql.types.StructType(
       org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType, false) +:
         sorted.schema.fields.toSeq)

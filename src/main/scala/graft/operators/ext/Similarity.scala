@@ -218,10 +218,19 @@ object Similarity {
     * cluster embeddings with a coarse quantizer, then within each cell drop
     * all but one representative of every near-duplicate semantic group).
     *
-    * Greedy min-id keep rule: a vector is dropped iff its rounded cosine to
-    * some LOWER-id cell-mate reaches minCos; survivors are dominated by no
-    * lower id. Deterministic (decimal cosines, integer ids) and single-pass
-    * over within-cell pairs — no iterative component labeling. 100 TB shape:
+    * Min-id keep rule — an intentional SINGLE-PASS approximation of the
+    * sequential-greedy rule the SemDeDup paper describes: a vector is
+    * dropped iff its rounded cosine to ANY lower-id cell-mate reaches
+    * minCos, including cell-mates that were themselves dropped. On a chain
+    * a-b-c (a~b, b~c, a≁c) sequential-greedy keeps {a, c} while this rule
+    * keeps {a} only — dense clusters retain slightly less. The trade is
+    * deliberate: the survivor-based rule is inherently iterative (a drop
+    * decision depends on earlier drop decisions), while this form is one
+    * deterministic self-join — no fixpoint loop, no per-round driver sync.
+    * Callers needing the transitive-closure semantics compose
+    * [[Dedup.dedupClusters]] over the near-dup pairs and keep min-id per
+    * component instead. Deterministic (decimal cosines, integer ids) and
+    * single-pass over within-cell pairs. 100 TB shape:
     * the quantizer bounds the quadratic term per-cell (cells are the unit of
     * shuffle), never corpus-wide; the same cheap-double prefilter as
     * [[cosinePairs]] keeps the decimal cast off hopeless pairs.

@@ -63,6 +63,22 @@ class MedallionSpec extends SparkSpec {
     assert(ids == (1 to gold.count().toInt).map(_.toString))
   }
 
+  test("withScalableSurrogateId sorts once: count and assign passes share the checkpoint") {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val sc = spark.sparkContext
+    val evals = sc.longAccumulator("input-partition-evals")
+    val rdd = sc.parallelize(1 to 100, 4).mapPartitions { it =>
+      evals.add(1); it.map(i => Row(i.toLong))
+    }
+    val df = spark.createDataFrame(rdd, StructType(Seq(StructField("k", LongType, false))))
+    Medallion.withScalableSurrogateId(df, Seq("k")).collect()
+    // repartitionByRange samples the input once (4 partition evals) and the
+    // checkpointed sort reads it once more (4). Without the localCheckpoint,
+    // the count pass and the assignment pass would each re-execute
+    // sample+shuffle from the lineage — 16 evals.
+    assert(evals.value <= 8, s"input evaluated ${evals.value}×; sort is being re-executed")
+  }
+
   test("withScalableSurrogateId matches the window-based id assignment") {
     val df = lineitem.select("l_orderkey", "l_linenumber").limit(500)
     val windowed = Medallion.withSurrogateId(df, Seq("l_orderkey", "l_linenumber"))

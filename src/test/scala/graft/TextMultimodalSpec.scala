@@ -98,4 +98,14 @@ class TextMultimodalSpec extends SparkSpec {
     assert(native.collect().toSet == composed.collect().toSet)
     assert(native.count() == 4 + 1 + 0) // 5-token, 2-token, 1-token, null
   }
+
+  test("word_ngrams rejects non-positive n at analysis time") {
+    import spark.implicits._
+    graft.functions.ArrayOps.register(spark)
+    val df = Seq("a b c").toDF("t")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(expr("word_ngrams(t, 0)")).collect()
+    }
+    assert(e.getMessage.contains("positive"), e.getMessage)
+  }
 }
