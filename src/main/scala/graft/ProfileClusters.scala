@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSession
 import graft.operators.ext.Dedup
 
 /** Dev harness: phase timing of the x1_dedup_clusters pipeline — how much is
-  * pair generation vs. edge materialization vs. label-propagation rounds.
+  * pair generation vs. contraction + finish (or propagation rounds).
   * Usage: runMain graft.ProfileClusters [sfDir]
   */
 object ProfileClusters {
@@ -30,7 +30,7 @@ object ProfileClusters {
       val pairs = t("pairs (build+checkpoints)") {
         Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 19, 20)
       }
-      val clustered = t("dedupClusters (rounds, driver side)") {
+      val clustered = t("dedupClusters (contract + finish)") {
         Dedup.dedupClusters(docs, "doc_id", pairs)
       }
       t("final noop write") {

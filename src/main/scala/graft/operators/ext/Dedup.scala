@@ -236,43 +236,116 @@ object Dedup {
     * cluster (the full near-dup dedup pipeline is pairs → clusters → keep
     * min-id per cluster).
     *
-    * Iterative min-label propagation to fixpoint: each hop, every node takes
-    * the min of its own label and its neighbours' labels — narrow (id, label)
-    * shuffles only. Hops per materialized round double, 2 → 4 → capped at 4:
-    * per-round cost has a fixed floor (one localCheckpoint job + one
-    * scalar-count job), so batching hops amortizes it and covers a
-    * diameter-d component in O(d/4) cheap rounds — while the cap keeps the
-    * final confirmation round (which always runs a full batch to observe
-    * zero changes) from burning a long speculative chain past the fixpoint
-    * (profiled: an 8-hop chain cost more than every earlier round combined,
-    * for changed=0). The fixpoint (min id per component) is
-    * path-independent — identical under any partitioning, any hop schedule,
-    * and in the oracle's recursive-CTE formulation.
+    * Three-stage shape, chosen because near-dup pair lists are locally DENSE
+    * (a k-document duplicate cluster emits ~k²/2 pairs, so the edge mass is
+    * quadratic in cluster size while the node count stays linear — measured
+    * sf0.1: 356k edges over 2.3k nodes):
     *
-    * Convergence is detected by a changed-label count piggybacked on the
-    * round's final hop (labels only decrease, so `cluster < self` marks
-    * exactly the rows that hop changed; zero changes in a hop ⟺ global
-    * fixpoint). Only that scalar count reaches the driver — no row data.
-    * Exhausting `maxIters` without converging throws: at scale a silent
-    * partial propagation is a wrong answer with no alarm.
+    *  1. CONTRACT — one mapPartitions pass runs union-find within each
+    *     partition of the raw pair list and emits one (node, local-min-root)
+    *     star edge per node per partition. Replacing a partition's edges by
+    *     a spanning forest preserves connectivity exactly, so the union of
+    *     the per-partition stars has the same components as the input while
+    *     shrinking the edge mass from quadratic to ≤ nodes × partitions —
+    *     the one pass that reads the quadratic pair list needs no shuffle,
+    *     no symmetrize, no distinct.
+    *  2. FINISH (contracted graph ≤ `finishRows`): a single bounded task
+    *     union-finds the star edges exactly — components resolve in one job
+    *     with zero iteration. 4M star rows ≈ 64 MB in one task's hash maps:
+    *     far past any corpus this engine has met, yet still a deliberate
+    *     cliff, hence stage 3.
+    *  3. PROPAGATE (contracted graph > `finishRows`): fall back to
+    *     hop-batched min-label propagation over the star edges — narrow
+    *     (id, label) shuffles, changed-count convergence probe piggybacked
+    *     on each round's final hop, and a LOUD IllegalStateException when
+    *     `maxIters` rounds pass without a fixpoint (a silent partial
+    *     propagation at scale is a wrong answer with no alarm). The stars'
+    *     diameter is already collapsed per partition, so rounds start far
+    *     closer to the fixpoint than on the raw graph.
+    *
+    * The fixpoint (min id per component) is path-independent — identical
+    * under any partitioning, any contraction schedule, and in the oracle's
+    * recursive-CTE formulation.
     */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                     aCol: String = "id_a", bCol: String = "id_b",
-                    maxIters: Int = 20): DataFrame = {
-    // Symmetrize via explode, not union-of-two-selects: a union reads its
-    // input twice, and each branch would re-execute the caller's entire pair
-    // pipeline (for LSH pairs, the full verify join — measured as the single
-    // largest cost of the declared query). The explode emits both directions
-    // in ONE pass over one execution of the pair plan.
-    val edges = pairs.select(explode(array(
-        struct(col(aCol).as("src"), col(bCol).as("dst")),
-        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+                    maxIters: Int = 20, finishRows: Long = 4000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val stars = contractEdges(
+        pairs.select(col(aCol).cast("long"), col(bCol).cast("long")).as[(Long, Long)])
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    val labels =
+      if (stars.count() <= finishRows)
+        contractEdges(stars.coalesce(1).as[(Long, Long)]).toDF("doc_id", "cluster")
+      else propagateMinLabel(stars, maxIters)
+    docs.select(col(idCol).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+  }
+
+  /** Partition-local union-find: one (node, min-id-of-local-component) star
+    * edge per node of each partition. Union by rank + path halving; the set
+    * minimum rides separately so the emitted root is always the smallest id
+    * the LOCAL component has seen (global min is resolved by the caller's
+    * finish/propagate stage). Memory per task is O(distinct nodes in the
+    * partition) — the same order as a grouping aggregate over the edges.
+    */
+  private def contractEdges(
+      edges: org.apache.spark.sql.Dataset[(Long, Long)]): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import edges.sparkSession.implicits._
+    edges.mapPartitions { it =>
+      val parent = new java.util.HashMap[Long, Long]()
+      val rank = new java.util.HashMap[Long, Int]()
+      val minOf = new java.util.HashMap[Long, Long]()
+      def add(x: Long): Unit =
+        if (!parent.containsKey(x)) { parent.put(x, x); rank.put(x, 0); minOf.put(x, x) }
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.get(x) != x) {
+          parent.put(x, parent.get(parent.get(x))) // path halving
+          x = parent.get(x)
+        }
+        x
+      }
+      it.foreach { case (a, b) =>
+        add(a); add(b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          val (hi, lo) = if (rank.get(ra) < rank.get(rb)) (rb, ra) else (ra, rb)
+          parent.put(lo, hi)
+          if (rank.get(hi) == rank.get(lo)) rank.put(hi, rank.get(hi) + 1)
+          minOf.put(hi, math.min(minOf.get(ra), minOf.get(rb)))
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      parent.keySet().iterator().asScala.map(v => (v, minOf.get(find(v))))
+    }
+  }
+
+  /** Distributed fallback for components too large for the single-task
+    * finish: hop-batched min-label propagation to fixpoint over (already
+    * contracted) star edges. Each hop every node takes the min of its own
+    * and its neighbours' labels — narrow (id, label) shuffles only. Hops per
+    * materialized round double 2 → 4 and cap at 4: per-round cost has a
+    * fixed floor (one localCheckpoint job + one scalar-count job), so
+    * batching amortizes it, while the cap keeps the final confirmation
+    * round (which always observes zero changes) from burning a long
+    * speculative chain past the fixpoint. Convergence is a changed-label
+    * count piggybacked on the round's final hop (labels only decrease, so
+    * `cluster < self` marks exactly the changed rows); only that scalar
+    * reaches the driver.
+    */
+  private def propagateMinLabel(starEdges: DataFrame, maxIters: Int): DataFrame = {
+    // Symmetrize via explode, not union-of-two-selects: a union would read
+    // (and for a lazy input, re-execute) its input twice; the explode emits
+    // both directions in one pass.
+    val edges = starEdges.select(explode(array(
+        struct(col("src"), col("dst")),
+        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct().localCheckpoint(true)
-    // Only nodes that appear in an edge participate in propagation: every
-    // other document is a singleton cluster by construction and rejoins at
-    // the end. In a near-dup corpus the edge set covers a small fraction of
-    // documents, so the iterated frame is far smaller than the corpus.
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("cluster", col("doc_id"))
       .localCheckpoint(true)
@@ -281,19 +354,12 @@ object Dedup {
         .select(col("dst").as("doc_id"), col("cluster"))
         .unionByName(l.select("doc_id", "cluster"))
         .groupBy("doc_id").agg(min("cluster").as("cluster"))
-    // The round's FINAL hop also carries each node's pre-hop label ("self"):
-    // min ignores the nulls contributed by neighbour rows, every node
-    // contributes its own, so `cluster < self` afterwards marks exactly the
-    // rows this hop changed — the convergence probe costs no extra pass.
     def hopTagged(l: DataFrame): DataFrame =
       l.join(edges, col("doc_id") === col("src"))
         .select(col("dst").as("doc_id"), col("cluster"),
           lit(null).cast(l.schema("cluster").dataType).as("self"))
         .unionByName(l.select(col("doc_id"), col("cluster"), col("cluster").as("self")))
         .groupBy("doc_id").agg(min("cluster").as("cluster"), min("self").as("self"))
-    // Empty edge set (no near-dups at all): every document is a singleton —
-    // skip propagation entirely. (An empty frame would otherwise also
-    // null-poison any sum-based convergence probe.)
     var converged = labels.isEmpty
     var it = 0
     var hops = 2
@@ -311,9 +377,7 @@ object Dedup {
       throw new IllegalStateException(
         s"dedupClusters did not converge within $maxIters rounds; " +
           "raise maxIters (component diameter exceeds total hop budget)")
-    docs.select(col(idCol).as("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+    labels
   }
 
   /** X2 variant: 32-bit SimHash per document. Bit j of the signature is the

@@ -42,12 +42,29 @@ class DedupClusterSpec extends SparkSpec {
   test("dedupClusters: exhausting maxIters without a fixpoint throws, not silence") {
     import spark.implicits._
     val docs = (1L to 12L).toDF("doc_id")
-    // an 11-edge path needs more than one propagation hop end-to-end
+    // an 11-edge path needs more than one propagation hop end-to-end;
+    // finishRows = 0 disables the single-task finish so the distributed
+    // propagation fallback (the path maxIters guards) is the one exercised
     val pairs = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.dedupClusters(docs, "doc_id", pairs, maxIters = 1).collect()
+      Dedup.dedupClusters(docs, "doc_id", pairs, maxIters = 1, finishRows = 0L).collect()
     }
     assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("dedupClusters: propagation fallback reaches the same fixpoint as the finish path") {
+    import spark.implicits._
+    val docs = (1L to 40L).toDF("doc_id")
+    val rnd = new scala.util.Random(11)
+    // random sparse graph: chains, cliques, and singletons mixed
+    val pairs = (Seq.fill(25)((rnd.nextInt(40) + 1L, rnd.nextInt(40) + 1L))
+        .filter { case (a, b) => a != b } ++ (30L to 34L).map(i => (i, i + 1)))
+      .toDF("id_a", "id_b")
+    val fast = Dedup.dedupClusters(docs, "doc_id", pairs)
+      .orderBy("doc_id").collect().toSeq
+    val propagated = Dedup.dedupClusters(docs, "doc_id", pairs, finishRows = 0L, maxIters = 30)
+      .orderBy("doc_id").collect().toSeq
+    assert(fast == propagated)
   }
 
   test("sorted_overlap equals size(array_intersect) on sorted distinct arrays") {
