@@ -1869,7 +1869,82 @@ object Queries {
         "CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, " +
         s"CAST(${duckHex("md5(text)")} % 640 AS INTEGER) AS width, " +
         s"CAST(${duckHex("md5(text)")} % 480 AS INTEGER) AS height " +
-        "FROM documents ORDER BY doc_id"))
+        "FROM documents ORDER BY doc_id")),
+
+    // X9 — END-TO-END CURATION PIPELINE (composition proof): the six curation
+    // stages a real LLM-corpus pipeline chains, as ONE declared query —
+    // quality filter (x3_quality_score thresholds) → exact dedup (min-id per
+    // identical text) → near-dup survivor keep (MinHash-LSH pairs → connected
+    // components → keep the min-id per cluster) → word-5-gram decontamination
+    // against the held-out benchmark stand-in (first 100 doc ids of the RAW
+    // corpus — a held-out set is external, so it does not shrink with the
+    // pipeline) → weighted language mixture (50% en / 25% de / 10% rest) →
+    // 512-token sequence packing per language shard. Every stage is green in
+    // isolation; this row proves the column/contract composition. The oracle
+    // replays all six stages in one DuckDB statement.
+    Q("x9_curation_e2e",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val keepIds = TextAnalysis.qualityScore(docs, "doc_id", "text")
+          .filter(col("n_chars") >= 120 && col("n_stop") >= 1).select("doc_id")
+        val q = docs.join(keepIds, Seq("doc_id")).select("doc_id", "lang", "text")
+        // checkpointed once: consumed by the LSH pair pipeline, the cluster
+        // labeling, and the survivor join — three readers, one execution
+        val ex = Dedup.exactByKey(q, Seq("text"), "doc_id").localCheckpoint(true)
+        val pairs = Dedup.minhashLshPairs(ex, "doc_id", "text", 8, 19, 20)
+        val surv = ex.join(
+          Dedup.dedupClusters(ex, "doc_id", pairs)
+            .filter(col("doc_id") === col("cluster")).select("doc_id"),
+          Seq("doc_id"))
+        val flagged = Dedup.ngramContamination(surv, "doc_id", "text",
+          docs.filter(col("doc_id") < 100), 5)
+        val dec = surv.filter(col("doc_id") >= 100)
+          .join(broadcast(flagged.select("doc_id")), Seq("doc_id"), "left_anti")
+        val mix = Relational.weightedMix(dec, "doc_id", "lang",
+          Map("en" -> 50, "de" -> 25), defaultPct = 10)
+        TextAnalysis.packSequences(mix, "doc_id", "text", "lang", binTokens = 512)
+          .select("doc_id", "shard", "n_tok", "cum_tok", "bin")
+          .orderBy("doc_id")
+      },
+      Some {
+        val grams5 = (ws: String) =>
+          s"list_filter(list_transform(range(0, len($ws) + 1), " +
+            s"i -> CASE WHEN i + 5 <= len($ws) THEN array_to_string($ws[i+1:i+5], ' ') END), " +
+            "x -> x IS NOT NULL)"
+        s"""WITH RECURSIVE
+          |q AS (SELECT doc_id, lang, text FROM documents
+          |  WHERE length(text) >= 120
+          |    AND len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
+          |      x -> list_contains(['the','a','of','and','to','in'], x))) >= 1),
+          |ex AS (SELECT doc_id, lang, text FROM (
+          |  SELECT doc_id, lang, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM q)
+          |  WHERE rn = 1),
+          |${duckMinhashCtes("SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM ex", 8, 19, 20)},
+          |edges AS (SELECT id_a AS src, id_b AS dst FROM verified UNION SELECT id_b, id_a FROM verified),
+          |r(doc_id, lab) AS (SELECT doc_id, doc_id FROM ex
+          |  UNION SELECT e.dst, r.lab FROM r JOIN edges e ON r.doc_id = e.src),
+          |cl AS (SELECT doc_id, min(lab) AS cluster FROM r GROUP BY doc_id),
+          |surv AS (SELECT e.doc_id, e.lang, e.text FROM ex e
+          |  JOIN cl ON cl.doc_id = e.doc_id WHERE cl.cluster = e.doc_id),
+          |bws AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
+          |  FROM documents WHERE doc_id < 100),
+          |bg AS (SELECT DISTINCT unnest(${grams5("ws")}) AS tok FROM bws),
+          |sws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM surv),
+          |sg AS (SELECT DISTINCT doc_id, unnest(${grams5("ws")}) AS tok FROM sws),
+          |flagged AS (SELECT DISTINCT doc_id FROM sg JOIN bg USING (tok)),
+          |dec AS (SELECT doc_id, lang, text FROM surv
+          |  WHERE doc_id >= 100 AND doc_id NOT IN (SELECT doc_id FROM flagged)),
+          |mix AS (SELECT doc_id, lang, text FROM dec
+          |  WHERE ${duckHex("md5(CAST(doc_id AS VARCHAR))")} % 100 <
+          |    (CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END))
+          |SELECT doc_id, lang AS shard, n_tok,
+          |  CAST(sum(n_tok) OVER w AS BIGINT) AS cum_tok,
+          |  CAST(floor((sum(n_tok) OVER w - n_tok) / 512) AS BIGINT) AS bin
+          |FROM (SELECT doc_id, lang, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok FROM mix)
+          |WINDOW w AS (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |ORDER BY doc_id""".stripMargin
+      })
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
