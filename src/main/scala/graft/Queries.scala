@@ -1871,6 +1871,54 @@ object Queries {
         s"CAST(${duckHex("md5(text)")} % 480 AS INTEGER) AS height " +
         "FROM documents ORDER BY doc_id")),
 
+    // X4 — perceptual-hash-style near-dup over payload BYTES: md5 band
+    // hashes over fixed 64-byte windows, pairs = documents sharing at least
+    // one aligned window (the image-dedup analog of SimHash banding; exact
+    // recall for aligned-window sharing). Payload bytes never shuffle — only
+    // (doc_id, band, hash) rows move. Oracle re-derives the same windows
+    // from the text (payloads are its UTF-8 bytes; the corpus is ASCII so
+    // byte and char offsets agree, which the oracle exploits — the ENGINE
+    // side hashes real binary).
+    Q("x4_band_dedup",
+      (s, dir) => Multimodal.bandHashPairs(
+          Multimodal.attachPayload(rd(s, dir, "documents"), "doc_id", "text"),
+          windowBytes = 64, minMatch = 1)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH f AS (SELECT doc_id, text, unnest(range(0, length(text) // 64)) AS band
+        |  FROM documents WHERE length(text) >= 64),
+        |w AS (SELECT doc_id, band, md5(substr(text, CAST(band * 64 + 1 AS INTEGER), 64)) AS bh FROM f),
+        |p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_match
+        |  FROM w x JOIN w y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_match FROM p WHERE n_match >= 1 ORDER BY id_a, id_b""".stripMargin)),
+
+    // X4/X2 — image-text JOINT row: payload-derived perceptual features
+    // (the decoder's md5-derived width) bucket the corpus, a keyed join
+    // attaches each document's caption embedding, and X2 similarity runs
+    // within perceptual buckets only — cross-modal gating, the bucketed
+    // equi-join shape (never all-pairs). Exercises decode → join → X2
+    // composition over both modalities.
+    Q("x4_joint_similarity",
+      (s, dir) => {
+        val media = Multimodal.decodeFeatures(
+            Multimodal.attachPayload(rd(s, dir, "documents"), "doc_id", "text"))
+          .toDF().select(col("doc_id"), (col("width") % 16).as("pbucket"))
+        val joint = rd(s, dir, "embeddings")
+          .join(media, col("vec_id") === col("doc_id"))
+          .select(col("vec_id"), col("embedding"), col("pbucket"))
+        strCols(Similarity.bucketedTopK(joint, "pbucket", 3).orderBy("id_a", "rk"), Seq("cos"))
+      },
+      Some(s"""WITH m AS (SELECT doc_id, CAST((${duckHex("md5(text)")} % 640) % 16 AS INTEGER) AS pbucket FROM documents),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, m.pbucket
+        |  FROM e JOIN m ON m.doc_id = e.vec_id),
+        |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6)) AS cos
+        |  FROM s a JOIN s b ON a.pbucket = b.pbucket AND a.vec_id <> b.vec_id)
+        |SELECT id_a, id_b, CAST(cos AS VARCHAR) AS cos, rk FROM (SELECT id_a, id_b, cos,
+        |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS INTEGER) AS rk FROM scored)
+        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
+
     // X9 — END-TO-END CURATION PIPELINE (composition proof): the six curation
     // stages a real LLM-corpus pipeline chains, as ONE declared query —
     // quality filter (x3_quality_score thresholds) → exact dedup (min-id per

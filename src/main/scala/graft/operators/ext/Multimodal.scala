@@ -76,6 +76,44 @@ object Multimodal {
     }
   }
 
+  /** Per-payload band hashes: md5 over fixed byte windows of the binary
+    * payload, one (doc_id, band, bh) row per FULL window (the ragged tail is
+    * dropped so every hash covers exactly `windowBytes` bytes). This is the
+    * image-dedup analog of SimHash banding: two payloads sharing any aligned
+    * window collide on that band's hash.
+    */
+  def bandHashes(media: DataFrame, windowBytes: Int): DataFrame =
+    media.select(col("doc_id"), posexplode(expr(
+      s"case when length(payload) >= $windowBytes " +
+        s"then transform(sequence(0, int(length(payload) / $windowBytes) - 1), " +
+        s"i -> md5(substring(payload, i * $windowBytes + 1, $windowBytes))) " +
+        "else array() end")).as(Seq("band", "bh")))
+
+  /** X4: perceptual-hash-style near-dup over payload BYTES — band the payload
+    * into fixed windows, hash each with md5, and pair documents sharing at
+    * least `minMatch` aligned (band, hash) collisions. Returns
+    * (id_a, id_b, n_match).
+    *
+    * Same narrow-candidates architecture as MinHash/SimHash banding: the
+    * self-join moves (doc_id, band, 32-char hash) rows only — payload bytes
+    * never shuffle — and collisions are exact window equality, so recall is
+    * exact for any pair sharing an aligned window. 100 TB shape: linear scan
+    * to hash, equi-join on (band, hash) for candidates; an exact-dup cluster
+    * of k payloads emits ~k² candidate rows per band — the same bounded
+    * local-density cost the text LSH path carries.
+    */
+  def bandHashPairs(media: DataFrame, windowBytes: Int, minMatch: Int): DataFrame = {
+    // checkpointed once: the self-join would otherwise re-execute the
+    // payload scan + hash on both sides
+    val b = bandHashes(media, windowBytes).localCheckpoint(true)
+    b.as("x").join(b.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_match"))
+      .filter(col("n_match") >= minMatch)
+  }
+
   /** Frame sampling shape for video-like payloads: every k-th chunk of the
     * payload becomes one "frame" row (explode). Deterministic stand-in for
     * keyframe extraction; the row-explosion plumbing is the real part.

@@ -265,6 +265,25 @@ object Similarity {
       .select(col("vec_id"), col("cell"), col("dropped").isNull.as("keep"))
   }
 
+  /** X2: exact cosine top-k restricted to caller-provided buckets — the
+    * generalization behind LSH (bucket = signature) and IVF (bucket = cell)
+    * for buckets computed OUTSIDE the embedding space, e.g. a perceptual
+    * image-hash bucket gating caption-embedding similarity (the multimodal
+    * joint row), a shard key, or a language. Equi-join on the bucket column,
+    * never all-pairs; `emb` must carry (vec_id, embedding, `bucketCol`).
+    */
+  def bucketedTopK(emb: DataFrame, bucketCol: String, k: Int): DataFrame = {
+    ArrayOps.register(emb.sparkSession)
+    val p = emb.select(col("vec_id"), col("embedding").as("v"), col(bucketCol).as("bkt"))
+      .withColumn("nrm", expr("sqrt(float_dot(v, v))"))
+    val scored = p.as("a").join(p.as("b"),
+        col("a.bkt") === col("b.bkt") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cosCol)
+    scored.withColumn("rk", row_number().over(
+        Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))))
+      .filter(col("rk") <= k)
+  }
+
   /** X2 scale path: random-hyperplane LSH bucketing + exact re-score within
     * buckets. Sign bits are taken on the cosine-rounded projection to stay
     * engine-stable near zero.

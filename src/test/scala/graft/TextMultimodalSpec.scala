@@ -99,6 +99,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(native.count() == 4 + 1 + 0) // 5-token, 2-token, 1-token, null
   }
 
+  test("bandHashPairs: exact dups match on every window; disjoint payloads never pair") {
+    import spark.implicits._
+    import graft.operators.ext.Multimodal
+    val a = "x" * 200 // 3 full 64-byte windows, 8-byte tail dropped
+    val docs = Seq((1L, a), (2L, a), (3L, "y" * 200), (4L, a.take(64) + "z" * 100))
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.bandHashPairs(
+        Multimodal.attachPayload(docs, "doc_id", "text"), 64, 1)
+      .orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // 1-2 share all 3 windows; 4 shares only the first aligned window with
+    // 1 and 2; 3 shares nothing
+    assert(pairs == Seq((1L, 2L, 3L), (1L, 4L, 1L), (2L, 4L, 1L)))
+  }
+
   test("word_ngrams rejects non-positive n at analysis time") {
     import spark.implicits._
     graft.functions.ArrayOps.register(spark)
