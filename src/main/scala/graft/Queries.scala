@@ -1793,6 +1793,48 @@ object Queries {
         |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY dot DESC, id_b) AS INTEGER) AS rk FROM scored)
         |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
 
+    // X2 — ANN QUALITY as a driver-visible signal: recall@3 of the IVF path
+    // (stand-in quantizer, nprobe=4) against the brute-force ground truth on
+    // the same bounded corpus (vec_id < 1000, 50 queries — bounded, so the
+    // row costs the same at any scale factor). Both pipelines are
+    // deterministic and individually oracle'd, so the intersection count is
+    // exact cross-engine; the threshold bakes the quality bar into the
+    // result row — if a code change degrades IVF recall below 100/150, the
+    // boolean flips and the driver's hash gate fails. (The seeded-KMeans
+    // quantizer's recall is additionally asserted in ScalaTest.)
+    Q("x2_ann_recall",
+      (s, dir) => {
+        val emb = rd(s, dir, "embeddings").filter(col("vec_id") < 1000)
+        val ivf = Similarity.ivfTopK(emb, 3, 32, 4, trainIters = 0)
+          .filter(col("id_a") < 50).select("id_a", "id_b")
+        val brute = Similarity.annTopK(emb, 3, 50).select("id_a", "id_b")
+        ivf.join(brute, Seq("id_a", "id_b"))
+          .agg(count(lit(1)).as("hits"), (count(lit(1)) >= 100).as("recall_ok"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000),
+        |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM s WHERE vec_id < 32),
+        |sim AS (SELECT s.vec_id, c.cell,
+        |  CAST(list_dot_product(s.v, c.cv) / (s.nrm * c.cnrm) AS DECIMAL(10,6)) AS csim
+        |  FROM s CROSS JOIN c),
+        |ranked AS (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crk FROM sim),
+        |assigned AS (SELECT vec_id, cell FROM ranked WHERE crk = 1),
+        |probes AS (SELECT vec_id AS q_id, cell AS probe_cell FROM ranked WHERE crk <= 4 AND vec_id < 50),
+        |iscored AS (SELECT DISTINCT p.q_id AS id_a, a.vec_id AS id_b,
+        |  CAST(list_dot_product(qs.v, ns.v) / (qs.nrm * ns.nrm) AS DECIMAL(10,6)) AS cos
+        |  FROM probes p JOIN assigned a ON p.probe_cell = a.cell AND p.q_id <> a.vec_id
+        |  JOIN s qs ON qs.vec_id = p.q_id JOIN s ns ON ns.vec_id = a.vec_id),
+        |ivf AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+        |  row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rk FROM iscored) WHERE rk <= 3),
+        |bscored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6)) AS cos
+        |  FROM s a JOIN s b ON a.vec_id <> b.vec_id WHERE a.vec_id < 50),
+        |brute AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+        |  row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rk FROM bscored) WHERE rk <= 3)
+        |SELECT count(*) AS hits, count(*) >= 100 AS recall_ok
+        |FROM ivf JOIN brute USING (id_a, id_b)""".stripMargin)),
+
     // X2 — SemDeDup-shaped semantic dedup: coarse-quantize embeddings into
     // cells, drop every vector with a lower-id near-duplicate cell-mate
     // (greedy min-id keep). Deterministic stand-in quantizer → the full
