@@ -1724,6 +1724,28 @@ object Queries {
         |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS INTEGER) AS rk FROM scored)
         |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
 
+    // X2 — MULTI-PROBE LSH ANN: each vector probes its own signature bucket
+    // plus the 8 signatures at Hamming distance 1 (the published multi-probe
+    // idea — recall of a larger plane budget at (numPlanes+1)× probe rows,
+    // not exponentially more buckets). The engine keeps the bucket EQUI-join
+    // (probe side explodes sig ^ single-bit flips; each qualifying pair
+    // matches exactly one flip); the oracle states the same semantics
+    // declaratively as a Hamming ≤ 1 join, affordable at verify scale.
+    Q("x2_ann_lsh_multiprobe",
+      (s, dir) => strCols(
+        Similarity.lshTopK(rd(s, dir, "embeddings"), 3, 8, dim = 64, probeHamming1 = true)
+          .orderBy("id_a", "rk"),
+        Seq("cos")),
+      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |sg AS (SELECT vec_id, v, nrm, ${duckLshSig(8, 64)} AS sig FROM s),
+        |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6)) AS cos
+        |  FROM sg a JOIN sg b ON bit_count(xor(a.sig, b.sig)) <= 1 AND a.vec_id <> b.vec_id)
+        |SELECT id_a, id_b, CAST(cos AS VARCHAR) AS cos, rk FROM (SELECT id_a, id_b, cos,
+        |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS INTEGER) AS rk FROM scored)
+        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
+
     // X2 — IVF-bucketed ANN (scale path: broadcast centroid table, cell
     // equi-join probe). Declared with the deterministic stand-in quantizer
     // (first nlist vectors as centroids, trainIters=0) — pure rounded-decimal

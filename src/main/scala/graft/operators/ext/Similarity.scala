@@ -301,8 +301,19 @@ object Similarity {
     * mismatched corpus fails loudly at projection time. Pass dim <= 0 to
     * derive it from the first row instead (one-row action) when the contract
     * is unknown.
+    *
+    * Multi-probe (`probeHamming1 = true`): each vector probes its own bucket
+    * PLUS the `numPlanes` signatures at Hamming distance 1 — the published
+    * multi-probe LSH idea (recall of a much larger plane budget at the cost
+    * of numPlanes+1 probe rows per vector, instead of exponentially more
+    * buckets). The probe side explodes (sig ^ flip) for flip ∈ {0, each
+    * single bit}; the join stays a bucket EQUI-join (never all-pairs), and
+    * each ordered pair within Hamming ≤ 1 matches on exactly one flip, so no
+    * dedup pass is needed. Candidate volume rises ~(numPlanes+1)× — recall
+    * is tunable against cost with no change to the signature scan.
     */
-  def lshTopK(emb: DataFrame, k: Int, numPlanes: Int, dim: Int = -1): DataFrame = {
+  def lshTopK(emb: DataFrame, k: Int, numPlanes: Int, dim: Int = -1,
+              probeHamming1: Boolean = false): DataFrame = {
     val d = if (dim > 0) dim else emb.select(size(col("embedding"))).head.getInt(0)
     val p = prep(emb)
     val planes = hyperplanes(numPlanes, d)
@@ -312,8 +323,13 @@ object Similarity {
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
     val bucketed = p.withColumn("sig", sigBits)
-    val scored = bucketed.as("a").join(bucketed.as("b"),
-        col("a.sig") === col("b.sig") && col("a.vec_id") =!= col("b.vec_id"))
+    val probes =
+      if (!probeHamming1) bucketed.withColumn("psig", col("sig"))
+      else bucketed
+        .withColumn("flip", explode(lit((0L +: (0 until numPlanes).map(i => 1L << i)).toArray)))
+        .withColumn("psig", col("sig").bitwiseXOR(col("flip")))
+    val scored = probes.as("a").join(bucketed.as("b"),
+        col("a.psig") === col("b.sig") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cosCol)
     scored.withColumn("rk", row_number().over(
         Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))))

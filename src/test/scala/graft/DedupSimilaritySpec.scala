@@ -167,6 +167,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"LSH top-1 recall $recall too low")
   }
 
+  test("multi-probe lshTopK dominates single-probe recall on the planted fixture") {
+    val rnd = new scala.util.Random(13)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
+    val base = Seq.tabulate(128)(i => (1000L + i, vec()))
+    val planted = base.take(30).zipWithIndex.map { case ((_, v), i) =>
+      (i.toLong, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+    }
+    import spark.implicits._
+    val emb = (base ++ planted).map { case (id, v) => (id, v.toSeq) }.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val exact = Similarity.annTopK(emb, 1, 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(multiProbe: Boolean): Double = {
+      val hits = Similarity.lshTopK(emb, 1, 8, dim = 64, probeHamming1 = multiProbe)
+        .filter(col("id_a") < 30).filter(col("rk") === 1).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count(hits.contains).toDouble / exact.size
+    }
+    val single = recallOf(multiProbe = false)
+    val multi = recallOf(multiProbe = true)
+    assert(multi >= single, s"multi-probe recall $multi < single-probe $single")
+    assert(multi >= 0.8, s"multi-probe recall $multi too low")
+  }
+
   test("semanticDedup with trained KMeans quantizer drops a planted near-duplicate deterministically") {
     // plant one exact duplicate pair inside real embeddings; the trained-path
     // pipeline (KMeans cells instead of the stand-in) must drop the higher id
