@@ -700,18 +700,25 @@ object Queries {
         "GROUP BY CUBE(l_returnflag, l_linestatus)) " +
         "ORDER BY l_returnflag, l_linestatus")),
 
-    // A6 — exact percentiles (quartiles) per group. percentile() and DuckDB's
-    // quantile_cont share the (n-1)*p linear-interpolation definition; with
-    // p ∈ {.25,.5,.75} the interpolation fraction is an exact binary value,
-    // so the double result is bit-identical before the fixed-point cast.
+    // A6 — exact percentiles (quartiles) per group, computed by the
+    // sort-based Relational.exactPercentiles (NOT Spark's percentile()
+    // aggregate, whose per-group value→count map is unbounded memory when
+    // values are near-unique — this form is a spill-friendly key-partitioned
+    // sort). The interpolation replicates percentile()/quantile_cont's
+    // (n-1)*p definition bit-for-bit; with p ∈ {.25,.5,.75} the fraction is
+    // an exact binary value, so the double result is bit-identical before
+    // the fixed-point cast.
     Q("a6_percentile",
-      (s, dir) => rd(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-          expr("percentile(l_extendedprice, 0.25)").cast(DecimalType(18, 4)).cast("string").as("p25"),
-          expr("percentile(l_extendedprice, 0.5)").cast(DecimalType(18, 4)).cast("string").as("p50"),
-          expr("percentile(l_extendedprice, 0.75)").cast(DecimalType(18, 4)).cast("string").as("p75"))
-        .orderBy("l_returnflag"),
+      (s, dir) => {
+        val pct = Relational.exactPercentiles(rd(s, dir, "lineitem"),
+          "l_returnflag", "l_extendedprice",
+          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+        pct.select(col("l_returnflag"),
+            col("p25").cast(DecimalType(18, 4)).cast("string").as("p25"),
+            col("p50").cast(DecimalType(18, 4)).cast("string").as("p50"),
+            col("p75").cast(DecimalType(18, 4)).cast("string").as("p75"))
+          .orderBy("l_returnflag")
+      },
       Some("SELECT l_returnflag, " +
         "CAST(CAST(quantile_cont(l_extendedprice, 0.25) AS DECIMAL(18,4)) AS VARCHAR) AS p25, " +
         "CAST(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(18,4)) AS VARCHAR) AS p50, " +

@@ -164,6 +164,47 @@ object Relational {
         col(factKey) === col(dimKey) && col("__fsalt") === col("__dsalt"))
       .drop("__fsalt", "__dsalt")
 
+  /** A6 (scale form): EXACT grouped percentiles via distributed sort +
+    * linear interpolation instead of Spark's `percentile()` aggregate.
+    * `percentile()` is a non-codegen TypedImperativeAggregate that builds an
+    * in-memory value→count map per group per partition — unbounded when the
+    * value domain is near-unique (exactly the 100 TB case); this form is a
+    * key-partitioned sort (spill-friendly, codegen'd window) + one grouped
+    * aggregate, with memory bounded by the sort buffer.
+    *
+    * The interpolation replicates Spark's `Percentile.getPercentile`
+    * bit-for-bit — pos = (n−1)·p; if floor(pos) == ceil(pos) take the row at
+    * pos, else x_lo·(ceil(pos)−pos) + x_hi·(pos−floor(pos)) — so swapping
+    * the implementation cannot move any oracle-checked digit. `ps` maps
+    * output column name → fraction.
+    */
+  def exactPercentiles(df: DataFrame, keyCol: String, valCol: String,
+                       ps: Seq[(String, Double)]): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("__x"))
+    val wAll = Window.partitionBy(col(keyCol))
+    val ranked = df.select(col(keyCol), col(valCol).cast("double").as("__x"))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val aggs = ps.flatMap { case (name, p) =>
+      val pos = (col("__n") - 1).cast("double") * lit(p)
+      // pos, lo, frac are group-level constants (functions of __n alone), so
+      // max() just selects "the" value; the when() picks the 1-2 border rows
+      Seq(
+        max(when((col("__rn") - 1).cast("double") === floor(pos), col("__x"))).as(s"__lo_$name"),
+        max(when((col("__rn") - 1).cast("double") === floor(pos) + 1d, col("__x"))).as(s"__hi_$name"),
+        max(pos).as(s"__pos_$name"))
+    }
+    ranked.groupBy(col(keyCol))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col(keyCol) +: ps.map { case (name, _) =>
+        val pos = col(s"__pos_$name")
+        val lo = col(s"__lo_$name"); val hi = col(s"__hi_$name")
+        when(floor(pos) === ceil(pos), lo)
+          .otherwise(lo * (ceil(pos) - pos) + hi * (pos - floor(pos)))
+          .as(name)
+      }: _*)
+  }
+
   /** MERGE-style upsert (table maintenance): rows of `updates` replace base
     * rows with the same key; unmatched update rows are inserts; all other
     * base rows pass through. Expressed as anti-join + union — the CDC batch

@@ -15,6 +15,23 @@ class PropertySpec extends SparkSpec {
   private def samples[A](g: Gen[A], n: Int): Seq[A] =
     (0 until n).flatMap(i => g.apply(Gen.Parameters.default, rng.Seed(42L + i)))
 
+  test("exactPercentiles equals Spark's percentile() aggregate bit-for-bit") {
+    import spark.implicits._
+    // generated groups plus edge cases: singleton group, two-row group
+    samples(rowsGen, 3).filter(_.nonEmpty).foreach { data =>
+      val df = (data ++ Seq(("solo", 7777), ("duo", 1), ("duo", 2))).toDF("k", "v")
+      val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
+      val sorted = Relational.exactPercentiles(df, "k", "v", ps)
+        .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+      val builtin = df.groupBy("k").agg(
+          expr("percentile(v, 0.25)").as("p25"),
+          expr("percentile(v, 0.5)").as("p50"),
+          expr("percentile(v, 0.75)").as("p75"))
+        .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+      assert(sorted == builtin)
+    }
+  }
+
   test("distinct is idempotent; union-all counts are additive pre-dedup") {
     samples(rowsGen, 5).filter(_.nonEmpty).foreach { data =>
       import spark.implicits._
