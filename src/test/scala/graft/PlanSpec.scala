@@ -183,4 +183,36 @@ class PlanSpec extends SparkSpec {
         s"unexpected exchange '$kind($arg)' in:\n$p")
     }
   }
+
+  test("x4_band_dedup self-joins checkpointed narrow hash rows — payload bytes never shuffle") {
+    val p = plan("x4_band_dedup")
+    // the band-hash frame is eagerly checkpointed before the self-join, so
+    // the executed plan reads materialized (doc_id, band, bh) rows; the
+    // payload/encode projection must not appear anywhere downstream
+    assert(!p.contains("payload") && !p.contains("encode"),
+      s"payload bytes leaked past the checkpoint into the join plan:\n${p.take(2000)}")
+  }
+
+  test("x4_joint_similarity joins on the perceptual bucket (equi-join, never all-pairs)") {
+    val p = plan("x4_joint_similarity")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"bucket gating must stay an equi-join:\n${p.take(2000)}")
+    assert(p.contains("float_dot") && !p.contains("lambdafunction"),
+      s"expected native dot products:\n${p.take(2000)}")
+  }
+
+  test("x2_ann_lsh_multiprobe keeps the bucket equi-join (probe explode, no all-pairs)") {
+    val p = plan("x2_ann_lsh_multiprobe")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"multi-probe must stay an equi-join on (sig ^ flip):\n${p.take(2000)}")
+    assert(p.contains("Generate explode"),
+      s"expected the probe-side flip explode:\n${p.take(2000)}")
+  }
+
+  test("a6_percentile avoids the percentile() map aggregate (sort-based window form)") {
+    val p = plan("a6_percentile")
+    assert(!p.toLowerCase.contains("percentile"),
+      s"expected the sort-based form, not the percentile() aggregate:\n${p.take(2000)}")
+    assert(p.contains("Window"), s"expected the rank window:\n${p.take(2000)}")
+  }
 }
