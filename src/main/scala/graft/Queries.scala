@@ -525,6 +525,37 @@ object Queries {
       },
       Some("SELECT DISTINCT event_type, value FROM events ORDER BY 1, 2")),
 
+    // STREAM-STATIC JOIN (the fifth declared streaming path): the stateless
+    // curation stages run over a document STREAM — quality filter →
+    // exact-fingerprint decontamination as a stream-static left-anti join
+    // against the (static) benchmark fingerprint table → weighted mixture.
+    // No state store, no watermark: every micro-batch joins the static frame
+    // directly. Oracle = the batch formulation of the same stages
+    // (stream/batch equivalence, like the other streaming rows).
+    Q("stream_curation",
+      (s, dir) => {
+        val batchSchema = rd(s, dir, "documents").schema
+        val stream = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val bench = rd(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(md5(col("text")).as("fp")).distinct()
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.curateDocs(stream, bench,
+            Map("en" -> 50, "de" -> 25), defaultPct = 10)
+          .select("doc_id", "lang", "bucket")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).orderBy("doc_id")
+      },
+      Some("SELECT doc_id, lang, bucket FROM (" +
+        s"SELECT doc_id, lang, ${duckHex("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket " +
+        "FROM documents WHERE length(text) >= 120 " +
+        "AND len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), " +
+        "x -> list_contains(['the','a','of','and','to','in'], x))) >= 1 " +
+        "AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 100)) " +
+        "WHERE bucket < (CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END) " +
+        "ORDER BY doc_id")),
+
     // Custom streaming state (flatMapGroupsWithState) oracle-checked: the
     // per-key running count/min/max session state, drained to completion —
     // the final update per key must equal the batch aggregate. Emission

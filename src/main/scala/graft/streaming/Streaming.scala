@@ -61,6 +61,32 @@ object Streaming {
         expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs " +
           s"AND $rightTs <= $leftTs + INTERVAL $horizon"))
 
+  /** Streaming corpus curation — the STATELESS curation stages applied to a
+    * document stream: quality filter (the x3_quality_score thresholds) →
+    * exact-fingerprint decontamination as a STREAM-STATIC left-anti join
+    * against the held-out benchmark fingerprint table → weighted language
+    * mixture (the deterministic md5-bucket filter — pure projection, stream-
+    * safe). The stream-static join is the capability this operator exists
+    * for: the benchmark table is a static frame joined into every
+    * micro-batch with no state store, the streaming form of the batch
+    * decontamination anti-join. Output rows are append-mode safe (no
+    * aggregation, no watermark needed).
+    *
+    * `benchFps` must be a STATIC frame with a single `fp` column (in a real
+    * deployment: the published benchmark fingerprint index).
+    */
+  def curateDocs(docs: DataFrame, benchFps: DataFrame,
+                 weights: Map[String, Int], defaultPct: Int): DataFrame = {
+    val stops = graft.operators.ext.TextAnalysis.stopwords.map("'" + _ + "'").mkString(",")
+    val filtered = docs
+      .filter(length(col("text")) >= 120 &&
+        expr(s"size(filter(filter(split(text, ' '), x -> x != ''), " +
+          s"x -> array_contains(array($stops), x))) >= 1"))
+      .withColumn("fp", md5(col("text")))
+      .join(benchFps, Seq("fp"), "left_anti")
+    graft.operators.Relational.weightedMix(filtered, "doc_id", "lang", weights, defaultPct)
+  }
+
   final case class Tick(symbol: String, price: java.math.BigDecimal, ingest_ts: Timestamp)
   final case class SymbolSession(symbol: String, n: Long, lo: java.math.BigDecimal, hi: java.math.BigDecimal)
 

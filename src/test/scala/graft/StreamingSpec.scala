@@ -34,6 +34,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curateDocs: stream-static anti-join is stateless and batch-equivalent") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "lang", "text")
+    val good = "the " + ("tok " * 40) // passes length + stopword thresholds
+    val benchFps = Seq(good + "LEAK").toDF("t").select(md5(col("t")).as("fp"))
+    val q = Streaming.curateDocs(docs, benchFps, Map("en" -> 100), defaultPct = 100)
+      .select("doc_id", "lang")
+      .writeStream.format("memory").queryName("cur").outputMode("append").start()
+    try {
+      mem.addData((1L, "en", good), (2L, "en", good + "LEAK"), (3L, "en", "short"))
+      q.processAllAvailable()
+      // 2 dropped by the stream-static anti-join, 3 by the quality filter
+      val rows = spark.table("cur").select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(rows == Set(1L))
+      // stateless: no state store operator may appear in the executed plan
+      val p = q.lastProgress.toString
+      assert(!p.contains("stateOperators\" : [ {"), s"unexpected state operator:\n$p")
+    } finally q.stop()
+  }
+
   test("streamDedup drops duplicate (symbol, price) within the watermark") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
