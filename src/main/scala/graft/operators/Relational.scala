@@ -183,6 +183,7 @@ object Relational {
     val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("__x"))
     val wAll = Window.partitionBy(col(keyCol))
     val ranked = df.select(col(keyCol), col(valCol).cast("double").as("__x"))
+      .filter(col("__x").isNotNull) // percentile() ignores nulls; so do we
       .withColumn("__rn", row_number().over(wOrd))
       .withColumn("__n", count(lit(1)).over(wAll))
     val aggs = ps.flatMap { case (name, p) =>

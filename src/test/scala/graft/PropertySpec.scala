@@ -19,7 +19,10 @@ class PropertySpec extends SparkSpec {
     import spark.implicits._
     // generated groups plus edge cases: singleton group, two-row group
     samples(rowsGen, 3).filter(_.nonEmpty).foreach { data =>
-      val df = (data ++ Seq(("solo", 7777), ("duo", 1), ("duo", 2))).toDF("k", "v")
+      val withEdges = data.map { case (k, v) => (k, Integer.valueOf(v)) } ++
+        Seq(("solo", Integer.valueOf(7777)), ("duo", Integer.valueOf(1)),
+          ("duo", Integer.valueOf(2)), ("a", null: Integer)) // nulls are ignored
+      val df = withEdges.toDF("k", "v")
       val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
       val sorted = Relational.exactPercentiles(df, "k", "v", ps)
         .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
