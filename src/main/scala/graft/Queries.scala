@@ -212,6 +212,33 @@ object Queries {
       (s, dir) => servingDf(s, dir).orderBy("l_returnflag"),
       Some(servingSql)),
 
+    // CORE COMPOSITION PROOF (the reference's OWN chain, the counterpart of
+    // x9_curation_e2e for the non-EXT surface): ingest → bronze write/read →
+    // silver dedup → gold agg → serving surrogate-id+stringify, run through
+    // the REAL Pipeline class with real parquet roundtrips between stages
+    // and both serving sinks (staged warehouse + JSON documents) — the
+    // Airflow `>>` graph as one declared query. serve_stringify checks the
+    // same math in memory; this row proves the stage contracts survive the
+    // write/read boundaries. min/max/diff are duplicate-insensitive, so the
+    // silver distinct does not change the gold oracle.
+    Q("medallion_e2e",
+      (s, dir) => {
+        val root = freshDir(s, "graft_medallion_e2e")
+        val pipe = new Pipeline(graft.io.ParquetTableFormat,
+          new graft.io.StagedWarehouseSink(s"$root/staging", s"$root/warehouse"),
+          graft.io.JsonDocumentSink)
+        val ingested = rd(s, dir, "lineitem")
+          .select(col("l_returnflag").as("symbol"), col("l_extendedprice").as("price"))
+        pipe.run(s, ingested, root, asOf).orderBy("symbol")
+      },
+      Some(s"""WITH gold AS ($goldCte)
+        |SELECT CAST(row_number() OVER (ORDER BY l_returnflag) AS VARCHAR) AS id,
+        | CAST(l_returnflag AS VARCHAR) AS symbol,
+        | CAST(min_value AS VARCHAR) AS min_value, CAST(max_value AS VARCHAR) AS max_value,
+        | CAST(diff AS VARCHAR) AS diff, CAST(as_of_year AS VARCHAR) AS as_of_year,
+        | CAST(as_of_month AS VARCHAR) AS as_of_month, CAST(as_of_day AS VARCHAR) AS as_of_day
+        |FROM gold ORDER BY symbol""".stripMargin)),
+
     // S10 — staged warehouse bulk load (stage parquet, commit by rename),
     // then read the warehouse table back. Roundtrip is the identity over the
     // serving projection, so the serving oracle applies.
