@@ -104,6 +104,20 @@ object Queries {
       |sigs AS (SELECT doc_id, ($terms) AS simhash FROM h GROUP BY doc_id)""".stripMargin
   }
 
+  /** Quality-filter predicate (the x3_quality_score thresholds used by the
+    * curation queries), DuckDB form — shared by x9_curation_e2e and
+    * stream_curation so the two oracles cannot drift.
+    */
+  private val duckQualityPred =
+    "length(text) >= 120 AND len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), " +
+      "x -> list_contains(['the','a','of','and','to','in'], x))) >= 1"
+
+  /** Weighted-mixture percentage CASE (50% en / 25% de / 10% rest), DuckDB
+    * form — shared by x6_weighted_mix, x9_curation_e2e, stream_curation.
+    */
+  private val duckMixCase =
+    "(CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END)"
+
   /** Word-bigram token CTE (order-sensitive shingles), DuckDB form. */
   private val duckBigramToks =
     """SELECT DISTINCT doc_id, unnest(list_transform(range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2])) AS tok
@@ -576,11 +590,9 @@ object Queries {
       },
       Some("SELECT doc_id, lang, bucket FROM (" +
         s"SELECT doc_id, lang, ${duckHex("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket " +
-        "FROM documents WHERE length(text) >= 120 " +
-        "AND len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), " +
-        "x -> list_contains(['the','a','of','and','to','in'], x))) >= 1 " +
+        s"FROM documents WHERE $duckQualityPred " +
         "AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 100)) " +
-        "WHERE bucket < (CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END) " +
+        s"WHERE bucket < $duckMixCase " +
         "ORDER BY doc_id")),
 
     // Custom streaming state (flatMapGroupsWithState) oracle-checked: the
@@ -1439,7 +1451,7 @@ object Queries {
       Some(s"SELECT doc_id, lang, ${duckHex("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket " +
         "FROM documents " +
         s"WHERE ${duckHex("md5(CAST(doc_id AS VARCHAR))")} % 100 < " +
-        "(CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END) " +
+        s"$duckMixCase " +
         "ORDER BY doc_id")),
 
     // A12 — incremental aggregate merge (the re-aggregation property behind
@@ -2090,9 +2102,7 @@ object Queries {
             "x -> x IS NOT NULL)"
         s"""WITH RECURSIVE
           |q AS (SELECT doc_id, lang, text FROM documents
-          |  WHERE length(text) >= 120
-          |    AND len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''),
-          |      x -> list_contains(['the','a','of','and','to','in'], x))) >= 1),
+          |  WHERE $duckQualityPred),
           |ex AS (SELECT doc_id, lang, text FROM (
           |  SELECT doc_id, lang, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM q)
           |  WHERE rn = 1),
@@ -2113,7 +2123,7 @@ object Queries {
           |  WHERE doc_id >= 100 AND doc_id NOT IN (SELECT doc_id FROM flagged)),
           |mix AS (SELECT doc_id, lang, text FROM dec
           |  WHERE ${duckHex("md5(CAST(doc_id AS VARCHAR))")} % 100 <
-          |    (CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END))
+          |    $duckMixCase)
           |SELECT doc_id, lang AS shard, n_tok,
           |  CAST(sum(n_tok) OVER w AS BIGINT) AS cum_tok,
           |  CAST(floor((sum(n_tok) OVER w - n_tok) / 512) AS BIGINT) AS bin
