@@ -11,9 +11,14 @@ object Probe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dump = sys.env.get("SPARK_PROBE_DUMP")
+    val explain = sys.env.contains("SPARK_PROBE_EXPLAIN")
     args.tail.foreach { name =>
       try {
         val df = Queries.queries(name)(spark, args.head)
+        if (explain) {
+          println(s"[probe] $name formatted plan:")
+          df.explain("formatted")
+        }
         dump match {
           case Some(root) =>
             df.coalesce(1).write.mode("overwrite").parquet(s"$root/$name")
