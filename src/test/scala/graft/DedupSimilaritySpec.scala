@@ -167,6 +167,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.7, s"LSH top-1 recall $recall too low")
   }
 
+  test("bucketedTopK never pairs across buckets and ranks within-bucket by cosine") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Seq.fill(4)(1.0f), 0),
+      (1L, Seq.fill(4)(0.9f), 0),          // same bucket as 0, cos 1.0
+      (2L, Seq(1f, -1f, 1f, -1f), 0),      // same bucket, orthogonal
+      (3L, Seq.fill(4)(1.0f), 1))          // identical to 0 but other bucket
+      .toDF("vec_id", "embedding", "bkt")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"), col("bkt"))
+    val rows = Similarity.bucketedTopK(df, "bkt", 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(rows(0L) == 1L && rows(1L) == 0L) // parallel vectors rank first
+    assert(rows(2L) != 3L)                   // never paired across buckets
+    assert(!rows.contains(3L))               // singleton bucket emits nothing
+  }
+
   test("multi-probe lshTopK dominates single-probe recall on the planted fixture") {
     val rnd = new scala.util.Random(13)
     def vec(): Array[Float] = Array.fill(64)(rnd.nextGaussian().toFloat)
