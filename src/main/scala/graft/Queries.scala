@@ -2012,6 +2012,31 @@ object Queries {
         s"CAST(${duckHex("md5(text)")} % 480 AS INTEGER) AS height " +
         "FROM documents ORDER BY doc_id")),
 
+    // X4 — resize plumbing for image-like payloads: deterministic byte-stride
+    // downsample (STUB for a real resample — no image libs offline), then the
+    // resized artifact is RE-DECODED through the same codec path, so the
+    // oracle verifies the full bytes→resize→decode chain: it rebuilds the
+    // downsampled bytes from the text and recomputes the md5-derived
+    // pseudo-dimensions of the RESIZED payload.
+    Q("x4_resize",
+      (s, dir) => {
+        val media = Multimodal.attachPayload(rd(s, dir, "documents"), "doc_id", "text")
+        val resized = Multimodal.resizePayload(media, stride = 4)
+        Multimodal.decodeFeatures(
+            resized.select(col("doc_id"), col("mime"), col("resized").as("payload")))
+          .toDF().select("doc_id", "n_bytes", "width", "height")
+          .orderBy("doc_id")
+      },
+      Some {
+        val ds = "array_to_string(list_transform(range(0, (length(text) + 3) // 4), " +
+          "i -> substr(text, CAST(i * 4 + 1 AS INTEGER), 1)), '')"
+        s"""WITH r AS (SELECT doc_id, $ds AS ds FROM documents)
+          |SELECT doc_id, CAST(length(ds) AS INTEGER) AS n_bytes,
+          |  CAST(${duckHex("md5(ds)")} % 640 AS INTEGER) AS width,
+          |  CAST(${duckHex("md5(ds)")} % 480 AS INTEGER) AS height
+          |FROM r ORDER BY doc_id""".stripMargin
+      }),
+
     // X4 — perceptual-hash-style near-dup over payload BYTES: md5 band
     // hashes over fixed 64-byte windows, pairs = documents sharing at least
     // one aligned window (the image-dedup analog of SimHash banding; exact

@@ -114,6 +114,20 @@ object Multimodal {
       .filter(col("n_match") >= minMatch)
   }
 
+  /** Resize shape for image-like payloads: deterministic byte-stride
+    * downsample — every `stride`-th byte of the payload becomes the
+    * "resized" payload (STUB for a real image resample; the bytes→bytes
+    * transform plumbing, the size contract, and the re-decode of the
+    * resized artifact are the real parts). Map-side only: resizing never
+    * shuffles, it narrows a scan by ~stride×.
+    */
+  def resizePayload(media: DataFrame, stride: Int): DataFrame = {
+    require(stride > 0, "stride must be positive")
+    media.select(col("doc_id"), col("mime"), col("payload"),
+      expr(s"to_binary(concat_ws('', transform(sequence(0, int((length(payload) + $stride - 1) / $stride) - 1), " +
+        s"i -> string(substring(payload, i * $stride + 1, 1)))), 'utf-8')").as("resized"))
+  }
+
   /** Frame sampling shape for video-like payloads: every k-th chunk of the
     * payload becomes one "frame" row (explode). Deterministic stand-in for
     * keyframe extraction; the row-explosion plumbing is the real part.
