@@ -7,6 +7,12 @@ import graft.operators.ext.Dedup
 /** Dev harness: phase timing of the x1_dedup_clusters pipeline — how much is
   * pair generation vs. contraction + finish (or propagation rounds).
   * Usage: runMain graft.ProfileClusters [sfDir]
+  *    or: runMain graft.ProfileClusters --synthetic <nNodes>
+  * The synthetic mode stress-tests the contraction at far past bench scale:
+  * nNodes/50 cliques of 50 (the dense local structure near-dup pair lists
+  * have) linked into one chain (the high-diameter structure propagation
+  * fears), ~nNodes×24.5 edges total; asserts the whole graph resolves to
+  * ONE component labeled 0.
   */
 object ProfileClusters {
   def main(args: Array[String]): Unit = {
@@ -23,6 +29,33 @@ object ProfileClusters {
       val r = f
       println(f"[prof] $name ${(System.nanoTime() - t0) / 1e9}%.2f s")
       r
+    }
+    if (args.headOption.contains("--synthetic")) {
+      import org.apache.spark.sql.functions._
+      val n = args(1).toLong
+      val clique = 50L
+      // two independently-built sides with disjoint column names: the
+      // aliased-self-join form silently resolves `a.id < b.id` to one side
+      // (always false → zero pairs) on this lineage
+      def side(p: String) = spark.range(n).select(col("id").as(s"${p}_id"),
+        (col("id") / clique).cast("long").as(s"${p}_c"))
+      // within-clique all-pairs (the dense local mass) + a chain linking
+      // consecutive clique heads (the high-diameter cross-partition case)
+      val pairs = side("a").join(side("b"),
+          col("a_c") === col("b_c") && col("a_id") < col("b_id"))
+        .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+        .unionByName(spark.range(n / clique - 1).select(
+          (col("id") * clique).as("id_a"), ((col("id") + 1) * clique).as("id_b")))
+      val docs = spark.range(n).select(col("id").as("doc_id"))
+      val clustered = t(f"synthetic n=$n edges~${n * (clique - 1) / 2 + n / clique}") {
+        graft.operators.ext.Dedup.dedupClusters(docs, "doc_id", pairs)
+      }
+      val distinctClusters = clustered.select("cluster").distinct().count()
+      val wrong = clustered.filter(col("cluster") =!= 0L).count()
+      println(s"[prof] distinct clusters = $distinctClusters, mislabeled = $wrong")
+      assert(distinctClusters == 1L && wrong == 0L, "synthetic graph must resolve to one component labeled 0")
+      spark.stop()
+      return
     }
     (1 to 2).foreach { pass =>
       println(s"--- pass $pass")

@@ -266,6 +266,12 @@ object Dedup {
     * The fixpoint (min id per component) is path-independent — identical
     * under any partitioning, any contraction schedule, and in the oracle's
     * recursive-CTE formulation.
+    *
+    * Measured (ProfileClusters --synthetic, local[32]): 1M nodes / 24.5M
+    * edges (20k cliques chained) resolve exactly via the finish path in
+    * ~6 s; 5M nodes / 123M edges exceed `finishRows` and resolve exactly
+    * via the propagation fallback in ~102 s — both orders of magnitude past
+    * the sf0.1 bench graph (2.3k nodes / 356k edges).
     */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                     aCol: String = "id_a", bCol: String = "id_b",
