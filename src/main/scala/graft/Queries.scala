@@ -1960,6 +1960,40 @@ object Queries {
         |FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
         |ORDER BY a.vec_id""".stripMargin)),
 
+    // X2/X1 composition — semantic dedup with the TRANSITIVE-CLOSURE survivor
+    // rule: within-cell cosine pairs feed the connected-component labeling
+    // and ONE representative (min id) survives per semantic component —
+    // the embedding-space analog of the text pipeline's pairs → clusters →
+    // min-id keep. Complements x2_semantic_dedup's documented single-pass
+    // rule; the oracle replays assignment, pairs, AND the component fixpoint
+    // (recursive CTE).
+    Q("x2_semantic_dedup_cc",
+      (s, dir) => Similarity.semanticDedupComponents(rd(s, dir, "embeddings"), 32,
+          new java.math.BigDecimal("0.400000"))
+        .orderBy("vec_id"),
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM s WHERE vec_id < 32),
+        |sim AS (SELECT s.vec_id, c.cell,
+        |  CAST(list_dot_product(s.v, c.cv) / (s.nrm * c.cnrm) AS DECIMAL(10,6)) AS csim
+        |  FROM s CROSS JOIN c),
+        |ranked AS (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crk FROM sim),
+        |assigned AS (SELECT r.vec_id, r.cell, s.v, s.nrm FROM ranked r
+        |  JOIN s ON s.vec_id = r.vec_id WHERE r.crk = 1),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM assigned a JOIN assigned b
+        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6))
+        |    >= CAST(0.4 AS DECIMAL(10,6))),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |r(vec_id, lab) AS (SELECT vec_id, vec_id FROM assigned
+        |  UNION SELECT e.dst, r.lab FROM r JOIN edges e ON r.vec_id = e.src),
+        |cl AS (SELECT vec_id, min(lab) AS cluster FROM r GROUP BY vec_id)
+        |SELECT a.vec_id, a.cell, (cl.cluster = a.vec_id) AS keep
+        |FROM assigned a JOIN cl ON cl.vec_id = a.vec_id
+        |ORDER BY a.vec_id""".stripMargin)),
+
     // X3 — rolling polynomial fingerprint (order-sensitive Rabin-Karp-shaped
     // fold; oracle mirrors the fold via list_reduce with a prepended init).
     Q("x3_rolling_fingerprint",

@@ -241,19 +241,7 @@ object Similarity {
     */
   def semanticDedup(emb: DataFrame, nlist: Int, minCos: java.math.BigDecimal,
                     trainIters: Int = 0): DataFrame = {
-    val p = prep(emb)
-    val cents = broadcast(
-      if (trainIters > 0) kmeansCentroids(emb, nlist, trainIters, seed = 42L)
-      else p.filter(col("vec_id") < nlist)
-        .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm")))
-    val simToCent = (expr("float_dot(v, cv)") / (col("nrm") * col("cnrm")))
-      .cast(DecimalType(10, 6))
-    val assigned = p.join(cents)
-      .withColumn("csim", simToCent)
-      .withColumn("crk", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))))
-      .filter(col("crk") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
+    val assigned = assignCells(emb, nlist, trainIters)
     val rawCos = expr("float_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm"))
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -263,6 +251,53 @@ object Similarity {
     assigned.select("vec_id", "cell")
       .join(dropped.select(col("vec_id"), lit(true).as("dropped")), Seq("vec_id"), "left")
       .select(col("vec_id"), col("cell"), col("dropped").isNull.as("keep"))
+  }
+
+  /** X2/X1 composition: semantic dedup with the TRANSITIVE-CLOSURE survivor
+    * rule — within-cell near-dup pairs feed [[Dedup.dedupClusters]] and one
+    * representative (the min id) survives per semantic COMPONENT. The third
+    * keep-rule in the family: [[semanticDedup]]'s single-pass min-id drop
+    * (cheapest, over-drops chains), sequential-greedy (the SemDeDup paper's
+    * rule, inherently iterative), and this one (chains collapse to one
+    * survivor — the same rule the text near-dup pipeline applies after LSH).
+    * Same 100 TB shape: the quadratic term stays bounded per cell; the
+    * component labeling runs on the (far smaller) near-dup pair list.
+    */
+  def semanticDedupComponents(emb: DataFrame, nlist: Int, minCos: java.math.BigDecimal,
+                              trainIters: Int = 0): DataFrame = {
+    val assigned = assignCells(emb, nlist, trainIters)
+    val rawCos = expr("float_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm"))
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(rawCos >= lit(minCos.doubleValue() - 1e-6))
+      .filter(rawCos.cast(DecimalType(10, 6)) >= lit(minCos))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+    val clusters = Dedup.dedupClusters(
+      assigned.select(col("vec_id").as("doc_id")), "doc_id", pairs)
+    assigned.select("vec_id", "cell")
+      .join(clusters.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), (col("cluster") === col("vec_id")).as("keep"))
+  }
+
+  /** Nearest-centroid cell assignment shared by the semantic-dedup family:
+    * broadcast centroid table (stand-in = first `nlist` vectors when
+    * trainIters = 0, seeded KMeans otherwise), rounded-decimal argmax so the
+    * assignment is engine-stable.
+    */
+  private def assignCells(emb: DataFrame, nlist: Int, trainIters: Int): DataFrame = {
+    val p = prep(emb)
+    val cents = broadcast(
+      if (trainIters > 0) kmeansCentroids(emb, nlist, trainIters, seed = 42L)
+      else p.filter(col("vec_id") < nlist)
+        .select(col("vec_id").as("cell"), col("v").as("cv"), col("nrm").as("cnrm")))
+    val simToCent = (expr("float_dot(v, cv)") / (col("nrm") * col("cnrm")))
+      .cast(DecimalType(10, 6))
+    p.join(cents)
+      .withColumn("csim", simToCent)
+      .withColumn("crk", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("csim").desc, col("cell"))))
+      .filter(col("crk") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("cell"))
   }
 
   /** X2: exact cosine top-k restricted to caller-provided buckets — the
