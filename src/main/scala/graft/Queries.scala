@@ -1644,6 +1644,22 @@ object Queries {
         "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk " +
         "FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk")),
 
+    // X3 — vocabulary-coverage / OOV-rate scoring: the top-200 corpus tokens
+    // (by frequency desc, token — deterministic) form the vocabulary, which
+    // broadcasts to a map-side scoring join; each document's exact token and
+    // out-of-vocabulary counts are the gibberish/wrong-language quality
+    // signal. The corpus never shuffles for the vocabulary.
+    Q("x3_oov_rate",
+      (s, dir) => TextAnalysis.oovRate(rd(s, dir, "documents"), "doc_id", "text", 200)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents),
+        |v AS (SELECT token FROM (SELECT token, count(*) AS cnt FROM t GROUP BY token
+        |  ORDER BY cnt DESC, token LIMIT 200)),
+        |j AS (SELECT t.doc_id, t.token, v.token IS NOT NULL AS iv
+        |  FROM t LEFT JOIN v ON v.token = t.token)
+        |SELECT doc_id, count(*) AS n_tok, count(CASE WHEN NOT iv THEN 1 END) AS n_oov
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // X3 — corpus token frequencies.
     Q("x3_token_stats",
       (s, dir) => TextAnalysis.tokenStats(rd(s, dir, "documents"), "text"),

@@ -90,6 +90,35 @@ object TextAnalysis {
       .filter(col("rk") <= k)
   }
 
+  /** X3: vocabulary-coverage scoring — the OOV-rate quality signal (a
+    * document whose tokens rarely appear in the corpus vocabulary is
+    * gibberish, OCR noise, or the wrong language). The vocabulary is the
+    * top-`vocabSize` corpus tokens by (frequency desc, token) — derived
+    * deterministically from the corpus itself, no external file — and
+    * broadcasts to the scoring scan; emitted counts are exact integers so
+    * any engine agrees bit-for-bit.
+    *
+    * 100 TB shape: vocabulary construction is the token-frequency aggregate
+    * (map-side combined, shuffle bounded by distinct tokens) + a top-k rank;
+    * scoring is one map-side broadcast join over the exploded tokens and a
+    * partial-aggregated per-doc count — the corpus never shuffles for the
+    * vocabulary.
+    */
+  def oovRate(docs: DataFrame, idCol: String, textCol: String, vocabSize: Int): DataFrame = {
+    // top-k via orderBy+limit = TakeOrderedAndProject (per-partition heaps,
+    // no single-partition global window) — the total order (cnt desc, token)
+    // makes the selected vocabulary deterministic
+    val vocab = docs.select(explode(expr(toks(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(vocabSize)
+      .select("token")
+    docs.select(col(idCol).as("doc_id"), explode(expr(toks(textCol))).as("token"))
+      .join(broadcast(vocab.withColumn("in_vocab", lit(1))), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+  }
+
   /** Exact document fingerprint: md5 (portable across engines). */
   def fingerprintMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("fp"))

@@ -209,6 +209,14 @@ class PlanSpec extends SparkSpec {
       s"expected the probe-side flip explode:\n${p.take(2000)}")
   }
 
+  test("x3_oov_rate: vocabulary top-k is a per-partition heap and broadcasts to the scan") {
+    val p = plan("x3_oov_rate")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"vocabulary selection must not be a single-partition global sort:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the vocabulary must broadcast (corpus never shuffles for it):\n${p.take(2000)}")
+  }
+
   test("a6_percentile avoids the percentile() map aggregate (sort-based window form)") {
     val p = plan("a6_percentile")
     assert(!p.toLowerCase.contains("percentile"),
