@@ -25,7 +25,13 @@ object Bench {
     // doubles as JIT/codegen warmup (one-shot cold runs measure interpreted
     // execution of freshly generated code, not the engine), and the min is
     // robust against transient host contention during any single pass.
+    // Dev-only subset filter (the driver never sets it): comma-separated
+    // query names, for idle re-measurement of individual queries with the
+    // exact bench methodology (warmup, noop sink, min-of-passes, GC).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val best = scala.collection.mutable.Map[String, Double]()
     val passesDone = scala.collection.mutable.Map[String, Int]()
     val everFailed = scala.collection.mutable.Set[String]()

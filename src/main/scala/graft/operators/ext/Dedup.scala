@@ -168,16 +168,26 @@ object Dedup {
     // the probe side by (band, key, salt) spreads each hot bucket over
     // `salts` tasks instead of one. The build side replicates per salt so
     // every pair appears exactly once.
+    //
+    // The build side is a SHUFFLE-HASH join, never a broadcast: the band
+    // table is CORPUS-SIZED (one row per doc per band, × salts), so a
+    // broadcast would collect the whole corpus to the driver and ship it to
+    // every executor — fine at bench scale, an OOM cliff at 100×. The
+    // shuffle-hash form ships each partition only its own (band, key, salt)
+    // slice of the replicated build, so per-task build memory is
+    // |bands| × salts / #partitions — bounded by adding partitions. The
+    // probe side is pre-partitioned on exactly the join keys, so it moves
+    // through its existing exchange. (Plan-asserted in PlanSpec: this join
+    // and the verify joins below must stay ShuffledHashJoin.)
     val salts = 16
     val x = bands.withColumn("salt", pmod(col("doc_id"), lit(salts)).cast("int"))
       .repartition(par, col("band"), col("key"), col("salt"))
     val y = bands.withColumn("salt", explode(lit((0 until salts).toArray)))
-    val cands = x.as("x").join(broadcast(y.as("y")),
+    val cands = x.as("x").join(y.as("y").hint("shuffle_hash"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.salt") === col("y.salt") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct() // a pair matching in >1 band appears once per band
-      .repartition(par) // round-robin: verify work is per-pair, spread evenly
     graft.functions.ArrayOps.register(docs.sparkSession)
     // Sorted distinct token arrays: the native sorted_overlap merge-count
     // (functions/ArrayOps.scala) needs ascending order, and in exchange the
@@ -187,19 +197,21 @@ object Dedup {
       .agg(sort_array(collect_set(col("h"))).as("toks"), count(lit(1)).as("sz"))
       .localCheckpoint(true)
     val overlap = expr("sorted_overlap(sa.toks, sb.toks)")
-    // Verify joins: the token-set side is explicitly broadcast so the planner
-    // can never pick the (possibly million-row) candidate side as the build.
-    // At corpus scales where per-doc token sets outgrow a broadcast, swap
-    // these to shuffle-hash joins on doc_id (narrow pair rows shuffle
-    // cheaply) — the narrow-candidates-then-verify architecture is unchanged.
+    // Verify joins: SHUFFLE-HASH on doc_id, with the token-set side as the
+    // hinted build so the planner can never pick the (possibly million-row)
+    // candidate side. The token-set table holds every document's FULL token
+    // array — corpus-sized, the exact thing that must never broadcast: a
+    // shuffle-hash join ships each partition only its id-range slice, so
+    // per-task build memory is |corpus token data| / #partitions. The
+    // narrow (id_a, id_b) candidate rows shuffle cheaply on each key.
     //
     // The size-ratio filter runs BEFORE the overlap projection: J(A,B) <=
     // min(|A|,|B|)/max(|A|,|B|), so a pair failing the ratio can never pass
     // the threshold — those candidates are dropped without touching either
     // token array.
     cands
-      .join(broadcast(tokSets.as("sa")), col("id_a") === col("sa.doc_id"))
-      .join(broadcast(tokSets.as("sb")), col("id_b") === col("sb.doc_id"))
+      .join(tokSets.as("sa").hint("shuffle_hash"), col("id_a") === col("sa.doc_id"))
+      .join(tokSets.as("sb").hint("shuffle_hash"), col("id_b") === col("sb.doc_id"))
       .filter(lit(threshDen) * least(col("sa.sz"), col("sb.sz")) >=
         lit(threshNum) * greatest(col("sa.sz"), col("sb.sz")))
       .select(col("id_a"), col("id_b"), overlap.as("overlap"),

@@ -217,6 +217,19 @@ class PlanSpec extends SparkSpec {
       s"the vocabulary must broadcast (corpus never shuffles for it):\n${p.take(2000)}")
   }
 
+  test("x2_minhash_lsh: corpus-sized build sides are shuffle-hash joins, never broadcasts") {
+    val p = plan("x2_minhash_lsh")
+    // three corpus-sized builds: the salted band self-join + both token-set
+    // verify joins — each must be a ShuffledHashJoin (per-partition build
+    // slice), because broadcasting any of them collects the corpus to the
+    // driver at 100× scale
+    val shj = "ShuffledHashJoin".r.findAllIn(p).length
+    assert(shj >= 3,
+      s"expected >=3 ShuffledHashJoin (band self-join + 2 verify joins), got $shj:\n${p.take(3000)}")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+      s"a corpus-sized table leaked into a broadcast join:\n${p.take(3000)}")
+  }
+
   test("a6_percentile avoids the percentile() map aggregate (sort-based window form)") {
     val p = plan("a6_percentile")
     assert(!p.toLowerCase.contains("percentile"),
