@@ -47,8 +47,13 @@ object ProfileClusters {
         .unionByName(spark.range(n / clique - 1).select(
           (col("id") * clique).as("id_a"), ((col("id") + 1) * clique).as("id_b")))
       val docs = spark.range(n).select(col("id").as("doc_id"))
-      val clustered = t(f"synthetic n=$n edges~${n * (clique - 1) / 2 + n / clique}") {
-        graft.operators.ext.Dedup.dedupClusters(docs, "doc_id", pairs)
+      // materialize the pair list first so edge GENERATION cost (the clique
+      // self-join) is reported separately from the clustering itself
+      val mat = t(f"synthetic pair materialization n=$n edges~${n * (clique - 1) / 2 + n / clique}") {
+        val m = pairs.localCheckpoint(true); m.count(); m
+      }
+      val clustered = t(s"dedupClusters n=$n") {
+        graft.operators.ext.Dedup.dedupClusters(docs, "doc_id", mat)
       }
       val distinctClusters = clustered.select("cluster").distinct().count()
       val wrong = clustered.filter(col("cluster") =!= 0L).count()

@@ -266,41 +266,102 @@ object Dedup {
     *     with zero iteration. 4M star rows ≈ 64 MB in one task's hash maps:
     *     far past any corpus this engine has met, yet still a deliberate
     *     cliff, hence stage 3.
-    *  3. PROPAGATE (contracted graph > `finishRows`): fall back to
-    *     hop-batched min-label propagation over the star edges — narrow
-    *     (id, label) shuffles, changed-count convergence probe piggybacked
-    *     on each round's final hop, and a LOUD IllegalStateException when
-    *     `maxIters` rounds pass without a fixpoint (a silent partial
-    *     propagation at scale is a wrong answer with no alarm). The stars'
-    *     diameter is already collapsed per partition, so rounds start far
-    *     closer to the fixpoint than on the raw graph.
+    *  2b. QUOTIENT RECURSION (contracted graph > `finishRows`): the star
+    *     frame can never shrink below one row per node, so instead of
+    *     iterating on the NODE graph, recurse on the LABEL graph — the
+    *     quotient whose vertices are the local-min labels, with two labels
+    *     linked iff some node carries both (one groupBy(node) pass emits a
+    *     star over each multi-label node's label set). The quotient is
+    *     smaller by the local clustering factor (labels ≈ local components,
+    *     not nodes); resolving it labels every label with its component
+    *     min, and one join maps nodes through their labels' roots. Up to
+    *     `quotientDepth` levels; an EMPTY quotient (no node carries two
+    *     labels) means the stars are already component-flat and the join
+    *     alone finishes — no iteration at all.
+    *  3. PROPAGATE (`quotientDepth` exhausted and still > `finishRows`):
+    *     fall back to hop-batched min-label propagation over the star
+    *     edges — narrow (id, label) shuffles, changed-count convergence
+    *     probe piggybacked on each round's final hop, and a LOUD
+    *     IllegalStateException when `maxIters` rounds pass without a
+    *     fixpoint (a silent partial propagation at scale is a wrong answer
+    *     with no alarm).
     *
     * The fixpoint (min id per component) is path-independent — identical
     * under any partitioning, any contraction schedule, and in the oracle's
-    * recursive-CTE formulation.
+    * recursive-CTE formulation. (Why the quotient preserves it: a
+    * component's global min id m is emitted as its own label (m, m) by the
+    * partition that saw it, any two labels of one bipartite node-label
+    * component are transitively linked through shared nodes, and the
+    * quotient's own recursion returns min-per-label-component — which is m,
+    * since labels are ids and m is one of them.)
+    *
+    * ID CONTRACT: pair ids must be integral (long-castable losslessly —
+    * the labeling unions ids across partitions in primitive longs). A
+    * non-castable id (e.g. a non-numeric string) fails LOUDLY at runtime
+    * via raise_error, not as a silent null; callers with string keys should
+    * dedup on a surrogate (e.g. Medallion.withScalableSurrogateId) first.
     *
     * Measured (ProfileClusters --synthetic, local[32]): 1M nodes / 24.5M
     * edges (20k cliques chained) resolve exactly via the finish path in
     * ~6 s; 5M nodes / 123M edges exceed `finishRows` and resolve exactly
-    * via the propagation fallback in ~102 s — both orders of magnitude past
-    * the sf0.1 bench graph (2.3k nodes / 356k edges).
+    * through one quotient level (~100k labels → single-task finish) — the
+    * propagation fallback (~70 s of hop rounds at this size) is no longer
+    * on the path. Timings in ARCHITECTURE.md §Round-7.
     */
   def dedupClusters(docs: DataFrame, idCol: String, pairs: DataFrame,
                     aCol: String = "id_a", bCol: String = "id_b",
-                    maxIters: Int = 20, finishRows: Long = 4000000L): DataFrame = {
-    val spark = pairs.sparkSession
-    import spark.implicits._
-    val stars = contractEdges(
-        pairs.select(col(aCol).cast("long"), col(bCol).cast("long")).as[(Long, Long)])
-      .toDF("src", "dst")
-      .localCheckpoint(true)
-    val labels =
-      if (stars.count() <= finishRows)
-        contractEdges(stars.coalesce(1).as[(Long, Long)]).toDF("doc_id", "cluster")
-      else propagateMinLabel(stars, maxIters)
+                    maxIters: Int = 20, finishRows: Long = 4000000L,
+                    quotientDepth: Int = 2): DataFrame = {
+    import pairs.sparkSession.implicits._
+    // id contract enforced up front: a lossy/failed long cast raises with
+    // the offending value instead of surfacing later as an opaque
+    // non-nullable-field error (or, worse, a silently renumbered cluster)
+    def longId(c: String) =
+      when(col(c).isNotNull && col(c).cast("long").isNull,
+          raise_error(concat(lit(s"dedupClusters: id column '$c' must be long-castable, got: "),
+            col(c).cast("string"))))
+        .otherwise(col(c).cast("long"))
+    val labels = clusterEdges(
+      pairs.select(longId(aCol), longId(bCol)).as[(Long, Long)],
+      finishRows, maxIters, quotientDepth)
     docs.select(col(idCol).as("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+  }
+
+  /** Core labeling: (doc_id, cluster-min) for every id appearing in `edges`,
+    * via the contract → finish | quotient-recurse | propagate cascade
+    * documented on [[dedupClusters]].
+    */
+  private def clusterEdges(edges: org.apache.spark.sql.Dataset[(Long, Long)],
+                           finishRows: Long, maxIters: Int, quotientDepth: Int): DataFrame = {
+    import edges.sparkSession.implicits._
+    val stars = contractEdges(edges).toDF("src", "dst").localCheckpoint(true)
+    val n = stars.count()
+    if (n <= finishRows)
+      return contractEdges(stars.coalesce(1).as[(Long, Long)]).toDF("doc_id", "cluster")
+    if (quotientDepth <= 0) {
+      System.err.println(s"[dedupClusters] $n star rows > finish threshold " +
+        s"$finishRows, quotient depth exhausted: propagation fallback")
+      return propagateMinLabel(stars, maxIters)
+    }
+    // label quotient graph: each node carrying >1 label links them (a star
+    // through the node's min label); one groupBy(node) pass, output size =
+    // multi-label incidence, not nodes
+    val labEdges = stars.groupBy(col("src")).agg(collect_set(col("dst")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("a"), array_min(col("ds")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .as[(Long, Long)]
+    System.err.println(s"[dedupClusters] $n star rows > finish threshold " +
+      s"$finishRows: recursing on the label quotient (depth $quotientDepth)")
+    val labRoots = clusterEdges(labEdges, finishRows, maxIters, quotientDepth - 1)
+      .select(col("doc_id").as("lab"), col("cluster").as("root"))
+    // map each node through its labels' component roots; labels outside the
+    // quotient (their component has a single label) root to themselves
+    stars.join(labRoots, col("dst") === col("lab"), "left")
+      .groupBy(col("src").as("doc_id"))
+      .agg(min(coalesce(col("root"), col("dst"))).as("cluster"))
   }
 
   /** Partition-local union-find: one (node, min-id-of-local-component) star
@@ -381,12 +442,15 @@ object Dedup {
     var converged = labels.isEmpty
     var it = 0
     var hops = 2
+    val t0 = System.nanoTime()
     while (!converged && it < maxIters) {
       val stepped = (1 until hops).foldLeft(labels)((l, _) => hop(l))
       val prop = hopTagged(stepped).localCheckpoint(true)
       val changed = prop.agg(count(when(col("cluster") < col("self"), 1)))
         .head.getLong(0)
       converged = changed == 0L
+      System.err.println(f"[dedupClusters] propagation round ${it + 1}: $hops hops, " +
+        f"$changed changed (t+${(System.nanoTime() - t0) / 1e9}%.1f s)")
       labels = prop.select("doc_id", "cluster")
       hops = math.min(hops * 2, 4)
       it += 1

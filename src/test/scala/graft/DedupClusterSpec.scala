@@ -43,11 +43,13 @@ class DedupClusterSpec extends SparkSpec {
     import spark.implicits._
     val docs = (1L to 12L).toDF("doc_id")
     // an 11-edge path needs more than one propagation hop end-to-end;
-    // finishRows = 0 disables the single-task finish so the distributed
-    // propagation fallback (the path maxIters guards) is the one exercised
+    // finishRows = 0 disables the single-task finish and quotientDepth = 0
+    // disables the quotient recursion, so the distributed propagation
+    // fallback (the path maxIters guards) is the one exercised
     val pairs = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.dedupClusters(docs, "doc_id", pairs, maxIters = 1, finishRows = 0L).collect()
+      Dedup.dedupClusters(docs, "doc_id", pairs, maxIters = 1, finishRows = 0L,
+        quotientDepth = 0).collect()
     }
     assert(e.getMessage.contains("did not converge"))
   }
@@ -62,9 +64,15 @@ class DedupClusterSpec extends SparkSpec {
       .toDF("id_a", "id_b")
     val fast = Dedup.dedupClusters(docs, "doc_id", pairs)
       .orderBy("doc_id").collect().toSeq
-    val propagated = Dedup.dedupClusters(docs, "doc_id", pairs, finishRows = 0L, maxIters = 30)
+    val propagated = Dedup.dedupClusters(docs, "doc_id", pairs, finishRows = 0L,
+        maxIters = 30, quotientDepth = 0)
       .orderBy("doc_id").collect().toSeq
     assert(fast == propagated)
+    // and the quotient-recursion path (finish disabled, depth available)
+    // reaches the same fixpoint as both
+    val quotiented = Dedup.dedupClusters(docs, "doc_id", pairs, finishRows = 0L)
+      .orderBy("doc_id").collect().toSeq
+    assert(fast == quotiented)
   }
 
   test("sorted_overlap equals size(array_intersect) on sorted distinct arrays") {
