@@ -106,7 +106,8 @@ object Queries {
 
   /** Quality-filter predicate (the x3_quality_score thresholds used by the
     * curation queries), DuckDB form — shared by x9_curation_e2e and
-    * stream_curation so the two oracles cannot drift.
+    * stream_curation so the two oracles cannot drift. Engine-side twin:
+    * TextAnalysis.qualityKeepPred (one definition for batch + streaming).
     */
   private val duckQualityPred =
     "length(text) >= 120 AND len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), " +
@@ -2010,6 +2011,46 @@ object Queries {
         |FROM assigned a JOIN cl ON cl.vec_id = a.vec_id
         |ORDER BY a.vec_id""".stripMargin)),
 
+    // X2 — SemDeDup with the paper's SEQUENTIAL-GREEDY keep rule (third
+    // keep-rule variant): members of each cell are visited in vec_id order
+    // and kept iff no PREVIOUSLY-KEPT near-dup neighbour. The oracle
+    // replays the sequential walk as a recursive CTE that steps through
+    // each cell's members in rank order carrying the kept-id list.
+    Q("x2_semantic_dedup_greedy",
+      (s, dir) => Similarity.semanticDedupGreedy(rd(s, dir, "embeddings"), 32,
+          new java.math.BigDecimal("0.400000"))
+        .orderBy("vec_id"),
+      Some("""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+        |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM s WHERE vec_id < 32),
+        |sim AS (SELECT s.vec_id, c.cell,
+        |  CAST(list_dot_product(s.v, c.cv) / (s.nrm * c.cnrm) AS DECIMAL(10,6)) AS csim
+        |  FROM s CROSS JOIN c),
+        |ranked AS (SELECT vec_id, cell,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crk FROM sim),
+        |assigned AS (SELECT r.vec_id, r.cell, s.v, s.nrm FROM ranked r
+        |  JOIN s ON s.vec_id = r.vec_id WHERE r.crk = 1),
+        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM assigned a JOIN assigned b
+        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  WHERE CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6))
+        |    >= CAST(0.4 AS DECIMAL(10,6))),
+        |mem AS (SELECT cell, vec_id,
+        |  row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS ord FROM assigned),
+        |nb AS (SELECT id_b AS vec_id, list(id_a) AS lower_ids FROM pairs GROUP BY id_b),
+        |g(cell, ord, kept) AS (
+        |  SELECT cell, CAST(0 AS BIGINT), CAST([] AS BIGINT[]) FROM (SELECT DISTINCT cell FROM mem)
+        |  UNION ALL
+        |  SELECT g.cell, g.ord + 1,
+        |    CASE WHEN len(list_intersect(coalesce(nb.lower_ids, []), g.kept)) > 0 THEN g.kept
+        |         ELSE list_append(g.kept, m.vec_id) END
+        |  FROM g JOIN mem m ON m.cell = g.cell AND m.ord = g.ord + 1
+        |  LEFT JOIN nb ON nb.vec_id = m.vec_id),
+        |fin AS (SELECT cell, kept FROM (SELECT cell, kept,
+        |  row_number() OVER (PARTITION BY cell ORDER BY ord DESC) AS rr FROM g) WHERE rr = 1)
+        |SELECT m.vec_id, m.cell, list_contains(f.kept, m.vec_id) AS keep
+        |FROM mem m JOIN fin f USING (cell)
+        |ORDER BY m.vec_id""".stripMargin)),
+
     // X3 — rolling polynomial fingerprint (order-sensitive Rabin-Karp-shaped
     // fold; oracle mirrors the fold via list_reduce with a prepended init).
     Q("x3_rolling_fingerprint",
@@ -2116,15 +2157,26 @@ object Queries {
     // composition over both modalities.
     Q("x4_joint_similarity",
       (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        // Bucket-count rule (see Similarity.bucketedTopK): buckets scale
+        // with the corpus — n/32 (floor 16), targeting ~32 docs per bucket,
+        // so the within-bucket pair term stays LINEAR in corpus size, never
+        // n²/constant. The docs.count() is the documented O(#partitions)
+        // scalar probe. The bucket key folds the decoder's full md5-derived
+        // (width, height) pair; the 479 multiplier (not 480) keeps width
+        // live under small moduli (480 ≡ 0 mod 16 would erase it).
+        val nBuckets = math.max(16L, docs.count() / 32)
         val media = Multimodal.decodeFeatures(
-            Multimodal.attachPayload(rd(s, dir, "documents"), "doc_id", "text"))
-          .toDF().select(col("doc_id"), (col("width") % 16).as("pbucket"))
+            Multimodal.attachPayload(docs, "doc_id", "text"))
+          .toDF().select(col("doc_id"),
+            pmod(col("width") * 479 + col("height"), lit(nBuckets)).cast("int").as("pbucket"))
         val joint = rd(s, dir, "embeddings")
           .join(media, col("vec_id") === col("doc_id"))
           .select(col("vec_id"), col("embedding"), col("pbucket"))
         strCols(Similarity.bucketedTopK(joint, "pbucket", 3).orderBy("id_a", "rk"), Seq("cos"))
       },
-      Some(s"""WITH m AS (SELECT doc_id, CAST((${duckHex("md5(text)")} % 640) % 16 AS INTEGER) AS pbucket FROM documents),
+      Some(s"""WITH nb AS (SELECT greatest(16, count(*) // 32) AS n FROM documents),
+        |m AS (SELECT doc_id, CAST(((${duckHex("md5(text)")} % 640) * 479 + (${duckHex("md5(text)")} % 480)) % (SELECT n FROM nb) AS INTEGER) AS pbucket FROM documents),
         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, m.pbucket
         |  FROM e JOIN m ON m.doc_id = e.vec_id),
@@ -2149,9 +2201,11 @@ object Queries {
     Q("x9_curation_e2e",
       (s, dir) => {
         val docs = rd(s, dir, "documents")
-        val keepIds = TextAnalysis.qualityScore(docs, "doc_id", "text")
-          .filter(col("n_chars") >= 120 && col("n_stop") >= 1).select("doc_id")
-        val q = docs.join(keepIds, Seq("doc_id")).select("doc_id", "lang", "text")
+        // quality filter via the SHARED predicate (TextAnalysis
+        // .qualityKeepPred — same definition the streaming path uses);
+        // a direct filter, no join against the score frame needed
+        val q = docs.filter(TextAnalysis.qualityKeepPred("text"))
+          .select("doc_id", "lang", "text")
         // checkpointed once: consumed by the LSH pair pipeline, the cluster
         // labeling, and the survivor join — three readers, one execution
         val ex = Dedup.exactByKey(q, Seq("text"), "doc_id").localCheckpoint(true)

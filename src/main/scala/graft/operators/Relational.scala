@@ -177,15 +177,19 @@ object Relational {
     * pos, else x_lo·(ceil(pos)−pos) + x_hi·(pos−floor(pos)) — so swapping
     * the implementation cannot move any oracle-checked digit. `ps` maps
     * output column name → fraction.
+    *
+    * Nulls follow `percentile()` exactly: null values are ignored within a
+    * group, and a group whose values are ALL null is still emitted, with
+    * NULL percentiles (rows rank nulls-last; `__n` counts only non-null, so
+    * an all-null group has n = 0 and no border row ever matches).
     */
   def exactPercentiles(df: DataFrame, keyCol: String, valCol: String,
                        ps: Seq[(String, Double)]): DataFrame = {
-    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("__x"))
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col("__x").asc_nulls_last)
     val wAll = Window.partitionBy(col(keyCol))
     val ranked = df.select(col(keyCol), col(valCol).cast("double").as("__x"))
-      .filter(col("__x").isNotNull) // percentile() ignores nulls; so do we
       .withColumn("__rn", row_number().over(wOrd))
-      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__n", count(col("__x")).over(wAll))
     val aggs = ps.flatMap { case (name, p) =>
       val pos = (col("__n") - 1).cast("double") * lit(p)
       // pos, lo, frac are group-level constants (functions of __n alone), so

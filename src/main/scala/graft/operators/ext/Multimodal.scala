@@ -120,12 +120,18 @@ object Multimodal {
     * transform plumbing, the size contract, and the re-decode of the
     * resized artifact are the real parts). Map-side only: resizing never
     * shuffles, it narrows a scan by ~stride×.
+    *
+    * BINARY-SAFE: the strided bytes are concatenated as binary (substring
+    * on a binary column slices bytes; concat over binary stays binary), so
+    * any payload — not just valid UTF-8 — resizes without corruption. (A
+    * previous form round-tripped through string, which rewrote every byte
+    * ≥ 0x80 into the 3-byte U+FFFD replacement.)
     */
   def resizePayload(media: DataFrame, stride: Int): DataFrame = {
     require(stride > 0, "stride must be positive")
     media.select(col("doc_id"), col("mime"), col("payload"),
-      expr(s"to_binary(concat_ws('', transform(sequence(0, int((length(payload) + $stride - 1) / $stride) - 1), " +
-        s"i -> string(substring(payload, i * $stride + 1, 1)))), 'utf-8')").as("resized"))
+      expr(s"aggregate(transform(sequence(0, int((length(payload) + $stride - 1) / $stride) - 1), " +
+        s"i -> substring(payload, i * $stride + 1, 1)), X'', (acc, b) -> concat(acc, b))").as("resized"))
   }
 
   /** Frame sampling shape for video-like payloads: every k-th chunk of the

@@ -255,11 +255,12 @@ object Similarity {
 
   /** X2/X1 composition: semantic dedup with the TRANSITIVE-CLOSURE survivor
     * rule — within-cell near-dup pairs feed [[Dedup.dedupClusters]] and one
-    * representative (the min id) survives per semantic COMPONENT. The third
-    * keep-rule in the family: [[semanticDedup]]'s single-pass min-id drop
-    * (cheapest, over-drops chains), sequential-greedy (the SemDeDup paper's
-    * rule, inherently iterative), and this one (chains collapse to one
-    * survivor — the same rule the text near-dup pipeline applies after LSH).
+    * representative (the min id) survives per semantic COMPONENT. One of
+    * three keep-rules in the family: [[semanticDedup]]'s single-pass min-id
+    * drop (cheapest, over-drops chains), [[semanticDedupGreedy]] (the
+    * SemDeDup paper's sequential rule), and this one (chains collapse to
+    * one survivor — the same rule the text near-dup pipeline applies after
+    * LSH).
     * Same 100 TB shape: the quadratic term stays bounded per cell; the
     * component labeling runs on the (far smaller) near-dup pair list.
     */
@@ -277,6 +278,55 @@ object Similarity {
     assigned.select("vec_id", "cell")
       .join(clusters.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"))
       .select(col("vec_id"), col("cell"), (col("cluster") === col("vec_id")).as("keep"))
+  }
+
+  /** X2: SemDeDup with the paper's SEQUENTIAL-GREEDY keep rule — the third
+    * keep-rule variant, completing the family documented on
+    * [[semanticDedup]]: visit each cell's members in ascending vec_id order
+    * and keep a member iff it has no PREVIOUSLY-KEPT near-dup neighbour.
+    * On a chain a~b~c (a≁c) this keeps {a, c}; the single-pass min-id rule
+    * keeps {a} only and the component rule also keeps {a} — greedy retains
+    * the most, dropping only direct neighbours of survivors.
+    *
+    * Decimal discipline stays in ONE place: the near-dup pair decisions
+    * reuse exactly the rounded-decimal threshold join the other two rules
+    * run, so no float arithmetic is re-implemented JVM-side. The greedy
+    * pass itself is id-only — each member carries the id list of its
+    * lower-id near-dup neighbours, and one flatMapGroups per cell walks
+    * members in id order against the kept-set (the rule is inherently
+    * sequential WITHIN a cell; cells across the corpus run in parallel).
+    * 100 TB shape: the quantizer bounds members and pairs per cell, so the
+    * per-task state (one cell's id lists) is bounded by construction —
+    * same unit of work as the pair join that produced the cell.
+    */
+  def semanticDedupGreedy(emb: DataFrame, nlist: Int, minCos: java.math.BigDecimal,
+                          trainIters: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val assigned = assignCells(emb, nlist, trainIters)
+    val rawCos = expr("float_dot(a.v, b.v)") / (col("a.nrm") * col("b.nrm"))
+    val lowerNbrs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(rawCos >= lit(minCos.doubleValue() - 1e-6))
+      .filter(rawCos.cast(DecimalType(10, 6)) >= lit(minCos))
+      .select(col("b.vec_id").as("vec_id"), col("a.vec_id").as("nbr"))
+      .groupBy("vec_id").agg(collect_list("nbr").as("lower"))
+    val members = assigned.select(col("cell"), col("vec_id"))
+      .join(lowerNbrs, Seq("vec_id"), "left")
+      .select(col("cell"), col("vec_id"),
+        coalesce(col("lower"), typedLit(Seq.empty[Long])).as("lower"))
+      .as[(Long, Long, Seq[Long])]
+    members.groupByKey(_._1).flatMapGroups { (cell, it) =>
+      val ms = it.toArray.sortBy(_._2)
+      val kept = new java.util.HashSet[Long]()
+      val out = Array.newBuilder[(Long, Long, Boolean)]
+      ms.foreach { case (_, id, lower) =>
+        val dup = lower.exists(kept.contains)
+        if (!dup) kept.add(id)
+        out += ((id, cell, !dup))
+      }
+      out.result().iterator
+    }.toDF("vec_id", "cell", "keep")
   }
 
   /** Nearest-centroid cell assignment shared by the semantic-dedup family:
@@ -306,11 +356,23 @@ object Similarity {
     * image-hash bucket gating caption-embedding similarity (the multimodal
     * joint row), a shard key, or a language. Equi-join on the bucket column,
     * never all-pairs; `emb` must carry (vec_id, embedding, `bucketCol`).
+    *
+    * BUCKET-COUNT RULE: the within-bucket pair term is
+    * n × (expected bucket occupancy), so a FIXED bucket count is still
+    * quadratic in corpus size (n²/buckets). Callers must scale bucket count
+    * with the corpus — derive it as corpusSize / targetOccupancy (see
+    * x4_joint_similarity) or band a multi-valued key like SimHash — so
+    * occupancy, and with it the pair term per row, stays constant at any n.
+    *
+    * Zero-norm embeddings are EXCLUDED (as queries and as neighbours):
+    * cosine is undefined for them, and without the guard their NULL scores
+    * would ride into the top-k tail instead of failing loudly or dropping.
     */
   def bucketedTopK(emb: DataFrame, bucketCol: String, k: Int): DataFrame = {
     ArrayOps.register(emb.sparkSession)
     val p = emb.select(col("vec_id"), col("embedding").as("v"), col(bucketCol).as("bkt"))
       .withColumn("nrm", expr("sqrt(float_dot(v, v))"))
+      .filter(col("nrm") > 0)
     val scored = p.as("a").join(p.as("b"),
         col("a.bkt") === col("b.bkt") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), cosCol)

@@ -16,6 +16,17 @@ object TextAnalysis {
 
   private def toks(textCol: String) = s"filter(split($textCol, ' '), x -> x != '')"
 
+  /** Curation quality-keep predicate — the [[qualityScore]] thresholds the
+    * curation pipelines filter on (≥ `minChars` chars, ≥ `minStopwords`
+    * stopword hits), as ONE engine-side definition shared by the batch
+    * (x9_curation_e2e) and streaming (Streaming.curateDocs) paths so the
+    * two cannot drift; the DuckDB twin is Queries.duckQualityPred.
+    */
+  def qualityKeepPred(textCol: String, minChars: Int = 120,
+                      minStopwords: Int = 1): org.apache.spark.sql.Column =
+    length(col(textCol)) >= minChars &&
+      expr(s"size(filter(${toks(textCol)}, x -> array_contains(array(${stopwords.map("'" + _ + "'").mkString(",")}), x)))") >= minStopwords
+
   /** Corpus token frequencies: explode → count. Partial aggregation makes the
     * shuffle carry one row per (partition, token) — safe at any corpus size.
     */

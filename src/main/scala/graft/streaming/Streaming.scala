@@ -77,11 +77,10 @@ object Streaming {
     */
   def curateDocs(docs: DataFrame, benchFps: DataFrame,
                  weights: Map[String, Int], defaultPct: Int): DataFrame = {
-    val stops = graft.operators.ext.TextAnalysis.stopwords.map("'" + _ + "'").mkString(",")
+    // quality thresholds live in ONE place (TextAnalysis.qualityKeepPred),
+    // shared with the batch x9 pipeline — the two paths cannot drift
     val filtered = docs
-      .filter(length(col("text")) >= 120 &&
-        expr(s"size(filter(filter(split(text, ' '), x -> x != ''), " +
-          s"x -> array_contains(array($stops), x))) >= 1"))
+      .filter(graft.operators.ext.TextAnalysis.qualityKeepPred("text"))
       .withColumn("fp", md5(col("text")))
       .join(benchFps, Seq("fp"), "left_anti")
     graft.operators.Relational.weightedMix(filtered, "doc_id", "lang", weights, defaultPct)

@@ -111,6 +111,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(res.count(!_._2) == 1)
   }
 
+  test("semanticDedupGreedy keeps chain endpoints the single-pass rule drops") {
+    // one cell (nlist=1), a similarity CHAIN 0~1, 1~2, 0≁2 (unit vectors at
+    // 0°, 50°, 100°; threshold cos60° = 0.5): sequential greedy keeps 0,
+    // drops 1 (kept neighbour 0), keeps 2 (its only lower near-dup, 1, was
+    // NOT kept) — while the single-pass min-id rule drops 2 as well
+    def deg(d: Double) = Seq(math.cos(math.toRadians(d)).toFloat, math.sin(math.toRadians(d)).toFloat)
+    val df = embeddings((0L, deg(0)), (1L, deg(50)), (2L, deg(100)))
+    val t = new java.math.BigDecimal("0.500000")
+    val greedy = Similarity.semanticDedupGreedy(df, nlist = 1, t)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(greedy(0L) && !greedy(1L) && greedy(2L),
+      s"greedy must keep chain endpoints {0, 2}, got $greedy")
+    val singlePass = Similarity.semanticDedup(df, nlist = 1, t)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(singlePass(0L) && !singlePass(1L) && !singlePass(2L),
+      s"single-pass min-id must drop both chain followers, got $singlePass")
+  }
+
   test("ivfTopK recall vs brute force on real embeddings (nprobe=4 of 16 cells)") {
     val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
     val exact = Similarity.annTopK(emb, 1, 30).collect()

@@ -21,16 +21,17 @@ class PropertySpec extends SparkSpec {
     samples(rowsGen, 3).filter(_.nonEmpty).foreach { data =>
       val withEdges = data.map { case (k, v) => (k, Integer.valueOf(v)) } ++
         Seq(("solo", Integer.valueOf(7777)), ("duo", Integer.valueOf(1)),
-          ("duo", Integer.valueOf(2)), ("a", null: Integer)) // nulls are ignored
+          ("duo", Integer.valueOf(2)), ("a", null: Integer), // nulls are ignored
+          ("ghost", null: Integer), ("ghost", null: Integer)) // all-null group → NULL percentiles, row kept
       val df = withEdges.toDF("k", "v")
       val ps = Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75)
       val sorted = Relational.exactPercentiles(df, "k", "v", ps)
-        .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+        .orderBy("k").collect().map(r => (r.getString(0), r.get(1), r.get(2), r.get(3))).toSeq
       val builtin = df.groupBy("k").agg(
           expr("percentile(v, 0.25)").as("p25"),
           expr("percentile(v, 0.5)").as("p50"),
           expr("percentile(v, 0.75)").as("p75"))
-        .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))).toSeq
+        .orderBy("k").collect().map(r => (r.getString(0), r.get(1), r.get(2), r.get(3))).toSeq
       assert(sorted == builtin)
     }
   }

@@ -39,6 +39,17 @@ class TextMultimodalSpec extends SparkSpec {
     assert(fp(1L) != fp(2L))
   }
 
+  test("resizePayload strides bytes binary-safely, including bytes >= 0x80") {
+    import spark.implicits._
+    val raw = Array[Byte](0x00, 0x7f, 0x80.toByte, 0xff.toByte, 0x41, 0xc3.toByte, 0xa9.toByte)
+    val media = Seq((1L, "application/octet-stream", raw)).toDF("doc_id", "mime", "payload")
+    val out = Multimodal.resizePayload(media, stride = 2).collect().head
+      .getAs[Array[Byte]]("resized")
+    // every 2nd byte, verbatim — a string round-trip would have rewritten
+    // 0x80/0xff (invalid UTF-8) into multi-byte U+FFFD replacements
+    assert(out.toSeq == Seq[Byte](0x00, 0x80.toByte, 0x41, 0xa9.toByte))
+  }
+
   test("attachPayload + decodeFeatures: deterministic stub decode over real binary plumbing") {
     val media = Multimodal.attachPayload(docs((1L, "hello"), (2L, "worlds!")), "doc_id", "text")
     val rows = media.collect()
