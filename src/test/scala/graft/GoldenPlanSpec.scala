@@ -1,0 +1,61 @@
+package graft
+
+/** Golden physical-plan FINGERPRINTS for the heaviest registry queries: the
+  * count of every scale-relevant operator (joins, exchanges, aggregates,
+  * windows, generators) in the executed plan, pinned to a committed golden
+  * so a silent plan regression — a broadcast flipping to cartesian under
+  * AQE, a shuffle-hash degrading to nested-loop, a lost partial aggregate,
+  * an extra exchange — fails THIS test by diff instead of surfacing as
+  * bench archaeology a round later (VERDICT r6 #7).
+  *
+  * Cosmetic nodes (Project/Filter/Scan/Sort) are deliberately excluded so
+  * the goldens only churn when the plan's SHAPE changes. On an intentional
+  * change, the failure message prints the full replacement block to paste.
+  */
+class GoldenPlanSpec extends SparkSpec {
+  import TestSpark.sf
+
+  // node-name tokens, matched at line starts (after tree decoration and the
+  // WholeStageCodegen "*(n) " prefix) so expression-level mentions — e.g.
+  // the window() function — never count
+  private val tokens = Seq(
+    "CartesianProduct", "BroadcastNestedLoopJoin", "BroadcastHashJoin",
+    "ShuffledHashJoin", "SortMergeJoin", "BroadcastExchange",
+    "Exchange hashpartitioning", "Exchange rangepartitioning",
+    "Exchange SinglePartition", "Exchange RoundRobinPartitioning",
+    "HashAggregate", "ObjectHashAggregate", "SortAggregate",
+    "WindowGroupLimit", "Window", "TakeOrderedAndProject", "Generate")
+
+  private def fingerprint(name: String): String = {
+    val p = Queries.queries(name)(spark, sf).queryExecution.executedPlan.toString()
+    tokens.flatMap { t =>
+      val rx = ("(?m)^[\\s:+\\-]*(?:\\*\\(\\d+\\) )?" +
+        java.util.regex.Pattern.quote(t) + "\\b").r
+      val n = rx.findAllIn(p).length
+      if (n > 0) Some(s"$t=$n") else None
+    }.mkString(", ")
+  }
+
+  // the 10 heaviest batch queries by BENCH_r06 (streaming rows excluded:
+  // their plans are per-micro-batch and not comparable as one string)
+  private val golden = Map(
+    "medallion_e2e" -> "Exchange SinglePartition=2, Window=2",
+    "w6_rank_family" -> "Exchange hashpartitioning=1, Exchange rangepartitioning=1, Window=2",
+    "x1_decontaminate_neardup" -> "BroadcastHashJoin=1, ShuffledHashJoin=3, BroadcastExchange=1, Exchange hashpartitioning=8, Exchange rangepartitioning=1, HashAggregate=4, Generate=2",
+    "x1_dedup_clusters" -> "SortMergeJoin=1, Exchange hashpartitioning=2, Exchange rangepartitioning=1",
+    "x2_ann_ivf" -> "BroadcastNestedLoopJoin=2, SortMergeJoin=1, BroadcastExchange=2, Exchange hashpartitioning=6, Exchange rangepartitioning=1, HashAggregate=2, WindowGroupLimit=6, Window=3",
+    "x2_embedding_cosine" -> "BroadcastNestedLoopJoin=1, BroadcastExchange=1, Exchange rangepartitioning=1",
+    "x2_jaccard_dedup" -> "BroadcastHashJoin=3, BroadcastExchange=3, Exchange hashpartitioning=7, Exchange rangepartitioning=1, HashAggregate=14, Generate=4",
+    "x2_minhash_lsh" -> "ShuffledHashJoin=3, Exchange hashpartitioning=7, Exchange rangepartitioning=1, HashAggregate=2, Generate=1",
+    "x2_simhash_pairs" -> "BroadcastHashJoin=1, BroadcastExchange=1, Exchange hashpartitioning=1, Exchange rangepartitioning=1, HashAggregate=2, Generate=2",
+    "x9_curation_e2e" -> "BroadcastHashJoin=4, SortMergeJoin=2, BroadcastExchange=4, Exchange hashpartitioning=6, Exchange rangepartitioning=1, Exchange SinglePartition=1, HashAggregate=6, ObjectHashAggregate=2, Window=1, Generate=2")
+
+  test("plan fingerprints of the 10 heaviest queries match the committed goldens") {
+    val actual = golden.keys.toSeq.sorted.map(n => n -> fingerprint(n))
+    val drifted = actual.filter { case (n, fp) => !golden.get(n).contains(fp) }
+    assert(drifted.isEmpty,
+      s"plan fingerprint drift in ${drifted.map(_._1).mkString(", ")} — if the " +
+        "change is intentional, update `golden` to:\n" +
+        actual.map { case (n, f) => s"""    "$n" -> "$f",""" }.mkString("\n"))
+  }
+}
