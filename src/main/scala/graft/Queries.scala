@@ -55,7 +55,11 @@ object Queries {
     * same seeds, same band keys, same candidate join, same integer-exact
     * Jaccard verification — so the LSH bucketing itself is oracle-checked.
     */
-  private def duckMinhashCtes(toksSql: String, bandSize: Int, threshNum: Int, threshDen: Int): String = {
+  /** Token → minhash → band-key CTE chain (toks, h, seeds, mh, bands),
+    * DuckDB form — the signature/banding prefix shared by the pair join
+    * (duckMinhashCtes) and the streaming band-collision oracle.
+    */
+  private def duckBandsCtes(toksSql: String, bandSize: Int): String = {
     val seeds = Dedup.minhashSeeds.zipWithIndex
       .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
     s"""toks AS ($toksSql),
@@ -64,7 +68,11 @@ object Queries {
       |mh AS (SELECT doc_id, seed, min((a * h + b) % ${Dedup.minhashP}) AS mh
       |  FROM h CROSS JOIN seeds GROUP BY doc_id, seed),
       |bands AS (SELECT doc_id, seed // $bandSize AS band, string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed) AS key
-      |  FROM mh GROUP BY doc_id, seed // $bandSize),
+      |  FROM mh GROUP BY doc_id, seed // $bandSize)""".stripMargin
+  }
+
+  private def duckMinhashCtes(toksSql: String, bandSize: Int, threshNum: Int, threshDen: Int): String = {
+    s"""${duckBandsCtes(toksSql, bandSize)},
       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
       |  JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
       |tsets AS (SELECT doc_id, list(h) AS toks, count(*) AS sz FROM h GROUP BY doc_id),
@@ -595,6 +603,36 @@ object Queries {
         "AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 100)) " +
         s"WHERE bucket < $duckMixCase " +
         "ORDER BY doc_id")),
+
+    // STREAMING NEAR-DUP DECONTAMINATION (the sixth declared streaming
+    // path): expression-level MinHash band keys per micro-batch (no
+    // aggregation, no state store) and a map-side arrays_overlap test
+    // against the static benchmark's one-row key set — the streaming form
+    // of x1_decontaminate_neardup, recall-oriented (any band collision
+    // drops; no Jaccard verify — the batch path is the precision form).
+    // Oracle = the batch band-collision formulation on the same tables.
+    Q("stream_decontam_neardup",
+      (s, dir) => {
+        val batchSchema = rd(s, dir, "documents").schema
+        val stream = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter(col("doc_id") >= 100)
+        val bench = rd(s, dir, "documents").filter(col("doc_id") < 100)
+          .select("doc_id", "text")
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.decontamNearDup(stream, bench)
+          .select("doc_id", "lang")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).orderBy("doc_id")
+      },
+      Some(s"""WITH ${duckBandsCtes(duckToks, 8)},
+        |bkeys AS (SELECT DISTINCT band, key FROM bands WHERE doc_id < 100),
+        |flagged AS (SELECT DISTINCT b.doc_id FROM bands b
+        |  JOIN bkeys k ON b.band = k.band AND b.key = k.key)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id >= 100 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        |ORDER BY doc_id""".stripMargin)),
 
     // Custom streaming state (flatMapGroupsWithState) oracle-checked: the
     // per-key running count/min/max session state, drained to completion —
@@ -1399,6 +1437,28 @@ object Queries {
       Some("SELECT doc_id, lang, source FROM " +
         "(SELECT doc_id, lang, source, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) " +
         "WHERE rn = 1 ORDER BY doc_id")),
+
+    // X1 — corpus-wide PARAGRAPH dedup (MassiveText-style sub-document
+    // pass): 16-token blocks fingerprinted corpus-wide, only the first
+    // occurrence of a repeated block survives, documents reassembled from
+    // surviving blocks in order. The oracle replays segmentation, the
+    // first-occurrence window, and the ordered reassembly.
+    Q("x1_dedup_paragraphs",
+      (s, dir) => Dedup.dedupParagraphs(rd(s, dir, "documents"), "doc_id", "text", 16)
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+        |seg AS (SELECT doc_id, list_transform(range(0, (len(ws) - 1) // 16 + 1),
+        |  i -> array_to_string(ws[i*16+1:i*16+16], ' ')) AS blks FROM t),
+        |b AS (SELECT doc_id, blks, unnest(range(0, len(blks))) AS block_no FROM seg),
+        |b2 AS (SELECT doc_id, block_no, blks[block_no + 1] AS blk FROM b),
+        |r AS (SELECT doc_id, block_no, blk,
+        |  row_number() OVER (PARTITION BY md5(blk) ORDER BY doc_id, block_no) AS rn FROM b2),
+        |k AS (SELECT doc_id, array_to_string(list(blk ORDER BY block_no), ' ') AS text,
+        |  count(*) AS n_kept FROM r WHERE rn = 1 GROUP BY doc_id)
+        |SELECT s.doc_id, coalesce(k.text, '') AS text,
+        |  CAST(len(s.blks) AS INTEGER) AS n_blocks,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM seg s LEFT JOIN k USING (doc_id) ORDER BY s.doc_id""".stripMargin)),
 
     // X1 keyed variant over events.
     Q("x1_dedup_keyed",

@@ -220,6 +220,83 @@ object Dedup {
         lit(threshNum) * (col("size_a") + col("size_b") - col("overlap")))
   }
 
+  /** Expression-level MinHash band keys: the signature + banding of
+    * [[minhashLshPairs]] computed as ONE projection — `array_min` over a
+    * per-seed transform of the hashed token array — with no explode, no
+    * aggregation, and no shuffle. That makes it usable inside a streaming
+    * micro-batch with no state store (Streaming.decontamNearDup) and as a
+    * map-side probe against a prebuilt band index. Keys are identical to
+    * the aggregate pipeline's (min over a multiset equals min over its
+    * distinct set; elements concatenate in fixed seed order) and carry a
+    * `band:` prefix so keys from different bands can never compare equal.
+    * An empty/tokenless document gets an EMPTY key array — the aggregate
+    * form emits no rows for it, so neither shape can ever collide it.
+    *
+    * Adds `outCol` (array<string>, one element per band) next to the
+    * existing columns; the interpreted-lambda cost is per document and
+    * bounded by token count × seeds — the price of shuffle-freedom, paid
+    * only on the (streaming/probe) paths that need it; the batch scale
+    * path remains the aggregate pipeline.
+    */
+  def withBandKeys(df: DataFrame, textCol: String, bandSize: Int, outCol: String): DataFrame = {
+    require(minhashSeeds.size % bandSize == 0, "bandSize must divide the seed count")
+    val keys = (0 until minhashSeeds.size / bandSize).map { bnd =>
+      val parts = (bnd * bandSize until (bnd + 1) * bandSize).map { i =>
+        val (a, b) = minhashSeeds(i)
+        s"cast(array_min(transform(__graft_th, h -> ($a * h + $b) % $minhashP)) as string)"
+      }
+      s"concat('$bnd:', concat_ws('-', ${parts.mkString(", ")}))"
+    }
+    df.withColumn("__graft_th",
+        expr(s"transform(filter(split($textCol, ' '), t -> t != ''), " +
+          "t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"))
+      .withColumn(outCol, expr(
+        s"case when size(__graft_th) = 0 then array() else array(${keys.mkString(", ")}) end"))
+      .drop("__graft_th")
+  }
+
+  /** X1: corpus-wide PARAGRAPH deduplication (the MassiveText-style pass —
+    * remove repeated passages across documents, not whole documents):
+    * segment each document into fixed-size token blocks (a deterministic
+    * stand-in for paragraph boundaries — this corpus has no structural
+    * separators; a real corpus would split on blank lines), fingerprint
+    * each block, keep only the FIRST corpus-wide occurrence (order =
+    * (doc_id, block_no)) of every distinct block, and reassemble documents
+    * from their surviving blocks in original order. Returns
+    * (doc_id, text, n_blocks, n_kept) — a document whose every block was
+    * seen earlier collapses to empty text, not a dropped row.
+    *
+    * 100 TB shape: segmentation is map-side; first-occurrence selection is
+    * one row_number window partitioned BY FINGERPRINT (hash-partitioned on
+    * a high-cardinality key — no global ordering); reassembly is one
+    * groupBy(doc_id) collecting (block_no, block) structs. Two narrow
+    * shuffles total, each linear in block count.
+    */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                      blockTokens: Int): DataFrame = {
+    require(blockTokens > 0, "blockTokens must be positive")
+    val ws = s"filter(split($textCol, ' '), x -> x != '')"
+    // the empty-doc guard matters: int((0 - 1) / n) truncates to 0, so an
+    // unguarded sequence would emit one spurious empty block
+    val segmented = docs.select(col(idCol).as("doc_id"), expr(
+      s"case when size($ws) = 0 then array() else " +
+        s"transform(sequence(0, int((size($ws) - 1) / $blockTokens)), " +
+        s"i -> array_join(slice($ws, i * $blockTokens + 1, $blockTokens), ' ')) end").as("blks"))
+    val kept = segmented
+      .select(col("doc_id"), posexplode(col("blks")).as(Seq("block_no", "blk")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col("blk"))).orderBy(col("doc_id"), col("block_no"))))
+      .filter(col("__rn") === 1)
+    val rebuilt = kept.groupBy("doc_id").agg(
+      concat_ws(" ",
+        expr("transform(sort_array(collect_list(struct(block_no, blk))), x -> x.blk)")).as("text"),
+      count(lit(1)).as("n_kept"))
+    segmented.select(col("doc_id"), size(col("blks")).as("n_blocks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        col("n_blocks"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** X1/X7: n-gram-level decontamination — flag every training document that
     * shares ANY word n-gram with a held-out benchmark set. This is the form
     * LLM training corpora need: exact-fingerprint decontamination only

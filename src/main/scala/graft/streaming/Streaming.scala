@@ -86,6 +86,34 @@ object Streaming {
     graft.operators.Relational.weightedMix(filtered, "doc_id", "lang", weights, defaultPct)
   }
 
+  /** Streaming NEAR-DUP decontamination (stateless): drop every stream
+    * document that lands in the same MinHash-LSH band bucket as any document
+    * of a STATIC held-out benchmark set — the streaming form of the
+    * x1_decontaminate_neardup batch pipeline. Signatures are computed
+    * expression-level (Dedup.withBandKeys: one projection, no aggregation,
+    * no state store), and the benchmark's distinct band keys collapse to
+    * ONE static row (benchmark sets are small by nature) cross-joined into
+    * every micro-batch; the drop test is `arrays_overlap` — entirely
+    * map-side, so the stream never shuffles and output stays append-safe.
+    *
+    * RECALL-ORIENTED by design: any band collision drops the document,
+    * with no exact-Jaccard verification — in decontamination a false drop
+    * costs one training document while a false keep poisons an eval, so
+    * the LSH bucket test alone is the right trade for the streaming path;
+    * the batch x1_decontaminate_neardup remains the verified precision
+    * form.
+    */
+  def decontamNearDup(docs: DataFrame, bench: DataFrame, bandSize: Int = 8): DataFrame = {
+    import graft.operators.ext.Dedup
+    val benchKeys = broadcast(Dedup.withBandKeys(bench, "text", bandSize, "__bands")
+      .select(explode(col("__bands")).as("k")).distinct()
+      .agg(collect_list(col("k")).as("__bkeys")))
+    Dedup.withBandKeys(docs, "text", bandSize, "__bands")
+      .crossJoin(benchKeys)
+      .filter(!arrays_overlap(col("__bands"), col("__bkeys")))
+      .drop("__bands", "__bkeys")
+  }
+
   final case class Tick(symbol: String, price: java.math.BigDecimal, ingest_ts: Timestamp)
   final case class SymbolSession(symbol: String, n: Long, lo: java.math.BigDecimal, hi: java.math.BigDecimal)
 

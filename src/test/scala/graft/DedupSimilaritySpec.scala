@@ -23,6 +23,35 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(s.collect().map(_.getString(1)).toSet == Set("a b", "b c", "c d"))
   }
 
+  test("dedupParagraphs keeps the first corpus-wide occurrence of a block, reassembles in order") {
+    // blockTokens = 2: doc1 = [x y][z w], doc2 = [x y][q r], doc3 = [z w];
+    // "x y" and "z w" first occur in doc1, so doc2 keeps only "q r" and
+    // doc3 collapses to empty text (row kept, not dropped)
+    val df = docs((1L, "x y z w"), (2L, "x y q r"), (3L, "z w"))
+    val out = Dedup.dedupParagraphs(df, "doc_id", "text", 2).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(out == Seq((1L, "x y z w", 2, 2L), (2L, "q r", 2, 1L), (3L, "", 1, 0L)))
+  }
+
+  test("withBandKeys (expression form) equals the aggregate signature pipeline's band keys") {
+    val corpus = spark.read.parquet(s"${TestSpark.sf}/documents.parquet").limit(100)
+    val hashed = Dedup.tokens(corpus, "doc_id", "text")
+      .withColumn("h", Dedup.tokenHash).select("doc_id", "h")
+    val ref = Dedup.minhashSignatures(hashed)
+      .withColumn("band", (col("seed") / lit(8)).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(sort_array(collect_list(struct(col("seed"), col("mh")))).as("sig"))
+      .withColumn("key", expr(
+        "concat(cast(band as string), ':', concat_ws('-', transform(sig, x -> cast(x.mh as string))))"))
+      .groupBy("doc_id").agg(sort_array(collect_list("key")).as("ref_keys"))
+    val fast = Dedup.withBandKeys(corpus, "text", 8, "bands")
+      .select(col("doc_id"), sort_array(col("bands")).as("fast_keys"))
+    val joined = ref.join(fast, Seq("doc_id"))
+    assert(joined.count() == 100)
+    assert(joined.filter(col("ref_keys") =!= col("fast_keys")).count() == 0,
+      "expression-level band keys must be identical to the aggregate pipeline's")
+  }
+
   test("jaccardPairs: identical docs meet any threshold; disjoint docs never") {
     val df = docs((1L, "x y z"), (2L, "x y z"), (3L, "p q r"))
     val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 1, 19, 20).collect()
