@@ -1646,6 +1646,11 @@ object Queries {
             when(col("id_b") < 100, col("id_a")))).as("doc_id"))
           .filter(col("doc_id").isNotNull)
           .distinct()
+        // broadcast contract: `contaminated` is bounded by |benchmark| ×
+        // near-dup neighbourhood size — a property of the DECONTAMINATION
+        // shape (the benchmark is a held-out eval set, small by nature),
+        // not of the corpus. A corpus-driven flag set would need a
+        // shuffle anti-join instead (cf. minhashLshPairs' build sides).
         docs.select(col("doc_id"), col("lang"))
           .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
           .filter(col("doc_id") >= 100)
@@ -2276,6 +2281,9 @@ object Queries {
           Seq("doc_id"))
         val flagged = Dedup.ngramContamination(surv, "doc_id", "text",
           docs.filter(col("doc_id") < 100), 5)
+        // broadcast contract: `flagged` is bounded by the benchmark's
+        // n-gram reach (held-out eval sets are small by nature) — see the
+        // same note on x1_decontaminate_neardup
         val dec = surv.filter(col("doc_id") >= 100)
           .join(broadcast(flagged.select("doc_id")), Seq("doc_id"), "left_anti")
         val mix = Relational.weightedMix(dec, "doc_id", "lang",
