@@ -1682,6 +1682,33 @@ object Queries {
         |SELECT doc_id, count(*) AS n_hits FROM g JOIN bg USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // X1/X7 — benchmark-leakage report: per benchmark item, how many
+    // corpus documents share a word-5-gram with it and how much of the
+    // item is covered — the eval-integrity view published next to the
+    // decontamination drop list (reporting direction of
+    // x1_decontaminate_ngram, same broadcast-benchmark shape).
+    Q("x1_contamination_report",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        Dedup.contaminationReport(docs.filter(col("doc_id") >= 100), "doc_id", "text",
+            docs.filter(col("doc_id") < 100), 5)
+          .orderBy("bench_id")
+      },
+      Some("""WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, unnest(list_filter(list_transform(range(0, len(ws) + 1),
+        |  i -> CASE WHEN i + 5 <= len(ws) THEN array_to_string(ws[i+1:i+5], ' ') END),
+        |  x -> x IS NOT NULL)) AS tok FROM ws),
+        |bg AS (SELECT doc_id AS bench_id, tok FROM g WHERE doc_id < 100),
+        |hits AS (SELECT bg.bench_id, cg.doc_id, bg.tok FROM g cg JOIN bg USING (tok)
+        |  WHERE cg.doc_id >= 100),
+        |agg AS (SELECT bench_id, count(DISTINCT doc_id) AS n_docs_hit,
+        |  count(DISTINCT tok) AS n_grams_hit FROM hits GROUP BY bench_id),
+        |tot AS (SELECT bench_id, count(*) AS n_grams FROM bg GROUP BY bench_id)
+        |SELECT t.bench_id, t.n_grams,
+        |  CAST(coalesce(a.n_grams_hit, 0) AS BIGINT) AS n_grams_hit,
+        |  CAST(coalesce(a.n_docs_hit, 0) AS BIGINT) AS n_docs_hit
+        |FROM tot t LEFT JOIN agg a USING (bench_id) ORDER BY t.bench_id""".stripMargin)),
+
     // X1/X2 — the end of the near-dup pipeline: cluster assignment over the
     // MinHash pair list (connected components by min-label propagation).
     // The oracle reaches the same fixpoint through a recursive CTE — min

@@ -319,6 +319,36 @@ object Dedup {
       .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** X1/X7: benchmark-leakage REPORT — the reporting direction of
+    * [[ngramContamination]]: instead of flagging corpus documents to drop,
+    * quantify per BENCHMARK item how badly it leaked into the corpus —
+    * how many corpus documents collide with it (`n_docs_hit`) and how much
+    * of the item is covered (`n_grams_hit` of `n_grams` distinct word
+    * n-grams). This is the eval-integrity view a curation pipeline
+    * publishes next to the drop list: an item with high coverage is
+    * compromised even after decontamination removes the colliders.
+    * Items with fewer than n tokens have no n-grams and no row.
+    *
+    * 100 TB shape: identical to [[ngramContamination]] — benchmark grams
+    * broadcast, corpus shingles map-side, only colliding rows reach the
+    * aggregation, whose cardinality is bounded by benchmark size.
+    */
+  def contaminationReport(docs: DataFrame, idCol: String, textCol: String,
+                          bench: DataFrame, n: Int): DataFrame = {
+    val corpusGrams = shingles(docs, idCol, textCol, n)
+    val benchGrams = shingles(bench, idCol, textCol, n)
+      .withColumnRenamed("doc_id", "bench_id")
+    val agg = corpusGrams.join(broadcast(benchGrams), Seq("tok"))
+      .groupBy("bench_id").agg(
+        countDistinct("doc_id").as("n_docs_hit"),
+        countDistinct("tok").as("n_grams_hit"))
+    benchGrams.groupBy("bench_id").agg(count(lit(1)).as("n_grams"))
+      .join(agg, Seq("bench_id"), "left")
+      .select(col("bench_id"), col("n_grams"),
+        coalesce(col("n_grams_hit"), lit(0L)).as("n_grams_hit"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"))
+  }
+
   /** Dedup-cluster assignment: connected-component labeling over a near-dup
     * pair list. Every document gets the minimum doc_id reachable through
     * pair edges — its cluster id — so downstream keeps one survivor per
