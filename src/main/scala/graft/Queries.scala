@@ -1709,6 +1709,37 @@ object Queries {
         |  CAST(coalesce(a.n_docs_hit, 0) AS BIGINT) AS n_docs_hit
         |FROM tot t LEFT JOIN agg a USING (bench_id) ORDER BY t.bench_id""".stripMargin)),
 
+    // X1 — INCREMENTAL near-dup against a PERSISTED band index (the
+    // corpus-growth path): the standing corpus' LSH band table is written
+    // once, BUCKETED BY KEY (pay its shuffle at write time — the j8
+    // technique applied to the dedup index); each incoming batch computes
+    // band keys expression-level (Dedup.withBandKeys, map-side) and
+    // probes with a sort-merge equi-join that reads the index
+    // pre-partitioned — no index-side exchange, no index recompute
+    // (plan-asserted). Output: per new document, how many distinct
+    // existing documents share a band bucket with it.
+    Q("x1_incremental_neardup",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val root = freshDir(s, "graft_bandidx")
+        s.sql("DROP TABLE IF EXISTS graft_band_index")
+        Dedup.withBandKeys(docs.filter(col("doc_id") < 300), "text", 8, "bands")
+          .select(col("doc_id"), explode(col("bands")).as("key"))
+          .write.bucketBy(8, "key").sortBy("key")
+          .option("path", s"$root/idx").saveAsTable("graft_band_index")
+        val probes = Dedup.withBandKeys(docs.filter(col("doc_id") >= 300), "text", 8, "bands")
+          .select(col("doc_id").as("new_id"), explode(col("bands")).as("key"))
+        probes.join(s.table("graft_band_index").hint("merge"), Seq("key"))
+          .groupBy("new_id").agg(countDistinct("doc_id").as("n_matches"))
+          .orderBy("new_id")
+      },
+      Some(s"""WITH ${duckBandsCtes(duckToks, 8)},
+        |idx AS (SELECT doc_id, band || ':' || key AS k FROM bands WHERE doc_id < 300),
+        |pr AS (SELECT doc_id AS new_id, band || ':' || key AS k FROM bands WHERE doc_id >= 300)
+        |SELECT new_id, count(DISTINCT i.doc_id) AS n_matches
+        |FROM pr JOIN idx i USING (k)
+        |GROUP BY new_id ORDER BY new_id""".stripMargin)),
+
     // X1/X2 — the end of the near-dup pipeline: cluster assignment over the
     // MinHash pair list (connected components by min-label propagation).
     // The oracle reaches the same fixpoint through a recursive CTE — min

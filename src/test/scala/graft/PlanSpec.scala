@@ -230,6 +230,16 @@ class PlanSpec extends SparkSpec {
       s"a corpus-sized table leaked into a broadcast join:\n${p.take(3000)}")
   }
 
+  test("x1_incremental_neardup probes the bucketed band index with no index-side exchange") {
+    val p = plan("x1_incremental_neardup")
+    assert(p.contains("SortMergeJoin"), s"expected the hinted merge probe join:\n${p.take(2000)}")
+    // the ONLY key exchange allowed is the probe side's (the index reads
+    // pre-bucketed); a second one means the index got reshuffled at probe
+    // time, defeating the pay-the-shuffle-at-write-time design
+    val keyExchanges = "Exchange hashpartitioning\\(key".r.findAllIn(p).length
+    assert(keyExchanges <= 1, s"index side reshuffled ($keyExchanges key exchanges):\n${p.take(3000)}")
+  }
+
   test("a6_percentile avoids the percentile() map aggregate (sort-based window form)") {
     val p = plan("a6_percentile")
     assert(!p.toLowerCase.contains("percentile"),
