@@ -36,9 +36,10 @@ class GoldenPlanSpec extends SparkSpec {
     }.mkString(", ")
   }
 
-  // the 10 heaviest batch queries by BENCH_r06 (streaming rows excluded:
+  // the heaviest batch queries by bench time (streaming rows excluded:
   // their plans are per-micro-batch and not comparable as one string)
   private val golden = Map(
+    "x1_incremental_neardup" -> "SortMergeJoin=1, Exchange hashpartitioning=3, Exchange rangepartitioning=1, HashAggregate=4, Generate=1",
     "medallion_e2e" -> "Exchange SinglePartition=2, Window=2",
     "w6_rank_family" -> "Exchange hashpartitioning=1, Exchange rangepartitioning=1, Window=2",
     "x1_decontaminate_neardup" -> "BroadcastHashJoin=1, ShuffledHashJoin=3, BroadcastExchange=1, Exchange hashpartitioning=8, Exchange rangepartitioning=1, HashAggregate=4, Generate=2",
