@@ -51,7 +51,7 @@ class GoldenPlanSpec extends SparkSpec {
     "x2_simhash_pairs" -> "BroadcastHashJoin=1, BroadcastExchange=1, Exchange hashpartitioning=1, Exchange rangepartitioning=1, HashAggregate=2, Generate=2",
     "x9_curation_e2e" -> "BroadcastHashJoin=4, SortMergeJoin=2, BroadcastExchange=4, Exchange hashpartitioning=6, Exchange rangepartitioning=1, Exchange SinglePartition=1, HashAggregate=6, ObjectHashAggregate=2, Window=1, Generate=2")
 
-  test("plan fingerprints of the 10 heaviest queries match the committed goldens") {
+  test("plan fingerprints of the heaviest batch queries match the committed goldens") {
     val actual = golden.keys.toSeq.sorted.map(n => n -> fingerprint(n))
     val drifted = actual.filter { case (n, fp) => !golden.get(n).contains(fp) }
     assert(drifted.isEmpty,
