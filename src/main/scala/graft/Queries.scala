@@ -1460,6 +1460,47 @@ object Queries {
         |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
         |FROM seg s LEFT JOIN k USING (doc_id) ORDER BY s.doc_id""".stripMargin)),
 
+    // X1 — exact repeated-SUBSTRING detection (windowed fingerprints): the
+    // character-level complement of MinHash — finds exact 40-char spans
+    // shared verbatim across documents (boilerplate, quoted chunks). The
+    // oracle replays the same window grid and md5 fingerprints.
+    Q("x1_substring_dedup",
+      (s, dir) => Dedup.repeatedSubstringStats(rd(s, dir, "documents"),
+          "doc_id", "text", window = 40, stride = 10)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (
+        |  SELECT doc_id, md5(substr(text, CAST(u.p AS INTEGER), 40)) AS hsh
+        |  FROM documents, LATERAL unnest(generate_series(1, len(text) - 39, 10)) AS u(p)
+        |  WHERE len(text) >= 40),
+        |s AS (SELECT hsh, 1 AS hit FROM
+        |  (SELECT hsh, count(DISTINCT doc_id) AS nd FROM w GROUP BY hsh) WHERE nd > 1)
+        |SELECT w.doc_id, count(*) AS n_windows, count(s.hit) AS n_shared
+        |FROM w LEFT JOIN s ON w.hsh = s.hsh
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // X3 — corpus drift report: per-source token-distribution divergence
+    // from the whole corpus as the integer-scaled total-variation distance
+    // (exact BIGINT/DECIMAL arithmetic — no float log/div, so the oracle is
+    // bit-exact; see TextAnalysis.sliceDrift for the absent-token closed
+    // form).
+    Q("x3_slice_drift",
+      (s, dir) => TextAnalysis.sliceDrift(rd(s, dir, "documents"), "source", "text")
+        // decimal -> varchar on both sides: computed decimals are the class
+        // the driver's hasher renders differently per engine (repo policy,
+        // scripts/oracle_check.py)
+        .withColumn("l1_scaled", col("l1_scaled").cast("string"))
+        .orderBy("slice"),
+      Some("""WITH tok AS (SELECT source AS slice, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents),
+        |st AS (SELECT slice, token, count(*) AS c_st FROM tok GROUP BY 1, 2),
+        |t AS (SELECT token, sum(c_st) AS c_t FROM st GROUP BY 1),
+        |stot AS (SELECT slice, sum(c_st) AS s_tot FROM st GROUP BY 1),
+        |ttot AS (SELECT sum(c_t) AS t_tot FROM t)
+        |SELECT slice, CAST(s_tot AS BIGINT) AS s_toks, count(*) AS n_tokens,
+        |  CAST(CAST(sum(abs(c_st * t_tot - c_t * s_tot)) + CAST(s_tot AS HUGEINT) * t_tot - sum(c_t * s_tot) AS DECIMAL(38,0)) AS VARCHAR) AS l1_scaled
+        |FROM st JOIN t USING (token) JOIN stot USING (slice) CROSS JOIN ttot
+        |GROUP BY slice, s_tot, t_tot
+        |ORDER BY slice""".stripMargin)),
+
     // X1 keyed variant over events.
     Q("x1_dedup_keyed",
       (s, dir) => Dedup.exactByKey(rd(s, dir, "events"), Seq("user_id", "event_type"), "event_id")
@@ -1757,6 +1798,29 @@ object Queries {
         "r(doc_id, lab) AS (SELECT doc_id, doc_id FROM documents " +
         "UNION SELECT e.dst, r.lab FROM r JOIN edges e ON r.doc_id = e.src) " +
         "SELECT doc_id, min(lab) AS cluster FROM r GROUP BY doc_id ORDER BY doc_id")),
+
+    // X1/X6 — leakage-safe train/val/test split: the split hash is keyed on
+    // the near-dup CLUSTER label, so near-duplicates can never straddle the
+    // train/eval boundary. The oracle replays the cluster fixpoint, then the
+    // same md5 bucket on the label.
+    Q("x6_cluster_split",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 19, 20)
+        Dedup.clusterSplit(Dedup.dedupClusters(docs, "doc_id", pairs),
+            trainPct = 80, valPct = 10)
+          .orderBy("doc_id")
+      },
+      Some(s"WITH RECURSIVE ${duckMinhashCtes(duckToks, 8, 19, 20)},\n" +
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM verified " +
+        "UNION SELECT id_b, id_a FROM verified), " +
+        "r(doc_id, lab) AS (SELECT doc_id, doc_id FROM documents " +
+        "UNION SELECT e.dst, r.lab FROM r JOIN edges e ON r.doc_id = e.src), " +
+        "c AS (SELECT doc_id, min(lab) AS cluster FROM r GROUP BY doc_id) " +
+        "SELECT doc_id, cluster, CASE WHEN pct < 80 THEN 'train' " +
+        "WHEN pct < 90 THEN 'val' ELSE 'test' END AS split FROM " +
+        s"(SELECT doc_id, cluster, ${duckHex("md5(CAST(cluster AS VARCHAR))")} % 100 AS pct FROM c) " +
+        "ORDER BY doc_id")),
 
     // X5 — top-k per group.
     Q("x5_topk_per_group",

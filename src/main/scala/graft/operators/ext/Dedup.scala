@@ -297,6 +297,67 @@ object Dedup {
         col("n_blocks"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** X1: exact repeated-SUBSTRING detection — the character-level complement
+    * of token-set near-dup (MinHash estimates whole-document set similarity;
+    * this finds exact long spans shared verbatim across documents:
+    * boilerplate, license blocks, quoted chunks — the spans substring-level
+    * dedup pipelines cut). A `window`-char fingerprint slides with `stride`
+    * over every document; a window is "shared" when its md5 occurs in >= 2
+    * distinct documents. Returns (doc_id, n_windows, n_shared) — callers
+    * threshold n_shared / n_windows to flag boilerplate-heavy documents.
+    * Documents shorter than `window` chars have no fingerprintable span and
+    * no row.
+    *
+    * 100 TB shape: text leaves the scan only as fixed-width hashes —
+    * ~len/stride narrow (doc_id, hsh) rows per document. The shared set is
+    * one partial-aggregated groupBy(hsh); membership returns via a
+    * shuffle-hash equi-join on hsh (build side is the shared subset only —
+    * hinted, never a corpus broadcast); the per-doc rollup is one final key
+    * shuffle. No all-pairs term anywhere: linear in corpus chars / stride.
+    */
+  def repeatedSubstringStats(docs: DataFrame, idCol: String, textCol: String,
+                             window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val wins = docs
+      .filter(length(col(textCol)) >= window)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        explode(sequence(lit(1), length(col(textCol)) - lit(window - 1),
+          lit(stride))).as("pos"))
+      .select(col("doc_id"), md5(expr(s"substring(__t, pos, $window)")).as("hsh"))
+    val shared = wins.groupBy("hsh")
+      .agg(count_distinct(col("doc_id")).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("hsh"), lit(1).as("__hit"))
+    wins.join(shared.hint("shuffle_hash"), Seq("hsh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_windows"), count(col("__hit")).as("n_shared"))
+  }
+
+  /** X1/X6: leakage-safe train/val/test split — assign every document to a
+    * split by hashing its CLUSTER label, never its own id, so near-duplicate
+    * documents (same [[dedupClusters]] component) can never straddle the
+    * train/eval boundary — the split-leakage failure mode cluster-level
+    * dedup exists to prevent. `clusters` is [[dedupClusters]] output
+    * (doc_id, cluster); `trainPct`/`valPct` are percentages, test takes the
+    * remainder.
+    *
+    * Determinism: the same portable md5 bucket as Relational.hashBucket,
+    * keyed on the cluster label — reproducible across engines, runs, and
+    * cluster sizes. Shape: a pure codegen'd projection over the clusters
+    * frame — no shuffle beyond what clustering already paid.
+    */
+  def clusterSplit(clusters: DataFrame, trainPct: Int, valPct: Int): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      "need 0 < trainPct, 0 <= valPct, trainPct + valPct < 100")
+    val bucketed = graft.operators.Relational.hashBucket(clusters, "cluster")
+    bucketed
+      .withColumn("split",
+        when(col("bucket") < trainPct, "train")
+          .when(col("bucket") < trainPct + valPct, "val")
+          .otherwise("test"))
+      .drop("bucket")
+  }
+
   /** X1/X7: n-gram-level decontamination — flag every training document that
     * shares ANY word n-gram with a held-out benchmark set. This is the form
     * LLM training corpora need: exact-fingerprint decontamination only

@@ -285,6 +285,36 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(recall >= 0.5, s"trained-IVF top-1 recall $recall too low")
   }
 
+  test("repeatedSubstringStats finds cross-doc windows, ignores within-doc repeats") {
+    // window 10, stride 5: doc1 has 3 windows, its first ("ABCDEFGHIJ")
+    // recurs verbatim in doc2 at an aligned offset -> shared in both; doc3
+    // is shorter than the window (no row); doc4's two windows are the SAME
+    // hash but only 1 distinct doc -> not shared
+    val df = docs(
+      (1L, "ABCDEFGHIJKLMNOPQRST"),
+      (2L, "ZZZZZABCDEFGHIJ"),
+      (3L, "short"),
+      (4L, "QQQQQQQQQQQQQQQ"))
+    val out = Dedup.repeatedSubstringStats(df, "doc_id", "text", window = 10, stride = 5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out == Seq((1L, 3L, 1L), (2L, 2L, 1L), (4L, 2L, 0L)))
+  }
+
+  test("clusterSplit: same cluster always lands in the same split, no shuffle") {
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L))
+      .toDF("doc_id", "cluster")
+    val out = Dedup.clusterSplit(clusters, trainPct = 80, valPct = 10)
+    val bySplit = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val splitOf = bySplit.map(t => t._1 -> t._3).toMap
+    assert(splitOf(1L) == splitOf(2L) && splitOf(3L) == splitOf(4L))
+    assert(bySplit.forall(t => Set("train", "val", "test")(t._3)))
+    // leakage-safety is a pure projection: no shuffle beyond clustering's
+    val p = out.queryExecution.executedPlan.toString()
+    assert(!p.contains("Exchange"), s"clusterSplit added a shuffle:\n$p")
+  }
+
   test("float_dot raises on ragged arrays instead of silently truncating") {
     graft.functions.ArrayOps.register(spark)
     val df = embeddings((0L, Seq(1f, 2f)), (1L, Seq(1f, 2f, 3f)))

@@ -240,6 +240,27 @@ class PlanSpec extends SparkSpec {
     assert(keyExchanges <= 1, s"index side reshuffled ($keyExchanges key exchanges):\n${p.take(3000)}")
   }
 
+  test("x1_substring_dedup joins the shared set shuffle-hash, never broadcast or all-pairs") {
+    val p = plan("x1_substring_dedup")
+    assert(p.contains("ShuffledHashJoin"),
+      s"expected the hinted shuffle-hash membership join:\n${p.take(2000)}")
+    // the shared set is corpus-scale: a broadcast here is the minhashLshPairs
+    // scale cliff all over again, and any nested-loop form is all-pairs
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin")
+        && !p.contains("CartesianProduct"),
+      s"corpus-scale shared set left the shuffle path:\n${p.take(3000)}")
+  }
+
+  test("x3_slice_drift merges the corpus-scale vocabulary join, broadcasts only totals") {
+    val p = plan("x3_slice_drift")
+    assert(p.contains("SortMergeJoin"),
+      s"expected the merge-hinted slice-token x vocabulary join:\n${p.take(2000)}")
+    // exactly the two genuinely tiny frames broadcast: per-slice totals and
+    // the 1-row corpus total; the vocabulary itself must never broadcast
+    val bc = "BroadcastExchange".r.findAllIn(p).length
+    assert(bc <= 2, s"expected <=2 broadcasts (slice totals + corpus total), got $bc:\n${p.take(3000)}")
+  }
+
   test("a6_percentile avoids the percentile() map aggregate (sort-based window form)") {
     val p = plan("a6_percentile")
     assert(!p.toLowerCase.contains("percentile"),

@@ -39,6 +39,19 @@ class TextMultimodalSpec extends SparkSpec {
     assert(fp(1L) != fp(2L))
   }
 
+  test("sliceDrift: integer-exact scaled TVD, including absent-token mass") {
+    import spark.implicits._
+    // corpus: a=2 b=2 c=1, T=5; slice A (a a b, S=3): |2*5-2*3| + |1*5-2*3|
+    // + absent c: 1*3 -> 4+1+3 = 8; slice B (b c, S=2): |1*5-2*2| +
+    // |1*5-1*2| + absent a: 2*2 -> 1+3+4 = 8. (With exactly two slices the
+    // scaled L1 is symmetric: |c_A*S_B - c_B*S_A| per token on both sides.)
+    val df = Seq(("A", "a a b"), ("B", "b c")).toDF("source", "text")
+    val out = TextAnalysis.sliceDrift(df, "source", "text").orderBy("slice")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDecimal(3).longValueExact())).toSeq
+    assert(out == Seq(("A", 3L, 2L, 8L), ("B", 2L, 2L, 8L)))
+  }
+
   test("resizePayload strides bytes binary-safely, including bytes >= 0x80") {
     import spark.implicits._
     val raw = Array[Byte](0x00, 0x7f, 0x80.toByte, 0xff.toByte, 0x41, 0xc3.toByte, 0xa9.toByte)
