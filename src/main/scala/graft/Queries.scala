@@ -1919,6 +1919,32 @@ object Queries {
         |WHERE 5 * p.overlap >= 4 * (sa.sz + sb.sz - p.overlap)
         |ORDER BY p.id_a, p.id_b""".stripMargin)),
 
+    // X2 — exact containment join (overlap >= 0.9 * min size) over word
+    // BIGRAMS: catches the embedded-duplicate case Jaccard misses (short doc
+    // quoted inside a long one). Bigram shingles, not token sets — this
+    // corpus' token vocabulary is tiny, so token-SET containment is
+    // near-universal (degenerate); order-sensitive bigrams make containment
+    // mean "the smaller doc's word sequences appear in the larger". The
+    // Spark side candidate-generates through a lossless rarity-ranked
+    // PREFIX filter probing the inverted index; the oracle is the
+    // UNFILTERED all-pairs join — a gate match proves the prefix filter
+    // drops nothing.
+    Q("x2_containment_join",
+      (s, dir) => Dedup.containmentPairs(rd(s, dir, "documents"),
+          "doc_id", "text", 2, 9, 10)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH t0 AS ($duckBigramToks),
+        |h AS (SELECT DISTINCT doc_id, ${duckHex("md5(tok)")} AS h FROM t0),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM h GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS overlap
+        |  FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT CASE WHEN sa.sz <= sb.sz THEN p.x ELSE p.y END AS id_a,
+        |  CASE WHEN sa.sz <= sb.sz THEN p.y ELSE p.x END AS id_b,
+        |  p.overlap, least(sa.sz, sb.sz) AS size_a, greatest(sa.sz, sb.sz) AS size_b
+        |FROM p JOIN sizes sa ON sa.doc_id = p.x JOIN sizes sb ON sb.doc_id = p.y
+        |WHERE 10 * p.overlap >= 9 * least(sa.sz, sb.sz)
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // X2 — bigram near-dup at scale: the same MinHash+LSH path as
     // x2_minhash_lsh but over the word-bigram universe (4 bands × 4 hashes —
     // narrower bands than the unigram query because the 0.8 threshold needs

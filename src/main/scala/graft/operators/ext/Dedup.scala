@@ -78,6 +78,70 @@ object Dedup {
         lit(threshNum) * (col("size_a") + col("size_b") - col("overlap")))
   }
 
+  /** Exact CONTAINMENT join with prefix filtering (the PPJoin-family scale
+    * path): emit every ordered pair where the smaller document's token set
+    * is >= threshNum/threshDen contained in the larger's —
+    * overlap >= t·min(|A|,|B|). Containment is the asymmetric complement of
+    * Jaccard: a short document quoted inside a long one has low Jaccard
+    * (the union is large) but high containment, so Jaccard/MinHash dedup
+    * misses exactly the embedded-duplicate case this catches.
+    *
+    * Prefix filter (lossless): rank each document's hashed tokens by global
+    * rarity (document frequency asc, hash asc — deterministic); if the
+    * smaller side A satisfies overlap >= ceil(t·|A|), at least one matching
+    * token lies among A's first |A| − ceil(t·|A|) + 1 rarest tokens (the
+    * suffix holds only ceil(t·|A|) − 1). So candidate generation probes the
+    * full inverted index with PREFIX tokens only — ~(1−t)·|A| rows per doc,
+    * and by construction the rarest ones (low df), which bounds the
+    * Σ df(prefix tok) join fan-out. The verify step is the same
+    * sorted_overlap two-pointer count as [[minhashLshPairs]], shuffle-hash
+    * on doc id — no corpus broadcast anywhere. Unlike LSH this is EXACT:
+    * the oracle checks it against the unfiltered all-pairs join, proving
+    * the prefix filter lossless.
+    *
+    * Returns (id_a, id_b, overlap, size_a, size_b) with id_a the contained
+    * (smaller, tie -> lower id) side, sizes/overlap over hashed distinct
+    * token sets.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, threshNum: Int, threshDen: Int): DataFrame = {
+    require(threshNum > 0 && threshNum <= threshDen, "need 0 < thresh <= 1")
+    val par = docs.sparkSession.sparkContext.defaultParallelism
+    val hashed = shingles(docs, idCol, textCol, n)
+      .withColumn("h", tokenHash).select("doc_id", "h").distinct()
+      .repartition(par, col("doc_id"))
+      .localCheckpoint(true)
+    val dfreq = hashed.groupBy("h").agg(count(lit(1)).as("df"))
+    // rarity rank + set size in ONE (doc_id)-partitioned window pass;
+    // prefix length |A| - ceil(t*|A|) + 1 in integer arithmetic
+    val ranked = hashed.join(dfreq.hint("shuffle_hash"), Seq("h"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
+      .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
+    val prefix = ranked.filter(col("rnk") <=
+      expr(s"sz - ((sz * $threshNum + ${threshDen - 1}) div $threshDen) + 1"))
+    // probe the full index with prefix tokens; orient smaller -> larger at
+    // candidate time so each pair is generated once
+    val probe = prefix.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("h"))
+      .repartition(par, col("h"))
+    val index = ranked.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("h"))
+    val cands = probe.join(index.hint("shuffle_hash"), Seq("h"))
+      .filter(col("sz_a") < col("sz_b") ||
+        (col("sz_a") === col("sz_b") && col("id_a") < col("id_b")))
+      .select("id_a", "id_b").distinct()
+    graft.functions.ArrayOps.register(docs.sparkSession)
+    val tokSets = hashed.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("h"))).as("toks"), count(lit(1)).as("sz"))
+      .localCheckpoint(true)
+    cands
+      .join(tokSets.as("sa").hint("shuffle_hash"), col("id_a") === col("sa.doc_id"))
+      .join(tokSets.as("sb").hint("shuffle_hash"), col("id_b") === col("sb.doc_id"))
+      .select(col("id_a"), col("id_b"),
+        expr("sorted_overlap(sa.toks, sb.toks)").as("overlap"),
+        col("sa.sz").as("size_a"), col("sb.sz").as("size_b"))
+      .filter(lit(threshDen) * col("overlap") >= lit(threshNum) * col("size_a"))
+  }
+
   /** MinHash seeds: fixed (a, b) pairs for h_i(x) = (a*x + b) mod P. a < 2^29
     * and x < 2^32 keep a*x+b < 2^62 (no overflow). Shared with the oracle SQL.
     */

@@ -301,6 +301,17 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 1L), (2L, 2L, 1L), (4L, 2L, 0L)))
   }
 
+  test("containmentPairs catches an embedded doc that Jaccard misses") {
+    // doc1's word sequence appears verbatim inside doc2: bigram containment
+    // = 3/3 = 1.0, but Jaccard = 3/8 — the asymmetric case the operator
+    // exists for. doc3 shares nothing.
+    val df = docs((1L, "p q r s"), (2L, "x p q r s y z w v"), (3L, "m n o"))
+    val out = Dedup.containmentPairs(df, "doc_id", "text", 2, 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq((1L, 2L, 3L, 3L, 8L)))
+    assert(Dedup.jaccardPairs(df, "doc_id", "text", 2, 9, 10).collect().isEmpty)
+  }
+
   test("clusterSplit: same cluster always lands in the same split, no shuffle") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L))

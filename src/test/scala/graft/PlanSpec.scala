@@ -251,6 +251,18 @@ class PlanSpec extends SparkSpec {
       s"corpus-scale shared set left the shuffle path:\n${p.take(3000)}")
   }
 
+  test("x2_containment_join stays shuffle-hash end-to-end (df join, prefix probe, verify)") {
+    val p = plan("x2_containment_join")
+    val shj = "ShuffledHashJoin".r.findAllIn(p).length
+    assert(shj >= 4,
+      s"expected >=4 ShuffledHashJoin (df + prefix-probe + 2 verify), got $shj:\n${p.take(3000)}")
+    // every joined frame here is corpus-scale (inverted index, token sets):
+    // none may broadcast, and nothing may degenerate to all-pairs
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin")
+        && !p.contains("CartesianProduct"),
+      s"corpus-scale frame left the shuffle path:\n${p.take(3000)}")
+  }
+
   test("x3_slice_drift merges the corpus-scale vocabulary join, broadcasts only totals") {
     val p = plan("x3_slice_drift")
     assert(p.contains("SortMergeJoin"),
