@@ -2099,6 +2099,30 @@ object Queries {
         |  END AS q
         |FROM x JOIN s USING (ord) ORDER BY vec_id, pos""".stripMargin)),
 
+    // X2 — embedding-space drift per label slice: integer-scaled L1 distance
+    // between each slice's quantized centroid and the corpus centroid
+    // (Similarity.embeddingDrift — the embedding counterpart of
+    // x3_slice_drift; exact through int8 quantization, no float sums).
+    Q("x2_embedding_drift",
+      (s, dir) => Similarity.embeddingDrift(rd(s, dir, "embeddings"), "label")
+        .withColumn("l1_scaled", col("l1_scaled").cast("string"))
+        .orderBy("slice"),
+      Some("""WITH x AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS ord,
+        |  unnest(CAST(embedding AS DOUBLE[])) AS u FROM embeddings),
+        |s AS (SELECT ord, min(u) AS mn, max(u) AS mx FROM x GROUP BY ord),
+        |q AS (SELECT vec_id, x.ord, CASE WHEN s.mx = s.mn THEN 0
+        |  ELSE CAST(least(floor(CAST(CAST(255 AS DOUBLE) * (x.u - s.mn) / (s.mx - s.mn) AS DECIMAL(10,6))), 255) AS INTEGER)
+        |  END AS qq FROM x JOIN s USING (ord)),
+        |sd AS (SELECT e.label AS slice, q.ord, sum(qq) AS s_d
+        |  FROM q JOIN (SELECT vec_id, label FROM embeddings) e USING (vec_id) GROUP BY 1, 2),
+        |td AS (SELECT ord, sum(s_d) AS t_d FROM sd GROUP BY 1),
+        |ns AS (SELECT label AS slice, count(*) AS n_s FROM embeddings GROUP BY 1),
+        |nt AS (SELECT count(*) AS n FROM embeddings)
+        |SELECT slice, CAST(n_s AS BIGINT) AS n_vecs,
+        |  CAST(CAST(sum(abs(s_d * n - t_d * n_s)) AS DECIMAL(38,0)) AS VARCHAR) AS l1_scaled
+        |FROM sd JOIN td USING (ord) JOIN ns USING (slice) CROSS JOIN nt
+        |GROUP BY slice, n_s ORDER BY slice""".stripMargin)),
+
     // X2 — top-3 neighbours by integer dot product over the int8-quantized
     // vectors (the search side of the quantized index path; exact integer
     // scores, so the whole path hash-checks with no rounding discipline).

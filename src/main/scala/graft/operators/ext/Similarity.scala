@@ -112,6 +112,49 @@ object Similarity {
           .otherwise(least(floor(scaled), lit(255)).cast("int")).as("q"))
   }
 
+  /** X2: embedding-space drift report — per-slice centroid shift from the
+    * corpus centroid over the int8-QUANTIZED vectors ([[quantizeInt8]]),
+    * as the integer-scaled per-dimension L1 distance:
+    *
+    *   l1_scaled(s) = Σ_d | s_d·N − t_d·n_s |
+    *
+    * with s_d = Σ q_d over the slice, t_d over the corpus, n_s/N the vector
+    * counts — i.e. n_s·N × Σ_d |centroid_s[d] − centroid[d]|. Quantization
+    * makes every term an exact integer (the same reason the quantized ANN
+    * path is hash-checkable): no float sums whose order matters, no
+    * division. Products run in DECIMAL(38,0); with q ≤ 255 the headroom
+    * holds past 10^16 vectors. Callers divide by n_s·N at presentation.
+    *
+    * The embedding-space counterpart of TextAnalysis.sliceDrift: a slice
+    * (ingest source, time window, label) whose centroid drifts against the
+    * corpus marks an upstream change — encoder version skew, a new content
+    * type — before it contaminates similarity search or semantic dedup.
+    *
+    * 100 TB shape: quantization is the existing dim-bounded pass; per
+    * (slice, dim) sums partial-aggregate to #slices×dim rows; the corpus
+    * row re-aggregates THAT frame. The only corpus-scale join is quantized
+    * rows ⋈ (vec_id, slice) — narrow ints, shuffle-hash, no broadcast; the
+    * dim-bounded and slice-bounded frames broadcast legitimately.
+    */
+  def embeddingDrift(emb: DataFrame, sliceCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val slices = emb.select(col("vec_id"), col(sliceCol).as("slice"))
+    val sd = quantizeInt8(emb)
+      .join(slices.hint("shuffle_hash"), Seq("vec_id"))
+      .groupBy("slice", "pos").agg(sum("q").as("s_d"))
+    val td = sd.groupBy("pos").agg(sum("s_d").as("t_d"))
+    val ns = slices.groupBy("slice").agg(count(lit(1)).as("n_s"))
+    val nt = ns.agg(sum("n_s").as("n"))
+    sd.join(broadcast(td), Seq("pos"))
+      .join(broadcast(ns), Seq("slice"))
+      .crossJoin(broadcast(nt))
+      .groupBy("slice")
+      .agg(max("n_s").as("n_vecs"),
+        sum(abs(col("s_d").cast(dec) * col("n").cast(dec)
+            - col("t_d").cast(dec) * col("n_s").cast(dec)))
+          .cast(dec).as("l1_scaled"))
+  }
+
   /** X2: top-k neighbours by integer dot product over the int8-QUANTIZED
     * vectors ([[quantizeInt8]]) — the search side of the quantized index
     * path: 4× less data scanned per candidate, integer distance kernel, and

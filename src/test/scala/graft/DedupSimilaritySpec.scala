@@ -301,6 +301,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 1L), (2L, 2L, 1L), (4L, 2L, 0L)))
   }
 
+  test("embeddingDrift: identical slices drift equally; all-identical corpus drifts zero") {
+    import spark.implicits._
+    def emb(rows: (Long, Seq[Float], Int)*) = rows.toDF("vec_id", "embedding", "label")
+    // slices 1 and 2 hold the same vector multiset, slice 3 a shifted one:
+    // 1 and 2 must report the SAME scaled drift (and nonzero, since 3 pulls
+    // the corpus centroid away)
+    val three = Similarity.embeddingDrift(emb(
+        (0L, Seq(0f, 0f), 1), (1L, Seq(2f, 2f), 1),
+        (2L, Seq(0f, 0f), 2), (3L, Seq(2f, 2f), 2),
+        (4L, Seq(10f, 10f), 3), (5L, Seq(12f, 12f), 3)), "label")
+      .collect().map(r => r.getInt(0) -> r.getDecimal(2).longValueExact()).toMap
+    assert(three(1) == three(2) && three(1) > 0L)
+    // drop slice 3: every slice's distribution equals the corpus' -> zero
+    val two = Similarity.embeddingDrift(emb(
+        (0L, Seq(0f, 0f), 1), (1L, Seq(2f, 2f), 1),
+        (2L, Seq(0f, 0f), 2), (3L, Seq(2f, 2f), 2)), "label")
+      .collect().map(r => r.getDecimal(2).longValueExact())
+    assert(two.forall(_ == 0L))
+  }
+
   test("containmentPairs catches an embedded doc that Jaccard misses") {
     // doc1's word sequence appears verbatim inside doc2: bigram containment
     // = 3/3 = 1.0, but Jaccard = 3/8 — the asymmetric case the operator
