@@ -113,16 +113,22 @@ object Dedup {
       .localCheckpoint(true)
     val dfreq = hashed.groupBy("h").agg(count(lit(1)).as("df"))
     // rarity rank + set size in ONE (doc_id)-partitioned window pass;
-    // prefix length |A| - ceil(t*|A|) + 1 in integer arithmetic
+    // prefix length |A| - ceil(t*|A|) + 1 in integer arithmetic. The frame
+    // is checkpointed ONCE with the prefix membership as a flag: both join
+    // sides below read the materialization instead of re-running the df
+    // join + windows per side (which would double every upstream shuffle).
     val ranked = hashed.join(dfreq.hint("shuffle_hash"), Seq("h"))
       .withColumn("rnk", row_number().over(
         Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
-    val prefix = ranked.filter(col("rnk") <=
-      expr(s"sz - ((sz * $threshNum + ${threshDen - 1}) div $threshDen) + 1"))
+      .withColumn("in_prefix", col("rnk") <=
+        expr(s"sz - ((sz * $threshNum + ${threshDen - 1}) div $threshDen) + 1"))
+      .select("doc_id", "h", "sz", "in_prefix")
+      .localCheckpoint(true)
     // probe the full index with prefix tokens; orient smaller -> larger at
     // candidate time so each pair is generated once
-    val probe = prefix.select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("h"))
+    val probe = ranked.filter(col("in_prefix"))
+      .select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("h"))
       .repartition(par, col("h"))
     val index = ranked.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("h"))
     val cands = probe.join(index.hint("shuffle_hash"), Seq("h"))

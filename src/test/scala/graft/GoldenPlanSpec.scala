@@ -49,7 +49,9 @@ class GoldenPlanSpec extends SparkSpec {
     "x2_jaccard_dedup" -> "BroadcastHashJoin=3, BroadcastExchange=3, Exchange hashpartitioning=7, Exchange rangepartitioning=1, HashAggregate=14, Generate=4",
     "x2_minhash_lsh" -> "ShuffledHashJoin=3, Exchange hashpartitioning=7, Exchange rangepartitioning=1, HashAggregate=2, Generate=1",
     "x2_simhash_pairs" -> "BroadcastHashJoin=1, BroadcastExchange=1, Exchange hashpartitioning=1, Exchange rangepartitioning=1, HashAggregate=2, Generate=2",
-    "x9_curation_e2e" -> "BroadcastHashJoin=4, SortMergeJoin=2, BroadcastExchange=4, Exchange hashpartitioning=6, Exchange rangepartitioning=1, Exchange SinglePartition=1, HashAggregate=6, ObjectHashAggregate=2, Window=1, Generate=2")
+    "x9_curation_e2e" -> "BroadcastHashJoin=4, SortMergeJoin=2, BroadcastExchange=4, Exchange hashpartitioning=6, Exchange rangepartitioning=1, Exchange SinglePartition=1, HashAggregate=6, ObjectHashAggregate=2, Window=1, Generate=2",
+    "x2_containment_join" -> "ShuffledHashJoin=3, Exchange hashpartitioning=7, Exchange rangepartitioning=1, HashAggregate=2",
+    "x6_cluster_split" -> "SortMergeJoin=1, Exchange hashpartitioning=2, Exchange rangepartitioning=1")
 
   test("plan fingerprints of the heaviest batch queries match the committed goldens") {
     val actual = golden.keys.toSeq.sorted.map(n => n -> fingerprint(n))

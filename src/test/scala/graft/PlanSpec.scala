@@ -251,11 +251,13 @@ class PlanSpec extends SparkSpec {
       s"corpus-scale shared set left the shuffle path:\n${p.take(3000)}")
   }
 
-  test("x2_containment_join stays shuffle-hash end-to-end (df join, prefix probe, verify)") {
+  test("x2_containment_join stays shuffle-hash end-to-end (prefix probe + verify)") {
     val p = plan("x2_containment_join")
+    // the df join runs once behind the ranked-frame checkpoint; the final
+    // plan shows the prefix-probe join + the two token-set verify joins
     val shj = "ShuffledHashJoin".r.findAllIn(p).length
-    assert(shj >= 4,
-      s"expected >=4 ShuffledHashJoin (df + prefix-probe + 2 verify), got $shj:\n${p.take(3000)}")
+    assert(shj >= 3,
+      s"expected >=3 ShuffledHashJoin (prefix-probe + 2 verify), got $shj:\n${p.take(3000)}")
     // every joined frame here is corpus-scale (inverted index, token sets):
     // none may broadcast, and nothing may degenerate to all-pairs
     assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin")
