@@ -1723,6 +1723,28 @@ object Queries {
         |SELECT doc_id, count(*) AS n_hits FROM g JOIN bg USING (tok)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // X1/X7 — substring-level decontamination: flag corpus docs sharing any
+    // verbatim 40-char span with the benchmark stand-in (doc_id < 100).
+    // Corpus windows stride 10, benchmark windows stride 1, so collisions
+    // are alignment-free. Completes the decontamination family: exact md5 /
+    // word 5-gram / near-dup / substring.
+    Q("x1_decontaminate_substring",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        Dedup.substringContamination(docs.filter(col("doc_id") >= 100),
+            "doc_id", "text", docs.filter(col("doc_id") < 100),
+            window = 40, stride = 10)
+          .orderBy("doc_id")
+      },
+      Some("""WITH cw AS (SELECT DISTINCT doc_id, md5(substr(text, CAST(u.p AS INTEGER), 40)) AS hsh
+        |  FROM documents, LATERAL unnest(generate_series(1, len(text) - 39, 10)) AS u(p)
+        |  WHERE len(text) >= 40 AND doc_id >= 100),
+        |bw AS (SELECT DISTINCT md5(substr(text, CAST(u.p AS INTEGER), 40)) AS hsh
+        |  FROM documents, LATERAL unnest(generate_series(1, len(text) - 39, 1)) AS u(p)
+        |  WHERE len(text) >= 40 AND doc_id < 100)
+        |SELECT doc_id, count(*) AS n_hits FROM cw JOIN bw USING (hsh)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // X1/X7 — benchmark-leakage report: per benchmark item, how many
     // corpus documents share a word-5-gram with it and how much of the
     // item is covered — the eval-integrity view published next to the

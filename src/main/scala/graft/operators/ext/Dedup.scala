@@ -385,15 +385,23 @@ object Dedup {
     * hinted, never a corpus broadcast); the per-doc rollup is one final key
     * shuffle. No all-pairs term anywhere: linear in corpus chars / stride.
     */
-  def repeatedSubstringStats(docs: DataFrame, idCol: String, textCol: String,
-                             window: Int, stride: Int): DataFrame = {
-    require(window > 0 && stride > 0, "window and stride must be positive")
-    val wins = docs
+  /** The sliding window-fingerprint grid shared by [[repeatedSubstringStats]]
+    * and [[substringContamination]]: one (doc_id, md5-of-window) row per
+    * `stride`-spaced position; documents shorter than `window` emit nothing.
+    */
+  private def windowHashes(docs: DataFrame, idCol: String, textCol: String,
+                           window: Int, stride: Int): DataFrame =
+    docs
       .filter(length(col(textCol)) >= window)
       .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
         explode(sequence(lit(1), length(col(textCol)) - lit(window - 1),
           lit(stride))).as("pos"))
       .select(col("doc_id"), md5(expr(s"substring(__t, pos, $window)")).as("hsh"))
+
+  def repeatedSubstringStats(docs: DataFrame, idCol: String, textCol: String,
+                             window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val wins = windowHashes(docs, idCol, textCol, window, stride)
     val shared = wins.groupBy("hsh")
       .agg(count_distinct(col("doc_id")).as("__nd"))
       .filter(col("__nd") > 1)
@@ -401,6 +409,36 @@ object Dedup {
     wins.join(shared.hint("shuffle_hash"), Seq("hsh"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_windows"), count(col("__hit")).as("n_shared"))
+  }
+
+  /** X1/X7: substring-level decontamination — flag every corpus document
+    * sharing any VERBATIM `window`-char span with a held-out benchmark set:
+    * the character-level member of the decontamination family (exact md5 /
+    * word n-gram / MinHash near-dup / this). Catches literal quotes that
+    * word-n-gram collision can miss when tokenization differs (punctuation
+    * glued to words, casing inside tokens), at the price of missing
+    * paraphrases (the near-dup variant's job).
+    *
+    * Asymmetric grids: the CORPUS side strides (`stride` positions apart —
+    * linear in corpus chars / stride), while the tiny BENCHMARK side
+    * enumerates EVERY position (stride 1), so a corpus window matching
+    * anywhere inside a benchmark item collides regardless of alignment.
+    * Returns (doc_id, n_hits) for flagged documents only — n_hits =
+    * distinct colliding window fingerprints.
+    *
+    * 100 TB shape: identical to [[ngramContamination]] — benchmark window
+    * hashes broadcast, corpus windows are map-side fixed-width hashes, only
+    * colliding rows reach the one key shuffle.
+    */
+  def substringContamination(docs: DataFrame, idCol: String, textCol: String,
+                             bench: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    val corpus = windowHashes(docs, idCol, textCol, window, stride)
+      .distinct()
+    val benchWins = windowHashes(bench, idCol, textCol, window, 1)
+      .select("hsh").distinct()
+    corpus.join(broadcast(benchWins), Seq("hsh"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_hits"))
   }
 
   /** X1/X6: leakage-safe train/val/test split — assign every document to a

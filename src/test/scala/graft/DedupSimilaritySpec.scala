@@ -332,6 +332,19 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.jaccardPairs(df, "doc_id", "text", 2, 9, 10).collect().isEmpty)
   }
 
+  test("substringContamination matches unaligned verbatim spans via the stride-1 benchmark grid") {
+    // corpus doc 1 quotes the benchmark text at offset 3 — its stride-5
+    // windows ("E QUICK BR" at pos 6, "CK BROWN F" at pos 11) start at
+    // NON-stride positions of the benchmark, so only the benchmark's
+    // stride-1 grid can catch them
+    val bench = docs((100L, "THE QUICK BROWN FOX JUMPS"))
+    val corpus = docs((1L, "abcTHE QUICK BROWN FOX"), (2L, "nothing shared here at all"))
+    val out = Dedup.substringContamination(corpus, "doc_id", "text", bench,
+        window = 10, stride = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 2L)))
+  }
+
   test("clusterSplit: same cluster always lands in the same split, no shuffle") {
     import spark.implicits._
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 3L), (5L, 5L))
