@@ -634,6 +634,47 @@ object Queries {
         |WHERE doc_id >= 100 AND doc_id NOT IN (SELECT doc_id FROM flagged)
         |ORDER BY doc_id""".stripMargin)),
 
+    // STREAMING DRIFT MONITOR (the seventh declared streaming path, and the
+    // foreachBatch idiom's entry into the surface): each micro-batch's
+    // per-source token distribution is scored against the STATIC reference
+    // profile (docs < 100) with the exact integer TVD of
+    // TextAnalysis.refDrift; the per-slice report reaches the driver as a
+    // few scalar-sized rows per batch. The single-file source yields one
+    // batch, so the oracle is the batch refDrift formulation.
+    Q("stream_drift_monitor",
+      (s, dir) => {
+        val batchSchema = rd(s, dir, "documents").schema
+        val stream = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter(col("doc_id") >= 100)
+        val ref = rd(s, dir, "documents").filter(col("doc_id") < 100)
+        val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        val q = graft.streaming.Streaming.driftMonitor(stream, ref, "source", "text") {
+          (report, _) =>
+            buf ++= report.withColumn("l1_scaled", col("l1_scaled").cast("string"))
+              .collect() // scalar-sized: one row per slice per batch
+        }
+        try q.processAllAvailable() finally q.stop()
+        import org.apache.spark.sql.types._
+        s.createDataFrame(s.sparkContext.parallelize(buf.toSeq, 1),
+            StructType(Seq(StructField("slice", StringType),
+              StructField("s_toks", LongType), StructField("l1_scaled", StringType))))
+          .orderBy("slice")
+      },
+      Some("""WITH bt AS (SELECT source AS slice, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents WHERE doc_id >= 100),
+        |st AS (SELECT slice, token, count(*) AS c_st FROM bt GROUP BY 1, 2),
+        |rt0 AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents WHERE doc_id < 100),
+        |rt AS (SELECT token, count(*) AS r_t FROM rt0 GROUP BY 1),
+        |stot AS (SELECT slice, sum(c_st) AS s_tot FROM st GROUP BY 1),
+        |rtot AS (SELECT sum(r_t) AS t_ref FROM rt)
+        |SELECT slice, CAST(s_tot AS BIGINT) AS s_toks,
+        |  CAST(CAST(sum(abs(c_st * t_ref - coalesce(r_t, 0) * s_tot))
+        |    + CAST(s_tot AS HUGEINT) * t_ref - sum(coalesce(r_t, 0) * s_tot) AS DECIMAL(38,0)) AS VARCHAR) AS l1_scaled
+        |FROM st LEFT JOIN rt USING (token) JOIN stot USING (slice) CROSS JOIN rtot
+        |GROUP BY slice, s_tot, t_ref ORDER BY slice""".stripMargin)),
+
     // Custom streaming state (flatMapGroupsWithState) oracle-checked: the
     // per-key running count/min/max session state, drained to completion —
     // the final update per key must equal the batch aggregate. Emission

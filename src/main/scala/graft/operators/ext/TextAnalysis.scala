@@ -277,6 +277,47 @@ object TextAnalysis {
     * corpus-scale — never broadcast); per-slice totals and the 1-row corpus
     * total are genuinely tiny and broadcast. Linear in corpus tokens.
     */
+  /** X3/ST: drift vs a STATIC reference profile — the [[sliceDrift]]
+    * arithmetic with the comparison side fixed to a reference corpus
+    * instead of the slices' own union:
+    *
+    *   l1_scaled(s) = Σ_{t∈s} | c_st·T − r_t·S_s |  +  (T − Σ_{t∈s∩ref} r_t)·S_s
+    *
+    * (r_t = reference count, T = reference token total; the second term is
+    * the reference mass the slice never touches). Same exactness contract:
+    * integer counts, DECIMAL(38,0) products, no float anywhere —
+    * TVD(s ‖ ref) = l1_scaled / (2·S_s·T). This is the batch kernel of the
+    * streaming drift monitor (Streaming.driftMonitor): each micro-batch is
+    * scored against the same fixed profile, so alarms are comparable
+    * across batches.
+    *
+    * Shape: reference counts aggregate once (reusable across batches); the
+    * batch ⋈ reference token join is merge-hinted (reference vocabulary is
+    * corpus-scale); only per-slice and 1-row totals broadcast.
+    */
+  def refDrift(batch: DataFrame, ref: DataFrame, sliceCol: String,
+               textCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    val st = batch
+      .select(col(sliceCol).as("slice"), explode(expr(toks(textCol))).as("token"))
+      .groupBy("slice", "token").agg(count(lit(1)).as("c_st"))
+    val rt = ref.select(explode(expr(toks(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("r_t"))
+    val sTot = st.groupBy("slice").agg(sum("c_st").as("s_tot"))
+    val rTot = rt.agg(coalesce(sum("r_t"), lit(0L)).as("t_ref"))
+    st.join(rt.hint("merge"), Seq("token"), "left")
+      .join(broadcast(sTot), Seq("slice"))
+      .crossJoin(broadcast(rTot))
+      .groupBy("slice")
+      .agg(
+        max("s_tot").as("s_toks"),
+        (sum(abs(col("c_st").cast(dec) * col("t_ref").cast(dec)
+            - coalesce(col("r_t"), lit(0L)).cast(dec) * col("s_tot").cast(dec)))
+          + max(col("s_tot").cast(dec) * col("t_ref").cast(dec))
+          - sum(coalesce(col("r_t"), lit(0L)).cast(dec) * col("s_tot").cast(dec)))
+          .cast(dec).as("l1_scaled"))
+  }
+
   def sliceDrift(docs: DataFrame, sliceCol: String, textCol: String): DataFrame = {
     val dec = "decimal(38,0)"
     val st = docs

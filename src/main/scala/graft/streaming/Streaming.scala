@@ -114,6 +114,26 @@ object Streaming {
       .drop("__bands", "__bkeys")
   }
 
+  /** ST: per-micro-batch distribution-drift monitor — the foreachBatch
+    * production idiom: every micro-batch is scored against the SAME static
+    * reference profile with the exact integer TVD of
+    * TextAnalysis.refDrift, and the per-slice report (a few rows) is
+    * handed to `sink` with the batch id — a metrics table, an alert hook.
+    * Stateless across batches (no state store, no watermark): the
+    * reference is fixed, so alarms are comparable batch to batch; the
+    * per-batch work is a bounded batch-mode aggregation, which is exactly
+    * what foreachBatch exists for (multi-step aggregations are not
+    * expressible as one incremental streaming plan).
+    */
+  def driftMonitor(docs: DataFrame, ref: DataFrame, sliceCol: String,
+                   textCol: String)(
+                   sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        sink(graft.operators.ext.TextAnalysis.refDrift(batch.toDF(), ref, sliceCol, textCol), id)
+      }
+      .start()
+
   final case class Tick(symbol: String, price: java.math.BigDecimal, ingest_ts: Timestamp)
   final case class SymbolSession(symbol: String, n: Long, lo: java.math.BigDecimal, hi: java.math.BigDecimal)
 

@@ -52,6 +52,22 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out == Seq(("A", 3L, 2L, 8L), ("B", 2L, 2L, 8L)))
   }
 
+  test("refDrift: hand-checked TVD vs a fixed reference, including a ref-disjoint slice") {
+    import spark.implicits._
+    // ref = {a:2, b:1}, T=3. slice X ("a b", S=2): |1*3-2*2| + |1*3-1*2| +
+    // untouched ref mass 0 -> 2 = TVD(1/6) * 2*S*T. slice Y ("c", S=1):
+    // |1*3-0| + untouched 3*1 -> 6 = TVD(1) * 2*1*3.
+    val batch = Seq(("X", "a b"), ("Y", "c")).toDF("source", "text")
+    val ref = Seq(Tuple1("a a b")).toDF("text")
+    val out = TextAnalysis.refDrift(batch, ref, "source", "text").orderBy("slice")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDecimal(2).longValueExact())).toSeq
+    assert(out == Seq(("X", 2L, 2L), ("Y", 1L, 6L)))
+    // a batch distributed exactly like the reference drifts zero
+    val same = TextAnalysis.refDrift(Seq(("Z", "a a b")).toDF("source", "text"),
+      ref, "source", "text").collect().head
+    assert(same.getDecimal(2).longValueExact() == 0L)
+  }
+
   test("resizePayload strides bytes binary-safely, including bytes >= 0x80") {
     import spark.implicits._
     val raw = Array[Byte](0x00, 0x7f, 0x80.toByte, 0xff.toByte, 0x41, 0xc3.toByte, 0xa9.toByte)
