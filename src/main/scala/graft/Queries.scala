@@ -2186,6 +2186,39 @@ object Queries {
         |FROM sd JOIN td USING (ord) JOIN ns USING (slice) CROSS JOIN nt
         |GROUP BY slice, n_s ORDER BY slice""".stripMargin)),
 
+    // X2 — product-quantization ANN (ADC search): vectors stored as 8
+    // one-byte codes, query-vector distance approximated from per-subspace
+    // distance tables — the IFV-PQ search core over the int8-quantized
+    // components, so every distance is an exact integer and the whole path
+    // (codebook, assignment argmins, ADC sums, top-k) replays in DuckDB.
+    Q("x2_ann_pq",
+      (s, dir) => Similarity.pqTopK(rd(s, dir, "embeddings"),
+          dim = 64, m = 8, ncodes = 16, k = 3, queryLimit = 150)
+        .orderBy("id_a", "rk"),
+      Some("""WITH x AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS ord,
+        |  unnest(CAST(embedding AS DOUBLE[])) AS u FROM embeddings),
+        |s AS (SELECT ord, min(u) AS mn, max(u) AS mx FROM x GROUP BY ord),
+        |q AS (SELECT vec_id, x.ord - 1 AS pos, CASE WHEN s.mx = s.mn THEN 0
+        |  ELSE CAST(least(floor(CAST(CAST(255 AS DOUBLE) * (x.u - s.mn) / (s.mx - s.mn) AS DECIMAL(10,6))), 255) AS INTEGER)
+        |  END AS qq FROM x JOIN s USING (ord)),
+        |train AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) - 1 AS code
+        |  FROM embeddings QUALIFY code < 16),
+        |cb AS (SELECT t.code, q.pos, q.qq AS cq FROM q JOIN train t USING (vec_id)),
+        |terms AS (SELECT q.vec_id, q.pos // 8 AS sub, cb.code,
+        |  (q.qq - cb.cq) * (q.qq - cb.cq) AS t FROM q JOIN cb USING (pos)),
+        |dist AS (SELECT vec_id, sub, code, sum(t) AS d FROM terms GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, code FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM dist)
+        |  WHERE rn = 1),
+        |dt AS (SELECT vec_id AS qid, sub, code, sum(t) AS dt FROM terms
+        |  WHERE vec_id < 150 GROUP BY 1, 2, 3),
+        |ad AS (SELECT dt.qid, c.vec_id, CAST(sum(dt.dt) AS BIGINT) AS adist
+        |  FROM codes c JOIN dt ON c.sub = dt.sub AND c.code = dt.code
+        |  WHERE c.vec_id <> dt.qid GROUP BY 1, 2)
+        |SELECT qid AS id_a, vec_id AS id_b, adist, rk FROM
+        |  (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS INTEGER) AS rk FROM ad)
+        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
+
     // X2 — top-3 neighbours by integer dot product over the int8-quantized
     // vectors (the search side of the quantized index path; exact integer
     // scores, so the whole path hash-checks with no rounding discipline).

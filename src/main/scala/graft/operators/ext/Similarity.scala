@@ -181,6 +181,69 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** X2: product-quantization ANN (ADC search) — the missing third member
+    * of the compressed-search family (int8 scalar quantization /
+    * LSH buckets / THIS): each vector is stored as `m` one-byte codes
+    * (dim 64 → 8 bytes, 32× under float32), and query-to-vector distance
+    * is approximated asymmetrically as Σ_s dtable(query, sub s,
+    * code(v, s)) — the classic IVF-PQ search core, minus the IVF gate
+    * ([[ivfTopK]] shows cell pruning; the two compose).
+    *
+    * Everything runs over the int8-QUANTIZED components ([[quantizeInt8]]),
+    * so every distance is an exact integer — assignment argmins and ADC
+    * sums are bit-identical in any engine (ties break on code index /
+    * vec id), which is what makes a full DuckDB oracle possible where
+    * float k-means PQ would drift. The codebook is the deterministic
+    * stand-in quantizer pattern of [[ivfTopK]]: the `ncodes` md5-first
+    * vectors' subvectors are the codes (a trained variant would swap in
+    * Lloyd iterations; the search path is identical).
+    *
+    * 100 TB shape: codebook and per-query distance tables are genuinely
+    * tiny (ncodes × dim; queries × m × ncodes — queries bounded like every
+    * declared ANN path) and broadcast; the corpus-side work is one
+    * map-side fan-out of ×ncodes partially-aggregated assignment terms,
+    * one (vec_id, sub) window on the m-per-vector code frame, and the ADC
+    * join is broadcast-map-side with partial aggregation into (query, vec)
+    * sums. The corpus never shuffles by anything wider than its own id.
+    */
+  def pqTopK(emb: DataFrame, dim: Int, m: Int, ncodes: Int, k: Int,
+             queryLimit: Long): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ncodes > 0 && k > 0, "ncodes and k must be positive")
+    val subDim = dim / m
+    val q = quantizeInt8(emb).localCheckpoint(true)
+    // deterministic codebook: md5-first vectors, TakeOrderedAndProject heap
+    // (no global sort); the code-index window runs on ncodes rows
+    val hOrd = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
+    val train = emb.select(col("vec_id"))
+      .orderBy(hOrd: _*).limit(ncodes)
+      .withColumn("code", row_number().over(Window.orderBy(hOrd: _*)) - 1)
+      .select("vec_id", "code")
+    val cb = broadcast(q.join(broadcast(train), Seq("vec_id"))
+      .select(col("code"), col("pos"), col("q").as("cq")))
+    // per-(vec, sub, code) squared distances — map-side ×ncodes fan-out,
+    // partially aggregated before the one vec_id-keyed shuffle
+    def terms(src: DataFrame) = src.join(cb, Seq("pos"))
+      .select(col("vec_id"), expr(s"pos div $subDim").as("sub"), col("code"),
+        ((col("q") - col("cq")) * (col("q") - col("cq"))).as("t"))
+    val codes = terms(q)
+      .groupBy("vec_id", "sub", "code").agg(sum("t").as("d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy(col("d"), col("code"))))
+      .filter(col("rn") === 1).select("vec_id", "sub", "code")
+    val dt = terms(q.filter(col("vec_id") < queryLimit))
+      .groupBy(col("vec_id").as("qid"), col("sub"), col("code"))
+      .agg(sum("t").as("dt"))
+    codes.join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id").agg(sum("dt").as("adist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("id_a"), col("vec_id").as("id_b"),
+        col("adist"), col("rk"))
+  }
+
   /** Fixed random hyperplanes (seeded, literal — shared with tests). Each
     * plane is a dim-length vector of ±1 derived from a deterministic xorshift.
     */

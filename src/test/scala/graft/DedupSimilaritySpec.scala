@@ -301,6 +301,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 1L), (2L, 2L, 1L), (4L, 2L, 0L)))
   }
 
+  test("pqTopK: with the codebook covering every vector, ADC distance is the exact quantized L2") {
+    // ncodes >= N means every vector assigns to itself at distance 0, so
+    // the asymmetric-distance sum collapses to the true quantized L2 —
+    // checked against a locally recomputed brute force over quantizeInt8
+    val df = embeddings(
+      (0L, Seq(0f, 1f, 2f, 3f)), (1L, Seq(0f, 1f, 2f, 3f)),
+      (2L, Seq(3f, 2f, 1f, 0f)), (3L, Seq(1f, 1f, 1f, 1f)))
+    val qv = Similarity.quantizeInt8(df).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1)).map(_.getInt(2))).toMap
+    def l2(a: Long, b: Long): Long =
+      qv(a).zip(qv(b)).map { case (x, y) => ((x - y).toLong * (x - y)) }.sum
+    val out = Similarity.pqTopK(df, dim = 4, m = 2, ncodes = 4, k = 3, queryLimit = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, d) => assert(d == l2(a, b), s"adist($a,$b)") }
+    // duplicate vectors 0 and 1 must be each other's rank-1 at distance 0
+    val top1 = Similarity.pqTopK(df, 4, 2, 4, 1, 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(top1(0L) == (1L, 0L) && top1(1L) == (0L, 0L))
+  }
+
   test("embeddingDrift: identical slices drift equally; all-identical corpus drifts zero") {
     import spark.implicits._
     def emb(rows: (Long, Seq[Float], Int)*) = rows.toDF("vec_id", "embedding", "label")
