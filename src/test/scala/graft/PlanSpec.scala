@@ -275,6 +275,22 @@ class PlanSpec extends SparkSpec {
     assert(bc <= 2, s"expected <=2 broadcasts (slice totals + corpus total), got $bc:\n${p.take(3000)}")
   }
 
+  test("x2_ann_pq broadcasts only the bounded frames (codebook, query tables)") {
+    val p = plan("x2_ann_pq")
+    // legitimate broadcasts: train ids, codebook, query distance tables
+    // (+ the quantizer's dim stats live behind the checkpoint); the corpus
+    // code frame itself must reach the ADC join via shuffle or map-side,
+    // never as a broadcast build of corpus-sized data — and nothing may
+    // degenerate to nested-loop/cartesian
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"PQ path degenerated to all-pairs:\n${p.take(3000)}")
+    // 5 = train ids + the codebook once per terms() reuse (assignment and
+    // query-table sides) + the query distance tables — every one bounded by
+    // ncodes×dim or queries×m×ncodes, none corpus-sized
+    val bc = "BroadcastExchange".r.findAllIn(p).length
+    assert(bc <= 5, s"expected <=5 bounded broadcasts, got $bc:\n${p.take(3000)}")
+  }
+
   test("a6_percentile avoids the percentile() map aggregate (sort-based window form)") {
     val p = plan("a6_percentile")
     assert(!p.toLowerCase.contains("percentile"),
