@@ -2219,6 +2219,48 @@ object Queries {
         |  (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS INTEGER) AS rk FROM ad)
         |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
 
+    // X2 — IVF-PQ: the production ANN composition — coarse cell gate
+    // (nprobe of 32 cells per query) over PQ asymmetric-distance ranking,
+    // both stages in the exact-integer quantized space so the full composed
+    // path replays in DuckDB. x2_ann_pq is the ungated recall baseline.
+    Q("x2_ann_ivfpq",
+      (s, dir) => Similarity.ivfPqTopK(rd(s, dir, "embeddings"),
+          dim = 64, m = 8, ncodes = 16, nlist = 32, nprobe = 4, k = 3,
+          queryLimit = 150)
+        .orderBy("id_a", "rk"),
+      Some("""WITH x AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS ord,
+        |  unnest(CAST(embedding AS DOUBLE[])) AS u FROM embeddings),
+        |s AS (SELECT ord, min(u) AS mn, max(u) AS mx FROM x GROUP BY ord),
+        |q AS (SELECT vec_id, x.ord - 1 AS pos, CASE WHEN s.mx = s.mn THEN 0
+        |  ELSE CAST(least(floor(CAST(CAST(255 AS DOUBLE) * (x.u - s.mn) / (s.mx - s.mn) AS DECIMAL(10,6))), 255) AS INTEGER)
+        |  END AS qq FROM x JOIN s USING (ord)),
+        |tr AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) - 1 AS code
+        |  FROM embeddings),
+        |ccb AS (SELECT t.code, q.pos, q.qq AS cq FROM q JOIN tr t USING (vec_id) WHERE t.code < 32),
+        |cdist AS (SELECT q.vec_id, ccb.code, sum((q.qq - ccb.cq) * (q.qq - ccb.cq)) AS d
+        |  FROM q JOIN ccb USING (pos) GROUP BY 1, 2),
+        |cells AS (SELECT vec_id, code AS cell FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, code) AS rn FROM cdist) WHERE rn = 1),
+        |probes AS (SELECT vec_id AS qid, code AS cell FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, code) AS rn FROM cdist WHERE vec_id < 150) WHERE rn <= 4),
+        |pcb AS (SELECT t.code, q.pos, q.qq AS cq FROM q JOIN tr t USING (vec_id) WHERE t.code < 16),
+        |pterms AS (SELECT q.vec_id, q.pos // 8 AS sub, pcb.code,
+        |  (q.qq - pcb.cq) * (q.qq - pcb.cq) AS t FROM q JOIN pcb USING (pos)),
+        |pdist AS (SELECT vec_id, sub, code, sum(t) AS d FROM pterms GROUP BY 1, 2, 3),
+        |codes AS (SELECT vec_id, sub, code FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM pdist) WHERE rn = 1),
+        |dt AS (SELECT vec_id AS qid, sub, code, sum(t) AS dt FROM pterms
+        |  WHERE vec_id < 150 GROUP BY 1, 2, 3),
+        |cand AS (SELECT p.qid, c.vec_id FROM cells c JOIN probes p USING (cell)
+        |  WHERE c.vec_id <> p.qid),
+        |ad AS (SELECT cand.qid, cand.vec_id, CAST(sum(dt.dt) AS BIGINT) AS adist
+        |  FROM cand JOIN codes USING (vec_id)
+        |  JOIN dt ON dt.qid = cand.qid AND dt.sub = codes.sub AND dt.code = codes.code
+        |  GROUP BY 1, 2)
+        |SELECT qid AS id_a, vec_id AS id_b, adist, rk FROM
+        |  (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS INTEGER) AS rk FROM ad)
+        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
+
     // X2 — top-3 neighbours by integer dot product over the int8-quantized
     // vectors (the search side of the quantized index path; exact integer
     // scores, so the whole path hash-checks with no rounding discipline).

@@ -206,36 +206,109 @@ object Similarity {
     * join is broadcast-map-side with partial aggregation into (query, vec)
     * sums. The corpus never shuffles by anything wider than its own id.
     */
+  /** Deterministic code table for the PQ/IVF stand-in quantizers: the `n`
+    * md5-first vector ids, code-indexed 0..n-1. TakeOrderedAndProject heap
+    * (no global sort); the index window runs on n rows.
+    */
+  private def md5Train(emb: DataFrame, n: Int): DataFrame = {
+    val hOrd = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
+    emb.select(col("vec_id"))
+      .orderBy(hOrd: _*).limit(n)
+      .withColumn("code", row_number().over(Window.orderBy(hOrd: _*)) - 1)
+      .select("vec_id", "code")
+  }
+
+  /** (code, pos, cq) codebook over the quantized frame — ≤ n×dim rows,
+    * always broadcast-sized.
+    */
+  private def mkCodebook(q: DataFrame, train: DataFrame): DataFrame =
+    broadcast(q.join(broadcast(train), Seq("vec_id"))
+      .select(col("code"), col("pos"), col("q").as("cq")))
+
+  /** Per-(vec, sub, code) squared-distance terms — map-side ×ncodes
+    * fan-out, partially aggregated downstream before any key shuffle.
+    * subDim = dim collapses every pos into sub 0 (the coarse/full-vector
+    * case).
+    */
+  private def pqTerms(src: DataFrame, cb: DataFrame, subDim: Int): DataFrame =
+    src.join(cb, Seq("pos"))
+      .select(col("vec_id"), expr(s"pos div $subDim").as("sub"), col("code"),
+        ((col("q") - col("cq")) * (col("q") - col("cq"))).as("t"))
+
+  /** Top-`rnMax` codes per (vec, sub) by exact integer distance,
+    * deterministic ties (distance, then code index). rnMax = 1 is
+    * assignment; rnMax = nprobe is the IVF probe list.
+    */
+  private def nearestCodes(terms: DataFrame, rnMax: Int): DataFrame =
+    terms.groupBy("vec_id", "sub", "code").agg(sum("t").as("d"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("vec_id", "sub").orderBy(col("d"), col("code"))))
+      .filter(col("rn") <= rnMax)
+
   def pqTopK(emb: DataFrame, dim: Int, m: Int, ncodes: Int, k: Int,
              queryLimit: Long): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
     require(ncodes > 0 && k > 0, "ncodes and k must be positive")
     val subDim = dim / m
     val q = quantizeInt8(emb).localCheckpoint(true)
-    // deterministic codebook: md5-first vectors, TakeOrderedAndProject heap
-    // (no global sort); the code-index window runs on ncodes rows
-    val hOrd = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
-    val train = emb.select(col("vec_id"))
-      .orderBy(hOrd: _*).limit(ncodes)
-      .withColumn("code", row_number().over(Window.orderBy(hOrd: _*)) - 1)
-      .select("vec_id", "code")
-    val cb = broadcast(q.join(broadcast(train), Seq("vec_id"))
-      .select(col("code"), col("pos"), col("q").as("cq")))
-    // per-(vec, sub, code) squared distances — map-side ×ncodes fan-out,
-    // partially aggregated before the one vec_id-keyed shuffle
-    def terms(src: DataFrame) = src.join(cb, Seq("pos"))
-      .select(col("vec_id"), expr(s"pos div $subDim").as("sub"), col("code"),
-        ((col("q") - col("cq")) * (col("q") - col("cq"))).as("t"))
-    val codes = terms(q)
-      .groupBy("vec_id", "sub", "code").agg(sum("t").as("d"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("vec_id", "sub").orderBy(col("d"), col("code"))))
-      .filter(col("rn") === 1).select("vec_id", "sub", "code")
-    val dt = terms(q.filter(col("vec_id") < queryLimit))
+    val cb = mkCodebook(q, md5Train(emb, ncodes))
+    val codes = nearestCodes(pqTerms(q, cb, subDim), 1)
+      .select("vec_id", "sub", "code")
+    val dt = pqTerms(q.filter(col("vec_id") < queryLimit), cb, subDim)
       .groupBy(col("vec_id").as("qid"), col("sub"), col("code"))
       .agg(sum("t").as("dt"))
     codes.join(broadcast(dt), Seq("sub", "code"))
       .filter(col("vec_id") =!= col("qid"))
+      .groupBy("qid", "vec_id").agg(sum("dt").as("adist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("id_a"), col("vec_id").as("id_b"),
+        col("adist"), col("rk"))
+  }
+
+  /** X2: IVF-PQ — the production ANN composition: a coarse inverted-file
+    * gate restricts each query to its `nprobe` nearest cells, and PQ's
+    * asymmetric distance ranks only those candidates. Both stages run in
+    * the same exact-integer quantized space ([[quantizeInt8]]): cell
+    * assignment is full-vector integer L2 against `nlist` deterministic
+    * centroids (the [[pqTopK]] machinery with one subspace), so the whole
+    * composed path — cells, probes, codes, ADC sums, top-k — has a full
+    * DuckDB replay oracle, which neither float k-means IVF nor float PQ
+    * would allow.
+    *
+    * 100 TB shape: the candidate join is cells ⋈ broadcast(probe pairs) —
+    * per-query work is nprobe cells' populations, never the corpus; the
+    * code join is shuffle-hash on vec id (narrow int rows); distance
+    * tables and both code tables stay broadcast-sized. The scan-everything
+    * [[pqTopK]] is the recall baseline this gates.
+    */
+  def ivfPqTopK(emb: DataFrame, dim: Int, m: Int, ncodes: Int, nlist: Int,
+                nprobe: Int, k: Int, queryLimit: Long): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    require(ncodes > 0 && nlist > 0 && nprobe > 0 && k > 0,
+      "ncodes, nlist, nprobe, k must be positive")
+    val q = quantizeInt8(emb).localCheckpoint(true)
+    // coarse stage: one subspace spanning the full vector
+    val cellCb = mkCodebook(q, md5Train(emb, nlist))
+    val cells = nearestCodes(pqTerms(q, cellCb, dim), 1)
+      .select(col("vec_id"), col("code").as("cell"))
+    val probes = nearestCodes(
+        pqTerms(q.filter(col("vec_id") < queryLimit), cellCb, dim), nprobe)
+      .select(col("vec_id").as("qid"), col("code").as("cell"))
+    // fine stage: the pqTopK codebook/codes/tables, scored on candidates only
+    val subDim = dim / m
+    val pqCb = mkCodebook(q, md5Train(emb, ncodes))
+    val codes = nearestCodes(pqTerms(q, pqCb, subDim), 1)
+      .select("vec_id", "sub", "code")
+    val dt = pqTerms(q.filter(col("vec_id") < queryLimit), pqCb, subDim)
+      .groupBy(col("vec_id").as("qid"), col("sub"), col("code"))
+      .agg(sum("t").as("dt"))
+    cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+      .join(codes.hint("shuffle_hash"), Seq("vec_id"))
+      .join(broadcast(dt), Seq("qid", "sub", "code"))
       .groupBy("qid", "vec_id").agg(sum("dt").as("adist"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))))

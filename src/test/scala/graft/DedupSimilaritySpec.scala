@@ -322,6 +322,26 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(top1(0L) == (1L, 0L) && top1(1L) == (0L, 0L))
   }
 
+  test("ivfPqTopK with nprobe = nlist admits everything and equals the ungated pqTopK") {
+    val df = embeddings(
+      (0L, Seq(0f, 1f, 2f, 3f)), (1L, Seq(0f, 1f, 2f, 3f)),
+      (2L, Seq(3f, 2f, 1f, 0f)), (3L, Seq(1f, 1f, 1f, 1f)),
+      (4L, Seq(9f, 0f, 9f, 0f)), (5L, Seq(0f, 9f, 0f, 9f)))
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val full = rows(Similarity.pqTopK(df, dim = 4, m = 2, ncodes = 4, k = 2, queryLimit = 10))
+    val gated = rows(Similarity.ivfPqTopK(df, dim = 4, m = 2, ncodes = 4,
+      nlist = 3, nprobe = 3, k = 2, queryLimit = 10))
+    assert(gated == full)
+    // a selective gate changes WHICH pairs surface, never their distance:
+    // where a (query, vec) pair appears in both, the ADC distance agrees
+    val tight = rows(Similarity.ivfPqTopK(df, 4, 2, 4, nlist = 3, nprobe = 1, k = 2, 10))
+    assert(tight.nonEmpty)
+    val fullD = full.map { case (a, b, d, _) => (a, b) -> d }.toMap
+    tight.foreach { case (a, b, d, _) =>
+      fullD.get((a, b)).foreach(fd => assert(fd == d, s"adist($a,$b)")) }
+  }
+
   test("embeddingDrift: identical slices drift equally; all-identical corpus drifts zero") {
     import spark.implicits._
     def emb(rows: (Long, Seq[Float], Int)*) = rows.toDF("vec_id", "embedding", "label")
