@@ -1076,6 +1076,35 @@ object Queries {
         "SELECT * FROM (SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates) " +
         "UNION ALL SELECT * FROM updates) ORDER BY o_orderkey")),
 
+    // S16 — snapshot diff (CDC extract, the read-side complement of
+    // merge_upsert): rows added/removed/changed between two snapshots,
+    // compared at the md5-fingerprint level so payloads never shuffle.
+    // Snapshot B is derived deterministically from A in both engines:
+    // doc_id >= 450 dropped (removed), every 7th text amended (changed),
+    // the first 20 docs re-keyed +10000 (added).
+    Q("s16_snapshot_diff",
+      (s, dir) => {
+        val a = rd(s, dir, "documents").select("doc_id", "text")
+        val b = a.filter(col("doc_id") < 450)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(a.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        Relational.snapshotDiff(a, b, Seq("doc_id"), Seq("text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id < 450
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, CASE WHEN a.text IS NULL THEN 'added'
+        |  WHEN b.text IS NULL THEN 'removed'
+        |  WHEN a.text <> b.text THEN 'changed' END AS change
+        |FROM a FULL OUTER JOIN b USING (doc_id)
+        |WHERE a.text IS NULL OR b.text IS NULL OR a.text <> b.text
+        |ORDER BY doc_id""".stripMargin)),
+
     // F6 — map functions: per-priority status→count maps built with
     // map_from_entries over sorted entries, probed with element_at, then
     // exploded back to rows. The roundtrip proves the map type plumbing

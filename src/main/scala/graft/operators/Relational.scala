@@ -221,6 +221,36 @@ object Relational {
     base.join(broadcast(updates.select(keys.map(col): _*)), keys, "left_anti")
       .unionByName(updates)
 
+  /** Snapshot diff (CDC extract — the read-side complement of [[upsert]]):
+    * compare two snapshots of a keyed table and emit one row per key that
+    * was added, removed, or changed between them. Rows compare by an
+    * md5 fingerprint of the `compareCols` (null-safe: each column
+    * coalesces to a sentinel before the separator-joined concat, so NULL
+    * vs 'empty string' can't collide), which is engine-portable — the
+    * fingerprint, not just the verdict, is oracle-checkable.
+    *
+    * 100 TB shape: each snapshot reduces map-side to (key, fingerprint) —
+    * payload never shuffles; the full-outer sort-merge join on the key is
+    * the one linear shuffle per side. That is the CDC idiom for table
+    * formats without change feeds: diff at the fingerprint level, join
+    * back to payloads only for the (small) changed set.
+    */
+  def snapshotDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
+                   compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "need at least one compare column")
+    def fp = md5(concat_ws("",
+      compareCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+    val af = a.select(keys.map(col) :+ fp.as("fp_a"): _*)
+    val bf = b.select(keys.map(col) :+ fp.as("fp_b"): _*)
+    af.join(bf, keys, "full_outer")
+      .withColumn("change",
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "changed"))
+      .filter(col("change").isNotNull)
+      .select(keys.map(col) :+ col("change"): _*)
+  }
+
   /** As-of join (an operator Spark lacks natively): for each left row, attach
     * the right-side value with the greatest time <= the left row's time,
     * per key. Implemented as the union + ordered-window idiom: tag both

@@ -13,6 +13,18 @@ class MedallionSpec extends SparkSpec {
   private lazy val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
   private val asOf = LocalDate.of(2022, 2, 28)
 
+  test("snapshotDiff: add/remove/change verdicts; NULL never collides with empty string") {
+    import spark.implicits._
+    val a = Seq((1L, Option("x")), (2L, Option("y")), (3L, Option("")), (5L, Option("k")))
+      .toDF("id", "v")
+    val b = Seq((1L, Option("x")), (2L, Option("y2")), (3L, Option.empty[String]), (4L, Option("new")))
+      .toDF("id", "v")
+    val out = graft.operators.Relational.snapshotDiff(a, b, Seq("id"), Seq("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // id 1 unchanged (absent); id 3 is '' -> NULL, which MUST read as changed
+    assert(out == Map(2L -> "changed", 3L -> "changed", 4L -> "added", 5L -> "removed"))
+  }
+
   test("silverToGold: min <= max and diff = max - min for every group") {
     val gold = Medallion.silverToGold(lineitem, "l_returnflag", "l_extendedprice", asOf).collect()
     assert(gold.nonEmpty)
