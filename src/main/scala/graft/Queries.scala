@@ -132,6 +132,21 @@ object Queries {
     """SELECT DISTINCT doc_id, unnest(list_transform(range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2])) AS tok
       | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents)""".stripMargin
 
+  /** DuckDB mirror of Similarity.quantizeInt8 — the (x, s, q) CTE chain:
+    * per-dim min-max scale, rounded to DECIMAL(10,6) BEFORE the floor,
+    * clamped at 255. Shared by every quantized-space oracle
+    * (x2_quantize_int8, x2_ann_quantized, x2_embedding_drift, x2_ann_pq,
+    * x2_ann_ivfpq) so a rounding-policy change cannot silently
+    * desynchronize one copy. q = (vec_id, pos 0-based INTEGER, qq).
+    */
+  private val duckQuantCtes =
+    """x AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS ord,
+      |  unnest(CAST(embedding AS DOUBLE[])) AS u FROM embeddings),
+      |s AS (SELECT ord, min(u) AS mn, max(u) AS mx FROM x GROUP BY ord),
+      |q AS (SELECT vec_id, CAST(x.ord - 1 AS INTEGER) AS pos, CASE WHEN s.mx = s.mn THEN 0
+      |  ELSE CAST(least(floor(CAST(CAST(255 AS DOUBLE) * (x.u - s.mn) / (s.mx - s.mn) AS DECIMAL(10,6))), 255) AS INTEGER)
+      |  END AS qq FROM x JOIN s USING (ord))""".stripMargin
+
   private val goldCte =
     """SELECT l_returnflag,
       | min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_value,
@@ -2182,14 +2197,8 @@ object Queries {
     Q("x2_quantize_int8",
       (s, dir) => Similarity.quantizeInt8(rd(s, dir, "embeddings"))
         .orderBy("vec_id", "pos"),
-      Some("""WITH x AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS ord,
-        |  unnest(CAST(embedding AS DOUBLE[])) AS u FROM embeddings),
-        |s AS (SELECT ord, min(u) AS mn, max(u) AS mx FROM x GROUP BY ord)
-        |SELECT vec_id, CAST(x.ord - 1 AS INTEGER) AS pos,
-        |  CASE WHEN s.mx = s.mn THEN 0
-        |    ELSE CAST(least(floor(CAST(CAST(255 AS DOUBLE) * (x.u - s.mn) / (s.mx - s.mn) AS DECIMAL(10,6))), 255) AS INTEGER)
-        |  END AS q
-        |FROM x JOIN s USING (ord) ORDER BY vec_id, pos""".stripMargin)),
+      Some(s"""WITH $duckQuantCtes
+        |SELECT vec_id, pos, qq AS q FROM q ORDER BY vec_id, pos""".stripMargin)),
 
     // X2 — embedding-space drift per label slice: integer-scaled L1 distance
     // between each slice's quantized centroid and the corpus centroid
@@ -2199,20 +2208,15 @@ object Queries {
       (s, dir) => Similarity.embeddingDrift(rd(s, dir, "embeddings"), "label")
         .withColumn("l1_scaled", col("l1_scaled").cast("string"))
         .orderBy("slice"),
-      Some("""WITH x AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS ord,
-        |  unnest(CAST(embedding AS DOUBLE[])) AS u FROM embeddings),
-        |s AS (SELECT ord, min(u) AS mn, max(u) AS mx FROM x GROUP BY ord),
-        |q AS (SELECT vec_id, x.ord, CASE WHEN s.mx = s.mn THEN 0
-        |  ELSE CAST(least(floor(CAST(CAST(255 AS DOUBLE) * (x.u - s.mn) / (s.mx - s.mn) AS DECIMAL(10,6))), 255) AS INTEGER)
-        |  END AS qq FROM x JOIN s USING (ord)),
-        |sd AS (SELECT e.label AS slice, q.ord, sum(qq) AS s_d
+      Some(s"""WITH $duckQuantCtes,
+        |sd AS (SELECT e.label AS slice, q.pos, sum(qq) AS s_d
         |  FROM q JOIN (SELECT vec_id, label FROM embeddings) e USING (vec_id) GROUP BY 1, 2),
-        |td AS (SELECT ord, sum(s_d) AS t_d FROM sd GROUP BY 1),
+        |td AS (SELECT pos, sum(s_d) AS t_d FROM sd GROUP BY 1),
         |ns AS (SELECT label AS slice, count(*) AS n_s FROM embeddings GROUP BY 1),
         |nt AS (SELECT count(*) AS n FROM embeddings)
         |SELECT slice, CAST(n_s AS BIGINT) AS n_vecs,
         |  CAST(CAST(sum(abs(s_d * n - t_d * n_s)) AS DECIMAL(38,0)) AS VARCHAR) AS l1_scaled
-        |FROM sd JOIN td USING (ord) JOIN ns USING (slice) CROSS JOIN nt
+        |FROM sd JOIN td USING (pos) JOIN ns USING (slice) CROSS JOIN nt
         |GROUP BY slice, n_s ORDER BY slice""".stripMargin)),
 
     // X2 — product-quantization ANN (ADC search): vectors stored as 8
@@ -2224,12 +2228,7 @@ object Queries {
       (s, dir) => Similarity.pqTopK(rd(s, dir, "embeddings"),
           dim = 64, m = 8, ncodes = 16, k = 3, queryLimit = 150)
         .orderBy("id_a", "rk"),
-      Some("""WITH x AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS ord,
-        |  unnest(CAST(embedding AS DOUBLE[])) AS u FROM embeddings),
-        |s AS (SELECT ord, min(u) AS mn, max(u) AS mx FROM x GROUP BY ord),
-        |q AS (SELECT vec_id, x.ord - 1 AS pos, CASE WHEN s.mx = s.mn THEN 0
-        |  ELSE CAST(least(floor(CAST(CAST(255 AS DOUBLE) * (x.u - s.mn) / (s.mx - s.mn) AS DECIMAL(10,6))), 255) AS INTEGER)
-        |  END AS qq FROM x JOIN s USING (ord)),
+      Some(s"""WITH $duckQuantCtes,
         |train AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) - 1 AS code
         |  FROM embeddings QUALIFY code < 16),
         |cb AS (SELECT t.code, q.pos, q.qq AS cq FROM q JOIN train t USING (vec_id)),
@@ -2257,12 +2256,7 @@ object Queries {
           dim = 64, m = 8, ncodes = 16, nlist = 32, nprobe = 4, k = 3,
           queryLimit = 150)
         .orderBy("id_a", "rk"),
-      Some("""WITH x AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS ord,
-        |  unnest(CAST(embedding AS DOUBLE[])) AS u FROM embeddings),
-        |s AS (SELECT ord, min(u) AS mn, max(u) AS mx FROM x GROUP BY ord),
-        |q AS (SELECT vec_id, x.ord - 1 AS pos, CASE WHEN s.mx = s.mn THEN 0
-        |  ELSE CAST(least(floor(CAST(CAST(255 AS DOUBLE) * (x.u - s.mn) / (s.mx - s.mn) AS DECIMAL(10,6))), 255) AS INTEGER)
-        |  END AS qq FROM x JOIN s USING (ord)),
+      Some(s"""WITH $duckQuantCtes,
         |tr AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) - 1 AS code
         |  FROM embeddings),
         |ccb AS (SELECT t.code, q.pos, q.qq AS cq FROM q JOIN tr t USING (vec_id) WHERE t.code < 32),
@@ -2297,15 +2291,8 @@ object Queries {
     Q("x2_ann_quantized",
       (s, dir) => Similarity.quantizedTopK(rd(s, dir, "embeddings"), 3, 50)
         .orderBy("id_a", "rk"),
-      Some("""WITH x AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS ord,
-        |  unnest(CAST(embedding AS DOUBLE[])) AS u FROM embeddings),
-        |s AS (SELECT ord, min(u) AS mn, max(u) AS mx FROM x GROUP BY ord),
-        |qz AS (SELECT vec_id, x.ord,
-        |  CASE WHEN s.mx = s.mn THEN 0
-        |    ELSE CAST(least(floor(CAST(CAST(255 AS DOUBLE) * (x.u - s.mn) / (s.mx - s.mn) AS DECIMAL(10,6))), 255) AS INTEGER)
-        |  END AS q
-        |  FROM x JOIN s USING (ord)),
-        |v AS (SELECT vec_id, list(CAST(q AS DOUBLE) ORDER BY ord) AS qv FROM qz GROUP BY vec_id),
+      Some(s"""WITH $duckQuantCtes,
+        |v AS (SELECT vec_id, list(CAST(qq AS DOUBLE) ORDER BY pos) AS qv FROM q GROUP BY vec_id),
         |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id WHERE a.vec_id < 50)

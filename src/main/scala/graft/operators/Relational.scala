@@ -238,8 +238,8 @@ object Relational {
   def snapshotDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
                    compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "need at least one compare column")
-    def fp = md5(concat_ws("",
-      compareCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+    def fp = md5(concat_ws("\u0001",
+      compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
     val af = a.select(keys.map(col) :+ fp.as("fp_a"): _*)
     val bf = b.select(keys.map(col) :+ fp.as("fp_b"): _*)
     af.join(bf, keys, "full_outer")
