@@ -2248,7 +2248,8 @@ object Queries {
         |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
 
     // X2 — IVF-PQ: the production ANN composition — coarse cell gate
-    // (nprobe of 32 cells per query) over PQ asymmetric-distance ranking,
+    // (nprobe=4 of nlist=32 cells per query) over PQ asymmetric-distance
+    // ranking,
     // both stages in the exact-integer quantized space so the full composed
     // path replays in DuckDB. x2_ann_pq is the ungated recall baseline.
     Q("x2_ann_ivfpq",

@@ -223,11 +223,17 @@ object Relational {
 
   /** Snapshot diff (CDC extract — the read-side complement of [[upsert]]):
     * compare two snapshots of a keyed table and emit one row per key that
-    * was added, removed, or changed between them. Rows compare by an
-    * md5 fingerprint of the `compareCols` (null-safe: each column
-    * coalesces to a sentinel before the separator-joined concat, so NULL
-    * vs 'empty string' can't collide), which is engine-portable — the
-    * fingerprint, not just the verdict, is oracle-checkable.
+    * was added, removed, or changed between them. Rows compare by an md5
+    * fingerprint over per-column md5 digests: each column hashes
+    * INDIVIDUALLY first (NULL → a non-hex marker token), and the
+    * fixed-alphabet digests join with a separator no digest can contain.
+    * That makes the combined fingerprint collision-free at the tuple level
+    * (up to md5 collisions): no unescaped-separator shift — a value
+    * containing any separator character cannot move content across column
+    * boundaries, since only digests reach the concat — and no NULL/sentinel
+    * collision, since the NULL marker is not a valid digest. The
+    * fingerprint is engine-portable (md5 + concat), so the fingerprint
+    * itself, not just the verdict, is oracle-checkable.
     *
     * 100 TB shape: each snapshot reduces map-side to (key, fingerprint) —
     * payload never shuffles; the full-outer sort-merge join on the key is
@@ -238,8 +244,10 @@ object Relational {
   def snapshotDiff(a: DataFrame, b: DataFrame, keys: Seq[String],
                    compareCols: Seq[String]): DataFrame = {
     require(compareCols.nonEmpty, "need at least one compare column")
-    def fp = md5(concat_ws("\u0001",
-      compareCols.map(c => coalesce(col(c).cast("string"), lit("\u0002"))): _*))
+    // md5(col) is NULL iff col is NULL; "null" contains non-hex chars, so it
+    // can never equal a digest, and "|" never appears inside one
+    def fp = md5(concat_ws("|",
+      compareCols.map(c => coalesce(md5(col(c).cast("string")), lit("null"))): _*))
     val af = a.select(keys.map(col) :+ fp.as("fp_a"): _*)
     val bf = b.select(keys.map(col) :+ fp.as("fp_b"): _*)
     af.join(bf, keys, "full_outer")

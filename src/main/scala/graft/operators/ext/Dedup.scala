@@ -93,19 +93,49 @@ object Dedup {
     * suffix holds only ceil(t·|A|) − 1). So candidate generation probes the
     * full inverted index with PREFIX tokens only — ~(1−t)·|A| rows per doc,
     * and by construction the rarest ones (low df), which bounds the
-    * Σ df(prefix tok) join fan-out. The verify step is the same
-    * sorted_overlap two-pointer count as [[minhashLshPairs]], shuffle-hash
-    * on doc id — no corpus broadcast anywhere. Unlike LSH this is EXACT:
-    * the oracle checks it against the unfiltered all-pairs join, proving
-    * the prefix filter lossless.
+    * Σ df(prefix tok) join fan-out.
+    *
+    * POSITIONAL filter (PPJoin-style, also lossless): because every
+    * document ranks its tokens in the SAME global (df, h) order, the
+    * common tokens of any pair appear in strictly increasing rank in BOTH
+    * documents. So for a common token at ranks (i, j): common tokens
+    * before it number <= i−1 (each has smaller A-rank), common tokens
+    * after it number <= min(|A|−i, |B|−j) — hence
+    * overlap <= min(i + |B|−j, j + |A|−i, |A|). Every common-token row of
+    * a qualifying pair satisfies this bound with value >= overlap >=
+    * ceil(t·|A|), so rows failing it are never evidence for a qualifying
+    * pair and are cut at candidate time.
+    *
+    * MULTI-PREFIX count filter (mpjoin-style, also lossless): extend the
+    * probe prefix by `prefixDepth`−1 extra tokens — prefix_q(A) = A's
+    * first |A| − ceil(t·|A|) + q rarest tokens. A qualifying pair must
+    * share >= min(q, ceil(t·|A|)) tokens within prefix_q(A): tokens of A
+    * outside it occupy only ceil(t·|A|) − q ranks, so fewer shared prefix
+    * tokens caps overlap below threshold (when the extended prefix covers
+    * all of A, the requirement relaxes to ceil(t·|A|), which overlap meets
+    * by definition). Since candidate rows are exactly the (pair, shared
+    * prefix token) matches, the requirement is a groupBy(pair) count — the
+    * SAME shuffle the candidate distinct already paid, now doing real
+    * filtering work: single-rare-token coincidences, the bulk of the
+    * candidate mass on a closed-vocabulary corpus, die before the verify
+    * join. (r8's prefix filter alone cut candidates 4×; the r9 composition
+    * is measured in ARCHITECTURE.md §Round-9.)
+    *
+    * The verify step is the same sorted_overlap two-pointer count as
+    * [[minhashLshPairs]], shuffle-hash on doc id — no corpus broadcast
+    * anywhere. Unlike LSH this is EXACT: the oracle checks it against the
+    * unfiltered all-pairs join, proving ALL THREE filters lossless.
     *
     * Returns (id_a, id_b, overlap, size_a, size_b) with id_a the contained
     * (smaller, tie -> lower id) side, sizes/overlap over hashed distinct
     * token sets.
     */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       n: Int, threshNum: Int, threshDen: Int): DataFrame = {
+                       n: Int, threshNum: Int, threshDen: Int,
+                       prefixDepth: Int = 3): DataFrame = {
     require(threshNum > 0 && threshNum <= threshDen, "need 0 < thresh <= 1")
+    require(prefixDepth >= 1, "prefixDepth must be >= 1")
+    val q = prefixDepth
     val par = docs.sparkSession.sparkContext.defaultParallelism
     val hashed = shingles(docs, idCol, textCol, n)
       .withColumn("h", tokenHash).select("doc_id", "h").distinct()
@@ -122,19 +152,34 @@ object Dedup {
         Window.partitionBy("doc_id").orderBy(col("df"), col("h"))))
       .withColumn("sz", count(lit(1)).over(Window.partitionBy("doc_id")))
       .withColumn("in_prefix", col("rnk") <=
-        expr(s"sz - ((sz * $threshNum + ${threshDen - 1}) div $threshDen) + 1"))
-      .select("doc_id", "h", "sz", "in_prefix")
+        expr(s"sz - ((sz * $threshNum + ${threshDen - 1}) div $threshDen) + $q"))
+      .select("doc_id", "h", "sz", "rnk", "in_prefix")
       .localCheckpoint(true)
-    // probe the full index with prefix tokens; orient smaller -> larger at
-    // candidate time so each pair is generated once
+    // probe the full index with extended-prefix tokens; orient smaller ->
+    // larger at candidate time so each pair is generated once
     val probe = ranked.filter(col("in_prefix"))
-      .select(col("doc_id").as("id_a"), col("sz").as("sz_a"), col("h"))
+      .select(col("doc_id").as("id_a"), col("sz").as("sz_a"),
+        col("rnk").as("rnk_a"), col("h"))
       .repartition(par, col("h"))
-    val index = ranked.select(col("doc_id").as("id_b"), col("sz").as("sz_b"), col("h"))
+    val index = ranked.select(col("doc_id").as("id_b"), col("sz").as("sz_b"),
+      col("rnk").as("rnk_b"), col("h"))
+    // ceil(t·|A|) as integer arithmetic, shared by both lossless filters
+    def ceilA(sza: String) =
+      expr(s"($sza * $threshNum + ${threshDen - 1}) div $threshDen")
     val cands = probe.join(index.hint("shuffle_hash"), Seq("h"))
       .filter(col("sz_a") < col("sz_b") ||
         (col("sz_a") === col("sz_b") && col("id_a") < col("id_b")))
-      .select("id_a", "id_b").distinct()
+      // positional bound, valid for EVERY common-token row of a qualifying
+      // pair: overlap <= min(rnk_a + |B|-rnk_b, rnk_b + |A|-rnk_a)
+      .filter(least(col("rnk_a") + col("sz_b") - col("rnk_b"),
+        col("rnk_b") + col("sz_a") - col("rnk_a")) >= ceilA("sz_a"))
+      // multi-prefix count: a qualifying pair shares >= min(q, ceil(t·|A|))
+      // tokens inside prefix_q(A) — counted on the shuffle the pair-distinct
+      // already required
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("__cnt"), max("sz_a").as("__sza"))
+      .filter(col("__cnt") >= least(lit(q).cast("long"), ceilA("__sza")))
+      .select("id_a", "id_b")
     graft.functions.ArrayOps.register(docs.sparkSession)
     val tokSets = hashed.groupBy("doc_id")
       .agg(sort_array(collect_list(col("h"))).as("toks"), count(lit(1)).as("sz"))
@@ -215,7 +260,8 @@ object Dedup {
     */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       bandSize: Int, threshNum: Int, threshDen: Int,
-                      shingleN: Int = 1): DataFrame = {
+                      shingleN: Int = 1, salts: Int = 16): DataFrame = {
+    require(salts > 0, "salts must be positive")
     val par = docs.sparkSession.sparkContext.defaultParallelism
     // Explicit repartition BEFORE each checkpoint: AQE coalesces these tiny-
     // by-bytes shuffles down to 1 partition, which would serialize the
@@ -239,6 +285,16 @@ object Dedup {
     // `salts` tasks instead of one. The build side replicates per salt so
     // every pair appears exactly once.
     //
+    // SIZING RULE for `salts` (caller-tunable; default 16): a hot bucket of
+    // n docs emits ~n²/2 candidate rows split over `salts` tasks, so pick
+    // salts >= n_max² / (2 × target rows per task) — e.g. a 100k-doc
+    // boilerplate cluster at a 10M-row task budget wants salts ≈ 500. Cost
+    // is linear in salts only on the REPLICATED build side's narrow rows,
+    // so oversizing is cheap; the default covers any bucket up to ~18k
+    // docs at that budget. Callers at 100× scale should derive n_max from
+    // the band table's top bucket count (one scalar agg over
+    // groupBy(band, key)) when corpus skew is unknown.
+    //
     // The build side is a SHUFFLE-HASH join, never a broadcast: the band
     // table is CORPUS-SIZED (one row per doc per band, × salts), so a
     // broadcast would collect the whole corpus to the driver and ship it to
@@ -249,7 +305,6 @@ object Dedup {
     // probe side is pre-partitioned on exactly the join keys, so it moves
     // through its existing exchange. (Plan-asserted in PlanSpec: this join
     // and the verify joins below must stay ShuffledHashJoin.)
-    val salts = 16
     val x = bands.withColumn("salt", pmod(col("doc_id"), lit(salts)).cast("int"))
       .repartition(par, col("band"), col("key"), col("salt"))
     val y = bands.withColumn("salt", explode(lit((0 until salts).toArray)))
@@ -367,6 +422,19 @@ object Dedup {
         col("n_blocks"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** The sliding window-fingerprint grid shared by [[repeatedSubstringStats]]
+    * and [[substringContamination]]: one (doc_id, md5-of-window) row per
+    * `stride`-spaced position; documents shorter than `window` emit nothing.
+    */
+  private def windowHashes(docs: DataFrame, idCol: String, textCol: String,
+                           window: Int, stride: Int): DataFrame =
+    docs
+      .filter(length(col(textCol)) >= window)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
+        explode(sequence(lit(1), length(col(textCol)) - lit(window - 1),
+          lit(stride))).as("pos"))
+      .select(col("doc_id"), md5(expr(s"substring(__t, pos, $window)")).as("hsh"))
+
   /** X1: exact repeated-SUBSTRING detection — the character-level complement
     * of token-set near-dup (MinHash estimates whole-document set similarity;
     * this finds exact long spans shared verbatim across documents:
@@ -385,19 +453,6 @@ object Dedup {
     * hinted, never a corpus broadcast); the per-doc rollup is one final key
     * shuffle. No all-pairs term anywhere: linear in corpus chars / stride.
     */
-  /** The sliding window-fingerprint grid shared by [[repeatedSubstringStats]]
-    * and [[substringContamination]]: one (doc_id, md5-of-window) row per
-    * `stride`-spaced position; documents shorter than `window` emit nothing.
-    */
-  private def windowHashes(docs: DataFrame, idCol: String, textCol: String,
-                           window: Int, stride: Int): DataFrame =
-    docs
-      .filter(length(col(textCol)) >= window)
-      .select(col(idCol).as("doc_id"), col(textCol).as("__t"),
-        explode(sequence(lit(1), length(col(textCol)) - lit(window - 1),
-          lit(stride))).as("pos"))
-      .select(col("doc_id"), md5(expr(s"substring(__t, pos, $window)")).as("hsh"))
-
   def repeatedSubstringStats(docs: DataFrame, idCol: String, textCol: String,
                              window: Int, stride: Int): DataFrame = {
     require(window > 0 && stride > 0, "window and stride must be positive")

@@ -181,31 +181,6 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
-  /** X2: product-quantization ANN (ADC search) — the missing third member
-    * of the compressed-search family (int8 scalar quantization /
-    * LSH buckets / THIS): each vector is stored as `m` one-byte codes
-    * (dim 64 → 8 bytes, 32× under float32), and query-to-vector distance
-    * is approximated asymmetrically as Σ_s dtable(query, sub s,
-    * code(v, s)) — the classic IVF-PQ search core, minus the IVF gate
-    * ([[ivfTopK]] shows cell pruning; the two compose).
-    *
-    * Everything runs over the int8-QUANTIZED components ([[quantizeInt8]]),
-    * so every distance is an exact integer — assignment argmins and ADC
-    * sums are bit-identical in any engine (ties break on code index /
-    * vec id), which is what makes a full DuckDB oracle possible where
-    * float k-means PQ would drift. The codebook is the deterministic
-    * stand-in quantizer pattern of [[ivfTopK]]: the `ncodes` md5-first
-    * vectors' subvectors are the codes (a trained variant would swap in
-    * Lloyd iterations; the search path is identical).
-    *
-    * 100 TB shape: codebook and per-query distance tables are genuinely
-    * tiny (ncodes × dim; queries × m × ncodes — queries bounded like every
-    * declared ANN path) and broadcast; the corpus-side work is one
-    * map-side fan-out of ×ncodes partially-aggregated assignment terms,
-    * one (vec_id, sub) window on the m-per-vector code frame, and the ADC
-    * join is broadcast-map-side with partial aggregation into (query, vec)
-    * sums. The corpus never shuffles by anything wider than its own id.
-    */
   /** Deterministic code table for the PQ/IVF stand-in quantizers: the `n`
     * md5-first vector ids, code-indexed 0..n-1. TakeOrderedAndProject heap
     * (no global sort); the index window runs on n rows.
@@ -245,6 +220,31 @@ object Similarity {
         Window.partitionBy("vec_id", "sub").orderBy(col("d"), col("code"))))
       .filter(col("rn") <= rnMax)
 
+  /** X2: product-quantization ANN (ADC search) — the missing third member
+    * of the compressed-search family (int8 scalar quantization /
+    * LSH buckets / THIS): each vector is stored as `m` one-byte codes
+    * (dim 64 → 8 bytes, 32× under float32), and query-to-vector distance
+    * is approximated asymmetrically as Σ_s dtable(query, sub s,
+    * code(v, s)) — the classic IVF-PQ search core, minus the IVF gate
+    * ([[ivfTopK]] shows cell pruning; the two compose).
+    *
+    * Everything runs over the int8-QUANTIZED components ([[quantizeInt8]]),
+    * so every distance is an exact integer — assignment argmins and ADC
+    * sums are bit-identical in any engine (ties break on code index /
+    * vec id), which is what makes a full DuckDB oracle possible where
+    * float k-means PQ would drift. The codebook is the deterministic
+    * stand-in quantizer pattern of [[ivfTopK]]: the `ncodes` md5-first
+    * vectors' subvectors are the codes (a trained variant would swap in
+    * Lloyd iterations; the search path is identical).
+    *
+    * 100 TB shape: codebook and per-query distance tables are genuinely
+    * tiny (ncodes × dim; queries × m × ncodes — queries bounded like every
+    * declared ANN path) and broadcast; the corpus-side work is one
+    * map-side fan-out of ×ncodes partially-aggregated assignment terms,
+    * one (vec_id, sub) window on the m-per-vector code frame, and the ADC
+    * join is broadcast-map-side with partial aggregation into (query, vec)
+    * sums. The corpus never shuffles by anything wider than its own id.
+    */
   def pqTopK(emb: DataFrame, dim: Int, m: Int, ncodes: Int, k: Int,
              queryLimit: Long): DataFrame = {
     require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")

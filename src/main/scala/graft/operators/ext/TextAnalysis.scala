@@ -252,31 +252,6 @@ object TextAnalysis {
       .withColumn("bin", ((col("cum_tok") - col("n_tok")) / binTokens).cast("bigint"))
   }
 
-  /** X3: corpus drift report — per-slice token-distribution divergence from
-    * the whole corpus, as the INTEGER-scaled total-variation distance:
-    *
-    *   l1_scaled(s) = Σ_t | cnt_s(t)·T − cnt(t)·S_s |,   TVD(s) = l1_scaled / (2·S_s·T)
-    *
-    * with S_s = slice token total, T = corpus token total. Tokens absent
-    * from the slice contribute cnt(t)·S_s, folded in closed form as
-    * S_s·(T − Σ_{t∈s} cnt(t)) — the cross product of slices × vocabulary is
-    * never materialized. Products run in DECIMAL(38,0) (BIGINT·BIGINT
-    * overflows at ~1e13-token corpora), so the report is exact and
-    * bit-identical in any engine — no floating-point log/division anywhere,
-    * for the same cross-libm reason [[tfIdfTopK]] quantizes its idf.
-    * Callers divide by 2·S_s·T at presentation time.
-    *
-    * This is the drift view a pipeline publishes per ingest source / time
-    * slice: a slice whose TVD jumps against the rolling corpus marks a
-    * distribution shift — new boilerplate, a scraper regression, a language
-    * mix change — before it reaches training.
-    *
-    * 100 TB shape: one partial-aggregated groupBy(slice, token); corpus
-    * counts re-aggregate THAT frame (no second corpus scan); the
-    * slice-token ⋈ token join is merge-hinted (the vocabulary is
-    * corpus-scale — never broadcast); per-slice totals and the 1-row corpus
-    * total are genuinely tiny and broadcast. Linear in corpus tokens.
-    */
   /** X3/ST: drift vs a STATIC reference profile — the [[sliceDrift]]
     * arithmetic with the comparison side fixed to a reference corpus
     * instead of the slices' own union:
@@ -318,6 +293,31 @@ object TextAnalysis {
           .cast(dec).as("l1_scaled"))
   }
 
+  /** X3: corpus drift report — per-slice token-distribution divergence from
+    * the whole corpus, as the INTEGER-scaled total-variation distance:
+    *
+    *   l1_scaled(s) = Σ_t | cnt_s(t)·T − cnt(t)·S_s |,   TVD(s) = l1_scaled / (2·S_s·T)
+    *
+    * with S_s = slice token total, T = corpus token total. Tokens absent
+    * from the slice contribute cnt(t)·S_s, folded in closed form as
+    * S_s·(T − Σ_{t∈s} cnt(t)) — the cross product of slices × vocabulary is
+    * never materialized. Products run in DECIMAL(38,0) (BIGINT·BIGINT
+    * overflows at ~1e13-token corpora), so the report is exact and
+    * bit-identical in any engine — no floating-point log/division anywhere,
+    * for the same cross-libm reason [[tfIdfTopK]] quantizes its idf.
+    * Callers divide by 2·S_s·T at presentation time.
+    *
+    * This is the drift view a pipeline publishes per ingest source / time
+    * slice: a slice whose TVD jumps against the rolling corpus marks a
+    * distribution shift — new boilerplate, a scraper regression, a language
+    * mix change — before it reaches training.
+    *
+    * 100 TB shape: one partial-aggregated groupBy(slice, token); corpus
+    * counts re-aggregate THAT frame (no second corpus scan); the
+    * slice-token ⋈ token join is merge-hinted (the vocabulary is
+    * corpus-scale — never broadcast); per-slice totals and the 1-row corpus
+    * total are genuinely tiny and broadcast. Linear in corpus tokens.
+    */
   def sliceDrift(docs: DataFrame, sliceCol: String, textCol: String): DataFrame = {
     val dec = "decimal(38,0)"
     val st = docs

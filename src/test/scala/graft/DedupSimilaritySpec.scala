@@ -373,6 +373,16 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(Dedup.jaccardPairs(df, "doc_id", "text", 2, 9, 10).collect().isEmpty)
   }
 
+  test("containmentPairs count filter relaxes for docs smaller than prefixDepth") {
+    // the contained doc has ONE bigram, so ceil(t·|A|) = 1 < prefixDepth:
+    // the multi-prefix count requirement must relax to min(q, ceil(t·|A|))
+    // or this qualifying pair (overlap exactly at threshold) would be lost
+    val df = docs((1L, "p q"), (2L, "a p q b"), (3L, "m n o"))
+    val out = Dedup.containmentPairs(df, "doc_id", "text", 2, 9, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq((1L, 2L, 1L, 1L, 3L)))
+  }
+
   test("substringContamination matches unaligned verbatim spans via the stride-1 benchmark grid") {
     // corpus doc 1 quotes the benchmark text at offset 3 — its stride-5
     // windows ("E QUICK BR" at pos 6, "CK BROWN F" at pos 11) start at

@@ -25,6 +25,24 @@ class MedallionSpec extends SparkSpec {
     assert(out == Map(2L -> "changed", 3L -> "changed", 4L -> "added", 5L -> "removed"))
   }
 
+  test("snapshotDiff: per-column digests kill separator-shift and NULL-sentinel collisions") {
+    import spark.implicits._
+    // adversarial tuple pairs: ("a|b","c") vs ("a","b|c") concatenate
+    // identically under any raw separator-joined concat (value content
+    // shifts across the column boundary); ("null", x) vs (NULL, x) would
+    // collide with a sentinel-string NULL marker. Both MUST read as
+    // changed; identical tuples CONTAINING the separator must not diff.
+    val a = Seq((1L, Option("a|b"), Option("c")), (2L, Option("null"), Option("x")),
+        (3L, Option("|"), Option("|")))
+      .toDF("id", "v1", "v2")
+    val b = Seq((1L, Option("a"), Option("b|c")), (2L, Option.empty[String], Option("x")),
+        (3L, Option("|"), Option("|")))
+      .toDF("id", "v1", "v2")
+    val out = graft.operators.Relational.snapshotDiff(a, b, Seq("id"), Seq("v1", "v2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "changed", 2L -> "changed"))
+  }
+
   test("silverToGold: min <= max and diff = max - min for every group") {
     val gold = Medallion.silverToGold(lineitem, "l_returnflag", "l_extendedprice", asOf).collect()
     assert(gold.nonEmpty)
