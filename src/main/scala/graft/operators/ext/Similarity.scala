@@ -181,6 +181,29 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** Exact integer L2 top-k in the int8-quantized space — the ground truth
+    * the compressed ANN paths ([[pqTopK]] / [[ivfPqTopK]]) are recall-gated
+    * against: the same quantized space with NO code approximation and no
+    * cell gate, so any hit the compressed paths lose is a true
+    * approximation loss. Components <= 255 and 64-dim sums < 2^24 stay
+    * exactly representable through the [[graft.functions.FloatDotProduct]]
+    * kernel, so every distance is an exact integer in any engine. Brute
+    * scan over bounded queries (vec_id < queryLimit) — the correctness
+    * baseline, like [[annTopK]] for the float paths.
+    */
+  def quantizedL2TopK(emb: DataFrame, k: Int, queryLimit: Long): DataFrame = {
+    ArrayOps.register(emb.sparkSession)
+    val vecs = quantizeInt8(emb).groupBy("vec_id").agg(
+      expr("transform(sort_array(collect_list(struct(pos, q))), x -> cast(x.q as float))").as("qv"))
+    val qs = vecs.filter(col("vec_id") < queryLimit)
+    qs.as("a").join(vecs.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        expr("cast(float_dot(a.qv, a.qv) + float_dot(b.qv, b.qv) - 2 * float_dot(a.qv, b.qv) as bigint)").as("d"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id_a")).orderBy(col("d"), col("id_b"))))
+      .filter(col("rk") <= k)
+  }
+
   /** Deterministic code table for the PQ/IVF stand-in quantizers: the `n`
     * md5-first vector ids, code-indexed 0..n-1. TakeOrderedAndProject heap
     * (no global sort); the index window runs on n rows.
