@@ -1606,6 +1606,30 @@ object Queries {
         |FROM w LEFT JOIN s ON w.hsh = s.hsh
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // X1 — substring-level span REMOVAL (the rewrite form of
+    // x1_substring_dedup's detection): 40-char non-overlapping spans, only
+    // the corpus-wide FIRST occurrence of repeated content survives,
+    // documents reassembled from surviving spans in order. The oracle
+    // replays the chunk grid, the first-occurrence window, and the ordered
+    // reassembly.
+    Q("x1_substring_removal",
+      (s, dir) => Dedup.removeRepeatedSpans(rd(s, dir, "documents"),
+          "doc_id", "text", window = 40)
+        .orderBy("doc_id"),
+      Some("""WITH seg AS (SELECT doc_id, CASE WHEN len(text) = 0 THEN []
+        |  ELSE list_transform(generate_series(1, len(text), 40),
+        |    p -> substr(text, CAST(p AS INTEGER), 40)) END AS chunks FROM documents),
+        |b AS (SELECT doc_id, chunks, unnest(range(0, len(chunks))) AS chunk_no FROM seg),
+        |b2 AS (SELECT doc_id, chunk_no, chunks[chunk_no + 1] AS chunk FROM b),
+        |r AS (SELECT doc_id, chunk_no, chunk,
+        |  row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_no) AS rn FROM b2),
+        |k AS (SELECT doc_id, array_to_string(list(chunk ORDER BY chunk_no), '') AS text,
+        |  count(*) AS n_kept FROM r WHERE rn = 1 GROUP BY doc_id)
+        |SELECT s.doc_id, coalesce(k.text, '') AS text,
+        |  CAST(len(s.chunks) AS INTEGER) AS n_chunks,
+        |  CAST(len(s.chunks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_cut
+        |FROM seg s LEFT JOIN k USING (doc_id) ORDER BY s.doc_id""".stripMargin)),
+
     // X3 — corpus drift report: per-source token-distribution divergence
     // from the whole corpus as the integer-scaled total-variation distance
     // (exact BIGINT/DECIMAL arithmetic — no float log/div, so the oracle is

@@ -422,6 +422,52 @@ object Dedup {
         col("n_blocks"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** X1: substring-level span REMOVAL — the rewrite form of
+    * [[repeatedSubstringStats]] (which only reports): CUT every
+    * `window`-char span whose verbatim content occurred earlier in the
+    * corpus, and reassemble each document from its surviving spans — the
+    * "cut the boilerplate" operator a curation pipeline actually runs
+    * (license blocks, navigation chrome, quoted chunks keep their FIRST
+    * occurrence and vanish everywhere else). The grid here is
+    * NON-overlapping (stride = window, plus a trailing partial chunk):
+    * removal needs every character to belong to exactly one span — an
+    * overlapping grid (the detection form) leaves span ownership ambiguous.
+    * First occurrence = corpus-wide (doc_id, chunk_no) order per
+    * fingerprint, the same deterministic rule as [[dedupParagraphs]] at
+    * character rather than token-block granularity. Returns
+    * (doc_id, text, n_chunks, n_cut); a document that was entirely
+    * earlier-seen content collapses to empty text, not a dropped row.
+    *
+    * 100 TB shape: segmentation is map-side (text leaves the scan once,
+    * split into ~len/window chunks); first-occurrence selection is one
+    * row_number window partitioned BY FINGERPRINT (hash-partitioned,
+    * high-cardinality, no global ordering); reassembly is one
+    * groupBy(doc_id). Two narrow shuffles, linear in corpus chars — no
+    * all-pairs term, same as the paragraph pass.
+    */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          window: Int): DataFrame = {
+    require(window > 0, "window must be positive")
+    val segmented = docs.select(col(idCol).as("doc_id"), expr(
+      s"case when length($textCol) = 0 then array() else " +
+        s"transform(sequence(1, length($textCol), $window), " +
+        s"p -> substring($textCol, p, $window)) end").as("chunks"))
+    val kept = segmented
+      .select(col("doc_id"), posexplode(col("chunks")).as(Seq("chunk_no", "chunk")))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(md5(col("chunk"))).orderBy(col("doc_id"), col("chunk_no"))))
+      .filter(col("__rn") === 1)
+    val rebuilt = kept.groupBy("doc_id").agg(
+      concat_ws("",
+        expr("transform(sort_array(collect_list(struct(chunk_no, chunk))), x -> x.chunk)")).as("text"),
+      count(lit(1)).as("n_kept"))
+    segmented.select(col("doc_id"), size(col("chunks")).as("n_chunks"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"),
+        col("n_chunks"),
+        (col("n_chunks") - coalesce(col("n_kept"), lit(0L))).cast("bigint").as("n_cut"))
+  }
+
   /** The sliding window-fingerprint grid shared by [[repeatedSubstringStats]]
     * and [[substringContamination]]: one (doc_id, md5-of-window) row per
     * `stride`-spaced position; documents shorter than `window` emit nothing.

@@ -301,6 +301,27 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out == Seq((1L, 3L, 1L), (2L, 2L, 1L), (4L, 2L, 0L)))
   }
 
+  test("removeRepeatedSpans cuts later occurrences and reassembles in order") {
+    // window 4: doc1 = AAAA|BBBB|CC (3 chunks incl. trailing partial).
+    // doc2 repeats AAAA (cut, first seen in doc1) around its own ZZZZ;
+    // doc2's own trailing AAAA repeat is also cut. doc3 is ENTIRELY
+    // earlier-seen content -> collapses to empty text, row retained.
+    // doc4 is empty (0 chunks). Within-doc repeat: doc1 keeps its first CC.
+    val df = docs(
+      (1L, "AAAABBBBCC"),
+      (2L, "ZZZZAAAAAAAA"),
+      (3L, "BBBBAAAA"),
+      (4L, ""))
+    val out = Dedup.removeRepeatedSpans(df, "doc_id", "text", window = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (1L, "AAAABBBBCC", 3, 0L),
+      (2L, "ZZZZ", 3, 2L),
+      (3L, "", 2, 2L),
+      (4L, "", 0, 0L)))
+  }
+
   test("pqTopK: with the codebook covering every vector, ADC distance is the exact quantized L2") {
     // ncodes >= N means every vector assigns to itself at distance 0, so
     // the asymmetric-distance sum collapses to the true quantized L2 —
