@@ -380,6 +380,35 @@ object Dedup {
       .drop("__graft_th")
   }
 
+  /** Index MAINTENANCE for the incremental near-dup path: append a new
+    * batch's band keys into an existing BUCKETED band index table,
+    * completing the corpus-growth loop (x1_incremental_neardup probes the
+    * static index; this is how the index absorbs the batch afterwards).
+    *
+    * The append preserves the table's bucketBy layout: Spark writes the new
+    * rows as additional per-bucket files under the same hash spec, so probe
+    * joins KEEP reading the index with no index-side exchange after any
+    * number of appends (plan-asserted in IoSpec). Idempotent under re-run:
+    * the batch anti-joins the index's existing doc_ids first, so replaying
+    * a failed/duplicated append inserts nothing — the restart discipline a
+    * production ingest loop needs. The doc_id scan of the index is one
+    * narrow column read, linear; the batch side is map-side band-key
+    * projection ([[withBandKeys]], no aggregation).
+    *
+    * `buckets` must match the table's bucket spec (Spark rejects a
+    * mismatch loudly).
+    */
+  def appendBandIndex(table: String, batch: DataFrame, idCol: String,
+                      textCol: String, bandSize: Int, buckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val keys = withBandKeys(batch, textCol, bandSize, "__bands")
+      .select(col(idCol).as("doc_id"), explode(col("__bands")).as("key"))
+    val seen = spark.table(table).select("doc_id").distinct()
+    keys.join(seen.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "key").sortBy("key").saveAsTable(table)
+  }
+
   /** X1: corpus-wide PARAGRAPH deduplication (the MassiveText-style pass —
     * remove repeated passages across documents, not whole documents):
     * segment each document into fixed-size token blocks (a deterministic

@@ -71,6 +71,45 @@ class IoSpec extends SparkSpec {
     assert(docs.head.contains("\"k\":\"a\""))
   }
 
+  test("appendBandIndex: bucketed append stays probe-exchange-free and replays idempotently") {
+    import spark.implicits._
+    import graft.operators.ext.Dedup
+    val root = tmpDir("bandidx_append")
+    spark.sql("DROP TABLE IF EXISTS graft_band_index_t")
+    val base = Seq((1L, "a b c d e f g h"), (2L, "a b c d e f g z"),
+      (3L, "m n o p q r s t")).toDF("doc_id", "text")
+    Dedup.withBandKeys(base, "text", 8, "bands")
+      .select(col("doc_id"), explode(col("bands")).as("key"))
+      .write.bucketBy(8, "key").sortBy("key")
+      .option("path", s"$root/idx").saveAsTable("graft_band_index_t")
+    // absorb a batch: doc 10 duplicates doc 1's text, doc 11 is new content
+    val batch = Seq((10L, "a b c d e f g h"), (11L, "u v w x y z q j"))
+      .toDF("doc_id", "text")
+    Dedup.appendBandIndex("graft_band_index_t", batch, "doc_id", "text", 8, 8)
+    val afterAppend = spark.table("graft_band_index_t").count()
+    assert(afterAppend > 3 * 2 - 1, "append visibly grew the index")
+    // RESTART: replaying the same batch (failed-driver re-run) inserts nothing
+    Dedup.appendBandIndex("graft_band_index_t", batch, "doc_id", "text", 8, 8)
+    assert(spark.table("graft_band_index_t").count() == afterAppend,
+      "append must be idempotent under re-run")
+    // probe the grown index: the appended duplicate must be visible, and the
+    // index side must still read pre-bucketed — no key exchange beyond the
+    // probe side's own (the pay-shuffle-at-write design survives appends)
+    val probes = Dedup.withBandKeys(
+        Seq((100L, "a b c d e f g h")).toDF("doc_id", "text"), "text", 8, "bands")
+      .select(col("doc_id").as("new_id"), explode(col("bands")).as("key"))
+    val joined = probes.join(spark.table("graft_band_index_t").hint("merge"), Seq("key"))
+      .groupBy("new_id").agg(countDistinct("doc_id").as("n_matches"))
+    // plan audit BEFORE executing (pre-AQE plan, like PlanSpec): the index
+    // side must read pre-bucketed, so the only key exchange is the probe's
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected the hinted merge probe join:\n${p.take(2000)}")
+    val keyExchanges = "Exchange hashpartitioning\\(key".r.findAllIn(p).length
+    assert(keyExchanges <= 1, s"index side reshuffled after append ($keyExchanges key exchanges):\n${p.take(3000)}")
+    val hits = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(hits(100L) == 2L, s"probe must see base doc 1 AND appended doc 10: $hits")
+  }
+
   test("LocalParquetStore: recreate + appendBatch + extractToParquet") {
     import spark.implicits._
     val store = new LocalParquetStore(tmpDir("store"))
