@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale harness (the empirical side of every "100 TB shape" claim): build a
+  * k×-replicated document corpus with IDENTICAL local duplication
+  * statistics — every replica's tokens carry a replica tag, so vocabularies
+  * are disjoint across replicas, near-dup cluster sizes stay constant, and
+  * per-token document frequencies match the 1× corpus — then time the heavy
+  * dedup/similarity family at 1× and k× on the same session. Linear growth
+  * in corpus mass should produce ~linear growth in runtime; anything
+  * super-linear is a scale bug the plan asserts missed.
+  *
+  * Usage: runMain graft.ScaleBench <sfDir> <k> [query ...]
+  * Scaled corpus is cached under /tmp/graft_scale_<k>x (other tables
+  * symlinked from sfDir). Timings print as [scale] lines; commit the table
+  * to SCALE.md.
+  */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val k = args(1).toInt
+    val queries = if (args.length > 2) args.drop(2).toSeq else Seq(
+      "x2_minhash_lsh", "x2_containment_join", "x1_incremental_neardup",
+      "x1_dedup_clusters", "x9_curation_e2e")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.local.dir", ShmLocalDir.path())
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val scaled = s"/tmp/graft_scale_${k}x"
+    if (!new java.io.File(s"$scaled/documents.parquet").exists()) {
+      new java.io.File(scaled).mkdirs()
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val maxId = docs.agg(max("doc_id")).head.getLong(0) + 1
+      docs.crossJoin(spark.range(k).select(col("id").as("__r")))
+        .select((col("doc_id") + col("__r") * maxId).as("doc_id"),
+          when(col("__r") === 0, col("text")).otherwise(expr(
+            "concat_ws(' ', transform(filter(split(text, ' '), t -> t != ''), " +
+              "t -> concat(t, '_', cast(__r as string))))")).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
+      for (f <- new java.io.File(sfDir).listFiles()
+           if f.getName != "documents.parquet") {
+        val link = java.nio.file.Paths.get(s"$scaled/${f.getName}")
+        if (!java.nio.file.Files.exists(link))
+          java.nio.file.Files.createSymbolicLink(link, f.toPath)
+      }
+      println(s"[scale] built $scaled: ${spark.read.parquet(s"$scaled/documents.parquet").count()} docs")
+    }
+    for (q <- queries; (label, dir) <- Seq("1x" -> sfDir, s"${k}x" -> scaled)) {
+      (1 to 2).foreach { pass =>
+        val t0 = System.nanoTime()
+        Queries.queries(q)(spark, dir).write.format("noop").mode("overwrite").save()
+        println(f"[scale] $q%-24s $label%-4s pass$pass ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+      }
+    }
+    spark.stop()
+  }
+}
