@@ -733,6 +733,38 @@ object Queries {
         |FROM st LEFT JOIN rt USING (token) JOIN stot USING (slice) CROSS JOIN rtot
         |GROUP BY slice, s_tot, t_ref ORDER BY slice""".stripMargin)),
 
+    // STREAMING INDEX MAINTENANCE (the eighth declared streaming path):
+    // the corpus-growth loop closed in streaming form. The standing
+    // corpus' band index is seeded once (bucketed by key, the
+    // x1_incremental_neardup layout); each micro-batch of new documents
+    // then appends its expression-level band keys through
+    // Dedup.appendBandIndex inside foreachBatch — idempotent under the
+    // replay semantics foreachBatch actually has (anti-join on indexed
+    // doc_ids), bucket layout preserved so concurrent probes keep their
+    // no-index-side-exchange plan. Result = the converged index; oracle =
+    // the batch band-key formulation over the full corpus, so a dropped,
+    // duplicated, or mis-keyed append breaks the hash gate.
+    Q("stream_index_maintain",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val root = freshDir(s, "graft_stream_bandidx")
+        s.sql("DROP TABLE IF EXISTS graft_stream_band_index")
+        Dedup.withBandKeys(docs.filter(col("doc_id") < 200), "text", 8, "bands")
+          .select(col("doc_id"), explode(col("bands")).as("key"))
+          .write.bucketBy(8, "key").sortBy("key")
+          .option("path", s"$root/idx").saveAsTable("graft_stream_band_index")
+        val stream = s.readStream.schema(docs.schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter(col("doc_id") >= 200)
+        val q = graft.streaming.Streaming.maintainBandIndex(stream,
+          "graft_stream_band_index", "doc_id", "text", 8, 8)
+        try q.processAllAvailable() finally q.stop()
+        s.table("graft_stream_band_index").orderBy("doc_id", "key")
+      },
+      Some(s"""WITH ${duckBandsCtes(duckToks, 8)}
+        |SELECT doc_id, CAST(band AS VARCHAR) || ':' || key AS key FROM bands
+        |ORDER BY doc_id, key""".stripMargin)),
+
     // Custom streaming state (flatMapGroupsWithState) oracle-checked: the
     // per-key running count/min/max session state, drained to completion —
     // the final update per key must equal the batch aggregate. Emission

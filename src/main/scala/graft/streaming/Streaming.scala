@@ -114,6 +114,27 @@ object Streaming {
       .drop("__bands", "__bkeys")
   }
 
+  /** ST: streaming index MAINTENANCE — the corpus-growth loop's streaming
+    * form. Each micro-batch of new documents appends its expression-level
+    * band keys into the PERSISTED bucketed band index
+    * ([[graft.operators.ext.Dedup.appendBandIndex]]) inside foreachBatch:
+    * the append anti-joins the index's existing doc_ids, so the
+    * at-least-once delivery foreachBatch actually has (a batch replayed
+    * after a sink-side failure) inserts nothing, and the bucketBy layout
+    * is preserved, so probe joins stay index-side-exchange-free while the
+    * stream runs. This is the ingestion half of x1_incremental_neardup:
+    * probe new docs against the index, then absorb them — continuously.
+    */
+  def maintainBandIndex(docs: DataFrame, table: String, idCol: String,
+                        textCol: String, bandSize: Int,
+                        buckets: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.ext.Dedup.appendBandIndex(table, batch.toDF(), idCol,
+          textCol, bandSize, buckets)
+      }
+      .start()
+
   /** ST: per-micro-batch distribution-drift monitor — the foreachBatch
     * production idiom: every micro-batch is scored against the SAME static
     * reference profile with the exact integer TVD of
