@@ -4,7 +4,7 @@ import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types.{DecimalType, LongType, StructType}
 
 import graft.operators.{Medallion, Relational}
 import graft.operators.ext.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
@@ -25,6 +25,26 @@ object Queries {
 
   private def rd(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** `events.ts` has carried two physical types across driver fixture
+    * generations: parquet TIMESTAMP(NANOS), which Spark reads as BIGINT
+    * ns-since-epoch under `legacy.parquet.nanosAsLong=true` (Spark has no ns
+    * timestamp type), and parquet TIMESTAMP(MICROS), read as TIMESTAMP_NTZ.
+    * Normalize either to the engine's integer contract: µs since epoch.
+    * The session timezone is pinned UTC, so the NTZ→TIMESTAMP cast is
+    * instant-preserving and `unix_micros` matches DuckDB's `epoch_us(ts)`
+    * exactly — µs is the finest precision all readers share.
+    */
+  private def tsUsSql(schema: StructType): String =
+    if (schema("ts").dataType == LongType) "ts div 1000"
+    else "unix_micros(cast(ts as timestamp))"
+
+  /** Same normalization as [[tsUsSql]], surfaced as a µs-precision TIMESTAMP
+    * (for `window()`, watermarks, and calendar functions).
+    */
+  private def tsStampSql(schema: StructType): String =
+    if (schema("ts").dataType == LongType) "timestamp_micros(ts div 1000)"
+    else "cast(ts as timestamp)"
 
   final case class Q(name: String,
                      run: (SparkSession, String) => DataFrame,
@@ -595,7 +615,7 @@ object Queries {
         // table out of the shared sf dir with a glob filter
         val ticks = s.readStream.schema(batchSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ingest_ts", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("ingest_ts", expr(tsStampSql(batchSchema)))
           .select(col("event_type").as("symbol"), col("value").as("price"), col("ingest_ts"))
         val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
         val q = graft.streaming.Streaming.windowedMinMax(ticks, "1 hour", "1 hour")
@@ -621,7 +641,7 @@ object Queries {
         val batchSchema = rd(s, dir, "events").schema
         val ticks = s.readStream.schema(batchSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ingest_ts", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("ingest_ts", expr(tsStampSql(batchSchema)))
           .select(col("event_type").as("symbol"), col("value").as("price"), col("ingest_ts"))
         val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
         val q = graft.streaming.Streaming.streamDedup(ticks, "1 hour")
@@ -775,7 +795,7 @@ object Queries {
         val batchSchema = rd(s, dir, "events").schema
         val ticks = s.readStream.schema(batchSchema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ingest_ts", expr("timestamp_micros(ts div 1000)"))
+          .withColumn("ingest_ts", expr(tsStampSql(batchSchema)))
           .select(col("event_type").as("symbol"),
             col("value").cast(DecimalType(10, 2)).as("price"), col("ingest_ts"))
         import s.implicits._
@@ -822,7 +842,7 @@ object Queries {
           .filter(col("event_type") === kind)
           .select(col("user_id").as(s"${prefix}_user"),
             col("event_id").as(s"${prefix}_id"),
-            expr("timestamp_micros(ts div 1000)").as(s"${prefix}_ts"))
+            expr(tsStampSql(batchSchema)).as(s"${prefix}_ts"))
         val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
         val q = graft.streaming.Streaming.intervalJoin(
             stream("click", "c"), stream("purchase", "p"),
@@ -1221,15 +1241,17 @@ object Queries {
         "ORDER BY 1, 3")),
 
     // W4 — gap-based sessionization over the raw event stream (30-minute
-    // gap). Gap arithmetic runs on integer µs-since-epoch on both sides:
-    // Spark reads ns as long (nanosAsLong) and divides; DuckDB's parquet
-    // reader itself truncates TIMESTAMP_NS to µs, so µs is the finest
-    // precision both engines share.
+    // gap). Gap arithmetic runs on integer µs-since-epoch on both sides
+    // (tsUsSql normalizes whichever physical type the fixture carries; µs
+    // is the finest precision both engines share).
     Q("w4_sessionize",
-      (s, dir) => Relational.sessionize(
-          rd(s, dir, "events").withColumn("ts_us", expr("ts div 1000")),
+      (s, dir) => {
+        val ev = rd(s, dir, "events")
+        Relational.sessionize(
+          ev.withColumn("ts_us", expr(tsUsSql(ev.schema))),
           "user_id", "ts_us", "event_id", gapUs = 1800L * 1000 * 1000)
-        .orderBy("user_id", "session_idx"),
+        .orderBy("user_id", "session_idx")
+      },
       Some("WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events), " +
         "y AS (SELECT user_id, event_id, tus, CASE WHEN lag(tus) OVER w IS NULL " +
         "OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw FROM x " +
@@ -1360,17 +1382,20 @@ object Queries {
         "SELECT ngram, count(*) AS n FROM g GROUP BY 1 ORDER BY n DESC, ngram LIMIT 25")),
 
     // Event-time tumbling window aggregate (batch form of the streaming path).
-    // `ts` arrives as long ns-since-epoch (nanosAsLong — Spark has no ns
-    // timestamp type); convert by integer division, bucket with window().
+    // tsStampSql normalizes `ts` (ns-long or µs-NTZ, per fixture generation)
+    // to a µs TIMESTAMP; bucket with window().
     Q("event_window_agg",
-      (s, dir) => rd(s, dir, "events")
-        .withColumn("ts_us", expr("timestamp_micros(ts div 1000)"))
+      (s, dir) => {
+        val ev = rd(s, dir, "events")
+        ev
+        .withColumn("ts_us", expr(tsStampSql(ev.schema)))
         .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("total"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
           col("event_type"), col("n"), col("total").cast("string").as("total"))
-        .orderBy("window_start", "event_type"),
+        .orderBy("window_start", "event_type")
+      },
       Some("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, " +
         "event_type, count(*) AS n, " +
         "CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS total " +
@@ -1381,7 +1406,8 @@ object Queries {
     // DuckDB's native ASOF JOIN is the oracle.
     Q("asof_join",
       (s, dir) => {
-        val ev = rd(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+        val ev0 = rd(s, dir, "events")
+        val ev = ev0.withColumn("ts_us", expr(tsUsSql(ev0.schema)))
         val clicks = ev.filter(col("event_type") === "click")
           .select("user_id", "event_id", "ts_us")
         val purchases = ev.filter(col("event_type") === "purchase")
@@ -1404,17 +1430,20 @@ object Queries {
     // the portable running-count-of-observations idiom (no IGNORE NULLS).
     // Output bounded to user_id < 50 AFTER the full panel is computed.
     Q("w7_gap_fill",
-      (s, dir) => graft.operators.TimeSeries.gapFillDaily(
-          rd(s, dir, "events").filter(col("event_type") === "purchase"),
+      (s, dir) => {
+        val ev = rd(s, dir, "events")
+        graft.operators.TimeSeries.gapFillDaily(
+          ev.filter(col("event_type") === "purchase"),
           "user_id",
-          to_date(expr("timestamp_micros(ts div 1000)")),
+          to_date(expr(tsStampSql(ev.schema))),
           col("value").cast(DecimalType(12, 2)))
         .filter(col("key") < 50)
         .select(col("key").as("user_id"),
           date_format(col("day"), "yyyy-MM-dd").as("day"),
           coalesce(col("v").cast("string"), lit("NA")).as("v"),
           coalesce(col("v_filled").cast("string"), lit("NA")).as("v_filled"))
-        .orderBy("user_id", "day"),
+        .orderBy("user_id", "day")
+      },
       Some("""WITH p AS (SELECT user_id, date_trunc('day', ts) AS day,
         |  CAST(value AS DECIMAL(12,2)) AS v0 FROM events WHERE event_type = 'purchase'),
         |daily AS (SELECT user_id, day, max(v0) AS v FROM p GROUP BY 1, 2),
