@@ -4,7 +4,7 @@ import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType, StructType}
+import org.apache.spark.sql.types.{DecimalType, LongType, StructType, TimestampNTZType, TimestampType}
 
 import graft.operators.{Medallion, Relational}
 import graft.operators.ext.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
@@ -35,16 +35,24 @@ object Queries {
     * instant-preserving and `unix_micros` matches DuckDB's `epoch_us(ts)`
     * exactly — µs is the finest precision all readers share.
     */
-  private def tsUsSql(schema: StructType): String =
-    if (schema("ts").dataType == LongType) "ts div 1000"
-    else "unix_micros(cast(ts as timestamp))"
+  private def tsUsSql(schema: StructType): String = schema("ts").dataType match {
+    case LongType                        => "ts div 1000"
+    case TimestampType | TimestampNTZType => "unix_micros(cast(ts as timestamp))"
+    case other =>
+      // Under non-ANSI SQL a blind cast would turn an unexpected physical type
+      // into NULLs and silently diverge from the oracle; fail loudly instead.
+      sys.error(s"events.ts: expected ns-BIGINT or µs-TIMESTAMP(_NTZ), got $other")
+  }
 
   /** Same normalization as [[tsUsSql]], surfaced as a µs-precision TIMESTAMP
     * (for `window()`, watermarks, and calendar functions).
     */
-  private def tsStampSql(schema: StructType): String =
-    if (schema("ts").dataType == LongType) "timestamp_micros(ts div 1000)"
-    else "cast(ts as timestamp)"
+  private def tsStampSql(schema: StructType): String = schema("ts").dataType match {
+    case LongType                        => "timestamp_micros(ts div 1000)"
+    case TimestampType | TimestampNTZType => "cast(ts as timestamp)"
+    case other =>
+      sys.error(s"events.ts: expected ns-BIGINT or µs-TIMESTAMP(_NTZ), got $other")
+  }
 
   final case class Q(name: String,
                      run: (SparkSession, String) => DataFrame,
@@ -2015,6 +2023,36 @@ object Queries {
         |SELECT new_id, count(DISTINCT i.doc_id) AS n_matches
         |FROM pr JOIN idx i USING (k)
         |GROUP BY new_id ORDER BY new_id""".stripMargin)),
+
+    // X1 — index COMPACTION (the maintenance op that keeps the incremental
+    // path viable under a production ingest loop): every appendBandIndex
+    // adds one file per bucket, so file counts grow linearly with batches;
+    // compactBandIndex rewrites the table once under the SAME bucketBy spec
+    // (shuffle-free: forced bucketed scan → one task per bucket → one file
+    // per bucket) and swaps the catalog entry. The declared result is the
+    // ENTIRE post-compaction index, row-exact — a compaction that drops,
+    // duplicates, or re-keys any row breaks the hash against the batch
+    // band-key formulation. File-count and probe-plan assertions live in
+    // IoSpec ("compactBandIndex: N appends").
+    Q("x1_index_compact",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val root = freshDir(s, "graft_bandidx_compact")
+        s.sql("DROP TABLE IF EXISTS graft_band_compact_q")
+        Dedup.withBandKeys(docs.filter(col("doc_id") < 200), "text", 8, "bands")
+          .select(col("doc_id"), explode(col("bands")).as("key"))
+          .write.bucketBy(8, "key").sortBy("key")
+          .option("path", s"$root/idx0").saveAsTable("graft_band_compact_q")
+        Dedup.appendBandIndex("graft_band_compact_q",
+          docs.filter(col("doc_id") >= 200 && col("doc_id") < 300), "doc_id", "text", 8, 8)
+        Dedup.appendBandIndex("graft_band_compact_q",
+          docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), "doc_id", "text", 8, 8)
+        Dedup.compactBandIndex(s, "graft_band_compact_q", 8, s"$root/idx1")
+        s.table("graft_band_compact_q").orderBy("doc_id", "key")
+      },
+      Some(s"""WITH ${duckBandsCtes(duckToks, 8)}
+        |SELECT doc_id, CAST(band AS VARCHAR) || ':' || key AS key FROM bands
+        |WHERE doc_id < 400 ORDER BY doc_id, key""".stripMargin)),
 
     // X1/X2 — the end of the near-dup pipeline: cluster assignment over the
     // MinHash pair list (connected components by min-label propagation).

@@ -110,6 +110,57 @@ class IoSpec extends SparkSpec {
     assert(hits(100L) == 2L, s"probe must see base doc 1 AND appended doc 10: $hits")
   }
 
+  test("compactBandIndex: N appends -> compact -> file count back to ~buckets, probe identical") {
+    import spark.implicits._
+    import graft.operators.ext.Dedup
+    def parquetFiles(path: String): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).count(_.getName.endsWith(".parquet"))
+    }
+    val root = tmpDir("bandidx_compact")
+    spark.sql("DROP TABLE IF EXISTS graft_band_compact_t")
+    val base = Seq((1L, "a b c d e f g h"), (2L, "m n o p q r s t")).toDF("doc_id", "text")
+    Dedup.withBandKeys(base, "text", 8, "bands")
+      .select(col("doc_id"), explode(col("bands")).as("key"))
+      .write.bucketBy(4, "key").sortBy("key")
+      .option("path", s"$root/idx0").saveAsTable("graft_band_compact_t")
+    // a production ingest loop: several appends, each adding per-bucket files
+    (0 until 3).foreach { i =>
+      val batch = Seq((10L + i, s"w$i x$i y$i z$i u$i v$i s$i t$i")).toDF("doc_id", "text")
+      Dedup.appendBandIndex("graft_band_compact_t", batch, "doc_id", "text", 8, 4)
+    }
+    val rowsBefore = spark.table("graft_band_compact_t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val filesBefore = parquetFiles(s"$root/idx0")
+    assert(filesBefore > 4, s"appends must have accumulated files (got $filesBefore)")
+    // compact: same bucket spec, new location, atomic catalog swap
+    val oldLoc = Dedup.compactBandIndex(spark, "graft_band_compact_t", 4, s"$root/idx1")
+    assert(oldLoc.contains("idx0"), s"returned old location for cleanup: $oldLoc")
+    val filesAfter = parquetFiles(s"$root/idx1")
+    assert(filesAfter <= 4, s"compaction must return to <= buckets files, got $filesAfter")
+    // content identical, and the probe plan is still index-side-exchange-free
+    val rowsAfter = spark.table("graft_band_compact_t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rowsAfter == rowsBefore, "compaction must not change the row set")
+    val probes = Dedup.withBandKeys(
+        Seq((100L, "a b c d e f g h")).toDF("doc_id", "text"), "text", 8, "bands")
+      .select(col("doc_id").as("new_id"), explode(col("bands")).as("key"))
+    val joined = probes.join(spark.table("graft_band_compact_t").hint("merge"), Seq("key"))
+      .groupBy("new_id").agg(countDistinct("doc_id").as("n_matches"))
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"expected the hinted merge probe join:\n${p.take(2000)}")
+    val keyExchanges = "Exchange hashpartitioning\\(key".r.findAllIn(p).length
+    assert(keyExchanges <= 1, s"index side reshuffled after compact ($keyExchanges key exchanges):\n${p.take(3000)}")
+    assert(joined.collect().map(r => (r.getLong(0), r.getLong(1))).toMap.apply(100L) == 1L)
+    // idempotent: compacting the compacted index is a pure no-op re-layout
+    Dedup.compactBandIndex(spark, "graft_band_compact_t", 4, s"$root/idx2")
+    val rowsTwice = spark.table("graft_band_compact_t")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(rowsTwice == rowsBefore)
+    assert(parquetFiles(s"$root/idx2") <= 4)
+  }
+
   test("LocalParquetStore: recreate + appendBatch + extractToParquet") {
     import spark.implicits._
     val store = new LocalParquetStore(tmpDir("store"))
