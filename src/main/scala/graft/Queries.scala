@@ -2487,22 +2487,25 @@ object Queries {
     Q("x2_ann_pq_recall",
       (s, dir) => {
         val emb = rd(s, dir, "embeddings")
-        val truth = Similarity.quantizedL2TopK(emb, 3, 150)
-          .select("id_a", "id_b").localCheckpoint(true)
-        val pqHits = Similarity.pqTopK(emb, dim = 64, m = 8, ncodes = 16,
-            k = 3, queryLimit = 150).select("id_a", "id_b")
-          .join(truth, Seq("id_a", "id_b")).agg(count(lit(1)).as("pq_hits"))
-        val ivfHits = Similarity.ivfPqTopK(emb, dim = 64, m = 8, ncodes = 16,
-            nlist = 32, nprobe = 4, k = 3, queryLimit = 150).select("id_a", "id_b")
-          .join(truth, Seq("id_a", "id_b")).agg(count(lit(1)).as("ivfpq_hits"))
-        // measured at sf0.01: pq 47, ivfpq 58 of 450 slots — a 16-entry
-        // codebook per 8-dim subspace on near-uniform synthetic vectors is
-        // PQ's worst case, yet ~15x above the ~3-hit random-chance floor.
-        // Bars at ~60% of measured: a collapse-to-random regression fails
-        // loudly, honest fixture noise does not.
-        pqHits.crossJoin(ivfHits).select(
-          col("pq_hits"), (col("pq_hits") >= 30).as("pq_recall_ok"),
-          col("ivfpq_hits"), (col("ivfpq_hits") >= 35).as("ivfpq_recall_ok"))
+        // r10 diet (this was the heaviest non-e2e registry row): 50-query
+        // gate (r9 ran 150) through the FUSED Similarity.pqRecallHits —
+        // quantization, codebook, code assignment, and ADC tables computed
+        // once and shared across the truth/PQ/IVF-PQ legs instead of once
+        // per leg. The standalone rows (x2_ann_pq / x2_ann_ivfpq) keep the
+        // 150-query bound — replay breadth lives there, the quality GATE
+        // lives here. Search semantics are unchanged (same codebooks, same
+        // tie order), so the oracle is still the full DuckDB replay.
+        val hits = Similarity.pqRecallHits(emb, dim = 64, m = 8, ncodes = 16,
+          nlist = 32, nprobe = 4, k = 3, queryLimit = 50)
+        // measured: pq 17 / ivfpq 22 of 150 slots at sf0.01, 10 / 16 at
+        // sf0.1 — a 16-entry codebook per 8-dim subspace on near-uniform
+        // synthetic vectors is PQ's worst case, yet ~70x above the
+        // ~0.1-hit random-chance floor. Bars at ~60% of the weaker (sf0.1)
+        // measurement: a collapse-to-random regression fails loudly at
+        // either sf, honest fixture noise does not.
+        hits.select(
+          col("pq_hits"), (col("pq_hits") >= 6).as("pq_recall_ok"),
+          col("ivfpq_hits"), (col("ivfpq_hits") >= 9).as("ivfpq_recall_ok"))
       },
       Some(s"""WITH $duckQuantCtes,
         |$duckPqCtes,
@@ -2510,17 +2513,17 @@ object Queries {
         |v AS (SELECT vec_id, list(CAST(qq AS DOUBLE) ORDER BY pos) AS qv FROM q GROUP BY vec_id),
         |tsc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  CAST(list_dot_product(a.qv, a.qv) + list_dot_product(b.qv, b.qv) - 2 * list_dot_product(a.qv, b.qv) AS BIGINT) AS d
-        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id WHERE a.vec_id < 150),
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id WHERE a.vec_id < 50),
         |truth AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
         |  row_number() OVER (PARTITION BY id_a ORDER BY d, id_b) AS rk FROM tsc) WHERE rk <= 3),
         |pqtop AS (SELECT qid AS id_a, vec_id AS id_b FROM (SELECT *,
-        |  row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk FROM pqad) WHERE rk <= 3),
+        |  row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk FROM pqad WHERE qid < 50) WHERE rk <= 3),
         |ivftop AS (SELECT qid AS id_a, vec_id AS id_b FROM (SELECT *,
-        |  row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk FROM ivfad) WHERE rk <= 3)
+        |  row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk FROM ivfad WHERE qid < 50) WHERE rk <= 3)
         |SELECT (SELECT count(*) FROM pqtop JOIN truth USING (id_a, id_b)) AS pq_hits,
-        |  (SELECT count(*) FROM pqtop JOIN truth USING (id_a, id_b)) >= 30 AS pq_recall_ok,
+        |  (SELECT count(*) FROM pqtop JOIN truth USING (id_a, id_b)) >= 6 AS pq_recall_ok,
         |  (SELECT count(*) FROM ivftop JOIN truth USING (id_a, id_b)) AS ivfpq_hits,
-        |  (SELECT count(*) FROM ivftop JOIN truth USING (id_a, id_b)) >= 35 AS ivfpq_recall_ok""".stripMargin)),
+        |  (SELECT count(*) FROM ivftop JOIN truth USING (id_a, id_b)) >= 9 AS ivfpq_recall_ok""".stripMargin)),
 
     // X2 — TRAINED-quantizer ANN as a declared row: ivfTopK over seeded
     // KMeans centroids (the production-shaped path; the stand-in-quantizer

@@ -290,6 +290,72 @@ object Similarity {
         col("adist"), col("rk"))
   }
 
+  /** The recall GATE over the compressed family, fused: computes the exact
+    * quantized-L2 ground truth, the ungated PQ/ADC top-k, and the IVF-PQ
+    * top-k in ONE operator sharing every corpus-wide stage — the int8
+    * quantization (one eager checkpoint instead of three), the PQ codebook
+    * and per-vector code assignment (computed once, reused by both
+    * compressed legs — standalone [[pqTopK]] + [[ivfPqTopK]] would assign
+    * codes twice), and the per-query ADC distance tables (identical in both
+    * legs by construction). Returns one row (pq_hits, ivfpq_hits) counting
+    * top-k slots each compressed path shares with the truth.
+    *
+    * The fusion exists because a quality gate runs the SAME corpus through
+    * three pipelines: naively composing the three public operators repeats
+    * the quantize + assign scans, which dominate when the bounded query set
+    * is small. Search semantics are bit-identical to the standalone
+    * operators (same codebooks, same tie order), so the standalone rows
+    * stay the replay surface while this row prices the gate.
+    */
+  def pqRecallHits(emb: DataFrame, dim: Int, m: Int, ncodes: Int, nlist: Int,
+                   nprobe: Int, k: Int, queryLimit: Long): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    ArrayOps.register(emb.sparkSession)
+    val subDim = dim / m
+    val q = quantizeInt8(emb).localCheckpoint(true)
+    // truth leg: exact integer L2 in the same quantized space, no codes
+    val vecs = q.groupBy("vec_id").agg(
+      expr("transform(sort_array(collect_list(struct(pos, q))), x -> cast(x.q as float))").as("qv"))
+    val truth = vecs.as("a").filter(col("a.vec_id") < queryLimit)
+      .join(vecs.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        expr("cast(float_dot(a.qv, a.qv) + float_dot(b.qv, b.qv) - 2 * float_dot(a.qv, b.qv) as bigint)").as("d"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id_a")).orderBy(col("d"), col("id_b"))))
+      .filter(col("rk") <= k).select("id_a", "id_b").localCheckpoint(true)
+    // shared fine stage: one codebook, ONE corpus-wide code assignment,
+    // one ADC table build (checkpointed — both legs read them)
+    val pqCb = mkCodebook(q, md5Train(emb, ncodes))
+    val codes = nearestCodes(pqTerms(q, pqCb, subDim), 1)
+      .select("vec_id", "sub", "code").localCheckpoint(true)
+    val dt = pqTerms(q.filter(col("vec_id") < queryLimit), pqCb, subDim)
+      .groupBy(col("vec_id").as("qid"), col("sub"), col("code"))
+      .agg(sum("t").as("dt")).localCheckpoint(true)
+    def topK(scored: DataFrame): DataFrame = scored
+      .groupBy("qid", "vec_id").agg(sum("dt").as("adist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("id_a"), col("vec_id").as("id_b"))
+    val pqTop = topK(codes.join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("qid")))
+    // coarse gate for the IVF-PQ leg, over the same checkpointed q
+    val cellCb = mkCodebook(q, md5Train(emb, nlist))
+    val cells = nearestCodes(pqTerms(q, cellCb, dim), 1)
+      .select(col("vec_id"), col("code").as("cell"))
+    val probes = nearestCodes(
+        pqTerms(q.filter(col("vec_id") < queryLimit), cellCb, dim), nprobe)
+      .select(col("vec_id").as("qid"), col("code").as("cell"))
+    val ivfTop = topK(cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select("qid", "vec_id")
+      .join(codes.hint("shuffle_hash"), Seq("vec_id"))
+      .join(broadcast(dt), Seq("qid", "sub", "code")))
+    pqTop.join(truth, Seq("id_a", "id_b")).agg(count(lit(1)).as("pq_hits"))
+      .crossJoin(ivfTop.join(truth, Seq("id_a", "id_b"))
+        .agg(count(lit(1)).as("ivfpq_hits")))
+  }
+
   /** X2: IVF-PQ — the production ANN composition: a coarse inverted-file
     * gate restricts each query to its `nprobe` nearest cells, and PQ's
     * asymmetric distance ranks only those candidates. Both stages run in
