@@ -2706,6 +2706,33 @@ object Queries {
         s"CAST(${duckHex("md5(text)")} % 480 AS INTEGER) AS height " +
         "FROM documents ORDER BY doc_id")),
 
+    // X4 — REAL pixel decode through the JDK codec (javax.imageio): per doc,
+    // a deterministic RGB image is rendered and encoded to REAL PNG bytes on
+    // the executors, then decoded back by ImageIoDecoder and compared —
+    // dimensions and the integer-luma histogram must match the source pixels
+    // exactly (PNG is lossless; all feature arithmetic is integer until one
+    // final division, so equality is exact). Pixel decoding has no DuckDB
+    // replay, so the gate is quality-style like x2_ann_trained_recall: the
+    // oracle pins the row (200 docs, all roundtrips ok) and any codec
+    // breakage — wrong dimensions, channel order, color management mangling
+    // pixels, dropped rows — flips the booleans or the count. The whole
+    // render→encode→decode→compare chain is ONE map-side pass: payload
+    // bytes never reach an exchange (plan-asserted in PlanSpec); the only
+    // shuffle is the final scalar aggregate.
+    Q("x4_real_decode",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents").filter(col("doc_id") < 200)
+        val media = Multimodal.renderPngs(docs, "doc_id")
+        Multimodal.decodeVerify(media, Multimodal.ImageIoDecoder)
+          .agg(count(lit(1)).as("n_docs"), expr("bool_and(ok)").as("all_ok"),
+            sum(col("width").cast("long")).as("sum_width"))
+          .select(col("n_docs"), col("all_ok"),
+            (col("sum_width") === lit(2393L)).as("dims_ok"))
+      },
+      // sum of (8 + id % 9) over ids 0..199 = 2393 — pins the real decoded
+      // dimensions, not just the per-row self-consistency booleans
+      Some("SELECT 200 AS n_docs, true AS all_ok, true AS dims_ok")),
+
     // X4 — resize plumbing for image-like payloads: deterministic byte-stride
     // downsample (STUB for a real resample — no image libs offline), then the
     // resized artifact is RE-DECODED through the same codec path, so the

@@ -21,9 +21,19 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
-  /** Feature row produced by the (stubbed) decoder. */
+  /** Feature row produced by a [[MediaCodec]]. */
   final case class MediaFeatures(doc_id: Long, mime: String, n_bytes: Int,
                                  width: Int, height: Int, features: Array[Float])
+
+  /** The codec seam: bytes in → fixed-width feature row out. Two impls ship:
+    * [[FakeDecoder]] (md5-derived stand-in — replays exactly in DuckDB, so
+    * the declared x4 replay rows keep it) and [[ImageIoDecoder]] (REAL pixel
+    * decode via the JDK's javax.imageio — exercised by x4_real_decode under
+    * a quality-style gate, since pixel decoding has no cross-engine replay).
+    */
+  trait MediaCodec extends Serializable {
+    def decode(id: Long, mime: String, payload: Array[Byte]): MediaFeatures
+  }
 
   /** Deterministic fake decoder — STUB for the real image/audio codec.
     * Derives pseudo-dimensions and a 8-dim byte-histogram "feature vector"
@@ -35,7 +45,7 @@ object Multimodal {
     * cross-engine oracle: any engine with md5 can recompute them and verify
     * the payload actually flowed through the codec unchanged.
     */
-  object FakeDecoder {
+  object FakeDecoder extends MediaCodec {
     def decode(id: Long, mime: String, payload: Array[Byte]): MediaFeatures = {
       val hist = new Array[Float](8)
       var i = 0
@@ -49,6 +59,98 @@ object Multimodal {
       MediaFeatures(id, mime, payload.length,
         width = (h % 640L).toInt, height = (h % 480L).toInt, features = hist)
     }
+  }
+
+  /** REAL image decoder over the JDK's javax.imageio (headless-safe, no
+    * external libs): payload bytes → BufferedImage → true pixel dimensions +
+    * an 8-bin LUMINANCE histogram (integer Rec.601 luma per pixel, binned by
+    * /32, counts divided once by the pixel count). All arithmetic up to the
+    * final division is integer, and PNG is lossless, so a decoded image
+    * yields bit-identical features to the same histogram computed on the
+    * source pixels — which is exactly what x4_real_decode gates on. Fails
+    * loudly on undecodable bytes: silent nulls would turn codec breakage
+    * into dropped rows.
+    */
+  object ImageIoDecoder extends MediaCodec {
+    def decode(id: Long, mime: String, payload: Array[Byte]): MediaFeatures = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, s"undecodable image payload for doc $id (mime=$mime)")
+      val w = img.getWidth; val h = img.getHeight
+      val counts = new Array[Int](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          counts(lum / 32) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w * h).toFloat
+      MediaFeatures(id, mime, payload.length, w, h, counts.map(_ / n))
+    }
+  }
+
+  /** Deterministic PNG fixture generator for the real-codec gate: per doc id,
+    * renders a small RGB image (size and every pixel are integer functions of
+    * the id) and encodes it to REAL PNG bytes with javax.imageio, alongside
+    * the EXPECTED dimensions and luminance histogram computed directly from
+    * the source pixels before encoding. Runs in mapPartitions on executors —
+    * the fixture scales with the corpus, nothing is rendered on the driver.
+    */
+  def renderPngs(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = 8 + (id % 9).toInt; val h = 8 + (id % 7).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val counts = new Array[Int](8)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val r = ((id * 31 + x * 17 + y * 7) % 256).toInt
+            val g = ((id * 13 + x * 5 + y * 11) % 256).toInt
+            val b = ((id * 7 + x * 3 + y * 13) % 256).toInt
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            counts((r * 299 + g * 587 + b * 114) / 1000 / 32) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, "image/png", bos.toByteArray,
+          w, h, counts.map(_ / (w * h).toFloat))
+      }
+    }.toDF("doc_id", "mime", "payload", "exp_width", "exp_height", "exp_features")
+  }
+
+  /** Decode-roundtrip verification in ONE map-side pass: each row's payload
+    * is decoded by `codec` and compared against the expected dimensions and
+    * features carried in the same row — so payload bytes live and die inside
+    * a single task (never serialized into any exchange; the only shuffle in
+    * a consuming query is the final scalar aggregate). Emits
+    * (doc_id, width, height, ok).
+    */
+  def decodeVerify(media: DataFrame, codec: MediaCodec): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("mime"), col("payload"),
+        col("exp_width"), col("exp_height"), col("exp_features"))
+      .mapPartitions { rows =>
+        rows.map { r: Row =>
+          val f = codec.decode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
+          val ok = f.width == r.getInt(3) && f.height == r.getInt(4) &&
+            java.util.Arrays.equals(f.features, r.getAs[Seq[Float]](5).toArray)
+          (f.doc_id, f.width, f.height, ok)
+        }
+      }.toDF("doc_id", "width", "height", "ok")
   }
 
   /** Attach a binary payload + typed metadata map to a text table — models
@@ -66,12 +168,18 @@ object Multimodal {
     * codec initialization per-partition; the output is a typed Dataset with a
     * fixed feature schema.
     */
-  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+  def decodeFeatures(media: DataFrame): Dataset[MediaFeatures] =
+    decodeFeaturesWith(media, FakeDecoder)
+
+  /** [[decodeFeatures]] with an explicit [[MediaCodec]] — the entry point for
+    * real decoders ([[ImageIoDecoder]]) over the same batch plumbing.
+    */
+  def decodeFeaturesWith(media: DataFrame, codec: MediaCodec): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.select("doc_id", "mime", "payload").mapPartitions { rows =>
-      // (real codec would be initialized here, once per partition)
+      // codec state is per-partition, initialized once, not per row
       rows.map { r: Row =>
-        FakeDecoder.decode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
+        codec.decode(r.getLong(0), r.getString(1), r.getAs[Array[Byte]](2))
       }
     }
   }

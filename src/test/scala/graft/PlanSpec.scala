@@ -193,6 +193,15 @@ class PlanSpec extends SparkSpec {
       s"payload bytes leaked past the checkpoint into the join plan:\n${p.take(2000)}")
   }
 
+  test("x4_real_decode is one map-side pass — payload bytes never reach an exchange") {
+    val p = plan("x4_real_decode")
+    // render → PNG-encode → decode → compare all happen inside mapPartitions
+    // chains in a single stage; the only shuffle is the final scalar agg
+    val shuffles = "Exchange (\\w+)".r.findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(shuffles.forall(_ == "SinglePartition"),
+      s"payload stage must not shuffle (got exchanges $shuffles):\n${p.take(2000)}")
+  }
+
   test("x4_joint_similarity joins on the perceptual bucket (equi-join, never all-pairs)") {
     val p = plan("x4_joint_similarity")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

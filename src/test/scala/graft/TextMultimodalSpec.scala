@@ -92,6 +92,32 @@ class TextMultimodalSpec extends SparkSpec {
     assert(again(1L) == feats(1L).features.toSeq)
   }
 
+  test("ImageIoDecoder: real PNG decode recovers exact dimensions and pixel histogram") {
+    // hand-built 2x1 image: one black pixel (luma 0 -> bin 0), one white
+    // (luma 255 -> bin 7); PNG-encode with ImageIO, decode with the codec
+    val img = new java.awt.image.BufferedImage(2, 1, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val f = Multimodal.ImageIoDecoder.decode(7L, "image/png", bos.toByteArray)
+    assert(f.width == 2 && f.height == 1 && f.n_bytes == bos.size())
+    assert(f.features.toSeq == Seq(0.5f, 0f, 0f, 0f, 0f, 0f, 0f, 0.5f))
+    // undecodable bytes fail loudly, not as null features
+    intercept[IllegalArgumentException] {
+      Multimodal.ImageIoDecoder.decode(8L, "image/png", Array[Byte](1, 2, 3))
+    }
+  }
+
+  test("renderPngs + decodeVerify: executor-rendered PNGs roundtrip through the real codec") {
+    import spark.implicits._
+    val out = Multimodal.decodeVerify(
+      Multimodal.renderPngs(Seq(0L, 1L, 17L, 123L).toDF("doc_id"), "doc_id"),
+      Multimodal.ImageIoDecoder).collect()
+    assert(out.length == 4 && out.forall(_.getAs[Boolean]("ok")))
+    val byId = out.map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(byId(17L) == (8 + 17 % 9, 8 + 17 % 7))
+  }
+
   test("sampleFrames explodes every k-th chunk with frame numbers") {
     val media = Multimodal.attachPayload(docs((1L, "abcdefghijklmnopqrstuvwxyz")), "doc_id", "text")
     val frames = Multimodal.sampleFrames(media, chunkBytes = 4, everyK = 2).collect()
