@@ -65,14 +65,27 @@ object ProfileClusters {
     (1 to 2).foreach { pass =>
       println(s"--- pass $pass")
       val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val pairs = t("pairs (build+checkpoints)") {
+      val pairsLazy = t("pairs (build+checkpoints)") {
         Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 19, 20)
       }
-      val clustered = t("dedupClusters (contract + finish)") {
+      // minhashLshPairs checkpoints its linear intermediates eagerly but the
+      // candidate-join + verify TAIL stays lazy — materialize it separately
+      // so tail cost doesn't masquerade as clustering cost downstream
+      val pairs = t("pair tail (cand join + verify) materialization") {
+        val p = pairsLazy.localCheckpoint(true); p
+      }
+      // dedupClusters is eager only through the star contraction (the
+      // localCheckpoint + count inside clusterEdges); the single-task finish
+      // and the docs join stay lazy. Split them out so the scale table can
+      // attribute growth per stage: contraction vs finish+join vs output sort.
+      val clustered = t("contractEdges + star count (eager part)") {
         Dedup.dedupClusters(docs, "doc_id", pairs)
       }
-      t("final noop write") {
-        clustered.orderBy("doc_id").write.format("noop").mode("overwrite").save()
+      val labels = t("single-task finish + docs join") {
+        val l = clustered.localCheckpoint(true); l
+      }
+      t("output sort + noop write") {
+        labels.orderBy("doc_id").write.format("noop").mode("overwrite").save()
       }
       System.gc()
     }
