@@ -218,6 +218,21 @@ object Queries {
       |  JOIN pdt ON pdt.qid = cand.qid AND pdt.sub = pcodes.sub AND pdt.code = pcodes.code
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** DuckDB mirror of Similarity.binarySignatures over [[duckQuantCtes]]'s
+    * `q`: per-dimension integer sums, then the exact q·n ≥ Σq mean test
+    * packs sign bits into two 32-bit words. Shared by x2_ann_binary and
+    * x2_ann_binary_rerank.
+    */
+  private val duckBinaryCtes =
+    """bs AS (SELECT pos, sum(qq) AS s, count(*) AS n FROM q GROUP BY pos),
+      |bsig AS (SELECT q.vec_id,
+      |  CAST(sum(CASE WHEN qq * n >= s AND pos < 32 THEN (CAST(1 AS BIGINT) << CAST(pos AS INTEGER)) ELSE 0 END) AS BIGINT) AS w0,
+      |  CAST(sum(CASE WHEN qq * n >= s AND pos >= 32 THEN (CAST(1 AS BIGINT) << CAST(pos - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS w1
+      |  FROM q JOIN bs USING (pos) GROUP BY q.vec_id),
+      |bham AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INTEGER) AS hd
+      |  FROM bsig a JOIN bsig b ON a.vec_id <> b.vec_id WHERE a.vec_id < 150)""".stripMargin
+
   private val goldCte =
     """SELECT l_returnflag,
       | min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_value,
@@ -2431,6 +2446,40 @@ object Queries {
         |  FROM v a JOIN v b ON a.vec_id <> b.vec_id WHERE a.vec_id < 50)
         |SELECT id_a, id_b, dot, rk FROM (SELECT id_a, id_b, dot,
         |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY dot DESC, id_b) AS INTEGER) AS rk FROM scored)
+        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
+
+    // X2 — BINARY quantization ANN: 1-bit-per-dimension signatures (8 bytes
+    // per 64-dim vector, 32x under float32) via the exact integer mean test
+    // q*n >= sum(q), Hamming top-k = two XORs + two popcounts per candidate.
+    // Every step is integer-exact, so the full path — quantize, sign bits,
+    // word packing, Hamming ranks — replays in DuckDB.
+    Q("x2_ann_binary",
+      (s, dir) => Similarity.binaryHammingTopK(rd(s, dir, "embeddings"), 3, 150)
+        .orderBy("id_a", "rk"),
+      Some(s"""WITH $duckQuantCtes,
+        |$duckBinaryCtes
+        |SELECT id_a, id_b, hd, rk FROM (SELECT *,
+        |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY hd, id_b) AS INTEGER) AS rk FROM bham)
+        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
+
+    // X2 — binary prefilter + EXACT rerank (the production two-stage shape):
+    // Hamming shortlist of 32 per query over the 8-byte signatures, exact
+    // integer L2 on the shortlist only. Composed path fully replayable —
+    // a float rerank could not be.
+    Q("x2_ann_binary_rerank",
+      (s, dir) => Similarity.binaryRerankTopK(rd(s, dir, "embeddings"),
+          k = 3, shortlist = 32, queryLimit = 150)
+        .orderBy("id_a", "rk"),
+      Some(s"""WITH $duckQuantCtes,
+        |$duckBinaryCtes,
+        |bshort AS (SELECT id_a, id_b FROM (SELECT *,
+        |  row_number() OVER (PARTITION BY id_a ORDER BY hd, id_b) AS srk FROM bham) WHERE srk <= 32),
+        |v AS (SELECT vec_id, list(CAST(qq AS DOUBLE) ORDER BY pos) AS qv FROM q GROUP BY vec_id),
+        |rr AS (SELECT s.id_a, s.id_b,
+        |  CAST(list_dot_product(a.qv, a.qv) + list_dot_product(b.qv, b.qv) - 2 * list_dot_product(a.qv, b.qv) AS BIGINT) AS d
+        |  FROM bshort s JOIN v a ON a.vec_id = s.id_a JOIN v b ON b.vec_id = s.id_b)
+        |SELECT id_a, id_b, d, rk FROM (SELECT *,
+        |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY d, id_b) AS INTEGER) AS rk FROM rr)
         |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
 
     // X2 — ANN QUALITY as a driver-visible signal: recall@3 of the IVF path

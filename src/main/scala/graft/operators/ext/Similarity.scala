@@ -290,6 +290,75 @@ object Similarity {
         col("adist"), col("rk"))
   }
 
+  /** X2: BINARY (1-bit) quantization — the most compressed member of the
+    * family (float32×64 = 256 B → 8 B per vector, 32×): each dimension
+    * contributes one bit, set iff the vector's int8-quantized component is
+    * ≥ the corpus mean for that dimension. The mean test is the exact
+    * integer comparison q·n ≥ Σq — no division, no floats — so signatures
+    * are bit-identical in any engine. Bits pack into two 32-bit words
+    * (shifts ≤ 31 keep every partial sum far from BIGINT overflow, which a
+    * single 64-bit word's bit 63 would not). Returns (vec_id, w0, w1).
+    *
+    * 100 TB shape: one linear quantize pass, a dim-bounded broadcast of
+    * per-dimension sums, one groupBy(vec_id) — the signature table is 16
+    * bytes/vector and makes brute-force candidate scans ~32× cheaper than
+    * float cosine before any index structure is even introduced.
+    */
+  def binarySignatures(emb: DataFrame): DataFrame = {
+    val q = quantizeInt8(emb)
+    val stats = q.groupBy("pos").agg(sum("q").as("s"), count(lit(1)).as("n"))
+    q.join(broadcast(stats), Seq("pos"))
+      .select(col("vec_id"),
+        when(col("q") * col("n") >= col("s"),
+          expr("shiftleft(cast(1 as bigint), int(pos % 32))")).otherwise(0L).as("b"),
+        (col("pos") / 32).cast("int").as("w"))
+      .groupBy("vec_id").agg(
+        sum(when(col("w") === 0, col("b")).otherwise(0L)).as("w0"),
+        sum(when(col("w") === 1, col("b")).otherwise(0L)).as("w1"))
+  }
+
+  /** X2: Hamming-distance top-k over [[binarySignatures]] — two XORs and two
+    * popcounts per candidate (codegen'd integer ops on 16-byte rows), the
+    * classic binary prefilter. Bounded queries (vec_id < queryLimit) like
+    * every declared ANN baseline; exact ties on (distance, id).
+    */
+  def binaryHammingTopK(emb: DataFrame, k: Int, queryLimit: Long): DataFrame = {
+    val sigs = binarySignatures(emb).localCheckpoint(true)
+    val qs = sigs.filter(col("vec_id") < queryLimit)
+    qs.as("a").join(sigs.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        expr("bit_count(a.w0 ^ b.w0) + bit_count(a.w1 ^ b.w1)").cast("int").as("hd"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id_a").orderBy(col("hd"), col("id_b"))))
+      .filter(col("rk") <= k)
+  }
+
+  /** X2: binary prefilter + exact rerank — the production two-stage shape:
+    * a Hamming shortlist of `shortlist` candidates per query over the 8-byte
+    * signatures, then exact integer L2 (same space as [[quantizedL2TopK]])
+    * on the shortlist ONLY. Per-query exact work drops from |corpus| to
+    * `shortlist` vectors; the wide token-free vector arrays join in AFTER
+    * the shortlist is known, keyed by id (shuffle-hash, never broadcast —
+    * the vector table is corpus-sized). Fully integer-exact end to end, so
+    * the composed two-stage path replays in DuckDB — which float rerank
+    * pipelines cannot.
+    */
+  def binaryRerankTopK(emb: DataFrame, k: Int, shortlist: Int,
+                       queryLimit: Long): DataFrame = {
+    ArrayOps.register(emb.sparkSession)
+    val short = binaryHammingTopK(emb, shortlist, queryLimit).select("id_a", "id_b")
+    val vecs = quantizeInt8(emb).groupBy("vec_id").agg(
+      expr("transform(sort_array(collect_list(struct(pos, q))), x -> cast(x.q as float))").as("qv"))
+      .localCheckpoint(true)
+    short.join(vecs.as("va").hint("shuffle_hash"), col("id_a") === col("va.vec_id"))
+      .join(vecs.as("vb").hint("shuffle_hash"), col("id_b") === col("vb.vec_id"))
+      .select(col("id_a"), col("id_b"),
+        expr("cast(float_dot(va.qv, va.qv) + float_dot(vb.qv, vb.qv) - 2 * float_dot(va.qv, vb.qv) as bigint)").as("d"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("id_a").orderBy(col("d"), col("id_b"))))
+      .filter(col("rk") <= k)
+  }
+
   /** The recall GATE over the compressed family, fused: computes the exact
     * quantized-L2 ground truth, the ungated PQ/ADC top-k, and the IVF-PQ
     * top-k in ONE operator sharing every corpus-wide stage — the int8

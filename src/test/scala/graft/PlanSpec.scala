@@ -300,6 +300,18 @@ class PlanSpec extends SparkSpec {
     assert(bc <= 5, s"expected <=5 bounded broadcasts, got $bc:\n${p.take(3000)}")
   }
 
+  test("x2_ann_binary_rerank reranks via shuffle-hash vector joins (corpus never broadcasts)") {
+    val p = plan("x2_ann_binary_rerank")
+    // the Hamming stage's only non-equi join is bounded-queries x 16-byte
+    // signatures (behind the signature checkpoint); the rerank stage's
+    // corpus-sized vector table must arrive shuffle-hash by id, never as a
+    // broadcast build
+    assert(p.contains("ShuffledHashJoin"),
+      s"expected hinted shuffle-hash vector joins:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"),
+      s"rerank must stay keyed:\n${p.take(2000)}")
+  }
+
   test("a6_percentile avoids the percentile() map aggregate (sort-based window form)") {
     val p = plan("a6_percentile")
     assert(!p.toLowerCase.contains("percentile"),
