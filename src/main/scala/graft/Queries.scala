@@ -233,6 +233,34 @@ object Queries {
       |  CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INTEGER) AS hd
       |  FROM bsig a JOIN bsig b ON a.vec_id <> b.vec_id WHERE a.vec_id < 150)""".stripMargin
 
+  /** DuckDB mirror of the FROZEN-quantizer incremental PQ chain
+    * (x2_ann_pq_incremental): affine ranges and the md5 codebook come from
+    * vec_id < `base` only; codes cover vec_id < `corpus`; ADC tables for
+    * qid < `ql`. The frozen stats are the one semantic difference from
+    * [[duckQuantCtes]]/[[duckPqCtes]] — everything downstream is the same
+    * replay chain.
+    */
+  private def duckFrozenPqCtes(base: Int, corpus: Int, ql: Int): String =
+    s"""fx AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS ord,
+      |  unnest(CAST(embedding AS DOUBLE[])) AS u FROM embeddings WHERE vec_id < $corpus),
+      |fs AS (SELECT ord, min(u) AS mn, max(u) AS mx FROM fx WHERE vec_id < $base GROUP BY ord),
+      |fq AS (SELECT vec_id, CAST(fx.ord - 1 AS INTEGER) AS pos, CASE WHEN fs.mx = fs.mn THEN 0
+      |  ELSE CAST(greatest(least(floor(CAST(CAST(255 AS DOUBLE) * (fx.u - fs.mn) / (fs.mx - fs.mn) AS DECIMAL(10,6))), 255), 0) AS INTEGER)
+      |  END AS qq FROM fx JOIN fs USING (ord)),
+      |ftr AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) - 1 AS code
+      |  FROM embeddings WHERE vec_id < $base),
+      |fcb AS (SELECT t.code, fq.pos, fq.qq AS cq FROM fq JOIN ftr t USING (vec_id) WHERE t.code < 16),
+      |fterms AS (SELECT fq.vec_id, fq.pos // 8 AS sub, fcb.code,
+      |  (fq.qq - fcb.cq) * (fq.qq - fcb.cq) AS t FROM fq JOIN fcb USING (pos)),
+      |fdist AS (SELECT vec_id, sub, code, sum(t) AS d FROM fterms GROUP BY 1, 2, 3),
+      |fcodes AS (SELECT vec_id, sub, code FROM
+      |  (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM fdist) WHERE rn = 1),
+      |fdt AS (SELECT vec_id AS qid, sub, code, sum(t) AS dt FROM fterms
+      |  WHERE vec_id < $ql GROUP BY 1, 2, 3),
+      |fad AS (SELECT fdt.qid, c.vec_id, CAST(sum(fdt.dt) AS BIGINT) AS adist
+      |  FROM fcodes c JOIN fdt ON c.sub = fdt.sub AND c.code = fdt.code
+      |  WHERE c.vec_id <> fdt.qid GROUP BY 1, 2)""".stripMargin
+
   private val goldCte =
     """SELECT l_returnflag,
       | min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_value,
@@ -2480,6 +2508,38 @@ object Queries {
         |  FROM bshort s JOIN v a ON a.vec_id = s.id_a JOIN v b ON b.vec_id = s.id_b)
         |SELECT id_a, id_b, d, rk FROM (SELECT *,
         |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY d, id_b) AS INTEGER) AS rk FROM rr)
+        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
+
+    // X2 — INCREMENTAL ANN: the corpus-growth loop closed for the
+    // compressed family (the x1_incremental_neardup pattern applied to PQ):
+    // the quantizer ranges AND the codebook are FROZEN on the standing
+    // corpus (vec_id < 400), its codes are persisted bucketed-by-vec_id,
+    // two later batches append their frozen-coded rows idempotently (the
+    // third append REPLAYS batch one — the anti-join must insert nothing or
+    // the hash breaks), and queries probe the grown table via broadcast ADC
+    // tables without ever re-coding a stored vector. Oracle = the frozen-
+    // quantizer PQ replay chain over the full 500-vector corpus.
+    Q("x2_ann_pq_incremental",
+      (s, dir) => {
+        val emb = rd(s, dir, "embeddings").filter(col("vec_id") < 500)
+        val base = emb.filter(col("vec_id") < 400)
+        val root = freshDir(s, "graft_pq_code_idx")
+        s.sql("DROP TABLE IF EXISTS graft_pq_code_idx")
+        Similarity.pqCodesFrozen(base, base, dim = 64, m = 8, ncodes = 16)
+          .write.bucketBy(8, "vec_id").sortBy("vec_id")
+          .option("path", s"$root/idx").saveAsTable("graft_pq_code_idx")
+        val b1 = emb.filter(col("vec_id") >= 400 && col("vec_id") < 450)
+        val b2 = emb.filter(col("vec_id") >= 450)
+        Similarity.appendPqIndex("graft_pq_code_idx", b1, base, 64, 8, 16, 8)
+        Similarity.appendPqIndex("graft_pq_code_idx", b2, base, 64, 8, 16, 8)
+        Similarity.appendPqIndex("graft_pq_code_idx", b1, base, 64, 8, 16, 8)
+        Similarity.pqIndexTopK(s, "graft_pq_code_idx",
+            emb.filter(col("vec_id") < 50), base, 64, 8, 16, k = 3)
+          .orderBy("id_a", "rk")
+      },
+      Some(s"""WITH ${duckFrozenPqCtes(400, 500, 50)}
+        |SELECT qid AS id_a, vec_id AS id_b, adist, rk FROM
+        |  (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS INTEGER) AS rk FROM fad)
         |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
 
     // X2 — ANN QUALITY as a driver-visible signal: recall@3 of the IVF path

@@ -100,16 +100,30 @@ object Similarity {
     * groupBy(pos) — the shuffle carries at most (dim) rows per map
     * partition — and the stats broadcast back for the quantization scan.
     */
-  def quantizeInt8(emb: DataFrame): DataFrame = {
-    val x = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .withColumn("u", col("v").cast("double"))
-    val stats = x.groupBy("pos").agg(min("u").as("mn"), max("u").as("mx"))
+  def quantizeInt8(emb: DataFrame): DataFrame = quantizeInt8Frozen(emb, emb)
+
+  /** [[quantizeInt8]] with the per-dimension affine ranges FROZEN on
+    * `statsSrc` instead of the input itself — the incremental-index
+    * contract: a production quantizer is trained once on the standing
+    * corpus and applied unchanged to every later batch, otherwise each
+    * append would silently re-scale the whole space and invalidate every
+    * previously stored code. Values outside the frozen range clamp into
+    * [0, 255] (the floor/least pair already bounds above; the greatest
+    * bounds below), so drifted batches degrade gracefully instead of
+    * corrupting the integer contract.
+    */
+  def quantizeInt8Frozen(emb: DataFrame, statsSrc: DataFrame): DataFrame = {
+    def explode(df: DataFrame) =
+      df.select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .withColumn("u", col("v").cast("double"))
+    val x = explode(emb)
+    val stats = explode(statsSrc).groupBy("pos").agg(min("u").as("mn"), max("u").as("mx"))
     val scaled = (lit(255.0) * (col("u") - col("mn")) / (col("mx") - col("mn")))
       .cast(DecimalType(10, 6))
     x.join(broadcast(stats), Seq("pos"))
       .select(col("vec_id"), col("pos"),
         when(col("mx") === col("mn"), lit(0))
-          .otherwise(least(floor(scaled), lit(255)).cast("int")).as("q"))
+          .otherwise(greatest(least(floor(scaled), lit(255)), lit(0)).cast("int")).as("q"))
   }
 
   /** X2: embedding-space drift report — per-slice centroid shift from the
@@ -467,6 +481,63 @@ object Similarity {
       .select("qid", "vec_id")
       .join(codes.hint("shuffle_hash"), Seq("vec_id"))
       .join(broadcast(dt), Seq("qid", "sub", "code"))
+      .groupBy("qid", "vec_id").agg(sum("dt").as("adist"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))))
+      .filter(col("rk") <= k)
+      .select(col("qid").as("id_a"), col("vec_id").as("id_b"),
+        col("adist"), col("rk"))
+  }
+
+  /** Per-vector PQ codes under a FROZEN quantizer: affine ranges and the
+    * md5-deterministic codebook both come from `base` (the standing corpus),
+    * never from the batch being coded — see [[quantizeInt8Frozen]] for why.
+    * Returns (vec_id, sub, code): m one-byte codes per vector, the rows an
+    * incremental ANN index persists.
+    */
+  def pqCodesFrozen(emb: DataFrame, base: DataFrame, dim: Int, m: Int,
+                    ncodes: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val cb = mkCodebook(quantizeInt8Frozen(base, base), md5Train(base, ncodes))
+    nearestCodes(pqTerms(quantizeInt8Frozen(emb, base), cb, dim / m), 1)
+      .select("vec_id", "sub", "code")
+  }
+
+  /** Index MAINTENANCE for the compressed ANN path — the [[graft.operators.ext.Dedup.appendBandIndex]]
+    * pattern applied to PQ codes: a new batch's codes (frozen quantizer +
+    * frozen codebook, so existing rows stay valid) merge into the bucketed
+    * code table, idempotent under replay via an anti-join on already-indexed
+    * vec_ids (bucketed by vec_id, so the anti-join reads the index with no
+    * index-side exchange). Corpus growth never re-codes old vectors.
+    */
+  def appendPqIndex(table: String, batch: DataFrame, base: DataFrame,
+                    dim: Int, m: Int, ncodes: Int, buckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val codes = pqCodesFrozen(batch, base, dim, m, ncodes)
+    val seen = spark.table(table).select("vec_id").distinct()
+    codes.join(seen.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "vec_id").sortBy("vec_id").saveAsTable(table)
+  }
+
+  /** ADC top-k against a PERSISTED code table ([[appendPqIndex]]'s layout):
+    * per-query distance tables are built from the frozen quantizer/codebook
+    * and broadcast; the stored codes are scanned map-side and partially
+    * aggregated into (query, vec) sums — the corpus is never re-quantized,
+    * never re-coded, and never shuffled by anything wider than its own id.
+    * This is what an append-only ANN serving path executes per query batch.
+    */
+  def pqIndexTopK(spark: org.apache.spark.sql.SparkSession, table: String,
+                  queries: DataFrame, base: DataFrame, dim: Int, m: Int,
+                  ncodes: Int, k: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, s"m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val cb = mkCodebook(quantizeInt8Frozen(base, base), md5Train(base, ncodes))
+    val dt = pqTerms(quantizeInt8Frozen(queries, base), cb, subDim)
+      .groupBy(col("vec_id").as("qid"), col("sub"), col("code"))
+      .agg(sum("t").as("dt"))
+    spark.table(table).join(broadcast(dt), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("qid"))
       .groupBy("qid", "vec_id").agg(sum("dt").as("adist"))
       .withColumn("rk", row_number().over(
         Window.partitionBy("qid").orderBy(col("adist"), col("vec_id"))))
