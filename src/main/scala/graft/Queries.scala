@@ -2542,6 +2542,34 @@ object Queries {
         |  (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS INTEGER) AS rk FROM fad)
         |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
 
+    // STREAMING PQ-INDEX MAINTENANCE (the ninth declared streaming path —
+    // stream_index_maintain's compressed-ANN counterpart): the standing
+    // corpus' frozen-quantizer codes are seeded once (bucketed by vec_id);
+    // each micro-batch of new vectors appends its codes through
+    // Similarity.appendPqIndex inside foreachBatch — idempotent under
+    // foreachBatch's replay semantics, quantizer/codebook pinned to the
+    // base so stored codes stay valid mid-append. Result = the converged
+    // code table; oracle = the batch frozen-quantizer code formulation.
+    Q("stream_pq_index_maintain",
+      (s, dir) => {
+        val emb = rd(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") < 400)
+        val root = freshDir(s, "graft_stream_pqidx")
+        s.sql("DROP TABLE IF EXISTS graft_stream_pq_index")
+        Similarity.pqCodesFrozen(base, base, dim = 64, m = 8, ncodes = 16)
+          .write.bucketBy(8, "vec_id").sortBy("vec_id")
+          .option("path", s"$root/idx").saveAsTable("graft_stream_pq_index")
+        val stream = s.readStream.schema(emb.schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+          .filter(col("vec_id") >= 400 && col("vec_id") < 500)
+        val q = graft.streaming.Streaming.maintainPqIndex(stream,
+          "graft_stream_pq_index", base, 64, 8, 16, 8)
+        try q.processAllAvailable() finally q.stop()
+        s.table("graft_stream_pq_index").orderBy("vec_id", "sub")
+      },
+      Some(s"""WITH ${duckFrozenPqCtes(400, 500, 50)}
+        |SELECT vec_id, sub, code FROM fcodes ORDER BY vec_id, sub""".stripMargin)),
+
     // X2 — ANN QUALITY as a driver-visible signal: recall@3 of the IVF path
     // (stand-in quantizer, nprobe=4) against the brute-force ground truth on
     // the same bounded corpus (vec_id < 1000, 50 queries — bounded, so the

@@ -409,56 +409,16 @@ object Dedup {
       .bucketBy(buckets, "key").sortBy("key").saveAsTable(table)
   }
 
-  /** Compaction for [[appendBandIndex]]'s one structural cost: every append
-    * adds one file per bucket, so a long-running ingest loop grows per-bucket
-    * file counts linearly (and small files are the classic scan killer at
-    * 100 TB — open/seek overhead per file, footer reads, scheduler pressure).
-    * This rewrites the whole index ONCE under the SAME bucketBy/sortBy spec
-    * into `newPath`, then swaps the catalog entry atomically (metadata-only
-    * DROP + RENAME), so probe joins keep their no-index-side-exchange plan
-    * across the swap and forever after.
-    *
-    * The rewrite is SHUFFLE-FREE: with the bucketed scan forced
-    * (`autoBucketedScan.enabled=false` for the duration — by default Spark's
-    * planner disables bucketed reads when no operator "needs" the
-    * distribution, which here would ALSO elide the repartition and leave
-    * file-split tasks straddling buckets, fanning out one file per
-    * (task, bucket)), each scan task reads exactly the accumulated files of
-    * ONE bucket, the `repartition(buckets, key)` collapses as redundant
-    * against the scan's own HashPartitioning, and each task writes exactly
-    * one file — file count returns to ≤ `buckets` regardless of how many
-    * appends accumulated, for one linear read + one linear write and zero
-    * exchanges. Idempotent: compacting a compacted index rewrites identical
-    * content (row set is untouched — appendBandIndex's anti-join already
-    * guarantees no duplicate doc_ids, so compaction is a pure re-layout).
-    *
-    * Returns the OLD table location: the swap is metadata-only, so the old
-    * files are orphaned, not deleted — the caller deletes them after the
-    * swap commits (crash between DROP and RENAME leaves `<table>__compacting`
-    * intact for manual recovery or a simple re-run; the index is never
-    * half-written).
+  /** Compaction for [[appendBandIndex]]'s one structural cost (one file per
+    * bucket per append): the shuffle-free rewrite + atomic catalog swap of
+    * [[graft.io.BucketedIndex.compact]] applied to the band table's `key`
+    * bucket spec. Row set untouched — appendBandIndex's anti-join already
+    * guarantees no duplicate doc_ids, so compaction is a pure re-layout;
+    * returns the old location for caller cleanup.
     */
   def compactBandIndex(spark: org.apache.spark.sql.SparkSession, table: String,
-                       buckets: Int, newPath: String): String = {
-    val oldLoc = spark.sessionState.catalog
-      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
-      .location.toString
-    val tmp = table + "__compacting"
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
-    val autoKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
-    val autoPrev = spark.conf.get(autoKey)
-    spark.conf.set(autoKey, "false")
-    try {
-      spark.table(table)
-        .repartition(buckets, col("key"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(buckets, "key").sortBy("key")
-        .option("path", newPath).saveAsTable(tmp)
-    } finally spark.conf.set(autoKey, autoPrev)
-    spark.sql(s"DROP TABLE $table")
-    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
-    oldLoc
-  }
+                       buckets: Int, newPath: String): String =
+    graft.io.BucketedIndex.compact(spark, table, buckets, "key", newPath)
 
   /** X1: corpus-wide PARAGRAPH deduplication (the MassiveText-style pass —
     * remove repeated passages across documents, not whole documents):

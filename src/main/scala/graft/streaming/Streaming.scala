@@ -135,6 +135,23 @@ object Streaming {
       }
       .start()
 
+  /** ST: the [[maintainBandIndex]] idiom for the COMPRESSED ANN index — each
+    * micro-batch of new vectors is frozen-quantizer coded and appended into
+    * the bucketed PQ code table (Similarity.appendPqIndex: idempotent under
+    * foreachBatch's replay semantics via the anti-join on indexed vec_ids;
+    * the quantizer/codebook stay pinned to `base`, so concurrent ADC probes
+    * read a table whose every row remains valid mid-append).
+    */
+  def maintainPqIndex(vectors: DataFrame, table: String, base: DataFrame,
+                      dim: Int, m: Int, ncodes: Int,
+                      buckets: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.ext.Similarity.appendPqIndex(table, batch.toDF(), base,
+          dim, m, ncodes, buckets)
+      }
+      .start()
+
   /** ST: per-micro-batch distribution-drift monitor — the foreachBatch
     * production idiom: every micro-batch is scored against the SAME static
     * reference profile with the exact integer TVD of

@@ -161,6 +161,41 @@ class IoSpec extends SparkSpec {
     assert(parquetFiles(s"$root/idx2") <= 4)
   }
 
+  test("BucketedIndex.compact on the PQ code index: appends -> compact -> files <= buckets, rows identical") {
+    import spark.implicits._
+    import graft.operators.ext.Similarity
+    def parquetFiles(path: String): Int =
+      new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    def vec(id: Long): (Long, Array[Float]) =
+      (id, Array.tabulate(64)(d => ((id * 31 + d * 7) % 97).toFloat))
+    val root = tmpDir("pqidx_compact")
+    spark.sql("DROP TABLE IF EXISTS graft_pq_compact_t")
+    val base = (0L until 20L).map(vec).toDF("vec_id", "embedding")
+    Similarity.pqCodesFrozen(base, base, 64, 8, 16)
+      .write.bucketBy(4, "vec_id").sortBy("vec_id")
+      .option("path", s"$root/idx0").saveAsTable("graft_pq_compact_t")
+    (0 until 3).foreach { i =>
+      val batch = Seq(vec(100L + i)).toDF("vec_id", "embedding")
+      Similarity.appendPqIndex("graft_pq_compact_t", batch, base, 64, 8, 16, 4)
+    }
+    // replay a batch: the anti-join must insert nothing
+    val before = spark.table("graft_pq_compact_t").count()
+    Similarity.appendPqIndex("graft_pq_compact_t",
+      Seq(vec(100L)).toDF("vec_id", "embedding"), base, 64, 8, 16, 4)
+    assert(spark.table("graft_pq_compact_t").count() == before,
+      "replayed append must be idempotent")
+    val rowsBefore = spark.table("graft_pq_compact_t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(parquetFiles(s"$root/idx0") > 4, "appends accumulated per-bucket files")
+    val oldLoc = graft.io.BucketedIndex.compact(spark, "graft_pq_compact_t", 4, "vec_id", s"$root/idx1")
+    assert(oldLoc.contains("idx0"))
+    assert(parquetFiles(s"$root/idx1") <= 4,
+      s"compaction must return to <= buckets files, got ${parquetFiles(s"$root/idx1")}")
+    val rowsAfter = spark.table("graft_pq_compact_t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rowsAfter == rowsBefore, "compaction must not change the code set")
+  }
+
   test("LocalParquetStore: recreate + appendBatch + extractToParquet") {
     import spark.implicits._
     val store = new LocalParquetStore(tmpDir("store"))
