@@ -44,13 +44,25 @@ object ScaleBench {
           col("lang"), col("source"), col("n_chars"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
+      // embeddings scale too (the ANN family reads them): replicas keep the
+      // same vectors under offset ids — per-dimension min/max (the frozen
+      // quantizer stats) are EXACTLY preserved, query bounds stay fixed, so
+      // corpus mass grows k× while per-query work should grow ~linearly
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val maxV = emb.agg(max("vec_id")).head.getLong(0) + 1
+      emb.crossJoin(spark.range(k).select(col("id").as("__r")))
+        .select((col("vec_id") + col("__r") * maxV).as("vec_id"),
+          col("embedding"), col("label"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
       for (f <- new java.io.File(sfDir).listFiles()
-           if f.getName != "documents.parquet") {
+           if f.getName != "documents.parquet" && f.getName != "embeddings.parquet") {
         val link = java.nio.file.Paths.get(s"$scaled/${f.getName}")
         if (!java.nio.file.Files.exists(link))
           java.nio.file.Files.createSymbolicLink(link, f.toPath)
       }
-      println(s"[scale] built $scaled: ${spark.read.parquet(s"$scaled/documents.parquet").count()} docs")
+      println(s"[scale] built $scaled: ${spark.read.parquet(s"$scaled/documents.parquet").count()} docs, " +
+        s"${spark.read.parquet(s"$scaled/embeddings.parquet").count()} vecs")
     }
     for (q <- queries; (label, dir) <- Seq("1x" -> sfDir, s"${k}x" -> scaled)) {
       (1 to 2).foreach { pass =>
