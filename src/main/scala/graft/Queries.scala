@@ -1820,6 +1820,28 @@ object Queries {
         s"$duckMixCase " +
         "ORDER BY doc_id")),
 
+    // X6 — TEMPERATURE-weighted mixture (alpha = 0.5): per-language budgets
+    // proportional to sqrt(count) — the standard multilingual training mix
+    // (up-weights low-resource strata vs proportional sampling). Selection
+    // is the division-free exact form r * sum(w) <= budget * w_lang over
+    // DECIMAL(20,10) operands; sqrt is IEEE-correctly-rounded in every
+    // engine (unlike general pow, which is why alpha is pinned at 0.5), so
+    // the whole row hash-checks cross-engine.
+    Q("x6_temperature_mix",
+      (s, dir) => Relational.temperatureMix(
+          rd(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang", budget = 300)
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(20,10)) AS w FROM c),
+        |t AS (SELECT CAST(sum(w) AS DECIMAL(20,10)) AS tw FROM w),
+        |r AS (SELECT doc_id, lang,
+        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
+        |  FROM documents)
+        |SELECT doc_id, lang, rk FROM r JOIN w USING (lang) CROSS JOIN t
+        |WHERE CAST(rk AS DECIMAL(20,10)) * tw <= CAST(300 AS DECIMAL(20,10)) * w
+        |ORDER BY doc_id""".stripMargin)),
+
     // A12 — incremental aggregate merge (the re-aggregation property behind
     // incremental view maintenance): yesterday's partition and today's are
     // pre-aggregated SEPARATELY, then merged by combining partials

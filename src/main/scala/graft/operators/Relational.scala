@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** The generic relational surface: filters, sorts, top-k, set ops, joins,
   * windows (SURVEY.md §2.2-§2.8). All declarative — Catalyst handles pushdown,
@@ -101,6 +102,41 @@ object Relational {
       when(col(stratumCol) === k, p).otherwise(acc)
     }
     hashBucket(df, keyCol).filter(col("bucket") < pct)
+  }
+
+  /** X6: TEMPERATURE-weighted mixture (α = 0.5) — the standard multilingual
+    * training mix: per-stratum sampling budgets proportional to √count, so
+    * low-resource strata are up-weighted relative to proportional sampling
+    * without drowning the high-resource mass (the α middle ground between
+    * proportional α=1 and uniform α=0). A document survives iff its
+    * within-stratum md5 rank r satisfies r · Σw ≤ budget · w_s — the exact
+    * algebraic form of r ≤ floor(budget·w_s/Σw) with NO division: every
+    * operand is a DECIMAL(20,10), so both sides are exact products and the
+    * comparison is engine-portable. √count is the one float op and IEEE
+    * requires sqrt correctly rounded, so the double (and its decimal
+    * rounding) is bit-identical in any engine — which is why α is fixed at
+    * 0.5 here: a general pow() is NOT correctly-rounded-guaranteed across
+    * libms and would break the cross-engine hash.
+    *
+    * 100 TB shape: one count aggregate (stratum-cardinality-sized), one
+    * rank window per stratum (the hash-order idiom every sampling op here
+    * uses), broadcast of the stratum weight table; no data-sized shuffle
+    * beyond the window's own.
+    */
+  def temperatureMix(df: DataFrame, keyCol: String, stratumCol: String,
+                     budget: Int): DataFrame = {
+    val dec = DecimalType(20, 10)
+    val w = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("__n"))
+      .withColumn("__w", sqrt(col("__n").cast("double")).cast(dec))
+    val tot = w.agg(sum("__w").cast(dec).as("__tw"))
+    val wnd = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.select(col(keyCol), col(stratumCol))
+      .withColumn("rk", row_number().over(wnd))
+      .join(broadcast(w.select(col(stratumCol), col("__w"))), Seq(stratumCol))
+      .crossJoin(broadcast(tot))
+      .filter(col("rk").cast(dec) * col("__tw") <= lit(budget).cast(dec) * col("__w"))
+      .select(col(keyCol), col(stratumCol), col("rk"))
   }
 
   /** W4: gap-based sessionization — the standard event-pipeline operator for
