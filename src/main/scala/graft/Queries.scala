@@ -26,6 +26,19 @@ object Queries {
   private def rd(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Fresh-scratch helper for the io roundtrip queries: each run rebuilds its
+    * commit log / table root from nothing, so reruns are deterministic.
+    */
+  private def rmrf(path: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(p)
+      try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally w.close()
+    }
+  }
+
   /** `events.ts` has carried two physical types across driver fixture
     * generations: parquet TIMESTAMP(NANOS), which Spark reads as BIGINT
     * ns-since-epoch under `legacy.parquet.nanosAsLong=true` (Spark has no ns
@@ -493,6 +506,81 @@ object Queries {
       },
       Some(s"$goldStrSql ORDER BY l_returnflag")),
 
+    // S8+ — snapshot-versioned table (Delta-style commit log over Parquet,
+    // io/VersionedTable.scala): three commits (overwrite, append, overwrite),
+    // then a TIME-TRAVEL read of v2 while v3 is the latest — proving the v3
+    // overwrite did not disturb the v2 snapshot and the append composed with
+    // its parent. The oracle recomputes v2's logical content (keys ≡ 0 or 1
+    // mod 3) from the raw table; n_versions pins the log length.
+    Q("versioned_time_travel",
+      (s, dir) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_tt"
+        rmrf(root)
+        val o = rd(s, dir, "orders")
+        graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 0), root, "overwrite", "tt-v1")
+        graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 1), root, "append", "tt-v2")
+        graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 100 === 0), root, "overwrite", "tt-v3")
+        val latest = graft.io.VersionedTable.latestVersion(root).get
+        graft.io.VersionedTable.read(s, root, asOf = Some(2L))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("n_versions", lit(latest))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, CAST(3 AS BIGINT) AS n_versions " +
+        "FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1 ORDER BY 1")),
+
+    // S8+ — history-preserving rollback (Delta RESTORE semantics): v1 good,
+    // v2 a bad overwrite, v3 = rollback-to-v1 (a new manifest pointing at
+    // v1's data dirs — zero data movement). The latest read must equal v1's
+    // content; a same-commitId retry of the rollback must be a no-op (log
+    // stays at 3 versions). The idempotent-retry and log-length facts ride
+    // in the constant columns.
+    Q("versioned_rollback",
+      (s, dir) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_rb"
+        rmrf(root)
+        val o = rd(s, dir, "orders")
+        graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0), root, "overwrite", "rb-v1")
+        graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 1000 === 0), root, "overwrite", "rb-bad")
+        val v3 = graft.io.VersionedTable.rollback(root, toVersion = 1L, commitId = "rb-restore")
+        val retried = graft.io.VersionedTable.rollback(root, toVersion = 1L, commitId = "rb-restore")
+        val logLen = graft.io.VersionedTable.history(root).size
+        graft.io.VersionedTable.read(s, root) // latest == restored v1 content
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("restored_version", lit(v3))
+          .withColumn("retry_noop", lit(retried == v3 && logLen == 3))
+          .orderBy("o_orderstatus")
+      },
+      Some("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, CAST(3 AS BIGINT) AS restored_version, " +
+        "TRUE AS retry_noop " +
+        "FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1 ORDER BY 1")),
+
+    // S8+ — incremental (CDC-style) consumption: after an overwrite base (v1)
+    // and two appends (v2, v3), changesBetween(1, 3) must surface EXACTLY the
+    // appended rows — the O(new data) read that lets a downstream pipeline
+    // track a 100 TB append-grown table without rescanning it. The oracle is
+    // the appended key classes only (≡ 1 or 2 mod 4); base rows (≡ 0) leaking
+    // in would break the count and sum both.
+    Q("versioned_incremental",
+      (s, dir) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_inc"
+        rmrf(root)
+        val o = rd(s, dir, "orders")
+        graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 4 === 0), root, "overwrite", "inc-v1")
+        graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 4 === 1), root, "append", "inc-v2")
+        graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 4 === 2), root, "append", "inc-v3")
+        graft.io.VersionedTable.changesBetween(s, root, fromVersion = 1L, toVersion = 3L)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
+        "FROM orders WHERE o_orderkey % 4 IN (1, 2) GROUP BY 1 ORDER BY 1")),
+
     // P1 — IN-list filter (etl-vini-azure.py:78).
     Q("p1_filter_in",
       (s, dir) => Relational.inFilter(rd(s, dir, "orders"), "o_orderpriority",
@@ -835,6 +923,37 @@ object Queries {
       Some(s"""WITH ${duckBandsCtes(duckToks, 8)}
         |SELECT doc_id, CAST(band AS VARCHAR) || ':' || key AS key FROM bands
         |ORDER BY doc_id, key""".stripMargin)),
+
+    // ST — stream → versioned table with EXACTLY-ONCE appends
+    // (streaming/Streaming.versionedSink): each micro-batch commits under a
+    // batchId-derived commitId, so foreachBatch's at-least-once replay
+    // degrades to VersionedTable's idempotent-retry no-op. The query then
+    // PROVES the replay path inline: re-firing batch 0's commitId with
+    // different content must not advance the log (replay_noop), and the full
+    // cursor-0 incremental read must equal the batch formulation.
+    Q("stream_versioned_sink",
+      (s, dir) => {
+        val root = freshDir(s, "graft_stream_versioned")
+        val schema = rd(s, dir, "orders").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "orders.parquet").parquet(dir)
+          .filter(col("o_orderkey") % 5 === 0)
+        val q = graft.streaming.Streaming.versionedSink(stream, root, "orders-feed")
+        try q.processAllAvailable() finally q.stop()
+        val converged = graft.io.VersionedTable.latestVersion(root).get
+        val replayed = graft.io.VersionedTable.commit(
+          rd(s, dir, "orders").limit(1), root, "append", "orders-feed-b0")
+        val noop = replayed <= converged &&
+          graft.io.VersionedTable.latestVersion(root).contains(converged)
+        graft.io.VersionedTable.changesBetween(s, root, fromVersion = 0L, toVersion = converged)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("replay_noop", lit(noop))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "TRUE AS replay_noop " +
+        "FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 1 ORDER BY 1")),
 
     // Custom streaming state (flatMapGroupsWithState) oracle-checked: the
     // per-key running count/min/max session state, drained to completion —

@@ -152,6 +152,24 @@ object Streaming {
       }
       .start()
 
+  /** ST: stream → versioned-table sink with EXACTLY-ONCE appends. foreachBatch
+    * is at-least-once (a batch replays after a crash between sink write and
+    * checkpoint commit); deriving the commitId from the deterministic batchId
+    * turns the replay into VersionedTable.commit's idempotent-retry no-op —
+    * the log gains exactly one version per batch no matter how many times the
+    * batch fires. Downstream consumers then use
+    * [[graft.io.VersionedTable.changesBetween]] to read each committed batch
+    * exactly once — the two ends compose into an exactly-once pipeline over
+    * a plain-Parquet table, no external transaction service.
+    */
+  def versionedSink(rows: DataFrame, root: String,
+                    streamId: String): org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.io.VersionedTable.commit(batch.toDF(), root, "append", s"$streamId-b$id"): Unit
+      }
+      .start()
+
   /** ST: per-micro-batch distribution-drift monitor — the foreachBatch
     * production idiom: every micro-batch is scored against the SAME static
     * reference profile with the exact integer TVD of

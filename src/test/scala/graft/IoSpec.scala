@@ -196,6 +196,76 @@ class IoSpec extends SparkSpec {
     assert(rowsAfter == rowsBefore, "compaction must not change the code set")
   }
 
+  test("VersionedTable: commit/append/overwrite with time travel, snapshot isolation") {
+    import spark.implicits._
+    val root = tmpDir("vt")
+    val v1 = VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root, "overwrite", "c1")
+    assert(v1 == 1L)
+    // pin a v1 snapshot BEFORE later commits; it must be stable across them
+    val snap1 = VersionedTable.read(spark, root)
+    val v2 = VersionedTable.commit(Seq((3L, "c")).toDF("id", "s"), root, "append", "c2")
+    val v3 = VersionedTable.commit(Seq((9L, "z")).toDF("id", "s"), root, "overwrite", "c3")
+    assert((v2, v3) == (2L, 3L))
+    assert(snap1.count() == 2, "reader snapshot must be isolated from later commits")
+    assert(VersionedTable.read(spark, root, Some(1L)).count() == 2)
+    assert(VersionedTable.read(spark, root, Some(2L)).count() == 3)
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq == Seq(9L))
+    intercept[RuntimeException](VersionedTable.read(spark, root, Some(7L)))
+  }
+
+  test("VersionedTable: idempotent retry, orphan data invisible, OCC loser retries to next slot") {
+    import spark.implicits._
+    val root = tmpDir("vt_occ")
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "s"), root, "overwrite", "c1")
+    // retry with the same commitId: no-op, same version, log unchanged
+    val again = VersionedTable.commit(Seq((999L, "x")).toDF("id", "s"), root, "overwrite", "c1")
+    assert(again == 1L && VersionedTable.history(root).size == 1)
+    // crashed commit = data dir with no manifest -> readers never see it
+    Seq((42L, "orphan")).toDF("id", "s").write.parquet(s"$root/data/0000000099-crashed")
+    assert(VersionedTable.read(spark, root).count() == 1)
+    // OCC: steal the v2 manifest slot; a committer targeting v2 must land on v3
+    val stolen = java.nio.file.Paths.get(root, "_commits", "v0000000002.json")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(root, "_commits", "v0000000001.json"), stolen)
+    val v = VersionedTable.commit(Seq((2L, "b")).toDF("id", "s"), root, "append", "c2")
+    assert(v == 3L, s"loser must retry into the next free slot, got $v")
+    assert(VersionedTable.read(spark, root).count() == 2)
+  }
+
+  test("VersionedTable: rollback restores old content; vacuum reclaims only unreferenced dirs") {
+    import spark.implicits._
+    val root = tmpDir("vt_vac")
+    VersionedTable.commit(Seq((1L, "good"), (2L, "good")).toDF("id", "s"), root, "overwrite", "c1")
+    VersionedTable.commit(Seq((3L, "bad")).toDF("id", "s"), root, "overwrite", "c2")
+    val v3 = VersionedTable.rollback(root, 1L, "restore")
+    assert(v3 == 3L)
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    // orphan from a simulated crash, plus v2's now-dead dir, must both go;
+    // v1's dir survives because the retained v3 manifest references it
+    Seq((7L, "orphan")).toDF("id", "s").write.parquet(s"$root/data/0000000050-crashed")
+    val deleted = VersionedTable.vacuum(root, retainLast = 1)
+    assert(deleted.size == 2, s"expected dead v2 dir + orphan, got $deleted")
+    assert(VersionedTable.read(spark, root).count() == 2, "latest must survive vacuum")
+    assert(VersionedTable.history(root).map(_.version) == Seq(3L), "old manifests dropped")
+    // time travel to a vacuumed version now fails loudly, not partially
+    intercept[RuntimeException](VersionedTable.read(spark, root, Some(2L)))
+  }
+
+  test("VersionedTable.changesBetween: append-only deltas; overwrite-crossing range fails loudly") {
+    import spark.implicits._
+    val root = tmpDir("vt_cdc")
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "s"), root, "overwrite", "c1")
+    VersionedTable.commit(Seq((2L, "b")).toDF("id", "s"), root, "append", "c2")
+    VersionedTable.commit(Seq((3L, "c")).toDF("id", "s"), root, "append", "c3")
+    // (1, 3] = exactly the two appended rows; (0, 3] = everything
+    assert(VersionedTable.changesBetween(spark, root, 1L, 3L)
+      .collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    assert(VersionedTable.changesBetween(spark, root, 0L, 3L).count() == 3)
+    intercept[IllegalArgumentException](VersionedTable.changesBetween(spark, root, 3L, 3L))
+    // an overwrite removes dirs -> a range crossing it is not a valid delta
+    VersionedTable.commit(Seq((9L, "z")).toDF("id", "s"), root, "overwrite", "c4")
+    intercept[IllegalArgumentException](VersionedTable.changesBetween(spark, root, 2L, 4L))
+  }
+
   test("LocalParquetStore: recreate + appendBatch + extractToParquet") {
     import spark.implicits._
     val store = new LocalParquetStore(tmpDir("store"))
