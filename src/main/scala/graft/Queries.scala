@@ -581,6 +581,45 @@ object Queries {
       Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
         "FROM orders WHERE o_orderkey % 4 IN (1, 2) GROUP BY 1 ORDER BY 1")),
 
+    // S8+ — manifest-level data skipping (Iceberg-style): four appends of
+    // key-range-disjoint slices with per-dir min/max stats gathered from the
+    // parquet footers at commit time, then a range read that must plan ONLY
+    // the one overlapping commit dir (dirs_scanned=1 of dirs_total=4 — the
+    // pruning itself is driver-visible, not just the row values). The
+    // residual filter is always applied, so the aggregate stays correct even
+    // if stats were absent; the constants are what prove the skip happened.
+    Q("versioned_pruned_scan",
+      (s, dir) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_prune"
+        rmrf(root)
+        val o = rd(s, dir, "orders")
+        // bounded scalar probe: one max() to derive the four value bands
+        val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+        val (q1, q2, q3) = (mx / 4, mx / 2, 3 * mx / 4)
+        val bands = Seq(
+          ("b1", col("o_orderkey") <= q1),
+          ("b2", col("o_orderkey") > q1 && col("o_orderkey") <= q2),
+          ("b3", col("o_orderkey") > q2 && col("o_orderkey") <= q3),
+          ("b4", col("o_orderkey") > q3))
+        bands.foreach { case (id, pred) =>
+          graft.io.VersionedTable.commit(o.filter(pred), root, "append", s"prune-$id",
+            statsCols = Seq("o_orderkey"))
+        }
+        val kept = graft.io.VersionedTable.planRange(root, "o_orderkey", q1 + 1, q2)
+        val total = graft.io.VersionedTable.history(root).last.dirs.size
+        graft.io.VersionedTable.readRange(s, root, "o_orderkey", q1 + 1, q2)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("dirs_scanned", lit(kept.size.toLong))
+          .withColumn("dirs_total", lit(total.toLong))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(1 AS BIGINT) AS dirs_scanned, CAST(4 AS BIGINT) AS dirs_total FROM orders " +
+        "WHERE o_orderkey > (SELECT max(o_orderkey) // 4 FROM orders) " +
+        "AND o_orderkey <= (SELECT max(o_orderkey) // 2 FROM orders) " +
+        "GROUP BY 1 ORDER BY 1")),
+
     // P1 — IN-list filter (etl-vini-azure.py:78).
     Q("p1_filter_in",
       (s, dir) => Relational.inFilter(rd(s, dir, "orders"), "o_orderpriority",

@@ -60,7 +60,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VersionedTable {
 
-  final case class Commit(version: Long, commitId: String, mode: String, dirs: Seq[String])
+  /** `stats`: per-dir min/max of integer columns, gathered at commit time —
+    * the manifest-level data-skipping index (Iceberg-style). Keyed
+    * dir → column → (min, max). Dirs without an entry are never skipped.
+    */
+  final case class Commit(version: Long, commitId: String, mode: String, dirs: Seq[String],
+                          stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -75,6 +80,17 @@ object VersionedTable {
     m.put("commitId", c.commitId)
     m.put("mode", c.mode)
     m.put("dirs", c.dirs.asJava)
+    if (c.stats.nonEmpty) {
+      val sm = new java.util.LinkedHashMap[String, Object]()
+      c.stats.toSeq.sortBy(_._1).foreach { case (dir, cols) =>
+        val cm = new java.util.LinkedHashMap[String, Object]()
+        cols.toSeq.sortBy(_._1).foreach { case (cName, (mn, mx)) =>
+          cm.put(cName, Seq(java.lang.Long.valueOf(mn), java.lang.Long.valueOf(mx)).asJava)
+        }
+        sm.put(dir, cm)
+      }
+      m.put("stats", sm)
+    }
     mapper.writeValueAsString(m)
   }
 
@@ -86,8 +102,15 @@ object VersionedTable {
   private def readManifest(p: java.nio.file.Path): Commit = {
     val n = mapper.readTree(Files.readString(p))
     val v = p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong
+    val stats = Option(n.get("stats")).map { sn =>
+      sn.properties().asScala.map { e =>
+        e.getKey -> e.getValue.properties().asScala.map { ce =>
+          ce.getKey -> (ce.getValue.get(0).asLong(), ce.getValue.get(1).asLong())
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, (Long, Long)]])
     Commit(v, n.get("commitId").asText(), n.get("mode").asText(),
-      n.get("dirs").elements().asScala.map(_.asText()).toSeq)
+      n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats)
   }
 
   /** Atomically publish manifest `c` into version slot `v`: write the full
@@ -127,8 +150,15 @@ object VersionedTable {
     * Returns the committed version (or the existing one if `commitId` was
     * already committed — idempotent retry). Safe under concurrent committers
     * via the hard-link put-if-absent; the loser re-reads the log and retries.
+    *
+    * `statsCols` names integer (long/int) columns whose per-dir min/max go
+    * into the manifest as a data-skipping index for [[readRange]]. Stats are
+    * gathered AFTER the write by re-aggregating the written dir with parquet
+    * aggregate pushdown enabled — min/max come from file footers, O(#files)
+    * not O(rows), and the upstream plan is never computed twice.
     */
-  def commit(df: DataFrame, root: String, mode: String, commitId: String): Long = {
+  def commit(df: DataFrame, root: String, mode: String, commitId: String,
+             statsCols: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     history(root).find(_.commitId == commitId) match {
       case Some(prior) => prior.version // retry of a committed write: no-op
@@ -139,6 +169,7 @@ object VersionedTable {
         val nextV = history(root).lastOption.map(_.version + 1).getOrElse(1L)
         val dirName = f"data/$nextV%010d-$commitId"
         df.write.mode("overwrite").parquet(s"$root/$dirName")
+        val dirStats = gatherStats(df.sparkSession, s"$root/$dirName", statsCols)
         // manifest second, with OCC retry on the version slot
         var committed = -1L
         while (committed < 0) {
@@ -147,14 +178,86 @@ object VersionedTable {
             committed = parent.get.version // another retry of us won
           } else {
             val v = parent.map(_.version + 1).getOrElse(1L)
-            val dirs = mode match {
-              case "overwrite" => Seq(dirName)
-              case "append"    => parent.map(_.dirs).getOrElse(Nil) :+ dirName
+            val (dirs, inherited) = mode match {
+              case "overwrite" => (Seq(dirName), Map.empty[String, Map[String, (Long, Long)]])
+              case "append" =>
+                (parent.map(_.dirs).getOrElse(Nil) :+ dirName,
+                  parent.map(_.stats).getOrElse(Map.empty))
             }
-            if (publishIfAbsent(root, v, Commit(v, commitId, mode, dirs))) committed = v
+            val stats = if (dirStats.isEmpty) inherited else inherited + (dirName -> dirStats)
+            if (publishIfAbsent(root, v, Commit(v, commitId, mode, dirs, stats))) committed = v
           }
         }
         committed
+    }
+  }
+
+  /** Per-dir min/max of `statsCols` from the freshly-written parquet footers
+    * (aggregate pushdown: a min/max-only agg over a bare scan is answered
+    * from footer statistics). Integer columns only — integer ordering is
+    * unambiguous across engines; anything else fails loudly.
+    */
+  private def gatherStats(spark: SparkSession, dir: String,
+                          statsCols: Seq[String]): Map[String, (Long, Long)] = {
+    if (statsCols.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val key = "spark.sql.parquet.aggregatePushdown"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try {
+      val scan = spark.read.parquet(dir)
+      statsCols.foreach { c =>
+        scan.schema(c).dataType match {
+          case LongType | IntegerType => ()
+          case other => sys.error(s"statsCols restricted to integer columns; $c is $other")
+        }
+      }
+      if (scan.isEmpty) Map.empty // empty batch: no stats, dir never skipped
+      else {
+        val aggs = statsCols.flatMap(c => Seq(
+          min(col(c).cast(LongType)).as(s"mn_$c"), max(col(c).cast(LongType)).as(s"mx_$c")))
+        val row = scan.agg(aggs.head, aggs.tail: _*).head()
+        statsCols.zipWithIndex.map { case (c, i) =>
+          c -> (row.getLong(2 * i), row.getLong(2 * i + 1))
+        }.toMap
+      }
+    } finally spark.conf.set(key, prev)
+  }
+
+  /** Data-skipping range read: rows of the snapshot with `lo <= colName <= hi`,
+    * scanning ONLY the dirs whose manifest min/max overlaps the range (dirs
+    * without stats are scanned — skipping is an optimization, never a filter).
+    * On a time/id-ordered append-grown table this is the access path that
+    * stays O(matching commits) instead of O(table): the manifest prunes at
+    * the COMMIT granularity before Spark's own footer pruning sees a file.
+    * The residual predicate is still applied, so correctness never depends
+    * on the stats.
+    */
+  def readRange(spark: SparkSession, root: String, colName: String, lo: Long, hi: Long,
+                asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val kept = planRange(root, colName, lo, hi, asOf)
+    val all = read(spark, root, asOf) // also validates the snapshot
+    val pred = col(colName) >= lo && col(colName) <= hi
+    if (kept.isEmpty) all.limit(0).filter(pred)
+    else spark.read.parquet(kept.map(d => s"$root/$d"): _*).filter(pred)
+  }
+
+  /** The dirs [[readRange]] would scan: snapshot dirs whose [min, max] for
+    * `colName` overlaps [lo, hi], plus all dirs lacking stats for it.
+    */
+  def planRange(root: String, colName: String, lo: Long, hi: Long,
+                asOf: Option[Long] = None): Seq[String] = {
+    val log = history(root)
+    require(log.nonEmpty, s"no commits at $root")
+    val c = asOf.fold(log.last)(v =>
+      log.find(_.version == v).getOrElse(sys.error(s"version $v not in log at $root")))
+    c.dirs.filter { d =>
+      c.stats.get(d).flatMap(_.get(colName)) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None           => true // no stats: conservatively scan
+      }
     }
   }
 
@@ -220,7 +323,7 @@ object VersionedTable {
         while (committed < 0) {
           val parent = history(root).last
           val v = parent.version + 1
-          if (publishIfAbsent(root, v, Commit(v, commitId, "rollback", target.dirs)))
+          if (publishIfAbsent(root, v, Commit(v, commitId, "rollback", target.dirs, target.stats)))
             committed = v
         }
         committed

@@ -266,6 +266,31 @@ class IoSpec extends SparkSpec {
     intercept[IllegalArgumentException](VersionedTable.changesBetween(spark, root, 2L, 4L))
   }
 
+  test("VersionedTable.readRange: manifest min/max skips non-overlapping dirs, keeps stat-less ones") {
+    import spark.implicits._
+    val root = tmpDir("vt_stats")
+    VersionedTable.commit(Seq((1L, "a"), (5L, "b")).toDF("id", "s"), root, "append", "c1",
+      statsCols = Seq("id"))
+    VersionedTable.commit(Seq((10L, "c"), (15L, "d")).toDF("id", "s"), root, "append", "c2",
+      statsCols = Seq("id"))
+    VersionedTable.commit(Seq((20L, "e")).toDF("id", "s"), root, "append", "c3") // no stats
+    // [4, 6] overlaps c1 only among stat-carrying dirs; c3 kept conservatively
+    val kept = VersionedTable.planRange(root, "id", 4L, 6L)
+    assert(kept.size == 2 && kept.exists(_.contains("c1")) && kept.exists(_.contains("c3")),
+      s"expected c1 (overlap) + c3 (no stats), got $kept")
+    assert(VersionedTable.readRange(spark, root, "id", 4L, 6L)
+      .collect().map(_.getLong(0)).toSeq == Seq(5L), "residual filter still applies")
+    // a range hitting nothing plans only the stat-less dir and returns empty
+    assert(VersionedTable.planRange(root, "id", 100L, 200L).size == 1)
+    assert(VersionedTable.readRange(spark, root, "id", 100L, 200L).count() == 0)
+    // rollback carries the skipping index with it
+    VersionedTable.rollback(root, 2L, "restore")
+    assert(VersionedTable.planRange(root, "id", 11L, 14L).size == 1)
+    // non-integer stats column fails loudly at commit time
+    intercept[RuntimeException](VersionedTable.commit(
+      Seq((30L, "f")).toDF("id", "s"), root, "append", "c4", statsCols = Seq("s")))
+  }
+
   test("LocalParquetStore: recreate + appendBatch + extractToParquet") {
     import spark.implicits._
     val store = new LocalParquetStore(tmpDir("store"))
