@@ -2368,6 +2368,40 @@ object Queries {
           |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    // X3 — n-gram LM quality scoring (TextAnalysis.lmSurprise): the
+    // CCNet/KenLM perplexity-filter idea with an integer-exact surprise
+    // (bit-length of the inverse add-one-smoothed bigram probability) so the
+    // score replays bit-for-bit in any engine. Reference model = doc_id < 150;
+    // every doc scored, <2-token docs surface as zeros. surprise_sum/n_big is
+    // the mean bits-per-bigram ≈ log2-perplexity a curation filter thresholds.
+    Q("x3_lm_score",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        TextAnalysis.lmSurprise(docs, docs.filter(col("doc_id") < 150), "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some("""WITH rt AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id < 150),
+        |cb AS (SELECT bigram, count(*) AS cb FROM (
+        |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram FROM rt)
+        |  GROUP BY 1),
+        |cu AS (SELECT w1, count(*) AS cu FROM (SELECT unnest(t) AS w1 FROM rt) GROUP BY 1),
+        |vs AS (SELECT count(*) AS vsize FROM cu),
+        |dt AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
+        |db AS (SELECT doc_id,
+        |  unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram FROM dt),
+        |j AS (SELECT d.doc_id,
+        |  (COALESCE(cu.cu, 0) + vs.vsize) // (COALESCE(cb.cb, 0) + 1) AS ratio
+        |  FROM db d
+        |  LEFT JOIN cb ON cb.bigram = d.bigram
+        |  LEFT JOIN cu ON cu.w1 = string_split(d.bigram, ' ')[1]
+        |  CROSS JOIN vs),
+        |sc AS (SELECT doc_id, count(*) AS n_big,
+        |  sum(length(printf('%b', ratio)) - 1) AS surprise_sum FROM j GROUP BY 1)
+        |SELECT doc_id, CAST(COALESCE(sc.n_big, 0) AS BIGINT) AS n_big,
+        |  CAST(COALESCE(sc.surprise_sum, 0) AS BIGINT) AS surprise_sum
+        |FROM documents LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin)),
+
     // X3 — marker-based language ID (oracle-checkable form; the char-n-gram
     // scorer is langIdNgram, covered by ScalaTest).
     Q("x3_lang_id",

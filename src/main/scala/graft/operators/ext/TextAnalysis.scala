@@ -130,6 +130,53 @@ object TextAnalysis {
         count(when(col("in_vocab").isNull, 1)).as("n_oov"))
   }
 
+  /** X3: n-gram language-model quality scoring — the CCNet/KenLM idea (score
+    * documents by how surprising their text is under a model built from a
+    * trusted reference corpus; fluent text scores low, gibberish and OCR
+    * noise score high), made engine-portable by replacing float log-probs
+    * with an INTEGER surprise: for each document bigram (w1 w2),
+    *
+    *   ratio    = (c_ref(w1) + V) div (c_ref(w1 w2) + 1)   — add-one smoothing
+    *   surprise = floor(log2(ratio)) = bitlength(ratio) - 1
+    *
+    * i.e. the integer bit-length of the inverse smoothed conditional
+    * P(w2 | w1). Per document we emit the bigram count and the surprise sum
+    * (sum/count = mean bits-per-bigram ≈ log2-perplexity). Everything is
+    * exact integer arithmetic, so any engine agrees bit-for-bit.
+    *
+    * 100 TB shape: the model is two aggregates over the REFERENCE corpus
+    * (bigram counts, unigram counts — map-side combined, shuffle bounded by
+    * distinct n-grams); scoring joins the exploded document bigrams to the
+    * model shuffle-hash on the n-gram key — the model can be corpus-sized,
+    * so it is NEVER broadcast; only the single-row vocabulary count crosses
+    * as a broadcast scalar. Docs with < 2 tokens surface with zero counts
+    * rather than vanishing.
+    */
+  def lmSurprise(docs: DataFrame, ref: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.functions.ArrayOps.register(docs.sparkSession)
+    val cb = ref.select(expr(s"word_ngrams($textCol, 2)"))
+      .groupBy(col("ngram").as("bigram")).agg(count(lit(1)).as("cb"))
+    val cu = ref.select(explode(expr(toks(textCol))).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("cu"))
+    val vsize = cu.agg(count(lit(1)).as("vsize")) // one row: |V| of the reference
+    val db = docs.select(col(idCol).as("doc_id"), expr(s"word_ngrams($textCol, 2)"))
+      .select(col("doc_id"), col("ngram").as("bigram"),
+        expr("split(ngram, ' ')[0]").as("w1"))
+    val scored = db
+      .join(cb.hint("shuffle_hash"), Seq("bigram"), "left")
+      .join(cu.hint("shuffle_hash"), Seq("w1"), "left")
+      .crossJoin(broadcast(vsize))
+      .withColumn("ratio",
+        expr("(coalesce(cu, 0L) + vsize) div (coalesce(cb, 0L) + 1)"))
+      .withColumn("surprise", (length(bin(col("ratio"))) - 1).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_big"), sum(col("surprise")).as("surprise_sum"))
+    docs.select(col(idCol).as("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("surprise_sum"), lit(0L)).as("surprise_sum"))
+  }
+
   /** Exact document fingerprint: md5 (portable across engines). */
   def fingerprintMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol).as("doc_id"), md5(col(textCol)).as("fp"))

@@ -180,6 +180,23 @@ class TextMultimodalSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 3L), (1L, 4L, 1L), (2L, 4L, 1L)))
   }
 
+  test("lmSurprise: hand-checked integer surprise; fluent text scores below unseen text") {
+    import spark.implicits._
+    // reference: "a b" x3 and "a c" x1 -> c(a)=4, c(b)=3, c(c)=1, V=3
+    // bigram counts: c("a b")=3, c("a c")=1
+    val ref = Seq((1L, "a b"), (2L, "a b"), (3L, "a b"), (4L, "a c")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "a b"),  // seen often: ratio=(4+3) div (3+1)=1 -> surprise 0
+      (11L, "a c"),  // seen once:  ratio=(4+3) div (1+1)=3 -> surprise 1
+      (12L, "a z"),  // unseen w2:  ratio=(4+3) div (0+1)=7 -> surprise 2
+      (13L, "z q"),  // unseen w1:  ratio=(0+3) div (0+1)=3 -> surprise 1
+      (14L, "solo")  // <2 tokens -> zeros, not dropped
+    ).toDF("doc_id", "text")
+    val got = graft.operators.ext.TextAnalysis.lmSurprise(docs, ref, "doc_id", "text")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((10L, 1L, 0L), (11L, 1L, 1L), (12L, 1L, 2L), (13L, 1L, 1L), (14L, 0L, 0L)))
+  }
+
   test("word_ngrams rejects non-positive n at analysis time") {
     import spark.implicits._
     graft.functions.ArrayOps.register(spark)
