@@ -312,6 +312,20 @@ class PlanSpec extends SparkSpec {
       s"rerank must stay keyed:\n${p.take(2000)}")
   }
 
+  test("x3_lm_score joins the LM model shuffle-hash; only the vocab scalar broadcasts") {
+    val p = plan("x3_lm_score")
+    // bigram + unigram model joins: both corpus-sized at 100 TB (distinct
+    // n-grams of the reference), so both must stay shuffle-hash
+    val shj = "ShuffledHashJoin".r.findAllIn(p).length
+    assert(shj >= 2,
+      s"expected >=2 ShuffledHashJoin (bigram + unigram model joins), got $shj:\n${p.take(3000)}")
+    // the one-row vocabulary count is the only frame allowed to broadcast
+    val bcastLoops = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bcastLoops <= 1,
+      s"only the single-row vocab frame may cross as a broadcast scalar:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), s"all-pairs form leaked in:\n${p.take(3000)}")
+  }
+
   test("a6_percentile avoids the percentile() map aggregate (sort-based window form)") {
     val p = plan("a6_percentile")
     assert(!p.toLowerCase.contains("percentile"),
