@@ -161,14 +161,23 @@ object Streaming {
     * [[graft.io.VersionedTable.changesBetween]] to read each committed batch
     * exactly once — the two ends compose into an exactly-once pipeline over
     * a plain-Parquet table, no external transaction service.
+    *
+    * The (streamId, checkpoint) pair is a unit: batchIds are assigned by the
+    * checkpoint, so restarting FROM the checkpoint replays with the same ids
+    * (idempotent), while pointing a FRESH checkpoint at the same streamId
+    * would reuse ids for different data — operator error by contract.
     */
-  def versionedSink(rows: DataFrame, root: String,
-                    streamId: String): org.apache.spark.sql.streaming.StreamingQuery =
-    rows.writeStream
+  def versionedSink(rows: DataFrame, root: String, streamId: String,
+                    checkpoint: Option[String] = None,
+                    availableNow: Boolean = false): org.apache.spark.sql.streaming.StreamingQuery = {
+    var w = rows.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         graft.io.VersionedTable.commit(batch.toDF(), root, "append", s"$streamId-b$id"): Unit
       }
-      .start()
+    checkpoint.foreach(c => w = w.option("checkpointLocation", c))
+    if (availableNow) w = w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    w.start()
+  }
 
   /** ST: per-micro-batch distribution-drift monitor — the foreachBatch
     * production idiom: every micro-batch is scored against the SAME static

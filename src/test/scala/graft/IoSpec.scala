@@ -291,6 +291,32 @@ class IoSpec extends SparkSpec {
       Seq((30L, "f")).toDF("id", "s"), root, "append", "c4", statsCols = Seq("s")))
   }
 
+  test("VersionedTable: racing committers all land, every version slot distinct, no append lost") {
+    import spark.implicits._
+    val root = tmpDir("vt_race")
+    val perWriter = 8
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { w =>
+      new Thread(() => {
+        try {
+          (0 until perWriter).foreach { i =>
+            VersionedTable.commit(Seq((w * 100L + i, s"w$w")).toDF("id", "s"),
+              root, "append", s"w$w-c$i")
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"committer threw: ${errs.peek()}")
+    val log = VersionedTable.history(root)
+    // hard-link put-if-absent: every commit won exactly one slot, versions
+    // are the contiguous range, and no append's rows were dropped by a race
+    assert(log.map(_.version) == (1L to 2L * perWriter), s"slots: ${log.map(_.version)}")
+    assert(log.map(_.commitId).distinct.size == 2 * perWriter)
+    assert(log.last.dirs.size == 2 * perWriter, "final snapshot must reference every append")
+    assert(VersionedTable.read(spark, root).count() == 2L * perWriter)
+  }
+
   test("LocalParquetStore: recreate + appendBatch + extractToParquet") {
     import spark.implicits._
     val store = new LocalParquetStore(tmpDir("store"))

@@ -166,6 +166,36 @@ class StreamingSpec extends SparkSpec {
     assert(rows.sorted == Seq(("ADAUSDT", "2.00"), ("BTCUSDT", "10.00"), ("ETHUSDT", "5.00")))
   }
 
+  test("versionedSink restart: checkpointed batchIds keep the commit log exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    val src = TestSpark.tmpDir("vs-src")
+    val root = TestSpark.tmpDir("vs-root")
+    val ckpt = TestSpark.tmpDir("vs-ckpt")
+    val schema = StructType.fromDDL("id bigint, s string")
+    def runOnce(): Unit = {
+      val rows = spark.readStream.schema(schema).parquet(src)
+      val q = Streaming.versionedSink(rows, root, "feed", Some(ckpt), availableNow = true)
+      q.awaitTermination()
+    }
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s").write.mode("append").parquet(src)
+    runOnce()
+    assert(graft.io.VersionedTable.latestVersion(root).contains(1L))
+    // restart with NO new data: the committed offsets say batch 0 is done,
+    // so the log must not advance (no spurious empty or duplicate commit)
+    runOnce()
+    assert(graft.io.VersionedTable.latestVersion(root).contains(1L),
+      "restart without new data must not advance the log")
+    Seq((3L, "c")).toDF("id", "s").write.mode("append").parquet(src)
+    runOnce()
+    assert(graft.io.VersionedTable.latestVersion(root).contains(2L))
+    // a crash-replay of batch 1 (same checkpoint-assigned id) is a no-op
+    graft.io.VersionedTable.commit(Seq((99L, "dup")).toDF("id", "s"), root, "append", "feed-b1")
+    assert(graft.io.VersionedTable.latestVersion(root).contains(2L))
+    assert(graft.io.VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSet
+      == Set(1L, 2L, 3L), "each source row lands exactly once")
+  }
+
   test("sessionize maintains per-symbol running count and price envelope") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
