@@ -3084,6 +3084,25 @@ object Queries {
       // dimensions, not just the per-row self-consistency booleans
       Some("SELECT 200 AS n_docs, true AS all_ok, true AS dims_ok")),
 
+    // X4 — REAL audio decode (Multimodal.WavDecoder over javax.sound): the
+    // audio twin of x4_real_decode. Executor-synthesized 16-bit mono PCM WAVs
+    // roundtrip through an actual RIFF/PCM parse; PCM is lossless, so decoded
+    // sample counts and absolute-amplitude sums match the rendered integers
+    // exactly. sum of (256 + id % 128) over ids 0..199 = 61884 pins the real
+    // decoded lengths; payload bytes never reach an exchange (one map-side
+    // pass, only the final scalar aggregate shuffles).
+    Q("x4_real_audio",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents").filter(col("doc_id") < 200)
+        val media = Multimodal.renderWavs(docs, "doc_id")
+        Multimodal.decodeVerifyWav(media, Multimodal.WavDecoder)
+          .agg(count(lit(1)).as("n_docs"), expr("bool_and(ok)").as("all_ok"),
+            sum(col("n_samples").cast("long")).as("sum_samples"))
+          .select(col("n_docs"), col("all_ok"),
+            (col("sum_samples") === lit(61884L)).as("len_ok"))
+      },
+      Some("SELECT 200 AS n_docs, true AS all_ok, true AS len_ok")),
+
     // X4 — resize plumbing for image-like payloads: deterministic byte-stride
     // downsample (STUB for a real resample — no image libs offline), then the
     // resized artifact is RE-DECODED through the same codec path, so the

@@ -131,6 +131,96 @@ object Multimodal {
     }.toDF("doc_id", "mime", "payload", "exp_width", "exp_height", "exp_features")
   }
 
+  /** Audio-side codec seam, mirroring [[MediaCodec]]: decode an audio
+    * container to exact integer features (sample count + sum of absolute
+    * amplitudes — both integers, so any engine agrees bit-for-bit).
+    */
+  trait AudioCodec extends Serializable {
+    def decode(id: Long, payload: Array[Byte]): (Int, Long)
+  }
+
+  /** REAL WAV decoding via javax.sound.sampled (headless JDK, no external
+    * libs): parses the RIFF/fmt chunks, streams the PCM frames, and
+    * reassembles signed 16-bit little-endian samples. PCM is lossless, so
+    * decoded samples equal the rendered ones exactly.
+    */
+  object WavDecoder extends AudioCodec {
+    def decode(id: Long, payload: Array[Byte]): (Int, Long) = {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+          s"doc $id: expected 16-bit mono LE PCM, got $fmt")
+        val bytes = in.readAllBytes()
+        val n = bytes.length / 2
+        var sumAbs = 0L
+        var i = 0
+        while (i < n) {
+          val s = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff)).toShort
+          sumAbs += math.abs(s.toLong)
+          i += 1
+        }
+        (n, sumAbs)
+      } finally in.close()
+    }
+  }
+
+  /** Deterministic WAV fixture generator (the audio twin of [[renderPngs]]):
+    * per doc id, synthesizes 16-bit mono PCM whose length and every sample
+    * are integer functions of the id, encodes REAL WAV bytes with
+    * javax.sound, and carries the expected sample count and absolute-sum
+    * computed from the source samples before encoding. mapPartitions on
+    * executors — the fixture scales with the corpus.
+    */
+  def renderWavs(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = 256 + (id % 128).toInt
+        val samples = new Array[Short](n)
+        var sumAbs = 0L
+        var i = 0
+        while (i < n) {
+          val s = (((id * 31 + i.toLong * i * 7) % 65536) - 32768).toShort
+          samples(i) = s
+          sumAbs += math.abs(s.toLong)
+          i += 1
+        }
+        val pcm = new Array[Byte](n * 2)
+        i = 0
+        while (i < n) { // little-endian signed 16-bit
+          pcm(2 * i) = (samples(i) & 0xff).toByte
+          pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (id, "audio/wav", bos.toByteArray, n, sumAbs)
+      }
+    }.toDF("doc_id", "mime", "payload", "exp_samples", "exp_sum_abs")
+  }
+
+  /** One-map-side-pass decode verification for audio payloads (same
+    * payload-never-shuffles shape as [[decodeVerify]]).
+    */
+  def decodeVerifyWav(media: DataFrame, codec: AudioCodec): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"), col("exp_samples"), col("exp_sum_abs"))
+      .mapPartitions { rows =>
+        rows.map { r: Row =>
+          val (n, sumAbs) = codec.decode(r.getLong(0), r.getAs[Array[Byte]](1))
+          (r.getLong(0), n, sumAbs, n == r.getInt(2) && sumAbs == r.getLong(3))
+        }
+      }.toDF("doc_id", "n_samples", "sum_abs", "ok")
+  }
+
   /** Decode-roundtrip verification in ONE map-side pass: each row's payload
     * is decoded by `codec` and compared against the expected dimensions and
     * features carried in the same row — so payload bytes live and die inside

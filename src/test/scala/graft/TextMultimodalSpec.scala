@@ -180,6 +180,17 @@ class TextMultimodalSpec extends SparkSpec {
     assert(pairs == Seq((1L, 2L, 3L), (1L, 4L, 1L), (2L, 4L, 1L)))
   }
 
+  test("renderWavs + decodeVerifyWav: synthesized PCM roundtrips through the real WAV parser") {
+    import spark.implicits._
+    val out = Multimodal.decodeVerifyWav(
+      Multimodal.renderWavs(Seq(0L, 1L, 127L, 200L).toDF("doc_id"), "doc_id"),
+      Multimodal.WavDecoder).collect()
+    assert(out.length == 4 && out.forall(_.getAs[Boolean]("ok")))
+    val byId = out.map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // length is an integer function of the id; PCM lossless so decode is exact
+    assert(byId(127L) == 256 + 127 && byId(200L) == 256 + 200 % 128)
+  }
+
   test("lmSurprise: hand-checked integer surprise; fluent text scores below unseen text") {
     import spark.implicits._
     // reference: "a b" x3 and "a c" x1 -> c(a)=4, c(b)=3, c(c)=1, V=3
