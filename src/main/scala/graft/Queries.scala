@@ -1693,6 +1693,30 @@ object Queries {
         |SELECT e.v AS value, e.exact_cnt, est.cm_est FROM exact e JOIN est ON e.v = est.v
         |ORDER BY exact_cnt DESC, value""".stripMargin)),
 
+    // A14 — KMV quantile sketch (Sketches.kmvQuantile): bottom-k-by-md5
+    // uniform sample of the distinct value domain answers quantiles without
+    // a global sort (distinct agg + TakeOrderedAndProject heaps vs a6's full
+    // sorted window). The hash order makes the sample partition-independent,
+    // so estimate AND exact replay bit-for-bit; integer ceil ranks keep
+    // floats out of the comparison surface entirely.
+    Q("a14_kmv_quantile",
+      (s, dir) => Sketches.kmvQuantile(
+          rd(s, dir, "orders").select(floor(col("o_totalprice")).as("price")),
+          "price", 500, Seq((1, 4), (2, 4), (3, 4), (9, 10)))
+        .orderBy("q_num", "q_den"),
+      Some("""WITH domain AS (SELECT DISTINCT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders),
+        |q AS (SELECT * FROM (VALUES (1, 4), (2, 4), (3, 4), (9, 10)) t(q_num, q_den)),
+        |s AS (SELECT v FROM domain ORDER BY md5(CAST(v AS VARCHAR)), v LIMIT 500),
+        |sr AS (SELECT v, row_number() OVER (ORDER BY v) AS rk,
+        |  (SELECT count(*) FROM s) AS sn FROM s),
+        |er AS (SELECT v, row_number() OVER (ORDER BY v) AS erk,
+        |  (SELECT count(*) FROM domain) AS en FROM domain)
+        |SELECT q.q_num, q.q_den, sr.v AS est, er.v AS exact
+        |FROM q
+        |JOIN sr ON sr.rk = (sr.sn * q.q_num + q.q_den - 1) // q.q_den
+        |JOIN er ON er.erk = (er.en * q.q_num + q.q_den - 1) // q.q_den
+        |ORDER BY q_num, q_den""".stripMargin)),
+
     // J10 — bloom-filter join pruning: a 4096-bit / 3-hash bloom built from
     // the BUILDING customer keys filters the orders probe side WITHOUT
     // shuffling it (each lookup is a broadcast join against the 128-word

@@ -41,6 +41,46 @@ object Sketches {
       .groupBy("bucket").agg(max("rank").as("max_rank"))
   }
 
+  /** KMV (bottom-k by hash) quantile sketch over the DISTINCT value domain:
+    * keep the k values with the smallest md5 hash — a deterministic uniform
+    * sample of the distinct domain, because md5 order is independent of value
+    * order — then answer quantile q with the ceil(q·|sample|)-th order
+    * statistic of the sampled VALUES. Emits (q_num, q_den, est, exact) so the
+    * estimate ships next to the exact answer and the driver gate sees both.
+    *
+    * Why this shape scales where exact percentiles don't: exact needs a
+    * total sort (or a percentile map-aggregate holding every distinct value);
+    * the sketch is one distinct aggregate (map-side combined, shuffle bounded
+    * by distinct values) + a bottom-k TakeOrderedAndProject (per-partition
+    * heaps, no global sort) + an O(k) driver-free window over k rows. The
+    * bottom-k-of-hash merge is commutative and idempotent, so the result is
+    * INDEPENDENT of partitioning — replayable bit-for-bit in any engine,
+    * unlike sample-based sketches keyed on row order.
+    */
+  def kmvQuantile(df: DataFrame, valueCol: String, k: Int,
+                  quantiles: Seq[(Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val domain = df.select(col(valueCol).cast("long").as("v")).distinct()
+    val sample = domain.orderBy(md5(col("v").cast("string")), col("v")).limit(k)
+    val ranked = sample
+      .withColumn("rk", row_number().over(Window.orderBy("v")).cast("long"))
+      .crossJoin(broadcast(sample.agg(count(lit(1)).as("sn"))))
+    val exact = domain
+      .withColumn("erk", row_number().over(Window.orderBy("v")).cast("long"))
+      .crossJoin(broadcast(domain.agg(count(lit(1)).as("en"))))
+    val qdf = quantiles.toDF("q_num", "q_den")
+    // integer ceil(a*q) = (a*num + den - 1) div den — no float enters the rank
+    broadcast(qdf)
+      .join(ranked, expr("rk = (sn * q_num + q_den - 1) div q_den"))
+      .select(col("q_num"), col("q_den"), col("v").as("est"))
+      .join(broadcast(qdf)
+        .join(exact, expr("erk = (en * q_num + q_den - 1) div q_den"))
+        .select(col("q_num"), col("q_den"), col("v").as("exact")),
+        Seq("q_num", "q_den"))
+  }
+
   /** Scalar HLL estimate alongside the exact distinct count. The estimate is
     * emitted as floor(est * 10^4) — an integer, so no float rendering enters
     * the comparison surface. alphaM for m=64 is the standard 0.709.

@@ -28,6 +28,26 @@ class SketchTimeSeriesSpec extends SparkSpec {
     assert(hh.head.getLong(2) == hh.head.getLong(1))
   }
 
+  test("kmvQuantile: exact column is the true quantile; estimate is partition-independent") {
+    import spark.implicits._
+    val vals = (1L to 100L)
+    val df1 = vals.toDF("x").repartition(1)
+    val df7 = vals.toDF("x").repartition(7)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.ext.Sketches.kmvQuantile(df, "x", 20, Seq((1, 2), (9, 10)))
+        .orderBy("q_num", "q_den")
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    val a = run(df1)
+    // bottom-k-of-hash merge is commutative: layout must not change the result
+    assert(a == run(df7), "sketch must be partition-independent")
+    // exact side: ceil-rank order statistics of 1..100
+    assert(a.map(t => (t._1, t._2, t._4)) == Seq((1, 2, 50L), (9, 10, 90L)))
+    // estimate is a real member of the domain, and the sample median of a
+    // uniform 20-sample of 1..100 lands in the middle half
+    val est50 = a.head._3
+    assert(vals.contains(est50) && est50 >= 25 && est50 <= 75, s"p50 estimate $est50")
+  }
+
   test("bloom: every member passes (no false negatives), non-members mostly rejected") {
     import spark.implicits._
     val members = (1 to 200).map(i => s"k$i").toDF("k")
