@@ -581,6 +581,45 @@ object Queries {
       Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
         "FROM orders WHERE o_orderkey % 4 IN (1, 2) GROUP BY 1 ORDER BY 1")),
 
+    // S16+S17 — row-level CDC ACROSS AN OVERWRITE: changesBetween refuses
+    // overwrite-crossing ranges by design (a dir-difference delta would lie);
+    // the correct tool there is the fingerprint snapshotDiff of the two
+    // version READS — composing the versioned store with S16 closes the CDC
+    // story for every commit type. v1 and an overwritten v2 (drops, edits,
+    // adds) diff into added/removed/changed rows; the oracle rebuilds both
+    // logical snapshots from the raw table.
+    Q("versioned_diff",
+      (s, dir) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_diff"
+        rmrf(root)
+        val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 0), root, "overwrite", "d-v1")
+        val v2 = o.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 5 =!= 0)
+          .withColumn("o_totalprice",
+            when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1).otherwise(col("o_totalprice")))
+          .unionByName(o.filter(col("o_orderkey") % 3 === 1 && col("o_orderkey") < 3000))
+        graft.io.VersionedTable.commit(v2, root, "overwrite", "d-v2")
+        Relational.snapshotDiff(
+            graft.io.VersionedTable.read(s, root, asOf = Some(1L)),
+            graft.io.VersionedTable.read(s, root, asOf = Some(2L)),
+            Seq("o_orderkey"), Seq("o_orderpriority", "o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH a AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+        |b AS (SELECT o_orderkey, o_orderpriority,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+        |  UNION ALL SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey < 3000)
+        |SELECT o_orderkey,
+        |  CASE WHEN a.o_orderpriority IS NULL THEN 'added'
+        |    WHEN b.o_orderpriority IS NULL THEN 'removed'
+        |    WHEN a.o_orderpriority <> b.o_orderpriority OR a.o_totalprice <> b.o_totalprice THEN 'changed' END AS change
+        |FROM a FULL OUTER JOIN b USING (o_orderkey)
+        |WHERE a.o_orderpriority IS NULL OR b.o_orderpriority IS NULL
+        |  OR a.o_orderpriority <> b.o_orderpriority OR a.o_totalprice <> b.o_totalprice
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // S8+ — manifest-level data skipping (Iceberg-style): four appends of
     // key-range-disjoint slices with per-dir min/max stats gathered from the
     // parquet footers at commit time, then a range read that must plan ONLY

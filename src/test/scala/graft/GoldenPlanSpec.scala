@@ -54,7 +54,8 @@ class GoldenPlanSpec extends SparkSpec {
     "x6_cluster_split" -> "SortMergeJoin=1, Exchange hashpartitioning=2, Exchange rangepartitioning=1",
     "x2_ann_pq_recall" -> "BroadcastNestedLoopJoin=1, BroadcastHashJoin=7, ShuffledHashJoin=1, SortMergeJoin=2, BroadcastExchange=8, Exchange hashpartitioning=13, Exchange SinglePartition=2, HashAggregate=12, WindowGroupLimit=8, Window=6, TakeOrderedAndProject=2",
     "x2_ann_binary_rerank" -> "BroadcastNestedLoopJoin=1, ShuffledHashJoin=2, BroadcastExchange=1, Exchange hashpartitioning=5, Exchange rangepartitioning=1, WindowGroupLimit=4, Window=2",
-    "x2_ann_pq_incremental" -> "BroadcastHashJoin=5, BroadcastExchange=5, Exchange hashpartitioning=4, Exchange rangepartitioning=1, HashAggregate=8, WindowGroupLimit=2, Window=2, TakeOrderedAndProject=1, Generate=4")
+    "x2_ann_pq_incremental" -> "BroadcastHashJoin=5, BroadcastExchange=5, Exchange hashpartitioning=4, Exchange rangepartitioning=1, HashAggregate=8, WindowGroupLimit=2, Window=2, TakeOrderedAndProject=1, Generate=4",
+    "x3_lm_score" -> "BroadcastNestedLoopJoin=1, BroadcastHashJoin=1, ShuffledHashJoin=2, BroadcastExchange=2, Exchange hashpartitioning=6, Exchange rangepartitioning=1, Exchange SinglePartition=1, HashAggregate=10, Generate=4")
 
   test("plan fingerprints of the heaviest batch queries match the committed goldens") {
     val actual = golden.keys.toSeq.sorted.map(n => n -> fingerprint(n))
