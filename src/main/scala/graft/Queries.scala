@@ -581,6 +581,28 @@ object Queries {
       Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
         "FROM orders WHERE o_orderkey % 4 IN (1, 2) GROUP BY 1 ORDER BY 1")),
 
+    // S8+S17 — PARTITIONED versioned commits (the reference's gold layout —
+    // hive-partitioned Delta — under the commit log): each commit dir carries
+    // its own year-style hive layout, the snapshot read recovers the
+    // partition column and PRUNES on it per dir (IoSpec plan-asserts the
+    // PartitionFilters), and appends must match their parent's layout. The
+    // oracle recomputes the partition-filtered aggregate from the raw table.
+    Q("versioned_partitioned",
+      (s, dir) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_part"
+        rmrf(root)
+        val o = rd(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+        graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0), root,
+          "overwrite", "p-v1", partitionCols = Seq("o_orderstatus"))
+        graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1), root,
+          "append", "p-v2", partitionCols = Seq("o_orderstatus"))
+        graft.io.VersionedTable.read(s, root)
+          .filter(col("o_orderstatus") === "O")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+      },
+      Some("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
+        "FROM orders WHERE o_orderstatus = 'O'")),
+
     // S16+S17 — row-level CDC ACROSS AN OVERWRITE: changesBetween refuses
     // overwrite-crossing ranges by design (a dir-difference delta would lie);
     // the correct tool there is the fingerprint snapshotDiff of the two

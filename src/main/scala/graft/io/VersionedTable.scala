@@ -63,9 +63,13 @@ object VersionedTable {
   /** `stats`: per-dir min/max of integer columns, gathered at commit time —
     * the manifest-level data-skipping index (Iceberg-style). Keyed
     * dir → column → (min, max). Dirs without an entry are never skipped.
+    * `partitionCols`: hive partition layout of every data dir in this
+    * snapshot (uniform across a snapshot by construction — appends must
+    * match their parent's layout).
     */
   final case class Commit(version: Long, commitId: String, mode: String, dirs: Seq[String],
-                          stats: Map[String, Map[String, (Long, Long)]] = Map.empty)
+                          stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+                          partitionCols: Seq[String] = Nil)
 
   private val mapper = new ObjectMapper()
 
@@ -91,6 +95,7 @@ object VersionedTable {
       }
       m.put("stats", sm)
     }
+    if (c.partitionCols.nonEmpty) m.put("partitionCols", c.partitionCols.asJava)
     mapper.writeValueAsString(m)
   }
 
@@ -109,8 +114,10 @@ object VersionedTable {
         }.toMap
       }.toMap
     }.getOrElse(Map.empty[String, Map[String, (Long, Long)]])
+    val pcols = Option(n.get("partitionCols"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     Commit(v, n.get("commitId").asText(), n.get("mode").asText(),
-      n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats)
+      n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, pcols)
   }
 
   /** Atomically publish manifest `c` into version slot `v`: write the full
@@ -158,7 +165,7 @@ object VersionedTable {
     * not O(rows), and the upstream plan is never computed twice.
     */
   def commit(df: DataFrame, root: String, mode: String, commitId: String,
-             statsCols: Seq[String] = Nil): Long = {
+             statsCols: Seq[String] = Nil, partitionCols: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     history(root).find(_.commitId == commitId) match {
       case Some(prior) => prior.version // retry of a committed write: no-op
@@ -168,7 +175,9 @@ object VersionedTable {
         // only needs uniqueness (commitId), the version prefix is a hint
         val nextV = history(root).lastOption.map(_.version + 1).getOrElse(1L)
         val dirName = f"data/$nextV%010d-$commitId"
-        df.write.mode("overwrite").parquet(s"$root/$dirName")
+        var w = df.write.mode("overwrite")
+        if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
+        w.parquet(s"$root/$dirName")
         val dirStats = gatherStats(df.sparkSession, s"$root/$dirName", statsCols)
         // manifest second, with OCC retry on the version slot
         var committed = -1L
@@ -177,6 +186,11 @@ object VersionedTable {
           if (parent.exists(_.commitId == commitId)) {
             committed = parent.get.version // another retry of us won
           } else {
+            // a snapshot's dirs must share one hive layout — readers union
+            // per-dir scans, and a layout mix would silently widen schemas
+            parent.filter(_ => mode == "append").foreach(p =>
+              require(p.partitionCols == partitionCols,
+                s"append layout $partitionCols != parent's ${p.partitionCols}"))
             val v = parent.map(_.version + 1).getOrElse(1L)
             val (dirs, inherited) = mode match {
               case "overwrite" => (Seq(dirName), Map.empty[String, Map[String, (Long, Long)]])
@@ -185,7 +199,8 @@ object VersionedTable {
                   parent.map(_.stats).getOrElse(Map.empty))
             }
             val stats = if (dirStats.isEmpty) inherited else inherited + (dirName -> dirStats)
-            if (publishIfAbsent(root, v, Commit(v, commitId, mode, dirs, stats))) committed = v
+            if (publishIfAbsent(root, v,
+                Commit(v, commitId, mode, dirs, stats, partitionCols))) committed = v
           }
         }
         committed
@@ -240,8 +255,10 @@ object VersionedTable {
     val kept = planRange(root, colName, lo, hi, asOf)
     val all = read(spark, root, asOf) // also validates the snapshot
     val pred = col(colName) >= lo && col(colName) <= hi
+    val log = history(root)
+    val layout = asOf.fold(log.last)(v => log.find(_.version == v).get).partitionCols
     if (kept.isEmpty) all.limit(0).filter(pred)
-    else spark.read.parquet(kept.map(d => s"$root/$d"): _*).filter(pred)
+    else scanDirs(spark, kept.map(d => s"$root/$d"), layout).filter(pred)
   }
 
   /** The dirs [[readRange]] would scan: snapshot dirs whose [min, max] for
@@ -275,8 +292,18 @@ object VersionedTable {
     val dirs = c.dirs.map(d => s"$root/$d")
     dirs.foreach(d => require(new File(d).isDirectory,
       s"snapshot v${c.version} references vacuumed dir $d"))
-    spark.read.parquet(dirs: _*)
+    scanDirs(spark, dirs, c.partitionCols)
   }
+
+  /** Scan commit dirs under the snapshot's layout: flat dirs go through one
+    * multi-path scan; hive-partitioned dirs are each their own layout root,
+    * so per-dir scans recover the partition columns (and prune on them) and
+    * the union keeps one schema.
+    */
+  private def scanDirs(spark: SparkSession, dirs: Seq[String],
+                       partitionCols: Seq[String]): DataFrame =
+    if (partitionCols.isEmpty) spark.read.parquet(dirs: _*)
+    else dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
 
   /** Incremental (CDC-style) read: exactly the rows ADDED after `fromVersion`
     * up to and including `toVersion` — the data dirs in `toVersion`'s
@@ -304,8 +331,9 @@ object VersionedTable {
     val added = to.filterNot(from.contains).map(d => s"$root/$d")
     added.foreach(d => require(new File(d).isDirectory,
       s"incremental range references vacuumed dir $d"))
-    if (added.isEmpty) spark.read.parquet(s"$root/${to.head}").limit(0)
-    else spark.read.parquet(added: _*)
+    val layout = log.find(_.version == toVersion).get.partitionCols
+    if (added.isEmpty) scanDirs(spark, Seq(s"$root/${to.head}"), layout).limit(0)
+    else scanDirs(spark, added, layout)
   }
 
   /** History-preserving rollback (Delta RESTORE semantics): commits a NEW
@@ -323,7 +351,8 @@ object VersionedTable {
         while (committed < 0) {
           val parent = history(root).last
           val v = parent.version + 1
-          if (publishIfAbsent(root, v, Commit(v, commitId, "rollback", target.dirs, target.stats)))
+          if (publishIfAbsent(root, v, Commit(v, commitId, "rollback", target.dirs,
+              target.stats, target.partitionCols)))
             committed = v
         }
         committed

@@ -317,6 +317,25 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 2L * perWriter)
   }
 
+  test("VersionedTable: partitioned commits recover partition columns and prune on them") {
+    import spark.implicits._
+    val root = tmpDir("vt_part")
+    VersionedTable.commit(Seq((1L, 2022, "a"), (2L, 2023, "b")).toDF("id", "year", "s"),
+      root, "overwrite", "c1", partitionCols = Seq("year"))
+    VersionedTable.commit(Seq((3L, 2023, "c")).toDF("id", "year", "s"),
+      root, "append", "c2", partitionCols = Seq("year"))
+    val snap = VersionedTable.read(spark, root)
+    assert(snap.columns.toSet == Set("id", "year", "s"), "partition column recovered")
+    val pruned = snap.filter(col("year") === 2023)
+    assert(pruned.collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [isnotnull(year"),
+      s"year predicate must prune hive partitions, not filter rows:\n${plan.take(1500)}")
+    // a layout change mid-snapshot would silently widen schemas: refuse it
+    intercept[IllegalArgumentException](VersionedTable.commit(
+      Seq((4L, 2024, "d")).toDF("id", "year", "s"), root, "append", "c3"))
+  }
+
   test("LocalParquetStore: recreate + appendBatch + extractToParquet") {
     import spark.implicits._
     val store = new LocalParquetStore(tmpDir("store"))
