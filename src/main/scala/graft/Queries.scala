@@ -2453,6 +2453,37 @@ object Queries {
           |FROM documents ORDER BY doc_id""".stripMargin
       }),
 
+    // X2 — fuzzy entity matching (Similarity.fuzzyLookup): dirty strings
+    // resolved against a canonical catalog under edit distance <= 1 with the
+    // PassJoin partition blocking (pigeonhole on 2 segments + shift windows
+    // — an EQUI-join on near-unique segment keys, no all-pairs, no recall
+    // loss) and thresholded-levenshtein verify. Probes are deterministic
+    // single-char deletions of part names ANYWHERE in the string — the
+    // oracle is the naive all-pairs formulation, so the blocking's
+    // losslessness is machine-checked every run.
+    Q("x2_fuzzy_join",
+      (s, dir) => {
+        val parts = rd(s, dir, "part").select("p_partkey", "p_name")
+        val m = "cast(p_partkey % length(p_name) as int)"
+        val probes = parts.select(col("p_partkey").as("pid"),
+          expr(s"concat(substring(p_name, 1, $m), substring(p_name, $m + 2))").as("dirty"))
+        Similarity.fuzzyLookup(probes, parts, "pid", "dirty", "p_partkey", "p_name",
+            maxDist = 1)
+          .orderBy("probe_id")
+      },
+      Some("""WITH pr AS (SELECT p_partkey AS pid,
+        |  substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER)) ||
+        |  substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2) AS dirty
+        |  FROM part),
+        |j AS (SELECT pr.pid AS probe_id, pr.dirty AS probe, c.p_partkey AS match_id,
+        |    c.p_name AS name, CAST(levenshtein(pr.dirty, c.p_name) AS INTEGER) AS dist
+        |  FROM pr CROSS JOIN part c
+        |  WHERE abs(length(pr.dirty) - length(c.p_name)) <= 1
+        |    AND levenshtein(pr.dirty, c.p_name) <= 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY dist, name, match_id) AS rk FROM j)
+        |SELECT probe_id, probe, match_id, name, dist FROM r WHERE rk = 1
+        |ORDER BY probe_id""".stripMargin)),
+
     // X3 — n-gram LM quality scoring (TextAnalysis.lmSurprise): the
     // CCNet/KenLM perplexity-filter idea with an integer-exact surprise
     // (bit-length of the inverse add-one-smoothed bigram probability) so the

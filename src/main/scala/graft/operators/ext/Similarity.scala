@@ -647,6 +647,81 @@ object Similarity {
     * nlist vectors by id), making the whole operator oracle-checkable; with
     * trainIters > 0 the same pipeline runs on seeded-KMeans centroids.
     */
+  /** X2: fuzzy entity matching — resolve dirty strings against a canonical
+    * catalog under a bounded edit distance (the typo/OCR/transliteration
+    * record-linkage op every entity pipeline needs), with NO recall loss.
+    *
+    * Blocking is the PassJoin partition scheme (Li, Deng, Feng — VLDB 2011):
+    * each catalog string splits into `maxDist + 1` segments; by pigeonhole,
+    * any pair within distance τ shares at least one segment EXACTLY, at a
+    * probe position shifted by at most τ. So the candidate join is a plain
+    * EQUI-join on (target length, segment index, segment text) — segment
+    * keys are near-unique (≥ len/(τ+1) chars), which keeps buckets tiny even
+    * when naive prefixes collide (name vocabularies cluster hard on their
+    * first words). Probes emit (2τ+1)² · (τ+1) keys — constant per row.
+    * Survivors dedup to (probe, candidate) pairs and pay one THRESHOLDED
+    * `levenshtein(probe, name, τ)`: the banded DP early-exits at
+    * O(τ·len) instead of O(len²). Each probe keeps its best match
+    * (min distance, then name, then id — a total order, engine-portable).
+    *
+    * Both sides first collapse to DISTINCT strings: real catalogs duplicate
+    * names heavily (this fixture: 64 names over 20 k rows), and pairing
+    * duplicates multiplies candidate volume by the duplication SQUARED for
+    * zero information. The (dist, name, id) tie-break makes min(id) per name
+    * the exact representative, so matching distinct strings and re-attaching
+    * probe ids by string is semantics-preserving — and candidate volume
+    * becomes a function of distinct-name collisions only, independent of
+    * catalog duplication.
+    *
+    * 100 TB shape: distinct aggregates (map-side combined) + one shuffle on
+    * the segment key for each side + one string-keyed re-attach join; no
+    * broadcast of either corpus-sized side, no all-pairs anywhere.
+    */
+  def fuzzyLookup(probes: DataFrame, catalog: DataFrame, probeId: String,
+                  probeCol: String, catalogId: String, catalogCol: String,
+                  maxDist: Int): DataFrame = {
+    val k = maxDist + 1
+    // catalog: one key per segment — (L, i, seg) with the even-split bounds
+    // p_i = (L·i) div k, l_i = (L·(i+1)) div k − p_i
+    val c = catalog.select(col(catalogId).as("match_id"), col(catalogCol).as("name"))
+      .groupBy("name").agg(min("match_id").as("match_id"))
+    val cKeys = c.select(col("match_id"), col("name"),
+        explode(expr(
+          s"""transform(sequence(0, $maxDist), i -> struct(
+             |  length(name) as L, i as i,
+             |  substring(name, (length(name) * i) div $k + 1,
+             |    (length(name) * (i + 1)) div $k - (length(name) * i) div $k) as seg))""".stripMargin))
+          .as("k"))
+      .select(col("match_id"), col("name"), col("k.L"), col("k.i"), col("k.seg"))
+    // probe: for every target length L within ±τ and every segment index,
+    // the probe substring at the segment's position shifted by d ∈ [-τ, τ]
+    val pAll = probes.select(col(probeId).as("probe_id"), col(probeCol).as("probe"))
+    val p = pAll.select("probe").distinct()
+    val pKeys = p.select(col("probe"),
+        explode(expr(
+          s"""flatten(flatten(
+             |transform(sequence(-$maxDist, $maxDist), dl ->
+             |  transform(sequence(0, $maxDist), i ->
+             |    transform(sequence(-$maxDist, $maxDist), d -> struct(
+             |      length(probe) + dl as L, i as i,
+             |      substring(probe,
+             |        ((length(probe) + dl) * i) div $k + 1 + d,
+             |        ((length(probe) + dl) * (i + 1)) div $k - ((length(probe) + dl) * i) div $k) as seg))))))""".stripMargin))
+          .as("k"))
+      .select(col("probe"), col("k.L"), col("k.i"), col("k.seg"))
+      .filter(length(col("seg")) === expr(s"(L * (i + 1)) div $k - (L * i) div $k"))
+    val best = pKeys.hint("shuffle_hash").join(cKeys, Seq("L", "i", "seg"))
+      .select("probe", "match_id", "name").distinct()
+      .withColumn("dist", expr(s"levenshtein(probe, name, $maxDist)"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("probe").orderBy(col("dist"), col("name"), col("match_id"))))
+      .filter(col("rk") === 1)
+      .select("probe", "match_id", "name", "dist")
+    pAll.hint("shuffle_hash").join(best, Seq("probe"))
+      .select("probe_id", "probe", "match_id", "name", "dist")
+  }
+
   def semanticDedup(emb: DataFrame, nlist: Int, minCos: java.math.BigDecimal,
                     trainIters: Int = 0): DataFrame = {
     val assigned = assignCells(emb, nlist, trainIters)

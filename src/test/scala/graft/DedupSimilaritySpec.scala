@@ -431,6 +431,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"clusterSplit added a shuffle:\n$p")
   }
 
+  test("fuzzyLookup: PassJoin blocking finds every dist<=1 match, wherever the edit lands") {
+    import spark.implicits._
+    val catalog = Seq((1L, "golden spring"), (2L, "golden sprint"), (3L, "silver spring"))
+      .toDF("id", "name")
+    val probes = Seq(
+      (10L, "golden sprng"),  // deletion in the SECOND half
+      (11L, "ilver spring"),  // deletion of the FIRST char (kills any prefix block)
+      (12L, "golden sprin"),  // dist 1 to BOTH golden entries: tie
+      (13L, "golden spring"), // exact
+      (14L, "quartz lamp")    // nothing within dist 1
+    ).toDF("id", "s")
+    val out = graft.operators.ext.Similarity.fuzzyLookup(
+      probes, catalog, "id", "s", "id", "name", maxDist = 1)
+    val got = out.collect().map(r => r.getLong(0) -> (r.getLong(2), r.getInt(4))).toMap
+    assert(got(10L) == (1L, 1))
+    assert(got(11L) == (3L, 1), "pigeonhole blocking must survive a first-char edit")
+    assert(got(12L) == (1L, 1), "tie at dist 1 resolves by (name, id) deterministically")
+    assert(got(13L) == (1L, 0))
+    assert(!got.contains(14L))
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(plan.contains("ShuffledHashJoin"),
+      s"segment-key join must be shuffle-hash:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy match must never go all-pairs:\n${plan.take(1200)}")
+  }
+
   test("float_dot raises on ragged arrays instead of silently truncating") {
     graft.functions.ArrayOps.register(spark)
     val df = embeddings((0L, Seq(1f, 2f)), (1L, Seq(1f, 2f, 3f)))
