@@ -2484,6 +2484,33 @@ object Queries {
         |SELECT probe_id, probe, match_id, name, dist FROM r WHERE rk = 1
         |ORDER BY probe_id""".stripMargin)),
 
+    // X2/X1 — fuzzy dedup pairs (Similarity.fuzzyDedupPairs): the self-join
+    // form of the PassJoin matcher — every unordered pair of distinct strings
+    // within edit distance 1 across a corpus of clean names + their typo'd
+    // variants, min-id representatives. The typo channel token-set LSH cannot
+    // see. Oracle = the naive all-pairs formulation over distinct strings, so
+    // the self-join blocking is proven lossless every run.
+    Q("x2_fuzzy_dedup",
+      (s, dir) => {
+        val parts = rd(s, dir, "part").select("p_partkey", "p_name")
+        val m = "cast(p_partkey % length(p_name) as int)"
+        val rows = parts.select(col("p_partkey").as("id"), col("p_name").as("s"))
+          .unionByName(parts.select((col("p_partkey") + 1000000L).as("id"),
+            expr(s"concat(substring(p_name, 1, $m), substring(p_name, $m + 2))").as("s")))
+        Similarity.fuzzyDedupPairs(rows, "id", "s", maxDist = 1)
+          .orderBy("s_a", "s_b")
+      },
+      Some("""WITH rows0 AS (SELECT p_partkey AS id, p_name AS s FROM part
+        |  UNION ALL SELECT p_partkey + 1000000,
+        |    substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER)) ||
+        |    substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2) FROM part),
+        |names AS (SELECT s, min(id) AS id FROM rows0 GROUP BY 1)
+        |SELECT a.id AS id_a, a.s AS s_a, b.id AS id_b, b.s AS s_b,
+        |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
+        |FROM names a JOIN names b ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1
+        |WHERE levenshtein(a.s, b.s) <= 1
+        |ORDER BY s_a, s_b""".stripMargin)),
+
     // X3 — n-gram LM quality scoring (TextAnalysis.lmSurprise): the
     // CCNet/KenLM perplexity-filter idea with an integer-exact surprise
     // (bit-length of the inverse add-one-smoothed bigram probability) so the

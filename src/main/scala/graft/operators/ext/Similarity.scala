@@ -722,6 +722,48 @@ object Similarity {
       .select("probe_id", "probe", "match_id", "name", "dist")
   }
 
+  /** X2/X1: fuzzy dedup PAIRS within one corpus — the self-join form of
+    * [[fuzzyLookup]] (same PassJoin blocking, same thresholded verify):
+    * every unordered pair of DISTINCT strings within edit distance `maxDist`,
+    * each string represented by its min id (the id-duplication collapse that
+    * keeps candidate volume independent of how many rows share a string).
+    * Feeds the X1 component machinery exactly like minhash pairs do — the
+    * typo-variant dedup channel LSH token sets cannot see (a one-char edit
+    * barely moves token-set Jaccard on short strings).
+    */
+  def fuzzyDedupPairs(rows: DataFrame, idCol: String, strCol: String,
+                      maxDist: Int): DataFrame = {
+    val k = maxDist + 1
+    val names = rows.select(col(idCol).as("id"), col(strCol).as("s"))
+      .groupBy("s").agg(min("id").as("id"))
+    val cKeys = names.select(col("id").as("id_b"), col("s").as("s_b"),
+        explode(expr(
+          s"""transform(sequence(0, $maxDist), i -> struct(
+             |  length(s) as L, i as i,
+             |  substring(s, (length(s) * i) div $k + 1,
+             |    (length(s) * (i + 1)) div $k - (length(s) * i) div $k) as seg))""".stripMargin))
+          .as("k"))
+      .select(col("id_b"), col("s_b"), col("k.L"), col("k.i"), col("k.seg"))
+    val pKeys = names.select(col("id").as("id_a"), col("s").as("s_a"),
+        explode(expr(
+          s"""flatten(flatten(
+             |transform(sequence(-$maxDist, $maxDist), dl ->
+             |  transform(sequence(0, $maxDist), i ->
+             |    transform(sequence(-$maxDist, $maxDist), d -> struct(
+             |      length(s) + dl as L, i as i,
+             |      substring(s,
+             |        ((length(s) + dl) * i) div $k + 1 + d,
+             |        ((length(s) + dl) * (i + 1)) div $k - ((length(s) + dl) * i) div $k) as seg))))))""".stripMargin))
+          .as("k"))
+      .select(col("id_a"), col("s_a"), col("k.L"), col("k.i"), col("k.seg"))
+      .filter(length(col("seg")) === expr(s"(L * (i + 1)) div $k - (L * i) div $k"))
+    pKeys.hint("shuffle_hash").join(cKeys, Seq("L", "i", "seg"))
+      .filter(col("s_a") < col("s_b")) // unordered pairs once, no self-match
+      .select("id_a", "s_a", "id_b", "s_b").distinct()
+      .withColumn("dist", expr(s"levenshtein(s_a, s_b, $maxDist)"))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
   def semanticDedup(emb: DataFrame, nlist: Int, minCos: java.math.BigDecimal,
                     trainIters: Int = 0): DataFrame = {
     val assigned = assignCells(emb, nlist, trainIters)
