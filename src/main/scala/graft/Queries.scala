@@ -2511,6 +2511,35 @@ object Queries {
         |WHERE levenshtein(a.s, b.s) <= 1
         |ORDER BY s_a, s_b""".stripMargin)),
 
+    // X3 — Unicode normalization (functions/TextNorm.scala, native codegen'd
+    // expressions): web corpora mix composed and decomposed forms of the same
+    // visible text, silently breaking exact dedup and fingerprints. NFC
+    // composition (nfc_normalize ↔ DuckDB nfc_normalize) and accent stripping
+    // (strip_accents ↔ DuckDB strip_accents) over a fixture that PREPENDS
+    // decomposed e-acute/u-umlaut/n-tilde to each doc — char lengths shrink
+    // under NFC (2 chars → 1 per mark) and the md5 of the composed bytes must
+    // agree across engines, proving byte-identical normalization.
+    Q("x3_normalize",
+      (s, dir) => {
+        graft.functions.ArrayOps.register(s)
+        rd(s, dir, "documents")
+          .select(col("doc_id"),
+            concat(lit("e\u0301 u\u0308 n\u0303 "), substring(col("text"), 1, 16)).as("raw"))
+          .select(col("doc_id"),
+            length(col("raw")).as("raw_len"),
+            length(expr("nfc_normalize(raw)")).as("nfc_len"),
+            md5(expr("nfc_normalize(raw)")).as("nfc_md5"),
+            expr("strip_accents(raw)").as("plain"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH r AS (SELECT doc_id,
+        |  'e' || chr(769) || ' u' || chr(776) || ' n' || chr(771) || ' ' || substr(text, 1, 16) AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(raw) AS INTEGER) AS raw_len,
+        |  CAST(length(nfc_normalize(raw)) AS INTEGER) AS nfc_len,
+        |  md5(nfc_normalize(raw)) AS nfc_md5, strip_accents(raw) AS plain
+        |FROM r ORDER BY doc_id""".stripMargin)),
+
     // X3 — n-gram LM quality scoring (TextAnalysis.lmSurprise): the
     // CCNet/KenLM perplexity-filter idea with an integer-exact surprise
     // (bit-length of the inverse add-one-smoothed bigram probability) so the

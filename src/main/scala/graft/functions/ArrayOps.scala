@@ -167,5 +167,9 @@ object ArrayOps {
       "char_ngrams", (exprs: Seq[Expression]) => CharNgrams(exprs(0), exprs(1)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "word_ngrams", (exprs: Seq[Expression]) => WordNgrams(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "nfc_normalize", (exprs: Seq[Expression]) => NfcNormalize(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "strip_accents", (exprs: Seq[Expression]) => StripAccents(exprs(0)), "built-in")
   }
 }

@@ -208,6 +208,22 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 1L, 0L), (11L, 1L, 1L), (12L, 1L, 2L), (13L, 1L, 1L), (14L, 0L, 0L)))
   }
 
+  test("nfc_normalize/strip_accents: composition shrinks decomposed marks, codegen == interpreted") {
+    import spark.implicits._
+    graft.functions.ArrayOps.register(spark)
+    // inputs DECOMPOSED (e + U+0301, u + U+0308); expectations COMPOSED
+    val df = Seq("e\u0301clair", "u\u0308ber", "plain").toDF("s")
+      .select(col("s"), expr("nfc_normalize(s)").as("n"), expr("strip_accents(s)").as("p"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    assert(rows(0)._2 == "\u00e9clair" && rows(0)._3 == "eclair")
+    assert(rows(1)._2 == "\u00fcber" && rows(1)._3 == "uber")
+    assert(rows(2)._2 == "plain" && rows(2)._3 == "plain")
+    // interpreted path (nullSafeEval) must agree with the codegen'd column
+    assert(graft.functions.StripAccents.strip("e\u0301clair") == "eclair")
+    // NFC is idempotent, and normalizing the composed form is the identity
+    assert(df.filter(expr("nfc_normalize(n) != n")).count() == 0)
+  }
+
   test("word_ngrams rejects non-positive n at analysis time") {
     import spark.implicits._
     graft.functions.ArrayOps.register(spark)
