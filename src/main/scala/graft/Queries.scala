@@ -1921,6 +1921,31 @@ object Queries {
         "(SELECT doc_id, lang, source, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) " +
         "WHERE rn = 1 ORDER BY doc_id")),
 
+    // X1+X3 — NORMALIZATION-AWARE exact dedup: composed and decomposed forms
+    // of the same visible text are different byte strings, so raw exact dedup
+    // keeps both — the canonical silent-dup class in web corpora. The corpus
+    // here is each doc twice: once with 'a'→'á' COMPOSED (U+00E1), once with
+    // 'a'→'a'+COMBINING ACUTE (U+0301); dedup keys on md5(nfc_normalize(text))
+    // and every pair must collapse to its min-id survivor (n_forms = 2 pins
+    // that both variants existed before the collapse).
+    Q("x1_dedup_normalized",
+      (s, dir) => {
+        graft.functions.ArrayOps.register(s)
+        val d = rd(s, dir, "documents").select("doc_id", "text")
+        val corpus = d.select(col("doc_id"),
+            translate(col("text"), "a", "\u00e1").as("text"))
+          .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
+            regexp_replace(col("text"), "a", "a\u0301").as("text")))
+        corpus.groupBy(md5(expr("nfc_normalize(text)")).as("fp"))
+          .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_forms"))
+          .select("survivor", "n_forms").orderBy("survivor")
+      },
+      Some("""WITH corpus AS (
+        |  SELECT doc_id, replace(text, 'a', chr(225)) AS text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, replace(text, 'a', 'a' || chr(769)) FROM documents)
+        |SELECT min(doc_id) AS survivor, count(*) AS n_forms FROM corpus
+        |GROUP BY md5(nfc_normalize(text)) ORDER BY survivor""".stripMargin)),
+
     // X1 — corpus-wide PARAGRAPH dedup (MassiveText-style sub-document
     // pass): 16-token blocks fingerprinted corpus-wide, only the first
     // occurrence of a repeated block survives, documents reassembled from
