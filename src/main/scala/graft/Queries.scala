@@ -1886,6 +1886,41 @@ object Queries {
         |SELECT doc_id, term, tf, score, rk FROM r WHERE rk <= 5 AND doc_id < 100
         |ORDER BY doc_id, rk""".stripMargin)),
 
+    // X3 — BM25 retrieval (the lexical leg of a modern retrieval stack):
+    // rank the corpus against 5 queries (first 8 tokens of docs 0-4) with
+    // integer-exact Okapi BM25 — idf = floor(log2(N/df)) via length(bin()),
+    // and with k1=1.2, b=0.75 the saturation term clears to the exact
+    // rational 22·tf·T/(10·tf·T + 3·T + 9·dl·N), milli-scaled before ONE
+    // floor division. No float anywhere, so the full ranking (not just the
+    // id set) hash-checks vs DuckDB.
+    Q("x3_bm25",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val queries = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            expr("array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 8), ' ')").as("qtext"))
+        TextAnalysis.bm25TopK(docs, queries, "doc_id", "text", "query_id", "qtext", 10)
+          .orderBy("query_id", "rk")
+      },
+      Some("""WITH dl AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl FROM documents),
+        |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        |qd AS (SELECT doc_id AS query_id, array_to_string((list_filter(string_split(text, ' '), x -> x <> ''))[1:8], ' ') AS qtext
+        |  FROM documents WHERE doc_id < 5),
+        |qt AS (SELECT DISTINCT query_id, unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS term FROM qd),
+        |post AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM post
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, f.doc_id,
+        |  CAST(CAST(22000 AS HUGEINT) * (length(printf('%b', n // df)) - 1) * f.tf * t
+        |    // (CAST(10 AS HUGEINT) * f.tf * t + CAST(3 AS HUGEINT) * t + CAST(9 AS HUGEINT) * dl.dl * n) AS BIGINT) AS s
+        |  FROM tf f JOIN dfreq USING (term) JOIN qt q USING (term)
+        |  JOIN dl ON f.doc_id = dl.doc_id CROSS JOIN tot),
+        |agg AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score FROM sc GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rk FROM agg)
+        |SELECT query_id, doc_id, score, rk FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     // X3 — document chunking (training/RAG window split): token windows of
     // 32 with stride 24 (8-token overlap), 1-indexed starts, final partial
     // window kept. Map-side only — chunking never shuffles. Output bounded
@@ -2886,6 +2921,64 @@ object Queries {
         |SELECT id_a, id_b, dot, rk FROM (SELECT id_a, id_b, dot,
         |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY dot DESC, id_b) AS INTEGER) AS rk FROM scored)
         |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
+
+    // X2 — HYBRID retrieval with reciprocal-rank fusion: dense leg = exact
+    // integer quantized-L2 top-20 over embeddings; lexical leg = BM25
+    // top-20 over documents (same query ids 0-4, self excluded on both
+    // legs); fused by micro-scaled integer RRF (1000000 div (60 + rank),
+    // Cormack & Clarke's k = 60). This is the production retrieval shape —
+    // two incommensurably-scored shortlists merged without score
+    // calibration — and every step is integer-exact, so the FUSED ranking
+    // (score, consensus count, and order) replays bit-identically in
+    // DuckDB. doc_id and vec_id share the fixture's id domain, which is
+    // what makes cross-modal fusion well-defined here.
+    Q("x2_hybrid_rrf",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val queries = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            expr("array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 8), ' ')").as("qtext"))
+        val lex = TextAnalysis
+          .bm25TopK(docs, queries, "doc_id", "text", "query_id", "qtext", 20, excludeSelf = true)
+          .select(col("query_id"), col("doc_id").as("cand_id"), col("rk"))
+        val dense = Similarity.quantizedL2TopK(rd(s, dir, "embeddings"), 20, 5)
+          .select(col("id_a").as("query_id"), col("id_b").as("cand_id"), col("rk"))
+        Similarity.rrfFuse(Seq(dense, lex), "query_id", "cand_id", "rk", 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH $duckQuantCtes,
+        |v AS (SELECT vec_id, list(CAST(qq AS DOUBLE) ORDER BY pos) AS qv FROM q GROUP BY vec_id),
+        |dsc AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+        |  CAST(list_dot_product(a.qv, a.qv) + list_dot_product(b.qv, b.qv) - 2 * list_dot_product(a.qv, b.qv) AS BIGINT) AS d
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id WHERE a.vec_id < 5),
+        |dense AS (SELECT query_id, cand_id, rk FROM (SELECT query_id, cand_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY d, cand_id) AS rk FROM dsc) WHERE rk <= 20),
+        |dl AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl FROM documents),
+        |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        |qd AS (SELECT doc_id AS query_id, array_to_string((list_filter(string_split(text, ' '), x -> x <> ''))[1:8], ' ') AS qtext
+        |  FROM documents WHERE doc_id < 5),
+        |qt AS (SELECT DISTINCT query_id, unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS term FROM qd),
+        |post AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM post
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, f.doc_id,
+        |  CAST(CAST(22000 AS HUGEINT) * (length(printf('%b', n // df)) - 1) * f.tf * t
+        |    // (CAST(10 AS HUGEINT) * f.tf * t + CAST(3 AS HUGEINT) * t + CAST(9 AS HUGEINT) * dl.dl * n) AS BIGINT) AS s
+        |  FROM tf f JOIN dfreq USING (term) JOIN qt q USING (term)
+        |  JOIN dl ON f.doc_id = dl.doc_id CROSS JOIN tot
+        |  WHERE f.doc_id <> q.query_id),
+        |lagg AS (SELECT query_id, doc_id AS cand_id, CAST(sum(s) AS BIGINT) AS score FROM sc GROUP BY 1, 2),
+        |lex AS (SELECT query_id, cand_id, rk FROM (SELECT query_id, cand_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rk FROM lagg) WHERE rk <= 20),
+        |u AS (SELECT query_id, cand_id, 1000000 // (60 + rk) AS c FROM dense
+        |  UNION ALL SELECT query_id, cand_id, 1000000 // (60 + rk) FROM lex),
+        |fused AS (SELECT query_id, cand_id, CAST(sum(c) AS BIGINT) AS rrf_score, count(*) AS n_legs
+        |  FROM u GROUP BY 1, 2),
+        |r AS (SELECT query_id, cand_id, rrf_score, n_legs,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, cand_id) AS INTEGER) AS rk FROM fused)
+        |SELECT query_id, cand_id, rrf_score, n_legs, rk FROM r WHERE rk <= 10
+        |ORDER BY query_id, rk""".stripMargin)),
 
     // X2 — BINARY quantization ANN: 1-bit-per-dimension signatures (8 bytes
     // per 64-dim vector, 32x under float32) via the exact integer mean test

@@ -957,4 +957,39 @@ object Similarity {
         Window.partitionBy(col("id_a")).orderBy(col("cos").desc, col("id_b"))))
       .filter(col("rk") <= k)
   }
+
+  /** X2: reciprocal-rank fusion — merge per-query rankings from
+    * heterogeneous retrieval legs (dense ANN, lexical BM25, any scored
+    * shortlist) into one ranking without comparing their incommensurable
+    * scores: each leg contributes 1/(kRrf + rank) per (query, candidate)
+    * and candidates are re-ranked by the summed contribution (Cormack &
+    * Clarke's RRF; kRrf = 60 is the published default). Integer-exact so
+    * the fused ranking hash-checks in any engine: contributions are
+    * micro-scaled floors 1000000 div (kRrf + rank) — distinct for every
+    * rank a real shortlist produces (the first collision needs ranks past
+    * 900, far beyond any top-k leg) — and the fused score is their exact
+    * integer sum. `n_legs` reports how many legs surfaced the candidate
+    * (consensus diagnostic; a 2-leg hit with modest ranks beats a 1-leg
+    * top hit, which is RRF's point).
+    *
+    * Each leg frame must carry (`qCol`, `idCol`, `rankCol`) with rank ≥ 1
+    * per query. Legs arrive already top-k-bounded (that is what a
+    * retrieval leg IS), so the union is #queries × Σ k_leg rows — one
+    * narrow groupBy + one per-query window; nothing here rescans a
+    * corpus. At 100 TB the legs dominate; fusion cost is noise.
+    */
+  def rrfFuse(legs: Seq[DataFrame], qCol: String, idCol: String,
+              rankCol: String, k: Int, kRrf: Int = 60): DataFrame = {
+    require(legs.nonEmpty, "rrfFuse needs at least one leg")
+    val contrib = legs.map { leg =>
+      leg.select(col(qCol).as("query_id"), col(idCol).as("cand_id"),
+        expr(s"1000000 div ($kRrf + $rankCol)").cast("long").as("c"))
+    }.reduce(_ unionByName _)
+    contrib.groupBy("query_id", "cand_id")
+      .agg(sum("c").as("rrf_score"), count(lit(1)).as("n_legs"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_score").desc, col("cand_id"))))
+      .filter(col("rk") <= k)
+  }
 }

@@ -221,6 +221,68 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rk"))
   }
 
+  /** X3: BM25 retrieval — rank the corpus against a (small) query set with
+    * the Okapi BM25 weighting, the lexical leg every modern retrieval stack
+    * still runs next to its dense index. Per (query, doc):
+    *
+    *   score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * made integer-exact so the ranking hash-checks in any engine (classic
+    * float BM25 cannot): idf quantizes to floor(log2(N/df)) via
+    * `length(bin(N div df)) − 1` (the [[tfIdfTopK]] trick — no libm), and
+    * with k1 = 1.2, b = 0.75 and avgdl = T/N the tf-saturation term clears
+    * to the exact rational 22·tf·T / (10·tf·T + 3·T + 9·dl·N), so each
+    * per-term contribution is the integer floor division
+    *
+    *   score_milli = (22000 · idf · tf · T) div (10·tf·T + 3·T + 9·dl·N)
+    *
+    * (milli-scaled before the floor so saturation granularity survives).
+    * Numerator products run in DECIMAL(38,0) — with T up to 10^14 corpus
+    * tokens the headroom holds; the quotient is a small BIGINT.
+    *
+    * `excludeSelf` drops doc_id = query_id pairs (for query sets derived
+    * from corpus documents, where self-retrieval is a tautology — the
+    * hybrid-fusion path needs the lexical leg to match the dense leg's
+    * self-exclusion).
+    *
+    * 100 TB shape: the query term set is broadcast and filters the exploded
+    * corpus BEFORE the (doc, term) aggregation, so the only corpus-scale
+    * shuffles carry query-term postings (tiny fraction of the corpus) and
+    * the per-doc length frame (two narrow longs, shuffle-hash join). df for
+    * the surviving terms is computed from the filtered postings — term
+    * filtering cannot change a term's own document frequency — and N, T are
+    * a 1-row broadcast. No full-vocabulary aggregate exists anywhere.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
+               textCol: String, qIdCol: String, qTextCol: String, k: Int,
+               excludeSelf: Boolean = false): DataFrame = {
+    val dl = docs.select(col(idCol).as("doc_id"),
+      expr(s"size(${toks(textCol)})").cast("long").as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))
+    val qt = queries
+      .select(col(qIdCol).as("query_id"), explode(expr(toks(qTextCol))).as("term"))
+      .distinct()
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(expr(toks(textCol))).as("term"))
+      .join(broadcast(qt.select("term").distinct()), Seq("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .join(broadcast(qt), Seq("term"))
+      .join(dl.hint("shuffle_hash"), Seq("doc_id"))
+      .crossJoin(broadcast(totals))
+      .withColumn("s", expr(
+        "cast(cast(22000 as decimal(38,0)) * (length(bin(n div df)) - 1) * tf * t" +
+          " div (cast(10 as decimal(38,0)) * tf * t + cast(3 as decimal(38,0)) * t" +
+          " + cast(9 as decimal(38,0)) * dl * n) as bigint)"))
+    val pairs = if (excludeSelf) scored.filter(col("query_id") =!= col("doc_id")) else scored
+    pairs.groupBy("query_id", "doc_id").agg(sum("s").as("score"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))))
+      .filter(col("rk") <= k)
+  }
+
   /** Document chunking for training/RAG pipelines: split each document into
     * token windows of `size` with `stride` (overlapping when stride < size).
     * Chunk starts are 1-indexed positions 1, 1+stride, 1+2·stride, ... and a

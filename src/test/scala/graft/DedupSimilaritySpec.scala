@@ -468,4 +468,64 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(chain(e).exists(c =>
       Option(c.getMessage).exists(_.contains("float_dot: array length mismatch"))))
   }
+
+  test("bm25TopK: term-matching doc outranks non-matching; rarity beats commonality; self excludable") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "rare gem rare gem shines"),
+      (1L, "common word common word common word common word"),
+      (2L, "rare gem"),
+      (3L, "common word here"),
+      (4L, "nothing relevant at all"),
+      (5L, "rare gem padding padding padding padding")
+    ).toDF("doc_id", "text")
+    // 'rare'/'gem' hit docs {0,2,5}; 'common'/'word' hit {1,3}
+    val queries = Seq((0L, "rare gem"), (1L, "common word")).toDF("query_id", "qtext")
+    val out = graft.operators.ext.TextAnalysis
+      .bm25TopK(docs, queries, "doc_id", "text", "query_id", "qtext", 3)
+    val byQ = out.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.sortBy(_.getInt(3)).map(r => r.getLong(1) -> r.getLong(2))).toMap
+    // query 0: exactly the matching docs, nothing irrelevant, scores positive
+    assert(byQ(0L).map(_._1).toSet == Set(0L, 2L, 5L))
+    assert(byQ(0L).forall(_._2 > 0))
+    // tf saturation: doc 0 (tf=2 per term) outranks both tf=1 docs — k1=1.2
+    // rewards the repeat, but sublinearly
+    assert(byQ(0L).head._1 == 0L, s"tf=2 doc must rank first: ${byQ(0L).toSeq}")
+    // length normalization: docs 2 and 5 tie on tf; the shorter must win
+    assert(byQ(0L).map(_._1).indexOf(2L) < byQ(0L).map(_._1).indexOf(5L),
+      s"equal-tf shorter doc must outrank longer: ${byQ(0L).toSeq}")
+    assert(byQ(1L).map(_._1).toSet == Set(1L, 3L))
+    // idf floor(log2(5/2)) = 1 for all four terms here; still no cross-talk
+    val self = graft.operators.ext.TextAnalysis
+      .bm25TopK(docs, queries, "doc_id", "text", "query_id", "qtext", 3, excludeSelf = true)
+      .collect()
+    assert(!self.exists(r => r.getLong(0) == r.getLong(1)),
+      "excludeSelf must drop query_id = doc_id pairs")
+    // scale shape: query-term filtering must reach the corpus via broadcast
+    // (never a shuffle of the full posting list against the query set)
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query-term filter must broadcast:\n${plan.take(1500)}")
+    // the only nested-loop join allowed is the 1-row totals scalar cross
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("rrfFuse: consensus candidate beats a single-leg top hit; integer contributions exact") {
+    import spark.implicits._
+    // leg A top: x (rank 1); leg B top: y (rank 1); z is rank 2 in BOTH.
+    // RRF(z) = 2*floor(1e6/62) = 32258 > RRF(x) = RRF(y) =
+    // floor(1e6/61) = 16393 — consensus wins, the defining RRF property.
+    val legA = Seq((0L, "x", 1), (0L, "z", 2), (0L, "w", 3)).toDF("query_id", "cand_id", "rk")
+    val legB = Seq((0L, "y", 1), (0L, "z", 2)).toDF("query_id", "cand_id", "rk")
+    val out = graft.operators.ext.Similarity
+      .rrfFuse(Seq(legA, legB), "query_id", "cand_id", "rk", 10)
+      .collect().sortBy(_.getInt(4))
+    assert(out.head.getString(1) == "z" && out.head.getLong(2) == 2L * (1000000L / 62),
+      s"consensus candidate must fuse to rank 1: ${out.toSeq}")
+    assert(out.head.getLong(3) == 2L, "n_legs must count contributing legs")
+    val xRow = out.find(_.getString(1) == "x").get
+    assert(xRow.getLong(2) == 1000000L / 61 && xRow.getLong(3) == 1L)
+    // deterministic tie-break between the two single-leg rank-1 hits
+    assert(out.map(_.getString(1)).take(3).toSeq == Seq("z", "x", "y"))
+  }
 }
