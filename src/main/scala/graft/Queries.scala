@@ -603,6 +603,30 @@ object Queries {
       Some("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
         "FROM orders WHERE o_orderstatus = 'O'")),
 
+    // S17 — OPTIMIZE-style compaction as a commit: four appends fragment the
+    // table (one dir per commit), `compact` rewrites the snapshot into one
+    // 2-file dir published as version 5, and the read-after-compact must see
+    // the identical row set — the oracle recomputes the logical content from
+    // the raw table, so any row lost or duplicated by the rewrite breaks the
+    // hash. File-count/layout/time-travel/CDC-refusal assertions live in
+    // IoSpec (not DuckDB-expressible).
+    Q("versioned_compact",
+      (s, dir) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_opt"
+        rmrf(root)
+        val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 4 === 0), root, "overwrite", "cp-v1")
+        (1 to 3).foreach(i => graft.io.VersionedTable.commit(
+          o.filter(col("o_orderkey") % 4 === i), root, "append", s"cp-v${i + 1}"))
+        graft.io.VersionedTable.compact(s, root, "cp-opt", targetFiles = 2)
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
+        "FROM orders GROUP BY 1 ORDER BY 1")),
+
     // S16+S17 — row-level CDC ACROSS AN OVERWRITE: changesBetween refuses
     // overwrite-crossing ranges by design (a dir-difference delta would lie);
     // the correct tool there is the fingerprint snapshotDiff of the two

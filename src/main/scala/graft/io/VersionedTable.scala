@@ -359,6 +359,66 @@ object VersionedTable {
     }
   }
 
+  /** OPTIMIZE-style small-file compaction as a new COMMIT: rewrite the
+    * latest snapshot's row set into one new dir of ~`targetFiles` files and
+    * publish it as a "compact" commit whose dir list is just that dir. The
+    * row set is untouched; only layout changes. History is preserved — time
+    * travel to every pre-compact version keeps working until `vacuum`
+    * reclaims the old dirs — and [[changesBetween]] refuses to cross the
+    * compaction (its dir-difference contract cannot express a rewrite),
+    * exactly as it refuses overwrites.
+    *
+    * An append-grown table accumulates one dir per commit and any number of
+    * files per dir; a long ingest loop therefore degrades every full scan
+    * with per-file open cost. Compaction is the standing answer, and making
+    * it a COMMIT (not an in-place rewrite) keeps every reader race-free:
+    * readers resolve one manifest and never see a half-compacted table.
+    *
+    * Unlike [[commit]], the parent is PINNED: the rewrite is only valid as
+    * a child of exactly the snapshot it read, so if any writer advances the
+    * log between our snapshot read and the publish, we fail loudly instead
+    * of clobbering their commit (the caller re-runs; the orphaned data dir
+    * is reclaimed by `vacuum`'s crashed-commit sweep). Idempotent under
+    * `commitId` retry like every other commit.
+    *
+    * Partitioned snapshots keep their hive layout: rows are repartitioned
+    * BY the partition columns (capped at `targetFiles` tasks), so each
+    * partition value lands in exactly one task → one file per live
+    * partition dir. Flat snapshots repartition to exactly `targetFiles`
+    * files. At 100 TB this is the one full-table shuffle compaction
+    * inherently costs; `statsCols` rebuilds the data-skipping index from
+    * the fresh footers so `readRange` pruning survives the rewrite.
+    */
+  def compact(spark: SparkSession, root: String, commitId: String,
+              targetFiles: Int, statsCols: Seq[String] = Nil): Long = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    history(root).find(_.commitId == commitId) match {
+      case Some(prior) => prior.version // retry of a committed compaction
+      case None =>
+        val parent = history(root).lastOption
+          .getOrElse(sys.error(s"compact: no commits at $root"))
+        val cur = read(spark, root)
+        val df =
+          if (parent.partitionCols.nonEmpty)
+            cur.repartition(targetFiles,
+              parent.partitionCols.map(org.apache.spark.sql.functions.col): _*)
+          else cur.repartition(targetFiles)
+        val v = parent.version + 1
+        val dirName = f"data/$v%010d-$commitId"
+        var w = df.write.mode("overwrite")
+        if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
+        w.parquet(s"$root/$dirName")
+        val dirStats = gatherStats(spark, s"$root/$dirName", statsCols)
+        val c = Commit(v, commitId, "compact", Seq(dirName),
+          if (dirStats.isEmpty) Map.empty else Map(dirName -> dirStats),
+          parent.partitionCols)
+        if (!publishIfAbsent(root, v, c))
+          sys.error(s"compact: log advanced past v${parent.version} during the rewrite; " +
+            "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
+        v
+    }
+  }
+
   /** Delete data dirs referenced by NO manifest among the latest
     * `retainLast` (and drop the older manifests), plus any orphan dirs a
     * crashed commit left. Returns the deleted dir paths. Never touches a

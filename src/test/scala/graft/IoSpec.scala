@@ -266,6 +266,70 @@ class IoSpec extends SparkSpec {
     intercept[IllegalArgumentException](VersionedTable.changesBetween(spark, root, 2L, 4L))
   }
 
+  test("VersionedTable.compact: files collapse, rows identical, history intact, CDC refuses crossing") {
+    import spark.implicits._
+    val root = tmpDir("vt_opt")
+    // 6 appends, each multi-file: the small-file accumulation compaction exists for
+    (1 to 6).foreach { i =>
+      VersionedTable.commit(
+        Seq.tabulate(4)(j => (i * 10L + j, s"w$i-$j")).toDF("id", "s").repartition(3),
+        root, if (i == 1) "overwrite" else "append", s"c$i", statsCols = Seq("id"))
+    }
+    def dataFiles(): Int = {
+      val dirs = VersionedTable.history(root).last.dirs
+      dirs.map(d => new java.io.File(s"$root/$d").listFiles()
+        .count(f => f.getName.endsWith(".parquet"))).sum
+    }
+    val before = VersionedTable.read(spark, root).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val filesBefore = dataFiles()
+    assert(filesBefore >= 18, s"fixture must actually fragment, got $filesBefore files")
+    val v = VersionedTable.compact(spark, root, "opt-1", targetFiles = 2, statsCols = Seq("id"))
+    assert(v == 7L)
+    // layout collapsed, content untouched
+    assert(dataFiles() <= 2, s"compaction must hit targetFiles, got ${dataFiles()}")
+    val after = VersionedTable.read(spark, root).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == before, "compaction must not change the row set")
+    // idempotent retry: same commitId returns the same version, log unchanged
+    assert(VersionedTable.compact(spark, root, "opt-1", targetFiles = 2) == 7L)
+    assert(VersionedTable.history(root).size == 7)
+    // history preserved: time travel to a pre-compact version still works
+    assert(VersionedTable.read(spark, root, Some(3L)).count() == 12)
+    // the skipping index survives the rewrite
+    assert(VersionedTable.readRange(spark, root, "id", 60L, 63L).count() == 4)
+    // CDC refuses to cross the compaction, exactly like an overwrite...
+    intercept[IllegalArgumentException](VersionedTable.changesBetween(spark, root, 6L, 7L))
+    // ...but composes fine over appends made after it
+    VersionedTable.commit(Seq((99L, "post")).toDF("id", "s"), root, "append", "c8")
+    assert(VersionedTable.changesBetween(spark, root, 7L, 8L)
+      .collect().map(_.getLong(0)).toSeq == Seq(99L))
+    // compacting an empty table fails loudly
+    intercept[RuntimeException](VersionedTable.compact(spark, tmpDir("vt_opt_empty"), "x", 1))
+  }
+
+  test("VersionedTable.compact: hive-partitioned snapshot keeps layout and partition pruning") {
+    import spark.implicits._
+    val root = tmpDir("vt_opt_part")
+    VersionedTable.commit(
+      Seq((1L, "A"), (2L, "B"), (3L, "A")).toDF("id", "grp"), root, "overwrite", "c1",
+      partitionCols = Seq("grp"))
+    VersionedTable.commit(
+      Seq((4L, "B"), (5L, "A")).toDF("id", "grp"), root, "append", "c2",
+      partitionCols = Seq("grp"))
+    VersionedTable.compact(spark, root, "opt-p", targetFiles = 4)
+    assert(VersionedTable.history(root).last.partitionCols == Seq("grp"))
+    val rd = VersionedTable.read(spark, root).filter(col("grp") === "A")
+    assert(rd.collect().map(_.getLong(0)).toSet == Set(1L, 3L, 5L))
+    val plan = rd.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters: [isnotnull(grp"),
+      s"compacted snapshot must still prune on the partition column:\n${plan.take(1200)}")
+    // one dir, one file per live partition value
+    val dir = new java.io.File(s"$root/${VersionedTable.history(root).last.dirs.head}")
+    val perPart = dir.listFiles().filter(_.isDirectory).map(d =>
+      d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    assert(perPart.keySet == Set("grp=A", "grp=B") && perPart.values.forall(_ == 1),
+      s"expected one file per partition value, got $perPart")
+  }
+
   test("VersionedTable.readRange: manifest min/max skips non-overlapping dirs, keeps stat-less ones") {
     import spark.implicits._
     val root = tmpDir("vt_stats")
