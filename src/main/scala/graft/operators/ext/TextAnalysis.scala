@@ -266,9 +266,15 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), explode(expr(toks(textCol))).as("term"))
       .join(broadcast(qt.select("term").distinct()), Seq("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // df as a WINDOW over tf, not a groupBy + self-join: tf is already one
+    // (doc, term) row per posting, so counting rows per term over it IS the
+    // document frequency, and the window formulation materializes tf once —
+    // a separate dfreq aggregate would either broadcast (recomputing the
+    // whole tf subtree to build the broadcast: a second corpus scan) or
+    // shuffle-join (a branch column pruning keeps from ever unifying with
+    // tf's own exchange). One term-keyed shuffle, no second corpus pass.
     val scored = tf
-      .join(broadcast(dfreq), Seq("term"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .join(broadcast(qt), Seq("term"))
       .join(dl.hint("shuffle_hash"), Seq("doc_id"))
       .crossJoin(broadcast(totals))
