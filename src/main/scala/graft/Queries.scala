@@ -1945,6 +1945,51 @@ object Queries {
         |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rk FROM agg)
         |SELECT query_id, doc_id, score, rk FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
 
+    // X3 — BM25 against the PERSISTED inverted index: build on doc_id < 400,
+    // append the rest, REPLAY the append (must insert nothing — idempotent
+    // maintenance), then probe. The oracle is the x3_bm25 full-corpus batch
+    // formulation verbatim, so the gate proves index-path ranking ==
+    // fresh-scan ranking across build + append + idempotent replay: the
+    // standing structure a 100 TB corpus probes instead of re-scanning.
+    Q("x3_bm25_index",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val root = freshDir(s, "graft_lexidx")
+        s.sql("DROP TABLE IF EXISTS graft_lex_post")
+        s.sql("DROP TABLE IF EXISTS graft_lex_len")
+        TextAnalysis.buildLexicalIndex("graft_lex_post", "graft_lex_len",
+          docs.filter(col("doc_id") < 400), "doc_id", "text", 8, root)
+        val batch = docs.filter(col("doc_id") >= 400)
+        TextAnalysis.appendLexicalIndex("graft_lex_post", "graft_lex_len",
+          batch, "doc_id", "text", 8)
+        TextAnalysis.appendLexicalIndex("graft_lex_post", "graft_lex_len",
+          batch, "doc_id", "text", 8) // replay: anti-joins make this a no-op
+        val queries = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            expr("array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 8), ' ')").as("qtext"))
+        TextAnalysis.bm25IndexTopK(s, "graft_lex_post", "graft_lex_len",
+            queries, "query_id", "qtext", 10)
+          .orderBy("query_id", "rk")
+      },
+      Some("""WITH dl AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl FROM documents),
+        |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        |qd AS (SELECT doc_id AS query_id, array_to_string((list_filter(string_split(text, ' '), x -> x <> ''))[1:8], ' ') AS qtext
+        |  FROM documents WHERE doc_id < 5),
+        |qt AS (SELECT DISTINCT query_id, unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS term FROM qd),
+        |post AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM post
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, f.doc_id,
+        |  CAST(CAST(22000 AS HUGEINT) * (length(printf('%b', n // df)) - 1) * f.tf * t
+        |    // (CAST(10 AS HUGEINT) * f.tf * t + CAST(3 AS HUGEINT) * t + CAST(9 AS HUGEINT) * dl.dl * n) AS BIGINT) AS s
+        |  FROM tf f JOIN dfreq USING (term) JOIN qt q USING (term)
+        |  JOIN dl ON f.doc_id = dl.doc_id CROSS JOIN tot),
+        |agg AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score FROM sc GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rk FROM agg)
+        |SELECT query_id, doc_id, score, rk FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     // X3 — document chunking (training/RAG window split): token windows of
     // 32 with stride 24 (8-token overlap), 1-indexed starts, final partial
     // window kept. Map-side only — chunking never shuffles. Output bounded

@@ -256,23 +256,36 @@ object TextAnalysis {
   def bm25TopK(docs: DataFrame, queries: DataFrame, idCol: String,
                textCol: String, qIdCol: String, qTextCol: String, k: Int,
                excludeSelf: Boolean = false): DataFrame = {
-    val dl = docs.select(col(idCol).as("doc_id"),
-      expr(s"size(${toks(textCol)})").cast("long").as("dl"))
-    val totals = dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))
-    val qt = queries
+    val qt = queryTerms(queries, qIdCol, qTextCol)
+    val tf = lexicalPostings(docs, idCol, textCol)
+      .join(broadcast(qt.select("term").distinct()), Seq("term"))
+    bm25Rank(tf, docLengths(docs, idCol, textCol), qt, k, excludeSelf)
+  }
+
+  /** Distinct (query_id, term) pairs of a query set — the broadcast-sized
+    * frame both BM25 paths filter the corpus with.
+    */
+  private def queryTerms(queries: DataFrame, qIdCol: String, qTextCol: String): DataFrame =
+    queries
       .select(col(qIdCol).as("query_id"), explode(expr(toks(qTextCol))).as("term"))
       .distinct()
-    val tf = docs
-      .select(col(idCol).as("doc_id"), explode(expr(toks(textCol))).as("term"))
-      .join(broadcast(qt.select("term").distinct()), Seq("term"))
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    // df as a WINDOW over tf, not a groupBy + self-join: tf is already one
-    // (doc, term) row per posting, so counting rows per term over it IS the
-    // document frequency, and the window formulation materializes tf once —
-    // a separate dfreq aggregate would either broadcast (recomputing the
-    // whole tf subtree to build the broadcast: a second corpus scan) or
-    // shuffle-join (a branch column pruning keeps from ever unifying with
-    // tf's own exchange). One term-keyed shuffle, no second corpus pass.
+
+  /** The shared BM25 tail: `tf` = query-term postings (term, doc_id, tf)
+    * however obtained (corpus scan or persisted index); df, scoring, and
+    * per-query ranking are identical on both paths BY CONSTRUCTION — one
+    * definition, so index-path and batch-path rankings cannot drift.
+    *
+    * df is a WINDOW over tf, not a groupBy + self-join: tf is already one
+    * (doc, term) row per posting, so counting rows per term over it IS the
+    * document frequency, and the window formulation materializes tf once —
+    * a separate df aggregate would either broadcast (recomputing the whole
+    * tf subtree to build the broadcast: a second corpus scan) or
+    * shuffle-join (a branch column pruning keeps from ever unifying with
+    * tf's own exchange). One term-keyed shuffle, no second corpus pass.
+    */
+  private def bm25Rank(tf: DataFrame, dl: DataFrame, qt: DataFrame, k: Int,
+                       excludeSelf: Boolean): DataFrame = {
+    val totals = dl.agg(count(lit(1)).as("n"), sum("dl").as("t"))
     val scored = tf
       .withColumn("df", count(lit(1)).over(Window.partitionBy(col("term"))))
       .join(broadcast(qt), Seq("term"))
@@ -287,6 +300,82 @@ object TextAnalysis {
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("query_id")).orderBy(col("score").desc, col("doc_id"))))
       .filter(col("rk") <= k)
+  }
+
+  /** (term, doc_id, tf) postings — the rows a persisted inverted index
+    * stores; one explode + one (doc, term) aggregate, partial-agg safe.
+    */
+  def lexicalPostings(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(expr(toks(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+
+  /** (doc_id, dl) token lengths for EVERY document, including empty ones —
+    * the doc registry of the lexical index: N and T come from here, and
+    * excluding zero-length docs would silently shift every BM25 denominator
+    * vs the batch path.
+    */
+  def docLengths(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+      expr(s"size(${toks(textCol)})").cast("long").as("dl"))
+
+  /** Build the PERSISTED lexical index: postings bucketed by term (probe
+    * filters prune whole buckets on the query-term set) and lengths bucketed
+    * by doc_id, two sibling tables under `root`. The [[appendPqIndex]]
+    * pattern applied to the lexical side — at 100 TB BM25 cannot re-scan the
+    * corpus per query batch; this is the standing structure it probes.
+    */
+  def buildLexicalIndex(postingsTable: String, lengthsTable: String,
+                        docs: DataFrame, idCol: String, textCol: String,
+                        buckets: Int, root: String): Unit = {
+    lexicalPostings(docs, idCol, textCol)
+      .write.format("parquet").bucketBy(buckets, "term").sortBy("term")
+      .option("path", s"$root/postings").saveAsTable(postingsTable)
+    docLengths(docs, idCol, textCol)
+      .write.format("parquet").bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .option("path", s"$root/lengths").saveAsTable(lengthsTable)
+  }
+
+  /** Index MAINTENANCE for the lexical side: merge a batch into both index
+    * tables under their standing bucket specs. Each table anti-joins ITS OWN
+    * indexed doc_ids, so the two appends are INDEPENDENTLY idempotent — a
+    * replay after a crash between the writes completes exactly the missing
+    * half instead of duplicating the finished one. Statistics (df, N, T)
+    * need no maintenance: both are derived at probe time from the tables
+    * themselves, so an append automatically shifts every future score.
+    */
+  def appendLexicalIndex(postingsTable: String, lengthsTable: String,
+                         batch: DataFrame, idCol: String, textCol: String,
+                         buckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val seenPost = spark.table(postingsTable).select("doc_id").distinct()
+    lexicalPostings(b.join(seenPost.hint("shuffle_hash"), Seq("doc_id"), "left_anti"),
+        "doc_id", "__text")
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "term").sortBy("term").saveAsTable(postingsTable)
+    val seenLen = spark.table(lengthsTable).select("doc_id").distinct()
+    docLengths(b.join(seenLen.hint("shuffle_hash"), Seq("doc_id"), "left_anti"),
+        "doc_id", "__text")
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id").saveAsTable(lengthsTable)
+  }
+
+  /** BM25 against the PERSISTED index ([[buildLexicalIndex]] layout): the
+    * broadcast query-term filter hits the bucketed postings scan (bucket
+    * pruning bounds the read by the query vocabulary, never the corpus),
+    * lengths join by doc_id, and the [[bm25Rank]] tail shared verbatim with
+    * the batch path — probing after any number of appends ranks exactly as
+    * a fresh corpus scan would (oracle-proven by the registry row).
+    */
+  def bm25IndexTopK(spark: org.apache.spark.sql.SparkSession,
+                    postingsTable: String, lengthsTable: String,
+                    queries: DataFrame, qIdCol: String, qTextCol: String,
+                    k: Int, excludeSelf: Boolean = false): DataFrame = {
+    val qt = queryTerms(queries, qIdCol, qTextCol)
+    val tf = spark.table(postingsTable)
+      .join(broadcast(qt.select("term").distinct()), Seq("term"))
+    bm25Rank(tf, spark.table(lengthsTable), qt, k, excludeSelf)
   }
 
   /** Document chunking for training/RAG pipelines: split each document into

@@ -233,4 +233,46 @@ class TextMultimodalSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("positive"), e.getMessage)
   }
+
+  test("lexical index: idempotent appends, torn-state replay completes the missing half, probe == batch") {
+    val root = TestSpark.tmpDir("lexidx")
+    spark.sql("DROP TABLE IF EXISTS graft_lex_post_t")
+    spark.sql("DROP TABLE IF EXISTS graft_lex_len_t")
+    val base = docs((0L, "alpha beta gamma"), (1L, "beta beta delta"), (2L, ""))
+    val batch = docs((3L, "alpha delta"), (4L, "gamma gamma gamma"))
+    TextAnalysis.buildLexicalIndex("graft_lex_post_t", "graft_lex_len_t",
+      base, "doc_id", "text", 4, root)
+    // empty doc: registered in lengths (dl=0), absent from postings
+    assert(spark.table("graft_lex_len_t").count() == 3)
+    assert(spark.table("graft_lex_post_t").filter(col("doc_id") === 2L).count() == 0)
+    TextAnalysis.appendLexicalIndex("graft_lex_post_t", "graft_lex_len_t",
+      batch, "doc_id", "text", 4)
+    val (p1, l1) = (spark.table("graft_lex_post_t").count(), spark.table("graft_lex_len_t").count())
+    // replay of the whole append: both anti-joins make it a no-op
+    TextAnalysis.appendLexicalIndex("graft_lex_post_t", "graft_lex_len_t",
+      batch, "doc_id", "text", 4)
+    assert(spark.table("graft_lex_post_t").count() == p1, "replayed append must not duplicate postings")
+    assert(spark.table("graft_lex_len_t").count() == l1, "replayed append must not duplicate lengths")
+    // torn state: a crash landed postings for doc 5 but not its length row;
+    // the replay must complete ONLY the lengths half
+    val torn = docs((5L, "epsilon beta"))
+    TextAnalysis.lexicalPostings(torn, "doc_id", "text")
+      .write.mode("append").format("parquet")
+      .bucketBy(4, "term").sortBy("term").saveAsTable("graft_lex_post_t")
+    TextAnalysis.appendLexicalIndex("graft_lex_post_t", "graft_lex_len_t",
+      torn, "doc_id", "text", 4)
+    assert(spark.table("graft_lex_post_t").filter(col("doc_id") === 5L).count() == 2,
+      "torn postings must not duplicate on replay")
+    assert(spark.table("graft_lex_len_t").filter(col("doc_id") === 5L).count() == 1,
+      "replay must complete the missing lengths half")
+    // index-path ranking == batch-path ranking over the identical corpus
+    val corpus = base.unionByName(batch).unionByName(torn)
+    val queries = docs((0L, "alpha beta"), (1L, "gamma")).toDF("query_id", "qtext")
+    val viaIndex = TextAnalysis.bm25IndexTopK(spark, "graft_lex_post_t", "graft_lex_len_t",
+      queries, "query_id", "qtext", 5).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    val viaBatch = TextAnalysis.bm25TopK(corpus, queries, "doc_id", "text",
+      "query_id", "qtext", 5).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
+    assert(viaIndex == viaBatch, s"index probe must rank exactly as a fresh scan:\n$viaIndex\nvs\n$viaBatch")
+    assert(viaIndex.nonEmpty)
+  }
 }
