@@ -3143,6 +3143,56 @@ object Queries {
       Some(s"""WITH ${duckFrozenPqCtes(400, 500, 50)}
         |SELECT vec_id, sub, code FROM fcodes ORDER BY vec_id, sub""".stripMargin)),
 
+    // STREAMING LEXICAL-INDEX MAINTENANCE (the eleventh declared streaming
+    // path, completing the index trio: band / PQ / lexical): the standing
+    // corpus' postings + lengths are seeded once; each micro-batch of new
+    // documents appends through TextAnalysis.appendLexicalIndex inside
+    // foreachBatch — each table's anti-join makes the appends independently
+    // idempotent under replay, and df/N/T derive at probe time, so scores
+    // shift continuously as the stream absorbs documents. The result is the
+    // BM25 PROBE of the converged index; oracle = the full-corpus batch
+    // formulation, so the gate proves the streamed index ranks exactly as a
+    // fresh corpus scan.
+    Q("stream_lex_index_maintain",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val root = freshDir(s, "graft_stream_lexidx")
+        s.sql("DROP TABLE IF EXISTS graft_stream_lex_post")
+        s.sql("DROP TABLE IF EXISTS graft_stream_lex_len")
+        TextAnalysis.buildLexicalIndex("graft_stream_lex_post", "graft_stream_lex_len",
+          docs.filter(col("doc_id") < 400), "doc_id", "text", 8, root)
+        val stream = s.readStream.schema(docs.schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter(col("doc_id") >= 400)
+        val q = graft.streaming.Streaming.maintainLexicalIndex(stream,
+          "graft_stream_lex_post", "graft_stream_lex_len", "doc_id", "text", 8)
+        try q.processAllAvailable() finally q.stop()
+        val queries = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            expr("array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 8), ' ')").as("qtext"))
+        TextAnalysis.bm25IndexTopK(s, "graft_stream_lex_post", "graft_stream_lex_len",
+            queries, "query_id", "qtext", 10)
+          .orderBy("query_id", "rk")
+      },
+      Some("""WITH dl AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl FROM documents),
+        |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        |qd AS (SELECT doc_id AS query_id, array_to_string((list_filter(string_split(text, ' '), x -> x <> ''))[1:8], ' ') AS qtext
+        |  FROM documents WHERE doc_id < 5),
+        |qt AS (SELECT DISTINCT query_id, unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS term FROM qd),
+        |post AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM post
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, f.doc_id,
+        |  CAST(CAST(22000 AS HUGEINT) * (length(printf('%b', n // df)) - 1) * f.tf * t
+        |    // (CAST(10 AS HUGEINT) * f.tf * t + CAST(3 AS HUGEINT) * t + CAST(9 AS HUGEINT) * dl.dl * n) AS BIGINT) AS s
+        |  FROM tf f JOIN dfreq USING (term) JOIN qt q USING (term)
+        |  JOIN dl ON f.doc_id = dl.doc_id CROSS JOIN tot),
+        |agg AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score FROM sc GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rk FROM agg)
+        |SELECT query_id, doc_id, score, rk FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+
     // X2 — ANN QUALITY as a driver-visible signal: recall@3 of the IVF path
     // (stand-in quantizer, nprobe=4) against the brute-force ground truth on
     // the same bounded corpus (vec_id < 1000, 50 queries — bounded, so the

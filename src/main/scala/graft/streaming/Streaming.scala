@@ -152,6 +152,25 @@ object Streaming {
       }
       .start()
 
+  /** ST: the [[maintainBandIndex]] idiom for the LEXICAL index — each
+    * micro-batch of new documents tokenizes into postings + a length row and
+    * appends into both bucketed index tables
+    * (TextAnalysis.appendLexicalIndex). Each table's append anti-joins its
+    * OWN indexed doc_ids, so foreachBatch's at-least-once replay — including
+    * a crash BETWEEN the two table writes — converges to exactly-once per
+    * table; df/N/T derive at probe time, so BM25 scores shift continuously
+    * as the stream absorbs documents with zero stats maintenance.
+    */
+  def maintainLexicalIndex(docs: DataFrame, postingsTable: String,
+                           lengthsTable: String, idCol: String, textCol: String,
+                           buckets: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.ext.TextAnalysis.appendLexicalIndex(postingsTable,
+          lengthsTable, batch.toDF(), idCol, textCol, buckets)
+      }
+      .start()
+
   /** ST: stream → versioned-table sink with EXACTLY-ONCE appends. foreachBatch
     * is at-least-once (a batch replays after a crash between sink write and
     * checkpoint commit); deriving the commitId from the deterministic batchId
