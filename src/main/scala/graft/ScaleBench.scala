@@ -18,19 +18,15 @@ import org.apache.spark.sql.functions._
   * to SCALE.md.
   */
 object ScaleBench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = args(0)
-    val k = args(1).toInt
-    val queries = if (args.length > 2) args.drop(2).toSeq else Seq(
-      "x2_minhash_lsh", "x2_containment_join", "x1_incremental_neardup",
-      "x1_dedup_clusters", "x9_curation_e2e")
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.local.dir", ShmLocalDir.path())
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+
+  /** Build (or reuse) the k×-replicated corpus under /tmp/graft_scale_<k>x:
+    * replica-tagged document tokens (disjoint vocabularies — local density
+    * fixed, mass × k), embeddings replicated under offset ids (per-dimension
+    * min/max exactly preserved, so frozen-quantizer stats and query bounds
+    * stay fixed), every other table symlinked. Shared by the scale harnesses
+    * (ScaleBench, ProfileLexical) so all scale claims run one corpus recipe.
+    */
+  def ensureScaledCorpus(spark: SparkSession, sfDir: String, k: Int): String = {
     val scaled = s"/tmp/graft_scale_${k}x"
     if (!new java.io.File(s"$scaled/documents.parquet").exists()) {
       new java.io.File(scaled).mkdirs()
@@ -44,10 +40,6 @@ object ScaleBench {
           col("lang"), col("source"), col("n_chars"))
         .repartition(32)
         .write.mode("overwrite").parquet(s"$scaled/documents.parquet")
-      // embeddings scale too (the ANN family reads them): replicas keep the
-      // same vectors under offset ids — per-dimension min/max (the frozen
-      // quantizer stats) are EXACTLY preserved, query bounds stay fixed, so
-      // corpus mass grows k× while per-query work should grow ~linearly
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val maxV = emb.agg(max("vec_id")).head.getLong(0) + 1
       emb.crossJoin(spark.range(k).select(col("id").as("__r")))
@@ -64,6 +56,23 @@ object ScaleBench {
       println(s"[scale] built $scaled: ${spark.read.parquet(s"$scaled/documents.parquet").count()} docs, " +
         s"${spark.read.parquet(s"$scaled/embeddings.parquet").count()} vecs")
     }
+    scaled
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val k = args(1).toInt
+    val queries = if (args.length > 2) args.drop(2).toSeq else Seq(
+      "x2_minhash_lsh", "x2_containment_join", "x1_incremental_neardup",
+      "x1_dedup_clusters", "x9_curation_e2e")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.local.dir", ShmLocalDir.path())
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val scaled = ensureScaledCorpus(spark, sfDir, k)
     for (q <- queries; (label, dir) <- Seq("1x" -> sfDir, s"${k}x" -> scaled)) {
       (1 to 2).foreach { pass =>
         val t0 = System.nanoTime()

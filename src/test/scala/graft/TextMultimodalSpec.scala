@@ -274,5 +274,12 @@ class TextMultimodalSpec extends SparkSpec {
       "query_id", "qtext", 5).collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSet
     assert(viaIndex == viaBatch, s"index probe must rank exactly as a fresh scan:\n$viaIndex\nvs\n$viaBatch")
     assert(viaIndex.nonEmpty)
+    // the probe must be an INDEX read: the pushed query-term literals prune
+    // whole buckets at plan time (a broadcast-join filter cannot — it reads
+    // every bucket and filters rows afterwards)
+    val probePlan = TextAnalysis.bm25IndexTopK(spark, "graft_lex_post_t", "graft_lex_len_t",
+      queries, "query_id", "qtext", 5).queryExecution.executedPlan.toString()
+    assert(probePlan.contains("SelectedBucketsCount"),
+      s"postings scan must bucket-prune on the query terms:\n${probePlan.take(1500)}")
   }
 }
