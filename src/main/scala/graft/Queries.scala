@@ -3512,6 +3512,26 @@ object Queries {
       },
       Some("SELECT 200 AS n_docs, true AS all_ok, true AS len_ok")),
 
+    // X4 — REAL multi-frame decode (Multimodal.GifFrameDecoder over the
+    // JDK's animated-GIF reader): the video twin of x4_real_decode —
+    // executor-rendered animated GIFs (2 + id%4 grayscale frames each)
+    // roundtrip through a real frame-sequence parse; grayscale survives the
+    // GIF palette losslessly, so every frame's dimensions and integer
+    // luminance histogram must match the pre-encode pixels exactly. sum of
+    // (2 + id % 4) over ids 0..199 = 700 pins the real decoded frame
+    // counts; payload bytes never reach an exchange (spec-asserted).
+    Q("x4_real_frames",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents").filter(col("doc_id") < 200)
+        val media = Multimodal.renderGifs(docs, "doc_id")
+        Multimodal.decodeVerifyFrames(media, Multimodal.GifFrameDecoder)
+          .agg(count(lit(1)).as("n_docs"), expr("bool_and(ok)").as("all_ok"),
+            sum(col("n_frames").cast("long")).as("sum_frames"))
+          .select(col("n_docs"), col("all_ok"),
+            (col("sum_frames") === lit(700L)).as("frames_ok"))
+      },
+      Some("SELECT 200 AS n_docs, true AS all_ok, true AS frames_ok")),
+
     // X4 — resize plumbing for image-like payloads: deterministic byte-stride
     // downsample (STUB for a real resample — no image libs offline), then the
     // resized artifact is RE-DECODED through the same codec path, so the

@@ -243,6 +243,126 @@ object Multimodal {
       }.toDF("doc_id", "width", "height", "ok")
   }
 
+  /** Frame-level codec seam for video-like containers, mirroring
+    * [[MediaCodec]]: decode a MULTI-frame payload into per-frame integer
+    * features (width, height, 8-bin luminance histogram per frame).
+    */
+  trait FrameCodec extends Serializable {
+    def decodeFrames(id: Long, payload: Array[Byte]): Seq[(Int, Int, Array[Int])]
+  }
+
+  /** REAL multi-frame decode via the JDK's animated-GIF reader — the frame
+    * twin of [[ImageIoDecoder]]: `getNumImages(true)` walks the actual GIF
+    * frame sequence, each frame decodes to real pixels. Grayscale survives
+    * the GIF palette losslessly (256-gray palette, and the integer
+    * luminance of a gray pixel (299g+587g+114g)/1000 = g exactly), which is
+    * what lets [[renderGifs]]' pre-encode expectations gate the decode
+    * bit-for-bit.
+    */
+  object GifFrameDecoder extends FrameCodec {
+    def decodeFrames(id: Long, payload: Array[Byte]): Seq[(Int, Int, Array[Int])] = {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"no reader for frame payload of doc $id")
+      val r = readers.next()
+      try {
+        r.setInput(iis)
+        (0 until r.getNumImages(true)).map { i =>
+          val img = r.read(i)
+          val w = img.getWidth; val h = img.getHeight
+          val counts = new Array[Int](8)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              counts(lum / 32) += 1
+              x += 1
+            }
+            y += 1
+          }
+          (w, h, counts)
+        }
+      } finally { r.dispose(); iis.close() }
+    }
+  }
+
+  /** Deterministic animated-GIF fixture for the frame-codec gate: per doc
+    * id, renders 2 + id%4 grayscale frames (every pixel an integer function
+    * of (id, frame, x, y)) and encodes them through the JDK GIF writer's
+    * real sequence API (prepareWriteSequence/writeToSequence), alongside the
+    * EXPECTED frame count and per-frame luminance histograms computed from
+    * the source pixels before encoding. Executor-side mapPartitions —
+    * nothing renders on the driver.
+    */
+  def renderGifs(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val nFrames = 2 + (id % 4).toInt
+        val w = 8 + (id % 5).toInt; val h = 8 + (id % 3).toInt
+        val expHists = new Array[Seq[Int]](nFrames)
+        val bos = new java.io.ByteArrayOutputStream()
+        val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        try {
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nFrames) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val counts = new Array[Int](8)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val g = ((id * 31 + f * 97 + x * 17 + y * 7) % 256).toInt
+                img.getRaster.setSample(x, y, 0, g)
+                counts(g / 32) += 1
+                x += 1
+              }
+              y += 1
+            }
+            expHists(f) = counts.toSeq
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+        } finally { writer.dispose(); ios.close() }
+        (id, "image/gif", bos.toByteArray, w, h, nFrames, expHists.toSeq)
+      }
+    }.toDF("doc_id", "mime", "payload", "exp_width", "exp_height", "exp_frames", "exp_hists")
+  }
+
+  /** Per-row REAL frame-decode gate over a [[renderGifs]] frame: decode the
+    * payload through `codec`, compare frame count, every frame's dimensions,
+    * and every frame's integer luminance histogram against the pre-encode
+    * expectations. One map-side pass; payload bytes never reach an exchange.
+    */
+  def decodeVerifyFrames(media: DataFrame, codec: FrameCodec): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload"),
+        col("exp_width"), col("exp_height"), col("exp_frames"), col("exp_hists"))
+      .mapPartitions { rows =>
+        rows.map { r: Row =>
+          val frames = codec.decodeFrames(r.getLong(0), r.getAs[Array[Byte]](1))
+          val expW = r.getInt(2); val expH = r.getInt(3)
+          val expHists = r.getSeq[scala.collection.Seq[Int]](5)
+          val ok = frames.size == r.getInt(4) &&
+            frames.zip(expHists).forall { case ((w, h, hist), eh) =>
+              w == expW && h == expH && hist.toSeq == eh.toSeq
+            }
+          (r.getLong(0), frames.size, ok)
+        }
+      }.toDF("doc_id", "n_frames", "ok")
+  }
+
   /** Attach a binary payload + typed metadata map to a text table — models
     * ingesting media blobs next to their source rows. Uses encode() (real
     * bytes), not a placeholder string.

@@ -282,4 +282,22 @@ class TextMultimodalSpec extends SparkSpec {
     assert(probePlan.contains("SelectedBucketsCount"),
       s"postings scan must bucket-prune on the query terms:\n${probePlan.take(1500)}")
   }
+
+  test("GIF frame codec: real multi-frame roundtrip, per-frame histograms exact, payload never shuffles") {
+    import spark.implicits._
+    val ids = Seq(0L, 1L, 3L, 7L, 42L).toDF("doc_id")
+    val media = Multimodal.renderGifs(ids, "doc_id")
+    val out = Multimodal.decodeVerifyFrames(media, Multimodal.GifFrameDecoder)
+    val rows = out.collect().map(r => r.getLong(0) -> (r.getInt(1), r.getBoolean(2))).toMap
+    // frame counts: 2 + id % 4
+    assert(rows(0L) == (2, true) && rows(1L) == (3, true) && rows(3L) == (5, true))
+    assert(rows(7L) == (5, true) && rows(42L) == (4, true))
+    // a corrupted payload fails loudly, not silently
+    val bad = media.limit(1).withColumn("payload", lit(Array[Byte](1, 2, 3)))
+    intercept[Exception](Multimodal.decodeVerifyFrames(bad, Multimodal.GifFrameDecoder).collect())
+    // payload bytes stay map-side: no exchange between the scan and the verify
+    val plan = out.queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"),
+      s"frame verify must be one map-side pass:\n${plan.take(1200)}")
+  }
 }
