@@ -3627,6 +3627,79 @@ object Queries {
     // 512-token sequence packing per language shard. Every stage is green in
     // isolation; this row proves the column/contract composition. The oracle
     // replays all six stages in one DuckDB statement.
+    // X9 — END-TO-END RETRIEVAL SERVING: the production serving stack over
+    // PERSISTED indexes, composed from individually-proven stages — build
+    // both standing indexes (frozen-quantizer PQ codes bucketed by vec_id;
+    // lexical postings + lengths bucketed by term/doc_id), grow both with an
+    // idempotent append, probe both (ADC top-20 from broadcast distance
+    // tables; BM25 top-20 via pushed-literal bucket pruning), and fuse with
+    // integer RRF. Every stage is integer-exact, so the FUSED serving
+    // ranking replays bit-identically in DuckDB — the oracle recomputes the
+    // full frozen-PQ chain AND the BM25 chain from the raw tables and fuses
+    // them the same way. The curation pipeline's serving-side twin.
+    Q("x9_retrieval_e2e",
+      (s, dir) => {
+        val emb = rd(s, dir, "embeddings").filter(col("vec_id") < 500)
+        val base = emb.filter(col("vec_id") < 400)
+        val docs = rd(s, dir, "documents").filter(col("doc_id") < 500)
+        val rootP = freshDir(s, "graft_serve_pqidx")
+        s.sql("DROP TABLE IF EXISTS graft_serve_pq")
+        Similarity.pqCodesFrozen(base, base, dim = 64, m = 8, ncodes = 16)
+          .write.bucketBy(8, "vec_id").sortBy("vec_id")
+          .option("path", s"$rootP/idx").saveAsTable("graft_serve_pq")
+        Similarity.appendPqIndex("graft_serve_pq",
+          emb.filter(col("vec_id") >= 400), base, 64, 8, 16, 8)
+        val rootL = freshDir(s, "graft_serve_lexidx")
+        s.sql("DROP TABLE IF EXISTS graft_serve_post")
+        s.sql("DROP TABLE IF EXISTS graft_serve_len")
+        TextAnalysis.buildLexicalIndex("graft_serve_post", "graft_serve_len",
+          docs.filter(col("doc_id") < 400), "doc_id", "text", 8, rootL)
+        TextAnalysis.appendLexicalIndex("graft_serve_post", "graft_serve_len",
+          docs.filter(col("doc_id") >= 400), "doc_id", "text", 8)
+        val dense = Similarity.pqIndexTopK(s, "graft_serve_pq",
+            emb.filter(col("vec_id") < 5), base, 64, 8, 16, k = 20)
+          .select(col("id_a").as("query_id"), col("id_b").as("cand_id"), col("rk"))
+        val queries = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            expr("array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 8), ' ')").as("qtext"))
+        val lex = TextAnalysis.bm25IndexTopK(s, "graft_serve_post", "graft_serve_len",
+            queries, "query_id", "qtext", 20, excludeSelf = true)
+          .select(col("query_id"), col("doc_id").as("cand_id"), col("rk"))
+        Similarity.rrfFuse(Seq(dense, lex), "query_id", "cand_id", "rk", 10)
+          .orderBy("query_id", "rk")
+      },
+      Some(s"""WITH ${duckFrozenPqCtes(400, 500, 5)},
+        |dense AS (SELECT query_id, cand_id, rk FROM (SELECT qid AS query_id, vec_id AS cand_id,
+        |  row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk FROM fad) WHERE rk <= 20),
+        |dl AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl
+        |  FROM documents WHERE doc_id < 500),
+        |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        |qd AS (SELECT doc_id AS query_id, array_to_string((list_filter(string_split(text, ' '), x -> x <> ''))[1:8], ' ') AS qtext
+        |  FROM documents WHERE doc_id < 5),
+        |qt AS (SELECT DISTINCT query_id, unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS term FROM qd),
+        |post AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
+        |  FROM documents WHERE doc_id < 500),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM post
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, f.doc_id,
+        |  CAST(CAST(22000 AS HUGEINT) * (length(printf('%b', n // df)) - 1) * f.tf * t
+        |    // (CAST(10 AS HUGEINT) * f.tf * t + CAST(3 AS HUGEINT) * t + CAST(9 AS HUGEINT) * dl.dl * n) AS BIGINT) AS s
+        |  FROM tf f JOIN dfreq USING (term) JOIN qt q USING (term)
+        |  JOIN dl ON f.doc_id = dl.doc_id CROSS JOIN tot
+        |  WHERE f.doc_id <> q.query_id),
+        |lagg AS (SELECT query_id, doc_id AS cand_id, CAST(sum(s) AS BIGINT) AS score FROM sc GROUP BY 1, 2),
+        |lex AS (SELECT query_id, cand_id, rk FROM (SELECT query_id, cand_id,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rk FROM lagg) WHERE rk <= 20),
+        |u AS (SELECT query_id, cand_id, 1000000 // (60 + rk) AS c FROM dense
+        |  UNION ALL SELECT query_id, cand_id, 1000000 // (60 + rk) FROM lex),
+        |fused AS (SELECT query_id, cand_id, CAST(sum(c) AS BIGINT) AS rrf_score, count(*) AS n_legs
+        |  FROM u GROUP BY 1, 2),
+        |r AS (SELECT query_id, cand_id, rrf_score, n_legs,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, cand_id) AS INTEGER) AS rk FROM fused)
+        |SELECT query_id, cand_id, rrf_score, n_legs, rk FROM r WHERE rk <= 10
+        |ORDER BY query_id, rk""".stripMargin)),
+
     Q("x9_curation_e2e",
       (s, dir) => {
         val docs = rd(s, dir, "documents")
