@@ -1875,6 +1875,46 @@ object Queries {
     // Sorting/range-partitioning on zval is the multi-dimensional layout
     // optimization that lets file min/max statistics prune on EITHER
     // dimension of a 100 TB table. Pure integer bit arithmetic.
+    // G1 — integer-exact PageRank (3 damped iterations) over the
+    // bidirectional customer↔supplier transaction graph: the web-graph
+    // quality signal (page importance) a curation pipeline joins against
+    // documents before sampling. Ranks are 10^-12-scale integers and every
+    // division floors, so the fixed-point prefix — including the
+    // deterministic floor-shaved mass — replays bit-for-bit in DuckDB
+    // (float PageRank cannot: summation order moves the ranking). The
+    // oracle unrolls the same three iterations as CTEs.
+    Q("g1_pagerank",
+      (s, dir) => {
+        val pairs = rd(s, dir, "orders").select("o_orderkey", "o_custkey")
+          .join(rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
+        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+          .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+        graft.operators.ext.Graph.pageRank(edges, "src", "dst", 3)
+          .orderBy(col("rank").desc, col("node")).limit(100)
+      },
+      Some {
+        val base = s"(150 * (${graft.operators.ext.Graph.Scale} // n)) // 1000"
+        def iter(i: Int): String =
+          s"""c$i AS (SELECT e.dst AS node, sum(r${i - 1}.rank // od.outdeg) AS inmass
+            |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN od ON e.src = od.node GROUP BY 1),
+            |r$i AS (SELECT nodes.node, $base + (850 * coalesce(inmass, 0)) // 1000 AS rank
+            |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+        s"""WITH p AS (SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |e AS (SELECT cust AS src, supp AS dst FROM p UNION ALL SELECT supp, cust FROM p),
+          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |nn AS (SELECT count(*) AS n FROM nodes),
+          |od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+          |r0 AS (SELECT node, ${graft.operators.ext.Graph.Scale} // n AS rank FROM nodes CROSS JOIN nn),
+          |${iter(1)},
+          |${iter(2)},
+          |${iter(3)}
+          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+          |ORDER BY rank DESC, node LIMIT 100""".stripMargin
+      }),
+
     Q("x8_zorder",
       (s, dir) => {
         val o = rd(s, dir, "orders")

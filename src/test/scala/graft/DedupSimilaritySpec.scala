@@ -528,4 +528,27 @@ class DedupSimilaritySpec extends SparkSpec {
     // deterministic tie-break between the two single-leg rank-1 hits
     assert(out.map(_.getString(1)).take(3).toSeq == Seq("z", "x", "y"))
   }
+
+  test("pageRank: hub outranks leaves, mass bounded by SCALE, no cartesian in the unrolled plan") {
+    import spark.implicits._
+    // star + chain: every leaf points at the hub (0); hub points at 1
+    val edges = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 0L), (0L, 1L))
+      .toDF("src", "dst")
+    val pr = graft.operators.ext.Graph.pageRank(edges, "src", "dst", 3)
+    val ranks = pr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks.size == 5)
+    // the hub receives four leaves' mass every step; node 1 receives the
+    // hub's; leaves receive nothing beyond the base
+    assert(ranks(0L) > ranks(1L) && ranks(1L) > ranks(2L),
+      s"in-link mass must order hub > hub-target > leaf: $ranks")
+    assert(ranks(2L) == ranks(3L) && ranks(3L) == ranks(4L),
+      "symmetric leaves must tie exactly (integer determinism)")
+    // floors only shave mass — total can never exceed SCALE
+    assert(ranks.values.sum <= graft.operators.ext.Graph.Scale)
+    // determinism: a second evaluation is bit-identical
+    assert(pr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap == ranks)
+    val plan = pr.queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct"),
+      s"only the 1-row node-count broadcast may nest-loop:\n${plan.take(1200)}")
+  }
 }
