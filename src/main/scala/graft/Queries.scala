@@ -1915,6 +1915,51 @@ object Queries {
           |ORDER BY rank DESC, node LIMIT 100""".stripMargin
       }),
 
+    // G2 — TrustRank (seeded PageRank): all restart mass starts on a small
+    // trusted seed set (suppliers 1-10) and the damped walk spreads trust
+    // along transaction links — the anti-spam corpus-quality signal
+    // (Gyöngyi et al., VLDB'04): nodes reachable only far from seeds stay
+    // near zero however densely they interlink. Same floor-division
+    // integer discipline as g1_pagerank; the oracle unrolls the seeded
+    // iterations.
+    Q("g2_trustrank",
+      (s, dir) => {
+        val pairs = rd(s, dir, "orders").select("o_orderkey", "o_custkey")
+          .join(rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
+        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+          .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+        val seeds = rd(s, dir, "supplier").filter(col("s_suppkey") <= 10)
+          .select((col("s_suppkey") + 1000000L).as("node"))
+        graft.operators.ext.Graph.trustRank(edges, "src", "dst", seeds, "node", 3)
+          .orderBy(col("rank").desc, col("node")).limit(100)
+      },
+      Some {
+        val sc = graft.operators.ext.Graph.Scale
+        def iter(i: Int): String =
+          s"""c$i AS (SELECT e.dst AS node, sum(r${i - 1}.rank // od.outdeg) AS inmass
+            |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN od ON e.src = od.node GROUP BY 1),
+            |r$i AS (SELECT b.node, b.b + (850 * coalesce(inmass, 0)) // 1000 AS rank
+            |  FROM b LEFT JOIN c$i ON b.node = c$i.node)""".stripMargin
+        s"""WITH p AS (SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |e AS (SELECT cust AS src, supp AS dst FROM p UNION ALL SELECT supp, cust FROM p),
+          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |seeds AS (SELECT s_suppkey + 1000000 AS node FROM supplier WHERE s_suppkey <= 10),
+          |ss AS (SELECT count(*) AS s FROM seeds),
+          |od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
+          |r0 AS (SELECT nodes.node, CASE WHEN seeds.node IS NOT NULL THEN $sc // s ELSE 0 END AS rank
+          |  FROM nodes CROSS JOIN ss LEFT JOIN seeds ON nodes.node = seeds.node),
+          |b AS (SELECT nodes.node, CASE WHEN seeds.node IS NOT NULL THEN (150 * ($sc // s)) // 1000 ELSE 0 END AS b
+          |  FROM nodes CROSS JOIN ss LEFT JOIN seeds ON nodes.node = seeds.node),
+          |${iter(1)},
+          |${iter(2)},
+          |${iter(3)}
+          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
+          |ORDER BY rank DESC, node LIMIT 100""".stripMargin
+      }),
+
     Q("x8_zorder",
       (s, dir) => {
         val o = rd(s, dir, "orders")

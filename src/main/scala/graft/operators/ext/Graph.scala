@@ -36,25 +36,73 @@ object Graph {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iters: Int): DataFrame = {
-    require(iters >= 1 && iters <= 10, "iters must be in [1, 10] (plan unrolls)")
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst"))
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val e = normalize(edges, srcCol, dstCol)
+    val nodes = nodesOf(e)
     val n = broadcast(nodes.agg(count(lit(1)).as("n")))
+    val r0 = nodes.crossJoin(n).select(col("node"), expr(s"$Scale div n").as("rank"))
+    val base = nodes.crossJoin(n)
+      .select(col("node"), expr(s"(150 * ($Scale div n)) div 1000").as("base"))
+    rankLoop(e, nodes, r0, base, iters)
+  }
+
+  /** G2: TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB'04) — the SEEDED
+    * variant of [[pageRank]] and the curation signal it exists for: start
+    * ALL mass on a small trusted seed set (hand-vetted domains) and let the
+    * damped walk spread trust along links; pages reachable only from spam
+    * farms stay near zero however densely they interlink. Same integer
+    * discipline as pageRank (SCALE div |seeds| units, floor divisions
+    * everywhere), so the fixed-point prefix replays bit-for-bit — the
+    * restart mass simply lands on seeds instead of everywhere:
+    *
+    *   r_0(v)   = [v ∈ seeds] · (SCALE div S)
+    *   r_t+1(v) = [v ∈ seeds] · (150·(SCALE div S)) div 1000
+    *            + (850·Σ inmass(v)) div 1000
+    *
+    * The seed frame is tiny by definition (hand-vetted) and broadcasts;
+    * everything else is the shared [[rankLoop]] shape.
+    */
+  def trustRank(edges: DataFrame, srcCol: String, dstCol: String,
+                seeds: DataFrame, seedCol: String, iters: Int): DataFrame = {
+    val e = normalize(edges, srcCol, dstCol)
+    val nodes = nodesOf(e)
+    val sd = broadcast(seeds.select(col(seedCol).cast("long").as("node")).distinct())
+    val s = broadcast(sd.agg(count(lit(1)).as("s")))
+    val withSeed = nodes.join(sd.withColumn("__seed", lit(1L)), Seq("node"), "left")
+      .crossJoin(s)
+    val r0 = withSeed.select(col("node"),
+      expr(s"case when __seed = 1 then $Scale div s else 0 end").as("rank"))
+    val base = withSeed.select(col("node"),
+      expr(s"case when __seed = 1 then (150 * ($Scale div s)) div 1000 else 0 end").as("base"))
+    rankLoop(e, nodes, r0, base, iters)
+  }
+
+  private def normalize(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+
+  private def nodesOf(e: DataFrame): DataFrame =
+    e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+
+  /** The shared damped-propagation loop: per iteration one shuffle-hash
+    * rank⋈edges join on src and one partial-aggregated inmass sum by dst,
+    * then rank = base + (850·inmass) div 1000. `base` carries each node's
+    * restart mass ALREADY floored, which is the only difference between the
+    * uniform (pageRank) and seeded (trustRank) walks.
+    */
+  private def rankLoop(e: DataFrame, nodes: DataFrame, r0: DataFrame,
+                       base: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10, "iters must be in [1, 10] (plan unrolls)")
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
-    var ranks = nodes.crossJoin(n).select(col("node"), expr(s"$Scale div n").as("rank"))
+    var ranks = r0
     for (_ <- 1 to iters) {
       val inmass = e
         .join(ranks.join(outdeg.hint("shuffle_hash"), Seq("node"))
           .withColumnRenamed("node", "src").hint("shuffle_hash"), Seq("src"))
         .select(col("dst").as("node"), expr("rank div outdeg").as("c"))
         .groupBy("node").agg(sum("c").as("inmass"))
-      ranks = nodes.join(inmass.hint("shuffle_hash"), Seq("node"), "left")
-        .crossJoin(n)
+      ranks = base.join(inmass.hint("shuffle_hash"), Seq("node"), "left")
         .select(col("node"),
-          expr(s"(150 * ($Scale div n)) div 1000 + (850 * coalesce(inmass, 0)) div 1000")
-            .as("rank"))
+          expr("base + (850 * coalesce(inmass, 0)) div 1000").as("rank"))
     }
     ranks
   }

@@ -551,4 +551,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"),
       s"only the 1-row node-count broadcast may nest-loop:\n${plan.take(1200)}")
   }
+
+  test("trustRank: mass starts and restarts on seeds; unreachable nodes stay exactly zero") {
+    import spark.implicits._
+    // two components: seeds can reach {0,1,2}; {8,9} interlink densely but
+    // are unreachable from the seed — TrustRank's whole point
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 0L), (8L, 9L), (9L, 8L))
+      .toDF("src", "dst")
+    val seeds = Seq(0L).toDF("node")
+    val tr = graft.operators.ext.Graph.trustRank(edges, "src", "dst", seeds, "node", 3)
+    val ranks = tr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(8L) == 0L && ranks(9L) == 0L,
+      s"nodes unreachable from seeds must hold exactly zero trust: $ranks")
+    assert(ranks(0L) > 0L && ranks(1L) > 0L && ranks(2L) > 0L)
+    // the seed keeps its restart mass advantage over downstream nodes
+    assert(ranks(0L) > ranks(2L), s"seed must outrank its 2-hop descendant: $ranks")
+    assert(ranks.values.sum <= graft.operators.ext.Graph.Scale)
+  }
 }
