@@ -1960,6 +1960,48 @@ object Queries {
           |ORDER BY rank DESC, node LIMIT 100""".stripMargin
       }),
 
+    // G3 — deterministic label propagation: suppliers 1-10 carry their
+    // nation as a hand-reviewed label; three majority-vote iterations
+    // spread labels across the transaction graph (ties -> smallest label,
+    // seeds clamped). The (count DESC, label ASC) argmax is a total order,
+    // so the converged assignment — including which nodes stay unlabeled —
+    // replays exactly; the oracle unrolls the same three votes.
+    Q("g3_label_prop",
+      (s, dir) => {
+        val pairs = rd(s, dir, "orders").select("o_orderkey", "o_custkey")
+          .join(rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+            col("o_orderkey") === col("l_orderkey"))
+          .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
+        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
+          .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
+        val seeds = rd(s, dir, "supplier").filter(col("s_suppkey") <= 10)
+          .select((col("s_suppkey") + 1000000L).as("node"),
+            col("s_nationkey").cast("long").as("lab"))
+        graft.operators.ext.Graph
+          .labelPropagate(edges, "src", "dst", seeds, "node", "lab", 3)
+          .orderBy("node")
+      },
+      Some {
+        def iter(i: Int): String =
+          s"""v$i AS (SELECT e.dst AS node, l${i - 1}.label, count(*) AS n
+            |  FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node WHERE l${i - 1}.label IS NOT NULL GROUP BY 1, 2),
+            |m$i AS (SELECT node, label AS maj FROM
+            |  (SELECT *, row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rk FROM v$i) WHERE rk = 1),
+            |l$i AS (SELECT l${i - 1}.node, coalesce(sd.lab, m$i.maj, l${i - 1}.label) AS label
+            |  FROM l${i - 1} LEFT JOIN m$i ON l${i - 1}.node = m$i.node LEFT JOIN sd ON l${i - 1}.node = sd.node)""".stripMargin
+        s"""WITH p AS (SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
+          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+          |e AS (SELECT cust AS src, supp AS dst FROM p UNION ALL SELECT supp, cust FROM p),
+          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |sd AS (SELECT s_suppkey + 1000000 AS node, CAST(s_nationkey AS BIGINT) AS lab
+          |  FROM supplier WHERE s_suppkey <= 10),
+          |l0 AS (SELECT nodes.node, sd.lab AS label FROM nodes LEFT JOIN sd ON nodes.node = sd.node),
+          |${iter(1)},
+          |${iter(2)},
+          |${iter(3)}
+          |SELECT node, label FROM l3 ORDER BY node""".stripMargin
+      }),
+
     Q("x8_zorder",
       (s, dir) => {
         val o = rd(s, dir, "orders")

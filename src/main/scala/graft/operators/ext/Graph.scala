@@ -76,6 +76,51 @@ object Graph {
     rankLoop(e, nodes, r0, base, iters)
   }
 
+  /** G3: deterministic label propagation — the semi-supervised spread of a
+    * small labeled set (quality/spam verdicts on hand-reviewed documents)
+    * across a link or near-dup graph, the label-side counterpart of
+    * [[trustRank]]'s mass walk. Each iteration every node adopts the
+    * MAJORITY label among its in-neighbors' current labels, ties broken by
+    * the SMALLEST label, keeping its current label (or none) when no
+    * labeled in-neighbor exists; seed labels are CLAMPED (a hand-reviewed
+    * verdict never flips — the standard semi-supervised discipline). The
+    * (count DESC, label ASC) argmax is a total order, so the fixed-point
+    * prefix is deterministic and replays exactly in any engine — no
+    * randomized tie-breaks, no float weights.
+    *
+    * Returns (node, label) with label null where propagation never reached.
+    * 100 TB shape: per iteration one shuffle-hash labels⋈edges join, one
+    * (dst, label) count aggregate, one per-dst argmax window — linear in
+    * |E|; only the seed frame (hand-reviewed, tiny) broadcasts.
+    */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+                     seeds: DataFrame, seedCol: String, labelCol: String,
+                     iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 10, "iters must be in [1, 10] (plan unrolls)")
+    val e = normalize(edges, srcCol, dstCol)
+    val nodes = nodesOf(e)
+    val sd = broadcast(seeds.select(col(seedCol).cast("long").as("node"),
+      col(labelCol).cast("long").as("__seed_label")).distinct())
+    var labels = nodes.join(sd, Seq("node"), "left")
+      .select(col("node"), col("__seed_label").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(labels.filter(col("label").isNotNull)
+          .withColumnRenamed("node", "src").hint("shuffle_hash"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("label")).agg(count(lit(1)).as("n"))
+        .withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("node"))
+            .orderBy(col("n").desc, col("label"))))
+        .filter(col("__rk") === 1)
+        .select(col("node"), col("label").as("__maj"))
+      labels = labels.join(votes.hint("shuffle_hash"), Seq("node"), "left")
+        .join(sd, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("__seed_label"), col("__maj"), col("label")).as("label"))
+    }
+    labels
+  }
+
   private def normalize(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
 

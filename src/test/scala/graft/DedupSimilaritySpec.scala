@@ -568,4 +568,23 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(ranks(0L) > ranks(2L), s"seed must outrank its 2-hop descendant: $ranks")
     assert(ranks.values.sum <= graft.operators.ext.Graph.Scale)
   }
+
+  test("labelPropagate: seeds clamp, majority wins with min-label ties, unreachable stay null") {
+    import spark.implicits._
+    // node 3 hears label 1 from {0,1} and label 2 from {2} -> majority 1;
+    // node 4 hears one vote each from {0(1), 2(2)} -> tie -> smallest (1);
+    // node 5 is isolated; seed 2 also hears 1-votes but must stay clamped
+    val edges = Seq((0L, 3L), (1L, 3L), (2L, 3L), (0L, 4L), (2L, 4L), (0L, 2L))
+      .toDF("src", "dst")
+    val seeds = Seq((0L, 1L), (1L, 1L), (2L, 2L)).toDF("node", "lab")
+    val out = graft.operators.ext.Graph
+      .labelPropagate(edges.unionByName(Seq((5L, 6L)).toDF("src", "dst")),
+        "src", "dst", seeds, "node", "lab", 3)
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out(3L).contains(1L), s"majority label must win: $out")
+    assert(out(4L).contains(1L), s"tie must break to the smallest label: $out")
+    assert(out(2L).contains(2L), "a seed's hand-reviewed label must never flip")
+    assert(out(5L).isEmpty, "a node no labeled path reaches must stay null")
+    assert(out(6L).isEmpty, "a node fed only by unlabeled nodes must stay null")
+  }
 }
