@@ -1555,6 +1555,35 @@ object Queries {
         "SELECT user_id, session_idx, min(tus) AS session_start, max(tus) AS session_end, " +
         "count(*) AS n_events FROM z GROUP BY 1, 2 ORDER BY 1, 2")),
 
+    // W8 — ordered event FUNNEL (view → click → purchase): stage k completes
+    // at the first event of its type STRICTLY AFTER stage k-1, so same-µs
+    // ties never advance the funnel and the per-user completion times are
+    // unambiguous integers. One conditional min-aggregate per stage chained
+    // by co-partitioned shuffle-hash joins on user_id — no windows, no
+    // per-user sort. The oracle replays the stage chain and pins stage
+    // counts AND the summed end-to-end latency (actual timestamps, not just
+    // cardinalities).
+    Q("w8_funnel",
+      (s, dir) => {
+        val ev = rd(s, dir, "events")
+        Relational.funnel(ev.withColumn("ts_us", expr(tsUsSql(ev.schema))),
+            "user_id", "event_type", "ts_us", Seq("view", "click", "purchase"))
+          .agg(count(lit(1)).as("n_view"),
+            count(col("t1")).as("n_view_click"),
+            count(col("t2")).as("n_view_click_purchase"),
+            sum(col("t2") - col("t0")).as("total_latency_us"))
+      },
+      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
+        |s0 AS (SELECT user_id, min(ts) AS t0 FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM ev e JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1)
+        |SELECT (SELECT count(*) FROM s0) AS n_view,
+        |  (SELECT count(*) FROM s1) AS n_view_click,
+        |  (SELECT count(*) FROM s2) AS n_view_click_purchase,
+        |  (SELECT CAST(sum(t2 - t0) AS BIGINT) FROM s2 JOIN s0 USING (user_id)) AS total_latency_us""".stripMargin)),
+
     // W5 — RANGE frame window (value-based, vs W2's ROWS frame): per-customer
     // rolling 30-day order total. The frame is defined on integer day offsets
     // so both engines share exact frame boundaries; tied days fall in one

@@ -166,6 +166,40 @@ object Relational {
         count(lit(1)).as("n_events"))
   }
 
+  /** W8: ordered event FUNNEL — per entity, stage k completes at the FIRST
+    * occurrence of its event type STRICTLY AFTER stage k-1's completion
+    * time (same-instant events do not advance the funnel — strictness makes
+    * the semantics unambiguous under ts ties). Returns one row per entity
+    * that completed stage 0, with nullable per-stage completion times
+    * `t0..t{k-1}` — the classic product-analytics sequence metric
+    * (view → click → purchase), and for a training pipeline the
+    * interaction-sequence filter (entities that actually traversed a flow).
+    *
+    * Shape: one conditional aggregate per stage, each a groupBy(entity)
+    * min(ts) over rows pre-filtered map-side by event type, chained by
+    * shuffle-hash joins ON THE SAME entity key — co-partitioned, so
+    * Catalyst reuses the entity distribution instead of re-shuffling per
+    * stage. Linear in events per stage; no windows, no per-entity sort.
+    * `tsCol` must be a numeric epoch (integer comparisons, SURVEY §7.4).
+    */
+  def funnel(events: DataFrame, entityCol: String, typeCol: String,
+             tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val ev = events.select(col(entityCol).as("entity"),
+      col(typeCol).as("__typ"), col(tsCol).as("__ts"))
+    var reached = ev.filter(col("__typ") === stages.head)
+      .groupBy("entity").agg(min("__ts").as("t0"))
+    stages.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val nxt = ev.filter(col("__typ") === st)
+        .join(reached.select(col("entity"), col(s"t${i - 1}")).hint("shuffle_hash"),
+          Seq("entity"))
+        .filter(col("__ts") > col(s"t${i - 1}"))
+        .groupBy("entity").agg(min("__ts").as(s"t$i"))
+      reached = reached.join(nxt.hint("shuffle_hash"), Seq("entity"), "left")
+    }
+    reached
+  }
+
   /** J5: range (band) join — each fact row lands in the band whose
     * [lo, hi) interval contains its value. The band table is small by
     * construction, so it is explicitly broadcast: Catalyst plans a

@@ -59,4 +59,27 @@ class SessionRangeSpec extends SparkSpec {
     val sums = out.map(r => (r.getInt(0), r.getInt(1), r.getDecimal(2).doubleValue, r.getLong(3))).toSeq
     assert(sums == Seq((0, 0, 2.0, 2L), (0, 1, -2.0, 2L), (1, 0, 3.0, 1L), (1, 1, 4.0, 1L)))
   }
+
+  test("funnel: strictly-after ordering, same-instant never advances, stalls leave nulls") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1 completes A(10) -> B(20) -> C(30); a B at ts 5 (before A) is ignored
+      (1L, "B", 5L), (1L, "A", 10L), (1L, "B", 20L), (1L, "C", 30L),
+      // user 2: B lands at the SAME instant as A -> strictness blocks stage 2
+      (2L, "A", 10L), (2L, "B", 10L), (2L, "C", 40L),
+      // user 3 never does A at all
+      (3L, "B", 1L), (3L, "C", 2L)
+    ).toDF("uid", "typ", "ts")
+    val out = Relational.funnel(ev, "uid", "typ", "ts", Seq("A", "B", "C"))
+      .collect().map(r => r.getLong(0) ->
+        (Seq(1, 2, 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))))).toMap
+    assert(out(1L) == Seq(Some(10L), Some(20L), Some(30L)))
+    assert(out(2L) == Seq(Some(10L), None, None),
+      s"same-instant B must not advance past A, and C needs B first: $out")
+    assert(!out.contains(3L), "an entity that never enters stage 0 has no funnel row")
+    // the chained joins must stay co-partitioned shuffle-hash, never cartesian
+    val plan = Relational.funnel(ev, "uid", "typ", "ts", Seq("A", "B", "C"))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("ShuffledHashJoin") && !plan.contains("CartesianProduct"))
+  }
 }
