@@ -1584,6 +1584,25 @@ object Queries {
         |  (SELECT count(*) FROM s2) AS n_view_click_purchase,
         |  (SELECT CAST(sum(t2 - t0) AS BIGINT) FROM s2 JOIN s0 USING (user_id)) AS total_latency_us""".stripMargin)),
 
+    // W9 — cohort retention (weekly): entities cohort into the week of
+    // their first event; each (cohort, weeks-since) cell counts entities
+    // active that week. Pure integer week arithmetic (epoch-µs div week),
+    // so the full matrix replays exactly; the (entity, week) distinct means
+    // the cell count needs no countDistinct.
+    Q("w9_retention",
+      (s, dir) => {
+        val ev = rd(s, dir, "events")
+        Relational.retention(ev.withColumn("ts_us", expr(tsUsSql(ev.schema))),
+            "user_id", "ts_us", periodUs = 604800000000L)
+          .orderBy("cohort", "periods_since")
+      },
+      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS period FROM events),
+        |co AS (SELECT user_id, min(period) AS cohort FROM ev GROUP BY 1),
+        |act AS (SELECT DISTINCT user_id, period FROM ev)
+        |SELECT cohort, period - cohort AS periods_since, count(*) AS n_active
+        |FROM act JOIN co USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // W5 — RANGE frame window (value-based, vs W2's ROWS frame): per-customer
     // rolling 30-day order total. The frame is defined on integer day offsets
     // so both engines share exact frame boundaries; tied days fall in one

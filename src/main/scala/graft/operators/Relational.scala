@@ -200,6 +200,33 @@ object Relational {
     reached
   }
 
+  /** W9: cohort RETENTION — the funnel's companion metric: bucket each
+    * entity into the period of its FIRST event (its cohort), mark the
+    * periods it was active in, and count per (cohort, periods-since) cell —
+    * the retention matrix every product-analytics stack publishes, and for
+    * a training pipeline the longitudinal-coverage report (how long do
+    * entities keep contributing data after first appearance).
+    *
+    * All integer arithmetic: periods are epoch div periodUs, so cohort and
+    * offset are exact in any engine. Shape: one min-aggregate (cohorts),
+    * one distinct over (entity, period) — both partial-agg safe — joined
+    * shuffle-hash on the entity key, then one final aggregate over the
+    * (cohorts × offsets)-bounded cell space. The per-cell count needs no
+    * countDistinct: the (entity, period) frame is already distinct, so each
+    * entity hits a cell at most once.
+    */
+  def retention(events: DataFrame, entityCol: String, tsCol: String,
+                periodUs: Long): DataFrame = {
+    require(periodUs > 0, "periodUs must be positive")
+    val ev = events.select(col(entityCol).as("entity"),
+      expr(s"$tsCol div $periodUs").as("period"))
+    val cohorts = ev.groupBy("entity").agg(min("period").as("cohort"))
+    ev.distinct()
+      .join(cohorts.hint("shuffle_hash"), Seq("entity"))
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("periods_since"))
+      .agg(count(lit(1)).as("n_active"))
+  }
+
   /** J5: range (band) join — each fact row lands in the band whose
     * [lo, hi) interval contains its value. The band table is small by
     * construction, so it is explicitly broadcast: Catalyst plans a

@@ -82,4 +82,24 @@ class SessionRangeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString()
     assert(plan.contains("ShuffledHashJoin") && !plan.contains("CartesianProduct"))
   }
+
+  test("retention: cohort = first-event period, multiple same-period events count once") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: cohort period 0, active 0 and 2 (twice in period 0 -> once)
+      (1L, 5L), (1L, 8L), (1L, 25L),
+      // user 2: cohort period 1, active 1 only
+      (2L, 12L),
+      // user 3: cohort period 0, active 0, 1, 2
+      (3L, 0L), (3L, 11L), (3L, 20L)
+    ).toDF("uid", "ts")
+    val out = Relational.retention(ev, "uid", "ts", periodUs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      (0L, 0L) -> 2L, // users 1 and 3 in their cohort week
+      (0L, 1L) -> 1L, // only user 3 returned the next period
+      (0L, 2L) -> 2L, // both again two periods on
+      (1L, 0L) -> 1L
+    ), s"retention matrix mismatch: $out")
+  }
 }
