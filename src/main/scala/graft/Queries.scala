@@ -1917,6 +1917,32 @@ object Queries {
         |  UNION ALL SELECT 'l_returnflag_domain', c5 FROM a)
         |ORDER BY rule""".stripMargin)),
 
+    // P8 — constraint QUARANTINE (P7's row-level routing form): every
+    // lineitem row carries the comma-joined names of the constraints it
+    // violates (false-OR-NULL = violation, P7's discipline); the dump is
+    // the dead-letter side only, bounded by orderkey. Pure map-side
+    // projection — the clean/quarantine split costs one scan, no second
+    // validation pass.
+    Q("p8_quarantine",
+      (s, dir) => Relational.quarantine(
+          rd(s, dir, "lineitem").filter(col("l_orderkey") < 5000), Seq(
+            "l_quantity_le_30" -> (col("l_quantity") <= 30),
+            "l_discount_le_5pct" -> (col("l_discount") <= 0.05),
+            "l_tax_le_4pct" -> (col("l_tax") <= 0.04)))
+        .filter(size(col("violations")) > 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          array_join(col("violations"), ",").as("viols"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""WITH q AS (SELECT l_orderkey, l_linenumber,
+        |  array_to_string(list_filter([
+        |    CASE WHEN NOT coalesce(l_quantity <= 30, FALSE) THEN 'l_quantity_le_30' END,
+        |    CASE WHEN NOT coalesce(l_discount <= 0.05, FALSE) THEN 'l_discount_le_5pct' END,
+        |    CASE WHEN NOT coalesce(l_tax <= 0.04, FALSE) THEN 'l_tax_le_4pct' END
+        |  ], x -> x IS NOT NULL), ',') AS viols
+        |  FROM lineitem WHERE l_orderkey < 5000)
+        |SELECT l_orderkey, l_linenumber, viols FROM q WHERE viols <> ''
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
     // X8 — z-order (Morton) clustering value: interleave 16 bits of customer
     // key with 16 bits of a price bucket (totalprice/8 — a power-of-two
     // scale, so the double divide and floor are IEEE-exact in both engines).

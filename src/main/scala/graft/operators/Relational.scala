@@ -227,6 +227,25 @@ object Relational {
       .agg(count(lit(1)).as("n_active"))
   }
 
+  /** P8: constraint QUARANTINE — the row-level routing form of P7's
+    * aggregate report: evaluate named constraints per row and attach the
+    * array of VIOLATED constraint names, so the caller splits the stream
+    * into clean rows (`size(violations) = 0`) and a dead-letter side
+    * carrying machine-readable reasons — the contract a production ingest
+    * needs (P7 tells you THAT 3% failed; this routes WHICH rows and WHY
+    * without a second pass). NULL-valued constraints count as violations,
+    * matching P7's false-or-null discipline — silence is not compliance.
+    * Pure map-side projection: no shuffle, codegen-friendly, linear.
+    */
+  def quarantine(df: DataFrame,
+                 constraints: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    require(constraints.nonEmpty, "quarantine needs at least one constraint")
+    val marks = constraints.map { case (name, c) =>
+      when(!coalesce(c, lit(false)), lit(name))
+    }
+    df.withColumn("violations", filter(array(marks: _*), x => x.isNotNull))
+  }
+
   /** J5: range (band) join — each fact row lands in the band whose
     * [lo, hi) interval contains its value. The band table is small by
     * construction, so it is explicitly broadcast: Catalyst plans a

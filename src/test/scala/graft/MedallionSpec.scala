@@ -117,4 +117,27 @@ class MedallionSpec extends SparkSpec {
       .select(col("id"), col("l_orderkey"), col("l_linenumber"))
     assert(windowed.orderBy("id").collect().toSeq == scalable.orderBy("id").collect().toSeq)
   }
+
+  test("quarantine: violated names attach in order, NULL counts as violation, clean rows empty") {
+    import spark.implicits._
+    val df = Seq[(Long, java.lang.Double, String)](
+      (1L, 5.0, "ok"),      // clean
+      (2L, -1.0, "ok"),     // fails positive
+      (3L, null, "ok"),     // NULL -> violation (silence is not compliance)
+      (4L, -2.0, null)      // fails both
+    ).toDF("id", "v", "s")
+    val out = graft.operators.Relational.quarantine(df, Seq(
+        "v_positive" -> (col("v") > 0),
+        "s_present" -> col("s").isNotNull))
+      .select(col("id"), col("violations"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSeq).toMap
+    assert(out(1L) == Seq())
+    assert(out(2L) == Seq("v_positive"))
+    assert(out(3L) == Seq("v_positive"), s"NULL must quarantine: $out")
+    assert(out(4L) == Seq("v_positive", "s_present"), "names keep declaration order")
+    // map-side only: no exchange in the plan
+    val plan = graft.operators.Relational.quarantine(df, Seq("v_positive" -> (col("v") > 0)))
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("Exchange"), s"quarantine must not shuffle:\n${plan.take(800)}")
+  }
 }
