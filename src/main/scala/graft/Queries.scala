@@ -1603,6 +1603,23 @@ object Queries {
         |FROM act JOIN co USING (user_id)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // W10 — event transition matrix: per-user consecutive event-type
+    // bigrams under the (ts, event_id) total order, counted corpus-wide —
+    // the Markov session-flow statistic. One lag window off a single user
+    // exchange; cells bounded by |event-type|².
+    Q("w10_transitions",
+      (s, dir) => {
+        val ev = rd(s, dir, "events")
+        Relational.transitions(ev.withColumn("ts_us", expr(tsUsSql(ev.schema))),
+            "user_id", "event_type", "ts_us", "event_id")
+          .orderBy("from_type", "to_type")
+      },
+      Some("""WITH x AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
+        |y AS (SELECT event_type AS to_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS from_type FROM x)
+        |SELECT from_type, to_type, count(*) AS n FROM y WHERE from_type IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // W5 — RANGE frame window (value-based, vs W2's ROWS frame): per-customer
     // rolling 30-day order total. The frame is defined on integer day offsets
     // so both engines share exact frame boundaries; tied days fall in one

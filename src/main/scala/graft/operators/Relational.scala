@@ -246,6 +246,24 @@ object Relational {
     df.withColumn("violations", filter(array(marks: _*), x => x.isNotNull))
   }
 
+  /** W10: event TRANSITION matrix — per-entity consecutive event-type
+    * bigrams under a TOTAL time order (ts, then `tieCol` — SURVEY §7.4: a
+    * bare ts order is nondeterministic under same-instant events), counted
+    * corpus-wide: the session-flow statistic (what follows what, how often)
+    * behind Markov-chain UX models and behavioral-cloning data audits.
+    * One lag window per entity + one (from, to) aggregate — a single key
+    * exchange, then cells bounded by |event-type|². Exact integers.
+    */
+  def transitions(events: DataFrame, entityCol: String, typeCol: String,
+                  tsCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .withColumn("__prev", lag(col(typeCol), 1).over(w))
+      .filter(col("__prev").isNotNull)
+      .groupBy(col("__prev").as("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** J5: range (band) join — each fact row lands in the band whose
     * [lo, hi) interval contains its value. The band table is small by
     * construction, so it is explicitly broadcast: Catalyst plans a

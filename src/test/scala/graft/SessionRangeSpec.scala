@@ -102,4 +102,18 @@ class SessionRangeSpec extends SparkSpec {
       (1L, 0L) -> 1L
     ), s"retention matrix mismatch: $out")
   }
+
+  test("transitions: per-entity ordering with tie column, cross-entity bigrams never count") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: A -> B -> A; same-ts tie broken by event_id (10 before 11)
+      (1L, "A", 100L, 10L), (1L, "B", 100L, 11L), (1L, "A", 200L, 12L),
+      // user 2: single event -> no bigram; u1's last and u2's first never pair
+      (2L, "C", 300L, 13L)
+    ).toDF("uid", "typ", "ts", "eid")
+    val out = graft.operators.Relational.transitions(ev, "uid", "typ", "ts", "eid")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(("A", "B") -> 1L, ("B", "A") -> 1L),
+      s"expected exactly the two within-user bigrams: $out")
+  }
 }
