@@ -133,6 +133,14 @@ object Graph {
     * then rank = base + (850·inmass) div 1000. `base` carries each node's
     * restart mass ALREADY floored, which is the only difference between the
     * uniform (pageRank) and seeded (trustRank) walks.
+    *
+    * Deliberately NO localCheckpoint: a lineage-truncating variant
+    * (checkpointing edges and/or the per-iteration rank frames) measured
+    * SLOWER at 10-50 M edges — Spark already collapses the identical
+    * per-iteration outdeg/nodes subtrees via exchange reuse, and
+    * materializing frames costs more than the reuse saves. At iters <= 10
+    * the declarative unroll is the fastest form measured; revisit only if
+    * iters grows past that.
     */
   private def rankLoop(e: DataFrame, nodes: DataFrame, r0: DataFrame,
                        base: DataFrame, iters: Int): DataFrame = {

@@ -55,7 +55,12 @@ class GoldenPlanSpec extends SparkSpec {
     "x2_ann_pq_recall" -> "BroadcastNestedLoopJoin=1, BroadcastHashJoin=7, ShuffledHashJoin=1, SortMergeJoin=2, BroadcastExchange=8, Exchange hashpartitioning=13, Exchange SinglePartition=2, HashAggregate=12, WindowGroupLimit=8, Window=6, TakeOrderedAndProject=2",
     "x2_ann_binary_rerank" -> "BroadcastNestedLoopJoin=1, ShuffledHashJoin=2, BroadcastExchange=1, Exchange hashpartitioning=5, Exchange rangepartitioning=1, WindowGroupLimit=4, Window=2",
     "x2_ann_pq_incremental" -> "BroadcastHashJoin=5, BroadcastExchange=5, Exchange hashpartitioning=4, Exchange rangepartitioning=1, HashAggregate=8, WindowGroupLimit=2, Window=2, TakeOrderedAndProject=1, Generate=4",
-    "x3_lm_score" -> "BroadcastNestedLoopJoin=1, BroadcastHashJoin=1, ShuffledHashJoin=2, BroadcastExchange=2, Exchange hashpartitioning=6, Exchange rangepartitioning=1, Exchange SinglePartition=1, HashAggregate=10, Generate=4")
+    "x3_lm_score" -> "BroadcastNestedLoopJoin=1, BroadcastHashJoin=1, ShuffledHashJoin=2, BroadcastExchange=2, Exchange hashpartitioning=6, Exchange rangepartitioning=1, Exchange SinglePartition=1, HashAggregate=10, Generate=4",
+    "x3_bm25" -> "BroadcastNestedLoopJoin=1, BroadcastHashJoin=2, ShuffledHashJoin=1, BroadcastExchange=3, Exchange hashpartitioning=7, Exchange rangepartitioning=1, Exchange SinglePartition=1, HashAggregate=10, WindowGroupLimit=2, Window=2, Generate=3",
+    "x2_hybrid_rrf" -> "BroadcastNestedLoopJoin=2, BroadcastHashJoin=4, ShuffledHashJoin=1, BroadcastExchange=6, Exchange hashpartitioning=11, Exchange rangepartitioning=1, Exchange SinglePartition=1, HashAggregate=16, ObjectHashAggregate=4, WindowGroupLimit=4, Window=4, Generate=7",
+    "x3_bm25_index" -> "BroadcastNestedLoopJoin=1, BroadcastHashJoin=1, ShuffledHashJoin=1, BroadcastExchange=2, Exchange hashpartitioning=3, Exchange rangepartitioning=1, Exchange SinglePartition=1, HashAggregate=6, WindowGroupLimit=2, Window=2, Generate=1",
+    "x9_retrieval_e2e" -> "BroadcastNestedLoopJoin=1, BroadcastHashJoin=6, ShuffledHashJoin=1, BroadcastExchange=7, Exchange hashpartitioning=7, Exchange rangepartitioning=1, Exchange SinglePartition=1, HashAggregate=16, WindowGroupLimit=5, Window=5, TakeOrderedAndProject=1, Generate=5",
+    "g1_pagerank" -> "BroadcastNestedLoopJoin=4, BroadcastHashJoin=28, ShuffledHashJoin=9, BroadcastExchange=32, Exchange hashpartitioning=17, Exchange SinglePartition=4, HashAggregate=36, TakeOrderedAndProject=1")
 
   test("plan fingerprints of the heaviest batch queries match the committed goldens") {
     val actual = golden.keys.toSeq.sorted.map(n => n -> fingerprint(n))
