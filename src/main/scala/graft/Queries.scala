@@ -2051,6 +2051,33 @@ object Queries {
           |ORDER BY rank DESC, node LIMIT 100""".stripMargin
       }),
 
+    // G4 — exact triangle counting over the part co-purchase graph (parts
+    // sharing an order connect; orders bound the per-order pair fan-out):
+    // canonicalized undirected edges, ordered-wedge enumeration x<y<z
+    // closed by a left-semi probe — every triangle exactly once, no
+    // post-dedup. The co-occurrence-graph construction is itself the
+    // market-basket pattern. Corpus bounded to l_orderkey < 2000 so the
+    // row costs the same at every scale factor.
+    Q("g4_triangles",
+      (s, dir) => {
+        val li = rd(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+          .select("l_orderkey", "l_partkey")
+        val edges = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        graft.operators.ext.Graph.triangleCount(edges, "src", "dst")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 2000),
+        |raw AS (SELECT x.l_partkey AS src, y.l_partkey AS dst FROM li x JOIN li y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw WHERE src <> dst),
+        |w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 JOIN e e2 ON e1.b = e2.a),
+        |t AS (SELECT * FROM w WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.x AND e.b = w.z))
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT count(*) FROM w) AS n_wedges,
+        |  (SELECT count(*) FROM t) AS n_triangles""".stripMargin)),
+
     // G3 — deterministic label propagation: suppliers 1-10 carry their
     // nation as a hand-reviewed label; three majority-vote iterations
     // spread labels across the transaction graph (ties -> smallest label,

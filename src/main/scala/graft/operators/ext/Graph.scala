@@ -121,6 +121,39 @@ object Graph {
     labels
   }
 
+  /** G4: exact TRIANGLE counting — the local-density statistic behind
+    * community detection and spam-farm detection (a spam cluster's
+    * co-citation graph is triangle-dense; organic link neighborhoods are
+    * sparse). Edges are undirected: each canonicalizes to (a = min, b =
+    * max), self-loops and duplicates drop, and the join chain enumerates
+    * ordered wedges x < y < z closed by a third edge — every triangle
+    * counted EXACTLY once with no post-dedup, the standard orientation
+    * trick. Returns one row: (n_edges, n_wedges, n_triangles) — the global
+    * clustering coefficient is 3·triangles/wedges at the caller's
+    * precision.
+    *
+    * 100 TB shape: two shuffle-hash self-joins on single node keys; wedge
+    * volume is Σ deg(v)² — the orientation bounds the enumeration by
+    * ordered pairs only, and a production run over a power-law graph
+    * additionally orients by degree (cheap extra aggregate) to cut the
+    * hub term; the id orientation here keeps the oracle trivially exact.
+    */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = normalize(edges, srcCol, dstCol)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val wedges = e.as("e1")
+      .join(e.as("e2").hint("shuffle_hash"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val closed = wedges
+      .join(e.hint("shuffle_hash"),
+        wedges("x") === e("a") && wedges("z") === e("b"), "left_semi")
+    e.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_triangles"))))
+  }
+
   private def normalize(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
 

@@ -587,4 +587,21 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(5L).isEmpty, "a node no labeled path reaches must stay null")
     assert(out(6L).isEmpty, "a node fed only by unlabeled nodes must stay null")
   }
+
+  test("triangleCount: exactly-once per triangle, direction/duplicates/self-loops ignored") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} = 4 triangles; edges arrive directed, duplicated, and
+    // with a self-loop; node 5 hangs off one vertex adding a wedge but no
+    // triangle
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (3L, 2L),
+      (2L, 4L), (3L, 4L), (4L, 4L), (4L, 5L)
+    ).toDF("src", "dst")
+    val r = graft.operators.ext.Graph.triangleCount(edges, "src", "dst").collect().head
+    assert(r.getLong(0) == 7L, s"K4 + pendant = 7 canonical edges, got ${r.getLong(0)}")
+    assert(r.getLong(2) == 4L, s"K4 has exactly 4 triangles, got ${r.getLong(2)}")
+    // wedges x<y<z in K4: (1,2,3),(1,2,4),(1,3,4),(2,3,4) plus pendant wedges
+    // through 4: (1,4,5),(2,4,5),(3,4,5) = 7
+    assert(r.getLong(1) == 7L, s"ordered wedge count, got ${r.getLong(1)}")
+  }
 }
