@@ -1722,6 +1722,29 @@ object Queries {
         "CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS INTEGER) AS rk FROM c) " +
         "WHERE rk <= 5 ORDER BY lang, rk")),
 
+    // X3 — PPMI collocation extraction (Church & Hanks): adjacent word
+    // pairs ranked by positive pointwise mutual information with the log2
+    // quantized to bit-length of the integer ratio and sub-chance pairs
+    // floored to 0 — integer-exact, so the full collocation ranking
+    // hash-checks (float PMI cannot). Support floor cab >= 5.
+    Q("x3_ppmi",
+      (s, dir) => TextAnalysis.ppmiCollocations(rd(s, dir, "documents"), "text", 5L, 50)
+        .orderBy("rk"),
+      Some("""WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+        |uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1),
+        |bg AS (SELECT ws[i] AS a, ws[i + 1] AS b FROM
+        |  (SELECT ws, unnest(range(1, len(ws))) AS i FROM t WHERE len(ws) >= 2)),
+        |bc AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2),
+        |nn AS (SELECT CAST(sum(cab) AS BIGINT) AS n FROM bc),
+        |sc AS (SELECT a, b, cab,
+        |  CASE WHEN (n * cab) // (ca.c * cb.c) >= 1
+        |    THEN length(printf('%b', (n * cab) // (ca.c * cb.c))) - 1 ELSE 0 END AS ppmi
+        |  FROM bc JOIN uc ca ON bc.a = ca.w JOIN uc cb ON bc.b = cb.w
+        |  CROSS JOIN nn WHERE cab >= 5)
+        |SELECT a, b, cab, ppmi, rk FROM (SELECT *,
+        |  CAST(row_number() OVER (ORDER BY ppmi DESC, cab DESC, a, b) AS INTEGER) AS rk FROM sc)
+        |WHERE rk <= 50 ORDER BY rk""".stripMargin)),
+
     // X3 — character-trigram top-25 via the native char_ngrams Generator
     // (§2.10 UDTF surface): rows stream lazily out of the UTF8String buffer
     // into the aggregate — no intermediate shingle arrays, no per-element

@@ -386,6 +386,49 @@ object TextAnalysis {
     bm25Rank(tf, spark.table(lengthsTable), qt, k, excludeSelf)
   }
 
+  /** X3: PPMI collocation extraction — rank adjacent word pairs by positive
+    * pointwise mutual information, PPMI(a,b) = max(0, log2(N·c(a,b) /
+    * (c(a)·c(b)))) — the classic collocation statistic (Church & Hanks):
+    * high-count pairs of individually-rare words ("new york") surface,
+    * pairs that co-occur only as often as chance predicts score 0. The log2
+    * quantizes to bit-length of the integer ratio (the [[tfIdfTopK]] trick)
+    * with the < 1 ratio floored to 0 (the "positive" in PPMI), so the whole
+    * ranking is integer-exact cross-engine — float PMI is not. `minCount`
+    * is the standard support floor (PMI is unstable on singletons).
+    *
+    * 100 TB shape: unigram and bigram counts partial-aggregate (bounded by
+    * vocabulary and bigram-vocabulary); the two count joins are
+    * shuffle-hash on single word keys (the unigram table is corpus-derived
+    * — never broadcast); N is a 1-row broadcast; top-k is one
+    * TakeOrderedAndProject.
+    */
+  def ppmiCollocations(docs: DataFrame, textCol: String, minCount: Long,
+                       k: Int): DataFrame = {
+    val ws = toks(textCol)
+    val uni = docs.select(explode(expr(ws)).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val bg = docs.select(explode(expr(
+        s"case when size($ws) < 2 then array() else transform(sequence(1, size($ws) - 1), " +
+          s"i -> named_struct('a', element_at($ws, i), 'b', element_at($ws, i + 1))) end")).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+    val n = bg.agg(sum("cab").as("n"))
+    bg.filter(col("cab") >= minCount)
+      .join(uni.select(col("w").as("a"), col("c").as("ca")).hint("shuffle_hash"), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("c").as("cb")).hint("shuffle_hash"), Seq("b"))
+      .crossJoin(broadcast(n))
+      .withColumn("ppmi", expr(
+        "case when (n * cab) div (ca * cb) >= 1 " +
+          "then length(bin((n * cab) div (ca * cb))) - 1 else 0 end").cast("long"))
+      // top-k via the TakeOrderedAndProject heap (no global sort, no
+      // single-partition window over the full pair set); rk is then a
+      // window over only the k survivors
+      .orderBy(col("ppmi").desc, col("cab").desc, col("a"), col("b")).limit(k)
+      .withColumn("rk", row_number().over(Window.orderBy(
+        col("ppmi").desc, col("cab").desc, col("a"), col("b"))))
+      .select("a", "b", "cab", "ppmi", "rk")
+  }
+
   /** Document chunking for training/RAG pipelines: split each document into
     * token windows of `size` with `stride` (overlapping when stride < size).
     * Chunk starts are 1-indexed positions 1, 1+stride, 1+2·stride, ... and a

@@ -283,6 +283,26 @@ class TextMultimodalSpec extends SparkSpec {
       s"postings scan must bucket-prune on the query terms:\n${probePlan.take(1500)}")
   }
 
+  test("ppmiCollocations: bound pairs outrank chance pairs; sub-chance floors to zero") {
+    // 'alpha beta' always co-occur (bound collocation); 'the x' pairs are
+    // chance-level against high-count 'the'
+    val corpus = docs(
+      (0L, "alpha beta the one the two the three"),
+      (1L, "alpha beta the two the one the four"),
+      (2L, "alpha beta the five the one the two"),
+      (3L, "alpha beta the six the two the one"),
+      (4L, "alpha beta the one the four the five"))
+    val out = TextAnalysis.ppmiCollocations(corpus, "text", 5L, 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(3), r.getInt(4))).toMap
+    val (abPpmi, abRk) = out(("alpha", "beta"))
+    assert(abRk == 1 && abPpmi > 0,
+      s"the fully-bound pair must rank first with positive PPMI: $out")
+    // 'the one': c(the)=15, c(one)=5, cab=5, N=35 -> ratio 35*5/75 = 2 -> ppmi 1;
+    // still below the bound pair (ratio 35*5/25 = 7 -> ppmi 2)
+    assert(out(("the", "one"))._1 < abPpmi,
+      s"chance-level pair must score below the bound pair: $out")
+  }
+
   test("GIF frame codec: real multi-frame roundtrip, per-frame histograms exact, payload never shuffles") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 3L, 7L, 42L).toDF("doc_id")
