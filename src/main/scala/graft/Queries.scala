@@ -3317,6 +3317,39 @@ object Queries {
         |SELECT query_id, cand_id, rrf_score, n_legs, rk FROM r WHERE rk <= 10
         |ORDER BY query_id, rk""".stripMargin)),
 
+    // X6 — k-center CORESET selection (Gonzalez greedy farthest-point) in
+    // the exact quantized space: seed = min vec_id, then 3 iterations of
+    // "add the point farthest from its nearest chosen center" (ties ->
+    // smallest id). The chosen id SEQUENCE pins every argmax over exact
+    // integer distances; the oracle unrolls the four stages.
+    Q("x6_coreset",
+      (s, dir) => Similarity.coresetSelect(rd(s, dir, "embeddings"), 4)
+        .orderBy("rk"),
+      Some(s"""WITH $duckQuantCtes,
+        |v AS (SELECT vec_id, list(CAST(qq AS DOUBLE) ORDER BY pos) AS qv FROM q GROUP BY vec_id),
+        |c1 AS (SELECT min(vec_id) AS id FROM v),
+        |cv1 AS (SELECT v.qv AS c FROM v JOIN c1 ON v.vec_id = c1.id),
+        |c2 AS (SELECT a.vec_id AS id FROM v a CROSS JOIN cv1
+        |  WHERE a.vec_id NOT IN (SELECT id FROM c1)
+        |  ORDER BY CAST(list_dot_product(a.qv, a.qv) + list_dot_product(cv1.c, cv1.c) - 2 * list_dot_product(a.qv, cv1.c) AS BIGINT) DESC, a.vec_id LIMIT 1),
+        |cv2 AS (SELECT v.qv AS c FROM v JOIN c2 ON v.vec_id = c2.id),
+        |c3 AS (SELECT a.vec_id AS id FROM v a CROSS JOIN cv1 CROSS JOIN cv2
+        |  WHERE a.vec_id NOT IN (SELECT id FROM c1 UNION ALL SELECT id FROM c2)
+        |  ORDER BY least(
+        |    CAST(list_dot_product(a.qv, a.qv) + list_dot_product(cv1.c, cv1.c) - 2 * list_dot_product(a.qv, cv1.c) AS BIGINT),
+        |    CAST(list_dot_product(a.qv, a.qv) + list_dot_product(cv2.c, cv2.c) - 2 * list_dot_product(a.qv, cv2.c) AS BIGINT)) DESC, a.vec_id LIMIT 1),
+        |cv3 AS (SELECT v.qv AS c FROM v JOIN c3 ON v.vec_id = c3.id),
+        |c4 AS (SELECT a.vec_id AS id FROM v a CROSS JOIN cv1 CROSS JOIN cv2 CROSS JOIN cv3
+        |  WHERE a.vec_id NOT IN (SELECT id FROM c1 UNION ALL SELECT id FROM c2 UNION ALL SELECT id FROM c3)
+        |  ORDER BY least(
+        |    CAST(list_dot_product(a.qv, a.qv) + list_dot_product(cv1.c, cv1.c) - 2 * list_dot_product(a.qv, cv1.c) AS BIGINT),
+        |    CAST(list_dot_product(a.qv, a.qv) + list_dot_product(cv2.c, cv2.c) - 2 * list_dot_product(a.qv, cv2.c) AS BIGINT),
+        |    CAST(list_dot_product(a.qv, a.qv) + list_dot_product(cv3.c, cv3.c) - 2 * list_dot_product(a.qv, cv3.c) AS BIGINT)) DESC, a.vec_id LIMIT 1)
+        |SELECT CAST(1 AS INTEGER) AS rk, id AS vec_id FROM c1
+        |UNION ALL SELECT 2, id FROM c2
+        |UNION ALL SELECT 3, id FROM c3
+        |UNION ALL SELECT 4, id FROM c4 ORDER BY rk""".stripMargin)),
+
     // X2 — BINARY quantization ANN: 1-bit-per-dimension signatures (8 bytes
     // per 64-dim vector, 32x under float32) via the exact integer mean test
     // q*n >= sum(q), Hamming top-k = two XORs + two popcounts per candidate.

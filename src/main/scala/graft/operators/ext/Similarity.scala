@@ -958,6 +958,50 @@ object Similarity {
       .filter(col("rk") <= k)
   }
 
+  /** X6: k-center CORESET selection — the greedy farthest-point traversal
+    * (Gonzalez's 2-approximation) over the exact int8-quantized space:
+    * start from the minimum vec_id (deterministic seed), then repeatedly
+    * add the point MAXIMIZING its distance to the nearest already-chosen
+    * center, ties to the smallest vec_id. The classic diverse-subset
+    * selector a curation pipeline runs to cover embedding space with a
+    * small budget (vs density-blind random sampling); every distance is an
+    * exact integer through the quantizer + float_dot kernel, so the chosen
+    * id SEQUENCE — which pins every argmax — replays bit-for-bit.
+    *
+    * Shape: k-1 passes, each one scan computing min-distance to the ≤ k
+    * broadcast centers (k·dim ints — trivially broadcast-sized) and one
+    * TakeOrderedAndProject argmax; the per-iteration driver action
+    * collects exactly ONE (id, vector) row — the documented bounded-scalar
+    * probe class, like the cluster-finish gate. Returns (rk, vec_id).
+    */
+  def coresetSelect(emb: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    ArrayOps.register(emb.sparkSession)
+    val vecs = quantizeInt8(emb).groupBy("vec_id").agg(
+      expr("transform(sort_array(collect_list(struct(pos, q))), x -> cast(x.q as float))").as("qv"))
+      .localCheckpoint()
+    def vecOf(id: Long): Seq[Float] =
+      vecs.filter(col("vec_id") === id).head.getSeq[Float](1)
+    val seed = vecs.agg(min("vec_id")).head.getLong(0)
+    var chosen = Seq(seed)
+    var centerVecs = Seq(vecOf(seed)) // one collect per chosen center, ever
+    for (_ <- 2 to k) {
+      val minDist = centerVecs.map { c =>
+        val arr = s"array(${c.map(x => s"cast($x as float)").mkString(", ")})"
+        expr(s"cast(float_dot(qv, qv) + float_dot($arr, $arr) - 2 * float_dot(qv, $arr) as bigint)")
+      }.reduce((a, b) => least(a, b))
+      val next = vecs.filter(!col("vec_id").isin(chosen: _*))
+        .select(col("vec_id"), minDist.as("d"))
+        .orderBy(col("d").desc, col("vec_id")).limit(1)
+        .head.getLong(0)
+      chosen = chosen :+ next
+      centerVecs = centerVecs :+ vecOf(next)
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    chosen.zipWithIndex.map { case (id, i) => (i + 1, id) }.toDF("rk", "vec_id")
+  }
+
   /** X2: reciprocal-rank fusion — merge per-query rankings from
     * heterogeneous retrieval legs (dense ANN, lexical BM25, any scored
     * shortlist) into one ranking without comparing their incommensurable

@@ -588,6 +588,24 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(out(6L).isEmpty, "a node fed only by unlabeled nodes must stay null")
   }
 
+  test("coresetSelect: greedy farthest-point covers separated clusters before densifying one") {
+    import spark.implicits._
+    graft.functions.ArrayOps.register(spark)
+    // three tight clusters far apart + the seed's twin: the greedy walk
+    // must visit all three clusters before picking anyone's near-duplicate
+    val emb = Seq(
+      0L -> Seq(0f, 0f), 1L -> Seq(0.1f, 0f),        // cluster A (0 = seed)
+      10L -> Seq(100f, 0f), 11L -> Seq(100.1f, 0f),  // cluster B
+      20L -> Seq(0f, 100f), 21L -> Seq(0f, 100.1f)   // cluster C
+    ).map { case (id, v) => (id, v) }.toDF("vec_id", "embedding")
+    val picks = graft.operators.ext.Similarity.coresetSelect(emb, 4)
+      .orderBy("rk").collect().map(_.getLong(1)).toSeq
+    assert(picks.head == 0L, "seed must be the minimum vec_id")
+    assert(picks.take(3).map(_ / 10).toSet == Set(0L, 1L, 2L),
+      s"first three picks must cover all three clusters: $picks")
+    assert(picks.size == 4 && picks.distinct.size == 4)
+  }
+
   test("triangleCount: exactly-once per triangle, direction/duplicates/self-loops ignored") {
     import spark.implicits._
     // K4 on {1,2,3,4} = 4 triangles; edges arrive directed, duplicated, and
