@@ -1620,6 +1620,32 @@ object Queries {
         |SELECT from_type, to_type, count(*) AS n FROM y WHERE from_type IS NOT NULL
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // W11 — interval coalescing: per-user [ts, ts + dur] busy intervals
+    // (dur a deterministic 1–7 min from event_id) merged into maximal
+    // disjoint spans by the sweep-line prefix-max window. One entity
+    // exchange + one sort feeds both windows; all-integer boundaries.
+    Q("w11_interval_merge",
+      (s, dir) => {
+        val ev = rd(s, dir, "events")
+        val iv = ev.withColumn("ts_us", expr(tsUsSql(ev.schema)))
+          .select(col("user_id"), col("event_id"), col("ts_us").as("iv_start"),
+            (col("ts_us") + (pmod(col("event_id"), lit(7)) + 1) * 60000000L).as("iv_end"))
+        Relational.coalesceIntervals(iv, "user_id", "iv_start", "iv_end", "event_id")
+          .orderBy("user_id", "span_idx")
+      },
+      Some("""WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
+        |  epoch_us(ts) + ((event_id % 7) + 1) * 60000000 AS e FROM events),
+        |m AS (SELECT user_id, event_id, s, e,
+        |  max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM iv),
+        |g AS (SELECT user_id, s, e,
+        |  CAST(sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END) OVER
+        |    (PARTITION BY user_id ORDER BY s, e, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_idx FROM m)
+        |SELECT user_id, span_idx, min(s) AS span_start, max(e) AS span_end,
+        |  count(*) AS n_intervals
+        |FROM g GROUP BY 1, 2 ORDER BY user_id, span_idx""".stripMargin)),
+
     // W5 — RANGE frame window (value-based, vs W2's ROWS frame): per-customer
     // rolling 30-day order total. The frame is defined on integer day offsets
     // so both engines share exact frame boundaries; tied days fall in one

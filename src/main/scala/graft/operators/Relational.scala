@@ -264,6 +264,39 @@ object Relational {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** W11: interval COALESCING — merge each entity's overlapping-or-touching
+    * [start, end] intervals into maximal disjoint spans, the coverage
+    * primitive behind busy-time rollups, crawl-window consolidation, and
+    * span-level dedup bookkeeping (X1's substring spans are merged with
+    * exactly this sweep, there specialized to a fixed grid). A new span
+    * opens where an interval's start exceeds the running maximum end of
+    * everything before it — the classic sweep-line test, expressed as one
+    * prefix-max window so Spark runs it with a single per-entity sort, no
+    * self-join and no iteration.
+    *
+    * All comparisons are integer (epoch-µs starts/ends), so span boundaries
+    * are exact in any engine. Shape: one hash exchange on the entity key +
+    * one in-partition sort feeds BOTH windows (prefix-max and running span
+    * id — same (key, order) spec, one Window physical node), then a partial-
+    * agg groupBy on (entity, span) — linear in intervals, parallel across
+    * entities at any corpus size. Requires end >= start on every row
+    * (callers derive ends additively from starts, which guarantees it).
+    */
+  def coalesceIntervals(intervals: DataFrame, entityCol: String,
+                        startCol: String, endCol: String, tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(entityCol)).orderBy(col(startCol), col(endCol), col(tieCol))
+    val prevMaxEnd = max(col(endCol)).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val newSpan = when(prevMaxEnd.isNull || col(startCol) > prevMaxEnd, 1).otherwise(0)
+    intervals
+      .withColumn("__new", newSpan)
+      .withColumn("__span", sum(col("__new")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col(entityCol), col("__span").as("span_idx"))
+      .agg(min(col(startCol)).as("span_start"),
+        max(col(endCol)).as("span_end"),
+        count(lit(1)).as("n_intervals"))
+  }
+
   /** J5: range (band) join — each fact row lands in the band whose
     * [lo, hi) interval contains its value. The band table is small by
     * construction, so it is explicitly broadcast: Catalyst plans a

@@ -25,6 +25,26 @@ class SessionRangeSpec extends SparkSpec {
       Seq((1L, 1L, 0L, 10L, 2L), (1L, 2L, 21L, 21L, 1L), (2L, 1L, 5L, 5L, 1L)))
   }
 
+  test("coalesceIntervals: touch merges, containment keeps prefix max, strict gap splits") {
+    import spark.implicits._
+    // key 1: (0,100) contains (10,20) — the prefix MAX (not the previous
+    // row's end) must keep the span open through (90,110); (110,120)
+    // TOUCHES the running end (start == max-end, not >) so it still merges;
+    // (121,130) is strictly past it and opens span 2.
+    // key 2: independent sweep.
+    val df = Seq(
+      (1L, 0L, 100L, 1L), (1L, 10L, 20L, 2L), (1L, 90L, 110L, 3L),
+      (1L, 110L, 120L, 4L), (1L, 121L, 130L, 5L),
+      (2L, 5L, 6L, 6L)
+    ).toDF("user_id", "iv_start", "iv_end", "event_id")
+    val out = Relational.coalesceIntervals(df, "user_id", "iv_start", "iv_end", "event_id")
+      .orderBy("user_id", "span_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1L, 1L, 0L, 120L, 4L), (1L, 2L, 121L, 130L, 1L),
+      (2L, 1L, 5L, 6L, 1L)))
+  }
+
   test("rangeJoin: [lo, hi) semantics — hi excluded, lo included, no-band rows dropped") {
     import spark.implicits._
     val fact = Seq(0.0, 9.99, 10.0, 19.99, 20.0).toDF("v")
