@@ -3376,6 +3376,40 @@ object Queries {
         |UNION ALL SELECT 3, id FROM c3
         |UNION ALL SELECT 4, id FROM c4 ORDER BY rk""".stripMargin)),
 
+    // X6 — DSIR-style importance selection (TextAnalysis.dsirSelect):
+    // hashed-unigram target/background models over a FIXED 1024-bucket
+    // space (model size independent of corpus size — the method's 100 TB
+    // trick), integer bit-length log-weights, deterministic top-k. Target
+    // model = doc_id < 300 (the trusted slice, mirroring x3_lm_score's
+    // reference-corpus convention).
+    Q("x6_dsir",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        TextAnalysis.dsirSelect(docs, docs.filter(col("doc_id") < 300),
+            "doc_id", "text", k = 400)
+          .orderBy(col("weight").desc, col("doc_id"))
+      },
+      Some(s"""WITH tt AS (SELECT ${duckHex("md5(tok)")} % 1024 AS bucket FROM (
+        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents WHERE doc_id < 300)),
+        |bt AS (SELECT doc_id, ${duckHex("md5(tok)")} % 1024 AS bucket FROM (
+        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        |  FROM documents)),
+        |tm AS (SELECT bucket, count(*) AS ct FROM tt GROUP BY 1),
+        |bm AS (SELECT bucket, count(*) AS cb FROM bt GROUP BY 1),
+        |ttot AS (SELECT count(*) AS t_tot FROM tt),
+        |btot AS (SELECT count(*) AS b_tot FROM bt),
+        |lw AS (SELECT bm.bucket,
+        |  (length(printf('%b', (b_tot + 1024) // (cb + 1))) - 1)
+        |  - (length(printf('%b', (t_tot + 1024) // (COALESCE(ct, 0) + 1))) - 1) AS lw
+        |  FROM bm LEFT JOIN tm USING (bucket) CROSS JOIN ttot CROSS JOIN btot),
+        |dw AS (SELECT doc_id, count(*) AS n_tok, CAST(sum(lw) AS BIGINT) AS weight
+        |  FROM bt JOIN lw USING (bucket) GROUP BY 1)
+        |SELECT d.doc_id, CAST(COALESCE(n_tok, 0) AS BIGINT) AS n_tok,
+        |  CAST(COALESCE(weight, 0) AS BIGINT) AS weight
+        |FROM documents d LEFT JOIN dw USING (doc_id)
+        |ORDER BY weight DESC, doc_id LIMIT 400""".stripMargin)),
+
     // X2 — BINARY quantization ANN: 1-bit-per-dimension signatures (8 bytes
     // per 64-dim vector, 32x under float32) via the exact integer mean test
     // q*n >= sum(q), Hamming top-k = two XORs + two popcounts per candidate.

@@ -429,6 +429,69 @@ object TextAnalysis {
       .select("a", "b", "cab", "ppmi", "rk")
   }
 
+  /** X6: DSIR-style importance SELECTION — the hashed-n-gram importance
+    * weighting of "Data Selection for Language Models via Importance
+    * Resampling" (Xie et al. 2023), in its deterministic top-k form: score
+    * every document by how much more likely its tokens are under a TARGET
+    * (trusted) corpus model than under the background corpus model, then
+    * keep the k highest-weight documents. Both models are bag-of-hashed-
+    * unigram counts over a FIXED bucket space, so model size is bounded by
+    * `buckets` — independent of corpus size, which is the trick that makes
+    * the method run at 100 TB.
+    *
+    * Integer-exact log-weight per bucket (the lmSurprise discipline —
+    * bit-lengths of inverse add-one-smoothed probabilities, no float log):
+    *
+    *   surprise_side(b) = bitlen((total_side + buckets) div (c_side(b) + 1))
+    *   lw(b)            = surprise_background(b) - surprise_target(b)
+    *
+    * i.e. lw ≈ log2(p_target(b) / p_background(b)), positive for buckets
+    * over-represented in the target. A document's weight is the sum of lw
+    * over its token OCCURRENCES (the paper's log importance weight of the
+    * bag-of-ngrams likelihood ratio). Deterministic selection (weight desc,
+    * id asc) replaces the paper's Gumbel resampling so the output replays
+    * bit-for-bit; token-less documents score 0 rather than vanishing.
+    *
+    * 100 TB shape: both models are `buckets`-row aggregates (partial-agg
+    * bounded by the bucket space) and BROADCAST — legitimately, because
+    * their size is a constant of the operator, not of the data; scoring is
+    * one map-side explode + broadcast join + one doc-key aggregate; the
+    * selection is a TakeOrderedAndProject heap, never a global sort.
+    */
+  def dsirSelect(docs: DataFrame, target: DataFrame, idCol: String, textCol: String,
+                 k: Int, buckets: Int = 1024): DataFrame = {
+    def hashed(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("doc_id"), explode(expr(toks(textCol))).as("tok"))
+        .withColumn("bucket",
+          expr(s"cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint) % $buckets"))
+        .select("doc_id", "bucket")
+    val tToks = hashed(target)
+    val bToks = hashed(docs)
+    val tModel = tToks.groupBy("bucket").agg(count(lit(1)).as("ct"))
+    val bModel = bToks.groupBy("bucket").agg(count(lit(1)).as("cb"))
+    val tTot = tModel.agg(sum("ct").as("t_tot"))
+    val bTot = bModel.agg(sum("cb").as("b_tot"))
+    // background model covers every bucket a corpus token hashes to, so it
+    // is the bucket domain; target-absent buckets smooth to ct = 0
+    val lw = bModel
+      .join(tModel, Seq("bucket"), "left")
+      .crossJoin(tTot).crossJoin(bTot)
+      .withColumn("lw",
+        ((length(bin(expr(s"(b_tot + $buckets) div (cb + 1)"))) - 1) -
+          (length(bin(expr(s"(t_tot + $buckets) div (coalesce(ct, 0L) + 1)"))) - 1)).cast("long"))
+      .select("bucket", "lw")
+    val weights = bToks
+      .join(broadcast(lw), Seq("bucket"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"), sum(col("lw")).as("weight"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(weights, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("weight"), lit(0L)).as("weight"))
+      .orderBy(col("weight").desc, col("doc_id")).limit(k)
+  }
+
   /** Document chunking for training/RAG pipelines: split each document into
     * token windows of `size` with `stride` (overlapping when stride < size).
     * Chunk starts are 1-indexed positions 1, 1+stride, 1+2·stride, ... and a

@@ -208,6 +208,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(got.toSeq == Seq((10L, 1L, 0L), (11L, 1L, 1L), (12L, 1L, 2L), (13L, 1L, 1L), (14L, 0L, 0L)))
   }
 
+  test("dsirSelect: hand-checked integer log-weights; target-like docs outrank, empty docs score 0") {
+    import spark.implicits._
+    // target: "good" x8 -> t_tot=8, ct(good)=8
+    //   surprise_t(good) = bitlen((8+1024)//9)  = bitlen(114)  = 6
+    //   surprise_t(junk) = bitlen((8+1024)//1)  = bitlen(1032) = 10
+    // background: good x4 + junk x4 -> b_tot=8
+    //   surprise_b(either) = bitlen((8+1024)//5) = bitlen(206) = 7
+    // lw(good) = 7-6 = +1, lw(junk) = 7-10 = -3  (buckets 450 / 871, no collision)
+    val target = Seq((1L, "good good good good good good good good")).toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "good good good good"), // weight 4*+1 = 4
+      (11L, "junk junk junk junk"), // weight 4*-3 = -12
+      (12L, "")                     // token-less: weight 0, kept
+    ).toDF("doc_id", "text")
+    val got = graft.operators.ext.TextAnalysis.dsirSelect(docs, target, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((10L, 4L, 4L), (12L, 0L, 0L), (11L, 4L, -12L)))
+    // the k cut keeps the highest-weight docs
+    val top = graft.operators.ext.TextAnalysis.dsirSelect(docs, target, "doc_id", "text", k = 1)
+      .collect().map(_.getLong(0))
+    assert(top.toSeq == Seq(10L))
+  }
+
   test("nfc_normalize/strip_accents: composition shrinks decomposed marks, codegen == interpreted") {
     import spark.implicits._
     graft.functions.ArrayOps.register(spark)
