@@ -705,6 +705,37 @@ object Queries {
         "AND o_orderkey <= (SELECT max(o_orderkey) // 2 FROM orders) " +
         "GROUP BY 1 ORDER BY 1")),
 
+    // S8+ — BLOOM data skipping, the point-lookup complement of
+    // versioned_pruned_scan: four appends sliced by o_orderkey % 4, so every
+    // commit's [min, max] spans the whole key domain and min/max stats can
+    // never skip a dir — the manifest bloom (md5-positions, ~16 bits per
+    // distinct key, sized per commit) is what prunes a `key = v` probe to
+    // the one dir holding the key. dirs_scanned=1 of 4 is driver-visible;
+    // md5 determinism makes it a fixture constant at the gate's SF. The
+    // residual predicate always applies — a bloom false positive costs an
+    // extra dir scan, never a wrong row.
+    Q("versioned_bloom_scan",
+      (s, dir) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_bloom"
+        rmrf(root)
+        val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        (0 to 3).foreach(i => graft.io.VersionedTable.commit(
+          o.filter(col("o_orderkey") % 4 === i), root, "append", s"bloom-v$i",
+          bloomCols = Seq("o_orderkey")))
+        // bounded scalar probe: the lookup key (max key — deterministic)
+        val key = o.agg(max(col("o_orderkey"))).head().getLong(0)
+        val kept = graft.io.VersionedTable.planPoint(root, "o_orderkey", key)
+        val total = graft.io.VersionedTable.history(root).last.dirs.size
+        graft.io.VersionedTable.readPoint(s, root, "o_orderkey", key)
+          .withColumn("dirs_scanned", lit(kept.size.toLong))
+          .withColumn("dirs_total", lit(total.toLong))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_orderpriority, o_totalprice, " +
+        "CAST(1 AS BIGINT) AS dirs_scanned, CAST(4 AS BIGINT) AS dirs_total " +
+        "FROM orders WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders) " +
+        "ORDER BY o_orderkey")),
+
     // P1 — IN-list filter (etl-vini-azure.py:78).
     Q("p1_filter_in",
       (s, dir) => Relational.inFilter(rd(s, dir, "orders"), "o_orderpriority",

@@ -69,7 +69,8 @@ object VersionedTable {
     */
   final case class Commit(version: Long, commitId: String, mode: String, dirs: Seq[String],
                           stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
-                          partitionCols: Seq[String] = Nil)
+                          partitionCols: Seq[String] = Nil,
+                          blooms: Map[String, Map[String, String]] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -96,6 +97,15 @@ object VersionedTable {
       m.put("stats", sm)
     }
     if (c.partitionCols.nonEmpty) m.put("partitionCols", c.partitionCols.asJava)
+    if (c.blooms.nonEmpty) {
+      val bm = new java.util.LinkedHashMap[String, Object]()
+      c.blooms.toSeq.sortBy(_._1).foreach { case (dir, cols) =>
+        val cm = new java.util.LinkedHashMap[String, Object]()
+        cols.toSeq.sortBy(_._1).foreach { case (cName, hex) => cm.put(cName, hex) }
+        bm.put(dir, cm)
+      }
+      m.put("blooms", bm)
+    }
     mapper.writeValueAsString(m)
   }
 
@@ -116,8 +126,15 @@ object VersionedTable {
     }.getOrElse(Map.empty[String, Map[String, (Long, Long)]])
     val pcols = Option(n.get("partitionCols"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    val blooms = Option(n.get("blooms")).map { bn =>
+      bn.properties().asScala.map { e =>
+        e.getKey -> e.getValue.properties().asScala.map { ce =>
+          ce.getKey -> ce.getValue.asText()
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, String]])
     Commit(v, n.get("commitId").asText(), n.get("mode").asText(),
-      n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, pcols)
+      n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, pcols, blooms)
   }
 
   /** Atomically publish manifest `c` into version slot `v`: write the full
@@ -165,7 +182,8 @@ object VersionedTable {
     * not O(rows), and the upstream plan is never computed twice.
     */
   def commit(df: DataFrame, root: String, mode: String, commitId: String,
-             statsCols: Seq[String] = Nil, partitionCols: Seq[String] = Nil): Long = {
+             statsCols: Seq[String] = Nil, partitionCols: Seq[String] = Nil,
+             bloomCols: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
     history(root).find(_.commitId == commitId) match {
       case Some(prior) => prior.version // retry of a committed write: no-op
@@ -179,6 +197,7 @@ object VersionedTable {
         if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
         w.parquet(s"$root/$dirName")
         val dirStats = gatherStats(df.sparkSession, s"$root/$dirName", statsCols)
+        val dirBlooms = gatherBlooms(df.sparkSession, s"$root/$dirName", bloomCols)
         // manifest second, with OCC retry on the version slot
         var committed = -1L
         while (committed < 0) {
@@ -192,15 +211,20 @@ object VersionedTable {
               require(p.partitionCols == partitionCols,
                 s"append layout $partitionCols != parent's ${p.partitionCols}"))
             val v = parent.map(_.version + 1).getOrElse(1L)
-            val (dirs, inherited) = mode match {
-              case "overwrite" => (Seq(dirName), Map.empty[String, Map[String, (Long, Long)]])
+            val (dirs, inherited, inheritedBlooms) = mode match {
+              case "overwrite" => (Seq(dirName),
+                Map.empty[String, Map[String, (Long, Long)]],
+                Map.empty[String, Map[String, String]])
               case "append" =>
                 (parent.map(_.dirs).getOrElse(Nil) :+ dirName,
-                  parent.map(_.stats).getOrElse(Map.empty))
+                  parent.map(_.stats).getOrElse(Map.empty),
+                  parent.map(_.blooms).getOrElse(Map.empty))
             }
             val stats = if (dirStats.isEmpty) inherited else inherited + (dirName -> dirStats)
+            val blooms = if (dirBlooms.isEmpty) inheritedBlooms
+                         else inheritedBlooms + (dirName -> dirBlooms)
             if (publishIfAbsent(root, v,
-                Commit(v, commitId, mode, dirs, stats, partitionCols))) committed = v
+                Commit(v, commitId, mode, dirs, stats, partitionCols, blooms))) committed = v
           }
         }
         committed
@@ -238,6 +262,123 @@ object VersionedTable {
         }.toMap
       }
     } finally spark.conf.set(key, prev)
+  }
+
+  // ---- bloom data skipping --------------------------------------------
+
+  /** Bloom geometry: k md5-derived positions per value over m bits, where m
+    * is sized PER COMMIT to ~16 bits per distinct value (next power of two,
+    * floor 1024, cap 2^20) — a fixed m would saturate the moment one commit
+    * carries more keys than it was tuned for, silently degrading every
+    * probe to "scan everything". ~16 bits/key with k=3 holds the
+    * false-positive rate near 0.5 %; past the cap (≳65 k keys per commit)
+    * fpp degrades gracefully and false positives only cost an extra dir
+    * scan, never correctness. m is recovered from the stored hex length
+    * (hex chars × 4), so the manifest needs no extra field.
+    */
+  private val bloomK = 3
+  private val bloomMinBits = 1024
+  private val bloomMaxBits = 1 << 20
+
+  /** Bit positions of value `v` in an m-bit filter: the engine-portable md5
+    * integer hash (conv(substring(md5("v:i"),1,8),16,10) % m) for i < k —
+    * identical on executors (SQL md5) and on the probing driver (this
+    * method).
+    */
+  private def bloomPositions(v: Long, bits: Int): Seq[Int] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until bloomK).map { i =>
+      val hex = md.digest(s"$v:$i".getBytes("UTF-8"))
+        .take(4).map(b => f"$b%02x").mkString
+      md.reset()
+      (java.lang.Long.parseLong(hex, 16) % bits).toInt
+    }
+  }
+
+  /** Per-dir bloom filters over `bloomCols` (integer columns — value
+    * identity must be engine-stable), gathered from the freshly-written dir
+    * like [[gatherStats]]: one distinct-count to size m, then one
+    * distinct-positions aggregate whose result is BOUNDED by m, so the
+    * driver collect is bounded by the filter size, not the data. The
+    * point-lookup complement of the min/max index: min/max prunes range
+    * predicates on ordered/clustered columns; the bloom prunes `col = v` on
+    * columns whose per-commit ranges all overlap (hash-distributed keys),
+    * where min/max can never skip anything.
+    */
+  private def gatherBlooms(spark: SparkSession, dir: String,
+                           bloomCols: Seq[String]): Map[String, String] = {
+    if (bloomCols.isEmpty) return Map.empty
+    import org.apache.spark.sql.functions.{array, col, explode, expr}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val scan = spark.read.parquet(dir)
+    bloomCols.foreach { c =>
+      scan.schema(c).dataType match {
+        case LongType | IntegerType => ()
+        case other => sys.error(s"bloomCols restricted to integer columns; $c is $other")
+      }
+    }
+    bloomCols.map { c =>
+      val vals = scan.select(col(c).cast(LongType).as("v"))
+        .where(col("v").isNotNull).distinct()
+      val ndv = vals.count()
+      val bits = math.min(bloomMaxBits,
+        math.max(bloomMinBits,
+          java.lang.Long.highestOneBit(math.max(1L, 16 * ndv - 1)) << 1)).toInt
+      val positions = vals
+        .select(explode(array((0 until bloomK).map(i =>
+          expr(s"cast(conv(substring(md5(concat(cast(v as string), ':', '$i')), 1, 8), 16, 10) as bigint) % $bits")): _*)).as("p"))
+        .distinct().collect().map(_.getLong(0).toInt)
+      val bytes = new Array[Byte](bits / 8)
+      positions.foreach(p => bytes(p / 8) = (bytes(p / 8) | (1 << (p % 8))).toByte)
+      c -> bytes.map(b => f"$b%02x").mkString
+    }.toMap
+  }
+
+  private def bloomMightContain(hex: String, v: Long): Boolean = {
+    val bits = hex.length * 4
+    bloomPositions(v, bits).forall { p =>
+      val b = Integer.parseInt(hex.substring(2 * (p / 8), 2 * (p / 8) + 2), 16)
+      (b & (1 << (p % 8))) != 0
+    }
+  }
+
+  /** The dirs [[readPoint]] would scan: snapshot dirs whose bloom for
+    * `colName` might contain `value`, plus all dirs lacking one (skipping
+    * is an optimization, never a filter).
+    */
+  def planPoint(root: String, colName: String, value: Long,
+                asOf: Option[Long] = None): Seq[String] = {
+    val log = history(root)
+    require(log.nonEmpty, s"no commits at $root")
+    val c = asOf.fold(log.last)(v =>
+      log.find(_.version == v).getOrElse(sys.error(s"version $v not in log at $root")))
+    c.dirs.filter { d =>
+      c.blooms.get(d).flatMap(_.get(colName)) match {
+        case Some(hex) => bloomMightContain(hex, value)
+        case None      => true
+      }
+    }
+  }
+
+  /** Bloom data-skipping POINT read: rows of the snapshot with
+    * `colName = value`, scanning only the dirs whose bloom admits the value.
+    * On an append-grown table keyed by a hash-distributed id — where every
+    * commit's [min, max] spans the whole key domain and [[readRange]] can
+    * never skip — this keeps point lookups O(dirs actually holding the key)
+    * plus the bounded false-positive tail. The residual predicate is always
+    * applied, so a false positive costs one extra dir scan, never a wrong
+    * row.
+    */
+  def readPoint(spark: SparkSession, root: String, colName: String, value: Long,
+                asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val kept = planPoint(root, colName, value, asOf)
+    val all = read(spark, root, asOf) // also validates the snapshot
+    val pred = col(colName) === value
+    val log = history(root)
+    val layout = asOf.fold(log.last)(v => log.find(_.version == v).get).partitionCols
+    if (kept.isEmpty) all.limit(0).filter(pred)
+    else scanDirs(spark, kept.map(d => s"$root/$d"), layout).filter(pred)
   }
 
   /** Data-skipping range read: rows of the snapshot with `lo <= colName <= hi`,
@@ -352,7 +493,7 @@ object VersionedTable {
           val parent = history(root).last
           val v = parent.version + 1
           if (publishIfAbsent(root, v, Commit(v, commitId, "rollback", target.dirs,
-              target.stats, target.partitionCols)))
+              target.stats, target.partitionCols, target.blooms)))
             committed = v
         }
         committed
@@ -390,7 +531,8 @@ object VersionedTable {
     * the fresh footers so `readRange` pruning survives the rewrite.
     */
   def compact(spark: SparkSession, root: String, commitId: String,
-              targetFiles: Int, statsCols: Seq[String] = Nil): Long = {
+              targetFiles: Int, statsCols: Seq[String] = Nil,
+              bloomCols: Seq[String] = Nil): Long = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     history(root).find(_.commitId == commitId) match {
       case Some(prior) => prior.version // retry of a committed compaction
@@ -409,9 +551,11 @@ object VersionedTable {
         if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
         w.parquet(s"$root/$dirName")
         val dirStats = gatherStats(spark, s"$root/$dirName", statsCols)
+        val dirBlooms = gatherBlooms(spark, s"$root/$dirName", bloomCols)
         val c = Commit(v, commitId, "compact", Seq(dirName),
           if (dirStats.isEmpty) Map.empty else Map(dirName -> dirStats),
-          parent.partitionCols)
+          parent.partitionCols,
+          if (dirBlooms.isEmpty) Map.empty else Map(dirName -> dirBlooms))
         if (!publishIfAbsent(root, v, c))
           sys.error(s"compact: log advanced past v${parent.version} during the rewrite; " +
             "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")

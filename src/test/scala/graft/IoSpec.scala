@@ -355,6 +355,37 @@ class IoSpec extends SparkSpec {
       Seq((30L, "f")).toDF("id", "s"), root, "append", "c4", statsCols = Seq("s")))
   }
 
+  test("VersionedTable.readPoint: bloom skips absent-key dirs, keeps bloom-less ones, compact rebuilds") {
+    import spark.implicits._
+    val root = tmpDir("vt_bloom")
+    // two bloomed commits with fully OVERLAPPING [min, max] (1..100 vs 2..99)
+    // — range stats could never separate them; the bloom must
+    VersionedTable.commit(Seq((1L, "a"), (100L, "b")).toDF("id", "s"), root, "append", "b1",
+      bloomCols = Seq("id"))
+    VersionedTable.commit(Seq((2L, "c"), (99L, "d")).toDF("id", "s"), root, "append", "b2",
+      bloomCols = Seq("id"))
+    VersionedTable.commit(Seq((3L, "e")).toDF("id", "s"), root, "append", "b3") // no bloom
+    val kept = VersionedTable.planPoint(root, "id", 100L)
+    assert(kept.size == 2 && kept.exists(_.contains("b1")) && kept.exists(_.contains("b3")),
+      s"expected b1 (holds 100) + b3 (no bloom), got $kept")
+    assert(VersionedTable.readPoint(spark, root, "id", 100L)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq == Seq((100L, "b")))
+    // a key no bloom admits plans only the bloom-less dir; residual filter
+    // keeps the result empty either way
+    assert(VersionedTable.planPoint(root, "id", 55L).size == 1)
+    assert(VersionedTable.readPoint(spark, root, "id", 55L).count() == 0)
+    // rollback carries the blooms; compact rebuilds them for the new dir
+    VersionedTable.rollback(root, 2L, "bloom-restore")
+    assert(VersionedTable.planPoint(root, "id", 3L).isEmpty, "v2 snapshot has no dir admitting 3")
+    VersionedTable.compact(spark, root, "bloom-opt", targetFiles = 1, bloomCols = Seq("id"))
+    val keptOpt = VersionedTable.planPoint(root, "id", 100L)
+    assert(keptOpt.size == 1 && VersionedTable.readPoint(spark, root, "id", 100L).count() == 1)
+    assert(VersionedTable.planPoint(root, "id", 777L).isEmpty, "rebuilt bloom still excludes")
+    // non-integer bloom column fails loudly at commit time
+    intercept[RuntimeException](VersionedTable.commit(
+      Seq((30L, "f")).toDF("id", "s"), root, "append", "b4", bloomCols = Seq("s")))
+  }
+
   test("VersionedTable: racing committers all land, every version slot distinct, no append lost") {
     import spark.implicits._
     val root = tmpDir("vt_race")
