@@ -326,6 +326,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"all-pairs form leaked in:\n${p.take(3000)}")
   }
 
+  test("w11_interval_merge runs both windows off ONE entity exchange + sort") {
+    // prefix-max and running-span-id share the (key, order) spec, so the
+    // planner must fuse them into one sort — a second per-entity sort would
+    // double the row's cost at any scale
+    val p = plan("w11_interval_merge")
+    val windowSorts = "Sort \\[user_id#\\d+L ASC NULLS FIRST, iv_start".r.findAllIn(p).length
+    assert(windowSorts == 1,
+      s"expected exactly one fused window sort, got $windowSorts:\n${p.take(3000)}")
+    val hashParts = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(hashParts >= 1 && !p.contains("CartesianProduct"),
+      s"expected the single entity hash exchange:\n${p.take(3000)}")
+  }
+
+  test("x6_dsir broadcasts only the bounded bucket model; selection is a top-k heap") {
+    val p = plan("x6_dsir")
+    // the 1024-row log-weight model is the legitimate broadcast; the corpus
+    // token stream must never be build-side
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected the bucket model broadcast:\n${p.take(3000)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"selection must be the top-k heap, not a global sort:\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct"), s"all-pairs form leaked:\n${p.take(3000)}")
+  }
+
   test("a6_percentile avoids the percentile() map aggregate (sort-based window form)") {
     val p = plan("a6_percentile")
     assert(!p.toLowerCase.contains("percentile"),
