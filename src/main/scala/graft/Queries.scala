@@ -4,7 +4,7 @@ import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType, StructType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType, TimestampNTZType, TimestampType}
 
 import graft.operators.{Medallion, Relational}
 import graft.operators.ext.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
@@ -946,6 +946,90 @@ object Queries {
           .orderBy("event_type", "value")
       },
       Some("SELECT DISTINCT event_type, value FROM events ORDER BY 1, 2")),
+
+    // STREAMING LATE-DATA ACCOUNTING (append-mode watermark discipline):
+    // three ordered micro-batches through the file source
+    // (maxFilesPerTrigger=1, mod-time ordered). Spark's state operator
+    // filters LATE rows against the PREVIOUS batch's watermark and evicts/
+    // emits against the current one (both calibrated empirically:
+    // drop iff window_end <= lateWm, emit iff window_end <= evictWm, with
+    // the watermark ms-floored from the max event time). Batch 1 (even ids)
+    // anchors the watermark at max(even ts) - 1h; batch 2 (recent odd ids)
+    // advances the late-filter horizon to that anchor; batch 3 (odd ids
+    // >= 30 min older than the anchor) then loses every row whose hour
+    // window closed under it — counted by numRowsDroppedByWatermark, the
+    // driver-visible late-data ledger surfaced as a column. The state
+    // operator sits above the partial+merge aggregation, so the ledger
+    // counts dropped WINDOW GROUPS (one state row per closed window), not
+    // raw input rows — the oracle counts DISTINCT closed windows. Emitted
+    // windows are exactly those the final watermark closed, aggregating
+    // accepted rows only — the oracle recomputes both cutoffs and the
+    // accepted set from the raw table.
+    Q("stream_late_data",
+      (s, dir) => {
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_stream_late"
+        rmrf(root)
+        val ev = rd(s, dir, "events")
+        val base = ev.withColumn("ts_us", expr(tsUsSql(ev.schema)))
+          .withColumn("ingest_ts", expr(tsStampSql(ev.schema)))
+          .select("event_id", "ts_us", "ingest_ts")
+        // bounded scalar probe: the batch-1 watermark anchor
+        val maxAUs = base.filter(col("event_id") % 2 === 0).agg(max("ts_us")).head().getLong(0)
+        base.filter(col("event_id") % 2 === 0)
+          .select("event_id", "ingest_ts").coalesce(1).write.parquet(s"$root/a")
+        base.filter(col("event_id") % 2 === 1 && col("ts_us") > maxAUs - 1800000000L)
+          .select("event_id", "ingest_ts").coalesce(1).write.parquet(s"$root/b")
+        base.filter(col("event_id") % 2 === 1 && col("ts_us") <= maxAUs - 1800000000L)
+          .select("event_id", "ingest_ts").coalesce(1).write.parquet(s"$root/c")
+        val sd = new java.io.File(s"$root/stream"); sd.mkdirs()
+        def stage(src: String, fname: String, ageMs: Long): Unit = {
+          val part = new java.io.File(s"$root/$src").listFiles()
+            .filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(sd, fname)
+          java.nio.file.Files.copy(part.toPath, dst.toPath)
+          dst.setLastModified(System.currentTimeMillis() - ageMs)
+        }
+        stage("a", "0001-anchor.parquet", 180000L)
+        stage("b", "0002-on-time.parquet", 120000L)
+        stage("c", "0003-late.parquet", 60000L)
+        val st = s.readStream
+          .schema(StructType(Seq(StructField("event_id", LongType),
+            StructField("ingest_ts", TimestampType))))
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/stream")
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.windowedIdSum(st, "1 hour", "1 hour")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        val dropped =
+          try { q.processAllAvailable()
+            q.recentProgress.flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+          } finally q.stop()
+        s.table(name)
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("n"), col("id_sum"))
+          .withColumn("late_dropped", lit(dropped))
+          .orderBy("window_start")
+      },
+      Some("""WITH ev AS (SELECT event_id, ts, epoch_us(ts) AS tus,
+        |  epoch_us(date_trunc('hour', ts)) + 3600000000 AS wend FROM events),
+        |ma AS (SELECT max(tus) AS v FROM ev WHERE event_id % 2 = 0),
+        |mb AS (SELECT max(tus) AS v FROM ev CROSS JOIN ma
+        |  WHERE event_id % 2 = 1 AND tus > ma.v - 1800000000),
+        |wml AS (SELECT (ma.v // 1000) * 1000 - 3600000000 AS v FROM ma),
+        |wmf AS (SELECT greatest((ma.v // 1000) * 1000, (mb.v // 1000) * 1000) - 3600000000 AS v
+        |  FROM ma CROSS JOIN mb),
+        |acc AS (
+        |  SELECT event_id, ts, wend FROM ev WHERE event_id % 2 = 0
+        |  UNION ALL SELECT event_id, ts, wend FROM ev CROSS JOIN ma
+        |    WHERE event_id % 2 = 1 AND tus > ma.v - 1800000000
+        |  UNION ALL SELECT event_id, ts, wend FROM ev CROSS JOIN ma CROSS JOIN wml
+        |    WHERE event_id % 2 = 1 AND tus <= ma.v - 1800000000 AND wend > wml.v),
+        |late AS (SELECT count(DISTINCT wend) AS late_dropped FROM ev CROSS JOIN ma CROSS JOIN wml
+        |  WHERE event_id % 2 = 1 AND tus <= ma.v - 1800000000 AND wend <= wml.v)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  (SELECT late_dropped FROM late) AS late_dropped
+        |FROM acc CROSS JOIN wmf WHERE wend <= wmf.v
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // STREAM-STATIC JOIN (the fifth declared streaming path): the stateless
     // curation stages run over a document STREAM — quality filter →

@@ -37,6 +37,19 @@ object Streaming {
       .groupBy(window(col("ingest_ts"), windowLen), col("symbol"))
       .agg(min("price").as("min_price"), max("price").as("max_price"))
 
+  /** Tumbling event-time window count + id-sum in APPEND mode: the form
+    * whose late-data contract is checkable — each window emits exactly once
+    * (when the watermark passes its end), and rows arriving after their
+    * window is finalized are DROPPED, counted by the state operator's
+    * `numRowsDroppedByWatermark`. Integer aggregates (count, id sum) so the
+    * emitted windows replay bit-for-bit against a batch oracle computing
+    * the same watermark cutoffs.
+    */
+  def windowedIdSum(events: DataFrame, windowLen: String, watermark: String): DataFrame =
+    events.withWatermark("ingest_ts", watermark)
+      .groupBy(window(col("ingest_ts"), windowLen))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+
   /** Streaming dedup with bounded state: exact dedup on (symbol, price)
     * within the watermark horizon — X1's streaming form.
     */

@@ -94,6 +94,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedIdSum late-data contract: drop at window_end <= PREVIOUS-batch watermark, emit at current") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val mem = MemoryStream[(Long, Timestamp)]
+    val events = mem.toDF().toDF("event_id", "ingest_ts")
+    val q = Streaming.windowedIdSum(events, "1 hour", "1 hour")
+      .writeStream.format("memory").queryName("lds").outputMode(OutputMode.Append()).start()
+    try {
+      // batch 0 anchors the watermark at 05:00; batch 1 advances the LATE
+      // filter horizon to it (the late filter lags eviction by one batch)
+      mem.addData((0L, t("2024-01-01 06:00:00"))); q.processAllAvailable()
+      mem.addData((2L, t("2024-01-01 06:10:00"))); q.processAllAvailable()
+      // batch 2 vs lateWm 05:00 — 04:59 (window end == wm: BOUNDARY, drops),
+      // 03:00 (closed, drops), 05:01 (open window, survives). The ledger
+      // counts dropped state rows = window groups, so 2, not 2 raw rows by
+      // coincidence: add a second row in the 03:00 window to pin that
+      mem.addData((1L, t("2024-01-01 04:59:00")), (3L, t("2024-01-01 05:01:00")),
+        (5L, t("2024-01-01 03:00:00")), (7L, t("2024-01-01 03:30:00")))
+      q.processAllAvailable()
+      val dropped = q.recentProgress.flatMap(_.stateOperators)
+        .map(_.numRowsDroppedByWatermark).sum
+      assert(dropped == 2, s"3 late raw rows collapse to 2 dropped window groups, got $dropped")
+      assert(spark.table("lds").isEmpty, "no window closed yet in append mode")
+      // advance the watermark past 06:00 (two batches: eviction lags too)
+      mem.addData((4L, t("2024-01-01 08:00:00"))); q.processAllAvailable()
+      mem.addData((6L, t("2024-01-01 08:30:00"))); q.processAllAvailable()
+      val out = spark.table("lds")
+        .select(date_format(col("window.start"), "HH:mm").as("w"), col("n"), col("id_sum"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // surviving late row 3 emits with its window; the dropped ones never do
+      assert(out == Set(("05:00", 1L, 3L), ("06:00", 2L, 2L)), s"got $out")
+    } finally q.stop()
+  }
+
   test("streamDedup plan: DeduplicateWithinWatermark behind a watermark (state evicts at the horizon)") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
