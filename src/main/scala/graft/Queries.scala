@@ -3202,6 +3202,31 @@ object Queries {
         .orderBy("id_a", "id_b"),
       Some(duckMinhashSql(duckToks, 8, 19, 20))),
 
+    // X1 — near-dup cross-source matrix (Dedup.pairSourceMatrix): verified
+    // LSH pairs bucketed by unordered source pair — within-source mass is
+    // boilerplate, cross-source mass is mirrored content; the report a
+    // mixing policy consumes. Bounded to doc_id < 2500 (the pair pipeline
+    // is already measured unbounded by x2_minhash_lsh; this row pays for
+    // the composition, not a second full sweep).
+    Q("x1_dedup_matrix",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents").filter(col("doc_id") < 2500)
+        Dedup.pairSourceMatrix(
+            Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 19, 20),
+            docs, "doc_id", "source")
+          .orderBy("source_x", "source_y")
+      },
+      Some {
+        val toks = "SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok " +
+          "FROM documents WHERE doc_id < 2500"
+        s"""WITH ${duckMinhashCtes(toks, 8, 19, 20)}
+          |SELECT least(da.source, db.source) AS source_x,
+          |  greatest(da.source, db.source) AS source_y, count(*) AS n_pairs
+          |FROM verified v JOIN documents da ON da.doc_id = v.id_a
+          |JOIN documents db ON db.doc_id = v.id_b
+          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+      }),
+
     // X2 — 32-bit SimHash signature per document (linear, join-free).
     Q("x2_simhash",
       (s, dir) => Dedup.simhash(rd(s, dir, "documents"), "doc_id", "text").orderBy("doc_id"),

@@ -380,6 +380,33 @@ object Dedup {
       .drop("__graft_th")
   }
 
+  /** X1: near-dup CROSS-SOURCE matrix — the curation report that says WHERE
+    * duplication mass lives: verified near-dup pairs bucketed by the
+    * (unordered) source pair of their two documents. High within-source
+    * cells mean boilerplate inside one crawl; high cross-source cells mean
+    * mirrored content — the two cases a mixing policy treats differently
+    * (dedup within, down-weight across), so the matrix is the input to
+    * that decision.
+    *
+    * Shape: two shuffle-hash joins of the pair list against the narrow
+    * (id, source) projection — the metadata side is corpus-sized, never
+    * broadcast — then one aggregate over a cell space bounded by
+    * |sources|². least/greatest canonicalize the unordered pair so (a,b)
+    * and (b,a) land in one cell.
+    */
+  def pairSourceMatrix(pairs: DataFrame, docs: DataFrame, idCol: String,
+                       srcCol: String): DataFrame = {
+    val meta = docs.select(col(idCol).cast("long").as("__id"), col(srcCol).as("__src"))
+    pairs
+      .join(meta.select(col("__id").as("id_a"), col("__src").as("src_a")).hint("shuffle_hash"),
+        Seq("id_a"))
+      .join(meta.select(col("__id").as("id_b"), col("__src").as("src_b")).hint("shuffle_hash"),
+        Seq("id_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Index MAINTENANCE for the incremental near-dup path: append a new
     * batch's band keys into an existing BUCKETED band index table,
     * completing the corpus-growth loop (x1_incremental_neardup probes the

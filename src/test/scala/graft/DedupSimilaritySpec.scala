@@ -52,6 +52,17 @@ class DedupSimilaritySpec extends SparkSpec {
       "expression-level band keys must be identical to the aggregate pipeline's")
   }
 
+  test("pairSourceMatrix canonicalizes the unordered source pair into one cell") {
+    import spark.implicits._
+    val meta = Seq((1L, "A"), (2L, "B"), (3L, "B"), (4L, "A"), (5L, "A"), (6L, "A"))
+      .toDF("doc_id", "source")
+    // (1,2) is A-B and (3,4) is B-A: both must land in the (A, B) cell
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = Dedup.pairSourceMatrix(pairs, meta, "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == Set(("A", "B", 2L), ("A", "A", 1L)))
+  }
+
   test("jaccardPairs: identical docs meet any threshold; disjoint docs never") {
     val df = docs((1L, "x y z"), (2L, "x y z"), (3L, "p q r"))
     val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 1, 19, 20).collect()
