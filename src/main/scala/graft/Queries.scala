@@ -1761,6 +1761,39 @@ object Queries {
         |  count(*) AS n_intervals
         |FROM g GROUP BY 1, 2 ORDER BY user_id, span_idx""".stripMargin)),
 
+    // W12 — sliding-window approximate distinct (Sketches.slidingHllDistinct):
+    // trailing-7-day distinct users per day from per-day HLL sketches merged
+    // by bucket max — the incremental rollup countDistinct cannot express
+    // (daily sketch table bounded by days × m, window derived without
+    // rescanning raw events). Exact countDistinct emitted beside the
+    // estimate as the verification channel, same discipline as a4.
+    Q("w12_sliding_distinct",
+      (s, dir) => {
+        val ev = rd(s, dir, "events")
+        Sketches.slidingHllDistinct(
+            ev.withColumn("day", expr(s"(${tsUsSql(ev.schema)}) div 86400000000")),
+            "user_id", "day", p = 6, frameDays = 7)
+          .orderBy("day")
+      },
+      Some {
+        val alphaM2 = Sketches.alphaTimesM2(6)
+        s"""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+          |h AS (SELECT day, ${duckHex("md5(CAST(user_id AS VARCHAR))")} AS h FROM ev),
+          |b AS (SELECT day, h % 64 AS bucket, h // 64 AS rest FROM h),
+          |r AS (SELECT day, bucket,
+          |  CASE WHEN rest = 0 THEN 27 ELSE 27 - length(printf('%b', rest)) END AS rank FROM b),
+          |daily AS (SELECT day, bucket, max(rank) AS max_rank FROM r GROUP BY 1, 2),
+          |days AS (SELECT DISTINCT day FROM ev),
+          |frame AS (SELECT d.day AS day, s.bucket, max(s.max_rank) AS mr
+          |  FROM days d JOIN daily s ON s.day BETWEEN d.day - 6 AND d.day GROUP BY 1, 2),
+          |agg AS (SELECT day, count(*) AS nb, sum(power(2.0, -mr)) AS s_obs FROM frame GROUP BY 1),
+          |ex AS (SELECT d.day AS day, count(DISTINCT e.user_id) AS exact_distinct
+          |  FROM days d JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day GROUP BY 1)
+          |SELECT day, exact_distinct,
+          |  CAST(floor($alphaM2 / (s_obs + (64 - nb)) * 10000) AS BIGINT) AS hll_estimate_e4
+          |FROM agg JOIN ex USING (day) ORDER BY day""".stripMargin
+      }),
+
     // W5 — RANGE frame window (value-based, vs W2's ROWS frame): per-customer
     // rolling 30-day order total. The frame is defined on integer day offsets
     // so both engines share exact frame boundaries; tied days fall in one
@@ -2013,6 +2046,23 @@ object Queries {
     // sorted window). The hash order makes the sample partition-independent,
     // so estimate AND exact replay bit-for-bit; integer ceil ranks keep
     // floats out of the comparison surface entirely.
+    // A15 — exact equi-depth histogram (Relational.equiDepthHistogram):
+    // global ranks via the scalable surrogate-id pass (range exchange +
+    // driver prefix sum, no single-task window), bucket = ((rank-1)*k) div N,
+    // k-bounded aggregate. The data-derived band table j5-style range joins
+    // would consume; the oracle recomputes the identical integer split.
+    Q("a15_equidepth",
+      (s, dir) => Relational.equiDepthHistogram(
+          rd(s, dir, "orders").select("o_totalprice", "o_orderkey"),
+          "o_totalprice", Seq("o_orderkey"), 8)
+        .orderBy("bucket"),
+      Some("""WITH r AS (SELECT o_totalprice AS v,
+        |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
+        |  count(*) OVER () AS n FROM orders)
+        |SELECT ((rn - 1) * 8) // n AS bucket, min(v) AS lo, max(v) AS hi,
+        |  count(*) AS n_rows
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     Q("a14_kmv_quantile",
       (s, dir) => Sketches.kmvQuantile(
           rd(s, dir, "orders").select(floor(col("o_totalprice")).as("price")),

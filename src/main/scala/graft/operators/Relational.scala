@@ -377,6 +377,38 @@ object Relational {
       }: _*)
   }
 
+  /** A15: exact EQUI-DEPTH histogram — k buckets of (near-)equal row count
+    * with exact [lo, hi] value bounds, the statistic behind range-join band
+    * tables, skew diagnosis, and size-balanced range partitioning (a
+    * data-derived replacement for j5's hand-written bands). Bucket of the
+    * rank-r row (1-based, total order (value, ties...)) is
+    * ((r-1)·k) div N — the same integer split Spark's own range partitioner
+    * targets, exact and engine-portable.
+    *
+    * Scale shape: global ranks come from [[Medallion.withScalableSurrogateId]]
+    * (one range exchange + in-partition sort + O(#partitions) driver prefix
+    * sum — no single-task global window), then one partial-agg groupBy over
+    * a k-bounded cell space. The N scalar is one bounded driver count on
+    * the checkpointed sorted frame.
+    */
+  def equiDepthHistogram(df: DataFrame, valCol: String, tieCols: Seq[String],
+                         buckets: Int): DataFrame = {
+    require(buckets >= 1, "buckets must be >= 1")
+    // internal names: the surrogate pass adds an `id` column, which must
+    // not collide with whatever the caller's frame happens to carry
+    val narrowed = df.select(col(valCol).as("__v") +:
+      tieCols.zipWithIndex.map { case (c, i) => col(c).as(s"__t$i") }: _*)
+    val ranked = graft.operators.Medallion.withScalableSurrogateId(
+      narrowed, "__v" +: tieCols.indices.map(i => s"__t$i"))
+    val n = ranked.count()
+    require(n > 0, "equiDepthHistogram needs a non-empty input")
+    ranked
+      .withColumn("bucket", expr(s"((id - 1) * $buckets) div $n"))
+      .groupBy("bucket")
+      .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
+        count(lit(1)).as("n_rows"))
+  }
+
   /** MERGE-style upsert (table maintenance): rows of `updates` replace base
     * rows with the same key; unmatched update rows are inserts; all other
     * base rows pass through. Expressed as anti-join + union — the CDC batch

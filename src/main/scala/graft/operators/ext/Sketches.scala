@@ -96,6 +96,52 @@ object Sketches {
     exact.crossJoin(sketch)
   }
 
+  /** W12/A16: SLIDING-WINDOW approximate distinct — per-day HLL sketches of
+    * the value domain, merged over a trailing `frameDays`-day frame by
+    * per-bucket max-rank. Sketch merge = max is what makes distinct-count
+    * rollups INCREMENTAL at 100 TB: the daily sketch table is bounded by
+    * days × m rows (constant per day, mergeable forever), so any trailing
+    * window's distinct estimate derives from it without rescanning raw
+    * events — the property countDistinct fundamentally lacks (it cannot
+    * pre-aggregate). Same portable integer/power-of-two arithmetic as
+    * [[hllDistinct]], so every per-day estimate replays bit-for-bit.
+    *
+    * Shape: one (day, bucket) partial aggregate over the events (shuffle
+    * bounded by days × m); the frame merge is a range join against the
+    * BROADCAST distinct-day calendar (bounded by the calendar, never the
+    * data) + one (day, bucket)-bounded aggregate. The exact countDistinct
+    * column is the verification channel, emitted beside the estimate like
+    * hllDistinct — at production scale it is the column you drop.
+    */
+  def slidingHllDistinct(df: DataFrame, valueCol: String, dayCol: String,
+                         p: Int, frameDays: Int): DataFrame = {
+    val m = 1 << p
+    val w = 32 - p
+    val alphaM2 = alphaTimesM2(p)
+    val daily = df.select(col(dayCol).as("day"),
+        expr(s"cast(conv(substring(md5(cast($valueCol as string)), 1, 8), 16, 10) as bigint)").as("h"))
+      .select(col("day"), (col("h") % m).as("bucket"), expr(s"h div $m").as("rest"))
+      .select(col("day"), col("bucket"),
+        when(col("rest") === 0, lit(w + 1))
+          .otherwise(lit(w + 1) - length(expr("bin(rest)"))).as("rank"))
+      .groupBy("day", "bucket").agg(max("rank").as("max_rank"))
+    val days = df.select(col(dayCol).as("target_day")).distinct()
+    val frame = daily.join(broadcast(days),
+        col("day").between(col("target_day") - (frameDays - 1), col("target_day")))
+      .groupBy(col("target_day"), col("bucket")).agg(max("max_rank").as("mr"))
+    val est = frame.groupBy("target_day")
+      .agg(count(lit(1)).as("nb"), sum(expr("power(2.0, -mr)")).as("s_obs"))
+      .select(col("target_day"),
+        floor(lit(alphaM2) / (col("s_obs") + (lit(m) - col("nb"))) * 10000)
+          .cast("long").as("hll_estimate_e4"))
+    df.select(col(dayCol).as("day"), col(valueCol).as("__v"))
+      .join(broadcast(days),
+        col("day").between(col("target_day") - (frameDays - 1), col("target_day")))
+      .groupBy("target_day").agg(countDistinct(col("__v")).as("exact_distinct"))
+      .join(est, Seq("target_day"))
+      .select(col("target_day").as("day"), col("exact_distinct"), col("hll_estimate_e4"))
+  }
+
   /** alpha_m * m^2 for the standard HLL bias correction; the same double is
     * embedded as a literal in the oracle SQL so both engines divide by the
     * identical value.

@@ -48,6 +48,34 @@ class SketchTimeSeriesSpec extends SparkSpec {
     assert(vals.contains(est50) && est50 >= 25 && est50 <= 75, s"p50 estimate $est50")
   }
 
+  test("equiDepthHistogram: integer split bounds, bucket sizes differ by at most one") {
+    import spark.implicits._
+    // 10 rows, 4 buckets: ((r-1)*4) div 10 -> sizes 3,2,3,2 with exact bounds
+    val df = Seq(10, 3, 7, 1, 9, 4, 6, 2, 8, 5).map(v => (v.toDouble, v.toLong)).toDF("v", "id")
+    val got = graft.operators.Relational.equiDepthHistogram(df, "v", Seq("id"), 4)
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == Seq((0L, 1.0, 3.0, 3L), (1L, 4.0, 5.0, 2L),
+      (2L, 6.0, 8.0, 3L), (3L, 9.0, 10.0, 2L)))
+  }
+
+  test("slidingHllDistinct: frame merge equals the sketch of the frame's union") {
+    import spark.implicits._
+    val df = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 3L), (1L, 4L), (1L, 5L))
+      .toDF("day", "user_id")
+    val got = Sketches.slidingHllDistinct(df, "user_id", "day", p = 6, frameDays = 2)
+      .orderBy("day").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(x => (x._1, x._2)).toSeq == Seq((0L, 3L), (1L, 5L)),
+      "exact trailing-frame distincts")
+    // merge property: day-1's merged sketch must equal the sketch built
+    // directly from the frame's union of values
+    def direct(vals: Seq[Long]) = Sketches.hllDistinct(vals.toDF("user_id"), "user_id", 6)
+      .head().getLong(1)
+    assert(got(0)._3 == direct(Seq(1L, 2L, 3L)))
+    assert(got(1)._3 == direct(Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
   test("bloom: every member passes (no false negatives), non-members mostly rejected") {
     import spark.implicits._
     val members = (1 to 200).map(i => s"k$i").toDF("k")
