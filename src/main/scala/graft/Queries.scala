@@ -2968,6 +2968,38 @@ object Queries {
         "UNION SELECT e.dst, r.lab FROM r JOIN edges e ON r.doc_id = e.src) " +
         "SELECT doc_id, min(lab) AS cluster FROM r GROUP BY doc_id ORDER BY doc_id")),
 
+    // X1 — dedup survivorship (Dedup.survivorship): per near-dup cluster,
+    // elect the canonical member under the explicit rule (longest text,
+    // then smallest id) and report cluster size — the production refinement
+    // of "keep the first". Bounded to doc_id < 2500 like x1_dedup_matrix
+    // (the unbounded cluster pipeline is already x1_dedup_clusters; this
+    // row pays for the election, not a second full sweep).
+    Q("x1_survivorship",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents").filter(col("doc_id") < 2500)
+        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 19, 20)
+        Dedup.survivorship(docs, "doc_id", "text",
+            Dedup.dedupClusters(docs, "doc_id", pairs))
+          .orderBy("cluster")
+      },
+      Some {
+        val toks = "SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok " +
+          "FROM documents WHERE doc_id < 2500"
+        s"WITH RECURSIVE ${duckMinhashCtes(toks, 8, 19, 20)},\n" +
+          "edges AS (SELECT id_a AS src, id_b AS dst FROM verified " +
+          "UNION SELECT id_b, id_a FROM verified), " +
+          "r(doc_id, lab) AS (SELECT doc_id, doc_id FROM documents WHERE doc_id < 2500 " +
+          "UNION SELECT e.dst, r.lab FROM r JOIN edges e ON r.doc_id = e.src), " +
+          "c AS (SELECT doc_id, min(lab) AS cluster FROM r GROUP BY doc_id), " +
+          "sized AS (SELECT c.doc_id, c.cluster, length(d.text) AS len " +
+          "FROM c JOIN documents d USING (doc_id)), " +
+          "n AS (SELECT cluster, count(*) AS n_members FROM sized GROUP BY 1), " +
+          "s AS (SELECT cluster, doc_id AS survivor_id, len AS survivor_len, " +
+          "row_number() OVER (PARTITION BY cluster ORDER BY len DESC, doc_id) AS rk FROM sized) " +
+          "SELECT cluster, survivor_id, survivor_len, n_members " +
+          "FROM s JOIN n USING (cluster) WHERE rk = 1 ORDER BY cluster"
+      }),
+
     // X1/X6 — leakage-safe train/val/test split: the split hash is keyed on
     // the near-dup CLUSTER label, so near-duplicates can never straddle the
     // train/eval boundary. The oracle replays the cluster fixpoint, then the

@@ -407,6 +407,31 @@ object Dedup {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** X1: dedup SURVIVORSHIP — elect one canonical document per near-dup
+    * cluster under an explicit, deterministic rule (longest text wins,
+    * smallest id breaks ties) and report cluster size beside it. Dropping
+    * near-dups keeps "the first" by default ([[exactByKey]]'s tie-break);
+    * survivorship is the production refinement — keep the BEST member, not
+    * an arbitrary one — and the explicit rule is what makes the choice
+    * replayable instead of partition-dependent.
+    *
+    * Shape: one shuffle-hash join of the (id, length) projection against
+    * the cluster labels, then a size aggregate and a rank-1 window BOTH
+    * keyed on the cluster — co-partitioned, one exchange feeds all three.
+    */
+  def survivorship(docs: DataFrame, idCol: String, textCol: String,
+                   clusters: DataFrame): DataFrame = {
+    val sized = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        length(col(textCol)).cast("long").as("len"))
+      .join(clusters.hint("shuffle_hash"), Seq("doc_id"))
+    val counts = sized.groupBy("cluster").agg(count(lit(1)).as("n_members"))
+    val win = Window.partitionBy(col("cluster")).orderBy(col("len").desc, col("doc_id"))
+    sized.withColumn("__rk", row_number().over(win)).filter(col("__rk") === 1)
+      .select(col("cluster"), col("doc_id").as("survivor_id"), col("len").as("survivor_len"))
+      .join(counts.hint("shuffle_hash"), Seq("cluster"))
+  }
+
   /** Index MAINTENANCE for the incremental near-dup path: append a new
     * batch's band keys into an existing BUCKETED band index table,
     * completing the corpus-growth loop (x1_incremental_neardup probes the

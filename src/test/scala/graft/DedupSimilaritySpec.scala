@@ -63,6 +63,18 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(got == Set(("A", "B", 2L), ("A", "A", 1L)))
   }
 
+  test("survivorship: longest member wins, smallest id breaks length ties, sizes exact") {
+    import spark.implicits._
+    val d = Seq((1L, "aaaa"), (2L, "aaaaaa"), (3L, "aaaaaa"), (4L, "bb"))
+      .toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L)).toDF("doc_id", "cluster")
+    val got = Dedup.survivorship(d, "doc_id", "text", clusters)
+      .orderBy("cluster").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // docs 2 and 3 tie at length 6: the smaller id must win
+    assert(got == Seq((1L, 2L, 6L, 3L), (4L, 4L, 2L, 1L)))
+  }
+
   test("jaccardPairs: identical docs meet any threshold; disjoint docs never") {
     val df = docs((1L, "x y z"), (2L, "x y z"), (3L, "p q r"))
     val pairs = Dedup.jaccardPairs(df, "doc_id", "text", 1, 19, 20).collect()
