@@ -180,13 +180,15 @@ object Queries {
     * x2_ann_ivfpq) so a rounding-policy change cannot silently
     * desynchronize one copy. q = (vec_id, pos 0-based INTEGER, qq).
     */
-  private val duckQuantCtes =
-    """x AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS ord,
-      |  unnest(CAST(embedding AS DOUBLE[])) AS u FROM embeddings),
+  private def duckQuantCtesWhere(pred: String): String =
+    s"""x AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS ord,
+      |  unnest(CAST(embedding AS DOUBLE[])) AS u FROM embeddings$pred),
       |s AS (SELECT ord, min(u) AS mn, max(u) AS mx FROM x GROUP BY ord),
       |q AS (SELECT vec_id, CAST(x.ord - 1 AS INTEGER) AS pos, CASE WHEN s.mx = s.mn THEN 0
       |  ELSE CAST(least(floor(CAST(CAST(255 AS DOUBLE) * (x.u - s.mn) / (s.mx - s.mn) AS DECIMAL(10,6))), 255) AS INTEGER)
       |  END AS qq FROM x JOIN s USING (ord))""".stripMargin
+
+  private val duckQuantCtes = duckQuantCtesWhere("")
 
   /** DuckDB mirror of the PQ replay chain over `q` from [[duckQuantCtes]]
     * (Similarity.md5Train + pqTerms + nearestCodes + ADC): tr = full
@@ -3506,6 +3508,52 @@ object Queries {
         |SELECT id_a, id_b, dot, rk FROM (SELECT id_a, id_b, dot,
         |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY dot DESC, id_b) AS INTEGER) AS rk FROM scored)
         |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
+
+    // X9 — semi-supervised labeling capstone: kNN GRAPH in the exact
+    // quantized space (top-3 per node over a 300-vector universe, the
+    // x2_ann_quantized machinery) symmetrized into undirected edges, then
+    // G3's majority-vote label propagation spreads the 20 seed labels
+    // (embeddings.label, the hand-labeled slice) across it for 2
+    // iterations — the standard label-densification pipeline for training
+    // data (label a sliver by hand, propagate over the similarity graph).
+    // Every stage integer-exact, so the composed assignment — including
+    // which nodes stay unlabeled — replays through one unrolled oracle.
+    Q("x9_semisupervised",
+      (s, dir) => {
+        val emb = rd(s, dir, "embeddings").filter(col("vec_id") < 300)
+        val knn = Similarity.quantizedTopK(emb, 3, 300).select("id_a", "id_b")
+        val edges = knn.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(knn.select(col("id_b").as("src"), col("id_a").as("dst")))
+          .distinct()
+        val seeds = emb.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("node"), col("label").cast("long").as("lab"))
+        graft.operators.ext.Graph
+          .labelPropagate(edges, "src", "dst", seeds, "node", "lab", 2)
+          .orderBy("node")
+      },
+      Some {
+        def iter(i: Int): String =
+          s"""v$i AS (SELECT e.dst AS node, l${i - 1}.label, count(*) AS n
+            |  FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node WHERE l${i - 1}.label IS NOT NULL GROUP BY 1, 2),
+            |m$i AS (SELECT node, label AS maj FROM
+            |  (SELECT *, row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rk FROM v$i) WHERE rk = 1),
+            |l$i AS (SELECT l${i - 1}.node, coalesce(sd.lab, m$i.maj, l${i - 1}.label) AS label
+            |  FROM l${i - 1} LEFT JOIN m$i ON l${i - 1}.node = m$i.node LEFT JOIN sd ON l${i - 1}.node = sd.node)""".stripMargin
+        s"""WITH ${duckQuantCtesWhere(" WHERE vec_id < 300")},
+          |v AS (SELECT vec_id, list(CAST(qq AS DOUBLE) ORDER BY pos) AS qv FROM q GROUP BY vec_id),
+          |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
+          |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
+          |knn AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+          |  row_number() OVER (PARTITION BY id_a ORDER BY dot DESC, id_b) AS rk FROM scored) WHERE rk <= 3),
+          |e AS (SELECT id_a AS src, id_b AS dst FROM knn UNION SELECT id_b, id_a FROM knn),
+          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+          |sd AS (SELECT vec_id AS node, CAST(label AS BIGINT) AS lab FROM embeddings WHERE vec_id < 20),
+          |l0 AS (SELECT nodes.node, sd.lab AS label FROM nodes LEFT JOIN sd ON nodes.node = sd.node),
+          |${iter(1)},
+          |${iter(2)}
+          |SELECT node, label FROM l2 ORDER BY node""".stripMargin
+      }),
 
     // X2 — HYBRID retrieval with reciprocal-rank fusion: dense leg = exact
     // integer quantized-L2 top-20 over embeddings; lexical leg = BM25
