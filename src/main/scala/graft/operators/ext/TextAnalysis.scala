@@ -492,6 +492,62 @@ object TextAnalysis {
       .orderBy(col("weight").desc, col("doc_id")).limit(k)
   }
 
+  /** X3: BPE MERGE LEARNING — the byte-pair-encoding training loop
+    * (Sennrich et al. 2016) run as corpus aggregates: per round, count
+    * adjacent symbol pairs across the corpus (weighted by word frequency),
+    * merge the most frequent pair everywhere, repeat. Emits one row per
+    * learned merge — (round, lhs, rhs, pair_count, corpus_tokens_after) —
+    * the merge TABLE a tokenizer ships; corpus_tokens_after recounts after
+    * each application, so the compression trajectory is exact (pair_count
+    * can exceed applied merges under self-overlap like "a a a").
+    *
+    * Determinism: the argmax is total ((count desc, lhs, rhs)); merges
+    * apply via LITERAL string replace on sentinel-delimited symbol
+    * sequences (U+001F between symbols — disjoint from the corpus
+    * alphabet), and both engines' replace() is leftmost-non-overlapping,
+    * which is exactly BPE's single-pass application order. No regex, so
+    * learned symbols can never be misread as patterns.
+    *
+    * 100 TB shape: the state is the word-frequency table (bounded by
+    * VOCABULARY, not corpus — the standard BPE-training reduction), built
+    * by one corpus aggregate; each round is one vocab-bounded pair
+    * aggregate + a 1-row argmax (bounded driver probe, `rounds` of them —
+    * the probes ARE the model) + one map-side replace over the vocab.
+    * Rounds are localCheckpoint-cut so round k's plan does not replay
+    * rounds 1..k-1.
+    */
+  def bpeLearn(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16] (oracle unrolls)")
+    val spark = docs.sparkSession
+    val sep = "\u001f"
+    var vocab = docs.select(explode(expr(toks(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("seq", expr(
+        s"concat('$sep', array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '$sep'), '$sep')"))
+      .localCheckpoint(true)
+    val merges = (1 to rounds).map { r =>
+      val top = vocab
+        .select(col("freq"), expr(s"filter(split(seq, '$sep'), x -> x != '')").as("ts"))
+        .select(col("freq"), explode(expr(
+          "case when size(ts) < 2 then array() else transform(sequence(1, size(ts) - 1), " +
+            "i -> named_struct('a', element_at(ts, i), 'b', element_at(ts, i + 1))) end")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b")).agg(sum("freq").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b")).limit(1).head()
+      val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
+      vocab = vocab.withColumn("seq",
+          expr(s"replace(seq, '$sep$a$sep$b$sep', '$sep$a$b$sep')"))
+        .localCheckpoint(true)
+      val total = vocab
+        .select((col("freq") * expr(s"size(filter(split(seq, '$sep'), x -> x != ''))")).as("t"))
+        .agg(sum("t")).head().getLong(0)
+      (r, a, b, n, total)
+    }
+    import spark.implicits._
+    merges.toDF("merge_round", "lhs", "rhs", "pair_count", "corpus_tokens_after")
+      .select(col("merge_round"), col("lhs"), col("rhs"),
+        col("pair_count").cast("long"), col("corpus_tokens_after").cast("long"))
+  }
+
   /** Document chunking for training/RAG pipelines: split each document into
     * token windows of `size` with `stride` (overlapping when stride < size).
     * Chunk starts are 1-indexed positions 1, 1+stride, 1+2·stride, ... and a

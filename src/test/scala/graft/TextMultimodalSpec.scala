@@ -231,6 +231,21 @@ class TextMultimodalSpec extends SparkSpec {
     assert(top.toSeq == Seq(10L))
   }
 
+  test("bpeLearn: freq-weighted argmax, self-overlap merges once per site, exact trajectory") {
+    import spark.implicits._
+    // corpus: "aaa" x2, "ab" x1 -> round 1 counts pair (a,a) 4 times (two per
+    // word occurrence) but leftmost-non-overlapping application merges each
+    // word once: 8 tokens -> 6, not 4. Rounds 2/3 pin the chain.
+    val docs = Seq((1L, "aaa aaa ab")).toDF("doc_id", "text")
+    val got = graft.operators.ext.TextAnalysis.bpeLearn(docs, "text", 3)
+      .orderBy("merge_round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (1, "a", "a", 4L, 6L),
+      (2, "aa", "a", 2L, 4L),
+      (3, "a", "b", 1L, 3L)))
+  }
+
   test("nfc_normalize/strip_accents: composition shrinks decomposed marks, codegen == interpreted") {
     import spark.implicits._
     graft.functions.ArrayOps.register(spark)
