@@ -3226,6 +3226,47 @@ object Queries {
           |ORDER BY merge_round""".stripMargin
       }),
 
+    // X3 — BPE tokenizer application (TextAnalysis.bpeApplyCounts): the
+    // serving side of x3_bpe_learn — learn 5 merges, collect them (bounded
+    // driver probe: the merges ARE the model), fold them into one map-side
+    // replace chain per word, report whitespace vs BPE token counts per
+    // document. The oracle replays learning AND application end-to-end.
+    Q("x3_bpe_tokenize",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val merges = TextAnalysis.bpeLearn(docs, "text", 5).collect()
+          .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+        TextAnalysis.bpeApplyCounts(docs, "doc_id", "text", merges).orderBy("doc_id")
+      },
+      Some {
+        val sp = "chr(31)"
+        def round(i: Int): String =
+          s"""p$i AS (SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS n FROM (
+            |  SELECT freq, unnest(list_transform(range(1, len(ts)), j -> struct_pack(a := ts[j], b := ts[j+1]))) AS p
+            |  FROM (SELECT freq, list_filter(string_split(seq, $sp), x -> x <> '') AS ts FROM s${i - 1})) GROUP BY 1, 2),
+            |m$i AS (SELECT a, b FROM p$i ORDER BY n DESC, a, b LIMIT 1),
+            |s$i AS (SELECT w, freq, replace(seq, $sp || m$i.a || $sp || m$i.b || $sp, $sp || m$i.a || m$i.b || $sp) AS seq
+            |  FROM s${i - 1} CROSS JOIN m$i)""".stripMargin
+        def apply(i: Int): String =
+          s"""a$i AS (SELECT doc_id, replace(seq, $sp || m$i.a || $sp || m$i.b || $sp, $sp || m$i.a || m$i.b || $sp) AS seq
+            |  FROM a${i - 1} CROSS JOIN m$i)""".stripMargin
+        s"""WITH w0 AS (SELECT tok AS w, count(*) AS freq FROM (
+          |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents) GROUP BY 1),
+          |s0 AS (SELECT w, freq,
+          |  $sp || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), $sp) || $sp AS seq FROM w0),
+          |${(1 to 5).map(round).mkString(",\n")},
+          |d AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents),
+          |a0 AS (SELECT doc_id,
+          |  $sp || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), $sp) || $sp AS seq FROM d),
+          |${(1 to 5).map(apply).mkString(",\n")},
+          |cnt AS (SELECT doc_id, count(*) AS n_words,
+          |  CAST(sum(len(list_filter(string_split(seq, $sp), x -> x <> ''))) AS BIGINT) AS n_bpe
+          |  FROM a5 GROUP BY 1)
+          |SELECT dd.doc_id, CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
+          |  CAST(COALESCE(n_bpe, 0) AS BIGINT) AS n_bpe
+          |FROM documents dd LEFT JOIN cnt USING (doc_id) ORDER BY dd.doc_id""".stripMargin
+      }),
+
     // X3 — marker-based language ID (oracle-checkable form; the char-n-gram
     // scorer is langIdNgram, covered by ScalaTest).
     Q("x3_lang_id",

@@ -548,6 +548,35 @@ object TextAnalysis {
         col("pair_count").cast("long"), col("corpus_tokens_after").cast("long"))
   }
 
+  /** X3: BPE tokenizer APPLICATION — the serving side of [[bpeLearn]]:
+    * apply a learned merge table to every document word (same sentinel-
+    * delimited literal replaces, in merge order — BPE application is
+    * order-sensitive by definition) and report per-document whitespace vs
+    * BPE token counts, the statistic a token-budgeted pipeline bills by.
+    * The merge chain folds into ONE map-side expression per word — no
+    * join against the merge table, because the merges are the MODEL
+    * (bounded by rounds, compiled into the plan), not data. Token-less
+    * documents surface with zero counts.
+    */
+  def bpeApplyCounts(docs: DataFrame, idCol: String, textCol: String,
+                     merges: Seq[(String, String)]): DataFrame = {
+    val sep = "\u001f"
+    val seq0 = s"concat('$sep', array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '$sep'), '$sep')"
+    val applied = merges.foldLeft(seq0) { case (acc, (a, b)) =>
+      s"replace($acc, '$sep$a$sep$b$sep', '$sep$a$b$sep')"
+    }
+    val counts = docs
+      .select(col(idCol).as("doc_id"), explode(expr(toks(textCol))).as("w"))
+      .select(col("doc_id"),
+        expr(s"size(filter(split($applied, '$sep'), x -> x != ''))").as("n"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_bpe"))
+    docs.select(col(idCol).as("doc_id")).join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_bpe"), lit(0L)).as("n_bpe"))
+  }
+
   /** Document chunking for training/RAG pipelines: split each document into
     * token windows of `size` with `stride` (overlapping when stride < size).
     * Chunk starts are 1-indexed positions 1, 1+stride, 1+2·stride, ... and a
