@@ -60,7 +60,14 @@ class GoldenPlanSpec extends SparkSpec {
     "x2_hybrid_rrf" -> "BroadcastNestedLoopJoin=2, BroadcastHashJoin=4, ShuffledHashJoin=1, BroadcastExchange=6, Exchange hashpartitioning=11, Exchange rangepartitioning=1, Exchange SinglePartition=1, HashAggregate=16, ObjectHashAggregate=4, WindowGroupLimit=4, Window=4, Generate=7",
     "x3_bm25_index" -> "BroadcastNestedLoopJoin=1, BroadcastHashJoin=1, ShuffledHashJoin=1, BroadcastExchange=2, Exchange hashpartitioning=3, Exchange rangepartitioning=1, Exchange SinglePartition=1, HashAggregate=6, WindowGroupLimit=2, Window=2, Generate=1",
     "x9_retrieval_e2e" -> "BroadcastNestedLoopJoin=1, BroadcastHashJoin=6, ShuffledHashJoin=1, BroadcastExchange=7, Exchange hashpartitioning=7, Exchange rangepartitioning=1, Exchange SinglePartition=1, HashAggregate=16, WindowGroupLimit=5, Window=5, TakeOrderedAndProject=1, Generate=5",
-    "g1_pagerank" -> "BroadcastNestedLoopJoin=4, BroadcastHashJoin=28, ShuffledHashJoin=9, BroadcastExchange=32, Exchange hashpartitioning=17, Exchange SinglePartition=4, HashAggregate=36, TakeOrderedAndProject=1")
+    "g1_pagerank" -> "BroadcastNestedLoopJoin=4, BroadcastHashJoin=28, ShuffledHashJoin=9, BroadcastExchange=32, Exchange hashpartitioning=17, Exchange SinglePartition=4, HashAggregate=36, TakeOrderedAndProject=1",
+    "w11_interval_merge" -> "Exchange hashpartitioning=1, Exchange rangepartitioning=1, HashAggregate=2, Window=2",
+    "w12_sliding_distinct" -> "BroadcastNestedLoopJoin=2, SortMergeJoin=1, BroadcastExchange=2, Exchange hashpartitioning=7, Exchange rangepartitioning=1, HashAggregate=14",
+    "a15_equidepth" -> "Exchange hashpartitioning=1, Exchange rangepartitioning=1, HashAggregate=2",
+    "x6_dsir" -> "BroadcastNestedLoopJoin=2, BroadcastHashJoin=2, SortMergeJoin=1, BroadcastExchange=4, Exchange hashpartitioning=6, Exchange SinglePartition=2, HashAggregate=14, TakeOrderedAndProject=1, Generate=5",
+    "x1_dedup_matrix" -> "ShuffledHashJoin=5, Exchange hashpartitioning=12, Exchange rangepartitioning=1, HashAggregate=4, Generate=1",
+    "x1_survivorship" -> "ShuffledHashJoin=3, SortMergeJoin=2, Exchange hashpartitioning=8, Exchange rangepartitioning=1, HashAggregate=2, WindowGroupLimit=2, Window=1",
+    "x9_semisupervised" -> "BroadcastNestedLoopJoin=14, BroadcastHashJoin=35, ShuffledHashJoin=6, BroadcastExchange=49, Exchange hashpartitioning=79, Exchange rangepartitioning=1, HashAggregate=90, ObjectHashAggregate=56, WindowGroupLimit=20, Window=17, Generate=56")
 
   test("plan fingerprints of the heaviest batch queries match the committed goldens") {
     val actual = golden.keys.toSeq.sorted.map(n => n -> fingerprint(n))
