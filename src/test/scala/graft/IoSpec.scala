@@ -196,6 +196,38 @@ class IoSpec extends SparkSpec {
     assert(rowsAfter == rowsBefore, "compaction must not change the code set")
   }
 
+  test("BucketedIndex.compact on the lexical index: both tables compact, probe ranking identical") {
+    import spark.implicits._
+    import graft.operators.ext.TextAnalysis
+    def parquetFiles(path: String): Int =
+      new java.io.File(path).listFiles().count(_.getName.endsWith(".parquet"))
+    val root = tmpDir("lexidx_compact")
+    spark.sql("DROP TABLE IF EXISTS graft_lexc_post")
+    spark.sql("DROP TABLE IF EXISTS graft_lexc_len")
+    val docs = Seq((0L, "alpha beta gamma"), (1L, "alpha alpha delta"),
+      (2L, "beta beta beta"), (3L, "gamma delta")).toDF("doc_id", "text")
+    TextAnalysis.buildLexicalIndex("graft_lexc_post", "graft_lexc_len",
+      docs.filter($"doc_id" < 2), "doc_id", "text", 4, root)
+    (2L to 3L).foreach { i =>
+      TextAnalysis.appendLexicalIndex("graft_lexc_post", "graft_lexc_len",
+        docs.filter($"doc_id" === i), "doc_id", "text", 4)
+    }
+    val queries = Seq((0L, "alpha beta")).toDF("query_id", "qtext")
+    def probe() = TextAnalysis.bm25IndexTopK(spark, "graft_lexc_post", "graft_lexc_len",
+        queries, "query_id", "qtext", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))).toSeq
+    val before = probe()
+    assert(before.nonEmpty && parquetFiles(s"$root/postings") > 4,
+      "appends accumulated per-bucket files on the postings side")
+    // same generic compactor as the band/PQ indexes — one call per table,
+    // each preserving its own bucket spec (term vs doc_id)
+    graft.io.BucketedIndex.compact(spark, "graft_lexc_post", 4, "term", s"$root/postings1")
+    graft.io.BucketedIndex.compact(spark, "graft_lexc_len", 4, "doc_id", s"$root/lengths1")
+    assert(parquetFiles(s"$root/postings1") <= 4 && parquetFiles(s"$root/lengths1") <= 4,
+      "both tables back to <= buckets files")
+    assert(probe() == before, "probe ranking identical across the compaction swap")
+  }
+
   test("VersionedTable: commit/append/overwrite with time travel, snapshot isolation") {
     import spark.implicits._
     val root = tmpDir("vt")
