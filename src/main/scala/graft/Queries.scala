@@ -1763,6 +1763,32 @@ object Queries {
         |  count(*) AS n_intervals
         |FROM g GROUP BY 1, 2 ORDER BY user_id, span_idx""".stripMargin)),
 
+    // J11 — big-big interval overlap join (Relational.intervalOverlapJoin):
+    // even-id vs odd-id event intervals ([ts, ts+5min]) matched through
+    // 5-min grid-cell equi-joins — the rewrite that replaces the quadratic
+    // cartesian when BOTH interval sets are large. The max-start-cell
+    // responsibility filter emits each overlapping pair exactly once with
+    // no dedup; the oracle is the naive all-pairs overlap join.
+    Q("j11_interval_overlap",
+      (s, dir) => {
+        val ev = rd(s, dir, "events")
+        val iv = ev.withColumn("ts_us", expr(tsUsSql(ev.schema)))
+          .select(col("event_id"), col("ts_us").as("iv_s"),
+            (col("ts_us") + 300000000L).as("iv_e"))
+        Relational.intervalOverlapJoin(
+            iv.filter(col("event_id") % 2 === 0), "event_id", "iv_s", "iv_e",
+            iv.filter(col("event_id") % 2 === 1), "event_id", "iv_s", "iv_e",
+            gridUs = 300000000L)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH iv AS (SELECT event_id AS id, epoch_us(ts) AS s,
+        |  epoch_us(ts) + 300000000 AS e FROM events),
+        |a AS (SELECT * FROM iv WHERE id % 2 = 0), b AS (SELECT * FROM iv WHERE id % 2 = 1)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  greatest(a.s, b.s) AS overlap_start, least(a.e, b.e) AS overlap_end
+        |FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
+        |ORDER BY id_a, id_b""".stripMargin)),
+
     // W12 — sliding-window approximate distinct (Sketches.slidingHllDistinct):
     // trailing-7-day distinct users per day from per-day HLL sketches merged
     // by bucket max — the incremental rollup countDistinct cannot express

@@ -309,6 +309,41 @@ object Relational {
                 loCol: String, hiCol: String): DataFrame =
     fact.join(broadcast(bands), col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
 
+  /** J11: big-big INTERVAL OVERLAP join — the case [[rangeJoin]]'s doc
+    * defers: when BOTH interval sets are large, a broadcast non-equi join
+    * is impossible and a cartesian-with-filter is quadratic. The standard
+    * rewrite buckets time into fixed `gridUs` cells: each interval explodes
+    * to the cells it covers, candidates meet through a cell EQUI-join
+    * (shuffle-hash, partition-parallel), and the overlap predicate verifies
+    * exactly. Each overlapping pair is emitted EXACTLY ONCE with no
+    * dedup pass — both intervals cover max(start_a, start_b), so they share
+    * that instant's cell, and only that cell is made "responsible" for the
+    * pair (the cell == max-start-cell filter). Closed-interval semantics:
+    * touching endpoints overlap.
+    *
+    * Scale: shuffle carries Σ(len/grid + 1) cell rows per side — grid
+    * trades replication (long intervals × fine grid) against per-cell
+    * candidate mass (coarse grid × dense cells); pick grid ≈ typical
+    * interval length. A pathological cell (many concurrent intervals) is
+    * ordinary join skew — AQE's skew split or a [[saltedJoin]]-style salt
+    * applies unchanged.
+    */
+  def intervalOverlapJoin(a: DataFrame, aId: String, aStart: String, aEnd: String,
+                          b: DataFrame, bId: String, bStart: String, bEnd: String,
+                          gridUs: Long): DataFrame = {
+    require(gridUs > 0, "gridUs must be positive")
+    def cells(df: DataFrame, id: String, s0: String, e0: String, p: String) =
+      df.select(col(id).as(s"${p}_id"), col(s0).as(s"${p}_s"), col(e0).as(s"${p}_e"))
+        .withColumn("cell", explode(expr(s"sequence(${p}_s div $gridUs, ${p}_e div $gridUs)")))
+    cells(a, aId, aStart, aEnd, "a")
+      .join(cells(b, bId, bStart, bEnd, "b").hint("shuffle_hash"), Seq("cell"))
+      .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .filter(expr(s"cell = greatest(a_s, b_s) div $gridUs"))
+      .select(col("a_id").as("id_a"), col("b_id").as("id_b"),
+        greatest(col("a_s"), col("b_s")).as("overlap_start"),
+        least(col("a_e"), col("b_e")).as("overlap_end"))
+  }
+
   /** J9: skew-safe salted equi-join — the join-side counterpart of the salted
     * aggregate (a10). When one join key dominates the fact side, a plain
     * shuffle join lands the whole hot key in one task; AQE's skew-join split

@@ -45,6 +45,19 @@ class SessionRangeSpec extends SparkSpec {
       (2L, 1L, 5L, 6L, 1L)))
   }
 
+  test("intervalOverlapJoin: exactly-once across shared cells, touching endpoints overlap, disjoint never") {
+    import spark.implicits._
+    // grid 10: a1 [0, 35] spans 4 cells and overlaps b1 [5, 30] in all of
+    // them — the responsibility filter must emit the pair ONCE. a1/b2 touch
+    // at a point (35 == 35): closed semantics, they match. a2/b3 disjoint.
+    val a = Seq((1L, 0L, 35L), (2L, 100L, 110L)).toDF("id", "s", "e")
+    val b = Seq((10L, 5L, 30L), (11L, 35L, 40L), (12L, 200L, 210L)).toDF("id", "s", "e")
+    val got = Relational.intervalOverlapJoin(a, "id", "s", "e", b, "id", "s", "e", gridUs = 10L)
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 10L, 5L, 30L), (1L, 11L, 35L, 35L)))
+  }
+
   test("rangeJoin: [lo, hi) semantics — hi excluded, lo included, no-band rows dropped") {
     import spark.implicits._
     val fact = Seq(0.0, 9.99, 10.0, 19.99, 20.0).toDF("v")
