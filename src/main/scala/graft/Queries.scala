@@ -949,6 +949,41 @@ object Queries {
       },
       Some("SELECT DISTINCT event_type, value FROM events ORDER BY 1, 2")),
 
+    // NATIVE SESSION WINDOWS in Structured Streaming (thirteenth declared
+    // streaming path): Spark's session_window merges events under a 30-min
+    // gap into engine-managed dynamic windows — the declarative counterpart
+    // of the flatMapGroupsWithState sessionizer (stream_stateful_agg), with
+    // a one-boundary-stricter split (gap >= g opens a session: windows are
+    // [first, last+gap) and merge only on true overlap). Complete-mode
+    // drain; the oracle is the batch formulation of the same split rule.
+    Q("stream_session_window",
+      (s, dir) => {
+        val batchSchema = rd(s, dir, "events").schema
+        val ev = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ingest_ts", expr(tsStampSql(batchSchema)))
+          .select("user_id", "event_id", "ingest_ts")
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.sessionWindowAgg(ev, "user_id", "30 minutes")
+          .writeStream.format("memory").queryName(name).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+          .select(col("user_id"),
+            expr("unix_micros(sw.start)").as("session_start"),
+            expr("unix_micros(sw.end)").as("session_end"),
+            col("n"), col("id_sum"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |o AS (SELECT *, lag(tus) OVER w AS prev FROM x
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |g AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM o)
+        |SELECT user_id, min(tus) AS session_start, max(tus) + 1800000000 AS session_end,
+        |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
     // STREAMING LATE-DATA ACCOUNTING (append-mode watermark discipline):
     // three ordered micro-batches through the file source
     // (maxFilesPerTrigger=1, mod-time ordered). Spark's state operator

@@ -50,6 +50,19 @@ object Streaming {
       .groupBy(window(col("ingest_ts"), windowLen))
       .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
 
+  /** Native SESSION-WINDOW aggregation (the declarative alternative to the
+    * [[sessionize]] flatMapGroupsWithState form): Spark's `session_window`
+    * merges events whose gap stays under `gap` into one dynamic window per
+    * key — state the engine manages and merges itself, vs the hand-written
+    * GroupState. Split rule: a new session opens when the gap is >= `gap`
+    * (windows are [first, last + gap) and merge only on true overlap) —
+    * one boundary STRICTER than sessionize's `> gapUs`, which is why both
+    * forms exist and both are oracle-pinned.
+    */
+  def sessionWindowAgg(events: DataFrame, keyCol: String, gap: String): DataFrame =
+    events.groupBy(col(keyCol), session_window(col("ingest_ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n"), sum(col("event_id")).as("id_sum"))
+
   /** Streaming dedup with bounded state: exact dedup on (symbol, price)
     * within the watermark horizon — X1's streaming form.
     */
