@@ -48,11 +48,34 @@ object ScaleBench {
         .repartition(32)
         .write.mode("overwrite").parquet(s"$scaled/embeddings.parquet")
       for (f <- new java.io.File(sfDir).listFiles()
-           if f.getName != "documents.parquet" && f.getName != "embeddings.parquet") {
+           if f.getName != "documents.parquet" && f.getName != "embeddings.parquet"
+             && f.getName != "events.parquet") {
         val link = java.nio.file.Paths.get(s"$scaled/${f.getName}")
         if (!java.nio.file.Files.exists(link))
           java.nio.file.Files.createSymbolicLink(link, f.toPath)
       }
+    }
+    // events: replicas offset by 32 DAYS each (and by id), so the time-series
+    // family scales honestly — temporal density per hour/user is fixed,
+    // windows/sessions/overlaps stay within-replica, and mass grows exactly
+    // k× (naive replication would stack k copies into the same 30 days and
+    // measure k²-denser overlap fixtures, not the engine). Upgraded in place
+    // if an older corpus symlinked events.
+    val evPath = java.nio.file.Paths.get(s"$scaled/events.parquet")
+    if (java.nio.file.Files.isSymbolicLink(evPath)) java.nio.file.Files.delete(evPath)
+    if (!java.nio.file.Files.exists(evPath)) {
+      val ev = spark.read.parquet(s"$sfDir/events.parquet")
+      val maxE = ev.agg(max("event_id")).head.getLong(0) + 1
+      val shifted = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // ns since epoch
+          expr("ts + __r * cast(2764800000000000 as bigint)")
+        case _ => expr("ts + make_dt_interval(__r * 32, 0, 0, 0)")
+      }
+      ev.crossJoin(spark.range(k).select(col("id").as("__r")))
+        .select((col("event_id") + col("__r") * maxE).as("event_id"),
+          shifted.as("ts"), col("user_id"), col("event_type"), col("value"), col("props"))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$scaled/events.parquet")
       println(s"[scale] built $scaled: ${spark.read.parquet(s"$scaled/documents.parquet").count()} docs, " +
         s"${spark.read.parquet(s"$scaled/embeddings.parquet").count()} vecs")
     }
