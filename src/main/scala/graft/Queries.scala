@@ -2355,6 +2355,34 @@ object Queries {
         |  (SELECT count(*) FROM w) AS n_wedges,
         |  (SELECT count(*) FROM t) AS n_triangles""".stripMargin)),
 
+    // G5 — connected components over the part co-purchase graph: the X1
+    // cluster machinery (union-find contraction → finish | quotient
+    // recursion) reused as the graph family's component labeler — same
+    // code path, different graph, proving the operator is general. Node
+    // universe = parts appearing in the bounded order slice; label = min
+    // node id per component; the oracle replays the fixpoint recursively.
+    Q("g5_components",
+      (s, dir) => {
+        val li = rd(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+          .select("l_orderkey", "l_partkey")
+        val edges = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("id_a"), col("y.l_partkey").as("id_b"))
+        val nodes = li.select(col("l_partkey").as("node")).distinct()
+        graft.operators.ext.Dedup.dedupClusters(nodes, "node", edges)
+          .select(col("doc_id").as("node"), col("cluster").as("component"))
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 2000),
+        |raw AS (SELECT x.l_partkey AS src, y.l_partkey AS dst FROM li x JOIN li y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
+        |nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
+        |r(node, lab) AS (SELECT node, node FROM nodes
+        |  UNION SELECT e.dst, r.lab FROM r JOIN e ON r.node = e.src)
+        |SELECT node, min(lab) AS component FROM r GROUP BY node ORDER BY node""".stripMargin)),
+
     // G3 — deterministic label propagation: suppliers 1-10 carry their
     // nation as a hand-reviewed label; three majority-vote iterations
     // spread labels across the transaction graph (ties -> smallest label,
