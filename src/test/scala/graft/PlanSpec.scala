@@ -350,6 +350,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"all-pairs form leaked:\n${p.take(3000)}")
   }
 
+  test("j11_interval_overlap meets through the cell equi-join, never a cartesian") {
+    val p = plan("j11_interval_overlap")
+    assert(p.contains("ShuffledHashJoin"),
+      s"expected the shuffle-hash cell join:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"big-big interval join must never fall back to all-pairs:\n${p.take(2000)}")
+  }
+
   test("a6_percentile avoids the percentile() map aggregate (sort-based window form)") {
     val p = plan("a6_percentile")
     assert(!p.toLowerCase.contains("percentile"),
