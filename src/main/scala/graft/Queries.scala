@@ -738,6 +738,30 @@ object Queries {
         "FROM orders WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders) " +
         "ORDER BY o_orderkey")),
 
+    // P9 — column profile report (Relational.profile): the Deequ-style
+    // per-column summary (rows, nulls, distincts, stringified min/max in
+    // long format) an ingest publishes before anyone writes constraints —
+    // one single-pass multi-aggregate + a constant literal unpivot.
+    Q("p9_profile",
+      (s, dir) => Relational.profile(rd(s, dir, "orders"),
+          Seq("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"))
+        .orderBy("column"),
+      Some("""SELECT "column", n_rows, n_null, n_distinct, min_s, max_s FROM (
+        |  SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+        |    count(*) FILTER (o_orderkey IS NULL) AS n_null,
+        |    count(DISTINCT o_orderkey) AS n_distinct,
+        |    CAST(min(o_orderkey) AS VARCHAR) AS min_s, CAST(max(o_orderkey) AS VARCHAR) AS max_s FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', count(*),
+        |    count(*) FILTER (o_orderpriority IS NULL), count(DISTINCT o_orderpriority),
+        |    min(o_orderpriority), max(o_orderpriority) FROM orders
+        |  UNION ALL SELECT 'o_totalprice', count(*),
+        |    count(*) FILTER (o_totalprice IS NULL), count(DISTINCT o_totalprice),
+        |    CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 'o_orderstatus', count(*),
+        |    count(*) FILTER (o_orderstatus IS NULL), count(DISTINCT o_orderstatus),
+        |    min(o_orderstatus), max(o_orderstatus) FROM orders)
+        |ORDER BY "column"""".stripMargin)),
+
     // P1 — IN-list filter (etl-vini-azure.py:78).
     Q("p1_filter_in",
       (s, dir) => Relational.inFilter(rd(s, dir, "orders"), "o_orderpriority",

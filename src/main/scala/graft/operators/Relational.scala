@@ -444,6 +444,37 @@ object Relational {
         count(lit(1)).as("n_rows"))
   }
 
+  /** P9: column PROFILE report — the Deequ/Great-Expectations-style table
+    * summary every ingest publishes before anyone writes constraints:
+    * per column, row count, null count, distinct count, and min/max
+    * (stringified, so one schema carries any column type and the report
+    * stays engine-portable). Long-format output (one row per column) so
+    * downstream checks diff profiles across loads.
+    *
+    * Shape: ONE pass over the table computing all per-column aggregates in
+    * a single partial-agg HashAggregate (count/min/max are cheap;
+    * count(distinct) per column rewrites through Catalyst's expand — cost
+    * scales with the profiled column list, so callers profile the columns
+    * they publish, not SELECT *), then a constant-size literal unpivot.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"__n_$c"),
+        count(when(col(c).isNull, 1)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val row = df.agg(aggs.head, aggs.tail: _*)
+    val pieces = cols.map { c =>
+      struct(lit(c).as("column"), col(s"__n_$c").as("n_rows"),
+        col(s"__null_$c").as("n_null"), col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_s"), col(s"__max_$c").as("max_s"))
+    }
+    row.select(explode(array(pieces: _*)).as("p")).select("p.*")
+  }
+
   /** MERGE-style upsert (table maintenance): rows of `updates` replace base
     * rows with the same key; unmatched update rows are inserts; all other
     * base rows pass through. Expressed as anti-join + union — the CDC batch
