@@ -1848,6 +1848,32 @@ object Queries {
         |FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
         |ORDER BY id_a, id_b""".stripMargin)),
 
+    // J12 — nearest-in-time join (Relational.nearestJoin): each even-id
+    // event pairs with the closest odd-id event of the same user in EITHER
+    // direction, rule (|Δt|, earlier t, smaller id) — asof's bidirectional
+    // refinement, one key exchange + two windows, no range explosion. The
+    // oracle is a per-row LATERAL argmin over the naive candidate set.
+    Q("j12_nearest",
+      (s, dir) => {
+        val ev = rd(s, dir, "events")
+        val e = ev.withColumn("ts_us", expr(tsUsSql(ev.schema)))
+          .select("event_id", "user_id", "ts_us")
+        Relational.nearestJoin(
+            e.filter(col("event_id") % 2 === 0),
+            e.filter(col("event_id") % 2 === 1),
+            "user_id", "ts_us", "event_id", "event_id")
+          .orderBy("event_id")
+      },
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        |l AS (SELECT * FROM e WHERE event_id % 2 = 0),
+        |r AS (SELECT * FROM e WHERE event_id % 2 = 1)
+        |SELECT l.event_id, l.user_id, l.ts_us, n.nearest_id, n.nearest_t
+        |FROM l LEFT JOIN LATERAL (
+        |  SELECT r.event_id AS nearest_id, r.ts_us AS nearest_t FROM r
+        |  WHERE r.user_id = l.user_id
+        |  ORDER BY abs(r.ts_us - l.ts_us), r.ts_us, r.event_id LIMIT 1) n ON true
+        |ORDER BY l.event_id""".stripMargin)),
+
     // W12 — sliding-window approximate distinct (Sketches.slidingHllDistinct):
     // trailing-7-day distinct users per day from per-day HLL sketches merged
     // by bucket max — the incremental rollup countDistinct cannot express

@@ -553,6 +553,49 @@ object Relational {
       .select(col(idCol), col(keyCol), col(timeCol), col(s"asof_$valCol"))
   }
 
+  /** J12: NEAREST-in-time join — the bidirectional refinement of [[asOfJoin]]
+    * (which only looks backward): each left row pairs with the right row of
+    * the same key whose timestamp is closest in EITHER direction — the
+    * sensor-fusion / measurement-alignment shape. Deterministic selection
+    * rule, engine-portable: nearest by (|Δt|, then earlier t, then smaller
+    * right id).
+    *
+    * Same union idiom as asOfJoin — no range explosion, no per-row scan:
+    * one key exchange feeds two windows (backward last / forward first over
+    * opposite id orders, so both directions resolve equal-timestamp ties to
+    * the SMALLEST right id), then a three-way integer comparison picks the
+    * side. Two in-partition sorts, one shuffle, linear.
+    */
+  def nearestJoin(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
+                  leftIdCol: String, rightIdCol: String): DataFrame = {
+    val lIdT = left.schema(leftIdCol).dataType
+    val rIdT = right.schema(rightIdCol).dataType
+    val tagged = right
+      .select(col(keyCol).as("__k"), col(timeCol).cast("long").as("__t"),
+        lit(0).as("__side"), lit(null).cast(lIdT).as("__lid"), col(rightIdCol).as("__rid"))
+      .unionByName(left.select(col(keyCol).as("__k"), col(timeCol).cast("long").as("__t"),
+        lit(1).as("__side"), col(leftIdCol).as("__lid"), lit(null).cast(rIdT).as("__rid")))
+    val rRow = when(col("__side") === 0, struct(col("__t").as("t"), col("__rid").as("id")))
+    val wB = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col("__rid").desc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = Window.partitionBy(col("__k"))
+      .orderBy(col("__t"), col("__side"), col("__rid").asc_nulls_last)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val back = last(rRow, ignoreNulls = true).over(wB)
+    val fwd = first(rRow, ignoreNulls = true).over(wF)
+    tagged
+      .withColumn("__b", back).withColumn("__f", fwd)
+      .filter(col("__side") === 1)
+      .withColumn("__near",
+        when(col("__b").isNull, col("__f"))
+          .when(col("__f").isNull, col("__b"))
+          .when(col("__t") - col("__b.t") <= col("__f.t") - col("__t"), col("__b"))
+          .otherwise(col("__f")))
+      .select(col("__lid").as(leftIdCol), col("__k").as(keyCol), col("__t").as(timeCol),
+        col("__near.id").as("nearest_id"), col("__near.t").as("nearest_t"))
+  }
+
   /** Data-quality constraint report (the engine form of the reference DDL's
     * NOT NULL / type-width constraints, etl-vini-azure.py:87-90, generalized
     * to arbitrary row predicates): one pass over the table, one violation

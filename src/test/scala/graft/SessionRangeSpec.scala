@@ -58,6 +58,19 @@ class SessionRangeSpec extends SparkSpec {
     assert(got == Seq((1L, 10L, 5L, 30L), (1L, 11L, 35L, 35L)))
   }
 
+  test("nearestJoin: |Δt| ties prefer backward, equal-t ties prefer smaller id, keyless left keeps nulls") {
+    import spark.implicits._
+    val left = Seq((100L, 1L, 10L), (101L, 2L, 50L), (102L, 3L, 7L)).toDF("id", "k", "t")
+    val right = Seq(
+      (1L, 1L, 5L), (2L, 1L, 5L), (3L, 1L, 15L), // key 1: Δ=5 both sides -> backward t=5, ids 1&2 tie -> 1
+      (4L, 2L, 60L)                              // key 2: forward-only
+    ).toDF("id", "k", "t")
+    val got = Relational.nearestJoin(left, right, "k", "t", "id", "id")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq((100L, 1L), (101L, 4L), (102L, -1L)))
+  }
+
   test("rangeJoin: [lo, hi) semantics — hi excluded, lo included, no-band rows dropped") {
     import spark.implicits._
     val fact = Seq(0.0, 9.99, 10.0, 19.99, 20.0).toDF("v")
