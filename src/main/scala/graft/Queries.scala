@@ -3061,6 +3061,48 @@ object Queries {
         |FROM pr JOIN idx i USING (k)
         |GROUP BY new_id ORDER BY new_id""".stripMargin)),
 
+    // X9 — INCREMENTAL INGEST capstone: the production corpus-growth loop
+    // composed end-to-end from declared machinery — batches LAND as
+    // versioned commits (OCC manifest log), the index consumer reads
+    // EXACTLY the delta via changesBetween (the (from, to] CDC contract —
+    // no rescan of the standing corpus), appends it into the bucketed band
+    // index idempotently (the replayed append must insert nothing), and
+    // the next candidate batch probes the converged index with no
+    // index-side exchange. The oracle is the batch formulation over the
+    // raw table — the whole loop must be invisible in the result.
+    Q("x9_ingest_e2e",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        val root = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_e2e"
+        rmrf(root)
+        val idxRoot = freshDir(s, "graft_ingest_idx")
+        s.sql("DROP TABLE IF EXISTS graft_ingest_band")
+        val v1 = graft.io.VersionedTable.commit(
+          docs.filter(col("doc_id") < 250), s"$root/tbl", "append", "ing-v1")
+        Dedup.withBandKeys(graft.io.VersionedTable.read(s, s"$root/tbl"), "text", 8, "bands")
+          .select(col("doc_id"), explode(col("bands")).as("key"))
+          .write.bucketBy(8, "key").sortBy("key")
+          .option("path", s"$idxRoot/idx").saveAsTable("graft_ingest_band")
+        val v2 = graft.io.VersionedTable.commit(
+          docs.filter(col("doc_id") >= 250 && col("doc_id") < 400), s"$root/tbl", "append", "ing-v2")
+        val delta = graft.io.VersionedTable.changesBetween(s, s"$root/tbl", v1, v2)
+        Dedup.appendBandIndex("graft_ingest_band", delta, "doc_id", "text", 8, 8)
+        Dedup.appendBandIndex("graft_ingest_band", delta, "doc_id", "text", 8, 8) // replay: no-op
+        val probes = Dedup.withBandKeys(docs.filter(col("doc_id") >= 400 && col("doc_id") < 500),
+            "text", 8, "bands")
+          .select(col("doc_id").as("new_id"), explode(col("bands")).as("key"))
+        probes.join(s.table("graft_ingest_band").hint("merge"), Seq("key"))
+          .groupBy("new_id").agg(countDistinct("doc_id").as("n_matches"))
+          .orderBy("new_id")
+      },
+      Some(s"""WITH ${duckBandsCtes(duckToks, 8)},
+        |idx AS (SELECT doc_id, band || ':' || key AS k FROM bands WHERE doc_id < 400),
+        |pr AS (SELECT doc_id AS new_id, band || ':' || key AS k FROM bands
+        |  WHERE doc_id >= 400 AND doc_id < 500)
+        |SELECT new_id, count(DISTINCT i.doc_id) AS n_matches
+        |FROM pr JOIN idx i USING (k)
+        |GROUP BY new_id ORDER BY new_id""".stripMargin)),
+
     // X1 — index COMPACTION (the maintenance op that keeps the incremental
     // path viable under a production ingest loop): every appendBandIndex
     // adds one file per bucket, so file counts grow linearly with batches;
