@@ -85,6 +85,64 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("intervalOverlapJoin equals the brute-force overlap join on random interval sets") {
+    val ivGen = Gen.listOfN(18, Gen.zip(Gen.choose(0L, 200L), Gen.choose(0L, 60L)))
+    samples(Gen.zip(ivGen, ivGen), 4).foreach { case (as, bs) =>
+      import spark.implicits._
+      def mk(xs: List[(Long, Long)]) = xs.zipWithIndex
+        .map { case ((s0, len), i) => (i.toLong, s0, s0 + len) }
+      val (a, b) = (mk(as), mk(bs))
+      val got = Relational.intervalOverlapJoin(
+          a.toDF("id", "s", "e"), "id", "s", "e",
+          b.toDF("id", "s", "e"), "id", "s", "e", gridUs = 25L)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (ia, sa, ea) <- a; (ib, sb, eb) <- b if sa <= eb && sb <= ea
+      } yield (ia, ib)).toSet
+      assert(got.size == got.toSeq.size && got == want,
+        s"grid join must equal brute force exactly once per pair")
+    }
+  }
+
+  test("nearestJoin equals the brute-force argmin on random event sets") {
+    val evGen = Gen.listOfN(20, Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 100L)))
+    samples(Gen.zip(evGen, evGen), 4).foreach { case (ls, rs) =>
+      import spark.implicits._
+      def mk(xs: List[(Long, Long)], off: Long) = xs.zipWithIndex
+        .map { case ((k, t), i) => (off + i, k, t) }
+      val (l, r) = (mk(ls, 1000L), mk(rs, 2000L))
+      val got = Relational.nearestJoin(l.toDF("id", "k", "t"), r.toDF("id", "k", "t"),
+          "k", "t", "id", "id")
+        .collect().map(x => x.getLong(0) -> (if (x.isNullAt(3)) -1L else x.getLong(3))).toMap
+      val want = l.map { case (lid, lk, lt) =>
+        val cands = r.filter(_._2 == lk)
+        lid -> (if (cands.isEmpty) -1L
+                else cands.minBy { case (rid, _, rt) => (math.abs(rt - lt), rt, rid) }._1)
+      }.toMap
+      assert(got == want)
+    }
+  }
+
+  test("coalesceIntervals: spans are disjoint, ordered, and cover exactly the input mass") {
+    val ivGen = Gen.listOfN(20, Gen.zip(Gen.choose(0L, 150L), Gen.choose(0L, 40L)))
+    samples(ivGen, 4).foreach { ivs =>
+      import spark.implicits._
+      val rows = ivs.zipWithIndex.map { case ((s0, len), i) => (1L, s0, s0 + len, i.toLong) }
+      val got = Relational.coalesceIntervals(rows.toDF("k", "s", "e", "tie"), "k", "s", "e", "tie")
+        .orderBy("span_idx").collect()
+        .map(r => (r.getLong(2), r.getLong(3))).toSeq
+      // disjoint with a strict gap between consecutive spans
+      got.sliding(2).foreach {
+        case Seq((_, e1), (s2, _)) => assert(s2 > e1, s"spans must be separated: $got")
+        case _ =>
+      }
+      // covered point set identical to the union of inputs
+      val wantCovered = rows.flatMap { case (_, s0, e0, _) => s0 to e0 }.toSet
+      val gotCovered = got.flatMap { case (s0, e0) => s0 to e0 }.toSet
+      assert(gotCovered == wantCovered)
+    }
+  }
+
   test("stringify round-trip: decimal(10,2) strings parse back to equal values") {
     samples(Gen.listOfN(20, Gen.choose(-99999L, 99999L)), 5).filter(_.nonEmpty).foreach { vals =>
       import spark.implicits._
