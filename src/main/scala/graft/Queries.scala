@@ -441,6 +441,19 @@ object Queries {
       },
       Some(servingSql)),
 
+    // S13 — JSON-lines format roundtrip, completing the built-in format
+    // coverage (parquet / csv / orc / json): schema pinned explicitly on
+    // read (inference would widen the serving decimals).
+    Q("json_roundtrip",
+      (s, dir) => {
+        val root = freshDir(s, "graft_json_roundtrip")
+        val out = servingDf(s, dir)
+        out.write.mode("overwrite").json(root)
+        s.read.schema(out.schema).json(root)
+          .select(servingCols.map(col): _*).orderBy("l_returnflag")
+      },
+      Some(servingSql)),
+
     // S11 — document sink: one JSON doc per row, read back through the JSON
     // reader (schema re-inferred from the documents).
     Q("document_sink_roundtrip",
