@@ -1887,6 +1887,41 @@ object Queries {
         |  ORDER BY abs(r.ts_us - l.ts_us), r.ts_us, r.event_id LIMIT 1) n ON true
         |ORDER BY l.event_id""".stripMargin)),
 
+    // W13 — time-weighted average (TimeSeries.timeWeighted): per-user TWA
+    // over event values as the exact rational (Σ milli-value × Δt-µs,
+    // observed span) — holding-time weighting with the last observation
+    // contributing none; single-observation users surface as (0, 0, 1).
+    Q("w13_time_weighted",
+      (s, dir) => {
+        val ev = rd(s, dir, "events")
+        graft.operators.TimeSeries.timeWeighted(
+            ev.withColumn("ts_us", expr(tsUsSql(ev.schema))),
+            "user_id", "ts_us", "value", "event_id")
+          .orderBy("user_id")
+      },
+      Some("""WITH x AS (SELECT user_id, epoch_us(ts) AS t, event_id,
+        |  CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT) AS vm FROM events),
+        |y AS (SELECT *, lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nt FROM x)
+        |SELECT user_id,
+        |  CAST(COALESCE(sum(vm * (nt - t)) FILTER (nt IS NOT NULL), 0) AS BIGINT) AS twa_num,
+        |  max(t) - min(t) AS twa_den, count(*) AS n_obs
+        |FROM y GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // X6 — deterministic epoch-shuffle order (Relational.epochShuffle):
+    // the per-epoch reproducible global permutation + sharding a training
+    // data loader consumes — md5(epoch:id) permutes (stable across engines
+    // and cluster sizes, decorrelated across epochs), shard = hash bucket,
+    // position = rank within shard off one co-partitioned window.
+    Q("x6_epoch_order",
+      (s, dir) => Relational.epochShuffle(rd(s, dir, "documents"), "doc_id",
+          epoch = 3, shards = 8)
+        .orderBy("shard", "pos"),
+      Some(s"""WITH h AS (SELECT doc_id,
+        |  ${duckHex("md5('3:' || CAST(doc_id AS VARCHAR))")} AS hv FROM documents)
+        |SELECT doc_id, hv % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS INTEGER) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin)),
+
     // W12 — sliding-window approximate distinct (Sketches.slidingHllDistinct):
     // trailing-7-day distinct users per day from per-day HLL sketches merged
     // by bucket max — the incremental rollup countDistinct cannot express

@@ -444,6 +444,29 @@ object Relational {
         count(lit(1)).as("n_rows"))
   }
 
+  /** X6: deterministic EPOCH-SHUFFLE order — the training-order generator:
+    * each epoch needs a different but REPRODUCIBLE global permutation of
+    * the corpus, sharded for the data loader. Hash md5(epoch:id) gives the
+    * permutation (seeded, engine-portable, stable across cluster sizes —
+    * everything rand() is not); shard = hash-bucket; position within shard
+    * = rank in hash order. Different epochs decorrelate because the epoch
+    * number is inside the hash.
+    *
+    * Shape: one map-side hash projection + one shard-key window (rank in
+    * shard, co-partitioned) — no global sort, no single-partition window;
+    * shards are the unit a 1000-loader job consumes in parallel.
+    */
+  def epochShuffle(df: DataFrame, idCol: String, epoch: Int, shards: Int): DataFrame = {
+    require(shards >= 1, "shards must be >= 1")
+    val h = expr(s"conv(substring(md5(concat('$epoch', ':', cast($idCol as string))), 1, 8), 16, 10)")
+      .cast("long")
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), col(idCol))
+    df.select(col(idCol), h.as("__h"))
+      .withColumn("shard", pmod(col("__h"), lit(shards)))
+      .withColumn("pos", row_number().over(w))
+      .select(col(idCol), col("shard"), col("pos"))
+  }
+
   /** P9: column PROFILE report — the Deequ/Great-Expectations-style table
     * summary every ingest publishes before anyone writes constraints:
     * per column, row count, null count, distinct count, and min/max

@@ -31,6 +31,36 @@ object TimeSeries {
     * independently in parallel; nothing is proportional to the global
     * calendar except the tiny min/max broadcast.
     */
+  /** W13: TIME-WEIGHTED average as an exact RATIONAL — the sensor/price
+    * metric a plain mean gets wrong (a value held for an hour must weigh
+    * 3600× one held a second). Each observation is weighted by its holding
+    * time (until the next observation; the last one contributes none —
+    * the standard left-continuous step-function convention), and the
+    * result ships as the exact integer pair (num, den): num = Σ
+    * milli-value × Δt-µs, den = observed span — so the quotient is the
+    * caller's choice of precision and the operator itself replays
+    * bit-for-bit (a float average could not). Values quantize through
+    * DECIMAL(15,3) (the engine-portable rounding used across the repo).
+    *
+    * One key exchange: the lead window and the final aggregate share the
+    * key partitioning. Keys with one observation surface with den 0 /
+    * num 0 rather than vanishing.
+    */
+  def timeWeighted(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+                   tieCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    df.select(col(keyCol), col(tsCol), col(tieCol),
+        (col(valCol).cast(org.apache.spark.sql.types.DecimalType(15, 3)) * 1000)
+          .cast("long").as("__vm"))
+      .withColumn("__nt", lead(col(tsCol), 1).over(w))
+      .groupBy(col(keyCol))
+      .agg(
+        coalesce(sum(when(col("__nt").isNotNull,
+          col("__vm") * (col("__nt") - col(tsCol)))), lit(0L)).as("twa_num"),
+        (max(col(tsCol)) - min(col(tsCol))).as("twa_den"),
+        count(lit(1)).as("n_obs"))
+  }
+
   def gapFillDaily(events: DataFrame, keyCol: String, dayCol: Column,
                    valueCol: Column): DataFrame = {
     val daily = events
