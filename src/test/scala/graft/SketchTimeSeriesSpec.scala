@@ -76,6 +76,37 @@ class SketchTimeSeriesSpec extends SparkSpec {
     assert(got(1)._3 == direct(Seq(1L, 2L, 3L, 4L, 5L)))
   }
 
+  test("timeWeighted: holding-time weighting, last observation weightless, singleton keys kept") {
+    import spark.implicits._
+    // key 1: v=2.0 held 10us, v=4.0 held 30us, v=6.0 closes the span
+    //   num = 2000*10 + 4000*30 = 140000; den = 40; n = 3
+    // key 2: one observation -> (0, 0, 1)
+    val df = Seq(
+      (1L, 0L, 2.0, 1L), (1L, 10L, 4.0, 2L), (1L, 40L, 6.0, 3L),
+      (2L, 5L, 9.0, 4L)
+    ).toDF("k", "t", "v", "tie")
+    val got = TimeSeries.timeWeighted(df, "k", "t", "v", "tie")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 140000L, 40L, 3L), (2L, 0L, 0L, 1L)))
+  }
+
+  test("epochShuffle: reproducible within an epoch, decorrelated across epochs, positions dense") {
+    import spark.implicits._
+    val df = (1L to 200L).toDF("doc_id")
+    def order(epoch: Int) = graft.operators.Relational.epochShuffle(df, "doc_id", epoch, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sortBy(_._1).toSeq
+    val e1 = order(1)
+    assert(order(1) == e1, "same epoch must reproduce bit-for-bit")
+    assert(order(2) != e1, "different epochs must permute differently")
+    // positions are dense 1..n within each shard
+    val byShard = e1.groupBy(_._2)
+    byShard.values.foreach { rows =>
+      assert(rows.map(_._3).sorted == (1 to rows.size).toSeq)
+    }
+    assert(byShard.keySet.subsetOf((0L to 3L).toSet))
+  }
+
   test("bloom: every member passes (no false negatives), non-members mostly rejected") {
     import spark.implicits._
     val members = (1 to 200).map(i => s"k$i").toDF("k")
