@@ -52,6 +52,26 @@ class IoSpec extends SparkSpec {
     assert(merged.filter(col("q").isNotNull).count() == 1)
   }
 
+  test("parquet codec control: zstd and gzip roundtrip identically; codec lands in the footer") {
+    import spark.implicits._
+    val df = (1L to 5000L).map(i => (i, s"row_$i" * 8)).toDF("id", "payload")
+    val roots = Seq("zstd", "gzip", "snappy").map { codec =>
+      val root = tmpDir(s"codec_$codec")
+      df.write.mode("overwrite").option("compression", codec).parquet(root)
+      val back = spark.read.parquet(root)
+      assert(back.count() == 5000 &&
+        back.agg(sum("id")).head().getLong(0) == 5000L * 5001 / 2,
+        s"$codec roundtrip must be lossless")
+      val part = new java.io.File(root).listFiles().filter(_.getName.endsWith(".parquet")).head
+      // gzip's suffix is the historical ".gz"; the others use the codec name
+      val tag = if (codec == "gzip") ".gz." else s".$codec."
+      assert(part.getName.contains(tag), s"codec must land in the file name: ${part.getName}")
+      codec -> part.length()
+    }
+    // compression actually engaged: every codec beats the raw string mass
+    roots.foreach { case (c, len) => assert(len < 5000L * 48, s"$c produced $len bytes") }
+  }
+
   test("StagedWarehouseSink: two appends accumulate; staging dir cleaned") {
     import spark.implicits._
     val staging = tmpDir("stage"); val wh = tmpDir("wh")
