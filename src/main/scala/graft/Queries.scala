@@ -1907,6 +1907,33 @@ object Queries {
         |  max(t) - min(t) AS twa_den, count(*) AS n_obs
         |FROM y GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // X7 — SEMANTIC decontamination (Similarity.semanticContamination):
+    // the embedding-space member of the decontam family — flags corpus
+    // vectors whose exact quantized dot against any benchmark vector
+    // (vec_id < 40, broadcast; both sides in the corpus-frozen quantizer
+    // space with lower clamping) reaches 1.2M (the top ~0.1% of the dot
+    // distribution) — the paraphrase/translation leak no token machinery
+    // catches. Full integer replay oracle.
+    Q("x1_decontaminate_semantic",
+      (s, dir) => {
+        val emb = rd(s, dir, "embeddings")
+        Similarity.semanticContamination(
+            emb.filter(col("vec_id") >= 40), emb.filter(col("vec_id") < 40),
+            minDot = 1200000L)
+          .orderBy("vec_id")
+      },
+      Some("""WITH xa AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS ord,
+        |  unnest(CAST(embedding AS DOUBLE[])) AS u FROM embeddings),
+        |st AS (SELECT ord, min(u) AS mn, max(u) AS mx FROM xa WHERE vec_id >= 40 GROUP BY ord),
+        |q AS (SELECT vec_id, xa.ord, CASE WHEN mx = mn THEN 0
+        |  ELSE CAST(greatest(least(floor(CAST(CAST(255 AS DOUBLE) * (u - mn) / (mx - mn) AS DECIMAL(10,6))), 255), 0) AS INTEGER)
+        |  END AS qq FROM xa JOIN st USING (ord)),
+        |v AS (SELECT vec_id, list(CAST(qq AS DOUBLE) ORDER BY ord) AS qv FROM q GROUP BY vec_id),
+        |c AS (SELECT * FROM v WHERE vec_id >= 40), b AS (SELECT * FROM v WHERE vec_id < 40)
+        |SELECT c.vec_id, count(*) AS n_hits FROM c JOIN b
+        |  ON CAST(list_dot_product(c.qv, b.qv) AS BIGINT) >= 1200000
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // X6 — deterministic epoch-shuffle order (Relational.epochShuffle):
     // the per-epoch reproducible global permutation + sharding a training
     // data loader consumes — md5(epoch:id) permutes (stable across engines

@@ -126,6 +126,32 @@ object Similarity {
           .otherwise(greatest(least(floor(scaled), lit(255)), lit(0)).cast("int")).as("q"))
   }
 
+  /** X7: SEMANTIC decontamination — the embedding-space member of the
+    * decontamination family (exact / n-gram / near-dup / substring catch
+    * increasingly fuzzy TEXT leaks; this catches paraphrases and
+    * translations no token machinery can): flag every corpus vector whose
+    * exact integer quantized dot against ANY benchmark vector reaches
+    * `minDot`. Both sides quantize with ranges FROZEN on the corpus
+    * (the production contract — the benchmark is scored in the corpus's
+    * space, and out-of-range components clamp), so the whole test is
+    * integer-exact and the flag set replays bit-for-bit.
+    *
+    * Shape: the benchmark is bounded by definition → broadcast; the corpus
+    * streams map-side through the native float_dot kernel (codegen'd, no
+    * corpus shuffle until the per-vector hit count). The report form
+    * (vec_id, n_hits) mirrors substringContamination — callers anti-join
+    * to drop.
+    */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame, minDot: Long): DataFrame = {
+    ArrayOps.register(corpus.sparkSession)
+    def vecsOf(df: DataFrame) = quantizeInt8Frozen(df, corpus).groupBy("vec_id")
+      .agg(expr("transform(sort_array(collect_list(struct(pos, q))), x -> cast(x.q as float))").as("qv"))
+    val b = vecsOf(bench).select(col("vec_id").as("bench_id"), col("qv").as("bqv"))
+    vecsOf(corpus)
+      .join(broadcast(b), expr(s"cast(float_dot(qv, bqv) as bigint) >= $minDot"))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_hits"))
+  }
+
   /** X2: embedding-space drift report — per-slice centroid shift from the
     * corpus centroid over the int8-QUANTIZED vectors ([[quantizeInt8]]),
     * as the integer-scaled per-dimension L1 distance:
