@@ -3836,6 +3836,30 @@ object Queries {
         |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY dot DESC, id_b) AS INTEGER) AS rk FROM scored)
         |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
 
+    // X2 — hard-negative mining (Similarity.hardNegatives): per query, the
+    // top-3 most similar vectors with a DIFFERENT label out of an exact
+    // quantized shortlist of 12 — the contrastive-training example miner.
+    // Shortlist-bounded by design (the production two-stage contract); the
+    // oracle replays shortlist, label filter, and re-rank exactly.
+    Q("x2_hard_negatives",
+      (s, dir) => Similarity.hardNegatives(rd(s, dir, "embeddings"), "label",
+          k = 3, shortlist = 12, queryLimit = 60)
+        .orderBy("id_a", "neg_rk"),
+      Some(s"""WITH $duckQuantCtes,
+        |v AS (SELECT vec_id, list(CAST(qq AS DOUBLE) ORDER BY pos) AS qv FROM q GROUP BY vec_id),
+        |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
+        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id WHERE a.vec_id < 60),
+        |sl AS (SELECT id_a, id_b, dot FROM (SELECT *,
+        |  row_number() OVER (PARTITION BY id_a ORDER BY dot DESC, id_b) AS rk FROM scored) WHERE rk <= 12),
+        |neg AS (SELECT sl.id_a, sl.id_b, sl.dot FROM sl
+        |  JOIN embeddings la ON la.vec_id = sl.id_a
+        |  JOIN embeddings lb ON lb.vec_id = sl.id_b
+        |  WHERE la.label <> lb.label)
+        |SELECT id_a, id_b, dot, neg_rk FROM (SELECT *,
+        |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY dot DESC, id_b) AS INTEGER) AS neg_rk FROM neg)
+        |WHERE neg_rk <= 3 ORDER BY id_a, neg_rk""".stripMargin)),
+
     // X9 — semi-supervised labeling capstone: kNN GRAPH in the exact
     // quantized space (top-3 per node over a 300-vector universe, the
     // x2_ann_quantized machinery) symmetrized into undirected edges, then

@@ -152,6 +152,34 @@ object Similarity {
       .groupBy("vec_id").agg(count(lit(1)).as("n_hits"))
   }
 
+  /** X2: HARD-NEGATIVE mining — the contrastive-training data op: for each
+    * query vector, the most similar vectors carrying a DIFFERENT label
+    * (nearest neighbors that are not the same thing — the examples a
+    * contrastive loss learns the most from). Two-stage production shape:
+    * an exact quantized shortlist per query, then the label filter and
+    * re-rank — negatives beyond the shortlist are deliberately out of
+    * scope (the same bounded-recall contract as every shortlist+rerank
+    * path here, and the oracle replays the composition exactly).
+    *
+    * Shape: [[quantizedTopK]]'s bounded-query scan + two shuffle-hash
+    * label joins (the label table is corpus-sized — never broadcast) + one
+    * per-query window.
+    */
+  def hardNegatives(emb: DataFrame, labelCol: String, k: Int, shortlist: Int,
+                    queryLimit: Long): DataFrame = {
+    val labels = emb.select(col("vec_id"), col(labelCol).cast("long").as("__lab"))
+    quantizedTopK(emb, shortlist, queryLimit)
+      .join(labels.select(col("vec_id").as("id_a"), col("__lab").as("lab_a")).hint("shuffle_hash"),
+        Seq("id_a"))
+      .join(labels.select(col("vec_id").as("id_b"), col("__lab").as("lab_b")).hint("shuffle_hash"),
+        Seq("id_b"))
+      .filter(col("lab_a") =!= col("lab_b"))
+      .withColumn("neg_rk", row_number().over(
+        Window.partitionBy(col("id_a")).orderBy(col("dot").desc, col("id_b"))))
+      .filter(col("neg_rk") <= k)
+      .select("id_a", "id_b", "dot", "neg_rk")
+  }
+
   /** X2: embedding-space drift report — per-slice centroid shift from the
     * corpus centroid over the int8-QUANTIZED vectors ([[quantizeInt8]]),
     * as the integer-scaled per-dimension L1 distance:
