@@ -1613,6 +1613,35 @@ object Queries {
           |SELECT CAST(floor($alphaM2 / (s_obs + (64 - nb)) * 10000) AS BIGINT) AS hll_estimate_e4 FROM agg""".stripMargin
       }),
 
+    // A16 — the native HLL UDAF in its GROUPED form: per-priority distinct
+    // customers via portable_hll as a per-group TypedImperativeAggregate —
+    // exercising the sketch's partial-merge path per group key (the shape a
+    // 100 TB rollup actually runs: map-side sketch partials, one 64-byte
+    // state per (partition, group) on the wire). Exact countDistinct
+    // emitted beside it, same discipline as a4/w12.
+    Q("a16_hll_grouped",
+      (s, dir) => {
+        graft.functions.ArrayOps.register(s)
+        rd(s, dir, "orders")
+          .groupBy("o_orderpriority")
+          .agg(expr("count(distinct o_custkey)").as("exact_distinct"),
+            expr("portable_hll(cast(o_custkey as string))").as("hll_estimate_e4"))
+          .orderBy("o_orderpriority")
+      },
+      Some {
+        val alphaM2 = Sketches.alphaTimesM2(6)
+        s"""WITH h AS (SELECT o_orderpriority AS p, o_custkey,
+          |  ${duckHex("md5(CAST(o_custkey AS VARCHAR))")} AS h FROM orders),
+          |b AS (SELECT p, h % 64 AS bucket, h // 64 AS rest FROM h),
+          |r AS (SELECT p, bucket, CASE WHEN rest = 0 THEN 27 ELSE 27 - length(printf('%b', rest)) END AS rank FROM b),
+          |mx AS (SELECT p, bucket, max(rank) AS max_rank FROM r GROUP BY 1, 2),
+          |agg AS (SELECT p, count(*) AS nb, sum(power(2.0, -max_rank)) AS s_obs FROM mx GROUP BY 1),
+          |ex AS (SELECT o_orderpriority AS p, count(DISTINCT o_custkey) AS exact_distinct FROM orders GROUP BY 1)
+          |SELECT p AS o_orderpriority, exact_distinct,
+          |  CAST(floor($alphaM2 / (s_obs + (64 - nb)) * 10000) AS BIGINT) AS hll_estimate_e4
+          |FROM agg JOIN ex USING (p) ORDER BY 1""".stripMargin
+      }),
+
     // A10 — skew-safe two-phase aggregate: salt the grouping key, partial-agg
     // on (key, salt), final-agg on key. Decimal partial sums are exact, so
     // the rewrite is semantics-preserving — the oracle is the DIRECT
