@@ -927,6 +927,31 @@ object Queries {
         "INTERSECT SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH' ORDER BY o_custkey")),
 
     // U3 — EXCEPT.
+    // U4 — symmetric difference with side attribution: which distinct keys
+    // are exclusive to each side and WHICH side — the reconciliation
+    // report two supposedly-equal extracts are diffed with (S16's
+    // snapshotDiff is the row-level form; this is the key-set form).
+    // Full-outer join on distinct key sets, null-side classification.
+    Q("u4_symmetric_diff",
+      (s, dir) => {
+        val a = rd(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_custkey").distinct().withColumn("__a", lit(1))
+        val b = rd(s, dir, "orders").filter(col("o_orderpriority") === "2-HIGH")
+          .select("o_custkey").distinct().withColumn("__b", lit(1))
+        a.join(b, Seq("o_custkey"), "full_outer")
+          .filter(col("__a").isNull || col("__b").isNull)
+          .select(col("o_custkey"),
+            when(col("__b").isNull, "left_only").otherwise("right_only").as("side"))
+          .orderBy("o_custkey")
+      },
+      Some("""WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
+        |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
+        |  CASE WHEN b.o_custkey IS NULL THEN 'left_only' ELSE 'right_only' END AS side
+        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+        |WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
+        |ORDER BY o_custkey""".stripMargin)),
+
     Q("u3_except",
       (s, dir) => Relational.exceptDistinct(
         rd(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
