@@ -3509,10 +3509,12 @@ object Queries {
     // X3 — BPE merge learning (TextAnalysis.bpeLearn): 5 rounds of the
     // byte-pair-encoding training loop as corpus aggregates — per round,
     // the most frequent adjacent symbol pair (freq-weighted, argmax total-
-    // ordered) merges everywhere via literal sentinel-delimited replace
-    // (leftmost-non-overlapping in both engines = BPE's application
-    // order). Emits the merge table + the exact compression trajectory;
-    // the oracle unrolls all five rounds.
+    // ordered) merges everywhere via literal replace over DOUBLE-sentinel
+    // symbol boundaries — the pattern consumes only the inner half of each
+    // flanking boundary, so adjacent merge sites all match in one leftmost-
+    // non-overlapping scan (canonical single-pass greedy BPE, identical in
+    // both engines). Emits the merge table + the exact compression
+    // trajectory; the oracle unrolls all five rounds.
     Q("x3_bpe_learn",
       (s, dir) => TextAnalysis.bpeLearn(rd(s, dir, "documents"), "text", 5)
         .orderBy("merge_round"),
@@ -3523,13 +3525,13 @@ object Queries {
             |  SELECT freq, unnest(list_transform(range(1, len(ts)), j -> struct_pack(a := ts[j], b := ts[j+1]))) AS p
             |  FROM (SELECT freq, list_filter(string_split(seq, $sp), x -> x <> '') AS ts FROM s${i - 1})) GROUP BY 1, 2),
             |m$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
-            |s$i AS (SELECT w, freq, replace(seq, $sp || m$i.a || $sp || m$i.b || $sp, $sp || m$i.a || m$i.b || $sp) AS seq
+            |s$i AS (SELECT w, freq, replace(seq, $sp || m$i.a || $sp || $sp || m$i.b || $sp, $sp || m$i.a || m$i.b || $sp) AS seq
             |  FROM s${i - 1} CROSS JOIN m$i),
             |t$i AS (SELECT CAST(sum(freq * len(list_filter(string_split(seq, $sp), x -> x <> ''))) AS BIGINT) AS total FROM s$i)""".stripMargin
         s"""WITH w0 AS (SELECT tok AS w, count(*) AS freq FROM (
           |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents) GROUP BY 1),
           |s0 AS (SELECT w, freq,
-          |  $sp || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), $sp) || $sp AS seq FROM w0),
+          |  $sp || $sp || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), $sp || $sp) || $sp || $sp AS seq FROM w0),
           |${(1 to 5).map(round).mkString(",\n")}
           |${(1 to 5).map(i => s"SELECT $i AS merge_round, m$i.a AS lhs, m$i.b AS rhs, m$i.n AS pair_count, t$i.total AS corpus_tokens_after FROM m$i CROSS JOIN t$i")
             .mkString("\nUNION ALL ")}
@@ -3555,19 +3557,19 @@ object Queries {
             |  SELECT freq, unnest(list_transform(range(1, len(ts)), j -> struct_pack(a := ts[j], b := ts[j+1]))) AS p
             |  FROM (SELECT freq, list_filter(string_split(seq, $sp), x -> x <> '') AS ts FROM s${i - 1})) GROUP BY 1, 2),
             |m$i AS (SELECT a, b FROM p$i ORDER BY n DESC, a, b LIMIT 1),
-            |s$i AS (SELECT w, freq, replace(seq, $sp || m$i.a || $sp || m$i.b || $sp, $sp || m$i.a || m$i.b || $sp) AS seq
+            |s$i AS (SELECT w, freq, replace(seq, $sp || m$i.a || $sp || $sp || m$i.b || $sp, $sp || m$i.a || m$i.b || $sp) AS seq
             |  FROM s${i - 1} CROSS JOIN m$i)""".stripMargin
         def apply(i: Int): String =
-          s"""a$i AS (SELECT doc_id, replace(seq, $sp || m$i.a || $sp || m$i.b || $sp, $sp || m$i.a || m$i.b || $sp) AS seq
+          s"""a$i AS (SELECT doc_id, replace(seq, $sp || m$i.a || $sp || $sp || m$i.b || $sp, $sp || m$i.a || m$i.b || $sp) AS seq
             |  FROM a${i - 1} CROSS JOIN m$i)""".stripMargin
         s"""WITH w0 AS (SELECT tok AS w, count(*) AS freq FROM (
           |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents) GROUP BY 1),
           |s0 AS (SELECT w, freq,
-          |  $sp || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), $sp) || $sp AS seq FROM w0),
+          |  $sp || $sp || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), $sp || $sp) || $sp || $sp AS seq FROM w0),
           |${(1 to 5).map(round).mkString(",\n")},
           |d AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents),
           |a0 AS (SELECT doc_id,
-          |  $sp || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), $sp) || $sp AS seq FROM d),
+          |  $sp || $sp || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), $sp || $sp) || $sp || $sp AS seq FROM d),
           |${(1 to 5).map(apply).mkString(",\n")},
           |cnt AS (SELECT doc_id, count(*) AS n_words,
           |  CAST(sum(len(list_filter(string_split(seq, $sp), x -> x <> ''))) AS BIGINT) AS n_bpe

@@ -503,10 +503,20 @@ object TextAnalysis {
     *
     * Determinism: the argmax is total ((count desc, lhs, rhs)); merges
     * apply via LITERAL string replace on sentinel-delimited symbol
-    * sequences (U+001F between symbols — disjoint from the corpus
-    * alphabet), and both engines' replace() is leftmost-non-overlapping,
-    * which is exactly BPE's single-pass application order. No regex, so
-    * learned symbols can never be misread as patterns.
+    * sequences with a DOUBLE sentinel (U+001F U+001F — disjoint from the
+    * corpus alphabet) at every symbol boundary, including both word ends.
+    * The replace pattern `␟a␟␟b␟` consumes only the INNER half of each
+    * flanking boundary, so a match leaves one sentinel behind for its
+    * neighbor and two adjacent occurrences ("x y x y" with merge (x,y),
+    * or "a a a a" with merge (a,a)) BOTH match in one leftmost-non-
+    * overlapping scan — which makes a single replace() exactly canonical
+    * single-pass greedy BPE application (a single-sentinel encoding would
+    * consume the shared boundary and silently skip every other adjacent
+    * site). Symbols never contain the sentinel and boundaries are exactly
+    * two sentinels, so the half-consumed pattern can never match inside a
+    * longer symbol. No regex, so learned symbols can never be misread as
+    * patterns; patterns are built with lit() (never interpolated into SQL
+    * text), so quotes/backslashes in corpus tokens are inert data.
     *
     * 100 TB shape: the state is the word-frequency table (bounded by
     * VOCABULARY, not corpus — the standard BPE-training reduction), built
@@ -520,10 +530,11 @@ object TextAnalysis {
     require(rounds >= 1 && rounds <= 16, "rounds must be in [1, 16] (oracle unrolls)")
     val spark = docs.sparkSession
     val sep = "\u001f"
+    val sep2 = sep + sep
     var vocab = docs.select(explode(expr(toks(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("freq"))
       .withColumn("seq", expr(
-        s"concat('$sep', array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '$sep'), '$sep')"))
+        s"concat('$sep2', array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '$sep2'), '$sep2')"))
       .localCheckpoint(true)
     val merges = (1 to rounds).map { r =>
       val top = vocab
@@ -535,7 +546,7 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("a"), col("b")).limit(1).head()
       val (a, b, n) = (top.getString(0), top.getString(1), top.getLong(2))
       vocab = vocab.withColumn("seq",
-          expr(s"replace(seq, '$sep$a$sep$b$sep', '$sep$a$b$sep')"))
+          replace(col("seq"), lit(s"$sep$a$sep2$b$sep"), lit(s"$sep$a$b$sep")))
         .localCheckpoint(true)
       val total = vocab
         .select((col("freq") * expr(s"size(filter(split(seq, '$sep'), x -> x != ''))")).as("t"))
@@ -561,14 +572,18 @@ object TextAnalysis {
   def bpeApplyCounts(docs: DataFrame, idCol: String, textCol: String,
                      merges: Seq[(String, String)]): DataFrame = {
     val sep = "\u001f"
-    val seq0 = s"concat('$sep', array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '$sep'), '$sep')"
+    val sep2 = sep + sep
+    val seq0 = expr(
+      s"concat('$sep2', array_join(transform(sequence(1, length(w)), i -> substring(w, i, 1)), '$sep2'), '$sep2')")
+    // fold the merge chain with lit() patterns — corpus symbols are data,
+    // never SQL text, so quotes/backslashes in tokens cannot break the plan
     val applied = merges.foldLeft(seq0) { case (acc, (a, b)) =>
-      s"replace($acc, '$sep$a$sep$b$sep', '$sep$a$b$sep')"
+      replace(acc, lit(s"$sep$a$sep2$b$sep"), lit(s"$sep$a$b$sep"))
     }
     val counts = docs
       .select(col(idCol).as("doc_id"), explode(expr(toks(textCol))).as("w"))
       .select(col("doc_id"),
-        expr(s"size(filter(split($applied, '$sep'), x -> x != ''))").as("n"))
+        size(filter(split(applied, sep), x => x.notEqual(""))).as("n"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_words"), sum(col("n")).as("n_bpe"))
     docs.select(col(idCol).as("doc_id")).join(counts, Seq("doc_id"), "left")

@@ -246,6 +246,42 @@ class TextMultimodalSpec extends SparkSpec {
       (3, "a", "b", 1L, 3L)))
   }
 
+  test("bpeLearn/bpeApplyCounts: adjacent merge sites ALL merge in one pass (canonical BPE)") {
+    import spark.implicits._
+    // "abab": merging (a,b) must yield [ab, ab] — 2 tokens, not 3. A single-
+    // sentinel replace consumes the shared boundary and merges only the first
+    // site; the double-sentinel encoding merges both.
+    val docs1 = Seq((1L, "abab")).toDF("doc_id", "text")
+    val r1 = graft.operators.ext.TextAnalysis.bpeLearn(docs1, "text", 1).head()
+    assert((r1.getString(1), r1.getString(2), r1.getLong(3), r1.getLong(4)) == ("a", "b", 2L, 2L))
+    // "aaaa": canonical greedy merges (1,2) and (3,4) -> [aa, aa] (2 tokens);
+    // "aaaaa" -> [aa, aa, a] (3 tokens) — greedy skip, not every-other miss
+    val docs2 = Seq((1L, "aaaa aaaaa")).toDF("doc_id", "text")
+    val r2 = graft.operators.ext.TextAnalysis.bpeLearn(docs2, "text", 1).head()
+    assert((r2.getString(1), r2.getString(2), r2.getLong(4)) == ("a", "a", 5L))
+    // application side agrees with learning side on the same encoding
+    val counts = graft.operators.ext.TextAnalysis
+      .bpeApplyCounts(docs2, "doc_id", "text", Seq(("a", "a"))).head()
+    assert((counts.getLong(1), counts.getLong(2)) == (2L, 5L))
+  }
+
+  test("bpeLearn: quotes and backslashes in corpus tokens are inert data, not SQL text") {
+    import spark.implicits._
+    // tokens contain ' and \ — the merge patterns are lit()-built, so the
+    // learned symbols can never be parsed as SQL string syntax
+    val docs = Seq((1L, "n't n't c\\d c\\d")).toDF("doc_id", "text")
+    val got = graft.operators.ext.TextAnalysis.bpeLearn(docs, "text", 2)
+      .orderBy("merge_round").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // round 1 pairs each n=2: (',t) ('\',d) (c,'\') (n,') — argmax order
+    // (count desc, lhs asc, rhs asc): "'" (0x27) sorts first -> ("'", "t")
+    assert(got.head == ((1, "'", "t", 2L)))
+    assert(got.size == 2)
+    val counts = graft.operators.ext.TextAnalysis
+      .bpeApplyCounts(docs, "doc_id", "text", got.map(t => (t._2, t._3))).head()
+    assert(counts.getLong(1) == 4L) // 4 words survive the round-trip
+  }
+
   test("nfc_normalize/strip_accents: composition shrinks decomposed marks, codegen == interpreted") {
     import spark.implicits._
     graft.functions.ArrayOps.register(spark)
