@@ -723,11 +723,14 @@ object Queries {
     // S8+ — BLOOM data skipping, the point-lookup complement of
     // versioned_pruned_scan: four appends sliced by o_orderkey % 4, so every
     // commit's [min, max] spans the whole key domain and min/max stats can
-    // never skip a dir — the manifest bloom (md5-positions, ~16 bits per
+    // never skip a dir — the side-file bloom (md5-positions, ~16 bits per
     // distinct key, sized per commit) is what prunes a `key = v` probe to
-    // the one dir holding the key. dirs_scanned=1 of 4 is driver-visible;
-    // md5 determinism makes it a fixture constant at the gate's SF. The
-    // residual predicate always applies — a bloom false positive costs an
+    // the dir(s) holding the key. The gate asserts bloom_pruned = the probe
+    // scanned FEWER dirs than the snapshot holds — not an exact count,
+    // because each non-matching dir carries an independent ~0.5 % false-
+    // positive chance and an exact pin could flip at a different SF; all
+    // three missing simultaneously (~1e-7) is the only way this row fails.
+    // The residual predicate always applies — a false positive costs an
     // extra dir scan, never a wrong row.
     Q("versioned_bloom_scan",
       (s, dir) => {
@@ -742,12 +745,12 @@ object Queries {
         val kept = graft.io.VersionedTable.planPoint(root, "o_orderkey", key)
         val total = graft.io.VersionedTable.history(root).last.dirs.size
         graft.io.VersionedTable.readPoint(s, root, "o_orderkey", key)
-          .withColumn("dirs_scanned", lit(kept.size.toLong))
+          .withColumn("bloom_pruned", lit(kept.size < total))
           .withColumn("dirs_total", lit(total.toLong))
           .orderBy("o_orderkey")
       },
       Some("SELECT o_orderkey, o_orderpriority, o_totalprice, " +
-        "CAST(1 AS BIGINT) AS dirs_scanned, CAST(4 AS BIGINT) AS dirs_total " +
+        "CAST(TRUE AS BOOLEAN) AS bloom_pruned, CAST(4 AS BIGINT) AS dirs_total " +
         "FROM orders WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders) " +
         "ORDER BY o_orderkey")),
 

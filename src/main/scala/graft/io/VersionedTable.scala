@@ -70,7 +70,7 @@ object VersionedTable {
   final case class Commit(version: Long, commitId: String, mode: String, dirs: Seq[String],
                           stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
                           partitionCols: Seq[String] = Nil,
-                          blooms: Map[String, Map[String, String]] = Map.empty)
+                          blooms: Map[String, Seq[String]] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -98,11 +98,13 @@ object VersionedTable {
     }
     if (c.partitionCols.nonEmpty) m.put("partitionCols", c.partitionCols.asJava)
     if (c.blooms.nonEmpty) {
+      // column NAMES only — the bitmaps live in `_bloom_<col>` side files
+      // inside each data dir, so manifest size stays O(dirs × cols) bytes no
+      // matter how large the filters grow, and append commits inherit names,
+      // never megabytes of hex
       val bm = new java.util.LinkedHashMap[String, Object]()
       c.blooms.toSeq.sortBy(_._1).foreach { case (dir, cols) =>
-        val cm = new java.util.LinkedHashMap[String, Object]()
-        cols.toSeq.sortBy(_._1).foreach { case (cName, hex) => cm.put(cName, hex) }
-        bm.put(dir, cm)
+        bm.put(dir, cols.sorted.asJava)
       }
       m.put("blooms", bm)
     }
@@ -128,11 +130,9 @@ object VersionedTable {
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     val blooms = Option(n.get("blooms")).map { bn =>
       bn.properties().asScala.map { e =>
-        e.getKey -> e.getValue.properties().asScala.map { ce =>
-          ce.getKey -> ce.getValue.asText()
-        }.toMap
+        e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
       }.toMap
-    }.getOrElse(Map.empty[String, Map[String, String]])
+    }.getOrElse(Map.empty[String, Seq[String]])
     Commit(v, n.get("commitId").asText(), n.get("mode").asText(),
       n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, pcols, blooms)
   }
@@ -214,7 +214,7 @@ object VersionedTable {
             val (dirs, inherited, inheritedBlooms) = mode match {
               case "overwrite" => (Seq(dirName),
                 Map.empty[String, Map[String, (Long, Long)]],
-                Map.empty[String, Map[String, String]])
+                Map.empty[String, Seq[String]])
               case "append" =>
                 (parent.map(_.dirs).getOrElse(Nil) :+ dirName,
                   parent.map(_.stats).getOrElse(Map.empty),
@@ -304,10 +304,22 @@ object VersionedTable {
     * predicates on ordered/clustered columns; the bloom prunes `col = v` on
     * columns whose per-commit ranges all overlap (hash-distributed keys),
     * where min/max can never skip anything.
+    *
+    * Each bitmap is persisted as a `_bloom_<col>` SIDE FILE inside the data
+    * dir (underscore-prefixed — invisible to parquet scans, immutable with
+    * its dir, reclaimed with it by vacuum) and only its column NAME enters
+    * the manifest. Inlining the hex would grow every append manifest by
+    * O(dirs × cols × 256 KB) and tax `history()` with megabyte JSON parses;
+    * side files keep manifests KB-sized forever and a point probe reads
+    * exactly the one bitmap it needs per candidate dir. Returns the column
+    * names written.
     */
+  private def bloomFile(dirPath: String, colName: String) =
+    Paths.get(dirPath, s"_bloom_$colName")
+
   private def gatherBlooms(spark: SparkSession, dir: String,
-                           bloomCols: Seq[String]): Map[String, String] = {
-    if (bloomCols.isEmpty) return Map.empty
+                           bloomCols: Seq[String]): Seq[String] = {
+    if (bloomCols.isEmpty) return Nil
     import org.apache.spark.sql.functions.{array, col, explode, expr}
     import org.apache.spark.sql.types.{IntegerType, LongType}
     val scan = spark.read.parquet(dir)
@@ -330,8 +342,10 @@ object VersionedTable {
         .distinct().collect().map(_.getLong(0).toInt)
       val bytes = new Array[Byte](bits / 8)
       positions.foreach(p => bytes(p / 8) = (bytes(p / 8) | (1 << (p % 8))).toByte)
-      c -> bytes.map(b => f"$b%02x").mkString
-    }.toMap
+      Files.write(bloomFile(dir, c),
+        bytes.map(b => f"$b%02x").mkString.getBytes(StandardCharsets.UTF_8))
+      c
+    }
   }
 
   private def bloomMightContain(hex: String, v: Long): Boolean = {
@@ -344,7 +358,10 @@ object VersionedTable {
 
   /** The dirs [[readPoint]] would scan: snapshot dirs whose bloom for
     * `colName` might contain `value`, plus all dirs lacking one (skipping
-    * is an optimization, never a filter).
+    * is an optimization, never a filter). The bitmap is loaded lazily from
+    * the dir's `_bloom_<col>` side file — one small read per candidate dir,
+    * never via the manifest; a missing side file (e.g. hand-deleted) just
+    * disables skipping for that dir.
     */
   def planPoint(root: String, colName: String, value: Long,
                 asOf: Option[Long] = None): Seq[String] = {
@@ -353,10 +370,10 @@ object VersionedTable {
     val c = asOf.fold(log.last)(v =>
       log.find(_.version == v).getOrElse(sys.error(s"version $v not in log at $root")))
     c.dirs.filter { d =>
-      c.blooms.get(d).flatMap(_.get(colName)) match {
-        case Some(hex) => bloomMightContain(hex, value)
-        case None      => true
-      }
+      val f = bloomFile(s"$root/$d", colName)
+      if (c.blooms.get(d).exists(_.contains(colName)) && Files.isRegularFile(f))
+        bloomMightContain(Files.readString(f).trim, value)
+      else true
     }
   }
 
@@ -555,7 +572,8 @@ object VersionedTable {
         val c = Commit(v, commitId, "compact", Seq(dirName),
           if (dirStats.isEmpty) Map.empty else Map(dirName -> dirStats),
           parent.partitionCols,
-          if (dirBlooms.isEmpty) Map.empty else Map(dirName -> dirBlooms))
+          if (dirBlooms.isEmpty) Map.empty
+          else Map(dirName -> dirBlooms): Map[String, Seq[String]])
         if (!publishIfAbsent(root, v, c))
           sys.error(s"compact: log advanced past v${parent.version} during the rewrite; " +
             "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")

@@ -596,6 +596,17 @@ object Relational {
     */
   def nearestJoin(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
                   leftIdCol: String, rightIdCol: String): DataFrame = {
+    // integral time only: a raw cast("long") on TimestampType truncates to
+    // whole seconds, silently coarsening |Δt| comparisons and tie-breaks —
+    // callers with timestamps convert explicitly (unix_micros) first
+    Seq(left -> "left", right -> "right").foreach { case (df, side) =>
+      df.schema(timeCol).dataType match {
+        case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => ()
+        case other => sys.error(
+          s"nearestJoin requires an integral $timeCol on the $side side, got $other; " +
+            "convert timestamps explicitly (e.g. unix_micros) so precision loss is a caller decision")
+      }
+    }
     val lIdT = left.schema(leftIdCol).dataType
     val rIdT = right.schema(rightIdCol).dataType
     val tagged = right
