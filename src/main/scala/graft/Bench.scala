@@ -99,17 +99,20 @@ object Bench {
               everFailed += name
               System.err.println(s"[bench] $name failed: $e")
           }
-          // Driver hygiene between runs: Spark's ContextCleaner reclaims
-          // finished-query state (broadcasts, checkpoint RDD blocks, shuffle
-          // dependencies) only after a GC processes their weak references.
-          // With a large, barely-used heap GC never runs, state from hundreds
-          // of executions accumulates, and identical queries degrade from
-          // ~5 s to ~180 s over a run (measured; ProfileMinhash reproduces
-          // it). One explicit GC per run keeps every measurement on a
-          // clean driver.
-          System.gc()
           pass += 1
         }
+        // Driver hygiene between QUERIES: Spark's ContextCleaner reclaims
+        // finished-query state (broadcasts, checkpoint RDD blocks, shuffle
+        // dependencies) only after a GC processes their weak references.
+        // With a large, barely-used heap GC never runs, state from hundreds
+        // of executions accumulates, and identical queries degrade from
+        // ~5 s to ~180 s over a run (measured; ProfileMinhash reproduces
+        // it). One explicit GC per QUERY (not per pass) keeps the
+        // accumulation bounded at one query's state while halving the
+        // ~0.2-0.4 s full-GC tax — ~190 fewer collections per full run;
+        // the garbage a query's warmup pass leaves for its own second pass
+        // is young-gen mass that steady-state execution absorbs anyway.
+        System.gc()
         emit()
       }
     }

@@ -171,5 +171,7 @@ object ArrayOps {
       "nfc_normalize", (exprs: Seq[Expression]) => NfcNormalize(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "strip_accents", (exprs: Seq[Expression]) => StripAccents(exprs(0)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_band_keys", (exprs: Seq[Expression]) => MinhashBandKeys(exprs(0), exprs(1)), "built-in")
   }
 }

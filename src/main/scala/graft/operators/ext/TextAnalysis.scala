@@ -405,13 +405,21 @@ object TextAnalysis {
   def ppmiCollocations(docs: DataFrame, textCol: String, minCount: Long,
                        k: Int): DataFrame = {
     val ws = toks(textCol)
+    // same cut for the unigram model: referenced by BOTH join sides below,
+    // so uncut it would re-explode the corpus once per side
     val uni = docs.select(explode(expr(ws)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    // checkpointed once: the bigram-count aggregate (bounded by DISTINCT
+    // bigrams, not corpus mass) feeds both the grand total and the scored
+    // pair table — without the cut, the corpus-wide bigram explode runs
+    // TWICE, once under each consumer
     val bg = docs.select(explode(expr(
         s"case when size($ws) < 2 then array() else transform(sequence(1, size($ws) - 1), " +
           s"i -> named_struct('a', element_at($ws, i), 'b', element_at($ws, i + 1))) end")).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("cab"))
+      .localCheckpoint(true)
     val n = bg.agg(sum("cab").as("n"))
     bg.filter(col("cab") >= minCount)
       .join(uni.select(col("w").as("a"), col("c").as("ca")).hint("shuffle_hash"), Seq("a"))
