@@ -850,6 +850,56 @@ object Queries {
         "FROM orders WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders) " +
         "ORDER BY o_orderkey")),
 
+    // S17 — ADD-COLUMN schema evolution (the one Delta lifecycle behavior
+    // the versioned table previously lacked): v1 commits the narrow
+    // (o_orderkey, o_orderpriority) shape, v2 appends a batch WIDENED with
+    // o_custkey. The latest snapshot read declares v2's manifest schema, so
+    // v1's rows backfill o_custkey as NULL (cust_sum counts only odd keys —
+    // leaked backfill would break the sum); time travel to v1 still returns
+    // the ORIGINAL 2-column shape (v1_cols); and a type-changing append
+    // (o_custkey as string) must be refused loudly before any manifest
+    // publishes (type_change_rejected — the failed attempt must also not
+    // advance the log, which the probe proves by reading the same snapshot
+    // after it).
+    Q("versioned_schema_evolution",
+      (s, dir) => {
+        val (root, rejected) = Fixtures.once(s, dir, "vt_schema") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_schema_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders")
+          graft.io.VersionedTable.commit(
+            o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "o_orderpriority"),
+            r, "overwrite", "sch-v1")
+          graft.io.VersionedTable.commit(
+            o.filter(col("o_orderkey") % 2 === 1)
+              .select("o_orderkey", "o_orderpriority", "o_custkey"),
+            r, "append", "sch-v2")
+          val rej =
+            try {
+              graft.io.VersionedTable.commit(
+                o.filter(col("o_orderkey") % 2 === 1).limit(1)
+                  .select(col("o_orderkey"), col("o_orderpriority"),
+                    col("o_custkey").cast("string").as("o_custkey")),
+                r, "append", "sch-bad")
+              false
+            } catch { case e: Throwable => e.getMessage.contains("type change") }
+          (r, java.lang.Boolean.valueOf(rej))
+        }
+        val v1Cols = graft.io.VersionedTable.read(s, root, asOf = Some(1L)).columns.length
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_custkey")).as("cust_sum"))
+          .withColumn("v1_cols", lit(v1Cols.toLong))
+          .withColumn("type_change_rejected", lit(rejected.booleanValue()))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_custkey END) AS BIGINT) AS cust_sum, " +
+        "CAST(2 AS BIGINT) AS v1_cols, TRUE AS type_change_rejected " +
+        "FROM orders GROUP BY 1 ORDER BY 1")),
+
     // P9 — column profile report (Relational.profile): the Deequ-style
     // per-column summary (rows, nulls, distincts, stringified min/max in
     // long format) an ingest publishes before anyone writes constraints —
@@ -1165,31 +1215,40 @@ object Queries {
     // accepted set from the raw table.
     Q("stream_late_data",
       (s, dir) => {
-        val root = s"${System.getProperty("java.io.tmpdir")}/graft_stream_late"
-        rmrf(root)
-        val ev = rd(s, dir, "events")
-        val base = ev.withColumn("ts_us", expr(tsUsSql(ev.schema)))
-          .withColumn("ingest_ts", expr(tsStampSql(ev.schema)))
-          .select("event_id", "ts_us", "ingest_ts")
-        // bounded scalar probe: the batch-1 watermark anchor
-        val maxAUs = base.filter(col("event_id") % 2 === 0).agg(max("ts_us")).head().getLong(0)
-        base.filter(col("event_id") % 2 === 0)
-          .select("event_id", "ingest_ts").coalesce(1).write.parquet(s"$root/a")
-        base.filter(col("event_id") % 2 === 1 && col("ts_us") > maxAUs - 1800000000L)
-          .select("event_id", "ingest_ts").coalesce(1).write.parquet(s"$root/b")
-        base.filter(col("event_id") % 2 === 1 && col("ts_us") <= maxAUs - 1800000000L)
-          .select("event_id", "ingest_ts").coalesce(1).write.parquet(s"$root/c")
-        val sd = new java.io.File(s"$root/stream"); sd.mkdirs()
-        def stage(src: String, fname: String, ageMs: Long): Unit = {
-          val part = new java.io.File(s"$root/$src").listFiles()
-            .filter(_.getName.endsWith(".parquet")).head
-          val dst = new java.io.File(sd, fname)
-          java.nio.file.Files.copy(part.toPath, dst.toPath)
-          dst.setLastModified(System.currentTimeMillis() - ageMs)
+        // fixture = the three STAGED batch files (ordinary parquet writes,
+        // not this row's claim; their mod-time ORDER — anchor, on-time,
+        // late — is what the file source sequences on, and relative order
+        // is stable however old the fixture gets); LIVE each pass = the
+        // watermarked stream over them: 3 micro-batches, watermark
+        // advancement, the late-drop accounting, and the windowed result
+        val root = Fixtures.once(s, dir, "stream_late_stage") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_stream_late_${dirTag(dir)}"
+          rmrf(r)
+          val ev = rd(s, dir, "events")
+          val base = ev.withColumn("ts_us", expr(tsUsSql(ev.schema)))
+            .withColumn("ingest_ts", expr(tsStampSql(ev.schema)))
+            .select("event_id", "ts_us", "ingest_ts")
+          // bounded scalar probe: the batch-1 watermark anchor
+          val maxAUs = base.filter(col("event_id") % 2 === 0).agg(max("ts_us")).head().getLong(0)
+          base.filter(col("event_id") % 2 === 0)
+            .select("event_id", "ingest_ts").coalesce(1).write.parquet(s"$r/a")
+          base.filter(col("event_id") % 2 === 1 && col("ts_us") > maxAUs - 1800000000L)
+            .select("event_id", "ingest_ts").coalesce(1).write.parquet(s"$r/b")
+          base.filter(col("event_id") % 2 === 1 && col("ts_us") <= maxAUs - 1800000000L)
+            .select("event_id", "ingest_ts").coalesce(1).write.parquet(s"$r/c")
+          val sd = new java.io.File(s"$r/stream"); sd.mkdirs()
+          def stage(src: String, fname: String, ageMs: Long): Unit = {
+            val part = new java.io.File(s"$r/$src").listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            val dst = new java.io.File(sd, fname)
+            java.nio.file.Files.copy(part.toPath, dst.toPath)
+            dst.setLastModified(System.currentTimeMillis() - ageMs)
+          }
+          stage("a", "0001-anchor.parquet", 180000L)
+          stage("b", "0002-on-time.parquet", 120000L)
+          stage("c", "0003-late.parquet", 60000L)
+          r
         }
-        stage("a", "0001-anchor.parquet", 180000L)
-        stage("b", "0002-on-time.parquet", 120000L)
-        stage("c", "0003-late.parquet", 60000L)
         val st = s.readStream
           .schema(StructType(Seq(StructField("event_id", LongType),
             StructField("ingest_ts", TimestampType))))
@@ -1343,19 +1402,26 @@ object Queries {
     Q("stream_index_maintain",
       (s, dir) => {
         val docs = rd(s, dir, "documents")
-        val root = freshDir(s, "graft_stream_bandidx")
-        s.sql("DROP TABLE IF EXISTS graft_stream_band_index")
-        Dedup.withBandKeys(docs.filter(col("doc_id") < 200), "text", 8, "bands")
-          .select(col("doc_id"), explode(col("bands")).as("key"))
-          .write.bucketBy(8, "key").sortBy("key")
-          .option("path", s"$root/idx").saveAsTable("graft_stream_band_index")
+        // fixture = the SEED index; LIVE each pass = the streaming
+        // maintenance (fresh ephemeral checkpoint → the source re-flows,
+        // appends stay idempotent) + the converged-table read
+        val idx = Fixtures.once(s, dir, "stream_band_seed") {
+          val name = s"graft_stream_band_index_${dirTag(dir)}"
+          val root = freshDir(s, s"graft_stream_bandidx_${dirTag(dir)}")
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          Dedup.withBandKeys(docs.filter(col("doc_id") < 200), "text", 8, "bands")
+            .select(col("doc_id"), explode(col("bands")).as("key"))
+            .write.bucketBy(8, "key").sortBy("key")
+            .option("path", s"$root/idx").saveAsTable(name)
+          name
+        }
         val stream = s.readStream.schema(docs.schema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
           .filter(col("doc_id") >= 200)
         val q = graft.streaming.Streaming.maintainBandIndex(stream,
-          "graft_stream_band_index", "doc_id", "text", 8, 8)
+          idx, "doc_id", "text", 8, 8)
         try q.processAllAvailable() finally q.stop()
-        s.table("graft_stream_band_index").orderBy("doc_id", "key")
+        s.table(idx).orderBy("doc_id", "key")
       },
       Some(s"""WITH ${duckBandsCtes(duckToks, 8)}
         |SELECT doc_id, CAST(band AS VARCHAR) || ':' || key AS key FROM bands
@@ -4225,6 +4291,46 @@ object Queries {
         |FROM documents d LEFT JOIN dw USING (doc_id)
         |ORDER BY weight DESC, doc_id LIMIT 400""".stripMargin)),
 
+    // X6 — trained quality-classifier inference (TextAnalysis
+    // .qualityClassifier): the fastText-style linear model over hashed
+    // unigram+bigram features — the model-based quality filter every
+    // production curation pipeline runs beside the heuristic and perplexity
+    // ones. Trusted seed = doc_id % 10 = 0 (a 10% labeled sample),
+    // negatives = the rest; integer Naive-Bayes log-odds weights over a
+    // 2048-bucket space, occurrence-weighted scoring, keep = score > 0.
+    // The oracle replays training AND inference end-to-end.
+    Q("x3_quality_classifier",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        TextAnalysis.qualityClassifier(docs,
+            docs.filter(col("doc_id") % 10 === 0),
+            docs.filter(col("doc_id") % 10 =!= 0),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some {
+        val B = 2048
+        s"""WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
+          |feats AS (
+          |  SELECT doc_id, unnest(ws) AS f FROM ws
+          |  UNION ALL
+          |  SELECT doc_id, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS f FROM ws),
+          |fb AS (SELECT doc_id, ${duckHex("md5(f)")} % $B AS bucket FROM feats),
+          |pc AS (SELECT bucket, count(*) AS cp FROM fb WHERE doc_id % 10 = 0 GROUP BY 1),
+          |nc AS (SELECT bucket, count(*) AS cn FROM fb WHERE doc_id % 10 <> 0 GROUP BY 1),
+          |pt AS (SELECT CAST(sum(cp) AS BIGINT) AS pt FROM pc),
+          |nt AS (SELECT CAST(sum(cn) AS BIGINT) AS nt FROM nc),
+          |w AS (SELECT COALESCE(pc.bucket, nc.bucket) AS bucket,
+          |  (length(printf('%b', (nt + $B) // (COALESCE(cn, 0) + 1))) - 1)
+          |  - (length(printf('%b', (pt + $B) // (COALESCE(cp, 0) + 1))) - 1) AS w
+          |  FROM pc FULL OUTER JOIN nc ON pc.bucket = nc.bucket CROSS JOIN pt CROSS JOIN nt),
+          |sc AS (SELECT fb.doc_id, count(*) AS n_feat, CAST(sum(COALESCE(w.w, 0)) AS BIGINT) AS score
+          |  FROM fb LEFT JOIN w USING (bucket) GROUP BY 1)
+          |SELECT d.doc_id, CAST(COALESCE(n_feat, 0) AS BIGINT) AS n_feat,
+          |  CAST(COALESCE(score, 0) AS BIGINT) AS score, COALESCE(score, 0) > 0 AS keep
+          |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+      }),
+
     // X2 — BINARY quantization ANN: 1-bit-per-dimension signatures (8 bytes
     // per 64-dim vector, 32x under float32) via the exact integer mean test
     // q*n >= sum(q), Hamming top-k = two XORs + two popcounts per candidate.
@@ -4312,18 +4418,25 @@ object Queries {
       (s, dir) => {
         val emb = rd(s, dir, "embeddings")
         val base = emb.filter(col("vec_id") < 400)
-        val root = freshDir(s, "graft_stream_pqidx")
-        s.sql("DROP TABLE IF EXISTS graft_stream_pq_index")
-        Similarity.pqCodesFrozen(base, base, dim = 64, m = 8, ncodes = 16)
-          .write.bucketBy(8, "vec_id").sortBy("vec_id")
-          .option("path", s"$root/idx").saveAsTable("graft_stream_pq_index")
+        // fixture = the frozen-quantizer SEED codes; LIVE each pass = the
+        // streaming maintenance (fresh ephemeral checkpoint → the source
+        // re-flows, appends stay idempotent) + the converged-table read
+        val idx = Fixtures.once(s, dir, "stream_pq_seed") {
+          val name = s"graft_stream_pq_index_${dirTag(dir)}"
+          val root = freshDir(s, s"graft_stream_pqidx_${dirTag(dir)}")
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          Similarity.pqCodesFrozen(base, base, dim = 64, m = 8, ncodes = 16)
+            .write.bucketBy(8, "vec_id").sortBy("vec_id")
+            .option("path", s"$root/idx").saveAsTable(name)
+          name
+        }
         val stream = s.readStream.schema(emb.schema)
           .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
           .filter(col("vec_id") >= 400 && col("vec_id") < 500)
         val q = graft.streaming.Streaming.maintainPqIndex(stream,
-          "graft_stream_pq_index", base, 64, 8, 16, 8)
+          idx, base, 64, 8, 16, 8)
         try q.processAllAvailable() finally q.stop()
-        s.table("graft_stream_pq_index").orderBy("vec_id", "sub")
+        s.table(idx).orderBy("vec_id", "sub")
       },
       Some(s"""WITH ${duckFrozenPqCtes(400, 500, 50)}
         |SELECT vec_id, sub, code FROM fcodes ORDER BY vec_id, sub""".stripMargin)),
@@ -4341,21 +4454,31 @@ object Queries {
     Q("stream_lex_index_maintain",
       (s, dir) => {
         val docs = rd(s, dir, "documents")
-        val root = freshDir(s, "graft_stream_lexidx")
-        s.sql("DROP TABLE IF EXISTS graft_stream_lex_post")
-        s.sql("DROP TABLE IF EXISTS graft_stream_lex_len")
-        TextAnalysis.buildLexicalIndex("graft_stream_lex_post", "graft_stream_lex_len",
-          docs.filter(col("doc_id") < 400), "doc_id", "text", 8, root)
+        // fixture = the SEED index (standing corpus, not this row's claim);
+        // LIVE each pass = the streaming maintenance itself — every
+        // micro-batch re-flows through foreachBatch's idempotent appends
+        // (a fresh ephemeral checkpoint per pass re-reads the source) —
+        // plus the BM25 probe of the converged index
+        val (post, len) = Fixtures.once(s, dir, "stream_lex_seed") {
+          val t = dirTag(dir)
+          val (p, l) = (s"graft_stream_lex_post_$t", s"graft_stream_lex_len_$t")
+          val root = freshDir(s, s"graft_stream_lexidx_$t")
+          s.sql(s"DROP TABLE IF EXISTS $p")
+          s.sql(s"DROP TABLE IF EXISTS $l")
+          TextAnalysis.buildLexicalIndex(p, l,
+            docs.filter(col("doc_id") < 400), "doc_id", "text", 8, root)
+          (p, l)
+        }
         val stream = s.readStream.schema(docs.schema)
           .option("pathGlobFilter", "documents.parquet").parquet(dir)
           .filter(col("doc_id") >= 400)
         val q = graft.streaming.Streaming.maintainLexicalIndex(stream,
-          "graft_stream_lex_post", "graft_stream_lex_len", "doc_id", "text", 8)
+          post, len, "doc_id", "text", 8)
         try q.processAllAvailable() finally q.stop()
         val queries = docs.filter(col("doc_id") < 5)
           .select(col("doc_id").as("query_id"),
             expr("array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 8), ' ')").as("qtext"))
-        TextAnalysis.bm25IndexTopK(s, "graft_stream_lex_post", "graft_stream_lex_len",
+        TextAnalysis.bm25IndexTopK(s, post, len,
             queries, "query_id", "qtext", 10)
           .orderBy("query_id", "rk")
       },

@@ -1,16 +1,50 @@
 package graft.io
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
 
 /** Maintenance for append-grown BUCKETED index tables (the band index of
-  * Dedup.appendBandIndex, the PQ code index of Similarity.appendPqIndex):
+  * Dedup.appendBandIndex, the PQ code index of Similarity.appendPqIndex,
+  * the lexical postings/lengths of TextAnalysis.appendLexicalIndex):
   * every bucketed append adds one file per bucket, so a long-running ingest
   * loop grows per-bucket file counts linearly — and small files are the
   * classic scan killer at 100 TB (open/seek per file, footer reads,
   * scheduler pressure).
   */
 object BucketedIndex {
+
+  /** The shared APPEND-IDEMPOTENCE contract every graft index maintains —
+    * one implementation so the next index cannot fork the pattern (three
+    * call sites had grown three anti-join variants; VERDICT r10 #6):
+    *
+    *  1. anti-join the incoming batch against the ids the table already
+    *     holds (shuffle-hash — the index is corpus-sized, never broadcast),
+    *  2. derive the batch's index rows from the SURVIVORS only (keys/codes
+    *     are never computed for rows that will be dropped — the transform
+    *     is per-row, so filtering first cannot change its output),
+    *  3. append under the table's standing bucketBy/sortBy spec.
+    *
+    * A replay of the same batch — foreachBatch's at-least-once delivery, a
+    * driver retry after a timeout, a crash between a multi-table index's
+    * two appends — re-runs the anti-join, finds nothing (or exactly the
+    * missing half), and inserts nothing else: appends are independently
+    * idempotent per table, which is what turns at-least-once delivery into
+    * exactly-once index contents.
+    *
+    * `batch` must already carry `idCol` under the TABLE's column name;
+    * `transform` maps surviving batch rows to index rows (identity for
+    * tables indexed by their own id).
+    */
+  def appendIdempotent(table: String, batch: DataFrame, idCol: String,
+                       buckets: Int, bucketCol: String)
+                      (transform: DataFrame => DataFrame): Unit = {
+    val spark = batch.sparkSession
+    val seen = spark.table(table).select(col(idCol)).distinct()
+    val fresh = batch.join(seen.hint("shuffle_hash"), Seq(idCol), "left_anti")
+    transform(fresh)
+      .write.mode("append").format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol).saveAsTable(table)
+  }
 
   /** Rewrite `table` ONCE under the same bucketBy/sortBy spec on `bucketCol`
     * into `newPath`, then swap the catalog entry atomically (metadata-only

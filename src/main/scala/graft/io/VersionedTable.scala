@@ -70,7 +70,8 @@ object VersionedTable {
   final case class Commit(version: Long, commitId: String, mode: String, dirs: Seq[String],
                           stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
                           partitionCols: Seq[String] = Nil,
-                          blooms: Map[String, Seq[String]] = Map.empty)
+                          blooms: Map[String, Seq[String]] = Map.empty,
+                          schemaDdl: Option[String] = None)
 
   private val mapper = new ObjectMapper()
 
@@ -108,6 +109,7 @@ object VersionedTable {
       }
       m.put("blooms", bm)
     }
+    c.schemaDdl.foreach(d => m.put("schema", d))
     mapper.writeValueAsString(m)
   }
 
@@ -134,7 +136,8 @@ object VersionedTable {
       }.toMap
     }.getOrElse(Map.empty[String, Seq[String]])
     Commit(v, n.get("commitId").asText(), n.get("mode").asText(),
-      n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, pcols, blooms)
+      n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, pcols, blooms,
+      Option(n.get("schema")).map(_.asText()))
   }
 
   /** Atomically publish manifest `c` into version slot `v`: write the full
@@ -210,6 +213,8 @@ object VersionedTable {
             parent.filter(_ => mode == "append").foreach(p =>
               require(p.partitionCols == partitionCols,
                 s"append layout $partitionCols != parent's ${p.partitionCols}"))
+            val snapSchema = evolvedSchema(
+              parent.filter(_ => mode == "append").flatMap(_.schemaDdl), df.schema)
             val v = parent.map(_.version + 1).getOrElse(1L)
             val (dirs, inherited, inheritedBlooms) = mode match {
               case "overwrite" => (Seq(dirName),
@@ -224,11 +229,42 @@ object VersionedTable {
             val blooms = if (dirBlooms.isEmpty) inheritedBlooms
                          else inheritedBlooms + (dirName -> dirBlooms)
             if (publishIfAbsent(root, v,
-                Commit(v, commitId, mode, dirs, stats, partitionCols, blooms))) committed = v
+                Commit(v, commitId, mode, dirs, stats, partitionCols, blooms,
+                  Some(snapSchema.toDDL)))) committed = v
           }
         }
         committed
     }
+  }
+
+  /** ADD-COLUMN schema evolution (the one Delta lifecycle behavior the
+    * commit log supports beyond fixed schemas): an append may WIDEN its
+    * parent's schema with new columns — older dirs backfill them as NULL at
+    * read time via the snapshot schema recorded in each manifest — but may
+    * neither DROP a parent column nor CHANGE a column's type; both fail
+    * loudly here, before any manifest publishes (a type change would make
+    * every older dir's data silently unreadable-as-declared, which is a
+    * corruption, not an evolution). Comparison is by type DDL, so parquet
+    * nullability round-trips don't false-positive.
+    */
+  private def evolvedSchema(parentDdl: Option[String],
+                            newSchema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.types.StructType = parentDdl match {
+    case None => newSchema
+    case Some(pd) =>
+      val ps = org.apache.spark.sql.types.StructType.fromDDL(pd)
+      ps.fields.foreach { f =>
+        newSchema.fields.find(_.name == f.name) match {
+          case Some(nf) => require(nf.dataType.sql == f.dataType.sql,
+            s"schema evolution: column '${f.name}' type change ${f.dataType.sql} -> " +
+              s"${nf.dataType.sql} is not allowed (add-column evolution only)")
+          case None => sys.error(
+            s"schema evolution: append drops column '${f.name}' " +
+              "(add-column evolution only; missing columns are not implicit nulls on write)")
+        }
+      }
+      org.apache.spark.sql.types.StructType(
+        ps.fields ++ newSchema.fields.filterNot(nf => ps.fieldNames.contains(nf.name)))
   }
 
   /** Per-dir min/max of `statsCols` from the freshly-written parquet footers
@@ -395,7 +431,8 @@ object VersionedTable {
     val log = history(root)
     val layout = asOf.fold(log.last)(v => log.find(_.version == v).get).partitionCols
     if (kept.isEmpty) all.limit(0).filter(pred)
-    else scanDirs(spark, kept.map(d => s"$root/$d"), layout).filter(pred)
+    else scanDirs(spark, kept.map(d => s"$root/$d"), layout,
+      asOf.fold(log.last)(v => log.find(_.version == v).get).schemaDdl).filter(pred)
   }
 
   /** Data-skipping range read: rows of the snapshot with `lo <= colName <= hi`,
@@ -416,7 +453,8 @@ object VersionedTable {
     val log = history(root)
     val layout = asOf.fold(log.last)(v => log.find(_.version == v).get).partitionCols
     if (kept.isEmpty) all.limit(0).filter(pred)
-    else scanDirs(spark, kept.map(d => s"$root/$d"), layout).filter(pred)
+    else scanDirs(spark, kept.map(d => s"$root/$d"), layout,
+      asOf.fold(log.last)(v => log.find(_.version == v).get).schemaDdl).filter(pred)
   }
 
   /** The dirs [[readRange]] would scan: snapshot dirs whose [min, max] for
@@ -450,18 +488,39 @@ object VersionedTable {
     val dirs = c.dirs.map(d => s"$root/$d")
     dirs.foreach(d => require(new File(d).isDirectory,
       s"snapshot v${c.version} references vacuumed dir $d"))
-    scanDirs(spark, dirs, c.partitionCols)
+    scanDirs(spark, dirs, c.partitionCols, c.schemaDdl)
   }
 
   /** Scan commit dirs under the snapshot's layout: flat dirs go through one
     * multi-path scan; hive-partitioned dirs are each their own layout root,
     * so per-dir scans recover the partition columns (and prune on them) and
     * the union keeps one schema.
+    *
+    * When the manifest recorded a snapshot schema, the scan DECLARES it:
+    * parquet's standard evolution read path then backfills columns missing
+    * from pre-evolution dirs as NULL (flat case — one multi-path scan, zero
+    * per-dir work); partitioned dirs align per dir before the union. Time
+    * travel to a pre-evolution version reads under THAT manifest's narrower
+    * schema, so old snapshots keep their old shape.
     */
   private def scanDirs(spark: SparkSession, dirs: Seq[String],
-                       partitionCols: Seq[String]): DataFrame =
-    if (partitionCols.isEmpty) spark.read.parquet(dirs: _*)
-    else dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+                       partitionCols: Seq[String],
+                       schemaDdl: Option[String] = None): DataFrame = {
+    val target = schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+    if (partitionCols.isEmpty)
+      target.map(t => spark.read.schema(t)).getOrElse(spark.read).parquet(dirs: _*)
+    else {
+      def align(df: DataFrame): DataFrame = target match {
+        case None => df
+        case Some(t) =>
+          import org.apache.spark.sql.functions.{col => c, lit}
+          df.select(t.fields.map(f =>
+            if (df.columns.contains(f.name)) c(f.name)
+            else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+      }
+      dirs.map(d => align(spark.read.parquet(d))).reduce(_.unionByName(_))
+    }
+  }
 
   /** Incremental (CDC-style) read: exactly the rows ADDED after `fromVersion`
     * up to and including `toVersion` — the data dirs in `toVersion`'s
@@ -489,9 +548,10 @@ object VersionedTable {
     val added = to.filterNot(from.contains).map(d => s"$root/$d")
     added.foreach(d => require(new File(d).isDirectory,
       s"incremental range references vacuumed dir $d"))
-    val layout = log.find(_.version == toVersion).get.partitionCols
-    if (added.isEmpty) scanDirs(spark, Seq(s"$root/${to.head}"), layout).limit(0)
-    else scanDirs(spark, added, layout)
+    val toC = log.find(_.version == toVersion).get
+    if (added.isEmpty)
+      scanDirs(spark, Seq(s"$root/${to.head}"), toC.partitionCols, toC.schemaDdl).limit(0)
+    else scanDirs(spark, added, toC.partitionCols, toC.schemaDdl)
   }
 
   /** History-preserving rollback (Delta RESTORE semantics): commits a NEW
@@ -510,7 +570,7 @@ object VersionedTable {
           val parent = history(root).last
           val v = parent.version + 1
           if (publishIfAbsent(root, v, Commit(v, commitId, "rollback", target.dirs,
-              target.stats, target.partitionCols, target.blooms)))
+              target.stats, target.partitionCols, target.blooms, target.schemaDdl)))
             committed = v
         }
         committed
@@ -573,7 +633,8 @@ object VersionedTable {
           if (dirStats.isEmpty) Map.empty else Map(dirName -> dirStats),
           parent.partitionCols,
           if (dirBlooms.isEmpty) Map.empty
-          else Map(dirName -> dirBlooms): Map[String, Seq[String]])
+          else Map(dirName -> dirBlooms): Map[String, Seq[String]],
+          parent.schemaDdl.orElse(Some(cur.schema.toDDL)))
         if (!publishIfAbsent(root, v, c))
           sys.error(s"compact: log advanced past v${parent.version} during the rewrite; " +
             "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")

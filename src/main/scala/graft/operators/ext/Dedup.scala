@@ -442,18 +442,17 @@ object Dedup {
     * projection ([[withBandKeys]], no aggregation).
     *
     * `buckets` must match the table's bucket spec (Spark rejects a
-    * mismatch loudly).
+    * mismatch loudly). Idempotence rides on the shared
+    * [[graft.io.BucketedIndex.appendIdempotent]] contract.
     */
   def appendBandIndex(table: String, batch: DataFrame, idCol: String,
-                      textCol: String, bandSize: Int, buckets: Int): Unit = {
-    val spark = batch.sparkSession
-    val keys = withBandKeys(batch, textCol, bandSize, "__bands")
-      .select(col(idCol).as("doc_id"), explode(col("__bands")).as("key"))
-    val seen = spark.table(table).select("doc_id").distinct()
-    keys.join(seen.hint("shuffle_hash"), Seq("doc_id"), "left_anti")
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "key").sortBy("key").saveAsTable(table)
-  }
+                      textCol: String, bandSize: Int, buckets: Int): Unit =
+    graft.io.BucketedIndex.appendIdempotent(table,
+        batch.select(col(idCol).as("doc_id"), col(textCol).as("__text")),
+        "doc_id", buckets, "key") { fresh =>
+      withBandKeys(fresh, "__text", bandSize, "__bands")
+        .select(col("doc_id"), explode(col("__bands")).as("key"))
+    }
 
   /** Compaction for [[appendBandIndex]]'s one structural cost (one file per
     * bucket per append): the shuffle-free rewrite + atomic catalog swap of

@@ -565,14 +565,11 @@ object Similarity {
     * index-side exchange). Corpus growth never re-codes old vectors.
     */
   def appendPqIndex(table: String, batch: DataFrame, base: DataFrame,
-                    dim: Int, m: Int, ncodes: Int, buckets: Int): Unit = {
-    val spark = batch.sparkSession
-    val codes = pqCodesFrozen(batch, base, dim, m, ncodes)
-    val seen = spark.table(table).select("vec_id").distinct()
-    codes.join(seen.hint("shuffle_hash"), Seq("vec_id"), "left_anti")
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "vec_id").sortBy("vec_id").saveAsTable(table)
-  }
+                    dim: Int, m: Int, ncodes: Int, buckets: Int): Unit =
+    graft.io.BucketedIndex.appendIdempotent(table, batch, "vec_id",
+        buckets, "vec_id") { fresh =>
+      pqCodesFrozen(fresh, base, dim, m, ncodes)
+    }
 
   /** ADC top-k against a PERSISTED code table ([[appendPqIndex]]'s layout):
     * per-query distance tables are built from the frozen quantizer/codebook

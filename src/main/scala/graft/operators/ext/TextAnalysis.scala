@@ -347,18 +347,14 @@ object TextAnalysis {
   def appendLexicalIndex(postingsTable: String, lengthsTable: String,
                          batch: DataFrame, idCol: String, textCol: String,
                          buckets: Int): Unit = {
-    val spark = batch.sparkSession
     val b = batch.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-    val seenPost = spark.table(postingsTable).select("doc_id").distinct()
-    lexicalPostings(b.join(seenPost.hint("shuffle_hash"), Seq("doc_id"), "left_anti"),
-        "doc_id", "__text")
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "term").sortBy("term").saveAsTable(postingsTable)
-    val seenLen = spark.table(lengthsTable).select("doc_id").distinct()
-    docLengths(b.join(seenLen.hint("shuffle_hash"), Seq("doc_id"), "left_anti"),
-        "doc_id", "__text")
-      .write.mode("append").format("parquet")
-      .bucketBy(buckets, "doc_id").sortBy("doc_id").saveAsTable(lengthsTable)
+    // two independent appendIdempotent contracts — each table anti-joins
+    // ITS OWN ids, so a crash between the writes replays into exactly the
+    // missing half (torn-state test in TextMultimodalSpec)
+    graft.io.BucketedIndex.appendIdempotent(postingsTable, b, "doc_id",
+      buckets, "term")(fresh => lexicalPostings(fresh, "doc_id", "__text"))
+    graft.io.BucketedIndex.appendIdempotent(lengthsTable, b, "doc_id",
+      buckets, "doc_id")(fresh => docLengths(fresh, "doc_id", "__text"))
   }
 
   /** BM25 against the PERSISTED index ([[buildLexicalIndex]] layout): the
@@ -410,14 +406,18 @@ object TextAnalysis {
     val uni = docs.select(explode(expr(ws)).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .localCheckpoint(true)
-    // checkpointed once: the bigram-count aggregate (bounded by DISTINCT
+    // bigram multiset via the native word_ngrams Generator (lazy rows, no
+    // per-token interpreted named_struct lambda, no intermediate window
+    // array); the two halves split back out with codegen'd substring_index
+    // (tokens are space-split, so the single interior space is unambiguous).
+    // Checkpointed once: the bigram-count aggregate (bounded by DISTINCT
     // bigrams, not corpus mass) feeds both the grand total and the scored
-    // pair table — without the cut, the corpus-wide bigram explode runs
-    // TWICE, once under each consumer
-    val bg = docs.select(explode(expr(
-        s"case when size($ws) < 2 then array() else transform(sequence(1, size($ws) - 1), " +
-          s"i -> named_struct('a', element_at($ws, i), 'b', element_at($ws, i + 1))) end")).as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+    // pair table — without the cut, the corpus-wide bigram pass runs TWICE,
+    // once under each consumer.
+    graft.functions.ArrayOps.register(docs.sparkSession)
+    val bg = docs.select(expr(s"word_ngrams($textCol, 2)"))
+      .select(substring_index(col("ngram"), " ", 1).as("a"),
+        substring_index(col("ngram"), " ", -1).as("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("cab"))
       .localCheckpoint(true)
     val n = bg.agg(sum("cab").as("n"))
@@ -498,6 +498,70 @@ object TextAnalysis {
         coalesce(col("n_tok"), lit(0L)).as("n_tok"),
         coalesce(col("weight"), lit(0L)).as("weight"))
       .orderBy(col("weight").desc, col("doc_id")).limit(k)
+  }
+
+  /** X6: trained QUALITY-CLASSIFIER inference — the fastText-style linear
+    * classifier over hashed n-gram features (Joulin et al. 2016) that every
+    * production curation pipeline (CCNet, RefinedWeb, FineWeb) runs as its
+    * MODEL-BASED quality filter, beside the heuristic ([[qualityScore]])
+    * and LM-perplexity ([[lmSurpriseScore]]) filters. Training and
+    * inference are both deterministic and integer-exact, so the whole
+    * model replays bit-for-bit in any engine:
+    *
+    *  - FEATURES: word unigrams + word bigrams (fastText's wordNgrams=2
+    *    signature), hashed into a FIXED `buckets` space (md5-head mod B —
+    *    the engine's portable hash; fastText's hashing trick). Occurrence-
+    *    weighted, not distinct: repeated phrases are repeated evidence.
+    *  - TRAINING (Naive-Bayes log-odds — the closed-form deterministic
+    *    stand-in for fastText's SGD, same decision family): per bucket,
+    *    w(b) = surprise_neg(b) − surprise_pos(b) where surprise_side(b) =
+    *    bitlen((T_side + B) div (c_side(b) + 1)) — the add-one-smoothed
+    *    integer log2 discipline shared with [[dsirSelect]]/[[lmSurpriseScore]].
+    *    Positive weight ⇔ the bucket is over-represented in the TRUSTED
+    *    corpus.
+    *  - INFERENCE: score(doc) = Σ over feature occurrences of w(bucket);
+    *    keep ⇔ score > 0 (the sign rule). Feature-less documents score 0
+    *    and are dropped, loudly visible as n_feat = 0.
+    *
+    * 100 TB shape: the model is a ≤`buckets`-row aggregate of each labeled
+    * corpus (partial-agg bounded by the bucket space) and BROADCASTS
+    * legitimately — its size is a constant of the operator, not the data;
+    * inference is one map-side feature explode + broadcast join + per-doc
+    * aggregate. Nothing shuffles wider than (doc, bucket).
+    */
+  def qualityClassifier(docs: DataFrame, positives: DataFrame, negatives: DataFrame,
+                        idCol: String, textCol: String, buckets: Int = 2048): DataFrame = {
+    graft.functions.ArrayOps.register(docs.sparkSession)
+    def feats(df: DataFrame): DataFrame = {
+      val uni = df.select(col(idCol).as("doc_id"), explode(expr(toks(textCol))).as("f"))
+      val big = df.select(col(idCol).as("doc_id"), expr(s"word_ngrams($textCol, 2)"))
+        .select(col("doc_id"), col("ngram").as("f"))
+      uni.unionByName(big)
+        .withColumn("bucket",
+          expr(s"cast(conv(substring(md5(f), 1, 8), 16, 10) as bigint) % $buckets"))
+        .select("doc_id", "bucket")
+    }
+    def bitlen(c: org.apache.spark.sql.Column) = length(bin(c)) - lit(1)
+    val pc = feats(positives).groupBy("bucket").agg(count(lit(1)).as("cp"))
+    val nc = feats(negatives).groupBy("bucket").agg(count(lit(1)).as("cn"))
+    val pt = pc.agg(sum("cp").as("pt"))
+    val nt = nc.agg(sum("cn").as("nt"))
+    val w = pc.join(nc, Seq("bucket"), "full")
+      .crossJoin(broadcast(pt)).crossJoin(broadcast(nt))
+      .withColumn("w",
+        (bitlen(expr(s"(nt + $buckets) div (coalesce(cn, 0L) + 1)")) -
+          bitlen(expr(s"(pt + $buckets) div (coalesce(cp, 0L) + 1)"))).cast("long"))
+      .select("bucket", "w")
+    val scored = feats(docs)
+      .join(broadcast(w), Seq("bucket"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feat"), sum(coalesce(col("w"), lit(0L))).as("score"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .withColumn("keep", col("score") > 0)
   }
 
   /** X3: BPE MERGE LEARNING — the byte-pair-encoding training loop

@@ -65,7 +65,7 @@ class GoldenPlanSpec extends SparkSpec {
     "w12_sliding_distinct" -> "BroadcastNestedLoopJoin=2, SortMergeJoin=1, BroadcastExchange=2, Exchange hashpartitioning=7, Exchange rangepartitioning=1, HashAggregate=14",
     "a15_equidepth" -> "Exchange hashpartitioning=1, Exchange rangepartitioning=1, HashAggregate=2",
     "x6_dsir" -> "BroadcastNestedLoopJoin=2, BroadcastHashJoin=2, SortMergeJoin=1, BroadcastExchange=4, Exchange hashpartitioning=6, Exchange SinglePartition=2, HashAggregate=14, TakeOrderedAndProject=1, Generate=5",
-    "x1_dedup_matrix" -> "ShuffledHashJoin=5, Exchange hashpartitioning=12, Exchange rangepartitioning=1, HashAggregate=4, Generate=1",
+    "x1_dedup_matrix" -> "ShuffledHashJoin=2, Exchange hashpartitioning=5, Exchange rangepartitioning=1, HashAggregate=2",
     "x1_survivorship" -> "ShuffledHashJoin=3, SortMergeJoin=2, Exchange hashpartitioning=8, Exchange rangepartitioning=1, HashAggregate=2, WindowGroupLimit=2, Window=1",
     "x9_semisupervised" -> "BroadcastNestedLoopJoin=14, BroadcastHashJoin=35, ShuffledHashJoin=6, BroadcastExchange=49, Exchange hashpartitioning=79, Exchange rangepartitioning=1, HashAggregate=90, ObjectHashAggregate=56, WindowGroupLimit=20, Window=17, Generate=56")
 

@@ -407,6 +407,35 @@ class IoSpec extends SparkSpec {
       Seq((30L, "f")).toDF("id", "s"), root, "append", "c4", statsCols = Seq("s")))
   }
 
+  test("VersionedTable: add-column evolution backfills NULLs, time travel keeps old shape, type change and drop refused") {
+    import spark.implicits._
+    val root = tmpDir("vt_schema")
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root, "overwrite", "e1")
+    // widened append: new column `extra`
+    VersionedTable.commit(Seq((3L, "c", 30L)).toDF("id", "s", "extra"), root, "append", "e2")
+    val latest = VersionedTable.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(latest.toSeq == Seq((1L, "a", None), (2L, "b", None), (3L, "c", Some(30L))),
+      s"backfill mismatch: ${latest.toSeq}")
+    // time travel to v1 returns the ORIGINAL narrow schema
+    assert(VersionedTable.read(spark, root, asOf = Some(1L)).columns.toSeq == Seq("id", "s"))
+    // type change refused loudly, log not advanced
+    val e1 = intercept[IllegalArgumentException](VersionedTable.commit(
+      Seq((4L, 9L)).toDF("id", "s"), root, "append", "e3"))
+    assert(e1.getMessage.contains("type change"), e1.getMessage)
+    // dropping a parent column refused loudly
+    val e2 = intercept[RuntimeException](VersionedTable.commit(
+      Seq(5L).toDF("id"), root, "append", "e4"))
+    assert(e2.getMessage.contains("drops column"), e2.getMessage)
+    assert(VersionedTable.history(root).size == 2, "failed commits must not advance the log")
+    // a further widened append composes; compact preserves the evolved schema
+    VersionedTable.commit(Seq((6L, "d", 60L)).toDF("id", "s", "extra"), root, "append", "e5")
+    VersionedTable.compact(spark, root, "e-opt", targetFiles = 1)
+    val after = VersionedTable.read(spark, root)
+    assert(after.columns.toSeq == Seq("id", "s", "extra"))
+    assert(after.count() == 4)
+  }
+
   test("VersionedTable.readPoint: bloom skips absent-key dirs, keeps bloom-less ones, compact rebuilds") {
     import spark.implicits._
     val root = tmpDir("vt_bloom")
