@@ -2699,6 +2699,41 @@ object Queries {
         |  (SELECT count(*) FROM w) AS n_wedges,
         |  (SELECT count(*) FROM t) AS n_triangles""".stripMargin)),
 
+    // G4b — DEGREE-ORIENTED triangle counting (Graph.triangleCountDegree)
+    // over the same co-purchase graph: edges orient low-(degree, id) →
+    // high, wedges enumerate as ordered out-neighbor pairs, capping every
+    // node's out-degree at O(sqrt|E|) — the Σdeg² hub-term cut production
+    // power-law graphs need. Triangle count must equal g4_triangles
+    // bit-for-bit (the orientation changes WORK, never the answer);
+    // n_wedges is the oriented wedge mass, the quantity the refinement
+    // shrinks (ProfileGraph --triangles measures the cut on a hub graph).
+    Q("g4_triangles_degree",
+      (s, dir) => {
+        val li = rd(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
+          .select("l_orderkey", "l_partkey")
+        val edges = li.as("x").join(li.as("y"),
+            col("x.l_orderkey") === col("y.l_orderkey") &&
+              col("x.l_partkey") < col("y.l_partkey"))
+          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
+        graft.operators.ext.Graph.triangleCountDegree(edges, "src", "dst")
+      },
+      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 2000),
+        |raw AS (SELECT x.l_partkey AS src, y.l_partkey AS dst FROM li x JOIN li y
+        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw WHERE src <> dst),
+        |deg AS (SELECT node, count(*) AS deg FROM
+        |  (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+        |o AS (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS src,
+        |  CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS dst,
+        |  CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS kdeg
+        |  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
+        |w AS (SELECT o1.dst AS x, o2.dst AS z FROM o o1 JOIN o o2
+        |  ON o1.src = o2.src AND (o1.kdeg, o1.dst) < (o2.kdeg, o2.dst)),
+        |t AS (SELECT * FROM w WHERE EXISTS (SELECT 1 FROM o WHERE o.src = w.x AND o.dst = w.z))
+        |SELECT (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT count(*) FROM w) AS n_wedges,
+        |  (SELECT count(*) FROM t) AS n_triangles""".stripMargin)),
+
     // G5 — connected components over the part co-purchase graph: the X1
     // cluster machinery (union-find contraction → finish | quotient
     // recursion) reused as the graph family's component labeler — same

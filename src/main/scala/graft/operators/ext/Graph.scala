@@ -154,6 +154,59 @@ object Graph {
       .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_triangles"))))
   }
 
+  /** DEGREE-ORIENTED exact triangle counting — the production refinement
+    * [[triangleCount]]'s own doc promises: orient every undirected edge
+    * from its lower-(degree, id) endpoint to its higher one, then
+    * enumerate wedges as ordered pairs of OUT-neighbors. The orientation
+    * is a total order, so if the closing edge {v, w} exists it is stored
+    * exactly as v→w when (deg(v), v) < (deg(w), w) — each triangle closes
+    * through precisely one wedge, exactly once, no post-dedup.
+    *
+    * Why it matters at 100 TB: id-orientation leaves a high-degree hub
+    * with its full Σdeg(v)² wedge mass whenever its id sorts low;
+    * degree-orientation caps every node's out-degree at O(√|E|) (the
+    * arboricity bound behind Chiba–Nishizeki / Schank–Wagner), so the
+    * wedge volume — the quadratic term that dominates power-law graphs —
+    * shrinks by the hub factor for ONE extra degree aggregate and two
+    * narrow joins. ProfileGraph --triangles measures both orientations on
+    * a hub-skewed graph; triangle counts are bit-identical, wedge mass is
+    * the difference.
+    *
+    * Emits (n_edges, n_wedges, n_triangles) like [[triangleCount]];
+    * n_wedges is the ORIENTED wedge count (the work actually enumerated),
+    * which is the point of the comparison.
+    */
+  def triangleCountDegree(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val und = normalize(edges, srcCol, dstCol)
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") < col("b")).distinct()
+    val deg = und.select(col("a").as("node"))
+      .unionByName(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    // orient by the (deg, id) total order; carry the head's order key so
+    // the wedge join can order out-neighbor pairs without a re-join
+    val keyed = und
+      .join(deg.select(col("node").as("a"), col("deg").as("da")).hint("shuffle_hash"), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("db")).hint("shuffle_hash"), Seq("b"))
+    val ka = struct(col("da").as("d"), col("a").as("i"))
+    val kb = struct(col("db").as("d"), col("b").as("i"))
+    val e = keyed.select(
+      when(ka < kb, col("a")).otherwise(col("b")).as("src"),
+      when(ka < kb, col("b")).otherwise(col("a")).as("dst"),
+      when(ka < kb, kb).otherwise(ka).as("kd"))
+    val wedges = e.as("e1")
+      .join(e.as("e2").hint("shuffle_hash"),
+        col("e1.src") === col("e2.src") && col("e1.kd") < col("e2.kd"))
+      .select(col("e1.dst").as("x"), col("e2.dst").as("z"))
+    val closed = wedges
+      .join(e.select(col("src"), col("dst")).hint("shuffle_hash"),
+        wedges("x") === col("src") && wedges("z") === col("dst"), "left_semi")
+    und.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))))
+      .crossJoin(broadcast(closed.agg(count(lit(1)).as("n_triangles"))))
+  }
+
   private def normalize(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     edges.select(col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
 

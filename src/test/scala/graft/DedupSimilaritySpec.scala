@@ -645,4 +645,26 @@ class DedupSimilaritySpec extends SparkSpec {
     // through 4: (1,4,5),(2,4,5),(3,4,5) = 7
     assert(r.getLong(1) == 7L, s"ordered wedge count, got ${r.getLong(1)}")
   }
+
+  test("triangleCountDegree: same triangles as id orientation, hub wedge mass cut") {
+    import spark.implicits._
+    // MIDDLE-id hub 100 wired to spokes 1..99 and 101..200: the id (x<y<z)
+    // orientation enumerates (#smaller)×(#larger) = 99×100 wedges THROUGH
+    // the hub; chords (1,101),(2,102) close 2 triangles
+    val hub = ((1L to 99L) ++ (101L to 200L)).map(i => (100L, i))
+    val edges = (hub ++ Seq((1L, 101L), (2L, 102L))).toDF("src", "dst")
+    val id = graft.operators.ext.Graph.triangleCount(edges, "src", "dst").head()
+    val dg = graft.operators.ext.Graph.triangleCountDegree(edges, "src", "dst").head()
+    assert(id.getLong(0) == 201L && dg.getLong(0) == 201L)
+    assert(id.getLong(2) == 2L, s"id orientation triangles: ${id.getLong(2)}")
+    assert(dg.getLong(2) == 2L, "orientation must never change the triangle count")
+    // degree orientation points every spoke (deg 1-2) AT the hub (deg 199),
+    // so the hub's out-degree collapses and its wedge mass vanishes; only
+    // the chord-bearing spokes' O(1) wedges survive
+    assert(id.getLong(1) >= 9900L, s"id orientation hub mass, got ${id.getLong(1)}")
+    assert(dg.getLong(1) < 20L, s"degree orientation must cut the hub term, got ${dg.getLong(1)}")
+    // K4 sanity: both orientations agree with the closed form
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)).toDF("src", "dst")
+    assert(graft.operators.ext.Graph.triangleCountDegree(k4, "src", "dst").head().getLong(2) == 4L)
+  }
 }
