@@ -1,5168 +1,27 @@
 package graft
 
-import java.time.LocalDate
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType, TimestampNTZType, TimestampType}
 
-import graft.operators.{Medallion, Relational}
-import graft.operators.ext.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
-import graft.sources.{Ingest, StubTickerFetcher}
+import QuerySupport.Q
 
-/** The declared query registry: one entry per SURVEY.md §2 operator row, each
-  * with DuckDB-equivalent oracle SQL where SQL-expressible.
-  *
-  * Determinism rules (SURVEY.md §7.4) hold for every query: explicit as-of
-  * date (never current_date), row_number over total orders (never
-  * monotonically_increasing_id), a trailing total-order orderBy, decimals
-  * fixed-point on both sides, token hashes md5-derived (portable), cosines
-  * rounded to DECIMAL(10,6) before any comparison.
+/** The declared query registry: one entry per SURVEY.md operator row, each
+  * with DuckDB-equivalent oracle SQL where SQL-expressible, split by family
+  * (Queries*.scala) behind this single facade. Determinism rules
+  * (SURVEY.md 7.4) hold for every query: explicit as-of date, row_number
+  * over total orders, a trailing total-order orderBy, decimals fixed-point
+  * on both sides, token hashes md5-derived.
   */
 object Queries {
 
-  private val asOf = LocalDate.of(2022, 2, 28)
-
-  private def rd(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
-
-  /** Fresh-scratch helper for the io roundtrip queries: each run rebuilds its
-    * commit log / table root from nothing, so reruns are deterministic.
-    */
-  private def rmrf(path: String): Unit = {
-    val p = java.nio.file.Paths.get(path)
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      val w = java.nio.file.Files.walk(p)
-      try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
-      finally w.close()
-    }
-  }
-
-  /** `events.ts` has carried two physical types across driver fixture
-    * generations: parquet TIMESTAMP(NANOS), which Spark reads as BIGINT
-    * ns-since-epoch under `legacy.parquet.nanosAsLong=true` (Spark has no ns
-    * timestamp type), and parquet TIMESTAMP(MICROS), read as TIMESTAMP_NTZ.
-    * Normalize either to the engine's integer contract: µs since epoch.
-    * The session timezone is pinned UTC, so the NTZ→TIMESTAMP cast is
-    * instant-preserving and `unix_micros` matches DuckDB's `epoch_us(ts)`
-    * exactly — µs is the finest precision all readers share.
-    */
-  private def tsUsSql(schema: StructType): String = schema("ts").dataType match {
-    case LongType                        => "ts div 1000"
-    case TimestampType | TimestampNTZType => "unix_micros(cast(ts as timestamp))"
-    case other =>
-      // Under non-ANSI SQL a blind cast would turn an unexpected physical type
-      // into NULLs and silently diverge from the oracle; fail loudly instead.
-      sys.error(s"events.ts: expected ns-BIGINT or µs-TIMESTAMP(_NTZ), got $other")
-  }
-
-  /** Same normalization as [[tsUsSql]], surfaced as a µs-precision TIMESTAMP
-    * (for `window()`, watermarks, and calendar functions).
-    */
-  private def tsStampSql(schema: StructType): String = schema("ts").dataType match {
-    case LongType                        => "timestamp_micros(ts div 1000)"
-    case TimestampType | TimestampNTZType => "cast(ts as timestamp)"
-    case other =>
-      sys.error(s"events.ts: expected ns-BIGINT or µs-TIMESTAMP(_NTZ), got $other")
-  }
-
-  final case class Q(name: String,
-                     run: (SparkSession, String) => DataFrame,
-                     oracle: Option[String])
-
-  // ---- shared oracle fragments -------------------------------------------
-
-  /** DuckDB equivalent of Spark's conv(substring(md5(x),1,8),16,10): integer
-    * value of the first 8 md5 hex digits.
-    */
-  private def duckHex(col: String): String =
-    (0 until 8).map { i =>
-      s"(CAST(strpos('0123456789abcdef', substr($col, ${i + 1}, 1)) AS BIGINT) - 1) * ${1L << (4 * (7 - i))}"
-    }.mkString("(", " + ", ")")
-
-  /** DuckDB mirror of Relational.zValue: the same 2·bits-term bit-interleave
-    * sum over two BIGINT columns.
-    */
-  private def duckZ(x: String, y: String, bits: Int): String =
-    (0 until bits).flatMap { j =>
-      Seq(s"((($x >> $j) & 1) << ${2 * j})", s"((($y >> $j) & 1) << ${2 * j + 1})")
-    }.mkString("(", " + ", ")")
-
-  private val duckToks =
-    "SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents"
-
-  /** DuckDB mirror of Dedup.minhashLshPairs over an arbitrary token CTE:
-    * same seeds, same band keys, same candidate join, same integer-exact
-    * Jaccard verification — so the LSH bucketing itself is oracle-checked.
-    */
-  /** Token → minhash → band-key CTE chain (toks, h, seeds, mh, bands),
-    * DuckDB form — the signature/banding prefix shared by the pair join
-    * (duckMinhashCtes) and the streaming band-collision oracle.
-    */
-  private def duckBandsCtes(toksSql: String, bandSize: Int): String = {
-    val seeds = Dedup.minhashSeeds.zipWithIndex
-      .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
-    s"""toks AS ($toksSql),
-      |h AS (SELECT doc_id, ${duckHex("md5(tok)")} AS h FROM toks),
-      |seeds AS (SELECT * FROM (VALUES $seeds) AS s(seed, a, b)),
-      |mh AS (SELECT doc_id, seed, min((a * h + b) % ${Dedup.minhashP}) AS mh
-      |  FROM h CROSS JOIN seeds GROUP BY doc_id, seed),
-      |bands AS (SELECT doc_id, seed // $bandSize AS band, string_agg(CAST(mh AS VARCHAR), '-' ORDER BY seed) AS key
-      |  FROM mh GROUP BY doc_id, seed // $bandSize)""".stripMargin
-  }
-
-  private def duckMinhashCtes(toksSql: String, bandSize: Int, threshNum: Int, threshDen: Int): String = {
-    s"""${duckBandsCtes(toksSql, bandSize)},
-      |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b FROM bands x
-      |  JOIN bands y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-      |tsets AS (SELECT doc_id, list(h) AS toks, count(*) AS sz FROM h GROUP BY doc_id),
-      |verified AS (SELECT c.id_a, c.id_b, len(list_intersect(sa.toks, sb.toks)) AS overlap,
-      |  sa.sz AS size_a, sb.sz AS size_b
-      |FROM cand c JOIN tsets sa ON sa.doc_id = c.id_a JOIN tsets sb ON sb.doc_id = c.id_b
-      |WHERE $threshDen * len(list_intersect(sa.toks, sb.toks)) >= $threshNum * (sa.sz + sb.sz - len(list_intersect(sa.toks, sb.toks))))""".stripMargin
-  }
-
-  private def duckMinhashSql(toksSql: String, bandSize: Int, threshNum: Int, threshDen: Int): String =
-    s"WITH ${duckMinhashCtes(toksSql, bandSize, threshNum, threshDen)}\n" +
-      "SELECT id_a, id_b, overlap, size_a, size_b FROM verified ORDER BY id_a, id_b"
-
-  /** DuckDB mirror of Similarity.lshTopK's signature bits: the same seeded
-    * ±1 hyperplanes (Similarity.hyperplanes) as literal DOUBLE[] lists,
-    * projection via list_dot_product, sign taken on the DECIMAL(18,6)-rounded
-    * value — bit-identical to the engine's native float_dot path (both widen
-    * float→double and fold sequentially). Expects a column `v` (DOUBLE[]).
-    */
-  private def duckLshSig(numPlanes: Int, dim: Int): String =
-    Similarity.hyperplanes(numPlanes, dim).zipWithIndex.map { case (plane, i) =>
-      val arr = plane.map(x => if (x > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
-      s"CASE WHEN CAST(list_dot_product(v, CAST($arr AS DOUBLE[])) AS DECIMAL(18,6)) >= 0 " +
-        s"THEN CAST(${1L << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-    }.mkString("(", " + ", ")")
-
-  /** SimHash signature CTE chain (toks → hashes → sigs), DuckDB form —
-    * shared by the signature query and the Hamming-pair join.
-    */
-  private val duckSimhashSigsCte: String = {
-    val terms = (0 until 32).map { j =>
-      s"CASE WHEN sum(CASE WHEN ((h >> $j) & 1) = 1 THEN 1 ELSE -1 END) > 0 " +
-        s"THEN CAST(${1L << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-    }.mkString(" + ")
-    s"""toks AS ($duckToks),
-      |h AS (SELECT doc_id, ${duckHex("md5(tok)")} AS h FROM toks),
-      |sigs AS (SELECT doc_id, ($terms) AS simhash FROM h GROUP BY doc_id)""".stripMargin
-  }
-
-  /** Quality-filter predicate (the x3_quality_score thresholds used by the
-    * curation queries), DuckDB form — shared by x9_curation_e2e and
-    * stream_curation so the two oracles cannot drift. Engine-side twin:
-    * TextAnalysis.qualityKeepPred (one definition for batch + streaming).
-    */
-  private val duckQualityPred =
-    "length(text) >= 120 AND len(list_filter(list_filter(string_split(text, ' '), x -> x <> ''), " +
-      "x -> list_contains(['the','a','of','and','to','in'], x))) >= 1"
-
-  /** Weighted-mixture percentage CASE (50% en / 25% de / 10% rest), DuckDB
-    * form — shared by x6_weighted_mix, x9_curation_e2e, stream_curation.
-    */
-  private val duckMixCase =
-    "(CASE WHEN lang = 'en' THEN 50 WHEN lang = 'de' THEN 25 ELSE 10 END)"
-
-  /** Word-bigram token CTE (order-sensitive shingles), DuckDB form. */
-  private val duckBigramToks =
-    """SELECT DISTINCT doc_id, unnest(list_transform(range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2])) AS tok
-      | FROM (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents)""".stripMargin
-
-  /** DuckDB mirror of Similarity.quantizeInt8 — the (x, s, q) CTE chain:
-    * per-dim min-max scale, rounded to DECIMAL(10,6) BEFORE the floor,
-    * clamped at 255. Shared by every quantized-space oracle
-    * (x2_quantize_int8, x2_ann_quantized, x2_embedding_drift, x2_ann_pq,
-    * x2_ann_ivfpq) so a rounding-policy change cannot silently
-    * desynchronize one copy. q = (vec_id, pos 0-based INTEGER, qq).
-    */
-  private def duckQuantCtesWhere(pred: String): String =
-    s"""x AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS ord,
-      |  unnest(CAST(embedding AS DOUBLE[])) AS u FROM embeddings$pred),
-      |s AS (SELECT ord, min(u) AS mn, max(u) AS mx FROM x GROUP BY ord),
-      |q AS (SELECT vec_id, CAST(x.ord - 1 AS INTEGER) AS pos, CASE WHEN s.mx = s.mn THEN 0
-      |  ELSE CAST(least(floor(CAST(CAST(255 AS DOUBLE) * (x.u - s.mn) / (s.mx - s.mn) AS DECIMAL(10,6))), 255) AS INTEGER)
-      |  END AS qq FROM x JOIN s USING (ord))""".stripMargin
-
-  private val duckQuantCtes = duckQuantCtesWhere("")
-
-  /** DuckDB mirror of the PQ replay chain over `q` from [[duckQuantCtes]]
-    * (Similarity.md5Train + pqTerms + nearestCodes + ADC): tr = full
-    * md5-rank code table; pcb/pterms/pdist/pcodes = 16-code 8-subspace
-    * codebook and per-(vec, sub) assignments; pdt = per-query ADC tables
-    * (qid < 150); pqad = ungated ADC sums. Shared by x2_ann_pq,
-    * x2_ann_ivfpq, and x2_ann_pq_recall so the replay chain has ONE source
-    * (the same single-fragment policy as duckQuantCtes).
-    */
-  private val duckPqCtes =
-    """tr AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) - 1 AS code
-      |  FROM embeddings),
-      |pcb AS (SELECT t.code, q.pos, q.qq AS cq FROM q JOIN tr t USING (vec_id) WHERE t.code < 16),
-      |pterms AS (SELECT q.vec_id, q.pos // 8 AS sub, pcb.code,
-      |  (q.qq - pcb.cq) * (q.qq - pcb.cq) AS t FROM q JOIN pcb USING (pos)),
-      |pdist AS (SELECT vec_id, sub, code, sum(t) AS d FROM pterms GROUP BY 1, 2, 3),
-      |pcodes AS (SELECT vec_id, sub, code FROM
-      |  (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM pdist) WHERE rn = 1),
-      |pdt AS (SELECT vec_id AS qid, sub, code, sum(t) AS dt FROM pterms
-      |  WHERE vec_id < 150 GROUP BY 1, 2, 3),
-      |pqad AS (SELECT pdt.qid, c.vec_id, CAST(sum(pdt.dt) AS BIGINT) AS adist
-      |  FROM pcodes c JOIN pdt ON c.sub = pdt.sub AND c.code = pdt.code
-      |  WHERE c.vec_id <> pdt.qid GROUP BY 1, 2)""".stripMargin
-
-  /** DuckDB mirror of the IVF coarse gate composed over [[duckPqCtes]]:
-    * 32-cell full-vector assignment (ccb/cdist/cells), nprobe=4 probe lists
-    * for qid < 150, and ivfad = ADC sums over gated candidates only. Shared
-    * by x2_ann_ivfpq and x2_ann_pq_recall.
-    */
-  private val duckIvfCtes =
-    """ccb AS (SELECT t.code, q.pos, q.qq AS cq FROM q JOIN tr t USING (vec_id) WHERE t.code < 32),
-      |cdist AS (SELECT q.vec_id, ccb.code, sum((q.qq - ccb.cq) * (q.qq - ccb.cq)) AS d
-      |  FROM q JOIN ccb USING (pos) GROUP BY 1, 2),
-      |cells AS (SELECT vec_id, code AS cell FROM
-      |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, code) AS rn FROM cdist) WHERE rn = 1),
-      |probes AS (SELECT vec_id AS qid, code AS cell FROM
-      |  (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, code) AS rn FROM cdist WHERE vec_id < 150) WHERE rn <= 4),
-      |cand AS (SELECT p.qid, c.vec_id FROM cells c JOIN probes p USING (cell)
-      |  WHERE c.vec_id <> p.qid),
-      |ivfad AS (SELECT cand.qid, cand.vec_id, CAST(sum(pdt.dt) AS BIGINT) AS adist
-      |  FROM cand JOIN pcodes ON pcodes.vec_id = cand.vec_id
-      |  JOIN pdt ON pdt.qid = cand.qid AND pdt.sub = pcodes.sub AND pdt.code = pcodes.code
-      |  GROUP BY 1, 2)""".stripMargin
-
-  /** DuckDB mirror of Similarity.binarySignatures over [[duckQuantCtes]]'s
-    * `q`: per-dimension integer sums, then the exact q·n ≥ Σq mean test
-    * packs sign bits into two 32-bit words. Shared by x2_ann_binary and
-    * x2_ann_binary_rerank.
-    */
-  private val duckBinaryCtes =
-    """bs AS (SELECT pos, sum(qq) AS s, count(*) AS n FROM q GROUP BY pos),
-      |bsig AS (SELECT q.vec_id,
-      |  CAST(sum(CASE WHEN qq * n >= s AND pos < 32 THEN (CAST(1 AS BIGINT) << CAST(pos AS INTEGER)) ELSE 0 END) AS BIGINT) AS w0,
-      |  CAST(sum(CASE WHEN qq * n >= s AND pos >= 32 THEN (CAST(1 AS BIGINT) << CAST(pos - 32 AS INTEGER)) ELSE 0 END) AS BIGINT) AS w1
-      |  FROM q JOIN bs USING (pos) GROUP BY q.vec_id),
-      |bham AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-      |  CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INTEGER) AS hd
-      |  FROM bsig a JOIN bsig b ON a.vec_id <> b.vec_id WHERE a.vec_id < 150)""".stripMargin
-
-  /** DuckDB mirror of the FROZEN-quantizer incremental PQ chain
-    * (x2_ann_pq_incremental): affine ranges and the md5 codebook come from
-    * vec_id < `base` only; codes cover vec_id < `corpus`; ADC tables for
-    * qid < `ql`. The frozen stats are the one semantic difference from
-    * [[duckQuantCtes]]/[[duckPqCtes]] — everything downstream is the same
-    * replay chain.
-    */
-  private def duckFrozenPqCtes(base: Int, corpus: Int, ql: Int): String =
-    s"""fx AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS ord,
-      |  unnest(CAST(embedding AS DOUBLE[])) AS u FROM embeddings WHERE vec_id < $corpus),
-      |fs AS (SELECT ord, min(u) AS mn, max(u) AS mx FROM fx WHERE vec_id < $base GROUP BY ord),
-      |fq AS (SELECT vec_id, CAST(fx.ord - 1 AS INTEGER) AS pos, CASE WHEN fs.mx = fs.mn THEN 0
-      |  ELSE CAST(greatest(least(floor(CAST(CAST(255 AS DOUBLE) * (fx.u - fs.mn) / (fs.mx - fs.mn) AS DECIMAL(10,6))), 255), 0) AS INTEGER)
-      |  END AS qq FROM fx JOIN fs USING (ord)),
-      |ftr AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS INTEGER) - 1 AS code
-      |  FROM embeddings WHERE vec_id < $base),
-      |fcb AS (SELECT t.code, fq.pos, fq.qq AS cq FROM fq JOIN ftr t USING (vec_id) WHERE t.code < 16),
-      |fterms AS (SELECT fq.vec_id, fq.pos // 8 AS sub, fcb.code,
-      |  (fq.qq - fcb.cq) * (fq.qq - fcb.cq) AS t FROM fq JOIN fcb USING (pos)),
-      |fdist AS (SELECT vec_id, sub, code, sum(t) AS d FROM fterms GROUP BY 1, 2, 3),
-      |fcodes AS (SELECT vec_id, sub, code FROM
-      |  (SELECT *, row_number() OVER (PARTITION BY vec_id, sub ORDER BY d, code) AS rn FROM fdist) WHERE rn = 1),
-      |fdt AS (SELECT vec_id AS qid, sub, code, sum(t) AS dt FROM fterms
-      |  WHERE vec_id < $ql GROUP BY 1, 2, 3),
-      |fad AS (SELECT fdt.qid, c.vec_id, CAST(sum(fdt.dt) AS BIGINT) AS adist
-      |  FROM fcodes c JOIN fdt ON c.sub = fdt.sub AND c.code = fdt.code
-      |  WHERE c.vec_id <> fdt.qid GROUP BY 1, 2)""".stripMargin
-
-  private val goldCte =
-    """SELECT l_returnflag,
-      | min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_value,
-      | max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_value,
-      | CAST(max(CAST(l_extendedprice AS DECIMAL(12,2))) - min(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS diff,
-      | 2022 AS as_of_year, 2 AS as_of_month, 28 AS as_of_day
-      |FROM lineitem GROUP BY l_returnflag""".stripMargin
-
-  /** Driver-gate canonicalization: any COMPUTED decimal column is rendered as
-    * a string on BOTH engine and oracle sides. The driver's hasher reads the
-    * oracle result through a decimal→float64 conversion ("377.40" → "377.4")
-    * while Spark's parquet decimals keep their scale ("377.40") — so a decimal
-    * column hash-mismatches whenever any value has a trailing zero, even
-    * though the values are identical. Strings render identically in both
-    * engines (Spark decimal→string and DuckDB decimal→VARCHAR both keep
-    * scale), which takes representation out of the hash entirely. Raw-table
-    * doubles/ints are unaffected (no conversion happens for them).
-    */
-  private def strCols(df: DataFrame, cols: Seq[String]): DataFrame =
-    df.select(df.columns.toIndexedSeq.map { c =>
-      if (cols.contains(c)) col(c).cast("string").as(c) else col(c)
-    }: _*)
-
-  /** goldCte with the computed decimals rendered as strings (see [[strCols]]). */
-  private val goldStrSql =
-    s"""SELECT l_returnflag, CAST(min_value AS VARCHAR) AS min_value,
-      | CAST(max_value AS VARCHAR) AS max_value, CAST(diff AS VARCHAR) AS diff,
-      | as_of_year, as_of_month, as_of_day FROM ($goldCte)""".stripMargin
-
-  private val goldStrCols = Seq("min_value", "max_value", "diff")
-
-  // ---- shared builders ----------------------------------------------------
-
-  private def servingDf(s: SparkSession, dir: String): DataFrame =
-    Medallion.stringify(
-      Medallion.withSurrogateId(
-        Medallion.silverToGold(rd(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", asOf),
-        Seq("l_returnflag")))
-
-  private val servingSql =
-    s"""WITH gold AS ($goldCte)
-      |SELECT CAST(row_number() OVER (ORDER BY l_returnflag) AS VARCHAR) AS id,
-      | CAST(l_returnflag AS VARCHAR) AS l_returnflag,
-      | CAST(min_value AS VARCHAR) AS min_value, CAST(max_value AS VARCHAR) AS max_value,
-      | CAST(diff AS VARCHAR) AS diff, CAST(as_of_year AS VARCHAR) AS as_of_year,
-      | CAST(as_of_month AS VARCHAR) AS as_of_month, CAST(as_of_day AS VARCHAR) AS as_of_day
-      |FROM gold ORDER BY l_returnflag""".stripMargin
-
-  /** Unique memory-sink names for streaming declared queries (the name is a
-    * session temp view; each invocation gets a fresh one).
-    */
-  private val streamSinkN = new java.util.concurrent.atomic.AtomicLong()
-
-  private def freshDir(s: SparkSession, name: String): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/$name"
-    val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(path), true)
-    path
-  }
-
-  /** JVM-memoized STANDING fixtures — artifacts a production deployment
-    * maintains as long-lived state (the corpus pair list a dedup service
-    * keeps current, the persisted band/PQ/lexical indexes, the versioned
-    * table's commit log), which several registry queries consume but none
-    * of them CLAIMS to build. Rebuilding them inside every query run
-    * re-measures the same construction once per consumer per pass; the
-    * VERDICT r10 bench-budget audit flagged exactly that. Each fixture is
-    * built ONCE per (session, sf-dir) and keyed so a different scale factor
-    * or session can never see another's artifact; queries then measure what
-    * they claim — clustering, election, probing, appending — against the
-    * standing state, the way their 100 TB deployment would. Correctness is
-    * untouched: a fixture is a deterministic function of the input tables,
-    * and every consumer's oracle still replays the full construction in
-    * DuckDB.
-    */
-  private object Fixtures {
-    private val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
-    def once[T <: AnyRef](s: SparkSession, dir: String, name: String)(build: => T): T =
-      cache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir:$name",
-        _ => build).asInstanceOf[T]
-  }
-
-  /** Stable per-sf-dir scratch tag: fixture artifacts (table roots, catalog
-    * table names) built from different scale factors must never collide on
-    * disk or in the catalog, even across JVMs.
-    */
-  private def dirTag(dir: String): String =
-    java.lang.Integer.toHexString(dir.hashCode)
-
-  /** Per-invocation compaction-target generation counter: each live
-    * compaction rewrites into a fresh dir (the catalog swap retires the
-    * previous one), so repeated passes never read and write one path.
-    */
-  private val compactGen = new java.util.concurrent.atomic.AtomicLong()
-
-  /** Standing fixture: the full-corpus verified near-dup pair list
-    * (Dedup.minhashLshPairs at the registry's standard 8/19-20 setting),
-    * checkpointed once per (session, sf-dir). LSH pair semantics are
-    * pointwise — a pair (a,b) is emitted iff the two documents share a band
-    * key and pass exact-Jaccard verification, independent of every other
-    * document — so the pair list of ANY id-subset of the corpus is exactly
-    * this list filtered to ids inside the subset; subset consumers filter
-    * instead of recomputing. Pair GENERATION itself stays a live-measured
-    * query: x2_minhash_lsh computes this pipeline unbounded every pass.
-    */
-  private def lshPairsFx(s: SparkSession, dir: String): DataFrame =
-    Fixtures.once(s, dir, "lsh_pairs") {
-      Dedup.minhashLshPairs(rd(s, dir, "documents"), "doc_id", "text", 8, 19, 20)
-        .localCheckpoint(true)
-    }
-
-  private val servingCols =
-    Seq("id", "l_returnflag", "min_value", "max_value", "diff", "as_of_year", "as_of_month", "as_of_day")
-
-  /** The deterministic stub-feed result (see sources/Ingest.stubBatches),
-    * price rendered as string (see [[strCols]]). Shared by ingest_micro_batch
-    * and relational_store_roundtrip, whose roundtrip is the identity.
-    */
-  private val ingestOracleSql =
-    """SELECT symbol, CAST(price AS VARCHAR) AS price FROM (
-      | SELECT symbol, CAST(price AS DECIMAL(10,2)) AS price FROM (VALUES
-      |  ('ADAUSDT', 1.18), ('ADAUSDT', 1.19), ('BNBUSDT', 377.40), ('BNBUSDT', 378.01),
-      |  ('BTCUSDT', 38277.23), ('BTCUSDT', 38310.50), ('ETHUSDT', 2641.17), ('ETHUSDT', 2650.00),
-      |  ('LTCUSDT', 129.99), ('LTCUSDT', 130.25)) AS t(symbol, price))
-      |ORDER BY symbol, CAST(price AS DECIMAL(10,2))""".stripMargin
-
-  // ---- query definitions --------------------------------------------------
-
-  val defs: Seq[Q] = Seq(
-
-    // A1+P2+P3+O1 — the reference's one real analytical query
-    // (codes/silverToGold.scala:10-26).
-    Q("silver_to_gold",
-      (s, dir) => strCols(
-        Medallion.silverToGold(rd(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", asOf),
-        goldStrCols),
-      Some(s"$goldStrSql ORDER BY l_returnflag")),
-
-    // S6+A2+O1 — scan → distinct → sort (codes/bronzeToSilver.scala:7-15).
-    // The scan uses a glob pattern, as the reference does (bronzeToSilver
-    // .scala:3 reads `data/*.parquet`): Spark expands the glob natively.
-    Q("bronze_to_silver",
-      (s, dir) => Medallion.bronzeToSilver(
-        s.read.parquet(s"$dir/lineit*.parquet").select("l_returnflag", "l_linestatus", "l_shipdate"),
-        Seq("l_returnflag", "l_linestatus", "l_shipdate")),
-      Some("SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem " +
-        "ORDER BY l_returnflag, l_linestatus, l_shipdate")),
-
-    // P4+P5 — surrogate id + stringify-all serving shape
-    // (codes/goldToSynapse.scala:27-34).
-    Q("serve_stringify",
-      (s, dir) => servingDf(s, dir).orderBy("l_returnflag"),
-      Some(servingSql)),
-
-    // CORE COMPOSITION PROOF (the reference's OWN chain, the counterpart of
-    // x9_curation_e2e for the non-EXT surface): ingest → bronze write/read →
-    // silver dedup → gold agg → serving surrogate-id+stringify, run through
-    // the REAL Pipeline class with real parquet roundtrips between stages
-    // and both serving sinks (staged warehouse + JSON documents) — the
-    // Airflow `>>` graph as one declared query. serve_stringify checks the
-    // same math in memory; this row proves the stage contracts survive the
-    // write/read boundaries. min/max/diff are duplicate-insensitive, so the
-    // silver distinct does not change the gold oracle.
-    Q("medallion_e2e",
-      (s, dir) => {
-        val root = freshDir(s, "graft_medallion_e2e")
-        val pipe = new Pipeline(graft.io.ParquetTableFormat,
-          new graft.io.StagedWarehouseSink(s"$root/staging", s"$root/warehouse"),
-          graft.io.JsonDocumentSink)
-        val ingested = rd(s, dir, "lineitem")
-          .select(col("l_returnflag").as("symbol"), col("l_extendedprice").as("price"))
-        pipe.run(s, ingested, root, asOf).orderBy("symbol")
-      },
-      Some(s"""WITH gold AS ($goldCte)
-        |SELECT CAST(row_number() OVER (ORDER BY l_returnflag) AS VARCHAR) AS id,
-        | CAST(l_returnflag AS VARCHAR) AS symbol,
-        | CAST(min_value AS VARCHAR) AS min_value, CAST(max_value AS VARCHAR) AS max_value,
-        | CAST(diff AS VARCHAR) AS diff, CAST(as_of_year AS VARCHAR) AS as_of_year,
-        | CAST(as_of_month AS VARCHAR) AS as_of_month, CAST(as_of_day AS VARCHAR) AS as_of_day
-        |FROM gold ORDER BY symbol""".stripMargin)),
-
-    // S10 — staged warehouse bulk load (stage parquet, commit by rename),
-    // then read the warehouse table back. Roundtrip is the identity over the
-    // serving projection, so the serving oracle applies.
-    Q("warehouse_sink_roundtrip",
-      (s, dir) => {
-        val root = freshDir(s, "graft_wh_roundtrip")
-        val sink = new graft.io.StagedWarehouseSink(s"$root/staging", s"$root/warehouse")
-        sink.append(servingDf(s, dir), "gold_serving")
-        sink.read(s, "gold_serving").select(servingCols.map(col): _*).orderBy("l_returnflag")
-      },
-      Some(servingSql)),
-
-    // S13 — CSV format roundtrip: the serving projection written with header
-    // and read back (all-string schema — the serving shape is stringified,
-    // so the roundtrip is the identity and the serving oracle applies).
-    Q("csv_roundtrip",
-      (s, dir) => {
-        val root = freshDir(s, "graft_csv_roundtrip")
-        servingDf(s, dir).write.mode("overwrite").option("header", "true").csv(root)
-        s.read.option("header", "true").csv(root)
-          .select(servingCols.map(col): _*).orderBy("l_returnflag")
-      },
-      Some(servingSql)),
-
-    // S13 — ORC format roundtrip (the other columnar format Spark ships):
-    // same identity-roundtrip shape as csv_roundtrip, types preserved.
-    Q("orc_roundtrip",
-      (s, dir) => {
-        val root = freshDir(s, "graft_orc_roundtrip")
-        servingDf(s, dir).write.mode("overwrite").orc(root)
-        s.read.orc(root)
-          .select(servingCols.map(col): _*).orderBy("l_returnflag")
-      },
-      Some(servingSql)),
-
-    // S13 — JSON-lines format roundtrip, completing the built-in format
-    // coverage (parquet / csv / orc / json): schema pinned explicitly on
-    // read (inference would widen the serving decimals).
-    Q("json_roundtrip",
-      (s, dir) => {
-        val root = freshDir(s, "graft_json_roundtrip")
-        val out = servingDf(s, dir)
-        out.write.mode("overwrite").json(root)
-        s.read.schema(out.schema).json(root)
-          .select(servingCols.map(col): _*).orderBy("l_returnflag")
-      },
-      Some(servingSql)),
-
-    // S11 — document sink: one JSON doc per row, read back through the JSON
-    // reader (schema re-inferred from the documents).
-    Q("document_sink_roundtrip",
-      (s, dir) => {
-        val root = freshDir(s, "graft_doc_roundtrip")
-        graft.io.JsonDocumentSink.write(servingDf(s, dir), s"$root/docs")
-        s.read.json(s"$root/docs").select(servingCols.map(col): _*).orderBy("l_returnflag")
-      },
-      Some(servingSql)),
-
-    // S3+S4+S5 — relational store: DDL recreate, batched append, then the
-    // extract step (table -> snappy parquet in bronze) and a bronze scan.
-    Q("relational_store_roundtrip",
-      (s, dir) => {
-        val root = freshDir(s, "graft_store_roundtrip")
-        val store = new graft.io.LocalParquetStore(s"$root/store")
-        store.recreate(s, "crypto")
-        store.appendBatch(Ingest.ingest(s, new StubTickerFetcher(Ingest.stubBatches), 2), "crypto")
-        store.extractToParquet(s, "crypto", s"$root/bronze/crypto")
-        strCols(s.read.parquet(s"$root/bronze/crypto").orderBy("symbol", "price"), Seq("price"))
-      },
-      Some(ingestOracleSql)),
-
-    // S3 through the catalog front door: CREATE TABLE ... USING parquet,
-    // INSERT INTO ... SELECT, then aggregate the catalog table — the
-    // spark.sql DDL/DML surface a user of the reference's SQL stage would
-    // reach for (etl-vini-azure.py:83-104 does DROP/CREATE/INSERT in T-SQL).
-    Q("sql_ddl_roundtrip",
-      (s, dir) => {
-        val root = freshDir(s, "graft_ddl_roundtrip")
-        s.sql("DROP TABLE IF EXISTS graft_orders_ddl")
-        s.sql("CREATE TABLE graft_orders_ddl (o_orderkey BIGINT, o_orderpriority STRING, " +
-          s"o_totalprice DOUBLE) USING parquet LOCATION '$root/t'")
-        rd(s, dir, "orders").createOrReplaceTempView("orders_ddl_src")
-        s.sql("INSERT INTO graft_orders_ddl SELECT o_orderkey, o_orderpriority, o_totalprice " +
-          "FROM orders_ddl_src WHERE o_orderkey % 100 = 0")
-        s.sql("SELECT o_orderpriority, count(*) AS n, " +
-          "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS STRING) AS total " +
-          "FROM graft_orders_ddl GROUP BY 1 ORDER BY 1")
-      },
-      Some("SELECT o_orderpriority, count(*) AS n, " +
-        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS total " +
-        "FROM orders WHERE o_orderkey % 100 = 0 GROUP BY 1 ORDER BY 1")),
-
-    // S1+S2+U1+P1+O1 — poll → JSON parse → union → IN-filter → sort
-    // (etl-vini-azure.py:61-79), deterministic stub feed.
-    Q("ingest_micro_batch",
-      (s, _) => strCols(Ingest.ingest(s, new StubTickerFetcher(Ingest.stubBatches), 2), Seq("price")),
-      Some(ingestOracleSql)),
-
-    // S8+S9 — partitioned overwrite write + partition-recovery scan behind
-    // TableFormat (codes/silverToGold.scala:26, goldToCosmosdb.scala:24-25).
-    // Roundtrip is the identity, so the oracle is silver_to_gold's.
-    Q("gold_partitioned_roundtrip",
-      (s, dir) => {
-        val gold = Medallion.silverToGold(rd(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", asOf)
-        val path = s"${System.getProperty("java.io.tmpdir")}/graft_gold_roundtrip"
-        graft.io.ParquetTableFormat.write(gold, path,
-          partitionCols = Seq("as_of_year", "as_of_month", "as_of_day"))
-        strCols(
-          graft.io.ParquetTableFormat.read(s, path)
-            .select("l_returnflag", "min_value", "max_value", "diff", "as_of_year", "as_of_month", "as_of_day")
-            .orderBy("l_returnflag"),
-          goldStrCols)
-      },
-      Some(s"$goldStrSql ORDER BY l_returnflag")),
-
-    // S8+ — snapshot-versioned table (Delta-style commit log over Parquet,
-    // io/VersionedTable.scala): three commits (overwrite, append, overwrite),
-    // then a TIME-TRAVEL read of v2 while v3 is the latest — proving the v3
-    // overwrite did not disturb the v2 snapshot and the append composed with
-    // its parent. The oracle recomputes v2's logical content (keys ≡ 0 or 1
-    // mod 3) from the raw table; n_versions pins the log length.
-    Q("versioned_time_travel",
-      (s, dir) => {
-        // standing-fixture commit log (built once per session+sf — the
-        // commit protocol itself is exercised by the build and re-proven by
-        // the oracle through the probe's content); measured work = the
-        // TIME-TRAVEL read, the serving-path claim of this row
-        val root = Fixtures.once(s, dir, "vt_tt") {
-          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_tt_${dirTag(dir)}"
-          rmrf(r)
-          val o = rd(s, dir, "orders")
-          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 0), r, "overwrite", "tt-v1")
-          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 1), r, "append", "tt-v2")
-          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 100 === 0), r, "overwrite", "tt-v3")
-          r
-        }
-        val latest = graft.io.VersionedTable.latestVersion(root).get
-        graft.io.VersionedTable.read(s, root, asOf = Some(2L))
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
-          .withColumn("n_versions", lit(latest))
-          .orderBy("o_orderpriority")
-      },
-      Some("SELECT o_orderpriority, count(*) AS n, " +
-        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, CAST(3 AS BIGINT) AS n_versions " +
-        "FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1 ORDER BY 1")),
-
-    // S8+ — history-preserving rollback (Delta RESTORE semantics): v1 good,
-    // v2 a bad overwrite, v3 = rollback-to-v1 (a new manifest pointing at
-    // v1's data dirs — zero data movement). The latest read must equal v1's
-    // content; a same-commitId retry of the rollback must be a no-op (log
-    // stays at 3 versions). The idempotent-retry and log-length facts ride
-    // in the constant columns.
-    Q("versioned_rollback",
-      (s, dir) => {
-        // fixture = commit log with the bad overwrite already rolled back;
-        // the rollback + idempotent retry are metadata ops re-provable every
-        // pass at zero data cost, so they stay LIVE — only the data writes
-        // are standing state
-        val root = Fixtures.once(s, dir, "vt_rb") {
-          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_rb_${dirTag(dir)}"
-          rmrf(r)
-          val o = rd(s, dir, "orders")
-          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0), r, "overwrite", "rb-v1")
-          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 1000 === 0), r, "overwrite", "rb-bad")
-          r
-        }
-        val v3 = graft.io.VersionedTable.rollback(root, toVersion = 1L, commitId = "rb-restore")
-        val retried = graft.io.VersionedTable.rollback(root, toVersion = 1L, commitId = "rb-restore")
-        val logLen = graft.io.VersionedTable.history(root).size
-        graft.io.VersionedTable.read(s, root) // latest == restored v1 content
-          .groupBy("o_orderstatus")
-          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
-          .withColumn("restored_version", lit(v3))
-          .withColumn("retry_noop", lit(retried == v3 && logLen == 3))
-          .orderBy("o_orderstatus")
-      },
-      Some("SELECT o_orderstatus, count(*) AS n, " +
-        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, CAST(3 AS BIGINT) AS restored_version, " +
-        "TRUE AS retry_noop " +
-        "FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1 ORDER BY 1")),
-
-    // S8+ — incremental (CDC-style) consumption: after an overwrite base (v1)
-    // and two appends (v2, v3), changesBetween(1, 3) must surface EXACTLY the
-    // appended rows — the O(new data) read that lets a downstream pipeline
-    // track a 100 TB append-grown table without rescanning it. The oracle is
-    // the appended key classes only (≡ 1 or 2 mod 4); base rows (≡ 0) leaking
-    // in would break the count and sum both.
-    Q("versioned_incremental",
-      (s, dir) => {
-        // fixture = the append-grown log; measured work = the CDC read,
-        // which is this row's O(new data) claim
-        val root = Fixtures.once(s, dir, "vt_inc") {
-          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_inc_${dirTag(dir)}"
-          rmrf(r)
-          val o = rd(s, dir, "orders")
-          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 4 === 0), r, "overwrite", "inc-v1")
-          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 4 === 1), r, "append", "inc-v2")
-          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 4 === 2), r, "append", "inc-v3")
-          r
-        }
-        graft.io.VersionedTable.changesBetween(s, root, fromVersion = 1L, toVersion = 3L)
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
-          .orderBy("o_orderpriority")
-      },
-      Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
-        "FROM orders WHERE o_orderkey % 4 IN (1, 2) GROUP BY 1 ORDER BY 1")),
-
-    // S8+S17 — PARTITIONED versioned commits (the reference's gold layout —
-    // hive-partitioned Delta — under the commit log): each commit dir carries
-    // its own year-style hive layout, the snapshot read recovers the
-    // partition column and PRUNES on it per dir (IoSpec plan-asserts the
-    // PartitionFilters), and appends must match their parent's layout. The
-    // oracle recomputes the partition-filtered aggregate from the raw table.
-    Q("versioned_partitioned",
-      (s, dir) => {
-        // fixture = the hive-partitioned commit log; measured work = the
-        // partition-pruned snapshot read (IoSpec asserts the PartitionFilters)
-        val root = Fixtures.once(s, dir, "vt_part") {
-          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_part_${dirTag(dir)}"
-          rmrf(r)
-          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
-          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0), r,
-            "overwrite", "p-v1", partitionCols = Seq("o_orderstatus"))
-          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1), r,
-            "append", "p-v2", partitionCols = Seq("o_orderstatus"))
-          r
-        }
-        graft.io.VersionedTable.read(s, root)
-          .filter(col("o_orderstatus") === "O")
-          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
-      },
-      Some("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
-        "FROM orders WHERE o_orderstatus = 'O'")),
-
-    // S17 — OPTIMIZE-style compaction as a commit: four appends fragment the
-    // table (one dir per commit), `compact` rewrites the snapshot into one
-    // 2-file dir published as version 5, and the read-after-compact must see
-    // the identical row set — the oracle recomputes the logical content from
-    // the raw table, so any row lost or duplicated by the rewrite breaks the
-    // hash. File-count/layout/time-travel/CDC-refusal assertions live in
-    // IoSpec (not DuckDB-expressible).
-    Q("versioned_compact",
-      (s, dir) => {
-        // fixture = the fragmented log WITH its compaction already
-        // published (compact carries a commitId, so a live re-run would be
-        // the idempotent no-op branch anyway — IoSpec measures the rewrite
-        // mechanics); measured work = the read-after-compact
-        val root = Fixtures.once(s, dir, "vt_opt") {
-          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_opt_${dirTag(dir)}"
-          rmrf(r)
-          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
-          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 4 === 0), r, "overwrite", "cp-v1")
-          (1 to 3).foreach(i => graft.io.VersionedTable.commit(
-            o.filter(col("o_orderkey") % 4 === i), r, "append", s"cp-v${i + 1}"))
-          graft.io.VersionedTable.compact(s, r, "cp-opt", targetFiles = 2)
-          r
-        }
-        graft.io.VersionedTable.read(s, root)
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
-          .orderBy("o_orderpriority")
-      },
-      Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
-        "FROM orders GROUP BY 1 ORDER BY 1")),
-
-    // S16+S17 — row-level CDC ACROSS AN OVERWRITE: changesBetween refuses
-    // overwrite-crossing ranges by design (a dir-difference delta would lie);
-    // the correct tool there is the fingerprint snapshotDiff of the two
-    // version READS — composing the versioned store with S16 closes the CDC
-    // story for every commit type. v1 and an overwritten v2 (drops, edits,
-    // adds) diff into added/removed/changed rows; the oracle rebuilds both
-    // logical snapshots from the raw table.
-    Q("versioned_diff",
-      (s, dir) => {
-        // fixture = the two committed snapshots; measured work = the
-        // fingerprint CDC diff of their reads, this row's S16+S17 claim
-        val root = Fixtures.once(s, dir, "vt_diff") {
-          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_diff_${dirTag(dir)}"
-          rmrf(r)
-          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
-          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 0), r, "overwrite", "d-v1")
-          val v2 = o.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 5 =!= 0)
-            .withColumn("o_totalprice",
-              when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1).otherwise(col("o_totalprice")))
-            .unionByName(o.filter(col("o_orderkey") % 3 === 1 && col("o_orderkey") < 3000))
-          graft.io.VersionedTable.commit(v2, r, "overwrite", "d-v2")
-          r
-        }
-        Relational.snapshotDiff(
-            graft.io.VersionedTable.read(s, root, asOf = Some(1L)),
-            graft.io.VersionedTable.read(s, root, asOf = Some(2L)),
-            Seq("o_orderkey"), Seq("o_orderpriority", "o_totalprice"))
-          .orderBy("o_orderkey")
-      },
-      Some("""WITH a AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
-        |b AS (SELECT o_orderkey, o_orderpriority,
-        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
-        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
-        |  UNION ALL SELECT o_orderkey, o_orderpriority, o_totalprice
-        |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey < 3000)
-        |SELECT o_orderkey,
-        |  CASE WHEN a.o_orderpriority IS NULL THEN 'added'
-        |    WHEN b.o_orderpriority IS NULL THEN 'removed'
-        |    WHEN a.o_orderpriority <> b.o_orderpriority OR a.o_totalprice <> b.o_totalprice THEN 'changed' END AS change
-        |FROM a FULL OUTER JOIN b USING (o_orderkey)
-        |WHERE a.o_orderpriority IS NULL OR b.o_orderpriority IS NULL
-        |  OR a.o_orderpriority <> b.o_orderpriority OR a.o_totalprice <> b.o_totalprice
-        |ORDER BY o_orderkey""".stripMargin)),
-
-    // S8+ — manifest-level data skipping (Iceberg-style): four appends of
-    // key-range-disjoint slices with per-dir min/max stats gathered from the
-    // parquet footers at commit time, then a range read that must plan ONLY
-    // the one overlapping commit dir (dirs_scanned=1 of dirs_total=4 — the
-    // pruning itself is driver-visible, not just the row values). The
-    // residual filter is always applied, so the aggregate stays correct even
-    // if stats were absent; the constants are what prove the skip happened.
-    Q("versioned_pruned_scan",
-      (s, dir) => {
-        // fixture = the four stats-carrying appends; measured work = the
-        // manifest-pruned RANGE read, this row's data-skipping claim
-        val (root, q1, q2) = Fixtures.once(s, dir, "vt_prune") {
-          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_prune_${dirTag(dir)}"
-          rmrf(r)
-          val o = rd(s, dir, "orders")
-          // bounded scalar probe: one max() to derive the four value bands
-          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
-          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
-          val bands = Seq(
-            ("b1", col("o_orderkey") <= b1),
-            ("b2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
-            ("b3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
-            ("b4", col("o_orderkey") > b3))
-          bands.foreach { case (id, pred) =>
-            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"prune-$id",
-              statsCols = Seq("o_orderkey"))
-          }
-          (r, b1, b2)
-        }
-        val kept = graft.io.VersionedTable.planRange(root, "o_orderkey", q1 + 1, q2)
-        val total = graft.io.VersionedTable.history(root).last.dirs.size
-        graft.io.VersionedTable.readRange(s, root, "o_orderkey", q1 + 1, q2)
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
-          .withColumn("dirs_scanned", lit(kept.size.toLong))
-          .withColumn("dirs_total", lit(total.toLong))
-          .orderBy("o_orderpriority")
-      },
-      Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
-        "CAST(1 AS BIGINT) AS dirs_scanned, CAST(4 AS BIGINT) AS dirs_total FROM orders " +
-        "WHERE o_orderkey > (SELECT max(o_orderkey) // 4 FROM orders) " +
-        "AND o_orderkey <= (SELECT max(o_orderkey) // 2 FROM orders) " +
-        "GROUP BY 1 ORDER BY 1")),
-
-    // S8+ — BLOOM data skipping, the point-lookup complement of
-    // versioned_pruned_scan: four appends sliced by o_orderkey % 4, so every
-    // commit's [min, max] spans the whole key domain and min/max stats can
-    // never skip a dir — the side-file bloom (md5-positions, ~16 bits per
-    // distinct key, sized per commit) is what prunes a `key = v` probe to
-    // the dir(s) holding the key. The gate asserts bloom_pruned = the probe
-    // scanned FEWER dirs than the snapshot holds — not an exact count,
-    // because each non-matching dir carries an independent ~0.5 % false-
-    // positive chance and an exact pin could flip at a different SF; all
-    // three missing simultaneously (~1e-7) is the only way this row fails.
-    // The residual predicate always applies — a false positive costs an
-    // extra dir scan, never a wrong row.
-    Q("versioned_bloom_scan",
-      (s, dir) => {
-        // fixture = the four bloom-carrying appends; measured work = the
-        // bloom-pruned POINT read, this row's data-skipping claim
-        val (root, key) = Fixtures.once(s, dir, "vt_bloom") {
-          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_bloom_${dirTag(dir)}"
-          rmrf(r)
-          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
-          (0 to 3).foreach(i => graft.io.VersionedTable.commit(
-            o.filter(col("o_orderkey") % 4 === i), r, "append", s"bloom-v$i",
-            bloomCols = Seq("o_orderkey")))
-          // bounded scalar probe: the lookup key (max key — deterministic)
-          (r, o.agg(max(col("o_orderkey"))).head().getLong(0))
-        }
-        val kept = graft.io.VersionedTable.planPoint(root, "o_orderkey", key)
-        val total = graft.io.VersionedTable.history(root).last.dirs.size
-        graft.io.VersionedTable.readPoint(s, root, "o_orderkey", key)
-          .withColumn("bloom_pruned", lit(kept.size < total))
-          .withColumn("dirs_total", lit(total.toLong))
-          .orderBy("o_orderkey")
-      },
-      Some("SELECT o_orderkey, o_orderpriority, o_totalprice, " +
-        "CAST(TRUE AS BOOLEAN) AS bloom_pruned, CAST(4 AS BIGINT) AS dirs_total " +
-        "FROM orders WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders) " +
-        "ORDER BY o_orderkey")),
-
-    // S17 — ADD-COLUMN schema evolution (the one Delta lifecycle behavior
-    // the versioned table previously lacked): v1 commits the narrow
-    // (o_orderkey, o_orderpriority) shape, v2 appends a batch WIDENED with
-    // o_custkey. The latest snapshot read declares v2's manifest schema, so
-    // v1's rows backfill o_custkey as NULL (cust_sum counts only odd keys —
-    // leaked backfill would break the sum); time travel to v1 still returns
-    // the ORIGINAL 2-column shape (v1_cols); and a type-changing append
-    // (o_custkey as string) must be refused loudly before any manifest
-    // publishes (type_change_rejected — the failed attempt must also not
-    // advance the log, which the probe proves by reading the same snapshot
-    // after it).
-    Q("versioned_schema_evolution",
-      (s, dir) => {
-        val (root, rejected) = Fixtures.once(s, dir, "vt_schema") {
-          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_schema_${dirTag(dir)}"
-          rmrf(r)
-          val o = rd(s, dir, "orders")
-          graft.io.VersionedTable.commit(
-            o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "o_orderpriority"),
-            r, "overwrite", "sch-v1")
-          graft.io.VersionedTable.commit(
-            o.filter(col("o_orderkey") % 2 === 1)
-              .select("o_orderkey", "o_orderpriority", "o_custkey"),
-            r, "append", "sch-v2")
-          val rej =
-            try {
-              graft.io.VersionedTable.commit(
-                o.filter(col("o_orderkey") % 2 === 1).limit(1)
-                  .select(col("o_orderkey"), col("o_orderpriority"),
-                    col("o_custkey").cast("string").as("o_custkey")),
-                r, "append", "sch-bad")
-              false
-            } catch { case e: Throwable => e.getMessage.contains("type change") }
-          (r, java.lang.Boolean.valueOf(rej))
-        }
-        val v1Cols = graft.io.VersionedTable.read(s, root, asOf = Some(1L)).columns.length
-        graft.io.VersionedTable.read(s, root)
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
-            sum(col("o_custkey")).as("cust_sum"))
-          .withColumn("v1_cols", lit(v1Cols.toLong))
-          .withColumn("type_change_rejected", lit(rejected.booleanValue()))
-          .orderBy("o_orderpriority")
-      },
-      Some("SELECT o_orderpriority, count(*) AS n, " +
-        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
-        "CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_custkey END) AS BIGINT) AS cust_sum, " +
-        "CAST(2 AS BIGINT) AS v1_cols, TRUE AS type_change_rejected " +
-        "FROM orders GROUP BY 1 ORDER BY 1")),
-
-    // P9 — column profile report (Relational.profile): the Deequ-style
-    // per-column summary (rows, nulls, distincts, stringified min/max in
-    // long format) an ingest publishes before anyone writes constraints —
-    // one single-pass multi-aggregate + a constant literal unpivot.
-    Q("p9_profile",
-      (s, dir) => Relational.profile(rd(s, dir, "orders"),
-          Seq("o_orderkey", "o_orderpriority", "o_totalprice", "o_orderstatus"))
-        .orderBy("column"),
-      Some("""SELECT "column", n_rows, n_null, n_distinct, min_s, max_s FROM (
-        |  SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
-        |    count(*) FILTER (o_orderkey IS NULL) AS n_null,
-        |    count(DISTINCT o_orderkey) AS n_distinct,
-        |    CAST(min(o_orderkey) AS VARCHAR) AS min_s, CAST(max(o_orderkey) AS VARCHAR) AS max_s FROM orders
-        |  UNION ALL SELECT 'o_orderpriority', count(*),
-        |    count(*) FILTER (o_orderpriority IS NULL), count(DISTINCT o_orderpriority),
-        |    min(o_orderpriority), max(o_orderpriority) FROM orders
-        |  UNION ALL SELECT 'o_totalprice', count(*),
-        |    count(*) FILTER (o_totalprice IS NULL), count(DISTINCT o_totalprice),
-        |    CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM orders
-        |  UNION ALL SELECT 'o_orderstatus', count(*),
-        |    count(*) FILTER (o_orderstatus IS NULL), count(DISTINCT o_orderstatus),
-        |    min(o_orderstatus), max(o_orderstatus) FROM orders)
-        |ORDER BY "column"""".stripMargin)),
-
-    // P1 — IN-list filter (etl-vini-azure.py:78).
-    Q("p1_filter_in",
-      (s, dir) => Relational.inFilter(rd(s, dir, "orders"), "o_orderpriority",
-        Seq("1-URGENT", "2-HIGH")).orderBy("o_orderkey"),
-      Some("SELECT * FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') ORDER BY o_orderkey")),
-
-    // P6 — explicit column selection (query_synapse.png SELECT list).
-    Q("p6_projection",
-      (s, dir) => rd(s, dir, "customer").select("c_custkey", "c_name", "c_mktsegment").orderBy("c_custkey"),
-      Some("SELECT c_custkey, c_name, c_mktsegment FROM customer ORDER BY c_custkey")),
-
-    // O1 — global sort (codes/bronzeToSilver.scala:9).
-    Q("o1_sort",
-      (s, dir) => Relational.sort(rd(s, dir, "part"), col("p_retailprice").desc, col("p_partkey")),
-      Some("SELECT * FROM part ORDER BY p_retailprice DESC, p_partkey")),
-
-    // O2 — top-k (query_synapse.png TOP 100) → TakeOrderedAndProject.
-    Q("o2_topk",
-      (s, dir) => Relational.topK(rd(s, dir, "orders"), 100, col("o_totalprice").desc, col("o_orderkey")),
-      Some("SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100")),
-
-    // O3 — full scan (query_cosmosdb.png SELECT *).
-    Q("o3_full_scan",
-      (s, dir) => rd(s, dir, "supplier").orderBy("s_suppkey"),
-      Some("SELECT * FROM supplier ORDER BY s_suppkey")),
-
-    // U1 — union-all of micro-batches (etl-vini-azure.py:67-77).
-    Q("u1_union_all",
-      (s, dir) => {
-        val o = rd(s, dir, "orders")
-        Relational.unionAll(Seq(
-          o.filter(col("o_orderstatus") === "O"),
-          o.filter(col("o_orderstatus") =!= "O"))).orderBy("o_orderkey")
-      },
-      Some("SELECT * FROM (SELECT * FROM orders WHERE o_orderstatus = 'O' " +
-        "UNION ALL SELECT * FROM orders WHERE o_orderstatus <> 'O') ORDER BY o_orderkey")),
-
-    // F1 — regexp_extract (etl-vini-azure.py:175-180's Spark analog).
-    Q("f1_regexp",
-      (s, dir) => Relational.regexpExtractCol(
-        rd(s, dir, "part").select("p_partkey", "p_name"), "p_name", "^([a-z]+)", 1, "first_word")
-        .orderBy("p_partkey"),
-      Some("SELECT p_partkey, p_name, regexp_extract(p_name, '^([a-z]+)', 1) AS first_word " +
-        "FROM part ORDER BY p_partkey")),
-
-    // F2 — JSON extraction from a raw string column (events.props carries
-    // JSON payloads). get_json_object is codegen'd path extraction — the
-    // semi-structured surface every event pipeline needs; aggregated so the
-    // extraction feeds a numeric pipeline, not just a projection.
-    Q("f2_json_extract",
-      (s, dir) => rd(s, dir, "events")
-        .select(col("event_type"),
-          get_json_object(col("props"), "$.k").cast("long").as("k"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"), max(col("k")).as("k_max"))
-        .orderBy("event_type"),
-      Some("SELECT event_type, count(*) AS n, " +
-        "CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum, " +
-        "max(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max " +
-        "FROM events GROUP BY 1 ORDER BY 1")),
-
-    // F3 — date/time function family over the orders dates: truncation,
-    // offset arithmetic, day difference, field extraction. Rendered as
-    // formatted strings / integers so both engines share the surface.
-    Q("f3_datetime_funcs",
-      (s, dir) => rd(s, dir, "orders")
-        .select(col("o_orderkey"),
-          date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
-          date_format(add_months(col("o_orderdate"), 3), "yyyy-MM-dd").as("plus3m"),
-          datediff(to_date(lit("2022-12-31")), to_date(col("o_orderdate"))).as("days_to_eoy"),
-          dayofweek(col("o_orderdate")).as("dow"),
-          quarter(col("o_orderdate")).as("qtr"))
-        .orderBy("o_orderkey"),
-      Some("SELECT o_orderkey, " +
-        "strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start, " +
-        "strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m, " +
-        "CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2022-12-31') AS INTEGER) AS days_to_eoy, " +
-        "CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow, " +
-        "CAST(quarter(o_orderdate) AS INTEGER) AS qtr " +
-        "FROM orders ORDER BY o_orderkey")),
-
-    // F4 — string function family over customer names: case, padding,
-    // slicing, concatenation, edit distance (the fuzzy-match primitive).
-    Q("f4_string_funcs",
-      (s, dir) => rd(s, dir, "customer")
-        .select(col("c_custkey"),
-          upper(col("c_name")).as("uname"),
-          lpad(col("c_custkey").cast("string"), 10, "0").as("padded_key"),
-          substring(col("c_name"), 1, 8).as("prefix8"),
-          concat_ws("|", col("c_mktsegment"), col("c_name")).as("seg_name"),
-          levenshtein(col("c_name"), reverse(col("c_name"))).as("lev_rev"))
-        .orderBy("c_custkey"),
-      Some("SELECT c_custkey, upper(c_name) AS uname, " +
-        "lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key, " +
-        "substring(c_name, 1, 8) AS prefix8, " +
-        "concat_ws('|', c_mktsegment, c_name) AS seg_name, " +
-        "CAST(levenshtein(c_name, reverse(c_name)) AS INTEGER) AS lev_rev " +
-        "FROM customer ORDER BY c_custkey")),
-
-    // A3 — rollup (grouping-sets family; Catalyst built-in, SURVEY §2.3 notes
-    // these come for free — demonstrated here with subtotal + grand-total
-    // rows). Rollup NULL keys are COALESCEd to a sentinel on both sides —
-    // NULL rendering and NULL sort order both leave the hash — and the
-    // computed decimal is rendered as string (see strCols above). The data
-    // columns carry no real NULLs or 'ALL' values, so the sentinel is
-    // unambiguous.
-    Q("a3_rollup",
-      (s, dir) => rd(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("qty"))
-        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"),
-          col("n"), col("qty").cast("string").as("qty"))
-        .orderBy("l_returnflag", "l_linestatus"),
-      Some("SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, " +
-        "coalesce(l_linestatus, 'ALL') AS l_linestatus, n, CAST(qty AS VARCHAR) AS qty FROM (" +
-        "SELECT l_returnflag, l_linestatus, count(*) AS n, " +
-        "CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS qty " +
-        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)) " +
-        "ORDER BY l_returnflag, l_linestatus")),
-
-    // A4 — approximate distinct via an engine-portable HyperLogLog sketch
-    // (md5-derived hashes, integer bucket/rank math, power-of-two harmonic
-    // sum — exact in IEEE double at any aggregation order), emitted as an
-    // integer alongside the exact count so the whole sketch is hash-checkable
-    // against DuckDB computing the identical formula.
-    Q("a4_approx_distinct",
-      (s, dir) => Sketches.hllDistinct(rd(s, dir, "orders"), "o_custkey", 6),
-      Some {
-        val alphaM2 = Sketches.alphaTimesM2(6)
-        s"""WITH h AS (SELECT ${duckHex("md5(CAST(o_custkey AS VARCHAR))")} AS h FROM orders),
-          |b AS (SELECT h % 64 AS bucket, h // 64 AS rest FROM h),
-          |r AS (SELECT bucket, CASE WHEN rest = 0 THEN 27 ELSE 27 - length(printf('%b', rest)) END AS rank FROM b),
-          |mx AS (SELECT bucket, max(rank) AS max_rank FROM r GROUP BY bucket),
-          |agg AS (SELECT count(*) AS nb, sum(power(2.0, -max_rank)) AS s_obs FROM mx)
-          |SELECT (SELECT count(DISTINCT o_custkey) FROM orders) AS exact_distinct,
-          | CAST(floor($alphaM2 / (s_obs + (64 - nb)) * 10000) AS BIGINT) AS hll_estimate_e4
-          |FROM agg""".stripMargin
-      }),
-
-    // U2 — INTERSECT (SURVEY §2.6: the reference has no set ops beyond
-    // union-all; these round out the free Catalyst surface with oracle rows).
-    Q("u2_intersect",
-      (s, dir) => Relational.intersectDistinct(
-        rd(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
-        rd(s, dir, "orders").filter(col("o_orderpriority") === "2-HIGH").select("o_custkey"))
-        .orderBy("o_custkey"),
-      Some("SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
-        "INTERSECT SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH' ORDER BY o_custkey")),
-
-    // U3 — EXCEPT.
-    // U4 — symmetric difference with side attribution: which distinct keys
-    // are exclusive to each side and WHICH side — the reconciliation
-    // report two supposedly-equal extracts are diffed with (S16's
-    // snapshotDiff is the row-level form; this is the key-set form).
-    // Full-outer join on distinct key sets, null-side classification.
-    Q("u4_symmetric_diff",
-      (s, dir) => {
-        val a = rd(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
-          .select("o_custkey").distinct().withColumn("__a", lit(1))
-        val b = rd(s, dir, "orders").filter(col("o_orderpriority") === "2-HIGH")
-          .select("o_custkey").distinct().withColumn("__b", lit(1))
-        a.join(b, Seq("o_custkey"), "full_outer")
-          .filter(col("__a").isNull || col("__b").isNull)
-          .select(col("o_custkey"),
-            when(col("__b").isNull, "left_only").otherwise("right_only").as("side"))
-          .orderBy("o_custkey")
-      },
-      Some("""WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'),
-        |b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH')
-        |SELECT COALESCE(a.o_custkey, b.o_custkey) AS o_custkey,
-        |  CASE WHEN b.o_custkey IS NULL THEN 'left_only' ELSE 'right_only' END AS side
-        |FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
-        |WHERE a.o_custkey IS NULL OR b.o_custkey IS NULL
-        |ORDER BY o_custkey""".stripMargin)),
-
-    Q("u3_except",
-      (s, dir) => Relational.exceptDistinct(
-        rd(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT").select("o_custkey"),
-        rd(s, dir, "orders").filter(col("o_orderpriority") === "2-HIGH").select("o_custkey"))
-        .orderBy("o_custkey"),
-      Some("SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' " +
-        "EXCEPT SELECT o_custkey FROM orders WHERE o_orderpriority = '2-HIGH' ORDER BY o_custkey")),
-
-    // §2.9 — the streaming path as a correctness row: the same event-time
-    // tumbling-window aggregate as event_window_agg, but executed through
-    // Structured Streaming (file source → watermark + window → complete-mode
-    // memory sink), drained to completion. The oracle is the batch SQL —
-    // asserting stream/batch equivalence, the property Structured Streaming
-    // guarantees and the one worth checking.
-    Q("stream_window_agg",
-      (s, dir) => {
-        val batchSchema = rd(s, dir, "events").schema
-        // the file stream source requires a directory; select just the events
-        // table out of the shared sf dir with a glob filter
-        val ticks = s.readStream.schema(batchSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ingest_ts", expr(tsStampSql(batchSchema)))
-          .select(col("event_type").as("symbol"), col("value").as("price"), col("ingest_ts"))
-        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
-        val q = graft.streaming.Streaming.windowedMinMax(ticks, "1 hour", "1 hour")
-          .writeStream.format("memory").queryName(name).outputMode("complete").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table(name)
-          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-            col("symbol").as("event_type"),
-            col("min_price").as("min_value"), col("max_price").as("max_value"))
-          .orderBy("window_start", "event_type")
-      },
-      Some("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, " +
-        "event_type, min(value) AS min_value, max(value) AS max_value " +
-        "FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
-
-    // Streaming dedup-within-watermark executed through a real stream (file
-    // source → dropDuplicatesWithinWatermark → append-mode memory sink),
-    // oracle-checked against batch DISTINCT. Only the dedup keys are emitted:
-    // which duplicate survives within a micro-batch is racy by nature, the
-    // key set is not.
-    Q("stream_dedup",
-      (s, dir) => {
-        val batchSchema = rd(s, dir, "events").schema
-        val ticks = s.readStream.schema(batchSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ingest_ts", expr(tsStampSql(batchSchema)))
-          .select(col("event_type").as("symbol"), col("value").as("price"), col("ingest_ts"))
-        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
-        val q = graft.streaming.Streaming.streamDedup(ticks, "1 hour")
-          .writeStream.format("memory").queryName(name).outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table(name)
-          .select(col("symbol").as("event_type"), col("price").as("value"))
-          .orderBy("event_type", "value")
-      },
-      Some("SELECT DISTINCT event_type, value FROM events ORDER BY 1, 2")),
-
-    // NATIVE SESSION WINDOWS in Structured Streaming (thirteenth declared
-    // streaming path): Spark's session_window merges events under a 30-min
-    // gap into engine-managed dynamic windows — the declarative counterpart
-    // of the flatMapGroupsWithState sessionizer (stream_stateful_agg), with
-    // a one-boundary-stricter split (gap >= g opens a session: windows are
-    // [first, last+gap) and merge only on true overlap). Complete-mode
-    // drain; the oracle is the batch formulation of the same split rule.
-    Q("stream_session_window",
-      (s, dir) => {
-        val batchSchema = rd(s, dir, "events").schema
-        val ev = s.readStream.schema(batchSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ingest_ts", expr(tsStampSql(batchSchema)))
-          .select("user_id", "event_id", "ingest_ts")
-        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
-        val q = graft.streaming.Streaming.sessionWindowAgg(ev, "user_id", "30 minutes")
-          .writeStream.format("memory").queryName(name).outputMode("complete").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table(name)
-          .select(col("user_id"),
-            expr("unix_micros(sw.start)").as("session_start"),
-            expr("unix_micros(sw.end)").as("session_end"),
-            col("n"), col("id_sum"))
-          .orderBy("user_id", "session_start")
-      },
-      Some("""WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
-        |o AS (SELECT *, lag(tus) OVER w AS prev FROM x
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
-        |g AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END)
-        |  OVER (PARTITION BY user_id ORDER BY tus, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM o)
-        |SELECT user_id, min(tus) AS session_start, max(tus) + 1800000000 AS session_end,
-        |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
-        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
-
-    // STREAMING LATE-DATA ACCOUNTING (append-mode watermark discipline):
-    // three ordered micro-batches through the file source
-    // (maxFilesPerTrigger=1, mod-time ordered). Spark's state operator
-    // filters LATE rows against the PREVIOUS batch's watermark and evicts/
-    // emits against the current one (both calibrated empirically:
-    // drop iff window_end <= lateWm, emit iff window_end <= evictWm, with
-    // the watermark ms-floored from the max event time). Batch 1 (even ids)
-    // anchors the watermark at max(even ts) - 1h; batch 2 (recent odd ids)
-    // advances the late-filter horizon to that anchor; batch 3 (odd ids
-    // >= 30 min older than the anchor) then loses every row whose hour
-    // window closed under it — counted by numRowsDroppedByWatermark, the
-    // driver-visible late-data ledger surfaced as a column. The state
-    // operator sits above the partial+merge aggregation, so the ledger
-    // counts dropped WINDOW GROUPS (one state row per closed window), not
-    // raw input rows — the oracle counts DISTINCT closed windows. Emitted
-    // windows are exactly those the final watermark closed, aggregating
-    // accepted rows only — the oracle recomputes both cutoffs and the
-    // accepted set from the raw table.
-    Q("stream_late_data",
-      (s, dir) => {
-        // fixture = the three STAGED batch files (ordinary parquet writes,
-        // not this row's claim; their mod-time ORDER — anchor, on-time,
-        // late — is what the file source sequences on, and relative order
-        // is stable however old the fixture gets); LIVE each pass = the
-        // watermarked stream over them: 3 micro-batches, watermark
-        // advancement, the late-drop accounting, and the windowed result
-        val root = Fixtures.once(s, dir, "stream_late_stage") {
-          val r = s"${System.getProperty("java.io.tmpdir")}/graft_stream_late_${dirTag(dir)}"
-          rmrf(r)
-          val ev = rd(s, dir, "events")
-          val base = ev.withColumn("ts_us", expr(tsUsSql(ev.schema)))
-            .withColumn("ingest_ts", expr(tsStampSql(ev.schema)))
-            .select("event_id", "ts_us", "ingest_ts")
-          // bounded scalar probe: the batch-1 watermark anchor
-          val maxAUs = base.filter(col("event_id") % 2 === 0).agg(max("ts_us")).head().getLong(0)
-          base.filter(col("event_id") % 2 === 0)
-            .select("event_id", "ingest_ts").coalesce(1).write.parquet(s"$r/a")
-          base.filter(col("event_id") % 2 === 1 && col("ts_us") > maxAUs - 1800000000L)
-            .select("event_id", "ingest_ts").coalesce(1).write.parquet(s"$r/b")
-          base.filter(col("event_id") % 2 === 1 && col("ts_us") <= maxAUs - 1800000000L)
-            .select("event_id", "ingest_ts").coalesce(1).write.parquet(s"$r/c")
-          val sd = new java.io.File(s"$r/stream"); sd.mkdirs()
-          def stage(src: String, fname: String, ageMs: Long): Unit = {
-            val part = new java.io.File(s"$r/$src").listFiles()
-              .filter(_.getName.endsWith(".parquet")).head
-            val dst = new java.io.File(sd, fname)
-            java.nio.file.Files.copy(part.toPath, dst.toPath)
-            dst.setLastModified(System.currentTimeMillis() - ageMs)
-          }
-          stage("a", "0001-anchor.parquet", 180000L)
-          stage("b", "0002-on-time.parquet", 120000L)
-          stage("c", "0003-late.parquet", 60000L)
-          r
-        }
-        val st = s.readStream
-          .schema(StructType(Seq(StructField("event_id", LongType),
-            StructField("ingest_ts", TimestampType))))
-          .option("maxFilesPerTrigger", "1").parquet(s"$root/stream")
-        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
-        val q = graft.streaming.Streaming.windowedIdSum(st, "1 hour", "1 hour")
-          .writeStream.format("memory").queryName(name).outputMode("append").start()
-        val dropped =
-          try { q.processAllAvailable()
-            q.recentProgress.flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
-          } finally q.stop()
-        s.table(name)
-          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-            col("n"), col("id_sum"))
-          .withColumn("late_dropped", lit(dropped))
-          .orderBy("window_start")
-      },
-      Some("""WITH ev AS (SELECT event_id, ts, epoch_us(ts) AS tus,
-        |  epoch_us(date_trunc('hour', ts)) + 3600000000 AS wend FROM events),
-        |ma AS (SELECT max(tus) AS v FROM ev WHERE event_id % 2 = 0),
-        |mb AS (SELECT max(tus) AS v FROM ev CROSS JOIN ma
-        |  WHERE event_id % 2 = 1 AND tus > ma.v - 1800000000),
-        |wml AS (SELECT (ma.v // 1000) * 1000 - 3600000000 AS v FROM ma),
-        |wmf AS (SELECT greatest((ma.v // 1000) * 1000, (mb.v // 1000) * 1000) - 3600000000 AS v
-        |  FROM ma CROSS JOIN mb),
-        |acc AS (
-        |  SELECT event_id, ts, wend FROM ev WHERE event_id % 2 = 0
-        |  UNION ALL SELECT event_id, ts, wend FROM ev CROSS JOIN ma
-        |    WHERE event_id % 2 = 1 AND tus > ma.v - 1800000000
-        |  UNION ALL SELECT event_id, ts, wend FROM ev CROSS JOIN ma CROSS JOIN wml
-        |    WHERE event_id % 2 = 1 AND tus <= ma.v - 1800000000 AND wend > wml.v),
-        |late AS (SELECT count(DISTINCT wend) AS late_dropped FROM ev CROSS JOIN ma CROSS JOIN wml
-        |  WHERE event_id % 2 = 1 AND tus <= ma.v - 1800000000 AND wend <= wml.v)
-        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-        |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum,
-        |  (SELECT late_dropped FROM late) AS late_dropped
-        |FROM acc CROSS JOIN wmf WHERE wend <= wmf.v
-        |GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-    // STREAM-STATIC JOIN (the fifth declared streaming path): the stateless
-    // curation stages run over a document STREAM — quality filter →
-    // exact-fingerprint decontamination as a stream-static left-anti join
-    // against the (static) benchmark fingerprint table → weighted mixture.
-    // No state store, no watermark: every micro-batch joins the static frame
-    // directly. Oracle = the batch formulation of the same stages
-    // (stream/batch equivalence, like the other streaming rows).
-    Q("stream_curation",
-      (s, dir) => {
-        val batchSchema = rd(s, dir, "documents").schema
-        val stream = s.readStream.schema(batchSchema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
-        val bench = rd(s, dir, "documents").filter(col("doc_id") < 100)
-          .select(md5(col("text")).as("fp")).distinct()
-        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
-        val q = graft.streaming.Streaming.curateDocs(stream, bench,
-            Map("en" -> 50, "de" -> 25), defaultPct = 10)
-          .select("doc_id", "lang", "bucket")
-          .writeStream.format("memory").queryName(name).outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table(name).orderBy("doc_id")
-      },
-      Some("SELECT doc_id, lang, bucket FROM (" +
-        s"SELECT doc_id, lang, ${duckHex("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket " +
-        s"FROM documents WHERE $duckQualityPred " +
-        "AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 100)) " +
-        s"WHERE bucket < $duckMixCase " +
-        "ORDER BY doc_id")),
-
-    // STREAMING NEAR-DUP DECONTAMINATION (the sixth declared streaming
-    // path): expression-level MinHash band keys per micro-batch (no
-    // aggregation, no state store) and a map-side arrays_overlap test
-    // against the static benchmark's one-row key set — the streaming form
-    // of x1_decontaminate_neardup, recall-oriented (any band collision
-    // drops; no Jaccard verify — the batch path is the precision form).
-    // Oracle = the batch band-collision formulation on the same tables.
-    Q("stream_decontam_neardup",
-      (s, dir) => {
-        val batchSchema = rd(s, dir, "documents").schema
-        val stream = s.readStream.schema(batchSchema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
-          .filter(col("doc_id") >= 100)
-        val bench = rd(s, dir, "documents").filter(col("doc_id") < 100)
-          .select("doc_id", "text")
-        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
-        val q = graft.streaming.Streaming.decontamNearDup(stream, bench)
-          .select("doc_id", "lang")
-          .writeStream.format("memory").queryName(name).outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table(name).orderBy("doc_id")
-      },
-      Some(s"""WITH ${duckBandsCtes(duckToks, 8)},
-        |bkeys AS (SELECT DISTINCT band, key FROM bands WHERE doc_id < 100),
-        |flagged AS (SELECT DISTINCT b.doc_id FROM bands b
-        |  JOIN bkeys k ON b.band = k.band AND b.key = k.key)
-        |SELECT doc_id, lang FROM documents
-        |WHERE doc_id >= 100 AND doc_id NOT IN (SELECT doc_id FROM flagged)
-        |ORDER BY doc_id""".stripMargin)),
-
-    // STREAMING DRIFT MONITOR (the seventh declared streaming path, and the
-    // foreachBatch idiom's entry into the surface): each micro-batch's
-    // per-source token distribution is scored against the STATIC reference
-    // profile (docs < 100) with the exact integer TVD of
-    // TextAnalysis.refDrift; the per-slice report reaches the driver as a
-    // few scalar-sized rows per batch. The single-file source yields one
-    // batch, so the oracle is the batch refDrift formulation.
-    Q("stream_drift_monitor",
-      (s, dir) => {
-        val batchSchema = rd(s, dir, "documents").schema
-        val stream = s.readStream.schema(batchSchema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
-          .filter(col("doc_id") >= 100)
-        val ref = rd(s, dir, "documents").filter(col("doc_id") < 100)
-        val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
-        val q = graft.streaming.Streaming.driftMonitor(stream, ref, "source", "text") {
-          (report, _) =>
-            buf ++= report.withColumn("l1_scaled", col("l1_scaled").cast("string"))
-              .collect() // scalar-sized: one row per slice per batch
-        }
-        try q.processAllAvailable() finally q.stop()
-        import org.apache.spark.sql.types._
-        s.createDataFrame(s.sparkContext.parallelize(buf.toSeq, 1),
-            StructType(Seq(StructField("slice", StringType),
-              StructField("s_toks", LongType), StructField("l1_scaled", StringType))))
-          .orderBy("slice")
-      },
-      Some("""WITH bt AS (SELECT source AS slice, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
-        |  FROM documents WHERE doc_id >= 100),
-        |st AS (SELECT slice, token, count(*) AS c_st FROM bt GROUP BY 1, 2),
-        |rt0 AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
-        |  FROM documents WHERE doc_id < 100),
-        |rt AS (SELECT token, count(*) AS r_t FROM rt0 GROUP BY 1),
-        |stot AS (SELECT slice, sum(c_st) AS s_tot FROM st GROUP BY 1),
-        |rtot AS (SELECT sum(r_t) AS t_ref FROM rt)
-        |SELECT slice, CAST(s_tot AS BIGINT) AS s_toks,
-        |  CAST(CAST(sum(abs(c_st * t_ref - coalesce(r_t, 0) * s_tot))
-        |    + CAST(s_tot AS HUGEINT) * t_ref - sum(coalesce(r_t, 0) * s_tot) AS DECIMAL(38,0)) AS VARCHAR) AS l1_scaled
-        |FROM st LEFT JOIN rt USING (token) JOIN stot USING (slice) CROSS JOIN rtot
-        |GROUP BY slice, s_tot, t_ref ORDER BY slice""".stripMargin)),
-
-    // STREAMING INDEX MAINTENANCE (the eighth declared streaming path):
-    // the corpus-growth loop closed in streaming form. The standing
-    // corpus' band index is seeded once (bucketed by key, the
-    // x1_incremental_neardup layout); each micro-batch of new documents
-    // then appends its expression-level band keys through
-    // Dedup.appendBandIndex inside foreachBatch — idempotent under the
-    // replay semantics foreachBatch actually has (anti-join on indexed
-    // doc_ids), bucket layout preserved so concurrent probes keep their
-    // no-index-side-exchange plan. Result = the converged index; oracle =
-    // the batch band-key formulation over the full corpus, so a dropped,
-    // duplicated, or mis-keyed append breaks the hash gate.
-    Q("stream_index_maintain",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        // fixture = the SEED index; LIVE each pass = the streaming
-        // maintenance (fresh ephemeral checkpoint → the source re-flows,
-        // appends stay idempotent) + the converged-table read
-        val idx = Fixtures.once(s, dir, "stream_band_seed") {
-          val name = s"graft_stream_band_index_${dirTag(dir)}"
-          val root = freshDir(s, s"graft_stream_bandidx_${dirTag(dir)}")
-          s.sql(s"DROP TABLE IF EXISTS $name")
-          Dedup.withBandKeys(docs.filter(col("doc_id") < 200), "text", 8, "bands")
-            .select(col("doc_id"), explode(col("bands")).as("key"))
-            .write.bucketBy(8, "key").sortBy("key")
-            .option("path", s"$root/idx").saveAsTable(name)
-          name
-        }
-        val stream = s.readStream.schema(docs.schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
-          .filter(col("doc_id") >= 200)
-        val q = graft.streaming.Streaming.maintainBandIndex(stream,
-          idx, "doc_id", "text", 8, 8)
-        try q.processAllAvailable() finally q.stop()
-        s.table(idx).orderBy("doc_id", "key")
-      },
-      Some(s"""WITH ${duckBandsCtes(duckToks, 8)}
-        |SELECT doc_id, CAST(band AS VARCHAR) || ':' || key AS key FROM bands
-        |ORDER BY doc_id, key""".stripMargin)),
-
-    // ST — stream → versioned table with EXACTLY-ONCE appends
-    // (streaming/Streaming.versionedSink): each micro-batch commits under a
-    // batchId-derived commitId, so foreachBatch's at-least-once replay
-    // degrades to VersionedTable's idempotent-retry no-op. The query then
-    // PROVES the replay path inline: re-firing batch 0's commitId with
-    // different content must not advance the log (replay_noop), and the full
-    // cursor-0 incremental read must equal the batch formulation.
-    Q("stream_versioned_sink",
-      (s, dir) => {
-        val root = freshDir(s, "graft_stream_versioned")
-        val schema = rd(s, dir, "orders").schema
-        val stream = s.readStream.schema(schema)
-          .option("pathGlobFilter", "orders.parquet").parquet(dir)
-          .filter(col("o_orderkey") % 5 === 0)
-        val q = graft.streaming.Streaming.versionedSink(stream, root, "orders-feed")
-        try q.processAllAvailable() finally q.stop()
-        val converged = graft.io.VersionedTable.latestVersion(root).get
-        val replayed = graft.io.VersionedTable.commit(
-          rd(s, dir, "orders").limit(1), root, "append", "orders-feed-b0")
-        val noop = replayed <= converged &&
-          graft.io.VersionedTable.latestVersion(root).contains(converged)
-        graft.io.VersionedTable.changesBetween(s, root, fromVersion = 0L, toVersion = converged)
-          .groupBy("o_orderpriority")
-          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
-          .withColumn("replay_noop", lit(noop))
-          .orderBy("o_orderpriority")
-      },
-      Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
-        "TRUE AS replay_noop " +
-        "FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 1 ORDER BY 1")),
-
-    // Custom streaming state (flatMapGroupsWithState) oracle-checked: the
-    // per-key running count/min/max session state, drained to completion —
-    // the final update per key must equal the batch aggregate. Emission
-    // order and intermediate updates are racy; the converged state is not.
-    Q("stream_stateful_agg",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val batchSchema = rd(s, dir, "events").schema
-        val ticks = s.readStream.schema(batchSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .withColumn("ingest_ts", expr(tsStampSql(batchSchema)))
-          .select(col("event_type").as("symbol"),
-            col("value").cast(DecimalType(10, 2)).as("price"), col("ingest_ts"))
-        import s.implicits._
-        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
-        val q = graft.streaming.Streaming.sessionize(
-            ticks.as[graft.streaming.Streaming.Tick], idleTimeoutMs = 0)
-          .toDF()
-          .writeStream.format("memory").queryName(name).outputMode("update").start()
-        try q.processAllAvailable() finally q.stop()
-        // keep only each key's final update (largest n) in case the file
-        // source split the input into several micro-batches
-        val w = Window.partitionBy(col("symbol")).orderBy(col("n").desc)
-        s.table(name).withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
-          .select(col("symbol").as("event_type"), col("n"),
-            col("lo").cast(DecimalType(10, 2)).cast("string").as("lo"),
-            col("hi").cast(DecimalType(10, 2)).cast("string").as("hi"))
-          .orderBy("event_type")
-      },
-      Some("SELECT event_type, count(*) AS n, " +
-        "CAST(min(CAST(value AS DECIMAL(10,2))) AS VARCHAR) AS lo, " +
-        "CAST(max(CAST(value AS DECIMAL(10,2))) AS VARCHAR) AS hi " +
-        "FROM events GROUP BY 1 ORDER BY 1")),
-
-    // Stream-stream interval join executed through two real streams over the
-    // same event file (clicks ⋈ purchases of the same user within 30
-    // minutes), append-mode sink. Watermarks + the bounded time condition
-    // keep join state finite — the only shape a continuous stream join can
-    // take. Oracle = the identical interval self-join in batch SQL (µs
-    // precision on both engines), asserting stream/batch join equivalence.
-    Q("stream_stream_join",
-      (s, dir) => {
-        // Isolated session clone: a symmetric stream join keeps one state
-        // store per shuffle partition per side, and each micro-batch pays a
-        // commit per store — the dominant cost at this input rate. Partition
-        // count should track throughput (state ∝ rate × horizon), so size it
-        // to the actual stream rate on a private session instead of the
-        // batch-wide default; nothing leaks into concurrently-running
-        // queries (newSession shares the context, not runtime conf).
-        val ss = s.newSession()
-        ss.conf.set("spark.sql.shuffle.partitions", "8")
-        val batchSchema = rd(ss, dir, "events").schema
-        def stream(kind: String, prefix: String) = ss.readStream.schema(batchSchema)
-          .option("pathGlobFilter", "events.parquet").parquet(dir)
-          .filter(col("event_type") === kind)
-          .select(col("user_id").as(s"${prefix}_user"),
-            col("event_id").as(s"${prefix}_id"),
-            expr(tsStampSql(batchSchema)).as(s"${prefix}_ts"))
-        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
-        val q = graft.streaming.Streaming.intervalJoin(
-            stream("click", "c"), stream("purchase", "p"),
-            "c_user", "p_user", "c_ts", "p_ts", "1 hour", "30 minutes")
-          .writeStream.format("memory").queryName(name).outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        ss.table(name).select(col("c_id").as("click_id"), col("p_id").as("purchase_id"))
-          .orderBy("click_id", "purchase_id")
-      },
-      Some("SELECT a.event_id AS click_id, b.event_id AS purchase_id " +
-        "FROM events a JOIN events b ON a.user_id = b.user_id " +
-        "AND a.event_type = 'click' AND b.event_type = 'purchase' " +
-        "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE " +
-        "ORDER BY 1, 2")),
-
-    // J1 — broadcast equi-join + aggregation (capability, SURVEY §2.4/§7.3).
-    // revenue is summed exactly in decimal, then rendered as string (strCols).
-    Q("j1_join_agg",
-      (s, dir) => strCols(
-        Relational.joinAgg(rd(s, dir, "orders"), rd(s, dir, "customer"),
-          "o_custkey", "c_custkey", "c_mktsegment",
-          Seq(count(lit(1)).as("n_orders"),
-            sum(col("o_totalprice").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("revenue")))
-          .orderBy("c_mktsegment"),
-        Seq("revenue")),
-      Some("SELECT c_mktsegment, n_orders, CAST(revenue AS VARCHAR) AS revenue FROM (" +
-        "SELECT c_mktsegment, count(*) AS n_orders, " +
-        "CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS revenue " +
-        "FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY c_mktsegment) ORDER BY c_mktsegment")),
-
-    // J2 — left-semi join (capability, SURVEY §2.4/§7.3).
-    Q("j2_semi_join",
-      (s, dir) => Relational.semiJoin(rd(s, dir, "part"),
-        rd(s, dir, "lineitem").filter(col("l_quantity") > 45).select("l_partkey"),
-        "p_partkey", "l_partkey").orderBy("p_partkey"),
-      Some("SELECT * FROM part WHERE p_partkey IN " +
-        "(SELECT l_partkey FROM lineitem WHERE l_quantity > 45) ORDER BY p_partkey")),
-
-    // J3 — left outer join: every customer row survives; the order side is
-    // NULL for customers with no qualifying order. NULLs are COALESCEd to
-    // typed sentinels on both sides so NULL representation stays out of the
-    // hash (asof_join precedent). o_totalprice is a raw double (no computed
-    // arithmetic), so the -1.0 sentinel keeps the column double end-to-end.
-    Q("j3_left_join",
-      (s, dir) => rd(s, dir, "customer").select("c_custkey")
-        .join(rd(s, dir, "orders").filter(col("o_totalprice") > 400000)
-          .select("o_custkey", "o_orderkey", "o_totalprice"),
-          col("c_custkey") === col("o_custkey"), "left")
-        .select(col("c_custkey"),
-          coalesce(col("o_orderkey"), lit(-1L)).as("o_orderkey"),
-          coalesce(col("o_totalprice"), lit(-1.0)).as("o_totalprice"))
-        .orderBy("c_custkey", "o_orderkey"),
-      Some("SELECT c_custkey, coalesce(o_orderkey, -1) AS o_orderkey, " +
-        "coalesce(o_totalprice, -1.0) AS o_totalprice FROM customer " +
-        "LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o ON c_custkey = o_custkey " +
-        "ORDER BY c_custkey, o_orderkey")),
-
-    // J4 — left-anti join: customers with no orders at all (the existence-
-    // negation dual of j2's semi join; carries nothing from the right side).
-    Q("j4_anti_join",
-      (s, dir) => rd(s, dir, "customer")
-        .join(rd(s, dir, "orders").select("o_custkey"),
-          col("c_custkey") === col("o_custkey"), "left_anti")
-        .select("c_custkey", "c_name").orderBy("c_custkey"),
-      Some("SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS " +
-        "(SELECT 1 FROM orders WHERE o_custkey = c.c_custkey) ORDER BY c_custkey")),
-
-    // W1 — row_number per group (deterministic replacement for P4).
-    Q("w1_row_number",
-      (s, dir) => Relational.rowNumberPerGroup(
-        rd(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"),
-        Seq("o_custkey"), Seq(col("o_orderdate"), col("o_orderkey"))).orderBy("o_orderkey"),
-      Some("SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, " +
-        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS rn " +
-        "FROM orders ORDER BY o_orderkey")),
-
-    // W2 — rolling min/max frame window (windowed generalization of A1).
-    Q("w2_rolling_minmax",
-      (s, dir) => Relational.rollingMinMax(
-        rd(s, dir, "events").select("event_id", "user_id", "value"),
-        "value", Seq("user_id"), Seq(col("event_id")), 2).orderBy("event_id"),
-      Some("SELECT event_id, user_id, value, " +
-        "min(value) OVER w AS roll_min, max(value) OVER w AS roll_max FROM events " +
-        "WINDOW w AS (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) " +
-        "ORDER BY event_id")),
-
-    // W3 — lag/lead offset window functions (prior order's price and next
-    // order's key per customer). Edge NULLs COALESCEd to typed sentinels.
-    Q("w3_lag_lead",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
-        rd(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
-          .withColumn("prev_price", coalesce(lag(col("o_totalprice"), 1).over(w), lit(-1.0)))
-          .withColumn("next_key", coalesce(lead(col("o_orderkey"), 1).over(w), lit(-1L)))
-          .orderBy("o_orderkey")
-      },
-      Some("SELECT o_orderkey, o_custkey, o_orderdate, o_totalprice, " +
-        "coalesce(lag(o_totalprice, 1) OVER w, -1.0) AS prev_price, " +
-        "coalesce(lead(o_orderkey, 1) OVER w, -1) AS next_key FROM orders " +
-        "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) " +
-        "ORDER BY o_orderkey")),
-
-    // A5 — cube (all grouping-set combinations; completes the rollup family).
-    Q("a5_cube",
-      (s, dir) => rd(s, dir, "lineitem")
-        .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"))
-        .select(coalesce(col("l_returnflag"), lit("ALL")).as("l_returnflag"),
-          coalesce(col("l_linestatus"), lit("ALL")).as("l_linestatus"), col("n"))
-        .orderBy("l_returnflag", "l_linestatus"),
-      Some("SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, " +
-        "coalesce(l_linestatus, 'ALL') AS l_linestatus, n FROM (" +
-        "SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem " +
-        "GROUP BY CUBE(l_returnflag, l_linestatus)) " +
-        "ORDER BY l_returnflag, l_linestatus")),
-
-    // A6 — exact percentiles (quartiles) per group, computed by the
-    // sort-based Relational.exactPercentiles (NOT Spark's percentile()
-    // aggregate, whose per-group value→count map is unbounded memory when
-    // values are near-unique — this form is a spill-friendly key-partitioned
-    // sort). The interpolation replicates percentile()/quantile_cont's
-    // (n-1)*p definition bit-for-bit; with p ∈ {.25,.5,.75} the fraction is
-    // an exact binary value, so the double result is bit-identical before
-    // the fixed-point cast.
-    Q("a6_percentile",
-      (s, dir) => {
-        val pct = Relational.exactPercentiles(rd(s, dir, "lineitem"),
-          "l_returnflag", "l_extendedprice",
-          Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
-        pct.select(col("l_returnflag"),
-            col("p25").cast(DecimalType(18, 4)).cast("string").as("p25"),
-            col("p50").cast(DecimalType(18, 4)).cast("string").as("p50"),
-            col("p75").cast(DecimalType(18, 4)).cast("string").as("p75"))
-          .orderBy("l_returnflag")
-      },
-      Some("SELECT l_returnflag, " +
-        "CAST(CAST(quantile_cont(l_extendedprice, 0.25) AS DECIMAL(18,4)) AS VARCHAR) AS p25, " +
-        "CAST(CAST(quantile_cont(l_extendedprice, 0.5) AS DECIMAL(18,4)) AS VARCHAR) AS p50, " +
-        "CAST(CAST(quantile_cont(l_extendedprice, 0.75) AS DECIMAL(18,4)) AS VARCHAR) AS p75 " +
-        "FROM lineitem GROUP BY 1 ORDER BY 1")),
-
-    // A7 — pivot (wide aggregation): one row per return flag, one column per
-    // line status. Spark's pivot with explicit values is a single partial-agg
-    // pass — no per-column scans. Absent (flag, status) cells are COALESCEd
-    // to a sentinel on both sides so NULL rendering never reaches the hash.
-    Q("a7_pivot",
-      (s, dir) => rd(s, dir, "lineitem")
-        .groupBy("l_returnflag")
-        .pivot("l_linestatus", Seq("F", "O"))
-        .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)))
-        .select(col("l_returnflag"),
-          coalesce(col("F").cast("string"), lit("-")).as("qty_f"),
-          coalesce(col("O").cast("string"), lit("-")).as("qty_o"))
-        .orderBy("l_returnflag"),
-      Some("SELECT l_returnflag, " +
-        "coalesce(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'F') AS DECIMAL(18,2)) AS VARCHAR), '-') AS qty_f, " +
-        "coalesce(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) FILTER (WHERE l_linestatus = 'O') AS DECIMAL(18,2)) AS VARCHAR), '-') AS qty_o " +
-        "FROM lineitem GROUP BY 1 ORDER BY 1")),
-
-    // A8 — explicit GROUPING SETS (the general form rollup/cube specialize).
-    // Expressed through spark.sql: the declarative SQL surface is part of the
-    // engine's API, and Catalyst plans it as a single Expand + aggregate.
-    Q("a8_grouping_sets",
-      (s, dir) => {
-        rd(s, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
-        s.sql("SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, " +
-          "coalesce(l_linestatus, 'ALL') AS l_linestatus, count(*) AS n " +
-          "FROM lineitem_gs GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())")
-          .orderBy("l_returnflag", "l_linestatus")
-      },
-      Some("SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag, " +
-        "coalesce(l_linestatus, 'ALL') AS l_linestatus, count(*) AS n " +
-        "FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) " +
-        "ORDER BY 1, 2")),
-
-    // A11 — unpivot (melt), the inverse of A7: gold's min/max/diff columns
-    // become (metric, value) rows. Catalyst plans Expand — one pass, row
-    // count × 3, no shuffle before the final sort.
-    Q("a11_unpivot",
-      (s, dir) => Medallion.silverToGold(rd(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", asOf)
-        .select(col("l_returnflag"),
-          col("min_value").cast("string").as("min_value"),
-          col("max_value").cast("string").as("max_value"),
-          col("diff").cast("string").as("diff"))
-        .unpivot(Array(col("l_returnflag")),
-          Array(col("min_value"), col("max_value"), col("diff")),
-          "metric", "value")
-        .orderBy("l_returnflag", "metric"),
-      Some(s"WITH gold AS ($goldCte) " +
-        "SELECT l_returnflag, metric, value FROM (" +
-        "SELECT l_returnflag, 'min_value' AS metric, CAST(min_value AS VARCHAR) AS value FROM gold " +
-        "UNION ALL SELECT l_returnflag, 'max_value', CAST(max_value AS VARCHAR) FROM gold " +
-        "UNION ALL SELECT l_returnflag, 'diff', CAST(diff AS VARCHAR) FROM gold) " +
-        "ORDER BY l_returnflag, metric")),
-
-    // J6 — correlated EXISTS subquery through the spark.sql surface;
-    // Catalyst rewrites it to the same left-semi join j2 builds with the
-    // DataFrame API (the SQL front door to the join surface).
-    Q("j6_exists_subquery",
-      (s, dir) => {
-        rd(s, dir, "orders").createOrReplaceTempView("orders_j6")
-        rd(s, dir, "lineitem").createOrReplaceTempView("lineitem_j6")
-        s.sql("SELECT o_orderkey, o_totalprice FROM orders_j6 o WHERE EXISTS (" +
-          "SELECT 1 FROM lineitem_j6 l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)")
-          .orderBy("o_orderkey")
-      },
-      Some("SELECT o_orderkey, o_totalprice FROM orders o WHERE EXISTS (" +
-        "SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45) " +
-        "ORDER BY o_orderkey")),
-
-    // J7 — multiway join + aggregation: the optimizer-ordering showcase
-    // (customer ⋈ orders ⋈ lineitem, then segment/flag revenue). Declared
-    // through spark.sql so Catalyst owns join order, build-side choice, and
-    // AQE re-planning — nothing is hand-scheduled.
-    Q("j7_multiway_join",
-      (s, dir) => {
-        rd(s, dir, "customer").createOrReplaceTempView("customer_j7")
-        rd(s, dir, "orders").createOrReplaceTempView("orders_j7")
-        rd(s, dir, "lineitem").createOrReplaceTempView("lineitem_j7")
-        s.sql("SELECT c_mktsegment, l_returnflag, count(*) AS n, " +
-          "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (100 - CAST(l_discount * 100 AS DECIMAL(12,0)))) " +
-          "AS DECIMAL(24,2)) AS STRING) AS revenue_e2 " +
-          "FROM customer_j7 JOIN orders_j7 ON c_custkey = o_custkey " +
-          "JOIN lineitem_j7 ON l_orderkey = o_orderkey " +
-          "GROUP BY c_mktsegment, l_returnflag")
-          .orderBy("c_mktsegment", "l_returnflag")
-      },
-      Some("SELECT c_mktsegment, l_returnflag, count(*) AS n, " +
-        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (100 - CAST(l_discount * 100 AS DECIMAL(12,0)))) " +
-        "AS DECIMAL(24,2)) AS VARCHAR) AS revenue_e2 " +
-        "FROM customer JOIN orders ON c_custkey = o_custkey " +
-        "JOIN lineitem ON l_orderkey = o_orderkey " +
-        "GROUP BY c_mktsegment, l_returnflag ORDER BY 1, 2")),
-
-    // J8 — bucketed co-located join: both sides written bucketBy(8) on the
-    // join key, so the sort-merge join (hinted; the small side would
-    // otherwise broadcast at test scale) reads pre-partitioned buckets and
-    // the whole join+agg pipeline plans with ZERO exchanges before the final
-    // output sort — asserted in PlanSpec. At 100 TB this is the technique
-    // for repeated joins on one key: pay the shuffle once at write time,
-    // never again.
-    Q("j8_bucketed_join",
-      (s, dir) => {
-        val root = freshDir(s, "graft_bucketed")
-        s.sql("DROP TABLE IF EXISTS graft_li_bucketed")
-        s.sql("DROP TABLE IF EXISTS graft_ord_bucketed")
-        rd(s, dir, "lineitem").select("l_orderkey", "l_quantity")
-          .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$root/li").saveAsTable("graft_li_bucketed")
-        rd(s, dir, "orders").select("o_orderkey", "o_totalprice")
-          .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$root/ord").saveAsTable("graft_ord_bucketed")
-        s.table("graft_li_bucketed").hint("merge")
-          .join(s.table("graft_ord_bucketed"), col("l_orderkey") === col("o_orderkey"))
-          .groupBy("o_orderkey")
-          .agg(count(lit(1)).as("n"),
-            sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
-              .cast("string").as("qty"))
-          .orderBy("o_orderkey")
-      },
-      Some("SELECT o_orderkey, count(*) AS n, " +
-        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS qty " +
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "GROUP BY 1 ORDER BY 1")),
-
-    // A9 — the native single-pass HLL (a real Catalyst
-    // TypedImperativeAggregate — the §2.10 custom-UDAF surface). Identical
-    // estimate and oracle math to a4, but the aggregation state is a 64-byte
-    // mergeable rank array partial-aggregated map-side: one pass, no
-    // per-bucket rows on the shuffle at all.
-    Q("a9_hll_native",
-      (s, dir) => {
-        graft.functions.ArrayOps.register(s)
-        rd(s, dir, "orders")
-          .selectExpr("portable_hll(cast(o_custkey as string)) AS hll_estimate_e4")
-      },
-      Some {
-        val alphaM2 = Sketches.alphaTimesM2(6)
-        s"""WITH h AS (SELECT ${duckHex("md5(CAST(o_custkey AS VARCHAR))")} AS h FROM orders),
-          |b AS (SELECT h % 64 AS bucket, h // 64 AS rest FROM h),
-          |r AS (SELECT bucket, CASE WHEN rest = 0 THEN 27 ELSE 27 - length(printf('%b', rest)) END AS rank FROM b),
-          |mx AS (SELECT bucket, max(rank) AS max_rank FROM r GROUP BY bucket),
-          |agg AS (SELECT count(*) AS nb, sum(power(2.0, -max_rank)) AS s_obs FROM mx)
-          |SELECT CAST(floor($alphaM2 / (s_obs + (64 - nb)) * 10000) AS BIGINT) AS hll_estimate_e4 FROM agg""".stripMargin
-      }),
-
-    // A16 — the native HLL UDAF in its GROUPED form: per-priority distinct
-    // customers via portable_hll as a per-group TypedImperativeAggregate —
-    // exercising the sketch's partial-merge path per group key (the shape a
-    // 100 TB rollup actually runs: map-side sketch partials, one 64-byte
-    // state per (partition, group) on the wire). Exact countDistinct
-    // emitted beside it, same discipline as a4/w12.
-    Q("a16_hll_grouped",
-      (s, dir) => {
-        graft.functions.ArrayOps.register(s)
-        rd(s, dir, "orders")
-          .groupBy("o_orderpriority")
-          .agg(expr("count(distinct o_custkey)").as("exact_distinct"),
-            expr("portable_hll(cast(o_custkey as string))").as("hll_estimate_e4"))
-          .orderBy("o_orderpriority")
-      },
-      Some {
-        val alphaM2 = Sketches.alphaTimesM2(6)
-        s"""WITH h AS (SELECT o_orderpriority AS p, o_custkey,
-          |  ${duckHex("md5(CAST(o_custkey AS VARCHAR))")} AS h FROM orders),
-          |b AS (SELECT p, h % 64 AS bucket, h // 64 AS rest FROM h),
-          |r AS (SELECT p, bucket, CASE WHEN rest = 0 THEN 27 ELSE 27 - length(printf('%b', rest)) END AS rank FROM b),
-          |mx AS (SELECT p, bucket, max(rank) AS max_rank FROM r GROUP BY 1, 2),
-          |agg AS (SELECT p, count(*) AS nb, sum(power(2.0, -max_rank)) AS s_obs FROM mx GROUP BY 1),
-          |ex AS (SELECT o_orderpriority AS p, count(DISTINCT o_custkey) AS exact_distinct FROM orders GROUP BY 1)
-          |SELECT p AS o_orderpriority, exact_distinct,
-          |  CAST(floor($alphaM2 / (s_obs + (64 - nb)) * 10000) AS BIGINT) AS hll_estimate_e4
-          |FROM agg JOIN ex USING (p) ORDER BY 1""".stripMargin
-      }),
-
-    // A10 — skew-safe two-phase aggregate: salt the grouping key, partial-agg
-    // on (key, salt), final-agg on key. Decimal partial sums are exact, so
-    // the rewrite is semantics-preserving — the oracle is the DIRECT
-    // aggregate, proving salting changes the plan, not the answer. This is
-    // the mitigation applied when one group key dominates at scale.
-    Q("a10_salted_agg",
-      (s, dir) => rd(s, dir, "lineitem")
-        .withColumn("salt", pmod(hash(col("l_orderkey")), lit(16)))
-        .groupBy(col("l_returnflag"), col("salt"))
-        .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("ps"), count(lit(1)).as("pn"))
-        .groupBy("l_returnflag")
-        .agg(sum(col("ps")).cast(DecimalType(18, 2)).cast("string").as("qty"),
-          sum(col("pn")).as("n"))
-        .orderBy("l_returnflag"),
-      Some("SELECT l_returnflag, " +
-        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS qty, " +
-        "count(*) AS n FROM lineitem GROUP BY 1 ORDER BY 1")),
-
-    // J9 — skew-safe salted join: the join-side counterpart of a10. Fact rows
-    // scatter across 16 sub-keys by a row-level hash, the dim replicates ×16,
-    // and the hot key becomes 16 independent tasks. The oracle is the DIRECT
-    // join — proving the salt rewrite changes the plan, not the answer.
-    Q("j9_skew_salted_join",
-      (s, dir) => Relational.saltedJoin(
-          rd(s, dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity"),
-          rd(s, dir, "orders").select("o_orderkey", "o_orderpriority"),
-          "l_orderkey", "o_orderkey", "l_linenumber", salts = 16)
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n"),
-          sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(18, 2))
-            .cast("string").as("qty"))
-        .orderBy("o_orderpriority"),
-      Some("SELECT o_orderpriority, count(*) AS n, " +
-        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS qty " +
-        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
-        "GROUP BY 1 ORDER BY 1")),
-
-    // MERGE-style upsert (table maintenance): a CDC batch (every 10th order,
-    // re-priced, status 'U') replaces matching base rows and passes the rest
-    // through. Anti-join + union with the small side broadcast — the base
-    // table streams once and never shuffles. Oracle = updates UNION ALL the
-    // anti-joined base, spelled directly in SQL.
-    Q("merge_upsert",
-      (s, dir) => {
-        val base = rd(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
-        val updates = base.filter(col("o_orderkey") % 10 === 0)
-          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
-            (col("o_totalprice") * 2).as("o_totalprice"))
-        Relational.upsert(base, updates, Seq("o_orderkey")).orderBy("o_orderkey")
-      },
-      Some("WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), " +
-        "updates AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice " +
-        "FROM base WHERE o_orderkey % 10 = 0) " +
-        "SELECT * FROM (SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates) " +
-        "UNION ALL SELECT * FROM updates) ORDER BY o_orderkey")),
-
-    // S16 — snapshot diff (CDC extract, the read-side complement of
-    // merge_upsert): rows added/removed/changed between two snapshots,
-    // compared at the md5-fingerprint level so payloads never shuffle.
-    // Snapshot B is derived deterministically from A in both engines:
-    // doc_id >= 450 dropped (removed), every 7th text amended (changed),
-    // the first 20 docs re-keyed +10000 (added).
-    Q("s16_snapshot_diff",
-      (s, dir) => {
-        val a = rd(s, dir, "documents").select("doc_id", "text")
-        val b = a.filter(col("doc_id") < 450)
-          .select(col("doc_id"),
-            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
-              .otherwise(col("text")).as("text"))
-          .unionByName(a.filter(col("doc_id") < 20)
-            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
-        Relational.snapshotDiff(a, b, Seq("doc_id"), Seq("text"))
-          .orderBy("doc_id")
-      },
-      Some("""WITH a AS (SELECT doc_id, text FROM documents),
-        |b AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
-        |  FROM documents WHERE doc_id < 450
-        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20)
-        |SELECT doc_id, CASE WHEN a.text IS NULL THEN 'added'
-        |  WHEN b.text IS NULL THEN 'removed'
-        |  WHEN a.text <> b.text THEN 'changed' END AS change
-        |FROM a FULL OUTER JOIN b USING (doc_id)
-        |WHERE a.text IS NULL OR b.text IS NULL OR a.text <> b.text
-        |ORDER BY doc_id""".stripMargin)),
-
-    // F6 — map functions: per-priority status→count maps built with
-    // map_from_entries over sorted entries, probed with element_at, then
-    // exploded back to rows. The roundtrip proves the map type plumbing
-    // (build → lookup → explode) without leaving codegen'd built-ins; the
-    // oracle is the flat aggregate the roundtrip must reproduce, plus the
-    // probed lookup re-derived per group.
-    Q("f6_map_funcs",
-      (s, dir) => rd(s, dir, "orders")
-        .groupBy("o_orderpriority", "o_orderstatus")
-        .agg(count(lit(1)).as("n"))
-        .groupBy("o_orderpriority")
-        .agg(map_from_entries(array_sort(
-          collect_list(struct(col("o_orderstatus"), col("n"))))).as("m"))
-        .withColumn("n_f", coalesce(element_at(col("m"), "F"), lit(-1L)))
-        .select(col("o_orderpriority"), col("n_f"),
-          explode(col("m")).as(Seq("o_orderstatus", "n")))
-        .orderBy("o_orderpriority", "o_orderstatus"),
-      Some("WITH c AS (SELECT o_orderpriority, o_orderstatus, count(*) AS n " +
-        "FROM orders GROUP BY 1, 2), " +
-        "f AS (SELECT o_orderpriority, coalesce(max(CASE WHEN o_orderstatus = 'F' THEN n END), -1) AS n_f " +
-        "FROM c GROUP BY 1) " +
-        "SELECT c.o_orderpriority, f.n_f, c.o_orderstatus, c.n " +
-        "FROM c JOIN f ON c.o_orderpriority = f.o_orderpriority " +
-        "ORDER BY 1, 3")),
-
-    // W4 — gap-based sessionization over the raw event stream (30-minute
-    // gap). Gap arithmetic runs on integer µs-since-epoch on both sides
-    // (tsUsSql normalizes whichever physical type the fixture carries; µs
-    // is the finest precision both engines share).
-    Q("w4_sessionize",
-      (s, dir) => {
-        val ev = rd(s, dir, "events")
-        Relational.sessionize(
-          ev.withColumn("ts_us", expr(tsUsSql(ev.schema))),
-          "user_id", "ts_us", "event_id", gapUs = 1800L * 1000 * 1000)
-        .orderBy("user_id", "session_idx")
-      },
-      Some("WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events), " +
-        "y AS (SELECT user_id, event_id, tus, CASE WHEN lag(tus) OVER w IS NULL " +
-        "OR tus - lag(tus) OVER w > 1800000000 THEN 1 ELSE 0 END AS nw FROM x " +
-        "WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)), " +
-        "z AS (SELECT user_id, tus, CAST(sum(nw) OVER (PARTITION BY user_id ORDER BY tus, event_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM y) " +
-        "SELECT user_id, session_idx, min(tus) AS session_start, max(tus) AS session_end, " +
-        "count(*) AS n_events FROM z GROUP BY 1, 2 ORDER BY 1, 2")),
-
-    // W8 — ordered event FUNNEL (view → click → purchase): stage k completes
-    // at the first event of its type STRICTLY AFTER stage k-1, so same-µs
-    // ties never advance the funnel and the per-user completion times are
-    // unambiguous integers. One conditional min-aggregate per stage chained
-    // by co-partitioned shuffle-hash joins on user_id — no windows, no
-    // per-user sort. The oracle replays the stage chain and pins stage
-    // counts AND the summed end-to-end latency (actual timestamps, not just
-    // cardinalities).
-    Q("w8_funnel",
-      (s, dir) => {
-        val ev = rd(s, dir, "events")
-        Relational.funnel(ev.withColumn("ts_us", expr(tsUsSql(ev.schema))),
-            "user_id", "event_type", "ts_us", Seq("view", "click", "purchase"))
-          .agg(count(lit(1)).as("n_view"),
-            count(col("t1")).as("n_view_click"),
-            count(col("t2")).as("n_view_click_purchase"),
-            sum(col("t2") - col("t0")).as("total_latency_us"))
-      },
-      Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts FROM events),
-        |s0 AS (SELECT user_id, min(ts) AS t0 FROM ev WHERE event_type = 'view' GROUP BY 1),
-        |s1 AS (SELECT e.user_id, min(e.ts) AS t1 FROM ev e JOIN s0 ON e.user_id = s0.user_id
-        |  WHERE e.event_type = 'click' AND e.ts > s0.t0 GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e JOIN s1 ON e.user_id = s1.user_id
-        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t1 GROUP BY 1)
-        |SELECT (SELECT count(*) FROM s0) AS n_view,
-        |  (SELECT count(*) FROM s1) AS n_view_click,
-        |  (SELECT count(*) FROM s2) AS n_view_click_purchase,
-        |  (SELECT CAST(sum(t2 - t0) AS BIGINT) FROM s2 JOIN s0 USING (user_id)) AS total_latency_us""".stripMargin)),
-
-    // W9 — cohort retention (weekly): entities cohort into the week of
-    // their first event; each (cohort, weeks-since) cell counts entities
-    // active that week. Pure integer week arithmetic (epoch-µs div week),
-    // so the full matrix replays exactly; the (entity, week) distinct means
-    // the cell count needs no countDistinct.
-    Q("w9_retention",
-      (s, dir) => {
-        val ev = rd(s, dir, "events")
-        Relational.retention(ev.withColumn("ts_us", expr(tsUsSql(ev.schema))),
-            "user_id", "ts_us", periodUs = 604800000000L)
-          .orderBy("cohort", "periods_since")
-      },
-      Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS period FROM events),
-        |co AS (SELECT user_id, min(period) AS cohort FROM ev GROUP BY 1),
-        |act AS (SELECT DISTINCT user_id, period FROM ev)
-        |SELECT cohort, period - cohort AS periods_since, count(*) AS n_active
-        |FROM act JOIN co USING (user_id)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
-
-    // W10 — event transition matrix: per-user consecutive event-type
-    // bigrams under the (ts, event_id) total order, counted corpus-wide —
-    // the Markov session-flow statistic. One lag window off a single user
-    // exchange; cells bounded by |event-type|².
-    Q("w10_transitions",
-      (s, dir) => {
-        val ev = rd(s, dir, "events")
-        Relational.transitions(ev.withColumn("ts_us", expr(tsUsSql(ev.schema))),
-            "user_id", "event_type", "ts_us", "event_id")
-          .orderBy("from_type", "to_type")
-      },
-      Some("""WITH x AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id FROM events),
-        |y AS (SELECT event_type AS to_type,
-        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY tus, event_id) AS from_type FROM x)
-        |SELECT from_type, to_type, count(*) AS n FROM y WHERE from_type IS NOT NULL
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
-
-    // W11 — interval coalescing: per-user [ts, ts + dur] busy intervals
-    // (dur a deterministic 1–7 min from event_id) merged into maximal
-    // disjoint spans by the sweep-line prefix-max window. One entity
-    // exchange + one sort feeds both windows; all-integer boundaries.
-    Q("w11_interval_merge",
-      (s, dir) => {
-        val ev = rd(s, dir, "events")
-        val iv = ev.withColumn("ts_us", expr(tsUsSql(ev.schema)))
-          .select(col("user_id"), col("event_id"), col("ts_us").as("iv_start"),
-            (col("ts_us") + (pmod(col("event_id"), lit(7)) + 1) * 60000000L).as("iv_end"))
-        Relational.coalesceIntervals(iv, "user_id", "iv_start", "iv_end", "event_id")
-          .orderBy("user_id", "span_idx")
-      },
-      Some("""WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS s,
-        |  epoch_us(ts) + ((event_id % 7) + 1) * 60000000 AS e FROM events),
-        |m AS (SELECT user_id, event_id, s, e,
-        |  max(e) OVER (PARTITION BY user_id ORDER BY s, e, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme FROM iv),
-        |g AS (SELECT user_id, s, e,
-        |  CAST(sum(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END) OVER
-        |    (PARTITION BY user_id ORDER BY s, e, event_id
-        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_idx FROM m)
-        |SELECT user_id, span_idx, min(s) AS span_start, max(e) AS span_end,
-        |  count(*) AS n_intervals
-        |FROM g GROUP BY 1, 2 ORDER BY user_id, span_idx""".stripMargin)),
-
-    // J11 — big-big interval overlap join (Relational.intervalOverlapJoin):
-    // even-id vs odd-id event intervals ([ts, ts+5min]) matched through
-    // 5-min grid-cell equi-joins — the rewrite that replaces the quadratic
-    // cartesian when BOTH interval sets are large. The max-start-cell
-    // responsibility filter emits each overlapping pair exactly once with
-    // no dedup; the oracle is the naive all-pairs overlap join.
-    Q("j11_interval_overlap",
-      (s, dir) => {
-        val ev = rd(s, dir, "events")
-        val iv = ev.withColumn("ts_us", expr(tsUsSql(ev.schema)))
-          .select(col("event_id"), col("ts_us").as("iv_s"),
-            (col("ts_us") + 300000000L).as("iv_e"))
-        Relational.intervalOverlapJoin(
-            iv.filter(col("event_id") % 2 === 0), "event_id", "iv_s", "iv_e",
-            iv.filter(col("event_id") % 2 === 1), "event_id", "iv_s", "iv_e",
-            gridUs = 300000000L)
-          .orderBy("id_a", "id_b")
-      },
-      Some("""WITH iv AS (SELECT event_id AS id, epoch_us(ts) AS s,
-        |  epoch_us(ts) + 300000000 AS e FROM events),
-        |a AS (SELECT * FROM iv WHERE id % 2 = 0), b AS (SELECT * FROM iv WHERE id % 2 = 1)
-        |SELECT a.id AS id_a, b.id AS id_b,
-        |  greatest(a.s, b.s) AS overlap_start, least(a.e, b.e) AS overlap_end
-        |FROM a JOIN b ON a.s <= b.e AND b.s <= a.e
-        |ORDER BY id_a, id_b""".stripMargin)),
-
-    // J12 — nearest-in-time join (Relational.nearestJoin): each even-id
-    // event pairs with the closest odd-id event of the same user in EITHER
-    // direction, rule (|Δt|, earlier t, smaller id) — asof's bidirectional
-    // refinement, one key exchange + two windows, no range explosion. The
-    // oracle is a per-row LATERAL argmin over the naive candidate set.
-    Q("j12_nearest",
-      (s, dir) => {
-        val ev = rd(s, dir, "events")
-        val e = ev.withColumn("ts_us", expr(tsUsSql(ev.schema)))
-          .select("event_id", "user_id", "ts_us")
-        Relational.nearestJoin(
-            e.filter(col("event_id") % 2 === 0),
-            e.filter(col("event_id") % 2 === 1),
-            "user_id", "ts_us", "event_id", "event_id")
-          .orderBy("event_id")
-      },
-      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
-        |l AS (SELECT * FROM e WHERE event_id % 2 = 0),
-        |r AS (SELECT * FROM e WHERE event_id % 2 = 1)
-        |SELECT l.event_id, l.user_id, l.ts_us, n.nearest_id, n.nearest_t
-        |FROM l LEFT JOIN LATERAL (
-        |  SELECT r.event_id AS nearest_id, r.ts_us AS nearest_t FROM r
-        |  WHERE r.user_id = l.user_id
-        |  ORDER BY abs(r.ts_us - l.ts_us), r.ts_us, r.event_id LIMIT 1) n ON true
-        |ORDER BY l.event_id""".stripMargin)),
-
-    // W13 — time-weighted average (TimeSeries.timeWeighted): per-user TWA
-    // over event values as the exact rational (Σ milli-value × Δt-µs,
-    // observed span) — holding-time weighting with the last observation
-    // contributing none; single-observation users surface as (0, 0, 1).
-    Q("w13_time_weighted",
-      (s, dir) => {
-        val ev = rd(s, dir, "events")
-        graft.operators.TimeSeries.timeWeighted(
-            ev.withColumn("ts_us", expr(tsUsSql(ev.schema))),
-            "user_id", "ts_us", "value", "event_id")
-          .orderBy("user_id")
-      },
-      Some("""WITH x AS (SELECT user_id, epoch_us(ts) AS t, event_id,
-        |  CAST(CAST(value AS DECIMAL(15,3)) * 1000 AS BIGINT) AS vm FROM events),
-        |y AS (SELECT *, lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nt FROM x)
-        |SELECT user_id,
-        |  CAST(COALESCE(sum(vm * (nt - t)) FILTER (nt IS NOT NULL), 0) AS BIGINT) AS twa_num,
-        |  max(t) - min(t) AS twa_den, count(*) AS n_obs
-        |FROM y GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-    // X7 — SEMANTIC decontamination (Similarity.semanticContamination):
-    // the embedding-space member of the decontam family — flags corpus
-    // vectors whose exact quantized dot against any benchmark vector
-    // (vec_id < 40, broadcast; both sides in the corpus-frozen quantizer
-    // space with lower clamping) reaches 1.2M (the top ~0.1% of the dot
-    // distribution) — the paraphrase/translation leak no token machinery
-    // catches. Full integer replay oracle.
-    Q("x1_decontaminate_semantic",
-      (s, dir) => {
-        val emb = rd(s, dir, "embeddings")
-        Similarity.semanticContamination(
-            emb.filter(col("vec_id") >= 40), emb.filter(col("vec_id") < 40),
-            minDot = 1200000L)
-          .orderBy("vec_id")
-      },
-      Some("""WITH xa AS (SELECT vec_id, unnest(range(1, len(embedding) + 1)) AS ord,
-        |  unnest(CAST(embedding AS DOUBLE[])) AS u FROM embeddings),
-        |st AS (SELECT ord, min(u) AS mn, max(u) AS mx FROM xa WHERE vec_id >= 40 GROUP BY ord),
-        |q AS (SELECT vec_id, xa.ord, CASE WHEN mx = mn THEN 0
-        |  ELSE CAST(greatest(least(floor(CAST(CAST(255 AS DOUBLE) * (u - mn) / (mx - mn) AS DECIMAL(10,6))), 255), 0) AS INTEGER)
-        |  END AS qq FROM xa JOIN st USING (ord)),
-        |v AS (SELECT vec_id, list(CAST(qq AS DOUBLE) ORDER BY ord) AS qv FROM q GROUP BY vec_id),
-        |c AS (SELECT * FROM v WHERE vec_id >= 40), b AS (SELECT * FROM v WHERE vec_id < 40)
-        |SELECT c.vec_id, count(*) AS n_hits FROM c JOIN b
-        |  ON CAST(list_dot_product(c.qv, b.qv) AS BIGINT) >= 1200000
-        |GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-    // X6 — deterministic epoch-shuffle order (Relational.epochShuffle):
-    // the per-epoch reproducible global permutation + sharding a training
-    // data loader consumes — md5(epoch:id) permutes (stable across engines
-    // and cluster sizes, decorrelated across epochs), shard = hash bucket,
-    // position = rank within shard off one co-partitioned window.
-    Q("x6_epoch_order",
-      (s, dir) => Relational.epochShuffle(rd(s, dir, "documents"), "doc_id",
-          epoch = 3, shards = 8)
-        .orderBy("shard", "pos"),
-      Some(s"""WITH h AS (SELECT doc_id,
-        |  ${duckHex("md5('3:' || CAST(doc_id AS VARCHAR))")} AS hv FROM documents)
-        |SELECT doc_id, hv % 8 AS shard,
-        |  CAST(row_number() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS INTEGER) AS pos
-        |FROM h ORDER BY shard, pos""".stripMargin)),
-
-    // W12 — sliding-window approximate distinct (Sketches.slidingHllDistinct):
-    // trailing-7-day distinct users per day from per-day HLL sketches merged
-    // by bucket max — the incremental rollup countDistinct cannot express
-    // (daily sketch table bounded by days × m, window derived without
-    // rescanning raw events). Exact countDistinct emitted beside the
-    // estimate as the verification channel, same discipline as a4.
-    Q("w12_sliding_distinct",
-      (s, dir) => {
-        val ev = rd(s, dir, "events")
-        Sketches.slidingHllDistinct(
-            ev.withColumn("day", expr(s"(${tsUsSql(ev.schema)}) div 86400000000")),
-            "user_id", "day", p = 6, frameDays = 7)
-          .orderBy("day")
-      },
-      Some {
-        val alphaM2 = Sketches.alphaTimesM2(6)
-        s"""WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
-          |h AS (SELECT day, ${duckHex("md5(CAST(user_id AS VARCHAR))")} AS h FROM ev),
-          |b AS (SELECT day, h % 64 AS bucket, h // 64 AS rest FROM h),
-          |r AS (SELECT day, bucket,
-          |  CASE WHEN rest = 0 THEN 27 ELSE 27 - length(printf('%b', rest)) END AS rank FROM b),
-          |daily AS (SELECT day, bucket, max(rank) AS max_rank FROM r GROUP BY 1, 2),
-          |days AS (SELECT DISTINCT day FROM ev),
-          |frame AS (SELECT d.day AS day, s.bucket, max(s.max_rank) AS mr
-          |  FROM days d JOIN daily s ON s.day BETWEEN d.day - 6 AND d.day GROUP BY 1, 2),
-          |agg AS (SELECT day, count(*) AS nb, sum(power(2.0, -mr)) AS s_obs FROM frame GROUP BY 1),
-          |ex AS (SELECT d.day AS day, count(DISTINCT e.user_id) AS exact_distinct
-          |  FROM days d JOIN ev e ON e.day BETWEEN d.day - 6 AND d.day GROUP BY 1)
-          |SELECT day, exact_distinct,
-          |  CAST(floor($alphaM2 / (s_obs + (64 - nb)) * 10000) AS BIGINT) AS hll_estimate_e4
-          |FROM agg JOIN ex USING (day) ORDER BY day""".stripMargin
-      }),
-
-    // W5 — RANGE frame window (value-based, vs W2's ROWS frame): per-customer
-    // rolling 30-day order total. The frame is defined on integer day offsets
-    // so both engines share exact frame boundaries; tied days fall in one
-    // frame together, making the sum deterministic without a tie-break.
-    Q("w5_range_frame",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("o_custkey")).orderBy(col("day"))
-          .rangeBetween(-30, Window.currentRow)
-        rd(s, dir, "orders")
-          .withColumn("day", datediff(to_date(col("o_orderdate")), to_date(lit("2020-01-01"))))
-          .withColumn("sum30",
-            sum(col("o_totalprice").cast(DecimalType(12, 2))).over(w)
-              .cast(DecimalType(18, 2)).cast("string"))
-          .select("o_orderkey", "o_custkey", "day", "sum30")
-          .orderBy("o_orderkey")
-      },
-      Some("SELECT o_orderkey, o_custkey, day, " +
-        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) OVER " +
-        "(PARTITION BY o_custkey ORDER BY day RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) " +
-        "AS DECIMAL(18,2)) AS VARCHAR) AS sum30 " +
-        "FROM (SELECT o_orderkey, o_custkey, o_totalprice, " +
-        "CAST(date_diff('day', DATE '2020-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS day FROM orders) " +
-        "ORDER BY o_orderkey")),
-
-    // W6 — ranking family: rank / dense_rank / percent_rank are
-    // tie-insensitive (same output for tied rows under any tie order);
-    // ntile IS tie-sensitive, so it runs over an explicit total order.
-    Q("w6_rank_family",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-        val wt = Window.partitionBy(col("l_returnflag"))
-          .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
-        rd(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_quantity"))
-          .withColumn("rnk", rank().over(w))
-          .withColumn("drnk", dense_rank().over(w))
-          .withColumn("pr", percent_rank().over(w).cast(DecimalType(10, 6)).cast("string"))
-          .withColumn("nt", ntile(10).over(wt))
-          // (l_orderkey, l_linenumber) is not unique in the synthetic data;
-          // sort on every output column for a total order (duplicate source
-          // rows are identical in all tie-insensitive columns, and nt breaks
-          // the rest)
-          .orderBy("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity", "nt")
-      },
-      Some("SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity, " +
-        "CAST(rank() OVER w AS INTEGER) AS rnk, " +
-        "CAST(dense_rank() OVER w AS INTEGER) AS drnk, " +
-        "CAST(CAST(percent_rank() OVER w AS DECIMAL(10,6)) AS VARCHAR) AS pr, " +
-        "CAST(ntile(10) OVER wt AS INTEGER) AS nt " +
-        "FROM lineitem " +
-        "WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity), " +
-        "wt AS (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) " +
-        "ORDER BY l_orderkey, l_linenumber, l_returnflag, l_quantity, nt")),
-
-    // J5 — range (band) join: quantity deciles derived from the region table
-    // (5 rows, broadcast). The only scalable plan for a non-equi join against
-    // a small dim — fact side streams once, never shuffles.
-    Q("j5_range_join",
-      (s, dir) => {
-        val bands = rd(s, dir, "region").select(col("r_regionkey").as("band"),
-          (col("r_regionkey") * 10).cast("double").as("lo"),
-          ((col("r_regionkey") + 1) * 10).cast("double").as("hi"))
-        Relational.rangeJoin(rd(s, dir, "lineitem"), bands, "l_quantity", "lo", "hi")
-          .groupBy("band")
-          .agg(count(lit(1)).as("n"),
-            sum(col("l_quantity").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("qty"))
-          .select(col("band"), col("n"), col("qty").cast("string").as("qty"))
-          .orderBy("band")
-      },
-      Some("SELECT r_regionkey AS band, count(*) AS n, " +
-        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS qty " +
-        "FROM lineitem JOIN region ON l_quantity >= r_regionkey * 10 AND l_quantity < (r_regionkey + 1) * 10 " +
-        "GROUP BY 1 ORDER BY 1")),
-
-    // X2 — per-label embedding centroid accumulators (distributed mean shape:
-    // exact decimal sums + counts; mean = csum/n at the caller, keeping float
-    // summation order out of the engine).
-    Q("x2_centroids",
-      (s, dir) => Similarity.labelCentroidSums(rd(s, dir, "embeddings"), "label")
-        .select(col("label"), col("pos"), col("csum").cast("string").as("csum"), col("n"))
-        .orderBy("label", "pos"),
-      Some("WITH x AS (SELECT label, unnest(range(1, len(embedding) + 1)) AS ord, " +
-        "unnest(embedding) AS u FROM embeddings) " +
-        "SELECT label, CAST(ord - 1 AS INTEGER) AS pos, " +
-        "CAST(CAST(sum(CAST(CAST(u AS DOUBLE) AS DECIMAL(16,6))) AS DECIMAL(20,6)) AS VARCHAR) AS csum, " +
-        "count(*) AS n FROM x GROUP BY 1, 2 ORDER BY 1, 2")),
-
-    // X3 — word-bigram top-5 per language (n-gram explode → count → ranked
-    // top-k per group; both engines build bigrams 1-indexed).
-    Q("x3_ngram_freq",
-      (s, dir) => TextAnalysis.topBigramsPerLang(rd(s, dir, "documents"), "lang", "text", 5)
-        .orderBy("lang", "rk"),
-      Some("WITH ws AS (SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents), " +
-        "bg AS (SELECT lang, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram " +
-        "FROM ws WHERE len(t) >= 2), " +
-        "c AS (SELECT lang, bigram, count(*) AS cnt FROM bg GROUP BY 1, 2) " +
-        "SELECT lang, bigram, cnt, rk FROM (SELECT lang, bigram, cnt, " +
-        "CAST(row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, bigram) AS INTEGER) AS rk FROM c) " +
-        "WHERE rk <= 5 ORDER BY lang, rk")),
-
-    // X3 — PPMI collocation extraction (Church & Hanks): adjacent word
-    // pairs ranked by positive pointwise mutual information with the log2
-    // quantized to bit-length of the integer ratio and sub-chance pairs
-    // floored to 0 — integer-exact, so the full collocation ranking
-    // hash-checks (float PMI cannot). Support floor cab >= 5.
-    Q("x3_ppmi",
-      (s, dir) => TextAnalysis.ppmiCollocations(rd(s, dir, "documents"), "text", 5L, 50)
-        .orderBy("rk"),
-      Some("""WITH t AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
-        |uc AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM t) GROUP BY 1),
-        |bg AS (SELECT ws[i] AS a, ws[i + 1] AS b FROM
-        |  (SELECT ws, unnest(range(1, len(ws))) AS i FROM t WHERE len(ws) >= 2)),
-        |bc AS (SELECT a, b, count(*) AS cab FROM bg GROUP BY 1, 2),
-        |nn AS (SELECT CAST(sum(cab) AS BIGINT) AS n FROM bc),
-        |sc AS (SELECT a, b, cab,
-        |  CASE WHEN (n * cab) // (ca.c * cb.c) >= 1
-        |    THEN length(printf('%b', (n * cab) // (ca.c * cb.c))) - 1 ELSE 0 END AS ppmi
-        |  FROM bc JOIN uc ca ON bc.a = ca.w JOIN uc cb ON bc.b = cb.w
-        |  CROSS JOIN nn WHERE cab >= 5)
-        |SELECT a, b, cab, ppmi, rk FROM (SELECT *,
-        |  CAST(row_number() OVER (ORDER BY ppmi DESC, cab DESC, a, b) AS INTEGER) AS rk FROM sc)
-        |WHERE rk <= 50 ORDER BY rk""".stripMargin)),
-
-    // X3 — character-trigram top-25 via the native char_ngrams Generator
-    // (§2.10 UDTF surface): rows stream lazily out of the UTF8String buffer
-    // into the aggregate — no intermediate shingle arrays, no per-element
-    // lambda dispatch (vs explode(transform(sequence(...)))). Top-25 under a
-    // total order (count desc, then ngram) so the limit boundary is
-    // deterministic on both engines.
-    Q("x3_char_ngrams",
-      (s, dir) => {
-        graft.functions.ArrayOps.register(s)
-        rd(s, dir, "documents")
-          .select(expr("char_ngrams(text, 3)"))
-          .groupBy("ngram").agg(count(lit(1)).as("n"))
-          .orderBy(col("n").desc, col("ngram")).limit(25)
-      },
-      Some("WITH g AS (SELECT substr(text, CAST(i AS INTEGER), 3) AS ngram " +
-        "FROM (SELECT text, unnest(generate_series(1, length(text) - 2)) AS i FROM documents)) " +
-        "SELECT ngram, count(*) AS n FROM g GROUP BY 1 ORDER BY n DESC, ngram LIMIT 25")),
-
-    // Event-time tumbling window aggregate (batch form of the streaming path).
-    // tsStampSql normalizes `ts` (ns-long or µs-NTZ, per fixture generation)
-    // to a µs TIMESTAMP; bucket with window().
-    Q("event_window_agg",
-      (s, dir) => {
-        val ev = rd(s, dir, "events")
-        ev
-        .withColumn("ts_us", expr(tsStampSql(ev.schema)))
-        .groupBy(window(col("ts_us"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(DecimalType(12, 2))).cast(DecimalType(18, 2)).as("total"))
-        .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
-          col("event_type"), col("n"), col("total").cast("string").as("total"))
-        .orderBy("window_start", "event_type")
-      },
-      Some("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, " +
-        "event_type, count(*) AS n, " +
-        "CAST(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS total " +
-        "FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
-
-    // As-of join (operator Spark lacks natively; union+window idiom): each
-    // click joined to the user's latest purchase value at-or-before it.
-    // DuckDB's native ASOF JOIN is the oracle.
-    Q("asof_join",
-      (s, dir) => {
-        val ev0 = rd(s, dir, "events")
-        val ev = ev0.withColumn("ts_us", expr(tsUsSql(ev0.schema)))
-        val clicks = ev.filter(col("event_type") === "click")
-          .select("user_id", "event_id", "ts_us")
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .groupBy("user_id", "ts_us")
-          .agg(max(col("value").cast(DecimalType(12, 2))).as("p_value"))
-        Relational.asOfJoin(clicks, purchases, "user_id", "ts_us", "event_id", "p_value")
-          .withColumn("asof_p_value", coalesce(col("asof_p_value").cast("string"), lit("NA")))
-          .orderBy("event_id")
-      },
-      Some("""WITH clicks AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'click'),
-        |purch AS (SELECT user_id, epoch_us(ts) AS ts_us, CAST(max(CAST(value AS DECIMAL(12,2))) AS DECIMAL(12,2)) AS p_value
-        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-        |SELECT c.event_id, c.user_id, c.ts_us, COALESCE(CAST(p.p_value AS VARCHAR), 'NA') AS asof_p_value
-        |FROM clicks c ASOF LEFT JOIN purch p ON c.user_id = p.user_id AND p.ts_us <= c.ts_us
-        |ORDER BY c.event_id""".stripMargin)),
-
-    // W7 — calendar gap-fill + forward fill (time-series resampling): each
-    // user's purchase panel densified to one row per day over the global
-    // range, gaps carrying the last observed value forward. The fill uses
-    // the portable running-count-of-observations idiom (no IGNORE NULLS).
-    // Output bounded to user_id < 50 AFTER the full panel is computed.
-    Q("w7_gap_fill",
-      (s, dir) => {
-        val ev = rd(s, dir, "events")
-        graft.operators.TimeSeries.gapFillDaily(
-          ev.filter(col("event_type") === "purchase"),
-          "user_id",
-          to_date(expr(tsStampSql(ev.schema))),
-          col("value").cast(DecimalType(12, 2)))
-        .filter(col("key") < 50)
-        .select(col("key").as("user_id"),
-          date_format(col("day"), "yyyy-MM-dd").as("day"),
-          coalesce(col("v").cast("string"), lit("NA")).as("v"),
-          coalesce(col("v_filled").cast("string"), lit("NA")).as("v_filled"))
-        .orderBy("user_id", "day")
-      },
-      Some("""WITH p AS (SELECT user_id, date_trunc('day', ts) AS day,
-        |  CAST(value AS DECIMAL(12,2)) AS v0 FROM events WHERE event_type = 'purchase'),
-        |daily AS (SELECT user_id, day, max(v0) AS v FROM p GROUP BY 1, 2),
-        |bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
-        |spine AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
-        |  FROM (SELECT DISTINCT user_id FROM daily), bounds),
-        |j AS (SELECT s.user_id, s.day, d.v FROM spine s
-        |  LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day),
-        |g AS (SELECT user_id, day, v, count(v) OVER (PARTITION BY user_id ORDER BY day
-        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp FROM j),
-        |f AS (SELECT user_id, day, v, max(v) OVER (PARTITION BY user_id, grp) AS v_filled FROM g)
-        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
-        |  coalesce(CAST(v AS VARCHAR), 'NA') AS v,
-        |  coalesce(CAST(v_filled AS VARCHAR), 'NA') AS v_filled
-        |FROM f WHERE user_id < 50 ORDER BY user_id, day""".stripMargin)),
-
-    // A13 — count-min heavy hitters over the corpus token stream: the top-15
-    // exact tokens alongside their count-min estimate (d=4 rows × w=256
-    // buckets, md5-derived hashes — the whole sketch is integer arithmetic,
-    // so the oracle recomputes it bit-for-bit). cm_est >= exact_cnt by
-    // construction; the sketch itself is the constant-size mergeable
-    // aggregate that replaces exact counting at stream scale.
-    Q("a13_heavy_hitters",
-      (s, dir) => Sketches.heavyHitters(
-          rd(s, dir, "documents")
-            .select(explode(expr("filter(split(text, ' '), x -> x != '')")).as("token")),
-          "token", 4, 256, 15)
-        .orderBy(col("exact_cnt").desc, col("value")),
-      Some(s"""WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS v FROM documents),
-        |seeds AS (SELECT * FROM (VALUES (0), (1), (2), (3)) s(r)),
-        |h AS (SELECT r, v, ${duckHex("md5(CAST(r AS VARCHAR) || ':' || v)")} % 256 AS bucket FROM toks CROSS JOIN seeds),
-        |sk AS (SELECT r, bucket, count(*) AS cnt FROM h GROUP BY 1, 2),
-        |exact AS (SELECT v, count(*) AS exact_cnt FROM toks GROUP BY 1 ORDER BY exact_cnt DESC, v LIMIT 15),
-        |pos AS (SELECT e.v, s.r, ${duckHex("md5(CAST(s.r AS VARCHAR) || ':' || e.v)")} % 256 AS bucket
-        |  FROM exact e CROSS JOIN seeds s),
-        |est AS (SELECT p.v, min(sk.cnt) AS cm_est FROM pos p
-        |  JOIN sk ON sk.r = p.r AND sk.bucket = p.bucket GROUP BY 1)
-        |SELECT e.v AS value, e.exact_cnt, est.cm_est FROM exact e JOIN est ON e.v = est.v
-        |ORDER BY exact_cnt DESC, value""".stripMargin)),
-
-    // A14 — KMV quantile sketch (Sketches.kmvQuantile): bottom-k-by-md5
-    // uniform sample of the distinct value domain answers quantiles without
-    // a global sort (distinct agg + TakeOrderedAndProject heaps vs a6's full
-    // sorted window). The hash order makes the sample partition-independent,
-    // so estimate AND exact replay bit-for-bit; integer ceil ranks keep
-    // floats out of the comparison surface entirely.
-    // A15 — exact equi-depth histogram (Relational.equiDepthHistogram):
-    // global ranks via the scalable surrogate-id pass (range exchange +
-    // driver prefix sum, no single-task window), bucket = ((rank-1)*k) div N,
-    // k-bounded aggregate. The data-derived band table j5-style range joins
-    // would consume; the oracle recomputes the identical integer split.
-    Q("a15_equidepth",
-      (s, dir) => Relational.equiDepthHistogram(
-          rd(s, dir, "orders").select("o_totalprice", "o_orderkey"),
-          "o_totalprice", Seq("o_orderkey"), 8)
-        .orderBy("bucket"),
-      Some("""WITH r AS (SELECT o_totalprice AS v,
-        |  row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rn,
-        |  count(*) OVER () AS n FROM orders)
-        |SELECT ((rn - 1) * 8) // n AS bucket, min(v) AS lo, max(v) AS hi,
-        |  count(*) AS n_rows
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
-
-    Q("a14_kmv_quantile",
-      (s, dir) => Sketches.kmvQuantile(
-          rd(s, dir, "orders").select(floor(col("o_totalprice")).as("price")),
-          "price", 500, Seq((1, 4), (2, 4), (3, 4), (9, 10)))
-        .orderBy("q_num", "q_den"),
-      Some("""WITH domain AS (SELECT DISTINCT CAST(floor(o_totalprice) AS BIGINT) AS v FROM orders),
-        |q AS (SELECT * FROM (VALUES (1, 4), (2, 4), (3, 4), (9, 10)) t(q_num, q_den)),
-        |s AS (SELECT v FROM domain ORDER BY md5(CAST(v AS VARCHAR)), v LIMIT 500),
-        |sr AS (SELECT v, row_number() OVER (ORDER BY v) AS rk,
-        |  (SELECT count(*) FROM s) AS sn FROM s),
-        |er AS (SELECT v, row_number() OVER (ORDER BY v) AS erk,
-        |  (SELECT count(*) FROM domain) AS en FROM domain)
-        |SELECT q.q_num, q.q_den, sr.v AS est, er.v AS exact
-        |FROM q
-        |JOIN sr ON sr.rk = (sr.sn * q.q_num + q.q_den - 1) // q.q_den
-        |JOIN er ON er.erk = (er.en * q.q_num + q.q_den - 1) // q.q_den
-        |ORDER BY q_num, q_den""".stripMargin)),
-
-    // J10 — bloom-filter join pruning: a 4096-bit / 3-hash bloom built from
-    // the BUILDING customer keys filters the orders probe side WITHOUT
-    // shuffling it (each lookup is a broadcast join against the 128-word
-    // table) — the semi-join-pushdown shape. Output is the confusion matrix
-    // (bloom_pass × actual match), making the false-positive count itself
-    // the oracle-checked value; false negatives are structurally impossible
-    // and the (0,1) cell must be absent.
-    Q("j10_bloom_prune",
-      (s, dir) => {
-        val cust = rd(s, dir, "customer")
-          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
-        val words = Sketches.bloomWords(cust, "c_custkey", 4096, 3)
-        val probed = Sketches.bloomProbe(
-          rd(s, dir, "orders").select("o_orderkey", "o_custkey"),
-          "o_custkey", words, 4096, 3)
-        probed
-          .join(broadcast(cust.withColumn("__m", lit(1)))
-            .withColumnRenamed("c_custkey", "o_custkey"), Seq("o_custkey"), "left")
-          .withColumn("is_match", coalesce(col("__m"), lit(0)))
-          .groupBy("bloom_pass", "is_match").agg(count(lit(1)).as("n"))
-          .orderBy("bloom_pass", "is_match")
-      },
-      Some(s"""WITH ck AS (SELECT DISTINCT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
-        |seeds AS (SELECT * FROM (VALUES (0), (1), (2)) s(r)),
-        |bpos AS (SELECT ${duckHex("md5(CAST(r AS VARCHAR) || ':' || CAST(c_custkey AS VARCHAR))")} % 4096 AS pos
-        |  FROM ck CROSS JOIN seeds),
-        |words AS (SELECT pos // 32 AS word_idx, bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INTEGER)) AS word
-        |  FROM bpos GROUP BY 1),
-        |ppos AS (SELECT o_orderkey, o_custkey,
-        |  ${duckHex("md5(CAST(r AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR))")} % 4096 AS pos
-        |  FROM orders CROSS JOIN seeds),
-        |pb AS (SELECT o_orderkey, any_value(o_custkey) AS o_custkey,
-        |  min(coalesce((w.word >> CAST(pos % 32 AS INTEGER)) & 1, 0)) AS bloom_pass
-        |  FROM ppos LEFT JOIN words w ON w.word_idx = pos // 32 GROUP BY o_orderkey),
-        |lab AS (SELECT CAST(pb.bloom_pass AS INTEGER) AS bloom_pass,
-        |  CASE WHEN ck.c_custkey IS NULL THEN 0 ELSE 1 END AS is_match
-        |  FROM pb LEFT JOIN ck ON pb.o_custkey = ck.c_custkey)
-        |SELECT bloom_pass, is_match, count(*) AS n FROM lab GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin)),
-
-    // P7 — data-quality constraint report (engine form of the reference
-    // DDL's NOT NULL/type-width constraints, etl-vini-azure.py:87-90): one
-    // streamed pass, one violation counter per rule, a row violating when
-    // its predicate is false OR null. The discount rule fires on real rows,
-    // proving the counter counts; the rest hold on the fixture data.
-    Q("p7_constraint_check",
-      (s, dir) => Relational.constraintReport(rd(s, dir, "lineitem"), Seq(
-        "l_quantity_positive" -> (col("l_quantity") > 0),
-        "l_extendedprice_nonneg" -> (col("l_extendedprice") >= 0),
-        "l_shipdate_not_null" -> col("l_shipdate").isNotNull,
-        "l_discount_le_5pct" -> (col("l_discount") <= 0.05),
-        "l_returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"))),
-      Some("""WITH a AS (SELECT
-        |  count(*) FILTER (WHERE NOT coalesce(l_quantity > 0, FALSE)) AS c1,
-        |  count(*) FILTER (WHERE NOT coalesce(l_extendedprice >= 0, FALSE)) AS c2,
-        |  count(*) FILTER (WHERE NOT coalesce(l_shipdate IS NOT NULL, FALSE)) AS c3,
-        |  count(*) FILTER (WHERE NOT coalesce(l_discount <= 0.05, FALSE)) AS c4,
-        |  count(*) FILTER (WHERE NOT coalesce(l_returnflag IN ('A', 'N', 'R'), FALSE)) AS c5
-        |  FROM lineitem)
-        |SELECT rule, n_violations FROM (
-        |  SELECT 'l_quantity_positive' AS rule, c1 AS n_violations FROM a
-        |  UNION ALL SELECT 'l_extendedprice_nonneg', c2 FROM a
-        |  UNION ALL SELECT 'l_shipdate_not_null', c3 FROM a
-        |  UNION ALL SELECT 'l_discount_le_5pct', c4 FROM a
-        |  UNION ALL SELECT 'l_returnflag_domain', c5 FROM a)
-        |ORDER BY rule""".stripMargin)),
-
-    // P8 — constraint QUARANTINE (P7's row-level routing form): every
-    // lineitem row carries the comma-joined names of the constraints it
-    // violates (false-OR-NULL = violation, P7's discipline); the dump is
-    // the dead-letter side only, bounded by orderkey. Pure map-side
-    // projection — the clean/quarantine split costs one scan, no second
-    // validation pass.
-    Q("p8_quarantine",
-      (s, dir) => Relational.quarantine(
-          rd(s, dir, "lineitem").filter(col("l_orderkey") < 5000), Seq(
-            "l_quantity_le_30" -> (col("l_quantity") <= 30),
-            "l_discount_le_5pct" -> (col("l_discount") <= 0.05),
-            "l_tax_le_4pct" -> (col("l_tax") <= 0.04)))
-        .filter(size(col("violations")) > 0)
-        .select(col("l_orderkey"), col("l_linenumber"),
-          array_join(col("violations"), ",").as("viols"))
-        .orderBy("l_orderkey", "l_linenumber"),
-      Some("""WITH q AS (SELECT l_orderkey, l_linenumber,
-        |  array_to_string(list_filter([
-        |    CASE WHEN NOT coalesce(l_quantity <= 30, FALSE) THEN 'l_quantity_le_30' END,
-        |    CASE WHEN NOT coalesce(l_discount <= 0.05, FALSE) THEN 'l_discount_le_5pct' END,
-        |    CASE WHEN NOT coalesce(l_tax <= 0.04, FALSE) THEN 'l_tax_le_4pct' END
-        |  ], x -> x IS NOT NULL), ',') AS viols
-        |  FROM lineitem WHERE l_orderkey < 5000)
-        |SELECT l_orderkey, l_linenumber, viols FROM q WHERE viols <> ''
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
-
-    // X8 — z-order (Morton) clustering value: interleave 16 bits of customer
-    // key with 16 bits of a price bucket (totalprice/8 — a power-of-two
-    // scale, so the double divide and floor are IEEE-exact in both engines).
-    // Sorting/range-partitioning on zval is the multi-dimensional layout
-    // optimization that lets file min/max statistics prune on EITHER
-    // dimension of a 100 TB table. Pure integer bit arithmetic.
-    // G1 — integer-exact PageRank (3 damped iterations) over the
-    // bidirectional customer↔supplier transaction graph: the web-graph
-    // quality signal (page importance) a curation pipeline joins against
-    // documents before sampling. Ranks are 10^-12-scale integers and every
-    // division floors, so the fixed-point prefix — including the
-    // deterministic floor-shaved mass — replays bit-for-bit in DuckDB
-    // (float PageRank cannot: summation order moves the ranking). The
-    // oracle unrolls the same three iterations as CTEs.
-    Q("g1_pagerank",
-      (s, dir) => {
-        val pairs = rd(s, dir, "orders").select("o_orderkey", "o_custkey")
-          .join(rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
-        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-          .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-        graft.operators.ext.Graph.pageRank(edges, "src", "dst", 3)
-          .orderBy(col("rank").desc, col("node")).limit(100)
-      },
-      Some {
-        val base = s"(150 * (${graft.operators.ext.Graph.Scale} // n)) // 1000"
-        def iter(i: Int): String =
-          s"""c$i AS (SELECT e.dst AS node, sum(r${i - 1}.rank // od.outdeg) AS inmass
-            |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN od ON e.src = od.node GROUP BY 1),
-            |r$i AS (SELECT nodes.node, $base + (850 * coalesce(inmass, 0)) // 1000 AS rank
-            |  FROM nodes CROSS JOIN nn LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
-        s"""WITH p AS (SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
-          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-          |e AS (SELECT cust AS src, supp AS dst FROM p UNION ALL SELECT supp, cust FROM p),
-          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-          |nn AS (SELECT count(*) AS n FROM nodes),
-          |od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
-          |r0 AS (SELECT node, ${graft.operators.ext.Graph.Scale} // n AS rank FROM nodes CROSS JOIN nn),
-          |${iter(1)},
-          |${iter(2)},
-          |${iter(3)}
-          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
-          |ORDER BY rank DESC, node LIMIT 100""".stripMargin
-      }),
-
-    // G2 — TrustRank (seeded PageRank): all restart mass starts on a small
-    // trusted seed set (suppliers 1-10) and the damped walk spreads trust
-    // along transaction links — the anti-spam corpus-quality signal
-    // (Gyöngyi et al., VLDB'04): nodes reachable only far from seeds stay
-    // near zero however densely they interlink. Same floor-division
-    // integer discipline as g1_pagerank; the oracle unrolls the seeded
-    // iterations.
-    Q("g2_trustrank",
-      (s, dir) => {
-        val pairs = rd(s, dir, "orders").select("o_orderkey", "o_custkey")
-          .join(rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
-        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-          .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-        val seeds = rd(s, dir, "supplier").filter(col("s_suppkey") <= 10)
-          .select((col("s_suppkey") + 1000000L).as("node"))
-        graft.operators.ext.Graph.trustRank(edges, "src", "dst", seeds, "node", 3)
-          .orderBy(col("rank").desc, col("node")).limit(100)
-      },
-      Some {
-        val sc = graft.operators.ext.Graph.Scale
-        def iter(i: Int): String =
-          s"""c$i AS (SELECT e.dst AS node, sum(r${i - 1}.rank // od.outdeg) AS inmass
-            |  FROM e JOIN r${i - 1} ON e.src = r${i - 1}.node JOIN od ON e.src = od.node GROUP BY 1),
-            |r$i AS (SELECT b.node, b.b + (850 * coalesce(inmass, 0)) // 1000 AS rank
-            |  FROM b LEFT JOIN c$i ON b.node = c$i.node)""".stripMargin
-        s"""WITH p AS (SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
-          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-          |e AS (SELECT cust AS src, supp AS dst FROM p UNION ALL SELECT supp, cust FROM p),
-          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-          |seeds AS (SELECT s_suppkey + 1000000 AS node FROM supplier WHERE s_suppkey <= 10),
-          |ss AS (SELECT count(*) AS s FROM seeds),
-          |od AS (SELECT src AS node, count(*) AS outdeg FROM e GROUP BY 1),
-          |r0 AS (SELECT nodes.node, CASE WHEN seeds.node IS NOT NULL THEN $sc // s ELSE 0 END AS rank
-          |  FROM nodes CROSS JOIN ss LEFT JOIN seeds ON nodes.node = seeds.node),
-          |b AS (SELECT nodes.node, CASE WHEN seeds.node IS NOT NULL THEN (150 * ($sc // s)) // 1000 ELSE 0 END AS b
-          |  FROM nodes CROSS JOIN ss LEFT JOIN seeds ON nodes.node = seeds.node),
-          |${iter(1)},
-          |${iter(2)},
-          |${iter(3)}
-          |SELECT node, CAST(rank AS BIGINT) AS rank FROM r3
-          |ORDER BY rank DESC, node LIMIT 100""".stripMargin
-      }),
-
-    // G4 — exact triangle counting over the part co-purchase graph (parts
-    // sharing an order connect; orders bound the per-order pair fan-out):
-    // canonicalized undirected edges, ordered-wedge enumeration x<y<z
-    // closed by a left-semi probe — every triangle exactly once, no
-    // post-dedup. The co-occurrence-graph construction is itself the
-    // market-basket pattern. Corpus bounded to l_orderkey < 2000 so the
-    // row costs the same at every scale factor.
-    Q("g4_triangles",
-      (s, dir) => {
-        val li = rd(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
-          .select("l_orderkey", "l_partkey")
-        val edges = li.as("x").join(li.as("y"),
-            col("x.l_orderkey") === col("y.l_orderkey") &&
-              col("x.l_partkey") < col("y.l_partkey"))
-          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-        graft.operators.ext.Graph.triangleCount(edges, "src", "dst")
-      },
-      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 2000),
-        |raw AS (SELECT x.l_partkey AS src, y.l_partkey AS dst FROM li x JOIN li y
-        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
-        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw WHERE src <> dst),
-        |w AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z FROM e e1 JOIN e e2 ON e1.b = e2.a),
-        |t AS (SELECT * FROM w WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.x AND e.b = w.z))
-        |SELECT (SELECT count(*) FROM e) AS n_edges,
-        |  (SELECT count(*) FROM w) AS n_wedges,
-        |  (SELECT count(*) FROM t) AS n_triangles""".stripMargin)),
-
-    // G4b — DEGREE-ORIENTED triangle counting (Graph.triangleCountDegree)
-    // over the same co-purchase graph: edges orient low-(degree, id) →
-    // high, wedges enumerate as ordered out-neighbor pairs, capping every
-    // node's out-degree at O(sqrt|E|) — the Σdeg² hub-term cut production
-    // power-law graphs need. Triangle count must equal g4_triangles
-    // bit-for-bit (the orientation changes WORK, never the answer);
-    // n_wedges is the oriented wedge mass, the quantity the refinement
-    // shrinks (ProfileGraph --triangles measures the cut on a hub graph).
-    Q("g4_triangles_degree",
-      (s, dir) => {
-        val li = rd(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
-          .select("l_orderkey", "l_partkey")
-        val edges = li.as("x").join(li.as("y"),
-            col("x.l_orderkey") === col("y.l_orderkey") &&
-              col("x.l_partkey") < col("y.l_partkey"))
-          .select(col("x.l_partkey").as("src"), col("y.l_partkey").as("dst"))
-        graft.operators.ext.Graph.triangleCountDegree(edges, "src", "dst")
-      },
-      Some("""WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 2000),
-        |raw AS (SELECT x.l_partkey AS src, y.l_partkey AS dst FROM li x JOIN li y
-        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
-        |e AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b FROM raw WHERE src <> dst),
-        |deg AS (SELECT node, count(*) AS deg FROM
-        |  (SELECT a AS node FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
-        |o AS (SELECT CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.a ELSE e.b END AS src,
-        |  CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN e.b ELSE e.a END AS dst,
-        |  CASE WHEN (da.deg, e.a) < (db.deg, e.b) THEN db.deg ELSE da.deg END AS kdeg
-        |  FROM e JOIN deg da ON da.node = e.a JOIN deg db ON db.node = e.b),
-        |w AS (SELECT o1.dst AS x, o2.dst AS z FROM o o1 JOIN o o2
-        |  ON o1.src = o2.src AND (o1.kdeg, o1.dst) < (o2.kdeg, o2.dst)),
-        |t AS (SELECT * FROM w WHERE EXISTS (SELECT 1 FROM o WHERE o.src = w.x AND o.dst = w.z))
-        |SELECT (SELECT count(*) FROM e) AS n_edges,
-        |  (SELECT count(*) FROM w) AS n_wedges,
-        |  (SELECT count(*) FROM t) AS n_triangles""".stripMargin)),
-
-    // G5 — connected components over the part co-purchase graph: the X1
-    // cluster machinery (union-find contraction → finish | quotient
-    // recursion) reused as the graph family's component labeler — same
-    // code path, different graph, proving the operator is general. Node
-    // universe = parts appearing in the bounded order slice; label = min
-    // node id per component; the oracle replays the fixpoint recursively.
-    Q("g5_components",
-      (s, dir) => {
-        val li = rd(s, dir, "lineitem").filter(col("l_orderkey") < 2000)
-          .select("l_orderkey", "l_partkey")
-        val edges = li.as("x").join(li.as("y"),
-            col("x.l_orderkey") === col("y.l_orderkey") &&
-              col("x.l_partkey") < col("y.l_partkey"))
-          .select(col("x.l_partkey").as("id_a"), col("y.l_partkey").as("id_b"))
-        val nodes = li.select(col("l_partkey").as("node")).distinct()
-        graft.operators.ext.Dedup.dedupClusters(nodes, "node", edges)
-          .select(col("doc_id").as("node"), col("cluster").as("component"))
-          .orderBy("node")
-      },
-      Some("""WITH RECURSIVE li AS (SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey < 2000),
-        |raw AS (SELECT x.l_partkey AS src, y.l_partkey AS dst FROM li x JOIN li y
-        |  ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
-        |e AS (SELECT src, dst FROM raw UNION SELECT dst, src FROM raw),
-        |nodes AS (SELECT DISTINCT l_partkey AS node FROM li),
-        |r(node, lab) AS (SELECT node, node FROM nodes
-        |  UNION SELECT e.dst, r.lab FROM r JOIN e ON r.node = e.src)
-        |SELECT node, min(lab) AS component FROM r GROUP BY node ORDER BY node""".stripMargin)),
-
-    // G3 — deterministic label propagation: suppliers 1-10 carry their
-    // nation as a hand-reviewed label; three majority-vote iterations
-    // spread labels across the transaction graph (ties -> smallest label,
-    // seeds clamped). The (count DESC, label ASC) argmax is a total order,
-    // so the converged assignment — including which nodes stay unlabeled —
-    // replays exactly; the oracle unrolls the same three votes.
-    Q("g3_label_prop",
-      (s, dir) => {
-        val pairs = rd(s, dir, "orders").select("o_orderkey", "o_custkey")
-          .join(rd(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("cust"), (col("l_suppkey") + 1000000L).as("supp"))
-        val edges = pairs.select(col("cust").as("src"), col("supp").as("dst"))
-          .unionByName(pairs.select(col("supp").as("src"), col("cust").as("dst")))
-        val seeds = rd(s, dir, "supplier").filter(col("s_suppkey") <= 10)
-          .select((col("s_suppkey") + 1000000L).as("node"),
-            col("s_nationkey").cast("long").as("lab"))
-        graft.operators.ext.Graph
-          .labelPropagate(edges, "src", "dst", seeds, "node", "lab", 3)
-          .orderBy("node")
-      },
-      Some {
-        def iter(i: Int): String =
-          s"""v$i AS (SELECT e.dst AS node, l${i - 1}.label, count(*) AS n
-            |  FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node WHERE l${i - 1}.label IS NOT NULL GROUP BY 1, 2),
-            |m$i AS (SELECT node, label AS maj FROM
-            |  (SELECT *, row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rk FROM v$i) WHERE rk = 1),
-            |l$i AS (SELECT l${i - 1}.node, coalesce(sd.lab, m$i.maj, l${i - 1}.label) AS label
-            |  FROM l${i - 1} LEFT JOIN m$i ON l${i - 1}.node = m$i.node LEFT JOIN sd ON l${i - 1}.node = sd.node)""".stripMargin
-        s"""WITH p AS (SELECT o_custkey AS cust, l_suppkey + 1000000 AS supp
-          |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
-          |e AS (SELECT cust AS src, supp AS dst FROM p UNION ALL SELECT supp, cust FROM p),
-          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-          |sd AS (SELECT s_suppkey + 1000000 AS node, CAST(s_nationkey AS BIGINT) AS lab
-          |  FROM supplier WHERE s_suppkey <= 10),
-          |l0 AS (SELECT nodes.node, sd.lab AS label FROM nodes LEFT JOIN sd ON nodes.node = sd.node),
-          |${iter(1)},
-          |${iter(2)},
-          |${iter(3)}
-          |SELECT node, label FROM l3 ORDER BY node""".stripMargin
-      }),
-
-    Q("x8_zorder",
-      (s, dir) => {
-        val o = rd(s, dir, "orders")
-          .withColumn("x", col("o_custkey").cast("long"))
-          .withColumn("y", least(floor(col("o_totalprice") / 8), lit(65535)).cast("long"))
-        o.withColumn("zval", Relational.zValue(col("x"), col("y"), 16))
-          .select("o_orderkey", "x", "y", "zval")
-          .orderBy("zval", "o_orderkey").limit(1000)
-      },
-      Some(s"""WITH o AS (SELECT o_orderkey, CAST(o_custkey AS BIGINT) AS x,
-        |  CAST(least(floor(o_totalprice / 8), 65535) AS BIGINT) AS y FROM orders)
-        |SELECT o_orderkey, x, y, ${duckZ("x", "y", 16)} AS zval FROM o
-        |ORDER BY zval, o_orderkey LIMIT 1000""".stripMargin)),
-
-    // X3 — TF-IDF with integer-quantized idf = floor(log2(N/df)), computed
-    // as length(bin(N div df)) - 1: no floating-point log anywhere, so the
-    // score is bit-identical cross-engine (classic float tf-idf cannot be
-    // hash-checked across libms). Corpus-wide df/tf aggregates with partial
-    // aggregation; output bounded to doc_id < 100 AFTER full scoring.
-    Q("x3_tfidf",
-      (s, dir) => TextAnalysis.tfIdfTopK(rd(s, dir, "documents"), "doc_id", "text", 5)
-        .filter(col("doc_id") < 100)
-        .orderBy("doc_id", "rk"),
-      Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
-        |scored AS (SELECT t.doc_id, t.term, t.tf,
-        |  t.tf * (length(printf('%b', n.n // d.df)) - 1) AS score
-        |  FROM tf t JOIN dfreq d USING (term) CROSS JOIN nn n),
-        |r AS (SELECT doc_id, term, tf, score,
-        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INTEGER) AS rk FROM scored)
-        |SELECT doc_id, term, tf, score, rk FROM r WHERE rk <= 5 AND doc_id < 100
-        |ORDER BY doc_id, rk""".stripMargin)),
-
-    // X3 — BM25 retrieval (the lexical leg of a modern retrieval stack):
-    // rank the corpus against 5 queries (first 8 tokens of docs 0-4) with
-    // integer-exact Okapi BM25 — idf = floor(log2(N/df)) via length(bin()),
-    // and with k1=1.2, b=0.75 the saturation term clears to the exact
-    // rational 22·tf·T/(10·tf·T + 3·T + 9·dl·N), milli-scaled before ONE
-    // floor division. No float anywhere, so the full ranking (not just the
-    // id set) hash-checks vs DuckDB.
-    Q("x3_bm25",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        val queries = docs.filter(col("doc_id") < 5)
-          .select(col("doc_id").as("query_id"),
-            expr("array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 8), ' ')").as("qtext"))
-        TextAnalysis.bm25TopK(docs, queries, "doc_id", "text", "query_id", "qtext", 10)
-          .orderBy("query_id", "rk")
-      },
-      Some("""WITH dl AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl FROM documents),
-        |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
-        |qd AS (SELECT doc_id AS query_id, array_to_string((list_filter(string_split(text, ' '), x -> x <> ''))[1:8], ' ') AS qtext
-        |  FROM documents WHERE doc_id < 5),
-        |qt AS (SELECT DISTINCT query_id, unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS term FROM qd),
-        |post AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM post
-        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |sc AS (SELECT q.query_id, f.doc_id,
-        |  CAST(CAST(22000 AS HUGEINT) * (length(printf('%b', n // df)) - 1) * f.tf * t
-        |    // (CAST(10 AS HUGEINT) * f.tf * t + CAST(3 AS HUGEINT) * t + CAST(9 AS HUGEINT) * dl.dl * n) AS BIGINT) AS s
-        |  FROM tf f JOIN dfreq USING (term) JOIN qt q USING (term)
-        |  JOIN dl ON f.doc_id = dl.doc_id CROSS JOIN tot),
-        |agg AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score FROM sc GROUP BY 1, 2),
-        |r AS (SELECT query_id, doc_id, score,
-        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rk FROM agg)
-        |SELECT query_id, doc_id, score, rk FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
-
-    // X3 — BM25 against the PERSISTED inverted index: build on doc_id < 400,
-    // append the rest, REPLAY the append (must insert nothing — idempotent
-    // maintenance), then probe. The oracle is the x3_bm25 full-corpus batch
-    // formulation verbatim, so the gate proves index-path ranking ==
-    // fresh-scan ranking across build + append + idempotent replay: the
-    // standing structure a 100 TB corpus probes instead of re-scanning.
-    Q("x3_bm25_index",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        // standing fixture: base index + corpus-completing append, built
-        // once per session+sf; LIVE work each pass = one idempotent replay
-        // append (the anti-join no-op proof — the production re-run cost)
-        // and the BM25 probe, this row's serving claim
-        val (post, len) = Fixtures.once(s, dir, "lex_index") {
-          val t = dirTag(dir)
-          val (p, l) = (s"graft_lex_post_$t", s"graft_lex_len_$t")
-          val root = freshDir(s, s"graft_lexidx_$t")
-          s.sql(s"DROP TABLE IF EXISTS $p")
-          s.sql(s"DROP TABLE IF EXISTS $l")
-          TextAnalysis.buildLexicalIndex(p, l,
-            docs.filter(col("doc_id") < 400), "doc_id", "text", 8, root)
-          TextAnalysis.appendLexicalIndex(p, l,
-            docs.filter(col("doc_id") >= 400), "doc_id", "text", 8)
-          (p, l)
-        }
-        TextAnalysis.appendLexicalIndex(post, len,
-          docs.filter(col("doc_id") >= 400), "doc_id", "text", 8) // replay: anti-joins make this a no-op
-        val queries = docs.filter(col("doc_id") < 5)
-          .select(col("doc_id").as("query_id"),
-            expr("array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 8), ' ')").as("qtext"))
-        TextAnalysis.bm25IndexTopK(s, post, len,
-            queries, "query_id", "qtext", 10)
-          .orderBy("query_id", "rk")
-      },
-      Some("""WITH dl AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl FROM documents),
-        |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
-        |qd AS (SELECT doc_id AS query_id, array_to_string((list_filter(string_split(text, ' '), x -> x <> ''))[1:8], ' ') AS qtext
-        |  FROM documents WHERE doc_id < 5),
-        |qt AS (SELECT DISTINCT query_id, unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS term FROM qd),
-        |post AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM post
-        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |sc AS (SELECT q.query_id, f.doc_id,
-        |  CAST(CAST(22000 AS HUGEINT) * (length(printf('%b', n // df)) - 1) * f.tf * t
-        |    // (CAST(10 AS HUGEINT) * f.tf * t + CAST(3 AS HUGEINT) * t + CAST(9 AS HUGEINT) * dl.dl * n) AS BIGINT) AS s
-        |  FROM tf f JOIN dfreq USING (term) JOIN qt q USING (term)
-        |  JOIN dl ON f.doc_id = dl.doc_id CROSS JOIN tot),
-        |agg AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score FROM sc GROUP BY 1, 2),
-        |r AS (SELECT query_id, doc_id, score,
-        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rk FROM agg)
-        |SELECT query_id, doc_id, score, rk FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
-
-    // X3 — document chunking (training/RAG window split): token windows of
-    // 32 with stride 24 (8-token overlap), 1-indexed starts, final partial
-    // window kept. Map-side only — chunking never shuffles. Output bounded
-    // to doc_id < 100 (chunk construction is per-row, the bound loses no
-    // generality).
-    Q("x3_chunk_split",
-      (s, dir) => TextAnalysis.chunkSplit(
-          rd(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text", 32, 24)
-        .orderBy("doc_id", "start_tok"),
-      Some("""WITH d AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
-        |  FROM documents WHERE doc_id < 100),
-        |nz AS (SELECT doc_id, ws, len(ws) AS n_tok FROM d WHERE len(ws) > 0),
-        |st AS (SELECT doc_id, ws, n_tok, unnest(generate_series(1, n_tok, 24)) AS start_tok FROM nz)
-        |SELECT doc_id, start_tok, array_to_string(ws[start_tok : start_tok + 31], ' ') AS chunk,
-        |  least(32, n_tok - start_tok + 1) AS chunk_tokens
-        |FROM st ORDER BY doc_id, start_tok""".stripMargin)),
-
-    // X3 — intra-document repetition signals (Gopher-style quality rules) as
-    // exact integers: token count, distinct-token count, top-token count.
-    Q("x3_repetition",
-      (s, dir) => TextAnalysis.repetitionStats(rd(s, dir, "documents"), "doc_id", "text")
-        .orderBy("doc_id"),
-      Some("""WITH toks AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents),
-        |tf AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY 1, 2)
-        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens, count(*) AS n_distinct, max(cnt) AS top_token_cnt
-        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
-
-    // X1 — exact dedup, deterministic survivor (lowest doc_id per text).
-    Q("x1_dedup_exact",
-      (s, dir) => Dedup.exactByKey(rd(s, dir, "documents"), Seq("text"), "doc_id")
-        .select("doc_id", "lang", "source").orderBy("doc_id"),
-      Some("SELECT doc_id, lang, source FROM " +
-        "(SELECT doc_id, lang, source, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM documents) " +
-        "WHERE rn = 1 ORDER BY doc_id")),
-
-    // X1+X3 — NORMALIZATION-AWARE exact dedup: composed and decomposed forms
-    // of the same visible text are different byte strings, so raw exact dedup
-    // keeps both — the canonical silent-dup class in web corpora. The corpus
-    // here is each doc twice: once with 'a'→'á' COMPOSED (U+00E1), once with
-    // 'a'→'a'+COMBINING ACUTE (U+0301); dedup keys on md5(nfc_normalize(text))
-    // and every pair must collapse to its min-id survivor (n_forms = 2 pins
-    // that both variants existed before the collapse).
-    Q("x1_dedup_normalized",
-      (s, dir) => {
-        graft.functions.ArrayOps.register(s)
-        val d = rd(s, dir, "documents").select("doc_id", "text")
-        val corpus = d.select(col("doc_id"),
-            translate(col("text"), "a", "\u00e1").as("text"))
-          .unionByName(d.select((col("doc_id") + 100000L).as("doc_id"),
-            regexp_replace(col("text"), "a", "a\u0301").as("text")))
-        corpus.groupBy(md5(expr("nfc_normalize(text)")).as("fp"))
-          .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_forms"))
-          .select("survivor", "n_forms").orderBy("survivor")
-      },
-      Some("""WITH corpus AS (
-        |  SELECT doc_id, replace(text, 'a', chr(225)) AS text FROM documents
-        |  UNION ALL SELECT doc_id + 100000, replace(text, 'a', 'a' || chr(769)) FROM documents)
-        |SELECT min(doc_id) AS survivor, count(*) AS n_forms FROM corpus
-        |GROUP BY md5(nfc_normalize(text)) ORDER BY survivor""".stripMargin)),
-
-    // X1 — corpus-wide PARAGRAPH dedup (MassiveText-style sub-document
-    // pass): 16-token blocks fingerprinted corpus-wide, only the first
-    // occurrence of a repeated block survives, documents reassembled from
-    // surviving blocks in order. The oracle replays segmentation, the
-    // first-occurrence window, and the ordered reassembly.
-    Q("x1_dedup_paragraphs",
-      (s, dir) => Dedup.dedupParagraphs(rd(s, dir, "documents"), "doc_id", "text", 16)
-        .orderBy("doc_id"),
-      Some("""WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
-        |seg AS (SELECT doc_id, list_transform(range(0, (len(ws) - 1) // 16 + 1),
-        |  i -> array_to_string(ws[i*16+1:i*16+16], ' ')) AS blks FROM t),
-        |b AS (SELECT doc_id, blks, unnest(range(0, len(blks))) AS block_no FROM seg),
-        |b2 AS (SELECT doc_id, block_no, blks[block_no + 1] AS blk FROM b),
-        |r AS (SELECT doc_id, block_no, blk,
-        |  row_number() OVER (PARTITION BY md5(blk) ORDER BY doc_id, block_no) AS rn FROM b2),
-        |k AS (SELECT doc_id, array_to_string(list(blk ORDER BY block_no), ' ') AS text,
-        |  count(*) AS n_kept FROM r WHERE rn = 1 GROUP BY doc_id)
-        |SELECT s.doc_id, coalesce(k.text, '') AS text,
-        |  CAST(len(s.blks) AS INTEGER) AS n_blocks,
-        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept
-        |FROM seg s LEFT JOIN k USING (doc_id) ORDER BY s.doc_id""".stripMargin)),
-
-    // X1 — exact repeated-SUBSTRING detection (windowed fingerprints): the
-    // character-level complement of MinHash — finds exact 40-char spans
-    // shared verbatim across documents (boilerplate, quoted chunks). The
-    // oracle replays the same window grid and md5 fingerprints.
-    Q("x1_substring_dedup",
-      (s, dir) => Dedup.repeatedSubstringStats(rd(s, dir, "documents"),
-          "doc_id", "text", window = 40, stride = 10)
-        .orderBy("doc_id"),
-      Some("""WITH w AS (
-        |  SELECT doc_id, md5(substr(text, CAST(u.p AS INTEGER), 40)) AS hsh
-        |  FROM documents, LATERAL unnest(generate_series(1, len(text) - 39, 10)) AS u(p)
-        |  WHERE len(text) >= 40),
-        |s AS (SELECT hsh, 1 AS hit FROM
-        |  (SELECT hsh, count(DISTINCT doc_id) AS nd FROM w GROUP BY hsh) WHERE nd > 1)
-        |SELECT w.doc_id, count(*) AS n_windows, count(s.hit) AS n_shared
-        |FROM w LEFT JOIN s ON w.hsh = s.hsh
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
-
-    // X1 — substring-level span REMOVAL (the rewrite form of
-    // x1_substring_dedup's detection): 40-char non-overlapping spans, only
-    // the corpus-wide FIRST occurrence of repeated content survives,
-    // documents reassembled from surviving spans in order. The oracle
-    // replays the chunk grid, the first-occurrence window, and the ordered
-    // reassembly.
-    Q("x1_substring_removal",
-      (s, dir) => Dedup.removeRepeatedSpans(rd(s, dir, "documents"),
-          "doc_id", "text", window = 40)
-        .orderBy("doc_id"),
-      Some("""WITH seg AS (SELECT doc_id, CASE WHEN len(text) = 0 THEN []
-        |  ELSE list_transform(generate_series(1, len(text), 40),
-        |    p -> substr(text, CAST(p AS INTEGER), 40)) END AS chunks FROM documents),
-        |b AS (SELECT doc_id, chunks, unnest(range(0, len(chunks))) AS chunk_no FROM seg),
-        |b2 AS (SELECT doc_id, chunk_no, chunks[chunk_no + 1] AS chunk FROM b),
-        |r AS (SELECT doc_id, chunk_no, chunk,
-        |  row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_no) AS rn FROM b2),
-        |k AS (SELECT doc_id, array_to_string(list(chunk ORDER BY chunk_no), '') AS text,
-        |  count(*) AS n_kept FROM r WHERE rn = 1 GROUP BY doc_id)
-        |SELECT s.doc_id, coalesce(k.text, '') AS text,
-        |  CAST(len(s.chunks) AS INTEGER) AS n_chunks,
-        |  CAST(len(s.chunks) - coalesce(k.n_kept, 0) AS BIGINT) AS n_cut
-        |FROM seg s LEFT JOIN k USING (doc_id) ORDER BY s.doc_id""".stripMargin)),
-
-    // X3 — corpus drift report: per-source token-distribution divergence
-    // from the whole corpus as the integer-scaled total-variation distance
-    // (exact BIGINT/DECIMAL arithmetic — no float log/div, so the oracle is
-    // bit-exact; see TextAnalysis.sliceDrift for the absent-token closed
-    // form).
-    Q("x3_slice_drift",
-      (s, dir) => TextAnalysis.sliceDrift(rd(s, dir, "documents"), "source", "text")
-        // decimal -> varchar on both sides: computed decimals are the class
-        // the driver's hasher renders differently per engine (repo policy,
-        // scripts/oracle_check.py)
-        .withColumn("l1_scaled", col("l1_scaled").cast("string"))
-        .orderBy("slice"),
-      Some("""WITH tok AS (SELECT source AS slice, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents),
-        |st AS (SELECT slice, token, count(*) AS c_st FROM tok GROUP BY 1, 2),
-        |t AS (SELECT token, sum(c_st) AS c_t FROM st GROUP BY 1),
-        |stot AS (SELECT slice, sum(c_st) AS s_tot FROM st GROUP BY 1),
-        |ttot AS (SELECT sum(c_t) AS t_tot FROM t)
-        |SELECT slice, CAST(s_tot AS BIGINT) AS s_toks, count(*) AS n_tokens,
-        |  CAST(CAST(sum(abs(c_st * t_tot - c_t * s_tot)) + CAST(s_tot AS HUGEINT) * t_tot - sum(c_t * s_tot) AS DECIMAL(38,0)) AS VARCHAR) AS l1_scaled
-        |FROM st JOIN t USING (token) JOIN stot USING (slice) CROSS JOIN ttot
-        |GROUP BY slice, s_tot, t_tot
-        |ORDER BY slice""".stripMargin)),
-
-    // X1 keyed variant over events.
-    Q("x1_dedup_keyed",
-      (s, dir) => Dedup.exactByKey(rd(s, dir, "events"), Seq("user_id", "event_type"), "event_id")
-        .select("event_id", "user_id", "event_type").orderBy("event_id"),
-      Some("SELECT event_id, user_id, event_type FROM " +
-        "(SELECT event_id, user_id, event_type, " +
-        "row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id) AS rn FROM events) " +
-        "WHERE rn = 1 ORDER BY event_id")),
-
-    // X6 — deterministic hash sampling: a stable 5% sample via the portable
-    // md5 bucket (Relational.hashBucket). The same primitive with
-    // "bucket < 90" is the reproducible train/test split — identical output
-    // across runs, engines, and cluster sizes, which rand()/TABLESAMPLE
-    // cannot give.
-    Q("x6_hash_sample",
-      (s, dir) => Relational.hashBucket(rd(s, dir, "orders"), "o_orderkey")
-        .filter(col("bucket") < 5)
-        .select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy("o_orderkey"),
-      Some(s"SELECT o_orderkey, o_custkey, o_totalprice FROM orders " +
-        s"WHERE ${duckHex("md5(CAST(o_orderkey AS VARCHAR))")} % 100 < 5 " +
-        "ORDER BY o_orderkey")),
-
-    // X6 — stratified sample: exactly k rows per stratum, deterministically —
-    // rank within each group by the portable md5 hash of the key (a stable
-    // "random" order) and keep the first k. One shuffle on the stratum key.
-    Q("x6_stratified_sample",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy(col("lang"))
-          .orderBy(expr("md5(cast(doc_id as string))"), col("doc_id"))
-        rd(s, dir, "documents").select("doc_id", "lang")
-          .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
-          .orderBy("lang", "rk")
-      },
-      Some("SELECT doc_id, lang, rk FROM (SELECT doc_id, lang, " +
-        "CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk " +
-        "FROM documents) WHERE rk <= 3 ORDER BY lang, rk")),
-
-    // X6 — weighted mixture sampling (training-data mixtures): 50% of en,
-    // 25% of de, 10% of everything else, chosen by the portable md5 bucket —
-    // one deterministic filter, reproducible across engines and cluster
-    // sizes, no rand().
-    Q("x6_weighted_mix",
-      (s, dir) => Relational.weightedMix(
-          rd(s, dir, "documents").select("doc_id", "lang"),
-          "doc_id", "lang", Map("en" -> 50, "de" -> 25), defaultPct = 10)
-        .select("doc_id", "lang", "bucket")
-        .orderBy("doc_id"),
-      Some(s"SELECT doc_id, lang, ${duckHex("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket " +
-        "FROM documents " +
-        s"WHERE ${duckHex("md5(CAST(doc_id AS VARCHAR))")} % 100 < " +
-        s"$duckMixCase " +
-        "ORDER BY doc_id")),
-
-    // X6 — TEMPERATURE-weighted mixture (alpha = 0.5): per-language budgets
-    // proportional to sqrt(count) — the standard multilingual training mix
-    // (up-weights low-resource strata vs proportional sampling). Selection
-    // is the division-free exact form r * sum(w) <= budget * w_lang over
-    // DECIMAL(20,10) operands; sqrt is IEEE-correctly-rounded in every
-    // engine (unlike general pow, which is why alpha is pinned at 0.5), so
-    // the whole row hash-checks cross-engine.
-    Q("x6_temperature_mix",
-      (s, dir) => Relational.temperatureMix(
-          rd(s, dir, "documents").select("doc_id", "lang"),
-          "doc_id", "lang", budget = 300)
-        .orderBy("doc_id"),
-      Some("""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-        |w AS (SELECT lang, CAST(sqrt(CAST(n AS DOUBLE)) AS DECIMAL(20,10)) AS w FROM c),
-        |t AS (SELECT CAST(sum(w) AS DECIMAL(20,10)) AS tw FROM w),
-        |r AS (SELECT doc_id, lang,
-        |  CAST(row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS rk
-        |  FROM documents)
-        |SELECT doc_id, lang, rk FROM r JOIN w USING (lang) CROSS JOIN t
-        |WHERE CAST(rk AS DECIMAL(20,10)) * tw <= CAST(300 AS DECIMAL(20,10)) * w
-        |ORDER BY doc_id""".stripMargin)),
-
-    // A12 — incremental aggregate merge (the re-aggregation property behind
-    // incremental view maintenance): yesterday's partition and today's are
-    // pre-aggregated SEPARATELY, then merged by combining partials
-    // (sum-of-sums, min-of-mins, max-of-maxes). The oracle is the direct
-    // aggregate over everything — proving the merge is exact, which is what
-    // lets a daily pipeline fold one day of new data into a 100 TB running
-    // aggregate without ever rescanning history.
-    Q("a12_incremental_agg",
-      (s, dir) => {
-        val li = rd(s, dir, "lineitem")
-        def partial(part: DataFrame) = part.groupBy("l_returnflag")
-          .agg(sum(col("l_quantity").cast(DecimalType(12, 2))).as("ps"),
-            count(lit(1)).as("pn"),
-            min(col("l_quantity").cast(DecimalType(12, 2))).as("pmin"),
-            max(col("l_quantity").cast(DecimalType(12, 2))).as("pmax"))
-        partial(li.filter(col("l_orderkey") % 7 =!= 0))
-          .unionByName(partial(li.filter(col("l_orderkey") % 7 === 0)))
-          .groupBy("l_returnflag")
-          .agg(sum(col("ps")).cast(DecimalType(18, 2)).cast("string").as("qty"),
-            sum(col("pn")).as("n"),
-            min(col("pmin")).cast("string").as("min_qty"),
-            max(col("pmax")).cast("string").as("max_qty"))
-          .orderBy("l_returnflag")
-      },
-      Some("SELECT l_returnflag, " +
-        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS qty, " +
-        "count(*) AS n, " +
-        "CAST(min(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS min_qty, " +
-        "CAST(max(CAST(l_quantity AS DECIMAL(12,2))) AS VARCHAR) AS max_qty " +
-        "FROM lineitem GROUP BY 1 ORDER BY 1")),
-
-    // X3 — PII scrubbing (training-data hygiene): synthetic email+phone are
-    // appended per row (the corpus has none), then scrubbed with patterns in
-    // the RE2 ∩ java.regex dialect — the same literal pattern string runs on
-    // both engines, so the redacted text must match byte-for-byte.
-    Q("x3_pii_scrub",
-      (s, dir) => TextAnalysis.piiScrub(
-          rd(s, dir, "documents").withColumn("text",
-            concat(col("text"), lit(" contact user"), col("doc_id"),
-              lit("@example.com or +1-555-0100"))),
-          "doc_id", "text")
-        .orderBy("doc_id"),
-      Some("SELECT doc_id, regexp_replace(regexp_replace(" +
-        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +1-555-0100', " +
-        s"'${TextAnalysis.emailRe}', '<EMAIL>', 'g'), " +
-        s"'${TextAnalysis.phoneRe}', '<PHONE>', 'g') AS scrubbed " +
-        "FROM documents ORDER BY doc_id")),
-
-    // X3 — sequence packing (LLM batch assembly): per-shard deterministic
-    // order (md5 of id), running token cumsum, bin = start_offset / 512.
-    // One window per shard — shards pack independently in parallel; the
-    // oracle runs the identical window in DuckDB.
-    Q("x3_seq_packing",
-      (s, dir) => TextAnalysis.packSequences(
-          rd(s, dir, "documents"), "doc_id", "text", "lang", binTokens = 512)
-        .orderBy("doc_id"),
-      Some("SELECT doc_id, lang AS shard, n_tok, " +
-        "CAST(sum(n_tok) OVER w AS BIGINT) AS cum_tok, " +
-        "CAST(floor((sum(n_tok) OVER w - n_tok) / 512) AS BIGINT) AS bin " +
-        "FROM (SELECT doc_id, lang, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok " +
-        "FROM documents) " +
-        "WINDOW w AS (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id " +
-        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) " +
-        "ORDER BY doc_id")),
-
-    // F5 — array function family: distinct → sort → slice → positional
-    // explode (compared row-wise so no engine-specific array rendering
-    // enters the hash).
-    Q("f5_array_funcs",
-      (s, dir) => rd(s, dir, "documents")
-        .select(col("doc_id"),
-          expr("slice(sort_array(array_distinct(filter(split(text, ' '), x -> x != ''))), 1, 5)").as("t5"))
-        .select(col("doc_id"), posexplode(col("t5")).as(Seq("pos", "tok")))
-        .orderBy("doc_id", "pos"),
-      Some("WITH t AS (SELECT doc_id, " +
-        "(list_sort(list_distinct(list_filter(string_split(text, ' '), x -> x <> ''))))[1:5] AS t5 FROM documents) " +
-        "SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, tok FROM " +
-        "(SELECT doc_id, unnest(range(1, len(t5) + 1)) AS i, unnest(t5) AS tok FROM t) " +
-        "ORDER BY doc_id, pos")),
-
-    // X1 — decontamination: drop documents whose exact fingerprint appears
-    // in a held-out benchmark set (here: the first 100 doc ids as the
-    // stand-in benchmark). Broadcast anti-join on md5 — the standard
-    // test-set-leak removal step before training.
-    Q("x1_decontaminate",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        val bench = docs.filter(col("doc_id") < 100).select(md5(col("text")).as("fp"))
-        docs.select(col("doc_id"), md5(col("text")).as("fp"), col("lang"))
-          .join(broadcast(bench), Seq("fp"), "left_anti")
-          .select("doc_id", "lang").orderBy("doc_id")
-      },
-      Some("SELECT doc_id, lang FROM documents WHERE md5(text) NOT IN " +
-        "(SELECT md5(text) FROM documents WHERE doc_id < 100) ORDER BY doc_id")),
-
-    // X6 — token-budget corpus selection: per language, keep documents in
-    // deterministic priority order (n_chars desc, doc_id) until the running
-    // total reaches the budget — the budget-constrained selection step of
-    // training-mix assembly. One key-partitioned window; the total order
-    // makes Spark's default RANGE frame equal ROWS on both engines.
-    Q("x6_budget_select",
-      (s, dir) => {
-        import org.apache.spark.sql.expressions.Window
-        val w = Window.partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
-        rd(s, dir, "documents").select("doc_id", "lang", "n_chars")
-          .withColumn("cum", sum("n_chars").over(w))
-          .filter(col("cum") <= 20000)
-          .select("doc_id", "lang", "n_chars").orderBy("doc_id")
-      },
-      Some("SELECT doc_id, lang, n_chars FROM (SELECT doc_id, lang, n_chars, " +
-        "sum(n_chars) OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS cum " +
-        "FROM documents) WHERE cum <= 20000 ORDER BY doc_id")),
-
-    // X1/X7 — near-dup decontamination (third form, completing exact/n-gram):
-    // drop every document MinHash-LSH-linked to a benchmark doc (first 100
-    // ids), then the benchmark itself. Catches paraphrase-level leaks that
-    // survive both exact fingerprints and literal n-gram collisions. The
-    // oracle replays the full LSH pipeline plus the link-closure in SQL.
-    Q("x1_decontaminate_neardup",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 8, 19, 20)
-        // Single-pass both-direction emit (explode over conditional array):
-        // a union of two selects would execute the LSH verify join TWICE —
-        // minhashLshPairs checkpoints its intermediates but not its final
-        // verify join, the most expensive stage of this query.
-        val contaminated = pairs.select(explode(array(
-            when(col("id_a") < 100, col("id_b")),
-            when(col("id_b") < 100, col("id_a")))).as("doc_id"))
-          .filter(col("doc_id").isNotNull)
-          .distinct()
-        // broadcast contract: `contaminated` is bounded by |benchmark| ×
-        // near-dup neighbourhood size — a property of the DECONTAMINATION
-        // shape (the benchmark is a held-out eval set, small by nature),
-        // not of the corpus. A corpus-driven flag set would need a
-        // shuffle anti-join instead (cf. minhashLshPairs' build sides).
-        docs.select(col("doc_id"), col("lang"))
-          .join(broadcast(contaminated), Seq("doc_id"), "left_anti")
-          .filter(col("doc_id") >= 100)
-          .orderBy("doc_id")
-      },
-      Some(s"""WITH ${duckMinhashCtes(duckToks, 8, 19, 20)},
-        |contaminated AS (SELECT id_b AS doc_id FROM verified WHERE id_a < 100
-        |  UNION SELECT id_a FROM verified WHERE id_b < 100)
-        |SELECT doc_id, lang FROM documents
-        |WHERE doc_id >= 100 AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-        |ORDER BY doc_id""".stripMargin)),
-
-    // X1/X7 — n-gram-level decontamination: flag every document sharing any
-    // word 5-gram with the benchmark stand-in (first 100 doc ids). Catches
-    // embedded/quoted test items that exact-fingerprint decontamination
-    // misses; benchmark grams broadcast, corpus shingles map-side.
-    Q("x1_decontaminate_ngram",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        Dedup.ngramContamination(docs, "doc_id", "text",
-            docs.filter(col("doc_id") < 100), 5)
-          .orderBy("doc_id")
-      },
-      Some("""WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
-        |g AS (SELECT DISTINCT doc_id, unnest(list_filter(list_transform(range(0, len(ws) + 1),
-        |  i -> CASE WHEN i + 5 <= len(ws) THEN array_to_string(ws[i+1:i+5], ' ') END),
-        |  x -> x IS NOT NULL)) AS tok FROM ws),
-        |bg AS (SELECT DISTINCT tok FROM g WHERE doc_id < 100)
-        |SELECT doc_id, count(*) AS n_hits FROM g JOIN bg USING (tok)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
-
-    // X1/X7 — substring-level decontamination: flag corpus docs sharing any
-    // verbatim 40-char span with the benchmark stand-in (doc_id < 100).
-    // Corpus windows stride 10, benchmark windows stride 1, so collisions
-    // are alignment-free. Completes the decontamination family: exact md5 /
-    // word 5-gram / near-dup / substring.
-    Q("x1_decontaminate_substring",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        Dedup.substringContamination(docs.filter(col("doc_id") >= 100),
-            "doc_id", "text", docs.filter(col("doc_id") < 100),
-            window = 40, stride = 10)
-          .orderBy("doc_id")
-      },
-      Some("""WITH cw AS (SELECT DISTINCT doc_id, md5(substr(text, CAST(u.p AS INTEGER), 40)) AS hsh
-        |  FROM documents, LATERAL unnest(generate_series(1, len(text) - 39, 10)) AS u(p)
-        |  WHERE len(text) >= 40 AND doc_id >= 100),
-        |bw AS (SELECT DISTINCT md5(substr(text, CAST(u.p AS INTEGER), 40)) AS hsh
-        |  FROM documents, LATERAL unnest(generate_series(1, len(text) - 39, 1)) AS u(p)
-        |  WHERE len(text) >= 40 AND doc_id < 100)
-        |SELECT doc_id, count(*) AS n_hits FROM cw JOIN bw USING (hsh)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
-
-    // X1/X7 — benchmark-leakage report: per benchmark item, how many
-    // corpus documents share a word-5-gram with it and how much of the
-    // item is covered — the eval-integrity view published next to the
-    // decontamination drop list (reporting direction of
-    // x1_decontaminate_ngram, same broadcast-benchmark shape).
-    Q("x1_contamination_report",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        Dedup.contaminationReport(docs.filter(col("doc_id") >= 100), "doc_id", "text",
-            docs.filter(col("doc_id") < 100), 5)
-          .orderBy("bench_id")
-      },
-      Some("""WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
-        |g AS (SELECT DISTINCT doc_id, unnest(list_filter(list_transform(range(0, len(ws) + 1),
-        |  i -> CASE WHEN i + 5 <= len(ws) THEN array_to_string(ws[i+1:i+5], ' ') END),
-        |  x -> x IS NOT NULL)) AS tok FROM ws),
-        |bg AS (SELECT doc_id AS bench_id, tok FROM g WHERE doc_id < 100),
-        |hits AS (SELECT bg.bench_id, cg.doc_id, bg.tok FROM g cg JOIN bg USING (tok)
-        |  WHERE cg.doc_id >= 100),
-        |agg AS (SELECT bench_id, count(DISTINCT doc_id) AS n_docs_hit,
-        |  count(DISTINCT tok) AS n_grams_hit FROM hits GROUP BY bench_id),
-        |tot AS (SELECT bench_id, count(*) AS n_grams FROM bg GROUP BY bench_id)
-        |SELECT t.bench_id, t.n_grams,
-        |  CAST(coalesce(a.n_grams_hit, 0) AS BIGINT) AS n_grams_hit,
-        |  CAST(coalesce(a.n_docs_hit, 0) AS BIGINT) AS n_docs_hit
-        |FROM tot t LEFT JOIN agg a USING (bench_id) ORDER BY t.bench_id""".stripMargin)),
-
-    // X1 — INCREMENTAL near-dup against a PERSISTED band index (the
-    // corpus-growth path): the standing corpus' LSH band table is written
-    // once, BUCKETED BY KEY (pay its shuffle at write time — the j8
-    // technique applied to the dedup index); each incoming batch computes
-    // band keys expression-level (Dedup.withBandKeys, map-side) and
-    // probes with a sort-merge equi-join that reads the index
-    // pre-partitioned — no index-side exchange, no index recompute
-    // (plan-asserted). Output: per new document, how many distinct
-    // existing documents share a band bucket with it.
-    Q("x1_incremental_neardup",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        // the standing corpus' bucketed band index is a FIXTURE (a dedup
-        // service maintains it; building it is not this row's claim);
-        // measured work = map-side band keys on the incoming batch + the
-        // exchange-free index probe, the incremental path itself
-        val idx = Fixtures.once(s, dir, "band_index") {
-          val name = s"graft_band_index_${dirTag(dir)}"
-          val root = freshDir(s, s"graft_bandidx_${dirTag(dir)}")
-          s.sql(s"DROP TABLE IF EXISTS $name")
-          Dedup.withBandKeys(docs.filter(col("doc_id") < 300), "text", 8, "bands")
-            .select(col("doc_id"), explode(col("bands")).as("key"))
-            .write.bucketBy(8, "key").sortBy("key")
-            .option("path", s"$root/idx").saveAsTable(name)
-          name
-        }
-        val probes = Dedup.withBandKeys(docs.filter(col("doc_id") >= 300), "text", 8, "bands")
-          .select(col("doc_id").as("new_id"), explode(col("bands")).as("key"))
-        probes.join(s.table(idx).hint("merge"), Seq("key"))
-          .groupBy("new_id").agg(countDistinct("doc_id").as("n_matches"))
-          .orderBy("new_id")
-      },
-      Some(s"""WITH ${duckBandsCtes(duckToks, 8)},
-        |idx AS (SELECT doc_id, band || ':' || key AS k FROM bands WHERE doc_id < 300),
-        |pr AS (SELECT doc_id AS new_id, band || ':' || key AS k FROM bands WHERE doc_id >= 300)
-        |SELECT new_id, count(DISTINCT i.doc_id) AS n_matches
-        |FROM pr JOIN idx i USING (k)
-        |GROUP BY new_id ORDER BY new_id""".stripMargin)),
-
-    // X9 — INCREMENTAL INGEST capstone: the production corpus-growth loop
-    // composed end-to-end from declared machinery — batches LAND as
-    // versioned commits (OCC manifest log), the index consumer reads
-    // EXACTLY the delta via changesBetween (the (from, to] CDC contract —
-    // no rescan of the standing corpus), appends it into the bucketed band
-    // index idempotently (the replayed append must insert nothing), and
-    // the next candidate batch probes the converged index with no
-    // index-side exchange. The oracle is the batch formulation over the
-    // raw table — the whole loop must be invisible in the result.
-    Q("x9_ingest_e2e",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        // fixture = the STANDING state the loop starts from (v1 landed +
-        // base index built); LIVE each pass = the loop's consumer cycle:
-        // the v2 commit (idempotent retry after the first pass — the exact
-        // production re-drive), the (v1, v2] CDC read, the idempotent index
-        // append and its replay, and the converged-index probe
-        val (root, idx, v1) = Fixtures.once(s, dir, "ingest_e2e") {
-          val r = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_e2e_${dirTag(dir)}"
-          rmrf(r)
-          val idxRoot = freshDir(s, s"graft_ingest_idx_${dirTag(dir)}")
-          val name = s"graft_ingest_band_${dirTag(dir)}"
-          s.sql(s"DROP TABLE IF EXISTS $name")
-          val v = graft.io.VersionedTable.commit(
-            docs.filter(col("doc_id") < 250), s"$r/tbl", "append", "ing-v1")
-          Dedup.withBandKeys(graft.io.VersionedTable.read(s, s"$r/tbl"), "text", 8, "bands")
-            .select(col("doc_id"), explode(col("bands")).as("key"))
-            .write.bucketBy(8, "key").sortBy("key")
-            .option("path", s"$idxRoot/idx").saveAsTable(name)
-          (r, name, v)
-        }
-        val v2 = graft.io.VersionedTable.commit(
-          docs.filter(col("doc_id") >= 250 && col("doc_id") < 400), s"$root/tbl", "append", "ing-v2")
-        val delta = graft.io.VersionedTable.changesBetween(s, s"$root/tbl", v1, v2)
-        Dedup.appendBandIndex(idx, delta, "doc_id", "text", 8, 8)
-        Dedup.appendBandIndex(idx, delta, "doc_id", "text", 8, 8) // replay: no-op
-        val probes = Dedup.withBandKeys(docs.filter(col("doc_id") >= 400 && col("doc_id") < 500),
-            "text", 8, "bands")
-          .select(col("doc_id").as("new_id"), explode(col("bands")).as("key"))
-        probes.join(s.table(idx).hint("merge"), Seq("key"))
-          .groupBy("new_id").agg(countDistinct("doc_id").as("n_matches"))
-          .orderBy("new_id")
-      },
-      Some(s"""WITH ${duckBandsCtes(duckToks, 8)},
-        |idx AS (SELECT doc_id, band || ':' || key AS k FROM bands WHERE doc_id < 400),
-        |pr AS (SELECT doc_id AS new_id, band || ':' || key AS k FROM bands
-        |  WHERE doc_id >= 400 AND doc_id < 500)
-        |SELECT new_id, count(DISTINCT i.doc_id) AS n_matches
-        |FROM pr JOIN idx i USING (k)
-        |GROUP BY new_id ORDER BY new_id""".stripMargin)),
-
-    // X1 — index COMPACTION (the maintenance op that keeps the incremental
-    // path viable under a production ingest loop): every appendBandIndex
-    // adds one file per bucket, so file counts grow linearly with batches;
-    // compactBandIndex rewrites the table once under the SAME bucketBy spec
-    // (shuffle-free: forced bucketed scan → one task per bucket → one file
-    // per bucket) and swaps the catalog entry. The declared result is the
-    // ENTIRE post-compaction index, row-exact — a compaction that drops,
-    // duplicates, or re-keys any row breaks the hash against the batch
-    // band-key formulation. File-count and probe-plan assertions live in
-    // IoSpec ("compactBandIndex: N appends").
-    Q("x1_index_compact",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        // fixture = the append-fragmented index (its construction is the
-        // x1_incremental_neardup/x9_ingest_e2e claim); LIVE each pass = the
-        // COMPACTION rewrite itself — this row's claim — into a fresh
-        // target dir (the swap retires the old one), plus the full
-        // row-exact post-compaction read the oracle hashes
-        val (tbl, root) = Fixtures.once(s, dir, "band_compact") {
-          val name = s"graft_band_compact_q_${dirTag(dir)}"
-          val r = freshDir(s, s"graft_bandidx_compact_${dirTag(dir)}")
-          s.sql(s"DROP TABLE IF EXISTS $name")
-          Dedup.withBandKeys(docs.filter(col("doc_id") < 200), "text", 8, "bands")
-            .select(col("doc_id"), explode(col("bands")).as("key"))
-            .write.bucketBy(8, "key").sortBy("key")
-            .option("path", s"$r/idx0").saveAsTable(name)
-          Dedup.appendBandIndex(name,
-            docs.filter(col("doc_id") >= 200 && col("doc_id") < 300), "doc_id", "text", 8, 8)
-          Dedup.appendBandIndex(name,
-            docs.filter(col("doc_id") >= 300 && col("doc_id") < 400), "doc_id", "text", 8, 8)
-          (name, r)
-        }
-        Dedup.compactBandIndex(s, tbl, 8,
-          s"$root/idx${compactGen.incrementAndGet()}")
-        s.table(tbl).orderBy("doc_id", "key")
-      },
-      Some(s"""WITH ${duckBandsCtes(duckToks, 8)}
-        |SELECT doc_id, CAST(band AS VARCHAR) || ':' || key AS key FROM bands
-        |WHERE doc_id < 400 ORDER BY doc_id, key""".stripMargin)),
-
-    // X1/X2 — the end of the near-dup pipeline: cluster assignment over the
-    // MinHash pair list (connected components by min-label propagation).
-    // The oracle reaches the same fixpoint through a recursive CTE — min
-    // reachable id is path-independent, so both formulations must agree
-    // exactly.
-    Q("x1_dedup_clusters",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        // standing pair-list fixture: this row pays for the COMPONENT
-        // labeling (contract → finish/quotient cascade), not a second run
-        // of the pair pipeline x2_minhash_lsh already measures
-        Dedup.dedupClusters(docs, "doc_id", lshPairsFx(s, dir)).orderBy("doc_id")
-      },
-      Some(s"WITH RECURSIVE ${duckMinhashCtes(duckToks, 8, 19, 20)},\n" +
-        "edges AS (SELECT id_a AS src, id_b AS dst FROM verified " +
-        "UNION SELECT id_b, id_a FROM verified), " +
-        "r(doc_id, lab) AS (SELECT doc_id, doc_id FROM documents " +
-        "UNION SELECT e.dst, r.lab FROM r JOIN edges e ON r.doc_id = e.src) " +
-        "SELECT doc_id, min(lab) AS cluster FROM r GROUP BY doc_id ORDER BY doc_id")),
-
-    // X1 — dedup survivorship (Dedup.survivorship): per near-dup cluster,
-    // elect the canonical member under the explicit rule (longest text,
-    // then smallest id) and report cluster size — the production refinement
-    // of "keep the first". Bounded to doc_id < 2500 like x1_dedup_matrix
-    // (the unbounded cluster pipeline is already x1_dedup_clusters; this
-    // row pays for the election, not a second full sweep).
-    Q("x1_survivorship",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents").filter(col("doc_id") < 2500)
-        // pointwise LSH subset property: pairs(docs<2500) = full-corpus
-        // pair fixture restricted to ids < 2500 on both sides
-        val pairs = lshPairsFx(s, dir)
-          .filter(col("id_a") < 2500 && col("id_b") < 2500)
-        Dedup.survivorship(docs, "doc_id", "text",
-            Dedup.dedupClusters(docs, "doc_id", pairs))
-          .orderBy("cluster")
-      },
-      Some {
-        val toks = "SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok " +
-          "FROM documents WHERE doc_id < 2500"
-        s"WITH RECURSIVE ${duckMinhashCtes(toks, 8, 19, 20)},\n" +
-          "edges AS (SELECT id_a AS src, id_b AS dst FROM verified " +
-          "UNION SELECT id_b, id_a FROM verified), " +
-          "r(doc_id, lab) AS (SELECT doc_id, doc_id FROM documents WHERE doc_id < 2500 " +
-          "UNION SELECT e.dst, r.lab FROM r JOIN edges e ON r.doc_id = e.src), " +
-          "c AS (SELECT doc_id, min(lab) AS cluster FROM r GROUP BY doc_id), " +
-          "sized AS (SELECT c.doc_id, c.cluster, length(d.text) AS len " +
-          "FROM c JOIN documents d USING (doc_id)), " +
-          "n AS (SELECT cluster, count(*) AS n_members FROM sized GROUP BY 1), " +
-          "s AS (SELECT cluster, doc_id AS survivor_id, len AS survivor_len, " +
-          "row_number() OVER (PARTITION BY cluster ORDER BY len DESC, doc_id) AS rk FROM sized) " +
-          "SELECT cluster, survivor_id, survivor_len, n_members " +
-          "FROM s JOIN n USING (cluster) WHERE rk = 1 ORDER BY cluster"
-      }),
-
-    // X1/X6 — leakage-safe train/val/test split: the split hash is keyed on
-    // the near-dup CLUSTER label, so near-duplicates can never straddle the
-    // train/eval boundary. The oracle replays the cluster fixpoint, then the
-    // same md5 bucket on the label.
-    Q("x6_cluster_split",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        Dedup.clusterSplit(Dedup.dedupClusters(docs, "doc_id", lshPairsFx(s, dir)),
-            trainPct = 80, valPct = 10)
-          .orderBy("doc_id")
-      },
-      Some(s"WITH RECURSIVE ${duckMinhashCtes(duckToks, 8, 19, 20)},\n" +
-        "edges AS (SELECT id_a AS src, id_b AS dst FROM verified " +
-        "UNION SELECT id_b, id_a FROM verified), " +
-        "r(doc_id, lab) AS (SELECT doc_id, doc_id FROM documents " +
-        "UNION SELECT e.dst, r.lab FROM r JOIN edges e ON r.doc_id = e.src), " +
-        "c AS (SELECT doc_id, min(lab) AS cluster FROM r GROUP BY doc_id) " +
-        "SELECT doc_id, cluster, CASE WHEN pct < 80 THEN 'train' " +
-        "WHEN pct < 90 THEN 'val' ELSE 'test' END AS split FROM " +
-        s"(SELECT doc_id, cluster, ${duckHex("md5(CAST(cluster AS VARCHAR))")} % 100 AS pct FROM c) " +
-        "ORDER BY doc_id")),
-
-    // X5 — top-k per group.
-    Q("x5_topk_per_group",
-      (s, dir) => Relational.topKPerGroup(
-        rd(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice"),
-        Seq("o_custkey"), Seq(col("o_totalprice").desc, col("o_orderkey")), 3)
-        .orderBy("o_custkey", "rk"),
-      Some("SELECT * FROM (SELECT o_custkey, o_orderkey, o_totalprice, " +
-        "CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rk " +
-        "FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk")),
-
-    // X3 — vocabulary-coverage / OOV-rate scoring: the top-200 corpus tokens
-    // (by frequency desc, token — deterministic) form the vocabulary, which
-    // broadcasts to a map-side scoring join; each document's exact token and
-    // out-of-vocabulary counts are the gibberish/wrong-language quality
-    // signal. The corpus never shuffles for the vocabulary.
-    Q("x3_oov_rate",
-      (s, dir) => TextAnalysis.oovRate(rd(s, dir, "documents"), "doc_id", "text", 200)
-        .orderBy("doc_id"),
-      Some("""WITH t AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents),
-        |v AS (SELECT token FROM (SELECT token, count(*) AS cnt FROM t GROUP BY token
-        |  ORDER BY cnt DESC, token LIMIT 200)),
-        |j AS (SELECT t.doc_id, t.token, v.token IS NOT NULL AS iv
-        |  FROM t LEFT JOIN v ON v.token = t.token)
-        |SELECT doc_id, count(*) AS n_tok, count(CASE WHEN NOT iv THEN 1 END) AS n_oov
-        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
-
-    // X3 — corpus token frequencies.
-    Q("x3_token_stats",
-      (s, dir) => TextAnalysis.tokenStats(rd(s, dir, "documents"), "text"),
-      Some("SELECT token, count(*) AS cnt FROM " +
-        "(SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token FROM documents) " +
-        "GROUP BY token ORDER BY cnt DESC, token")),
-
-    // X3 — per-document quality features.
-    Q("x3_quality_score",
-      (s, dir) => TextAnalysis.qualityScore(rd(s, dir, "documents"), "doc_id", "text")
-        .withColumn("stop_ratio", coalesce(col("stop_ratio").cast("string"), lit("NA")))
-        .orderBy("doc_id"),
-      Some {
-        val toks = "list_filter(string_split(text, ' '), x -> x <> '')"
-        val stops = TextAnalysis.stopwords.map("'" + _ + "'").mkString(", ")
-        val nstop = s"len(list_filter($toks, x -> list_contains([$stops], x)))"
-        s"""SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
-          | CAST(len($toks) AS INTEGER) AS n_tokens,
-          | CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+')) AS INTEGER) AS n_bpe_tokens,
-          | CAST($nstop AS INTEGER) AS n_stop,
-          | COALESCE(CAST(CAST(CAST($nstop AS DOUBLE) / nullif(len($toks), 0) AS DECIMAL(10,4)) AS VARCHAR), 'NA') AS stop_ratio
-          |FROM documents ORDER BY doc_id""".stripMargin
-      }),
-
-    // X2 — fuzzy entity matching (Similarity.fuzzyLookup): dirty strings
-    // resolved against a canonical catalog under edit distance <= 1 with the
-    // PassJoin partition blocking (pigeonhole on 2 segments + shift windows
-    // — an EQUI-join on near-unique segment keys, no all-pairs, no recall
-    // loss) and thresholded-levenshtein verify. Probes are deterministic
-    // single-char deletions of part names ANYWHERE in the string — the
-    // oracle is the naive all-pairs formulation, so the blocking's
-    // losslessness is machine-checked every run.
-    Q("x2_fuzzy_join",
-      (s, dir) => {
-        val parts = rd(s, dir, "part").select("p_partkey", "p_name")
-        val m = "cast(p_partkey % length(p_name) as int)"
-        val probes = parts.select(col("p_partkey").as("pid"),
-          expr(s"concat(substring(p_name, 1, $m), substring(p_name, $m + 2))").as("dirty"))
-        Similarity.fuzzyLookup(probes, parts, "pid", "dirty", "p_partkey", "p_name",
-            maxDist = 1)
-          .orderBy("probe_id")
-      },
-      Some("""WITH pr AS (SELECT p_partkey AS pid,
-        |  substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER)) ||
-        |  substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2) AS dirty
-        |  FROM part),
-        |j AS (SELECT pr.pid AS probe_id, pr.dirty AS probe, c.p_partkey AS match_id,
-        |    c.p_name AS name, CAST(levenshtein(pr.dirty, c.p_name) AS INTEGER) AS dist
-        |  FROM pr CROSS JOIN part c
-        |  WHERE abs(length(pr.dirty) - length(c.p_name)) <= 1
-        |    AND levenshtein(pr.dirty, c.p_name) <= 1),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY dist, name, match_id) AS rk FROM j)
-        |SELECT probe_id, probe, match_id, name, dist FROM r WHERE rk = 1
-        |ORDER BY probe_id""".stripMargin)),
-
-    // X2/X1 — fuzzy dedup pairs (Similarity.fuzzyDedupPairs): the self-join
-    // form of the PassJoin matcher — every unordered pair of distinct strings
-    // within edit distance 1 across a corpus of clean names + their typo'd
-    // variants, min-id representatives. The typo channel token-set LSH cannot
-    // see. Oracle = the naive all-pairs formulation over distinct strings, so
-    // the self-join blocking is proven lossless every run.
-    Q("x2_fuzzy_dedup",
-      (s, dir) => {
-        val parts = rd(s, dir, "part").select("p_partkey", "p_name")
-        val m = "cast(p_partkey % length(p_name) as int)"
-        val rows = parts.select(col("p_partkey").as("id"), col("p_name").as("s"))
-          .unionByName(parts.select((col("p_partkey") + 1000000L).as("id"),
-            expr(s"concat(substring(p_name, 1, $m), substring(p_name, $m + 2))").as("s")))
-        Similarity.fuzzyDedupPairs(rows, "id", "s", maxDist = 1)
-          .orderBy("s_a", "s_b")
-      },
-      Some("""WITH rows0 AS (SELECT p_partkey AS id, p_name AS s FROM part
-        |  UNION ALL SELECT p_partkey + 1000000,
-        |    substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER)) ||
-        |    substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2) FROM part),
-        |names AS (SELECT s, min(id) AS id FROM rows0 GROUP BY 1)
-        |SELECT a.id AS id_a, a.s AS s_a, b.id AS id_b, b.s AS s_b,
-        |  CAST(levenshtein(a.s, b.s) AS INTEGER) AS dist
-        |FROM names a JOIN names b ON a.s < b.s AND abs(length(a.s) - length(b.s)) <= 1
-        |WHERE levenshtein(a.s, b.s) <= 1
-        |ORDER BY s_a, s_b""".stripMargin)),
-
-    // X3 — Unicode normalization (functions/TextNorm.scala, native codegen'd
-    // expressions): web corpora mix composed and decomposed forms of the same
-    // visible text, silently breaking exact dedup and fingerprints. NFC
-    // composition (nfc_normalize ↔ DuckDB nfc_normalize) and accent stripping
-    // (strip_accents ↔ DuckDB strip_accents) over a fixture that PREPENDS
-    // decomposed e-acute/u-umlaut/n-tilde to each doc — char lengths shrink
-    // under NFC (2 chars → 1 per mark) and the md5 of the composed bytes must
-    // agree across engines, proving byte-identical normalization.
-    Q("x3_normalize",
-      (s, dir) => {
-        graft.functions.ArrayOps.register(s)
-        rd(s, dir, "documents")
-          .select(col("doc_id"),
-            concat(lit("e\u0301 u\u0308 n\u0303 "), substring(col("text"), 1, 16)).as("raw"))
-          .select(col("doc_id"),
-            length(col("raw")).as("raw_len"),
-            length(expr("nfc_normalize(raw)")).as("nfc_len"),
-            md5(expr("nfc_normalize(raw)")).as("nfc_md5"),
-            expr("strip_accents(raw)").as("plain"))
-          .orderBy("doc_id")
-      },
-      Some("""WITH r AS (SELECT doc_id,
-        |  'e' || chr(769) || ' u' || chr(776) || ' n' || chr(771) || ' ' || substr(text, 1, 16) AS raw
-        |  FROM documents)
-        |SELECT doc_id, CAST(length(raw) AS INTEGER) AS raw_len,
-        |  CAST(length(nfc_normalize(raw)) AS INTEGER) AS nfc_len,
-        |  md5(nfc_normalize(raw)) AS nfc_md5, strip_accents(raw) AS plain
-        |FROM r ORDER BY doc_id""".stripMargin)),
-
-    // X3 — n-gram LM quality scoring (TextAnalysis.lmSurprise): the
-    // CCNet/KenLM perplexity-filter idea with an integer-exact surprise
-    // (bit-length of the inverse add-one-smoothed bigram probability) so the
-    // score replays bit-for-bit in any engine. Reference model = doc_id < 150;
-    // every doc scored, <2-token docs surface as zeros. surprise_sum/n_big is
-    // the mean bits-per-bigram ≈ log2-perplexity a curation filter thresholds.
-    Q("x3_lm_score",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        TextAnalysis.lmSurprise(docs, docs.filter(col("doc_id") < 150), "doc_id", "text")
-          .orderBy("doc_id")
-      },
-      Some("""WITH rt AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS t
-        |  FROM documents WHERE doc_id < 150),
-        |cb AS (SELECT bigram, count(*) AS cb FROM (
-        |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram FROM rt)
-        |  GROUP BY 1),
-        |cu AS (SELECT w1, count(*) AS cu FROM (SELECT unnest(t) AS w1 FROM rt) GROUP BY 1),
-        |vs AS (SELECT count(*) AS vsize FROM cu),
-        |dt AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t FROM documents),
-        |db AS (SELECT doc_id,
-        |  unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram FROM dt),
-        |j AS (SELECT d.doc_id,
-        |  (COALESCE(cu.cu, 0) + vs.vsize) // (COALESCE(cb.cb, 0) + 1) AS ratio
-        |  FROM db d
-        |  LEFT JOIN cb ON cb.bigram = d.bigram
-        |  LEFT JOIN cu ON cu.w1 = string_split(d.bigram, ' ')[1]
-        |  CROSS JOIN vs),
-        |sc AS (SELECT doc_id, count(*) AS n_big,
-        |  sum(length(printf('%b', ratio)) - 1) AS surprise_sum FROM j GROUP BY 1)
-        |SELECT doc_id, CAST(COALESCE(sc.n_big, 0) AS BIGINT) AS n_big,
-        |  CAST(COALESCE(sc.surprise_sum, 0) AS BIGINT) AS surprise_sum
-        |FROM documents LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin)),
-
-    // X3 — BPE merge learning (TextAnalysis.bpeLearn): 5 rounds of the
-    // byte-pair-encoding training loop as corpus aggregates — per round,
-    // the most frequent adjacent symbol pair (freq-weighted, argmax total-
-    // ordered) merges everywhere via literal replace over DOUBLE-sentinel
-    // symbol boundaries — the pattern consumes only the inner half of each
-    // flanking boundary, so adjacent merge sites all match in one leftmost-
-    // non-overlapping scan (canonical single-pass greedy BPE, identical in
-    // both engines). Emits the merge table + the exact compression
-    // trajectory; the oracle unrolls all five rounds.
-    Q("x3_bpe_learn",
-      (s, dir) => TextAnalysis.bpeLearn(rd(s, dir, "documents"), "text", 5)
-        .orderBy("merge_round"),
-      Some {
-        val sp = "chr(31)"
-        def round(i: Int): String =
-          s"""p$i AS (SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS n FROM (
-            |  SELECT freq, unnest(list_transform(range(1, len(ts)), j -> struct_pack(a := ts[j], b := ts[j+1]))) AS p
-            |  FROM (SELECT freq, list_filter(string_split(seq, $sp), x -> x <> '') AS ts FROM s${i - 1})) GROUP BY 1, 2),
-            |m$i AS (SELECT a, b, n FROM p$i ORDER BY n DESC, a, b LIMIT 1),
-            |s$i AS (SELECT w, freq, replace(seq, $sp || m$i.a || $sp || $sp || m$i.b || $sp, $sp || m$i.a || m$i.b || $sp) AS seq
-            |  FROM s${i - 1} CROSS JOIN m$i),
-            |t$i AS (SELECT CAST(sum(freq * len(list_filter(string_split(seq, $sp), x -> x <> ''))) AS BIGINT) AS total FROM s$i)""".stripMargin
-        s"""WITH w0 AS (SELECT tok AS w, count(*) AS freq FROM (
-          |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents) GROUP BY 1),
-          |s0 AS (SELECT w, freq,
-          |  $sp || $sp || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), $sp || $sp) || $sp || $sp AS seq FROM w0),
-          |${(1 to 5).map(round).mkString(",\n")}
-          |${(1 to 5).map(i => s"SELECT $i AS merge_round, m$i.a AS lhs, m$i.b AS rhs, m$i.n AS pair_count, t$i.total AS corpus_tokens_after FROM m$i CROSS JOIN t$i")
-            .mkString("\nUNION ALL ")}
-          |ORDER BY merge_round""".stripMargin
-      }),
-
-    // X3 — BPE tokenizer application (TextAnalysis.bpeApplyCounts): the
-    // serving side of x3_bpe_learn — learn 5 merges, collect them (bounded
-    // driver probe: the merges ARE the model), fold them into one map-side
-    // replace chain per word, report whitespace vs BPE token counts per
-    // document. The oracle replays learning AND application end-to-end.
-    Q("x3_bpe_tokenize",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        val merges = TextAnalysis.bpeLearn(docs, "text", 5).collect()
-          .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
-        TextAnalysis.bpeApplyCounts(docs, "doc_id", "text", merges).orderBy("doc_id")
-      },
-      Some {
-        val sp = "chr(31)"
-        def round(i: Int): String =
-          s"""p$i AS (SELECT p.a AS a, p.b AS b, CAST(sum(freq) AS BIGINT) AS n FROM (
-            |  SELECT freq, unnest(list_transform(range(1, len(ts)), j -> struct_pack(a := ts[j], b := ts[j+1]))) AS p
-            |  FROM (SELECT freq, list_filter(string_split(seq, $sp), x -> x <> '') AS ts FROM s${i - 1})) GROUP BY 1, 2),
-            |m$i AS (SELECT a, b FROM p$i ORDER BY n DESC, a, b LIMIT 1),
-            |s$i AS (SELECT w, freq, replace(seq, $sp || m$i.a || $sp || $sp || m$i.b || $sp, $sp || m$i.a || m$i.b || $sp) AS seq
-            |  FROM s${i - 1} CROSS JOIN m$i)""".stripMargin
-        def apply(i: Int): String =
-          s"""a$i AS (SELECT doc_id, replace(seq, $sp || m$i.a || $sp || $sp || m$i.b || $sp, $sp || m$i.a || m$i.b || $sp) AS seq
-            |  FROM a${i - 1} CROSS JOIN m$i)""".stripMargin
-        s"""WITH w0 AS (SELECT tok AS w, count(*) AS freq FROM (
-          |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM documents) GROUP BY 1),
-          |s0 AS (SELECT w, freq,
-          |  $sp || $sp || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), $sp || $sp) || $sp || $sp AS seq FROM w0),
-          |${(1 to 5).map(round).mkString(",\n")},
-          |d AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w FROM documents),
-          |a0 AS (SELECT doc_id,
-          |  $sp || $sp || array_to_string(list_transform(range(1, len(w) + 1), i -> substr(w, i, 1)), $sp || $sp) || $sp || $sp AS seq FROM d),
-          |${(1 to 5).map(apply).mkString(",\n")},
-          |cnt AS (SELECT doc_id, count(*) AS n_words,
-          |  CAST(sum(len(list_filter(string_split(seq, $sp), x -> x <> ''))) AS BIGINT) AS n_bpe
-          |  FROM a5 GROUP BY 1)
-          |SELECT dd.doc_id, CAST(COALESCE(n_words, 0) AS BIGINT) AS n_words,
-          |  CAST(COALESCE(n_bpe, 0) AS BIGINT) AS n_bpe
-          |FROM documents dd LEFT JOIN cnt USING (doc_id) ORDER BY dd.doc_id""".stripMargin
-      }),
-
-    // X3 — marker-based language ID (oracle-checkable form; the char-n-gram
-    // scorer is langIdNgram, covered by ScalaTest).
-    Q("x3_lang_id",
-      (s, dir) => TextAnalysis.langIdSimple(rd(s, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
-      Some("SELECT doc_id, CASE WHEN contains(text, 'the ') THEN 'en' ELSE 'und' END AS pred_lang " +
-        "FROM documents ORDER BY doc_id")),
-
-    // X3 — exact document fingerprint (md5, engine-portable).
-    Q("x3_fingerprint",
-      (s, dir) => TextAnalysis.fingerprintMd5(rd(s, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
-      Some("SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id")),
-
-    // X2 — exact token-set Jaccard join, integer-thresholded (jaccard>=0.95).
-    // Bounded to doc_id<1000: this is the verification path; the scale path is
-    // x2_minhash_lsh below (no bound).
-    Q("x2_jaccard_dedup",
-      (s, dir) => Dedup.jaccardPairs(rd(s, dir, "documents").filter(col("doc_id") < 1000),
-        "doc_id", "text", 1, 19, 20).orderBy("id_a", "id_b"),
-      Some("""WITH toks AS (SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
-        |  FROM documents WHERE doc_id < 1000),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
-        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
-        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT p.id_a, p.id_b, p.overlap, sa.sz AS size_a, sb.sz AS size_b
-        |FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
-        |WHERE 20 * p.overlap >= 19 * (sa.sz + sb.sz - p.overlap)
-        |ORDER BY p.id_a, p.id_b""".stripMargin)),
-
-    // X2 — word-bigram (n-gram) Jaccard join: order-sensitive shingles make
-    // this far more discriminative than token sets (reordered near-dups drop
-    // out). Bounded to doc_id < 1500 — the common-shingle self-join is
-    // O(Σ df²), quadratic in shingle document frequency, so like
-    // x2_jaccard_dedup it is the bounded verification path; the unbounded
-    // scale path over the same bigram universe is x2_ngram_minhash below.
-    Q("x2_ngram_jaccard",
-      (s, dir) => Dedup.jaccardPairs(rd(s, dir, "documents").filter(col("doc_id") < 1500),
-        "doc_id", "text", 2, 4, 5).orderBy("id_a", "id_b"),
-      Some("""WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents WHERE doc_id < 1500),
-        |toks AS (SELECT DISTINCT doc_id, unnest(list_transform(range(len(ws) - 1), i -> ws[i+1] || ' ' || ws[i+2])) AS tok FROM ws),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
-        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS overlap
-        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT p.id_a, p.id_b, p.overlap, sa.sz AS size_a, sb.sz AS size_b
-        |FROM pairs p JOIN sizes sa ON sa.doc_id = p.id_a JOIN sizes sb ON sb.doc_id = p.id_b
-        |WHERE 5 * p.overlap >= 4 * (sa.sz + sb.sz - p.overlap)
-        |ORDER BY p.id_a, p.id_b""".stripMargin)),
-
-    // X2 — exact containment join (overlap >= 0.9 * min size) over word
-    // BIGRAMS: catches the embedded-duplicate case Jaccard misses (short doc
-    // quoted inside a long one). Bigram shingles, not token sets — this
-    // corpus' token vocabulary is tiny, so token-SET containment is
-    // near-universal (degenerate); order-sensitive bigrams make containment
-    // mean "the smaller doc's word sequences appear in the larger". The
-    // Spark side candidate-generates through a lossless rarity-ranked
-    // PREFIX filter probing the inverted index; the oracle is the
-    // UNFILTERED all-pairs join — a gate match proves the prefix filter
-    // drops nothing.
-    Q("x2_containment_join",
-      (s, dir) => Dedup.containmentPairs(rd(s, dir, "documents"),
-          "doc_id", "text", 2, 9, 10)
-        .orderBy("id_a", "id_b"),
-      Some(s"""WITH t0 AS ($duckBigramToks),
-        |h AS (SELECT DISTINCT doc_id, ${duckHex("md5(tok)")} AS h FROM t0),
-        |sizes AS (SELECT doc_id, count(*) AS sz FROM h GROUP BY doc_id),
-        |p AS (SELECT a.doc_id AS x, b.doc_id AS y, count(*) AS overlap
-        |  FROM h a JOIN h b ON a.h = b.h AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT CASE WHEN sa.sz <= sb.sz THEN p.x ELSE p.y END AS id_a,
-        |  CASE WHEN sa.sz <= sb.sz THEN p.y ELSE p.x END AS id_b,
-        |  p.overlap, least(sa.sz, sb.sz) AS size_a, greatest(sa.sz, sb.sz) AS size_b
-        |FROM p JOIN sizes sa ON sa.doc_id = p.x JOIN sizes sb ON sb.doc_id = p.y
-        |WHERE 10 * p.overlap >= 9 * least(sa.sz, sb.sz)
-        |ORDER BY id_a, id_b""".stripMargin)),
-
-    // X2 — bigram near-dup at scale: the same MinHash+LSH path as
-    // x2_minhash_lsh but over the word-bigram universe (4 bands × 4 hashes —
-    // narrower bands than the unigram query because the 0.8 threshold needs
-    // bucket collisions at lower similarity). Unbounded: candidate generation
-    // is the band equi-join, never the all-pairs shingle join.
-    Q("x2_ngram_minhash",
-      (s, dir) => Dedup.minhashLshPairs(rd(s, dir, "documents"), "doc_id", "text", 4, 4, 5, shingleN = 2)
-        .orderBy("id_a", "id_b"),
-      Some(duckMinhashSql(duckBigramToks, 4, 4, 5))),
-
-    // X2 — MinHash+LSH near-dup join (the 100 TB path: signatures are linear,
-    // candidates come from an equi-join on band keys, only candidates verified).
-    Q("x2_minhash_lsh",
-      (s, dir) => Dedup.minhashLshPairs(rd(s, dir, "documents"), "doc_id", "text", 8, 19, 20)
-        .orderBy("id_a", "id_b"),
-      Some(duckMinhashSql(duckToks, 8, 19, 20))),
-
-    // X1 — near-dup cross-source matrix (Dedup.pairSourceMatrix): verified
-    // LSH pairs bucketed by unordered source pair — within-source mass is
-    // boilerplate, cross-source mass is mirrored content; the report a
-    // mixing policy consumes. Bounded to doc_id < 2500 (the pair pipeline
-    // is already measured unbounded by x2_minhash_lsh; this row pays for
-    // the composition, not a second full sweep).
-    Q("x1_dedup_matrix",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents").filter(col("doc_id") < 2500)
-        Dedup.pairSourceMatrix(
-            lshPairsFx(s, dir).filter(col("id_a") < 2500 && col("id_b") < 2500),
-            docs, "doc_id", "source")
-          .orderBy("source_x", "source_y")
-      },
-      Some {
-        val toks = "SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok " +
-          "FROM documents WHERE doc_id < 2500"
-        s"""WITH ${duckMinhashCtes(toks, 8, 19, 20)}
-          |SELECT least(da.source, db.source) AS source_x,
-          |  greatest(da.source, db.source) AS source_y, count(*) AS n_pairs
-          |FROM verified v JOIN documents da ON da.doc_id = v.id_a
-          |JOIN documents db ON db.doc_id = v.id_b
-          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
-      }),
-
-    // X2 — 32-bit SimHash signature per document (linear, join-free).
-    Q("x2_simhash",
-      (s, dir) => Dedup.simhash(rd(s, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
-      Some(s"WITH $duckSimhashSigsCte\nSELECT doc_id, simhash FROM sigs ORDER BY doc_id")),
-
-    // X2 — SimHash near-dup pairs: 8-bit band join (pigeonhole-exact for
-    // Hamming <= 3) + popcount verify on candidates only.
-    Q("x2_simhash_pairs",
-      (s, dir) => Dedup.simhashPairs(rd(s, dir, "documents"), "doc_id", "text", maxHamming = 3)
-        .orderBy("id_a", "id_b"),
-      Some(s"""WITH $duckSimhashSigsCte,
-        |banded AS (SELECT doc_id, simhash, unnest(range(0, 4)) AS band FROM sigs),
-        |b2 AS (SELECT doc_id, simhash, band, (simhash >> (band * 8)) & 255 AS key FROM banded),
-        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b, x.simhash AS sa, y.simhash AS sb
-        |  FROM b2 x JOIN b2 y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
-        |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS INTEGER) AS hamming
-        |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin)),
-
-    // X2 — brute-force cosine pairs >= 0.4 (baseline embedding near-dup).
-    // The vec_id < 2000 cap bounds this DECLARED O(n²) baseline at any scale
-    // factor (>= every test SF's full range today, so results are unchanged);
-    // the unbounded scale paths are x2_ann_lsh / x2_ann_ivf.
-    Q("x2_embedding_cosine",
-      (s, dir) => strCols(
-        Similarity.cosinePairs(rd(s, dir, "embeddings").filter(col("vec_id") < 2000),
-            new java.math.BigDecimal("0.400000"))
-          .orderBy("id_a", "id_b"),
-        Seq("cos")),
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 2000),
-        |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
-        |SELECT id_a, id_b, CAST(cos AS VARCHAR) AS cos FROM (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6)) AS cos
-        |  FROM s a JOIN s b ON a.vec_id < b.vec_id)
-        |WHERE cos >= CAST(0.4 AS DECIMAL(10,6)) ORDER BY id_a, id_b""".stripMargin)),
-
-    // X2 — brute-force cosine top-3 neighbours for the first 50 vectors,
-    // against the same bounded reference corpus (vec_id < 2000, see above).
-    Q("x2_ann_topk",
-      (s, dir) => strCols(
-        Similarity.annTopK(rd(s, dir, "embeddings").filter(col("vec_id") < 2000), 3, 50)
-          .orderBy("id_a", "rk"),
-        Seq("cos")),
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 2000),
-        |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6)) AS cos
-        |  FROM s a JOIN s b ON a.vec_id <> b.vec_id WHERE a.vec_id < 50)
-        |SELECT id_a, id_b, CAST(cos AS VARCHAR) AS cos, rk FROM (SELECT id_a, id_b, cos,
-        |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS INTEGER) AS rk FROM scored)
-        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
-
-    // X2 — LSH-bucketed ANN (scale path). The signature construction is
-    // deterministic (seeded ±1 planes, DECIMAL-rounded projection signs), so
-    // the ENTIRE pipeline — bucketing, candidate join, re-score, rank — has
-    // an exact DuckDB oracle; recall-vs-brute assertions live in ScalaTest.
-    Q("x2_ann_lsh",
-      (s, dir) => strCols(
-        Similarity.lshTopK(rd(s, dir, "embeddings"), 3, 8, dim = 64).orderBy("id_a", "rk"),
-        Seq("cos")),
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |sg AS (SELECT vec_id, v, nrm, ${duckLshSig(8, 64)} AS sig FROM s),
-        |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6)) AS cos
-        |  FROM sg a JOIN sg b ON a.sig = b.sig AND a.vec_id <> b.vec_id)
-        |SELECT id_a, id_b, CAST(cos AS VARCHAR) AS cos, rk FROM (SELECT id_a, id_b, cos,
-        |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS INTEGER) AS rk FROM scored)
-        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
-
-    // X2 — MULTI-PROBE LSH ANN: each vector probes its own signature bucket
-    // plus the 8 signatures at Hamming distance 1 (the published multi-probe
-    // idea — recall of a larger plane budget at (numPlanes+1)× probe rows,
-    // not exponentially more buckets). The engine keeps the bucket EQUI-join
-    // (probe side explodes sig ^ single-bit flips; each qualifying pair
-    // matches exactly one flip); the oracle states the same semantics
-    // declaratively as a Hamming ≤ 1 join, affordable at verify scale.
-    Q("x2_ann_lsh_multiprobe",
-      (s, dir) => strCols(
-        Similarity.lshTopK(rd(s, dir, "embeddings"), 3, 8, dim = 64, probeHamming1 = true)
-          .orderBy("id_a", "rk"),
-        Seq("cos")),
-      Some(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |sg AS (SELECT vec_id, v, nrm, ${duckLshSig(8, 64)} AS sig FROM s),
-        |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6)) AS cos
-        |  FROM sg a JOIN sg b ON bit_count(xor(a.sig, b.sig)) <= 1 AND a.vec_id <> b.vec_id)
-        |SELECT id_a, id_b, CAST(cos AS VARCHAR) AS cos, rk FROM (SELECT id_a, id_b, cos,
-        |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS INTEGER) AS rk FROM scored)
-        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
-
-    // X2 — IVF-bucketed ANN (scale path: broadcast centroid table, cell
-    // equi-join probe). Declared with the deterministic stand-in quantizer
-    // (first nlist vectors as centroids, trainIters=0) — pure rounded-decimal
-    // arithmetic end-to-end, so assignment, probing, and re-scoring all have
-    // an exact DuckDB oracle. The seeded-KMeans-trained quantizer is the same
-    // pipeline with trained centroids; its recall is asserted in ScalaTest
-    // (DedupSimilaritySpec).
-    Q("x2_ann_ivf",
-      (s, dir) => strCols(
-        Similarity.ivfTopK(rd(s, dir, "embeddings"), 3, 32, 4, trainIters = 0)
-          .orderBy("id_a", "rk"),
-        Seq("cos")),
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM s WHERE vec_id < 32),
-        |sim AS (SELECT s.vec_id, c.cell,
-        |  CAST(list_dot_product(s.v, c.cv) / (s.nrm * c.cnrm) AS DECIMAL(10,6)) AS csim
-        |  FROM s CROSS JOIN c),
-        |ranked AS (SELECT vec_id, cell,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crk FROM sim),
-        |assigned AS (SELECT vec_id, cell FROM ranked WHERE crk = 1),
-        |probes AS (SELECT vec_id AS q_id, cell AS probe_cell FROM ranked WHERE crk <= 4),
-        |scored AS (SELECT DISTINCT p.q_id AS id_a, a.vec_id AS id_b,
-        |  CAST(list_dot_product(qs.v, ns.v) / (qs.nrm * ns.nrm) AS DECIMAL(10,6)) AS cos
-        |  FROM probes p JOIN assigned a ON p.probe_cell = a.cell AND p.q_id <> a.vec_id
-        |  JOIN s qs ON qs.vec_id = p.q_id JOIN s ns ON ns.vec_id = a.vec_id)
-        |SELECT id_a, id_b, CAST(cos AS VARCHAR) AS cos, rk FROM (SELECT id_a, id_b, cos,
-        |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS INTEGER) AS rk FROM scored)
-        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
-
-    // X2 — per-dimension int8 quantization of the embedding column (the
-    // standard 4× compression before a large-scale vector index). Affine
-    // scale rounded to DECIMAL(10,6) before the floor, so both engines
-    // bucket identically; per-dim stats shuffle at most (dim) rows.
-    Q("x2_quantize_int8",
-      (s, dir) => Similarity.quantizeInt8(rd(s, dir, "embeddings"))
-        .orderBy("vec_id", "pos"),
-      Some(s"""WITH $duckQuantCtes
-        |SELECT vec_id, pos, qq AS q FROM q ORDER BY vec_id, pos""".stripMargin)),
-
-    // X2 — embedding-space drift per label slice: integer-scaled L1 distance
-    // between each slice's quantized centroid and the corpus centroid
-    // (Similarity.embeddingDrift — the embedding counterpart of
-    // x3_slice_drift; exact through int8 quantization, no float sums).
-    Q("x2_embedding_drift",
-      (s, dir) => Similarity.embeddingDrift(rd(s, dir, "embeddings"), "label")
-        .withColumn("l1_scaled", col("l1_scaled").cast("string"))
-        .orderBy("slice"),
-      Some(s"""WITH $duckQuantCtes,
-        |sd AS (SELECT e.label AS slice, q.pos, sum(qq) AS s_d
-        |  FROM q JOIN (SELECT vec_id, label FROM embeddings) e USING (vec_id) GROUP BY 1, 2),
-        |td AS (SELECT pos, sum(s_d) AS t_d FROM sd GROUP BY 1),
-        |ns AS (SELECT label AS slice, count(*) AS n_s FROM embeddings GROUP BY 1),
-        |nt AS (SELECT count(*) AS n FROM embeddings)
-        |SELECT slice, CAST(n_s AS BIGINT) AS n_vecs,
-        |  CAST(CAST(sum(abs(s_d * n - t_d * n_s)) AS DECIMAL(38,0)) AS VARCHAR) AS l1_scaled
-        |FROM sd JOIN td USING (pos) JOIN ns USING (slice) CROSS JOIN nt
-        |GROUP BY slice, n_s ORDER BY slice""".stripMargin)),
-
-    // X2 — product-quantization ANN (ADC search): vectors stored as 8
-    // one-byte codes, query-vector distance approximated from per-subspace
-    // distance tables — the IFV-PQ search core over the int8-quantized
-    // components, so every distance is an exact integer and the whole path
-    // (codebook, assignment argmins, ADC sums, top-k) replays in DuckDB.
-    Q("x2_ann_pq",
-      (s, dir) => Similarity.pqTopK(rd(s, dir, "embeddings"),
-          dim = 64, m = 8, ncodes = 16, k = 3, queryLimit = 150)
-        .orderBy("id_a", "rk"),
-      Some(s"""WITH $duckQuantCtes,
-        |$duckPqCtes
-        |SELECT qid AS id_a, vec_id AS id_b, adist, rk FROM
-        |  (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS INTEGER) AS rk FROM pqad)
-        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
-
-    // X2 — IVF-PQ: the production ANN composition — coarse cell gate
-    // (nprobe=4 of nlist=32 cells per query) over PQ asymmetric-distance
-    // ranking,
-    // both stages in the exact-integer quantized space so the full composed
-    // path replays in DuckDB. x2_ann_pq is the ungated recall baseline.
-    Q("x2_ann_ivfpq",
-      (s, dir) => Similarity.ivfPqTopK(rd(s, dir, "embeddings"),
-          dim = 64, m = 8, ncodes = 16, nlist = 32, nprobe = 4, k = 3,
-          queryLimit = 150)
-        .orderBy("id_a", "rk"),
-      Some(s"""WITH $duckQuantCtes,
-        |$duckPqCtes,
-        |$duckIvfCtes
-        |SELECT qid AS id_a, vec_id AS id_b, adist, rk FROM
-        |  (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS INTEGER) AS rk FROM ivfad)
-        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
-
-    // X2 — top-3 neighbours by integer dot product over the int8-quantized
-    // vectors (the search side of the quantized index path; exact integer
-    // scores, so the whole path hash-checks with no rounding discipline).
-    // Queries bounded at vec_id < 50 like the other declared baselines.
-    Q("x2_ann_quantized",
-      (s, dir) => Similarity.quantizedTopK(rd(s, dir, "embeddings"), 3, 50)
-        .orderBy("id_a", "rk"),
-      Some(s"""WITH $duckQuantCtes,
-        |v AS (SELECT vec_id, list(CAST(qq AS DOUBLE) ORDER BY pos) AS qv FROM q GROUP BY vec_id),
-        |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
-        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id WHERE a.vec_id < 50)
-        |SELECT id_a, id_b, dot, rk FROM (SELECT id_a, id_b, dot,
-        |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY dot DESC, id_b) AS INTEGER) AS rk FROM scored)
-        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
-
-    // X2 — hard-negative mining (Similarity.hardNegatives): per query, the
-    // top-3 most similar vectors with a DIFFERENT label out of an exact
-    // quantized shortlist of 12 — the contrastive-training example miner.
-    // Shortlist-bounded by design (the production two-stage contract); the
-    // oracle replays shortlist, label filter, and re-rank exactly.
-    Q("x2_hard_negatives",
-      (s, dir) => Similarity.hardNegatives(rd(s, dir, "embeddings"), "label",
-          k = 3, shortlist = 12, queryLimit = 60)
-        .orderBy("id_a", "neg_rk"),
-      Some(s"""WITH $duckQuantCtes,
-        |v AS (SELECT vec_id, list(CAST(qq AS DOUBLE) ORDER BY pos) AS qv FROM q GROUP BY vec_id),
-        |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
-        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id WHERE a.vec_id < 60),
-        |sl AS (SELECT id_a, id_b, dot FROM (SELECT *,
-        |  row_number() OVER (PARTITION BY id_a ORDER BY dot DESC, id_b) AS rk FROM scored) WHERE rk <= 12),
-        |neg AS (SELECT sl.id_a, sl.id_b, sl.dot FROM sl
-        |  JOIN embeddings la ON la.vec_id = sl.id_a
-        |  JOIN embeddings lb ON lb.vec_id = sl.id_b
-        |  WHERE la.label <> lb.label)
-        |SELECT id_a, id_b, dot, neg_rk FROM (SELECT *,
-        |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY dot DESC, id_b) AS INTEGER) AS neg_rk FROM neg)
-        |WHERE neg_rk <= 3 ORDER BY id_a, neg_rk""".stripMargin)),
-
-    // X9 — semi-supervised labeling capstone: kNN GRAPH in the exact
-    // quantized space (top-3 per node over a 300-vector universe, the
-    // x2_ann_quantized machinery) symmetrized into undirected edges, then
-    // G3's majority-vote label propagation spreads the 20 seed labels
-    // (embeddings.label, the hand-labeled slice) across it for 2
-    // iterations — the standard label-densification pipeline for training
-    // data (label a sliver by hand, propagate over the similarity graph).
-    // Every stage integer-exact, so the composed assignment — including
-    // which nodes stay unlabeled — replays through one unrolled oracle.
-    Q("x9_semisupervised",
-      (s, dir) => {
-        val emb = rd(s, dir, "embeddings").filter(col("vec_id") < 300)
-        val knn = Similarity.quantizedTopK(emb, 3, 300).select("id_a", "id_b")
-        val edges = knn.select(col("id_a").as("src"), col("id_b").as("dst"))
-          .unionByName(knn.select(col("id_b").as("src"), col("id_a").as("dst")))
-          .distinct()
-        val seeds = emb.filter(col("vec_id") < 20)
-          .select(col("vec_id").as("node"), col("label").cast("long").as("lab"))
-        graft.operators.ext.Graph
-          .labelPropagate(edges, "src", "dst", seeds, "node", "lab", 2)
-          .orderBy("node")
-      },
-      Some {
-        def iter(i: Int): String =
-          s"""v$i AS (SELECT e.dst AS node, l${i - 1}.label, count(*) AS n
-            |  FROM e JOIN l${i - 1} ON e.src = l${i - 1}.node WHERE l${i - 1}.label IS NOT NULL GROUP BY 1, 2),
-            |m$i AS (SELECT node, label AS maj FROM
-            |  (SELECT *, row_number() OVER (PARTITION BY node ORDER BY n DESC, label) AS rk FROM v$i) WHERE rk = 1),
-            |l$i AS (SELECT l${i - 1}.node, coalesce(sd.lab, m$i.maj, l${i - 1}.label) AS label
-            |  FROM l${i - 1} LEFT JOIN m$i ON l${i - 1}.node = m$i.node LEFT JOIN sd ON l${i - 1}.node = sd.node)""".stripMargin
-        s"""WITH ${duckQuantCtesWhere(" WHERE vec_id < 300")},
-          |v AS (SELECT vec_id, list(CAST(qq AS DOUBLE) ORDER BY pos) AS qv FROM q GROUP BY vec_id),
-          |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-          |  CAST(list_dot_product(a.qv, b.qv) AS BIGINT) AS dot
-          |  FROM v a JOIN v b ON a.vec_id <> b.vec_id),
-          |knn AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
-          |  row_number() OVER (PARTITION BY id_a ORDER BY dot DESC, id_b) AS rk FROM scored) WHERE rk <= 3),
-          |e AS (SELECT id_a AS src, id_b AS dst FROM knn UNION SELECT id_b, id_a FROM knn),
-          |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
-          |sd AS (SELECT vec_id AS node, CAST(label AS BIGINT) AS lab FROM embeddings WHERE vec_id < 20),
-          |l0 AS (SELECT nodes.node, sd.lab AS label FROM nodes LEFT JOIN sd ON nodes.node = sd.node),
-          |${iter(1)},
-          |${iter(2)}
-          |SELECT node, label FROM l2 ORDER BY node""".stripMargin
-      }),
-
-    // X2 — HYBRID retrieval with reciprocal-rank fusion: dense leg = exact
-    // integer quantized-L2 top-20 over embeddings; lexical leg = BM25
-    // top-20 over documents (same query ids 0-4, self excluded on both
-    // legs); fused by micro-scaled integer RRF (1000000 div (60 + rank),
-    // Cormack & Clarke's k = 60). This is the production retrieval shape —
-    // two incommensurably-scored shortlists merged without score
-    // calibration — and every step is integer-exact, so the FUSED ranking
-    // (score, consensus count, and order) replays bit-identically in
-    // DuckDB. doc_id and vec_id share the fixture's id domain, which is
-    // what makes cross-modal fusion well-defined here.
-    Q("x2_hybrid_rrf",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        val queries = docs.filter(col("doc_id") < 5)
-          .select(col("doc_id").as("query_id"),
-            expr("array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 8), ' ')").as("qtext"))
-        val lex = TextAnalysis
-          .bm25TopK(docs, queries, "doc_id", "text", "query_id", "qtext", 20, excludeSelf = true)
-          .select(col("query_id"), col("doc_id").as("cand_id"), col("rk"))
-        val dense = Similarity.quantizedL2TopK(rd(s, dir, "embeddings"), 20, 5)
-          .select(col("id_a").as("query_id"), col("id_b").as("cand_id"), col("rk"))
-        Similarity.rrfFuse(Seq(dense, lex), "query_id", "cand_id", "rk", 10)
-          .orderBy("query_id", "rk")
-      },
-      Some(s"""WITH $duckQuantCtes,
-        |v AS (SELECT vec_id, list(CAST(qq AS DOUBLE) ORDER BY pos) AS qv FROM q GROUP BY vec_id),
-        |dsc AS (SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
-        |  CAST(list_dot_product(a.qv, a.qv) + list_dot_product(b.qv, b.qv) - 2 * list_dot_product(a.qv, b.qv) AS BIGINT) AS d
-        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id WHERE a.vec_id < 5),
-        |dense AS (SELECT query_id, cand_id, rk FROM (SELECT query_id, cand_id,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY d, cand_id) AS rk FROM dsc) WHERE rk <= 20),
-        |dl AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl FROM documents),
-        |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
-        |qd AS (SELECT doc_id AS query_id, array_to_string((list_filter(string_split(text, ' '), x -> x <> ''))[1:8], ' ') AS qtext
-        |  FROM documents WHERE doc_id < 5),
-        |qt AS (SELECT DISTINCT query_id, unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS term FROM qd),
-        |post AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM post
-        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |sc AS (SELECT q.query_id, f.doc_id,
-        |  CAST(CAST(22000 AS HUGEINT) * (length(printf('%b', n // df)) - 1) * f.tf * t
-        |    // (CAST(10 AS HUGEINT) * f.tf * t + CAST(3 AS HUGEINT) * t + CAST(9 AS HUGEINT) * dl.dl * n) AS BIGINT) AS s
-        |  FROM tf f JOIN dfreq USING (term) JOIN qt q USING (term)
-        |  JOIN dl ON f.doc_id = dl.doc_id CROSS JOIN tot
-        |  WHERE f.doc_id <> q.query_id),
-        |lagg AS (SELECT query_id, doc_id AS cand_id, CAST(sum(s) AS BIGINT) AS score FROM sc GROUP BY 1, 2),
-        |lex AS (SELECT query_id, cand_id, rk FROM (SELECT query_id, cand_id,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rk FROM lagg) WHERE rk <= 20),
-        |u AS (SELECT query_id, cand_id, 1000000 // (60 + rk) AS c FROM dense
-        |  UNION ALL SELECT query_id, cand_id, 1000000 // (60 + rk) FROM lex),
-        |fused AS (SELECT query_id, cand_id, CAST(sum(c) AS BIGINT) AS rrf_score, count(*) AS n_legs
-        |  FROM u GROUP BY 1, 2),
-        |r AS (SELECT query_id, cand_id, rrf_score, n_legs,
-        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, cand_id) AS INTEGER) AS rk FROM fused)
-        |SELECT query_id, cand_id, rrf_score, n_legs, rk FROM r WHERE rk <= 10
-        |ORDER BY query_id, rk""".stripMargin)),
-
-    // X6 — k-center CORESET selection (Gonzalez greedy farthest-point) in
-    // the exact quantized space: seed = min vec_id, then 3 iterations of
-    // "add the point farthest from its nearest chosen center" (ties ->
-    // smallest id). The chosen id SEQUENCE pins every argmax over exact
-    // integer distances; the oracle unrolls the four stages.
-    Q("x6_coreset",
-      (s, dir) => Similarity.coresetSelect(rd(s, dir, "embeddings"), 4)
-        .orderBy("rk"),
-      Some(s"""WITH $duckQuantCtes,
-        |v AS (SELECT vec_id, list(CAST(qq AS DOUBLE) ORDER BY pos) AS qv FROM q GROUP BY vec_id),
-        |c1 AS (SELECT min(vec_id) AS id FROM v),
-        |cv1 AS (SELECT v.qv AS c FROM v JOIN c1 ON v.vec_id = c1.id),
-        |c2 AS (SELECT a.vec_id AS id FROM v a CROSS JOIN cv1
-        |  WHERE a.vec_id NOT IN (SELECT id FROM c1)
-        |  ORDER BY CAST(list_dot_product(a.qv, a.qv) + list_dot_product(cv1.c, cv1.c) - 2 * list_dot_product(a.qv, cv1.c) AS BIGINT) DESC, a.vec_id LIMIT 1),
-        |cv2 AS (SELECT v.qv AS c FROM v JOIN c2 ON v.vec_id = c2.id),
-        |c3 AS (SELECT a.vec_id AS id FROM v a CROSS JOIN cv1 CROSS JOIN cv2
-        |  WHERE a.vec_id NOT IN (SELECT id FROM c1 UNION ALL SELECT id FROM c2)
-        |  ORDER BY least(
-        |    CAST(list_dot_product(a.qv, a.qv) + list_dot_product(cv1.c, cv1.c) - 2 * list_dot_product(a.qv, cv1.c) AS BIGINT),
-        |    CAST(list_dot_product(a.qv, a.qv) + list_dot_product(cv2.c, cv2.c) - 2 * list_dot_product(a.qv, cv2.c) AS BIGINT)) DESC, a.vec_id LIMIT 1),
-        |cv3 AS (SELECT v.qv AS c FROM v JOIN c3 ON v.vec_id = c3.id),
-        |c4 AS (SELECT a.vec_id AS id FROM v a CROSS JOIN cv1 CROSS JOIN cv2 CROSS JOIN cv3
-        |  WHERE a.vec_id NOT IN (SELECT id FROM c1 UNION ALL SELECT id FROM c2 UNION ALL SELECT id FROM c3)
-        |  ORDER BY least(
-        |    CAST(list_dot_product(a.qv, a.qv) + list_dot_product(cv1.c, cv1.c) - 2 * list_dot_product(a.qv, cv1.c) AS BIGINT),
-        |    CAST(list_dot_product(a.qv, a.qv) + list_dot_product(cv2.c, cv2.c) - 2 * list_dot_product(a.qv, cv2.c) AS BIGINT),
-        |    CAST(list_dot_product(a.qv, a.qv) + list_dot_product(cv3.c, cv3.c) - 2 * list_dot_product(a.qv, cv3.c) AS BIGINT)) DESC, a.vec_id LIMIT 1)
-        |SELECT CAST(1 AS INTEGER) AS rk, id AS vec_id FROM c1
-        |UNION ALL SELECT 2, id FROM c2
-        |UNION ALL SELECT 3, id FROM c3
-        |UNION ALL SELECT 4, id FROM c4 ORDER BY rk""".stripMargin)),
-
-    // X6 — DSIR-style importance selection (TextAnalysis.dsirSelect):
-    // hashed-unigram target/background models over a FIXED 1024-bucket
-    // space (model size independent of corpus size — the method's 100 TB
-    // trick), integer bit-length log-weights, deterministic top-k. Target
-    // model = doc_id < 300 (the trusted slice, mirroring x3_lm_score's
-    // reference-corpus convention).
-    Q("x6_dsir",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        TextAnalysis.dsirSelect(docs, docs.filter(col("doc_id") < 300),
-            "doc_id", "text", k = 400)
-          .orderBy(col("weight").desc, col("doc_id"))
-      },
-      Some(s"""WITH tt AS (SELECT ${duckHex("md5(tok)")} % 1024 AS bucket FROM (
-        |  SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
-        |  FROM documents WHERE doc_id < 300)),
-        |bt AS (SELECT doc_id, ${duckHex("md5(tok)")} % 1024 AS bucket FROM (
-        |  SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
-        |  FROM documents)),
-        |tm AS (SELECT bucket, count(*) AS ct FROM tt GROUP BY 1),
-        |bm AS (SELECT bucket, count(*) AS cb FROM bt GROUP BY 1),
-        |ttot AS (SELECT count(*) AS t_tot FROM tt),
-        |btot AS (SELECT count(*) AS b_tot FROM bt),
-        |lw AS (SELECT bm.bucket,
-        |  (length(printf('%b', (b_tot + 1024) // (cb + 1))) - 1)
-        |  - (length(printf('%b', (t_tot + 1024) // (COALESCE(ct, 0) + 1))) - 1) AS lw
-        |  FROM bm LEFT JOIN tm USING (bucket) CROSS JOIN ttot CROSS JOIN btot),
-        |dw AS (SELECT doc_id, count(*) AS n_tok, CAST(sum(lw) AS BIGINT) AS weight
-        |  FROM bt JOIN lw USING (bucket) GROUP BY 1)
-        |SELECT d.doc_id, CAST(COALESCE(n_tok, 0) AS BIGINT) AS n_tok,
-        |  CAST(COALESCE(weight, 0) AS BIGINT) AS weight
-        |FROM documents d LEFT JOIN dw USING (doc_id)
-        |ORDER BY weight DESC, doc_id LIMIT 400""".stripMargin)),
-
-    // X6 — trained quality-classifier inference (TextAnalysis
-    // .qualityClassifier): the fastText-style linear model over hashed
-    // unigram+bigram features — the model-based quality filter every
-    // production curation pipeline runs beside the heuristic and perplexity
-    // ones, in its CCNet shape: the TRUSTED side is the target-language
-    // corpus (lang = 'en' — the stand-in for "looks like Wikipedia"),
-    // negatives are the rest; integer Naive-Bayes log-odds weights over a
-    // 2048-bucket space, occurrence-weighted scoring, keep = score > 0
-    // (measured at sf0.01: 25% of en kept vs <=7% of every other lang —
-    // the precision-oriented separation a positive-evidence threshold
-    // buys). The oracle replays training AND inference end-to-end.
-    Q("x3_quality_classifier",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        TextAnalysis.qualityClassifier(docs,
-            docs.filter(col("lang") === "en"),
-            docs.filter(col("lang") =!= "en"),
-            "doc_id", "text")
-          .orderBy("doc_id")
-      },
-      Some {
-        val B = 2048
-        s"""WITH ws AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
-          |feats AS (
-          |  SELECT doc_id, lang, unnest(ws) AS f FROM ws
-          |  UNION ALL
-          |  SELECT doc_id, lang, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS f FROM ws),
-          |fb AS (SELECT doc_id, lang, ${duckHex("md5(f)")} % $B AS bucket FROM feats),
-          |pc AS (SELECT bucket, count(*) AS cp FROM fb WHERE lang = 'en' GROUP BY 1),
-          |nc AS (SELECT bucket, count(*) AS cn FROM fb WHERE lang <> 'en' GROUP BY 1),
-          |pt AS (SELECT CAST(sum(cp) AS BIGINT) AS pt FROM pc),
-          |nt AS (SELECT CAST(sum(cn) AS BIGINT) AS nt FROM nc),
-          |w AS (SELECT COALESCE(pc.bucket, nc.bucket) AS bucket,
-          |  (length(printf('%b', (nt + $B) // (COALESCE(cn, 0) + 1))) - 1)
-          |  - (length(printf('%b', (pt + $B) // (COALESCE(cp, 0) + 1))) - 1) AS w
-          |  FROM pc FULL OUTER JOIN nc ON pc.bucket = nc.bucket CROSS JOIN pt CROSS JOIN nt),
-          |sc AS (SELECT fb.doc_id, count(*) AS n_feat, CAST(sum(COALESCE(w.w, 0)) AS BIGINT) AS score
-          |  FROM fb LEFT JOIN w USING (bucket) GROUP BY 1)
-          |SELECT d.doc_id, CAST(COALESCE(n_feat, 0) AS BIGINT) AS n_feat,
-          |  CAST(COALESCE(score, 0) AS BIGINT) AS score, COALESCE(score, 0) > 0 AS keep
-          |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
-      }),
-
-    // X2 — BINARY quantization ANN: 1-bit-per-dimension signatures (8 bytes
-    // per 64-dim vector, 32x under float32) via the exact integer mean test
-    // q*n >= sum(q), Hamming top-k = two XORs + two popcounts per candidate.
-    // Every step is integer-exact, so the full path — quantize, sign bits,
-    // word packing, Hamming ranks — replays in DuckDB.
-    Q("x2_ann_binary",
-      (s, dir) => Similarity.binaryHammingTopK(rd(s, dir, "embeddings"), 3, 150)
-        .orderBy("id_a", "rk"),
-      Some(s"""WITH $duckQuantCtes,
-        |$duckBinaryCtes
-        |SELECT id_a, id_b, hd, rk FROM (SELECT *,
-        |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY hd, id_b) AS INTEGER) AS rk FROM bham)
-        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
-
-    // X2 — binary prefilter + EXACT rerank (the production two-stage shape):
-    // Hamming shortlist of 32 per query over the 8-byte signatures, exact
-    // integer L2 on the shortlist only. Composed path fully replayable —
-    // a float rerank could not be.
-    Q("x2_ann_binary_rerank",
-      (s, dir) => Similarity.binaryRerankTopK(rd(s, dir, "embeddings"),
-          k = 3, shortlist = 32, queryLimit = 150)
-        .orderBy("id_a", "rk"),
-      Some(s"""WITH $duckQuantCtes,
-        |$duckBinaryCtes,
-        |bshort AS (SELECT id_a, id_b FROM (SELECT *,
-        |  row_number() OVER (PARTITION BY id_a ORDER BY hd, id_b) AS srk FROM bham) WHERE srk <= 32),
-        |v AS (SELECT vec_id, list(CAST(qq AS DOUBLE) ORDER BY pos) AS qv FROM q GROUP BY vec_id),
-        |rr AS (SELECT s.id_a, s.id_b,
-        |  CAST(list_dot_product(a.qv, a.qv) + list_dot_product(b.qv, b.qv) - 2 * list_dot_product(a.qv, b.qv) AS BIGINT) AS d
-        |  FROM bshort s JOIN v a ON a.vec_id = s.id_a JOIN v b ON b.vec_id = s.id_b)
-        |SELECT id_a, id_b, d, rk FROM (SELECT *,
-        |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY d, id_b) AS INTEGER) AS rk FROM rr)
-        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
-
-    // X2 — INCREMENTAL ANN: the corpus-growth loop closed for the
-    // compressed family (the x1_incremental_neardup pattern applied to PQ):
-    // the quantizer ranges AND the codebook are FROZEN on the standing
-    // corpus (vec_id < 400), its codes are persisted bucketed-by-vec_id,
-    // two later batches append their frozen-coded rows idempotently (the
-    // third append REPLAYS batch one — the anti-join must insert nothing or
-    // the hash breaks), and queries probe the grown table via broadcast ADC
-    // tables without ever re-coding a stored vector. Oracle = the frozen-
-    // quantizer PQ replay chain over the full 500-vector corpus.
-    Q("x2_ann_pq_incremental",
-      (s, dir) => {
-        val emb = rd(s, dir, "embeddings").filter(col("vec_id") < 500)
-        val base = emb.filter(col("vec_id") < 400)
-        // fixture = the converged standing code table (frozen-quantizer
-        // seed + both batch appends); LIVE each pass = one idempotent
-        // replay append (the production re-drive cost — its anti-join must
-        // insert nothing) and the broadcast-ADC probe, this row's claim
-        val idx = Fixtures.once(s, dir, "pq_code_index") {
-          val name = s"graft_pq_code_idx_${dirTag(dir)}"
-          val root = freshDir(s, s"graft_pq_code_idx_${dirTag(dir)}")
-          s.sql(s"DROP TABLE IF EXISTS $name")
-          Similarity.pqCodesFrozen(base, base, dim = 64, m = 8, ncodes = 16)
-            .write.bucketBy(8, "vec_id").sortBy("vec_id")
-            .option("path", s"$root/idx").saveAsTable(name)
-          Similarity.appendPqIndex(name,
-            emb.filter(col("vec_id") >= 400 && col("vec_id") < 450), base, 64, 8, 16, 8)
-          Similarity.appendPqIndex(name,
-            emb.filter(col("vec_id") >= 450), base, 64, 8, 16, 8)
-          name
-        }
-        Similarity.appendPqIndex(idx,
-          emb.filter(col("vec_id") >= 400 && col("vec_id") < 450), base, 64, 8, 16, 8) // replay: no-op
-        Similarity.pqIndexTopK(s, idx,
-            emb.filter(col("vec_id") < 50), base, 64, 8, 16, k = 3)
-          .orderBy("id_a", "rk")
-      },
-      Some(s"""WITH ${duckFrozenPqCtes(400, 500, 50)}
-        |SELECT qid AS id_a, vec_id AS id_b, adist, rk FROM
-        |  (SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS INTEGER) AS rk FROM fad)
-        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
-
-    // STREAMING PQ-INDEX MAINTENANCE (the ninth declared streaming path —
-    // stream_index_maintain's compressed-ANN counterpart): the standing
-    // corpus' frozen-quantizer codes are seeded once (bucketed by vec_id);
-    // each micro-batch of new vectors appends its codes through
-    // Similarity.appendPqIndex inside foreachBatch — idempotent under
-    // foreachBatch's replay semantics, quantizer/codebook pinned to the
-    // base so stored codes stay valid mid-append. Result = the converged
-    // code table; oracle = the batch frozen-quantizer code formulation.
-    Q("stream_pq_index_maintain",
-      (s, dir) => {
-        val emb = rd(s, dir, "embeddings")
-        val base = emb.filter(col("vec_id") < 400)
-        // fixture = the frozen-quantizer SEED codes; LIVE each pass = the
-        // streaming maintenance (fresh ephemeral checkpoint → the source
-        // re-flows, appends stay idempotent) + the converged-table read
-        val idx = Fixtures.once(s, dir, "stream_pq_seed") {
-          val name = s"graft_stream_pq_index_${dirTag(dir)}"
-          val root = freshDir(s, s"graft_stream_pqidx_${dirTag(dir)}")
-          s.sql(s"DROP TABLE IF EXISTS $name")
-          Similarity.pqCodesFrozen(base, base, dim = 64, m = 8, ncodes = 16)
-            .write.bucketBy(8, "vec_id").sortBy("vec_id")
-            .option("path", s"$root/idx").saveAsTable(name)
-          name
-        }
-        val stream = s.readStream.schema(emb.schema)
-          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
-          .filter(col("vec_id") >= 400 && col("vec_id") < 500)
-        val q = graft.streaming.Streaming.maintainPqIndex(stream,
-          idx, base, 64, 8, 16, 8)
-        try q.processAllAvailable() finally q.stop()
-        s.table(idx).orderBy("vec_id", "sub")
-      },
-      Some(s"""WITH ${duckFrozenPqCtes(400, 500, 50)}
-        |SELECT vec_id, sub, code FROM fcodes ORDER BY vec_id, sub""".stripMargin)),
-
-    // STREAMING LEXICAL-INDEX MAINTENANCE (the eleventh declared streaming
-    // path, completing the index trio: band / PQ / lexical): the standing
-    // corpus' postings + lengths are seeded once; each micro-batch of new
-    // documents appends through TextAnalysis.appendLexicalIndex inside
-    // foreachBatch — each table's anti-join makes the appends independently
-    // idempotent under replay, and df/N/T derive at probe time, so scores
-    // shift continuously as the stream absorbs documents. The result is the
-    // BM25 PROBE of the converged index; oracle = the full-corpus batch
-    // formulation, so the gate proves the streamed index ranks exactly as a
-    // fresh corpus scan.
-    Q("stream_lex_index_maintain",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        // fixture = the SEED index (standing corpus, not this row's claim);
-        // LIVE each pass = the streaming maintenance itself — every
-        // micro-batch re-flows through foreachBatch's idempotent appends
-        // (a fresh ephemeral checkpoint per pass re-reads the source) —
-        // plus the BM25 probe of the converged index
-        val (post, len) = Fixtures.once(s, dir, "stream_lex_seed") {
-          val t = dirTag(dir)
-          val (p, l) = (s"graft_stream_lex_post_$t", s"graft_stream_lex_len_$t")
-          val root = freshDir(s, s"graft_stream_lexidx_$t")
-          s.sql(s"DROP TABLE IF EXISTS $p")
-          s.sql(s"DROP TABLE IF EXISTS $l")
-          TextAnalysis.buildLexicalIndex(p, l,
-            docs.filter(col("doc_id") < 400), "doc_id", "text", 8, root)
-          (p, l)
-        }
-        val stream = s.readStream.schema(docs.schema)
-          .option("pathGlobFilter", "documents.parquet").parquet(dir)
-          .filter(col("doc_id") >= 400)
-        val q = graft.streaming.Streaming.maintainLexicalIndex(stream,
-          post, len, "doc_id", "text", 8)
-        try q.processAllAvailable() finally q.stop()
-        val queries = docs.filter(col("doc_id") < 5)
-          .select(col("doc_id").as("query_id"),
-            expr("array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 8), ' ')").as("qtext"))
-        TextAnalysis.bm25IndexTopK(s, post, len,
-            queries, "query_id", "qtext", 10)
-          .orderBy("query_id", "rk")
-      },
-      Some("""WITH dl AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl FROM documents),
-        |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
-        |qd AS (SELECT doc_id AS query_id, array_to_string((list_filter(string_split(text, ' '), x -> x <> ''))[1:8], ' ') AS qtext
-        |  FROM documents WHERE doc_id < 5),
-        |qt AS (SELECT DISTINCT query_id, unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS term FROM qd),
-        |post AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM post
-        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |sc AS (SELECT q.query_id, f.doc_id,
-        |  CAST(CAST(22000 AS HUGEINT) * (length(printf('%b', n // df)) - 1) * f.tf * t
-        |    // (CAST(10 AS HUGEINT) * f.tf * t + CAST(3 AS HUGEINT) * t + CAST(9 AS HUGEINT) * dl.dl * n) AS BIGINT) AS s
-        |  FROM tf f JOIN dfreq USING (term) JOIN qt q USING (term)
-        |  JOIN dl ON f.doc_id = dl.doc_id CROSS JOIN tot),
-        |agg AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score FROM sc GROUP BY 1, 2),
-        |r AS (SELECT query_id, doc_id, score,
-        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rk FROM agg)
-        |SELECT query_id, doc_id, score, rk FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
-
-    // X2 — ANN QUALITY as a driver-visible signal: recall@3 of the IVF path
-    // (stand-in quantizer, nprobe=4) against the brute-force ground truth on
-    // the same bounded corpus (vec_id < 1000, 50 queries — bounded, so the
-    // row costs the same at any scale factor). Both pipelines are
-    // deterministic and individually oracle'd, so the intersection count is
-    // exact cross-engine; the threshold bakes the quality bar into the
-    // result row — if a code change degrades IVF recall below 100/150, the
-    // boolean flips and the driver's hash gate fails. (The seeded-KMeans
-    // quantizer's recall is additionally asserted in ScalaTest.)
-    Q("x2_ann_recall",
-      (s, dir) => {
-        val emb = rd(s, dir, "embeddings").filter(col("vec_id") < 1000)
-        val ivf = Similarity.ivfTopK(emb, 3, 32, 4, trainIters = 0)
-          .filter(col("id_a") < 50).select("id_a", "id_b")
-        val brute = Similarity.annTopK(emb, 3, 50).select("id_a", "id_b")
-        ivf.join(brute, Seq("id_a", "id_b"))
-          .agg(count(lit(1)).as("hits"), (count(lit(1)) >= 100).as("recall_ok"))
-      },
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 1000),
-        |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM s WHERE vec_id < 32),
-        |sim AS (SELECT s.vec_id, c.cell,
-        |  CAST(list_dot_product(s.v, c.cv) / (s.nrm * c.cnrm) AS DECIMAL(10,6)) AS csim
-        |  FROM s CROSS JOIN c),
-        |ranked AS (SELECT vec_id, cell,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crk FROM sim),
-        |assigned AS (SELECT vec_id, cell FROM ranked WHERE crk = 1),
-        |probes AS (SELECT vec_id AS q_id, cell AS probe_cell FROM ranked WHERE crk <= 4 AND vec_id < 50),
-        |iscored AS (SELECT DISTINCT p.q_id AS id_a, a.vec_id AS id_b,
-        |  CAST(list_dot_product(qs.v, ns.v) / (qs.nrm * ns.nrm) AS DECIMAL(10,6)) AS cos
-        |  FROM probes p JOIN assigned a ON p.probe_cell = a.cell AND p.q_id <> a.vec_id
-        |  JOIN s qs ON qs.vec_id = p.q_id JOIN s ns ON ns.vec_id = a.vec_id),
-        |ivf AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
-        |  row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rk FROM iscored) WHERE rk <= 3),
-        |bscored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6)) AS cos
-        |  FROM s a JOIN s b ON a.vec_id <> b.vec_id WHERE a.vec_id < 50),
-        |brute AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
-        |  row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rk FROM bscored) WHERE rk <= 3)
-        |SELECT count(*) AS hits, count(*) >= 100 AS recall_ok
-        |FROM ivf JOIN brute USING (id_a, id_b)""".stripMargin)),
-
-    // X2 — PQ-path QUALITY as a driver-visible signal (the x2_ann_recall
-    // pattern extended to the compressed family): recall@3 of the ungated
-    // PQ/ADC scan AND the IVF-PQ composition against the exact quantized-L2
-    // ground truth (same space, no code approximation, no cell gate) on the
-    // same bounded query set. Every pipeline is deterministic and
-    // replayable, so hits are exact cross-engine; the thresholds bake the
-    // quality bar into the row — a quantization-quality regression (broken
-    // code assignment, wrong ADC table, over-aggressive gate) flips a
-    // boolean and fails the driver's hash gate.
-    Q("x2_ann_pq_recall",
-      (s, dir) => {
-        val emb = rd(s, dir, "embeddings")
-        // r10 diet (this was the heaviest non-e2e registry row): 50-query
-        // gate (r9 ran 150) through the FUSED Similarity.pqRecallHits —
-        // quantization, codebook, code assignment, and ADC tables computed
-        // once and shared across the truth/PQ/IVF-PQ legs instead of once
-        // per leg. The standalone rows (x2_ann_pq / x2_ann_ivfpq) keep the
-        // 150-query bound — replay breadth lives there, the quality GATE
-        // lives here. Search semantics are unchanged (same codebooks, same
-        // tie order), so the oracle is still the full DuckDB replay.
-        val hits = Similarity.pqRecallHits(emb, dim = 64, m = 8, ncodes = 16,
-          nlist = 32, nprobe = 4, k = 3, queryLimit = 50)
-        // measured: pq 17 / ivfpq 22 of 150 slots at sf0.01, 10 / 16 at
-        // sf0.1 — a 16-entry codebook per 8-dim subspace on near-uniform
-        // synthetic vectors is PQ's worst case, yet ~70x above the
-        // ~0.1-hit random-chance floor. Bars at ~60% of the weaker (sf0.1)
-        // measurement: a collapse-to-random regression fails loudly at
-        // either sf, honest fixture noise does not.
-        hits.select(
-          col("pq_hits"), (col("pq_hits") >= 6).as("pq_recall_ok"),
-          col("ivfpq_hits"), (col("ivfpq_hits") >= 9).as("ivfpq_recall_ok"))
-      },
-      Some(s"""WITH $duckQuantCtes,
-        |$duckPqCtes,
-        |$duckIvfCtes,
-        |v AS (SELECT vec_id, list(CAST(qq AS DOUBLE) ORDER BY pos) AS qv FROM q GROUP BY vec_id),
-        |tsc AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  CAST(list_dot_product(a.qv, a.qv) + list_dot_product(b.qv, b.qv) - 2 * list_dot_product(a.qv, b.qv) AS BIGINT) AS d
-        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id WHERE a.vec_id < 50),
-        |truth AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
-        |  row_number() OVER (PARTITION BY id_a ORDER BY d, id_b) AS rk FROM tsc) WHERE rk <= 3),
-        |pqtop AS (SELECT qid AS id_a, vec_id AS id_b FROM (SELECT *,
-        |  row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk FROM pqad WHERE qid < 50) WHERE rk <= 3),
-        |ivftop AS (SELECT qid AS id_a, vec_id AS id_b FROM (SELECT *,
-        |  row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk FROM ivfad WHERE qid < 50) WHERE rk <= 3)
-        |SELECT (SELECT count(*) FROM pqtop JOIN truth USING (id_a, id_b)) AS pq_hits,
-        |  (SELECT count(*) FROM pqtop JOIN truth USING (id_a, id_b)) >= 6 AS pq_recall_ok,
-        |  (SELECT count(*) FROM ivftop JOIN truth USING (id_a, id_b)) AS ivfpq_hits,
-        |  (SELECT count(*) FROM ivftop JOIN truth USING (id_a, id_b)) >= 9 AS ivfpq_recall_ok""".stripMargin)),
-
-    // X2 — TRAINED-quantizer ANN as a declared row: ivfTopK over seeded
-    // KMeans centroids (the production-shaped path; the stand-in-quantizer
-    // rows prove replay exactness, this row proves trained QUALITY). KMeans
-    // cannot replay in DuckDB — float centroid arithmetic is not
-    // engine-portable — so the gate is quality-based, not replay-based: the
-    // row carries only the recall@3-clears-threshold verdict against the
-    // exact brute ground truth (itself fully oracle'd via x2_ann_topk), and
-    // the oracle pins the expected verdict. A regression in the trained
-    // path (centroid training, assignment, probe gating) drops recall below
-    // the bar and flips the boolean. Measured: trained recall is 72/150
-    // (sf0.01) and 81/150 (sf0.1) vs the stand-in's 109/114 — balanced
-    // KMeans cells do NOT beat arbitrary-vector centroids on this
-    // near-uniform synthetic (ANN-hostile data; cell populations even out
-    // but neighbours still straddle cells). Bar at 60/150 (40%): margin
-    // under partitioning-order float drift in training, ~30x above the
-    // random-chance floor, fails loudly on real regressions.
-    Q("x2_ann_trained_recall",
-      (s, dir) => {
-        val emb = rd(s, dir, "embeddings").filter(col("vec_id") < 1000)
-        val ivf = Similarity.ivfTopK(emb, 3, nlist = 32, nprobe = 4, trainIters = 5)
-          .filter(col("id_a") < 50).select("id_a", "id_b")
-        val brute = Similarity.annTopK(emb, 3, 50).select("id_a", "id_b")
-        ivf.join(brute, Seq("id_a", "id_b"))
-          .agg(count(lit(1)).as("__hits"))
-          .select(lit(50).as("n_queries"), lit(3).as("k"),
-            (col("__hits") >= 60).as("recall_ok"))
-      },
-      Some("SELECT 50 AS n_queries, 3 AS k, true AS recall_ok")),
-
-    // X2 — SemDeDup-shaped semantic dedup: coarse-quantize embeddings into
-    // cells, drop every vector with a lower-id near-duplicate cell-mate
-    // (greedy min-id keep). Deterministic stand-in quantizer → the full
-    // assign + within-cell pair + keep-rule pipeline is oracle-checked.
-    Q("x2_semantic_dedup",
-      (s, dir) => Similarity.semanticDedup(rd(s, dir, "embeddings"), 32,
-          new java.math.BigDecimal("0.400000"))
-        .orderBy("vec_id"),
-      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM s WHERE vec_id < 32),
-        |sim AS (SELECT s.vec_id, c.cell,
-        |  CAST(list_dot_product(s.v, c.cv) / (s.nrm * c.cnrm) AS DECIMAL(10,6)) AS csim
-        |  FROM s CROSS JOIN c),
-        |ranked AS (SELECT vec_id, cell,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crk FROM sim),
-        |assigned AS (SELECT r.vec_id, r.cell, s.v, s.nrm FROM ranked r
-        |  JOIN s ON s.vec_id = r.vec_id WHERE r.crk = 1),
-        |dropped AS (SELECT DISTINCT b.vec_id FROM assigned a JOIN assigned b
-        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6))
-        |    >= CAST(0.4 AS DECIMAL(10,6)))
-        |SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
-        |FROM assigned a LEFT JOIN dropped d ON d.vec_id = a.vec_id
-        |ORDER BY a.vec_id""".stripMargin)),
-
-    // X2/X1 composition — semantic dedup with the TRANSITIVE-CLOSURE survivor
-    // rule: within-cell cosine pairs feed the connected-component labeling
-    // and ONE representative (min id) survives per semantic component —
-    // the embedding-space analog of the text pipeline's pairs → clusters →
-    // min-id keep. Complements x2_semantic_dedup's documented single-pass
-    // rule; the oracle replays assignment, pairs, AND the component fixpoint
-    // (recursive CTE).
-    Q("x2_semantic_dedup_cc",
-      (s, dir) => Similarity.semanticDedupComponents(rd(s, dir, "embeddings"), 32,
-          new java.math.BigDecimal("0.400000"))
-        .orderBy("vec_id"),
-      Some("""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM s WHERE vec_id < 32),
-        |sim AS (SELECT s.vec_id, c.cell,
-        |  CAST(list_dot_product(s.v, c.cv) / (s.nrm * c.cnrm) AS DECIMAL(10,6)) AS csim
-        |  FROM s CROSS JOIN c),
-        |ranked AS (SELECT vec_id, cell,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crk FROM sim),
-        |assigned AS (SELECT r.vec_id, r.cell, s.v, s.nrm FROM ranked r
-        |  JOIN s ON s.vec_id = r.vec_id WHERE r.crk = 1),
-        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM assigned a JOIN assigned b
-        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6))
-        |    >= CAST(0.4 AS DECIMAL(10,6))),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-        |  UNION SELECT id_b, id_a FROM pairs),
-        |r(vec_id, lab) AS (SELECT vec_id, vec_id FROM assigned
-        |  UNION SELECT e.dst, r.lab FROM r JOIN edges e ON r.vec_id = e.src),
-        |cl AS (SELECT vec_id, min(lab) AS cluster FROM r GROUP BY vec_id)
-        |SELECT a.vec_id, a.cell, (cl.cluster = a.vec_id) AS keep
-        |FROM assigned a JOIN cl ON cl.vec_id = a.vec_id
-        |ORDER BY a.vec_id""".stripMargin)),
-
-    // X2 — SemDeDup with the paper's SEQUENTIAL-GREEDY keep rule (third
-    // keep-rule variant): members of each cell are visited in vec_id order
-    // and kept iff no PREVIOUSLY-KEPT near-dup neighbour. The oracle
-    // replays the sequential walk as a recursive CTE that steps through
-    // each cell's members in rank order carrying the kept-id list.
-    Q("x2_semantic_dedup_greedy",
-      (s, dir) => Similarity.semanticDedupGreedy(rd(s, dir, "embeddings"), 32,
-          new java.math.BigDecimal("0.400000"))
-        .orderBy("vec_id"),
-      Some("""WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-        |c AS (SELECT vec_id AS cell, v AS cv, nrm AS cnrm FROM s WHERE vec_id < 32),
-        |sim AS (SELECT s.vec_id, c.cell,
-        |  CAST(list_dot_product(s.v, c.cv) / (s.nrm * c.cnrm) AS DECIMAL(10,6)) AS csim
-        |  FROM s CROSS JOIN c),
-        |ranked AS (SELECT vec_id, cell,
-        |  row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS crk FROM sim),
-        |assigned AS (SELECT r.vec_id, r.cell, s.v, s.nrm FROM ranked r
-        |  JOIN s ON s.vec_id = r.vec_id WHERE r.crk = 1),
-        |pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM assigned a JOIN assigned b
-        |  ON a.cell = b.cell AND a.vec_id < b.vec_id
-        |  WHERE CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6))
-        |    >= CAST(0.4 AS DECIMAL(10,6))),
-        |mem AS (SELECT cell, vec_id,
-        |  row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS ord FROM assigned),
-        |nb AS (SELECT id_b AS vec_id, list(id_a) AS lower_ids FROM pairs GROUP BY id_b),
-        |g(cell, ord, kept) AS (
-        |  SELECT cell, CAST(0 AS BIGINT), CAST([] AS BIGINT[]) FROM (SELECT DISTINCT cell FROM mem)
-        |  UNION ALL
-        |  SELECT g.cell, g.ord + 1,
-        |    CASE WHEN len(list_intersect(coalesce(nb.lower_ids, []), g.kept)) > 0 THEN g.kept
-        |         ELSE list_append(g.kept, m.vec_id) END
-        |  FROM g JOIN mem m ON m.cell = g.cell AND m.ord = g.ord + 1
-        |  LEFT JOIN nb ON nb.vec_id = m.vec_id),
-        |fin AS (SELECT cell, kept FROM (SELECT cell, kept,
-        |  row_number() OVER (PARTITION BY cell ORDER BY ord DESC) AS rr FROM g) WHERE rr = 1)
-        |SELECT m.vec_id, m.cell, list_contains(f.kept, m.vec_id) AS keep
-        |FROM mem m JOIN fin f USING (cell)
-        |ORDER BY m.vec_id""".stripMargin)),
-
-    // X3 — rolling polynomial fingerprint (order-sensitive Rabin-Karp-shaped
-    // fold; oracle mirrors the fold via list_reduce with a prepended init).
-    Q("x3_rolling_fingerprint",
-      (s, dir) => TextAnalysis.rollingFingerprint(rd(s, dir, "documents"), "doc_id", "text").orderBy("doc_id"),
-      Some {
-        s"""WITH ws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks FROM documents)
-          |SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT), list_transform(toks, t -> ${duckHex("md5(t)")})),
-          |  (acc, h) -> ((acc * 31) % 1000000007 + h) % 1000000007) AS fp
-          |FROM ws ORDER BY doc_id""".stripMargin
-      }),
-
-    // X4 — multimodal payload column: binary payload + typed metadata.
-    Q("x4_multimodal_meta",
-      (s, dir) => Multimodal.attachPayload(rd(s, dir, "documents"), "doc_id", "text")
-        .select(col("doc_id"), col("mime"), length(col("payload")).as("n_bytes"))
-        .orderBy("doc_id"),
-      Some("SELECT doc_id, 'text/plain' AS mime, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes " +
-        "FROM documents ORDER BY doc_id")),
-
-    // X4 — frame-sampling plumbing for video-like payloads: every 4th
-    // 64-byte chunk becomes a frame row. The oracle re-derives the sampling
-    // arithmetic (chunk indices, per-frame byte counts) from the payload
-    // length — checking the explode shape without relying on engine blob
-    // slicing functions.
-    Q("x4_frame_sample",
-      (s, dir) => Multimodal.sampleFrames(
-          Multimodal.attachPayload(rd(s, dir, "documents"), "doc_id", "text"),
-          chunkBytes = 64, everyK = 4)
-        .select(col("doc_id"), col("frame_no"), length(col("frame")).as("frame_bytes"))
-        .orderBy("doc_id", "frame_no"),
-      Some("WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents), " +
-        "f AS (SELECT doc_id, unnest(list_filter(range(0, n // 64 + 1), i -> i % 4 = 0)) AS i, n FROM m) " +
-        "SELECT doc_id, CAST(i // 4 AS INTEGER) AS frame_no, " +
-        "CAST(least(64, n - i * 64) AS INTEGER) AS frame_bytes " +
-        "FROM f ORDER BY doc_id, frame_no")),
-
-    // X4 — decode/feature-extract plumbing over binary payloads. The codec is
-    // a STUB (no media libs offline) but a deterministic one: its pseudo-
-    // dimensions are md5-derived integers of the payload bytes, so the oracle
-    // re-derives them from the same bytes — verifying the payload flowed
-    // through the mapPartitions batch path unchanged, not just the row count.
-    Q("x4_decode_features",
-      (s, dir) => Multimodal.decodeFeatures(
-        Multimodal.attachPayload(rd(s, dir, "documents"), "doc_id", "text"))
-        .toDF().select("doc_id", "mime", "n_bytes", "width", "height")
-        .orderBy("doc_id"),
-      Some("SELECT doc_id, 'text/plain' AS mime, " +
-        "CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes, " +
-        s"CAST(${duckHex("md5(text)")} % 640 AS INTEGER) AS width, " +
-        s"CAST(${duckHex("md5(text)")} % 480 AS INTEGER) AS height " +
-        "FROM documents ORDER BY doc_id")),
-
-    // X4 — REAL pixel decode through the JDK codec (javax.imageio): per doc,
-    // a deterministic RGB image is rendered and encoded to REAL PNG bytes on
-    // the executors, then decoded back by ImageIoDecoder and compared —
-    // dimensions and the integer-luma histogram must match the source pixels
-    // exactly (PNG is lossless; all feature arithmetic is integer until one
-    // final division, so equality is exact). Pixel decoding has no DuckDB
-    // replay, so the gate is quality-style like x2_ann_trained_recall: the
-    // oracle pins the row (200 docs, all roundtrips ok) and any codec
-    // breakage — wrong dimensions, channel order, color management mangling
-    // pixels, dropped rows — flips the booleans or the count. The whole
-    // render→encode→decode→compare chain is ONE map-side pass: payload
-    // bytes never reach an exchange (plan-asserted in PlanSpec); the only
-    // shuffle is the final scalar aggregate.
-    Q("x4_real_decode",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents").filter(col("doc_id") < 200)
-        val media = Multimodal.renderPngs(docs, "doc_id")
-        Multimodal.decodeVerify(media, Multimodal.ImageIoDecoder)
-          .agg(count(lit(1)).as("n_docs"), expr("bool_and(ok)").as("all_ok"),
-            sum(col("width").cast("long")).as("sum_width"))
-          .select(col("n_docs"), col("all_ok"),
-            (col("sum_width") === lit(2393L)).as("dims_ok"))
-      },
-      // sum of (8 + id % 9) over ids 0..199 = 2393 — pins the real decoded
-      // dimensions, not just the per-row self-consistency booleans
-      Some("SELECT 200 AS n_docs, true AS all_ok, true AS dims_ok")),
-
-    // X4 — REAL audio decode (Multimodal.WavDecoder over javax.sound): the
-    // audio twin of x4_real_decode. Executor-synthesized 16-bit mono PCM WAVs
-    // roundtrip through an actual RIFF/PCM parse; PCM is lossless, so decoded
-    // sample counts and absolute-amplitude sums match the rendered integers
-    // exactly. sum of (256 + id % 128) over ids 0..199 = 61884 pins the real
-    // decoded lengths; payload bytes never reach an exchange (one map-side
-    // pass, only the final scalar aggregate shuffles).
-    Q("x4_real_audio",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents").filter(col("doc_id") < 200)
-        val media = Multimodal.renderWavs(docs, "doc_id")
-        Multimodal.decodeVerifyWav(media, Multimodal.WavDecoder)
-          .agg(count(lit(1)).as("n_docs"), expr("bool_and(ok)").as("all_ok"),
-            sum(col("n_samples").cast("long")).as("sum_samples"))
-          .select(col("n_docs"), col("all_ok"),
-            (col("sum_samples") === lit(61884L)).as("len_ok"))
-      },
-      Some("SELECT 200 AS n_docs, true AS all_ok, true AS len_ok")),
-
-    // X4 — REAL multi-frame decode (Multimodal.GifFrameDecoder over the
-    // JDK's animated-GIF reader): the video twin of x4_real_decode —
-    // executor-rendered animated GIFs (2 + id%4 grayscale frames each)
-    // roundtrip through a real frame-sequence parse; grayscale survives the
-    // GIF palette losslessly, so every frame's dimensions and integer
-    // luminance histogram must match the pre-encode pixels exactly. sum of
-    // (2 + id % 4) over ids 0..199 = 700 pins the real decoded frame
-    // counts; payload bytes never reach an exchange (spec-asserted).
-    Q("x4_real_frames",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents").filter(col("doc_id") < 200)
-        val media = Multimodal.renderGifs(docs, "doc_id")
-        Multimodal.decodeVerifyFrames(media, Multimodal.GifFrameDecoder)
-          .agg(count(lit(1)).as("n_docs"), expr("bool_and(ok)").as("all_ok"),
-            sum(col("n_frames").cast("long")).as("sum_frames"))
-          .select(col("n_docs"), col("all_ok"),
-            (col("sum_frames") === lit(700L)).as("frames_ok"))
-      },
-      Some("SELECT 200 AS n_docs, true AS all_ok, true AS frames_ok")),
-
-    // X4 — resize plumbing for image-like payloads: deterministic byte-stride
-    // downsample (STUB for a real resample — no image libs offline), then the
-    // resized artifact is RE-DECODED through the same codec path, so the
-    // oracle verifies the full bytes→resize→decode chain: it rebuilds the
-    // downsampled bytes from the text and recomputes the md5-derived
-    // pseudo-dimensions of the RESIZED payload.
-    Q("x4_resize",
-      (s, dir) => {
-        val media = Multimodal.attachPayload(rd(s, dir, "documents"), "doc_id", "text")
-        val resized = Multimodal.resizePayload(media, stride = 4)
-        Multimodal.decodeFeatures(
-            resized.select(col("doc_id"), col("mime"), col("resized").as("payload")))
-          .toDF().select("doc_id", "n_bytes", "width", "height")
-          .orderBy("doc_id")
-      },
-      Some {
-        val ds = "array_to_string(list_transform(range(0, (length(text) + 3) // 4), " +
-          "i -> substr(text, CAST(i * 4 + 1 AS INTEGER), 1)), '')"
-        s"""WITH r AS (SELECT doc_id, $ds AS ds FROM documents)
-          |SELECT doc_id, CAST(length(ds) AS INTEGER) AS n_bytes,
-          |  CAST(${duckHex("md5(ds)")} % 640 AS INTEGER) AS width,
-          |  CAST(${duckHex("md5(ds)")} % 480 AS INTEGER) AS height
-          |FROM r ORDER BY doc_id""".stripMargin
-      }),
-
-    // X4 — perceptual-hash-style near-dup over payload BYTES: md5 band
-    // hashes over fixed 64-byte windows, pairs = documents sharing at least
-    // one aligned window (the image-dedup analog of SimHash banding; exact
-    // recall for aligned-window sharing). Payload bytes never shuffle — only
-    // (doc_id, band, hash) rows move. Oracle re-derives the same windows
-    // from the text (payloads are its UTF-8 bytes; the corpus is ASCII so
-    // byte and char offsets agree, which the oracle exploits — the ENGINE
-    // side hashes real binary).
-    Q("x4_band_dedup",
-      (s, dir) => Multimodal.bandHashPairs(
-          Multimodal.attachPayload(rd(s, dir, "documents"), "doc_id", "text"),
-          windowBytes = 64, minMatch = 1)
-        .orderBy("id_a", "id_b"),
-      Some("""WITH f AS (SELECT doc_id, text, unnest(range(0, length(text) // 64)) AS band
-        |  FROM documents WHERE length(text) >= 64),
-        |w AS (SELECT doc_id, band, md5(substr(text, CAST(band * 64 + 1 AS INTEGER), 64)) AS bh FROM f),
-        |p AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_match
-        |  FROM w x JOIN w y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b, n_match FROM p WHERE n_match >= 1 ORDER BY id_a, id_b""".stripMargin)),
-
-    // X4/X2 — image-text JOINT row: payload-derived perceptual features
-    // (the decoder's md5-derived width) bucket the corpus, a keyed join
-    // attaches each document's caption embedding, and X2 similarity runs
-    // within perceptual buckets only — cross-modal gating, the bucketed
-    // equi-join shape (never all-pairs). Exercises decode → join → X2
-    // composition over both modalities.
-    Q("x4_joint_similarity",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        // Bucket-count rule (see Similarity.bucketedTopK): buckets scale
-        // with the corpus — n/32 (floor 16), targeting ~32 docs per bucket,
-        // so the within-bucket pair term stays LINEAR in corpus size, never
-        // n²/constant. The docs.count() is the documented O(#partitions)
-        // scalar probe. The bucket key folds the decoder's full md5-derived
-        // (width, height) pair; the 479 multiplier (not 480) keeps width
-        // live under small moduli (480 ≡ 0 mod 16 would erase it).
-        val nBuckets = math.max(16L, docs.count() / 32)
-        val media = Multimodal.decodeFeatures(
-            Multimodal.attachPayload(docs, "doc_id", "text"))
-          .toDF().select(col("doc_id"),
-            pmod(col("width") * 479 + col("height"), lit(nBuckets)).cast("int").as("pbucket"))
-        val joint = rd(s, dir, "embeddings")
-          .join(media, col("vec_id") === col("doc_id"))
-          .select(col("vec_id"), col("embedding"), col("pbucket"))
-        strCols(Similarity.bucketedTopK(joint, "pbucket", 3).orderBy("id_a", "rk"), Seq("cos"))
-      },
-      Some(s"""WITH nb AS (SELECT greatest(16, count(*) // 32) AS n FROM documents),
-        |m AS (SELECT doc_id, CAST(((${duckHex("md5(text)")} % 640) * 479 + (${duckHex("md5(text)")} % 480)) % (SELECT n FROM nb) AS INTEGER) AS pbucket FROM documents),
-        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |s AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, m.pbucket
-        |  FROM e JOIN m ON m.doc_id = e.vec_id),
-        |scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  CAST(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS DECIMAL(10,6)) AS cos
-        |  FROM s a JOIN s b ON a.pbucket = b.pbucket AND a.vec_id <> b.vec_id)
-        |SELECT id_a, id_b, CAST(cos AS VARCHAR) AS cos, rk FROM (SELECT id_a, id_b, cos,
-        |  CAST(row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS INTEGER) AS rk FROM scored)
-        |WHERE rk <= 3 ORDER BY id_a, rk""".stripMargin)),
-
-    // X9 — END-TO-END CURATION PIPELINE (composition proof): the six curation
-    // stages a real LLM-corpus pipeline chains, as ONE declared query —
-    // quality filter (x3_quality_score thresholds) → exact dedup (min-id per
-    // identical text) → near-dup survivor keep (MinHash-LSH pairs → connected
-    // components → keep the min-id per cluster) → word-5-gram decontamination
-    // against the held-out benchmark stand-in (first 100 doc ids of the RAW
-    // corpus — a held-out set is external, so it does not shrink with the
-    // pipeline) → weighted language mixture (50% en / 25% de / 10% rest) →
-    // 512-token sequence packing per language shard. Every stage is green in
-    // isolation; this row proves the column/contract composition. The oracle
-    // replays all six stages in one DuckDB statement.
-    // X9 — END-TO-END RETRIEVAL SERVING: the production serving stack over
-    // PERSISTED indexes, composed from individually-proven stages — build
-    // both standing indexes (frozen-quantizer PQ codes bucketed by vec_id;
-    // lexical postings + lengths bucketed by term/doc_id), grow both with an
-    // idempotent append, probe both (ADC top-20 from broadcast distance
-    // tables; BM25 top-20 via pushed-literal bucket pruning), and fuse with
-    // integer RRF. Every stage is integer-exact, so the FUSED serving
-    // ranking replays bit-identically in DuckDB — the oracle recomputes the
-    // full frozen-PQ chain AND the BM25 chain from the raw tables and fuses
-    // them the same way. The curation pipeline's serving-side twin.
-    Q("x9_retrieval_e2e",
-      (s, dir) => {
-        val emb = rd(s, dir, "embeddings").filter(col("vec_id") < 500)
-        val base = emb.filter(col("vec_id") < 400)
-        val docs = rd(s, dir, "documents").filter(col("doc_id") < 500)
-        // fixture = BOTH converged serving indexes (PQ codes + lexical
-        // postings/lengths, each seed + append); LIVE each pass = the
-        // retrieval itself — dense ADC probe, BM25 probe, RRF fusion — the
-        // hybrid-serving claim of this capstone
-        val (pq, post, len) = Fixtures.once(s, dir, "serve_indexes") {
-          val t = dirTag(dir)
-          val rootP = freshDir(s, s"graft_serve_pqidx_$t")
-          val pqN = s"graft_serve_pq_$t"
-          s.sql(s"DROP TABLE IF EXISTS $pqN")
-          Similarity.pqCodesFrozen(base, base, dim = 64, m = 8, ncodes = 16)
-            .write.bucketBy(8, "vec_id").sortBy("vec_id")
-            .option("path", s"$rootP/idx").saveAsTable(pqN)
-          Similarity.appendPqIndex(pqN,
-            emb.filter(col("vec_id") >= 400), base, 64, 8, 16, 8)
-          val rootL = freshDir(s, s"graft_serve_lexidx_$t")
-          val (postN, lenN) = (s"graft_serve_post_$t", s"graft_serve_len_$t")
-          s.sql(s"DROP TABLE IF EXISTS $postN")
-          s.sql(s"DROP TABLE IF EXISTS $lenN")
-          TextAnalysis.buildLexicalIndex(postN, lenN,
-            docs.filter(col("doc_id") < 400), "doc_id", "text", 8, rootL)
-          TextAnalysis.appendLexicalIndex(postN, lenN,
-            docs.filter(col("doc_id") >= 400), "doc_id", "text", 8)
-          (pqN, postN, lenN)
-        }
-        val dense = Similarity.pqIndexTopK(s, pq,
-            emb.filter(col("vec_id") < 5), base, 64, 8, 16, k = 20)
-          .select(col("id_a").as("query_id"), col("id_b").as("cand_id"), col("rk"))
-        val queries = docs.filter(col("doc_id") < 5)
-          .select(col("doc_id").as("query_id"),
-            expr("array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 8), ' ')").as("qtext"))
-        val lex = TextAnalysis.bm25IndexTopK(s, post, len,
-            queries, "query_id", "qtext", 20, excludeSelf = true)
-          .select(col("query_id"), col("doc_id").as("cand_id"), col("rk"))
-        Similarity.rrfFuse(Seq(dense, lex), "query_id", "cand_id", "rk", 10)
-          .orderBy("query_id", "rk")
-      },
-      Some(s"""WITH ${duckFrozenPqCtes(400, 500, 5)},
-        |dense AS (SELECT query_id, cand_id, rk FROM (SELECT qid AS query_id, vec_id AS cand_id,
-        |  row_number() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rk FROM fad) WHERE rk <= 20),
-        |dl AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl
-        |  FROM documents WHERE doc_id < 500),
-        |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
-        |qd AS (SELECT doc_id AS query_id, array_to_string((list_filter(string_split(text, ' '), x -> x <> ''))[1:8], ' ') AS qtext
-        |  FROM documents WHERE doc_id < 5),
-        |qt AS (SELECT DISTINCT query_id, unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS term FROM qd),
-        |post AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term
-        |  FROM documents WHERE doc_id < 500),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM post
-        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |sc AS (SELECT q.query_id, f.doc_id,
-        |  CAST(CAST(22000 AS HUGEINT) * (length(printf('%b', n // df)) - 1) * f.tf * t
-        |    // (CAST(10 AS HUGEINT) * f.tf * t + CAST(3 AS HUGEINT) * t + CAST(9 AS HUGEINT) * dl.dl * n) AS BIGINT) AS s
-        |  FROM tf f JOIN dfreq USING (term) JOIN qt q USING (term)
-        |  JOIN dl ON f.doc_id = dl.doc_id CROSS JOIN tot
-        |  WHERE f.doc_id <> q.query_id),
-        |lagg AS (SELECT query_id, doc_id AS cand_id, CAST(sum(s) AS BIGINT) AS score FROM sc GROUP BY 1, 2),
-        |lex AS (SELECT query_id, cand_id, rk FROM (SELECT query_id, cand_id,
-        |  row_number() OVER (PARTITION BY query_id ORDER BY score DESC, cand_id) AS rk FROM lagg) WHERE rk <= 20),
-        |u AS (SELECT query_id, cand_id, 1000000 // (60 + rk) AS c FROM dense
-        |  UNION ALL SELECT query_id, cand_id, 1000000 // (60 + rk) FROM lex),
-        |fused AS (SELECT query_id, cand_id, CAST(sum(c) AS BIGINT) AS rrf_score, count(*) AS n_legs
-        |  FROM u GROUP BY 1, 2),
-        |r AS (SELECT query_id, cand_id, rrf_score, n_legs,
-        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf_score DESC, cand_id) AS INTEGER) AS rk FROM fused)
-        |SELECT query_id, cand_id, rrf_score, n_legs, rk FROM r WHERE rk <= 10
-        |ORDER BY query_id, rk""".stripMargin)),
-
-    Q("x9_curation_e2e",
-      (s, dir) => {
-        val docs = rd(s, dir, "documents")
-        // quality filter via the SHARED predicate (TextAnalysis
-        // .qualityKeepPred — same definition the streaming path uses);
-        // a direct filter, no join against the score frame needed
-        val hq = docs.filter(TextAnalysis.qualityKeepPred("text"))
-          .select("doc_id", "lang", "text")
-        // MODEL-BASED quality gate beside the heuristic one (the CCNet
-        // two-filter shape): the lang-trained fastText-style classifier
-        // (x3_quality_classifier's exact model — which measures training +
-        // inference live) keeps only positive-evidence documents. A trained
-        // classifier is a STANDING artifact — production curation scores
-        // with a model trained once, it does not re-train per run — so the
-        // keep set is a fixture; the gate itself (one semi join) is live.
-        val clf = Fixtures.once(s, dir, "quality_clf_keep") {
-          TextAnalysis.qualityClassifier(docs,
-              docs.filter(col("lang") === "en"),
-              docs.filter(col("lang") =!= "en"), "doc_id", "text")
-            .filter(col("keep")).select("doc_id")
-            .localCheckpoint(true)
-        }
-        val q = hq.join(clf, Seq("doc_id"), "semi")
-        // checkpointed once: consumed by the pair filter, the cluster
-        // labeling, and the survivor join — three readers, one execution
-        val ex = Dedup.exactByKey(q, Seq("text"), "doc_id").localCheckpoint(true)
-        // standing pair-list fixture + the pointwise subset property: the
-        // near-dup pairs of the quality-filtered, exact-deduped corpus are
-        // the full-corpus pairs with both endpoints surviving into `ex` —
-        // a production curation run consumes the dedup service's maintained
-        // pair list the same way, it does not re-run LSH over the corpus
-        val exIds = ex.select("doc_id")
-        val pairs = lshPairsFx(s, dir)
-          .join(exIds.withColumnRenamed("doc_id", "id_a"), Seq("id_a"), "semi")
-          .join(exIds.withColumnRenamed("doc_id", "id_b"), Seq("id_b"), "semi")
-        val surv = ex.join(
-          Dedup.dedupClusters(ex, "doc_id", pairs)
-            .filter(col("doc_id") === col("cluster")).select("doc_id"),
-          Seq("doc_id"))
-        val flagged = Dedup.ngramContamination(surv, "doc_id", "text",
-          docs.filter(col("doc_id") < 100), 5)
-        // broadcast contract: `flagged` is bounded by the benchmark's
-        // n-gram reach (held-out eval sets are small by nature) — see the
-        // same note on x1_decontaminate_neardup
-        val dec = surv.filter(col("doc_id") >= 100)
-          .join(broadcast(flagged.select("doc_id")), Seq("doc_id"), "left_anti")
-        val mix = Relational.weightedMix(dec, "doc_id", "lang",
-          Map("en" -> 50, "de" -> 25), defaultPct = 10)
-        TextAnalysis.packSequences(mix, "doc_id", "text", "lang", binTokens = 512)
-          .select("doc_id", "shard", "n_tok", "cum_tok", "bin")
-          .orderBy("doc_id")
-      },
-      Some {
-        val grams5 = (ws: String) =>
-          s"list_filter(list_transform(range(0, len($ws) + 1), " +
-            s"i -> CASE WHEN i + 5 <= len($ws) THEN array_to_string($ws[i+1:i+5], ' ') END), " +
-            "x -> x IS NOT NULL)"
-        s"""WITH RECURSIVE
-          |hq AS (SELECT doc_id, lang, text FROM documents
-          |  WHERE $duckQualityPred),
-          |cws AS (SELECT doc_id, lang, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM documents),
-          |cfeats AS (
-          |  SELECT doc_id, lang, unnest(ws) AS f FROM cws
-          |  UNION ALL
-          |  SELECT doc_id, lang, unnest(list_transform(range(1, len(ws)), i -> ws[i] || ' ' || ws[i+1])) AS f FROM cws),
-          |cfb AS (SELECT doc_id, lang, ${duckHex("md5(f)")} % 2048 AS bucket FROM cfeats),
-          |cpc AS (SELECT bucket, count(*) AS cp FROM cfb WHERE lang = 'en' GROUP BY 1),
-          |cnc AS (SELECT bucket, count(*) AS cn FROM cfb WHERE lang <> 'en' GROUP BY 1),
-          |cpt AS (SELECT CAST(sum(cp) AS BIGINT) AS pt FROM cpc),
-          |cnt AS (SELECT CAST(sum(cn) AS BIGINT) AS nt FROM cnc),
-          |cw AS (SELECT COALESCE(cpc.bucket, cnc.bucket) AS bucket,
-          |  (length(printf('%b', (nt + 2048) // (COALESCE(cn, 0) + 1))) - 1)
-          |  - (length(printf('%b', (pt + 2048) // (COALESCE(cp, 0) + 1))) - 1) AS w
-          |  FROM cpc FULL OUTER JOIN cnc ON cpc.bucket = cnc.bucket CROSS JOIN cpt CROSS JOIN cnt),
-          |csc AS (SELECT cfb.doc_id, CAST(sum(COALESCE(cw.w, 0)) AS BIGINT) AS score
-          |  FROM cfb LEFT JOIN cw USING (bucket) GROUP BY 1),
-          |q AS (SELECT hq.* FROM hq JOIN csc USING (doc_id) WHERE score > 0),
-          |ex AS (SELECT doc_id, lang, text FROM (
-          |  SELECT doc_id, lang, text, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM q)
-          |  WHERE rn = 1),
-          |${duckMinhashCtes("SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok FROM ex", 8, 19, 20)},
-          |edges AS (SELECT id_a AS src, id_b AS dst FROM verified UNION SELECT id_b, id_a FROM verified),
-          |r(doc_id, lab) AS (SELECT doc_id, doc_id FROM ex
-          |  UNION SELECT e.dst, r.lab FROM r JOIN edges e ON r.doc_id = e.src),
-          |cl AS (SELECT doc_id, min(lab) AS cluster FROM r GROUP BY doc_id),
-          |surv AS (SELECT e.doc_id, e.lang, e.text FROM ex e
-          |  JOIN cl ON cl.doc_id = e.doc_id WHERE cl.cluster = e.doc_id),
-          |bws AS (SELECT list_filter(string_split(text, ' '), x -> x <> '') AS ws
-          |  FROM documents WHERE doc_id < 100),
-          |bg AS (SELECT DISTINCT unnest(${grams5("ws")}) AS tok FROM bws),
-          |sws AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws FROM surv),
-          |sg AS (SELECT DISTINCT doc_id, unnest(${grams5("ws")}) AS tok FROM sws),
-          |flagged AS (SELECT DISTINCT doc_id FROM sg JOIN bg USING (tok)),
-          |dec AS (SELECT doc_id, lang, text FROM surv
-          |  WHERE doc_id >= 100 AND doc_id NOT IN (SELECT doc_id FROM flagged)),
-          |mix AS (SELECT doc_id, lang, text FROM dec
-          |  WHERE ${duckHex("md5(CAST(doc_id AS VARCHAR))")} % 100 <
-          |    $duckMixCase)
-          |SELECT doc_id, lang AS shard, n_tok,
-          |  CAST(sum(n_tok) OVER w AS BIGINT) AS cum_tok,
-          |  CAST(floor((sum(n_tok) OVER w - n_tok) / 512) AS BIGINT) AS bin
-          |FROM (SELECT doc_id, lang, len(list_filter(string_split(text, ' '), x -> x <> '')) AS n_tok FROM mix)
-          |WINDOW w AS (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-          |ORDER BY doc_id""".stripMargin
-      })
-  )
+  val defs: Seq[Q] = QueriesMedallionIo.defs ++
+    QueriesRelational.defs ++
+    QueriesStreaming.defs ++
+    QueriesText.defs ++
+    QueriesDedup.defs ++
+    QueriesSimilarity.defs ++
+    QueriesCuration.defs ++
+    QueriesCapstones.defs ++
+    QueriesGraph.defs
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map(q => q.name -> q.run).toMap

@@ -1,0 +1,596 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType, TimestampNTZType, TimestampType}
+
+import graft.operators.{Medallion, Relational}
+import graft.operators.ext.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.sources.{Ingest, StubTickerFetcher}
+
+/** The declared query registry: one entry per SURVEY.md §2 operator row, each
+  * with DuckDB-equivalent oracle SQL where SQL-expressible.
+  *
+  * Determinism rules (SURVEY.md §7.4) hold for every query: explicit as-of
+  * date (never current_date), row_number over total orders (never
+  * monotonically_increasing_id), a trailing total-order orderBy, decimals
+  * fixed-point on both sides, token hashes md5-derived (portable), cosines
+  * rounded to DECIMAL(10,6) before any comparison.
+  */
+
+import QuerySupport._
+
+/** Registry family: the reference DAG end-to-end plus every source/sink roundtrip and the snapshot-versioned table family (S1-S17). See [[Queries]] for the assembled registry
+  * and [[QuerySupport]] for the shared helpers/oracle fragments.
+  */
+private[graft] object QueriesMedallionIo {
+  val defs: Seq[Q] = Seq(
+
+    // A1+P2+P3+O1 — the reference's one real analytical query
+    // (codes/silverToGold.scala:10-26).
+    Q("silver_to_gold",
+      (s, dir) => strCols(
+        Medallion.silverToGold(rd(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", asOf),
+        goldStrCols),
+      Some(s"$goldStrSql ORDER BY l_returnflag")),
+
+
+    // S6+A2+O1 — scan → distinct → sort (codes/bronzeToSilver.scala:7-15).
+    // The scan uses a glob pattern, as the reference does (bronzeToSilver
+    // .scala:3 reads `data/*.parquet`): Spark expands the glob natively.
+    Q("bronze_to_silver",
+      (s, dir) => Medallion.bronzeToSilver(
+        s.read.parquet(s"$dir/lineit*.parquet").select("l_returnflag", "l_linestatus", "l_shipdate"),
+        Seq("l_returnflag", "l_linestatus", "l_shipdate")),
+      Some("SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate FROM lineitem " +
+        "ORDER BY l_returnflag, l_linestatus, l_shipdate")),
+
+
+    // P4+P5 — surrogate id + stringify-all serving shape
+    // (codes/goldToSynapse.scala:27-34).
+    Q("serve_stringify",
+      (s, dir) => servingDf(s, dir).orderBy("l_returnflag"),
+      Some(servingSql)),
+
+
+    // CORE COMPOSITION PROOF (the reference's OWN chain, the counterpart of
+    // x9_curation_e2e for the non-EXT surface): ingest → bronze write/read →
+    // silver dedup → gold agg → serving surrogate-id+stringify, run through
+    // the REAL Pipeline class with real parquet roundtrips between stages
+    // and both serving sinks (staged warehouse + JSON documents) — the
+    // Airflow `>>` graph as one declared query. serve_stringify checks the
+    // same math in memory; this row proves the stage contracts survive the
+    // write/read boundaries. min/max/diff are duplicate-insensitive, so the
+    // silver distinct does not change the gold oracle.
+    Q("medallion_e2e",
+      (s, dir) => {
+        val root = freshDir(s, "graft_medallion_e2e")
+        val pipe = new Pipeline(graft.io.ParquetTableFormat,
+          new graft.io.StagedWarehouseSink(s"$root/staging", s"$root/warehouse"),
+          graft.io.JsonDocumentSink)
+        val ingested = rd(s, dir, "lineitem")
+          .select(col("l_returnflag").as("symbol"), col("l_extendedprice").as("price"))
+        pipe.run(s, ingested, root, asOf).orderBy("symbol")
+      },
+      Some(s"""WITH gold AS ($goldCte)
+        |SELECT CAST(row_number() OVER (ORDER BY l_returnflag) AS VARCHAR) AS id,
+        | CAST(l_returnflag AS VARCHAR) AS symbol,
+        | CAST(min_value AS VARCHAR) AS min_value, CAST(max_value AS VARCHAR) AS max_value,
+        | CAST(diff AS VARCHAR) AS diff, CAST(as_of_year AS VARCHAR) AS as_of_year,
+        | CAST(as_of_month AS VARCHAR) AS as_of_month, CAST(as_of_day AS VARCHAR) AS as_of_day
+        |FROM gold ORDER BY symbol""".stripMargin)),
+
+
+    // S10 — staged warehouse bulk load (stage parquet, commit by rename),
+    // then read the warehouse table back. Roundtrip is the identity over the
+    // serving projection, so the serving oracle applies.
+    Q("warehouse_sink_roundtrip",
+      (s, dir) => {
+        val root = freshDir(s, "graft_wh_roundtrip")
+        val sink = new graft.io.StagedWarehouseSink(s"$root/staging", s"$root/warehouse")
+        sink.append(servingDf(s, dir), "gold_serving")
+        sink.read(s, "gold_serving").select(servingCols.map(col): _*).orderBy("l_returnflag")
+      },
+      Some(servingSql)),
+
+
+    // S13 — CSV format roundtrip: the serving projection written with header
+    // and read back (all-string schema — the serving shape is stringified,
+    // so the roundtrip is the identity and the serving oracle applies).
+    Q("csv_roundtrip",
+      (s, dir) => {
+        val root = freshDir(s, "graft_csv_roundtrip")
+        servingDf(s, dir).write.mode("overwrite").option("header", "true").csv(root)
+        s.read.option("header", "true").csv(root)
+          .select(servingCols.map(col): _*).orderBy("l_returnflag")
+      },
+      Some(servingSql)),
+
+
+    // S13 — ORC format roundtrip (the other columnar format Spark ships):
+    // same identity-roundtrip shape as csv_roundtrip, types preserved.
+    Q("orc_roundtrip",
+      (s, dir) => {
+        val root = freshDir(s, "graft_orc_roundtrip")
+        servingDf(s, dir).write.mode("overwrite").orc(root)
+        s.read.orc(root)
+          .select(servingCols.map(col): _*).orderBy("l_returnflag")
+      },
+      Some(servingSql)),
+
+
+    // S13 — JSON-lines format roundtrip, completing the built-in format
+    // coverage (parquet / csv / orc / json): schema pinned explicitly on
+    // read (inference would widen the serving decimals).
+    Q("json_roundtrip",
+      (s, dir) => {
+        val root = freshDir(s, "graft_json_roundtrip")
+        val out = servingDf(s, dir)
+        out.write.mode("overwrite").json(root)
+        s.read.schema(out.schema).json(root)
+          .select(servingCols.map(col): _*).orderBy("l_returnflag")
+      },
+      Some(servingSql)),
+
+
+    // S11 — document sink: one JSON doc per row, read back through the JSON
+    // reader (schema re-inferred from the documents).
+    Q("document_sink_roundtrip",
+      (s, dir) => {
+        val root = freshDir(s, "graft_doc_roundtrip")
+        graft.io.JsonDocumentSink.write(servingDf(s, dir), s"$root/docs")
+        s.read.json(s"$root/docs").select(servingCols.map(col): _*).orderBy("l_returnflag")
+      },
+      Some(servingSql)),
+
+
+    // S3+S4+S5 — relational store: DDL recreate, batched append, then the
+    // extract step (table -> snappy parquet in bronze) and a bronze scan.
+    Q("relational_store_roundtrip",
+      (s, dir) => {
+        val root = freshDir(s, "graft_store_roundtrip")
+        val store = new graft.io.LocalParquetStore(s"$root/store")
+        store.recreate(s, "crypto")
+        store.appendBatch(Ingest.ingest(s, new StubTickerFetcher(Ingest.stubBatches), 2), "crypto")
+        store.extractToParquet(s, "crypto", s"$root/bronze/crypto")
+        strCols(s.read.parquet(s"$root/bronze/crypto").orderBy("symbol", "price"), Seq("price"))
+      },
+      Some(ingestOracleSql)),
+
+
+    // S3 through the catalog front door: CREATE TABLE ... USING parquet,
+    // INSERT INTO ... SELECT, then aggregate the catalog table — the
+    // spark.sql DDL/DML surface a user of the reference's SQL stage would
+    // reach for (etl-vini-azure.py:83-104 does DROP/CREATE/INSERT in T-SQL).
+    Q("sql_ddl_roundtrip",
+      (s, dir) => {
+        val root = freshDir(s, "graft_ddl_roundtrip")
+        s.sql("DROP TABLE IF EXISTS graft_orders_ddl")
+        s.sql("CREATE TABLE graft_orders_ddl (o_orderkey BIGINT, o_orderpriority STRING, " +
+          s"o_totalprice DOUBLE) USING parquet LOCATION '$root/t'")
+        rd(s, dir, "orders").createOrReplaceTempView("orders_ddl_src")
+        s.sql("INSERT INTO graft_orders_ddl SELECT o_orderkey, o_orderpriority, o_totalprice " +
+          "FROM orders_ddl_src WHERE o_orderkey % 100 = 0")
+        s.sql("SELECT o_orderpriority, count(*) AS n, " +
+          "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS STRING) AS total " +
+          "FROM graft_orders_ddl GROUP BY 1 ORDER BY 1")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DECIMAL(18,2)) AS VARCHAR) AS total " +
+        "FROM orders WHERE o_orderkey % 100 = 0 GROUP BY 1 ORDER BY 1")),
+
+
+    // S1+S2+U1+P1+O1 — poll → JSON parse → union → IN-filter → sort
+    // (etl-vini-azure.py:61-79), deterministic stub feed.
+    Q("ingest_micro_batch",
+      (s, _) => strCols(Ingest.ingest(s, new StubTickerFetcher(Ingest.stubBatches), 2), Seq("price")),
+      Some(ingestOracleSql)),
+
+
+    // S8+S9 — partitioned overwrite write + partition-recovery scan behind
+    // TableFormat (codes/silverToGold.scala:26, goldToCosmosdb.scala:24-25).
+    // Roundtrip is the identity, so the oracle is silver_to_gold's.
+    Q("gold_partitioned_roundtrip",
+      (s, dir) => {
+        val gold = Medallion.silverToGold(rd(s, dir, "lineitem"), "l_returnflag", "l_extendedprice", asOf)
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_gold_roundtrip"
+        graft.io.ParquetTableFormat.write(gold, path,
+          partitionCols = Seq("as_of_year", "as_of_month", "as_of_day"))
+        strCols(
+          graft.io.ParquetTableFormat.read(s, path)
+            .select("l_returnflag", "min_value", "max_value", "diff", "as_of_year", "as_of_month", "as_of_day")
+            .orderBy("l_returnflag"),
+          goldStrCols)
+      },
+      Some(s"$goldStrSql ORDER BY l_returnflag")),
+
+
+    // S8+ — snapshot-versioned table (Delta-style commit log over Parquet,
+    // io/VersionedTable.scala): three commits (overwrite, append, overwrite),
+    // then a TIME-TRAVEL read of v2 while v3 is the latest — proving the v3
+    // overwrite did not disturb the v2 snapshot and the append composed with
+    // its parent. The oracle recomputes v2's logical content (keys ≡ 0 or 1
+    // mod 3) from the raw table; n_versions pins the log length.
+    Q("versioned_time_travel",
+      (s, dir) => {
+        // standing-fixture commit log (built once per session+sf — the
+        // commit protocol itself is exercised by the build and re-proven by
+        // the oracle through the probe's content); measured work = the
+        // TIME-TRAVEL read, the serving-path claim of this row
+        val root = Fixtures.once(s, dir, "vt_tt") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_tt_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 0), r, "overwrite", "tt-v1")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 1), r, "append", "tt-v2")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 100 === 0), r, "overwrite", "tt-v3")
+          r
+        }
+        val latest = graft.io.VersionedTable.latestVersion(root).get
+        graft.io.VersionedTable.read(s, root, asOf = Some(2L))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("n_versions", lit(latest))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, CAST(3 AS BIGINT) AS n_versions " +
+        "FROM orders WHERE o_orderkey % 3 IN (0, 1) GROUP BY 1 ORDER BY 1")),
+
+
+    // S8+ — history-preserving rollback (Delta RESTORE semantics): v1 good,
+    // v2 a bad overwrite, v3 = rollback-to-v1 (a new manifest pointing at
+    // v1's data dirs — zero data movement). The latest read must equal v1's
+    // content; a same-commitId retry of the rollback must be a no-op (log
+    // stays at 3 versions). The idempotent-retry and log-length facts ride
+    // in the constant columns.
+    Q("versioned_rollback",
+      (s, dir) => {
+        // fixture = commit log with the bad overwrite already rolled back;
+        // the rollback + idempotent retry are metadata ops re-provable every
+        // pass at zero data cost, so they stay LIVE — only the data writes
+        // are standing state
+        val root = Fixtures.once(s, dir, "vt_rb") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_rb_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0), r, "overwrite", "rb-v1")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 1000 === 0), r, "overwrite", "rb-bad")
+          r
+        }
+        val v3 = graft.io.VersionedTable.rollback(root, toVersion = 1L, commitId = "rb-restore")
+        val retried = graft.io.VersionedTable.rollback(root, toVersion = 1L, commitId = "rb-restore")
+        val logLen = graft.io.VersionedTable.history(root).size
+        graft.io.VersionedTable.read(s, root) // latest == restored v1 content
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("restored_version", lit(v3))
+          .withColumn("retry_noop", lit(retried == v3 && logLen == 3))
+          .orderBy("o_orderstatus")
+      },
+      Some("SELECT o_orderstatus, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, CAST(3 AS BIGINT) AS restored_version, " +
+        "TRUE AS retry_noop " +
+        "FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1 ORDER BY 1")),
+
+
+    // S8+ — incremental (CDC-style) consumption: after an overwrite base (v1)
+    // and two appends (v2, v3), changesBetween(1, 3) must surface EXACTLY the
+    // appended rows — the O(new data) read that lets a downstream pipeline
+    // track a 100 TB append-grown table without rescanning it. The oracle is
+    // the appended key classes only (≡ 1 or 2 mod 4); base rows (≡ 0) leaking
+    // in would break the count and sum both.
+    Q("versioned_incremental",
+      (s, dir) => {
+        // fixture = the append-grown log; measured work = the CDC read,
+        // which is this row's O(new data) claim
+        val root = Fixtures.once(s, dir, "vt_inc") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_inc_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 4 === 0), r, "overwrite", "inc-v1")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 4 === 1), r, "append", "inc-v2")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 4 === 2), r, "append", "inc-v3")
+          r
+        }
+        graft.io.VersionedTable.changesBetween(s, root, fromVersion = 1L, toVersion = 3L)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
+        "FROM orders WHERE o_orderkey % 4 IN (1, 2) GROUP BY 1 ORDER BY 1")),
+
+
+    // S8+S17 — PARTITIONED versioned commits (the reference's gold layout —
+    // hive-partitioned Delta — under the commit log): each commit dir carries
+    // its own year-style hive layout, the snapshot read recovers the
+    // partition column and PRUNES on it per dir (IoSpec plan-asserts the
+    // PartitionFilters), and appends must match their parent's layout. The
+    // oracle recomputes the partition-filtered aggregate from the raw table.
+    Q("versioned_partitioned",
+      (s, dir) => {
+        // fixture = the hive-partitioned commit log; measured work = the
+        // partition-pruned snapshot read (IoSpec asserts the PartitionFilters)
+        val root = Fixtures.once(s, dir, "vt_part") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_part_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0), r,
+            "overwrite", "p-v1", partitionCols = Seq("o_orderstatus"))
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1), r,
+            "append", "p-v2", partitionCols = Seq("o_orderstatus"))
+          r
+        }
+        graft.io.VersionedTable.read(s, root)
+          .filter(col("o_orderstatus") === "O")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+      },
+      Some("SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
+        "FROM orders WHERE o_orderstatus = 'O'")),
+
+
+    // S17 — OPTIMIZE-style compaction as a commit: four appends fragment the
+    // table (one dir per commit), `compact` rewrites the snapshot into one
+    // 2-file dir published as version 5, and the read-after-compact must see
+    // the identical row set — the oracle recomputes the logical content from
+    // the raw table, so any row lost or duplicated by the rewrite breaks the
+    // hash. File-count/layout/time-travel/CDC-refusal assertions live in
+    // IoSpec (not DuckDB-expressible).
+    Q("versioned_compact",
+      (s, dir) => {
+        // fixture = the fragmented log WITH its compaction already
+        // published (compact carries a commitId, so a live re-run would be
+        // the idempotent no-op branch anyway — IoSpec measures the rewrite
+        // mechanics); measured work = the read-after-compact
+        val root = Fixtures.once(s, dir, "vt_opt") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_opt_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 4 === 0), r, "overwrite", "cp-v1")
+          (1 to 3).foreach(i => graft.io.VersionedTable.commit(
+            o.filter(col("o_orderkey") % 4 === i), r, "append", s"cp-v${i + 1}"))
+          graft.io.VersionedTable.compact(s, r, "cp-opt", targetFiles = 2)
+          r
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum " +
+        "FROM orders GROUP BY 1 ORDER BY 1")),
+
+
+    // S16+S17 — row-level CDC ACROSS AN OVERWRITE: changesBetween refuses
+    // overwrite-crossing ranges by design (a dir-difference delta would lie);
+    // the correct tool there is the fingerprint snapshotDiff of the two
+    // version READS — composing the versioned store with S16 closes the CDC
+    // story for every commit type. v1 and an overwritten v2 (drops, edits,
+    // adds) diff into added/removed/changed rows; the oracle rebuilds both
+    // logical snapshots from the raw table.
+    Q("versioned_diff",
+      (s, dir) => {
+        // fixture = the two committed snapshots; measured work = the
+        // fingerprint CDC diff of their reads, this row's S16+S17 claim
+        val root = Fixtures.once(s, dir, "vt_diff") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_diff_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 0), r, "overwrite", "d-v1")
+          val v2 = o.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") % 5 =!= 0)
+            .withColumn("o_totalprice",
+              when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 1).otherwise(col("o_totalprice")))
+            .unionByName(o.filter(col("o_orderkey") % 3 === 1 && col("o_orderkey") < 3000))
+          graft.io.VersionedTable.commit(v2, r, "overwrite", "d-v2")
+          r
+        }
+        Relational.snapshotDiff(
+            graft.io.VersionedTable.read(s, root, asOf = Some(1L)),
+            graft.io.VersionedTable.read(s, root, asOf = Some(2L)),
+            Seq("o_orderkey"), Seq("o_orderpriority", "o_totalprice"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH a AS (SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderkey % 3 = 0),
+        |b AS (SELECT o_orderkey, o_orderpriority,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 0 AND o_orderkey % 5 <> 0
+        |  UNION ALL SELECT o_orderkey, o_orderpriority, o_totalprice
+        |  FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey < 3000)
+        |SELECT o_orderkey,
+        |  CASE WHEN a.o_orderpriority IS NULL THEN 'added'
+        |    WHEN b.o_orderpriority IS NULL THEN 'removed'
+        |    WHEN a.o_orderpriority <> b.o_orderpriority OR a.o_totalprice <> b.o_totalprice THEN 'changed' END AS change
+        |FROM a FULL OUTER JOIN b USING (o_orderkey)
+        |WHERE a.o_orderpriority IS NULL OR b.o_orderpriority IS NULL
+        |  OR a.o_orderpriority <> b.o_orderpriority OR a.o_totalprice <> b.o_totalprice
+        |ORDER BY o_orderkey""".stripMargin)),
+
+
+    // S8+ — manifest-level data skipping (Iceberg-style): four appends of
+    // key-range-disjoint slices with per-dir min/max stats gathered from the
+    // parquet footers at commit time, then a range read that must plan ONLY
+    // the one overlapping commit dir (dirs_scanned=1 of dirs_total=4 — the
+    // pruning itself is driver-visible, not just the row values). The
+    // residual filter is always applied, so the aggregate stays correct even
+    // if stats were absent; the constants are what prove the skip happened.
+    Q("versioned_pruned_scan",
+      (s, dir) => {
+        // fixture = the four stats-carrying appends; measured work = the
+        // manifest-pruned RANGE read, this row's data-skipping claim
+        val (root, q1, q2) = Fixtures.once(s, dir, "vt_prune") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_prune_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders")
+          // bounded scalar probe: one max() to derive the four value bands
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          val bands = Seq(
+            ("b1", col("o_orderkey") <= b1),
+            ("b2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("b3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
+            ("b4", col("o_orderkey") > b3))
+          bands.foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"prune-$id",
+              statsCols = Seq("o_orderkey"))
+          }
+          (r, b1, b2)
+        }
+        val kept = graft.io.VersionedTable.planRange(root, "o_orderkey", q1 + 1, q2)
+        val total = graft.io.VersionedTable.history(root).last.dirs.size
+        graft.io.VersionedTable.readRange(s, root, "o_orderkey", q1 + 1, q2)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("dirs_scanned", lit(kept.size.toLong))
+          .withColumn("dirs_total", lit(total.toLong))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(1 AS BIGINT) AS dirs_scanned, CAST(4 AS BIGINT) AS dirs_total FROM orders " +
+        "WHERE o_orderkey > (SELECT max(o_orderkey) // 4 FROM orders) " +
+        "AND o_orderkey <= (SELECT max(o_orderkey) // 2 FROM orders) " +
+        "GROUP BY 1 ORDER BY 1")),
+
+
+    // S8+ — BLOOM data skipping, the point-lookup complement of
+    // versioned_pruned_scan: four appends sliced by o_orderkey % 4, so every
+    // commit's [min, max] spans the whole key domain and min/max stats can
+    // never skip a dir — the side-file bloom (md5-positions, ~16 bits per
+    // distinct key, sized per commit) is what prunes a `key = v` probe to
+    // the dir(s) holding the key. The gate asserts bloom_pruned = the probe
+    // scanned FEWER dirs than the snapshot holds — not an exact count,
+    // because each non-matching dir carries an independent ~0.5 % false-
+    // positive chance and an exact pin could flip at a different SF; all
+    // three missing simultaneously (~1e-7) is the only way this row fails.
+    // The residual predicate always applies — a false positive costs an
+    // extra dir scan, never a wrong row.
+    Q("versioned_bloom_scan",
+      (s, dir) => {
+        // fixture = the four bloom-carrying appends; measured work = the
+        // bloom-pruned POINT read, this row's data-skipping claim
+        val (root, key) = Fixtures.once(s, dir, "vt_bloom") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_bloom_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          (0 to 3).foreach(i => graft.io.VersionedTable.commit(
+            o.filter(col("o_orderkey") % 4 === i), r, "append", s"bloom-v$i",
+            bloomCols = Seq("o_orderkey")))
+          // bounded scalar probe: the lookup key (max key — deterministic)
+          (r, o.agg(max(col("o_orderkey"))).head().getLong(0))
+        }
+        val kept = graft.io.VersionedTable.planPoint(root, "o_orderkey", key)
+        val total = graft.io.VersionedTable.history(root).last.dirs.size
+        graft.io.VersionedTable.readPoint(s, root, "o_orderkey", key)
+          .withColumn("bloom_pruned", lit(kept.size < total))
+          .withColumn("dirs_total", lit(total.toLong))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_orderpriority, o_totalprice, " +
+        "CAST(TRUE AS BOOLEAN) AS bloom_pruned, CAST(4 AS BIGINT) AS dirs_total " +
+        "FROM orders WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders) " +
+        "ORDER BY o_orderkey")),
+
+
+    // S17 — ADD-COLUMN schema evolution (the one Delta lifecycle behavior
+    // the versioned table previously lacked): v1 commits the narrow
+    // (o_orderkey, o_orderpriority) shape, v2 appends a batch WIDENED with
+    // o_custkey. The latest snapshot read declares v2's manifest schema, so
+    // v1's rows backfill o_custkey as NULL (cust_sum counts only odd keys —
+    // leaked backfill would break the sum); time travel to v1 still returns
+    // the ORIGINAL 2-column shape (v1_cols); and a type-changing append
+    // (o_custkey as string) must be refused loudly before any manifest
+    // publishes (type_change_rejected — the failed attempt must also not
+    // advance the log, which the probe proves by reading the same snapshot
+    // after it).
+    Q("versioned_schema_evolution",
+      (s, dir) => {
+        val (root, rejected) = Fixtures.once(s, dir, "vt_schema") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_schema_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders")
+          graft.io.VersionedTable.commit(
+            o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey", "o_orderpriority"),
+            r, "overwrite", "sch-v1")
+          graft.io.VersionedTable.commit(
+            o.filter(col("o_orderkey") % 2 === 1)
+              .select("o_orderkey", "o_orderpriority", "o_custkey"),
+            r, "append", "sch-v2")
+          val rej =
+            try {
+              graft.io.VersionedTable.commit(
+                o.filter(col("o_orderkey") % 2 === 1).limit(1)
+                  .select(col("o_orderkey"), col("o_orderpriority"),
+                    col("o_custkey").cast("string").as("o_custkey")),
+                r, "append", "sch-bad")
+              false
+            } catch { case e: Throwable => e.getMessage.contains("type change") }
+          (r, java.lang.Boolean.valueOf(rej))
+        }
+        val v1Cols = graft.io.VersionedTable.read(s, root, asOf = Some(1L)).columns.length
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"),
+            sum(col("o_custkey")).as("cust_sum"))
+          .withColumn("v1_cols", lit(v1Cols.toLong))
+          .withColumn("type_change_rejected", lit(rejected.booleanValue()))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN o_custkey END) AS BIGINT) AS cust_sum, " +
+        "CAST(2 AS BIGINT) AS v1_cols, TRUE AS type_change_rejected " +
+        "FROM orders GROUP BY 1 ORDER BY 1")),
+
+
+    // MERGE-style upsert (table maintenance): a CDC batch (every 10th order,
+    // re-priced, status 'U') replaces matching base rows and passes the rest
+    // through. Anti-join + union with the small side broadcast — the base
+    // table streams once and never shuffles. Oracle = updates UNION ALL the
+    // anti-joined base, spelled directly in SQL.
+    Q("merge_upsert",
+      (s, dir) => {
+        val base = rd(s, dir, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+        val updates = base.filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), lit("U").as("o_orderstatus"),
+            (col("o_totalprice") * 2).as("o_totalprice"))
+        Relational.upsert(base, updates, Seq("o_orderkey")).orderBy("o_orderkey")
+      },
+      Some("WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders), " +
+        "updates AS (SELECT o_orderkey, 'U' AS o_orderstatus, o_totalprice * 2 AS o_totalprice " +
+        "FROM base WHERE o_orderkey % 10 = 0) " +
+        "SELECT * FROM (SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates) " +
+        "UNION ALL SELECT * FROM updates) ORDER BY o_orderkey")),
+
+
+    // S16 — snapshot diff (CDC extract, the read-side complement of
+    // merge_upsert): rows added/removed/changed between two snapshots,
+    // compared at the md5-fingerprint level so payloads never shuffle.
+    // Snapshot B is derived deterministically from A in both engines:
+    // doc_id >= 450 dropped (removed), every 7th text amended (changed),
+    // the first 20 docs re-keyed +10000 (added).
+    Q("s16_snapshot_diff",
+      (s, dir) => {
+        val a = rd(s, dir, "documents").select("doc_id", "text")
+        val b = a.filter(col("doc_id") < 450)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+          .unionByName(a.filter(col("doc_id") < 20)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        Relational.snapshotDiff(a, b, Seq("doc_id"), Seq("text"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id < 450
+        |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20)
+        |SELECT doc_id, CASE WHEN a.text IS NULL THEN 'added'
+        |  WHEN b.text IS NULL THEN 'removed'
+        |  WHEN a.text <> b.text THEN 'changed' END AS change
+        |FROM a FULL OUTER JOIN b USING (doc_id)
+        |WHERE a.text IS NULL OR b.text IS NULL OR a.text <> b.text
+        |ORDER BY doc_id""".stripMargin)),
+  )
+}

@@ -1,0 +1,560 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructType, TimestampNTZType, TimestampType}
+
+import graft.operators.{Medallion, Relational}
+import graft.operators.ext.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.sources.{Ingest, StubTickerFetcher}
+
+/** The declared query registry: one entry per SURVEY.md §2 operator row, each
+  * with DuckDB-equivalent oracle SQL where SQL-expressible.
+  *
+  * Determinism rules (SURVEY.md §7.4) hold for every query: explicit as-of
+  * date (never current_date), row_number over total orders (never
+  * monotonically_increasing_id), a trailing total-order orderBy, decimals
+  * fixed-point on both sides, token hashes md5-derived (portable), cosines
+  * rounded to DECIMAL(10,6) before any comparison.
+  */
+
+import QuerySupport._
+
+/** Registry family: the declared Structured Streaming paths (ST) - watermarks, state, joins, index maintenance, exactly-once sinks. See [[Queries]] for the assembled registry
+  * and [[QuerySupport]] for the shared helpers/oracle fragments.
+  */
+private[graft] object QueriesStreaming {
+  val defs: Seq[Q] = Seq(
+
+    // §2.9 — the streaming path as a correctness row: the same event-time
+    // tumbling-window aggregate as event_window_agg, but executed through
+    // Structured Streaming (file source → watermark + window → complete-mode
+    // memory sink), drained to completion. The oracle is the batch SQL —
+    // asserting stream/batch equivalence, the property Structured Streaming
+    // guarantees and the one worth checking.
+    Q("stream_window_agg",
+      (s, dir) => {
+        val batchSchema = rd(s, dir, "events").schema
+        // the file stream source requires a directory; select just the events
+        // table out of the shared sf dir with a glob filter
+        val ticks = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ingest_ts", expr(tsStampSql(batchSchema)))
+          .select(col("event_type").as("symbol"), col("value").as("price"), col("ingest_ts"))
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.windowedMinMax(ticks, "1 hour", "1 hour")
+          .writeStream.format("memory").queryName(name).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("symbol").as("event_type"),
+            col("min_price").as("min_value"), col("max_price").as("max_value"))
+          .orderBy("window_start", "event_type")
+      },
+      Some("SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start, " +
+        "event_type, min(value) AS min_value, max(value) AS max_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2")),
+
+
+    // Streaming dedup-within-watermark executed through a real stream (file
+    // source → dropDuplicatesWithinWatermark → append-mode memory sink),
+    // oracle-checked against batch DISTINCT. Only the dedup keys are emitted:
+    // which duplicate survives within a micro-batch is racy by nature, the
+    // key set is not.
+    Q("stream_dedup",
+      (s, dir) => {
+        val batchSchema = rd(s, dir, "events").schema
+        val ticks = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ingest_ts", expr(tsStampSql(batchSchema)))
+          .select(col("event_type").as("symbol"), col("value").as("price"), col("ingest_ts"))
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.streamDedup(ticks, "1 hour")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+          .select(col("symbol").as("event_type"), col("price").as("value"))
+          .orderBy("event_type", "value")
+      },
+      Some("SELECT DISTINCT event_type, value FROM events ORDER BY 1, 2")),
+
+
+    // NATIVE SESSION WINDOWS in Structured Streaming (thirteenth declared
+    // streaming path): Spark's session_window merges events under a 30-min
+    // gap into engine-managed dynamic windows — the declarative counterpart
+    // of the flatMapGroupsWithState sessionizer (stream_stateful_agg), with
+    // a one-boundary-stricter split (gap >= g opens a session: windows are
+    // [first, last+gap) and merge only on true overlap). Complete-mode
+    // drain; the oracle is the batch formulation of the same split rule.
+    Q("stream_session_window",
+      (s, dir) => {
+        val batchSchema = rd(s, dir, "events").schema
+        val ev = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ingest_ts", expr(tsStampSql(batchSchema)))
+          .select("user_id", "event_id", "ingest_ts")
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.sessionWindowAgg(ev, "user_id", "30 minutes")
+          .writeStream.format("memory").queryName(name).outputMode("complete").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+          .select(col("user_id"),
+            expr("unix_micros(sw.start)").as("session_start"),
+            expr("unix_micros(sw.end)").as("session_end"),
+            col("n"), col("id_sum"))
+          .orderBy("user_id", "session_start")
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |o AS (SELECT *, lag(tus) OVER w AS prev FROM x
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |g AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM o)
+        |SELECT user_id, min(tus) AS session_start, max(tus) + 1800000000 AS session_end,
+        |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
+
+
+    // STREAMING LATE-DATA ACCOUNTING (append-mode watermark discipline):
+    // three ordered micro-batches through the file source
+    // (maxFilesPerTrigger=1, mod-time ordered). Spark's state operator
+    // filters LATE rows against the PREVIOUS batch's watermark and evicts/
+    // emits against the current one (both calibrated empirically:
+    // drop iff window_end <= lateWm, emit iff window_end <= evictWm, with
+    // the watermark ms-floored from the max event time). Batch 1 (even ids)
+    // anchors the watermark at max(even ts) - 1h; batch 2 (recent odd ids)
+    // advances the late-filter horizon to that anchor; batch 3 (odd ids
+    // >= 30 min older than the anchor) then loses every row whose hour
+    // window closed under it — counted by numRowsDroppedByWatermark, the
+    // driver-visible late-data ledger surfaced as a column. The state
+    // operator sits above the partial+merge aggregation, so the ledger
+    // counts dropped WINDOW GROUPS (one state row per closed window), not
+    // raw input rows — the oracle counts DISTINCT closed windows. Emitted
+    // windows are exactly those the final watermark closed, aggregating
+    // accepted rows only — the oracle recomputes both cutoffs and the
+    // accepted set from the raw table.
+    Q("stream_late_data",
+      (s, dir) => {
+        // fixture = the three STAGED batch files (ordinary parquet writes,
+        // not this row's claim; their mod-time ORDER — anchor, on-time,
+        // late — is what the file source sequences on, and relative order
+        // is stable however old the fixture gets); LIVE each pass = the
+        // watermarked stream over them: 3 micro-batches, watermark
+        // advancement, the late-drop accounting, and the windowed result
+        val root = Fixtures.once(s, dir, "stream_late_stage") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_stream_late_${dirTag(dir)}"
+          rmrf(r)
+          val ev = rd(s, dir, "events")
+          val base = ev.withColumn("ts_us", expr(tsUsSql(ev.schema)))
+            .withColumn("ingest_ts", expr(tsStampSql(ev.schema)))
+            .select("event_id", "ts_us", "ingest_ts")
+          // bounded scalar probe: the batch-1 watermark anchor
+          val maxAUs = base.filter(col("event_id") % 2 === 0).agg(max("ts_us")).head().getLong(0)
+          base.filter(col("event_id") % 2 === 0)
+            .select("event_id", "ingest_ts").coalesce(1).write.parquet(s"$r/a")
+          base.filter(col("event_id") % 2 === 1 && col("ts_us") > maxAUs - 1800000000L)
+            .select("event_id", "ingest_ts").coalesce(1).write.parquet(s"$r/b")
+          base.filter(col("event_id") % 2 === 1 && col("ts_us") <= maxAUs - 1800000000L)
+            .select("event_id", "ingest_ts").coalesce(1).write.parquet(s"$r/c")
+          val sd = new java.io.File(s"$r/stream"); sd.mkdirs()
+          def stage(src: String, fname: String, ageMs: Long): Unit = {
+            val part = new java.io.File(s"$r/$src").listFiles()
+              .filter(_.getName.endsWith(".parquet")).head
+            val dst = new java.io.File(sd, fname)
+            java.nio.file.Files.copy(part.toPath, dst.toPath)
+            dst.setLastModified(System.currentTimeMillis() - ageMs)
+          }
+          stage("a", "0001-anchor.parquet", 180000L)
+          stage("b", "0002-on-time.parquet", 120000L)
+          stage("c", "0003-late.parquet", 60000L)
+          r
+        }
+        val st = s.readStream
+          .schema(StructType(Seq(StructField("event_id", LongType),
+            StructField("ingest_ts", TimestampType))))
+          .option("maxFilesPerTrigger", "1").parquet(s"$root/stream")
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.windowedIdSum(st, "1 hour", "1 hour")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        val dropped =
+          try { q.processAllAvailable()
+            q.recentProgress.flatMap(_.stateOperators).map(_.numRowsDroppedByWatermark).sum
+          } finally q.stop()
+        s.table(name)
+          .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("n"), col("id_sum"))
+          .withColumn("late_dropped", lit(dropped))
+          .orderBy("window_start")
+      },
+      Some("""WITH ev AS (SELECT event_id, ts, epoch_us(ts) AS tus,
+        |  epoch_us(date_trunc('hour', ts)) + 3600000000 AS wend FROM events),
+        |ma AS (SELECT max(tus) AS v FROM ev WHERE event_id % 2 = 0),
+        |mb AS (SELECT max(tus) AS v FROM ev CROSS JOIN ma
+        |  WHERE event_id % 2 = 1 AND tus > ma.v - 1800000000),
+        |wml AS (SELECT (ma.v // 1000) * 1000 - 3600000000 AS v FROM ma),
+        |wmf AS (SELECT greatest((ma.v // 1000) * 1000, (mb.v // 1000) * 1000) - 3600000000 AS v
+        |  FROM ma CROSS JOIN mb),
+        |acc AS (
+        |  SELECT event_id, ts, wend FROM ev WHERE event_id % 2 = 0
+        |  UNION ALL SELECT event_id, ts, wend FROM ev CROSS JOIN ma
+        |    WHERE event_id % 2 = 1 AND tus > ma.v - 1800000000
+        |  UNION ALL SELECT event_id, ts, wend FROM ev CROSS JOIN ma CROSS JOIN wml
+        |    WHERE event_id % 2 = 1 AND tus <= ma.v - 1800000000 AND wend > wml.v),
+        |late AS (SELECT count(DISTINCT wend) AS late_dropped FROM ev CROSS JOIN ma CROSS JOIN wml
+        |  WHERE event_id % 2 = 1 AND tus <= ma.v - 1800000000 AND wend <= wml.v)
+        |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum,
+        |  (SELECT late_dropped FROM late) AS late_dropped
+        |FROM acc CROSS JOIN wmf WHERE wend <= wmf.v
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+
+    // STREAM-STATIC JOIN (the fifth declared streaming path): the stateless
+    // curation stages run over a document STREAM — quality filter →
+    // exact-fingerprint decontamination as a stream-static left-anti join
+    // against the (static) benchmark fingerprint table → weighted mixture.
+    // No state store, no watermark: every micro-batch joins the static frame
+    // directly. Oracle = the batch formulation of the same stages
+    // (stream/batch equivalence, like the other streaming rows).
+    Q("stream_curation",
+      (s, dir) => {
+        val batchSchema = rd(s, dir, "documents").schema
+        val stream = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+        val bench = rd(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(md5(col("text")).as("fp")).distinct()
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.curateDocs(stream, bench,
+            Map("en" -> 50, "de" -> 25), defaultPct = 10)
+          .select("doc_id", "lang", "bucket")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).orderBy("doc_id")
+      },
+      Some("SELECT doc_id, lang, bucket FROM (" +
+        s"SELECT doc_id, lang, ${duckHex("md5(CAST(doc_id AS VARCHAR))")} % 100 AS bucket " +
+        s"FROM documents WHERE $duckQualityPred " +
+        "AND md5(text) NOT IN (SELECT md5(text) FROM documents WHERE doc_id < 100)) " +
+        s"WHERE bucket < $duckMixCase " +
+        "ORDER BY doc_id")),
+
+
+    // STREAMING NEAR-DUP DECONTAMINATION (the sixth declared streaming
+    // path): expression-level MinHash band keys per micro-batch (no
+    // aggregation, no state store) and a map-side arrays_overlap test
+    // against the static benchmark's one-row key set — the streaming form
+    // of x1_decontaminate_neardup, recall-oriented (any band collision
+    // drops; no Jaccard verify — the batch path is the precision form).
+    // Oracle = the batch band-collision formulation on the same tables.
+    Q("stream_decontam_neardup",
+      (s, dir) => {
+        val batchSchema = rd(s, dir, "documents").schema
+        val stream = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter(col("doc_id") >= 100)
+        val bench = rd(s, dir, "documents").filter(col("doc_id") < 100)
+          .select("doc_id", "text")
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.decontamNearDup(stream, bench)
+          .select("doc_id", "lang")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table(name).orderBy("doc_id")
+      },
+      Some(s"""WITH ${duckBandsCtes(duckToks, 8)},
+        |bkeys AS (SELECT DISTINCT band, key FROM bands WHERE doc_id < 100),
+        |flagged AS (SELECT DISTINCT b.doc_id FROM bands b
+        |  JOIN bkeys k ON b.band = k.band AND b.key = k.key)
+        |SELECT doc_id, lang FROM documents
+        |WHERE doc_id >= 100 AND doc_id NOT IN (SELECT doc_id FROM flagged)
+        |ORDER BY doc_id""".stripMargin)),
+
+
+    // STREAMING DRIFT MONITOR (the seventh declared streaming path, and the
+    // foreachBatch idiom's entry into the surface): each micro-batch's
+    // per-source token distribution is scored against the STATIC reference
+    // profile (docs < 100) with the exact integer TVD of
+    // TextAnalysis.refDrift; the per-slice report reaches the driver as a
+    // few scalar-sized rows per batch. The single-file source yields one
+    // batch, so the oracle is the batch refDrift formulation.
+    Q("stream_drift_monitor",
+      (s, dir) => {
+        val batchSchema = rd(s, dir, "documents").schema
+        val stream = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter(col("doc_id") >= 100)
+        val ref = rd(s, dir, "documents").filter(col("doc_id") < 100)
+        val buf = new scala.collection.mutable.ArrayBuffer[org.apache.spark.sql.Row]()
+        val q = graft.streaming.Streaming.driftMonitor(stream, ref, "source", "text") {
+          (report, _) =>
+            buf ++= report.withColumn("l1_scaled", col("l1_scaled").cast("string"))
+              .collect() // scalar-sized: one row per slice per batch
+        }
+        try q.processAllAvailable() finally q.stop()
+        import org.apache.spark.sql.types._
+        s.createDataFrame(s.sparkContext.parallelize(buf.toSeq, 1),
+            StructType(Seq(StructField("slice", StringType),
+              StructField("s_toks", LongType), StructField("l1_scaled", StringType))))
+          .orderBy("slice")
+      },
+      Some("""WITH bt AS (SELECT source AS slice, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents WHERE doc_id >= 100),
+        |st AS (SELECT slice, token, count(*) AS c_st FROM bt GROUP BY 1, 2),
+        |rt0 AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS token
+        |  FROM documents WHERE doc_id < 100),
+        |rt AS (SELECT token, count(*) AS r_t FROM rt0 GROUP BY 1),
+        |stot AS (SELECT slice, sum(c_st) AS s_tot FROM st GROUP BY 1),
+        |rtot AS (SELECT sum(r_t) AS t_ref FROM rt)
+        |SELECT slice, CAST(s_tot AS BIGINT) AS s_toks,
+        |  CAST(CAST(sum(abs(c_st * t_ref - coalesce(r_t, 0) * s_tot))
+        |    + CAST(s_tot AS HUGEINT) * t_ref - sum(coalesce(r_t, 0) * s_tot) AS DECIMAL(38,0)) AS VARCHAR) AS l1_scaled
+        |FROM st LEFT JOIN rt USING (token) JOIN stot USING (slice) CROSS JOIN rtot
+        |GROUP BY slice, s_tot, t_ref ORDER BY slice""".stripMargin)),
+
+
+    // STREAMING INDEX MAINTENANCE (the eighth declared streaming path):
+    // the corpus-growth loop closed in streaming form. The standing
+    // corpus' band index is seeded once (bucketed by key, the
+    // x1_incremental_neardup layout); each micro-batch of new documents
+    // then appends its expression-level band keys through
+    // Dedup.appendBandIndex inside foreachBatch — idempotent under the
+    // replay semantics foreachBatch actually has (anti-join on indexed
+    // doc_ids), bucket layout preserved so concurrent probes keep their
+    // no-index-side-exchange plan. Result = the converged index; oracle =
+    // the batch band-key formulation over the full corpus, so a dropped,
+    // duplicated, or mis-keyed append breaks the hash gate.
+    Q("stream_index_maintain",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        // fixture = the SEED index; LIVE each pass = the streaming
+        // maintenance (fresh ephemeral checkpoint → the source re-flows,
+        // appends stay idempotent) + the converged-table read
+        val idx = Fixtures.once(s, dir, "stream_band_seed") {
+          val name = s"graft_stream_band_index_${dirTag(dir)}"
+          val root = freshDir(s, s"graft_stream_bandidx_${dirTag(dir)}")
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          Dedup.withBandKeys(docs.filter(col("doc_id") < 200), "text", 8, "bands")
+            .select(col("doc_id"), explode(col("bands")).as("key"))
+            .write.bucketBy(8, "key").sortBy("key")
+            .option("path", s"$root/idx").saveAsTable(name)
+          name
+        }
+        val stream = s.readStream.schema(docs.schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter(col("doc_id") >= 200)
+        val q = graft.streaming.Streaming.maintainBandIndex(stream,
+          idx, "doc_id", "text", 8, 8)
+        try q.processAllAvailable() finally q.stop()
+        s.table(idx).orderBy("doc_id", "key")
+      },
+      Some(s"""WITH ${duckBandsCtes(duckToks, 8)}
+        |SELECT doc_id, CAST(band AS VARCHAR) || ':' || key AS key FROM bands
+        |ORDER BY doc_id, key""".stripMargin)),
+
+
+    // ST — stream → versioned table with EXACTLY-ONCE appends
+    // (streaming/Streaming.versionedSink): each micro-batch commits under a
+    // batchId-derived commitId, so foreachBatch's at-least-once replay
+    // degrades to VersionedTable's idempotent-retry no-op. The query then
+    // PROVES the replay path inline: re-firing batch 0's commitId with
+    // different content must not advance the log (replay_noop), and the full
+    // cursor-0 incremental read must equal the batch formulation.
+    Q("stream_versioned_sink",
+      (s, dir) => {
+        val root = freshDir(s, "graft_stream_versioned")
+        val schema = rd(s, dir, "orders").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "orders.parquet").parquet(dir)
+          .filter(col("o_orderkey") % 5 === 0)
+        val q = graft.streaming.Streaming.versionedSink(stream, root, "orders-feed")
+        try q.processAllAvailable() finally q.stop()
+        val converged = graft.io.VersionedTable.latestVersion(root).get
+        val replayed = graft.io.VersionedTable.commit(
+          rd(s, dir, "orders").limit(1), root, "append", "orders-feed-b0")
+        val noop = replayed <= converged &&
+          graft.io.VersionedTable.latestVersion(root).contains(converged)
+        graft.io.VersionedTable.changesBetween(s, root, fromVersion = 0L, toVersion = converged)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("replay_noop", lit(noop))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "TRUE AS replay_noop " +
+        "FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 1 ORDER BY 1")),
+
+
+    // Custom streaming state (flatMapGroupsWithState) oracle-checked: the
+    // per-key running count/min/max session state, drained to completion —
+    // the final update per key must equal the batch aggregate. Emission
+    // order and intermediate updates are racy; the converged state is not.
+    Q("stream_stateful_agg",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val batchSchema = rd(s, dir, "events").schema
+        val ticks = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ingest_ts", expr(tsStampSql(batchSchema)))
+          .select(col("event_type").as("symbol"),
+            col("value").cast(DecimalType(10, 2)).as("price"), col("ingest_ts"))
+        import s.implicits._
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.sessionize(
+            ticks.as[graft.streaming.Streaming.Tick], idleTimeoutMs = 0)
+          .toDF()
+          .writeStream.format("memory").queryName(name).outputMode("update").start()
+        try q.processAllAvailable() finally q.stop()
+        // keep only each key's final update (largest n) in case the file
+        // source split the input into several micro-batches
+        val w = Window.partitionBy(col("symbol")).orderBy(col("n").desc)
+        s.table(name).withColumn("__rk", row_number().over(w)).filter(col("__rk") === 1)
+          .select(col("symbol").as("event_type"), col("n"),
+            col("lo").cast(DecimalType(10, 2)).cast("string").as("lo"),
+            col("hi").cast(DecimalType(10, 2)).cast("string").as("hi"))
+          .orderBy("event_type")
+      },
+      Some("SELECT event_type, count(*) AS n, " +
+        "CAST(min(CAST(value AS DECIMAL(10,2))) AS VARCHAR) AS lo, " +
+        "CAST(max(CAST(value AS DECIMAL(10,2))) AS VARCHAR) AS hi " +
+        "FROM events GROUP BY 1 ORDER BY 1")),
+
+
+    // Stream-stream interval join executed through two real streams over the
+    // same event file (clicks ⋈ purchases of the same user within 30
+    // minutes), append-mode sink. Watermarks + the bounded time condition
+    // keep join state finite — the only shape a continuous stream join can
+    // take. Oracle = the identical interval self-join in batch SQL (µs
+    // precision on both engines), asserting stream/batch join equivalence.
+    Q("stream_stream_join",
+      (s, dir) => {
+        // Isolated session clone: a symmetric stream join keeps one state
+        // store per shuffle partition per side, and each micro-batch pays a
+        // commit per store — the dominant cost at this input rate. Partition
+        // count should track throughput (state ∝ rate × horizon), so size it
+        // to the actual stream rate on a private session instead of the
+        // batch-wide default; nothing leaks into concurrently-running
+        // queries (newSession shares the context, not runtime conf).
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val batchSchema = rd(ss, dir, "events").schema
+        def stream(kind: String, prefix: String) = ss.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .filter(col("event_type") === kind)
+          .select(col("user_id").as(s"${prefix}_user"),
+            col("event_id").as(s"${prefix}_id"),
+            expr(tsStampSql(batchSchema)).as(s"${prefix}_ts"))
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.intervalJoin(
+            stream("click", "c"), stream("purchase", "p"),
+            "c_user", "p_user", "c_ts", "p_ts", "1 hour", "30 minutes")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        ss.table(name).select(col("c_id").as("click_id"), col("p_id").as("purchase_id"))
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("SELECT a.event_id AS click_id, b.event_id AS purchase_id " +
+        "FROM events a JOIN events b ON a.user_id = b.user_id " +
+        "AND a.event_type = 'click' AND b.event_type = 'purchase' " +
+        "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE " +
+        "ORDER BY 1, 2")),
+
+
+    // STREAMING PQ-INDEX MAINTENANCE (the ninth declared streaming path —
+    // stream_index_maintain's compressed-ANN counterpart): the standing
+    // corpus' frozen-quantizer codes are seeded once (bucketed by vec_id);
+    // each micro-batch of new vectors appends its codes through
+    // Similarity.appendPqIndex inside foreachBatch — idempotent under
+    // foreachBatch's replay semantics, quantizer/codebook pinned to the
+    // base so stored codes stay valid mid-append. Result = the converged
+    // code table; oracle = the batch frozen-quantizer code formulation.
+    Q("stream_pq_index_maintain",
+      (s, dir) => {
+        val emb = rd(s, dir, "embeddings")
+        val base = emb.filter(col("vec_id") < 400)
+        // fixture = the frozen-quantizer SEED codes; LIVE each pass = the
+        // streaming maintenance (fresh ephemeral checkpoint → the source
+        // re-flows, appends stay idempotent) + the converged-table read
+        val idx = Fixtures.once(s, dir, "stream_pq_seed") {
+          val name = s"graft_stream_pq_index_${dirTag(dir)}"
+          val root = freshDir(s, s"graft_stream_pqidx_${dirTag(dir)}")
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          Similarity.pqCodesFrozen(base, base, dim = 64, m = 8, ncodes = 16)
+            .write.bucketBy(8, "vec_id").sortBy("vec_id")
+            .option("path", s"$root/idx").saveAsTable(name)
+          name
+        }
+        val stream = s.readStream.schema(emb.schema)
+          .option("pathGlobFilter", "embeddings.parquet").parquet(dir)
+          .filter(col("vec_id") >= 400 && col("vec_id") < 500)
+        val q = graft.streaming.Streaming.maintainPqIndex(stream,
+          idx, base, 64, 8, 16, 8)
+        try q.processAllAvailable() finally q.stop()
+        s.table(idx).orderBy("vec_id", "sub")
+      },
+      Some(s"""WITH ${duckFrozenPqCtes(400, 500, 50)}
+        |SELECT vec_id, sub, code FROM fcodes ORDER BY vec_id, sub""".stripMargin)),
+
+
+    // STREAMING LEXICAL-INDEX MAINTENANCE (the eleventh declared streaming
+    // path, completing the index trio: band / PQ / lexical): the standing
+    // corpus' postings + lengths are seeded once; each micro-batch of new
+    // documents appends through TextAnalysis.appendLexicalIndex inside
+    // foreachBatch — each table's anti-join makes the appends independently
+    // idempotent under replay, and df/N/T derive at probe time, so scores
+    // shift continuously as the stream absorbs documents. The result is the
+    // BM25 PROBE of the converged index; oracle = the full-corpus batch
+    // formulation, so the gate proves the streamed index ranks exactly as a
+    // fresh corpus scan.
+    Q("stream_lex_index_maintain",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents")
+        // fixture = the SEED index (standing corpus, not this row's claim);
+        // LIVE each pass = the streaming maintenance itself — every
+        // micro-batch re-flows through foreachBatch's idempotent appends
+        // (a fresh ephemeral checkpoint per pass re-reads the source) —
+        // plus the BM25 probe of the converged index
+        val (post, len) = Fixtures.once(s, dir, "stream_lex_seed") {
+          val t = dirTag(dir)
+          val (p, l) = (s"graft_stream_lex_post_$t", s"graft_stream_lex_len_$t")
+          val root = freshDir(s, s"graft_stream_lexidx_$t")
+          s.sql(s"DROP TABLE IF EXISTS $p")
+          s.sql(s"DROP TABLE IF EXISTS $l")
+          TextAnalysis.buildLexicalIndex(p, l,
+            docs.filter(col("doc_id") < 400), "doc_id", "text", 8, root)
+          (p, l)
+        }
+        val stream = s.readStream.schema(docs.schema)
+          .option("pathGlobFilter", "documents.parquet").parquet(dir)
+          .filter(col("doc_id") >= 400)
+        val q = graft.streaming.Streaming.maintainLexicalIndex(stream,
+          post, len, "doc_id", "text", 8)
+        try q.processAllAvailable() finally q.stop()
+        val queries = docs.filter(col("doc_id") < 5)
+          .select(col("doc_id").as("query_id"),
+            expr("array_join(slice(filter(split(text, ' '), x -> x != ''), 1, 8), ' ')").as("qtext"))
+        TextAnalysis.bm25IndexTopK(s, post, len,
+            queries, "query_id", "qtext", 10)
+          .orderBy("query_id", "rk")
+      },
+      Some("""WITH dl AS (SELECT doc_id, CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS dl FROM documents),
+        |tot AS (SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS t FROM dl),
+        |qd AS (SELECT doc_id AS query_id, array_to_string((list_filter(string_split(text, ' '), x -> x <> ''))[1:8], ' ') AS qtext
+        |  FROM documents WHERE doc_id < 5),
+        |qt AS (SELECT DISTINCT query_id, unnest(list_filter(string_split(qtext, ' '), x -> x <> '')) AS term FROM qd),
+        |post AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM post
+        |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT q.query_id, f.doc_id,
+        |  CAST(CAST(22000 AS HUGEINT) * (length(printf('%b', n // df)) - 1) * f.tf * t
+        |    // (CAST(10 AS HUGEINT) * f.tf * t + CAST(3 AS HUGEINT) * t + CAST(9 AS HUGEINT) * dl.dl * n) AS BIGINT) AS s
+        |  FROM tf f JOIN dfreq USING (term) JOIN qt q USING (term)
+        |  JOIN dl ON f.doc_id = dl.doc_id CROSS JOIN tot),
+        |agg AS (SELECT query_id, doc_id, CAST(sum(s) AS BIGINT) AS score FROM sc GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score,
+        |  CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id) AS INTEGER) AS rk FROM agg)
+        |SELECT query_id, doc_id, score, rk FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin)),
+  )
+}
