@@ -563,6 +563,46 @@ private[graft] object QueriesMedallionIo {
         "SELECT * FROM (SELECT * FROM base WHERE o_orderkey NOT IN (SELECT o_orderkey FROM updates) " +
         "UNION ALL SELECT * FROM updates) ORDER BY o_orderkey")),
 
+    // SCD TYPE 2 merge (Relational.scdType2 — dimension HISTORY beside
+    // merge_upsert's Type-1 overwrite): one update batch resends a third
+    // of the customer keys (only every 21st actually changes segment — the
+    // identical resends must be NO-OPS, the CDC idempotence test) and adds
+    // offset new keys. Changed keys close their current row at the as-of
+    // date and open a new one; history and untouched keys pass through
+    // unshuffled. The oracle spells all four row classes directly.
+    Q("merge_scd2",
+      (s, dir) => {
+        val c = rd(s, dir, "customer")
+        val mx = c.agg(max("c_custkey")).head().getLong(0)
+        val dim = c.select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"),
+          lit("2022-01-01").as("valid_from"), lit(null).cast("string").as("valid_to"),
+          lit(true).as("is_current"))
+        val updates = c.filter(col("c_custkey") % 3 === 0)
+          .select(col("c_custkey"),
+            when(col("c_custkey") % 7 === 0, lit("SEG-CHANGED"))
+              .otherwise(col("c_mktsegment")).as("c_mktsegment"),
+            col("c_nationkey"))
+          .unionByName(c.filter(col("c_custkey") % 13 === 0)
+            .select((col("c_custkey") + mx + 1).as("c_custkey"),
+              lit("SEG-NEW").as("c_mktsegment"), col("c_nationkey")))
+        Relational.scdType2(dim, updates, "c_custkey",
+            Seq("c_mktsegment", "c_nationkey"), lit("2022-02-28"))
+          .orderBy("c_custkey", "is_current", "valid_from")
+      },
+      Some("""WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+        |base AS (SELECT c_custkey AS k, c_mktsegment, c_nationkey FROM customer),
+        |merged AS (
+        |  SELECT k, c_mktsegment, c_nationkey, '2022-01-01' AS valid_from,
+        |    CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current FROM base WHERE k % 21 <> 0
+        |  UNION ALL SELECT k, c_mktsegment, c_nationkey, '2022-01-01', '2022-02-28', FALSE
+        |    FROM base WHERE k % 21 = 0
+        |  UNION ALL SELECT k, 'SEG-CHANGED', c_nationkey, '2022-02-28', NULL, TRUE
+        |    FROM base WHERE k % 21 = 0
+        |  UNION ALL SELECT k + mx.m + 1, 'SEG-NEW', c_nationkey, '2022-02-28', NULL, TRUE
+        |    FROM base CROSS JOIN mx WHERE k % 13 = 0)
+        |SELECT k AS c_custkey, c_mktsegment, c_nationkey, valid_from, valid_to, is_current
+        |FROM merged ORDER BY c_custkey, is_current, valid_from""".stripMargin)),
+
 
     // S16 — snapshot diff (CDC extract, the read-side complement of
     // merge_upsert): rows added/removed/changed between two snapshots,

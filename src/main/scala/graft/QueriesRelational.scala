@@ -28,6 +28,21 @@ import QuerySupport._
 private[graft] object QueriesRelational {
   val defs: Seq[Q] = Seq(
 
+    // P10 — join-key skew diagnostic (Relational.skewReport): the report a
+    // 100 TB join runs FIRST — top-k heaviest keys with exact counts and
+    // integer ppm share, the n_max input to the salts sizing rule and the
+    // number that says whether a key will serialize its join task.
+    // l_returnflag is deliberately pathological (3 keys, percent-scale
+    // shares): the report must surface exactly that. One partial-agg
+    // groupBy + top-k heap + a broadcast 1-row total.
+    Q("p10_skew_report",
+      (s, dir) => Relational.skewReport(rd(s, dir, "lineitem"), "l_returnflag", 3),
+      Some("""WITH c AS (SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_keys FROM c)
+        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, l_returnflag) AS INTEGER) AS rk,
+        |  l_returnflag, cnt, CAST(cnt * 1000000 // n_rows AS BIGINT) AS share_ppm, n_rows, n_keys
+        |FROM c CROSS JOIN t ORDER BY cnt DESC, l_returnflag LIMIT 3""".stripMargin)),
+
     // P9 — column profile report (Relational.profile): the Deequ-style
     // per-column summary (rows, nulls, distincts, stringified min/max in
     // long format) an ingest publishes before anyone writes constraints —

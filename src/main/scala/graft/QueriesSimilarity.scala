@@ -828,6 +828,28 @@ private[graft] object QueriesSimilarity {
         "FROM documents ORDER BY doc_id")),
 
 
+    // X4 — PERCEPTUAL image near-dup (Multimodal.imageDHashPairs): 64-bit
+    // dHash (decode → integer luminance → hand-rolled 9×8 block-mean →
+    // gradient sign bits) + 4×16-bit banding (pigeonhole-exact for
+    // Hamming ≤ 3) + popcount verify — the operator that catches
+    // re-encoded/edited duplicate images where byte hashing sees nothing.
+    // The fixture PLANTS the truth: ids 2k and 2k+1 render the same base
+    // image with a one-pixel perturbation on the odd id (bytes differ,
+    // perception doesn't), distinct groups are perceptually far — so the
+    // exact output is the planted pair list {(2k, 2k+1)}, an
+    // SQL-expressible oracle even though pixels aren't SQL-reachable. Any
+    // hash/banding/decode regression either drops a planted pair or
+    // admits a cross-group one; both break the hash.
+    Q("x4_image_dedup",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents").filter(col("doc_id") < 200)
+        Multimodal.imageDHashPairs(
+            Multimodal.renderNearDupPngs(docs, "doc_id"), maxHamming = 3)
+          .select("id_a", "id_b")
+          .orderBy("id_a", "id_b")
+      },
+      Some("SELECT 2 * i AS id_a, 2 * i + 1 AS id_b FROM range(0, 100) t(i) ORDER BY 1, 2")),
+
     // X4 — REAL pixel decode through the JDK codec (javax.imageio): per doc,
     // a deterministic RGB image is rendered and encoded to REAL PNG bytes on
     // the executors, then decoded back by ImageIoDecoder and compared —

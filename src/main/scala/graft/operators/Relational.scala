@@ -509,6 +509,58 @@ object Relational {
     base.join(broadcast(updates.select(keys.map(col): _*)), keys, "left_anti")
       .unionByName(updates)
 
+  /** SCD TYPE 2 merge (slowly-changing-dimension history — the warehouse
+    * lifecycle op beside [[upsert]]'s Type 1 overwrite): apply a batch of
+    * updates to a versioned dimension while PRESERVING history. The
+    * dimension carries (key, attrs..., valid_from, valid_to, is_current)
+    * with `valid_to` NULL on current rows. Per key:
+    *
+    *  - update matches the current row and any attr differs → the current
+    *    row CLOSES (valid_to = asOf, is_current = false) and a new current
+    *    row opens (valid_from = asOf);
+    *  - update matches with identical attrs → no-op (re-sending the same
+    *    state must not spawn a version — the idempotence a CDC feed needs);
+    *  - new key → a new current row opens;
+    *  - keys absent from the batch, and ALL closed history rows, pass
+    *    through untouched.
+    *
+    * 100 TB shape: history rows (the unbounded mass of a dimension — every
+    * version ever) are a pure pass-through union, never joined, never
+    * shuffled; only the CURRENT slice (bounded by live keys) joins the
+    * batch, full-outer on the key, one exchange each side. Attr comparison
+    * uses null-safe equality (`<=>`) per column so NULL attr values
+    * neither spuriously close rows nor mask real changes.
+    */
+  def scdType2(dim: DataFrame, updates: DataFrame, keyCol: String,
+               attrCols: Seq[String], asOf: Column): DataFrame = {
+    require(attrCols.nonEmpty, "need at least one tracked attribute")
+    val history = dim.filter(!col("is_current"))
+    val current = dim.filter(col("is_current"))
+    val u = updates.select((keyCol +: attrCols).map(c => col(c).as(s"__u_$c")): _*)
+    val j = current.join(u, col(keyCol) === col(s"__u_$keyCol"), "full")
+    val matched = col(keyCol).isNotNull && col(s"__u_$keyCol").isNotNull
+    val changed = matched &&
+      !attrCols.map(c => col(c) <=> col(s"__u_$c")).reduce(_ && _)
+    val dimCols = dim.columns.toSeq
+    // surviving current rows: unchanged/no-update keys as-is, changed keys closed
+    val kept = j.filter(col(keyCol).isNotNull).select(dimCols.map {
+      case "valid_to"   => when(changed, asOf).otherwise(col("valid_to")).as("valid_to")
+      case "is_current" => when(changed, lit(false)).otherwise(col("is_current")).as("is_current")
+      case c            => col(c)
+    }: _*)
+    // newly-opened rows: changed keys' new state + brand-new keys
+    val opened = j.filter(changed || col(keyCol).isNull)
+      .select(dimCols.map {
+        case `keyCol`     => col(s"__u_$keyCol").as(keyCol)
+        case "valid_from" => asOf.as("valid_from")
+        case "valid_to"   => lit(null).cast(dim.schema("valid_to").dataType).as("valid_to")
+        case "is_current" => lit(true).as("is_current")
+        case c if attrCols.contains(c) => col(s"__u_$c").as(c)
+        case c            => col(c) // untracked payload carries over (null for new keys)
+      }: _*)
+    history.unionByName(kept).unionByName(opened)
+  }
+
   /** Snapshot diff (CDC extract — the read-side complement of [[upsert]]):
     * compare two snapshots of a keyed table and emit one row per key that
     * was added, removed, or changed between them. Rows compare by an md5
@@ -652,6 +704,30 @@ object Relational {
       rules.map { case (n, _) => s"'$n', `$n`" }.mkString(", ") +
       ") as (rule, n_violations)"
     wide.select(expr(stackExpr)).orderBy("rule")
+  }
+
+  /** JOIN-KEY SKEW diagnostic — the report run BEFORE a big join to decide
+    * whether it needs salting/AQE-skew treatment (the production
+    * counterpart of the `salts` sizing rule on minhashLshPairs, which
+    * needs n_max = the heaviest key's row count as its input): the top-k
+    * heaviest keys of a column with exact counts and integer
+    * parts-per-million share of the table, plus the table totals each row
+    * carries for context. A key with share_ppm ≈ 1e6/k-partitions is
+    * even; a key holding percent-level share serializes its join task and
+    * the report names it before the join burns the cluster.
+    *
+    * 100 TB shape: one partial-aggregated groupBy(key) (shuffle bounded by
+    * distinct keys), a TakeOrderedAndProject heap for the top-k, and the
+    * 1-row total broadcast — the table streams once.
+    */
+  def skewReport(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum("cnt").as("n_rows"), count(lit(1)).as("n_keys"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("share_ppm", expr("cnt * 1000000 div n_rows"))
+      .orderBy(col("cnt").desc, col(keyCol)).limit(k)
+      .withColumn("rk", row_number().over(Window.orderBy(col("cnt").desc, col(keyCol))))
+      .select(col("rk"), col(keyCol), col("cnt"), col("share_ppm"), col("n_rows"), col("n_keys"))
   }
 
   /** Z-order (Morton) value of two non-negative integer dimensions, `bits`

@@ -432,6 +432,129 @@ object Multimodal {
       .filter(col("n_match") >= minMatch)
   }
 
+  /** Deterministic PNG fixture with PLANTED perceptual near-duplicates: ids
+    * 2k and 2k+1 render the SAME base image (every pixel a function of
+    * gid = id/2), with the odd id perturbing exactly one corner pixel —
+    * invisible to a perceptual hash, fatal to any byte-level comparison
+    * (PNG bytes differ). Base patterns vary by gid, so distinct groups are
+    * perceptually far. This is the fixture a perceptual image-dedup gate
+    * needs: the true near-dup pair set is EXACTLY {(2k, 2k+1)}, an
+    * SQL-expressible oracle.
+    */
+  def renderNearDupPngs(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val gid = id / 2
+        val w = 16 + (gid % 9).toInt; val h = 16 + (gid % 7).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        // pseudo-random pixels per group (integer avalanche mix — a linear
+        // gradient would give every group near-identical gradient-SIGN
+        // structure and spurious cross-group dHash collisions; random
+        // textures put cross-group Hamming near 32 of 64)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var v = gid * 2654435761L + x * 40503L + y * 65027L
+            v ^= v >>> 13; v *= 1274126177L; v ^= v >>> 16
+            img.setRGB(x, y, (v & 0xffffff).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        if (id % 2 == 1) // the perceptually-invisible perturbation
+          img.setRGB(0, 0, img.getRGB(0, 0) ^ 0x000008)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, "image/png", bos.toByteArray)
+      }
+    }.toDF("doc_id", "mime", "payload")
+  }
+
+  /** 64-bit difference hash (dHash) of an encoded image — the standard
+    * perceptual fingerprint (gradient signs survive re-encoding, minor
+    * pixel noise, and small edits that change every byte of the container):
+    * decode, integer-luminance, block-mean downsample to a 9×8 grid with
+    * hand-rolled integer arithmetic (floor block bounds, floor mean — NO
+    * Graphics2D rescaling, whose interpolation is JDK-implementation-
+    * defined), then one bit per horizontally-adjacent cell pair
+    * (left < right), packed row-major into a long.
+    */
+  def dHash64(payload: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val w = img.getWidth; val h = img.getHeight
+    val cell = Array.ofDim[Long](8, 9)
+    var j = 0
+    while (j < 8) {
+      val y0 = j * h / 8; val y1 = math.max((j + 1) * h / 8, y0 + 1)
+      var i = 0
+      while (i < 9) {
+        val x0 = i * w / 9; val x1 = math.max((i + 1) * w / 9, x0 + 1)
+        var sum = 0L; var n = 0L
+        var y = y0
+        while (y < math.min(y1, h)) {
+          var x = x0
+          while (x < math.min(x1, w)) {
+            val rgb = img.getRGB(x, y)
+            sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            n += 1; x += 1
+          }
+          y += 1
+        }
+        cell(j)(i) = if (n == 0) 0L else sum / n
+        i += 1
+      }
+      j += 1
+    }
+    var hash = 0L
+    j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (cell(j)(i) < cell(j)(i + 1)) hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  /** X4: PERCEPTUAL image near-dup pairs — dHash each payload (one map-side
+    * pass; payload bytes never shuffle after it), then the SimHash banding
+    * idiom: 4 × 16-bit bands give pigeonhole-exact candidate recall for
+    * Hamming ≤ 3, popcount verifies candidates only. The image counterpart
+    * of x2_simhash_pairs, and the operator that catches re-encoded /
+    * slightly-edited duplicate images where exact byte hashing
+    * ([[bandHashPairs]]) sees nothing.
+    */
+  def imageDHashPairs(media: DataFrame, maxHamming: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, dHash64(p)) })
+      .toDF("doc_id", "dhash")
+      .localCheckpoint(true) // both join sides + the verify read one pass
+    val banded = hashes.select(col("doc_id"), col("dhash"),
+      explode(expr("transform(sequence(0, 3), b -> named_struct(" +
+        "'band', b, 'key', (dhash >> (b * 16)) & 65535))")).as("bk"))
+      .select(col("doc_id"), col("dhash"), col("bk.band"), col("bk.key"))
+    banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.dhash").as("ha"), col("y.dhash").as("hb"))
+      .distinct()
+      .withColumn("hd", expr("bit_count(ha ^ hb)"))
+      .filter(col("hd") <= maxHamming)
+      .select("id_a", "id_b", "hd")
+  }
+
   /** Resize shape for image-like payloads: deterministic byte-stride
     * downsample — every `stride`-th byte of the payload becomes the
     * "resized" payload (STUB for a real image resample; the bytes→bytes

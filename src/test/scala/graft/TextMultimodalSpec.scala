@@ -377,6 +377,36 @@ class TextMultimodalSpec extends SparkSpec {
       s"chance-level pair must score below the bound pair: $out")
   }
 
+  test("dHash64/imageDHashPairs: perturbation-invariant, re-encode-invariant, cross-group far") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, "")).toDF("doc_id", "text")
+    val media = Multimodal.renderNearDupPngs(docs, "doc_id")
+    val payloads = media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .collect().toMap
+    // planted near-dups hash within the Hamming-3 gate; the PNG bytes differ
+    (0L until 40L by 2).foreach { k =>
+      val hd = java.lang.Long.bitCount(
+        Multimodal.dHash64(payloads(k)) ^ Multimodal.dHash64(payloads(k + 1)))
+      assert(hd <= 3, s"planted pair ($k, ${k + 1}) at Hamming $hd")
+      assert(!payloads(k).sameElements(payloads(k + 1)), "bytes must differ")
+    }
+    // cross-group pairs are FAR (the pseudo-random textures decorrelate)
+    val h0 = Multimodal.dHash64(payloads(0))
+    (2L until 40L by 2).foreach { k =>
+      val hd = java.lang.Long.bitCount(h0 ^ Multimodal.dHash64(payloads(k)))
+      assert(hd > 10, s"group 0 vs $k unexpectedly close: $hd")
+    }
+    // re-encoding invariance: PNG -> decode -> re-encode -> identical dHash
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payloads(0)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    assert(Multimodal.dHash64(bos.toByteArray) == h0)
+    // the pair operator recovers exactly the planted list
+    val pairs = Multimodal.imageDHashPairs(media, 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pairs.toSeq == (0L until 40L by 2).map(k => (k, k + 1)))
+  }
+
   test("GIF frame codec: real multi-frame roundtrip, per-frame histograms exact, payload never shuffles") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 3L, 7L, 42L).toDF("doc_id")
