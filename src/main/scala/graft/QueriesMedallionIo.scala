@@ -543,6 +543,55 @@ private[graft] object QueriesMedallionIo {
         "CAST(2 AS BIGINT) AS v1_cols, TRUE AS type_change_rejected " +
         "FROM orders GROUP BY 1 ORDER BY 1")),
 
+    // S17 — MERGE INTO with dir-level copy-on-write (VersionedTable
+    // .mergeInto — the Delta MERGE shape at commit-dir granularity): four
+    // key-range-banded appends, then an upsert batch confined to band 2's
+    // key range; the manifest [min,max] gate must rewrite ONLY that one
+    // dir (dirs_rewritten = 1 of 4, driver-visible) while the other three
+    // carry into the new manifest by reference with their stats. The merge
+    // runs in the FIXTURE (it is idempotent under its commitId, so a live
+    // re-run would measure the no-op branch); the probe reads the merged
+    // snapshot, whose content the oracle recomputes as plain CASE logic
+    // over the raw table — any lost row, leaked pre-image, or wrong-dir
+    // rewrite breaks the hash.
+    Q("versioned_merge",
+      (s, dir) => {
+        val (root, hit, total) = Fixtures.once(s, dir, "vt_merge") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_merge_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          Seq(("m1", col("o_orderkey") <= b1),
+            ("m2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("m3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
+            ("m4", col("o_orderkey") > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"merge-$id",
+              statsCols = Seq("o_orderkey"))
+          }
+          val upd = o.filter(col("o_orderkey") > b1 && col("o_orderkey") <= b2 &&
+              col("o_orderkey") % 3 === 0)
+            .select(col("o_orderkey"), lit("X-UPDATED").as("o_orderpriority"),
+              col("o_totalprice"))
+          val (_, h, t) = graft.io.VersionedTable.mergeInto(s, r, upd,
+            "o_orderkey", "merge-apply", statsCols = Seq("o_orderkey"))
+          (r, h.toLong, t.toLong)
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("dirs_rewritten", lit(hit))
+          .withColumn("dirs_total", lit(total))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH q AS (SELECT max(o_orderkey) // 4 AS q1, max(o_orderkey) // 2 AS q2 FROM orders),
+        |m AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey > q1 AND o_orderkey <= q2 AND o_orderkey % 3 = 0
+        |    THEN 'X-UPDATED' ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders CROSS JOIN q)
+        |SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS dirs_rewritten, CAST(4 AS BIGINT) AS dirs_total
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // MERGE-style upsert (table maintenance): a CDC batch (every 10th order,
     // re-priced, status 'U') replaces matching base rows and passes the rest

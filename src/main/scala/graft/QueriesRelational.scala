@@ -43,6 +43,67 @@ private[graft] object QueriesRelational {
         |  l_returnflag, cnt, CAST(cnt * 1000000 // n_rows AS BIGINT) AS share_ppm, n_rows, n_keys
         |FROM c CROSS JOIN t ORDER BY cnt DESC, l_returnflag LIMIT 3""".stripMargin)),
 
+    // P11 — partition checksum audit (Relational.partitionChecksum): per
+    // partition, row count + an ORDER-INDEPENDENT integer checksum (sum of
+    // per-row md5-head integers over the snapshotDiff-style column
+    // fingerprint) — the cross-replica consistency check a replicated
+    // table runs instead of comparing rows; addition commutes, so the
+    // aggregate partial-combines map-side and no sort ever happens.
+    Q("p11_partition_checksum",
+      (s, dir) => Relational.partitionChecksum(rd(s, dir, "orders"),
+          "o_orderpriority", Seq("o_orderkey", "o_orderstatus"))
+        .orderBy("o_orderpriority"),
+      Some {
+        val fp = "md5(COALESCE(md5(CAST(o_orderkey AS VARCHAR)), 'null') || '|' || " +
+          "COALESCE(md5(CAST(o_orderstatus AS VARCHAR)), 'null'))"
+        s"""SELECT o_orderpriority, count(*) AS n_rows,
+          |  CAST(sum(${duckHex(fp)}) AS BIGINT) AS checksum
+          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // A17 — exact weighted median per group (Relational.weightedMedian):
+    // the 50% point of the WEIGHT mass — smallest value whose cumulative
+    // weight doubles past the total. Integer-exact (no interpolation), one
+    // (group, value) aggregate + one partitioned cumulative window.
+    Q("a17_weighted_median",
+      (s, dir) => Relational.weightedMedian(rd(s, dir, "lineitem"),
+          "l_returnflag", "l_quantity", "l_linenumber")
+        .orderBy("l_returnflag"),
+      Some("""WITH byv AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS v,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2),
+        |c AS (SELECT l_returnflag, v, w,
+        |  sum(w) OVER (PARTITION BY l_returnflag ORDER BY v) AS cum,
+        |  sum(w) OVER (PARTITION BY l_returnflag) AS tot FROM byv)
+        |SELECT l_returnflag, CAST(min(v) AS BIGINT) AS weighted_median,
+        |  CAST(max(tot) AS BIGINT) AS total_weight
+        |FROM c WHERE cum * 2 >= tot GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A18 — GROUPED KMV quantile sketch (Sketches.kmvQuantileGrouped):
+    // the a14 bottom-k-by-hash sketch per group, with every window
+    // PARTITIONED BY the group key — per-group state is k rows and
+    // nothing orders globally. Estimate and exact emitted side by side
+    // per (group, quantile), so sketch error is driver-visible.
+    Q("a18_kmv_grouped",
+      (s, dir) => Sketches.kmvQuantileGrouped(rd(s, dir, "orders"),
+          "o_orderpriority", "o_orderkey", 64, Seq((1, 2), (9, 10)))
+        .orderBy("o_orderpriority", "q_num"),
+      Some("""WITH dom AS (SELECT DISTINCT o_orderpriority AS g, o_orderkey AS v FROM orders),
+        |samp AS (SELECT g, v FROM (SELECT g, v,
+        |  row_number() OVER (PARTITION BY g ORDER BY md5(CAST(v AS VARCHAR)), v) AS hrk FROM dom)
+        |  WHERE hrk <= 64),
+        |rkd AS (SELECT g, v, CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS rk,
+        |  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS sn FROM samp),
+        |ext AS (SELECT g, v, CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS erk,
+        |  CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS en FROM dom),
+        |qs AS (SELECT * FROM (VALUES (1, 2), (9, 10)) AS t(q_num, q_den)),
+        |e1 AS (SELECT g, q_num, q_den, v AS est FROM qs JOIN rkd
+        |  ON rk = (sn * q_num + q_den - 1) // q_den),
+        |e2 AS (SELECT g, q_num, q_den, v AS "exact" FROM qs JOIN ext
+        |  ON erk = (en * q_num + q_den - 1) // q_den)
+        |SELECT e1.g AS o_orderpriority, e1.q_num, e1.q_den, est, "exact"
+        |FROM e1 JOIN e2 ON e1.g = e2.g AND e1.q_num = e2.q_num AND e1.q_den = e2.q_den
+        |ORDER BY 1, 2""".stripMargin)),
+
     // P9 — column profile report (Relational.profile): the Deequ-style
     // per-column summary (rows, nulls, distincts, stringified min/max in
     // long format) an ingest publishes before anyone writes constraints —

@@ -554,6 +554,74 @@ object VersionedTable {
     else scanDirs(spark, added, toC.partitionCols, toC.schemaDdl)
   }
 
+  /** MERGE INTO with DIR-LEVEL COPY-ON-WRITE (the Delta MERGE shape at this
+    * log's commit-dir granularity): apply an upsert batch — rows of
+    * `updates` replace same-key rows, unmatched update rows insert — while
+    * REWRITING ONLY the data dirs whose manifest [min, max] for `keyCol`
+    * overlaps the batch's key range. Untouched dirs carry into the new
+    * manifest BY REFERENCE, with their stats and blooms; the rewritten
+    * span plus all inserts land as one fresh dir.
+    *
+    * This is the operation that makes point-updates affordable on an
+    * append-grown 100 TB table: with time/id-correlated commits and a
+    * recent-keyed batch (the overwhelmingly common CDC shape), the
+    * key-range gate prunes old history to pass-through references and the
+    * rewrite cost is O(matched commits + batch), not O(table). Dirs
+    * without stats rewrite conservatively — pruning is an optimization,
+    * never a correctness input, because the range gate can only ADD dirs
+    * to the rewrite set. Pinned-parent publication like [[compact]]: if
+    * any writer advances the log mid-rewrite we fail loudly; idempotent
+    * under commitId retry. Returns (version, dirsRewritten, dirsTotal).
+    */
+  def mergeInto(spark: SparkSession, root: String, updates: DataFrame,
+                keyCol: String, commitId: String,
+                statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    history(root).find(_.commitId == commitId) match {
+      case Some(prior) => (prior.version, -1, -1) // retry of a committed merge
+      case None =>
+        val parent = history(root).lastOption
+          .getOrElse(sys.error(s"mergeInto: no commits at $root"))
+        require(parent.partitionCols.isEmpty,
+          "mergeInto currently supports flat (non-hive-partitioned) snapshots")
+        // bounded scalar probe: the batch's key envelope
+        val r = updates.agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).head()
+        require(!r.isNullAt(0), "mergeInto: empty update batch")
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        val (hit, pass) = parent.dirs.partition { d =>
+          parent.stats.get(d).flatMap(_.get(keyCol)) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None           => true // no stats: conservatively rewrite
+          }
+        }
+        val v = parent.version + 1
+        val dirName = f"data/$v%010d-$commitId"
+        val merged =
+          if (hit.isEmpty) updates
+          else {
+            val base = scanDirs(spark, hit.map(d => s"$root/$d"), Nil, parent.schemaDdl)
+            base.join(
+                org.apache.spark.sql.functions.broadcast(updates.select(col(keyCol))),
+                Seq(keyCol), "left_anti")
+              .unionByName(updates)
+          }
+        merged.write.mode("overwrite").parquet(s"$root/$dirName")
+        val dirStats = gatherStats(spark, s"$root/$dirName", statsCols)
+        val dirBlooms = gatherBlooms(spark, s"$root/$dirName", bloomCols)
+        val keptStats = parent.stats.filter { case (d, _) => pass.contains(d) }
+        val keptBlooms = parent.blooms.filter { case (d, _) => pass.contains(d) }
+        val c = Commit(v, commitId, "merge", pass :+ dirName,
+          if (dirStats.isEmpty) keptStats else keptStats + (dirName -> dirStats),
+          Nil,
+          if (dirBlooms.isEmpty) keptBlooms else keptBlooms + (dirName -> dirBlooms),
+          parent.schemaDdl.orElse(Some(updates.schema.toDDL)))
+        if (!publishIfAbsent(root, v, c))
+          sys.error(s"mergeInto: log advanced past v${parent.version} during the rewrite; " +
+            "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
+        (v, hit.size, parent.dirs.size)
+    }
+  }
+
   /** History-preserving rollback (Delta RESTORE semantics): commits a NEW
     * version whose dir list equals `toVersion`'s — no data moves, the bad
     * versions stay inspectable in the log, and time travel to them still

@@ -730,6 +730,46 @@ object Relational {
       .select(col("rk"), col(keyCol), col("cnt"), col("share_ppm"), col("n_rows"), col("n_keys"))
   }
 
+  /** Exact WEIGHTED MEDIAN per group — the robust central-tendency
+    * aggregate (the 50 % point of the weight mass, not the row count):
+    * smallest value v with cumWeight(≤ v) · 2 ≥ totalWeight. Integer-exact
+    * by construction, so any engine agrees bit-for-bit — float-interpolated
+    * percentile_approx cannot cross-check like this. Shape: one
+    * (group, value) weight aggregate (partial map-side), one partitioned
+    * cumulative window, one min — nothing global, state per group bounded
+    * by distinct values.
+    */
+  def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
+                     weightCol: String): DataFrame = {
+    val byVal = df.groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .agg(sum(col(weightCol).cast("long")).as("__w"))
+    val win = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
+    byVal
+      .withColumn("__cum", sum("__w").over(win))
+      .withColumn("__tot", sum("__w").over(Window.partitionBy(col(groupCol))))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col(groupCol))
+      .agg(min(col("__v")).as("weighted_median"), max(col("__tot")).as("total_weight"))
+  }
+
+  /** PARTITION CHECKSUM audit — the cross-replica/cross-engine consistency
+    * check a replicated 100 TB table runs instead of comparing rows: per
+    * partition, the row count and an ORDER-INDEPENDENT integer checksum
+    * (sum of each row's md5-head integer over the [[snapshotDiff]]-style
+    * per-column fingerprint, so no separator/NULL ambiguity and no sort is
+    * ever needed — addition commutes, the aggregate partial-combines
+    * map-side). Two replicas disagree on any row of any partition ⇔ that
+    * partition's (n_rows, checksum) pair disagrees.
+    */
+  def partitionChecksum(df: DataFrame, partCol: String, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one checksummed column")
+    val fp = md5(concat_ws("|",
+      cols.map(c => coalesce(md5(col(c).cast("string")), lit("null"))): _*))
+    df.groupBy(col(partCol))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(conv(substring(fp, 1, 8), 16, 10).cast("long")).as("checksum"))
+  }
+
   /** Z-order (Morton) value of two non-negative integer dimensions, `bits`
     * bits each: bit j of x lands at position 2j, bit j of y at 2j+1. Rows
     * sorted/range-partitioned by this value cluster near in BOTH dimensions,

@@ -81,6 +81,40 @@ object Sketches {
         Seq("q_num", "q_den"))
   }
 
+  /** GROUPED KMV quantile sketch — [[kmvQuantile]] per group, in the shape
+    * that actually scales: the bottom-k-by-hash selection and the value
+    * ranks are windows PARTITIONED BY the group key (hash-distributed, no
+    * global ordering anywhere), so per-group sketch state is k rows and the
+    * whole estimate costs two partitioned window passes over the distinct
+    * (group, value) domain. Emits estimate AND exact per (group, quantile)
+    * so the sketch's error is driver-visible per group, like the global
+    * form.
+    */
+  def kmvQuantileGrouped(df: DataFrame, groupCol: String, valueCol: String, k: Int,
+                         quantiles: Seq[(Int, Int)]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val domain = df.select(col(groupCol).as("g"), col(valueCol).cast("long").as("v")).distinct()
+    val byG = Window.partitionBy("g")
+    val sample = domain
+      .withColumn("hrk", row_number().over(byG.orderBy(md5(col("v").cast("string")), col("v"))))
+      .filter(col("hrk") <= k)
+    val ranked = sample
+      .withColumn("rk", row_number().over(byG.orderBy("v")).cast("long"))
+      .withColumn("sn", count(lit(1)).over(byG).cast("long"))
+    val exact = domain
+      .withColumn("erk", row_number().over(byG.orderBy("v")).cast("long"))
+      .withColumn("en", count(lit(1)).over(byG).cast("long"))
+    val qdf = broadcast(quantiles.toDF("q_num", "q_den"))
+    qdf.join(ranked, expr("rk = (sn * q_num + q_den - 1) div q_den"))
+      .select(col("g"), col("q_num"), col("q_den"), col("v").as("est"))
+      .join(qdf.join(exact, expr("erk = (en * q_num + q_den - 1) div q_den"))
+          .select(col("g"), col("q_num"), col("q_den"), col("v").as("exact")),
+        Seq("g", "q_num", "q_den"))
+      .withColumnRenamed("g", groupCol)
+  }
+
   /** Scalar HLL estimate alongside the exact distinct count. The estimate is
     * emitted as floor(est * 10^4) — an integer, so no float rendering enters
     * the comparison surface. alphaM for m=64 is the standard 0.709.

@@ -407,6 +407,38 @@ class IoSpec extends SparkSpec {
       Seq((30L, "f")).toDF("id", "s"), root, "append", "c4", statsCols = Seq("s")))
   }
 
+  test("VersionedTable.mergeInto: rewrites only range-hit dirs, untouched dirs pass by reference, inserts land, idempotent") {
+    import spark.implicits._
+    val root = tmpDir("vt_merge")
+    // three disjoint key bands, stats on id
+    VersionedTable.commit(Seq((1L, "a"), (5L, "b")).toDF("id", "s"), root, "append", "m1",
+      statsCols = Seq("id"))
+    VersionedTable.commit(Seq((10L, "c"), (15L, "d")).toDF("id", "s"), root, "append", "m2",
+      statsCols = Seq("id"))
+    VersionedTable.commit(Seq((20L, "e"), (25L, "f")).toDF("id", "s"), root, "append", "m3",
+      statsCols = Seq("id"))
+    val before = VersionedTable.history(root).last.dirs
+    // batch: update key 10, insert key 12 — both inside band 2's range only
+    val (v, hit, total) = VersionedTable.mergeInto(spark,
+      root, Seq((10L, "C2"), (12L, "NEW")).toDF("id", "s"), "id", "m-apply")
+    assert(v == 4L && hit == 1 && total == 3, s"($v, $hit, $total)")
+    val after = VersionedTable.history(root).last
+    // bands 1 and 3 pass through BY REFERENCE (same dir names), with stats
+    assert(after.dirs.count(before.contains) == 2)
+    assert(before.filter(after.dirs.contains).forall(d => after.stats.contains(d)))
+    val rows = VersionedTable.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (5L, "b"), (10L, "C2"), (12L, "NEW"),
+      (15L, "d"), (20L, "e"), (25L, "f")), rows.toString)
+    // retry of the same commitId is a no-op (sentinel counts, log length 4)
+    assert(VersionedTable.mergeInto(spark, root,
+      Seq((10L, "X")).toDF("id", "s"), "id", "m-apply") == ((4L, -1, -1)))
+    assert(VersionedTable.history(root).size == 4)
+    // CDC refuses to cross the merge (dirs were removed), like overwrites
+    intercept[IllegalArgumentException](
+      VersionedTable.changesBetween(spark, root, 2L, 4L))
+  }
+
   test("VersionedTable: add-column evolution backfills NULLs, time travel keeps old shape, type change and drop refused") {
     import spark.implicits._
     val root = tmpDir("vt_schema")
