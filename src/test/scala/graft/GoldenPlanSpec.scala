@@ -67,7 +67,13 @@ class GoldenPlanSpec extends SparkSpec {
     "x6_dsir" -> "BroadcastNestedLoopJoin=2, BroadcastHashJoin=2, SortMergeJoin=1, BroadcastExchange=4, Exchange hashpartitioning=6, Exchange SinglePartition=2, HashAggregate=14, TakeOrderedAndProject=1, Generate=5",
     "x1_dedup_matrix" -> "ShuffledHashJoin=2, Exchange hashpartitioning=5, Exchange rangepartitioning=1, HashAggregate=2",
     "x1_survivorship" -> "ShuffledHashJoin=3, SortMergeJoin=2, Exchange hashpartitioning=8, Exchange rangepartitioning=1, HashAggregate=2, WindowGroupLimit=2, Window=1",
-    "x9_semisupervised" -> "BroadcastNestedLoopJoin=14, BroadcastHashJoin=35, ShuffledHashJoin=6, BroadcastExchange=49, Exchange hashpartitioning=79, Exchange rangepartitioning=1, HashAggregate=90, ObjectHashAggregate=56, WindowGroupLimit=20, Window=17, Generate=56")
+    "x9_semisupervised" -> "BroadcastNestedLoopJoin=14, BroadcastHashJoin=35, ShuffledHashJoin=6, BroadcastExchange=49, Exchange hashpartitioning=79, Exchange rangepartitioning=1, HashAggregate=90, ObjectHashAggregate=56, WindowGroupLimit=20, Window=17, Generate=56",
+    // r11 additions: the graph/join rows now in the bench top-10 (their
+    // BNL/SHJ shapes are exactly what a silent planner flip would break)
+    "g3_label_prop" -> "BroadcastHashJoin=45, ShuffledHashJoin=14, BroadcastExchange=45, Exchange hashpartitioning=44, Exchange rangepartitioning=1, HashAggregate=60, WindowGroupLimit=14, Window=7",
+    "j9_skew_salted_join" -> "BroadcastHashJoin=1, BroadcastExchange=1, Exchange hashpartitioning=1, Exchange rangepartitioning=1, HashAggregate=2, Generate=1",
+    "g2_trustrank" -> "BroadcastNestedLoopJoin=4, BroadcastHashJoin=24, ShuffledHashJoin=9, BroadcastExchange=28, Exchange hashpartitioning=21, Exchange SinglePartition=4, HashAggregate=44, TakeOrderedAndProject=1",
+    "a13_heavy_hitters" -> "BroadcastNestedLoopJoin=2, BroadcastHashJoin=2, BroadcastExchange=4, Exchange hashpartitioning=3, HashAggregate=8, TakeOrderedAndProject=2, Generate=3")
 
   test("plan fingerprints of the heaviest batch queries match the committed goldens") {
     val actual = golden.keys.toSeq.sorted.map(n => n -> fingerprint(n))
