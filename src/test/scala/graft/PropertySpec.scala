@@ -153,4 +153,40 @@ class PropertySpec extends SparkSpec {
       assert(back.except(df).count() == 0 && df.except(back).count() == 0)
     }
   }
+
+  test("scdType2 matches a brute-force reference on random dimensions and batches") {
+    import spark.implicits._
+    // dimension: keys 0..9 with random attr; update batches: random subset
+    // of keys 0..14 (5 keys are inserts) with random attrs — covering
+    // change, no-op resend, absent key, and insert per draw
+    val dimGen = Gen.listOfN(10, Gen.choose(0, 3))
+    val updGen = Gen.listOfN(8, Gen.zip(Gen.choose(0L, 14L), Gen.choose(0, 3)))
+    samples(Gen.zip(dimGen, updGen), 6).foreach { case (attrs, updRaw) =>
+      val upd = updRaw.groupBy(_._1).map(_._2.head).toSeq // one update per key
+      val dim = attrs.zipWithIndex.map { case (a, k) =>
+        (k.toLong, s"attr$a", "2022-01-01", null: String, true)
+      }.toDF("k", "attr", "valid_from", "valid_to", "is_current")
+      val updates = upd.map { case (k, a) => (k, s"attr$a") }.toDF("k", "attr")
+      val got = Relational.scdType2(dim, updates, "k", Seq("attr"), lit("2022-02-28"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          Option(r.getString(3)), r.getBoolean(4))).toSet
+      // brute-force reference
+      val dimMap = attrs.zipWithIndex.map { case (a, k) => k.toLong -> s"attr$a" }.toMap
+      val expect = scala.collection.mutable.Set[(Long, String, String, Option[String], Boolean)]()
+      dimMap.foreach { case (k, a) =>
+        upd.toMap.get(k) match {
+          case Some(ua) if s"attr$ua" != a => // changed: close + reopen
+            expect += ((k, a, "2022-01-01", Some("2022-02-28"), false))
+            expect += ((k, s"attr$ua", "2022-02-28", None, true))
+          case _ => // no-op resend or absent: untouched
+            expect += ((k, a, "2022-01-01", None, true))
+        }
+      }
+      upd.foreach { case (k, ua) =>
+        if (!dimMap.contains(k)) expect += ((k, s"attr$ua", "2022-02-28", None, true))
+      }
+      assert(got == expect.toSet,
+        s"scdType2 mismatch:\n extra=${got -- expect}\n missing=${expect.toSet -- got}")
+    }
+  }
 }
