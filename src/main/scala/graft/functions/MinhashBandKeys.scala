@@ -32,6 +32,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * (a < 2^29, h < 2^32 ⇒ no overflow); band key b = "b:" + its bandSize
   * minima joined with '-' in seed order. A tokenless document yields an
   * EMPTY array, matching the aggregate pipeline which emits no rows for it.
+  * DELIBERATE deviation for NULL text: this expression null-propagates
+  * (standard BinaryExpression semantics — the row drops at the downstream
+  * explode), where the composed HOF form emitted degenerate non-null keys
+  * ("0:", "1:", ...) that made every null-text document collide with every
+  * other in one bucket per band. Null text carries no content to band;
+  * dropping it is the correct dedup semantics, and no fixture carries null
+  * text so the oracles see no difference.
   *
   * Seeds and modulus come from the engine's single source of truth
   * (operators.ext.Dedup.minhashSeeds / minhashP — also the values unrolled

@@ -400,11 +400,14 @@ object VersionedTable {
     * disables skipping for that dir.
     */
   def planPoint(root: String, colName: String, value: Long,
-                asOf: Option[Long] = None): Seq[String] = {
-    val log = history(root)
-    require(log.nonEmpty, s"no commits at $root")
-    val c = asOf.fold(log.last)(v =>
-      log.find(_.version == v).getOrElse(sys.error(s"version $v not in log at $root")))
+                asOf: Option[Long] = None,
+                resolved: Option[Commit] = None): Seq[String] = {
+    val c = resolved.getOrElse {
+      val log = history(root)
+      require(log.nonEmpty, s"no commits at $root")
+      asOf.fold(log.last)(v =>
+        log.find(_.version == v).getOrElse(sys.error(s"version $v not in log at $root")))
+    }
     c.dirs.filter { d =>
       val f = bloomFile(s"$root/$d", colName)
       if (c.blooms.get(d).exists(_.contains(colName)) && Files.isRegularFile(f))
@@ -425,14 +428,20 @@ object VersionedTable {
   def readPoint(spark: SparkSession, root: String, colName: String, value: Long,
                 asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val kept = planPoint(root, colName, value, asOf)
-    val all = read(spark, root, asOf) // also validates the snapshot
-    val pred = col(colName) === value
+    // resolve the snapshot ONCE — the hot read path must not re-list and
+    // re-parse the manifest log per lookup
     val log = history(root)
-    val layout = asOf.fold(log.last)(v => log.find(_.version == v).get).partitionCols
-    if (kept.isEmpty) all.limit(0).filter(pred)
-    else scanDirs(spark, kept.map(d => s"$root/$d"), layout,
-      asOf.fold(log.last)(v => log.find(_.version == v).get).schemaDdl).filter(pred)
+    require(log.nonEmpty, s"no commits at $root")
+    val c = asOf.fold(log.last)(v =>
+      log.find(_.version == v).getOrElse(sys.error(s"version $v not in log at $root")))
+    val kept = planPoint(root, colName, value, asOf, resolved = Some(c))
+    val pred = col(colName) === value
+    c.dirs.foreach(d => require(new File(s"$root/$d").isDirectory,
+      s"snapshot v${c.version} references vacuumed dir $root/$d"))
+    if (kept.isEmpty)
+      scanDirs(spark, c.dirs.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl)
+        .limit(0).filter(pred)
+    else scanDirs(spark, kept.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl).filter(pred)
   }
 
   /** Data-skipping range read: rows of the snapshot with `lo <= colName <= hi`,
@@ -447,25 +456,33 @@ object VersionedTable {
   def readRange(spark: SparkSession, root: String, colName: String, lo: Long, hi: Long,
                 asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val kept = planRange(root, colName, lo, hi, asOf)
-    val all = read(spark, root, asOf) // also validates the snapshot
-    val pred = col(colName) >= lo && col(colName) <= hi
+    // resolve the snapshot ONCE, like readPoint
     val log = history(root)
-    val layout = asOf.fold(log.last)(v => log.find(_.version == v).get).partitionCols
-    if (kept.isEmpty) all.limit(0).filter(pred)
-    else scanDirs(spark, kept.map(d => s"$root/$d"), layout,
-      asOf.fold(log.last)(v => log.find(_.version == v).get).schemaDdl).filter(pred)
+    require(log.nonEmpty, s"no commits at $root")
+    val c = asOf.fold(log.last)(v =>
+      log.find(_.version == v).getOrElse(sys.error(s"version $v not in log at $root")))
+    val kept = planRange(root, colName, lo, hi, asOf, resolved = Some(c))
+    val pred = col(colName) >= lo && col(colName) <= hi
+    c.dirs.foreach(d => require(new File(s"$root/$d").isDirectory,
+      s"snapshot v${c.version} references vacuumed dir $root/$d"))
+    if (kept.isEmpty)
+      scanDirs(spark, c.dirs.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl)
+        .limit(0).filter(pred)
+    else scanDirs(spark, kept.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl).filter(pred)
   }
 
   /** The dirs [[readRange]] would scan: snapshot dirs whose [min, max] for
     * `colName` overlaps [lo, hi], plus all dirs lacking stats for it.
     */
   def planRange(root: String, colName: String, lo: Long, hi: Long,
-                asOf: Option[Long] = None): Seq[String] = {
-    val log = history(root)
-    require(log.nonEmpty, s"no commits at $root")
-    val c = asOf.fold(log.last)(v =>
-      log.find(_.version == v).getOrElse(sys.error(s"version $v not in log at $root")))
+                asOf: Option[Long] = None,
+                resolved: Option[Commit] = None): Seq[String] = {
+    val c = resolved.getOrElse {
+      val log = history(root)
+      require(log.nonEmpty, s"no commits at $root")
+      asOf.fold(log.last)(v =>
+        log.find(_.version == v).getOrElse(sys.error(s"version $v not in log at $root")))
+    }
     c.dirs.filter { d =>
       c.stats.get(d).flatMap(_.get(colName)) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
@@ -584,8 +601,45 @@ object VersionedTable {
           .getOrElse(sys.error(s"mergeInto: no commits at $root"))
         require(parent.partitionCols.isEmpty,
           "mergeInto currently supports flat (non-hive-partitioned) snapshots")
+        // integral key only: the range gate compares manifest [min, max]
+        // longs, and a silent cast would null a string key's envelope and
+        // masquerade as an empty batch
+        updates.schema(keyCol).dataType match {
+          case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => ()
+          case other => sys.error(
+            s"mergeInto requires an integral key column, got $keyCol: $other")
+        }
+        // the batch schema must match the snapshot's EXACTLY (name → type):
+        // merge is not schema evolution, and the no-overlap fast path below
+        // writes the batch verbatim under the parent's declared schema — an
+        // unvalidated column drop would silently NULL-backfill on read and
+        // a type change would corrupt the scan, both after publication
+        parent.schemaDdl.foreach { pd =>
+          val ps = org.apache.spark.sql.types.StructType.fromDDL(pd)
+          val want = ps.fields.map(f => f.name -> f.dataType.sql).toMap
+          val got = updates.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+          require(want == got,
+            s"mergeInto: batch schema ${got.toSeq.sorted} must equal the snapshot schema " +
+              s"${want.toSeq.sorted} (use commit(mode=append) for add-column evolution)")
+        }
+        // duplicate batch keys would multiply through the anti-join + union
+        // into duplicate rows ('replace same-key rows' silently broken);
+        // refuse loudly, executor-side, before anything is written
+        val guarded = {
+          import org.apache.spark.sql.functions.{concat, count, lit, raise_error, when}
+          val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+          // the guard lives in a FILTER predicate, not a dropped column — a
+          // projected-then-dropped raise_error would be pruned unevaluated
+          updates
+            .withColumn("__n", count(lit(1)).over(w))
+            .filter(when(col("__n") > 1,
+                raise_error(concat(lit("mergeInto: duplicate batch key "),
+                  col(keyCol).cast("string"))).cast("boolean"))
+              .otherwise(lit(true)))
+            .drop("__n")
+        }
         // bounded scalar probe: the batch's key envelope
-        val r = updates.agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).head()
+        val r = guarded.agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).head()
         require(!r.isNullAt(0), "mergeInto: empty update batch")
         val (lo, hi) = (r.getLong(0), r.getLong(1))
         val (hit, pass) = parent.dirs.partition { d =>
@@ -597,13 +651,13 @@ object VersionedTable {
         val v = parent.version + 1
         val dirName = f"data/$v%010d-$commitId"
         val merged =
-          if (hit.isEmpty) updates
+          if (hit.isEmpty) guarded
           else {
             val base = scanDirs(spark, hit.map(d => s"$root/$d"), Nil, parent.schemaDdl)
             base.join(
-                org.apache.spark.sql.functions.broadcast(updates.select(col(keyCol))),
+                org.apache.spark.sql.functions.broadcast(guarded.select(col(keyCol))),
                 Seq(keyCol), "left_anti")
-              .unionByName(updates)
+              .unionByName(guarded)
           }
         merged.write.mode("overwrite").parquet(s"$root/$dirName")
         val dirStats = gatherStats(spark, s"$root/$dirName", statsCols)

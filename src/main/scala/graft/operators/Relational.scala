@@ -503,7 +503,12 @@ object Relational {
     * base rows pass through. Expressed as anti-join + union — the CDC batch
     * is broadcast (it is small relative to the base by construction), so the
     * 100 TB base never shuffles: one streamed pass, no sort, no wide state.
-    * Schemas must match by name (enforced by unionByName).
+    * Schemas must match by name (enforced by unionByName). CALLER CONTRACT:
+    * the batch must carry at most one row per key — every copy of a
+    * duplicated key would land (this op adds no per-key window so the base
+    * pass stays exchange-free); feeds that can replay pre-collapse to
+    * last-writer-wins first, or use VersionedTable.mergeInto, which
+    * enforces uniqueness loudly.
     */
   def upsert(base: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
     base.join(broadcast(updates.select(keys.map(col): _*)), keys, "left_anti")
@@ -741,7 +746,19 @@ object Relational {
     */
   def weightedMedian(df: DataFrame, groupCol: String, valueCol: String,
                      weightCol: String): DataFrame = {
-    val byVal = df.groupBy(col(groupCol), col(valueCol).cast("long").as("__v"))
+    // INTEGRAL values only, enforced at runtime: Spark's cast-to-long
+    // TRUNCATES fractional values while SQL engines' CAST rounds, so a
+    // silent cast on 2.7 would quietly desynchronize the engines the
+    // operator promises agree bit-for-bit. Integral-VALUED doubles/decimals
+    // (TPC-H quantities) cast losslessly and pass; anything fractional
+    // raises with the offending value.
+    val vLong = col(valueCol).cast("long")
+    val vChecked = when(col(valueCol).isNotNull &&
+        col(valueCol).cast("double") =!= vLong.cast("double"),
+        raise_error(concat(lit(s"weightedMedian: non-integral $valueCol value: "),
+          col(valueCol).cast("string"))).cast("long"))
+      .otherwise(vLong)
+    val byVal = df.groupBy(col(groupCol), vChecked.as("__v"))
       .agg(sum(col(weightCol).cast("long")).as("__w"))
     val win = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
     byVal

@@ -437,6 +437,24 @@ class IoSpec extends SparkSpec {
     // CDC refuses to cross the merge (dirs were removed), like overwrites
     intercept[IllegalArgumentException](
       VersionedTable.changesBetween(spark, root, 2L, 4L))
+    // duplicate batch keys refused LOUDLY (they would multiply through the
+    // anti-join + union into duplicate rows)
+    val dup = intercept[Exception](VersionedTable.mergeInto(spark, root,
+      Seq((30L, "A"), (30L, "B")).toDF("id", "s"), "id", "m-dup"))
+    assert(dup.getMessage != null &&
+      (dup.getMessage.contains("duplicate batch key") ||
+        Option(dup.getCause).exists(_.getMessage.contains("duplicate batch key"))),
+      s"got: ${dup.getMessage}")
+    // schema-mismatched batch refused before publication (merge is not
+    // schema evolution; the no-overlap fast path writes verbatim)
+    val bad = intercept[IllegalArgumentException](VersionedTable.mergeInto(spark, root,
+      Seq(1000L).toDF("id"), "id", "m-narrow"))
+    assert(bad.getMessage.contains("must equal the snapshot schema"), bad.getMessage)
+    // string-keyed batch refused with a type error, not 'empty batch'
+    val sk = intercept[RuntimeException](VersionedTable.mergeInto(spark, root,
+      Seq(("k", "v")).toDF("id", "s"), "id", "m-str"))
+    assert(sk.getMessage.contains("integral key"), sk.getMessage)
+    assert(VersionedTable.history(root).size == 4, "refused merges must not advance the log")
   }
 
   test("VersionedTable: add-column evolution backfills NULLs, time travel keeps old shape, type change and drop refused") {
