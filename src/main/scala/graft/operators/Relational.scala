@@ -541,7 +541,21 @@ object Relational {
     require(attrCols.nonEmpty, "need at least one tracked attribute")
     val history = dim.filter(!col("is_current"))
     val current = dim.filter(col("is_current"))
-    val u = updates.select((keyCol +: attrCols).map(c => col(c).as(s"__u_$c")): _*)
+    // duplicate batch keys would multiply through the full-outer join into
+    // duplicate closed rows AND multiple is_current=true rows per key —
+    // refuse loudly (in a filter predicate, so pruning can't elide the
+    // check) instead of corrupting every downstream current-slice read
+    val dedupGuard = {
+      val w = Window.partitionBy(col(keyCol))
+      updates
+        .withColumn("__n", count(lit(1)).over(w))
+        .filter(when(col("__n") > 1,
+            raise_error(concat(lit("scdType2: duplicate update-batch key "),
+              col(keyCol).cast("string"))).cast("boolean"))
+          .otherwise(lit(true)))
+        .drop("__n")
+    }
+    val u = dedupGuard.select((keyCol +: attrCols).map(c => col(c).as(s"__u_$c")): _*)
     val j = current.join(u, col(keyCol) === col(s"__u_$keyCol"), "full")
     val matched = col(keyCol).isNotNull && col(s"__u_$keyCol").isNotNull
     val changed = matched &&

@@ -188,5 +188,14 @@ class PropertySpec extends SparkSpec {
       assert(got == expect.toSet,
         s"scdType2 mismatch:\n extra=${got -- expect}\n missing=${expect.toSet -- got}")
     }
+    // duplicate batch keys are refused loudly, never silently multiplied
+    val dim1 = Seq((1L, "a", "2022-01-01", null: String, true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val dupBatch = Seq((1L, "b"), (1L, "c")).toDF("k", "attr")
+    val e = intercept[Exception](
+      Relational.scdType2(dim1, dupBatch, "k", Seq("attr"), lit("2022-02-28")).collect())
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("duplicate update-batch key"), msgs)
   }
 }
