@@ -361,6 +361,41 @@ private[graft] object QueriesStreaming {
     // PROVES the replay path inline: re-firing batch 0's commitId with
     // different content must not advance the log (replay_noop), and the full
     // cursor-0 incremental read must equal the batch formulation.
+    // ST — EXACTLY-ONCE streaming SKETCH maintenance (Streaming
+    // .maintainCountMin): a count-min sketch kept current by the stream,
+    // with the versioned table's idempotent commits carrying the
+    // exactly-once guarantee counter state cannot get from anti-joins —
+    // counter merges are NOT idempotent, so each batch overwrites the
+    // merged d×w table under a batchId-derived commitId and replays
+    // degrade to committed-commitId no-ops. The replay path is proven
+    // INLINE (re-firing batch 0's commitId with garbage must not advance
+    // the log); the converged sketch must equal the batch count-min
+    // formulation bit-for-bit, which the oracle recomputes in full.
+    Q("stream_sketch_maintain",
+      (s, dir) => {
+        val root = freshDir(s, "graft_stream_cm")
+        val schema = rd(s, dir, "events").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .select(col("event_type"))
+        val q = graft.streaming.Streaming.maintainCountMin(stream, root, "event_type", 4, 64)
+        try q.processAllAvailable() finally q.stop()
+        val converged = graft.io.VersionedTable.latestVersion(root).get
+        val replayed = graft.io.VersionedTable.commit(
+          rd(s, dir, "events").limit(1).select(lit(0).as("r"), lit(0L).as("bucket"),
+            lit(999999L).as("cnt")), root, "overwrite", "cm-b0")
+        val noop = replayed <= converged &&
+          graft.io.VersionedTable.latestVersion(root).contains(converged)
+        graft.io.VersionedTable.read(s, root)
+          .withColumn("replay_noop", lit(noop))
+          .orderBy("r", "bucket")
+      },
+      Some(s"""WITH seeds AS (SELECT * FROM (VALUES (0), (1), (2), (3)) s(r)),
+        |h AS (SELECT r, ${duckHex("md5(CAST(r AS VARCHAR) || ':' || event_type)")} % 64 AS bucket
+        |  FROM events CROSS JOIN seeds)
+        |SELECT r, bucket, count(*) AS cnt, TRUE AS replay_noop
+        |FROM h GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     Q("stream_versioned_sink",
       (s, dir) => {
         val root = freshDir(s, "graft_stream_versioned")

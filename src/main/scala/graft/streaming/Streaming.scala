@@ -161,6 +161,35 @@ object Streaming {
       }
       .start()
 
+  /** ST: EXACTLY-ONCE streaming SKETCH maintenance — a count-min sketch
+    * kept current by the stream, with the versioned table's idempotent
+    * commit protocol carrying the exactly-once guarantee that COUNTER state
+    * cannot get from anti-joins: counter merges are not idempotent (a
+    * replayed batch would double-count), so each micro-batch commits the
+    * MERGED sketch as an OVERWRITE under a batchId-derived commitId —
+    * foreachBatch's at-least-once replay then degrades to
+    * VersionedTable's committed-commitId no-op, and a crash between merge
+    * and publish re-runs the whole read-merge-commit atomically against
+    * the prior snapshot. State is the d×w counter table (a constant of the
+    * sketch, ~KBs), so the per-batch overwrite is O(sketch), never O(data
+    * seen); history/time travel of the sketch come free from the log.
+    */
+  def maintainCountMin(values: DataFrame, root: String, valueCol: String,
+                       d: Int, w: Int): org.apache.spark.sql.streaming.StreamingQuery =
+    values.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val spark = batch.sparkSession
+        val delta = graft.operators.ext.Sketches.countMinSketch(batch.toDF(), valueCol, d, w)
+        val merged =
+          if (graft.io.VersionedTable.history(root).isEmpty) delta
+          else graft.io.VersionedTable.read(spark, root)
+            .unionByName(delta)
+            .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
+        graft.io.VersionedTable.commit(merged, root, "overwrite", s"cm-b$bid")
+        ()
+      }
+      .start()
+
   /** ST: the [[maintainBandIndex]] idiom for the COMPRESSED ANN index — each
     * micro-batch of new vectors is frozen-quantizer coded and appended into
     * the bucketed PQ code table (Similarity.appendPqIndex: idempotent under

@@ -248,4 +248,27 @@ class StreamingSpec extends SparkSpec {
       assert(last.getDecimal(2).compareTo(dec("8.00")) == 0 && last.getDecimal(3).compareTo(dec("15.00")) == 0)
     } finally q.stop()
   }
+
+  test("maintainCountMin: multi-batch read-merge-commit chain equals the one-shot sketch; replay is a no-op") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val root = TestSpark.tmpDir("stream_cm")
+    val mem = MemoryStream[String]
+    val q = Streaming.maintainCountMin(mem.toDF().toDF("event_type"), root, "event_type", 2, 8)
+    try {
+      mem.addData("a", "b", "a"); q.processAllAvailable()  // batch 0
+      mem.addData("b", "c");      q.processAllAvailable()  // batch 1 merges onto batch 0's state
+    } finally q.stop()
+    assert(graft.io.VersionedTable.latestVersion(root).contains(2L), "one commit per batch")
+    val got = graft.io.VersionedTable.read(spark, root)
+      .orderBy("r", "bucket").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val oneShot = graft.operators.ext.Sketches.countMinSketch(
+        Seq("a", "b", "a", "b", "c").toDF("event_type"), "event_type", 2, 8)
+      .orderBy("r", "bucket").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == oneShot, s"chained sketch != one-shot:\n $got\n $oneShot")
+    // a replayed batch commitId must not advance the log or change counters
+    graft.io.VersionedTable.commit(
+      Seq((0, 0L, 999L)).toDF("r", "bucket", "cnt"), root, "overwrite", "cm-b1")
+    assert(graft.io.VersionedTable.latestVersion(root).contains(2L))
+  }
 }
