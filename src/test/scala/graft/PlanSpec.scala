@@ -364,4 +364,32 @@ class PlanSpec extends SparkSpec {
       s"expected the sort-based form, not the percentile() aggregate:\n${p.take(2000)}")
     assert(p.contains("Window"), s"expected the rank window:\n${p.take(2000)}")
   }
+
+  test("p10_skew_report is a top-k heap over one partial aggregate, never a global sort") {
+    val p = plan("p10_skew_report")
+    assert(p.contains("TakeOrderedAndProject"), s"expected the top-k heap:\n${p.take(2000)}")
+    assert(p.contains("partial_count"), s"expected map-side combine:\n${p.take(2000)}")
+  }
+
+  test("p11_partition_checksum partial-aggregates map-side (commutative checksum, no sort)") {
+    val p = plan("p11_partition_checksum")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"expected partial aggregation:\n${p.take(2000)}")
+    assert(!p.contains("SortAggregate"), s"checksum must stay hash-aggregated:\n${p.take(2000)}")
+  }
+
+  test("a17_weighted_median runs both windows off ONE group exchange") {
+    val p = plan("a17_weighted_median")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected <=2 exchanges (group agg + window), got $exchanges:\n${p.take(2000)}")
+    assert(p.contains("Window"), p.take(1000))
+  }
+
+  test("merge_scd2 never shuffles the history slice (pass-through union, one join on the current slice)") {
+    val p = plan("merge_scd2")
+    // full-outer on the key is the ONLY join; history unions in flat
+    assert(p.contains("FullOuter"), s"expected the full-outer current⋈batch join:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"scd2 must stay an equi-join:\n${p.take(2000)}")
+  }
 }
