@@ -173,6 +173,64 @@ private[graft] object QueriesCuration {
         "ORDER BY doc_id")),
 
 
+    // X6/X7 — SPLIT-INTEGRITY AUDIT: the verification a leakage-safe split
+    // still needs — cluster-keyed hashing guarantees NEAR-duplicates can't
+    // straddle train/test, but verbatim word-5-grams shared by documents in
+    // DIFFERENT clusters (boilerplate below the near-dup threshold) still
+    // can, and that residual leak should be a published number, not an
+    // assumption. Emits the audit row: split sizes, distinct cross-boundary
+    // shared 5-grams, and how many test docs carry at least one. Shape: the
+    // split is a projection over the standing cluster labels; the gram
+    // overlap is one distinct-shingle equi-join (word_ngrams generator,
+    // hash-partitioned on the gram) — the x1_contamination machinery turned
+    // on the pipeline's own split boundary.
+    Q("x6_split_audit",
+      (s, dir) => {
+        graft.functions.ArrayOps.register(s)
+        val docs = rd(s, dir, "documents")
+        val split = Dedup.clusterSplit(
+          Dedup.dedupClusters(docs, "doc_id", lshPairsFx(s, dir)),
+          trainPct = 80, valPct = 10)
+        val withText = docs.select("doc_id", "text")
+          .join(split.select("doc_id", "split"), Seq("doc_id"))
+        def grams(part: String) = withText.filter(col("split") === part)
+          .select(col("doc_id"), expr("word_ngrams(text, 5)"))
+          .select(col("doc_id"), col("ngram")).distinct()
+        val leaks = grams("test").join(
+            grams("train").select(col("ngram")).distinct().hint("shuffle_hash"),
+            Seq("ngram"))
+        split.groupBy().agg(
+            sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+            sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+          .crossJoin(broadcast(leaks.agg(
+            countDistinct(col("ngram")).as("n_shared_grams"),
+            countDistinct(col("doc_id")).as("n_test_docs_affected"))))
+      },
+      Some {
+        val grams5 =
+          "list_filter(list_transform(range(0, len(ws) + 1), " +
+            "i -> CASE WHEN i + 5 <= len(ws) THEN array_to_string(ws[i+1:i+5], ' ') END), " +
+            "x -> x IS NOT NULL)"
+        s"WITH RECURSIVE ${duckMinhashCtes(duckToks, 8, 19, 20)},\n" +
+          "edges AS (SELECT id_a AS src, id_b AS dst FROM verified " +
+          "UNION SELECT id_b, id_a FROM verified), " +
+          "r(doc_id, lab) AS (SELECT doc_id, doc_id FROM documents " +
+          "UNION SELECT e.dst, r.lab FROM r JOIN edges e ON r.doc_id = e.src), " +
+          "c AS (SELECT doc_id, min(lab) AS cluster FROM r GROUP BY doc_id), " +
+          "sp AS (SELECT doc_id, CASE WHEN pct < 80 THEN 'train' WHEN pct < 90 THEN 'val' ELSE 'test' END AS split FROM " +
+          s"(SELECT doc_id, ${duckHex("md5(CAST(cluster AS VARCHAR))")} % 100 AS pct FROM c)), " +
+          "ws AS (SELECT d.doc_id, sp.split, list_filter(string_split(d.text, ' '), x -> x <> '') AS ws " +
+          "FROM documents d JOIN sp USING (doc_id)), " +
+          s"g AS (SELECT DISTINCT doc_id, split, unnest($grams5) AS ngram FROM ws), " +
+          "tr AS (SELECT DISTINCT ngram FROM g WHERE split = 'train'), " +
+          "te AS (SELECT doc_id, ngram FROM g WHERE split = 'test'), " +
+          "lk AS (SELECT te.doc_id, te.ngram FROM te JOIN tr USING (ngram)) " +
+          "SELECT (SELECT count(*) FROM sp WHERE split = 'train') AS n_train, " +
+          "(SELECT count(*) FROM sp WHERE split = 'test') AS n_test, " +
+          "(SELECT count(DISTINCT ngram) FROM lk) AS n_shared_grams, " +
+          "(SELECT count(DISTINCT doc_id) FROM lk) AS n_test_docs_affected"
+      }),
+
     // X5 — top-k per group.
     Q("x5_topk_per_group",
       (s, dir) => Relational.topKPerGroup(
