@@ -28,6 +28,40 @@ import QuerySupport._
 private[graft] object QueriesRelational {
   val defs: Seq[Q] = Seq(
 
+    // J13 — POINT-IN-TIME (temporal) join (Relational.temporalJoin): each
+    // order joins the customer-dimension VERSION in effect at its order
+    // date — the standard consumer of an SCD2 dimension. Keys ≡ 0 mod 7
+    // change segment at 1998-01-01 (two versions partitioning time), the
+    // rest carry one open version; the equi-join + validity residual fans
+    // out only by the bounded versions-per-key, never a range explosion.
+    // ISO-string dates keep the comparison engine-identical. The oracle is
+    // the CASE formulation of "which version was in effect".
+    Q("j13_temporal_join",
+      (s, dir) => {
+        val c = rd(s, dir, "customer")
+        val v1 = c.select(col("c_custkey"), col("c_mktsegment"),
+          lit("1900-01-01").as("valid_from"),
+          when(col("c_custkey") % 7 === 0, lit("1998-01-01"))
+            .otherwise(lit(null).cast("string")).as("valid_to"),
+          (col("c_custkey") % 7 =!= 0).as("is_current"))
+        val v2 = c.filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), lit("SEG-CHANGED").as("c_mktsegment"),
+            lit("1998-01-01").as("valid_from"), lit(null).cast("string").as("valid_to"),
+            lit(true).as("is_current"))
+        val facts = rd(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("t"))
+        Relational.temporalJoin(facts, v1.unionByName(v2), "o_custkey", "c_custkey", "t")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT CASE WHEN o_custkey % 7 = 0 AND strftime(o_orderdate, '%Y-%m-%d') >= '1998-01-01'
+        |  THEN 'SEG-CHANGED' ELSE c_mktsegment END AS c_mktsegment,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // P10 — join-key skew diagnostic (Relational.skewReport): the report a
     // 100 TB join runs FIRST — top-k heaviest keys with exact counts and
     // integer ppm share, the n_max input to the salts sizing rule and the

@@ -580,6 +580,26 @@ object Relational {
     history.unionByName(kept).unionByName(opened)
   }
 
+  /** POINT-IN-TIME (temporal) join — the standard consumer of an
+    * [[scdType2]] dimension: each fact row joins the dimension VERSION in
+    * effect at the fact's timestamp (valid_from ≤ t, and t < valid_to or
+    * the version is still open). Shape: one equi-join on the key with the
+    * validity predicate as a residual filter — correct and cheap because a
+    * Type-2 dimension carries a BOUNDED number of versions per key (its
+    * versions partition time), so the join fans out by that small factor
+    * and the filter keeps exactly one; no range-join machinery, no
+    * interval explosion. Facts with no version in effect (before the
+    * key's first valid_from, or an unknown key) keep their row with NULL
+    * dimension columns — dropping history-less facts silently is how
+    * point-in-time bugs hide.
+    */
+  def temporalJoin(facts: DataFrame, dim: DataFrame, factKey: String,
+                   dimKey: String, factTimeCol: String): DataFrame = {
+    val valid = col(factTimeCol) >= col("valid_from") &&
+      (col("valid_to").isNull || col(factTimeCol) < col("valid_to"))
+    facts.join(dim, col(factKey) === col(dimKey) && valid, "left")
+  }
+
   /** Snapshot diff (CDC extract — the read-side complement of [[upsert]]):
     * compare two snapshots of a keyed table and emit one row per key that
     * was added, removed, or changed between them. Rows compare by an md5
