@@ -188,6 +188,19 @@ class PropertySpec extends SparkSpec {
       assert(got == expect.toSet,
         s"scdType2 mismatch:\n extra=${got -- expect}\n missing=${expect.toSet -- got}")
     }
+    // temporalJoin: facts before the first version or with unknown keys
+    // KEEP their row with NULL dim columns; in-range facts pick exactly
+    // the version whose interval covers them (valid_to exclusive)
+    val tdim = Seq(
+      (1L, "v1", "2000-01-01", "2001-01-01", false),
+      (1L, "v2", "2001-01-01", null, true)
+    ).toDF("dk", "seg", "valid_from", "valid_to", "is_current")
+    val tfacts = Seq((10L, 1L, "1999-06-01"), (11L, 1L, "2000-06-01"),
+      (12L, 1L, "2001-01-01"), (13L, 2L, "2000-06-01")).toDF("fid", "fk", "t")
+    val tj = Relational.temporalJoin(tfacts, tdim, "fk", "dk", "t")
+      .select("fid", "seg").collect().map(r => (r.getLong(0), Option(r.getString(1)))).toMap
+    assert(tj == Map(10L -> None, 11L -> Some("v1"), 12L -> Some("v2"), 13L -> None), tj.toString)
+
     // duplicate batch keys are refused loudly, never silently multiplied
     val dim1 = Seq((1L, "a", "2022-01-01", null: String, true))
       .toDF("k", "attr", "valid_from", "valid_to", "is_current")
