@@ -378,7 +378,8 @@ private[graft] object QueriesStreaming {
         val stream = s.readStream.schema(schema)
           .option("pathGlobFilter", "events.parquet").parquet(dir)
           .select(col("event_type"))
-        val q = graft.streaming.Streaming.maintainCountMin(stream, root, "event_type", 4, 64)
+        val q = graft.streaming.Streaming.maintainCountMin(stream, root, "event_type", 4, 64,
+          appId = "cm")
         try q.processAllAvailable() finally q.stop()
         val converged = graft.io.VersionedTable.latestVersion(root).get
         val replayed = graft.io.VersionedTable.commit(

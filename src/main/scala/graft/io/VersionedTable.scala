@@ -131,8 +131,17 @@ object VersionedTable {
     val pcols = Option(n.get("partitionCols"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     val blooms = Option(n.get("blooms")).map { bn =>
-      bn.properties().asScala.map { e =>
-        e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
+      bn.properties().asScala.flatMap { e =>
+        // pre-side-file manifests (≤ r10) stored {dir: {col: hexBitmap}};
+        // the current form is {dir: [colNames]}. An old OBJECT entry must be
+        // DROPPED here, not parsed: reading its hex blobs as "column names"
+        // would only disable skipping for this read, but a subsequent append
+        // would re-serialize those hex strings into the new manifest as
+        // bogus column-name arrays and poison every later snapshot. Dropping
+        // the entry disables bloom skipping for that dir (safe — skipping is
+        // an optimization, never a filter) and keeps the migration explicit.
+        if (e.getValue.isObject) None
+        else Some(e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq)
       }.toMap
     }.getOrElse(Map.empty[String, Seq[String]])
     Commit(v, n.get("commitId").asText(), n.get("mode").asText(),

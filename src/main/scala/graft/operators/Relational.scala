@@ -540,14 +540,26 @@ object Relational {
                attrCols: Seq[String], asOf: Column): DataFrame = {
     require(attrCols.nonEmpty, "need at least one tracked attribute")
     val history = dim.filter(!col("is_current"))
-    val current = dim.filter(col("is_current"))
+    // NULL keys cannot participate in the key-equality join below: a
+    // NULL-keyed current row would silently DROP from the output (the
+    // isNotNull survivor selection can't see it) and a NULL-keyed batch row
+    // would silently open a NULL-key current row that no later batch can
+    // ever match. Refuse both loudly — same fail-loud policy as the
+    // duplicate-key guard, and same filter-predicate shape so column
+    // pruning can't elide the check.
+    def nullKeyGuard(df: DataFrame, side: String): DataFrame =
+      df.filter(when(col(keyCol).isNull,
+          raise_error(lit(s"scdType2: NULL $side key (NULL keys cannot join; " +
+            "filter or surrogate them upstream)")).cast("boolean"))
+        .otherwise(lit(true)))
+    val current = nullKeyGuard(dim.filter(col("is_current")), "dimension")
     // duplicate batch keys would multiply through the full-outer join into
     // duplicate closed rows AND multiple is_current=true rows per key —
     // refuse loudly (in a filter predicate, so pruning can't elide the
     // check) instead of corrupting every downstream current-slice read
     val dedupGuard = {
       val w = Window.partitionBy(col(keyCol))
-      updates
+      nullKeyGuard(updates, "update-batch")
         .withColumn("__n", count(lit(1)).over(w))
         .filter(when(col("__n") > 1,
             raise_error(concat(lit("scdType2: duplicate update-batch key "),
@@ -595,9 +607,16 @@ object Relational {
     */
   def temporalJoin(facts: DataFrame, dim: DataFrame, factKey: String,
                    dimKey: String, factTimeCol: String): DataFrame = {
-    val valid = col(factTimeCol) >= col("valid_from") &&
-      (col("valid_to").isNull || col(factTimeCol) < col("valid_to"))
-    facts.join(dim, col(factKey) === col(dimKey) && valid, "left")
+    // every condition column is SIDE-QUALIFIED through the two aliases: the
+    // common SCD2-consumer case has factKey == dimKey (and facts may carry
+    // their own valid_from/valid_to), where unqualified col(...) references
+    // are ambiguous at analysis — or worse, resolve against the wrong side
+    // of the joined plan and silently join on the dimension to itself
+    val (f, d) = (facts.as("__tj_f"), dim.as("__tj_d"))
+    val t = col(s"__tj_f.$factTimeCol")
+    val valid = t >= col("__tj_d.valid_from") &&
+      (col("__tj_d.valid_to").isNull || t < col("__tj_d.valid_to"))
+    f.join(d, col(s"__tj_f.$factKey") === col(s"__tj_d.$dimKey") && valid, "left")
   }
 
   /** Snapshot diff (CDC extract — the read-side complement of [[upsert]]):
@@ -792,8 +811,18 @@ object Relational {
         raise_error(concat(lit(s"weightedMedian: non-integral $valueCol value: "),
           col(valueCol).cast("string"))).cast("long"))
       .otherwise(vLong)
+    // the SAME integral guard applies to the weight column — a fractional
+    // weight would silently truncate through cast-to-long (0.7 → 0) and a
+    // negative weight would corrupt the cumulative-mass inequality without
+    // any error; both raise loudly with the offending value instead
+    val wLong = col(weightCol).cast("long")
+    val wChecked = when(col(weightCol).isNotNull &&
+        (col(weightCol).cast("double") =!= wLong.cast("double") || wLong < 0),
+        raise_error(concat(lit(s"weightedMedian: non-integral or negative $weightCol value: "),
+          col(weightCol).cast("string"))).cast("long"))
+      .otherwise(wLong)
     val byVal = df.groupBy(col(groupCol), vChecked.as("__v"))
-      .agg(sum(col(weightCol).cast("long")).as("__w"))
+      .agg(sum(wChecked).as("__w"))
     val win = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
     byVal
       .withColumn("__cum", sum("__w").over(win))

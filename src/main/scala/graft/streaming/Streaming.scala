@@ -173,9 +173,18 @@ object Streaming {
     * the prior snapshot. State is the d×w counter table (a constant of the
     * sketch, ~KBs), so the per-batch overwrite is O(sketch), never O(data
     * seen); history/time travel of the sketch come free from the log.
+    *
+    * `appId` is the caller's durable query identity and is REQUIRED in the
+    * commitId (the Delta txnAppId+txnVersion idempotent-writes pattern):
+    * batch ids alone restart at 0 when a checkpoint is wiped/recreated or a
+    * second query writes the same root, and a bare batch-id commitId would
+    * then silently no-op FRESH batches against the old query's committed
+    * ids. A new checkpoint must ship a new appId; same appId + same batch
+    * id = the same logical write, which is exactly when the no-op is
+    * correct.
     */
   def maintainCountMin(values: DataFrame, root: String, valueCol: String,
-                       d: Int, w: Int): org.apache.spark.sql.streaming.StreamingQuery =
+                       d: Int, w: Int, appId: String): org.apache.spark.sql.streaming.StreamingQuery =
     values.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
         val spark = batch.sparkSession
@@ -185,7 +194,7 @@ object Streaming {
           else graft.io.VersionedTable.read(spark, root)
             .unionByName(delta)
             .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
-        graft.io.VersionedTable.commit(merged, root, "overwrite", s"cm-b$bid")
+        graft.io.VersionedTable.commit(merged, root, "overwrite", s"$appId-b$bid")
         ()
       }
       .start()

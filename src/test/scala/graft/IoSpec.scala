@@ -517,6 +517,37 @@ class IoSpec extends SparkSpec {
       Seq((30L, "f")).toDF("id", "s"), root, "append", "b4", bloomCols = Seq("s")))
   }
 
+  test("VersionedTable: pre-side-file bloom manifests (inline-hex form) are dropped, not re-serialized") {
+    import spark.implicits._
+    val root = tmpDir("vt_bloom_migrate")
+    VersionedTable.commit(Seq((1L, "a"), (7L, "b")).toDF("id", "s"), root, "append", "old1",
+      bloomCols = Seq("id"))
+    // rewrite v1's manifest into the ≤ r10 inline form: blooms = {dir: {col: hex}}
+    val mPath = java.nio.file.Paths.get(root, "_commits", "v0000000001.json")
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val tree = mapper.readTree(java.nio.file.Files.readString(mPath))
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val dirName = tree.get("dirs").get(0).asText()
+    val oldBlooms = mapper.createObjectNode()
+    oldBlooms.set[com.fasterxml.jackson.databind.JsonNode](dirName,
+      mapper.createObjectNode().put("id", "deadbeef" * 32))
+    tree.set[com.fasterxml.jackson.databind.JsonNode]("blooms", oldBlooms)
+    java.nio.file.Files.writeString(mPath, mapper.writeValueAsString(tree))
+    // the object-form entry is DROPPED: skipping disabled for the dir (it
+    // always scans — safe), and no hex blob masquerades as a column name
+    assert(VersionedTable.history(root).last.blooms.isEmpty, "old-form entry must be dropped")
+    assert(VersionedTable.planPoint(root, "id", 999L).size == 1, "bloom-less dir always scans")
+    assert(VersionedTable.readPoint(spark, root, "id", 7L)
+      .collect().map(_.getLong(0)).toSeq == Seq(7L))
+    // an append on top must NOT re-serialize bogus inherited entries
+    VersionedTable.commit(Seq((9L, "c")).toDF("id", "s"), root, "append", "new2",
+      bloomCols = Seq("id"))
+    val b2 = VersionedTable.history(root).last.blooms
+    assert(b2.keySet.forall(!_.contains("old1")), s"bogus inherited bloom entry: $b2")
+    assert(b2.values.flatten.forall(_ == "id"), s"bloom entries must be column names: $b2")
+    assert(VersionedTable.readPoint(spark, root, "id", 1L).count() == 1)
+  }
+
   test("VersionedTable: racing committers all land, every version slot distinct, no append lost") {
     import spark.implicits._
     val root = tmpDir("vt_race")

@@ -210,5 +210,60 @@ class PropertySpec extends SparkSpec {
     val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
       .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
     assert(msgs.contains("duplicate update-batch key"), msgs)
+
+    // NULL keys refuse loudly on BOTH sides: a NULL-keyed current dim row
+    // would otherwise silently vanish (the isNotNull survivor filter), and
+    // a NULL-keyed batch row would silently open an unjoinable current row
+    def deepMsgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val nullDim = Seq((Option.empty[Long], "a", "2022-01-01", Option.empty[String], true))
+      .toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val okBatch = Seq((2L, "b")).toDF("k", "attr")
+    val eDim = intercept[Exception](
+      Relational.scdType2(nullDim, okBatch, "k", Seq("attr"), lit("2022-02-28")).collect())
+    assert(deepMsgs(eDim).contains("NULL dimension key"), deepMsgs(eDim))
+    val nullBatch = Seq((Option.empty[Long], "b")).toDF("k", "attr")
+    val eBatch = intercept[Exception](
+      Relational.scdType2(dim1, nullBatch, "k", Seq("attr"), lit("2022-02-28")).collect())
+    assert(deepMsgs(eBatch).contains("NULL update-batch key"), deepMsgs(eBatch))
+  }
+
+  test("temporalJoin resolves shared column names side-correctly") {
+    import spark.implicits._
+    // the common SCD2-consumer shape: fact key column named IDENTICALLY to
+    // the dimension key, and facts carrying their own valid_from column —
+    // unqualified references would be ambiguous or bind the wrong side
+    val dim = Seq(
+      (1L, "v1", "2000-01-01", "2001-01-01", false),
+      (1L, "v2", "2001-01-01", null, true)
+    ).toDF("k", "seg", "valid_from", "valid_to", "is_current")
+    val facts = Seq(
+      (10L, 1L, "2000-06-01", "1990-01-01"),
+      (11L, 1L, "2002-06-01", "1990-01-01")
+    ).toDF("fid", "k", "t", "valid_from") // k and valid_from collide with dim
+    val got = Relational.temporalJoin(facts, dim, "k", "k", "t")
+      .select(col("fid"), col("__tj_d.seg"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got == Map(10L -> "v1", 11L -> "v2"), got.toString)
+  }
+
+  test("weightedMedian refuses fractional and negative weights loudly") {
+    import spark.implicits._
+    def deepMsgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val frac = Seq(("g", 1L, 0.7), ("g", 2L, 1.0)).toDF("grp", "v", "w")
+    val e1 = intercept[Exception](
+      Relational.weightedMedian(frac, "grp", "v", "w").collect())
+    assert(deepMsgs(e1).contains("non-integral or negative w"), deepMsgs(e1))
+    val neg = Seq(("g", 1L, -2.0), ("g", 2L, 1.0)).toDF("grp", "v", "w")
+    val e2 = intercept[Exception](
+      Relational.weightedMedian(neg, "grp", "v", "w").collect())
+    assert(deepMsgs(e2).contains("non-integral or negative w"), deepMsgs(e2))
+    // integral-valued doubles still pass and weight the mass correctly
+    val ok = Seq(("g", 1L, 1.0), ("g", 2L, 3.0)).toDF("grp", "v", "w")
+    val r = Relational.weightedMedian(ok, "grp", "v", "w").collect()
+    assert(r.length == 1 && r(0).getLong(1) == 2L && r(0).getLong(2) == 4L, r.mkString)
   }
 }

@@ -254,7 +254,8 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val root = TestSpark.tmpDir("stream_cm")
     val mem = MemoryStream[String]
-    val q = Streaming.maintainCountMin(mem.toDF().toDF("event_type"), root, "event_type", 2, 8)
+    val q = Streaming.maintainCountMin(mem.toDF().toDF("event_type"), root, "event_type", 2, 8,
+      appId = "cm")
     try {
       mem.addData("a", "b", "a"); q.processAllAvailable()  // batch 0
       mem.addData("b", "c");      q.processAllAvailable()  // batch 1 merges onto batch 0's state
@@ -270,5 +271,20 @@ class StreamingSpec extends SparkSpec {
     graft.io.VersionedTable.commit(
       Seq((0, 0L, 999L)).toDF("r", "bucket", "cnt"), root, "overwrite", "cm-b1")
     assert(graft.io.VersionedTable.latestVersion(root).contains(2L))
+    // a DIFFERENT appId restarting at batch 0 (wiped/recreated checkpoint,
+    // or a second query on the same root) must NOT be absorbed by the old
+    // query's committed ids — its batches advance the log and merge
+    val mem2 = MemoryStream[String]
+    val q2 = Streaming.maintainCountMin(mem2.toDF().toDF("event_type"), root, "event_type", 2, 8,
+      appId = "cm2")
+    try { mem2.addData("c"); q2.processAllAvailable() } finally q2.stop()
+    assert(graft.io.VersionedTable.latestVersion(root).contains(3L),
+      "fresh appId's batch 0 must commit, not no-op against cm-b0")
+    val merged2 = graft.operators.ext.Sketches.countMinSketch(
+        Seq("a", "b", "a", "b", "c", "c").toDF("event_type"), "event_type", 2, 8)
+      .orderBy("r", "bucket").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val got2 = graft.io.VersionedTable.read(spark, root)
+      .orderBy("r", "bucket").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got2 == merged2, s"cross-appId merge wrong:\n $got2\n $merged2")
   }
 }
