@@ -63,12 +63,15 @@ object VersionedTable {
   /** `stats`: per-dir min/max of integer columns, gathered at commit time —
     * the manifest-level data-skipping index (Iceberg-style). Keyed
     * dir → column → (min, max). Dirs without an entry are never skipped.
+    * `strStats`: the same index for STRING columns (lexicographic UTF-8
+    * min/max — the envelope a string-keyed MERGE/DELETE prunes on).
     * `partitionCols`: hive partition layout of every data dir in this
     * snapshot (uniform across a snapshot by construction — appends must
     * match their parent's layout).
     */
   final case class Commit(version: Long, commitId: String, mode: String, dirs: Seq[String],
                           stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
+                          strStats: Map[String, Map[String, (String, String)]] = Map.empty,
                           partitionCols: Seq[String] = Nil,
                           blooms: Map[String, Seq[String]] = Map.empty,
                           schemaDdl: Option[String] = None)
@@ -96,6 +99,17 @@ object VersionedTable {
         sm.put(dir, cm)
       }
       m.put("stats", sm)
+    }
+    if (c.strStats.nonEmpty) {
+      val sm = new java.util.LinkedHashMap[String, Object]()
+      c.strStats.toSeq.sortBy(_._1).foreach { case (dir, cols) =>
+        val cm = new java.util.LinkedHashMap[String, Object]()
+        cols.toSeq.sortBy(_._1).foreach { case (cName, (mn, mx)) =>
+          cm.put(cName, Seq(mn, mx).asJava)
+        }
+        sm.put(dir, cm)
+      }
+      m.put("strStats", sm)
     }
     if (c.partitionCols.nonEmpty) m.put("partitionCols", c.partitionCols.asJava)
     if (c.blooms.nonEmpty) {
@@ -128,6 +142,13 @@ object VersionedTable {
         }.toMap
       }.toMap
     }.getOrElse(Map.empty[String, Map[String, (Long, Long)]])
+    val strStats = Option(n.get("strStats")).map { sn =>
+      sn.properties().asScala.map { e =>
+        e.getKey -> e.getValue.properties().asScala.map { ce =>
+          ce.getKey -> (ce.getValue.get(0).asText(), ce.getValue.get(1).asText())
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, (String, String)]])
     val pcols = Option(n.get("partitionCols"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     val blooms = Option(n.get("blooms")).map { bn =>
@@ -145,7 +166,7 @@ object VersionedTable {
       }.toMap
     }.getOrElse(Map.empty[String, Seq[String]])
     Commit(v, n.get("commitId").asText(), n.get("mode").asText(),
-      n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, pcols, blooms,
+      n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, strStats, pcols, blooms,
       Option(n.get("schema")).map(_.asText()))
   }
 
@@ -208,7 +229,7 @@ object VersionedTable {
         var w = df.write.mode("overwrite")
         if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
         w.parquet(s"$root/$dirName")
-        val dirStats = gatherStats(df.sparkSession, s"$root/$dirName", statsCols)
+        val dirStats = gatherStats(df.sparkSession, s"$root/$dirName", statsCols, df.schema)
         val dirBlooms = gatherBlooms(df.sparkSession, s"$root/$dirName", bloomCols)
         // manifest second, with OCC retry on the version slot
         var committed = -1L
@@ -225,20 +246,25 @@ object VersionedTable {
             val snapSchema = evolvedSchema(
               parent.filter(_ => mode == "append").flatMap(_.schemaDdl), df.schema)
             val v = parent.map(_.version + 1).getOrElse(1L)
-            val (dirs, inherited, inheritedBlooms) = mode match {
+            val (dirs, inherited, inheritedStr, inheritedBlooms) = mode match {
               case "overwrite" => (Seq(dirName),
                 Map.empty[String, Map[String, (Long, Long)]],
+                Map.empty[String, Map[String, (String, String)]],
                 Map.empty[String, Seq[String]])
               case "append" =>
                 (parent.map(_.dirs).getOrElse(Nil) :+ dirName,
                   parent.map(_.stats).getOrElse(Map.empty),
+                  parent.map(_.strStats).getOrElse(Map.empty),
                   parent.map(_.blooms).getOrElse(Map.empty))
             }
-            val stats = if (dirStats.isEmpty) inherited else inherited + (dirName -> dirStats)
+            val stats = if (dirStats.ints.isEmpty) inherited
+                        else inherited + (dirName -> dirStats.ints)
+            val strStats = if (dirStats.strs.isEmpty) inheritedStr
+                           else inheritedStr + (dirName -> dirStats.strs)
             val blooms = if (dirBlooms.isEmpty) inheritedBlooms
                          else inheritedBlooms + (dirName -> dirBlooms)
             if (publishIfAbsent(root, v,
-                Commit(v, commitId, mode, dirs, stats, partitionCols, blooms,
+                Commit(v, commitId, mode, dirs, stats, strStats, partitionCols, blooms,
                   Some(snapSchema.toDDL)))) committed = v
           }
         }
@@ -276,37 +302,182 @@ object VersionedTable {
         ps.fields ++ newSchema.fields.filterNot(nf => ps.fieldNames.contains(nf.name)))
   }
 
-  /** Per-dir min/max of `statsCols` from the freshly-written parquet footers
-    * (aggregate pushdown: a min/max-only agg over a bare scan is answered
-    * from footer statistics). Integer columns only — integer ordering is
-    * unambiguous across engines; anything else fails loudly.
+  // ---- min/max data skipping (dir + file granularity) ------------------
+
+  /** One column's min/max envelope — integral (unambiguous cross-engine
+    * ordering) or string (lexicographic UTF-8, what a string-keyed
+    * MERGE/DELETE prunes on).
     */
-  private def gatherStats(spark: SparkSession, dir: String,
-                          statsCols: Seq[String]): Map[String, (Long, Long)] = {
-    if (statsCols.isEmpty) return Map.empty
-    import org.apache.spark.sql.functions.{col, max, min}
-    import org.apache.spark.sql.types.{IntegerType, LongType}
-    val key = "spark.sql.parquet.aggregatePushdown"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "true")
+  private[io] sealed trait MinMax {
+    def overlapsLong(lo: Long, hi: Long): Boolean = this match {
+      case IntMM(mn, mx) => mx >= lo && mn <= hi
+      case _             => true // type mismatch: never skip on it
+    }
+  }
+  private[io] final case class IntMM(mn: Long, mx: Long) extends MinMax
+  private[io] final case class StrMM(mn: String, mx: String) extends MinMax
+
+  private final case class DirStats(ints: Map[String, (Long, Long)],
+                                    strs: Map[String, (String, String)])
+
+  /** All data files of a commit dir, as paths relative to it (hive
+    * subdirs included), sorted for determinism.
+    */
+  private def parquetFiles(dirPath: String): Seq[String] = {
+    val rootP = Paths.get(dirPath)
+    if (!Files.isDirectory(rootP)) return Nil
+    val w = Files.walk(rootP)
+    try w.iterator().asScala.filter { p =>
+      val n = p.getFileName.toString
+      Files.isRegularFile(p) && n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+    }.map(p => rootP.relativize(p).toString).toSeq.sorted
+    finally w.close()
+  }
+
+  /** hive partition value of `colName` in a file's relative path, if the
+    * path carries one (`col=value/` segment). NULL-partition sentinel →
+    * None, so such files simply never get stats for the column.
+    */
+  private def partValueFromPath(rel: String, colName: String): Option[String] =
+    rel.split('/').dropRight(1).collectFirst {
+      case seg if seg.startsWith(colName + "=") => seg.substring(colName.length + 1)
+    }.filter(_ != "__HIVE_DEFAULT_PARTITION__")
+
+  /** min/max of the requested leaf columns from ONE parquet file's footer.
+    * Multi-row-group files fold across blocks; all-NULL or stats-less
+    * chunks contribute nothing (the file then has no entry for the column
+    * and is never skipped on it).
+    */
+  private def fileFooterStats(conf: org.apache.hadoop.conf.Configuration,
+                              file: java.nio.file.Path,
+                              wanted: Set[String]): Map[String, MinMax] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val rdr = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toString), conf))
     try {
-      val scan = spark.read.parquet(dir)
-      statsCols.foreach { c =>
-        scan.schema(c).dataType match {
-          case LongType | IntegerType => ()
-          case other => sys.error(s"statsCols restricted to integer columns; $c is $other")
+      val acc = scala.collection.mutable.Map[String, MinMax]()
+      rdr.getFooter.getBlocks.asScala.foreach { b =>
+        b.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          val st = cc.getStatistics
+          if (wanted.contains(name) && st != null && !st.isEmpty && st.hasNonNullValue) {
+            val mm: Option[MinMax] = (st.genericGetMin, st.genericGetMax) match {
+              case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                Some(IntMM(mn.longValue, mx.longValue))
+              case (mn: java.lang.Long, mx: java.lang.Long) =>
+                Some(IntMM(mn.longValue, mx.longValue))
+              case (_: org.apache.parquet.io.api.Binary, _: org.apache.parquet.io.api.Binary) =>
+                Some(StrMM(st.minAsString, st.maxAsString))
+              case _ => None
+            }
+            mm.foreach { v =>
+              acc.update(name, (acc.get(name), v) match {
+                case (Some(IntMM(a, b)), IntMM(c2, d2)) => IntMM(math.min(a, c2), math.max(b, d2))
+                case (Some(StrMM(a, b)), StrMM(c2, d2)) =>
+                  StrMM(if (a <= c2) a else c2, if (b >= d2) b else d2)
+                case (_, v2) => v2
+              })
+            }
+          }
         }
       }
-      if (scan.isEmpty) Map.empty // empty batch: no stats, dir never skipped
-      else {
-        val aggs = statsCols.flatMap(c => Seq(
-          min(col(c).cast(LongType)).as(s"mn_$c"), max(col(c).cast(LongType)).as(s"mx_$c")))
-        val row = scan.agg(aggs.head, aggs.tail: _*).head()
-        statsCols.zipWithIndex.map { case (c, i) =>
-          c -> (row.getLong(2 * i), row.getLong(2 * i + 1))
-        }.toMap
+      acc.toMap
+    } finally rdr.close()
+  }
+
+  /** Per-dir AND per-file min/max of `statsCols`, read directly from the
+    * freshly-written parquet FOOTERS — O(#files) footer reads, zero Spark
+    * jobs, and the upstream plan is never computed twice. Integer columns
+    * land in the manifest `stats` index, string columns in `strStats`;
+    * anything else fails loudly. hive partition columns (absent from
+    * footers) derive per file from the path, so a stats request on a
+    * partition column composes with the same envelope machinery.
+    *
+    * Per-FILE stats go to a `_filestats` side file inside the dir (the
+    * bloom side-file pattern: immutable with its dir, invisible to scans,
+    * vacuumed with it) — at 100 TB the unit of skipping is the file, not
+    * the commit: one wide-range file must not poison its whole dir's
+    * envelope, and [[readRange]] prunes the file list of every surviving
+    * dir before Spark opens anything.
+    */
+  private def gatherStats(spark: SparkSession, dir: String, statsCols: Seq[String],
+                          schema: org.apache.spark.sql.types.StructType): DirStats = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    if (statsCols.isEmpty) return DirStats(Map.empty, Map.empty)
+    statsCols.foreach { c =>
+      schema(c).dataType match {
+        case LongType | IntegerType | StringType => ()
+        case other => sys.error(s"statsCols restricted to integer/string columns; $c is $other")
       }
-    } finally spark.conf.set(key, prev)
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val files = parquetFiles(dir)
+    val perFile: Seq[(String, Map[String, MinMax])] = files.map { rel =>
+      val fromFooter = fileFooterStats(conf, Paths.get(dir, rel), statsCols.toSet)
+      val fromPath = statsCols.filterNot(fromFooter.contains).flatMap { c =>
+        partValueFromPath(rel, c).flatMap { v =>
+          schema(c).dataType match {
+            case LongType | IntegerType => v.toLongOption.map(l => c -> (IntMM(l, l): MinMax))
+            case StringType             => Some(c -> (StrMM(v, v): MinMax))
+            case _                      => None
+          }
+        }
+      }.toMap
+      rel -> (fromFooter ++ fromPath)
+    }
+    if (perFile.exists(_._2.nonEmpty)) writeFileStats(dir, perFile)
+    val ints = scala.collection.mutable.Map[String, (Long, Long)]()
+    val strs = scala.collection.mutable.Map[String, (String, String)]()
+    perFile.foreach { case (_, cols) =>
+      cols.foreach {
+        case (c, IntMM(mn, mx)) =>
+          ints.update(c, ints.get(c).fold((mn, mx)) { case (a, b) =>
+            (math.min(a, mn), math.max(b, mx)) })
+        case (c, StrMM(mn, mx)) =>
+          strs.update(c, strs.get(c).fold((mn, mx)) { case (a, b) =>
+            (if (a <= mn) a else mn, if (b >= mx) b else mx) })
+      }
+    }
+    // a column must not straddle both indexes (schema fixed per dir)
+    DirStats(ints.toMap, strs.toMap)
+  }
+
+  private def fileStatsPath(dirPath: String) = Paths.get(dirPath, "_filestats")
+
+  private def writeFileStats(dirPath: String, perFile: Seq[(String, Map[String, MinMax])]): Unit = {
+    val m = new java.util.LinkedHashMap[String, Object]()
+    perFile.foreach { case (rel, cols) =>
+      if (cols.nonEmpty) {
+        val cm = new java.util.LinkedHashMap[String, Object]()
+        cols.toSeq.sortBy(_._1).foreach {
+          case (c, IntMM(mn, mx)) => cm.put(c,
+            Seq("i", java.lang.Long.valueOf(mn), java.lang.Long.valueOf(mx)).asJava)
+          case (c, StrMM(mn, mx)) => cm.put(c, Seq("s", mn, mx).asJava)
+        }
+        m.put(rel, cm)
+      }
+    }
+    Files.write(fileStatsPath(dirPath),
+      mapper.writeValueAsString(m).getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** The `_filestats` side file of a commit dir, if present: relative file
+    * path → column → envelope. Absence (pre-filestats commits, stats-less
+    * commits, hand-deleted side file) just disables file-level skipping.
+    */
+  private def readFileStats(dirPath: String): Option[Map[String, Map[String, MinMax]]] = {
+    val p = fileStatsPath(dirPath)
+    if (!Files.isRegularFile(p)) None
+    else Some(mapper.readTree(Files.readString(p)).properties().asScala.map { e =>
+      e.getKey -> e.getValue.properties().asScala.map { ce =>
+        val arr = ce.getValue
+        val mm: MinMax =
+          if (arr.get(0).asText() == "i") IntMM(arr.get(1).asLong(), arr.get(2).asLong())
+          else StrMM(arr.get(1).asText(), arr.get(2).asText())
+        ce.getKey -> mm
+      }.toMap
+    }.toMap)
   }
 
   // ---- bloom data skipping --------------------------------------------
@@ -477,7 +648,7 @@ object VersionedTable {
     if (kept.isEmpty)
       scanDirs(spark, c.dirs.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl)
         .limit(0).filter(pred)
-    else scanDirs(spark, kept.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl).filter(pred)
+    else scanDirsPruned(spark, root, c, kept, colName, lo, hi).filter(pred)
   }
 
   /** The dirs [[readRange]] would scan: snapshot dirs whose [min, max] for
@@ -529,23 +700,93 @@ object VersionedTable {
     * travel to a pre-evolution version reads under THAT manifest's narrower
     * schema, so old snapshots keep their old shape.
     */
+  private def alignTo(target: Option[org.apache.spark.sql.types.StructType])
+                     (df: DataFrame): DataFrame = target match {
+    case None => df
+    case Some(t) =>
+      import org.apache.spark.sql.functions.{col => c, lit}
+      df.select(t.fields.map(f =>
+        if (df.columns.contains(f.name)) c(f.name)
+        else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+  }
+
   private def scanDirs(spark: SparkSession, dirs: Seq[String],
                        partitionCols: Seq[String],
                        schemaDdl: Option[String] = None): DataFrame = {
     val target = schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
-    if (partitionCols.isEmpty)
+    if (dirs.isEmpty)
+      // a fully-deleted snapshot: empty relation under the recorded schema
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+        target.getOrElse(sys.error("empty snapshot with no recorded schema")))
+    else if (partitionCols.isEmpty)
       target.map(t => spark.read.schema(t)).getOrElse(spark.read).parquet(dirs: _*)
-    else {
-      def align(df: DataFrame): DataFrame = target match {
-        case None => df
-        case Some(t) =>
-          import org.apache.spark.sql.functions.{col => c, lit}
-          df.select(t.fields.map(f =>
-            if (df.columns.contains(f.name)) c(f.name)
-            else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+    else
+      dirs.map(d => alignTo(target)(spark.read.parquet(d))).reduce(_.unionByName(_))
+  }
+
+  /** [[scanDirs]] with FILE-level pruning inside each kept dir: the
+    * `_filestats` side file narrows each dir to the files whose envelope
+    * for `colName` overlaps [lo, hi] (files without an entry always scan).
+    * At 100 TB the unit of skipping must be the file — one wide-range file
+    * in a dir must not force the whole dir through Spark's scan — and this
+    * prunes the explicit file list BEFORE a single footer is opened.
+    * Partitioned dirs keep hive recovery via `basePath`.
+    */
+  private def scanDirsPruned(spark: SparkSession, root: String, c: Commit,
+                             kept: Seq[String], colName: String,
+                             lo: Long, hi: Long): DataFrame = {
+    val target = c.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+    // per dir: Some(relpaths) when a side file admits pruning; None = whole dir
+    val parts: Seq[(String, Option[Seq[String]])] = kept.map { d =>
+      val dp = s"$root/$d"
+      val pruned = readFileStats(dp).map { fs =>
+        parquetFiles(dp).filter { rel =>
+          fs.get(rel).flatMap(_.get(colName)).forall(_.overlapsLong(lo, hi))
+        }
       }
-      dirs.map(d => align(spark.read.parquet(d))).reduce(_.unionByName(_))
+      (dp, pruned)
     }
+    def emptyScan = scanDirs(spark, kept.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl)
+      .limit(0)
+    if (c.partitionCols.isEmpty) {
+      val paths = parts.flatMap {
+        case (dp, None)     => Seq(dp)
+        case (dp, Some(fs)) => fs.map(f => s"$dp/$f")
+      }
+      if (paths.isEmpty) emptyScan
+      else target.map(t => spark.read.schema(t)).getOrElse(spark.read).parquet(paths: _*)
+    } else {
+      val dfs = parts.flatMap {
+        case (dp, None)      => Some(spark.read.parquet(dp))
+        case (_, Some(Nil))  => None
+        case (dp, Some(fs))  =>
+          Some(spark.read.option("basePath", dp).parquet(fs.map(f => s"$dp/$f"): _*))
+      }.map(alignTo(target))
+      if (dfs.isEmpty) emptyScan else dfs.reduce(_.unionByName(_))
+    }
+  }
+
+  /** File-granular plan of [[readRange]]: (files scanned, files total) over
+    * the snapshot — the driver-visible proof that per-file skipping
+    * composes on top of dir-level pruning.
+    */
+  def planRangeFiles(root: String, colName: String, lo: Long, hi: Long,
+                     asOf: Option[Long] = None): (Int, Int) = {
+    val log = history(root)
+    require(log.nonEmpty, s"no commits at $root")
+    val c = asOf.fold(log.last)(v =>
+      log.find(_.version == v).getOrElse(sys.error(s"version $v not in log at $root")))
+    val total = c.dirs.map(d => parquetFiles(s"$root/$d").size).sum
+    val keptDirs = planRange(root, colName, lo, hi, asOf, resolved = Some(c))
+    val scanned = keptDirs.map { d =>
+      val dp = s"$root/$d"
+      readFileStats(dp) match {
+        case None     => parquetFiles(dp).size
+        case Some(fs) => parquetFiles(dp).count(rel =>
+          fs.get(rel).flatMap(_.get(colName)).forall(_.overlapsLong(lo, hi)))
+      }
+    }.sum
+    (scanned, total)
   }
 
   /** Incremental (CDC-style) read: exactly the rows ADDED after `fromVersion`
@@ -576,7 +817,8 @@ object VersionedTable {
       s"incremental range references vacuumed dir $d"))
     val toC = log.find(_.version == toVersion).get
     if (added.isEmpty)
-      scanDirs(spark, Seq(s"$root/${to.head}"), toC.partitionCols, toC.schemaDdl).limit(0)
+      if (to.isEmpty) scanDirs(spark, Nil, toC.partitionCols, toC.schemaDdl)
+      else scanDirs(spark, Seq(s"$root/${to.head}"), toC.partitionCols, toC.schemaDdl).limit(0)
     else scanDirs(spark, added, toC.partitionCols, toC.schemaDdl)
   }
 
@@ -599,25 +841,54 @@ object VersionedTable {
     * any writer advances the log mid-rewrite we fail loudly; idempotent
     * under commitId retry. Returns (version, dirsRewritten, dirsTotal).
     */
+  /** The dirs of `parent` whose envelope for `keyCol` overlaps the key
+    * range of `probe` — the shared copy-on-write gate of [[mergeInto]] and
+    * [[deleteWhere]]. Integral keys compare against the manifest `stats`
+    * index, string keys against `strStats` (lexicographic UTF-8 — the
+    * ordering parquet footers record); dirs without an entry are
+    * conservatively IN (pruning is an optimization, never a correctness
+    * input). The probe is one bounded 2-scalar aggregate. Returns
+    * (hitDirs, passDirs); fails loudly on an empty probe or a non-gateable
+    * key type.
+    */
+  private def rangeHitDirs(parent: Commit, probe: DataFrame, keyCol: String,
+                           op: String): (Seq[String], Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    probe.schema(keyCol).dataType match {
+      case LongType | IntegerType =>
+        val r = probe.agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).head()
+        require(!r.isNullAt(0), s"$op: empty batch")
+        val (lo, hi) = (r.getLong(0), r.getLong(1))
+        parent.dirs.partition { d =>
+          parent.stats.get(d).flatMap(_.get(keyCol)) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None           => true
+          }
+        }
+      case StringType =>
+        val r = probe.agg(min(col(keyCol)), max(col(keyCol))).head()
+        require(!r.isNullAt(0), s"$op: empty batch")
+        val (lo, hi) = (r.getString(0), r.getString(1))
+        parent.dirs.partition { d =>
+          parent.strStats.get(d).flatMap(_.get(keyCol)) match {
+            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case None           => true
+          }
+        }
+      case other => sys.error(s"$op requires an integral or string key column, got $keyCol: $other")
+    }
+  }
+
   def mergeInto(spark: SparkSession, root: String, updates: DataFrame,
                 keyCol: String, commitId: String,
                 statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): (Long, Int, Int) = {
-    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.functions.col
     history(root).find(_.commitId == commitId) match {
       case Some(prior) => (prior.version, -1, -1) // retry of a committed merge
       case None =>
         val parent = history(root).lastOption
           .getOrElse(sys.error(s"mergeInto: no commits at $root"))
-        require(parent.partitionCols.isEmpty,
-          "mergeInto currently supports flat (non-hive-partitioned) snapshots")
-        // integral key only: the range gate compares manifest [min, max]
-        // longs, and a silent cast would null a string key's envelope and
-        // masquerade as an empty batch
-        updates.schema(keyCol).dataType match {
-          case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType => ()
-          case other => sys.error(
-            s"mergeInto requires an integral key column, got $keyCol: $other")
-        }
         // the batch schema must match the snapshot's EXACTLY (name → type):
         // merge is not schema evolution, and the no-overlap fast path below
         // writes the batch verbatim under the parent's declared schema — an
@@ -647,39 +918,126 @@ object VersionedTable {
               .otherwise(lit(true)))
             .drop("__n")
         }
-        // bounded scalar probe: the batch's key envelope
-        val r = guarded.agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).head()
-        require(!r.isNullAt(0), "mergeInto: empty update batch")
-        val (lo, hi) = (r.getLong(0), r.getLong(1))
-        val (hit, pass) = parent.dirs.partition { d =>
-          parent.stats.get(d).flatMap(_.get(keyCol)) match {
-            case Some((mn, mx)) => mx >= lo && mn <= hi
-            case None           => true // no stats: conservatively rewrite
-          }
-        }
+        // bounded scalar probe: the batch's key envelope (integral via the
+        // manifest stats index, string via strStats)
+        val (hit, pass) = rangeHitDirs(parent, guarded, keyCol, "mergeInto")
         val v = parent.version + 1
         val dirName = f"data/$v%010d-$commitId"
         val merged =
           if (hit.isEmpty) guarded
           else {
-            val base = scanDirs(spark, hit.map(d => s"$root/$d"), Nil, parent.schemaDdl)
+            val base = scanDirs(spark, hit.map(d => s"$root/$d"), parent.partitionCols,
+              parent.schemaDdl)
             base.join(
                 org.apache.spark.sql.functions.broadcast(guarded.select(col(keyCol))),
                 Seq(keyCol), "left_anti")
               .unionByName(guarded)
           }
-        merged.write.mode("overwrite").parquet(s"$root/$dirName")
-        val dirStats = gatherStats(spark, s"$root/$dirName", statsCols)
+        var w = merged.write.mode("overwrite")
+        if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
+        w.parquet(s"$root/$dirName")
+        val dirStats = gatherStats(spark, s"$root/$dirName", statsCols, merged.schema)
         val dirBlooms = gatherBlooms(spark, s"$root/$dirName", bloomCols)
         val keptStats = parent.stats.filter { case (d, _) => pass.contains(d) }
+        val keptStrStats = parent.strStats.filter { case (d, _) => pass.contains(d) }
         val keptBlooms = parent.blooms.filter { case (d, _) => pass.contains(d) }
         val c = Commit(v, commitId, "merge", pass :+ dirName,
-          if (dirStats.isEmpty) keptStats else keptStats + (dirName -> dirStats),
-          Nil,
+          if (dirStats.ints.isEmpty) keptStats else keptStats + (dirName -> dirStats.ints),
+          if (dirStats.strs.isEmpty) keptStrStats else keptStrStats + (dirName -> dirStats.strs),
+          parent.partitionCols,
           if (dirBlooms.isEmpty) keptBlooms else keptBlooms + (dirName -> dirBlooms),
           parent.schemaDdl.orElse(Some(updates.schema.toDDL)))
         if (!publishIfAbsent(root, v, c))
           sys.error(s"mergeInto: log advanced past v${parent.version} during the rewrite; " +
+            "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
+        (v, hit.size, parent.dirs.size)
+    }
+  }
+
+  /** Row-level DELETE with DIR-LEVEL COPY-ON-WRITE — the Delta
+    * `DELETE FROM t WHERE key IN (...)` lifecycle verb (the GDPR-purge
+    * shape): remove every row whose `keyCol` appears in `keys`, rewriting
+    * ONLY the data dirs whose manifest envelope for `keyCol` overlaps the
+    * key set's range — untouched dirs carry into the new manifest by
+    * reference with their stats and blooms, so a purge of recent keys on
+    * an append-grown 100 TB table costs O(matched commits), not O(table).
+    *
+    * Same contract family as [[mergeInto]]: integral or string keys (via
+    * the shared [[rangeHitDirs]] gate), pinned-parent OCC publication
+    * (fails loudly if any writer advances the log mid-rewrite; the
+    * orphaned dir is vacuum-reclaimable), idempotent under `commitId`
+    * retry. NULL delete keys are refused loudly — an anti-join would
+    * silently never match them, which reads as "deleted" to the caller.
+    * A rewrite whose survivors are EMPTY drops the dir from the manifest
+    * (never publishes a file-less dir); deleting every row of every dir
+    * yields a valid empty snapshot readable under the recorded schema.
+    *
+    * [[changesBetween]] refuses to cross a delete exactly as it refuses
+    * compaction: the rewrite removes dirs, which its append-only
+    * dir-difference contract detects. Returns
+    * (version, dirsRewritten, dirsTotal).
+    */
+  def deleteWhere(spark: SparkSession, root: String, keys: DataFrame,
+                  keyCol: String, commitId: String,
+                  statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+    history(root).find(_.commitId == commitId) match {
+      case Some(prior) => (prior.version, -1, -1) // retry of a committed delete
+      case None =>
+        val parent = history(root).lastOption
+          .getOrElse(sys.error(s"deleteWhere: no commits at $root"))
+        val guarded = keys.select(col(keyCol))
+          .filter(when(col(keyCol).isNull,
+              raise_error(lit("deleteWhere: NULL delete key (an anti-join never matches " +
+                "NULL, so the row would silently survive)")).cast("boolean"))
+            .otherwise(lit(true)))
+          .distinct()
+        val (hit, pass) = rangeHitDirs(parent, guarded, keyCol, "deleteWhere")
+        val v = parent.version + 1
+        val dirName = f"data/$v%010d-$commitId"
+        val survivorsDir: Option[String] =
+          if (hit.isEmpty) None // no dir can hold a key: pure-metadata no-op commit
+          else {
+            val base = scanDirs(spark, hit.map(d => s"$root/$d"), parent.partitionCols,
+              parent.schemaDdl)
+            val survivors = base.join(
+              org.apache.spark.sql.functions.broadcast(guarded), Seq(keyCol), "left_anti")
+            var w = survivors.write.mode("overwrite")
+            if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
+            w.parquet(s"$root/$dirName")
+            // all hit rows deleted → only zero-row part files → omit the
+            // dir from the manifest (footer row counts, no Spark job; the
+            // orphan dir is reclaimed by vacuum's crashed-commit sweep)
+            val conf = spark.sessionState.newHadoopConf()
+            val rows = parquetFiles(s"$root/$dirName").iterator.map { rel =>
+              val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                  new org.apache.hadoop.fs.Path(s"$root/$dirName/$rel"), conf))
+              try rdr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+              finally rdr.close()
+            }.sum
+            if (rows == 0L) None else Some(dirName)
+          }
+        val dirStats = survivorsDir.fold(DirStats(Map.empty, Map.empty))(d =>
+          gatherStats(spark, s"$root/$d", statsCols,
+            parent.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+              .getOrElse(spark.read.parquet(s"$root/$d").schema)))
+        val dirBlooms = survivorsDir.fold(Seq.empty[String])(d =>
+          gatherBlooms(spark, s"$root/$d", bloomCols))
+        val keptStats = parent.stats.filter { case (d, _) => pass.contains(d) }
+        val keptStrStats = parent.strStats.filter { case (d, _) => pass.contains(d) }
+        val keptBlooms = parent.blooms.filter { case (d, _) => pass.contains(d) }
+        val c = Commit(v, commitId, "delete", pass ++ survivorsDir,
+          survivorsDir.filter(_ => dirStats.ints.nonEmpty)
+            .fold(keptStats)(d => keptStats + (d -> dirStats.ints)),
+          survivorsDir.filter(_ => dirStats.strs.nonEmpty)
+            .fold(keptStrStats)(d => keptStrStats + (d -> dirStats.strs)),
+          parent.partitionCols,
+          survivorsDir.filter(_ => dirBlooms.nonEmpty)
+            .fold(keptBlooms)(d => keptBlooms + (d -> dirBlooms)),
+          parent.schemaDdl)
+        if (!publishIfAbsent(root, v, c))
+          sys.error(s"deleteWhere: log advanced past v${parent.version} during the rewrite; " +
             "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
         (v, hit.size, parent.dirs.size)
     }
@@ -701,7 +1059,8 @@ object VersionedTable {
           val parent = history(root).last
           val v = parent.version + 1
           if (publishIfAbsent(root, v, Commit(v, commitId, "rollback", target.dirs,
-              target.stats, target.partitionCols, target.blooms, target.schemaDdl)))
+              target.stats, target.strStats, target.partitionCols, target.blooms,
+              target.schemaDdl)))
             committed = v
         }
         committed
@@ -758,10 +1117,12 @@ object VersionedTable {
         var w = df.write.mode("overwrite")
         if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
         w.parquet(s"$root/$dirName")
-        val dirStats = gatherStats(spark, s"$root/$dirName", statsCols)
+        val dirStats = gatherStats(spark, s"$root/$dirName", statsCols, cur.schema)
         val dirBlooms = gatherBlooms(spark, s"$root/$dirName", bloomCols)
         val c = Commit(v, commitId, "compact", Seq(dirName),
-          if (dirStats.isEmpty) Map.empty else Map(dirName -> dirStats),
+          if (dirStats.ints.isEmpty) Map.empty else Map(dirName -> dirStats.ints),
+          if (dirStats.strs.isEmpty) Map.empty
+          else Map(dirName -> dirStats.strs): Map[String, Map[String, (String, String)]],
           parent.partitionCols,
           if (dirBlooms.isEmpty) Map.empty
           else Map(dirName -> dirBlooms): Map[String, Seq[String]],

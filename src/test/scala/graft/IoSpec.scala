@@ -402,9 +402,14 @@ class IoSpec extends SparkSpec {
     // rollback carries the skipping index with it
     VersionedTable.rollback(root, 2L, "restore")
     assert(VersionedTable.planRange(root, "id", 11L, 14L).size == 1)
-    // non-integer stats column fails loudly at commit time
+    // string stats are supported (they land in strStats, not stats); a
+    // float-typed stats column still fails loudly at commit time (float
+    // ordering/rounding is not engine-portable)
+    VersionedTable.commit(Seq((30L, "f")).toDF("id", "s"), root, "append", "c4",
+      statsCols = Seq("s"))
+    assert(VersionedTable.history(root).last.strStats.values.flatMap(_.keys).toSet == Set("s"))
     intercept[RuntimeException](VersionedTable.commit(
-      Seq((30L, "f")).toDF("id", "s"), root, "append", "c4", statsCols = Seq("s")))
+      Seq((31L, 1.5)).toDF("id", "d"), root, "overwrite", "c5", statsCols = Seq("d")))
   }
 
   test("VersionedTable.mergeInto: rewrites only range-hit dirs, untouched dirs pass by reference, inserts land, idempotent") {
@@ -450,11 +455,207 @@ class IoSpec extends SparkSpec {
     val bad = intercept[IllegalArgumentException](VersionedTable.mergeInto(spark, root,
       Seq(1000L).toDF("id"), "id", "m-narrow"))
     assert(bad.getMessage.contains("must equal the snapshot schema"), bad.getMessage)
-    // string-keyed batch refused with a type error, not 'empty batch'
+    // a batch whose key TYPE disagrees with the snapshot is refused by the
+    // schema gate before anything writes (string keys are supported, but
+    // only against a string-keyed snapshot)
     val sk = intercept[RuntimeException](VersionedTable.mergeInto(spark, root,
       Seq(("k", "v")).toDF("id", "s"), "id", "m-str"))
-    assert(sk.getMessage.contains("integral key"), sk.getMessage)
+    assert(sk.getMessage.contains("must equal the snapshot schema"), sk.getMessage)
     assert(VersionedTable.history(root).size == 4, "refused merges must not advance the log")
+  }
+
+  test("VersionedTable.mergeInto: string-keyed snapshot prunes via the strStats envelope") {
+    import spark.implicits._
+    val root = tmpDir("vt_merge_str")
+    // three lexicographically-disjoint key bands, string stats on k
+    VersionedTable.commit(Seq(("apple", 1L), ("avocado", 2L)).toDF("k", "n"),
+      root, "append", "s1", statsCols = Seq("k"))
+    VersionedTable.commit(Seq(("mango", 3L), ("melon", 4L)).toDF("k", "n"),
+      root, "append", "s2", statsCols = Seq("k"))
+    VersionedTable.commit(Seq(("yam", 5L), ("zucchini", 6L)).toDF("k", "n"),
+      root, "append", "s3", statsCols = Seq("k"))
+    val before = VersionedTable.history(root).last
+    assert(before.strStats.values.flatMap(_.keys).toSet == Set("k"),
+      s"string stats must land in strStats: ${before.strStats}")
+    // batch confined to band 2's lexicographic range: update mango, insert mint
+    val (v, hit, total) = VersionedTable.mergeInto(spark, root,
+      Seq(("mango", 30L), ("mint", 99L)).toDF("k", "n"), "k", "s-apply")
+    assert(v == 4L && hit == 1 && total == 3, s"($v, $hit, $total)")
+    val after = VersionedTable.history(root).last
+    assert(after.dirs.count(before.dirs.contains) == 2, "bands 1+3 pass by reference")
+    assert(before.dirs.filter(after.dirs.contains).forall(d => after.strStats.contains(d)))
+    val rows = VersionedTable.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("apple", 1L), ("avocado", 2L), ("mango", 30L), ("melon", 4L),
+      ("mint", 99L), ("yam", 5L), ("zucchini", 6L)), rows.toString)
+  }
+
+  test("VersionedTable.mergeInto: hive-partitioned snapshot keeps layout, rewrite stays dir-confined") {
+    import spark.implicits._
+    val root = tmpDir("vt_merge_part")
+    VersionedTable.commit(Seq((1L, 2022, "a"), (2L, 2022, "b")).toDF("id", "year", "s"),
+      root, "append", "p1", partitionCols = Seq("year"), statsCols = Seq("id"))
+    VersionedTable.commit(Seq((10L, 2023, "c"), (11L, 2023, "d")).toDF("id", "year", "s"),
+      root, "append", "p2", partitionCols = Seq("year"), statsCols = Seq("id"))
+    val before = VersionedTable.history(root).last.dirs
+    // batch inside dir 2's id range only; carries the partition column
+    val (v, hit, total) = VersionedTable.mergeInto(spark, root,
+      Seq((10L, 2023, "C2"), (12L, 2024, "NEW")).toDF("id", "year", "s"), "id", "p-apply")
+    assert(v == 3L && hit == 1 && total == 2, s"($v, $hit, $total)")
+    val after = VersionedTable.history(root).last
+    assert(after.partitionCols == Seq("year"), "merge must preserve the hive layout")
+    assert(after.dirs.count(before.contains) == 1, "dir 1 passes by reference")
+    // the rewritten dir is hive-laid-out (year= subdirs exist)
+    val newDir = after.dirs.filterNot(before.contains).head
+    val subdirs = new java.io.File(s"$root/$newDir").listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(subdirs.exists(_.startsWith("year=")), s"expected hive subdirs, got $subdirs")
+    val rows = VersionedTable.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSeq
+    assert(rows == Seq((1L, 2022, "a"), (2L, 2022, "b"), (10L, 2023, "C2"),
+      (11L, 2023, "d"), (12L, 2024, "NEW")), rows.toString)
+    // partition pruning still works on the merged snapshot
+    val pruned = VersionedTable.read(spark, root).filter(col("year") === 2022)
+    assert(pruned.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+  }
+
+  test("VersionedTable.readRange: per-file stats prune files WITHIN a kept dir") {
+    import spark.implicits._
+    val root = tmpDir("vt_filestats")
+    // ONE commit, multiple files, disjoint id ranges per file — dir-level
+    // stats span 1..40 so dir pruning can never help; only per-file stats can
+    val df = Seq((1L, "a"), (10L, "b"), (21L, "c"), (30L, "d"), (40L, "e"))
+      .toDF("id", "s")
+      .repartitionByRange(4, col("id"))
+    VersionedTable.commit(df, root, "append", "f1", statsCols = Seq("id"))
+    val dir = VersionedTable.history(root).last.dirs.head
+    assert(java.nio.file.Files.isRegularFile(
+      java.nio.file.Paths.get(s"$root/$dir", "_filestats")), "side file written")
+    val (scanned, total) = VersionedTable.planRangeFiles(root, "id", 21L, 30L)
+    assert(total >= 3, s"fixture needs multiple files, got $total")
+    assert(scanned < total, s"per-file pruning must drop files: $scanned of $total")
+    val rows = VersionedTable.readRange(spark, root, "id", 21L, 30L)
+      .orderBy("id").collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(21L, 30L), rows.toString)
+    // the full range scans everything and loses nothing
+    assert(VersionedTable.readRange(spark, root, "id", 0L, 100L).count() == 5)
+    // a range matching NO file still returns empty correctly
+    assert(VersionedTable.readRange(spark, root, "id", 50L, 60L).count() == 0)
+  }
+
+  test("VersionedTable.deleteWhere: dir-confined copy-on-write, idempotent, CDC refusal, empty-table terminal") {
+    import spark.implicits._
+    val root = tmpDir("vt_delete")
+    VersionedTable.commit(Seq((1L, "a"), (5L, "b")).toDF("id", "s"), root, "append", "d1",
+      statsCols = Seq("id"))
+    VersionedTable.commit(Seq((10L, "c"), (15L, "d")).toDF("id", "s"), root, "append", "d2",
+      statsCols = Seq("id"))
+    VersionedTable.commit(Seq((20L, "e"), (25L, "f")).toDF("id", "s"), root, "append", "d3",
+      statsCols = Seq("id"))
+    val before = VersionedTable.history(root).last.dirs
+    // purge keys inside band 2 only → exactly one dir rewritten
+    // (statsCols keeps the rewritten dir in the skipping index, so later
+    // deletes can prune against it too)
+    val (v, hit, total) = VersionedTable.deleteWhere(spark, root,
+      Seq(10L).toDF("id"), "id", "purge-10", statsCols = Seq("id"))
+    assert(v == 4L && hit == 1 && total == 3, s"($v, $hit, $total)")
+    val after = VersionedTable.history(root).last
+    assert(after.mode == "delete" && after.dirs.count(before.contains) == 2)
+    assert(before.filter(after.dirs.contains).forall(d => after.stats.contains(d)),
+      "pass-through dirs keep their stats by reference")
+    val rows = VersionedTable.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (5L, "b"), (15L, "d"), (20L, "e"), (25L, "f")), rows.toString)
+    // idempotent retry: sentinel counts, log does not advance
+    assert(VersionedTable.deleteWhere(spark, root,
+      Seq(10L).toDF("id"), "id", "purge-10") == ((4L, -1, -1)))
+    assert(VersionedTable.history(root).size == 4)
+    // CDC refuses to cross the delete (dirs removed), like overwrite/compact
+    intercept[IllegalArgumentException](VersionedTable.changesBetween(spark, root, 2L, 4L))
+    // time travel to the pre-delete snapshot still shows the purged row
+    assert(VersionedTable.read(spark, root, asOf = Some(3L)).count() == 6)
+    // an envelope that misses every dir is a pure-metadata no-op commit:
+    // dirs unchanged, and CDC may cross it (nothing was removed)
+    val (v2, hit2, _) = VersionedTable.deleteWhere(spark, root,
+      Seq(1000L).toDF("id"), "id", "purge-nothing")
+    assert(v2 == 5L && hit2 == 0)
+    assert(VersionedTable.history(root).last.dirs.toSet == after.dirs.toSet)
+    assert(VersionedTable.changesBetween(spark, root, 4L, 5L).count() == 0)
+    // NULL delete keys are refused loudly, not silently unmatched
+    val e = intercept[Exception](VersionedTable.deleteWhere(spark, root,
+      Seq(Option.empty[Long]).toDF("id"), "id", "purge-null"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("NULL delete key"), msgs)
+    // deleting every remaining row yields a valid EMPTY snapshot readable
+    // under the recorded schema (no file-less dir is ever published)
+    val (v3, _, _) = VersionedTable.deleteWhere(spark, root,
+      Seq(1L, 5L, 15L, 20L, 25L).toDF("id"), "id", "purge-all")
+    assert(v3 == 6L)
+    val empty = VersionedTable.read(spark, root)
+    assert(empty.count() == 0 && empty.columns.toSeq == Seq("id", "s"))
+    assert(VersionedTable.history(root).last.dirs.isEmpty)
+    // and vacuum down to the empty snapshot reclaims every data dir
+    VersionedTable.vacuum(root, retainLast = 1)
+    assert(VersionedTable.read(spark, root).count() == 0)
+  }
+
+  test("VersionedTable.deleteWhere: string keys prune via strStats; partitioned layout preserved") {
+    import spark.implicits._
+    val root = tmpDir("vt_delete_str")
+    // lexicographically DISJOINT bands — that's what the envelope prunes on
+    VersionedTable.commit(Seq(("apple", 2022, 1L), ("avocado", 2023, 2L))
+      .toDF("k", "year", "n"), root, "append", "sd1",
+      partitionCols = Seq("year"), statsCols = Seq("k"))
+    VersionedTable.commit(Seq(("mango", 2023, 4L), ("melon", 2022, 5L)).toDF("k", "year", "n"),
+      root, "append", "sd2", partitionCols = Seq("year"), statsCols = Seq("k"))
+    val (_, hit, total) = VersionedTable.deleteWhere(spark, root,
+      Seq("mango").toDF("k"), "k", "sd-purge")
+    assert(hit == 1 && total == 2, s"strStats envelope must confine the rewrite: ($hit, $total)")
+    val after = VersionedTable.history(root).last
+    assert(after.partitionCols == Seq("year"))
+    val rows = VersionedTable.read(spark, root).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(rows == Seq(("apple", 1L), ("avocado", 2L), ("melon", 5L)), rows.toString)
+  }
+
+  test("VersionedTable.deleteWhere: concurrent appends either serialize or fail loudly; nothing is lost") {
+    import spark.implicits._
+    val root = tmpDir("vt_delete_race")
+    VersionedTable.commit((0L until 20L).map(i => (i, s"r$i")).toDF("id", "s"),
+      root, "append", "base", statsCols = Seq("id"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val appender = new Thread(() => {
+      try (0 until 6).foreach { i =>
+        VersionedTable.commit(Seq((100L + i, s"new$i")).toDF("id", "s"),
+          root, "append", s"race-a$i", statsCols = Seq("id"))
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    val deleter = new Thread(() => {
+      try (0 until 3).foreach { i =>
+        // pinned-parent contract: a delete that loses the publish race
+        // fails LOUDLY with "log advanced" and the caller re-runs — retry
+        // until it lands; every failure must be the advertised one
+        var done = false
+        while (!done) {
+          try { VersionedTable.deleteWhere(spark, root,
+            Seq(i * 5L).toDF("id"), "id", s"race-d$i"); done = true }
+          catch {
+            case e: RuntimeException if Option(e.getMessage).exists(_.contains("log advanced")) =>
+            case t: Throwable => errs.add(t); done = true
+          }
+        }
+      } catch { case t: Throwable => errs.add(t) }
+    })
+    appender.start(); deleter.start(); appender.join(); deleter.join()
+    assert(errs.isEmpty, s"unexpected failure: ${errs.peek()}")
+    val ids = VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSet
+    val want = (0L until 20L).toSet -- Set(0L, 5L, 10L) ++ (0 until 6).map(100L + _).toSet
+    assert(ids == want, s"lost or resurrected rows:\n got ${ids.toSeq.sorted}\n want ${want.toSeq.sorted}")
+    // single-winner slots: contiguous version range, all commitIds distinct
+    val log = VersionedTable.history(root)
+    assert(log.map(_.version) == (1L to log.size))
+    assert(log.map(_.commitId).distinct.size == log.size)
   }
 
   test("VersionedTable: add-column evolution backfills NULLs, time travel keeps old shape, type change and drop refused") {
