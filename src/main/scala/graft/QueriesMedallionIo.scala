@@ -593,6 +593,255 @@ private[graft] object QueriesMedallionIo {
         |  CAST(1 AS BIGINT) AS dirs_rewritten, CAST(4 AS BIGINT) AS dirs_total
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — MERGE INTO over a HIVE-PARTITIONED snapshot (the r11 flat-only
+    // limit removed): four key-banded appends partitioned by o_orderstatus,
+    // then an upsert batch confined to band 2 that also REASSIGNS rows to a
+    // brand-new partition value ('X') — the hardest case, since the rewrite
+    // must keep the hive layout while rows cross partition boundaries. The
+    // [min,max] gate still rewrites exactly one dir (dirs_rewritten = 1 of
+    // 4); layout_kept asserts the merged manifest kept partitionCols, so
+    // partition pruning survives the merge.
+    Q("versioned_merge_part",
+      (s, dir) => {
+        val (root, hit, total, kept) = Fixtures.once(s, dir, "vt_merge_part") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_mergep_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderstatus")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          Seq(("mp1", col("o_orderkey") <= b1),
+            ("mp2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("mp3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
+            ("mp4", col("o_orderkey") > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"mergep-$id",
+              statsCols = Seq("o_orderkey"), partitionCols = Seq("o_orderstatus"))
+          }
+          val upd = o.filter(col("o_orderkey") > b1 && col("o_orderkey") <= b2 &&
+              col("o_orderkey") % 3 === 0)
+            .select(col("o_orderkey"), lit("X-UPDATED").as("o_orderpriority"),
+              lit("X").as("o_orderstatus"))
+          val (_, h, t) = graft.io.VersionedTable.mergeInto(s, r, upd,
+            "o_orderkey", "mergep-apply", statsCols = Seq("o_orderkey"))
+          val k = graft.io.VersionedTable.history(r).last.partitionCols == Seq("o_orderstatus")
+          (r, h.toLong, t.toLong, java.lang.Boolean.valueOf(k))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("dirs_rewritten", lit(hit))
+          .withColumn("dirs_total", lit(total))
+          .withColumn("layout_kept", lit(kept.booleanValue()))
+          .orderBy("o_orderstatus")
+      },
+      Some("""WITH q AS (SELECT max(o_orderkey) // 4 AS q1, max(o_orderkey) // 2 AS q2 FROM orders),
+        |m AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey > q1 AND o_orderkey <= q2 AND o_orderkey % 3 = 0
+        |    THEN 'X' ELSE o_orderstatus END AS o_orderstatus
+        |  FROM orders CROSS JOIN q)
+        |SELECT o_orderstatus, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS dirs_rewritten, CAST(4 AS BIGINT) AS dirs_total,
+        |  TRUE AS layout_kept
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — MERGE INTO with a STRING key (the r11 integral-only limit
+    // removed): customer keyed by c_name (zero-padded, so lexicographic =
+    // numeric order), four lexicographically-disjoint bands with string
+    // stats in the new strStats manifest index, then a batch confined to
+    // band 2's name range. The string [min,max] envelope must confine the
+    // rewrite to one dir exactly as the integer gate does.
+    Q("versioned_merge_string",
+      (s, dir) => {
+        val (root, hit, total) = Fixtures.once(s, dir, "vt_merge_str") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_merges_${dirTag(dir)}"
+          rmrf(r)
+          val c = rd(s, dir, "customer").select("c_name", "c_mktsegment", "c_custkey")
+          val mx = c.agg(max(col("c_custkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          Seq(("ms1", col("c_custkey") <= b1),
+            ("ms2", col("c_custkey") > b1 && col("c_custkey") <= b2),
+            ("ms3", col("c_custkey") > b2 && col("c_custkey") <= b3),
+            ("ms4", col("c_custkey") > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(c.filter(pred), r, "append", s"merges-$id",
+              statsCols = Seq("c_name"))
+          }
+          val upd = c.filter(col("c_custkey") > b1 && col("c_custkey") <= b2 &&
+              col("c_custkey") % 3 === 0)
+            .select(col("c_name"), lit("X-UPDATED").as("c_mktsegment"), col("c_custkey"))
+          val (_, h, t) = graft.io.VersionedTable.mergeInto(s, r, upd,
+            "c_name", "merges-apply", statsCols = Seq("c_name"))
+          (r, h.toLong, t.toLong)
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), sum(col("c_custkey")).as("key_sum"))
+          .withColumn("dirs_rewritten", lit(hit))
+          .withColumn("dirs_total", lit(total))
+          .orderBy("c_mktsegment")
+      },
+      Some("""WITH q AS (SELECT max(c_custkey) // 4 AS q1, max(c_custkey) // 2 AS q2 FROM customer),
+        |m AS (SELECT c_custkey,
+        |  CASE WHEN c_custkey > q1 AND c_custkey <= q2 AND c_custkey % 3 = 0
+        |    THEN 'X-UPDATED' ELSE c_mktsegment END AS c_mktsegment
+        |  FROM customer CROSS JOIN q)
+        |SELECT c_mktsegment, count(*) AS n, CAST(sum(c_custkey) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS dirs_rewritten, CAST(4 AS BIGINT) AS dirs_total
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — row-level DELETE with dir-level copy-on-write (VersionedTable
+    // .deleteWhere — the GDPR-purge lifecycle verb): four key-banded
+    // appends, then a purge of band-2 keys divisible by 3; the [min,max]
+    // gate must rewrite ONLY that dir (dirs_rewritten = 1 of 4) while the
+    // other three carry by reference. The delete runs in the FIXTURE
+    // (idempotent under its commitId); the probe additionally proves the
+    // replay contract (re-firing the commitId with different keys must not
+    // advance the log — replay_noop) and the CDC boundary (changesBetween
+    // crossing the delete must refuse, exactly like compaction —
+    // cdc_refused). The oracle recomputes the survivor set as plain SQL.
+    Q("versioned_delete",
+      (s, dir) => {
+        val (root, hit, total, flags) = Fixtures.once(s, dir, "vt_delete") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_del_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          Seq(("del1", col("o_orderkey") <= b1),
+            ("del2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("del3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
+            ("del4", col("o_orderkey") > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"del-$id",
+              statsCols = Seq("o_orderkey"))
+          }
+          val purge = o.filter(col("o_orderkey") > b1 && col("o_orderkey") <= b2 &&
+            col("o_orderkey") % 3 === 0).select("o_orderkey")
+          val (v, h, t) = graft.io.VersionedTable.deleteWhere(s, r, purge,
+            "o_orderkey", "del-apply", statsCols = Seq("o_orderkey"))
+          // replay with DIFFERENT keys under the committed id: must no-op
+          val (rv, rh, _) = graft.io.VersionedTable.deleteWhere(s, r,
+            o.filter(col("o_orderkey") <= b1).select("o_orderkey"),
+            "o_orderkey", "del-apply")
+          val noop = rv == v && rh == -1 &&
+            graft.io.VersionedTable.latestVersion(r).contains(v)
+          // CDC must refuse to cross the delete (dirs were removed)
+          val refused =
+            try { graft.io.VersionedTable.changesBetween(s, r, 4L, v); false }
+            catch { case e: IllegalArgumentException =>
+              e.getMessage.contains("append-only") }
+          (r, h.toLong, t.toLong, Seq(noop, refused))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("dirs_rewritten", lit(hit))
+          .withColumn("dirs_total", lit(total))
+          .withColumn("replay_noop", lit(flags(0)))
+          .withColumn("cdc_refused", lit(flags(1)))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH q AS (SELECT max(o_orderkey) // 4 AS q1, max(o_orderkey) // 2 AS q2 FROM orders),
+        |d AS (SELECT o_orderkey, o_orderpriority FROM orders CROSS JOIN q
+        |  WHERE NOT (o_orderkey > q1 AND o_orderkey <= q2 AND o_orderkey % 3 = 0))
+        |SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS dirs_rewritten, CAST(4 AS BIGINT) AS dirs_total,
+        |  TRUE AS replay_noop, TRUE AS cdc_refused
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17+X8 — Z-ORDER composed with the file-granular skipping index: one
+    // commit range-partitioned by the Morton value of the (o_custkey,
+    // o_orderkey) pair (both dims bucketized to 10 bits so neither
+    // dominates the interleave), per-FILE min/max on BOTH dimensions from
+    // the parquet footers. A low-range predicate on EITHER dimension must
+    // then scan strictly fewer FILES than the commit holds (x_pruned /
+    // y_pruned — 2-D pruning from one layout, which neither a sort by
+    // o_custkey nor by o_orderkey alone can give). File counts stay
+    // unpinned (layout detail); the booleans are the claim, and the row
+    // values come from the pruned readRange scans themselves, so a wrong
+    // file plan breaks the hash too.
+    Q("versioned_zorder_scan",
+      (s, dir) => {
+        val (root, cb, ob) = Fixtures.once(s, dir, "vt_zorder") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_zorder_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+          val row = o.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+          val (mc, mk) = (row.getLong(0), row.getLong(1))
+          val z = o
+            .withColumn("__zx", floor(col("o_custkey") * 1024.0 / (mc + 1)).cast("long"))
+            .withColumn("__zy", floor(col("o_orderkey") * 1024.0 / (mk + 1)).cast("long"))
+            .withColumn("__z", Relational.zValue(col("__zx"), col("__zy"), 10))
+            .repartitionByRange(16, col("__z"))
+            .drop("__zx", "__zy", "__z")
+          graft.io.VersionedTable.commit(z, r, "overwrite", "zorder-v1",
+            statsCols = Seq("o_custkey", "o_orderkey"))
+          (r, mc / 8, mk / 8)
+        }
+        val (sx, tx) = graft.io.VersionedTable.planRangeFiles(root, "o_custkey", 0L, cb)
+        val (sy, ty) = graft.io.VersionedTable.planRangeFiles(root, "o_orderkey", 0L, ob)
+        val xAgg = graft.io.VersionedTable.readRange(s, root, "o_custkey", 0L, cb)
+          .agg(count(lit(1)).as("n_x"), sum(col("o_custkey")).as("custkey_sum"))
+        val yAgg = graft.io.VersionedTable.readRange(s, root, "o_orderkey", 0L, ob)
+          .agg(count(lit(1)).as("n_y"), sum(col("o_orderkey")).as("orderkey_sum"))
+        xAgg.crossJoin(broadcast(yAgg))
+          .withColumn("x_pruned", lit(sx < tx))
+          .withColumn("y_pruned", lit(sy < ty))
+      },
+      Some("""WITH b AS (SELECT max(o_custkey) // 8 AS cb, max(o_orderkey) // 8 AS ob FROM orders)
+        |SELECT
+        |  (SELECT count(*) FROM orders CROSS JOIN b WHERE o_custkey <= cb) AS n_x,
+        |  CAST((SELECT sum(o_custkey) FROM orders CROSS JOIN b WHERE o_custkey <= cb) AS BIGINT) AS custkey_sum,
+        |  (SELECT count(*) FROM orders CROSS JOIN b WHERE o_orderkey <= ob) AS n_y,
+        |  CAST((SELECT sum(o_orderkey) FROM orders CROSS JOIN b WHERE o_orderkey <= ob) AS BIGINT) AS orderkey_sum,
+        |  TRUE AS x_pruned, TRUE AS y_pruned""".stripMargin)),
+
+    // S14+S17 — SCD TYPE 2 merges committed INTO the versioned table
+    // (Relational.scdType2Commit — where a production dimension actually
+    // lives): batch 1 bootstraps the customer-segment dimension, batch 2
+    // re-sends every key with segment changed for keys % 3 = 0 (covering
+    // change + no-op resend in one merge). History is then time-travelable
+    // at BOTH granularities: row level (closed valid_from/valid_to
+    // intervals in the latest snapshot — the probe output) and snapshot
+    // level (v1_rows = the pre-merge dimension row count via asOf read).
+    // Replaying batch 2's commitId with garbage must not advance the log
+    // or touch the dimension (replay_noop) — the exactly-once contract a
+    // CDC-fed dimension needs. The oracle rebuilds the full SCD2 state as
+    // plain SQL.
+    Q("versioned_scd2",
+      (s, dir) => {
+        val (root, v1rows, noop) = Fixtures.once(s, dir, "vt_scd2") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_scd2_${dirTag(dir)}"
+          rmrf(r)
+          val c = rd(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+          Relational.scdType2Commit(s, r, c, "c_custkey", Seq("segment"),
+            "2022-01-01", "scd2-b1")
+          val b2 = c.withColumn("segment",
+            when(col("c_custkey") % 3 === 0, lit("MOVED")).otherwise(col("segment")))
+          val v2 = Relational.scdType2Commit(s, r, b2, "c_custkey", Seq("segment"),
+            "2022-02-01", "scd2-b2")
+          val replayed = Relational.scdType2Commit(s, r,
+            c.limit(1).withColumn("segment", lit("GARBAGE")),
+            "c_custkey", Seq("segment"), "2022-03-01", "scd2-b2")
+          val nop = replayed == v2 && graft.io.VersionedTable.latestVersion(r).contains(v2)
+          val v1n = graft.io.VersionedTable.read(s, r, asOf = Some(1L)).count()
+          (r, java.lang.Long.valueOf(v1n), java.lang.Boolean.valueOf(nop))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .withColumn("v1_rows", lit(v1rows.longValue()))
+          .withColumn("replay_noop", lit(noop.booleanValue()))
+          .orderBy("c_custkey", "valid_from")
+      },
+      Some("""WITH c AS (SELECT c_custkey, c_mktsegment AS segment FROM customer)
+        |SELECT c_custkey, segment, '2022-01-01' AS valid_from,
+        |  CASE WHEN c_custkey % 3 = 0 THEN '2022-02-01' END AS valid_to,
+        |  c_custkey % 3 <> 0 AS is_current,
+        |  (SELECT count(*) FROM c) AS v1_rows, TRUE AS replay_noop
+        |FROM c
+        |UNION ALL
+        |SELECT c_custkey, 'MOVED', '2022-02-01', NULL, TRUE,
+        |  (SELECT count(*) FROM c), TRUE
+        |FROM c WHERE c_custkey % 3 = 0
+        |ORDER BY c_custkey, valid_from""".stripMargin)),
+
     // MERGE-style upsert (table maintenance): a CDC batch (every 10th order,
     // re-priced, status 'U') replaces matching base rows and passes the rest
     // through. Anti-join + union with the small side broadcast — the base

@@ -592,6 +592,47 @@ object Relational {
     history.unionByName(kept).unionByName(opened)
   }
 
+  /** [[scdType2]] committed into a [[graft.io.VersionedTable]] — where a
+    * production dimension actually lives. Each merge reads the CURRENT
+    * dimension snapshot, applies the batch, and commits the result as an
+    * OVERWRITE under the caller's `commitId`, so:
+    *
+    *  - dimension history is time-travelable at TWO granularities: row
+    *    level (the SCD2 valid_from/valid_to intervals) and snapshot level
+    *    (`VersionedTable.read(asOf)` returns the dimension exactly as any
+    *    past merge left it);
+    *  - the merge is EXACTLY-ONCE under replay: re-running a committed
+    *    `commitId` (a driver retry, a replayed micro-batch) returns the
+    *    existing version without reading or writing anything — the same
+    *    batchId-keyed idempotence contract as the streaming sinks.
+    *
+    * An empty log bootstraps: every batch row opens as the initial current
+    * version (valid_from = `asOfDate`). Validity bounds are ISO date
+    * STRINGS (lexicographically ordered, engine-portable). `attrCols` must
+    * cover every non-key batch column — untracked batch columns would
+    * arrive NULL on inserted rows. Each commit is O(current dimension),
+    * never O(history of snapshots); vacuum retires old snapshots without
+    * touching SCD2 row history, which lives inside every snapshot.
+    */
+  def scdType2Commit(spark: org.apache.spark.sql.SparkSession, root: String,
+                     updates: DataFrame, keyCol: String, attrCols: Seq[String],
+                     asOfDate: String, commitId: String): Long = {
+    val log = graft.io.VersionedTable.history(root)
+    log.find(_.commitId == commitId) match {
+      case Some(prior) => prior.version // replayed merge: exactly-once no-op
+      case None =>
+        val dim =
+          if (log.isEmpty)
+            updates.limit(0)
+              .withColumn("valid_from", lit(null).cast("string"))
+              .withColumn("valid_to", lit(null).cast("string"))
+              .withColumn("is_current", lit(true))
+          else graft.io.VersionedTable.read(spark, root)
+        val merged = scdType2(dim, updates, keyCol, attrCols, lit(asOfDate))
+        graft.io.VersionedTable.commit(merged, root, "overwrite", commitId)
+    }
+  }
+
   /** POINT-IN-TIME (temporal) join — the standard consumer of an
     * [[scdType2]] dimension: each fact row joins the dimension VERSION in
     * effect at the fact's timestamp (valid_from ≤ t, and t < valid_to or
