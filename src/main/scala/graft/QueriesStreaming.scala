@@ -497,6 +497,48 @@ private[graft] object QueriesStreaming {
         "ORDER BY 1, 2")),
 
 
+    // LEFT OUTER stream-stream interval join (intervalJoinLeftOuter — the
+    // funnel/attribution shape: every click appears, purchased or not).
+    // Same evictable-state geometry as stream_stream_join plus the second
+    // emission path: a click whose 30-minute window falls wholly behind
+    // the watermark emits NULL-padded at state eviction. The honest tail
+    // contract is part of the oracle: clicks whose window the watermark
+    // never passes (the last watermark+horizon of the stream) stay in
+    // state, so the oracle's unmatched branch carries the same
+    // `ts + horizon < max(ts) - watermark` bound the engine enforces —
+    // stream/batch equivalence INCLUDING the eviction boundary.
+    Q("stream_stream_left_join",
+      (s, dir) => {
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val batchSchema = rd(ss, dir, "events").schema
+        def stream(kind: String, prefix: String) = ss.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .filter(col("event_type") === kind)
+          .select(col("user_id").as(s"${prefix}_user"),
+            col("event_id").as(s"${prefix}_id"),
+            expr(tsStampSql(batchSchema)).as(s"${prefix}_ts"))
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.intervalJoinLeftOuter(
+            stream("click", "c"), stream("purchase", "p"),
+            "c_user", "p_user", "c_ts", "p_ts", "1 minute", "30 minutes")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        ss.table(name).select(col("c_id").as("click_id"), col("p_id").as("purchase_id"))
+          .orderBy("click_id", "purchase_id")
+      },
+      Some("""WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |m AS (SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+        |u AS (SELECT c.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id
+        |  FROM c WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+        |  AND c.ts + INTERVAL 30 MINUTE <
+        |    (SELECT max(ts) FROM events) - INTERVAL 1 MINUTE)
+        |SELECT * FROM m UNION ALL SELECT * FROM u ORDER BY 1, 2""".stripMargin)),
+
     // STREAMING PQ-INDEX MAINTENANCE (the ninth declared streaming path —
     // stream_index_maintain's compressed-ANN counterpart): the standing
     // corpus' frozen-quantizer codes are seeded once (bucketed by vec_id);

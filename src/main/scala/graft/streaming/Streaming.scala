@@ -87,6 +87,30 @@ object Streaming {
         expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs " +
           s"AND $rightTs <= $leftTs + INTERVAL $horizon"))
 
+  /** LEFT OUTER stream-stream interval join — [[intervalJoin]]'s
+    * unmatched-preserving form (the funnel/attribution shape: every click
+    * appears, purchased or not). Same state-eviction geometry as the inner
+    * join — watermarks on both sides + the two-sided time bound keep state
+    * ∝ rate × horizon — but with a second emission path the inner form
+    * lacks: a left row whose join window [leftTs, leftTs + horizon] falls
+    * wholly behind the watermark can provably never match a future right
+    * row, so eviction EMITS it null-padded instead of dropping it. That
+    * also defines the operator's honest tail contract: left rows whose
+    * window the watermark never passes (the final `horizon + watermark`
+    * of a stream's life) remain in state, matched-only — a consumer
+    * draining a finite source sees null-padded rows only up to
+    * `max(eventTime) - watermark - horizon`.
+    */
+  def intervalJoinLeftOuter(left: DataFrame, right: DataFrame,
+                            leftKey: String, rightKey: String,
+                            leftTs: String, rightTs: String,
+                            watermark: String, horizon: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs " +
+          s"AND $rightTs <= $leftTs + INTERVAL $horizon"),
+        "left_outer")
+
   /** Streaming corpus curation — the STATELESS curation stages applied to a
     * document stream: quality filter (the x3_quality_score thresholds) →
     * exact-fingerprint decontamination as a STREAM-STATIC left-anti join

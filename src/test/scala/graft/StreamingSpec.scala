@@ -165,6 +165,41 @@ class StreamingSpec extends SparkSpec {
       s"expected a two-sided time-bound join condition:\n$analyzed")
   }
 
+  test("intervalJoinLeftOuter: matched rows emit inner-style; unmatched emit null-padded AFTER watermark expiry") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val lm = MemoryStream[(Long, String, Timestamp)]
+    val rm = MemoryStream[(Long, String, Timestamp)]
+    val joined = Streaming.intervalJoinLeftOuter(
+      lm.toDF().toDF("l_key", "l_id", "l_ts"), rm.toDF().toDF("r_key", "r_id", "r_ts"),
+      "l_key", "r_key", "l_ts", "r_ts", "1 minute", "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("sslj").outputMode("append").start()
+    try {
+      // batch 1: u1's click matches its purchase; u2's click has no match —
+      // it must NOT emit yet (its 30-min window isn't behind the watermark)
+      lm.addData((1L, "c1", ts("2024-01-01 10:00:00")), (2L, "c2", ts("2024-01-01 10:00:00")))
+      rm.addData((1L, "p1", ts("2024-01-01 10:10:00")))
+      q.processAllAvailable()
+      val afterB1 = spark.table("sslj").select("l_id", "r_id")
+        .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(afterB1 == Set(("c1", Some("p1"))),
+        s"unmatched row must wait for watermark expiry, got $afterB1")
+      // batch 2: far-future events on BOTH sides (the global watermark is
+      // the MIN of the per-side watermarks — advancing one side alone
+      // holds the join back) push the watermark past 10:30 + horizon —
+      // c2's window is now provably unmatched → it emits null-padded (the
+      // late-data eviction path); the unmatched RIGHT row px never emits
+      lm.addData((3L, "c3", ts("2024-01-01 12:00:00")))
+      rm.addData((99L, "px", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val afterB2 = spark.table("sslj").select("l_id", "r_id")
+        .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+      assert(afterB2 == Set(("c1", Some("p1")), ("c2", None)),
+        s"expected c2 null-padded after expiry, c3 still in state: $afterB2")
+    } finally q.stop()
+  }
+
   test("checkpoint restart: resumes from committed offsets with dedup state intact (exactly-once)") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
