@@ -850,6 +850,28 @@ private[graft] object QueriesSimilarity {
       },
       Some("SELECT 2 * i AS id_a, 2 * i + 1 AS id_b FROM range(0, 100) t(i) ORDER BY 1, 2")),
 
+    // X4 — PERCEPTUAL audio near-dup (Multimodal.audioFingerprintPairs):
+    // the audio twin of x4_image_dedup, closing the image/audio asymmetry
+    // (audio previously had only exact byte banding). A chromaprint-style
+    // 64-bit fingerprint — WAV decode → 8×9 grid of integer block energies
+    // → sign-of-difference bits (chromaprint's sign-of-band-energy-
+    // difference structure with time-domain energies, so no FFT lib and no
+    // float rounding) — then the same 4×16-bit pigeonhole band join +
+    // popcount verify. The fixture PLANTS truth: ids 2k/2k+1 share PCM
+    // with the odd id LSB-flipped every 101st sample (every byte-hash
+    // window changes; block energies move < 1 unit), distinct groups are
+    // pseudo-random-far — so the exact output is {(2k, 2k+1)} and any
+    // decode/energy/banding regression breaks the hash.
+    Q("x4_audio_dedup",
+      (s, dir) => {
+        val docs = rd(s, dir, "documents").filter(col("doc_id") < 200)
+        Multimodal.audioFingerprintPairs(
+            Multimodal.renderNearDupWavs(docs, "doc_id"), maxHamming = 3)
+          .select("id_a", "id_b")
+          .orderBy("id_a", "id_b")
+      },
+      Some("SELECT 2 * i AS id_a, 2 * i + 1 AS id_b FROM range(0, 100) t(i) ORDER BY 1, 2")),
+
     // X4 — REAL pixel decode through the JDK codec (javax.imageio): per doc,
     // a deterministic RGB image is rendered and encoded to REAL PNG bytes on
     // the executors, then decoded back by ImageIoDecoder and compared —

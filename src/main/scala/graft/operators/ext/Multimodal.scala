@@ -539,8 +539,21 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, p) => (id, dHash64(p)) })
       .toDF("doc_id", "dhash")
-      .localCheckpoint(true) // both join sides + the verify read one pass
-    val banded = hashes.select(col("doc_id"), col("dhash"),
+    bandedHammingPairs(hashes, maxHamming)
+  }
+
+  /** The 64-bit-fingerprint near-dup join shared by the image and audio
+    * perceptual dedups: 4 × 16-bit bands give PIGEONHOLE-EXACT candidate
+    * recall for Hamming ≤ 3 (a pair within 3 flipped bits must agree on at
+    * least one untouched band), popcount verifies candidates only. Input:
+    * (doc_id, dhash); the hash frame is checkpointed once so both join
+    * sides read one computation (fingerprinting decodes payloads — the
+    * expensive pass — and payload bytes never reach this join at all).
+    */
+  private def bandedHammingPairs(hashes: DataFrame, maxHamming: Int): DataFrame = {
+    require(maxHamming <= 3, s"4x16-bit banding is pigeonhole-exact only to Hamming 3")
+    val pinned = hashes.localCheckpoint(true)
+    val banded = pinned.select(col("doc_id"), col("dhash"),
       explode(expr("transform(sequence(0, 3), b -> named_struct(" +
         "'band', b, 'key', (dhash >> (b * 16)) & 65535))")).as("bk"))
       .select(col("doc_id"), col("dhash"), col("bk.band"), col("bk.key"))
@@ -553,6 +566,118 @@ object Multimodal {
       .withColumn("hd", expr("bit_count(ha ^ hb)"))
       .filter(col("hd") <= maxHamming)
       .select("id_a", "id_b", "hd")
+  }
+
+  /** 64-bit chromaprint-STYLE audio fingerprint: decode the WAV, lay the
+    * PCM out as an 8 (time window) × 9 (sub-block) grid of mean absolute
+    * amplitudes (integer floor arithmetic, floor block bounds — the audio
+    * analogue of [[dHash64]]'s block-mean grid; energy means over tens of
+    * samples survive re-encodes and sample-level noise the way byte hashes
+    * don't), then one sign-of-difference bit per adjacent energy pair,
+    * packed row-major. Chromaprint derives its bits from the sign of
+    * band-energy differences over an FFT filterbank; this keeps exactly
+    * that sign-of-energy-difference structure with time-domain block
+    * energies, so the whole fingerprint is integer-exact and
+    * implementation-stable (no FFT library, no float rounding).
+    */
+  def audioFingerprint64(payload: Array[Byte]): Long = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payload))
+    val bytes =
+      try {
+        val fmt = in.getFormat
+        require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 && !fmt.isBigEndian,
+          s"expected 16-bit mono LE PCM, got $fmt")
+        in.readAllBytes()
+      } finally in.close()
+    val n = bytes.length / 2
+    require(n >= 72, s"audio too short to fingerprint: $n samples")
+    val cell = Array.ofDim[Long](8, 9)
+    var j = 0
+    while (j < 8) {
+      val s0 = j * n / 8; val s1 = math.max((j + 1) * n / 8, s0 + 1)
+      val len = s1 - s0
+      var i = 0
+      while (i < 9) {
+        val b0 = s0 + i * len / 9; val b1 = math.max(s0 + (i + 1) * len / 9, b0 + 1)
+        var sum = 0L; var cnt = 0L
+        var k = b0
+        while (k < math.min(b1, n)) {
+          val s = ((bytes(2 * k + 1) << 8) | (bytes(2 * k) & 0xff)).toShort
+          sum += math.abs(s.toLong)
+          cnt += 1; k += 1
+        }
+        cell(j)(i) = if (cnt == 0) 0L else sum / cnt
+        i += 1
+      }
+      j += 1
+    }
+    var hash = 0L
+    j = 0
+    while (j < 8) {
+      var i = 0
+      while (i < 8) {
+        if (cell(j)(i) < cell(j)(i + 1)) hash |= 1L << (j * 8 + i)
+        i += 1
+      }
+      j += 1
+    }
+    hash
+  }
+
+  /** X4: PERCEPTUAL audio near-dup pairs — [[audioFingerprint64]] each
+    * payload (one map-side decode pass; payload bytes never shuffle), then
+    * the shared 4×16-bit pigeonhole band join. The audio counterpart of
+    * [[imageDHashPairs]]: catches re-encoded / noise-perturbed duplicate
+    * recordings where exact byte banding ([[bandHashPairs]]) sees nothing.
+    */
+  def audioFingerprintPairs(media: DataFrame, maxHamming: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val hashes = media.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, p) => (id, audioFingerprint64(p)) })
+      .toDF("doc_id", "dhash")
+    bandedHammingPairs(hashes, maxHamming)
+  }
+
+  /** Near-dup WAV fixture (the audio twin of [[renderNearDupPngs]]): ids 2k
+    * and 2k+1 render the same pseudo-random PCM (integer avalanche mix per
+    * group — adjacent block energies then differ by thousands, far above
+    * the perturbation scale), with the odd id's samples LSB-flipped every
+    * 101st sample — an amplitude-±1 change that alters every WAV byte
+    * region a byte hash would band on, but moves each block's mean energy
+    * by well under one unit. The true near-dup pair set is EXACTLY
+    * {(2k, 2k+1)}: an SQL-expressible oracle over planted ground truth,
+    * even though PCM is not SQL-reachable.
+    */
+  def renderNearDupWavs(docs: DataFrame, idCol: String): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(idCol).cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val gid = id / 2
+        val n = 2048 + (gid % 512).toInt
+        val pcm = new Array[Byte](n * 2)
+        var i = 0
+        while (i < n) {
+          var v = gid * 2654435761L + i.toLong * 40503L
+          v ^= v >>> 13; v *= 1274126177L; v ^= v >>> 16
+          var s = ((v & 0xffffL) - 32768).toShort
+          if (id % 2 == 1 && i % 101 == 0) s = (s ^ 1).toShort // the inaudible edit
+          pcm(2 * i) = (s & 0xff).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+          i += 1
+        }
+        val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        (id, "audio/wav", bos.toByteArray)
+      }
+    }.toDF("doc_id", "mime", "payload")
   }
 
   /** Resize shape for image-like payloads: deterministic byte-stride

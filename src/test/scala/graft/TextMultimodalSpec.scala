@@ -407,6 +407,39 @@ class TextMultimodalSpec extends SparkSpec {
     assert(pairs.toSeq == (0L until 40L by 2).map(k => (k, k + 1)))
   }
 
+  test("audioFingerprint64/audioFingerprintPairs: LSB-noise-invariant, cross-group far, planted truth exact") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(i => (i, "")).toDF("doc_id", "text")
+    val media = Multimodal.renderNearDupWavs(docs, "doc_id")
+    val payloads = media.select("doc_id", "payload").as[(Long, Array[Byte])]
+      .collect().toMap
+    // planted near-dups fingerprint within the Hamming-3 gate; bytes differ
+    (0L until 40L by 2).foreach { k =>
+      val hd = java.lang.Long.bitCount(
+        Multimodal.audioFingerprint64(payloads(k)) ^
+          Multimodal.audioFingerprint64(payloads(k + 1)))
+      assert(hd <= 3, s"planted pair ($k, ${k + 1}) at Hamming $hd")
+      assert(!payloads(k).sameElements(payloads(k + 1)), "bytes must differ")
+    }
+    // cross-group fingerprints are FAR (pseudo-random PCM decorrelates)
+    val h0 = Multimodal.audioFingerprint64(payloads(0))
+    (2L until 40L by 2).foreach { k =>
+      val hd = java.lang.Long.bitCount(h0 ^ Multimodal.audioFingerprint64(payloads(k)))
+      assert(hd > 10, s"group 0 vs $k unexpectedly close: $hd")
+    }
+    // WAV re-encode invariance: decode -> re-encode -> identical fingerprint
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(payloads(0)))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(in,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    assert(Multimodal.audioFingerprint64(bos.toByteArray) == h0)
+    // the pair operator recovers exactly the planted list
+    val pairs = Multimodal.audioFingerprintPairs(media, 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pairs.toSeq == (0L until 40L by 2).map(k => (k, k + 1)))
+  }
+
   test("GIF frame codec: real multi-frame roundtrip, per-frame histograms exact, payload never shuffles") {
     import spark.implicits._
     val ids = Seq(0L, 1L, 3L, 7L, 42L).toDF("doc_id")
