@@ -86,6 +86,38 @@ object ProfileVersioned {
       println(f"[versioned] pass$pass full ${(t1 - t0) / 1e9}%.2f s | " +
         f"pruned ${(t2 - t1) / 1e9}%.2f s | rows ${full._1}")
     }
+
+    // ---- phase 2 (round 12): FILE-level skipping inside ONE commit ------
+    // The dual shape: one big commit of `appends` range-disjoint FILES
+    // (a compacted table, or one bulk load) — dir-level stats are useless
+    // (1 dir spanning everything); only the _filestats side file can
+    // confine the scan. Same probe, same control equality.
+    val root2 = s"$root-files"
+    val root2Path = java.nio.file.Paths.get(root2)
+    if (java.nio.file.Files.exists(root2Path)) {
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(root2Path)
+      try w.iterator().asScala.toSeq.reverse.foreach(java.nio.file.Files.delete)
+      finally w.close()
+    }
+    VersionedTable.commit(ev.repartitionByRange(appends, col("row_id")), root2,
+      "overwrite", "bulk-0001", statsCols = Seq("row_id"))
+    val (fKept, fTotal) = VersionedTable.planRangeFiles(root2, "row_id", lo, hi)
+    println(s"[versioned] file probe [$lo, $hi]: planRangeFiles keeps $fKept of $fTotal files")
+    for (pass <- 1 to 2) {
+      val t0 = System.nanoTime()
+      val full = agg(VersionedTable.read(spark, root2))
+      val t1 = System.nanoTime()
+      val pruned = {
+        val r = VersionedTable.readRange(spark, root2, "row_id", lo, hi)
+          .agg(count(lit(1)), sum(col("row_id"))).head()
+        (r.getLong(0), r.getLong(1))
+      }
+      val t2 = System.nanoTime()
+      assert(full == pruned, s"file-pruned result $pruned != full $full")
+      println(f"[versioned] files pass$pass full ${(t1 - t0) / 1e9}%.2f s | " +
+        f"pruned ${(t2 - t1) / 1e9}%.2f s | rows ${full._1}")
+    }
     spark.stop()
   }
 }

@@ -202,6 +202,18 @@ class PlanSpec extends SparkSpec {
       s"payload stage must not shuffle (got exchanges $shuffles):\n${p.take(2000)}")
   }
 
+  test("x4_audio_dedup joins checkpointed 8-byte fingerprints — payload bytes never shuffle") {
+    val p = plan("x4_audio_dedup")
+    // the fingerprint frame is eagerly checkpointed before the band
+    // self-join (bandedHammingPairs), so the executed plan reads
+    // materialized (doc_id, dhash) rows; the WAV payload/render projection
+    // must not appear anywhere downstream of the checkpoint
+    assert(!p.contains("payload") && !p.contains("mime"),
+      s"payload bytes leaked past the checkpoint into the join plan:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banding must stay an equi-join, never all-pairs:\n${p.take(2000)}")
+  }
+
   test("x4_joint_similarity joins on the perceptual bucket (equi-join, never all-pairs)") {
     val p = plan("x4_joint_similarity")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
