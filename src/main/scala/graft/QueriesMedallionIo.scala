@@ -746,6 +746,93 @@ private[graft] object QueriesMedallionIo {
         |  TRUE AS replay_noop, TRUE AS cdc_refused
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — RANGE-predicate DELETE (VersionedTable.deleteRange — the
+    // retention-purge verb: DELETE WHERE key <= cutoff): band 1 falls
+    // FULLY inside the purge range and is DROPPED from the manifest with
+    // no read and no write (a metadata-only delete — what makes a 100 TB
+    // time-retention purge O(#commits), not O(table); footers are checked
+    // for NULLs first, since NULL rows survive a range predicate), band 2
+    // overlaps partially and rewrites through the NULL-preserving
+    // residual, bands 3-4 pass by reference. All three classes
+    // driver-visible (dirs_dropped / dirs_rewritten / dirs_total); the
+    // oracle recomputes the survivor set as plain SQL.
+    Q("versioned_delete_range",
+      (s, dir) => {
+        val (root, counts) = Fixtures.once(s, dir, "vt_delrange") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_delr_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          Seq(("dr1", col("o_orderkey") <= b1),
+            ("dr2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("dr3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
+            ("dr4", col("o_orderkey") > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"dr-$id",
+              statsCols = Seq("o_orderkey"))
+          }
+          val cut = (b1 + b2) / 2
+          val (_, nDrop, nRewrite, nTotal) = graft.io.VersionedTable.deleteRange(
+            s, r, "o_orderkey", 0L, cut, "dr-purge", statsCols = Seq("o_orderkey"))
+          (r, Seq(nDrop.toLong, nRewrite.toLong, nTotal.toLong))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("dirs_dropped", lit(counts(0)))
+          .withColumn("dirs_rewritten", lit(counts(1)))
+          .withColumn("dirs_total", lit(counts(2)))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH q AS (SELECT (max(o_orderkey) // 4 + max(o_orderkey) // 2) // 2 AS cut FROM orders),
+        |d AS (SELECT o_orderkey, o_orderpriority FROM orders CROSS JOIN q
+        |  WHERE o_orderkey > cut)
+        |SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS dirs_dropped, CAST(1 AS BIGINT) AS dirs_rewritten,
+        |  CAST(4 AS BIGINT) AS dirs_total
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — BLOOM-confined MERGE on a HASH-DISTRIBUTED key: four slices by
+    // o_orderkey % 4, so every commit's [min, max] spans the whole domain
+    // and the envelope gate alone would rewrite ALL four dirs — the MERGE
+    // twin of versioned_bloom_scan's read problem. The batch's distinct
+    // keys (bounded; collected once) probe each dir's bloom side file, and
+    // only admitting dirs rewrite. bloom_confined pins the claim as a
+    // boolean (strictly fewer dirs rewritten than the snapshot holds) —
+    // per-dir false positives cost an extra rewrite, never a wrong row,
+    // so the exact count stays unpinned. The oracle recomputes the merged
+    // content as CASE logic.
+    Q("versioned_merge_hashkey",
+      (s, dir) => {
+        val (root, hit, total) = Fixtures.once(s, dir, "vt_merge_hash") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_mergeh_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          (0 to 3).foreach(i => graft.io.VersionedTable.commit(
+            o.filter(col("o_orderkey") % 4 === i), r, "append", s"mh-$i",
+            bloomCols = Seq("o_orderkey")))
+          // every batch key ≡ 2 (mod 1000) hence ≡ 2 (mod 4): slice 2 only
+          val upd = o.filter(col("o_orderkey") % 1000 === 2)
+            .select(col("o_orderkey"), lit("X-UPDATED").as("o_orderpriority"),
+              col("o_totalprice"))
+          val (_, h, t) = graft.io.VersionedTable.mergeInto(s, r, upd,
+            "o_orderkey", "mh-apply", bloomCols = Seq("o_orderkey"))
+          (r, h.toLong, t.toLong)
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("bloom_confined", lit(hit < total))
+          .withColumn("dirs_total", lit(total))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH m AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 1000 = 2 THEN 'X-UPDATED' ELSE o_orderpriority END
+        |    AS o_orderpriority FROM orders)
+        |SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  TRUE AS bloom_confined, CAST(4 AS BIGINT) AS dirs_total
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17+X8 — Z-ORDER composed with the file-granular skipping index: one
     // commit range-partitioned by the Morton value of the (o_custkey,
     // o_orderkey) pair (both dims bucketized to 10 bits so neither

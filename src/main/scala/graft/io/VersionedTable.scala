@@ -851,7 +851,14 @@ object VersionedTable {
     * (hitDirs, passDirs); fails loudly on an empty probe or a non-gateable
     * key type.
     */
-  private def rangeHitDirs(parent: Commit, probe: DataFrame, keyCol: String,
+  /** Key-count ceiling for the bloom refinement below: up to this many
+    * distinct batch keys are collected to the driver (64 k longs = 512 KB)
+    * and probed against per-dir blooms. Above it the envelope gate stands
+    * alone — correctness never depends on the refinement.
+    */
+  private val maxBloomProbeKeys = 65536
+
+  private def rangeHitDirs(root: String, parent: Commit, probe: DataFrame, keyCol: String,
                            op: String): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions.{col, max, min}
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
@@ -860,10 +867,42 @@ object VersionedTable {
         val r = probe.agg(min(col(keyCol).cast("long")), max(col(keyCol).cast("long"))).head()
         require(!r.isNullAt(0), s"$op: empty batch")
         val (lo, hi) = (r.getLong(0), r.getLong(1))
-        parent.dirs.partition { d =>
+        val (hit, pass) = parent.dirs.partition { d =>
           parent.stats.get(d).flatMap(_.get(keyCol)) match {
             case Some((mn, mx)) => mx >= lo && mn <= hi
             case None           => true
+          }
+        }
+        // BLOOM refinement: on a hash-distributed key every commit's
+        // [min, max] spans the whole domain and the envelope gate rewrites
+        // EVERYTHING — exactly the readPoint problem the per-dir blooms
+        // solve. For a bounded batch, collect the distinct keys once and
+        // keep only the envelope-hit dirs whose bloom admits at least one
+        // key; a false positive costs one extra dir rewrite, never a wrong
+        // row, and a dir without a bloom always stays hit. Positions are
+        // cached per (key, filter-size) so the probe is one md5 set per
+        // key, not per key×dir.
+        val bloomable = hit.filter(d => parent.blooms.get(d).exists(_.contains(keyCol)) &&
+          Files.isRegularFile(bloomFile(s"$root/$d", keyCol))).toSet
+        if (bloomable.isEmpty) (hit, pass)
+        else {
+          val keys = probe.select(col(keyCol).cast("long").as("k")).distinct()
+            .limit(maxBloomProbeKeys + 1).collect().map(_.getLong(0))
+          if (keys.length > maxBloomProbeKeys) (hit, pass)
+          else {
+            val posCache = scala.collection.mutable.Map[Int, Array[Seq[Int]]]()
+            def admitsAny(d: String): Boolean = {
+              val hex = Files.readString(bloomFile(s"$root/$d", keyCol)).trim
+              val bits = hex.length * 4
+              val pos = posCache.getOrElseUpdate(bits, keys.map(k => bloomPositions(k, bits)))
+              pos.exists(_.forall { p =>
+                val b = Integer.parseInt(hex.substring(2 * (p / 8), 2 * (p / 8) + 2), 16)
+                (b & (1 << (p % 8))) != 0
+              })
+            }
+            val admit = bloomable.iterator.map(d => d -> admitsAny(d)).toMap
+            (hit.filter(d => !bloomable.contains(d) || admit(d)),
+              pass ++ hit.filter(d => bloomable.contains(d) && !admit(d)))
           }
         }
       case StringType =>
@@ -920,7 +959,7 @@ object VersionedTable {
         }
         // bounded scalar probe: the batch's key envelope (integral via the
         // manifest stats index, string via strStats)
-        val (hit, pass) = rangeHitDirs(parent, guarded, keyCol, "mergeInto")
+        val (hit, pass) = rangeHitDirs(root, parent, guarded, keyCol, "mergeInto")
         val v = parent.version + 1
         val dirName = f"data/$v%010d-$commitId"
         val merged =
@@ -992,7 +1031,7 @@ object VersionedTable {
                 "NULL, so the row would silently survive)")).cast("boolean"))
             .otherwise(lit(true)))
           .distinct()
-        val (hit, pass) = rangeHitDirs(parent, guarded, keyCol, "deleteWhere")
+        val (hit, pass) = rangeHitDirs(root, parent, guarded, keyCol, "deleteWhere")
         val v = parent.version + 1
         val dirName = f"data/$v%010d-$commitId"
         val survivorsDir: Option[String] =
@@ -1040,6 +1079,133 @@ object VersionedTable {
           sys.error(s"deleteWhere: log advanced past v${parent.version} during the rewrite; " +
             "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
         (v, hit.size, parent.dirs.size)
+    }
+  }
+
+  /** Range-predicate DELETE (`DELETE FROM t WHERE lo <= col <= hi` — the
+    * RETENTION-PURGE shape: "drop everything before the cutoff"): three
+    * dir classes, decided from the manifest envelope —
+    *
+    *  - FULLY-CONTAINED dirs ([min, max] ⊆ [lo, hi]) are DROPPED from the
+    *    manifest with no read and no write — a metadata-only delete, which
+    *    is what makes a 100 TB time-retention purge O(#commits) instead of
+    *    O(table). Exactness holds because manifest min/max come from the
+    *    actual footers; the one hazard is NULLs (footer min/max ignore
+    *    them, and SQL range predicates never delete NULL rows), so a
+    *    contained dir is dropped only after its footers report ZERO nulls
+    *    for the column — still O(#files) footer reads, no Spark job; any
+    *    nulls demote the dir to a rewrite. String envelopes may be
+    *    TRUNCATED by parquet stats; truncation widens the envelope, which
+    *    can only demote a drop to a rewrite — never the reverse.
+    *  - PARTIALLY-overlapping dirs (and stat-less dirs) rewrite through
+    *    the NULL-preserving residual `col IS NULL OR NOT between`.
+    *  - Disjoint dirs pass by reference with their stats/blooms.
+    *
+    * Same OCC/idempotence/CDC contract as [[deleteWhere]]. Returns
+    * (version, dirsDropped, dirsRewritten, dirsTotal).
+    */
+  def deleteRange(spark: SparkSession, root: String, colName: String,
+                  lo: Any, hi: Any, commitId: String,
+                  statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): (Long, Int, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    history(root).find(_.commitId == commitId) match {
+      case Some(prior) => (prior.version, -1, -1, -1)
+      case None =>
+        val parent = history(root).lastOption
+          .getOrElse(sys.error(s"deleteRange: no commits at $root"))
+        // per-dir class from the manifest envelope (integral via stats,
+        // string via strStats); None = no envelope → conservative rewrite
+        sealed trait Cls; case object Drop extends Cls
+        case object Rewrite extends Cls; case object Pass extends Cls
+        def classify(env: Option[(Any, Any)]): Cls = env match {
+          case Some((mn: Long, mx: Long)) =>
+            val (l, h) = (lo.asInstanceOf[Number].longValue, hi.asInstanceOf[Number].longValue)
+            if (mn >= l && mx <= h) Drop
+            else if (mx >= l && mn <= h) Rewrite
+            else Pass
+          case Some((mn: String, mx: String)) =>
+            val (l, h) = (lo.toString, hi.toString)
+            if (mn >= l && mx <= h) Drop
+            else if (mx >= l && mn <= h) Rewrite
+            else Pass
+          case _ => Rewrite
+        }
+        val conf = spark.sessionState.newHadoopConf()
+        def hasNulls(dir: String): Boolean = parquetFiles(s"$root/$dir").exists { rel =>
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(s"$root/$dir/$rel"), conf))
+          try rdr.getFooter.getBlocks.asScala.exists(_.getColumns.asScala.exists { cc =>
+            cc.getPath.toDotString == colName && {
+              val st = cc.getStatistics
+              st == null || !st.isNumNullsSet || st.getNumNulls > 0
+            }
+          })
+          finally rdr.close()
+        }
+        val classed = parent.dirs.map { d =>
+          val env: Option[(Any, Any)] =
+            parent.stats.get(d).flatMap(_.get(colName)).map(t => (t._1: Any, t._2: Any))
+              .orElse(parent.strStats.get(d).flatMap(_.get(colName))
+                .map(t => (t._1: Any, t._2: Any)))
+          val c0 = classify(env)
+          // a contained dir with (possible) NULLs must rewrite: NULL rows
+          // survive a range delete, and dropping the dir would purge them.
+          // For a PARTITION column the footers carry nothing — the NULL
+          // carrier is the hive sentinel subdir, so that is what's checked.
+          val nullable =
+            if (parent.partitionCols.contains(colName))
+              parquetFiles(s"$root/$d")
+                .exists(_.contains(s"$colName=__HIVE_DEFAULT_PARTITION__"))
+            else hasNulls(d)
+          d -> (if (c0 == Drop && nullable) Rewrite else c0)
+        }
+        val dropped = classed.collect { case (d, Drop) => d }
+        val hit = classed.collect { case (d, Rewrite) => d }
+        val pass = classed.collect { case (d, Pass) => d }
+        val v = parent.version + 1
+        val dirName = f"data/$v%010d-$commitId"
+        val keep = col(colName).isNull ||
+          !(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+        val survivorsDir: Option[String] =
+          if (hit.isEmpty) None
+          else {
+            val base = scanDirs(spark, hit.map(d => s"$root/$d"), parent.partitionCols,
+              parent.schemaDdl)
+            var w = base.filter(keep).write.mode("overwrite")
+            if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
+            w.parquet(s"$root/$dirName")
+            val rows = parquetFiles(s"$root/$dirName").iterator.map { rel =>
+              val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+                  new org.apache.hadoop.fs.Path(s"$root/$dirName/$rel"), conf))
+              try rdr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+              finally rdr.close()
+            }.sum
+            if (rows == 0L) None else Some(dirName)
+          }
+        val dirStats = survivorsDir.fold(DirStats(Map.empty, Map.empty))(d =>
+          gatherStats(spark, s"$root/$d", statsCols,
+            parent.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+              .getOrElse(spark.read.parquet(s"$root/$d").schema)))
+        val dirBlooms = survivorsDir.fold(Seq.empty[String])(d =>
+          gatherBlooms(spark, s"$root/$d", bloomCols))
+        val keptStats = parent.stats.filter { case (d, _) => pass.contains(d) }
+        val keptStrStats = parent.strStats.filter { case (d, _) => pass.contains(d) }
+        val keptBlooms = parent.blooms.filter { case (d, _) => pass.contains(d) }
+        val c = Commit(v, commitId, "delete", pass ++ survivorsDir,
+          survivorsDir.filter(_ => dirStats.ints.nonEmpty)
+            .fold(keptStats)(d => keptStats + (d -> dirStats.ints)),
+          survivorsDir.filter(_ => dirStats.strs.nonEmpty)
+            .fold(keptStrStats)(d => keptStrStats + (d -> dirStats.strs)),
+          parent.partitionCols,
+          survivorsDir.filter(_ => dirBlooms.nonEmpty)
+            .fold(keptBlooms)(d => keptBlooms + (d -> dirBlooms)),
+          parent.schemaDdl)
+        if (!publishIfAbsent(root, v, c))
+          sys.error(s"deleteRange: log advanced past v${parent.version} during the rewrite; " +
+            "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
+        (v, dropped.size, hit.size, parent.dirs.size)
     }
   }
 

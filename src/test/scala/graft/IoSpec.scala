@@ -600,6 +600,88 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 0)
   }
 
+  test("VersionedTable.deleteRange: contained dirs drop metadata-only, overlaps rewrite, NULLs survive") {
+    import spark.implicits._
+    val root = tmpDir("vt_delrange")
+    // band 1 fully inside the purge range, band 2 partial, band 3 disjoint
+    VersionedTable.commit(Seq((1L, "a"), (5L, "b")).toDF("id", "s"), root, "append", "r1",
+      statsCols = Seq("id"))
+    VersionedTable.commit(Seq((10L, "c"), (15L, "d")).toDF("id", "s"), root, "append", "r2",
+      statsCols = Seq("id"))
+    VersionedTable.commit(Seq((20L, "e"), (25L, "f")).toDF("id", "s"), root, "append", "r3",
+      statsCols = Seq("id"))
+    val before = VersionedTable.history(root).last.dirs
+    val (v, nDrop, nRewrite, nTotal) = VersionedTable.deleteRange(spark, root,
+      "id", 0L, 12L, "purge-range", statsCols = Seq("id"))
+    assert(v == 4L && nDrop == 1 && nRewrite == 1 && nTotal == 3,
+      s"($v, $nDrop, $nRewrite, $nTotal)")
+    val after = VersionedTable.history(root).last
+    // band 3 passes by reference; band 1's dir is GONE without a rewrite
+    assert(after.dirs.count(before.contains) == 1)
+    val rows = VersionedTable.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((15L, "d"), (20L, "e"), (25L, "f")), rows.toString)
+    // idempotent retry; time travel to pre-purge still sees everything
+    assert(VersionedTable.deleteRange(spark, root, "id", 0L, 12L, "purge-range")
+      == ((4L, -1, -1, -1)))
+    assert(VersionedTable.read(spark, root, asOf = Some(3L)).count() == 6)
+    // NULL keys SURVIVE a range delete — a contained dir carrying NULLs
+    // must demote to a rewrite, never drop wholesale
+    val root2 = tmpDir("vt_delrange_null")
+    VersionedTable.commit(Seq((Some(1L), "a"), (Some(5L), "b"), (None, "nullrow"))
+      .toDF("id", "s"), root2, "append", "n1", statsCols = Seq("id"))
+    val (_, d2, rw2, _) = VersionedTable.deleteRange(spark, root2, "id", 0L, 10L, "n-purge")
+    assert(d2 == 0 && rw2 == 1, s"NULL-carrying dir must rewrite, got drop=$d2 rewrite=$rw2")
+    val left = VersionedTable.read(spark, root2).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getString(1))).toSeq
+    assert(left == Seq((-1L, "nullrow")), left.toString)
+    // string-envelope form: contained band drops metadata-only too
+    val root3 = tmpDir("vt_delrange_str")
+    VersionedTable.commit(Seq(("apple", 1L), ("avocado", 2L)).toDF("k", "n"),
+      root3, "append", "s1", statsCols = Seq("k"))
+    VersionedTable.commit(Seq(("mango", 3L)).toDF("k", "n"), root3, "append", "s2",
+      statsCols = Seq("k"))
+    val (_, d3, rw3, _) = VersionedTable.deleteRange(spark, root3, "k", "a", "b", "s-purge")
+    assert(d3 == 1 && rw3 == 0, s"($d3, $rw3)")
+    assert(VersionedTable.read(spark, root3).collect().map(_.getString(0)).toSeq == Seq("mango"))
+  }
+
+  test("VersionedTable: bloom refinement confines merge/delete when envelopes fully overlap") {
+    import spark.implicits._
+    val root = tmpDir("vt_merge_bloom")
+    // four slices by id % 4: every [min, max] spans the domain, so the
+    // envelope gate alone would rewrite ALL dirs; blooms must confine it
+    (0 to 3).foreach { i =>
+      VersionedTable.commit((0L until 64L).filter(_ % 4 == i).map(k => (k, s"v$k"))
+        .toDF("id", "s"), root, "append", s"b$i",
+        statsCols = Seq("id"), bloomCols = Seq("id"))
+    }
+    // batch keys all ≡ 2 (mod 4): only slice 2's dir should rewrite
+    // (bloom fp on 3 other dirs at these fixed keys: deterministic, and
+    // the assertion tolerates none — re-seed the test data if it ever
+    // collides after a bloom-geometry change)
+    val (v, hit, total) = VersionedTable.mergeInto(spark, root,
+      Seq((2L, "X2"), (6L, "X6"), (10L, "X10")).toDF("id", "s"), "id", "bm-apply",
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    assert(v == 5L && hit == 1 && total == 4, s"bloom refinement failed: ($v, $hit, $total)")
+    val rows = VersionedTable.read(spark, root).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows(2L) == "X2" && rows(6L) == "X6" && rows(10L) == "X10" && rows(3L) == "v3")
+    assert(rows.size == 64)
+    // deleteWhere through the same gate: purge two keys ≡ 1 (mod 4)
+    val (_, hitD, totalD) = VersionedTable.deleteWhere(spark, root,
+      Seq(1L, 5L).toDF("id"), "id", "bd-purge", bloomCols = Seq("id"))
+    assert(hitD == 1 && totalD == 4, s"($hitD, $totalD)")
+    assert(VersionedTable.read(spark, root).count() == 62)
+    // a dir WITHOUT a bloom is never refined away (conservative)
+    val root2 = tmpDir("vt_merge_nobloom")
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "s"), root2, "append", "nb1",
+      statsCols = Seq("id"))
+    val (_, h2, t2) = VersionedTable.mergeInto(spark, root2,
+      Seq((1L, "A")).toDF("id", "s"), "id", "nb-apply")
+    assert(h2 == 1 && t2 == 1)
+  }
+
   test("VersionedTable.deleteWhere: string keys prune via strStats; partitioned layout preserved") {
     import spark.implicits._
     val root = tmpDir("vt_delete_str")
