@@ -497,6 +497,49 @@ private[graft] object QueriesStreaming {
         "ORDER BY 1, 2")),
 
 
+    // ST — STREAMING CDC MERGE sink (Streaming.versionedMergeSink): each
+    // micro-batch of upserts applies to the versioned table through
+    // mergeInto's dir-level copy-on-write, exactly-once under the
+    // appId+batchId commitId — the composition that lets a CDC stream
+    // maintain a 100 TB keyed table continuously at O(hit dirs + batch)
+    // per batch. The seed commit is the base orders table; the stream
+    // re-prices every 10th order; the replay contract is proven inline
+    // (re-firing batch 0's commitId with garbage must not advance the log
+    // or touch rows). Oracle = the same upsert as batch CASE logic.
+    Q("stream_versioned_merge",
+      (s, dir) => {
+        val root = freshDir(s, "graft_stream_vmerge")
+        val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        graft.io.VersionedTable.commit(o, root, "append", "seed",
+          statsCols = Seq("o_orderkey"))
+        val schema = rd(s, dir, "orders").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "orders.parquet").parquet(dir)
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), lit("U-STREAM").as("o_orderpriority"),
+            col("o_totalprice"))
+        val q = graft.streaming.Streaming.versionedMergeSink(stream, root,
+          "o_orderkey", appId = "vm", statsCols = Seq("o_orderkey"))
+        try q.processAllAvailable() finally q.stop()
+        val converged = graft.io.VersionedTable.latestVersion(root).get
+        val (rv, rh, _) = graft.io.VersionedTable.mergeInto(s, root,
+          o.limit(1).select(col("o_orderkey"), lit("GARBAGE").as("o_orderpriority"),
+            col("o_totalprice")), "o_orderkey", "vm-b0")
+        val noop = rv <= converged && rh == -1 &&
+          graft.io.VersionedTable.latestVersion(root).contains(converged)
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("replay_noop", lit(noop))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH m AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'U-STREAM' ELSE o_orderpriority END
+        |    AS o_orderpriority FROM orders)
+        |SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  TRUE AS replay_noop
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // LEFT OUTER stream-stream interval join (intervalJoinLeftOuter — the
     // funnel/attribution shape: every click appears, purchased or not).
     // Same evictable-state geometry as stream_stream_join plus the second

@@ -286,6 +286,40 @@ object Streaming {
     w.start()
   }
 
+  /** ST: streaming CDC MERGE sink — each micro-batch of upserts applies to
+    * the versioned table through [[graft.io.VersionedTable.mergeInto]]'s
+    * dir-level copy-on-write (an empty log bootstraps with the first batch
+    * as v1). The exactly-once story is the appId+batchId commitId (the
+    * [[maintainCountMin]] contract): foreachBatch's at-least-once replay
+    * degrades to mergeInto's committed-commitId no-op, and a crash BETWEEN
+    * data write and manifest publish re-runs the whole rewrite against the
+    * same pinned parent into the same dir name — convergent, with the
+    * orphan reclaimed by vacuum. Per batch the rewrite cost is
+    * O(envelope/bloom-hit dirs + batch), never O(table), which is what
+    * lets a CDC stream maintain a 100 TB keyed table continuously.
+    *
+    * CALLER CONTRACT (inherited from mergeInto, enforced loudly there):
+    * each micro-batch carries at most one row per key — collapse
+    * last-writer-wins upstream if the feed can replay a key within one
+    * batch. Single-writer stream: a concurrent committer on the same root
+    * fails the batch loudly (pinned parent) rather than losing either
+    * write.
+    */
+  def versionedMergeSink(updates: DataFrame, root: String, keyCol: String,
+                         appId: String, statsCols: Seq[String] = Nil,
+                         bloomCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val b = batch.toDF()
+        if (graft.io.VersionedTable.history(root).isEmpty)
+          graft.io.VersionedTable.commit(b, root, "append", s"$appId-b$bid",
+            statsCols = statsCols, bloomCols = bloomCols): Unit
+        else
+          graft.io.VersionedTable.mergeInto(batch.sparkSession, root, b, keyCol,
+            s"$appId-b$bid", statsCols = statsCols, bloomCols = bloomCols): Unit
+      }
+      .start()
+
   /** ST: per-micro-batch distribution-drift monitor — the foreachBatch
     * production idiom: every micro-batch is scored against the SAME static
     * reference profile with the exact integer TVD of

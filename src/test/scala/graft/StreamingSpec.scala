@@ -284,6 +284,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("versionedMergeSink: bootstrap, per-batch merge, exactly-once replay") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val root = TestSpark.tmpDir("stream_vmerge")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.versionedMergeSink(mem.toDF().toDF("id", "s"), root, "id",
+      appId = "vm", statsCols = Seq("id"))
+    try {
+      mem.addData((1L, "a"), (2L, "b")); q.processAllAvailable()  // batch 0 bootstraps
+      mem.addData((2L, "B2"), (3L, "c")); q.processAllAvailable() // batch 1 merges
+    } finally q.stop()
+    assert(graft.io.VersionedTable.latestVersion(root).contains(2L), "one commit per batch")
+    def content = graft.io.VersionedTable.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(content == Seq((1L, "a"), (2L, "B2"), (3L, "c")), content.toString)
+    // a replayed batch commitId must not advance the log or touch rows
+    assert(graft.io.VersionedTable.mergeInto(spark, root,
+      Seq((9L, "X")).toDF("id", "s"), "id", "vm-b1") == ((2L, -1, -1)))
+    assert(graft.io.VersionedTable.latestVersion(root).contains(2L))
+    assert(content == Seq((1L, "a"), (2L, "B2"), (3L, "c")))
+    // a SECOND stream identity on the same root merges instead of no-oping
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = Streaming.versionedMergeSink(mem2.toDF().toDF("id", "s"), root, "id",
+      appId = "vm2", statsCols = Seq("id"))
+    try { mem2.addData((3L, "C3")); q2.processAllAvailable() } finally q2.stop()
+    assert(content == Seq((1L, "a"), (2L, "B2"), (3L, "C3")))
+  }
+
   test("maintainCountMin: multi-batch read-merge-commit chain equals the one-shot sketch; replay is a no-op") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
