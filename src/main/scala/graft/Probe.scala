@@ -8,6 +8,7 @@ object Probe {
       .config("spark.local.dir", ShmLocalDir.path())
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dump = sys.env.get("SPARK_PROBE_DUMP")

@@ -36,6 +36,7 @@ object ProfileVersioned {
       .config("spark.local.dir", ShmLocalDir.path())
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val root = s"${System.getProperty("java.io.tmpdir")}/graft_profile_versioned"

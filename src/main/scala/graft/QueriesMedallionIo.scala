@@ -792,6 +792,55 @@ private[graft] object QueriesMedallionIo {
         |  CAST(4 AS BIGINT) AS dirs_total
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — TIME-RETENTION purge on a real TIMESTAMP column (the use case
+    // deleteRange exists for: "drop everything before the cutoff"). Four
+    // appends banded by o_orderdate (timestamp stats index as INT64-micros
+    // footer envelopes — requires the TIMESTAMP_MICROS writer format, which
+    // the engine refuses to silently degrade from); the purge of
+    // [min, mid-Q1/Q2] drops the oldest band's dir METADATA-ONLY (no read,
+    // no write — the O(#commits) retention path), rewrites the straddling
+    // band through the NULL-preserving typed residual (micros → foldable
+    // timestamp literal, so pushdown survives), and passes the rest by
+    // reference. The oracle replays the purge via epoch_us.
+    Q("versioned_retention",
+      (s, dir) => {
+        val (root, counts) = Fixtures.once(s, dir, "vt_retention") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_ret_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+          val mic = expr("unix_micros(cast(o_orderdate as timestamp))")
+          val row = o.agg(min(mic), max(mic)).head()
+          val (mn, mx) = (row.getLong(0), row.getLong(1))
+          val (b1, b2, b3) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2, mn + 3 * ((mx - mn) / 4))
+          Seq(("rt1", mic <= b1),
+            ("rt2", mic > b1 && mic <= b2),
+            ("rt3", mic > b2 && mic <= b3),
+            ("rt4", mic > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"rt-$id",
+              statsCols = Seq("o_orderdate"))
+          }
+          val cut = (b1 + b2) / 2
+          val (_, nDrop, nRewrite, nTotal) = graft.io.VersionedTable.deleteRange(
+            s, r, "o_orderdate", mn, cut, "rt-purge", statsCols = Seq("o_orderdate"))
+          (r, Seq(nDrop.toLong, nRewrite.toLong, nTotal.toLong))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("dirs_dropped", lit(counts(0)))
+          .withColumn("dirs_rewritten", lit(counts(1)))
+          .withColumn("dirs_total", lit(counts(2)))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH b AS (SELECT min(epoch_us(o_orderdate)) AS mn, max(epoch_us(o_orderdate)) AS mx FROM orders),
+        |q AS (SELECT mn + (mx - mn) // 4 AS b1, mn + (mx - mn) // 2 AS b2 FROM b),
+        |d AS (SELECT o_orderkey, o_orderpriority FROM orders CROSS JOIN q
+        |  WHERE epoch_us(o_orderdate) > (b1 + b2) // 2)
+        |SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS dirs_dropped, CAST(1 AS BIGINT) AS dirs_rewritten,
+        |  CAST(4 AS BIGINT) AS dirs_total
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — BLOOM-confined MERGE on a HASH-DISTRIBUTED key: four slices by
     // o_orderkey % 4, so every commit's [min, max] spans the whole domain
     // and the envelope gate alone would rewrite ALL four dirs — the MERGE

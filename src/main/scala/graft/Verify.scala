@@ -18,6 +18,7 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
       // type for; read as long (ns since epoch) and convert explicitly.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

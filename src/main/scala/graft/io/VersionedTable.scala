@@ -403,12 +403,23 @@ object VersionedTable {
     */
   private def gatherStats(spark: SparkSession, dir: String, statsCols: Seq[String],
                           schema: org.apache.spark.sql.types.StructType): DirStats = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
     if (statsCols.isEmpty) return DirStats(Map.empty, Map.empty)
     statsCols.foreach { c =>
       schema(c).dataType match {
+        // timestamps are INT64 micros in the footer — they index as plain
+        // integral envelopes (micros), which is what time-retention deletes
+        // and time-range reads compare against. INT96 (the legacy default
+        // writer format) carries NO footer statistics, which would silently
+        // yield an index-less commit — refuse loudly instead
+        case TimestampType | TimestampNTZType =>
+          require(spark.conf.get("spark.sql.parquet.outputTimestampType") != "INT96",
+            s"statsCols on timestamp column $c requires " +
+              "spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS " +
+              "(INT96 parquet files carry no footer min/max statistics)")
         case LongType | IntegerType | StringType => ()
-        case other => sys.error(s"statsCols restricted to integer/string columns; $c is $other")
+        case other => sys.error(
+          s"statsCols restricted to integer/string/timestamp columns; $c is $other")
       }
     }
     val conf = spark.sessionState.newHadoopConf()
@@ -624,6 +635,33 @@ object VersionedTable {
     else scanDirs(spark, kept.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl).filter(pred)
   }
 
+  /** The column's declared type in a snapshot, when the manifest recorded a
+    * schema.
+    */
+  private def colTypeOf(schemaDdl: Option[String], colName: String)
+      : Option[org.apache.spark.sql.types.DataType] =
+    schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+      .flatMap(_.fields.find(_.name == colName)).map(_.dataType)
+
+  /** A range bound as a typed Column literal: integral/string bounds pass
+    * through; MICROS bounds against a timestamp column become foldable
+    * timestamp literals (`timestamp_micros(v)`, NTZ-cast when the column is
+    * TIMESTAMP_NTZ — identity under the UTC session), so the comparison
+    * stays a plain literal predicate and parquet pushdown survives.
+    */
+  private def boundLit(dt: Option[org.apache.spark.sql.types.DataType], v: Any)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{expr, lit}
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    dt match {
+      case Some(TimestampType) =>
+        expr(s"timestamp_micros(${v.asInstanceOf[Number].longValue}L)")
+      case Some(TimestampNTZType) =>
+        expr(s"cast(timestamp_micros(${v.asInstanceOf[Number].longValue}L) as timestamp_ntz)")
+      case _ => lit(v)
+    }
+  }
+
   /** Data-skipping range read: rows of the snapshot with `lo <= colName <= hi`,
     * scanning ONLY the dirs whose manifest min/max overlaps the range (dirs
     * without stats are scanned — skipping is an optimization, never a filter).
@@ -642,7 +680,10 @@ object VersionedTable {
     val c = asOf.fold(log.last)(v =>
       log.find(_.version == v).getOrElse(sys.error(s"version $v not in log at $root")))
     val kept = planRange(root, colName, lo, hi, asOf, resolved = Some(c))
-    val pred = col(colName) >= lo && col(colName) <= hi
+    // timestamp columns take MICROS bounds (matching their footer
+    // envelopes); the typed literal keeps the residual pushdown-friendly
+    val dt = colTypeOf(c.schemaDdl, colName)
+    val pred = col(colName) >= boundLit(dt, lo) && col(colName) <= boundLit(dt, hi)
     c.dirs.foreach(d => require(new File(s"$root/$d").isDirectory,
       s"snapshot v${c.version} references vacuumed dir $root/$d"))
     if (kept.isEmpty)
@@ -948,10 +989,16 @@ object VersionedTable {
           import org.apache.spark.sql.functions.{concat, count, lit, raise_error, when}
           val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
           // the guard lives in a FILTER predicate, not a dropped column — a
-          // projected-then-dropped raise_error would be pruned unevaluated
+          // projected-then-dropped raise_error would be pruned unevaluated.
+          // NULL batch keys are refused alongside duplicates: the anti-join
+          // can never match a NULL key, so such a row would silently INSERT
+          // on every merge (unbounded NULL-key duplication across batches)
           updates
             .withColumn("__n", count(lit(1)).over(w))
-            .filter(when(col("__n") > 1,
+            .filter(when(col(keyCol).isNull,
+                raise_error(lit("mergeInto: NULL batch key (an anti-join never matches " +
+                  "NULL, so the row would re-insert on every merge)")).cast("boolean"))
+              .when(col("__n") > 1,
                 raise_error(concat(lit("mergeInto: duplicate batch key "),
                   col(keyCol).cast("string"))).cast("boolean"))
               .otherwise(lit(true)))
@@ -1113,21 +1160,48 @@ object VersionedTable {
       case None =>
         val parent = history(root).lastOption
           .getOrElse(sys.error(s"deleteRange: no commits at $root"))
+        // bound types must MATCH the column: unlike every skip path, the
+        // Drop class bypasses the residual predicate entirely, so a
+        // type-confused bound (a long against a string column would compare
+        // stringified-lexicographically) could drop rows the predicate
+        // would have kept. Validated against the snapshot schema, loudly.
+        colTypeOf(parent.schemaDdl, colName)
+          .foreach {
+            case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+                 org.apache.spark.sql.types.TimestampType |
+                 org.apache.spark.sql.types.TimestampNTZType =>
+              // timestamp bounds are MICROS (matching the footer envelopes)
+              require(lo.isInstanceOf[Number] && hi.isInstanceOf[Number],
+                s"deleteRange: $colName takes numeric bounds (micros for timestamps), got " +
+                  s"(${lo.getClass.getSimpleName}, ${hi.getClass.getSimpleName})")
+            case org.apache.spark.sql.types.StringType =>
+              require(lo.isInstanceOf[String] && hi.isInstanceOf[String],
+                s"deleteRange: $colName is a string column; bounds must be strings, got " +
+                  s"(${lo.getClass.getSimpleName}, ${hi.getClass.getSimpleName})")
+            case other => sys.error(
+              s"deleteRange supports integral/string/timestamp columns; $colName is $other")
+          }
         // per-dir class from the manifest envelope (integral via stats,
         // string via strStats); None = no envelope → conservative rewrite
         sealed trait Cls; case object Drop extends Cls
         case object Rewrite extends Cls; case object Pass extends Cls
         def classify(env: Option[(Any, Any)]): Cls = env match {
-          case Some((mn: Long, mx: Long)) =>
-            val (l, h) = (lo.asInstanceOf[Number].longValue, hi.asInstanceOf[Number].longValue)
-            if (mn >= l && mx <= h) Drop
-            else if (mx >= l && mn <= h) Rewrite
-            else Pass
-          case Some((mn: String, mx: String)) =>
-            val (l, h) = (lo.toString, hi.toString)
-            if (mn >= l && mx <= h) Drop
-            else if (mx >= l && mn <= h) Rewrite
-            else Pass
+          case Some((mn: Long, mx: Long)) => (lo, hi) match {
+            case (l: Number, h: Number) =>
+              if (mn >= l.longValue && mx <= h.longValue) Drop
+              else if (mx >= l.longValue && mn <= h.longValue) Rewrite
+              else Pass
+            case _ => sys.error(s"deleteRange: integral envelope on $colName but " +
+              "non-numeric bounds") // unreachable when the schema validated above
+          }
+          case Some((mn: String, mx: String)) => (lo, hi) match {
+            case (l: String, h: String) =>
+              if (mn >= l && mx <= h) Drop
+              else if (mx >= l && mn <= h) Rewrite
+              else Pass
+            case _ => sys.error(s"deleteRange: string envelope on $colName but " +
+              "non-string bounds")
+          }
           case _ => Rewrite
         }
         val conf = spark.sessionState.newHadoopConf()
@@ -1165,8 +1239,9 @@ object VersionedTable {
         val pass = classed.collect { case (d, Pass) => d }
         val v = parent.version + 1
         val dirName = f"data/$v%010d-$commitId"
+        val bdt = colTypeOf(parent.schemaDdl, colName)
         val keep = col(colName).isNull ||
-          !(col(colName) >= lit(lo) && col(colName) <= lit(hi))
+          !(col(colName) >= boundLit(bdt, lo) && col(colName) <= boundLit(bdt, hi))
         val survivorsDir: Option[String] =
           if (hit.isEmpty) None
           else {

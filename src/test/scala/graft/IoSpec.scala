@@ -646,6 +646,37 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root3).collect().map(_.getString(0)).toSeq == Seq("mango"))
   }
 
+  test("VersionedTable: TIMESTAMP stats index micros; time-retention deleteRange drops contained dirs") {
+    import spark.implicits._
+    val root = tmpDir("vt_ts_retention")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    VersionedTable.commit(Seq((1L, ts("2022-01-01 00:00:00")), (2L, ts("2022-01-31 00:00:00")))
+      .toDF("id", "t"), root, "append", "t1", statsCols = Seq("t"))
+    VersionedTable.commit(Seq((3L, ts("2022-02-01 00:00:00")), (4L, ts("2022-02-28 00:00:00")))
+      .toDF("id", "t"), root, "append", "t2", statsCols = Seq("t"))
+    VersionedTable.commit(Seq((5L, ts("2022-03-01 00:00:00")), (6L, ts("2022-03-31 00:00:00")))
+      .toDF("id", "t"), root, "append", "t3", statsCols = Seq("t"))
+    // the timestamp envelope is micros in the manifest's integer index
+    val stats = VersionedTable.history(root).last.stats
+    assert(stats.values.flatMap(_.keys).toSet == Set("t"), stats.toString)
+    // time-range read with micro bounds: January only (dir pruning +
+    // pushdown-friendly typed residual)
+    def micros(s: String) = ts(s).getTime * 1000L
+    val jan = VersionedTable.readRange(spark, root, "t",
+      micros("2022-01-01 00:00:00"), micros("2022-01-31 23:59:59"))
+    assert(jan.collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(VersionedTable.planRange(root, "t",
+      micros("2022-01-01 00:00:00"), micros("2022-01-31 23:59:59")).size == 1)
+    // retention purge: everything before Feb 15 — January's dir drops
+    // METADATA-ONLY, February's rewrites, March passes by reference
+    val (v, nDrop, nRewrite, nTotal) = VersionedTable.deleteRange(spark, root, "t",
+      0L, micros("2022-02-15 00:00:00"), "retention", statsCols = Seq("t"))
+    assert(v == 4L && nDrop == 1 && nRewrite == 1 && nTotal == 3,
+      s"($v, $nDrop, $nRewrite, $nTotal)")
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSet
+      == Set(4L, 5L, 6L))
+  }
+
   test("VersionedTable: bloom refinement confines merge/delete when envelopes fully overlap") {
     import spark.implicits._
     val root = tmpDir("vt_merge_bloom")
