@@ -74,7 +74,8 @@ object VersionedTable {
                           strStats: Map[String, Map[String, (String, String)]] = Map.empty,
                           partitionCols: Seq[String] = Nil,
                           blooms: Map[String, Seq[String]] = Map.empty,
-                          schemaDdl: Option[String] = None)
+                          schemaDdl: Option[String] = None,
+                          committedAtMs: Long = 0L)
 
   private val mapper = new ObjectMapper()
 
@@ -124,6 +125,7 @@ object VersionedTable {
       m.put("blooms", bm)
     }
     c.schemaDdl.foreach(d => m.put("schema", d))
+    if (c.committedAtMs > 0) m.put("committedAt", java.lang.Long.valueOf(c.committedAtMs))
     mapper.writeValueAsString(m)
   }
 
@@ -167,7 +169,8 @@ object VersionedTable {
     }.getOrElse(Map.empty[String, Seq[String]])
     Commit(v, n.get("commitId").asText(), n.get("mode").asText(),
       n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, strStats, pcols, blooms,
-      Option(n.get("schema")).map(_.asText()))
+      Option(n.get("schema")).map(_.asText()),
+      Option(n.get("committedAt")).map(_.asLong()).getOrElse(0L))
   }
 
   /** Atomically publish manifest `c` into version slot `v`: write the full
@@ -178,7 +181,10 @@ object VersionedTable {
     */
   private def publishIfAbsent(root: String, v: Long, c: Commit): Boolean = {
     val tmp = commitsDir(root).resolve(s".tmp-${java.util.UUID.randomUUID}")
-    Files.write(tmp, writeJson(c).getBytes(StandardCharsets.UTF_8))
+    // the commit wall-time is stamped at PUBLISH (what TIMESTAMP AS OF
+    // resolves against) — informational metadata, never part of any hash
+    Files.write(tmp, writeJson(c.copy(committedAtMs = System.currentTimeMillis))
+      .getBytes(StandardCharsets.UTF_8))
     try {
       Files.createLink(manifestPath(root, v), tmp)
       true
@@ -711,6 +717,22 @@ object VersionedTable {
       }
     }
   }
+
+  /** TIMESTAMP AS OF resolution (the Delta/Iceberg form of time travel a
+    * consumer uses when it knows WHEN, not which version): the LATEST
+    * version whose manifest published at or before `tsMs`. Selection is by
+    * version order, so modest publisher clock skew cannot resolve to a
+    * non-latest snapshot; pre-timestamp manifests (no `committedAt` field)
+    * never match, and a time before the first stamped commit fails loudly
+    * rather than returning an arbitrary snapshot.
+    */
+  def versionAsOfTimestamp(root: String, tsMs: Long): Long =
+    history(root).filter(c => c.committedAtMs > 0 && c.committedAtMs <= tsMs)
+      .lastOption.map(_.version)
+      .getOrElse(sys.error(s"no commit published at or before epoch-ms $tsMs at $root"))
+
+  def readAsOfTimestamp(spark: SparkSession, root: String, tsMs: Long): DataFrame =
+    read(spark, root, Some(versionAsOfTimestamp(root, tsMs)))
 
   /** Snapshot read. `asOf = None` reads the latest committed version; a
     * version that was never committed, or whose data a later `vacuum`
@@ -1338,9 +1360,18 @@ object VersionedTable {
     * inherently costs; `statsCols` rebuilds the data-skipping index from
     * the fresh footers so `readRange` pruning survives the rewrite.
     */
+  /** `zorderBy` (Delta's OPTIMIZE ZORDER BY): when set (flat snapshots,
+    * exactly two integral/timestamp columns), the rewrite range-partitions
+    * by the Morton interleave of the pair — both dimensions rank-scaled to
+    * 10 bits first so neither's magnitude dominates — and `statsCols`
+    * should name both so the rebuilt per-file index prunes range
+    * predicates on EITHER dimension. This is the maintenance verb that
+    * re-clusters an append-grown table in place (as a commit), where
+    * `versioned_zorder_scan`'s shape is a fresh bulk load.
+    */
   def compact(spark: SparkSession, root: String, commitId: String,
               targetFiles: Int, statsCols: Seq[String] = Nil,
-              bloomCols: Seq[String] = Nil): Long = {
+              bloomCols: Seq[String] = Nil, zorderBy: Seq[String] = Nil): Long = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     history(root).find(_.commitId == commitId) match {
       case Some(prior) => prior.version // retry of a committed compaction
@@ -1349,7 +1380,42 @@ object VersionedTable {
           .getOrElse(sys.error(s"compact: no commits at $root"))
         val cur = read(spark, root)
         val df =
-          if (parent.partitionCols.nonEmpty)
+          if (zorderBy.nonEmpty) {
+            import org.apache.spark.sql.functions.{col, expr, floor, max, min}
+            require(zorderBy.size == 2,
+              s"zorderBy takes exactly two columns, got $zorderBy")
+            require(parent.partitionCols.isEmpty,
+              "zorderBy applies to flat snapshots (hive partitions already cluster)")
+            // micros for timestamps, raw value otherwise — one bounded
+            // 4-scalar probe for the two scale envelopes
+            def micCol(c: String) = cur.schema(c).dataType match {
+              case org.apache.spark.sql.types.TimestampType |
+                   org.apache.spark.sql.types.TimestampNTZType =>
+                expr(s"unix_micros(cast(`$c` as timestamp))")
+              case org.apache.spark.sql.types.LongType |
+                   org.apache.spark.sql.types.IntegerType => col(c).cast("long")
+              case other => sys.error(s"zorderBy supports integral/timestamp columns; $c is $other")
+            }
+            val (xc, yc) = (micCol(zorderBy.head), micCol(zorderBy(1)))
+            val r = cur.agg(min(xc), max(xc), min(yc), max(yc)).head()
+            require(!r.isNullAt(0) && !r.isNullAt(2),
+              "zorderBy: a clustering column is entirely NULL")
+            val (x0, x1, y0, y1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+            val xb = floor((xc - x0) * 1024.0 / math.max(1L, x1 - x0 + 1)).cast("long")
+            val yb = floor((yc - y0) * 1024.0 / math.max(1L, y1 - y0 + 1)).cast("long")
+            val z = (0 until 10).map { j =>
+              org.apache.spark.sql.functions.shiftleft(
+                org.apache.spark.sql.functions.shiftright(xb, j)
+                  .bitwiseAND(org.apache.spark.sql.functions.lit(1L)), 2 * j) +
+              org.apache.spark.sql.functions.shiftleft(
+                org.apache.spark.sql.functions.shiftright(yb, j)
+                  .bitwiseAND(org.apache.spark.sql.functions.lit(1L)), 2 * j + 1)
+            }.reduce(_ + _)
+            cur.withColumn("__graft_z", z)
+              .repartitionByRange(targetFiles, col("__graft_z"))
+              .drop("__graft_z")
+          }
+          else if (parent.partitionCols.nonEmpty)
             cur.repartition(targetFiles,
               parent.partitionCols.map(org.apache.spark.sql.functions.col): _*)
           else cur.repartition(targetFiles)

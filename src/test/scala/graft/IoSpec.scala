@@ -646,6 +646,48 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root3).collect().map(_.getString(0)).toSeq == Seq("mango"))
   }
 
+  test("VersionedTable.compact zorderBy: re-clustered files prune on EITHER dimension") {
+    import spark.implicits._
+    val root = tmpDir("vt_opt_zorder")
+    // two appends clustered by NEITHER dimension (interleaved x, random-ish y)
+    val rows = (0L until 4096L).map(i => (i % 64, (i * 2654435761L) % 64, s"r$i"))
+    VersionedTable.commit(rows.take(2048).toDF("x", "y", "s"), root, "append", "z1",
+      statsCols = Seq("x", "y"))
+    VersionedTable.commit(rows.drop(2048).toDF("x", "y", "s"), root, "append", "z2",
+      statsCols = Seq("x", "y"))
+    // neither dim prunes anything pre-compaction (every file spans both)
+    val (preX, preTotX) = VersionedTable.planRangeFiles(root, "x", 0L, 7L)
+    assert(preX == preTotX, s"fixture must start unclustered: $preX of $preTotX")
+    VersionedTable.compact(spark, root, "optimize-z", targetFiles = 16,
+      statsCols = Seq("x", "y"), zorderBy = Seq("x", "y"))
+    val (sx, tx) = VersionedTable.planRangeFiles(root, "x", 0L, 7L)
+    val (sy, ty) = VersionedTable.planRangeFiles(root, "y", 0L, 7L)
+    assert(tx >= 8 && sx < tx, s"x-range must prune files after zorder: $sx of $tx")
+    assert(sy < ty, s"y-range must prune files after zorder: $sy of $ty")
+    // content untouched by the re-cluster; residual still exact
+    assert(VersionedTable.read(spark, root).count() == 4096)
+    assert(VersionedTable.readRange(spark, root, "x", 0L, 7L).count() == 4096 / 8)
+    // contract failures are loud: one column, partitioned snapshot
+    intercept[IllegalArgumentException](VersionedTable.compact(spark, root, "bad-z",
+      targetFiles = 4, zorderBy = Seq("x")))
+  }
+
+  test("VersionedTable: TIMESTAMP AS OF resolves the latest commit at-or-before the instant") {
+    import spark.implicits._
+    val root = tmpDir("vt_ts_travel")
+    VersionedTable.commit(Seq((1L, "a")).toDF("id", "s"), root, "append", "tt1")
+    Thread.sleep(15)
+    VersionedTable.commit(Seq((2L, "b")).toDF("id", "s"), root, "append", "tt2")
+    val log = VersionedTable.history(root)
+    assert(log.forall(_.committedAtMs > 0), "every manifest stamps its publish time")
+    val t1 = log.head.committedAtMs
+    assert(VersionedTable.versionAsOfTimestamp(root, t1) == 1L)
+    assert(VersionedTable.readAsOfTimestamp(spark, root, t1).count() == 1)
+    assert(VersionedTable.versionAsOfTimestamp(root, System.currentTimeMillis + 1000) == 2L)
+    // before the first commit: loud failure, not an arbitrary snapshot
+    intercept[RuntimeException](VersionedTable.versionAsOfTimestamp(root, t1 - 1))
+  }
+
   test("VersionedTable: TIMESTAMP stats index micros; time-retention deleteRange drops contained dirs") {
     import spark.implicits._
     val root = tmpDir("vt_ts_retention")
