@@ -792,6 +792,63 @@ private[graft] object QueriesMedallionIo {
         |  CAST(4 AS BIGINT) AS dirs_total
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — MERGE-ON-READ delete (VersionedTable.deleteWhereMor — the
+    // deletion-vector twin of versioned_delete's copy-on-write): the purge
+    // writes ONE small key set and MARKS the envelope-hit dir; no data dir
+    // is rewritten (dirs_unchanged — the whole point: scattered keys cost
+    // O(batch), not a rewrite per hit commit), readers anti-join the
+    // coverage at scan time, and a LATER append re-inserts two of the
+    // purged keys ('REINSERTED') because its dir is never covered by the
+    // older delete — exactly Delta's DV semantics, and the subtle
+    // correctness case the oracle pins alongside the survivor set.
+    Q("versioned_delete_mor",
+      (s, dir) => {
+        val (root, marked, total, unchanged) = Fixtures.once(s, dir, "vt_mor") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_mor_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          Seq(("mor1", col("o_orderkey") <= b1),
+            ("mor2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("mor3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
+            ("mor4", col("o_orderkey") > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"mor-$id",
+              statsCols = Seq("o_orderkey"))
+          }
+          val preDirs = graft.io.VersionedTable.history(r).last.dirs
+          val purge = o.filter(col("o_orderkey") > b1 && col("o_orderkey") <= b2 &&
+            col("o_orderkey") % 3 === 0).select("o_orderkey")
+          val (_, m, t) = graft.io.VersionedTable.deleteWhereMor(s, r, purge,
+            "o_orderkey", "mor-purge")
+          val same = graft.io.VersionedTable.history(r).last.dirs == preDirs
+          graft.io.VersionedTable.commit(
+            o.filter(col("o_orderkey") > b1 && col("o_orderkey") <= b2 &&
+                col("o_orderkey") % 9 === 0)
+              .select(col("o_orderkey"), lit("REINSERTED").as("o_orderpriority"),
+                col("o_totalprice")),
+            r, "append", "mor-reinsert", statsCols = Seq("o_orderkey"))
+          (r, m.toLong, t.toLong, java.lang.Boolean.valueOf(same))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("dirs_marked", lit(marked))
+          .withColumn("dirs_total", lit(total))
+          .withColumn("dirs_unchanged", lit(unchanged.booleanValue()))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH q AS (SELECT max(o_orderkey) // 4 AS q1, max(o_orderkey) // 2 AS q2 FROM orders),
+        |d AS (SELECT o_orderkey, o_orderpriority FROM orders CROSS JOIN q
+        |  WHERE NOT (o_orderkey > q1 AND o_orderkey <= q2 AND o_orderkey % 3 = 0)),
+        |r AS (SELECT o_orderkey, 'REINSERTED' AS o_orderpriority FROM orders CROSS JOIN q
+        |  WHERE o_orderkey > q1 AND o_orderkey <= q2 AND o_orderkey % 9 = 0),
+        |u AS (SELECT * FROM d UNION ALL SELECT * FROM r)
+        |SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS dirs_marked, CAST(4 AS BIGINT) AS dirs_total,
+        |  TRUE AS dirs_unchanged
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — TIME-RETENTION purge on a real TIMESTAMP column (the use case
     // deleteRange exists for: "drop everything before the cutoff"). Four
     // appends banded by o_orderdate (timestamp stats index as INT64-micros

@@ -75,7 +75,9 @@ object VersionedTable {
                           partitionCols: Seq[String] = Nil,
                           blooms: Map[String, Seq[String]] = Map.empty,
                           schemaDdl: Option[String] = None,
-                          committedAtMs: Long = 0L)
+                          committedAtMs: Long = 0L,
+                          deletes: Map[String, Seq[String]] = Map.empty,
+                          deleteKeys: Map[String, String] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -126,6 +128,16 @@ object VersionedTable {
     }
     c.schemaDdl.foreach(d => m.put("schema", d))
     if (c.committedAtMs > 0) m.put("committedAt", java.lang.Long.valueOf(c.committedAtMs))
+    if (c.deletes.nonEmpty) {
+      val dm = new java.util.LinkedHashMap[String, Object]()
+      c.deletes.toSeq.sortBy(_._1).foreach { case (dir, sets) => dm.put(dir, sets.asJava) }
+      m.put("deletes", dm)
+    }
+    if (c.deleteKeys.nonEmpty) {
+      val km = new java.util.LinkedHashMap[String, Object]()
+      c.deleteKeys.toSeq.sortBy(_._1).foreach { case (set, k) => km.put(set, k) }
+      m.put("deleteKeys", km)
+    }
     mapper.writeValueAsString(m)
   }
 
@@ -167,10 +179,19 @@ object VersionedTable {
         else Some(e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq)
       }.toMap
     }.getOrElse(Map.empty[String, Seq[String]])
+    val deletes = Option(n.get("deletes")).map { dn =>
+      dn.properties().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
+      }.toMap
+    }.getOrElse(Map.empty[String, Seq[String]])
+    val deleteKeys = Option(n.get("deleteKeys")).map { kn =>
+      kn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
     Commit(v, n.get("commitId").asText(), n.get("mode").asText(),
       n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, strStats, pcols, blooms,
       Option(n.get("schema")).map(_.asText()),
-      Option(n.get("committedAt")).map(_.asLong()).getOrElse(0L))
+      Option(n.get("committedAt")).map(_.asLong()).getOrElse(0L),
+      deletes, deleteKeys)
   }
 
   /** Atomically publish manifest `c` into version slot `v`: write the full
@@ -263,6 +284,15 @@ object VersionedTable {
                   parent.map(_.strStats).getOrElse(Map.empty),
                   parent.map(_.blooms).getOrElse(Map.empty))
             }
+            // MOR delete coverage carries through appends untouched (the
+            // new dir has no entry — a later append may re-insert a purged
+            // key); an overwrite replaces the row set wholesale, so no
+            // delete set survives it
+            val (inhDeletes, inhDeleteKeys) = mode match {
+              case "append" => (parent.map(_.deletes).getOrElse(Map.empty),
+                parent.map(_.deleteKeys).getOrElse(Map.empty))
+              case _ => (Map.empty[String, Seq[String]], Map.empty[String, String])
+            }
             val stats = if (dirStats.ints.isEmpty) inherited
                         else inherited + (dirName -> dirStats.ints)
             val strStats = if (dirStats.strs.isEmpty) inheritedStr
@@ -271,7 +301,8 @@ object VersionedTable {
                          else inheritedBlooms + (dirName -> dirBlooms)
             if (publishIfAbsent(root, v,
                 Commit(v, commitId, mode, dirs, stats, strStats, partitionCols, blooms,
-                  Some(snapSchema.toDDL)))) committed = v
+                  Some(snapSchema.toDDL), deletes = inhDeletes,
+                  deleteKeys = inhDeleteKeys))) committed = v
           }
         }
         committed
@@ -638,7 +669,7 @@ object VersionedTable {
     if (kept.isEmpty)
       scanDirs(spark, c.dirs.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl)
         .limit(0).filter(pred)
-    else scanDirs(spark, kept.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl).filter(pred)
+    else scanWithDeletes(spark, root, c, kept).filter(pred)
   }
 
   /** The column's declared type in a snapshot, when the manifest recorded a
@@ -695,7 +726,8 @@ object VersionedTable {
     if (kept.isEmpty)
       scanDirs(spark, c.dirs.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl)
         .limit(0).filter(pred)
-    else scanDirsPruned(spark, root, c, kept, colName, lo, hi).filter(pred)
+    else scanWithDeletes(spark, root, c, kept,
+      ds => scanDirsPruned(spark, root, c, ds, colName, lo, hi)).filter(pred)
   }
 
   /** The dirs [[readRange]] would scan: snapshot dirs whose [min, max] for
@@ -745,10 +777,39 @@ object VersionedTable {
       case None    => log.last
       case Some(v) => log.find(_.version == v).getOrElse(sys.error(s"version $v not in log at $root"))
     }
-    val dirs = c.dirs.map(d => s"$root/$d")
-    dirs.foreach(d => require(new File(d).isDirectory,
-      s"snapshot v${c.version} references vacuumed dir $d"))
-    scanDirs(spark, dirs, c.partitionCols, c.schemaDdl)
+    c.dirs.foreach(d => require(new File(s"$root/$d").isDirectory,
+      s"snapshot v${c.version} references vacuumed dir $root/$d"))
+    scanWithDeletes(spark, root, c, c.dirs)
+  }
+
+  /** Scan `dirs` of snapshot `c` with each dir's MERGE-ON-READ deletion
+    * vectors applied: dirs are grouped by their covering delete-set list
+    * (almost always one group), each group anti-joins its sets' key frames
+    * (small by the MOR contract — broadcast), and the groups union. A dir
+    * with no entry scans untouched, which is exactly what makes a
+    * post-delete APPEND able to re-insert a purged key: the new dir is
+    * never covered by an older delete.
+    */
+  private def scanWithDeletes(spark: SparkSession, root: String, c: Commit,
+                              dirs: Seq[String],
+                              scanGroup: Seq[String] => DataFrame = null): DataFrame = {
+    val scan: Seq[String] => DataFrame =
+      if (scanGroup != null) scanGroup
+      else ds => scanDirs(spark, ds.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl)
+    if (dirs.isEmpty || c.deletes.isEmpty || dirs.forall(d => !c.deletes.contains(d)))
+      return scan(dirs)
+    val groups = dirs.groupBy(d => c.deletes.getOrElse(d, Nil)).toSeq
+      .sortBy(_._1.mkString(","))
+    groups.map { case (sets, ds) =>
+      sets.foldLeft(scan(ds)) { (df, setName) =>
+        val keyCol = c.deleteKeys.getOrElse(setName,
+          sys.error(s"manifest references delete set $setName with no recorded key column"))
+        df.join(
+          org.apache.spark.sql.functions.broadcast(
+            spark.read.parquet(s"$root/$setName").select(keyCol).distinct()),
+          Seq(keyCol), "left_anti")
+      }
+    }.reduce(_.unionByName(_))
   }
 
   /** Scan commit dirs under the snapshot's layout: flat dirs go through one
@@ -875,6 +936,18 @@ object VersionedTable {
     require(removed.isEmpty,
       s"($fromVersion, $toVersion] crosses an overwrite/rollback (removed: $removed); " +
         "incremental reads are only defined over append-only ranges")
+    // a MERGE-ON-READ delete changes the ROW SET of existing dirs without
+    // touching the dir list — a dir-difference CDC cannot express rows
+    // REMOVED from a shared dir, so any coverage change on one refuses
+    def covOf(v: Long): Map[String, Seq[String]] =
+      if (v == 0L) Map.empty
+      else log.find(_.version == v).get.deletes
+    val (covFrom, covTo) = (covOf(fromVersion), covOf(toVersion))
+    val covChanged = from.filter(d =>
+      covFrom.getOrElse(d, Nil) != covTo.getOrElse(d, Nil))
+    require(covChanged.isEmpty,
+      s"($fromVersion, $toVersion] crosses a merge-on-read delete touching $covChanged; " +
+        "incremental reads are only defined over append-only ranges")
     val added = to.filterNot(from.contains).map(d => s"$root/$d")
     added.foreach(d => require(new File(d).isDirectory,
       s"incremental range references vacuumed dir $d"))
@@ -882,7 +955,12 @@ object VersionedTable {
     if (added.isEmpty)
       if (to.isEmpty) scanDirs(spark, Nil, toC.partitionCols, toC.schemaDdl)
       else scanDirs(spark, Seq(s"$root/${to.head}"), toC.partitionCols, toC.schemaDdl).limit(0)
-    else scanDirs(spark, added, toC.partitionCols, toC.schemaDdl)
+    else {
+      // added dirs apply `to`'s coverage: a dir appended THEN MOR-covered
+      // inside the range delivers exactly its surviving rows
+      val addedRel = to.filterNot(from.contains)
+      scanWithDeletes(spark, root, toC, addedRel)
+    }
   }
 
   /** MERGE INTO with DIR-LEVEL COPY-ON-WRITE (the Delta MERGE shape at this
@@ -982,6 +1060,18 @@ object VersionedTable {
     }
   }
 
+  /** The MOR delete coverage surviving a copy-on-write rewrite: entries of
+    * dirs that pass by reference, with `deleteKeys` pruned to still-
+    * referenced sets (the rewritten dirs' coverage is ABSORBED — their
+    * replacement was scanned deletes-applied).
+    */
+  private def carriedDeletes(parent: Commit, keptDirs: Seq[String])
+      : (Map[String, Seq[String]], Map[String, String]) = {
+    val del = parent.deletes.filter { case (d, _) => keptDirs.contains(d) }
+    val refd = del.values.flatten.toSet
+    (del, parent.deleteKeys.filter { case (k, _) => refd.contains(k) })
+  }
+
   def mergeInto(spark: SparkSession, root: String, updates: DataFrame,
                 keyCol: String, commitId: String,
                 statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): (Long, Int, Int) = {
@@ -1034,8 +1124,9 @@ object VersionedTable {
         val merged =
           if (hit.isEmpty) guarded
           else {
-            val base = scanDirs(spark, hit.map(d => s"$root/$d"), parent.partitionCols,
-              parent.schemaDdl)
+            // hit dirs scan with their MOR deletes APPLIED — the rewrite
+            // must not resurrect rows an earlier merge-on-read delete hid
+            val base = scanWithDeletes(spark, root, parent, hit)
             base.join(
                 org.apache.spark.sql.functions.broadcast(guarded.select(col(keyCol))),
                 Seq(keyCol), "left_anti")
@@ -1049,12 +1140,14 @@ object VersionedTable {
         val keptStats = parent.stats.filter { case (d, _) => pass.contains(d) }
         val keptStrStats = parent.strStats.filter { case (d, _) => pass.contains(d) }
         val keptBlooms = parent.blooms.filter { case (d, _) => pass.contains(d) }
+        val (cd, cdk) = carriedDeletes(parent, pass)
         val c = Commit(v, commitId, "merge", pass :+ dirName,
           if (dirStats.ints.isEmpty) keptStats else keptStats + (dirName -> dirStats.ints),
           if (dirStats.strs.isEmpty) keptStrStats else keptStrStats + (dirName -> dirStats.strs),
           parent.partitionCols,
           if (dirBlooms.isEmpty) keptBlooms else keptBlooms + (dirName -> dirBlooms),
-          parent.schemaDdl.orElse(Some(updates.schema.toDDL)))
+          parent.schemaDdl.orElse(Some(updates.schema.toDDL)),
+          deletes = cd, deleteKeys = cdk)
         if (!publishIfAbsent(root, v, c))
           sys.error(s"mergeInto: log advanced past v${parent.version} during the rewrite; " +
             "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
@@ -1106,8 +1199,7 @@ object VersionedTable {
         val survivorsDir: Option[String] =
           if (hit.isEmpty) None // no dir can hold a key: pure-metadata no-op commit
           else {
-            val base = scanDirs(spark, hit.map(d => s"$root/$d"), parent.partitionCols,
-              parent.schemaDdl)
+            val base = scanWithDeletes(spark, root, parent, hit)
             val survivors = base.join(
               org.apache.spark.sql.functions.broadcast(guarded), Seq(keyCol), "left_anti")
             var w = survivors.write.mode("overwrite")
@@ -1135,6 +1227,7 @@ object VersionedTable {
         val keptStats = parent.stats.filter { case (d, _) => pass.contains(d) }
         val keptStrStats = parent.strStats.filter { case (d, _) => pass.contains(d) }
         val keptBlooms = parent.blooms.filter { case (d, _) => pass.contains(d) }
+        val (cd, cdk) = carriedDeletes(parent, pass)
         val c = Commit(v, commitId, "delete", pass ++ survivorsDir,
           survivorsDir.filter(_ => dirStats.ints.nonEmpty)
             .fold(keptStats)(d => keptStats + (d -> dirStats.ints)),
@@ -1143,11 +1236,74 @@ object VersionedTable {
           parent.partitionCols,
           survivorsDir.filter(_ => dirBlooms.nonEmpty)
             .fold(keptBlooms)(d => keptBlooms + (d -> dirBlooms)),
-          parent.schemaDdl)
+          parent.schemaDdl, deletes = cd, deleteKeys = cdk)
         if (!publishIfAbsent(root, v, c))
           sys.error(s"deleteWhere: log advanced past v${parent.version} during the rewrite; " +
             "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
         (v, hit.size, parent.dirs.size)
+    }
+  }
+
+  /** MERGE-ON-READ row-level DELETE (the Delta deletion-vector /
+    * Iceberg v2 merge-on-read shape — [[deleteWhere]]'s write-cheap twin):
+    * instead of rewriting envelope-hit dirs, ONE small key set is written
+    * under `deletes/` and the manifest marks each hit dir as covered by
+    * it; readers anti-join a dir's covering sets at scan time
+    * ([[scanWithDeletes]]). The trade both forms exist for: scattered keys
+    * across many commits cost copy-on-write a rewrite per hit dir but cost
+    * MOR exactly O(batch) writes — readers then pay a broadcast anti-join
+    * until [[compact]] (or any copy-on-write rewrite of the dir) ABSORBS
+    * the coverage, scanning deletes-applied and carrying none forward.
+    *
+    * Semantics match deleteWhere at the instant of the delete: covered
+    * dirs hide the keys; a LATER append may re-insert a key (its new dir
+    * is never covered — exactly Delta's behavior). Same gate
+    * ([[rangeHitDirs]]: envelope + bloom refinement), same NULL-key
+    * refusal, idempotent commitId retry; manifest-only publication retries
+    * against a moved parent like [[commit]] (nothing is rewritten, so no
+    * pinned parent is needed). [[changesBetween]] refuses to cross a
+    * coverage change on any shared dir — a dir-difference CDC cannot
+    * express rows REMOVED from an existing dir. Returns
+    * (version, dirsMarked, dirsTotal).
+    */
+  def deleteWhereMor(spark: SparkSession, root: String, keys: DataFrame,
+                     keyCol: String, commitId: String): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+    history(root).find(_.commitId == commitId) match {
+      case Some(prior) => (prior.version, -1, -1)
+      case None =>
+        val guarded = keys.select(col(keyCol))
+          .filter(when(col(keyCol).isNull,
+              raise_error(lit("deleteWhereMor: NULL delete key (an anti-join never matches " +
+                "NULL, so the row would silently survive)")).cast("boolean"))
+            .otherwise(lit(true)))
+          .distinct()
+        // the key set is immutable once written; its name only needs
+        // uniqueness (commitId), so a publish retry reuses it
+        val setName = s"deletes/$commitId"
+        guarded.coalesce(1).write.mode("overwrite").parquet(s"$root/$setName")
+        var result: (Long, Int, Int) = null
+        while (result == null) {
+          val parent = history(root).lastOption
+            .getOrElse(sys.error(s"deleteWhereMor: no commits at $root"))
+          if (parent.commitId == commitId) result = (parent.version, -1, -1)
+          else {
+            val (hit, _) = rangeHitDirs(root, parent, guarded, keyCol, "deleteWhereMor")
+            val v = parent.version + 1
+            val newDeletes = hit.foldLeft(parent.deletes) { (m, d) =>
+              m + (d -> (m.getOrElse(d, Nil) :+ setName))
+            }
+            val c = Commit(v, commitId, "delete-mor", parent.dirs,
+              parent.stats, parent.strStats, parent.partitionCols, parent.blooms,
+              parent.schemaDdl,
+              deletes = newDeletes,
+              deleteKeys = parent.deleteKeys + (setName -> keyCol))
+            if (publishIfAbsent(root, v, c)) result = (v, hit.size, parent.dirs.size)
+            // lost the race: manifest-only — recompute against the new
+            // parent and retry (the key set is already in place)
+          }
+        }
+        result
     }
   }
 
@@ -1267,8 +1423,7 @@ object VersionedTable {
         val survivorsDir: Option[String] =
           if (hit.isEmpty) None
           else {
-            val base = scanDirs(spark, hit.map(d => s"$root/$d"), parent.partitionCols,
-              parent.schemaDdl)
+            val base = scanWithDeletes(spark, root, parent, hit)
             var w = base.filter(keep).write.mode("overwrite")
             if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
             w.parquet(s"$root/$dirName")
@@ -1290,6 +1445,7 @@ object VersionedTable {
         val keptStats = parent.stats.filter { case (d, _) => pass.contains(d) }
         val keptStrStats = parent.strStats.filter { case (d, _) => pass.contains(d) }
         val keptBlooms = parent.blooms.filter { case (d, _) => pass.contains(d) }
+        val (cd, cdk) = carriedDeletes(parent, pass)
         val c = Commit(v, commitId, "delete", pass ++ survivorsDir,
           survivorsDir.filter(_ => dirStats.ints.nonEmpty)
             .fold(keptStats)(d => keptStats + (d -> dirStats.ints)),
@@ -1298,7 +1454,7 @@ object VersionedTable {
           parent.partitionCols,
           survivorsDir.filter(_ => dirBlooms.nonEmpty)
             .fold(keptBlooms)(d => keptBlooms + (d -> dirBlooms)),
-          parent.schemaDdl)
+          parent.schemaDdl, deletes = cd, deleteKeys = cdk)
         if (!publishIfAbsent(root, v, c))
           sys.error(s"deleteRange: log advanced past v${parent.version} during the rewrite; " +
             "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
@@ -1323,7 +1479,7 @@ object VersionedTable {
           val v = parent.version + 1
           if (publishIfAbsent(root, v, Commit(v, commitId, "rollback", target.dirs,
               target.stats, target.strStats, target.partitionCols, target.blooms,
-              target.schemaDdl)))
+              target.schemaDdl, deletes = target.deletes, deleteKeys = target.deleteKeys)))
             committed = v
         }
         committed
@@ -1466,7 +1622,25 @@ object VersionedTable {
       try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
       finally w.close()
     }
+    // MOR delete sets sweep by the same rule: a set referenced by NO
+    // retained manifest (absorbed by compaction/rewrites, or orphaned by a
+    // crashed delete-mor) is reclaimed with the data dirs
+    val liveSets = retained.flatMap(_.deletes.values.flatten).toSet
+    val delRoot = Paths.get(root, "deletes")
+    val deadSets =
+      if (!Files.isDirectory(delRoot)) Seq.empty[String]
+      else {
+        val st = Files.list(delRoot)
+        try st.iterator().asScala.filter(Files.isDirectory(_))
+          .map(p => s"deletes/${p.getFileName}").filterNot(liveSets.contains).toSeq.sorted
+        finally st.close()
+      }
+    deadSets.foreach { d =>
+      val w = Files.walk(Paths.get(root, d))
+      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally w.close()
+    }
     log.dropRight(retainLast).foreach(c => Files.deleteIfExists(manifestPath(root, c.version)))
-    dead.map(d => s"$root/$d")
+    (dead ++ deadSets).map(d => s"$root/$d")
   }
 }

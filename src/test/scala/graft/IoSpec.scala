@@ -646,6 +646,63 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root3).collect().map(_.getString(0)).toSeq == Seq("mango"))
   }
 
+  test("VersionedTable.deleteWhereMor: merge-on-read lifecycle — mark, hide, re-insert, absorb, refuse CDC") {
+    import spark.implicits._
+    val root = tmpDir("vt_mor")
+    VersionedTable.commit(Seq((1L, "a"), (5L, "b")).toDF("id", "s"), root, "append", "m1",
+      statsCols = Seq("id"))
+    VersionedTable.commit(Seq((10L, "c"), (15L, "d")).toDF("id", "s"), root, "append", "m2",
+      statsCols = Seq("id"))
+    val before = VersionedTable.history(root).last.dirs
+    // the purge writes ONE small key set and marks only the envelope-hit
+    // dir — zero data dirs rewritten, dir list unchanged
+    val (v, marked, total) = VersionedTable.deleteWhereMor(spark, root,
+      Seq(10L).toDF("id"), "id", "mor-purge")
+    assert(v == 3L && marked == 1 && total == 2, s"($v, $marked, $total)")
+    val after = VersionedTable.history(root).last
+    assert(after.mode == "delete-mor" && after.dirs == before, "no dir may be rewritten")
+    assert(after.deletes.values.flatten.toSeq == Seq("deletes/mor-purge"))
+    def ids = VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 5L, 15L))
+    // point/range reads hide the key too
+    assert(VersionedTable.readPoint(spark, root, "id", 10L).count() == 0)
+    assert(VersionedTable.readRange(spark, root, "id", 0L, 100L).count() == 3)
+    // idempotent retry
+    assert(VersionedTable.deleteWhereMor(spark, root,
+      Seq(10L).toDF("id"), "id", "mor-purge") == ((3L, -1, -1)))
+    // time travel BEFORE the delete still shows the row
+    assert(VersionedTable.read(spark, root, asOf = Some(2L)).count() == 4)
+    // a LATER append RE-INSERTS the purged key (its dir is never covered)
+    VersionedTable.commit(Seq((10L, "c-again")).toDF("id", "s"), root, "append", "m3",
+      statsCols = Seq("id"))
+    assert(ids == Set(1L, 5L, 10L, 15L))
+    // CDC refuses to cross the coverage change on a shared dir...
+    intercept[IllegalArgumentException](VersionedTable.changesBetween(spark, root, 2L, 3L))
+    // ...but a pure append range AFTER it is fine, and a dir appended then
+    // covered INSIDE the range delivers its surviving rows
+    assert(VersionedTable.changesBetween(spark, root, 3L, 4L)
+      .collect().map(_.getLong(0)).toSeq == Seq(10L))
+    VersionedTable.deleteWhereMor(spark, root, Seq(15L).toDF("id"), "id", "mor-p2")
+    // copy-on-write rewrite of a covered dir must NOT resurrect hidden rows
+    val (_, hitCw, _) = VersionedTable.deleteWhere(spark, root,
+      Seq(5L).toDF("id"), "id", "cw-after-mor", statsCols = Seq("id"))
+    assert(hitCw >= 1)
+    assert(ids == Set(1L, 10L), s"resurrected or lost rows: $ids")
+    // compaction absorbs ALL remaining coverage; vacuum then reclaims the sets
+    VersionedTable.compact(spark, root, "mor-opt", targetFiles = 1)
+    assert(VersionedTable.history(root).last.deletes.isEmpty, "compaction absorbs coverage")
+    assert(ids == Set(1L, 10L))
+    val reclaimed = VersionedTable.vacuum(root, retainLast = 1)
+    assert(reclaimed.exists(_.contains("deletes/")), s"delete sets must be swept: $reclaimed")
+    assert(ids == Set(1L, 10L))
+    // NULL keys refused loudly, same contract as copy-on-write
+    val e = intercept[Exception](VersionedTable.deleteWhereMor(spark, root,
+      Seq(Option.empty[Long]).toDF("id"), "id", "mor-null"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("NULL delete key"), msgs)
+  }
+
   test("VersionedTable.compact zorderBy: re-clustered files prune on EITHER dimension") {
     import spark.implicits._
     val root = tmpDir("vt_opt_zorder")
