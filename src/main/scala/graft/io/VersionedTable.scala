@@ -1284,23 +1284,30 @@ object VersionedTable {
         guarded.coalesce(1).write.mode("overwrite").parquet(s"$root/$setName")
         var result: (Long, Int, Int) = null
         while (result == null) {
-          val parent = history(root).lastOption
-            .getOrElse(sys.error(s"deleteWhereMor: no commits at $root"))
-          if (parent.commitId == commitId) result = (parent.version, -1, -1)
-          else {
-            val (hit, _) = rangeHitDirs(root, parent, guarded, keyCol, "deleteWhereMor")
-            val v = parent.version + 1
-            val newDeletes = hit.foldLeft(parent.deletes) { (m, d) =>
-              m + (d -> (m.getOrElse(d, Nil) :+ setName))
-            }
-            val c = Commit(v, commitId, "delete-mor", parent.dirs,
-              parent.stats, parent.strStats, parent.partitionCols, parent.blooms,
-              parent.schemaDdl,
-              deletes = newDeletes,
-              deleteKeys = parent.deleteKeys + (setName -> keyCol))
-            if (publishIfAbsent(root, v, c)) result = (v, hit.size, parent.dirs.size)
-            // lost the race: manifest-only — recompute against the new
-            // parent and retry (the key set is already in place)
+          val log = history(root)
+          require(log.nonEmpty, s"deleteWhereMor: no commits at $root")
+          log.find(_.commitId == commitId) match {
+            case Some(prior) => result = (prior.version, -1, -1) // another retry of us won
+            case None =>
+              val parent = log.last
+              val (hit, _) = rangeHitDirs(root, parent, guarded, keyCol, "deleteWhereMor")
+              val v = parent.version + 1
+              val newDeletes = hit.foldLeft(parent.deletes) { (m, d) =>
+                m + (d -> (m.getOrElse(d, Nil) :+ setName))
+              }
+              // an envelope/bloom miss on every dir is a pure no-op commit:
+              // the set is referenced by nothing, so deleteKeys must not
+              // name it (vacuum will sweep the orphan set dir)
+              val newDeleteKeys =
+                if (hit.isEmpty) parent.deleteKeys
+                else parent.deleteKeys + (setName -> keyCol)
+              val c = Commit(v, commitId, "delete-mor", parent.dirs,
+                parent.stats, parent.strStats, parent.partitionCols, parent.blooms,
+                parent.schemaDdl,
+                deletes = newDeletes, deleteKeys = newDeleteKeys)
+              if (publishIfAbsent(root, v, c)) result = (v, hit.size, parent.dirs.size)
+              // lost the race: manifest-only — recompute against the new
+              // parent and retry (the key set is already in place)
           }
         }
         result
