@@ -229,6 +229,47 @@ class PropertySpec extends SparkSpec {
     assert(deepMsgs(eBatch).contains("NULL update-batch key"), deepMsgs(eBatch))
   }
 
+  test("deleteWhereMor, deleteWhere, and brute force agree on random commit/key layouts") {
+    import spark.implicits._
+    // random commit partitionings of 24 keyed rows into 1-4 dirs, random
+    // delete key sets (present, absent, and spanning multiple dirs): the
+    // merge-on-read read path, the copy-on-write rewrite path, and a plain
+    // in-memory filter must produce identical survivor sets
+    val layoutGen = Gen.zip(
+      Gen.listOfN(24, Gen.choose(0, 3)),           // dir assignment per row
+      Gen.listOfN(6, Gen.choose(0L, 30L)))         // delete keys (some absent)
+    samples(layoutGen, 5).zipWithIndex.foreach { case ((dirOf, delKeys), i) =>
+      val rows = (0L until 24L).map(k => (k, s"v$k"))
+      val byDir = rows.zip(dirOf).groupBy(_._2).toSeq.sortBy(_._1)
+      val rootM = TestSpark.tmpDir(s"prop_mor_$i")
+      val rootC = TestSpark.tmpDir(s"prop_cow_$i")
+      byDir.foreach { case (d, rs) =>
+        val df = rs.map(_._1).toDF("id", "s")
+        graft.io.VersionedTable.commit(df, rootM, "append", s"c$d", statsCols = Seq("id"))
+        graft.io.VersionedTable.commit(df, rootC, "append", s"c$d", statsCols = Seq("id"))
+      }
+      val keys = delKeys.distinct.toDF("id")
+      graft.io.VersionedTable.deleteWhereMor(spark, rootM, keys, "id", "purge")
+      graft.io.VersionedTable.deleteWhere(spark, rootC, keys, "id", "purge")
+      val expect = rows.map(_._1).filterNot(delKeys.contains).toSet
+      val gotM = graft.io.VersionedTable.read(spark, rootM).collect().map(_.getLong(0)).toSet
+      val gotC = graft.io.VersionedTable.read(spark, rootC).collect().map(_.getLong(0)).toSet
+      assert(gotM == expect, s"MOR mismatch (dirs=$dirOf del=$delKeys):\n $gotM\n $expect")
+      assert(gotC == expect, s"COW mismatch (dirs=$dirOf del=$delKeys):\n $gotC\n $expect")
+      // a post-delete append re-inserts identically on both paths
+      graft.io.VersionedTable.commit(Seq((delKeys.head, "back")).toDF("id", "s"),
+        rootM, "append", "re", statsCols = Seq("id"))
+      graft.io.VersionedTable.commit(Seq((delKeys.head, "back")).toDF("id", "s"),
+        rootC, "append", "re", statsCols = Seq("id"))
+      val backM = graft.io.VersionedTable.read(spark, rootM)
+        .filter(col("id") === delKeys.head).count()
+      val backC = graft.io.VersionedTable.read(spark, rootC)
+        .filter(col("id") === delKeys.head).count()
+      assert(backM == backC && backM >= 1,
+        s"re-insert must be visible on both paths: mor=$backM cow=$backC")
+    }
+  }
+
   test("temporalJoin resolves shared column names side-correctly") {
     import spark.implicits._
     // the common SCD2-consumer shape: fact key column named IDENTICALLY to
