@@ -354,6 +354,33 @@ object VersionedTable {
   private[io] final case class IntMM(mn: Long, mx: Long) extends MinMax
   private[io] final case class StrMM(mn: String, mx: String) extends MinMax
 
+  /** Unsigned UTF-8 byte-order comparison — the ONE string ordering every
+    * envelope in this file builds and consults. Parquet footer min/max for
+    * BINARY(UTF8) columns and Spark's own string min/max both order by
+    * unsigned UTF-8 bytes (code points); Java's `String.compareTo` orders
+    * by UTF-16 code units, which DIVERGES for supplementary-plane
+    * characters (e.g. emoji, surrogate pairs 0xD800..0xDFFF) vs BMP chars
+    * in [U+E000, U+FFFF]. A mixed-ordering envelope could classify a dir
+    * holding a batch key as 'pass' (a merge/delete silently skips the row)
+    * or let deleteRange's metadata-only Drop discard rows the residual
+    * would have kept — so every string min/max fold and range test goes
+    * through here, never through `<=` on String.
+    */
+  private[io] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(StandardCharsets.UTF_8)
+    val y = b.getBytes(StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+  private[io] def utf8Min(a: String, b: String): String = if (utf8Compare(a, b) <= 0) a else b
+  private[io] def utf8Max(a: String, b: String): String = if (utf8Compare(a, b) >= 0) a else b
+
   private final case class DirStats(ints: Map[String, (Long, Long)],
                                     strs: Map[String, (String, String)])
 
@@ -371,14 +398,40 @@ object VersionedTable {
     finally w.close()
   }
 
+  /** Undo Spark's hive partition-path escaping (the
+    * ExternalCatalogUtils.unescapePathName semantics: special chars like
+    * ':' are stored as `%3A`): every `%` followed by two hex digits decodes
+    * to that char; anything else passes through verbatim. Without this the
+    * string envelope of a partition column would record ESCAPED values, and
+    * a string-keyed merge/delete on a value containing `:`/`%`/etc. could
+    * classify its dir as 'pass' and silently miss the row.
+    */
+  private def unescapePathName(s: String): String = {
+    if (s.indexOf('%') < 0) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val code = try Integer.parseInt(s.substring(i + 1, i + 3), 16) catch {
+          case _: NumberFormatException => -1
+        }
+        if (code >= 0) { sb.append(code.toChar); i += 3 }
+        else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** hive partition value of `colName` in a file's relative path, if the
-    * path carries one (`col=value/` segment). NULL-partition sentinel →
-    * None, so such files simply never get stats for the column.
+    * path carries one (`col=value/` segment), path-unescaped to the REAL
+    * value. NULL-partition sentinel → None, so such files simply never get
+    * stats for the column.
     */
   private def partValueFromPath(rel: String, colName: String): Option[String] =
     rel.split('/').dropRight(1).collectFirst {
       case seg if seg.startsWith(colName + "=") => seg.substring(colName.length + 1)
-    }.filter(_ != "__HIVE_DEFAULT_PARTITION__")
+    }.filter(_ != "__HIVE_DEFAULT_PARTITION__").map(unescapePathName)
 
   /** min/max of the requested leaf columns from ONE parquet file's footer.
     * Multi-row-group files fold across blocks; all-NULL or stats-less
@@ -412,7 +465,7 @@ object VersionedTable {
               acc.update(name, (acc.get(name), v) match {
                 case (Some(IntMM(a, b)), IntMM(c2, d2)) => IntMM(math.min(a, c2), math.max(b, d2))
                 case (Some(StrMM(a, b)), StrMM(c2, d2)) =>
-                  StrMM(if (a <= c2) a else c2, if (b >= d2) b else d2)
+                  StrMM(utf8Min(a, c2), utf8Max(b, d2))
                 case (_, v2) => v2
               })
             }
@@ -450,10 +503,16 @@ object VersionedTable {
         // writer format) carries NO footer statistics, which would silently
         // yield an index-less commit — refuse loudly instead
         case TimestampType | TimestampNTZType =>
-          require(spark.conf.get("spark.sql.parquet.outputTimestampType") != "INT96",
+          // the WHOLE contract (boundLit, readRange/deleteRange micros
+          // bounds) assumes TIMESTAMP_MICROS footers — TIMESTAMP_MILLIS
+          // would pass an `!= INT96` check yet record millis envelopes
+          // that, compared against micros bounds, silently skip matching
+          // dirs and let deleteRange's Drop class discard live data
+          require(spark.conf.get("spark.sql.parquet.outputTimestampType") == "TIMESTAMP_MICROS",
             s"statsCols on timestamp column $c requires " +
-              "spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS " +
-              "(INT96 parquet files carry no footer min/max statistics)")
+              "spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS exactly " +
+              "(INT96 carries no footer min/max; TIMESTAMP_MILLIS footers would be " +
+              "compared against micros bounds)")
         case LongType | IntegerType | StringType => ()
         case other => sys.error(
           s"statsCols restricted to integer/string/timestamp columns; $c is $other")
@@ -484,7 +543,7 @@ object VersionedTable {
             (math.min(a, mn), math.max(b, mx)) })
         case (c, StrMM(mn, mx)) =>
           strs.update(c, strs.get(c).fold((mn, mx)) { case (a, b) =>
-            (if (a <= mn) a else mn, if (b >= mx) b else mx) })
+            (utf8Min(a, mn), utf8Max(b, mx)) })
       }
     }
     // a column must not straddle both indexes (schema fixed per dir)
@@ -999,6 +1058,35 @@ object VersionedTable {
     */
   private val maxBloomProbeKeys = 65536
 
+  /** The one-row-per-key batch guard shared by [[mergeInto]], CDC apply,
+    * and the streaming merge sink's BOOTSTRAP path (a first batch commits
+    * verbatim, so an unguarded bootstrap would persist duplicate/NULL keys
+    * silently and every later merge would update/anti-join ambiguously).
+    * Duplicate batch keys would multiply through the anti-join + union
+    * into duplicate rows ('replace same-key rows' silently broken); NULL
+    * batch keys are refused alongside duplicates because an anti-join can
+    * never match NULL, so such a row would silently re-INSERT on every
+    * merge (unbounded NULL-key duplication across batches). Both refuse
+    * loudly, executor-side, before anything is written. The guard lives
+    * in a FILTER predicate, not a dropped column — a projected-then-
+    * dropped raise_error would be pruned unevaluated.
+    */
+  private[graft] def guardMergeBatch(updates: DataFrame, keyCol: String,
+                                     op: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, concat, count, lit, raise_error, when}
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
+    updates
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(when(col(keyCol).isNull,
+          raise_error(lit(s"$op: NULL batch key (an anti-join never matches " +
+            "NULL, so the row would re-insert on every merge)")).cast("boolean"))
+        .when(col("__n") > 1,
+          raise_error(concat(lit(s"$op: duplicate batch key "),
+            col(keyCol).cast("string"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__n")
+  }
+
   private def rangeHitDirs(root: String, parent: Commit, probe: DataFrame, keyCol: String,
                            op: String): (Seq[String], Seq[String]) = {
     import org.apache.spark.sql.functions.{col, max, min}
@@ -1049,10 +1137,13 @@ object VersionedTable {
       case StringType =>
         val r = probe.agg(min(col(keyCol)), max(col(keyCol))).head()
         require(!r.isNullAt(0), s"$op: empty batch")
+        // Spark's string min/max order by unsigned UTF-8 bytes, matching
+        // the parquet-footer envelopes ONLY under utf8Compare — Java
+        // String ordering here could 'pass' a dir that holds a batch key
         val (lo, hi) = (r.getString(0), r.getString(1))
         parent.dirs.partition { d =>
           parent.strStats.get(d).flatMap(_.get(keyCol)) match {
-            case Some((mn, mx)) => mx >= lo && mn <= hi
+            case Some((mn, mx)) => utf8Compare(mx, lo) >= 0 && utf8Compare(mn, hi) <= 0
             case None           => true
           }
         }
@@ -1094,28 +1185,7 @@ object VersionedTable {
             s"mergeInto: batch schema ${got.toSeq.sorted} must equal the snapshot schema " +
               s"${want.toSeq.sorted} (use commit(mode=append) for add-column evolution)")
         }
-        // duplicate batch keys would multiply through the anti-join + union
-        // into duplicate rows ('replace same-key rows' silently broken);
-        // refuse loudly, executor-side, before anything is written
-        val guarded = {
-          import org.apache.spark.sql.functions.{concat, count, lit, raise_error, when}
-          val w = org.apache.spark.sql.expressions.Window.partitionBy(col(keyCol))
-          // the guard lives in a FILTER predicate, not a dropped column — a
-          // projected-then-dropped raise_error would be pruned unevaluated.
-          // NULL batch keys are refused alongside duplicates: the anti-join
-          // can never match a NULL key, so such a row would silently INSERT
-          // on every merge (unbounded NULL-key duplication across batches)
-          updates
-            .withColumn("__n", count(lit(1)).over(w))
-            .filter(when(col(keyCol).isNull,
-                raise_error(lit("mergeInto: NULL batch key (an anti-join never matches " +
-                  "NULL, so the row would re-insert on every merge)")).cast("boolean"))
-              .when(col("__n") > 1,
-                raise_error(concat(lit("mergeInto: duplicate batch key "),
-                  col(keyCol).cast("string"))).cast("boolean"))
-              .otherwise(lit(true)))
-            .drop("__n")
-        }
+        val guarded = guardMergeBatch(updates, keyCol, "mergeInto")
         // bounded scalar probe: the batch's key envelope (integral via the
         // manifest stats index, string via strStats)
         val (hit, pass) = rangeHitDirs(root, parent, guarded, keyCol, "mergeInto")
@@ -1381,8 +1451,11 @@ object VersionedTable {
           }
           case Some((mn: String, mx: String)) => (lo, hi) match {
             case (l: String, h: String) =>
-              if (mn >= l && mx <= h) Drop
-              else if (mx >= l && mn <= h) Rewrite
+              // UTF-8 byte order — the Drop class bypasses the residual
+              // predicate, so the comparison MUST match Spark's string
+              // ordering or contained-dir drops could delete kept rows
+              if (utf8Compare(mn, l) >= 0 && utf8Compare(mx, h) <= 0) Drop
+              else if (utf8Compare(mx, l) >= 0 && utf8Compare(mn, h) <= 0) Rewrite
               else Pass
             case _ => sys.error(s"deleteRange: string envelope on $colName but " +
               "non-string bounds")
@@ -1608,11 +1681,34 @@ object VersionedTable {
     * `retainLast` (and drop the older manifests), plus any orphan dirs a
     * crashed commit left. Returns the deleted dir paths. Never touches a
     * dir any retained snapshot can still read.
+    *
+    * ORPHAN dirs and delete sets — those referenced by NO manifest in the
+    * whole log — are AGE-GATED by `orphanGraceMs`: an unreferenced
+    * `deletes/` set (or data dir) younger than the grace window may belong
+    * to an IN-FLIGHT writer that has written its files but not yet
+    * published its manifest (commit and deleteWhereMor both write data
+    * before entering their OCC publish loop); sweeping it would make the
+    * subsequent publish reference deleted files and break every read of
+    * the covered dirs. Dirs referenced by a DROPPED (pre-retention)
+    * manifest reclaim unconditionally — their writer published long ago
+    * and a newer snapshot superseded them. Pass `orphanGraceMs = 0` only
+    * when no writer can be concurrent (e.g. a scheduled maintenance
+    * window).
     */
-  def vacuum(root: String, retainLast: Int): Seq[String] = {
+  def vacuum(root: String, retainLast: Int,
+             orphanGraceMs: Long = 10 * 60 * 1000L): Seq[String] = {
     require(retainLast >= 1, "must retain at least the latest version")
     val log = history(root)
     val retained = log.takeRight(retainLast)
+    val everReferenced = log.flatMap(_.dirs).toSet ++
+      log.flatMap(_.deletes.values.flatten)
+    val cutoffMs = System.currentTimeMillis - orphanGraceMs
+    def youngOrphan(rel: String): Boolean =
+      !everReferenced.contains(rel) && {
+        val p = Paths.get(root, rel)
+        try Files.getLastModifiedTime(p).toMillis >= cutoffMs
+        catch { case _: java.io.IOException => true } // unreadable: keep
+      }
     val live = retained.flatMap(_.dirs).toSet
     val dataRoot = Paths.get(root, "data")
     val onDisk =
@@ -1623,7 +1719,7 @@ object VersionedTable {
           .map(p => s"data/${p.getFileName}").toSeq
         finally s.close()
       }
-    val dead = onDisk.filterNot(live.contains).sorted
+    val dead = onDisk.filterNot(live.contains).filterNot(youngOrphan).sorted
     dead.foreach { d =>
       val w = Files.walk(Paths.get(root, d))
       try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
@@ -1631,7 +1727,8 @@ object VersionedTable {
     }
     // MOR delete sets sweep by the same rule: a set referenced by NO
     // retained manifest (absorbed by compaction/rewrites, or orphaned by a
-    // crashed delete-mor) is reclaimed with the data dirs
+    // crashed delete-mor) is reclaimed with the data dirs — subject to the
+    // same in-flight-writer age gate
     val liveSets = retained.flatMap(_.deletes.values.flatten).toSet
     val delRoot = Paths.get(root, "deletes")
     val deadSets =
@@ -1639,7 +1736,8 @@ object VersionedTable {
       else {
         val st = Files.list(delRoot)
         try st.iterator().asScala.filter(Files.isDirectory(_))
-          .map(p => s"deletes/${p.getFileName}").filterNot(liveSets.contains).toSeq.sorted
+          .map(p => s"deletes/${p.getFileName}").filterNot(liveSets.contains)
+          .filterNot(youngOrphan).toSeq.sorted
         finally st.close()
       }
     deadSets.foreach { d =>

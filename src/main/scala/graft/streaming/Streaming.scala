@@ -312,7 +312,14 @@ object Streaming {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
         val b = batch.toDF()
         if (graft.io.VersionedTable.history(root).isEmpty)
-          graft.io.VersionedTable.commit(b, root, "append", s"$appId-b$bid",
+          // the bootstrap batch commits verbatim, so it takes the SAME
+          // dup/NULL-key guard mergeInto applies — an unguarded first batch
+          // would persist duplicate or NULL keys silently and every later
+          // merge would update/anti-join ambiguously, breaking the sink's
+          // one-row-per-key contract without the promised loud failure
+          graft.io.VersionedTable.commit(
+            graft.io.VersionedTable.guardMergeBatch(b, keyCol, "versionedMergeSink"),
+            root, "append", s"$appId-b$bid",
             statsCols = statsCols, bloomCols = bloomCols): Unit
         else
           graft.io.VersionedTable.mergeInto(batch.sparkSession, root, b, keyCol,

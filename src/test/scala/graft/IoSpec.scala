@@ -291,11 +291,19 @@ class IoSpec extends SparkSpec {
     val v3 = VersionedTable.rollback(root, 1L, "restore")
     assert(v3 == 3L)
     assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSet == Set(1L, 2L))
-    // orphan from a simulated crash, plus v2's now-dead dir, must both go;
-    // v1's dir survives because the retained v3 manifest references it
+    // orphan from a simulated crash, plus v2's now-dead dir; v1's dir
+    // survives because the retained v3 manifest references it. Under the
+    // DEFAULT orphan grace the freshly-written orphan is presumed to be an
+    // in-flight writer's dir and survives; only v2's superseded dir (which
+    // a manifest once referenced) is reclaimed
     Seq((7L, "orphan")).toDF("id", "s").write.parquet(s"$root/data/0000000050-crashed")
-    val deleted = VersionedTable.vacuum(root, retainLast = 1)
-    assert(deleted.size == 2, s"expected dead v2 dir + orphan, got $deleted")
+    val gated = VersionedTable.vacuum(root, retainLast = 1)
+    assert(gated.size == 1 && !gated.head.contains("crashed"),
+      s"young orphan must survive the default grace window, got $gated")
+    // a maintenance-window sweep (grace 0) reclaims the crashed orphan too
+    val deleted = VersionedTable.vacuum(root, retainLast = 1, orphanGraceMs = 0L)
+    assert(deleted.size == 1 && deleted.head.contains("crashed"),
+      s"expected the orphan under grace 0, got $deleted")
     assert(VersionedTable.read(spark, root).count() == 2, "latest must survive vacuum")
     assert(VersionedTable.history(root).map(_.version) == Seq(3L), "old manifests dropped")
     // time travel to a vacuumed version now fails loudly, not partially
@@ -1014,5 +1022,67 @@ class IoSpec extends SparkSpec {
     val bronze = tmpDir("bronze") + "/crypto"
     store.extractToParquet(spark, "crypto", bronze)
     assert(spark.read.parquet(bronze).count() == 2)
+  }
+
+  test("VersionedTable: string envelopes order by UTF-8 bytes, not UTF-16 code units") {
+    import spark.implicits._
+    // "" (UTF-8: EE 80 80) vs "😀" U+1F600 (UTF-8: F0 9F 98 80):
+    // UTF-16 code units order the emoji FIRST (surrogate 0xD83D < 0xE000),
+    // UTF-8 bytes order it LAST (F0 > EE) — the order parquet footers and
+    // Spark's min/max use. A dir whose envelope is ["", "😀"] probed
+    // with the batch key "😀" is exactly the divergence: Java ordering
+    // computes mn <= hi as 0xE000 <= 0xD83D = false and classifies the dir
+    // 'pass', so the delete would SILENTLY SKIP a row the dir holds.
+    val root = tmpDir("vt_utf8")
+    VersionedTable.commit(Seq(("", 1L), ("😀", 2L)).toDF("k", "n"),
+      root, "append", "u1", statsCols = Seq("k"))
+    val (_, hit, _) = VersionedTable.deleteWhere(spark, root,
+      Seq("😀").toDF("k"), "k", "u-del", statsCols = Seq("k"))
+    assert(hit == 1, s"emoji key must HIT the [\\uE000, emoji] envelope, got hit=$hit")
+    assert(VersionedTable.read(spark, root).collect().map(_.getString(0)).toSeq
+      == Seq(""), "the emoji row must actually be deleted")
+    // deleteRange's metadata-only Drop takes the same ordering: a range of
+    // ["", "😀"] CONTAINS the dir only under UTF-8 order (Java order
+    // would call the envelope non-contained and needlessly rewrite — or,
+    // mirrored, drop a non-contained dir)
+    val root2 = tmpDir("vt_utf8_range")
+    VersionedTable.commit(Seq(("", 1L), ("😀", 2L)).toDF("k", "n"),
+      root2, "append", "u1", statsCols = Seq("k"))
+    val (_, nDrop, nRewrite, _) = VersionedTable.deleteRange(spark, root2,
+      "k", "", "😀", "u-range")
+    assert(nDrop == 1 && nRewrite == 0,
+      s"UTF-8-contained dir must drop metadata-only, got drop=$nDrop rewrite=$nRewrite")
+    assert(VersionedTable.read(spark, root2).count() == 0)
+  }
+
+  test("VersionedTable: timestamp statsCols refuse TIMESTAMP_MILLIS, not just INT96") {
+    import spark.implicits._
+    // MILLIS footers compared against MICROS bounds would silently skip
+    // matching dirs on read and DROP live dirs in deleteRange — the guard
+    // must demand MICROS exactly, not merely refuse INT96
+    val root = tmpDir("vt_millis")
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))).toDF("id", "ts")
+    val saved = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    try {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+      val e = intercept[IllegalArgumentException](
+        VersionedTable.commit(df, root, "append", "t1", statsCols = Seq("ts")))
+      assert(e.getMessage.contains("TIMESTAMP_MICROS"), e.getMessage)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", saved)
+  }
+
+  test("VersionedTable: hive-escaped partition values unescape into string envelopes") {
+    import spark.implicits._
+    // 'a:b' is stored on disk as k=a%3Ab — the envelope must record the
+    // REAL value or a string-keyed delete on it classifies the dir by the
+    // escaped form and can silently miss the row
+    val root = tmpDir("vt_unesc")
+    VersionedTable.commit(Seq(("a:b", 1L), ("a:b", 2L)).toDF("k", "n"),
+      root, "append", "p1", partitionCols = Seq("k"), statsCols = Seq("k"))
+    val env = VersionedTable.history(root).last.strStats.values.head("k")
+    assert(env == (("a:b", "a:b")), s"envelope must hold the unescaped value, got $env")
+    val (_, hit, _) = VersionedTable.deleteWhere(spark, root,
+      Seq("a:b").toDF("k"), "k", "p-del")
+    assert(hit == 1 && VersionedTable.read(spark, root).count() == 0)
   }
 }

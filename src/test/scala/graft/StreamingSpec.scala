@@ -312,6 +312,28 @@ class StreamingSpec extends SparkSpec {
     assert(content == Seq((1L, "a"), (2L, "B2"), (3L, "C3")))
   }
 
+  test("versionedMergeSink: BOOTSTRAP batch takes the dup/NULL-key guard — no silent bad first commit") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    // batch 0 commits verbatim (no parent to merge against); without the
+    // guard a duplicate-keyed first batch would persist silently and every
+    // later merge would update ambiguously — the sink's one-row-per-key
+    // contract demands the SAME loud failure mergeInto gives
+    val root = TestSpark.tmpDir("stream_vmerge_guard")
+    val mem = MemoryStream[(Long, String)]
+    val q = Streaming.versionedMergeSink(mem.toDF().toDF("id", "s"), root, "id", appId = "vg")
+    try {
+      mem.addData((1L, "a"), (1L, "dup"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q.processAllAvailable())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("duplicate batch key"), msgs)
+    } finally q.stop()
+    assert(graft.io.VersionedTable.history(root).isEmpty,
+      "a refused bootstrap batch must not publish any version")
+  }
+
   test("maintainCountMin: multi-batch read-merge-commit chain equals the one-shot sketch; replay is a no-op") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
