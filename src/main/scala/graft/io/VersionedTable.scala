@@ -146,7 +146,14 @@ object VersionedTable {
     * filename is authoritative — a body whose recorded version disagrees
     * (hand-edit, partial restore) cannot stall the next-slot computation.
     */
+  /** Manifest JSON parses since JVM start — the observability hook that
+    * lets a test PROVE snapshot reads and retry probes stay O(1) parses
+    * no matter how long the log grows.
+    */
+  private[graft] val manifestParses = new java.util.concurrent.atomic.AtomicLong(0)
+
   private def readManifest(p: java.nio.file.Path): Commit = {
+    manifestParses.incrementAndGet()
     val n = mapper.readTree(Files.readString(p))
     val v = p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong
     val stats = Option(n.get("stats")).map { sn =>
@@ -208,14 +215,22 @@ object VersionedTable {
       .getBytes(StandardCharsets.UTF_8))
     try {
       Files.createLink(manifestPath(root, v), tmp)
+      maybeCheckpoint(root, v)
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false // lost the race
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** All committed manifests, ascending by version. */
-  def history(root: String): Seq[Commit] = {
+  private def versionOf(p: java.nio.file.Path): Long =
+    p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong
+
+  /** Committed manifest FILES, ascending by version — a directory listing
+    * with ZERO JSON parses. Manifests are snapshot-complete, so almost
+    * every operation needs the CONTENT of at most one or two of these;
+    * listing is the only O(#commits) step the hot paths keep.
+    */
+  private def manifestFiles(root: String): Seq[java.nio.file.Path] = {
     val d = commitsDir(root)
     if (!Files.isDirectory(d)) Seq.empty
     else {
@@ -223,12 +238,134 @@ object VersionedTable {
       try s.iterator().asScala
         .filter(p => p.getFileName.toString.matches("v\\d{10}\\.json"))
         .toSeq.sortBy(_.getFileName.toString)
-        .map(readManifest)
       finally s.close()
     }
   }
 
-  def latestVersion(root: String): Option[Long] = history(root).lastOption.map(_.version)
+  /** All committed manifests, ascending by version — O(#commits) parses,
+    * for the operations that genuinely need the whole log (history
+    * inspection, vacuum). Snapshot reads and commit probes do NOT go
+    * through here: they resolve via [[latestCommit]]/[[commitAt]] (one
+    * parse) and [[findCommitVersion]] (checkpoint + tail).
+    */
+  def history(root: String): Seq[Commit] = manifestFiles(root).map(readManifest)
+
+  /** The latest committed manifest with exactly ONE parse: list the log
+    * dir, pick the last slot, parse it. Manifests are snapshot-complete
+    * (each lists its full dir set and carries its stats/blooms/deletes),
+    * so this is ALL a snapshot read needs — at a years-old table with
+    * 10^5 commits the difference vs parsing the whole log is the
+    * difference between a bounded driver cost and one that grows without
+    * bound.
+    */
+  def latestCommit(root: String): Option[Commit] =
+    manifestFiles(root).lastOption.map(readManifest)
+
+  /** The manifest occupying version slot `v`, with exactly one parse —
+    * the slot IS the filename, so time travel never scans the log.
+    */
+  def commitAt(root: String, v: Long): Option[Commit] = {
+    val p = manifestPath(root, v)
+    if (Files.isRegularFile(p)) Some(readManifest(p)) else None
+  }
+
+  /** The snapshot a read resolves: latest (one parse) or an explicit
+    * version (one parse, direct slot lookup). Fails loudly on an empty
+    * log or a never-committed/vacuumed version.
+    */
+  private def resolveSnapshot(root: String, asOf: Option[Long]): Commit = asOf match {
+    case None => latestCommit(root).getOrElse(sys.error(s"no commits at $root"))
+    case Some(v) => commitAt(root, v)
+      .getOrElse(sys.error(s"version $v not in log at $root"))
+  }
+
+  def latestVersion(root: String): Option[Long] =
+    manifestFiles(root).lastOption.map(versionOf)
+
+  // ---- commitId checkpoint index (the Delta `_last_checkpoint` idea) ---
+
+  /** Every `ckptInterval` commits, a `ckpt-v<N>.json` file consolidates
+    * the commitId → version index of ALL commits ≤ N. An idempotent-retry
+    * probe then costs one checkpoint parse plus at most `ckptInterval`
+    * tail-manifest parses — O(1) amortized — instead of JSON-parsing the
+    * entire log, which was the last driver-side cost that grew without
+    * bound. Checkpoints are written best-effort AFTER a successful publish
+    * (a missed one only means the next multiple writes it); publication is
+    * the same temp + hard-link put-if-absent as manifests, so concurrent
+    * committers cannot tear one. The index also OUTLIVES vacuumed
+    * manifests, so a very late retry of a long-superseded commit still
+    * no-ops instead of double-applying.
+    */
+  private val ckptInterval = 10L
+
+  private def ckptFiles(root: String): Seq[java.nio.file.Path] = {
+    val d = commitsDir(root)
+    if (!Files.isDirectory(d)) Seq.empty
+    else {
+      val s = Files.list(d)
+      try s.iterator().asScala
+        .filter(p => p.getFileName.toString.matches("ckpt-v\\d{10}\\.json"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+  }
+
+  private def ckptVersionOf(p: java.nio.file.Path): Long =
+    p.getFileName.toString.stripPrefix("ckpt-v").stripSuffix(".json").toLong
+
+  /** Latest checkpoint as (covered-through version, commitId → version). */
+  private def latestCheckpoint(root: String): Option[(Long, Map[String, Long])] =
+    ckptFiles(root).lastOption.map { p =>
+      val n = mapper.readTree(Files.readString(p))
+      val ids = n.get("commitIds").properties().asScala
+        .map(e => e.getKey -> e.getValue.asLong()).toMap
+      (ckptVersionOf(p), ids)
+    }
+
+  /** The version bearing `commitId`, if one committed — the idempotence
+    * probe every verb opens with. Checkpoint lookup first (zero manifest
+    * parses on a hit), then parse only the POST-checkpoint tail: O(1)
+    * amortized, never O(#commits).
+    */
+  def findCommitVersion(root: String, commitId: String): Option[Long] = {
+    val ck = latestCheckpoint(root)
+    ck.flatMap(_._2.get(commitId)).orElse {
+      val from = ck.map(_._1).getOrElse(0L)
+      manifestFiles(root).iterator.filter(versionOf(_) > from)
+        .map(readManifest).find(_.commitId == commitId).map(_.version)
+    }
+  }
+
+  private def maybeCheckpoint(root: String, v: Long): Unit =
+    if (v % ckptInterval == 0) {
+      try {
+        val target = commitsDir(root).resolve(f"ckpt-v$v%010d.json")
+        if (!Files.exists(target)) {
+          val ck = latestCheckpoint(root)
+          val from = ck.map(_._1).getOrElse(0L)
+          val base = ck.map(_._2).getOrElse(Map.empty[String, Long])
+          // only the gap since the previous checkpoint parses — ≤ interval
+          val gap = manifestFiles(root)
+            .filter(p => versionOf(p) > from && versionOf(p) <= v).map(readManifest)
+          val ids = base ++ gap.map(c => c.commitId -> c.version)
+          val m = new java.util.LinkedHashMap[String, Object]()
+          val im = new java.util.LinkedHashMap[String, Object]()
+          ids.toSeq.sortBy(t => (t._2, t._1)).foreach { case (cid, ver) =>
+            im.put(cid, java.lang.Long.valueOf(ver))
+          }
+          m.put("commitIds", im)
+          val tmp = commitsDir(root).resolve(s".tmp-ckpt-${java.util.UUID.randomUUID}")
+          Files.write(tmp, mapper.writeValueAsString(m).getBytes(StandardCharsets.UTF_8))
+          try Files.createLink(target, tmp)
+          catch { case _: java.nio.file.FileAlreadyExistsException => () }
+          finally Files.deleteIfExists(tmp)
+        }
+      } catch {
+        // best-effort: a failed checkpoint must never fail the commit that
+        // triggered it — the next interval multiple simply rebuilds it
+        case _: java.io.IOException => ()
+      }
+    }
 
   /** Commit `df` as the next version. `mode` is "overwrite" or "append".
     * Returns the committed version (or the existing one if `commitId` was
@@ -245,25 +382,28 @@ object VersionedTable {
              statsCols: Seq[String] = Nil, partitionCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
-    history(root).find(_.commitId == commitId) match {
-      case Some(prior) => prior.version // retry of a committed write: no-op
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => prior // retry of a committed write: no-op
       case None =>
         Files.createDirectories(commitsDir(root))
         // data first — invisible until a manifest references it; the dir name
         // only needs uniqueness (commitId), the version prefix is a hint
-        val nextV = history(root).lastOption.map(_.version + 1).getOrElse(1L)
+        val nextV = latestVersion(root).map(_ + 1).getOrElse(1L)
         val dirName = f"data/$nextV%010d-$commitId"
         var w = df.write.mode("overwrite")
         if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
         w.parquet(s"$root/$dirName")
         val dirStats = gatherStats(df.sparkSession, s"$root/$dirName", statsCols, df.schema)
         val dirBlooms = gatherBlooms(df.sparkSession, s"$root/$dirName", bloomCols)
-        // manifest second, with OCC retry on the version slot
+        // manifest second, with OCC retry on the version slot; each retry
+        // parses only the TAIL (latest manifest + checkpoint probe), so a
+        // contended commit stays O(1) parses per attempt
         var committed = -1L
         while (committed < 0) {
-          val parent = history(root).lastOption
-          if (parent.exists(_.commitId == commitId)) {
-            committed = parent.get.version // another retry of us won
+          val parent = latestCommit(root)
+          val twin = findCommitVersion(root, commitId)
+          if (twin.isDefined) {
+            committed = twin.get // another retry of us won
           } else {
             // a snapshot's dirs must share one hive layout — readers union
             // per-dir scans, and a layout mix would silently widen schemas
@@ -689,12 +829,7 @@ object VersionedTable {
   def planPoint(root: String, colName: String, value: Long,
                 asOf: Option[Long] = None,
                 resolved: Option[Commit] = None): Seq[String] = {
-    val c = resolved.getOrElse {
-      val log = history(root)
-      require(log.nonEmpty, s"no commits at $root")
-      asOf.fold(log.last)(v =>
-        log.find(_.version == v).getOrElse(sys.error(s"version $v not in log at $root")))
-    }
+    val c = resolved.getOrElse(resolveSnapshot(root, asOf))
     c.dirs.filter { d =>
       val f = bloomFile(s"$root/$d", colName)
       if (c.blooms.get(d).exists(_.contains(colName)) && Files.isRegularFile(f))
@@ -715,12 +850,8 @@ object VersionedTable {
   def readPoint(spark: SparkSession, root: String, colName: String, value: Long,
                 asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    // resolve the snapshot ONCE — the hot read path must not re-list and
-    // re-parse the manifest log per lookup
-    val log = history(root)
-    require(log.nonEmpty, s"no commits at $root")
-    val c = asOf.fold(log.last)(v =>
-      log.find(_.version == v).getOrElse(sys.error(s"version $v not in log at $root")))
+    // resolve the snapshot ONCE — one manifest parse for the whole lookup
+    val c = resolveSnapshot(root, asOf)
     val kept = planPoint(root, colName, value, asOf, resolved = Some(c))
     val pred = col(colName) === value
     c.dirs.foreach(d => require(new File(s"$root/$d").isDirectory,
@@ -770,11 +901,8 @@ object VersionedTable {
   def readRange(spark: SparkSession, root: String, colName: String, lo: Long, hi: Long,
                 asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
-    // resolve the snapshot ONCE, like readPoint
-    val log = history(root)
-    require(log.nonEmpty, s"no commits at $root")
-    val c = asOf.fold(log.last)(v =>
-      log.find(_.version == v).getOrElse(sys.error(s"version $v not in log at $root")))
+    // resolve the snapshot ONCE, like readPoint — one manifest parse
+    val c = resolveSnapshot(root, asOf)
     val kept = planRange(root, colName, lo, hi, asOf, resolved = Some(c))
     // timestamp columns take MICROS bounds (matching their footer
     // envelopes); the typed literal keeps the residual pushdown-friendly
@@ -795,12 +923,7 @@ object VersionedTable {
   def planRange(root: String, colName: String, lo: Long, hi: Long,
                 asOf: Option[Long] = None,
                 resolved: Option[Commit] = None): Seq[String] = {
-    val c = resolved.getOrElse {
-      val log = history(root)
-      require(log.nonEmpty, s"no commits at $root")
-      asOf.fold(log.last)(v =>
-        log.find(_.version == v).getOrElse(sys.error(s"version $v not in log at $root")))
-    }
+    val c = resolved.getOrElse(resolveSnapshot(root, asOf))
     c.dirs.filter { d =>
       c.stats.get(d).flatMap(_.get(colName)) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
@@ -815,11 +938,15 @@ object VersionedTable {
     * version order, so modest publisher clock skew cannot resolve to a
     * non-latest snapshot; pre-timestamp manifests (no `committedAt` field)
     * never match, and a time before the first stamped commit fails loudly
-    * rather than returning an arbitrary snapshot.
+    * rather than returning an arbitrary snapshot. Scans the log BACKWARD
+    * from the tail and stops at the first (= highest-version) match, so
+    * resolving a recent timestamp parses O(commits newer than it), not
+    * the whole log.
     */
   def versionAsOfTimestamp(root: String, tsMs: Long): Long =
-    history(root).filter(c => c.committedAtMs > 0 && c.committedAtMs <= tsMs)
-      .lastOption.map(_.version)
+    manifestFiles(root).reverseIterator.map(readManifest)
+      .find(c => c.committedAtMs > 0 && c.committedAtMs <= tsMs)
+      .map(_.version)
       .getOrElse(sys.error(s"no commit published at or before epoch-ms $tsMs at $root"))
 
   def readAsOfTimestamp(spark: SparkSession, root: String, tsMs: Long): DataFrame =
@@ -830,12 +957,7 @@ object VersionedTable {
     * reclaimed, fails loudly rather than returning partial data.
     */
   def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
-    val log = history(root)
-    require(log.nonEmpty, s"no commits at $root")
-    val c = asOf match {
-      case None    => log.last
-      case Some(v) => log.find(_.version == v).getOrElse(sys.error(s"version $v not in log at $root"))
-    }
+    val c = resolveSnapshot(root, asOf)
     c.dirs.foreach(d => require(new File(s"$root/$d").isDirectory,
       s"snapshot v${c.version} references vacuumed dir $root/$d"))
     scanWithDeletes(spark, root, c, c.dirs)
@@ -955,10 +1077,7 @@ object VersionedTable {
     */
   def planRangeFiles(root: String, colName: String, lo: Long, hi: Long,
                      asOf: Option[Long] = None): (Int, Int) = {
-    val log = history(root)
-    require(log.nonEmpty, s"no commits at $root")
-    val c = asOf.fold(log.last)(v =>
-      log.find(_.version == v).getOrElse(sys.error(s"version $v not in log at $root")))
+    val c = resolveSnapshot(root, asOf)
     val total = c.dirs.map(d => parquetFiles(s"$root/$d").size).sum
     val keptDirs = planRange(root, colName, lo, hi, asOf, resolved = Some(c))
     val scanned = keptDirs.map { d =>
@@ -986,11 +1105,14 @@ object VersionedTable {
   def changesBetween(spark: SparkSession, root: String,
                      fromVersion: Long, toVersion: Long): DataFrame = {
     require(toVersion > fromVersion, s"empty or inverted range ($fromVersion, $toVersion]")
-    val log = history(root)
-    def dirsOf(v: Long): Seq[String] =
-      if (v == 0L) Nil // version 0 = the empty table: the initial cursor
-      else log.find(_.version == v).getOrElse(sys.error(s"version $v not in log at $root")).dirs
-    val (from, to) = (dirsOf(fromVersion).toSet, dirsOf(toVersion))
+    // exactly TWO manifest parses — the endpoints; the log between them is
+    // irrelevant to a dir-difference delta
+    def commitOf(v: Long): Option[Commit] =
+      if (v == 0L) None // version 0 = the empty table: the initial cursor
+      else Some(commitAt(root, v).getOrElse(sys.error(s"version $v not in log at $root")))
+    val (fromC, toCOpt) = (commitOf(fromVersion), commitOf(toVersion))
+    val from = fromC.map(_.dirs.toSet).getOrElse(Set.empty[String])
+    val to = toCOpt.map(_.dirs).getOrElse(Nil)
     val removed = from -- to.toSet
     require(removed.isEmpty,
       s"($fromVersion, $toVersion] crosses an overwrite/rollback (removed: $removed); " +
@@ -998,10 +1120,8 @@ object VersionedTable {
     // a MERGE-ON-READ delete changes the ROW SET of existing dirs without
     // touching the dir list — a dir-difference CDC cannot express rows
     // REMOVED from a shared dir, so any coverage change on one refuses
-    def covOf(v: Long): Map[String, Seq[String]] =
-      if (v == 0L) Map.empty
-      else log.find(_.version == v).get.deletes
-    val (covFrom, covTo) = (covOf(fromVersion), covOf(toVersion))
+    val covFrom = fromC.map(_.deletes).getOrElse(Map.empty[String, Seq[String]])
+    val covTo = toCOpt.map(_.deletes).getOrElse(Map.empty[String, Seq[String]])
     val covChanged = from.filter(d =>
       covFrom.getOrElse(d, Nil) != covTo.getOrElse(d, Nil))
     require(covChanged.isEmpty,
@@ -1010,7 +1130,7 @@ object VersionedTable {
     val added = to.filterNot(from.contains).map(d => s"$root/$d")
     added.foreach(d => require(new File(d).isDirectory,
       s"incremental range references vacuumed dir $d"))
-    val toC = log.find(_.version == toVersion).get
+    val toC = toCOpt.get
     if (added.isEmpty)
       if (to.isEmpty) scanDirs(spark, Nil, toC.partitionCols, toC.schemaDdl)
       else scanDirs(spark, Seq(s"$root/${to.head}"), toC.partitionCols, toC.schemaDdl).limit(0)
@@ -1167,10 +1287,10 @@ object VersionedTable {
                 keyCol: String, commitId: String,
                 statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.col
-    history(root).find(_.commitId == commitId) match {
-      case Some(prior) => (prior.version, -1, -1) // retry of a committed merge
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => (prior, -1, -1) // retry of a committed merge
       case None =>
-        val parent = history(root).lastOption
+        val parent = latestCommit(root)
           .getOrElse(sys.error(s"mergeInto: no commits at $root"))
         // the batch schema must match the snapshot's EXACTLY (name → type):
         // merge is not schema evolution, and the no-overlap fast path below
@@ -1252,10 +1372,10 @@ object VersionedTable {
                   keyCol: String, commitId: String,
                   statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.{col, lit, raise_error, when}
-    history(root).find(_.commitId == commitId) match {
-      case Some(prior) => (prior.version, -1, -1) // retry of a committed delete
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => (prior, -1, -1) // retry of a committed delete
       case None =>
-        val parent = history(root).lastOption
+        val parent = latestCommit(root)
           .getOrElse(sys.error(s"deleteWhere: no commits at $root"))
         val guarded = keys.select(col(keyCol))
           .filter(when(col(keyCol).isNull,
@@ -1339,8 +1459,8 @@ object VersionedTable {
   def deleteWhereMor(spark: SparkSession, root: String, keys: DataFrame,
                      keyCol: String, commitId: String): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.{col, lit, raise_error, when}
-    history(root).find(_.commitId == commitId) match {
-      case Some(prior) => (prior.version, -1, -1)
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => (prior, -1, -1)
       case None =>
         val guarded = keys.select(col(keyCol))
           .filter(when(col(keyCol).isNull,
@@ -1354,12 +1474,12 @@ object VersionedTable {
         guarded.coalesce(1).write.mode("overwrite").parquet(s"$root/$setName")
         var result: (Long, Int, Int) = null
         while (result == null) {
-          val log = history(root)
-          require(log.nonEmpty, s"deleteWhereMor: no commits at $root")
-          log.find(_.commitId == commitId) match {
-            case Some(prior) => result = (prior.version, -1, -1) // another retry of us won
+          val parentOpt = latestCommit(root)
+          require(parentOpt.nonEmpty, s"deleteWhereMor: no commits at $root")
+          findCommitVersion(root, commitId) match {
+            case Some(prior) => result = (prior, -1, -1) // another retry of us won
             case None =>
-              val parent = log.last
+              val parent = parentOpt.get
               val (hit, _) = rangeHitDirs(root, parent, guarded, keyCol, "deleteWhereMor")
               val v = parent.version + 1
               val newDeletes = hit.foldLeft(parent.deletes) { (m, d) =>
@@ -1410,10 +1530,10 @@ object VersionedTable {
                   lo: Any, hi: Any, commitId: String,
                   statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): (Long, Int, Int, Int) = {
     import org.apache.spark.sql.functions.{col, lit}
-    history(root).find(_.commitId == commitId) match {
-      case Some(prior) => (prior.version, -1, -1, -1)
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => (prior, -1, -1, -1)
       case None =>
-        val parent = history(root).lastOption
+        val parent = latestCommit(root)
           .getOrElse(sys.error(s"deleteRange: no commits at $root"))
         // bound types must MATCH the column: unlike every skip path, the
         // Drop class bypasses the residual predicate entirely, so a
@@ -1548,14 +1668,14 @@ object VersionedTable {
     * works until vacuum.
     */
   def rollback(root: String, toVersion: Long, commitId: String): Long = {
-    history(root).find(_.commitId == commitId) match {
-      case Some(prior) => prior.version
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => prior
       case None =>
-        val target = history(root).find(_.version == toVersion)
+        val target = commitAt(root, toVersion)
           .getOrElse(sys.error(s"cannot roll back to unknown version $toVersion"))
         var committed = -1L
         while (committed < 0) {
-          val parent = history(root).last
+          val parent = latestCommit(root).get
           val v = parent.version + 1
           if (publishIfAbsent(root, v, Commit(v, commitId, "rollback", target.dirs,
               target.stats, target.strStats, target.partitionCols, target.blooms,
@@ -1609,10 +1729,10 @@ object VersionedTable {
               targetFiles: Int, statsCols: Seq[String] = Nil,
               bloomCols: Seq[String] = Nil, zorderBy: Seq[String] = Nil): Long = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
-    history(root).find(_.commitId == commitId) match {
-      case Some(prior) => prior.version // retry of a committed compaction
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => prior // retry of a committed compaction
       case None =>
-        val parent = history(root).lastOption
+        val parent = latestCommit(root)
           .getOrElse(sys.error(s"compact: no commits at $root"))
         val cur = read(spark, root)
         val df =
@@ -1746,6 +1866,11 @@ object VersionedTable {
       finally w.close()
     }
     log.dropRight(retainLast).foreach(c => Files.deleteIfExists(manifestPath(root, c.version)))
+    // keep only the LATEST commitId checkpoint: it is cumulative, so the
+    // older ones are strict subsets (and it deliberately outlives the
+    // manifests it indexed — a late retry of a long-vacuumed commit still
+    // resolves to a no-op instead of double-applying)
+    ckptFiles(root).dropRight(1).foreach(Files.deleteIfExists)
     (dead ++ deadSets).map(d => s"$root/$d")
   }
 }

@@ -214,7 +214,7 @@ object Streaming {
         val spark = batch.sparkSession
         val delta = graft.operators.ext.Sketches.countMinSketch(batch.toDF(), valueCol, d, w)
         val merged =
-          if (graft.io.VersionedTable.history(root).isEmpty) delta
+          if (graft.io.VersionedTable.latestVersion(root).isEmpty) delta
           else graft.io.VersionedTable.read(spark, root)
             .unionByName(delta)
             .groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
@@ -311,7 +311,7 @@ object Streaming {
     updates.writeStream
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
         val b = batch.toDF()
-        if (graft.io.VersionedTable.history(root).isEmpty)
+        if (graft.io.VersionedTable.latestVersion(root).isEmpty)
           // the bootstrap batch commits verbatim, so it takes the SAME
           // dup/NULL-key guard mergeInto applies — an unguarded first batch
           // would persist duplicate or NULL keys silently and every later

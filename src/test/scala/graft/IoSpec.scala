@@ -1024,6 +1024,49 @@ class IoSpec extends SparkSpec {
     assert(spark.read.parquet(bronze).count() == 2)
   }
 
+  test("VersionedTable: reads, commits, and retry probes parse O(1) manifests on a checkpointed log") {
+    import spark.implicits._
+    val root = tmpDir("vt_ckpt")
+    (1 to 35).foreach(i => VersionedTable.commit(
+      Seq((i.toLong, s"r$i")).toDF("id", "s"), root, "append", s"c$i"))
+    def parsesOf(f: => Unit): Long = {
+      val before = VersionedTable.manifestParses.get; f
+      VersionedTable.manifestParses.get - before
+    }
+    // a snapshot read resolves EXACTLY ONE manifest: manifests are
+    // snapshot-complete, so the other 34 never parse
+    assert(parsesOf(VersionedTable.read(spark, root)) == 1L)
+    // time travel is a direct slot lookup — one parse, no log scan
+    assert(parsesOf(VersionedTable.read(spark, root, Some(2L))) == 1L)
+    // an idempotent retry of an EARLY commit resolves from the commitId
+    // checkpoint (written every 10 commits) with ZERO manifest parses
+    assert(parsesOf(assert(VersionedTable.commit(
+      Seq((3L, "r3")).toDF("id", "s"), root, "append", "c3") == 3L)) == 0L)
+    // a FRESH commit parses the post-checkpoint TAIL (≤ interval) for its
+    // probe plus the parent manifest — bounded by the interval, NEVER by
+    // the log length
+    val freshParses = parsesOf(VersionedTable.commit(
+      Seq((99L, "x")).toDF("id", "s"), root, "append", "c-fresh"))
+    assert(freshParses <= 2 * 10 + 4, s"fresh commit parsed $freshParses manifests")
+    // CDC parses exactly its two endpoint manifests
+    assert(parsesOf(VersionedTable.changesBetween(spark, root, 30L, 35L)) == 2L)
+    // GROW the log past another checkpoint boundary: the same operations
+    // cost the same — the proof that the driver-side cost is O(1), not
+    // O(#commits)
+    (37 to 55).foreach(i => VersionedTable.commit(
+      Seq((i.toLong, s"r$i")).toDF("id", "s"), root, "append", s"c$i"))
+    assert(parsesOf(VersionedTable.read(spark, root)) == 1L)
+    assert(parsesOf(assert(VersionedTable.commit(
+      Seq((3L, "r3")).toDF("id", "s"), root, "append", "c3") == 3L)) == 0L)
+    // the retry probe OUTLIVES vacuum: manifests v1..v54 drop, but the
+    // checkpoint still resolves c3 → a very late replay cannot double-apply
+    VersionedTable.vacuum(root, retainLast = 1, orphanGraceMs = 0L)
+    assert(VersionedTable.commit(
+      Seq((3L, "again")).toDF("id", "s"), root, "append", "c3") == 3L,
+      "a late retry of a vacuumed commit must still no-op via the checkpoint index")
+    assert(VersionedTable.latestVersion(root).contains(55L))
+  }
+
   test("VersionedTable: string envelopes order by UTF-8 bytes, not UTF-16 code units") {
     import spark.implicits._
     // "" (UTF-8: EE 80 80) vs "😀" U+1F600 (UTF-8: F0 9F 98 80):
