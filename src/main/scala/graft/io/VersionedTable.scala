@@ -1283,6 +1283,94 @@ object VersionedTable {
     (del, parent.deleteKeys.filter { case (k, _) => refd.contains(k) })
   }
 
+  /** Test seam: invoked exactly once, immediately before a copy-on-write
+    * rewrite's FIRST publish attempt — lets a spec interleave a concurrent
+    * commit deterministically between data write and publication. Cleared
+    * on use; a no-op in production.
+    */
+  @volatile private[graft] var onBeforeRewritePublish: () => Unit = () => ()
+
+  /** Publish a copy-on-write rewrite with CONFLICT-AWARE OCC (the Delta
+    * WriteSerializable idea at this log's dir granularity). The rewrite
+    * read `rewritten` dirs (under `pinned`'s MOR coverage), classified
+    * `droppedDirs` as metadata-only removals, and replaced both with
+    * `survivorsDir`. If another writer advanced the log before our publish,
+    * the rewrite REBASES onto the new latest instead of discarding itself —
+    * valid iff the advanced commits are provably DISJOINT from what was
+    * read and written:
+    *
+    *  - every REWRITTEN dir is still present in the latest snapshot with
+    *    MOR coverage IDENTICAL to what was scanned (changed coverage means
+    *    the survivors were computed with stale deletion vectors; a missing
+    *    dir means someone else rewrote the same data — a rebase would
+    *    duplicate its rows). Dropped dirs may vanish: removing them is the
+    *    goal, and a concurrent replacement surfaces through the new-dir
+    *    conflict test below;
+    *  - schema and hive layout are unchanged;
+    *  - no dir the advanced commits ADDED conflicts with the rewrite's key
+    *    predicate (`conflictDirs` — an envelope/bloom/range test supplied
+    *    by the verb): a concurrent append of a matching key would make a
+    *    rebased DELETE un-serializable (committed after the append, it
+    *    claims those rows are gone) and a rebased MERGE key-duplicating.
+    *
+    * Disjoint advance: the manifest is rebuilt FROM THE LATEST snapshot —
+    * untouched dirs carry latest's stats/blooms/coverage — and republished
+    * at the next slot; both writers' commits land, no rewrite re-runs.
+    * Conflicting advance: fail loudly exactly as before (the caller
+    * re-runs against the new snapshot; the orphan dir is
+    * vacuum-reclaimable). Idempotent: a racing retry twin resolving to our
+    * `commitId` short-circuits to its version.
+    */
+  private def publishRewriteRebasing(root: String, pinned: Commit,
+      rewritten: Seq[String], droppedDirs: Seq[String],
+      survivorsDir: Option[String], dirStats: DirStats, dirBlooms: Seq[String],
+      mode: String, commitId: String, op: String, schemaDdl: Option[String],
+      conflictDirs: (Commit, Seq[String]) => Seq[String]): Long = {
+    val hook = onBeforeRewritePublish
+    onBeforeRewritePublish = () => ()
+    hook()
+    val removed = (rewritten ++ droppedDirs).toSet
+    var parent = pinned
+    var out = -1L
+    while (out < 0) {
+      val pass = parent.dirs.filterNot(removed.contains)
+      val v = parent.version + 1
+      val keptStats = parent.stats.filter { case (d, _) => pass.contains(d) }
+      val keptStrStats = parent.strStats.filter { case (d, _) => pass.contains(d) }
+      val keptBlooms = parent.blooms.filter { case (d, _) => pass.contains(d) }
+      val (cd, cdk) = carriedDeletes(parent, pass)
+      val c = Commit(v, commitId, mode, pass ++ survivorsDir,
+        survivorsDir.filter(_ => dirStats.ints.nonEmpty)
+          .fold(keptStats)(d => keptStats + (d -> dirStats.ints)),
+        survivorsDir.filter(_ => dirStats.strs.nonEmpty)
+          .fold(keptStrStats)(d => keptStrStats + (d -> dirStats.strs)),
+        parent.partitionCols,
+        survivorsDir.filter(_ => dirBlooms.nonEmpty)
+          .fold(keptBlooms)(d => keptBlooms + (d -> dirBlooms)),
+        schemaDdl, deletes = cd, deleteKeys = cdk)
+      if (publishIfAbsent(root, v, c)) out = v
+      else findCommitVersion(root, commitId) match {
+        case Some(pv) => out = pv // a retry twin of us won the slot
+        case None =>
+          val latest = latestCommit(root).get
+          val missing = rewritten.filterNot(latest.dirs.contains)
+          val covChanged = rewritten.filter(d =>
+            latest.deletes.getOrElse(d, Nil) != pinned.deletes.getOrElse(d, Nil))
+          val newDirs = latest.dirs.filterNot(parent.dirs.contains)
+          val conflicts = if (newDirs.isEmpty) Nil else conflictDirs(latest, newDirs)
+          val schemaMoved = latest.schemaDdl != pinned.schemaDdl ||
+            latest.partitionCols != pinned.partitionCols
+          if (missing.nonEmpty || covChanged.nonEmpty || schemaMoved || conflicts.nonEmpty)
+            sys.error(s"$op: log advanced past v${pinned.version} with a CONFLICTING " +
+              s"commit (rewrittenMissing=$missing, coverageChanged=$covChanged, " +
+              s"schemaOrLayoutMoved=$schemaMoved, keyOverlappingNewDirs=$conflicts); " +
+              "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
+          parent = latest // disjoint advance: rebase and republish
+      }
+    }
+    out
+  }
+
   def mergeInto(spark: SparkSession, root: String, updates: DataFrame,
                 keyCol: String, commitId: String,
                 statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): (Long, Int, Int) = {
@@ -1327,21 +1415,16 @@ object VersionedTable {
         w.parquet(s"$root/$dirName")
         val dirStats = gatherStats(spark, s"$root/$dirName", statsCols, merged.schema)
         val dirBlooms = gatherBlooms(spark, s"$root/$dirName", bloomCols)
-        val keptStats = parent.stats.filter { case (d, _) => pass.contains(d) }
-        val keptStrStats = parent.strStats.filter { case (d, _) => pass.contains(d) }
-        val keptBlooms = parent.blooms.filter { case (d, _) => pass.contains(d) }
-        val (cd, cdk) = carriedDeletes(parent, pass)
-        val c = Commit(v, commitId, "merge", pass :+ dirName,
-          if (dirStats.ints.isEmpty) keptStats else keptStats + (dirName -> dirStats.ints),
-          if (dirStats.strs.isEmpty) keptStrStats else keptStrStats + (dirName -> dirStats.strs),
-          parent.partitionCols,
-          if (dirBlooms.isEmpty) keptBlooms else keptBlooms + (dirName -> dirBlooms),
+        // conflict test for rebase: a dir added by a concurrent commit
+        // conflicts iff its envelope/bloom admits any batch key (a rebased
+        // merge over it would leave duplicate keys)
+        val committed = publishRewriteRebasing(root, parent, rewritten = hit,
+          droppedDirs = Nil, survivorsDir = Some(dirName), dirStats, dirBlooms,
+          "merge", commitId, "mergeInto",
           parent.schemaDdl.orElse(Some(updates.schema.toDDL)),
-          deletes = cd, deleteKeys = cdk)
-        if (!publishIfAbsent(root, v, c))
-          sys.error(s"mergeInto: log advanced past v${parent.version} during the rewrite; " +
-            "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
-        (v, hit.size, parent.dirs.size)
+          (latest, newDirs) =>
+            rangeHitDirs(root, latest.copy(dirs = newDirs), guarded, keyCol, "mergeInto")._1)
+        (committed, hit.size, parent.dirs.size)
     }
   }
 
@@ -1414,23 +1497,15 @@ object VersionedTable {
               .getOrElse(spark.read.parquet(s"$root/$d").schema)))
         val dirBlooms = survivorsDir.fold(Seq.empty[String])(d =>
           gatherBlooms(spark, s"$root/$d", bloomCols))
-        val keptStats = parent.stats.filter { case (d, _) => pass.contains(d) }
-        val keptStrStats = parent.strStats.filter { case (d, _) => pass.contains(d) }
-        val keptBlooms = parent.blooms.filter { case (d, _) => pass.contains(d) }
-        val (cd, cdk) = carriedDeletes(parent, pass)
-        val c = Commit(v, commitId, "delete", pass ++ survivorsDir,
-          survivorsDir.filter(_ => dirStats.ints.nonEmpty)
-            .fold(keptStats)(d => keptStats + (d -> dirStats.ints)),
-          survivorsDir.filter(_ => dirStats.strs.nonEmpty)
-            .fold(keptStrStats)(d => keptStrStats + (d -> dirStats.strs)),
-          parent.partitionCols,
-          survivorsDir.filter(_ => dirBlooms.nonEmpty)
-            .fold(keptBlooms)(d => keptBlooms + (d -> dirBlooms)),
-          parent.schemaDdl, deletes = cd, deleteKeys = cdk)
-        if (!publishIfAbsent(root, v, c))
-          sys.error(s"deleteWhere: log advanced past v${parent.version} during the rewrite; " +
-            "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
-        (v, hit.size, parent.dirs.size)
+        // conflict test for rebase: a concurrently-added dir conflicts iff
+        // it might hold a deleted key (a rebased delete committing AFTER
+        // such an append would claim rows it never removed)
+        val committed = publishRewriteRebasing(root, parent, rewritten = hit,
+          droppedDirs = Nil, survivorsDir = survivorsDir, dirStats, dirBlooms,
+          "delete", commitId, "deleteWhere", parent.schemaDdl,
+          (latest, newDirs) =>
+            rangeHitDirs(root, latest.copy(dirs = newDirs), guarded, keyCol, "deleteWhere")._1)
+        (committed, hit.size, parent.dirs.size)
     }
   }
 
@@ -1642,23 +1717,20 @@ object VersionedTable {
               .getOrElse(spark.read.parquet(s"$root/$d").schema)))
         val dirBlooms = survivorsDir.fold(Seq.empty[String])(d =>
           gatherBlooms(spark, s"$root/$d", bloomCols))
-        val keptStats = parent.stats.filter { case (d, _) => pass.contains(d) }
-        val keptStrStats = parent.strStats.filter { case (d, _) => pass.contains(d) }
-        val keptBlooms = parent.blooms.filter { case (d, _) => pass.contains(d) }
-        val (cd, cdk) = carriedDeletes(parent, pass)
-        val c = Commit(v, commitId, "delete", pass ++ survivorsDir,
-          survivorsDir.filter(_ => dirStats.ints.nonEmpty)
-            .fold(keptStats)(d => keptStats + (d -> dirStats.ints)),
-          survivorsDir.filter(_ => dirStats.strs.nonEmpty)
-            .fold(keptStrStats)(d => keptStrStats + (d -> dirStats.strs)),
-          parent.partitionCols,
-          survivorsDir.filter(_ => dirBlooms.nonEmpty)
-            .fold(keptBlooms)(d => keptBlooms + (d -> dirBlooms)),
-          parent.schemaDdl, deletes = cd, deleteKeys = cdk)
-        if (!publishIfAbsent(root, v, c))
-          sys.error(s"deleteRange: log advanced past v${parent.version} during the rewrite; " +
-            "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
-        (v, dropped.size, hit.size, parent.dirs.size)
+        // conflict test for rebase: a concurrently-added dir conflicts iff
+        // its envelope might intersect [lo, hi] (a stats-less new dir is
+        // conservatively a conflict — classify() calls it Rewrite)
+        val committed = publishRewriteRebasing(root, parent, rewritten = hit,
+          droppedDirs = dropped, survivorsDir = survivorsDir, dirStats, dirBlooms,
+          "delete", commitId, "deleteRange", parent.schemaDdl,
+          (latest, newDirs) => newDirs.filter { d =>
+            val env: Option[(Any, Any)] =
+              latest.stats.get(d).flatMap(_.get(colName)).map(t => (t._1: Any, t._2: Any))
+                .orElse(latest.strStats.get(d).flatMap(_.get(colName))
+                  .map(t => (t._1: Any, t._2: Any)))
+            classify(env) != Pass
+          })
+        (committed, dropped.size, hit.size, parent.dirs.size)
     }
   }
 

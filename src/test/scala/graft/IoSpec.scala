@@ -1067,6 +1067,54 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(root).contains(55L))
   }
 
+  test("VersionedTable: disjoint concurrent copy-on-write commits BOTH land via OCC rebase; conflicts refuse loudly") {
+    import spark.implicits._
+    val root = tmpDir("vt_rebase")
+    VersionedTable.commit((1L to 10L).map(i => (i, s"a$i")).toDF("id", "s"),
+      root, "append", "b1", statsCols = Seq("id"))
+    VersionedTable.commit((101L to 110L).map(i => (i, s"b$i")).toDF("id", "s"),
+      root, "append", "b2", statsCols = Seq("id"))
+    // interleave deterministically: while the delete of key 5 (hits only
+    // band 1) sits between its data write and its publish, a merge
+    // re-prices key 105 (rewrites only band 2) — DISJOINT dirs and keys,
+    // so the delete must REBASE and both commits land
+    VersionedTable.onBeforeRewritePublish = () =>
+      VersionedTable.mergeInto(spark, root,
+        Seq((105L, "UPDATED")).toDF("id", "s"), "id", "race-merge",
+        statsCols = Seq("id")): Unit
+    val (v, hit, _) = VersionedTable.deleteWhere(spark, root,
+      Seq(5L).toDF("id"), "id", "race-del", statsCols = Seq("id"))
+    assert(v == 4L && hit == 1, s"delete must rebase onto the merge's v3, got v=$v hit=$hit")
+    val rows = VersionedTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(!rows.contains(5L), "the rebased delete must hold")
+    assert(rows(105L) == "UPDATED", "the concurrent merge must hold")
+    assert(rows.size == 19, s"no row lost or duplicated: ${rows.size}")
+    // OVERLAPPING advance: an append carrying the to-be-deleted key must
+    // refuse the rebase — a delete serialized after that append would
+    // claim rows it never removed
+    VersionedTable.onBeforeRewritePublish = () =>
+      VersionedTable.commit(Seq((6L, "late")).toDF("id", "s"), root, "append",
+        "race-app", statsCols = Seq("id")): Unit
+    val e = intercept[RuntimeException](VersionedTable.deleteWhere(spark, root,
+      Seq(6L).toDF("id"), "id", "race-del2", statsCols = Seq("id")))
+    assert(e.getMessage.contains("CONFLICTING"), e.getMessage)
+    // nothing lost: the append landed, the refused delete changed nothing
+    val sixes = VersionedTable.read(spark, root).filter(col("id") === 6L).count()
+    assert(sixes == 2L, s"original + late row must both survive, got $sixes")
+    // a concurrent MOR delete COVERING a dir we rewrote must refuse too:
+    // the survivors were computed with stale deletion vectors
+    VersionedTable.onBeforeRewritePublish = () =>
+      VersionedTable.deleteWhereMor(spark, root, Seq(2L).toDF("id"), "id", "race-mor"): Unit
+    val e2 = intercept[RuntimeException](VersionedTable.deleteWhere(spark, root,
+      Seq(3L).toDF("id"), "id", "race-del3", statsCols = Seq("id")))
+    assert(e2.getMessage.contains("CONFLICTING"), e2.getMessage)
+    assert(VersionedTable.read(spark, root).filter(col("id") === 2L).count() == 0,
+      "the MOR delete must hold")
+    assert(VersionedTable.read(spark, root).filter(col("id") === 3L).count() == 1,
+      "the refused delete must NOT apply")
+  }
+
   test("VersionedTable: string envelopes order by UTF-8 bytes, not UTF-16 code units") {
     import spark.implicits._
     // "" (UTF-8: EE 80 80) vs "😀" U+1F600 (UTF-8: F0 9F 98 80):
