@@ -849,6 +849,70 @@ private[graft] object QueriesMedallionIo {
         |  TRUE AS dirs_unchanged
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — MOR ACCUMULATION METER (VersionedTable.morStatus — the absorb
+    // policy's driver-visible input): two merge-on-read purges on separate
+    // bands leave (2 dirs covered, 2 sets pending, |p1|+|p2| keys pending)
+    // measured from the manifest + the small sets alone — O(sets), never a
+    // data scan; OPTIMIZE (compact) then absorbs all coverage and the
+    // meter returns to (0,0,0) ('absorbed'). Without the meter the
+    // read-side anti-join debt is invisible until scan latency regresses —
+    // this is the number a 100 TB operator alerts on, like Delta's
+    // deletion-vector metrics. Oracle recomputes the pending-key count and
+    // the survivor set as plain SQL.
+    Q("versioned_mor_status",
+      (s, dir) => {
+        val (root, counts, absorbed) = Fixtures.once(s, dir, "vt_mor_status") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_morst_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          Seq(("ms1", col("o_orderkey") <= b1),
+            ("ms2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("ms3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
+            ("ms4", col("o_orderkey") > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"ms-$id",
+              statsCols = Seq("o_orderkey"))
+          }
+          graft.io.VersionedTable.deleteWhereMor(s, r,
+            o.filter(col("o_orderkey") > b1 && col("o_orderkey") <= b2 &&
+              col("o_orderkey") % 3 === 0).select("o_orderkey"),
+            "o_orderkey", "ms-p1")
+          graft.io.VersionedTable.deleteWhereMor(s, r,
+            o.filter(col("o_orderkey") > b2 && col("o_orderkey") <= b3 &&
+              col("o_orderkey") % 5 === 0).select("o_orderkey"),
+            "o_orderkey", "ms-p2")
+          val pending = graft.io.VersionedTable.morStatus(s, r)
+          graft.io.VersionedTable.compact(s, r, "ms-opt", targetFiles = 2,
+            statsCols = Seq("o_orderkey"))
+          val zeroed = graft.io.VersionedTable.morStatus(s, r) == ((0, 0, 0L))
+          (r, Seq(pending._1.toLong, pending._2.toLong, pending._3),
+            java.lang.Boolean.valueOf(zeroed))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("dirs_covered", lit(counts(0)))
+          .withColumn("sets_pending", lit(counts(1)))
+          .withColumn("keys_pending", lit(counts(2)))
+          .withColumn("absorbed", lit(absorbed.booleanValue()))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH q AS (SELECT max(o_orderkey) // 4 AS q1, max(o_orderkey) // 2 AS q2,
+        |  3 * max(o_orderkey) // 4 AS q3 FROM orders),
+        |p AS (SELECT o_orderkey FROM orders CROSS JOIN q
+        |    WHERE o_orderkey > q1 AND o_orderkey <= q2 AND o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey FROM orders CROSS JOIN q
+        |    WHERE o_orderkey > q2 AND o_orderkey <= q3 AND o_orderkey % 5 = 0),
+        |d AS (SELECT o_orderkey, o_orderpriority FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM p))
+        |SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(2 AS BIGINT) AS dirs_covered, CAST(2 AS BIGINT) AS sets_pending,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS keys_pending,
+        |  TRUE AS absorbed
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — TIME-RETENTION purge on a real TIMESTAMP column (the use case
     // deleteRange exists for: "drop everything before the cutoff"). Four
     // appends banded by o_orderdate (timestamp stats index as INT64-micros

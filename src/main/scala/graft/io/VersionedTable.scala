@@ -1579,6 +1579,34 @@ object VersionedTable {
     }
   }
 
+  /** MERGE-ON-READ accumulation meter: the per-snapshot read-side debt
+    * [[deleteWhereMor]] builds and [[compact]] / any copy-on-write rewrite
+    * absorbs, as `(dirsCovered, setsPending, keysPending)` —
+    *
+    *  - `dirsCovered`: data dirs whose scans currently apply ≥1 deletion
+    *    vector (each costs the reader one broadcast anti-join per set);
+    *  - `setsPending`: distinct delete sets still referenced;
+    *  - `keysPending`: total keys across those sets (read from the sets
+    *    themselves — O(sets) small files, never O(data)).
+    *
+    * ABSORB POLICY (documented contract, enforced by the operator, made
+    * VISIBLE by this meter): sets are small and few by the MOR trade —
+    * schedule [[compact]] when `setsPending` exceeds a small constant
+    * (single digits) or `keysPending` approaches broadcast-scale row
+    * counts; after absorption this returns (0, 0, 0). Without the meter
+    * the accumulation is invisible until scan latency regresses — at
+    * 100 TB this is the number an operator alerts on, exactly like Delta's
+    * deletion-vector metrics.
+    */
+  def morStatus(spark: SparkSession, root: String,
+                asOf: Option[Long] = None): (Int, Int, Long) = {
+    val c = resolveSnapshot(root, asOf)
+    val covered = c.deletes.count(_._2.nonEmpty)
+    val sets = c.deletes.values.flatten.toSet.toSeq.sorted
+    val keys = sets.map(sn => spark.read.parquet(s"$root/$sn").count()).sum
+    (covered, sets.size, keys)
+  }
+
   /** Range-predicate DELETE (`DELETE FROM t WHERE lo <= col <= hi` — the
     * RETENTION-PURGE shape: "drop everything before the cutoff"): three
     * dir classes, decided from the manifest envelope —

@@ -691,14 +691,21 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.changesBetween(spark, root, 3L, 4L)
       .collect().map(_.getLong(0)).toSeq == Seq(10L))
     VersionedTable.deleteWhereMor(spark, root, Seq(15L).toDF("id"), "id", "mor-p2")
+    // the accumulation METER sees both pending sets stacked on the ONE
+    // covered dir (keys 10 and 15 both live in m2's envelope) — the absorb
+    // policy's driver-visible input: compact when setsPending grows
+    assert(VersionedTable.morStatus(spark, root) == ((1, 2, 2L)),
+      s"expected 1 covered dir / 2 sets / 2 keys, got ${VersionedTable.morStatus(spark, root)}")
     // copy-on-write rewrite of a covered dir must NOT resurrect hidden rows
     val (_, hitCw, _) = VersionedTable.deleteWhere(spark, root,
       Seq(5L).toDF("id"), "id", "cw-after-mor", statsCols = Seq("id"))
     assert(hitCw >= 1)
     assert(ids == Set(1L, 10L), s"resurrected or lost rows: $ids")
-    // compaction absorbs ALL remaining coverage; vacuum then reclaims the sets
+    // compaction absorbs ALL remaining coverage — the meter returns to zero
     VersionedTable.compact(spark, root, "mor-opt", targetFiles = 1)
     assert(VersionedTable.history(root).last.deletes.isEmpty, "compaction absorbs coverage")
+    assert(VersionedTable.morStatus(spark, root) == ((0, 0, 0L)),
+      "absorption must zero the meter")
     assert(ids == Set(1L, 10L))
     val reclaimed = VersionedTable.vacuum(root, retainLast = 1)
     assert(reclaimed.exists(_.contains("deletes/")), s"delete sets must be swept: $reclaimed")
