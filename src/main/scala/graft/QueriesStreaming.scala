@@ -540,6 +540,54 @@ private[graft] object QueriesStreaming {
         |  TRUE AS replay_noop
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ST — STREAMING CDC APPLY sink (Streaming.cdcApplySink → VersionedTable
+    // .applyCdcBatch): the tombstone-complete CDC shape — each micro-batch
+    // carries BOTH upserts ('u': every 10th order re-priced) and deletes
+    // ('d': every 7th-but-not-10th order tombstoned) and applies them in
+    // ONE commit under the appId+batchId id, so the table never shows a
+    // torn upsert/delete intermediate and a crash-replay of the batch
+    // no-ops ('replay_noop' proven inline with garbage ops under batch
+    // 0's commitId). 'one_commit' pins the log shape: seed + exactly one
+    // version for the mixed batch. Oracle = the same CASE/anti-filter as
+    // batch SQL.
+    Q("stream_cdc_apply",
+      (s, dir) => {
+        val root = freshDir(s, "graft_stream_cdc")
+        val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        graft.io.VersionedTable.commit(o, root, "append", "seed",
+          statsCols = Seq("o_orderkey"))
+        val schema = rd(s, dir, "orders").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "orders.parquet").parquet(dir)
+          .filter(col("o_orderkey") % 10 === 0 || col("o_orderkey") % 7 === 0)
+          .select(col("o_orderkey"), lit("U-CDC").as("o_orderpriority"),
+            col("o_totalprice"),
+            when(col("o_orderkey") % 10 === 0, lit("u")).otherwise(lit("d")).as("__op"))
+        val q = graft.streaming.Streaming.cdcApplySink(stream, root,
+          "o_orderkey", "__op", appId = "cdc", statsCols = Seq("o_orderkey"))
+        try q.processAllAvailable() finally q.stop()
+        val converged = graft.io.VersionedTable.latestVersion(root).get
+        val (rv, rh, _) = graft.io.VersionedTable.applyCdcBatch(s, root,
+          o.limit(1).select(col("o_orderkey"), lit("GARBAGE").as("o_orderpriority"),
+            col("o_totalprice")),
+          o.limit(0).select("o_orderkey"), "o_orderkey", "cdc-b0")
+        val noop = rv <= converged && rh == -1 &&
+          graft.io.VersionedTable.latestVersion(root).contains(converged)
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("replay_noop", lit(noop))
+          .withColumn("one_commit", lit(converged == 2L))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH m AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'U-CDC' ELSE o_orderpriority END
+        |    AS o_orderpriority FROM orders
+        |  WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0))
+        |SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  TRUE AS replay_noop, TRUE AS one_commit
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // LEFT OUTER stream-stream interval join (intervalJoinLeftOuter — the
     // funnel/attribution shape: every click appears, purchased or not).
     // Same evictable-state geometry as stream_stream_join plus the second

@@ -1428,6 +1428,103 @@ object VersionedTable {
     }
   }
 
+  /** Both CDC op frames must name disjoint key sets: a compacted CDC feed
+    * emits ONE final op per key, so a key in both `updates` and `deletes`
+    * is an upstream bug — guessing an apply order would hide it. The check
+    * is one bounded semi-join over the (batch-small) frames.
+    */
+  private[graft] def requireDisjointOps(updates: DataFrame, deleteKeys: DataFrame,
+                                        keyCol: String, op: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    val overlap = updates.select(col(keyCol))
+      .join(deleteKeys.select(col(keyCol)), Seq(keyCol), "left_semi")
+      .limit(5).collect().map(_.get(0))
+    require(overlap.isEmpty,
+      s"$op: key(s) ${overlap.mkString(", ")} appear in BOTH updates and deletes — " +
+        "a compacted CDC batch carries one final op per key; collapse upstream")
+  }
+
+  /** CDC BATCH APPLY — upserts AND deletes in ONE commit (the
+    * Debezium-feed shape: a change batch carries both op kinds, and
+    * applying them as two commits would publish a torn intermediate
+    * snapshot and burn two idempotence ids for one logical batch).
+    * Semantics compose the two verbs it generalizes: rows of `updates`
+    * replace same-key rows and unmatched rows insert ([[mergeInto]]);
+    * keys of `deleteKeys` are removed ([[deleteWhere]]); a key in BOTH
+    * frames is refused loudly ([[requireDisjointOps]]). Same guards (NULL
+    * keys both sides, duplicate update keys), ONE combined envelope+bloom
+    * gate over the union of both key sets (conservative: the union's
+    * envelope can only widen the rewrite set, never miss a dir), the same
+    * conflict-aware rebasing OCC publication, and idempotence under
+    * `commitId` retry. Rewrite cost O(hit dirs + batch), never O(table) —
+    * the property that lets a CDC stream maintain a 100 TB keyed table
+    * continuously. Returns (version, dirsRewritten, dirsTotal).
+    */
+  def applyCdcBatch(spark: SparkSession, root: String, updates: DataFrame,
+                    deleteKeys: DataFrame, keyCol: String, commitId: String,
+                    statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{col, lit, raise_error, when}
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => (prior, -1, -1) // retry of a committed batch
+      case None =>
+        val parent = latestCommit(root)
+          .getOrElse(sys.error(s"applyCdcBatch: no commits at $root"))
+        // updates must match the snapshot schema exactly — same contract
+        // (and same reason) as mergeInto's no-overlap fast path
+        parent.schemaDdl.foreach { pd =>
+          val ps = org.apache.spark.sql.types.StructType.fromDDL(pd)
+          val want = ps.fields.map(f => f.name -> f.dataType.sql).toMap
+          val got = updates.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+          require(want == got,
+            s"applyCdcBatch: batch schema ${got.toSeq.sorted} must equal the snapshot " +
+              s"schema ${want.toSeq.sorted} (use commit(mode=append) for evolution)")
+        }
+        val gUpd = guardMergeBatch(updates, keyCol, "applyCdcBatch")
+        val gDel = deleteKeys.select(col(keyCol))
+          .filter(when(col(keyCol).isNull,
+              raise_error(lit("applyCdcBatch: NULL delete key (an anti-join never " +
+                "matches NULL, so the row would silently survive)")).cast("boolean"))
+            .otherwise(lit(true)))
+          .distinct()
+        requireDisjointOps(gUpd, gDel, keyCol, "applyCdcBatch")
+        val allKeys = gUpd.select(col(keyCol)).unionByName(gDel).distinct()
+        val (hit, _) = rangeHitDirs(root, parent, allKeys, keyCol, "applyCdcBatch")
+        val v = parent.version + 1
+        val dirName = f"data/$v%010d-$commitId"
+        val merged =
+          if (hit.isEmpty) gUpd
+          else scanWithDeletes(spark, root, parent, hit)
+            .join(org.apache.spark.sql.functions.broadcast(allKeys), Seq(keyCol), "left_anti")
+            .unionByName(gUpd)
+        var w = merged.write.mode("overwrite")
+        if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
+        w.parquet(s"$root/$dirName")
+        // a delete-only batch purging every hit row leaves zero survivors:
+        // omit the file-less dir exactly as deleteWhere does
+        val conf = spark.sessionState.newHadoopConf()
+        val rows = parquetFiles(s"$root/$dirName").iterator.map { rel =>
+          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              new org.apache.hadoop.fs.Path(s"$root/$dirName/$rel"), conf))
+          try rdr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+          finally rdr.close()
+        }.sum
+        val survivorsDir = if (rows == 0L) None else Some(dirName)
+        val dirStats = survivorsDir.fold(DirStats(Map.empty, Map.empty))(d =>
+          gatherStats(spark, s"$root/$d", statsCols, merged.schema))
+        val dirBlooms = survivorsDir.fold(Seq.empty[String])(d =>
+          gatherBlooms(spark, s"$root/$d", bloomCols))
+        val committed = publishRewriteRebasing(root, parent, rewritten = hit,
+          droppedDirs = Nil, survivorsDir = survivorsDir, dirStats, dirBlooms,
+          "merge", commitId, "applyCdcBatch",
+          parent.schemaDdl.orElse(Some(updates.schema.toDDL)),
+          (latest, newDirs) =>
+            rangeHitDirs(root, latest.copy(dirs = newDirs), allKeys, keyCol,
+              "applyCdcBatch")._1)
+        (committed, hit.size, parent.dirs.size)
+    }
+  }
+
   /** Row-level DELETE with DIR-LEVEL COPY-ON-WRITE — the Delta
     * `DELETE FROM t WHERE key IN (...)` lifecycle verb (the GDPR-purge
     * shape): remove every row whose `keyCol` appears in `keys`, rewriting

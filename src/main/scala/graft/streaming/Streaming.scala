@@ -327,6 +327,40 @@ object Streaming {
       }
       .start()
 
+  /** ST: streaming CDC APPLY sink — the tombstone-complete generalization
+    * of [[versionedMergeSink]]: each micro-batch carries an `opCol`
+    * discriminator ('u' = upsert, 'd' = delete) and BOTH op kinds apply to
+    * the versioned table through
+    * [[graft.io.VersionedTable.applyCdcBatch]] under ONE appId+batchId
+    * commitId — one commit per batch, never a torn upsert/delete pair,
+    * exactly-once under foreachBatch's at-least-once replay (a replayed
+    * batch degrades to the committed-commitId no-op). This is the
+    * Debezium-feed shape: a compacted CDC topic emits one final op per
+    * key per batch; a key carrying both ops in one batch is refused
+    * loudly (upstream bug), including on the bootstrap batch. Bootstrap
+    * (empty log) commits the batch's guarded upserts — its deletes refer
+    * to rows that never existed, which deleting is already a no-op.
+    */
+  def cdcApplySink(changes: DataFrame, root: String, keyCol: String, opCol: String,
+                   appId: String, statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val b = batch.toDF()
+        val ups = b.filter(col(opCol) === "u").drop(opCol)
+        val dels = b.filter(col(opCol) === "d").select(keyCol)
+        if (graft.io.VersionedTable.latestVersion(root).isEmpty) {
+          graft.io.VersionedTable.requireDisjointOps(ups, dels, keyCol, "cdcApplySink")
+          graft.io.VersionedTable.commit(
+            graft.io.VersionedTable.guardMergeBatch(ups, keyCol, "cdcApplySink"),
+            root, "append", s"$appId-b$bid",
+            statsCols = statsCols, bloomCols = bloomCols): Unit
+        } else
+          graft.io.VersionedTable.applyCdcBatch(batch.sparkSession, root, ups, dels,
+            keyCol, s"$appId-b$bid", statsCols = statsCols, bloomCols = bloomCols): Unit
+      }
+      .start()
+
   /** ST: per-micro-batch distribution-drift monitor — the foreachBatch
     * production idiom: every micro-batch is scored against the SAME static
     * reference profile with the exact integer TVD of

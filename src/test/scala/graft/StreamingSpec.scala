@@ -312,6 +312,45 @@ class StreamingSpec extends SparkSpec {
     assert(content == Seq((1L, "a"), (2L, "B2"), (3L, "C3")))
   }
 
+  test("cdcApplySink: mixed upsert+delete batch lands as ONE commit, exactly-once replay, both-op keys refused") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    val root = TestSpark.tmpDir("stream_cdc")
+    val mem = MemoryStream[(Long, String, String)]
+    val q = Streaming.cdcApplySink(mem.toDF().toDF("id", "s", "op"), root, "id", "op",
+      appId = "cdc", statsCols = Seq("id"))
+    try {
+      // bootstrap: upserts commit; the delete of a never-existing key is
+      // already a no-op by construction
+      mem.addData((1L, "a", "u"), (2L, "b", "u"), (9L, "", "d")); q.processAllAvailable()
+      // a MIXED batch — update key 2, insert key 4, tombstone key 1 —
+      // must land as ONE commit, never a torn merge/delete pair
+      mem.addData((2L, "B2", "u"), (4L, "d4", "u"), (1L, "", "d")); q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.io.VersionedTable.latestVersion(root).contains(2L),
+      "one commit per batch — upserts and tombstones must not split")
+    def content = graft.io.VersionedTable.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(content == Seq((2L, "B2"), (4L, "d4")), content.toString)
+    // a crash-replay of batch 1 (same appId+batchId commitId) is a no-op
+    assert(graft.io.VersionedTable.applyCdcBatch(spark, root,
+      Seq((9L, "X")).toDF("id", "s"), Seq(4L).toDF("id"), "id", "cdc-b1") == ((2L, -1, -1)))
+    assert(content == Seq((2L, "B2"), (4L, "d4")))
+    // a key carrying BOTH ops in one batch is an upstream bug: refuse loudly
+    val mem2 = MemoryStream[(Long, String, String)]
+    val q2 = Streaming.cdcApplySink(mem2.toDF().toDF("id", "s", "op"), root, "id", "op",
+      appId = "cdc2")
+    try {
+      mem2.addData((4L, "x", "u"), (4L, "", "d"))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+        q2.processAllAvailable())
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      assert(msgs.contains("BOTH updates and deletes"), msgs)
+    } finally q2.stop()
+    assert(content == Seq((2L, "B2"), (4L, "d4")), "a refused batch must change nothing")
+  }
+
   test("versionedMergeSink: BOOTSTRAP batch takes the dup/NULL-key guard — no silent bad first commit") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
