@@ -1050,6 +1050,104 @@ private[graft] object QueriesMedallionIo {
         |  CAST((SELECT sum(o_orderkey) FROM orders CROSS JOIN b WHERE o_orderkey <= ob) AS BIGINT) AS orderkey_sum,
         |  TRUE AS x_pruned, TRUE AS y_pruned""".stripMargin)),
 
+    // S17 — COLUMN RENAME via logical→physical name mapping
+    // (VersionedTable.renameColumn — the public Delta column-mapping
+    // design): append band A → rename o_orderpriority→priority (a
+    // METADATA-ONLY commit: zero data moves at any table size) → append
+    // band B under the NEW name (files still land under the original
+    // physical name) → one full scan reads BOTH generations of files
+    // through the mapping. Time travel to the pre-rename version shows
+    // the pre-rename name ('old_name_at_v1'), and a type change hidden
+    // behind the rename is still refused loudly ('type_refused') — rename
+    // never aliases evolution. The oracle is the whole table under the
+    // new name.
+    Q("versioned_schema_rename",
+      (s, dir) => {
+        val (root, flags) = Fixtures.once(s, dir, "vt_rename") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_ren_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val mid = o.agg(max(col("o_orderkey"))).head().getLong(0) / 2
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") <= mid),
+            r, "append", "ren-a", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.renameColumn(r, "o_orderpriority", "priority", "ren-do")
+          graft.io.VersionedTable.commit(
+            o.filter(col("o_orderkey") > mid)
+              .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+                col("o_totalprice")),
+            r, "append", "ren-b", statsCols = Seq("o_orderkey"))
+          val oldName = graft.io.VersionedTable.read(s, r, asOf = Some(1L))
+            .columns.toSeq == Seq("o_orderkey", "o_orderpriority", "o_totalprice")
+          val typeRefused = scala.util.Try(graft.io.VersionedTable.commit(
+            o.limit(1).select(col("o_orderkey"), col("o_orderkey").as("priority"),
+              col("o_totalprice")),
+            r, "append", "ren-type")).isFailure
+          (r, Seq(java.lang.Boolean.valueOf(oldName), java.lang.Boolean.valueOf(typeRefused)))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("priority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("old_name_at_v1", lit(flags(0).booleanValue()))
+          .withColumn("type_refused", lit(flags(1).booleanValue()))
+          .orderBy("priority")
+      },
+      Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  TRUE AS old_name_at_v1, TRUE AS type_refused
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17+X8 — k-COLUMN OPTIMIZE ZORDER BY with a STRING dimension
+    // (VersionedTable.compact zorderBy — the in-place maintenance twin of
+    // versioned_zorder_scan's bulk load): an append-grown table re-clusters
+    // as ONE commit by the 3-way Morton interleave of (o_custkey,
+    // o_orderkey, o_orderpriority) — integrals rank-scaled, the string
+    // through its order-preserving UTF-8 byte prefix — and the rebuilt
+    // per-FILE footer index then prunes a low-range predicate on EITHER
+    // integral axis (x_pruned / y_pruned booleans; counts stay unpinned as
+    // layout detail) while the string axis stays hash-exact. Row values
+    // come from the pruned readRange scans, so a wrong file plan breaks
+    // the hash too.
+    Q("versioned_zorder_opt",
+      (s, dir) => {
+        val (root, cb, ob) = Fixtures.once(s, dir, "vt_zorder_opt") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_zopt_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+          // ingest shape: two arrival-ordered appends, THEN re-cluster
+          val row = o.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+          val (mc, mk) = (row.getLong(0), row.getLong(1))
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0),
+            r, "append", "zo-a")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1),
+            r, "append", "zo-b")
+          graft.io.VersionedTable.compact(s, r, "zo-opt", targetFiles = 16,
+            statsCols = Seq("o_custkey", "o_orderkey", "o_orderpriority"),
+            zorderBy = Seq("o_custkey", "o_orderkey", "o_orderpriority"))
+          (r, mc / 8, mk / 8)
+        }
+        val (sx, tx) = graft.io.VersionedTable.planRangeFiles(root, "o_custkey", 0L, cb)
+        val (sy, ty) = graft.io.VersionedTable.planRangeFiles(root, "o_orderkey", 0L, ob)
+        val xAgg = graft.io.VersionedTable.readRange(s, root, "o_custkey", 0L, cb)
+          .agg(count(lit(1)).as("n_x"), sum(col("o_custkey")).as("custkey_sum"))
+        val yAgg = graft.io.VersionedTable.readRange(s, root, "o_orderkey", 0L, ob)
+          .agg(count(lit(1)).as("n_y"), sum(col("o_orderkey")).as("orderkey_sum"))
+        val sAgg = graft.io.VersionedTable.read(s, root)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .agg(count(lit(1)).as("n_s"))
+        xAgg.crossJoin(broadcast(yAgg)).crossJoin(broadcast(sAgg))
+          .withColumn("x_pruned", lit(sx < tx))
+          .withColumn("y_pruned", lit(sy < ty))
+      },
+      Some("""WITH b AS (SELECT max(o_custkey) // 8 AS cb, max(o_orderkey) // 8 AS ob FROM orders)
+        |SELECT
+        |  (SELECT count(*) FROM orders CROSS JOIN b WHERE o_custkey <= cb) AS n_x,
+        |  CAST((SELECT sum(o_custkey) FROM orders CROSS JOIN b WHERE o_custkey <= cb) AS BIGINT) AS custkey_sum,
+        |  (SELECT count(*) FROM orders CROSS JOIN b WHERE o_orderkey <= ob) AS n_y,
+        |  CAST((SELECT sum(o_orderkey) FROM orders CROSS JOIN b WHERE o_orderkey <= ob) AS BIGINT) AS orderkey_sum,
+        |  (SELECT count(*) FROM orders WHERE o_orderpriority = '1-URGENT') AS n_s,
+        |  TRUE AS x_pruned, TRUE AS y_pruned""".stripMargin)),
+
     // S14+S17 — SCD TYPE 2 merges committed INTO the versioned table
     // (Relational.scdType2Commit — where a production dimension actually
     // lives): batch 1 bootstraps the customer-segment dimension, batch 2

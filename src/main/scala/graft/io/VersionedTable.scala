@@ -69,6 +69,13 @@ object VersionedTable {
     * snapshot (uniform across a snapshot by construction — appends must
     * match their parent's layout).
     */
+  /** `nameMap`: logical → PHYSICAL column names (Delta's column-mapping
+    * idea) — data files, manifest schema, stats/bloom keys, and delete-set
+    * key columns all live under PHYSICAL names (a column's name at first
+    * commit); a RENAME is a metadata-only change to this map. Only
+    * non-identity entries are stored; an empty map means logical =
+    * physical (every pre-rename table).
+    */
   final case class Commit(version: Long, commitId: String, mode: String, dirs: Seq[String],
                           stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
                           strStats: Map[String, Map[String, (String, String)]] = Map.empty,
@@ -77,7 +84,8 @@ object VersionedTable {
                           schemaDdl: Option[String] = None,
                           committedAtMs: Long = 0L,
                           deletes: Map[String, Seq[String]] = Map.empty,
-                          deleteKeys: Map[String, String] = Map.empty)
+                          deleteKeys: Map[String, String] = Map.empty,
+                          nameMap: Map[String, String] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -138,6 +146,11 @@ object VersionedTable {
       c.deleteKeys.toSeq.sortBy(_._1).foreach { case (set, k) => km.put(set, k) }
       m.put("deleteKeys", km)
     }
+    if (c.nameMap.nonEmpty) {
+      val nm = new java.util.LinkedHashMap[String, Object]()
+      c.nameMap.toSeq.sortBy(_._1).foreach { case (log, phys) => nm.put(log, phys) }
+      m.put("renames", nm)
+    }
     mapper.writeValueAsString(m)
   }
 
@@ -194,11 +207,14 @@ object VersionedTable {
     val deleteKeys = Option(n.get("deleteKeys")).map { kn =>
       kn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
+    val nameMap = Option(n.get("renames")).map { nm =>
+      nm.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
     Commit(v, n.get("commitId").asText(), n.get("mode").asText(),
       n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, strStats, pcols, blooms,
       Option(n.get("schema")).map(_.asText()),
       Option(n.get("committedAt")).map(_.asLong()).getOrElse(0L),
-      deletes, deleteKeys)
+      deletes, deleteKeys, nameMap)
   }
 
   /** Atomically publish manifest `c` into version slot `v`: write the full
@@ -367,6 +383,91 @@ object VersionedTable {
       }
     }
 
+  // ---- column rename (logical → physical name mapping) -----------------
+
+  /** The physical storage name of a (logical) column in snapshot `c`. */
+  private def physName(c: Commit, colName: String): String =
+    c.nameMap.getOrElse(colName, colName)
+
+  /** Rename an input frame's columns logical → physical before anything is
+    * written or joined. A NEW column whose logical name equals the physical
+    * storage name of a DIFFERENT (renamed) column is refused loudly: our
+    * physical names are first-commit names, so such an add would make two
+    * logical columns share one physical slot.
+    */
+  private def toPhysicalDf(c: Commit, df: DataFrame): DataFrame = {
+    if (c.nameMap.isEmpty) return df
+    val owner = c.nameMap.map(_.swap) // physical → logical
+    df.columns.foreach { n =>
+      if (!c.nameMap.contains(n))
+        owner.get(n).filter(_ != n).foreach(o => sys.error(
+          s"column name '$n' collides with the physical storage name of renamed " +
+            s"column '$o'; pick a different name"))
+    }
+    df.select(df.columns.map(n =>
+      org.apache.spark.sql.functions.col(n).as(c.nameMap.getOrElse(n, n))).toSeq: _*)
+  }
+
+  /** Rename a scanned frame's columns physical → logical — the LAST step
+    * of every public read path. Identity when the snapshot has no renames.
+    */
+  private def toLogicalDf(c: Commit, df: DataFrame): DataFrame = {
+    if (c.nameMap.isEmpty) return df
+    val inv = c.nameMap.map(_.swap)
+    df.select(df.columns.map(n =>
+      org.apache.spark.sql.functions.col(n).as(inv.getOrElse(n, n))).toSeq: _*)
+  }
+
+  /** The snapshot's LOGICAL column names (physical schema read through the
+    * name mapping).
+    */
+  private def logicalCols(c: Commit): Seq[String] = {
+    val inv = c.nameMap.map(_.swap)
+    c.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+      .map(_.fieldNames.toSeq.map(n => inv.getOrElse(n, n))).getOrElse(Nil)
+  }
+
+  /** COLUMN RENAME as a METADATA-ONLY commit (the public Delta
+    * column-mapping design; Iceberg reaches the same end with field ids):
+    * data files keep their PHYSICAL names forever, the manifest's
+    * logical→physical map changes, and every dir — old and new — reads
+    * through the mapping. Zero data rewrites at any table size; time
+    * travel to a pre-rename version shows pre-rename names because each
+    * manifest carries its own map. Refused loudly: unknown source column,
+    * already-taken target name, and hive PARTITION columns (their physical
+    * name is baked into every directory path). Type changes remain the
+    * job schema evolution refuses — a rename can never alias one.
+    * Idempotent under `commitId`; manifest-only OCC retry like rollback.
+    */
+  def renameColumn(root: String, from: String, to: String, commitId: String): Long = {
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => prior
+      case None =>
+        var out = -1L
+        while (out < 0) {
+          val parent = latestCommit(root)
+            .getOrElse(sys.error(s"renameColumn: no commits at $root"))
+          require(parent.schemaDdl.nonEmpty,
+            "renameColumn: snapshot has no recorded schema (pre-schema commits cannot rename)")
+          val logical = logicalCols(parent)
+          require(logical.contains(from), s"renameColumn: unknown column '$from' " +
+            s"(snapshot columns: ${logical.mkString(", ")})")
+          require(!logical.contains(to), s"renameColumn: column '$to' already exists")
+          val phys = physName(parent, from)
+          require(!parent.partitionCols.contains(phys),
+            s"renameColumn: '$from' is a hive partition column — its physical name is " +
+              "baked into every directory path; repartitioning is a rewrite, not a rename")
+          val newMap = ((parent.nameMap - from) + (to -> phys))
+            .filter { case (l, p) => l != p } // renaming back to the original drops the entry
+          val v = parent.version + 1
+          if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
+              mode = "rename", nameMap = newMap)))
+            out = v
+        }
+        out
+    }
+  }
+
   /** Commit `df` as the next version. `mode` is "overwrite" or "append".
     * Returns the committed version (or the existing one if `commitId` was
     * already committed — idempotent retry). Safe under concurrent committers
@@ -386,15 +487,22 @@ object VersionedTable {
       case Some(prior) => prior // retry of a committed write: no-op
       case None =>
         Files.createDirectories(commitsDir(root))
+        // appends write under PHYSICAL names (identity unless the table
+        // has renames); an overwrite replaces the schema wholesale, so its
+        // names become the new physical names and the mapping resets
+        val preParent = if (mode == "append") latestCommit(root) else None
+        val dfPhys = preParent.fold(df)(p => toPhysicalDf(p, df))
+        val physStats = statsCols.map(c => preParent.fold(c)(p => physName(p, c)))
+        val physBlooms = bloomCols.map(c => preParent.fold(c)(p => physName(p, c)))
         // data first — invisible until a manifest references it; the dir name
         // only needs uniqueness (commitId), the version prefix is a hint
         val nextV = latestVersion(root).map(_ + 1).getOrElse(1L)
         val dirName = f"data/$nextV%010d-$commitId"
-        var w = df.write.mode("overwrite")
+        var w = dfPhys.write.mode("overwrite")
         if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
         w.parquet(s"$root/$dirName")
-        val dirStats = gatherStats(df.sparkSession, s"$root/$dirName", statsCols, df.schema)
-        val dirBlooms = gatherBlooms(df.sparkSession, s"$root/$dirName", bloomCols)
+        val dirStats = gatherStats(df.sparkSession, s"$root/$dirName", physStats, dfPhys.schema)
+        val dirBlooms = gatherBlooms(df.sparkSession, s"$root/$dirName", physBlooms)
         // manifest second, with OCC retry on the version slot; each retry
         // parses only the TAIL (latest manifest + checkpoint probe), so a
         // contended commit stays O(1) parses per attempt
@@ -407,11 +515,17 @@ object VersionedTable {
           } else {
             // a snapshot's dirs must share one hive layout — readers union
             // per-dir scans, and a layout mix would silently widen schemas
-            parent.filter(_ => mode == "append").foreach(p =>
+            parent.filter(_ => mode == "append").foreach { p =>
               require(p.partitionCols == partitionCols,
-                s"append layout $partitionCols != parent's ${p.partitionCols}"))
+                s"append layout $partitionCols != parent's ${p.partitionCols}")
+              // the data was written under preParent's name mapping — a
+              // rename racing between write and publish would make this
+              // dir's physical names stale, so refuse loudly
+              require(p.nameMap == preParent.map(_.nameMap).getOrElse(Map.empty),
+                s"append: column renames advanced during the write (now ${p.nameMap}); re-run")
+            }
             val snapSchema = evolvedSchema(
-              parent.filter(_ => mode == "append").flatMap(_.schemaDdl), df.schema)
+              parent.filter(_ => mode == "append").flatMap(_.schemaDdl), dfPhys.schema)
             val v = parent.map(_.version + 1).getOrElse(1L)
             val (dirs, inherited, inheritedStr, inheritedBlooms) = mode match {
               case "overwrite" => (Seq(dirName),
@@ -442,7 +556,10 @@ object VersionedTable {
             if (publishIfAbsent(root, v,
                 Commit(v, commitId, mode, dirs, stats, strStats, partitionCols, blooms,
                   Some(snapSchema.toDDL), deletes = inhDeletes,
-                  deleteKeys = inhDeleteKeys))) committed = v
+                  deleteKeys = inhDeleteKeys,
+                  nameMap = if (mode == "append")
+                    parent.map(_.nameMap).getOrElse(Map.empty) else Map.empty)))
+              committed = v
           }
         }
         committed
@@ -830,9 +947,10 @@ object VersionedTable {
                 asOf: Option[Long] = None,
                 resolved: Option[Commit] = None): Seq[String] = {
     val c = resolved.getOrElse(resolveSnapshot(root, asOf))
+    val phys = physName(c, colName)
     c.dirs.filter { d =>
-      val f = bloomFile(s"$root/$d", colName)
-      if (c.blooms.get(d).exists(_.contains(colName)) && Files.isRegularFile(f))
+      val f = bloomFile(s"$root/$d", phys)
+      if (c.blooms.get(d).exists(_.contains(phys)) && Files.isRegularFile(f))
         bloomMightContain(Files.readString(f).trim, value)
       else true
     }
@@ -853,13 +971,14 @@ object VersionedTable {
     // resolve the snapshot ONCE — one manifest parse for the whole lookup
     val c = resolveSnapshot(root, asOf)
     val kept = planPoint(root, colName, value, asOf, resolved = Some(c))
-    val pred = col(colName) === value
+    val pred = col(physName(c, colName)) === value
     c.dirs.foreach(d => require(new File(s"$root/$d").isDirectory,
       s"snapshot v${c.version} references vacuumed dir $root/$d"))
-    if (kept.isEmpty)
-      scanDirs(spark, c.dirs.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl)
-        .limit(0).filter(pred)
-    else scanWithDeletes(spark, root, c, kept).filter(pred)
+    toLogicalDf(c,
+      if (kept.isEmpty)
+        scanDirs(spark, c.dirs.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl)
+          .limit(0).filter(pred)
+      else scanWithDeletes(spark, root, c, kept).filter(pred))
   }
 
   /** The column's declared type in a snapshot, when the manifest recorded a
@@ -903,18 +1022,20 @@ object VersionedTable {
     import org.apache.spark.sql.functions.col
     // resolve the snapshot ONCE, like readPoint — one manifest parse
     val c = resolveSnapshot(root, asOf)
+    val phys = physName(c, colName)
     val kept = planRange(root, colName, lo, hi, asOf, resolved = Some(c))
     // timestamp columns take MICROS bounds (matching their footer
     // envelopes); the typed literal keeps the residual pushdown-friendly
-    val dt = colTypeOf(c.schemaDdl, colName)
-    val pred = col(colName) >= boundLit(dt, lo) && col(colName) <= boundLit(dt, hi)
+    val dt = colTypeOf(c.schemaDdl, phys)
+    val pred = col(phys) >= boundLit(dt, lo) && col(phys) <= boundLit(dt, hi)
     c.dirs.foreach(d => require(new File(s"$root/$d").isDirectory,
       s"snapshot v${c.version} references vacuumed dir $root/$d"))
-    if (kept.isEmpty)
-      scanDirs(spark, c.dirs.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl)
-        .limit(0).filter(pred)
-    else scanWithDeletes(spark, root, c, kept,
-      ds => scanDirsPruned(spark, root, c, ds, colName, lo, hi)).filter(pred)
+    toLogicalDf(c,
+      if (kept.isEmpty)
+        scanDirs(spark, c.dirs.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl)
+          .limit(0).filter(pred)
+      else scanWithDeletes(spark, root, c, kept,
+        ds => scanDirsPruned(spark, root, c, ds, phys, lo, hi)).filter(pred))
   }
 
   /** The dirs [[readRange]] would scan: snapshot dirs whose [min, max] for
@@ -924,8 +1045,9 @@ object VersionedTable {
                 asOf: Option[Long] = None,
                 resolved: Option[Commit] = None): Seq[String] = {
     val c = resolved.getOrElse(resolveSnapshot(root, asOf))
+    val phys = physName(c, colName)
     c.dirs.filter { d =>
-      c.stats.get(d).flatMap(_.get(colName)) match {
+      c.stats.get(d).flatMap(_.get(phys)) match {
         case Some((mn, mx)) => mx >= lo && mn <= hi
         case None           => true // no stats: conservatively scan
       }
@@ -960,7 +1082,7 @@ object VersionedTable {
     val c = resolveSnapshot(root, asOf)
     c.dirs.foreach(d => require(new File(s"$root/$d").isDirectory,
       s"snapshot v${c.version} references vacuumed dir $root/$d"))
-    scanWithDeletes(spark, root, c, c.dirs)
+    toLogicalDf(c, scanWithDeletes(spark, root, c, c.dirs))
   }
 
   /** Scan `dirs` of snapshot `c` with each dir's MERGE-ON-READ deletion
@@ -1078,6 +1200,7 @@ object VersionedTable {
   def planRangeFiles(root: String, colName: String, lo: Long, hi: Long,
                      asOf: Option[Long] = None): (Int, Int) = {
     val c = resolveSnapshot(root, asOf)
+    val phys = physName(c, colName)
     val total = c.dirs.map(d => parquetFiles(s"$root/$d").size).sum
     val keptDirs = planRange(root, colName, lo, hi, asOf, resolved = Some(c))
     val scanned = keptDirs.map { d =>
@@ -1085,7 +1208,7 @@ object VersionedTable {
       readFileStats(dp) match {
         case None     => parquetFiles(dp).size
         case Some(fs) => parquetFiles(dp).count(rel =>
-          fs.get(rel).flatMap(_.get(colName)).forall(_.overlapsLong(lo, hi)))
+          fs.get(rel).flatMap(_.get(phys)).forall(_.overlapsLong(lo, hi)))
       }
     }.sum
     (scanned, total)
@@ -1131,15 +1254,16 @@ object VersionedTable {
     added.foreach(d => require(new File(d).isDirectory,
       s"incremental range references vacuumed dir $d"))
     val toC = toCOpt.get
-    if (added.isEmpty)
-      if (to.isEmpty) scanDirs(spark, Nil, toC.partitionCols, toC.schemaDdl)
-      else scanDirs(spark, Seq(s"$root/${to.head}"), toC.partitionCols, toC.schemaDdl).limit(0)
-    else {
-      // added dirs apply `to`'s coverage: a dir appended THEN MOR-covered
-      // inside the range delivers exactly its surviving rows
-      val addedRel = to.filterNot(from.contains)
-      scanWithDeletes(spark, root, toC, addedRel)
-    }
+    toLogicalDf(toC,
+      if (added.isEmpty)
+        if (to.isEmpty) scanDirs(spark, Nil, toC.partitionCols, toC.schemaDdl)
+        else scanDirs(spark, Seq(s"$root/${to.head}"), toC.partitionCols, toC.schemaDdl).limit(0)
+      else {
+        // added dirs apply `to`'s coverage: a dir appended THEN MOR-covered
+        // inside the range delivers exactly its surviving rows
+        val addedRel = to.filterNot(from.contains)
+        scanWithDeletes(spark, root, toC, addedRel)
+      })
   }
 
   /** MERGE INTO with DIR-LEVEL COPY-ON-WRITE (the Delta MERGE shape at this
@@ -1347,7 +1471,7 @@ object VersionedTable {
         parent.partitionCols,
         survivorsDir.filter(_ => dirBlooms.nonEmpty)
           .fold(keptBlooms)(d => keptBlooms + (d -> dirBlooms)),
-        schemaDdl, deletes = cd, deleteKeys = cdk)
+        schemaDdl, deletes = cd, deleteKeys = cdk, nameMap = parent.nameMap)
       if (publishIfAbsent(root, v, c)) out = v
       else findCommitVersion(root, commitId) match {
         case Some(pv) => out = pv // a retry twin of us won the slot
@@ -1359,7 +1483,8 @@ object VersionedTable {
           val newDirs = latest.dirs.filterNot(parent.dirs.contains)
           val conflicts = if (newDirs.isEmpty) Nil else conflictDirs(latest, newDirs)
           val schemaMoved = latest.schemaDdl != pinned.schemaDdl ||
-            latest.partitionCols != pinned.partitionCols
+            latest.partitionCols != pinned.partitionCols ||
+            latest.nameMap != pinned.nameMap
           if (missing.nonEmpty || covChanged.nonEmpty || schemaMoved || conflicts.nonEmpty)
             sys.error(s"$op: log advanced past v${pinned.version} with a CONFLICTING " +
               s"commit (rewrittenMissing=$missing, coverageChanged=$covChanged, " +
@@ -1380,6 +1505,9 @@ object VersionedTable {
       case None =>
         val parent = latestCommit(root)
           .getOrElse(sys.error(s"mergeInto: no commits at $root"))
+        // batch columns arrive LOGICAL; everything below operates PHYSICAL
+        val updPhys = toPhysicalDf(parent, updates)
+        val physKey = physName(parent, keyCol)
         // the batch schema must match the snapshot's EXACTLY (name → type):
         // merge is not schema evolution, and the no-overlap fast path below
         // writes the batch verbatim under the parent's declared schema — an
@@ -1388,15 +1516,15 @@ object VersionedTable {
         parent.schemaDdl.foreach { pd =>
           val ps = org.apache.spark.sql.types.StructType.fromDDL(pd)
           val want = ps.fields.map(f => f.name -> f.dataType.sql).toMap
-          val got = updates.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+          val got = updPhys.schema.fields.map(f => f.name -> f.dataType.sql).toMap
           require(want == got,
             s"mergeInto: batch schema ${got.toSeq.sorted} must equal the snapshot schema " +
               s"${want.toSeq.sorted} (use commit(mode=append) for add-column evolution)")
         }
-        val guarded = guardMergeBatch(updates, keyCol, "mergeInto")
+        val guarded = guardMergeBatch(updPhys, physKey, "mergeInto")
         // bounded scalar probe: the batch's key envelope (integral via the
         // manifest stats index, string via strStats)
-        val (hit, pass) = rangeHitDirs(root, parent, guarded, keyCol, "mergeInto")
+        val (hit, pass) = rangeHitDirs(root, parent, guarded, physKey, "mergeInto")
         val v = parent.version + 1
         val dirName = f"data/$v%010d-$commitId"
         val merged =
@@ -1406,24 +1534,26 @@ object VersionedTable {
             // must not resurrect rows an earlier merge-on-read delete hid
             val base = scanWithDeletes(spark, root, parent, hit)
             base.join(
-                org.apache.spark.sql.functions.broadcast(guarded.select(col(keyCol))),
-                Seq(keyCol), "left_anti")
+                org.apache.spark.sql.functions.broadcast(guarded.select(col(physKey))),
+                Seq(physKey), "left_anti")
               .unionByName(guarded)
           }
         var w = merged.write.mode("overwrite")
         if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
         w.parquet(s"$root/$dirName")
-        val dirStats = gatherStats(spark, s"$root/$dirName", statsCols, merged.schema)
-        val dirBlooms = gatherBlooms(spark, s"$root/$dirName", bloomCols)
+        val dirStats = gatherStats(spark, s"$root/$dirName",
+          statsCols.map(physName(parent, _)), merged.schema)
+        val dirBlooms = gatherBlooms(spark, s"$root/$dirName",
+          bloomCols.map(physName(parent, _)))
         // conflict test for rebase: a dir added by a concurrent commit
         // conflicts iff its envelope/bloom admits any batch key (a rebased
         // merge over it would leave duplicate keys)
         val committed = publishRewriteRebasing(root, parent, rewritten = hit,
           droppedDirs = Nil, survivorsDir = Some(dirName), dirStats, dirBlooms,
           "merge", commitId, "mergeInto",
-          parent.schemaDdl.orElse(Some(updates.schema.toDDL)),
+          parent.schemaDdl.orElse(Some(updPhys.schema.toDDL)),
           (latest, newDirs) =>
-            rangeHitDirs(root, latest.copy(dirs = newDirs), guarded, keyCol, "mergeInto")._1)
+            rangeHitDirs(root, latest.copy(dirs = newDirs), guarded, physKey, "mergeInto")._1)
         (committed, hit.size, parent.dirs.size)
     }
   }
@@ -1469,32 +1599,34 @@ object VersionedTable {
       case None =>
         val parent = latestCommit(root)
           .getOrElse(sys.error(s"applyCdcBatch: no commits at $root"))
+        val updPhys = toPhysicalDf(parent, updates)
+        val physKey = physName(parent, keyCol)
         // updates must match the snapshot schema exactly — same contract
         // (and same reason) as mergeInto's no-overlap fast path
         parent.schemaDdl.foreach { pd =>
           val ps = org.apache.spark.sql.types.StructType.fromDDL(pd)
           val want = ps.fields.map(f => f.name -> f.dataType.sql).toMap
-          val got = updates.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+          val got = updPhys.schema.fields.map(f => f.name -> f.dataType.sql).toMap
           require(want == got,
             s"applyCdcBatch: batch schema ${got.toSeq.sorted} must equal the snapshot " +
               s"schema ${want.toSeq.sorted} (use commit(mode=append) for evolution)")
         }
-        val gUpd = guardMergeBatch(updates, keyCol, "applyCdcBatch")
-        val gDel = deleteKeys.select(col(keyCol))
-          .filter(when(col(keyCol).isNull,
+        val gUpd = guardMergeBatch(updPhys, physKey, "applyCdcBatch")
+        val gDel = deleteKeys.select(col(keyCol).as(physKey))
+          .filter(when(col(physKey).isNull,
               raise_error(lit("applyCdcBatch: NULL delete key (an anti-join never " +
                 "matches NULL, so the row would silently survive)")).cast("boolean"))
             .otherwise(lit(true)))
           .distinct()
-        requireDisjointOps(gUpd, gDel, keyCol, "applyCdcBatch")
-        val allKeys = gUpd.select(col(keyCol)).unionByName(gDel).distinct()
-        val (hit, _) = rangeHitDirs(root, parent, allKeys, keyCol, "applyCdcBatch")
+        requireDisjointOps(gUpd, gDel, physKey, "applyCdcBatch")
+        val allKeys = gUpd.select(col(physKey)).unionByName(gDel).distinct()
+        val (hit, _) = rangeHitDirs(root, parent, allKeys, physKey, "applyCdcBatch")
         val v = parent.version + 1
         val dirName = f"data/$v%010d-$commitId"
         val merged =
           if (hit.isEmpty) gUpd
           else scanWithDeletes(spark, root, parent, hit)
-            .join(org.apache.spark.sql.functions.broadcast(allKeys), Seq(keyCol), "left_anti")
+            .join(org.apache.spark.sql.functions.broadcast(allKeys), Seq(physKey), "left_anti")
             .unionByName(gUpd)
         var w = merged.write.mode("overwrite")
         if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
@@ -1511,15 +1643,15 @@ object VersionedTable {
         }.sum
         val survivorsDir = if (rows == 0L) None else Some(dirName)
         val dirStats = survivorsDir.fold(DirStats(Map.empty, Map.empty))(d =>
-          gatherStats(spark, s"$root/$d", statsCols, merged.schema))
+          gatherStats(spark, s"$root/$d", statsCols.map(physName(parent, _)), merged.schema))
         val dirBlooms = survivorsDir.fold(Seq.empty[String])(d =>
-          gatherBlooms(spark, s"$root/$d", bloomCols))
+          gatherBlooms(spark, s"$root/$d", bloomCols.map(physName(parent, _))))
         val committed = publishRewriteRebasing(root, parent, rewritten = hit,
           droppedDirs = Nil, survivorsDir = survivorsDir, dirStats, dirBlooms,
           "merge", commitId, "applyCdcBatch",
-          parent.schemaDdl.orElse(Some(updates.schema.toDDL)),
+          parent.schemaDdl.orElse(Some(updPhys.schema.toDDL)),
           (latest, newDirs) =>
-            rangeHitDirs(root, latest.copy(dirs = newDirs), allKeys, keyCol,
+            rangeHitDirs(root, latest.copy(dirs = newDirs), allKeys, physKey,
               "applyCdcBatch")._1)
         (committed, hit.size, parent.dirs.size)
     }
@@ -1557,13 +1689,14 @@ object VersionedTable {
       case None =>
         val parent = latestCommit(root)
           .getOrElse(sys.error(s"deleteWhere: no commits at $root"))
-        val guarded = keys.select(col(keyCol))
-          .filter(when(col(keyCol).isNull,
+        val physKey = physName(parent, keyCol)
+        val guarded = keys.select(col(keyCol).as(physKey))
+          .filter(when(col(physKey).isNull,
               raise_error(lit("deleteWhere: NULL delete key (an anti-join never matches " +
                 "NULL, so the row would silently survive)")).cast("boolean"))
             .otherwise(lit(true)))
           .distinct()
-        val (hit, pass) = rangeHitDirs(root, parent, guarded, keyCol, "deleteWhere")
+        val (hit, pass) = rangeHitDirs(root, parent, guarded, physKey, "deleteWhere")
         val v = parent.version + 1
         val dirName = f"data/$v%010d-$commitId"
         val survivorsDir: Option[String] =
@@ -1571,7 +1704,7 @@ object VersionedTable {
           else {
             val base = scanWithDeletes(spark, root, parent, hit)
             val survivors = base.join(
-              org.apache.spark.sql.functions.broadcast(guarded), Seq(keyCol), "left_anti")
+              org.apache.spark.sql.functions.broadcast(guarded), Seq(physKey), "left_anti")
             var w = survivors.write.mode("overwrite")
             if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
             w.parquet(s"$root/$dirName")
@@ -1589,11 +1722,11 @@ object VersionedTable {
             if (rows == 0L) None else Some(dirName)
           }
         val dirStats = survivorsDir.fold(DirStats(Map.empty, Map.empty))(d =>
-          gatherStats(spark, s"$root/$d", statsCols,
+          gatherStats(spark, s"$root/$d", statsCols.map(physName(parent, _)),
             parent.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
               .getOrElse(spark.read.parquet(s"$root/$d").schema)))
         val dirBlooms = survivorsDir.fold(Seq.empty[String])(d =>
-          gatherBlooms(spark, s"$root/$d", bloomCols))
+          gatherBlooms(spark, s"$root/$d", bloomCols.map(physName(parent, _))))
         // conflict test for rebase: a concurrently-added dir conflicts iff
         // it might hold a deleted key (a rebased delete committing AFTER
         // such an append would claim rows it never removed)
@@ -1601,7 +1734,7 @@ object VersionedTable {
           droppedDirs = Nil, survivorsDir = survivorsDir, dirStats, dirBlooms,
           "delete", commitId, "deleteWhere", parent.schemaDdl,
           (latest, newDirs) =>
-            rangeHitDirs(root, latest.copy(dirs = newDirs), guarded, keyCol, "deleteWhere")._1)
+            rangeHitDirs(root, latest.copy(dirs = newDirs), guarded, physKey, "deleteWhere")._1)
         (committed, hit.size, parent.dirs.size)
     }
   }
@@ -1634,8 +1767,11 @@ object VersionedTable {
     findCommitVersion(root, commitId) match {
       case Some(prior) => (prior, -1, -1)
       case None =>
-        val guarded = keys.select(col(keyCol))
-          .filter(when(col(keyCol).isNull,
+        val preParent = latestCommit(root)
+          .getOrElse(sys.error(s"deleteWhereMor: no commits at $root"))
+        val physKey = physName(preParent, keyCol)
+        val guarded = keys.select(col(keyCol).as(physKey))
+          .filter(when(col(physKey).isNull,
               raise_error(lit("deleteWhereMor: NULL delete key (an anti-join never matches " +
                 "NULL, so the row would silently survive)")).cast("boolean"))
             .otherwise(lit(true)))
@@ -1652,7 +1788,12 @@ object VersionedTable {
             case Some(prior) => result = (prior, -1, -1) // another retry of us won
             case None =>
               val parent = parentOpt.get
-              val (hit, _) = rangeHitDirs(root, parent, guarded, keyCol, "deleteWhereMor")
+              // the set file is already written under preParent's PHYSICAL
+              // key name — a rename racing in would leave the set's column
+              // stale, so refuse loudly instead of publishing a broken ref
+              require(physName(parent, keyCol) == physKey,
+                s"deleteWhereMor: column renames advanced during the write; re-run")
+              val (hit, _) = rangeHitDirs(root, parent, guarded, physKey, "deleteWhereMor")
               val v = parent.version + 1
               val newDeletes = hit.foldLeft(parent.deletes) { (m, d) =>
                 m + (d -> (m.getOrElse(d, Nil) :+ setName))
@@ -1662,11 +1803,12 @@ object VersionedTable {
               // name it (vacuum will sweep the orphan set dir)
               val newDeleteKeys =
                 if (hit.isEmpty) parent.deleteKeys
-                else parent.deleteKeys + (setName -> keyCol)
+                else parent.deleteKeys + (setName -> physKey)
               val c = Commit(v, commitId, "delete-mor", parent.dirs,
                 parent.stats, parent.strStats, parent.partitionCols, parent.blooms,
                 parent.schemaDdl,
-                deletes = newDeletes, deleteKeys = newDeleteKeys)
+                deletes = newDeletes, deleteKeys = newDeleteKeys,
+                nameMap = parent.nameMap)
               if (publishIfAbsent(root, v, c)) result = (v, hit.size, parent.dirs.size)
               // lost the race: manifest-only — recompute against the new
               // parent and retry (the key set is already in place)
@@ -1735,12 +1877,13 @@ object VersionedTable {
       case None =>
         val parent = latestCommit(root)
           .getOrElse(sys.error(s"deleteRange: no commits at $root"))
+        val phys = physName(parent, colName)
         // bound types must MATCH the column: unlike every skip path, the
         // Drop class bypasses the residual predicate entirely, so a
         // type-confused bound (a long against a string column would compare
         // stringified-lexicographically) could drop rows the predicate
         // would have kept. Validated against the snapshot schema, loudly.
-        colTypeOf(parent.schemaDdl, colName)
+        colTypeOf(parent.schemaDdl, phys)
           .foreach {
             case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
                  org.apache.spark.sql.types.TimestampType |
@@ -1788,7 +1931,7 @@ object VersionedTable {
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
               new org.apache.hadoop.fs.Path(s"$root/$dir/$rel"), conf))
           try rdr.getFooter.getBlocks.asScala.exists(_.getColumns.asScala.exists { cc =>
-            cc.getPath.toDotString == colName && {
+            cc.getPath.toDotString == phys && {
               val st = cc.getStatistics
               st == null || !st.isNumNullsSet || st.getNumNulls > 0
             }
@@ -1797,8 +1940,8 @@ object VersionedTable {
         }
         val classed = parent.dirs.map { d =>
           val env: Option[(Any, Any)] =
-            parent.stats.get(d).flatMap(_.get(colName)).map(t => (t._1: Any, t._2: Any))
-              .orElse(parent.strStats.get(d).flatMap(_.get(colName))
+            parent.stats.get(d).flatMap(_.get(phys)).map(t => (t._1: Any, t._2: Any))
+              .orElse(parent.strStats.get(d).flatMap(_.get(phys))
                 .map(t => (t._1: Any, t._2: Any)))
           val c0 = classify(env)
           // a contained dir with (possible) NULLs must rewrite: NULL rows
@@ -1806,9 +1949,9 @@ object VersionedTable {
           // For a PARTITION column the footers carry nothing — the NULL
           // carrier is the hive sentinel subdir, so that is what's checked.
           val nullable =
-            if (parent.partitionCols.contains(colName))
+            if (parent.partitionCols.contains(phys))
               parquetFiles(s"$root/$d")
-                .exists(_.contains(s"$colName=__HIVE_DEFAULT_PARTITION__"))
+                .exists(_.contains(s"$phys=__HIVE_DEFAULT_PARTITION__"))
             else hasNulls(d)
           d -> (if (c0 == Drop && nullable) Rewrite else c0)
         }
@@ -1817,9 +1960,9 @@ object VersionedTable {
         val pass = classed.collect { case (d, Pass) => d }
         val v = parent.version + 1
         val dirName = f"data/$v%010d-$commitId"
-        val bdt = colTypeOf(parent.schemaDdl, colName)
-        val keep = col(colName).isNull ||
-          !(col(colName) >= boundLit(bdt, lo) && col(colName) <= boundLit(bdt, hi))
+        val bdt = colTypeOf(parent.schemaDdl, phys)
+        val keep = col(phys).isNull ||
+          !(col(phys) >= boundLit(bdt, lo) && col(phys) <= boundLit(bdt, hi))
         val survivorsDir: Option[String] =
           if (hit.isEmpty) None
           else {
@@ -1837,11 +1980,11 @@ object VersionedTable {
             if (rows == 0L) None else Some(dirName)
           }
         val dirStats = survivorsDir.fold(DirStats(Map.empty, Map.empty))(d =>
-          gatherStats(spark, s"$root/$d", statsCols,
+          gatherStats(spark, s"$root/$d", statsCols.map(physName(parent, _)),
             parent.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
               .getOrElse(spark.read.parquet(s"$root/$d").schema)))
         val dirBlooms = survivorsDir.fold(Seq.empty[String])(d =>
-          gatherBlooms(spark, s"$root/$d", bloomCols))
+          gatherBlooms(spark, s"$root/$d", bloomCols.map(physName(parent, _))))
         // conflict test for rebase: a concurrently-added dir conflicts iff
         // its envelope might intersect [lo, hi] (a stats-less new dir is
         // conservatively a conflict — classify() calls it Rewrite)
@@ -1850,8 +1993,8 @@ object VersionedTable {
           "delete", commitId, "deleteRange", parent.schemaDdl,
           (latest, newDirs) => newDirs.filter { d =>
             val env: Option[(Any, Any)] =
-              latest.stats.get(d).flatMap(_.get(colName)).map(t => (t._1: Any, t._2: Any))
-                .orElse(latest.strStats.get(d).flatMap(_.get(colName))
+              latest.stats.get(d).flatMap(_.get(phys)).map(t => (t._1: Any, t._2: Any))
+                .orElse(latest.strStats.get(d).flatMap(_.get(phys))
                   .map(t => (t._1: Any, t._2: Any)))
             classify(env) != Pass
           })
@@ -1876,7 +2019,8 @@ object VersionedTable {
           val v = parent.version + 1
           if (publishIfAbsent(root, v, Commit(v, commitId, "rollback", target.dirs,
               target.stats, target.strStats, target.partitionCols, target.blooms,
-              target.schemaDdl, deletes = target.deletes, deleteKeys = target.deleteKeys)))
+              target.schemaDdl, deletes = target.deletes, deleteKeys = target.deleteKeys,
+              nameMap = target.nameMap)))
             committed = v
         }
         committed
@@ -1914,12 +2058,14 @@ object VersionedTable {
     * the fresh footers so `readRange` pruning survives the rewrite.
     */
   /** `zorderBy` (Delta's OPTIMIZE ZORDER BY): when set (flat snapshots,
-    * exactly two integral/timestamp columns), the rewrite range-partitions
-    * by the Morton interleave of the pair — both dimensions rank-scaled to
-    * 10 bits first so neither's magnitude dominates — and `statsCols`
-    * should name both so the rebuilt per-file index prunes range
-    * predicates on EITHER dimension. This is the maintenance verb that
-    * re-clusters an append-grown table in place (as a commit), where
+    * 2..6 integral/timestamp/STRING columns), the rewrite range-partitions
+    * by the k-way Morton interleave — every dimension rank-scaled to 10
+    * bits first so no magnitude dominates; strings enter through their
+    * order-preserving UTF-8 byte prefix, so a string dimension's per-file
+    * envelopes stay tight — and `statsCols` should name all of them so the
+    * rebuilt per-file index prunes range predicates on ANY single
+    * dimension. This is the maintenance verb that re-clusters an
+    * append-grown table in place (as a commit), where
     * `versioned_zorder_scan`'s shape is a fresh bulk load.
     */
   def compact(spark: SparkSession, root: String, commitId: String,
@@ -1931,39 +2077,53 @@ object VersionedTable {
       case None =>
         val parent = latestCommit(root)
           .getOrElse(sys.error(s"compact: no commits at $root"))
-        val cur = read(spark, root)
+        // compact rewrites the PHYSICAL row set — the public read() path
+        // renames to logical names, which must never leak into data files
+        parent.dirs.foreach(d => require(new File(s"$root/$d").isDirectory,
+          s"snapshot v${parent.version} references vacuumed dir $root/$d"))
+        val cur = scanWithDeletes(spark, root, parent, parent.dirs)
+        val physZorder = zorderBy.map(physName(parent, _))
         val df =
           if (zorderBy.nonEmpty) {
-            import org.apache.spark.sql.functions.{col, expr, floor, max, min}
-            require(zorderBy.size == 2,
-              s"zorderBy takes exactly two columns, got $zorderBy")
+            import org.apache.spark.sql.functions.{col, expr, floor, lit, max, min, shiftleft, shiftright}
+            import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
+            val k = zorderBy.size
+            require(k >= 2 && k <= 6, s"zorderBy takes 2..6 columns, got $zorderBy")
             require(parent.partitionCols.isEmpty,
               "zorderBy applies to flat snapshots (hive partitions already cluster)")
-            // micros for timestamps, raw value otherwise — one bounded
-            // 4-scalar probe for the two scale envelopes
-            def micCol(c: String) = cur.schema(c).dataType match {
-              case org.apache.spark.sql.types.TimestampType |
-                   org.apache.spark.sql.types.TimestampNTZType =>
-                expr(s"unix_micros(cast(`$c` as timestamp))")
-              case org.apache.spark.sql.types.LongType |
-                   org.apache.spark.sql.types.IntegerType => col(c).cast("long")
-              case other => sys.error(s"zorderBy supports integral/timestamp columns; $c is $other")
+            // per-dimension MONOTONE long: micros for timestamps, the raw
+            // value for integrals, and the first 60 bits of the UTF-8 byte
+            // sequence for strings (hex-prefix, right-padded so shorter
+            // strings stay left-aligned) — order-preserving in exactly the
+            // envelope order utf8Compare/parquet use, so the rebuilt
+            // per-file STRING envelopes stay tight and range predicates on
+            // a string dimension prune files like any integral dimension
+            def monoCol(physC: String, logC: String) = cur.schema(physC).dataType match {
+              case TimestampType | TimestampNTZType =>
+                expr(s"unix_micros(cast(`$physC` as timestamp))")
+              case LongType | IntegerType => col(physC).cast("long")
+              case StringType => expr(
+                s"cast(conv(substring(rpad(hex(encode(`$physC`, 'UTF-8')), 15, '0'), 1, 15), 16, 10) as bigint)")
+              case other => sys.error(
+                s"zorderBy supports integral/timestamp/string columns; $logC is $other")
             }
-            val (xc, yc) = (micCol(zorderBy.head), micCol(zorderBy(1)))
-            val r = cur.agg(min(xc), max(xc), min(yc), max(yc)).head()
-            require(!r.isNullAt(0) && !r.isNullAt(2),
-              "zorderBy: a clustering column is entirely NULL")
-            val (x0, x1, y0, y1) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
-            val xb = floor((xc - x0) * 1024.0 / math.max(1L, x1 - x0 + 1)).cast("long")
-            val yb = floor((yc - y0) * 1024.0 / math.max(1L, y1 - y0 + 1)).cast("long")
-            val z = (0 until 10).map { j =>
-              org.apache.spark.sql.functions.shiftleft(
-                org.apache.spark.sql.functions.shiftright(xb, j)
-                  .bitwiseAND(org.apache.spark.sql.functions.lit(1L)), 2 * j) +
-              org.apache.spark.sql.functions.shiftleft(
-                org.apache.spark.sql.functions.shiftright(yb, j)
-                  .bitwiseAND(org.apache.spark.sql.functions.lit(1L)), 2 * j + 1)
-            }.reduce(_ + _)
+            val dims = physZorder.zip(zorderBy).map { case (p, l) => monoCol(p, l) }
+            // one bounded 2k-scalar probe for the per-dimension envelopes
+            val aggs = dims.flatMap(d => Seq(min(d), max(d)))
+            val r = cur.agg(aggs.head, aggs.tail: _*).head()
+            val buckets = dims.zipWithIndex.map { case (d, i) =>
+              require(!r.isNullAt(2 * i),
+                s"zorderBy: clustering column ${zorderBy(i)} is entirely NULL")
+              val (lo0, hi0) = (r.getLong(2 * i), r.getLong(2 * i + 1))
+              // rank-scale each dimension to 10 bits so no magnitude
+              // dominates the interleave
+              floor((d - lo0) * 1024.0 / math.max(1L, hi0 - lo0 + 1)).cast("long")
+            }
+            // k-way round-robin Morton interleave: bit j of dimension i
+            // lands at position j*k + i (≤ 60 bits for k ≤ 6)
+            val z = (for { j <- 0 until 10; i <- buckets.indices } yield
+              shiftleft(shiftright(buckets(i), j).bitwiseAND(lit(1L)), j * k + i)
+            ).reduce(_ + _)
             cur.withColumn("__graft_z", z)
               .repartitionByRange(targetFiles, col("__graft_z"))
               .drop("__graft_z")
@@ -1977,8 +2137,10 @@ object VersionedTable {
         var w = df.write.mode("overwrite")
         if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
         w.parquet(s"$root/$dirName")
-        val dirStats = gatherStats(spark, s"$root/$dirName", statsCols, cur.schema)
-        val dirBlooms = gatherBlooms(spark, s"$root/$dirName", bloomCols)
+        val dirStats = gatherStats(spark, s"$root/$dirName",
+          statsCols.map(physName(parent, _)), cur.schema)
+        val dirBlooms = gatherBlooms(spark, s"$root/$dirName",
+          bloomCols.map(physName(parent, _)))
         val c = Commit(v, commitId, "compact", Seq(dirName),
           if (dirStats.ints.isEmpty) Map.empty else Map(dirName -> dirStats.ints),
           if (dirStats.strs.isEmpty) Map.empty
@@ -1986,7 +2148,8 @@ object VersionedTable {
           parent.partitionCols,
           if (dirBlooms.isEmpty) Map.empty
           else Map(dirName -> dirBlooms): Map[String, Seq[String]],
-          parent.schemaDdl.orElse(Some(cur.schema.toDDL)))
+          parent.schemaDdl.orElse(Some(cur.schema.toDDL)),
+          nameMap = parent.nameMap)
         if (!publishIfAbsent(root, v, c))
           sys.error(s"compact: log advanced past v${parent.version} during the rewrite; " +
             "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")

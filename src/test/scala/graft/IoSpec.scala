@@ -1122,6 +1122,83 @@ class IoSpec extends SparkSpec {
       "the refused delete must NOT apply")
   }
 
+  test("VersionedTable.renameColumn: metadata-only rename — appends, scans, merges, time travel all read through the mapping") {
+    import spark.implicits._
+    val root = tmpDir("vt_rename")
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "payload"),
+      root, "append", "r1", statsCols = Seq("id"))
+    val v2 = VersionedTable.renameColumn(root, "payload", "body", "ren1")
+    assert(v2 == 2L)
+    // the rename moved ZERO data: same dirs, same physical files
+    assert(VersionedTable.history(root).last.dirs ==
+      VersionedTable.history(root).head.dirs)
+    assert(VersionedTable.read(spark, root).columns.toSeq == Seq("id", "body"))
+    // an append AFTER the rename uses the NEW logical name; files land
+    // under the original physical name, invisible to the reader
+    VersionedTable.commit(Seq((3L, "c")).toDF("id", "body"), root, "append", "r2",
+      statsCols = Seq("id"))
+    val all = VersionedTable.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(all == Seq((1L, "a"), (2L, "b"), (3L, "c")), all.toString)
+    // TIME TRAVEL to the pre-rename version shows the pre-rename name
+    assert(VersionedTable.read(spark, root, Some(1L)).columns.toSeq == Seq("id", "payload"))
+    // a string-keyed verb on the renamed column routes through the mapping
+    val (_, hit, _) = VersionedTable.mergeInto(spark, root,
+      Seq((2L, "B2")).toDF("id", "body"), "id", "ren-merge", statsCols = Seq("id"))
+    assert(hit >= 1)
+    assert(VersionedTable.read(spark, root).filter(col("id") === 2L)
+      .select("body").head().getString(0) == "B2")
+    // range reads + plans translate the logical name into the stats index
+    assert(VersionedTable.readRange(spark, root, "id", 3L, 3L)
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+    // guards: unknown source, taken target, type changes still refused
+    intercept[IllegalArgumentException](VersionedTable.renameColumn(root, "nope", "x", "ren-bad1"))
+    intercept[IllegalArgumentException](VersionedTable.renameColumn(root, "body", "id", "ren-bad2"))
+    intercept[Exception](VersionedTable.commit(
+      Seq((9L, 9L)).toDF("id", "body"), root, "append", "ren-bad3"))
+    // a NEW column named like a renamed column's PHYSICAL slot is refused —
+    // two logical columns must never share one physical name
+    val e = intercept[RuntimeException](VersionedTable.commit(
+      Seq((9L, "x", 1.0)).toDF("id", "body", "payload"), root, "append", "ren-bad4"))
+    assert(e.getMessage.contains("physical storage name"), e.getMessage)
+    // renaming BACK to the original name drops the mapping entry entirely
+    VersionedTable.renameColumn(root, "body", "payload", "ren-back")
+    assert(VersionedTable.history(root).last.nameMap.isEmpty)
+    assert(VersionedTable.read(spark, root).columns.toSeq == Seq("id", "payload"))
+    // partition columns refuse — their physical name is baked into paths
+    val root2 = tmpDir("vt_rename_part")
+    VersionedTable.commit(Seq((1L, 2024, "a")).toDF("id", "year", "s"), root2,
+      "append", "p1", partitionCols = Seq("year"))
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(root2, "year", "yr", "ren-part"))
+  }
+
+  test("VersionedTable.compact: k-column OPTIMIZE ZORDER BY with a string dimension prunes files on any single axis") {
+    import spark.implicits._
+    val root = tmpDir("vt_zorder3")
+    // 3 dimensions: two longs + a string; values crafted so the three
+    // axes are mutually independent
+    val rows = (0L until 4096L).map { i =>
+      (i % 64, (i / 64) % 64, f"k${i % 97}%03d", i)
+    }
+    VersionedTable.commit(rows.toDF("x", "y", "name", "v"), root, "overwrite", "z1")
+    VersionedTable.compact(spark, root, "z-opt", targetFiles = 16,
+      statsCols = Seq("x", "y", "name"), zorderBy = Seq("x", "y", "name"))
+    // a range predicate on EACH single dimension must prune most files
+    val (sx, tot) = VersionedTable.planRangeFiles(root, "x", 0L, 7L)
+    assert(tot == 16 && sx < tot, s"x-axis pruning: $sx/$tot")
+    val (sy, _) = VersionedTable.planRangeFiles(root, "y", 0L, 7L)
+    assert(sy < tot, s"y-axis pruning: $sy/$tot")
+    // the string axis prunes through its per-file STRING envelopes (the
+    // UTF-8-prefix monotone keeps them tight); correctness first
+    val got = VersionedTable.read(spark, root)
+      .filter(col("name") === "k005").count()
+    assert(got == rows.count(_._3 == "k005"))
+    // and rows are untouched by the re-cluster
+    assert(VersionedTable.read(spark, root).agg(sum("v")).head().getLong(0)
+      == rows.map(_._4).sum)
+  }
+
   test("VersionedTable: string envelopes order by UTF-8 bytes, not UTF-16 code units") {
     import spark.implicits._
     // "" (UTF-8: EE 80 80) vs "😀" U+1F600 (UTF-8: F0 9F 98 80):
