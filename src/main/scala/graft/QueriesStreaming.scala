@@ -596,7 +596,9 @@ private[graft] object QueriesStreaming {
     // contract is part of the oracle: clicks whose window the watermark
     // never passes (the last watermark+horizon of the stream) stay in
     // state, so the oracle's unmatched branch carries the same
-    // `ts + horizon < max(ts) - watermark` bound the engine enforces —
+    // `ts + horizon < wm` bound the engine enforces, where wm is the
+    // GLOBAL watermark = min of the two inputs' watermarks (each side
+    // only sees its own event type, so the lagging side gates both) —
     // stream/batch equivalence INCLUDING the eviction boundary.
     Q("stream_stream_left_join",
       (s, dir) => {
@@ -620,15 +622,66 @@ private[graft] object QueriesStreaming {
       },
       Some("""WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
         |p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+        |  - INTERVAL 1 MINUTE AS wm),
         |m AS (SELECT c.event_id AS click_id, p.event_id AS purchase_id
         |  FROM c JOIN p ON c.user_id = p.user_id
         |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
         |u AS (SELECT c.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id
-        |  FROM c WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |  FROM c CROSS JOIN w WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
         |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
-        |  AND c.ts + INTERVAL 30 MINUTE <
-        |    (SELECT max(ts) FROM events) - INTERVAL 1 MINUTE)
+        |  AND c.ts + INTERVAL 30 MINUTE < wm)
         |SELECT * FROM m UNION ALL SELECT * FROM u ORDER BY 1, 2""".stripMargin)),
+
+    // FULL OUTER stream-stream interval join (intervalJoinFullOuter — the
+    // attribution-COMPLETE form: every click appears, purchased or not,
+    // AND every purchase appears, attributed or not). Each side has its
+    // own eviction bound, and BOTH are part of the oracle: a click emits
+    // null-padded once the watermark passes its whole [ts, ts+30min]
+    // window (ts + horizon < max(ts) - watermark, as in the left-outer
+    // row); a purchase can only match clicks in [ts-30min, ts], so it
+    // emits null-padded once the watermark passes its OWN timestamp
+    // (ts < max(ts) - watermark) — tighter by one horizon. Stream/batch
+    // equivalence including both eviction boundaries.
+    Q("stream_stream_full_join",
+      (s, dir) => {
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val batchSchema = rd(ss, dir, "events").schema
+        def stream(kind: String, prefix: String) = ss.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .filter(col("event_type") === kind)
+          .select(col("user_id").as(s"${prefix}_user"),
+            col("event_id").as(s"${prefix}_id"),
+            expr(tsStampSql(batchSchema)).as(s"${prefix}_ts"))
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.intervalJoinFullOuter(
+            stream("click", "c"), stream("purchase", "p"),
+            "c_user", "p_user", "c_ts", "p_ts", "1 minute", "30 minutes")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        // NULLS LAST to match the oracle's ORDER BY (DuckDB default) —
+        // click_id is nullable here, unlike the left-outer row
+        ss.table(name).select(col("c_id").as("click_id"), col("p_id").as("purchase_id"))
+          .orderBy(col("click_id").asc_nulls_last, col("purchase_id").asc_nulls_last)
+      },
+      Some("""WITH c AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase'),
+        |w AS (SELECT least((SELECT max(ts) FROM c), (SELECT max(ts) FROM p))
+        |  - INTERVAL 1 MINUTE AS wm),
+        |m AS (SELECT c.event_id AS click_id, p.event_id AS purchase_id
+        |  FROM c JOIN p ON c.user_id = p.user_id
+        |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE),
+        |ul AS (SELECT c.event_id AS click_id, CAST(NULL AS BIGINT) AS purchase_id
+        |  FROM c CROSS JOIN w WHERE NOT EXISTS (SELECT 1 FROM p WHERE p.user_id = c.user_id
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+        |  AND c.ts + INTERVAL 30 MINUTE < wm),
+        |ur AS (SELECT CAST(NULL AS BIGINT) AS click_id, p.event_id AS purchase_id
+        |  FROM p CROSS JOIN w WHERE NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.user_id
+        |    AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE)
+        |  AND p.ts < wm)
+        |SELECT * FROM m UNION ALL SELECT * FROM ul UNION ALL SELECT * FROM ur
+        |ORDER BY 1, 2""".stripMargin)),
 
     // STREAMING PQ-INDEX MAINTENANCE (the ninth declared streaming path —
     // stream_index_maintain's compressed-ANN counterpart): the standing

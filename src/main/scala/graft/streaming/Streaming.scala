@@ -111,6 +111,31 @@ object Streaming {
           s"AND $rightTs <= $leftTs + INTERVAL $horizon"),
         "left_outer")
 
+  /** FULL OUTER stream-stream interval join — the attribution-COMPLETE
+    * watermarked-join shape (every click appears, purchased or not, AND
+    * every purchase appears, attributed or not): unmatched rows from BOTH
+    * sides emit null-padded at state eviction. Eviction geometry per side:
+    * a LEFT row emits unmatched once the watermark passes its whole join
+    * window `[leftTs, leftTs + horizon]` (identical to the left-outer
+    * form); a RIGHT row at `rightTs` can only match lefts with
+    * `leftTs ∈ [rightTs - horizon, rightTs]`, so it provably cannot match
+    * any future left once the watermark passes `rightTs` itself — its
+    * eviction bound is tighter by one horizon. Both bounds are part of the
+    * operator's honest tail contract and both appear verbatim in the
+    * batch oracle: left-unmatched rows appear up to
+    * `max(eventTime) - watermark - horizon`, right-unmatched up to
+    * `max(eventTime) - watermark`. State stays ∝ rate × horizon per side.
+    */
+  def intervalJoinFullOuter(left: DataFrame, right: DataFrame,
+                            leftKey: String, rightKey: String,
+                            leftTs: String, rightTs: String,
+                            watermark: String, horizon: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs " +
+          s"AND $rightTs <= $leftTs + INTERVAL $horizon"),
+        "full_outer")
+
   /** Streaming corpus curation — the STATELESS curation stages applied to a
     * document stream: quality filter (the x3_quality_score thresholds) →
     * exact-fingerprint decontamination as a STREAM-STATIC left-anti join

@@ -200,6 +200,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinFullOuter: unmatched rows from BOTH sides emit null-padded at their per-side eviction bounds") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val lm = MemoryStream[(Long, String, Timestamp)]
+    val rm = MemoryStream[(Long, String, Timestamp)]
+    val joined = Streaming.intervalJoinFullOuter(
+      lm.toDF().toDF("l_key", "l_id", "l_ts"), rm.toDF().toDF("r_key", "r_id", "r_ts"),
+      "l_key", "r_key", "l_ts", "r_ts", "1 minute", "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("ssfj").outputMode("append").start()
+    try {
+      // batch 1: u1 matches; u2's click (left) and u99's purchase (right)
+      // are unmatched — neither may emit before its eviction bound passes
+      lm.addData((1L, "c1", ts("2024-01-01 10:00:00")), (2L, "c2", ts("2024-01-01 10:00:00")))
+      rm.addData((1L, "p1", ts("2024-01-01 10:10:00")), (99L, "p99", ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      def rowsNow = spark.table("ssfj").select("l_id", "r_id")
+        .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)))).toSet
+      assert(rowsNow == Set((Some("c1"), Some("p1"))),
+        s"unmatched rows must wait for eviction, got $rowsNow")
+      // batch 2: advance BOTH side watermarks far past every bound —
+      // c2 emits (left bound: window behind watermark) AND p99 emits
+      // (right bound: its own timestamp behind the watermark). The
+      // attribution-complete property the left-outer form lacks.
+      lm.addData((3L, "c3", ts("2024-01-01 12:00:00")))
+      rm.addData((98L, "p98", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      assert(rowsNow == Set(
+        (Some("c1"), Some("p1")), (Some("c2"), None), (None, Some("p99"))),
+        s"expected BOTH sides' unmatched rows after expiry: $rowsNow")
+    } finally q.stop()
+  }
+
   test("checkpoint restart: resumes from committed offsets with dedup state intact (exactly-once)") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
