@@ -421,6 +421,89 @@ private[graft] object QueriesStreaming {
         "TRUE AS replay_noop " +
         "FROM orders WHERE o_orderkey % 5 = 0 GROUP BY 1 ORDER BY 1")),
 
+    // ST — STREAMING SOURCE over the versioned table (the read half of the
+    // exactly-once pipeline; Streaming.versionedSource → the graft-versioned
+    // v1 Source): offsets ARE commit versions. Two appends seed the table;
+    // the fresh stream's first batch is the INITIAL SNAPSHOT (both commits,
+    // one snapshot read), then a third append lands WHILE THE STREAM RUNS
+    // and arrives as that commit's dir-difference delta — the continuous
+    // form of changesBetween, zero source-side state, manifest immutability
+    // + the offset checkpoint carrying exactly-once. 'incremental' pins
+    // that the post-start commit was really consumed from a live offset
+    // (stream offset advanced to v3 after the second drain).
+    Q("stream_versioned_source",
+      (s, dir) => {
+        val root = freshDir(s, "graft_stream_vsource")
+        val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 0),
+          root, "append", "c0", statsCols = Seq("o_orderkey"))
+        graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 1),
+          root, "append", "c1", statsCols = Seq("o_orderkey"))
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.versionedSource(s, root)
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        val incremental = try {
+          q.processAllAvailable()
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 2),
+            root, "append", "c2", statsCols = Seq("o_orderkey"))
+          q.processAllAvailable()
+          q.lastProgress != null &&
+            q.lastProgress.sources.exists(_.endOffset == "3")
+        } finally q.stop()
+        s.table(name)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("incremental", lit(incremental))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "TRUE AS incremental " +
+        "FROM orders GROUP BY 1 ORDER BY 1")),
+
+    // ST — TABLE-TO-TABLE STREAMING PIPELINE (the exactly-once composition
+    // capstone: versionedSource → transform → versionedSink). A source
+    // table's commit log streams through a filter+projection into a DERIVED
+    // versioned table; the checkpoint carries the source's version cursor
+    // AND the sink's batch ids, so a RESTART (run 2, Trigger.AvailableNow)
+    // delivers exactly the commits that landed in between — the initial
+    // snapshot never replays, every derived row lands exactly once, and
+    // the derived log gains exactly one commit per non-empty batch
+    // ('log_shape' pins v2 = snapshot batch + delta batch). This is the
+    // medallion chain (bronze table → silver table) as a CONTINUOUS
+    // pipeline over two commit logs with no external transaction service.
+    Q("stream_table_pipeline",
+      (s, dir) => {
+        val src = freshDir(s, "graft_stream_pipe_src")
+        val dst = freshDir(s, "graft_stream_pipe_dst")
+        val ckpt = freshDir(s, "graft_stream_pipe_ckpt")
+        val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 0),
+          src, "append", "c0", statsCols = Seq("o_orderkey"))
+        graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 1),
+          src, "append", "c1", statsCols = Seq("o_orderkey"))
+        def runOnce(): Unit = {
+          val stream = graft.streaming.Streaming.versionedSource(s, src)
+            .filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), upper(col("o_orderpriority")).as("prio"))
+          val q = graft.streaming.Streaming.versionedSink(stream, dst, "pipe",
+            Some(ckpt), availableNow = true)
+          q.awaitTermination()
+        }
+        runOnce() // initial snapshot (v1..v2 of src) → dst v1
+        graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 2),
+          src, "append", "c2", statsCols = Seq("o_orderkey"))
+        runOnce() // restart: only src v3's delta flows → dst v2
+        val logShape = graft.io.VersionedTable.latestVersion(dst).contains(2L)
+        graft.io.VersionedTable.read(s, dst)
+          .groupBy("prio")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("log_shape", lit(logShape))
+          .orderBy("prio")
+      },
+      Some("SELECT upper(o_orderpriority) AS prio, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, TRUE AS log_shape " +
+        "FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1 ORDER BY 1")),
+
 
     // Custom streaming state (flatMapGroupsWithState) oracle-checked: the
     // per-key running count/min/max session state, drained to completion —

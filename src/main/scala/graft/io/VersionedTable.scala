@@ -89,6 +89,18 @@ object VersionedTable {
 
   private val mapper = new ObjectMapper()
 
+  /** Resolve a manifest data-dir / delete-set reference against the table
+    * root. A reference starting with "/" is EXTERNAL — a SHALLOW CLONE's
+    * by-reference pointer into its source table's storage ([[cloneTo]]);
+    * everything else is the ordinary root-relative layout. Every read-path
+    * site resolves through here; write paths never produce external names,
+    * so a clone's own commits (appends, copy-on-write rewrites, compaction)
+    * land under ITS root and the external references retire dir by dir as
+    * the clone diverges.
+    */
+  private def dirPath(root: String, d: String): String =
+    if (d.startsWith("/")) d else s"$root/$d"
+
   private def commitsDir(root: String) = Paths.get(root, "_commits")
 
   private def manifestPath(root: String, version: Long) =
@@ -949,7 +961,7 @@ object VersionedTable {
     val c = resolved.getOrElse(resolveSnapshot(root, asOf))
     val phys = physName(c, colName)
     c.dirs.filter { d =>
-      val f = bloomFile(s"$root/$d", phys)
+      val f = bloomFile(dirPath(root, d), phys)
       if (c.blooms.get(d).exists(_.contains(phys)) && Files.isRegularFile(f))
         bloomMightContain(Files.readString(f).trim, value)
       else true
@@ -972,11 +984,11 @@ object VersionedTable {
     val c = resolveSnapshot(root, asOf)
     val kept = planPoint(root, colName, value, asOf, resolved = Some(c))
     val pred = col(physName(c, colName)) === value
-    c.dirs.foreach(d => require(new File(s"$root/$d").isDirectory,
-      s"snapshot v${c.version} references vacuumed dir $root/$d"))
+    c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
+      s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
     toLogicalDf(c,
       if (kept.isEmpty)
-        scanDirs(spark, c.dirs.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl)
+        scanDirs(spark, c.dirs.map(d => dirPath(root, d)), c.partitionCols, c.schemaDdl)
           .limit(0).filter(pred)
       else scanWithDeletes(spark, root, c, kept).filter(pred))
   }
@@ -1028,11 +1040,11 @@ object VersionedTable {
     // envelopes); the typed literal keeps the residual pushdown-friendly
     val dt = colTypeOf(c.schemaDdl, phys)
     val pred = col(phys) >= boundLit(dt, lo) && col(phys) <= boundLit(dt, hi)
-    c.dirs.foreach(d => require(new File(s"$root/$d").isDirectory,
-      s"snapshot v${c.version} references vacuumed dir $root/$d"))
+    c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
+      s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
     toLogicalDf(c,
       if (kept.isEmpty)
-        scanDirs(spark, c.dirs.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl)
+        scanDirs(spark, c.dirs.map(d => dirPath(root, d)), c.partitionCols, c.schemaDdl)
           .limit(0).filter(pred)
       else scanWithDeletes(spark, root, c, kept,
         ds => scanDirsPruned(spark, root, c, ds, phys, lo, hi)).filter(pred))
@@ -1080,8 +1092,8 @@ object VersionedTable {
     */
   def read(spark: SparkSession, root: String, asOf: Option[Long] = None): DataFrame = {
     val c = resolveSnapshot(root, asOf)
-    c.dirs.foreach(d => require(new File(s"$root/$d").isDirectory,
-      s"snapshot v${c.version} references vacuumed dir $root/$d"))
+    c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
+      s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
     toLogicalDf(c, scanWithDeletes(spark, root, c, c.dirs))
   }
 
@@ -1098,7 +1110,7 @@ object VersionedTable {
                               scanGroup: Seq[String] => DataFrame = null): DataFrame = {
     val scan: Seq[String] => DataFrame =
       if (scanGroup != null) scanGroup
-      else ds => scanDirs(spark, ds.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl)
+      else ds => scanDirs(spark, ds.map(d => dirPath(root, d)), c.partitionCols, c.schemaDdl)
     if (dirs.isEmpty || c.deletes.isEmpty || dirs.forall(d => !c.deletes.contains(d)))
       return scan(dirs)
     val groups = dirs.groupBy(d => c.deletes.getOrElse(d, Nil)).toSeq
@@ -1109,7 +1121,7 @@ object VersionedTable {
           sys.error(s"manifest references delete set $setName with no recorded key column"))
         df.join(
           org.apache.spark.sql.functions.broadcast(
-            spark.read.parquet(s"$root/$setName").select(keyCol).distinct()),
+            spark.read.parquet(dirPath(root, setName)).select(keyCol).distinct()),
           Seq(keyCol), "left_anti")
       }
     }.reduce(_.unionByName(_))
@@ -1165,7 +1177,7 @@ object VersionedTable {
     val target = c.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
     // per dir: Some(relpaths) when a side file admits pruning; None = whole dir
     val parts: Seq[(String, Option[Seq[String]])] = kept.map { d =>
-      val dp = s"$root/$d"
+      val dp = dirPath(root, d)
       val pruned = readFileStats(dp).map { fs =>
         parquetFiles(dp).filter { rel =>
           fs.get(rel).flatMap(_.get(colName)).forall(_.overlapsLong(lo, hi))
@@ -1173,7 +1185,7 @@ object VersionedTable {
       }
       (dp, pruned)
     }
-    def emptyScan = scanDirs(spark, kept.map(d => s"$root/$d"), c.partitionCols, c.schemaDdl)
+    def emptyScan = scanDirs(spark, kept.map(d => dirPath(root, d)), c.partitionCols, c.schemaDdl)
       .limit(0)
     if (c.partitionCols.isEmpty) {
       val paths = parts.flatMap {
@@ -1201,10 +1213,10 @@ object VersionedTable {
                      asOf: Option[Long] = None): (Int, Int) = {
     val c = resolveSnapshot(root, asOf)
     val phys = physName(c, colName)
-    val total = c.dirs.map(d => parquetFiles(s"$root/$d").size).sum
+    val total = c.dirs.map(d => parquetFiles(dirPath(root, d)).size).sum
     val keptDirs = planRange(root, colName, lo, hi, asOf, resolved = Some(c))
     val scanned = keptDirs.map { d =>
-      val dp = s"$root/$d"
+      val dp = dirPath(root, d)
       readFileStats(dp) match {
         case None     => parquetFiles(dp).size
         case Some(fs) => parquetFiles(dp).count(rel =>
@@ -1233,37 +1245,49 @@ object VersionedTable {
     def commitOf(v: Long): Option[Commit] =
       if (v == 0L) None // version 0 = the empty table: the initial cursor
       else Some(commitAt(root, v).getOrElse(sys.error(s"version $v not in log at $root")))
-    val (fromC, toCOpt) = (commitOf(fromVersion), commitOf(toVersion))
+    commitDelta(spark, root, commitOf(fromVersion), commitOf(toVersion).get) match {
+      case Right(df) => df
+      case Left(reason) => throw new IllegalArgumentException(
+        s"($fromVersion, $toVersion] crosses $reason; " +
+          "incremental reads are only defined over append-only ranges")
+    }
+  }
+
+  /** The dir-difference delta of one commit pair — the shared core of
+    * [[changesBetween]] and the streaming source's per-commit walk:
+    * Right(delta DF) when (from → to] is APPEND-shaped (no dir removed, no
+    * merge-on-read coverage change on a shared dir), Left(reason) when it
+    * is not. `fromC = None` means the empty table (version-0 cursor).
+    */
+  private[graft] def commitDelta(spark: SparkSession, root: String,
+                                 fromC: Option[Commit],
+                                 toC: Commit): Either[String, DataFrame] = {
     val from = fromC.map(_.dirs.toSet).getOrElse(Set.empty[String])
-    val to = toCOpt.map(_.dirs).getOrElse(Nil)
+    val to = toC.dirs
     val removed = from -- to.toSet
-    require(removed.isEmpty,
-      s"($fromVersion, $toVersion] crosses an overwrite/rollback (removed: $removed); " +
-        "incremental reads are only defined over append-only ranges")
+    if (removed.nonEmpty)
+      return Left(s"an overwrite/rollback (removed: $removed)")
     // a MERGE-ON-READ delete changes the ROW SET of existing dirs without
     // touching the dir list — a dir-difference CDC cannot express rows
     // REMOVED from a shared dir, so any coverage change on one refuses
     val covFrom = fromC.map(_.deletes).getOrElse(Map.empty[String, Seq[String]])
-    val covTo = toCOpt.map(_.deletes).getOrElse(Map.empty[String, Seq[String]])
     val covChanged = from.filter(d =>
-      covFrom.getOrElse(d, Nil) != covTo.getOrElse(d, Nil))
-    require(covChanged.isEmpty,
-      s"($fromVersion, $toVersion] crosses a merge-on-read delete touching $covChanged; " +
-        "incremental reads are only defined over append-only ranges")
-    val added = to.filterNot(from.contains).map(d => s"$root/$d")
+      covFrom.getOrElse(d, Nil) != toC.deletes.getOrElse(d, Nil))
+    if (covChanged.nonEmpty)
+      return Left(s"a merge-on-read delete touching $covChanged")
+    val added = to.filterNot(from.contains).map(d => dirPath(root, d))
     added.foreach(d => require(new File(d).isDirectory,
       s"incremental range references vacuumed dir $d"))
-    val toC = toCOpt.get
-    toLogicalDf(toC,
+    Right(toLogicalDf(toC,
       if (added.isEmpty)
         if (to.isEmpty) scanDirs(spark, Nil, toC.partitionCols, toC.schemaDdl)
-        else scanDirs(spark, Seq(s"$root/${to.head}"), toC.partitionCols, toC.schemaDdl).limit(0)
+        else scanDirs(spark, Seq(dirPath(root, to.head)), toC.partitionCols, toC.schemaDdl).limit(0)
       else {
         // added dirs apply `to`'s coverage: a dir appended THEN MOR-covered
         // inside the range delivers exactly its surviving rows
         val addedRel = to.filterNot(from.contains)
         scanWithDeletes(spark, root, toC, addedRel)
-      })
+      }))
   }
 
   /** MERGE INTO with DIR-LEVEL COPY-ON-WRITE (the Delta MERGE shape at this

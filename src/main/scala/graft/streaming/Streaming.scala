@@ -311,6 +311,27 @@ object Streaming {
     w.start()
   }
 
+  /** ST: streaming SOURCE over the versioned table — the read half of the
+    * exactly-once pipeline whose write half is [[versionedSink]]
+    * ([[VersionedTableSourceProvider]] carries the full contract): offsets
+    * are commit versions, a fresh stream delivers the initial snapshot
+    * then per-commit append deltas (or changes-only from `startingVersion`),
+    * non-append commits refuse loudly unless `skipChangeCommits`, schema
+    * changes always refuse (restart re-pins). Source-side state is ZERO —
+    * the engine's offset checkpoint plus manifest immutability are the
+    * whole exactly-once story, so a restart from checkpoint replays
+    * bit-for-bit and never re-delivers a committed batch.
+    */
+  def versionedSource(spark: org.apache.spark.sql.SparkSession, root: String,
+                      skipChangeCommits: Boolean = false,
+                      startingVersion: Option[Long] = None): DataFrame = {
+    var r = spark.readStream.format("graft-versioned")
+      .option("path", root)
+      .option("skipChangeCommits", skipChangeCommits.toString)
+    startingVersion.foreach(v => r = r.option("startingVersion", v.toString))
+    r.load()
+  }
+
   /** ST: streaming CDC MERGE sink — each micro-batch of upserts applies to
     * the versioned table through [[graft.io.VersionedTable.mergeInto]]'s
     * dir-level copy-on-write (an empty log bootstraps with the first batch

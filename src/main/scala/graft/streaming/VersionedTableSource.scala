@@ -1,0 +1,184 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => ConnectorOffset}
+import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.graftshim.GraftStreamingBridge
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.types.StructType
+
+import graft.io.VersionedTable
+
+/** Structured Streaming SOURCE over the versioned table — the read half of
+  * the exactly-once pipeline whose write half is
+  * [[Streaming.versionedSink]]: `spark.readStream.format("graft-versioned")
+  * .option("path", root).load()` turns the commit log into a stream, the
+  * public Delta-source contract re-expressed over this log.
+  *
+  * Offsets ARE commit versions: `getOffset` is the latest version (one tail
+  * manifest parse through the checkpointed log — O(1) no matter how old the
+  * table), and `getBatch(start, end)` delivers
+  *
+  *  - `start = None` (fresh stream): the FULL SNAPSHOT at `end` — one
+  *    snapshot read, so a consumer starts from current state and then sees
+  *    only increments (Delta's initial-snapshot semantics). With
+  *    `startingVersion = v` the snapshot is skipped and the stream begins
+  *    at the changes of version v+1 — the "changes feed only" form.
+  *  - `start = Some(s)`: the per-commit walk of (s, end] — each version's
+  *    dir-difference delta ([[VersionedTable.commitDelta]], the
+  *    changesBetween core), one manifest parse per commit, emitted rows =
+  *    exactly the appended dirs with that commit's merge-on-read coverage
+  *    applied. Versions are immutable, so a checkpoint-replayed batch
+  *    reproduces bit-for-bit — the engine's offset log plus manifest
+  *    immutability compose into exactly-once delivery with no source-side
+  *    state at all.
+  *
+  * NON-append commits (overwrite, copy-on-write merge/delete, compaction,
+  * rollback) cannot be expressed as a row-append delta; by default the
+  * stream FAILS LOUDLY on one (silently treating a rewrite as empty would
+  * corrupt every downstream aggregate). `skipChangeCommits = true` opts
+  * into Delta's escape hatch: such commits emit nothing — including any
+  * rows they INSERTED, the documented Delta caveat — and the walk resumes
+  * at the next append. A SCHEMA change mid-stream (rename, added column)
+  * always refuses, even under skipChangeCommits: a v1 source's schema is
+  * pinned at start, so evolution requires restarting the stream, which
+  * re-pins to the latest schema (the Delta behavior).
+  */
+class VersionedTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-versioned"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path",
+      throw new IllegalArgumentException("graft-versioned source requires option 'path'"))
+
+  override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): (String, StructType) = {
+    require(schema.isEmpty,
+      "graft-versioned source derives its schema from the table's latest manifest; " +
+        "a user-specified schema is not supported")
+    (shortName(), VersionedTableSource.pinnedSchema(sqlContext, rootOf(parameters)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType], providerName: String,
+                            parameters: Map[String, String]): Source =
+    new VersionedTableSource(sqlContext, rootOf(parameters),
+      skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
+      startingVersion = parameters.get("startingVersion").map(_.toLong))
+}
+
+private[streaming] object VersionedTableSource {
+  /** The stream's pinned schema: the LATEST snapshot's logical schema at
+    * source-creation time (a zero-row plan — schema resolution only, no
+    * scan job).
+    */
+  def pinnedSchema(sqlContext: SQLContext, root: String): StructType = {
+    require(VersionedTable.latestVersion(root).nonEmpty,
+      s"graft-versioned source at $root: the table has no commits yet — " +
+        "commit a first version before starting the stream")
+    VersionedTable.read(sqlContext.sparkSession, root).schema
+  }
+}
+
+class VersionedTableSource(sqlContext: SQLContext, root: String,
+                           skipChangeCommits: Boolean,
+                           startingVersion: Option[Long])
+    extends Source with SupportsTriggerAvailableNow {
+
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[VersionedTableSource])
+
+  /** Trigger.AvailableNow support (the FileStreamSource shape): the trigger
+    * snapshots the log's tip ONCE at query start, the run drains exactly up
+    * to it and terminates, and commits landing mid-run wait for the next
+    * run — the contract the pipeline capstone's restart semantics rely on.
+    */
+  private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = VersionedTable.latestVersion(root)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(startOffset: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
+    val live = VersionedTable.latestVersion(root)
+    availableNowCap.fold(live)(cap => live.map(math.min(_, cap)))
+      .map(LongOffset(_)).orNull
+  }
+
+  override val schema: StructType = VersionedTableSource.pinnedSchema(sqlContext, root)
+
+  override def getOffset: Option[Offset] =
+    VersionedTable.latestVersion(root).map(LongOffset(_))
+
+  /** Both live LongOffsets and checkpoint-restored SerializedOffsets carry
+    * the version as their json body.
+    */
+  private def versionOf(o: Offset): Long = o.json.trim.toLong
+
+  private def requirePinnedSchema(df: DataFrame, at: String): DataFrame = {
+    val got = df.schema.map(f => (f.name, f.dataType))
+    val want = schema.map(f => (f.name, f.dataType))
+    if (got != want) sys.error(
+      s"graft-versioned source at $root: schema changed at $at " +
+        s"(stream pinned ${want.mkString(", ")}; found ${got.mkString(", ")}); " +
+        "restart the stream to re-pin to the latest table schema")
+    df
+  }
+
+  override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    val endV = versionOf(end)
+    val spark = sqlContext.sparkSession
+    val batch = start.map(versionOf).orElse(startingVersion) match {
+      case None =>
+        // fresh stream, no startingVersion: the initial snapshot at endV
+        requirePinnedSchema(VersionedTable.read(spark, root, asOf = Some(endV)),
+          s"initial snapshot v$endV")
+      case Some(s) if s >= endV =>
+        // engine bookkeeping batch (restart replay of an empty range) —
+        // built from the pinned schema, never a live read: the table may
+        // have renamed since and an empty batch must still align
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+      case Some(s) =>
+        // per-commit walk of (s, endV] — one manifest parse per version;
+        // each delta is that commit's appended dirs under ITS coverage
+        var prev: Option[VersionedTable.Commit] =
+          if (s == 0L) None
+          else Some(VersionedTable.commitAt(root, s).getOrElse(
+            sys.error(s"graft-versioned source at $root: version $s not in log " +
+              "(vacuumed past the stream's cursor?)")))
+        val parts = Seq.newBuilder[DataFrame]
+        (s + 1) to endV foreach { v =>
+          val c = VersionedTable.commitAt(root, v).getOrElse(
+            sys.error(s"graft-versioned source at $root: version $v not in log"))
+          VersionedTable.commitDelta(spark, root, prev, c) match {
+            case Right(df) => parts += requirePinnedSchema(df, s"version $v")
+            case Left(reason) if skipChangeCommits =>
+              // Delta's skipChangeCommits: the whole commit — including any
+              // rows it inserted — emits nothing; the walk resumes after it
+              log.info(s"graft-versioned source at $root: skipping change commit " +
+                s"v$v ($reason)")
+            case Left(reason) => sys.error(
+              s"graft-versioned source at $root: version $v is not append-shaped " +
+                s"($reason); a streaming read cannot express it as row appends — " +
+                "set option skipChangeCommits=true to skip such commits, or " +
+                "restart the stream from the current snapshot")
+          }
+          prev = Some(c)
+        }
+        val dfs = parts.result()
+        if (dfs.isEmpty)
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
+        else dfs.reduce(_.unionByName(_))
+    }
+    GraftStreamingBridge.asStreamingDf(batch)
+  }
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"VersionedTableSource[$root]"
+}

@@ -1,0 +1,29 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.classic.{Dataset => ClassicDataset, SparkSession => ClassicSparkSession}
+
+/** The one Spark-internal touchpoint of the versioned-table STREAMING
+  * SOURCE: a v1 `Source.getBatch` must return a DataFrame whose leaves are
+  * flagged `isStreaming = true` (MicroBatchExecution stitches the batch's
+  * logical plan into the streaming plan and asserts the flag), and the only
+  * way to produce one from an arbitrary batch plan is the
+  * `internalCreateDataFrame(rdd, schema, isStreaming = true)` idiom every
+  * built-in v1 source uses (FileStreamSource, KafkaSource). That method is
+  * `private[sql]`, so this shim lives in a subpackage of
+  * `org.apache.spark.sql` — the standard community-connector pattern — and
+  * keeps the rest of the engine free of Spark internals.
+  */
+object GraftStreamingBridge {
+
+  /** Re-flag a batch DataFrame as a streaming one. The RDD is the batch
+    * plan's compiled output, so per-batch execution stays whole-stage
+    * codegen'd; planning happens once here, at getBatch time.
+    */
+  def asStreamingDf(df: DataFrame): DataFrame = {
+    val classic = df.asInstanceOf[ClassicDataset[Row]]
+    val session = classic.sparkSession.asInstanceOf[ClassicSparkSession]
+    session.internalCreateDataFrame(classic.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
+}

@@ -299,6 +299,87 @@ class StreamingSpec extends SparkSpec {
       == Set(1L, 2L, 3L), "each source row lands exactly once")
   }
 
+  test("versionedSource: initial snapshot + live append deltas, checkpoint restart exactly-once") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    val root = TestSpark.tmpDir("vsrc-root")
+    val out = TestSpark.tmpDir("vsrc-out")
+    val ckpt = TestSpark.tmpDir("vsrc-ckpt")
+    graft.io.VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root,
+      "append", "c0", statsCols = Seq("id"))
+    graft.io.VersionedTable.commit(Seq((3L, "c")).toDF("id", "s"), root,
+      "append", "c1", statsCols = Seq("id"))
+    def runOnce(): Unit = {
+      val q = Streaming.versionedSource(spark, root)
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def ids = spark.read.parquet(out).collect().map(_.getLong(0)).toSeq.sorted
+    runOnce() // fresh stream: ONE initial-snapshot batch at v2
+    assert(ids == Seq(1L, 2L, 3L))
+    // restart with no new commit: offsets say v2 is done — nothing re-emits
+    runOnce()
+    assert(ids == Seq(1L, 2L, 3L), "restart without new commits must not re-deliver")
+    graft.io.VersionedTable.commit(Seq((4L, "d")).toDF("id", "s"), root,
+      "append", "c2", statsCols = Seq("id"))
+    runOnce() // only v3's delta arrives — never the snapshot again
+    assert(ids == Seq(1L, 2L, 3L, 4L), "append delta exactly once across restarts")
+  }
+
+  test("versionedSource: non-append commit refuses loudly; skipChangeCommits skips it; startingVersion = changes only") {
+    import spark.implicits._
+    val root = TestSpark.tmpDir("vsrc-merge-root")
+    graft.io.VersionedTable.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"),
+      root, "append", "c0", statsCols = Seq("id"))
+    val q = Streaming.versionedSource(spark, root)
+      .writeStream.format("memory").queryName("vsrc_fail").outputMode("append").start()
+    val failed = try {
+      q.processAllAvailable()
+      assert(spark.table("vsrc_fail").count() == 3)
+      graft.io.VersionedTable.mergeInto(spark, root,
+        Seq((2L, "B2")).toDF("id", "s"), "id", "m0")
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(failed).contains("not append-shaped"), chain(failed))
+    // skipChangeCommits + startingVersion: walk (1, 3] — the merge (v2)
+    // emits nothing (including its inserts), the later append (v3) flows
+    graft.io.VersionedTable.commit(Seq((9L, "z")).toDF("id", "s"), root,
+      "append", "c1", statsCols = Seq("id"))
+    val q2 = Streaming.versionedSource(spark, root, skipChangeCommits = true,
+        startingVersion = Some(1L))
+      .writeStream.format("memory").queryName("vsrc_skip").outputMode("append").start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.table("vsrc_skip").collect().map(_.getLong(0)).toSeq.sorted == Seq(9L),
+      "changes-only walk: skipped merge, delivered append")
+  }
+
+  test("versionedSource: schema change mid-stream refuses even under skipChangeCommits") {
+    import spark.implicits._
+    val root = TestSpark.tmpDir("vsrc-ren-root")
+    graft.io.VersionedTable.commit(Seq((1L, "a")).toDF("id", "s"), root,
+      "append", "c0", statsCols = Seq("id"))
+    val q = Streaming.versionedSource(spark, root, skipChangeCommits = true)
+      .writeStream.format("memory").queryName("vsrc_ren").outputMode("append").start()
+    val failed = try {
+      q.processAllAvailable()
+      graft.io.VersionedTable.renameColumn(root, "s", "s2", "ren-0")
+      graft.io.VersionedTable.commit(Seq((2L, "b")).toDF("id", "s2"), root,
+        "append", "c1", statsCols = Seq("id"))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    assert(chain(failed).contains("schema changed"), chain(failed))
+  }
+
   test("sessionize maintains per-symbol running count and price envelope") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
