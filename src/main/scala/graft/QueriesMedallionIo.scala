@@ -913,6 +913,44 @@ private[graft] object QueriesMedallionIo {
         |  TRUE AS absorbed
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — SHALLOW CLONE (VersionedTable.cloneTo — the Delta CREATE TABLE
+    // SHALLOW CLONE shape): the clone's v1 manifest references the source
+    // snapshot's dirs by absolute path — ZERO data copied at any table
+    // size ('zero_copy' pins no data/ under the clone root after the
+    // clone) — and then DIVERGES locally: a copy-on-write DELETE on the
+    // clone rewrites only the external dirs holding hit keys, under the
+    // CLONE's root, while the source keeps every row ('src_intact').
+    // The environment-cheap way to fork a 100 TB table for an experiment.
+    Q("versioned_clone",
+      (s, dir) => {
+        val (dst, zeroCopy, srcIntact) = Fixtures.once(s, dir, "vt_clone") {
+          val srcR = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_clsrc_${dirTag(dir)}"
+          val dstR = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_cldst_${dirTag(dir)}"
+          rmrf(srcR); rmrf(dstR)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0),
+            srcR, "append", "cl-c0", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1),
+            srcR, "append", "cl-c1", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.cloneTo(srcR, dstR, "cl-clone")
+          val zc = !new java.io.File(s"$dstR/data").exists()
+          graft.io.VersionedTable.deleteWhere(s, dstR,
+            o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+            "o_orderkey", "cl-del")
+          val intact = graft.io.VersionedTable.read(s, srcR).count() == o.count()
+          (dstR, java.lang.Boolean.valueOf(zc), java.lang.Boolean.valueOf(intact))
+        }
+        graft.io.VersionedTable.read(s, dst)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("zero_copy", lit(zeroCopy.booleanValue()))
+          .withColumn("src_intact", lit(srcIntact.booleanValue()))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "TRUE AS zero_copy, TRUE AS src_intact " +
+        "FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1 ORDER BY 1")),
+
     // S17 — TIME-RETENTION purge on a real TIMESTAMP column (the use case
     // deleteRange exists for: "drop everything before the cutoff"). Four
     // appends banded by o_orderdate (timestamp stats index as INT64-micros

@@ -146,6 +146,8 @@ object VersionedTable {
       }
       m.put("blooms", bm)
     }
+    val feats = featuresOf(c)
+    if (feats.nonEmpty) m.put("features", feats.asJava)
     c.schemaDdl.foreach(d => m.put("schema", d))
     if (c.committedAtMs > 0) m.put("committedAt", java.lang.Long.valueOf(c.committedAtMs))
     if (c.deletes.nonEmpty) {
@@ -177,9 +179,36 @@ object VersionedTable {
     */
   private[graft] val manifestParses = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Reader-feature gate (the public Delta protocol-versioning idea, in its
+    * table-features form): each manifest RECORDS the feature set a correct
+    * read of it depends on, and a reader refuses a manifest naming a
+    * feature it does not implement — failing loudly instead of silently
+    * misreading a table written by a newer engine (e.g. a pre-MOR reader
+    * scanning covered dirs as if nothing were deleted, or a pre-clone
+    * reader resolving an absolute reference under its own root). Features
+    * are derived from manifest CONTENT at write time, so writers cannot
+    * forget to declare one.
+    */
+  private[graft] val supportedReaderFeatures =
+    Set("mor-deletes", "column-mapping", "external-refs")
+
+  private def featuresOf(c: Commit): Seq[String] = Seq(
+    (c.deletes.nonEmpty || c.deleteKeys.nonEmpty) -> "mor-deletes",
+    c.nameMap.nonEmpty -> "column-mapping",
+    (c.dirs.exists(_.startsWith("/")) ||
+      c.deletes.valuesIterator.flatten.exists(_.startsWith("/"))) -> "external-refs"
+  ).collect { case (true, f) => f }
+
   private def readManifest(p: java.nio.file.Path): Commit = {
     manifestParses.incrementAndGet()
     val n = mapper.readTree(Files.readString(p))
+    val declared = Option(n.get("features"))
+      .map(_.elements().asScala.map(_.asText()).toSet).getOrElse(Set.empty)
+    val unknown = declared -- supportedReaderFeatures
+    require(unknown.isEmpty,
+      s"manifest $p requires reader feature(s) ${unknown.mkString(", ")} this engine " +
+        "does not implement (written by a newer engine?); refusing to read rather " +
+        "than misinterpret the table")
     val v = p.getFileName.toString.stripPrefix("v").stripSuffix(".json").toLong
     val stats = Option(n.get("stats")).map { sn =>
       sn.properties().asScala.map { e =>
@@ -1380,7 +1409,7 @@ object VersionedTable {
         // cached per (key, filter-size) so the probe is one md5 set per
         // key, not per key×dir.
         val bloomable = hit.filter(d => parent.blooms.get(d).exists(_.contains(keyCol)) &&
-          Files.isRegularFile(bloomFile(s"$root/$d", keyCol))).toSet
+          Files.isRegularFile(bloomFile(dirPath(root, d), keyCol))).toSet
         if (bloomable.isEmpty) (hit, pass)
         else {
           val keys = probe.select(col(keyCol).cast("long").as("k")).distinct()
@@ -1389,7 +1418,7 @@ object VersionedTable {
           else {
             val posCache = scala.collection.mutable.Map[Int, Array[Seq[Int]]]()
             def admitsAny(d: String): Boolean = {
-              val hex = Files.readString(bloomFile(s"$root/$d", keyCol)).trim
+              val hex = Files.readString(bloomFile(dirPath(root, d), keyCol)).trim
               val bits = hex.length * 4
               val pos = posCache.getOrElseUpdate(bits, keys.map(k => bloomPositions(k, bits)))
               pos.exists(_.forall { p =>
@@ -1866,7 +1895,7 @@ object VersionedTable {
     val c = resolveSnapshot(root, asOf)
     val covered = c.deletes.count(_._2.nonEmpty)
     val sets = c.deletes.values.flatten.toSet.toSeq.sorted
-    val keys = sets.map(sn => spark.read.parquet(s"$root/$sn").count()).sum
+    val keys = sets.map(sn => spark.read.parquet(dirPath(root, sn)).count()).sum
     (covered, sets.size, keys)
   }
 
@@ -1950,10 +1979,10 @@ object VersionedTable {
           case _ => Rewrite
         }
         val conf = spark.sessionState.newHadoopConf()
-        def hasNulls(dir: String): Boolean = parquetFiles(s"$root/$dir").exists { rel =>
+        def hasNulls(dir: String): Boolean = parquetFiles(dirPath(root, dir)).exists { rel =>
           val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(s"$root/$dir/$rel"), conf))
+              new org.apache.hadoop.fs.Path(s"${dirPath(root, dir)}/$rel"), conf))
           try rdr.getFooter.getBlocks.asScala.exists(_.getColumns.asScala.exists { cc =>
             cc.getPath.toDotString == phys && {
               val st = cc.getStatistics
@@ -1974,7 +2003,7 @@ object VersionedTable {
           // carrier is the hive sentinel subdir, so that is what's checked.
           val nullable =
             if (parent.partitionCols.contains(phys))
-              parquetFiles(s"$root/$d")
+              parquetFiles(dirPath(root, d))
                 .exists(_.contains(s"$phys=__HIVE_DEFAULT_PARTITION__"))
             else hasNulls(d)
           d -> (if (c0 == Drop && nullable) Rewrite else c0)
@@ -2103,8 +2132,8 @@ object VersionedTable {
           .getOrElse(sys.error(s"compact: no commits at $root"))
         // compact rewrites the PHYSICAL row set — the public read() path
         // renames to logical names, which must never leak into data files
-        parent.dirs.foreach(d => require(new File(s"$root/$d").isDirectory,
-          s"snapshot v${parent.version} references vacuumed dir $root/$d"))
+        parent.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
+          s"snapshot v${parent.version} references vacuumed dir ${dirPath(root, d)}"))
         val cur = scanWithDeletes(spark, root, parent, parent.dirs)
         val physZorder = zorderBy.map(physName(parent, _))
         val df =
@@ -2199,6 +2228,59 @@ object VersionedTable {
     * when no writer can be concurrent (e.g. a scheduled maintenance
     * window).
     */
+  /** SHALLOW CLONE (the public Delta `CREATE TABLE ... SHALLOW CLONE`
+    * shape): create at `dstRoot` a table whose v1 manifest references the
+    * SOURCE snapshot's data dirs and delete sets BY ABSOLUTE PATH — zero
+    * data copied or moved at any table size, O(1) manifest write. The
+    * clone then lives its own life: appends, merges, deletes, compaction,
+    * renames all land under `dstRoot` (write paths never produce external
+    * names), so external references retire dir by dir as the clone
+    * diverges, and a full `compact` materializes it completely. The
+    * SOURCE is never touched, and the clone's history starts at its own
+    * v1 (Delta parity — clone history does not inherit source history).
+    * The manifest declares the `external-refs` reader feature, so an
+    * engine without [[dirPath]] resolution refuses it loudly.
+    *
+    * CAVEAT (Delta's own): vacuum/retention on the SOURCE can reclaim
+    * dirs a clone still references — the clone's reads then fail loudly
+    * on the vacuumed-dir check. Pin source retention above clone age, or
+    * compact the clone to cut the dependency.
+    *
+    * Idempotent under `commitId` retry like every other verb. Refuses a
+    * destination that already has commits (clone CREATES tables).
+    */
+  def cloneTo(srcRoot: String, dstRoot: String, commitId: String,
+              asOf: Option[Long] = None): Long =
+    findCommitVersion(dstRoot, commitId) match {
+      case Some(prior) => prior
+      case None =>
+        require(latestVersion(dstRoot).isEmpty,
+          s"cloneTo: destination $dstRoot already has commits — shallow clone only creates tables")
+        val c = resolveSnapshot(srcRoot, asOf)
+        val absSrc = Paths.get(srcRoot).toAbsolutePath.normalize.toString
+        def abs(d: String) = if (d.startsWith("/")) d else s"$absSrc/$d"
+        val dirMap = c.dirs.map(d => d -> abs(d)).toMap
+        val setMap = c.deletes.valuesIterator.flatten.toSeq.distinct
+          .map(sn => sn -> abs(sn)).toMap
+        Files.createDirectories(commitsDir(dstRoot))
+        val cloned = Commit(1L, commitId, "clone",
+          dirs = c.dirs.map(dirMap),
+          stats = c.stats.collect { case (d, v) if dirMap.contains(d) => dirMap(d) -> v },
+          strStats = c.strStats.collect { case (d, v) if dirMap.contains(d) => dirMap(d) -> v },
+          partitionCols = c.partitionCols,
+          blooms = c.blooms.collect { case (d, v) if dirMap.contains(d) => dirMap(d) -> v },
+          schemaDdl = c.schemaDdl,
+          deletes = c.deletes.map { case (d, sets) => dirMap(d) -> sets.map(setMap) },
+          deleteKeys = c.deleteKeys.collect {
+            case (sn, k) if setMap.contains(sn) => setMap(sn) -> k
+          },
+          nameMap = c.nameMap)
+        if (publishIfAbsent(dstRoot, 1L, cloned)) 1L
+        else findCommitVersion(dstRoot, commitId).getOrElse(
+          sys.error(s"cloneTo: destination $dstRoot gained a commit concurrently; " +
+            "shallow clone requires an empty destination"))
+    }
+
   def vacuum(root: String, retainLast: Int,
              orphanGraceMs: Long = 10 * 60 * 1000L): Seq[String] = {
     require(retainLast >= 1, "must retain at least the latest version")

@@ -1260,4 +1260,55 @@ class IoSpec extends SparkSpec {
       Seq("a:b").toDF("k"), "k", "p-del")
     assert(hit == 1 && VersionedTable.read(spark, root).count() == 0)
   }
+
+  test("VersionedTable.cloneTo: zero-copy shallow clone — reads equal, divergence is local, compact materializes") {
+    import spark.implicits._
+    val src = tmpDir("vt_clone_src")
+    val dst = tmpDir("vt_clone_dst")
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), src,
+      "append", "c0", statsCols = Seq("id"))
+    VersionedTable.commit(Seq((3L, "c"), (4L, "d")).toDF("id", "s"), src,
+      "append", "c1", statsCols = Seq("id"))
+    // a MOR delete so the clone must carry coverage + external delete sets
+    VersionedTable.deleteWhereMor(spark, src, Seq(4L).toDF("id"), "id", "m0")
+    assert(VersionedTable.cloneTo(src, dst, "clone-0") == 1L)
+    assert(VersionedTable.cloneTo(src, dst, "clone-0") == 1L, "idempotent retry")
+    def rows(root: String) = VersionedTable.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows(dst) == Seq((1L, "a"), (2L, "b"), (3L, "c")), "clone reads the source snapshot")
+    // ZERO data under the clone root — the manifest is the whole clone
+    assert(!new java.io.File(s"$dst/data").exists(), "shallow clone copies no data")
+    // the manifest declares the features a reader must implement
+    val manifest = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(dst, "_commits", "v0000000001.json"))
+    assert(manifest.contains("external-refs") && manifest.contains("mor-deletes"), manifest)
+    // divergence is LOCAL: append + copy-on-write merge land under dst only
+    VersionedTable.commit(Seq((5L, "e")).toDF("id", "s"), dst, "append", "c2",
+      statsCols = Seq("id"))
+    val (_, hit, _) = VersionedTable.mergeInto(spark, dst,
+      Seq((2L, "B2")).toDF("id", "s"), "id", "m1", statsCols = Seq("id"))
+    assert(hit == 1, "merge rewrites exactly the external dir holding key 2")
+    assert(rows(dst) == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (5L, "e")))
+    assert(rows(src) == Seq((1L, "a"), (2L, "b"), (3L, "c")), "source never touched")
+    // time travel on the clone starts at ITS v1 (the clone commit)
+    assert(VersionedTable.read(spark, dst, asOf = Some(1L)).count() == 3)
+    // compact MATERIALIZES: every reference becomes local, reads unchanged
+    VersionedTable.compact(spark, dst, "opt-0", 2, statsCols = Seq("id"))
+    val latest = VersionedTable.history(dst).last
+    assert(latest.dirs.forall(!_.startsWith("/")), s"compact must localize refs: ${latest.dirs}")
+    assert(rows(dst) == Seq((1L, "a"), (2L, "B2"), (3L, "c"), (5L, "e")))
+    // clone into a non-empty destination refuses
+    intercept[IllegalArgumentException](VersionedTable.cloneTo(src, dst, "clone-1"))
+  }
+
+  test("VersionedTable: a manifest declaring an unknown reader feature refuses loudly") {
+    val root = tmpDir("vt_feat")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "_commits"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "_commits", "v0000000001.json"),
+      """{"version":1,"commitId":"x","mode":"append","dirs":[],""" +
+        """"features":["time-crystals"],"schema":"id BIGINT"}""")
+    val e = intercept[IllegalArgumentException](VersionedTable.read(spark, root))
+    assert(e.getMessage.contains("time-crystals"), e.getMessage)
+  }
 }
