@@ -671,6 +671,37 @@ private[graft] object QueriesStreaming {
         |  TRUE AS replay_noop, TRUE AS one_commit
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // LEFT SEMI stream-stream interval join (intervalJoinSemi — the
+    // conversion-test shape: WHICH clicks led to a purchase within the
+    // horizon, each click at most once, no purchase columns). The one
+    // watermarked-join form whose output carries NO eviction-bound term:
+    // matched-or-not is decided by the data alone, so the oracle is the
+    // plain batch EXISTS with no watermark arithmetic.
+    Q("stream_stream_semi_join",
+      (s, dir) => {
+        val ss = s.newSession()
+        ss.conf.set("spark.sql.shuffle.partitions", "8")
+        val batchSchema = rd(ss, dir, "events").schema
+        def stream(kind: String, prefix: String) = ss.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .filter(col("event_type") === kind)
+          .select(col("user_id").as(s"${prefix}_user"),
+            col("event_id").as(s"${prefix}_id"),
+            expr(tsStampSql(batchSchema)).as(s"${prefix}_ts"))
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val q = graft.streaming.Streaming.intervalJoinSemi(
+            stream("click", "c"), stream("purchase", "p"),
+            "c_user", "p_user", "c_ts", "p_ts", "1 hour", "30 minutes")
+          .writeStream.format("memory").queryName(name).outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        ss.table(name).select(col("c_id").as("click_id")).orderBy("click_id")
+      },
+      Some("SELECT DISTINCT a.event_id AS click_id " +
+        "FROM events a JOIN events b ON a.user_id = b.user_id " +
+        "AND a.event_type = 'click' AND b.event_type = 'purchase' " +
+        "AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE " +
+        "ORDER BY 1")),
+
     // LEFT OUTER stream-stream interval join (intervalJoinLeftOuter — the
     // funnel/attribution shape: every click appears, purchased or not).
     // Same evictable-state geometry as stream_stream_join plus the second

@@ -136,6 +136,26 @@ object Streaming {
           s"AND $rightTs <= $leftTs + INTERVAL $horizon"),
         "full_outer")
 
+  /** LEFT SEMI stream-stream interval join — the existence-test form of
+    * [[intervalJoin]] (the "which clicks converted" shape): each left row
+    * emits AT MOST ONCE, when its first match arrives, with no right-side
+    * columns. Same evictable-state geometry (watermarks on both sides +
+    * the two-sided bound keep state ∝ rate × horizon), but unlike the
+    * outer forms the emitted rows carry NO eviction-bound dependence —
+    * matched-or-not is decided entirely by the data, so the batch oracle
+    * is the plain EXISTS semi-join with no watermark term: the only
+    * watermarked-join shape whose full output is tail-contract-free.
+    */
+  def intervalJoinSemi(left: DataFrame, right: DataFrame,
+                       leftKey: String, rightKey: String,
+                       leftTs: String, rightTs: String,
+                       watermark: String, horizon: String): DataFrame =
+    left.withWatermark(leftTs, watermark)
+      .join(right.withWatermark(rightTs, watermark),
+        expr(s"$leftKey = $rightKey AND $rightTs >= $leftTs " +
+          s"AND $rightTs <= $leftTs + INTERVAL $horizon"),
+        "left_semi")
+
   /** Streaming corpus curation — the STATELESS curation stages applied to a
     * document stream: quality filter (the x3_quality_score thresholds) →
     * exact-fingerprint decontamination as a STREAM-STATIC left-anti join
@@ -324,11 +344,13 @@ object Streaming {
     */
   def versionedSource(spark: org.apache.spark.sql.SparkSession, root: String,
                       skipChangeCommits: Boolean = false,
-                      startingVersion: Option[Long] = None): DataFrame = {
+                      startingVersion: Option[Long] = None,
+                      maxVersionsPerTrigger: Option[Long] = None): DataFrame = {
     var r = spark.readStream.format("graft-versioned")
       .option("path", root)
       .option("skipChangeCommits", skipChangeCommits.toString)
     startingVersion.foreach(v => r = r.option("startingVersion", v.toString))
+    maxVersionsPerTrigger.foreach(m => r = r.option("maxVersionsPerTrigger", m.toString))
     r.load()
   }
 

@@ -64,10 +64,14 @@ class VersionedTableSourceProvider extends StreamSourceProvider with DataSourceR
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
                             schema: Option[StructType], providerName: String,
-                            parameters: Map[String, String]): Source =
+                            parameters: Map[String, String]): Source = {
+    val maxV = parameters.get("maxVersionsPerTrigger").map(_.toLong)
+    maxV.foreach(m => require(m > 0, s"maxVersionsPerTrigger must be positive, got $m"))
     new VersionedTableSource(sqlContext, rootOf(parameters),
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
-      startingVersion = parameters.get("startingVersion").map(_.toLong))
+      startingVersion = parameters.get("startingVersion").map(_.toLong),
+      maxVersionsPerTrigger = maxV)
+  }
 }
 
 private[streaming] object VersionedTableSource {
@@ -85,7 +89,8 @@ private[streaming] object VersionedTableSource {
 
 class VersionedTableSource(sqlContext: SQLContext, root: String,
                            skipChangeCommits: Boolean,
-                           startingVersion: Option[Long])
+                           startingVersion: Option[Long],
+                           maxVersionsPerTrigger: Option[Long] = None)
     extends Source with SupportsTriggerAvailableNow {
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[VersionedTableSource])
@@ -100,12 +105,31 @@ class VersionedTableSource(sqlContext: SQLContext, root: String,
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowCap = VersionedTable.latestVersion(root)
 
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(m => ReadLimit.maxFiles(m.toInt))
+      .getOrElse(ReadLimit.allAvailable())
 
+  /** Admission control (`maxVersionsPerTrigger`, the Delta
+    * maxFilesPerTrigger idea at this log's commit granularity): each
+    * micro-batch advances the cursor at most N versions, so a stream
+    * catching up on a long backlog — or bootstrapping with
+    * `startingVersion` far behind the tip — processes it as bounded
+    * batches instead of one giant one. Composes with Trigger.AvailableNow
+    * (batches until the prepared cap, then terminates) and with the fresh
+    * stream's initial snapshot (the snapshot lands at version
+    * min(tip, N), and the walk proceeds from there).
+    */
   override def latestOffset(startOffset: ConnectorOffset, limit: ReadLimit): ConnectorOffset = {
     val live = VersionedTable.latestVersion(root)
-    availableNowCap.fold(live)(cap => live.map(math.min(_, cap)))
-      .map(LongOffset(_)).orNull
+    val capped = availableNowCap.fold(live)(cap => live.map(math.min(_, cap)))
+    val limited = maxVersionsPerTrigger match {
+      case None => capped
+      case Some(m) =>
+        val base = Option(startOffset).map(o => o.json.trim.toLong)
+          .orElse(startingVersion).getOrElse(0L)
+        capped.map(math.min(_, base + m))
+    }
+    limited.map(LongOffset(_)).orNull
   }
 
   override val schema: StructType = VersionedTableSource.pinnedSchema(sqlContext, root)

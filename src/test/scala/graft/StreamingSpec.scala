@@ -200,6 +200,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoinSemi: each matched left emits once with no right columns; unmatched never emit") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def ts(s: String) = Timestamp.valueOf(s)
+    val lm = MemoryStream[(Long, String, Timestamp)]
+    val rm = MemoryStream[(Long, String, Timestamp)]
+    val joined = Streaming.intervalJoinSemi(
+      lm.toDF().toDF("l_key", "l_id", "l_ts"), rm.toDF().toDF("r_key", "r_id", "r_ts"),
+      "l_key", "r_key", "l_ts", "r_ts", "1 minute", "30 minutes")
+    assert(joined.columns.toSeq == Seq("l_key", "l_id", "l_ts"),
+      "semi join must project left columns only")
+    val q = joined.writeStream.format("memory").queryName("sssj").outputMode("append").start()
+    try {
+      // u1's click matches TWO purchases — must emit ONCE; u2's never
+      lm.addData((1L, "c1", ts("2024-01-01 10:00:00")), (2L, "c2", ts("2024-01-01 10:00:00")))
+      rm.addData((1L, "p1", ts("2024-01-01 10:10:00")), (1L, "p2", ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      // push the watermark far past both windows: a semi join still never
+      // emits the unmatched click — eviction DROPS it (no outer path)
+      lm.addData((3L, "c3", ts("2024-01-01 12:00:00")))
+      rm.addData((99L, "px", ts("2024-01-01 12:00:00")))
+      q.processAllAvailable()
+      val ids = spark.table("sssj").select("l_id").collect().map(_.getString(0)).toSeq
+      assert(ids == Seq("c1"), s"exactly one emission for the matched click, got $ids")
+    } finally q.stop()
+  }
+
   test("intervalJoinFullOuter: unmatched rows from BOTH sides emit null-padded at their per-side eviction bounds") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
@@ -357,6 +384,27 @@ class StreamingSpec extends SparkSpec {
     try q2.processAllAvailable() finally q2.stop()
     assert(spark.table("vsrc_skip").collect().map(_.getLong(0)).toSeq.sorted == Seq(9L),
       "changes-only walk: skipped merge, delivered append")
+  }
+
+  test("versionedSource: maxVersionsPerTrigger bounds each micro-batch's version advance") {
+    import spark.implicits._
+    val root = TestSpark.tmpDir("vsrc-rate-root")
+    (1 to 4).foreach { i =>
+      graft.io.VersionedTable.commit(Seq((i.toLong, s"v$i")).toDF("id", "s"), root,
+        "append", s"c$i", statsCols = Seq("id"))
+    }
+    // changes-only from v0 with a 1-version budget: the backlog of 4
+    // commits must arrive as 4 separate micro-batches, not one
+    val q = Streaming.versionedSource(spark, root, startingVersion = Some(0L),
+        maxVersionsPerTrigger = Some(1L))
+      .writeStream.format("memory").queryName("vsrc_rate").outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("vsrc_rate").collect().map(_.getLong(0)).toSeq.sorted
+        == Seq(1L, 2L, 3L, 4L), "whole backlog delivered")
+      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+      assert(dataBatches == 4, s"expected 4 rate-limited batches, saw $dataBatches")
+    } finally q.stop()
   }
 
   test("versionedSource: schema change mid-stream refuses even under skipChangeCommits") {
