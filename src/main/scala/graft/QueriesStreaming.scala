@@ -460,6 +460,60 @@ private[graft] object QueriesStreaming {
         "TRUE AS incremental " +
         "FROM orders GROUP BY 1 ORDER BY 1")),
 
+    // ST — CHANGE-FEED STREAMING READ (Streaming.versionedChangeFeed — the
+    // Delta CDF contract over this log): two appends, a MERGE (updates +
+    // inserts in one commit), and a copy-on-write DELETE all flow through
+    // ONE stream as typed row changes — `_change_type` ∈ {insert,
+    // update_preimage, update_postimage, delete} — with each rewrite
+    // commit diffed over ONLY its touched dirs (O(rewritten data), never
+    // O(table)). This is the read path that lets a downstream consumer
+    // track a mutating 100 TB table continuously, where the plain source
+    // must refuse. Oracle: the four change classes replayed as batch SQL.
+    Q("stream_versioned_cdf",
+      (s, dir) => {
+        val root = freshDir(s, "graft_stream_cdf_src")
+        val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+        graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 0),
+          root, "append", "f0", statsCols = Seq("o_orderkey"))
+        graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 1),
+          root, "append", "f1", statsCols = Seq("o_orderkey"))
+        graft.io.VersionedTable.mergeInto(s, root,
+          o.filter(col("o_orderkey") % 5 === 0)
+            .select(col("o_orderkey"), lit("U-CDF").as("o_orderpriority"),
+              col("o_totalprice")),
+          "o_orderkey", "f2", statsCols = Seq("o_orderkey"))
+        graft.io.VersionedTable.deleteWhere(s, root,
+          o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+          "o_orderkey", "f3")
+        val q = graft.streaming.Streaming.versionedChangeFeed(s, root, "o_orderkey",
+            startingVersion = Some(0L))
+          .writeStream.format("memory")
+          .queryName(s"graft_stream_sink_${streamSinkN.incrementAndGet()}")
+          .outputMode("append").start()
+        val name = q.name
+        try q.processAllAvailable() finally q.stop()
+        s.table(name)
+          .groupBy("_change_type")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .orderBy("_change_type")
+      },
+      Some("""WITH present AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey%3=0 OR o_orderkey%3=1
+        |  UNION SELECT o_orderkey FROM orders WHERE o_orderkey%5=0),
+        |ins AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey%3=0 OR o_orderkey%3=1
+        |  UNION ALL SELECT o_orderkey FROM orders WHERE o_orderkey%5=0 AND o_orderkey%3=2),
+        |upd AS (SELECT o_orderkey FROM orders
+        |  WHERE o_orderkey%5=0 AND (o_orderkey%3=0 OR o_orderkey%3=1)),
+        |del AS (SELECT o_orderkey FROM present WHERE o_orderkey%7=0)
+        |SELECT * FROM (
+        |  SELECT 'delete' AS _change_type, count(*) AS n,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS key_sum FROM del
+        |  UNION ALL SELECT 'insert', count(*), CAST(sum(o_orderkey) AS BIGINT) FROM ins
+        |  UNION ALL SELECT 'update_postimage', count(*), CAST(sum(o_orderkey) AS BIGINT) FROM upd
+        |  UNION ALL SELECT 'update_preimage', count(*), CAST(sum(o_orderkey) AS BIGINT) FROM upd
+        |) ORDER BY 1""".stripMargin)),
+
     // ST — TABLE-TO-TABLE STREAMING PIPELINE (the exactly-once composition
     // capstone: versionedSource → transform → versionedSink). A source
     // table's commit log streams through a filter+projection into a DERIVED

@@ -1319,6 +1319,72 @@ object VersionedTable {
       }))
   }
 
+  /** Row-level CHANGE FEED of one commit (the public Delta CDF shape,
+    * computed read-side): Right(rows + `_change_type` ∈ {insert,
+    * update_preimage, update_postimage, delete}), Left(reason) when the
+    * commit is not expressible as row changes. The cost contract is the
+    * point: a rewrite commit is diffed over ONLY its touched region — the
+    * dirs it removed, added, or newly covered with merge-on-read deletes —
+    * so the feed costs O(rewritten data), the same class as the rewrite
+    * itself, never O(table). Classification per region key:
+    * row-multiset `EXCEPT ALL` both ways (survivor copies cancel exactly),
+    * then the key splits insert vs update_postimage on the new side and
+    * delete vs update_preimage on the old side. Appends are pure inserts
+    * ([[commitDelta]]); `compact`/`rename` emit NOTHING (their row set is
+    * identical by the verbs' contracts — and for compact, diffing would
+    * cost O(table), which is exactly what knowing the mode avoids);
+    * overwrite/rollback/clone refuse (whole-snapshot replacement has no
+    * bounded row-delta form).
+    */
+  private[graft] def changeFeedOfCommit(spark: SparkSession, root: String,
+                                        fromC: Option[Commit], toC: Commit,
+                                        keyCol: String): Either[String, DataFrame] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ct = "_change_type"
+    commitDelta(spark, root, fromC, toC) match {
+      case Right(df) => return Right(df.withColumn(ct, lit("insert")))
+      case Left(_) => ()
+    }
+    // non-append-shaped with no parent cannot happen (v1 is always a plain
+    // commit), but guard anyway
+    val f = fromC.getOrElse(return Left("a non-append first commit"))
+    toC.mode match {
+      case "compact" | "rename" =>
+        Right(toLogicalDf(toC,
+          scanDirs(spark, Nil, toC.partitionCols, toC.schemaDdl))
+          .withColumn(ct, lit("")).limit(0))
+      case "merge" | "delete" | "delete-mor" =>
+        val fromDirs = f.dirs.toSet
+        val removed = f.dirs.filterNot(toC.dirs.contains)
+        val added = toC.dirs.filterNot(fromDirs.contains)
+        val covChanged = toC.dirs.filter(d => fromDirs.contains(d) &&
+          f.deletes.getOrElse(d, Nil) != toC.deletes.getOrElse(d, Nil))
+        (removed ++ covChanged).foreach(d =>
+          require(new File(dirPath(root, d)).isDirectory,
+            s"change feed across v${toC.version} references vacuumed dir ${dirPath(root, d)}"))
+        val old = toLogicalDf(f, scanWithDeletes(spark, root, f, removed ++ covChanged))
+        val neu = toLogicalDf(toC, scanWithDeletes(spark, root, toC, added ++ covChanged))
+        if (old.columns.toSeq != neu.columns.toSeq)
+          return Left("a schema change inside a rewrite commit")
+        // survivor copies are bit-identical rows on both sides and cancel;
+        // what remains is exactly the changed row multiset of the commit
+        val changedNew = neu.exceptAll(old)
+        val changedOld = old.exceptAll(neu)
+        val oldKeys = old.select(keyCol).distinct()
+        val newKeys = neu.select(keyCol).distinct()
+        Right(changedNew.join(oldKeys, Seq(keyCol), "left_anti")
+          .withColumn(ct, lit("insert"))
+          .unionByName(changedNew.join(oldKeys, Seq(keyCol), "left_semi")
+            .withColumn(ct, lit("update_postimage")))
+          .unionByName(changedOld.join(newKeys, Seq(keyCol), "left_semi")
+            .withColumn(ct, lit("update_preimage")))
+          .unionByName(changedOld.join(newKeys, Seq(keyCol), "left_anti")
+            .withColumn(ct, lit("delete"))))
+      case other =>
+        Left(s"a '$other' commit (whole-snapshot replacement has no row-level change form)")
+    }
+  }
+
   /** MERGE INTO with DIR-LEVEL COPY-ON-WRITE (the Delta MERGE shape at this
     * log's commit-dir granularity): apply an upsert batch — rows of
     * `updates` replace same-key rows, unmatched update rows insert — while

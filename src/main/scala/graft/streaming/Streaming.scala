@@ -354,6 +354,29 @@ object Streaming {
     r.load()
   }
 
+  /** ST: CHANGE-FEED streaming read of the versioned table (Delta's
+    * `readChangeFeed` contract over this log): every row carries
+    * `_change_type` ∈ {insert, update_preimage, update_postimage, delete},
+    * merges/deletes/MOR coverage growth flow as row-level deltas computed
+    * over only each commit's touched dirs, compaction emits nothing, and
+    * the initial snapshot arrives as all-inserts (`startingVersion` for
+    * the changes-only form). The downstream-materialization primitive: a
+    * consumer applying the feed keyed by `keyCol` reconstructs every
+    * snapshot exactly.
+    */
+  def versionedChangeFeed(spark: org.apache.spark.sql.SparkSession, root: String,
+                          keyCol: String,
+                          startingVersion: Option[Long] = None,
+                          maxVersionsPerTrigger: Option[Long] = None): DataFrame = {
+    var r = spark.readStream.format("graft-versioned")
+      .option("path", root)
+      .option("readChangeFeed", "true")
+      .option("changeFeedKey", keyCol)
+    startingVersion.foreach(v => r = r.option("startingVersion", v.toString))
+    maxVersionsPerTrigger.foreach(m => r = r.option("maxVersionsPerTrigger", m.toString))
+    r.load()
+  }
+
   /** ST: streaming CDC MERGE sink — each micro-batch of upserts applies to
     * the versioned table through [[graft.io.VersionedTable.mergeInto]]'s
     * dir-level copy-on-write (an empty log bootstraps with the first batch

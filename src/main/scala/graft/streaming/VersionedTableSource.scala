@@ -59,7 +59,12 @@ class VersionedTableSourceProvider extends StreamSourceProvider with DataSourceR
     require(schema.isEmpty,
       "graft-versioned source derives its schema from the table's latest manifest; " +
         "a user-specified schema is not supported")
-    (shortName(), VersionedTableSource.pinnedSchema(sqlContext, rootOf(parameters)))
+    val base = VersionedTableSource.pinnedSchema(sqlContext, rootOf(parameters))
+    val out = if (parameters.get("readChangeFeed").exists(_.toBoolean))
+      base.add(VersionedTableSource.changeTypeCol, org.apache.spark.sql.types.StringType,
+        nullable = false)
+    else base
+    (shortName(), out)
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
@@ -67,14 +72,22 @@ class VersionedTableSourceProvider extends StreamSourceProvider with DataSourceR
                             parameters: Map[String, String]): Source = {
     val maxV = parameters.get("maxVersionsPerTrigger").map(_.toLong)
     maxV.foreach(m => require(m > 0, s"maxVersionsPerTrigger must be positive, got $m"))
+    val cdf = parameters.get("readChangeFeed").exists(_.toBoolean)
+    val cdfKey = parameters.get("changeFeedKey")
+    require(!cdf || cdfKey.nonEmpty,
+      "readChangeFeed=true requires option 'changeFeedKey' (the table's row key, " +
+        "used to split inserts from updates)")
     new VersionedTableSource(sqlContext, rootOf(parameters),
       skipChangeCommits = parameters.get("skipChangeCommits").exists(_.toBoolean),
       startingVersion = parameters.get("startingVersion").map(_.toLong),
-      maxVersionsPerTrigger = maxV)
+      maxVersionsPerTrigger = maxV,
+      changeFeedKey = if (cdf) cdfKey else None)
   }
 }
 
 private[streaming] object VersionedTableSource {
+  val changeTypeCol = "_change_type"
+
   /** The stream's pinned schema: the LATEST snapshot's logical schema at
     * source-creation time (a zero-row plan — schema resolution only, no
     * scan job).
@@ -90,10 +103,25 @@ private[streaming] object VersionedTableSource {
 class VersionedTableSource(sqlContext: SQLContext, root: String,
                            skipChangeCommits: Boolean,
                            startingVersion: Option[Long],
-                           maxVersionsPerTrigger: Option[Long] = None)
+                           maxVersionsPerTrigger: Option[Long] = None,
+                           changeFeedKey: Option[String] = None)
     extends Source with SupportsTriggerAvailableNow {
 
   private val log = org.slf4j.LoggerFactory.getLogger(classOf[VersionedTableSource])
+
+  /** CHANGE FEED mode (`readChangeFeed=true` + `changeFeedKey`, the public
+    * Delta CDF contract): every emitted row carries `_change_type` ∈
+    * {insert, update_preimage, update_postimage, delete}, and the commits
+    * the plain stream must refuse — merges, deletes, merge-on-read
+    * coverage growth — flow as their row-level deltas instead, computed
+    * over ONLY each commit's touched dirs
+    * ([[VersionedTable.changeFeedOfCommit]]: O(rewritten data), never
+    * O(table)). Compaction emits nothing (row set provably identical);
+    * overwrite/rollback still refuse (or skip under skipChangeCommits).
+    * The initial snapshot arrives as all-inserts; `startingVersion` gives
+    * the changes-only form.
+    */
+  private val changeFeed = changeFeedKey.nonEmpty
 
   /** Trigger.AvailableNow support (the FileStreamSource shape): the trigger
     * snapshots the log's tip ONCE at query start, the run drains exactly up
@@ -132,7 +160,13 @@ class VersionedTableSource(sqlContext: SQLContext, root: String,
     limited.map(LongOffset(_)).orNull
   }
 
-  override val schema: StructType = VersionedTableSource.pinnedSchema(sqlContext, root)
+  override val schema: StructType = {
+    val base = VersionedTableSource.pinnedSchema(sqlContext, root)
+    if (changeFeed)
+      base.add(VersionedTableSource.changeTypeCol,
+        org.apache.spark.sql.types.StringType, nullable = false)
+    else base
+  }
 
   override def getOffset: Option[Offset] =
     VersionedTable.latestVersion(root).map(LongOffset(_))
@@ -158,7 +192,13 @@ class VersionedTableSource(sqlContext: SQLContext, root: String,
     val batch = start.map(versionOf).orElse(startingVersion) match {
       case None =>
         // fresh stream, no startingVersion: the initial snapshot at endV
-        requirePinnedSchema(VersionedTable.read(spark, root, asOf = Some(endV)),
+        // (in change-feed mode: the snapshot arrives as all-inserts)
+        val snap = VersionedTable.read(spark, root, asOf = Some(endV))
+        requirePinnedSchema(
+          if (changeFeed)
+            snap.withColumn(VersionedTableSource.changeTypeCol,
+              org.apache.spark.sql.functions.lit("insert"))
+          else snap,
           s"initial snapshot v$endV")
       case Some(s) if s >= endV =>
         // engine bookkeeping batch (restart replay of an empty range) —
@@ -177,7 +217,11 @@ class VersionedTableSource(sqlContext: SQLContext, root: String,
         (s + 1) to endV foreach { v =>
           val c = VersionedTable.commitAt(root, v).getOrElse(
             sys.error(s"graft-versioned source at $root: version $v not in log"))
-          VersionedTable.commitDelta(spark, root, prev, c) match {
+          val delta = changeFeedKey match {
+            case Some(k) => VersionedTable.changeFeedOfCommit(spark, root, prev, c, k)
+            case None => VersionedTable.commitDelta(spark, root, prev, c)
+          }
+          delta match {
             case Right(df) => parts += requirePinnedSchema(df, s"version $v")
             case Left(reason) if skipChangeCommits =>
               // Delta's skipChangeCommits: the whole commit — including any
@@ -187,8 +231,9 @@ class VersionedTableSource(sqlContext: SQLContext, root: String,
             case Left(reason) => sys.error(
               s"graft-versioned source at $root: version $v is not append-shaped " +
                 s"($reason); a streaming read cannot express it as row appends — " +
-                "set option skipChangeCommits=true to skip such commits, or " +
-                "restart the stream from the current snapshot")
+                "set readChangeFeed=true to consume it as row-level changes, " +
+                "skipChangeCommits=true to skip such commits, or restart the " +
+                "stream from the current snapshot")
           }
           prev = Some(c)
         }

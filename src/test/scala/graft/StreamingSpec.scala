@@ -407,6 +407,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("versionedChangeFeed: merges, deletes, MOR coverage and compaction flow as typed row changes") {
+    import spark.implicits._
+    val root = TestSpark.tmpDir("vcdf-root")
+    graft.io.VersionedTable.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"),
+      root, "append", "c0", statsCols = Seq("id"))                    // v1
+    graft.io.VersionedTable.mergeInto(spark, root,
+      Seq((2L, "B2"), (4L, "d")).toDF("id", "s"), "id", "m0")         // v2: update 2, insert 4
+    graft.io.VersionedTable.deleteWhere(spark, root, Seq(3L).toDF("id"), "id", "d0") // v3
+    graft.io.VersionedTable.deleteWhereMor(spark, root, Seq(1L).toDF("id"), "id", "d1") // v4 (coverage only)
+    graft.io.VersionedTable.compact(spark, root, "opt0", 1, statsCols = Seq("id"))   // v5: no row change
+    val q = Streaming.versionedChangeFeed(spark, root, "id", startingVersion = Some(0L))
+      .writeStream.format("memory").queryName("vcdf").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val events = spark.table("vcdf").select("_change_type", "id", "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(events == Set(
+      ("insert", 1L, "a"), ("insert", 2L, "b"), ("insert", 3L, "c"), // v1 appends
+      ("update_preimage", 2L, "b"), ("update_postimage", 2L, "B2"),  // v2 merge
+      ("insert", 4L, "d"),                                           // v2 merge insert
+      ("delete", 3L, "c"),                                           // v3 copy-on-write delete
+      ("delete", 1L, "a")                                            // v4 MOR coverage delete
+    ), s"compaction must emit nothing, got $events")
+    // applying the feed keyed by id reconstructs the final snapshot
+    import org.apache.spark.sql.expressions.Window
+    val ordered = spark.table("vcdf")
+      .withColumn("__seq", monotonically_increasing_id())
+      .filter(col("_change_type").isin("insert", "update_postimage", "delete"))
+    val lastPerKey = ordered
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("__seq").desc)))
+      .filter(col("__rk") === 1 && col("_change_type") =!= "delete")
+      .select("id", "s").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val snap = graft.io.VersionedTable.read(spark, root)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(lastPerKey == snap, s"feed-materialized $lastPerKey != snapshot $snap")
+  }
+
   test("versionedSource: schema change mid-stream refuses even under skipChangeCommits") {
     import spark.implicits._
     val root = TestSpark.tmpDir("vsrc-ren-root")
