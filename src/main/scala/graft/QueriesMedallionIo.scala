@@ -951,6 +951,54 @@ private[graft] object QueriesMedallionIo {
         "TRUE AS zero_copy, TRUE AS src_intact " +
         "FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1 ORDER BY 1")),
 
+    // S17 — BATCH CHANGE FEED (VersionedTable.readChangeFeed — Delta's
+    // table_changes() form): the change history of (0, 4] — two appends,
+    // a MERGE, a copy-on-write DELETE — as typed rows with
+    // `_commit_version`, each rewrite diffed over only its touched dirs.
+    // The oracle replays every (version, change-class) cell as batch SQL,
+    // pinning WHICH commit produced WHICH changes, not just the totals.
+    Q("versioned_cdf_batch",
+      (s, dir) => {
+        val root = Fixtures.once(s, dir, "vt_cdf_batch") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_cdfb_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 0),
+            r, "append", "cf0", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 1),
+            r, "append", "cf1", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.mergeInto(s, r,
+            o.filter(col("o_orderkey") % 5 === 0)
+              .select(col("o_orderkey"), lit("U-CDF").as("o_orderpriority"),
+                col("o_totalprice")),
+            "o_orderkey", "cf2", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.deleteWhere(s, r,
+            o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+            "o_orderkey", "cf3")
+          r
+        }
+        graft.io.VersionedTable.readChangeFeed(s, root, 0L, 4L, "o_orderkey")
+          .groupBy("_commit_version", "_change_type")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .orderBy("_commit_version", "_change_type")
+      },
+      Some("""WITH present AS (
+        |  SELECT o_orderkey FROM orders WHERE o_orderkey%3=0 OR o_orderkey%3=1
+        |  UNION SELECT o_orderkey FROM orders WHERE o_orderkey%5=0),
+        |cells AS (
+        |  SELECT 1 AS v, 'insert' AS t, o_orderkey FROM orders WHERE o_orderkey%3=0
+        |  UNION ALL SELECT 2, 'insert', o_orderkey FROM orders WHERE o_orderkey%3=1
+        |  UNION ALL SELECT 3, 'insert', o_orderkey FROM orders
+        |    WHERE o_orderkey%5=0 AND o_orderkey%3=2
+        |  UNION ALL SELECT 3, 'update_postimage', o_orderkey FROM orders
+        |    WHERE o_orderkey%5=0 AND (o_orderkey%3=0 OR o_orderkey%3=1)
+        |  UNION ALL SELECT 3, 'update_preimage', o_orderkey FROM orders
+        |    WHERE o_orderkey%5=0 AND (o_orderkey%3=0 OR o_orderkey%3=1)
+        |  UNION ALL SELECT 4, 'delete', o_orderkey FROM present WHERE o_orderkey%7=0)
+        |SELECT CAST(v AS BIGINT) AS _commit_version, t AS _change_type,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM cells GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     // S17 — TIME-RETENTION purge on a real TIMESTAMP column (the use case
     // deleteRange exists for: "drop everything before the cutoff"). Four
     // appends banded by o_orderdate (timestamp stats index as INT64-micros

@@ -1385,6 +1385,38 @@ object VersionedTable {
     }
   }
 
+  /** Batch CHANGE FEED over a version range (Delta's `table_changes(...)`
+    * form): the union of [[changeFeedOfCommit]] for every version in
+    * (fromVersion, toVersion], each commit tagged with `_commit_version` —
+    * the bounded-cost generalization of [[changesBetween]] that a
+    * downstream materializer reads when the range contains MERGEs and
+    * DELETEs (which changesBetween must refuse). One manifest parse per
+    * version; each rewrite commit is diffed over only its touched dirs.
+    * Fails loudly on a commit with no row-level form (overwrite/rollback)
+    * — the caller splits the range at it, exactly as with Delta.
+    */
+  def readChangeFeed(spark: SparkSession, root: String, fromVersion: Long,
+                     toVersion: Long, keyCol: String): DataFrame = {
+    require(toVersion > fromVersion, s"empty or inverted range ($fromVersion, $toVersion]")
+    import org.apache.spark.sql.functions.lit
+    var prev: Option[Commit] =
+      if (fromVersion == 0L) None
+      else Some(commitAt(root, fromVersion).getOrElse(
+        sys.error(s"version $fromVersion not in log at $root")))
+    val parts = Seq.newBuilder[DataFrame]
+    (fromVersion + 1) to toVersion foreach { v =>
+      val c = commitAt(root, v).getOrElse(sys.error(s"version $v not in log at $root"))
+      changeFeedOfCommit(spark, root, prev, c, keyCol) match {
+        case Right(df) => parts += df.withColumn("_commit_version", lit(v))
+        case Left(reason) => sys.error(
+          s"change feed over ($fromVersion, $toVersion]: version $v is $reason; " +
+            "split the range at it")
+      }
+      prev = Some(c)
+    }
+    parts.result().reduce(_.unionByName(_))
+  }
+
   /** MERGE INTO with DIR-LEVEL COPY-ON-WRITE (the Delta MERGE shape at this
     * log's commit-dir granularity): apply an upsert batch — rows of
     * `updates` replace same-key rows, unmatched update rows insert — while

@@ -1301,6 +1301,43 @@ class IoSpec extends SparkSpec {
     intercept[IllegalArgumentException](VersionedTable.cloneTo(src, dst, "clone-1"))
   }
 
+  test("VersionedTable.readChangeFeed: batch CDF equals the change history; rewrite diffs scan ONLY touched dirs") {
+    import spark.implicits._
+    val root = tmpDir("vt_cdf_batch")
+    // three range-disjoint commits, then a merge whose keys hit ONLY c1's
+    // envelope — the diff must never open c0's or c2's files
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root,
+      "append", "c0", statsCols = Seq("id"))
+    VersionedTable.commit(Seq((10L, "x"), (11L, "y")).toDF("id", "s"), root,
+      "append", "c1", statsCols = Seq("id"))
+    VersionedTable.commit(Seq((20L, "p")).toDF("id", "s"), root,
+      "append", "c2", statsCols = Seq("id"))
+    VersionedTable.mergeInto(spark, root, Seq((10L, "X2")).toDF("id", "s"),
+      "id", "m0", statsCols = Seq("id"))
+    val feed = VersionedTable.readChangeFeed(spark, root, 0L, 4L, "id")
+    val events = feed.select("_commit_version", "_change_type", "id", "s")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3))).toSet
+    assert(events == Set(
+      (1L, "insert", 1L, "a"), (1L, "insert", 2L, "b"),
+      (2L, "insert", 10L, "x"), (2L, "insert", 11L, "y"),
+      (3L, "insert", 20L, "p"),
+      (4L, "update_preimage", 10L, "x"), (4L, "update_postimage", 10L, "X2")), events.toString)
+    // plan boundedness: the merge commit's diff reads c1's dir (removed)
+    // and the rewrite dir (added) — never c0's or c2's untouched dirs
+    val v4 = VersionedTable.changeFeedOfCommit(spark, root,
+      Some(VersionedTable.commitAt(root, 3L).get),
+      VersionedTable.commitAt(root, 4L).get, "id")
+      .getOrElse(fail("expected a row-level form"))
+    val scanned = v4.inputFiles.toSeq
+    assert(scanned.nonEmpty && scanned.forall(p => !p.contains("-c0/") && !p.contains("-c2/")),
+      s"diff must scan only the touched region, scanned: $scanned")
+    // a range crossing an overwrite refuses with the split hint
+    VersionedTable.commit(Seq((99L, "z")).toDF("id", "s"), root, "overwrite", "ow")
+    val e = intercept[RuntimeException](
+      VersionedTable.readChangeFeed(spark, root, 0L, 5L, "id").collect())
+    assert(e.getMessage.contains("split the range"), e.getMessage)
+  }
+
   test("VersionedTable: a manifest declaring an unknown reader feature refuses loudly") {
     val root = tmpDir("vt_feat")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "_commits"))
