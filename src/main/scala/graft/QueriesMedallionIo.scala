@@ -951,6 +951,49 @@ private[graft] object QueriesMedallionIo {
         "TRUE AS zero_copy, TRUE AS src_intact " +
         "FROM orders WHERE o_orderkey % 7 <> 0 GROUP BY 1 ORDER BY 1")),
 
+    // S17 — CHECK CONSTRAINTS (VersionedTable.addConstraint — Delta's
+    // ALTER TABLE ADD CONSTRAINT): table-level invariants enforced on
+    // every row-adding write. 'prevalidated' pins that a constraint the
+    // existing snapshot violates refuses to publish; 'enforced' pins that
+    // a violating append refuses BEFORE any data lands (log unmoved);
+    // the final state is the constraint-respecting table.
+    Q("versioned_constraint",
+      (s, dir) => {
+        val (root, prevalidated, enforced) = Fixtures.once(s, dir, "vt_constraint") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_ck_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0),
+            r, "append", "ck0", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.addConstraint(s, r, "price_nonneg",
+            "o_totalprice >= 0", "ck-add")
+          val pre = (try {
+            graft.io.VersionedTable.addConstraint(s, r, "impossible",
+              "o_orderkey > 5", "ck-bad-add"); false
+          } catch { case _: IllegalArgumentException => true }) &&
+            graft.io.VersionedTable.latestVersion(r).contains(2L)
+          val enf = (try {
+            graft.io.VersionedTable.commit(
+              o.filter(col("o_orderkey") % 2 === 1)
+                .withColumn("o_totalprice", col("o_totalprice") * -1 - 1),
+              r, "append", "ck-bad-append"); false
+          } catch { case _: IllegalArgumentException => true }) &&
+            graft.io.VersionedTable.latestVersion(r).contains(2L)
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1),
+            r, "append", "ck1", statsCols = Seq("o_orderkey"))
+          (r, java.lang.Boolean.valueOf(pre), java.lang.Boolean.valueOf(enf))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("prevalidated", lit(prevalidated.booleanValue()))
+          .withColumn("enforced", lit(enforced.booleanValue()))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "TRUE AS prevalidated, TRUE AS enforced " +
+        "FROM orders GROUP BY 1 ORDER BY 1")),
+
     // S17 — BATCH CHANGE FEED (VersionedTable.readChangeFeed — Delta's
     // table_changes() form): the change history of (0, 4] — two appends,
     // a MERGE, a copy-on-write DELETE — as typed rows with

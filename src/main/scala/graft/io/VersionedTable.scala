@@ -76,6 +76,12 @@ object VersionedTable {
     * non-identity entries are stored; an empty map means logical =
     * physical (every pre-rename table).
     */
+  /** `constraints`: named CHECK constraints (Delta's table-constraint
+    * shape) — SQL boolean expressions over LOGICAL column names, enforced
+    * on every batch that ADDS rows (append, overwrite, merge, CDC apply)
+    * with SQL CHECK semantics (only FALSE violates; NULL passes). Carried
+    * forward by every publish path; rollback restores the target's set.
+    */
   final case class Commit(version: Long, commitId: String, mode: String, dirs: Seq[String],
                           stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
                           strStats: Map[String, Map[String, (String, String)]] = Map.empty,
@@ -85,7 +91,8 @@ object VersionedTable {
                           committedAtMs: Long = 0L,
                           deletes: Map[String, Seq[String]] = Map.empty,
                           deleteKeys: Map[String, String] = Map.empty,
-                          nameMap: Map[String, String] = Map.empty)
+                          nameMap: Map[String, String] = Map.empty,
+                          constraints: Map[String, String] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -164,6 +171,11 @@ object VersionedTable {
       val nm = new java.util.LinkedHashMap[String, Object]()
       c.nameMap.toSeq.sortBy(_._1).foreach { case (log, phys) => nm.put(log, phys) }
       m.put("renames", nm)
+    }
+    if (c.constraints.nonEmpty) {
+      val cm = new java.util.LinkedHashMap[String, Object]()
+      c.constraints.toSeq.sortBy(_._1).foreach { case (name, sql) => cm.put(name, sql) }
+      m.put("constraints", cm)
     }
     mapper.writeValueAsString(m)
   }
@@ -251,11 +263,14 @@ object VersionedTable {
     val nameMap = Option(n.get("renames")).map { nm =>
       nm.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
+    val constraints = Option(n.get("constraints")).map { cn =>
+      cn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
     Commit(v, n.get("commitId").asText(), n.get("mode").asText(),
       n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, strStats, pcols, blooms,
       Option(n.get("schema")).map(_.asText()),
       Option(n.get("committedAt")).map(_.asLong()).getOrElse(0L),
-      deletes, deleteKeys, nameMap)
+      deletes, deleteKeys, nameMap, constraints)
   }
 
   /** Atomically publish manifest `c` into version slot `v`: write the full
@@ -480,6 +495,78 @@ object VersionedTable {
     * job schema evolution refuses — a rename can never alias one.
     * Idempotent under `commitId`; manifest-only OCC retry like rollback.
     */
+  /** Enforce CHECK constraints on a LOGICAL batch with SQL CHECK semantics:
+    * a row violates only when the expression evaluates FALSE (NULL passes,
+    * like every SQL engine's CHECK). One bounded action per constraint —
+    * `filter(violation).limit(1)` — so the cost is O(batch) scans that
+    * short-circuit at the first offender, and the refusal names the
+    * constraint and prints the row.
+    */
+  private def enforceConstraints(cs: Map[String, String], batch: DataFrame,
+                                 op: String): Unit =
+    cs.toSeq.sortBy(_._1).foreach { case (name, sql) =>
+      import org.apache.spark.sql.functions.expr
+      val bad = batch.filter(expr(sql) === false).limit(1).collect()
+      require(bad.isEmpty,
+        s"$op: CHECK constraint '$name' ($sql) violated by row ${bad.headOption.orNull}")
+    }
+
+  /** Add a named CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT):
+    * validates the EXISTING snapshot first — one scan, short-circuiting at
+    * the first violating row, exactly Delta's semantics (you cannot
+    * constrain a table that already violates it) — then publishes a
+    * metadata-only commit carrying the widened constraint set. Every
+    * subsequent row-adding write (append, overwrite, merge, CDC apply,
+    * streaming sinks through them) enforces it on the incoming batch
+    * before any data lands. Idempotent under commitId retry.
+    */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+                    sqlExpr: String, commitId: String): Long =
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => prior
+      case None =>
+        var out = -1L
+        while (out < 0) {
+          val parent = latestCommit(root)
+            .getOrElse(sys.error(s"addConstraint: no commits at $root"))
+          require(!parent.constraints.contains(name),
+            s"addConstraint: constraint '$name' already exists " +
+              s"(${parent.constraints(name)})")
+          // the snapshot must already satisfy the constraint — validated
+          // against THIS parent; an OCC retry re-validates the new snapshot
+          enforceConstraints(Map(name -> sqlExpr),
+            read(spark, root, asOf = Some(parent.version)), "addConstraint")
+          val v = parent.version + 1
+          if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
+              mode = "constraint",
+              constraints = parent.constraints + (name -> sqlExpr))))
+            out = v
+        }
+        out
+    }
+
+  /** Drop a named CHECK constraint — metadata-only, idempotent under
+    * commitId retry; unknown names refuse loudly.
+    */
+  def dropConstraint(root: String, name: String, commitId: String): Long =
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => prior
+      case None =>
+        var out = -1L
+        while (out < 0) {
+          val parent = latestCommit(root)
+            .getOrElse(sys.error(s"dropConstraint: no commits at $root"))
+          require(parent.constraints.contains(name),
+            s"dropConstraint: unknown constraint '$name' " +
+              s"(defined: ${parent.constraints.keys.toSeq.sorted.mkString(", ")})")
+          val v = parent.version + 1
+          if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
+              mode = "constraint", constraints = parent.constraints - name)))
+            out = v
+        }
+        out
+    }
+
   def renameColumn(root: String, from: String, to: String, commitId: String): Long = {
     findCommitVersion(root, commitId) match {
       case Some(prior) => prior
@@ -498,6 +585,17 @@ object VersionedTable {
           require(!parent.partitionCols.contains(phys),
             s"renameColumn: '$from' is a hive partition column — its physical name is " +
               "baked into every directory path; repartitioning is a rewrite, not a rename")
+          // CHECK constraints are stored as SQL over LOGICAL names; renaming
+          // a referenced column would silently break their enforcement
+          // (word-boundary match — conservative: a literal mention inside a
+          // string constant also refuses, loudly rather than wrongly)
+          val referencing = parent.constraints.collect {
+            case (n, sql) if ("\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
+              .findFirstIn(sql).isDefined => n
+          }
+          require(referencing.isEmpty,
+            s"renameColumn: column '$from' is referenced by CHECK constraint(s) " +
+              s"${referencing.toSeq.sorted.mkString(", ")}; drop them first")
           val newMap = ((parent.nameMap - from) + (to -> phys))
             .filter { case (l, p) => l != p } // renaming back to the original drops the entry
           val v = parent.version + 1
@@ -531,7 +629,12 @@ object VersionedTable {
         // appends write under PHYSICAL names (identity unless the table
         // has renames); an overwrite replaces the schema wholesale, so its
         // names become the new physical names and the mapping resets
-        val preParent = if (mode == "append") latestCommit(root) else None
+        val preParent0 = latestCommit(root)
+        // CHECK constraints hold in BOTH modes (they are table properties,
+        // surviving overwrite like Delta's) and are enforced on the
+        // incoming LOGICAL batch before any data is written
+        preParent0.foreach(p => enforceConstraints(p.constraints, df, "commit"))
+        val preParent = preParent0.filter(_ => mode == "append")
         val dfPhys = preParent.fold(df)(p => toPhysicalDf(p, df))
         val physStats = statsCols.map(c => preParent.fold(c)(p => physName(p, c)))
         val physBlooms = bloomCols.map(c => preParent.fold(c)(p => physName(p, c)))
@@ -594,12 +697,19 @@ object VersionedTable {
                            else inheritedStr + (dirName -> dirStats.strs)
             val blooms = if (dirBlooms.isEmpty) inheritedBlooms
                          else inheritedBlooms + (dirName -> dirBlooms)
+            // the batch was validated against preParent0's constraint set —
+            // a constraint added mid-write would be silently unenforced on
+            // this batch, so refuse and re-run (the rename guard's pattern)
+            require(parent.map(_.constraints).getOrElse(Map.empty) ==
+                preParent0.map(_.constraints).getOrElse(Map.empty),
+              "commit: table constraints advanced during the write; re-run")
             if (publishIfAbsent(root, v,
                 Commit(v, commitId, mode, dirs, stats, strStats, partitionCols, blooms,
                   Some(snapSchema.toDDL), deletes = inhDeletes,
                   deleteKeys = inhDeleteKeys,
                   nameMap = if (mode == "append")
-                    parent.map(_.nameMap).getOrElse(Map.empty) else Map.empty)))
+                    parent.map(_.nameMap).getOrElse(Map.empty) else Map.empty,
+                  constraints = parent.map(_.constraints).getOrElse(Map.empty))))
               committed = v
           }
         }
@@ -1622,7 +1732,8 @@ object VersionedTable {
         parent.partitionCols,
         survivorsDir.filter(_ => dirBlooms.nonEmpty)
           .fold(keptBlooms)(d => keptBlooms + (d -> dirBlooms)),
-        schemaDdl, deletes = cd, deleteKeys = cdk, nameMap = parent.nameMap)
+        schemaDdl, deletes = cd, deleteKeys = cdk, nameMap = parent.nameMap,
+        constraints = parent.constraints)
       if (publishIfAbsent(root, v, c)) out = v
       else findCommitVersion(root, commitId) match {
         case Some(pv) => out = pv // a retry twin of us won the slot
@@ -1672,6 +1783,9 @@ object VersionedTable {
             s"mergeInto: batch schema ${got.toSeq.sorted} must equal the snapshot schema " +
               s"${want.toSeq.sorted} (use commit(mode=append) for add-column evolution)")
         }
+        // CHECK constraints are over LOGICAL names — validate the incoming
+        // batch before any data is written or any dir classified
+        enforceConstraints(parent.constraints, updates, "mergeInto")
         val guarded = guardMergeBatch(updPhys, physKey, "mergeInto")
         // bounded scalar probe: the batch's key envelope (integral via the
         // manifest stats index, string via strStats)
@@ -1762,6 +1876,9 @@ object VersionedTable {
             s"applyCdcBatch: batch schema ${got.toSeq.sorted} must equal the snapshot " +
               s"schema ${want.toSeq.sorted} (use commit(mode=append) for evolution)")
         }
+        // upserts take the CHECK gate (they ADD rows); tombstones only
+        // remove, so they pass untested
+        enforceConstraints(parent.constraints, updates, "applyCdcBatch")
         val gUpd = guardMergeBatch(updPhys, physKey, "applyCdcBatch")
         val gDel = deleteKeys.select(col(keyCol).as(physKey))
           .filter(when(col(physKey).isNull,
@@ -1959,7 +2076,7 @@ object VersionedTable {
                 parent.stats, parent.strStats, parent.partitionCols, parent.blooms,
                 parent.schemaDdl,
                 deletes = newDeletes, deleteKeys = newDeleteKeys,
-                nameMap = parent.nameMap)
+                nameMap = parent.nameMap, constraints = parent.constraints)
               if (publishIfAbsent(root, v, c)) result = (v, hit.size, parent.dirs.size)
               // lost the race: manifest-only — recompute against the new
               // parent and retry (the key set is already in place)
@@ -2171,7 +2288,7 @@ object VersionedTable {
           if (publishIfAbsent(root, v, Commit(v, commitId, "rollback", target.dirs,
               target.stats, target.strStats, target.partitionCols, target.blooms,
               target.schemaDdl, deletes = target.deletes, deleteKeys = target.deleteKeys,
-              nameMap = target.nameMap)))
+              nameMap = target.nameMap, constraints = target.constraints)))
             committed = v
         }
         committed
@@ -2300,7 +2417,7 @@ object VersionedTable {
           if (dirBlooms.isEmpty) Map.empty
           else Map(dirName -> dirBlooms): Map[String, Seq[String]],
           parent.schemaDdl.orElse(Some(cur.schema.toDDL)),
-          nameMap = parent.nameMap)
+          nameMap = parent.nameMap, constraints = parent.constraints)
         if (!publishIfAbsent(root, v, c))
           sys.error(s"compact: log advanced past v${parent.version} during the rewrite; " +
             "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
@@ -2372,7 +2489,7 @@ object VersionedTable {
           deleteKeys = c.deleteKeys.collect {
             case (sn, k) if setMap.contains(sn) => setMap(sn) -> k
           },
-          nameMap = c.nameMap)
+          nameMap = c.nameMap, constraints = c.constraints)
         if (publishIfAbsent(dstRoot, 1L, cloned)) 1L
         else findCommitVersion(dstRoot, commitId).getOrElse(
           sys.error(s"cloneTo: destination $dstRoot gained a commit concurrently; " +

@@ -1338,6 +1338,47 @@ class IoSpec extends SparkSpec {
     assert(e.getMessage.contains("split the range"), e.getMessage)
   }
 
+  test("VersionedTable CHECK constraints: pre-validated on add, enforced on every row-adding write, lifecycle-durable") {
+    import spark.implicits._
+    val root = tmpDir("vt_check")
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root,
+      "append", "c0", statsCols = Seq("id"))
+    assert(VersionedTable.addConstraint(spark, root, "pos_id", "id > 0", "k0") == 2L)
+    assert(VersionedTable.addConstraint(spark, root, "pos_id", "id > 0", "k0") == 2L,
+      "idempotent retry")
+    // a constraint the EXISTING snapshot violates refuses before publishing
+    val e0 = intercept[IllegalArgumentException](
+      VersionedTable.addConstraint(spark, root, "big_id", "id > 1", "k1"))
+    assert(e0.getMessage.contains("big_id") && VersionedTable.latestVersion(root).contains(2L))
+    // violating append refuses BEFORE any data lands; log does not advance
+    intercept[IllegalArgumentException](
+      VersionedTable.commit(Seq((-1L, "x")).toDF("id", "s"), root, "append", "bad0"))
+    assert(VersionedTable.latestVersion(root).contains(2L))
+    // violating merge refuses too (updates ADD rows)
+    intercept[IllegalArgumentException](
+      VersionedTable.mergeInto(spark, root, Seq((-5L, "y")).toDF("id", "s"), "id", "bad1"))
+    // valid writes pass; SQL CHECK semantics: a NULL predicate result PASSES
+    VersionedTable.commit(Seq((3L, "c")).toDF("id", "s"), root, "append", "c1",
+      statsCols = Seq("id"))
+    VersionedTable.commit(
+      Seq((Some(4L), "d"), (Option.empty[Long], "n")).toDF("id", "s"),
+      root, "append", "c2")
+    assert(VersionedTable.read(spark, root).count() == 5)
+    // renaming a constrained column would break enforcement — refuse
+    val e1 = intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(root, "id", "row_id", "ren0"))
+    assert(e1.getMessage.contains("pos_id"))
+    // constraints survive compaction (they are table properties)
+    VersionedTable.compact(spark, root, "opt0", 1, statsCols = Seq("id"))
+    intercept[IllegalArgumentException](
+      VersionedTable.commit(Seq((-2L, "z")).toDF("id", "s"), root, "append", "bad2"))
+    // dropped → no longer enforced, rename now allowed
+    VersionedTable.dropConstraint(root, "pos_id", "k2")
+    VersionedTable.commit(Seq((-9L, "ok")).toDF("id", "s"), root, "append", "c3")
+    VersionedTable.renameColumn(root, "id", "row_id", "ren1")
+    assert(VersionedTable.read(spark, root).columns.head == "row_id")
+  }
+
   test("VersionedTable: a manifest declaring an unknown reader feature refuses loudly") {
     val root = tmpDir("vt_feat")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root, "_commits"))
