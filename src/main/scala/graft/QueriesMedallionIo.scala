@@ -1225,6 +1225,107 @@ private[graft] object QueriesMedallionIo {
         |  TRUE AS old_name_at_v1, TRUE AS type_refused
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — DROP COLUMN (VersionedTable.dropColumn — the public Delta
+    // column-mapping design): metadata-only at any table size — the column
+    // leaves the manifest schema (scans stop reading it: parquet column
+    // pruning for free) while pre-drop files keep the physical slot, so
+    // (a) time travel to v1 still shows it (kept_at_v1), (b) an append
+    // re-ADDING the name is refused — old files' retired values would
+    // resurface as the new column (readd_refused) — until (c) compact
+    // rewrites every live file under the post-drop schema (REORG PURGE)
+    // and frees the name (purged_readd_ok; the probe append is then
+    // rolled back so the served row set stays the full orders table).
+    Q("versioned_dropcol",
+      (s, dir) => {
+        val (root, flags) = Fixtures.once(s, dir, "vt_dropcol") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_dropc_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0),
+            r, "append", "dc-a", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.dropColumn(r, "o_totalprice", "dc-drop")
+          graft.io.VersionedTable.commit(
+            o.filter(col("o_orderkey") % 2 === 1).drop("o_totalprice"),
+            r, "append", "dc-b", statsCols = Seq("o_orderkey"))
+          val keptAtV1 = graft.io.VersionedTable.read(s, r, asOf = Some(1L))
+            .columns.toSeq == Seq("o_orderkey", "o_orderpriority", "o_totalprice")
+          val readdRefused = scala.util.Try(graft.io.VersionedTable.commit(
+            o.limit(1), r, "append", "dc-readd-bad")).isFailure
+          graft.io.VersionedTable.compact(s, r, "dc-opt", targetFiles = 4)
+          val purgedV = graft.io.VersionedTable.latestVersion(r).get
+          val readdOk = graft.io.VersionedTable.history(r).last.dropped.isEmpty &&
+            scala.util.Try(graft.io.VersionedTable.commit(
+              o.limit(1), r, "append", "dc-readd-ok")).isSuccess
+          graft.io.VersionedTable.rollback(r, purgedV, "dc-rb")
+          (r, Seq(keptAtV1, readdRefused, readdOk).map(java.lang.Boolean.valueOf))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("kept_at_v1", lit(flags(0).booleanValue()))
+          .withColumn("readd_refused", lit(flags(1).booleanValue()))
+          .withColumn("purged_readd_ok", lit(flags(2).booleanValue()))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  TRUE AS kept_at_v1, TRUE AS readd_refused, TRUE AS purged_readd_ok
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — DESCRIBE HISTORY (VersionedTable.describeHistory — Delta's
+    // observability verb, derived form): per-commit operation metrics
+    // computed from each manifest's diff against its parent — dirs
+    // added/removed from the manifests alone, rows added/removed from
+    // parquet FOOTER counts of only the touched dirs (zero Spark jobs),
+    // deletion-vector rows for merge-on-read commits. The oracle replays
+    // the whole lifecycle ledger as SQL over orders: two appends, a
+    // copy-on-write DELETE (both dirs rewritten into one survivor dir:
+    // rows_removed = the full pre-delete set), an OPTIMIZE rewrite
+    // (rows_added = rows_removed = the live set), and a MOR delete whose
+    // only metric is its vector's key count.
+    Q("versioned_history",
+      (s, dir) => {
+        val root = Fixtures.once(s, dir, "vt_history") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_hist_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0),
+            r, "append", "h-a", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1),
+            r, "append", "h-b", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.deleteWhere(s, r,
+            o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+            "o_orderkey", "h-del", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.compact(s, r, "h-opt", targetFiles = 4,
+            statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.deleteWhereMor(s, r,
+            o.filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") % 7 =!= 0)
+              .select("o_orderkey"),
+            "o_orderkey", "h-mor")
+          r
+        }
+        graft.io.VersionedTable.describeHistory(s, root)
+          .select("version", "operation", "dirs_added", "dirs_removed",
+            "rows_added", "rows_removed", "dv_rows_added")
+          .orderBy("version")
+      },
+      Some("""SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, 'append' AS operation,
+        |    1 AS dirs_added, 0 AS dirs_removed,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS rows_added,
+        |    CAST(0 AS BIGINT) AS rows_removed, CAST(0 AS BIGINT) AS dv_rows_added
+        |  UNION ALL SELECT 2, 'append', 1, 0,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 1), 0, 0
+        |  UNION ALL SELECT 3, 'delete', 1, 2,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 0),
+        |    (SELECT count(*) FROM orders), 0
+        |  UNION ALL SELECT 4, 'compact', 1, 1,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 0),
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 0), 0
+        |  UNION ALL SELECT 5, 'delete-mor', 0, 0, 0, 0,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey % 7 <> 0)
+        |) ORDER BY version""".stripMargin)),
+
     // S17+X8 — k-COLUMN OPTIMIZE ZORDER BY with a STRING dimension
     // (VersionedTable.compact zorderBy — the in-place maintenance twin of
     // versioned_zorder_scan's bulk load): an append-grown table re-clusters

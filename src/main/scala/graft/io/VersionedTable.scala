@@ -82,6 +82,14 @@ object VersionedTable {
     * with SQL CHECK semantics (only FALSE violates; NULL passes). Carried
     * forward by every publish path; rollback restores the target's set.
     */
+  /** `dropped`: PHYSICAL names of dropped columns (Delta's column-mapping
+    * DROP COLUMN) — the manifest schema no longer declares them (scans
+    * never read them: column pruning for free) but their slots persist
+    * inside pre-drop data files, so an append re-ADDING one of these names
+    * must be refused (old files' retired values would resurface as the new
+    * column). Cleared by overwrite (replaces every file) and by compact
+    * (rewrites every file under the post-drop schema — REORG PURGE).
+    */
   final case class Commit(version: Long, commitId: String, mode: String, dirs: Seq[String],
                           stats: Map[String, Map[String, (Long, Long)]] = Map.empty,
                           strStats: Map[String, Map[String, (String, String)]] = Map.empty,
@@ -92,7 +100,8 @@ object VersionedTable {
                           deletes: Map[String, Seq[String]] = Map.empty,
                           deleteKeys: Map[String, String] = Map.empty,
                           nameMap: Map[String, String] = Map.empty,
-                          constraints: Map[String, String] = Map.empty)
+                          constraints: Map[String, String] = Map.empty,
+                          dropped: Seq[String] = Nil)
 
   private val mapper = new ObjectMapper()
 
@@ -177,6 +186,7 @@ object VersionedTable {
       c.constraints.toSeq.sortBy(_._1).foreach { case (name, sql) => cm.put(name, sql) }
       m.put("constraints", cm)
     }
+    if (c.dropped.nonEmpty) m.put("dropped", c.dropped.sorted.asJava)
     mapper.writeValueAsString(m)
   }
 
@@ -202,13 +212,17 @@ object VersionedTable {
     * forget to declare one.
     */
   private[graft] val supportedReaderFeatures =
-    Set("mor-deletes", "column-mapping", "external-refs")
+    Set("mor-deletes", "column-mapping", "external-refs", "dropped-columns")
 
   private def featuresOf(c: Commit): Seq[String] = Seq(
     (c.deletes.nonEmpty || c.deleteKeys.nonEmpty) -> "mor-deletes",
     c.nameMap.nonEmpty -> "column-mapping",
     (c.dirs.exists(_.startsWith("/")) ||
-      c.deletes.valuesIterator.flatten.exists(_.startsWith("/"))) -> "external-refs"
+      c.deletes.valuesIterator.flatten.exists(_.startsWith("/"))) -> "external-refs",
+    // a pre-dropcol WRITER would let an append resurrect a retired slot;
+    // gate readers too (a reader is usually also a writer here), matching
+    // Delta's stance that column-mapping tables gate both directions
+    c.dropped.nonEmpty -> "dropped-columns"
   ).collect { case (true, f) => f }
 
   private def readManifest(p: java.nio.file.Path): Commit = {
@@ -266,11 +280,13 @@ object VersionedTable {
     val constraints = Option(n.get("constraints")).map { cn =>
       cn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
+    val dropped = Option(n.get("dropped"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     Commit(v, n.get("commitId").asText(), n.get("mode").asText(),
       n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, strStats, pcols, blooms,
       Option(n.get("schema")).map(_.asText()),
       Option(n.get("committedAt")).map(_.asLong()).getOrElse(0L),
-      deletes, deleteKeys, nameMap, constraints)
+      deletes, deleteKeys, nameMap, constraints, dropped)
   }
 
   /** Atomically publish manifest `c` into version slot `v`: write the full
@@ -321,6 +337,54 @@ object VersionedTable {
     * parse) and [[findCommitVersion]] (checkpoint + tail).
     */
   def history(root: String): Seq[Commit] = manifestFiles(root).map(readManifest)
+
+  /** DESCRIBE HISTORY (the public Delta observability verb, in derived
+    * form): one row per commit — version, operation, commitId,
+    * committedAt — plus OPERATION METRICS computed from each manifest's
+    * DIFF against its parent: dirs added/removed, rows added/removed
+    * (parquet footer counts of ONLY the touched dirs — O(touched files)
+    * footer reads, zero Spark jobs, never O(table); an append's metric
+    * cost is its own files, a metadata-only commit's is zero), and
+    * merge-on-read deletion-vector rows added. A touched dir already
+    * VACUUMED yields NULL row metrics for that commit instead of failing
+    * the listing — dir/set counts still report, since they come from the
+    * manifests alone. Priced like the observability verb it is:
+    * O(#commits) manifest parses; snapshot reads stay O(1) parses.
+    */
+  def describeHistory(spark: SparkSession, root: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val conf = spark.sessionState.newHadoopConf()
+    val cs = history(root)
+    def cnt(dirs: Seq[String]): Option[Long] =
+      if (dirs.exists(d => !new File(dirPath(root, d)).isDirectory)) None
+      else Some(dirs.map(d => dirRowCount(conf, dirPath(root, d))).sum)
+    val rows: Seq[org.apache.spark.sql.Row] =
+      cs.zip(None +: cs.map(Option(_))).map { case (c, parent) =>
+        val parentDirs = parent.map(_.dirs).getOrElse(Nil)
+        val added = c.dirs.filterNot(parentDirs.toSet.contains)
+        val removed = parentDirs.filterNot(c.dirs.toSet.contains)
+        val parentSets = parent.map(_.deletes.valuesIterator.flatten.toSet)
+          .getOrElse(Set.empty[String])
+        val newSets = (c.deletes.valuesIterator.flatten.toSet -- parentSets).toSeq.sorted
+        org.apache.spark.sql.Row(
+          c.version, c.mode, c.commitId,
+          if (c.committedAtMs > 0) java.lang.Long.valueOf(c.committedAtMs) else null,
+          added.size, removed.size,
+          cnt(added).map(java.lang.Long.valueOf).orNull,
+          cnt(removed).map(java.lang.Long.valueOf).orNull,
+          cnt(newSets).map(java.lang.Long.valueOf).orNull)
+      }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("operation", StringType, nullable = false),
+      StructField("commit_id", StringType, nullable = false),
+      StructField("committed_at", LongType, nullable = true),
+      StructField("dirs_added", IntegerType, nullable = false),
+      StructField("dirs_removed", IntegerType, nullable = false),
+      StructField("rows_added", LongType, nullable = true),
+      StructField("rows_removed", LongType, nullable = true),
+      StructField("dv_rows_added", LongType, nullable = true))))
+  }
 
   /** The latest committed manifest with exactly ONE parse: list the log
     * dir, pick the last slot, parse it. Manifests are snapshot-complete
@@ -607,6 +671,75 @@ object VersionedTable {
     }
   }
 
+  /** DROP COLUMN as a METADATA-ONLY commit (the public Delta column-mapping
+    * design): no data file is touched at any table size — the column simply
+    * leaves the manifest schema, so every scan stops reading it (parquet
+    * column pruning makes the drop also a read-time win), and its
+    * stats/bloom entries leave the skipping index. Time travel to a
+    * pre-drop version still shows the column because each manifest carries
+    * its own schema. The retired PHYSICAL slot is recorded in `dropped`:
+    * an append re-ADDING that name is refused (old files' retired values
+    * would silently resurface as the new column's data); OVERWRITE and
+    * [[compact]] rewrite every live file under the post-drop schema, so
+    * both clear the set and free the name (compact = Delta's
+    * REORG TABLE ... APPLY (PURGE)).
+    *
+    * Refused loudly: unknown column, the last remaining column, hive
+    * PARTITION columns (their physical name is baked into every directory
+    * path), columns referenced by a CHECK constraint (drop the constraint
+    * first), and columns keying a pending merge-on-read delete set (the
+    * read path could no longer apply the vector — compact first to absorb
+    * it). Idempotent under `commitId`; manifest-only OCC retry.
+    */
+  def dropColumn(root: String, name: String, commitId: String): Long = {
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => prior
+      case None =>
+        var out = -1L
+        while (out < 0) {
+          val parent = latestCommit(root)
+            .getOrElse(sys.error(s"dropColumn: no commits at $root"))
+          require(parent.schemaDdl.nonEmpty,
+            "dropColumn: snapshot has no recorded schema (pre-schema commits cannot drop)")
+          val logical = logicalCols(parent)
+          require(logical.contains(name), s"dropColumn: unknown column '$name' " +
+            s"(snapshot columns: ${logical.mkString(", ")})")
+          require(logical.size > 1, "dropColumn: cannot drop the last remaining column")
+          val phys = physName(parent, name)
+          require(!parent.partitionCols.contains(phys),
+            s"dropColumn: '$name' is a hive partition column — its physical name is " +
+              "baked into every directory path; repartitioning is a rewrite, not a drop")
+          val referencing = parent.constraints.collect {
+            case (n, sql) if ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+              .findFirstIn(sql).isDefined => n
+          }
+          require(referencing.isEmpty,
+            s"dropColumn: column '$name' is referenced by CHECK constraint(s) " +
+              s"${referencing.toSeq.sorted.mkString(", ")}; drop them first")
+          val keyedSets = parent.deletes.valuesIterator.flatten.toSeq.distinct
+            .filter(sn => parent.deleteKeys.get(sn).contains(phys))
+          require(keyedSets.isEmpty,
+            s"dropColumn: column '$name' keys pending merge-on-read delete set(s) " +
+              s"${keyedSets.sorted.mkString(", ")}; compact first to absorb them")
+          val ps = org.apache.spark.sql.types.StructType.fromDDL(parent.schemaDdl.get)
+          val newSchema = org.apache.spark.sql.types.StructType(
+            ps.fields.filterNot(_.name == phys))
+          def stripCol[V](m: Map[String, Map[String, V]]) =
+            m.map { case (d, cols) => d -> (cols - phys) }.filter(_._2.nonEmpty)
+          val v = parent.version + 1
+          if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
+              mode = "dropcol", schemaDdl = Some(newSchema.toDDL),
+              stats = stripCol(parent.stats), strStats = stripCol(parent.strStats),
+              blooms = parent.blooms.map { case (d, cols) =>
+                d -> cols.filterNot(_ == phys) }.filter(_._2.nonEmpty),
+              nameMap = parent.nameMap - name,
+              dropped = (parent.dropped :+ phys).distinct.sorted)))
+            out = v
+        }
+        out
+    }
+  }
+
   /** Commit `df` as the next version. `mode` is "overwrite" or "append".
     * Returns the committed version (or the existing one if `commitId` was
     * already committed — idempotent retry). Safe under concurrent committers
@@ -667,6 +800,23 @@ object VersionedTable {
               // dir's physical names stale, so refuse loudly
               require(p.nameMap == preParent.map(_.nameMap).getOrElse(Map.empty),
                 s"append: column renames advanced during the write (now ${p.nameMap}); re-run")
+              // a DROP racing between write and publish would make this
+              // batch's copy of the column look like a brand-new column
+              // under evolvedSchema — resurrection, so refuse loudly
+              require(p.dropped == preParent.map(_.dropped).getOrElse(Nil),
+                s"append: column drops advanced during the write (now ${p.dropped}); re-run")
+              // re-adding a dropped name would resurface the retired slot's
+              // values from every pre-drop file; the name frees after
+              // OVERWRITE or compact (both rewrite every live file)
+              val parentFields = p.schemaDdl
+                .map(org.apache.spark.sql.types.StructType.fromDDL(_).fieldNames.toSet)
+                .getOrElse(Set.empty[String])
+              val resurrected = dfPhys.schema.fieldNames
+                .filterNot(parentFields.contains).filter(p.dropped.contains)
+              require(resurrected.isEmpty,
+                s"append: column(s) ${resurrected.mkString(", ")} were DROPPED — their " +
+                  "physical slots persist in pre-drop files and would resurface; pick a " +
+                  "different name, or compact/overwrite first to purge the slot")
             }
             val snapSchema = evolvedSchema(
               parent.filter(_ => mode == "append").flatMap(_.schemaDdl), dfPhys.schema)
@@ -709,7 +859,11 @@ object VersionedTable {
                   deleteKeys = inhDeleteKeys,
                   nameMap = if (mode == "append")
                     parent.map(_.nameMap).getOrElse(Map.empty) else Map.empty,
-                  constraints = parent.map(_.constraints).getOrElse(Map.empty))))
+                  constraints = parent.map(_.constraints).getOrElse(Map.empty),
+                  // overwrite rewrites the whole row set — retired slots
+                  // are gone from every live file, so the names free up
+                  dropped = if (mode == "append")
+                    parent.map(_.dropped).getOrElse(Nil) else Nil)))
               committed = v
           }
         }
@@ -957,6 +1111,20 @@ object VersionedTable {
     // a column must not straddle both indexes (schema fixed per dir)
     DirStats(ints.toMap, strs.toMap)
   }
+
+  /** Total row count of a data dir from its parquet FOOTERS — O(#files)
+    * footer reads, zero Spark jobs. The shared primitive of the zero-row
+    * survivor-dir omission and [[describeHistory]]'s metrics.
+    */
+  private def dirRowCount(conf: org.apache.hadoop.conf.Configuration,
+                          dirPath: String): Long =
+    parquetFiles(dirPath).iterator.map { rel =>
+      val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dirPath/$rel"), conf))
+      try rdr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      finally rdr.close()
+    }.sum
 
   private def fileStatsPath(dirPath: String) = Paths.get(dirPath, "_filestats")
 
@@ -1446,6 +1614,15 @@ object VersionedTable {
     * overwrite/rollback/clone refuse (whole-snapshot replacement has no
     * bounded row-delta form).
     */
+  /** Commit modes whose row set is IDENTICAL to their parent's — compaction
+    * (same rows, new layout) and the pure-metadata verbs. Their change feed
+    * is empty by contract (diffing a compact would cost O(table), which is
+    * exactly what knowing the mode avoids); note a rename/dropcol still
+    * changes the SCHEMA, which a streaming reader surfaces as its
+    * pinned-schema restart, and [[readChangeFeed]] skips outright.
+    */
+  private[graft] val metadataOnlyModes = Set("compact", "rename", "constraint", "dropcol")
+
   private[graft] def changeFeedOfCommit(spark: SparkSession, root: String,
                                         fromC: Option[Commit], toC: Commit,
                                         keyCol: String): Either[String, DataFrame] = {
@@ -1459,7 +1636,7 @@ object VersionedTable {
     // commit), but guard anyway
     val f = fromC.getOrElse(return Left("a non-append first commit"))
     toC.mode match {
-      case "compact" | "rename" =>
+      case m if metadataOnlyModes.contains(m) =>
         Right(toLogicalDf(toC,
           scanDirs(spark, Nil, toC.partitionCols, toC.schemaDdl))
           .withColumn(ct, lit("")).limit(0))
@@ -1514,17 +1691,30 @@ object VersionedTable {
       else Some(commitAt(root, fromVersion).getOrElse(
         sys.error(s"version $fromVersion not in log at $root")))
     val parts = Seq.newBuilder[DataFrame]
+    var last: Commit = null
     (fromVersion + 1) to toVersion foreach { v =>
       val c = commitAt(root, v).getOrElse(sys.error(s"version $v not in log at $root"))
-      changeFeedOfCommit(spark, root, prev, c, keyCol) match {
-        case Right(df) => parts += df.withColumn("_commit_version", lit(v))
-        case Left(reason) => sys.error(
-          s"change feed over ($fromVersion, $toVersion]: version $v is $reason; " +
-            "split the range at it")
-      }
+      // metadata-only commits contribute no rows and are SKIPPED rather
+      // than unioned as empty frames — an empty frame still carries its
+      // commit's schema, and a rename/dropcol inside the range would make
+      // the union fail on shape even though no row of the feed changed
+      if (!metadataOnlyModes.contains(c.mode))
+        changeFeedOfCommit(spark, root, prev, c, keyCol) match {
+          case Right(df) => parts += df.withColumn("_commit_version", lit(v))
+          case Left(reason) => sys.error(
+            s"change feed over ($fromVersion, $toVersion]: version $v is $reason; " +
+              "split the range at it")
+        }
       prev = Some(c)
+      last = c
     }
-    parts.result().reduce(_.unionByName(_))
+    val dfs = parts.result()
+    if (dfs.nonEmpty) dfs.reduce(_.unionByName(_))
+    else
+      // a range of pure metadata commits: empty feed under the END schema
+      toLogicalDf(last, scanDirs(spark, Nil, last.partitionCols, last.schemaDdl))
+        .withColumn("_change_type", lit("")).withColumn("_commit_version", lit(0L))
+        .limit(0)
   }
 
   /** MERGE INTO with DIR-LEVEL COPY-ON-WRITE (the Delta MERGE shape at this
@@ -1733,7 +1923,7 @@ object VersionedTable {
         survivorsDir.filter(_ => dirBlooms.nonEmpty)
           .fold(keptBlooms)(d => keptBlooms + (d -> dirBlooms)),
         schemaDdl, deletes = cd, deleteKeys = cdk, nameMap = parent.nameMap,
-        constraints = parent.constraints)
+        constraints = parent.constraints, dropped = parent.dropped)
       if (publishIfAbsent(root, v, c)) out = v
       else findCommitVersion(root, commitId) match {
         case Some(pv) => out = pv // a retry twin of us won the slot
@@ -1746,7 +1936,8 @@ object VersionedTable {
           val conflicts = if (newDirs.isEmpty) Nil else conflictDirs(latest, newDirs)
           val schemaMoved = latest.schemaDdl != pinned.schemaDdl ||
             latest.partitionCols != pinned.partitionCols ||
-            latest.nameMap != pinned.nameMap
+            latest.nameMap != pinned.nameMap ||
+            latest.dropped != pinned.dropped
           if (missing.nonEmpty || covChanged.nonEmpty || schemaMoved || conflicts.nonEmpty)
             sys.error(s"$op: log advanced past v${pinned.version} with a CONFLICTING " +
               s"commit (rewrittenMissing=$missing, coverageChanged=$covChanged, " +
@@ -1901,14 +2092,7 @@ object VersionedTable {
         w.parquet(s"$root/$dirName")
         // a delete-only batch purging every hit row leaves zero survivors:
         // omit the file-less dir exactly as deleteWhere does
-        val conf = spark.sessionState.newHadoopConf()
-        val rows = parquetFiles(s"$root/$dirName").iterator.map { rel =>
-          val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(s"$root/$dirName/$rel"), conf))
-          try rdr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-          finally rdr.close()
-        }.sum
+        val rows = dirRowCount(spark.sessionState.newHadoopConf(), s"$root/$dirName")
         val survivorsDir = if (rows == 0L) None else Some(dirName)
         val dirStats = survivorsDir.fold(DirStats(Map.empty, Map.empty))(d =>
           gatherStats(spark, s"$root/$d", statsCols.map(physName(parent, _)), merged.schema))
@@ -1979,14 +2163,7 @@ object VersionedTable {
             // all hit rows deleted → only zero-row part files → omit the
             // dir from the manifest (footer row counts, no Spark job; the
             // orphan dir is reclaimed by vacuum's crashed-commit sweep)
-            val conf = spark.sessionState.newHadoopConf()
-            val rows = parquetFiles(s"$root/$dirName").iterator.map { rel =>
-              val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                  new org.apache.hadoop.fs.Path(s"$root/$dirName/$rel"), conf))
-              try rdr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-              finally rdr.close()
-            }.sum
+            val rows = dirRowCount(spark.sessionState.newHadoopConf(), s"$root/$dirName")
             if (rows == 0L) None else Some(dirName)
           }
         val dirStats = survivorsDir.fold(DirStats(Map.empty, Map.empty))(d =>
@@ -2061,6 +2238,8 @@ object VersionedTable {
               // stale, so refuse loudly instead of publishing a broken ref
               require(physName(parent, keyCol) == physKey,
                 s"deleteWhereMor: column renames advanced during the write; re-run")
+              require(!parent.dropped.contains(physKey),
+                s"deleteWhereMor: key column '$keyCol' was dropped mid-flight; re-run")
               val (hit, _) = rangeHitDirs(root, parent, guarded, physKey, "deleteWhereMor")
               val v = parent.version + 1
               val newDeletes = hit.foldLeft(parent.deletes) { (m, d) =>
@@ -2076,7 +2255,8 @@ object VersionedTable {
                 parent.stats, parent.strStats, parent.partitionCols, parent.blooms,
                 parent.schemaDdl,
                 deletes = newDeletes, deleteKeys = newDeleteKeys,
-                nameMap = parent.nameMap, constraints = parent.constraints)
+                nameMap = parent.nameMap, constraints = parent.constraints,
+                dropped = parent.dropped)
               if (publishIfAbsent(root, v, c)) result = (v, hit.size, parent.dirs.size)
               // lost the race: manifest-only — recompute against the new
               // parent and retry (the key set is already in place)
@@ -2288,7 +2468,8 @@ object VersionedTable {
           if (publishIfAbsent(root, v, Commit(v, commitId, "rollback", target.dirs,
               target.stats, target.strStats, target.partitionCols, target.blooms,
               target.schemaDdl, deletes = target.deletes, deleteKeys = target.deleteKeys,
-              nameMap = target.nameMap, constraints = target.constraints)))
+              nameMap = target.nameMap, constraints = target.constraints,
+              dropped = target.dropped)))
             committed = v
         }
         committed
@@ -2417,7 +2598,11 @@ object VersionedTable {
           if (dirBlooms.isEmpty) Map.empty
           else Map(dirName -> dirBlooms): Map[String, Seq[String]],
           parent.schemaDdl.orElse(Some(cur.schema.toDDL)),
-          nameMap = parent.nameMap, constraints = parent.constraints)
+          nameMap = parent.nameMap, constraints = parent.constraints,
+          // the rewrite scanned under the post-drop manifest schema, so the
+          // new files carry no retired slot — REORG PURGE: clear the set
+          // and free the names for re-use
+          dropped = Nil)
         if (!publishIfAbsent(root, v, c))
           sys.error(s"compact: log advanced past v${parent.version} during the rewrite; " +
             "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
@@ -2489,7 +2674,7 @@ object VersionedTable {
           deleteKeys = c.deleteKeys.collect {
             case (sn, k) if setMap.contains(sn) => setMap(sn) -> k
           },
-          nameMap = c.nameMap, constraints = c.constraints)
+          nameMap = c.nameMap, constraints = c.constraints, dropped = c.dropped)
         if (publishIfAbsent(dstRoot, 1L, cloned)) 1L
         else findCommitVersion(dstRoot, commitId).getOrElse(
           sys.error(s"cloneTo: destination $dstRoot gained a commit concurrently; " +

@@ -1173,6 +1173,125 @@ class IoSpec extends SparkSpec {
       VersionedTable.renameColumn(root2, "year", "yr", "ren-part"))
   }
 
+  test("VersionedTable.describeHistory: derived operation metrics — dirs/rows added+removed, deletion-vector rows, NULL after a dir vanishes") {
+    import spark.implicits._
+    val root = tmpDir("vt_history")
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "s"),
+      root, "append", "h1", statsCols = Seq("id"))
+    VersionedTable.commit(Seq((4L, "d")).toDF("id", "s"), root, "append", "h2",
+      statsCols = Seq("id"))
+    VersionedTable.deleteWhere(spark, root, Seq(2L).toDF("id"), "id", "h-del",
+      statsCols = Seq("id"))
+    VersionedTable.deleteWhereMor(spark, root, Seq(3L, 4L).toDF("id"), "id", "h-mor")
+    VersionedTable.renameColumn(root, "s", "txt", "h-ren")
+    val h = VersionedTable.describeHistory(spark, root).orderBy("version").collect()
+    assert(h.map(_.getString(1)).toSeq ==
+      Seq("append", "append", "delete", "delete-mor", "rename"))
+    // v1: one dir in, 3 rows, nothing out
+    assert(h(0).getInt(4) == 1 && h(0).getInt(5) == 0)
+    assert(h(0).getLong(6) == 3L && h(0).getLong(7) == 0L && h(0).getLong(8) == 0L)
+    // v3 copy-on-write delete of key 2: dir1 [1,3] rewritten (envelope hit),
+    // dir2 [4,4] passes by reference — 1 out, 1 survivor dir in
+    assert(h(2).getInt(4) == 1 && h(2).getInt(5) == 1)
+    assert(h(2).getLong(6) == 2L && h(2).getLong(7) == 3L)
+    // v4 merge-on-read: zero dir movement, two deletion-vector rows
+    assert(h(3).getInt(4) == 0 && h(3).getInt(5) == 0 && h(3).getLong(8) == 2L)
+    // v5 rename: metadata-only, all-zero metrics
+    assert(h(4).getInt(4) == 0 && h(4).getLong(6) == 0L && h(4).getLong(8) == 0L)
+    // a vanished dir (vacuum) degrades THAT commit's row metrics to NULL —
+    // the listing itself and the manifest-derived dir counts survive
+    val gone = VersionedTable.history(root).head.dirs.head
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(): Unit
+    }
+    rm(new java.io.File(s"$root/$gone"))
+    val h2 = VersionedTable.describeHistory(spark, root).orderBy("version").collect()
+    assert(h2(0).isNullAt(6) && h2(0).getInt(4) == 1, h2(0).toString)
+    assert(h2(2).isNullAt(7) && h2(2).getLong(6) == 2L, h2(2).toString)
+  }
+
+  test("VersionedTable.dropColumn: metadata-only drop — scans prune it, time travel keeps it, re-add refused until compact purges") {
+    import spark.implicits._
+    val root = tmpDir("vt_dropcol")
+    VersionedTable.commit(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "s", "score"),
+      root, "append", "d1", statsCols = Seq("id", "score"))
+    // drop a RENAMED column: the retired slot is the PHYSICAL name
+    VersionedTable.renameColumn(root, "score", "quality", "d-ren")
+    val v3 = VersionedTable.dropColumn(root, "quality", "dc1")
+    assert(v3 == 3L)
+    val last = VersionedTable.history(root).last
+    // zero data moved; schema, stats, and the name mapping all dropped the column
+    assert(last.dirs == VersionedTable.history(root).head.dirs)
+    assert(last.dropped == Seq("score"))
+    assert(last.nameMap.isEmpty)
+    assert(!last.stats.values.exists(_.contains("score")), last.stats.toString)
+    assert(VersionedTable.read(spark, root).columns.toSeq == Seq("id", "s"))
+    // the scan never reads the retired slot: parquet column pruning for free
+    val plan = VersionedTable.read(spark, root).queryExecution.executedPlan.toString
+    assert(!plan.contains("score"), plan)
+    // time travel to a pre-drop version still shows the column (as its
+    // logical name AT that version)
+    assert(VersionedTable.read(spark, root, Some(1L)).columns.toSeq == Seq("id", "s", "score"))
+    assert(VersionedTable.read(spark, root, Some(2L)).columns.toSeq == Seq("id", "s", "quality"))
+    // idempotent retry
+    assert(VersionedTable.dropColumn(root, "quality", "dc1") == 3L)
+    // an append AFTER the drop carries the narrowed schema
+    VersionedTable.commit(Seq((3L, "c")).toDF("id", "s"), root, "append", "d2",
+      statsCols = Seq("id"))
+    assert(VersionedTable.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // a copy-on-write MERGE composes (rewrite manifests carry `dropped`)
+    VersionedTable.mergeInto(spark, root, Seq((2L, "B2")).toDF("id", "s"), "id",
+      "d-merge", statsCols = Seq("id"))
+    assert(VersionedTable.history(root).last.dropped == Seq("score"))
+    // re-ADDING the retired name is refused: pre-drop files still hold the
+    // old values, which would resurface as the "new" column
+    val e = intercept[RuntimeException](VersionedTable.commit(
+      Seq((9L, "x", 99L)).toDF("id", "s", "score"), root, "append", "d-bad1"))
+    assert(e.getMessage.contains("DROPPED"), e.getMessage)
+    // the change feed across the drop: metadata-only commits emit nothing
+    val feed = VersionedTable.readChangeFeed(spark, root, 0L, v3, "id")
+    assert(feed.filter(col("_change_type") === "insert").count() == 2L)
+    // compact = REORG PURGE: rewrites every live file under the post-drop
+    // schema, clears the retired set, and frees the name
+    VersionedTable.compact(spark, root, "d-opt", targetFiles = 1)
+    assert(VersionedTable.history(root).last.dropped.isEmpty)
+    val dataDir = VersionedTable.history(root).last.dirs.head
+    assert(!spark.read.parquet(s"$root/$dataDir").columns.contains("score"))
+    VersionedTable.commit(Seq((4L, "d", 40L)).toDF("id", "s", "score"), root,
+      "append", "d3")
+    assert(VersionedTable.read(spark, root).filter(col("id") === 4L)
+      .select("score").head().getLong(0) == 40L)
+    // guards: unknown column, last column, partition column, constraint ref,
+    // pending MOR delete-set key
+    intercept[IllegalArgumentException](VersionedTable.dropColumn(root, "nope", "dc-b1"))
+    val root2 = tmpDir("vt_dropcol_one")
+    VersionedTable.commit(Seq(Tuple1(1L)).toDF("id"), root2, "append", "o1")
+    intercept[IllegalArgumentException](VersionedTable.dropColumn(root2, "id", "dc-b2"))
+    val root3 = tmpDir("vt_dropcol_part")
+    VersionedTable.commit(Seq((1L, 2024, "a")).toDF("id", "year", "s"), root3,
+      "append", "p1", partitionCols = Seq("year"))
+    intercept[IllegalArgumentException](VersionedTable.dropColumn(root3, "year", "dc-b3"))
+    val root4 = tmpDir("vt_dropcol_ck")
+    VersionedTable.commit(Seq((1L, 5.0)).toDF("id", "score"), root4, "append", "c1")
+    VersionedTable.addConstraint(spark, root4, "pos", "score > 0", "c-ck")
+    val e2 = intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(root4, "score", "dc-b4"))
+    assert(e2.getMessage.contains("CHECK constraint"), e2.getMessage)
+    val root5 = tmpDir("vt_dropcol_mor")
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root5,
+      "append", "m1", statsCols = Seq("id"))
+    VersionedTable.deleteWhereMor(spark, root5, Seq(1L).toDF("id"), "id", "m-del")
+    val e3 = intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(root5, "id", "dc-b5"))
+    assert(e3.getMessage.contains("merge-on-read"), e3.getMessage)
+    // compact absorbs the vector; the drop then proceeds
+    VersionedTable.compact(spark, root5, "m-opt", targetFiles = 1)
+    VersionedTable.dropColumn(root5, "id", "dc-ok")
+    assert(VersionedTable.read(spark, root5).columns.toSeq == Seq("s"))
+  }
+
   test("VersionedTable.compact: k-column OPTIMIZE ZORDER BY with a string dimension prunes files on any single axis") {
     import spark.implicits._
     val root = tmpDir("vt_zorder3")
