@@ -1272,6 +1272,48 @@ private[graft] object QueriesMedallionIo {
         |  TRUE AS kept_at_v1, TRUE AS readd_refused, TRUE AS purged_readd_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — PARTITION-SCOPED OPTIMIZE (VersionedTable.compactWhere —
+    // Delta's `OPTIMIZE t WHERE part = v`): with urgent-priority orders in
+    // dir A and the rest in dir B, OPTIMIZE WHERE o_orderpriority IN
+    // ('1-URGENT','2-HIGH') rewrites ONLY dir A (scoped: 1 of 2 dirs;
+    // discovery is a driver-side path listing, zero Spark jobs) while dir
+    // B passes BY REFERENCE — the maintenance verb that stays O(touched
+    // partition dirs) at 100 TB where full-table OPTIMIZE is O(table).
+    // The served row set is the untouched full orders table.
+    Q("versioned_optimize_where",
+      (s, dir) => {
+        val (root, flags) = Fixtures.once(s, dir, "vt_optimize_where") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_optw_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          graft.io.VersionedTable.commit(
+            o.filter(col("o_orderpriority") < "3").repartition(8),
+            r, "append", "ow-a", statsCols = Seq("o_orderkey"),
+            partitionCols = Seq("o_orderpriority"))
+          graft.io.VersionedTable.commit(
+            o.filter(col("o_orderpriority") >= "3"),
+            r, "append", "ow-b", statsCols = Seq("o_orderkey"),
+            partitionCols = Seq("o_orderpriority"))
+          val dirB = graft.io.VersionedTable.history(r).last.dirs(1)
+          val (_, rw, tot) = graft.io.VersionedTable.compactWhere(s, r, "ow-opt",
+            targetFiles = 2, "o_orderpriority", Seq("1-URGENT", "2-HIGH"),
+            statsCols = Seq("o_orderkey"))
+          val scoped = rw == 1 && tot == 2
+          val byref = graft.io.VersionedTable.history(r).last.dirs.contains(dirB)
+          (r, Seq(scoped, byref).map(java.lang.Boolean.valueOf))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("scoped", lit(flags(0).booleanValue()))
+          .withColumn("untouched_by_ref", lit(flags(1).booleanValue()))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  TRUE AS scoped, TRUE AS untouched_by_ref
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — DESCRIBE HISTORY (VersionedTable.describeHistory — Delta's
     // observability verb, derived form): per-commit operation metrics
     // computed from each manifest's diff against its parent — dirs

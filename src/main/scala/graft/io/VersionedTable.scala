@@ -2610,6 +2610,78 @@ object VersionedTable {
     }
   }
 
+  /** PARTITION-SCOPED OPTIMIZE (the public Delta `OPTIMIZE t WHERE
+    * part = v` shape): compact only the commit dirs that actually CONTAIN
+    * one of the selected values for hive partition column `partCol` —
+    * at a 100 TB time-partitioned table, "optimize yesterday's partition"
+    * must cost O(dirs containing yesterday), never O(table), and this
+    * is the verb that makes ongoing maintenance affordable where the
+    * full-table [[compact]] cannot be.
+    *
+    * Touched-dir discovery is a driver-side LISTING (each dir's file paths
+    * carry their `part=value` segments, read through hive unescaping) —
+    * zero footers opened, zero Spark jobs. The touched dirs' entire row
+    * content (merge-on-read vectors covering them applied and thereby
+    * absorbed) rewrites into ONE fresh hive-partitioned dir of
+    * ~`targetFiles` files; untouched dirs pass by reference with their
+    * stats and blooms. Publication is the conflict-aware rebasing commit:
+    * because the row set is UNCHANGED, a concurrent APPEND is always
+    * disjoint (its new dir simply stays uncompacted) — only a writer
+    * touching the dirs being rewritten refuses. No matching dir is a
+    * no-op: current version returns, nothing commits. Unlike the
+    * full-table compact, retired dropped-column slots are NOT purged
+    * (untouched dirs still hold them), so `dropped` carries through.
+    * Returns (version, dirsRewritten, dirsTotal).
+    */
+  def compactWhere(spark: SparkSession, root: String, commitId: String,
+                   targetFiles: Int, partCol: String,
+                   values: Seq[String], statsCols: Seq[String] = Nil,
+                   bloomCols: Seq[String] = Nil): (Long, Int, Int) = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    require(values.nonEmpty, "compactWhere: empty partition-value selection")
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => (prior, -1, -1) // retry of a committed compaction
+      case None =>
+        val parent = latestCommit(root)
+          .getOrElse(sys.error(s"compactWhere: no commits at $root"))
+        require(parent.partitionCols.contains(partCol),
+          s"compactWhere: '$partCol' is not a partition column of this table " +
+            s"(layout: ${parent.partitionCols.mkString(", ")})")
+        val sel = values.toSet
+        val touched = parent.dirs.filter { d =>
+          val dp = dirPath(root, d)
+          require(new File(dp).isDirectory,
+            s"snapshot v${parent.version} references vacuumed dir $dp")
+          parquetFiles(dp).exists(rel =>
+            partValueFromPath(rel, partCol).exists(sel.contains))
+        }
+        if (touched.isEmpty) return (parent.version, 0, parent.dirs.size)
+        val cur = scanWithDeletes(spark, root, parent, touched)
+        val df = cur.repartition(targetFiles,
+          parent.partitionCols.map(org.apache.spark.sql.functions.col): _*)
+        val dirName = f"data/${parent.version + 1}%010d-$commitId"
+        df.write.mode("overwrite").partitionBy(parent.partitionCols: _*)
+          .parquet(s"$root/$dirName")
+        // every touched row already vector-deleted → zero-row output: omit
+        // the file-less dir exactly as deleteWhere does
+        val survivorsDir =
+          if (dirRowCount(spark.sessionState.newHadoopConf(), s"$root/$dirName") == 0L) None
+          else Some(dirName)
+        val dirStats = survivorsDir.fold(DirStats(Map.empty, Map.empty))(d =>
+          gatherStats(spark, s"$root/$d", statsCols.map(physName(parent, _)), cur.schema))
+        val dirBlooms = survivorsDir.fold(Seq.empty[String])(d =>
+          gatherBlooms(spark, s"$root/$d", bloomCols.map(physName(parent, _))))
+        val v = publishRewriteRebasing(root, parent, rewritten = touched,
+          droppedDirs = Nil, survivorsDir = survivorsDir, dirStats, dirBlooms,
+          "compact", commitId, "compactWhere",
+          parent.schemaDdl.orElse(Some(cur.schema.toDDL)),
+          // same row set in, same row set out: any concurrently-appended
+          // dir is semantically disjoint from a layout-only rewrite
+          (_, _) => Nil)
+        (v, touched.size, parent.dirs.size)
+    }
+  }
+
   /** Delete data dirs referenced by NO manifest among the latest
     * `retainLast` (and drop the older manifests), plus any orphan dirs a
     * crashed commit left. Returns the deleted dir paths. Never touches a

@@ -1173,6 +1173,62 @@ class IoSpec extends SparkSpec {
       VersionedTable.renameColumn(root2, "year", "yr", "ren-part"))
   }
 
+  test("VersionedTable.compactWhere: partition-scoped OPTIMIZE — rewrites only dirs containing the value, absorbs their vectors, rebases over appends") {
+    import spark.implicits._
+    val root = tmpDir("vt_compact_where")
+    // dir A holds years 2023+2024 (many small files), dir B holds 2025 only
+    VersionedTable.commit(
+      (1L to 40L).map(i => (i, 2023 + (i % 2).toInt, s"r$i")).toDF("id", "year", "s")
+        .repartition(8), root, "append", "cwA", statsCols = Seq("id"),
+      partitionCols = Seq("year"))
+    VersionedTable.commit(
+      (41L to 60L).map(i => (i, 2025, s"r$i")).toDF("id", "year", "s"),
+      root, "append", "cwB", statsCols = Seq("id"), partitionCols = Seq("year"))
+    // a MOR vector over dir A keys — the scoped rewrite must absorb it
+    VersionedTable.deleteWhereMor(spark, root, Seq(2L, 4L).toDF("id"), "id", "cw-mor")
+    val before = VersionedTable.history(root).last
+    val dirB = before.dirs(1)
+    val (v, rewritten, total) = VersionedTable.compactWhere(spark, root, "cw-opt",
+      targetFiles = 2, "year", Seq("2023", "2024"), statsCols = Seq("id"))
+    assert(rewritten == 1 && total == 2, s"($rewritten, $total)")
+    val after = VersionedTable.history(root).last
+    assert(after.version == v)
+    // dir B passed BY REFERENCE; dir A's vector was absorbed into the rewrite
+    assert(after.dirs.contains(dirB))
+    assert(VersionedTable.read(spark, root).count() == 58L)
+    assert(VersionedTable.read(spark, root).filter(col("id").isin(2L, 4L)).count() == 0L)
+    val (_, setsPending, _) = VersionedTable.morStatus(spark, root)
+    assert(setsPending == 0, "the only vector covered dir A and must be absorbed")
+    // scoped: year=2025 slice kept its original file layout (1 commit write),
+    // the 2023/2024 slices compacted from 8-file scatter to targetFiles
+    val optDir = after.dirs.filterNot(_ == dirB).head
+    val files23 = new java.io.File(s"$root/$optDir/year=2023").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files23 <= 2, s"year=2023 must be compacted, found $files23 files")
+    // idempotent retry
+    assert(VersionedTable.compactWhere(spark, root, "cw-opt", 2, "year",
+      Seq("2023"))._1 == v)
+    // value matching NO dir: pure no-op, no commit
+    val (nv, n0, _) = VersionedTable.compactWhere(spark, root, "cw-none", 2,
+      "year", Seq("1999"))
+    assert(n0 == 0 && nv == v && VersionedTable.latestVersion(root).contains(v))
+    // non-partition column refuses
+    intercept[IllegalArgumentException](
+      VersionedTable.compactWhere(spark, root, "cw-bad", 2, "id", Seq("1")))
+    // a concurrent APPEND between scan and publish REBASES: both commits land
+    VersionedTable.onBeforeRewritePublish = () =>
+      VersionedTable.commit(Seq((99L, 2023, "late")).toDF("id", "year", "s"),
+        root, "append", "cw-race", statsCols = Seq("id"),
+        partitionCols = Seq("year")): Unit
+    val (v2, r2, _) = VersionedTable.compactWhere(spark, root, "cw-opt2",
+      targetFiles = 1, "year", Seq("2025"))
+    assert(r2 == 1)
+    assert(VersionedTable.read(spark, root).count() == 59L,
+      "the racing append and the scoped rewrite must both land")
+    assert(VersionedTable.read(spark, root).filter(col("id") === 99L).count() == 1L)
+    assert(VersionedTable.latestVersion(root).contains(v2))
+  }
+
   test("VersionedTable.describeHistory: derived operation metrics — dirs/rows added+removed, deletion-vector rows, NULL after a dir vanishes") {
     import spark.implicits._
     val root = tmpDir("vt_history")
