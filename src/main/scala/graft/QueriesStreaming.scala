@@ -117,6 +117,49 @@ private[graft] object QueriesStreaming {
         |FROM g GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin)),
 
 
+    // STATEFUL-v2 SESSIONS WITH EVENT-TIME TIMERS (transformWithState —
+    // Spark 4's arbitrary-state API: typed ListState + per-key timers,
+    // RocksDB-backed): same 30-min session split as stream_session_window,
+    // but sessions EMIT only when the watermark proves closure — the timer
+    // fires at the earliest possible finalization, handleExpiredTimer
+    // emits exactly the sessions whose [start, last+gap) closed under the
+    // current watermark, and still-open sessions stay in state. The
+    // oracle therefore carries the SAME eviction bound as the outer-join
+    // rows: emitted sessions are exactly those with
+    // last + gap <= floor_ms(max event time) - 1h.
+    Q("stream_timer_sessions",
+      (s, dir) => {
+        val batchSchema = rd(s, dir, "events").schema
+        val ev = s.readStream.schema(batchSchema)
+          .option("pathGlobFilter", "events.parquet").parquet(dir)
+          .withColumn("ingest_ts", expr(tsStampSql(batchSchema)))
+          .select("user_id", "event_id", "ingest_ts")
+        val name = s"graft_stream_sink_${streamSinkN.incrementAndGet()}"
+        val ck = "spark.sql.streaming.stateStore.providerClass"
+        val prior = s.conf.getOption(ck)
+        s.conf.set(ck,
+          "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        try {
+          val q = graft.streaming.Streaming.timerSessions(ev, 30, "1 hour")
+            .writeStream.format("memory").queryName(name).outputMode("append").start()
+          try q.processAllAvailable() finally q.stop()
+        } finally prior.fold(s.conf.unset(ck))(v => s.conf.set(ck, v))
+        s.table(name).orderBy("user_id", "session_start")
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, epoch_us(ts) AS tus FROM events),
+        |wmv AS (SELECT (max(tus) // 1000) * 1000 - 3600000000 AS wm FROM x),
+        |o AS (SELECT *, lag(tus) OVER w AS prev FROM x
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+        |g AS (SELECT *, CAST(sum(CASE WHEN prev IS NULL OR tus - prev >= 1800000000 THEN 1 ELSE 0 END)
+        |  OVER (PARTITION BY user_id ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sid FROM o)
+        |SELECT user_id, min(tus) AS session_start, max(tus) + 1800000000 AS session_end,
+        |  count(*) AS n, CAST(sum(event_id) AS BIGINT) AS id_sum
+        |FROM g, wmv GROUP BY user_id, sid, wm
+        |HAVING max(tus) + 1800000000 <= wm
+        |ORDER BY user_id, session_start""".stripMargin)),
+
+
     // STREAMING LATE-DATA ACCOUNTING (append-mode watermark discipline):
     // three ordered micro-batches through the file source
     // (maxFilesPerTrigger=1, mod-time ordered). Spark's state operator

@@ -117,6 +117,18 @@ object VersionedTable {
   private def dirPath(root: String, d: String): String =
     if (d.startsWith("/")) d else s"$root/$d"
 
+  /** A data-dir name for ONE write attempt: version hint + commitId for
+    * human tracing, plus a random suffix so the name is unique PER ATTEMPT
+    * — two LIVE writers racing the same commitId (a speculative retry, a
+    * split-brain driver) must never share a staging path, or their
+    * commit-protocol temp files collide mid-write. Only the winner's dir
+    * is ever referenced by a manifest; the loser's is an unreferenced
+    * orphan that vacuum's age-gated sweep reclaims. Same scheme for MOR
+    * delete sets.
+    */
+  private def attemptDirName(prefix: String, vHint: Long, commitId: String): String =
+    f"$prefix/$vHint%010d-$commitId-${java.util.UUID.randomUUID.toString.take(8)}"
+
   private def commitsDir(root: String) = Paths.get(root, "_commits")
 
   private def manifestPath(root: String, version: Long) =
@@ -772,9 +784,10 @@ object VersionedTable {
         val physStats = statsCols.map(c => preParent.fold(c)(p => physName(p, c)))
         val physBlooms = bloomCols.map(c => preParent.fold(c)(p => physName(p, c)))
         // data first — invisible until a manifest references it; the dir name
-        // only needs uniqueness (commitId), the version prefix is a hint
+        // is unique per write ATTEMPT (attemptDirName), the version prefix
+        // is a hint
         val nextV = latestVersion(root).map(_ + 1).getOrElse(1L)
-        val dirName = f"data/$nextV%010d-$commitId"
+        val dirName = attemptDirName("data", nextV, commitId)
         var w = dfPhys.write.mode("overwrite")
         if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
         w.parquet(s"$root/$dirName")
@@ -1982,7 +1995,7 @@ object VersionedTable {
         // manifest stats index, string via strStats)
         val (hit, pass) = rangeHitDirs(root, parent, guarded, physKey, "mergeInto")
         val v = parent.version + 1
-        val dirName = f"data/$v%010d-$commitId"
+        val dirName = attemptDirName("data", v, commitId)
         val merged =
           if (hit.isEmpty) guarded
           else {
@@ -2081,7 +2094,7 @@ object VersionedTable {
         val allKeys = gUpd.select(col(physKey)).unionByName(gDel).distinct()
         val (hit, _) = rangeHitDirs(root, parent, allKeys, physKey, "applyCdcBatch")
         val v = parent.version + 1
-        val dirName = f"data/$v%010d-$commitId"
+        val dirName = attemptDirName("data", v, commitId)
         val merged =
           if (hit.isEmpty) gUpd
           else scanWithDeletes(spark, root, parent, hit)
@@ -2150,7 +2163,7 @@ object VersionedTable {
           .distinct()
         val (hit, pass) = rangeHitDirs(root, parent, guarded, physKey, "deleteWhere")
         val v = parent.version + 1
-        val dirName = f"data/$v%010d-$commitId"
+        val dirName = attemptDirName("data", v, commitId)
         val survivorsDir: Option[String] =
           if (hit.isEmpty) None // no dir can hold a key: pure-metadata no-op commit
           else {
@@ -2221,9 +2234,11 @@ object VersionedTable {
                 "NULL, so the row would silently survive)")).cast("boolean"))
             .otherwise(lit(true)))
           .distinct()
-        // the key set is immutable once written; its name only needs
-        // uniqueness (commitId), so a publish retry reuses it
-        val setName = s"deletes/$commitId"
+        // the key set is immutable once written; its name is unique per
+        // write ATTEMPT (attemptDirName) — the in-call OCC retry loop
+        // reuses it, a crashed writer's fresh attempt writes a new one and
+        // the orphan is age-gate swept
+        val setName = attemptDirName("deletes", 0L, commitId)
         guarded.coalesce(1).write.mode("overwrite").parquet(s"$root/$setName")
         var result: (Long, Int, Int) = null
         while (result == null) {
@@ -2407,7 +2422,7 @@ object VersionedTable {
         val hit = classed.collect { case (d, Rewrite) => d }
         val pass = classed.collect { case (d, Pass) => d }
         val v = parent.version + 1
-        val dirName = f"data/$v%010d-$commitId"
+        val dirName = attemptDirName("data", v, commitId)
         val bdt = colTypeOf(parent.schemaDdl, phys)
         val keep = col(phys).isNull ||
           !(col(phys) >= boundLit(bdt, lo) && col(phys) <= boundLit(bdt, hi))
@@ -2582,7 +2597,7 @@ object VersionedTable {
               parent.partitionCols.map(org.apache.spark.sql.functions.col): _*)
           else cur.repartition(targetFiles)
         val v = parent.version + 1
-        val dirName = f"data/$v%010d-$commitId"
+        val dirName = attemptDirName("data", v, commitId)
         var w = df.write.mode("overwrite")
         if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
         w.parquet(s"$root/$dirName")
@@ -2659,7 +2674,7 @@ object VersionedTable {
         val cur = scanWithDeletes(spark, root, parent, touched)
         val df = cur.repartition(targetFiles,
           parent.partitionCols.map(org.apache.spark.sql.functions.col): _*)
-        val dirName = f"data/${parent.version + 1}%010d-$commitId"
+        val dirName = attemptDirName("data", parent.version + 1, commitId)
         df.write.mode("overwrite").partitionBy(parent.partitionCols: _*)
           .parquet(s"$root/$dirName")
         // every touched row already vector-deleted → zero-row output: omit

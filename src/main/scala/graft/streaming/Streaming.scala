@@ -4,7 +4,8 @@ import java.sql.Timestamp
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
 /** Structured Streaming treatment of the reference's ingest loop
   * (etl-vini-azure.py:61-77: a 180-second driver-side polling window).
@@ -472,6 +473,40 @@ object Streaming {
       }
       .start()
 
+  final case class SessEv(user_id: Long, event_id: Long, ts_us: Long)
+  final case class SessOut(user_id: Long, session_start: Long, session_end: Long,
+                           n: Long, id_sum: Long)
+
+  /** WATERMARK-FINALIZED SESSIONS via the stateful-v2 operator
+    * (`transformWithState`, the public Spark 4 arbitrary-state API —
+    * typed state variables + per-key EVENT-TIME TIMERS, the two things
+    * `flatMapGroupsWithState` cannot express): per-user session windows
+    * under a gap, where a session EMITS only when the watermark proves no
+    * late row can still extend it — `handleInputRows` merges rows into a
+    * `ListState` of open sessions (true interval-overlap merge, so late
+    * rows can bridge two pending sessions back into one) and emits
+    * NOTHING; a single per-key timer is kept at the earliest possible
+    * finalization time, and `handleExpiredTimer` emits exactly the
+    * sessions whose `[start, last+gap)` window closed under the current
+    * watermark, re-arming for the remainder. Append-mode output with
+    * native session semantics and no premature emission — the same
+    * finalize-at-watermark discipline as the stream-stream outer joins.
+    * State is O(open sessions per key); requires the RocksDB state store
+    * (the stateful-v2 engine's backing store).
+    */
+  def timerSessions(ev: DataFrame, gapMinutes: Int, delay: String): Dataset[SessOut] = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    implicit val outEnc = Encoders.product[SessOut]
+    implicit val keyEnc = Encoders.scalaLong
+    implicit val evEnc = Encoders.product[SessEv]
+    ev.withWatermark("ingest_ts", delay)
+      .withColumn("ts_us", expr("unix_micros(ingest_ts)"))
+      .select("user_id", "event_id", "ts_us").as[SessEv]
+      .groupByKey(_.user_id)
+      .transformWithState(new TimerSessionProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append(), outEnc)
+  }
+
   final case class Tick(symbol: String, price: java.math.BigDecimal, ingest_ts: Timestamp)
   final case class SymbolSession(symbol: String, n: Long, lo: java.math.BigDecimal, hi: java.math.BigDecimal)
 
@@ -505,5 +540,74 @@ object Streaming {
             Iterator(next)
           }
       }
+  }
+}
+
+/** The stateful-v2 processor behind [[Streaming.timerSessions]]. One state
+  * variable (`sessions`: the key's open session windows as
+  * (startUs, lastUs, n, idSum)) plus one pending event-time timer.
+  *
+  * Session discipline: a row's window is `[ts, ts+gap)`, a session's is
+  * `[start, last+gap)`; a row absorbs EVERY session it overlaps (one
+  * late row can bridge two pending sessions — the merge native
+  * `session_window` performs, which per-row fold logic cannot). Rows are
+  * processed in (ts, event_id) order inside a batch so the split is
+  * engine-order-independent. Emission happens ONLY in
+  * [[handleExpiredTimer]]: a session finalizes iff `last+gap <= wm` — the
+  * watermark guarantee that no admissible late row can extend it. The
+  * timer is registered at ceil((minLast+gap)/1ms), so it can fire at most
+  * one batch early, in which case the wm check holds the session and the
+  * timer re-arms; it can never fire late-and-miss.
+  */
+final class TimerSessionProcessor(gapUs: Long)
+    extends StatefulProcessor[Long, Streaming.SessEv, Streaming.SessOut] {
+  import Streaming.{SessEv, SessOut}
+
+  private case class Sess(startUs: Long, lastUs: Long, n: Long, idSum: Long)
+  @transient private var sessions: ListState[(Long, Long, Long, Long)] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    sessions = getHandle.getListState("sessions",
+      Encoders.product[(Long, Long, Long, Long)], TTLConfig.NONE)
+
+  private def load(): Vector[Sess] =
+    sessions.get().map(t => Sess(t._1, t._2, t._3, t._4)).toVector
+
+  private def store(ss: Seq[Sess]): Unit =
+    if (ss.isEmpty) sessions.clear()
+    else sessions.put(ss.map(s => (s.startUs, s.lastUs, s.n, s.idSum)).toArray)
+
+  private def armTimer(ss: Seq[Sess]): Unit = {
+    getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+    if (ss.nonEmpty)
+      getHandle.registerTimer((ss.map(_.lastUs).min + gapUs + 999L) / 1000L)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[SessEv],
+                               tv: TimerValues): Iterator[SessOut] = {
+    var cur = load()
+    rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+      val (over, rest) = cur.partition(s =>
+        e.ts_us < s.lastUs + gapUs && s.startUs < e.ts_us + gapUs)
+      val merged =
+        if (over.isEmpty) Sess(e.ts_us, e.ts_us, 1L, e.event_id)
+        else Sess(math.min(over.map(_.startUs).min, e.ts_us),
+          math.max(over.map(_.lastUs).max, e.ts_us),
+          over.map(_.n).sum + 1L, over.map(_.idSum).sum + e.event_id)
+      cur = rest :+ merged
+    }
+    store(cur)
+    armTimer(cur)
+    Iterator.empty
+  }
+
+  override def handleExpiredTimer(key: Long, tv: TimerValues,
+                                  info: ExpiredTimerInfo): Iterator[SessOut] = {
+    val wmUs = tv.getCurrentWatermarkInMs * 1000L
+    val (closed, open) = load().partition(s => s.lastUs + gapUs <= wmUs)
+    store(open)
+    armTimer(open)
+    closed.sortBy(_.startUs).iterator.map(s =>
+      SessOut(key, s.startUs, s.lastUs + gapUs, s.n, s.idSum))
   }
 }

@@ -669,7 +669,8 @@ class IoSpec extends SparkSpec {
     assert(v == 3L && marked == 1 && total == 2, s"($v, $marked, $total)")
     val after = VersionedTable.history(root).last
     assert(after.mode == "delete-mor" && after.dirs == before, "no dir may be rewritten")
-    assert(after.deletes.values.flatten.toSeq == Seq("deletes/mor-purge"))
+    assert(after.deletes.values.flatten.toSeq.forall(_.startsWith("deletes/0000000000-mor-purge")),
+      after.deletes.toString)
     def ids = VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSet
     assert(ids == Set(1L, 5L, 15L))
     // point/range reads hide the key too
@@ -1171,6 +1172,76 @@ class IoSpec extends SparkSpec {
       "append", "p1", partitionCols = Seq("year"))
     intercept[IllegalArgumentException](
       VersionedTable.renameColumn(root2, "year", "yr", "ren-part"))
+  }
+
+  test("VersionedTable OCC under real thread contention: N concurrent appenders all land, duplicate commitIds land once, disjoint merges both commit") {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    // 8 genuinely concurrent appenders × 4 commits each: the hard-link
+    // put-if-absent must serialize them into 32 contiguous versions with
+    // every row landing exactly once (no deterministic seam here — this is
+    // the wall-clock race the protocol claims to survive)
+    val root = tmpDir("vt_occ_threads")
+    val pool = Executors.newFixedThreadPool(8)
+    val start = new CountDownLatch(1)
+    val futs = (0 until 8).map { t =>
+      pool.submit(new java.util.concurrent.Callable[Seq[Long]] {
+        def call(): Seq[Long] = {
+          start.await()
+          (0 until 4).map { i =>
+            VersionedTable.commit(Seq((t * 100L + i, s"w$t-$i")).toDF("id", "s"),
+              root, "append", s"occ-$t-$i", statsCols = Seq("id"))
+          }
+        }
+      })
+    }
+    start.countDown()
+    val versions = futs.flatMap(_.get(120, TimeUnit.SECONDS))
+    assert(versions.toSet.size == 32, s"collided version slots: $versions")
+    assert(versions.toSet == (1L to 32L).toSet, versions.sorted.toString)
+    assert(VersionedTable.read(spark, root).count() == 32L)
+    assert(VersionedTable.read(spark, root).select("id").distinct().count() == 32L)
+    // two threads racing the SAME commitId: exactly one write lands, both
+    // callers resolve to the same version (idempotence under retry storms)
+    val twinStart = new CountDownLatch(1)
+    val twins = (0 until 2).map { _ =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          twinStart.await()
+          VersionedTable.commit(Seq((999L, "twin")).toDF("id", "s"),
+            root, "append", "occ-twin", statsCols = Seq("id"))
+        }
+      })
+    }
+    twinStart.countDown()
+    val twinVs = twins.map(_.get(120, TimeUnit.SECONDS))
+    assert(twinVs.distinct.size == 1, twinVs.toString)
+    assert(VersionedTable.read(spark, root).filter(col("id") === 999L).count() == 1L)
+    // concurrent MERGEs over DISJOINT key ranges: whichever loses the slot
+    // rebases (conflict-aware OCC) — BOTH upserts must land
+    val mroot = tmpDir("vt_occ_merge")
+    VersionedTable.commit((1L to 20L).map(i => (i, "old")).toDF("id", "s"),
+      mroot, "append", "m-low", statsCols = Seq("id"))
+    VersionedTable.commit((1000L to 1020L).map(i => (i, "old")).toDF("id", "s"),
+      mroot, "append", "m-high", statsCols = Seq("id"))
+    val mStart = new CountDownLatch(1)
+    val merges = Seq((5L, "lo"), (1005L, "hi")).map { case (k, tag) =>
+      pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          mStart.await()
+          VersionedTable.mergeInto(spark, mroot, Seq((k, s"new-$tag")).toDF("id", "s"),
+            "id", s"m-up-$tag", statsCols = Seq("id"))._1
+        }
+      })
+    }
+    mStart.countDown()
+    merges.foreach(_.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    val got = VersionedTable.read(spark, mroot)
+      .filter(col("id").isin(5L, 1005L)).orderBy("id")
+      .collect().map(_.getString(1)).toSeq
+    assert(got == Seq("new-lo", "new-hi"), got.toString)
+    assert(VersionedTable.read(spark, mroot).count() == 41L)
   }
 
   test("VersionedTable.compactWhere: partition-scoped OPTIMIZE — rewrites only dirs containing the value, absorbs their vectors, rebases over appends") {

@@ -465,6 +465,55 @@ class StreamingSpec extends SparkSpec {
     assert(chain(failed).contains("schema changed"), chain(failed))
   }
 
+  test("timerSessions (transformWithState): sessions finalize only at the watermark via event-time timers; a late row bridges two pending sessions") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    def t(s: String) = Timestamp.valueOf(s)
+    val ck = "spark.sql.streaming.stateStore.providerClass"
+    val prior = spark.conf.getOption(ck)
+    spark.conf.set(ck,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Long, Timestamp)]
+    val ev = mem.toDF().toDF("user_id", "event_id", "ingest_ts")
+    val q = Streaming.timerSessions(ev, 30, "1 hour")
+      .writeStream.format("memory").queryName("tsess")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 0: user 1 has two pending sessions ([00:00,00:10] and [01:00]),
+      // user 2 one; NOTHING may emit before the watermark proves closure
+      mem.addData((1L, 1L, t("2024-01-01 00:00:00")), (1L, 2L, t("2024-01-01 00:10:00")),
+        (1L, 3L, t("2024-01-01 01:00:00")), (2L, 4L, t("2024-01-01 00:05:00")))
+      q.processAllAvailable()
+      assert(spark.table("tsess").isEmpty, "no session may emit before its watermark closure")
+      // batch 1: a LATE row at 00:35 — its window [00:35, 01:05) overlaps
+      // BOTH pending user-1 sessions ([00:00, 00:40) and [01:00, 01:30)),
+      // so they must merge back into ONE (the session_window bridge case
+      // premature emission would have made impossible)
+      mem.addData((1L, 5L, t("2024-01-01 00:35:00")))
+      q.processAllAvailable()
+      // two advancer batches on an untouched key push the watermark to
+      // 02:00 and drive the timer pass for users 1 and 2
+      mem.addData((9L, 8L, t("2024-01-01 03:00:00")))
+      q.processAllAvailable()
+      mem.addData((9L, 9L, t("2024-01-01 03:01:00")))
+      q.processAllAvailable()
+      val out = spark.table("tsess")
+        .select(col("user_id"),
+          date_format(expr("timestamp_micros(session_start)"), "HH:mm").as("s"),
+          date_format(expr("timestamp_micros(session_end)"), "HH:mm").as("e"),
+          col("n"), col("id_sum"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+          r.getLong(3), r.getLong(4))).toSet
+      // user 1: the BRIDGED session 00:00..(01:00+gap); user 2: its single
+      // session; user 9's sessions stay open (watermark never passed them)
+      assert(out == Set((1L, "00:00", "01:30", 4L, 11L),
+        (2L, "00:05", "00:35", 1L, 4L)), s"got $out")
+    } finally {
+      q.stop()
+      prior.fold(spark.conf.unset(ck))(v => spark.conf.set(ck, v))
+    }
+  }
+
   test("sessionize maintains per-symbol running count and price envelope") {
     implicit val sq = spark.sqlContext
     import spark.implicits._
