@@ -1272,6 +1272,48 @@ private[graft] object QueriesMedallionIo {
         |  TRUE AS kept_at_v1, TRUE AS readd_refused, TRUE AS purged_readd_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — BATCH RELATION FRONT DOOR (`spark.read
+    // .format("graft-versioned")` — io/VersionedRelation via the stable V1
+    // PrunedFilteredScan connector surface): the versioned table as a
+    // first-class Spark source, with requiredColumns projected before
+    // materialization and WHERE predicates pushed into the manifest
+    // min/max + bloom index automatically (the readRange/readPoint
+    // skipping, now free for any df.filter or SQL WHERE). The `pruned`
+    // flag pins — via the relation's driver-visible scan record — that a
+    // half-keyspace predicate actually skipped one of the two commit dirs;
+    // every filter is also re-applied by Spark above the scan, so the
+    // rows themselves stay oracle-exact.
+    Q("versioned_relation_scan",
+      (s, dir) => {
+        val (root, mid, flags) = Fixtures.once(s, dir, "vt_relation_scan") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_rel_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val m = o.agg(max(col("o_orderkey"))).head().getLong(0) / 2
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") <= m),
+            r, "append", "rel-a", statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") > m),
+            r, "append", "rel-b", statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+          // probe action so the scan record reflects THIS pushdown
+          s.read.format("graft-versioned").load(r)
+            .filter(col("o_orderkey") <= m).count()
+          val info = graft.io.VersionedRelation.lastScan
+          val pruned = info.dirsKept == 1 && info.dirsTotal == 2 && info.nRanges >= 1
+          (r, java.lang.Long.valueOf(m), Seq(java.lang.Boolean.valueOf(pruned)))
+        }
+        s.read.format("graft-versioned").load(root)
+          .filter(col("o_orderkey") <= mid.longValue())
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("pruned", lit(flags(0).booleanValue()))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum, TRUE AS pruned
+        |FROM orders
+        |WHERE o_orderkey <= (SELECT max(o_orderkey) FROM orders) // 2
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — PARTITION-SCOPED OPTIMIZE (VersionedTable.compactWhere —
     // Delta's `OPTIMIZE t WHERE part = v`): with urgent-priority orders in
     // dir A and the rest in dir B, OPTIMIZE WHERE o_orderpriority IN

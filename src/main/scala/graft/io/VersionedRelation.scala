@@ -1,0 +1,105 @@
+package graft.io
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Row, SQLContext}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** The BATCH half of the `graft-versioned` data source (the streaming half
+  * is `graft.streaming.VersionedTableSourceProvider`): the versioned table
+  * as a first-class `spark.read.format("graft-versioned")` relation, via
+  * the stable V1 connector surface (`PrunedFilteredScan` — the same public
+  * API classic external connectors build on).
+  *
+  * What the engine pushes INTO the manifest index:
+  *  - COLUMN PRUNING: `requiredColumns` become a projection before the
+  *    RDD materializes, so parquet reads only the requested columns.
+  *  - FILTER PUSHDOWN: comparison/equality predicates over integral and
+  *    timestamp columns become manifest range bounds (dir min/max
+  *    envelopes + per-file footer stats) and bloom point probes — the
+  *    same skipping [[VersionedTable.readRange]]/`readPoint` give the
+  *    programmatic caller, now automatic for any `df.filter(...)` or SQL
+  *    WHERE over the relation.
+  *
+  * Every filter is declared UNHANDLED ([[unhandledFilters]] returns all),
+  * so Spark re-applies the full predicate above this scan: manifest
+  * skipping stays an optimization, never a correctness input — exactly
+  * the stats-may-be-absent contract of the rest of the table. Time travel
+  * rides the reader options: `versionAsOf` (a version) or `timestampAsOf`
+  * (epoch-ms, resolved by the commit ledger).
+  */
+final class VersionedRelation(override val sqlContext: SQLContext,
+                              root: String, asOf: Option[Long])
+    extends BaseRelation with PrunedFilteredScan {
+
+  private def spark = sqlContext.sparkSession
+
+  override val schema: StructType = VersionedTable.read(spark, root, asOf).schema
+
+  /** (columnName, micros) for a timestamp literal — footer envelopes and
+    * manifest stats for timestamp columns are MICROS by the statsCols
+    * contract, so pushed bounds translate the same way.
+    */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+
+  private def asLong(v: Any): Option[Long] = v match {
+    case l: Long               => Some(l)
+    case i: Int                => Some(i.toLong)
+    case s: Short              => Some(s.toLong)
+    case b: Byte               => Some(b.toLong)
+    case t: java.sql.Timestamp => Some(micros(t))
+    case _                     => None
+  }
+
+  /** Translate the pushable subset of `filters` into manifest range
+    * bounds and bloom point probes; anything else is ignored here (Spark
+    * re-applies it above the scan regardless).
+    */
+  private def translate(filters: Array[Filter])
+      : (Seq[(String, Long, Long)], Seq[(String, Long)]) = {
+    val ranges = Seq.newBuilder[(String, Long, Long)]
+    val points = Seq.newBuilder[(String, Long)]
+    def walk(f: Filter): Unit = f match {
+      case EqualTo(a, v) => asLong(v).foreach { l =>
+        ranges += ((a, l, l)); points += ((a, l))
+      }
+      case GreaterThan(a, v)        => asLong(v).foreach(l => ranges += ((a, l + 1, Long.MaxValue)))
+      case GreaterThanOrEqual(a, v) => asLong(v).foreach(l => ranges += ((a, l, Long.MaxValue)))
+      case LessThan(a, v)           => asLong(v).foreach(l => ranges += ((a, Long.MinValue, l - 1)))
+      case LessThanOrEqual(a, v)    => asLong(v).foreach(l => ranges += ((a, Long.MinValue, l)))
+      case In(a, vs) if vs.nonEmpty && vs.forall(v => asLong(v).isDefined) =>
+        val ls = vs.map(v => asLong(v).get)
+        ranges += ((a, ls.min, ls.max))
+      case And(l, r) => walk(l); walk(r)
+      case _         => () // unsupported shapes never prune — only re-applied
+    }
+    filters.foreach(walk)
+    (ranges.result(), points.result())
+  }
+
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val (ranges, points) = translate(filters)
+    val (df, keptDirs, totalDirs) =
+      VersionedTable.scanForRelation(spark, root, asOf, ranges, points)
+    VersionedRelation.lastScan =
+      VersionedRelation.ScanInfo(requiredColumns.toSeq, ranges.size, points.size,
+        keptDirs, totalDirs)
+    df.select(requiredColumns.map(col).toSeq: _*).rdd
+  }
+
+  // default unhandledFilters already returns every filter — pruning is an
+  // optimization; Spark keeps the authoritative predicate above the scan
+}
+
+object VersionedRelation {
+  /** Driver-visible record of the LAST buildScan on this JVM — the test
+    * seam proving that Spark's planner actually delivered the projection
+    * and predicates into the relation (and how far they pruned).
+    */
+  final case class ScanInfo(columns: Seq[String], nRanges: Int, nPoints: Int,
+                            dirsKept: Int, dirsTotal: Int)
+  @volatile var lastScan: ScanInfo = ScanInfo(Nil, 0, 0, -1, -1)
+}

@@ -1386,6 +1386,46 @@ object VersionedTable {
     }
   }
 
+  /** The scan behind [[VersionedRelation]] (the `spark.read
+    * .format("graft-versioned")` batch path): one snapshot resolution,
+    * then EVERY pushed-down predicate prunes dirs — range bounds against
+    * the manifest min/max envelopes, equality points additionally against
+    * the per-dir blooms — with the surviving dir set the INTERSECTION
+    * across predicates, and per-FILE skipping applied for the first range
+    * bound. Pruning here is an optimization, never a filter: the relation
+    * declares every filter unhandled, so Spark re-applies them all above
+    * this plan (and pushes them into the parquet row-group scan as usual).
+    * Returns (frame, dirsKept, dirsTotal) — the counts are the
+    * driver-visible proof the pushdown reached the manifest index.
+    */
+  private[graft] def scanForRelation(spark: SparkSession, root: String,
+      asOf: Option[Long], ranges: Seq[(String, Long, Long)],
+      points: Seq[(String, Long)]): (DataFrame, Int, Int) = {
+    val c = resolveSnapshot(root, asOf)
+    c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
+      s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
+    var kept = c.dirs
+    ranges.foreach { case (colName, lo, hi) =>
+      val k = planRange(root, colName, lo, hi, resolved = Some(c)).toSet
+      kept = kept.filter(k.contains)
+    }
+    points.foreach { case (colName, v) =>
+      val k = planPoint(root, colName, v, resolved = Some(c)).toSet
+      kept = kept.filter(k.contains)
+    }
+    val df =
+      if (kept.isEmpty)
+        scanDirs(spark, c.dirs.map(d => dirPath(root, d)), c.partitionCols, c.schemaDdl)
+          .limit(0)
+      else ranges.headOption match {
+        case Some((colName, lo, hi)) =>
+          scanWithDeletes(spark, root, c, kept,
+            ds => scanDirsPruned(spark, root, c, ds, physName(c, colName), lo, hi))
+        case None => scanWithDeletes(spark, root, c, kept)
+      }
+    (toLogicalDf(c, df), kept.size, c.dirs.size)
+  }
+
   /** TIMESTAMP AS OF resolution (the Delta/Iceberg form of time travel a
     * consumer uses when it knows WHEN, not which version): the LATEST
     * version whose manifest published at or before `tsMs`. Selection is by

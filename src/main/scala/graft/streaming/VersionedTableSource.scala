@@ -5,7 +5,8 @@ import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTrigger
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftshim.GraftStreamingBridge
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider,
+  StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.io.VersionedTable
@@ -45,9 +46,25 @@ import graft.io.VersionedTable
   * pinned at start, so evolution requires restarting the stream, which
   * re-pins to the latest schema (the Delta behavior).
   */
-class VersionedTableSourceProvider extends StreamSourceProvider with DataSourceRegister {
+class VersionedTableSourceProvider extends StreamSourceProvider with RelationProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
+
+  /** The BATCH read path of the same format name —
+    * `spark.read.format("graft-versioned").load(root)` — with column
+    * pruning and manifest-index filter pushdown ([[graft.io
+    * .VersionedRelation]]); `versionAsOf`/`timestampAsOf` options give the
+    * reader-API form of time travel.
+    */
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String]): BaseRelation = {
+    val root = rootOf(parameters)
+    val asOf = parameters.get("versionAsOf").map(_.toLong)
+      .orElse(parameters.get("timestampAsOf").map(ts =>
+        VersionedTable.versionAsOfTimestamp(root, ts.toLong)))
+    new graft.io.VersionedRelation(sqlContext, root, asOf)
+  }
 
   private def rootOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path",

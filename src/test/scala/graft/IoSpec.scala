@@ -1174,6 +1174,45 @@ class IoSpec extends SparkSpec {
       VersionedTable.renameColumn(root2, "year", "yr", "ren-part"))
   }
 
+  test("graft-versioned batch relation: format read with column pruning, manifest+bloom pushdown, MOR deletes, time travel, SQL USING") {
+    import spark.implicits._
+    import graft.io.VersionedRelation
+    val root = tmpDir("vt_relation")
+    VersionedTable.commit((1L to 100L).map(i => (i, s"a$i")).toDF("id", "s"),
+      root, "append", "r1", statsCols = Seq("id"), bloomCols = Seq("id"))
+    VersionedTable.commit((1001L to 1100L).map(i => (i, s"b$i")).toDF("id", "s"),
+      root, "append", "r2", statsCols = Seq("id"), bloomCols = Seq("id"))
+    val df = spark.read.format("graft-versioned").load(root)
+    assert(df.columns.toSeq == Seq("id", "s"))
+    assert(df.count() == 200L)
+    // a range predicate prunes to ONE dir at the manifest level
+    assert(df.filter(col("id") >= 1050L && col("id") <= 1060L).count() == 11L)
+    val info = VersionedRelation.lastScan
+    assert(info.dirsKept == 1 && info.dirsTotal == 2 && info.nRanges >= 1, info.toString)
+    // equality additionally probes the blooms, and the filter's own column
+    // rides along with the projection
+    assert(df.filter(col("id") === 42L).select("s")
+      .collect().map(_.getString(0)).toSeq == Seq("a42"))
+    assert(VersionedRelation.lastScan.nPoints == 1)
+    assert(VersionedRelation.lastScan.columns.contains("s"))
+    // pure projection: only the requested column reaches the scan
+    assert(df.select("s").limit(5).collect().length == 5)
+    assert(VersionedRelation.lastScan.columns == Seq("s"))
+    // merge-on-read deletes apply through the relation
+    VersionedTable.deleteWhereMor(spark, root, Seq(42L).toDF("id"), "id", "r-del")
+    assert(spark.read.format("graft-versioned").load(root)
+      .filter(col("id") === 42L).count() == 0L)
+    // reader-option time travel
+    assert(spark.read.format("graft-versioned").option("versionAsOf", "1")
+      .load(root).count() == 100L)
+    // the SQL front door over the same provider
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW vt_rel USING `graft-versioned` " +
+      s"OPTIONS (path '$root')")
+    assert(spark.sql("SELECT count(*) FROM vt_rel WHERE id >= 1001").head().getLong(0) == 100L)
+    assert(spark.sql("SELECT sum(id) FROM vt_rel WHERE id <= 100 AND id > 90").head()
+      .getLong(0) == (91L to 100L).sum)
+  }
+
   test("VersionedTable OCC under real thread contention: N concurrent appenders all land, duplicate commitIds land once, disjoint merges both commit") {
     import spark.implicits._
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
