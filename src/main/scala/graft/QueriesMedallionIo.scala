@@ -1290,10 +1290,16 @@ private[graft] object QueriesMedallionIo {
           rmrf(r)
           val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
           val m = o.agg(max(col("o_orderkey"))).head().getLong(0) / 2
-          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") <= m),
-            r, "append", "rel-a", statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
-          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") > m),
-            r, "append", "rel-b", statsCols = Seq("o_orderkey"), bloomCols = Seq("o_orderkey"))
+          // the WRITER-API half of the same format: both commits go through
+          // df.write.format(...).option("commitId", ...) — the full commit
+          // contract (OCC, stats/bloom gathering, idempotence) via the
+          // standard Spark writer surface
+          o.filter(col("o_orderkey") <= m).write.format("graft-versioned")
+            .mode("append").option("commitId", "rel-a")
+            .option("statsCols", "o_orderkey").option("bloomCols", "o_orderkey").save(r)
+          o.filter(col("o_orderkey") > m).write.format("graft-versioned")
+            .mode("append").option("commitId", "rel-b")
+            .option("statsCols", "o_orderkey").option("bloomCols", "o_orderkey").save(r)
           // probe action so the scan record reflects THIS pushdown
           s.read.format("graft-versioned").load(r)
             .filter(col("o_orderkey") <= m).count()

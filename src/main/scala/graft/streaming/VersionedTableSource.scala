@@ -5,8 +5,8 @@ import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTrigger
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftshim.GraftStreamingBridge
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider,
-  StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
+  DataSourceRegister, RelationProvider, StreamSourceProvider}
 import org.apache.spark.sql.types.StructType
 
 import graft.io.VersionedTable
@@ -47,7 +47,7 @@ import graft.io.VersionedTable
   * re-pins to the latest schema (the Delta behavior).
   */
 class VersionedTableSourceProvider extends StreamSourceProvider with RelationProvider
-    with DataSourceRegister {
+    with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
 
@@ -64,6 +64,46 @@ class VersionedTableSourceProvider extends StreamSourceProvider with RelationPro
       .orElse(parameters.get("timestampAsOf").map(ts =>
         VersionedTable.versionAsOfTimestamp(root, ts.toLong)))
     new graft.io.VersionedRelation(sqlContext, root, asOf)
+  }
+
+  /** The BATCH write path — `df.write.format("graft-versioned")
+    * .mode(...).option("commitId", id).save(root)` — routed straight
+    * through [[VersionedTable.commit]], so the writer-API form gets the
+    * full commit contract: OCC publication, constraint enforcement,
+    * schema-evolution checks, stats/bloom gathering (`statsCols` /
+    * `bloomCols` / `partitionBy` options, comma-separated), and
+    * idempotence under an explicit `commitId` (REQUIRED: exactly-once
+    * retry semantics need a caller-stable identity; generating one here
+    * would silently turn every retry into a duplicate append).
+    * SaveMode mapping: Append/Overwrite are the two commit modes;
+    * ErrorIfExists commits only a FIRST version and refuses otherwise;
+    * Ignore is Delta-style create-if-absent (no-op when the table exists).
+    */
+  override def createRelation(sqlContext: SQLContext, mode: org.apache.spark.sql.SaveMode,
+                              parameters: Map[String, String],
+                              data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row])
+      : BaseRelation = {
+    val root = rootOf(parameters)
+    val commitId = parameters.getOrElse("commitId",
+      throw new IllegalArgumentException("graft-versioned write requires option " +
+        "'commitId' — a caller-stable identity is what makes retries exactly-once"))
+    def cols(k: String): Seq[String] =
+      parameters.get(k).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    import org.apache.spark.sql.SaveMode
+    val exists = VersionedTable.latestVersion(root).isDefined
+    val commitMode = mode match {
+      case SaveMode.Append    => Some("append")
+      case SaveMode.Overwrite => Some("overwrite")
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"graft-versioned table at $root already exists (SaveMode.ErrorIfExists)")
+        Some("append")
+      case SaveMode.Ignore => if (exists) None else Some("append")
+    }
+    commitMode.foreach(m => VersionedTable.commit(data.toDF(), root, m, commitId,
+      statsCols = cols("statsCols"), partitionCols = cols("partitionBy"),
+      bloomCols = cols("bloomCols")))
+    new graft.io.VersionedRelation(sqlContext, root, None)
   }
 
   private def rootOf(parameters: Map[String, String]): String =

@@ -1211,6 +1211,39 @@ class IoSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM vt_rel WHERE id >= 1001").head().getLong(0) == 100L)
     assert(spark.sql("SELECT sum(id) FROM vt_rel WHERE id <= 100 AND id > 90").head()
       .getLong(0) == (91L to 100L).sum)
+    // the WRITE half of the same format: writer-API commits with the full
+    // commit contract (idempotent commitId, stats options, SaveMode map)
+    val wroot = tmpDir("vt_relation_write")
+    (1L to 10L).map(i => (i, s"w$i")).toDF("id", "s")
+      .write.format("graft-versioned").mode("append")
+      .option("commitId", "w1").option("statsCols", "id").save(wroot)
+    (11L to 20L).map(i => (i, s"w$i")).toDF("id", "s")
+      .write.format("graft-versioned").mode("append")
+      .option("commitId", "w2").option("statsCols", "id").save(wroot)
+    assert(spark.read.format("graft-versioned").load(wroot).count() == 20L)
+    // same commitId again: the idempotence contract holds through the API
+    (1L to 10L).map(i => (i, s"w$i")).toDF("id", "s")
+      .write.format("graft-versioned").mode("append")
+      .option("commitId", "w1").option("statsCols", "id").save(wroot)
+    assert(spark.read.format("graft-versioned").load(wroot).count() == 20L)
+    assert(VersionedTable.latestVersion(wroot).contains(2L))
+    // the stats options reached the manifest: the range scan prunes
+    assert(VersionedTable.planRange(wroot, "id", 1L, 5L).size == 1)
+    // overwrite resets; ErrorIfExists refuses on the non-empty table;
+    // Ignore is create-if-absent; a missing commitId refuses loudly
+    (21L to 25L).map(i => (i, s"o$i")).toDF("id", "s")
+      .write.format("graft-versioned").mode("overwrite")
+      .option("commitId", "w3").save(wroot)
+    assert(spark.read.format("graft-versioned").load(wroot).count() == 5L)
+    intercept[IllegalStateException](
+      Seq((99L, "x")).toDF("id", "s").write.format("graft-versioned")
+        .mode("error").option("commitId", "w4").save(wroot))
+    Seq((99L, "x")).toDF("id", "s").write.format("graft-versioned")
+      .mode("ignore").option("commitId", "w5").save(wroot)
+    assert(spark.read.format("graft-versioned").load(wroot).count() == 5L)
+    intercept[IllegalArgumentException](
+      Seq((99L, "x")).toDF("id", "s").write.format("graft-versioned")
+        .mode("append").save(wroot))
   }
 
   test("VersionedTable OCC under real thread contention: N concurrent appenders all land, duplicate commitIds land once, disjoint merges both commit") {
