@@ -28,6 +28,15 @@ import org.apache.spark.sql.types.StructType
   * the stats-may-be-absent contract of the rest of the table. Time travel
   * rides the reader options: `versionAsOf` (a version) or `timestampAsOf`
   * (epoch-ms, resolved by the commit ledger).
+  *
+  * Honest cost note: the V1 connector contract surfaces the scan as an
+  * `RDD[Row]`, which re-enters Spark above the codegen boundary — the
+  * skipping and projection still happen (the expensive 100 TB part), but
+  * the row hand-off pays an extra (de)serialization the programmatic path
+  * does not. This format is the COMPATIBILITY front door (SQL `USING`,
+  * generic tooling); throughput-critical pipelines read via
+  * [[VersionedTable.read]]/`readRange`, which stay whole-stage-codegen
+  * parquet scans end to end.
   */
 final class VersionedRelation(override val sqlContext: SQLContext,
                               root: String, asOf: Option[Long])
