@@ -1391,7 +1391,7 @@ object VersionedTable {
     * then EVERY pushed-down predicate prunes dirs — range bounds against
     * the manifest min/max envelopes, equality points additionally against
     * the per-dir blooms — with the surviving dir set the INTERSECTION
-    * across predicates, and per-FILE skipping applied for the first range
+    * across predicates, and per-FILE skipping intersecting EVERY range
     * bound. Pruning here is an optimization, never a filter: the relation
     * declares every filter unhandled, so Spark re-applies them all above
     * this plan (and pushes them into the parquet row-group scan as usual).
@@ -1417,12 +1417,11 @@ object VersionedTable {
       if (kept.isEmpty)
         scanDirs(spark, c.dirs.map(d => dirPath(root, d)), c.partitionCols, c.schemaDdl)
           .limit(0)
-      else ranges.headOption match {
-        case Some((colName, lo, hi)) =>
-          scanWithDeletes(spark, root, c, kept,
-            ds => scanDirsPruned(spark, root, c, ds, physName(c, colName), lo, hi))
-        case None => scanWithDeletes(spark, root, c, kept)
-      }
+      else if (ranges.nonEmpty)
+        scanWithDeletes(spark, root, c, kept,
+          ds => scanDirsPrunedMulti(spark, root, c, ds,
+            ranges.map { case (n, lo, hi) => (physName(c, n), lo, hi) }))
+      else scanWithDeletes(spark, root, c, kept)
     (toLogicalDf(c, df), kept.size, c.dirs.size)
   }
 
@@ -1525,7 +1524,8 @@ object VersionedTable {
 
   /** [[scanDirs]] with FILE-level pruning inside each kept dir: the
     * `_filestats` side file narrows each dir to the files whose envelope
-    * for `colName` overlaps [lo, hi] (files without an entry always scan).
+    * overlaps EVERY bound in `bounds` — the intersection semantics of a
+    * conjunctive predicate — with files lacking an entry always scanned.
     * At 100 TB the unit of skipping must be the file — one wide-range file
     * in a dir must not force the whole dir through Spark's scan — and this
     * prunes the explicit file list BEFORE a single footer is opened.
@@ -1533,14 +1533,21 @@ object VersionedTable {
     */
   private def scanDirsPruned(spark: SparkSession, root: String, c: Commit,
                              kept: Seq[String], colName: String,
-                             lo: Long, hi: Long): DataFrame = {
+                             lo: Long, hi: Long): DataFrame =
+    scanDirsPrunedMulti(spark, root, c, kept, Seq((colName, lo, hi)))
+
+  private def scanDirsPrunedMulti(spark: SparkSession, root: String, c: Commit,
+                                  kept: Seq[String],
+                                  bounds: Seq[(String, Long, Long)]): DataFrame = {
     val target = c.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
     // per dir: Some(relpaths) when a side file admits pruning; None = whole dir
     val parts: Seq[(String, Option[Seq[String]])] = kept.map { d =>
       val dp = dirPath(root, d)
       val pruned = readFileStats(dp).map { fs =>
         parquetFiles(dp).filter { rel =>
-          fs.get(rel).flatMap(_.get(colName)).forall(_.overlapsLong(lo, hi))
+          bounds.forall { case (colName, lo, hi) =>
+            fs.get(rel).flatMap(_.get(colName)).forall(_.overlapsLong(lo, hi))
+          }
         }
       }
       (dp, pruned)
@@ -2673,9 +2680,11 @@ object VersionedTable {
     * is the verb that makes ongoing maintenance affordable where the
     * full-table [[compact]] cannot be.
     *
-    * Touched-dir discovery is a driver-side LISTING (each dir's file paths
-    * carry their `part=value` segments, read through hive unescaping) —
-    * zero footers opened, zero Spark jobs. The touched dirs' entire row
+    * Touched-dir discovery is a driver-side DIRECTORY walk (hive partition
+    * values are directory names at the column's nesting level, read
+    * through hive unescaping — O(partition values) per commit dir; not a
+    * single data FILE is listed) — zero footers opened, zero Spark jobs.
+    * The touched dirs' entire row
     * content (merge-on-read vectors covering them applied and thereby
     * absorbed) rewrites into ONE fresh hive-partitioned dir of
     * ~`targetFiles` files; untouched dirs pass by reference with their
@@ -2703,12 +2712,24 @@ object VersionedTable {
           s"compactWhere: '$partCol' is not a partition column of this table " +
             s"(layout: ${parent.partitionCols.mkString(", ")})")
         val sel = values.toSet
+        // a commit dir's values for a hive partition column are DIRECTORY
+        // names at that column's nesting level — walk directories only,
+        // never list a single data file (at 100 TB the dir tree is
+        // O(partition values), the file list is O(table))
+        val level = parent.partitionCols.indexOf(partCol)
+        def valuesAt(f: File, l: Int): Iterator[String] = {
+          val subs = Option(f.listFiles()).getOrElse(Array.empty).iterator
+            .filter(_.isDirectory)
+          if (l == 0)
+            subs.map(_.getName).filter(_.startsWith(s"$partCol="))
+              .map(n => unescapePathName(n.substring(partCol.length + 1)))
+          else subs.flatMap(valuesAt(_, l - 1))
+        }
         val touched = parent.dirs.filter { d =>
           val dp = dirPath(root, d)
           require(new File(dp).isDirectory,
             s"snapshot v${parent.version} references vacuumed dir $dp")
-          parquetFiles(dp).exists(rel =>
-            partValueFromPath(rel, partCol).exists(sel.contains))
+          valuesAt(new File(dp), level).exists(sel.contains)
         }
         if (touched.isEmpty) return (parent.version, 0, parent.dirs.size)
         val cur = scanWithDeletes(spark, root, parent, touched)
