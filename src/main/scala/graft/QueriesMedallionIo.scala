@@ -1272,6 +1272,44 @@ private[graft] object QueriesMedallionIo {
         |  TRUE AS kept_at_v1, TRUE AS readd_refused, TRUE AS purged_readd_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — GENERATED COLUMNS (VersionedTable.addGeneratedColumn — the
+    // public Delta GENERATED ALWAYS AS shape): declared BEFORE any data as
+    // a pure-metadata CREATE commit, then materialized by every write —
+    // here `o_year = year(o_orderdate)` doubles as the hive PARTITION key,
+    // the canonical derived-partition layout. Batches carrying a
+    // disagreeing value refuse (`enforced`); batches lacking the column
+    // get it computed, so the writer never handles the derivation. The
+    // oracle recomputes the derivation and the partition grouping from
+    // the raw table.
+    Q("versioned_generated",
+      (s, dir) => {
+        val (root, flags) = Fixtures.once(s, dir, "vt_generated") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_gen_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderdate")
+          graft.io.VersionedTable.addGeneratedColumn(s, r, "o_year",
+            "year(o_orderdate)", "gen-create")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0),
+            r, "append", "gen-a", statsCols = Seq("o_orderkey"),
+            partitionCols = Seq("o_year"))
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1),
+            r, "append", "gen-b", statsCols = Seq("o_orderkey"),
+            partitionCols = Seq("o_year"))
+          val enforced = scala.util.Try(graft.io.VersionedTable.commit(
+            o.limit(1).withColumn("o_year", lit(1900)),
+            r, "append", "gen-bad", partitionCols = Seq("o_year"))).isFailure
+          (r, Seq(java.lang.Boolean.valueOf(enforced)))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_year")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("enforced", lit(flags(0).booleanValue()))
+          .orderBy("o_year")
+      },
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS o_year, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum, TRUE AS enforced
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — BATCH RELATION FRONT DOOR (`spark.read
     // .format("graft-versioned")` — io/VersionedRelation via the stable V1
     // PrunedFilteredScan connector surface): the versioned table as a

@@ -101,7 +101,8 @@ object VersionedTable {
                           deleteKeys: Map[String, String] = Map.empty,
                           nameMap: Map[String, String] = Map.empty,
                           constraints: Map[String, String] = Map.empty,
-                          dropped: Seq[String] = Nil)
+                          dropped: Seq[String] = Nil,
+                          generated: Map[String, String] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -199,6 +200,11 @@ object VersionedTable {
       m.put("constraints", cm)
     }
     if (c.dropped.nonEmpty) m.put("dropped", c.dropped.sorted.asJava)
+    if (c.generated.nonEmpty) {
+      val gm = new java.util.LinkedHashMap[String, Object]()
+      c.generated.toSeq.sortBy(_._1).foreach { case (n, e) => gm.put(n, e) }
+      m.put("generated", gm)
+    }
     mapper.writeValueAsString(m)
   }
 
@@ -224,7 +230,8 @@ object VersionedTable {
     * forget to declare one.
     */
   private[graft] val supportedReaderFeatures =
-    Set("mor-deletes", "column-mapping", "external-refs", "dropped-columns")
+    Set("mor-deletes", "column-mapping", "external-refs", "dropped-columns",
+        "generated-columns")
 
   private def featuresOf(c: Commit): Seq[String] = Seq(
     (c.deletes.nonEmpty || c.deleteKeys.nonEmpty) -> "mor-deletes",
@@ -234,7 +241,10 @@ object VersionedTable {
     // a pre-dropcol WRITER would let an append resurrect a retired slot;
     // gate readers too (a reader is usually also a writer here), matching
     // Delta's stance that column-mapping tables gate both directions
-    c.dropped.nonEmpty -> "dropped-columns"
+    c.dropped.nonEmpty -> "dropped-columns",
+    // a pre-generated-columns WRITER would append without materializing
+    // the column; the gate fires on the log read every write starts with
+    c.generated.nonEmpty -> "generated-columns"
   ).collect { case (true, f) => f }
 
   private def readManifest(p: java.nio.file.Path): Commit = {
@@ -294,11 +304,14 @@ object VersionedTable {
     }.getOrElse(Map.empty[String, String])
     val dropped = Option(n.get("dropped"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
+    val generated = Option(n.get("generated")).map { gn =>
+      gn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
     Commit(v, n.get("commitId").asText(), n.get("mode").asText(),
       n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, strStats, pcols, blooms,
       Option(n.get("schema")).map(_.asText()),
       Option(n.get("committedAt")).map(_.asLong()).getOrElse(0L),
-      deletes, deleteKeys, nameMap, constraints, dropped)
+      deletes, deleteKeys, nameMap, constraints, dropped, generated)
   }
 
   /** Atomically publish manifest `c` into version slot `v`: write the full
@@ -578,6 +591,26 @@ object VersionedTable {
     * short-circuit at the first offender, and the refusal names the
     * constraint and prints the row.
     */
+  /** Materialize GENERATED columns on a write batch: absent columns are
+    * computed from their declared expressions; present columns are
+    * equality-enforced (one bounded short-circuiting action each, the
+    * enforceConstraints pattern), so stored data can never contradict a
+    * declaration whichever write verb carried it.
+    */
+  private def materializeGenerated(gens: Map[String, String], batch: DataFrame,
+                                   op: String): DataFrame =
+    if (gens.isEmpty) batch
+    else gens.toSeq.sortBy(_._1).foldLeft(batch) { case (d, (name, sql)) =>
+      import org.apache.spark.sql.functions.{expr, not}
+      if (!d.columns.contains(name)) d.withColumn(name, expr(sql))
+      else {
+        val bad = d.filter(not(d(name) <=> expr(sql))).limit(1).collect()
+        require(bad.isEmpty, s"$op: generated column '$name' ($sql) " +
+          s"disagrees with supplied value on row ${bad.headOption.orNull}")
+        d
+      }
+    }
+
   private def enforceConstraints(cs: Map[String, String], batch: DataFrame,
                                  op: String): Unit =
     cs.toSeq.sortBy(_._1).foreach { case (name, sql) =>
@@ -672,6 +705,18 @@ object VersionedTable {
           require(referencing.isEmpty,
             s"renameColumn: column '$from' is referenced by CHECK constraint(s) " +
               s"${referencing.toSeq.sorted.mkString(", ")}; drop them first")
+          // generation expressions are SQL over logical names too: renaming
+          // a source column (or the generated column itself, whose map key
+          // is its logical name) would silently break materialization
+          require(!parent.generated.contains(from),
+            s"renameColumn: '$from' is a GENERATED column; drop and re-declare instead")
+          val genRef = parent.generated.collect {
+            case (n, sql) if ("\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
+              .findFirstIn(sql).isDefined => n
+          }
+          require(genRef.isEmpty,
+            s"renameColumn: column '$from' is referenced by generated column(s) " +
+              s"${genRef.toSeq.sorted.mkString(", ")}; drop them first")
           val newMap = ((parent.nameMap - from) + (to -> phys))
             .filter { case (l, p) => l != p } // renaming back to the original drops the entry
           val v = parent.version + 1
@@ -733,6 +778,14 @@ object VersionedTable {
           require(keyedSets.isEmpty,
             s"dropColumn: column '$name' keys pending merge-on-read delete set(s) " +
               s"${keyedSets.sorted.mkString(", ")}; compact first to absorb them")
+          val genRef = parent.generated.collect {
+            case (n, sql) if n != name &&
+              ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+                .findFirstIn(sql).isDefined => n
+          }
+          require(genRef.isEmpty,
+            s"dropColumn: column '$name' is referenced by generated column(s) " +
+              s"${genRef.toSeq.sorted.mkString(", ")}; drop them first")
           val ps = org.apache.spark.sql.types.StructType.fromDDL(parent.schemaDdl.get)
           val newSchema = org.apache.spark.sql.types.StructType(
             ps.fields.filterNot(_.name == phys))
@@ -745,8 +798,90 @@ object VersionedTable {
               blooms = parent.blooms.map { case (d, cols) =>
                 d -> cols.filterNot(_ == phys) }.filter(_._2.nonEmpty),
               nameMap = parent.nameMap - name,
-              dropped = (parent.dropped :+ phys).distinct.sorted)))
+              dropped = (parent.dropped :+ phys).distinct.sorted,
+              generated = parent.generated - name)))
             out = v
+        }
+        out
+    }
+  }
+
+  /** GENERATED ALWAYS AS (the public Delta generated-columns shape): a
+    * column whose value is a SQL expression over the row's other columns,
+    * MATERIALIZED at write time — a batch lacking it gets it computed, a
+    * batch carrying it is refused unless every value agrees with the
+    * expression (so the stored data never contradicts the declaration),
+    * and once stored it behaves as any physical column: statsCols,
+    * bloomCols, hive `partitionCols` (the canonical use — `year(ts)` as
+    * the partition key derived from an event timestamp).
+    *
+    * Declaration discipline mirrors Delta's no-backfill stance — a
+    * declaration NEVER invents values for existing rows:
+    *
+    *  - on an EMPTY table root this creates version 1 as a pure-metadata
+    *    "create" commit (no rows, no schema yet — the first data commit
+    *    chooses the layout and materializes from its first row), the
+    *    CREATE TABLE form;
+    *  - on a table with data the column must ALREADY exist, and the
+    *    existing snapshot is pre-validated against the expression
+    *    (short-circuiting scan, the addConstraint pattern) — the
+    *    "backfill, then declare" migration;
+    *  - declaring a column that is absent from a non-empty table refuses
+    *    loudly (it would need NULL backfill, which the expression would
+    *    then contradict).
+    *
+    * Referenced source columns are rename/drop-guarded like constraint
+    * references; `generated` is a declared feature, so a pre-generated
+    * engine refuses the table instead of appending unmaterialized rows.
+    * Idempotent under `commitId`; manifest-only OCC retry.
+    */
+  def addGeneratedColumn(spark: SparkSession, root: String, name: String,
+                         sqlExpr: String, commitId: String): Long = {
+    import org.apache.spark.sql.functions.{expr, not}
+    // parse check up front — a syntax error must fail the declaration,
+    // not every later write
+    spark.sessionState.sqlParser.parseExpression(sqlExpr)
+    require(!("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+        .findFirstIn(sqlExpr).isDefined,
+      s"addGeneratedColumn: expression references the generated column '$name' itself")
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => prior
+      case None =>
+        var out = -1L
+        while (out < 0) {
+          latestCommit(root) match {
+            case None =>
+              Files.createDirectories(commitsDir(root))
+              if (publishIfAbsent(root, 1L, Commit(1L, commitId, "create", Nil,
+                  generated = Map(name -> sqlExpr))))
+                out = 1L
+              // lost the slot: loop re-reads — either our twin won
+              // (findCommitVersion below) or the table now exists
+              else if (findCommitVersion(root, commitId).isDefined)
+                out = findCommitVersion(root, commitId).get
+            case Some(parent) =>
+              require(!parent.generated.contains(name),
+                s"addGeneratedColumn: '$name' is already generated " +
+                  s"(${parent.generated(name)})")
+              val pureCreate = parent.dirs.isEmpty && parent.schemaDdl.isEmpty
+              if (!pureCreate) {
+                val logical = logicalCols(parent)
+                require(logical.contains(name),
+                  s"addGeneratedColumn: '$name' is absent from a non-empty table — " +
+                    "declaring it would require NULL backfill, which the expression " +
+                    "would then contradict; backfill the column first, or declare at " +
+                    "table creation")
+                val cur = read(spark, root)
+                val bad = cur.filter(not(cur(name) <=> expr(sqlExpr))).limit(1).collect()
+                require(bad.isEmpty,
+                  s"addGeneratedColumn: existing snapshot violates '$name' = $sqlExpr " +
+                    s"on row ${bad.headOption.orNull}")
+              }
+              val v = parent.version + 1
+              if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
+                  mode = "generated", generated = parent.generated + (name -> sqlExpr))))
+                out = v
+          }
         }
         out
     }
@@ -775,12 +910,18 @@ object VersionedTable {
         // has renames); an overwrite replaces the schema wholesale, so its
         // names become the new physical names and the mapping resets
         val preParent0 = latestCommit(root)
+        // GENERATED columns materialize first (both modes — they are table
+        // properties like constraints): a batch LACKING the column gets it
+        // computed; a batch CARRYING it is enforced for equality, so a
+        // writer can never store a value the expression disagrees with
+        val dfGen = preParent0.map(_.generated).filter(_.nonEmpty)
+          .fold(df)(materializeGenerated(_, df, "commit"))
         // CHECK constraints hold in BOTH modes (they are table properties,
         // surviving overwrite like Delta's) and are enforced on the
         // incoming LOGICAL batch before any data is written
-        preParent0.foreach(p => enforceConstraints(p.constraints, df, "commit"))
+        preParent0.foreach(p => enforceConstraints(p.constraints, dfGen, "commit"))
         val preParent = preParent0.filter(_ => mode == "append")
-        val dfPhys = preParent.fold(df)(p => toPhysicalDf(p, df))
+        val dfPhys = preParent.fold(dfGen)(p => toPhysicalDf(p, dfGen))
         val physStats = statsCols.map(c => preParent.fold(c)(p => physName(p, c)))
         val physBlooms = bloomCols.map(c => preParent.fold(c)(p => physName(p, c)))
         // data first — invisible until a manifest references it; the dir name
@@ -806,7 +947,10 @@ object VersionedTable {
             // a snapshot's dirs must share one hive layout — readers union
             // per-dir scans, and a layout mix would silently widen schemas
             parent.filter(_ => mode == "append").foreach { p =>
-              require(p.partitionCols == partitionCols,
+              // a pure CREATE parent (dirs empty, no schema yet) pins no
+              // layout — the first data commit chooses it
+              require(p.dirs.isEmpty && p.schemaDdl.isEmpty ||
+                  p.partitionCols == partitionCols,
                 s"append layout $partitionCols != parent's ${p.partitionCols}")
               // the data was written under preParent's name mapping — a
               // rename racing between write and publish would make this
@@ -866,6 +1010,9 @@ object VersionedTable {
             require(parent.map(_.constraints).getOrElse(Map.empty) ==
                 preParent0.map(_.constraints).getOrElse(Map.empty),
               "commit: table constraints advanced during the write; re-run")
+            require(parent.map(_.generated).getOrElse(Map.empty) ==
+                preParent0.map(_.generated).getOrElse(Map.empty),
+              "commit: generated columns advanced during the write; re-run")
             if (publishIfAbsent(root, v,
                 Commit(v, commitId, mode, dirs, stats, strStats, partitionCols, blooms,
                   Some(snapSchema.toDDL), deletes = inhDeletes,
@@ -876,7 +1023,8 @@ object VersionedTable {
                   // overwrite rewrites the whole row set — retired slots
                   // are gone from every live file, so the names free up
                   dropped = if (mode == "append")
-                    parent.map(_.dropped).getOrElse(Nil) else Nil)))
+                    parent.map(_.dropped).getOrElse(Nil) else Nil,
+                  generated = parent.map(_.generated).getOrElse(Map.empty))))
               committed = v
           }
         }
@@ -1643,6 +1791,8 @@ object VersionedTable {
     if (covChanged.nonEmpty)
       return Left(s"a merge-on-read delete touching $covChanged")
     val added = to.filterNot(from.contains).map(d => dirPath(root, d))
+    if (to.isEmpty && toC.schemaDdl.isEmpty)
+      return Left("a pre-schema create commit (no rows, no shape yet)")
     added.foreach(d => require(new File(d).isDirectory,
       s"incremental range references vacuumed dir $d"))
     Right(toLogicalDf(toC,
@@ -1681,7 +1831,8 @@ object VersionedTable {
     * changes the SCHEMA, which a streaming reader surfaces as its
     * pinned-schema restart, and [[readChangeFeed]] skips outright.
     */
-  private[graft] val metadataOnlyModes = Set("compact", "rename", "constraint", "dropcol")
+  private[graft] val metadataOnlyModes =
+    Set("compact", "rename", "constraint", "dropcol", "create", "generated")
 
   private[graft] def changeFeedOfCommit(spark: SparkSession, root: String,
                                         fromC: Option[Commit], toC: Commit,
@@ -1983,7 +2134,8 @@ object VersionedTable {
         survivorsDir.filter(_ => dirBlooms.nonEmpty)
           .fold(keptBlooms)(d => keptBlooms + (d -> dirBlooms)),
         schemaDdl, deletes = cd, deleteKeys = cdk, nameMap = parent.nameMap,
-        constraints = parent.constraints, dropped = parent.dropped)
+        constraints = parent.constraints, dropped = parent.dropped,
+        generated = parent.generated)
       if (publishIfAbsent(root, v, c)) out = v
       else findCommitVersion(root, commitId) match {
         case Some(pv) => out = pv // a retry twin of us won the slot
@@ -2018,8 +2170,12 @@ object VersionedTable {
       case None =>
         val parent = latestCommit(root)
           .getOrElse(sys.error(s"mergeInto: no commits at $root"))
+        // GENERATED columns materialize/enforce first, so a batch lacking
+        // one still passes the exact-schema gate below and a batch carrying
+        // a disagreeing value refuses before any dir is classified
+        val updatesG = materializeGenerated(parent.generated, updates, "mergeInto")
         // batch columns arrive LOGICAL; everything below operates PHYSICAL
-        val updPhys = toPhysicalDf(parent, updates)
+        val updPhys = toPhysicalDf(parent, updatesG)
         val physKey = physName(parent, keyCol)
         // the batch schema must match the snapshot's EXACTLY (name → type):
         // merge is not schema evolution, and the no-overlap fast path below
@@ -2036,7 +2192,7 @@ object VersionedTable {
         }
         // CHECK constraints are over LOGICAL names — validate the incoming
         // batch before any data is written or any dir classified
-        enforceConstraints(parent.constraints, updates, "mergeInto")
+        enforceConstraints(parent.constraints, updatesG, "mergeInto")
         val guarded = guardMergeBatch(updPhys, physKey, "mergeInto")
         // bounded scalar probe: the batch's key envelope (integral via the
         // manifest stats index, string via strStats)
@@ -2115,7 +2271,10 @@ object VersionedTable {
       case None =>
         val parent = latestCommit(root)
           .getOrElse(sys.error(s"applyCdcBatch: no commits at $root"))
-        val updPhys = toPhysicalDf(parent, updates)
+        // generated columns: compute if absent, refuse if contradicted —
+        // before the exact-schema gate, like mergeInto
+        val updatesG = materializeGenerated(parent.generated, updates, "applyCdcBatch")
+        val updPhys = toPhysicalDf(parent, updatesG)
         val physKey = physName(parent, keyCol)
         // updates must match the snapshot schema exactly — same contract
         // (and same reason) as mergeInto's no-overlap fast path
@@ -2129,7 +2288,7 @@ object VersionedTable {
         }
         // upserts take the CHECK gate (they ADD rows); tombstones only
         // remove, so they pass untested
-        enforceConstraints(parent.constraints, updates, "applyCdcBatch")
+        enforceConstraints(parent.constraints, updatesG, "applyCdcBatch")
         val gUpd = guardMergeBatch(updPhys, physKey, "applyCdcBatch")
         val gDel = deleteKeys.select(col(keyCol).as(physKey))
           .filter(when(col(physKey).isNull,
@@ -2318,7 +2477,7 @@ object VersionedTable {
                 parent.schemaDdl,
                 deletes = newDeletes, deleteKeys = newDeleteKeys,
                 nameMap = parent.nameMap, constraints = parent.constraints,
-                dropped = parent.dropped)
+                dropped = parent.dropped, generated = parent.generated)
               if (publishIfAbsent(root, v, c)) result = (v, hit.size, parent.dirs.size)
               // lost the race: manifest-only — recompute against the new
               // parent and retry (the key set is already in place)
@@ -2531,7 +2690,7 @@ object VersionedTable {
               target.stats, target.strStats, target.partitionCols, target.blooms,
               target.schemaDdl, deletes = target.deletes, deleteKeys = target.deleteKeys,
               nameMap = target.nameMap, constraints = target.constraints,
-              dropped = target.dropped)))
+              dropped = target.dropped, generated = target.generated)))
             committed = v
         }
         committed
@@ -2664,7 +2823,7 @@ object VersionedTable {
           // the rewrite scanned under the post-drop manifest schema, so the
           // new files carry no retired slot — REORG PURGE: clear the set
           // and free the names for re-use
-          dropped = Nil)
+          dropped = Nil, generated = parent.generated)
         if (!publishIfAbsent(root, v, c))
           sys.error(s"compact: log advanced past v${parent.version} during the rewrite; " +
             "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
@@ -2822,7 +2981,8 @@ object VersionedTable {
           deleteKeys = c.deleteKeys.collect {
             case (sn, k) if setMap.contains(sn) => setMap(sn) -> k
           },
-          nameMap = c.nameMap, constraints = c.constraints, dropped = c.dropped)
+          nameMap = c.nameMap, constraints = c.constraints, dropped = c.dropped,
+          generated = c.generated)
         if (publishIfAbsent(dstRoot, 1L, cloned)) 1L
         else findCommitVersion(dstRoot, commitId).getOrElse(
           sys.error(s"cloneTo: destination $dstRoot gained a commit concurrently; " +

@@ -1174,6 +1174,81 @@ class IoSpec extends SparkSpec {
       VersionedTable.renameColumn(root2, "year", "yr", "ren-part"))
   }
 
+  test("VersionedTable.addGeneratedColumn: declared at create, materialized on every write, equality-enforced, partition-usable, no backfill") {
+    import spark.implicits._
+    // CREATE TABLE form: declaration first, data later
+    val root = tmpDir("vt_generated")
+    val v1 = VersionedTable.addGeneratedColumn(spark, root, "yr",
+      "year(ev_ts)", "g-create")
+    assert(v1 == 1L && VersionedTable.history(root).last.mode == "create")
+    def batch(ids: Seq[Long], y: Int) = ids.map(i =>
+      (i, java.sql.Timestamp.valueOf(s"$y-03-0${(i % 8 + 1)} 10:00:00")))
+      .toDF("id", "ev_ts")
+    // first data commit materializes the column AND uses it as the hive
+    // partition key — the canonical year(ts) layout
+    VersionedTable.commit(batch(1L to 4L, 2023), root, "append", "g1",
+      statsCols = Seq("id"), partitionCols = Seq("yr"))
+    VersionedTable.commit(batch(5L to 8L, 2024), root, "append", "g2",
+      statsCols = Seq("id"), partitionCols = Seq("yr"))
+    val got = VersionedTable.read(spark, root).select("id", "yr")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == ((1L to 4L).map((_, 2023)) ++ (5L to 8L).map((_, 2024))).toSet, got.toString)
+    // a batch CARRYING the column must agree with the expression
+    val e = intercept[IllegalArgumentException](VersionedTable.commit(
+      Seq((9L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), 1999))
+        .toDF("id", "ev_ts", "yr"), root, "append", "g-bad",
+      partitionCols = Seq("yr")))
+    assert(e.getMessage.contains("generated column"), e.getMessage)
+    // an agreeing batch passes
+    VersionedTable.commit(
+      Seq((9L, java.sql.Timestamp.valueOf("2024-03-01 10:00:00"), 2024))
+        .toDF("id", "ev_ts", "yr"), root, "append", "g3", partitionCols = Seq("yr"))
+    assert(VersionedTable.read(spark, root).count() == 9L)
+    // copy-on-write merge carries the declaration; the merged batch is
+    // materialized too (all row-adding verbs share the map) — and a
+    // disagreeing supplied value refuses there as well
+    assert(VersionedTable.history(root).last.generated == Map("yr" -> "year(ev_ts)"))
+    VersionedTable.mergeInto(spark, root,
+      Seq((5L, java.sql.Timestamp.valueOf("2025-06-01 10:00:00"))).toDF("id", "ev_ts"),
+      "id", "g-merge", statsCols = Seq("id"))
+    assert(VersionedTable.read(spark, root).filter(col("id") === 5L)
+      .select("yr").head().getInt(0) == 2025)
+    val em = intercept[IllegalArgumentException](VersionedTable.mergeInto(spark, root,
+      Seq((6L, java.sql.Timestamp.valueOf("2025-06-01 10:00:00"), 1999))
+        .toDF("id", "ev_ts", "yr"), "id", "g-merge-bad", statsCols = Seq("id")))
+    assert(em.getMessage.contains("generated column"), em.getMessage)
+    // declaration guards: self-reference, double declare, rename/drop of
+    // the source column, rename of the generated column
+    intercept[IllegalArgumentException](
+      VersionedTable.addGeneratedColumn(spark, root, "z", "z + 1", "g-self"))
+    intercept[IllegalArgumentException](
+      VersionedTable.addGeneratedColumn(spark, root, "yr", "year(ev_ts)", "g-dup"))
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(root, "ev_ts", "t2", "g-ren-src"))
+    intercept[IllegalArgumentException](
+      VersionedTable.renameColumn(root, "yr", "y2", "g-ren-gen"))
+    intercept[IllegalArgumentException](
+      VersionedTable.dropColumn(root, "ev_ts", "g-drop-src"))
+    // declare-over-existing: valid pre-materialized column accepts, a
+    // contradicting one refuses (the addConstraint pattern)
+    val root2 = tmpDir("vt_generated2")
+    VersionedTable.commit(Seq((1L, 10L, 20L)).toDF("a", "b", "twice_a"),
+      root2, "append", "h1")
+    val e2 = intercept[IllegalArgumentException](VersionedTable
+      .addGeneratedColumn(spark, root2, "twice_a", "a * 2", "h-bad"))
+    assert(e2.getMessage.contains("violates"), e2.getMessage)
+    VersionedTable.commit(Seq((1L, 10L, 2L)).toDF("a", "b", "twice_a"),
+      root2, "overwrite", "h2")
+    VersionedTable.addGeneratedColumn(spark, root2, "twice_a", "a * 2", "h-ok")
+    // from now on writes materialize it
+    VersionedTable.commit(Seq((3L, 30L)).toDF("a", "b"), root2, "append", "h3")
+    assert(VersionedTable.read(spark, root2).filter(col("a") === 3L)
+      .select("twice_a").head().getLong(0) == 6L)
+    // absent column on a non-empty table refuses (no NULL backfill)
+    intercept[IllegalArgumentException](VersionedTable
+      .addGeneratedColumn(spark, root2, "b_sq", "b * b", "h-absent"))
+  }
+
   test("graft-versioned batch relation: format read with column pruning, manifest+bloom pushdown, MOR deletes, time travel, SQL USING") {
     import spark.implicits._
     import graft.io.VersionedRelation
