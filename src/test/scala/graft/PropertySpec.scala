@@ -307,4 +307,80 @@ class PropertySpec extends SparkSpec {
     val r = Relational.weightedMedian(ok, "grp", "v", "w").collect()
     assert(r.length == 1 && r(0).getLong(1) == 2L && r(0).getLong(2) == 4L, r.mkString)
   }
+
+  test("schema lifecycle fuzz: random append/evolve/rename/drop/merge sequences match an in-memory model") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    // random op sequences over one table: plain appends, add-column
+    // evolution, column renames (mapping), metadata-only drops, and
+    // copy-on-write merges — after EVERY op the full read must equal a
+    // dumb in-memory model, under whatever interleaving the generator
+    // picked (rename-then-drop, evolve-then-merge, drop-then-append, ...)
+    val opGen = Gen.listOfN(8, Gen.choose(0, 4))
+    samples(opGen, 3).zipWithIndex.foreach { case (ops, i) =>
+      val root = TestSpark.tmpDir(s"prop_lifecycle_$i")
+      var cols = Vector("id", "c0") // id: Long key; others: String
+      var fresh = 1
+      var nextId = 0L
+      var model = Vector.empty[Map[String, Any]]
+      def mkRows(n: Int): Seq[Map[String, Any]] = (0 until n).map { _ =>
+        val id = nextId; nextId += 1
+        Map[String, Any]("id" -> id) ++ cols.drop(1).map(c => c -> s"$c-$id")
+      }
+      def toDf(rows: Seq[Map[String, Any]], cs: Vector[String]) = {
+        val schema = StructType(cs.map(c =>
+          if (c == "id") StructField("id", LongType) else StructField(c, StringType)))
+        spark.createDataFrame(
+          rows.map(r => Row.fromSeq(cs.map(c => r.getOrElse(c, null)))).asJava, schema)
+      }
+      val r0 = mkRows(3); model ++= r0
+      graft.io.VersionedTable.commit(toDf(r0, cols), root, "append", s"l$i-init",
+        statsCols = Seq("id"))
+      var opIdx = 0
+      ops.foreach { op =>
+        opIdx += 1
+        op match {
+          case 0 =>
+            val rs = mkRows(2); model ++= rs
+            graft.io.VersionedTable.commit(toDf(rs, cols), root, "append",
+              s"l$i-a$opIdx", statsCols = Seq("id"))
+          case 1 =>
+            val nc = s"c$fresh"; fresh += 1
+            cols = cols :+ nc
+            val rs = mkRows(2); model ++= rs
+            graft.io.VersionedTable.commit(toDf(rs, cols), root, "append",
+              s"l$i-e$opIdx", statsCols = Seq("id"))
+          case 2 if cols.size > 1 =>
+            val c = cols.last
+            val nc = s"r$fresh"; fresh += 1
+            graft.io.VersionedTable.renameColumn(root, c, nc, s"l$i-r$opIdx")
+            cols = cols.updated(cols.indexOf(c), nc)
+            model = model.map(m => m.get(c).fold(m)(v => m - c + (nc -> v)))
+          case 3 if cols.size > 2 =>
+            val c = cols(1 + (opIdx % (cols.size - 1)))
+            graft.io.VersionedTable.dropColumn(root, c, s"l$i-d$opIdx")
+            cols = cols.filterNot(_ == c)
+            model = model.map(_ - c)
+          case 4 if model.nonEmpty =>
+            val ids = model.map(_("id").asInstanceOf[Long]).distinct.take(2)
+            val ups = ids.map(id =>
+              Map[String, Any]("id" -> id) ++ cols.drop(1).map(c => c -> s"$c-u$opIdx-$id"))
+            graft.io.VersionedTable.mergeInto(spark, root, toDf(ups, cols), "id",
+              s"l$i-m$opIdx", statsCols = Seq("id"))
+            model = model.filterNot(m => ids.contains(m("id"))) ++ ups
+          case _ => ()
+        }
+        val df = graft.io.VersionedTable.read(spark, root)
+        assert(df.columns.toSeq == cols,
+          s"seq=$ops op#$opIdx: columns ${df.columns.toSeq} != $cols")
+        val got = df.collect().map { r =>
+          cols.map(c => c -> (if (r.isNullAt(r.fieldIndex(c))) null
+                              else r.get(r.fieldIndex(c)))).toMap
+        }.toSet
+        val want = model.map(m => cols.map(c => c -> m.getOrElse(c, null)).toMap).toSet
+        assert(got == want, s"seq=$ops at op#$opIdx:\n got=$got\n want=$want")
+      }
+    }
+  }
 }
