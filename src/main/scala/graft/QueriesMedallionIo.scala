@@ -1272,6 +1272,42 @@ private[graft] object QueriesMedallionIo {
         |  TRUE AS kept_at_v1, TRUE AS readd_refused, TRUE AS purged_readd_ok
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — SQL MAINTENANCE FRONT DOOR (plans/GraftSqlParser via
+    // SparkSessionExtensions.injectParser — the Delta-style statement
+    // surface): `OPTIMIZE GRAFT '<root>' TARGET n` compacts through the
+    // injected parser, and the served result is `DESCRIBE HISTORY GRAFT`
+    // AS SQL — the whole commit ledger (two appends + the SQL-issued
+    // compaction) replayed row-for-row by the DuckDB oracle. Every other
+    // statement delegates to Spark's parser untouched.
+    Q("versioned_sql_maintenance",
+      (s, dir) => {
+        val root = Fixtures.once(s, dir, "vt_sql_maint") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_sqlm_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0),
+            r, "append", "sm-a", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1),
+            r, "append", "sm-b", statsCols = Seq("o_orderkey"))
+          s.sql(s"OPTIMIZE GRAFT '$r' TARGET 4").collect()
+          r
+        }
+        s.sql(s"DESCRIBE HISTORY GRAFT '$root'")
+          .select("version", "operation", "dirs_added", "dirs_removed",
+            "rows_added", "rows_removed")
+          .orderBy("version")
+      },
+      Some("""SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, 'append' AS operation,
+        |    1 AS dirs_added, 0 AS dirs_removed,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS rows_added,
+        |    CAST(0 AS BIGINT) AS rows_removed
+        |  UNION ALL SELECT 2, 'append', 1, 0,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 1), 0
+        |  UNION ALL SELECT 3, 'compact', 1, 2,
+        |    (SELECT count(*) FROM orders), (SELECT count(*) FROM orders)
+        |) ORDER BY version""".stripMargin)),
+
     // S17 — GENERATED COLUMNS (VersionedTable.addGeneratedColumn — the
     // public Delta GENERATED ALWAYS AS shape): declared BEFORE any data as
     // a pure-metadata CREATE commit, then materialized by every write —

@@ -15,6 +15,7 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.local.dir", ShmLocalDir.path())
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       // events.parquet carries TIMESTAMP(NANOS) which Spark has no native
       // type for; read as long (ns since epoch) and convert explicitly.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
       (exprs: Seq[Expression]) => WordNgrams(exprs(0), exprs(1))))
+    // SQL front door for the versioned table's maintenance verbs
+    // (DESCRIBE HISTORY / OPTIMIZE / VACUUM ... GRAFT '<root>'); every
+    // other statement delegates untouched — a pure grammar superset
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
   }
 }

@@ -1174,6 +1174,48 @@ class IoSpec extends SparkSpec {
       VersionedTable.renameColumn(root2, "year", "yr", "ren-part"))
   }
 
+  test("GraftSqlParser: DESCRIBE HISTORY / OPTIMIZE / VACUUM ... GRAFT as real SQL; everything else delegates") {
+    import spark.implicits._
+    val root = tmpDir("vt_sql_maint")
+    VersionedTable.commit((1L to 40L).map(i => (i, s"a$i")).toDF("id", "s")
+      .repartition(8), root, "append", "sq1", statsCols = Seq("id"))
+    VersionedTable.commit((41L to 60L).map(i => (i, s"b$i")).toDF("id", "s"),
+      root, "append", "sq2", statsCols = Seq("id"))
+    // DESCRIBE HISTORY as SQL — same derived metrics as the programmatic verb
+    val h = spark.sql(s"DESCRIBE HISTORY GRAFT '$root'").orderBy("version").collect()
+    assert(h.map(_.getString(1)).toSeq == Seq("append", "append"))
+    assert(h(0).getLong(6) == 40L && h(1).getLong(6) == 20L)
+    // OPTIMIZE as SQL: full-table compaction to TARGET files
+    val o = spark.sql(s"OPTIMIZE GRAFT '$root' TARGET 2").collect()
+    assert(o.head.getLong(0) == 3L && o.head.getInt(2) == 2, o.mkString)
+    assert(VersionedTable.history(root).last.mode == "compact")
+    assert(VersionedTable.read(spark, root).count() == 60L)
+    // OPTIMIZE ... ZORDER BY parses through to the k-column compactor
+    VersionedTable.commit((61L to 70L).map(i => (i, i * 3)).toDF("x", "y"),
+      tmpDir("vt_sql_z"), "append", "z1")
+    // (flat 2-col table in a fresh root)
+    val zroot = tmpDir("vt_sql_z2")
+    VersionedTable.commit((0L until 256L).map(i => (i % 16, i / 16)).toDF("x", "y"),
+      zroot, "overwrite", "z2")
+    spark.sql(s"OPTIMIZE GRAFT '$zroot' TARGET 4 ZORDER BY (x, y)").collect()
+    assert(VersionedTable.history(zroot).last.mode == "compact")
+    // scoped OPTIMIZE WHERE routes to compactWhere
+    val proot = tmpDir("vt_sql_part")
+    VersionedTable.commit(Seq((1L, 2023, "a"), (2L, 2024, "b")).toDF("id", "year", "s"),
+      proot, "append", "p1", partitionCols = Seq("year"))
+    VersionedTable.commit(Seq((3L, 2025, "c")).toDF("id", "year", "s"),
+      proot, "append", "p2", partitionCols = Seq("year"))
+    val ow = spark.sql(s"OPTIMIZE GRAFT '$proot' TARGET 1 WHERE year IN ('2023', '2024')")
+      .collect()
+    assert(ow.head.getInt(1) == 1 && ow.head.getInt(2) == 2, ow.mkString)
+    // VACUUM as SQL: drops the pre-compaction dirs of the first table
+    val removed = spark.sql(s"VACUUM GRAFT '$root' RETAIN 1").collect()
+    assert(removed.length == 2, removed.mkString)
+    assert(VersionedTable.read(spark, root).count() == 60L)
+    // ordinary SQL still parses and runs through the delegate
+    assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
+  }
+
   test("VersionedTable.addGeneratedColumn: declared at create, materialized on every write, equality-enforced, partition-usable, no backfill") {
     import spark.implicits._
     // CREATE TABLE form: declaration first, data later
