@@ -792,6 +792,112 @@ private[graft] object QueriesMedallionIo {
         |  CAST(4 AS BIGINT) AS dirs_total
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — ROW-LEVEL KEYED UPDATE (VersionedTable.updateWhere — the
+    // Delta `UPDATE t SET c = expr WHERE key IN (...)` verb, completing
+    // the DML triple beside mergeInto and deleteWhere): four appends band
+    // the table on o_orderkey; the update's key set lives in band 2 only,
+    // so exactly ONE dir rewrites (envelope gate) while the other three
+    // pass by reference — dirs_rewritten/dirs_total driver-visible. SQL
+    // UPDATE semantics on the matched rows: every SET right-hand side
+    // evaluates against the OLD row (o_totalprice doubles AND feeds the
+    // re-tagged priority string simultaneously); a replay under the
+    // committed id with different keys must no-op. The oracle replays the
+    // transformation as a plain CASE WHEN over the raw table.
+    Q("versioned_update",
+      (s, dir) => {
+        val (root, hit, total, noop) = Fixtures.once(s, dir, "vt_update") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_upd_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          Seq(("upd1", col("o_orderkey") <= b1),
+            ("upd2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("upd3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
+            ("upd4", col("o_orderkey") > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"upd-$id",
+              statsCols = Seq("o_orderkey"))
+          }
+          val keys = o.filter(col("o_orderkey") > b1 && col("o_orderkey") <= b2 &&
+            col("o_orderkey") % 3 === 0).select("o_orderkey")
+          val (v, h, t) = graft.io.VersionedTable.updateWhere(s, r, keys, "o_orderkey",
+            Map("o_totalprice" -> "o_totalprice * 2",
+              "o_orderpriority" -> "concat('9-FIXED:', o_orderpriority)"),
+            "upd-apply", statsCols = Seq("o_orderkey"))
+          val (rv, rh, _) = graft.io.VersionedTable.updateWhere(s, r,
+            o.filter(col("o_orderkey") <= b1).select("o_orderkey"), "o_orderkey",
+            Map("o_totalprice" -> "o_totalprice * 100"), "upd-apply")
+          (r, h.toLong, t.toLong,
+            rv == v && rh == -1 && graft.io.VersionedTable.latestVersion(r).contains(v))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("price_sum"))
+          .withColumn("dirs_rewritten", lit(hit))
+          .withColumn("dirs_total", lit(total))
+          .withColumn("replay_noop", lit(noop))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH q AS (SELECT max(o_orderkey) // 4 AS q1, max(o_orderkey) // 2 AS q2 FROM orders),
+        |d AS (SELECT CASE WHEN o_orderkey > q1 AND o_orderkey <= q2 AND o_orderkey % 3 = 0
+        |    THEN '9-FIXED:' || o_orderpriority ELSE o_orderpriority END AS o_orderpriority,
+        |  CASE WHEN o_orderkey > q1 AND o_orderkey <= q2 AND o_orderkey % 3 = 0
+        |    THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders CROSS JOIN q)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS price_sum,
+        |  CAST(1 AS BIGINT) AS dirs_rewritten, CAST(4 AS BIGINT) AS dirs_total,
+        |  TRUE AS replay_noop
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — RANGE-predicate UPDATE (VersionedTable.updateRange — the
+    // bulk-correction verb: UPDATE WHERE lo <= key <= hi): the range
+    // covers band 1 fully and band 2 partially, so BOTH rewrite (an
+    // update has no metadata-only class — contained dirs still
+    // materialize new bytes, unlike deleteRange's Drop) while bands 3-4
+    // pass by reference with their stats. In-range rows re-price through
+    // an expression over the old row; the oracle replays it as CASE WHEN
+    // BETWEEN over the raw table.
+    Q("versioned_update_range",
+      (s, dir) => {
+        val (root, hit, total) = Fixtures.once(s, dir, "vt_uprange") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_upr_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          Seq(("upr1", col("o_orderkey") <= b1),
+            ("upr2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("upr3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
+            ("upr4", col("o_orderkey") > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"upr-$id",
+              statsCols = Seq("o_orderkey"))
+          }
+          val (_, h, t) = graft.io.VersionedTable.updateRange(s, r, "o_orderkey",
+            0L, b1 + (b2 - b1) / 2,
+            Map("o_totalprice" -> "o_totalprice + 1000.0"), "upr-apply",
+            statsCols = Seq("o_orderkey"))
+          (r, h.toLong, t.toLong)
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("price_sum"))
+          .withColumn("dirs_rewritten", lit(hit))
+          .withColumn("dirs_total", lit(total))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH q AS (SELECT max(o_orderkey) // 4 AS q1, max(o_orderkey) // 2 AS q2 FROM orders),
+        |d AS (SELECT o_orderpriority,
+        |  CASE WHEN o_orderkey >= 0 AND o_orderkey <= q1 + (q2 - q1) // 2
+        |    THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders CROSS JOIN q)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS price_sum,
+        |  CAST(2 AS BIGINT) AS dirs_rewritten, CAST(4 AS BIGINT) AS dirs_total
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — MERGE-ON-READ delete (VersionedTable.deleteWhereMor — the
     // deletion-vector twin of versioned_delete's copy-on-write): the purge
     // writes ONE small key set and MARKS the envelope-hit dir; no data dir

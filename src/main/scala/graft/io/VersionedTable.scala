@@ -2671,6 +2671,238 @@ object VersionedTable {
     }
   }
 
+  /** Shared SET-application body for the UPDATE verbs: `base` is the
+    * LOGICAL-name scan of the hit dirs carrying a boolean `hitCol` marking
+    * the matched rows. SQL UPDATE semantics throughout:
+    *
+    *  - every SET right-hand side evaluates against the OLD row (ONE
+    *    simultaneous projection via `withColumns`, so `SET a = b, b = a`
+    *    swaps instead of chaining);
+    *  - GENERATED columns are refused as direct SET targets (Delta's rule)
+    *    and instead RECOMPUTE over the updated rows' NEW values, in the
+    *    same sorted sequential order [[materializeGenerated]] applies at
+    *    write time — the stored data can never contradict a declaration
+    *    whichever verb carried it;
+    *  - CHECK constraints re-validate the MATCHED rows only (unmatched
+    *    rows hold by the write-time invariant), one bounded
+    *    short-circuiting action per constraint;
+    *  - the updated frame must keep the snapshot schema exactly — a SET
+    *    expression that would change a column's TYPE is refused before
+    *    anything publishes (UPDATE is not schema evolution).
+    */
+  private def applyUpdateSet(parent: Commit, base: DataFrame, hitCol: String,
+                             set: Map[String, String], op: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, when}
+    require(set.nonEmpty, s"$op: empty SET clause")
+    val logical = logicalCols(parent)
+    set.keySet.toSeq.sorted.foreach { n =>
+      require(logical.contains(n),
+        s"$op: SET names unknown column '$n' (snapshot columns: ${logical.mkString(", ")})")
+      require(!parent.generated.contains(n),
+        s"$op: '$n' is GENERATED ALWAYS AS (${parent.generated(n)}) — it recomputes " +
+          "from its declaration; SET its source columns instead")
+    }
+    // the RAW expression type must equal the column's — checked BEFORE the
+    // when() wrap, whose branch coercion would otherwise hide the mismatch
+    // behind a runtime cast error (or worse, silently coerce)
+    set.toSeq.sortBy(_._1).foreach { case (n, sql) =>
+      val want = base.schema(n).dataType
+      val got = base.select(expr(sql).as("__graft_t")).schema("__graft_t").dataType
+      require(got == want,
+        s"$op: SET changes '$n' from ${want.sql} to ${got.sql}; " +
+          "UPDATE is not schema evolution — cast the expression explicitly")
+    }
+    val afterSet = base.withColumns(set.map { case (n, sql) =>
+      n -> when(col(hitCol), expr(sql)).otherwise(col(n))
+    })
+    val afterGen = parent.generated.toSeq.sortBy(_._1).foldLeft(afterSet) {
+      case (d, (n, sql)) =>
+        d.withColumn(n, when(col(hitCol), expr(sql)).otherwise(col(n)))
+    }
+    base.schema.fields.filterNot(_.name == hitCol).foreach { f =>
+      val got = afterGen.schema(f.name).dataType
+      require(got == f.dataType,
+        s"$op: SET changes '${f.name}' from ${f.dataType.sql} to ${got.sql}; " +
+          "UPDATE is not schema evolution — cast the expression explicitly")
+    }
+    enforceConstraints(parent.constraints, afterGen.filter(col(hitCol)), op)
+    afterGen.drop(hitCol)
+  }
+
+  /** Row-level keyed UPDATE with DIR-LEVEL COPY-ON-WRITE — the Delta
+    * `UPDATE t SET c = expr, ... WHERE key IN (...)` lifecycle verb (the
+    * targeted-correction shape: fix these accounts, redact these ids):
+    * rewrite ONLY the data dirs whose manifest envelope + bloom for
+    * `keyCol` admits a batch key ([[rangeHitDirs]], the [[deleteWhere]]
+    * gate) — untouched dirs carry into the new manifest by reference with
+    * their stats and blooms, so updating recent keys on an append-grown
+    * 100 TB table costs O(matched commits), not O(table). Complements
+    * [[mergeInto]]: merge replaces WHOLE rows from a full-schema batch;
+    * UPDATE transforms named COLUMNS of matched rows in place, leaving the
+    * rest of the row (and the table's unmatched rows) bit-identical.
+    *
+    * `set` maps logical column name → SQL expression over the row's
+    * logical columns, with the semantics of [[applyUpdateSet]] (old-row
+    * RHS, generated-column recompute, constraint re-check, type
+    * preservation). Rewritten dirs scan with their merge-on-read deletes
+    * APPLIED (a rewrite absorbs coverage and must not resurrect hidden
+    * rows). NULL update keys are refused loudly — a join never matches
+    * NULL, so the row would silently stay un-updated. Same pinned-parent
+    * rebasing OCC publication as the other rewrite verbs (a concurrent
+    * append conflicts iff its new dir might hold a batch key), idempotent
+    * under `commitId` retry; [[changesBetween]] refuses to cross it
+    * exactly as it refuses deletes. An updated PARTITION column moves rows
+    * between hive subdirs of the rewritten dir — the layout is re-derived
+    * by partitionBy on write, never edited in place. Returns
+    * (version, dirsRewritten, dirsTotal).
+    */
+  def updateWhere(spark: SparkSession, root: String, keys: DataFrame,
+                  keyCol: String, set: Map[String, String], commitId: String,
+                  statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit, raise_error, when}
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => (prior, -1, -1) // retry of a committed update
+      case None =>
+        val parent = latestCommit(root)
+          .getOrElse(sys.error(s"updateWhere: no commits at $root"))
+        val physKey = physName(parent, keyCol)
+        val guarded = keys.select(col(keyCol).as(physKey))
+          .filter(when(col(physKey).isNull,
+              raise_error(lit("updateWhere: NULL update key (a join never matches " +
+                "NULL, so the row would silently stay un-updated)")).cast("boolean"))
+            .otherwise(lit(true)))
+          .distinct()
+        val (hit, _) = rangeHitDirs(root, parent, guarded, physKey, "updateWhere")
+        val v = parent.version + 1
+        val dirName = attemptDirName("data", v, commitId)
+        val survivorsDir: Option[String] =
+          if (hit.isEmpty) None // no dir can hold a key: pure-metadata no-op commit
+          else {
+            val baseLog = toLogicalDf(parent, scanWithDeletes(spark, root, parent, hit))
+            val marked = baseLog
+              .join(broadcast(guarded.select(col(physKey).as(keyCol))
+                  .withColumn("__graft_upd", lit(true))),
+                Seq(keyCol), "left")
+              .withColumn("__graft_upd", coalesce(col("__graft_upd"), lit(false)))
+            val updated = applyUpdateSet(parent, marked, "__graft_upd", set, "updateWhere")
+            var w = toPhysicalDf(parent, updated).write.mode("overwrite")
+            if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
+            w.parquet(s"$root/$dirName")
+            // every hit row was MOR-hidden → zero-row rewrite → omit the dir
+            val rows = dirRowCount(spark.sessionState.newHadoopConf(), s"$root/$dirName")
+            if (rows == 0L) None else Some(dirName)
+          }
+        val dirStats = survivorsDir.fold(DirStats(Map.empty, Map.empty))(d =>
+          gatherStats(spark, s"$root/$d", statsCols.map(physName(parent, _)),
+            parent.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+              .getOrElse(spark.read.parquet(s"$root/$d").schema)))
+        val dirBlooms = survivorsDir.fold(Seq.empty[String])(d =>
+          gatherBlooms(spark, s"$root/$d", bloomCols.map(physName(parent, _))))
+        // conflict test for rebase: a concurrently-added dir conflicts iff
+        // it might hold a batch key (a rebased update committing AFTER such
+        // an append would claim rows it never transformed)
+        val committed = publishRewriteRebasing(root, parent, rewritten = hit,
+          droppedDirs = Nil, survivorsDir = survivorsDir, dirStats, dirBlooms,
+          "update", commitId, "updateWhere", parent.schemaDdl,
+          (latest, newDirs) =>
+            rangeHitDirs(root, latest.copy(dirs = newDirs), guarded, physKey, "updateWhere")._1)
+        (committed, hit.size, parent.dirs.size)
+    }
+  }
+
+  /** Range-predicate UPDATE (`UPDATE t SET ... WHERE lo <= col <= hi` —
+    * the bulk-correction shape: reprice a date range, re-tag an id block):
+    * dirs whose manifest envelope for `colName` is DISJOINT from [lo, hi]
+    * pass by reference with their stats and blooms; overlapping dirs (and
+    * stat-less dirs, conservatively) rewrite through [[applyUpdateSet]]
+    * with the in-range rows matched. Unlike [[deleteRange]] there is no
+    * metadata-only class — an update always materializes new bytes for
+    * contained dirs too. NULL rows never match a SQL range predicate and
+    * pass through untouched. Bound types are validated against the
+    * snapshot schema exactly as deleteRange validates them (timestamp
+    * bounds are MICROS); same OCC/idempotence/CDC contract as
+    * [[updateWhere]]. Returns (version, dirsRewritten, dirsTotal).
+    */
+  def updateRange(spark: SparkSession, root: String, colName: String,
+                  lo: Any, hi: Any, set: Map[String, String], commitId: String,
+                  statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => (prior, -1, -1)
+      case None =>
+        val parent = latestCommit(root)
+          .getOrElse(sys.error(s"updateRange: no commits at $root"))
+        val phys = physName(parent, colName)
+        requireRangeBoundTypes(parent, phys, lo, hi, "updateRange")
+        def overlaps(env: Option[(Any, Any)]): Boolean = env match {
+          case Some((mn: Long, mx: Long)) => (lo, hi) match {
+            case (l: Number, h: Number) => mx >= l.longValue && mn <= h.longValue
+            case _ => true // unreachable: bound types validated above
+          }
+          case Some((mn: String, mx: String)) => (lo, hi) match {
+            case (l: String, h: String) =>
+              utf8Compare(mx, l) >= 0 && utf8Compare(mn, h) <= 0
+            case _ => true
+          }
+          case _ => true // no envelope → conservative rewrite
+        }
+        def envOf(c: Commit, d: String): Option[(Any, Any)] =
+          c.stats.get(d).flatMap(_.get(phys)).map(t => (t._1: Any, t._2: Any))
+            .orElse(c.strStats.get(d).flatMap(_.get(phys)).map(t => (t._1: Any, t._2: Any)))
+        val (hit, _) = parent.dirs.partition(d => overlaps(envOf(parent, d)))
+        val v = parent.version + 1
+        val dirName = attemptDirName("data", v, commitId)
+        val bdt = colTypeOf(parent.schemaDdl, phys)
+        val survivorsDir: Option[String] =
+          if (hit.isEmpty) None
+          else {
+            val baseLog = toLogicalDf(parent, scanWithDeletes(spark, root, parent, hit))
+            val marked = baseLog.withColumn("__graft_upd",
+              coalesce(col(colName) >= boundLit(bdt, lo) &&
+                col(colName) <= boundLit(bdt, hi), lit(false)))
+            val updated = applyUpdateSet(parent, marked, "__graft_upd", set, "updateRange")
+            var w = toPhysicalDf(parent, updated).write.mode("overwrite")
+            if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
+            w.parquet(s"$root/$dirName")
+            val rows = dirRowCount(spark.sessionState.newHadoopConf(), s"$root/$dirName")
+            if (rows == 0L) None else Some(dirName)
+          }
+        val dirStats = survivorsDir.fold(DirStats(Map.empty, Map.empty))(d =>
+          gatherStats(spark, s"$root/$d", statsCols.map(physName(parent, _)),
+            parent.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+              .getOrElse(spark.read.parquet(s"$root/$d").schema)))
+        val dirBlooms = survivorsDir.fold(Seq.empty[String])(d =>
+          gatherBlooms(spark, s"$root/$d", bloomCols.map(physName(parent, _))))
+        val committed = publishRewriteRebasing(root, parent, rewritten = hit,
+          droppedDirs = Nil, survivorsDir = survivorsDir, dirStats, dirBlooms,
+          "update", commitId, "updateRange", parent.schemaDdl,
+          (latest, newDirs) => newDirs.filter(d => overlaps(envOf(latest, d))))
+        (committed, hit.size, parent.dirs.size)
+    }
+  }
+
+  /** Bound-type validation shared by the range verbs: unlike every skip
+    * path, range classification can bypass the residual predicate (the
+    * deleteRange Drop class) or decide which rows transform, so a
+    * type-confused bound is refused against the snapshot schema loudly.
+    */
+  private def requireRangeBoundTypes(parent: Commit, phys: String,
+                                     lo: Any, hi: Any, op: String): Unit =
+    colTypeOf(parent.schemaDdl, phys).foreach {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        require(lo.isInstanceOf[Number] && hi.isInstanceOf[Number],
+          s"$op: $phys takes numeric bounds (micros for timestamps), got " +
+            s"(${lo.getClass.getSimpleName}, ${hi.getClass.getSimpleName})")
+      case org.apache.spark.sql.types.StringType =>
+        require(lo.isInstanceOf[String] && hi.isInstanceOf[String],
+          s"$op: $phys is a string column; bounds must be strings, got " +
+            s"(${lo.getClass.getSimpleName}, ${hi.getClass.getSimpleName})")
+      case other => sys.error(
+        s"$op supports integral/string/timestamp columns; $phys is $other")
+    }
+
   /** History-preserving rollback (Delta RESTORE semantics): commits a NEW
     * version whose dir list equals `toVersion`'s — no data moves, the bad
     * versions stay inspectable in the log, and time travel to them still

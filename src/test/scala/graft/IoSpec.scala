@@ -654,6 +654,124 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root3).collect().map(_.getString(0)).toSeq == Seq("mango"))
   }
 
+  test("VersionedTable.updateWhere: dir-confined copy-on-write SET, old-row RHS, guards, idempotent") {
+    import spark.implicits._
+    val root = tmpDir("vt_update")
+    VersionedTable.commit(Seq((1L, 10L, "a"), (5L, 50L, "b")).toDF("id", "n", "s"),
+      root, "append", "u1", statsCols = Seq("id"))
+    VersionedTable.commit(Seq((10L, 100L, "c"), (15L, 150L, "d")).toDF("id", "n", "s"),
+      root, "append", "u2", statsCols = Seq("id"))
+    VersionedTable.commit(Seq((20L, 200L, "e")).toDF("id", "n", "s"),
+      root, "append", "u3", statsCols = Seq("id"))
+    val before = VersionedTable.history(root).last.dirs
+    // keys inside band 2 only → exactly one dir rewritten; RHS references
+    // other columns of the OLD row
+    val (v, hit, total) = VersionedTable.updateWhere(spark, root,
+      Seq(10L).toDF("id"), "id",
+      Map("n" -> "n * 2", "s" -> "concat(s, '!')"), "fix-10", statsCols = Seq("id"))
+    assert(v == 4L && hit == 1 && total == 3, s"($v, $hit, $total)")
+    val after = VersionedTable.history(root).last
+    assert(after.mode == "update" && after.dirs.count(before.contains) == 2)
+    assert(before.filter(after.dirs.contains).forall(d => after.stats.contains(d)),
+      "pass-through dirs keep their stats by reference")
+    val rows = VersionedTable.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(rows == Seq((1L, 10L, "a"), (5L, 50L, "b"), (10L, 200L, "c!"),
+      (15L, 150L, "d"), (20L, 200L, "e")), rows.toString)
+    // SET a = b, b = a SWAPS (every RHS sees the OLD row, SQL semantics)
+    VersionedTable.updateWhere(spark, root, Seq(1L).toDF("id"), "id",
+      Map("id" -> "n", "n" -> "id"), "swap-1", statsCols = Seq("id"))
+    val swapped = VersionedTable.read(spark, root).filter($"s" === "a")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(swapped == Seq((10L, 1L)), swapped.toString)
+    // idempotent retry: sentinel counts, log does not advance
+    assert(VersionedTable.updateWhere(spark, root, Seq(10L).toDF("id"), "id",
+      Map("n" -> "n * 2"), "fix-10") == ((4L, -1, -1)))
+    assert(VersionedTable.history(root).size == 5)
+    // envelope miss on every dir → pure-metadata no-op commit
+    val (v2, hit2, _) = VersionedTable.updateWhere(spark, root,
+      Seq(1000L).toDF("id"), "id", Map("n" -> "0L"), "fix-nothing")
+    assert(hit2 == 0 && VersionedTable.history(root).last.dirs.toSet
+      == VersionedTable.commitAt(root, v2 - 1).get.dirs.toSet)
+    // time travel to the pre-update snapshot shows the old values
+    assert(VersionedTable.read(spark, root, asOf = Some(3L))
+      .filter($"id" === 10L).head().getLong(1) == 100L)
+    // guards: NULL key, unknown SET target, type change — all loud
+    val e1 = intercept[Exception](VersionedTable.updateWhere(spark, root,
+      Seq(Option.empty[Long]).toDF("id"), "id", Map("n" -> "0L"), "fix-null"))
+    val m1 = Iterator.iterate(e1: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(m1.contains("NULL update key"), m1)
+    val e2 = intercept[IllegalArgumentException](VersionedTable.updateWhere(spark, root,
+      Seq(10L).toDF("id"), "id", Map("bogus" -> "1"), "fix-bogus"))
+    assert(e2.getMessage.contains("unknown column 'bogus'"))
+    val e3 = intercept[IllegalArgumentException](VersionedTable.updateWhere(spark, root,
+      Seq(10L).toDF("id"), "id", Map("n" -> "'oops'"), "fix-type"))
+    assert(e3.getMessage.contains("not schema evolution"), e3.getMessage)
+    // CHECK constraints re-validate the updated rows
+    VersionedTable.addConstraint(spark, root, "n_nonneg", "n >= 0", "c1")
+    val e4 = intercept[IllegalArgumentException](VersionedTable.updateWhere(spark, root,
+      Seq(15L).toDF("id"), "id", Map("n" -> "-1L"), "fix-neg"))
+    assert(e4.getMessage.contains("n_nonneg"), e4.getMessage)
+  }
+
+  test("VersionedTable.updateRange: envelope-pruned bulk SET, NULLs pass, generated recompute, renamed cols") {
+    import spark.implicits._
+    val root = tmpDir("vt_uprange")
+    VersionedTable.commit(Seq((Some(1L), 10L), (Some(5L), 50L), (None, 999L))
+      .toDF("id", "n"), root, "append", "r1", statsCols = Seq("id"))
+    VersionedTable.commit(Seq((Some(20L), 200L), (Some(25L), 250L)).toDF("id", "n"),
+      root, "append", "r2", statsCols = Seq("id"))
+    // range hits band 1 only; the NULL row never matches a SQL range
+    val (v, hit, total) = VersionedTable.updateRange(spark, root, "id", 0L, 10L,
+      Map("n" -> "n + 1"), "bump", statsCols = Seq("id"))
+    assert(v == 3L && hit == 1 && total == 2, s"($v, $hit, $total)")
+    val got = VersionedTable.read(spark, root).orderBy($"id".asc_nulls_last)
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 11L), (5L, 51L), (20L, 200L), (25L, 250L), (-1L, 999L)),
+      got.toString)
+    // rename, then SET through the LOGICAL name on a renamed column
+    VersionedTable.renameColumn(root, "n", "amount", "ren")
+    VersionedTable.updateRange(spark, root, "id", 20L, 20L,
+      Map("amount" -> "amount * 10"), "bump2", statsCols = Seq("id"))
+    assert(VersionedTable.read(spark, root).filter($"id" === 20L)
+      .head().getLong(1) == 2000L)
+    // GENERATED column: refused as a SET target, recomputed from new values
+    val root2 = tmpDir("vt_uprange_gen")
+    VersionedTable.addGeneratedColumn(spark, root2, "dbl", "base * 2", "g0")
+    VersionedTable.commit(Seq((1L, 3L, 6L), (2L, 4L, 8L)).toDF("id", "base", "dbl"),
+      root2, "append", "g1", statsCols = Seq("id"))
+    val eg = intercept[IllegalArgumentException](VersionedTable.updateRange(spark, root2,
+      "id", 1L, 1L, Map("dbl" -> "0L"), "g-direct"))
+    assert(eg.getMessage.contains("GENERATED ALWAYS AS"), eg.getMessage)
+    VersionedTable.updateRange(spark, root2, "id", 1L, 1L, Map("base" -> "base + 7"), "g2")
+    val gen = VersionedTable.read(spark, root2).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gen == Seq((1L, 10L, 20L), (2L, 4L, 8L)), gen.toString)
+    // string-envelope form prunes via strStats
+    val root3 = tmpDir("vt_uprange_str")
+    VersionedTable.commit(Seq(("apple", 1L), ("avocado", 2L)).toDF("k", "n"),
+      root3, "append", "s1", statsCols = Seq("k"))
+    VersionedTable.commit(Seq(("mango", 3L)).toDF("k", "n"), root3, "append", "s2",
+      statsCols = Seq("k"))
+    val (_, h3, t3) = VersionedTable.updateRange(spark, root3, "k", "a", "b",
+      Map("n" -> "n + 100"), "s-bump")
+    assert(h3 == 1 && t3 == 2, s"($h3, $t3)")
+    val s3 = VersionedTable.read(spark, root3).orderBy("k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(s3 == Seq(("apple", 101L), ("avocado", 102L), ("mango", 3L)), s3.toString)
+    // hive-partitioned table: updating the PARTITION column moves the row
+    // to its new subdir under the rewritten dir
+    val root4 = tmpDir("vt_uprange_part")
+    VersionedTable.commit(Seq((1L, 2023, "a"), (2L, 2024, "b")).toDF("id", "year", "s"),
+      root4, "append", "p1", partitionCols = Seq("year"), statsCols = Seq("id"))
+    VersionedTable.updateWhere(spark, root4, Seq(1L).toDF("id"), "id",
+      Map("year" -> "2025"), "move-part")
+    val p4 = VersionedTable.read(spark, root4).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(p4 == Seq((1L, 2025), (2L, 2024)), p4.toString)
+  }
+
   test("VersionedTable.deleteWhereMor: merge-on-read lifecycle — mark, hide, re-insert, absorb, refuse CDC") {
     import spark.implicits._
     val root = tmpDir("vt_mor")
