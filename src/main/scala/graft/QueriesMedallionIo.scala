@@ -851,6 +851,59 @@ private[graft] object QueriesMedallionIo {
         |  TRUE AS replay_noop
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — SQL DML FRONT DOOR (plans/GraftSqlParser UPDATE/DELETE GRAFT
+    // statements — the Delta DML statement surface through the injected
+    // parser): a SQL UPDATE re-prices band 1 through updateRange (ONE dir
+    // rewritten, three by reference) and a SQL DELETE drops band 4
+    // metadata-only through deleteRange's contained-dir class — BOTH
+    // pruning outcomes depend on the front door passing the snapshot's
+    // indexed columns through (indexedCols), the property that keeps
+    // SQL-issued rewrites from silently degrading the skipping index.
+    // Statement outputs (dirs rewritten/dropped/total) ride alongside the
+    // surviving rows; the oracle replays the DML as CASE WHEN + filter.
+    Q("versioned_sql_dml",
+      (s, dir) => {
+        val (root, counts) = Fixtures.once(s, dir, "vt_sqldml") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_sqldml_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          Seq(("sd1", col("o_orderkey") <= b1),
+            ("sd2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("sd3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
+            ("sd4", col("o_orderkey") > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"sd-$id",
+              statsCols = Seq("o_orderkey"))
+          }
+          val u = s.sql(s"UPDATE GRAFT '$r' SET o_totalprice = o_totalprice + 500.0 " +
+            s"WHERE o_orderkey BETWEEN 0 AND $b1").head()
+          val d = s.sql(s"DELETE GRAFT '$r' WHERE o_orderkey BETWEEN ${b3 + 1} AND $mx")
+            .head()
+          (r, Seq(u.getInt(1).toLong, u.getInt(2).toLong,
+            d.getInt(1).toLong, d.getInt(2).toLong))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("price_sum"))
+          .withColumn("upd_rewritten", lit(counts(0)))
+          .withColumn("upd_total", lit(counts(1)))
+          .withColumn("del_dropped", lit(counts(2)))
+          .withColumn("del_rewritten", lit(counts(3)))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH q AS (SELECT max(o_orderkey) // 4 AS q1, 3 * max(o_orderkey) // 4 AS q3 FROM orders),
+        |d AS (SELECT o_orderpriority,
+        |  CASE WHEN o_orderkey >= 0 AND o_orderkey <= q1
+        |    THEN o_totalprice + 500.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders CROSS JOIN q WHERE o_orderkey <= q3)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS price_sum,
+        |  CAST(1 AS BIGINT) AS upd_rewritten, CAST(4 AS BIGINT) AS upd_total,
+        |  CAST(1 AS BIGINT) AS del_dropped, CAST(0 AS BIGINT) AS del_rewritten
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — RANGE-predicate UPDATE (VersionedTable.updateRange — the
     // bulk-correction verb: UPDATE WHERE lo <= key <= hi): the range
     // covers band 1 fully and band 2 partially, so BOTH rewrite (an

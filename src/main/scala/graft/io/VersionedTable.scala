@@ -2903,6 +2903,25 @@ object VersionedTable {
         s"$op supports integral/string/timestamp columns; $phys is $other")
     }
 
+  /** The LOGICAL column names the latest snapshot's skipping index covers:
+    * (stats columns, bloom columns) — the union over dirs, physical names
+    * mapped back through the rename mapping. This is what a rewrite issued
+    * WITHOUT explicit statsCols/bloomCols (the SQL front door's DML and
+    * OPTIMIZE statements) should pass through, so a SQL-issued rewrite
+    * never silently degrades pruning for every later reader.
+    */
+  def indexedCols(root: String): (Seq[String], Seq[String]) =
+    latestCommit(root) match {
+      case None => (Nil, Nil)
+      case Some(c) =>
+        val inv = c.nameMap.map(_.swap)
+        val stats = (c.stats.values.flatMap(_.keys) ++ c.strStats.values.flatMap(_.keys))
+          .toSeq.distinct.sorted.map(n => inv.getOrElse(n, n))
+        val blooms = c.blooms.values.flatten.toSeq.distinct.sorted
+          .map(n => inv.getOrElse(n, n))
+        (stats, blooms)
+    }
+
   /** History-preserving rollback (Delta RESTORE semantics): commits a NEW
     * version whose dir list equals `toVersion`'s — no data moves, the bad
     * versions stay inspectable in the log, and time travel to them still

@@ -20,6 +20,11 @@ import graft.io.VersionedTable
   *   OPTIMIZE GRAFT '<root>' [TARGET <n>]
   *       [WHERE <partCol> IN ('v' [, 'v']*)] [ZORDER BY (c1, c2 [, ...])]
   *   VACUUM GRAFT '<root>' RETAIN <n>
+  *   RESTORE GRAFT '<root>' TO VERSION <n>
+  *   DELETE GRAFT '<root>' WHERE <col> IN (<lit> [, <lit>]*)
+  *   DELETE GRAFT '<root>' WHERE <col> BETWEEN <lit> AND <lit>
+  *   UPDATE GRAFT '<root>' SET <c> = <expr> [, <c> = <expr>]*
+  *       WHERE <col> IN (...) | <col> BETWEEN <lit> AND <lit>
   * }}}
   *
   * The `GRAFT` keyword after the verb keeps the grammar disjoint from
@@ -59,10 +64,76 @@ object GraftSqlParser {
   private val targetRe = """(?is).*\bTARGET\s+(\d+).*""".r
   private val whereRe = """(?is).*\bWHERE\s+(\w+)\s+IN\s*\(([^)]*)\).*""".r
   private val zorderRe = """(?is).*\bZORDER\s+BY\s*\(([^)]*)\).*""".r
+  private val restoreRe =
+    """(?is)\s*RESTORE\s+GRAFT\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
+  private val deleteInRe =
+    """(?is)\s*DELETE\s+GRAFT\s+'([^']+)'\s+WHERE\s+(\w+)\s+IN\s*\(([^)]*)\)\s*;?\s*""".r
+  private val deleteBetweenRe =
+    """(?is)\s*DELETE\s+GRAFT\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+(\S+|'[^']*')\s+AND\s+(\S+|'[^']*')\s*;?\s*""".r
+  private val updateRe =
+    """(?is)\s*UPDATE\s+GRAFT\s+'([^']+)'\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*;?\s*""".r
+  private val whereInRe = """(?is)\s*(\w+)\s+IN\s*\(([^)]*)\)\s*""".r
+  private val whereBetweenRe =
+    """(?is)\s*(\w+)\s+BETWEEN\s+(\S+|'[^']*')\s+AND\s+(\S+|'[^']*')\s*""".r
+
+  /** One SQL literal → Scala value: `'...'` is a string, anything else must
+    * be an integral (range bounds and IN-lists are key/bound literals, not
+    * expressions — the verbs validate the type against the snapshot schema).
+    */
+  private def litValue(raw: String): Any = {
+    val t = raw.trim
+    if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
+      t.substring(1, t.length - 1)
+    else t.toLong
+  }
+
+  private def litList(raw: String): Seq[Any] =
+    raw.split(",").map(_.trim).filter(_.nonEmpty).map(litValue).toSeq
+
+  /** Split a SET list on TOP-LEVEL commas only — SET expressions may carry
+    * commas inside parens (`concat(a, b)`) or string literals.
+    */
+  private[plans] def splitSetList(s: String): Seq[(String, String)] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    s.foreach { ch =>
+      if (inStr) { if (ch == '\'') inStr = false; cur += ch }
+      else ch match {
+        case '\'' => inStr = true; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case c => cur += c
+      }
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.toSeq.map { a =>
+      val i = a.indexOf('=')
+      require(i > 0, s"GRAFT SQL: malformed SET assignment '$a'")
+      (a.substring(0, i).trim, a.substring(i + 1).trim)
+    }
+  }
 
   def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
     case describeRe(root) => Some(GraftDescribeHistoryCommand(root))
     case vacuumRe(root, n) => Some(GraftVacuumCommand(root, n.toInt))
+    case restoreRe(root, v) => Some(GraftRestoreCommand(root, v.toLong))
+    case deleteInRe(root, col, vals) =>
+      Some(GraftDeleteCommand(root, col, Left(litList(vals))))
+    case deleteBetweenRe(root, col, lo, hi) =>
+      Some(GraftDeleteCommand(root, col, Right((litValue(lo), litValue(hi)))))
+    case updateRe(root, setList, where) =>
+      val set = splitSetList(setList).toMap
+      where match {
+        case whereInRe(col, vals) =>
+          Some(GraftUpdateCommand(root, col, Left(litList(vals)), set))
+        case whereBetweenRe(col, lo, hi) =>
+          Some(GraftUpdateCommand(root, col, Right((litValue(lo), litValue(hi))), set))
+        case other => sys.error(
+          s"UPDATE GRAFT supports WHERE <col> IN (...) and WHERE <col> BETWEEN " +
+            s"<lo> AND <hi> (the two manifest-prunable shapes); got: $other")
+      }
     case optimizeRe(root, rest) =>
       val target = rest match { case targetRe(n) => n.toInt; case _ => 32 }
       val zorder = rest match {
@@ -104,6 +175,100 @@ case class GraftVacuumCommand(root: String, retainLast: Int) extends LeafRunnabl
     VersionedTable.vacuum(root, retainLast).map(Row(_))
 }
 
+case class GraftRestoreCommand(root: String, toVersion: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val commitId = s"sql-restore-${java.util.UUID.randomUUID().toString.take(12)}"
+    Seq(Row(VersionedTable.rollback(root, toVersion, commitId)))
+  }
+}
+
+/** Shared literal-keys frame for the SQL DML commands: an IN-list of all
+  * longs or all quoted strings becomes a one-column DataFrame for the
+  * keyed verbs (which validate the type against the snapshot schema).
+  */
+private[plans] object GraftDmlKeys {
+  def frame(spark: SparkSession, col: String, vals: Seq[Any]):
+      org.apache.spark.sql.DataFrame = {
+    require(vals.nonEmpty, "GRAFT SQL: empty IN () list")
+    val schema = vals.head match {
+      case _: Long => StructType(Seq(
+        org.apache.spark.sql.types.StructField(col, LongType, nullable = false)))
+      case _: String => StructType(Seq(
+        org.apache.spark.sql.types.StructField(col, StringType, nullable = false)))
+      case other => sys.error(s"GRAFT SQL: unsupported IN literal $other")
+    }
+    require(vals.forall(_.getClass == vals.head.getClass),
+      "GRAFT SQL: IN () list mixes string and numeric literals")
+    spark.createDataFrame(
+      java.util.Arrays.asList(vals.map(v => Row(v)): _*), schema)
+  }
+}
+
+/** `DELETE GRAFT '<root>' WHERE col IN (...)` → [[VersionedTable.deleteWhere]]
+  * (keyed copy-on-write, envelope+bloom pruned); `... WHERE col BETWEEN lo
+  * AND hi` → [[VersionedTable.deleteRange]] (contained dirs drop
+  * metadata-only). Fresh commitId per statement — SQL re-execution means
+  * re-delete, Delta's semantics; the programmatic API owns idempotent retry.
+  */
+case class GraftDeleteCommand(root: String, col: String,
+                              pred: Either[Seq[Any], (Any, Any)]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("dirs_dropped", IntegerType, nullable = false)(),
+    AttributeReference("dirs_rewritten", IntegerType, nullable = false)(),
+    AttributeReference("dirs_total", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val commitId = s"sql-delete-${java.util.UUID.randomUUID().toString.take(12)}"
+    // rewrites preserve the snapshot's skipping index (a SQL-issued delete
+    // must not silently degrade pruning for every later reader)
+    val (statsCols, bloomCols) = VersionedTable.indexedCols(root)
+    pred match {
+      case Left(vals) =>
+        val (v, rw, tot) = VersionedTable.deleteWhere(spark, root,
+          GraftDmlKeys.frame(spark, col, vals), col, commitId,
+          statsCols = statsCols, bloomCols = bloomCols)
+        Seq(Row(v, 0, rw, tot))
+      case Right((lo, hi)) =>
+        val (v, drop, rw, tot) = VersionedTable.deleteRange(spark, root, col,
+          lo, hi, commitId, statsCols = statsCols, bloomCols = bloomCols)
+        Seq(Row(v, drop, rw, tot))
+    }
+  }
+}
+
+/** `UPDATE GRAFT '<root>' SET c = expr, ... WHERE col IN (...) | col BETWEEN
+  * lo AND hi` → [[VersionedTable.updateWhere]] / [[VersionedTable.updateRange]]
+  * — the two manifest-prunable WHERE shapes; SET right-hand sides are
+  * arbitrary SQL expressions with old-row semantics (the verbs' contract).
+  */
+case class GraftUpdateCommand(root: String, col: String,
+                              pred: Either[Seq[Any], (Any, Any)],
+                              set: Map[String, String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("dirs_rewritten", IntegerType, nullable = false)(),
+    AttributeReference("dirs_total", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val commitId = s"sql-update-${java.util.UUID.randomUUID().toString.take(12)}"
+    val (statsCols, bloomCols) = VersionedTable.indexedCols(root)
+    val (v, rw, tot) = pred match {
+      case Left(vals) =>
+        VersionedTable.updateWhere(spark, root,
+          GraftDmlKeys.frame(spark, col, vals), col, set, commitId,
+          statsCols = statsCols, bloomCols = bloomCols)
+      case Right((lo, hi)) =>
+        VersionedTable.updateRange(spark, root, col, lo, hi, set, commitId,
+          statsCols = statsCols, bloomCols = bloomCols)
+    }
+    Seq(Row(v, rw, tot))
+  }
+}
+
 case class GraftOptimizeCommand(root: String, targetFiles: Int,
                                 where: Option[(String, Seq[String])],
                                 zorderBy: Seq[String]) extends LeafRunnableCommand {
@@ -114,19 +279,24 @@ case class GraftOptimizeCommand(root: String, targetFiles: Int,
 
   override def run(spark: SparkSession): Seq[Row] = {
     val commitId = s"sql-optimize-${java.util.UUID.randomUUID().toString.take(12)}"
+    // the rewrite rebuilds the snapshot's skipping index from fresh footers
+    // (plus the ZORDER dimensions, whose per-file envelopes are the point)
+    val (statsCols, bloomCols) = VersionedTable.indexedCols(root)
     where match {
       case Some((partCol, values)) =>
         require(zorderBy.isEmpty,
           "OPTIMIZE GRAFT: WHERE and ZORDER BY cannot combine (z-order applies " +
             "to flat snapshots; scoped compaction to hive-partitioned ones)")
         val (v, rw, tot) = VersionedTable.compactWhere(spark, root, commitId,
-          targetFiles, partCol, values)
+          targetFiles, partCol, values,
+          statsCols = statsCols, bloomCols = bloomCols)
         Seq(Row(v, rw, tot))
       case None =>
         val before = VersionedTable.latestCommit(root)
           .map(_.dirs.size).getOrElse(0)
         val v = VersionedTable.compact(spark, root, commitId, targetFiles,
-          zorderBy = zorderBy)
+          statsCols = (statsCols ++ zorderBy).distinct,
+          bloomCols = bloomCols, zorderBy = zorderBy)
         Seq(Row(v, before, before))
     }
   }

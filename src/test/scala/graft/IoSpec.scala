@@ -1334,6 +1334,59 @@ class IoSpec extends SparkSpec {
     assert(spark.sql("SELECT 1 + 1 AS two").head().getInt(0) == 2)
   }
 
+  test("GraftSqlParser DML: UPDATE / DELETE / RESTORE ... GRAFT route to the prunable verbs") {
+    import spark.implicits._
+    val root = tmpDir("vt_sql_dml")
+    VersionedTable.commit((1L to 20L).map(i => (i, i * 10, s"r$i")).toDF("id", "n", "s"),
+      root, "append", "dml1", statsCols = Seq("id"))
+    VersionedTable.commit((21L to 40L).map(i => (i, i * 10, s"r$i")).toDF("id", "n", "s"),
+      root, "append", "dml2", statsCols = Seq("id"))
+    // UPDATE ... WHERE BETWEEN routes to updateRange (band 1 only)
+    val u2 = spark.sql(
+      s"UPDATE GRAFT '$root' SET n = 0L WHERE id BETWEEN 5 AND 6").collect()
+    assert(u2.head.getLong(0) == 3L && u2.head.getInt(1) == 1 && u2.head.getInt(2) == 2,
+      u2.mkString)
+    assert(VersionedTable.read(spark, root).filter($"id".isin(5L, 6L))
+      .collect().forall(_.getLong(1) == 0L))
+    // UPDATE ... WHERE IN — SET list with a top-level comma AND a comma
+    // inside a function call. Exactly ONE dir rewrites: the band-1 dir u2
+    // just rewrote kept its id envelope because the SQL front door passes
+    // the snapshot's indexed columns through (indexedCols), so [1,20]
+    // excludes 25 — the pruning-preservation property under test.
+    val u = spark.sql(
+      s"UPDATE GRAFT '$root' SET n = n * 2, s = concat(s, '!') WHERE id IN (25)").collect()
+    assert(u.head.getLong(0) == 4L && u.head.getInt(1) == 1 && u.head.getInt(2) == 2,
+      u.mkString)
+    val got = VersionedTable.read(spark, root).filter($"id".isin(5L, 25L))
+      .orderBy("id").collect().map(r => (r.getLong(1), r.getString(2))).toSeq
+    assert(got == Seq((0L, "r5"), (500L, "r25!")), got.toString)
+    // DELETE ... WHERE IN (keyed: band-1 dir only) and WHERE BETWEEN
+    // (range: the band-2 dir is fully contained → metadata-only drop,
+    // again only possible because the SQL rewrites preserved the index)
+    val d1 = spark.sql(s"DELETE GRAFT '$root' WHERE id IN (10)").collect()
+    assert(d1.head.getInt(2) == 1 && d1.head.getInt(3) == 2, d1.mkString)
+    val d2 = spark.sql(s"DELETE GRAFT '$root' WHERE id BETWEEN 21 AND 40").collect()
+    assert(d2.head.getInt(1) == 1 && d2.head.getInt(2) == 0,
+      s"contained dir should drop metadata-only: ${d2.mkString}")
+    assert(VersionedTable.read(spark, root).count() == 19L)
+    // RESTORE to the pre-DML snapshot; everything reappears
+    val r = spark.sql(s"RESTORE GRAFT '$root' TO VERSION 2").collect()
+    assert(r.head.getLong(0) > 2L)
+    assert(VersionedTable.read(spark, root).count() == 40L)
+    assert(VersionedTable.read(spark, root).filter($"id" === 5L).head().getLong(1) == 50L)
+    // string IN-list; mixed-type list refused
+    VersionedTable.commit(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"),
+      tmpDir("vt_sql_dml2"), "append", "s1")
+    val root2 = tmpDir("vt_sql_dml3")
+    VersionedTable.commit(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"),
+      root2, "append", "s1", statsCols = Seq("k"))
+    spark.sql(s"DELETE GRAFT '$root2' WHERE k IN ('a')").collect()
+    assert(VersionedTable.read(spark, root2).collect().map(_.getString(0)).toSeq == Seq("b"))
+    val em = intercept[Exception](
+      spark.sql(s"DELETE GRAFT '$root2' WHERE k IN ('a', 1)").collect())
+    assert(em.getMessage.contains("mixes"), em.getMessage)
+  }
+
   test("VersionedTable.addGeneratedColumn: declared at create, materialized on every write, equality-enforced, partition-usable, no backfill") {
     import spark.implicits._
     // CREATE TABLE form: declaration first, data later
