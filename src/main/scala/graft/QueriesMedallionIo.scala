@@ -851,6 +851,47 @@ private[graft] object QueriesMedallionIo {
         |  TRUE AS replay_noop
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — TYPE WIDENING (VersionedTable.widenColumnType — the public
+    // Delta 3.2+ ALTER COLUMN TYPE feature): the key column commits as
+    // INT, widens to BIGINT in a METADATA-ONLY commit (no byte moves —
+    // the original dir still serves, up-converted by the parquet reader
+    // under the declared schema), and a post-widen append lands keys
+    // beyond the int domain. The skipping index spans both eras: a range
+    // probe over the long-only domain prunes to the wide dir
+    // (scanned_dirs driver-visible), and the aggregate proves narrow-era
+    // and wide-era rows read as ONE bigint column. Oracle replays the
+    // union with the same shift.
+    Q("versioned_widen",
+      (s, dir) => {
+        val (root, scanned, total) = Fixtures.once(s, dir, "vt_widen") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_widen_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders")
+            .select(col("o_orderkey").cast("int").as("k"), col("o_orderpriority"))
+          graft.io.VersionedTable.commit(o, r, "append", "wd-1", statsCols = Seq("k"))
+          graft.io.VersionedTable.widenColumnType(r, "k", "bigint", "wd-widen")
+          val shifted = rd(s, dir, "orders")
+            .select((col("o_orderkey") + lit(5000000000L)).as("k"), col("o_orderpriority"))
+          graft.io.VersionedTable.commit(shifted, r, "append", "wd-2", statsCols = Seq("k"))
+          val kept = graft.io.VersionedTable.planRange(r, "k", 5000000000L, Long.MaxValue)
+          (r, kept.size.toLong,
+            graft.io.VersionedTable.latestCommit(r).get.dirs.size.toLong)
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("k")).as("key_sum"))
+          .withColumn("scanned_dirs", lit(scanned))
+          .withColumn("total_dirs", lit(total))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH d AS (
+        |  SELECT o_orderpriority, o_orderkey AS k FROM orders
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_orderkey + 5000000000 AS k FROM orders)
+        |SELECT o_orderpriority, count(*) AS n, CAST(sum(k) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS scanned_dirs, CAST(2 AS BIGINT) AS total_dirs
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — SQL DML FRONT DOOR (plans/GraftSqlParser UPDATE/DELETE GRAFT
     // statements — the Delta DML statement surface through the injected
     // parser): a SQL UPDATE re-prices band 1 through updateRange (ONE dir

@@ -728,6 +728,90 @@ object VersionedTable {
     }
   }
 
+  /** TYPE WIDENING as a METADATA-ONLY commit (the public Delta 3.2+
+    * `ALTER TABLE ... ALTER COLUMN ... TYPE` type-widening feature): the
+    * manifest's snapshot schema records the WIDER type while every
+    * existing data file keeps its narrower physical encoding — Spark's
+    * parquet reader (vectorized and row-based, probed on this exact
+    * engine) up-converts INT32→BIGINT / FLOAT→DOUBLE etc. at scan time
+    * under the declared schema, so no byte moves at any table size.
+    * Allowed widenings are the strictly-information-preserving integral
+    * chain TINYINT→SMALLINT→INT→BIGINT and FLOAT→DOUBLE. Time travel to a
+    * pre-widen version reads under the narrow era-correct type.
+    *
+    * Post-widen writes must SUPPLY the widened type — schema evolution
+    * still refuses a narrow batch loudly (an implicit upcast on write
+    * would hide producer schema drift; the caller casts explicitly).
+    * Integral manifest envelopes stay valid (they are Long-normalized);
+    * float/double columns never carry envelopes.
+    *
+    * Refused loudly: unknown column, non-widening changes (same type,
+    * narrowing, or cross-family), hive PARTITION columns (their values
+    * live as path strings parsed under the declared type — keep the
+    * declaration honest with the layout), GENERATED columns and columns
+    * referenced by a generation expression (the expression's result type
+    * is pinned by the declaration; a widened source would drift it), and
+    * columns keying a pending merge-on-read delete set (the stored set
+    * keeps the narrow type; absorb via compact first). Idempotent under
+    * `commitId`; manifest-only OCC retry.
+    */
+  def widenColumnType(root: String, colName: String, newType: String,
+                      commitId: String): Long = {
+    import org.apache.spark.sql.types._
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => prior
+      case None =>
+        val target =
+          org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(newType)
+        var out = -1L
+        while (out < 0) {
+          val parent = latestCommit(root)
+            .getOrElse(sys.error(s"widenColumnType: no commits at $root"))
+          require(parent.schemaDdl.nonEmpty,
+            "widenColumnType: snapshot has no recorded schema (pre-schema commits cannot widen)")
+          val logical = logicalCols(parent)
+          require(logical.contains(colName), s"widenColumnType: unknown column '$colName' " +
+            s"(snapshot columns: ${logical.mkString(", ")})")
+          val phys = physName(parent, colName)
+          require(!parent.partitionCols.contains(phys),
+            s"widenColumnType: '$colName' is a hive partition column; its values parse " +
+              "from directory paths under the declared type — rewrite to retype")
+          require(!parent.generated.contains(colName),
+            s"widenColumnType: '$colName' is a GENERATED column; its type is pinned by " +
+              "the generation expression")
+          val genRef = parent.generated.collect {
+            case (n, sql) if ("\\b" + java.util.regex.Pattern.quote(colName) + "\\b").r
+              .findFirstIn(sql).isDefined => n
+          }
+          require(genRef.isEmpty,
+            s"widenColumnType: column '$colName' is referenced by generated column(s) " +
+              s"${genRef.toSeq.sorted.mkString(", ")}; their result type would drift")
+          require(!parent.deleteKeys.values.toSet.contains(phys),
+            s"widenColumnType: '$colName' keys a pending merge-on-read delete set " +
+              "(stored under the narrow type); compact to absorb the set first")
+          val ps = StructType.fromDDL(parent.schemaDdl.get)
+          val cur = ps.fields.find(_.name == phys).get.dataType
+          val widens = (cur, target) match {
+            case (ByteType, ShortType | IntegerType | LongType) => true
+            case (ShortType, IntegerType | LongType) => true
+            case (IntegerType, LongType) => true
+            case (FloatType, DoubleType) => true
+            case _ => false
+          }
+          require(widens,
+            s"widenColumnType: ${cur.sql} -> ${target.sql} is not a supported widening " +
+              "(TINYINT->SMALLINT->INT->BIGINT chain, FLOAT->DOUBLE)")
+          val widened = StructType(ps.fields.map(f =>
+            if (f.name == phys) f.copy(dataType = target) else f))
+          val v = parent.version + 1
+          if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
+              mode = "widen", schemaDdl = Some(widened.toDDL))))
+            out = v
+        }
+        out
+    }
+  }
+
   /** DROP COLUMN as a METADATA-ONLY commit (the public Delta column-mapping
     * design): no data file is touched at any table size — the column simply
     * leaves the manifest schema, so every scan stops reading it (parquet

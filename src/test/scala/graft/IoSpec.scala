@@ -772,6 +772,74 @@ class IoSpec extends SparkSpec {
     assert(p4 == Seq((1L, 2025), (2L, 2024)), p4.toString)
   }
 
+  test("VersionedTable.widenColumnType: metadata-only int->bigint / float->double, era-correct travel, guards") {
+    import spark.implicits._
+    val root = tmpDir("vt_widen")
+    VersionedTable.commit(Seq((1, 1.5f, "a"), (2, 2.5f, "b")).toDF("n", "f", "s"),
+      root, "append", "w1", statsCols = Seq("n"))
+    // widen int -> bigint and float -> double: two metadata-only commits
+    val v2 = VersionedTable.widenColumnType(root, "n", "bigint", "w-n")
+    val v3 = VersionedTable.widenColumnType(root, "f", "double", "w-f")
+    assert(v2 == 2L && v3 == 3L)
+    assert(VersionedTable.history(root).last.mode == "widen")
+    // no data moved: the ORIGINAL dir still serves, read under the wider types
+    val wide = VersionedTable.read(spark, root)
+    assert(wide.schema("n").dataType.sql == "BIGINT" && wide.schema("f").dataType.sql == "DOUBLE")
+    assert(wide.orderBy("n").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == Seq((1L, 1.5), (2L, 2.5)))
+    // time travel to v1 reads the era-correct NARROW types
+    val narrow = VersionedTable.read(spark, root, asOf = Some(1L))
+    assert(narrow.schema("n").dataType.sql == "INT" && narrow.schema("f").dataType.sql == "FLOAT")
+    // post-widen appends must SUPPLY the widened type; a narrow batch is refused
+    val eN = intercept[IllegalArgumentException](VersionedTable.commit(
+      Seq((3, 3.5, "c")).toDF("n", "f", "s"), root, "append", "w-narrow"))
+    assert(eN.getMessage.contains("type change"), eN.getMessage)
+    VersionedTable.commit(Seq((1000000000000L, 3.5, "c")).toDF("n", "f", "s"),
+      root, "append", "w2", statsCols = Seq("n"))
+    // the skipping index spans narrow-era and wide-era dirs: a range read
+    // over the long domain prunes to the wide dir only
+    val kept = VersionedTable.planRange(root, "n", 1000000L, Long.MaxValue)
+    assert(kept.size == 1 && VersionedTable.latestCommit(root).get.dirs.size == 2,
+      kept.toString)
+    assert(VersionedTable.read(spark, root).count() == 3)
+    // mergeInto under the widened schema rewrites the narrow-era dir fine
+    VersionedTable.mergeInto(spark, root,
+      Seq((2L, 9.9, "B")).toDF("n", "f", "s"), "n", "w-merge", statsCols = Seq("n"))
+    val m = VersionedTable.read(spark, root).filter($"n" === 2L).head()
+    assert(m.getDouble(1) == 9.9 && m.getString(2) == "B")
+    // idempotent retry returns the committed version
+    assert(VersionedTable.widenColumnType(root, "n", "bigint", "w-n") == 2L)
+    // guards: narrowing / same-type / cross-family refused
+    intercept[IllegalArgumentException](VersionedTable.widenColumnType(root, "n", "int", "g1"))
+    intercept[IllegalArgumentException](VersionedTable.widenColumnType(root, "n", "bigint", "g2"))
+    intercept[IllegalArgumentException](VersionedTable.widenColumnType(root, "s", "bigint", "g3"))
+    // partition column refused
+    val rootP = tmpDir("vt_widen_part")
+    VersionedTable.commit(Seq((1L, 2023), (2L, 2024)).toDF("id", "year"),
+      rootP, "append", "p1", partitionCols = Seq("year"))
+    val eP = intercept[IllegalArgumentException](
+      VersionedTable.widenColumnType(rootP, "year", "bigint", "gp"))
+    assert(eP.getMessage.contains("partition"), eP.getMessage)
+    // generated-source refused (the expression's result type would drift)
+    val rootG = tmpDir("vt_widen_gen")
+    VersionedTable.addGeneratedColumn(spark, rootG, "dbl", "base * 2", "gg0")
+    VersionedTable.commit(Seq((1, 2), (2, 4)).toDF("base", "dbl"), rootG, "append", "gg1")
+    val eG = intercept[IllegalArgumentException](
+      VersionedTable.widenColumnType(rootG, "base", "bigint", "gg2"))
+    assert(eG.getMessage.contains("generated"), eG.getMessage)
+    // MOR delete-set key refused until compact absorbs
+    val rootM = tmpDir("vt_widen_mor")
+    VersionedTable.commit(Seq((1, "a"), (2, "b")).toDF("id", "s"), rootM, "append", "m1",
+      statsCols = Seq("id"))
+    VersionedTable.deleteWhereMor(spark, rootM, Seq(1).toDF("id"), "id", "m-del")
+    val eM = intercept[IllegalArgumentException](
+      VersionedTable.widenColumnType(rootM, "id", "bigint", "m-widen"))
+    assert(eM.getMessage.contains("delete set"), eM.getMessage)
+    VersionedTable.compact(spark, rootM, "m-compact", 1, statsCols = Seq("id"))
+    assert(VersionedTable.widenColumnType(rootM, "id", "bigint", "m-widen2") > 0L)
+    assert(VersionedTable.read(spark, rootM).collect().map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
   test("VersionedTable.deleteWhereMor: merge-on-read lifecycle — mark, hide, re-insert, absorb, refuse CDC") {
     import spark.implicits._
     val root = tmpDir("vt_mor")
