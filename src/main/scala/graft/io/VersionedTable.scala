@@ -1916,7 +1916,7 @@ object VersionedTable {
     * pinned-schema restart, and [[readChangeFeed]] skips outright.
     */
   private[graft] val metadataOnlyModes =
-    Set("compact", "rename", "constraint", "dropcol", "create", "generated")
+    Set("compact", "rename", "constraint", "dropcol", "create", "generated", "widen")
 
   private[graft] def changeFeedOfCommit(spark: SparkSession, root: String,
                                         fromC: Option[Commit], toC: Commit,
@@ -1935,7 +1935,7 @@ object VersionedTable {
         Right(toLogicalDf(toC,
           scanDirs(spark, Nil, toC.partitionCols, toC.schemaDdl))
           .withColumn(ct, lit("")).limit(0))
-      case "merge" | "delete" | "delete-mor" =>
+      case "merge" | "delete" | "delete-mor" | "update" =>
         val fromDirs = f.dirs.toSet
         val removed = f.dirs.filterNot(toC.dirs.contains)
         val added = toC.dirs.filterNot(fromDirs.contains)

@@ -713,6 +713,19 @@ class IoSpec extends SparkSpec {
     val e4 = intercept[IllegalArgumentException](VersionedTable.updateWhere(spark, root,
       Seq(15L).toDF("id"), "id", Map("n" -> "-1L"), "fix-neg"))
     assert(e4.getMessage.contains("n_nonneg"), e4.getMessage)
+    // CHANGE FEED across the update commits — a bounded row-delta like
+    // merge/delete, not a refusal. v3 (fix-10: values changed, key kept)
+    // yields exactly one preimage/postimage pair:
+    val feed3 = VersionedTable.readChangeFeed(spark, root, 3L, 4L, "id")
+      .collect().map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"),
+        r.getAs[Long]("n"))).toSeq.sorted
+    assert(feed3 == Seq(("update_postimage", 10L, 200L), ("update_preimage", 10L, 100L)),
+      feed3.toString)
+    // v5 (swap-1 SET id = n: the KEY ITSELF changed) correctly reads as
+    // the old key deleted and the new key inserted:
+    val feed4 = VersionedTable.readChangeFeed(spark, root, 4L, 5L, "id")
+      .collect().map(r => (r.getAs[String]("_change_type"), r.getAs[Long]("id"))).toSeq.sorted
+    assert(feed4 == Seq(("delete", 1L), ("insert", 10L)), feed4.toString)
   }
 
   test("VersionedTable.updateRange: envelope-pruned bulk SET, NULLs pass, generated recompute, renamed cols") {
@@ -790,6 +803,9 @@ class IoSpec extends SparkSpec {
     // time travel to v1 reads the era-correct NARROW types
     val narrow = VersionedTable.read(spark, root, asOf = Some(1L))
     assert(narrow.schema("n").dataType.sql == "INT" && narrow.schema("f").dataType.sql == "FLOAT")
+    // widen is METADATA-ONLY to CDC: the batch change feed crosses it
+    // with zero rows (not a refusal)
+    assert(VersionedTable.readChangeFeed(spark, root, 1L, 3L, "n").count() == 0L)
     // post-widen appends must SUPPLY the widened type; a narrow batch is refused
     val eN = intercept[IllegalArgumentException](VersionedTable.commit(
       Seq((3, 3.5, "c")).toDF("n", "f", "s"), root, "append", "w-narrow"))
