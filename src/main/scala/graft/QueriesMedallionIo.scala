@@ -851,6 +851,44 @@ private[graft] object QueriesMedallionIo {
         |  TRUE AS replay_noop
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — DESCRIBE DETAIL (VersionedTable.describeDetail — Delta's
+    // one-row table-summary verb, SQL form DESCRIBE DETAIL GRAFT): the
+    // deterministic capacity facts of a snapshot — dir/file/footer-row
+    // counts (zero Spark jobs), logical columns THROUGH the rename
+    // mapping, declared reader features, and the pending merge-on-read
+    // debt. The fixture exercises the feature surface: banded appends
+    // (coalesce(1) pins num_files), a MOR delete (mor-deletes feature +
+    // keys pending), a rename (column-mapping feature). Byte sizes are
+    // deliberately absent from the verb — codec-dependent, so never
+    // cross-engine replayable; counts are. Oracle replays every number.
+    Q("versioned_detail",
+      (s, dir) => {
+        val root = Fixtures.once(s, dir, "vt_detail") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_detail_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0).coalesce(1),
+            r, "append", "dt-a", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1).coalesce(1),
+            r, "append", "dt-b", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.deleteWhereMor(s, r,
+            o.filter(col("o_orderkey") % 100 === 0).select("o_orderkey"),
+            "o_orderkey", "dt-mor")
+          graft.io.VersionedTable.renameColumn(r, "o_orderpriority", "prio", "dt-ren")
+          r
+        }
+        graft.io.VersionedTable.describeDetail(s, root)
+          .select(col("version"), col("num_dirs"), col("num_files"), col("num_rows"),
+            concat_ws("|", col("columns")).as("cols"),
+            concat_ws("|", col("features")).as("feats"),
+            col("mor_sets_pending"), col("mor_keys_pending"))
+      },
+      Some("""SELECT CAST(4 AS BIGINT) AS version, 2 AS num_dirs, 2 AS num_files,
+        |  (SELECT count(*) FROM orders) AS num_rows,
+        |  'o_orderkey|prio' AS cols, 'mor-deletes|column-mapping' AS feats,
+        |  1 AS mor_sets_pending,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 100 = 0) AS mor_keys_pending""".stripMargin)),
+
     // S17 — TYPE WIDENING (VersionedTable.widenColumnType — the public
     // Delta 3.2+ ALTER COLUMN TYPE feature): the key column commits as
     // INT, widens to BIGINT in a METADATA-ONLY commit (no byte moves —

@@ -411,6 +411,52 @@ object VersionedTable {
       StructField("dv_rows_added", LongType, nullable = true))))
   }
 
+  /** DESCRIBE DETAIL (Delta's one-row table-summary verb): deterministic
+    * snapshot facts — format, version, dir/file/row counts (parquet FOOTER
+    * counts, O(#files) driver reads, zero Spark jobs), logical partition
+    * columns, logical column list, declared reader features, constraint /
+    * generated-column counts, and the pending merge-on-read debt
+    * ([[morStatus]]'s sets/keys, from set-dir footers). Byte sizes are
+    * deliberately ABSENT: they vary with codec and encoder details, which
+    * would make the verb non-replayable cross-engine; counts are the
+    * stable capacity facts an operator alerts on. `num_rows` is the
+    * footer total BEFORE deletion vectors — pair it with
+    * `mor_keys_pending` for the net view, exactly the split [[morStatus]]
+    * documents. Honors time travel via `asOf`.
+    */
+  def describeDetail(spark: SparkSession, root: String,
+                     asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val c = resolveSnapshot(root, asOf)
+    val conf = spark.sessionState.newHadoopConf()
+    val inv = c.nameMap.map(_.swap)
+    val nFiles = c.dirs.map(d => parquetFiles(dirPath(root, d)).size).sum
+    val nRows = c.dirs.map(d => dirRowCount(conf, dirPath(root, d))).sum
+    val sets = c.deletes.values.flatten.toSet.toSeq.sorted
+    val morKeys = sets.map(sn => dirRowCount(conf, dirPath(root, sn))).sum
+    val row = org.apache.spark.sql.Row(
+      "graft-versioned", c.version, c.dirs.size, nFiles, nRows,
+      c.partitionCols.map(p => inv.getOrElse(p, p)),
+      logicalCols(c),
+      featuresOf(c),
+      c.constraints.size, c.generated.size,
+      c.deletes.count(_._2.nonEmpty), sets.size, morKeys)
+    spark.createDataFrame(java.util.Arrays.asList(row), StructType(Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("num_dirs", IntegerType, nullable = false),
+      StructField("num_files", IntegerType, nullable = false),
+      StructField("num_rows", LongType, nullable = false),
+      StructField("partition_columns", ArrayType(StringType), nullable = false),
+      StructField("columns", ArrayType(StringType), nullable = false),
+      StructField("features", ArrayType(StringType), nullable = false),
+      StructField("num_constraints", IntegerType, nullable = false),
+      StructField("num_generated", IntegerType, nullable = false),
+      StructField("mor_dirs_covered", IntegerType, nullable = false),
+      StructField("mor_sets_pending", IntegerType, nullable = false),
+      StructField("mor_keys_pending", LongType, nullable = false))))
+  }
+
   /** The latest committed manifest with exactly ONE parse: list the log
     * dir, pick the last slot, parse it. Manifests are snapshot-complete
     * (each lists its full dir set and carries its stats/blooms/deletes),

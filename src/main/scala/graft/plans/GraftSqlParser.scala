@@ -17,6 +17,7 @@ import graft.io.VersionedTable
   *
   * {{{
   *   DESCRIBE HISTORY GRAFT '<root>'
+  *   DESCRIBE DETAIL GRAFT '<root>'
   *   OPTIMIZE GRAFT '<root>' [TARGET <n>]
   *       [WHERE <partCol> IN ('v' [, 'v']*)] [ZORDER BY (c1, c2 [, ...])]
   *   VACUUM GRAFT '<root>' RETAIN <n>
@@ -57,6 +58,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 object GraftSqlParser {
   private val describeRe =
     """(?is)\s*DESCRIBE\s+HISTORY\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
+  private val detailRe =
+    """(?is)\s*DESCRIBE\s+DETAIL\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
   private val vacuumRe =
     """(?is)\s*VACUUM\s+GRAFT\s+'([^']+)'\s+RETAIN\s+(\d+)\s*;?\s*""".r
   private val optimizeRe =
@@ -117,6 +120,7 @@ object GraftSqlParser {
 
   def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
     case describeRe(root) => Some(GraftDescribeHistoryCommand(root))
+    case detailRe(root) => Some(GraftDescribeDetailCommand(root))
     case vacuumRe(root, n) => Some(GraftVacuumCommand(root, n.toInt))
     case restoreRe(root, v) => Some(GraftRestoreCommand(root, v.toLong))
     case deleteInRe(root, col, vals) =>
@@ -165,6 +169,29 @@ case class GraftDescribeHistoryCommand(root: String) extends LeafRunnableCommand
 
   override def run(spark: SparkSession): Seq[Row] =
     VersionedTable.describeHistory(spark, root).collect().toSeq
+}
+
+case class GraftDescribeDetailCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("num_dirs", IntegerType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)(),
+    AttributeReference("partition_columns",
+      org.apache.spark.sql.types.ArrayType(StringType), nullable = false)(),
+    AttributeReference("columns",
+      org.apache.spark.sql.types.ArrayType(StringType), nullable = false)(),
+    AttributeReference("features",
+      org.apache.spark.sql.types.ArrayType(StringType), nullable = false)(),
+    AttributeReference("num_constraints", IntegerType, nullable = false)(),
+    AttributeReference("num_generated", IntegerType, nullable = false)(),
+    AttributeReference("mor_dirs_covered", IntegerType, nullable = false)(),
+    AttributeReference("mor_sets_pending", IntegerType, nullable = false)(),
+    AttributeReference("mor_keys_pending", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    VersionedTable.describeDetail(spark, root).collect().toSeq
 }
 
 case class GraftVacuumCommand(root: String, retainLast: Int) extends LeafRunnableCommand {

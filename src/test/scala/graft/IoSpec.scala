@@ -1458,6 +1458,13 @@ class IoSpec extends SparkSpec {
     assert(r.head.getLong(0) > 2L)
     assert(VersionedTable.read(spark, root).count() == 40L)
     assert(VersionedTable.read(spark, root).filter($"id" === 5L).head().getLong(1) == 50L)
+    // DESCRIBE DETAIL: one deterministic summary row over the restored
+    // snapshot (2 dirs back in service, footer row count = 40, no
+    // features declared, clean MOR debt)
+    val det = spark.sql(s"DESCRIBE DETAIL GRAFT '$root'").head()
+    assert(det.getString(0) == "graft-versioned" && det.getInt(2) == 2 &&
+      det.getLong(4) == 40L && det.getSeq[String](6) == Seq("id", "n", "s") &&
+      det.getSeq[String](7).isEmpty && det.getLong(12) == 0L, det.toString)
     // string IN-list; mixed-type list refused
     VersionedTable.commit(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"),
       tmpDir("vt_sql_dml2"), "append", "s1")

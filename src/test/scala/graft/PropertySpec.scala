@@ -308,29 +308,41 @@ class PropertySpec extends SparkSpec {
     assert(r.length == 1 && r(0).getLong(1) == 2L && r(0).getLong(2) == 4L, r.mkString)
   }
 
-  test("schema lifecycle fuzz: random append/evolve/rename/drop/merge sequences match an in-memory model") {
+  test("schema lifecycle fuzz: random append/evolve/rename/drop/merge/widen/update sequences match an in-memory model") {
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
     import scala.jdk.CollectionConverters._
     // random op sequences over one table: plain appends, add-column
-    // evolution, column renames (mapping), metadata-only drops, and
-    // copy-on-write merges — after EVERY op the full read must equal a
-    // dumb in-memory model, under whatever interleaving the generator
-    // picked (rename-then-drop, evolve-then-merge, drop-then-append, ...)
-    val opGen = Gen.listOfN(8, Gen.choose(0, 4))
+    // evolution (string AND int columns), column renames (mapping),
+    // metadata-only drops, copy-on-write merges, metadata-only TYPE
+    // WIDENING of an int column, and range UPDATEs — after EVERY op the
+    // full read must equal a dumb in-memory model, under whatever
+    // interleaving the generator picked (widen-then-merge must supply the
+    // widened type, update-after-rename SETs through the logical name,
+    // drop-then-append, ...)
+    val opGen = Gen.listOfN(10, Gen.choose(0, 6))
     samples(opGen, 3).zipWithIndex.foreach { case (ops, i) =>
       val root = TestSpark.tmpDir(s"prop_lifecycle_$i")
-      var cols = Vector("id", "c0") // id: Long key; others: String
+      var cols = Vector("id", "c0") // id: Long key
+      var colType = Map("id" -> "long", "c0" -> "string") // long | int | string
       var fresh = 1
       var nextId = 0L
       var model = Vector.empty[Map[String, Any]]
+      def valueFor(c: String, id: Long): Any = colType(c) match {
+        case "string" => s"$c-$id"
+        case "int"    => (id * 7).toInt
+        case "long"   => id * 7
+      }
       def mkRows(n: Int): Seq[Map[String, Any]] = (0 until n).map { _ =>
         val id = nextId; nextId += 1
-        Map[String, Any]("id" -> id) ++ cols.drop(1).map(c => c -> s"$c-$id")
+        Map[String, Any]("id" -> id) ++ cols.drop(1).map(c => c -> valueFor(c, id))
       }
       def toDf(rows: Seq[Map[String, Any]], cs: Vector[String]) = {
         val schema = StructType(cs.map(c =>
-          if (c == "id") StructField("id", LongType) else StructField(c, StringType)))
+          if (c == "id") StructField("id", LongType)
+          else StructField(c, colType(c) match {
+            case "int" => IntegerType; case "long" => LongType; case _ => StringType
+          })))
         spark.createDataFrame(
           rows.map(r => Row.fromSeq(cs.map(c => r.getOrElse(c, null)))).asJava, schema)
       }
@@ -346,8 +358,10 @@ class PropertySpec extends SparkSpec {
             graft.io.VersionedTable.commit(toDf(rs, cols), root, "append",
               s"l$i-a$opIdx", statsCols = Seq("id"))
           case 1 =>
+            val kind = if (opIdx % 2 == 0) "int" else "string"
             val nc = s"c$fresh"; fresh += 1
             cols = cols :+ nc
+            colType += (nc -> kind)
             val rs = mkRows(2); model ++= rs
             graft.io.VersionedTable.commit(toDf(rs, cols), root, "append",
               s"l$i-e$opIdx", statsCols = Seq("id"))
@@ -356,19 +370,54 @@ class PropertySpec extends SparkSpec {
             val nc = s"r$fresh"; fresh += 1
             graft.io.VersionedTable.renameColumn(root, c, nc, s"l$i-r$opIdx")
             cols = cols.updated(cols.indexOf(c), nc)
+            colType = colType - c + (nc -> colType(c))
             model = model.map(m => m.get(c).fold(m)(v => m - c + (nc -> v)))
           case 3 if cols.size > 2 =>
             val c = cols(1 + (opIdx % (cols.size - 1)))
             graft.io.VersionedTable.dropColumn(root, c, s"l$i-d$opIdx")
             cols = cols.filterNot(_ == c)
+            colType -= c
             model = model.map(_ - c)
           case 4 if model.nonEmpty =>
             val ids = model.map(_("id").asInstanceOf[Long]).distinct.take(2)
             val ups = ids.map(id =>
-              Map[String, Any]("id" -> id) ++ cols.drop(1).map(c => c -> s"$c-u$opIdx-$id"))
+              Map[String, Any]("id" -> id) ++ cols.drop(1).map { c =>
+                c -> (colType(c) match {
+                  case "string" => s"$c-u$opIdx-$id"
+                  case "int"    => (id * 7 + opIdx).toInt
+                  case "long"   => id * 7 + opIdx
+                })
+              })
             graft.io.VersionedTable.mergeInto(spark, root, toDf(ups, cols), "id",
               s"l$i-m$opIdx", statsCols = Seq("id"))
             model = model.filterNot(m => ids.contains(m("id"))) ++ ups
+          case 5 =>
+            cols.find(c => colType(c) == "int") match {
+              case Some(c) =>
+                graft.io.VersionedTable.widenColumnType(root, c, "bigint", s"l$i-w$opIdx")
+                colType += (c -> "long")
+                model = model.map(m => m.get(c) match {
+                  case Some(v: Int) => m + (c -> v.toLong)
+                  case _ => m
+                })
+              case None => ()
+            }
+          case 6 if model.nonEmpty =>
+            cols.filter(c => colType(c) == "string") match {
+              case Vector() => ()
+              case scs =>
+                val sc = scs.last
+                val ids = model.map(_("id").asInstanceOf[Long]).sorted
+                val (lo, hi) = (ids.head, ids(ids.size / 2))
+                graft.io.VersionedTable.updateRange(spark, root, "id", lo, hi,
+                  Map(sc -> s"'u$opIdx'"), s"l$i-u$opIdx", statsCols = Seq("id"))
+                // SET replaces the value for EVERY in-range row — including
+                // rows that predate the column (NULL reads SET like any other)
+                model = model.map { m =>
+                  val id = m("id").asInstanceOf[Long]
+                  if (id >= lo && id <= hi) m + (sc -> s"u$opIdx") else m
+                }
+            }
           case _ => ()
         }
         val df = graft.io.VersionedTable.read(spark, root)
