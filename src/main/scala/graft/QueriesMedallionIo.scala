@@ -851,6 +851,59 @@ private[graft] object QueriesMedallionIo {
         |  TRUE AS replay_noop
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — NULL-COUNT DATA SKIPPING (VersionedTable.planNull/readWhereNull
+    // — Delta's nullCount stats): every statsCols column's manifest entry
+    // now carries per-dir (nulls, rows) read from the same footers as the
+    // min/max envelopes, and IS [NOT] NULL predicates prune on it — the
+    // band with no NULLs skips the IS NULL scan, the all-NULL band skips
+    // the IS NOT NULL scan (the evolution-backfill shape), the mixed band
+    // scans for both. Pruning counts ride as lit columns; the relation
+    // front door pushes the same probes automatically (Spark plants an
+    // implicit IsNotNull under most comparisons, so this fires on plain
+    // WHERE clauses too). Oracle derives the same NULL pattern in SQL.
+    Q("versioned_null_scan",
+      (s, dir) => {
+        val (root, keptNull, keptNotNull, total) = Fixtures.once(s, dir, "vt_nullscan") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_nullscan_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"))
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2) = (mx / 3, 2 * mx / 3)
+          val noteOf = when(col("o_orderkey") <= lit(b1), lit(null).cast("string"))
+            .when(col("o_orderkey") <= lit(b2), col("o_orderpriority"))
+            .otherwise(when(col("o_orderkey") % 5 === 0, lit(null).cast("string"))
+              .otherwise(col("o_orderpriority")))
+          Seq(("nsA", col("o_orderkey") <= b1),
+            ("nsB", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("nsC", col("o_orderkey") > b2)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(
+              o.filter(pred).withColumn("note", noteOf), r, "append", s"ns-$id",
+              statsCols = Seq("o_orderkey", "note"))
+          }
+          (r, graft.io.VersionedTable.planNull(r, "note", wantNull = true).size.toLong,
+            graft.io.VersionedTable.planNull(r, "note", wantNull = false).size.toLong,
+            graft.io.VersionedTable.latestCommit(r).get.dirs.size.toLong)
+        }
+        graft.io.VersionedTable.readWhereNull(s, root, "note", wantNull = true)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_null"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("dirs_isnull", lit(keptNull))
+          .withColumn("dirs_isnotnull", lit(keptNotNull))
+          .withColumn("dirs_total", lit(total))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH q AS (SELECT max(o_orderkey) // 3 AS b1, 2 * max(o_orderkey) // 3 AS b2 FROM orders),
+        |d AS (SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN o_orderkey <= b1 THEN NULL
+        |       WHEN o_orderkey <= b2 THEN o_orderpriority
+        |       WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_orderpriority END AS note
+        |  FROM orders CROSS JOIN q)
+        |SELECT o_orderpriority, count(*) AS n_null,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(2 AS BIGINT) AS dirs_isnull, CAST(2 AS BIGINT) AS dirs_isnotnull,
+        |  CAST(3 AS BIGINT) AS dirs_total
+        |FROM d WHERE note IS NULL GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — DESCRIBE DETAIL (VersionedTable.describeDetail — Delta's
     // one-row table-summary verb, SQL form DESCRIBE DETAIL GRAFT): the
     // deterministic capacity facts of a snapshot — dir/file/footer-row

@@ -17,10 +17,13 @@ import org.apache.spark.sql.types.StructType
   *    RDD materializes, so parquet reads only the requested columns.
   *  - FILTER PUSHDOWN: comparison/equality predicates over integral and
   *    timestamp columns become manifest range bounds (dir min/max
-  *    envelopes + per-file footer stats) and bloom point probes — the
-  *    same skipping [[VersionedTable.readRange]]/`readPoint` give the
+  *    envelopes + per-file footer stats) and bloom point probes, and
+  *    `IS [NOT] NULL` predicates probe the null-count index
+  *    ([[VersionedTable.planNull]]) — the same skipping
+  *    [[VersionedTable.readRange]]/`readPoint`/`readWhereNull` give the
   *    programmatic caller, now automatic for any `df.filter(...)` or SQL
-  *    WHERE over the relation.
+  *    WHERE over the relation. (Spark plants an implicit `IsNotNull` under
+  *    most comparisons, so all-NULL dirs prune even on plain `>` scans.)
   *
   * Every filter is declared UNHANDLED ([[unhandledFilters]] returns all),
   * so Spark re-applies the full predicate above this scan: manifest
@@ -67,9 +70,10 @@ final class VersionedRelation(override val sqlContext: SQLContext,
     * re-applies it above the scan regardless).
     */
   private def translate(filters: Array[Filter])
-      : (Seq[(String, Long, Long)], Seq[(String, Long)]) = {
+      : (Seq[(String, Long, Long)], Seq[(String, Long)], Seq[(String, Boolean)]) = {
     val ranges = Seq.newBuilder[(String, Long, Long)]
     val points = Seq.newBuilder[(String, Long)]
+    val nullProbes = Seq.newBuilder[(String, Boolean)]
     def walk(f: Filter): Unit = f match {
       case EqualTo(a, v) => asLong(v).foreach { l =>
         ranges += ((a, l, l)); points += ((a, l))
@@ -81,18 +85,20 @@ final class VersionedRelation(override val sqlContext: SQLContext,
       case In(a, vs) if vs.nonEmpty && vs.forall(v => asLong(v).isDefined) =>
         val ls = vs.map(v => asLong(v).get)
         ranges += ((a, ls.min, ls.max))
+      case IsNull(a)    => nullProbes += ((a, true))
+      case IsNotNull(a) => nullProbes += ((a, false))
       case And(l, r) => walk(l); walk(r)
       case _         => () // unsupported shapes never prune — only re-applied
     }
     filters.foreach(walk)
-    (ranges.result(), points.result())
+    (ranges.result(), points.result(), nullProbes.result())
   }
 
   override def buildScan(requiredColumns: Array[String],
                          filters: Array[Filter]): RDD[Row] = {
-    val (ranges, points) = translate(filters)
+    val (ranges, points, nullProbes) = translate(filters)
     val (df, keptDirs, totalDirs) =
-      VersionedTable.scanForRelation(spark, root, asOf, ranges, points)
+      VersionedTable.scanForRelation(spark, root, asOf, ranges, points, nullProbes)
     VersionedRelation.lastScan =
       VersionedRelation.ScanInfo(requiredColumns.toSeq, ranges.size, points.size,
         keptDirs, totalDirs)

@@ -102,7 +102,8 @@ object VersionedTable {
                           nameMap: Map[String, String] = Map.empty,
                           constraints: Map[String, String] = Map.empty,
                           dropped: Seq[String] = Nil,
-                          generated: Map[String, String] = Map.empty)
+                          generated: Map[String, String] = Map.empty,
+                          nullCounts: Map[String, Map[String, (Long, Long)]] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -162,6 +163,19 @@ object VersionedTable {
         sm.put(dir, cm)
       }
       m.put("strStats", sm)
+    }
+    if (c.nullCounts.nonEmpty) {
+      // per-dir (nulls, rows) per indexed column — the IS [NOT] NULL
+      // skipping index (Delta's nullCount stats)
+      val sm = new java.util.LinkedHashMap[String, Object]()
+      c.nullCounts.toSeq.sortBy(_._1).foreach { case (dir, cols) =>
+        val cm = new java.util.LinkedHashMap[String, Object]()
+        cols.toSeq.sortBy(_._1).foreach { case (cName, (nulls, rows)) =>
+          cm.put(cName, Seq(java.lang.Long.valueOf(nulls), java.lang.Long.valueOf(rows)).asJava)
+        }
+        sm.put(dir, cm)
+      }
+      m.put("nullCounts", sm)
     }
     if (c.partitionCols.nonEmpty) m.put("partitionCols", c.partitionCols.asJava)
     if (c.blooms.nonEmpty) {
@@ -272,6 +286,13 @@ object VersionedTable {
         }.toMap
       }.toMap
     }.getOrElse(Map.empty[String, Map[String, (String, String)]])
+    val nullCounts = Option(n.get("nullCounts")).map { sn =>
+      sn.properties().asScala.map { e =>
+        e.getKey -> e.getValue.properties().asScala.map { ce =>
+          ce.getKey -> (ce.getValue.get(0).asLong(), ce.getValue.get(1).asLong())
+        }.toMap
+      }.toMap
+    }.getOrElse(Map.empty[String, Map[String, (Long, Long)]])
     val pcols = Option(n.get("partitionCols"))
       .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     val blooms = Option(n.get("blooms")).map { bn =>
@@ -311,7 +332,7 @@ object VersionedTable {
       n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, strStats, pcols, blooms,
       Option(n.get("schema")).map(_.asText()),
       Option(n.get("committedAt")).map(_.asLong()).getOrElse(0L),
-      deletes, deleteKeys, nameMap, constraints, dropped, generated)
+      deletes, deleteKeys, nameMap, constraints, dropped, generated, nullCounts)
   }
 
   /** Atomically publish manifest `c` into version slot `v`: write the full
@@ -925,6 +946,7 @@ object VersionedTable {
           if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
               mode = "dropcol", schemaDdl = Some(newSchema.toDDL),
               stats = stripCol(parent.stats), strStats = stripCol(parent.strStats),
+              nullCounts = stripCol(parent.nullCounts),
               blooms = parent.blooms.map { case (d, cols) =>
                 d -> cols.filterNot(_ == phys) }.filter(_._2.nonEmpty),
               nameMap = parent.nameMap - name,
@@ -1132,6 +1154,11 @@ object VersionedTable {
                         else inherited + (dirName -> dirStats.ints)
             val strStats = if (dirStats.strs.isEmpty) inheritedStr
                            else inheritedStr + (dirName -> dirStats.strs)
+            val inheritedNulls =
+              if (mode == "append") parent.map(_.nullCounts).getOrElse(Map.empty)
+              else Map.empty[String, Map[String, (Long, Long)]]
+            val nullCounts = if (dirStats.nulls.isEmpty) inheritedNulls
+                             else inheritedNulls + (dirName -> dirStats.nulls)
             val blooms = if (dirBlooms.isEmpty) inheritedBlooms
                          else inheritedBlooms + (dirName -> dirBlooms)
             // the batch was validated against preParent0's constraint set —
@@ -1154,7 +1181,8 @@ object VersionedTable {
                   // are gone from every live file, so the names free up
                   dropped = if (mode == "append")
                     parent.map(_.dropped).getOrElse(Nil) else Nil,
-                  generated = parent.map(_.generated).getOrElse(Map.empty))))
+                  generated = parent.map(_.generated).getOrElse(Map.empty),
+                  nullCounts = nullCounts)))
               committed = v
           }
         }
@@ -1235,7 +1263,8 @@ object VersionedTable {
   private[io] def utf8Max(a: String, b: String): String = if (utf8Compare(a, b) >= 0) a else b
 
   private final case class DirStats(ints: Map[String, (Long, Long)],
-                                    strs: Map[String, (String, String)])
+                                    strs: Map[String, (String, String)],
+                                    nulls: Map[String, (Long, Long)] = Map.empty)
 
   /** All data files of a commit dir, as paths relative to it (hive
     * subdirs included), sorted for determinism.
@@ -1399,8 +1428,58 @@ object VersionedTable {
             (utf8Min(a, mn), utf8Max(b, mx)) })
       }
     }
+    // NULL-count index (Delta's nullCount stats): per column, the dir's
+    // (nulls, rows) — from the same footers (numNulls + block row counts),
+    // partition columns from the hive sentinel subdir. A column appears
+    // ONLY if every file accounts for it (a stats-less chunk makes the
+    // count unknowable; IS NULL pruning then treats the dir
+    // conservatively). Skipping is an optimization, never a filter.
+    val perFileNulls: Seq[(Map[String, Long], Long)] = files.map { rel =>
+      val (fromFooter, rows) = fileNullCounts(conf, Paths.get(dir, rel), statsCols.toSet)
+      val fromPath = statsCols.filterNot(fromFooter.contains).flatMap { c =>
+        val seg = rel.split('/').dropRight(1).find(_.startsWith(c + "="))
+        seg.map(s =>
+          c -> (if (s == c + "=__HIVE_DEFAULT_PARTITION__") rows else 0L))
+      }.toMap
+      (fromFooter ++ fromPath, rows)
+    }
+    val nulls = statsCols.flatMap { c =>
+      if (files.nonEmpty && perFileNulls.forall(_._1.contains(c)))
+        Some(c -> (perFileNulls.map(_._1(c)).sum, perFileNulls.map(_._2).sum))
+      else None
+    }.toMap
     // a column must not straddle both indexes (schema fixed per dir)
-    DirStats(ints.toMap, strs.toMap)
+    DirStats(ints.toMap, strs.toMap, nulls)
+  }
+
+  /** Per-file NULL counts of `wanted` columns + the file's row count, from
+    * the footer alone (no Spark job). A column appears ONLY if every block
+    * sets numNulls — absent statistics make the count unknowable.
+    */
+  private def fileNullCounts(conf: org.apache.hadoop.conf.Configuration,
+                             file: java.nio.file.Path,
+                             wanted: Set[String]): (Map[String, Long], Long) = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val rdr = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toString), conf))
+    try {
+      val acc = scala.collection.mutable.Map[String, Long]()
+      val bad = scala.collection.mutable.Set[String]()
+      var rows = 0L
+      rdr.getFooter.getBlocks.asScala.foreach { b =>
+        rows += b.getRowCount
+        b.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          if (wanted.contains(name)) {
+            val st = cc.getStatistics
+            if (st == null || !st.isNumNullsSet) bad += name
+            else acc.update(name, acc.getOrElse(name, 0L) + st.getNumNulls)
+          }
+        }
+      }
+      ((acc -- bad).toMap, rows)
+    } finally rdr.close()
   }
 
   /** Total row count of a data dir from its parquet FOOTERS — O(#files)
@@ -1627,6 +1706,54 @@ object VersionedTable {
     * The residual predicate is still applied, so correctness never depends
     * on the stats.
     */
+  /** The dirs an `IS NULL` / `IS NOT NULL` predicate on `colName` must
+    * scan, from the manifest NULL-COUNT index ([[gatherStats]]'s
+    * `nullCounts`: per-dir (nulls, rows) of every statsCols column):
+    * `wantNull = true` skips dirs whose count says ZERO nulls;
+    * `wantNull = false` skips dirs that are ALL nulls (the
+    * evolution-backfill shape: every dir written before a column was
+    * added). Dirs without an entry scan — skipping is an optimization,
+    * never a filter. One manifest parse; Delta's nullCount skipping.
+    */
+  def planNull(root: String, colName: String, wantNull: Boolean,
+               asOf: Option[Long] = None,
+               resolved: Option[Commit] = None): Seq[String] = {
+    val c = resolved.getOrElse(resolveSnapshot(root, asOf))
+    val phys = physName(c, colName)
+    c.dirs.filter { d =>
+      c.nullCounts.get(d).flatMap(_.get(phys)) match {
+        case Some((nulls, rows)) => if (wantNull) nulls > 0 else nulls < rows
+        case None => true
+      }
+    }
+  }
+
+  /** Data-skipping `IS [NOT] NULL` read: rows of the snapshot where
+    * `colName` is (or is not) NULL, scanning ONLY the dirs [[planNull]]
+    * keeps. The residual predicate is still applied, so correctness never
+    * depends on the index. The `IS NULL` side serves the quality-audit
+    * shape ("which rows never got the backfill?"); the `IS NOT NULL` side
+    * skips whole pre-evolution dirs whose footer says the column is
+    * all-NULL — but note pre-evolution dirs lack the column ENTIRELY
+    * (NULL-backfilled at read), so they carry no count and still scan;
+    * the skip applies to dirs that physically stored all-NULL values.
+    */
+  def readWhereNull(spark: SparkSession, root: String, colName: String,
+                    wantNull: Boolean, asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val c = resolveSnapshot(root, asOf)
+    val phys = physName(c, colName)
+    val kept = planNull(root, colName, wantNull, asOf, resolved = Some(c))
+    val pred = if (wantNull) col(phys).isNull else col(phys).isNotNull
+    c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
+      s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
+    toLogicalDf(c,
+      if (kept.isEmpty)
+        scanDirs(spark, c.dirs.map(d => dirPath(root, d)), c.partitionCols, c.schemaDdl)
+          .limit(0).filter(pred)
+      else scanWithDeletes(spark, root, c, kept).filter(pred))
+  }
+
   def readRange(spark: SparkSession, root: String, colName: String, lo: Long, hi: Long,
                 asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
@@ -1678,7 +1805,8 @@ object VersionedTable {
     */
   private[graft] def scanForRelation(spark: SparkSession, root: String,
       asOf: Option[Long], ranges: Seq[(String, Long, Long)],
-      points: Seq[(String, Long)]): (DataFrame, Int, Int) = {
+      points: Seq[(String, Long)],
+      nullProbes: Seq[(String, Boolean)] = Nil): (DataFrame, Int, Int) = {
     val c = resolveSnapshot(root, asOf)
     c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
       s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
@@ -1689,6 +1817,10 @@ object VersionedTable {
     }
     points.foreach { case (colName, v) =>
       val k = planPoint(root, colName, v, resolved = Some(c)).toSet
+      kept = kept.filter(k.contains)
+    }
+    nullProbes.foreach { case (colName, wantNull) =>
+      val k = planNull(root, colName, wantNull, resolved = Some(c)).toSet
       kept = kept.filter(k.contains)
     }
     val df =
@@ -2254,6 +2386,7 @@ object VersionedTable {
       val keptStats = parent.stats.filter { case (d, _) => pass.contains(d) }
       val keptStrStats = parent.strStats.filter { case (d, _) => pass.contains(d) }
       val keptBlooms = parent.blooms.filter { case (d, _) => pass.contains(d) }
+      val keptNulls = parent.nullCounts.filter { case (d, _) => pass.contains(d) }
       val (cd, cdk) = carriedDeletes(parent, pass)
       val c = Commit(v, commitId, mode, pass ++ survivorsDir,
         survivorsDir.filter(_ => dirStats.ints.nonEmpty)
@@ -2265,7 +2398,9 @@ object VersionedTable {
           .fold(keptBlooms)(d => keptBlooms + (d -> dirBlooms)),
         schemaDdl, deletes = cd, deleteKeys = cdk, nameMap = parent.nameMap,
         constraints = parent.constraints, dropped = parent.dropped,
-        generated = parent.generated)
+        generated = parent.generated,
+        nullCounts = survivorsDir.filter(_ => dirStats.nulls.nonEmpty)
+          .fold(keptNulls)(d => keptNulls + (d -> dirStats.nulls)))
       if (publishIfAbsent(root, v, c)) out = v
       else findCommitVersion(root, commitId) match {
         case Some(pv) => out = pv // a retry twin of us won the slot
@@ -2607,7 +2742,8 @@ object VersionedTable {
                 parent.schemaDdl,
                 deletes = newDeletes, deleteKeys = newDeleteKeys,
                 nameMap = parent.nameMap, constraints = parent.constraints,
-                dropped = parent.dropped, generated = parent.generated)
+                dropped = parent.dropped, generated = parent.generated,
+                nullCounts = parent.nullCounts)
               if (publishIfAbsent(root, v, c)) result = (v, hit.size, parent.dirs.size)
               // lost the race: manifest-only — recompute against the new
               // parent and retry (the key set is already in place)
@@ -2725,7 +2861,16 @@ object VersionedTable {
           case _ => Rewrite
         }
         val conf = spark.sessionState.newHadoopConf()
-        def hasNulls(dir: String): Boolean = parquetFiles(dirPath(root, dir)).exists { rel =>
+        // manifest null-count fast path: a dir with a recorded (nulls, rows)
+        // entry answers the contained-drop NULL check in O(1) instead of the
+        // O(#files) footer walk below (same facts — the entry was built from
+        // these very footers at write time)
+        def hasNulls(dir: String): Boolean =
+          parent.nullCounts.get(dir).flatMap(_.get(phys)) match {
+            case Some((nulls, _)) => nulls > 0
+            case None => hasNullsFooter(dir)
+          }
+        def hasNullsFooter(dir: String): Boolean = parquetFiles(dirPath(root, dir)).exists { rel =>
           val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
               new org.apache.hadoop.fs.Path(s"${dirPath(root, dir)}/$rel"), conf))
@@ -3071,7 +3216,8 @@ object VersionedTable {
               target.stats, target.strStats, target.partitionCols, target.blooms,
               target.schemaDdl, deletes = target.deletes, deleteKeys = target.deleteKeys,
               nameMap = target.nameMap, constraints = target.constraints,
-              dropped = target.dropped, generated = target.generated)))
+              dropped = target.dropped, generated = target.generated,
+              nullCounts = target.nullCounts)))
             committed = v
         }
         committed
@@ -3204,7 +3350,9 @@ object VersionedTable {
           // the rewrite scanned under the post-drop manifest schema, so the
           // new files carry no retired slot — REORG PURGE: clear the set
           // and free the names for re-use
-          dropped = Nil, generated = parent.generated)
+          dropped = Nil, generated = parent.generated,
+          nullCounts = if (dirStats.nulls.isEmpty) Map.empty
+                       else Map(dirName -> dirStats.nulls))
         if (!publishIfAbsent(root, v, c))
           sys.error(s"compact: log advanced past v${parent.version} during the rewrite; " +
             "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
@@ -3363,7 +3511,10 @@ object VersionedTable {
             case (sn, k) if setMap.contains(sn) => setMap(sn) -> k
           },
           nameMap = c.nameMap, constraints = c.constraints, dropped = c.dropped,
-          generated = c.generated)
+          generated = c.generated,
+          nullCounts = c.nullCounts.collect {
+            case (d, v) if dirMap.contains(d) => dirMap(d) -> v
+          })
         if (publishIfAbsent(dstRoot, 1L, cloned)) 1L
         else findCommitVersion(dstRoot, commitId).getOrElse(
           sys.error(s"cloneTo: destination $dstRoot gained a commit concurrently; " +

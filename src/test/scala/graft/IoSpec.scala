@@ -785,6 +785,71 @@ class IoSpec extends SparkSpec {
     assert(p4 == Seq((1L, 2025), (2L, 2024)), p4.toString)
   }
 
+  test("VersionedTable null-count index: IS [NOT] NULL pruning, rewrite carry, evolution-backfill safety") {
+    import spark.implicits._
+    val root = tmpDir("vt_nulls")
+    // dir 1: no nulls in v; dir 2: some nulls; dir 3: ALL nulls
+    VersionedTable.commit(Seq((1L, Some("a")), (2L, Some("b"))).toDF("id", "v"),
+      root, "append", "n1", statsCols = Seq("id", "v"))
+    VersionedTable.commit(Seq((3L, Some("c")), (4L, Option.empty[String])).toDF("id", "v"),
+      root, "append", "n2", statsCols = Seq("id", "v"))
+    VersionedTable.commit(Seq((5L, Option.empty[String]), (6L, Option.empty[String]))
+      .toDF("id", "v"), root, "append", "n3", statsCols = Seq("id", "v"))
+    val dirs = VersionedTable.latestCommit(root).get.dirs
+    // IS NULL skips the zero-null dir; IS NOT NULL skips the all-null dir
+    assert(VersionedTable.planNull(root, "v", wantNull = true).size == 2)
+    assert(VersionedTable.planNull(root, "v", wantNull = false).size == 2)
+    assert(VersionedTable.planNull(root, "id", wantNull = true).isEmpty)
+    val isNull = VersionedTable.readWhereNull(spark, root, "v", wantNull = true)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(isNull == Seq(4L, 5L, 6L), isNull.toString)
+    val notNull = VersionedTable.readWhereNull(spark, root, "v", wantNull = false)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(notNull == Seq(1L, 2L, 3L), notNull.toString)
+    // a merge rewrite REBUILDS the touched dir's counts and carries the rest
+    VersionedTable.mergeInto(spark, root,
+      Seq((4L, Some("now-set"))).toDF("id", "v"), "id", "n-merge",
+      statsCols = Seq("id", "v"))
+    assert(VersionedTable.readWhereNull(spark, root, "v", wantNull = true)
+      .collect().map(_.getLong(0)).toSeq.sorted == Seq(5L, 6L))
+    val c2 = VersionedTable.latestCommit(root).get
+    assert(c2.nullCounts.size == 3 && dirs.count(c2.nullCounts.contains) == 2,
+      "pass dirs keep entries by reference; the rewritten dir gets fresh counts")
+    // evolution safety: a dir written BEFORE a column existed carries no
+    // count for it — IS NULL on the new column must still scan it (its
+    // rows read as backfilled NULLs)
+    val root2 = tmpDir("vt_nulls_evo")
+    VersionedTable.commit(Seq((1L, "x")).toDF("id", "s"), root2, "append", "e1",
+      statsCols = Seq("id"))
+    VersionedTable.commit(Seq((2L, "y", Some(7L))).toDF("id", "s", "extra"),
+      root2, "append", "e2", statsCols = Seq("id", "extra"))
+    val keptEvo = VersionedTable.planNull(root2, "extra", wantNull = true)
+    assert(keptEvo.size == 1 && keptEvo.head.contains("-e1-"),
+      s"pre-evolution dir (no entry) must stay in the IS NULL scan; the " +
+        s"zero-null e2 dir may skip — got $keptEvo")
+    assert(VersionedTable.readWhereNull(spark, root2, "extra", wantNull = true)
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // hive-partitioned: the sentinel subdir is the null carrier
+    val root3 = tmpDir("vt_nulls_part")
+    VersionedTable.commit(Seq((1L, Some(2023)), (2L, Option.empty[Int])).toDF("id", "year"),
+      root3, "append", "p1", partitionCols = Seq("year"), statsCols = Seq("year"))
+    VersionedTable.commit(Seq((3L, Some(2024))).toDF("id", "year"),
+      root3, "append", "p2", partitionCols = Seq("year"), statsCols = Seq("year"))
+    assert(VersionedTable.planNull(root3, "year", wantNull = true).size == 1)
+    assert(VersionedTable.readWhereNull(spark, root3, "year", wantNull = true)
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // rename: the index lives under PHYSICAL names, probed via logical
+    VersionedTable.renameColumn(root, "v", "val", "n-ren")
+    assert(VersionedTable.readWhereNull(spark, root, "val", wantNull = true)
+      .collect().map(_.getLong(0)).toSeq.sorted == Seq(5L, 6L))
+    // the format relation pushes IS NULL into the same index: 1 of 2 dirs
+    val rel = spark.read.format("graft-versioned").load(root3)
+      .filter($"year".isNull).select("id")
+    assert(rel.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    val si = graft.io.VersionedRelation.lastScan
+    assert(si.dirsKept == 1 && si.dirsTotal == 2, si.toString)
+  }
+
   test("VersionedTable.widenColumnType: metadata-only int->bigint / float->double, era-correct travel, guards") {
     import spark.implicits._
     val root = tmpDir("vt_widen")
