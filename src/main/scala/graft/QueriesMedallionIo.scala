@@ -1083,6 +1083,62 @@ private[graft] object QueriesMedallionIo {
         |  CAST(2 AS BIGINT) AS dirs_rewritten, CAST(4 AS BIGINT) AS dirs_total
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — RANGE-SCOPED REPLACE (VersionedTable.replaceRange — Delta's
+    // INSERT OVERWRITE ... replaceWhere, the canonical BACKFILL): ONE
+    // commit deletes every row in [0, mid] and swaps in a recomputed batch
+    // (re-priced, and with the keys ≡ 2 mod 7 dropped — proving rows
+    // absent from the batch DISAPPEAR, which a merge would keep). Band 1
+    // is contained in the range so it drops METADATA-ONLY, band 2 rewrites
+    // through the NULL-preserving residual, bands 3-4 pass by reference
+    // (driver-visible as dirs_dropped/dirs_rewritten/dirs_total); the
+    // oracle replays the swap as a UNION of the out-of-range remnant and
+    // the recomputed in-range batch.
+    Q("versioned_replace_range",
+      (s, dir) => {
+        val (root, drp, hit, total) = Fixtures.once(s, dir, "vt_replrange") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_rrange_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          Seq(("rr1", col("o_orderkey") <= b1),
+            ("rr2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("rr3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
+            ("rr4", col("o_orderkey") > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"rr-$id",
+              statsCols = Seq("o_orderkey"))
+          }
+          val mid = b1 + (b2 - b1) / 2
+          val batch = o
+            .filter(col("o_orderkey") <= mid && col("o_orderkey") % 7 =!= 2)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(250.0))
+          val (_, d, h, t) = graft.io.VersionedTable.replaceRange(s, r, "o_orderkey",
+            0L, mid, batch, "rr-apply", statsCols = Seq("o_orderkey"))
+          (r, d.toLong, h.toLong, t.toLong)
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("price_sum"))
+          .withColumn("dirs_dropped", lit(drp))
+          .withColumn("dirs_rewritten", lit(hit))
+          .withColumn("dirs_total", lit(total))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH q AS (SELECT max(o_orderkey) // 4 AS q1, max(o_orderkey) // 2 AS q2 FROM orders),
+        |d AS (
+        |  SELECT o_orderpriority, o_totalprice FROM orders CROSS JOIN q
+        |  WHERE o_orderkey > q1 + (q2 - q1) // 2
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice + 250.0 AS o_totalprice FROM orders CROSS JOIN q
+        |  WHERE o_orderkey <= q1 + (q2 - q1) // 2 AND o_orderkey % 7 <> 2
+        |)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS price_sum,
+        |  CAST(1 AS BIGINT) AS dirs_dropped, CAST(1 AS BIGINT) AS dirs_rewritten,
+        |  CAST(4 AS BIGINT) AS dirs_total
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — MERGE-ON-READ delete (VersionedTable.deleteWhereMor — the
     // deletion-vector twin of versioned_delete's copy-on-write): the purge
     // writes ONE small key set and MARKS the envelope-hit dir; no data dir
@@ -1832,6 +1888,96 @@ private[graft] object QueriesMedallionIo {
         |  CAST((SELECT sum(o_orderkey) FROM orders CROSS JOIN b WHERE o_orderkey <= ob) AS BIGINT) AS orderkey_sum,
         |  (SELECT count(*) FROM orders WHERE o_orderpriority = '1-URGENT') AS n_s,
         |  TRUE AS x_pruned, TRUE AS y_pruned""".stripMargin)),
+
+    // S17 — OPTIMIZE CLUSTER BY: HILBERT clustering (the liquid-clustering
+    // curve, via the native codegen'd hilbert_index expression — Skilling's
+    // transpose algorithm, pure integer). Same shape as versioned_zorder_opt
+    // but re-clustered along the Hilbert distance: consecutive cells are
+    // always grid neighbors (no Morton power-of-two seam jumps), so
+    // per-file envelopes are at least as tight and BOTH axis probes prune
+    // (x_pruned / y_pruned driver-visible). Issued through the SQL front
+    // door — OPTIMIZE GRAFT ... CLUSTER BY (c1, c2, c3).
+    Q("versioned_hilbert_opt",
+      (s, dir) => {
+        val (root, cb, ob) = Fixtures.once(s, dir, "vt_hilbert_opt") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_hopt_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority", "o_totalprice")
+          val row = o.agg(max(col("o_custkey")), max(col("o_orderkey"))).head()
+          val (mc, mk) = (row.getLong(0), row.getLong(1))
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0),
+            r, "append", "ho-a")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1),
+            r, "append", "ho-b")
+          s.sql(s"OPTIMIZE GRAFT '$r' TARGET 16 " +
+            "CLUSTER BY (o_custkey, o_orderkey, o_orderpriority)").collect()
+          (r, mc / 8, mk / 8)
+        }
+        val (sx, tx) = graft.io.VersionedTable.planRangeFiles(root, "o_custkey", 0L, cb)
+        val (sy, ty) = graft.io.VersionedTable.planRangeFiles(root, "o_orderkey", 0L, ob)
+        val xAgg = graft.io.VersionedTable.readRange(s, root, "o_custkey", 0L, cb)
+          .agg(count(lit(1)).as("n_x"), sum(col("o_custkey")).as("custkey_sum"))
+        val yAgg = graft.io.VersionedTable.readRange(s, root, "o_orderkey", 0L, ob)
+          .agg(count(lit(1)).as("n_y"), sum(col("o_orderkey")).as("orderkey_sum"))
+        val sAgg = graft.io.VersionedTable.read(s, root)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .agg(count(lit(1)).as("n_s"))
+        xAgg.crossJoin(broadcast(yAgg)).crossJoin(broadcast(sAgg))
+          .withColumn("x_pruned", lit(sx < tx))
+          .withColumn("y_pruned", lit(sy < ty))
+      },
+      Some("""WITH b AS (SELECT max(o_custkey) // 8 AS cb, max(o_orderkey) // 8 AS ob FROM orders)
+        |SELECT
+        |  (SELECT count(*) FROM orders CROSS JOIN b WHERE o_custkey <= cb) AS n_x,
+        |  CAST((SELECT sum(o_custkey) FROM orders CROSS JOIN b WHERE o_custkey <= cb) AS BIGINT) AS custkey_sum,
+        |  (SELECT count(*) FROM orders CROSS JOIN b WHERE o_orderkey <= ob) AS n_y,
+        |  CAST((SELECT sum(o_orderkey) FROM orders CROSS JOIN b WHERE o_orderkey <= ob) AS BIGINT) AS orderkey_sum,
+        |  (SELECT count(*) FROM orders WHERE o_orderpriority = '1-URGENT') AS n_s,
+        |  TRUE AS x_pruned, TRUE AS y_pruned""".stripMargin)),
+
+    // S15+S17 — SQL READ front door (GraftTableFunctions via
+    // injectTableFunction): ONE SQL statement exercises all three
+    // relation forms — `graft_table(root)` (latest snapshot, post-delete),
+    // `graft_table(root, 1)` (VERSION AS OF time travel), and
+    // `graft_changes(root, 2, 3, key)` (change feed of the delete commit)
+    // — joined and aggregated entirely inside Catalyst. The TVFs resolve
+    // at analysis to the same skipping-aware scan the Scala read builds,
+    // so pushdown/pruning/MOR-delete application cost nothing extra; the
+    // oracle replays the three snapshots from the raw table.
+    Q("versioned_sql_select",
+      (s, dir) => {
+        val root = Fixtures.once(s, dir, "vt_sql_select") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_sqlsel_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0),
+            r, "append", "gt-a", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1),
+            r, "append", "gt-b", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.deleteWhere(s, r,
+            o.filter(col("o_orderkey") % 10 === 3).select("o_orderkey"),
+            "o_orderkey", "gt-del", statsCols = Seq("o_orderkey"))
+          r
+        }
+        s.sql(s"""
+          WITH v1 AS (SELECT count(*) AS n_v1 FROM graft_table('$root', 1)),
+          chg AS (SELECT count(*) AS n_deleted
+                  FROM graft_changes('$root', 2, 3, 'o_orderkey')
+                  WHERE _change_type = 'delete')
+          SELECT l.o_orderpriority AS pri, count(*) AS n,
+                 sum(l.o_orderkey) AS okey_sum,
+                 max(v1.n_v1) AS n_v1, max(chg.n_deleted) AS n_deleted
+          FROM graft_table('$root') l CROSS JOIN v1 CROSS JOIN chg
+          GROUP BY l.o_orderpriority ORDER BY pri""")
+      },
+      Some("""SELECT o_orderpriority AS pri, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS okey_sum,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS n_v1,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 10 = 3) AS n_deleted
+        |FROM orders WHERE o_orderkey % 10 <> 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // S14+S17 — SCD TYPE 2 merges committed INTO the versioned table
     // (Relational.scdType2Commit — where a production dimension actually

@@ -173,5 +173,7 @@ object ArrayOps {
       "strip_accents", (exprs: Seq[Expression]) => StripAccents(exprs(0)), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash_band_keys", (exprs: Seq[Expression]) => MinhashBandKeys(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hilbert_index", (exprs: Seq[Expression]) => HilbertIndex(exprs(0)), "built-in")
   }
 }

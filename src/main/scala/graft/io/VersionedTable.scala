@@ -2803,77 +2803,60 @@ object VersionedTable {
     * Same OCC/idempotence/CDC contract as [[deleteWhere]]. Returns
     * (version, dirsDropped, dirsRewritten, dirsTotal).
     */
-  def deleteRange(spark: SparkSession, root: String, colName: String,
-                  lo: Any, hi: Any, commitId: String,
-                  statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): (Long, Int, Int, Int) = {
-    import org.apache.spark.sql.functions.{col, lit}
-    findCommitVersion(root, commitId) match {
-      case Some(prior) => (prior, -1, -1, -1)
+  /** Range class of one dir envelope: 2 = contained in [lo, hi]
+    * (Drop-eligible), 1 = overlapping (Rewrite), 0 = disjoint (Pass).
+    * `None` (no envelope) is conservatively 1. Integral envelopes compare
+    * numerically; string envelopes by unsigned UTF-8 byte order — the Drop
+    * class bypasses the residual predicate, so the comparison MUST match
+    * Spark's string ordering or contained-dir drops could delete kept rows.
+    */
+  private def rangeClassOf(env: Option[(Any, Any)], lo: Any, hi: Any,
+                           op: String): Int = env match {
+    case Some((mn: Long, mx: Long)) => (lo, hi) match {
+      case (l: Number, h: Number) =>
+        if (mn >= l.longValue && mx <= h.longValue) 2
+        else if (mx >= l.longValue && mn <= h.longValue) 1
+        else 0
+      case _ => sys.error(s"$op: integral envelope but non-numeric bounds")
+      // unreachable when validateRangeBounds ran
+    }
+    case Some((mn: String, mx: String)) => (lo, hi) match {
+      case (l: String, h: String) =>
+        if (utf8Compare(mn, l) >= 0 && utf8Compare(mx, h) <= 0) 2
+        else if (utf8Compare(mx, l) >= 0 && utf8Compare(mn, h) <= 0) 1
+        else 0
+      case _ => sys.error(s"$op: string envelope but non-string bounds")
+    }
+    case _ => 1
+  }
+
+  /** Manifest envelope of `phys` in dir `d` (integral stats first, then
+    * string). */
+  private def dirRangeEnv(c: Commit, d: String, phys: String): Option[(Any, Any)] =
+    c.stats.get(d).flatMap(_.get(phys)).map(t => (t._1: Any, t._2: Any))
+      .orElse(c.strStats.get(d).flatMap(_.get(phys)).map(t => (t._1: Any, t._2: Any)))
+
+  /** Whether dir `d` may hold NULLs in `phys` — the contained-Drop
+    * demotion check: NULL rows survive a range predicate, so a contained
+    * dir with (possible) NULLs must rewrite instead of dropping. Manifest
+    * null-count fast path first (O(1) — the entry was built from these
+    * very footers at write time), then the O(#files) footer walk; for a
+    * PARTITION column the footers carry nothing — the NULL carrier is the
+    * hive sentinel subdir, so that is what's checked.
+    */
+  private def dirMayHoldNulls(spark: SparkSession, root: String, parent: Commit,
+                              phys: String, d: String): Boolean = {
+    if (parent.partitionCols.contains(phys))
+      return parquetFiles(dirPath(root, d))
+        .exists(_.contains(s"$phys=__HIVE_DEFAULT_PARTITION__"))
+    parent.nullCounts.get(d).flatMap(_.get(phys)) match {
+      case Some((nulls, _)) => nulls > 0
       case None =>
-        val parent = latestCommit(root)
-          .getOrElse(sys.error(s"deleteRange: no commits at $root"))
-        val phys = physName(parent, colName)
-        // bound types must MATCH the column: unlike every skip path, the
-        // Drop class bypasses the residual predicate entirely, so a
-        // type-confused bound (a long against a string column would compare
-        // stringified-lexicographically) could drop rows the predicate
-        // would have kept. Validated against the snapshot schema, loudly.
-        colTypeOf(parent.schemaDdl, phys)
-          .foreach {
-            case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
-                 org.apache.spark.sql.types.TimestampType |
-                 org.apache.spark.sql.types.TimestampNTZType =>
-              // timestamp bounds are MICROS (matching the footer envelopes)
-              require(lo.isInstanceOf[Number] && hi.isInstanceOf[Number],
-                s"deleteRange: $colName takes numeric bounds (micros for timestamps), got " +
-                  s"(${lo.getClass.getSimpleName}, ${hi.getClass.getSimpleName})")
-            case org.apache.spark.sql.types.StringType =>
-              require(lo.isInstanceOf[String] && hi.isInstanceOf[String],
-                s"deleteRange: $colName is a string column; bounds must be strings, got " +
-                  s"(${lo.getClass.getSimpleName}, ${hi.getClass.getSimpleName})")
-            case other => sys.error(
-              s"deleteRange supports integral/string/timestamp columns; $colName is $other")
-          }
-        // per-dir class from the manifest envelope (integral via stats,
-        // string via strStats); None = no envelope → conservative rewrite
-        sealed trait Cls; case object Drop extends Cls
-        case object Rewrite extends Cls; case object Pass extends Cls
-        def classify(env: Option[(Any, Any)]): Cls = env match {
-          case Some((mn: Long, mx: Long)) => (lo, hi) match {
-            case (l: Number, h: Number) =>
-              if (mn >= l.longValue && mx <= h.longValue) Drop
-              else if (mx >= l.longValue && mn <= h.longValue) Rewrite
-              else Pass
-            case _ => sys.error(s"deleteRange: integral envelope on $colName but " +
-              "non-numeric bounds") // unreachable when the schema validated above
-          }
-          case Some((mn: String, mx: String)) => (lo, hi) match {
-            case (l: String, h: String) =>
-              // UTF-8 byte order — the Drop class bypasses the residual
-              // predicate, so the comparison MUST match Spark's string
-              // ordering or contained-dir drops could delete kept rows
-              if (utf8Compare(mn, l) >= 0 && utf8Compare(mx, h) <= 0) Drop
-              else if (utf8Compare(mx, l) >= 0 && utf8Compare(mn, h) <= 0) Rewrite
-              else Pass
-            case _ => sys.error(s"deleteRange: string envelope on $colName but " +
-              "non-string bounds")
-          }
-          case _ => Rewrite
-        }
         val conf = spark.sessionState.newHadoopConf()
-        // manifest null-count fast path: a dir with a recorded (nulls, rows)
-        // entry answers the contained-drop NULL check in O(1) instead of the
-        // O(#files) footer walk below (same facts — the entry was built from
-        // these very footers at write time)
-        def hasNulls(dir: String): Boolean =
-          parent.nullCounts.get(dir).flatMap(_.get(phys)) match {
-            case Some((nulls, _)) => nulls > 0
-            case None => hasNullsFooter(dir)
-          }
-        def hasNullsFooter(dir: String): Boolean = parquetFiles(dirPath(root, dir)).exists { rel =>
+        parquetFiles(dirPath(root, d)).exists { rel =>
           val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-              new org.apache.hadoop.fs.Path(s"${dirPath(root, dir)}/$rel"), conf))
+              new org.apache.hadoop.fs.Path(s"${dirPath(root, d)}/$rel"), conf))
           try rdr.getFooter.getBlocks.asScala.exists(_.getColumns.asScala.exists { cc =>
             cc.getPath.toDotString == phys && {
               val st = cc.getStatistics
@@ -2882,26 +2865,38 @@ object VersionedTable {
           })
           finally rdr.close()
         }
-        val classed = parent.dirs.map { d =>
-          val env: Option[(Any, Any)] =
-            parent.stats.get(d).flatMap(_.get(phys)).map(t => (t._1: Any, t._2: Any))
-              .orElse(parent.strStats.get(d).flatMap(_.get(phys))
-                .map(t => (t._1: Any, t._2: Any)))
-          val c0 = classify(env)
-          // a contained dir with (possible) NULLs must rewrite: NULL rows
-          // survive a range delete, and dropping the dir would purge them.
-          // For a PARTITION column the footers carry nothing — the NULL
-          // carrier is the hive sentinel subdir, so that is what's checked.
-          val nullable =
-            if (parent.partitionCols.contains(phys))
-              parquetFiles(dirPath(root, d))
-                .exists(_.contains(s"$phys=__HIVE_DEFAULT_PARTITION__"))
-            else hasNulls(d)
-          d -> (if (c0 == Drop && nullable) Rewrite else c0)
-        }
-        val dropped = classed.collect { case (d, Drop) => d }
-        val hit = classed.collect { case (d, Rewrite) => d }
-        val pass = classed.collect { case (d, Pass) => d }
+    }
+  }
+
+  /** Per-dir (dropped, rewrite, pass) partition of the snapshot's dirs
+    * against [lo, hi] — the shared planning step of the range verbs, with
+    * the NULL demotion applied to the Drop class.
+    */
+  private def classifyRangeDirs(spark: SparkSession, root: String, parent: Commit,
+                                phys: String, lo: Any, hi: Any,
+                                op: String): (Seq[String], Seq[String], Seq[String]) = {
+    val classed = parent.dirs.map { d =>
+      val c0 = rangeClassOf(dirRangeEnv(parent, d, phys), lo, hi, op)
+      d -> (if (c0 == 2 && dirMayHoldNulls(spark, root, parent, phys, d)) 1 else c0)
+    }
+    (classed.collect { case (d, 2) => d },
+      classed.collect { case (d, 1) => d },
+      classed.collect { case (d, 0) => d })
+  }
+
+  def deleteRange(spark: SparkSession, root: String, colName: String,
+                  lo: Any, hi: Any, commitId: String,
+                  statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): (Long, Int, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => (prior, -1, -1, -1)
+      case None =>
+        val parent = latestCommit(root)
+          .getOrElse(sys.error(s"deleteRange: no commits at $root"))
+        val phys = physName(parent, colName)
+        requireRangeBoundTypes(parent, phys, lo, hi, "deleteRange")
+        val (dropped, hit, _) =
+          classifyRangeDirs(spark, root, parent, phys, lo, hi, "deleteRange")
         val v = parent.version + 1
         val dirName = attemptDirName("data", v, commitId)
         val bdt = colTypeOf(parent.schemaDdl, phys)
@@ -2914,13 +2909,7 @@ object VersionedTable {
             var w = base.filter(keep).write.mode("overwrite")
             if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
             w.parquet(s"$root/$dirName")
-            val rows = parquetFiles(s"$root/$dirName").iterator.map { rel =>
-              val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
-                org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-                  new org.apache.hadoop.fs.Path(s"$root/$dirName/$rel"), conf))
-              try rdr.getFooter.getBlocks.asScala.map(_.getRowCount).sum
-              finally rdr.close()
-            }.sum
+            val rows = dirRowCount(spark.sessionState.newHadoopConf(), s"$root/$dirName")
             if (rows == 0L) None else Some(dirName)
           }
         val dirStats = survivorsDir.fold(DirStats(Map.empty, Map.empty))(d =>
@@ -2931,17 +2920,107 @@ object VersionedTable {
           gatherBlooms(spark, s"$root/$d", bloomCols.map(physName(parent, _))))
         // conflict test for rebase: a concurrently-added dir conflicts iff
         // its envelope might intersect [lo, hi] (a stats-less new dir is
-        // conservatively a conflict — classify() calls it Rewrite)
+        // conservatively a conflict — rangeClassOf calls it Rewrite)
         val committed = publishRewriteRebasing(root, parent, rewritten = hit,
           droppedDirs = dropped, survivorsDir = survivorsDir, dirStats, dirBlooms,
           "delete", commitId, "deleteRange", parent.schemaDdl,
-          (latest, newDirs) => newDirs.filter { d =>
-            val env: Option[(Any, Any)] =
-              latest.stats.get(d).flatMap(_.get(phys)).map(t => (t._1: Any, t._2: Any))
-                .orElse(latest.strStats.get(d).flatMap(_.get(phys))
-                  .map(t => (t._1: Any, t._2: Any)))
-            classify(env) != Pass
-          })
+          (latest, newDirs) => newDirs.filter(d =>
+            rangeClassOf(dirRangeEnv(latest, d, phys), lo, hi, "deleteRange") != 0))
+        (committed, dropped.size, hit.size, parent.dirs.size)
+    }
+  }
+
+  /** RANGE-SCOPED REPLACE — Delta's `INSERT OVERWRITE ... replaceWhere`
+    * / `option("replaceWhere", ...)` shape, the canonical BACKFILL verb:
+    * atomically delete every row with `lo <= colName <= hi` and insert
+    * `batch` in its place, in ONE commit (two verbs would publish a torn
+    * intermediate snapshot and burn two idempotence ids for one logical
+    * reload). The operation a production pipeline runs daily — "recompute
+    * yesterday's partition and swap it in".
+    *
+    * Guards, in order: the batch schema must equal the snapshot's exactly
+    * (a backfill is not schema evolution); GENERATED columns materialize /
+    * enforce first; CHECK constraints validate the batch; and every batch
+    * row must actually FALL IN [lo, hi] on `colName` (Delta's replaceWhere
+    * constraint) — a row outside the range (or NULL, which no range
+    * contains) would silently survive the NEXT backfill of its true range
+    * as a duplicate, so it refuses loudly before anything is written.
+    *
+    * Cost is [[deleteRange]]'s, plus the batch: contained dirs (range
+    * fully covers the envelope, provably NULL-free) drop METADATA-ONLY;
+    * overlapping dirs rewrite through the NULL-preserving residual;
+    * disjoint dirs pass by reference with their stats/blooms/deletes
+    * carried — never O(table). The batch and the residual survivors land
+    * in one fresh dir whose stats/bloom index rebuilds from its footers.
+    * Publication is the same conflict-aware rebasing OCC: a concurrent
+    * commit conflicts iff it touched a rewritten dir or added a dir whose
+    * envelope intersects [lo, hi]. Idempotent under `commitId` retry.
+    * A 'replace' commit that removed or rewrote rows has no row-level
+    * change form (the feed can't pair old and new rows without a key), so
+    * [[readChangeFeed]] refuses across it, exactly as across an overwrite;
+    * the degenerate case (nothing in range — pure insertion) diffs as
+    * inserts like any append.
+    *
+    * Returns (version, dirsDropped, dirsRewritten, dirsTotal).
+    */
+  def replaceRange(spark: SparkSession, root: String, colName: String,
+                   lo: Any, hi: Any, batch: DataFrame, commitId: String,
+                   statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): (Long, Int, Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => (prior, -1, -1, -1)
+      case None =>
+        val parent = latestCommit(root)
+          .getOrElse(sys.error(s"replaceRange: no commits at $root"))
+        val phys = physName(parent, colName)
+        requireRangeBoundTypes(parent, phys, lo, hi, "replaceRange")
+        val batchG = materializeGenerated(parent.generated, batch, "replaceRange")
+        val batchPhys = toPhysicalDf(parent, batchG)
+        parent.schemaDdl.foreach { pd =>
+          val ps = org.apache.spark.sql.types.StructType.fromDDL(pd)
+          val want = ps.fields.map(f => f.name -> f.dataType.sql).toMap
+          val got = batchPhys.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+          require(want == got,
+            s"replaceRange: batch schema ${got.toSeq.sorted} must equal the snapshot " +
+              s"schema ${want.toSeq.sorted} (use commit(mode=append) for add-column evolution)")
+        }
+        enforceConstraints(parent.constraints, batchG, "replaceRange")
+        val bdt = colTypeOf(parent.schemaDdl, phys)
+        val inRange = col(phys) >= boundLit(bdt, lo) && col(phys) <= boundLit(bdt, hi)
+        val stray = batchPhys.filter(col(phys).isNull || !inRange)
+          .select(col(phys)).limit(5).collect().map(_.get(0))
+        require(stray.isEmpty,
+          s"replaceRange: batch row(s) with $colName = ${stray.map(String.valueOf).mkString(", ")} " +
+            s"fall outside [$lo, $hi] (NULL is outside every range) — a stray row would " +
+            "silently duplicate under the NEXT backfill of its true range; scope the batch " +
+            "or widen the bounds")
+        val (dropped, hit, _) =
+          classifyRangeDirs(spark, root, parent, phys, lo, hi, "replaceRange")
+        val v = parent.version + 1
+        val dirName = attemptDirName("data", v, commitId)
+        val keep = col(phys).isNull || !inRange
+        val survivors =
+          if (hit.isEmpty) batchPhys
+          else scanWithDeletes(spark, root, parent, hit).filter(keep)
+            .unionByName(batchPhys)
+        var w = survivors.write.mode("overwrite")
+        if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
+        w.parquet(s"$root/$dirName")
+        val survivorsDir: Option[String] =
+          if (dirRowCount(spark.sessionState.newHadoopConf(), s"$root/$dirName") == 0L) None
+          else Some(dirName)
+        val dirStats = survivorsDir.fold(DirStats(Map.empty, Map.empty))(d =>
+          gatherStats(spark, s"$root/$d", statsCols.map(physName(parent, _)),
+            parent.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+              .getOrElse(spark.read.parquet(s"$root/$d").schema)))
+        val dirBlooms = survivorsDir.fold(Seq.empty[String])(d =>
+          gatherBlooms(spark, s"$root/$d", bloomCols.map(physName(parent, _))))
+        val committed = publishRewriteRebasing(root, parent, rewritten = hit,
+          droppedDirs = dropped, survivorsDir = survivorsDir, dirStats, dirBlooms,
+          "replace", commitId, "replaceRange",
+          parent.schemaDdl.orElse(Some(batchPhys.schema.toDDL)),
+          (latest, newDirs) => newDirs.filter(d =>
+            rangeClassOf(dirRangeEnv(latest, d, phys), lo, hi, "replaceRange") != 0))
         (committed, dropped.size, hit.size, parent.dirs.size)
     }
   }
@@ -3109,22 +3188,8 @@ object VersionedTable {
           .getOrElse(sys.error(s"updateRange: no commits at $root"))
         val phys = physName(parent, colName)
         requireRangeBoundTypes(parent, phys, lo, hi, "updateRange")
-        def overlaps(env: Option[(Any, Any)]): Boolean = env match {
-          case Some((mn: Long, mx: Long)) => (lo, hi) match {
-            case (l: Number, h: Number) => mx >= l.longValue && mn <= h.longValue
-            case _ => true // unreachable: bound types validated above
-          }
-          case Some((mn: String, mx: String)) => (lo, hi) match {
-            case (l: String, h: String) =>
-              utf8Compare(mx, l) >= 0 && utf8Compare(mn, h) <= 0
-            case _ => true
-          }
-          case _ => true // no envelope → conservative rewrite
-        }
-        def envOf(c: Commit, d: String): Option[(Any, Any)] =
-          c.stats.get(d).flatMap(_.get(phys)).map(t => (t._1: Any, t._2: Any))
-            .orElse(c.strStats.get(d).flatMap(_.get(phys)).map(t => (t._1: Any, t._2: Any)))
-        val (hit, _) = parent.dirs.partition(d => overlaps(envOf(parent, d)))
+        val (hit, _) = parent.dirs.partition(d =>
+          rangeClassOf(dirRangeEnv(parent, d, phys), lo, hi, "updateRange") != 0)
         val v = parent.version + 1
         val dirName = attemptDirName("data", v, commitId)
         val bdt = colTypeOf(parent.schemaDdl, phys)
@@ -3151,7 +3216,8 @@ object VersionedTable {
         val committed = publishRewriteRebasing(root, parent, rewritten = hit,
           droppedDirs = Nil, survivorsDir = survivorsDir, dirStats, dirBlooms,
           "update", commitId, "updateRange", parent.schemaDdl,
-          (latest, newDirs) => newDirs.filter(d => overlaps(envOf(latest, d))))
+          (latest, newDirs) => newDirs.filter(d =>
+            rangeClassOf(dirRangeEnv(latest, d, phys), lo, hi, "updateRange") != 0))
         (committed, hit.size, parent.dirs.size)
     }
   }
@@ -3267,8 +3333,11 @@ object VersionedTable {
     */
   def compact(spark: SparkSession, root: String, commitId: String,
               targetFiles: Int, statsCols: Seq[String] = Nil,
-              bloomCols: Seq[String] = Nil, zorderBy: Seq[String] = Nil): Long = {
+              bloomCols: Seq[String] = Nil, zorderBy: Seq[String] = Nil,
+              curve: String = "morton"): Long = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
+    require(curve == "morton" || curve == "hilbert",
+      s"compact: curve must be 'morton' (ZORDER BY) or 'hilbert' (CLUSTER BY), got '$curve'")
     findCommitVersion(root, commitId) match {
       case Some(prior) => prior // retry of a committed compaction
       case None =>
@@ -3316,14 +3385,26 @@ object VersionedTable {
               // dominates the interleave
               floor((d - lo0) * 1024.0 / math.max(1L, hi0 - lo0 + 1)).cast("long")
             }
-            // k-way round-robin Morton interleave: bit j of dimension i
-            // lands at position j*k + i (≤ 60 bits for k ≤ 6)
-            val z = (for { j <- 0 until 10; i <- buckets.indices } yield
-              shiftleft(shiftright(buckets(i), j).bitwiseAND(lit(1L)), j * k + i)
-            ).reduce(_ + _)
-            cur.withColumn("__graft_z", z)
+            val z =
+              if (curve == "hilbert") {
+                // Hilbert distance over the same 10-bit buckets (native
+                // codegen'd expression; liquid clustering's curve):
+                // consecutive distances are grid neighbors, so each output
+                // file's bounding box is tighter than Morton's on every
+                // dimension — no seam jumps at power-of-two boundaries
+                graft.functions.ArrayOps.register(spark)
+                expr(s"hilbert_index(__graft_dims)")
+              } else
+                // k-way round-robin Morton interleave: bit j of dimension i
+                // lands at position j*k + i (≤ 60 bits for k ≤ 6)
+                (for { j <- 0 until 10; i <- buckets.indices } yield
+                  shiftleft(shiftright(buckets(i), j).bitwiseAND(lit(1L)), j * k + i)
+                ).reduce(_ + _)
+            cur.withColumn("__graft_dims",
+                org.apache.spark.sql.functions.array(buckets: _*))
+              .withColumn("__graft_z", z)
               .repartitionByRange(targetFiles, col("__graft_z"))
-              .drop("__graft_z")
+              .drop("__graft_z", "__graft_dims")
           }
           else if (parent.partitionCols.nonEmpty)
             cur.repartition(targetFiles,

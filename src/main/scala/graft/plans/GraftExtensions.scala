@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CharNgrams, FloatDotProduct, PortableHllAgg, SortedOverlapCount, WordNgrams}
+import graft.functions.{CharNgrams, FloatDotProduct, HilbertIndex, PortableHllAgg, SortedOverlapCount, WordNgrams}
 
 /** Library entry point for `spark.sql.extensions=graft.plans.GraftExtensions`:
   * injects graft's native expressions into every session built on the
@@ -34,6 +34,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("word_ngrams"),
       new ExpressionInfo(classOf[WordNgrams].getName, "word_ngrams"),
       (exprs: Seq[Expression]) => WordNgrams(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      (exprs: Seq[Expression]) => HilbertIndex(exprs(0))))
+    // SQL READ front door: snapshot / time-travel / change-feed relations
+    // as table-valued functions — `FROM graft_table('<root>' [, v|ts])`,
+    // `FROM graft_changes('<root>', from, to, '<key>')`. Resolves at
+    // analysis to the exact plan the Scala read returns, so pushdown,
+    // pruning, and MOR delete application all still apply.
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_table"),
+      new ExpressionInfo(GraftTableFunctions.getClass.getName, "graft_table"),
+      (exprs: Seq[Expression]) => GraftTableFunctions.graftTable(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_changes"),
+      new ExpressionInfo(GraftTableFunctions.getClass.getName, "graft_changes"),
+      (exprs: Seq[Expression]) => GraftTableFunctions.graftChanges(exprs)))
     // SQL front door for the versioned table's maintenance verbs
     // (DESCRIBE HISTORY / OPTIMIZE / VACUUM ... GRAFT '<root>'); every
     // other statement delegates untouched — a pure grammar superset

@@ -19,7 +19,8 @@ import graft.io.VersionedTable
   *   DESCRIBE HISTORY GRAFT '<root>'
   *   DESCRIBE DETAIL GRAFT '<root>'
   *   OPTIMIZE GRAFT '<root>' [TARGET <n>]
-  *       [WHERE <partCol> IN ('v' [, 'v']*)] [ZORDER BY (c1, c2 [, ...])]
+  *       [WHERE <partCol> IN ('v' [, 'v']*)]
+  *       [ZORDER BY (c1, c2 [, ...]) | CLUSTER BY (c1, c2 [, ...])]
   *   VACUUM GRAFT '<root>' RETAIN <n>
   *   RESTORE GRAFT '<root>' TO VERSION <n>
   *   DELETE GRAFT '<root>' WHERE <col> IN (<lit> [, <lit>]*)
@@ -67,6 +68,7 @@ object GraftSqlParser {
   private val targetRe = """(?is).*\bTARGET\s+(\d+).*""".r
   private val whereRe = """(?is).*\bWHERE\s+(\w+)\s+IN\s*\(([^)]*)\).*""".r
   private val zorderRe = """(?is).*\bZORDER\s+BY\s*\(([^)]*)\).*""".r
+  private val clusterRe = """(?is).*\bCLUSTER\s+BY\s*\(([^)]*)\).*""".r
   private val restoreRe =
     """(?is)\s*RESTORE\s+GRAFT\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
   private val deleteInRe =
@@ -140,9 +142,14 @@ object GraftSqlParser {
       }
     case optimizeRe(root, rest) =>
       val target = rest match { case targetRe(n) => n.toInt; case _ => 32 }
-      val zorder = rest match {
-        case zorderRe(cs) => cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-        case _ => Nil
+      // ZORDER BY = Morton interleave; CLUSTER BY = Hilbert distance (the
+      // liquid-clustering curve) — same bucketization, different curve
+      val (zorder, curve) = rest match {
+        case zorderRe(cs) =>
+          (cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq, "morton")
+        case clusterRe(cs) =>
+          (cs.split(",").map(_.trim).filter(_.nonEmpty).toSeq, "hilbert")
+        case _ => (Nil, "morton")
       }
       val where = rest match {
         case whereRe(col, vs) =>
@@ -150,7 +157,7 @@ object GraftSqlParser {
             .filter(_.nonEmpty).toSeq))
         case _ => None
       }
-      Some(GraftOptimizeCommand(root, target, where, zorder))
+      Some(GraftOptimizeCommand(root, target, where, zorder, curve))
     case _ => None
   }
 }
@@ -298,7 +305,8 @@ case class GraftUpdateCommand(root: String, col: String,
 
 case class GraftOptimizeCommand(root: String, targetFiles: Int,
                                 where: Option[(String, Seq[String])],
-                                zorderBy: Seq[String]) extends LeafRunnableCommand {
+                                zorderBy: Seq[String],
+                                curve: String = "morton") extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("dirs_rewritten", IntegerType, nullable = false)(),
@@ -323,7 +331,7 @@ case class GraftOptimizeCommand(root: String, targetFiles: Int,
           .map(_.dirs.size).getOrElse(0)
         val v = VersionedTable.compact(spark, root, commitId, targetFiles,
           statsCols = (statsCols ++ zorderBy).distinct,
-          bloomCols = bloomCols, zorderBy = zorderBy)
+          bloomCols = bloomCols, zorderBy = zorderBy, curve = curve)
         Seq(Row(v, before, before))
     }
   }

@@ -1012,6 +1012,136 @@ class IoSpec extends SparkSpec {
       targetFiles = 4, zorderBy = Seq("x")))
   }
 
+  test("VersionedTable.compact CLUSTER BY (Hilbert): prunes either axis, beats-or-ties Morton, SQL form") {
+    import spark.implicits._
+    val root = tmpDir("vt_opt_hilbert")
+    val rows = (0L until 4096L).map(i => (i % 64, (i * 2654435761L) % 64, s"r$i"))
+    VersionedTable.commit(rows.take(2048).toDF("x", "y", "s"), root, "append", "h1",
+      statsCols = Seq("x", "y"))
+    VersionedTable.commit(rows.drop(2048).toDF("x", "y", "s"), root, "append", "h2",
+      statsCols = Seq("x", "y"))
+    // OPTIMIZE ... CLUSTER BY through the SQL front door = hilbert curve
+    spark.sql(s"OPTIMIZE GRAFT '$root' TARGET 16 CLUSTER BY (x, y)").collect()
+    val (sx, tx) = VersionedTable.planRangeFiles(root, "x", 0L, 7L)
+    val (sy, ty) = VersionedTable.planRangeFiles(root, "y", 0L, 7L)
+    assert(tx >= 8 && sx < tx, s"x-range must prune files after CLUSTER BY: $sx of $tx")
+    assert(sy < ty, s"y-range must prune files after CLUSTER BY: $sy of $ty")
+    assert(VersionedTable.read(spark, root).count() == 4096)
+    assert(VersionedTable.readRange(spark, root, "x", 0L, 7L).count() == 4096 / 8)
+    // locality head-to-head on the same data: a Morton-clustered twin must
+    // scan at least as many files for the same pair of axis probes
+    val rootM = tmpDir("vt_opt_morton_twin")
+    VersionedTable.commit(rows.take(2048).toDF("x", "y", "s"), rootM, "append", "m1",
+      statsCols = Seq("x", "y"))
+    VersionedTable.commit(rows.drop(2048).toDF("x", "y", "s"), rootM, "append", "m2",
+      statsCols = Seq("x", "y"))
+    spark.sql(s"OPTIMIZE GRAFT '$rootM' TARGET 16 ZORDER BY (x, y)").collect()
+    val (mx, _) = VersionedTable.planRangeFiles(rootM, "x", 0L, 7L)
+    val (my, _) = VersionedTable.planRangeFiles(rootM, "y", 0L, 7L)
+    assert(sx + sy <= mx + my,
+      s"hilbert must not scan more files than morton on the axis probes: " +
+        s"hilbert=($sx,$sy) morton=($mx,$my)")
+  }
+
+  test("VersionedTable.replaceRange: atomic backfill — contained drop, residual rewrite, stray/NULL guards, idempotent") {
+    import spark.implicits._
+    val root = tmpDir("vt_replace")
+    def band(lo: Int, hi: Int, tag: String) =
+      (lo to hi).map(i => (i.toLong, s"$tag$i")).toDF("k", "v")
+    VersionedTable.commit(band(0, 9, "old"), root, "append", "rr1", statsCols = Seq("k"))
+    VersionedTable.commit(band(10, 19, "old"), root, "append", "rr2", statsCols = Seq("k"))
+    VersionedTable.commit(band(20, 29, "old"), root, "append", "rr3", statsCols = Seq("k"))
+    // backfill [0, 14] with a recomputed batch holding FEWER rows (evens
+    // only): in-range odds must disappear (a merge would keep them)
+    val batch = (0 to 14 by 2).map(i => (i.toLong, s"new$i")).toDF("k", "v")
+    val (v, nDrop, nRew, nTot) =
+      VersionedTable.replaceRange(spark, root, "k", 0L, 14L, batch, "rr-bf",
+        statsCols = Seq("k"))
+    assert((v, nDrop, nRew, nTot) == (4L, 1, 1, 3), s"($v, $nDrop, $nRew, $nTot)")
+    val want1 = ((0 to 14 by 2).map(i => i.toLong -> s"new$i") ++
+      (15 to 29).map(i => i.toLong -> s"old$i")).toMap
+    assert(VersionedTable.read(spark, root).as[(Long, String)].collect().toMap == want1)
+    // commitId retry is a no-op returning the committed version
+    assert(VersionedTable.replaceRange(spark, root, "k", 0L, 14L, batch, "rr-bf")
+      == ((4L, -1, -1, -1)))
+    // a batch row OUTSIDE the range is refused loudly before any write
+    val e1 = intercept[Exception](VersionedTable.replaceRange(spark, root, "k",
+      0L, 4L, Seq((9L, "zz")).toDF("k", "v"), "rr-bad1"))
+    assert(e1.getMessage.contains("outside"), e1.getMessage)
+    // so is a NULL in the range column (no range contains NULL)
+    val e2 = intercept[Exception](VersionedTable.replaceRange(spark, root, "k",
+      0L, 4L, Seq[(java.lang.Long, String)]((null, "z")).toDF("k", "v"), "rr-bad2"))
+    assert(e2.getMessage.contains("outside"), e2.getMessage)
+    // schema drift is refused: backfill is not schema evolution
+    val e3 = intercept[Exception](VersionedTable.replaceRange(spark, root, "k",
+      0L, 4L, Seq((1L, "z", 1)).toDF("k", "v", "extra"), "rr-bad3"))
+    assert(e3.getMessage.contains("schema"), e3.getMessage)
+    // empty batch = pure range delete; the [20,29] band is contained and
+    // drops metadata-only
+    val (v5, d5, r5, _) = VersionedTable.replaceRange(spark, root, "k", 20L, 29L,
+      spark.emptyDataset[(Long, String)].toDF("k", "v"), "rr-empty", statsCols = Seq("k"))
+    assert(v5 == 5L && d5 == 1 && r5 == 0, s"($v5, $d5, $r5)")
+    val want2 = want1.filter(_._1 < 20L)
+    assert(VersionedTable.read(spark, root).as[(Long, String)].collect().toMap == want2)
+    // NULL rows in the range column SURVIVE a later backfill of any range
+    VersionedTable.commit(Seq[(java.lang.Long, String)]((null, "nul")).toDF("k", "v"),
+      root, "append", "rr-null", statsCols = Seq("k"))
+    VersionedTable.replaceRange(spark, root, "k", 0L, 9L,
+      (0 to 9).map(i => (i.toLong, s"n2$i")).toDF("k", "v"), "rr-bf2",
+      statsCols = Seq("k"))
+    val got3 = VersionedTable.read(spark, root).collect()
+      .map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.getString(1)).toMap
+    val want3 = (0 to 9).map(i => i.toLong -> s"n2$i").toMap ++
+      want2.filter(_._1 >= 10L) + (-1L -> "nul")
+    assert(got3 == want3, got3.toSeq.sortBy(_._1).mkString(", "))
+  }
+
+  test("SQL TVF front door: graft_table latest/version/timestamp, graft_changes, pushdown, literal guard") {
+    import spark.implicits._
+    val root = tmpDir("vt_tvf")
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, "append", "tvf1",
+      statsCols = Seq("k"))
+    Thread.sleep(5)
+    val betweenMs = System.currentTimeMillis()
+    Thread.sleep(5)
+    VersionedTable.commit(Seq((3L, "c")).toDF("k", "v"), root, "append", "tvf2",
+      statsCols = Seq("k"))
+    // latest snapshot + VERSION AS OF, straight from SQL
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$root')").head().getLong(0) == 3)
+    assert(spark.sql(s"SELECT sum(k) FROM graft_table('$root', 1)").head().getLong(0) == 3)
+    // TIMESTAMP AS OF: an instant between the two commits pins v1 (session
+    // timezone is UTC, so format the literal in UTC too)
+    val ts = java.time.LocalDateTime.ofInstant(
+      java.time.Instant.ofEpochMilli(betweenMs), java.time.ZoneOffset.UTC)
+      .toString.replace('T', ' ')
+    assert(spark.sql(s"SELECT count(*) FROM graft_table('$root', TIMESTAMP '$ts')")
+      .head().getLong(0) == 2)
+    // change feed of commit 2 through SQL: one insert row, tagged with its
+    // commit version
+    val chg = spark.sql(
+      s"SELECT _change_type, _commit_version, k FROM graft_changes('$root', 1, 2, 'k')")
+      .collect()
+    assert(chg.length == 1 && chg(0).getString(0) == "insert" &&
+      chg(0).getLong(1) == 2L && chg(0).getLong(2) == 3L, chg.mkString)
+    // the TVF resolves to the real parquet relation: a filter through SQL
+    // still reaches the scan as a pushed filter
+    val planned = spark.sql(s"SELECT v FROM graft_table('$root') WHERE k = 3")
+      .queryExecution.executedPlan.toString
+    assert(planned.contains("PushedFilters: [IsNotNull(k), EqualTo(k,3)]"), planned)
+    // non-literal arguments are refused: a snapshot pin is a planning-time
+    // decision
+    val e = intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_table(concat('$root', ''))").collect())
+    assert(e.getMessage.contains("STRING literal"), e.getMessage)
+    // TVF results join with ordinary relations inside one Catalyst plan
+    val joined = spark.sql(
+      s"""SELECT t.k, u.tag FROM graft_table('$root') t
+         |JOIN VALUES (1, 'one'), (3, 'three') AS u(k, tag) ON t.k = u.k
+         |ORDER BY t.k""".stripMargin).collect()
+    assert(joined.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "one"), (3L, "three")), joined.mkString)
+  }
+
   test("VersionedTable: TIMESTAMP AS OF resolves the latest commit at-or-before the instant") {
     import spark.implicits._
     val root = tmpDir("vt_ts_travel")

@@ -308,6 +308,99 @@ class PropertySpec extends SparkSpec {
     assert(r.length == 1 && r(0).getLong(1) == 2L && r(0).getLong(2) == 4L, r.mkString)
   }
 
+  test("Hilbert curve: bijective, neighbor-continuous, and tighter-boxed than Morton") {
+    import graft.functions.HilbertCurve
+    // 2-D, full 10-bit grid (2^20 cells): the distance is a BIJECTION onto
+    // [0, 2^20) and every consecutive pair of distances is a Manhattan-1
+    // grid step — the defining Hilbert property (Morton fails it at every
+    // power-of-two seam)
+    val bits = 10; val side = 1 << bits; val n = side * side
+    val xs = new Array[Short](n); val ys = new Array[Short](n)
+    val seen = new java.util.BitSet(n)
+    var x = 0
+    while (x < side) {
+      var y = 0
+      while (y < side) {
+        val h = HilbertCurve.compute(Array(x.toLong, y.toLong), bits)
+        assert(h >= 0 && h < n, s"($x,$y) -> $h out of range")
+        assert(!seen.get(h.toInt), s"collision at h=$h")
+        seen.set(h.toInt)
+        xs(h.toInt) = x.toShort; ys(h.toInt) = y.toShort
+        y += 1
+      }
+      x += 1
+    }
+    var i = 1
+    while (i < n) {
+      val d = math.abs(xs(i) - xs(i - 1)) + math.abs(ys(i) - ys(i - 1))
+      assert(d == 1,
+        s"step $i: (${xs(i - 1)},${ys(i - 1)}) -> (${xs(i)},${ys(i)}) distance $d")
+      i += 1
+    }
+    // locality vs Morton, same grid: split each curve into 100 equal-count
+    // ranges (= the range-partitioned files of a TARGET 100 OPTIMIZE) and
+    // sum the per-range bounding-box half-perimeters — the per-file
+    // envelope width that decides min/max pruning. 100 is deliberately NOT
+    // a power of 4: aligned power-of-4 splits carve BOTH curves into exact
+    // square blocks (a tie by construction), while real repartitionByRange
+    // boundaries land wherever the data quantiles fall — and any range
+    // crossing a Morton power-of-two seam pays the jump in box width,
+    // which the neighbor-continuous Hilbert curve never does.
+    def boxSum(order: Array[Int]): Long = {
+      (0 until 100).map { b =>
+        var (xmn, xmx, ymn, ymx) = (Int.MaxValue, -1, Int.MaxValue, -1)
+        var j = (b.toLong * n / 100).toInt
+        val end = ((b + 1).toLong * n / 100).toInt
+        while (j < end) {
+          val c = order(j)
+          val cx = c >> bits; val cy = c & (side - 1)
+          if (cx < xmn) xmn = cx; if (cx > xmx) xmx = cx
+          if (cy < ymn) ymn = cy; if (cy > ymx) ymx = cy
+          j += 1
+        }
+        (xmx - xmn).toLong + (ymx - ymn).toLong
+      }.sum
+    }
+    // order arrays: cell id (x<<bits | y) at position h along each curve
+    val hilbertOrder = new Array[Int](n)
+    var h2 = 0
+    while (h2 < n) { hilbertOrder(h2) = (xs(h2).toInt << bits) | ys(h2).toInt; h2 += 1 }
+    val mortonOrder = new Array[Int](n)
+    var cx = 0
+    while (cx < side) {
+      var cy = 0
+      while (cy < side) {
+        var m = 0L; var j = 0
+        while (j < bits) {
+          m |= ((cx.toLong >> j) & 1L) << (2 * j)
+          m |= ((cy.toLong >> j) & 1L) << (2 * j + 1)
+          j += 1
+        }
+        mortonOrder(m.toInt) = (cx << bits) | cy
+        cy += 1
+      }
+      cx += 1
+    }
+    val (hb, mb) = (boxSum(hilbertOrder), boxSum(mortonOrder))
+    assert(hb < mb, s"hilbert box sum $hb must beat morton $mb")
+    // 3-D, 4-bit grid (4096 cells): bijection + adjacency hold at k=3 too
+    val s3 = 1 << 4; val n3 = s3 * s3 * s3
+    val coords = new Array[Int](n3)
+    val seen3 = new java.util.BitSet(n3)
+    for (a <- 0 until s3; b <- 0 until s3; c <- 0 until s3) {
+      val h = HilbertCurve.compute(Array(a.toLong, b.toLong, c.toLong), 4)
+      assert(h >= 0 && h < n3 && !seen3.get(h.toInt), s"3-D bijection broken at ($a,$b,$c)")
+      seen3.set(h.toInt)
+      coords(h.toInt) = (a << 8) | (b << 4) | c
+    }
+    (1 until n3).foreach { j =>
+      val (p, q) = (coords(j - 1), coords(j))
+      val d = math.abs((p >> 8) - (q >> 8)) +
+        math.abs(((p >> 4) & 15) - ((q >> 4) & 15)) + math.abs((p & 15) - (q & 15))
+      assert(d == 1, s"3-D adjacency broken at step $j")
+    }
+  }
+
   test("schema lifecycle fuzz: random append/evolve/rename/drop/merge/widen/update sequences match an in-memory model") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
