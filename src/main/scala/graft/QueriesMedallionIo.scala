@@ -1139,6 +1139,60 @@ private[graft] object QueriesMedallionIo {
         |  CAST(4 AS BIGINT) AS dirs_total
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S15+S17 — the SQL BACKFILL statement (GraftReplaceCommand →
+    // replaceRange), composed with the TVF read front door: REPLACE GRAFT
+    // ... FROM (SELECT ... FROM graft_table(...)) recomputes the range
+    // from the table's OWN pre-replace snapshot — the self-backfill a
+    // production pipeline runs when a transformation bug is fixed and
+    // yesterday's rows must be re-derived in place. Same swap semantics
+    // and dir economics as versioned_replace_range, but issued entirely
+    // through SQL (parse → inner-query analysis → inherited skipping
+    // index), which is what this row pins.
+    Q("versioned_sql_replace",
+      (s, dir) => {
+        val (root, drp, hit, total) = Fixtures.once(s, dir, "vt_sqlreplace") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_sqlrep_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          Seq(("sq1", col("o_orderkey") <= b1),
+            ("sq2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("sq3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
+            ("sq4", col("o_orderkey") > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"sq-$id",
+              statsCols = Seq("o_orderkey"))
+          }
+          val mid = b1 + (b2 - b1) / 2
+          val row = s.sql(s"REPLACE GRAFT '$r' WHERE o_orderkey BETWEEN 0 AND $mid FROM " +
+            s"(SELECT o_orderkey, o_orderpriority, o_totalprice + 250.0 AS o_totalprice " +
+            s"FROM graft_table('$r') WHERE o_orderkey <= $mid AND o_orderkey % 7 <> 2)")
+            .head()
+          (r, row.getInt(1).toLong, row.getInt(2).toLong, row.getInt(3).toLong)
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("price_sum"))
+          .withColumn("dirs_dropped", lit(drp))
+          .withColumn("dirs_rewritten", lit(hit))
+          .withColumn("dirs_total", lit(total))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH q AS (SELECT max(o_orderkey) // 4 AS q1, max(o_orderkey) // 2 AS q2 FROM orders),
+        |d AS (
+        |  SELECT o_orderpriority, o_totalprice FROM orders CROSS JOIN q
+        |  WHERE o_orderkey > q1 + (q2 - q1) // 2
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice + 250.0 AS o_totalprice FROM orders CROSS JOIN q
+        |  WHERE o_orderkey <= q1 + (q2 - q1) // 2 AND o_orderkey % 7 <> 2
+        |)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS price_sum,
+        |  CAST(1 AS BIGINT) AS dirs_dropped, CAST(1 AS BIGINT) AS dirs_rewritten,
+        |  CAST(4 AS BIGINT) AS dirs_total
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — MERGE-ON-READ delete (VersionedTable.deleteWhereMor — the
     // deletion-vector twin of versioned_delete's copy-on-write): the purge
     // writes ONE small key set and MARKS the envelope-hit dir; no data dir

@@ -27,6 +27,8 @@ import graft.io.VersionedTable
   *   DELETE GRAFT '<root>' WHERE <col> BETWEEN <lit> AND <lit>
   *   UPDATE GRAFT '<root>' SET <c> = <expr> [, <c> = <expr>]*
   *       WHERE <col> IN (...) | <col> BETWEEN <lit> AND <lit>
+  *   REPLACE GRAFT '<root>' WHERE <col> BETWEEN <lit> AND <lit>
+  *       FROM (<query>)
   * }}}
   *
   * The `GRAFT` keyword after the verb keeps the grammar disjoint from
@@ -77,6 +79,8 @@ object GraftSqlParser {
     """(?is)\s*DELETE\s+GRAFT\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+(\S+|'[^']*')\s+AND\s+(\S+|'[^']*')\s*;?\s*""".r
   private val updateRe =
     """(?is)\s*UPDATE\s+GRAFT\s+'([^']+)'\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*;?\s*""".r
+  private val replaceRe =
+    """(?is)\s*REPLACE\s+GRAFT\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+(\S+|'[^']*')\s+AND\s+(\S+|'[^']*')\s+FROM\s+\((.*)\)\s*;?\s*""".r
   private val whereInRe = """(?is)\s*(\w+)\s+IN\s*\(([^)]*)\)\s*""".r
   private val whereBetweenRe =
     """(?is)\s*(\w+)\s+BETWEEN\s+(\S+|'[^']*')\s+AND\s+(\S+|'[^']*')\s*""".r
@@ -129,6 +133,8 @@ object GraftSqlParser {
       Some(GraftDeleteCommand(root, col, Left(litList(vals))))
     case deleteBetweenRe(root, col, lo, hi) =>
       Some(GraftDeleteCommand(root, col, Right((litValue(lo), litValue(hi)))))
+    case replaceRe(root, col, lo, hi, src) =>
+      Some(GraftReplaceCommand(root, col, litValue(lo), litValue(hi), src))
     case updateRe(root, setList, where) =>
       val set = splitSetList(setList).toMap
       where match {
@@ -300,6 +306,32 @@ case class GraftUpdateCommand(root: String, col: String,
           statsCols = statsCols, bloomCols = bloomCols)
     }
     Seq(Row(v, rw, tot))
+  }
+}
+
+/** `REPLACE GRAFT '<root>' WHERE col BETWEEN lo AND hi FROM (<query>)` →
+  * [[VersionedTable.replaceRange]] — the SQL backfill statement (Delta's
+  * `INSERT OVERWRITE ... replaceWhere`): the inner query parses through
+  * the session's FULL SQL surface — including `graft_table(...)`, so a
+  * table can backfill a range from a transformation of its own snapshot —
+  * and its result atomically replaces every row in the range. Inherits
+  * the snapshot's skipping index like every SQL-issued rewrite.
+  */
+case class GraftReplaceCommand(root: String, col: String, lo: Any, hi: Any,
+                               sourceSql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("dirs_dropped", IntegerType, nullable = false)(),
+    AttributeReference("dirs_rewritten", IntegerType, nullable = false)(),
+    AttributeReference("dirs_total", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val commitId = s"sql-replace-${java.util.UUID.randomUUID().toString.take(12)}"
+    val (statsCols, bloomCols) = VersionedTable.indexedCols(root)
+    val (v, drop, rw, tot) = VersionedTable.replaceRange(spark, root, col,
+      lo, hi, spark.sql(sourceSql), commitId,
+      statsCols = statsCols, bloomCols = bloomCols)
+    Seq(Row(v, drop, rw, tot))
   }
 }
 

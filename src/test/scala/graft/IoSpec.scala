@@ -1096,6 +1096,28 @@ class IoSpec extends SparkSpec {
     assert(got3 == want3, got3.toSeq.sortBy(_._1).mkString(", "))
   }
 
+  test("SQL REPLACE GRAFT: backfill statement whose source query reads the table's own snapshot") {
+    import spark.implicits._
+    val root = tmpDir("vt_sql_replace")
+    VersionedTable.commit((0 to 9).map(i => (i.toLong, s"old$i")).toDF("k", "v"),
+      root, "append", "sr1", statsCols = Seq("k"))
+    VersionedTable.commit((10 to 19).map(i => (i.toLong, s"old$i")).toDF("k", "v"),
+      root, "append", "sr2", statsCols = Seq("k"))
+    // self-backfill: recompute [0, 9] from the current snapshot via the TVF
+    val res = spark.sql(s"REPLACE GRAFT '$root' WHERE k BETWEEN 0 AND 9 FROM " +
+      s"(SELECT k, concat('r', v) AS v FROM graft_table('$root') WHERE k <= 9 AND k % 3 <> 1)")
+      .head()
+    assert((res.getInt(1), res.getInt(2), res.getInt(3)) == ((1, 0, 2)), res.toString)
+    val got = VersionedTable.read(spark, root).as[(Long, String)].collect().toMap
+    val want = ((0 to 9).filter(_ % 3 != 1).map(i => i.toLong -> s"rold$i") ++
+      (10 to 19).map(i => i.toLong -> s"old$i")).toMap
+    assert(got == want, got.toSeq.sortBy(_._1).mkString(", "))
+    // the SQL-issued rewrite inherited the snapshot's stats index: the new
+    // dir still prunes on k
+    val (scan, total) = VersionedTable.planRangeFiles(root, "k", 15L, 19L)
+    assert(scan < total, s"$scan of $total")
+  }
+
   test("SQL TVF front door: graft_table latest/version/timestamp, graft_changes, pushdown, literal guard") {
     import spark.implicits._
     val root = tmpDir("vt_tvf")
