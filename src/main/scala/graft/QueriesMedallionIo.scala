@@ -1193,6 +1193,66 @@ private[graft] object QueriesMedallionIo {
         |  CAST(4 AS BIGINT) AS dirs_total
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S14+S17 — CONDITIONAL multi-clause MERGE (mergeIntoConditional —
+    // the full Delta merge shape: WHEN MATCHED AND <cond> THEN DELETE /
+    // THEN UPDATE, WHEN NOT MATCHED AND <cond> THEN INSERT, conditions as
+    // SQL over tgt.*/src.* struct scopes). Matched urgent rows DELETE,
+    // other matched rows re-price (update), and only even-keyed new rows
+    // insert (negative keys, so the batch envelope spans bands 1-2 plus
+    // the insert side — bands 3-4 pass by reference, driver-visible as
+    // dirs_rewritten 2 of 4). The oracle replays all three clauses over
+    // the raw table.
+    Q("versioned_merge_conditional",
+      (s, dir) => {
+        val (root, hit, total) = Fixtures.once(s, dir, "vt_cmerge") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_cmerge_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          Seq(("cm1", col("o_orderkey") <= b1),
+            ("cm2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("cm3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
+            ("cm4", col("o_orderkey") > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"cm-$id",
+              statsCols = Seq("o_orderkey"))
+          }
+          val src = o.filter(col("o_orderkey") <= b2 && col("o_orderkey") % 5 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+            .unionByName(o.filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") > 0)
+              .withColumn("o_orderkey", -col("o_orderkey"))
+              .withColumn("o_totalprice", col("o_totalprice") + lit(7.0)))
+          val (_, h, t) = graft.io.VersionedTable.mergeIntoConditional(s, r, src,
+            "o_orderkey", "cm-apply",
+            matchedDeleteCond = Some("tgt.o_orderpriority = '1-URGENT'"),
+            notMatchedInsertCond = Some("src.o_orderkey % 2 = 0"),
+            statsCols = Seq("o_orderkey"))
+          (r, h.toLong, t.toLong)
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("price_sum"))
+          .withColumn("dirs_rewritten", lit(hit))
+          .withColumn("dirs_total", lit(total))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH q AS (SELECT max(o_orderkey) // 2 AS q2 FROM orders),
+        |d AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey <= q2 AND o_orderkey % 5 = 0
+        |      THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders CROSS JOIN q
+        |  WHERE NOT (o_orderkey <= q2 AND o_orderkey % 5 = 0 AND o_orderpriority = '1-URGENT')
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice + 7.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey > 0 AND o_orderkey % 2 = 0
+        |)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS price_sum,
+        |  CAST(2 AS BIGINT) AS dirs_rewritten, CAST(4 AS BIGINT) AS dirs_total
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — MERGE-ON-READ delete (VersionedTable.deleteWhereMor — the
     // deletion-vector twin of versioned_delete's copy-on-write): the purge
     // writes ONE small key set and MARKS the envelope-hit dir; no data dir

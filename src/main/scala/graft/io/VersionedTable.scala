@@ -2495,6 +2495,127 @@ object VersionedTable {
     }
   }
 
+  /** CONDITIONAL multi-clause MERGE — the full Delta merge shape:
+    *
+    * {{{
+    *   MERGE INTO target t USING source s ON t.key = s.key
+    *   WHEN MATCHED [AND <matchedDeleteCond>] THEN DELETE
+    *   WHEN MATCHED [AND <matchedUpdateCond>] THEN UPDATE SET *
+    *   WHEN NOT MATCHED [AND <notMatchedInsertCond>] THEN INSERT *
+    * }}}
+    *
+    * Clause conditions are SQL boolean expressions over TWO struct-scoped
+    * sides — `tgt.<col>` (the stored row) and `src.<col>` (the source
+    * row) — e.g. `"src.price > tgt.price"`. Clause order is Delta's:
+    * for each matched pair DELETE evaluates first, then UPDATE, else the
+    * stored row is kept unchanged; unmatched source rows insert when
+    * their condition holds (conditions default to delete-never /
+    * update-always / insert-always, so all-default equals [[mergeInto]]).
+    * Unmatched TARGET rows always survive — `WHEN NOT MATCHED BY SOURCE
+    * THEN DELETE` is deliberately absent: it reads every dir (any dir may
+    * hold keys absent from the source), which breaks the O(hit dirs)
+    * contract; the bounded form of that operation is [[replaceRange]].
+    *
+    * Same machinery as [[mergeInto]] end to end: NULL/duplicate source
+    * keys refused, generated columns materialized/enforced, CHECK
+    * constraints validated, batch schema must equal the snapshot's, only
+    * envelope+bloom-hit dirs rewrite (source side broadcast — the merge
+    * batch is small by contract), conflict-aware rebasing OCC, idempotent
+    * under `commitId`. Returns (version, dirsRewritten, dirsTotal).
+    */
+  def mergeIntoConditional(spark: SparkSession, root: String, source: DataFrame,
+                           keyCol: String, commitId: String,
+                           matchedDeleteCond: Option[String] = None,
+                           matchedUpdateCond: Option[String] = None,
+                           notMatchedInsertCond: Option[String] = None,
+                           statsCols: Seq[String] = Nil,
+                           bloomCols: Seq[String] = Nil): (Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr, lit, struct, when}
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => (prior, -1, -1) // retry of a committed merge
+      case None =>
+        val parent = latestCommit(root)
+          .getOrElse(sys.error(s"mergeIntoConditional: no commits at $root"))
+        val sourceG = materializeGenerated(parent.generated, source, "mergeIntoConditional")
+        val srcPhys = toPhysicalDf(parent, sourceG)
+        val physKey = physName(parent, keyCol)
+        parent.schemaDdl.foreach { pd =>
+          val ps = org.apache.spark.sql.types.StructType.fromDDL(pd)
+          val want = ps.fields.map(f => f.name -> f.dataType.sql).toMap
+          val got = srcPhys.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+          require(want == got,
+            s"mergeIntoConditional: source schema ${got.toSeq.sorted} must equal the " +
+              s"snapshot schema ${want.toSeq.sorted}")
+        }
+        enforceConstraints(parent.constraints, sourceG, "mergeIntoConditional")
+        val guarded = guardMergeBatch(srcPhys, physKey, "mergeIntoConditional")
+        val (hit, _) = rangeHitDirs(root, parent, guarded, physKey, "mergeIntoConditional")
+        val v = parent.version + 1
+        val dirName = attemptDirName("data", v, commitId)
+        // one fixed column order for BOTH structs, so when(...) can pick
+        // either side as the row value
+        val cols = srcPhys.schema.fieldNames.toSeq
+        val deleteC = matchedDeleteCond.map(expr).getOrElse(lit(false))
+        val updateC = matchedUpdateCond.map(expr).getOrElse(lit(true))
+        val insertC = notMatchedInsertCond.map(expr).getOrElse(lit(true))
+        val srcSide = broadcast(guarded
+          .select(col(physKey).as("__graft_mk"),
+            struct(cols.map(col): _*).as("src")))
+        val matchedOrKept =
+          if (hit.isEmpty) None
+          else {
+            val base = scanWithDeletes(spark, root, parent, hit)
+              .select(struct(cols.map(col): _*).as("tgt"))
+            val joined = base.join(srcSide,
+              base("tgt")(physKey) <=> srcSide("__graft_mk"), "left_outer")
+            val matched = col("__graft_mk").isNotNull
+            Some(joined
+              .filter(!(matched && deleteC))
+              .select(when(matched && updateC, col("src")).otherwise(col("tgt")).as("r"))
+              .select(cols.map(c => col(s"r.$c").as(c)): _*))
+          }
+        // unmatched source rows: keys in NO dir — the hit dirs suffice (a
+        // pass dir's envelope/bloom admits no source key, so it cannot
+        // hold a match). The scan side streams through a broadcast
+        // semi-join (its ≤|batch| result then broadcasts into the anti) —
+        // the big side is never hash-built.
+        val inserts = {
+          val probe =
+            if (hit.isEmpty) guarded
+            else {
+              val matchedKeys = scanWithDeletes(spark, root, parent, hit)
+                .select(col(physKey))
+                .join(broadcast(guarded.select(col(physKey))), Seq(physKey), "left_semi")
+              guarded.join(broadcast(matchedKeys), Seq(physKey), "left_anti")
+            }
+          probe.select(struct(cols.map(col): _*).as("src"))
+            .filter(insertC)
+            .select(cols.map(c => col(s"src.$c").as(c)): _*)
+        }
+        val survivors = matchedOrKept.fold(inserts)(_.unionByName(inserts))
+        var w = survivors.write.mode("overwrite")
+        if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
+        w.parquet(s"$root/$dirName")
+        val survivorsDir: Option[String] =
+          if (dirRowCount(spark.sessionState.newHadoopConf(), s"$root/$dirName") == 0L) None
+          else Some(dirName)
+        val dirStats = survivorsDir.fold(DirStats(Map.empty, Map.empty))(d =>
+          gatherStats(spark, s"$root/$d", statsCols.map(physName(parent, _)),
+            parent.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+              .getOrElse(spark.read.parquet(s"$root/$d").schema)))
+        val dirBlooms = survivorsDir.fold(Seq.empty[String])(d =>
+          gatherBlooms(spark, s"$root/$d", bloomCols.map(physName(parent, _))))
+        val committed = publishRewriteRebasing(root, parent, rewritten = hit,
+          droppedDirs = Nil, survivorsDir = survivorsDir, dirStats, dirBlooms,
+          "merge", commitId, "mergeIntoConditional",
+          parent.schemaDdl.orElse(Some(srcPhys.schema.toDDL)),
+          (latest, newDirs) =>
+            rangeHitDirs(root, latest.copy(dirs = newDirs), guarded, physKey,
+              "mergeIntoConditional")._1)
+        (committed, hit.size, parent.dirs.size)
+    }
+  }
+
   /** Both CDC op frames must name disjoint key sets: a compacted CDC feed
     * emits ONE final op per key, so a key in both `updates` and `deletes`
     * is an upstream bug — guessing an apply order would hide it. The check

@@ -1096,6 +1096,48 @@ class IoSpec extends SparkSpec {
     assert(got3 == want3, got3.toSeq.sortBy(_._1).mkString(", "))
   }
 
+  test("VersionedTable.mergeIntoConditional: delete/update/insert clauses with struct-scoped conditions; defaults = upsert") {
+    import spark.implicits._
+    val root = tmpDir("vt_cmerge")
+    VersionedTable.commit(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "b", 40.0))
+        .toDF("k", "grp", "price"),
+      root, "append", "cm1", statsCols = Seq("k"))
+    val src = Seq((1L, "a", 99.0), (2L, "b", 25.0), (3L, "a", 1.0),
+      (9L, "c", 9.0), (10L, "c", 10.0)).toDF("k", "grp", "price")
+    val (v, rw, tot) = VersionedTable.mergeIntoConditional(spark, root, src, "k", "cm2",
+      matchedDeleteCond = Some("tgt.grp = 'a' AND src.price > tgt.price"),
+      matchedUpdateCond = Some("src.price > tgt.price"),
+      notMatchedInsertCond = Some("src.k % 2 = 0"),
+      statsCols = Seq("k"))
+    assert((v, rw, tot) == ((2L, 1, 1)), s"($v, $rw, $tot)")
+    // k=1 deleted (both delete conjuncts hold); k=2 updated (25 > 20);
+    // k=3 kept (no clause fires); k=4 untouched (not in source); k=9
+    // skipped by the insert condition; k=10 inserted
+    val got = VersionedTable.read(spark, root).as[(Long, String, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(2L -> (("b", 25.0)), 3L -> (("a", 30.0)),
+      4L -> (("b", 40.0)), 10L -> (("c", 10.0))), got.toSeq.sortBy(_._1).mkString(", "))
+    // commitId retry is a no-op
+    assert(VersionedTable.mergeIntoConditional(spark, root, src, "k", "cm2")
+      == ((2L, -1, -1)))
+    // all-default clauses behave exactly like mergeInto's upsert
+    val twinA = tmpDir("vt_cmerge_twa"); val twinB = tmpDir("vt_cmerge_twb")
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "grp", "price")
+    val batch = Seq((2L, "b", 99.0), (5L, "c", 50.0)).toDF("k", "grp", "price")
+    VersionedTable.commit(base, twinA, "append", "tw1", statsCols = Seq("k"))
+    VersionedTable.commit(base, twinB, "append", "tw1", statsCols = Seq("k"))
+    VersionedTable.mergeIntoConditional(spark, twinA, batch, "k", "tw2")
+    VersionedTable.mergeInto(spark, twinB, batch, "k", "tw2")
+    assert(VersionedTable.read(spark, twinA).as[(Long, String, Double)].collect().toSet
+      == VersionedTable.read(spark, twinB).as[(Long, String, Double)].collect().toSet)
+    // NULL source keys refused loudly, like every merge path
+    val eNull = intercept[Exception](VersionedTable.mergeIntoConditional(spark, root,
+      Seq[(java.lang.Long, String, Double)]((null, "z", 0.0)).toDF("k", "grp", "price"),
+      "k", "cm-null").toString)
+    assert(eNull.getMessage.toLowerCase.contains("null"), eNull.getMessage)
+  }
+
   test("SQL REPLACE GRAFT: backfill statement whose source query reads the table's own snapshot") {
     import spark.implicits._
     val root = tmpDir("vt_sql_replace")
