@@ -1253,6 +1253,54 @@ private[graft] object QueriesMedallionIo {
         |  CAST(2 AS BIGINT) AS dirs_rewritten, CAST(4 AS BIGINT) AS dirs_total
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S14+S17 — MERGE WITH SCHEMA EVOLUTION (mergeIntoConditional
+    // evolveSchema=true — Delta's merge autoMerge): the source carries a
+    // NEW column (o_flag), the upsert widens the snapshot schema in the
+    // same commit, matched rows take the source values, every untouched
+    // row reads the new column as NULL (rewritten dirs backfill
+    // physically, pass dirs backfill at scan time through the declared
+    // schema). The oracle replays the widened table with a CASE-derived
+    // flag and pins the NULL count.
+    Q("versioned_merge_evolve",
+      (s, dir) => {
+        val root = Fixtures.once(s, dir, "vt_merge_evolve") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_mevolve_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val b2 = mx / 2
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") <= b2),
+            r, "append", "me-a", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") > b2),
+            r, "append", "me-b", statsCols = Seq("o_orderkey"))
+          val src = o.filter(col("o_orderkey") <= b2 && col("o_orderkey") % 5 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+            .withColumn("o_flag", (col("o_orderkey") % 3).cast("int"))
+          graft.io.VersionedTable.mergeIntoConditional(s, r, src, "o_orderkey",
+            "me-apply", evolveSchema = true, statsCols = Seq("o_orderkey"))
+          r
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("price_sum"),
+            sum(coalesce(col("o_flag"), lit(0))).cast("long").as("flag_sum"),
+            (count(lit(1)) - count(col("o_flag"))).as("flag_nulls"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH q AS (SELECT max(o_orderkey) // 2 AS q2 FROM orders),
+        |d AS (SELECT o_orderpriority,
+        |  CASE WHEN o_orderkey <= q2 AND o_orderkey % 5 = 0
+        |    THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice,
+        |  CASE WHEN o_orderkey <= q2 AND o_orderkey % 5 = 0
+        |    THEN CAST(o_orderkey % 3 AS INT) END AS o_flag
+        |FROM orders CROSS JOIN q)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS price_sum,
+        |  CAST(sum(COALESCE(o_flag, 0)) AS BIGINT) AS flag_sum,
+        |  count(*) - count(o_flag) AS flag_nulls
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — MERGE-ON-READ delete (VersionedTable.deleteWhereMor — the
     // deletion-vector twin of versioned_delete's copy-on-write): the purge
     // writes ONE small key set and MARKS the envelope-hit dir; no data dir

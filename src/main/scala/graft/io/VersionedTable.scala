@@ -2518,7 +2518,10 @@ object VersionedTable {
     *
     * Same machinery as [[mergeInto]] end to end: NULL/duplicate source
     * keys refused, generated columns materialized/enforced, CHECK
-    * constraints validated, batch schema must equal the snapshot's, only
+    * constraints validated, batch schema must equal the snapshot's
+    * (unless `evolveSchema` — Delta's merge autoMerge: NEW source columns
+    * widen the snapshot under append evolution's add-only rules, rewritten
+    * dirs NULL-backfill, untouched dirs backfill at read time), only
     * envelope+bloom-hit dirs rewrite (source side broadcast — the merge
     * batch is small by contract), conflict-aware rebasing OCC, idempotent
     * under `commitId`. Returns (version, dirsRewritten, dirsTotal).
@@ -2529,7 +2532,8 @@ object VersionedTable {
                            matchedUpdateCond: Option[String] = None,
                            notMatchedInsertCond: Option[String] = None,
                            statsCols: Seq[String] = Nil,
-                           bloomCols: Seq[String] = Nil): (Long, Int, Int) = {
+                           bloomCols: Seq[String] = Nil,
+                           evolveSchema: Boolean = false): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.{broadcast, col, expr, lit, struct, when}
     findCommitVersion(root, commitId) match {
       case Some(prior) => (prior, -1, -1) // retry of a committed merge
@@ -2539,14 +2543,37 @@ object VersionedTable {
         val sourceG = materializeGenerated(parent.generated, source, "mergeIntoConditional")
         val srcPhys = toPhysicalDf(parent, sourceG)
         val physKey = physName(parent, keyCol)
-        parent.schemaDdl.foreach { pd =>
-          val ps = org.apache.spark.sql.types.StructType.fromDDL(pd)
-          val want = ps.fields.map(f => f.name -> f.dataType.sql).toMap
-          val got = srcPhys.schema.fields.map(f => f.name -> f.dataType.sql).toMap
-          require(want == got,
-            s"mergeIntoConditional: source schema ${got.toSeq.sorted} must equal the " +
-              s"snapshot schema ${want.toSeq.sorted}")
-        }
+        // evolveSchema = Delta's merge autoMerge: NEW source columns widen
+        // the snapshot under the same add-only rules as append evolution
+        // (type changes and missing columns still refuse; a dropped name
+        // cannot resurrect — its physical slots persist in pre-drop
+        // files); rewritten dirs NULL-backfill the new columns and
+        // untouched dirs backfill at read time through the declared
+        // schema, so evolution costs nothing beyond the merge itself
+        val evolved: Option[org.apache.spark.sql.types.StructType] =
+          if (!evolveSchema) {
+            parent.schemaDdl.foreach { pd =>
+              val ps = org.apache.spark.sql.types.StructType.fromDDL(pd)
+              val want = ps.fields.map(f => f.name -> f.dataType.sql).toMap
+              val got = srcPhys.schema.fields.map(f => f.name -> f.dataType.sql).toMap
+              require(want == got,
+                s"mergeIntoConditional: source schema ${got.toSeq.sorted} must equal the " +
+                  s"snapshot schema ${want.toSeq.sorted} (evolveSchema=true for " +
+                  "add-column merge evolution)")
+            }
+            None
+          } else {
+            val parentFields = parent.schemaDdl
+              .map(org.apache.spark.sql.types.StructType.fromDDL(_).fieldNames.toSet)
+              .getOrElse(Set.empty[String])
+            val resurrected = srcPhys.schema.fieldNames
+              .filterNot(parentFields.contains).filter(parent.dropped.contains)
+            require(resurrected.isEmpty,
+              s"mergeIntoConditional: column(s) ${resurrected.mkString(", ")} were " +
+                "DROPPED — their physical slots persist in pre-drop files and would " +
+                "resurface; pick a different name, or compact/overwrite first")
+            Some(evolvedSchema(parent.schemaDdl, srcPhys.schema))
+          }
         enforceConstraints(parent.constraints, sourceG, "mergeIntoConditional")
         val guarded = guardMergeBatch(srcPhys, physKey, "mergeIntoConditional")
         val (hit, _) = rangeHitDirs(root, parent, guarded, physKey, "mergeIntoConditional")
@@ -2554,7 +2581,7 @@ object VersionedTable {
         val dirName = attemptDirName("data", v, commitId)
         // one fixed column order for BOTH structs, so when(...) can pick
         // either side as the row value
-        val cols = srcPhys.schema.fieldNames.toSeq
+        val cols = evolved.map(_.fieldNames.toSeq).getOrElse(srcPhys.schema.fieldNames.toSeq)
         val deleteC = matchedDeleteCond.map(expr).getOrElse(lit(false))
         val updateC = matchedUpdateCond.map(expr).getOrElse(lit(true))
         val insertC = notMatchedInsertCond.map(expr).getOrElse(lit(true))
@@ -2564,7 +2591,9 @@ object VersionedTable {
         val matchedOrKept =
           if (hit.isEmpty) None
           else {
-            val base = scanWithDeletes(spark, root, parent, hit)
+            // under evolution the stored rows lack the new columns —
+            // NULL-backfill to the widened shape before struct building
+            val base = alignTo(evolved)(scanWithDeletes(spark, root, parent, hit))
               .select(struct(cols.map(col): _*).as("tgt"))
             val joined = base.join(srcSide,
               base("tgt")(physKey) <=> srcSide("__graft_mk"), "left_outer")
@@ -2601,14 +2630,16 @@ object VersionedTable {
           else Some(dirName)
         val dirStats = survivorsDir.fold(DirStats(Map.empty, Map.empty))(d =>
           gatherStats(spark, s"$root/$d", statsCols.map(physName(parent, _)),
-            parent.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+            evolved.orElse(parent.schemaDdl
+                .map(org.apache.spark.sql.types.StructType.fromDDL))
               .getOrElse(spark.read.parquet(s"$root/$d").schema)))
         val dirBlooms = survivorsDir.fold(Seq.empty[String])(d =>
           gatherBlooms(spark, s"$root/$d", bloomCols.map(physName(parent, _))))
         val committed = publishRewriteRebasing(root, parent, rewritten = hit,
           droppedDirs = Nil, survivorsDir = survivorsDir, dirStats, dirBlooms,
           "merge", commitId, "mergeIntoConditional",
-          parent.schemaDdl.orElse(Some(srcPhys.schema.toDDL)),
+          evolved.map(_.toDDL).orElse(parent.schemaDdl)
+            .orElse(Some(srcPhys.schema.toDDL)),
           (latest, newDirs) =>
             rangeHitDirs(root, latest.copy(dirs = newDirs), guarded, physKey,
               "mergeIntoConditional")._1)

@@ -1138,6 +1138,38 @@ class IoSpec extends SparkSpec {
     assert(eNull.getMessage.toLowerCase.contains("null"), eNull.getMessage)
   }
 
+  test("mergeIntoConditional evolveSchema: new source columns widen the snapshot, old rows NULL-backfill, era-correct travel") {
+    import spark.implicits._
+    val root = tmpDir("vt_merge_evolve")
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"),
+      root, "append", "me1", statsCols = Seq("k"))
+    val src = Seq((2L, "B", 7), (9L, "i", 9)).toDF("k", "v", "score")
+    // strict mode refuses the extra column
+    val eStrict = intercept[Exception](
+      VersionedTable.mergeIntoConditional(spark, root, src, "k", "me-strict"))
+    assert(eStrict.getMessage.contains("evolveSchema"), eStrict.getMessage)
+    // evolving merge: k=2 updated (gains score), k=9 inserted, k=1/3
+    // NULL-backfill the new column
+    VersionedTable.mergeIntoConditional(spark, root, src, "k", "me2",
+      evolveSchema = true, statsCols = Seq("k"))
+    val got = VersionedTable.read(spark, root).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2)))).toMap
+    assert(got == Map(1L -> (("a", -1)), 2L -> (("B", 7)), 3L -> (("c", -1)),
+      9L -> (("i", 9))), got.toSeq.sortBy(_._1).mkString(", "))
+    // time travel to v1 shows the pre-evolution shape
+    assert(VersionedTable.read(spark, root, Some(1L)).columns.toSeq == Seq("k", "v"))
+    // a type change is still refused — evolution is add-only
+    val eType = intercept[Exception](VersionedTable.mergeIntoConditional(spark, root,
+      Seq((2L, 5L, 7)).toDF("k", "v", "score"), "k", "me-type", evolveSchema = true))
+    assert(eType.getMessage.contains("type change"), eType.getMessage)
+    // post-evolution merges use the widened schema strictly
+    VersionedTable.mergeIntoConditional(spark, root,
+      Seq((3L, "C", 3)).toDF("k", "v", "score"), "k", "me3", statsCols = Seq("k"))
+    assert(VersionedTable.read(spark, root).filter(col("k") === 3L)
+      .head().getInt(2) == 3)
+  }
+
   test("SQL REPLACE GRAFT: backfill statement whose source query reads the table's own snapshot") {
     import spark.implicits._
     val root = tmpDir("vt_sql_replace")
