@@ -1301,6 +1301,61 @@ private[graft] object QueriesMedallionIo {
         |  count(*) - count(o_flag) AS flag_nulls
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S4+S17 — COPY INTO (VersionedTable.copyInto — Delta's idempotent
+    // file-granular ingestion, the cron-driven landing-zone drain): three
+    // staged files load as one commit, a re-run with a fresh commitId
+    // SKIPS all three and publishes nothing, and when a late restatement
+    // file lands only IT loads — per-file dedup via commitId-validated
+    // ingest markers, never the manifest, so the log stays KB-sized at
+    // any file count. The driver row pins the loaded/skipped counts of
+    // all three runs plus the final table against an append-shaped
+    // oracle.
+    Q("versioned_copy_into",
+      (s, dir) => {
+        val (root, firstLoad, rerunSkip, thirdLoad) = Fixtures.once(s, dir, "vt_copyinto") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_cpin_${dirTag(dir)}"
+          val stage = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_cpin_stage_${dirTag(dir)}"
+          rmrf(r); rmrf(stage)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2) = (mx / 3, 2 * mx / 3)
+          o.filter(col("o_orderkey") <= b1).coalesce(1).write.parquet(s"$stage/c0")
+          o.filter(col("o_orderkey") > b1 && col("o_orderkey") <= b2)
+            .coalesce(1).write.parquet(s"$stage/c1")
+          o.filter(col("o_orderkey") > b2).coalesce(1).write.parquet(s"$stage/c2")
+          val glob = s"$stage/c*/part-*.parquet"
+          val (_, l1, _) = graft.io.VersionedTable.copyInto(s, r, glob, "cpin-1",
+            statsCols = Seq("o_orderkey"))
+          val (_, _, s2) = graft.io.VersionedTable.copyInto(s, r, glob, "cpin-2")
+          // a late restatement file: the k%7 rows re-priced
+          o.filter(col("o_orderkey") % 7 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(50.0))
+            .coalesce(1).write.parquet(s"$stage/c3")
+          val (_, l3, _) = graft.io.VersionedTable.copyInto(s, r, glob, "cpin-3",
+            statsCols = Seq("o_orderkey"))
+          (r, l1.toLong, s2.toLong, l3.toLong)
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("price_sum"))
+          .withColumn("files_first", lit(firstLoad))
+          .withColumn("files_rerun_skipped", lit(rerunSkip))
+          .withColumn("files_third", lit(thirdLoad))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH d AS (
+        |  SELECT o_orderpriority, o_totalprice FROM orders
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice + 50.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS price_sum,
+        |  CAST(3 AS BIGINT) AS files_first, CAST(3 AS BIGINT) AS files_rerun_skipped,
+        |  CAST(1 AS BIGINT) AS files_third
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — MERGE-ON-READ delete (VersionedTable.deleteWhereMor — the
     // deletion-vector twin of versioned_delete's copy-on-write): the purge
     // writes ONE small key set and MARKS the envelope-hit dir; no data dir

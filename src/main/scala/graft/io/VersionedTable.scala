@@ -2495,6 +2495,77 @@ object VersionedTable {
     }
   }
 
+  /** COPY INTO — idempotent FILE-GRANULAR ingestion (the public Delta /
+    * Databricks `COPY INTO` semantics): load every file matching `glob`
+    * that has not already been loaded, as ONE append commit; files seen
+    * before are SKIPPED, so re-running after new files arrive loads
+    * exactly the delta — the cron-driven landing-zone drain pattern.
+    * Idempotence is per FILE, tracked by content-addressed marker side
+    * files under `ingest/` (md5 of the source path → {path, commitId}):
+    * O(1) driver check per candidate, nothing added to the manifest, so
+    * the commit log stays KB-sized however many files ever load. A marker
+    * counts only when its commitId actually COMMITTED — a crashed attempt
+    * leaves markers pointing at no committed version and its files reload
+    * under the retried commitId. The heal path (crash between commit and
+    * marker writes) requires the caller to RETRY THE SAME commitId until
+    * success — the same contract every verb's idempotence already
+    * carries. The batch takes the standard append path through
+    * [[commit]], so schema-evolution rules, CHECK constraints, generated
+    * columns, and stats/bloom gathering all apply unchanged; `ingest/` is
+    * outside vacuum's sweep roots (`data/`, `deletes/`) by construction.
+    *
+    * Returns (version, filesLoaded, filesSkipped); a run with no new
+    * files publishes NOTHING and returns the current version.
+    */
+  def copyInto(spark: SparkSession, root: String, glob: String, commitId: String,
+               format: String = "parquet", statsCols: Seq[String] = Nil,
+               bloomCols: Seq[String] = Nil): (Long, Int, Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val gp = new org.apache.hadoop.fs.Path(glob)
+    val files = Option(gp.getFileSystem(conf).globStatus(gp))
+      .getOrElse(Array.empty).filter(_.isFile)
+      .map(_.getPath.toUri.getPath).sorted.toSeq
+    require(files.nonEmpty, s"copyInto: no files match $glob")
+    val ingestDir = Paths.get(root, "ingest")
+    Files.createDirectories(ingestDir)
+    def markerOf(path: String) = ingestDir.resolve(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(path.getBytes(StandardCharsets.UTF_8))
+        .map(b => f"$b%02x").mkString + ".json")
+    def alreadyLoaded(path: String): Boolean = {
+      val m = markerOf(path)
+      Files.isRegularFile(m) && {
+        val n = mapper.readTree(Files.readString(m))
+        Option(n.get("commitId")).map(_.asText)
+          .exists(cid => findCommitVersion(root, cid).isDefined)
+      }
+    }
+    val (skipped, fresh) = files.partition(alreadyLoaded)
+    if (fresh.isEmpty)
+      return (latestVersion(root).getOrElse(
+        sys.error(s"copyInto: every file of $glob is marked loaded but $root has no " +
+          "commits — the ingest markers belong to a different table at this path")),
+        0, skipped.size)
+    val v = findCommitVersion(root, commitId) match {
+      case Some(prior) => prior // committed retry: fall through to heal markers
+      case None =>
+        commit(spark.read.format(format).load(fresh: _*), root, "append", commitId,
+          statsCols = statsCols, bloomCols = bloomCols)
+    }
+    // markers land AFTER the commit is durable: a crash in between leaves
+    // loaded-but-unmarked files, and the same-commitId retry short-circuits
+    // to the committed version above, then heals the markers here
+    fresh.foreach { p =>
+      val n = mapper.createObjectNode()
+      n.put("path", p); n.put("commitId", commitId)
+      val tmp = Files.createTempFile(ingestDir, "m", ".tmp")
+      Files.write(tmp, mapper.writeValueAsString(n).getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, markerOf(p), java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    (v, fresh.size, skipped.size)
+  }
+
   /** CONDITIONAL multi-clause MERGE — the full Delta merge shape:
     *
     * {{{

@@ -1170,6 +1170,45 @@ class IoSpec extends SparkSpec {
       .head().getInt(2) == 3)
   }
 
+  test("VersionedTable.copyInto: file-granular idempotent ingestion — new files load, seen files skip, stale markers ignored") {
+    import spark.implicits._
+    val root = tmpDir("vt_copyinto")
+    val stage = tmpDir("vt_copyinto_stage")
+    Seq((1L, "a")).toDF("k", "v").coalesce(1).write.parquet(s"$stage/f1")
+    Seq((2L, "b")).toDF("k", "v").coalesce(1).write.parquet(s"$stage/f2")
+    val glob = s"$stage/f*/part-*.parquet"
+    val (v1, l1, s1) = VersionedTable.copyInto(spark, root, glob, "ci-1",
+      statsCols = Seq("k"))
+    assert((v1, l1, s1) == ((1L, 2, 0)), s"($v1, $l1, $s1)")
+    assert(VersionedTable.read(spark, root).count() == 2)
+    // rerun with a fresh commitId: everything skips, NOTHING publishes
+    assert(VersionedTable.copyInto(spark, root, glob, "ci-2") == ((1L, 0, 2)))
+    assert(VersionedTable.history(root).size == 1)
+    // a third file arrives — only it loads
+    Seq((3L, "c")).toDF("k", "v").coalesce(1).write.parquet(s"$stage/f3")
+    val (v3, l3, s3) = VersionedTable.copyInto(spark, root, glob, "ci-3",
+      statsCols = Seq("k"))
+    assert((v3, l3, s3) == ((2L, 1, 2)), s"($v3, $l3, $s3)")
+    assert(VersionedTable.read(spark, root).as[(Long, String)].collect().toSet
+      == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // same-commitId retry: version short-circuits, file now counts loaded
+    assert(VersionedTable.copyInto(spark, root, glob, "ci-3") == ((2L, 0, 3)))
+    // a marker whose commitId never committed is a crashed attempt — the
+    // file is NOT loaded and must load now
+    Seq((4L, "d")).toDF("k", "v").coalesce(1).write.parquet(s"$stage/f4")
+    val f4part = new java.io.File(s"$stage/f4").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getPath
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(f4part.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "ingest", md5 + ".json"),
+      s"""{"path":"$f4part","commitId":"ghost-never-committed"}""")
+    val (v5, l5, s5) = VersionedTable.copyInto(spark, root, glob, "ci-5",
+      statsCols = Seq("k"))
+    assert((v5, l5, s5) == ((3L, 1, 3)), s"($v5, $l5, $s5)")
+    assert(VersionedTable.read(spark, root).count() == 4)
+  }
+
   test("SQL REPLACE GRAFT: backfill statement whose source query reads the table's own snapshot") {
     import spark.implicits._
     val root = tmpDir("vt_sql_replace")
