@@ -1356,6 +1356,68 @@ private[graft] object QueriesMedallionIo {
         |  CAST(1 AS BIGINT) AS files_third
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S15+S17 — the SQL MERGE statement (GraftMergeCommand →
+    // mergeIntoConditional): MERGE GRAFT ... ON key FROM (<query>) WHEN
+    // MATCHED AND <cond> THEN DELETE / WHEN NOT MATCHED AND <cond> THEN
+    // INSERT — the last verb gains its SQL form, closing the statement
+    // surface. Same clause semantics and dir economics as
+    // versioned_merge_conditional (urgent matches DELETE, others take the
+    // source row, only even negative keys INSERT; bands 3-4 pass by
+    // reference) but parsed from SQL with a temp-view source and
+    // AND-bearing conditions — what this row pins.
+    Q("versioned_sql_merge",
+      (s, dir) => {
+        val (root, hit, total) = Fixtures.once(s, dir, "vt_sqlmerge") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_sqlmerge_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          Seq(("qm1", col("o_orderkey") <= b1),
+            ("qm2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("qm3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
+            ("qm4", col("o_orderkey") > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"qm-$id",
+              statsCols = Seq("o_orderkey"))
+          }
+          o.filter(col("o_orderkey") <= b2 && col("o_orderkey") % 5 === 0)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+            .unionByName(o.filter(col("o_orderkey") % 11 === 0 && col("o_orderkey") > 0)
+              .withColumn("o_orderkey", -col("o_orderkey"))
+              .withColumn("o_totalprice", col("o_totalprice") + lit(7.0)))
+            .createOrReplaceTempView("vt_sqlmerge_src")
+          val row = s.sql(
+            s"""MERGE GRAFT '$r' ON o_orderkey FROM (SELECT * FROM vt_sqlmerge_src)
+               |WHEN MATCHED AND tgt.o_orderpriority = '1-URGENT' THEN DELETE
+               |WHEN MATCHED THEN UPDATE
+               |WHEN NOT MATCHED AND src.o_orderkey % 2 = 0 THEN INSERT""".stripMargin)
+            .head()
+          (r, row.getInt(1).toLong, row.getInt(2).toLong)
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("price_sum"))
+          .withColumn("dirs_rewritten", lit(hit))
+          .withColumn("dirs_total", lit(total))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH q AS (SELECT max(o_orderkey) // 2 AS q2 FROM orders),
+        |d AS (
+        |  SELECT o_orderpriority,
+        |    CASE WHEN o_orderkey <= q2 AND o_orderkey % 5 = 0
+        |      THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice
+        |  FROM orders CROSS JOIN q
+        |  WHERE NOT (o_orderkey <= q2 AND o_orderkey % 5 = 0 AND o_orderpriority = '1-URGENT')
+        |  UNION ALL
+        |  SELECT o_orderpriority, o_totalprice + 7.0 AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey > 0 AND o_orderkey % 2 = 0
+        |)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS price_sum,
+        |  CAST(2 AS BIGINT) AS dirs_rewritten, CAST(4 AS BIGINT) AS dirs_total
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — MERGE-ON-READ delete (VersionedTable.deleteWhereMor — the
     // deletion-vector twin of versioned_delete's copy-on-write): the purge
     // writes ONE small key set and MARKS the envelope-hit dir; no data dir

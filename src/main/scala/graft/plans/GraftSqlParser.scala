@@ -29,6 +29,11 @@ import graft.io.VersionedTable
   *       WHERE <col> IN (...) | <col> BETWEEN <lit> AND <lit>
   *   REPLACE GRAFT '<root>' WHERE <col> BETWEEN <lit> AND <lit>
   *       FROM (<query>)
+  *   MERGE GRAFT '<root>' ON <keyCol> FROM (<query>)
+  *       [WHEN MATCHED [AND <cond>] THEN DELETE]
+  *       [WHEN MATCHED [AND <cond>] THEN UPDATE]
+  *       [WHEN NOT MATCHED [AND <cond>] THEN INSERT]
+  *       [WITH SCHEMA EVOLUTION]
   * }}}
   *
   * The `GRAFT` keyword after the verb keeps the grammar disjoint from
@@ -81,6 +86,37 @@ object GraftSqlParser {
     """(?is)\s*UPDATE\s+GRAFT\s+'([^']+)'\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*;?\s*""".r
   private val replaceRe =
     """(?is)\s*REPLACE\s+GRAFT\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+(\S+|'[^']*')\s+AND\s+(\S+|'[^']*')\s+FROM\s+\((.*)\)\s*;?\s*""".r
+  private val mergeRe =
+    """(?is)\s*MERGE\s+GRAFT\s+'([^']+)'\s+ON\s+(\w+)\s+FROM\s+\((.*)""".r
+  private val whenDeleteRe =
+    """(?is).*\bWHEN\s+MATCHED\s+(?:AND\s+(.*?)\s+)?THEN\s+DELETE\b.*""".r
+  private val whenUpdateRe =
+    """(?is).*\bWHEN\s+MATCHED\s+(?:AND\s+(.*?)\s+)?THEN\s+UPDATE\b.*""".r
+  private val whenInsertRe =
+    """(?is).*\bWHEN\s+NOT\s+MATCHED\s+(?:AND\s+(.*?)\s+)?THEN\s+INSERT\b.*""".r
+  private val evolutionRe = """(?is).*\bWITH\s+SCHEMA\s+EVOLUTION\b.*""".r
+
+  /** Split "query) trailing" at the PAREN BALANCING the already-consumed
+    * `FROM (` opener — the inner query may itself contain parentheses and
+    * quoted strings, so this is a scan, not a regex.
+    */
+  private def splitBalanced(s: String): Option[(String, String)] = {
+    var depth = 1; var inStr = false; var i = 0
+    while (i < s.length) {
+      val ch = s.charAt(i)
+      if (inStr) { if (ch == '\'') inStr = false }
+      else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return Some((s.substring(0, i), s.substring(i + 1)))
+        case _ => ()
+      }
+      i += 1
+    }
+    None
+  }
   private val whereInRe = """(?is)\s*(\w+)\s+IN\s*\(([^)]*)\)\s*""".r
   private val whereBetweenRe =
     """(?is)\s*(\w+)\s+BETWEEN\s+(\S+|'[^']*')\s+AND\s+(\S+|'[^']*')\s*""".r
@@ -135,6 +171,32 @@ object GraftSqlParser {
       Some(GraftDeleteCommand(root, col, Right((litValue(lo), litValue(hi)))))
     case replaceRe(root, col, lo, hi, src) =>
       Some(GraftReplaceCommand(root, col, litValue(lo), litValue(hi), src))
+    case mergeRe(root, key, tail) =>
+      val (src, clauses) = splitBalanced(tail).getOrElse(
+        sys.error("MERGE GRAFT: unbalanced parentheses around the FROM (<query>)"))
+      // clause presence → mergeIntoConditional conditions. With NO WHEN
+      // clause at all the statement is the plain upsert (update always,
+      // insert always); with ANY clause present, an ABSENT clause means
+      // that action never fires — Delta's semantics, where unlisted
+      // actions don't happen
+      def clause(m: Option[Option[String]], whenAbsent: Option[String],
+                 whenBare: Option[String]): Option[String] = m match {
+        case None => whenAbsent
+        case Some(None) => whenBare
+        case Some(Some(c)) => Some(c.trim)
+      }
+      val del = clauses match { case whenDeleteRe(c) => Some(Option(c)); case _ => None }
+      val upd = clauses match { case whenUpdateRe(c) => Some(Option(c)); case _ => None }
+      val ins = clauses match { case whenInsertRe(c) => Some(Option(c)); case _ => None }
+      val evolve = evolutionRe.matches(clauses)
+      val noClauses = del.isEmpty && upd.isEmpty && ins.isEmpty
+      Some(
+        if (noClauses) GraftMergeCommand(root, key, src, None, None, None, evolve)
+        else GraftMergeCommand(root, key, src,
+          clause(del, whenAbsent = None, whenBare = Some("true")),
+          clause(upd, whenAbsent = Some("false"), whenBare = None),
+          clause(ins, whenAbsent = Some("false"), whenBare = None),
+          evolve))
     case updateRe(root, setList, where) =>
       val set = splitSetList(setList).toMap
       where match {
@@ -332,6 +394,34 @@ case class GraftReplaceCommand(root: String, col: String, lo: Any, hi: Any,
       lo, hi, spark.sql(sourceSql), commitId,
       statsCols = statsCols, bloomCols = bloomCols)
     Seq(Row(v, drop, rw, tot))
+  }
+}
+
+/** `MERGE GRAFT '<root>' ON <key> FROM (<query>) [WHEN ...]*` →
+  * [[VersionedTable.mergeIntoConditional]] — the SQL form of the full
+  * conditional merge, closing the last verb without a SQL statement.
+  * Clause conditions are the verb's tgt/src struct-scoped SQL; the
+  * source query parses through the session's full surface (incl.
+  * graft_table). `WITH SCHEMA EVOLUTION` maps to evolveSchema.
+  */
+case class GraftMergeCommand(root: String, keyCol: String, sourceSql: String,
+                             deleteCond: Option[String], updateCond: Option[String],
+                             insertCond: Option[String],
+                             evolveSchema: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("dirs_rewritten", IntegerType, nullable = false)(),
+    AttributeReference("dirs_total", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val commitId = s"sql-merge-${java.util.UUID.randomUUID().toString.take(12)}"
+    val (statsCols, bloomCols) = VersionedTable.indexedCols(root)
+    val (v, rw, tot) = VersionedTable.mergeIntoConditional(spark, root,
+      spark.sql(sourceSql), keyCol, commitId,
+      matchedDeleteCond = deleteCond, matchedUpdateCond = updateCond,
+      notMatchedInsertCond = insertCond,
+      statsCols = statsCols, bloomCols = bloomCols, evolveSchema = evolveSchema)
+    Seq(Row(v, rw, tot))
   }
 }
 

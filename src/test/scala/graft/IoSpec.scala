@@ -1209,6 +1209,51 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 4)
   }
 
+  test("SQL MERGE GRAFT: conditional clauses, paren-bearing source query, no-clause upsert, WITH SCHEMA EVOLUTION") {
+    import spark.implicits._
+    val root = tmpDir("vt_sql_merge")
+    VersionedTable.commit(
+      Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0), (4L, "b", 40.0))
+        .toDF("k", "grp", "price"),
+      root, "append", "sm1", statsCols = Seq("k"))
+    Seq((1L, "a", 99.0), (2L, "b", 25.0), (3L, "a", 1.0), (9L, "c", 9.0),
+      (10L, "c", 10.0)).toDF("k", "grp", "price")
+      .createOrReplaceTempView("sm_src")
+    // full clause set; the source query carries parentheses and the
+    // conditions carry AND — both must survive parsing
+    val res = spark.sql(
+      s"""MERGE GRAFT '$root' ON k FROM (SELECT k, grp, round(price, (1)) AS price FROM sm_src)
+         |WHEN MATCHED AND tgt.grp = 'a' AND src.price > tgt.price THEN DELETE
+         |WHEN MATCHED AND src.price > tgt.price THEN UPDATE
+         |WHEN NOT MATCHED AND src.k % 2 = 0 THEN INSERT""".stripMargin).head()
+    assert((res.getLong(0), res.getInt(1), res.getInt(2)) == ((2L, 1, 1)), res.toString)
+    val got = VersionedTable.read(spark, root).as[(Long, String, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(2L -> (("b", 25.0)), 3L -> (("a", 30.0)),
+      4L -> (("b", 40.0)), 10L -> (("c", 10.0))), got.toSeq.sortBy(_._1).mkString(", "))
+    // an UPDATE-only statement leaves non-matching matched rows UNCHANGED
+    // (no implicit upsert when any clause is spelled)
+    spark.sql(s"MERGE GRAFT '$root' ON k FROM (SELECT * FROM sm_src WHERE k = 3) " +
+      "WHEN MATCHED AND src.price > tgt.price THEN UPDATE").collect()
+    assert(VersionedTable.read(spark, root).filter(col("k") === 3L)
+      .head().getDouble(2) == 30.0) // 1.0 > 30.0 is false; no insert clause either
+    // no clauses at all = the plain upsert
+    spark.sql(s"MERGE GRAFT '$root' ON k FROM (SELECT * FROM sm_src WHERE k IN (3, 9))")
+      .collect()
+    val up = VersionedTable.read(spark, root).as[(Long, String, Double)]
+      .collect().map(r => r._1 -> r._3).toMap
+    assert(up(3L) == 1.0 && up(9L) == 9.0, up.toSeq.sortBy(_._1).mkString(", "))
+    // WITH SCHEMA EVOLUTION widens through SQL
+    Seq((2L, "b", 25.0, 7)).toDF("k", "grp", "price", "score")
+      .createOrReplaceTempView("sm_src_ev")
+    spark.sql(s"MERGE GRAFT '$root' ON k FROM (SELECT * FROM sm_src_ev) " +
+      "WITH SCHEMA EVOLUTION").collect()
+    val r2 = VersionedTable.read(spark, root)
+    assert(r2.columns.contains("score"))
+    assert(r2.filter(col("k") === 2L).head().getInt(3) == 7)
+    assert(r2.filter(col("k") === 4L).head().isNullAt(3))
+  }
+
   test("SQL REPLACE GRAFT: backfill statement whose source query reads the table's own snapshot") {
     import spark.implicits._
     val root = tmpDir("vt_sql_replace")
