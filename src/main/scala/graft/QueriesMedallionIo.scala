@@ -1418,6 +1418,54 @@ private[graft] object QueriesMedallionIo {
         |  CAST(2 AS BIGINT) AS dirs_rewritten, CAST(4 AS BIGINT) AS dirs_total
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — PARTITION-SCOPED Z-ORDER (compactWhere + withZValue — Delta's
+    // OPTIMIZE WHERE ... ZORDER BY): only the hive dir holding the
+    // selected priority rewrites (dirs_rewritten 1 of 2, driver-visible),
+    // clustered WITHIN the partition along the Morton curve with the
+    // partition columns prefixing the range key; both clustered axes then
+    // prune the file index (x_pruned / y_pruned) while the unselected
+    // partition passes by reference untouched.
+    Q("versioned_optimize_where_z",
+      (s, dir) => {
+        val (root, hit, total) = Fixtures.once(s, dir, "vt_optwherez") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_owz_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_orderpriority")
+          val hotSet = Seq("1-URGENT", "2-HIGH")
+          graft.io.VersionedTable.commit(
+            o.filter(col("o_orderpriority").isin(hotSet: _*)), r, "append", "owz-a",
+            statsCols = Seq("o_orderkey", "o_custkey"),
+            partitionCols = Seq("o_orderpriority"))
+          graft.io.VersionedTable.commit(
+            o.filter(!col("o_orderpriority").isin(hotSet: _*)), r, "append", "owz-b",
+            statsCols = Seq("o_orderkey", "o_custkey"),
+            partitionCols = Seq("o_orderpriority"))
+          val row = s.sql(s"OPTIMIZE GRAFT '$r' TARGET 16 " +
+            "WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') " +
+            "ZORDER BY (o_orderkey, o_custkey)").head()
+          (r, row.getInt(1).toLong, row.getInt(2).toLong)
+        }
+        val o = rd(s, dir, "orders")
+        val mk = o.agg(max(col("o_orderkey")), max(col("o_custkey"))).head()
+        val (kb, cb) = (mk.getLong(0) / 8, mk.getLong(1) / 8)
+        val (sk, tk) = graft.io.VersionedTable.planRangeFiles(root, "o_orderkey", 0L, kb)
+        val (sc, tc) = graft.io.VersionedTable.planRangeFiles(root, "o_custkey", 0L, cb)
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("okey_sum"))
+          .withColumn("dirs_rewritten", lit(hit))
+          .withColumn("dirs_total", lit(total))
+          .withColumn("k_pruned", lit(sk < tk))
+          .withColumn("c_pruned", lit(sc < tc))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS okey_sum,
+        |  CAST(1 AS BIGINT) AS dirs_rewritten, CAST(2 AS BIGINT) AS dirs_total,
+        |  TRUE AS k_pruned, TRUE AS c_pruned
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — MERGE-ON-READ delete (VersionedTable.deleteWhereMor — the
     // deletion-vector twin of versioned_delete's copy-on-write): the purge
     // writes ONE small key set and MARKS the envelope-hit dir; no data dir

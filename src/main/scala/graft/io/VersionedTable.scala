@@ -3554,6 +3554,65 @@ object VersionedTable {
     * append-grown table in place (as a commit), where
     * `versioned_zorder_scan`'s shape is a fresh bulk load.
     */
+  /** Append `__graft_dims` (the 10-bit rank-scaled bucket array) and
+    * `__graft_z` (the `curve` distance over it) to `cur` — the shared
+    * clustering step of [[compact]] and [[compactWhere]]. Per-dimension
+    * MONOTONE long mapping: micros for timestamps, the raw value for
+    * integrals, and the first 60 bits of the UTF-8 byte sequence for
+    * strings (hex-prefix, right-padded so shorter strings stay
+    * left-aligned) — order-preserving in exactly the envelope order
+    * utf8Compare/parquet use, so the rebuilt per-file STRING envelopes
+    * stay tight and range predicates on a string dimension prune files
+    * like any integral dimension. One bounded 2k-scalar probe sizes the
+    * per-dimension envelopes; rank-scaling to 10 bits keeps any one
+    * magnitude from dominating the interleave. `curve = "morton"` is the
+    * k-way round-robin bit interleave (bit j of dimension i at position
+    * j*k + i, ≤ 60 bits for k ≤ 6); `curve = "hilbert"` is the native
+    * codegen'd Hilbert distance (liquid clustering's curve): consecutive
+    * distances are grid neighbors, so each output file's bounding box is
+    * at least as tight as Morton's on every dimension.
+    */
+  private def withZValue(spark: SparkSession, cur: DataFrame, parent: Commit,
+                         zorderBy: Seq[String], curve: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, floor, lit, max, min, shiftleft, shiftright}
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
+    val k = zorderBy.size
+    require(k >= 2 && k <= 6, s"zorderBy takes 2..6 columns, got $zorderBy")
+    zorderBy.foreach(c => require(!parent.partitionCols.contains(physName(parent, c)),
+      s"zorderBy: '$c' is a hive partition column — constant within every file it " +
+        "could cluster; pick data columns"))
+    val physZorder = zorderBy.map(physName(parent, _))
+    def monoCol(physC: String, logC: String) = cur.schema(physC).dataType match {
+      case TimestampType | TimestampNTZType =>
+        expr(s"unix_micros(cast(`$physC` as timestamp))")
+      case LongType | IntegerType => col(physC).cast("long")
+      case StringType => expr(
+        s"cast(conv(substring(rpad(hex(encode(`$physC`, 'UTF-8')), 15, '0'), 1, 15), 16, 10) as bigint)")
+      case other => sys.error(
+        s"zorderBy supports integral/timestamp/string columns; $logC is $other")
+    }
+    val dims = physZorder.zip(zorderBy).map { case (p, l) => monoCol(p, l) }
+    val aggs = dims.flatMap(d => Seq(min(d), max(d)))
+    val r = cur.agg(aggs.head, aggs.tail: _*).head()
+    val buckets = dims.zipWithIndex.map { case (d, i) =>
+      require(!r.isNullAt(2 * i),
+        s"zorderBy: clustering column ${zorderBy(i)} is entirely NULL")
+      val (lo0, hi0) = (r.getLong(2 * i), r.getLong(2 * i + 1))
+      floor((d - lo0) * 1024.0 / math.max(1L, hi0 - lo0 + 1)).cast("long")
+    }
+    val z =
+      if (curve == "hilbert") {
+        graft.functions.ArrayOps.register(spark)
+        expr(s"hilbert_index(__graft_dims)")
+      } else
+        (for { j <- 0 until 10; i <- buckets.indices } yield
+          shiftleft(shiftright(buckets(i), j).bitwiseAND(lit(1L)), j * k + i)
+        ).reduce(_ + _)
+    cur.withColumn("__graft_dims",
+        org.apache.spark.sql.functions.array(buckets: _*))
+      .withColumn("__graft_z", z)
+  }
+
   def compact(spark: SparkSession, root: String, commitId: String,
               targetFiles: Int, statsCols: Seq[String] = Nil,
               bloomCols: Seq[String] = Nil, zorderBy: Seq[String] = Nil,
@@ -3571,61 +3630,13 @@ object VersionedTable {
         parent.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
           s"snapshot v${parent.version} references vacuumed dir ${dirPath(root, d)}"))
         val cur = scanWithDeletes(spark, root, parent, parent.dirs)
-        val physZorder = zorderBy.map(physName(parent, _))
         val df =
           if (zorderBy.nonEmpty) {
-            import org.apache.spark.sql.functions.{col, expr, floor, lit, max, min, shiftleft, shiftright}
-            import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
-            val k = zorderBy.size
-            require(k >= 2 && k <= 6, s"zorderBy takes 2..6 columns, got $zorderBy")
+            import org.apache.spark.sql.functions.col
             require(parent.partitionCols.isEmpty,
-              "zorderBy applies to flat snapshots (hive partitions already cluster)")
-            // per-dimension MONOTONE long: micros for timestamps, the raw
-            // value for integrals, and the first 60 bits of the UTF-8 byte
-            // sequence for strings (hex-prefix, right-padded so shorter
-            // strings stay left-aligned) — order-preserving in exactly the
-            // envelope order utf8Compare/parquet use, so the rebuilt
-            // per-file STRING envelopes stay tight and range predicates on
-            // a string dimension prune files like any integral dimension
-            def monoCol(physC: String, logC: String) = cur.schema(physC).dataType match {
-              case TimestampType | TimestampNTZType =>
-                expr(s"unix_micros(cast(`$physC` as timestamp))")
-              case LongType | IntegerType => col(physC).cast("long")
-              case StringType => expr(
-                s"cast(conv(substring(rpad(hex(encode(`$physC`, 'UTF-8')), 15, '0'), 1, 15), 16, 10) as bigint)")
-              case other => sys.error(
-                s"zorderBy supports integral/timestamp/string columns; $logC is $other")
-            }
-            val dims = physZorder.zip(zorderBy).map { case (p, l) => monoCol(p, l) }
-            // one bounded 2k-scalar probe for the per-dimension envelopes
-            val aggs = dims.flatMap(d => Seq(min(d), max(d)))
-            val r = cur.agg(aggs.head, aggs.tail: _*).head()
-            val buckets = dims.zipWithIndex.map { case (d, i) =>
-              require(!r.isNullAt(2 * i),
-                s"zorderBy: clustering column ${zorderBy(i)} is entirely NULL")
-              val (lo0, hi0) = (r.getLong(2 * i), r.getLong(2 * i + 1))
-              // rank-scale each dimension to 10 bits so no magnitude
-              // dominates the interleave
-              floor((d - lo0) * 1024.0 / math.max(1L, hi0 - lo0 + 1)).cast("long")
-            }
-            val z =
-              if (curve == "hilbert") {
-                // Hilbert distance over the same 10-bit buckets (native
-                // codegen'd expression; liquid clustering's curve):
-                // consecutive distances are grid neighbors, so each output
-                // file's bounding box is tighter than Morton's on every
-                // dimension — no seam jumps at power-of-two boundaries
-                graft.functions.ArrayOps.register(spark)
-                expr(s"hilbert_index(__graft_dims)")
-              } else
-                // k-way round-robin Morton interleave: bit j of dimension i
-                // lands at position j*k + i (≤ 60 bits for k ≤ 6)
-                (for { j <- 0 until 10; i <- buckets.indices } yield
-                  shiftleft(shiftright(buckets(i), j).bitwiseAND(lit(1L)), j * k + i)
-                ).reduce(_ + _)
-            cur.withColumn("__graft_dims",
-                org.apache.spark.sql.functions.array(buckets: _*))
-              .withColumn("__graft_z", z)
+              "zorderBy applies to flat snapshots (hive partitions already cluster; " +
+                "use compactWhere to z-order WITHIN selected partitions)")
+            withZValue(spark, cur, parent, zorderBy, curve)
               .repartitionByRange(targetFiles, col("__graft_z"))
               .drop("__graft_z", "__graft_dims")
           }
@@ -3692,9 +3703,12 @@ object VersionedTable {
   def compactWhere(spark: SparkSession, root: String, commitId: String,
                    targetFiles: Int, partCol: String,
                    values: Seq[String], statsCols: Seq[String] = Nil,
-                   bloomCols: Seq[String] = Nil): (Long, Int, Int) = {
+                   bloomCols: Seq[String] = Nil, zorderBy: Seq[String] = Nil,
+                   curve: String = "morton"): (Long, Int, Int) = {
     require(targetFiles >= 1, "targetFiles must be >= 1")
     require(values.nonEmpty, "compactWhere: empty partition-value selection")
+    require(curve == "morton" || curve == "hilbert",
+      s"compactWhere: curve must be 'morton' (ZORDER BY) or 'hilbert' (CLUSTER BY), got '$curve'")
     findCommitVersion(root, commitId) match {
       case Some(prior) => (prior, -1, -1) // retry of a committed compaction
       case None =>
@@ -3725,8 +3739,20 @@ object VersionedTable {
         }
         if (touched.isEmpty) return (parent.version, 0, parent.dirs.size)
         val cur = scanWithDeletes(spark, root, parent, touched)
-        val df = cur.repartition(targetFiles,
-          parent.partitionCols.map(org.apache.spark.sql.functions.col): _*)
+        val df =
+          if (zorderBy.nonEmpty)
+            // Delta's OPTIMIZE WHERE ... ZORDER BY: cluster WITHIN each
+            // selected partition — the hive columns PREFIX the range key,
+            // so same-partition rows co-locate and order by the curve
+            // distance inside, and each partition's files get tight
+            // per-file envelopes on every clustered dimension
+            withZValue(spark, cur, parent, zorderBy, curve)
+              .repartitionByRange(targetFiles,
+                (parent.partitionCols.map(org.apache.spark.sql.functions.col) :+
+                  org.apache.spark.sql.functions.col("__graft_z")): _*)
+              .drop("__graft_z", "__graft_dims")
+          else cur.repartition(targetFiles,
+            parent.partitionCols.map(org.apache.spark.sql.functions.col): _*)
         val dirName = attemptDirName("data", parent.version + 1, commitId)
         df.write.mode("overwrite").partitionBy(parent.partitionCols: _*)
           .parquet(s"$root/$dirName")

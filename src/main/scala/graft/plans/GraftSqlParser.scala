@@ -441,12 +441,12 @@ case class GraftOptimizeCommand(root: String, targetFiles: Int,
     val (statsCols, bloomCols) = VersionedTable.indexedCols(root)
     where match {
       case Some((partCol, values)) =>
-        require(zorderBy.isEmpty,
-          "OPTIMIZE GRAFT: WHERE and ZORDER BY cannot combine (z-order applies " +
-            "to flat snapshots; scoped compaction to hive-partitioned ones)")
+        // WHERE + ZORDER/CLUSTER BY = Delta's partition-scoped z-order:
+        // only the selected partitions rewrite, clustered WITHIN each
         val (v, rw, tot) = VersionedTable.compactWhere(spark, root, commitId,
           targetFiles, partCol, values,
-          statsCols = statsCols, bloomCols = bloomCols)
+          statsCols = (statsCols ++ zorderBy).distinct, bloomCols = bloomCols,
+          zorderBy = zorderBy, curve = curve)
         Seq(Row(v, rw, tot))
       case None =>
         val before = VersionedTable.latestCommit(root)

@@ -1209,6 +1209,35 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 4)
   }
 
+  test("OPTIMIZE GRAFT WHERE + CLUSTER BY: partition-scoped z-order clusters within the selected partitions only") {
+    import spark.implicits._
+    val root = tmpDir("vt_opt_where_z")
+    val rowsA = (0 until 2048).map(i =>
+      ("a", (i % 64).toLong, (i * 2654435761L) % 64, s"a$i"))
+    val rowsB = (0 until 2048).map(i =>
+      ("b", (i % 64).toLong, (i * 1099087573L) % 64, s"b$i"))
+    VersionedTable.commit(rowsA.toDF("p", "x", "y", "s"), root, "append", "owz1",
+      statsCols = Seq("x", "y"), partitionCols = Seq("p"))
+    VersionedTable.commit(rowsB.toDF("p", "x", "y", "s"), root, "append", "owz2",
+      statsCols = Seq("x", "y"), partitionCols = Seq("p"))
+    val res = spark.sql(
+      s"OPTIMIZE GRAFT '$root' TARGET 16 WHERE p IN ('a') CLUSTER BY (x, y)").head()
+    assert((res.getInt(1), res.getInt(2)) == ((1, 2)), res.toString) // only p=a's dir touched
+    // the rewritten partition's files prune on BOTH clustered axes
+    val (sx, tx) = VersionedTable.planRangeFiles(root, "x", 0L, 7L)
+    val (sy, ty) = VersionedTable.planRangeFiles(root, "y", 0L, 7L)
+    assert(sx < tx, s"x-range must prune after scoped CLUSTER BY: $sx of $tx")
+    assert(sy < ty, s"y-range must prune after scoped CLUSTER BY: $sy of $ty")
+    // nothing lost, hive pruning still composes with the file index
+    assert(VersionedTable.read(spark, root).count() == 4096)
+    assert(VersionedTable.read(spark, root)
+      .filter(col("p") === "a" && col("x") <= 7L).count() == 256)
+    // z-ordering a partition column itself is refused
+    val e = intercept[Exception](spark.sql(
+      s"OPTIMIZE GRAFT '$root' TARGET 4 WHERE p IN ('b') ZORDER BY (p, x)").collect())
+    assert(e.getMessage.contains("partition column"), e.getMessage)
+  }
+
   test("SQL MERGE GRAFT: conditional clauses, paren-bearing source query, no-clause upsert, WITH SCHEMA EVOLUTION") {
     import spark.implicits._
     val root = tmpDir("vt_sql_merge")
