@@ -401,19 +401,21 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("schema lifecycle fuzz: random append/evolve/rename/drop/merge/widen/update sequences match an in-memory model") {
+  test("schema lifecycle fuzz: random append/evolve/rename/drop/merge/widen/update/replace/cond-merge sequences match an in-memory model") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
     import scala.jdk.CollectionConverters._
     // random op sequences over one table: plain appends, add-column
     // evolution (string AND int columns), column renames (mapping),
     // metadata-only drops, copy-on-write merges, metadata-only TYPE
-    // WIDENING of an int column, and range UPDATEs — after EVERY op the
-    // full read must equal a dumb in-memory model, under whatever
-    // interleaving the generator picked (widen-then-merge must supply the
-    // widened type, update-after-rename SETs through the logical name,
+    // WIDENING of an int column, range UPDATEs, range-scoped REPLACE
+    // backfills, and CONDITIONAL merges with a delete clause — after
+    // EVERY op the full read must equal a dumb in-memory model, under
+    // whatever interleaving the generator picked (widen-then-merge must
+    // supply the widened type, update-after-rename SETs through the
+    // logical name, replace-after-evolution backfills the widened shape,
     // drop-then-append, ...)
-    val opGen = Gen.listOfN(10, Gen.choose(0, 6))
+    val opGen = Gen.listOfN(10, Gen.choose(0, 8))
     samples(opGen, 3).zipWithIndex.foreach { case (ops, i) =>
       val root = TestSpark.tmpDir(s"prop_lifecycle_$i")
       var cols = Vector("id", "c0") // id: Long key
@@ -510,6 +512,46 @@ class PropertySpec extends SparkSpec {
                   val id = m("id").asInstanceOf[Long]
                   if (id >= lo && id <= hi) m + (sc -> s"u$opIdx") else m
                 }
+            }
+          case 7 if model.nonEmpty =>
+            // RANGE-SCOPED REPLACE: backfill [lo, hi] with only the EVEN
+            // in-range ids re-derived — odd in-range rows must disappear
+            val ids = model.map(_("id").asInstanceOf[Long]).sorted
+            val (lo, hi) = (ids.head, ids(ids.size / 2))
+            val batch = ids.filter(id => id >= lo && id <= hi && id % 2 == 0)
+              .map(id => Map[String, Any]("id" -> id) ++ cols.drop(1).map { c =>
+                c -> (colType(c) match {
+                  case "string" => s"$c-rr$opIdx-$id"
+                  case "int"    => (id * 11 + opIdx).toInt
+                  case "long"   => id * 11 + opIdx
+                })
+              })
+            graft.io.VersionedTable.replaceRange(spark, root, "id", lo, hi,
+              toDf(batch, cols), s"l$i-rr$opIdx", statsCols = Seq("id"))
+            model = model.filterNot { m =>
+              val id = m("id").asInstanceOf[Long]; id >= lo && id <= hi
+            } ++ batch
+          case 8 if model.nonEmpty =>
+            // CONDITIONAL MERGE: matched ids with id % 3 == 0 DELETE (a
+            // tgt-scoped clause), the rest take the source row
+            val ids = model.map(_("id").asInstanceOf[Long]).distinct.take(3)
+            val src = ids.map(id =>
+              Map[String, Any]("id" -> id) ++ cols.drop(1).map { c =>
+                c -> (colType(c) match {
+                  case "string" => s"$c-cm$opIdx-$id"
+                  case "int"    => (id * 13 + opIdx).toInt
+                  case "long"   => id * 13 + opIdx
+                })
+              })
+            graft.io.VersionedTable.mergeIntoConditional(spark, root,
+              toDf(src, cols), "id", s"l$i-cm$opIdx",
+              matchedDeleteCond = Some("tgt.id % 3 = 0"),
+              statsCols = Seq("id"))
+            model = model.flatMap { m =>
+              val id = m("id").asInstanceOf[Long]
+              if (!ids.contains(id)) Some(m)
+              else if (id % 3 == 0) None
+              else src.find(_("id") == id)
             }
           case _ => ()
         }
