@@ -1466,6 +1466,47 @@ private[graft] object QueriesMedallionIo {
         |  TRUE AS k_pruned, TRUE AS c_pruned
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S15+S17 — RESTORE TO TIMESTAMP + VACUUM DRY RUN (both SQL):
+    // restore resolves a wall-clock instant between the two commits to
+    // v1 (by version order — clock skew can't pick a non-latest
+    // snapshot) and rolls back as a history-preserving commit; the dry
+    // run then REPORTS the now-dead odd-keys dir without touching it —
+    // the sweep preview an operator runs before a real vacuum. The
+    // oracle pins the restored (even-keys) table plus both verbs'
+    // scalar outcomes.
+    Q("versioned_restore_ts",
+      (s, dir) => {
+        val (root, restoredTo, dryCount) = Fixtures.once(s, dir, "vt_restore_ts") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_rts_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0),
+            r, "append", "rt-a", statsCols = Seq("o_orderkey"))
+          Thread.sleep(5)
+          val mid = System.currentTimeMillis()
+          Thread.sleep(5)
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1),
+            r, "append", "rt-b", statsCols = Seq("o_orderkey"))
+          val ts = java.time.LocalDateTime.ofInstant(
+            java.time.Instant.ofEpochMilli(mid), java.time.ZoneOffset.UTC)
+            .toString.replace('T', ' ')
+          val res = s.sql(s"RESTORE GRAFT '$r' TO TIMESTAMP '$ts'").head()
+          val dry = s.sql(s"VACUUM GRAFT '$r' RETAIN 1 DRY RUN").count()
+          (r, res.getLong(1), dry)
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("okey_sum"))
+          .withColumn("restored_to", lit(restoredTo))
+          .withColumn("dry_reported", lit(dryCount))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS okey_sum,
+        |  CAST(1 AS BIGINT) AS restored_to, CAST(1 AS BIGINT) AS dry_reported
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — MERGE-ON-READ delete (VersionedTable.deleteWhereMor — the
     // deletion-vector twin of versioned_delete's copy-on-write): the purge
     // writes ONE small key set and MARKS the envelope-hit dir; no data dir

@@ -3852,7 +3852,8 @@ object VersionedTable {
     }
 
   def vacuum(root: String, retainLast: Int,
-             orphanGraceMs: Long = 10 * 60 * 1000L): Seq[String] = {
+             orphanGraceMs: Long = 10 * 60 * 1000L,
+             dryRun: Boolean = false): Seq[String] = {
     require(retainLast >= 1, "must retain at least the latest version")
     val log = history(root)
     val retained = log.takeRight(retainLast)
@@ -3876,7 +3877,7 @@ object VersionedTable {
         finally s.close()
       }
     val dead = onDisk.filterNot(live.contains).filterNot(youngOrphan).sorted
-    dead.foreach { d =>
+    if (!dryRun) dead.foreach { d =>
       val w = Files.walk(Paths.get(root, d))
       try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
       finally w.close()
@@ -3896,6 +3897,10 @@ object VersionedTable {
           .filterNot(youngOrphan).toSeq.sorted
         finally st.close()
       }
+    // DRY RUN (Delta's VACUUM ... DRY RUN): report exactly what a real
+    // sweep at these arguments would reclaim — same listing, same age
+    // gate — and touch NOTHING, manifests included
+    if (dryRun) return (dead ++ deadSets).map(d => s"$root/$d")
     deadSets.foreach { d =>
       val w = Files.walk(Paths.get(root, d))
       try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)

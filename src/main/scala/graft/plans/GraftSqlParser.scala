@@ -21,8 +21,8 @@ import graft.io.VersionedTable
   *   OPTIMIZE GRAFT '<root>' [TARGET <n>]
   *       [WHERE <partCol> IN ('v' [, 'v']*)]
   *       [ZORDER BY (c1, c2 [, ...]) | CLUSTER BY (c1, c2 [, ...])]
-  *   VACUUM GRAFT '<root>' RETAIN <n>
-  *   RESTORE GRAFT '<root>' TO VERSION <n>
+  *   VACUUM GRAFT '<root>' RETAIN <n> [DRY RUN]
+  *   RESTORE GRAFT '<root>' TO VERSION <n> | TO TIMESTAMP '<instant>'
   *   DELETE GRAFT '<root>' WHERE <col> IN (<lit> [, <lit>]*)
   *   DELETE GRAFT '<root>' WHERE <col> BETWEEN <lit> AND <lit>
   *   UPDATE GRAFT '<root>' SET <c> = <expr> [, <c> = <expr>]*
@@ -69,7 +69,7 @@ object GraftSqlParser {
   private val detailRe =
     """(?is)\s*DESCRIBE\s+DETAIL\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
   private val vacuumRe =
-    """(?is)\s*VACUUM\s+GRAFT\s+'([^']+)'\s+RETAIN\s+(\d+)\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+GRAFT\s+'([^']+)'\s+RETAIN\s+(\d+)(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val optimizeRe =
     """(?is)\s*OPTIMIZE\s+GRAFT\s+'([^']+)'(.*?);?\s*""".r
   private val targetRe = """(?is).*\bTARGET\s+(\d+).*""".r
@@ -78,6 +78,8 @@ object GraftSqlParser {
   private val clusterRe = """(?is).*\bCLUSTER\s+BY\s*\(([^)]*)\).*""".r
   private val restoreRe =
     """(?is)\s*RESTORE\s+GRAFT\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
+  private val restoreTsRe =
+    """(?is)\s*RESTORE\s+GRAFT\s+'([^']+)'\s+TO\s+TIMESTAMP\s+'([^']+)'\s*;?\s*""".r
   private val deleteInRe =
     """(?is)\s*DELETE\s+GRAFT\s+'([^']+)'\s+WHERE\s+(\w+)\s+IN\s*\(([^)]*)\)\s*;?\s*""".r
   private val deleteBetweenRe =
@@ -163,8 +165,14 @@ object GraftSqlParser {
   def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
     case describeRe(root) => Some(GraftDescribeHistoryCommand(root))
     case detailRe(root) => Some(GraftDescribeDetailCommand(root))
-    case vacuumRe(root, n) => Some(GraftVacuumCommand(root, n.toInt))
+    case vacuumRe(root, n, dry) => Some(GraftVacuumCommand(root, n.toInt, dry != null))
     case restoreRe(root, v) => Some(GraftRestoreCommand(root, v.toLong))
+    case restoreTsRe(root, ts) =>
+      // the instant parses as UTC (every harness session runs UTC); it
+      // resolves to the latest version committed at-or-before it
+      val ms = java.time.LocalDateTime.parse(ts.trim.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      Some(GraftRestoreTimestampCommand(root, ms))
     case deleteInRe(root, col, vals) =>
       Some(GraftDeleteCommand(root, col, Left(litList(vals))))
     case deleteBetweenRe(root, col, lo, hi) =>
@@ -269,12 +277,32 @@ case class GraftDescribeDetailCommand(root: String) extends LeafRunnableCommand 
     VersionedTable.describeDetail(spark, root).collect().toSeq
 }
 
-case class GraftVacuumCommand(root: String, retainLast: Int) extends LeafRunnableCommand {
+case class GraftVacuumCommand(root: String, retainLast: Int,
+                              dryRun: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("removed", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] =
-    VersionedTable.vacuum(root, retainLast).map(Row(_))
+    VersionedTable.vacuum(root, retainLast, dryRun = dryRun).map(Row(_))
+}
+
+/** `RESTORE GRAFT '<root>' TO TIMESTAMP '<instant>'` — time-travel
+  * restore: resolves the instant to the latest version committed
+  * at-or-before it ([[VersionedTable.versionAsOfTimestamp]] — by version
+  * order, so clock skew cannot resolve to a non-latest snapshot), then
+  * rolls back to that version as a new history-preserving commit.
+  */
+case class GraftRestoreTimestampCommand(root: String,
+                                        tsMs: Long) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("restored_to", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val commitId = s"sql-restore-ts-${java.util.UUID.randomUUID().toString.take(12)}"
+    val target = VersionedTable.versionAsOfTimestamp(root, tsMs)
+    Seq(Row(VersionedTable.rollback(root, target, commitId), target))
+  }
 }
 
 case class GraftRestoreCommand(root: String, toVersion: Long) extends LeafRunnableCommand {
