@@ -1507,6 +1507,39 @@ private[graft] object QueriesMedallionIo {
         |FROM orders WHERE o_orderkey % 2 = 0
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S15+S17 — the ALTER GRAFT DDL family (GraftAlterCommand): RENAME
+    // COLUMN (mapping change), ALTER COLUMN TYPE (metadata-only int →
+    // bigint widening), and ADD CONSTRAINT issued back-to-back through
+    // SQL — three metadata commits on top of the data commit
+    // (versions_total = 4, driver-visible), the widened column summed
+    // under its new 64-bit type and the renamed column grouping under
+    // its new name. The verbs are pinned individually by their own rows;
+    // what this row pins is the SQL DDL surface reaching them.
+    Q("versioned_sql_ddl_family",
+      (s, dir) => {
+        val (root, nVersions) = Fixtures.once(s, dir, "vt_sql_ddl_family") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_sqlddl_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+            .withColumn("o_flag", (col("o_orderkey") % 100).cast("int"))
+          graft.io.VersionedTable.commit(o, r, "append", "dd-a",
+            statsCols = Seq("o_orderkey"))
+          s.sql(s"ALTER GRAFT '$r' RENAME COLUMN o_orderpriority TO priority").collect()
+          s.sql(s"ALTER GRAFT '$r' ALTER COLUMN o_flag TYPE bigint").collect()
+          s.sql(s"ALTER GRAFT '$r' ADD CONSTRAINT key_pos CHECK (o_orderkey >= 0)").collect()
+          (r, graft.io.VersionedTable.history(r).size.toLong)
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("priority")
+          .agg(count(lit(1)).as("n"), sum(col("o_flag")).as("flag_sum"))
+          .withColumn("versions_total", lit(nVersions))
+          .orderBy("priority")
+      },
+      Some("""SELECT o_orderpriority AS priority, count(*) AS n,
+        |  CAST(sum(o_orderkey % 100) AS BIGINT) AS flag_sum,
+        |  CAST(4 AS BIGINT) AS versions_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — MERGE-ON-READ delete (VersionedTable.deleteWhereMor — the
     // deletion-vector twin of versioned_delete's copy-on-write): the purge
     // writes ONE small key set and MARKS the envelope-hit dir; no data dir

@@ -29,6 +29,12 @@ import graft.io.VersionedTable
   *       WHERE <col> IN (...) | <col> BETWEEN <lit> AND <lit>
   *   REPLACE GRAFT '<root>' WHERE <col> BETWEEN <lit> AND <lit>
   *       FROM (<query>)
+  *   ALTER GRAFT '<root>' RENAME COLUMN <a> TO <b>
+  *   ALTER GRAFT '<root>' DROP COLUMN <a>
+  *   ALTER GRAFT '<root>' ALTER COLUMN <a> TYPE <sqlType>
+  *   ALTER GRAFT '<root>' ADD COLUMN <a> GENERATED ALWAYS AS (<expr>)
+  *   ALTER GRAFT '<root>' ADD CONSTRAINT <name> CHECK (<expr>)
+  *   ALTER GRAFT '<root>' DROP CONSTRAINT <name>
   *   MERGE GRAFT '<root>' ON <keyCol> FROM (<query>)
   *       [WHEN MATCHED [AND <cond>] THEN DELETE]
   *       [WHEN MATCHED [AND <cond>] THEN UPDATE]
@@ -97,6 +103,18 @@ object GraftSqlParser {
   private val whenInsertRe =
     """(?is).*\bWHEN\s+NOT\s+MATCHED\s+(?:AND\s+(.*?)\s+)?THEN\s+INSERT\b.*""".r
   private val evolutionRe = """(?is).*\bWITH\s+SCHEMA\s+EVOLUTION\b.*""".r
+  private val alterRenameRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
+  private val alterDropColRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
+  private val alterTypeRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)\s*;?\s*""".r
+  private val alterAddGenRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s+\((.*)\)\s*;?\s*""".r
+  private val alterAddConstraintRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s+\((.*)\)\s*;?\s*""".r
+  private val alterDropConstraintRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
 
   /** Split "query) trailing" at the PAREN BALANCING the already-consumed
     * `FROM (` opener — the inner query may itself contain parentheses and
@@ -179,6 +197,16 @@ object GraftSqlParser {
       Some(GraftDeleteCommand(root, col, Right((litValue(lo), litValue(hi)))))
     case replaceRe(root, col, lo, hi, src) =>
       Some(GraftReplaceCommand(root, col, litValue(lo), litValue(hi), src))
+    case alterRenameRe(root, from, to) =>
+      Some(GraftAlterCommand(root, "rename", from, Some(to)))
+    case alterDropColRe(root, c) => Some(GraftAlterCommand(root, "dropcol", c, None))
+    case alterTypeRe(root, c, t) => Some(GraftAlterCommand(root, "widen", c, Some(t)))
+    case alterAddGenRe(root, c, e) =>
+      Some(GraftAlterCommand(root, "addgen", c, Some(e.trim)))
+    case alterAddConstraintRe(root, n, e) =>
+      Some(GraftAlterCommand(root, "addconstraint", n, Some(e.trim)))
+    case alterDropConstraintRe(root, n) =>
+      Some(GraftAlterCommand(root, "dropconstraint", n, None))
     case mergeRe(root, key, tail) =>
       val (src, clauses) = splitBalanced(tail).getOrElse(
         sys.error("MERGE GRAFT: unbalanced parentheses around the FROM (<query>)"))
@@ -422,6 +450,38 @@ case class GraftReplaceCommand(root: String, col: String, lo: Any, hi: Any,
       lo, hi, spark.sql(sourceSql), commitId,
       statsCols = statsCols, bloomCols = bloomCols)
     Seq(Row(v, drop, rw, tot))
+  }
+}
+
+/** The `ALTER GRAFT` DDL family — SQL forms for the metadata-only schema
+  * verbs, each a fresh-commitId statement like the other SQL DDL/DML:
+  * RENAME COLUMN → [[VersionedTable.renameColumn]] (mapping change, zero
+  * data moves), DROP COLUMN → [[VersionedTable.dropColumn]]
+  * (metadata-only retire), ALTER COLUMN TYPE →
+  * [[VersionedTable.widenColumnType]] (add-only widening chain), ADD
+  * COLUMN ... GENERATED ALWAYS AS →
+  * [[VersionedTable.addGeneratedColumn]], ADD/DROP CONSTRAINT →
+  * [[VersionedTable.addConstraint]]/[[VersionedTable.dropConstraint]]
+  * (pre-validated CHECK invariants). Every refusal the verbs enforce
+  * (partition columns, generated sources, resurrections, violating
+  * snapshots) surfaces through the statement unchanged.
+  */
+case class GraftAlterCommand(root: String, verb: String, name: String,
+                             arg: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val commitId = s"sql-alter-$verb-${java.util.UUID.randomUUID().toString.take(12)}"
+    val v = verb match {
+      case "rename" => VersionedTable.renameColumn(root, name, arg.get, commitId)
+      case "dropcol" => VersionedTable.dropColumn(root, name, commitId)
+      case "widen" => VersionedTable.widenColumnType(root, name, arg.get, commitId)
+      case "addgen" => VersionedTable.addGeneratedColumn(spark, root, name, arg.get, commitId)
+      case "addconstraint" => VersionedTable.addConstraint(spark, root, name, arg.get, commitId)
+      case "dropconstraint" => VersionedTable.dropConstraint(root, name, commitId)
+    }
+    Seq(Row(v))
   }
 }
 

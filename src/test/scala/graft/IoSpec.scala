@@ -1238,6 +1238,37 @@ class IoSpec extends SparkSpec {
     assert(e.getMessage.contains("partition column"), e.getMessage)
   }
 
+  test("ALTER GRAFT DDL family: rename, widen, generated column, constraints, drop column — all through SQL") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.LongType
+    val root = tmpDir("vt_alter_sql")
+    VersionedTable.commit(
+      Seq((1L, "a", 1, 2L), (2L, "b", 2, 4L)).toDF("k", "v", "n", "k2"),
+      root, "append", "al1", statsCols = Seq("k"))
+    spark.sql(s"ALTER GRAFT '$root' RENAME COLUMN v TO label").collect()
+    assert(VersionedTable.read(spark, root).columns.contains("label"))
+    spark.sql(s"ALTER GRAFT '$root' ALTER COLUMN n TYPE bigint").collect()
+    assert(VersionedTable.read(spark, root).schema("n").dataType == LongType)
+    // declare k2 generated (existing values validate), then a CHECK
+    spark.sql(s"ALTER GRAFT '$root' ADD COLUMN k2 GENERATED ALWAYS AS (k * 2)").collect()
+    spark.sql(s"ALTER GRAFT '$root' ADD CONSTRAINT pos CHECK (k > 0)").collect()
+    // the constraint now rejects a violating append through ANY write path
+    val e = intercept[Exception](VersionedTable.commit(
+      Seq((-5L, "c", 3L, -10L)).toDF("k", "label", "n", "k2"), root, "append", "al-bad"))
+    assert(e.getMessage.contains("pos"), e.getMessage)
+    // and a contradicted generated column refuses too
+    val e2 = intercept[Exception](VersionedTable.commit(
+      Seq((5L, "c", 3L, 99L)).toDF("k", "label", "n", "k2"), root, "append", "al-gen"))
+    assert(e2.getMessage.contains("k2"), e2.getMessage)
+    // dropping the constraint re-admits the row (generated value correct)
+    spark.sql(s"ALTER GRAFT '$root' DROP CONSTRAINT pos").collect()
+    VersionedTable.commit(
+      Seq((-5L, "c", 3L, -10L)).toDF("k", "label", "n", "k2"), root, "append", "al-ok")
+    spark.sql(s"ALTER GRAFT '$root' DROP COLUMN label").collect()
+    val r = VersionedTable.read(spark, root)
+    assert(!r.columns.contains("label") && r.count() == 3)
+  }
+
   test("VACUUM DRY RUN + RESTORE TO TIMESTAMP: report-only sweep, instant-resolved restore, both through SQL") {
     import spark.implicits._
     val root = tmpDir("vt_vac_dry")
