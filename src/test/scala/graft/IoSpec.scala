@@ -1796,6 +1796,41 @@ class IoSpec extends SparkSpec {
       "the refused delete must NOT apply")
   }
 
+  test("VersionedTable.replaceRange OCC: a disjoint concurrent commit rebases, an in-range advance refuses loudly") {
+    import spark.implicits._
+    val root = tmpDir("vt_replace_race")
+    VersionedTable.commit((1L to 10L).map(i => (i, s"a$i")).toDF("id", "s"),
+      root, "append", "rb1", statsCols = Seq("id"))
+    VersionedTable.commit((101L to 110L).map(i => (i, s"b$i")).toDF("id", "s"),
+      root, "append", "rb2", statsCols = Seq("id"))
+    // while the backfill of [1, 10] sits between write and publish, a merge
+    // re-prices key 105 (band 2 only) — disjoint, so the backfill REBASES
+    VersionedTable.onBeforeRewritePublish = () =>
+      VersionedTable.mergeInto(spark, root,
+        Seq((105L, "UPDATED")).toDF("id", "s"), "id", "rrace-m",
+        statsCols = Seq("id")): Unit
+    val (v, drop, hit, _) = VersionedTable.replaceRange(spark, root, "id", 1L, 10L,
+      (2L to 10L by 2).map(i => (i, s"n$i")).toDF("id", "s"), "rrace-r",
+      statsCols = Seq("id"))
+    assert(v == 4L && drop == 1 && hit == 0,
+      s"backfill must rebase onto the merge's v3, got v=$v drop=$drop hit=$hit")
+    val rows = VersionedTable.read(spark, root).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(rows.size == 15 && rows(2L) == "n2" && !rows.contains(1L) &&
+      rows(105L) == "UPDATED", rows.toSeq.sortBy(_._1).mkString(", "))
+    // an append INTO the range during the backfill must refuse: a replace
+    // serialized after it would have deleted that row but did not
+    VersionedTable.onBeforeRewritePublish = () =>
+      VersionedTable.commit(Seq((7L, "late")).toDF("id", "s"), root, "append",
+        "rrace-app", statsCols = Seq("id")): Unit
+    val e = intercept[RuntimeException](VersionedTable.replaceRange(spark, root,
+      "id", 1L, 10L, Seq((4L, "x")).toDF("id", "s"), "rrace-r2",
+      statsCols = Seq("id")))
+    assert(e.getMessage.contains("CONFLICTING"), e.getMessage)
+    assert(VersionedTable.read(spark, root).filter(col("id") === 7L).count() == 1,
+      "the concurrent append must hold; the refused backfill must not apply")
+  }
+
   test("VersionedTable.renameColumn: metadata-only rename — appends, scans, merges, time travel all read through the mapping") {
     import spark.implicits._
     val root = tmpDir("vt_rename")
