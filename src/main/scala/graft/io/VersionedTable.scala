@@ -2509,7 +2509,10 @@ object VersionedTable {
     * under the retried commitId. The heal path (crash between commit and
     * marker writes) requires the caller to RETRY THE SAME commitId until
     * success — the same contract every verb's idempotence already
-    * carries. The batch takes the standard append path through
+    * carries; an `attempt-<commitId>.json` manifest written BEFORE the
+    * commit records exactly which files that commit loads, so a retry
+    * heals markers for precisely that set and a file that arrived AFTER
+    * the crashed attempt can never be falsely marked by it. The batch takes the standard append path through
     * [[commit]], so schema-evolution rules, CHECK constraints, generated
     * columns, and stats/bloom gathering all apply unchanged; `ingest/` is
     * outside vacuum's sweep roots (`data/`, `deletes/`) by construction.
@@ -2540,21 +2543,41 @@ object VersionedTable {
           .exists(cid => findCommitVersion(root, cid).isDefined)
       }
     }
-    val (skipped, fresh) = files.partition(alreadyLoaded)
-    if (fresh.isEmpty)
+    val (skipped, fresh0) = files.partition(alreadyLoaded)
+    if (fresh0.isEmpty)
       return (latestVersion(root).getOrElse(
         sys.error(s"copyInto: every file of $glob is marked loaded but $root has no " +
           "commits — the ingest markers belong to a different table at this path")),
         0, skipped.size)
-    val v = findCommitVersion(root, commitId) match {
-      case Some(prior) => prior // committed retry: fall through to heal markers
+    // the attempt manifest records WHICH files this commitId is loading,
+    // written BEFORE the commit: a same-commitId retry after a crash heals
+    // markers for exactly the recorded set — a file that arrived AFTER the
+    // crashed attempt is NOT in it, so it can never be falsely marked
+    // loaded by a commit that predates it (it stays unmarked and loads
+    // under the next fresh commitId)
+    val attemptFile = ingestDir.resolve(s"attempt-$commitId.json")
+    val (v, fresh) = findCommitVersion(root, commitId) match {
+      case Some(prior) =>
+        val recorded: Set[String] =
+          if (!Files.isRegularFile(attemptFile)) Set.empty
+          else mapper.readTree(Files.readString(attemptFile)).get("files")
+            .elements().asScala.map(_.asText).toSet
+        (prior, fresh0.filter(recorded.contains))
       case None =>
-        commit(spark.read.format(format).load(fresh: _*), root, "append", commitId,
-          statsCols = statsCols, bloomCols = bloomCols)
+        val n = mapper.createObjectNode()
+        val arr = n.putArray("files")
+        fresh0.foreach(arr.add)
+        val tmp = Files.createTempFile(ingestDir, "a", ".tmp")
+        Files.write(tmp, mapper.writeValueAsString(n).getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, attemptFile, java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        (commit(spark.read.format(format).load(fresh0: _*), root, "append", commitId,
+          statsCols = statsCols, bloomCols = bloomCols), fresh0)
     }
     // markers land AFTER the commit is durable: a crash in between leaves
     // loaded-but-unmarked files, and the same-commitId retry short-circuits
-    // to the committed version above, then heals the markers here
+    // to the committed version above, then heals the markers here (for the
+    // attempt-recorded set only)
     fresh.foreach { p =>
       val n = mapper.createObjectNode()
       n.put("path", p); n.put("commitId", commitId)

@@ -1207,6 +1207,26 @@ class IoSpec extends SparkSpec {
       statsCols = Seq("k"))
     assert((v5, l5, s5) == ((3L, 1, 3)), s"($v5, $l5, $s5)")
     assert(VersionedTable.read(spark, root).count() == 4)
+    // crash simulation: ci-7's attempt manifest recorded f5 and its commit
+    // landed, but the "crash" hit before the markers; f6 arrived later.
+    // The same-commitId retry heals f5's marker ONLY — the late f6 must
+    // not be falsely marked by a commit that predates it
+    Seq((5L, "e")).toDF("k", "v").coalesce(1).write.parquet(s"$stage/f5")
+    val f5part = new java.io.File(s"$stage/f5").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.getPath
+    VersionedTable.commit(spark.read.parquet(f5part), root, "append", "ci-7",
+      statsCols = Seq("k"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "ingest", "attempt-ci-7.json"),
+      s"""{"files":["$f5part"]}""")
+    Seq((6L, "f")).toDF("k", "v").coalesce(1).write.parquet(s"$stage/f6")
+    val (_, l7, s7) = VersionedTable.copyInto(spark, root, glob, "ci-7")
+    assert((l7, s7) == ((1, 4)), s"($l7, $s7)")
+    // f6 stayed unmarked and loads — alone — under the next fresh commitId
+    val (_, l8, _) = VersionedTable.copyInto(spark, root, glob, "ci-8",
+      statsCols = Seq("k"))
+    assert(l8 == 1, s"$l8")
+    assert(VersionedTable.read(spark, root).count() == 6)
   }
 
   test("OPTIMIZE GRAFT WHERE + CLUSTER BY: partition-scoped z-order clusters within the selected partitions only") {
