@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_changes"),
       new ExpressionInfo(GraftTableFunctions.getClass.getName, "graft_changes"),
       (exprs: Seq[Expression]) => GraftTableFunctions.graftChanges(exprs)))
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_history"),
+      new ExpressionInfo(GraftTableFunctions.getClass.getName, "graft_history"),
+      (exprs: Seq[Expression]) => GraftTableFunctions.graftHistory(exprs)))
     // SQL front door for the versioned table's maintenance verbs
     // (DESCRIBE HISTORY / OPTIMIZE / VACUUM ... GRAFT '<root>'); every
     // other statement delegates untouched — a pure grammar superset

@@ -56,6 +56,17 @@ object GraftTableFunctions {
     df.queryExecution.analyzed
   }
 
+  /** `graft_history(root)` → the DESCRIBE HISTORY relation as a
+    * table-valued function, so commit metadata JOINS like any table
+    * (e.g. correlating `_commit_version` of a change feed with the
+    * committing operation).
+    */
+  def graftHistory(exprs: Seq[Expression]): LogicalPlan = {
+    require(exprs.length == 1, "graft_history takes (root)")
+    VersionedTable.describeHistory(SparkSession.active,
+      strLit(exprs(0), "graft_history", 1)).queryExecution.analyzed
+  }
+
   /** `graft_changes(root, fromVersion, toVersion, keyCol)` → the change
     * feed over (from, to], tagged `_change_type` / `_commit_version`.
     */

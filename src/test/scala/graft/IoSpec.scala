@@ -1436,6 +1436,15 @@ class IoSpec extends SparkSpec {
          |ORDER BY t.k""".stripMargin).collect()
     assert(joined.map(r => (r.getLong(0), r.getString(1))).toSeq ==
       Seq((1L, "one"), (3L, "three")), joined.mkString)
+    // graft_history joins commit metadata against the change feed: each
+    // change row correlates with its committing operation
+    val hist = spark.sql(
+      s"""SELECT c._commit_version, h.operation, c.k
+         |FROM graft_changes('$root', 1, 2, 'k') c
+         |JOIN graft_history('$root') h ON h.version = c._commit_version""".stripMargin)
+      .collect()
+    assert(hist.length == 1 && hist(0).getString(1) == "append" &&
+      hist(0).getLong(2) == 3L, hist.mkString)
   }
 
   test("VersionedTable: TIMESTAMP AS OF resolves the latest commit at-or-before the instant") {
