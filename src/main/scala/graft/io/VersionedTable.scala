@@ -522,7 +522,9 @@ object VersionedTable {
     * the same temp + hard-link put-if-absent as manifests, so concurrent
     * committers cannot tear one. The index also OUTLIVES vacuumed
     * manifests, so a very late retry of a long-superseded commit still
-    * no-ops instead of double-applying.
+    * no-ops instead of double-applying — and vacuum FORCES a consolidating
+    * checkpoint before it drops any manifest, so commits that predate the
+    * first interval multiple are covered too.
     */
   private val ckptInterval = 10L
 
@@ -564,36 +566,38 @@ object VersionedTable {
     }
   }
 
-  private def maybeCheckpoint(root: String, v: Long): Unit =
-    if (v % ckptInterval == 0) {
-      try {
-        val target = commitsDir(root).resolve(f"ckpt-v$v%010d.json")
-        if (!Files.exists(target)) {
-          val ck = latestCheckpoint(root)
-          val from = ck.map(_._1).getOrElse(0L)
-          val base = ck.map(_._2).getOrElse(Map.empty[String, Long])
-          // only the gap since the previous checkpoint parses — ≤ interval
-          val gap = manifestFiles(root)
-            .filter(p => versionOf(p) > from && versionOf(p) <= v).map(readManifest)
-          val ids = base ++ gap.map(c => c.commitId -> c.version)
-          val m = new java.util.LinkedHashMap[String, Object]()
-          val im = new java.util.LinkedHashMap[String, Object]()
-          ids.toSeq.sortBy(t => (t._2, t._1)).foreach { case (cid, ver) =>
-            im.put(cid, java.lang.Long.valueOf(ver))
-          }
-          m.put("commitIds", im)
-          val tmp = commitsDir(root).resolve(s".tmp-ckpt-${java.util.UUID.randomUUID}")
-          Files.write(tmp, mapper.writeValueAsString(m).getBytes(StandardCharsets.UTF_8))
-          try Files.createLink(target, tmp)
-          catch { case _: java.nio.file.FileAlreadyExistsException => () }
-          finally Files.deleteIfExists(tmp)
+  private def writeCheckpointAt(root: String, v: Long): Unit =
+    try {
+      val target = commitsDir(root).resolve(f"ckpt-v$v%010d.json")
+      if (!Files.exists(target)) {
+        val ck = latestCheckpoint(root)
+        val from = ck.map(_._1).getOrElse(0L)
+        val base = ck.map(_._2).getOrElse(Map.empty[String, Long])
+        // only the gap since the previous checkpoint parses — ≤ interval
+        // on the commit path, ≤ #retained on the vacuum path
+        val gap = manifestFiles(root)
+          .filter(p => versionOf(p) > from && versionOf(p) <= v).map(readManifest)
+        val ids = base ++ gap.map(c => c.commitId -> c.version)
+        val m = new java.util.LinkedHashMap[String, Object]()
+        val im = new java.util.LinkedHashMap[String, Object]()
+        ids.toSeq.sortBy(t => (t._2, t._1)).foreach { case (cid, ver) =>
+          im.put(cid, java.lang.Long.valueOf(ver))
         }
-      } catch {
-        // best-effort: a failed checkpoint must never fail the commit that
-        // triggered it — the next interval multiple simply rebuilds it
-        case _: java.io.IOException => ()
+        m.put("commitIds", im)
+        val tmp = commitsDir(root).resolve(s".tmp-ckpt-${java.util.UUID.randomUUID}")
+        Files.write(tmp, mapper.writeValueAsString(m).getBytes(StandardCharsets.UTF_8))
+        try Files.createLink(target, tmp)
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        finally Files.deleteIfExists(tmp)
       }
+    } catch {
+      // best-effort: a failed checkpoint must never fail the commit that
+      // triggered it — the next interval multiple simply rebuilds it
+      case _: java.io.IOException => ()
     }
+
+  private def maybeCheckpoint(root: String, v: Long): Unit =
+    if (v % ckptInterval == 0) writeCheckpointAt(root, v)
 
   // ---- column rename (logical → physical name mapping) -----------------
 
@@ -3929,6 +3933,11 @@ object VersionedTable {
       try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
       finally w.close()
     }
+    // consolidate EVERY still-readable manifest into a checkpoint BEFORE
+    // dropping any: a commit older than the first interval checkpoint
+    // would otherwise lose its commitId record with its manifest, and a
+    // very late retry of it would double-apply instead of no-opping
+    log.lastOption.foreach(c => writeCheckpointAt(root, c.version))
     log.dropRight(retainLast).foreach(c => Files.deleteIfExists(manifestPath(root, c.version)))
     // keep only the LATEST commitId checkpoint: it is cumulative, so the
     // older ones are strict subsets (and it deliberately outlives the

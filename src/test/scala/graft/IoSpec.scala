@@ -1289,6 +1289,23 @@ class IoSpec extends SparkSpec {
     assert(!r.columns.contains("label") && r.count() == 3)
   }
 
+  test("vacuum consolidates a checkpoint before dropping manifests: a retry of a pre-checkpoint vacuumed commit still no-ops") {
+    import spark.implicits._
+    val root = tmpDir("vt_vac_ckpt")
+    // seven commits — BELOW the checkpoint interval, so no ckpt file exists
+    (1 to 7).foreach(i => VersionedTable.commit(
+      Seq((i.toLong, s"v$i")).toDF("k", "v"), root, "append", s"vc$i"): Unit)
+    val before = VersionedTable.latestVersion(root).get
+    VersionedTable.vacuum(root, retainLast = 1)
+    // manifests v1..v6 are gone, but the vacuum-written checkpoint still
+    // resolves the old commitId — the retry must NO-OP, not double-apply
+    val r = VersionedTable.commit(Seq((99L, "dup")).toDF("k", "v"),
+      root, "append", "vc3")
+    assert(r == 3L, s"retry of a vacuumed commit must resolve via the checkpoint, got $r")
+    assert(VersionedTable.latestVersion(root).contains(before))
+    assert(VersionedTable.read(spark, root).count() == 7)
+  }
+
   test("VACUUM DRY RUN + RESTORE TO TIMESTAMP: report-only sweep, instant-resolved restore, both through SQL") {
     import spark.implicits._
     val root = tmpDir("vt_vac_dry")
