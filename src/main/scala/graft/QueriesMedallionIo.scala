@@ -1540,6 +1540,35 @@ private[graft] object QueriesMedallionIo {
         |  CAST(4 AS BIGINT) AS versions_total
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S15+S17 — TBLPROPERTIES (setTableProperties / SHOW TBLPROPERTIES
+    // GRAFT): the versioned key→value registry — set through SQL, carried
+    // by a copy-on-write merge in between (the lifecycle fuzz guards
+    // every other publish path), read back as deterministic (key, value)
+    // rows joined with the live row count to prove the table still reads.
+    Q("versioned_tblproperties",
+      (s, dir) => {
+        val (root, nRows) = Fixtures.once(s, dir, "vt_tblprops") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_tprops_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          graft.io.VersionedTable.commit(o, r, "append", "tp-a",
+            statsCols = Seq("o_orderkey"))
+          s.sql(s"ALTER GRAFT '$r' SET TBLPROPERTIES " +
+            "('retention.days' = '30', 'owner' = 'pipeline')").collect()
+          // a rewrite between SET and SHOW must carry the registry
+          graft.io.VersionedTable.mergeInto(s, r,
+            o.filter(col("o_orderkey") % 97 === 0), "o_orderkey", "tp-m",
+            statsCols = Seq("o_orderkey"))
+          (r, graft.io.VersionedTable.read(s, r).count())
+        }
+        s.sql(s"SHOW TBLPROPERTIES GRAFT '$root'")
+          .withColumn("n_rows", lit(nRows))
+          .orderBy("key")
+      },
+      Some("""SELECT k AS key, v AS value, (SELECT count(*) FROM orders) AS n_rows
+        |FROM (VALUES ('owner', 'pipeline'), ('retention.days', '30')) AS t(k, v)
+        |ORDER BY 1""".stripMargin)),
+
     // S17 — MERGE-ON-READ delete (VersionedTable.deleteWhereMor — the
     // deletion-vector twin of versioned_delete's copy-on-write): the purge
     // writes ONE small key set and MARKS the envelope-hit dir; no data dir

@@ -103,7 +103,8 @@ object VersionedTable {
                           constraints: Map[String, String] = Map.empty,
                           dropped: Seq[String] = Nil,
                           generated: Map[String, String] = Map.empty,
-                          nullCounts: Map[String, Map[String, (Long, Long)]] = Map.empty)
+                          nullCounts: Map[String, Map[String, (Long, Long)]] = Map.empty,
+                          props: Map[String, String] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -219,6 +220,11 @@ object VersionedTable {
       c.generated.toSeq.sortBy(_._1).foreach { case (n, e) => gm.put(n, e) }
       m.put("generated", gm)
     }
+    if (c.props.nonEmpty) {
+      val pm = new java.util.LinkedHashMap[String, Object]()
+      c.props.toSeq.sortBy(_._1).foreach { case (k, v) => pm.put(k, v) }
+      m.put("props", pm)
+    }
     mapper.writeValueAsString(m)
   }
 
@@ -328,11 +334,15 @@ object VersionedTable {
     val generated = Option(n.get("generated")).map { gn =>
       gn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
+    val props = Option(n.get("props")).map { pn =>
+      pn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
     Commit(v, n.get("commitId").asText(), n.get("mode").asText(),
       n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, strStats, pcols, blooms,
       Option(n.get("schema")).map(_.asText()),
       Option(n.get("committedAt")).map(_.asLong()).getOrElse(0L),
-      deletes, deleteKeys, nameMap, constraints, dropped, generated, nullCounts)
+      deletes, deleteKeys, nameMap, constraints, dropped, generated, nullCounts,
+      props)
   }
 
   /** Atomically publish manifest `c` into version slot `v`: write the full
@@ -746,6 +756,64 @@ object VersionedTable {
         }
         out
     }
+
+  // ---- table properties (Delta's TBLPROPERTIES) -------------------------
+
+  /** SET TBLPROPERTIES — a metadata-only commit updating the table's
+    * free-form key → value registry (Delta's ALTER TABLE SET
+    * TBLPROPERTIES): retention policy, ownership, pipeline configuration —
+    * anything an operator wants VERSIONED with the table. Existing keys
+    * overwrite; the registry is carried by every publish path (rewrites,
+    * compaction, clone; rollback restores the TARGET's properties with the
+    * rest of its snapshot state) and is time-travelable like any manifest
+    * field. Idempotent under commitId retry.
+    */
+  def setTableProperties(root: String, kvs: Map[String, String],
+                         commitId: String): Long = {
+    require(kvs.nonEmpty, "setTableProperties: empty property map")
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => prior
+      case None =>
+        var out = -1L
+        while (out < 0) {
+          val parent = latestCommit(root)
+            .getOrElse(sys.error(s"setTableProperties: no commits at $root"))
+          val v = parent.version + 1
+          if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
+              mode = "properties", props = parent.props ++ kvs)))
+            out = v
+        }
+        out
+    }
+  }
+
+  /** UNSET TBLPROPERTIES — metadata-only removal; unknown keys refuse
+    * loudly (a typo must not silently "succeed"). */
+  def unsetTableProperties(root: String, keys: Seq[String], commitId: String): Long = {
+    require(keys.nonEmpty, "unsetTableProperties: empty key list")
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => prior
+      case None =>
+        var out = -1L
+        while (out < 0) {
+          val parent = latestCommit(root)
+            .getOrElse(sys.error(s"unsetTableProperties: no commits at $root"))
+          val missing = keys.filterNot(parent.props.contains)
+          require(missing.isEmpty,
+            s"unsetTableProperties: unknown propert${if (missing.size == 1) "y" else "ies"} " +
+              s"${missing.mkString(", ")} (set: ${parent.props.keys.toSeq.sorted.mkString(", ")})")
+          val v = parent.version + 1
+          if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
+              mode = "properties", props = parent.props -- keys)))
+            out = v
+        }
+        out
+    }
+  }
+
+  /** The property registry of the latest (or pinned) snapshot. */
+  def tableProperties(root: String, asOf: Option[Long] = None): Map[String, String] =
+    resolveSnapshot(root, asOf).props
 
   def renameColumn(root: String, from: String, to: String, commitId: String): Long = {
     findCommitVersion(root, commitId) match {
@@ -1186,7 +1254,8 @@ object VersionedTable {
                   dropped = if (mode == "append")
                     parent.map(_.dropped).getOrElse(Nil) else Nil,
                   generated = parent.map(_.generated).getOrElse(Map.empty),
-                  nullCounts = nullCounts)))
+                  nullCounts = nullCounts,
+                  props = parent.map(_.props).getOrElse(Map.empty))))
               committed = v
           }
         }
@@ -2098,7 +2167,8 @@ object VersionedTable {
     * pinned-schema restart, and [[readChangeFeed]] skips outright.
     */
   private[graft] val metadataOnlyModes =
-    Set("compact", "rename", "constraint", "dropcol", "create", "generated", "widen")
+    Set("compact", "rename", "constraint", "dropcol", "create", "generated", "widen",
+      "properties")
 
   private[graft] def changeFeedOfCommit(spark: SparkSession, root: String,
                                         fromC: Option[Commit], toC: Commit,
@@ -2404,7 +2474,8 @@ object VersionedTable {
         constraints = parent.constraints, dropped = parent.dropped,
         generated = parent.generated,
         nullCounts = survivorsDir.filter(_ => dirStats.nulls.nonEmpty)
-          .fold(keptNulls)(d => keptNulls + (d -> dirStats.nulls)))
+          .fold(keptNulls)(d => keptNulls + (d -> dirStats.nulls)),
+        props = parent.props)
       if (publishIfAbsent(root, v, c)) out = v
       else findCommitVersion(root, commitId) match {
         case Some(pv) => out = pv // a retry twin of us won the slot
@@ -2993,7 +3064,7 @@ object VersionedTable {
                 deletes = newDeletes, deleteKeys = newDeleteKeys,
                 nameMap = parent.nameMap, constraints = parent.constraints,
                 dropped = parent.dropped, generated = parent.generated,
-                nullCounts = parent.nullCounts)
+                nullCounts = parent.nullCounts, props = parent.props)
               if (publishIfAbsent(root, v, c)) result = (v, hit.size, parent.dirs.size)
               // lost the race: manifest-only — recompute against the new
               // parent and retry (the key set is already in place)
@@ -3533,7 +3604,7 @@ object VersionedTable {
               target.schemaDdl, deletes = target.deletes, deleteKeys = target.deleteKeys,
               nameMap = target.nameMap, constraints = target.constraints,
               dropped = target.dropped, generated = target.generated,
-              nullCounts = target.nullCounts)))
+              nullCounts = target.nullCounts, props = target.props)))
             committed = v
         }
         committed
@@ -3694,7 +3765,8 @@ object VersionedTable {
           // and free the names for re-use
           dropped = Nil, generated = parent.generated,
           nullCounts = if (dirStats.nulls.isEmpty) Map.empty
-                       else Map(dirName -> dirStats.nulls))
+                       else Map(dirName -> dirStats.nulls),
+          props = parent.props)
         if (!publishIfAbsent(root, v, c))
           sys.error(s"compact: log advanced past v${parent.version} during the rewrite; " +
             "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
@@ -3871,7 +3943,7 @@ object VersionedTable {
           generated = c.generated,
           nullCounts = c.nullCounts.collect {
             case (d, v) if dirMap.contains(d) => dirMap(d) -> v
-          })
+          }, props = c.props)
         if (publishIfAbsent(dstRoot, 1L, cloned)) 1L
         else findCommitVersion(dstRoot, commitId).getOrElse(
           sys.error(s"cloneTo: destination $dstRoot gained a commit concurrently; " +

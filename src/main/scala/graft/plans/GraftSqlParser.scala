@@ -35,6 +35,9 @@ import graft.io.VersionedTable
   *   ALTER GRAFT '<root>' ADD COLUMN <a> GENERATED ALWAYS AS (<expr>)
   *   ALTER GRAFT '<root>' ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER GRAFT '<root>' DROP CONSTRAINT <name>
+  *   ALTER GRAFT '<root>' SET TBLPROPERTIES ('k' = 'v' [, ...])
+  *   ALTER GRAFT '<root>' UNSET TBLPROPERTIES ('k' [, ...])
+  *   SHOW TBLPROPERTIES GRAFT '<root>'
   *   MERGE GRAFT '<root>' ON <keyCol> FROM (<query>)
   *       [WHEN MATCHED [AND <cond>] THEN DELETE]
   *       [WHEN MATCHED [AND <cond>] THEN UPDATE]
@@ -115,6 +118,14 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s+\((.*)\)\s*;?\s*""".r
   private val alterDropConstraintRe =
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val alterSetPropsRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
+  private val alterUnsetPropsRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+UNSET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
+  private val showPropsRe =
+    """(?is)\s*SHOW\s+TBLPROPERTIES\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
+  private val propPairRe = """\s*'([^']*)'\s*=\s*'([^']*)'\s*""".r
+  private val propKeyRe = """\s*'([^']*)'\s*""".r
 
   /** Split "query) trailing" at the PAREN BALANCING the already-consumed
     * `FROM (` opener — the inner query may itself contain parentheses and
@@ -207,6 +218,20 @@ object GraftSqlParser {
       Some(GraftAlterCommand(root, "addconstraint", n, Some(e.trim)))
     case alterDropConstraintRe(root, n) =>
       Some(GraftAlterCommand(root, "dropconstraint", n, None))
+    case alterSetPropsRe(root, pairs) =>
+      val kvs = pairs.split(",").map {
+        case propPairRe(k, v) => k -> v
+        case other => sys.error(s"SET TBLPROPERTIES: malformed pair '$other' " +
+          "(expected 'key' = 'value')")
+      }.toMap
+      Some(GraftPropertiesCommand(root, set = kvs, unset = Nil))
+    case alterUnsetPropsRe(root, keys) =>
+      val ks = keys.split(",").map {
+        case propKeyRe(k) => k
+        case other => sys.error(s"UNSET TBLPROPERTIES: malformed key '$other'")
+      }.toSeq
+      Some(GraftPropertiesCommand(root, set = Map.empty, unset = ks))
+    case showPropsRe(root) => Some(GraftShowPropertiesCommand(root))
     case mergeRe(root, key, tail) =>
       val (src, clauses) = splitBalanced(tail).getOrElse(
         sys.error("MERGE GRAFT: unbalanced parentheses around the FROM (<query>)"))
@@ -483,6 +508,37 @@ case class GraftAlterCommand(root: String, verb: String, name: String,
     }
     Seq(Row(v))
   }
+}
+
+/** `ALTER GRAFT ... SET | UNSET TBLPROPERTIES` →
+  * [[VersionedTable.setTableProperties]] /
+  * [[VersionedTable.unsetTableProperties]] — the versioned free-form
+  * key→value registry as a metadata-only commit.
+  */
+case class GraftPropertiesCommand(root: String, set: Map[String, String],
+                                  unset: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val commitId = s"sql-props-${java.util.UUID.randomUUID().toString.take(12)}"
+    val v =
+      if (set.nonEmpty) VersionedTable.setTableProperties(root, set, commitId)
+      else VersionedTable.unsetTableProperties(root, unset, commitId)
+    Seq(Row(v))
+  }
+}
+
+/** `SHOW TBLPROPERTIES GRAFT '<root>'` — one (key, value) row per property
+  * of the latest snapshot, key-sorted. */
+case class GraftShowPropertiesCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("key", StringType, nullable = false)(),
+    AttributeReference("value", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    VersionedTable.tableProperties(root).toSeq.sortBy(_._1)
+      .map { case (k, v) => Row(k, v) }
 }
 
 /** `MERGE GRAFT '<root>' ON <key> FROM (<query>) [WHEN ...]*` →

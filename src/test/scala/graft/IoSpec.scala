@@ -1289,6 +1289,40 @@ class IoSpec extends SparkSpec {
     assert(!r.columns.contains("label") && r.count() == 3)
   }
 
+  test("TBLPROPERTIES: SQL set/unset/show, carried by rewrites and clones, restored by rollback, time-travelable") {
+    import spark.implicits._
+    val root = tmpDir("vt_props")
+    VersionedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root, "append",
+      "tp1", statsCols = Seq("k"))
+    spark.sql(s"ALTER GRAFT '$root' SET TBLPROPERTIES " +
+      "('retention.days' = '30', 'owner' = 'pipeline')").collect()
+    val shown = spark.sql(s"SHOW TBLPROPERTIES GRAFT '$root'").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(shown == Seq("owner" -> "pipeline", "retention.days" -> "30"), shown.toString)
+    // a copy-on-write rewrite carries the registry
+    VersionedTable.mergeInto(spark, root, Seq((1L, "A")).toDF("k", "v"), "k", "tp-m",
+      statsCols = Seq("k"))
+    assert(VersionedTable.tableProperties(root).size == 2)
+    // so do compaction and clone
+    VersionedTable.compact(spark, root, "tp-opt", targetFiles = 2, statsCols = Seq("k"))
+    assert(VersionedTable.tableProperties(root)("owner") == "pipeline")
+    val cloneRoot = tmpDir("vt_props_clone")
+    VersionedTable.cloneTo(root, cloneRoot, "tp-clone")
+    assert(VersionedTable.tableProperties(cloneRoot)("retention.days") == "30")
+    // unknown keys refuse; a real unset narrows the registry
+    val e = intercept[Exception](
+      spark.sql(s"ALTER GRAFT '$root' UNSET TBLPROPERTIES ('nope')").collect())
+    assert(e.getMessage.contains("nope"), e.getMessage)
+    spark.sql(s"ALTER GRAFT '$root' UNSET TBLPROPERTIES ('retention.days')").collect()
+    assert(VersionedTable.tableProperties(root) == Map("owner" -> "pipeline"))
+    // rollback restores the TARGET's registry (v1 predates every property)
+    VersionedTable.rollback(root, 1L, "tp-rb")
+    assert(VersionedTable.tableProperties(root).isEmpty)
+    // and the full registry is still there under time travel
+    assert(VersionedTable.tableProperties(root, asOf = Some(2L))
+      == Map("owner" -> "pipeline", "retention.days" -> "30"))
+  }
+
   test("vacuum consolidates a checkpoint before dropping manifests: a retry of a pre-checkpoint vacuumed commit still no-ops") {
     import spark.implicits._
     val root = tmpDir("vt_vac_ckpt")

@@ -444,6 +444,11 @@ class PropertySpec extends SparkSpec {
       val r0 = mkRows(3); model ++= r0
       graft.io.VersionedTable.commit(toDf(r0, cols), root, "append", s"l$i-init",
         statsCols = Seq("id"))
+      // a table property set up front must survive EVERY op below — the
+      // carriage guard for the manifest field (a publish path that forgets
+      // to carry props fails here, not in production)
+      graft.io.VersionedTable.setTableProperties(root,
+        Map("fuzz.owner" -> "prop-spec"), s"l$i-props")
       var opIdx = 0
       ops.foreach { op =>
         opIdx += 1
@@ -558,6 +563,9 @@ class PropertySpec extends SparkSpec {
         val df = graft.io.VersionedTable.read(spark, root)
         assert(df.columns.toSeq == cols,
           s"seq=$ops op#$opIdx: columns ${df.columns.toSeq} != $cols")
+        assert(graft.io.VersionedTable.tableProperties(root)
+            == Map("fuzz.owner" -> "prop-spec"),
+          s"seq=$ops op#$opIdx: table properties must survive every op")
         val got = df.collect().map { r =>
           cols.map(c => c -> (if (r.isNullAt(r.fieldIndex(c))) null
                               else r.get(r.fieldIndex(c)))).toMap
