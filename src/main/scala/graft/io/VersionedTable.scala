@@ -2581,13 +2581,15 @@ object VersionedTable {
     * the commit log stays KB-sized however many files ever load. A marker
     * counts only when its commitId actually COMMITTED — a crashed attempt
     * leaves markers pointing at no committed version and its files reload
-    * under the retried commitId. The heal path (crash between commit and
-    * marker writes) requires the caller to RETRY THE SAME commitId until
-    * success — the same contract every verb's idempotence already
-    * carries; an `attempt-<commitId>.json` manifest written BEFORE the
-    * commit records exactly which files that commit loads, so a retry
-    * heals markers for precisely that set and a file that arrived AFTER
-    * the crashed attempt can never be falsely marked by it. The batch takes the standard append path through
+    * under the retried commitId. The crash window between commit and
+    * marker writes SELF-HEALS: an `attempt-<commitId>.json` manifest
+    * written BEFORE the commit records exactly which files that commit
+    * loads, and every copyInto run first sweeps attempt manifests whose
+    * commitId committed, writing the missing markers and retiring the
+    * manifest — so the next run (same commitId, a DIFFERENT commitId, or
+    * the SQL statement's UUID ids) can never double-load them, while a
+    * file that arrived AFTER the crashed attempt is not in its manifest
+    * and can never be falsely marked by it. The batch takes the standard append path through
     * [[commit]], so schema-evolution rules, CHECK constraints, generated
     * columns, and stats/bloom gathering all apply unchanged; `ingest/` is
     * outside vacuum's sweep roots (`data/`, `deletes/`) by construction.
@@ -2610,6 +2612,34 @@ object VersionedTable {
       java.security.MessageDigest.getInstance("MD5")
         .digest(path.getBytes(StandardCharsets.UTF_8))
         .map(b => f"$b%02x").mkString + ".json")
+    def writeMarker(path: String, cid: String): Unit = {
+      val n = mapper.createObjectNode()
+      n.put("path", path); n.put("commitId", cid)
+      val tmp = Files.createTempFile(ingestDir, "m", ".tmp")
+      Files.write(tmp, mapper.writeValueAsString(n).getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, markerOf(path), java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    }
+    // SELF-HEAL pass: an attempt manifest whose commitId COMMITTED but
+    // whose files lack markers is a crashed post-commit window from any
+    // earlier run — mark its files now (and retire the manifest), so they
+    // can never re-load even if the caller retries under a DIFFERENT
+    // commitId (the SQL statement's UUID ids rely on this). An attempt
+    // whose commitId never committed stays: its run may be in flight.
+    val attemptListing = Files.list(ingestDir)
+    val attempts =
+      try attemptListing.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("attempt-")).toSeq
+      finally attemptListing.close()
+    attempts.foreach { af =>
+      val cid = af.getFileName.toString.stripPrefix("attempt-").stripSuffix(".json")
+      if (findCommitVersion(root, cid).isDefined) {
+        mapper.readTree(Files.readString(af)).get("files").elements().asScala
+          .map(_.asText).foreach(p => if (!Files.isRegularFile(markerOf(p)))
+            writeMarker(p, cid))
+        Files.deleteIfExists(af): Unit
+      }
+    }
     def alreadyLoaded(path: String): Boolean = {
       val m = markerOf(path)
       Files.isRegularFile(m) && {
@@ -2650,17 +2680,11 @@ object VersionedTable {
           statsCols = statsCols, bloomCols = bloomCols), fresh0)
     }
     // markers land AFTER the commit is durable: a crash in between leaves
-    // loaded-but-unmarked files, and the same-commitId retry short-circuits
-    // to the committed version above, then heals the markers here (for the
-    // attempt-recorded set only)
-    fresh.foreach { p =>
-      val n = mapper.createObjectNode()
-      n.put("path", p); n.put("commitId", commitId)
-      val tmp = Files.createTempFile(ingestDir, "m", ".tmp")
-      Files.write(tmp, mapper.writeValueAsString(n).getBytes(StandardCharsets.UTF_8))
-      Files.move(tmp, markerOf(p), java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    }
+    // loaded-but-unmarked files, healed by the same-commitId retry above
+    // or by ANY later run's self-heal pass; the attempt manifest retires
+    // once its markers are all down
+    fresh.foreach(writeMarker(_, commitId))
+    Files.deleteIfExists(attemptFile): Unit
     (v, fresh.size, skipped.size)
   }
 

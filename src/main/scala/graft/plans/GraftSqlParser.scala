@@ -38,6 +38,7 @@ import graft.io.VersionedTable
   *   ALTER GRAFT '<root>' SET TBLPROPERTIES ('k' = 'v' [, ...])
   *   ALTER GRAFT '<root>' UNSET TBLPROPERTIES ('k' [, ...])
   *   SHOW TBLPROPERTIES GRAFT '<root>'
+  *   COPY INTO GRAFT '<root>' FROM '<glob>' [FORMAT <fmt>]
   *   MERGE GRAFT '<root>' ON <keyCol> FROM (<query>)
   *       [WHEN MATCHED [AND <cond>] THEN DELETE]
   *       [WHEN MATCHED [AND <cond>] THEN UPDATE]
@@ -124,6 +125,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+UNSET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
   private val showPropsRe =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
+  private val copyIntoRe =
+    """(?is)\s*COPY\s+INTO\s+GRAFT\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?\s*;?\s*""".r
   private val propPairRe = """\s*'([^']*)'\s*=\s*'([^']*)'\s*""".r
   private val propKeyRe = """\s*'([^']*)'\s*""".r
 
@@ -232,6 +235,8 @@ object GraftSqlParser {
       }.toSeq
       Some(GraftPropertiesCommand(root, set = Map.empty, unset = ks))
     case showPropsRe(root) => Some(GraftShowPropertiesCommand(root))
+    case copyIntoRe(root, glob, fmt) =>
+      Some(GraftCopyIntoCommand(root, glob, Option(fmt).getOrElse("parquet")))
     case mergeRe(root, key, tail) =>
       val (src, clauses) = splitBalanced(tail).getOrElse(
         sys.error("MERGE GRAFT: unbalanced parentheses around the FROM (<query>)"))
@@ -507,6 +512,31 @@ case class GraftAlterCommand(root: String, verb: String, name: String,
       case "dropconstraint" => VersionedTable.dropConstraint(root, name, commitId)
     }
     Seq(Row(v))
+  }
+}
+
+/** `COPY INTO GRAFT '<root>' FROM '<glob>' [FORMAT <fmt>]` →
+  * [[VersionedTable.copyInto]] — the idempotent landing-zone drain as a
+  * statement. SQL re-execution is SAFE here, unlike the DML statements'
+  * fresh-commitId semantics: the per-FILE markers make a re-run load only
+  * files that arrived since, which is the whole point of the verb — so
+  * the commitId derives from the marker state (first unseen file), not a
+  * UUID.
+  */
+case class GraftCopyIntoCommand(root: String, glob: String,
+                                format: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("files_loaded", IntegerType, nullable = false)(),
+    AttributeReference("files_skipped", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val commitId = s"sql-copy-${java.util.UUID.randomUUID().toString.take(12)}"
+    val (v, loaded, skipped) =
+      VersionedTable.copyInto(spark, root, glob, commitId, format = format,
+        statsCols = VersionedTable.indexedCols(root)._1,
+        bloomCols = VersionedTable.indexedCols(root)._2)
+    Seq(Row(v, loaded, skipped))
   }
 }
 

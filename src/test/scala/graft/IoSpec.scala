@@ -1209,8 +1209,9 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 4)
     // crash simulation: ci-7's attempt manifest recorded f5 and its commit
     // landed, but the "crash" hit before the markers; f6 arrived later.
-    // The same-commitId retry heals f5's marker ONLY — the late f6 must
-    // not be falsely marked by a commit that predates it
+    // The NEXT run — under a completely DIFFERENT commitId — self-heals:
+    // its sweep marks f5 from the committed attempt manifest (never
+    // re-loading it), then loads only the genuinely-new f6
     Seq((5L, "e")).toDF("k", "v").coalesce(1).write.parquet(s"$stage/f5")
     val f5part = new java.io.File(s"$stage/f5").listFiles()
       .filter(_.getName.endsWith(".parquet")).head.getPath
@@ -1220,13 +1221,22 @@ class IoSpec extends SparkSpec {
       java.nio.file.Paths.get(root, "ingest", "attempt-ci-7.json"),
       s"""{"files":["$f5part"]}""")
     Seq((6L, "f")).toDF("k", "v").coalesce(1).write.parquet(s"$stage/f6")
-    val (_, l7, s7) = VersionedTable.copyInto(spark, root, glob, "ci-7")
-    assert((l7, s7) == ((1, 4)), s"($l7, $s7)")
-    // f6 stayed unmarked and loads — alone — under the next fresh commitId
-    val (_, l8, _) = VersionedTable.copyInto(spark, root, glob, "ci-8",
+    val (_, l7, s7) = VersionedTable.copyInto(spark, root, glob, "ci-9-other",
       statsCols = Seq("k"))
-    assert(l8 == 1, s"$l8")
+    assert((l7, s7) == ((1, 5)), s"($l7, $s7)")
     assert(VersionedTable.read(spark, root).count() == 6)
+    // no duplicates: the crashed commit's file was healed, not re-loaded
+    assert(VersionedTable.read(spark, root).filter(col("k") === 5L).count() == 1)
+    // the healed attempt manifest is retired
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "ingest", "attempt-ci-7.json")))
+    // the SQL statement drains the same landing zone, idempotently under
+    // re-execution (UUID commitIds are safe because of the self-heal pass)
+    Seq((7L, "g")).toDF("k", "v").coalesce(1).write.parquet(s"$stage/f7")
+    val sqlRow = spark.sql(s"COPY INTO GRAFT '$root' FROM '$glob'").head()
+    assert(sqlRow.getInt(1) == 1 && sqlRow.getInt(2) == 6, sqlRow.toString)
+    assert(spark.sql(s"COPY INTO GRAFT '$root' FROM '$glob'").head().getInt(1) == 0)
+    assert(VersionedTable.read(spark, root).count() == 7)
   }
 
   test("OPTIMIZE GRAFT WHERE + CLUSTER BY: partition-scoped z-order clusters within the selected partitions only") {
