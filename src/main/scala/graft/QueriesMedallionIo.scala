@@ -1569,6 +1569,39 @@ private[graft] object QueriesMedallionIo {
         |FROM (VALUES ('owner', 'pipeline'), ('retention.days', '30')) AS t(k, v)
         |ORDER BY 1""".stripMargin)),
 
+    // S17 — IDENTITY COLUMNS (addIdentityColumn — the public Delta
+    // GENERATED ALWAYS AS IDENTITY feature): declared at CREATE, then two
+    // appends ALLOCATE the column — contiguous ranges (start 1000, step
+    // 2), transactional next-value in the manifest — so the driver can
+    // pin exact global invariants the per-row assignment order cannot
+    // perturb: min = start, max = start + step·(n-1), all n values
+    // distinct. The oracle derives all three from the raw row count.
+    Q("versioned_identity",
+      (s, dir) => {
+        val root = Fixtures.once(s, dir, "vt_identity") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_ident_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          graft.io.VersionedTable.addIdentityColumn(r, "row_id",
+            startWith = 1000L, stepBy = 2L, commitId = "idq-decl")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") <= mx / 2),
+            r, "append", "idq-a", statsCols = Seq("row_id"))
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") > mx / 2),
+            r, "append", "idq-b", statsCols = Seq("row_id"))
+          r
+        }
+        graft.io.VersionedTable.read(s, root)
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("row_id")).as("distinct_ids"),
+            min(col("row_id")).as("min_id"),
+            max(col("row_id")).as("max_id"))
+      },
+      Some("""SELECT count(*) AS n, count(*) AS distinct_ids,
+        |  CAST(1000 AS BIGINT) AS min_id,
+        |  CAST(1000 + 2 * (count(*) - 1) AS BIGINT) AS max_id
+        |FROM orders""".stripMargin)),
+
     // S17 — MERGE-ON-READ delete (VersionedTable.deleteWhereMor — the
     // deletion-vector twin of versioned_delete's copy-on-write): the purge
     // writes ONE small key set and MARKS the envelope-hit dir; no data dir

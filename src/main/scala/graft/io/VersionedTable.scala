@@ -104,7 +104,8 @@ object VersionedTable {
                           dropped: Seq[String] = Nil,
                           generated: Map[String, String] = Map.empty,
                           nullCounts: Map[String, Map[String, (Long, Long)]] = Map.empty,
-                          props: Map[String, String] = Map.empty)
+                          props: Map[String, String] = Map.empty,
+                          identity: Map[String, (Long, Long, Long)] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -225,6 +226,14 @@ object VersionedTable {
       c.props.toSeq.sortBy(_._1).foreach { case (k, v) => pm.put(k, v) }
       m.put("props", pm)
     }
+    if (c.identity.nonEmpty) {
+      val im = new java.util.LinkedHashMap[String, Object]()
+      c.identity.toSeq.sortBy(_._1).foreach { case (col, (st, sp, nx)) =>
+        im.put(col, java.util.Arrays.asList(java.lang.Long.valueOf(st),
+          java.lang.Long.valueOf(sp), java.lang.Long.valueOf(nx)))
+      }
+      m.put("identity", im)
+    }
     mapper.writeValueAsString(m)
   }
 
@@ -251,7 +260,7 @@ object VersionedTable {
     */
   private[graft] val supportedReaderFeatures =
     Set("mor-deletes", "column-mapping", "external-refs", "dropped-columns",
-        "generated-columns")
+        "generated-columns", "identity-columns")
 
   private def featuresOf(c: Commit): Seq[String] = Seq(
     (c.deletes.nonEmpty || c.deleteKeys.nonEmpty) -> "mor-deletes",
@@ -264,7 +273,10 @@ object VersionedTable {
     c.dropped.nonEmpty -> "dropped-columns",
     // a pre-generated-columns WRITER would append without materializing
     // the column; the gate fires on the log read every write starts with
-    c.generated.nonEmpty -> "generated-columns"
+    c.generated.nonEmpty -> "generated-columns",
+    // a pre-identity WRITER would append without allocating (or with
+    // colliding explicit values); gate like generated-columns
+    c.identity.nonEmpty -> "identity-columns"
   ).collect { case (true, f) => f }
 
   private def readManifest(p: java.nio.file.Path): Commit = {
@@ -337,12 +349,18 @@ object VersionedTable {
     val props = Option(n.get("props")).map { pn =>
       pn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
+    val identity = Option(n.get("identity")).map { in =>
+      in.properties().asScala.map { e =>
+        val a = e.getValue
+        e.getKey -> ((a.get(0).asLong, a.get(1).asLong, a.get(2).asLong))
+      }.toMap
+    }.getOrElse(Map.empty[String, (Long, Long, Long)])
     Commit(v, n.get("commitId").asText(), n.get("mode").asText(),
       n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, strStats, pcols, blooms,
       Option(n.get("schema")).map(_.asText()),
       Option(n.get("committedAt")).map(_.asLong()).getOrElse(0L),
       deletes, deleteKeys, nameMap, constraints, dropped, generated, nullCounts,
-      props)
+      props, identity)
   }
 
   /** Atomically publish manifest `c` into version slot `v`: write the full
@@ -833,6 +851,9 @@ object VersionedTable {
           require(!parent.partitionCols.contains(phys),
             s"renameColumn: '$from' is a hive partition column — its physical name is " +
               "baked into every directory path; repartitioning is a rewrite, not a rename")
+          require(!parent.identity.contains(from),
+            s"renameColumn: '$from' is a GENERATED ALWAYS AS IDENTITY column — the " +
+              "allocator is keyed by its declared name")
           // CHECK constraints are stored as SQL over LOGICAL names; renaming
           // a referenced column would silently break their enforcement
           // (word-boundary match — conservative: a literal mention inside a
@@ -989,6 +1010,9 @@ object VersionedTable {
           require(!parent.partitionCols.contains(phys),
             s"dropColumn: '$name' is a hive partition column — its physical name is " +
               "baked into every directory path; repartitioning is a rewrite, not a drop")
+          require(!parent.identity.contains(name),
+            s"dropColumn: '$name' is a GENERATED ALWAYS AS IDENTITY column — the " +
+              "allocator depends on it")
           val referencing = parent.constraints.collect {
             case (n, sql) if ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
               .findFirstIn(sql).isDefined => n
@@ -1122,6 +1146,101 @@ object VersionedTable {
     * aggregate pushdown enabled — min/max come from file footers, O(#files)
     * not O(rows), and the upstream plan is never computed twice.
     */
+  /** Merge-shaped verbs refuse identity tables — Delta's own rule: a merge
+    * insert cannot allocate an identity value, and accepting explicit ones
+    * would let a source collide with the table's own future allocations.
+    */
+  private def requireNoIdentity(parent: Commit, op: String): Unit =
+    require(parent.identity.isEmpty,
+      s"$op: table declares GENERATED ALWAYS AS IDENTITY column(s) " +
+        s"${parent.identity.keys.toSeq.sorted.mkString(", ")} — a merge-shaped " +
+        "insert cannot allocate (Delta's rule); use commit(append) for new rows " +
+        "and updateWhere/deleteWhere for changes")
+
+  /** Declare a GENERATED ALWAYS AS IDENTITY column (the public Delta
+    * identity-columns feature): every subsequent row-adding commit
+    * ALLOCATES `name` — a contiguous long range per batch, `startWith` +
+    * k·`stepBy` — and a batch carrying the column explicitly is refused
+    * (ALWAYS, not BY DEFAULT). Declaration is CREATE-time only, like
+    * Delta's: on a table that already holds data the existing rows would
+    * need backfill values the allocator did not issue. Allocation is
+    * transactional — the manifest records (start, step, next), and a
+    * commit whose base raced a concurrent allocation refuses loudly
+    * before publishing duplicate ids. The merge family
+    * (mergeInto/mergeIntoConditional/applyCdcBatch/replaceRange) refuses
+    * identity tables outright — Delta's own rule: a merge insert cannot
+    * allocate — while updateWhere/updateRange refuse SET on the column
+    * and delete verbs work unchanged. Rename/drop of the column are
+    * refused; the spec and high-water survive every publish path
+    * including clone and rollback.
+    */
+  def addIdentityColumn(root: String, name: String, startWith: Long = 1L,
+                        stepBy: Long = 1L, commitId: String): Long = {
+    require(stepBy != 0L, "addIdentityColumn: step must be non-zero")
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => prior
+      case None =>
+        var out = -1L
+        while (out < 0) {
+          latestCommit(root) match {
+            case None =>
+              Files.createDirectories(commitsDir(root))
+              if (publishIfAbsent(root, 1L, Commit(1L, commitId, "create", Nil,
+                  identity = Map(name -> ((startWith, stepBy, startWith))))))
+                out = 1L
+              else if (findCommitVersion(root, commitId).isDefined)
+                out = findCommitVersion(root, commitId).get
+            case Some(parent) =>
+              require(parent.dirs.isEmpty,
+                s"addIdentityColumn: table already holds data — identity is a " +
+                  "CREATE-time declaration (existing rows would need values the " +
+                  "allocator did not issue)")
+              require(!parent.identity.contains(name),
+                s"addIdentityColumn: '$name' is already an identity column")
+              require(!parent.generated.contains(name),
+                s"addIdentityColumn: '$name' is GENERATED ALWAYS AS (an expression)")
+              val v = parent.version + 1
+              if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
+                  mode = "create",
+                  identity = parent.identity + (name -> ((startWith, stepBy, startWith))))))
+                out = v
+          }
+        }
+        out
+    }
+  }
+
+  /** Allocate contiguous identity values [next, next + step·count) onto
+    * `df` as non-null LONG column `colName` — the zipWithIndex two-pass
+    * scheme (the same shape as the scalable surrogate-id operator):
+    * per-partition counts, an O(#partitions) driver prefix sum, then
+    * per-partition offset assignment. Fully parallel — no global sort, no
+    * window — and the frame is localCheckpoint'ed so the count pass and
+    * the assignment pass read the SAME materialized partitions. Returns
+    * (frame with the column, next unallocated value). Contiguity is a
+    * deliberate improvement over gap-allocating engines: ranges stay
+    * dense, so max(id) tracks row count and per-file envelopes stay
+    * tight.
+    */
+  private def assignIdentityColumn(df: DataFrame, colName: String, next: Long,
+                                   step: Long): (DataFrame, Long) = {
+    val cut = df.localCheckpoint(true)
+    val counts = cut.rdd
+      .mapPartitionsWithIndex { case (i, it) => Iterator((i, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val schema = org.apache.spark.sql.types.StructType(cut.schema.fields :+
+      org.apache.spark.sql.types.StructField(colName,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val rows = cut.rdd.mapPartitionsWithIndex { case (i, it) =>
+      var n = next + offsets(i) * step
+      it.map { r =>
+        val out = org.apache.spark.sql.Row.fromSeq(r.toSeq :+ n); n += step; out
+      }
+    }
+    (df.sparkSession.createDataFrame(rows, schema), next + counts.sum * step)
+  }
+
   def commit(df: DataFrame, root: String, mode: String, commitId: String,
              statsCols: Seq[String] = Nil, partitionCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil): Long = {
@@ -1144,8 +1263,28 @@ object VersionedTable {
         // surviving overwrite like Delta's) and are enforced on the
         // incoming LOGICAL batch before any data is written
         preParent0.foreach(p => enforceConstraints(p.constraints, dfGen, "commit"))
+        // IDENTITY columns allocate here (both modes — the spec is a table
+        // property): explicit values are refused (GENERATED ALWAYS), the
+        // batch gets a contiguous [next, next + step·count) range, and the
+        // publish loop below re-validates that no concurrent commit
+        // allocated from the same base
+        val identSpec = preParent0.map(_.identity).getOrElse(Map.empty)
+        val (dfIdent, allocatedNext) =
+          if (identSpec.isEmpty) (dfGen, Map.empty[String, Long])
+          else {
+            identSpec.keys.toSeq.sorted.foreach(c => require(!dfGen.columns.contains(c),
+              s"commit: '$c' is GENERATED ALWAYS AS IDENTITY — explicit values are " +
+                "refused (the table allocates); drop the column from the batch"))
+            var cur = dfGen
+            val nexts = scala.collection.mutable.Map[String, Long]()
+            identSpec.toSeq.sortBy(_._1).foreach { case (c, (_, sp, nx)) =>
+              val (assigned, newNext) = assignIdentityColumn(cur, c, nx, sp)
+              cur = assigned; nexts(c) = newNext
+            }
+            (cur, nexts.toMap)
+          }
         val preParent = preParent0.filter(_ => mode == "append")
-        val dfPhys = preParent.fold(dfGen)(p => toPhysicalDf(p, dfGen))
+        val dfPhys = preParent.fold(dfIdent)(p => toPhysicalDf(p, dfIdent))
         val physStats = statsCols.map(c => preParent.fold(c)(p => physName(p, c)))
         val physBlooms = bloomCols.map(c => preParent.fold(c)(p => physName(p, c)))
         // data first — invisible until a manifest references it; the dir name
@@ -1161,6 +1300,14 @@ object VersionedTable {
         // manifest second, with OCC retry on the version slot; each retry
         // parses only the TAIL (latest manifest + checkpoint probe), so a
         // contended commit stays O(1) parses per attempt
+        // the identity manifest entry this commit publishes: same spec,
+        // next advanced past the allocated range
+        def committedIdentity(parent: Option[Commit]): Map[String, (Long, Long, Long)] = {
+          val base = parent.map(_.identity).getOrElse(Map.empty)
+          base.map { case (c, (st, sp, nx)) =>
+            c -> ((st, sp, allocatedNext.getOrElse(c, nx)))
+          }
+        }
         var committed = -1L
         while (committed < 0) {
           val parent = latestCommit(root)
@@ -1168,6 +1315,19 @@ object VersionedTable {
           if (twin.isDefined) {
             committed = twin.get // another retry of us won
           } else {
+            // identity is transactional: a concurrent commit that allocated
+            // from the same base, or a declaration racing the write, makes
+            // this batch's values unsafe — refuse, never publish duplicates
+            parent.foreach { p =>
+              require(p.identity.keySet == identSpec.keySet,
+                s"commit: identity declarations advanced during the write " +
+                  s"(now ${p.identity.keySet.toSeq.sorted.mkString(", ")}); re-run")
+              identSpec.foreach { case (c, (_, _, nxAssumed)) =>
+                require(p.identity(c)._3 == nxAssumed,
+                  s"commit: identity allocation for '$c' raced a concurrent commit " +
+                    s"(base $nxAssumed, now ${p.identity(c)._3}); re-run")
+              }
+            }
             // a snapshot's dirs must share one hive layout — readers union
             // per-dir scans, and a layout mix would silently widen schemas
             parent.filter(_ => mode == "append").foreach { p =>
@@ -1255,7 +1415,8 @@ object VersionedTable {
                     parent.map(_.dropped).getOrElse(Nil) else Nil,
                   generated = parent.map(_.generated).getOrElse(Map.empty),
                   nullCounts = nullCounts,
-                  props = parent.map(_.props).getOrElse(Map.empty))))
+                  props = parent.map(_.props).getOrElse(Map.empty),
+                  identity = committedIdentity(parent))))
               committed = v
           }
         }
@@ -2475,7 +2636,7 @@ object VersionedTable {
         generated = parent.generated,
         nullCounts = survivorsDir.filter(_ => dirStats.nulls.nonEmpty)
           .fold(keptNulls)(d => keptNulls + (d -> dirStats.nulls)),
-        props = parent.props)
+        props = parent.props, identity = parent.identity)
       if (publishIfAbsent(root, v, c)) out = v
       else findCommitVersion(root, commitId) match {
         case Some(pv) => out = pv // a retry twin of us won the slot
@@ -2510,6 +2671,7 @@ object VersionedTable {
       case None =>
         val parent = latestCommit(root)
           .getOrElse(sys.error(s"mergeInto: no commits at $root"))
+        requireNoIdentity(parent, "mergeInto")
         // GENERATED columns materialize/enforce first, so a batch lacking
         // one still passes the exact-schema gate below and a batch carrying
         // a disagreeing value refuses before any dir is classified
@@ -2733,6 +2895,7 @@ object VersionedTable {
       case None =>
         val parent = latestCommit(root)
           .getOrElse(sys.error(s"mergeIntoConditional: no commits at $root"))
+        requireNoIdentity(parent, "mergeIntoConditional")
         val sourceG = materializeGenerated(parent.generated, source, "mergeIntoConditional")
         val srcPhys = toPhysicalDf(parent, sourceG)
         val physKey = physName(parent, keyCol)
@@ -2881,6 +3044,7 @@ object VersionedTable {
       case None =>
         val parent = latestCommit(root)
           .getOrElse(sys.error(s"applyCdcBatch: no commits at $root"))
+        requireNoIdentity(parent, "applyCdcBatch")
         // generated columns: compute if absent, refuse if contradicted —
         // before the exact-schema gate, like mergeInto
         val updatesG = materializeGenerated(parent.generated, updates, "applyCdcBatch")
@@ -3088,7 +3252,8 @@ object VersionedTable {
                 deletes = newDeletes, deleteKeys = newDeleteKeys,
                 nameMap = parent.nameMap, constraints = parent.constraints,
                 dropped = parent.dropped, generated = parent.generated,
-                nullCounts = parent.nullCounts, props = parent.props)
+                nullCounts = parent.nullCounts, props = parent.props,
+                identity = parent.identity)
               if (publishIfAbsent(root, v, c)) result = (v, hit.size, parent.dirs.size)
               // lost the race: manifest-only — recompute against the new
               // parent and retry (the key set is already in place)
@@ -3317,6 +3482,7 @@ object VersionedTable {
       case None =>
         val parent = latestCommit(root)
           .getOrElse(sys.error(s"replaceRange: no commits at $root"))
+        requireNoIdentity(parent, "replaceRange")
         val phys = physName(parent, colName)
         requireRangeBoundTypes(parent, phys, lo, hi, "replaceRange")
         val batchG = materializeGenerated(parent.generated, batch, "replaceRange")
@@ -3400,6 +3566,9 @@ object VersionedTable {
       require(!parent.generated.contains(n),
         s"$op: '$n' is GENERATED ALWAYS AS (${parent.generated(n)}) — it recomputes " +
           "from its declaration; SET its source columns instead")
+      require(!parent.identity.contains(n),
+        s"$op: '$n' is GENERATED ALWAYS AS IDENTITY — its values are allocated, " +
+          "never SET")
     }
     // the RAW expression type must equal the column's — checked BEFORE the
     // when() wrap, whose branch coercion would otherwise hide the mismatch
@@ -3628,7 +3797,8 @@ object VersionedTable {
               target.schemaDdl, deletes = target.deletes, deleteKeys = target.deleteKeys,
               nameMap = target.nameMap, constraints = target.constraints,
               dropped = target.dropped, generated = target.generated,
-              nullCounts = target.nullCounts, props = target.props)))
+              nullCounts = target.nullCounts, props = target.props,
+              identity = target.identity)))
             committed = v
         }
         committed
@@ -3790,7 +3960,7 @@ object VersionedTable {
           dropped = Nil, generated = parent.generated,
           nullCounts = if (dirStats.nulls.isEmpty) Map.empty
                        else Map(dirName -> dirStats.nulls),
-          props = parent.props)
+          props = parent.props, identity = parent.identity)
         if (!publishIfAbsent(root, v, c))
           sys.error(s"compact: log advanced past v${parent.version} during the rewrite; " +
             "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
@@ -3967,7 +4137,7 @@ object VersionedTable {
           generated = c.generated,
           nullCounts = c.nullCounts.collect {
             case (d, v) if dirMap.contains(d) => dirMap(d) -> v
-          }, props = c.props)
+          }, props = c.props, identity = c.identity)
         if (publishIfAbsent(dstRoot, 1L, cloned)) 1L
         else findCommitVersion(dstRoot, commitId).getOrElse(
           sys.error(s"cloneTo: destination $dstRoot gained a commit concurrently; " +

@@ -1299,6 +1299,53 @@ class IoSpec extends SparkSpec {
     assert(!r.columns.contains("label") && r.count() == 3)
   }
 
+  test("GENERATED ALWAYS AS IDENTITY: contiguous allocation across commits, explicit/merge/SET/rename/drop refused, survives compact") {
+    import spark.implicits._
+    val root = tmpDir("vt_identity")
+    VersionedTable.addIdentityColumn(root, "row_id", startWith = 1000L, stepBy = 2L,
+      commitId = "id-decl")
+    VersionedTable.commit(Seq("a", "b", "c").toDF("v"), root, "append", "id-1",
+      statsCols = Seq("row_id"))
+    assert(VersionedTable.read(spark, root).columns.toSeq == Seq("v", "row_id"))
+    assert(VersionedTable.read(spark, root).select("row_id").as[Long]
+      .collect().sorted.toSeq == Seq(1000L, 1002L, 1004L))
+    // the second append CONTINUES the sequence — no overlap, no gap
+    VersionedTable.commit(Seq("d", "e").toDF("v"), root, "append", "id-2")
+    assert(VersionedTable.read(spark, root).select("row_id").as[Long]
+      .collect().sorted.toSeq == Seq(1000L, 1002L, 1004L, 1006L, 1008L))
+    // GENERATED ALWAYS: explicit values refused
+    val e1 = intercept[Exception](VersionedTable.commit(
+      Seq(("x", 9L)).toDF("v", "row_id"), root, "append", "id-bad"))
+    assert(e1.getMessage.contains("IDENTITY"), e1.getMessage)
+    // merge-shaped verbs refuse outright (Delta's rule)
+    val e2 = intercept[Exception](VersionedTable.mergeInto(spark, root,
+      Seq(("y", 1000L)).toDF("v", "row_id"), "row_id", "id-m"))
+    assert(e2.getMessage.contains("IDENTITY"), e2.getMessage)
+    // SET on the column refused; deletes work unchanged
+    val e3 = intercept[Exception](VersionedTable.updateRange(spark, root, "row_id",
+      1000L, 1004L, Map("row_id" -> "0"), "id-u"))
+    assert(e3.getMessage.contains("IDENTITY"), e3.getMessage)
+    VersionedTable.deleteWhere(spark, root, Seq(1002L).toDF("row_id"), "row_id",
+      "id-del", statsCols = Seq("row_id"))
+    assert(VersionedTable.read(spark, root).count() == 4)
+    // rename/drop of the allocator column refused
+    assert(intercept[Exception](VersionedTable.renameColumn(root, "row_id", "rid",
+      "id-r")).getMessage.contains("IDENTITY"))
+    assert(intercept[Exception](VersionedTable.dropColumn(root, "row_id",
+      "id-d")).getMessage.contains("IDENTITY"))
+    // the spec + high-water survive a compaction rewrite: the next append
+    // continues where the allocator left off
+    VersionedTable.compact(spark, root, "id-opt", targetFiles = 2,
+      statsCols = Seq("row_id"))
+    VersionedTable.commit(Seq("f").toDF("v"), root, "append", "id-3")
+    assert(VersionedTable.read(spark, root).select("row_id").as[Long]
+      .collect().sorted.toSeq == Seq(1000L, 1004L, 1006L, 1008L, 1010L))
+    // declaration on a table that already holds data refuses
+    val e4 = intercept[Exception](VersionedTable.addIdentityColumn(root, "other",
+      commitId = "id-decl2"))
+    assert(e4.getMessage.contains("already holds data"), e4.getMessage)
+  }
+
   test("TBLPROPERTIES: SQL set/unset/show, carried by rewrites and clones, restored by rollback, time-travelable") {
     import spark.implicits._
     val root = tmpDir("vt_props")
