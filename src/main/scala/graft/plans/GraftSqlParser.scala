@@ -33,6 +33,8 @@ import graft.io.VersionedTable
   *   ALTER GRAFT '<root>' DROP COLUMN <a>
   *   ALTER GRAFT '<root>' ALTER COLUMN <a> TYPE <sqlType>
   *   ALTER GRAFT '<root>' ADD COLUMN <a> GENERATED ALWAYS AS (<expr>)
+  *   ALTER GRAFT '<root>' ADD COLUMN <a> GENERATED ALWAYS AS IDENTITY
+  *       [(START WITH <n> STEP <n>)]
   *   ALTER GRAFT '<root>' ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER GRAFT '<root>' DROP CONSTRAINT <name>
   *   ALTER GRAFT '<root>' SET TBLPROPERTIES ('k' = 'v' [, ...])
@@ -113,6 +115,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val alterTypeRe =
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)\s*;?\s*""".r
+  private val alterAddIdentityRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+STEP\s+(-?\d+)\s*\))?\s*;?\s*""".r
   private val alterAddGenRe =
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s+\((.*)\)\s*;?\s*""".r
   private val alterAddConstraintRe =
@@ -215,6 +219,11 @@ object GraftSqlParser {
       Some(GraftAlterCommand(root, "rename", from, Some(to)))
     case alterDropColRe(root, c) => Some(GraftAlterCommand(root, "dropcol", c, None))
     case alterTypeRe(root, c, t) => Some(GraftAlterCommand(root, "widen", c, Some(t)))
+    case alterAddIdentityRe(root, c, st, sp) =>
+      // IDENTITY must match before the generic GENERATED ALWAYS AS (expr)
+      // form — "IDENTITY" is not an expression
+      Some(GraftAlterCommand(root, "addidentity", c,
+        Some(s"${Option(st).getOrElse("1")},${Option(sp).getOrElse("1")}")))
     case alterAddGenRe(root, c, e) =>
       Some(GraftAlterCommand(root, "addgen", c, Some(e.trim)))
     case alterAddConstraintRe(root, n, e) =>
@@ -508,6 +517,9 @@ case class GraftAlterCommand(root: String, verb: String, name: String,
       case "dropcol" => VersionedTable.dropColumn(root, name, commitId)
       case "widen" => VersionedTable.widenColumnType(root, name, arg.get, commitId)
       case "addgen" => VersionedTable.addGeneratedColumn(spark, root, name, arg.get, commitId)
+      case "addidentity" =>
+        val Array(st, sp) = arg.get.split(",")
+        VersionedTable.addIdentityColumn(root, name, st.toLong, sp.toLong, commitId)
       case "addconstraint" => VersionedTable.addConstraint(spark, root, name, arg.get, commitId)
       case "dropconstraint" => VersionedTable.dropConstraint(root, name, commitId)
     }

@@ -1344,6 +1344,13 @@ class IoSpec extends SparkSpec {
     val e4 = intercept[Exception](VersionedTable.addIdentityColumn(root, "other",
       commitId = "id-decl2"))
     assert(e4.getMessage.contains("already holds data"), e4.getMessage)
+    // the SQL declaration form bootstraps a fresh table
+    val root2 = tmpDir("vt_identity_sql")
+    spark.sql(s"ALTER GRAFT '$root2' ADD COLUMN rid GENERATED ALWAYS AS IDENTITY " +
+      "(START WITH 5 STEP 3)").collect()
+    VersionedTable.commit(Seq("p", "q").toDF("v"), root2, "append", "ids-1")
+    assert(VersionedTable.read(spark, root2).select("rid").as[Long]
+      .collect().sorted.toSeq == Seq(5L, 8L))
   }
 
   test("TBLPROPERTIES: SQL set/unset/show, carried by rewrites and clones, restored by rollback, time-travelable") {
