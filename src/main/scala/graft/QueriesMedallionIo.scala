@@ -2579,5 +2579,104 @@ private[graft] object QueriesMedallionIo {
         |FROM a FULL OUTER JOIN b USING (doc_id)
         |WHERE a.text IS NULL OR b.text IS NULL OR a.text <> b.text
         |ORDER BY doc_id""".stripMargin)),
+
+    // S17 — BRANCHES + FAST-FORWARD publish (VersionedTable.createBranch /
+    // fastForward — Iceberg's branch ref, the WRITE-AUDIT-PUBLISH pattern):
+    // the table forks at v2 into a zero-copy branch ('zero_copy' pins no
+    // data/ under the branch root at creation); a MERGE and a DELETE land
+    // on the BRANCH while main stays bit-identical ('main_isolated' pins
+    // main's count and version unmoved — the audit window); FAST FORWARD
+    // then publishes the branch's snapshot as ONE main commit, moving
+    // branch-local dirs into main storage with zero bytes copied and
+    // retiring the branch ('published' pins main at v3 with no live
+    // branches). The oracle replays merge-then-delete as plain SQL.
+    Q("versioned_branch_wap",
+      (s, dir) => {
+        val (root, zeroCopy, isolated, published) = Fixtures.once(s, dir, "vt_branch_wap") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_wap_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0),
+            r, "append", "wap-c0", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1),
+            r, "append", "wap-c1", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.createBranch(r, "audit", "wap-branch")
+          val bq = graft.io.VersionedTable.branchRoot(r, "audit")
+          val zc = !new java.io.File(s"$bq/data").exists()
+          graft.io.VersionedTable.mergeInto(s, bq,
+            o.filter(col("o_orderkey") % 5 === 0)
+              .select(col("o_orderkey"), lit("U-WAP").as("o_orderpriority"),
+                col("o_totalprice")),
+            "o_orderkey", "wap-merge", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.deleteWhere(s, bq,
+            o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+            "o_orderkey", "wap-del")
+          val iso = graft.io.VersionedTable.read(s, r).count() == o.count() &&
+            graft.io.VersionedTable.latestVersion(r).contains(2L)
+          graft.io.VersionedTable.fastForward(r, "audit", "wap-publish")
+          val pub = graft.io.VersionedTable.latestVersion(r).contains(3L) &&
+            graft.io.VersionedTable.listBranches(r).isEmpty
+          (r, java.lang.Boolean.valueOf(zc), java.lang.Boolean.valueOf(iso),
+            java.lang.Boolean.valueOf(pub))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("zero_copy", lit(zeroCopy.booleanValue()))
+          .withColumn("main_isolated", lit(isolated.booleanValue()))
+          .withColumn("published", lit(published.booleanValue()))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH m AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'U-WAP' ELSE o_orderpriority END AS o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  TRUE AS zero_copy, TRUE AS main_isolated, TRUE AS published
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — TAGS as immortal named refs (VersionedTable.createTag — the
+    // Iceberg tag: "the corpus release we trained on", pinned by NAME):
+    // v2 is tagged, a copy-on-write DELETE advances the table past it, and
+    // vacuum RETAIN 1 then sweeps everything unreferenced — EXCEPT the
+    // tagged version: tag-aware vacuum keeps v2's manifest AND its data
+    // dirs live however far count-based retention advances ('tag_alive'
+    // pins the un-tagged v1 manifest dropped while tagged v2 survived;
+    // 'latest_correct' pins the post-delete head unaffected). The read is
+    // time travel BY NAME to the tagged snapshot, bit-exact after the
+    // sweep; the oracle replays its content as plain SQL.
+    Q("versioned_tag",
+      (s, dir) => {
+        val (root, tagAlive, latestCorrect) = Fixtures.once(s, dir, "vt_tag") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_tag_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 0),
+            r, "append", "tag-c0", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 3 === 1),
+            r, "append", "tag-c1", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.createTag(r, "release-v2", 2L)
+          graft.io.VersionedTable.deleteWhere(s, r,
+            o.filter(col("o_orderkey") % 2 === 0).select("o_orderkey"),
+            "o_orderkey", "tag-del")
+          graft.io.VersionedTable.vacuum(r, retainLast = 1, orphanGraceMs = 0L)
+          val expectTag = o.filter(col("o_orderkey") % 3 < 2).count()
+          val alive = graft.io.VersionedTable.commitAt(r, 1L).isEmpty &&
+            graft.io.VersionedTable.commitAt(r, 2L).isDefined &&
+            graft.io.VersionedTable.readTag(s, r, "release-v2").count() == expectTag
+          val expectHead = o.filter(col("o_orderkey") % 3 < 2 &&
+            col("o_orderkey") % 2 === 1).count()
+          val head = graft.io.VersionedTable.read(s, r).count() == expectHead
+          (r, java.lang.Boolean.valueOf(alive), java.lang.Boolean.valueOf(head))
+        }
+        graft.io.VersionedTable.readTag(s, root, "release-v2")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("tag_alive", lit(tagAlive.booleanValue()))
+          .withColumn("latest_correct", lit(latestCorrect.booleanValue()))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "TRUE AS tag_alive, TRUE AS latest_correct " +
+        "FROM orders WHERE o_orderkey % 3 < 2 GROUP BY 1 ORDER BY 1")),
   )
 }

@@ -39,6 +39,13 @@ import graft.io.VersionedTable
   *   ALTER GRAFT '<root>' DROP CONSTRAINT <name>
   *   ALTER GRAFT '<root>' SET TBLPROPERTIES ('k' = 'v' [, ...])
   *   ALTER GRAFT '<root>' UNSET TBLPROPERTIES ('k' [, ...])
+  *   ALTER GRAFT '<root>' CREATE BRANCH <name>
+  *   ALTER GRAFT '<root>' DROP BRANCH <name>
+  *   ALTER GRAFT '<root>' FAST FORWARD BRANCH <name>
+  *   ALTER GRAFT '<root>' CREATE TAG <name> [AS OF VERSION <n>]
+  *   ALTER GRAFT '<root>' DROP TAG <name>
+  *   SHOW BRANCHES GRAFT '<root>'
+  *   SHOW TAGS GRAFT '<root>'
   *   SHOW TBLPROPERTIES GRAFT '<root>'
   *   COPY INTO GRAFT '<root>' FROM '<glob>' [FORMAT <fmt>]
   *   MERGE GRAFT '<root>' ON <keyCol> FROM (<query>)
@@ -129,6 +136,20 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+UNSET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
   private val showPropsRe =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
+  private val alterCreateBranchRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+CREATE\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
+  private val alterDropBranchRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+DROP\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
+  private val alterFastForwardRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+FAST\s+FORWARD\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
+  private val alterCreateTagRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+CREATE\s+TAG\s+([\w.-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
+  private val alterDropTagRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+DROP\s+TAG\s+([\w.-]+)\s*;?\s*""".r
+  private val showBranchesRe =
+    """(?is)\s*SHOW\s+BRANCHES\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
+  private val showTagsRe =
+    """(?is)\s*SHOW\s+TAGS\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
   private val copyIntoRe =
     """(?is)\s*COPY\s+INTO\s+GRAFT\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?\s*;?\s*""".r
   private val propPairRe = """\s*'([^']*)'\s*=\s*'([^']*)'\s*""".r
@@ -244,6 +265,14 @@ object GraftSqlParser {
       }.toSeq
       Some(GraftPropertiesCommand(root, set = Map.empty, unset = ks))
     case showPropsRe(root) => Some(GraftShowPropertiesCommand(root))
+    case alterCreateBranchRe(root, name) => Some(GraftRefCommand(root, "createbranch", name, None))
+    case alterDropBranchRe(root, name) => Some(GraftRefCommand(root, "dropbranch", name, None))
+    case alterFastForwardRe(root, name) => Some(GraftRefCommand(root, "fastforward", name, None))
+    case alterCreateTagRe(root, name, v) =>
+      Some(GraftRefCommand(root, "createtag", name, Option(v).map(_.toLong)))
+    case alterDropTagRe(root, name) => Some(GraftRefCommand(root, "droptag", name, None))
+    case showBranchesRe(root) => Some(GraftShowRefsCommand(root, "branches"))
+    case showTagsRe(root) => Some(GraftShowRefsCommand(root, "tags"))
     case copyIntoRe(root, glob, fmt) =>
       Some(GraftCopyIntoCommand(root, glob, Option(fmt).getOrElse("parquet")))
     case mergeRe(root, key, tail) =>
@@ -642,5 +671,52 @@ case class GraftOptimizeCommand(root: String, targetFiles: Int,
           bloomCols = bloomCols, zorderBy = zorderBy, curve = curve)
         Seq(Row(v, before, before))
     }
+  }
+}
+
+/** The named-ref statements (Iceberg's branch/tag model, the WAP pattern):
+  * `ALTER GRAFT ... CREATE|DROP BRANCH`, `FAST FORWARD BRANCH` (the WAP
+  * publish), `CREATE|DROP TAG [AS OF VERSION n]` — routed to the
+  * [[VersionedTable]] ref verbs. CREATE TAG with no version pins the
+  * latest. Fresh commitId per statement like the other SQL-issued writes.
+  */
+case class GraftRefCommand(root: String, verb: String, name: String,
+                           version: Option[Long]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("ref", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = verb match {
+    case "createbranch" =>
+      val cid = s"sql-branch-${java.util.UUID.randomUUID().toString.take(12)}"
+      Seq(Row(name, VersionedTable.createBranch(root, name, cid)))
+    case "dropbranch" =>
+      VersionedTable.dropBranch(root, name); Seq(Row(name, -1L))
+    case "fastforward" =>
+      val cid = s"sql-ff-${java.util.UUID.randomUUID().toString.take(12)}"
+      Seq(Row(name, VersionedTable.fastForward(root, name, cid)))
+    case "createtag" =>
+      val v = version.getOrElse(VersionedTable.latestVersion(root).getOrElse(
+        sys.error(s"CREATE TAG: no commits at $root")))
+      Seq(Row(name, VersionedTable.createTag(root, name, v)))
+    case "droptag" =>
+      VersionedTable.dropTag(root, name); Seq(Row(name, -1L))
+  }
+}
+
+/** `SHOW BRANCHES | TAGS GRAFT '<root>'` — one row per ref: a branch with
+  * its own latest version, a tag with the version it pins.
+  */
+case class GraftShowRefsCommand(root: String, kind: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = kind match {
+    case "branches" => VersionedTable.listBranches(root).map { b =>
+      Row(b, VersionedTable.latestVersion(VersionedTable.branchRoot(root, b)).getOrElse(0L))
+    }
+    case "tags" =>
+      VersionedTable.listTags(root).toSeq.sortBy(_._1).map { case (n, v) => Row(n, v) }
   }
 }

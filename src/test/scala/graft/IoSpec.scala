@@ -2736,4 +2736,167 @@ class IoSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](VersionedTable.read(spark, root))
     assert(e.getMessage.contains("time-crystals"), e.getMessage)
   }
+  // ---- branches & tags (Iceberg refs; the WAP pattern) -------------------
+
+  test("VersionedTable branches: zero-copy fork, isolated writes, fast-forward publish, idempotent retry") {
+    import spark.implicits._
+    val root = tmpDir("branch")
+    val base = (1L to 100L).map(i => (i, i * 10)).toDF("id", "v")
+    VersionedTable.commit(base.filter(col("id") <= 50), root, "append", "b-c0",
+      statsCols = Seq("id"))
+    VersionedTable.commit(base.filter(col("id") > 50), root, "append", "b-c1",
+      statsCols = Seq("id"))
+    VersionedTable.createBranch(root, "wap", "b-branch")
+    val bq = VersionedTable.branchRoot(root, "wap")
+    // zero-copy: no data dir under the branch root at creation
+    assert(!new java.io.File(s"$bq/data").exists())
+    assert(VersionedTable.listBranches(root) == Seq("wap"))
+    // branch reads the fork-point snapshot through the external refs
+    assert(VersionedTable.read(spark, bq).count() == 100)
+    // writes land on the branch; main is untouched
+    VersionedTable.mergeInto(spark, bq,
+      Seq((25L, 999L), (101L, 1010L)).toDF("id", "v"), "id", "b-m0",
+      statsCols = Seq("id"))
+    VersionedTable.deleteWhere(spark, bq, Seq(50L).toDF("id"), "id", "b-d0")
+    assert(VersionedTable.read(spark, root).count() == 100)
+    assert(VersionedTable.latestVersion(root).contains(2L))
+    // audit the branch, then publish
+    val audited = VersionedTable.read(spark, bq)
+    assert(audited.count() == 100) // +1 insert, -1 delete
+    assert(audited.filter(col("id") === 25L).head().getLong(1) == 999L)
+    val v = VersionedTable.fastForward(root, "wap", "b-publish")
+    assert(v == 3L)
+    // the branch is retired; main holds the branch snapshot exactly
+    assert(VersionedTable.listBranches(root).isEmpty)
+    val main = VersionedTable.read(spark, root)
+    assert(main.count() == 100)
+    assert(main.filter(col("id") === 25L).head().getLong(1) == 999L)
+    assert(main.filter(col("id") === 50L).count() == 0)
+    assert(main.filter(col("id") === 101L).count() == 1)
+    // idempotent retry of the publish returns the committed version
+    assert(VersionedTable.fastForward(root, "wap", "b-publish") == 3L)
+    // the published snapshot's skipping index survived the move: a point
+    // read prunes to the dirs whose envelope admits the key, and reading
+    // through the index returns exactly the matching row
+    assert(VersionedTable.readRange(spark, root, "id", 101L, 101L).count() == 1)
+  }
+
+  test("VersionedTable branches: fast-forward refuses when main advanced (not a fast-forward)") {
+    import spark.implicits._
+    val root = tmpDir("branchstale")
+    VersionedTable.commit((1L to 10L).map(i => (i, i)).toDF("id", "v"), root,
+      "append", "bs-c0", statsCols = Seq("id"))
+    VersionedTable.createBranch(root, "exp", "bs-branch")
+    val bq = VersionedTable.branchRoot(root, "exp")
+    VersionedTable.commit(Seq((11L, 11L)).toDF("id", "v"), bq, "append", "bs-b1",
+      statsCols = Seq("id"))
+    // main advances past the fork point
+    VersionedTable.commit(Seq((12L, 12L)).toDF("id", "v"), root, "append", "bs-c1",
+      statsCols = Seq("id"))
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.fastForward(root, "exp", "bs-publish"))
+    assert(e.getMessage.contains("not a fast-forward"), e.getMessage)
+    // the branch is still alive and readable; dropping it orphans nothing in main
+    assert(VersionedTable.read(spark, bq).count() == 11)
+    VersionedTable.dropBranch(root, "exp")
+    assert(VersionedTable.listBranches(root).isEmpty)
+    assert(VersionedTable.read(spark, root).count() == 11)
+  }
+
+  test("VersionedTable branches: an unwritten branch fast-forwards as a no-op retirement") {
+    import spark.implicits._
+    val root = tmpDir("branchnoop")
+    VersionedTable.commit(Seq((1L, 1L)).toDF("id", "v"), root, "append", "bn-c0")
+    VersionedTable.createBranch(root, "idle", "bn-branch")
+    assert(VersionedTable.fastForward(root, "idle", "bn-publish") == 1L)
+    assert(VersionedTable.latestVersion(root).contains(1L))
+    assert(VersionedTable.listBranches(root).isEmpty)
+  }
+
+  test("VersionedTable vacuum is BRANCH-AWARE: main dirs a live branch references survive the sweep") {
+    import spark.implicits._
+    val root = tmpDir("branchvac")
+    val base = (1L to 40L).map(i => (i, i)).toDF("id", "v")
+    VersionedTable.commit(base.filter(col("id") <= 20), root, "append", "bv-c0",
+      statsCols = Seq("id"))
+    VersionedTable.commit(base.filter(col("id") > 20), root, "append", "bv-c1",
+      statsCols = Seq("id"))
+    VersionedTable.createBranch(root, "keeper", "bv-branch")
+    val bq = VersionedTable.branchRoot(root, "keeper")
+    // main rewrites everything (compact), then vacuums aggressively: the
+    // pre-compact dirs are unreferenced by any retained MAIN manifest but
+    // still referenced by the live branch
+    VersionedTable.compact(spark, root, "bv-opt", targetFiles = 1,
+      statsCols = Seq("id"))
+    VersionedTable.vacuum(root, retainLast = 1, orphanGraceMs = 0L)
+    // the branch still reads its fork-point snapshot bit-exactly
+    assert(VersionedTable.read(spark, bq).count() == 40)
+    assert(VersionedTable.read(spark, bq).agg(sum("v")).head().getLong(0) == (1L to 40L).sum)
+    // dropping the branch releases the refs; the next vacuum reclaims them
+    VersionedTable.dropBranch(root, "keeper")
+    val swept = VersionedTable.vacuum(root, retainLast = 1, orphanGraceMs = 0L)
+    assert(swept.nonEmpty)
+    assert(VersionedTable.read(spark, root).count() == 40)
+  }
+
+  test("VersionedTable tags: immortal named refs — vacuum keeps tagged versions, retag refuses") {
+    import spark.implicits._
+    val root = tmpDir("tags")
+    val base = (1L to 30L).map(i => (i, i)).toDF("id", "v")
+    VersionedTable.commit(base.filter(col("id") <= 10), root, "append", "t-c0",
+      statsCols = Seq("id"))
+    VersionedTable.commit(base.filter(col("id") > 10 && col("id") <= 20), root,
+      "append", "t-c1", statsCols = Seq("id"))
+    VersionedTable.createTag(root, "release-1", 2L)
+    assert(VersionedTable.listTags(root) == Map("release-1" -> 2L))
+    // same-version re-create is a no-op; a different version refuses
+    assert(VersionedTable.createTag(root, "release-1", 2L) == 2L)
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.createTag(root, "release-1", 1L))
+    assert(e.getMessage.contains("immutable"), e.getMessage)
+    // advance + rewrite + aggressive vacuum: v1 ages out, tagged v2 survives
+    VersionedTable.commit(base.filter(col("id") > 20), root, "append", "t-c2",
+      statsCols = Seq("id"))
+    VersionedTable.deleteWhere(spark, root,
+      (1L to 30L by 2).toDF("id"), "id", "t-d0")
+    VersionedTable.vacuum(root, retainLast = 1, orphanGraceMs = 0L)
+    assert(VersionedTable.commitAt(root, 1L).isEmpty)
+    assert(VersionedTable.commitAt(root, 2L).isDefined)
+    val tagged = VersionedTable.readTag(spark, root, "release-1")
+    assert(tagged.count() == 20)
+    assert(tagged.agg(sum("v")).head().getLong(0) == (1L to 20L).sum)
+    // head unaffected
+    assert(VersionedTable.read(spark, root).count() == 15)
+    // unknown tags refuse loudly; drop releases the pin
+    intercept[IllegalArgumentException](VersionedTable.tagVersion(root, "nope"))
+    VersionedTable.dropTag(root, "release-1")
+    assert(VersionedTable.listTags(root).isEmpty)
+  }
+
+  test("GraftSqlParser refs: CREATE/DROP/FAST FORWARD BRANCH, CREATE/DROP TAG, SHOW BRANCHES/TAGS") {
+    import spark.implicits._
+    val root = tmpDir("sqlrefs")
+    VersionedTable.commit((1L to 10L).map(i => (i, i)).toDF("id", "v"), root,
+      "append", "sr-c0", statsCols = Seq("id"))
+    spark.sql(s"ALTER GRAFT '$root' CREATE BRANCH exp").collect()
+    assert(spark.sql(s"SHOW BRANCHES GRAFT '$root'").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("exp", 1L)))
+    // write on the branch through ordinary SQL DML against the branch root
+    val bq = VersionedTable.branchRoot(root, "exp")
+    spark.sql(s"UPDATE GRAFT '$bq' SET v = v + 100 WHERE id IN (1, 2)").collect()
+    val ff = spark.sql(s"ALTER GRAFT '$root' FAST FORWARD BRANCH exp").head()
+    assert(ff.getLong(1) == 2L)
+    assert(spark.sql(s"SHOW BRANCHES GRAFT '$root'").count() == 0)
+    assert(VersionedTable.read(spark, root).filter(col("id") <= 2)
+      .agg(sum("v")).head().getLong(0) == 203L)
+    // tags: default version = latest; SHOW lists; DROP removes
+    spark.sql(s"ALTER GRAFT '$root' CREATE TAG golden").collect()
+    assert(spark.sql(s"SHOW TAGS GRAFT '$root'").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("golden", 2L)))
+    spark.sql(s"ALTER GRAFT '$root' CREATE TAG old AS OF VERSION 1").collect()
+    assert(VersionedTable.tagVersion(root, "old") == 1L)
+    spark.sql(s"ALTER GRAFT '$root' DROP TAG old").collect()
+    assert(VersionedTable.listTags(root) == Map("golden" -> 2L))
+    spark.sql(s"ALTER GRAFT '$root' DROP BRANCH ghost").collect() // absent: no-op
+  }
 }
