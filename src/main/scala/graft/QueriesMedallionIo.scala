@@ -2678,5 +2678,56 @@ private[graft] object QueriesMedallionIo {
       Some("SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
         "TRUE AS tag_alive, TRUE AS latest_correct " +
         "FROM orders WHERE o_orderkey % 3 < 2 GROUP BY 1 ORDER BY 1")),
+
+    // S17 — INCREMENTAL MATERIALIZED VIEW (MatView.create/refresh — the
+    // warehouse IVM / dynamic-table shape over the change feed): the view
+    // materializes GROUP BY o_orderpriority once at source v1, then the
+    // source takes an APPEND, a group-MOVING MERGE (every 5th key
+    // re-prioritized — rows leave one group and enter another), and a
+    // DELETE; refresh folds each commit's change feed as SIGNED deltas —
+    // O(changed rows), never O(source) — landing via one applyCdcBatch
+    // per source version (groups reaching zero rows tombstone). A second
+    // refresh is a NO-OP ('replay_noop' pins synced version and view log
+    // length unmoved — the commitId-per-source-version exactly-once
+    // contract). The oracle computes the final source state's aggregate
+    // directly; matching it proves incremental == full recompute.
+    Q("versioned_matview",
+      (s, dir) => {
+        val (mv, replayNoop) = Fixtures.once(s, dir, "vt_matview") {
+          val srcR = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_mvsrc_${dirTag(dir)}"
+          val mvR = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_mv_${dirTag(dir)}"
+          rmrf(srcR); rmrf(mvR)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_custkey")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0),
+            srcR, "append", "mv-c0", statsCols = Seq("o_orderkey"))
+          graft.io.MatView.create(s, mvR, srcR, "o_orderpriority",
+            Seq("o_custkey"), "mv-create")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1),
+            srcR, "append", "mv-c1", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.mergeInto(s, srcR,
+            o.filter(col("o_orderkey") % 5 === 0)
+              .select(col("o_orderkey"), lit("MV-MOVED").as("o_orderpriority"),
+                col("o_custkey")),
+            "o_orderkey", "mv-m0", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.deleteWhere(s, srcR,
+            o.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+            "o_orderkey", "mv-d0")
+          val synced = graft.io.MatView.refresh(s, mvR)
+          val mvVer = graft.io.VersionedTable.latestVersion(mvR)
+          val synced2 = graft.io.MatView.refresh(s, mvR)
+          val noop = synced == 4L && synced2 == 4L &&
+            graft.io.VersionedTable.latestVersion(mvR) == mvVer
+          (mvR, java.lang.Boolean.valueOf(noop))
+        }
+        graft.io.VersionedTable.read(s, mv)
+          .withColumn("replay_noop", lit(replayNoop.booleanValue()))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH m AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'MV-MOVED' ELSE o_orderpriority END AS o_orderpriority,
+        |  o_custkey FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT o_orderpriority, count(*) AS mv_rows,
+        |  CAST(sum(o_custkey) AS BIGINT) AS o_custkey_sum, TRUE AS replay_noop
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

@@ -48,6 +48,9 @@ import graft.io.VersionedTable
   *   SHOW TAGS GRAFT '<root>'
   *   SHOW TBLPROPERTIES GRAFT '<root>'
   *   COPY INTO GRAFT '<root>' FROM '<glob>' [FORMAT <fmt>]
+  *   CREATE MATERIALIZED VIEW GRAFT '<mv>' FROM '<src>'
+  *       GROUP BY <key> SUM (c1 [, ...])
+  *   REFRESH MATERIALIZED VIEW GRAFT '<mv>'
   *   MERGE GRAFT '<root>' ON <keyCol> FROM (<query>)
   *       [WHEN MATCHED [AND <cond>] THEN DELETE]
   *       [WHEN MATCHED [AND <cond>] THEN UPDATE]
@@ -150,6 +153,10 @@ object GraftSqlParser {
     """(?is)\s*SHOW\s+BRANCHES\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
   private val showTagsRe =
     """(?is)\s*SHOW\s+TAGS\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
+  private val createMvRe =
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+GRAFT\s+'([^']+)'\s+FROM\s+'([^']+)'\s+GROUP\s+BY\s+(\w+)\s+SUM\s*\(([^)]*)\)\s*;?\s*""".r
+  private val refreshMvRe =
+    """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
   private val copyIntoRe =
     """(?is)\s*COPY\s+INTO\s+GRAFT\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?\s*;?\s*""".r
   private val propPairRe = """\s*'([^']*)'\s*=\s*'([^']*)'\s*""".r
@@ -273,6 +280,10 @@ object GraftSqlParser {
     case alterDropTagRe(root, name) => Some(GraftRefCommand(root, "droptag", name, None))
     case showBranchesRe(root) => Some(GraftShowRefsCommand(root, "branches"))
     case showTagsRe(root) => Some(GraftShowRefsCommand(root, "tags"))
+    case createMvRe(mv, src, key, sums) =>
+      Some(GraftCreateMatViewCommand(mv, src, key,
+        sums.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+    case refreshMvRe(mv) => Some(GraftRefreshMatViewCommand(mv))
     case copyIntoRe(root, glob, fmt) =>
       Some(GraftCopyIntoCommand(root, glob, Option(fmt).getOrElse("parquet")))
     case mergeRe(root, key, tail) =>
@@ -719,4 +730,28 @@ case class GraftShowRefsCommand(root: String, kind: String) extends LeafRunnable
     case "tags" =>
       VersionedTable.listTags(root).toSeq.sortBy(_._1).map { case (n, v) => Row(n, v) }
   }
+}
+
+/** `CREATE MATERIALIZED VIEW GRAFT '<mv>' FROM '<src>' GROUP BY <key>
+  * SUM (c1 [, ...])` → [[graft.io.MatView.create]]: materialize the
+  * decrementable aggregate once; `REFRESH MATERIALIZED VIEW GRAFT '<mv>'`
+  * folds source commits in as signed change-feed deltas.
+  */
+case class GraftCreateMatViewCommand(mvRoot: String, srcRoot: String, keyCol: String,
+                                     sumCols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val cid = s"sql-mv-create-${java.util.UUID.randomUUID().toString.take(12)}"
+    Seq(Row(graft.io.MatView.create(spark, mvRoot, srcRoot, keyCol, sumCols, cid)))
+  }
+}
+
+case class GraftRefreshMatViewCommand(mvRoot: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("synced_to", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] =
+    Seq(Row(graft.io.MatView.refresh(spark, mvRoot)))
 }

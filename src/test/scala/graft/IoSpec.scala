@@ -2899,4 +2899,99 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.listTags(root) == Map("golden" -> 2L))
     spark.sql(s"ALTER GRAFT '$root' DROP BRANCH ghost").collect() // absent: no-op
   }
+
+  // ---- incremental materialized views ------------------------------------
+
+  test("MatView: incremental refresh equals full recompute; zero-count groups tombstone; replay no-ops") {
+    import spark.implicits._
+    val srcR = tmpDir("mvsrc"); val mvR = tmpDir("mv")
+    val rows = (1L to 60L).map(i => (i, s"g${i % 4}", i * 3))
+      .toDF("id", "grp", "v")
+    VersionedTable.commit(rows.filter(col("id") <= 30), srcR, "append", "m-c0",
+      statsCols = Seq("id"))
+    MatView.create(spark, mvR, srcR, "grp", Seq("v"), "m-create")
+    // the view matches the source aggregate at creation
+    def direct() = VersionedTable.read(spark, srcR).groupBy("grp")
+      .agg(count(lit(1)).as("mv_rows"), sum("v").as("v_sum"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    def view() = VersionedTable.read(spark, mvR)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(view() == direct())
+    // append + group-moving merge + delete on the source, then refresh
+    VersionedTable.commit(rows.filter(col("id") > 30), srcR, "append", "m-c1",
+      statsCols = Seq("id"))
+    VersionedTable.mergeInto(spark, srcR,
+      rows.filter(col("id") % 5 === 0)
+        .select(col("id"), lit("gX").as("grp"), col("v")),
+      "id", "m-m0", statsCols = Seq("id"))
+    VersionedTable.deleteWhere(spark, srcR,
+      rows.filter(col("id") % 7 === 0).select("id"), "id", "m-d0")
+    assert(MatView.refresh(spark, mvR) == 4L)
+    assert(view() == direct())
+    // deleting EVERY row of one group tombstones its view row entirely
+    VersionedTable.deleteWhere(spark, srcR,
+      VersionedTable.read(spark, srcR).filter(col("grp") === "gX").select("id"),
+      "id", "m-d1")
+    MatView.refresh(spark, mvR)
+    assert(view() == direct())
+    assert(VersionedTable.read(spark, mvR).filter(col("grp") === "gX").count() == 0)
+    // replay: same synced version, view log unmoved
+    val ver = VersionedTable.latestVersion(mvR)
+    assert(MatView.refresh(spark, mvR) == 5L)
+    assert(VersionedTable.latestVersion(mvR) == ver)
+  }
+
+  test("MatView: non-integral sum columns refused; rebuild() recovers from a source rollback") {
+    import spark.implicits._
+    val srcR = tmpDir("mvsrc2"); val mvR = tmpDir("mv2")
+    val rows = (1L to 20L).map(i => (i, s"g${i % 2}", i.toDouble)).toDF("id", "grp", "d")
+    VersionedTable.commit(rows, srcR, "append", "m2-c0", statsCols = Seq("id"))
+    val e = intercept[IllegalArgumentException](
+      MatView.create(spark, mvR, srcR, "grp", Seq("d"), "m2-bad"))
+    assert(e.getMessage.contains("integral"), e.getMessage)
+    // integral view over id; then the source history gains a rollback —
+    // the change feed refuses, rebuild() re-materializes from the snapshot
+    MatView.create(spark, mvR, srcR, "grp", Seq("id"), "m2-create")
+    VersionedTable.commit(rows.filter(col("id") <= 5)
+      .select(col("id") + 100, col("grp"), col("d"))
+      .toDF("id", "grp", "d"), srcR, "append", "m2-c1", statsCols = Seq("id"))
+    VersionedTable.rollback(srcR, 1L, "m2-rb")
+    intercept[RuntimeException](MatView.refresh(spark, mvR))
+    assert(MatView.rebuild(spark, mvR) == 3L)
+    val got = VersionedTable.read(spark, mvR)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = VersionedTable.read(spark, srcR).groupBy("grp")
+      .agg(count(lit(1)), sum("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // incremental refresh resumes cleanly from the rebuilt sync point
+    VersionedTable.commit(rows.filter(col("id") > 15), srcR, "append", "m2-c2",
+      statsCols = Seq("id"))
+    MatView.refresh(spark, mvR)
+    val got2 = VersionedTable.read(spark, mvR)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want2 = VersionedTable.read(spark, srcR).groupBy("grp")
+      .agg(count(lit(1)), sum("id"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got2 == want2)
+  }
+
+  test("GraftSqlParser: CREATE/REFRESH MATERIALIZED VIEW GRAFT as SQL") {
+    import spark.implicits._
+    val srcR = tmpDir("mvsql_src"); val mvR = tmpDir("mvsql")
+    VersionedTable.commit((1L to 40L).map(i => (i, s"k${i % 3}", i * 2))
+      .toDF("id", "k", "v"), srcR, "append", "ms-c0", statsCols = Seq("id"))
+    spark.sql(s"CREATE MATERIALIZED VIEW GRAFT '$mvR' FROM '$srcR' GROUP BY k SUM (v)")
+      .collect()
+    VersionedTable.commit((41L to 50L).map(i => (i, s"k${i % 3}", i * 2))
+      .toDF("id", "k", "v"), srcR, "append", "ms-c1", statsCols = Seq("id"))
+    val synced = spark.sql(s"REFRESH MATERIALIZED VIEW GRAFT '$mvR'").head().getLong(0)
+    assert(synced == 2L)
+    val got = VersionedTable.read(spark, mvR)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = VersionedTable.read(spark, srcR).groupBy("k")
+      .agg(count(lit(1)), sum("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+  }
 }
