@@ -720,6 +720,46 @@ private[graft] object QueriesStreaming {
         |  TRUE AS replay_noop
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // ST — STREAMING MAINTAINED MATERIALIZED VIEW (Streaming.matViewSink →
+    // mergeInto + MatView.refresh): each micro-batch merges into the
+    // SOURCE table exactly-once, then the view folds the new commits in as
+    // signed change-feed deltas — the serving aggregate of a CDC-maintained
+    // table stays fresh at O(hit dirs + batch) + O(changed rows) per
+    // batch, never a rescan of either table. 'synced' pins the view's
+    // sync point at the source head after convergence; the oracle is the
+    // direct GROUP BY over the same upserted state, so incremental
+    // maintenance == full recompute is hash-checked.
+    Q("stream_matview",
+      (s, dir) => {
+        val root = freshDir(s, "graft_stream_mvsrc")
+        val mv = freshDir(s, "graft_stream_mv")
+        val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_custkey")
+        graft.io.VersionedTable.commit(o, root, "append", "seed",
+          statsCols = Seq("o_orderkey"))
+        graft.io.MatView.create(s, mv, root, "o_orderpriority",
+          Seq("o_custkey"), "smv-create")
+        val schema = rd(s, dir, "orders").schema
+        val stream = s.readStream.schema(schema)
+          .option("pathGlobFilter", "orders.parquet").parquet(dir)
+          .filter(col("o_orderkey") % 10 === 0)
+          .select(col("o_orderkey"), lit("U-MV").as("o_orderpriority"),
+            col("o_custkey"))
+        val q = graft.streaming.Streaming.matViewSink(stream, root, mv,
+          "o_orderkey", appId = "smv", statsCols = Seq("o_orderkey"))
+        try q.processAllAvailable() finally q.stop()
+        val synced = graft.io.VersionedTable.tableProperties(mv)("graft.mv.synced").toLong ==
+          graft.io.VersionedTable.latestVersion(root).get
+        graft.io.VersionedTable.read(s, mv)
+          .withColumn("synced", lit(synced))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH m AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN 'U-MV' ELSE o_orderpriority END
+        |    AS o_orderpriority, o_custkey FROM orders)
+        |SELECT o_orderpriority, count(*) AS mv_rows,
+        |  CAST(sum(o_custkey) AS BIGINT) AS o_custkey_sum, TRUE AS synced
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ST — STREAMING CDC APPLY sink (Streaming.cdcApplySink → VersionedTable
     // .applyCdcBatch): the tombstone-complete CDC shape — each micro-batch
     // carries BOTH upserts ('u': every 10th order re-priced) and deletes

@@ -453,6 +453,39 @@ object Streaming {
       }
       .start()
 
+  /** ST: streaming MAINTAINED MATERIALIZED VIEW — the serving-layer
+    * composition: each micro-batch of upserts applies to the SOURCE table
+    * through [[graft.io.VersionedTable.mergeInto]] (exactly-once under the
+    * appId+batchId commitId, same contract as [[versionedMergeSink]]),
+    * then [[graft.io.MatView.refresh]] folds the new source commits into
+    * the view as signed change-feed deltas. BOTH halves are independently
+    * idempotent (commitId per batch on the source; commitId per source
+    * version on the view), so the pair needs no cross-table transaction:
+    * a crash between the merge and the refresh leaves the view one
+    * refresh behind, healed by the next batch's refresh or a standalone
+    * one. Per-batch cost: O(hit dirs + batch) on the source, O(changed
+    * rows) on the view — the pipeline that keeps a serving aggregate of a
+    * 100 TB CDC-maintained table continuously fresh without ever
+    * rescanning either table.
+    */
+  def matViewSink(updates: DataFrame, srcRoot: String, mvRoot: String, keyCol: String,
+                  appId: String, statsCols: Seq[String] = Nil,
+                  bloomCols: Seq[String] = Nil): org.apache.spark.sql.streaming.StreamingQuery =
+    updates.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], bid: Long) =>
+        val b = batch.toDF()
+        if (graft.io.VersionedTable.latestVersion(srcRoot).isEmpty)
+          graft.io.VersionedTable.commit(
+            graft.io.VersionedTable.guardMergeBatch(b, keyCol, "matViewSink"),
+            srcRoot, "append", s"$appId-b$bid",
+            statsCols = statsCols, bloomCols = bloomCols): Unit
+        else
+          graft.io.VersionedTable.mergeInto(batch.sparkSession, srcRoot, b, keyCol,
+            s"$appId-b$bid", statsCols = statsCols, bloomCols = bloomCols): Unit
+        graft.io.MatView.refresh(batch.sparkSession, mvRoot): Unit
+      }
+      .start()
+
   /** ST: per-micro-batch distribution-drift monitor — the foreachBatch
     * production idiom: every micro-batch is scored against the SAME static
     * reference profile with the exact integer TVD of

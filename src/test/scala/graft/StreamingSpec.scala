@@ -659,4 +659,35 @@ class StreamingSpec extends SparkSpec {
       .orderBy("r", "bucket").collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got2 == merged2, s"cross-appId merge wrong:\n $got2\n $merged2")
   }
+
+  test("matViewSink: two-batch streaming view maintenance, crash-lagged view healed by the next batch") {
+    implicit val sq = spark.sqlContext
+    import spark.implicits._
+    import graft.io.{MatView, VersionedTable}
+    val srcR = TestSpark.tmpDir("smv_src"); val mvR = TestSpark.tmpDir("smv_mv")
+    VersionedTable.commit(Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("id", "grp", "v"),
+      srcR, "append", "sm-seed", statsCols = Seq("id"))
+    MatView.create(spark, mvR, srcR, "grp", Seq("v"), "sm-create")
+    val mem = MemoryStream[(Long, String, Long)]
+    val q = Streaming.matViewSink(mem.toDF().toDF("id", "grp", "v"), srcR, mvR,
+      "id", appId = "sm", statsCols = Seq("id"))
+    def view() = VersionedTable.read(spark, mvR)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      mem.addData((3L, "a", 30L), (4L, "c", 40L)) // insert batch
+      q.processAllAvailable()
+      assert(view() == Set(("a", 2L, 40L), ("b", 1L, 20L), ("c", 1L, 40L)))
+      mem.addData((1L, "b", 11L)) // group-moving upsert: a -> b
+      q.processAllAvailable()
+      assert(view() == Set(("a", 1L, 30L), ("b", 2L, 31L), ("c", 1L, 40L)))
+    } finally q.stop()
+    // crash window: the source advances WITHOUT its paired refresh (a sink
+    // that died between the merge and the refresh); the next refresh —
+    // standalone here, the next batch's in production — heals exactly
+    VersionedTable.mergeInto(spark, srcR, Seq((9L, "c", 9L)).toDF("id", "grp", "v"),
+      "id", "sm-lag", statsCols = Seq("id"))
+    assert(view() == Set(("a", 1L, 30L), ("b", 2L, 31L), ("c", 1L, 40L))) // still lagged
+    MatView.refresh(spark, mvR)
+    assert(view() == Set(("a", 1L, 30L), ("b", 2L, 31L), ("c", 2L, 49L)))
+  }
 }
