@@ -983,6 +983,45 @@ private[graft] object QueriesMedallionIo {
         |  CAST(1 AS BIGINT) AS scanned_dirs, CAST(2 AS BIGINT) AS total_dirs
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — PARTITION EVOLUTION (VersionedTable.setPartitionLayout — the
+    // public Iceberg partition-spec-evolution idea: the layout is table
+    // METADATA, changed without moving a byte). Era 1 commits FLAT (even
+    // keys); ALTER GRAFT ... SET PARTITIONED BY (o_orderpriority) records
+    // the old dir's layout in the manifest and switches the declared
+    // spec; era 2 appends land hive-partitioned (odd keys). The read
+    // unions both eras under one schema — the priority column is
+    // file-materialized in era 1 and path-materialized in era 2, and the
+    // per-priority aggregate proves they read identically. Time travel to
+    // v1 reads the pre-evolution snapshot under ITS layout, and
+    // eras_recorded surfaces the manifest's era registry driver-visibly.
+    Q("versioned_partition_evolution",
+      (s, dir) => {
+        val (root, eras, v1Rows) = Fixtures.once(s, dir, "vt_partevo") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_partevo_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0),
+            r, "append", "pe-1", statsCols = Seq("o_orderkey"))
+          s.sql(s"ALTER GRAFT '$r' SET PARTITIONED BY (o_orderpriority)").collect()
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1),
+            r, "append", "pe-2", partitionCols = Seq("o_orderpriority"),
+            statsCols = Seq("o_orderkey"))
+          (r, graft.io.VersionedTable.latestCommit(r).get.dirLayouts.size.toLong,
+            graft.io.VersionedTable.read(s, r, Some(1L)).count())
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("eras_recorded", lit(eras))
+          .withColumn("v1_rows", lit(v1Rows))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS eras_recorded,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS v1_rows
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — SQL DML FRONT DOOR (plans/GraftSqlParser UPDATE/DELETE GRAFT
     // statements — the Delta DML statement surface through the injected
     // parser): a SQL UPDATE re-prices band 1 through updateRange (ONE dir

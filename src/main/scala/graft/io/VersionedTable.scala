@@ -82,6 +82,17 @@ object VersionedTable {
     * with SQL CHECK semantics (only FALSE violates; NULL passes). Carried
     * forward by every publish path; rollback restores the target's set.
     */
+  /** `dirLayouts`: PARTITION EVOLUTION (Iceberg's partition-spec
+    * evolution, at this log's dir granularity) — the hive layout of every
+    * data dir whose layout DIFFERS from the snapshot's current
+    * `partitionCols`. [[setPartitionLayout]] changes the declared layout
+    * metadata-only: existing dirs keep their bytes and are recorded here
+    * under their ORIGINAL layout; new appends land in the new layout;
+    * copy-on-write rewrites and compaction emit survivors in the CURRENT
+    * layout (Iceberg's rewrite rule), so entries retire dir by dir and a
+    * full OPTIMIZE normalizes the table. Scans group dirs by layout era
+    * and union the per-era scans under the declared schema.
+    */
   /** `dropped`: PHYSICAL names of dropped columns (Delta's column-mapping
     * DROP COLUMN) — the manifest schema no longer declares them (scans
     * never read them: column pruning for free) but their slots persist
@@ -105,7 +116,8 @@ object VersionedTable {
                           generated: Map[String, String] = Map.empty,
                           nullCounts: Map[String, Map[String, (Long, Long)]] = Map.empty,
                           props: Map[String, String] = Map.empty,
-                          identity: Map[String, (Long, Long, Long)] = Map.empty)
+                          identity: Map[String, (Long, Long, Long)] = Map.empty,
+                          dirLayouts: Map[String, Seq[String]] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -234,6 +246,11 @@ object VersionedTable {
       }
       m.put("identity", im)
     }
+    if (c.dirLayouts.nonEmpty) {
+      val lm = new java.util.LinkedHashMap[String, Object]()
+      c.dirLayouts.toSeq.sortBy(_._1).foreach { case (dir, lay) => lm.put(dir, lay.asJava) }
+      m.put("dirLayouts", lm)
+    }
     mapper.writeValueAsString(m)
   }
 
@@ -260,7 +277,7 @@ object VersionedTable {
     */
   private[graft] val supportedReaderFeatures =
     Set("mor-deletes", "column-mapping", "external-refs", "dropped-columns",
-        "generated-columns", "identity-columns")
+        "generated-columns", "identity-columns", "partition-evolution")
 
   private def featuresOf(c: Commit): Seq[String] = Seq(
     (c.deletes.nonEmpty || c.deleteKeys.nonEmpty) -> "mor-deletes",
@@ -276,7 +293,11 @@ object VersionedTable {
     c.generated.nonEmpty -> "generated-columns",
     // a pre-identity WRITER would append without allocating (or with
     // colliding explicit values); gate like generated-columns
-    c.identity.nonEmpty -> "identity-columns"
+    c.identity.nonEmpty -> "identity-columns",
+    // a pre-evolution reader would scan every dir under the CURRENT
+    // layout, misreading old-era dirs' hive columns; a pre-evolution
+    // WRITER would drop the registry from its next manifest
+    c.dirLayouts.nonEmpty -> "partition-evolution"
   ).collect { case (true, f) => f }
 
   private def readManifest(p: java.nio.file.Path): Commit = {
@@ -355,12 +376,17 @@ object VersionedTable {
         e.getKey -> ((a.get(0).asLong, a.get(1).asLong, a.get(2).asLong))
       }.toMap
     }.getOrElse(Map.empty[String, (Long, Long, Long)])
+    val dirLayouts = Option(n.get("dirLayouts")).map { ln =>
+      ln.properties().asScala.map { e =>
+        e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
+      }.toMap
+    }.getOrElse(Map.empty[String, Seq[String]])
     Commit(v, n.get("commitId").asText(), n.get("mode").asText(),
       n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, strStats, pcols, blooms,
       Option(n.get("schema")).map(_.asText()),
       Option(n.get("committedAt")).map(_.asLong()).getOrElse(0L),
       deletes, deleteKeys, nameMap, constraints, dropped, generated, nullCounts,
-      props, identity)
+      props, identity, dirLayouts)
   }
 
   /** Atomically publish manifest `c` into version slot `v`: write the full
@@ -833,6 +859,63 @@ object VersionedTable {
   def tableProperties(root: String, asOf: Option[Long] = None): Map[String, String] =
     resolveSnapshot(root, asOf).props
 
+  // ---- partition evolution (Iceberg's partition-spec evolution) ----------
+
+  /** SET PARTITIONED BY — change the table's hive layout METADATA-ONLY
+    * (the Iceberg partition-evolution idea: the partition spec is table
+    * metadata, not a property of the bytes). Not one data byte moves:
+    * every existing dir is recorded in `dirLayouts` under the layout it
+    * was WRITTEN with, the manifest's `partitionCols` becomes `newCols`,
+    * and from this commit on
+    *
+    *  - appends must supply (and land in) the NEW layout,
+    *  - scans union the layout eras under the declared schema — a column
+    *    hive-materialized in one era and file-materialized in another
+    *    reads identically ([[scanCommitDirs]]),
+    *  - copy-on-write rewrites and compaction emit survivors in the
+    *    CURRENT layout, so era entries retire dir by dir and a full
+    *    OPTIMIZE normalizes the table,
+    *  - time travel to a pre-evolution version reads under THAT
+    *    manifest's layout.
+    *
+    * The manifest declares the `partition-evolution` reader feature while
+    * any old-era dir remains, so a pre-evolution engine refuses loudly
+    * instead of misreading hive columns. `newCols` are LOGICAL names;
+    * empty means "unpartitioned from here on". Idempotent under commitId.
+    */
+  def setPartitionLayout(root: String, newCols: Seq[String], commitId: String): Long = {
+    require(newCols.distinct.size == newCols.size,
+      s"setPartitionLayout: duplicate columns in ${newCols.mkString(", ")}")
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => prior
+      case None =>
+        var out = -1L
+        while (out < 0) {
+          val parent = latestCommit(root)
+            .getOrElse(sys.error(s"setPartitionLayout: no commits at $root"))
+          require(parent.schemaDdl.nonEmpty,
+            "setPartitionLayout: snapshot has no recorded schema")
+          val logical = logicalCols(parent)
+          newCols.foreach(c => require(logical.contains(c),
+            s"setPartitionLayout: unknown column '$c' " +
+              s"(snapshot columns: ${logical.mkString(", ")})"))
+          val newPhys = newCols.map(physName(parent, _))
+          require(newPhys != parent.partitionCols,
+            s"setPartitionLayout: (${newCols.mkString(", ")}) is already the layout")
+          // every current dir pins the layout it was written with; a dir
+          // already recorded under an older era keeps that record, and a
+          // dir whose era MATCHES the new layout needs no entry
+          val eras = parent.dirs.map(d => d -> layoutOf(parent, d)).toMap
+            .filter { case (_, lay) => lay != newPhys }
+          val v = parent.version + 1
+          if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
+              mode = "set-layout", partitionCols = newPhys, dirLayouts = eras)))
+            out = v
+        }
+        out
+    }
+  }
+
   def renameColumn(root: String, from: String, to: String, commitId: String): Long = {
     findCommitVersion(root, commitId) match {
       case Some(prior) => prior
@@ -848,9 +931,10 @@ object VersionedTable {
             s"(snapshot columns: ${logical.mkString(", ")})")
           require(!logical.contains(to), s"renameColumn: column '$to' already exists")
           val phys = physName(parent, from)
-          require(!parent.partitionCols.contains(phys),
-            s"renameColumn: '$from' is a hive partition column — its physical name is " +
-              "baked into every directory path; repartitioning is a rewrite, not a rename")
+          require(!hiveColsAnyEra(parent).contains(phys),
+            s"renameColumn: '$from' is a hive partition column (current layout or a " +
+              "pre-evolution era) — its physical name is baked into directory paths; " +
+              "compact to normalize the layout first, or rewrite to repartition")
           require(!parent.identity.contains(from),
             s"renameColumn: '$from' is a GENERATED ALWAYS AS IDENTITY column — the " +
               "allocator is keyed by its declared name")
@@ -933,9 +1017,10 @@ object VersionedTable {
           require(logical.contains(colName), s"widenColumnType: unknown column '$colName' " +
             s"(snapshot columns: ${logical.mkString(", ")})")
           val phys = physName(parent, colName)
-          require(!parent.partitionCols.contains(phys),
-            s"widenColumnType: '$colName' is a hive partition column; its values parse " +
-              "from directory paths under the declared type — rewrite to retype")
+          require(!hiveColsAnyEra(parent).contains(phys),
+            s"widenColumnType: '$colName' is a hive partition column (current layout or " +
+              "a pre-evolution era); its values parse from directory paths under the " +
+              "declared type — rewrite to retype")
           require(!parent.generated.contains(colName),
             s"widenColumnType: '$colName' is a GENERATED column; its type is pinned by " +
               "the generation expression")
@@ -1007,9 +1092,10 @@ object VersionedTable {
             s"(snapshot columns: ${logical.mkString(", ")})")
           require(logical.size > 1, "dropColumn: cannot drop the last remaining column")
           val phys = physName(parent, name)
-          require(!parent.partitionCols.contains(phys),
-            s"dropColumn: '$name' is a hive partition column — its physical name is " +
-              "baked into every directory path; repartitioning is a rewrite, not a drop")
+          require(!hiveColsAnyEra(parent).contains(phys),
+            s"dropColumn: '$name' is a hive partition column (current layout or a " +
+              "pre-evolution era) — its physical name is baked into directory paths; " +
+              "compact to normalize the layout first, or rewrite to repartition")
           require(!parent.identity.contains(name),
             s"dropColumn: '$name' is a GENERATED ALWAYS AS IDENTITY column — the " +
               "allocator depends on it")
@@ -1416,7 +1502,11 @@ object VersionedTable {
                   generated = parent.map(_.generated).getOrElse(Map.empty),
                   nullCounts = nullCounts,
                   props = parent.map(_.props).getOrElse(Map.empty),
-                  identity = committedIdentity(parent))))
+                  identity = committedIdentity(parent),
+                  // the new dir is in the CURRENT layout (no entry); an
+                  // overwrite replaces every dir, clearing the era registry
+                  dirLayouts = if (mode == "append")
+                    parent.map(_.dirLayouts).getOrElse(Map.empty) else Map.empty)))
               committed = v
           }
         }
@@ -1899,7 +1989,7 @@ object VersionedTable {
       s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
     toLogicalDf(c,
       if (kept.isEmpty)
-        scanDirs(spark, c.dirs.map(d => dirPath(root, d)), c.partitionCols, c.schemaDdl)
+        scanCommitDirs(spark, root, c, c.dirs)
           .limit(0).filter(pred)
       else scanWithDeletes(spark, root, c, kept).filter(pred))
   }
@@ -1983,7 +2073,7 @@ object VersionedTable {
       s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
     toLogicalDf(c,
       if (kept.isEmpty)
-        scanDirs(spark, c.dirs.map(d => dirPath(root, d)), c.partitionCols, c.schemaDdl)
+        scanCommitDirs(spark, root, c, c.dirs)
           .limit(0).filter(pred)
       else scanWithDeletes(spark, root, c, kept).filter(pred))
   }
@@ -2003,7 +2093,7 @@ object VersionedTable {
       s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
     toLogicalDf(c,
       if (kept.isEmpty)
-        scanDirs(spark, c.dirs.map(d => dirPath(root, d)), c.partitionCols, c.schemaDdl)
+        scanCommitDirs(spark, root, c, c.dirs)
           .limit(0).filter(pred)
       else scanWithDeletes(spark, root, c, kept,
         ds => scanDirsPruned(spark, root, c, ds, phys, lo, hi)).filter(pred))
@@ -2059,7 +2149,7 @@ object VersionedTable {
     }
     val df =
       if (kept.isEmpty)
-        scanDirs(spark, c.dirs.map(d => dirPath(root, d)), c.partitionCols, c.schemaDdl)
+        scanCommitDirs(spark, root, c, c.dirs)
           .limit(0)
       else if (ranges.nonEmpty)
         scanWithDeletes(spark, root, c, kept,
@@ -2113,7 +2203,7 @@ object VersionedTable {
                               scanGroup: Seq[String] => DataFrame = null): DataFrame = {
     val scan: Seq[String] => DataFrame =
       if (scanGroup != null) scanGroup
-      else ds => scanDirs(spark, ds.map(d => dirPath(root, d)), c.partitionCols, c.schemaDdl)
+      else ds => scanCommitDirs(spark, root, c, ds)
     if (dirs.isEmpty || c.deletes.isEmpty || dirs.forall(d => !c.deletes.contains(d)))
       return scan(dirs)
     val groups = dirs.groupBy(d => c.deletes.getOrElse(d, Nil)).toSeq
@@ -2147,9 +2237,55 @@ object VersionedTable {
     case None => df
     case Some(t) =>
       import org.apache.spark.sql.functions.{col => c, lit}
-      df.select(t.fields.map(f =>
-        if (df.columns.contains(f.name)) c(f.name)
-        else lit(null).cast(f.dataType).as(f.name)).toSeq: _*)
+      df.select(t.fields.map { f =>
+        if (!df.columns.contains(f.name)) lit(null).cast(f.dataType).as(f.name)
+        // hive partition-value inference may read `k=3` narrower than the
+        // declared type (int vs the schema's bigint) — cast to the declared
+        // type so era unions and pre/post-evolution dirs keep ONE schema
+        else if (df.schema(f.name).dataType != f.dataType)
+          c(f.name).cast(f.dataType).as(f.name)
+        else c(f.name)
+      }.toSeq: _*)
+  }
+
+  /** The hive layout of one data dir: its `dirLayouts` entry when partition
+    * evolution recorded one, the snapshot's current `partitionCols`
+    * otherwise.
+    */
+  private def layoutOf(c: Commit, d: String): Seq[String] =
+    c.dirLayouts.getOrElse(d, c.partitionCols)
+
+  /** Every column hive-materialized in ANY layout era of the snapshot —
+    * the guard set for verbs that would break a path-baked column (rename,
+    * drop, retype): the current layout plus every pre-evolution era still
+    * referenced by a live dir.
+    */
+  private def hiveColsAnyEra(c: Commit): Set[String] =
+    c.partitionCols.toSet ++ c.dirLayouts.valuesIterator.flatten
+
+  /** [[scanDirs]] under PER-DIR layouts (partition evolution): dirs group by
+    * their own hive layout era, each era scans exactly as a uniform
+    * snapshot would, and the eras union under the declared schema (which
+    * [[alignTo]] enforces per era — a column that is hive-materialized in
+    * one era and file-materialized in another reads identically). The
+    * overwhelmingly common single-era case short-circuits to the plain
+    * scan, so evolution costs nothing until it is used.
+    */
+  private def scanCommitDirs(spark: SparkSession, root: String, c: Commit,
+                             dirs: Seq[String]): DataFrame = {
+    val groups = dirs.groupBy(d => layoutOf(c, d))
+    if (groups.size <= 1)
+      scanDirs(spark, dirs.map(d => dirPath(root, d)),
+        groups.keys.headOption.getOrElse(c.partitionCols), c.schemaDdl)
+    else {
+      require(c.schemaDdl.nonEmpty,
+        "mixed partition layouts require a recorded snapshot schema")
+      groups.toSeq.sortBy(_._1.mkString(","))
+        .map { case (lay, ds) =>
+          scanDirs(spark, ds.map(d => dirPath(root, d)), lay, c.schemaDdl)
+        }
+        .reduce(_.unionByName(_))
+    }
   }
 
   private def scanDirs(spark: SparkSession, dirs: Seq[String],
@@ -2185,7 +2321,7 @@ object VersionedTable {
                                   bounds: Seq[(String, Long, Long)]): DataFrame = {
     val target = c.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
     // per dir: Some(relpaths) when a side file admits pruning; None = whole dir
-    val parts: Seq[(String, Option[Seq[String]])] = kept.map { d =>
+    val parts: Seq[(String, String, Option[Seq[String]])] = kept.map { d =>
       val dp = dirPath(root, d)
       val pruned = readFileStats(dp).map { fs =>
         parquetFiles(dp).filter { rel =>
@@ -2194,22 +2330,28 @@ object VersionedTable {
           }
         }
       }
-      (dp, pruned)
+      (d, dp, pruned)
     }
-    def emptyScan = scanDirs(spark, kept.map(d => dirPath(root, d)), c.partitionCols, c.schemaDdl)
+    def emptyScan = scanCommitDirs(spark, root, c, kept)
       .limit(0)
-    if (c.partitionCols.isEmpty) {
+    if (kept.forall(d => layoutOf(c, d).isEmpty)) {
       val paths = parts.flatMap {
-        case (dp, None)     => Seq(dp)
-        case (dp, Some(fs)) => fs.map(f => s"$dp/$f")
+        case (_, dp, None)     => Seq(dp)
+        case (_, dp, Some(fs)) => fs.map(f => s"$dp/$f")
       }
       if (paths.isEmpty) emptyScan
       else target.map(t => spark.read.schema(t)).getOrElse(spark.read).parquet(paths: _*)
     } else {
+      // at least one dir is hive-partitioned (its own era's layout): each
+      // dir scans under ITS base path so partition values recover, flat
+      // dirs (a pre/post-evolution era) scan plainly, and alignTo pins one
+      // declared schema across eras
       val dfs = parts.flatMap {
-        case (dp, None)      => Some(spark.read.parquet(dp))
-        case (_, Some(Nil))  => None
-        case (dp, Some(fs))  =>
+        case (_, dp, None)      => Some(spark.read.parquet(dp))
+        case (_, _, Some(Nil))  => None
+        case (d, dp, Some(fs)) if layoutOf(c, d).isEmpty =>
+          Some(spark.read.parquet(fs.map(f => s"$dp/$f"): _*))
+        case (_, dp, Some(fs))  =>
           Some(spark.read.option("basePath", dp).parquet(fs.map(f => s"$dp/$f"): _*))
       }.map(alignTo(target))
       if (dfs.isEmpty) emptyScan else dfs.reduce(_.unionByName(_))
@@ -2294,7 +2436,7 @@ object VersionedTable {
     Right(toLogicalDf(toC,
       if (added.isEmpty)
         if (to.isEmpty) scanDirs(spark, Nil, toC.partitionCols, toC.schemaDdl)
-        else scanDirs(spark, Seq(dirPath(root, to.head)), toC.partitionCols, toC.schemaDdl).limit(0)
+        else scanCommitDirs(spark, root, toC, Seq(to.head)).limit(0)
       else {
         // added dirs apply `to`'s coverage: a dir appended THEN MOR-covered
         // inside the range delivers exactly its surviving rows
@@ -2329,7 +2471,7 @@ object VersionedTable {
     */
   private[graft] val metadataOnlyModes =
     Set("compact", "rename", "constraint", "dropcol", "create", "generated", "widen",
-      "properties")
+      "properties", "set-layout")
 
   private[graft] def changeFeedOfCommit(spark: SparkSession, root: String,
                                         fromC: Option[Commit], toC: Commit,
@@ -2636,7 +2778,10 @@ object VersionedTable {
         generated = parent.generated,
         nullCounts = survivorsDir.filter(_ => dirStats.nulls.nonEmpty)
           .fold(keptNulls)(d => keptNulls + (d -> dirStats.nulls)),
-        props = parent.props, identity = parent.identity)
+        props = parent.props, identity = parent.identity,
+        // survivors are written in the CURRENT layout (Iceberg's rewrite
+        // rule) — only passed-through dirs keep their era entries
+        dirLayouts = parent.dirLayouts.filter { case (d, _) => pass.contains(d) })
       if (publishIfAbsent(root, v, c)) out = v
       else findCommitVersion(root, commitId) match {
         case Some(pv) => out = pv // a retry twin of us won the slot
@@ -3253,7 +3398,7 @@ object VersionedTable {
                 nameMap = parent.nameMap, constraints = parent.constraints,
                 dropped = parent.dropped, generated = parent.generated,
                 nullCounts = parent.nullCounts, props = parent.props,
-                identity = parent.identity)
+                identity = parent.identity, dirLayouts = parent.dirLayouts)
               if (publishIfAbsent(root, v, c)) result = (v, hit.size, parent.dirs.size)
               // lost the race: manifest-only — recompute against the new
               // parent and retry (the key set is already in place)
@@ -3356,7 +3501,11 @@ object VersionedTable {
     */
   private def dirMayHoldNulls(spark: SparkSession, root: String, parent: Commit,
                               phys: String, d: String): Boolean = {
-    if (parent.partitionCols.contains(phys))
+    // per-DIR layout: after partition evolution a column may be
+    // hive-materialized in one era and file-materialized in another — the
+    // NULL carrier (sentinel subdir vs footer numNulls) follows the dir's
+    // OWN layout, not the snapshot's current one
+    if (layoutOf(parent, d).contains(phys))
       return parquetFiles(dirPath(root, d))
         .exists(_.contains(s"$phys=__HIVE_DEFAULT_PARTITION__"))
     parent.nullCounts.get(d).flatMap(_.get(phys)) match {
@@ -3798,7 +3947,7 @@ object VersionedTable {
               nameMap = target.nameMap, constraints = target.constraints,
               dropped = target.dropped, generated = target.generated,
               nullCounts = target.nullCounts, props = target.props,
-              identity = target.identity)))
+              identity = target.identity, dirLayouts = target.dirLayouts)))
             committed = v
         }
         committed
@@ -4014,8 +4163,11 @@ object VersionedTable {
         // a commit dir's values for a hive partition column are DIRECTORY
         // names at that column's nesting level — walk directories only,
         // never list a single data file (at 100 TB the dir tree is
-        // O(partition values), the file list is O(table))
-        val level = parent.partitionCols.indexOf(partCol)
+        // O(partition values), the file list is O(table)). The level comes
+        // from each dir's OWN layout era; a pre-evolution dir whose era
+        // lacks the column cannot prove absence from its paths, so it is
+        // conservatively touched — row-preserving (compaction keeps every
+        // row) and it normalizes the stray era to the current layout
         def valuesAt(f: File, l: Int): Iterator[String] = {
           val subs = Option(f.listFiles()).getOrElse(Array.empty).iterator
             .filter(_.isDirectory)
@@ -4028,7 +4180,8 @@ object VersionedTable {
           val dp = dirPath(root, d)
           require(new File(dp).isDirectory,
             s"snapshot v${parent.version} references vacuumed dir $dp")
-          valuesAt(new File(dp), level).exists(sel.contains)
+          val level = layoutOf(parent, d).indexOf(partCol)
+          level < 0 || valuesAt(new File(dp), level).exists(sel.contains)
         }
         if (touched.isEmpty) return (parent.version, 0, parent.dirs.size)
         val cur = scanWithDeletes(spark, root, parent, touched)
@@ -4142,7 +4295,10 @@ object VersionedTable {
           generated = c.generated,
           nullCounts = c.nullCounts.collect {
             case (d, v) if dirMap.contains(d) => dirMap(d) -> v
-          }, props = c.props ++ extraProps, identity = c.identity)
+          }, props = c.props ++ extraProps, identity = c.identity,
+          dirLayouts = c.dirLayouts.collect {
+            case (d, v) if dirMap.contains(d) => dirMap(d) -> v
+          })
         if (publishIfAbsent(dstRoot, 1L, cloned)) 1L
         else findCommitVersion(dstRoot, commitId).getOrElse(
           sys.error(s"cloneTo: destination $dstRoot gained a commit concurrently; " +

@@ -37,6 +37,7 @@ import graft.io.VersionedTable
   *       [(START WITH <n> STEP <n>)]
   *   ALTER GRAFT '<root>' ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER GRAFT '<root>' DROP CONSTRAINT <name>
+  *   ALTER GRAFT '<root>' SET PARTITIONED BY (c1 [, ...]) — () = flat
   *   ALTER GRAFT '<root>' SET TBLPROPERTIES ('k' = 'v' [, ...])
   *   ALTER GRAFT '<root>' UNSET TBLPROPERTIES ('k' [, ...])
   *   ALTER GRAFT '<root>' CREATE BRANCH <name>
@@ -133,6 +134,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s+\((.*)\)\s*;?\s*""".r
   private val alterDropConstraintRe =
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
+  private val alterSetLayoutRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+SET\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s*;?\s*""".r
   private val alterSetPropsRe =
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
   private val alterUnsetPropsRe =
@@ -258,6 +261,11 @@ object GraftSqlParser {
       Some(GraftAlterCommand(root, "addconstraint", n, Some(e.trim)))
     case alterDropConstraintRe(root, n) =>
       Some(GraftAlterCommand(root, "dropconstraint", n, None))
+    case alterSetLayoutRe(root, cols) =>
+      // must match before SET TBLPROPERTIES cannot collide (distinct
+      // keywords), but before any generic ALTER fallthrough; () = flat
+      Some(GraftAlterCommand(root, "setlayout",
+        cols.split(",").map(_.trim).filter(_.nonEmpty).mkString(","), None))
     case alterSetPropsRe(root, pairs) =>
       val kvs = pairs.split(",").map {
         case propPairRe(k, v) => k -> v
@@ -562,6 +570,8 @@ case class GraftAlterCommand(root: String, verb: String, name: String,
         VersionedTable.addIdentityColumn(root, name, st.toLong, sp.toLong, commitId)
       case "addconstraint" => VersionedTable.addConstraint(spark, root, name, arg.get, commitId)
       case "dropconstraint" => VersionedTable.dropConstraint(root, name, commitId)
+      case "setlayout" => VersionedTable.setPartitionLayout(root,
+        name.split(",").map(_.trim).filter(_.nonEmpty).toSeq, commitId)
     }
     Seq(Row(v))
   }

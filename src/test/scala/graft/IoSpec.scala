@@ -2994,4 +2994,130 @@ class IoSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want)
   }
+
+  // ---- partition evolution (setPartitionLayout) ---------------------------
+
+  test("partition evolution: flat -> partitioned, eras union, time travel era-correct") {
+    import spark.implicits._
+    val root = tmpDir("pevo1")
+    val era1 = (1L to 40L).map(i => (i, s"g${i % 3}", i * 10)).toDF("id", "grp", "v")
+    VersionedTable.commit(era1, root, "append", "pe-c1", statsCols = Seq("id"))
+    val v2 = VersionedTable.setPartitionLayout(root, Seq("grp"), "pe-evolve")
+    assert(v2 == 2L)
+    // metadata-only: the era-1 dir is recorded under its (flat) layout
+    val c2 = VersionedTable.latestCommit(root).get
+    assert(c2.partitionCols == Seq("grp") && c2.dirLayouts.values.toSeq == Seq(Nil))
+    // the manifest declares the reader feature while an old-era dir lives
+    val mf = new java.io.File(s"$root/_commits").listFiles()
+      .filter(_.getName.endsWith(".json")).maxBy(_.getName)
+    assert(java.nio.file.Files.readString(mf.toPath).contains("partition-evolution"))
+    val era2 = (41L to 60L).map(i => (i, s"g${i % 3}", i * 10)).toDF("id", "grp", "v")
+    VersionedTable.commit(era2, root, "append", "pe-c2",
+      partitionCols = Seq("grp"), statsCols = Seq("id"))
+    // the era-2 dir physically landed hive-partitioned
+    val c3 = VersionedTable.latestCommit(root).get
+    val newDir = c3.dirs.filterNot(c2.dirs.contains).head
+    assert(new java.io.File(s"$root/$newDir").listFiles().exists(_.getName.startsWith("grp=")))
+    // full scan unions both eras under one schema, grp identical either way
+    val got = VersionedTable.read(spark, root)
+      .groupBy("grp").agg(count(lit(1)).as("n"), sum("v").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = era1.unionByName(era2)
+      .groupBy("grp").agg(count(lit(1)), sum("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // time travel to the pre-evolution snapshot reads under ITS layout
+    assert(VersionedTable.read(spark, root, Some(1L)).count() == 40L)
+    // the skipping index spans both eras: a range probe over era-2 ids
+    // prunes the era-1 dir, and the pruned read crosses the era boundary
+    assert(VersionedTable.planRange(root, "id", 41L, 60L).size == 1)
+    assert(VersionedTable.readRange(spark, root, "id", 30L, 50L).count() == 21L)
+    // appends in the RETIRED layout refuse loudly
+    val e = intercept[Exception] {
+      VersionedTable.commit(era2, root, "append", "pe-bad", statsCols = Seq("id"))
+    }
+    assert(e.getMessage.contains("layout"))
+  }
+
+  test("partition evolution: partitioned -> flat and re-key; rewrites retire eras") {
+    import spark.implicits._
+    val root = tmpDir("pevo2")
+    val rows = (1L to 30L).map(i => (i, s"g${i % 2}", i)).toDF("id", "grp", "v")
+    VersionedTable.commit(rows, root, "append", "p2-c1",
+      partitionCols = Seq("grp"), statsCols = Seq("id"))
+    VersionedTable.setPartitionLayout(root, Nil, "p2-flat")
+    val flat = (31L to 40L).map(i => (i, s"g${i % 2}", i)).toDF("id", "grp", "v")
+    VersionedTable.commit(flat, root, "append", "p2-c2", statsCols = Seq("id"))
+    // grp is path-materialized in era 1, file-materialized in era 2 —
+    // one filterable column either way
+    assert(VersionedTable.read(spark, root).filter(col("grp") === "g1").count() == 20L)
+    // a copy-on-write rewrite of the OLD-era dir emits survivors in the
+    // CURRENT (flat) layout and retires its era entry
+    assert(VersionedTable.latestCommit(root).get.dirLayouts.size == 1)
+    VersionedTable.deleteWhere(spark, root, Seq(1L, 2L).toDF("id"), "id", "p2-del",
+      statsCols = Seq("id"))
+    val afterDel = VersionedTable.latestCommit(root).get
+    assert(afterDel.dirLayouts.isEmpty,
+      s"rewrite should retire the era entry, still has ${afterDel.dirLayouts}")
+    assert(VersionedTable.read(spark, root).count() == 38L)
+    // grp survived the rewrite as an ordinary column
+    assert(VersionedTable.read(spark, root).filter(col("grp") === "g1").count() == 19L)
+  }
+
+  test("partition evolution: compact normalizes all eras; set-layout is feed-invisible") {
+    import spark.implicits._
+    val root = tmpDir("pevo3")
+    VersionedTable.commit((1L to 20L).map(i => (i, s"g${i % 2}", i)).toDF("id", "grp", "v"),
+      root, "append", "p3-c1", statsCols = Seq("id"))
+    VersionedTable.setPartitionLayout(root, Seq("grp"), "p3-evolve")
+    VersionedTable.commit((21L to 30L).map(i => (i, s"g${i % 2}", i)).toDF("id", "grp", "v"),
+      root, "append", "p3-c2", partitionCols = Seq("grp"), statsCols = Seq("id"))
+    // the set-layout commit is metadata-only: the change feed over the
+    // whole range emits rows only for the two data commits
+    val feed = VersionedTable.readChangeFeed(spark, root, 0L, 3L, "id")
+    assert(feed.count() == 30L)
+    assert(feed.filter(col("_change_type") =!= "insert").count() == 0L)
+    // full OPTIMIZE rewrites every era into the current layout
+    VersionedTable.compact(spark, root, "p3-opt", targetFiles = 2, statsCols = Seq("id"))
+    val c = VersionedTable.latestCommit(root).get
+    assert(c.dirLayouts.isEmpty && c.partitionCols == Seq("grp"))
+    assert(VersionedTable.read(spark, root).count() == 30L)
+    // post-compact the feature is no longer declared
+    val mf = new java.io.File(s"$root/_commits").listFiles()
+      .filter(_.getName.endsWith(".json")).maxBy(_.getName)
+    assert(!java.nio.file.Files.readString(mf.toPath).contains("partition-evolution"))
+  }
+
+  test("partition evolution: guards — era hive columns refuse rename/widen/drop; bad layouts refuse") {
+    import spark.implicits._
+    val root = tmpDir("pevo4")
+    VersionedTable.commit((1L to 10L).map(i => (i, s"g${i % 2}", i.toInt)).toDF("id", "grp", "v"),
+      root, "append", "p4-c1", partitionCols = Seq("grp"), statsCols = Seq("id"))
+    VersionedTable.setPartitionLayout(root, Nil, "p4-flat")
+    // grp is still path-baked in the era-1 dir: structural verbs refuse
+    assert(intercept[Exception](VersionedTable.renameColumn(root, "grp", "g2", "p4-rn"))
+      .getMessage.contains("pre-evolution era"))
+    assert(intercept[Exception](VersionedTable.dropColumn(root, "grp", "p4-dc"))
+      .getMessage.contains("pre-evolution era"))
+    // unknown column and no-op layouts refuse loudly
+    assert(intercept[Exception](VersionedTable.setPartitionLayout(root, Seq("nope"), "p4-x"))
+      .getMessage.contains("unknown column"))
+    assert(intercept[Exception](VersionedTable.setPartitionLayout(root, Nil, "p4-same"))
+      .getMessage.contains("already the layout"))
+    // idempotent retry returns the committed version without a new commit
+    val v = VersionedTable.setPartitionLayout(root, Seq("grp"), "p4-back")
+    assert(VersionedTable.setPartitionLayout(root, Seq("grp"), "p4-back") == v)
+  }
+
+  test("GraftSqlParser: ALTER GRAFT SET PARTITIONED BY as SQL, both directions") {
+    import spark.implicits._
+    val root = tmpDir("pevo5")
+    VersionedTable.commit((1L to 12L).map(i => (i, s"g${i % 2}")).toDF("id", "grp"),
+      root, "append", "p5-c1", statsCols = Seq("id"))
+    spark.sql(s"ALTER GRAFT '$root' SET PARTITIONED BY (grp)").collect()
+    assert(VersionedTable.latestCommit(root).get.partitionCols == Seq("grp"))
+    spark.sql(s"ALTER GRAFT '$root' SET PARTITIONED BY ()").collect()
+    assert(VersionedTable.latestCommit(root).get.partitionCols.isEmpty)
+    assert(VersionedTable.read(spark, root).count() == 12L)
+  }
 }

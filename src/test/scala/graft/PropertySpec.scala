@@ -401,7 +401,7 @@ class PropertySpec extends SparkSpec {
     }
   }
 
-  test("schema lifecycle fuzz: random append/evolve/rename/drop/merge/widen/update/replace/cond-merge sequences match an in-memory model") {
+  test("schema lifecycle fuzz: random append/evolve/rename/drop/merge/widen/update/replace/cond-merge/set-layout sequences match an in-memory model") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
     import scala.jdk.CollectionConverters._
@@ -415,13 +415,17 @@ class PropertySpec extends SparkSpec {
     // supply the widened type, update-after-rename SETs through the
     // logical name, replace-after-evolution backfills the widened shape,
     // drop-then-append, ...)
-    val opGen = Gen.listOfN(10, Gen.choose(0, 8))
+    // op 9 toggles PARTITION EVOLUTION (flat <-> partitioned-by-id):
+    // every later op — appends in the new layout, rewrites crossing era
+    // boundaries, reads unioning eras — must stay model-exact
+    val opGen = Gen.listOfN(10, Gen.choose(0, 9))
     samples(opGen, 3).zipWithIndex.foreach { case (ops, i) =>
       val root = TestSpark.tmpDir(s"prop_lifecycle_$i")
       var cols = Vector("id", "c0") // id: Long key
       var colType = Map("id" -> "long", "c0" -> "string") // long | int | string
       var fresh = 1
       var nextId = 0L
+      var layout: Seq[String] = Nil // the table's CURRENT declared hive layout
       var model = Vector.empty[Map[String, Any]]
       def valueFor(c: String, id: Long): Any = colType(c) match {
         case "string" => s"$c-$id"
@@ -456,7 +460,7 @@ class PropertySpec extends SparkSpec {
           case 0 =>
             val rs = mkRows(2); model ++= rs
             graft.io.VersionedTable.commit(toDf(rs, cols), root, "append",
-              s"l$i-a$opIdx", statsCols = Seq("id"))
+              s"l$i-a$opIdx", statsCols = Seq("id"), partitionCols = layout)
           case 1 =>
             val kind = if (opIdx % 2 == 0) "int" else "string"
             val nc = s"c$fresh"; fresh += 1
@@ -464,7 +468,7 @@ class PropertySpec extends SparkSpec {
             colType += (nc -> kind)
             val rs = mkRows(2); model ++= rs
             graft.io.VersionedTable.commit(toDf(rs, cols), root, "append",
-              s"l$i-e$opIdx", statsCols = Seq("id"))
+              s"l$i-e$opIdx", statsCols = Seq("id"), partitionCols = layout)
           case 2 if cols.size > 1 =>
             val c = cols.last
             val nc = s"r$fresh"; fresh += 1
@@ -536,6 +540,9 @@ class PropertySpec extends SparkSpec {
             model = model.filterNot { m =>
               val id = m("id").asInstanceOf[Long]; id >= lo && id <= hi
             } ++ batch
+          case 9 =>
+            layout = if (layout.isEmpty) Seq("id") else Nil
+            graft.io.VersionedTable.setPartitionLayout(root, layout, s"l$i-pl$opIdx")
           case 8 if model.nonEmpty =>
             // CONDITIONAL MERGE: matched ids with id % 3 == 0 DELETE (a
             // tgt-scoped clause), the rest take the source row
