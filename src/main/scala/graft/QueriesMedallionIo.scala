@@ -983,6 +983,47 @@ private[graft] object QueriesMedallionIo {
         |  CAST(1 AS BIGINT) AS scanned_dirs, CAST(2 AS BIGINT) AS total_dirs
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — SQL CTAS + INSERT (plans/GraftSqlParser CREATE GRAFT ... AS /
+    // INSERT INTO GRAFT — the table-creation statements closing the SQL
+    // lifecycle: a table is now creatable, loadable, queryable,
+    // maintainable, and restorable without leaving SQL). CTAS bootstraps
+    // from a query over the raw parquet with the hive layout AND the
+    // skipping index declared in the statement; INSERT INTO appends a
+    // second band through the standard commit path, inheriting the
+    // CURRENT layout and index from the snapshot itself (indexedCols), so
+    // a SQL append can neither break the layout contract nor degrade the
+    // index — scanned_dirs proves the CTAS-declared stats prune the
+    // insert's band. Oracle replays the two-band union.
+    Q("versioned_sql_insert_ctas",
+      (s, dir) => {
+        val (root, scanned, total) = Fixtures.once(s, dir, "vt_ctas") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_ctas_${dirTag(dir)}"
+          rmrf(r)
+          rd(s, dir, "orders").createOrReplaceTempView("ctas_orders")
+          val mid = rd(s, dir, "orders").agg(max(col("o_orderkey"))).head().getLong(0) / 2
+          s.sql(s"CREATE GRAFT '$r' PARTITIONED BY (o_orderpriority) " +
+            s"STATS BY (o_orderkey) AS (SELECT o_orderkey, o_orderpriority, " +
+            s"o_totalprice FROM ctas_orders WHERE o_orderkey <= $mid)").collect()
+          s.sql(s"INSERT INTO GRAFT '$r' FROM (SELECT o_orderkey, " +
+            s"o_orderpriority, o_totalprice FROM ctas_orders " +
+            s"WHERE o_orderkey > $mid)").collect()
+          val kept = graft.io.VersionedTable.planRange(r, "o_orderkey", mid + 1, Long.MaxValue)
+          (r, kept.size.toLong,
+            graft.io.VersionedTable.latestCommit(r).get.dirs.size.toLong)
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("price_sum"))
+          .withColumn("scanned_dirs", lit(scanned))
+          .withColumn("total_dirs", lit(total))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS price_sum,
+        |  CAST(1 AS BIGINT) AS scanned_dirs, CAST(2 AS BIGINT) AS total_dirs
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — PARTITION EVOLUTION (VersionedTable.setPartitionLayout — the
     // public Iceberg partition-spec-evolution idea: the layout is table
     // METADATA, changed without moving a byte). Era 1 commits FLAT (even

@@ -48,6 +48,9 @@ import graft.io.VersionedTable
   *   SHOW BRANCHES GRAFT '<root>'
   *   SHOW TAGS GRAFT '<root>'
   *   SHOW TBLPROPERTIES GRAFT '<root>'
+  *   CREATE GRAFT '<root>' [PARTITIONED BY (c1 [, ...])]
+  *       [STATS BY (c1 [, ...])] [BLOOM BY (c1 [, ...])] AS (<query>)
+  *   INSERT INTO GRAFT '<root>' FROM (<query>)
   *   COPY INTO GRAFT '<root>' FROM '<glob>' [FORMAT <fmt>]
   *   CREATE MATERIALIZED VIEW GRAFT '<mv>' FROM '<src>'
   *       GROUP BY <key> SUM (c1 [, ...])
@@ -160,6 +163,13 @@ object GraftSqlParser {
     """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+GRAFT\s+'([^']+)'\s+FROM\s+'([^']+)'\s+GROUP\s+BY\s+(\w+)\s+SUM\s*\(([^)]*)\)\s*;?\s*""".r
   private val refreshMvRe =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
+  private val insertIntoRe =
+    """(?is)\s*INSERT\s+INTO\s+GRAFT\s+'([^']+)'\s+FROM\s+\((.*)\)\s*;?\s*""".r
+  private val createAsRe =
+    """(?is)\s*CREATE\s+GRAFT\s+'([^']+)'(.*?)\s+AS\s+\((.*)\)\s*;?\s*""".r
+  private val partByRe = """(?is).*\bPARTITIONED\s+BY\s*\(([^)]*)\).*""".r
+  private val statsByRe = """(?is).*\bSTATS\s+BY\s*\(([^)]*)\).*""".r
+  private val bloomByRe = """(?is).*\bBLOOM\s+BY\s*\(([^)]*)\).*""".r
   private val copyIntoRe =
     """(?is)\s*COPY\s+INTO\s+GRAFT\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?\s*;?\s*""".r
   private val propPairRe = """\s*'([^']*)'\s*=\s*'([^']*)'\s*""".r
@@ -294,6 +304,14 @@ object GraftSqlParser {
     case refreshMvRe(mv) => Some(GraftRefreshMatViewCommand(mv))
     case copyIntoRe(root, glob, fmt) =>
       Some(GraftCopyIntoCommand(root, glob, Option(fmt).getOrElse("parquet")))
+    case insertIntoRe(root, src) => Some(GraftInsertCommand(root, src))
+    case createAsRe(root, clauses, src) =>
+      def cols(m: Option[String]): Seq[String] =
+        m.fold(Seq.empty[String])(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      val part = clauses match { case partByRe(cs) => Some(cs); case _ => None }
+      val stats = clauses match { case statsByRe(cs) => Some(cs); case _ => None }
+      val blooms = clauses match { case bloomByRe(cs) => Some(cs); case _ => None }
+      Some(GraftCreateAsCommand(root, cols(part), cols(stats), cols(blooms), src))
     case mergeRe(root, key, tail) =>
       val (src, clauses) = splitBalanced(tail).getOrElse(
         sys.error("MERGE GRAFT: unbalanced parentheses around the FROM (<query>)"))
@@ -599,6 +617,53 @@ case class GraftCopyIntoCommand(root: String, glob: String,
         statsCols = VersionedTable.indexedCols(root)._1,
         bloomCols = VersionedTable.indexedCols(root)._2)
     Seq(Row(v, loaded, skipped))
+  }
+}
+
+/** `CREATE GRAFT '<root>' [PARTITIONED BY (...)] [STATS BY (...)]
+  * [BLOOM BY (...)] AS (<query>)` — CTAS: bootstrap a versioned table
+  * from any query of the session's full SQL surface (including
+  * `graft_table(...)` reads of other tables), declaring the hive layout
+  * and the skipping index in the same statement the data lands with.
+  * Refuses an existing table (CREATE creates; INSERT INTO appends).
+  */
+case class GraftCreateAsCommand(root: String, partitionCols: Seq[String],
+                                statsCols: Seq[String], bloomCols: Seq[String],
+                                sourceSql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    require(VersionedTable.latestCommit(root).isEmpty,
+      s"CREATE GRAFT: $root already has commits — use INSERT INTO GRAFT to append")
+    val commitId = s"sql-create-${java.util.UUID.randomUUID().toString.take(12)}"
+    Seq(Row(VersionedTable.commit(spark.sql(sourceSql), root, "append", commitId,
+      statsCols = statsCols, partitionCols = partitionCols, bloomCols = bloomCols)))
+  }
+}
+
+/** `INSERT INTO GRAFT '<root>' FROM (<query>)` — append one commit. The
+  * snapshot's own metadata supplies everything a correct append needs:
+  * the CURRENT hive layout (partition evolution means the layout is read
+  * per statement, never assumed) and the skipping index columns
+  * (`indexedCols`), so a SQL-issued append can neither break the layout
+  * contract nor silently degrade the index. Constraints, generated
+  * columns, and identity allocation all apply through the standard
+  * commit path.
+  */
+case class GraftInsertCommand(root: String,
+                              sourceSql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val parent = VersionedTable.latestCommit(root).getOrElse(
+      sys.error(s"INSERT INTO GRAFT: no table at $root — CREATE GRAFT ... AS (...) first"))
+    val commitId = s"sql-insert-${java.util.UUID.randomUUID().toString.take(12)}"
+    val (statsCols, bloomCols) = VersionedTable.indexedCols(root)
+    Seq(Row(VersionedTable.commit(spark.sql(sourceSql), root, "append", commitId,
+      statsCols = statsCols, partitionCols = parent.partitionCols,
+      bloomCols = bloomCols)))
   }
 }
 

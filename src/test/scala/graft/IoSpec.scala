@@ -3109,6 +3109,33 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.setPartitionLayout(root, Seq("grp"), "p4-back") == v)
   }
 
+  test("GraftSqlParser: CREATE GRAFT AS + INSERT INTO GRAFT — SQL lifecycle bootstrap") {
+    import spark.implicits._
+    val root = tmpDir("ctas1")
+    (1L to 20L).map(i => (i, s"g${i % 2}", i * 3)).toDF("id", "grp", "v")
+      .createOrReplaceTempView("ctas_src")
+    spark.sql(s"CREATE GRAFT '$root' PARTITIONED BY (grp) STATS BY (id) " +
+      "BLOOM BY (id) AS (SELECT * FROM ctas_src WHERE id <= 10)").collect()
+    val c1 = VersionedTable.latestCommit(root).get
+    assert(c1.partitionCols == Seq("grp") && c1.stats.nonEmpty && c1.blooms.nonEmpty)
+    // CREATE refuses an existing table
+    assert(intercept[Exception](
+      spark.sql(s"CREATE GRAFT '$root' AS (SELECT * FROM ctas_src)").collect())
+      .getMessage.contains("already has commits"))
+    // INSERT inherits the layout AND the index from the snapshot
+    spark.sql(s"INSERT INTO GRAFT '$root' FROM (SELECT * FROM ctas_src WHERE id > 10)")
+      .collect()
+    val c2 = VersionedTable.latestCommit(root).get
+    assert(c2.partitionCols == Seq("grp"))
+    assert(c2.stats.size == 2, "insert must inherit the stats index")
+    assert(VersionedTable.read(spark, root).count() == 20L)
+    assert(VersionedTable.planRange(root, "id", 15L, 20L).size == 1)
+    // INSERT into a missing table refuses with the CREATE hint
+    assert(intercept[Exception](
+      spark.sql(s"INSERT INTO GRAFT '${tmpDir("ctas_none")}' FROM (SELECT 1 AS x)")
+        .collect()).getMessage.contains("CREATE GRAFT"))
+  }
+
   test("GraftSqlParser: ALTER GRAFT SET PARTITIONED BY as SQL, both directions") {
     import spark.implicits._
     val root = tmpDir("pevo5")
