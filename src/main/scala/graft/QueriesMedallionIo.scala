@@ -983,6 +983,49 @@ private[graft] object QueriesMedallionIo {
         |  CAST(1 AS BIGINT) AS scanned_dirs, CAST(2 AS BIGINT) AS total_dirs
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — STORAGE-PARTITIONED JOIN (plans/GraftCoPartition +
+    // graft_copart TVF — the public Iceberg SPJ idea: two tables
+    // hive-partitioned on the join key join with ZERO Exchange, because
+    // the layout already IS the clustering). Both fixture tables
+    // partition by o_orderpriority; each graft_copart scan slots the
+    // partition VALUES with Spark's own HashPartitioning
+    // partitionIdExpression (bit-exact by construction) and truthfully
+    // declares HashPartitioning(key, n), so EnsureRequirements plans the
+    // join — and the GROUP BY above it — with no shuffle anywhere. The
+    // `exchanges` column carries the executed plan's Exchange count (0)
+    // as the driver-visible proof; at 100 TB this is the join where
+    // neither side moves a byte. Oracle replays the join + aggregate.
+    Q("versioned_copart_join",
+      (s, dir) => {
+        val (ra, rb) = Fixtures.once(s, dir, "vt_copart") {
+          val a = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_copart_a_${dirTag(dir)}"
+          val b = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_copart_b_${dirTag(dir)}"
+          rmrf(a); rmrf(b)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          graft.io.VersionedTable.commit(o, a, "append", "cp-a1",
+            partitionCols = Seq("o_orderpriority"), statsCols = Seq("o_orderkey"))
+          val w = o.select("o_orderpriority").distinct()
+            .withColumn("prio_w", length(col("o_orderpriority")).cast("long"))
+          graft.io.VersionedTable.commit(w, b, "append", "cp-b1",
+            partitionCols = Seq("o_orderpriority"))
+          (a, b)
+        }
+        val joined = s.sql(
+          s"SELECT a.o_orderpriority AS o_orderpriority, count(*) AS n, " +
+            "CAST(sum(a.o_orderkey * b.prio_w) AS BIGINT) AS wsum " +
+            s"FROM graft_copart('$ra', 'o_orderpriority', 4) a " +
+            s"JOIN graft_copart('$rb', 'o_orderpriority', 4) b " +
+            "ON a.o_orderpriority = b.o_orderpriority " +
+            "GROUP BY a.o_orderpriority")
+        val exchanges = "Exchange".r
+          .findAllIn(joined.queryExecution.executedPlan.toString).size.toLong
+        joined.withColumn("exchanges", lit(exchanges)).orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey * length(o_orderpriority)) AS BIGINT) AS wsum,
+        |  CAST(0 AS BIGINT) AS exchanges
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — SQL CTAS + INSERT (plans/GraftSqlParser CREATE GRAFT ... AS /
     // INSERT INTO GRAFT — the table-creation statements closing the SQL
     // lifecycle: a table is now creatable, loadable, queryable,

@@ -55,6 +55,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_history"),
       new ExpressionInfo(GraftTableFunctions.getClass.getName, "graft_history"),
       (exprs: Seq[Expression]) => GraftTableFunctions.graftHistory(exprs)))
+    // storage-partitioned join: graft_copart('<root>', '<key>', n) scans
+    // declare HashPartitioning(key, n) truthfully (hive layout = the
+    // clustering), so joins of two plan with zero Exchange — the Iceberg
+    // SPJ idea via the planner-strategy extension point
+    ext.injectTableFunction((
+      FunctionIdentifier("graft_copart"),
+      new ExpressionInfo(GraftTableFunctions.getClass.getName, "graft_copart"),
+      (exprs: Seq[Expression]) => GraftTableFunctions.graftCopart(exprs)))
+    ext.injectPlannerStrategy(_ => GraftCoPartitionStrategy)
     // SQL front door for the versioned table's maintenance verbs
     // (DESCRIBE HISTORY / OPTIMIZE / VACUUM ... GRAFT '<root>'); every
     // other statement delegates untouched — a pure grammar superset

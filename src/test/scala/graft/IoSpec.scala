@@ -3109,6 +3109,44 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.setPartitionLayout(root, Seq("grp"), "p4-back") == v)
   }
 
+  test("graft_copart: storage-partitioned join — zero Exchange on either side, exact rows") {
+    import spark.implicits._
+    val ra = tmpDir("spjA"); val rb = tmpDir("spjB")
+    // both tables hive-partitioned by grp; A has two commits (multi-dir
+    // slots) and a NULL-partition row (sentinel subtree must slot cleanly)
+    val a1 = (1L to 30L).map(i => (i, s"g${i % 5}", i * 2)) :+ ((99L, null: String, 0L))
+    val a2 = (31L to 45L).map(i => (i, s"g${i % 5}", i * 2))
+    VersionedTable.commit(a1.toDF("id", "grp", "v"), ra, "append", "spj-a1",
+      partitionCols = Seq("grp"), statsCols = Seq("id"))
+    VersionedTable.commit(a2.toDF("id", "grp", "v"), ra, "append", "spj-a2",
+      partitionCols = Seq("grp"), statsCols = Seq("id"))
+    val b = (0 until 5).map(i => (s"g$i", i * 100L))
+    VersionedTable.commit(b.toDF("grp", "w"), rb, "append", "spj-b1",
+      partitionCols = Seq("grp"))
+    val df = spark.sql(
+      s"SELECT a.grp AS grp, count(*) AS n, sum(a.v + b.w) AS s " +
+        s"FROM graft_copart('$ra', 'grp', 4) a " +
+        s"JOIN graft_copart('$rb', 'grp', 4) b ON a.grp = b.grp " +
+        "GROUP BY a.grp")
+    // the whole plan — join AND the aggregation above it — runs on the
+    // declared partitioning: zero Exchange anywhere
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected an exchange-free plan:\n${plan.take(2000)}")
+    assert(plan.contains("GraftCoPartitionedScan"), plan.take(500))
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (a1 ++ a2).toDF("id", "grp", "v").join(b.toDF("grp", "w"), "grp")
+      .groupBy("grp").agg(count(lit(1)), sum(col("v") + col("w")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // guards: a flat table refuses (its layout is not the clustering)
+    val rc = tmpDir("spjC")
+    VersionedTable.commit((1L to 5L).map(i => (i, s"g$i")).toDF("id", "grp"),
+      rc, "append", "spj-c1")
+    assert(intercept[Exception](
+      spark.sql(s"SELECT * FROM graft_copart('$rc', 'grp', 4)").collect())
+      .getMessage.contains("hive-partitioned by exactly"))
+  }
+
   test("GraftSqlParser: CREATE GRAFT AS + INSERT INTO GRAFT — SQL lifecycle bootstrap") {
     import spark.implicits._
     val root = tmpDir("ctas1")
