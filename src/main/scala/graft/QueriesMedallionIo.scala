@@ -983,6 +983,45 @@ private[graft] object QueriesMedallionIo {
         |  CAST(1 AS BIGINT) AS scanned_dirs, CAST(2 AS BIGINT) AS total_dirs
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — AUTO-COMPACT TBLPROPERTY (VersionedTable.maybeAutoCompact —
+    // Delta's autoOptimize.autoCompact as a declared table property):
+    // with graft.autoCompact.minDirs=3 / target=1 set, a six-append
+    // ingest loop self-maintains — the moment a snapshot reaches 3 dirs
+    // the append's own commitId triggers a full OPTIMIZE (replay-safe:
+    // the compaction's id derives from the append's), so the dir count
+    // never exceeds the bound without any scheduler. The arithmetic is
+    // deterministic: appends 3 and 6 each trigger (1,2,3→1,2,3→1,2 dirs),
+    // leaving 2 dirs and 2 compact commits, surfaced as lit columns; the
+    // oracle replays the union aggregate.
+    Q("versioned_auto_compact",
+      (s, dir) => {
+        val (root, dirsAfter, compacts) = Fixtures.once(s, dir, "vt_autoc") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_autoc_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 6 === 0),
+            r, "append", "ac-b0", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.setTableProperties(r,
+            Map("graft.autoCompact.minDirs" -> "3", "graft.autoCompact.target" -> "1"),
+            "ac-props")
+          (1 to 5).foreach(i =>
+            graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 6 === i),
+              r, "append", s"ac-b$i", statsCols = Seq("o_orderkey")))
+          (r, graft.io.VersionedTable.latestCommit(r).get.dirs.size.toLong,
+            graft.io.VersionedTable.history(r).count(_.mode == "compact").toLong)
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("dirs_after", lit(dirsAfter))
+          .withColumn("compactions", lit(compacts))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(2 AS BIGINT) AS dirs_after, CAST(2 AS BIGINT) AS compactions
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — STORAGE-PARTITIONED JOIN (plans/GraftCoPartition +
     // graft_copart TVF — the public Iceberg SPJ idea: two tables
     // hive-partitioned on the join key join with ZERO Exchange, because

@@ -815,6 +815,14 @@ object VersionedTable {
   def setTableProperties(root: String, kvs: Map[String, String],
                          commitId: String): Long = {
     require(kvs.nonEmpty, "setTableProperties: empty property map")
+    // ENGINE-interpreted keys validate at SET time — a typo'd value would
+    // otherwise silently disable the behavior it promises
+    kvs.get("graft.autoCompact.minDirs").foreach(v =>
+      require(v.toIntOption.exists(_ >= 2),
+        s"graft.autoCompact.minDirs must be an integer >= 2, got '$v'"))
+    kvs.get("graft.autoCompact.target").foreach(v =>
+      require(v.toIntOption.exists(_ >= 1),
+        s"graft.autoCompact.target must be an integer >= 1, got '$v'"))
     findCommitVersion(root, commitId) match {
       case Some(prior) => prior
       case None =>
@@ -1510,8 +1518,40 @@ object VersionedTable {
               committed = v
           }
         }
+        // AUTO-COMPACT (Delta's autoOptimize.autoCompact, as a declared
+        // TBLPROPERTY): appends re-check the small-file debt they create
+        if (mode == "append") maybeAutoCompact(df.sparkSession, root, commitId)
         committed
     }
+  }
+
+  /** Post-append auto-compaction hook: when the table declares
+    * `graft.autoCompact.minDirs` and the fresh snapshot's dir count
+    * reached it, run a full [[compact]] (target from
+    * `graft.autoCompact.target`, default 32) under a commitId DERIVED
+    * from the triggering append — replaying the append replays (and
+    * no-ops) the compaction with it. A LOST compaction race is swallowed:
+    * auto-compact is best-effort maintenance, the next append re-triggers
+    * it, and failing the user's committed append over it would invert the
+    * contract (the append already published). Every other failure
+    * propagates. This bounds an unattended ingest loop's dir count at
+    * ~minDirs without a scheduler — the standing answer to the
+    * append-grown small-file problem, now a table property instead of an
+    * operations runbook.
+    */
+  private def maybeAutoCompact(spark: SparkSession, root: String,
+                               triggerCommitId: String): Unit = {
+    val c = latestCommit(root).getOrElse(return)
+    c.props.get("graft.autoCompact.minDirs").flatMap(_.toIntOption)
+      .filter(k => k >= 2 && c.dirs.size >= k).foreach { _ =>
+        val target = c.props.get("graft.autoCompact.target")
+          .flatMap(_.toIntOption).getOrElse(32)
+        val (st, bl) = indexedCols(root)
+        try compact(spark, root, s"auto-compact-$triggerCommitId", target, st, bl)
+        catch {
+          case e: Exception if Option(e.getMessage).exists(_.contains("log advanced")) => ()
+        }
+      }
   }
 
   /** ADD-COLUMN schema evolution (the one Delta lifecycle behavior the

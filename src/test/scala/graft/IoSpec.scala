@@ -3109,6 +3109,38 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.setPartitionLayout(root, Seq("grp"), "p4-back") == v)
   }
 
+  test("auto-compact TBLPROPERTY: an unattended append loop stays bounded in dirs") {
+    import spark.implicits._
+    val root = tmpDir("autoc")
+    VersionedTable.commit((1L to 5L).map(i => (i, i * 2)).toDF("id", "v"),
+      root, "append", "ac-c0", statsCols = Seq("id"))
+    // a typo'd value refuses at SET time, not silently at append time
+    assert(intercept[Exception](VersionedTable.setTableProperties(root,
+      Map("graft.autoCompact.minDirs" -> "soon"), "ac-bad"))
+      .getMessage.contains("integer >= 2"))
+    VersionedTable.setTableProperties(root,
+      Map("graft.autoCompact.minDirs" -> "4", "graft.autoCompact.target" -> "2"), "ac-props")
+    (1 to 9).foreach { i =>
+      VersionedTable.commit(Seq((100L + i, i * 3L)).toDF("id", "v"),
+        root, "append", s"ac-c$i", statsCols = Seq("id"))
+      // the invariant an operator alerts on: dir count never exceeds the
+      // declared bound (the trigger compacts the moment it is reached)
+      assert(VersionedTable.latestCommit(root).get.dirs.size < 4,
+        s"append $i left ${VersionedTable.latestCommit(root).get.dirs.size} dirs")
+    }
+    // compaction commits interleave the appends; data and index intact
+    val hist = VersionedTable.history(root)
+    assert(hist.count(_.mode == "compact") >= 2)
+    assert(VersionedTable.read(spark, root).count() == 14L)
+    assert(VersionedTable.latestCommit(root).get.stats.nonEmpty,
+      "auto-compact must rebuild the skipping index (indexedCols)")
+    // replaying an append replays its compaction too — both no-op
+    val v = VersionedTable.latestVersion(root).get
+    VersionedTable.commit(Seq((109L, 27L)).toDF("id", "v"), root, "append", "ac-c9",
+      statsCols = Seq("id"))
+    assert(VersionedTable.latestVersion(root).get == v)
+  }
+
   test("graft_copart: storage-partitioned join — zero Exchange on either side, exact rows") {
     import spark.implicits._
     val ra = tmpDir("spjA"); val rb = tmpDir("spjB")
