@@ -823,6 +823,12 @@ object VersionedTable {
     kvs.get("graft.autoCompact.target").foreach(v =>
       require(v.toIntOption.exists(_ >= 1),
         s"graft.autoCompact.target must be an integer >= 1, got '$v'"))
+    kvs.get("graft.autoCompact.zorder").foreach(v =>
+      require(v.split(",").map(_.trim).count(_.nonEmpty) >= 2,
+        s"graft.autoCompact.zorder must name >= 2 comma-separated columns, got '$v'"))
+    kvs.get("graft.autoCompact.curve").foreach(v =>
+      require(v == "morton" || v == "hilbert",
+        s"graft.autoCompact.curve must be 'morton' or 'hilbert', got '$v'"))
     findCommitVersion(root, commitId) match {
       case Some(prior) => prior
       case None =>
@@ -1546,8 +1552,14 @@ object VersionedTable {
       .filter(k => k >= 2 && c.dirs.size >= k).foreach { _ =>
         val target = c.props.get("graft.autoCompact.target")
           .flatMap(_.toIntOption).getOrElse(32)
+        // declared clustering rides every triggered compaction — the
+        // liquid-clustering idea: the CURVE is table metadata too
+        val zorder = c.props.get("graft.autoCompact.zorder")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        val curve = c.props.getOrElse("graft.autoCompact.curve", "morton")
         val (st, bl) = indexedCols(root)
-        try compact(spark, root, s"auto-compact-$triggerCommitId", target, st, bl)
+        try compact(spark, root, s"auto-compact-$triggerCommitId", target, st, bl,
+          zorderBy = zorder, curve = curve)
         catch {
           case e: Exception if Option(e.getMessage).exists(_.contains("log advanced")) => ()
         }

@@ -3179,6 +3179,43 @@ class IoSpec extends SparkSpec {
       .getMessage.contains("hive-partitioned by exactly"))
   }
 
+  test("graft_copart pins its snapshot at analysis; auto-compact z-order property clusters") {
+    import spark.implicits._
+    val root = tmpDir("spjPin")
+    VersionedTable.commit((1L to 20L).map(i => (i, s"g${i % 3}")).toDF("id", "grp"),
+      root, "append", "pin-c1", partitionCols = Seq("grp"))
+    val df = spark.sql(s"SELECT count(*) AS n FROM graft_copart('$root', 'grp', 3)")
+    // the version pinned at analysis survives a concurrent commit — the
+    // execution cannot silently read a different table state
+    VersionedTable.commit((21L to 30L).map(i => (i, s"g${i % 3}")).toDF("id", "grp"),
+      root, "append", "pin-c2", partitionCols = Seq("grp"))
+    assert(df.head().getLong(0) == 20L)
+
+    // declared clustering rides the TRIGGERED compactions: after the
+    // auto-compact fires, per-file envelopes prune range probes on BOTH
+    // z-ordered dimensions
+    val rz = tmpDir("autoz")
+    def band(lo: Long): org.apache.spark.sql.DataFrame =
+      (lo until lo + 256L).map(i => (i % 16, (i / 16) % 16, i)).toDF("x", "y", "id")
+    VersionedTable.commit(band(0), rz, "append", "az-c0", statsCols = Seq("x", "y"))
+    VersionedTable.setTableProperties(rz, Map(
+      "graft.autoCompact.minDirs" -> "3", "graft.autoCompact.target" -> "4",
+      "graft.autoCompact.zorder" -> "x,y", "graft.autoCompact.curve" -> "hilbert"),
+      "az-props")
+    VersionedTable.commit(band(256), rz, "append", "az-c1", statsCols = Seq("x", "y"))
+    VersionedTable.commit(band(512), rz, "append", "az-c2", statsCols = Seq("x", "y"))
+    assert(VersionedTable.latestCommit(rz).get.mode == "compact")
+    val (sx, tx) = VersionedTable.planRangeFiles(rz, "x", 0L, 3L)
+    val (sy, ty) = VersionedTable.planRangeFiles(rz, "y", 0L, 3L)
+    assert(tx == 4 && ty == 4, s"expected 4 clustered files, got $tx/$ty")
+    assert(sx < tx && sy < ty,
+      s"hilbert clustering must prune BOTH dimensions (x: $sx/$tx, y: $sy/$ty)")
+    // a malformed clustering declaration refuses at SET time
+    assert(intercept[Exception](VersionedTable.setTableProperties(rz,
+      Map("graft.autoCompact.curve" -> "zigzag"), "az-bad"))
+      .getMessage.contains("morton"))
+  }
+
   test("GraftSqlParser: CREATE GRAFT AS + INSERT INTO GRAFT — SQL lifecycle bootstrap") {
     import spark.implicits._
     val root = tmpDir("ctas1")

@@ -326,6 +326,35 @@ class StreamingSpec extends SparkSpec {
       == Set(1L, 2L, 3L), "each source row lands exactly once")
   }
 
+  test("versionedSink + auto-compact property: an unattended stream stays bounded in dirs") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.StructType
+    val src = TestSpark.tmpDir("vsac-src")
+    val root = TestSpark.tmpDir("vsac-root")
+    val ckpt = TestSpark.tmpDir("vsac-ckpt")
+    val schema = StructType.fromDDL("id bigint, s string")
+    Seq((0L, "seed")).toDF("id", "s").write.mode("append").parquet(src)
+    def runOnce(): Unit = {
+      val rows = spark.readStream.schema(schema).parquet(src)
+      Streaming.versionedSink(rows, root, "acfeed", Some(ckpt), availableNow = true)
+        .awaitTermination()
+    }
+    runOnce()
+    graft.io.VersionedTable.setTableProperties(root,
+      Map("graft.autoCompact.minDirs" -> "3", "graft.autoCompact.target" -> "1"), "vsac-props")
+    // each micro-batch rides the standard commit path, so the declared
+    // maintenance policy applies to STREAMING ingest with no extra code:
+    // the unattended table never exceeds its dir bound
+    (1 to 6).foreach { i =>
+      Seq((i.toLong, s"r$i")).toDF("id", "s").write.mode("append").parquet(src)
+      runOnce()
+      assert(graft.io.VersionedTable.latestCommit(root).get.dirs.size < 3,
+        s"batch $i left ${graft.io.VersionedTable.latestCommit(root).get.dirs.size} dirs")
+    }
+    assert(graft.io.VersionedTable.history(root).count(_.mode == "compact") >= 2)
+    assert(graft.io.VersionedTable.read(spark, root).count() == 7L)
+  }
+
   test("versionedSource: initial snapshot + live append deltas, checkpoint restart exactly-once") {
     import spark.implicits._
     import org.apache.spark.sql.streaming.Trigger
