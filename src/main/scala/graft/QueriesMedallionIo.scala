@@ -983,6 +983,36 @@ private[graft] object QueriesMedallionIo {
         |  CAST(1 AS BIGINT) AS scanned_dirs, CAST(2 AS BIGINT) AS total_dirs
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — SHOW PARTITIONS (VersionedTable.showPartitions + the SQL
+    // statement): the distinct hive partition-value combinations of the
+    // snapshot with per-value file counts, from a DIRECTORY-level walk —
+    // O(partition values), zero Spark jobs, the operator's "what
+    // partitions exist" question answered from the layout alone. File
+    // counts are parallelism-dependent, so the oracle-gated shape is the
+    // value list + a has_files witness; RESTORE TO TAG rides the same
+    // fixture (tag v1 by name, restore, re-advance) proving the ref
+    // resolves without version numbers.
+    Q("versioned_show_partitions",
+      (s, dir) => {
+        val root = Fixtures.once(s, dir, "vt_showp") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_showp_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          graft.io.VersionedTable.commit(o, r, "append", "shp-c1",
+            partitionCols = Seq("o_orderpriority"), statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.createTag(r, "genesis", 1L)
+          graft.io.VersionedTable.commit(
+            o.limit(5), r, "append", "shp-c2", partitionCols = Seq("o_orderpriority"))
+          s.sql(s"RESTORE GRAFT '$r' TO TAG genesis").collect()
+          r
+        }
+        graft.io.VersionedTable.showPartitions(s, root)
+          .select(col("o_orderpriority"), (col("num_files") > 0).as("has_files"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT DISTINCT o_orderpriority, CAST(1 AS BOOLEAN) AS has_files
+        |FROM orders ORDER BY 1""".stripMargin)),
+
     // S17 — AUTO-COMPACT TBLPROPERTY (VersionedTable.maybeAutoCompact —
     // Delta's autoOptimize.autoCompact as a declared table property):
     // with graft.autoCompact.minDirs=3 / target=1 set, a six-append

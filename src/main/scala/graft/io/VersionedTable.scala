@@ -3978,6 +3978,53 @@ object VersionedTable {
         (stats, blooms)
     }
 
+  /** SHOW PARTITIONS — the distinct hive partition-value combinations of
+    * the latest (or pinned) snapshot under its CURRENT layout, with the
+    * file count per combination: a directory-level walk, O(partition
+    * values), never a file-content read (file counts come from directory
+    * listings of the leaf subtrees, still O(values + files-listed), zero
+    * Spark jobs). Values path-unescape; the NULL sentinel surfaces as a
+    * SQL NULL. Unpartitioned snapshots refuse (Delta's behavior), and so
+    * do mixed-era snapshots (partition evolution in flight): a value list
+    * spanning two layouts has no single-table shape — OPTIMIZE first.
+    */
+  def showPartitions(spark: SparkSession, root: String,
+                     asOf: Option[Long] = None): DataFrame = {
+    val c = resolveSnapshot(root, asOf)
+    require(c.partitionCols.nonEmpty, s"SHOW PARTITIONS: $root is not partitioned")
+    require(c.dirLayouts.isEmpty,
+      "SHOW PARTITIONS: snapshot has mixed partition-layout eras (partition " +
+        "evolution in flight) — OPTIMIZE to normalize first")
+    val inv = c.nameMap.map(_.swap)
+    def walk(f: File, levels: Seq[String]): Seq[(Seq[String], Int)] = levels match {
+      case Nil =>
+        Seq((Nil, Option(f.listFiles()).getOrElse(Array.empty)
+          .count(x => x.isFile && x.getName.endsWith(".parquet"))))
+      case colName +: rest =>
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(x => x.isDirectory && x.getName.startsWith(colName + "="))
+          .flatMap { sub =>
+            val raw = sub.getName.substring(colName.length + 1)
+            val v = if (raw == "__HIVE_DEFAULT_PARTITION__") null
+                    else unescapePathName(raw)
+            walk(sub, rest).map { case (vs, n) => (v +: vs, n) }
+          }
+    }
+    val rows = c.dirs.flatMap { d =>
+      require(new File(dirPath(root, d)).isDirectory,
+        s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}")
+      walk(new File(dirPath(root, d)), c.partitionCols)
+    }.groupBy(_._1).toSeq
+      .map { case (vs, xs) => org.apache.spark.sql.Row.fromSeq(vs :+ xs.map(_._2).sum) }
+      .sortBy(_.toSeq.map(v => if (v == null) "" else v.toString).mkString(" "))
+    val schema = org.apache.spark.sql.types.StructType(
+      c.partitionCols.map(p => org.apache.spark.sql.types.StructField(
+        inv.getOrElse(p, p), org.apache.spark.sql.types.StringType)) :+
+        org.apache.spark.sql.types.StructField("num_files",
+          org.apache.spark.sql.types.IntegerType, nullable = false))
+    spark.createDataFrame(new java.util.ArrayList(rows.asJava), schema)
+  }
+
   /** Slot-scan recipe for the STORAGE-PARTITIONED JOIN (the public
     * Iceberg SPJ idea — two tables hive-partitioned on the join key join
     * with NO shuffle on either side, because the partition layout already

@@ -23,6 +23,8 @@ import graft.io.VersionedTable
   *       [ZORDER BY (c1, c2 [, ...]) | CLUSTER BY (c1, c2 [, ...])]
   *   VACUUM GRAFT '<root>' RETAIN <n> [DRY RUN]
   *   RESTORE GRAFT '<root>' TO VERSION <n> | TO TIMESTAMP '<instant>'
+  *       | TO TAG <name>
+  *   SHOW PARTITIONS GRAFT '<root>'
   *   DELETE GRAFT '<root>' WHERE <col> IN (<lit> [, <lit>]*)
   *   DELETE GRAFT '<root>' WHERE <col> BETWEEN <lit> AND <lit>
   *   UPDATE GRAFT '<root>' SET <c> = <expr> [, <c> = <expr>]*
@@ -106,6 +108,10 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+GRAFT\s+'([^']+)'\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
   private val restoreTsRe =
     """(?is)\s*RESTORE\s+GRAFT\s+'([^']+)'\s+TO\s+TIMESTAMP\s+'([^']+)'\s*;?\s*""".r
+  private val restoreTagRe =
+    """(?is)\s*RESTORE\s+GRAFT\s+'([^']+)'\s+TO\s+TAG\s+([\w.-]+)\s*;?\s*""".r
+  private val showPartitionsRe =
+    """(?is)\s*SHOW\s+PARTITIONS\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
   private val deleteInRe =
     """(?is)\s*DELETE\s+GRAFT\s+'([^']+)'\s+WHERE\s+(\w+)\s+IN\s*\(([^)]*)\)\s*;?\s*""".r
   private val deleteBetweenRe =
@@ -250,6 +256,8 @@ object GraftSqlParser {
       val ms = java.time.LocalDateTime.parse(ts.trim.replace(' ', 'T'))
         .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
       Some(GraftRestoreTimestampCommand(root, ms))
+    case restoreTagRe(root, tag) => Some(GraftRestoreTagCommand(root, tag))
+    case showPartitionsRe(root) => Some(GraftShowPartitionsCommand(root))
     case deleteInRe(root, col, vals) =>
       Some(GraftDeleteCommand(root, col, Left(litList(vals))))
     case deleteBetweenRe(root, col, lo, hi) =>
@@ -617,6 +625,45 @@ case class GraftCopyIntoCommand(root: String, glob: String,
         statsCols = VersionedTable.indexedCols(root)._1,
         bloomCols = VersionedTable.indexedCols(root)._2)
     Seq(Row(v, loaded, skipped))
+  }
+}
+
+/** `RESTORE GRAFT '<root>' TO TAG <name>` — resolve the immortal ref and
+  * roll back to its pinned version as a history-preserving commit: the
+  * write-audit-publish escape hatch ("put production back to the release
+  * we tagged") without looking up version numbers.
+  */
+case class GraftRestoreTagCommand(root: String, tag: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val commitId = s"sql-restore-tag-${java.util.UUID.randomUUID().toString.take(12)}"
+    Seq(Row(VersionedTable.rollback(root, VersionedTable.tagVersion(root, tag), commitId)))
+  }
+}
+
+/** `SHOW PARTITIONS GRAFT '<root>'` — the distinct hive partition-value
+  * combinations of the latest snapshot in hive path form (`k=v[/k2=v2]`)
+  * with per-combination file counts, from a directory-level walk (zero
+  * Spark jobs). Static output shape (Hive's SHOW PARTITIONS form); the
+  * programmatic [[VersionedTable.showPartitions]] returns typed columns.
+  */
+case class GraftShowPartitionsCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("partition", StringType, nullable = false)(),
+    AttributeReference("num_files", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val df = VersionedTable.showPartitions(spark, root)
+    val pcols = df.columns.dropRight(1)
+    df.collect().toSeq.map { r =>
+      val path = pcols.zipWithIndex.map { case (c, i) =>
+        val v = if (r.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__" else r.getString(i)
+        s"$c=$v"
+      }.mkString("/")
+      Row(path, r.getInt(pcols.length))
+    }
   }
 }
 

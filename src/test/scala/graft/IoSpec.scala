@@ -3179,6 +3179,39 @@ class IoSpec extends SparkSpec {
       .getMessage.contains("hive-partitioned by exactly"))
   }
 
+  test("SHOW PARTITIONS GRAFT + RESTORE TO TAG as SQL") {
+    import spark.implicits._
+    val root = tmpDir("showp")
+    VersionedTable.commit(
+      ((1L to 12L).map(i => (i, s"g${i % 3}")) :+ ((13L, null: String)))
+        .toDF("id", "grp"),
+      root, "append", "sp-c1", partitionCols = Seq("grp"))
+    val parts = spark.sql(s"SHOW PARTITIONS GRAFT '$root'")
+      .collect().map(r => (r.getString(0), r.getInt(1) > 0)).toMap
+    assert(parts.keySet == Set("grp=g0", "grp=g1", "grp=g2",
+      "grp=__HIVE_DEFAULT_PARTITION__"))
+    assert(parts.values.forall(identity))
+    // typed programmatic form: NULL sentinel surfaces as SQL NULL
+    assert(VersionedTable.showPartitions(spark, root)
+      .filter(col("grp").isNull).head().getInt(1) > 0)
+    // unpartitioned and mixed-era snapshots refuse
+    val flat = tmpDir("showp_flat")
+    VersionedTable.commit(Seq((1L, "x")).toDF("id", "s"), flat, "append", "sp-f1")
+    assert(intercept[Exception](VersionedTable.showPartitions(spark, flat))
+      .getMessage.contains("not partitioned"))
+    VersionedTable.setPartitionLayout(root, Seq("id"), "sp-evolve")
+    assert(intercept[Exception](VersionedTable.showPartitions(spark, root))
+      .getMessage.contains("mixed partition-layout"))
+    VersionedTable.setPartitionLayout(root, Seq("grp"), "sp-back")
+    // tag v1, advance, restore by NAME — no version numbers at the console
+    VersionedTable.createTag(root, "release-1", 1L)
+    VersionedTable.commit(Seq((99L, "g9")).toDF("id", "grp"), root, "append", "sp-c2",
+      partitionCols = Seq("grp"))
+    assert(VersionedTable.read(spark, root).count() == 14L)
+    spark.sql(s"RESTORE GRAFT '$root' TO TAG release-1").collect()
+    assert(VersionedTable.read(spark, root).count() == 13L)
+  }
+
   test("graft_copart pins its snapshot at analysis; auto-compact z-order property clusters") {
     import spark.implicits._
     val root = tmpDir("spjPin")
