@@ -983,6 +983,45 @@ private[graft] object QueriesMedallionIo {
         |  CAST(1 AS BIGINT) AS scanned_dirs, CAST(2 AS BIGINT) AS total_dirs
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — COLUMN DEFAULT VALUES (VersionedTable.addColumnWithDefault —
+    // the public Delta/Spark ADD COLUMN ... DEFAULT table feature): the
+    // column arrives METADATA-ONLY on a table that already holds half of
+    // orders; era-1 rows read the DEFAULT (not NULL) through per-dir
+    // backfill, the era-2 append carries explicit values that override
+    // it, and a third band LACKING the column materializes the default
+    // at write. One aggregate proves all three eras; the oracle replays
+    // them as CASE over key bands.
+    Q("versioned_column_default",
+      (s, dir) => {
+        val root = Fixtures.once(s, dir, "vt_coldef") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_coldef_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") * 3 <= mx),
+            r, "append", "cd-b1", statsCols = Seq("o_orderkey"))
+          s.sql(s"ALTER GRAFT '$r' ADD COLUMN region string DEFAULT ('emea')").collect()
+          graft.io.VersionedTable.commit(
+            o.filter(col("o_orderkey") * 3 > mx && col("o_orderkey") * 3 <= 2 * mx)
+              .withColumn("region", lit("apac")),
+            r, "append", "cd-b2", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") * 3 > 2 * mx),
+            r, "append", "cd-b3", statsCols = Seq("o_orderkey"))
+          r
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("region")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .orderBy("region")
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+        |d AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey * 3 > mx AND o_orderkey * 3 <= 2 * mx
+        |    THEN 'apac' ELSE 'emea' END AS region
+        |  FROM orders CROSS JOIN m)
+        |SELECT region, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — SHOW PARTITIONS (VersionedTable.showPartitions + the SQL
     // statement): the distinct hive partition-value combinations of the
     // snapshot with per-value file counts, from a DIRECTORY-level walk —

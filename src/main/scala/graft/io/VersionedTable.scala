@@ -93,6 +93,17 @@ object VersionedTable {
     * full OPTIMIZE normalizes the table. Scans group dirs by layout era
     * and union the per-era scans under the declared schema.
     */
+  /** `defaults`: COLUMN DEFAULT VALUES (the public Delta/Spark
+    * default-value table feature) — column → foldable SQL expression,
+    * declared by [[addColumnWithDefault]] as a metadata-only commit. Read
+    * side: a dir whose files PREDATE the column (it is physically absent
+    * there) backfills the DEFAULT instead of NULL — per-dir, so a
+    * post-declaration writer's explicit NULL is never confused with a
+    * missing slot. Write side: a batch LACKING the column materializes
+    * the default (DEFAULT, not ALWAYS — a batch carrying values keeps
+    * them). Time travel to a pre-default version reads NULL backfill,
+    * era-correct.
+    */
   /** `dropped`: PHYSICAL names of dropped columns (Delta's column-mapping
     * DROP COLUMN) — the manifest schema no longer declares them (scans
     * never read them: column pruning for free) but their slots persist
@@ -117,7 +128,8 @@ object VersionedTable {
                           nullCounts: Map[String, Map[String, (Long, Long)]] = Map.empty,
                           props: Map[String, String] = Map.empty,
                           identity: Map[String, (Long, Long, Long)] = Map.empty,
-                          dirLayouts: Map[String, Seq[String]] = Map.empty)
+                          dirLayouts: Map[String, Seq[String]] = Map.empty,
+                          defaults: Map[String, String] = Map.empty)
 
   private val mapper = new ObjectMapper()
 
@@ -251,6 +263,11 @@ object VersionedTable {
       c.dirLayouts.toSeq.sortBy(_._1).foreach { case (dir, lay) => lm.put(dir, lay.asJava) }
       m.put("dirLayouts", lm)
     }
+    if (c.defaults.nonEmpty) {
+      val dm = new java.util.LinkedHashMap[String, Object]()
+      c.defaults.toSeq.sortBy(_._1).foreach { case (n, e) => dm.put(n, e) }
+      m.put("defaults", dm)
+    }
     mapper.writeValueAsString(m)
   }
 
@@ -277,7 +294,8 @@ object VersionedTable {
     */
   private[graft] val supportedReaderFeatures =
     Set("mor-deletes", "column-mapping", "external-refs", "dropped-columns",
-        "generated-columns", "identity-columns", "partition-evolution")
+        "generated-columns", "identity-columns", "partition-evolution",
+        "column-defaults")
 
   private def featuresOf(c: Commit): Seq[String] = Seq(
     (c.deletes.nonEmpty || c.deleteKeys.nonEmpty) -> "mor-deletes",
@@ -297,7 +315,11 @@ object VersionedTable {
     // a pre-evolution reader would scan every dir under the CURRENT
     // layout, misreading old-era dirs' hive columns; a pre-evolution
     // WRITER would drop the registry from its next manifest
-    c.dirLayouts.nonEmpty -> "partition-evolution"
+    c.dirLayouts.nonEmpty -> "partition-evolution",
+    // a pre-defaults reader would NULL-backfill rows the table promises
+    // carry the default; a pre-defaults WRITER would append without
+    // materializing it
+    c.defaults.nonEmpty -> "column-defaults"
   ).collect { case (true, f) => f }
 
   private def readManifest(p: java.nio.file.Path): Commit = {
@@ -381,12 +403,15 @@ object VersionedTable {
         e.getKey -> e.getValue.elements().asScala.map(_.asText()).toSeq
       }.toMap
     }.getOrElse(Map.empty[String, Seq[String]])
+    val defaults = Option(n.get("defaults")).map { dn =>
+      dn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    }.getOrElse(Map.empty[String, String])
     Commit(v, n.get("commitId").asText(), n.get("mode").asText(),
       n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, strStats, pcols, blooms,
       Option(n.get("schema")).map(_.asText()),
       Option(n.get("committedAt")).map(_.asLong()).getOrElse(0L),
       deletes, deleteKeys, nameMap, constraints, dropped, generated, nullCounts,
-      props, identity, dirLayouts)
+      props, identity, dirLayouts, defaults)
   }
 
   /** Atomically publish manifest `c` into version slot `v`: write the full
@@ -968,6 +993,9 @@ object VersionedTable {
           // is its logical name) would silently break materialization
           require(!parent.generated.contains(from),
             s"renameColumn: '$from' is a GENERATED column; drop and re-declare instead")
+          require(!parent.defaults.contains(from),
+            s"renameColumn: '$from' carries a DEFAULT value keyed by its name; " +
+              "drop and re-declare instead")
           val genRef = parent.generated.collect {
             case (n, sql) if ("\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
               .findFirstIn(sql).isDefined => n
@@ -1147,7 +1175,8 @@ object VersionedTable {
                 d -> cols.filterNot(_ == phys) }.filter(_._2.nonEmpty),
               nameMap = parent.nameMap - name,
               dropped = (parent.dropped :+ phys).distinct.sorted,
-              generated = parent.generated - name)))
+              generated = parent.generated - name,
+              defaults = parent.defaults - name)))
             out = v
         }
         out
@@ -1230,6 +1259,72 @@ object VersionedTable {
                   mode = "generated", generated = parent.generated + (name -> sqlExpr))))
                 out = v
           }
+        }
+        out
+    }
+  }
+
+  /** COLUMN DEFAULT VALUES (the public Delta/Spark `ALTER TABLE ADD
+    * COLUMN ... DEFAULT` table feature): add `name` to an EXISTING table
+    * as a METADATA-ONLY commit — zero bytes move at any size — with a
+    * foldable SQL default that serves both roles Delta splits into
+    * existingDefault/currentDefault: rows in dirs PREDATING the column
+    * read the default instead of NULL (per-dir backfill in [[alignTo]],
+    * so a later writer's explicit NULL is never confused with a missing
+    * slot), and a future batch LACKING the column materializes it at
+    * write. DEFAULT, not ALWAYS: a batch carrying values keeps them.
+    * Time travel to a pre-default version reads era-correct shapes.
+    *
+    * Guards: the expression must be column-reference-free, deterministic,
+    * and castable to the declared type (probed once HERE, not at every
+    * later read); re-using a DROPPED name refuses (pre-drop files still
+    * hold the retired slot, and the per-dir scan would resurface its
+    * values as "stored defaults"); declared as the `column-defaults`
+    * reader feature so a pre-defaults engine refuses instead of
+    * NULL-backfilling rows the table promises carry the default.
+    */
+  def addColumnWithDefault(spark: SparkSession, root: String, name: String,
+                           sqlType: String, defaultSql: String,
+                           commitId: String): Long = {
+    import org.apache.spark.sql.functions.expr
+    val dt = spark.sessionState.sqlParser.parseDataType(sqlType)
+    spark.sessionState.sqlParser.parseExpression(defaultSql)
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => prior
+      case None =>
+        var out = -1L
+        while (out < 0) {
+          val parent = latestCommit(root)
+            .getOrElse(sys.error(s"addColumnWithDefault: no commits at $root"))
+          require(parent.schemaDdl.nonEmpty,
+            "addColumnWithDefault: snapshot has no recorded schema")
+          val logical = logicalCols(parent)
+          require(!logical.contains(name),
+            s"addColumnWithDefault: column '$name' already exists")
+          require(!parent.dropped.contains(name),
+            s"addColumnWithDefault: '$name' was DROPPED — pre-drop files still hold " +
+              "the retired slot and would resurface as stored values; compact or " +
+              "overwrite first to purge it")
+          // probe the default ONCE: column-reference-free, deterministic,
+          // castable — a bad declaration fails here, not at every read
+          val probe = spark.range(1)
+            .select(expr(s"CAST(($defaultSql) AS ${dt.sql})").as(name))
+          val pe = probe.queryExecution.analyzed
+            .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+            .projectList.head
+          require(pe.references.isEmpty,
+            s"addColumnWithDefault: default must not reference columns, got '$defaultSql'")
+          require(pe.deterministic,
+            s"addColumnWithDefault: default must be deterministic, got '$defaultSql'")
+          probe.collect()
+          val ps = org.apache.spark.sql.types.StructType.fromDDL(parent.schemaDdl.get)
+          val newSchema = org.apache.spark.sql.types.StructType(ps.fields :+
+            org.apache.spark.sql.types.StructField(name, dt))
+          val v = parent.version + 1
+          if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
+              mode = "default", schemaDdl = Some(newSchema.toDDL),
+              defaults = parent.defaults + (name -> defaultSql))))
+            out = v
         }
         out
     }
@@ -1357,8 +1452,24 @@ object VersionedTable {
         // properties like constraints): a batch LACKING the column gets it
         // computed; a batch CARRYING it is enforced for equality, so a
         // writer can never store a value the expression disagrees with
-        val dfGen = preParent0.map(_.generated).filter(_.nonEmpty)
+        val dfGen0 = preParent0.map(_.generated).filter(_.nonEmpty)
           .fold(df)(materializeGenerated(_, df, "commit"))
+        // column DEFAULTS materialize next (append mode — an overwrite
+        // replaces the schema, retiring the declarations with it): a batch
+        // LACKING a default-bearing column gets the default computed, a
+        // batch CARRYING it keeps its values (DEFAULT, not ALWAYS)
+        val dfGen = preParent0.filter(_ => mode == "append")
+          .map(_.defaults).filter(_.nonEmpty).fold(dfGen0) { ds =>
+            val declared = preParent0.flatMap(_.schemaDdl)
+              .map(org.apache.spark.sql.types.StructType.fromDDL)
+            ds.toSeq.sortBy(_._1).foldLeft(dfGen0) { case (d, (cName, e)) =>
+              if (d.columns.contains(cName)) d
+              else d.withColumn(cName,
+                org.apache.spark.sql.functions.expr(e).cast(
+                  declared.flatMap(_.fields.find(_.name == cName)).map(_.dataType)
+                    .getOrElse(sys.error(s"commit: default column '$cName' not in schema"))))
+            }
+          }
         // CHECK constraints hold in BOTH modes (they are table properties,
         // surviving overwrite like Delta's) and are enforced on the
         // incoming LOGICAL batch before any data is written
@@ -1502,6 +1613,11 @@ object VersionedTable {
             require(parent.map(_.generated).getOrElse(Map.empty) ==
                 preParent0.map(_.generated).getOrElse(Map.empty),
               "commit: generated columns advanced during the write; re-run")
+            // a DEFAULT declared mid-write would be unmaterialized in this
+            // batch — refuse like a constraint advance
+            require(parent.map(_.defaults).getOrElse(Map.empty) ==
+                preParent0.map(_.defaults).getOrElse(Map.empty),
+              "commit: column defaults advanced during the write; re-run")
             if (publishIfAbsent(root, v,
                 Commit(v, commitId, mode, dirs, stats, strStats, partitionCols, blooms,
                   Some(snapSchema.toDDL), deletes = inhDeletes,
@@ -1520,7 +1636,9 @@ object VersionedTable {
                   // the new dir is in the CURRENT layout (no entry); an
                   // overwrite replaces every dir, clearing the era registry
                   dirLayouts = if (mode == "append")
-                    parent.map(_.dirLayouts).getOrElse(Map.empty) else Map.empty)))
+                    parent.map(_.dirLayouts).getOrElse(Map.empty) else Map.empty,
+                  defaults = if (mode == "append")
+                    parent.map(_.defaults).getOrElse(Map.empty) else Map.empty)))
               committed = v
           }
         }
@@ -2284,13 +2402,20 @@ object VersionedTable {
     * travel to a pre-evolution version reads under THAT manifest's narrower
     * schema, so old snapshots keep their old shape.
     */
-  private def alignTo(target: Option[org.apache.spark.sql.types.StructType])
+  private def alignTo(target: Option[org.apache.spark.sql.types.StructType],
+                      defaults: Map[String, String] = Map.empty)
                      (df: DataFrame): DataFrame = target match {
     case None => df
     case Some(t) =>
-      import org.apache.spark.sql.functions.{col => c, lit}
+      import org.apache.spark.sql.functions.{col => c, expr, lit}
       df.select(t.fields.map { f =>
-        if (!df.columns.contains(f.name)) lit(null).cast(f.dataType).as(f.name)
+        if (!df.columns.contains(f.name))
+          // a file predating the column backfills its declared DEFAULT
+          // (the column-defaults feature); NULL otherwise — per input
+          // frame, so a post-declaration writer's explicit NULL is never
+          // confused with a missing slot
+          defaults.get(f.name).map(d => expr(d).cast(f.dataType).as(f.name))
+            .getOrElse(lit(null).cast(f.dataType).as(f.name))
         // hive partition-value inference may read `k=3` narrower than the
         // declared type (int vs the schema's bigint) — cast to the declared
         // type so era unions and pre/post-evolution dirs keep ONE schema
@@ -2328,13 +2453,13 @@ object VersionedTable {
     val groups = dirs.groupBy(d => layoutOf(c, d))
     if (groups.size <= 1)
       scanDirs(spark, dirs.map(d => dirPath(root, d)),
-        groups.keys.headOption.getOrElse(c.partitionCols), c.schemaDdl)
+        groups.keys.headOption.getOrElse(c.partitionCols), c.schemaDdl, c.defaults)
     else {
       require(c.schemaDdl.nonEmpty,
         "mixed partition layouts require a recorded snapshot schema")
       groups.toSeq.sortBy(_._1.mkString(","))
         .map { case (lay, ds) =>
-          scanDirs(spark, ds.map(d => dirPath(root, d)), lay, c.schemaDdl)
+          scanDirs(spark, ds.map(d => dirPath(root, d)), lay, c.schemaDdl, c.defaults)
         }
         .reduce(_.unionByName(_))
     }
@@ -2342,16 +2467,21 @@ object VersionedTable {
 
   private def scanDirs(spark: SparkSession, dirs: Seq[String],
                        partitionCols: Seq[String],
-                       schemaDdl: Option[String] = None): DataFrame = {
+                       schemaDdl: Option[String] = None,
+                       defaults: Map[String, String] = Map.empty): DataFrame = {
     val target = schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
     if (dirs.isEmpty)
       // a fully-deleted snapshot: empty relation under the recorded schema
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         target.getOrElse(sys.error("empty snapshot with no recorded schema")))
-    else if (partitionCols.isEmpty)
+    else if (partitionCols.isEmpty && defaults.isEmpty)
       target.map(t => spark.read.schema(t)).getOrElse(spark.read).parquet(dirs: _*)
     else
-      dirs.map(d => alignTo(target)(spark.read.parquet(d))).reduce(_.unionByName(_))
+      // per-dir union: hive recovery for partitioned dirs, and — when the
+      // table declares column DEFAULTS — per-dir backfill (the flat
+      // schema-read path would fill NULL for pre-default dirs)
+      dirs.map(d => alignTo(target, defaults)(spark.read.parquet(d)))
+        .reduce(_.unionByName(_))
   }
 
   /** [[scanDirs]] with FILE-level pruning inside each kept dir: the
@@ -2386,7 +2516,7 @@ object VersionedTable {
     }
     def emptyScan = scanCommitDirs(spark, root, c, kept)
       .limit(0)
-    if (kept.forall(d => layoutOf(c, d).isEmpty)) {
+    if (kept.forall(d => layoutOf(c, d).isEmpty) && c.defaults.isEmpty) {
       val paths = parts.flatMap {
         case (_, dp, None)     => Seq(dp)
         case (_, dp, Some(fs)) => fs.map(f => s"$dp/$f")
@@ -2405,7 +2535,7 @@ object VersionedTable {
           Some(spark.read.parquet(fs.map(f => s"$dp/$f"): _*))
         case (_, dp, Some(fs))  =>
           Some(spark.read.option("basePath", dp).parquet(fs.map(f => s"$dp/$f"): _*))
-      }.map(alignTo(target))
+      }.map(alignTo(target, c.defaults))
       if (dfs.isEmpty) emptyScan else dfs.reduce(_.unionByName(_))
     }
   }
@@ -2523,7 +2653,7 @@ object VersionedTable {
     */
   private[graft] val metadataOnlyModes =
     Set("compact", "rename", "constraint", "dropcol", "create", "generated", "widen",
-      "properties", "set-layout")
+      "properties", "set-layout", "default")
 
   private[graft] def changeFeedOfCommit(spark: SparkSession, root: String,
                                         fromC: Option[Commit], toC: Commit,
@@ -2833,7 +2963,8 @@ object VersionedTable {
         props = parent.props, identity = parent.identity,
         // survivors are written in the CURRENT layout (Iceberg's rewrite
         // rule) — only passed-through dirs keep their era entries
-        dirLayouts = parent.dirLayouts.filter { case (d, _) => pass.contains(d) })
+        dirLayouts = parent.dirLayouts.filter { case (d, _) => pass.contains(d) },
+        defaults = parent.defaults)
       if (publishIfAbsent(root, v, c)) out = v
       else findCommitVersion(root, commitId) match {
         case Some(pv) => out = pv // a retry twin of us won the slot
@@ -3450,7 +3581,8 @@ object VersionedTable {
                 nameMap = parent.nameMap, constraints = parent.constraints,
                 dropped = parent.dropped, generated = parent.generated,
                 nullCounts = parent.nullCounts, props = parent.props,
-                identity = parent.identity, dirLayouts = parent.dirLayouts)
+                identity = parent.identity, dirLayouts = parent.dirLayouts,
+                defaults = parent.defaults)
               if (publishIfAbsent(root, v, c)) result = (v, hit.size, parent.dirs.size)
               // lost the race: manifest-only — recompute against the new
               // parent and retry (the key set is already in place)
@@ -4135,7 +4267,8 @@ object VersionedTable {
               nameMap = target.nameMap, constraints = target.constraints,
               dropped = target.dropped, generated = target.generated,
               nullCounts = target.nullCounts, props = target.props,
-              identity = target.identity, dirLayouts = target.dirLayouts)))
+              identity = target.identity, dirLayouts = target.dirLayouts,
+              defaults = target.defaults)))
             committed = v
         }
         committed
@@ -4297,7 +4430,11 @@ object VersionedTable {
           dropped = Nil, generated = parent.generated,
           nullCounts = if (dirStats.nulls.isEmpty) Map.empty
                        else Map(dirName -> dirStats.nulls),
-          props = parent.props, identity = parent.identity)
+          // the rewrite materialized every default physically, but the
+          // declaration stays the table's write-side default (Delta's
+          // currentDefault survives OPTIMIZE)
+          props = parent.props, identity = parent.identity,
+          defaults = parent.defaults)
         if (!publishIfAbsent(root, v, c))
           sys.error(s"compact: log advanced past v${parent.version} during the rewrite; " +
             "re-run against the new snapshot (orphaned dir is vacuum-reclaimable)")
@@ -4486,7 +4623,7 @@ object VersionedTable {
           }, props = c.props ++ extraProps, identity = c.identity,
           dirLayouts = c.dirLayouts.collect {
             case (d, v) if dirMap.contains(d) => dirMap(d) -> v
-          })
+          }, defaults = c.defaults)
         if (publishIfAbsent(dstRoot, 1L, cloned)) 1L
         else findCommitVersion(dstRoot, commitId).getOrElse(
           sys.error(s"cloneTo: destination $dstRoot gained a commit concurrently; " +

@@ -34,6 +34,7 @@ import graft.io.VersionedTable
   *   ALTER GRAFT '<root>' RENAME COLUMN <a> TO <b>
   *   ALTER GRAFT '<root>' DROP COLUMN <a>
   *   ALTER GRAFT '<root>' ALTER COLUMN <a> TYPE <sqlType>
+  *   ALTER GRAFT '<root>' ADD COLUMN <a> <type> DEFAULT (<expr>)
   *   ALTER GRAFT '<root>' ADD COLUMN <a> GENERATED ALWAYS AS (<expr>)
   *   ALTER GRAFT '<root>' ADD COLUMN <a> GENERATED ALWAYS AS IDENTITY
   *       [(START WITH <n> STEP <n>)]
@@ -137,6 +138,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)\s*;?\s*""".r
   private val alterAddIdentityRe =
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+STEP\s+(-?\d+)\s*\))?\s*;?\s*""".r
+  private val alterAddDefaultRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+([\w()\s,]+?)\s+DEFAULT\s+\((.*)\)\s*;?\s*""".r
   private val alterAddGenRe =
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s+\((.*)\)\s*;?\s*""".r
   private val alterAddConstraintRe =
@@ -273,6 +276,11 @@ object GraftSqlParser {
       // form — "IDENTITY" is not an expression
       Some(GraftAlterCommand(root, "addidentity", c,
         Some(s"${Option(st).getOrElse("1")},${Option(sp).getOrElse("1")}")))
+    case alterAddDefaultRe(root, c, t, e) =>
+      // <type> DEFAULT (<expr>) — matched before the GENERATED form can't
+      // collide (distinct keywords); type and expr travel together
+      Some(GraftAlterCommand(root, "adddefault", c,
+        Some(s"${t.trim}|||${e.trim}")))
     case alterAddGenRe(root, c, e) =>
       Some(GraftAlterCommand(root, "addgen", c, Some(e.trim)))
     case alterAddConstraintRe(root, n, e) =>
@@ -598,6 +606,9 @@ case class GraftAlterCommand(root: String, verb: String, name: String,
       case "dropconstraint" => VersionedTable.dropConstraint(root, name, commitId)
       case "setlayout" => VersionedTable.setPartitionLayout(root,
         name.split(",").map(_.trim).filter(_.nonEmpty).toSeq, commitId)
+      case "adddefault" =>
+        val Array(t, e) = arg.get.split("[|][|][|]", 2)
+        VersionedTable.addColumnWithDefault(spark, root, name, t, e, commitId)
     }
     Seq(Row(v))
   }

@@ -3179,6 +3179,51 @@ class IoSpec extends SparkSpec {
       .getMessage.contains("hive-partitioned by exactly"))
   }
 
+  test("column DEFAULT values: pre-default dirs backfill the default, not NULL; writes materialize it") {
+    import spark.implicits._
+    val root = tmpDir("defv")
+    VersionedTable.commit((1L to 6L).map(i => (i, s"r$i")).toDF("id", "s"),
+      root, "append", "dv-c1", statsCols = Seq("id"))
+    spark.sql(s"ALTER GRAFT '$root' ADD COLUMN tier string DEFAULT ('bronze')").collect()
+    // metadata-only: the era-1 dir physically lacks the column, yet reads
+    // the DEFAULT — not NULL — under the widened schema
+    assert(VersionedTable.read(spark, root).filter(col("tier") === "bronze").count() == 6L)
+    // a batch CARRYING the column keeps its values, including an explicit
+    // NULL (DEFAULT, not ALWAYS — and per-dir backfill means the stored
+    // NULL is never confused with a missing slot)
+    VersionedTable.commit(Seq((7L, "r7", "gold"), (8L, "r8", null))
+      .toDF("id", "s", "tier"), root, "append", "dv-c2", statsCols = Seq("id"))
+    // a batch LACKING it materializes the default at write
+    VersionedTable.commit(Seq((9L, "r9")).toDF("id", "s"),
+      root, "append", "dv-c3", statsCols = Seq("id"))
+    val got = VersionedTable.read(spark, root).select("id", "tier")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1))).toMap
+    assert(got == (1L to 6L).map(_ -> "bronze").toMap
+      ++ Map(7L -> "gold", 8L -> null, 9L -> "bronze"))
+    // time travel to the pre-default era reads the narrow schema
+    assert(!VersionedTable.read(spark, root, Some(1L)).columns.contains("tier"))
+    // a rewrite crossing both eras materializes the backfill physically
+    VersionedTable.deleteWhere(spark, root, Seq(2L).toDF("id"), "id", "dv-del",
+      statsCols = Seq("id"))
+    assert(VersionedTable.read(spark, root).filter(col("tier") === "bronze").count() == 6L)
+    // guards: non-foldable and column-referencing defaults refuse at
+    // declaration; dropped names cannot resurrect; rename refuses
+    assert(intercept[Exception](VersionedTable.addColumnWithDefault(spark, root,
+      "bad1", "double", "rand()", "dv-b1")).getMessage.contains("deterministic"))
+    assert(intercept[Exception](VersionedTable.addColumnWithDefault(spark, root,
+      "bad2", "bigint", "id + 1", "dv-b2")).getMessage.contains("reference columns"))
+    assert(intercept[Exception](VersionedTable.renameColumn(root, "tier", "t2", "dv-rn"))
+      .getMessage.contains("DEFAULT"))
+    VersionedTable.dropColumn(root, "tier", "dv-drop")
+    assert(intercept[Exception](VersionedTable.addColumnWithDefault(spark, root,
+      "tier", "string", "'silver'", "dv-res")).getMessage.contains("DROPPED"))
+    // the manifest declares the reader feature while the default lives
+    val mf = new java.io.File(s"$root/_commits").listFiles()
+      .filter(_.getName.startsWith("v")).sortBy(_.getName).reverse
+    assert(!java.nio.file.Files.readString(mf.head.toPath).contains("column-defaults"))
+    assert(java.nio.file.Files.readString(mf(1).toPath).contains("column-defaults"))
+  }
+
   test("SHOW PARTITIONS GRAFT + RESTORE TO TAG as SQL") {
     import spark.implicits._
     val root = tmpDir("showp")

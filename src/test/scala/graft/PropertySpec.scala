@@ -417,8 +417,10 @@ class PropertySpec extends SparkSpec {
     // drop-then-append, ...)
     // op 9 toggles PARTITION EVOLUTION (flat <-> partitioned-by-id):
     // every later op — appends in the new layout, rewrites crossing era
-    // boundaries, reads unioning eras — must stay model-exact
-    val opGen = Gen.listOfN(10, Gen.choose(0, 9))
+    // boundaries, reads unioning eras — must stay model-exact; op 10
+    // adds a COLUMN DEFAULT (metadata-only), so pre-default rows must
+    // read the default while every later batch carries explicit values
+    val opGen = Gen.listOfN(10, Gen.choose(0, 10))
     samples(opGen, 3).zipWithIndex.foreach { case (ops, i) =>
       val root = TestSpark.tmpDir(s"prop_lifecycle_$i")
       var cols = Vector("id", "c0") // id: Long key
@@ -426,6 +428,7 @@ class PropertySpec extends SparkSpec {
       var fresh = 1
       var nextId = 0L
       var layout: Seq[String] = Nil // the table's CURRENT declared hive layout
+      var defCols = Set.empty[String] // DEFAULT-bearing columns (rename refuses)
       var model = Vector.empty[Map[String, Any]]
       def valueFor(c: String, id: Long): Any = colType(c) match {
         case "string" => s"$c-$id"
@@ -469,8 +472,8 @@ class PropertySpec extends SparkSpec {
             val rs = mkRows(2); model ++= rs
             graft.io.VersionedTable.commit(toDf(rs, cols), root, "append",
               s"l$i-e$opIdx", statsCols = Seq("id"), partitionCols = layout)
-          case 2 if cols.size > 1 =>
-            val c = cols.last
+          case 2 if cols.exists(c => c != "id" && !defCols(c)) =>
+            val c = cols.reverse.find(c => c != "id" && !defCols(c)).get
             val nc = s"r$fresh"; fresh += 1
             graft.io.VersionedTable.renameColumn(root, c, nc, s"l$i-r$opIdx")
             cols = cols.updated(cols.indexOf(c), nc)
@@ -543,6 +546,16 @@ class PropertySpec extends SparkSpec {
           case 9 =>
             layout = if (layout.isEmpty) Seq("id") else Nil
             graft.io.VersionedTable.setPartitionLayout(root, layout, s"l$i-pl$opIdx")
+          case 10 =>
+            val nc = s"d$fresh"; fresh += 1
+            graft.io.VersionedTable.addColumnWithDefault(spark, root, nc, "string",
+              s"'dv$opIdx'", s"l$i-df$opIdx")
+            cols = cols :+ nc
+            colType += (nc -> "string")
+            defCols += nc
+            // every EXISTING row reads the default; later batches carry
+            // explicit values (mkRows includes every column)
+            model = model.map(_ + (nc -> s"dv$opIdx"))
           case 8 if model.nonEmpty =>
             // CONDITIONAL MERGE: matched ids with id % 3 == 0 DELETE (a
             // tgt-scoped clause), the rest take the source row
