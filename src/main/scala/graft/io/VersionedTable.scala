@@ -854,6 +854,9 @@ object VersionedTable {
     kvs.get("graft.autoCompact.curve").foreach(v =>
       require(v == "morton" || v == "hilbert",
         s"graft.autoCompact.curve must be 'morton' or 'hilbert', got '$v'"))
+    kvs.get("graft.vacuum.retainLast").foreach(v =>
+      require(v.toIntOption.exists(_ >= 1),
+        s"graft.vacuum.retainLast must be an integer >= 1, got '$v'"))
     findCommitVersion(root, commitId) match {
       case Some(prior) => prior
       case None =>
@@ -4148,7 +4151,7 @@ object VersionedTable {
       walk(new File(dirPath(root, d)), c.partitionCols)
     }.groupBy(_._1).toSeq
       .map { case (vs, xs) => org.apache.spark.sql.Row.fromSeq(vs :+ xs.map(_._2).sum) }
-      .sortBy(_.toSeq.map(v => if (v == null) "" else v.toString).mkString(" "))
+      .sortBy(_.toSeq.map(v => if (v == null) "" else v.toString).mkString("\u0000"))
     val schema = org.apache.spark.sql.types.StructType(
       c.partitionCols.map(p => org.apache.spark.sql.types.StructField(
         inv.getOrElse(p, p), org.apache.spark.sql.types.StringType)) :+

@@ -21,7 +21,8 @@ import graft.io.VersionedTable
   *   OPTIMIZE GRAFT '<root>' [TARGET <n>]
   *       [WHERE <partCol> IN ('v' [, 'v']*)]
   *       [ZORDER BY (c1, c2 [, ...]) | CLUSTER BY (c1, c2 [, ...])]
-  *   VACUUM GRAFT '<root>' RETAIN <n> [DRY RUN]
+  *   VACUUM GRAFT '<root>' [RETAIN <n>] [DRY RUN]
+  *       — RETAIN omitted reads the graft.vacuum.retainLast TBLPROPERTY
   *   RESTORE GRAFT '<root>' TO VERSION <n> | TO TIMESTAMP '<instant>'
   *       | TO TAG <name>
   *   SHOW PARTITIONS GRAFT '<root>'
@@ -99,6 +100,8 @@ object GraftSqlParser {
     """(?is)\s*DESCRIBE\s+DETAIL\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
   private val vacuumRe =
     """(?is)\s*VACUUM\s+GRAFT\s+'([^']+)'\s+RETAIN\s+(\d+)(\s+DRY\s+RUN)?\s*;?\s*""".r
+  private val vacuumPropRe =
+    """(?is)\s*VACUUM\s+GRAFT\s+'([^']+)'(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val optimizeRe =
     """(?is)\s*OPTIMIZE\s+GRAFT\s+'([^']+)'(.*?);?\s*""".r
   private val targetRe = """(?is).*\bTARGET\s+(\d+).*""".r
@@ -251,7 +254,10 @@ object GraftSqlParser {
   def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
     case describeRe(root) => Some(GraftDescribeHistoryCommand(root))
     case detailRe(root) => Some(GraftDescribeDetailCommand(root))
-    case vacuumRe(root, n, dry) => Some(GraftVacuumCommand(root, n.toInt, dry != null))
+    case vacuumRe(root, n, dry) => Some(GraftVacuumCommand(root, Some(n.toInt), dry != null))
+    // RETAIN omitted: the retention POLICY lives with the table
+    // (graft.vacuum.retainLast TBLPROPERTY), resolved at run time
+    case vacuumPropRe(root, dry) => Some(GraftVacuumCommand(root, None, dry != null))
     case restoreRe(root, v) => Some(GraftRestoreCommand(root, v.toLong))
     case restoreTsRe(root, ts) =>
       // the instant parses as UTC (every harness session runs UTC); it
@@ -426,13 +432,20 @@ case class GraftDescribeDetailCommand(root: String) extends LeafRunnableCommand 
     VersionedTable.describeDetail(spark, root).collect().toSeq
 }
 
-case class GraftVacuumCommand(root: String, retainLast: Int,
+case class GraftVacuumCommand(root: String, retainLast: Option[Int],
                               dryRun: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("removed", StringType, nullable = false)())
 
-  override def run(spark: SparkSession): Seq[Row] =
-    VersionedTable.vacuum(root, retainLast, dryRun = dryRun).map(Row(_))
+  override def run(spark: SparkSession): Seq[Row] = {
+    // RETAIN-less form: the table's own declared retention policy
+    val retain = retainLast.getOrElse(
+      VersionedTable.tableProperties(root).get("graft.vacuum.retainLast")
+        .flatMap(_.toIntOption).getOrElse(sys.error(
+          s"VACUUM GRAFT without RETAIN requires the graft.vacuum.retainLast " +
+            s"table property on $root (ALTER GRAFT ... SET TBLPROPERTIES)")))
+    VersionedTable.vacuum(root, retain, dryRun = dryRun).map(Row(_))
+  }
 }
 
 /** `RESTORE GRAFT '<root>' TO TIMESTAMP '<instant>'` — time-travel

@@ -3179,6 +3179,33 @@ class IoSpec extends SparkSpec {
       .getMessage.contains("hive-partitioned by exactly"))
   }
 
+  test("VACUUM GRAFT without RETAIN reads the table's declared retention policy") {
+    import spark.implicits._
+    val root = tmpDir("vacprop")
+    (1 to 3).foreach(i => VersionedTable.commit(Seq((i.toLong, s"r$i")).toDF("id", "s"),
+      root, "append", s"vp-c$i"))
+    // the overwrite strands versions 1-3's dirs — reclaimable history
+    VersionedTable.commit(Seq((9L, "ow")).toDF("id", "s"), root, "overwrite", "vp-c4")
+    // no policy declared: the RETAIN-less form refuses with the hint
+    assert(intercept[Exception](spark.sql(s"VACUUM GRAFT '$root'").collect())
+      .getMessage.contains("graft.vacuum.retainLast"))
+    VersionedTable.setTableProperties(root,
+      Map("graft.vacuum.retainLast" -> "2"), "vp-props")
+    // dry run previews under the policy, touches nothing
+    assert(spark.sql(s"VACUUM GRAFT '$root' DRY RUN").collect().nonEmpty)
+    assert(VersionedTable.read(spark, root, Some(1L)).count() == 1L)
+    // the real sweep retains exactly the declared window (property commit
+    // is version 5, so versions 4..5 survive)
+    spark.sql(s"VACUUM GRAFT '$root'").collect()
+    assert(VersionedTable.read(spark, root).count() == 1L)
+    assert(intercept[Exception](VersionedTable.read(spark, root, Some(1L)))
+      .getMessage.nonEmpty)
+    // malformed policy refuses at SET time
+    assert(intercept[Exception](VersionedTable.setTableProperties(root,
+      Map("graft.vacuum.retainLast" -> "0"), "vp-bad"))
+      .getMessage.contains("integer >= 1"))
+  }
+
   test("column DEFAULT values: pre-default dirs backfill the default, not NULL; writes materialize it") {
     import spark.implicits._
     val root = tmpDir("defv")
