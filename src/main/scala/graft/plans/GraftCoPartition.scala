@@ -36,12 +36,35 @@ import graft.io.VersionedTable
   * between planning and execution cannot change the file set.
   */
 case class GraftCoPartitionedRelation(output: Seq[Attribute], root: String,
-    keyCol: String, numSlots: Int, version: Long) extends LeafNode {
+    keyCol: String, numSlots: Int, version: Long,
+    pruned: Boolean = false) extends LeafNode {
   // a co-partitioned scan exists to be JOINED co-located; advertising a
   // small size would let the planner broadcast it instead, silently
   // discarding the zero-exchange property — so never broadcast-eligible
   override def computeStats(): Statistics =
     Statistics(sizeInBytes = BigInt(Long.MaxValue) / 16)
+}
+
+/** Column pruning for the co-partitioned scan: a Project of plain
+  * attributes over the relation NARROWS the relation itself (key always
+  * kept — the declared HashPartitioning references it), so each slot's
+  * parquet scans read only the needed columns. At 100 TB the SPJ's win
+  * is skipping the shuffle; without this rule it would pay the other
+  * classic cost instead — reading every column of a wide table.
+  */
+object GraftCoPartitionPruning
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeReference
+  import org.apache.spark.sql.catalyst.plans.logical.Project
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case p @ Project(projList, g: GraftCoPartitionedRelation)
+        if !g.pruned && projList.forall(_.isInstanceOf[AttributeReference]) &&
+          projList.size < g.output.size =>
+      val wanted = projList.map(_.name).toSet + g.keyCol
+      val kept = g.output.filter(a => wanted.contains(a.name))
+      p.copy(child = g.copy(output = kept, pruned = true))
+  }
 }
 
 case class GraftCoPartitionedScanExec(output: Seq[Attribute], root: String,
@@ -55,7 +78,13 @@ case class GraftCoPartitionedScanExec(output: Seq[Attribute], root: String,
     val (_, _, thunks) = VersionedTable.coPartitionedSlotScans(
       spark, root, keyCol, numSlots, asOf = Some(version))
     val rdds = thunks.map { t =>
-      val r = t().queryExecution.toRdd
+      val df0 = t()
+      // pruned relation: narrow each slot's scan to the surviving columns
+      // (the select collapses into the parquet ReadSchema)
+      val df = if (df0.columns.sameElements(output.map(_.name))) df0
+               else df0.select(
+                 output.map(a => org.apache.spark.sql.functions.col(a.name)): _*)
+      val r = df.queryExecution.toRdd
       r.getNumPartitions match {
         case 0 => spark.sparkContext.parallelize(Seq.empty[InternalRow], 1)
         case 1 => r

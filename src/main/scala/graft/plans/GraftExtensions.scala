@@ -64,6 +64,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(GraftTableFunctions.getClass.getName, "graft_copart"),
       (exprs: Seq[Expression]) => GraftTableFunctions.graftCopart(exprs)))
     ext.injectPlannerStrategy(_ => GraftCoPartitionStrategy)
+    ext.injectOptimizerRule(_ => GraftCoPartitionPruning)
     // SQL front door for the versioned table's maintenance verbs
     // (DESCRIBE HISTORY / OPTIMIZE / VACUUM ... GRAFT '<root>'); every
     // other statement delegates untouched — a pure grammar superset

@@ -3321,6 +3321,36 @@ class IoSpec extends SparkSpec {
       .getMessage.contains("morton"))
   }
 
+  test("graft_copart column pruning: a projected query narrows the slot scans, key kept") {
+    import spark.implicits._
+    val root = tmpDir("spjPrune")
+    VersionedTable.commit((1L to 20L).map(i => (i, s"g${i % 4}", i * 2, s"pad$i" * 8))
+      .toDF("id", "grp", "v", "w"), root, "append", "pr-c1", partitionCols = Seq("grp"))
+    val df = spark.sql(s"SELECT grp, v FROM graft_copart('$root', 'grp', 4)")
+    val rel = df.queryExecution.optimizedPlan.collect {
+      case g: graft.plans.GraftCoPartitionedRelation => g
+    }.head
+    assert(rel.output.map(_.name).toSet == Set("grp", "v"),
+      s"scan must narrow to the projection (+key), got ${rel.output.map(_.name)}")
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == (1L to 20L).map(i => (s"g${i % 4}", i * 2)).toSet)
+    // the key survives pruning even when the projection drops it — the
+    // declared HashPartitioning references it
+    val noKey = spark.sql(s"SELECT v FROM graft_copart('$root', 'grp', 4)")
+    val rel2 = noKey.queryExecution.optimizedPlan.collect {
+      case g: graft.plans.GraftCoPartitionedRelation => g
+    }.head
+    assert(rel2.output.map(_.name).toSet == Set("grp", "v"))
+    assert(noKey.collect().map(_.getLong(0)).toSet == (1L to 20L).map(_ * 2).toSet)
+    // pruning composes with the zero-exchange join
+    val j = spark.sql(s"SELECT a.grp, a.v, b.v AS v2 " +
+      s"FROM graft_copart('$root', 'grp', 4) a " +
+      s"JOIN graft_copart('$root', 'grp', 4) b ON a.grp = b.grp")
+    assert(!j.queryExecution.executedPlan.toString.contains("Exchange"))
+    assert(j.count() == (0 until 4).map(g => (1L to 20L).count(_ % 4 == g))
+      .map(n => n.toLong * n).sum)
+  }
+
   test("GraftSqlParser: CREATE GRAFT AS + INSERT INTO GRAFT — SQL lifecycle bootstrap") {
     import spark.implicits._
     val root = tmpDir("ctas1")
