@@ -983,6 +983,49 @@ private[graft] object QueriesMedallionIo {
         |  CAST(1 AS BIGINT) AS scanned_dirs, CAST(2 AS BIGINT) AS total_dirs
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — ANALYZE: INDEX RETROFIT (VersionedTable.analyze + the SQL
+    // statement ANALYZE GRAFT ... STATS BY/BLOOM BY): four order bands
+    // ingested WITHOUT any index — the "didn't know the workload yet"
+    // shape — gain the full skipping index from the parquet footers
+    // already on disk, zero data rewritten, one metadata-only commit.
+    // Before/after planRange counts ride the row: 4/4 dirs scanned
+    // unindexed, 1/4 after ANALYZE — the only alternative today is a
+    // full OPTIMIZE rewrite. Oracle replays the band-4 aggregate.
+    Q("versioned_analyze",
+      (s, dir) => {
+        val (root, before, after) = Fixtures.once(s, dir, "vt_analyze") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_analyze_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          Seq(("an1", col("o_orderkey") <= b1),
+            ("an2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("an3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
+            ("an4", col("o_orderkey") > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"an-$id")
+          }
+          val pre = graft.io.VersionedTable.planRange(r, "o_orderkey", b3 + 1, mx).size.toLong
+          s.sql(s"ANALYZE GRAFT '$r' STATS BY (o_orderkey)").collect()
+          val post = graft.io.VersionedTable.planRange(r, "o_orderkey", b3 + 1, mx).size.toLong
+          (r, pre, post)
+        }
+        val o = rd(s, dir, "orders")
+        val mx3 = o.agg(max(col("o_orderkey"))).head().getLong(0) * 3 / 4
+        graft.io.VersionedTable.readRange(s, root, "o_orderkey", mx3 + 1, Long.MaxValue)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("dirs_before", lit(before))
+          .withColumn("dirs_after", lit(after))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH m AS (SELECT 3 * max(o_orderkey) // 4 AS b3 FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(4 AS BIGINT) AS dirs_before, CAST(1 AS BIGINT) AS dirs_after
+        |FROM orders CROSS JOIN m WHERE o_orderkey > b3
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — COLUMN DEFAULT VALUES (VersionedTable.addColumnWithDefault —
     // the public Delta/Spark ADD COLUMN ... DEFAULT table feature): the
     // column arrives METADATA-ONLY on a table that already holds half of

@@ -2008,8 +2008,14 @@ object VersionedTable {
         m.put(rel, cm)
       }
     }
-    Files.write(fileStatsPath(dirPath),
-      mapper.writeValueAsString(m).getBytes(StandardCharsets.UTF_8))
+    // temp + atomic rename: ANALYZE retrofits side files into LIVE dirs,
+    // and a reader must never parse a half-written index (commit-time
+    // writes target unpublished dirs, where this is merely harmless)
+    val tmp = Paths.get(dirPath, s".tmp-filestats-${java.util.UUID.randomUUID}")
+    Files.write(tmp, mapper.writeValueAsString(m).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, fileStatsPath(dirPath),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** The `_filestats` side file of a commit dir, if present: relative file
@@ -2108,8 +2114,11 @@ object VersionedTable {
         .distinct().collect().map(_.getLong(0).toInt)
       val bytes = new Array[Byte](bits / 8)
       positions.foreach(p => bytes(p / 8) = (bytes(p / 8) | (1 << (p % 8))).toByte)
-      Files.write(bloomFile(dir, c),
-        bytes.map(b => f"$b%02x").mkString.getBytes(StandardCharsets.UTF_8))
+      val tmp = Paths.get(dir, s".tmp-bloom-${java.util.UUID.randomUUID}")
+      Files.write(tmp, bytes.map(b => f"$b%02x").mkString.getBytes(StandardCharsets.UTF_8))
+      Files.move(tmp, bloomFile(dir, c),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       c
     }
   }
@@ -2656,7 +2665,7 @@ object VersionedTable {
     */
   private[graft] val metadataOnlyModes =
     Set("compact", "rename", "constraint", "dropcol", "create", "generated", "widen",
-      "properties", "set-layout", "default")
+      "properties", "set-layout", "default", "analyze")
 
   private[graft] def changeFeedOfCommit(spark: SparkSession, root: String,
                                         fromC: Option[Commit], toC: Commit,
@@ -4112,6 +4121,82 @@ object VersionedTable {
           .map(n => inv.getOrElse(n, n))
         (stats, blooms)
     }
+
+  /** ANALYZE — RETROFIT the skipping index onto an existing table WITHOUT
+    * rewriting a byte of data: per-dir (and per-file) min/max/null-count
+    * envelopes for `statsCols` come from the parquet FOOTERS of the files
+    * already on disk — O(#files) footer reads, zero Spark jobs — and
+    * optional `bloomCols` bitmaps from one distinct-scan per column; the
+    * result publishes as a METADATA-ONLY commit whose stats/blooms merge
+    * into the manifest. This is the missing half of the index story: a
+    * table ingested WITHOUT statsCols (or a clone whose workload changed)
+    * gains range/point/NULL pruning retroactively at footer-read cost,
+    * where the only alternative today is a full OPTIMIZE rewrite. Side
+    * files land via atomic rename, so concurrent readers of live dirs
+    * never parse a half-written index; per-dir stats are computed over
+    * the UNION of already-indexed and requested columns, so an existing
+    * index is extended, never clobbered. Idempotent under commitId; a
+    * concurrent rewrite rebases naturally: entries are kept only
+    * for dirs still present at publish, and new dirs simply stay
+    * unindexed (skipping is an optimization, never a filter).
+    */
+  def analyze(spark: SparkSession, root: String, statsCols: Seq[String],
+              commitId: String, bloomCols: Seq[String] = Nil): (Long, Int) = {
+    require(statsCols.nonEmpty || bloomCols.nonEmpty,
+      "analyze: nothing to compute (empty statsCols and bloomCols)")
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => (prior, -1)
+      case None =>
+        val pinned = latestCommit(root)
+          .getOrElse(sys.error(s"analyze: no commits at $root"))
+        require(pinned.schemaDdl.nonEmpty, "analyze: snapshot has no recorded schema")
+        val logical = logicalCols(pinned)
+        (statsCols ++ bloomCols).foreach(c => require(logical.contains(c),
+          s"analyze: unknown column '$c' (snapshot columns: ${logical.mkString(", ")})"))
+        val physSchema =
+          org.apache.spark.sql.types.StructType.fromDDL(pinned.schemaDdl.get)
+        val physStats = statsCols.map(physName(pinned, _))
+        val physBlooms = bloomCols.map(physName(pinned, _))
+        val perDir = pinned.dirs.map { d =>
+          val dp = dirPath(root, d)
+          require(new File(dp).isDirectory,
+            s"snapshot v${pinned.version} references vacuumed dir $dp")
+          // extend, never clobber: recompute over already-indexed ∪ requested
+          val existing = pinned.stats.getOrElse(d, Map.empty).keySet ++
+            pinned.strStats.getOrElse(d, Map.empty).keySet
+          val want = (existing ++ physStats).toSeq.sorted
+            .filter(c => physSchema.fieldNames.contains(c))
+          val st = if (want.isEmpty) DirStats(Map.empty, Map.empty)
+                   else gatherStats(spark, dp, want, physSchema)
+          val bl = gatherBlooms(spark, dp, physBlooms)
+          (d, st, bl)
+        }
+        var out = (-1L, -1)
+        while (out._1 < 0) {
+          val parent = latestCommit(root).get
+          val live = parent.dirs.toSet
+          val kept = perDir.filter(t => live.contains(t._1))
+          def merged[V](base: Map[String, Map[String, V]],
+                        add: Seq[(String, Map[String, V])]) =
+            add.foldLeft(base) { case (m, (d, cols)) =>
+              if (cols.isEmpty) m else m + (d -> (m.getOrElse(d, Map.empty) ++ cols))
+            }
+          val c = parent.copy(version = parent.version + 1, commitId = commitId,
+            mode = "analyze",
+            stats = merged(parent.stats, kept.map(t => t._1 -> t._2.ints)),
+            strStats = merged(parent.strStats, kept.map(t => t._1 -> t._2.strs)),
+            nullCounts = merged(parent.nullCounts, kept.map(t => t._1 -> t._2.nulls)),
+            blooms = kept.foldLeft(parent.blooms) { case (m, (d, _, bl)) =>
+              if (bl.isEmpty) m
+              else m + (d -> (m.getOrElse(d, Nil) ++ bl).distinct.sorted)
+            })
+          if (publishIfAbsent(root, parent.version + 1, c))
+            out = (parent.version + 1, kept.size)
+          else findCommitVersion(root, commitId).foreach(v => out = (v, -1))
+        }
+        out
+    }
+  }
 
   /** SHOW PARTITIONS — the distinct hive partition-value combinations of
     * the latest (or pinned) snapshot under its CURRENT layout, with the

@@ -26,6 +26,7 @@ import graft.io.VersionedTable
   *   RESTORE GRAFT '<root>' TO VERSION <n> | TO TIMESTAMP '<instant>'
   *       | TO TAG <name>
   *   SHOW PARTITIONS GRAFT '<root>'
+  *   ANALYZE GRAFT '<root>' STATS BY (c1 [, ...]) [BLOOM BY (c1 [, ...])]
   *   DELETE GRAFT '<root>' WHERE <col> IN (<lit> [, <lit>]*)
   *   DELETE GRAFT '<root>' WHERE <col> BETWEEN <lit> AND <lit>
   *   UPDATE GRAFT '<root>' SET <c> = <expr> [, <c> = <expr>]*
@@ -116,6 +117,8 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+GRAFT\s+'([^']+)'\s+TO\s+TAG\s+([\w.-]+)\s*;?\s*""".r
   private val showPartitionsRe =
     """(?is)\s*SHOW\s+PARTITIONS\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
+  private val analyzeRe =
+    """(?is)\s*ANALYZE\s+GRAFT\s+'([^']+)'\s+STATS\s+BY\s*\(([^)]*)\)(?:\s+BLOOM\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val deleteInRe =
     """(?is)\s*DELETE\s+GRAFT\s+'([^']+)'\s+WHERE\s+(\w+)\s+IN\s*\(([^)]*)\)\s*;?\s*""".r
   private val deleteBetweenRe =
@@ -267,6 +270,10 @@ object GraftSqlParser {
       Some(GraftRestoreTimestampCommand(root, ms))
     case restoreTagRe(root, tag) => Some(GraftRestoreTagCommand(root, tag))
     case showPartitionsRe(root) => Some(GraftShowPartitionsCommand(root))
+    case analyzeRe(root, stats, blooms) =>
+      def cs(x: String) = Option(x).fold(Seq.empty[String])(
+        _.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      Some(GraftAnalyzeCommand(root, cs(stats), cs(blooms)))
     case deleteInRe(root, col, vals) =>
       Some(GraftDeleteCommand(root, col, Left(litList(vals))))
     case deleteBetweenRe(root, col, lo, hi) =>
@@ -664,6 +671,25 @@ case class GraftRestoreTagCommand(root: String, tag: String) extends LeafRunnabl
   override def run(spark: SparkSession): Seq[Row] = {
     val commitId = s"sql-restore-tag-${java.util.UUID.randomUUID().toString.take(12)}"
     Seq(Row(VersionedTable.rollback(root, VersionedTable.tagVersion(root, tag), commitId)))
+  }
+}
+
+/** `ANALYZE GRAFT '<root>' STATS BY (c1, ...) [BLOOM BY (c1, ...)]` —
+  * retrofit the skipping index onto an existing table with ZERO data
+  * rewrite ([[VersionedTable.analyze]]): envelopes from the footers
+  * already on disk, blooms from one distinct-scan per column, published
+  * as a metadata-only commit.
+  */
+case class GraftAnalyzeCommand(root: String, statsCols: Seq[String],
+                               bloomCols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("dirs_indexed", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val commitId = s"sql-analyze-${java.util.UUID.randomUUID().toString.take(12)}"
+    val (v, n) = VersionedTable.analyze(spark, root, statsCols, commitId, bloomCols)
+    Seq(Row(v, n))
   }
 }
 

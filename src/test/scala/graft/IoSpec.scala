@@ -3179,6 +3179,44 @@ class IoSpec extends SparkSpec {
       .getMessage.contains("hive-partitioned by exactly"))
   }
 
+  test("ANALYZE retrofits the skipping index without rewriting a byte") {
+    import spark.implicits._
+    val root = tmpDir("analyze")
+    // ingested WITHOUT any index — the common "didn't know the workload
+    // yet" shape
+    VersionedTable.commit((1L to 100L).map(i => (i, s"s${1000 + i}", i * 7))
+      .toDF("id", "s", "v"), root, "append", "an-c1")
+    VersionedTable.commit((101L to 200L).map(i => (i, s"s${1000 + i}", i * 7))
+      .toDF("id", "s", "v"), root, "append", "an-c2")
+    assert(VersionedTable.planRange(root, "id", 150L, 160L).size == 2,
+      "unindexed table cannot prune")
+    val dataBytes = new java.io.File(root).listFiles().filter(_.getName.startsWith("data"))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    val res = spark.sql(s"ANALYZE GRAFT '$root' STATS BY (id, s) BLOOM BY (id)").head()
+    assert(res.getInt(1) == 2)
+    // the index now prunes range, string-envelope, NULL, and point probes
+    assert(VersionedTable.planRange(root, "id", 150L, 160L).size == 1)
+    assert(VersionedTable.planPoint(root, "id", 150L).size == 1)
+    assert(VersionedTable.planNull(root, "s", wantNull = true).isEmpty)
+    assert(VersionedTable.readRange(spark, root, "id", 150L, 160L).count() == 11L)
+    // not one data byte moved
+    val after = new java.io.File(root).listFiles().filter(_.getName.startsWith("data"))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.endsWith(".parquet")).map(f => f.getName -> f.lastModified).toMap
+    assert(after == dataBytes, "ANALYZE must not rewrite data files")
+    // extending the index keeps existing entries (v was never indexed;
+    // now add it — id/s envelopes survive)
+    VersionedTable.analyze(spark, root, Seq("v"), "an-2")
+    assert(VersionedTable.planRange(root, "v", 7L, 70L).size == 1)
+    assert(VersionedTable.planRange(root, "id", 150L, 160L).size == 1,
+      "extending the index must not clobber prior columns")
+    // replay is a no-op; unknown columns refuse
+    assert(VersionedTable.analyze(spark, root, Seq("v"), "an-2")._2 == -1)
+    assert(intercept[Exception](VersionedTable.analyze(spark, root, Seq("nope"), "an-3"))
+      .getMessage.contains("unknown column"))
+  }
+
   test("VACUUM GRAFT without RETAIN reads the table's declared retention policy") {
     import spark.implicits._
     val root = tmpDir("vacprop")
