@@ -983,6 +983,53 @@ private[graft] object QueriesMedallionIo {
         |  CAST(1 AS BIGINT) AS scanned_dirs, CAST(2 AS BIGINT) AS total_dirs
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — COMPOSITE-KEY MERGE (VersionedTable.mergeIntoKeys + the SQL
+    // MERGE GRAFT ... ON k1, k2 form): the natural-key upsert — one row
+    // per (o_orderkey, o_orderpriority) TUPLE — with dir pruning the
+    // INTERSECTION of the per-column envelope gates: the batch's key
+    // envelope isolates band 1 even though its priority envelope spans
+    // every dir, so exactly 1 of 4 dirs rewrites (driver-visible).
+    // Oracle replays the re-pricing as CASE over the batch's key set.
+    Q("versioned_merge_multikey",
+      (s, dir) => {
+        val (root, rewritten, total) = Fixtures.once(s, dir, "vt_mkeys") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_mkeys_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          Seq(("mk1", col("o_orderkey") <= b1),
+            ("mk2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("mk3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
+            ("mk4", col("o_orderkey") > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"mk-$id",
+              statsCols = Seq("o_orderkey", "o_orderpriority"))
+          }
+          val batch = o.filter(col("o_orderkey") <= b1 / 2)
+            .withColumn("o_totalprice", col("o_totalprice") + lit(111.0))
+          val (_, rw, tot) = graft.io.VersionedTable.mergeIntoKeys(s, r, batch,
+            Seq("o_orderkey", "o_orderpriority"), "mk-m1",
+            statsCols = Seq("o_orderkey", "o_orderpriority"))
+          (r, rw.toLong, tot.toLong)
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).cast("string").as("price_sum"))
+          .withColumn("dirs_rewritten", lit(rewritten))
+          .withColumn("dirs_total", lit(total))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) // 8 AS half FROM orders),
+        |d AS (SELECT o_orderpriority,
+        |  CASE WHEN o_orderkey <= half THEN o_totalprice + 111.0
+        |       ELSE o_totalprice END AS o_totalprice
+        |  FROM orders CROSS JOIN m)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS price_sum,
+        |  CAST(1 AS BIGINT) AS dirs_rewritten, CAST(4 AS BIGINT) AS dirs_total
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — ANALYZE: INDEX RETROFIT (VersionedTable.analyze + the SQL
     // statement ANALYZE GRAFT ... STATS BY/BLOOM BY): four order bands
     // ingested WITHOUT any index — the "didn't know the workload yet"

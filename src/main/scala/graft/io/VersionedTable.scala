@@ -3004,7 +3004,32 @@ object VersionedTable {
 
   def mergeInto(spark: SparkSession, root: String, updates: DataFrame,
                 keyCol: String, commitId: String,
-                statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): (Long, Int, Int) = {
+                statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): (Long, Int, Int) =
+    mergeIntoCore(spark, root, updates, Seq(keyCol), commitId, statsCols, bloomCols)
+
+  /** COMPOSITE-KEY MERGE — [[mergeInto]]'s plain upsert generalized to a
+    * conjunctive multi-column key (`ON a AND b`, the natural-key shape):
+    * one row per (a, b) tuple, matched rows replaced, unmatched inserted.
+    * Dir pruning INTERSECTS the per-column envelope/bloom gates — a dir
+    * can hold a matching tuple only if EVERY key column's envelope
+    * overlaps that column's batch range — so composite keys prune at
+    * least as hard as their tightest column (conservative and exact:
+    * skipping is an optimization, never a filter). NULL in ANY key column
+    * and duplicate TUPLES refuse loudly; the rebase conflict test applies
+    * the same intersected gate to concurrently-added dirs.
+    */
+  def mergeIntoKeys(spark: SparkSession, root: String, updates: DataFrame,
+                    keyCols: Seq[String], commitId: String,
+                    statsCols: Seq[String] = Nil,
+                    bloomCols: Seq[String] = Nil): (Long, Int, Int) = {
+    require(keyCols.nonEmpty && keyCols.distinct.size == keyCols.size,
+      s"mergeIntoKeys: keys must be non-empty and distinct, got ${keyCols.mkString(", ")}")
+    mergeIntoCore(spark, root, updates, keyCols, commitId, statsCols, bloomCols)
+  }
+
+  private def mergeIntoCore(spark: SparkSession, root: String, updates: DataFrame,
+                            keyCols: Seq[String], commitId: String,
+                            statsCols: Seq[String], bloomCols: Seq[String]): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.col
     findCommitVersion(root, commitId) match {
       case Some(prior) => (prior, -1, -1) // retry of a committed merge
@@ -3018,7 +3043,7 @@ object VersionedTable {
         val updatesG = materializeGenerated(parent.generated, updates, "mergeInto")
         // batch columns arrive LOGICAL; everything below operates PHYSICAL
         val updPhys = toPhysicalDf(parent, updatesG)
-        val physKey = physName(parent, keyCol)
+        val physKeys = keyCols.map(physName(parent, _))
         // the batch schema must match the snapshot's EXACTLY (name → type):
         // merge is not schema evolution, and the no-overlap fast path below
         // writes the batch verbatim under the parent's declared schema — an
@@ -3035,10 +3060,10 @@ object VersionedTable {
         // CHECK constraints are over LOGICAL names — validate the incoming
         // batch before any data is written or any dir classified
         enforceConstraints(parent.constraints, updatesG, "mergeInto")
-        val guarded = guardMergeBatch(updPhys, physKey, "mergeInto")
-        // bounded scalar probe: the batch's key envelope (integral via the
-        // manifest stats index, string via strStats)
-        val (hit, pass) = rangeHitDirs(root, parent, guarded, physKey, "mergeInto")
+        val guarded = guardMergeBatchKeys(updPhys, physKeys, "mergeInto")
+        // bounded scalar probe per key column; a dir must overlap EVERY
+        // column's batch envelope to hold a matching tuple — intersect
+        val (hit, pass) = rangeHitDirsKeys(root, parent, guarded, physKeys, "mergeInto")
         val v = parent.version + 1
         val dirName = attemptDirName("data", v, commitId)
         val merged =
@@ -3048,8 +3073,9 @@ object VersionedTable {
             // must not resurrect rows an earlier merge-on-read delete hid
             val base = scanWithDeletes(spark, root, parent, hit)
             base.join(
-                org.apache.spark.sql.functions.broadcast(guarded.select(col(physKey))),
-                Seq(physKey), "left_anti")
+                org.apache.spark.sql.functions.broadcast(
+                  guarded.select(physKeys.map(col): _*)),
+                physKeys, "left_anti")
               .unionByName(guarded)
           }
         var w = merged.write.mode("overwrite")
@@ -3067,9 +3093,46 @@ object VersionedTable {
           "merge", commitId, "mergeInto",
           parent.schemaDdl.orElse(Some(updPhys.schema.toDDL)),
           (latest, newDirs) =>
-            rangeHitDirs(root, latest.copy(dirs = newDirs), guarded, physKey, "mergeInto")._1)
+            rangeHitDirsKeys(root, latest.copy(dirs = newDirs), guarded,
+              physKeys, "mergeInto")._1)
         (committed, hit.size, parent.dirs.size)
     }
+  }
+
+  /** [[guardMergeBatch]] over a composite key: NULL in ANY key column and
+    * duplicate TUPLES refuse loudly, same filter-predicate raise_error
+    * shape so codegen cannot prune the check.
+    */
+  private[graft] def guardMergeBatchKeys(updates: DataFrame, keyCols: Seq[String],
+                                         op: String): DataFrame = {
+    if (keyCols.size == 1) return guardMergeBatch(updates, keyCols.head, op)
+    import org.apache.spark.sql.functions.{col, concat, concat_ws, count, lit, raise_error, when}
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(keyCols.map(col): _*)
+    updates
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(when(keyCols.map(col(_).isNull).reduce(_ || _),
+          raise_error(lit(s"$op: NULL batch key component (an anti-join never matches " +
+            "NULL, so the row would re-insert on every merge)")).cast("boolean"))
+        .when(col("__n") > 1,
+          raise_error(concat(lit(s"$op: duplicate batch key "),
+            concat_ws(",", keyCols.map(col(_).cast("string")): _*))).cast("boolean"))
+        .otherwise(lit(true)))
+      .drop("__n")
+  }
+
+  /** [[rangeHitDirs]] over a composite key: the hit set is the
+    * INTERSECTION of every key column's envelope/bloom hit set — a dir
+    * can hold a matching tuple only if it overlaps the batch on EVERY
+    * component. (Per-column gates are each conservative, so their
+    * intersection is too.)
+    */
+  private def rangeHitDirsKeys(root: String, parent: Commit, probe: DataFrame,
+                               keyCols: Seq[String],
+                               op: String): (Seq[String], Seq[String]) = {
+    if (keyCols.size == 1) return rangeHitDirs(root, parent, probe, keyCols.head, op)
+    val hits = keyCols.map(k => rangeHitDirs(root, parent, probe, k, op)._1.toSet)
+    val hit = parent.dirs.filter(d => hits.forall(_.contains(d)))
+    (hit, parent.dirs.filterNot(hit.toSet))
   }
 
   /** COPY INTO — idempotent FILE-GRANULAR ingestion (the public Delta /

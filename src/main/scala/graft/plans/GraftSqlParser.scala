@@ -60,7 +60,9 @@ import graft.io.VersionedTable
   *   CREATE MATERIALIZED VIEW GRAFT '<mv>' FROM '<src>'
   *       GROUP BY <key> SUM (c1 [, ...])
   *   REFRESH MATERIALIZED VIEW GRAFT '<mv>'
-  *   MERGE GRAFT '<root>' ON <keyCol> FROM (<query>)
+  *   MERGE GRAFT '<root>' ON <keyCol>[, <keyCol>]* FROM (<query>)
+  *       — a composite ON list is the plain multi-key upsert; WHEN
+  *         clauses below apply to the single-key form
   *       [WHEN MATCHED [AND <cond>] THEN DELETE]
   *       [WHEN MATCHED [AND <cond>] THEN UPDATE]
   *       [WHEN NOT MATCHED [AND <cond>] THEN INSERT]
@@ -128,7 +130,7 @@ object GraftSqlParser {
   private val replaceRe =
     """(?is)\s*REPLACE\s+GRAFT\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+(\S+|'[^']*')\s+AND\s+(\S+|'[^']*')\s+FROM\s+\((.*)\)\s*;?\s*""".r
   private val mergeRe =
-    """(?is)\s*MERGE\s+GRAFT\s+'([^']+)'\s+ON\s+(\w+)\s+FROM\s+\((.*)""".r
+    """(?is)\s*MERGE\s+GRAFT\s+'([^']+)'\s+ON\s+(\w+(?:\s*,\s*\w+)*)\s+FROM\s+\((.*)""".r
   private val whenDeleteRe =
     """(?is).*\bWHEN\s+MATCHED\s+(?:AND\s+(.*?)\s+)?THEN\s+DELETE\b.*""".r
   private val whenUpdateRe =
@@ -344,6 +346,7 @@ object GraftSqlParser {
     case mergeRe(root, key, tail) =>
       val (src, clauses) = splitBalanced(tail).getOrElse(
         sys.error("MERGE GRAFT: unbalanced parentheses around the FROM (<query>)"))
+      val keys = key.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       // clause presence → mergeIntoConditional conditions. With NO WHEN
       // clause at all the statement is the plain upsert (update always,
       // insert always); with ANY clause present, an ABSENT clause means
@@ -360,6 +363,14 @@ object GraftSqlParser {
       val ins = clauses match { case whenInsertRe(c) => Some(Option(c)); case _ => None }
       val evolve = evolutionRe.matches(clauses)
       val noClauses = del.isEmpty && upd.isEmpty && ins.isEmpty
+      // a composite ON list takes the plain-upsert multi-key path; the
+      // clause forms stay single-key (their tgt/src conditions are
+      // orthogonal to the key arity and land there when needed)
+      if (keys.size > 1) {
+        require(noClauses && !evolve, "MERGE GRAFT ON k1, k2 ...: WHEN clauses and " +
+          "WITH SCHEMA EVOLUTION are single-key forms; a composite key is the plain upsert")
+        return Some(GraftMergeKeysCommand(root, keys, src))
+      }
       Some(
         if (noClauses) GraftMergeCommand(root, key, src, None, None, None, evolve)
         else GraftMergeCommand(root, key, src,
@@ -802,6 +813,28 @@ case class GraftShowPropertiesCommand(root: String) extends LeafRunnableCommand 
   * source query parses through the session's full surface (incl.
   * graft_table). `WITH SCHEMA EVOLUTION` maps to evolveSchema.
   */
+/** `MERGE GRAFT '<root>' ON k1, k2[, ...] FROM (<query>)` — the
+  * composite-key plain upsert ([[VersionedTable.mergeIntoKeys]]): one row
+  * per key TUPLE, per-column envelope/bloom gates intersected for dir
+  * pruning.
+  */
+case class GraftMergeKeysCommand(root: String, keyCols: Seq[String],
+                                 sourceSql: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("dirs_rewritten", IntegerType, nullable = false)(),
+    AttributeReference("dirs_total", IntegerType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val commitId = s"sql-mergek-${java.util.UUID.randomUUID().toString.take(12)}"
+    val (statsCols, bloomCols) = VersionedTable.indexedCols(root)
+    val (v, rw, tot) = VersionedTable.mergeIntoKeys(spark, root,
+      spark.sql(sourceSql), keyCols, commitId,
+      statsCols = statsCols, bloomCols = bloomCols)
+    Seq(Row(v, rw, tot))
+  }
+}
+
 case class GraftMergeCommand(root: String, keyCol: String, sourceSql: String,
                              deleteCond: Option[String], updateCond: Option[String],
                              insertCond: Option[String],

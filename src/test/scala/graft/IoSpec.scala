@@ -3179,6 +3179,56 @@ class IoSpec extends SparkSpec {
       .getMessage.contains("hive-partitioned by exactly"))
   }
 
+  test("composite-key MERGE: tuple upsert with intersected dir pruning") {
+    import spark.implicits._
+    val root = tmpDir("mkeys")
+    // four dirs tiled over (day, region): pruning must intersect BOTH
+    // envelopes — a batch touching (day 1-10, region g0-g1) hits only
+    // the one dir covering both ranges
+    Seq((1L, 10L, "g0"), (2L, 10L, "g5"), (3L, 60L, "g0"), (4L, 60L, "g5"))
+      .zipWithIndex.foreach { case ((seed, dayBase, rg), i) =>
+        val rows = (0L until 10L).map(j =>
+          (dayBase + j % 10, s"${rg.dropRight(1)}${rg.last.asDigit + (j % 2)}",
+            seed * 1000 + j))
+        VersionedTable.commit(rows.toDF("day", "region", "v"), root, "append",
+          s"mk-c$i", statsCols = Seq("day", "region"))
+      }
+    val batch = Seq((11L, "g0", 777L), (12L, "g1", 888L)).toDF("day", "region", "v")
+    val (v, rewritten, total) = VersionedTable.mergeIntoKeys(spark, root, batch,
+      Seq("day", "region"), "mk-m1", statsCols = Seq("day", "region"))
+    assert(total == 4 && rewritten == 1,
+      s"intersected gates must isolate one dir, rewrote $rewritten/$total")
+    // tuple semantics: (11,g0) existed (updated), (12,g1) existed (updated)
+    val got = VersionedTable.read(spark, root)
+      .filter(col("day").isin(11L, 12L) && col("region").isin("g0", "g1"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.contains((11L, "g0", 777L)) && got.contains((12L, "g1", 888L)))
+    assert(VersionedTable.read(spark, root).groupBy("day", "region").count()
+      .filter(col("count") > 1).count() == 0, "one row per key tuple")
+    // NULL key component and duplicate tuples refuse loudly
+    assert(intercept[Exception](VersionedTable.mergeIntoKeys(spark, root,
+      Seq((null.asInstanceOf[java.lang.Long], "g0", 1L)).toDF("day", "region", "v")
+        .select(col("day").cast("bigint"), col("region"), col("v")),
+      Seq("day", "region"), "mk-bad1")).getMessage.contains("NULL batch key"))
+    assert(intercept[Exception](VersionedTable.mergeIntoKeys(spark, root,
+      Seq((11L, "g0", 1L), (11L, "g0", 2L)).toDF("day", "region", "v"),
+      Seq("day", "region"), "mk-bad2")).getMessage.contains("duplicate batch key"))
+    // same tuple under DIFFERENT second component is NOT a duplicate
+    VersionedTable.mergeIntoKeys(spark, root,
+      Seq((11L, "g0", 1L), (11L, "g1", 2L)).toDF("day", "region", "v"),
+      Seq("day", "region"), "mk-m2", statsCols = Seq("day", "region"))
+    // SQL form: composite ON list routes to the multi-key upsert
+    VersionedTable.read(spark, root).filter(col("day") === 60L)
+      .createOrReplaceTempView("mk_src")
+    val res = spark.sql(s"MERGE GRAFT '$root' ON day, region FROM " +
+      "(SELECT day, region, v + 1 AS v FROM mk_src)").head()
+    assert(res.getInt(1) >= 1)
+    // clauses with a composite key refuse with the single-key hint
+    assert(intercept[Exception](spark.sql(s"MERGE GRAFT '$root' ON day, region FROM " +
+      "(SELECT * FROM mk_src) WHEN MATCHED THEN DELETE"))
+      .getMessage.contains("single-key"))
+  }
+
   test("ANALYZE retrofits the skipping index without rewriting a byte") {
     import spark.implicits._
     val root = tmpDir("analyze")
