@@ -56,6 +56,7 @@ import graft.io.VersionedTable
   *   CREATE GRAFT '<root>' [PARTITIONED BY (c1 [, ...])]
   *       [STATS BY (c1 [, ...])] [BLOOM BY (c1 [, ...])] AS (<query>)
   *   INSERT INTO GRAFT '<root>' FROM (<query>)
+  *   INSERT OVERWRITE GRAFT '<root>' FROM (<query>)
   *   COPY INTO GRAFT '<root>' FROM '<glob>' [FORMAT <fmt>]
   *   CREATE MATERIALIZED VIEW GRAFT '<mv>' FROM '<src>'
   *       GROUP BY <key> SUM (c1 [, ...])
@@ -182,6 +183,8 @@ object GraftSqlParser {
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
   private val insertIntoRe =
     """(?is)\s*INSERT\s+INTO\s+GRAFT\s+'([^']+)'\s+FROM\s+\((.*)\)\s*;?\s*""".r
+  private val insertOverwriteRe =
+    """(?is)\s*INSERT\s+OVERWRITE\s+GRAFT\s+'([^']+)'\s+FROM\s+\((.*)\)\s*;?\s*""".r
   private val createAsRe =
     """(?is)\s*CREATE\s+GRAFT\s+'([^']+)'(.*?)\s+AS\s+\((.*)\)\s*;?\s*""".r
   private val partByRe = """(?is).*\bPARTITIONED\s+BY\s*\(([^)]*)\).*""".r
@@ -336,6 +339,8 @@ object GraftSqlParser {
     case copyIntoRe(root, glob, fmt) =>
       Some(GraftCopyIntoCommand(root, glob, Option(fmt).getOrElse("parquet")))
     case insertIntoRe(root, src) => Some(GraftInsertCommand(root, src))
+    case insertOverwriteRe(root, src) =>
+      Some(GraftInsertCommand(root, src, overwrite = true))
     case createAsRe(root, clauses, src) =>
       def cols(m: Option[String]): Seq[String] =
         m.fold(Seq.empty[String])(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -759,8 +764,8 @@ case class GraftCreateAsCommand(root: String, partitionCols: Seq[String],
   * columns, and identity allocation all apply through the standard
   * commit path.
   */
-case class GraftInsertCommand(root: String,
-                              sourceSql: String) extends LeafRunnableCommand {
+case class GraftInsertCommand(root: String, sourceSql: String,
+                              overwrite: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
 
@@ -769,7 +774,8 @@ case class GraftInsertCommand(root: String,
       sys.error(s"INSERT INTO GRAFT: no table at $root — CREATE GRAFT ... AS (...) first"))
     val commitId = s"sql-insert-${java.util.UUID.randomUUID().toString.take(12)}"
     val (statsCols, bloomCols) = VersionedTable.indexedCols(root)
-    Seq(Row(VersionedTable.commit(spark.sql(sourceSql), root, "append", commitId,
+    Seq(Row(VersionedTable.commit(spark.sql(sourceSql), root,
+      if (overwrite) "overwrite" else "append", commitId,
       statsCols = statsCols, partitionCols = parent.partitionCols,
       bloomCols = bloomCols)))
   }

@@ -3464,6 +3464,13 @@ class IoSpec extends SparkSpec {
     assert(intercept[Exception](
       spark.sql(s"INSERT INTO GRAFT '${tmpDir("ctas_none")}' FROM (SELECT 1 AS x)")
         .collect()).getMessage.contains("CREATE GRAFT"))
+    // INSERT OVERWRITE replaces the row set wholesale, keeping the layout
+    spark.sql(s"INSERT OVERWRITE GRAFT '$root' FROM " +
+      "(SELECT * FROM ctas_src WHERE id <= 5)").collect()
+    assert(VersionedTable.read(spark, root).count() == 5L)
+    assert(VersionedTable.latestCommit(root).get.partitionCols == Seq("grp"))
+    // history preserved: the pre-overwrite snapshot still reads
+    assert(VersionedTable.read(spark, root, Some(2L)).count() == 20L)
   }
 
   test("GraftSqlParser: ALTER GRAFT SET PARTITIONED BY as SQL, both directions") {
