@@ -73,7 +73,13 @@ class GoldenPlanSpec extends SparkSpec {
     "g3_label_prop" -> "BroadcastHashJoin=45, ShuffledHashJoin=14, BroadcastExchange=45, Exchange hashpartitioning=44, Exchange rangepartitioning=1, HashAggregate=60, WindowGroupLimit=14, Window=7",
     "j9_skew_salted_join" -> "BroadcastHashJoin=1, BroadcastExchange=1, Exchange hashpartitioning=1, Exchange rangepartitioning=1, HashAggregate=2, Generate=1",
     "g2_trustrank" -> "BroadcastNestedLoopJoin=4, BroadcastHashJoin=24, ShuffledHashJoin=9, BroadcastExchange=28, Exchange hashpartitioning=21, Exchange SinglePartition=4, HashAggregate=44, TakeOrderedAndProject=1",
-    "a13_heavy_hitters" -> "BroadcastNestedLoopJoin=2, BroadcastHashJoin=2, BroadcastExchange=4, Exchange hashpartitioning=3, HashAggregate=8, TakeOrderedAndProject=2, Generate=3")
+    "a13_heavy_hitters" -> "BroadcastNestedLoopJoin=2, BroadcastHashJoin=2, BroadcastExchange=4, Exchange hashpartitioning=3, HashAggregate=8, TakeOrderedAndProject=2, Generate=3",
+    // r13 continuation: the storage-partitioned join's WHOLE point is the
+    // absence of hash/single exchanges around the join and the aggregate —
+    // a silent planner flip re-introducing one fails here by diff
+    // one SMJ + partial/final aggregate and ZERO hash exchanges — the
+    // single rangepartitioning exchange is the query's final orderBy
+    "versioned_copart_join" -> "SortMergeJoin=1, Exchange rangepartitioning=1, HashAggregate=2")
 
   test("plan fingerprints of the heaviest batch queries match the committed goldens") {
     val actual = golden.keys.toSeq.sorted.map(n => n -> fingerprint(n))
