@@ -1030,6 +1030,49 @@ private[graft] object QueriesMedallionIo {
         |  CAST(1 AS BIGINT) AS dirs_rewritten, CAST(4 AS BIGINT) AS dirs_total
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — COMPOSITE-KEY DELETE (VersionedTable.deleteWhereKeys): the
+    // GDPR purge on a NATURAL key — rows matching (o_orderkey,
+    // o_orderpriority) tuples are removed with the same intersected
+    // per-column gate geometry as the multikey merge: the key envelope
+    // alone isolates band 1 of 4 (driver-visible), the priority envelope
+    // spans everything. Oracle replays the purge as NOT IN over the
+    // batch's key set.
+    Q("versioned_delete_multikey",
+      (s, dir) => {
+        val (root, rewritten, total) = Fixtures.once(s, dir, "vt_dkeys") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_dkeys_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          Seq(("dk1", col("o_orderkey") <= b1),
+            ("dk2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("dk3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
+            ("dk4", col("o_orderkey") > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"dk-$id",
+              statsCols = Seq("o_orderkey", "o_orderpriority"))
+          }
+          val tuples = o.filter(col("o_orderkey") <= b1 / 2)
+            .select("o_orderkey", "o_orderpriority")
+          val (_, rw, tot) = graft.io.VersionedTable.deleteWhereKeys(s, r, tuples,
+            Seq("o_orderkey", "o_orderpriority"), "dk-del",
+            statsCols = Seq("o_orderkey", "o_orderpriority"))
+          (r, rw.toLong, tot.toLong)
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("dirs_rewritten", lit(rewritten))
+          .withColumn("dirs_total", lit(total))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) // 8 AS half FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS dirs_rewritten, CAST(4 AS BIGINT) AS dirs_total
+        |FROM orders CROSS JOIN m WHERE o_orderkey > half
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — ANALYZE: INDEX RETROFIT (VersionedTable.analyze + the SQL
     // statement ANALYZE GRAFT ... STATS BY/BLOOM BY): four order bands
     // ingested WITHOUT any index — the "didn't know the workload yet"

@@ -3530,21 +3530,43 @@ object VersionedTable {
     */
   def deleteWhere(spark: SparkSession, root: String, keys: DataFrame,
                   keyCol: String, commitId: String,
-                  statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): (Long, Int, Int) = {
+                  statsCols: Seq[String] = Nil, bloomCols: Seq[String] = Nil): (Long, Int, Int) =
+    deleteWhereCore(spark, root, keys, Seq(keyCol), commitId, statsCols, bloomCols)
+
+  /** COMPOSITE-KEY DELETE — [[deleteWhere]] generalized to a conjunctive
+    * multi-column key: every row matching a (k1, k2, ...) TUPLE in `keys`
+    * is purged, with dir pruning the INTERSECTION of the per-column
+    * envelope/bloom gates (the [[mergeIntoKeys]] geometry — a batch
+    * bounded on ANY component prunes) and NULL in any component refused
+    * loudly. The GDPR purge on a natural key.
+    */
+  def deleteWhereKeys(spark: SparkSession, root: String, keys: DataFrame,
+                      keyCols: Seq[String], commitId: String,
+                      statsCols: Seq[String] = Nil,
+                      bloomCols: Seq[String] = Nil): (Long, Int, Int) = {
+    require(keyCols.nonEmpty && keyCols.distinct.size == keyCols.size,
+      s"deleteWhereKeys: keys must be non-empty and distinct, got ${keyCols.mkString(", ")}")
+    deleteWhereCore(spark, root, keys, keyCols, commitId, statsCols, bloomCols)
+  }
+
+  private def deleteWhereCore(spark: SparkSession, root: String, keys: DataFrame,
+                              keyCols: Seq[String], commitId: String,
+                              statsCols: Seq[String], bloomCols: Seq[String]): (Long, Int, Int) = {
     import org.apache.spark.sql.functions.{col, lit, raise_error, when}
     findCommitVersion(root, commitId) match {
       case Some(prior) => (prior, -1, -1) // retry of a committed delete
       case None =>
         val parent = latestCommit(root)
           .getOrElse(sys.error(s"deleteWhere: no commits at $root"))
-        val physKey = physName(parent, keyCol)
-        val guarded = keys.select(col(keyCol).as(physKey))
-          .filter(when(col(physKey).isNull,
+        val physKeys = keyCols.map(physName(parent, _))
+        val guarded = keys.select(keyCols.zip(physKeys).map {
+            case (l, p) => col(l).as(p) }: _*)
+          .filter(when(physKeys.map(col(_).isNull).reduce(_ || _),
               raise_error(lit("deleteWhere: NULL delete key (an anti-join never matches " +
                 "NULL, so the row would silently survive)")).cast("boolean"))
             .otherwise(lit(true)))
           .distinct()
-        val (hit, pass) = rangeHitDirs(root, parent, guarded, physKey, "deleteWhere")
+        val (hit, pass) = rangeHitDirsKeys(root, parent, guarded, physKeys, "deleteWhere")
         val v = parent.version + 1
         val dirName = attemptDirName("data", v, commitId)
         val survivorsDir: Option[String] =
@@ -3552,7 +3574,7 @@ object VersionedTable {
           else {
             val base = scanWithDeletes(spark, root, parent, hit)
             val survivors = base.join(
-              org.apache.spark.sql.functions.broadcast(guarded), Seq(physKey), "left_anti")
+              org.apache.spark.sql.functions.broadcast(guarded), physKeys, "left_anti")
             var w = survivors.write.mode("overwrite")
             if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
             w.parquet(s"$root/$dirName")
@@ -3575,7 +3597,8 @@ object VersionedTable {
           droppedDirs = Nil, survivorsDir = survivorsDir, dirStats, dirBlooms,
           "delete", commitId, "deleteWhere", parent.schemaDdl,
           (latest, newDirs) =>
-            rangeHitDirs(root, latest.copy(dirs = newDirs), guarded, physKey, "deleteWhere")._1)
+            rangeHitDirsKeys(root, latest.copy(dirs = newDirs), guarded,
+              physKeys, "deleteWhere")._1)
         (committed, hit.size, parent.dirs.size)
     }
   }

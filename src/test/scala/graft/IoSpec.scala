@@ -3229,6 +3229,39 @@ class IoSpec extends SparkSpec {
       .getMessage.contains("single-key"))
   }
 
+  test("composite-key DELETE: tuple purge with intersected dir pruning") {
+    import spark.implicits._
+    val root = tmpDir("dkeys")
+    Seq((10L, "g0"), (10L, "g5"), (60L, "g0"), (60L, "g5")).zipWithIndex.foreach {
+      case ((dayBase, rg), i) =>
+        val rows = (0L until 10L).map(j =>
+          (dayBase + j % 10, s"${rg.dropRight(1)}${rg.last.asDigit + (j % 2)}", j))
+        VersionedTable.commit(rows.toDF("day", "region", "v"), root, "append",
+          s"dk-c$i", statsCols = Seq("day", "region"))
+    }
+    val before = VersionedTable.read(spark, root).count()
+    // purge two tuples from the (day 10-19, g0-g1) tile: intersected
+    // envelopes isolate ONE of four dirs
+    val (_, rewritten, total) = VersionedTable.deleteWhereKeys(spark, root,
+      Seq((11L, "g1"), (13L, "g1")).toDF("day", "region"),
+      Seq("day", "region"), "dk-d1", statsCols = Seq("day", "region"))
+    assert(total == 4 && rewritten == 1,
+      s"intersected gates must isolate one dir, rewrote $rewritten/$total")
+    val after = VersionedTable.read(spark, root)
+    assert(after.count() == before - 2)
+    assert(after.filter(col("day") === 11L && col("region") === "g1").count() == 0)
+    // the same day under ANOTHER region survives — tuple, not per-column
+    assert(after.filter(col("day") === 11L && col("region") === "g6").count() == 1)
+    // NULL key component refuses loudly
+    assert(intercept[Exception](VersionedTable.deleteWhereKeys(spark, root,
+      Seq((null.asInstanceOf[java.lang.Long], "g0")).toDF("day", "region")
+        .select(col("day").cast("bigint"), col("region")),
+      Seq("day", "region"), "dk-bad")).getMessage.contains("NULL delete key"))
+    // replay is a no-op
+    assert(VersionedTable.deleteWhereKeys(spark, root,
+      Seq((99L, "zz")).toDF("day", "region"), Seq("day", "region"), "dk-d1")._2 == -1)
+  }
+
   test("ANALYZE retrofits the skipping index without rewriting a byte") {
     import spark.implicits._
     val root = tmpDir("analyze")
