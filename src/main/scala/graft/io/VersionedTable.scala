@@ -1319,14 +1319,23 @@ object VersionedTable {
             s"addColumnWithDefault: default must not reference columns, got '$defaultSql'")
           require(pe.deterministic,
             s"addColumnWithDefault: default must be deterministic, got '$defaultSql'")
-          probe.collect()
+          // FREEZE the value at declaration time (Delta stores the evaluated
+          // existingDefault literal, not the expression): current_date() etc.
+          // are "deterministic" in Catalyst but time-dependent across
+          // sessions, and alignTo re-evaluates the stored SQL at every read —
+          // storing the evaluated LITERAL pins pre-default rows' backfill
+          // forever instead of letting it drift with the reading session
+          val frozenSql = {
+            val v0 = probe.collect()(0).get(0)
+            org.apache.spark.sql.catalyst.expressions.Literal.create(v0, dt).sql
+          }
           val ps = org.apache.spark.sql.types.StructType.fromDDL(parent.schemaDdl.get)
           val newSchema = org.apache.spark.sql.types.StructType(ps.fields :+
             org.apache.spark.sql.types.StructField(name, dt))
           val v = parent.version + 1
           if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
               mode = "default", schemaDdl = Some(newSchema.toDDL),
-              defaults = parent.defaults + (name -> defaultSql))))
+              defaults = parent.defaults + (name -> frozenSql))))
             out = v
         }
         out
@@ -1458,7 +1467,8 @@ object VersionedTable {
         val dfGen0 = preParent0.map(_.generated).filter(_.nonEmpty)
           .fold(df)(materializeGenerated(_, df, "commit"))
         // column DEFAULTS materialize next (append mode — an overwrite
-        // replaces the schema, retiring the declarations with it): a batch
+        // batch defines its own values; the declaration itself survives
+        // the overwrite when its column does, see the publish below): a batch
         // LACKING a default-bearing column gets the default computed, a
         // batch CARRYING it keeps its values (DEFAULT, not ALWAYS)
         val dfGen = preParent0.filter(_ => mode == "append")
@@ -1640,8 +1650,18 @@ object VersionedTable {
                   // overwrite replaces every dir, clearing the era registry
                   dirLayouts = if (mode == "append")
                     parent.map(_.dirLayouts).getOrElse(Map.empty) else Map.empty,
-                  defaults = if (mode == "append")
-                    parent.map(_.defaults).getOrElse(Map.empty) else Map.empty)))
+                  // DEFAULTs survive an overwrite when their column is still
+                  // present in the incoming schema (Delta: currentDefault
+                  // survives INSERT OVERWRITE, like constraints and props);
+                  // only a declaration whose column VANISHED retires. In
+                  // overwrite mode nameMap resets, so the incoming names ARE
+                  // the new physical names the defaults key against.
+                  defaults = {
+                    val pd = parent.map(_.defaults).getOrElse(Map.empty)
+                    if (mode == "append") pd
+                    else pd.filter { case (n, _) =>
+                      dfPhys.schema.fieldNames.contains(n) }
+                  })))
               committed = v
           }
         }
@@ -1679,10 +1699,17 @@ object VersionedTable {
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
         val curve = c.props.getOrElse("graft.autoCompact.curve", "morton")
         val (st, bl) = indexedCols(root)
+        // ANY compaction failure is swallowed (logged), not just a lost
+        // race: the user's append already PUBLISHED, and propagating a
+        // maintenance error — a stale zorder column after a drop, a
+        // layout conflict — out of commit() would make a successful
+        // append look failed. The next append re-triggers the compaction.
         try compact(spark, root, s"auto-compact-$triggerCommitId", target, st, bl,
           zorderBy = zorder, curve = curve)
         catch {
-          case e: Exception if Option(e.getMessage).exists(_.contains("log advanced")) => ()
+          case e: Exception =>
+            System.err.println(
+              s"graft: best-effort auto-compact of $root skipped: ${e.getMessage}")
         }
       }
   }
@@ -4411,7 +4438,13 @@ object VersionedTable {
           new java.util.ArrayList[org.apache.spark.sql.Row](), logical)
         case Some(groups) =>
           val df = groups.groupBy(_._1).toSeq.sortBy(_._1).map { case (dp, subs) =>
-            alignTo(Some(physSchema))(
+            // c.defaults rides here too: a pre-default subtree must backfill
+            // the declared DEFAULT exactly as the normal read path does, or
+            // a copart join would silently see NULLs the table promises
+            // carry the default (defaults are column-reference-free and
+            // deterministic, so per-subtree backfill is safe; their keys are
+            // physical names — renameColumn refuses default-bearing columns)
+            alignTo(Some(physSchema), c.defaults)(
               spark.read.option("basePath", dp).parquet(subs.map(_._2): _*))
           }.reduce(_.unionByName(_))
           toLogicalDf(c, df)

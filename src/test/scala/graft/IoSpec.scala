@@ -3372,6 +3372,62 @@ class IoSpec extends SparkSpec {
     assert(java.nio.file.Files.readString(mf(1).toPath).contains("column-defaults"))
   }
 
+  test("DEFAULT hardening: frozen at declaration; rides copart scans; survives overwrite; auto-compact never fails an append") {
+    import spark.implicits._
+    val root = tmpDir("defh")
+    VersionedTable.commit((1L to 8L).map(i => (i, s"g${i % 2}", i * 2))
+      .toDF("id", "grp", "v"), root, "append", "dh-c1",
+      partitionCols = Seq("grp"), statsCols = Seq("id"))
+    // (1) a time-dependent default FREEZES to the literal evaluated at
+    // declaration (Delta stores the evaluated existingDefault): the stored
+    // SQL is a DATE literal, so pre-default rows' backfill never drifts
+    // with the reading session's clock
+    VersionedTable.addColumnWithDefault(spark, root, "d", "date",
+      "current_date()", "dh-d1")
+    val stored = VersionedTable.latestCommit(root).get.defaults("d")
+    assert(stored.startsWith("DATE '"), stored)
+    assert(!stored.toLowerCase.contains("current_date"), stored)
+    // (2) copart slot scans backfill the default for pre-default subtrees
+    // exactly like the normal read path — a copart join over a defaulted
+    // table must not see NULLs
+    val viaCopart = spark.sql(s"SELECT id, d FROM graft_copart('$root', 'grp', 3)")
+      .collect().map(r => r.getLong(0) -> r.getDate(1)).toMap
+    val viaRead = VersionedTable.read(spark, root).select("id", "d")
+      .collect().map(r => r.getLong(0) -> r.getDate(1)).toMap
+    assert(viaCopart == viaRead)
+    assert(viaRead.values.forall(_ != null))
+    // (3) the declaration SURVIVES an overwrite whose schema keeps the
+    // column (Delta: currentDefault survives INSERT OVERWRITE, like
+    // constraints and props) — a later narrow append still materializes it
+    VersionedTable.commit(
+      Seq((50L, "g0", 1L, java.sql.Date.valueOf("2020-01-01")))
+        .toDF("id", "grp", "v", "d"),
+      root, "overwrite", "dh-ow", partitionCols = Seq("grp"), statsCols = Seq("id"))
+    assert(VersionedTable.latestCommit(root).get.defaults.contains("d"))
+    VersionedTable.commit(Seq((51L, "g1", 2L)).toDF("id", "grp", "v"),
+      root, "append", "dh-ap", partitionCols = Seq("grp"), statsCols = Seq("id"))
+    val after = VersionedTable.read(spark, root).select("id", "d")
+      .collect().map(r => r.getLong(0) -> r.getDate(1)).toMap
+    assert(after(50L) == java.sql.Date.valueOf("2020-01-01"))
+    assert(after(51L) == viaRead(1L), "append after overwrite must backfill the frozen default")
+    // ...but a declaration whose column VANISHED retires with the overwrite
+    VersionedTable.commit(Seq((60L, "g0", 3L)).toDF("id", "grp", "v"),
+      root, "overwrite", "dh-ow2", partitionCols = Seq("grp"))
+    assert(VersionedTable.latestCommit(root).get.defaults.isEmpty)
+    // (4) a FAILING best-effort auto-compaction (stale zorder column) is
+    // swallowed: the user's append already published, so it must not
+    // surface as a commit failure
+    val r2 = tmpDir("defh_ac")
+    VersionedTable.commit((1L to 4L).map(i => (i, i * 2)).toDF("id", "v"),
+      r2, "append", "dh-ac0", statsCols = Seq("id"))
+    VersionedTable.setTableProperties(r2, Map(
+      "graft.autoCompact.minDirs" -> "2",
+      "graft.autoCompact.zorder" -> "no_such_col,also_missing"), "dh-acp")
+    VersionedTable.commit(Seq((10L, 1L)).toDF("id", "v"), r2, "append", "dh-ac1",
+      statsCols = Seq("id"))
+    assert(VersionedTable.read(spark, r2).count() == 5L)
+  }
+
   test("SHOW PARTITIONS GRAFT + RESTORE TO TAG as SQL") {
     import spark.implicits._
     val root = tmpDir("showp")
