@@ -1308,6 +1308,103 @@ private[graft] object QueriesMedallionIo {
         |  CAST(1 AS BIGINT) AS scanned_dirs, CAST(2 AS BIGINT) AS total_dirs
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — DSv2 TableCatalog SELECT (catalog/GraftCatalog — the native
+    // Spark catalog front door: `spark.sql.catalog.gq = GraftCatalog`,
+    // then PLAIN SQL over `gq.ns.t` planned by Spark's own analyzer, no
+    // graft parser involved). CTAS + INSERT build a two-band table whose
+    // skipping index is DECLARED as a table property
+    // ('graft.stats.columns'), so the catalog write path maintains it;
+    // the SELECT's WHERE is delivered by Spark's DSv2 pushdown
+    // (SupportsPushDownFilters) into the manifest index — `pushed`
+    // asserts the plan shows the predicate under PushedFilters, and
+    // scanned/total dirs prove the envelope actually pruned the
+    // below-threshold band. At 100 TB this is the integration that makes
+    // index skipping automatic for every SQL consumer of the table.
+    Q("versioned_catalog_select",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        val mid = Fixtures.once(s, dir, "vt_cat_sel") {
+          rmrf(s"$wh/sel")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.sel")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_sel_orders")
+          val m = rd(s, dir, "orders").agg(max(col("o_orderkey"))).head().getLong(0) / 2
+          s.sql("CREATE TABLE gq.sel.orders " +
+            "TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey') " +
+            "AS SELECT o_orderkey, o_orderpriority, o_totalprice " +
+            s"FROM cat_sel_orders WHERE o_orderkey <= $m")
+          s.sql("INSERT INTO gq.sel.orders SELECT o_orderkey, o_orderpriority, " +
+            s"o_totalprice FROM cat_sel_orders WHERE o_orderkey > $m")
+          java.lang.Long.valueOf(m)
+        }
+        val agg = s.sql("SELECT o_orderpriority, count(*) AS n, " +
+          "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS STRING) AS price_sum " +
+          s"FROM gq.sel.orders WHERE o_orderkey > $mid GROUP BY o_orderpriority")
+        agg.collect() // materialize so lastScan records THIS scan's pruning
+        val scan = graft.io.VersionedRelation.lastScan
+        val plan = agg.queryExecution.executedPlan.toString
+        agg.withColumn("pushed", lit(
+            if (plan.contains("PushedFilters") &&
+              plan.contains("GreaterThan(o_orderkey")) 1L else 0L))
+          .withColumn("scanned_dirs", lit(scan.dirsKept.toLong))
+          .withColumn("total_dirs", lit(scan.dirsTotal.toLong))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS VARCHAR) AS price_sum,
+        |  CAST(1 AS BIGINT) AS pushed,
+        |  CAST(1 AS BIGINT) AS scanned_dirs, CAST(2 AS BIGINT) AS total_dirs
+        |FROM orders WHERE o_orderkey > (SELECT max(o_orderkey) // 2 FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — DSv2 TableCatalog INSERT lifecycle: CREATE TABLE with an
+    // explicit schema + hive PARTITIONED BY through the catalog (a pure-
+    // metadata v1 "create" commit), two INSERT INTO appends (v2, v3), an
+    // INSERT OVERWRITE (v4, truncate-capability overwrite commit), and
+    // native `VERSION AS OF` time travel through
+    // TableCatalog.loadTable(ident, version) — rows_v2/rows_v3 pin the
+    // pre-overwrite snapshots while the aggregate reads the overwritten
+    // state. Every statement is plain Spark SQL; every commit is the same
+    // OCC manifest publish as the programmatic path.
+    Q("versioned_catalog_insert",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        Fixtures.once(s, dir, "vt_cat_ins") {
+          rmrf(s"$wh/ins")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.ins")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_ins_orders")
+          s.sql("CREATE TABLE gq.ins.t " +
+            "(o_orderkey BIGINT, o_orderpriority STRING, cents BIGINT) " +
+            "PARTITIONED BY (o_orderpriority) " +
+            "TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+          def cents = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+          s.sql("INSERT INTO gq.ins.t SELECT o_orderkey, o_orderpriority, " +
+            s"$cents FROM cat_ins_orders WHERE o_orderkey % 2 = 0")
+          s.sql("INSERT INTO gq.ins.t SELECT o_orderkey, o_orderpriority, " +
+            s"$cents FROM cat_ins_orders WHERE o_orderkey % 2 = 1")
+          s.sql("INSERT OVERWRITE gq.ins.t SELECT o_orderkey, o_orderpriority, " +
+            s"$cents * 2 FROM cat_ins_orders")
+          java.lang.Boolean.TRUE
+        }
+        val v2n = s.sql("SELECT count(*) AS c FROM gq.ins.t VERSION AS OF 2")
+          .head().getLong(0)
+        val v3n = s.sql("SELECT count(*) AS c FROM gq.ins.t VERSION AS OF 3")
+          .head().getLong(0)
+        s.sql("SELECT o_orderpriority, count(*) AS n, sum(cents) AS cents " +
+            "FROM gq.ins.t GROUP BY o_orderpriority")
+          .withColumn("rows_v2", lit(v2n))
+          .withColumn("rows_v3", lit(v3n))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(2 * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+        |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS rows_v2,
+        |  (SELECT count(*) FROM orders) AS rows_v3
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — PARTITION EVOLUTION (VersionedTable.setPartitionLayout — the
     // public Iceberg partition-spec-evolution idea: the layout is table
     // METADATA, changed without moving a byte). Era 1 commits FLAT (even

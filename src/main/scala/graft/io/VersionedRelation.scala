@@ -49,6 +49,30 @@ final class VersionedRelation(override val sqlContext: SQLContext,
 
   override val schema: StructType = VersionedTable.read(spark, root, asOf).schema
 
+  override def buildScan(requiredColumns: Array[String],
+                         filters: Array[Filter]): RDD[Row] = {
+    val (ranges, points, nullProbes) = VersionedRelation.translate(filters)
+    val (df, keptDirs, totalDirs) =
+      VersionedTable.scanForRelation(spark, root, asOf, ranges, points, nullProbes)
+    VersionedRelation.lastScan =
+      VersionedRelation.ScanInfo(requiredColumns.toSeq, ranges.size, points.size,
+        keptDirs, totalDirs)
+    df.select(requiredColumns.map(col).toSeq: _*).rdd
+  }
+
+  // default unhandledFilters already returns every filter — pruning is an
+  // optimization; Spark keeps the authoritative predicate above the scan
+}
+
+object VersionedRelation {
+  /** Driver-visible record of the LAST buildScan on this JVM — the test
+    * seam proving that Spark's planner actually delivered the projection
+    * and predicates into the relation (and how far they pruned).
+    */
+  final case class ScanInfo(columns: Seq[String], nRanges: Int, nPoints: Int,
+                            dirsKept: Int, dirsTotal: Int)
+  @volatile var lastScan: ScanInfo = ScanInfo(Nil, 0, 0, -1, -1)
+
   /** (columnName, micros) for a timestamp literal — footer envelopes and
     * manifest stats for timestamp columns are MICROS by the statsCols
     * contract, so pushed bounds translate the same way.
@@ -56,7 +80,7 @@ final class VersionedRelation(override val sqlContext: SQLContext,
   private def micros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
 
-  private def asLong(v: Any): Option[Long] = v match {
+  private[graft] def asLong(v: Any): Option[Long] = v match {
     case l: Long               => Some(l)
     case i: Int                => Some(i.toLong)
     case s: Short              => Some(s.toLong)
@@ -67,9 +91,11 @@ final class VersionedRelation(override val sqlContext: SQLContext,
 
   /** Translate the pushable subset of `filters` into manifest range
     * bounds and bloom point probes; anything else is ignored here (Spark
-    * re-applies it above the scan regardless).
+    * re-applies it above the scan regardless). Shared by the DSv1
+    * relation and the DSv2 catalog scan ([[graft.catalog.GraftCatalog]])
+    * — one translation, one skipping-index contract.
     */
-  private def translate(filters: Array[Filter])
+  private[graft] def translate(filters: Array[Filter])
       : (Seq[(String, Long, Long)], Seq[(String, Long)], Seq[(String, Boolean)]) = {
     val ranges = Seq.newBuilder[(String, Long, Long)]
     val points = Seq.newBuilder[(String, Long)]
@@ -94,27 +120,22 @@ final class VersionedRelation(override val sqlContext: SQLContext,
     (ranges.result(), points.result(), nullProbes.result())
   }
 
-  override def buildScan(requiredColumns: Array[String],
-                         filters: Array[Filter]): RDD[Row] = {
-    val (ranges, points, nullProbes) = translate(filters)
-    val (df, keptDirs, totalDirs) =
-      VersionedTable.scanForRelation(spark, root, asOf, ranges, points, nullProbes)
-    VersionedRelation.lastScan =
-      VersionedRelation.ScanInfo(requiredColumns.toSeq, ranges.size, points.size,
-        keptDirs, totalDirs)
-    df.select(requiredColumns.map(col).toSeq: _*).rdd
-  }
-
-  // default unhandledFilters already returns every filter — pruning is an
-  // optimization; Spark keeps the authoritative predicate above the scan
-}
-
-object VersionedRelation {
-  /** Driver-visible record of the LAST buildScan on this JVM — the test
-    * seam proving that Spark's planner actually delivered the projection
-    * and predicates into the relation (and how far they pruned).
+  /** The subset of `filters` the manifest index can act on — reported as
+    * the DSv2 scan's `pushedFilters()` so `.explain` shows exactly which
+    * predicates reached the skipping index (all are ALSO re-applied by
+    * Spark above the scan: skipping stays an optimization, never a
+    * correctness input).
     */
-  final case class ScanInfo(columns: Seq[String], nRanges: Int, nPoints: Int,
-                            dirsKept: Int, dirsTotal: Int)
-  @volatile var lastScan: ScanInfo = ScanInfo(Nil, 0, 0, -1, -1)
+  private[graft] def pushable(filters: Array[Filter]): Array[Filter] =
+    filters.filter {
+      case EqualTo(_, v)             => asLong(v).isDefined
+      case GreaterThan(_, v)         => asLong(v).isDefined
+      case GreaterThanOrEqual(_, v)  => asLong(v).isDefined
+      case LessThan(_, v)            => asLong(v).isDefined
+      case LessThanOrEqual(_, v)     => asLong(v).isDefined
+      case In(_, vs)                 => vs.nonEmpty && vs.forall(v => asLong(v).isDefined)
+      case IsNull(_) | IsNotNull(_)  => true
+      case And(l, r) => pushable(Array(l)).nonEmpty && pushable(Array(r)).nonEmpty
+      case _ => false
+    }
 }

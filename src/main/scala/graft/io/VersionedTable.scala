@@ -1448,6 +1448,37 @@ object VersionedTable {
     (df.sparkSession.createDataFrame(rows, schema), next + counts.sum * step)
   }
 
+  /** CREATE TABLE as a pure-metadata version-1 commit: the declared
+    * schema, hive layout, and table properties publish with ZERO data
+    * dirs — reads return an empty frame under the recorded schema, and
+    * the first data commit must match the declared layout (the commit()
+    * layout guard) and may only add columns over the declared schema
+    * (evolvedSchema). This is the DSv2 `TableCatalog.createTable` entry
+    * ([[graft.catalog.GraftCatalog]]); the CTAS/INSERT SQL commands keep
+    * their one-shot create-with-data path. Idempotent under `commitId`;
+    * refuses a root that already has commits (CREATE creates once).
+    */
+  def createTable(root: String, schema: org.apache.spark.sql.types.StructType,
+                  partitionCols: Seq[String], props: Map[String, String],
+                  commitId: String): Long = {
+    partitionCols.foreach(p => require(schema.fieldNames.contains(p),
+      s"createTable: partition column '$p' is not in the declared schema " +
+        s"(${schema.fieldNames.mkString(", ")})"))
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => prior
+      case None =>
+        Files.createDirectories(commitsDir(root))
+        require(latestCommit(root).isEmpty,
+          s"createTable: $root already has commits — CREATE creates once")
+        if (publishIfAbsent(root, 1L, Commit(1L, commitId, "create", Nil,
+            partitionCols = partitionCols, schemaDdl = Some(schema.toDDL),
+            props = props)))
+          1L
+        else findCommitVersion(root, commitId).getOrElse(
+          sys.error(s"createTable: lost the v1 slot at $root to a concurrent creator"))
+    }
+  }
+
   def commit(df: DataFrame, root: String, mode: String, commitId: String,
              statsCols: Seq[String] = Nil, partitionCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil): Long = {

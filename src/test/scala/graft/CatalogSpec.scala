@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.io.{VersionedRelation, VersionedTable}
+
+/** The DSv2 `TableCatalog` front door: plain SQL over `gcat.ns.t`
+  * identifiers — CREATE/CTAS/INSERT/SELECT/ALTER/DROP, time travel,
+  * filter + projection pushdown into the manifest skipping index —
+  * planned by Spark's own analyzer, no graft parser involved.
+  */
+class CatalogSpec extends SparkSpec {
+  import TestSpark._
+
+  private lazy val warehouse: String = {
+    val w = tmpDir("gcat_wh")
+    spark.conf.set("spark.sql.catalog.gcat", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gcat.db")
+    w
+  }
+
+  test("catalog: CREATE TABLE + INSERT INTO + SELECT with index pushdown") {
+    warehouse
+    spark.sql(
+      """CREATE TABLE gcat.db.t (id BIGINT, grp STRING, v BIGINT)
+        |PARTITIONED BY (grp)
+        |TBLPROPERTIES ('graft.stats.columns' = 'id')""".stripMargin)
+    // declared but empty: schema visible, zero rows
+    assert(spark.table("gcat.db.t").columns.toSeq == Seq("id", "grp", "v"))
+    assert(spark.table("gcat.db.t").count() == 0L)
+    // two inserts = two commits = two dirs with disjoint id envelopes
+    spark.sql("INSERT INTO gcat.db.t SELECT id, concat('g', id % 2), id * 10 " +
+      "FROM range(1, 11)")
+    spark.sql("INSERT INTO gcat.db.t SELECT id, concat('g', id % 2), id * 10 " +
+      "FROM range(100, 111)")
+    assert(spark.table("gcat.db.t").count() == 21L)
+    // WHERE over the stats column: PushedFilters visible in the plan AND
+    // the manifest index actually pruned to the one matching dir
+    val q = spark.sql("SELECT id, v FROM gcat.db.t WHERE id >= 100")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan.take(800))
+    assert(plan.contains("GreaterThanOrEqual(id,100)"), plan.take(800))
+    assert(q.collect().map(_.getLong(0)).toSet == (100L to 110L).toSet)
+    val scan = VersionedRelation.lastScan
+    assert(scan.dirsTotal == 2 && scan.dirsKept == 1,
+      s"expected 1/2 dirs after envelope pruning, got $scan")
+    // projection pushdown: only requested columns reach the relation
+    assert(scan.columns == Seq("id", "v"), scan.toString)
+    // a typed catalog read joins with ordinary frames
+    assert(spark.sql(
+      "SELECT count(*) AS n FROM gcat.db.t a JOIN gcat.db.t b ON a.id = b.id")
+      .head().getLong(0) == 21L)
+  }
+
+  test("catalog: CTAS, INSERT OVERWRITE, and time travel by version + timestamp") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.c AS SELECT id, id * 2 AS v FROM range(0, 5)")
+    assert(spark.table("gcat.db.c").count() == 5L)
+    spark.sql("INSERT INTO gcat.db.c SELECT id, id * 2 FROM range(5, 8)")
+    assert(spark.table("gcat.db.c").count() == 8L)
+    // VERSION AS OF: v1 is the pure-create commit (declared, empty), v2
+    // carries the CTAS rows — exactly the ledger shape DESCRIBE HISTORY shows
+    assert(spark.sql("SELECT * FROM gcat.db.c VERSION AS OF 1").count() == 0L)
+    assert(spark.sql("SELECT * FROM gcat.db.c VERSION AS OF 2").count() == 5L)
+    // TIMESTAMP AS OF now() resolves to the latest snapshot via the ledger
+    val cnt = spark.sql(
+      "SELECT count(*) FROM gcat.db.c TIMESTAMP AS OF current_timestamp()")
+      .head().getLong(0)
+    assert(cnt == 8L)
+    // INSERT OVERWRITE = truncate + overwrite commit; history preserved
+    spark.sql("INSERT OVERWRITE gcat.db.c SELECT id, id * 3 FROM range(0, 4)")
+    assert(spark.table("gcat.db.c").count() == 4L)
+    assert(spark.table("gcat.db.c").agg(sum("v")).head().getLong(0) == 18L)
+    assert(spark.sql("SELECT * FROM gcat.db.c VERSION AS OF 3").count() == 8L)
+  }
+
+  test("catalog: ALTER TABLE properties / rename / drop column; SHOW + DROP TABLE") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.a AS SELECT id, id * 2 AS v, 'x' AS s FROM range(0, 6)")
+    spark.sql("ALTER TABLE gcat.db.a SET TBLPROPERTIES ('owner.team' = 'ml', 'p2' = 'y')")
+    val props = spark.sql("SHOW TBLPROPERTIES gcat.db.a").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(props.get("owner.team").contains("ml") && props.get("p2").contains("y"))
+    spark.sql("ALTER TABLE gcat.db.a UNSET TBLPROPERTIES ('p2')")
+    assert(!spark.sql("SHOW TBLPROPERTIES gcat.db.a").collect()
+      .exists(_.getString(0) == "p2"))
+    // RENAME COLUMN is the metadata-only name mapping — zero data rewrites
+    spark.sql("ALTER TABLE gcat.db.a RENAME COLUMN v TO doubled")
+    assert(spark.table("gcat.db.a").columns.toSeq == Seq("id", "doubled", "s"))
+    assert(spark.table("gcat.db.a").agg(sum("doubled")).head().getLong(0) == 30L)
+    // DROP COLUMN retires the slot from the mapping
+    spark.sql("ALTER TABLE gcat.db.a DROP COLUMN s")
+    assert(spark.table("gcat.db.a").columns.toSeq == Seq("id", "doubled"))
+    // catalog listing sees it; DROP TABLE removes it
+    assert(spark.sql("SHOW TABLES IN gcat.db").collect().map(_.getString(1))
+      .contains("a"))
+    spark.sql("DROP TABLE gcat.db.a")
+    assert(!spark.sql("SHOW TABLES IN gcat.db").collect().map(_.getString(1))
+      .contains("a"))
+    assert(intercept[Exception](spark.table("gcat.db.a").collect())
+      .getMessage.nonEmpty)
+  }
+
+  test("catalog: writes go through the full commit discipline (constraints + auto index)") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.g (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'id,v')")
+    spark.sql("INSERT INTO gcat.db.g SELECT id, id * 2 FROM range(0, 10)")
+    val root = s"$warehouse/db/g"
+    // the declared index materialized on the SQL insert
+    val c = VersionedTable.latestCommit(root).get
+    assert(c.stats.nonEmpty && c.stats.head._2.keySet == Set("id", "v"),
+      c.stats.toString)
+    // a CHECK constraint declared programmatically gates SQL inserts too
+    VersionedTable.addConstraint(spark, root, "v_even", "v % 2 = 0", "cat-ck")
+    assert(intercept[Exception](
+      spark.sql("INSERT INTO gcat.db.g VALUES (100, 7)")).getMessage
+      .contains("v_even"))
+    spark.sql("INSERT INTO gcat.db.g VALUES (100, 8)")
+    assert(spark.table("gcat.db.g").count() == 11L)
+  }
+}
