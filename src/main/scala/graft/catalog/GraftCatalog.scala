@@ -341,7 +341,8 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
   override def build(): Scan = {
     // pin the snapshot HERE: the plan must not straddle a concurrent commit
     val version = asOf.orElse(VersionedTable.latestVersion(root))
-    new GraftV1FallbackScan(root, version, required, pushed)
+    GraftKeyedScan.ifEligible(spark, root, version, required, pushed)
+      .getOrElse(new GraftV1FallbackScan(root, version, required, pushed))
   }
 }
 

@@ -4484,6 +4484,112 @@ object VersionedTable {
     (logical, c.version, thunks)
   }
 
+  // ---- DSv2 keyed-batch planning (catalog storage-partitioned scans) ----
+
+  /** One key-group of a keyed batch scan: the distinct hive key TUPLE and
+    * every live parquet file holding its rows (pre-pruned by the skipping
+    * index). `key` values are raw JVM values (null = the hive NULL
+    * sentinel subtree).
+    */
+  final case class KeyedGroup(key: Seq[Any], files: Seq[(String, Long)])
+
+  /** The driver-side plan behind [[graft.catalog.GraftKeyedScan]]:
+    * physical data schema (file columns — keys are path-materialized, so
+    * they are NOT here), the key schema in declared types, the
+    * logical→physical name mapping, and the per-key-tuple file groups.
+    */
+  final case class KeyedPlan(version: Long,
+                             physDataSchema: org.apache.spark.sql.types.StructType,
+                             keySchema: org.apache.spark.sql.types.StructType,
+                             nameMap: Map[String, String],
+                             groups: Seq[KeyedGroup],
+                             keptDirs: Int, totalDirs: Int)
+
+  /** Plan a KEY-GROUPED batch scan of the snapshot — the file layout
+    * Spark's DSv2 `KeyGroupedPartitioning` machinery needs to run
+    * storage-partitioned joins and key-local aggregations with ZERO
+    * Exchange (the public Iceberg SPJ design, now through Spark's OWN
+    * planner instead of the custom copart strategy). Returns None when
+    * the snapshot cannot TRUTHFULLY report key-grouped partitioning —
+    * unpartitioned, mixed layout eras, column DEFAULTs (the raw parquet
+    * reader cannot backfill them), pending MOR delete sets, or a key
+    * type the hive path does not round-trip — and the catalog scan falls
+    * back to the V1 relation path, which handles all of those. Dir-level
+    * skipping (envelopes/blooms/null counts) and per-file footer
+    * envelopes prune exactly as in [[scanForRelation]], so a pushed
+    * predicate narrows the keyed scan the same way it narrows the
+    * fallback.
+    */
+  private[graft] def keyedBatchPlan(root: String, asOf: Option[Long],
+      ranges: Seq[(String, Long, Long)], points: Seq[(String, Long)],
+      nullProbes: Seq[(String, Boolean)]): Option[KeyedPlan] = {
+    import org.apache.spark.sql.types._
+    val c = resolveSnapshot(root, asOf)
+    if (c.partitionCols.isEmpty || c.schemaDdl.isEmpty || c.defaults.nonEmpty ||
+        c.deletes.nonEmpty) return None
+    if (c.dirs.exists(d => layoutOf(c, d) != c.partitionCols)) return None
+    val phys = StructType.fromDDL(c.schemaDdl.get)
+    val keyFields: Seq[StructField] = c.partitionCols.flatMap(k =>
+      phys.fields.find(_.name == k))
+    if (keyFields.size != c.partitionCols.size) return None
+    if (!keyFields.forall(f => f.dataType == IntegerType || f.dataType == LongType ||
+        f.dataType == StringType)) return None
+    c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
+      s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
+    var kept = c.dirs
+    ranges.foreach { case (n, lo, hi) =>
+      val k = planRange(root, n, lo, hi, resolved = Some(c)).toSet
+      kept = kept.filter(k.contains)
+    }
+    points.foreach { case (n, v) =>
+      val k = planPoint(root, n, v, resolved = Some(c)).toSet
+      kept = kept.filter(k.contains)
+    }
+    nullProbes.foreach { case (n, w) =>
+      val k = planNull(root, n, w, resolved = Some(c)).toSet
+      kept = kept.filter(k.contains)
+    }
+    val physBounds = ranges.map { case (n, lo, hi) => (physName(c, n), lo, hi) }
+    def parse(f: StructField, raw: String): Any =
+      if (raw == "__HIVE_DEFAULT_PARTITION__") null
+      else f.dataType match {
+        case IntegerType => unescapePathName(raw).toInt
+        case LongType    => unescapePathName(raw).toLong
+        case _           => unescapePathName(raw)
+      }
+    val perFile = Seq.newBuilder[(Seq[Any], String, Long)]
+    kept.foreach { d =>
+      val dp = dirPath(root, d)
+      val fstats = readFileStats(dp)
+      parquetFiles(dp).foreach { rel =>
+        val keep = physBounds.isEmpty || fstats.forall(fs =>
+          physBounds.forall { case (n, lo, hi) =>
+            fs.get(rel).flatMap(_.get(n)).forall(_.overlapsLong(lo, hi)) })
+        if (keep) {
+          val segs = rel.split('/').dropRight(1)
+          val vals = keyFields.map { f =>
+            segs.collectFirst {
+              case seg if seg.startsWith(f.name + "=") =>
+                parse(f, seg.substring(f.name.length + 1))
+            }
+          }
+          // a file outside the declared key layout means the snapshot is
+          // not what it claims — refuse the keyed shape, never mis-slot
+          if (vals.exists(_.isEmpty)) return None
+          val full = s"$dp/$rel"
+          perFile += ((vals.map(_.get), full, new File(full).length()))
+        }
+      }
+    }
+    val groups = perFile.result().groupBy(_._1).toSeq
+      .sortBy(_._2.head._2) // deterministic order by first file path
+      .map { case (k, fs) => KeyedGroup(k, fs.map(t => (t._2, t._3)).sortBy(_._1)) }
+    if (groups.isEmpty) return None // empty scans take the (trivial) V1 path
+    val dataFields = phys.fields.filterNot(f => c.partitionCols.contains(f.name))
+    Some(KeyedPlan(c.version, StructType(dataFields),
+      StructType(keyFields.toArray), c.nameMap, groups, kept.size, c.dirs.size))
+  }
+
   /** History-preserving rollback (Delta RESTORE semantics): commits a NEW
     * version whose dir list equals `toVersion`'s — no data moves, the bad
     * versions stay inspectable in the log, and time travel to them still

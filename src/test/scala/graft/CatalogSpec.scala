@@ -35,22 +35,62 @@ class CatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO gcat.db.t SELECT id, concat('g', id % 2), id * 10 " +
       "FROM range(100, 111)")
     assert(spark.table("gcat.db.t").count() == 21L)
-    // WHERE over the stats column: PushedFilters visible in the plan AND
-    // the manifest index actually pruned to the one matching dir
+    // WHERE over the stats column: the partitioned table plans as the
+    // keyed DSv2 batch, and the manifest index pruned to the one
+    // matching dir before a single file opened
     val q = spark.sql("SELECT id, v FROM gcat.db.t WHERE id >= 100")
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("PushedFilters"), plan.take(800))
-    assert(plan.contains("GreaterThanOrEqual(id,100)"), plan.take(800))
+    assert(plan.contains("GraftKeyedScan"), plan.take(800))
     assert(q.collect().map(_.getLong(0)).toSet == (100L to 110L).toSet)
     val scan = VersionedRelation.lastScan
     assert(scan.dirsTotal == 2 && scan.dirsKept == 1,
       s"expected 1/2 dirs after envelope pruning, got $scan")
-    // projection pushdown: only requested columns reach the relation
+    // projection pushdown: only requested columns reach the scan
     assert(scan.columns == Seq("id", "v"), scan.toString)
-    // a typed catalog read joins with ordinary frames
+    // a self-join on the non-key column still answers correctly
     assert(spark.sql(
       "SELECT count(*) AS n FROM gcat.db.t a JOIN gcat.db.t b ON a.id = b.id")
       .head().getLong(0) == 21L)
+    // an UNPARTITIONED table takes the V1 bridge: PushedFilters visible
+    spark.sql("CREATE TABLE gcat.db.tflat TBLPROPERTIES " +
+      "('graft.stats.columns' = 'id') AS SELECT id, id * 2 AS v FROM range(0, 9)")
+    val fq = spark.sql("SELECT id FROM gcat.db.tflat WHERE id >= 3")
+    val fplan = fq.queryExecution.executedPlan.toString
+    assert(fplan.contains("PushedFilters"), fplan.take(800))
+    assert(fplan.contains("GreaterThanOrEqual(id,3)"), fplan.take(800))
+    assert(fq.count() == 6L)
+  }
+
+  test("catalog: storage-partitioned join through Spark's own KeyGroupedPartitioning — zero Exchange") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.spja (id BIGINT, grp STRING, v BIGINT) " +
+      "PARTITIONED BY (grp) TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gcat.db.spja SELECT id, concat('g', id % 3), id * 10 " +
+      "FROM range(1, 31)")
+    spark.sql("INSERT INTO gcat.db.spja SELECT id, concat('g', id % 3), id * 10 " +
+      "FROM range(31, 46)")
+    spark.sql("CREATE TABLE gcat.db.spjb (grp STRING, w BIGINT) PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO gcat.db.spjb SELECT concat('g', id), id * 100 FROM range(0, 3)")
+    val j = spark.sql(
+      "SELECT a.grp AS grp, count(*) AS n, sum(a.v + b.w) AS s " +
+        "FROM gcat.db.spja a JOIN gcat.db.spjb b ON a.grp = b.grp GROUP BY a.grp")
+    val got = j.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // oracle: plain DataFrame recompute
+    import spark.implicits._
+    val aRows = ((1L until 31L) ++ (31L until 46L)).map(i => (i, s"g${i % 3}", i * 10))
+    val bRows = (0 until 3).map(i => (s"g$i", i * 100L))
+    val want = aRows.toDF("id", "grp", "v").join(bRows.toDF("grp", "w"), "grp")
+      .groupBy("grp").agg(count(lit(1)), sum(col("v") + col("w")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    // the flagship property: join AND both aggregates run on the scans'
+    // declared KeyGroupedPartitioning — ZERO Exchange anywhere, through
+    // Spark's OWN planner (no custom strategy in this path)
+    // AQE prints Final + Initial plans — fingerprint the FINAL one only
+    val plan = j.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"), s"expected exchange-free SPJ plan:\n${plan.take(2000)}")
+    assert(plan.contains("GraftKeyedScan"), plan.take(500))
+    assert("SortMergeJoin".r.findAllIn(plan).size == 1, plan.take(2000))
   }
 
   test("catalog: CTAS, INSERT OVERWRITE, and time travel by version + timestamp") {
