@@ -1456,6 +1456,86 @@ private[graft] object QueriesMedallionIo {
         |  CAST(0 AS BIGINT) AS exchanges, CAST(2 AS BIGINT) AS keyed_scans
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — COMPOSITE-KEY storage-partitioned join (catalog/GraftKeyedScan
+    // over a TWO-column hive layout): both tables partition by
+    // (o_orderpriority, o_orderstatus), each keyed scan reports the full
+    // key tuple through KeyGroupedPartitioning, and the two-key equi-join
+    // plus the aggregation above it plan with ZERO Exchange — the
+    // multikey generalization of versioned_catalog_spj, through Spark's
+    // own planner (the single-key TVF's composite gap, closed by the
+    // DSv2 path).
+    Q("versioned_copart_multikey",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        Fixtures.once(s, dir, "vt_cat_mk") {
+          rmrf(s"$wh/mk")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.mk")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_mk_orders")
+          s.sql("CREATE TABLE gq.mk.o (o_orderkey BIGINT, o_orderpriority STRING, " +
+            "o_orderstatus STRING) PARTITIONED BY (o_orderpriority, o_orderstatus) " +
+            "TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+          s.sql("INSERT INTO gq.mk.o SELECT o_orderkey, o_orderpriority, " +
+            "o_orderstatus FROM cat_mk_orders")
+          s.sql("CREATE TABLE gq.mk.w (o_orderpriority STRING, o_orderstatus STRING, " +
+            "pw BIGINT) PARTITIONED BY (o_orderpriority, o_orderstatus)")
+          s.sql("INSERT INTO gq.mk.w SELECT DISTINCT o_orderpriority, o_orderstatus, " +
+            "CAST(length(o_orderpriority) + length(o_orderstatus) AS BIGINT) " +
+            "FROM cat_mk_orders")
+          java.lang.Boolean.TRUE
+        }
+        val joined = s.sql(
+          "SELECT a.o_orderpriority AS o_orderpriority, a.o_orderstatus AS o_orderstatus, " +
+            "count(*) AS n, CAST(sum(a.o_orderkey * b.pw) AS BIGINT) AS wsum " +
+            "FROM gq.mk.o a JOIN gq.mk.w b " +
+            "ON a.o_orderpriority = b.o_orderpriority AND a.o_orderstatus = b.o_orderstatus " +
+            "GROUP BY a.o_orderpriority, a.o_orderstatus")
+        val plan = joined.queryExecution.executedPlan.toString
+        joined
+          .withColumn("exchanges", lit("Exchange".r.findAllIn(plan).size.toLong))
+          .withColumn("keyed_scans", lit("GraftKeyedScan".r.findAllIn(plan).size.toLong))
+          .orderBy("o_orderpriority", "o_orderstatus")
+      },
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) AS n,
+        |  CAST(sum(o_orderkey * (length(o_orderpriority) + length(o_orderstatus))) AS BIGINT) AS wsum,
+        |  CAST(0 AS BIGINT) AS exchanges, CAST(2 AS BIGINT) AS keyed_scans
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // S17 — copart over MERGE-ON-READ debt (coPartitionedSlotScans +
+    // deleteWhereMor): the TVF no longer refuses a snapshot with pending
+    // deletion vectors — each slot applies its dirs' covering delete sets
+    // as the same broadcast anti-join the normal read path uses. Removal
+    // cannot move a surviving row's slot, so the declared HashPartitioning
+    // stays truthful and the aggregation above the scan still plans with
+    // ZERO Exchange (`exchanges` pins it). The compact-before-join
+    // operational tax is gone.
+    Q("versioned_copart_mor",
+      (s, dir) => {
+        val root = Fixtures.once(s, dir, "vt_copart_mor") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_copart_mor_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          graft.io.VersionedTable.commit(o, r, "append", "cpm-c1",
+            partitionCols = Seq("o_orderpriority"), statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.deleteWhereMor(s, r,
+            o.filter(col("o_orderkey") % 10 === 0).select("o_orderkey"),
+            "o_orderkey", "cpm-del")
+          r
+        }
+        val agg = s.sql(
+          s"SELECT o_orderpriority, count(*) AS n, " +
+            "CAST(sum(o_orderkey) AS BIGINT) AS keysum " +
+            s"FROM graft_copart('$root', 'o_orderpriority', 4) " +
+            "GROUP BY o_orderpriority")
+        val plan = agg.queryExecution.executedPlan.toString
+        agg.withColumn("exchanges", lit("Exchange".r.findAllIn(plan).size.toLong))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS keysum, CAST(0 AS BIGINT) AS exchanges
+        |FROM orders WHERE o_orderkey % 10 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — PARTITION EVOLUTION (VersionedTable.setPartitionLayout — the
     // public Iceberg partition-spec-evolution idea: the layout is table
     // METADATA, changed without moving a byte). Era 1 commits FLAT (even

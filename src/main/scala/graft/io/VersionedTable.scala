@@ -4408,9 +4408,11 @@ object VersionedTable {
     * Pinned to the snapshot resolved HERE (`version` travels with the
     * relation), so analysis and execution read the same table state.
     * Guards: every dir must be single-level hive-partitioned by the key
-    * in EVERY era, pending MOR deletion vectors refuse (compact first),
-    * and the key must be int/bigint/string. NULL-sentinel subtrees slot
-    * by the NULL hash, matching the engine's join-side hashing.
+    * in EVERY era, and the key must be int/bigint/string. NULL-sentinel
+    * subtrees slot by the NULL hash, matching the engine's join-side
+    * hashing. Pending MOR deletion vectors APPLY inside each slot (the
+    * scanWithDeletes anti-join per covering dir) — removal cannot change
+    * a surviving row's slot, so the declared partitioning stays truthful.
     */
   private[graft] def coPartitionedSlotScans(spark: SparkSession, root: String,
       keyCol: String, numSlots: Int, asOf: Option[Long] = None)
@@ -4418,8 +4420,6 @@ object VersionedTable {
     import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructType}
     require(numSlots >= 1, "coPartitioned: numSlots must be >= 1")
     val c = resolveSnapshot(root, asOf)
-    require(c.deletes.isEmpty,
-      "coPartitioned: snapshot carries merge-on-read deletion vectors — compact first")
     val phys = physName(c, keyCol)
     c.dirs.foreach { d =>
       require(layoutOf(c, d) == Seq(phys),
@@ -4434,9 +4434,9 @@ object VersionedTable {
       sys.error(s"coPartitioned: '$keyCol' not in the snapshot schema"))
     require(keyType == IntegerType || keyType == LongType || keyType == StringType,
       s"coPartitioned: key must be int/bigint/string, got ${keyType.sql}")
-    // every (dirBase, subtreePath, typedValue) — a directory-level walk,
-    // O(partition values), never a file listing
-    val subtrees: Seq[(String, String, Any)] = c.dirs.flatMap { d =>
+    // every (dirName, dirBase, subtreePath, typedValue) — a directory-level
+    // walk, O(partition values), never a file listing
+    val subtrees: Seq[(String, String, String, Any)] = c.dirs.flatMap { d =>
       val dp = dirPath(root, d)
       Option(new File(dp).listFiles()).getOrElse(Array.empty).toSeq
         .filter(f => f.isDirectory && f.getName.startsWith(phys + "="))
@@ -4449,7 +4449,7 @@ object VersionedTable {
               case LongType    => unescapePathName(raw).toLong
               case _           => unescapePathName(raw)
             }
-          (dp, s"$dp/${f.getName}", v)
+          (d, dp, s"$dp/${f.getName}", v)
         }
     }
     import org.apache.spark.sql.catalyst.expressions.Literal
@@ -4457,9 +4457,9 @@ object VersionedTable {
     def slotOf(v: Any): Int =
       HashPartitioning(Seq(Literal.create(v, keyType)), numSlots)
         .partitionIdExpression.eval(null).asInstanceOf[Int]
-    val bySlot: Map[Int, Seq[(String, String)]] =
-      subtrees.groupBy { case (_, _, v) => slotOf(v) }
-        .map { case (s, xs) => s -> xs.map(t => (t._1, t._2)).sortBy(_._2) }
+    val bySlot: Map[Int, Seq[(String, String, String)]] =
+      subtrees.groupBy { case (_, _, _, v) => slotOf(v) }
+        .map { case (s, xs) => s -> xs.map(t => (t._1, t._2, t._3)).sortBy(_._3) }
     val inv = c.nameMap.map(_.swap)
     val logical = StructType(physSchema.fields.map(f =>
       f.copy(name = inv.getOrElse(f.name, f.name), nullable = true)))
@@ -4468,16 +4468,32 @@ object VersionedTable {
         case None => spark.createDataFrame(
           new java.util.ArrayList[org.apache.spark.sql.Row](), logical)
         case Some(groups) =>
-          val df = groups.groupBy(_._1).toSeq.sortBy(_._1).map { case (dp, subs) =>
-            // c.defaults rides here too: a pre-default subtree must backfill
-            // the declared DEFAULT exactly as the normal read path does, or
-            // a copart join would silently see NULLs the table promises
-            // carry the default (defaults are column-reference-free and
-            // deterministic, so per-subtree backfill is safe; their keys are
-            // physical names — renameColumn refuses default-bearing columns)
-            alignTo(Some(physSchema), c.defaults)(
-              spark.read.option("basePath", dp).parquet(subs.map(_._2): _*))
-          }.reduce(_.unionByName(_))
+          val df = groups.groupBy(g => (g._1, g._2)).toSeq.sortBy(_._1._2)
+            .map { case ((d, dp), subs) =>
+              // c.defaults rides here too: a pre-default subtree must backfill
+              // the declared DEFAULT exactly as the normal read path does, or
+              // a copart join would silently see NULLs the table promises
+              // carry the default (defaults are column-reference-free and
+              // deterministic, so per-subtree backfill is safe; their keys are
+              // physical names — renameColumn refuses default-bearing columns)
+              val df0 = alignTo(Some(physSchema), c.defaults)(
+                spark.read.option("basePath", dp).parquet(subs.map(_._3): _*))
+              // MERGE-ON-READ deletion vectors apply per covering dir,
+              // exactly as scanWithDeletes does for the normal read path:
+              // the set's key frame is small by the MOR contract
+              // (broadcast), rows only get REMOVED, so slot assignment —
+              // and with it the declared HashPartitioning — is untouched.
+              // A copart join over a table with MOR debt now answers
+              // correctly instead of refusing until compaction.
+              c.deletes.getOrElse(d, Nil).foldLeft(df0) { (acc, setName) =>
+                val kc = c.deleteKeys.getOrElse(setName, sys.error(
+                  s"manifest references delete set $setName with no recorded key column"))
+                acc.join(
+                  org.apache.spark.sql.functions.broadcast(
+                    spark.read.parquet(dirPath(root, setName)).select(kc).distinct()),
+                  Seq(kc), "left_anti")
+              }
+            }.reduce(_.unionByName(_))
           toLogicalDf(c, df)
       }
     }

@@ -93,6 +93,35 @@ class CatalogSpec extends SparkSpec {
     assert("SortMergeJoin".r.findAllIn(plan).size == 1, plan.take(2000))
   }
 
+  test("catalog: COMPOSITE-key storage-partitioned join — two partition columns, zero Exchange") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.mka (id BIGINT, day STRING, region STRING, v BIGINT) " +
+      "PARTITIONED BY (day, region) TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gcat.db.mka SELECT id, concat('d', id % 2), " +
+      "concat('r', id % 3), id * 7 FROM range(1, 37)")
+    spark.sql("CREATE TABLE gcat.db.mkb (day STRING, region STRING, w BIGINT) " +
+      "PARTITIONED BY (day, region)")
+    spark.sql("INSERT INTO gcat.db.mkb SELECT concat('d', id % 2), concat('r', id % 3), " +
+      "id * 100 FROM range(0, 6)")
+    val j = spark.sql(
+      "SELECT a.day AS day, a.region AS region, count(*) AS n, sum(a.v + b.w) AS s " +
+        "FROM gcat.db.mka a JOIN gcat.db.mkb b " +
+        "ON a.day = b.day AND a.region = b.region GROUP BY a.day, a.region")
+    import spark.implicits._
+    val aRows = (1L until 37L).map(i => (i, s"d${i % 2}", s"r${i % 3}", i * 7))
+    val bRows = (0L until 6L).map(i => (s"d${i % 2}", s"r${i % 3}", i * 100))
+    val want = aRows.toDF("id", "day", "region", "v")
+      .join(bRows.toDF("day", "region", "w"), Seq("day", "region"))
+      .groupBy("day", "region").agg(count(lit(1)), sum(col("v") + col("w")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    val got = j.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want)
+    val plan = j.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"), s"expected exchange-free multikey SPJ:\n${plan.take(2000)}")
+    assert("GraftKeyedScan".r.findAllIn(plan).size == 2, plan.take(500))
+  }
+
   test("catalog: CTAS, INSERT OVERWRITE, and time travel by version + timestamp") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.c AS SELECT id, id * 2 AS v FROM range(0, 5)")

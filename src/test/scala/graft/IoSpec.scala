@@ -3179,6 +3179,34 @@ class IoSpec extends SparkSpec {
       .getMessage.contains("hive-partitioned by exactly"))
   }
 
+  test("graft_copart applies MOR deletion vectors in the slot scans instead of refusing") {
+    import spark.implicits._
+    val root = tmpDir("spjmor")
+    VersionedTable.commit(
+      (1L to 24L).map(i => (i, s"g${i % 3}", i * 2)).toDF("id", "grp", "v"),
+      root, "append", "sm-c1", partitionCols = Seq("grp"), statsCols = Seq("id"))
+    // MOR delete: ids 3,6,9 tombstone as a delete set — no rewrite happens
+    VersionedTable.deleteWhereMor(spark, root, Seq(3L, 6L, 9L).toDF("id"),
+      "id", "sm-del")
+    assert(VersionedTable.latestCommit(root).get.deletes.nonEmpty)
+    val df = spark.sql(s"SELECT grp, count(*) AS n, sum(id) AS ids " +
+      s"FROM graft_copart('$root', 'grp', 4) GROUP BY grp")
+    // the deletes applied: exactly the anti-joined row set survives
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (1L to 24L).filterNot(Set(3L, 6L, 9L)).map(i => (i, s"g${i % 3}"))
+      .groupBy(_._2).map { case (g, xs) => (g, xs.size.toLong, xs.map(_._1).sum) }.toSet
+    assert(got == want)
+    // removal cannot move a surviving row's slot: the declared partitioning
+    // holds and the aggregation still plans with ZERO Exchange
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(1500))
+    // a later append re-inserts a purged key (the new dir is uncovered)
+    VersionedTable.commit(Seq((3L, "g0", 99L)).toDF("id", "grp", "v"),
+      root, "append", "sm-c2", partitionCols = Seq("grp"), statsCols = Seq("id"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM graft_copart('$root', 'grp', 4) " +
+      "WHERE id = 3").head().getLong(0) == 1L)
+  }
+
   test("composite-key MERGE: tuple upsert with intersected dir pruning") {
     import spark.implicits._
     val root = tmpDir("mkeys")
