@@ -2315,6 +2315,140 @@ private[graft] object QueriesMedallionIo {
         |  TRUE AS absorbed
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — POSITIONAL DELETION VECTORS (VersionedTable.deleteWherePos —
+    // the Delta DV / Iceberg v2 positional-delete shape, deleteWhereMor's
+    // read-optimized twin): the purge resolves matching rows' PHYSICAL
+    // (file, row_index) coordinates once at write time into one small
+    // posdel/ vector — no data dir rewritten ('dirs_unchanged') — and
+    // readers skip the positions with a codegen'd scalar predicate inside
+    // the scan's own whole-stage span: ZERO join work, unlike the key
+    // twin's per-set broadcast anti-join. A later append re-inserts two of
+    // the purged keys ('REINSERTED') because its dir is never covered —
+    // the same subtle correctness case the key-MOR oracle pins — and the
+    // oracle recomputes the survivor aggregate as plain SQL.
+    Q("versioned_delete_dv",
+      (s, dir) => {
+        val (root, marked, positions, unchanged) = Fixtures.once(s, dir, "vt_dv") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_dv_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          Seq(("dv1", col("o_orderkey") <= b1),
+            ("dv2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("dv3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
+            ("dv4", col("o_orderkey") > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"dv-$id",
+              statsCols = Seq("o_orderkey"))
+          }
+          val preDirs = graft.io.VersionedTable.history(r).last.dirs
+          val purge = o.filter(col("o_orderkey") > b1 && col("o_orderkey") <= b2 &&
+            col("o_orderkey") % 3 === 0).select("o_orderkey")
+          val nPurged = purge.count()
+          val (_, m, p) = graft.io.VersionedTable.deleteWherePos(s, r, purge,
+            "o_orderkey", "dv-purge")
+          require(p == nPurged, s"expected $nPurged positions, recorded $p")
+          val same = graft.io.VersionedTable.history(r).last.dirs == preDirs
+          graft.io.VersionedTable.commit(
+            o.filter(col("o_orderkey") > b1 && col("o_orderkey") <= b2 &&
+                col("o_orderkey") % 9 === 0)
+              .select(col("o_orderkey"), lit("REINSERTED").as("o_orderpriority"),
+                col("o_totalprice")),
+            r, "append", "dv-reinsert", statsCols = Seq("o_orderkey"))
+          (r, m.toLong, p, java.lang.Boolean.valueOf(same))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("dirs_marked", lit(marked))
+          .withColumn("positions_recorded", lit(positions))
+          .withColumn("dirs_unchanged", lit(unchanged.booleanValue()))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH q AS (SELECT max(o_orderkey) // 4 AS q1, max(o_orderkey) // 2 AS q2 FROM orders),
+        |p AS (SELECT o_orderkey FROM orders CROSS JOIN q
+        |  WHERE o_orderkey > q1 AND o_orderkey <= q2 AND o_orderkey % 3 = 0),
+        |d AS (SELECT o_orderkey, o_orderpriority FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM p)),
+        |r AS (SELECT o_orderkey, 'REINSERTED' AS o_orderpriority FROM orders CROSS JOIN q
+        |  WHERE o_orderkey > q1 AND o_orderkey <= q2 AND o_orderkey % 9 = 0),
+        |u AS (SELECT * FROM d UNION ALL SELECT * FROM r)
+        |SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS dirs_marked,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM p) AS positions_recorded,
+        |  TRUE AS dirs_unchanged
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — SPLIT MOR METER + ABSORB (VersionedTable.morDetail — morStatus
+    // by vector KIND): a key-based purge and a positional purge on
+    // separate bands leave (2 dirs covered; 1 key set / |p1| keys; 1
+    // positional vector / |p2| positions) — the two debts alert on
+    // different thresholds because their read costs differ (anti-join per
+    // set vs codegen'd position skip whose weight is the pending-position
+    // count shipped in the task binary). OPTIMIZE absorbs BOTH kinds
+    // ('absorbed') and vacuum sweeps both set layouts ('swept').
+    Q("versioned_dv_absorb",
+      (s, dir) => {
+        val (root, counts, absorbed, swept) = Fixtures.once(s, dir, "vt_dv_absorb") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_dvab_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (b1, b2, b3) = (mx / 4, mx / 2, 3 * mx / 4)
+          Seq(("da1", col("o_orderkey") <= b1),
+            ("da2", col("o_orderkey") > b1 && col("o_orderkey") <= b2),
+            ("da3", col("o_orderkey") > b2 && col("o_orderkey") <= b3),
+            ("da4", col("o_orderkey") > b3)).foreach { case (id, pred) =>
+            graft.io.VersionedTable.commit(o.filter(pred), r, "append", s"da-$id",
+              statsCols = Seq("o_orderkey"))
+          }
+          graft.io.VersionedTable.deleteWhereMor(s, r,
+            o.filter(col("o_orderkey") > b1 && col("o_orderkey") <= b2 &&
+              col("o_orderkey") % 3 === 0).select("o_orderkey"),
+            "o_orderkey", "da-key")
+          graft.io.VersionedTable.deleteWherePos(s, r,
+            o.filter(col("o_orderkey") > b2 && col("o_orderkey") <= b3 &&
+              col("o_orderkey") % 5 === 0).select("o_orderkey"),
+            "o_orderkey", "da-pos")
+          val d = graft.io.VersionedTable.morDetail(s, r)
+          graft.io.VersionedTable.compact(s, r, "da-opt", targetFiles = 2,
+            statsCols = Seq("o_orderkey"))
+          val zeroed = graft.io.VersionedTable.morDetail(s, r) == ((0, 0, 0L, 0, 0L))
+          val reclaimed = graft.io.VersionedTable.vacuum(r, retainLast = 1)
+          val sw = reclaimed.exists(_.contains("deletes/")) &&
+            reclaimed.exists(_.contains("posdel/"))
+          (r, Seq(d._1.toLong, d._2.toLong, d._3, d._4.toLong, d._5),
+            java.lang.Boolean.valueOf(zeroed), java.lang.Boolean.valueOf(sw))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("dirs_covered", lit(counts(0)))
+          .withColumn("key_sets", lit(counts(1)))
+          .withColumn("keys_pending", lit(counts(2)))
+          .withColumn("pos_sets", lit(counts(3)))
+          .withColumn("positions_pending", lit(counts(4)))
+          .withColumn("absorbed", lit(absorbed.booleanValue()))
+          .withColumn("swept", lit(swept.booleanValue()))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH q AS (SELECT max(o_orderkey) // 4 AS q1, max(o_orderkey) // 2 AS q2,
+        |  3 * max(o_orderkey) // 4 AS q3 FROM orders),
+        |pk AS (SELECT o_orderkey FROM orders CROSS JOIN q
+        |  WHERE o_orderkey > q1 AND o_orderkey <= q2 AND o_orderkey % 3 = 0),
+        |pp AS (SELECT o_orderkey FROM orders CROSS JOIN q
+        |  WHERE o_orderkey > q2 AND o_orderkey <= q3 AND o_orderkey % 5 = 0),
+        |d AS (SELECT o_orderkey, o_orderpriority FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM pk)
+        |    AND o_orderkey NOT IN (SELECT o_orderkey FROM pp))
+        |SELECT o_orderpriority, count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(2 AS BIGINT) AS dirs_covered, CAST(1 AS BIGINT) AS key_sets,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pk) AS keys_pending,
+        |  CAST(1 AS BIGINT) AS pos_sets,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM pp) AS positions_pending,
+        |  TRUE AS absorbed, TRUE AS swept
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — SHALLOW CLONE (VersionedTable.cloneTo — the Delta CREATE TABLE
     // SHALLOW CLONE shape): the clone's v1 manifest references the source
     // snapshot's dirs by absolute path — ZERO data copied at any table
@@ -3320,6 +3454,51 @@ private[graft] object QueriesMedallionIo {
         |  o_custkey FROM orders WHERE o_orderkey % 7 <> 0)
         |SELECT o_orderpriority, count(*) AS mv_rows,
         |  CAST(sum(o_custkey) AS BIGINT) AS o_custkey_sum, TRUE AS replay_noop
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — MATERIALIZED-VIEW MIN/MAX (MatView min/max columns — the
+    // non-decrementable aggregates every warehouse IVM restricts, served by
+    // the standard two-tier rule): inserts tighten the extremes
+    // monotonically for free; the refresh falls back to recomputation ONLY
+    // when a deleted row's value TIES a group's current extreme — and then
+    // it re-reads just the AFFECTED GROUPS' source slices (bloom-gated
+    // point reads / a pushed IN filter), never the source. The fixture
+    // deletes every group's MINIMUM key row, forcing the affected path for
+    // all groups on both a long and a string extreme; the oracle recomputes
+    // the final aggregate directly, so incremental == full is pinned.
+    Q("versioned_matview_minmax",
+      (s, dir) => {
+        val mv = Fixtures.once(s, dir, "vt_matview_minmax") {
+          val srcR = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_mmsrc_${dirTag(dir)}"
+          val mvR = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_mvmm_${dirTag(dir)}"
+          rmrf(srcR); rmrf(mvR)
+          val o = rd(s, dir, "orders")
+            .select("o_orderkey", "o_orderpriority", "o_custkey", "o_orderstatus")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0),
+            srcR, "append", "mm-c0", statsCols = Seq("o_orderkey"))
+          graft.io.MatView.create(s, mvR, srcR, "o_orderpriority",
+            Seq("o_custkey"), "mm-create", minMaxCols = Seq("o_orderkey", "o_orderstatus"))
+          // insert-only refresh tightens (odd keys extend both extremes)
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1),
+            srcR, "append", "mm-c1", statsCols = Seq("o_orderkey"))
+          // then delete every group's MINIMUM key — each group loses its
+          // o_orderkey extreme, forcing the affected-group recompute
+          val mins = graft.io.VersionedTable.read(s, srcR)
+            .groupBy("o_orderpriority").agg(min(col("o_orderkey")).as("o_orderkey"))
+            .select("o_orderkey")
+          graft.io.VersionedTable.deleteWhere(s, srcR, mins, "o_orderkey", "mm-d0",
+            statsCols = Seq("o_orderkey"))
+          graft.io.MatView.refresh(s, mvR)
+          mvR
+        }
+        graft.io.VersionedTable.read(s, mv).orderBy("o_orderpriority")
+      },
+      Some("""WITH mins AS (SELECT min(o_orderkey) AS k FROM orders GROUP BY o_orderpriority),
+        |m AS (SELECT * FROM orders WHERE o_orderkey NOT IN (SELECT k FROM mins))
+        |SELECT o_orderpriority, count(*) AS mv_rows,
+        |  CAST(sum(o_custkey) AS BIGINT) AS o_custkey_sum,
+        |  min(o_orderkey) AS o_orderkey_min, max(o_orderkey) AS o_orderkey_max,
+        |  min(o_orderstatus) AS o_orderstatus_min, max(o_orderstatus) AS o_orderstatus_max
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

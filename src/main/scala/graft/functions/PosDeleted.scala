@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Row-membership test of a POSITIONAL DELETION VECTOR (the Delta
+  * deletion-vector / Iceberg v2 positional-delete read side): given a data
+  * file's table-relative path and a row's parquet `row_index`, answer
+  * whether the (file, position) pair is deleted — a per-row hash lookup +
+  * binary search against a driver-resolved map, NO join.
+  *
+  * This is what makes positional merge-on-read strictly cheaper to READ
+  * than the key-based twin: the key form pays one broadcast anti-join per
+  * covering set per scan; this form is a codegen'd scalar predicate inside
+  * the same whole-stage span as the scan itself, with cost independent of
+  * how many rows were deleted or how wide the key column is. The vector is
+  * small by the MOR contract ([[graft.io.VersionedTable.morStatus]] meters
+  * it; compaction absorbs it), so shipping it inside the expression — which
+  * rides the per-stage broadcast task binary — is the same distribution
+  * path Spark uses for any literal-bearing predicate.
+  *
+  * Per-file memo: a parquet scan task reads one file's rows consecutively,
+  * so the (file → positions) lookup caches the last file's array and the
+  * common-case cost is ONE UTF8String equality check + binary search per
+  * row. Instances are deserialized per task, so the mutable memo is
+  * single-threaded by construction.
+  */
+case class PosDeleted(left: Expression, right: Expression,
+                      dv: Map[String, Array[Long]])
+  extends BinaryExpression with Predicate {
+
+  override def prettyName: String = "pos_deleted"
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (StringType, LongType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pos_deleted expects (string, bigint), got ($l, $r)")
+    }
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  @transient private var lastFile: UTF8String = _
+  @transient private var lastArr: Array[Long] = _
+
+  /** Task-side hot path (also the codegen call target). */
+  def deleted(file: UTF8String, pos: Long): Boolean = {
+    if (lastFile == null || !lastFile.equals(file)) {
+      // clone: the scan may hand back a buffer-backed UTF8String it reuses
+      lastFile = file.clone()
+      lastArr = dv.getOrElse(file.toString, null)
+    }
+    lastArr != null && java.util.Arrays.binarySearch(lastArr, pos) >= 0
+  }
+
+  override def nullSafeEval(file: Any, pos: Any): Any =
+    deleted(file.asInstanceOf[UTF8String], pos.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("posDv", this, classOf[PosDeleted].getName)
+    nullSafeCodeGen(ctx, ev, (f, p) => s"${ev.value} = $ref.deleted($f, $p);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,6 +1,6 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** INCREMENTAL MATERIALIZED VIEWS over the versioned table's change feed —
@@ -17,10 +17,19 @@ import org.apache.spark.sql.functions._
   * insert/update_postimage, -row for delete/update_preimage), aggregates
   * per key — O(changed rows), never O(source) — and lands on the view
   * through ONE [[VersionedTable.applyCdcBatch]] commit: groups whose count
-  * reaches zero are tombstoned, everything else upserts. min/max are
-  * deliberately NOT offered (they are not decrementable without the full
-  * group — the same reason warehouse IVM restricts them); avg = sum/count
+  * reaches zero are tombstoned, everything else upserts; avg = sum/count
   * at read time.
+  *
+  * min/max — NOT decrementable — maintain by the standard two-tier rule
+  * every warehouse IVM uses: INSERTS tighten the extreme monotonically
+  * (`least`/`greatest`, zero extra IO), and a refresh only falls back to
+  * recomputation when a DELETED row's value ties the group's current
+  * extreme — and then it recomputes ONLY the AFFECTED GROUPS' slices of
+  * the source (bloom-gated point reads for a handful of integral keys, a
+  * pushed `IN` filter otherwise), never the whole source. A duplicate
+  * extreme recomputes conservatively (multiplicity isn't tracked); the
+  * recompute reads the source AS OF the commit being folded, so the
+  * one-version-per-view-commit exactly-once contract is untouched.
   *
   * Why this matters at 100 TB: the view maintains a serving aggregate of a
   * continuously-merged source for the cost of the DELTAS. A nightly full
@@ -42,15 +51,22 @@ object MatView {
   private val P_SRC = "graft.mv.src"
   private val P_KEY = "graft.mv.key"
   private val P_SUMS = "graft.mv.sums"
+  private val P_MINMAX = "graft.mv.minmax"
   private val P_SYNCED = "graft.mv.synced"
 
   private def sumName(c: String) = s"${c}_sum"
+  private def minName(c: String) = s"${c}_min"
+  private def maxName(c: String) = s"${c}_max"
 
-  private def aggregate(src: DataFrame, keyCol: String, sumCols: Seq[String]): DataFrame =
+  private def aggregate(src: DataFrame, keyCol: String, sumCols: Seq[String],
+                        minMaxCols: Seq[String]): DataFrame =
     src.groupBy(col(keyCol))
       .agg(count(lit(1)).as("mv_rows"),
-        sumCols.map(c => sum(col(c)).as(sumName(c))): _*)
-      .select(col(keyCol) +: col("mv_rows") +: sumCols.map(c => col(sumName(c))): _*)
+        sumCols.map(c => sum(col(c)).as(sumName(c))) ++
+          minMaxCols.flatMap(c => Seq(min(col(c)).as(minName(c)),
+            max(col(c)).as(maxName(c)))): _*)
+      .select(col(keyCol) +: col("mv_rows") +: (sumCols.map(c => col(sumName(c))) ++
+        minMaxCols.flatMap(c => Seq(col(minName(c)), col(maxName(c))))): _*)
 
   /** CREATE MATERIALIZED VIEW `mvRoot` AS SELECT keyCol, count(*),
     * sum(sumCols..) FROM srcRoot GROUP BY keyCol — one full aggregation of
@@ -63,7 +79,8 @@ object MatView {
     * over thousands of incremental refreshes).
     */
   def create(spark: SparkSession, mvRoot: String, srcRoot: String, keyCol: String,
-             sumCols: Seq[String], commitId: String): Long = {
+             sumCols: Seq[String], commitId: String,
+             minMaxCols: Seq[String] = Nil): Long = {
     require(sumCols.nonEmpty, "MatView.create: no sum columns")
     val srcV = VersionedTable.latestVersion(srcRoot).getOrElse(
       sys.error(s"MatView.create: no commits at $srcRoot"))
@@ -75,14 +92,24 @@ object MatView {
         s"MatView.create: sum column '$c' is $dt — only integral columns are " +
           "exactly decrementable (incremental refresh must not accumulate float drift)")
     }
-    val view = aggregate(src, keyCol, sumCols)
+    minMaxCols.foreach { c =>
+      val dt = src.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.LongType ||
+        dt == org.apache.spark.sql.types.IntegerType ||
+        dt == org.apache.spark.sql.types.StringType,
+        s"MatView.create: min/max column '$c' is $dt — integral or string only " +
+          "(the affected-group recompute compares engine-exact orderings)")
+    }
+    val view = aggregate(src, keyCol, sumCols, minMaxCols)
     val v = VersionedTable.commit(view, mvRoot, "append", commitId,
       statsCols = Seq(keyCol))
     VersionedTable.setTableProperties(mvRoot, Map(
       P_SRC -> java.nio.file.Paths.get(srcRoot).toAbsolutePath.normalize.toString,
       P_KEY -> keyCol,
       P_SUMS -> sumCols.mkString(","),
-      P_SYNCED -> srcV.toString), s"$commitId--props")
+      P_SYNCED -> srcV.toString) ++
+      (if (minMaxCols.isEmpty) Map.empty[String, String]
+       else Map(P_MINMAX -> minMaxCols.mkString(","))), s"$commitId--props")
     v
   }
 
@@ -99,6 +126,7 @@ object MatView {
       s"MatView.refresh: $mvRoot carries no $P_SRC property — not a materialized view"))
     val keyCol = props(P_KEY)
     val sumCols = props(P_SUMS).split(",").toSeq
+    val mmCols = props.get(P_MINMAX).map(_.split(",").toSeq).getOrElse(Nil)
     val synced = props(P_SYNCED).toLong
     val srcLatest = VersionedTable.latestVersion(srcRoot).getOrElse(
       sys.error(s"MatView.refresh: source $srcRoot has no commits"))
@@ -116,10 +144,18 @@ object MatView {
           .when(col("_change_type").isin("delete", "update_preimage"), -1L)
           .otherwise(raise_error(concat(lit("MatView.refresh: unknown change type "),
             col("_change_type"))).cast("long"))
+        // per touched key: signed count/sum deltas; for each min/max column
+        // the inserted rows' extremes (tighten monotonically) and the
+        // deleted rows' extremes (detect removal of the current extreme)
         val delta = cf.withColumn("__sign", sign)
           .groupBy(col(keyCol))
           .agg(sum(col("__sign")).as("__rows_d"),
-            sumCols.map(c => sum(col("__sign") * col(c)).as(s"__${c}_d")): _*)
+            sumCols.map(c => sum(col("__sign") * col(c)).as(s"__${c}_d")) ++
+              mmCols.flatMap(c => Seq(
+                min(when(col("__sign") === 1L, col(c))).as(s"__${c}_imin"),
+                max(when(col("__sign") === 1L, col(c))).as(s"__${c}_imax"),
+                min(when(col("__sign") === -1L, col(c))).as(s"__${c}_dmin"),
+                max(when(col("__sign") === -1L, col(c))).as(s"__${c}_dmax"))): _*)
         if (!delta.isEmpty) {
           // current view rows for the touched keys + signed deltas → new
           // values. Two broadcast joins keep the big side stream-only: the
@@ -129,17 +165,57 @@ object MatView {
           val cur = VersionedTable.read(spark, mvRoot)
           val touched = cur.join(broadcast(delta.select(col(keyCol))),
             Seq(keyCol), "left_semi")
+          // provisional extremes: least/greatest skip NULLs, so a brand-new
+          // group takes the inserted extreme and an insert-only refresh
+          // tightens for free. The DELETE-side hazard — a removed value
+          // TYING the group's current extreme — flags the group for the
+          // affected-slice recompute below (ties are conservative:
+          // multiplicity is not tracked)
+          val mmAffected: Column =
+            if (mmCols.isEmpty) lit(false)
+            else mmCols.map(c =>
+              coalesce(col(s"__${c}_dmin") <= col(minName(c)), lit(false)) ||
+                coalesce(col(s"__${c}_dmax") >= col(maxName(c)), lit(false)))
+              .reduce(_ || _)
           val combined = delta.join(broadcast(touched), Seq(keyCol), "left_outer")
             .select(
               col(keyCol) +:
                 (coalesce(col("mv_rows"), lit(0L)) + col("__rows_d")).as("mv_rows") +:
-                sumCols.map(c => (coalesce(col(sumName(c)), lit(0L)) +
-                  col(s"__${c}_d")).as(sumName(c))): _*)
+                (sumCols.map(c => (coalesce(col(sumName(c)), lit(0L)) +
+                  col(s"__${c}_d")).as(sumName(c))) ++
+                  mmCols.flatMap(c => Seq(
+                    least(col(minName(c)), col(s"__${c}_imin")).as(minName(c)),
+                    greatest(col(maxName(c)), col(s"__${c}_imax")).as(maxName(c)))) :+
+                  mmAffected.as("__mm_affected")): _*)
           val negative = combined.filter(col("mv_rows") < 0).limit(1).collect()
           require(negative.isEmpty, s"MatView.refresh: group ${negative.headOption.orNull} " +
             "reached a negative row count — the change feed and the view disagree " +
             "(was the view written to directly?); rebuild() the view")
-          val upserts = combined.filter(col("mv_rows") > 0)
+          val upserts0 = combined.filter(col("mv_rows") > 0)
+          val upserts =
+            if (mmCols.isEmpty) upserts0.drop("__mm_affected")
+            else {
+              // AFFECTED-GROUP recompute: groups that lost an extreme re-read
+              // ONLY their slice of the source — as of the version being
+              // folded — through the skipping index; O(hit dirs of the
+              // affected keys), never O(source)
+              val affectedKeys = upserts0.filter(col("__mm_affected"))
+                .select(col(keyCol)).collect().map(_.get(0)).toSeq
+              if (affectedKeys.isEmpty) upserts0.drop("__mm_affected")
+              else {
+                val slice = sourceSlice(spark, srcRoot, v, keyCol, affectedKeys)
+                val rAggs = mmCols.flatMap(c => Seq(min(col(c)).as(s"__r_${c}_min"),
+                  max(col(c)).as(s"__r_${c}_max")))
+                val recomputed = slice.groupBy(col(keyCol)).agg(rAggs.head, rAggs.tail: _*)
+                upserts0.join(broadcast(recomputed), Seq(keyCol), "left_outer")
+                  .select(
+                    col(keyCol) +: col("mv_rows") +:
+                      (sumCols.map(c => col(sumName(c))) ++
+                        mmCols.flatMap(c => Seq(
+                          coalesce(col(s"__r_${c}_min"), col(minName(c))).as(minName(c)),
+                          coalesce(col(s"__r_${c}_max"), col(maxName(c))).as(maxName(c))))): _*)
+              }
+            }
           val deletes = combined.filter(col("mv_rows") === 0).select(col(keyCol))
           VersionedTable.applyCdcBatch(spark, mvRoot, upserts, deletes, keyCol,
             commitId, statsCols = Seq(keyCol))
@@ -150,6 +226,24 @@ object MatView {
       VersionedTable.setTableProperties(mvRoot,
         Map(P_SYNCED -> srcLatest.toString), s"mv-sync-$srcLatest")
     srcLatest
+  }
+
+  /** The source rows of `keys` as of source version `v` — the
+    * affected-group recompute's read path. A handful of integral keys go
+    * through [[VersionedTable.readPoint]] (bloom + envelope dir pruning —
+    * O(dirs actually holding each key)); otherwise one snapshot read with
+    * an `IN` filter the parquet scan pushes down to row-group stats.
+    */
+  private def sourceSlice(spark: SparkSession, srcRoot: String, v: Long,
+                          keyCol: String, keys: Seq[Any]): DataFrame = {
+    val integral = keys.forall(_.isInstanceOf[java.lang.Number])
+    if (integral && keys.size <= 32)
+      keys.map(k => VersionedTable.readPoint(spark, srcRoot, keyCol,
+        k.asInstanceOf[java.lang.Number].longValue, asOf = Some(v)))
+        .reduce(_.unionByName(_))
+    else
+      VersionedTable.read(spark, srcRoot, asOf = Some(v))
+        .filter(col(keyCol).isin(keys: _*))
   }
 
   /** Full re-materialization — the escape hatch for source histories the
@@ -164,17 +258,19 @@ object MatView {
       s"MatView.rebuild: $mvRoot carries no $P_SRC property — not a materialized view"))
     val keyCol = props(P_KEY)
     val sumCols = props(P_SUMS).split(",").toSeq
+    val mmCols = props.get(P_MINMAX).map(_.split(",").toSeq).getOrElse(Nil)
     val srcV = VersionedTable.latestVersion(srcRoot).getOrElse(
       sys.error(s"MatView.rebuild: source $srcRoot has no commits"))
-    val view = aggregate(VersionedTable.read(spark, srcRoot), keyCol, sumCols)
+    val view = aggregate(VersionedTable.read(spark, srcRoot), keyCol, sumCols, mmCols)
     VersionedTable.commit(view, mvRoot, "overwrite", s"mv-rebuild-$srcV",
       statsCols = Seq(keyCol))
     // overwrite resets table properties? No — properties are carried by the
     // parent; re-assert the sync point explicitly either way
     VersionedTable.setTableProperties(mvRoot,
       Map(P_SYNCED -> srcV.toString) ++
-        (if (VersionedTable.tableProperties(mvRoot).contains(P_SRC)) Map.empty
-         else Map(P_SRC -> props(P_SRC), P_KEY -> keyCol, P_SUMS -> props(P_SUMS))),
+        (if (VersionedTable.tableProperties(mvRoot).contains(P_SRC)) Map.empty[String, String]
+         else Map(P_SRC -> props(P_SRC), P_KEY -> keyCol, P_SUMS -> props(P_SUMS)) ++
+           props.get(P_MINMAX).map(P_MINMAX -> _)),
       s"mv-rebuild-$srcV--props")
     srcV
   }

@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 
 import com.fasterxml.jackson.databind.ObjectMapper
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** Snapshot-versioned table on plain Parquet — the observable core of a
   * Delta/Iceberg-style table format, Spark-native and dependency-free.
@@ -293,12 +293,17 @@ object VersionedTable {
     * forget to declare one.
     */
   private[graft] val supportedReaderFeatures =
-    Set("mor-deletes", "column-mapping", "external-refs", "dropped-columns",
-        "generated-columns", "identity-columns", "partition-evolution",
-        "column-defaults")
+    Set("mor-deletes", "pos-deletes", "column-mapping", "external-refs",
+        "dropped-columns", "generated-columns", "identity-columns",
+        "partition-evolution", "column-defaults")
 
   private def featuresOf(c: Commit): Seq[String] = Seq(
     (c.deletes.nonEmpty || c.deleteKeys.nonEmpty) -> "mor-deletes",
+    // positional vectors gate SEPARATELY from key sets: a key-MOR-only
+    // reader would look a posdel set up in deleteKeys and fail usefully,
+    // but the feature makes the refusal a declared contract, not an
+    // accident of the error path
+    c.deletes.valuesIterator.flatten.exists(isPosSet) -> "pos-deletes",
     c.nameMap.nonEmpty -> "column-mapping",
     (c.dirs.exists(_.startsWith("/")) ||
       c.deletes.valuesIterator.flatten.exists(_.startsWith("/"))) -> "external-refs",
@@ -2532,7 +2537,25 @@ object VersionedTable {
     val groups = dirs.groupBy(d => c.deletes.getOrElse(d, Nil)).toSeq
       .sortBy(_._1.mkString(","))
     groups.map { case (sets, ds) =>
-      sets.foldLeft(scan(ds)) { (df, setName) =>
+      val (posSets, keySets) = sets.partition(isPosSet)
+      val base =
+        if (posSets.isEmpty) scan(ds)
+        else {
+          // POSITIONAL vectors need the leaf parquet relation's hidden
+          // `_metadata` columns, which do not survive the aligned group
+          // scan — so covered dirs scan per dir, filter with the codegen'd
+          // row-index predicate (NO join), then align exactly as the group
+          // path would. Pos-covered dirs are few by the MOR contract, so
+          // the per-dir scan split costs nothing at scale.
+          val target = c.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+          val dv = loadPosDv(spark, root, posSets)
+          ds.map { d =>
+            alignTo(target, c.defaults)(
+              spark.read.parquet(dirPath(root, d))
+                .filter(org.apache.spark.sql.functions.not(posDeletedCol(d, dv))))
+          }.reduce(_.unionByName(_))
+        }
+      keySets.foldLeft(base) { (df, setName) =>
         val keyCol = c.deleteKeys.getOrElse(setName,
           sys.error(s"manifest references delete set $setName with no recorded key column"))
         df.join(
@@ -2542,6 +2565,57 @@ object VersionedTable {
       }
     }.reduce(_.unionByName(_))
   }
+
+  /** Whether a delete-set reference names a POSITIONAL vector ([[
+    * deleteWherePos]]'s `posdel/` layout) vs a key set (`deletes/`). The
+    * kind is carried by the name so the coverage map, rewrite-absorb,
+    * CDC-refusal, clone and vacuum machinery stay kind-agnostic; external
+    * (shallow-clone) references keep their source layout, hence the
+    * mid-path form.
+    */
+  private def isPosSet(n: String): Boolean =
+    n.startsWith("posdel/") || n.contains("/posdel/")
+
+  /** The file key of rows scanned from dir `d` — what a positional vector
+    * records and what the read-side predicate matches:
+    * `<dir's last path component>/<path under the dir>` (hive subdirs
+    * included). Derived from `_metadata.file_path` by splitting at the
+    * dir's last path component, which is unique in the path: attempt names
+    * embed a version + commitId + random suffix, and hive segments below
+    * always carry a `col=` prefix, so the LAST occurrence is the dir
+    * itself. Keyed by the last component alone — NOT the manifest's `d`
+    * spelling — so a shallow clone's external-ref rewrite
+    * (`data/x` → `/src/data/x`) leaves recorded vectors valid.
+    */
+  private def fileKeyCol(d: String): Column = {
+    import org.apache.spark.sql.functions.{col, concat, lit, substring_index}
+    val last = d.substring(d.lastIndexOf('/') + 1)
+    concat(lit(last + "/"),
+      substring_index(col("_metadata.file_path"), "/" + last + "/", -1))
+  }
+
+  /** The read-side positional predicate of dir `d` under merged vectors
+    * `dv`: true exactly for deleted (file, row_index) pairs. */
+  private def posDeletedCol(d: String, dv: Map[String, Array[Long]]): Column = {
+    import org.apache.spark.sql.graftshim.GraftColumnBridge
+    import org.apache.spark.sql.functions.col
+    GraftColumnBridge.column(graft.functions.PosDeleted(
+      GraftColumnBridge.expression(fileKeyCol(d)),
+      GraftColumnBridge.expression(col("_metadata.row_index")), dv))
+  }
+
+  /** Driver-resolve `sets` into one merged (file → sorted positions) map.
+    * O(pending positions) — small by the MOR contract and metered by
+    * [[morStatus]]/[[morDetail]]; compaction absorbs it back to zero.
+    */
+  private def loadPosDv(spark: SparkSession, root: String,
+                        sets: Seq[String]): Map[String, Array[Long]] =
+    sets.flatMap { sn =>
+      spark.read.parquet(dirPath(root, sn)).select("file", "pos").collect()
+        .map(r => (r.getString(0), r.getLong(1)))
+    }.groupBy(_._1).map { case (f, ps) =>
+      f -> ps.map(_._2).distinct.sorted.toArray
+    }
 
   /** Scan commit dirs under the snapshot's layout: flat dirs go through one
     * multi-path scan; hive-partitioned dirs are each their own layout root,
@@ -3859,6 +3933,135 @@ object VersionedTable {
     (covered, sets.size, keys)
   }
 
+  /** [[morStatus]] split by VECTOR KIND — the bitmap-aware meter:
+    * `(dirsCovered, keySets, keysPending, posSets, positionsPending)`.
+    * Key sets cost readers one broadcast anti-join each; positional sets
+    * cost a codegen'd row-index predicate whose weight is the pending
+    * POSITION count (the map ships in the task binary), so the two debts
+    * alert on different thresholds — exactly why Delta meters deletion
+    * vectors separately from rewrites.
+    */
+  def morDetail(spark: SparkSession, root: String,
+                asOf: Option[Long] = None): (Int, Int, Long, Int, Long) = {
+    val c = resolveSnapshot(root, asOf)
+    val covered = c.deletes.count(_._2.nonEmpty)
+    val sets = c.deletes.values.flatten.toSet.toSeq.sorted
+    val (pos, key) = sets.partition(isPosSet)
+    val keysPending = key.map(sn => spark.read.parquet(dirPath(root, sn)).count()).sum
+    val posPending = pos.map(sn => spark.read.parquet(dirPath(root, sn)).count()).sum
+    (covered, key.size, keysPending, pos.size, posPending)
+  }
+
+  /** POSITIONAL merge-on-read DELETE (the Delta deletion-vector v2 /
+    * Iceberg positional-delete shape — [[deleteWhereMor]]'s read-optimized
+    * twin): instead of recording the KEYS and making every reader re-find
+    * them with a broadcast anti-join, the write RESOLVES the matching rows'
+    * physical coordinates once — (table-relative file, parquet row index)
+    * — into one small `posdel/` vector, and readers skip those positions
+    * with a codegen'd scalar predicate inside the scan's own whole-stage
+    * span ([[graft.functions.PosDeleted]]): ZERO join work, read cost
+    * independent of key width and delete count. The trade against the key
+    * twin: this write pays an envelope+bloom-gated SCAN of the hit dirs
+    * (O(hit dirs), like copy-on-write's read half) but writes O(matches);
+    * key-MOR writes O(batch) with no scan but taxes every read until
+    * compaction. Positions are file-physical, so a concurrently advancing
+    * log invalidates nothing except a REWRITE of a hit dir — the OCC loop
+    * recomputes from scratch on any lost race, which is trivially
+    * serializable because manifest versions are dense.
+    *
+    * Shared contract with [[deleteWhereMor]]: covered dirs hide the rows, a
+    * LATER append re-inserts freely (its dir is never covered), NULL keys
+    * refuse loudly, idempotent commitId retry, compaction/rewrites ABSORB
+    * the vector ([[scanWithDeletes]] applies it wherever key sets apply —
+    * including copy-on-write read halves and copart slot scans), vacuum
+    * sweeps orphaned vectors by the same age gate, and the manifest
+    * declares the `pos-deletes` reader feature while any vector is live.
+    * Rows already hidden by older coverage may be re-recorded (their
+    * positions match); the filter is idempotent, so this only inflates the
+    * meter, never the result. Returns (version, dirsMarked,
+    * positionsRecorded).
+    */
+  def deleteWherePos(spark: SparkSession, root: String, keys: DataFrame,
+                     keyCol: String, commitId: String): (Long, Int, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col, expr, lit, raise_error, when}
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => (prior, -1, -1L)
+      case None =>
+        var result: (Long, Int, Long) = null
+        while (result == null) {
+          val parentOpt = latestCommit(root)
+          require(parentOpt.nonEmpty, s"deleteWherePos: no commits at $root")
+          findCommitVersion(root, commitId) match {
+            case Some(prior) => result = (prior, -1, -1L)
+            case None =>
+              val parent = parentOpt.get
+              val physKey = physName(parent, keyCol)
+              require(!parent.dropped.contains(physKey),
+                s"deleteWherePos: key column '$keyCol' is dropped")
+              val guarded = keys.select(col(keyCol).as(physKey))
+                .filter(when(col(physKey).isNull,
+                    raise_error(lit("deleteWherePos: NULL delete key (equality never " +
+                      "matches NULL, so the row would silently survive)")).cast("boolean"))
+                  .otherwise(lit(true)))
+                .distinct()
+              val (hit, _) = rangeHitDirs(root, parent, guarded, physKey, "deleteWherePos")
+              val v = parent.version + 1
+              val setName = attemptDirName("posdel", v, commitId)
+              val (markedDirs, nPos): (Seq[String], Long) =
+                if (hit.isEmpty) (Nil, 0L)
+                else {
+                  // resolve physical positions per hit dir: raw per-dir scan
+                  // (hive recovery under the dir's own path) + broadcast
+                  // semi-join against the key batch; metadata columns are
+                  // captured BEFORE any projection, positions are parquet
+                  // row indexes — stable for immutable dirs by construction
+                  hit.map { d =>
+                    val raw = spark.read.parquet(dirPath(root, d))
+                    val withMeta = raw.select(col("*"),
+                      fileKeyCol(d).as("__graft_file"),
+                      col("_metadata.row_index").as("__graft_pos"))
+                    // a dir predating a schema-evolved key column holds the
+                    // declared DEFAULT logically — without this backfill a
+                    // delete of the default value would silently miss it
+                    val keyed =
+                      if (withMeta.columns.contains(physKey)) withMeta
+                      else withMeta.withColumn(physKey,
+                        parent.defaults.get(physKey).map(expr)
+                          .getOrElse(lit(null)))
+                    keyed.join(broadcast(guarded), Seq(physKey), "left_semi")
+                      .select(lit(d).as("dir"), col("__graft_file").as("file"),
+                        col("__graft_pos").as("pos"))
+                  }.reduce(_.unionByName(_))
+                    .coalesce(1).write.mode("overwrite").parquet(s"$root/$setName")
+                  val counts = spark.read.parquet(s"$root/$setName")
+                    .groupBy("dir").count().collect()
+                    .map(r => r.getString(0) -> r.getLong(1)).toMap
+                  (hit.filter(d => counts.getOrElse(d, 0L) > 0L),
+                    counts.valuesIterator.sum)
+                }
+              val newDeletes = markedDirs.foldLeft(parent.deletes) { (m, d) =>
+                m + (d -> (m.getOrElse(d, Nil) :+ setName))
+              }
+              val c = Commit(v, commitId, "delete-pos", parent.dirs,
+                parent.stats, parent.strStats, parent.partitionCols, parent.blooms,
+                parent.schemaDdl,
+                deletes = newDeletes, deleteKeys = parent.deleteKeys,
+                nameMap = parent.nameMap, constraints = parent.constraints,
+                dropped = parent.dropped, generated = parent.generated,
+                nullCounts = parent.nullCounts, props = parent.props,
+                identity = parent.identity, dirLayouts = parent.dirLayouts,
+                defaults = parent.defaults)
+              if (publishIfAbsent(root, v, c)) result = (v, markedDirs.size, nPos)
+              // lost the race: positions were resolved against `parent`'s
+              // dirs, which a concurrent rewrite may have replaced —
+              // recompute everything against the new latest (the stale
+              // vector is an age-gate-swept orphan)
+          }
+        }
+        result
+    }
+  }
+
   /** Range-predicate DELETE (`DELETE FROM t WHERE lo <= col <= hi` — the
     * RETENTION-PURGE shape: "drop everything before the cutoff"): three
     * dir classes, decided from the manifest envelope —
@@ -4559,16 +4762,23 @@ object VersionedTable {
               // carry the default (defaults are column-reference-free and
               // deterministic, so per-subtree backfill is safe; their keys are
               // physical names — renameColumn refuses default-bearing columns)
-              val df0 = alignTo(Some(physSchema), c.defaults)(
-                spark.read.option("basePath", dp).parquet(subs.map(_._3): _*))
               // MERGE-ON-READ deletion vectors apply per covering dir,
               // exactly as scanWithDeletes does for the normal read path:
-              // the set's key frame is small by the MOR contract
-              // (broadcast), rows only get REMOVED, so slot assignment —
-              // and with it the declared HashPartitioning — is untouched.
-              // A copart join over a table with MOR debt now answers
-              // correctly instead of refusing until compaction.
-              c.deletes.getOrElse(d, Nil).foldLeft(df0) { (acc, setName) =>
+              // rows only get REMOVED, so slot assignment — and with it
+              // the declared HashPartitioning — is untouched. A copart
+              // join over a table with MOR debt answers correctly instead
+              // of refusing until compaction. POSITIONAL vectors filter on
+              // the raw relation (they need `_metadata`, which alignTo's
+              // projection drops); key sets anti-join after alignment.
+              val (posSets, keySets) =
+                c.deletes.getOrElse(d, Nil).partition(isPosSet)
+              val raw = spark.read.option("basePath", dp).parquet(subs.map(_._3): _*)
+              val posApplied =
+                if (posSets.isEmpty) raw
+                else raw.filter(org.apache.spark.sql.functions.not(
+                  posDeletedCol(d, loadPosDv(spark, root, posSets))))
+              val df0 = alignTo(Some(physSchema), c.defaults)(posApplied)
+              keySets.foldLeft(df0) { (acc, setName) =>
                 val kc = c.deleteKeys.getOrElse(setName, sys.error(
                   s"manifest references delete set $setName with no recorded key column"))
                 acc.join(
@@ -5349,16 +5559,19 @@ object VersionedTable {
     // crashed delete-mor) is reclaimed with the data dirs — subject to the
     // same in-flight-writer age gate
     val liveSets = retained.flatMap(_.deletes.values.flatten).toSet ++ branchRefs
-    val delRoot = Paths.get(root, "deletes")
-    val deadSets =
+    // both vector kinds sweep identically: key sets under `deletes/`,
+    // positional vectors under `posdel/`
+    val deadSets = Seq("deletes", "posdel").flatMap { prefix =>
+      val delRoot = Paths.get(root, prefix)
       if (!Files.isDirectory(delRoot)) Seq.empty[String]
       else {
         val st = Files.list(delRoot)
         try st.iterator().asScala.filter(Files.isDirectory(_))
-          .map(p => s"deletes/${p.getFileName}").filterNot(liveSets.contains)
+          .map(p => s"$prefix/${p.getFileName}").filterNot(liveSets.contains)
           .filterNot(youngOrphan).toSeq.sorted
         finally st.close()
       }
+    }
     // DRY RUN (Delta's VACUUM ... DRY RUN): report exactly what a real
     // sweep at these arguments would reclaim — same listing, same age
     // gate — and touch NOTHING, manifests included

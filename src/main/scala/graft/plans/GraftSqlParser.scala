@@ -178,7 +178,7 @@ object GraftSqlParser {
   private val showTagsRe =
     """(?is)\s*SHOW\s+TAGS\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
   private val createMvRe =
-    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+GRAFT\s+'([^']+)'\s+FROM\s+'([^']+)'\s+GROUP\s+BY\s+(\w+)\s+SUM\s*\(([^)]*)\)\s*;?\s*""".r
+    """(?is)\s*CREATE\s+MATERIALIZED\s+VIEW\s+GRAFT\s+'([^']+)'\s+FROM\s+'([^']+)'\s+GROUP\s+BY\s+(\w+)\s+SUM\s*\(([^)]*)\)(?:\s+MINMAX\s*\(([^)]*)\))?\s*;?\s*""".r
   private val refreshMvRe =
     """(?is)\s*REFRESH\s+MATERIALIZED\s+VIEW\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
   private val insertIntoRe =
@@ -332,9 +332,10 @@ object GraftSqlParser {
     case alterDropTagRe(root, name) => Some(GraftRefCommand(root, "droptag", name, None))
     case showBranchesRe(root) => Some(GraftShowRefsCommand(root, "branches"))
     case showTagsRe(root) => Some(GraftShowRefsCommand(root, "tags"))
-    case createMvRe(mv, src, key, sums) =>
+    case createMvRe(mv, src, key, sums, minmax) =>
       Some(GraftCreateMatViewCommand(mv, src, key,
-        sums.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
+        sums.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
+        Option(minmax).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
     case refreshMvRe(mv) => Some(GraftRefreshMatViewCommand(mv))
     case copyIntoRe(root, glob, fmt) =>
       Some(GraftCopyIntoCommand(root, glob, Option(fmt).getOrElse("parquet")))
@@ -944,18 +945,22 @@ case class GraftShowRefsCommand(root: String, kind: String) extends LeafRunnable
 }
 
 /** `CREATE MATERIALIZED VIEW GRAFT '<mv>' FROM '<src>' GROUP BY <key>
-  * SUM (c1 [, ...])` → [[graft.io.MatView.create]]: materialize the
-  * decrementable aggregate once; `REFRESH MATERIALIZED VIEW GRAFT '<mv>'`
-  * folds source commits in as signed change-feed deltas.
+  * SUM (c1 [, ...]) [MINMAX (c1 [, ...])]` → [[graft.io.MatView.create]]:
+  * materialize the decrementable aggregate once (MINMAX columns maintain
+  * by insert-tighten + affected-group recompute);
+  * `REFRESH MATERIALIZED VIEW GRAFT '<mv>'` folds source commits in as
+  * signed change-feed deltas.
   */
 case class GraftCreateMatViewCommand(mvRoot: String, srcRoot: String, keyCol: String,
-                                     sumCols: Seq[String]) extends LeafRunnableCommand {
+                                     sumCols: Seq[String],
+                                     minMaxCols: Seq[String] = Nil) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
     val cid = s"sql-mv-create-${java.util.UUID.randomUUID().toString.take(12)}"
-    Seq(Row(graft.io.MatView.create(spark, mvRoot, srcRoot, keyCol, sumCols, cid)))
+    Seq(Row(graft.io.MatView.create(spark, mvRoot, srcRoot, keyCol, sumCols, cid,
+      minMaxCols)))
   }
 }
 

@@ -27,3 +27,19 @@ object GraftStreamingBridge {
       isStreaming = true)
   }
 }
+
+/** Column ↔ Catalyst Expression conversion (`private[sql]` in Spark 4's
+  * classic module, hence bridged here): the engine builds a handful of
+  * native expressions a DataFrame API Column cannot express — e.g. the
+  * positional-deletion-vector predicate, which carries a driver-resolved
+  * lookup structure no SQL-registered function signature can take.
+  */
+object GraftColumnBridge {
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+}

@@ -986,6 +986,116 @@ class IoSpec extends SparkSpec {
     assert(msgs.contains("NULL delete key"), msgs)
   }
 
+  test("VersionedTable.deleteWherePos: positional deletion vectors — join-free read, lifecycle, absorb") {
+    import spark.implicits._
+    val root = tmpDir("vt_dv")
+    VersionedTable.commit(Seq((1L, "a"), (5L, "b")).toDF("id", "s"), root, "append", "d1",
+      statsCols = Seq("id"))
+    VersionedTable.commit(Seq((10L, "c"), (15L, "d")).toDF("id", "s"), root, "append", "d2",
+      statsCols = Seq("id"))
+    val before = VersionedTable.history(root).last.dirs
+    // the purge resolves PHYSICAL (file, row_index) coordinates into one
+    // posdel vector and marks only the envelope-hit dir — no dir rewritten
+    val (v, marked, nPos) = VersionedTable.deleteWherePos(spark, root,
+      Seq(10L).toDF("id"), "id", "dv-purge")
+    assert(v == 3L && marked == 1 && nPos == 1L, s"($v, $marked, $nPos)")
+    val after = VersionedTable.history(root).last
+    assert(after.mode == "delete-pos" && after.dirs == before, "no dir may be rewritten")
+    assert(after.deletes.values.flatten.toSeq.forall(_.startsWith("posdel/0000000003-dv-purge")),
+      after.deletes.toString)
+    def ids = VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 5L, 15L))
+    // THE point of the positional form: the covered read is JOIN-FREE —
+    // the vector applies as a codegen'd scalar predicate inside the scan,
+    // not as the key twin's broadcast anti-join
+    val plan = VersionedTable.read(spark, root).queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti"), s"positional read must not anti-join:\n$plan")
+    assert(plan.contains("pos_deleted"), s"expected the positional predicate:\n$plan")
+    // point/range reads hide the row too
+    assert(VersionedTable.readPoint(spark, root, "id", 10L).count() == 0)
+    assert(VersionedTable.readRange(spark, root, "id", 0L, 100L).count() == 3)
+    // idempotent retry; time travel BEFORE the delete still shows the row
+    assert(VersionedTable.deleteWherePos(spark, root,
+      Seq(10L).toDF("id"), "id", "dv-purge") == ((3L, -1, -1L)))
+    assert(VersionedTable.read(spark, root, asOf = Some(2L)).count() == 4)
+    // a LATER append RE-INSERTS the purged key (its dir is never covered)
+    VersionedTable.commit(Seq((10L, "c-again")).toDF("id", "s"), root, "append", "d3",
+      statsCols = Seq("id"))
+    assert(ids == Set(1L, 5L, 10L, 15L))
+    // CDC refuses to cross the coverage change on a shared dir (kind-agnostic)
+    intercept[IllegalArgumentException](VersionedTable.changesBetween(spark, root, 2L, 3L))
+    // the split meter: zero key sets, one positional vector, one position
+    VersionedTable.deleteWherePos(spark, root, Seq(15L).toDF("id"), "id", "dv-p2")
+    assert(VersionedTable.morDetail(spark, root) == ((1, 0, 0L, 2, 2L)),
+      s"got ${VersionedTable.morDetail(spark, root)}")
+    assert(VersionedTable.morStatus(spark, root) == ((1, 2, 2L)))
+    // the manifest declares the reader feature exactly while a vector lives
+    assert(VersionedTable.describeDetail(spark, root)
+      .select("features").head().getSeq[String](0).contains("pos-deletes"))
+    // copy-on-write rewrite of a covered dir must NOT resurrect hidden rows
+    val (_, hitCw, _) = VersionedTable.deleteWhere(spark, root,
+      Seq(5L).toDF("id"), "id", "cw-after-dv", statsCols = Seq("id"))
+    assert(hitCw >= 1)
+    assert(ids == Set(1L, 10L), s"resurrected or lost rows: $ids")
+    // compaction absorbs ALL remaining coverage; vacuum sweeps the vectors
+    VersionedTable.compact(spark, root, "dv-opt", targetFiles = 1)
+    assert(VersionedTable.history(root).last.deletes.isEmpty, "compaction absorbs coverage")
+    assert(VersionedTable.morDetail(spark, root) == ((0, 0, 0L, 0, 0L)))
+    assert(ids == Set(1L, 10L))
+    val reclaimed = VersionedTable.vacuum(root, retainLast = 1)
+    assert(reclaimed.exists(_.contains("posdel/")), s"vectors must be swept: $reclaimed")
+    assert(ids == Set(1L, 10L))
+    // NULL keys refused loudly, same contract as the key twin
+    val e = intercept[Exception](VersionedTable.deleteWherePos(spark, root,
+      Seq(Option.empty[Long]).toDF("id"), "id", "dv-null"))
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs.contains("NULL delete key"), msgs)
+  }
+
+  test("VersionedTable.deleteWherePos: hive layout, duplicate rows, mixed coverage, shallow clone") {
+    import spark.implicits._
+    // HIVE-partitioned dir: positions key files under their partition
+    // subdirs, and the partition column itself works as the delete key
+    val rootH = tmpDir("vt_dv_hive")
+    VersionedTable.commit(Seq((1L, 2020, "a"), (2L, 2020, "a2"), (3L, 2021, "b"))
+      .toDF("id", "year", "s"), rootH, "append", "h1",
+      partitionCols = Seq("year"), statsCols = Seq("id"))
+    val (_, _, nH) = VersionedTable.deleteWherePos(spark, rootH,
+      Seq(2020).toDF("year"), "year", "h-del")
+    assert(nH == 2L, s"expected both 2020 rows recorded, got $nH")
+    assert(VersionedTable.read(spark, rootH).collect().map(_.getLong(0)).toSet == Set(3L))
+    // DUPLICATE rows of the key all hide (positions of every match recorded)
+    val rootD = tmpDir("vt_dv_dup")
+    VersionedTable.commit(Seq((7L, "x"), (7L, "y"), (8L, "z")).toDF("id", "s"),
+      rootD, "append", "dd1", statsCols = Seq("id"))
+    val (_, _, nD) = VersionedTable.deleteWherePos(spark, rootD,
+      Seq(7L).toDF("id"), "id", "dd-del")
+    assert(nD == 2L)
+    assert(VersionedTable.read(spark, rootD).collect().map(_.getString(1)).toSeq == Seq("z"))
+    // MIXED coverage on one dir: a key set AND a positional vector both apply
+    val rootM = tmpDir("vt_dv_mixed")
+    VersionedTable.commit((1L to 6L).map(i => (i, s"r$i")).toDF("id", "s"),
+      rootM, "append", "mx1", statsCols = Seq("id"))
+    VersionedTable.deleteWhereMor(spark, rootM, Seq(2L).toDF("id"), "id", "mx-key")
+    VersionedTable.deleteWherePos(spark, rootM, Seq(4L).toDF("id"), "id", "mx-pos")
+    assert(VersionedTable.read(spark, rootM).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 5L, 6L))
+    assert(VersionedTable.morDetail(spark, rootM) == ((1, 1, 1L, 1, 1L)))
+    // SHALLOW CLONE of a pos-covered table: the external-ref rewrite of dir
+    // names must leave recorded vectors valid (file keys are spelled by the
+    // dir's LAST path component, which the rewrite preserves)
+    val rootC = tmpDir("vt_dv_clone")
+    VersionedTable.cloneTo(rootM, rootC, "mx-clone")
+    assert(VersionedTable.read(spark, rootC).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 5L, 6L), "clone must not resurrect positionally-deleted rows")
+    // and the clone's own compaction absorbs the inherited coverage locally
+    VersionedTable.compact(spark, rootC, "mx-clone-opt", targetFiles = 1)
+    assert(VersionedTable.morDetail(spark, rootC) == ((0, 0, 0L, 0, 0L)))
+    assert(VersionedTable.read(spark, rootC).collect().map(_.getLong(0)).toSet ==
+      Set(1L, 3L, 5L, 6L))
+  }
+
   test("VersionedTable.compact zorderBy: re-clustered files prune on EITHER dimension") {
     import spark.implicits._
     val root = tmpDir("vt_opt_zorder")
@@ -2991,6 +3101,72 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(mvR) == ver)
   }
 
+  test("MatView min/max: inserts tighten free, extreme-removing deletes recompute affected groups only") {
+    import spark.implicits._
+    val srcR = tmpDir("mvsrc3"); val mvR = tmpDir("mv3")
+    val rows = (1L to 60L).map(i => (i, s"g${i % 3}", i * 3, f"w${i % 7}%02d"))
+      .toDF("id", "grp", "v", "w")
+    VersionedTable.commit(rows.filter(col("id") <= 30), srcR, "append", "m3-c0",
+      statsCols = Seq("id"))
+    MatView.create(spark, mvR, srcR, "grp", Seq("v"), "m3-create",
+      minMaxCols = Seq("v", "w"))
+    def direct() = VersionedTable.read(spark, srcR).groupBy("grp")
+      .agg(count(lit(1)).as("mv_rows"), sum("v").as("v_sum"),
+        min("v").as("v_min"), max("v").as("v_max"),
+        min("w").as("w_min"), max("w").as("w_max"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5), r.getString(6))).toSet
+    def view() = VersionedTable.read(spark, mvR)
+      .select("grp", "mv_rows", "v_sum", "v_min", "v_max", "w_min", "w_max")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5), r.getString(6))).toSet
+    assert(view() == direct())
+    // INSERT-only: extremes tighten monotonically (both directions)
+    VersionedTable.commit(rows.filter(col("id") > 30), srcR, "append", "m3-c1",
+      statsCols = Seq("id"))
+    MatView.refresh(spark, mvR)
+    assert(view() == direct())
+    // delete a NON-extreme row: provisional path, still exact
+    VersionedTable.deleteWhere(spark, srcR, Seq(31L).toDF("id"), "id", "m3-d0")
+    MatView.refresh(spark, mvR)
+    assert(view() == direct())
+    // delete each group's MIN row (the affected-group recompute path) and
+    // one group's MAX row in the same commit
+    val minIds = VersionedTable.read(spark, srcR).groupBy("grp")
+      .agg(min("id").as("id")).select("id").collect().map(_.getLong(0)).toSeq
+    val maxG0 = VersionedTable.read(spark, srcR).filter(col("grp") === "g0")
+      .agg(max("id")).head().getLong(0)
+    VersionedTable.deleteWhere(spark, srcR, (minIds :+ maxG0).toDF("id"), "id", "m3-d1")
+    MatView.refresh(spark, mvR)
+    assert(view() == direct())
+    // an UPDATE that moves a group's extreme row to another group: the
+    // losing group recomputes, the gaining group tightens
+    val minG1 = VersionedTable.read(spark, srcR).filter(col("grp") === "g1")
+      .agg(min("id"), min("v")).head()
+    VersionedTable.mergeInto(spark, srcR,
+      Seq((minG1.getLong(0), "g2", minG1.getLong(1), "w99")).toDF("id", "grp", "v", "w"),
+      "id", "m3-m0", statsCols = Seq("id"))
+    MatView.refresh(spark, mvR)
+    assert(view() == direct())
+    // deleting EVERY row of a group tombstones it (no recompute of a dead group)
+    VersionedTable.deleteWhere(spark, srcR,
+      VersionedTable.read(spark, srcR).filter(col("grp") === "g0").select("id"),
+      "id", "m3-d2")
+    MatView.refresh(spark, mvR)
+    assert(view() == direct())
+    assert(VersionedTable.read(spark, mvR).filter(col("grp") === "g0").count() == 0)
+    // rebuild carries the min/max declaration
+    MatView.rebuild(spark, mvR)
+    assert(view() == direct())
+    // non-orderable-exact type refused at declaration
+    val rootBad = tmpDir("mvsrc3b"); val mvBad = tmpDir("mv3b")
+    VersionedTable.commit(Seq((1L, "g", 1.5)).toDF("id", "grp", "d"), rootBad,
+      "append", "m3b-c0")
+    val e = intercept[IllegalArgumentException](MatView.create(spark, mvBad, rootBad,
+      "grp", Seq("id"), "m3b-create", minMaxCols = Seq("d")))
+    assert(e.getMessage.contains("integral or string"), e.getMessage)
+  }
+
   test("MatView: non-integral sum columns refused; rebuild() recovers from a source rollback") {
     import spark.implicits._
     val srcR = tmpDir("mvsrc2"); val mvR = tmpDir("mv2")
@@ -3043,6 +3219,24 @@ class IoSpec extends SparkSpec {
       .agg(count(lit(1)), sum("v"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     assert(got == want)
+    // MINMAX clause: extremes maintained through the SQL-declared view,
+    // including the affected-group recompute after a min-removing delete
+    val mvR2 = tmpDir("mvsql_mm")
+    spark.sql(s"CREATE MATERIALIZED VIEW GRAFT '$mvR2' FROM '$srcR' " +
+      "GROUP BY k SUM (v) MINMAX (v)").collect()
+    VersionedTable.deleteWhere(spark, srcR,
+      VersionedTable.read(spark, srcR).groupBy("k").agg(min(col("id")).as("id"))
+        .select("id"), "id", "ms-d0")
+    spark.sql(s"REFRESH MATERIALIZED VIEW GRAFT '$mvR2'").collect()
+    val gotMm = VersionedTable.read(spark, mvR2)
+      .select("k", "mv_rows", "v_sum", "v_min", "v_max")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val wantMm = VersionedTable.read(spark, srcR).groupBy("k")
+      .agg(count(lit(1)), sum("v"), min("v"), max("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(gotMm == wantMm)
   }
 
   // ---- partition evolution (setPartitionLayout) ---------------------------
@@ -3255,6 +3449,20 @@ class IoSpec extends SparkSpec {
       root, "append", "sm-c2", partitionCols = Seq("grp"), statsCols = Seq("id"))
     assert(spark.sql(s"SELECT count(*) AS n FROM graft_copart('$root', 'grp', 4) " +
       "WHERE id = 3").head().getLong(0) == 1L)
+    // POSITIONAL vectors apply in the slot scans too — join-free, and
+    // removal still cannot move a slot, so Exchange stays at zero
+    VersionedTable.deleteWherePos(spark, root, Seq(12L, 15L).toDF("id"),
+      "id", "sm-dvdel")
+    val df2 = spark.sql(s"SELECT grp, count(*) AS n, sum(id) AS ids " +
+      s"FROM graft_copart('$root', 'grp', 4) GROUP BY grp")
+    val got2 = df2.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // ids 6,9 stay key-deleted; 3 was re-inserted (exactly one row); 12,15
+    // are now positionally deleted
+    val want2 = (1L to 24L).filterNot(Set(6L, 9L, 12L, 15L))
+      .map(i => (i, s"g${i % 3}"))
+      .groupBy(_._2).map { case (g, xs) => (g, xs.size.toLong, xs.map(_._1).sum) }.toSet
+    assert(got2 == want2, s"got $got2")
+    assert(!df2.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
   test("composite-key MERGE: tuple upsert with intersected dir pruning") {
