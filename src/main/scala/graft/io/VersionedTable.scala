@@ -936,6 +936,9 @@ object VersionedTable {
     kvs.get("graft.autoCompact.target").foreach(v =>
       require(v.toIntOption.exists(_ >= 1),
         s"graft.autoCompact.target must be an integer >= 1, got '$v'"))
+    kvs.get("graft.autoCompact.targetBytes").foreach(v =>
+      require(v.toLongOption.exists(_ >= 1L),
+        s"graft.autoCompact.targetBytes must be a byte count >= 1, got '$v'"))
     kvs.get("graft.autoCompact.zorder").foreach(v =>
       require(v.split(",").map(_.trim).count(_.nonEmpty) >= 2,
         s"graft.autoCompact.zorder must name >= 2 comma-separated columns, got '$v'"))
@@ -1810,8 +1813,15 @@ object VersionedTable {
     val c = latestCommit(root).getOrElse(return)
     c.props.get("graft.autoCompact.minDirs").flatMap(_.toIntOption)
       .filter(k => k >= 2 && c.dirs.size >= k).foreach { _ =>
-        val target = c.props.get("graft.autoCompact.target")
-          .flatMap(_.toIntOption).getOrElse(32)
+        // size target takes precedence over the count target when both are
+        // declared (bytes is what production OPTIMIZE aims at; the count
+        // form predates it)
+        val targetBytes = c.props.get("graft.autoCompact.targetBytes")
+          .flatMap(_.toLongOption).getOrElse(0L)
+        val target =
+          if (targetBytes > 0) 0
+          else c.props.get("graft.autoCompact.target")
+            .flatMap(_.toIntOption).getOrElse(32)
         // declared clustering rides every triggered compaction — the
         // liquid-clustering idea: the CURVE is table metadata too
         val zorder = c.props.get("graft.autoCompact.zorder")
@@ -1824,7 +1834,7 @@ object VersionedTable {
         // layout conflict — out of commit() would make a successful
         // append look failed. The next append re-triggers the compaction.
         try compact(spark, root, s"auto-compact-$triggerCommitId", target, st, bl,
-          zorderBy = zorder, curve = curve)
+          zorderBy = zorder, curve = curve, targetFileBytes = targetBytes)
         catch {
           case e: Exception =>
             System.err.println(
@@ -1912,6 +1922,25 @@ object VersionedTable {
   /** All data files of a commit dir, as paths relative to it (hive
     * subdirs included), sorted for determinism.
     */
+  /** On-disk parquet bytes of `dirs` — an O(#files) directory listing,
+    * zero footer reads: the byte budget a size-targeted compaction
+    * divides into `targetFileBytes`-sized output files.
+    */
+  private def liveDirBytes(root: String, dirs: Seq[String]): Long =
+    dirs.map { d =>
+      val dp = Paths.get(dirPath(root, d))
+      if (!Files.isDirectory(dp)) 0L
+      else {
+        val w = Files.walk(dp)
+        try w.iterator().asScala.filter { p =>
+          val n = p.getFileName.toString
+          Files.isRegularFile(p) && n.endsWith(".parquet") &&
+            !n.startsWith("_") && !n.startsWith(".")
+        }.map(Files.size(_)).sum
+        finally w.close()
+      }
+    }.sum
+
   private def parquetFiles(dirPath: String): Seq[String] = {
     val rootP = Paths.get(dirPath)
     if (!Files.isDirectory(rootP)) return Nil
@@ -5031,8 +5060,9 @@ object VersionedTable {
   def compact(spark: SparkSession, root: String, commitId: String,
               targetFiles: Int, statsCols: Seq[String] = Nil,
               bloomCols: Seq[String] = Nil, zorderBy: Seq[String] = Nil,
-              curve: String = "morton"): Long = {
-    require(targetFiles >= 1, "targetFiles must be >= 1")
+              curve: String = "morton", targetFileBytes: Long = 0L): Long = {
+    require(targetFiles >= 1 || targetFileBytes > 0,
+      "compact: pass targetFiles >= 1 or targetFileBytes > 0")
     require(curve == "morton" || curve == "hilbert",
       s"compact: curve must be 'morton' (ZORDER BY) or 'hilbert' (CLUSTER BY), got '$curve'")
     findCommitVersion(root, commitId) match {
@@ -5044,6 +5074,18 @@ object VersionedTable {
         // renames to logical names, which must never leak into data files
         parent.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
           s"snapshot v${parent.version} references vacuumed dir ${dirPath(root, d)}"))
+        // SIZE-based target (production OPTIMIZE aims at bytes, not a file
+        // count): derive the file count from the snapshot's on-disk parquet
+        // bytes — an O(#files) directory listing, zero footer reads. The
+        // on-disk compressed size is the right unit (it is what downstream
+        // scans pay per open); MOR-hidden rows make it a slight
+        // overestimate, which only errs toward MORE files each UNDER the
+        // target — never an oversized file.
+        val nFiles =
+          if (targetFileBytes > 0)
+            math.max(1L, (liveDirBytes(root, parent.dirs) + targetFileBytes - 1)
+              / targetFileBytes).toInt
+          else targetFiles
         val cur = scanWithDeletes(spark, root, parent, parent.dirs)
         val df =
           if (zorderBy.nonEmpty) {
@@ -5052,13 +5094,13 @@ object VersionedTable {
               "zorderBy applies to flat snapshots (hive partitions already cluster; " +
                 "use compactWhere to z-order WITHIN selected partitions)")
             withZValue(spark, cur, parent, zorderBy, curve)
-              .repartitionByRange(targetFiles, col("__graft_z"))
+              .repartitionByRange(nFiles, col("__graft_z"))
               .drop("__graft_z", "__graft_dims")
           }
           else if (parent.partitionCols.nonEmpty)
-            cur.repartition(targetFiles,
+            cur.repartition(nFiles,
               parent.partitionCols.map(org.apache.spark.sql.functions.col): _*)
-          else cur.repartition(targetFiles)
+          else cur.repartition(nFiles)
         val v = parent.version + 1
         val dirName = attemptDirName("data", v, commitId)
         var w = df.write.mode("overwrite")

@@ -18,7 +18,7 @@ import graft.io.VersionedTable
   * {{{
   *   DESCRIBE HISTORY GRAFT '<root>'
   *   DESCRIBE DETAIL GRAFT '<root>'
-  *   OPTIMIZE GRAFT '<root>' [TARGET <n>]
+  *   OPTIMIZE GRAFT '<root>' [TARGET <n> | TARGET <n> BYTES]
   *       [WHERE <partCol> IN ('v' [, 'v']*)]
   *       [ZORDER BY (c1, c2 [, ...]) | CLUSTER BY (c1, c2 [, ...])]
   *   VACUUM GRAFT '<root>' [RETAIN <n>] [DRY RUN]
@@ -108,6 +108,7 @@ object GraftSqlParser {
     """(?is)\s*VACUUM\s+GRAFT\s+'([^']+)'(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val optimizeRe =
     """(?is)\s*OPTIMIZE\s+GRAFT\s+'([^']+)'(.*?);?\s*""".r
+  private val targetBytesRe = """(?is).*\bTARGET\s+(\d+)\s+BYTES\b.*""".r
   private val targetRe = """(?is).*\bTARGET\s+(\d+).*""".r
   private val whereRe = """(?is).*\bWHERE\s+(\w+)\s+IN\s*\(([^)]*)\).*""".r
   private val zorderRe = """(?is).*\bZORDER\s+BY\s*\(([^)]*)\).*""".r
@@ -396,7 +397,13 @@ object GraftSqlParser {
             s"<lo> AND <hi> (the two manifest-prunable shapes); got: $other")
       }
     case optimizeRe(root, rest) =>
-      val target = rest match { case targetRe(n) => n.toInt; case _ => 32 }
+      // TARGET <n> BYTES (size-based — production OPTIMIZE aims at bytes)
+      // before the count form, whose pattern is a prefix of it
+      val (target, targetBytes) = rest match {
+        case targetBytesRe(n) => (0, n.toLong)
+        case targetRe(n)      => (n.toInt, 0L)
+        case _                => (32, 0L)
+      }
       // ZORDER BY = Morton interleave; CLUSTER BY = Hilbert distance (the
       // liquid-clustering curve) — same bucketization, different curve
       val (zorder, curve) = rest match {
@@ -412,7 +419,7 @@ object GraftSqlParser {
             .filter(_.nonEmpty).toSeq))
         case _ => None
       }
-      Some(GraftOptimizeCommand(root, target, where, zorder, curve))
+      Some(GraftOptimizeCommand(root, target, where, zorder, curve, targetBytes))
     case _ => None
   }
 }
@@ -866,7 +873,8 @@ case class GraftMergeCommand(root: String, keyCol: String, sourceSql: String,
 case class GraftOptimizeCommand(root: String, targetFiles: Int,
                                 where: Option[(String, Seq[String])],
                                 zorderBy: Seq[String],
-                                curve: String = "morton") extends LeafRunnableCommand {
+                                curve: String = "morton",
+                                targetFileBytes: Long = 0L) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("dirs_rewritten", IntegerType, nullable = false)(),
@@ -879,6 +887,9 @@ case class GraftOptimizeCommand(root: String, targetFiles: Int,
     val (statsCols, bloomCols) = VersionedTable.indexedCols(root)
     where match {
       case Some((partCol, values)) =>
+        require(targetFileBytes == 0L,
+          "OPTIMIZE GRAFT: TARGET <n> BYTES applies to full-table OPTIMIZE " +
+            "(the byte budget is the whole snapshot's)")
         // WHERE + ZORDER/CLUSTER BY = Delta's partition-scoped z-order:
         // only the selected partitions rewrite, clustered WITHIN each
         val (v, rw, tot) = VersionedTable.compactWhere(spark, root, commitId,
@@ -891,7 +902,8 @@ case class GraftOptimizeCommand(root: String, targetFiles: Int,
           .map(_.dirs.size).getOrElse(0)
         val v = VersionedTable.compact(spark, root, commitId, targetFiles,
           statsCols = (statsCols ++ zorderBy).distinct,
-          bloomCols = bloomCols, zorderBy = zorderBy, curve = curve)
+          bloomCols = bloomCols, zorderBy = zorderBy, curve = curve,
+          targetFileBytes = targetFileBytes)
         Seq(Row(v, before, before))
     }
   }

@@ -3353,6 +3353,73 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.setPartitionLayout(root, Seq("grp"), "p4-back") == v)
   }
 
+  test("size-based compaction: TARGET BYTES derives file count from on-disk bytes, both modes band file sizes") {
+    import spark.implicits._
+    val root = tmpDir("szc")
+    val rows = (1L to 40000L).map(i =>
+      (i, s"row-$i-${(i * 2654435761L).toHexString}-${(i * 40503L).toHexString}"))
+      .toDF("id", "s")
+    (0 until 4).foreach(k =>
+      VersionedTable.commit(rows.filter(col("id") % 4 === k), root, "append",
+        s"szc-c$k", statsCols = Seq("id")))
+    def dirFiles(): Seq[Long] = {
+      import scala.jdk.CollectionConverters._
+      val c = VersionedTable.latestCommit(root).get
+      c.dirs.flatMap { d =>
+        val p = java.nio.file.Paths.get(s"$root/$d")
+        val w = java.nio.file.Files.walk(p)
+        try w.iterator().asScala.toSeq
+          .filter(f => java.nio.file.Files.isRegularFile(f) &&
+            f.getFileName.toString.endsWith(".parquet"))
+          .map(java.nio.file.Files.size(_))
+        finally w.close()
+      }
+    }
+    val preTotal = dirFiles().sum
+    val tgt = math.max(1L, preTotal / 5)
+    // BYTES mode: the derived count is ceil(preBytes / target) and every
+    // output file lands within a compression-tolerant band of the target
+    VersionedTable.compact(spark, root, "szc-opt", 0, statsCols = Seq("id"),
+      targetFileBytes = tgt)
+    val out = dirFiles()
+    val wantN = ((preTotal + tgt - 1) / tgt).toInt
+    assert(out.size == wantN, s"expected $wantN files, got ${out.size}: $out")
+    assert(out.forall(sz => sz <= (tgt * 5) / 2),
+      s"file exceeds the size band (target $tgt): $out")
+    assert(VersionedTable.read(spark, root).count() == 40000L)
+    // COUNT mode still pins the file count exactly
+    VersionedTable.commit(rows.filter(col("id") <= 10).select(col("id") + 100000L,
+      col("s")).toDF("id", "s"), root, "append", "szc-c5", statsCols = Seq("id"))
+    VersionedTable.compact(spark, root, "szc-opt2", 3, statsCols = Seq("id"))
+    assert(dirFiles().size == 3)
+    // SQL form: OPTIMIZE ... TARGET <n> BYTES
+    spark.sql(s"OPTIMIZE GRAFT '$root' TARGET $tgt BYTES").collect()
+    val out2 = dirFiles()
+    assert(out2.size >= 2 && out2.forall(_ <= (tgt * 5) / 2), s"$out2")
+    // neither mode given refuses; WHERE + BYTES refuses
+    assert(intercept[Exception](VersionedTable.compact(spark, root, "szc-bad", 0))
+      .getMessage.contains("targetFiles >= 1 or targetFileBytes"))
+    // auto-compact byte target: declared as a property, validated at SET,
+    // takes precedence over the count form, keeps the loop size-banded
+    assert(intercept[Exception](VersionedTable.setTableProperties(root,
+      Map("graft.autoCompact.targetBytes" -> "big"), "szc-bad2"))
+      .getMessage.contains("byte count"))
+    VersionedTable.setTableProperties(root,
+      Map("graft.autoCompact.minDirs" -> "3",
+        "graft.autoCompact.target" -> "1",
+        "graft.autoCompact.targetBytes" -> tgt.toString), "szc-props")
+    (1 to 3).foreach(i => VersionedTable.commit(
+      rows.filter(col("id") % 4 === 0).select(col("id") + i * 1000000L, col("s"))
+        .toDF("id", "s"), root, "append", s"szc-a$i", statsCols = Seq("id")))
+    val hist = VersionedTable.history(root)
+    assert(hist.exists(c => c.mode == "compact" && c.commitId.startsWith("auto-compact")))
+    // byte target won over target=1: more than one output file, all banded
+    val out3 = dirFiles()
+    assert(VersionedTable.latestCommit(root).get.dirs.size <= 3)
+    assert(out3.count(_ > 0) >= 2 && out3.forall(_ <= (tgt * 5) / 2),
+      s"auto-compact byte target not honored: $out3")
+  }
+
   test("auto-compact TBLPROPERTY: an unattended append loop stays bounded in dirs") {
     import spark.implicits._
     val root = tmpDir("autoc")
