@@ -44,10 +44,20 @@ object Bench {
     // upper bound off the warm min by at most ~fastS, and the absolute
     // error is bounded by the threshold itself; re-passing ~half the
     // registry to shave tenths costs more wall-clock than the precision is
-    // worth. Expensive queries (the rows that decide the totals) keep the
-    // full min-of-N methodology. NOISE_BASELINE documents the policy.
+    // worth. NOISE_BASELINE documents the policy.
     val fastS = sys.env.getOrElse("SPARK_GRAFT_BENCH_FAST_S", "0.4").toDouble
+    // HEAVY PATH (the other end of the registry): a query whose first pass
+    // lands AT OR ABOVE `heavyS` is also measured once. On seconds-class
+    // rows the documented SAME-CODE pass-to-pass spread is 10-33 %
+    // (NOISE_BASELINE's idle-pair ledgers) — an order of magnitude larger
+    // than the one-time codegen/JIT delta a second pass would shave — so
+    // min-of-2 there buys no real precision while doubling exactly the
+    // rows that dominate elapsed. Mid-band rows (fastS..heavyS), where the
+    // warmup delta IS comparable to the noise, keep the min-of-N
+    // methodology.
+    val heavyS = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_S", "2.0").toDouble
     val intendedOnePass = scala.collection.mutable.Set[String]()
+    val fastOnePass = scala.collection.mutable.Set[String]()
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
     // The consumer of this output keeps only a bounded tail of stdout and
@@ -109,12 +119,27 @@ object Bench {
         var done = false
         while (!done && pass <= math.max(runs, 1) && elapsed <= budgetS) {
           val s0 = System.nanoTime()
+          val fxBefore = QuerySupport.Fixtures.builds.get()
           try {
             fn(spark, sfDir).write.format("noop").mode("overwrite").save()
             val sec = (System.nanoTime() - s0) / 1e9
-            best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
+            // a pass that BUILT a fixture measured one-time construction,
+            // not the query — never report it when a clean pass will exist
+            // (fast-path rows keep their number: construction under fastS
+            // is within the threshold's own error bound)
+            val builtFixture = QuerySupport.Fixtures.builds.get() != fxBefore
+            val fastHit = pass == 1 && sec < fastS
+            if (fastHit || !(builtFixture && pass < math.max(runs, 1)))
+              best(name) = math.min(best.getOrElse(name, Double.MaxValue), sec)
             passesDone(name) = passesDone.getOrElse(name, 0) + 1
-            if (pass == 1 && sec < fastS) { intendedOnePass += name; done = true }
+            if (fastHit) {
+              intendedOnePass += name; fastOnePass += name; done = true
+            } else if (pass == 1 && sec >= heavyS && !builtFixture) {
+              // heavy one-pass ONLY for pure-compute rows: a fixture-backed
+              // row's first pass is construction-contaminated, so it keeps
+              // its second (clean) pass
+              intendedOnePass += name; done = true
+            }
           } catch {
             case e: Throwable =>
               everFailed += name
@@ -138,8 +163,9 @@ object Bench {
         // state proportional to its own (tiny) plan, so the accumulation
         // between two FULL queries stays bounded by a handful of tiny
         // plans — and the ~0.3 s GC tax on a 0.1 s row triples its
-        // wall-clock share for no measured benefit.
-        if (!intendedOnePass.contains(name)) System.gc()
+        // wall-clock share for no measured benefit. Heavy one-pass rows
+        // still GC: they leave a full query's worth of state.
+        if (!fastOnePass.contains(name)) System.gc()
         emit()
       }
     }

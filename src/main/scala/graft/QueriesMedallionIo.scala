@@ -1502,6 +1502,104 @@ private[graft] object QueriesMedallionIo {
         |  CAST(0 AS BIGINT) AS exchanges, CAST(2 AS BIGINT) AS keyed_scans
         |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
 
+    // S17 — NATIVE SQL DELETE through the DSv2 catalog (SupportsDelete):
+    // `DELETE FROM gq.db.t WHERE …` routes onto the manifest-pruned
+    // verbs — an IN-list onto the keyed copy-on-write delete (only the
+    // envelope-hit dir rewrites), range conjuncts onto deleteRange, whose
+    // FULLY-CONTAINED dir drops METADATA-ONLY ('dirs_after' pins the drop:
+    // the upper-half dir vanishes from the manifest without a read or a
+    // write — the 100 TB retention purge as one plain SQL statement).
+    // Unsupported shapes refuse loudly (canDeleteWhere = false), so the
+    // table never deletes approximately.
+    Q("versioned_catalog_delete",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        val (mid, dirsAfter, modeOk) = Fixtures.once(s, dir, "vt_cat_del") {
+          rmrf(s"$wh/cdel")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.cdel")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_del_orders")
+          val m = rd(s, dir, "orders").agg(max(col("o_orderkey"))).head().getLong(0) / 2
+          s.sql("CREATE TABLE gq.cdel.t (o_orderkey BIGINT, o_orderpriority STRING, " +
+            "o_custkey BIGINT) TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+          s.sql("INSERT INTO gq.cdel.t SELECT o_orderkey, o_orderpriority, o_custkey " +
+            s"FROM cat_del_orders WHERE o_orderkey <= $m")
+          s.sql("INSERT INTO gq.cdel.t SELECT o_orderkey, o_orderpriority, o_custkey " +
+            s"FROM cat_del_orders WHERE o_orderkey > $m")
+          // IN-list → keyed copy-on-write delete
+          val purge = rd(s, dir, "orders")
+            .filter(col("o_orderkey") % 97 === 0 && col("o_orderkey") <= m)
+            .select("o_orderkey").collect().map(_.getLong(0))
+          s.sql(s"DELETE FROM gq.cdel.t WHERE o_orderkey IN (${purge.mkString(", ")})")
+          // range conjuncts → deleteRange; the upper-half dir is fully
+          // contained and must DROP metadata-only
+          s.sql(s"DELETE FROM gq.cdel.t WHERE o_orderkey >= ${m + 1} " +
+            s"AND o_orderkey <= ${Long.MaxValue}")
+          val c = graft.io.VersionedTable.latestCommit(s"$wh/cdel/t").get
+          (java.lang.Long.valueOf(m), java.lang.Long.valueOf(c.dirs.size.toLong),
+            java.lang.Boolean.valueOf(c.mode == "delete"))
+        }
+        s.table("gq.cdel.t")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("dirs_after", lit(dirsAfter.longValue()))
+          .withColumn("range_mode", lit(modeOk.booleanValue()))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH q AS (SELECT max(o_orderkey) // 2 AS m FROM orders)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS dirs_after, TRUE AS range_mode
+        |FROM orders CROSS JOIN q
+        |WHERE o_orderkey <= m AND NOT (o_orderkey % 97 = 0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — RUNTIME FILTERING / DPP through the DSv2 catalog
+    // (SupportsRuntimeFiltering on the keyed batch): the scan declares its
+    // partition keys filterable, and a broadcast join against a FILTERED
+    // dim hands the matching key set back at runtime — whole key groups
+    // drop before a single file opens, through Spark's own PartitionPruning
+    // rule (no graft planner code in the path). 'runtime_filtered' pins the
+    // BatchScan's non-empty RuntimeFilters list in the executed plan; the
+    // single-threaded CatalogSpec asserts the actual 5→1 group prune via
+    // the test seam.
+    Q("versioned_catalog_dpp",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        Fixtures.once(s, dir, "vt_cat_dpp") {
+          rmrf(s"$wh/cdpp")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.cdpp")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_dpp_orders")
+          s.sql("CREATE TABLE gq.cdpp.f (o_orderkey BIGINT, o_orderpriority STRING, " +
+            "o_custkey BIGINT) PARTITIONED BY (o_orderpriority) " +
+            "TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+          s.sql("INSERT INTO gq.cdpp.f SELECT o_orderkey, o_orderpriority, o_custkey " +
+            "FROM cat_dpp_orders")
+          s.sql("CREATE TABLE gq.cdpp.d (o_orderpriority STRING, tag BIGINT)")
+          s.sql("INSERT INTO gq.cdpp.d SELECT DISTINCT o_orderpriority, " +
+            "CAST(length(o_orderpriority) AS BIGINT) FROM cat_dpp_orders")
+          java.lang.Boolean.TRUE
+        }
+        // the dim filter keeps ONE priority ('2-HIGH', the only length-6
+        // value); its key group is all the fact scan should read
+        val q = s.sql("SELECT /*+ BROADCAST(d) */ f.o_orderpriority AS o_orderpriority, " +
+          "count(*) AS n, CAST(sum(f.o_orderkey) AS BIGINT) AS key_sum " +
+          "FROM gq.cdpp.f f JOIN gq.cdpp.d d ON f.o_orderpriority = d.o_orderpriority " +
+          "WHERE d.tag = 6 GROUP BY f.o_orderpriority")
+        val plan = q.queryExecution.executedPlan.toString
+        val rf = "RuntimeFilters: \\[[^\\]]".r.findAllIn(plan).size
+        q.withColumn("runtime_filtered", lit(if (rf >= 1) 1L else 0L))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(1 AS BIGINT) AS runtime_filtered
+        |FROM orders WHERE length(o_orderpriority) = 6
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — copart over MERGE-ON-READ debt (coPartitionedSlotScans +
     // deleteWhereMor): the TVF no longer refuses a snapshot with pending
     // deletion vectors — each slot applies its dirs' covering delete sets

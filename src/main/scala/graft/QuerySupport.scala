@@ -361,9 +361,14 @@ private[graft] object QuerySupport {
     */
   object Fixtures {
     val cache = new java.util.concurrent.ConcurrentHashMap[String, AnyRef]()
+    /** Count of fixture BUILDS (not cache hits): the bench reads it around
+      * a measured pass to detect one contaminated by one-time construction
+      * (such a pass must not be reported as the query's cost).
+      */
+    val builds = new java.util.concurrent.atomic.AtomicLong()
     def once[T <: AnyRef](s: SparkSession, dir: String, name: String)(build: => T): T =
       cache.computeIfAbsent(s"${s.sparkContext.applicationId}:$dir:$name",
-        _ => build).asInstanceOf[T]
+        _ => { builds.incrementAndGet(); build }).asInstanceOf[T]
   }
 
   /** Stable per-sf-dir scratch tag: fixture artifacts (table roots, catalog

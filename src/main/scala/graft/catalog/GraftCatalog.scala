@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, IdentityTransform, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -274,7 +275,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * at scan-build time (pinned there, so a plan never straddles commits).
   */
 class GraftTable(root: String, ident: Identifier, asOf: Option[Long])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private def spark = SparkSession.active
   private lazy val snapshot = VersionedTable.latestCommit(root)
 
@@ -302,6 +304,98 @@ class GraftTable(root: String, ident: Identifier, asOf: Option[Long])
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(root, info)
+
+  // ---- native SQL DELETE (`DELETE FROM graft.db.t WHERE …`) --------------
+  //
+  // The DSv2 metadata-delete surface: Spark hands the translated
+  // predicates and this table routes them onto the manifest-pruned delete
+  // verbs — IN/= lists onto the keyed copy-on-write delete
+  // (envelope+bloom-gated rewrites of only the hit dirs), range conjuncts
+  // on an integral column onto the range delete (fully-contained dirs drop
+  // metadata-only — the 100 TB retention-purge shape, now a plain SQL
+  // statement). Anything not expressible this way answers
+  // canDeleteWhere = false, so Spark fails the statement loudly instead of
+  // this table deleting approximately.
+
+  /** The delete runner for `filters`, when their shape maps exactly onto a
+    * manifest-pruned verb; None → refuse. All conjuncts must reference ONE
+    * keyable (integral or string) column of a non-time-travel table.
+    */
+  private def deletePlanOf(filters: Array[sources.Filter])
+      : Option[String => Unit] = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    if (asOf.nonEmpty || filters.isEmpty) return None
+    val cols = filters.flatMap(_.references).distinct
+    if (cols.length != 1) return None
+    val colName = cols.head
+    val dt = schema.fields.find(_.name == colName).map(_.dataType).getOrElse(return None)
+    val integral = dt == LongType || dt == IntegerType
+    if (!integral && dt != StringType) return None
+    val (statsCols, bloomCols) = VersionedTable.indexedCols(root)
+    def keysDelete(values: Seq[Any]): String => Unit = { cid =>
+      // SQL semantics: a NULL in the IN list matches nothing — drop it
+      val vs = values.filter(_ != null)
+      if (vs.nonEmpty) {
+        val keys =
+          if (integral) vs.map(_.asInstanceOf[Number].longValue): Seq[Any]
+          else vs.map(_.toString): Seq[Any]
+        VersionedTable.deleteWhere(spark, root,
+          GraftTable.keysFrame(spark, colName, keys), colName, cid,
+          statsCols = statsCols, bloomCols = bloomCols)
+        ()
+      }
+    }
+    filters match {
+      case Array(sources.In(_, values)) => Some(keysDelete(values.toSeq))
+      case Array(sources.EqualTo(_, v)) if v != null => Some(keysDelete(Seq(v)))
+      case _ if integral =>
+        // range conjuncts (Spark splits ANDs into array elements): fold
+        // into one inclusive [lo, hi]; NULL rows survive, matching both
+        // SQL range semantics and deleteRange's contract
+        var lo = Long.MinValue; var hi = Long.MaxValue; var ok = true
+        filters.foreach {
+          case sources.GreaterThanOrEqual(_, v: Number) =>
+            lo = math.max(lo, v.longValue)
+          case sources.GreaterThan(_, v: Number) if v.longValue < Long.MaxValue =>
+            lo = math.max(lo, v.longValue + 1)
+          case sources.LessThanOrEqual(_, v: Number) =>
+            hi = math.min(hi, v.longValue)
+          case sources.LessThan(_, v: Number) if v.longValue > Long.MinValue =>
+            hi = math.min(hi, v.longValue - 1)
+          case _ => ok = false
+        }
+        if (!ok || (lo == Long.MinValue && hi == Long.MaxValue)) None
+        else Some(cid => { VersionedTable.deleteRange(spark, root, colName,
+          lo, hi, cid, statsCols = statsCols, bloomCols = bloomCols); () })
+      case _ => None
+    }
+  }
+
+  override def canDeleteWhere(filters: Array[sources.Filter]): Boolean =
+    deletePlanOf(filters).isDefined
+
+  override def deleteWhere(filters: Array[sources.Filter]): Unit =
+    deletePlanOf(filters).getOrElse(sys.error(
+      s"DELETE on $name: unsupported predicate shape ${filters.mkString(", ")} " +
+        "(supported: IN/= on one integral or string column, or range conjuncts " +
+        "on one integral column)"))(
+      s"catalog-delete-${java.util.UUID.randomUUID().toString.take(12)}")
+}
+
+object GraftTable {
+  /** One-column keys frame in the exact JVM types the keyed verbs expect. */
+  private[catalog] def keysFrame(spark: SparkSession, col: String,
+                                 vals: Seq[Any]): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val dt = vals.head match {
+      case _: java.lang.Long => LongType
+      case _: String => StringType
+      case other => sys.error(s"catalog delete: unsupported key literal $other")
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(vals.map(v => org.apache.spark.sql.Row(v)): _*),
+      StructType(Seq(StructField(col, dt, nullable = false))))
+  }
 }
 
 /** Scan construction: collects Spark's pushed filters + required columns,
@@ -365,10 +459,24 @@ class GraftV1FallbackScan(root: String, version: Option[Long],
 }
 
 final class GraftV1ScanRelation(override val sqlContext: SQLContext,
-                                root: String, version: Option[Long],
-                                required: StructType, pushed: Array[Filter])
+                                private val root: String,
+                                private val version: Option[Long],
+                                private val required: StructType,
+                                private val pushed: Array[Filter])
     extends BaseRelation with TableScan {
   override def schema: StructType = required
+
+  // value equality on the logical scan identity — required for Spark's
+  // exchange reuse (and through it DPP) to recognize two builds of the
+  // same table scan; see GraftKeyedScan.equals for the full story
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftV1ScanRelation =>
+      root == o.root && version == o.version &&
+        required == o.required && pushed.toSeq == o.pushed.toSeq
+    case _ => false
+  }
+
+  override def hashCode(): Int = (root, version, required, pushed.toSeq).hashCode()
 
   override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
     val (ranges, points, nullProbes) = VersionedRelation.translate(pushed)

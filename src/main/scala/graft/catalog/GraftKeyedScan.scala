@@ -6,8 +6,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, UnsafeProjection}
-import org.apache.spark.sql.connector.expressions.Expressions
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, SupportsReportPartitioning, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.execution.datasources.PartitionedFile
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -43,12 +43,53 @@ import graft.io.VersionedTable
   * eras, or non-path-round-trippable key types take the fallback, which
   * handles them all — correct-by-fallback, never correct-by-refusal.
   */
-final class GraftKeyedScan(spark: SparkSession, root: String,
-    plan: VersionedTable.KeyedPlan, required: StructType,
-    pushed: Array[Filter])
-    extends Scan with Batch with SupportsReportPartitioning {
+final class GraftKeyedScan(spark: SparkSession, private val root: String,
+    private val plan: VersionedTable.KeyedPlan, private val required: StructType,
+    private val pushed: Array[Filter])
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsRuntimeFiltering {
 
   private val keyNames: Seq[String] = plan.keySchema.fieldNames.toSeq
+
+  // RUNTIME FILTERING (dynamic partition pruning, the DSv2 way): the scan
+  // declares its key columns filterable, and when a join's other side is
+  // available at runtime (a reused broadcast, a completed subquery) Spark
+  // hands back In/EqualTo filters on them — whole KEY GROUPS drop before a
+  // single file opens. At 100 TB this is the difference between scanning
+  // one joined-to partition and scanning the table: the classic DPP win,
+  // served by Spark's own planner because the scan is a true DSv2 batch.
+  // Purely an optimization — Spark re-applies every join predicate above.
+  @volatile private var groups: Seq[VersionedTable.KeyedGroup] = plan.groups
+
+  override def filterAttributes(): Array[NamedReference] =
+    // only keys surviving column pruning: Spark resolves these against the
+    // scan OUTPUT, and a pruned-away key cannot carry a join anyway
+    keyNames.filter(n => required.fieldNames.contains(n))
+      .map(n => Expressions.column(n)).toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    // hive-path values vs runtime literals: normalize integral widths and
+    // unwrap UTF8String so equality is by VALUE, not JVM class
+    def norm(v: Any): Any = v match {
+      case n: java.lang.Number => n.longValue
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case other => other
+    }
+    filters.foreach {
+      case org.apache.spark.sql.sources.In(attr, values)
+          if keyNames.contains(attr) =>
+        val i = keyNames.indexOf(attr)
+        val vs = values.iterator.filter(_ != null).map(norm).toSet
+        groups = groups.filter(g => g.key(i) != null && vs.contains(norm(g.key(i))))
+      case org.apache.spark.sql.sources.EqualTo(attr, v)
+          if keyNames.contains(attr) && v != null =>
+        val i = keyNames.indexOf(attr)
+        groups = groups.filter(g => g.key(i) != null && norm(g.key(i)) == norm(v))
+      case _ => () // unknown shapes skip: filtering is never a correctness input
+    }
+    GraftKeyedScan.lastRuntimeFilter = Some((plan.groups.size, groups.size))
+  }
+
   // logical -> physical for data columns (keys are never renamed: the
   // hive guard refuses renaming a path-materialized column)
   private def physOf(logical: String): String =
@@ -68,7 +109,7 @@ final class GraftKeyedScan(spark: SparkSession, root: String,
 
   override def outputPartitioning(): Partitioning =
     new KeyGroupedPartitioning(
-      keyNames.map(n => Expressions.identity(n)).toArray, plan.groups.size)
+      keyNames.map(n => Expressions.identity(n)).toArray, groups.size)
 
   override def planInputPartitions(): Array[InputPartition] = {
     // the same driver-visible seam the V1 paths feed: which columns and
@@ -78,7 +119,7 @@ final class GraftKeyedScan(spark: SparkSession, root: String,
     val fullKeyConv = plan.keySchema.fields.map(f =>
       CatalystTypeConverters.createToCatalystConverter(f.dataType))
     val reqKeyIdx = reqKeyFields.map(f => keyNames.indexOf(f.name))
-    plan.groups.map { g =>
+    groups.map { g =>
       val fullKey = new GenericInternalRow(
         g.key.zip(fullKeyConv).map { case (v, conv) =>
           if (v == null) null else conv(v) }.toArray[Any])
@@ -113,9 +154,32 @@ final class GraftKeyedScan(spark: SparkSession, root: String,
   override def description(): String =
     s"GraftKeyedScan $root v${plan.version} keys=${keyNames.mkString(",")} " +
       s"groups=${plan.groups.size}"
+
+  // VALUE equality on the scan's logical identity (root, pinned version,
+  // projection, pushed filters) — what lets Spark's canonicalized plan
+  // comparison recognize two builds of the same scan as THE SAME, which is
+  // the precondition for exchange/subquery REUSE and hence for DPP: the
+  // dynamic-pruning subquery duplicates the build side, and without reuse
+  // AQE degenerates the runtime filter to `true`. (Iceberg's SparkScan
+  // implements equals/hashCode for exactly this.) Runtime-filter state is
+  // deliberately excluded: a filtered instance is the same logical scan.
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftKeyedScan =>
+      root == o.root && plan.version == o.plan.version &&
+        required == o.required && pushed.toSeq == o.pushed.toSeq
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    (root, plan.version, required, pushed.toSeq).hashCode()
 }
 
 object GraftKeyedScan {
+  /** Test seam: (groups before, groups after) of the most recent runtime
+    * filter application — the driver-visible proof DPP actually pruned.
+    */
+  @volatile var lastRuntimeFilter: Option[(Int, Int)] = None
+
   /** The builder's entry: translate the pushed filters, plan the keyed
     * shape, refuse (None) anything the raw reader can't honor.
     */

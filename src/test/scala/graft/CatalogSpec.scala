@@ -171,6 +171,68 @@ class CatalogSpec extends SparkSpec {
       .getMessage.nonEmpty)
   }
 
+  test("catalog: native SQL DELETE routes onto the manifest-pruned verbs") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.del (id BIGINT, grp STRING, v BIGINT) " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gcat.db.del SELECT id, concat('g', id % 2), id * 10 " +
+      "FROM range(1, 21)")
+    spark.sql("INSERT INTO gcat.db.del SELECT id, concat('g', id % 2), id * 10 " +
+      "FROM range(100, 121)")
+    val root = s"$warehouse/db/del"
+    // IN-list → keyed copy-on-write delete (only the hit dir rewrites)
+    spark.sql("DELETE FROM gcat.db.del WHERE id IN (3, 5, 7)")
+    assert(spark.table("gcat.db.del").count() == 38L)
+    assert(VersionedTable.latestCommit(root).get.mode == "delete")
+    // = single key
+    spark.sql("DELETE FROM gcat.db.del WHERE id = 9")
+    assert(spark.table("gcat.db.del").count() == 37L)
+    // range conjuncts → deleteRange: the fully-contained dir DROPS
+    // metadata-only (the retention-purge shape as plain SQL)
+    val dirsBefore = VersionedTable.latestCommit(root).get.dirs.size
+    spark.sql("DELETE FROM gcat.db.del WHERE id >= 100 AND id <= 200")
+    assert(spark.table("gcat.db.del").count() == 16L)
+    val after = VersionedTable.latestCommit(root).get
+    assert(after.dirs.size == dirsBefore - 1,
+      s"contained dir must drop metadata-only: ${after.dirs.size} vs $dirsBefore")
+    // string keys delete too
+    spark.sql("DELETE FROM gcat.db.del WHERE grp IN ('zzz')") // no-op, still valid
+    assert(spark.table("gcat.db.del").count() == 16L)
+    // unsupported shapes refuse loudly instead of deleting approximately
+    val e = intercept[Exception](
+      spark.sql("DELETE FROM gcat.db.del WHERE id = 1 OR grp = 'g0'"))
+    assert(e.getMessage.nonEmpty)
+  }
+
+  test("catalog: runtime filtering (DPP) prunes key groups through Spark's own planner") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.dppf (id BIGINT, grp STRING, v BIGINT) " +
+      "PARTITIONED BY (grp) TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gcat.db.dppf SELECT id, concat('g', id % 5), id * 10 " +
+      "FROM range(1, 101)")
+    spark.sql("CREATE TABLE gcat.db.dppd (grp STRING, tag STRING)")
+    spark.sql("INSERT INTO gcat.db.dppd SELECT concat('g', id), concat('t', id) " +
+      "FROM range(0, 5)")
+    graft.catalog.GraftKeyedScan.lastRuntimeFilter = None
+    // the dim filter selects ONE of five partitions; the broadcast join's
+    // runtime filter must reach the keyed scan and drop the other four key
+    // groups before a single file opens — the DSv2 DPP path. The hint
+    // stands in for statistics (catalog scans don't report them yet):
+    // without a broadcast build side, reuseBroadcastOnly DPP degenerates.
+    val q = spark.sql(
+      "SELECT /*+ BROADCAST(d) */ count(*) AS n, sum(f.v) AS s FROM gcat.db.dppf f " +
+        "JOIN gcat.db.dppd d ON f.grp = d.grp WHERE d.tag = 't2'")
+    val r = q.collect().head
+    // oracle: grp g2 = ids with id % 5 = 2
+    val ids = (1L until 101L).filter(_ % 5 == 2)
+    assert(r.getLong(0) == ids.size.toLong && r.getLong(1) == ids.map(_ * 10).sum,
+      r.toString)
+    val rf = graft.catalog.GraftKeyedScan.lastRuntimeFilter
+    assert(rf.contains((5, 1)),
+      s"runtime filter must prune 5 key groups to 1, got $rf " +
+        s"(final plan: ${q.queryExecution.executedPlan.toString.take(2500)})")
+  }
+
   test("catalog: writes go through the full commit discipline (constraints + auto index)") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.g (id BIGINT, v BIGINT) " +
