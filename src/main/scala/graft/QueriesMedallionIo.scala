@@ -1600,6 +1600,60 @@ private[graft] object QueriesMedallionIo {
         |FROM orders WHERE length(o_orderpriority) = 6
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — METADATA TABLES through the DSv2 catalog (the public Iceberg
+    // metadata-tables idea): `SELECT * FROM gq.db.t.history` (+ .detail /
+    // .partitions / .tags / .mor) are first-class read-only relations over
+    // the ledger — plain SQL introspection with no graft parser or TVF.
+    // Costs match the underlying verbs (history: checkpoint index + tail;
+    // partitions: directory walk, zero Spark jobs; mor: O(pending sets)).
+    // The row pins the ledger's exact (version, operation) sequence plus
+    // the .detail row count and .partitions cardinality against SQL the
+    // oracle recomputes from the raw table.
+    Q("versioned_catalog_meta",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        Fixtures.once(s, dir, "vt_cat_meta") {
+          rmrf(s"$wh/cmeta")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.cmeta")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_meta_orders")
+          val m = rd(s, dir, "orders").agg(max(col("o_orderkey"))).head().getLong(0) / 2
+          s.sql("CREATE TABLE gq.cmeta.t (o_orderkey BIGINT, o_orderpriority STRING, " +
+            "o_custkey BIGINT) PARTITIONED BY (o_orderpriority) " +
+            "TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+          s.sql("INSERT INTO gq.cmeta.t SELECT o_orderkey, o_orderpriority, o_custkey " +
+            s"FROM cat_meta_orders WHERE o_orderkey <= $m")
+          s.sql("INSERT INTO gq.cmeta.t SELECT o_orderkey, o_orderpriority, o_custkey " +
+            s"FROM cat_meta_orders WHERE o_orderkey > $m")
+          graft.io.VersionedTable.deleteWhereMor(s,
+            s"$wh/cmeta/t",
+            rd(s, dir, "orders").filter(col("o_orderkey") % 13 === 0)
+              .select("o_orderkey"),
+            "o_orderkey", "cmeta-del")
+          graft.io.VersionedTable.createTag(s"$wh/cmeta/t", "rel-1", 4L)
+          java.lang.Boolean.TRUE
+        }
+        val detailRows = s.sql("SELECT num_rows FROM gq.cmeta.t.detail").head().getLong(0)
+        val nParts = s.sql("SELECT count(*) AS n FROM gq.cmeta.t.partitions")
+          .head().getLong(0)
+        val tagV = s.sql("SELECT version FROM gq.cmeta.t.tags WHERE tag = 'rel-1'")
+          .head().getLong(0)
+        s.sql("SELECT version, operation FROM gq.cmeta.t.history")
+          .withColumn("detail_rows", lit(detailRows))
+          .withColumn("n_partition_values", lit(nParts))
+          .withColumn("tag_version", lit(tagV))
+          .orderBy("version")
+      },
+      Some("""WITH h AS (SELECT * FROM (VALUES (1, 'create'), (2, 'append'),
+        |  (3, 'append'), (4, 'delete-mor')) AS t(version, operation))
+        |SELECT CAST(version AS BIGINT) AS version, operation,
+        |  (SELECT count(*) FROM orders) AS detail_rows,
+        |  (SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders)
+        |    AS n_partition_values,
+        |  CAST(4 AS BIGINT) AS tag_version
+        |FROM h ORDER BY version""".stripMargin)),
+
     // S17 — copart over MERGE-ON-READ debt (coPartitionedSlotScans +
     // deleteWhereMor): the TVF no longer refuses a snapshot with pending
     // deletion vectors — each slot applies its dirs' covering delete sets

@@ -6,7 +6,7 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, IdentityTransform, Transform}
@@ -110,8 +110,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val root = tableRoot(ident)
-    if (!isTable(root)) throw new NoSuchTableException(ident)
-    new GraftTable(root, ident, None)
+    if (isTable(root)) return new GraftTable(root, ident, None)
+    // Iceberg-style METADATA TABLES: `SELECT * FROM cat.db.t.history` (and
+    // .detail/.partitions/.branches/.tags/.mor) — the identifier's name is
+    // the metadata kind and its namespace tail resolves to the base table.
+    // A REAL table always wins the name (checked above), so shadowing is
+    // impossible.
+    if (ident.namespace().nonEmpty &&
+        GraftMetaTable.kinds.contains(ident.name().toLowerCase(java.util.Locale.ROOT))) {
+      val parentRoot = ident.namespace().foldLeft(warehouse)((p, seg) => s"$p/$seg")
+      if (isTable(parentRoot))
+        return new GraftMetaTable(parentRoot, ident,
+          ident.name().toLowerCase(java.util.Locale.ROOT))
+    }
+    throw new NoSuchTableException(ident)
   }
 
   /** `VERSION AS OF <v>` — native DSv2 time travel onto the commit log. */
@@ -395,6 +407,87 @@ object GraftTable {
     spark.createDataFrame(
       java.util.Arrays.asList(vals.map(v => org.apache.spark.sql.Row(v)): _*),
       StructType(Seq(StructField(col, dt, nullable = false))))
+  }
+}
+
+/** A read-only METADATA TABLE of one versioned table (the public Iceberg
+  * metadata-tables idea: `t.history`, `t.snapshots`, `t.partitions` as
+  * first-class relations): plain SQL introspection of the ledger with no
+  * graft parser or TVF in the path —
+  *
+  *   SELECT * FROM cat.db.t.history     -- DESCRIBE HISTORY (ckpt-indexed)
+  *   SELECT * FROM cat.db.t.detail      -- DESCRIBE DETAIL (one row)
+  *   SELECT * FROM cat.db.t.partitions  -- SHOW PARTITIONS (dir walk)
+  *   SELECT * FROM cat.db.t.branches / t.tags / t.mor
+  *
+  * Cost model matches the underlying verbs: history serves from the
+  * checkpoint index + manifest tail, partitions is a directory walk with
+  * zero Spark jobs, mor is O(pending sets). The frames are driver-small by
+  * construction (ledger entries, partition values, refs), so a V1 bridge
+  * relation is exactly the right weight.
+  */
+class GraftMetaTable(root: String, ident: Identifier, kind: String)
+    extends Table with SupportsRead {
+  private def spark = SparkSession.active
+
+  override def name(): String = ident.toString
+
+  override lazy val schema: StructType = GraftMetaTable.frame(spark, root, kind).schema
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = schema
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override val sqlContext: SQLContext = context
+            override def schema: StructType = GraftMetaTable.this.schema
+            override def buildScan(): org.apache.spark.rdd.RDD[Row] =
+              GraftMetaTable.frame(context.sparkSession, root, kind).rdd
+          }.asInstanceOf[T]
+        override def description(): String = s"GraftMetaTable $root#$kind"
+      }
+    }
+}
+
+object GraftMetaTable {
+  import org.apache.spark.sql.types.{LongType, StringType, StructField}
+
+  val kinds: Set[String] =
+    Set("history", "detail", "partitions", "branches", "tags", "mor")
+
+  def frame(s: SparkSession, root: String, kind: String): DataFrame = kind match {
+    case "history"    => VersionedTable.describeHistory(s, root)
+    case "detail"     => VersionedTable.describeDetail(s, root)
+    case "partitions" => VersionedTable.showPartitions(s, root)
+    case "branches" =>
+      s.createDataFrame(
+        java.util.Arrays.asList(
+          VersionedTable.listBranches(root).sorted.map(Row(_)): _*),
+        StructType(Seq(StructField("branch", StringType, nullable = false))))
+    case "tags" =>
+      s.createDataFrame(
+        java.util.Arrays.asList(VersionedTable.listTags(root).toSeq.sortBy(_._1)
+          .map { case (n, v) => Row(n, v) }: _*),
+        StructType(Seq(StructField("tag", StringType, nullable = false),
+          StructField("version", LongType, nullable = false))))
+    case "mor" =>
+      val (covered, keySets, keysPending, posSets, posPending) =
+        VersionedTable.morDetail(s, root)
+      s.createDataFrame(
+        java.util.Arrays.asList(Row(covered.toLong, keySets.toLong, keysPending,
+          posSets.toLong, posPending)),
+        StructType(Seq(
+          StructField("dirs_covered", LongType, nullable = false),
+          StructField("key_sets", LongType, nullable = false),
+          StructField("keys_pending", LongType, nullable = false),
+          StructField("pos_sets", LongType, nullable = false),
+          StructField("positions_pending", LongType, nullable = false))))
+    case other => sys.error(s"unknown metadata table kind '$other'")
   }
 }
 

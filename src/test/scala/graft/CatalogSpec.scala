@@ -233,6 +233,41 @@ class CatalogSpec extends SparkSpec {
         s"(final plan: ${q.queryExecution.executedPlan.toString.take(2500)})")
   }
 
+  test("catalog: metadata tables — t.history / t.detail / t.partitions / t.tags / t.mor") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.mt (id BIGINT, grp STRING, v BIGINT) " +
+      "PARTITIONED BY (grp) TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gcat.db.mt SELECT id, concat('g', id % 2), id * 10 " +
+      "FROM range(1, 11)")
+    spark.sql("INSERT INTO gcat.db.mt SELECT id, concat('g', id % 2), id * 10 " +
+      "FROM range(11, 16)")
+    val root = s"$warehouse/db/mt"
+    VersionedTable.deleteWhereMor(spark, root, {
+      import spark.implicits._; Seq(4L).toDF("id")
+    }, "id", "mt-del")
+    VersionedTable.createTag(root, "rel-1", 4L)
+    // history: one row per commit, ledger order, plain SQL over the ident
+    val hist = spark.sql("SELECT version, operation FROM gcat.db.mt.history ORDER BY version")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(hist == Seq((1L, "create"), (2L, "append"), (3L, "append"),
+      (4L, "delete-mor")), hist.toString)
+    // detail: the one-row snapshot summary
+    val det = spark.sql("SELECT num_rows, mor_sets_pending FROM gcat.db.mt.detail").head()
+    assert(det.getLong(0) == 15L && det.getInt(1) == 1, det.toString)
+    // partitions: the directory-walk listing
+    val parts = spark.sql("SELECT grp FROM gcat.db.mt.partitions ORDER BY grp")
+      .collect().map(_.getString(0)).toSeq
+    assert(parts == Seq("g0", "g1"), parts.toString)
+    // tags + mor meter as relations
+    assert(spark.sql("SELECT tag, version FROM gcat.db.mt.tags").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("rel-1", 4L)))
+    val mor = spark.sql("SELECT key_sets, keys_pending FROM gcat.db.mt.mor").head()
+    assert(mor.getLong(0) == 1L && mor.getLong(1) == 1L, mor.toString)
+    // a real table named like a kind would win — and a bogus kind refuses
+    assert(intercept[Exception](spark.table("gcat.db.mt.nope").collect())
+      .getMessage.nonEmpty)
+  }
+
   test("catalog: writes go through the full commit discipline (constraints + auto index)") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.g (id BIGINT, v BIGINT) " +
