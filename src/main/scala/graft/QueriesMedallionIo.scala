@@ -1441,7 +1441,12 @@ private[graft] object QueriesMedallionIo {
           java.lang.Boolean.TRUE
         }
         val joined = s.sql(
-          "SELECT a.o_orderpriority AS o_orderpriority, count(*) AS n, " +
+          // the MERGE hint pins the SPJ shape independent of the scans'
+          // (now real) size statistics: at SF-test scale both sides sit
+          // under the broadcast threshold, where a 100 TB deployment would
+          // exceed it naturally — the property under test is the
+          // zero-Exchange sort-merge plan over KeyGroupedPartitioning
+          "SELECT /*+ MERGE(a) */ a.o_orderpriority AS o_orderpriority, count(*) AS n, " +
             "CAST(sum(a.o_orderkey * b.prio_w) AS BIGINT) AS wsum " +
             "FROM gq.spj.o a JOIN gq.spj.w b ON a.o_orderpriority = b.o_orderpriority " +
             "GROUP BY a.o_orderpriority")
@@ -1486,7 +1491,9 @@ private[graft] object QueriesMedallionIo {
           java.lang.Boolean.TRUE
         }
         val joined = s.sql(
-          "SELECT a.o_orderpriority AS o_orderpriority, a.o_orderstatus AS o_orderstatus, " +
+          // MERGE hint: same rationale as versioned_catalog_spj — pin the
+          // SPJ shape independent of the real (test-scale-small) statistics
+          "SELECT /*+ MERGE(a) */ a.o_orderpriority AS o_orderpriority, a.o_orderstatus AS o_orderstatus, " +
             "count(*) AS n, CAST(sum(a.o_orderkey * b.pw) AS BIGINT) AS wsum " +
             "FROM gq.mk.o a JOIN gq.mk.w b " +
             "ON a.o_orderpriority = b.o_orderpriority AND a.o_orderstatus = b.o_orderstatus " +
@@ -1585,7 +1592,10 @@ private[graft] object QueriesMedallionIo {
         }
         // the dim filter keeps ONE priority ('2-HIGH', the only length-6
         // value); its key group is all the fact scan should read
-        val q = s.sql("SELECT /*+ BROADCAST(d) */ f.o_orderpriority AS o_orderpriority, " +
+        // NO hint: the scans now report real statistics, so Spark
+        // broadcasts the KB-scale dim by itself — exactly the automatic
+        // planning honest sizes buy — and broadcast reuse feeds the DPP
+        val q = s.sql("SELECT f.o_orderpriority AS o_orderpriority, " +
           "count(*) AS n, CAST(sum(f.o_orderkey) AS BIGINT) AS key_sum " +
           "FROM gq.cdpp.f f JOIN gq.cdpp.d d ON f.o_orderpriority = d.o_orderpriority " +
           "WHERE d.tag = 6 GROUP BY f.o_orderpriority")

@@ -529,6 +529,7 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
     // pin the snapshot HERE: the plan must not straddle a concurrent commit
     val version = asOf.orElse(VersionedTable.latestVersion(root))
     GraftKeyedScan.ifEligible(spark, root, version, required, pushed)
+      .orElse(GraftFlatScan.ifEligible(spark, root, version, required, pushed))
       .getOrElse(new GraftV1FallbackScan(root, version, required, pushed))
   }
 }
@@ -539,8 +540,23 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
   */
 class GraftV1FallbackScan(root: String, version: Option[Long],
                           required: StructType, pushed: Array[Filter])
-    extends V1Scan {
+    extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
+
+  /** Real on-disk bytes of the pinned snapshot (O(#files) listing, once
+    * per scan build) — same rationale as GraftKeyedScan.estimateStatistics.
+    */
+  private lazy val snapBytes: Long =
+    math.max(1L, VersionedTable.snapshotBytes(root, version))
+
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(snapBytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =

@@ -1922,6 +1922,14 @@ object VersionedTable {
   /** All data files of a commit dir, as paths relative to it (hive
     * subdirs included), sorted for determinism.
     */
+  /** On-disk parquet bytes of a snapshot — what the catalog scans report
+    * as `sizeInBytes` so Spark's own cost decisions (broadcast selection,
+    * DPP benefit, AQE) run on REAL numbers instead of the
+    * assume-it's-huge default. O(#files) directory listing, zero footers.
+    */
+  def snapshotBytes(root: String, asOf: Option[Long] = None): Long =
+    liveDirBytes(root, resolveSnapshot(root, asOf).dirs)
+
   /** On-disk parquet bytes of `dirs` — an O(#files) directory listing,
     * zero footer reads: the byte budget a size-targeted compaction
     * divides into `targetFileBytes`-sized output files.
@@ -4858,6 +4866,67 @@ object VersionedTable {
     * predicate narrows the keyed scan the same way it narrows the
     * fallback.
     */
+  /** The driver-side plan of a FLAT (unpartitioned) DSv2 batch scan:
+    * physical file schema, name mapping, and the index-pruned file list
+    * with byte lengths — the unkeyed sibling of [[keyedBatchPlan]], for
+    * the simple-snapshot shapes where a raw-file batch is exactly right.
+    */
+  final case class FlatPlan(version: Long,
+                            physSchema: org.apache.spark.sql.types.StructType,
+                            nameMap: Map[String, String],
+                            files: Seq[(String, Long)],
+                            keptDirs: Int, totalDirs: Int)
+
+  /** Plan a flat DSv2 batch when the snapshot is simple enough for the
+    * raw parquet reader (flat layout, recorded schema, no defaults, no
+    * MOR debt, single layout era); None → the V1 fallback, which handles
+    * everything. Dir pruning runs the same planRange/planPoint/planNull
+    * gates as every other read path; per-file `_filestats` envelopes
+    * prune inside kept dirs.
+    */
+  private[graft] def flatBatchPlan(root: String, asOf: Option[Long],
+      ranges: Seq[(String, Long, Long)], points: Seq[(String, Long)],
+      nullProbes: Seq[(String, Boolean)]): Option[FlatPlan] = {
+    import org.apache.spark.sql.types._
+    val c = resolveSnapshot(root, asOf)
+    if (c.partitionCols.nonEmpty || c.schemaDdl.isEmpty || c.defaults.nonEmpty ||
+        c.deletes.nonEmpty || c.dirLayouts.nonEmpty) return None
+    val phys = StructType.fromDDL(c.schemaDdl.get)
+    c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
+      s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
+    var kept = c.dirs
+    ranges.foreach { case (n, lo, hi) =>
+      val k = planRange(root, n, lo, hi, resolved = Some(c)).toSet
+      kept = kept.filter(k.contains)
+    }
+    points.foreach { case (n, v) =>
+      val k = planPoint(root, n, v, resolved = Some(c)).toSet
+      kept = kept.filter(k.contains)
+    }
+    nullProbes.foreach { case (n, w) =>
+      val k = planNull(root, n, w, resolved = Some(c)).toSet
+      kept = kept.filter(k.contains)
+    }
+    val physBounds = ranges.map { case (n, lo, hi) => (physName(c, n), lo, hi) }
+    val files = kept.flatMap { d =>
+      val dp = dirPath(root, d)
+      val fstats = readFileStats(dp)
+      parquetFiles(dp).flatMap { rel =>
+        val keep = physBounds.isEmpty || fstats.forall(fs =>
+          physBounds.forall { case (n, lo, hi) =>
+            fs.get(rel).flatMap(_.get(n)).forall(_.overlapsLong(lo, hi)) })
+        if (!keep) None
+        else {
+          val full = s"$dp/$rel"
+          Some((full, new File(full).length()))
+        }
+      }
+    }
+    if (files.isEmpty) return None // empty scans take the (trivial) V1 path
+    Some(FlatPlan(c.version, phys, c.nameMap, files.sortBy(_._1),
+      kept.size, c.dirs.size))
+  }
+
   private[graft] def keyedBatchPlan(root: String, asOf: Option[Long],
       ranges: Seq[(String, Long, Long)], points: Seq[(String, Long)],
       nullProbes: Seq[(String, Boolean)]): Option[KeyedPlan] = {

@@ -71,8 +71,12 @@ class CatalogSpec extends SparkSpec {
       "FROM range(31, 46)")
     spark.sql("CREATE TABLE gcat.db.spjb (grp STRING, w BIGINT) PARTITIONED BY (grp)")
     spark.sql("INSERT INTO gcat.db.spjb SELECT concat('g', id), id * 100 FROM range(0, 3)")
+    // MERGE hint: the scans report REAL statistics now, and at spec scale
+    // both sides sit under the broadcast threshold — the property under
+    // test is the zero-Exchange sort-merge SPJ, which a 100 TB table gets
+    // without any hint because its size exceeds the threshold naturally
     val j = spark.sql(
-      "SELECT a.grp AS grp, count(*) AS n, sum(a.v + b.w) AS s " +
+      "SELECT /*+ MERGE(a) */ a.grp AS grp, count(*) AS n, sum(a.v + b.w) AS s " +
         "FROM gcat.db.spja a JOIN gcat.db.spjb b ON a.grp = b.grp GROUP BY a.grp")
     val got = j.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
     // oracle: plain DataFrame recompute
@@ -104,7 +108,7 @@ class CatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO gcat.db.mkb SELECT concat('d', id % 2), concat('r', id % 3), " +
       "id * 100 FROM range(0, 6)")
     val j = spark.sql(
-      "SELECT a.day AS day, a.region AS region, count(*) AS n, sum(a.v + b.w) AS s " +
+      "SELECT /*+ MERGE(a) */ a.day AS day, a.region AS region, count(*) AS n, sum(a.v + b.w) AS s " +
         "FROM gcat.db.mka a JOIN gcat.db.mkb b " +
         "ON a.day = b.day AND a.region = b.region GROUP BY a.day, a.region")
     import spark.implicits._
@@ -216,12 +220,22 @@ class CatalogSpec extends SparkSpec {
     graft.catalog.GraftKeyedScan.lastRuntimeFilter = None
     // the dim filter selects ONE of five partitions; the broadcast join's
     // runtime filter must reach the keyed scan and drop the other four key
-    // groups before a single file opens — the DSv2 DPP path. The hint
-    // stands in for statistics (catalog scans don't report them yet):
-    // without a broadcast build side, reuseBroadcastOnly DPP degenerates.
+    // groups before a single file opens — the DSv2 DPP path. NO hint: the
+    // scans report REAL statistics, so Spark broadcasts the KB-scale dim
+    // by itself (the logical stats assertion below pins the honesty), and
+    // reuseBroadcastOnly DPP rides the reused broadcast.
     val q = spark.sql(
-      "SELECT /*+ BROADCAST(d) */ count(*) AS n, sum(f.v) AS s FROM gcat.db.dppf f " +
+      "SELECT count(*) AS n, sum(f.v) AS s FROM gcat.db.dppf f " +
         "JOIN gcat.db.dppd d ON f.grp = d.grp WHERE d.tag = 't2'")
+    // honest sizeInBytes: both scan relations' logical stats are their real
+    // on-disk KBs, not the assume-huge default (pre-pushdown bare relations
+    // don't carry scan stats, so assert on the query's own leaves)
+    val scanBytes = q.queryExecution.optimizedPlan.collectLeaves()
+      .map(_.stats.sizeInBytes)
+    assert(scanBytes.nonEmpty && scanBytes.forall(b => b > 0 && b < 10L * 1024 * 1024),
+      s"scans must report real (small) statistics, got $scanBytes")
+    assert(q.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"),
+      "real statistics must let Spark broadcast the dim unhinted")
     val r = q.collect().head
     // oracle: grp g2 = ids with id % 5 = 2
     val ids = (1L until 101L).filter(_ % 5 == 2)
