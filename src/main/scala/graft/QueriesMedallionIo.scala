@@ -2541,6 +2541,46 @@ private[graft] object QueriesMedallionIo {
         |  TRUE AS dirs_unchanged
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — PREDICATE-form positional DELETE (VersionedTable.deletePosWhere;
+    // SQL `DELETE GRAFT ... POSITIONAL WHERE (<expr>)`): the
+    // arbitrary-predicate purge NO other delete verb can express — here a
+    // text LIKE match conjoined with a length bound over the documents
+    // corpus (the GDPR/contamination shape: "remove every document
+    // containing this marker"). One predicate-pushed scan resolves the
+    // positions, zero dirs rewrite ('dirs_unchanged'), reads skip
+    // join-free, and the predicate is checked against LOGICAL columns so a
+    // renamed/dropped name refuses instead of silently matching the
+    // retired slot. Oracle recomputes the survivor aggregate as plain SQL.
+    Q("versioned_delete_dv_pred",
+      (s, dir) => {
+        val (root, marked, unchanged) = Fixtures.once(s, dir, "vt_dv_pred") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_dvp_${dirTag(dir)}"
+          rmrf(r)
+          val docs = rd(s, dir, "documents")
+            .select("doc_id", "text", "lang", "n_chars")
+          val mx = docs.agg(max(col("doc_id"))).head().getLong(0)
+          graft.io.VersionedTable.commit(docs.filter(col("doc_id") <= mx / 2),
+            r, "append", "dvp-c1", statsCols = Seq("doc_id"))
+          graft.io.VersionedTable.commit(docs.filter(col("doc_id") > mx / 2),
+            r, "append", "dvp-c2", statsCols = Seq("doc_id"))
+          val preDirs = graft.io.VersionedTable.history(r).last.dirs
+          val (_, m, _) = graft.io.VersionedTable.deletePosWhere(s, r,
+            "text LIKE '%vector%' AND n_chars > 200", "dvp-del")
+          val same = graft.io.VersionedTable.history(r).last.dirs == preDirs
+          (r, java.lang.Long.valueOf(m.toLong), java.lang.Boolean.valueOf(same))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars_sum"))
+          .withColumn("dirs_marked", lit(marked.longValue()))
+          .withColumn("dirs_unchanged", lit(unchanged.booleanValue()))
+          .orderBy("lang")
+      },
+      Some("""SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+        |  CAST(2 AS BIGINT) AS dirs_marked, TRUE AS dirs_unchanged
+        |FROM documents WHERE NOT (text LIKE '%vector%' AND n_chars > 200)
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — SPLIT MOR METER + ABSORB (VersionedTable.morDetail — morStatus
     // by vector KIND): a key-based purge and a positional purge on
     // separate bands leave (2 dirs covered; 1 key set / |p1| keys; 1

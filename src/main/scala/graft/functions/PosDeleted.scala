@@ -7,29 +7,32 @@ import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Row-membership test of a POSITIONAL DELETION VECTOR (the Delta
-  * deletion-vector / Iceberg v2 positional-delete read side): given a data
-  * file's table-relative path and a row's parquet `row_index`, answer
-  * whether the (file, position) pair is deleted — a per-row hash lookup +
-  * binary search against a driver-resolved map, NO join.
+  * deletion-vector / Iceberg v2 positional-delete read side): given the
+  * scan's raw `_metadata.file_path` and a row's parquet `row_index`, answer
+  * whether the (file, position) pair is deleted — a per-row UTF8String
+  * equality check + binary search, NO join and NO per-row allocation.
   *
   * This is what makes positional merge-on-read strictly cheaper to READ
   * than the key-based twin: the key form pays one broadcast anti-join per
   * covering set per scan; this form is a codegen'd scalar predicate inside
   * the same whole-stage span as the scan itself, with cost independent of
   * how many rows were deleted or how wide the key column is. The vector is
-  * small by the MOR contract ([[graft.io.VersionedTable.morStatus]] meters
+  * small by the MOR contract ([[graft.io.VersionedTable.morDetail]] meters
   * it; compaction absorbs it), so shipping it inside the expression — which
   * rides the per-stage broadcast task binary — is the same distribution
   * path Spark uses for any literal-bearing predicate.
   *
   * Per-file memo: a parquet scan task reads one file's rows consecutively,
-  * so the (file → positions) lookup caches the last file's array and the
-  * common-case cost is ONE UTF8String equality check + binary search per
-  * row. Instances are deserialized per task, so the mutable memo is
-  * single-threaded by construction.
+  * so the (file → positions) lookup caches the last RAW path's array and
+  * normalizes the path to the vector's table-relative key (split at the
+  * dir's unique last component, `dirTag`) only on a file CHANGE — the hot
+  * path is one UTF8String equality + binary search per row, with zero
+  * per-row string manipulation (ProfileDeletionVectors measures the
+  * difference). Instances are deserialized per task, so the mutable memo
+  * is single-threaded by construction.
   */
 case class PosDeleted(left: Expression, right: Expression,
-                      dv: Map[String, Array[Long]])
+                      dirTag: String, dv: Map[String, Array[Long]])
   extends BinaryExpression with Predicate {
 
   override def prettyName: String = "pos_deleted"
@@ -49,7 +52,15 @@ case class PosDeleted(left: Expression, right: Expression,
     if (lastFile == null || !lastFile.equals(file)) {
       // clone: the scan may hand back a buffer-backed UTF8String it reuses
       lastFile = file.clone()
-      lastArr = dv.getOrElse(file.toString, null)
+      // normalize the absolute path to the vector's key once per FILE:
+      // <dir's last component>/<path under the dir> — the last occurrence
+      // of "/<dirTag>/" is the dir itself (hive segments carry `col=`
+      // prefixes, attempt names are version+commitId+random unique)
+      val p = file.toString
+      val marker = "/" + dirTag + "/"
+      val i = p.lastIndexOf(marker)
+      val key = if (i < 0) p else dirTag + "/" + p.substring(i + marker.length)
+      lastArr = dv.getOrElse(key, null)
     }
     lastArr != null && java.util.Arrays.binarySearch(lastArr, pos) >= 0
   }

@@ -123,6 +123,8 @@ object GraftSqlParser {
     """(?is)\s*SHOW\s+PARTITIONS\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
   private val analyzeRe =
     """(?is)\s*ANALYZE\s+GRAFT\s+'([^']+)'\s+STATS\s+BY\s*\(([^)]*)\)(?:\s+BLOOM\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val deletePosRe =
+    """(?is)\s*DELETE\s+GRAFT\s+'([^']+)'\s+POSITIONAL\s+WHERE\s+\((.*)\)\s*;?\s*""".r
   private val deleteInRe =
     """(?is)\s*DELETE\s+GRAFT\s+'([^']+)'\s+WHERE\s+(\w+)\s+IN\s*\(([^)]*)\)\s*;?\s*""".r
   private val deleteBetweenRe =
@@ -280,6 +282,7 @@ object GraftSqlParser {
       def cs(x: String) = Option(x).fold(Seq.empty[String])(
         _.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       Some(GraftAnalyzeCommand(root, cs(stats), cs(blooms)))
+    case deletePosRe(root, pred) => Some(GraftDeletePosCommand(root, pred))
     case deleteInRe(root, col, vals) =>
       Some(GraftDeleteCommand(root, col, Left(litList(vals))))
     case deleteBetweenRe(root, col, lo, hi) =>
@@ -536,6 +539,27 @@ private[plans] object GraftDmlKeys {
   * metadata-only). Fresh commitId per statement — SQL re-execution means
   * re-delete, Delta's semantics; the programmatic API owns idempotent retry.
   */
+/** `DELETE GRAFT '<root>' POSITIONAL WHERE (<any SQL predicate>)` →
+  * [[VersionedTable.deletePosWhere]]: the arbitrary-predicate delete as a
+  * merge-on-read positional vector — one predicate-pushed scan, zero
+  * rewrite, join-free reads. The shape the keyed/range statements cannot
+  * express (multi-column conditions, LIKE matches, non-indexed columns).
+  */
+case class GraftDeletePosCommand(root: String, predicateSql: String)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("dirs_marked", IntegerType, nullable = false)(),
+    AttributeReference("positions", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val commitId = s"sql-delete-pos-${java.util.UUID.randomUUID().toString.take(12)}"
+    val (v, marked, positions) =
+      VersionedTable.deletePosWhere(spark, root, predicateSql, commitId)
+    Seq(Row(v, marked, positions))
+  }
+}
+
 case class GraftDeleteCommand(root: String, col: String,
                               pred: Either[Seq[Any], (Any, Any)]) extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(

@@ -1053,6 +1053,54 @@ class IoSpec extends SparkSpec {
     assert(msgs.contains("NULL delete key"), msgs)
   }
 
+  test("VersionedTable.deletePosWhere: arbitrary-predicate delete as a positional vector") {
+    import spark.implicits._
+    val root = tmpDir("vt_dv_pred")
+    VersionedTable.commit(Seq((1L, "keep me", 10L), (2L, "drop ssn here", 20L),
+      (3L, "also keep", 5L), (4L, "ssn too", 40L)).toDF("id", "text", "v"),
+      root, "append", "dp-c1", statsCols = Seq("id"))
+    VersionedTable.commit(Seq((5L, "fine", 50L), (6L, "ssn again", 3L))
+      .toDF("id", "text", "v"), root, "append", "dp-c2", statsCols = Seq("id"))
+    // a LIKE + range conjunction no keyed/range verb can express
+    val (v, marked, nPos) = VersionedTable.deletePosWhere(spark, root,
+      "text LIKE '%ssn%' AND v >= 10", "dp-del")
+    assert(v == 3L && marked == 1 && nPos == 2L, s"($v, $marked, $nPos)")
+    def ids = VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 3L, 5L, 6L), ids.toString) // id 6 survives (v = 3 < 10)
+    // join-free read, idempotent retry, no dir rewritten
+    val plan = VersionedTable.read(spark, root).queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti") && plan.contains("pos_deleted"))
+    assert(VersionedTable.deletePosWhere(spark, root,
+      "text LIKE '%ssn%' AND v >= 10", "dp-del") == ((3L, -1, -1L)))
+    // predicate over LOGICAL names: after a rename the old physical name
+    // is gone and the new one matches; a schema-evolved column backfills
+    // its DEFAULT so the predicate sees the declared value
+    VersionedTable.renameColumn(root, "text", "body", "dp-ren")
+    VersionedTable.addColumnWithDefault(spark, root, "tier", "string",
+      "'bronze'", "dp-def")
+    val (_, _, nTier) = VersionedTable.deletePosWhere(spark, root,
+      "tier = 'bronze' AND body LIKE '%again%'", "dp-del2")
+    assert(nTier == 1L)
+    assert(ids == Set(1L, 3L, 5L))
+    // the RETIRED physical name refuses loudly: Spark's missing-input
+    // resolution would silently reach through the rename otherwise
+    val eOld = intercept[IllegalArgumentException](VersionedTable.deletePosWhere(
+      spark, root, "text LIKE '%ssn%'", "dp-bad"))
+    assert(eOld.getMessage.contains("unknown column 'text'"), eOld.getMessage)
+    // NULL predicate rows survive (SQL WHERE semantics)
+    VersionedTable.commit(Seq((7L, null.asInstanceOf[String], "bronze", 70L))
+      .toDF("id", "body", "tier", "v").select(col("id"), col("body"),
+        col("tier"), col("v")), root, "append", "dp-c3", statsCols = Seq("id"))
+    VersionedTable.deletePosWhere(spark, root, "body LIKE '%keep%'", "dp-del3")
+    assert(ids == Set(5L, 7L), ids.toString)
+    // SQL statement form + compact absorbs everything
+    spark.sql(s"DELETE GRAFT '$root' POSITIONAL WHERE (v > 60)").collect()
+    assert(ids == Set(5L))
+    VersionedTable.compact(spark, root, "dp-opt", 1)
+    assert(VersionedTable.morDetail(spark, root) == ((0, 0, 0L, 0, 0L)))
+    assert(ids == Set(5L))
+  }
+
   test("VersionedTable.deleteWherePos: hive layout, duplicate rows, mixed coverage, shallow clone") {
     import spark.implicits._
     // HIVE-partitioned dir: positions key files under their partition
