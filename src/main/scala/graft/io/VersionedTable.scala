@@ -2956,7 +2956,7 @@ object VersionedTable {
         Right(toLogicalDf(toC,
           scanDirs(spark, Nil, toC.partitionCols, toC.schemaDdl))
           .withColumn(ct, lit("")).limit(0))
-      case "merge" | "delete" | "delete-mor" | "update" =>
+      case "merge" | "delete" | "delete-mor" | "delete-pos" | "update" =>
         val fromDirs = f.dirs.toSet
         val removed = f.dirs.filterNot(toC.dirs.contains)
         val added = toC.dirs.filterNot(fromDirs.contains)

@@ -1024,6 +1024,12 @@ class IoSpec extends SparkSpec {
     assert(ids == Set(1L, 5L, 10L, 15L))
     // CDC refuses to cross the coverage change on a shared dir (kind-agnostic)
     intercept[IllegalArgumentException](VersionedTable.changesBetween(spark, root, 2L, 3L))
+    // ...but the CHANGE FEED expresses it: the positional delete emits
+    // exactly the hidden row as a 'delete' change (same contract as the
+    // key-MOR feed — the coverage-diff machinery is kind-agnostic)
+    val feed = VersionedTable.readChangeFeed(spark, root, 2L, 3L, "id")
+      .select("id", "_change_type").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(feed.toSeq == Seq((10L, "delete")), feed.mkString(", "))
     // the split meter: zero key sets, one positional vector, one position
     VersionedTable.deleteWherePos(spark, root, Seq(15L).toDF("id"), "id", "dv-p2")
     assert(VersionedTable.morDetail(spark, root) == ((1, 0, 0L, 2, 2L)),
@@ -3174,8 +3180,10 @@ class IoSpec extends SparkSpec {
       statsCols = Seq("id"))
     MatView.refresh(spark, mvR)
     assert(view() == direct())
-    // delete a NON-extreme row: provisional path, still exact
-    VersionedTable.deleteWhere(spark, srcR, Seq(31L).toDF("id"), "id", "m3-d0")
+    // delete a NON-extreme row — as a POSITIONAL vector: the provisional
+    // min/max path stays exact AND the incremental refresh rides the
+    // delete-pos change feed (the IVM composes with DV deletes)
+    VersionedTable.deleteWherePos(spark, srcR, Seq(31L).toDF("id"), "id", "m3-d0")
     MatView.refresh(spark, mvR)
     assert(view() == direct())
     // delete each group's MIN row (the affected-group recompute path) and
