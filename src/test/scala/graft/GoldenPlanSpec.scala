@@ -79,7 +79,15 @@ class GoldenPlanSpec extends SparkSpec {
     // a silent planner flip re-introducing one fails here by diff
     // one SMJ + partial/final aggregate and ZERO hash exchanges — the
     // single rangepartitioning exchange is the query's final orderBy
-    "versioned_copart_join" -> "SortMergeJoin=1, Exchange rangepartitioning=1, HashAggregate=2")
+    "versioned_copart_join" -> "SortMergeJoin=1, Exchange rangepartitioning=1, HashAggregate=2",
+    // r14 additions: the catalog SPJ through Spark's OWN planner (zero hash
+    // exchanges), the statistics-driven DPP join (exactly one broadcast,
+    // never a shuffle join), and the positional-DV read — whose WHOLE point
+    // is ZERO join nodes of any kind (a key-MOR regression would add a
+    // BroadcastHashJoin per covering set)
+    "versioned_catalog_spj" -> "SortMergeJoin=1, Exchange rangepartitioning=1, HashAggregate=2",
+    "versioned_catalog_dpp" -> "BroadcastHashJoin=1, BroadcastExchange=1, Exchange rangepartitioning=1, HashAggregate=2",
+    "versioned_delete_dv" -> "Exchange hashpartitioning=1, Exchange rangepartitioning=1, HashAggregate=2")
 
   test("plan fingerprints of the heaviest batch queries match the committed goldens") {
     val actual = golden.keys.toSeq.sorted.map(n => n -> fingerprint(n))
