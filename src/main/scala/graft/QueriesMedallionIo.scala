@@ -1562,6 +1562,68 @@ private[graft] object QueriesMedallionIo {
         |WHERE o_orderkey <= m AND NOT (o_orderkey % 97 = 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — NATIVE UPDATE + MERGE INTO through the DSv2 catalog
+    // (SupportsRowLevelOperations, group-based copy-on-write): Spark's OWN
+    // analyzer rewrites the DML into ReplaceData plans over the dir-tagged
+    // scan; the runtime group filter restricts the rewrite to dirs holding
+    // matched rows (spec-pinned separately — an untouched dir passes into
+    // the new manifest BY REFERENCE), survivors stage under an
+    // attempt-unique dir with hive keys dynamically routed, and the
+    // publish is the same pinned-parent OCC rewrite as every programmatic
+    // copy-on-write verb. 'update_mode'/'merge_mode' pin the manifest
+    // ledger; the oracle replays both statements as plain SQL.
+    Q("versioned_catalog_update",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        val (updMode, mrgMode) = Fixtures.once(s, dir, "vt_cat_upd") {
+          rmrf(s"$wh/cru")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.cru")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_upd_orders")
+          val m = rd(s, dir, "orders").agg(max(col("o_orderkey"))).head().getLong(0)
+          s.sql("CREATE TABLE gq.cru.t (o_orderkey BIGINT, o_orderpriority STRING, " +
+            "o_custkey BIGINT) PARTITIONED BY (o_orderpriority) " +
+            "TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+          s.sql("INSERT INTO gq.cru.t SELECT o_orderkey, o_orderpriority, o_custkey " +
+            s"FROM cat_upd_orders WHERE o_orderkey <= ${m / 2}")
+          s.sql("INSERT INTO gq.cru.t SELECT o_orderkey, o_orderpriority, o_custkey " +
+            s"FROM cat_upd_orders WHERE o_orderkey > ${m / 2}")
+          s.sql("UPDATE gq.cru.t SET o_custkey = o_custkey + 1000000 " +
+            "WHERE o_orderkey % 10 = 0")
+          val u = graft.io.VersionedTable.latestCommit(s"$wh/cru/t").get.mode
+          s.sql("SELECT o_orderkey, o_orderpriority, CAST(-1 AS BIGINT) AS o_custkey " +
+            "FROM cat_upd_orders WHERE o_orderkey % 97 = 0 " +
+            s"UNION ALL SELECT ${m} + id + 1, 'Z-MERGED', CAST(-2 AS BIGINT) " +
+            "FROM range(0, 5)").createOrReplaceTempView("cat_upd_src")
+          s.sql("MERGE INTO gq.cru.t t USING cat_upd_src s ON t.o_orderkey = s.o_orderkey " +
+            "WHEN MATCHED THEN UPDATE SET o_custkey = s.o_custkey " +
+            "WHEN NOT MATCHED THEN INSERT (o_orderkey, o_orderpriority, o_custkey) " +
+            "VALUES (s.o_orderkey, s.o_orderpriority, s.o_custkey)")
+          val g = graft.io.VersionedTable.latestCommit(s"$wh/cru/t").get.mode
+          (u, g)
+        }
+        s.table("gq.cru.t")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("cust_sum"))
+          .withColumn("update_mode", lit(updMode))
+          .withColumn("merge_mode", lit(mrgMode))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH u AS (SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey
+        |  FROM orders),
+        |mg AS (SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN o_orderkey % 97 = 0 THEN CAST(-1 AS BIGINT) ELSE o_custkey END AS o_custkey
+        |  FROM u),
+        |ins AS (SELECT (SELECT max(o_orderkey) FROM orders) + i + 1 AS o_orderkey,
+        |  'Z-MERGED' AS o_orderpriority, CAST(-2 AS BIGINT) AS o_custkey
+        |  FROM (SELECT unnest(range(0, 5)) AS i)),
+        |f AS (SELECT * FROM mg UNION ALL SELECT * FROM ins)
+        |SELECT o_orderpriority, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+        |  'update' AS update_mode, 'merge' AS merge_mode
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — RUNTIME FILTERING / DPP through the DSv2 catalog
     // (SupportsRuntimeFiltering on the keyed batch): the scan declares its
     // partition keys filterable, and a broadcast join against a FILTERED

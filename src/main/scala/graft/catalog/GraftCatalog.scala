@@ -288,9 +288,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   */
 class GraftTable(root: String, ident: Identifier, asOf: Option[Long])
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   private def spark = SparkSession.active
   private lazy val snapshot = VersionedTable.latestCommit(root)
+
+  /** Row-level DML (`UPDATE` / `MERGE INTO` / predicate `DELETE`): Spark's
+    * group-based copy-on-write rewrite over [[GraftRowLevelOperation]] —
+    * metadata-only DELETE shapes still short-circuit through
+    * [[canDeleteWhere]] (Spark's OptimizeMetadataOnlyDeleteFromTable), so
+    * adding the rewrite path never degrades the cheap paths.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(asOf.isEmpty, s"row-level ${info.command()} on a time-travel read of $name")
+    () => new GraftRowLevelOperation(spark, root, info.command())
+  }
+
+  /** The rewrite GROUP tag (`_graft_dir`) — requested by the row-level
+    * operation, runtime-filtered by Spark's group-filter subquery.
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftCowScan.DIR_COL
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "commit dir of the row (the rewrite group)"
+    })
 
   override def name(): String = ident.toString
 
@@ -516,18 +543,38 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
 
   override def pushedFilters(): Array[Filter] = pushed
 
+  private var wantsDirCol = false
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // top-level pruning only (the manifest schema is flat); empty
-    // projection (COUNT(*)) keeps one narrowest column
+    // projection (COUNT(*)) keeps one narrowest column. The `_graft_dir`
+    // METADATA column (requested by row-level group-filter subqueries) is
+    // tracked separately — only the dir-tagged scan can serve it.
+    wantsDirCol = requiredSchema.fieldNames.contains(GraftCowScan.DIR_COL)
+    val dataF = tableSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name))
     required =
-      if (requiredSchema.isEmpty) StructType(tableSchema.fields.take(1))
-      else StructType(tableSchema.fields.filter(f =>
-        requiredSchema.fieldNames.contains(f.name)))
+      if (dataF.isEmpty && !wantsDirCol) StructType(tableSchema.fields.take(1))
+      else StructType(dataF)
   }
 
   override def build(): Scan = {
     // pin the snapshot HERE: the plan must not straddle a concurrent commit
     val version = asOf.orElse(VersionedTable.latestVersion(root))
+    if (wantsDirCol) {
+      // `_graft_dir` requested (a row-level group-filter subquery): only
+      // the dir-tagged copy-on-write scan carries the group column
+      val plan = VersionedTable.cowScanPlan(root, version) match {
+        case Right(p) => p
+        case Left(reason) => throw new UnsupportedOperationException(
+          s"scan of $root with ${GraftCowScan.DIR_COL}: $reason")
+      }
+      return new GraftCowScan(spark, root,
+        version.getOrElse(sys.error(s"$root: empty table")), plan,
+        StructType(required.fields :+
+          org.apache.spark.sql.types.StructField(GraftCowScan.DIR_COL,
+            org.apache.spark.sql.types.StringType, nullable = false)))
+    }
     GraftKeyedScan.ifEligible(spark, root, version, required, pushed)
       .orElse(GraftFlatScan.ifEligible(spark, root, version, required, pushed))
       .getOrElse(new GraftV1FallbackScan(root, version, required, pushed))

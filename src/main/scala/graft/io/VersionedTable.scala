@@ -3216,7 +3216,8 @@ object VersionedTable {
       rewritten: Seq[String], droppedDirs: Seq[String],
       survivorsDir: Option[String], dirStats: DirStats, dirBlooms: Seq[String],
       mode: String, commitId: String, op: String, schemaDdl: Option[String],
-      conflictDirs: (Commit, Seq[String]) => Seq[String]): Long = {
+      conflictDirs: (Commit, Seq[String]) => Seq[String],
+      survivorLayout: Option[Seq[String]] = None): Long = {
     val hook = onBeforeRewritePublish
     onBeforeRewritePublish = () => ()
     hook()
@@ -3246,8 +3247,14 @@ object VersionedTable {
           .fold(keptNulls)(d => keptNulls + (d -> dirStats.nulls)),
         props = parent.props, identity = parent.identity,
         // survivors are written in the CURRENT layout (Iceberg's rewrite
-        // rule) — only passed-through dirs keep their era entries
-        dirLayouts = parent.dirLayouts.filter { case (d, _) => pass.contains(d) },
+        // rule) — only passed-through dirs keep their era entries — UNLESS
+        // the caller declares a different survivor layout (the DSv2
+        // row-level write emits FLAT files with hive keys materialized as
+        // data columns; the partition-evolution era machinery reads them
+        // identically)
+        dirLayouts = parent.dirLayouts.filter { case (d, _) => pass.contains(d) } ++
+          survivorLayout.filter(_ != parent.partitionCols)
+            .flatMap(l => survivorsDir.map(_ -> l)),
         defaults = parent.defaults)
       if (publishIfAbsent(root, v, c)) out = v
       else findCommitVersion(root, commitId) match {
@@ -5019,6 +5026,114 @@ object VersionedTable {
     if (files.isEmpty) return None // empty scans take the (trivial) V1 path
     Some(FlatPlan(c.version, phys, c.nameMap, files.sortBy(_._1),
       kept.size, c.dirs.size))
+  }
+
+  /** One file of a row-level (copy-on-write) scan: its dir (the rewrite
+    * GROUP), path, length, and path-materialized hive key values.
+    */
+  final case class CowFile(dir: String, path: String, len: Long, keyVals: Seq[Any])
+
+  /** Driver plan of a DSv2 ROW-LEVEL operation's scan (UPDATE/MERGE/DELETE
+    * through the catalog): physical file schema, hive key fields (declared
+    * types), name mapping, and EVERY live file tagged with its dir — the
+    * group granularity Spark's runtime group filter prunes at.
+    */
+  final case class CowPlan(version: Long,
+                           physSchema: org.apache.spark.sql.types.StructType,
+                           keyFields: Seq[org.apache.spark.sql.types.StructField],
+                           nameMap: Map[String, String],
+                           files: Seq[CowFile])
+
+  /** Plan a row-level scan, or explain (Left) why the snapshot can't take
+    * the copy-on-write rewrite path yet. Refusals are OPERATIONAL, each
+    * with the verb that clears it — never a silent wrong answer.
+    */
+  private[graft] def cowScanPlan(root: String, asOf: Option[Long])
+      : Either[String, CowPlan] = {
+    import org.apache.spark.sql.types._
+    val c = resolveSnapshot(root, asOf)
+    if (c.schemaDdl.isEmpty)
+      return Left("snapshot has no recorded schema")
+    if (c.deletes.nonEmpty)
+      return Left("pending merge-on-read deletion vectors — run OPTIMIZE to absorb them first")
+    if (c.defaults.nonEmpty)
+      return Left("declared column DEFAULTs — not yet supported by the row-level write path")
+    if (c.dirLayouts.nonEmpty)
+      return Left("mixed partition-layout eras — run OPTIMIZE to normalize first")
+    if (c.generated.nonEmpty || c.identity.nonEmpty || c.constraints.nonEmpty)
+      return Left("generated/identity columns or CHECK constraints — use the " +
+        "UPDATE/MERGE GRAFT statements, which enforce them")
+    val phys = StructType.fromDDL(c.schemaDdl.get)
+    val keyFields = c.partitionCols.flatMap(k => phys.fields.find(_.name == k))
+    if (keyFields.size != c.partitionCols.size)
+      return Left("partition columns missing from the recorded schema")
+    if (!keyFields.forall(f => f.dataType == IntegerType || f.dataType == LongType ||
+        f.dataType == StringType))
+      return Left("non-path-round-trippable partition key type")
+    c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
+      s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
+    def parse(f: StructField, raw: String): Any =
+      if (raw == "__HIVE_DEFAULT_PARTITION__") null
+      else f.dataType match {
+        case IntegerType => unescapePathName(raw).toInt
+        case LongType    => unescapePathName(raw).toLong
+        case _           => unescapePathName(raw)
+      }
+    val files = Seq.newBuilder[CowFile]
+    c.dirs.foreach { d =>
+      val dp = dirPath(root, d)
+      parquetFiles(dp).foreach { rel =>
+        val segs = rel.split('/').dropRight(1)
+        val vals = keyFields.map { f =>
+          segs.collectFirst {
+            case seg if seg.startsWith(f.name + "=") =>
+              parse(f, seg.substring(f.name.length + 1))
+          }
+        }
+        if (vals.exists(_.isEmpty))
+          return Left(s"file $rel of dir $d is outside the declared key layout")
+        val full = s"$dp/$rel"
+        files += CowFile(d, full, new File(full).length(), vals.map(_.get))
+      }
+    }
+    Right(CowPlan(c.version, phys, keyFields, c.nameMap, files.result()))
+  }
+
+  /** A fresh staging dir name for a DSv2 row-level write's survivors —
+    * same attempt-unique scheme as every other write path, reclaimed by
+    * vacuum's age-gated sweep if the write never publishes.
+    */
+  private[graft] def newAttemptDataDir(root: String, vHint: Long,
+                                       commitId: String): String =
+    attemptDirName("data", vHint, commitId)
+
+  /** Publish a DSv2 row-level (copy-on-write) rewrite: `rewrittenDirs`
+    * (the groups the scan actually read after runtime group filtering)
+    * are replaced by `stagedDir` (None when every row of them was
+    * deleted), pinned against the version the scan planned at. The
+    * skipping index rebuilds from the staged files over the table's
+    * already-indexed columns; concurrently-added dirs conflict
+    * CONSERVATIVELY (the write cannot prove disjointness for an arbitrary
+    * UPDATE/MERGE condition). Hive-layout tables get their survivors FLAT
+    * with keys materialized as data columns, recorded as a layout era —
+    * the partition-evolution read machinery makes both spellings read
+    * identically, and the next OPTIMIZE normalizes.
+    */
+  private[graft] def publishCowRewrite(spark: SparkSession, root: String,
+      pinnedVersion: Long, rewrittenDirs: Seq[String], stagedDir: Option[String],
+      mode: String, commitId: String): Long = {
+    val pinned = commitAt(root, pinnedVersion).getOrElse(
+      sys.error(s"row-level write: pinned version $pinnedVersion vanished from the log"))
+    val phys = org.apache.spark.sql.types.StructType.fromDDL(pinned.schemaDdl.get)
+    val (st, bl) = indexedCols(root)
+    val dirStats = stagedDir.fold(DirStats(Map.empty, Map.empty, Map.empty))(d =>
+      gatherStats(spark, s"$root/$d", st.map(physName(pinned, _)), phys))
+    val dirBlooms = stagedDir.fold(Seq.empty[String])(d =>
+      gatherBlooms(spark, s"$root/$d", bl.map(physName(pinned, _))))
+    publishRewriteRebasing(root, pinned, rewritten = rewrittenDirs,
+      droppedDirs = Nil, survivorsDir = stagedDir, dirStats, dirBlooms,
+      mode, commitId, s"catalog-$mode", pinned.schemaDdl,
+      (_, newDirs) => newDirs)
   }
 
   private[graft] def keyedBatchPlan(root: String, asOf: Option[Long],

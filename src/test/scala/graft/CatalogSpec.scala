@@ -202,10 +202,64 @@ class CatalogSpec extends SparkSpec {
     // string keys delete too
     spark.sql("DELETE FROM gcat.db.del WHERE grp IN ('zzz')") // no-op, still valid
     assert(spark.table("gcat.db.del").count() == 16L)
-    // unsupported shapes refuse loudly instead of deleting approximately
-    val e = intercept[Exception](
-      spark.sql("DELETE FROM gcat.db.del WHERE id = 1 OR grp = 'g0'"))
-    assert(e.getMessage.nonEmpty)
+    // shapes beyond the metadata-delete verbs now take the ROW-LEVEL
+    // copy-on-write rewrite (SupportsRowLevelOperations) instead of
+    // refusing: an OR predicate deletes exactly its rows
+    val before = spark.table("gcat.db.del").count()
+    spark.sql("DELETE FROM gcat.db.del WHERE id = 10 OR grp = 'zzz'")
+    assert(spark.table("gcat.db.del").count() == before - 1)
+    assert(VersionedTable.latestCommit(root).get.mode == "delete")
+  }
+
+  test("catalog: native UPDATE / MERGE INTO via group-based copy-on-write; group filter prunes dirs") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.ru (id BIGINT, grp STRING, v BIGINT) " +
+      "PARTITIONED BY (grp) TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gcat.db.ru SELECT id, concat('g', id % 3), id * 10 " +
+      "FROM range(1, 31)")
+    val root = s"$warehouse/db/ru"
+    // UPDATE: arbitrary SET + WHERE, planned by Spark's ReplaceData rewrite
+    spark.sql("UPDATE gcat.db.ru SET v = v + 1000 WHERE id % 10 = 0")
+    val got = spark.table("gcat.db.ru").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    (1L until 31L).foreach(i => assert(got(i) ==
+      (if (i % 10 == 0) i * 10 + 1000 else i * 10), s"id $i"))
+    assert(VersionedTable.latestCommit(root).get.mode == "update")
+    // RUNTIME GROUP FILTERING: append a second dir, update a key that only
+    // lives there — the first dir must survive BY REFERENCE (not rewritten)
+    val dirAfterU1 = VersionedTable.latestCommit(root).get.dirs
+    assert(dirAfterU1.size == 1)
+    spark.sql("INSERT INTO gcat.db.ru SELECT id, concat('g', id % 3), id * 10 " +
+      "FROM range(100, 111)")
+    spark.sql("UPDATE gcat.db.ru SET v = 0 WHERE id = 105")
+    val afterU2 = VersionedTable.latestCommit(root).get.dirs
+    assert(afterU2.contains(dirAfterU1.head),
+      s"group filter must keep the unmatched dir by reference: $afterU2")
+    assert(spark.table("gcat.db.ru").filter(col("id") === 105).head().getLong(2) == 0L)
+    assert(spark.table("gcat.db.ru").count() == 41L)
+    // MERGE INTO: matched update + unmatched insert through the same path
+    spark.sql("CREATE TABLE gcat.db.rusrc (id BIGINT, grp STRING, v BIGINT)")
+    spark.sql("INSERT INTO gcat.db.rusrc VALUES (3, 'g0', 777), (999, 'g9', 888)")
+    spark.sql("MERGE INTO gcat.db.ru t USING gcat.db.rusrc s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (id, grp, v) VALUES (s.id, s.grp, s.v)")
+    val m = spark.table("gcat.db.ru").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(m(3L)._2 == 777L && m(999L) == (("g9", 888L)))
+    assert(spark.table("gcat.db.ru").count() == 42L)
+    assert(VersionedTable.latestCommit(root).get.mode == "merge")
+    // the CHANGE FEED expresses the catalog UPDATE (same 'update' mode as
+    // the programmatic verbs — CDC consumers compose)
+    val hist = VersionedTable.history(root)
+    val uv = hist.filter(_.mode == "update").map(_.version).head
+    val feed = VersionedTable.readChangeFeed(spark, root, uv - 1, uv, "id")
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted
+    assert(feed.count(_._2 == "update_postimage") == 3 &&
+      feed.count(_._2 == "update_preimage") == 3, feed.mkString(", "))
+    // a time-travel read cannot be the target of row-level DML
+    assert(intercept[Exception](spark.sql(
+      "UPDATE gcat.db.ru VERSION AS OF 1 SET v = 0 WHERE id = 1")).getMessage.nonEmpty)
   }
 
   test("catalog: runtime filtering (DPP) prunes key groups through Spark's own planner") {
