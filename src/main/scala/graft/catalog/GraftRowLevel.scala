@@ -231,7 +231,12 @@ final class GraftCowWrite(spark: SparkSession, root: String,
     }
     private val commitId = s"catalog-$mode-${info.queryId()}"
     private val staged = VersionedTable.newAttemptDataDir(root, scan.version + 1, commitId)
-    private val snapshot = graft.io.VersionedTable.latestCommit(root)
+    // derive the write layout from the SAME pinned snapshot the scan read —
+    // a rename/layout change racing in between would otherwise make the
+    // staged files incoherent with the version the publish pins (the OCC
+    // rebase refuses such races loudly either way; this keeps the staged
+    // bytes correct-by-construction)
+    private val snapshot = graft.io.VersionedTable.commitAt(root, scan.version)
     private val partitionCols = snapshot.map(_.partitionCols).getOrElse(Nil)
     // the write receives LOGICAL column names; files store PHYSICAL ones
     // (hive keys are never renamed — the rename guard refuses them)

@@ -209,6 +209,13 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DELETE FROM gcat.db.del WHERE id = 10 OR grp = 'zzz'")
     assert(spark.table("gcat.db.del").count() == before - 1)
     assert(VersionedTable.latestCommit(root).get.mode == "delete")
+    // metadata-ELIGIBLE shapes must still short-circuit BEFORE the
+    // row-level scan is planned — on a MOR-covered snapshot (which the
+    // row-level path refuses) the IN-list delete must keep working
+    import spark.implicits._
+    VersionedTable.deleteWhereMor(spark, root, Seq(11L).toDF("id"), "id", "del-mor")
+    spark.sql("DELETE FROM gcat.db.del WHERE id IN (12, 13)")
+    assert(spark.table("gcat.db.del").count() == before - 4)
   }
 
   test("catalog: native UPDATE / MERGE INTO via group-based copy-on-write; group filter prunes dirs") {
