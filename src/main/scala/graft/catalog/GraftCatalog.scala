@@ -181,28 +181,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = tableRoot(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    val spark = SparkSession.active
     def cid(tag: String) = s"catalog-$tag-${java.util.UUID.randomUUID().toString.take(12)}"
-    // properties batch into ONE metadata commit (ALTER ... SET
-    // TBLPROPERTIES ('a'='1','b'='2') is one statement, one version)
-    val sets = changes.collect {
-      case s: TableChange.SetProperty => s.property() -> s.value() }.toMap
-    val unsets = changes.collect {
-      case r: TableChange.RemoveProperty => r.property() }
-    if (sets.nonEmpty) VersionedTable.setTableProperties(root, sets, cid("setprops"))
-    if (unsets.nonEmpty) VersionedTable.unsetTableProperties(root, unsets, cid("unsetprops"))
-    changes.foreach {
-      case _: TableChange.SetProperty | _: TableChange.RemoveProperty => ()
+    // VALIDATE every change up front, building its thunk, then apply — a
+    // statement mixing a property change with an unsupported shape must
+    // leave NO committed side effect (a partially-applied ALTER is worse
+    // than a refused one). Properties batch into ONE metadata commit
+    // (ALTER ... SET TBLPROPERTIES ('a'='1','b'='2') is one statement,
+    // one version); each structural change is its own versioned verb.
+    val applies: Seq[() => Unit] = changes.map {
+      case _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
+        () => () // batched below
       case rc: TableChange.RenameColumn =>
         require(rc.fieldNames().length == 1, "GraftCatalog: nested columns unsupported")
-        VersionedTable.renameColumn(root, rc.fieldNames()(0), rc.newName(), cid("rename"))
+        () => { VersionedTable.renameColumn(root, rc.fieldNames()(0), rc.newName(),
+          cid("rename")); () }
       case dc: TableChange.DeleteColumn =>
         require(dc.fieldNames().length == 1, "GraftCatalog: nested columns unsupported")
-        VersionedTable.dropColumn(root, dc.fieldNames()(0), cid("dropcol"))
+        () => { VersionedTable.dropColumn(root, dc.fieldNames()(0), cid("dropcol")); () }
       case ut: TableChange.UpdateColumnType =>
         require(ut.fieldNames().length == 1, "GraftCatalog: nested columns unsupported")
-        VersionedTable.widenColumnType(root, ut.fieldNames()(0),
-          ut.newDataType().sql, cid("widen"))
+        () => { VersionedTable.widenColumnType(root, ut.fieldNames()(0),
+          ut.newDataType().sql, cid("widen")); () }
       case ac: TableChange.AddColumn =>
         require(ac.fieldNames().length == 1, "GraftCatalog: nested columns unsupported")
         // schema evolution is write-driven (a widening append) or
@@ -214,6 +213,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
             "(ALTER GRAFT ... ADD COLUMN ... DEFAULT (...) via the graft SQL surface)")
       case other => sys.error(s"GraftCatalog: unsupported table change $other")
     }
+    val sets = changes.collect {
+      case s: TableChange.SetProperty => s.property() -> s.value() }.toMap
+    val unsets = changes.collect {
+      case r: TableChange.RemoveProperty => r.property() }
+    if (sets.nonEmpty) VersionedTable.setTableProperties(root, sets, cid("setprops"))
+    if (unsets.nonEmpty) VersionedTable.unsetTableProperties(root, unsets, cid("unsetprops"))
+    applies.foreach(_.apply())
     new GraftTable(root, ident, None)
   }
 
@@ -292,7 +298,12 @@ class GraftTable(root: String, ident: Identifier, asOf: Option[Long])
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   private def spark = SparkSession.active
-  private lazy val snapshot = VersionedTable.latestCommit(root)
+  // a VERSION/TIMESTAMP AS OF pin resolves table METADATA (partitioning,
+  // properties, graft.version) at the pinned snapshot too — scans resolve
+  // asOf themselves, but DESCRIBE on a time-travel read must not report
+  // the current snapshot's shape
+  private lazy val snapshot = asOf.fold(VersionedTable.latestCommit(root))(
+    v => VersionedTable.commitAt(root, v))
 
   /** Row-level DML (`UPDATE` / `MERGE INTO` / predicate `DELETE`): Spark's
     * group-based copy-on-write rewrite over [[GraftRowLevelOperation]] —

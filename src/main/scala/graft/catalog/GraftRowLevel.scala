@@ -45,10 +45,11 @@ import graft.io.VersionedTable
   * snapshots with pending MOR vectors, column DEFAULTs, mixed layout eras,
   * or generated/identity/constraint declarations take the custom
   * `UPDATE/MERGE GRAFT` statements instead ([[VersionedTable.cowScanPlan]]
-  * explains each). Hive-layout tables are supported: survivors land FLAT
-  * with the keys materialized as data columns and a recorded layout era —
-  * the partition-evolution machinery reads both spellings identically and
-  * the next OPTIMIZE normalizes.
+  * explains each). Hive-layout tables are supported: survivors are
+  * written back in the SAME hive `k=v/...` layout (the per-task dynamic
+  * partition writers below project the keys out of file contents exactly
+  * as `partitionBy` does), so the rewritten dir is indistinguishable from
+  * any other commit dir and no layout era is recorded.
   */
 final class GraftRowLevelOperation(spark: SparkSession, root: String,
     cmd: Command) extends RowLevelOperation {

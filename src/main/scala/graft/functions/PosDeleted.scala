@@ -76,4 +76,33 @@ case class PosDeleted(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+
+  // VALUE equality over the vector map: Array equality is identity-based,
+  // so the derived case-class equals would make two semantically identical
+  // predicates from separate plan builds compare UNEQUAL — canonicalized
+  // plan comparison (and through it exchange/subquery reuse) would get
+  // false negatives on covered scans. hashCode must stay consistent;
+  // vectors are small by the MOR contract, so full-content hashing is fine.
+  override def equals(other: Any): Boolean = other match {
+    case o: PosDeleted =>
+      left == o.left && right == o.right && dirTag == o.dirTag &&
+        dv.keySet == o.dv.keySet &&
+        dv.forall { case (k, a) => java.util.Arrays.equals(a, o.dv(k)) }
+    case _ => false
+  }
+
+  override def hashCode(): Int =
+    (left, right, dirTag,
+      dv.toSeq.sortBy(_._1).map { case (k, a) =>
+        (k, java.util.Arrays.hashCode(a)) }).hashCode()
+
+  // elide the vector map from plan strings: the derived rendering would
+  // embed every position of every file into explain/canonicalized output
+  private def elided: String =
+    s"pos_deleted($left, $right, $dirTag, ${dv.size} files/" +
+      s"${dv.valuesIterator.map(_.length.toLong).sum} positions)"
+  override def toString: String = elided
+  override def simpleString(maxFields: Int): String = elided
+  override def sql: String =
+    s"pos_deleted(${left.sql}, ${right.sql}, '$dirTag', <vector>)"
 }

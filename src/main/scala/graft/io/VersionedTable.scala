@@ -3216,8 +3216,7 @@ object VersionedTable {
       rewritten: Seq[String], droppedDirs: Seq[String],
       survivorsDir: Option[String], dirStats: DirStats, dirBlooms: Seq[String],
       mode: String, commitId: String, op: String, schemaDdl: Option[String],
-      conflictDirs: (Commit, Seq[String]) => Seq[String],
-      survivorLayout: Option[Seq[String]] = None): Long = {
+      conflictDirs: (Commit, Seq[String]) => Seq[String]): Long = {
     val hook = onBeforeRewritePublish
     onBeforeRewritePublish = () => ()
     hook()
@@ -3247,14 +3246,10 @@ object VersionedTable {
           .fold(keptNulls)(d => keptNulls + (d -> dirStats.nulls)),
         props = parent.props, identity = parent.identity,
         // survivors are written in the CURRENT layout (Iceberg's rewrite
-        // rule) — only passed-through dirs keep their era entries — UNLESS
-        // the caller declares a different survivor layout (the DSv2
-        // row-level write emits FLAT files with hive keys materialized as
-        // data columns; the partition-evolution era machinery reads them
-        // identically)
-        dirLayouts = parent.dirLayouts.filter { case (d, _) => pass.contains(d) } ++
-          survivorLayout.filter(_ != parent.partitionCols)
-            .flatMap(l => survivorsDir.map(_ -> l)),
+        // rule — the DSv2 row-level write's dynamic partition writers
+        // emit the same hive subpaths), so only passed-through dirs keep
+        // their era entries
+        dirLayouts = parent.dirLayouts.filter { case (d, _) => pass.contains(d) },
         defaults = parent.defaults)
       if (publishIfAbsent(root, v, c)) out = v
       else findCommitVersion(root, commitId) match {
@@ -5114,10 +5109,9 @@ object VersionedTable {
     * skipping index rebuilds from the staged files over the table's
     * already-indexed columns; concurrently-added dirs conflict
     * CONSERVATIVELY (the write cannot prove disjointness for an arbitrary
-    * UPDATE/MERGE condition). Hive-layout tables get their survivors FLAT
-    * with keys materialized as data columns, recorded as a layout era —
-    * the partition-evolution read machinery makes both spellings read
-    * identically, and the next OPTIMIZE normalizes.
+    * UPDATE/MERGE condition). Hive-layout tables get their survivors in
+    * the SAME hive layout (the write's dynamic partition writers emit
+    * `k=v/...` subpaths), so no layout era is recorded.
     */
   private[graft] def publishCowRewrite(spark: SparkSession, root: String,
       pinnedVersion: Long, rewrittenDirs: Seq[String], stagedDir: Option[String],
