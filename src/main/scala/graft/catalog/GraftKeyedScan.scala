@@ -57,10 +57,20 @@ final class GraftKeyedScan(spark: SparkSession, private val root: String,
     * shape independently of size.
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    private val bytes = math.max(1L, groups.map(_.files.map(_._2).sum).sum)
+    private val fs = groups.flatMap(_.files)
+    private val bytes = math.max(1L, fs.map(_._2).sum)
+    // footer row counts recorded in the `_filestats` side files, summed
+    // over the PLANNED (index-pruned, runtime-filtered) file set — exact,
+    // not an estimate, because dirs are immutable. Reported only when
+    // EVERY planned file has a recorded count: a partial sum would
+    // under-report and bias join-size estimates the wrong way.
+    private val rows: java.util.OptionalLong =
+      if (fs.nonEmpty && fs.forall(f => plan.fileRows.contains(f._1)))
+        java.util.OptionalLong.of(fs.map(f => plan.fileRows(f._1)).sum)
+      else java.util.OptionalLong.empty()
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong = rows
   }
 
   private val keyNames: Seq[String] = plan.keySchema.fieldNames.toSeq
@@ -285,9 +295,15 @@ final class GraftFlatScan(spark: SparkSession, private val root: String,
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = math.max(1L, plan.files.map(_._2).sum)
+    // see GraftKeyedScan.estimateStatistics: exact footer row counts from
+    // the side files, all-or-nothing over the planned file set
+    private val rows: java.util.OptionalLong =
+      if (plan.files.nonEmpty && plan.files.forall(f => plan.fileRows.contains(f._1)))
+        java.util.OptionalLong.of(plan.files.map(f => plan.fileRows(f._1)).sum)
+      else java.util.OptionalLong.empty()
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong = rows
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

@@ -2095,19 +2095,6 @@ object VersionedTable {
       }.toMap
       rel -> (fromFooter ++ fromPath)
     }
-    if (perFile.exists(_._2.nonEmpty)) writeFileStats(dir, perFile)
-    val ints = scala.collection.mutable.Map[String, (Long, Long)]()
-    val strs = scala.collection.mutable.Map[String, (String, String)]()
-    perFile.foreach { case (_, cols) =>
-      cols.foreach {
-        case (c, IntMM(mn, mx)) =>
-          ints.update(c, ints.get(c).fold((mn, mx)) { case (a, b) =>
-            (math.min(a, mn), math.max(b, mx)) })
-        case (c, StrMM(mn, mx)) =>
-          strs.update(c, strs.get(c).fold((mn, mx)) { case (a, b) =>
-            (utf8Min(a, mn), utf8Max(b, mx)) })
-      }
-    }
     // NULL-count index (Delta's nullCount stats): per column, the dir's
     // (nulls, rows) — from the same footers (numNulls + block row counts),
     // partition columns from the hive sentinel subdir. A column appears
@@ -2122,6 +2109,21 @@ object VersionedTable {
           c -> (if (s == c + "=__HIVE_DEFAULT_PARTITION__") rows else 0L))
       }.toMap
       (fromFooter ++ fromPath, rows)
+    }
+    if (files.nonEmpty)
+      writeFileStats(dir, perFile,
+        files.zip(perFileNulls).map { case (rel, (_, rows)) => rel -> rows }.toMap)
+    val ints = scala.collection.mutable.Map[String, (Long, Long)]()
+    val strs = scala.collection.mutable.Map[String, (String, String)]()
+    perFile.foreach { case (_, cols) =>
+      cols.foreach {
+        case (c, IntMM(mn, mx)) =>
+          ints.update(c, ints.get(c).fold((mn, mx)) { case (a, b) =>
+            (math.min(a, mn), math.max(b, mx)) })
+        case (c, StrMM(mn, mx)) =>
+          strs.update(c, strs.get(c).fold((mn, mx)) { case (a, b) =>
+            (utf8Min(a, mn), utf8Max(b, mx)) })
+      }
     }
     val nulls = statsCols.flatMap { c =>
       if (files.nonEmpty && perFileNulls.forall(_._1.contains(c)))
@@ -2178,16 +2180,28 @@ object VersionedTable {
 
   private def fileStatsPath(dirPath: String) = Paths.get(dirPath, "_filestats")
 
-  private def writeFileStats(dirPath: String, perFile: Seq[(String, Map[String, MinMax])]): Unit = {
+  /** The reserved per-file key carrying the file's footer ROW COUNT inside
+    * `_filestats` (the stats entries are real column names; parquet
+    * forbids empty/duplicate names, and this spelling collides with no
+    * column the writers accept). Serving `numRows` to Spark's
+    * `SupportsReportStatistics` then costs one side-file read the scan
+    * plan already pays — no footer re-reads at scan build.
+    */
+  private val fileRowsKey = "__rows"
+
+  private def writeFileStats(dirPath: String, perFile: Seq[(String, Map[String, MinMax])],
+                             rowsPerFile: Map[String, Long] = Map.empty): Unit = {
     val m = new java.util.LinkedHashMap[String, Object]()
     perFile.foreach { case (rel, cols) =>
-      if (cols.nonEmpty) {
+      if (cols.nonEmpty || rowsPerFile.contains(rel)) {
         val cm = new java.util.LinkedHashMap[String, Object]()
         cols.toSeq.sortBy(_._1).foreach {
           case (c, IntMM(mn, mx)) => cm.put(c,
             Seq("i", java.lang.Long.valueOf(mn), java.lang.Long.valueOf(mx)).asJava)
           case (c, StrMM(mn, mx)) => cm.put(c, Seq("s", mn, mx).asJava)
         }
+        rowsPerFile.get(rel).foreach(n =>
+          cm.put(fileRowsKey, Seq("r", java.lang.Long.valueOf(n)).asJava))
         m.put(rel, cm)
       }
     }
@@ -2209,14 +2223,30 @@ object VersionedTable {
     val p = fileStatsPath(dirPath)
     if (!Files.isRegularFile(p)) None
     else Some(mapper.readTree(Files.readString(p)).properties().asScala.map { e =>
-      e.getKey -> e.getValue.properties().asScala.map { ce =>
-        val arr = ce.getValue
-        val mm: MinMax =
-          if (arr.get(0).asText() == "i") IntMM(arr.get(1).asLong(), arr.get(2).asLong())
-          else StrMM(arr.get(1).asText(), arr.get(2).asText())
-        ce.getKey -> mm
-      }.toMap
+      e.getKey -> e.getValue.properties().asScala
+        .filter(_.getKey != fileRowsKey).map { ce =>
+          val arr = ce.getValue
+          val mm: MinMax =
+            if (arr.get(0).asText() == "i") IntMM(arr.get(1).asLong(), arr.get(2).asLong())
+            else StrMM(arr.get(1).asText(), arr.get(2).asText())
+          ce.getKey -> mm
+        }.toMap
     }.toMap)
+  }
+
+  /** Per-file footer row counts recorded in the dir's `_filestats` side
+    * file (relative path → rows). Empty for pre-rowcount commits and
+    * stats-less dirs — callers must treat a missing file as UNKNOWN, never
+    * zero.
+    */
+  private def readFileRows(dirPath: String): Map[String, Long] = {
+    val p = fileStatsPath(dirPath)
+    if (!Files.isRegularFile(p)) Map.empty
+    else mapper.readTree(Files.readString(p)).properties().asScala.flatMap { e =>
+      Option(e.getValue.get(fileRowsKey)).collect {
+        case arr if arr.get(0).asText() == "r" => e.getKey -> arr.get(1).asLong()
+      }
+    }.toMap
   }
 
   // ---- bloom data skipping --------------------------------------------
@@ -4945,7 +4975,8 @@ object VersionedTable {
                              keySchema: org.apache.spark.sql.types.StructType,
                              nameMap: Map[String, String],
                              groups: Seq[KeyedGroup],
-                             keptDirs: Int, totalDirs: Int)
+                             keptDirs: Int, totalDirs: Int,
+                             fileRows: Map[String, Long] = Map.empty)
 
   /** Plan a KEY-GROUPED batch scan of the snapshot — the file layout
     * Spark's DSv2 `KeyGroupedPartitioning` machinery needs to run
@@ -4971,7 +5002,8 @@ object VersionedTable {
                             physSchema: org.apache.spark.sql.types.StructType,
                             nameMap: Map[String, String],
                             files: Seq[(String, Long)],
-                            keptDirs: Int, totalDirs: Int)
+                            keptDirs: Int, totalDirs: Int,
+                            fileRows: Map[String, Long] = Map.empty)
 
   /** Plan a flat DSv2 batch when the snapshot is simple enough for the
     * raw parquet reader (flat layout, recorded schema, no defaults, no
@@ -5004,9 +5036,11 @@ object VersionedTable {
       kept = kept.filter(k.contains)
     }
     val physBounds = ranges.map { case (n, lo, hi) => (physName(c, n), lo, hi) }
+    val rowsB = Map.newBuilder[String, Long]
     val files = kept.flatMap { d =>
       val dp = dirPath(root, d)
       val fstats = readFileStats(dp)
+      val frows = readFileRows(dp)
       parquetFiles(dp).flatMap { rel =>
         val keep = physBounds.isEmpty || fstats.forall(fs =>
           physBounds.forall { case (n, lo, hi) =>
@@ -5014,13 +5048,14 @@ object VersionedTable {
         if (!keep) None
         else {
           val full = s"$dp/$rel"
+          frows.get(rel).foreach(n => rowsB += full -> n)
           Some((full, new File(full).length()))
         }
       }
     }
     if (files.isEmpty) return None // empty scans take the (trivial) V1 path
     Some(FlatPlan(c.version, phys, c.nameMap, files.sortBy(_._1),
-      kept.size, c.dirs.size))
+      kept.size, c.dirs.size, rowsB.result()))
   }
 
   /** One file of a row-level (copy-on-write) scan: its dir (the rewrite
@@ -5168,9 +5203,11 @@ object VersionedTable {
         case _           => unescapePathName(raw)
       }
     val perFile = Seq.newBuilder[(Seq[Any], String, Long)]
+    val rowsB = Map.newBuilder[String, Long]
     kept.foreach { d =>
       val dp = dirPath(root, d)
       val fstats = readFileStats(dp)
+      val frows = readFileRows(dp)
       parquetFiles(dp).foreach { rel =>
         val keep = physBounds.isEmpty || fstats.forall(fs =>
           physBounds.forall { case (n, lo, hi) =>
@@ -5187,6 +5224,7 @@ object VersionedTable {
           // not what it claims — refuse the keyed shape, never mis-slot
           if (vals.exists(_.isEmpty)) return None
           val full = s"$dp/$rel"
+          frows.get(rel).foreach(n => rowsB += full -> n)
           perFile += ((vals.map(_.get), full, new File(full).length()))
         }
       }
@@ -5197,7 +5235,8 @@ object VersionedTable {
     if (groups.isEmpty) return None // empty scans take the (trivial) V1 path
     val dataFields = phys.fields.filterNot(f => c.partitionCols.contains(f.name))
     Some(KeyedPlan(c.version, StructType(dataFields),
-      StructType(keyFields.toArray), c.nameMap, groups, kept.size, c.dirs.size))
+      StructType(keyFields.toArray), c.nameMap, groups, kept.size, c.dirs.size,
+      rowsB.result()))
   }
 
   /** History-preserving rollback (Delta RESTORE semantics): commits a NEW

@@ -361,4 +361,27 @@ class CatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO gcat.db.g VALUES (100, 8)")
     assert(spark.table("gcat.db.g").count() == 11L)
   }
+
+  test("catalog: scan statistics report exact footer row counts (numRows from _filestats)") {
+    warehouse
+    def reportedRows(df: org.apache.spark.sql.DataFrame): Option[BigInt] =
+      df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation =>
+          r.stats.rowCount
+      }.flatten
+    // KEYED scan: two inserts with disjoint id envelopes
+    spark.sql("CREATE TABLE gcat.db.nr (id BIGINT, grp STRING, v BIGINT) " +
+      "PARTITIONED BY (grp) TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gcat.db.nr SELECT id, concat('g', id % 2), id FROM range(1, 11)")
+    spark.sql("INSERT INTO gcat.db.nr SELECT id, concat('g', id % 2), id FROM range(100, 115)")
+    assert(reportedRows(spark.table("gcat.db.nr")).contains(BigInt(25)),
+      "full keyed scan must report the snapshot's footer row sum")
+    // a PRUNED scan reports the pruned file set's sum, not the table's
+    assert(reportedRows(spark.sql("SELECT v FROM gcat.db.nr WHERE id >= 100"))
+      .contains(BigInt(15)))
+    // FLAT scan: same contract through GraftFlatScan
+    spark.sql("CREATE TABLE gcat.db.nrflat TBLPROPERTIES " +
+      "('graft.stats.columns' = 'id') AS SELECT id, id * 2 AS v FROM range(0, 40)")
+    assert(reportedRows(spark.table("gcat.db.nrflat")).contains(BigInt(40)))
+  }
 }
