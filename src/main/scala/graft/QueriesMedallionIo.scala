@@ -1562,16 +1562,17 @@ private[graft] object QueriesMedallionIo {
         |WHERE o_orderkey <= m AND NOT (o_orderkey % 97 = 0)
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
-    // S17 — NATIVE UPDATE + MERGE INTO through the DSv2 catalog
-    // (SupportsRowLevelOperations, group-based copy-on-write): Spark's OWN
-    // analyzer rewrites the DML into ReplaceData plans over the dir-tagged
-    // scan; the runtime group filter restricts the rewrite to dirs holding
-    // matched rows (spec-pinned separately — an untouched dir passes into
-    // the new manifest BY REFERENCE), survivors stage under an
-    // attempt-unique dir with hive keys dynamically routed, and the
-    // publish is the same pinned-parent OCC rewrite as every programmatic
-    // copy-on-write verb. 'update_mode'/'merge_mode' pin the manifest
-    // ledger; the oracle replays both statements as plain SQL.
+    // S17 — NATIVE UPDATE + MERGE INTO through the DSv2 catalog, DELTA
+    // merge-on-read form (SupportsDelta — the default graft.dml.mode):
+    // Spark's OWN analyzer rewrites the DML into WriteDelta plans whose
+    // query yields only the CHANGED rows; the write encodes matched
+    // pre-images as ONE positional deletion vector (the exact posdel/
+    // layout deleteWherePos writes, join-free PosDeleted skip on read)
+    // and post-images/inserts as ONE small new-rows dir — O(matched
+    // rows), never rewriting a matched dir (at 100 TB: a kilobyte of
+    // vector instead of a terabyte of rewrite). 'update_mode'/'merge_mode'
+    // pin the ledger's delta verbs; the oracle replays both statements as
+    // plain SQL.
     Q("versioned_catalog_update",
       (s, dir) => {
         val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
@@ -1621,8 +1622,118 @@ private[graft] object QueriesMedallionIo {
         |  FROM (SELECT unnest(range(0, 5)) AS i)),
         |f AS (SELECT * FROM mg UNION ALL SELECT * FROM ins)
         |SELECT o_orderpriority, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
-        |  'update' AS update_mode, 'merge' AS merge_mode
+        |  'delta-update' AS update_mode, 'delta-merge' AS merge_mode
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — the DELTA write contract itself, pinned end to end: a plain
+    // SQL UPDATE on a partitioned catalog table must (a) keep EVERY
+    // pre-update dir in the manifest BY REFERENCE ('dirs_preserved' — the
+    // matched dir is not rewritten), (b) append exactly one post-image
+    // dir, (c) record exactly one positional posdel/ vector
+    // ('vector_form'), and (d) compose with a SECOND update without an
+    // OPTIMIZE between (pending vectors skip in-scan — re-updating an
+    // already-updated row replays on the post-image, and positions never
+    // shift). The oracle replays both updates over the raw table; the
+    // read side's zero-join plan is pinned in GoldenPlanSpec.
+    Q("versioned_catalog_update_dv",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        val (dirsPreserved, vectorForm) = Fixtures.once(s, dir, "vt_cat_udv") {
+          rmrf(s"$wh/cudv")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.cudv")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_udv_orders")
+          s.sql("CREATE TABLE gq.cudv.t (o_orderkey BIGINT, o_orderpriority STRING, " +
+            "o_custkey BIGINT) PARTITIONED BY (o_orderpriority) " +
+            "TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+          s.sql("INSERT INTO gq.cudv.t SELECT o_orderkey, o_orderpriority, o_custkey " +
+            "FROM cat_udv_orders")
+          val dirsBefore = graft.io.VersionedTable.latestCommit(s"$wh/cudv/t").get.dirs
+          s.sql("UPDATE gq.cudv.t SET o_custkey = o_custkey + 1000000 " +
+            "WHERE o_orderkey % 7 = 0")
+          s.sql("UPDATE gq.cudv.t SET o_custkey = o_custkey + 3 " +
+            "WHERE o_orderkey % 21 = 0")
+          val c = graft.io.VersionedTable.latestCommit(s"$wh/cudv/t").get
+          val sets = c.deletes.values.flatten.toSeq.distinct
+          (java.lang.Boolean.valueOf(
+             c.mode == "delta-update" && dirsBefore.forall(c.dirs.contains)),
+           java.lang.Boolean.valueOf(
+             sets.size == 2 && sets.forall(_.startsWith("posdel/"))))
+        }
+        s.table("gq.cudv.t")
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("cust_sum"))
+          .withColumn("dirs_preserved", lit(dirsPreserved.booleanValue()))
+          .withColumn("vector_form", lit(vectorForm.booleanValue()))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH u1 AS (SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_custkey + 1000000 ELSE o_custkey END AS o_custkey
+        |  FROM orders),
+        |u2 AS (SELECT o_orderkey, o_orderpriority,
+        |  CASE WHEN o_orderkey % 21 = 0 THEN o_custkey + 3 ELSE o_custkey END AS o_custkey
+        |  FROM u1)
+        |SELECT o_orderpriority, count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+        |  TRUE AS dirs_preserved, TRUE AS vector_form
+        |FROM u2 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — GUARDED row-level DML: a catalog table with a CHECK
+    // constraint AND a generated column takes plain SQL UPDATE (the r14
+    // refusal, narrowed): the write recomputes the generated column from
+    // its declaration on every post-image (Spark's rewrite carries the
+    // stale value — 'recomputed' pins that the guard projection fixed it)
+    // and re-validates the constraint per row — a VIOLATING update
+    // refuses loudly naming the constraint and publishes NOTHING
+    // ('refused_clean' pins version-unchanged + value-unchanged). The
+    // oracle replays the legal update with the generation rule applied.
+    Q("versioned_catalog_update_guarded",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        val (recomputed, refusedClean) = Fixtures.once(s, dir, "vt_cat_ugd") {
+          rmrf(s"$wh/cugd")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.cugd")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_ugd_orders")
+          s.sql("CREATE TABLE gq.cugd.t (o_orderkey BIGINT, o_custkey BIGINT, " +
+            "cust_x2 BIGINT) TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+          s.sql("INSERT INTO gq.cugd.t SELECT o_orderkey, o_custkey, " +
+            "o_custkey * 2 FROM cat_ugd_orders")
+          val root = s"$wh/cugd/t"
+          graft.io.VersionedTable.addGeneratedColumn(s, root, "cust_x2",
+            "o_custkey * 2", "ugd-gen")
+          graft.io.VersionedTable.addConstraint(s, root, "cust_nonneg",
+            "o_custkey >= 0", "ugd-chk")
+          s.sql("UPDATE gq.cugd.t SET o_custkey = o_custkey + 5 " +
+            "WHERE o_orderkey % 10 = 0")
+          val ok = s.table("gq.cugd.t")
+            .filter(col("cust_x2") =!= col("o_custkey") * 2)
+            .limit(1).collect().isEmpty
+          val vBefore = graft.io.VersionedTable.latestVersion(root).get
+          val refused =
+            try { s.sql("UPDATE gq.cugd.t SET o_custkey = -1 " +
+                    "WHERE o_orderkey % 3 = 0"); false }
+            catch { case e: Throwable =>
+              Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+                .exists(_.toString.contains("cust_nonneg")) }
+          (java.lang.Boolean.valueOf(ok),
+           java.lang.Boolean.valueOf(refused &&
+             graft.io.VersionedTable.latestVersion(root).get == vBefore))
+        }
+        s.table("gq.cugd.t")
+          .agg(count(lit(1)).as("n"), sum(col("o_custkey")).as("cust_sum"),
+            sum(col("cust_x2")).as("x2_sum"))
+          .withColumn("recomputed", lit(recomputed.booleanValue()))
+          .withColumn("refused_clean", lit(refusedClean.booleanValue()))
+      },
+      Some("""WITH u AS (SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 10 = 0 THEN o_custkey + 5 ELSE o_custkey END AS o_custkey
+        |  FROM orders)
+        |SELECT count(*) AS n, CAST(sum(o_custkey) AS BIGINT) AS cust_sum,
+        |  CAST(sum(o_custkey * 2) AS BIGINT) AS x2_sum,
+        |  TRUE AS recomputed, TRUE AS refused_clean
+        |FROM u""".stripMargin)),
 
     // S17 — RUNTIME FILTERING / DPP through the DSv2 catalog
     // (SupportsRuntimeFiltering on the keyed batch): the scan declares its

@@ -305,30 +305,58 @@ class GraftTable(root: String, ident: Identifier, asOf: Option[Long])
   private lazy val snapshot = asOf.fold(VersionedTable.latestCommit(root))(
     v => VersionedTable.commitAt(root, v))
 
-  /** Row-level DML (`UPDATE` / `MERGE INTO` / predicate `DELETE`): Spark's
-    * group-based copy-on-write rewrite over [[GraftRowLevelOperation]] —
-    * metadata-only DELETE shapes still short-circuit through
+  /** Row-level DML (`UPDATE` / `MERGE INTO` / predicate `DELETE`), routed
+    * per table by `graft.dml.mode` (the public Iceberg
+    * `write.update.mode` idea):
+    *
+    *  - 'merge-on-read' (DEFAULT): delta-based [[GraftDeltaOperation]]
+    *    (`SupportsDelta`) — the commit writes one positional deletion
+    *    vector + (UPDATE/MERGE) one small new-rows dir, O(matched rows),
+    *    never rewriting a matched dir;
+    *  - 'copy-on-write': group-based [[GraftRowLevelOperation]] — matched
+    *    dirs rewrite whole (runtime group filtering bounds which), reads
+    *    stay vector-free.
+    *
+    * Metadata-only DELETE shapes still short-circuit through
     * [[canDeleteWhere]] (Spark's OptimizeMetadataOnlyDeleteFromTable), so
-    * adding the rewrite path never degrades the cheap paths.
+    * neither mode ever degrades the cheap paths.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(asOf.isEmpty, s"row-level ${info.command()} on a time-travel read of $name")
-    () => new GraftRowLevelOperation(spark, root, info.command())
+    () => snapshot.flatMap(_.props.get("graft.dml.mode"))
+        .getOrElse("merge-on-read") match {
+      case "merge-on-read" => new GraftDeltaOperation(spark, root, info.command())
+      case "copy-on-write" => new GraftRowLevelOperation(spark, root, info.command())
+      case other => sys.error(s"$name: unknown graft.dml.mode '$other' " +
+        "(expected 'merge-on-read' or 'copy-on-write')")
+    }
   }
 
-  /** The rewrite GROUP tag (`_graft_dir`) — requested by the row-level
-    * operation, runtime-filtered by Spark's group-filter subquery.
+  /** The row-coordinate metadata columns: `_graft_dir` (the rewrite
+    * group, runtime-filtered by copy-on-write's group-filter subquery),
+    * `_graft_file` and `_graft_pos` (the positional-vector coordinates —
+    * the delta operation's rowId). All three are also directly selectable
+    * (`SELECT _graft_file, _graft_pos FROM cat.db.t`) for row-level
+    * introspection.
     */
-  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
-    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
-      override def name(): String = GraftCowScan.DIR_COL
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-      override def comment(): String = "commit dir of the row (the rewrite group)"
-    })
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] = {
+    def mc(n: String, dt: org.apache.spark.sql.types.DataType, c: String) =
+      new org.apache.spark.sql.connector.catalog.MetadataColumn {
+        override def name(): String = n
+        override def dataType(): org.apache.spark.sql.types.DataType = dt
+        override def isNullable: Boolean = false
+        override def comment(): String = c
+      }
+    Array(
+      mc(GraftCowScan.DIR_COL, org.apache.spark.sql.types.StringType,
+        "commit dir of the row (the rewrite group)"),
+      mc(GraftDeltaScan.FILE_COL, org.apache.spark.sql.types.StringType,
+        "position-vector file key of the row"),
+      mc(GraftDeltaScan.POS_COL, org.apache.spark.sql.types.LongType,
+        "parquet row index of the row within its file"))
+  }
 
   override def name(): String = ident.toString
 
@@ -555,23 +583,43 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
   override def pushedFilters(): Array[Filter] = pushed
 
   private var wantsDirCol = false
+  private var wantsRowCoords = false
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // top-level pruning only (the manifest schema is flat); empty
-    // projection (COUNT(*)) keeps one narrowest column. The `_graft_dir`
-    // METADATA column (requested by row-level group-filter subqueries) is
-    // tracked separately — only the dir-tagged scan can serve it.
+    // projection (COUNT(*)) keeps one narrowest column. METADATA columns
+    // (`_graft_dir` from row-level group-filter subqueries; `_graft_file`/
+    // `_graft_pos` row-coordinate introspection) are tracked separately —
+    // only the dir-tagged / delta scans can serve them.
     wantsDirCol = requiredSchema.fieldNames.contains(GraftCowScan.DIR_COL)
+    wantsRowCoords =
+      requiredSchema.fieldNames.contains(GraftDeltaScan.FILE_COL) ||
+        requiredSchema.fieldNames.contains(GraftDeltaScan.POS_COL)
     val dataF = tableSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name))
     required =
-      if (dataF.isEmpty && !wantsDirCol) StructType(tableSchema.fields.take(1))
-      else StructType(dataF)
+      if (dataF.isEmpty && !wantsDirCol && !wantsRowCoords)
+        StructType(tableSchema.fields.take(1))
+      else StructType(dataF ++ GraftDeltaScan.metaFields.filter(f =>
+        requiredSchema.fieldNames.contains(f.name)))
   }
 
   override def build(): Scan = {
     // pin the snapshot HERE: the plan must not straddle a concurrent commit
     val version = asOf.orElse(VersionedTable.latestVersion(root))
+    if (wantsRowCoords) {
+      // row coordinates requested: the delta scan carries them (and also
+      // serves `_graft_dir` if the projection mixes all three)
+      val (ranges, points, nullProbes) = VersionedRelation.translate(pushed)
+      val plan = VersionedTable.deltaScanPlan(spark, root, version,
+          ranges, points, nullProbes) match {
+        case Right(p) => p
+        case Left(reason) => throw new UnsupportedOperationException(
+          s"scan of $root with ${GraftDeltaScan.FILE_COL}/" +
+            s"${GraftDeltaScan.POS_COL}: $reason")
+      }
+      return new GraftDeltaScan(spark, root, plan, required)
+    }
     if (wantsDirCol) {
       // `_graft_dir` requested (a row-level group-filter subquery): only
       // the dir-tagged copy-on-write scan carries the group column
@@ -582,7 +630,7 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
       }
       return new GraftCowScan(spark, root,
         version.getOrElse(sys.error(s"$root: empty table")), plan,
-        StructType(required.fields :+
+        StructType(required.fields.filterNot(_.name == GraftCowScan.DIR_COL) :+
           org.apache.spark.sql.types.StructField(GraftCowScan.DIR_COL,
             org.apache.spark.sql.types.StringType, nullable = false)))
     }

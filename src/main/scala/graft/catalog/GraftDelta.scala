@@ -1,0 +1,487 @@
+package graft.catalog
+
+import java.util.UUID
+
+import org.apache.hadoop.mapreduce.{Job, TaskAttemptID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, SupportsDelta, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.RowLevelOperation.Command
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.vectorized.ColumnarBatch
+
+import graft.io.{VersionedRelation, VersionedTable}
+
+/** DELTA-based row-level DML — the public DataSource-V2 `SupportsDelta`
+  * integration (the surface Iceberg's merge-on-read mode registers): a
+  * catalog `UPDATE` / `DELETE` / `MERGE INTO` plans as Spark's own
+  * `WriteDelta`, whose query yields only the CHANGED rows, and the write
+  * encodes them as
+  *
+  *  - one POSITIONAL DELETION VECTOR (`posdel/` — the exact layout
+  *    [[VersionedTable.deleteWherePos]] writes and the codegen'd
+  *    [[graft.functions.PosDeleted]] read-side skip consumes, ZERO join
+  *    nodes on every subsequent read), and
+  *  - for UPDATE/MERGE, one small new-rows dir holding the post-images,
+  *
+  * published together as ONE pinned-parent OCC commit. Against the
+  * group-based copy-on-write twin ([[GraftRowLevelOperation]]) the cost
+  * model flips exactly as Delta/Iceberg document it: a one-row UPDATE in
+  * a wide dir costs O(matched rows) bytes instead of O(dir) — at 100 TB
+  * the difference between touching a kilobyte and rewriting a terabyte —
+  * while reads pay the (metered, compaction-absorbed) vector skip.
+  * Tables choose per-table via `graft.dml.mode` = 'merge-on-read'
+  * (default) | 'copy-on-write', mirroring Iceberg's `write.update.mode`.
+  *
+  * How Spark drives it: the analyzer resolves this operation's
+  * [[rowId]] columns (`_graft_file`, `_graft_pos` — declared as table
+  * METADATA COLUMNS) and [[requiredMetadataAttributes]] (`_graft_dir`)
+  * against the scan, rewrites the DML into a `WriteDelta` whose query is
+  * `Filter(cond, scan)` projected to (operation, row?, rowId, metadata),
+  * and the physical `WriteDeltaExec` dispatches each row to
+  * [[GraftDeltaWriter]]'s insert/update/delete. The statement's WHERE
+  * clause reaches the scan as ORDINARY pushed predicates (no runtime
+  * group filter needed — the matched set, not whole groups, is what a
+  * delta write consumes), so the manifest skipping index bounds the scan
+  * to the hit dirs exactly as the programmatic delete verbs do.
+  */
+final class GraftDeltaOperation(spark: SparkSession, root: String,
+    cmd: Command) extends RowLevelOperation with SupportsDelta {
+
+  @volatile private[catalog] var configuredScan: GraftDeltaScan = _
+
+  override def command(): Command = cmd
+
+  override def rowId(): Array[NamedReference] = Array(
+    Expressions.column(GraftDeltaScan.FILE_COL),
+    Expressions.column(GraftDeltaScan.POS_COL))
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftCowScan.DIR_COL))
+
+  override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      private val version = VersionedTable.latestVersion(root)
+      private val logicalFull: StructType = {
+        val c = VersionedTable.latestCommit(root).getOrElse(
+          sys.error(s"$cmd on $root: empty table"))
+        val phys = StructType.fromDDL(c.schemaDdl.getOrElse(
+          throw new UnsupportedOperationException(
+            s"$cmd on $root: snapshot has no recorded schema")))
+        val inv = c.nameMap.map(_.swap)
+        StructType(
+          phys.fields.map(f => f.copy(name = inv.getOrElse(f.name, f.name))) ++
+            GraftDeltaScan.metaFields)
+      }
+      private var required: StructType = logicalFull
+      private var pushed: Array[Filter] = Array.empty
+
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        pushed = VersionedRelation.pushable(filters)
+        filters // all residual: Spark re-applies every predicate above
+      }
+
+      override def pushedFilters(): Array[Filter] = pushed
+
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = StructType(logicalFull.fields.filter(f =>
+          requiredSchema.fieldNames.contains(f.name)))
+
+      override def build(): Scan = {
+        val (ranges, points, nullProbes) = VersionedRelation.translate(pushed)
+        val plan = VersionedTable.deltaScanPlan(spark, root, version,
+            ranges, points, nullProbes) match {
+          case Right(p) => p
+          case Left(reason) => throw new UnsupportedOperationException(
+            s"$cmd on $root cannot take the delta merge-on-read path: $reason " +
+              "(or set TBLPROPERTIES ('graft.dml.mode'='copy-on-write'))")
+        }
+        val scan = new GraftDeltaScan(spark, root, plan, required)
+        configuredScan = scan
+        scan
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite = new GraftDeltaWrite(spark, root,
+        GraftDeltaOperation.this, info,
+        cmd.toString.toLowerCase(java.util.Locale.ROOT))
+    }
+
+  override def description(): String = s"GraftDeltaOperation $cmd $root"
+}
+
+/** The delta scan: one `InputPartition` per live (index-surviving) file,
+  * read through Spark's own parquet path with the hive keys, dir tag and
+  * position-vector FILE KEY riding `partitionValues` (constants — zero
+  * IO), and `_graft_pos` appended by the reader as the raw per-file row
+  * counter. The counter equals `_metadata.row_index` BY CONSTRUCTION:
+  * the scan hands the parquet reader no filters (no row-group skipping)
+  * and one whole file per partition, so rows stream in file-physical
+  * order — which is exactly the coordinate the table's positional
+  * vectors record. Rows already covered by PENDING vectors are skipped
+  * in-reader (sorted-array pointer, O(1)/row) AFTER position assignment,
+  * so a deleted row can never re-match and positions never shift.
+  */
+final class GraftDeltaScan(spark: SparkSession, private val root: String,
+    private[catalog] val plan: VersionedTable.DeltaPlan,
+    private val required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private[catalog] def version: Long = plan.version
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val bytes = math.max(1L, plan.files.map(_.len).sum)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(bytes)
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+  }
+
+  private def physOf(logical: String): String =
+    plan.nameMap.getOrElse(logical, logical)
+  private val keyNames = plan.keyFields.map(_.name)
+  private val metaNames = GraftDeltaScan.metaFields.map(_.name)
+  private val reqData = required.fields.filter(f =>
+    !keyNames.contains(f.name) && !metaNames.contains(f.name))
+  // reader emits reqData(phys) ++ FULL partition consts (keys, dir, file)
+  // ++ pos; one codegen'd projection reorders into the declared schema
+  private val partFields = plan.keyFields ++ Seq(
+    StructField(GraftCowScan.DIR_COL, StringType, nullable = false),
+    StructField(GraftDeltaScan.FILE_COL, StringType, nullable = false))
+  private val inputFields = (reqData ++ partFields) :+
+    StructField(GraftDeltaScan.POS_COL, LongType, nullable = false)
+  private val reorder: Array[Int] = required.fields.map(f =>
+    inputFields.indexWhere(_.name == f.name))
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val conv = plan.keyFields.map(f =>
+      CatalystTypeConverters.createToCatalystConverter(f.dataType))
+    plan.files.map { f =>
+      val vals = f.keyVals.zip(conv).map { case (v, c) =>
+        if (v == null) null else c(v) } ++ Seq(
+        org.apache.spark.unsafe.types.UTF8String.fromString(f.dir),
+        org.apache.spark.unsafe.types.UTF8String.fromString(f.fileKey))
+      GraftDeltaInputPartition(f.path, f.len,
+        new GenericInternalRow(vals.toArray[Any]), f.dv): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val physDataSchema = StructType(plan.physSchema.fields.filterNot(f =>
+      keyNames.contains(f.name)))
+    val physRequired = StructType(reqData.map(f => f.copy(name = physOf(f.name))))
+    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+      spark, physDataSchema, StructType(partFields), physRequired,
+      Nil, // NO file filters: position exactness requires full-file order
+      Map(org.apache.spark.sql.execution.datasources.FileFormat
+        .OPTION_RETURNING_BATCH -> "false"),
+      spark.sessionState.newHadoopConfWithOptions(Map.empty))
+    new GraftDeltaReaderFactory(readFunc, StructType(inputFields), reorder)
+  }
+
+  override def description(): String =
+    s"GraftDeltaScan $root v${plan.version} files=${plan.files.size}"
+
+  // value equality for canonicalized-plan/subquery reuse, like every scan
+  override def equals(other: Any): Boolean = other match {
+    case o: GraftDeltaScan =>
+      root == o.root && plan.version == o.plan.version && required == o.required
+    case _ => false
+  }
+  override def hashCode(): Int = (root, plan.version, required).hashCode()
+}
+
+object GraftDeltaScan {
+  /** Metadata column: the row's position-vector FILE KEY — what a
+    * `posdel/` vector's `file` column records.
+    */
+  val FILE_COL = "_graft_file"
+
+  /** Metadata column: the row's parquet row index within its file. */
+  val POS_COL = "_graft_pos"
+
+  private[catalog] val metaFields: Seq[StructField] = Seq(
+    StructField(GraftCowScan.DIR_COL, StringType, nullable = false),
+    StructField(FILE_COL, StringType, nullable = false),
+    StructField(POS_COL, LongType, nullable = false))
+}
+
+/** One file of the delta scan, with its constant partition row (hive
+  * keys + dir + file key) and the file's already-deleted positions.
+  */
+final case class GraftDeltaInputPartition(path: String, len: Long,
+    partVals: GenericInternalRow, dv: Array[Long]) extends InputPartition
+
+/** Executor-side: Spark's own parquet read per file (constants appended
+  * by the reader), then the position counter and pending-vector skip,
+  * then one codegen'd reorder projection.
+  */
+final class GraftDeltaReaderFactory(
+    readFunc: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
+    inputSchema: StructType, reorder: Array[Int])
+    extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val dp = p.asInstanceOf[GraftDeltaInputPartition]
+    new PartitionReader[InternalRow] {
+      private val proj = UnsafeProjection.create(reorder.map(i =>
+        BoundReference(i, inputSchema.fields(i).dataType, nullable = true)).toSeq)
+      private var open: List[java.io.Closeable] = Nil
+      private val raw: Iterator[InternalRow] = {
+        val it = readFunc(org.apache.spark.sql.execution.datasources.PartitionedFile(
+          dp.partVals,
+          org.apache.spark.paths.SparkPath.fromPathString(dp.path),
+          0L, dp.len, Array.empty, 0L, dp.len, Map.empty))
+        it match {
+          case c: java.io.Closeable => open ::= c
+          case _ => ()
+        }
+        it.flatMap {
+          case b: ColumnarBatch => {
+            import scala.jdk.CollectionConverters._
+            b.rowIterator().asScala
+          }
+          case r: InternalRow => Iterator.single(r)
+        }
+      }
+      private val posRow = new GenericInternalRow(1)
+      private val joined = new JoinedRow()
+      private var pos = -1L
+      private var dvIdx = 0
+      private var cur: InternalRow = _
+      override def next(): Boolean = {
+        while (raw.hasNext) {
+          val r = raw.next()
+          pos += 1
+          if (dvIdx < dp.dv.length && dp.dv(dvIdx) == pos) dvIdx += 1 // covered
+          else {
+            posRow.setLong(0, pos)
+            cur = proj(joined(r, posRow))
+            return true
+          }
+        }
+        false
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = { open.foreach(_.close()); open = Nil }
+    }
+  }
+}
+
+/** The delta WRITE half: tasks stream `WriteDeltaExec`'s per-row verbs
+  * into two attempt-unique staging areas — deletes as (dir, file, pos)
+  * rows of ONE positional vector, inserts/update-post-images through the
+  * same dynamic hive-partition writers as the copy-on-write path — and
+  * commit() prunes failed-attempt debris then publishes ONE pinned-parent
+  * OCC commit ([[VersionedTable.publishDeltaDml]]).
+  */
+final class GraftDeltaWrite(spark: SparkSession, root: String,
+    op: GraftDeltaOperation, info: LogicalWriteInfo, verb: String)
+    extends DeltaWrite {
+
+  override def description(): String = s"GraftDeltaWrite $verb $root"
+
+  override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
+    private val scan = {
+      val s = op.configuredScan
+      require(s != null, s"delta $verb on $root: write built before its scan")
+      s
+    }
+    private val mode = s"delta-$verb"
+    private val commitId = s"catalog-$mode-${info.queryId()}"
+    private val stagedData = VersionedTable.newAttemptDataDir(root, scan.version + 1, commitId)
+    private val posSet = VersionedTable.newPosSetName(scan.version + 1, commitId)
+    // layout derives from the SAME pinned snapshot the scan read — see
+    // GraftCowWrite for why (OCC refuses the race loudly either way)
+    private val snapshot = VersionedTable.commitAt(root, scan.version)
+    private val partitionCols = snapshot.map(_.partitionCols).getOrElse(Nil)
+    private val nameMap = snapshot.map(_.nameMap).getOrElse(Map.empty)
+    private val rowSchema = info.schema()
+    private val hasRows = rowSchema.fields.nonEmpty
+    private val keyIdx: Array[Int] =
+      if (hasRows) partitionCols.map(k => rowSchema.fieldIndex(k)).toArray
+      else Array.empty
+    private val fileSchema = StructType(rowSchema.fields.zipWithIndex
+      .filterNot { case (_, i) => keyIdx.contains(i) }
+      .map { case (f, _) => f.copy(name = nameMap.getOrElse(f.name, f.name)) })
+
+    override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DeltaWriterFactory = {
+      new java.io.File(s"$root/$posSet").mkdirs()
+      val conf = spark.sessionState.newHadoopConfWithOptions(Map.empty)
+      val posJob = Job.getInstance(conf)
+      val posFactory = new ParquetFileFormat().prepareWrite(
+        spark, posJob, Map.empty, GraftDeltaWrite.posSchema)
+      val dataFactory = if (hasRows) {
+        new java.io.File(s"$root/$stagedData").mkdirs()
+        val dataJob = Job.getInstance(conf)
+        val ow = new ParquetFileFormat().prepareWrite(
+          spark, dataJob, Map.empty, fileSchema)
+        Some(new GraftCowWriterFactory(
+          new java.io.File(s"$root/$stagedData").getAbsolutePath,
+          rowSchema, fileSchema, partitionCols.toArray, keyIdx, ow,
+          new GraftSerializableConf(dataJob.getConfiguration),
+          snapshot.map(VersionedTable.compileRowGuards(spark, _, rowSchema))
+            .getOrElse(VersionedTable.RowWriteGuards(Nil, None))))
+      } else None
+      val metaSchema = info.metadataSchema().orElseThrow(() =>
+        new IllegalStateException(s"delta $verb on $root: no metadata schema"))
+      val idSchema = info.rowIdSchema().orElseThrow(() =>
+        new IllegalStateException(s"delta $verb on $root: no row-id schema"))
+      new GraftDeltaWriterFactory(
+        new java.io.File(s"$root/$posSet").getAbsolutePath,
+        metaSchema.fieldIndex(GraftCowScan.DIR_COL),
+        idSchema.fieldIndex(GraftDeltaScan.FILE_COL),
+        idSchema.fieldIndex(GraftDeltaScan.POS_COL),
+        posFactory, new GraftSerializableConf(posJob.getConfiguration),
+        dataFactory)
+    }
+
+    override def commit(messages: Array[WriterCommitMessage]): Unit = {
+      val msgs = messages.collect { case m: GraftDeltaCommitMessage => m }
+      // prune failed-attempt debris in both staging areas — every file in
+      // a published dir/vector is table data, so the registry prune is
+      // load-bearing (same contract as the copy-on-write write)
+      def prune(rel: String, kept: Set[String]): Boolean = {
+        val dir = new java.io.File(s"$root/$rel")
+        def walk(f: java.io.File, r: String): Unit =
+          Option(f.listFiles()).getOrElse(Array.empty).foreach { c =>
+            val cr = if (r.isEmpty) c.getName else s"$r/${c.getName}"
+            if (c.isDirectory) { walk(c, cr); if (Option(c.list()).forall(_.isEmpty)) c.delete() }
+            else if (!kept.contains(cr)) c.delete()
+          }
+        walk(dir, "")
+        if (kept.isEmpty) { dir.delete(); false } else true
+      }
+      val dataKept = prune(stagedData, msgs.flatMap(_.dataFiles).toSet)
+      val posKept = prune(posSet, msgs.flatMap(_.posFiles).toSet)
+      val markedDirs = msgs.flatMap(_.markedDirs).distinct.sorted.toSeq
+      VersionedTable.publishDeltaDml(spark, root, scan.version, markedDirs,
+        Some(posSet).filter(_ => posKept && markedDirs.nonEmpty),
+        Some(stagedData).filter(_ => dataKept), mode, commitId)
+      ()
+    }
+
+    override def abort(messages: Array[WriterCommitMessage]): Unit =
+      Seq(stagedData, posSet).foreach { rel =>
+        val dir = new java.io.File(s"$root/$rel")
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir)
+      }
+  }
+}
+
+object GraftDeltaWrite {
+  /** The positional-vector row layout — byte-compatible with what
+    * [[VersionedTable.deleteWherePos]] writes and `loadPosDv` reads.
+    */
+  private[catalog] val posSchema = StructType(Seq(
+    StructField("dir", StringType, nullable = false),
+    StructField("file", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+}
+
+final case class GraftDeltaCommitMessage(dataFiles: Seq[String],
+    posFiles: Seq[String], markedDirs: Seq[String], nPos: Long)
+    extends WriterCommitMessage
+
+/** Per-task delta writer: deletes stream straight into one attempt-named
+  * parquet position file (no task-memory buffering — a wide DELETE's
+  * matches never accumulate on the heap); inserts delegate to the shared
+  * dynamic hive-partition writer; updates are delete + insert of the
+  * post-image. Files are attempt-named, so speculative retries can never
+  * collide; the driver's commit-time prune keeps only committed attempts.
+  */
+final class GraftDeltaWriterFactory(posDirAbs: String, dirIdx: Int,
+    fileIdx: Int, posIdx: Int,
+    posFactory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    posConf: GraftSerializableConf,
+    dataFactory: Option[GraftCowWriterFactory]) extends DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new DeltaWriter[InternalRow] {
+      private val attempt =
+        Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(taskId)
+      private var dataWriter: org.apache.spark.sql.connector.write.DataWriter[InternalRow] = _
+      private var dataUsed = false
+      private var posWriter: org.apache.spark.sql.execution.datasources.OutputWriter = _
+      private var posRel: String = _
+      private val posProj = UnsafeProjection.create(GraftDeltaWrite.posSchema)
+      private val rec = new GenericInternalRow(3)
+      private val markedDirs = scala.collection.mutable.Set[String]()
+      private var nPos = 0L
+
+      override def insert(row: InternalRow): Unit = {
+        if (!dataUsed) {
+          dataWriter = dataFactory.getOrElse(sys.error(
+            "delta write: insert arrived on a row-less (DELETE) operation")).
+            createWriter(partitionId, taskId)
+          dataUsed = true
+        }
+        dataWriter.write(row)
+      }
+
+      override def delete(meta: InternalRow, id: InternalRow): Unit = {
+        if (posWriter == null) {
+          posRel = f"part-$partitionId%05d-$attempt-${UUID.randomUUID.toString.take(8)}.parquet"
+          val ctx = new TaskAttemptContextImpl(posConf.value,
+            new TaskAttemptID("graft", 0, TaskType.MAP, partitionId,
+              (attempt % Int.MaxValue).toInt))
+          posWriter = posFactory.newInstance(s"$posDirAbs/$posRel",
+            GraftDeltaWrite.posSchema, ctx)
+        }
+        val dir = meta.getUTF8String(dirIdx)
+        rec.update(0, dir)
+        rec.update(1, id.getUTF8String(fileIdx))
+        rec.setLong(2, id.getLong(posIdx))
+        posWriter.write(posProj(rec))
+        markedDirs += dir.toString
+        nPos += 1
+      }
+
+      override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+        delete(meta, id)
+        insert(row)
+      }
+
+      override def commit(): WriterCommitMessage = {
+        val dataFiles = if (dataUsed)
+          dataWriter.commit() match {
+            case GraftCowCommitMessage(files) => files
+            case other => sys.error(s"unexpected data commit message $other")
+          }
+        else Nil
+        if (posWriter != null) posWriter.close()
+        GraftDeltaCommitMessage(dataFiles,
+          if (posWriter != null) Seq(posRel) else Nil,
+          markedDirs.toSeq.sorted, nPos)
+      }
+
+      override def abort(): Unit = {
+        if (dataUsed) dataWriter.abort()
+        if (posWriter != null) {
+          posWriter.close()
+          new java.io.File(s"$posDirAbs/$posRel").delete()
+          ()
+        }
+      }
+
+      override def close(): Unit = ()
+    }
+}

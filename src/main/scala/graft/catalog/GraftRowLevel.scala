@@ -257,7 +257,9 @@ final class GraftCowWrite(spark: SparkSession, root: String,
         spark, job, Map.empty, fileSchema)
       new GraftCowWriterFactory(dir.getAbsolutePath, info.schema(), fileSchema,
         partitionCols.toArray, keyIdx, owFactory,
-        new GraftSerializableConf(job.getConfiguration))
+        new GraftSerializableConf(job.getConfiguration),
+        snapshot.map(VersionedTable.compileRowGuards(spark, _, info.schema()))
+          .getOrElse(VersionedTable.RowWriteGuards(Nil, None)))
     }
 
     override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -303,11 +305,19 @@ final case class GraftCowCommitMessage(files: Seq[String])
   * `partitionBy` writes them. Files are named per task ATTEMPT, so a
   * speculative retry can never collide; the driver's commit-time registry
   * prune keeps only committed attempts' files.
+  *
+  * `guards` carry the snapshot's CHECK constraints (violating row → the
+  * task throws, naming the constraint, BEFORE anything publishes) and
+  * GENERATED-column recompute projection ([[VersionedTable.compileRowGuards]])
+  * — applied to every row FIRST, so a generated partition key routes by
+  * its recomputed value.
   */
 final class GraftCowWriterFactory(stagedAbs: String, rowSchema: StructType,
     fileSchema: StructType, partitionCols: Array[String], keyIdx: Array[Int],
     owFactory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
-    conf: GraftSerializableConf) extends DataWriterFactory {
+    conf: GraftSerializableConf,
+    guards: VersionedTable.RowWriteGuards = VersionedTable.RowWriteGuards(Nil, None))
+    extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
@@ -316,6 +326,16 @@ final class GraftCowWriterFactory(stagedAbs: String, rowSchema: StructType,
       private val dataProj = UnsafeProjection.create(
         rowSchema.fields.indices.filterNot(keyIdx.contains)
           .map(i => BoundReference(i, rowSchema.fields(i).dataType, nullable = true)))
+      private val rewriteProj: UnsafeProjection =
+        guards.rewrite.map(es => UnsafeProjection.create(es)).orNull
+      // CHECK semantics: a row VIOLATES only when the expression evaluates
+      // exactly FALSE (NULL passes, like every SQL engine's CHECK)
+      private val checks = guards.constraints.map { case (n, sql, e) =>
+        (n, sql, org.apache.spark.sql.catalyst.expressions.Predicate.create(
+          org.apache.spark.sql.catalyst.expressions.EqualNullSafe(e,
+            org.apache.spark.sql.catalyst.expressions.Literal(false,
+              org.apache.spark.sql.types.BooleanType))))
+      }
       private val attempt =
         Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(taskId)
 
@@ -334,7 +354,13 @@ final class GraftCowWriterFactory(stagedAbs: String, rowSchema: StructType,
             .getPartitionPathString(partitionCols(j), keyString(row, i))
         }.mkString("/")
 
-      override def write(record: InternalRow): Unit = {
+      override def write(record0: InternalRow): Unit = {
+        val record = if (rewriteProj != null) rewriteProj(record0) else record0
+        checks.foreach { case (n, sql, p) =>
+          if (p.eval(record)) throw new IllegalArgumentException(
+            s"row-level write: CHECK constraint '$n' ($sql) violated by a " +
+              "written row — statement refused, nothing published")
+        }
         val sub = if (keyIdx.isEmpty) "" else subPathOf(record)
         val (w, _) = writers.getOrElseUpdate(sub, {
           val name = f"part-$partitionId%05d-$attempt-${UUID.randomUUID.toString.take(8)}.parquet"

@@ -2986,7 +2986,13 @@ object VersionedTable {
         Right(toLogicalDf(toC,
           scanDirs(spark, Nil, toC.partitionCols, toC.schemaDdl))
           .withColumn(ct, lit("")).limit(0))
-      case "merge" | "delete" | "delete-mor" | "delete-pos" | "update" =>
+      case "merge" | "delete" | "delete-mor" | "delete-pos" | "update"
+         | "delta-update" | "delta-delete" | "delta-merge" =>
+        // delta-DML commits (one positional vector + optionally one
+        // new-rows dir) diff over exactly their touched region like every
+        // other row-level mode: covChanged dirs re-scan under both
+        // coverages (survivor copies cancel in the EXCEPT ALL), the added
+        // dir is pure new-side rows — O(touched dirs), never O(table)
         val fromDirs = f.dirs.toSet
         val removed = f.dirs.filterNot(toC.dirs.contains)
         val added = toC.dirs.filterNot(fromDirs.contains)
@@ -5090,9 +5096,12 @@ object VersionedTable {
       return Left("declared column DEFAULTs — not yet supported by the row-level write path")
     if (c.dirLayouts.nonEmpty)
       return Left("mixed partition-layout eras — run OPTIMIZE to normalize first")
-    if (c.generated.nonEmpty || c.identity.nonEmpty || c.constraints.nonEmpty)
-      return Left("generated/identity columns or CHECK constraints — use the " +
-        "UPDATE/MERGE GRAFT statements, which enforce them")
+    // CHECK constraints and GENERATED columns are accepted: the write
+    // re-validates / recomputes them per row (compileRowGuards). Identity
+    // stays a refusal — its values are allocated, which a row-level write
+    // cannot do.
+    if (c.identity.nonEmpty)
+      return Left("identity columns — use the UPDATE/MERGE GRAFT statements")
     val phys = StructType.fromDDL(c.schemaDdl.get)
     val keyFields = c.partitionCols.flatMap(k => phys.fields.find(_.name == k))
     if (keyFields.size != c.partitionCols.size)
@@ -5163,6 +5172,292 @@ object VersionedTable {
       droppedDirs = Nil, survivorsDir = stagedDir, dirStats, dirBlooms,
       mode, commitId, s"catalog-$mode", pinned.schemaDdl,
       (_, newDirs) => newDirs)
+  }
+
+  /** One file of a DELTA (merge-on-read) row-level scan: its dir, the
+    * file's POSITION-VECTOR KEY (`<dir's last component>/<subpath>` —
+    * byte-identical to what [[deleteWherePos]] records and the read-side
+    * [[graft.functions.PosDeleted]] predicate matches), absolute path,
+    * length, hive key values, and the ALREADY-DELETED positions of the
+    * file under the snapshot's pending vectors (sorted; the scan skips
+    * them so a row deleted by an earlier vector can never be re-matched —
+    * which is what makes UPDATE-after-UPDATE safe without a compaction in
+    * between).
+    */
+  final case class DeltaFile(dir: String, fileKey: String, path: String,
+                             len: Long, keyVals: Seq[Any], dv: Array[Long])
+
+  /** Driver plan of a DSv2 DELTA row-level scan (`SupportsDelta` —
+    * UPDATE/MERGE/DELETE through the catalog writing positional deletion
+    * vectors instead of rewriting dirs). Files are already pruned by the
+    * manifest skipping index against the statement's pushed predicates;
+    * pruning here is a CORRECTNESS input (an unscanned row is an
+    * unmatched row), so only the exact-conservative gates the programmatic
+    * delete verbs already rely on are used (dir envelopes / blooms / null
+    * counts, per-file footer envelopes, exact hive key values).
+    */
+  final case class DeltaPlan(version: Long,
+                             physSchema: org.apache.spark.sql.types.StructType,
+                             keyFields: Seq[org.apache.spark.sql.types.StructField],
+                             nameMap: Map[String, String],
+                             files: Seq[DeltaFile],
+                             keptDirs: Int, totalDirs: Int)
+
+  /** Plan a delta row-level scan, or explain (Left) why the snapshot
+    * can't take the merge-on-read DML path. Differs from [[cowScanPlan]]
+    * in ONE acceptance: pending POSITIONAL vectors are fine (their
+    * positions are loaded and skipped per file), so consecutive catalog
+    * UPDATE/DELETE statements compose without an OPTIMIZE between them;
+    * key-form MOR debt still refuses (applying it would need a per-file
+    * anti-join inside the scan — OPTIMIZE absorbs it).
+    */
+  private[graft] def deltaScanPlan(spark: SparkSession, root: String,
+      asOf: Option[Long], ranges: Seq[(String, Long, Long)],
+      points: Seq[(String, Long)], nullProbes: Seq[(String, Boolean)])
+      : Either[String, DeltaPlan] = {
+    import org.apache.spark.sql.types._
+    val c = resolveSnapshot(root, asOf)
+    if (c.schemaDdl.isEmpty)
+      return Left("snapshot has no recorded schema")
+    val keySets = c.deletes.values.flatten.toSeq.distinct.filterNot(isPosSet)
+    if (keySets.nonEmpty)
+      return Left("pending KEY-form merge-on-read delete sets — run OPTIMIZE to absorb them first")
+    if (c.defaults.nonEmpty)
+      return Left("declared column DEFAULTs — not yet supported by the row-level write path")
+    if (c.dirLayouts.nonEmpty)
+      return Left("mixed partition-layout eras — run OPTIMIZE to normalize first")
+    // constraints/generated re-validate in the write (compileRowGuards);
+    // identity allocation is beyond a row-level write
+    if (c.identity.nonEmpty)
+      return Left("identity columns — use the UPDATE/MERGE GRAFT statements")
+    val phys = StructType.fromDDL(c.schemaDdl.get)
+    val keyFields = c.partitionCols.flatMap(k => phys.fields.find(_.name == k))
+    if (keyFields.size != c.partitionCols.size)
+      return Left("partition columns missing from the recorded schema")
+    if (!keyFields.forall(f => f.dataType == IntegerType || f.dataType == LongType ||
+        f.dataType == StringType))
+      return Left("non-path-round-trippable partition key type")
+    c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
+      s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
+    // dir-level skipping: the SAME envelope/bloom/null gates every
+    // programmatic delete verb trusts for its hit set — conservative by
+    // construction (a dir is dropped only when it provably holds no match)
+    var kept = c.dirs
+    ranges.foreach { case (n, lo, hi) =>
+      val k = planRange(root, n, lo, hi, resolved = Some(c)).toSet
+      kept = kept.filter(k.contains)
+    }
+    points.foreach { case (n, v) =>
+      val k = planPoint(root, n, v, resolved = Some(c)).toSet
+      kept = kept.filter(k.contains)
+    }
+    nullProbes.foreach { case (n, w) =>
+      val k = planNull(root, n, w, resolved = Some(c)).toSet
+      kept = kept.filter(k.contains)
+    }
+    val posSets = c.deletes.values.flatten.toSeq.distinct
+    val dvAll: Map[String, Array[Long]] =
+      if (posSets.isEmpty) Map.empty else loadPosDv(spark, root, posSets)
+    val physBounds = ranges.map { case (n, lo, hi) => (physName(c, n), lo, hi) }
+    val intKeyBounds = ranges.flatMap { case (n, lo, hi) =>
+      keyFields.find(f => f.name == n &&
+        (f.dataType == IntegerType || f.dataType == LongType)).map(_ => (n, lo, hi))
+    }
+    val keyNullProbes = nullProbes.filter { case (n, _) => keyFields.exists(_.name == n) }
+    def parse(f: StructField, raw: String): Any =
+      if (raw == "__HIVE_DEFAULT_PARTITION__") null
+      else f.dataType match {
+        case IntegerType => unescapePathName(raw).toInt
+        case LongType    => unescapePathName(raw).toLong
+        case _           => unescapePathName(raw)
+      }
+    val files = Seq.newBuilder[DeltaFile]
+    kept.foreach { d =>
+      val dp = dirPath(root, d)
+      val last = d.substring(d.lastIndexOf('/') + 1)
+      val fstats = readFileStats(dp)
+      parquetFiles(dp).foreach { rel =>
+        val segs = rel.split('/').dropRight(1)
+        val vals = keyFields.map { f =>
+          segs.collectFirst {
+            case seg if seg.startsWith(f.name + "=") =>
+              parse(f, seg.substring(f.name.length + 1))
+          }
+        }
+        if (vals.exists(_.isEmpty))
+          return Left(s"file $rel of dir $d is outside the declared key layout")
+        val keyVals = vals.map(_.get)
+        // file-level skipping: footer envelopes (kept when stats are
+        // absent) + EXACT path-materialized key values (a range predicate
+        // never matches NULL, so a null-keyed file drops under one)
+        val footerKeep = physBounds.isEmpty || fstats.forall(fs =>
+          physBounds.forall { case (n, lo, hi) =>
+            fs.get(rel).flatMap(_.get(n)).forall(_.overlapsLong(lo, hi)) })
+        val keyKeep = intKeyBounds.forall { case (n, lo, hi) =>
+          keyVals(keyFields.indexWhere(_.name == n)) match {
+            case null => false
+            case v: java.lang.Number => v.longValue >= lo && v.longValue <= hi
+            case _ => true
+          }
+        } && keyNullProbes.forall { case (n, wantNull) =>
+          (keyVals(keyFields.indexWhere(_.name == n)) == null) == wantNull
+        }
+        if (footerKeep && keyKeep) {
+          val full = s"$dp/$rel"
+          // the vector key must match the READ side byte-for-byte, and the
+          // read side derives it from `_metadata.file_path` — a Hadoop
+          // Path URI, which percent-encodes characters the raw filesystem
+          // name carries literally (a hive value with a space reads back
+          // as %20). Encode through the same Path.toUri so a vector
+          // recorded here is found by PosDeleted on every scan.
+          val enc = new org.apache.hadoop.fs.Path(full).toUri.toString
+          val marker = "/" + last + "/"
+          val mi = enc.lastIndexOf(marker)
+          val fileKey =
+            if (mi < 0) s"$last/$rel" else last + "/" + enc.substring(mi + marker.length)
+          files += DeltaFile(d, fileKey, full, new File(full).length(),
+            keyVals, dvAll.getOrElse(fileKey, Array.empty[Long]))
+        }
+      }
+    }
+    Right(DeltaPlan(c.version, phys, keyFields, c.nameMap, files.result(),
+      kept.size, c.dirs.size))
+  }
+
+  /** A fresh attempt-unique positional-vector dir name for a DSv2 delta
+    * write — same scheme (and same vacuum reclaim) as [[deleteWherePos]]'s
+    * vectors.
+    */
+  private[graft] def newPosSetName(vHint: Long, commitId: String): String =
+    attemptDirName("posdel", vHint, commitId)
+
+  /** Per-row WRITE GUARDS of one snapshot, compiled for a DSv2 row-level
+    * write: named CHECK constraints as bound catalyst predicates
+    * (violation → the task throws BEFORE any publish, naming the
+    * constraint — the same refusal [[enforceConstraints]] gives batch
+    * writes) and GENERATED columns as a full-width rewrite projection
+    * that RECOMPUTES each declared column from its expression on every
+    * written row. Recompute (not equality-enforce) is deliberate: Spark's
+    * UPDATE/MERGE rewrites carry the OLD generated value when only source
+    * columns change — the common case — and the declaration is the single
+    * source of truth either way; a SET that names the generated column
+    * directly is therefore OVERRIDDEN by its declaration, never stored.
+    *
+    * Resolution runs on the DRIVER through Spark's own analyzer over the
+    * write's (logical-name) row schema, then binds to row ordinals; the
+    * resulting expressions are serializable and codegen-compile inside
+    * each task. Identity columns cannot be guarded this way (their values
+    * are ALLOCATED, not derived) — the scan plans keep refusing them.
+    */
+  final case class RowWriteGuards(
+      constraints: Seq[(String, String, org.apache.spark.sql.catalyst.expressions.Expression)],
+      rewrite: Option[Seq[org.apache.spark.sql.catalyst.expressions.Expression]])
+      extends Serializable
+
+  private[graft] def compileRowGuards(spark: SparkSession, parent: Commit,
+      rowSchema: org.apache.spark.sql.types.StructType): RowWriteGuards = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, BindReferences, BoundReference, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Project}
+    if (parent.constraints.isEmpty && parent.generated.isEmpty)
+      return RowWriteGuards(Nil, None)
+    val attrs = org.apache.spark.sql.catalyst.types.DataTypeUtils.toAttributes(rowSchema)
+    def bind(sql: String, what: String): Expression = {
+      val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+      val analyzed = spark.sessionState.analyzer.executeAndCheck(
+        Project(Seq(Alias(parsed, "__graft_guard")()), LocalRelation(attrs)),
+        new org.apache.spark.sql.catalyst.QueryPlanningTracker())
+      val resolved = analyzed.asInstanceOf[Project].projectList.head
+        .asInstanceOf[Alias].child
+      require(resolved.deterministic,
+        s"row-level write: $what ($sql) must be deterministic")
+      BindReferences.bindReference(resolved, attrs)
+    }
+    val cs = parent.constraints.toSeq.sortBy(_._1).map { case (n, sql) =>
+      (n, sql, bind(sql, s"CHECK constraint '$n'")) }
+    val rewrite =
+      if (parent.generated.isEmpty) None
+      else Some(rowSchema.fields.zipWithIndex.map { case (f, i) =>
+        parent.generated.get(f.name) match {
+          case Some(sql) =>
+            val e = bind(sql, s"generated column '${f.name}'")
+            require(e.dataType == f.dataType,
+              s"generated column '${f.name}' ($sql) evaluates to " +
+                s"${e.dataType.sql}, declared ${f.dataType.sql}")
+            e
+          case None => BoundReference(i, f.dataType, f.nullable): Expression
+        }
+      }.toSeq)
+    RowWriteGuards(cs, rewrite)
+  }
+
+  /** Publish a DSv2 DELTA row-level write: `markedDirs` gain `posSet` as
+    * one more positional vector (rows physically untouched — the
+    * merge-on-read half) and `insertedDir` (UPDATE/MERGE new-row images)
+    * appends, all in ONE commit, pinned against the version the scan
+    * planned at. The skipping index covers the inserted dir exactly as an
+    * append would. Conflict policy mirrors [[publishRewriteRebasing]]:
+    * a disjoint advance (pure metadata commits) rebases; anything touching
+    * the row set the statement read — marked dirs rewritten away, coverage
+    * moved, schema/layout moved, ANY new data dir (an arbitrary DML
+    * condition cannot prove disjointness from concurrently appended rows)
+    * — refuses loudly and the orphaned vector/dir is vacuum's to reclaim.
+    */
+  private[graft] def publishDeltaDml(spark: SparkSession, root: String,
+      pinnedVersion: Long, markedDirs: Seq[String], posSet: Option[String],
+      insertedDir: Option[String], mode: String, commitId: String): Long = {
+    val pinned = commitAt(root, pinnedVersion).getOrElse(
+      sys.error(s"delta write: pinned version $pinnedVersion vanished from the log"))
+    val phys = org.apache.spark.sql.types.StructType.fromDDL(pinned.schemaDdl.get)
+    val (st, bl) = indexedCols(root)
+    val dirStats = insertedDir.fold(DirStats(Map.empty, Map.empty, Map.empty))(d =>
+      gatherStats(spark, s"$root/$d", st.map(physName(pinned, _)), phys))
+    val dirBlooms = insertedDir.fold(Seq.empty[String])(d =>
+      gatherBlooms(spark, s"$root/$d", bl.map(physName(pinned, _))))
+    var parent = pinned
+    var out = -1L
+    while (out < 0) {
+      val v = parent.version + 1
+      val newDeletes = posSet.fold(parent.deletes)(s =>
+        markedDirs.foldLeft(parent.deletes)((m, d) =>
+          m + (d -> (m.getOrElse(d, Nil) :+ s))))
+      val c = Commit(v, commitId, mode, parent.dirs ++ insertedDir,
+        insertedDir.filter(_ => dirStats.ints.nonEmpty)
+          .fold(parent.stats)(d => parent.stats + (d -> dirStats.ints)),
+        insertedDir.filter(_ => dirStats.strs.nonEmpty)
+          .fold(parent.strStats)(d => parent.strStats + (d -> dirStats.strs)),
+        parent.partitionCols,
+        insertedDir.filter(_ => dirBlooms.nonEmpty)
+          .fold(parent.blooms)(d => parent.blooms + (d -> dirBlooms)),
+        pinned.schemaDdl, deletes = newDeletes, deleteKeys = parent.deleteKeys,
+        nameMap = parent.nameMap, constraints = parent.constraints,
+        dropped = parent.dropped, generated = parent.generated,
+        nullCounts = insertedDir.filter(_ => dirStats.nulls.nonEmpty)
+          .fold(parent.nullCounts)(d => parent.nullCounts + (d -> dirStats.nulls)),
+        props = parent.props, identity = parent.identity,
+        dirLayouts = parent.dirLayouts, defaults = parent.defaults)
+      if (publishIfAbsent(root, v, c)) out = v
+      else findCommitVersion(root, commitId) match {
+        case Some(pv) => out = pv // a retry twin of us won the slot
+        case None =>
+          val latest = latestCommit(root).get
+          val missing = markedDirs.filterNot(latest.dirs.contains)
+          val covMoved = latest.dirs.filter(d => pinned.dirs.contains(d) &&
+            latest.deletes.getOrElse(d, Nil) != pinned.deletes.getOrElse(d, Nil))
+          val newDirs = latest.dirs.filterNot(parent.dirs.contains)
+          val schemaMoved = latest.schemaDdl != pinned.schemaDdl ||
+            latest.partitionCols != pinned.partitionCols ||
+            latest.nameMap != pinned.nameMap ||
+            latest.dropped != pinned.dropped ||
+            latest.dirLayouts != pinned.dirLayouts
+          if (missing.nonEmpty || covMoved.nonEmpty || newDirs.nonEmpty || schemaMoved)
+            sys.error(s"catalog-$mode: log advanced past v${pinned.version} with a " +
+              s"CONFLICTING commit (markedMissing=$missing, coverageMoved=$covMoved, " +
+              s"newDataDirs=$newDirs, schemaOrLayoutMoved=$schemaMoved); re-run " +
+              "against the new snapshot (orphaned vector/dir is vacuum-reclaimable)")
+          parent = latest // disjoint advance (metadata-only): rebase
+      }
+    }
+    out
   }
 
   private[graft] def keyedBatchPlan(root: String, asOf: Option[Long],

@@ -202,49 +202,82 @@ class CatalogSpec extends SparkSpec {
     // string keys delete too
     spark.sql("DELETE FROM gcat.db.del WHERE grp IN ('zzz')") // no-op, still valid
     assert(spark.table("gcat.db.del").count() == 16L)
-    // shapes beyond the metadata-delete verbs now take the ROW-LEVEL
-    // copy-on-write rewrite (SupportsRowLevelOperations) instead of
-    // refusing: an OR predicate deletes exactly its rows
+    // shapes beyond the metadata-delete verbs take the ROW-LEVEL path —
+    // by default the DELTA merge-on-read form (SupportsDelta): the commit
+    // writes ONE positional vector and rewrites NO dir
     val before = spark.table("gcat.db.del").count()
+    val dirsBeforeDelta = VersionedTable.latestCommit(root).get.dirs
     spark.sql("DELETE FROM gcat.db.del WHERE id = 10 OR grp = 'zzz'")
     assert(spark.table("gcat.db.del").count() == before - 1)
-    assert(VersionedTable.latestCommit(root).get.mode == "delete")
+    val deltaC = VersionedTable.latestCommit(root).get
+    assert(deltaC.mode == "delta-delete")
+    assert(deltaC.dirs == dirsBeforeDelta,
+      s"delta DELETE must not touch the dir list: ${deltaC.dirs} vs $dirsBeforeDelta")
+    assert(deltaC.deletes.values.flatten.toSeq.distinct.exists(_.startsWith("posdel/")),
+      s"delta DELETE must record a positional vector, got ${deltaC.deletes}")
+    // a SECOND delta DELETE composes (pending vectors are skipped in-scan,
+    // so already-deleted rows can never re-match or shift positions)
+    spark.sql("DELETE FROM gcat.db.del WHERE id = 14 OR grp = 'zzz'")
+    assert(spark.table("gcat.db.del").count() == before - 2)
     // metadata-ELIGIBLE shapes must still short-circuit BEFORE the
-    // row-level scan is planned — on a MOR-covered snapshot (which the
-    // row-level path refuses) the IN-list delete must keep working
+    // row-level scan is planned — on a KEY-MOR-covered snapshot (which
+    // the row-level paths refuse) the IN-list delete must keep working
     import spark.implicits._
     VersionedTable.deleteWhereMor(spark, root, Seq(11L).toDF("id"), "id", "del-mor")
+    // the non-metadata shape refuses LOUDLY on key-form debt (the delta
+    // scan cannot apply a key set in-reader; OPTIMIZE or any covering
+    // rewrite clears it)
+    val err = intercept[Exception](
+      spark.sql("DELETE FROM gcat.db.del WHERE id = 15 OR grp = 'zzz'"))
+    assert(err.getMessage.contains("KEY-form"), err.getMessage)
     spark.sql("DELETE FROM gcat.db.del WHERE id IN (12, 13)")
-    assert(spark.table("gcat.db.del").count() == before - 4)
+    assert(spark.table("gcat.db.del").count() == before - 5)
+    // ...and that keyed copy-on-write delete REWROTE the covered dir,
+    // absorbing the key set — so the delta shape now plans again
+    spark.sql("DELETE FROM gcat.db.del WHERE id = 15 OR grp = 'zzz'")
+    assert(spark.table("gcat.db.del").count() == before - 6)
   }
 
-  test("catalog: native UPDATE / MERGE INTO via group-based copy-on-write; group filter prunes dirs") {
+  test("catalog: native UPDATE / MERGE INTO via DELTA merge-on-read — vectors, not rewrites") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.ru (id BIGINT, grp STRING, v BIGINT) " +
       "PARTITIONED BY (grp) TBLPROPERTIES ('graft.stats.columns' = 'id')")
     spark.sql("INSERT INTO gcat.db.ru SELECT id, concat('g', id % 3), id * 10 " +
       "FROM range(1, 31)")
     val root = s"$warehouse/db/ru"
-    // UPDATE: arbitrary SET + WHERE, planned by Spark's ReplaceData rewrite
+    val dirsBefore = VersionedTable.latestCommit(root).get.dirs
+    // UPDATE: arbitrary SET + WHERE, planned by Spark's WriteDelta rewrite
+    // (SupportsDelta): matched rows become (positional delete, post-image
+    // insert) — the matched dir is NEVER rewritten
     spark.sql("UPDATE gcat.db.ru SET v = v + 1000 WHERE id % 10 = 0")
     val got = spark.table("gcat.db.ru").collect()
       .map(r => (r.getLong(0), r.getLong(2))).toMap
     (1L until 31L).foreach(i => assert(got(i) ==
       (if (i % 10 == 0) i * 10 + 1000 else i * 10), s"id $i"))
-    assert(VersionedTable.latestCommit(root).get.mode == "update")
-    // RUNTIME GROUP FILTERING: append a second dir, update a key that only
-    // lives there — the first dir must survive BY REFERENCE (not rewritten)
-    val dirAfterU1 = VersionedTable.latestCommit(root).get.dirs
-    assert(dirAfterU1.size == 1)
-    spark.sql("INSERT INTO gcat.db.ru SELECT id, concat('g', id % 3), id * 10 " +
-      "FROM range(100, 111)")
-    spark.sql("UPDATE gcat.db.ru SET v = 0 WHERE id = 105")
-    val afterU2 = VersionedTable.latestCommit(root).get.dirs
-    assert(afterU2.contains(dirAfterU1.head),
-      s"group filter must keep the unmatched dir by reference: $afterU2")
-    assert(spark.table("gcat.db.ru").filter(col("id") === 105).head().getLong(2) == 0L)
-    assert(spark.table("gcat.db.ru").count() == 41L)
-    // MERGE INTO: matched update + unmatched insert through the same path
+    val u1 = VersionedTable.latestCommit(root).get
+    assert(u1.mode == "delta-update")
+    assert(dirsBefore.forall(u1.dirs.contains),
+      s"delta UPDATE must keep every matched dir BY REFERENCE: ${u1.dirs}")
+    assert(u1.dirs.size == dirsBefore.size + 1,
+      s"delta UPDATE appends exactly one post-image dir: ${u1.dirs}")
+    assert(u1.deletes.values.flatten.toSeq.distinct.exists(_.startsWith("posdel/")),
+      s"delta UPDATE must record a positional vector, got ${u1.deletes}")
+    // a SECOND UPDATE composes without OPTIMIZE (pending vectors skip
+    // in-scan), including re-updating an already-updated row
+    spark.sql("UPDATE gcat.db.ru SET v = v + 7 WHERE id = 10 OR id = 11")
+    val got2 = spark.table("gcat.db.ru").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got2(10L) == 1107L && got2(11L) == 117L && got2(12L) == 120L)
+    assert(spark.table("gcat.db.ru").count() == 30L)
+    // an UPDATE that CHANGES the partition key routes the post-image to
+    // its new hive slot (the old slot's row is vector-deleted)
+    spark.sql("UPDATE gcat.db.ru SET grp = 'gX' WHERE id = 7")
+    assert(spark.table("gcat.db.ru").filter(col("id") === 7)
+      .head().getString(1) == "gX")
+    assert(spark.table("gcat.db.ru").count() == 30L)
+    // MERGE INTO: matched update + unmatched insert through the same
+    // delta path — one vector for the matched pre-images, one new-rows
+    // dir for post-images and inserts
     spark.sql("CREATE TABLE gcat.db.rusrc (id BIGINT, grp STRING, v BIGINT)")
     spark.sql("INSERT INTO gcat.db.rusrc VALUES (3, 'g0', 777), (999, 'g9', 888)")
     spark.sql("MERGE INTO gcat.db.ru t USING gcat.db.rusrc s ON t.id = s.id " +
@@ -253,12 +286,12 @@ class CatalogSpec extends SparkSpec {
     val m = spark.table("gcat.db.ru").collect()
       .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
     assert(m(3L)._2 == 777L && m(999L) == (("g9", 888L)))
-    assert(spark.table("gcat.db.ru").count() == 42L)
-    assert(VersionedTable.latestCommit(root).get.mode == "merge")
-    // the CHANGE FEED expresses the catalog UPDATE (same 'update' mode as
-    // the programmatic verbs — CDC consumers compose)
+    assert(spark.table("gcat.db.ru").count() == 31L)
+    assert(VersionedTable.latestCommit(root).get.mode == "delta-merge")
+    // the CHANGE FEED expresses the delta UPDATE as row changes (pre/post
+    // images paired on the key) — CDC consumers compose across DML modes
     val hist = VersionedTable.history(root)
-    val uv = hist.filter(_.mode == "update").map(_.version).head
+    val uv = hist.filter(_.mode == "delta-update").map(_.version).min
     val feed = VersionedTable.readChangeFeed(spark, root, uv - 1, uv, "id")
       .select("id", "_change_type").collect()
       .map(r => (r.getLong(0), r.getString(1))).sorted
@@ -267,6 +300,94 @@ class CatalogSpec extends SparkSpec {
     // a time-travel read cannot be the target of row-level DML
     assert(intercept[Exception](spark.sql(
       "UPDATE gcat.db.ru VERSION AS OF 1 SET v = 0 WHERE id = 1")).getMessage.nonEmpty)
+  }
+
+  test("catalog: graft.dml.mode='copy-on-write' keeps the group-based rewrite; group filter prunes dirs") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.rucow (id BIGINT, grp STRING, v BIGINT) " +
+      "PARTITIONED BY (grp) TBLPROPERTIES ('graft.stats.columns' = 'id', " +
+      "'graft.dml.mode' = 'copy-on-write')")
+    spark.sql("INSERT INTO gcat.db.rucow SELECT id, concat('g', id % 3), id * 10 " +
+      "FROM range(1, 31)")
+    val root = s"$warehouse/db/rucow"
+    // UPDATE: ReplaceData rewrite of the matched GROUPS (dirs) — no vector
+    spark.sql("UPDATE gcat.db.rucow SET v = v + 1000 WHERE id % 10 = 0")
+    val got = spark.table("gcat.db.rucow").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    (1L until 31L).foreach(i => assert(got(i) ==
+      (if (i % 10 == 0) i * 10 + 1000 else i * 10), s"id $i"))
+    val u1 = VersionedTable.latestCommit(root).get
+    assert(u1.mode == "update" && u1.deletes.isEmpty,
+      s"copy-on-write UPDATE rewrites, never records vectors: $u1")
+    // RUNTIME GROUP FILTERING: append a second dir, update a key that only
+    // lives there — the first dir must survive BY REFERENCE (not rewritten)
+    val dirAfterU1 = u1.dirs
+    assert(dirAfterU1.size == 1)
+    spark.sql("INSERT INTO gcat.db.rucow SELECT id, concat('g', id % 3), id * 10 " +
+      "FROM range(100, 111)")
+    spark.sql("UPDATE gcat.db.rucow SET v = 0 WHERE id = 105")
+    val afterU2 = VersionedTable.latestCommit(root).get.dirs
+    assert(afterU2.contains(dirAfterU1.head),
+      s"group filter must keep the unmatched dir by reference: $afterU2")
+    assert(spark.table("gcat.db.rucow").filter(col("id") === 105).head().getLong(2) == 0L)
+    assert(spark.table("gcat.db.rucow").count() == 41L)
+    // MERGE INTO through the same group-based path
+    spark.sql("CREATE TABLE gcat.db.rucowsrc (id BIGINT, grp STRING, v BIGINT)")
+    spark.sql("INSERT INTO gcat.db.rucowsrc VALUES (3, 'g0', 777), (999, 'g9', 888)")
+    spark.sql("MERGE INTO gcat.db.rucow t USING gcat.db.rucowsrc s ON t.id = s.id " +
+      "WHEN MATCHED THEN UPDATE SET v = s.v " +
+      "WHEN NOT MATCHED THEN INSERT (id, grp, v) VALUES (s.id, s.grp, s.v)")
+    val m = spark.table("gcat.db.rucow").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(m(3L)._2 == 777L && m(999L) == (("g9", 888L)))
+    assert(spark.table("gcat.db.rucow").count() == 42L)
+    assert(VersionedTable.latestCommit(root).get.mode == "merge")
+  }
+
+  test("catalog: row-level DML re-validates CHECK constraints and recomputes generated columns") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.gu (id BIGINT, base BIGINT, dbl BIGINT) " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gcat.db.gu SELECT id, id * 10, id * 20 FROM range(1, 21)")
+    val root = s"$warehouse/db/gu"
+    VersionedTable.addGeneratedColumn(spark, root, "dbl", "base * 2", "gu-gen")
+    VersionedTable.addConstraint(spark, root, "base_pos", "base >= 0", "gu-chk")
+    // UPDATE of the SOURCE column recomputes the generated column on the
+    // post-image (Spark's rewrite carries the stale value; the write's
+    // guard projection is what keeps the declaration true)
+    spark.sql("UPDATE gcat.db.gu SET base = base + 1 WHERE id % 2 = 0")
+    val got = spark.table("gcat.db.gu").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    (1L until 21L).foreach { i =>
+      val b = if (i % 2 == 0) i * 10 + 1 else i * 10
+      assert(got(i) == ((b, b * 2)), s"id $i: ${got(i)}")
+    }
+    assert(VersionedTable.latestCommit(root).get.mode == "delta-update")
+    // a VIOLATING update refuses loudly, naming the constraint, and
+    // publishes nothing (version unchanged, rows unchanged)
+    def causeChain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString)
+        .mkString(" | ")
+    val vBefore = VersionedTable.latestVersion(root).get
+    val err = intercept[Exception](
+      spark.sql("UPDATE gcat.db.gu SET base = -5 WHERE id = 3"))
+    assert(causeChain(err).contains("base_pos"), causeChain(err))
+    assert(VersionedTable.latestVersion(root).get == vBefore)
+    assert(spark.table("gcat.db.gu").filter(col("id") === 3)
+      .head().getLong(1) == 30L)
+    // same guards on the copy-on-write route (OPTIMIZE first: the CoW
+    // scan refuses pending vectors, which the delta updates above left)
+    VersionedTable.compact(spark, root, "gu-opt", targetFiles = 1,
+      statsCols = Seq("id"))
+    spark.sql("ALTER TABLE gcat.db.gu SET TBLPROPERTIES ('graft.dml.mode' = 'copy-on-write')")
+    spark.sql("UPDATE gcat.db.gu SET base = base + 1 WHERE id = 5")
+    val r5 = spark.table("gcat.db.gu").filter(col("id") === 5).head()
+    assert(r5.getLong(1) == 51L && r5.getLong(2) == 102L)
+    assert(VersionedTable.latestCommit(root).get.mode == "update")
+    val err2 = intercept[Exception](
+      spark.sql("UPDATE gcat.db.gu SET base = -1 WHERE id = 7"))
+    assert(causeChain(err2).contains("base_pos"), causeChain(err2))
+    assert(spark.table("gcat.db.gu").filter(col("id") === 7).head().getLong(1) == 70L)
   }
 
   test("catalog: runtime filtering (DPP) prunes key groups through Spark's own planner") {
