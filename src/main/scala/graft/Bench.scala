@@ -32,8 +32,33 @@ object Bench {
     // exact bench methodology (warmup, noop sink, min-of-passes, GC).
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // STREAM-FAMILY ROTATION (registry-growth control #2, NOISE_BASELINE
+    // r15): the 24 stream_* rows are cold checkpointed pipelines whose
+    // per-round cost is fixture construction, not engine throughput
+    // (stream_matview alone is 11-14 s of elapsed) — and unlike the
+    // fast/heavy tiers there is nothing left to shave per row. Each round
+    // measures a deterministic HALF of the family (alternating by the
+    // committed BENCH_r*.json count, which the driver grows by one per
+    // round), so every streaming row is benched at least every other
+    // round while the family's elapsed share halves. Correctness is
+    // unaffected: Verify runs EVERY row every round. SPARK_GRAFT_BENCH_ONLY
+    // bypasses rotation (solo re-measurement must always work), as does
+    // SPARK_GRAFT_BENCH_ROTATE=off.
+    val rotate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROTATE", "on") == "on" &&
+      only.isEmpty
+    val roundIdx = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      .count(_.getName.matches("BENCH_r\\d+\\.json"))
+    val streamFam = SparkEntry.queries.keys.filter(_.startsWith("stream_")).toSeq.sorted
+    val rotatedOut: Set[String] =
+      if (!rotate) Set.empty
+      else streamFam.zipWithIndex.collect {
+        case (n, i) if i % 2 != roundIdx % 2 => n }.toSet
+    if (rotatedOut.nonEmpty)
+      System.err.println(s"[bench] stream rotation (round index $roundIdx): " +
+        s"skipping ${rotatedOut.size}/${streamFam.size} stream rows this round: " +
+        rotatedOut.toSeq.sorted.mkString(", "))
     val names = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => only.forall(_.contains(n)) && !rotatedOut.contains(n) }
     val best = scala.collection.mutable.Map[String, Double]()
     val passesDone = scala.collection.mutable.Map[String, Int]()
     val everFailed = scala.collection.mutable.Set[String]()
@@ -86,7 +111,7 @@ object Bench {
         else done.map { case (n, _) =>
           if (intendedOnePass(n)) runs else passesDone.getOrElse(n, 0)
         }.min
-      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${done.size},"failed":$fs,"passes":$passes,"elapsed":$elapsed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","nqueries":${done.size},"failed":$fs,"passes":$passes,"rotated_out":${rotatedOut.size},"elapsed":$elapsed,"sf":"$sfDir"}"""
     }
     def emit(): Unit = {
       println(detailLine())
