@@ -602,6 +602,55 @@ private[graft] object QueriesStreaming {
         "FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1 ORDER BY 1")),
 
 
+    // ST — NATIVE STREAMING READ THROUGH THE CATALOG:
+    // `spark.readStream.table("gq.db.t")` — the public
+    // V2TableWithV1Fallback route (Delta's DeltaTableV2 pattern): Spark's
+    // analyzer resolves the catalog identifier onto the graft-versioned
+    // source, so the SAME commit-version offsets / initial-snapshot /
+    // per-commit-delta / exactly-once contract now needs no path or
+    // format() spelling at all. The row drives a full restart cycle
+    // exactly like stream_table_pipeline — snapshot run, new SQL INSERT,
+    // second run delivering ONLY the delta into a versioned sink —
+    // 'log_shape' pins the derived log at exactly v2 (snapshot batch +
+    // delta batch; a snapshot re-delivery would make it v3+ and double
+    // every count).
+    Q("stream_catalog_source",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        rmrf(s"$wh/cstr")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gq.cstr")
+        rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .createOrReplaceTempView("cat_stream_orders")
+        s.sql("CREATE TABLE gq.cstr.t (o_orderkey BIGINT, o_orderpriority STRING, " +
+          "o_totalprice DOUBLE) TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+        s.sql("INSERT INTO gq.cstr.t SELECT * FROM cat_stream_orders WHERE o_orderkey % 3 = 0")
+        s.sql("INSERT INTO gq.cstr.t SELECT * FROM cat_stream_orders WHERE o_orderkey % 3 = 1")
+        val dst = freshDir(s, "graft_stream_cat_dst")
+        val ckpt = freshDir(s, "graft_stream_cat_ckpt")
+        def runOnce(): Unit = {
+          val stream = s.readStream.table("gq.cstr.t")
+            .filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), upper(col("o_orderpriority")).as("prio"))
+          val q = graft.streaming.Streaming.versionedSink(stream, dst, "catpipe",
+            Some(ckpt), availableNow = true)
+          q.awaitTermination()
+        }
+        runOnce() // initial snapshot of gq.cstr.t (v1..v3) → dst v1
+        s.sql("INSERT INTO gq.cstr.t SELECT * FROM cat_stream_orders WHERE o_orderkey % 3 = 2")
+        runOnce() // restart: only the new commit's delta flows → dst v2
+        val logShape = graft.io.VersionedTable.latestVersion(dst).contains(2L)
+        graft.io.VersionedTable.read(s, dst)
+          .groupBy("prio")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("log_shape", lit(logShape))
+          .orderBy("prio")
+      },
+      Some("SELECT upper(o_orderpriority) AS prio, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, TRUE AS log_shape " +
+        "FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1 ORDER BY 1")),
+
     // Custom streaming state (flatMapGroupsWithState) oracle-checked: the
     // per-key running count/min/max session state, drained to completion —
     // the final update per key must equal the batch aggregate. Emission

@@ -296,8 +296,38 @@ class GraftTable(root: String, ident: Identifier, asOf: Option[Long])
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.graftshim.GraftV1FallbackBridge {
   private def spark = SparkSession.active
+
+  /** NATIVE STREAMING READ: `spark.readStream.table("cat.db.t")` — the
+    * public `V2TableWithV1Fallback` route (the same one Delta's
+    * DeltaTableV2 takes): the analyzer resolves the streaming relation to
+    * this CatalogTable, whose provider is the registered
+    * `graft-versioned` source — offsets are commit versions, a fresh
+    * stream delivers the initial snapshot then per-commit append deltas,
+    * checkpoints make restarts exactly-once
+    * ([[graft.streaming.VersionedTableSource]] carries the full
+    * contract). Reader OPTIONS (startingVersion, maxVersionsPerTrigger,
+    * readChangeFeed, skipChangeCommits) do not flow through the
+    * table-name spelling — Spark builds the fallback with the table's
+    * own options only — so an options-bearing stream keeps the
+    * `format("graft-versioned").option(...).load(root)` form.
+    */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    require(asOf.isEmpty, s"streaming read of a time-travel pin of $name")
+    org.apache.spark.sql.catalyst.catalog.CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        ident.name(), ident.namespace().lastOption),
+      tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
+      // the path rides storage.properties (NOT locationUri: the fallback
+      // would render that as a `file:` URI string, which the path-based
+      // source verbs do not speak)
+      storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty
+        .copy(properties = Map("path" -> root)),
+      schema = schema,
+      provider = Some("graft-versioned"))
+  }
   // a VERSION/TIMESTAMP AS OF pin resolves table METADATA (partitioning,
   // properties, graft.version) at the pinned snapshot too — scans resolve
   // asOf themselves, but DESCRIBE on a time-travel read must not report

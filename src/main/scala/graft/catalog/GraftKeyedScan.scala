@@ -143,13 +143,36 @@ final class GraftKeyedScan(spark: SparkSession, private val root: String,
     val fullKeyConv = plan.keySchema.fields.map(f =>
       CatalystTypeConverters.createToCatalystConverter(f.dataType))
     val reqKeyIdx = reqKeyFields.map(f => keyNames.indexOf(f.name))
-    groups.map { g =>
+    // SKEW STORY: a key group's files split into size-bounded PACKS (the
+    // session split target), each its own InputPartition carrying the SAME
+    // partition key — the public Iceberg SPJ shape. Spark's own grouping
+    // (DataSourceV2ScanExecBase, v2 bucketing) coalesces same-key packs
+    // back into one task wherever clustering is REQUIRED (aggregates,
+    // plain SPJ — plans and fingerprints unchanged), and with
+    // `spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+    // .enabled` a join keeps a HOT value's packs as separate tasks and
+    // replicates the other side — at 100 TB the difference between one
+    // straggler reading a terabyte-scale partition value and N parallel
+    // tasks reading a pack each.
+    val target = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    groups.flatMap { g =>
       val fullKey = new GenericInternalRow(
         g.key.zip(fullKeyConv).map { case (v, conv) =>
           if (v == null) null else conv(v) }.toArray[Any])
       val reqKey = new GenericInternalRow(
         reqKeyIdx.map(i => fullKey.values(i)).toArray[Any])
-      GraftKeyedInputPartition(g.files, fullKey, reqKey): InputPartition
+      val packs = Seq.newBuilder[Seq[(String, Long)]]
+      var cur = List.empty[(String, Long)]
+      var curBytes = 0L
+      g.files.foreach { f =>
+        if (cur.nonEmpty && curBytes + f._2 > target) {
+          packs += cur.reverse; cur = Nil; curBytes = 0L
+        }
+        cur ::= f; curBytes += f._2
+      }
+      if (cur.nonEmpty) packs += cur.reverse
+      packs.result().map(fs =>
+        GraftKeyedInputPartition(fs, fullKey, reqKey): InputPartition)
     }.toArray
   }
 

@@ -113,10 +113,17 @@ class VersionedTableSourceProvider extends StreamSourceProvider with RelationPro
   override def sourceSchema(sqlContext: SQLContext, schema: Option[StructType],
                             providerName: String,
                             parameters: Map[String, String]): (String, StructType) = {
-    require(schema.isEmpty,
-      "graft-versioned source derives its schema from the table's latest manifest; " +
-        "a user-specified schema is not supported")
     val base = VersionedTableSource.pinnedSchema(sqlContext, rootOf(parameters))
+    // the schema is always DERIVED from the manifest; a caller-specified
+    // one is accepted only when it matches — the catalog's streaming
+    // fallback (`spark.readStream.table("cat.db.t")` through
+    // V2TableWithV1Fallback) passes the table's schema back in, and that
+    // round-trip must not refuse
+    schema.foreach(s => require(
+      s.map(f => (f.name, f.dataType)) == base.map(f => (f.name, f.dataType)),
+      "graft-versioned source derives its schema from the table's latest manifest; " +
+        s"the specified schema disagrees (specified ${s.simpleString}, " +
+        s"manifest ${base.simpleString})"))
     val out = if (parameters.get("readChangeFeed").exists(_.toBoolean))
       base.add(VersionedTableSource.changeTypeCol, org.apache.spark.sql.types.StringType,
         nullable = false)
