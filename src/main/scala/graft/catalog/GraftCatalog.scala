@@ -110,7 +110,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   override def loadTable(ident: Identifier): Table = {
     val root = tableRoot(ident)
-    if (isTable(root)) return new GraftTable(root, ident, None)
+    if (isTable(root)) return new GraftTable(root, ident, None, catalogName)
     // Iceberg-style METADATA TABLES: `SELECT * FROM cat.db.t.history` (and
     // .detail/.partitions/.branches/.tags/.mor) — the identifier's name is
     // the metadata kind and its namespace tail resolves to the base table.
@@ -132,7 +132,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTable(root)) throw new NoSuchTableException(ident)
     val v = version.toLongOption.getOrElse(
       sys.error(s"VERSION AS OF '$version': graft versions are numeric"))
-    new GraftTable(root, ident, Some(v))
+    new GraftTable(root, ident, Some(v), catalogName)
   }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands micros; the ledger resolves ms. */
@@ -140,7 +140,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val root = tableRoot(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
     new GraftTable(root, ident,
-      Some(VersionedTable.versionAsOfTimestamp(root, timestampMicros / 1000L)))
+      Some(VersionedTable.versionAsOfTimestamp(root, timestampMicros / 1000L)),
+      catalogName)
   }
 
   override def tableExists(ident: Identifier): Boolean = isTable(tableRoot(ident))
@@ -169,7 +170,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         TableCatalog.PROP_COMMENT, TableCatalog.PROP_TABLE_TYPE).contains(k)).toMap
     VersionedTable.createTable(root, schema, transformCols(partitions), props,
       s"catalog-create-${java.util.UUID.randomUUID().toString.take(12)}")
-    new GraftTable(root, ident, None)
+    new GraftTable(root, ident, None, catalogName)
   }
 
   override def createTable(ident: Identifier, info: TableInfo): Table =
@@ -220,7 +221,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (sets.nonEmpty) VersionedTable.setTableProperties(root, sets, cid("setprops"))
     if (unsets.nonEmpty) VersionedTable.unsetTableProperties(root, unsets, cid("unsetprops"))
     applies.foreach(_.apply())
-    new GraftTable(root, ident, None)
+    new GraftTable(root, ident, None, catalogName)
   }
 
   override def dropTable(ident: Identifier): Boolean = {
@@ -292,7 +293,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   * travel (`VERSION/TIMESTAMP AS OF`); `None` reads the snapshot current
   * at scan-build time (pinned there, so a plan never straddles commits).
   */
-class GraftTable(root: String, ident: Identifier, asOf: Option[Long])
+class GraftTable(root: String, ident: Identifier, asOf: Option[Long],
+                 catalogName: String = "")
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
@@ -300,15 +302,17 @@ class GraftTable(root: String, ident: Identifier, asOf: Option[Long])
     with org.apache.spark.sql.graftshim.GraftV1FallbackBridge {
   private def spark = SparkSession.active
 
-  /** NATIVE STREAMING READ: `spark.readStream.table("cat.db.t")` — the
-    * public `V2TableWithV1Fallback` route (the same one Delta's
-    * DeltaTableV2 takes): the analyzer resolves the streaming relation to
-    * this CatalogTable, whose provider is the registered
+  /** NATIVE STREAMING READ AND WRITE by table name — the public
+    * `V2TableWithV1Fallback` route (the same one Delta's DeltaTableV2
+    * takes): `spark.readStream.table("cat.db.t")` resolves the streaming
+    * relation to this CatalogTable, whose provider is the registered
     * `graft-versioned` source — offsets are commit versions, a fresh
     * stream delivers the initial snapshot then per-commit append deltas,
-    * checkpoints make restarts exactly-once
-    * ([[graft.streaming.VersionedTableSource]] carries the full
-    * contract). Reader OPTIONS (startingVersion, maxVersionsPerTrigger,
+    * checkpoints make restarts exactly-once — and
+    * `df.writeStream.format("graft-versioned").toTable("cat.db.t")`
+    * lands every micro-batch as one exactly-once append commit
+    * ([[graft.streaming.VersionedTableSource]] carries both contracts).
+    * Reader OPTIONS (startingVersion, maxVersionsPerTrigger,
     * readChangeFeed, skipChangeCommits) do not flow through the
     * table-name spelling — Spark builds the fallback with the table's
     * own options only — so an options-bearing stream keeps the
@@ -318,13 +322,16 @@ class GraftTable(root: String, ident: Identifier, asOf: Option[Long])
     require(asOf.isEmpty, s"streaming read of a time-travel pin of $name")
     org.apache.spark.sql.catalyst.catalog.CatalogTable(
       identifier = org.apache.spark.sql.catalyst.TableIdentifier(
-        ident.name(), ident.namespace().lastOption),
+        ident.name(), ident.namespace().lastOption,
+        Some(catalogName).filter(_.nonEmpty)),
       tableType = org.apache.spark.sql.catalyst.catalog.CatalogTableType.EXTERNAL,
-      // the path rides storage.properties (NOT locationUri: the fallback
-      // would render that as a `file:` URI string, which the path-based
-      // source verbs do not speak)
+      // the location rides as a SCHEME-LESS Path URI: the read fallback
+      // renders it back via Path.toString (plain path, which the
+      // path-based source verbs speak), and the write fallback
+      // (`writeStream.toTable`) requires table.location to be defined
       storage = org.apache.spark.sql.catalyst.catalog.CatalogStorageFormat.empty
-        .copy(properties = Map("path" -> root)),
+        .copy(locationUri = Some(new org.apache.hadoop.fs.Path(root).toUri),
+          properties = Map("path" -> root)),
       schema = schema,
       provider = Some("graft-versioned"))
   }

@@ -146,9 +146,17 @@ final class GraftDeltaScan(spark: SparkSession, private val root: String,
 
   override def estimateStatistics(): Statistics = new Statistics {
     private val bytes = math.max(1L, plan.files.map(_.len).sum)
+    // exact LIVE rows: footer counts minus each file's pending-vector
+    // positions — all-or-nothing over the planned set, like every scan
+    // (see GraftKeyedScan.estimateStatistics for the rationale)
+    private val rows: java.util.OptionalLong =
+      if (plan.files.nonEmpty && plan.files.forall(_.rows.isDefined))
+        java.util.OptionalLong.of(
+          plan.files.map(f => f.rows.get - f.dv.length).sum)
+      else java.util.OptionalLong.empty()
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
-    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong = rows
   }
 
   private def physOf(logical: String): String =

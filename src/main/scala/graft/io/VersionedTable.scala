@@ -5185,7 +5185,8 @@ object VersionedTable {
     * between).
     */
   final case class DeltaFile(dir: String, fileKey: String, path: String,
-                             len: Long, keyVals: Seq[Any], dv: Array[Long])
+                             len: Long, keyVals: Seq[Any], dv: Array[Long],
+                             rows: Option[Long])
 
   /** Driver plan of a DSv2 DELTA row-level scan (`SupportsDelta` —
     * UPDATE/MERGE/DELETE through the catalog writing positional deletion
@@ -5276,6 +5277,7 @@ object VersionedTable {
       val dp = dirPath(root, d)
       val last = d.substring(d.lastIndexOf('/') + 1)
       val fstats = readFileStats(dp)
+      val frows = readFileRows(dp)
       parquetFiles(dp).foreach { rel =>
         val segs = rel.split('/').dropRight(1)
         val vals = keyFields.map { f =>
@@ -5316,7 +5318,8 @@ object VersionedTable {
           val fileKey =
             if (mi < 0) s"$last/$rel" else last + "/" + enc.substring(mi + marker.length)
           files += DeltaFile(d, fileKey, full, new File(full).length(),
-            keyVals, dvAll.getOrElse(fileKey, Array.empty[Long]))
+            keyVals, dvAll.getOrElse(fileKey, Array.empty[Long]),
+            frows.get(rel))
         }
       }
     }

@@ -5,8 +5,10 @@ import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTrigger
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.graftshim.GraftStreamingBridge
+import org.apache.spark.sql.execution.streaming.Sink
 import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider,
-  DataSourceRegister, RelationProvider, StreamSourceProvider}
+  DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.StructType
 
 import graft.io.VersionedTable
@@ -47,9 +49,61 @@ import graft.io.VersionedTable
   * re-pins to the latest schema (the Delta behavior).
   */
 class VersionedTableSourceProvider extends StreamSourceProvider with RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
+
+  /** The STREAMING SINK — `df.writeStream.format("graft-versioned")
+    * .option("checkpointLocation", ck).toTable("cat.db.t")` (through the
+    * catalog's V1 fallback) or `.start(root)`: every micro-batch is one
+    * append COMMIT with a batchId-derived commitId, so the engine's
+    * offset log and the manifest's commitId dedup compose into
+    * exactly-once — a checkpoint-replayed batch finds its committed
+    * version and no-ops, the [[graft.streaming.Streaming.versionedSink]]
+    * contract without the foreachBatch spelling. The stream identity
+    * comes from the checkpoint location (or an explicit `streamId`
+    * option), so two different streams appending the same table can
+    * never collide commitIds. The table's declared skipping index
+    * (already-indexed columns + `graft.stats.columns` /
+    * `graft.bloom.columns` properties) is maintained on every batch,
+    * and hive layout follows the snapshot's partition columns.
+    */
+  override def createSink(sqlContext: SQLContext, parameters: Map[String, String],
+                          partitionColumns: Seq[String], outputMode: OutputMode): Sink = {
+    val root = rootOf(parameters)
+    require(outputMode == OutputMode.Append(),
+      s"graft-versioned sink supports Append output mode only (each micro-batch " +
+        s"is one append commit); got $outputMode")
+    val tag = parameters.get("streamId")
+      .orElse(parameters.get("checkpointLocation").map { c =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+          .digest(c.getBytes("UTF-8"))
+        "ck" + md.take(6).map("%02x".format(_)).mkString
+      })
+      .getOrElse(throw new IllegalArgumentException(
+        "graft-versioned sink requires 'checkpointLocation' (or an explicit " +
+          "'streamId' option) — a stream-stable identity is what makes " +
+          "checkpoint-replayed batches exactly-once"))
+    new Sink {
+      override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit = {
+        val parent = VersionedTable.latestCommit(root)
+        val props = parent.map(_.props).getOrElse(Map.empty)
+        def declared(key: String): Seq[String] = props.get(key)
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        val (st, bl) = VersionedTable.indexedCols(root)
+        val batch = GraftStreamingBridge.asBatchDf(data)
+        VersionedTable.commit(batch, root, "append", s"$tag-b$batchId",
+          statsCols = (st ++ declared("graft.stats.columns")).distinct
+            .filter(batch.columns.contains),
+          partitionCols = parent.map(_.partitionCols).getOrElse(
+            partitionColumns),
+          bloomCols = (bl ++ declared("graft.bloom.columns")).distinct
+            .filter(batch.columns.contains))
+        ()
+      }
+      override def toString: String = s"GraftVersionedSink[$root]"
+    }
+  }
 
   /** The BATCH read path of the same format name —
     * `spark.read.format("graft-versioned").load(root)` — with column

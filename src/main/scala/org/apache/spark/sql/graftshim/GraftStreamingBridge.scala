@@ -26,6 +26,21 @@ object GraftStreamingBridge {
     session.internalCreateDataFrame(classic.queryExecution.toRdd, df.schema,
       isStreaming = true)
   }
+
+  /** The inverse, for the versioned-table streaming SINK: a v1
+    * `Sink.addBatch` receives the micro-batch as a Dataset over the
+    * stream's IncrementalExecution, on which ordinary write actions
+    * refuse ("streaming source must be executed with writeStream"). The
+    * idiom every v1 sink uses is to consume the already-planned
+    * `toRdd` under a fresh BATCH frame — planning happened once in the
+    * stream, the commit path just drains it.
+    */
+  def asBatchDf(df: DataFrame): DataFrame = {
+    val classic = df.asInstanceOf[ClassicDataset[Row]]
+    val session = classic.sparkSession.asInstanceOf[ClassicSparkSession]
+    session.internalCreateDataFrame(classic.queryExecution.toRdd, df.schema,
+      isStreaming = false)
+  }
 }
 
 /** Column ↔ Catalyst Expression conversion (`private[sql]` in Spark 4's

@@ -544,6 +544,95 @@ class CatalogSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L, 4L), "append delta exactly once across restarts")
   }
 
+  test("catalog: writeStream.toTable — every micro-batch one append commit, exactly-once, index maintained") {
+    warehouse
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql("CREATE TABLE gcat.db.snksrc (id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gcat.db.snksrc VALUES (1, 'a'), (2, 'b')")
+    spark.sql("CREATE TABLE gcat.db.snk (id BIGINT, s STRING) " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    val ckpt = TestSpark.tmpDir("cat-snk-ckpt")
+    def runOnce(): Unit = {
+      // the write fallback requires the format to name the provider
+      val q = spark.readStream.table("gcat.db.snksrc")
+        .writeStream.format("graft-versioned")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).toTable("gcat.db.snk")
+      q.awaitTermination()
+    }
+    val snkRoot = s"$warehouse/db/snk"
+    runOnce()
+    assert(spark.table("gcat.db.snk").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+    val vAfter1 = VersionedTable.latestVersion(snkRoot).get
+    runOnce() // no new source commits: nothing re-delivers, nothing commits
+    assert(VersionedTable.latestVersion(snkRoot).get == vAfter1,
+      "an empty restart must not append")
+    assert(spark.table("gcat.db.snk").count() == 2L)
+    spark.sql("INSERT INTO gcat.db.snksrc VALUES (3, 'c')")
+    runOnce()
+    assert(spark.table("gcat.db.snk").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L, 3L))
+    // the sink maintained the declared skipping index on its commits
+    val c = VersionedTable.latestCommit(snkRoot).get
+    assert(c.mode == "append" &&
+      c.stats.valuesIterator.exists(_.contains("id")), c.stats.toString)
+  }
+
+  test("catalog: DDL parity sweep — CTAS/ALTER through spark.sql hit the same guards as the GRAFT verbs") {
+    warehouse
+    def chain(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.toString).mkString(" | ")
+    // CREATE: only identity partition transforms — a bucket transform is
+    // the catalog-spelling route to a layout the manifest cannot express
+    val eb = intercept[Exception](spark.sql(
+      "CREATE TABLE gcat.db.ddlb (id BIGINT, grp STRING) PARTITIONED BY (bucket(4, id))"))
+    assert(chain(eb).contains("identity transforms"), chain(eb))
+    spark.sql("CREATE TABLE gcat.db.ddl (id BIGINT, grp STRING, v BIGINT, vi INT) " +
+      "PARTITIONED BY (grp) TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gcat.db.ddl SELECT id, concat('g', id % 2), id, " +
+      "CAST(id AS INT) FROM range(1, 11)")
+    val root = s"$warehouse/db/ddl"
+    // WIDEN through ALTER ... ALTER COLUMN ... TYPE — the widening verb
+    spark.sql("ALTER TABLE gcat.db.ddl ALTER COLUMN vi TYPE BIGINT")
+    assert(spark.table("gcat.db.ddl").schema("vi").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(VersionedTable.latestCommit(root).get.mode == "widen")
+    // ...and a NARROWING refuses exactly like widenColumnType
+    val en = intercept[Exception](
+      spark.sql("ALTER TABLE gcat.db.ddl ALTER COLUMN v TYPE INT"))
+    assert(chain(en).nonEmpty)
+    // hive partition columns: rename/drop/widen all refuse — the path IS
+    // the storage layout (same guard as the programmatic verbs)
+    val er = intercept[Exception](
+      spark.sql("ALTER TABLE gcat.db.ddl RENAME COLUMN grp TO g2"))
+    assert(chain(er).contains("hive"), chain(er))
+    val ed = intercept[Exception](
+      spark.sql("ALTER TABLE gcat.db.ddl DROP COLUMN grp"))
+    assert(chain(ed).contains("hive"), chain(ed))
+    // ADD COLUMN: write-driven evolution or the DEFAULT-bearing GRAFT form
+    val ea = intercept[Exception](
+      spark.sql("ALTER TABLE gcat.db.ddl ADD COLUMN extra BIGINT"))
+    assert(chain(ea).contains("schema-evolving"), chain(ea))
+    // a legal property SET is one metadata commit
+    val vBefore = VersionedTable.latestVersion(root).get
+    spark.sql("ALTER TABLE gcat.db.ddl SET TBLPROPERTIES ('a' = '1')")
+    val vAfterProp = VersionedTable.latestVersion(root).get
+    assert(vAfterProp == vBefore + 1)
+    // property VALUE validation happens at SET time, like the GRAFT verb
+    val ep = intercept[Exception](spark.sql(
+      "ALTER TABLE gcat.db.ddl SET TBLPROPERTIES ('graft.autoCompact.targetBytes' = 'banana')"))
+    assert(chain(ep).nonEmpty)
+    assert(VersionedTable.latestVersion(root).get == vAfterProp,
+      "a refused property SET must publish nothing")
+    // rename guard parity: identity/generated-referenced columns refuse
+    VersionedTable.addGeneratedColumn(spark, root, "v", "id * 1", "ddl-gen-probe") // v == id
+    val eg = intercept[Exception](
+      spark.sql("ALTER TABLE gcat.db.ddl DROP COLUMN id"))
+    assert(chain(eg).nonEmpty, "dropping a generated column's source must refuse")
+  }
+
   test("catalog: writes go through the full commit discipline (constraints + auto index)") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.g (id BIGINT, v BIGINT) " +
