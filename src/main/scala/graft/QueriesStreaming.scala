@@ -651,6 +651,58 @@ private[graft] object QueriesStreaming {
         "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, TRUE AS log_shape " +
         "FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1 ORDER BY 1")),
 
+    // ST — FULL TABLE-NAME STREAMING PIPELINE: bronze → silver as two
+    // CATALOG IDENTIFIERS and nothing else —
+    // `spark.readStream.table("gq.cstp.src")` →
+    // `writeStream.format("graft-versioned").toTable("gq.cstp.dst")` —
+    // the stream_table_pipeline contract (snapshot once, per-commit
+    // deltas, exactly-once restarts) with BOTH halves resolved through
+    // the DSv2 catalog's V1 fallback: the source from
+    // V2TableWithV1Fallback, the sink from StreamSinkProvider with
+    // checkpoint-derived commitIds. 'log_shape' pins the derived table at
+    // exactly v3 (create + snapshot batch + delta batch): a snapshot
+    // re-delivery or a double-applied batch changes the version and every
+    // count.
+    Q("stream_catalog_pipeline",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        rmrf(s"$wh/cstp")
+        s.sql("CREATE NAMESPACE IF NOT EXISTS gq.cstp")
+        rd(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+          .createOrReplaceTempView("cat_pipe_orders")
+        s.sql("CREATE TABLE gq.cstp.src (o_orderkey BIGINT, o_orderpriority STRING, " +
+          "o_totalprice DOUBLE) TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+        s.sql("CREATE TABLE gq.cstp.dst (o_orderkey BIGINT, prio STRING) " +
+          "TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+        s.sql("INSERT INTO gq.cstp.src SELECT * FROM cat_pipe_orders WHERE o_orderkey % 3 = 0")
+        s.sql("INSERT INTO gq.cstp.src SELECT * FROM cat_pipe_orders WHERE o_orderkey % 3 = 1")
+        val ckpt = freshDir(s, "graft_stream_catpipe_ckpt")
+        def runOnce(): Unit = {
+          val q = s.readStream.table("gq.cstp.src")
+            .filter(col("o_orderkey") % 2 === 0)
+            .select(col("o_orderkey"), upper(col("o_orderpriority")).as("prio"))
+            .writeStream.format("graft-versioned")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .toTable("gq.cstp.dst")
+          q.awaitTermination()
+        }
+        runOnce() // initial snapshot of src → dst v2 (after the create)
+        s.sql("INSERT INTO gq.cstp.src SELECT * FROM cat_pipe_orders WHERE o_orderkey % 3 = 2")
+        runOnce() // restart: only the new commit's delta → dst v3
+        val logShape = graft.io.VersionedTable.latestVersion(s"$wh/cstp/dst").contains(3L)
+        s.table("gq.cstp.dst")
+          .groupBy("prio")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("log_shape", lit(logShape))
+          .orderBy("prio")
+      },
+      Some("SELECT upper(o_orderpriority) AS prio, count(*) AS n, " +
+        "CAST(sum(o_orderkey) AS BIGINT) AS key_sum, TRUE AS log_shape " +
+        "FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1 ORDER BY 1")),
+
     // Custom streaming state (flatMapGroupsWithState) oracle-checked: the
     // per-key running count/min/max session state, drained to completion —
     // the final update per key must equal the batch aggregate. Emission

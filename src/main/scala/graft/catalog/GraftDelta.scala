@@ -100,7 +100,8 @@ final class GraftDeltaOperation(spark: SparkSession, root: String,
       override def build(): Scan = {
         val (ranges, points, nullProbes) = VersionedRelation.translate(pushed)
         val plan = VersionedTable.deltaScanPlan(spark, root, version,
-            ranges, points, nullProbes) match {
+            ranges, points, nullProbes,
+            allowIdentity = cmd == Command.DELETE) match {
           case Right(p) => p
           case Left(reason) => throw new UnsupportedOperationException(
             s"$cmd on $root cannot take the delta merge-on-read path: $reason " +
@@ -165,40 +166,60 @@ final class GraftDeltaScan(spark: SparkSession, private val root: String,
   private val metaNames = GraftDeltaScan.metaFields.map(_.name)
   private val reqData = required.fields.filter(f =>
     !keyNames.contains(f.name) && !metaNames.contains(f.name))
-  // reader emits reqData(phys) ++ FULL partition consts (keys, dir, file)
-  // ++ pos; one codegen'd projection reorders into the declared schema
-  private val partFields = plan.keyFields ++ Seq(
+  private val baseConstFields = Seq(
     StructField(GraftCowScan.DIR_COL, StringType, nullable = false),
     StructField(GraftDeltaScan.FILE_COL, StringType, nullable = false))
-  private val inputFields = (reqData ++ partFields) :+
-    StructField(GraftDeltaScan.POS_COL, LongType, nullable = false)
-  private val reorder: Array[Int] = required.fields.map(f =>
-    inputFields.indexWhere(_.name == f.name))
+
+  // PER SCHEMA ERA (files lacking a defaulted column read it as the
+  // declared constant through partitionValues — see DeltaEra): which of
+  // the required data fields are file-backed vs constant-backed, the
+  // reader's input layout, and the reorder into the declared read schema
+  private final case class EraShape(
+      present: Array[StructField], missReq: Array[StructField],
+      missVals: Array[Any], inputFields: Seq[StructField], reorder: Array[Int])
+  private val eraShapes: Seq[EraShape] = plan.eras.map { era =>
+    val missingPhys = era.missing.map(_._1).toSet
+    val present = reqData.filterNot(f => missingPhys.contains(physOf(f.name)))
+    val missReq = reqData.filter(f => missingPhys.contains(physOf(f.name)))
+    val missVals = missReq.map(f =>
+      era.missing.find(_._1 == physOf(f.name)).get._3)
+    val inputFields = (present ++ plan.keyFields ++ baseConstFields ++ missReq) :+
+      StructField(GraftDeltaScan.POS_COL, LongType, nullable = false)
+    EraShape(present, missReq, missVals.toArray[Any], inputFields,
+      required.fields.map(f => inputFields.indexWhere(_.name == f.name)))
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conv = plan.keyFields.map(f =>
       CatalystTypeConverters.createToCatalystConverter(f.dataType))
     plan.files.map { f =>
-      val vals = f.keyVals.zip(conv).map { case (v, c) =>
+      val shape = eraShapes(f.era)
+      val vals = (f.keyVals.zip(conv).map { case (v, c) =>
         if (v == null) null else c(v) } ++ Seq(
         org.apache.spark.unsafe.types.UTF8String.fromString(f.dir),
-        org.apache.spark.unsafe.types.UTF8String.fromString(f.fileKey))
+        org.apache.spark.unsafe.types.UTF8String.fromString(f.fileKey))) ++
+        shape.missVals
       GraftDeltaInputPartition(f.path, f.len,
-        new GenericInternalRow(vals.toArray[Any]), f.dv): InputPartition
+        new GenericInternalRow(vals.toArray[Any]), f.dv, f.era): InputPartition
     }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val physDataSchema = StructType(plan.physSchema.fields.filterNot(f =>
       keyNames.contains(f.name)))
-    val physRequired = StructType(reqData.map(f => f.copy(name = physOf(f.name))))
-    val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-      spark, physDataSchema, StructType(partFields), physRequired,
-      Nil, // NO file filters: position exactness requires full-file order
-      Map(org.apache.spark.sql.execution.datasources.FileFormat
-        .OPTION_RETURNING_BATCH -> "false"),
-      spark.sessionState.newHadoopConfWithOptions(Map.empty))
-    new GraftDeltaReaderFactory(readFunc, StructType(inputFields), reorder)
+    val eras = eraShapes.map { shape =>
+      val physRequired = StructType(shape.present.map(f => f.copy(name = physOf(f.name))))
+      val partSchema = StructType(
+        (plan.keyFields ++ baseConstFields ++ shape.missReq).toArray)
+      val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
+        spark, physDataSchema, partSchema, physRequired,
+        Nil, // NO file filters: position exactness requires full-file order
+        Map(org.apache.spark.sql.execution.datasources.FileFormat
+          .OPTION_RETURNING_BATCH -> "false"),
+        spark.sessionState.newHadoopConfWithOptions(Map.empty))
+      (readFunc, StructType(shape.inputFields), shape.reorder)
+    }
+    new GraftDeltaReaderFactory(eras.toArray)
   }
 
   override def description(): String =
@@ -229,22 +250,24 @@ object GraftDeltaScan {
 }
 
 /** One file of the delta scan, with its constant partition row (hive
-  * keys + dir + file key) and the file's already-deleted positions.
+  * keys + dir + file key + era-missing defaults), the file's
+  * already-deleted positions, and its schema-era index.
   */
 final case class GraftDeltaInputPartition(path: String, len: Long,
-    partVals: GenericInternalRow, dv: Array[Long]) extends InputPartition
+    partVals: GenericInternalRow, dv: Array[Long], era: Int)
+    extends InputPartition
 
 /** Executor-side: Spark's own parquet read per file (constants appended
   * by the reader), then the position counter and pending-vector skip,
-  * then one codegen'd reorder projection.
+  * then one codegen'd reorder projection — all selected per schema ERA.
   */
 final class GraftDeltaReaderFactory(
-    readFunc: org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow],
-    inputSchema: StructType, reorder: Array[Int])
+    eras: Array[(org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow], StructType, Array[Int])])
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val dp = p.asInstanceOf[GraftDeltaInputPartition]
+    val (readFunc, inputSchema, reorder) = eras(dp.era)
     new PartitionReader[InternalRow] {
       private val proj = UnsafeProjection.create(reorder.map(i =>
         BoundReference(i, inputSchema.fields(i).dataType, nullable = true)).toSeq)

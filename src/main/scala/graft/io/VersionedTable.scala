@@ -5186,7 +5186,19 @@ object VersionedTable {
     */
   final case class DeltaFile(dir: String, fileKey: String, path: String,
                              len: Long, keyVals: Seq[Any], dv: Array[Long],
-                             rows: Option[Long])
+                             rows: Option[Long], era: Int)
+
+  /** One SCHEMA ERA of a delta scan: the defaulted columns this era's
+    * files physically LACK, each with its declared DEFAULT evaluated to a
+    * Catalyst-internal constant on the driver. Era files read without the
+    * column and the constant rides `partitionValues` — zero IO, exactly
+    * like the hive keys — so a default-evolved table is row-level-DML-able
+    * with the default's VALUE (not NULL) in every pre-evolution row, which
+    * is what the read-side `alignTo` semantics promise. Columns missing
+    * WITHOUT a declared default need no era: the parquet reader's standard
+    * declared-schema evolution backfills them as NULL natively.
+    */
+  final case class DeltaEra(missing: Seq[(String, org.apache.spark.sql.types.StructField, Any)])
 
   /** Driver plan of a DSv2 DELTA row-level scan (`SupportsDelta` —
     * UPDATE/MERGE/DELETE through the catalog writing positional deletion
@@ -5202,7 +5214,8 @@ object VersionedTable {
                              keyFields: Seq[org.apache.spark.sql.types.StructField],
                              nameMap: Map[String, String],
                              files: Seq[DeltaFile],
-                             keptDirs: Int, totalDirs: Int)
+                             keptDirs: Int, totalDirs: Int,
+                             eras: Seq[DeltaEra])
 
   /** Plan a delta row-level scan, or explain (Left) why the snapshot
     * can't take the merge-on-read DML path. Differs from [[cowScanPlan]]
@@ -5214,7 +5227,8 @@ object VersionedTable {
     */
   private[graft] def deltaScanPlan(spark: SparkSession, root: String,
       asOf: Option[Long], ranges: Seq[(String, Long, Long)],
-      points: Seq[(String, Long)], nullProbes: Seq[(String, Boolean)])
+      points: Seq[(String, Long)], nullProbes: Seq[(String, Boolean)],
+      allowIdentity: Boolean = true)
       : Either[String, DeltaPlan] = {
     import org.apache.spark.sql.types._
     val c = resolveSnapshot(root, asOf)
@@ -5223,14 +5237,17 @@ object VersionedTable {
     val keySets = c.deletes.values.flatten.toSeq.distinct.filterNot(isPosSet)
     if (keySets.nonEmpty)
       return Left("pending KEY-form merge-on-read delete sets — run OPTIMIZE to absorb them first")
-    if (c.defaults.nonEmpty)
-      return Left("declared column DEFAULTs — not yet supported by the row-level write path")
     if (c.dirLayouts.nonEmpty)
       return Left("mixed partition-layout eras — run OPTIMIZE to normalize first")
-    // constraints/generated re-validate in the write (compileRowGuards);
-    // identity allocation is beyond a row-level write
-    if (c.identity.nonEmpty)
-      return Left("identity columns — use the UPDATE/MERGE GRAFT statements")
+    // constraints/generated re-validate in the write (compileRowGuards).
+    // Identity columns are IRRELEVANT to a pure DELETE (no row is written,
+    // positions only — allowIdentity), but refuse for UPDATE/MERGE: an
+    // insert would need ALLOCATION and an explicit SET on the identity
+    // column is invisible to the write (GENERATED ALWAYS AS IDENTITY is
+    // never SET — the programmatic verbs enforce that at the assignment).
+    if (!allowIdentity && c.identity.nonEmpty)
+      return Left("identity columns — use the UPDATE/MERGE GRAFT statements, " +
+        "which refuse identity assignment and allocate for inserts")
     val phys = StructType.fromDDL(c.schemaDdl.get)
     val keyFields = c.partitionCols.flatMap(k => phys.fields.find(_.name == k))
     if (keyFields.size != c.partitionCols.size)
@@ -5272,12 +5289,56 @@ object VersionedTable {
         case LongType    => unescapePathName(raw).toLong
         case _           => unescapePathName(raw)
       }
+    // DEFAULTED columns missing from a dir's files read as their declared
+    // constant (not NULL): evaluate each default ONCE on the driver, then
+    // assign every dir an ERA by which defaulted columns its files lack
+    // (one footer-schema probe per dir, only when defaults exist at all —
+    // dirs are single-commit, hence schema-uniform). The scan delivers the
+    // constants through partitionValues, zero IO.
+    val defaultConsts: Map[String, (org.apache.spark.sql.types.StructField, Any)] =
+      if (c.defaults.isEmpty) Map.empty
+      else c.defaults.flatMap { case (n, sql) =>
+        phys.fields.find(_.name == n).map { f =>
+          import org.apache.spark.sql.catalyst.expressions.{Alias, Cast}
+          import org.apache.spark.sql.catalyst.plans.logical.{OneRowRelation, Project}
+          val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+          val analyzed = spark.sessionState.analyzer.executeAndCheck(
+            Project(Seq(Alias(Cast(parsed, f.dataType,
+              Some(spark.sessionState.conf.sessionLocalTimeZone)), "__graft_dflt")()),
+              OneRowRelation()),
+            new org.apache.spark.sql.catalyst.QueryPlanningTracker())
+          val resolved = analyzed
+            .asInstanceOf[Project].projectList.head.asInstanceOf[Alias].child
+          require(resolved.foldable,
+            s"delta scan: DEFAULT for '$n' ($sql) must be a constant expression")
+          n -> ((f, resolved.eval(null)))
+        }
+      }
+    val eraIdx = scala.collection.mutable.LinkedHashMap[Seq[String], Int](Nil -> 0)
+    def eraOf(dp: String): Int =
+      if (defaultConsts.isEmpty) 0
+      else {
+        val first = parquetFiles(dp).headOption.getOrElse(return 0)
+        val present: Set[String] = {
+          import org.apache.parquet.hadoop.ParquetFileReader
+          import org.apache.parquet.hadoop.util.HadoopInputFile
+          val rdr = ParquetFileReader.open(HadoopInputFile.fromPath(
+            new org.apache.hadoop.fs.Path(s"$dp/$first"),
+            spark.sessionState.newHadoopConf()))
+          try rdr.getFooter.getFileMetaData.getSchema.getFields.asScala
+            .map(_.getName).toSet
+          finally rdr.close()
+        }
+        val missing = defaultConsts.keys.toSeq.filterNot(present).sorted
+        eraIdx.getOrElseUpdate(missing, eraIdx.size)
+      }
     val files = Seq.newBuilder[DeltaFile]
     kept.foreach { d =>
       val dp = dirPath(root, d)
       val last = d.substring(d.lastIndexOf('/') + 1)
       val fstats = readFileStats(dp)
       val frows = readFileRows(dp)
+      val era = eraOf(dp)
       parquetFiles(dp).foreach { rel =>
         val segs = rel.split('/').dropRight(1)
         val vals = keyFields.map { f =>
@@ -5319,12 +5380,15 @@ object VersionedTable {
             if (mi < 0) s"$last/$rel" else last + "/" + enc.substring(mi + marker.length)
           files += DeltaFile(d, fileKey, full, new File(full).length(),
             keyVals, dvAll.getOrElse(fileKey, Array.empty[Long]),
-            frows.get(rel))
+            frows.get(rel), era)
         }
       }
     }
+    val eras = eraIdx.toSeq.sortBy(_._2).map { case (missing, _) =>
+      DeltaEra(missing.map(n => (n, defaultConsts(n)._1, defaultConsts(n)._2)))
+    }
     Right(DeltaPlan(c.version, phys, keyFields, c.nameMap, files.result(),
-      kept.size, c.dirs.size))
+      kept.size, c.dirs.size, eras))
   }
 
   /** A fresh attempt-unique positional-vector dir name for a DSv2 delta

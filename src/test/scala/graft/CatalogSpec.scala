@@ -340,6 +340,12 @@ class CatalogSpec extends SparkSpec {
     assert(m(3L)._2 == 777L && m(999L) == (("g9", 888L)))
     assert(spark.table("gcat.db.ru").count() == 31L)
     assert(VersionedTable.latestCommit(root).get.mode == "delta-merge")
+    // a MERGE whose matched clause DELETES flows through the same delta
+    // write as pure positions (no post-image for the deleted row)
+    spark.sql("MERGE INTO gcat.db.ru t USING gcat.db.rusrc s ON t.id = s.id " +
+      "WHEN MATCHED AND s.v = 888 THEN DELETE")
+    assert(spark.table("gcat.db.ru").count() == 30L)
+    assert(spark.table("gcat.db.ru").filter(col("id") === 999).count() == 0L)
     // the CHANGE FEED expresses the delta UPDATE as row changes (pre/post
     // images paired on the key) — CDC consumers compose across DML modes
     val hist = VersionedTable.history(root)
@@ -440,6 +446,48 @@ class CatalogSpec extends SparkSpec {
       spark.sql("UPDATE gcat.db.gu SET base = -1 WHERE id = 7"))
     assert(causeChain(err2).contains("base_pos"), causeChain(err2))
     assert(spark.table("gcat.db.gu").filter(col("id") === 7).head().getLong(1) == 70L)
+    // IDENTITY columns: a pure DELETE takes the delta path (no row is
+    // written — positions only); UPDATE/MERGE refuse (allocation and
+    // assignment are invisible to a row-level write)
+    spark.sql("CREATE TABLE gcat.db.idt (k BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'k')")
+    val idRoot = s"$warehouse/db/idt"
+    VersionedTable.addIdentityColumn(idRoot, "k", commitId = "idt-id")
+    // the identity column is ALLOCATED on commit for batches lacking it
+    VersionedTable.commit(spark.range(1, 6).selectExpr("id * 10 AS v").toDF(),
+      idRoot, "append", "idt-ins", statsCols = Seq("k"))
+    spark.sql("DELETE FROM gcat.db.idt WHERE v = 30 OR v < 0")
+    assert(spark.table("gcat.db.idt").count() == 4L)
+    assert(VersionedTable.latestCommit(idRoot).get.mode == "delta-delete")
+    val ei = intercept[Exception](
+      spark.sql("UPDATE gcat.db.idt SET v = 0 WHERE v = 40"))
+    assert(causeChain(ei).contains("identity"), causeChain(ei))
+  }
+
+  test("catalog: row-level DML on a DEFAULT-evolved table — pre-evolution rows read (and re-write) the declared constant") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.dfl (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gcat.db.dfl SELECT id, id * 10 FROM range(1, 11)")
+    val root = s"$warehouse/db/dfl"
+    // evolve: tier BIGINT DEFAULT 7 — the first dir's files LACK the column
+    VersionedTable.addColumnWithDefault(spark, root, "tier", "bigint", "7", "dfl-def")
+    spark.sql("INSERT INTO gcat.db.dfl SELECT id, id * 10, 9 FROM range(11, 16)")
+    // DELETE with a predicate ON the defaulted column: pre-evolution rows
+    // must match their DEFAULT (7), not NULL — the era constant in action
+    spark.sql("DELETE FROM gcat.db.dfl WHERE tier = 7 AND id <= 3")
+    assert(spark.table("gcat.db.dfl").count() == 12L)
+    assert(VersionedTable.latestCommit(root).get.mode == "delta-delete")
+    // UPDATE: post-images of pre-evolution rows materialize tier = 7
+    spark.sql("UPDATE gcat.db.dfl SET v = v + 1 WHERE id = 5 OR id = 12")
+    val m = spark.table("gcat.db.dfl").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(m(5L) == ((51L, 7L)) && m(12L) == ((121L, 9L)) && m(4L) == ((40L, 7L)),
+      m.toString)
+    assert(VersionedTable.latestCommit(root).get.mode == "delta-update")
+    // consecutive: delete one of the just-updated rows (era + vector mix)
+    spark.sql("DELETE FROM gcat.db.dfl WHERE v = 51")
+    assert(spark.table("gcat.db.dfl").count() == 11L)
   }
 
   test("catalog: runtime filtering (DPP) prunes key groups through Spark's own planner") {
