@@ -249,11 +249,47 @@ final case class GraftKeyedInputPartition(files: Seq[(String, Long)],
   * iterator yields vectorized `ColumnarBatch`es when the session config
   * allows — unwrap to rows), then reorder (data ++ keys) into the
   * declared read schema with one codegen'd `UnsafeProjection`.
+  *
+  * When `columnar` is set (flat scans whose projection the vectorized
+  * reader fully supports), the factory instead declares columnar reads
+  * and hands batches through whole — Spark plans its own
+  * `ColumnarToRow` inside the codegen span, and no per-row projection
+  * runs here at all.
   */
 final class GraftKeyedReaderFactory(
     readFunc: PartitionedFile => Iterator[InternalRow],
-    inputSchema: StructType, reorder: Array[Int])
+    inputSchema: StructType, reorder: Array[Int],
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val gp = p.asInstanceOf[GraftKeyedInputPartition]
+    new PartitionReader[ColumnarBatch] {
+      private var open: List[java.io.Closeable] = Nil
+      private val batches: Iterator[ColumnarBatch] =
+        gp.files.iterator.flatMap { case (path, len) =>
+          val it = readFunc(PartitionedFile(gp.requiredKey,
+            org.apache.spark.paths.SparkPath.fromPathString(path),
+            0L, len, Array.empty, 0L, len, Map.empty))
+          it match {
+            case c: java.io.Closeable => open ::= c
+            case _ => ()
+          }
+          // cast the ITERATOR, not elements: batch mode's reader is typed
+          // Iterator[InternalRow] by API signature but yields batches (the
+          // exact unchecked-cast idiom FileSourceScanExec relies on); a
+          // per-element map would checkcast each batch to InternalRow
+          it.asInstanceOf[Iterator[ColumnarBatch]]
+        }
+      private var cur: ColumnarBatch = _
+      override def next(): Boolean =
+        if (batches.hasNext) { cur = batches.next(); true } else false
+      override def get(): ColumnarBatch = cur
+      override def close(): Unit = { open.foreach(_.close()); open = Nil }
+    }
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftKeyedInputPartition]
@@ -360,15 +396,25 @@ final class GraftFlatScan(spark: SparkSession, private val root: String,
       if (plan.nameMap.nonEmpty) Nil
       else pushed.filter(_.references.forall(r =>
         plan.physSchema.fieldNames.contains(r))).toSeq
+    // COLUMNAR when the vectorized reader supports the projection (all
+    // atomic types, conf on): the scan then hands Spark whole
+    // ColumnarBatches — the same batches FileSourceScanExec serves — and
+    // the plan gets a ColumnarToRow inside the codegen span instead of a
+    // per-row unwrap + copy through this factory. On a 100 TB full scan
+    // the per-row path is pure decode overhead; batch mode is why the
+    // vectorized reader exists. Falls back to row mode whenever
+    // supportBatch says no (nested types, conf off) — same correctness.
+    val columnar = new ParquetFileFormat().supportBatch(spark, physRequired) &&
+      spark.conf.get("spark.graft.flatScan.columnar", "true") == "true"
     val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
       spark, plan.physSchema,
       new StructType(), physRequired, fileFilters,
       Map(org.apache.spark.sql.execution.datasources.FileFormat
-        .OPTION_RETURNING_BATCH -> "false"),
+        .OPTION_RETURNING_BATCH -> columnar.toString),
       spark.sessionState.newHadoopConfWithOptions(Map.empty))
     // reader emits physRequired in required's order — identity reorder
     new GraftKeyedReaderFactory(readFunc, required,
-      required.fields.indices.toArray)
+      required.fields.indices.toArray, columnar)
   }
 
   override def description(): String =
