@@ -655,7 +655,7 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
           s"scan of $root with ${GraftDeltaScan.FILE_COL}/" +
             s"${GraftDeltaScan.POS_COL}: $reason")
       }
-      return new GraftDeltaScan(spark, root, plan, required)
+      return new GraftDeltaScan(spark, root, plan, required, pushed)
     }
     if (wantsDirCol) {
       // `_graft_dir` requested (a row-level group-filter subquery): only

@@ -9,7 +9,7 @@ import org.apache.spark.TaskContext
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.CatalystTypeConverters
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, JoinedRow, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, UnsafeProjection}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.write.{DeltaBatchWrite, DeltaWrite, DeltaWriteBuilder, DeltaWriter, DeltaWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, SupportsDelta, WriterCommitMessage}
@@ -107,7 +107,7 @@ final class GraftDeltaOperation(spark: SparkSession, root: String,
             s"$cmd on $root cannot take the delta merge-on-read path: $reason " +
               "(or set TBLPROPERTIES ('graft.dml.mode'='copy-on-write'))")
         }
-        val scan = new GraftDeltaScan(spark, root, plan, required)
+        val scan = new GraftDeltaScan(spark, root, plan, required, pushed)
         configuredScan = scan
         scan
       }
@@ -124,20 +124,22 @@ final class GraftDeltaOperation(spark: SparkSession, root: String,
 }
 
 /** The delta scan: one `InputPartition` per live (index-surviving) file,
-  * read through Spark's own parquet path with the hive keys, dir tag and
-  * position-vector FILE KEY riding `partitionValues` (constants — zero
-  * IO), and `_graft_pos` appended by the reader as the raw per-file row
-  * counter. The counter equals `_metadata.row_index` BY CONSTRUCTION:
-  * the scan hands the parquet reader no filters (no row-group skipping)
-  * and one whole file per partition, so rows stream in file-physical
-  * order — which is exactly the coordinate the table's positional
-  * vectors record. Rows already covered by PENDING vectors are skipped
-  * in-reader (sorted-array pointer, O(1)/row) AFTER position assignment,
-  * so a deleted row can never re-match and positions never shift.
+  * read through Spark's own parquet path with the hive keys, dir tag,
+  * position-vector FILE KEY, and era-missing DEFAULT constants riding
+  * `partitionValues` (zero IO), and `_graft_pos` produced by Spark's OWN
+  * parquet row-index generator (the `_tmp_metadata_row_index` mechanism
+  * behind `_metadata.row_index`) — exact file-physical coordinates EVEN
+  * UNDER ROW-GROUP SKIPPING, which is what lets the statement's pushed
+  * predicates prune row groups: a point DELETE decodes the hit groups of
+  * the hit files, never whole files. Rows already covered by PENDING
+  * vectors are skipped in-reader (advancing sorted-array pointer,
+  * amortized O(1)/row), so a deleted row can never re-match and
+  * positions never shift.
   */
 final class GraftDeltaScan(spark: SparkSession, private val root: String,
     private[catalog] val plan: VersionedTable.DeltaPlan,
-    private val required: StructType)
+    private val required: StructType,
+    private val pushed: Array[Filter] = Array.empty)
     extends Scan with Batch with SupportsReportStatistics {
 
   private[catalog] def version: Long = plan.version
@@ -173,20 +175,31 @@ final class GraftDeltaScan(spark: SparkSession, private val root: String,
   // PER SCHEMA ERA (files lacking a defaulted column read it as the
   // declared constant through partitionValues — see DeltaEra): which of
   // the required data fields are file-backed vs constant-backed, the
-  // reader's input layout, and the reorder into the declared read schema
+  // reader's input layout, and the reorder into the declared read schema.
+  // The row POSITION is produced by Spark's OWN parquet row-index
+  // generator (the `_tmp_metadata_row_index` mechanism behind
+  // `_metadata.row_index`) — exact even when row groups are SKIPPED,
+  // which is what lets this scan push the statement's predicates down
+  // for row-group pruning: a point DELETE decodes the hit groups, not
+  // the file.
   private final case class EraShape(
       present: Array[StructField], missReq: Array[StructField],
-      missVals: Array[Any], inputFields: Seq[StructField], reorder: Array[Int])
+      missVals: Array[Any], inputFields: Seq[StructField], reorder: Array[Int],
+      posInputIdx: Int)
   private val eraShapes: Seq[EraShape] = plan.eras.map { era =>
     val missingPhys = era.missing.map(_._1).toSet
     val present = reqData.filterNot(f => missingPhys.contains(physOf(f.name)))
     val missReq = reqData.filter(f => missingPhys.contains(physOf(f.name)))
     val missVals = missReq.map(f =>
       era.missing.find(_._1 == physOf(f.name)).get._3)
-    val inputFields = (present ++ plan.keyFields ++ baseConstFields ++ missReq) :+
-      StructField(GraftDeltaScan.POS_COL, LongType, nullable = false)
+    // the reader emits present-data ++ row-index ++ partition constants;
+    // the row-index slot is LABELED as the position metadata column
+    val inputFields = ((present :+
+      StructField(GraftDeltaScan.POS_COL, LongType, nullable = false)) ++
+      plan.keyFields ++ baseConstFields ++ missReq).toSeq
     EraShape(present, missReq, missVals.toArray[Any], inputFields,
-      required.fields.map(f => inputFields.indexWhere(_.name == f.name)))
+      required.fields.map(f => inputFields.indexWhere(_.name == f.name)),
+      present.length)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -208,16 +221,32 @@ final class GraftDeltaScan(spark: SparkSession, private val root: String,
     val physDataSchema = StructType(plan.physSchema.fields.filterNot(f =>
       keyNames.contains(f.name)))
     val eras = eraShapes.map { shape =>
-      val physRequired = StructType(shape.present.map(f => f.copy(name = physOf(f.name))))
+      // Spark's row-index temp column: requesting it makes the parquet
+      // readers emit each row's EXACT file position, row-group skipping
+      // included — so the statement's predicates can push down for
+      // row-group pruning without positions ever shifting
+      val physRequired = StructType(shape.present.map(f =>
+        f.copy(name = physOf(f.name))) :+
+        // the generator recognizes the TEMP name; NULLABLE so the parquet
+        // column checker treats it as an (overwritten) missing column
+        // instead of refusing a required column absent from the file
+        StructField(ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+          LongType, nullable = true))
       val partSchema = StructType(
         (plan.keyFields ++ baseConstFields ++ shape.missReq).toArray)
+      // push only predicates whose references are file-backed in THIS era
+      // (no renames in play, column physically present) — conservative:
+      // a dropped row is a row the statement's WHERE provably rejects
+      val presentPhys = shape.present.map(f => physOf(f.name)).toSet
+      val fileFilters: Seq[Filter] =
+        if (plan.nameMap.nonEmpty) Nil
+        else pushed.filter(_.references.forall(presentPhys.contains)).toSeq
       val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
-        spark, physDataSchema, partSchema, physRequired,
-        Nil, // NO file filters: position exactness requires full-file order
+        spark, physDataSchema, partSchema, physRequired, fileFilters,
         Map(org.apache.spark.sql.execution.datasources.FileFormat
           .OPTION_RETURNING_BATCH -> "false"),
         spark.sessionState.newHadoopConfWithOptions(Map.empty))
-      (readFunc, StructType(shape.inputFields), shape.reorder)
+      (readFunc, StructType(shape.inputFields), shape.reorder, shape.posInputIdx)
     }
     new GraftDeltaReaderFactory(eras.toArray)
   }
@@ -228,10 +257,12 @@ final class GraftDeltaScan(spark: SparkSession, private val root: String,
   // value equality for canonicalized-plan/subquery reuse, like every scan
   override def equals(other: Any): Boolean = other match {
     case o: GraftDeltaScan =>
-      root == o.root && plan.version == o.plan.version && required == o.required
+      root == o.root && plan.version == o.plan.version &&
+        required == o.required && pushed.toSeq == o.pushed.toSeq
     case _ => false
   }
-  override def hashCode(): Int = (root, plan.version, required).hashCode()
+  override def hashCode(): Int =
+    (root, plan.version, required, pushed.toSeq).hashCode()
 }
 
 object GraftDeltaScan {
@@ -262,12 +293,12 @@ final case class GraftDeltaInputPartition(path: String, len: Long,
   * then one codegen'd reorder projection — all selected per schema ERA.
   */
 final class GraftDeltaReaderFactory(
-    eras: Array[(org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow], StructType, Array[Int])])
+    eras: Array[(org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow], StructType, Array[Int], Int)])
     extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val dp = p.asInstanceOf[GraftDeltaInputPartition]
-    val (readFunc, inputSchema, reorder) = eras(dp.era)
+    val (readFunc, inputSchema, reorder, posIdx) = eras(dp.era)
     new PartitionReader[InternalRow] {
       private val proj = UnsafeProjection.create(reorder.map(i =>
         BoundReference(i, inputSchema.fields(i).dataType, nullable = true)).toSeq)
@@ -289,19 +320,20 @@ final class GraftDeltaReaderFactory(
           case r: InternalRow => Iterator.single(r)
         }
       }
-      private val posRow = new GenericInternalRow(1)
-      private val joined = new JoinedRow()
-      private var pos = -1L
+      // positions come from Spark's row-index generator — exact under
+      // row-group skipping, so the pending-vector pointer must ADVANCE
+      // past entries whose rows were never materialized (a skipped group
+      // can hold covered positions)
       private var dvIdx = 0
       private var cur: InternalRow = _
       override def next(): Boolean = {
         while (raw.hasNext) {
           val r = raw.next()
-          pos += 1
+          val pos = r.getLong(posIdx)
+          while (dvIdx < dp.dv.length && dp.dv(dvIdx) < pos) dvIdx += 1
           if (dvIdx < dp.dv.length && dp.dv(dvIdx) == pos) dvIdx += 1 // covered
           else {
-            posRow.setLong(0, pos)
-            cur = proj(joined(r, posRow))
+            cur = proj(r)
             return true
           }
         }

@@ -490,6 +490,43 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("gcat.db.dfl").count() == 11L)
   }
 
+  test("catalog: delta DML positions stay exact under row-group skipping (pushed predicates)") {
+    warehouse
+    // write SMALL row groups so one file holds many — the delta scan's
+    // pushed predicates then prune groups, and the row-index generator
+    // (not a naive counter) is what keeps recorded positions file-exact
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = hc.get("parquet.block.size")
+    hc.setInt("parquet.block.size", 64 * 1024)
+    try {
+      spark.sql("CREATE TABLE gcat.db.rg (id BIGINT, pad STRING) " +
+        "TBLPROPERTIES ('graft.stats.columns' = 'id')")
+      spark.sql("INSERT INTO gcat.db.rg SELECT id, repeat('x', 64) " +
+        "FROM range(0, 200000)")
+      val root = s"$warehouse/db/rg"
+      val files = VersionedTable.latestCommit(root).get
+      // a POINT delete deep in the file: the EqualTo pushes into the
+      // parquet reader, earlier row groups skip, and the recorded
+      // position must still be the row's true file index
+      spark.sql("DELETE FROM gcat.db.rg WHERE id = 180000 OR pad = 'nope'")
+      assert(spark.table("gcat.db.rg").count() == 199999L)
+      assert(spark.table("gcat.db.rg").filter(col("id") === 180000).count() == 0L)
+      assert(VersionedTable.latestCommit(root).get.mode == "delta-delete")
+      // an UPDATE equally deep composes on top of the pending vector
+      spark.sql("UPDATE gcat.db.rg SET pad = 'updated' WHERE id = 190000")
+      assert(spark.table("gcat.db.rg").filter(col("id") === 190000)
+        .head().getString(1) == "updated")
+      assert(spark.table("gcat.db.rg").count() == 199999L)
+      // and a neighbor of the deleted row is untouched (an off-by-one in
+      // position bookkeeping would hide or duplicate it)
+      assert(spark.table("gcat.db.rg")
+        .filter(col("id").isin(179999L, 180001L)).count() == 2L)
+    } finally {
+      if (oldBlock == null) hc.unset("parquet.block.size")
+      else hc.set("parquet.block.size", oldBlock)
+    }
+  }
+
   test("catalog: runtime filtering (DPP) prunes key groups through Spark's own planner") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.dppf (id BIGINT, grp STRING, v BIGINT) " +
