@@ -126,12 +126,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     throw new NoSuchTableException(ident)
   }
 
-  /** `VERSION AS OF <v>` — native DSv2 time travel onto the commit log. */
+  /** `VERSION AS OF <v>` — native DSv2 time travel onto the commit log.
+    * A non-numeric version resolves as a TAG name (the Iceberg
+    * `VERSION AS OF 'tag'` spelling): tags pin versions in the ledger,
+    * so the read is the same snapshot pin either way.
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     val root = tableRoot(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
     val v = version.toLongOption.getOrElse(
-      sys.error(s"VERSION AS OF '$version': graft versions are numeric"))
+      VersionedTable.listTags(root).getOrElse(version,
+        sys.error(s"VERSION AS OF '$version': neither a numeric graft version " +
+          s"nor a tag (tags: ${VersionedTable.listTags(root).keys.toSeq.sorted
+            .mkString(", ")})")))
     new GraftTable(root, ident, Some(v), catalogName)
   }
 
@@ -299,8 +306,24 @@ class GraftTable(root: String, ident: Identifier, asOf: Option[Long],
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.TruncatableTable
     with org.apache.spark.sql.graftshim.GraftV1FallbackBridge {
   private def spark = SparkSession.active
+
+  /** Native `TRUNCATE TABLE cat.db.t`: one OVERWRITE commit with an
+    * empty row set — schema, properties, constraints and layout persist,
+    * every pre-truncate version stays time-travelable until vacuum
+    * (exactly the INSERT OVERWRITE-of-nothing semantics, as a DDL verb).
+    */
+  override def truncateTable(): Boolean = {
+    require(asOf.isEmpty, s"TRUNCATE of a time-travel read of $name")
+    val empty = spark.createDataFrame(
+      new java.util.ArrayList[Row](), schema)
+    VersionedTable.commit(empty, root, "overwrite",
+      s"catalog-truncate-${java.util.UUID.randomUUID().toString.take(12)}",
+      partitionCols = snapshot.map(_.partitionCols).getOrElse(Nil))
+    true
+  }
 
   /** NATIVE STREAMING READ AND WRITE by table name — the public
     * `V2TableWithV1Fallback` route (the same one Delta's DeltaTableV2

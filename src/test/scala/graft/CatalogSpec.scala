@@ -718,6 +718,33 @@ class CatalogSpec extends SparkSpec {
     assert(chain(eg).nonEmpty, "dropping a generated column's source must refuse")
   }
 
+  test("catalog: VERSION AS OF a TAG name + native TRUNCATE TABLE") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.tt (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gcat.db.tt SELECT id, id * 10 FROM range(1, 6)")
+    val root = s"$warehouse/db/tt"
+    VersionedTable.createTag(root, "rel-1", VersionedTable.latestVersion(root).get)
+    spark.sql("INSERT INTO gcat.db.tt SELECT id, id * 10 FROM range(6, 11)")
+    // tag spelling pins the tagged snapshot; numeric still works; unknown
+    // names refuse with the tag list
+    assert(spark.sql("SELECT count(*) FROM gcat.db.tt VERSION AS OF 'rel-1'")
+      .head().getLong(0) == 5L)
+    assert(spark.table("gcat.db.tt").count() == 10L)
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM gcat.db.tt VERSION AS OF 'nope'").collect())
+    assert(e.getMessage.contains("rel-1"), e.getMessage)
+    // TRUNCATE: one overwrite commit — empty now, history intact
+    spark.sql("TRUNCATE TABLE gcat.db.tt")
+    assert(spark.table("gcat.db.tt").count() == 0L)
+    assert(VersionedTable.latestCommit(root).get.mode == "overwrite")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.tt VERSION AS OF 'rel-1'")
+      .head().getLong(0) == 5L, "pre-truncate versions stay time-travelable")
+    // the table still takes inserts with its declared shape
+    spark.sql("INSERT INTO gcat.db.tt VALUES (100, 1000)")
+    assert(spark.table("gcat.db.tt").count() == 1L)
+  }
+
   test("catalog: writes go through the full commit discipline (constraints + auto index)") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.g (id BIGINT, v BIGINT) " +
