@@ -144,7 +144,6 @@ final class GraftDeltaScan(spark: SparkSession, private val root: String,
 
   private[catalog] def version: Long = plan.version
 
-  override def readSchema(): StructType = required
   override def toBatch: Batch = this
 
   override def estimateStatistics(): Statistics = new Statistics {
@@ -168,9 +167,19 @@ final class GraftDeltaScan(spark: SparkSession, private val root: String,
   private val metaNames = GraftDeltaScan.metaFields.map(_.name)
   private val reqData = required.fields.filter(f =>
     !keyNames.contains(f.name) && !metaNames.contains(f.name))
-  private val baseConstFields = Seq(
+  // CONSTANT columns, pruned to the projection: hive keys, then the dir
+  // tag / vector file key metadata columns — each rides partitionValues
+  private val reqKeys = plan.keyFields.filter(f =>
+    required.fieldNames.contains(f.name))
+  private val reqBase = Seq(
     StructField(GraftCowScan.DIR_COL, StringType, nullable = false),
     StructField(GraftDeltaScan.FILE_COL, StringType, nullable = false))
+    .filter(f => required.fieldNames.contains(f.name))
+  private val wantPos = required.fieldNames.contains(GraftDeltaScan.POS_COL)
+  private val allDvEmpty = plan.files.forall(_.dv.isEmpty)
+  // positions are materialized when requested OR when a pending vector
+  // must be skipped in-reader (the skip keys on the row's position)
+  private val needPos = wantPos || !allDvEmpty
 
   // PER SCHEMA ERA (files lacking a defaulted column read it as the
   // declared constant through partitionValues — see DeltaEra): which of
@@ -186,31 +195,52 @@ final class GraftDeltaScan(spark: SparkSession, private val root: String,
       present: Array[StructField], missReq: Array[StructField],
       missVals: Array[Any], inputFields: Seq[StructField], reorder: Array[Int],
       posInputIdx: Int)
+  private val posField =
+    StructField(GraftDeltaScan.POS_COL, LongType, nullable = false)
   private val eraShapes: Seq[EraShape] = plan.eras.map { era =>
     val missingPhys = era.missing.map(_._1).toSet
     val present = reqData.filterNot(f => missingPhys.contains(physOf(f.name)))
     val missReq = reqData.filter(f => missingPhys.contains(physOf(f.name)))
     val missVals = missReq.map(f =>
       era.missing.find(_._1 == physOf(f.name)).get._3)
-    // the reader emits present-data ++ row-index ++ partition constants;
-    // the row-index slot is LABELED as the position metadata column
-    val inputFields = ((present :+
-      StructField(GraftDeltaScan.POS_COL, LongType, nullable = false)) ++
-      plan.keyFields ++ baseConstFields ++ missReq).toSeq
+    // the reader emits present-data (++ row-index when needed) ++ the
+    // pruned partition constants; the row-index slot is LABELED as the
+    // position metadata column
+    val inputFields = ((present ++ (if (needPos) Seq(posField) else Nil)) ++
+      reqKeys ++ reqBase ++ missReq).toSeq
     EraShape(present, missReq, missVals.toArray[Any], inputFields,
-      required.fields.map(f => inputFields.indexWhere(_.name == f.name)),
-      present.length)
+      readerOrder.fields.map(f => inputFields.indexWhere(_.name == f.name)),
+      if (needPos) present.length else -1)
   }
 
+  /** READER-NATURAL declared schema (era-0 layout: file-backed data, then
+    * position if requested, then constants) — like the keyed scan, batch
+    * mode can then hand the vectorized reader's ColumnarBatches through
+    * whole, and Spark reconciles column order by name above the scan.
+    */
+  private lazy val readerOrder: StructType = {
+    val missing0 = plan.eras.headOption.map(_.missing.map(_._1).toSet)
+      .getOrElse(Set.empty)
+    val present0 = reqData.filterNot(f => missing0.contains(physOf(f.name)))
+    val miss0 = reqData.filter(f => missing0.contains(physOf(f.name)))
+    StructType(((present0 ++ (if (wantPos) Seq(posField) else Nil)) ++
+      reqKeys ++ reqBase ++ miss0).toArray)
+  }
+
+  override def readSchema(): StructType = readerOrder
+
   override def planInputPartitions(): Array[InputPartition] = {
-    val conv = plan.keyFields.map(f =>
+    val conv = reqKeys.map(f =>
       CatalystTypeConverters.createToCatalystConverter(f.dataType))
+    val keyIdx = reqKeys.map(f => keyNames.indexOf(f.name))
     plan.files.map { f =>
       val shape = eraShapes(f.era)
-      val vals = (f.keyVals.zip(conv).map { case (v, c) =>
-        if (v == null) null else c(v) } ++ Seq(
-        org.apache.spark.unsafe.types.UTF8String.fromString(f.dir),
-        org.apache.spark.unsafe.types.UTF8String.fromString(f.fileKey))) ++
+      val vals = keyIdx.zip(conv).map { case (i, c) =>
+        if (f.keyVals(i) == null) null else c(f.keyVals(i)) } ++
+        reqBase.map(b =>
+          if (b.name == GraftCowScan.DIR_COL)
+            org.apache.spark.unsafe.types.UTF8String.fromString(f.dir)
+          else org.apache.spark.unsafe.types.UTF8String.fromString(f.fileKey)) ++
         shape.missVals
       GraftDeltaInputPartition(f.path, f.len,
         new GenericInternalRow(vals.toArray[Any]), f.dv, f.era): InputPartition
@@ -220,20 +250,30 @@ final class GraftDeltaScan(spark: SparkSession, private val root: String,
   override def createReaderFactory(): PartitionReaderFactory = {
     val physDataSchema = StructType(plan.physSchema.fields.filterNot(f =>
       keyNames.contains(f.name)))
+    // COLUMNAR when nothing needs per-row work in this factory: single
+    // schema era, no pending vector to skip, and the vectorized reader
+    // supports the full projection (the row-index generator fills its
+    // column inside the batch, so a requested _graft_pos still works)
+    val columnar = plan.eras.size == 1 && allDvEmpty &&
+      new ParquetFileFormat().supportBatch(spark, StructType(
+        eraShapes.head.present.map(f => f.copy(name = physOf(f.name))) ++
+          (if (wantPos) Seq(posField) else Nil) ++ reqKeys ++ reqBase)) &&
+      spark.conf.get("spark.graft.flatScan.columnar", "true") == "true"
     val eras = eraShapes.map { shape =>
       // Spark's row-index temp column: requesting it makes the parquet
       // readers emit each row's EXACT file position, row-group skipping
       // included — so the statement's predicates can push down for
       // row-group pruning without positions ever shifting
       val physRequired = StructType(shape.present.map(f =>
-        f.copy(name = physOf(f.name))) :+
+        f.copy(name = physOf(f.name))) ++
         // the generator recognizes the TEMP name; NULLABLE so the parquet
         // column checker treats it as an (overwritten) missing column
         // instead of refusing a required column absent from the file
-        StructField(ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
-          LongType, nullable = true))
-      val partSchema = StructType(
-        (plan.keyFields ++ baseConstFields ++ shape.missReq).toArray)
+        (if (needPos)
+          Seq(StructField(ParquetFileFormat.ROW_INDEX_TEMPORARY_COLUMN_NAME,
+            LongType, nullable = true))
+        else Nil))
+      val partSchema = StructType((reqKeys ++ reqBase ++ shape.missReq).toArray)
       // push only predicates whose references are file-backed in THIS era
       // (no renames in play, column physically present) — conservative:
       // a dropped row is a row the statement's WHERE provably rejects
@@ -244,11 +284,11 @@ final class GraftDeltaScan(spark: SparkSession, private val root: String,
       val readFunc = new ParquetFileFormat().buildReaderWithPartitionValues(
         spark, physDataSchema, partSchema, physRequired, fileFilters,
         Map(org.apache.spark.sql.execution.datasources.FileFormat
-          .OPTION_RETURNING_BATCH -> "false"),
+          .OPTION_RETURNING_BATCH -> columnar.toString),
         spark.sessionState.newHadoopConfWithOptions(Map.empty))
       (readFunc, StructType(shape.inputFields), shape.reorder, shape.posInputIdx)
     }
-    new GraftDeltaReaderFactory(eras.toArray)
+    new GraftDeltaReaderFactory(eras.toArray, columnar)
   }
 
   override def description(): String =
@@ -293,8 +333,36 @@ final case class GraftDeltaInputPartition(path: String, len: Long,
   * then one codegen'd reorder projection — all selected per schema ERA.
   */
 final class GraftDeltaReaderFactory(
-    eras: Array[(org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow], StructType, Array[Int], Int)])
+    eras: Array[(org.apache.spark.sql.execution.datasources.PartitionedFile => Iterator[InternalRow], StructType, Array[Int], Int)],
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
+
+  override def supportColumnarReads(p: InputPartition): Boolean = columnar
+
+  override def createColumnarReader(p: InputPartition): PartitionReader[ColumnarBatch] = {
+    val dp = p.asInstanceOf[GraftDeltaInputPartition]
+    val (readFunc, _, _, _) = eras(dp.era)
+    new PartitionReader[ColumnarBatch] {
+      private var open: List[java.io.Closeable] = Nil
+      private val batches: Iterator[ColumnarBatch] = {
+        val it = readFunc(org.apache.spark.sql.execution.datasources.PartitionedFile(
+          dp.partVals,
+          org.apache.spark.paths.SparkPath.fromPathString(dp.path),
+          0L, dp.len, Array.empty, 0L, dp.len, Map.empty))
+        it match {
+          case c: java.io.Closeable => open ::= c
+          case _ => ()
+        }
+        // iterator-level cast, never per-element — see GraftKeyedReaderFactory
+        it.asInstanceOf[Iterator[ColumnarBatch]]
+      }
+      private var cur: ColumnarBatch = _
+      override def next(): Boolean =
+        if (batches.hasNext) { cur = batches.next(); true } else false
+      override def get(): ColumnarBatch = cur
+      override def close(): Unit = { open.foreach(_.close()); open = Nil }
+    }
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val dp = p.asInstanceOf[GraftDeltaInputPartition]
@@ -329,9 +397,12 @@ final class GraftDeltaReaderFactory(
       override def next(): Boolean = {
         while (raw.hasNext) {
           val r = raw.next()
-          val pos = r.getLong(posIdx)
+          // posIdx < 0: positions were neither requested nor needed (no
+          // pending vector) — plain pass-through
+          val pos = if (posIdx >= 0) r.getLong(posIdx) else -1L
           while (dvIdx < dp.dv.length && dp.dv(dvIdx) < pos) dvIdx += 1
-          if (dvIdx < dp.dv.length && dp.dv(dvIdx) == pos) dvIdx += 1 // covered
+          if (posIdx >= 0 && dvIdx < dp.dv.length && dp.dv(dvIdx) == pos)
+            dvIdx += 1 // covered
           else {
             cur = proj(r)
             return true
