@@ -425,9 +425,36 @@ final class GraftDeltaReaderFactory(
   */
 final class GraftDeltaWrite(spark: SparkSession, root: String,
     op: GraftDeltaOperation, info: LogicalWriteInfo, verb: String)
-    extends DeltaWrite {
+    extends DeltaWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   override def description(): String = s"GraftDeltaWrite $verb $root"
+
+  /** WRITE DISTRIBUTION (Iceberg's `write.distribution-mode=hash`
+    * default): UPDATE/MERGE post-images on a hive-partitioned table
+    * CLUSTER by the partition keys before the write, so each key's rows
+    * land in one task and the per-task dynamic writers open one file per
+    * key instead of one per (key, task) — at 100 TB a wide MERGE across
+    * K partitions writes O(K) post-image files, not O(K × tasks). The
+    * shuffle is O(matched rows) — proportional to the change, never the
+    * table. DELETEs need no placement (positions only) and ADVISORY
+    * strictness lets Spark skip the shuffle when it can.
+    */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    val partCols = VersionedTable.latestCommit(root)
+      .map(_.partitionCols).getOrElse(Nil)
+    if (verb == "delete" || partCols.isEmpty || info.schema().isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      partCols.map(c => Expressions.column(c):
+        org.apache.spark.sql.connector.expressions.Expression).toArray)
+  }
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
 
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     private val scan = {

@@ -718,6 +718,33 @@ class CatalogSpec extends SparkSpec {
     assert(chain(eg).nonEmpty, "dropping a generated column's source must refuse")
   }
 
+  test("catalog: delta UPDATE post-images cluster by partition key — O(keys) files, not O(keys x tasks)") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.wd (id BIGINT, grp STRING, v BIGINT) " +
+      "PARTITIONED BY (grp) TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    // rows spread over MANY source tasks so an unclustered write would
+    // open a writer per (key, task)
+    spark.range(0, 50000).repartition(16)
+      .selectExpr("id", "concat('g', id % 4) AS grp", "id AS v")
+      .createOrReplaceTempView("wd_src")
+    spark.sql("INSERT INTO gcat.db.wd SELECT * FROM wd_src")
+    val root = s"$warehouse/db/wd"
+    val dirsBefore = VersionedTable.latestCommit(root).get.dirs.toSet
+    // a WIDE update (every row matches): the post-image dir must hold
+    // one file per hive key, because the write DECLARED clustering on
+    // the partition key (RequiresDistributionAndOrdering)
+    spark.sql("UPDATE gcat.db.wd SET v = v + 1 WHERE id >= 0")
+    val after = VersionedTable.latestCommit(root).get
+    val newDir = (after.dirs.toSet -- dirsBefore).head
+    def parquetCount(f: java.io.File): Int =
+      if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
+      else Option(f.listFiles()).getOrElse(Array.empty).map(parquetCount).sum
+    val nFiles = parquetCount(new java.io.File(s"$warehouse/db/wd/$newDir"))
+    assert(nFiles <= 4, s"post-images must cluster to O(keys) files, got $nFiles")
+    assert(spark.table("gcat.db.wd").agg(sum(col("v"))).head().getLong(0) ==
+      (0L until 50000L).map(_ + 1).sum)
+  }
+
   test("catalog: VERSION AS OF a TAG name + native TRUNCATE TABLE") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.tt (id BIGINT, v BIGINT) " +
