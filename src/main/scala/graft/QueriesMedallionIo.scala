@@ -3875,5 +3875,111 @@ private[graft] object QueriesMedallionIo {
         |  min(o_orderkey) AS o_orderkey_min, max(o_orderkey) AS o_orderkey_max,
         |  min(o_orderstatus) AS o_orderstatus_min, max(o_orderstatus) AS o_orderstatus_max
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — DSv2 AGGREGATE PUSHDOWN through the catalog
+    // (GraftScanBuilder.pushAggregation → GraftAggScan): COUNT(*) /
+    // COUNT(col) / MIN / MAX GROUP BY the partition column are answered at
+    // PLAN TIME from commit metadata + parquet footers — the executed plan
+    // has ZERO Aggregate nodes and ZERO Exchange (probed below), and the
+    // only "scan" replays the precomputed group rows. At 100 TB this turns
+    // a per-partition row-count/extremes report — the most common
+    // operational query against a big table — from a cluster-wide scan
+    // into a driver-side metadata walk. Exactness is negotiated, never
+    // assumed: MOR debt, WHERE clauses, string min/max, or stats-less
+    // blocks all fall back to the ordinary scan (AggPushdownSpec pins
+    // each refusal).
+    Q("versioned_agg_pushdown",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        Fixtures.once(s, dir, "vt_cat_agg") {
+          rmrf(s"$wh/agg")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.agg")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_agg_orders")
+          s.sql("CREATE TABLE gq.agg.t " +
+            "(o_orderkey BIGINT, o_orderpriority STRING, nv BIGINT) " +
+            "PARTITIONED BY (o_orderpriority) " +
+            "TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+          // two commits; nv carries NULLs so COUNT(col) differs from COUNT(*)
+          def nv = "CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END"
+          s.sql("INSERT INTO gq.agg.t SELECT o_orderkey, o_orderpriority, " +
+            s"$nv FROM cat_agg_orders WHERE o_orderkey % 2 = 0")
+          s.sql("INSERT INTO gq.agg.t SELECT o_orderkey, o_orderpriority, " +
+            s"$nv FROM cat_agg_orders WHERE o_orderkey % 2 = 1")
+          java.lang.Boolean.TRUE
+        }
+        val agg = s.sql("SELECT o_orderpriority, count(*) AS n, " +
+          "count(nv) AS n_nv, min(o_orderkey) AS lo, max(o_orderkey) AS hi " +
+          "FROM gq.agg.t GROUP BY o_orderpriority")
+        val plan = agg.queryExecution.executedPlan.toString
+        agg
+          .withColumn("aggscan",
+            lit("GraftAggScan".r.findAllIn(plan).size.toLong))
+          .withColumn("aggnodes", lit(
+            ("HashAggregate".r.findAllIn(plan).size +
+              "SortAggregate".r.findAllIn(plan).size).toLong))
+          .withColumn("exchanges", lit("Exchange".r.findAllIn(plan).size.toLong))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n,
+        |  count(CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END) AS n_nv,
+        |  min(o_orderkey) AS lo, max(o_orderkey) AS hi,
+        |  CAST(1 AS BIGINT) AS aggscan, CAST(0 AS BIGINT) AS aggnodes,
+        |  CAST(0 AS BIGINT) AS exchanges
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — DSv2 LIMIT + TOP-N pushdown on the flat catalog scan
+    // (SupportsPushDownLimit / SupportsPushDownTopN, PARTIAL semantics):
+    // LIMIT keeps the shortest file PREFIX whose `_filestats` row counts
+    // cover it; ORDER BY k LIMIT n keeps only files whose footer envelope
+    // can intersect the top-n (threshold rule over per-file min/max/nulls).
+    // The fixture writes three commits with DISJOINT key thirds — a
+    // naturally clustered layout — so the DESC top-5 plans a strict
+    // subset of files (`topn_pruned`) and LIMIT 7 plans fewer files than
+    // the full scan (`limit_pruned`). Spark keeps its own
+    // TakeOrderedAndProject/Limit on top: the prune is a superset
+    // guarantee, so a declined prune can never be wrong — only slower.
+    // At 100 TB this is `ORDER BY ts DESC LIMIT 100` over years of
+    // history reading one file instead of every file.
+    Q("versioned_limit_topn",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        Fixtures.once(s, dir, "vt_cat_prune") {
+          rmrf(s"$wh/prune")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.prune")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_prune_orders")
+          val mx = rd(s, dir, "orders").agg(max(col("o_orderkey"))).head().getLong(0)
+          s.sql("CREATE TABLE gq.prune.t (o_orderkey BIGINT, o_custkey BIGINT) " +
+            "TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+          Seq((0L, mx / 3), (mx / 3, 2 * mx / 3), (2 * mx / 3, mx + 1)).foreach {
+            case (lo, hi) => s.sql("INSERT INTO gq.prune.t SELECT o_orderkey, " +
+              s"o_custkey FROM cat_prune_orders WHERE o_orderkey > $lo AND o_orderkey <= $hi")
+          }
+          java.lang.Boolean.TRUE
+        }
+        def plannedFiles(q: org.apache.spark.sql.DataFrame): Long =
+          "files=(\\d+)".r.findFirstMatchIn(q.queryExecution.executedPlan.toString)
+            .map(_.group(1).toLong).getOrElse(-1L)
+        val full = plannedFiles(s.sql("SELECT o_orderkey FROM gq.prune.t"))
+        val topk = s.sql("SELECT o_orderkey, o_custkey FROM gq.prune.t " +
+          "ORDER BY o_orderkey DESC LIMIT 5")
+        val topPlan = topk.queryExecution.executedPlan.toString
+        val lim = s.sql("SELECT o_orderkey FROM gq.prune.t LIMIT 7")
+        val limPlan = lim.queryExecution.executedPlan.toString
+        topk
+          .withColumn("topn_pushed", lit(if (topPlan.contains("PushedTopN")) 1L else 0L))
+          .withColumn("topn_pruned", lit(if (plannedFiles(topk) < full) 1L else 0L))
+          .withColumn("limit_pushed", lit(if (limPlan.contains("PushedLimit")) 1L else 0L))
+          .withColumn("limit_pruned", lit(if (plannedFiles(lim) < full) 1L else 0L))
+          .withColumn("limit_rows", lit(lim.collect().length.toLong))
+      },
+      Some("""SELECT o_orderkey, o_custkey,
+        |  CAST(1 AS BIGINT) AS topn_pushed, CAST(1 AS BIGINT) AS topn_pruned,
+        |  CAST(1 AS BIGINT) AS limit_pushed, CAST(1 AS BIGINT) AS limit_pruned,
+        |  CAST(7 AS BIGINT) AS limit_rows
+        |FROM orders ORDER BY o_orderkey DESC LIMIT 5""".stripMargin)),
   )
 }

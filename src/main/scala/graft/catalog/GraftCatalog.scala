@@ -630,10 +630,124 @@ object GraftMetaTable {
 class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
                        tableSchema: StructType)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+
+  // ---- limit / top-N pushdown (PARTIAL: Spark keeps its own operator,
+  // the scan just prunes the planned FILE SET — a superset is always
+  // sound, so acceptance here is optimistic and the flat-scan planner
+  // may still decline the prune when stats can't prove coverage) -------
+  private var limitN: Option[Int] = None
+  private var topN: Option[(String, Boolean, Boolean, Int)] = None
+
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushed.nonEmpty || wantsDirCol || wantsRowCoords || limit <= 0) return false
+    limitN = Some(limit)
+    true
+  }
+
+  // one answer serves both SupportsPushDownLimit and SupportsPushDownTopN
+  override def isPartiallyPushed(): Boolean = true
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
+    import org.apache.spark.sql.types._
+    if (pushed.nonEmpty || wantsDirCol || wantsRowCoords || limit <= 0) return false
+    if (orders.length != 1) return false
+    val so = orders(0)
+    val col = so.expression() match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames().length == 1 => nr.fieldNames()(0)
+      case _ => return false
+    }
+    val exact = tableSchema.fields.find(_.name == col).map(_.dataType).exists {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    if (!exact) return false
+    topN = Some((col, so.direction() == SortDirection.DESCENDING,
+      so.nullOrdering() == NullOrdering.NULLS_FIRST, limit))
+    true
+  }
+
+  // ---- aggregate pushdown (metadata-only COUNT/MIN/MAX) ----------------
+  // Spark consults supportCompletePushDown BEFORE pushAggregation; both
+  // resolve through ONE cached plan so the decision is consistent. The
+  // plan is committed (used by build()) only when pushAggregation accepts.
+  private var aggCacheKey: Option[org.apache.spark.sql.connector.expressions.aggregate.Aggregation] = None
+  private var aggCached: Option[GraftAggScan] = None
+  private var aggPushed: Option[GraftAggScan] = None
+
+  private def planAggScan(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[GraftAggScan] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.types.{LongType, StructField}
+    import graft.io.VersionedTable.MetaAgg
+    if (aggCacheKey.exists(_ eq agg)) return aggCached
+    aggCacheKey = Some(agg)
+    aggCached = None
+    if (pushed.nonEmpty || wantsDirCol || wantsRowCoords) return None
+    if (spark.conf.get("spark.graft.aggPushdown", "true") != "true") return None
+    def refCol(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames().length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val groupCols = agg.groupByExpressions().toSeq.map(refCol)
+    if (groupCols.exists(_.isEmpty)) return None
+    val metas = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some(MetaAgg.Rows)
+      case ct: Count if !ct.isDistinct => refCol(ct.column()).map(MetaAgg.NonNull)
+      case mn: Min => refCol(mn.column()).map(MetaAgg.Lo)
+      case mx: Max => refCol(mx.column()).map(MetaAgg.Hi)
+      case _ => None
+    }
+    if (metas.exists(_.isEmpty)) return None
+    val g = groupCols.map(_.get)
+    val a = metas.map(_.get)
+    // pin the snapshot for the whole negotiate-then-build exchange
+    val version = asOf.orElse(graft.io.VersionedTable.latestVersion(root))
+    if (version.isEmpty) return None
+    val rows = graft.io.VersionedTable.metadataAggregate(
+      spark, root, version, tableSchema, g, a).getOrElse(return None)
+    def fieldOf(n: String) = tableSchema.fields.find(_.name == n).get
+    val outFields = g.map(n => fieldOf(n).copy(nullable = true)) ++ a.map {
+      case MetaAgg.Rows       => StructField("count(*)", LongType, nullable = false)
+      case MetaAgg.NonNull(x) => StructField(s"count($x)", LongType, nullable = false)
+      case MetaAgg.Lo(x)      => fieldOf(x).copy(name = s"min($x)", nullable = true)
+      case MetaAgg.Hi(x)      => fieldOf(x).copy(name = s"max($x)", nullable = true)
+    }
+    val desc = (a.map {
+      case MetaAgg.Rows       => "COUNT(*)"
+      case MetaAgg.NonNull(x) => s"COUNT($x)"
+      case MetaAgg.Lo(x)      => s"MIN($x)"
+      case MetaAgg.Hi(x)      => s"MAX($x)"
+    } ++ (if (g.nonEmpty) Seq(s"GROUP BY ${g.mkString(", ")}") else Nil))
+      .mkString(", ")
+    aggCached = Some(new GraftAggScan(root, version.get,
+      StructType(outFields), rows, desc))
+    aggCached
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    planAggScan(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    aggPushed = planAggScan(agg)
+    aggPushed.isDefined
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = VersionedRelation.pushable(filters)
@@ -665,6 +779,8 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
   }
 
   override def build(): Scan = {
+    // a completely pushed aggregation replaces the data scan wholesale
+    aggPushed.foreach(s => return s)
     // pin the snapshot HERE: the plan must not straddle a concurrent commit
     val version = asOf.orElse(VersionedTable.latestVersion(root))
     if (wantsRowCoords) {
@@ -695,7 +811,8 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
             org.apache.spark.sql.types.StringType, nullable = false)))
     }
     GraftKeyedScan.ifEligible(spark, root, version, required, pushed)
-      .orElse(GraftFlatScan.ifEligible(spark, root, version, required, pushed))
+      .orElse(GraftFlatScan.ifEligible(spark, root, version, required, pushed,
+        limitN, topN))
       .getOrElse(new GraftV1FallbackScan(root, version, required, pushed))
   }
 }

@@ -354,7 +354,7 @@ final class GraftKeyedReaderFactory(
   */
 final class GraftFlatScan(spark: SparkSession, private val root: String,
     private val plan: VersionedTable.FlatPlan, private val required: StructType,
-    private val pushed: Array[Filter])
+    private val pushed: Array[Filter], private val pruneDesc: String = "")
     extends Scan with Batch with SupportsReportStatistics {
 
   private def physOf(logical: String): String =
@@ -431,29 +431,55 @@ final class GraftFlatScan(spark: SparkSession, private val root: String,
 
   override def description(): String =
     s"GraftFlatScan $root v${plan.version} files=${plan.files.size} " +
+      (if (pruneDesc.nonEmpty) s"$pruneDesc " else "") +
       s"PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
-  // value equality for exchange/subquery reuse — see GraftKeyedScan.equals
+  // value equality for exchange/subquery reuse — see GraftKeyedScan.equals.
+  // pruneDesc is part of the identity: a LIMIT/TopN prune changes the
+  // planned file set at the same (root, version), and reuse must never
+  // substitute a pruned scan for a full one.
   override def equals(other: Any): Boolean = other match {
     case o: GraftFlatScan =>
       root == o.root && plan.version == o.plan.version &&
-        required == o.required && pushed.toSeq == o.pushed.toSeq
+        required == o.required && pushed.toSeq == o.pushed.toSeq &&
+        pruneDesc == o.pruneDesc
     case _ => false
   }
 
   override def hashCode(): Int =
-    (root, plan.version, required, pushed.toSeq).hashCode()
+    (root, plan.version, required, pushed.toSeq, pruneDesc).hashCode()
 }
 
 object GraftFlatScan {
   private[catalog] val emptyKey = new GenericInternalRow(Array.empty[Any])
 
   def ifEligible(spark: SparkSession, root: String, version: Option[Long],
-                 required: StructType, pushed: Array[Filter]): Option[Scan] = {
+                 required: StructType, pushed: Array[Filter],
+                 limitN: Option[Int] = None,
+                 topN: Option[(String, Boolean, Boolean, Int)] = None): Option[Scan] = {
     val (ranges, points, nullProbes) = graft.io.VersionedRelation.translate(pushed)
     VersionedTable.flatBatchPlan(root, version, ranges, points, nullProbes)
-      .map(p => new GraftFlatScan(spark, root, p, required, pushed))
+      .map { p0 =>
+        // hints are PARTIAL: Spark keeps its Limit/TopN above the scan, so
+        // declining a prune (None) is always sound — never narrow on doubt
+        val (p, tag) = topN match {
+          case Some((col, desc, nullsFirst, n)) =>
+            VersionedTable.topNPrune(spark, p0, col, desc, nullsFirst, n) match {
+              case Some(pp) => (pp, s"PushedTopN: [${if (desc) "DESC" else "ASC"}" +
+                s" $col${if (nullsFirst) " NULLS FIRST" else " NULLS LAST"}, limit=$n]")
+              case None => (p0, "")
+            }
+          case None => limitN match {
+            case Some(n) =>
+              val pp = VersionedTable.limitPrune(p0, n)
+              if (pp.files.size < p0.files.size) (pp, s"PushedLimit: [$n]")
+              else (p0, "")
+            case None => (p0, "")
+          }
+        }
+        new GraftFlatScan(spark, root, p, required, pushed, tag)
+      }
   }
 }
 

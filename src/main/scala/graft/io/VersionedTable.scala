@@ -5064,6 +5064,424 @@ object VersionedTable {
       kept.size, c.dirs.size, rowsB.result()))
   }
 
+  // ---- metadata-only aggregation (DSv2 aggregate pushdown) -------------
+
+  /** One aggregate the metadata planner can serve without reading data. */
+  private[graft] sealed trait MetaAgg
+  private[graft] object MetaAgg {
+    /** COUNT(*) */
+    case object Rows extends MetaAgg
+    /** COUNT(col) — non-null count */
+    final case class NonNull(col: String) extends MetaAgg
+    /** MIN(col) */
+    final case class Lo(col: String) extends MetaAgg
+    /** MAX(col) */
+    final case class Hi(col: String) extends MetaAgg
+  }
+
+  /** Serve a whole aggregation from METADATA — commit manifests, the
+    * `_filestats` side files, and parquet footers — without reading one
+    * data byte. Returns one row per group (group values ++ aggregate
+    * values, in argument order), or None when exactness cannot be
+    * PROVEN, in which case the caller falls back to the ordinary scan:
+    * the pushdown is an optimization, never a correctness input.
+    *
+    * Exactness rules (each `None` below is a deliberate refusal):
+    *  - pending MOR deletion vectors would make footer counts overcount;
+    *  - a DEFAULT-evolved column reads a non-null default out of files
+    *    that physically lack it — footers can't see that;
+    *  - group-by columns must be hive partition columns (the group of a
+    *    row is then its file's `col=value/` path segment — exact);
+    *  - MIN/MAX is served only for types whose footer statistics are
+    *    value-exact: byte/short/int/long/date/timestamp(micros). Strings
+    *    are refused (parquet writers may TRUNCATE binary min/max — fine
+    *    for skipping, wrong as an answer) except when partition-path-
+    *    sourced (paths are exact); float/double are refused (NaN
+    *    ordering); decimals (physical-scale ambiguity);
+    *  - COUNT(col) needs numNulls on every block of every file;
+    *  - a wanted column ABSENT from a file's physical schema is exact:
+    *    those rows read as NULL (add-column evolution without DEFAULT).
+    *
+    * Cost: COUNT(*)-only aggregations are O(#side-files) reads with zero
+    * footer opens; MIN/MAX/COUNT(col) pay one footer open per file —
+    * the ANALYZE cost class. At 100 TB this turns a full-table COUNT or
+    * a per-partition row-count report from a cluster-wide scan into a
+    * driver-side metadata walk.
+    */
+  private[graft] def metadataAggregate(spark: SparkSession, root: String,
+      asOf: Option[Long], tableSchema: org.apache.spark.sql.types.StructType,
+      groupBy: Seq[String], aggs: Seq[MetaAgg]): Option[Seq[Seq[Any]]] = {
+    import org.apache.spark.sql.types._
+    if (latestVersion(root).isEmpty) return None
+    val c = resolveSnapshot(root, asOf)
+    if (c.schemaDdl.isEmpty || c.deletes.nonEmpty) return None
+    def colsOf(a: MetaAgg): Seq[String] = a match {
+      case MetaAgg.Rows       => Nil
+      case MetaAgg.NonNull(x) => Seq(x)
+      case MetaAgg.Lo(x)      => Seq(x)
+      case MetaAgg.Hi(x)      => Seq(x)
+    }
+    val refCols = (groupBy ++ aggs.flatMap(colsOf)).distinct
+    if (refCols.exists(c.defaults.contains)) return None
+    if (groupBy.exists(g => !c.partitionCols.contains(g))) return None
+    val partSourced = refCols.filter(c.partitionCols.contains).toSet
+    // path extraction needs the single declared layout on every live file
+    if ((groupBy.nonEmpty || partSourced.nonEmpty) && c.dirLayouts.nonEmpty)
+      return None
+    val types: Map[String, DataType] = refCols.flatMap(n =>
+      tableSchema.fields.find(_.name == n).map(f => n -> f.dataType)).toMap
+    if (types.size != refCols.size) return None
+    def pathParseable(dt: DataType) =
+      dt == IntegerType || dt == LongType || dt == StringType
+    def footerExact(dt: DataType) = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _ => false
+    }
+    def atomicType(dt: DataType) = dt match {
+      case _: ArrayType | _: MapType | _: StructType => false
+      case _ => true
+    }
+    val shapesOk = groupBy.forall(g => pathParseable(types(g))) &&
+      aggs.forall {
+        case MetaAgg.Rows => true
+        case MetaAgg.NonNull(x) =>
+          if (partSourced(x)) pathParseable(types(x)) else atomicType(types(x))
+        case MetaAgg.Lo(x) =>
+          if (partSourced(x)) pathParseable(types(x)) else footerExact(types(x))
+        case MetaAgg.Hi(x) =>
+          if (partSourced(x)) pathParseable(types(x)) else footerExact(types(x))
+      }
+    if (!shapesOk) return None
+
+    // footer needs, keyed by PHYSICAL column name (stable across renames)
+    val mmCols: Seq[String] = aggs.collect {
+      case MetaAgg.Lo(x) if !partSourced(x) => x
+      case MetaAgg.Hi(x) if !partSourced(x) => x
+    }.distinct
+    val nullCols: Seq[String] = aggs.collect {
+      case MetaAgg.NonNull(x) if !partSourced(x) => x
+    }.distinct
+    val needMM: Map[String, DataType] =
+      mmCols.map(x => physName(c, x) -> types(x)).toMap
+    val needNulls: Set[String] = nullCols.map(x => physName(c, x)).toSet
+    val phys2log: Map[String, String] =
+      (mmCols ++ nullCols).map(x => physName(c, x) -> x).toMap
+    val needRows = true // group accounting, COUNT(*), absent-column nulls
+
+    // per-group accumulators
+    final class Acc {
+      var rows = 0L
+      val nulls = scala.collection.mutable.Map[String, Long]()   // logical col
+      val mm = scala.collection.mutable.Map[String, (Any, Any)]() // logical col
+    }
+    def asLong(v: Any): Long = v match {
+      case i: Int => i.toLong; case l: Long => l
+      case s: Short => s.toLong; case b: Byte => b.toLong
+      case other => sys.error(s"non-integral envelope value $other")
+    }
+    def foldMM(a: Acc, col: String, lo: Any, hi: Any): Unit = {
+      val merged = a.mm.get(col) match {
+        case None => (lo, hi)
+        case Some((plo, phi)) => (lo, hi) match {
+          case (l: String, h: String) =>
+            (utf8Min(plo.asInstanceOf[String], l), utf8Max(phi.asInstanceOf[String], h))
+          case _ =>
+            (if (asLong(lo) < asLong(plo)) lo else plo,
+             if (asLong(hi) > asLong(phi)) hi else phi)
+        }
+      }
+      a.mm.update(col, merged)
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val acc = scala.collection.mutable.LinkedHashMap[Seq[Any], Acc]()
+    val pathCols: Seq[String] = (groupBy ++ refCols.filter(partSourced)).distinct
+
+    c.dirs.foreach { d =>
+      val dp = dirPath(root, d)
+      if (!new File(dp).isDirectory) return None // vacuumed ref: let the scan path report it
+      val frows = readFileRows(dp)
+      parquetFiles(dp).foreach { rel =>
+        // partition-path values of every path-sourced column (None = abort)
+        val pathVals: Map[String, Any] = pathCols.map { col =>
+          val seg = rel.split('/').dropRight(1)
+            .collectFirst { case s if s.startsWith(col + "=") =>
+              s.substring(col.length + 1) }
+          seg match {
+            case None => return None // file outside the declared layout
+            case Some("__HIVE_DEFAULT_PARTITION__") => col -> null
+            case Some(raw) =>
+              val v = unescapePathName(raw)
+              types(col) match {
+                case IntegerType => v.toIntOption match {
+                  case Some(i) => col -> i; case None => return None
+                }
+                case LongType => v.toLongOption match {
+                  case Some(l) => col -> l; case None => return None
+                }
+                case _ => col -> v
+              }
+          }
+        }.toMap
+        val needFooter = needMM.nonEmpty || needNulls.nonEmpty ||
+          (needRows && !frows.contains(rel))
+        val (rows, mm, nulls) =
+          if (!needFooter) (frows(rel), Map.empty[String, (Any, Any)], Map.empty[String, Long])
+          else fileAggStats(conf, Paths.get(dp, rel), needMM, needNulls) match {
+            case None => return None
+            case Some(t) => t
+          }
+        val a = acc.getOrElseUpdate(groupBy.map(pathVals), new Acc)
+        a.rows += rows
+        mm.foreach { case (phys, (lo, hi)) => foldMM(a, phys2log(phys), lo, hi) }
+        nulls.foreach { case (phys, n) =>
+          val log = phys2log(phys)
+          a.nulls.update(log, a.nulls.getOrElse(log, 0L) + n)
+        }
+        // partition-sourced aggregate columns: value (or NULL) from the path
+        refCols.filter(partSourced).foreach { col =>
+          pathVals(col) match {
+            case null => a.nulls.update(col, a.nulls.getOrElse(col, 0L) + rows)
+            case v if rows > 0 => foldMM(a, col, v, v)
+            case _ => ()
+          }
+        }
+      }
+    }
+    if (groupBy.isEmpty && acc.isEmpty) acc.update(Nil, new Acc)
+
+    // deterministic group order: null-first, then numeric / utf8
+    def cmpVal(x: Any, y: Any): Int = (x, y) match {
+      case (null, null) => 0
+      case (null, _)    => -1
+      case (_, null)    => 1
+      case (a: String, b: String) => utf8Compare(a, b)
+      case (a, b) => java.lang.Long.compare(asLong(a), asLong(b))
+    }
+    val ordered = acc.toSeq.sortWith { case ((k1, _), (k2, _)) =>
+      k1.zip(k2).map { case (a, b) => cmpVal(a, b) }.find(_ != 0).exists(_ < 0)
+    }
+    Some(ordered.map { case (gk, a) =>
+      gk ++ aggs.map {
+        case MetaAgg.Rows       => a.rows
+        case MetaAgg.NonNull(x) => a.rows - a.nulls.getOrElse(x, 0L)
+        case MetaAgg.Lo(x)      => a.mm.get(x).map(_._1).orNull
+        case MetaAgg.Hi(x)      => a.mm.get(x).map(_._2).orNull
+      }
+    })
+  }
+
+  /** LIMIT file-prefix prune of a flat batch plan (DSv2
+    * `SupportsPushDownLimit`, PARTIAL semantics — Spark keeps its own
+    * Limit on top, so a superset is always sound): keep files in manifest
+    * order until their `_filestats` row counts PROVABLY cover `n` rows.
+    * Files with unknown row counts contribute zero to coverage (kept,
+    * never trusted). `SELECT * FROM t LIMIT 10` on a 100 TB table then
+    * opens one file instead of planning every file into tasks.
+    */
+  private[graft] def limitPrune(p: FlatPlan, n: Int): FlatPlan = {
+    var covered = 0L
+    val kept = Seq.newBuilder[(String, Long)]
+    var done = false
+    p.files.foreach { f =>
+      if (!done) {
+        kept += f
+        covered += p.fileRows.getOrElse(f._1, 0L)
+        if (covered >= n) done = true
+      }
+    }
+    p.copy(files = kept.result())
+  }
+
+  /** TOP-N file prune of a flat batch plan (DSv2 `SupportsPushDownTopN`,
+    * PARTIAL semantics — Spark keeps the full TakeOrderedAndProject, so
+    * the scan only needs to keep every file that COULD hold a top-N row):
+    *
+    *  1. per file, exact (rows, nulls, min, max) of the sort column from
+    *     one footer read ([[fileAggStats]] — any inexactness declines the
+    *     whole prune, never narrows it);
+    *  2. ascending: sort files by MAX; take the shortest prefix whose
+    *     non-null rows cover the post-null budget k — its last max T
+    *     bounds the k-th smallest value (the prefix holds ≥ k values
+    *     ≤ T), so every candidate file has min ≤ T. Descending mirrors
+    *     with MIN / ≥. NULL rows cover the budget first or last per the
+    *     declared null ordering.
+    *
+    * On a table clustered on the sort column (OPTIMIZE ZORDER or a
+    * sorted write) the kept set is O(N / rows-per-file) files — an
+    * `ORDER BY ts DESC LIMIT 100` over years of history reads one file.
+    */
+  private[graft] def topNPrune(spark: SparkSession, p: FlatPlan, col: String,
+      desc: Boolean, nullsFirst: Boolean, n: Int): Option[FlatPlan] = {
+    import org.apache.spark.sql.types._
+    val phys = p.nameMap.getOrElse(col, col)
+    val dt = p.physSchema.fields.find(_.name == phys).map(_.dataType)
+      .getOrElse(return None)
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType => ()
+      case _ => return None // value-exact footer stats only
+    }
+    def asL(v: Any): Long = v match {
+      case i: Int => i.toLong; case l: Long => l
+      case s: Short => s.toLong; case b: Byte => b.toLong
+      case other => sys.error(s"non-integral stat value $other")
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    final case class FS(file: String, rows: Long, nulls: Long,
+                        mm: Option[(Long, Long)])
+    val stats: Seq[FS] = p.files.map { f =>
+      fileAggStats(conf, Paths.get(f._1), Map(phys -> dt), Set(phys)) match {
+        case None => return None
+        case Some((rows, mm, nulls)) => FS(f._1, rows,
+          nulls.getOrElse(phys, return None),
+          mm.get(phys).map { case (a, b) => (asL(a), asL(b)) })
+      }
+    }
+    val totalNull = stats.map(_.nulls).sum
+    val totalNonNull = stats.map(s => s.rows - s.nulls).sum
+    def valueFiles(k: Long): Set[String] = {
+      if (k <= 0) return Set.empty
+      val withVals = stats.filter(_.mm.isDefined)
+      if (totalNonNull <= k) return withVals.map(_.file).toSet
+      val sorted =
+        if (!desc) withVals.sortBy(_.mm.get._2)
+        else withVals.sortBy(_.mm.get._1)(Ordering[Long].reverse)
+      var cum = 0L; var t = 0L; var i = 0
+      while (i < sorted.length && cum < k) {
+        cum += sorted(i).rows - sorted(i).nulls
+        t = if (!desc) sorted(i).mm.get._2 else sorted(i).mm.get._1
+        i += 1
+      }
+      withVals.filter(s =>
+        if (!desc) s.mm.get._1 <= t else s.mm.get._2 >= t).map(_.file).toSet
+    }
+    val nullFiles = stats.filter(_.nulls > 0).map(_.file).toSet
+    val keep: Set[String] =
+      if (nullsFirst) {
+        if (totalNull >= n) nullFiles else nullFiles ++ valueFiles(n - totalNull)
+      } else {
+        if (totalNonNull >= n) valueFiles(n) else valueFiles(n) ++ nullFiles
+      }
+    val files = p.files.filter(f => keep.contains(f._1))
+    if (files.isEmpty) return None // zero-candidate edge: decline, scan as-is
+    Some(p.copy(files = files,
+      fileRows = p.fileRows.filter(kv => keep.contains(kv._1))))
+  }
+
+  /** Exact aggregate statistics of ONE parquet file from its footer: row
+    * count, per-column (min, max) as Spark-internal values, per-column
+    * null counts — or None when any required statistic is missing, a
+    * block's stats are ambiguous, or the physical type + logical
+    * annotation doesn't round-trip values exactly. A wanted column ABSENT
+    * from the file's schema reads as all-NULL (add-column evolution).
+    */
+  private def fileAggStats(conf: org.apache.hadoop.conf.Configuration,
+      file: java.nio.file.Path, needMM: Map[String, org.apache.spark.sql.types.DataType],
+      needNulls: Set[String])
+      : Option[(Long, Map[String, (Any, Any)], Map[String, Long])] = {
+    import org.apache.spark.sql.types._
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val rdr = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString), conf))
+    try {
+      val msg = rdr.getFooter.getFileMetaData.getSchema
+      def primOf(n: String): Option[PrimitiveType] =
+        if (!msg.containsField(n)) None
+        else {
+          val t = msg.getType(Seq(n): _*)
+          if (t.isPrimitive &&
+              t.getRepetition != org.apache.parquet.schema.Type.Repetition.REPEATED)
+            Some(t.asPrimitiveType) else None
+        }
+      def typeOk(pt: PrimitiveType, dt: DataType): Boolean = {
+        val ann = pt.getLogicalTypeAnnotation
+        dt match {
+          case IntegerType => pt.getPrimitiveTypeName == INT32 &&
+            (ann == null || ann == LogicalTypeAnnotation.intType(32, true))
+          case ShortType => pt.getPrimitiveTypeName == INT32 &&
+            ann == LogicalTypeAnnotation.intType(16, true)
+          case ByteType => pt.getPrimitiveTypeName == INT32 &&
+            ann == LogicalTypeAnnotation.intType(8, true)
+          case DateType => pt.getPrimitiveTypeName == INT32 &&
+            ann == LogicalTypeAnnotation.dateType()
+          case LongType => pt.getPrimitiveTypeName == INT64 &&
+            (ann == null || ann == LogicalTypeAnnotation.intType(64, true))
+          case TimestampType => pt.getPrimitiveTypeName == INT64 &&
+            ann == LogicalTypeAnnotation.timestampType(true,
+              LogicalTypeAnnotation.TimeUnit.MICROS)
+          case TimestampNTZType => pt.getPrimitiveTypeName == INT64 &&
+            ann == LogicalTypeAnnotation.timestampType(false,
+              LogicalTypeAnnotation.TimeUnit.MICROS)
+          case _ => false
+        }
+      }
+      def conv(v: AnyRef, dt: DataType): Any = dt match {
+        case IntegerType | DateType => v.asInstanceOf[java.lang.Integer].intValue
+        case ShortType => v.asInstanceOf[java.lang.Integer].shortValue
+        case ByteType  => v.asInstanceOf[java.lang.Integer].byteValue
+        case _         => v.asInstanceOf[java.lang.Long].longValue
+      }
+      // columns present in this file whose physical type serves exactly;
+      // a present-but-wrong-typed column aborts (never guess)
+      val mmPresent = needMM.filter { case (n, _) => msg.containsField(n) }
+      mmPresent.foreach { case (n, dt) =>
+        primOf(n) match {
+          case Some(pt) if typeOk(pt, dt) => ()
+          case _ => return None
+        }
+      }
+      needNulls.foreach { n =>
+        if (msg.containsField(n) && primOf(n).isEmpty) return None
+      }
+      val nullsPresent = needNulls.filter(msg.containsField)
+      var rows = 0L
+      val mmAcc = scala.collection.mutable.Map[String, (AnyRef, AnyRef)]()
+      val nullAcc = scala.collection.mutable.Map[String, Long]()
+      rdr.getFooter.getBlocks.asScala.foreach { b =>
+        val blockRows = b.getRowCount
+        rows += blockRows
+        val byName = b.getColumns.asScala.map(cc => cc.getPath.toDotString -> cc).toMap
+        mmPresent.keys.foreach { n =>
+          val st = byName.get(n).map(_.getStatistics).orNull
+          if (st == null || st.isEmpty) return None
+          if (st.hasNonNullValue) {
+            // typeOk admitted integral physical types only — fold as longs
+            def toL(v: AnyRef): Long = v match {
+              case i: java.lang.Integer => i.longValue
+              case l: java.lang.Long    => l.longValue
+              case other => sys.error(s"unexpected footer stat value $other")
+            }
+            val (mn, mx) = (st.genericGetMin.asInstanceOf[AnyRef],
+              st.genericGetMax.asInstanceOf[AnyRef])
+            mmAcc.get(n) match {
+              case None => mmAcc.update(n, (mn, mx))
+              case Some((pmn, pmx)) =>
+                mmAcc.update(n, (if (toL(mn) < toL(pmn)) mn else pmn,
+                                 if (toL(mx) > toL(pmx)) mx else pmx))
+            }
+          } else if (!st.isNumNullsSet || st.getNumNulls != blockRows) {
+            return None // not provably all-null
+          }
+        }
+        nullsPresent.foreach { n =>
+          val st = byName.get(n).map(_.getStatistics).orNull
+          if (st == null || !st.isNumNullsSet) return None
+          nullAcc.update(n, nullAcc.getOrElse(n, 0L) + st.getNumNulls)
+        }
+      }
+      val mm = mmPresent.flatMap { case (n, dt) =>
+        mmAcc.get(n).map { case (mn, mx) => n -> (conv(mn, dt), conv(mx, dt)) }
+      }
+      // absent columns read as all-NULL: no min/max, nulls = rows
+      val nulls = nullAcc.toMap ++
+        needNulls.filterNot(msg.containsField).map(_ -> rows).toMap
+      Some((rows, mm, nulls))
+    } finally rdr.close()
+  }
+
   /** One file of a row-level (copy-on-write) scan: its dir (the rewrite
     * GROUP), path, length, and path-materialized hive key values.
     */

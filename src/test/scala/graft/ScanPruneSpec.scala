@@ -1,0 +1,97 @@
+package graft
+
+/** DSv2 LIMIT / TOP-N pushdown on the flat catalog scan
+  * (SupportsPushDownLimit / SupportsPushDownTopN on GraftScanBuilder,
+  * PARTIAL semantics): the scan prunes its planned FILE SET — LIMIT to
+  * the shortest row-covering prefix by `_filestats` counts, TOP-N to the
+  * files whose footer envelopes can intersect the top-n under the
+  * declared direction and null ordering. Spark keeps its own
+  * Limit/TakeOrderedAndProject, so every prune is a superset guarantee;
+  * these tests pin that the prune HAPPENS on clustered layouts, that
+  * results stay exact (vs full-scan truth), and that undecidable shapes
+  * decline rather than narrow.
+  */
+class ScanPruneSpec extends SparkSpec {
+  import TestSpark._
+
+  private lazy val warehouse: String = {
+    val w = tmpDir("gprune_wh")
+    spark.conf.set("spark.sql.catalog.gpr", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpr.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gpr.db")
+    // three commits with DISJOINT id hundreds → clustered layout; v is
+    // NULL everywhere in the LAST commit (id >= 200) and nowhere else
+    spark.sql("CREATE TABLE gpr.db.t (id BIGINT, v INT) " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    Seq(0, 100, 200).foreach { lo =>
+      spark.sql("INSERT INTO gpr.db.t SELECT id, " +
+        s"CASE WHEN id >= 200 THEN NULL ELSE CAST(id AS INT) END " +
+        s"FROM range($lo, ${lo + 100})")
+    }
+    w
+  }
+
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Int =
+    "files=(\\d+)".r.findFirstMatchIn(df.queryExecution.executedPlan.toString)
+      .map(_.group(1).toInt).getOrElse(-1)
+
+  private def planOf(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  private lazy val fullFiles: Int = {
+    warehouse
+    plannedFiles(spark.sql("SELECT id FROM gpr.db.t"))
+  }
+
+  test("limit pushdown: LIMIT plans a row-covering file prefix; result size exact") {
+    warehouse
+    val q = spark.sql("SELECT id FROM gpr.db.t LIMIT 7")
+    assert(planOf(q).contains("PushedLimit: [7]"), planOf(q).take(600))
+    assert(plannedFiles(q) < fullFiles, s"${plannedFiles(q)} vs full=$fullFiles")
+    assert(q.collect().length == 7)
+    // limit larger than the table: every file stays, still 300 rows
+    assert(spark.sql("SELECT id FROM gpr.db.t LIMIT 10000").collect().length == 300)
+  }
+
+  test("topN pushdown: ASC and DESC prune to the envelope-candidate files; rows exact") {
+    warehouse
+    val asc = spark.sql(
+      "SELECT id FROM gpr.db.t WHERE TRUE ORDER BY id LIMIT 5")
+    // (WHERE TRUE folds away — plain sort+limit shape)
+    val ascQ = spark.sql("SELECT id FROM gpr.db.t ORDER BY id LIMIT 5")
+    assert(planOf(ascQ).contains("PushedTopN"), planOf(ascQ).take(600))
+    assert(plannedFiles(ascQ) < fullFiles)
+    assert(ascQ.collect().map(_.getLong(0)).toSeq == (0L to 4L).toSeq)
+    val descQ = spark.sql("SELECT id FROM gpr.db.t ORDER BY id DESC LIMIT 5")
+    assert(planOf(descQ).contains("PushedTopN"), planOf(descQ).take(600))
+    assert(plannedFiles(descQ) < fullFiles)
+    assert(descQ.collect().map(_.getLong(0)).toSeq == (299L to 295L by -1).toSeq)
+    assert(asc.collect().length == 5)
+  }
+
+  test("topN pushdown: null ordering — NULLS FIRST keeps null-bearing files, NULLS LAST the value files") {
+    warehouse
+    // v is NULL exactly for id in [200, 300) — the third commit's files.
+    // ASC NULLS FIRST (Spark default) with n <= #nulls: top rows all NULL
+    val nf = spark.sql("SELECT id, v FROM gpr.db.t ORDER BY v LIMIT 5")
+    assert(planOf(nf).contains("PushedTopN"), planOf(nf).take(600))
+    assert(plannedFiles(nf) < fullFiles)
+    assert(nf.collect().forall(_.isNullAt(1)))
+    // ASC NULLS LAST: smallest non-null values win
+    val nl = spark.sql("SELECT id, v FROM gpr.db.t ORDER BY v NULLS LAST LIMIT 5")
+    assert(planOf(nl).contains("PushedTopN"), planOf(nl).take(600))
+    assert(nl.collect().map(_.getInt(1)).toSeq == (0 to 4).toSeq)
+  }
+
+  test("topN pushdown declines on inexact shapes — string sort key, multi-key — and stays correct") {
+    warehouse
+    spark.sql("CREATE TABLE gpr.db.ts (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO gpr.db.ts SELECT id, concat('k', id) FROM range(0, 50)")
+    val sq = spark.sql("SELECT s FROM gpr.db.ts ORDER BY s LIMIT 3")
+    assert(!planOf(sq).contains("PushedTopN"), planOf(sq).take(600))
+    assert(sq.collect().map(_.getString(0)).toSeq == Seq("k0", "k1", "k10"))
+    val mq = spark.sql("SELECT id, s FROM gpr.db.ts ORDER BY id, s LIMIT 3")
+    assert(!planOf(mq).contains("PushedTopN"), planOf(mq).take(600))
+    assert(mq.collect().map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+  }
+}
