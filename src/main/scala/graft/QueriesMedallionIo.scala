@@ -3981,5 +3981,87 @@ private[graft] object QueriesMedallionIo {
         |  CAST(1 AS BIGINT) AS limit_pushed, CAST(1 AS BIGINT) AS limit_pruned,
         |  CAST(7 AS BIGINT) AS limit_rows
         |FROM orders ORDER BY o_orderkey DESC LIMIT 5""".stripMargin)),
+
+    // S17 — V2 FunctionCatalog (catalog/GraftFunctions): the native scalar
+    // kernels resolve under the catalog name in PLAIN SQL —
+    // `gq.system.float_dot(a, b)` — with no session-extension
+    // registration (the public Iceberg system-function pattern). Each
+    // function carries the MAGIC `invoke` method, so the projection
+    // compiles as a codegen-friendly Invoke on the bound object, not a
+    // row-boxing fallback; semantics are the session expressions'
+    // (double-accumulated dot product = DuckDB's list_dot_product over
+    // DOUBLE lists; two-pointer sorted-overlap = list_intersect length).
+    Q("versioned_catalog_function",
+      (s, dir) => {
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse",
+          s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}")
+        rd(s, dir, "embeddings").createOrReplaceTempView("cat_fn_emb")
+        strCols(
+          s.sql("SELECT vec_id, " +
+            "CAST(gq.system.float_dot(embedding, embedding) AS DECIMAL(14,4)) AS sq, " +
+            "gq.system.sorted_overlap(sequence(CAST(0 AS BIGINT), vec_id % 9), " +
+            "sequence(CAST(3 AS BIGINT), CAST(12 AS BIGINT))) AS ov " +
+            "FROM cat_fn_emb WHERE vec_id < 200 ORDER BY vec_id"),
+          Seq("sq"))
+      },
+      Some("""SELECT vec_id,
+        |  CAST(CAST(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) AS DECIMAL(14,4)) AS VARCHAR) AS sq,
+        |  len(list_intersect(range(0, vec_id % 9 + 1), range(3, 13))) AS ov
+        |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin)),
+
+    // S17 — COLUMN-LEVEL CBO statistics (Statistics.columnStats on the
+    // catalog scans, VersionedTable.v2ColumnStats): the skipping index's
+    // per-dir envelopes + null counts surface as Catalyst attributeStats
+    // — exact min/max/nullCount and rowCount with ZERO extra IO — which
+    // is what filter selectivity and join-size estimation consume under
+    // spark.sql.cbo.enabled. The row dumps the stats Spark actually SEES
+    // on the scan relation and oracles them against recomputing the same
+    // extremes from the raw table: a drifting envelope (or a stats claim
+    // on an un-indexed column) fails the hash.
+    Q("versioned_colstats",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        Fixtures.once(s, dir, "vt_cat_cs") {
+          rmrf(s"$wh/cs")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.cs")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_cs_orders")
+          s.sql("CREATE TABLE gq.cs.t (o_orderkey BIGINT, nv BIGINT) " +
+            "TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey,nv')")
+          s.sql("INSERT INTO gq.cs.t SELECT o_orderkey, " +
+            "CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END " +
+            "FROM cat_cs_orders")
+          java.lang.Boolean.TRUE
+        }
+        val rel = s.table("gq.cs.t").queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+        }.head
+        val stats = rel.stats
+        val rc = stats.rowCount.map(_.toLong).getOrElse(-1L)
+        val rows = stats.attributeStats.toSeq.map { case (a, cs) =>
+          org.apache.spark.sql.Row(a.name,
+            cs.min.map(_.asInstanceOf[Long]).getOrElse(-1L),
+            cs.max.map(_.asInstanceOf[Long]).getOrElse(-1L),
+            cs.nullCount.map(_.toLong).getOrElse(-1L), rc)
+        }
+        s.createDataFrame(java.util.Arrays.asList(rows: _*),
+          StructType(Seq(
+            StructField("col", org.apache.spark.sql.types.StringType, nullable = false),
+            StructField("mn", LongType, nullable = false),
+            StructField("mx", LongType, nullable = false),
+            StructField("nulls", LongType, nullable = false),
+            StructField("rowcount", LongType, nullable = false))))
+          .orderBy("col")
+      },
+      Some("""SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col, min(o_orderkey) AS mn, max(o_orderkey) AS mx,
+        |    CAST(0 AS BIGINT) AS nulls, count(*) AS rowcount FROM orders
+        |  UNION ALL
+        |  SELECT 'nv', min(CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END),
+        |    max(CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END),
+        |    CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM orders
+        |) ORDER BY col""".stripMargin)),
   )
 }

@@ -76,9 +76,23 @@ import graft.io.{VersionedRelation, VersionedTable}
   * Spark-native planning over those scans: runtime filtering, AQE, and
   * (through the keyed batch) SPJ without any custom strategy.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
+
+  // ---- functions (the V2 FunctionCatalog surface, see GraftFunctions) --
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (GraftFunctions.namespaces.contains(namespace.toSeq))
+      GraftFunctions.names.map(n => Identifier.of(namespace, n)).toArray
+    else if (nsDir(namespace).isDirectory) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    GraftFunctions.load(ident).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident))
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -835,10 +849,15 @@ class GraftV1FallbackScan(root: String, version: Option[Long],
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
+      // manifest-envelope column stats — VersionedTable.v2ColumnStats
+      private val cols = VersionedTable.v2ColumnStats(root, version, required)
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(snapBytes)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.empty()
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cols
     }
 
   override def toV1TableScan[T <: BaseRelation with TableScan](

@@ -68,9 +68,14 @@ final class GraftKeyedScan(spark: SparkSession, private val root: String,
       if (fs.nonEmpty && fs.forall(f => plan.fileRows.contains(f._1)))
         java.util.OptionalLong.of(fs.map(f => plan.fileRows(f._1)).sum)
       else java.util.OptionalLong.empty()
+    // manifest-envelope column stats for the CBO — VersionedTable.v2ColumnStats
+    private val cols = VersionedTable.v2ColumnStats(root, Some(plan.version), required)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = rows
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cols
   }
 
   private val keyNames: Seq[String] = plan.keySchema.fieldNames.toSeq
@@ -372,9 +377,15 @@ final class GraftFlatScan(spark: SparkSession, private val root: String,
       if (plan.files.nonEmpty && plan.files.forall(f => plan.fileRows.contains(f._1)))
         java.util.OptionalLong.of(plan.files.map(f => plan.fileRows(f._1)).sum)
       else java.util.OptionalLong.empty()
+    // manifest-envelope column stats (min/max/nullCount) for the CBO —
+    // see VersionedTable.v2ColumnStats
+    private val cols = VersionedTable.v2ColumnStats(root, Some(plan.version), required)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = rows
+    override def columnStats(): java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = cols
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

@@ -5271,6 +5271,77 @@ object VersionedTable {
     })
   }
 
+  /** COLUMN-LEVEL statistics for Spark's cost-based optimizer, served
+    * from the manifest alone (`Statistics.columnStats()` on the catalog
+    * scans — zero IO beyond the snapshot resolution the scan already
+    * paid): per projected column with a full per-dir envelope in the
+    * skipping index, min/max (integral types — the values Catalyst's
+    * FilterEstimation can range-compare) and, where every dir's
+    * null-count entry is present, the exact null count. The skipping
+    * index thus doubles as the CBO stat source: ANALYZE GRAFT STATS BY
+    * retrofits both at once. Columns with partial coverage, string
+    * envelopes (truncatable), or pending MOR debt serve nothing —
+    * estimates feed plans, so honesty beats coverage. distinctCount is
+    * deliberately absent: the index carries no NDV, and a fabricated one
+    * would steer join reordering worse than none.
+    */
+  private[graft] def v2ColumnStats(root: String, asOf: Option[Long],
+      schema: org.apache.spark.sql.types.StructType)
+      : java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+                      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.types._
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+    if (latestVersion(root).isEmpty) return out
+    val c = resolveSnapshot(root, asOf)
+    if (c.deletes.nonEmpty || c.dirs.isEmpty) return out
+    schema.fields.foreach { f =>
+      val phys = physName(c, f.name)
+      if (c.defaults.contains(f.name)) ()
+      else {
+        def internal(v: Long): Any = f.dataType match {
+          case IntegerType | DateType => v.toInt
+          case ShortType => v.toShort
+          case ByteType  => v.toByte
+          case _         => v
+        }
+        val integral = f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | DateType |
+               TimestampType | TimestampNTZType => true
+          case _ => false
+        }
+        val mm: Option[(Any, Any)] =
+          if (integral && c.dirs.forall(d => c.stats.get(d).exists(_.contains(phys))))
+            Some {
+              val es = c.dirs.map(d => c.stats(d)(phys))
+              (internal(es.map(_._1).min), internal(es.map(_._2).max))
+            }
+          else None
+        val nulls: Option[Long] =
+          if (c.dirs.forall(d => c.nullCounts.get(d).exists(_.contains(phys))))
+            Some(c.dirs.map(d => c.nullCounts(d)(phys)._1).sum)
+          else None
+        if (mm.isDefined || nulls.isDefined) {
+          out.put(
+            org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+            new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+              override def min(): java.util.Optional[Object] =
+                mm.map(v => java.util.Optional.of(v._1.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def max(): java.util.Optional[Object] =
+                mm.map(v => java.util.Optional.of(v._2.asInstanceOf[Object]))
+                  .getOrElse(java.util.Optional.empty[Object]())
+              override def nullCount(): java.util.OptionalLong =
+                nulls.map(java.util.OptionalLong.of)
+                  .getOrElse(java.util.OptionalLong.empty())
+            })
+        }
+      }
+    }
+    out
+  }
+
   /** LIMIT file-prefix prune of a flat batch plan (DSv2
     * `SupportsPushDownLimit`, PARTIAL semantics — Spark keeps its own
     * Limit on top, so a superset is always sound): keep files in manifest
