@@ -5197,10 +5197,38 @@ object VersionedTable {
     val acc = scala.collection.mutable.LinkedHashMap[Seq[Any], Acc]()
     val pathCols: Seq[String] = (groupBy ++ refCols.filter(partSourced)).distinct
 
+    // TIERED resolution — the plan-time cost model:
+    //  tier 1 (zero IO): dir-level manifest nullCounts serve COUNT(col)
+    //    for global aggregations (nulls are additive across dirs; the
+    //    entry's presence proves every file accounted numNulls);
+    //  tier 2 (side files only): `_filestats` per-file envelopes + row
+    //    counts serve MIN/MAX and COUNT(*) per file — an entry's
+    //    presence proves the footer HAD stats at write time, so values
+    //    are exact; INDEXED aggregation columns never open a footer;
+    //  tier 3 (parallel footers): only files with something still
+    //    missing — un-indexed columns, all-null disambiguation,
+    //    pre-rowcount commits — resolve by one footer read each, fanned
+    //    across a bounded driver pool instead of sequentially.
+    final case class PendingFile(dp: String, rel: String, group: Seq[Any],
+        pathVals: Map[String, Any], sideRows: Option[Long],
+        sideMM: Map[String, (Any, Any)],
+        missMM: Map[String, DataType], missNulls: Set[String])
+    val pending = Seq.newBuilder[PendingFile]
+    val dirNulls = scala.collection.mutable.Map[String, Long]() // phys → Σ nulls
+
     c.dirs.foreach { d =>
       val dp = dirPath(root, d)
       if (!new File(dp).isDirectory) return None // vacuumed ref: let the scan path report it
       val frows = readFileRows(dp)
+      val fstats = readFileStats(dp).getOrElse(Map.empty)
+      // tier 1: dir-level null counts (global aggregations only — a dir
+      // spans many partition values, so grouped shapes need per-file)
+      val dirNullServed: Set[String] =
+        if (groupBy.nonEmpty) Set.empty
+        else needNulls.filter(p => c.nullCounts.get(d).exists(_.contains(p)))
+      dirNullServed.foreach { p =>
+        dirNulls.update(p, dirNulls.getOrElse(p, 0L) + c.nullCounts(d)(p)._1)
+      }
       parquetFiles(dp).foreach { rel =>
         // partition-path values of every path-sourced column (None = abort)
         val pathVals: Map[String, Any] = pathCols.map { col =>
@@ -5223,29 +5251,74 @@ object VersionedTable {
               }
           }
         }.toMap
-        val needFooter = needMM.nonEmpty || needNulls.nonEmpty ||
-          (needRows && !frows.contains(rel))
-        val (rows, mm, nulls) =
-          if (!needFooter) (frows(rel), Map.empty[String, (Any, Any)], Map.empty[String, Long])
-          else fileAggStats(conf, Paths.get(dp, rel), needMM, needNulls) match {
-            case None => return None
-            case Some(t) => t
-          }
-        val a = acc.getOrElseUpdate(groupBy.map(pathVals), new Acc)
-        a.rows += rows
-        mm.foreach { case (phys, (lo, hi)) => foldMM(a, phys2log(phys), lo, hi) }
-        nulls.foreach { case (phys, n) =>
-          val log = phys2log(phys)
-          a.nulls.update(log, a.nulls.getOrElse(log, 0L) + n)
-        }
-        // partition-sourced aggregate columns: value (or NULL) from the path
-        refCols.filter(partSourced).foreach { col =>
-          pathVals(col) match {
-            case null => a.nulls.update(col, a.nulls.getOrElse(col, 0L) + rows)
-            case v if rows > 0 => foldMM(a, col, v, v)
-            case _ => ()
+        // tier 2: per-file side-file envelopes (entry present = footer
+        // had stats at write time = value-exact; Long-normalized, so
+        // only types whose internal form round-trips losslessly)
+        val sideMM: Map[String, (Any, Any)] = needMM.flatMap { case (p, dt) =>
+          fstats.get(rel).flatMap(_.get(p)).collect {
+            case IntMM(mn, mx) if dt == IntegerType =>
+              p -> ((mn.toInt: Any, mx.toInt: Any))
+            case IntMM(mn, mx) if dt == LongType || dt == TimestampType ||
+                dt == TimestampNTZType =>
+              p -> ((mn: Any, mx: Any))
           }
         }
+        pending += PendingFile(dp, rel, groupBy.map(pathVals), pathVals,
+          frows.get(rel), sideMM,
+          needMM.filterNot(kv => sideMM.contains(kv._1)),
+          needNulls -- dirNullServed)
+      }
+    }
+
+    // tier 3: footer reads for whatever is still missing, in parallel
+    val files = pending.result()
+    val needFooter = files.filter(f =>
+      f.missMM.nonEmpty || f.missNulls.nonEmpty || f.sideRows.isEmpty)
+    val footered: Map[(String, String), Option[(Long, Map[String, (Any, Any)], Map[String, Long])]] =
+      if (needFooter.isEmpty) Map.empty
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, math.max(1, Runtime.getRuntime.availableProcessors())))
+        try needFooter.map { f =>
+          (f.dp, f.rel) -> pool.submit(
+            new java.util.concurrent.Callable[Option[(Long, Map[String, (Any, Any)], Map[String, Long])]] {
+              override def call() =
+                fileAggStats(conf, Paths.get(f.dp, f.rel), f.missMM, f.missNulls)
+            })
+        }.map { case (k, fut) => k -> fut.get() }.toMap
+        finally pool.shutdown()
+      }
+
+    files.foreach { f =>
+      val (rows, footMM, footNullsM) = footered.get((f.dp, f.rel)) match {
+        case Some(None) => return None // ambiguous footer: fall back to the scan
+        case Some(Some((r, m, n))) => (r, m, n)
+        case None => (f.sideRows.get, Map.empty[String, (Any, Any)], Map.empty[String, Long])
+      }
+      val a = acc.getOrElseUpdate(f.group, new Acc)
+      a.rows += rows
+      (f.sideMM ++ footMM).foreach { case (phys, (lo, hi)) =>
+        foldMM(a, phys2log(phys), lo, hi)
+      }
+      footNullsM.foreach { case (phys, n) =>
+        val log = phys2log(phys)
+        a.nulls.update(log, a.nulls.getOrElse(log, 0L) + n)
+      }
+      // partition-sourced aggregate columns: value (or NULL) from the path
+      refCols.filter(partSourced).foreach { col =>
+        f.pathVals(col) match {
+          case null => a.nulls.update(col, a.nulls.getOrElse(col, 0L) + rows)
+          case v if rows > 0 => foldMM(a, col, v, v)
+          case _ => ()
+        }
+      }
+    }
+    // tier-1 dir-level nulls land once, on the single global group
+    if (dirNulls.nonEmpty) {
+      val a = acc.getOrElseUpdate(Nil, new Acc)
+      dirNulls.foreach { case (phys, n) =>
+        val log = phys2log(phys)
+        a.nulls.update(log, a.nulls.getOrElse(log, 0L) + n)
       }
     }
     if (groupBy.isEmpty && acc.isEmpty) acc.update(Nil, new Acc)
@@ -5440,6 +5513,17 @@ object VersionedTable {
       fileRows = p.fileRows.filter(kv => keep.contains(kv._1))))
   }
 
+  /** Per-JVM memo of [[fileAggStatsUncached]]: a data file is IMMUTABLE
+    * once its dir publishes (attempt-unique names, rewrites land in new
+    * dirs), so one footer read per (file, wanted-column-set) is exact
+    * forever — repeat aggregations and top-N prunes over the same
+    * snapshot then cost zero IO. The posDvCache contract: entries for
+    * vacuumed files are just dead memory, bounded by footer-stat size
+    * (a few hundred bytes each).
+    */
+  private val fileAggCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Option[(Long, Map[String, (Any, Any)], Map[String, Long])]]()
+
   /** Exact aggregate statistics of ONE parquet file from its footer: row
     * count, per-column (min, max) as Spark-internal values, per-column
     * null counts — or None when any required statistic is missing, a
@@ -5448,6 +5532,20 @@ object VersionedTable {
     * from the file's schema reads as all-NULL (add-column evolution).
     */
   private def fileAggStats(conf: org.apache.hadoop.conf.Configuration,
+      file: java.nio.file.Path, needMM: Map[String, org.apache.spark.sql.types.DataType],
+      needNulls: Set[String])
+      : Option[(Long, Map[String, (Any, Any)], Map[String, Long])] = {
+    // the requested TYPE is part of the key: after a type-widening
+    // evolution the same column name resolves to a different logical
+    // type, and a pre-widen file answers one but not the other
+    val key = file.toString + "|" +
+      needMM.toSeq.sortBy(_._1).map { case (k, v) => s"$k:$v" }.mkString(",") +
+      "|" + needNulls.toSeq.sorted.mkString(",")
+    fileAggCache.computeIfAbsent(key,
+      _ => fileAggStatsUncached(conf, file, needMM, needNulls))
+  }
+
+  private def fileAggStatsUncached(conf: org.apache.hadoop.conf.Configuration,
       file: java.nio.file.Path, needMM: Map[String, org.apache.spark.sql.types.DataType],
       needNulls: Set[String])
       : Option[(Long, Map[String, (Any, Any)], Map[String, Long])] = {
