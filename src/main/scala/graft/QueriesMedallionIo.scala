@@ -4063,5 +4063,55 @@ private[graft] object QueriesMedallionIo {
         |    max(CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_custkey END),
         |    CAST(sum(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM orders
         |) ORDER BY col""".stripMargin)),
+
+    // S17 — RESIDUAL-FREE PARTITION PREDICATES (GraftPartitionFilters):
+    // exact = / IN / IS [NOT] NULL over hive partition columns are
+    // CLAIMED in pushFilters, so Spark drops its Filter node entirely
+    // (`filter_nodes` probes the executed plan); enforcement moves into
+    // the scan — key groups drop by their typed path tuple — and, with
+    // no Filter node in the way, `COUNT(*) WHERE partition = v` composes
+    // with the metadata aggregation (`aggscan` pins GraftAggScan,
+    // `urgent_n` pins its value against the oracle). At 100 TB this is
+    // Iceberg/Hive partition semantics: a partition-restricted query
+    // evaluates ZERO per-row predicates, and its row count needs zero
+    // data tasks.
+    Q("versioned_partition_filter",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        Fixtures.once(s, dir, "vt_cat_pf") {
+          rmrf(s"$wh/pf")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.pf")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_pf_orders")
+          s.sql("CREATE TABLE gq.pf.t " +
+            "(o_orderkey BIGINT, o_orderpriority STRING, cents BIGINT) " +
+            "PARTITIONED BY (o_orderpriority) " +
+            "TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+          s.sql("INSERT INTO gq.pf.t SELECT o_orderkey, o_orderpriority, " +
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+            "FROM cat_pf_orders")
+          java.lang.Boolean.TRUE
+        }
+        val sel = s.sql("SELECT o_orderkey, cents FROM gq.pf.t " +
+          "WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')")
+        val filterNodes = "(?m)^[\\s:+\\-]*(?:\\*\\(\\d+\\) )?Filter\\b".r
+          .findAllIn(sel.queryExecution.executedPlan.toString).length.toLong
+        val cnt = s.sql("SELECT count(*) AS c FROM gq.pf.t " +
+          "WHERE o_orderpriority = '1-URGENT'")
+        val aggscan = if (cnt.queryExecution.executedPlan.toString
+          .contains("GraftAggScan")) 1L else 0L
+        sel
+          .withColumn("filter_nodes", lit(filterNodes))
+          .withColumn("aggscan", lit(aggscan))
+          .withColumn("urgent_n", lit(cnt.head().getLong(0)))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  CAST(0 AS BIGINT) AS filter_nodes, CAST(1 AS BIGINT) AS aggscan,
+        |  (SELECT count(*) FROM orders WHERE o_orderpriority = '1-URGENT') AS urgent_n
+        |FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        |ORDER BY o_orderkey""".stripMargin)),
   )
 }

@@ -651,6 +651,12 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
 
   private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
+  // exact partition predicates CLAIMED residual-free (GraftPartitionFilters
+  // — Spark drops its Filter node; every scan shape below enforces them)
+  private var claimed: Array[Filter] = Array.empty
+  // what pushFilters handed back to Spark (defensive guard for the
+  // aggregate pushdown, which must never run under residual predicates)
+  private var residual: Array[Filter] = Array.empty
 
   // ---- limit / top-N pushdown (PARTIAL: Spark keeps its own operator,
   // the scan just prunes the planned FILE SET — a superset is always
@@ -709,7 +715,10 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
     if (aggCacheKey.exists(_ eq agg)) return aggCached
     aggCacheKey = Some(agg)
     aggCached = None
-    if (pushed.nonEmpty || wantsDirCol || wantsRowCoords) return None
+    // residual predicates block metadata aggregation (Spark never offers
+    // it under a Filter node — this guard is defensive); CLAIMED partition
+    // predicates compose: metadataAggregate enforces them per file
+    if (residual.nonEmpty || wantsDirCol || wantsRowCoords) return None
     if (spark.conf.get("spark.graft.aggPushdown", "true") != "true") return None
     def refCol(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -733,7 +742,7 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
     val version = asOf.orElse(graft.io.VersionedTable.latestVersion(root))
     if (version.isEmpty) return None
     val rows = graft.io.VersionedTable.metadataAggregate(
-      spark, root, version, tableSchema, g, a).getOrElse(return None)
+      spark, root, version, tableSchema, g, a, claimed.toSeq).getOrElse(return None)
     def fieldOf(n: String) = tableSchema.fields.find(_.name == n).get
     val outFields = g.map(n => fieldOf(n).copy(nullable = true)) ++ a.map {
       case MetaAgg.Rows       => StructField("count(*)", LongType, nullable = false)
@@ -746,7 +755,11 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
       case MetaAgg.NonNull(x) => s"COUNT($x)"
       case MetaAgg.Lo(x)      => s"MIN($x)"
       case MetaAgg.Hi(x)      => s"MAX($x)"
-    } ++ (if (g.nonEmpty) Seq(s"GROUP BY ${g.mkString(", ")}") else Nil))
+    } ++ (if (g.nonEmpty) Seq(s"GROUP BY ${g.mkString(", ")}") else Nil) ++
+      // claimed partition predicates are part of the scan's IDENTITY —
+      // without them here, exchange reuse could substitute a scan
+      // filtered on a different partition value
+      (if (claimed.nonEmpty) Seq(s"WHERE ${claimed.mkString(" AND ")}") else Nil))
       .mkString(", ")
     aggCached = Some(new GraftAggScan(root, version.get,
       StructType(outFields), rows, desc))
@@ -765,7 +778,27 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = VersionedRelation.pushable(filters)
-    filters // ALL filters stay residual: skipping is never a correctness input
+    // exact partition-column predicates are CLAIMED (residual-free) when
+    // the snapshot's layout supports exact enforcement: single layout era,
+    // path-round-trippable key types. Everything else stays residual —
+    // the envelope/bloom index remains advisory-only.
+    claimed = Array.empty
+    if (spark.conf.get("spark.graft.partitionFilterPushdown", "true") == "true") {
+      val snap = asOf.flatMap(v => VersionedTable.commitAt(root, v))
+        .orElse(VersionedTable.latestCommit(root))
+      snap.filter(c => c.partitionCols.nonEmpty && c.dirLayouts.isEmpty)
+        .foreach { c =>
+          // claimable columns: LOGICAL name whose physical name is a
+          // declared partition key of a path-round-trippable type
+          val keyTypes: Map[String, org.apache.spark.sql.types.DataType] =
+            tableSchema.fields.iterator
+              .filter(f => c.partitionCols.contains(c.nameMap.getOrElse(f.name, f.name)))
+              .map(f => f.name -> f.dataType).toMap
+          claimed = filters.filter(GraftPartitionFilters.claimable(_, keyTypes))
+        }
+    }
+    residual = filters.filterNot(claimed.contains)
+    residual
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -808,7 +841,15 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
           s"scan of $root with ${GraftDeltaScan.FILE_COL}/" +
             s"${GraftDeltaScan.POS_COL}: $reason")
       }
-      return new GraftDeltaScan(spark, root, plan, required, pushed)
+      // CLAIMED partition predicates enforce per FILE on the typed key
+      // values the plan parsed from the hive paths (exact, era-safe)
+      val planC = if (claimed.isEmpty) plan else {
+        val inv = plan.nameMap.map(_.swap)
+        val names = plan.keyFields.map(f => inv.getOrElse(f.name, f.name))
+        plan.copy(files = plan.files.filter(f => GraftPartitionFilters.passes(
+          claimed.toSeq, names.zip(f.keyVals).toMap)))
+      }
+      return new GraftDeltaScan(spark, root, planC, required, pushed)
     }
     if (wantsDirCol) {
       // `_graft_dir` requested (a row-level group-filter subquery): only
@@ -818,16 +859,33 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
         case Left(reason) => throw new UnsupportedOperationException(
           s"scan of $root with ${GraftCowScan.DIR_COL}: $reason")
       }
+      val planC = if (claimed.isEmpty) plan else {
+        val inv = plan.nameMap.map(_.swap)
+        val names = plan.keyFields.map(f => inv.getOrElse(f.name, f.name))
+        plan.copy(files = plan.files.filter(f => GraftPartitionFilters.passes(
+          claimed.toSeq, names.zip(f.keyVals).toMap)))
+      }
       return new GraftCowScan(spark, root,
-        version.getOrElse(sys.error(s"$root: empty table")), plan,
+        version.getOrElse(sys.error(s"$root: empty table")), planC,
         StructType(required.fields.filterNot(_.name == GraftCowScan.DIR_COL) :+
           org.apache.spark.sql.types.StructField(GraftCowScan.DIR_COL,
             org.apache.spark.sql.types.StringType, nullable = false)))
     }
-    GraftKeyedScan.ifEligible(spark, root, version, required, pushed)
-      .orElse(GraftFlatScan.ifEligible(spark, root, version, required, pushed,
-        limitN, topN))
-      .getOrElse(new GraftV1FallbackScan(root, version, required, pushed))
+    // claimed predicates route: keyed batch enforces on its key GROUPS;
+    // everything else takes the V1 fallback, whose relation applies them
+    // as a DataFrame filter (era-safe logical columns). The flat batch is
+    // skipped entirely — a flat snapshot means the partition layout
+    // changed since claiming, where only the V1 filter is trustworthy.
+    if (claimed.nonEmpty)
+      GraftKeyedScan.ifEligible(spark, root, version, required, pushed,
+          claimed.toSeq)
+        .getOrElse(new GraftV1FallbackScan(root, version, required, pushed,
+          claimed.toSeq))
+    else
+      GraftKeyedScan.ifEligible(spark, root, version, required, pushed)
+        .orElse(GraftFlatScan.ifEligible(spark, root, version, required, pushed,
+          limitN, topN))
+        .getOrElse(new GraftV1FallbackScan(root, version, required, pushed))
   }
 }
 
@@ -836,7 +894,8 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
   * predicates that reached the manifest index.
   */
 class GraftV1FallbackScan(root: String, version: Option[Long],
-                          required: StructType, pushed: Array[Filter])
+                          required: StructType, pushed: Array[Filter],
+                          claimed: Seq[Filter] = Nil)
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
@@ -849,8 +908,15 @@ class GraftV1FallbackScan(root: String, version: Option[Long],
 
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
-      // manifest-envelope column stats — VersionedTable.v2ColumnStats
-      private val cols = VersionedTable.v2ColumnStats(root, version, required)
+      // manifest-envelope column stats — VersionedTable.v2ColumnStats.
+      // Not served under claimed partition predicates: table-wide
+      // extremes/null counts would misdescribe the filtered subset.
+      private val cols =
+        if (claimed.nonEmpty)
+          new java.util.HashMap[
+            org.apache.spark.sql.connector.expressions.NamedReference,
+            org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        else VersionedTable.v2ColumnStats(root, version, required)
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(snapBytes)
       override def numRows(): java.util.OptionalLong =
@@ -862,32 +928,38 @@ class GraftV1FallbackScan(root: String, version: Option[Long],
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =
-    new GraftV1ScanRelation(context, root, version, required, pushed)
+    new GraftV1ScanRelation(context, root, version, required, pushed, claimed)
       .asInstanceOf[T]
 
   override def description(): String =
-    s"GraftV1FallbackScan $root v${version.getOrElse(-1L)}"
+    s"GraftV1FallbackScan $root v${version.getOrElse(-1L)}" +
+      (if (claimed.nonEmpty) s" PartitionFilters: [${claimed.mkString(", ")}]" else "")
 }
 
 final class GraftV1ScanRelation(override val sqlContext: SQLContext,
                                 private val root: String,
                                 private val version: Option[Long],
                                 private val required: StructType,
-                                private val pushed: Array[Filter])
+                                private val pushed: Array[Filter],
+                                private val claimed: Seq[Filter] = Nil)
     extends BaseRelation with TableScan {
   override def schema: StructType = required
 
   // value equality on the logical scan identity — required for Spark's
   // exchange reuse (and through it DPP) to recognize two builds of the
-  // same table scan; see GraftKeyedScan.equals for the full story
+  // same table scan; see GraftKeyedScan.equals for the full story.
+  // claimed is part of the identity: two scans differing only in their
+  // enforced partition predicate must never be substituted for another.
   override def equals(other: Any): Boolean = other match {
     case o: GraftV1ScanRelation =>
       root == o.root && version == o.version &&
-        required == o.required && pushed.toSeq == o.pushed.toSeq
+        required == o.required && pushed.toSeq == o.pushed.toSeq &&
+        claimed == o.claimed
     case _ => false
   }
 
-  override def hashCode(): Int = (root, version, required, pushed.toSeq).hashCode()
+  override def hashCode(): Int =
+    (root, version, required, pushed.toSeq, claimed).hashCode()
 
   override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
     val (ranges, points, nullProbes) = VersionedRelation.translate(pushed)
@@ -895,7 +967,12 @@ final class GraftV1ScanRelation(override val sqlContext: SQLContext,
       sqlContext.sparkSession, root, version, ranges, points, nullProbes)
     VersionedRelation.lastScan = VersionedRelation.ScanInfo(
       required.fieldNames.toSeq, ranges.size, points.size, keptDirs, totalDirs)
-    df.select(required.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*).rdd
+    // CLAIMED partition predicates are a correctness input here — Spark
+    // dropped its Filter node, so this relation must apply them itself
+    // (era-safe: the scan materializes partition values per layout era)
+    val dfC = if (claimed.isEmpty) df
+      else df.filter(GraftPartitionFilters.toColumn(claimed))
+    dfC.select(required.fieldNames.map(org.apache.spark.sql.functions.col).toSeq: _*).rdd
   }
 }
 

@@ -45,7 +45,7 @@ import graft.io.VersionedTable
   */
 final class GraftKeyedScan(spark: SparkSession, private val root: String,
     private val plan: VersionedTable.KeyedPlan, private val required: StructType,
-    private val pushed: Array[Filter])
+    private val pushed: Array[Filter], private val claimed: Seq[Filter] = Nil)
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -68,8 +68,15 @@ final class GraftKeyedScan(spark: SparkSession, private val root: String,
       if (fs.nonEmpty && fs.forall(f => plan.fileRows.contains(f._1)))
         java.util.OptionalLong.of(fs.map(f => plan.fileRows(f._1)).sum)
       else java.util.OptionalLong.empty()
-    // manifest-envelope column stats for the CBO — VersionedTable.v2ColumnStats
-    private val cols = VersionedTable.v2ColumnStats(root, Some(plan.version), required)
+    // manifest-envelope column stats for the CBO — VersionedTable
+    // .v2ColumnStats; withheld under claimed partition predicates, whose
+    // filtered subset table-wide stats would misdescribe
+    private val cols =
+      if (claimed.nonEmpty)
+        new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      else VersionedTable.v2ColumnStats(root, Some(plan.version), required)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = rows
@@ -217,7 +224,8 @@ final class GraftKeyedScan(spark: SparkSession, private val root: String,
 
   override def description(): String =
     s"GraftKeyedScan $root v${plan.version} keys=${keyNames.mkString(",")} " +
-      s"groups=${plan.groups.size}"
+      s"groups=${plan.groups.size}" +
+      (if (claimed.nonEmpty) s" PartitionFilters: [${claimed.mkString(", ")}]" else "")
 
   // VALUE equality on the scan's logical identity (root, pinned version,
   // projection, pushed filters) — what lets Spark's canonicalized plan
@@ -230,12 +238,13 @@ final class GraftKeyedScan(spark: SparkSession, private val root: String,
   override def equals(other: Any): Boolean = other match {
     case o: GraftKeyedScan =>
       root == o.root && plan.version == o.plan.version &&
-        required == o.required && pushed.toSeq == o.pushed.toSeq
+        required == o.required && pushed.toSeq == o.pushed.toSeq &&
+        claimed == o.claimed // enforced predicates ARE the scan's identity
     case _ => false
   }
 
   override def hashCode(): Int =
-    (root, plan.version, required, pushed.toSeq).hashCode()
+    (root, plan.version, required, pushed.toSeq, claimed).hashCode()
 }
 
 object GraftKeyedScan {
@@ -248,10 +257,25 @@ object GraftKeyedScan {
     * shape, refuse (None) anything the raw reader can't honor.
     */
   def ifEligible(spark: SparkSession, root: String, version: Option[Long],
-                 required: StructType, pushed: Array[Filter]): Option[Scan] = {
+                 required: StructType, pushed: Array[Filter],
+                 claimed: Seq[Filter] = Nil): Option[Scan] = {
     val (ranges, points, nullProbes) = graft.io.VersionedRelation.translate(pushed)
     VersionedTable.keyedBatchPlan(root, version, ranges, points, nullProbes)
-      .map(p => new GraftKeyedScan(spark, root, p, required, pushed))
+      .flatMap { p0 =>
+        // CLAIMED partition predicates enforce on the key GROUPS — exact:
+        // each group's tuple is the parsed path value in declared types.
+        // Zero surviving groups falls back (None → the V1 relation, which
+        // filters to the same empty result) rather than planning an empty
+        // KeyGroupedPartitioning.
+        val p = if (claimed.isEmpty) p0 else {
+          val inv = p0.nameMap.map(_.swap)
+          val names = p0.keySchema.fieldNames.toSeq.map(n => inv.getOrElse(n, n))
+          p0.copy(groups = p0.groups.filter(g => GraftPartitionFilters.passes(
+            claimed, names.zip(g.key).toMap)))
+        }
+        if (claimed.nonEmpty && p.groups.isEmpty) None
+        else Some(new GraftKeyedScan(spark, root, p, required, pushed, claimed))
+      }
   }
 }
 

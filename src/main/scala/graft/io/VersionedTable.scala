@@ -948,6 +948,9 @@ object VersionedTable {
     kvs.get("graft.vacuum.retainLast").foreach(v =>
       require(v.toIntOption.exists(_ >= 1),
         s"graft.vacuum.retainLast must be an integer >= 1, got '$v'"))
+    kvs.get("graft.write.clusterByKeys").foreach(v =>
+      require(v == "true" || v == "false",
+        s"graft.write.clusterByKeys must be 'true' or 'false', got '$v'"))
     findCommitVersion(root, commitId) match {
       case Some(prior) => prior
       case None =>
@@ -1638,7 +1641,22 @@ object VersionedTable {
         // is a hint
         val nextV = latestVersion(root).map(_ + 1).getOrElse(1L)
         val dirName = attemptDirName("data", nextV, commitId)
-        var w = dfPhys.write.mode("overwrite")
+        // opt-in write clustering ('graft.write.clusterByKeys'): shuffle
+        // the batch by its partition keys before the hive write, so the
+        // dir lands O(keys) files instead of O(tasks × keys) — without it
+        // EVERY task holding a key value opens a file under that value's
+        // subdir (the classic unclustered-partitioned-write small-file
+        // explosion; the delta-DML writer already declares the same
+        // clustering via RequiresDistributionAndOrdering). Declared as a
+        // table property so an ingest pipeline opts in once; costs one
+        // exchange per commit, which at scale buys back whole compaction
+        // runs.
+        val clusterKeys = partitionCols.nonEmpty &&
+          preParent0.exists(_.props.get("graft.write.clusterByKeys").contains("true"))
+        val dfOut =
+          if (clusterKeys) dfPhys.repartition(partitionCols.map(dfPhys.col): _*)
+          else dfPhys
+        var w = dfOut.write.mode("overwrite")
         if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
         w.parquet(s"$root/$dirName")
         val dirStats = gatherStats(df.sparkSession, s"$root/$dirName", physStats, dfPhys.schema)
@@ -5110,7 +5128,9 @@ object VersionedTable {
     */
   private[graft] def metadataAggregate(spark: SparkSession, root: String,
       asOf: Option[Long], tableSchema: org.apache.spark.sql.types.StructType,
-      groupBy: Seq[String], aggs: Seq[MetaAgg]): Option[Seq[Seq[Any]]] = {
+      groupBy: Seq[String], aggs: Seq[MetaAgg],
+      partFilters: Seq[org.apache.spark.sql.sources.Filter] = Nil)
+      : Option[Seq[Seq[Any]]] = {
     import org.apache.spark.sql.types._
     if (latestVersion(root).isEmpty) return None
     val c = resolveSnapshot(root, asOf)
@@ -5121,16 +5141,26 @@ object VersionedTable {
       case MetaAgg.Lo(x)      => Seq(x)
       case MetaAgg.Hi(x)      => Seq(x)
     }
+    // CLAIMED partition predicates (GraftPartitionFilters — Spark dropped
+    // its Filter node, so enforcing them here is a CORRECTNESS input):
+    // each one references a partition column; its value comes from the
+    // same path extraction the grouping uses, so enforcement is per-file
+    // exact. Any unexpected shape refuses the whole pushdown — the
+    // fallback scans enforce the claim themselves.
+    val filterCols = partFilters.flatMap(_.references).distinct
+    def isPart(n: String): Boolean = c.partitionCols.contains(physName(c, n))
+    if (filterCols.exists(!isPart(_))) return None
     val refCols = (groupBy ++ aggs.flatMap(colsOf)).distinct
     if (refCols.exists(c.defaults.contains)) return None
-    if (groupBy.exists(g => !c.partitionCols.contains(g))) return None
-    val partSourced = refCols.filter(c.partitionCols.contains).toSet
+    if (groupBy.exists(g => !isPart(g))) return None
+    val partSourced = refCols.filter(isPart).toSet
     // path extraction needs the single declared layout on every live file
-    if ((groupBy.nonEmpty || partSourced.nonEmpty) && c.dirLayouts.nonEmpty)
+    if ((groupBy.nonEmpty || partSourced.nonEmpty || filterCols.nonEmpty) &&
+        c.dirLayouts.nonEmpty)
       return None
-    val types: Map[String, DataType] = refCols.flatMap(n =>
+    val types: Map[String, DataType] = (refCols ++ filterCols).distinct.flatMap(n =>
       tableSchema.fields.find(_.name == n).map(f => n -> f.dataType)).toMap
-    if (types.size != refCols.size) return None
+    if (types.size != (refCols ++ filterCols).distinct.size) return None
     def pathParseable(dt: DataType) =
       dt == IntegerType || dt == LongType || dt == StringType
     def footerExact(dt: DataType) = dt match {
@@ -5143,6 +5173,7 @@ object VersionedTable {
       case _ => true
     }
     val shapesOk = groupBy.forall(g => pathParseable(types(g))) &&
+      filterCols.forall(fc => pathParseable(types(fc))) &&
       aggs.forall {
         case MetaAgg.Rows => true
         case MetaAgg.NonNull(x) =>
@@ -5195,7 +5226,8 @@ object VersionedTable {
     }
     val conf = spark.sessionState.newHadoopConf()
     val acc = scala.collection.mutable.LinkedHashMap[Seq[Any], Acc]()
-    val pathCols: Seq[String] = (groupBy ++ refCols.filter(partSourced)).distinct
+    val pathCols: Seq[String] =
+      (groupBy ++ refCols.filter(partSourced) ++ filterCols).distinct
 
     // TIERED resolution — the plan-time cost model:
     //  tier 1 (zero IO): dir-level manifest nullCounts serve COUNT(col)
@@ -5221,20 +5253,24 @@ object VersionedTable {
       if (!new File(dp).isDirectory) return None // vacuumed ref: let the scan path report it
       val frows = readFileRows(dp)
       val fstats = readFileStats(dp).getOrElse(Map.empty)
-      // tier 1: dir-level null counts (global aggregations only — a dir
-      // spans many partition values, so grouped shapes need per-file)
+      // tier 1: dir-level null counts (global UNFILTERED aggregations
+      // only — a dir spans many partition values, so grouped or
+      // partition-filtered shapes need per-file accounting)
       val dirNullServed: Set[String] =
-        if (groupBy.nonEmpty) Set.empty
+        if (groupBy.nonEmpty || partFilters.nonEmpty) Set.empty
         else needNulls.filter(p => c.nullCounts.get(d).exists(_.contains(p)))
       dirNullServed.foreach { p =>
         dirNulls.update(p, dirNulls.getOrElse(p, 0L) + c.nullCounts(d)(p)._1)
       }
       parquetFiles(dp).foreach { rel =>
-        // partition-path values of every path-sourced column (None = abort)
+        // partition-path values of every path-sourced column (None =
+        // abort); path segments carry PHYSICAL names, pathVals keys stay
+        // logical — renames compose
         val pathVals: Map[String, Any] = pathCols.map { col =>
+          val phys = physName(c, col)
           val seg = rel.split('/').dropRight(1)
-            .collectFirst { case s if s.startsWith(col + "=") =>
-              s.substring(col.length + 1) }
+            .collectFirst { case s if s.startsWith(phys + "=") =>
+              s.substring(phys.length + 1) }
           seg match {
             case None => return None // file outside the declared layout
             case Some("__HIVE_DEFAULT_PARTITION__") => col -> null
@@ -5263,10 +5299,15 @@ object VersionedTable {
               p -> ((mn: Any, mx: Any))
           }
         }
-        pending += PendingFile(dp, rel, groupBy.map(pathVals), pathVals,
-          frows.get(rel), sideMM,
-          needMM.filterNot(kv => sideMM.contains(kv._1)),
-          needNulls -- dirNullServed)
+        // claimed partition predicates: a failing file contributes NOTHING
+        // (the enforcement that replaces Spark's dropped Filter node)
+        if (partFilters.isEmpty ||
+            graft.catalog.GraftPartitionFilters.passes(partFilters, pathVals)) {
+          pending += PendingFile(dp, rel, groupBy.map(pathVals), pathVals,
+            frows.get(rel), sideMM,
+            needMM.filterNot(kv => sideMM.contains(kv._1)),
+            needNulls -- dirNullServed)
+        }
       }
     }
 

@@ -813,4 +813,41 @@ class CatalogSpec extends SparkSpec {
       "('graft.stats.columns' = 'id') AS SELECT id, id * 2 AS v FROM range(0, 40)")
     assert(reportedRows(spark.table("gcat.db.nrflat")).contains(BigInt(40)))
   }
+
+  test("catalog: graft.write.clusterByKeys lands O(keys) files per commit, not O(tasks x keys)") {
+    warehouse
+    def filesPerKey(root: String): Map[String, Int] = {
+      val dir = VersionedTable.latestCommit(root).get.dirs.last
+      val base = java.nio.file.Paths.get(s"$root/$dir")
+      import scala.jdk.CollectionConverters._
+      val w = java.nio.file.Files.walk(base)
+      try w.iterator().asScala.toSeq
+        .filter(p => p.getFileName.toString.endsWith(".parquet") &&
+          !p.getFileName.toString.startsWith("_"))
+        .groupBy(p => base.relativize(p).toString.split('/').head)
+        .map { case (k, fs) => k -> fs.size }
+      finally w.close()
+    }
+    // unclustered: an 8-task source holding both keys opens a file per
+    // (task, key) pair under each hive subdir
+    spark.sql("CREATE TABLE gcat.db.wc0 (id BIGINT, grp STRING) PARTITIONED BY (grp)")
+    spark.range(0, 8000).repartition(8)
+      .selectExpr("id", "concat('g', id % 2) AS grp")
+      .createOrReplaceTempView("wc_src")
+    spark.sql("INSERT INTO gcat.db.wc0 SELECT * FROM wc_src")
+    assert(filesPerKey(s"$warehouse/db/wc0").values.forall(_ > 1),
+      filesPerKey(s"$warehouse/db/wc0").toString)
+    // clustered: the declared property shuffles by key first — one file
+    // per key value, every reader's small-file story intact from birth
+    spark.sql("CREATE TABLE gcat.db.wc1 (id BIGINT, grp STRING) PARTITIONED BY (grp) " +
+      "TBLPROPERTIES ('graft.write.clusterByKeys' = 'true')")
+    spark.sql("INSERT INTO gcat.db.wc1 SELECT * FROM wc_src")
+    assert(filesPerKey(s"$warehouse/db/wc1") == Map("grp=g0" -> 1, "grp=g1" -> 1),
+      filesPerKey(s"$warehouse/db/wc1").toString)
+    assert(spark.table("gcat.db.wc1").count() == 8000L)
+    // a typo'd value refuses at SET time, never silently disables
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE gcat.db.wc1 SET TBLPROPERTIES ('graft.write.clusterByKeys' = 'ture')"))
+      .getMessage.contains("clusterByKeys"))
+  }
 }

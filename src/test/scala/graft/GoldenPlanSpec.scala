@@ -92,7 +92,15 @@ class GoldenPlanSpec extends SparkSpec {
     // the table reads through positional-vector skips inside the scan's
     // own span: ZERO join nodes (a key-MOR or anti-join regression in the
     // vector application would add join operators here by diff)
-    "versioned_catalog_update_dv" -> "Exchange hashpartitioning=1, Exchange rangepartitioning=1, HashAggregate=2")
+    "versioned_catalog_update_dv" -> "Exchange hashpartitioning=1, Exchange rangepartitioning=1, HashAggregate=2",
+    // r15 late additions: the aggregate-pushdown plan's WHOLE point is the
+    // ABSENCE of Aggregate and hash-exchange nodes — a grouped count/min/max
+    // answered by GraftAggScan with only the query's own orderBy exchange
+    // (a pushdown regression would add HashAggregate=2 + an exchange by
+    // diff); the top-N pushdown keeps Spark's TakeOrderedAndProject as the
+    // ONLY ordering operator, with no sort exchange below it
+    "versioned_agg_pushdown" -> "Exchange rangepartitioning=1",
+    "versioned_limit_topn" -> "TakeOrderedAndProject=1")
 
   test("plan fingerprints of the heaviest batch queries match the committed goldens") {
     val actual = golden.keys.toSeq.sorted.map(n => n -> fingerprint(n))

@@ -1,0 +1,147 @@
+package graft
+
+/** Residual-free partition predicates (GraftPartitionFilters +
+  * GraftScanBuilder.pushFilters): exact `=` / `IN` / `IS [NOT] NULL`
+  * over hive partition columns are CLAIMED, so Spark drops its Filter
+  * node, and every scan shape enforces them — keyed groups, the V1
+  * fallback's DataFrame filter, row-coordinate file sets, and the
+  * metadata aggregation (which therefore now composes with WHERE
+  * partition = v). Every claim is cross-checked against the same query
+  * with the pushdown disabled, including escaped path values and NULL
+  * partitions.
+  */
+class PartitionFilterSpec extends SparkSpec {
+  import TestSpark._
+
+  private lazy val warehouse: String = {
+    val w = tmpDir("gpf_wh")
+    spark.conf.set("spark.sql.catalog.gpf", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gpf.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gpf.db")
+    spark.sql("CREATE TABLE gpf.db.t (id BIGINT, grp STRING, n INT, v BIGINT) " +
+      "PARTITIONED BY (grp, n) TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    // values exercising path escaping (':' '%' ' ') and a NULL partition
+    spark.sql("INSERT INTO gpf.db.t SELECT id, " +
+      "CASE WHEN id % 5 = 0 THEN NULL " +
+      "     WHEN id % 5 = 1 THEN 'a:b' WHEN id % 5 = 2 THEN 'p%q' " +
+      "     WHEN id % 5 = 3 THEN 'w s' ELSE 'plain' END, " +
+      "CAST(id % 3 AS INT), id * 10 FROM range(0, 200)")
+    w
+  }
+
+  private def filterNodes(df: org.apache.spark.sql.DataFrame): Int = {
+    val rx = "(?m)^[\\s:+\\-]*(?:\\*\\(\\d+\\) )?Filter\\b".r
+    rx.findAllIn(df.queryExecution.executedPlan.toString).length
+  }
+
+  /** Pushed result vs the same query with the claim disabled. */
+  private def check(sql: String, expectNoFilter: Boolean = true): Unit = {
+    val pushedQ = spark.sql(sql)
+    if (expectNoFilter)
+      assert(filterNodes(pushedQ) == 0,
+        s"expected NO Filter node for: $sql\n${pushedQ.queryExecution.executedPlan.toString.take(900)}")
+    val got = pushedQ.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+    spark.conf.set("spark.graft.partitionFilterPushdown", "false")
+    try {
+      val truthQ = spark.sql(sql)
+      assert(filterNodes(truthQ) > 0 || !expectNoFilter,
+        "truth run should keep the Filter node")
+      val want = truthQ.collect().map(_.toSeq.mkString("|")).sorted.toSeq
+      assert(got == want, s"claimed-filter result diverged for: $sql")
+    } finally spark.conf.set("spark.graft.partitionFilterPushdown", "true")
+  }
+
+  test("partition filters: = / IN / IS NULL / IS NOT NULL claim residual-free and stay exact (escaped values included)") {
+    warehouse
+    check("SELECT id, v FROM gpf.db.t WHERE grp = 'plain'")
+    check("SELECT id, v FROM gpf.db.t WHERE grp = 'a:b'")
+    check("SELECT id, v FROM gpf.db.t WHERE grp = 'p%q'")
+    check("SELECT id, v FROM gpf.db.t WHERE grp = 'w s'")
+    check("SELECT id, v FROM gpf.db.t WHERE grp IN ('a:b', 'w s')")
+    check("SELECT id, v FROM gpf.db.t WHERE grp IS NULL")
+    check("SELECT id, v FROM gpf.db.t WHERE grp IS NOT NULL AND n = 2")
+    check("SELECT id, v FROM gpf.db.t WHERE n IN (0, 1)")
+    // no matching partition value: zero groups → empty, still no Filter
+    check("SELECT id FROM gpf.db.t WHERE grp = 'absent'")
+    assert(spark.sql("SELECT id FROM gpf.db.t WHERE grp = 'absent'").count() == 0L)
+  }
+
+  test("partition filters: mixed predicate keeps only the residual in the Filter node") {
+    warehouse
+    val q = spark.sql("SELECT id FROM gpf.db.t WHERE grp = 'plain' AND v > 500")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(filterNodes(q) == 1, plan.take(600))
+    // the Filter OPERATOR lines must not mention grp (the scan's own
+    // PartitionFilters tag of course does — that's the claim)
+    val filterLines = plan.linesIterator.filter(
+      _.matches("^[\\s:+\\-]*(?:\\*\\(\\d+\\) )?Filter\\b.*")).toSeq
+    assert(filterLines.nonEmpty && filterLines.forall(!_.contains("grp")),
+      s"grp must not appear in the Filter node:\n${plan.take(900)}")
+    check("SELECT id FROM gpf.db.t WHERE grp = 'plain' AND v > 500",
+      expectNoFilter = false)
+  }
+
+  test("partition filters: compose with the metadata aggregation — COUNT under WHERE partition, zero data tasks") {
+    warehouse
+    val q = spark.sql("SELECT count(*) AS c, min(id) AS lo, max(id) AS hi " +
+      "FROM gpf.db.t WHERE grp = 'plain'")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftAggScan"), plan.take(900))
+    assert(!plan.contains("HashAggregate"), plan.take(900))
+    check("SELECT count(*) AS c, min(id) AS lo, max(id) AS hi " +
+      "FROM gpf.db.t WHERE grp = 'plain'")
+    check("SELECT n, count(*) AS c FROM gpf.db.t WHERE grp IS NULL GROUP BY n")
+    // two DIFFERENT claimed aggregations in one query must not share a
+    // scan via exchange/subquery reuse (identity includes the claim) —
+    // pinned by exact per-claim counts: ids 0..199, id%5==4 → 'plain'
+    // (40 rows), id%3==0 → n=0 (67 rows)
+    val two = spark.sql(
+      "SELECT (SELECT count(*) FROM gpf.db.t WHERE grp = 'plain') AS a, " +
+        "(SELECT count(*) FROM gpf.db.t WHERE n = 0) AS b").head()
+    assert(two.getLong(0) == 40L && two.getLong(1) == 67L,
+      s"${two.getLong(0)} / ${two.getLong(1)}")
+  }
+
+  test("partition filters: V1 fallback route enforces via DataFrame filter (bucketing off)") {
+    warehouse
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+    try {
+      val q = spark.sql("SELECT id, v FROM gpf.db.t WHERE grp = 'plain' AND id >= 0")
+      assert(q.queryExecution.executedPlan.toString.contains("PartitionFilters"),
+        q.queryExecution.executedPlan.toString.take(900))
+      val got = q.collect().map(_.getLong(0)).sorted.toSeq
+      assert(got.nonEmpty && got.forall(_ % 5 == 4))
+    } finally spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  }
+
+  test("partition filters: row-coordinate introspection and DML honor the claim") {
+    warehouse
+    // _graft_file/_graft_pos scan with a claimed partition filter: the
+    // delta scan's file set drops non-matching key values exactly
+    val coords = spark.sql("SELECT id, _graft_pos FROM gpf.db.t WHERE grp = 'w s'")
+      .collect()
+    assert(coords.nonEmpty && coords.forall(_.getLong(0) % 5 == 3))
+    // DML with a partition predicate touches ONLY the intended rows
+    spark.sql("CREATE TABLE gpf.db.dml (id BIGINT, grp STRING, v BIGINT) " +
+      "PARTITIONED BY (grp)")
+    spark.sql("INSERT INTO gpf.db.dml SELECT id, concat('g', id % 2), id " +
+      "FROM range(0, 40)")
+    spark.sql("UPDATE gpf.db.dml SET v = v + 1000 WHERE grp = 'g1'")
+    val rows = spark.table("gpf.db.dml").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(rows.count { case (id, g, v) => g == "g1" && v == id + 1000 } == 20)
+    assert(rows.count { case (id, g, v) => g == "g0" && v == id } == 20)
+    spark.sql("DELETE FROM gpf.db.dml WHERE grp = 'g0'")
+    assert(spark.table("gpf.db.dml").collect().forall(_.getString(1) == "g1"))
+  }
+
+  test("partition filters: kill switch restores the residual Filter node") {
+    warehouse
+    spark.conf.set("spark.graft.partitionFilterPushdown", "false")
+    try {
+      val q = spark.sql("SELECT id FROM gpf.db.t WHERE grp = 'plain'")
+      assert(filterNodes(q) == 1)
+      assert(q.count() == 40L)
+    } finally spark.conf.set("spark.graft.partitionFilterPushdown", "true")
+  }
+}
