@@ -62,7 +62,9 @@ object ProfileAggPushdown {
       "group_by_part" ->
         "SELECT grp, count(*) AS n, min(id) AS lo, max(id) AS hi FROM ga.db.t GROUP BY grp",
       "unindexed_col" ->
-        "SELECT count(u) AS nu, min(u) AS lo, max(u) AS hi FROM ga.db.t")
+        "SELECT count(u) AS nu, min(u) AS lo, max(u) AS hi FROM ga.db.t",
+      "where_partition" ->
+        "SELECT count(*) AS n, min(id) AS lo FROM ga.db.t WHERE grp = 'g3'")
     queries.foreach { case (name, sql) =>
       run(sql, pushdown = false) // scan warmup
       val cold = run(sql, pushdown = true) // first metadata pass: footer IO

@@ -4113,5 +4113,41 @@ private[graft] object QueriesMedallionIo {
         |  (SELECT count(*) FROM orders WHERE o_orderpriority = '1-URGENT') AS urgent_n
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
         |ORDER BY o_orderkey""".stripMargin)),
+
+    // S17 — native PARTITION DDL (SupportsPartitionManagement on
+    // GraftTable): `SHOW PARTITIONS` lists the hive layout's typed value
+    // tuples from a driver directory walk (zero Spark jobs), and `ALTER
+    // TABLE ... DROP PARTITION` routes onto the keyed delete verbs — an
+    // envelope-covered partition drops METADATA-ONLY, anything else takes
+    // the same pruned copy-on-write as DELETE WHERE key = v. The row
+    // drops one priority partition and oracles both the surviving data
+    // and the partition count; the surviving GROUP BY itself runs through
+    // the metadata aggregation (post-DDL composition).
+    Q("versioned_partition_ddl",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        Fixtures.once(s, dir, "vt_cat_pddl") {
+          rmrf(s"$wh/pddl")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.pddl")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_pddl_orders")
+          s.sql("CREATE TABLE gq.pddl.t (o_orderkey BIGINT, o_orderpriority STRING) " +
+            "PARTITIONED BY (o_orderpriority) " +
+            "TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+          s.sql("INSERT INTO gq.pddl.t SELECT o_orderkey, o_orderpriority " +
+            "FROM cat_pddl_orders")
+          s.sql("ALTER TABLE gq.pddl.t DROP PARTITION (o_orderpriority = '1-URGENT')")
+          java.lang.Boolean.TRUE
+        }
+        val nparts = s.sql("SHOW PARTITIONS gq.pddl.t").count()
+        s.sql("SELECT o_orderpriority, count(*) AS n FROM gq.pddl.t " +
+            "GROUP BY o_orderpriority")
+          .withColumn("parts", lit(nparts))
+          .orderBy("o_orderpriority")
+      },
+      Some("""SELECT o_orderpriority, count(*) AS n, CAST(4 AS BIGINT) AS parts
+        |FROM orders WHERE o_orderpriority <> '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
   )
 }

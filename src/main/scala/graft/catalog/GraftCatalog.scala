@@ -321,8 +321,122 @@ class GraftTable(root: String, ident: Identifier, asOf: Option[Long],
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.TruncatableTable
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement
     with org.apache.spark.sql.graftshim.GraftV1FallbackBridge {
   private def spark = SparkSession.active
+
+  // ---- SupportsPartitionManagement: native SHOW PARTITIONS / ALTER
+  // TABLE DROP PARTITION / TRUNCATE TABLE ... PARTITION over the hive
+  // layout. Listing is a typed driver directory walk
+  // (VersionedTable.partitionTuples — exact values, zero Spark jobs);
+  // DROP/TRUNCATE of a partition route onto the keyed delete verbs, so
+  // an envelope-covered partition drops METADATA-ONLY and anything else
+  // takes the same pruned copy-on-write as DELETE WHERE key = v.
+  // Partitions materialize on write in this engine, so ADD PARTITION
+  // and partition metadata mutation refuse loudly.
+
+  override def partitionSchema(): org.apache.spark.sql.types.StructType = {
+    val c = snapshot.getOrElse(sys.error(s"$name: no commits"))
+    val inv = c.nameMap.map(_.swap)
+    org.apache.spark.sql.types.StructType(c.partitionCols.map { p =>
+      val logical = inv.getOrElse(p, p)
+      schema.fields.find(_.name == logical).getOrElse(
+        sys.error(s"$name: partition column $logical missing from schema"))
+        .copy(nullable = true)
+    })
+  }
+
+  private def externalIdent(ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Seq[Any] = {
+    val fields = partitionSchema().fields
+    fields.zipWithIndex.map { case (f, i) =>
+      if (ident.isNullAt(i)) null
+      else org.apache.spark.sql.catalyst.CatalystTypeConverters
+        .createToScalaConverter(f.dataType)(ident.get(i, f.dataType))
+    }.toSeq
+  }
+
+  override def listPartitionIdentifiers(
+      names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val (fields, tuples) = VersionedTable.partitionTuples(root, asOf)
+    require(names.length == ident.numFields,
+      s"listPartitionIdentifiers: ${names.length} names vs ${ident.numFields} values")
+    val idx = names.map { n =>
+      val i = fields.indexWhere(_.name == n)
+      require(i >= 0, s"$name: '$n' is not a partition column")
+      i
+    }
+    val want: Seq[(Int, Any)] = idx.zipWithIndex.map { case (fi, vi) =>
+      fi -> (if (ident.isNullAt(vi)) null
+        else org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToScalaConverter(fields(fi).dataType)(ident.get(vi, fields(fi).dataType)))
+    }.toSeq
+    val conv = fields.map(f => org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(f.dataType))
+    tuples.filter(t => want.forall { case (fi, v) => t(fi) == v })
+      .map(t => new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        t.zip(conv).map { case (v, c) => if (v == null) null else c(v) }.toArray)
+        : org.apache.spark.sql.catalyst.InternalRow)
+      .toArray
+  }
+
+  /** Shared DROP/TRUNCATE body: delete the partition's rows through the
+    * keyed verbs (metadata-only when the envelope covers). Returns false
+    * when the partition doesn't exist. The NULL partition refuses — the
+    * keyed delete's NULL-key contract — with the DELETE spelling as the
+    * documented alternative.
+    */
+  private def deletePartitionRows(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    require(asOf.isEmpty, s"partition DDL on a time-travel read of $name")
+    val fields = partitionSchema().fields
+    val ext = externalIdent(ident)
+    if (ext.contains(null)) throw new UnsupportedOperationException(
+      s"$name: dropping the NULL partition is not supported — use " +
+        "DELETE FROM ... WHERE <key> IS NULL")
+    val (_, tuples) = VersionedTable.partitionTuples(root, asOf)
+    if (!tuples.contains(ext)) return false
+    val keys = spark.createDataFrame(
+      java.util.Arrays.asList(org.apache.spark.sql.Row.fromSeq(ext)),
+      org.apache.spark.sql.types.StructType(fields.map(_.copy(nullable = false))))
+    val (statsCols, bloomCols) = VersionedTable.indexedCols(root)
+    VersionedTable.deleteWhereKeys(spark, root, keys,
+      fields.map(_.name).toSeq,
+      s"catalog-droppart-${java.util.UUID.randomUUID().toString.take(12)}",
+      statsCols = statsCols, bloomCols = bloomCols)
+    true
+  }
+
+  override def dropPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    deletePartitionRows(ident)
+
+  override def truncatePartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    if (!deletePartitionRows(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchPartitionException(
+        name(), ident, partitionSchema())
+    true
+  }
+
+  override def createPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"$name: hive partitions materialize on write — INSERT rows with the " +
+        "partition value instead of ADD PARTITION")
+
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"$name: partition metadata is derived from the layout, not stored")
+
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : util.Map[String, String] = new util.HashMap[String, String]()
 
   /** Native `TRUNCATE TABLE cat.db.t`: one OVERWRITE commit with an
     * empty row set — schema, properties, constraints and layout persist,
@@ -687,9 +801,13 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
           if nr.fieldNames().length == 1 => nr.fieldNames()(0)
       case _ => return false
     }
+    // integral/date/timestamp sort keys: exact footer stats (flat rule);
+    // strings are accepted too — they prune ONLY via the keyed scan's
+    // partition-key group rule (path values are exact; footers aren't),
+    // and an unprunable acceptance is just an unpruned superset
     val exact = tableSchema.fields.find(_.name == col).map(_.dataType).exists {
       case ByteType | ShortType | IntegerType | LongType | DateType |
-           TimestampType | TimestampNTZType => true
+           TimestampType | TimestampNTZType | StringType => true
       case _ => false
     }
     if (!exact) return false
@@ -878,11 +996,12 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
     // changed since claiming, where only the V1 filter is trustworthy.
     if (claimed.nonEmpty)
       GraftKeyedScan.ifEligible(spark, root, version, required, pushed,
-          claimed.toSeq)
+          claimed.toSeq, topN)
         .getOrElse(new GraftV1FallbackScan(root, version, required, pushed,
           claimed.toSeq))
     else
-      GraftKeyedScan.ifEligible(spark, root, version, required, pushed)
+      GraftKeyedScan.ifEligible(spark, root, version, required, pushed,
+          topN = topN)
         .orElse(GraftFlatScan.ifEligible(spark, root, version, required, pushed,
           limitN, topN))
         .getOrElse(new GraftV1FallbackScan(root, version, required, pushed))

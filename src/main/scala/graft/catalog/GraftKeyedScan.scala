@@ -45,7 +45,8 @@ import graft.io.VersionedTable
   */
 final class GraftKeyedScan(spark: SparkSession, private val root: String,
     private val plan: VersionedTable.KeyedPlan, private val required: StructType,
-    private val pushed: Array[Filter], private val claimed: Seq[Filter] = Nil)
+    private val pushed: Array[Filter], private val claimed: Seq[Filter] = Nil,
+    private val topNTag: String = "")
     extends Scan with Batch with SupportsReportPartitioning
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -225,7 +226,8 @@ final class GraftKeyedScan(spark: SparkSession, private val root: String,
   override def description(): String =
     s"GraftKeyedScan $root v${plan.version} keys=${keyNames.mkString(",")} " +
       s"groups=${plan.groups.size}" +
-      (if (claimed.nonEmpty) s" PartitionFilters: [${claimed.mkString(", ")}]" else "")
+      (if (claimed.nonEmpty) s" PartitionFilters: [${claimed.mkString(", ")}]" else "") +
+      (if (topNTag.nonEmpty) s" PushedTopN: [$topNTag]" else "")
 
   // VALUE equality on the scan's logical identity (root, pinned version,
   // projection, pushed filters) — what lets Spark's canonicalized plan
@@ -239,12 +241,13 @@ final class GraftKeyedScan(spark: SparkSession, private val root: String,
     case o: GraftKeyedScan =>
       root == o.root && plan.version == o.plan.version &&
         required == o.required && pushed.toSeq == o.pushed.toSeq &&
-        claimed == o.claimed // enforced predicates ARE the scan's identity
+        claimed == o.claimed && // enforced predicates ARE the scan's identity
+        topNTag == o.topNTag    // as is a group-pruning top-N hint
     case _ => false
   }
 
   override def hashCode(): Int =
-    (root, plan.version, required, pushed.toSeq, claimed).hashCode()
+    (root, plan.version, required, pushed.toSeq, claimed, topNTag).hashCode()
 }
 
 object GraftKeyedScan {
@@ -258,7 +261,8 @@ object GraftKeyedScan {
     */
   def ifEligible(spark: SparkSession, root: String, version: Option[Long],
                  required: StructType, pushed: Array[Filter],
-                 claimed: Seq[Filter] = Nil): Option[Scan] = {
+                 claimed: Seq[Filter] = Nil,
+                 topN: Option[(String, Boolean, Boolean, Int)] = None): Option[Scan] = {
     val (ranges, points, nullProbes) = graft.io.VersionedRelation.translate(pushed)
     VersionedTable.keyedBatchPlan(root, version, ranges, points, nullProbes)
       .flatMap { p0 =>
@@ -267,14 +271,71 @@ object GraftKeyedScan {
         // Zero surviving groups falls back (None → the V1 relation, which
         // filters to the same empty result) rather than planning an empty
         // KeyGroupedPartitioning.
-        val p = if (claimed.isEmpty) p0 else {
-          val inv = p0.nameMap.map(_.swap)
-          val names = p0.keySchema.fieldNames.toSeq.map(n => inv.getOrElse(n, n))
+        val inv = p0.nameMap.map(_.swap)
+        val names = p0.keySchema.fieldNames.toSeq.map(n => inv.getOrElse(n, n))
+        val p1 = if (claimed.isEmpty) p0 else
           p0.copy(groups = p0.groups.filter(g => GraftPartitionFilters.passes(
             claimed, names.zip(g.key).toMap)))
+        // TOP-N over THE PARTITION KEY prunes whole groups (PARTIAL
+        // semantics — Spark keeps its TakeOrderedAndProject): order the
+        // groups by their key value (hive path values are exact for every
+        // key type, strings by UTF-8 bytes = Spark's own string order),
+        // keep the shortest prefix whose `_filestats` row counts PROVABLY
+        // cover n; groups with unknown counts cover nothing (kept, never
+        // trusted). ORDER BY date_key DESC LIMIT 100 on a key-partitioned
+        // table then plans one group. Data-column sort keys keep every
+        // group — only the flat scan's footer rule handles those.
+        val p = topN match {
+          case Some((col, desc, nullsFirst, n)) if p1.groups.size > 1 &&
+              names.size == 1 && names.head == col =>
+            def groupRows(g: VersionedTable.KeyedGroup): Long =
+              g.files.map(f => p1.fileRows.getOrElse(f._1, 0L)).sum
+            val (nullG, valG) = p1.groups.partition(_.key.head == null)
+            def vOrd(a: Any, b: Any): Boolean = (a, b) match {
+              case (x: String, y: String) =>
+                val c = VersionedTable.utf8Compare(x, y)
+                if (desc) c > 0 else c < 0
+              case (x, y) =>
+                def l(v: Any): Long = v match {
+                  case i: Int => i.toLong; case lg: Long => lg
+                  case other => sys.error(s"unexpected key value $other")
+                }
+                if (desc) l(x) > l(y) else l(x) < l(y)
+            }
+            val sorted = valG.sortWith((a, b) => vOrd(a.key.head, b.key.head))
+            def prefixCovering(gs: Seq[VersionedTable.KeyedGroup], budget: Long)
+                : Seq[VersionedTable.KeyedGroup] = {
+              var cum = 0L
+              val keep = Seq.newBuilder[VersionedTable.KeyedGroup]
+              var done = false
+              gs.foreach { g =>
+                if (!done) { keep += g; cum += groupRows(g); if (cum >= budget) done = true }
+              }
+              keep.result()
+            }
+            val kept =
+              if (nullsFirst) {
+                val nullRows = nullG.map(groupRows).sum
+                if (nullRows >= n && nullG.nonEmpty) nullG
+                else nullG ++ prefixCovering(sorted, n - nullRows)
+              } else {
+                val valRows = valG.map(groupRows).sum
+                if (valRows >= n) prefixCovering(sorted, n)
+                else sorted ++ nullG
+              }
+            if (kept.nonEmpty && kept.size < p1.groups.size)
+              p1.copy(groups = kept)
+            else p1
+          case _ => p1
         }
         if (claimed.nonEmpty && p.groups.isEmpty) None
-        else Some(new GraftKeyedScan(spark, root, p, required, pushed, claimed))
+        else Some(new GraftKeyedScan(spark, root, p, required, pushed, claimed,
+          topNTag =
+            if (p.groups.size < p1.groups.size) {
+              val (col, desc, nf, n) = topN.get
+              s"${if (desc) "DESC" else "ASC"} $col" +
+                s"${if (nf) " NULLS FIRST" else " NULLS LAST"}, limit=$n"
+            } else ""))
       }
   }
 }

@@ -1918,7 +1918,7 @@ object VersionedTable {
     * would have kept — so every string min/max fold and range test goes
     * through here, never through `<=` on String.
     */
-  private[io] def utf8Compare(a: String, b: String): Int = {
+  private[graft] def utf8Compare(a: String, b: String): Int = {
     val x = a.getBytes(StandardCharsets.UTF_8)
     val y = b.getBytes(StandardCharsets.UTF_8)
     val n = math.min(x.length, y.length)
@@ -5383,6 +5383,55 @@ object VersionedTable {
         case MetaAgg.Hi(x)      => a.mm.get(x).map(_._2).orNull
       }
     })
+  }
+
+  /** Distinct partition-value tuples of a snapshot, TYPED by the declared
+    * key fields (LOGICAL names; null = the NULL partition) — the driver
+    * walk behind `SupportsPartitionManagement.listPartitionIdentifiers`.
+    * O(#dirs × #values) directory listing, zero Spark jobs, values parsed
+    * exactly (path-unescaped, sentinel → null, declared types).
+    */
+  private[graft] def partitionTuples(root: String, asOf: Option[Long] = None)
+      : (Seq[org.apache.spark.sql.types.StructField], Seq[Seq[Any]]) = {
+    import org.apache.spark.sql.types._
+    val c = resolveSnapshot(root, asOf)
+    require(c.partitionCols.nonEmpty, s"$root is not partitioned")
+    require(c.dirLayouts.isEmpty,
+      "partition listing: snapshot has mixed partition-layout eras " +
+        "(partition evolution in flight) — OPTIMIZE to normalize first")
+    val phys = StructType.fromDDL(
+      c.schemaDdl.getOrElse(sys.error(s"$root: no recorded schema")))
+    val inv = c.nameMap.map(_.swap)
+    val keyFields = c.partitionCols.map { p =>
+      val f = phys.fields.find(_.name == p)
+        .getOrElse(sys.error(s"partition column $p missing from schema"))
+      StructField(inv.getOrElse(p, p), f.dataType, nullable = true)
+    }
+    def parse(dt: DataType, raw: String): Any =
+      if (raw == "__HIVE_DEFAULT_PARTITION__") null
+      else dt match {
+        case IntegerType => unescapePathName(raw).toInt
+        case LongType    => unescapePathName(raw).toLong
+        case _           => unescapePathName(raw)
+      }
+    def walk(f: File, cols: Seq[String],
+             dts: Seq[DataType]): Seq[Seq[Any]] = cols match {
+      case Nil => Seq(Nil)
+      case colName +: rest =>
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq
+          .filter(x => x.isDirectory && x.getName.startsWith(colName + "="))
+          .flatMap { sub =>
+            val v = parse(dts.head, sub.getName.substring(colName.length + 1))
+            walk(sub, rest, dts.tail).map(v +: _)
+          }
+    }
+    val physTypes = c.partitionCols.map(p => phys.fields.find(_.name == p).get.dataType)
+    val tuples = c.dirs.flatMap { d =>
+      require(new File(dirPath(root, d)).isDirectory,
+        s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}")
+      walk(new File(dirPath(root, d)), c.partitionCols, physTypes)
+    }.distinct
+    (keyFields, tuples)
   }
 
   /** COLUMN-LEVEL statistics for Spark's cost-based optimizer, served

@@ -850,4 +850,48 @@ class CatalogSpec extends SparkSpec {
       "ALTER TABLE gcat.db.wc1 SET TBLPROPERTIES ('graft.write.clusterByKeys' = 'ture')"))
       .getMessage.contains("clusterByKeys"))
   }
+
+  test("catalog: SHOW PARTITIONS / DROP PARTITION / TRUNCATE PARTITION via SupportsPartitionManagement") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.pm (id BIGINT, grp STRING, n INT) " +
+      "PARTITIONED BY (grp, n) TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gcat.db.pm SELECT id, " +
+      "CASE WHEN id % 10 = 9 THEN NULL ELSE concat('g', id % 2) END, " +
+      "CAST(id % 2 AS INT) FROM range(0, 40)")
+    // native SHOW PARTITIONS: typed listing incl. the NULL partition
+    val parts = spark.sql("SHOW PARTITIONS gcat.db.pm").collect()
+      .map(_.getString(0)).toSet
+    // grp/n are correlated by construction: exactly these three tuples,
+    // the NULL partition listed as a first-class value
+    assert(parts == Set("grp=g0/n=0", "grp=g1/n=1", "grp=null/n=1"),
+      parts.toString)
+    // prefix-filtered listing through the API surface
+    val byPrefix = spark.sql("SHOW PARTITIONS gcat.db.pm PARTITION (grp='g0')")
+      .collect().map(_.getString(0))
+    assert(byPrefix.nonEmpty && byPrefix.forall(_.contains("grp=g0")),
+      byPrefix.mkString(", "))
+    // DROP PARTITION deletes exactly that tuple's rows (composite key)
+    spark.sql("ALTER TABLE gcat.db.pm DROP PARTITION (grp='g0', n=0)")
+    val left = spark.table("gcat.db.pm").collect()
+      .map(r => (if (r.isNullAt(1)) null else r.getString(1), r.getInt(2))).toSet
+    assert(!left.contains(("g0", 0)), left.toString)
+    assert(left.contains(("g1", 1)), left.toString)
+    // IF EXISTS on a missing tuple is a clean no-op; without it, it errors
+    spark.sql("ALTER TABLE gcat.db.pm DROP IF EXISTS PARTITION (grp='zz', n=7)")
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE gcat.db.pm DROP PARTITION (grp='zz', n=7)"))
+      .getMessage.toLowerCase.contains("partition"))
+    // TRUNCATE TABLE ... PARTITION clears rows, table and layout survive
+    val beforeG1 = spark.sql(
+      "SELECT count(*) FROM gcat.db.pm WHERE grp = 'g1' AND n = 1").head().getLong(0)
+    assert(beforeG1 > 0)
+    spark.sql("TRUNCATE TABLE gcat.db.pm PARTITION (grp='g1', n=1)")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.pm WHERE grp = 'g1' AND n = 1")
+      .head().getLong(0) == 0L)
+    assert(spark.table("gcat.db.pm").count() > 0L)
+    // ADD PARTITION refuses loudly: partitions materialize on write
+    assert(intercept[Exception](spark.sql(
+      "ALTER TABLE gcat.db.pm ADD PARTITION (grp='new', n=5)"))
+      .getMessage.contains("materialize"))
+  }
 }

@@ -83,6 +83,32 @@ class ScanPruneSpec extends SparkSpec {
     assert(nl.collect().map(_.getInt(1)).toSeq == (0 to 4).toSeq)
   }
 
+  test("topN pushdown on the PARTITION key prunes whole key groups (keyed scan)") {
+    warehouse
+    spark.sql("CREATE TABLE gpr.db.pk (id BIGINT, day STRING) " +
+      "PARTITIONED BY (day) TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gpr.db.pk SELECT id, " +
+      "CASE WHEN id >= 30 THEN NULL ELSE concat('d', 1 + CAST(id / 10 AS INT)) END " +
+      "FROM range(0, 32)") // d1,d2,d3 x10 rows + 2 NULL-day rows
+    def groupsOf(df: org.apache.spark.sql.DataFrame): Int =
+      "groups=(\\d+)".r.findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).getOrElse(-1)
+    // DESC (default NULLS LAST): only the top day's group plans
+    val d = spark.sql("SELECT id, day FROM gpr.db.pk ORDER BY day DESC LIMIT 5")
+    assert(planOf(d).contains("GraftKeyedScan") && planOf(d).contains("PushedTopN"),
+      planOf(d).take(700))
+    assert(groupsOf(d) == 1, planOf(d).take(700))
+    assert(d.collect().forall(_.getString(1) == "d3"))
+    // ASC NULLS LAST: the bottom day
+    val a = spark.sql("SELECT id, day FROM gpr.db.pk ORDER BY day NULLS LAST LIMIT 5")
+    assert(groupsOf(a) == 1 && a.collect().forall(_.getString(1) == "d1"),
+      planOf(a).take(700))
+    // ASC (default NULLS FIRST) with n <= null rows: only the NULL group
+    val nf = spark.sql("SELECT id, day FROM gpr.db.pk ORDER BY day LIMIT 2")
+    assert(groupsOf(nf) == 1 && nf.collect().forall(_.isNullAt(1)),
+      planOf(nf).take(700))
+  }
+
   test("topN pushdown declines on inexact shapes — string sort key, multi-key — and stays correct") {
     warehouse
     spark.sql("CREATE TABLE gpr.db.ts (id BIGINT, s STRING)")
