@@ -4149,5 +4149,50 @@ private[graft] object QueriesMedallionIo {
       Some("""SELECT o_orderpriority, count(*) AS n, CAST(4 AS BIGINT) AS parts
         |FROM orders WHERE o_orderpriority <> '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — MEASURED NDV statistics (ANALYZE GRAFT ... NDV BY →
+    // VersionedTable.analyzeNdv → Statistics.columnStats.distinctCount):
+    // exact per-column distinct counts from ONE aggregation job publish
+    // as table properties, and the catalog scan serves them to Spark's
+    // cost model — the join-reorder input parquet footers cannot provide
+    // (min/max/nullCount come free from the skipping index; NDV is the
+    // one statistic that must be measured, so it is — never fabricated).
+    // The row dumps what the SCAN reports and oracles it against DuckDB
+    // recomputing the same distinct counts from the raw table.
+    Q("versioned_ndv_stats",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        Fixtures.once(s, dir, "vt_cat_ndv") {
+          rmrf(s"$wh/ndv")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.ndv")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_ndv_orders")
+          s.sql("CREATE TABLE gq.ndv.t (o_orderkey BIGINT, o_custkey BIGINT, " +
+            "o_orderpriority STRING) TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+          s.sql("INSERT INTO gq.ndv.t SELECT o_orderkey, o_custkey, " +
+            "o_orderpriority FROM cat_ndv_orders")
+          s.sql(s"ANALYZE GRAFT '$wh/ndv/t' NDV BY " +
+            "(o_orderkey, o_custkey, o_orderpriority)").collect()
+          java.lang.Boolean.TRUE
+        }
+        val rel = s.table("gq.ndv.t").queryExecution.optimizedPlan.collect {
+          case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+        }.head
+        val rows = rel.stats.attributeStats.toSeq.map { case (a, cs) =>
+          org.apache.spark.sql.Row(a.name,
+            cs.distinctCount.map(_.toLong).getOrElse(-1L))
+        }
+        s.createDataFrame(java.util.Arrays.asList(rows: _*),
+          StructType(Seq(
+            StructField("col", org.apache.spark.sql.types.StringType, nullable = false),
+            StructField("ndv", LongType, nullable = false))))
+          .orderBy("col")
+      },
+      Some("""SELECT * FROM (
+        |  SELECT 'o_orderkey' AS col, count(DISTINCT o_orderkey) AS ndv FROM orders
+        |  UNION ALL SELECT 'o_custkey', count(DISTINCT o_custkey) FROM orders
+        |  UNION ALL SELECT 'o_orderpriority', count(DISTINCT o_orderpriority) FROM orders
+        |) ORDER BY col""".stripMargin)),
   )
 }

@@ -123,6 +123,8 @@ object GraftSqlParser {
     """(?is)\s*SHOW\s+PARTITIONS\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
   private val analyzeRe =
     """(?is)\s*ANALYZE\s+GRAFT\s+'([^']+)'\s+STATS\s+BY\s*\(([^)]*)\)(?:\s+BLOOM\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val analyzeNdvRe =
+    """(?is)\s*ANALYZE\s+GRAFT\s+'([^']+)'\s+NDV\s+BY\s*\(([^)]*)\)\s*;?\s*""".r
   private val deletePosRe =
     """(?is)\s*DELETE\s+GRAFT\s+'([^']+)'\s+POSITIONAL\s+WHERE\s+\((.*)\)\s*;?\s*""".r
   private val deleteInRe =
@@ -282,6 +284,9 @@ object GraftSqlParser {
       def cs(x: String) = Option(x).fold(Seq.empty[String])(
         _.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       Some(GraftAnalyzeCommand(root, cs(stats), cs(blooms)))
+    case analyzeNdvRe(root, cols) =>
+      Some(GraftAnalyzeNdvCommand(root,
+        cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq))
     case deletePosRe(root, pred) => Some(GraftDeletePosCommand(root, pred))
     case deleteInRe(root, col, vals) =>
       Some(GraftDeleteCommand(root, col, Left(litList(vals))))
@@ -738,6 +743,26 @@ case class GraftAnalyzeCommand(root: String, statsCols: Seq[String],
     val commitId = s"sql-analyze-${java.util.UUID.randomUUID().toString.take(12)}"
     val (v, n) = VersionedTable.analyze(spark, root, statsCols, commitId, bloomCols)
     Seq(Row(v, n))
+  }
+}
+
+/** `ANALYZE GRAFT '<root>' NDV BY (c1, ...)` — measure exact per-column
+  * distinct counts in one aggregation job and publish them as table
+  * properties ([[VersionedTable.analyzeNdv]]); the catalog scans then
+  * serve them as `distinctCount` column statistics — the join-reorder
+  * input Spark's cost model wants and parquet footers cannot provide.
+  */
+case class GraftAnalyzeNdvCommand(root: String, cols: Seq[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col", StringType, nullable = false)(),
+    AttributeReference("ndv", LongType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val commitId = s"sql-ndv-${java.util.UUID.randomUUID().toString.take(12)}"
+    val (v, m) = VersionedTable.analyzeNdv(spark, root, cols, commitId)
+    cols.map(c => Row(c, m.getOrElse(c, -1L), v))
   }
 }
 

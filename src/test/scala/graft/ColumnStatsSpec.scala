@@ -74,6 +74,31 @@ class ColumnStatsSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.cbo.enabled", "false")
   }
 
+  test("column stats: ANALYZE NDV serves measured distinctCount; malformed hand-set props serve nothing") {
+    warehouse
+    spark.sql("CREATE TABLE gcs.db.nd (id BIGINT, grp BIGINT) " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gcs.db.nd SELECT id, id % 7 FROM range(0, 100)")
+    val root = s"$warehouse/db/nd"
+    val out = spark.sql(s"ANALYZE GRAFT '$root' NDV BY (id, grp)").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("id" -> 100L, "grp" -> 7L), out.toString)
+    val (_, byName) = attrStats("gcs.db.nd")
+    assert(byName.contains("grp") && byName.contains("id"),
+      s"attrStats keys: ${byName.keys.toSeq.sorted}; props: " +
+        graft.io.VersionedTable.latestCommit(root).get.props)
+    assert(byName("id").distinctCount.contains(BigInt(100)),
+      byName("id").toString)
+    assert(byName("grp").distinctCount.contains(BigInt(7)))
+    // min/max from the index ride alongside the measured NDV
+    assert(byName("id").min.contains(0L) && byName("id").max.contains(99L))
+    // a hand-poisoned property never serves a fabricated estimate
+    graft.io.VersionedTable.setTableProperties(root,
+      Map("graft.ndv.grp" -> "banana"), "cs_ndv_poison")
+    // grp had ONLY the NDV claim, so the whole entry disappears
+    assert(attrStats("gcs.db.nd")._2.get("grp").forall(_.distinctCount.isEmpty))
+  }
+
   test("column stats: pending MOR debt serves no column stats") {
     warehouse
     spark.sql("CREATE TABLE gcs.db.m (id BIGINT, v BIGINT) " +
