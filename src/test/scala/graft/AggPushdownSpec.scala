@@ -133,6 +133,26 @@ class AggPushdownSpec extends SparkSpec {
     finally spark.conf.set("spark.graft.aggPushdown", "true")
   }
 
+  test("agg pushdown: VERSION AS OF pins the metadata answer; DATE min/max round-trips") {
+    warehouse
+    spark.sql("CREATE TABLE gagg.db.tv (id BIGINT, d DATE) " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gagg.db.tv SELECT id, " +
+      "date_add(DATE'2024-03-01', CAST(id AS INT)) FROM range(0, 10)") // v2
+    spark.sql("INSERT INTO gagg.db.tv SELECT id + 100, " +
+      "date_add(DATE'2024-06-01', CAST(id AS INT)) FROM range(0, 10)") // v3
+    // time travel: the aggregation answers from the PINNED snapshot's
+    // metadata — and still with no aggregate node
+    val tt = spark.sql(
+      "SELECT count(*) AS n, min(d) AS lo, max(d) AS hi FROM gagg.db.tv VERSION AS OF 2")
+    assert(tt.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      tt.queryExecution.executedPlan.toString.take(600))
+    val r = tt.head()
+    assert(r.getLong(0) == 10L &&
+      r.getDate(1).toString == "2024-03-01" && r.getDate(2).toString == "2024-03-10", r.toString)
+    checkAgainstTruth("SELECT count(*) AS n, min(d) AS lo, max(d) AS hi FROM gagg.db.tv")
+  }
+
   test("agg pushdown: timestamp min/max (micros annotation) and empty/declared-only tables") {
     warehouse
     spark.sql("CREATE TABLE gagg.db.tt (id BIGINT, ts TIMESTAMP)")
