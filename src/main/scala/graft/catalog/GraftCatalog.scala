@@ -943,6 +943,20 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
         requiredSchema.fieldNames.contains(f.name)))
   }
 
+  /** The shared claim-enforcement filter of the row-coordinate routes:
+    * keep only files whose typed hive key values pass every CLAIMED
+    * partition predicate (logical names via the snapshot's nameMap).
+    */
+  private def claimedKeep[A](keyFields: Seq[org.apache.spark.sql.types.StructField],
+      nameMap: Map[String, String], files: Seq[A])(kv: A => Seq[Any]): Seq[A] =
+    if (claimed.isEmpty) files
+    else {
+      val inv = nameMap.map(_.swap)
+      val names = keyFields.map(f => inv.getOrElse(f.name, f.name))
+      files.filter(f => GraftPartitionFilters.passes(claimed.toSeq,
+        names.zip(kv(f)).toMap))
+    }
+
   override def build(): Scan = {
     // a completely pushed aggregation replaces the data scan wholesale
     aggPushed.foreach(s => return s)
@@ -960,14 +974,12 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
             s"${GraftDeltaScan.POS_COL}: $reason")
       }
       // CLAIMED partition predicates enforce per FILE on the typed key
-      // values the plan parsed from the hive paths (exact, era-safe)
-      val planC = if (claimed.isEmpty) plan else {
-        val inv = plan.nameMap.map(_.swap)
-        val names = plan.keyFields.map(f => inv.getOrElse(f.name, f.name))
-        plan.copy(files = plan.files.filter(f => GraftPartitionFilters.passes(
-          claimed.toSeq, names.zip(f.keyVals).toMap)))
-      }
-      return new GraftDeltaScan(spark, root, planC, required, pushed)
+      // values the plan parsed from the hive paths (exact, era-safe) —
+      // ONE shared code path for the delta and cow routes
+      return new GraftDeltaScan(spark, root,
+        plan.copy(files = claimedKeep(plan.keyFields, plan.nameMap,
+          plan.files)(_.keyVals)),
+        required, pushed, claimed.toSeq)
     }
     if (wantsDirCol) {
       // `_graft_dir` requested (a row-level group-filter subquery): only
@@ -977,12 +989,8 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
         case Left(reason) => throw new UnsupportedOperationException(
           s"scan of $root with ${GraftCowScan.DIR_COL}: $reason")
       }
-      val planC = if (claimed.isEmpty) plan else {
-        val inv = plan.nameMap.map(_.swap)
-        val names = plan.keyFields.map(f => inv.getOrElse(f.name, f.name))
-        plan.copy(files = plan.files.filter(f => GraftPartitionFilters.passes(
-          claimed.toSeq, names.zip(f.keyVals).toMap)))
-      }
+      val planC = plan.copy(files = claimedKeep(plan.keyFields, plan.nameMap,
+        plan.files)(_.keyVals))
       return new GraftCowScan(spark, root,
         version.getOrElse(sys.error(s"$root: empty table")), planC,
         StructType(required.fields.filterNot(_.name == GraftCowScan.DIR_COL) :+
@@ -1028,10 +1036,11 @@ class GraftV1FallbackScan(root: String, version: Option[Long],
   override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
       // manifest-envelope column stats — VersionedTable.v2ColumnStats.
-      // Not served under claimed partition predicates: table-wide
-      // extremes/null counts would misdescribe the filtered subset.
+      // Not served when claimed predicates or pushed hints narrow the
+      // scan: table-wide extremes/null counts would misdescribe the
+      // filtered subset (nullCount could exceed the scan's own rows).
       private val cols =
-        if (claimed.nonEmpty)
+        if (claimed.nonEmpty || pushed.nonEmpty)
           new java.util.HashMap[
             org.apache.spark.sql.connector.expressions.NamedReference,
             org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()

@@ -139,7 +139,8 @@ final class GraftDeltaOperation(spark: SparkSession, root: String,
 final class GraftDeltaScan(spark: SparkSession, private val root: String,
     private[catalog] val plan: VersionedTable.DeltaPlan,
     private val required: StructType,
-    private val pushed: Array[Filter] = Array.empty)
+    private val pushed: Array[Filter] = Array.empty,
+    private val claimed: Seq[Filter] = Nil)
     extends Scan with Batch with SupportsReportStatistics {
 
   private[catalog] def version: Long = plan.version
@@ -292,17 +293,25 @@ final class GraftDeltaScan(spark: SparkSession, private val root: String,
   }
 
   override def description(): String =
-    s"GraftDeltaScan $root v${plan.version} files=${plan.files.size}"
+    s"GraftDeltaScan $root v${plan.version} files=${plan.files.size}" +
+      (if (claimed.nonEmpty) s" PartitionFilters: [${claimed.mkString(", ")}]" else "")
 
-  // value equality for canonicalized-plan/subquery reuse, like every scan
+  // value equality for canonicalized-plan/subquery reuse, like every scan.
+  // claimed is part of the identity: build() filters plan.files by the
+  // claimed partition predicates, so two scans differing only in their
+  // claim hold DIFFERENT file sets at the same (root, version, pushed) —
+  // reuse substituting one for the other would answer with the wrong
+  // partition's rows (string partition predicates never appear in
+  // `pushed`, which admits integral hints only).
   override def equals(other: Any): Boolean = other match {
     case o: GraftDeltaScan =>
       root == o.root && plan.version == o.plan.version &&
-        required == o.required && pushed.toSeq == o.pushed.toSeq
+        required == o.required && pushed.toSeq == o.pushed.toSeq &&
+        claimed == o.claimed
     case _ => false
   }
   override def hashCode(): Int =
-    (root, plan.version, required, pushed.toSeq).hashCode()
+    (root, plan.version, required, pushed.toSeq, claimed).hashCode()
 }
 
 object GraftDeltaScan {

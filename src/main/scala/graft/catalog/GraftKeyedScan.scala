@@ -70,10 +70,12 @@ final class GraftKeyedScan(spark: SparkSession, private val root: String,
         java.util.OptionalLong.of(fs.map(f => plan.fileRows(f._1)).sum)
       else java.util.OptionalLong.empty()
     // manifest-envelope column stats for the CBO — VersionedTable
-    // .v2ColumnStats; withheld under claimed partition predicates, whose
-    // filtered subset table-wide stats would misdescribe
+    // .v2ColumnStats; withheld whenever the planned set is a SUBSET of
+    // the snapshot (claimed partition predicates OR advisory pushed-hint
+    // pruning): table-wide extremes/null counts over a pruned scan could
+    // exceed its own numRows and feed FilterEstimation nonsense
     private val cols =
-      if (claimed.nonEmpty)
+      if (claimed.nonEmpty || pushed.nonEmpty)
         new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
@@ -463,8 +465,14 @@ final class GraftFlatScan(spark: SparkSession, private val root: String,
         java.util.OptionalLong.of(plan.files.map(f => plan.fileRows(f._1)).sum)
       else java.util.OptionalLong.empty()
     // manifest-envelope column stats (min/max/nullCount) for the CBO —
-    // see VersionedTable.v2ColumnStats
-    private val cols = VersionedTable.v2ColumnStats(root, Some(plan.version), required)
+    // see VersionedTable.v2ColumnStats; withheld when pushed hints pruned
+    // the file set (table-wide stats would misdescribe the subset)
+    private val cols =
+      if (pushed.nonEmpty)
+        new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      else VersionedTable.v2ColumnStats(root, Some(plan.version), required)
     override def sizeInBytes(): java.util.OptionalLong =
       java.util.OptionalLong.of(bytes)
     override def numRows(): java.util.OptionalLong = rows

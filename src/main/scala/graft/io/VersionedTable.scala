@@ -2003,6 +2003,26 @@ object VersionedTable {
     sb.toString
   }
 
+  /** Parse one hive path segment's RAW value (the text after `col=`)
+    * into the declared type — THE one partition-value decode every
+    * planner shares: NULL sentinel → Some(null), path-unescape,
+    * Int/Long/String. None = unparseable; callers refuse or fall back,
+    * never guess (a silently mis-decoded partition value would make
+    * claim enforcement, grouping, and DDL all target the wrong rows).
+    */
+  private[graft] def hivePartValue(dt: org.apache.spark.sql.types.DataType,
+                                   raw: String): Option[Any] = {
+    import org.apache.spark.sql.types._
+    if (raw == "__HIVE_DEFAULT_PARTITION__") return Some(null)
+    val v = unescapePathName(raw)
+    dt match {
+      case IntegerType => v.toIntOption
+      case LongType    => v.toLongOption
+      case StringType  => Some(v)
+      case _           => None
+    }
+  }
+
   /** hive partition value of `colName` in a file's relative path, if the
     * path carries one (`col=value/` segment), path-unescaped to the REAL
     * value. NULL-partition sentinel → None, so such files simply never get
@@ -2027,32 +2047,46 @@ object VersionedTable {
       HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(file.toString), conf))
     try {
       val acc = scala.collection.mutable.Map[String, MinMax]()
+      // a column's entry must mean EVERY block accounted for it — either
+      // min/max present or provably all-NULL (numNulls == block rows).
+      // A stats-less block with values would otherwise poison the
+      // envelope silently: fine for skipping (which only widens), wrong
+      // for the metadata-aggregation tier that serves entries as ANSWERS.
+      val bad = scala.collection.mutable.Set[String]()
       rdr.getFooter.getBlocks.asScala.foreach { b =>
         b.getColumns.asScala.foreach { cc =>
           val name = cc.getPath.toDotString
           val st = cc.getStatistics
-          if (wanted.contains(name) && st != null && !st.isEmpty && st.hasNonNullValue) {
-            val mm: Option[MinMax] = (st.genericGetMin, st.genericGetMax) match {
-              case (mn: java.lang.Integer, mx: java.lang.Integer) =>
-                Some(IntMM(mn.longValue, mx.longValue))
-              case (mn: java.lang.Long, mx: java.lang.Long) =>
-                Some(IntMM(mn.longValue, mx.longValue))
-              case (_: org.apache.parquet.io.api.Binary, _: org.apache.parquet.io.api.Binary) =>
-                Some(StrMM(st.minAsString, st.maxAsString))
-              case _ => None
-            }
-            mm.foreach { v =>
-              acc.update(name, (acc.get(name), v) match {
-                case (Some(IntMM(a, b)), IntMM(c2, d2)) => IntMM(math.min(a, c2), math.max(b, d2))
-                case (Some(StrMM(a, b)), StrMM(c2, d2)) =>
-                  StrMM(utf8Min(a, c2), utf8Max(b, d2))
-                case (_, v2) => v2
-              })
+          if (wanted.contains(name)) {
+            if (st != null && !st.isEmpty && st.hasNonNullValue) {
+              val mm: Option[MinMax] = (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                  Some(IntMM(mn.longValue, mx.longValue))
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  Some(IntMM(mn.longValue, mx.longValue))
+                case (_: org.apache.parquet.io.api.Binary, _: org.apache.parquet.io.api.Binary) =>
+                  Some(StrMM(st.minAsString, st.maxAsString))
+                case _ => None
+              }
+              mm match {
+                case Some(v) =>
+                  acc.update(name, (acc.get(name), v) match {
+                    case (Some(IntMM(a, b)), IntMM(c2, d2)) =>
+                      IntMM(math.min(a, c2), math.max(b, d2))
+                    case (Some(StrMM(a, b)), StrMM(c2, d2)) =>
+                      StrMM(utf8Min(a, c2), utf8Max(b, d2))
+                    case (_, v2) => v2
+                  })
+                case None => bad += name // unsupported physical shape
+              }
+            } else if (st == null || !st.isNumNullsSet ||
+                st.getNumNulls != b.getRowCount) {
+              bad += name // not provably all-null: entry would over-claim
             }
           }
         }
       }
-      acc.toMap
+      (acc -- bad).toMap
     } finally rdr.close()
   }
 
@@ -5271,25 +5305,17 @@ object VersionedTable {
           val seg = rel.split('/').dropRight(1)
             .collectFirst { case s if s.startsWith(phys + "=") =>
               s.substring(phys.length + 1) }
-          seg match {
-            case None => return None // file outside the declared layout
-            case Some("__HIVE_DEFAULT_PARTITION__") => col -> null
-            case Some(raw) =>
-              val v = unescapePathName(raw)
-              types(col) match {
-                case IntegerType => v.toIntOption match {
-                  case Some(i) => col -> i; case None => return None
-                }
-                case LongType => v.toLongOption match {
-                  case Some(l) => col -> l; case None => return None
-                }
-                case _ => col -> v
-              }
+          seg.flatMap(hivePartValue(types(col), _)) match {
+            case Some(v) => col -> v
+            case None => return None // outside the layout / unparseable
           }
         }.toMap
-        // tier 2: per-file side-file envelopes (entry present = footer
-        // had stats at write time = value-exact; Long-normalized, so
-        // only types whose internal form round-trips losslessly)
+        // tier 2: per-file side-file envelopes (entry present = EVERY
+        // block of the file accounted for the column at write time —
+        // fileFooterStats drops a column whose blocks can't prove it —
+        // so the envelope is value-exact; Long-normalized, so only types
+        // whose internal form round-trips losslessly. Pre-contract side
+        // files from older tables can be refreshed with ANALYZE.)
         val sideMM: Map[String, (Any, Any)] = needMM.flatMap { case (p, dt) =>
           fstats.get(rel).flatMap(_.get(p)).collect {
             case IntMM(mn, mx) if dt == IntegerType =>
@@ -5443,13 +5469,6 @@ object VersionedTable {
         .getOrElse(sys.error(s"partition column $p missing from schema"))
       StructField(inv.getOrElse(p, p), f.dataType, nullable = true)
     }
-    def parse(dt: DataType, raw: String): Any =
-      if (raw == "__HIVE_DEFAULT_PARTITION__") null
-      else dt match {
-        case IntegerType => unescapePathName(raw).toInt
-        case LongType    => unescapePathName(raw).toLong
-        case _           => unescapePathName(raw)
-      }
     def walk(f: File, cols: Seq[String],
              dts: Seq[DataType]): Seq[Seq[Any]] = cols match {
       case Nil => Seq(Nil)
@@ -5457,7 +5476,9 @@ object VersionedTable {
         Option(f.listFiles()).getOrElse(Array.empty).toSeq
           .filter(x => x.isDirectory && x.getName.startsWith(colName + "="))
           .flatMap { sub =>
-            val v = parse(dts.head, sub.getName.substring(colName.length + 1))
+            val raw = sub.getName.substring(colName.length + 1)
+            val v = hivePartValue(dts.head, raw).getOrElse(sys.error(
+              s"unparseable partition value '$raw' for $colName"))
             walk(sub, rest, dts.tail).map(v +: _)
           }
     }
@@ -5608,13 +5629,25 @@ object VersionedTable {
     val conf = spark.sessionState.newHadoopConf()
     final case class FS(file: String, rows: Long, nulls: Long,
                         mm: Option[(Long, Long)])
-    val stats: Seq[FS] = p.files.map { f =>
-      fileAggStats(conf, Paths.get(f._1), Map(phys -> dt), Set(phys)) match {
-        case None => return None
-        case Some((rows, mm, nulls)) => FS(f._1, rows,
-          nulls.getOrElse(phys, return None),
-          mm.get(phys).map { case (a, b) => (asL(a), asL(b)) })
-      }
+    // footer reads fan across a bounded driver pool (the metadataAggregate
+    // tier-3 pattern) — a cold first plan over many files must not pay a
+    // serial open per file; repeats hit the per-JVM footer memo
+    type AggStat = Option[(Long, Map[String, (Any, Any)], Map[String, Long])]
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, math.max(1, Runtime.getRuntime.availableProcessors())))
+    val resolved: Seq[(String, AggStat)] =
+      try p.files.map { f =>
+        f._1 -> pool.submit(new java.util.concurrent.Callable[AggStat] {
+          override def call(): AggStat =
+            fileAggStats(conf, Paths.get(f._1), Map(phys -> dt), Set(phys))
+        })
+      }.map { case (path, fut) => path -> fut.get() }
+      finally pool.shutdown()
+    val stats: Seq[FS] = resolved.map {
+      case (_, None) => return None
+      case (path, Some((rows, mm, nulls))) => FS(path, rows,
+        nulls.getOrElse(phys, return None),
+        mm.get(phys).map { case (a, b) => (asL(a), asL(b)) })
     }
     val totalNull = stats.map(_.nulls).sum
     val totalNonNull = stats.map(s => s.rows - s.nulls).sum
@@ -5675,8 +5708,17 @@ object VersionedTable {
     val key = file.toString + "|" +
       needMM.toSeq.sortBy(_._1).map { case (k, v) => s"$k:$v" }.mkString(",") +
       "|" + needNulls.toSeq.sorted.mkString(",")
-    fileAggCache.computeIfAbsent(key,
-      _ => fileAggStatsUncached(conf, file, needMM, needNulls))
+    val cached = fileAggCache.get(key)
+    if (cached != null) return cached
+    // an IO failure (concurrent vacuum, transient FS error) DECLINES the
+    // metadata answer — the pushdown is an optimization, never a
+    // correctness input, and the ordinary scan path reports real errors —
+    // and is NOT cached: a retry after the transient must re-read
+    val r = try fileAggStatsUncached(conf, file, needMM, needNulls) catch {
+      case scala.util.control.NonFatal(_) => return None
+    }
+    fileAggCache.putIfAbsent(key, r)
+    r
   }
 
   private def fileAggStatsUncached(conf: org.apache.hadoop.conf.Configuration,
@@ -5833,12 +5875,8 @@ object VersionedTable {
     c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
       s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
     def parse(f: StructField, raw: String): Any =
-      if (raw == "__HIVE_DEFAULT_PARTITION__") null
-      else f.dataType match {
-        case IntegerType => unescapePathName(raw).toInt
-        case LongType    => unescapePathName(raw).toLong
-        case _           => unescapePathName(raw)
-      }
+      hivePartValue(f.dataType, raw).getOrElse(sys.error(
+        s"unparseable partition value '$raw' for ${f.name}"))
     val files = Seq.newBuilder[CowFile]
     c.dirs.foreach { d =>
       val dp = dirPath(root, d)
@@ -6004,12 +6042,8 @@ object VersionedTable {
     }
     val keyNullProbes = nullProbes.filter { case (n, _) => keyFields.exists(_.name == n) }
     def parse(f: StructField, raw: String): Any =
-      if (raw == "__HIVE_DEFAULT_PARTITION__") null
-      else f.dataType match {
-        case IntegerType => unescapePathName(raw).toInt
-        case LongType    => unescapePathName(raw).toLong
-        case _           => unescapePathName(raw)
-      }
+      hivePartValue(f.dataType, raw).getOrElse(sys.error(
+        s"unparseable partition value '$raw' for ${f.name}"))
     // DEFAULTED columns missing from a dir's files read as their declared
     // constant (not NULL): evaluate each default ONCE on the driver, then
     // assign every dir an ERA by which defaulted columns its files lack
@@ -6279,12 +6313,8 @@ object VersionedTable {
     }
     val physBounds = ranges.map { case (n, lo, hi) => (physName(c, n), lo, hi) }
     def parse(f: StructField, raw: String): Any =
-      if (raw == "__HIVE_DEFAULT_PARTITION__") null
-      else f.dataType match {
-        case IntegerType => unescapePathName(raw).toInt
-        case LongType    => unescapePathName(raw).toLong
-        case _           => unescapePathName(raw)
-      }
+      hivePartValue(f.dataType, raw).getOrElse(sys.error(
+        s"unparseable partition value '$raw' for ${f.name}"))
     val perFile = Seq.newBuilder[(Seq[Any], String, Long)]
     val rowsB = Map.newBuilder[String, Long]
     kept.foreach { d =>
