@@ -106,6 +106,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def tableRoot(ident: Identifier): String =
     (ident.namespace() :+ ident.name()).foldLeft(warehouse)((p, seg) => s"$p/$seg")
 
+  /** The versioned-table ROOT of an existing table, for the name-based
+    * GRAFT maintenance statements (`OPTIMIZE GRAFT cat.db.t`) — the
+    * resolution Delta's path-or-name statements perform. Loud refusal on
+    * a name that is not a committed graft table.
+    */
+  private[graft] def rootOfExisting(ident: Identifier): String = {
+    val root = tableRoot(ident)
+    if (!isTable(root))
+      sys.error(s"GRAFT: $catalogName.${(ident.namespace() :+ ident.name()).mkString(".")} " +
+        "is not an existing graft table (create it first: CREATE TABLE " +
+        s"$catalogName.${(ident.namespace() :+ ident.name()).mkString(".")} ...)")
+    root
+  }
+
   private def nsDir(namespace: Array[String]): File =
     new File(namespace.foldLeft(warehouse)((p, seg) => s"$p/$seg"))
 
@@ -203,27 +217,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = tableRoot(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
-    def cid(tag: String) = s"catalog-$tag-${java.util.UUID.randomUUID().toString.take(12)}"
-    // VALIDATE every change up front, building its thunk, then apply — a
-    // statement mixing a property change with an unsupported shape must
-    // leave NO committed side effect (a partially-applied ALTER is worse
-    // than a refused one). Properties batch into ONE metadata commit
-    // (ALTER ... SET TBLPROPERTIES ('a'='1','b'='2') is one statement,
-    // one version); each structural change is its own versioned verb.
-    val applies: Seq[() => Unit] = changes.map {
-      case _: TableChange.SetProperty | _: TableChange.RemoveProperty =>
-        () => () // batched below
+    // ATOMIC: every TableChange maps to a validated snapshot transform
+    // (shape refusals — nested columns, bare ADD COLUMN — fire right
+    // here, before any transform runs), and the whole statement folds
+    // through VersionedTable.alterAtomic into ONE OCC attempt + ONE
+    // published commit. Snapshot-dependent refusals (unknown column,
+    // non-widening type, guarded references) throw inside the attempt
+    // BEFORE the publish, so a statement mixing a valid property change
+    // with an invalid structural change leaves the log untouched — no
+    // partially-applied ALTER, and no multi-version statement.
+    val ops: Seq[VersionedTable.Commit => VersionedTable.Commit] = changes.map {
+      case s: TableChange.SetProperty =>
+        VersionedTable.setPropertiesOp(Map(s.property() -> s.value()))
+      case r: TableChange.RemoveProperty =>
+        VersionedTable.unsetPropertiesOp(Seq(r.property()))
       case rc: TableChange.RenameColumn =>
         require(rc.fieldNames().length == 1, "GraftCatalog: nested columns unsupported")
-        () => { VersionedTable.renameColumn(root, rc.fieldNames()(0), rc.newName(),
-          cid("rename")); () }
+        VersionedTable.renameColumnOp(rc.fieldNames()(0), rc.newName())
       case dc: TableChange.DeleteColumn =>
         require(dc.fieldNames().length == 1, "GraftCatalog: nested columns unsupported")
-        () => { VersionedTable.dropColumn(root, dc.fieldNames()(0), cid("dropcol")); () }
+        VersionedTable.dropColumnOp(dc.fieldNames()(0))
       case ut: TableChange.UpdateColumnType =>
         require(ut.fieldNames().length == 1, "GraftCatalog: nested columns unsupported")
-        () => { VersionedTable.widenColumnType(root, ut.fieldNames()(0),
-          ut.newDataType().sql, cid("widen")); () }
+        VersionedTable.widenColumnTypeOp(ut.fieldNames()(0), ut.newDataType().sql)
       case ac: TableChange.AddColumn =>
         require(ac.fieldNames().length == 1, "GraftCatalog: nested columns unsupported")
         // schema evolution is write-driven (a widening append) or
@@ -235,13 +251,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             "(ALTER GRAFT ... ADD COLUMN ... DEFAULT (...) via the graft SQL surface)")
       case other => sys.error(s"GraftCatalog: unsupported table change $other")
     }
-    val sets = changes.collect {
-      case s: TableChange.SetProperty => s.property() -> s.value() }.toMap
-    val unsets = changes.collect {
-      case r: TableChange.RemoveProperty => r.property() }
-    if (sets.nonEmpty) VersionedTable.setTableProperties(root, sets, cid("setprops"))
-    if (unsets.nonEmpty) VersionedTable.unsetTableProperties(root, unsets, cid("unsetprops"))
-    applies.foreach(_.apply())
+    if (ops.nonEmpty)
+      VersionedTable.alterAtomic(root, ops,
+        s"catalog-alter-${java.util.UUID.randomUUID().toString.take(12)}")
     new GraftTable(root, ident, None, catalogName)
   }
 
@@ -648,6 +660,35 @@ class GraftTable(root: String, ident: Identifier, asOf: Option[Long],
       s"catalog-delete-${java.util.UUID.randomUUID().toString.take(12)}")
 }
 
+object GraftCatalog {
+  /** Resolve a dotted TABLE NAME (`cat.ns….table`) to its versioned-table
+    * root through the session's registered catalogs — what lets every
+    * GRAFT maintenance/DML statement accept a name wherever it accepts a
+    * quoted path (the Delta path-or-name contract). Refusals are loud and
+    * specific: unregistered catalog, a catalog that is not a GraftCatalog,
+    * or a name with no committed table behind it.
+    */
+  def rootOf(spark: org.apache.spark.sql.SparkSession, parts: Seq[String]): String = {
+    require(parts.length >= 2,
+      s"GRAFT: table name '${parts.mkString(".")}' must be catalog-qualified (cat.db.t)")
+    val catName = parts.head
+    val cat = try spark.sessionState.catalogManager.catalog(catName) catch {
+      case scala.util.control.NonFatal(_) => sys.error(
+        s"GRAFT: '$catName' is not a registered catalog — set " +
+          s"spark.sql.catalog.$catName (= graft.catalog.GraftCatalog) first, " +
+          "or spell the table as a quoted path")
+    }
+    cat match {
+      case g: GraftCatalog =>
+        g.rootOfExisting(Identifier.of(parts.tail.init.toArray, parts.last))
+      case other => sys.error(
+        s"GRAFT: catalog '$catName' is ${other.getClass.getName}, not a " +
+          "graft.catalog.GraftCatalog — name-based GRAFT statements resolve " +
+          "through graft catalogs only")
+    }
+  }
+}
+
 object GraftTable {
   /** One-column keys frame in the exact JVM types the keyed verbs expect. */
   private[catalog] def keysFrame(spark: SparkSession, col: String,
@@ -772,6 +813,20 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
   // aggregate pushdown, which must never run under residual predicates)
   private var residual: Array[Filter] = Array.empty
 
+  // ONE snapshot for the whole negotiate-then-build exchange: the claim
+  // decision (pushFilters), the metadata aggregation, and build() must
+  // all see the SAME commit — resolving latest separately at each step
+  // would let a concurrent partition-layout commit land between them and
+  // turn a valid claim into a loud enforcement refusal (or worse, an
+  // inconsistent plan). An explicitly pinned asOf that is not in the log
+  // fails HERE, loudly, instead of silently falling back to latest.
+  private lazy val pinnedSnap: Option[VersionedTable.Commit] = asOf match {
+    case Some(v) => Some(VersionedTable.commitAt(root, v).getOrElse(
+      sys.error(s"$root: VERSION AS OF $v is not in the commit log")))
+    case None => VersionedTable.latestCommit(root)
+  }
+  private lazy val pinnedVersion: Option[Long] = pinnedSnap.map(_.version)
+
   // ---- limit / top-N pushdown (PARTIAL: Spark keeps its own operator,
   // the scan just prunes the planned FILE SET — a superset is always
   // sound, so acceptance here is optimistic and the flat-scan planner
@@ -779,8 +834,13 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
   private var limitN: Option[Int] = None
   private var topN: Option[(String, Boolean, Boolean, Int)] = None
 
+  // NOTE on projection state: Spark's V2ScanRelationPushDown runs
+  // pruneColumns AFTER limit/top-N pushdown, so wantsDirCol/wantsRowCoords
+  // are not knowable here — the hints are accepted optimistically and the
+  // delta/cow routes in build() intentionally IGNORE limitN/topN (their
+  // file sets are the DML target; pruning them would be wrong anyway).
   override def pushLimit(limit: Int): Boolean = {
-    if (pushed.nonEmpty || wantsDirCol || wantsRowCoords || limit <= 0) return false
+    if (pushed.nonEmpty || limit <= 0) return false
     limitN = Some(limit)
     true
   }
@@ -793,7 +853,7 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NullOrdering, SortDirection}
     import org.apache.spark.sql.types._
-    if (pushed.nonEmpty || wantsDirCol || wantsRowCoords || limit <= 0) return false
+    if (pushed.nonEmpty || limit <= 0) return false
     if (orders.length != 1) return false
     val so = orders(0)
     val col = so.expression() match {
@@ -856,8 +916,8 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
     if (metas.exists(_.isEmpty)) return None
     val g = groupCols.map(_.get)
     val a = metas.map(_.get)
-    // pin the snapshot for the whole negotiate-then-build exchange
-    val version = asOf.orElse(graft.io.VersionedTable.latestVersion(root))
+    // the builder-wide pinned snapshot — same commit the claim decision saw
+    val version = pinnedVersion
     if (version.isEmpty) return None
     val rows = graft.io.VersionedTable.metadataAggregate(
       spark, root, version, tableSchema, g, a, claimed.toSeq).getOrElse(return None)
@@ -902,9 +962,7 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
     // the envelope/bloom index remains advisory-only.
     claimed = Array.empty
     if (spark.conf.get("spark.graft.partitionFilterPushdown", "true") == "true") {
-      val snap = asOf.flatMap(v => VersionedTable.commitAt(root, v))
-        .orElse(VersionedTable.latestCommit(root))
-      snap.filter(c => c.partitionCols.nonEmpty && c.dirLayouts.isEmpty)
+      pinnedSnap.filter(c => c.partitionCols.nonEmpty && c.dirLayouts.isEmpty)
         .foreach { c =>
           // claimable columns: LOGICAL name whose physical name is a
           // declared partition key of a path-round-trippable type
@@ -960,11 +1018,15 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
   override def build(): Scan = {
     // a completely pushed aggregation replaces the data scan wholesale
     aggPushed.foreach(s => return s)
-    // pin the snapshot HERE: the plan must not straddle a concurrent commit
-    val version = asOf.orElse(VersionedTable.latestVersion(root))
+    // the builder-wide pinned snapshot: claim decision, metadata
+    // aggregation, and this build all plan against ONE commit, so a
+    // concurrent layout change can never land between pushdown and build
+    val version = pinnedVersion
     if (wantsRowCoords) {
       // row coordinates requested: the delta scan carries them (and also
-      // serves `_graft_dir` if the projection mixes all three)
+      // serves `_graft_dir` if the projection mixes all three); limitN/
+      // topN hints are intentionally ignored on this route — the file set
+      // is a DML target, pruning it would drop matched rows
       val (ranges, points, nullProbes) = VersionedRelation.translate(pushed)
       val plan = VersionedTable.deltaScanPlan(spark, root, version,
           ranges, points, nullProbes) match {

@@ -914,6 +914,52 @@ object VersionedTable {
         out
     }
 
+  // ---- metadata-commit plumbing ----------------------------------------
+
+  /** ONE manifest-only commit under the standard OCC loop: re-read the
+    * latest parent each attempt, apply `f` (validations + snapshot
+    * transform — every refusal throws HERE, before anything publishes),
+    * stamp version/commitId, publish-if-absent. All metadata verbs
+    * (rename/drop/widen/properties) and the atomic multi-change ALTER
+    * ([[alterAtomic]]) commit through this helper, so "validate fully,
+    * then publish exactly once" holds uniformly. Idempotent under
+    * commitId retry like every other verb.
+    */
+  private def metadataCommit(root: String, commitId: String,
+                             f: Commit => Commit): Long =
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => prior
+      case None =>
+        var out = -1L
+        while (out < 0) {
+          val parent = latestCommit(root)
+            .getOrElse(sys.error(s"metadata commit: no commits at $root"))
+          val v = parent.version + 1
+          val next = f(parent).copy(version = v, commitId = commitId)
+          if (publishIfAbsent(root, v, next)) out = v
+        }
+        out
+    }
+
+  /** Atomic multi-change ALTER (the DSv2 `alterTable(ident, changes*)`
+    * contract done right): fold EVERY change's validated transform over
+    * one parent snapshot inside one OCC attempt and publish ONE commit.
+    * Any change refusing — unknown column, non-widening type, guarded
+    * reference — throws before the publish, so a statement mixing a valid
+    * property set with an invalid structural change leaves the log
+    * UNTOUCHED (a partially-applied ALTER is worse than a refused one).
+    * A single-change statement keeps that change's specific mode string
+    * (`rename`/`dropcol`/`widen`/`properties`) so history stays
+    * readable; a genuinely mixed statement lands as mode `alter`.
+    */
+  def alterAtomic(root: String, ops: Seq[Commit => Commit], commitId: String): Long = {
+    require(ops.nonEmpty, "alterAtomic: empty change list")
+    metadataCommit(root, commitId, parent => {
+      val folded = ops.foldLeft(parent)((c, op) => op(c))
+      if (ops.size == 1) folded else folded.copy(mode = "alter")
+    })
+  }
+
   // ---- table properties (Delta's TBLPROPERTIES) -------------------------
 
   /** SET TBLPROPERTIES — a metadata-only commit updating the table's
@@ -926,10 +972,17 @@ object VersionedTable {
     * field. Idempotent under commitId retry.
     */
   def setTableProperties(root: String, kvs: Map[String, String],
-                         commitId: String): Long = {
+                         commitId: String): Long =
+    metadataCommit(root, commitId, setPropertiesOp(kvs))
+
+  /** The SET TBLPROPERTIES snapshot transform — composable into an atomic
+    * multi-change ALTER ([[alterAtomic]]). Engine-interpreted keys
+    * validate here (inside the OCC attempt, before any publish) — a
+    * typo'd value would otherwise silently disable the behavior it
+    * promises.
+    */
+  def setPropertiesOp(kvs: Map[String, String]): Commit => Commit = { parent =>
     require(kvs.nonEmpty, "setTableProperties: empty property map")
-    // ENGINE-interpreted keys validate at SET time — a typo'd value would
-    // otherwise silently disable the behavior it promises
     kvs.get("graft.autoCompact.minDirs").foreach(v =>
       require(v.toIntOption.exists(_ >= 2),
         s"graft.autoCompact.minDirs must be an integer >= 2, got '$v'"))
@@ -951,44 +1004,22 @@ object VersionedTable {
     kvs.get("graft.write.clusterByKeys").foreach(v =>
       require(v == "true" || v == "false",
         s"graft.write.clusterByKeys must be 'true' or 'false', got '$v'"))
-    findCommitVersion(root, commitId) match {
-      case Some(prior) => prior
-      case None =>
-        var out = -1L
-        while (out < 0) {
-          val parent = latestCommit(root)
-            .getOrElse(sys.error(s"setTableProperties: no commits at $root"))
-          val v = parent.version + 1
-          if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
-              mode = "properties", props = parent.props ++ kvs)))
-            out = v
-        }
-        out
-    }
+    parent.copy(mode = "properties", props = parent.props ++ kvs)
   }
 
   /** UNSET TBLPROPERTIES — metadata-only removal; unknown keys refuse
     * loudly (a typo must not silently "succeed"). */
-  def unsetTableProperties(root: String, keys: Seq[String], commitId: String): Long = {
+  def unsetTableProperties(root: String, keys: Seq[String], commitId: String): Long =
+    metadataCommit(root, commitId, unsetPropertiesOp(keys))
+
+  /** The UNSET TBLPROPERTIES snapshot transform ([[alterAtomic]]-composable). */
+  def unsetPropertiesOp(keys: Seq[String]): Commit => Commit = { parent =>
     require(keys.nonEmpty, "unsetTableProperties: empty key list")
-    findCommitVersion(root, commitId) match {
-      case Some(prior) => prior
-      case None =>
-        var out = -1L
-        while (out < 0) {
-          val parent = latestCommit(root)
-            .getOrElse(sys.error(s"unsetTableProperties: no commits at $root"))
-          val missing = keys.filterNot(parent.props.contains)
-          require(missing.isEmpty,
-            s"unsetTableProperties: unknown propert${if (missing.size == 1) "y" else "ies"} " +
-              s"${missing.mkString(", ")} (set: ${parent.props.keys.toSeq.sorted.mkString(", ")})")
-          val v = parent.version + 1
-          if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
-              mode = "properties", props = parent.props -- keys)))
-            out = v
-        }
-        out
-    }
+    val missing = keys.filterNot(parent.props.contains)
+    require(missing.isEmpty,
+      s"unsetTableProperties: unknown propert${if (missing.size == 1) "y" else "ies"} " +
+        s"${missing.mkString(", ")} (set: ${parent.props.keys.toSeq.sorted.mkString(", ")})")
+    parent.copy(mode = "properties", props = parent.props -- keys)
   }
 
   /** The property registry of the latest (or pinned) snapshot. */
@@ -1052,63 +1083,54 @@ object VersionedTable {
     }
   }
 
-  def renameColumn(root: String, from: String, to: String, commitId: String): Long = {
-    findCommitVersion(root, commitId) match {
-      case Some(prior) => prior
-      case None =>
-        var out = -1L
-        while (out < 0) {
-          val parent = latestCommit(root)
-            .getOrElse(sys.error(s"renameColumn: no commits at $root"))
-          require(parent.schemaDdl.nonEmpty,
-            "renameColumn: snapshot has no recorded schema (pre-schema commits cannot rename)")
-          val logical = logicalCols(parent)
-          require(logical.contains(from), s"renameColumn: unknown column '$from' " +
-            s"(snapshot columns: ${logical.mkString(", ")})")
-          require(!logical.contains(to), s"renameColumn: column '$to' already exists")
-          val phys = physName(parent, from)
-          require(!hiveColsAnyEra(parent).contains(phys),
-            s"renameColumn: '$from' is a hive partition column (current layout or a " +
-              "pre-evolution era) — its physical name is baked into directory paths; " +
-              "compact to normalize the layout first, or rewrite to repartition")
-          require(!parent.identity.contains(from),
-            s"renameColumn: '$from' is a GENERATED ALWAYS AS IDENTITY column — the " +
-              "allocator is keyed by its declared name")
-          // CHECK constraints are stored as SQL over LOGICAL names; renaming
-          // a referenced column would silently break their enforcement
-          // (word-boundary match — conservative: a literal mention inside a
-          // string constant also refuses, loudly rather than wrongly)
-          val referencing = parent.constraints.collect {
-            case (n, sql) if ("\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
-              .findFirstIn(sql).isDefined => n
-          }
-          require(referencing.isEmpty,
-            s"renameColumn: column '$from' is referenced by CHECK constraint(s) " +
-              s"${referencing.toSeq.sorted.mkString(", ")}; drop them first")
-          // generation expressions are SQL over logical names too: renaming
-          // a source column (or the generated column itself, whose map key
-          // is its logical name) would silently break materialization
-          require(!parent.generated.contains(from),
-            s"renameColumn: '$from' is a GENERATED column; drop and re-declare instead")
-          require(!parent.defaults.contains(from),
-            s"renameColumn: '$from' carries a DEFAULT value keyed by its name; " +
-              "drop and re-declare instead")
-          val genRef = parent.generated.collect {
-            case (n, sql) if ("\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
-              .findFirstIn(sql).isDefined => n
-          }
-          require(genRef.isEmpty,
-            s"renameColumn: column '$from' is referenced by generated column(s) " +
-              s"${genRef.toSeq.sorted.mkString(", ")}; drop them first")
-          val newMap = ((parent.nameMap - from) + (to -> phys))
-            .filter { case (l, p) => l != p } // renaming back to the original drops the entry
-          val v = parent.version + 1
-          if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
-              mode = "rename", nameMap = newMap)))
-            out = v
-        }
-        out
+  def renameColumn(root: String, from: String, to: String, commitId: String): Long =
+    metadataCommit(root, commitId, renameColumnOp(from, to))
+
+  /** The RENAME COLUMN snapshot transform ([[alterAtomic]]-composable). */
+  def renameColumnOp(from: String, to: String): Commit => Commit = { parent =>
+    require(parent.schemaDdl.nonEmpty,
+      "renameColumn: snapshot has no recorded schema (pre-schema commits cannot rename)")
+    val logical = logicalCols(parent)
+    require(logical.contains(from), s"renameColumn: unknown column '$from' " +
+      s"(snapshot columns: ${logical.mkString(", ")})")
+    require(!logical.contains(to), s"renameColumn: column '$to' already exists")
+    val phys = physName(parent, from)
+    require(!hiveColsAnyEra(parent).contains(phys),
+      s"renameColumn: '$from' is a hive partition column (current layout or a " +
+        "pre-evolution era) — its physical name is baked into directory paths; " +
+        "compact to normalize the layout first, or rewrite to repartition")
+    require(!parent.identity.contains(from),
+      s"renameColumn: '$from' is a GENERATED ALWAYS AS IDENTITY column — the " +
+        "allocator is keyed by its declared name")
+    // CHECK constraints are stored as SQL over LOGICAL names; renaming
+    // a referenced column would silently break their enforcement
+    // (word-boundary match — conservative: a literal mention inside a
+    // string constant also refuses, loudly rather than wrongly)
+    val referencing = parent.constraints.collect {
+      case (n, sql) if ("\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
+        .findFirstIn(sql).isDefined => n
     }
+    require(referencing.isEmpty,
+      s"renameColumn: column '$from' is referenced by CHECK constraint(s) " +
+        s"${referencing.toSeq.sorted.mkString(", ")}; drop them first")
+    // generation expressions are SQL over logical names too: renaming
+    // a source column (or the generated column itself, whose map key
+    // is its logical name) would silently break materialization
+    require(!parent.generated.contains(from),
+      s"renameColumn: '$from' is a GENERATED column; drop and re-declare instead")
+    require(!parent.defaults.contains(from),
+      s"renameColumn: '$from' carries a DEFAULT value keyed by its name; " +
+        "drop and re-declare instead")
+    val genRef = parent.generated.collect {
+      case (n, sql) if ("\\b" + java.util.regex.Pattern.quote(from) + "\\b").r
+        .findFirstIn(sql).isDefined => n
+    }
+    require(genRef.isEmpty,
+      s"renameColumn: column '$from' is referenced by generated column(s) " +
+        s"${genRef.toSeq.sorted.mkString(", ")}; drop them first")
+    val newMap = ((parent.nameMap - from) + (to -> phys))
+      .filter { case (l, p) => l != p } // renaming back to the original drops the entry
+    parent.copy(mode = "rename", nameMap = newMap)
   }
 
   /** TYPE WIDENING as a METADATA-ONLY commit (the public Delta 3.2+
@@ -1139,61 +1161,53 @@ object VersionedTable {
     * `commitId`; manifest-only OCC retry.
     */
   def widenColumnType(root: String, colName: String, newType: String,
-                      commitId: String): Long = {
+                      commitId: String): Long =
+    metadataCommit(root, commitId, widenColumnTypeOp(colName, newType))
+
+  /** The type-widening snapshot transform ([[alterAtomic]]-composable). */
+  def widenColumnTypeOp(colName: String, newType: String): Commit => Commit = {
     import org.apache.spark.sql.types._
-    findCommitVersion(root, commitId) match {
-      case Some(prior) => prior
-      case None =>
-        val target =
-          org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(newType)
-        var out = -1L
-        while (out < 0) {
-          val parent = latestCommit(root)
-            .getOrElse(sys.error(s"widenColumnType: no commits at $root"))
-          require(parent.schemaDdl.nonEmpty,
-            "widenColumnType: snapshot has no recorded schema (pre-schema commits cannot widen)")
-          val logical = logicalCols(parent)
-          require(logical.contains(colName), s"widenColumnType: unknown column '$colName' " +
-            s"(snapshot columns: ${logical.mkString(", ")})")
-          val phys = physName(parent, colName)
-          require(!hiveColsAnyEra(parent).contains(phys),
-            s"widenColumnType: '$colName' is a hive partition column (current layout or " +
-              "a pre-evolution era); its values parse from directory paths under the " +
-              "declared type — rewrite to retype")
-          require(!parent.generated.contains(colName),
-            s"widenColumnType: '$colName' is a GENERATED column; its type is pinned by " +
-              "the generation expression")
-          val genRef = parent.generated.collect {
-            case (n, sql) if ("\\b" + java.util.regex.Pattern.quote(colName) + "\\b").r
-              .findFirstIn(sql).isDefined => n
-          }
-          require(genRef.isEmpty,
-            s"widenColumnType: column '$colName' is referenced by generated column(s) " +
-              s"${genRef.toSeq.sorted.mkString(", ")}; their result type would drift")
-          require(!parent.deleteKeys.values.toSet.contains(phys),
-            s"widenColumnType: '$colName' keys a pending merge-on-read delete set " +
-              "(stored under the narrow type); compact to absorb the set first")
-          val ps = StructType.fromDDL(parent.schemaDdl.get)
-          val cur = ps.fields.find(_.name == phys).get.dataType
-          val widens = (cur, target) match {
-            case (ByteType, ShortType | IntegerType | LongType) => true
-            case (ShortType, IntegerType | LongType) => true
-            case (IntegerType, LongType) => true
-            case (FloatType, DoubleType) => true
-            case _ => false
-          }
-          require(widens,
-            s"widenColumnType: ${cur.sql} -> ${target.sql} is not a supported widening " +
-              "(TINYINT->SMALLINT->INT->BIGINT chain, FLOAT->DOUBLE)")
-          val widened = StructType(ps.fields.map(f =>
-            if (f.name == phys) f.copy(dataType = target) else f))
-          val v = parent.version + 1
-          if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
-              mode = "widen", schemaDdl = Some(widened.toDDL))))
-            out = v
-        }
-        out
-    }
+    val target =
+      org.apache.spark.sql.catalyst.parser.CatalystSqlParser.parseDataType(newType)
+    parent =>
+      require(parent.schemaDdl.nonEmpty,
+        "widenColumnType: snapshot has no recorded schema (pre-schema commits cannot widen)")
+      val logical = logicalCols(parent)
+      require(logical.contains(colName), s"widenColumnType: unknown column '$colName' " +
+        s"(snapshot columns: ${logical.mkString(", ")})")
+      val phys = physName(parent, colName)
+      require(!hiveColsAnyEra(parent).contains(phys),
+        s"widenColumnType: '$colName' is a hive partition column (current layout or " +
+          "a pre-evolution era); its values parse from directory paths under the " +
+          "declared type — rewrite to retype")
+      require(!parent.generated.contains(colName),
+        s"widenColumnType: '$colName' is a GENERATED column; its type is pinned by " +
+          "the generation expression")
+      val genRef = parent.generated.collect {
+        case (n, sql) if ("\\b" + java.util.regex.Pattern.quote(colName) + "\\b").r
+          .findFirstIn(sql).isDefined => n
+      }
+      require(genRef.isEmpty,
+        s"widenColumnType: column '$colName' is referenced by generated column(s) " +
+          s"${genRef.toSeq.sorted.mkString(", ")}; their result type would drift")
+      require(!parent.deleteKeys.values.toSet.contains(phys),
+        s"widenColumnType: '$colName' keys a pending merge-on-read delete set " +
+          "(stored under the narrow type); compact to absorb the set first")
+      val ps = StructType.fromDDL(parent.schemaDdl.get)
+      val cur = ps.fields.find(_.name == phys).get.dataType
+      val widens = (cur, target) match {
+        case (ByteType, ShortType | IntegerType | LongType) => true
+        case (ShortType, IntegerType | LongType) => true
+        case (IntegerType, LongType) => true
+        case (FloatType, DoubleType) => true
+        case _ => false
+      }
+      require(widens,
+        s"widenColumnType: ${cur.sql} -> ${target.sql} is not a supported widening " +
+          "(TINYINT->SMALLINT->INT->BIGINT chain, FLOAT->DOUBLE)")
+      val widened = StructType(ps.fields.map(f =>
+        if (f.name == phys) f.copy(dataType = target) else f))
+      parent.copy(mode = "widen", schemaDdl = Some(widened.toDDL))
   }
 
   /** DROP COLUMN as a METADATA-ONLY commit (the public Delta column-mapping
@@ -1216,68 +1230,59 @@ object VersionedTable {
     * read path could no longer apply the vector — compact first to absorb
     * it). Idempotent under `commitId`; manifest-only OCC retry.
     */
-  def dropColumn(root: String, name: String, commitId: String): Long = {
-    findCommitVersion(root, commitId) match {
-      case Some(prior) => prior
-      case None =>
-        var out = -1L
-        while (out < 0) {
-          val parent = latestCommit(root)
-            .getOrElse(sys.error(s"dropColumn: no commits at $root"))
-          require(parent.schemaDdl.nonEmpty,
-            "dropColumn: snapshot has no recorded schema (pre-schema commits cannot drop)")
-          val logical = logicalCols(parent)
-          require(logical.contains(name), s"dropColumn: unknown column '$name' " +
-            s"(snapshot columns: ${logical.mkString(", ")})")
-          require(logical.size > 1, "dropColumn: cannot drop the last remaining column")
-          val phys = physName(parent, name)
-          require(!hiveColsAnyEra(parent).contains(phys),
-            s"dropColumn: '$name' is a hive partition column (current layout or a " +
-              "pre-evolution era) — its physical name is baked into directory paths; " +
-              "compact to normalize the layout first, or rewrite to repartition")
-          require(!parent.identity.contains(name),
-            s"dropColumn: '$name' is a GENERATED ALWAYS AS IDENTITY column — the " +
-              "allocator depends on it")
-          val referencing = parent.constraints.collect {
-            case (n, sql) if ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
-              .findFirstIn(sql).isDefined => n
-          }
-          require(referencing.isEmpty,
-            s"dropColumn: column '$name' is referenced by CHECK constraint(s) " +
-              s"${referencing.toSeq.sorted.mkString(", ")}; drop them first")
-          val keyedSets = parent.deletes.valuesIterator.flatten.toSeq.distinct
-            .filter(sn => parent.deleteKeys.get(sn).contains(phys))
-          require(keyedSets.isEmpty,
-            s"dropColumn: column '$name' keys pending merge-on-read delete set(s) " +
-              s"${keyedSets.sorted.mkString(", ")}; compact first to absorb them")
-          val genRef = parent.generated.collect {
-            case (n, sql) if n != name &&
-              ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
-                .findFirstIn(sql).isDefined => n
-          }
-          require(genRef.isEmpty,
-            s"dropColumn: column '$name' is referenced by generated column(s) " +
-              s"${genRef.toSeq.sorted.mkString(", ")}; drop them first")
-          val ps = org.apache.spark.sql.types.StructType.fromDDL(parent.schemaDdl.get)
-          val newSchema = org.apache.spark.sql.types.StructType(
-            ps.fields.filterNot(_.name == phys))
-          def stripCol[V](m: Map[String, Map[String, V]]) =
-            m.map { case (d, cols) => d -> (cols - phys) }.filter(_._2.nonEmpty)
-          val v = parent.version + 1
-          if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
-              mode = "dropcol", schemaDdl = Some(newSchema.toDDL),
-              stats = stripCol(parent.stats), strStats = stripCol(parent.strStats),
-              nullCounts = stripCol(parent.nullCounts),
-              blooms = parent.blooms.map { case (d, cols) =>
-                d -> cols.filterNot(_ == phys) }.filter(_._2.nonEmpty),
-              nameMap = parent.nameMap - name,
-              dropped = (parent.dropped :+ phys).distinct.sorted,
-              generated = parent.generated - name,
-              defaults = parent.defaults - name)))
-            out = v
-        }
-        out
+  def dropColumn(root: String, name: String, commitId: String): Long =
+    metadataCommit(root, commitId, dropColumnOp(name))
+
+  /** The DROP COLUMN snapshot transform ([[alterAtomic]]-composable). */
+  def dropColumnOp(name: String): Commit => Commit = { parent =>
+    require(parent.schemaDdl.nonEmpty,
+      "dropColumn: snapshot has no recorded schema (pre-schema commits cannot drop)")
+    val logical = logicalCols(parent)
+    require(logical.contains(name), s"dropColumn: unknown column '$name' " +
+      s"(snapshot columns: ${logical.mkString(", ")})")
+    require(logical.size > 1, "dropColumn: cannot drop the last remaining column")
+    val phys = physName(parent, name)
+    require(!hiveColsAnyEra(parent).contains(phys),
+      s"dropColumn: '$name' is a hive partition column (current layout or a " +
+        "pre-evolution era) — its physical name is baked into directory paths; " +
+        "compact to normalize the layout first, or rewrite to repartition")
+    require(!parent.identity.contains(name),
+      s"dropColumn: '$name' is a GENERATED ALWAYS AS IDENTITY column — the " +
+        "allocator depends on it")
+    val referencing = parent.constraints.collect {
+      case (n, sql) if ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+        .findFirstIn(sql).isDefined => n
     }
+    require(referencing.isEmpty,
+      s"dropColumn: column '$name' is referenced by CHECK constraint(s) " +
+        s"${referencing.toSeq.sorted.mkString(", ")}; drop them first")
+    val keyedSets = parent.deletes.valuesIterator.flatten.toSeq.distinct
+      .filter(sn => parent.deleteKeys.get(sn).contains(phys))
+    require(keyedSets.isEmpty,
+      s"dropColumn: column '$name' keys pending merge-on-read delete set(s) " +
+        s"${keyedSets.sorted.mkString(", ")}; compact first to absorb them")
+    val genRef = parent.generated.collect {
+      case (n, sql) if n != name &&
+        ("\\b" + java.util.regex.Pattern.quote(name) + "\\b").r
+          .findFirstIn(sql).isDefined => n
+    }
+    require(genRef.isEmpty,
+      s"dropColumn: column '$name' is referenced by generated column(s) " +
+        s"${genRef.toSeq.sorted.mkString(", ")}; drop them first")
+    val ps = org.apache.spark.sql.types.StructType.fromDDL(parent.schemaDdl.get)
+    val newSchema = org.apache.spark.sql.types.StructType(
+      ps.fields.filterNot(_.name == phys))
+    def stripCol[V](m: Map[String, Map[String, V]]) =
+      m.map { case (d, cols) => d -> (cols - phys) }.filter(_._2.nonEmpty)
+    parent.copy(mode = "dropcol", schemaDdl = Some(newSchema.toDDL),
+        stats = stripCol(parent.stats), strStats = stripCol(parent.strStats),
+        nullCounts = stripCol(parent.nullCounts),
+        blooms = parent.blooms.map { case (d, cols) =>
+          d -> cols.filterNot(_ == phys) }.filter(_._2.nonEmpty),
+        nameMap = parent.nameMap - name,
+        dropped = (parent.dropped :+ phys).distinct.sorted,
+        generated = parent.generated - name,
+        defaults = parent.defaults - name)
   }
 
   /** GENERATED ALWAYS AS (the public Delta generated-columns shape): a
@@ -2019,6 +2024,10 @@ object VersionedTable {
       case IntegerType => v.toIntOption
       case LongType    => v.toLongOption
       case StringType  => Some(v)
+      // hive writes DATE partition values as yyyy-MM-dd — exact round trip
+      case DateType    => try Some(java.sql.Date.valueOf(v)) catch {
+        case _: IllegalArgumentException => None
+      }
       case _           => None
     }
   }
@@ -2241,9 +2250,25 @@ object VersionedTable {
     */
   private val fileRowsKey = "__rows"
 
+  /** `_filestats` CONTRACT version, stamped as a reserved top-level key
+    * (file paths can never spell it). Version 2 = the every-block-
+    * accounted contract: a column's envelope entry exists only when EVERY
+    * block of the file proved it (min/max present or provably all-NULL),
+    * so entries are value-exact and safe both as skipping authority and
+    * as metadata-aggregation ANSWERS. Side files written before the
+    * contract (no stamp) may carry silently-too-narrow envelopes — the
+    * reader treats them as ABSENT, routing consumers to the safe paths
+    * (no file skipping; tier-3 footer reads), instead of relying on a
+    * manual ANALYZE to notice. ANALYZE rewrites the side file and
+    * restores the fast tiers.
+    */
+  private val fileStatsContractKey = "__contract"
+  private val fileStatsContract = 2
+
   private def writeFileStats(dirPath: String, perFile: Seq[(String, Map[String, MinMax])],
                              rowsPerFile: Map[String, Long] = Map.empty): Unit = {
     val m = new java.util.LinkedHashMap[String, Object]()
+    m.put(fileStatsContractKey, java.lang.Integer.valueOf(fileStatsContract))
     perFile.foreach { case (rel, cols) =>
       if (cols.nonEmpty || rowsPerFile.contains(rel)) {
         val cm = new java.util.LinkedHashMap[String, Object]()
@@ -2273,8 +2298,14 @@ object VersionedTable {
     */
   private def readFileStats(dirPath: String): Option[Map[String, Map[String, MinMax]]] = {
     val p = fileStatsPath(dirPath)
-    if (!Files.isRegularFile(p)) None
-    else Some(mapper.readTree(Files.readString(p)).properties().asScala.map { e =>
+    if (!Files.isRegularFile(p)) return None
+    val root = mapper.readTree(Files.readString(p))
+    // pre-contract side files (no stamp / older stamp) read as ABSENT:
+    // their envelopes may be too narrow to skip or answer by
+    if (Option(root.get(fileStatsContractKey)).forall(_.asInt(0) < fileStatsContract))
+      return None
+    Some(root.properties().asScala
+      .filter(_.getKey != fileStatsContractKey).map { e =>
       e.getKey -> e.getValue.properties().asScala
         .filter(_.getKey != fileRowsKey).map { ce =>
           val arr = ce.getValue
@@ -2294,7 +2325,11 @@ object VersionedTable {
   private def readFileRows(dirPath: String): Map[String, Long] = {
     val p = fileStatsPath(dirPath)
     if (!Files.isRegularFile(p)) Map.empty
-    else mapper.readTree(Files.readString(p)).properties().asScala.flatMap { e =>
+    // row counts are contract-independent: they were always footer block
+    // sums over EVERY block (the skipped-block bug affected only column
+    // envelopes), so pre-contract counts stay trustworthy
+    else mapper.readTree(Files.readString(p)).properties().asScala
+      .filter(_.getKey != fileStatsContractKey).flatMap { e =>
       Option(e.getValue.get(fileRowsKey)).collect {
         case arr if arr.get(0).asText() == "r" => e.getKey -> arr.get(1).asLong()
       }
@@ -3019,7 +3054,7 @@ object VersionedTable {
     */
   private[graft] val metadataOnlyModes =
     Set("compact", "rename", "constraint", "dropcol", "create", "generated", "widen",
-      "properties", "set-layout", "default", "analyze")
+      "properties", "set-layout", "default", "analyze", "alter")
 
   private[graft] def changeFeedOfCommit(spark: SparkSession, root: String,
                                         fromC: Option[Commit], toC: Commit,
@@ -5610,8 +5645,8 @@ object VersionedTable {
     * sorted write) the kept set is O(N / rows-per-file) files — an
     * `ORDER BY ts DESC LIMIT 100` over years of history reads one file.
     */
-  private[graft] def topNPrune(spark: SparkSession, p: FlatPlan, col: String,
-      desc: Boolean, nullsFirst: Boolean, n: Int): Option[FlatPlan] = {
+  private[graft] def topNPrune(spark: SparkSession, root: String, p: FlatPlan,
+      col: String, desc: Boolean, nullsFirst: Boolean, n: Int): Option[FlatPlan] = {
     import org.apache.spark.sql.types._
     val phys = p.nameMap.getOrElse(col, col)
     val dt = p.physSchema.fields.find(_.name == phys).map(_.dataType)
@@ -5626,29 +5661,78 @@ object VersionedTable {
       case s: Short => s.toLong; case b: Byte => b.toLong
       case other => sys.error(s"non-integral stat value $other")
     }
-    val conf = spark.sessionState.newHadoopConf()
     final case class FS(file: String, rows: Long, nulls: Long,
                         mm: Option[(Long, Long)])
-    // footer reads fan across a bounded driver pool (the metadataAggregate
-    // tier-3 pattern) — a cold first plan over many files must not pay a
-    // serial open per file; repeats hit the per-JVM footer memo
-    type AggStat = Option[(Long, Map[String, (Any, Any)], Map[String, Long])]
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, math.max(1, Runtime.getRuntime.availableProcessors())))
-    val resolved: Seq[(String, AggStat)] =
-      try p.files.map { f =>
-        f._1 -> pool.submit(new java.util.concurrent.Callable[AggStat] {
-          override def call(): AggStat =
-            fileAggStats(conf, Paths.get(f._1), Map(phys -> dt), Set(phys))
-        })
-      }.map { case (path, fut) => path -> fut.get() }
-      finally pool.shutdown()
-    val stats: Seq[FS] = resolved.map {
-      case (_, None) => return None
-      case (path, Some((rows, mm, nulls))) => FS(path, rows,
-        nulls.getOrElse(phys, return None),
-        mm.get(phys).map { case (a, b) => (asL(a), asL(b)) })
+    // TIER A — side data only, ZERO footer IO: contract-stamped
+    // `_filestats` envelopes (value-exact by the every-block-accounted
+    // contract) + side row counts give (rows, min, max); the manifest's
+    // dir-level null accounting proves nulls == 0 for every file of a
+    // zero-null dir (its presence means every file accounted numNulls).
+    // On an indexed sort column — the ORDER BY ts LIMIT n shape this
+    // prune exists for — the whole decision resolves here, and a new
+    // snapshot version costs side-file reads, not O(#files) footer opens.
+    val c = commitAt(root, p.version).getOrElse(return None)
+    val tierA = Seq.newBuilder[FS]
+    val pendB = Seq.newBuilder[String]
+    val seen = scala.collection.mutable.Set[String]()
+    c.dirs.foreach { d =>
+      val prefix = dirPath(root, d) + "/"
+      val mine = p.files.map(_._1).filter(_.startsWith(prefix))
+      if (mine.nonEmpty) {
+        val fstats = readFileStats(prefix.dropRight(1)).getOrElse(Map.empty)
+        val frows = readFileRows(prefix.dropRight(1))
+        val zeroNulls = c.nullCounts.get(d).flatMap(_.get(phys)).exists(_._1 == 0L)
+        mine.foreach { full =>
+          seen += full
+          val rel = full.substring(prefix.length)
+          val side = for {
+            rows <- frows.get(rel)
+            mm <- fstats.get(rel).flatMap(_.get(phys))
+              .collect { case IntMM(a, b) => (a, b) }
+            if zeroNulls
+          } yield FS(full, rows, 0L, Some(mm))
+          side match {
+            case Some(fs) => tierA += fs
+            case None     => pendB += full
+          }
+        }
+      }
     }
+    p.files.map(_._1).filterNot(seen).foreach(pendB += _) // outside any dir: footer
+    // TIER B — footers, but ONLY for files side data could not resolve,
+    // and CAPPED: a cold `ORDER BY col LIMIT n` on an un-indexed column
+    // of a large flat table must not pay O(#files) driver IO at plan
+    // time for a prune that may then decline anyway — above the cap the
+    // prune itself declines (sound: Spark keeps TakeOrderedAndProject).
+    val pending = pendB.result()
+    val maxFooter = spark.conf
+      .get("spark.graft.topNPrune.maxFooterFiles", "1024").toInt
+    if (pending.size > maxFooter) return None
+    val conf = spark.sessionState.newHadoopConf()
+    type AggStat = Option[(Long, Map[String, (Any, Any)], Map[String, Long])]
+    val tierB: Seq[FS] =
+      if (pending.isEmpty) Nil
+      else {
+        // bounded driver pool (the metadataAggregate tier-3 pattern);
+        // repeats hit the per-JVM footer memo
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(16, math.max(1, Runtime.getRuntime.availableProcessors())))
+        val resolved: Seq[(String, AggStat)] =
+          try pending.map { f =>
+            f -> pool.submit(new java.util.concurrent.Callable[AggStat] {
+              override def call(): AggStat =
+                fileAggStats(conf, Paths.get(f), Map(phys -> dt), Set(phys))
+            })
+          }.map { case (path, fut) => path -> fut.get() }
+          finally pool.shutdown()
+        resolved.map {
+          case (_, None) => return None
+          case (path, Some((rows, mm, nulls))) => FS(path, rows,
+            nulls.getOrElse(phys, return None),
+            mm.get(phys).map { case (a, b) => (asL(a), asL(b)) })
+        }
+      }
+    val stats: Seq[FS] = tierA.result() ++ tierB
     val totalNull = stats.map(_.nulls).sum
     val totalNonNull = stats.map(s => s.rows - s.nulls).sum
     def valueFiles(k: Long): Set[String] = {
@@ -5684,12 +5768,24 @@ object VersionedTable {
     * once its dir publishes (attempt-unique names, rewrites land in new
     * dirs), so one footer read per (file, wanted-column-set) is exact
     * forever — repeat aggregations and top-N prunes over the same
-    * snapshot then cost zero IO. The posDvCache contract: entries for
-    * vacuumed files are just dead memory, bounded by footer-stat size
-    * (a few hundred bytes each).
+    * snapshot then cost zero IO. Size-bounded LRU (access-order): a
+    * long-lived driver querying many tables/snapshots — or one table
+    * under evolving projections — must not grow the memo without bound,
+    * and entries for vacuumed files age out with everything else instead
+    * of living forever as dead memory. 64 k entries × a few hundred
+    * bytes ≈ tens of MB ceiling; an eviction costs one footer re-read.
+    * Driver-side at plan time only, so a synchronized map suffices.
     */
-  private val fileAggCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Option[(Long, Map[String, (Any, Any)], Map[String, Long])]]()
+  private val fileAggCacheMax = 65536
+  private val fileAggCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        String, Option[(Long, Map[String, (Any, Any)], Map[String, Long])]](
+        1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            Option[(Long, Map[String, (Any, Any)], Map[String, Long])]]): Boolean =
+        size() > fileAggCacheMax
+    })
 
   /** Exact aggregate statistics of ONE parquet file from its footer: row
     * count, per-column (min, max) as Spark-internal values, per-column
@@ -5717,14 +5813,21 @@ object VersionedTable {
     val r = try fileAggStatsUncached(conf, file, needMM, needNulls) catch {
       case scala.util.control.NonFatal(_) => return None
     }
-    fileAggCache.putIfAbsent(key, r)
+    fileAggCache.put(key, r)
     r
   }
+
+  /** Test seam: footer opens performed by the metadata tiers (plan-time
+    * driver IO) — lets specs pin that side-data tiers resolved without
+    * opening a single footer.
+    */
+  private[graft] val footerReadsProbe = new java.util.concurrent.atomic.AtomicLong
 
   private def fileAggStatsUncached(conf: org.apache.hadoop.conf.Configuration,
       file: java.nio.file.Path, needMM: Map[String, org.apache.spark.sql.types.DataType],
       needNulls: Set[String])
       : Option[(Long, Map[String, (Any, Any)], Map[String, Long])] = {
+    footerReadsProbe.incrementAndGet()
     import org.apache.spark.sql.types._
     import org.apache.parquet.schema.{LogicalTypeAnnotation, PrimitiveType}
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -6295,7 +6398,7 @@ object VersionedTable {
       phys.fields.find(_.name == k))
     if (keyFields.size != c.partitionCols.size) return None
     if (!keyFields.forall(f => f.dataType == IntegerType || f.dataType == LongType ||
-        f.dataType == StringType)) return None
+        f.dataType == StringType || f.dataType == DateType)) return None
     c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
       s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
     var kept = c.dirs

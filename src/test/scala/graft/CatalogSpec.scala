@@ -227,6 +227,111 @@ class CatalogSpec extends SparkSpec {
       .getMessage.nonEmpty)
   }
 
+  test("catalog: ALTER TABLE is atomic — one statement, one commit; a bad change publishes nothing") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog, TableChange}
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.alt AS SELECT id, id * 2 AS v, 'x' AS s FROM range(0, 6)")
+    val root = s"$warehouse/db/alt"
+    def version = VersionedTable.latestCommit(root).get.version
+    val v0 = version
+    // a multi-property SQL statement is ONE commit
+    spark.sql("ALTER TABLE gcat.db.alt SET TBLPROPERTIES ('a' = '1', 'b' = '2')")
+    assert(version == v0 + 1, "multi-property ALTER must land as one version")
+    // a MIXED statement through the DSv2 contract (SQL can't spell one,
+    // but the catalog API is the public front door Spark and external
+    // engines drive) — property + rename + widen = ONE commit, mode=alter
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[TableCatalog]
+    val ident = Identifier.of(Array("db"), "alt")
+    val v1 = version
+    cat.alterTable(ident,
+      TableChange.setProperty("c", "3"),
+      TableChange.renameColumn(Array("v"), "doubled"))
+    assert(version == v1 + 1, "mixed valid ALTER must land as ONE version")
+    assert(VersionedTable.latestCommit(root).get.mode == "alter")
+    assert(spark.table("gcat.db.alt").columns.toSeq == Seq("id", "doubled", "s"))
+    assert(VersionedTable.tableProperties(root).get("c").contains("3"))
+    // a statement mixing a VALID property set with an INVALID structural
+    // change refuses as a whole: log untouched, property NOT set
+    val v2 = version
+    val e = intercept[Exception](cat.alterTable(ident,
+      TableChange.setProperty("d", "4"),
+      TableChange.deleteColumn(Array("no_such_col"), false)))
+    assert(e.getMessage.contains("unknown column"), e.getMessage)
+    assert(version == v2, "failed mixed ALTER must leave the log untouched")
+    assert(!VersionedTable.tableProperties(root).contains("d"),
+      "the valid half of a refused ALTER must not publish")
+    // same guarantee when the refusal is shape-level (bare ADD COLUMN)
+    val e2 = intercept[Exception](cat.alterTable(ident,
+      TableChange.setProperty("d", "4"),
+      TableChange.addColumn(Array("extra"), org.apache.spark.sql.types.LongType)))
+    assert(e2.getMessage.contains("ADD COLUMN"), e2.getMessage)
+    assert(version == v2 && !VersionedTable.tableProperties(root).contains("d"))
+    // ops fold in statement order: rename then property-on-new-name era,
+    // and a single-change statement keeps its specific history mode
+    spark.sql("ALTER TABLE gcat.db.alt UNSET TBLPROPERTIES ('b')")
+    assert(VersionedTable.latestCommit(root).get.mode == "properties")
+  }
+
+  test("catalog: a VERSION AS OF table pins METADATA too — properties, partitioning, graft.version") {
+    import org.apache.spark.sql.connector.catalog.{Identifier, TableCatalog}
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.pin (id BIGINT, grp STRING, v BIGINT) " +
+      "PARTITIONED BY (grp) TBLPROPERTIES ('era' = 'one')")
+    spark.sql("INSERT INTO gcat.db.pin SELECT id, concat('g', id % 2), id FROM range(0, 8)")
+    val root = s"$warehouse/db/pin"
+    val v1 = VersionedTable.latestCommit(root).get.version
+    // evolve BOTH the property registry and the partition layout
+    spark.sql("ALTER TABLE gcat.db.pin SET TBLPROPERTIES ('era' = 'two')")
+    VersionedTable.setPartitionLayout(root, Nil, "pin-evolve")
+    val cat = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[TableCatalog]
+    val ident = Identifier.of(Array("db"), "pin")
+    val now = cat.loadTable(ident)
+    assert(now.properties().get("era") == "two")
+    assert(now.partitioning().isEmpty, "current snapshot is unpartitioned")
+    // the time-travel load reports the PINNED snapshot's shape, not the
+    // current one — DESCRIBE on a VERSION AS OF read must not lie
+    val pinned = cat.loadTable(ident, v1.toString)
+    assert(pinned.properties().get("era") == "one")
+    assert(pinned.properties().get("graft.version") == v1.toString)
+    assert(pinned.partitioning().map(_.references()(0).fieldNames()(0)).toSeq
+      == Seq("grp"))
+    // and the pinned scan still answers under that era
+    assert(spark.sql(s"SELECT count(*) FROM gcat.db.pin VERSION AS OF $v1")
+      .head().getLong(0) == 8L)
+  }
+
+  test("catalog: GRAFT maintenance/DML statements accept table NAMES — resolved through the registered catalog") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.mnt (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gcat.db.mnt SELECT id, id * 10 FROM range(0, 30)")
+    spark.sql("INSERT INTO gcat.db.mnt SELECT id, id * 10 FROM range(30, 60)")
+    val root = s"$warehouse/db/mnt"
+    // DESCRIBE HISTORY by name = by path
+    val hName = spark.sql("DESCRIBE HISTORY GRAFT gcat.db.mnt")
+      .orderBy("version").collect().map(_.getString(1)).toSeq
+    val hPath = spark.sql(s"DESCRIBE HISTORY GRAFT '$root'")
+      .orderBy("version").collect().map(_.getString(1)).toSeq
+    assert(hName == hPath && hName == Seq("create", "append", "append"))
+    // OPTIMIZE / ANALYZE / VACUUM by name land on the same root
+    spark.sql("OPTIMIZE GRAFT gcat.db.mnt TARGET 1").collect()
+    assert(VersionedTable.history(root).last.mode == "compact")
+    spark.sql("ANALYZE GRAFT gcat.db.mnt STATS BY (v)").collect()
+    assert(VersionedTable.indexedCols(root)._1.contains("v"))
+    spark.sql("VACUUM GRAFT gcat.db.mnt RETAIN 5 DRY RUN").collect()
+    // MERGE by name: the upsert verb through the named front door
+    spark.sql("MERGE GRAFT gcat.db.mnt ON id FROM " +
+      "(SELECT CAST(1 AS BIGINT) AS id, CAST(-5 AS BIGINT) AS v)").collect()
+    assert(spark.sql("SELECT v FROM gcat.db.mnt WHERE id = 1").head().getLong(0) == -5L)
+    // refusals are loud and specific
+    val e1 = intercept[Exception](spark.sql("OPTIMIZE GRAFT nocat.db.t TARGET 1"))
+    assert(e1.getMessage.contains("not a registered catalog"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql("OPTIMIZE GRAFT gcat.db.absent TARGET 1"))
+    assert(e2.getMessage.contains("not an existing graft table"), e2.getMessage)
+  }
+
   test("catalog: native SQL DELETE routes onto the manifest-pruned verbs") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.del (id BIGINT, grp STRING, v BIGINT) " +

@@ -1059,6 +1059,82 @@ class IoSpec extends SparkSpec {
     assert(msgs.contains("NULL delete key"), msgs)
   }
 
+  test("_filestats contract stamp: pre-contract side files read as ABSENT — never skip, never answer") {
+    import spark.implicits._
+    val root = tmpDir("vt_fscontract")
+    VersionedTable.commit(Seq((1L, "a"), (100L, "b")).toDF("id", "s"), root,
+      "append", "fsc-1", statsCols = Seq("id"))
+    val dir = VersionedTable.history(root).last.dirs.head
+    val dp = java.nio.file.Paths.get(s"$root/$dir")
+    val fsPath = dp.resolve("_filestats")
+    // current writer stamps the every-block-accounted contract
+    assert(java.nio.file.Files.readString(fsPath).contains("\"__contract\":2"))
+    // sanity: with the honest envelope, a disjoint range skips cleanly
+    assert(VersionedTable.readRange(spark, root, "id", 50L, 200L)
+      .collect().map(_.getLong(0)).toSet == Set(100L))
+    // forge a LEGACY (unstamped) side file whose envelope is TOO NARROW —
+    // exactly what a pre-contract writer that silently skipped a
+    // stats-less block could have left behind
+    import scala.jdk.CollectionConverters._
+    val rels = java.nio.file.Files.walk(dp).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet"))
+      .map(p => dp.relativize(p).toString).toSeq.sorted
+    val legacy = rels.map(r =>
+      "\"" + r + "\":{\"__rows\":[\"r\",2],\"id\":[\"i\",1,5]}")
+      .mkString("{", ",", "}")
+    java.nio.file.Files.writeString(fsPath, legacy)
+    // trusting that envelope would skip the file and LOSE id=100; the
+    // stamp gate must treat it as absent instead
+    assert(VersionedTable.readRange(spark, root, "id", 50L, 200L)
+      .collect().map(_.getLong(0)).toSet == Set(100L),
+      "a pre-contract envelope must never be skip authority")
+    // row counts stay trustworthy (they always summed every block)
+    assert(VersionedTable.read(spark, root).count() == 2L)
+    // ANALYZE rewrites the side file under the current contract
+    VersionedTable.analyze(spark, root, Seq("id"), "fsc-an")
+    assert(java.nio.file.Files.readString(fsPath).contains("\"__contract\":2"))
+    assert(VersionedTable.readRange(spark, root, "id", 50L, 200L)
+      .collect().map(_.getLong(0)).toSet == Set(100L))
+  }
+
+  test("PosDeleted: value equality across plan builds — canonicalized scans equal, exchange reuse fires, explain bounded") {
+    import spark.implicits._
+    import graft.functions.PosDeleted
+    // unit level: two instances over the same delete set but DISTINCT
+    // Array objects (exactly what two separate plan builds deserialize)
+    // must compare equal with consistent hashCodes — Array equality is
+    // identity-based, so the derived case-class equals would say false
+    val l = org.apache.spark.sql.catalyst.expressions.BoundReference(
+      0, org.apache.spark.sql.types.StringType, nullable = false)
+    val r = org.apache.spark.sql.catalyst.expressions.BoundReference(
+      1, org.apache.spark.sql.types.LongType, nullable = false)
+    val p1 = PosDeleted(l, r, "data", Map("data/f1" -> Array(3L, 7L)))
+    val p2 = PosDeleted(l, r, "data", Map("data/f1" -> Array(3L, 7L)))
+    val p3 = PosDeleted(l, r, "data", Map("data/f1" -> Array(3L, 8L)))
+    assert(p1 == p2 && p1.hashCode == p2.hashCode && p1 != p3)
+    assert(p1.canonicalized == p2.canonicalized)
+    // explain output elides the vector: file/position COUNTS, not values
+    assert(p1.toString.contains("1 files/2 positions") &&
+      !p1.toString.contains("[J"), p1.toString)
+    // plan level: two INDEPENDENT builds over the same DV snapshot feed a
+    // self-join — their aggregates shuffle on equal canonicalized children,
+    // so Spark's exchange reuse must fire instead of scanning twice
+    val root = tmpDir("vt_dv_eq")
+    VersionedTable.commit(Seq((1L, "a"), (5L, "b"), (10L, "b")).toDF("id", "s"),
+      root, "append", "eq-c1", statsCols = Seq("id"))
+    VersionedTable.deleteWherePos(spark, root, Seq(10L).toDF("id"), "id", "eq-dv")
+    val a = VersionedTable.read(spark, root).groupBy("s")
+      .agg(org.apache.spark.sql.functions.sum("id").as("x"))
+    val b = VersionedTable.read(spark, root).groupBy("s")
+      .agg(org.apache.spark.sql.functions.sum("id").as("y"))
+    val j = a.join(b, "s")
+    assert(j.collect().map(r0 => (r0.getString(0), r0.getLong(1))).toSet
+      == Set(("a", 1L), ("b", 5L)))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange") || plan.contains("reuse"),
+      s"expected exchange reuse over the covered scan:\n$plan")
+  }
+
   test("VersionedTable.deletePosWhere: arbitrary-predicate delete as a positional vector") {
     import spark.implicits._
     val root = tmpDir("vt_dv_pred")
