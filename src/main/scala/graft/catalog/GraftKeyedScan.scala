@@ -112,6 +112,8 @@ final class GraftKeyedScan(spark: SparkSession, private val root: String,
     def norm(v: Any): Any = v match {
       case n: java.lang.Number => n.longValue
       case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case d: java.sql.Date => d.toLocalDate.toEpochDay
+      case d: java.time.LocalDate => d.toEpochDay
       case other => other
     }
     filters.foreach {
@@ -300,6 +302,7 @@ object GraftKeyedScan {
               case (x, y) =>
                 def l(v: Any): Long = v match {
                   case i: Int => i.toLong; case lg: Long => lg
+                  case d: java.sql.Date => d.toLocalDate.toEpochDay
                   case other => sys.error(s"unexpected key value $other")
                 }
                 if (desc) l(x) > l(y) else l(x) < l(y)
@@ -569,7 +572,7 @@ object GraftFlatScan {
         // declining a prune (None) is always sound — never narrow on doubt
         val (p, tag) = topN match {
           case Some((col, desc, nullsFirst, n)) =>
-            VersionedTable.topNPrune(spark, p0, col, desc, nullsFirst, n) match {
+            VersionedTable.topNPrune(spark, root, p0, col, desc, nullsFirst, n) match {
               case Some(pp) => (pp, s"PushedTopN: [${if (desc) "DESC" else "ASC"}" +
                 s" $col${if (nullsFirst) " NULLS FIRST" else " NULLS LAST"}, limit=$n]")
               case None => (p0, "")

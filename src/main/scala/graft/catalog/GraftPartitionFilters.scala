@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, IsNull}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType}
 
 /** RESIDUAL-FREE partition predicates (the public Iceberg/Hive
   * semantics): [[GraftScanBuilder.pushFilters]] CLAIMS exact filter
@@ -53,7 +53,22 @@ private[graft] object GraftPartitionFilters {
     case IntegerType => v.isInstanceOf[Int]
     case LongType    => v.isInstanceOf[Long]
     case StringType  => v.isInstanceOf[String]
+    // the literal's JVM class depends on spark.sql.datetime.java8API.enabled
+    case DateType    => v.isInstanceOf[java.sql.Date] ||
+                        v.isInstanceOf[java.time.LocalDate]
     case _           => false
+  }
+
+  /** DATE values normalize to epoch day before comparison: the claimed
+    * literal arrives as `java.sql.Date` or `java.time.LocalDate` (session
+    * java8API setting), while the hive-path parse yields `java.sql.Date`
+    * — plain `==` across the representations would be silently false and
+    * drop every matching partition.
+    */
+  private def norm(v: Any): Any = v match {
+    case d: java.sql.Date       => d.toLocalDate.toEpochDay
+    case d: java.time.LocalDate => d.toEpochDay
+    case x                      => x
   }
 
   /** Exact evaluation of every claimed filter against one key-value map
@@ -67,9 +82,10 @@ private[graft] object GraftPartitionFilters {
         "key of the scanned snapshot (partition layout changed between " +
         "planning steps) — retry the query"))
     claimed.forall {
-      case EqualTo(a, v) => val k = value(a); k != null && k == v
+      case EqualTo(a, v) => val k = value(a); k != null && norm(k) == norm(v)
       case In(a, vs) =>
-        val k = value(a); k != null && vs != null && vs.exists(x => x != null && x == k)
+        val k = value(a)
+        k != null && vs != null && vs.exists(x => x != null && norm(x) == norm(k))
       case IsNull(a)    => value(a) == null
       case IsNotNull(a) => value(a) != null
       case other        => sys.error(s"unclaimable filter reached enforcement: $other")

@@ -135,6 +135,33 @@ class PartitionFilterSpec extends SparkSpec {
     assert(spark.table("gpf.db.dml").collect().forall(_.getString(1) == "g1"))
   }
 
+  test("partition filters: DATE partition keys claim residual-free — keyed scan, epoch-day-exact equality") {
+    warehouse
+    spark.sql("CREATE TABLE gpf.db.d (id BIGINT, day DATE, v BIGINT) " +
+      "PARTITIONED BY (day) TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gpf.db.d SELECT id, " +
+      "date_add(DATE '2024-03-01', CAST(id % 4 AS INT)), id * 10 FROM range(0, 40)")
+    spark.sql("INSERT INTO gpf.db.d SELECT 1000 + id, NULL, id FROM range(0, 3)")
+    // = / IN / IS [NOT] NULL all claim (the literal arrives as
+    // java.sql.Date or LocalDate per the java8API setting; the path
+    // parse yields java.sql.Date — epoch-day normalization makes the
+    // comparison representation-proof), cross-checked vs the kill switch
+    check("SELECT id, v FROM gpf.db.d WHERE day = DATE '2024-03-02'")
+    check("SELECT id, v FROM gpf.db.d WHERE day IN (DATE '2024-03-01', DATE '2024-03-03')")
+    check("SELECT id, v FROM gpf.db.d WHERE day IS NOT NULL")
+    check("SELECT id, v FROM gpf.db.d WHERE day IS NULL")
+    // DATE keys are path-round-trippable: the scan is the keyed DSv2
+    // batch (KeyGroupedPartitioning), not the V1 fallback
+    val q = spark.sql("SELECT id FROM gpf.db.d WHERE day = DATE '2024-03-02'")
+    assert(q.queryExecution.executedPlan.toString.contains("GraftKeyedScan"),
+      q.queryExecution.executedPlan.toString.take(600))
+    assert(q.collect().map(_.getLong(0)).toSet == (0L until 40L).filter(_ % 4 == 1).toSet)
+    // and the java8API flavor of the literal claims identically
+    spark.conf.set("spark.sql.datetime.java8API.enabled", "true")
+    try check("SELECT id, v FROM gpf.db.d WHERE day = DATE '2024-03-02'")
+    finally spark.conf.set("spark.sql.datetime.java8API.enabled", "false")
+  }
+
   test("partition filters: kill switch restores the residual Filter node") {
     warehouse
     spark.conf.set("spark.graft.partitionFilterPushdown", "false")

@@ -109,6 +109,31 @@ class ScanPruneSpec extends SparkSpec {
       planOf(nf).take(700))
   }
 
+  test("topN pushdown: INDEXED sort column resolves from side data — zero footer opens at plan time") {
+    warehouse
+    import graft.io.VersionedTable
+    // id is a graft.stats.columns column and no commit has id-nulls, so
+    // tier A (contract-stamped `_filestats` envelopes + side row counts +
+    // the manifest's zero-null accounting) decides the whole prune — a
+    // new snapshot version must not pay O(#files) driver footer IO
+    val before = VersionedTable.footerReadsProbe.get()
+    val q = spark.sql("SELECT id FROM gpr.db.t ORDER BY id DESC LIMIT 5")
+    assert(planOf(q).contains("PushedTopN"), planOf(q).take(600))
+    assert(plannedFiles(q) < fullFiles)
+    assert(VersionedTable.footerReadsProbe.get() == before,
+      s"indexed top-N prune opened ${VersionedTable.footerReadsProbe.get() - before} footers")
+    assert(q.collect().map(_.getLong(0)).toSeq == (299L to 295L by -1).toSeq)
+    // the footer-read cap: above it the prune DECLINES (superset kept)
+    spark.conf.set("spark.graft.topNPrune.maxFooterFiles", "0")
+    try {
+      // v is NOT an indexed column → every file would need a footer; the
+      // cap of 0 refuses that IO and the prune declines, still correct
+      val vq = spark.sql("SELECT v FROM gpr.db.t ORDER BY v NULLS LAST LIMIT 3")
+      assert(!planOf(vq).contains("PushedTopN"), planOf(vq).take(600))
+      assert(vq.collect().map(_.getInt(0)).toSeq == Seq(0, 1, 2))
+    } finally spark.conf.unset("spark.graft.topNPrune.maxFooterFiles")
+  }
+
   test("topN pushdown declines on inexact shapes — string sort key, multi-key — and stays correct") {
     warehouse
     spark.sql("CREATE TABLE gpr.db.ts (id BIGINT, s STRING)")
