@@ -3219,6 +3219,51 @@ private[graft] object QueriesMedallionIo {
         |    (SELECT count(*) FROM orders), (SELECT count(*) FROM orders)
         |) ORDER BY version""".stripMargin)),
 
+    // S17 — NAME-BASED MAINTENANCE (r16): every GRAFT statement accepts a
+    // dotted catalog NAME wherever it accepts a quoted path — resolution
+    // runs through the registered DSv2 GraftCatalog at parse time
+    // (GraftCatalog.rootOf), exactly Delta's path-or-name statement
+    // contract. The row drives CREATE/INSERT through plain catalog SQL,
+    // OPTIMIZE + DESCRIBE HISTORY by NAME, and pins that an unresolvable
+    // name refuses loudly instead of inventing a path.
+    Q("versioned_sql_maintenance_named",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        val refused = Fixtures.once(s, dir, "vt_sql_maint_nm") {
+          rmrf(s"$wh/smn")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.smn")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_smn_orders")
+          s.sql("CREATE TABLE gq.smn.t (o_orderkey BIGINT, o_orderpriority STRING) " +
+            "TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+          s.sql("INSERT INTO gq.smn.t SELECT o_orderkey, o_orderpriority " +
+            "FROM cat_smn_orders WHERE o_orderkey % 2 = 0")
+          s.sql("INSERT INTO gq.smn.t SELECT o_orderkey, o_orderpriority " +
+            "FROM cat_smn_orders WHERE o_orderkey % 2 = 1")
+          s.sql("OPTIMIZE GRAFT gq.smn.t TARGET 4").collect()
+          java.lang.Boolean.valueOf(
+            scala.util.Try(s.sql("OPTIMIZE GRAFT gq.smn.absent TARGET 1")).isFailure)
+        }
+        s.sql("DESCRIBE HISTORY GRAFT gq.smn.t")
+          .select("version", "operation", "dirs_added", "dirs_removed",
+            "rows_added", "rows_removed")
+          .withColumn("bad_name_refused", lit(refused.booleanValue()))
+          .orderBy("version")
+      },
+      Some("""SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS version, 'create' AS operation,
+        |    0 AS dirs_added, 0 AS dirs_removed,
+        |    CAST(0 AS BIGINT) AS rows_added, CAST(0 AS BIGINT) AS rows_removed,
+        |    TRUE AS bad_name_refused
+        |  UNION ALL SELECT 2, 'append', 1, 0,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 0), 0, TRUE
+        |  UNION ALL SELECT 3, 'append', 1, 0,
+        |    (SELECT count(*) FROM orders WHERE o_orderkey % 2 = 1), 0, TRUE
+        |  UNION ALL SELECT 4, 'compact', 1, 2,
+        |    (SELECT count(*) FROM orders), (SELECT count(*) FROM orders), TRUE
+        |) ORDER BY version""".stripMargin)),
+
     // S17 — GENERATED COLUMNS (VersionedTable.addGeneratedColumn — the
     // public Delta GENERATED ALWAYS AS shape): declared BEFORE any data as
     // a pure-metadata CREATE commit, then materialized by every write —
@@ -4112,6 +4157,54 @@ private[graft] object QueriesMedallionIo {
         |  CAST(0 AS BIGINT) AS filter_nodes, CAST(1 AS BIGINT) AS aggscan,
         |  (SELECT count(*) FROM orders WHERE o_orderpriority = '1-URGENT') AS urgent_n
         |FROM orders WHERE o_orderpriority IN ('1-URGENT', '3-MEDIUM')
+        |ORDER BY o_orderkey""".stripMargin)),
+
+    // S17 — DATE partition keys claim residual-free too (r16): the
+    // canonical 100 TB fact layout is day-partitioned, and `WHERE day =
+    // DATE '...'` must evaluate ZERO per-row predicates exactly like the
+    // string/int claims — hive paths store DATE values as yyyy-MM-dd
+    // (exact round trip), the claim normalizes java.sql.Date/LocalDate
+    // literals to epoch days, and the scan is the keyed DSv2 batch
+    // (KeyGroupedPartitioning), not the V1 fallback. `filter_nodes` pins
+    // the absent Filter node; `keyed` pins the scan shape.
+    Q("versioned_partition_filter_date",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        Fixtures.once(s, dir, "vt_cat_pfd") {
+          rmrf(s"$wh/pfd")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.pfd")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_pfd_orders")
+          // day-partitioned fact: WEEK of the order date keeps the
+          // partition count bounded at any SF while staying a true DATE
+          s.sql("CREATE TABLE gq.pfd.t (o_orderkey BIGINT, wk DATE, cents BIGINT) " +
+            "PARTITIONED BY (wk) TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+          s.sql("INSERT INTO gq.pfd.t SELECT o_orderkey, " +
+            "CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE), " +
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+            "FROM cat_pfd_orders")
+          java.lang.Boolean.TRUE
+        }
+        val wk0 = s.sql("SELECT CAST(date_trunc('week', CAST(min(o_orderdate) AS DATE)) " +
+          "AS DATE) FROM cat_pfd_orders").head().getDate(0)
+        val sel = s.table("gq.pfd.t")
+          .where(col("wk") === lit(wk0)).select("o_orderkey", "cents")
+        val plan = sel.queryExecution.executedPlan.toString
+        val filterNodes = "(?m)^[\\s:+\\-]*(?:\\*\\(\\d+\\) )?Filter\\b".r
+          .findAllIn(plan).length.toLong
+        val keyed = if (plan.contains("GraftKeyedScan")) 1L else 0L
+        sel
+          .withColumn("filter_nodes", lit(filterNodes))
+          .withColumn("keyed", lit(keyed))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  CAST(0 AS BIGINT) AS filter_nodes, CAST(1 AS BIGINT) AS keyed
+        |FROM orders
+        |WHERE date_trunc('week', CAST(o_orderdate AS DATE)) =
+        |  (SELECT date_trunc('week', CAST(min(o_orderdate) AS DATE)) FROM orders)
         |ORDER BY o_orderkey""".stripMargin)),
 
     // S17 — native PARTITION DDL (SupportsPartitionManagement on

@@ -72,7 +72,13 @@ import graft.io.VersionedTable
   *
   * The `GRAFT` keyword after the verb keeps the grammar disjoint from
   * anything Spark itself may parse now or later; every other statement
-  * delegates untouched, so the parser is a pure superset. Statements
+  * delegates untouched, so the parser is a pure superset. Wherever the
+  * grammar shows `'<root>'`, a dotted catalog NAME is also accepted
+  * (`OPTIMIZE GRAFT cat.db.t`) — it resolves through the session's
+  * registered [[graft.catalog.GraftCatalog]]s to the same root, with a
+  * loud refusal on an unregistered catalog or a name with no committed
+  * table (so statements that CREATE new storage — CREATE GRAFT, CREATE
+  * MATERIALIZED VIEW — keep the path spelling). Statements
   * resolve to `LeafRunnableCommand`s — lazily executed like any Spark
   * command, driver-side by design (these are metadata verbs; the heavy
   * lifting inside compact/compactWhere is ordinary distributed Spark).
@@ -264,7 +270,39 @@ object GraftSqlParser {
     }
   }
 
-  def parseMaintenance(sqlText: String): Option[LogicalPlan] = sqlText match {
+  // ---- name-based spelling ----------------------------------------------
+  // Every statement accepts `GRAFT cat.db.t` wherever it accepts
+  // `GRAFT '<root>'` (the Delta path-or-name contract): a dotted,
+  // unquoted identifier after the GRAFT keyword resolves through the
+  // session's registered catalogs (GraftCatalog.rootOf — loud refusal on
+  // an unregistered name) and the statement re-parses in the quoted-root
+  // spelling. Gated on the statement HEAD matching a GRAFT verb, so a
+  // delegate statement that merely contains the word GRAFT is never
+  // rewritten; resolution runs at parse time, like Spark's own analysis
+  // of a table name.
+  private val graftNameRe =
+    """(?is)(\bGRAFT\s+)([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)""".r
+  private val graftVerbHeadRe =
+    ("""(?is)\s*(?:DESCRIBE\s+(?:HISTORY|DETAIL)|VACUUM|OPTIMIZE|RESTORE|""" +
+      """SHOW\s+(?:PARTITIONS|TBLPROPERTIES|BRANCHES|TAGS)|ANALYZE|DELETE|""" +
+      """UPDATE|REPLACE|MERGE|ALTER|INSERT\s+(?:INTO|OVERWRITE)|COPY\s+INTO|""" +
+      """CREATE|REFRESH)\s+.*""").r
+
+  private def resolveNamedRoots(sqlText: String): Option[String] =
+    if (!graftVerbHeadRe.pattern.matcher(sqlText).matches() ||
+        graftNameRe.findFirstIn(sqlText).isEmpty) None
+    else Some(graftNameRe.replaceAllIn(sqlText, m => {
+      val root = graft.catalog.GraftCatalog.rootOf(
+        org.apache.spark.sql.SparkSession.active,
+        m.group(2).split("\\.").toSeq)
+      scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}'$root'")
+    }))
+
+  def parseMaintenance(sqlText: String): Option[LogicalPlan] =
+    parseMaintenance0(sqlText).orElse(
+      resolveNamedRoots(sqlText).flatMap(parseMaintenance0))
+
+  private def parseMaintenance0(sqlText: String): Option[LogicalPlan] = sqlText match {
     case describeRe(root) => Some(GraftDescribeHistoryCommand(root))
     case detailRe(root) => Some(GraftDescribeDetailCommand(root))
     case vacuumRe(root, n, dry) => Some(GraftVacuumCommand(root, Some(n.toInt), dry != null))
