@@ -4207,6 +4207,64 @@ private[graft] object QueriesMedallionIo {
         |  (SELECT date_trunc('week', CAST(min(o_orderdate) AS DATE)) FROM orders)
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // S17 — DATE-partitioned row-level DML + metadata aggregation (r16):
+    // the full lifecycle on the canonical day-partitioned layout —
+    // copy-on-write UPDATE and DELETE under CLAIMED DATE predicates
+    // (survivors land back in the same hive yyyy-MM-dd layout via the
+    // dynamic-partition writers), then the week×count report answered
+    // from commit metadata with NO Aggregate node (`aggscan` pins
+    // GraftAggScan; cow mode keeps the table MOR-debt-free so the
+    // pushdown stays exact after DML). The oracle replays update,
+    // delete, and grouping from the raw table.
+    Q("versioned_dml_date",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        Fixtures.once(s, dir, "vt_cat_dmld") {
+          rmrf(s"$wh/dmld")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.dmld")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_dmld_orders")
+          s.sql("CREATE TABLE gq.dmld.t (o_orderkey BIGINT, wk DATE, cents BIGINT) " +
+            "PARTITIONED BY (wk) TBLPROPERTIES " +
+            "('graft.stats.columns' = 'o_orderkey', 'graft.dml.mode' = 'copy-on-write')")
+          s.sql("INSERT INTO gq.dmld.t SELECT o_orderkey, " +
+            "CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE), " +
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+            "FROM cat_dmld_orders")
+          val Array(mnWk, mxWk) = s.sql(
+            "SELECT CAST(min(wk) AS STRING), CAST(max(wk) AS STRING) FROM gq.dmld.t")
+            .head().toSeq.map(_.toString).toArray
+          s.sql(s"UPDATE gq.dmld.t SET cents = cents + 7 WHERE wk = DATE '$mnWk'")
+          s.sql(s"DELETE FROM gq.dmld.t WHERE wk = DATE '$mxWk'")
+          java.lang.Boolean.TRUE
+        }
+        val grouped = s.sql("SELECT wk, count(*) AS n FROM gq.dmld.t GROUP BY wk")
+        val aggscan = if (grouped.queryExecution.executedPlan.toString
+          .contains("GraftAggScan")) 1L else 0L
+        val updSum = s.sql(
+          "SELECT sum(cents) FROM gq.dmld.t WHERE wk = (SELECT min(wk) FROM gq.dmld.t)")
+          .head().getLong(0)
+        // the DATE column stringifies for the oracle transport (DuckDB's
+        // pandas bridge coerces DATE to datetime64) — the cast sits ABOVE
+        // the already-pinned metadata aggregation
+        grouped
+          .select(col("wk").cast("string").as("wk"), col("n"))
+          .withColumn("aggscan", lit(aggscan))
+          .withColumn("updated_sum", lit(updSum))
+          .orderBy("wk")
+      },
+      Some("""WITH w AS (
+        |  SELECT CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS wk,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT strftime(wk, '%Y-%m-%d') AS wk, count(*) AS n,
+        |  CAST(1 AS BIGINT) AS aggscan,
+        |  (SELECT CAST(sum(cents + 7) AS BIGINT) FROM w
+        |     WHERE wk = (SELECT min(wk) FROM w)) AS updated_sum
+        |FROM w WHERE wk <> (SELECT max(wk) FROM w)
+        |GROUP BY wk ORDER BY wk""".stripMargin)),
+
     // S17 — native PARTITION DDL (SupportsPartitionManagement on
     // GraftTable): `SHOW PARTITIONS` lists the hive layout's typed value
     // tuples from a driver directory walk (zero Spark jobs), and `ALTER

@@ -75,7 +75,9 @@ private final class GraftAggReaderFactory extends PartitionReaderFactory {
       override def get(): InternalRow =
         new GenericInternalRow(rows(i).map {
           case s: String => UTF8String.fromString(s): Any
-          case v         => v
+          // path-sourced DATE group/aggregate values → internal epoch days
+          case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt: Any
+          case v => v
         })
       override def close(): Unit = ()
     }

@@ -601,15 +601,50 @@ class GraftTable(root: String, ident: Identifier, asOf: Option[Long],
     */
   private def deletePlanOf(filters: Array[sources.Filter])
       : Option[String => Unit] = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
     if (asOf.nonEmpty || filters.isEmpty) return None
     val cols = filters.flatMap(_.references).distinct
     if (cols.length != 1) return None
     val colName = cols.head
     val dt = schema.fields.find(_.name == colName).map(_.dataType).getOrElse(return None)
     val integral = dt == LongType || dt == IntegerType
-    if (!integral && dt != StringType) return None
+    val dateCol = dt == DateType
+    if (!integral && !dateCol && dt != StringType) return None
     val (statsCols, bloomCols) = VersionedTable.indexedCols(root)
+    // DATE predicates route onto the range verb with epoch-day bounds
+    // (the statsCols contract): `DELETE WHERE d < DATE '...'` is the
+    // retention purge — envelope-covered dirs drop METADATA-ONLY
+    def epochDay(v: Any): Option[Long] = v match {
+      case d: java.sql.Date       => Some(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate => Some(d.toEpochDay)
+      case _                      => None
+    }
+    if (dateCol) {
+      def rangeDelete(lo: Long, hi: Long): String => Unit = cid => {
+        VersionedTable.deleteRange(spark, root, colName, lo, hi, cid,
+          statsCols = statsCols, bloomCols = bloomCols)
+        ()
+      }
+      return filters match {
+        case Array(sources.EqualTo(_, v)) if v != null =>
+          epochDay(v).map(e => rangeDelete(e, e))
+        case _ =>
+          var lo = Long.MinValue; var hi = Long.MaxValue; var ok = true
+          filters.foreach {
+            case sources.GreaterThanOrEqual(_, v) if epochDay(v).isDefined =>
+              lo = math.max(lo, epochDay(v).get)
+            case sources.GreaterThan(_, v) if epochDay(v).isDefined =>
+              lo = math.max(lo, epochDay(v).get + 1)
+            case sources.LessThanOrEqual(_, v) if epochDay(v).isDefined =>
+              hi = math.min(hi, epochDay(v).get)
+            case sources.LessThan(_, v) if epochDay(v).isDefined =>
+              hi = math.min(hi, epochDay(v).get - 1)
+            case _ => ok = false
+          }
+          if (!ok || (lo == Long.MinValue && hi == Long.MaxValue)) None
+          else Some(rangeDelete(lo, hi))
+      }
+    }
     def keysDelete(values: Seq[Any]): String => Unit = { cid =>
       // SQL semantics: a NULL in the IN list matches nothing — drop it
       val vs = values.filter(_ != null)
@@ -656,7 +691,7 @@ class GraftTable(root: String, ident: Identifier, asOf: Option[Long],
     deletePlanOf(filters).getOrElse(sys.error(
       s"DELETE on $name: unsupported predicate shape ${filters.mkString(", ")} " +
         "(supported: IN/= on one integral or string column, or range conjuncts " +
-        "on one integral column)"))(
+        "on one integral or date column)"))(
       s"catalog-delete-${java.util.UUID.randomUUID().toString.take(12)}")
 }
 

@@ -343,6 +343,10 @@ final class GraftCowWriterFactory(stagedAbs: String, rowSchema: StructType,
         rowSchema.fields(i).dataType match {
           case org.apache.spark.sql.types.LongType => String.valueOf(row.getLong(i))
           case org.apache.spark.sql.types.IntegerType => String.valueOf(row.getInt(i))
+          // ISO yyyy-MM-dd — exactly how partitionBy spells DATE values,
+          // and the exact round trip of hivePartValue's Date.valueOf
+          case org.apache.spark.sql.types.DateType =>
+            java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
           case _ => row.getUTF8String(i).toString
         }
 

@@ -86,6 +86,12 @@ object VersionedRelation {
     case s: Short              => Some(s.toLong)
     case b: Byte               => Some(b.toLong)
     case t: java.sql.Timestamp => Some(micros(t))
+    // DATE envelopes are epoch DAYS (INT32 footers) by the statsCols
+    // contract; both literal flavors (java8API off/on) translate
+    case d: java.sql.Date       => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case i: java.time.Instant   =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
     case _                     => None
   }
 

@@ -2116,7 +2116,7 @@ object VersionedTable {
     */
   private def gatherStats(spark: SparkSession, dir: String, statsCols: Seq[String],
                           schema: org.apache.spark.sql.types.StructType): DirStats = {
-    import org.apache.spark.sql.types.{IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
     if (statsCols.isEmpty) return DirStats(Map.empty, Map.empty)
     statsCols.foreach { c =>
       schema(c).dataType match {
@@ -2136,9 +2136,13 @@ object VersionedTable {
               "spark.sql.parquet.outputTimestampType=TIMESTAMP_MICROS exactly " +
               "(INT96 carries no footer min/max; TIMESTAMP_MILLIS footers would be " +
               "compared against micros bounds)")
-        case LongType | IntegerType | StringType => ()
+        // DATE footers are INT32 epoch days — they index as integral
+        // envelopes (days), what date-range reads and retention deletes
+        // compare against (VersionedRelation.asLong translates both
+        // java.sql.Date and LocalDate literals to the same epoch days)
+        case LongType | IntegerType | StringType | DateType => ()
         case other => sys.error(
-          s"statsCols restricted to integer/string/timestamp columns; $c is $other")
+          s"statsCols restricted to integer/string/timestamp/date columns; $c is $other")
       }
     }
     val conf = spark.sessionState.newHadoopConf()
@@ -2150,6 +2154,11 @@ object VersionedTable {
           schema(c).dataType match {
             case LongType | IntegerType => v.toLongOption.map(l => c -> (IntMM(l, l): MinMax))
             case StringType             => Some(c -> (StrMM(v, v): MinMax))
+            case DateType               =>
+              scala.util.Try(java.sql.Date.valueOf(v)).toOption.map { d =>
+                val e = d.toLocalDate.toEpochDay
+                c -> (IntMM(e, e): MinMax)
+              }
             case _                      => None
           }
         }
@@ -2499,6 +2508,9 @@ object VersionedTable {
         expr(s"timestamp_micros(${v.asInstanceOf[Number].longValue}L)")
       case Some(TimestampNTZType) =>
         expr(s"cast(timestamp_micros(${v.asInstanceOf[Number].longValue}L) as timestamp_ntz)")
+      case Some(org.apache.spark.sql.types.DateType) =>
+        // DATE bounds travel as epoch days (the statsCols contract)
+        expr(s"date_from_unix_date(${v.asInstanceOf[Number].intValue})")
       case _ => lit(v)
     }
   }
@@ -4777,16 +4789,18 @@ object VersionedTable {
     colTypeOf(parent.schemaDdl, phys).foreach {
       case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
            org.apache.spark.sql.types.TimestampType |
-           org.apache.spark.sql.types.TimestampNTZType =>
+           org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.DateType =>
         require(lo.isInstanceOf[Number] && hi.isInstanceOf[Number],
-          s"$op: $phys takes numeric bounds (micros for timestamps), got " +
+          s"$op: $phys takes numeric bounds (micros for timestamps, epoch " +
+            s"days for dates), got " +
             s"(${lo.getClass.getSimpleName}, ${hi.getClass.getSimpleName})")
       case org.apache.spark.sql.types.StringType =>
         require(lo.isInstanceOf[String] && hi.isInstanceOf[String],
           s"$op: $phys is a string column; bounds must be strings, got " +
             s"(${lo.getClass.getSimpleName}, ${hi.getClass.getSimpleName})")
       case other => sys.error(
-        s"$op supports integral/string/timestamp columns; $phys is $other")
+        s"$op supports integral/string/timestamp/date columns; $phys is $other")
     }
 
   /** The LOGICAL column names the latest snapshot's skipping index covers:
@@ -5231,7 +5245,7 @@ object VersionedTable {
       tableSchema.fields.find(_.name == n).map(f => n -> f.dataType)).toMap
     if (types.size != (refCols ++ filterCols).distinct.size) return None
     def pathParseable(dt: DataType) =
-      dt == IntegerType || dt == LongType || dt == StringType
+      dt == IntegerType || dt == LongType || dt == StringType || dt == DateType
     def footerExact(dt: DataType) = dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType |
            TimestampType | TimestampNTZType => true
@@ -5278,6 +5292,9 @@ object VersionedTable {
     def asLong(v: Any): Long = v match {
       case i: Int => i.toLong; case l: Long => l
       case s: Short => s.toLong; case b: Byte => b.toLong
+      // path-sourced DATE values (footer-sourced dates are already
+      // internal epoch-day Ints) — ordered by epoch day
+      case d: java.sql.Date => d.toLocalDate.toEpochDay
       case other => sys.error(s"non-integral envelope value $other")
     }
     def foldMM(a: Acc, col: String, lo: Any, hi: Any): Unit = {
@@ -5973,7 +5990,7 @@ object VersionedTable {
     if (keyFields.size != c.partitionCols.size)
       return Left("partition columns missing from the recorded schema")
     if (!keyFields.forall(f => f.dataType == IntegerType || f.dataType == LongType ||
-        f.dataType == StringType))
+        f.dataType == StringType || f.dataType == DateType))
       return Left("non-path-round-trippable partition key type")
     c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
       s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
@@ -6115,7 +6132,7 @@ object VersionedTable {
     if (keyFields.size != c.partitionCols.size)
       return Left("partition columns missing from the recorded schema")
     if (!keyFields.forall(f => f.dataType == IntegerType || f.dataType == LongType ||
-        f.dataType == StringType))
+        f.dataType == StringType || f.dataType == DateType))
       return Left("non-path-round-trippable partition key type")
     c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
       s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))

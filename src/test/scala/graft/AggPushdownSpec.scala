@@ -153,6 +153,24 @@ class AggPushdownSpec extends SparkSpec {
     checkAgainstTruth("SELECT count(*) AS n, min(d) AS lo, max(d) AS hi FROM gagg.db.tv")
   }
 
+  test("agg pushdown: GROUP BY a DATE partition key — zero tasks under a claimed DATE filter too") {
+    warehouse
+    spark.sql("CREATE TABLE gagg.db.dday (id BIGINT, day DATE, v BIGINT) " +
+      "PARTITIONED BY (day) TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gagg.db.dday SELECT id, " +
+      "date_add(DATE '2024-06-01', CAST(id % 3 AS INT)), id FROM range(0, 30)")
+    spark.sql("INSERT INTO gagg.db.dday SELECT 100 + id, NULL, id FROM range(0, 4)")
+    // the canonical day-partitioned report: grouped row counts answered
+    // from metadata — DATE group values come off hive paths exactly
+    checkAgainstTruth("SELECT day, count(*) FROM gagg.db.dday GROUP BY day")
+    checkAgainstTruth("SELECT min(day), max(day), count(day) FROM gagg.db.dday")
+    // composed with a CLAIMED DATE partition predicate: still zero tasks
+    checkAgainstTruth(
+      "SELECT count(*) FROM gagg.db.dday WHERE day = DATE '2024-06-02'")
+    checkAgainstTruth(
+      "SELECT day, count(*) FROM gagg.db.dday WHERE day IS NOT NULL GROUP BY day")
+  }
+
   test("agg pushdown: timestamp min/max (micros annotation) and empty/declared-only tables") {
     warehouse
     spark.sql("CREATE TABLE gagg.db.tt (id BIGINT, ts TIMESTAMP)")

@@ -162,6 +162,38 @@ class PartitionFilterSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.datetime.java8API.enabled", "false")
   }
 
+  test("partition filters: row-level DML on a DATE-partitioned table — delta and copy-on-write routes") {
+    warehouse
+    spark.sql("CREATE TABLE gpf.db.ddml (id BIGINT, day DATE, v BIGINT) " +
+      "PARTITIONED BY (day)")
+    spark.sql("INSERT INTO gpf.db.ddml SELECT id, " +
+      "date_add(DATE '2024-03-01', CAST(id % 2 AS INT)), id FROM range(0, 20)")
+    // merge-on-read (default): UPDATE under a claimed DATE predicate
+    // writes one positional vector + post-images in the SAME hive
+    // yyyy-MM-dd layout (keyString's DATE spelling)
+    spark.sql("UPDATE gpf.db.ddml SET v = v + 1000 WHERE day = DATE '2024-03-02'")
+    val rows = spark.table("gpf.db.ddml").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getLong(2))).toSeq
+    assert(rows.count { case (id, d, v) => d == "2024-03-02" && v == id + 1000 } == 10)
+    assert(rows.count { case (id, d, v) => d == "2024-03-01" && v == id } == 10)
+    // reading back by the updated partition still claims residual-free
+    check("SELECT id, v FROM gpf.db.ddml WHERE day = DATE '2024-03-02'",
+      expectNoFilter = false) // MOR debt → V1 fallback keeps claim enforcement
+    // copy-on-write route on a fresh DATE table: DELETE rewrites only the
+    // matched partition, survivors land back under day=yyyy-MM-dd
+    spark.sql("CREATE TABLE gpf.db.ddml2 (id BIGINT, day DATE, v BIGINT) " +
+      "PARTITIONED BY (day) " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'copy-on-write')")
+    spark.sql("INSERT INTO gpf.db.ddml2 SELECT id, " +
+      "date_add(DATE '2024-03-01', CAST(id % 2 AS INT)), id FROM range(0, 20)")
+    spark.sql("DELETE FROM gpf.db.ddml2 WHERE day = DATE '2024-03-01' AND v < 6")
+    val left = spark.table("gpf.db.ddml2").collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2))).toSeq
+    assert(left.count(_._1 == "2024-03-02") == 10)
+    assert(left.filter(_._1 == "2024-03-01").map(_._2).sorted
+      == Seq(6L, 8L, 10L, 12L, 14L, 16L, 18L))
+  }
+
   test("partition filters: kill switch restores the residual Filter node") {
     warehouse
     spark.conf.set("spark.graft.partitionFilterPushdown", "false")

@@ -134,6 +134,42 @@ class ScanPruneSpec extends SparkSpec {
     } finally spark.conf.unset("spark.graft.topNPrune.maxFooterFiles")
   }
 
+  test("DATE columns in the skipping index: range/equality predicates prune commits; SQL retention delete by date") {
+    warehouse
+    import graft.io.{VersionedRelation, VersionedTable}
+    spark.sql("CREATE TABLE gpr.db.dt (id BIGINT, d DATE, v BIGINT) " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'id,d')")
+    // three commits with disjoint months → disjoint epoch-day envelopes
+    Seq("2024-01", "2024-02", "2024-03").zipWithIndex.foreach { case (m, i) =>
+      spark.sql(s"INSERT INTO gpr.db.dt SELECT id + ${i * 100}, " +
+        s"date_add(DATE '$m-01', CAST(id % 5 AS INT)), id FROM range(0, 20)")
+    }
+    // a date RANGE reaches the manifest envelopes (epoch days) — two of
+    // three commits never scan
+    val q = spark.sql("SELECT id FROM gpr.db.dt WHERE d >= DATE '2024-03-01'")
+    assert(q.collect().length == 20)
+    val scan = VersionedRelation.lastScan
+    assert(scan.dirsKept == 1 && scan.dirsTotal == 3, scan.toString)
+    // equality prunes the same way (range [e, e])
+    assert(spark.sql("SELECT id FROM gpr.db.dt WHERE d = DATE '2024-02-03'")
+      .collect().nonEmpty)
+    assert(VersionedRelation.lastScan.dirsKept == 1, VersionedRelation.lastScan.toString)
+    // the SQL retention purge: an envelope-covered month drops
+    // METADATA-ONLY through the range-delete verb — no dir rewritten
+    val root = s"$warehouse/db/dt"
+    val dirsBefore = VersionedTable.history(root).last.dirs
+    spark.sql("DELETE FROM gpr.db.dt WHERE d < DATE '2024-02-01'")
+    val after = VersionedTable.history(root).last
+    assert(after.mode == "delete", after.mode)
+    assert(after.dirs.size == 2 && after.dirs.forall(dirsBefore.contains),
+      s"retention purge must drop metadata-only: ${after.dirs} vs $dirsBefore")
+    assert(spark.table("gpr.db.dt").count() == 40L)
+    // programmatic twin: epoch-day bounds on readRange
+    val feb = java.time.LocalDate.parse("2024-02-01").toEpochDay
+    val mar = java.time.LocalDate.parse("2024-02-29").toEpochDay
+    assert(VersionedTable.readRange(spark, root, "d", feb, mar).count() == 20L)
+  }
+
   test("topN pushdown declines on inexact shapes — string sort key, multi-key — and stays correct") {
     warehouse
     spark.sql("CREATE TABLE gpr.db.ts (id BIGINT, s STRING)")
