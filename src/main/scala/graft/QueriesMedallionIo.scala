@@ -4186,8 +4186,9 @@ private[graft] object QueriesMedallionIo {
             "FROM cat_pfd_orders")
           java.lang.Boolean.TRUE
         }
-        val wk0 = s.sql("SELECT CAST(date_trunc('week', CAST(min(o_orderdate) AS DATE)) " +
-          "AS DATE) FROM cat_pfd_orders").head().getDate(0)
+        // derived from the COMMITTED table (not the fixture temp view,
+        // which is per-session while the fixture memo is per-process)
+        val wk0 = s.sql("SELECT min(wk) FROM gq.pfd.t").head().getDate(0)
         val sel = s.table("gq.pfd.t")
           .where(col("wk") === lit(wk0)).select("o_orderkey", "cents")
         val plan = sel.queryExecution.executedPlan.toString

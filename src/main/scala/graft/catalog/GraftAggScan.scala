@@ -76,8 +76,8 @@ private final class GraftAggReaderFactory extends PartitionReaderFactory {
         new GenericInternalRow(rows(i).map {
           case s: String => UTF8String.fromString(s): Any
           // path-sourced DATE group/aggregate values → internal epoch days
-          case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt: Any
-          case v => v
+          case v => graft.io.VersionedRelation.epochDay(v)
+            .map(_.toInt: Any).getOrElse(v)
         })
       override def close(): Unit = ()
     }

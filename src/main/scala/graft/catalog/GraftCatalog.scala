@@ -614,11 +614,7 @@ class GraftTable(root: String, ident: Identifier, asOf: Option[Long],
     // DATE predicates route onto the range verb with epoch-day bounds
     // (the statsCols contract): `DELETE WHERE d < DATE '...'` is the
     // retention purge — envelope-covered dirs drop METADATA-ONLY
-    def epochDay(v: Any): Option[Long] = v match {
-      case d: java.sql.Date       => Some(d.toLocalDate.toEpochDay)
-      case d: java.time.LocalDate => Some(d.toEpochDay)
-      case _                      => None
-    }
+    def epochDay(v: Any): Option[Long] = VersionedRelation.epochDay(v)
     if (dateCol) {
       def rangeDelete(lo: Long, hi: Long): String => Unit = cid => {
         VersionedTable.deleteRange(spark, root, colName, lo, hi, cid,

@@ -112,9 +112,8 @@ final class GraftKeyedScan(spark: SparkSession, private val root: String,
     def norm(v: Any): Any = v match {
       case n: java.lang.Number => n.longValue
       case u: org.apache.spark.unsafe.types.UTF8String => u.toString
-      case d: java.sql.Date => d.toLocalDate.toEpochDay
-      case d: java.time.LocalDate => d.toEpochDay
-      case other => other
+      case other =>
+        graft.io.VersionedRelation.epochDay(other).getOrElse(other)
     }
     filters.foreach {
       case org.apache.spark.sql.sources.In(attr, values)
@@ -302,8 +301,8 @@ object GraftKeyedScan {
               case (x, y) =>
                 def l(v: Any): Long = v match {
                   case i: Int => i.toLong; case lg: Long => lg
-                  case d: java.sql.Date => d.toLocalDate.toEpochDay
-                  case other => sys.error(s"unexpected key value $other")
+                  case other => graft.io.VersionedRelation.epochDay(other)
+                    .getOrElse(sys.error(s"unexpected key value $other"))
                 }
                 if (desc) l(x) > l(y) else l(x) < l(y)
             }

@@ -65,11 +65,8 @@ private[graft] object GraftPartitionFilters {
     * — plain `==` across the representations would be silently false and
     * drop every matching partition.
     */
-  private def norm(v: Any): Any = v match {
-    case d: java.sql.Date       => d.toLocalDate.toEpochDay
-    case d: java.time.LocalDate => d.toEpochDay
-    case x                      => x
-  }
+  private def norm(v: Any): Any =
+    graft.io.VersionedRelation.epochDay(v).getOrElse(v)
 
   /** Exact evaluation of every claimed filter against one key-value map
     * (LOGICAL column name → typed value, null = NULL partition). A

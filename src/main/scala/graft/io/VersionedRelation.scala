@@ -80,19 +80,29 @@ object VersionedRelation {
   private def micros(t: java.sql.Timestamp): Long =
     t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
 
+  /** THE epoch-day reading of a DATE literal — both JVM flavors
+    * (java.sql.Date when spark.sql.datetime.java8API is off, LocalDate
+    * when on). Every DATE-normalizing site in the engine (claim
+    * enforcement, DPP filters, key ordering, metadata aggregation,
+    * delete routing) shares this one definition.
+    */
+  private[graft] def epochDay(v: Any): Option[Long] = v match {
+    case d: java.sql.Date       => Some(d.toLocalDate.toEpochDay)
+    case d: java.time.LocalDate => Some(d.toEpochDay)
+    case _                      => None
+  }
+
   private[graft] def asLong(v: Any): Option[Long] = v match {
     case l: Long               => Some(l)
     case i: Int                => Some(i.toLong)
     case s: Short              => Some(s.toLong)
     case b: Byte               => Some(b.toLong)
     case t: java.sql.Timestamp => Some(micros(t))
+    case i: java.time.Instant  =>
+      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
     // DATE envelopes are epoch DAYS (INT32 footers) by the statsCols
     // contract; both literal flavors (java8API off/on) translate
-    case d: java.sql.Date       => Some(d.toLocalDate.toEpochDay)
-    case d: java.time.LocalDate => Some(d.toEpochDay)
-    case i: java.time.Instant   =>
-      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
-    case _                     => None
+    case _                     => epochDay(v)
   }
 
   /** Translate the pushable subset of `filters` into manifest range

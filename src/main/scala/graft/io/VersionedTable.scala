@@ -948,15 +948,21 @@ object VersionedTable {
     * reference — throws before the publish, so a statement mixing a valid
     * property set with an invalid structural change leaves the log
     * UNTOUCHED (a partially-applied ALTER is worse than a refused one).
-    * A single-change statement keeps that change's specific mode string
-    * (`rename`/`dropcol`/`widen`/`properties`) so history stays
-    * readable; a genuinely mixed statement lands as mode `alter`.
+    * A HOMOGENEOUS statement keeps its changes' specific mode string
+    * (`rename`/`dropcol`/`widen`/`properties` — Spark emits one
+    * SetProperty change per key, so a plain multi-key SET TBLPROPERTIES
+    * still reads as `properties` in history); only a genuinely mixed
+    * statement lands as mode `alter`.
     */
   def alterAtomic(root: String, ops: Seq[Commit => Commit], commitId: String): Long = {
     require(ops.nonEmpty, "alterAtomic: empty change list")
     metadataCommit(root, commitId, parent => {
-      val folded = ops.foldLeft(parent)((c, op) => op(c))
-      if (ops.size == 1) folded else folded.copy(mode = "alter")
+      val modes = Seq.newBuilder[String]
+      val folded = ops.foldLeft(parent) { (c, op) =>
+        val next = op(c); modes += next.mode; next
+      }
+      if (modes.result().distinct.size == 1) folded
+      else folded.copy(mode = "alter")
     })
   }
 
@@ -2509,8 +2515,16 @@ object VersionedTable {
       case Some(TimestampNTZType) =>
         expr(s"cast(timestamp_micros(${v.asInstanceOf[Number].longValue}L) as timestamp_ntz)")
       case Some(org.apache.spark.sql.types.DateType) =>
-        // DATE bounds travel as epoch days (the statsCols contract)
-        expr(s"date_from_unix_date(${v.asInstanceOf[Number].intValue})")
+        // DATE bounds travel as epoch days (the statsCols contract).
+        // CLAMP before narrowing to int: open-ended ranges arrive as
+        // Long.MinValue/MaxValue sentinels, and Number.intValue would
+        // TRUNCATE them (Long.MaxValue.intValue == -1 → the residual
+        // keep-predicate of a rewritten dir would silently delete
+        // nothing). No representable DATE lies outside [0001-01-01,
+        // 9999-12-31], so clamping preserves the range's meaning.
+        val days = math.max(-719162L,
+          math.min(2932896L, v.asInstanceOf[Number].longValue)).toInt
+        expr(s"date_from_unix_date($days)")
       case _ => lit(v)
     }
   }
@@ -5294,8 +5308,8 @@ object VersionedTable {
       case s: Short => s.toLong; case b: Byte => b.toLong
       // path-sourced DATE values (footer-sourced dates are already
       // internal epoch-day Ints) — ordered by epoch day
-      case d: java.sql.Date => d.toLocalDate.toEpochDay
-      case other => sys.error(s"non-integral envelope value $other")
+      case other => VersionedRelation.epochDay(other)
+        .getOrElse(sys.error(s"non-integral envelope value $other"))
     }
     def foldMM(a: Acc, col: String, lo: Any, hi: Any): Unit = {
       val merged = a.mm.get(col) match {
@@ -5370,7 +5384,10 @@ object VersionedTable {
         // files from older tables can be refreshed with ANALYZE.)
         val sideMM: Map[String, (Any, Any)] = needMM.flatMap { case (p, dt) =>
           fstats.get(rel).flatMap(_.get(p)).collect {
-            case IntMM(mn, mx) if dt == IntegerType =>
+            // DATE envelopes are epoch-day ints — same internal form the
+            // footer tier would produce, so side data answers MIN/MAX on
+            // an indexed day column with zero footer opens
+            case IntMM(mn, mx) if dt == IntegerType || dt == DateType =>
               p -> ((mn.toInt: Any, mx.toInt: Any))
             case IntMM(mn, mx) if dt == LongType || dt == TimestampType ||
                 dt == TimestampNTZType =>

@@ -288,15 +288,25 @@ object GraftSqlParser {
       """UPDATE|REPLACE|MERGE|ALTER|INSERT\s+(?:INTO|OVERWRITE)|COPY\s+INTO|""" +
       """CREATE|REFRESH)\s+.*""").r
 
-  private def resolveNamedRoots(sqlText: String): Option[String] =
+  private def resolveNamedRoots(sqlText: String): Option[String] = {
     if (!graftVerbHeadRe.pattern.matcher(sqlText).matches() ||
-        graftNameRe.findFirstIn(sqlText).isEmpty) None
-    else Some(graftNameRe.replaceAllIn(sqlText, m => {
+        graftNameRe.findFirstIn(sqlText).isEmpty) return None
+    // TRIAL first: substitute a placeholder root and check the statement
+    // actually PARSES as a GRAFT statement before resolving any name — a
+    // delegated Spark statement that merely contains "GRAFT x.y" inside a
+    // string literal or trailing comment must never pay (or die on) name
+    // resolution. Only a statement whose SHAPE is graft-maintenance gets
+    // the loud unregistered-name refusal.
+    val trial = graftNameRe.replaceAllIn(sqlText, m =>
+      scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}'/__graft_name_trial__'"))
+    if (scala.util.Try(parseMaintenance0(trial)).toOption.flatten.isEmpty) return None
+    Some(graftNameRe.replaceAllIn(sqlText, m => {
       val root = graft.catalog.GraftCatalog.rootOf(
         org.apache.spark.sql.SparkSession.active,
         m.group(2).split("\\.").toSeq)
       scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}'$root'")
     }))
+  }
 
   def parseMaintenance(sqlText: String): Option[LogicalPlan] =
     parseMaintenance0(sqlText).orElse(

@@ -97,6 +97,37 @@ class CatalogSpec extends SparkSpec {
     assert("SortMergeJoin".r.findAllIn(plan).size == 1, plan.take(2000))
   }
 
+  test("catalog: storage-partitioned join on a DATE key — zero Exchange (the calendar co-partition)") {
+    warehouse
+    // the temporal co-partition: fact and dimension both day-partitioned,
+    // joined on the day — with DATE now a path-round-trippable key type,
+    // both sides plan as keyed DSv2 batches and Spark's own planner joins
+    // them with no shuffle on either side
+    spark.sql("CREATE TABLE gcat.db.spjd (id BIGINT, day DATE, v BIGINT) " +
+      "PARTITIONED BY (day)")
+    spark.sql("INSERT INTO gcat.db.spjd SELECT id, " +
+      "date_add(DATE '2024-05-01', CAST(id % 3 AS INT)), id * 10 FROM range(0, 30)")
+    spark.sql("CREATE TABLE gcat.db.spjdd (day DATE, w BIGINT) PARTITIONED BY (day)")
+    spark.sql("INSERT INTO gcat.db.spjdd SELECT " +
+      "date_add(DATE '2024-05-01', CAST(id AS INT)), id * 100 FROM range(0, 3)")
+    val j = spark.sql(
+      "SELECT /*+ MERGE(a) */ a.day AS day, count(*) AS n, sum(a.v + b.w) AS s " +
+        "FROM gcat.db.spjd a JOIN gcat.db.spjdd b ON a.day = b.day GROUP BY a.day")
+    val got = j.collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toSet
+    import spark.implicits._
+    val aRows = (0L until 30L).map(i =>
+      (java.time.LocalDate.parse("2024-05-01").plusDays(i % 3).toString, i * 10))
+    val bRows = (0 until 3).map(i =>
+      (java.time.LocalDate.parse("2024-05-01").plusDays(i.toLong).toString, i * 100L))
+    val want = aRows.toDF("day", "v").join(bRows.toDF("day", "w"), "day")
+      .groupBy("day").agg(count(lit(1)), sum(col("v") + col("w")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want)
+    val plan = j.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("Exchange"), s"expected exchange-free DATE SPJ:\n${plan.take(2000)}")
+    assert(plan.contains("GraftKeyedScan"), plan.take(500))
+  }
+
   test("catalog: SPJ skew — a hot key's packs stay separate tasks under partially-clustered distribution, zero Exchange kept") {
     warehouse
     // a HOT partition value: five commits land five files under grp=hot,
@@ -234,9 +265,12 @@ class CatalogSpec extends SparkSpec {
     val root = s"$warehouse/db/alt"
     def version = VersionedTable.latestCommit(root).get.version
     val v0 = version
-    // a multi-property SQL statement is ONE commit
+    // a multi-property SQL statement is ONE commit, and a HOMOGENEOUS
+    // statement keeps its specific history mode (Spark emits one
+    // SetProperty change per key — that is not a "mixed" statement)
     spark.sql("ALTER TABLE gcat.db.alt SET TBLPROPERTIES ('a' = '1', 'b' = '2')")
     assert(version == v0 + 1, "multi-property ALTER must land as one version")
+    assert(VersionedTable.latestCommit(root).get.mode == "properties")
     // a MIXED statement through the DSv2 contract (SQL can't spell one,
     // but the catalog API is the public front door Spark and external
     // engines drive) — property + rename + widen = ONE commit, mode=alter
@@ -330,6 +364,14 @@ class CatalogSpec extends SparkSpec {
     assert(e1.getMessage.contains("not a registered catalog"), e1.getMessage)
     val e2 = intercept[Exception](spark.sql("OPTIMIZE GRAFT gcat.db.absent TARGET 1"))
     assert(e2.getMessage.contains("not an existing graft table"), e2.getMessage)
+    // ...but a DELEGATED statement that merely CONTAINS "GRAFT x.y" in a
+    // string literal must never pay name resolution (regression: the
+    // pre-pass trial-parses with a placeholder before resolving)
+    spark.sql("CREATE TABLE gcat.db.notes AS " +
+      "SELECT 'see OPTIMIZE GRAFT prod.db.events for details' AS s")
+    spark.sql("INSERT INTO gcat.db.notes VALUES ('DELETE GRAFT io.VersionedTable')")
+    assert(spark.table("gcat.db.notes").count() == 2L)
+    spark.sql("DROP TABLE gcat.db.notes")
   }
 
   test("catalog: native SQL DELETE routes onto the manifest-pruned verbs") {

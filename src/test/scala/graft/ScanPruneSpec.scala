@@ -168,6 +168,20 @@ class ScanPruneSpec extends SparkSpec {
     val feb = java.time.LocalDate.parse("2024-02-01").toEpochDay
     val mar = java.time.LocalDate.parse("2024-02-29").toEpochDay
     assert(VersionedTable.readRange(spark, root, "d", feb, mar).count() == 20L)
+    // OPEN-ENDED range through a REWRITTEN dir (regression: the
+    // Long.MaxValue sentinel must clamp, not int-truncate, in the
+    // survivor keep-predicate — truncation made this delete a no-op):
+    // un-indexed date column → every dir is a rewrite candidate
+    spark.sql("CREATE TABLE gpr.db.dt2 (id BIGINT, d DATE) " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gpr.db.dt2 SELECT id, " +
+      "date_add(DATE '2024-01-25', CAST(id AS INT)) FROM range(0, 14)")
+    spark.sql("DELETE FROM gpr.db.dt2 WHERE d >= DATE '2024-02-01'")
+    val kept = spark.table("gpr.db.dt2").collect().map(_.getDate(1).toString).sorted
+    assert(kept.length == 7 && kept.last == "2024-01-31",
+      s"open-ended date delete must remove the straddled rows: ${kept.mkString(",")}")
+    spark.sql("DELETE FROM gpr.db.dt2 WHERE d < DATE '2024-01-27'")
+    assert(spark.table("gpr.db.dt2").count() == 5L)
   }
 
   test("topN pushdown declines on inexact shapes — string sort key, multi-key — and stays correct") {
