@@ -3264,6 +3264,58 @@ private[graft] object QueriesMedallionIo {
         |    (SELECT count(*) FROM orders), (SELECT count(*) FROM orders), TRUE
         |) ORDER BY version""".stripMargin)),
 
+    // S17 — ANSI COLUMN/CONSTRAINT DDL through the DSv2 catalog (r16):
+    // CREATE TABLE declares IDENTITY + DEFAULT + GENERATED columns and a
+    // CHECK constraint in ONE statement (one atomic v1 commit —
+    // TableCatalogCapability surface), INSERT omits all the declared
+    // columns (the allocator issues a contiguous range, the default and
+    // generation expression materialize engine-side), a violating insert
+    // refuses, and ALTER ADD COLUMN ... DEFAULT backfills metadata-only.
+    // Identity VALUES are order-dependent, so the row oracles their
+    // invariants — contiguity (min=1, max=n, sum=n(n+1)/2) — plus the
+    // exact default/generated values.
+    Q("versioned_ansi_ddl",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        val refused = Fixtures.once(s, dir, "vt_cat_ansi") {
+          rmrf(s"$wh/ansi")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.ansi")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_ansi_orders")
+          s.sql("""CREATE TABLE gq.ansi.t (
+            |  rid BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 1 INCREMENT BY 1),
+            |  o_orderkey BIGINT,
+            |  cents BIGINT,
+            |  flag STRING DEFAULT 'base',
+            |  half BIGINT GENERATED ALWAYS AS (cents DIV 2),
+            |  CONSTRAINT cents_pos CHECK (cents >= 0)
+            |)""".stripMargin)
+          s.sql("INSERT INTO gq.ansi.t (o_orderkey, cents) " +
+            "SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+            "FROM cat_ansi_orders")
+          val bad = scala.util.Try(s.sql(
+            "INSERT INTO gq.ansi.t (o_orderkey, cents) VALUES (0, -1)")).isFailure
+          s.sql("ALTER TABLE gq.ansi.t ADD COLUMN src STRING DEFAULT 'bulk'")
+          java.lang.Boolean.valueOf(bad)
+        }
+        s.sql("SELECT count(*) AS n, min(rid) AS rid_lo, max(rid) AS rid_hi, " +
+            "sum(rid) AS rid_sum, sum(half) AS half_sum, " +
+            "min(flag) AS flag_lo, max(flag) AS flag_hi, " +
+            "min(src) AS src_lo, max(src) AS src_hi FROM gq.ansi.t")
+          .withColumn("neg_refused", lit(refused.booleanValue()))
+      },
+      Some("""WITH o AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |  AS cents FROM orders)
+        |SELECT count(*) AS n, CAST(1 AS BIGINT) AS rid_lo,
+        |  count(*) AS rid_hi,
+        |  CAST(count(*) * (count(*) + 1) // 2 AS BIGINT) AS rid_sum,
+        |  CAST(sum(cents // 2) AS BIGINT) AS half_sum,
+        |  'base' AS flag_lo, 'base' AS flag_hi,
+        |  'bulk' AS src_lo, 'bulk' AS src_hi,
+        |  TRUE AS neg_refused
+        |FROM o""".stripMargin)),
+
     // S17 — GENERATED COLUMNS (VersionedTable.addGeneratedColumn — the
     // public Delta GENERATED ALWAYS AS shape): declared BEFORE any data as
     // a pure-metadata CREATE commit, then materialized by every write —

@@ -208,15 +208,76 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(root, ident, None, catalogName)
   }
 
-  override def createTable(ident: Identifier, info: TableInfo): Table =
-    createTable(ident,
-      StructType(info.columns().map(c =>
-        org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable()))),
-      info.partitions(), info.properties())
+  /** Declared at the CATALOG level so Spark's analyzer routes the ANSI
+    * column/constraint surface here instead of refusing it up front:
+    * `CREATE TABLE (c BIGINT DEFAULT 5, g INT GENERATED ALWAYS AS (...),
+    * id BIGINT GENERATED ALWAYS AS IDENTITY, CONSTRAINT n CHECK (...))`
+    * and `ALTER TABLE ADD COLUMN ... DEFAULT / ADD CONSTRAINT ... CHECK`
+    * all land on the versioned table's native declarations.
+    */
+  override def capabilities(): util.Set[
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability] =
+    util.EnumSet.of(
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_COLUMN_DEFAULT_VALUE,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_GENERATED_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORTS_CREATE_TABLE_WITH_IDENTITY_COLUMNS,
+      org.apache.spark.sql.connector.catalog.TableCatalogCapability
+        .SUPPORT_TABLE_CONSTRAINT)
+
+  override def createTable(ident: Identifier, info: TableInfo): Table = {
+    val cols = info.columns()
+    val specd = cols.exists(c => c.defaultValue() != null ||
+      c.generationExpression() != null || c.identityColumnSpec() != null)
+    if (!specd && info.constraints().isEmpty)
+      return createTable(ident,
+        StructType(cols.map(c =>
+          org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable()))),
+        info.partitions(), info.properties())
+    // the ANSI column surface: defaults freeze, generation expressions and
+    // CHECK predicates store as SQL, identity allocators declare
+    // (start, step) — ONE atomic v1 commit carries the whole shape
+    val root = tableRoot(ident)
+    if (isTable(root)) throw new TableAlreadyExistsException(ident)
+    if (!nsDir(ident.namespace()).isDirectory)
+      throw new NoSuchNamespaceException(ident.namespace())
+    val schema = StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+    val defaults = cols.flatMap(c => Option(c.defaultValue()).map(d =>
+      c.name() -> GraftCatalog.defaultSqlOf(d))).toMap
+    val generated = cols.flatMap(c =>
+      Option(c.generationExpression()).map(c.name() -> _)).toMap
+    val identity = cols.flatMap(c => Option(c.identityColumnSpec()).map { s =>
+      require(!s.isAllowExplicitInsert,
+        s"GraftCatalog: identity column '${c.name()}' must be GENERATED ALWAYS " +
+          "(BY DEFAULT would accept explicit values the allocator did not issue)")
+      c.name() -> ((s.getStart, s.getStep))
+    }).toMap
+    val constraints = info.constraints().map {
+      case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+        ck.name() -> ck.predicateSql()
+      case other => sys.error(
+        s"GraftCatalog: only CHECK constraints are enforceable here, got " +
+          s"${other.toDDL} — PRIMARY KEY/UNIQUE/FOREIGN KEY are not verified " +
+          "by this engine and will not be recorded as if they were")
+    }.toMap
+    val props = info.properties().asScala.toMap.view.filterKeys(k =>
+      !Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+        TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+        TableCatalog.PROP_COMMENT, TableCatalog.PROP_TABLE_TYPE).contains(k)).toMap
+    VersionedTable.createTableWithSpecs(Some(SparkSession.active), root, schema,
+      transformCols(info.partitions()), props, defaults, generated, identity,
+      constraints,
+      s"catalog-create-${java.util.UUID.randomUUID().toString.take(12)}")
+    new GraftTable(root, ident, None, catalogName)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     val root = tableRoot(ident)
     if (!isTable(root)) throw new NoSuchTableException(ident)
+    val spark = SparkSession.active
     // ATOMIC: every TableChange maps to a validated snapshot transform
     // (shape refusals — nested columns, bare ADD COLUMN — fire right
     // here, before any transform runs), and the whole statement folds
@@ -240,15 +301,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case ut: TableChange.UpdateColumnType =>
         require(ut.fieldNames().length == 1, "GraftCatalog: nested columns unsupported")
         VersionedTable.widenColumnTypeOp(ut.fieldNames()(0), ut.newDataType().sql)
+      case ac: TableChange.AddColumn if ac.defaultValue() != null =>
+        require(ac.fieldNames().length == 1, "GraftCatalog: nested columns unsupported")
+        // the ANSI ADD COLUMN ... DEFAULT shape — metadata-only, the
+        // default freezes at declaration (addColumnWithDefault semantics)
+        VersionedTable.addColumnWithDefaultOp(spark, ac.fieldNames()(0),
+          ac.dataType().sql, GraftCatalog.defaultSqlOf(ac.defaultValue()))
       case ac: TableChange.AddColumn =>
         require(ac.fieldNames().length == 1, "GraftCatalog: nested columns unsupported")
         // schema evolution is write-driven (a widening append) or
         // DEFAULT-driven; a bare ADD COLUMN on existing data would be a
         // silent NULL backfill the manifest model spells differently
         sys.error(
-          s"GraftCatalog: ADD COLUMN rides schema-evolving writes (append a frame " +
-            s"carrying '${ac.fieldNames()(0)}') or the DEFAULT-bearing form " +
-            "(ALTER GRAFT ... ADD COLUMN ... DEFAULT (...) via the graft SQL surface)")
+          s"GraftCatalog: a bare ADD COLUMN rides schema-evolving writes (append a " +
+            s"frame carrying '${ac.fieldNames()(0)}') — declare a DEFAULT " +
+            "(ALTER TABLE ... ADD COLUMN ... DEFAULT v) for the metadata-only form")
+      case addc: TableChange.AddConstraint =>
+        addc.constraint() match {
+          case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>
+            VersionedTable.addConstraintOp(spark, root, ck.name(), ck.predicateSql())
+          case other => sys.error(
+            s"GraftCatalog: only CHECK constraints are enforceable here, got " +
+              s"${other.toDDL}")
+        }
+      case dc: TableChange.DropConstraint =>
+        if (dc.ifExists) { parent: VersionedTable.Commit =>
+          if (parent.constraints.contains(dc.name()))
+            VersionedTable.dropConstraintOp(dc.name())(parent)
+          else parent.copy(mode = "constraint") // IF EXISTS: absent is a no-op
+        }
+        else VersionedTable.dropConstraintOp(dc.name())
       case other => sys.error(s"GraftCatalog: unsupported table change $other")
     }
     if (ops.nonEmpty)
@@ -573,6 +655,52 @@ class GraftTable(root: String, ident: Identifier, asOf: Option[Long],
     m
   }
 
+  /** The declared CHECK constraints of the pinned snapshot through
+    * Spark's V2 constraint API — DESCRIBE surfaces them; enforcement
+    * stays engine-side on every write path regardless of who reads this.
+    */
+  override def constraints(): Array[
+      org.apache.spark.sql.connector.catalog.constraints.Constraint] =
+    snapshot.map(_.constraints.toSeq.sortBy(_._1).map { case (n, sql) =>
+      org.apache.spark.sql.connector.catalog.constraints.Constraint.check(n)
+        .predicateSql(sql).build()
+        : org.apache.spark.sql.connector.catalog.constraints.Constraint
+    }.toArray).getOrElse(Array.empty)
+
+  /** Column-level declarations (DEFAULT / GENERATED ALWAYS AS / IDENTITY)
+    * on the V2 Column view — what lets Spark's analyzer fill an omitted
+    * DEFAULT column on INSERT and lets DESCRIBE report the declarations.
+    * The data-path `schema` stays plain: scans carry no column metadata.
+    */
+  override def columns(): Array[org.apache.spark.sql.connector.catalog.Column] = {
+    import org.apache.spark.sql.connector.catalog.{Column => V2Column}
+    val c = snapshot
+    schema.fields.map { f =>
+      c.flatMap(_.defaults.get(f.name)) match {
+        case Some(sql) =>
+          // the stored default is a frozen literal by construction
+          val lit = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseExpression(sql)
+            .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
+          V2Column.create(f.name, f.dataType, f.nullable, null,
+            new org.apache.spark.sql.connector.catalog.ColumnDefaultValue(sql,
+              org.apache.spark.sql.graftshim.GraftLiteralBridge.literal(
+                lit.value, lit.dataType)), null)
+        case None => c.flatMap(_.generated.get(f.name)) match {
+          case Some(genSql) =>
+            V2Column.create(f.name, f.dataType, f.nullable, null, genSql, null)
+          case None => c.flatMap(_.identity.get(f.name)) match {
+            case Some((start, step, _)) =>
+              V2Column.create(f.name, f.dataType, f.nullable, null,
+                new org.apache.spark.sql.connector.catalog.IdentityColumnSpec(
+                  start, step, false), null)
+            case None => V2Column.create(f.name, f.dataType, f.nullable)
+          }
+        }
+      }
+    }
+  }
+
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE)
@@ -692,6 +820,16 @@ class GraftTable(root: String, ident: Identifier, asOf: Option[Long],
 }
 
 object GraftCatalog {
+  /** The SQL text of a DSv2 column default: the parser-carried SQL when
+    * present, else the bound literal rendered back to SQL.
+    */
+  private[catalog] def defaultSqlOf(
+      d: org.apache.spark.sql.connector.catalog.ColumnDefaultValue): String =
+    Option(d.getSql).getOrElse {
+      val v = d.getValue
+      org.apache.spark.sql.catalyst.expressions.Literal(v.value(), v.dataType()).sql
+    }
+
   /** Resolve a dotted TABLE NAME (`cat.ns….table`) to its versioned-table
     * root through the session's registered catalogs — what lets every
     * GRAFT maintenance/DML statement accept a name wherever it accepts a
@@ -1225,7 +1363,45 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
           .filter(data.columns.contains)
         val blooms = (bl ++ declared("graft.bloom.columns")).distinct
           .filter(data.columns.contains)
-        VersionedTable.commit(data, root,
+        // IDENTITY columns: the analyzer already refuses explicit user
+        // values (GENERATED ALWAYS, via the columns() spec), but Spark's
+        // own output resolver FILLS the column with planner-generated
+        // values before this writer runs — drop the filler and let the
+        // table's transactional allocator issue the real contiguous range
+        // (the engine refuses explicit identity values by contract)
+        val identCols = parent.map(_.identity.keySet).getOrElse(Set.empty)
+        // GENERATED columns: Spark pads an OMITTED generated column with a
+        // NULL literal (DSv2 generation is the catalog's job) — detect the
+        // padding at PLAN level (no data evaluated) and drop it so the
+        // engine recomputes; an explicitly supplied column keeps its
+        // values and is equality-validated by the commit
+        def nullPadded(c: String): Boolean = {
+          import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Expression, Literal}
+          def isNullLit(e: Expression): Boolean = e match {
+            case Literal(null, _) => true
+            case a: Alias => isNullLit(a.child)
+            case cst: Cast => isNullLit(cst.child)
+            case _ => false
+          }
+          // the padding Project may sit under enforcement nodes (Spark's
+          // own checkinvariant Filter) — resolve the OUTPUT attribute and
+          // find the alias that defines it anywhere in the tree
+          val analyzed = data.queryExecution.analyzed
+          analyzed.output.find(_.name == c).exists { attr =>
+            analyzed.collectFirst {
+              case p: org.apache.spark.sql.catalyst.plans.logical.Project
+                  if p.projectList.exists {
+                    case a: Alias => a.exprId == attr.exprId && isNullLit(a.child)
+                    case _ => false
+                  } => true
+            }.getOrElse(false)
+          }
+        }
+        val genPadded = parent.map(_.generated.keySet).getOrElse(Set.empty)
+          .filter(nullPadded)
+        val dataW = (identCols ++ genPadded).foldLeft(data)((d, c) =>
+          if (d.columns.contains(c)) d.drop(c) else d)
+        VersionedTable.commit(dataW, root,
           if (overwrite) "overwrite" else "append",
           s"catalog-write-${info.queryId()}",
           statsCols = stats,

@@ -869,50 +869,36 @@ object VersionedTable {
     */
   def addConstraint(spark: SparkSession, root: String, name: String,
                     sqlExpr: String, commitId: String): Long =
-    findCommitVersion(root, commitId) match {
-      case Some(prior) => prior
-      case None =>
-        var out = -1L
-        while (out < 0) {
-          val parent = latestCommit(root)
-            .getOrElse(sys.error(s"addConstraint: no commits at $root"))
-          require(!parent.constraints.contains(name),
-            s"addConstraint: constraint '$name' already exists " +
-              s"(${parent.constraints(name)})")
-          // the snapshot must already satisfy the constraint — validated
-          // against THIS parent; an OCC retry re-validates the new snapshot
-          enforceConstraints(Map(name -> sqlExpr),
-            read(spark, root, asOf = Some(parent.version)), "addConstraint")
-          val v = parent.version + 1
-          if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
-              mode = "constraint",
-              constraints = parent.constraints + (name -> sqlExpr))))
-            out = v
-        }
-        out
-    }
+    metadataCommit(root, commitId, addConstraintOp(spark, root, name, sqlExpr))
+
+  /** The ADD CONSTRAINT snapshot transform ([[alterAtomic]]-composable):
+    * the snapshot must already satisfy the constraint — validated against
+    * the attempt's parent; an OCC retry re-validates the new snapshot.
+    */
+  def addConstraintOp(spark: SparkSession, root: String, name: String,
+                      sqlExpr: String): Commit => Commit = { parent =>
+    require(!parent.constraints.contains(name),
+      s"addConstraint: constraint '$name' already exists " +
+        s"(${parent.constraints(name)})")
+    enforceConstraints(Map(name -> sqlExpr),
+      read(spark, root, asOf = Some(parent.version)), "addConstraint")
+    parent.copy(mode = "constraint",
+      constraints = parent.constraints + (name -> sqlExpr))
+  }
 
   /** Drop a named CHECK constraint — metadata-only, idempotent under
     * commitId retry; unknown names refuse loudly.
     */
   def dropConstraint(root: String, name: String, commitId: String): Long =
-    findCommitVersion(root, commitId) match {
-      case Some(prior) => prior
-      case None =>
-        var out = -1L
-        while (out < 0) {
-          val parent = latestCommit(root)
-            .getOrElse(sys.error(s"dropConstraint: no commits at $root"))
-          require(parent.constraints.contains(name),
-            s"dropConstraint: unknown constraint '$name' " +
-              s"(defined: ${parent.constraints.keys.toSeq.sorted.mkString(", ")})")
-          val v = parent.version + 1
-          if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
-              mode = "constraint", constraints = parent.constraints - name)))
-            out = v
-        }
-        out
-    }
+    metadataCommit(root, commitId, dropConstraintOp(name))
+
+  /** The DROP CONSTRAINT snapshot transform ([[alterAtomic]]-composable). */
+  def dropConstraintOp(name: String): Commit => Commit = { parent =>
+    require(parent.constraints.contains(name),
+      s"dropConstraint: unknown constraint '$name' " +
+        s"(defined: ${parent.constraints.keys.toSeq.sorted.mkString(", ")})")
+    parent.copy(mode = "constraint", constraints = parent.constraints - name)
+  }
 
   // ---- metadata-commit plumbing ----------------------------------------
 
@@ -1393,57 +1379,54 @@ object VersionedTable {
     */
   def addColumnWithDefault(spark: SparkSession, root: String, name: String,
                            sqlType: String, defaultSql: String,
-                           commitId: String): Long = {
+                           commitId: String): Long =
+    metadataCommit(root, commitId,
+      addColumnWithDefaultOp(spark, name, sqlType, defaultSql))
+
+  /** The ADD COLUMN ... DEFAULT snapshot transform
+    * ([[alterAtomic]]-composable). The default is probed and FROZEN once
+    * at op construction — column-reference-free, deterministic, castable
+    * (a bad declaration fails before anything publishes), and stored as
+    * the evaluated LITERAL (Delta's existingDefault discipline):
+    * current_date() etc. are "deterministic" in Catalyst but
+    * time-dependent across sessions, and alignTo re-evaluates the stored
+    * SQL at every read — the frozen literal pins pre-default rows'
+    * backfill forever instead of letting it drift with the reading
+    * session.
+    */
+  def addColumnWithDefaultOp(spark: SparkSession, name: String,
+                             sqlType: String, defaultSql: String): Commit => Commit = {
     import org.apache.spark.sql.functions.expr
     val dt = spark.sessionState.sqlParser.parseDataType(sqlType)
     spark.sessionState.sqlParser.parseExpression(defaultSql)
-    findCommitVersion(root, commitId) match {
-      case Some(prior) => prior
-      case None =>
-        var out = -1L
-        while (out < 0) {
-          val parent = latestCommit(root)
-            .getOrElse(sys.error(s"addColumnWithDefault: no commits at $root"))
-          require(parent.schemaDdl.nonEmpty,
-            "addColumnWithDefault: snapshot has no recorded schema")
-          val logical = logicalCols(parent)
-          require(!logical.contains(name),
-            s"addColumnWithDefault: column '$name' already exists")
-          require(!parent.dropped.contains(name),
-            s"addColumnWithDefault: '$name' was DROPPED — pre-drop files still hold " +
-              "the retired slot and would resurface as stored values; compact or " +
-              "overwrite first to purge it")
-          // probe the default ONCE: column-reference-free, deterministic,
-          // castable — a bad declaration fails here, not at every read
-          val probe = spark.range(1)
-            .select(expr(s"CAST(($defaultSql) AS ${dt.sql})").as(name))
-          val pe = probe.queryExecution.analyzed
-            .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
-            .projectList.head
-          require(pe.references.isEmpty,
-            s"addColumnWithDefault: default must not reference columns, got '$defaultSql'")
-          require(pe.deterministic,
-            s"addColumnWithDefault: default must be deterministic, got '$defaultSql'")
-          // FREEZE the value at declaration time (Delta stores the evaluated
-          // existingDefault literal, not the expression): current_date() etc.
-          // are "deterministic" in Catalyst but time-dependent across
-          // sessions, and alignTo re-evaluates the stored SQL at every read —
-          // storing the evaluated LITERAL pins pre-default rows' backfill
-          // forever instead of letting it drift with the reading session
-          val frozenSql = {
-            val v0 = probe.collect()(0).get(0)
-            org.apache.spark.sql.catalyst.expressions.Literal.create(v0, dt).sql
-          }
-          val ps = org.apache.spark.sql.types.StructType.fromDDL(parent.schemaDdl.get)
-          val newSchema = org.apache.spark.sql.types.StructType(ps.fields :+
-            org.apache.spark.sql.types.StructField(name, dt))
-          val v = parent.version + 1
-          if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
-              mode = "default", schemaDdl = Some(newSchema.toDDL),
-              defaults = parent.defaults + (name -> frozenSql))))
-            out = v
-        }
-        out
+    val probe = spark.range(1)
+      .select(expr(s"CAST(($defaultSql) AS ${dt.sql})").as(name))
+    val pe = probe.queryExecution.analyzed
+      .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+      .projectList.head
+    require(pe.references.isEmpty,
+      s"addColumnWithDefault: default must not reference columns, got '$defaultSql'")
+    require(pe.deterministic,
+      s"addColumnWithDefault: default must be deterministic, got '$defaultSql'")
+    val frozenSql = {
+      val v0 = probe.collect()(0).get(0)
+      org.apache.spark.sql.catalyst.expressions.Literal.create(v0, dt).sql
+    }
+    parent => {
+      require(parent.schemaDdl.nonEmpty,
+        "addColumnWithDefault: snapshot has no recorded schema")
+      val logical = logicalCols(parent)
+      require(!logical.contains(name),
+        s"addColumnWithDefault: column '$name' already exists")
+      require(!parent.dropped.contains(name),
+        s"addColumnWithDefault: '$name' was DROPPED — pre-drop files still hold " +
+          "the retired slot and would resurface as stored values; compact or " +
+          "overwrite first to purge it")
+      val ps = org.apache.spark.sql.types.StructType.fromDDL(parent.schemaDdl.get)
+      val newSchema = org.apache.spark.sql.types.StructType(ps.fields :+
+        org.apache.spark.sql.types.StructField(name, dt))
+      parent.copy(mode = "default", schemaDdl = Some(newSchema.toDDL),
+        defaults = parent.defaults + (name -> frozenSql))
     }
   }
 
@@ -1565,10 +1548,66 @@ object VersionedTable {
     */
   def createTable(root: String, schema: org.apache.spark.sql.types.StructType,
                   partitionCols: Seq[String], props: Map[String, String],
-                  commitId: String): Long = {
+                  commitId: String): Long =
+    createTableWithSpecs(None, root, schema, partitionCols, props,
+      Map.empty, Map.empty, Map.empty, Map.empty, commitId)
+
+  /** CREATE with the full ANSI column/constraint surface in ONE v1
+    * commit: column DEFAULTs (frozen literals, the addColumnWithDefault
+    * discipline — `spark` is required exactly when defaults are
+    * declared), GENERATED ALWAYS AS expressions, IDENTITY allocators
+    * (`name -> (start, step)`), and named CHECK constraints — the shapes
+    * Spark's DSv2 `TableCatalogCapability` create-time surface carries.
+    * Declaring everything at creation is atomic by construction: either
+    * version 1 publishes with the whole declared shape or nothing exists.
+    */
+  def createTableWithSpecs(spark: Option[SparkSession], root: String,
+                           schema: org.apache.spark.sql.types.StructType,
+                           partitionCols: Seq[String], props: Map[String, String],
+                           defaults: Map[String, String],
+                           generated: Map[String, String],
+                           identity: Map[String, (Long, Long)],
+                           constraints: Map[String, String],
+                           commitId: String): Long = {
     partitionCols.foreach(p => require(schema.fieldNames.contains(p),
       s"createTable: partition column '$p' is not in the declared schema " +
         s"(${schema.fieldNames.mkString(", ")})"))
+    (defaults.keySet ++ generated.keySet ++ identity.keySet).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"createTable: declared column spec for '$c', which is not in the schema"))
+    require((defaults.keySet & generated.keySet).isEmpty &&
+      (defaults.keySet & identity.keySet).isEmpty &&
+      (generated.keySet & identity.keySet).isEmpty,
+      "createTable: a column may be DEFAULT, GENERATED, or IDENTITY — not several")
+    identity.foreach { case (c, (_, step)) =>
+      require(step != 0L, s"createTable: identity column '$c' needs a non-zero step")
+      require(schema(c).dataType == org.apache.spark.sql.types.LongType,
+        s"createTable: identity column '$c' must be BIGINT (the allocator issues longs)")
+    }
+    // parse checks up front — a bad declaration must fail the CREATE
+    val s0 = spark.orElse(Option(SparkSession.active))
+    generated.values.foreach(e =>
+      s0.get.sessionState.sqlParser.parseExpression(e))
+    constraints.values.foreach(e =>
+      s0.get.sessionState.sqlParser.parseExpression(e))
+    // freeze defaults exactly as addColumnWithDefault does
+    val frozen: Map[String, String] = defaults.map { case (c, e) =>
+      import org.apache.spark.sql.functions.expr
+      val ss = spark.getOrElse(sys.error(
+        "createTable: declaring DEFAULT columns requires a SparkSession " +
+          "(the value freezes at declaration)"))
+      val dt = schema(c).dataType
+      val probe = ss.range(1).select(expr(s"CAST(($e) AS ${dt.sql})").as(c))
+      val pe = probe.queryExecution.analyzed
+        .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
+        .projectList.head
+      require(pe.references.isEmpty,
+        s"createTable: default for '$c' must not reference columns, got '$e'")
+      require(pe.deterministic,
+        s"createTable: default for '$c' must be deterministic, got '$e'")
+      c -> org.apache.spark.sql.catalyst.expressions.Literal
+        .create(probe.collect()(0).get(0), dt).sql
+    }
     findCommitVersion(root, commitId) match {
       case Some(prior) => prior
       case None =>
@@ -1577,7 +1616,9 @@ object VersionedTable {
           s"createTable: $root already has commits — CREATE creates once")
         if (publishIfAbsent(root, 1L, Commit(1L, commitId, "create", Nil,
             partitionCols = partitionCols, schemaDdl = Some(schema.toDDL),
-            props = props)))
+            props = props, defaults = frozen, generated = generated,
+            identity = identity.map { case (c, (st, sp)) => c -> ((st, sp, st)) },
+            constraints = constraints)))
           1L
         else findCommitVersion(root, commitId).getOrElse(
           sys.error(s"createTable: lost the v1 slot at $root to a concurrent creator"))

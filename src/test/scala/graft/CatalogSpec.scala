@@ -374,6 +374,61 @@ class CatalogSpec extends SparkSpec {
     spark.sql("DROP TABLE gcat.db.notes")
   }
 
+  test("catalog: ANSI column/constraint DDL — DEFAULT, GENERATED, IDENTITY, CHECK through plain SQL") {
+    warehouse
+    // CREATE with the whole declared-column surface in ONE statement —
+    // one atomic v1 commit carries defaults (frozen), generation
+    // expressions, the identity allocator, and the CHECK constraint
+    spark.sql(
+      """CREATE TABLE gcat.db.ansi (
+        |  id BIGINT GENERATED ALWAYS AS IDENTITY (START WITH 10 INCREMENT BY 2),
+        |  v BIGINT,
+        |  lbl STRING DEFAULT 'none',
+        |  dbl BIGINT GENERATED ALWAYS AS (v * 2),
+        |  CONSTRAINT v_pos CHECK (v >= 0)
+        |)""".stripMargin)
+    val root = s"$warehouse/db/ansi"
+    val v1 = VersionedTable.latestCommit(root).get
+    assert(v1.version == 1L && v1.identity.keySet == Set("id") &&
+      v1.defaults.keySet == Set("lbl") && v1.constraints.keySet == Set("v_pos") &&
+      v1.generated.keySet == Set("dbl"),
+      v1.toString)
+    // INSERT omitting identity + default + generated columns: the default
+    // fills from the declaration, the generation expression materializes,
+    // the allocator issues contiguous ids
+    spark.sql("INSERT INTO gcat.db.ansi (v) VALUES (1), (2)")
+    val rows = spark.table("gcat.db.ansi").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._2)
+    assert(rows.map(_._1).toSet == Set(10L, 12L), rows.mkString(","))
+    assert(rows.forall(_._3 == "none"), rows.mkString(","))
+    assert(rows.forall(r => r._4 == r._2 * 2), rows.mkString(","))
+    // the CHECK constraint declared at CREATE enforces on writes
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO gcat.db.ansi (v) VALUES (-5)"))
+    assert(e.getMessage.toLowerCase.contains("v_pos") ||
+      Option(e.getCause).exists(_.getMessage.contains("v_pos")), e.getMessage)
+    // ALTER TABLE ADD COLUMN ... DEFAULT — the ANSI metadata-only form
+    spark.sql("ALTER TABLE gcat.db.ansi ADD COLUMN src STRING DEFAULT 'bulk'")
+    assert(VersionedTable.latestCommit(root).get.defaults.keySet == Set("lbl", "src"))
+    assert(spark.sql("SELECT src FROM gcat.db.ansi").collect()
+      .forall(_.getString(0) == "bulk"), "pre-default rows read the declared value")
+    // ALTER TABLE ADD/DROP CONSTRAINT through the DSv2 constraint API
+    spark.sql("ALTER TABLE gcat.db.ansi ADD CONSTRAINT v_small CHECK (v < 1000)")
+    assert(VersionedTable.latestCommit(root).get.constraints.keySet ==
+      Set("v_pos", "v_small"))
+    spark.sql("ALTER TABLE gcat.db.ansi DROP CONSTRAINT v_small")
+    assert(VersionedTable.latestCommit(root).get.constraints.keySet == Set("v_pos"))
+    // DESCRIBE-level surface: constraints and column specs are visible
+    val cons = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "ansi"))
+    assert(cons.constraints().map(_.name()).toSeq == Seq("v_pos"))
+    assert(cons.columns().exists(c => c.name() == "id" &&
+      c.identityColumnSpec() != null))
+  }
+
   test("catalog: native SQL DELETE routes onto the manifest-pruned verbs") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.del (id BIGINT, grp STRING, v BIGINT) " +
