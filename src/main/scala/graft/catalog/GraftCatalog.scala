@@ -199,10 +199,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // reserved analyzer-populated keys (provider/location/owner) stay out
     // of the versioned property registry — they are catalog plumbing, not
     // table metadata the manifest should carry
-    val props = properties.asScala.toMap.view.filterKeys(k =>
-      !Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
-        TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
-        TableCatalog.PROP_COMMENT, TableCatalog.PROP_TABLE_TYPE).contains(k)).toMap
+    val props = GraftCatalog.tableProps(properties)
     VersionedTable.createTable(root, schema, transformCols(partitions), props,
       s"catalog-create-${java.util.UUID.randomUUID().toString.take(12)}")
     new GraftTable(root, ident, None, catalogName)
@@ -263,10 +260,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${other.toDDL} — PRIMARY KEY/UNIQUE/FOREIGN KEY are not verified " +
           "by this engine and will not be recorded as if they were")
     }.toMap
-    val props = info.properties().asScala.toMap.view.filterKeys(k =>
-      !Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
-        TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
-        TableCatalog.PROP_COMMENT, TableCatalog.PROP_TABLE_TYPE).contains(k)).toMap
+    val props = GraftCatalog.tableProps(info.properties())
     VersionedTable.createTableWithSpecs(Some(SparkSession.active), root, schema,
       transformCols(info.partitions()), props, defaults, generated, identity,
       constraints,
@@ -304,7 +298,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case ac: TableChange.AddColumn if ac.defaultValue() != null =>
         require(ac.fieldNames().length == 1, "GraftCatalog: nested columns unsupported")
         // the ANSI ADD COLUMN ... DEFAULT shape — metadata-only, the
-        // default freezes at declaration (addColumnWithDefault semantics)
+        // default freezes at declaration (addColumnWithDefault semantics).
+        // Shapes the manifest cannot record truthfully refuse rather than
+        // silently dropping the user's declaration:
+        require(ac.isNullable,
+          s"GraftCatalog: ADD COLUMN '${ac.fieldNames()(0)}' NOT NULL is not " +
+            "recorded — the added column is nullable in the manifest schema " +
+            "(declare a CHECK (col IS NOT NULL) constraint instead)")
+        require(ac.position() == null,
+          s"GraftCatalog: ADD COLUMN ... FIRST/AFTER is unsupported — added " +
+            "columns append at the end of the schema")
         VersionedTable.addColumnWithDefaultOp(spark, ac.fieldNames()(0),
           ac.dataType().sql, GraftCatalog.defaultSqlOf(ac.defaultValue()))
       case ac: TableChange.AddColumn =>
@@ -328,7 +331,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         if (dc.ifExists) { parent: VersionedTable.Commit =>
           if (parent.constraints.contains(dc.name()))
             VersionedTable.dropConstraintOp(dc.name())(parent)
-          else parent.copy(mode = "constraint") // IF EXISTS: absent is a no-op
+          else parent // IF EXISTS on an absent name: a TRUE no-op —
+                      // alterAtomic publishes nothing for an unchanged fold
         }
         else VersionedTable.dropConstraintOp(dc.name())
       case other => sys.error(s"GraftCatalog: unsupported table change $other")
@@ -678,14 +682,30 @@ class GraftTable(root: String, ident: Identifier, asOf: Option[Long],
     schema.fields.map { f =>
       c.flatMap(_.defaults.get(f.name)) match {
         case Some(sql) =>
-          // the stored default is a frozen literal by construction
-          val lit = org.apache.spark.sql.catalyst.parser.CatalystSqlParser
-            .parseExpression(sql)
-            .asInstanceOf[org.apache.spark.sql.catalyst.expressions.Literal]
-          V2Column.create(f.name, f.dataType, f.nullable, null,
-            new org.apache.spark.sql.connector.catalog.ColumnDefaultValue(sql,
-              org.apache.spark.sql.graftshim.GraftLiteralBridge.literal(
-                lit.value, lit.dataType)), null)
+          // the stored default is frozen-literal SQL, but Literal.sql does
+          // not always render a BARE literal (FLOAT → CAST('1.5' AS
+          // FLOAT), NULL → CAST(NULL AS T), complex → ARRAY(...)) — parse
+          // and FOLD: a Cast of a literal is resolved+foldable and evals
+          // driver-side; anything unresolvable degrades to a plain column
+          // (the ENGINE still fills the default on write regardless —
+          // only the analyzer-side omitted-column fill is lost)
+          import org.apache.spark.sql.catalyst.expressions.Literal
+          val folded: Option[Literal] = scala.util.Try(
+            org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+              .parseExpression(sql)).toOption.flatMap {
+            case l: Literal => Some(l)
+            case e if e.resolved && e.foldable =>
+              scala.util.Try(Literal.create(e.eval(null), e.dataType)).toOption
+            case _ => None
+          }
+          folded match {
+            case Some(lit) =>
+              V2Column.create(f.name, f.dataType, f.nullable, null,
+                new org.apache.spark.sql.connector.catalog.ColumnDefaultValue(sql,
+                  org.apache.spark.sql.graftshim.GraftLiteralBridge.literal(
+                    lit.value, lit.dataType)), null)
+            case None => V2Column.create(f.name, f.dataType, f.nullable)
+          }
         case None => c.flatMap(_.generated.get(f.name)) match {
           case Some(genSql) =>
             V2Column.create(f.name, f.dataType, f.nullable, null, genSql, null)
@@ -820,6 +840,19 @@ class GraftTable(root: String, ident: Identifier, asOf: Option[Long],
 }
 
 object GraftCatalog {
+  /** Reserved analyzer-populated keys (provider/location/owner/...) stay
+    * out of the versioned property registry — they are catalog plumbing,
+    * not table metadata the manifest should carry. One filter for every
+    * CREATE shape.
+    */
+  private[catalog] def tableProps(
+      properties: util.Map[String, String]): Map[String, String] =
+    properties.asScala.toMap.view.filterKeys(k =>
+      !Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_LOCATION,
+        TableCatalog.PROP_OWNER, TableCatalog.PROP_EXTERNAL,
+        TableCatalog.PROP_COMMENT, TableCatalog.PROP_TABLE_TYPE).contains(k)).toMap
+
+
   /** The SQL text of a DSv2 column default: the parser-carried SQL when
     * present, else the bound literal rendered back to SQL.
     */
@@ -1363,18 +1396,19 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
           .filter(data.columns.contains)
         val blooms = (bl ++ declared("graft.bloom.columns")).distinct
           .filter(data.columns.contains)
-        // IDENTITY columns: the analyzer already refuses explicit user
-        // values (GENERATED ALWAYS, via the columns() spec), but Spark's
-        // own output resolver FILLS the column with planner-generated
-        // values before this writer runs — drop the filler and let the
-        // table's transactional allocator issue the real contiguous range
-        // (the engine refuses explicit identity values by contract)
-        val identCols = parent.map(_.identity.keySet).getOrElse(Set.empty)
-        // GENERATED columns: Spark pads an OMITTED generated column with a
-        // NULL literal (DSv2 generation is the catalog's job) — detect the
-        // padding at PLAN level (no data evaluated) and drop it so the
-        // engine recomputes; an explicitly supplied column keeps its
-        // values and is equality-validated by the commit
+        // IDENTITY and GENERATED columns: Spark's output resolver pads an
+        // OMITTED declared column with a NULL literal before this writer
+        // runs (DSv2 generation/allocation is the catalog's job) — detect
+        // the padding at PLAN level (no data evaluated) and drop it, so
+        // the engine allocates identity values and recomputes generation
+        // expressions. A column carrying REAL values is kept: the commit
+        // refuses explicit identity values and equality-validates
+        // generated ones, exactly the engine contract. Known limitation
+        // (inherent to the padding shape): an EXPLICIT literal NULL for a
+        // declared column is indistinguishable from the omitted-column
+        // padding, so it reads as "omitted" and the engine computes the
+        // real value instead of refusing — never a violating store,
+        // just a stricter-than-SQL interpretation of NULL.
         def nullPadded(c: String): Boolean = {
           import org.apache.spark.sql.catalyst.expressions.{Alias, Cast, Expression, Literal}
           def isNullLit(e: Expression): Boolean = e match {
@@ -1397,9 +1431,9 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
             }.getOrElse(false)
           }
         }
-        val genPadded = parent.map(_.generated.keySet).getOrElse(Set.empty)
-          .filter(nullPadded)
-        val dataW = (identCols ++ genPadded).foldLeft(data)((d, c) =>
+        val padded = parent.map(c => c.identity.keySet ++ c.generated.keySet)
+          .getOrElse(Set.empty).filter(nullPadded)
+        val dataW = padded.foldLeft(data)((d, c) =>
           if (d.columns.contains(c)) d.drop(c) else d)
         VersionedTable.commit(dataW, root,
           if (overwrite) "overwrite" else "append",

@@ -920,9 +920,16 @@ object VersionedTable {
         while (out < 0) {
           val parent = latestCommit(root)
             .getOrElse(sys.error(s"metadata commit: no commits at $root"))
-          val v = parent.version + 1
-          val next = f(parent).copy(version = v, commitId = commitId)
-          if (publishIfAbsent(root, v, next)) out = v
+          val next0 = f(parent)
+          // a transform returning the parent UNCHANGED is a semantic
+          // no-op (DROP CONSTRAINT IF EXISTS on an absent name): publish
+          // nothing — history must not gain a meaningless version
+          if (next0 == parent) out = parent.version
+          else {
+            val v = parent.version + 1
+            if (publishIfAbsent(root, v, next0.copy(version = v, commitId = commitId)))
+              out = v
+          }
         }
         out
     }
@@ -1394,24 +1401,34 @@ object VersionedTable {
     * backfill forever instead of letting it drift with the reading
     * session.
     */
-  def addColumnWithDefaultOp(spark: SparkSession, name: String,
-                             sqlType: String, defaultSql: String): Commit => Commit = {
+  /** Probe, validate, and FREEZE one default expression to literal SQL —
+    * THE shared declaration step of every DEFAULT-bearing path (CREATE
+    * and ALTER): column-reference-free, deterministic, castable, and
+    * stored as the evaluated literal so backfill can never drift with
+    * the reading session.
+    */
+  private def freezeDefault(spark: SparkSession, name: String,
+                            dt: org.apache.spark.sql.types.DataType,
+                            defaultSql: String, op: String): String = {
     import org.apache.spark.sql.functions.expr
-    val dt = spark.sessionState.sqlParser.parseDataType(sqlType)
-    spark.sessionState.sqlParser.parseExpression(defaultSql)
     val probe = spark.range(1)
       .select(expr(s"CAST(($defaultSql) AS ${dt.sql})").as(name))
     val pe = probe.queryExecution.analyzed
       .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
       .projectList.head
     require(pe.references.isEmpty,
-      s"addColumnWithDefault: default must not reference columns, got '$defaultSql'")
+      s"$op: default for '$name' must not reference columns, got '$defaultSql'")
     require(pe.deterministic,
-      s"addColumnWithDefault: default must be deterministic, got '$defaultSql'")
-    val frozenSql = {
-      val v0 = probe.collect()(0).get(0)
-      org.apache.spark.sql.catalyst.expressions.Literal.create(v0, dt).sql
-    }
+      s"$op: default for '$name' must be deterministic, got '$defaultSql'")
+    org.apache.spark.sql.catalyst.expressions.Literal
+      .create(probe.collect()(0).get(0), dt).sql
+  }
+
+  def addColumnWithDefaultOp(spark: SparkSession, name: String,
+                             sqlType: String, defaultSql: String): Commit => Commit = {
+    val dt = spark.sessionState.sqlParser.parseDataType(sqlType)
+    spark.sessionState.sqlParser.parseExpression(defaultSql)
+    val frozenSql = freezeDefault(spark, name, dt, defaultSql, "addColumnWithDefault")
     parent => {
       require(parent.schemaDdl.nonEmpty,
         "addColumnWithDefault: snapshot has no recorded schema")
@@ -1584,29 +1601,18 @@ object VersionedTable {
       require(schema(c).dataType == org.apache.spark.sql.types.LongType,
         s"createTable: identity column '$c' must be BIGINT (the allocator issues longs)")
     }
-    // parse checks up front — a bad declaration must fail the CREATE
-    val s0 = spark.orElse(Option(SparkSession.active))
-    generated.values.foreach(e =>
-      s0.get.sessionState.sqlParser.parseExpression(e))
-    constraints.values.foreach(e =>
-      s0.get.sessionState.sqlParser.parseExpression(e))
-    // freeze defaults exactly as addColumnWithDefault does
+    // parse checks up front — a bad declaration must fail the CREATE;
+    // the session resolves only when a spec actually needs one, so the
+    // spec-free legacy path keeps working without any active session
+    def session: SparkSession = spark.getOrElse(SparkSession.active)
+    if (generated.nonEmpty || constraints.nonEmpty) {
+      val parser = session.sessionState.sqlParser
+      generated.values.foreach(parser.parseExpression)
+      constraints.values.foreach(parser.parseExpression)
+    }
+    // freeze defaults exactly as addColumnWithDefault does (shared probe)
     val frozen: Map[String, String] = defaults.map { case (c, e) =>
-      import org.apache.spark.sql.functions.expr
-      val ss = spark.getOrElse(sys.error(
-        "createTable: declaring DEFAULT columns requires a SparkSession " +
-          "(the value freezes at declaration)"))
-      val dt = schema(c).dataType
-      val probe = ss.range(1).select(expr(s"CAST(($e) AS ${dt.sql})").as(c))
-      val pe = probe.queryExecution.analyzed
-        .asInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Project]
-        .projectList.head
-      require(pe.references.isEmpty,
-        s"createTable: default for '$c' must not reference columns, got '$e'")
-      require(pe.deterministic,
-        s"createTable: default for '$c' must be deterministic, got '$e'")
-      c -> org.apache.spark.sql.catalyst.expressions.Literal
-        .create(probe.collect()(0).get(0), dt).sql
+      c -> freezeDefault(session, c, schema(c).dataType, e, "createTable")
     }
     findCommitVersion(root, commitId) match {
       case Some(prior) => prior
@@ -2561,10 +2567,13 @@ object VersionedTable {
         // Long.MinValue/MaxValue sentinels, and Number.intValue would
         // TRUNCATE them (Long.MaxValue.intValue == -1 → the residual
         // keep-predicate of a rewritten dir would silently delete
-        // nothing). No representable DATE lies outside [0001-01-01,
-        // 9999-12-31], so clamping preserves the range's meaning.
-        val days = math.max(-719162L,
-          math.min(2932896L, v.asInstanceOf[Number].longValue)).toInt
+        // nothing). The clamp is ±400M epoch days (~year ±1.1M): wide
+        // enough to bound every date Spark can round-trip — including
+        // beyond-9999 dates, which DateType does represent — while
+        // staying clear of the Int territory where Spark's own
+        // Gregorian→Julian rebase (toJavaDate) overflows.
+        val days = math.max(-400000000L,
+          math.min(400000000L, v.asInstanceOf[Number].longValue)).toInt
         expr(s"date_from_unix_date($days)")
       case _ => lit(v)
     }

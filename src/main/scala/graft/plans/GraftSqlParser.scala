@@ -288,6 +288,39 @@ object GraftSqlParser {
       """UPDATE|REPLACE|MERGE|ALTER|INSERT\s+(?:INTO|OVERWRITE)|COPY\s+INTO|""" +
       """CREATE|REFRESH)\s+.*""").r
 
+  /** Character spans of single-quoted string literals and `--` line
+    * comments — positions the name rewrite must never touch: `UPDATE
+    * GRAFT db.t SET note = 'see GRAFT x.y'` rewrites only the statement's
+    * own name, never the literal's text.
+    */
+  private def protectedSpans(sql: String): Seq[(Int, Int)] = {
+    val spans = Seq.newBuilder[(Int, Int)]
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' =>
+          val start = i; i += 1
+          while (i < sql.length && sql.charAt(i) != '\'') i += 1
+          spans += ((start, math.min(i + 1, sql.length))); i += 1
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          val start = i
+          while (i < sql.length && sql.charAt(i) != '\n') i += 1
+          spans += ((start, i))
+        case _ => i += 1
+      }
+    }
+    spans.result()
+  }
+
+  private def rewriteNames(sqlText: String, root: String => String): String = {
+    val spans = protectedSpans(sqlText)
+    def protectedAt(pos: Int) = spans.exists(s => pos >= s._1 && pos < s._2)
+    graftNameRe.replaceAllIn(sqlText, m =>
+      scala.util.matching.Regex.quoteReplacement(
+        if (protectedAt(m.start)) m.matched
+        else s"${m.group(1)}'${root(m.group(2))}'"))
+  }
+
   private def resolveNamedRoots(sqlText: String): Option[String] = {
     if (!graftVerbHeadRe.pattern.matcher(sqlText).matches() ||
         graftNameRe.findFirstIn(sqlText).isEmpty) return None
@@ -296,16 +329,20 @@ object GraftSqlParser {
     // delegated Spark statement that merely contains "GRAFT x.y" inside a
     // string literal or trailing comment must never pay (or die on) name
     // resolution. Only a statement whose SHAPE is graft-maintenance gets
-    // the loud unregistered-name refusal.
-    val trial = graftNameRe.replaceAllIn(sqlText, m =>
-      scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}'/__graft_name_trial__'"))
-    if (scala.util.Try(parseMaintenance0(trial)).toOption.flatten.isEmpty) return None
-    Some(graftNameRe.replaceAllIn(sqlText, m => {
-      val root = graft.catalog.GraftCatalog.rootOf(
-        org.apache.spark.sql.SparkSession.active,
-        m.group(2).split("\\.").toSeq)
-      scala.util.matching.Regex.quoteReplacement(s"${m.group(1)}'$root'")
-    }))
+    // the loud unregistered-name refusal. Matches inside literals and
+    // comments are never rewritten on either pass.
+    val trial = rewriteNames(sqlText, _ => "/__graft_name_trial__")
+    if (trial == sqlText) return None // every match sat inside a literal
+    scala.util.Try(parseMaintenance0(trial)) match {
+      case scala.util.Success(None) => return None // not a graft statement
+      case _ => () // matched — or matched and REFUSED (unsupported WHERE
+                   // shape etc.): resolve names and re-parse for real, so
+                   // the user sees the graft refusal, not a Spark parse
+                   // error on the unrecognized statement
+    }
+    Some(rewriteNames(sqlText, name =>
+      graft.catalog.GraftCatalog.rootOf(
+        org.apache.spark.sql.SparkSession.active, name.split("\\.").toSeq)))
   }
 
   def parseMaintenance(sqlText: String): Option[LogicalPlan] =

@@ -372,6 +372,15 @@ class CatalogSpec extends SparkSpec {
     spark.sql("INSERT INTO gcat.db.notes VALUES ('DELETE GRAFT io.VersionedTable')")
     assert(spark.table("gcat.db.notes").count() == 2L)
     spark.sql("DROP TABLE gcat.db.notes")
+    // ...and a REAL graft statement whose string literal contains
+    // "GRAFT x.y" rewrites only the statement's own name — the literal
+    // is stored VERBATIM, never resolved or path-rewritten
+    spark.sql("CREATE TABLE gcat.db.nts (id BIGINT, s STRING)")
+    spark.sql("INSERT INTO gcat.db.nts VALUES (1, 'a')")
+    spark.sql("UPDATE GRAFT gcat.db.nts SET s = 'see OPTIMIZE GRAFT audit.log' " +
+      "WHERE id IN (1)")
+    assert(spark.table("gcat.db.nts").head().getString(1)
+      == "see OPTIMIZE GRAFT audit.log")
   }
 
   test("catalog: ANSI column/constraint DDL — DEFAULT, GENERATED, IDENTITY, CHECK through plain SQL") {
@@ -427,6 +436,24 @@ class CatalogSpec extends SparkSpec {
     assert(cons.constraints().map(_.name()).toSeq == Seq("v_pos"))
     assert(cons.columns().exists(c => c.name() == "id" &&
       c.identityColumnSpec() != null))
+    // DROP CONSTRAINT IF EXISTS on an absent name is a TRUE no-op: the
+    // log must not gain a meaningless version
+    val vBefore = VersionedTable.latestCommit(root).get.version
+    spark.sql("ALTER TABLE gcat.db.ansi DROP CONSTRAINT IF EXISTS no_such")
+    assert(VersionedTable.latestCommit(root).get.version == vBefore)
+    // shapes the manifest cannot record truthfully refuse loudly
+    val eNn = intercept[Exception](spark.sql(
+      "ALTER TABLE gcat.db.ansi ADD COLUMN y BIGINT NOT NULL DEFAULT 7"))
+    assert(eNn.getMessage.contains("NOT NULL"), eNn.getMessage)
+    // defaults whose frozen SQL is NOT a bare literal (FLOAT renders as
+    // CAST('1.5' AS FLOAT), NULL as CAST(NULL AS STRING)) must leave the
+    // table fully readable — columns() folds them instead of crashing
+    spark.sql("CREATE TABLE gcat.db.ansi2 " +
+      "(x FLOAT DEFAULT 1.5, s STRING DEFAULT NULL, v BIGINT)")
+    spark.sql("INSERT INTO gcat.db.ansi2 (v) VALUES (9)")
+    val r2 = spark.table("gcat.db.ansi2").collect().head
+    assert(r2.getFloat(0) == 1.5f && r2.isNullAt(1) && r2.getLong(2) == 9L,
+      r2.toString)
   }
 
   test("catalog: native SQL DELETE routes onto the manifest-pruned verbs") {
