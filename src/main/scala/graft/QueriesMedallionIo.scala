@@ -1461,6 +1461,60 @@ private[graft] object QueriesMedallionIo {
         |  CAST(0 AS BIGINT) AS exchanges, CAST(2 AS BIGINT) AS keyed_scans
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17 — DATE-keyed storage-partitioned join (r16): the CALENDAR
+    // co-partition — fact and dimension both day-partitioned, joined on
+    // the week with zero Exchange, now that DATE is a
+    // path-round-trippable key type (KeyGroupedPartitioning over
+    // epoch-day-exact hive values). The temporal join is THE everyday
+    // SPJ shape at 100 TB: daily facts against a calendar/rates
+    // dimension, neither side shuffling a byte.
+    Q("versioned_spj_date",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        Fixtures.once(s, dir, "vt_cat_spjd") {
+          rmrf(s"$wh/spjd")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.spjd")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_spjd_orders")
+          s.sql("CREATE TABLE gq.spjd.o (o_orderkey BIGINT, wk DATE) " +
+            "PARTITIONED BY (wk) TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+          s.sql("INSERT INTO gq.spjd.o SELECT o_orderkey, " +
+            "CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) " +
+            "FROM cat_spjd_orders")
+          s.sql("CREATE TABLE gq.spjd.cal (wk DATE, wk_no BIGINT) PARTITIONED BY (wk)")
+          // ISO week number is constant across an ISO week, so DISTINCT
+          // yields exactly one calendar row per week value
+          s.sql("INSERT INTO gq.spjd.cal SELECT DISTINCT " +
+            "CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE), " +
+            "CAST(weekofyear(CAST(o_orderdate AS DATE)) AS BIGINT) " +
+            "FROM cat_spjd_orders")
+          java.lang.Boolean.TRUE
+        }
+        val joined = s.sql(
+          "SELECT /*+ MERGE(a) */ CAST(a.wk AS STRING) AS wk, count(*) AS n, " +
+            "CAST(sum(a.o_orderkey * b.wk_no) AS BIGINT) AS wsum " +
+            "FROM gq.spjd.o a JOIN gq.spjd.cal b ON a.wk = b.wk " +
+            "GROUP BY a.wk")
+        val plan = joined.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==")(0)
+        joined
+          .withColumn("exchanges", lit("Exchange".r.findAllIn(plan).size.toLong))
+          .withColumn("keyed_scans", lit("GraftKeyedScan".r.findAllIn(plan).size.toLong))
+          .orderBy("wk")
+      },
+      Some("""WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE) AS wk
+        |  FROM orders),
+        |cal AS (
+        |  SELECT wk, CAST(weekofyear(wk) AS BIGINT) AS wk_no FROM (SELECT DISTINCT wk FROM o))
+        |SELECT strftime(o.wk, '%Y-%m-%d') AS wk, count(*) AS n,
+        |  CAST(sum(o.o_orderkey * cal.wk_no) AS BIGINT) AS wsum,
+        |  CAST(0 AS BIGINT) AS exchanges, CAST(2 AS BIGINT) AS keyed_scans
+        |FROM o JOIN cal ON o.wk = cal.wk
+        |GROUP BY o.wk ORDER BY wk""".stripMargin)),
+
     // S17 — COMPOSITE-KEY storage-partitioned join (catalog/GraftKeyedScan
     // over a TWO-column hive layout): both tables partition by
     // (o_orderpriority, o_orderstatus), each keyed scan reports the full
