@@ -19,6 +19,20 @@ object Bench {
     PassOutcome(record, fastHit || heavyHit, fastHit)
   }
 
+  /** The rotation's round index — `max(N over BENCH_rN.json) + 1`, i.e. the
+    * round about to be measured. Keyed to the round NUMBERS, not the file
+    * count: the committed ledger already has a gap (r07 never landed), and
+    * under a count key any round that fails to commit its bench file
+    * silently re-measures the same fixture-tier half forever after,
+    * starving the other half. Parity from the true round number
+    * self-heals across gaps. Zero files → round 1.
+    */
+  private[graft] def rotationRoundIdx(fileNames: Seq[String]): Int = {
+    val re = "BENCH_r0*(\\d+)\\.json".r
+    val rounds = fileNames.collect { case re(n) => n.toInt }
+    if (rounds.isEmpty) 1 else rounds.max + 1
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -56,16 +70,18 @@ object Bench {
     // (stream_matview alone is 11-14 s of elapsed) — and unlike the
     // fast/heavy tiers there is nothing left to shave per row. Each round
     // measures a deterministic HALF of the family (alternating by the
-    // committed BENCH_r*.json count, which the driver grows by one per
-    // round), so every streaming row is benched at least every other
+    // round number about to be measured — [[rotationRoundIdx]] parses it
+    // from the committed BENCH_r*.json ledger, gap-tolerant), so every
+    // streaming row is benched at least every other
     // round while the family's elapsed share halves. Correctness is
     // unaffected: Verify runs EVERY row every round. SPARK_GRAFT_BENCH_ONLY
     // bypasses rotation (solo re-measurement must always work), as does
     // SPARK_GRAFT_BENCH_ROTATE=off.
     val rotate = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROTATE", "on") == "on" &&
       only.isEmpty
-    val roundIdx = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-      .count(_.getName.matches("BENCH_r\\d+\\.json"))
+    val roundIdx = rotationRoundIdx(
+      Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .map(_.getName).toSeq)
     val streamFam = SparkEntry.queries.keys.filter(_.startsWith("stream_")).toSeq.sorted
     // VERSIONED-FIXTURE ROTATION (registry-growth control #3, r16): the
     // ~90 `versioned_*` rows are the other cold-fixture tier — each

@@ -47,6 +47,21 @@ class BenchSpec extends AnyFunSuite {
     }
   }
 
+  test("rotation round index comes from round NUMBERS, gap-tolerant") {
+    // the committed ledger's real shape: r07 missing. Count-keyed logic
+    // would say 16 files → idx 16; number-keyed says max(r17 ledger)=16 →
+    // next round is 17. A gapped list must not offset parity.
+    val gapped = (1 to 16).filter(_ != 7).map(n => f"BENCH_r$n%02d.json")
+    assert(Bench.rotationRoundIdx(gapped) == 17)
+    // a round that failed to commit its bench file changes NOTHING the
+    // next time: idx still derives from the max that did land
+    assert(Bench.rotationRoundIdx(gapped.filterNot(_.contains("16"))) == 16)
+    assert(Bench.rotationRoundIdx(Seq.empty) == 1, "fresh repo measures round 1")
+    // unpadded + unrelated names
+    assert(Bench.rotationRoundIdx(Seq("BENCH_r9.json", "CORRECTNESS_r12.json",
+      "notes.txt")) == 10)
+  }
+
   test("final pass records even if contaminated — no clean pass will exist") {
     // builtFixture on the LAST configured pass: discarding would lose the
     // query entirely, so it records (pass == max(runs,1) disables discard)
