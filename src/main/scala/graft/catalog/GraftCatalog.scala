@@ -273,7 +273,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!isTable(root)) throw new NoSuchTableException(ident)
     val spark = SparkSession.active
     // ATOMIC: every TableChange maps to a validated snapshot transform
-    // (shape refusals — nested columns, bare ADD COLUMN — fire right
+    // (shape refusals — nested columns, ADD COLUMN NOT NULL — fire right
     // here, before any transform runs), and the whole statement folds
     // through VersionedTable.alterAtomic into ONE OCC attempt + ONE
     // published commit. Snapshot-dependent refusals (unknown column,
@@ -312,13 +312,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           ac.dataType().sql, GraftCatalog.defaultSqlOf(ac.defaultValue()))
       case ac: TableChange.AddColumn =>
         require(ac.fieldNames().length == 1, "GraftCatalog: nested columns unsupported")
-        // schema evolution is write-driven (a widening append) or
-        // DEFAULT-driven; a bare ADD COLUMN on existing data would be a
-        // silent NULL backfill the manifest model spells differently
-        sys.error(
-          s"GraftCatalog: a bare ADD COLUMN rides schema-evolving writes (append a " +
-            s"frame carrying '${ac.fieldNames()(0)}') — declare a DEFAULT " +
-            "(ALTER TABLE ... ADD COLUMN ... DEFAULT v) for the metadata-only form")
+        // the bare ANSI form — a pure-metadata schema widening with
+        // read-time NULL backfill (the exact state a schema-evolving
+        // write produces, published without data). NOT NULL stays refused:
+        // existing rows READ NULL for the new column, so recording the
+        // declaration would be a lie the first SELECT disproves.
+        require(ac.isNullable,
+          s"GraftCatalog: ADD COLUMN '${ac.fieldNames()(0)}' NOT NULL is not " +
+            "recorded — existing rows read NULL for an added column " +
+            "(declare a CHECK (col IS NOT NULL) constraint instead)")
+        require(ac.position() == null,
+          s"GraftCatalog: ADD COLUMN ... FIRST/AFTER is unsupported — added " +
+            "columns append at the end of the schema")
+        VersionedTable.addColumnOp(ac.fieldNames()(0), ac.dataType().sql)
       case addc: TableChange.AddConstraint =>
         addc.constraint() match {
           case ck: org.apache.spark.sql.connector.catalog.constraints.Check =>

@@ -1424,6 +1424,44 @@ object VersionedTable {
       .create(probe.collect()(0).get(0), dt).sql
   }
 
+  /** Bare `ALTER TABLE ... ADD COLUMN c <type>` — the ANSI/Delta
+    * metadata-only schema widening with READ-TIME NULL BACKFILL: one
+    * manifest commit widens the declared schema, no data moves, and
+    * pre-widening files read the new column as NULL through the exact
+    * path schema-evolving writes already exercise (the declared-schema
+    * scan backfills columns missing from older files — standard parquet
+    * evolution, no reader feature required, unlike the frozen-literal
+    * `column-defaults` form). Re-using a DROPPED name refuses (pre-drop
+    * files still hold the retired slot and would resurface stored
+    * values); time travel to a pre-widening version reads the narrower
+    * schema. Idempotent under `commitId`.
+    */
+  def addColumn(root: String, name: String, sqlType: String,
+                commitId: String): Long =
+    metadataCommit(root, commitId, addColumnOp(name, sqlType))
+
+  /** The bare ADD COLUMN snapshot transform ([[alterAtomic]]-composable). */
+  def addColumnOp(name: String, sqlType: String): Commit => Commit = {
+    val dt = org.apache.spark.sql.SparkSession.active
+      .sessionState.sqlParser.parseDataType(sqlType)
+    parent => {
+      require(parent.schemaDdl.nonEmpty,
+        "addColumn: snapshot has no recorded schema (pre-schema commits cannot " +
+          "widen; commit once with an explicit schema first)")
+      val logical = logicalCols(parent)
+      require(!logical.contains(name),
+        s"addColumn: column '$name' already exists")
+      require(!parent.dropped.contains(name),
+        s"addColumn: '$name' was DROPPED — pre-drop files still hold the " +
+          "retired slot and the per-dir scan would resurface its values; " +
+          "compact or overwrite first to purge it")
+      val ps = org.apache.spark.sql.types.StructType.fromDDL(parent.schemaDdl.get)
+      val newSchema = org.apache.spark.sql.types.StructType(ps.fields :+
+        org.apache.spark.sql.types.StructField(name, dt))
+      parent.copy(mode = "addcol", schemaDdl = Some(newSchema.toDDL))
+    }
+  }
+
   def addColumnWithDefaultOp(spark: SparkSession, name: String,
                              sqlType: String, defaultSql: String): Commit => Commit = {
     val dt = spark.sessionState.sqlParser.parseDataType(sqlType)

@@ -36,6 +36,7 @@ import graft.io.VersionedTable
   *   ALTER GRAFT '<root>' RENAME COLUMN <a> TO <b>
   *   ALTER GRAFT '<root>' DROP COLUMN <a>
   *   ALTER GRAFT '<root>' ALTER COLUMN <a> TYPE <sqlType>
+  *   ALTER GRAFT '<root>' ADD COLUMN <a> <type>              — NULL backfill
   *   ALTER GRAFT '<root>' ADD COLUMN <a> <type> DEFAULT (<expr>)
   *   ALTER GRAFT '<root>' ADD COLUMN <a> GENERATED ALWAYS AS (<expr>)
   *   ALTER GRAFT '<root>' ADD COLUMN <a> GENERATED ALWAYS AS IDENTITY
@@ -162,6 +163,11 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+([\w()\s,]+?)\s+DEFAULT\s+\((.*)\)\s*;?\s*""".r
   private val alterAddGenRe =
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s+\((.*)\)\s*;?\s*""".r
+  // the BARE form — metadata-only NULL-backfill widening; must be tried
+  // AFTER the IDENTITY/DEFAULT/GENERATED forms (its type group would
+  // otherwise swallow their keywords)
+  private val alterAddColRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+([\w()\s,]+?)\s*;?\s*""".r
   private val alterAddConstraintRe =
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+ADD\s+CONSTRAINT\s+(\w+)\s+CHECK\s+\((.*)\)\s*;?\s*""".r
   private val alterDropConstraintRe =
@@ -251,15 +257,27 @@ object GraftSqlParser {
   private[plans] def splitSetList(s: String): Seq[(String, String)] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
-    var depth = 0; var inStr = false
-    s.foreach { ch =>
-      if (inStr) { if (ch == '\'') inStr = false; cur += ch }
-      else ch match {
-        case '\'' => inStr = true; cur += ch
-        case '(' => depth += 1; cur += ch
-        case ')' => depth -= 1; cur += ch
-        case ',' if depth == 0 => parts += cur.toString; cur.clear()
-        case c => cur += c
+    var depth = 0; var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case q @ ('\'' | '"') =>
+          // consume the whole literal verbatim, honoring both escape
+          // conventions (doubled quote and backslash) — a comma inside
+          // `note = 'a\'s x, y'` must not split the assignment
+          cur += q; i += 1
+          var open = true
+          while (i < s.length && open) {
+            val c2 = s.charAt(i)
+            if (c2 == '\\' && i + 1 < s.length) {
+              cur += c2; cur += s.charAt(i + 1); i += 2
+            } else if (c2 == q && i + 1 < s.length && s.charAt(i + 1) == q) {
+              cur += c2; cur += q; i += 2
+            } else { cur += c2; if (c2 == q) open = false; i += 1 }
+          }
+        case '(' => depth += 1; cur += '('; i += 1
+        case ')' => depth -= 1; cur += ')'; i += 1
+        case ',' if depth == 0 => parts += cur.toString; cur.clear(); i += 1
+        case c => cur += c; i += 1
       }
     }
     if (cur.nonEmpty) parts += cur.toString
@@ -288,23 +306,45 @@ object GraftSqlParser {
       """UPDATE|REPLACE|MERGE|ALTER|INSERT\s+(?:INTO|OVERWRITE)|COPY\s+INTO|""" +
       """CREATE|REFRESH)\s+.*""").r
 
-  /** Character spans of single-quoted string literals and `--` line
-    * comments — positions the name rewrite must never touch: `UPDATE
-    * GRAFT db.t SET note = 'see GRAFT x.y'` rewrites only the statement's
-    * own name, never the literal's text.
+  /** Character spans of string literals and comments — positions the name
+    * rewrite must never touch: `UPDATE GRAFT db.t SET note = 'see GRAFT
+    * x.y'` rewrites only the statement's own name, never the literal's
+    * text. Covers every literal/comment shape Spark SQL accepts: single-
+    * AND double-quoted strings (double quotes are string literals in
+    * Spark's default dialect), with both escape conventions inside either
+    * (doubled quote `''`/`""` and backslash `\'`/`\"` — `'a\'s GRAFT x.y'`
+    * is ONE literal to the end), `--` line comments, and bracketed
+    * `&#47;* *&#47;` block comments. An unterminated literal or block
+    * comment protects through end-of-string — the statement will fail to
+    * parse anyway, and a rewrite inside it could only make the error
+    * stranger.
     */
   private def protectedSpans(sql: String): Seq[(Int, Int)] = {
     val spans = Seq.newBuilder[(Int, Int)]
     var i = 0
     while (i < sql.length) {
       sql.charAt(i) match {
-        case '\'' =>
+        case q @ ('\'' | '"') =>
           val start = i; i += 1
-          while (i < sql.length && sql.charAt(i) != '\'') i += 1
-          spans += ((start, math.min(i + 1, sql.length))); i += 1
+          var open = true
+          while (i < sql.length && open) {
+            val ch = sql.charAt(i)
+            if (ch == '\\' && i + 1 < sql.length) i += 2 // backslash escape
+            else if (ch == q && i + 1 < sql.length && sql.charAt(i + 1) == q)
+              i += 2 // doubled-quote escape
+            else if (ch == q) { open = false; i += 1 }
+            else i += 1
+          }
+          spans += ((start, i))
         case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
           val start = i
           while (i < sql.length && sql.charAt(i) != '\n') i += 1
+          spans += ((start, i))
+        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
+          val start = i; i += 2
+          while (i + 1 < sql.length &&
+                 !(sql.charAt(i) == '*' && sql.charAt(i + 1) == '/')) i += 1
+          i = math.min(i + 2, sql.length)
           spans += ((start, i))
         case _ => i += 1
       }
@@ -395,6 +435,8 @@ object GraftSqlParser {
         Some(s"${t.trim}|||${e.trim}")))
     case alterAddGenRe(root, c, e) =>
       Some(GraftAlterCommand(root, "addgen", c, Some(e.trim)))
+    case alterAddColRe(root, c, t) =>
+      Some(GraftAlterCommand(root, "addcol", c, Some(t.trim)))
     case alterAddConstraintRe(root, n, e) =>
       Some(GraftAlterCommand(root, "addconstraint", n, Some(e.trim)))
     case alterDropConstraintRe(root, n) =>
@@ -767,6 +809,7 @@ case class GraftAlterCommand(root: String, verb: String, name: String,
       case "adddefault" =>
         val Array(t, e) = arg.get.split("[|][|][|]", 2)
         VersionedTable.addColumnWithDefault(spark, root, name, t, e, commitId)
+      case "addcol" => VersionedTable.addColumn(root, name, arg.get, commitId)
     }
     Seq(Row(v))
   }

@@ -381,6 +381,29 @@ class CatalogSpec extends SparkSpec {
       "WHERE id IN (1)")
     assert(spark.table("gcat.db.nts").head().getString(1)
       == "see OPTIMIZE GRAFT audit.log")
+    // the full literal/comment scanner surface (r16 ADVICE): double-quoted
+    // literals are string literals in Spark's default dialect and must be
+    // protected exactly like single-quoted ones...
+    spark.sql("UPDATE GRAFT gcat.db.nts SET s = \"see GRAFT a.b\" WHERE id IN (1)")
+    assert(spark.table("gcat.db.nts").head().getString(1) == "see GRAFT a.b")
+    // ...a backslash-escaped quote must not end the protected span (the
+    // pre-fix scanner stopped at \' and rewrote the literal's tail)...
+    spark.sql("UPDATE GRAFT gcat.db.nts SET s = 'a\\'s GRAFT x.y' WHERE id IN (1)")
+    assert(spark.table("gcat.db.nts").head().getString(1) == "a's GRAFT x.y")
+    // ...nor must a doubled-quote escape...
+    spark.sql("UPDATE GRAFT gcat.db.nts SET s = 'it''s GRAFT x.y' WHERE id IN (1)")
+    assert(spark.table("gcat.db.nts").head().getString(1) == "it's GRAFT x.y")
+    // ...and a delegated statement whose /* block comment */ mentions a
+    // GRAFT name passes through untouched (never resolved, never rewritten)
+    spark.sql("INSERT INTO gcat.db.nts VALUES (2, 'plain') " +
+      "/* TODO: OPTIMIZE GRAFT prod.db.events weekly */")
+    assert(spark.table("gcat.db.nts").count() == 2L)
+    assert(spark.sql("SELECT s FROM gcat.db.nts WHERE id = 2").head().getString(0)
+      == "plain")
+    // a literal comma inside an escaped string must not split the SET list
+    spark.sql("UPDATE GRAFT gcat.db.nts SET s = 'a\\'s x, GRAFT y.z' WHERE id IN (2)")
+    assert(spark.sql("SELECT s FROM gcat.db.nts WHERE id = 2").head().getString(0)
+      == "a's x, GRAFT y.z")
   }
 
   test("catalog: ANSI column/constraint DDL — DEFAULT, GENERATED, IDENTITY, CHECK through plain SQL") {
@@ -454,6 +477,41 @@ class CatalogSpec extends SparkSpec {
     val r2 = spark.table("gcat.db.ansi2").collect().head
     assert(r2.getFloat(0) == 1.5f && r2.isNullAt(1) && r2.getLong(2) == 9L,
       r2.toString)
+  }
+
+  test("catalog: bare ADD COLUMN is a metadata-only NULL-backfill widening") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.widen (id BIGINT, v BIGINT)")
+    spark.sql("INSERT INTO gcat.db.widen SELECT id, id * 2 FROM range(0, 4)")
+    val root = s"$warehouse/db/widen"
+    val vBefore = VersionedTable.latestCommit(root).get.version
+    // the most common DDL a user types — accepted as ONE manifest commit,
+    // zero data moved, existing rows read NULL (Delta/ANSI semantics)
+    spark.sql("ALTER TABLE gcat.db.widen ADD COLUMN note STRING")
+    val after = VersionedTable.latestCommit(root).get
+    assert(after.version == vBefore + 1 && after.mode == "addcol")
+    assert(spark.table("gcat.db.widen").columns.toSeq == Seq("id", "v", "note"))
+    assert(spark.sql("SELECT count(*) FROM gcat.db.widen WHERE note IS NULL")
+      .head().getLong(0) == 4L, "pre-widening rows read NULL")
+    // post-widening writes carry real values alongside the backfilled era
+    spark.sql("INSERT INTO gcat.db.widen VALUES (10, 20, 'x')")
+    assert(spark.sql("SELECT note FROM gcat.db.widen WHERE id = 10")
+      .head().getString(0) == "x")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.widen WHERE note IS NULL")
+      .head().getLong(0) == 4L)
+    // time travel is era-correct: the pre-widening version keeps its shape
+    assert(VersionedTable.read(spark, root, asOf = Some(vBefore))
+      .columns.toSeq == Seq("id", "v"))
+    // NOT NULL stays refused — existing rows would disprove it on read
+    val eNn = intercept[Exception](spark.sql(
+      "ALTER TABLE gcat.db.widen ADD COLUMN req STRING NOT NULL"))
+    assert(eNn.getMessage.contains("NOT NULL"), eNn.getMessage)
+    // dropped-name resurrection stays refused (pre-drop files still hold
+    // the retired slot)
+    spark.sql("ALTER TABLE gcat.db.widen DROP COLUMN note")
+    val eRes = intercept[Exception](spark.sql(
+      "ALTER TABLE gcat.db.widen ADD COLUMN note STRING"))
+    assert(eRes.getMessage.contains("DROPPED"), eRes.getMessage)
   }
 
   test("catalog: native SQL DELETE routes onto the manifest-pruned verbs") {
