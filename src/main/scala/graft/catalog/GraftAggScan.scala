@@ -75,9 +75,12 @@ private final class GraftAggReaderFactory extends PartitionReaderFactory {
       override def get(): InternalRow =
         new GenericInternalRow(rows(i).map {
           case s: String => UTF8String.fromString(s): Any
-          // path-sourced DATE group/aggregate values → internal epoch days
+          // path-sourced DATE group/aggregate values → internal epoch
+          // days; TIMESTAMP values → internal epoch micros
           case v => graft.io.VersionedRelation.epochDay(v)
-            .map(_.toInt: Any).getOrElse(v)
+            .map(_.toInt: Any)
+            .orElse(graft.io.VersionedRelation.tsMicros(v).map(x => x: Any))
+            .getOrElse(v)
         })
       override def close(): Unit = ()
     }

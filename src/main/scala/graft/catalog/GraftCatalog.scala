@@ -685,7 +685,12 @@ class GraftTable(root: String, ident: Identifier, asOf: Option[Long],
   override def columns(): Array[org.apache.spark.sql.connector.catalog.Column] = {
     import org.apache.spark.sql.connector.catalog.{Column => V2Column}
     val c = snapshot
-    schema.fields.map { f =>
+    schema.fields.map { f0 =>
+      // REAL nullability: a declared NOT NULL column reports non-nullable
+      // (DESCRIBE truthfulness) — the scan schema stays read-derived, and
+      // enforcement is engine-side on every row-adding verb regardless
+      val f = if (c.exists(_.notNull.contains(f0.name))) f0.copy(nullable = false)
+              else f0
       c.flatMap(_.defaults.get(f.name)) match {
         case Some(sql) =>
           // the stored default is frozen-literal SQL, but Literal.sql does

@@ -113,7 +113,8 @@ final class GraftKeyedScan(spark: SparkSession, private val root: String,
       case n: java.lang.Number => n.longValue
       case u: org.apache.spark.unsafe.types.UTF8String => u.toString
       case other =>
-        graft.io.VersionedRelation.epochDay(other).getOrElse(other)
+        graft.io.VersionedRelation.epochDay(other)
+          .orElse(graft.io.VersionedRelation.tsMicros(other)).getOrElse(other)
     }
     filters.foreach {
       case org.apache.spark.sql.sources.In(attr, values)
@@ -302,6 +303,7 @@ object GraftKeyedScan {
                 def l(v: Any): Long = v match {
                   case i: Int => i.toLong; case lg: Long => lg
                   case other => graft.io.VersionedRelation.epochDay(other)
+                    .orElse(graft.io.VersionedRelation.tsMicros(other))
                     .getOrElse(sys.error(s"unexpected key value $other"))
                 }
                 if (desc) l(x) > l(y) else l(x) < l(y)

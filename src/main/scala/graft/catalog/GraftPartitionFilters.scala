@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, IsNull}
-import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, TimestampType}
 
 /** RESIDUAL-FREE partition predicates (the public Iceberg/Hive
   * semantics): [[GraftScanBuilder.pushFilters]] CLAIMS exact filter
@@ -56,17 +56,21 @@ private[graft] object GraftPartitionFilters {
     // the literal's JVM class depends on spark.sql.datetime.java8API.enabled
     case DateType    => v.isInstanceOf[java.sql.Date] ||
                         v.isInstanceOf[java.time.LocalDate]
+    case TimestampType => v.isInstanceOf[java.sql.Timestamp] ||
+                          v.isInstanceOf[java.time.Instant]
     case _           => false
   }
 
-  /** DATE values normalize to epoch day before comparison: the claimed
-    * literal arrives as `java.sql.Date` or `java.time.LocalDate` (session
-    * java8API setting), while the hive-path parse yields `java.sql.Date`
-    * — plain `==` across the representations would be silently false and
-    * drop every matching partition.
+  /** DATE values normalize to epoch day, TIMESTAMP values to epoch
+    * micros, before comparison: the claimed literal arrives as
+    * `java.sql.Date`/`LocalDate` or `java.sql.Timestamp`/`Instant`
+    * (session java8API setting), while the hive-path parse yields the
+    * java.sql flavor — plain `==` across the representations would be
+    * silently false and drop every matching partition.
     */
   private def norm(v: Any): Any =
-    graft.io.VersionedRelation.epochDay(v).getOrElse(v)
+    graft.io.VersionedRelation.epochDay(v)
+      .orElse(graft.io.VersionedRelation.tsMicros(v)).getOrElse(v)
 
   /** Exact evaluation of every claimed filter against one key-value map
     * (LOGICAL column name → typed value, null = NULL partition). A

@@ -347,6 +347,15 @@ final class GraftCowWriterFactory(stagedAbs: String, rowSchema: StructType,
           // and the exact round trip of hivePartValue's Date.valueOf
           case org.apache.spark.sql.types.DateType =>
             java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
+          // session-zone fraction rendering — the SAME formatter Spark's
+          // Cast-to-string uses when partitionBy spells a TIMESTAMP path
+          // value, and the exact inverse of hivePartValue's session-zone
+          // parse (SQLConf.get carries the session zone into the task)
+          case org.apache.spark.sql.types.TimestampType =>
+            org.apache.spark.sql.catalyst.util.TimestampFormatter
+              .getFractionFormatter(java.time.ZoneId.of(
+                org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
+              .format(row.getLong(i))
           case _ => row.getUTF8String(i).toString
         }
 

@@ -92,17 +92,28 @@ object VersionedRelation {
     case _                      => None
   }
 
-  private[graft] def asLong(v: Any): Option[Long] = v match {
-    case l: Long               => Some(l)
-    case i: Int                => Some(i.toLong)
-    case s: Short              => Some(s.toLong)
-    case b: Byte               => Some(b.toLong)
+  /** THE epoch-micros reading of a TIMESTAMP literal — both JVM flavors
+    * (java.sql.Timestamp when spark.sql.datetime.java8API is off, Instant
+    * when on). The TIMESTAMP twin of [[epochDay]]: every
+    * timestamp-normalizing site (claim enforcement, keyed-scan runtime
+    * filters, top-N key ordering, metadata aggregation) shares this one
+    * definition.
+    */
+  private[graft] def tsMicros(v: Any): Option[Long] = v match {
     case t: java.sql.Timestamp => Some(micros(t))
-    case i: java.time.Instant  =>
-      Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
-    // DATE envelopes are epoch DAYS (INT32 footers) by the statsCols
-    // contract; both literal flavors (java8API off/on) translate
-    case _                     => epochDay(v)
+    case i: java.time.Instant  => Some(i.getEpochSecond * 1000000L + i.getNano / 1000L)
+    case _                     => None
+  }
+
+  private[graft] def asLong(v: Any): Option[Long] = v match {
+    case l: Long => Some(l)
+    case i: Int  => Some(i.toLong)
+    case s: Short => Some(s.toLong)
+    case b: Byte => Some(b.toLong)
+    // TIMESTAMP envelopes are epoch MICROS (the statsCols contract);
+    // DATE envelopes are epoch DAYS (INT32 footers); both literal
+    // flavors of each (java8API off/on) translate
+    case _ => tsMicros(v).orElse(epochDay(v))
   }
 
   /** Translate the pushable subset of `filters` into manifest range

@@ -129,7 +129,8 @@ object VersionedTable {
                           props: Map[String, String] = Map.empty,
                           identity: Map[String, (Long, Long, Long)] = Map.empty,
                           dirLayouts: Map[String, Seq[String]] = Map.empty,
-                          defaults: Map[String, String] = Map.empty)
+                          defaults: Map[String, String] = Map.empty,
+                          notNull: Seq[String] = Nil)
 
   private val mapper = new ObjectMapper()
 
@@ -268,6 +269,7 @@ object VersionedTable {
       c.defaults.toSeq.sortBy(_._1).foreach { case (n, e) => dm.put(n, e) }
       m.put("defaults", dm)
     }
+    if (c.notNull.nonEmpty) m.put("notNull", c.notNull.sorted.asJava)
     mapper.writeValueAsString(m)
   }
 
@@ -411,12 +413,14 @@ object VersionedTable {
     val defaults = Option(n.get("defaults")).map { dn =>
       dn.properties().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     }.getOrElse(Map.empty[String, String])
+    val notNull = Option(n.get("notNull"))
+      .map(_.elements().asScala.map(_.asText()).toSeq).getOrElse(Nil)
     Commit(v, n.get("commitId").asText(), n.get("mode").asText(),
       n.get("dirs").elements().asScala.map(_.asText()).toSeq, stats, strStats, pcols, blooms,
       Option(n.get("schema")).map(_.asText()),
       Option(n.get("committedAt")).map(_.asLong()).getOrElse(0L),
       deletes, deleteKeys, nameMap, constraints, dropped, generated, nullCounts,
-      props, identity, dirLayouts, defaults)
+      props, identity, dirLayouts, defaults, notNull)
   }
 
   /** Atomically publish manifest `c` into version slot `v`: write the full
@@ -853,10 +857,35 @@ object VersionedTable {
                                  op: String): Unit =
     cs.toSeq.sortBy(_._1).foreach { case (name, sql) =>
       import org.apache.spark.sql.functions.expr
-      val bad = batch.filter(expr(sql) === false).limit(1).collect()
+      // a constraint referencing a column ABSENT from the batch (an
+      // overwrite dropping a constrained column, a NOT NULL column the
+      // batch omits) must refuse with the constraint's name, not a raw
+      // analyzer resolution error
+      val bad = try batch.filter(expr(sql) === false).limit(1).collect()
+        catch { case e: org.apache.spark.sql.AnalysisException => sys.error(
+          s"$op: CHECK constraint '$name' ($sql) references columns the batch " +
+            s"does not carry — drop the constraint first, or supply the column " +
+            s"(${e.getMessage.linesIterator.nextOption().getOrElse("")})") }
       require(bad.isEmpty,
         s"$op: CHECK constraint '$name' ($sql) violated by row ${bad.headOption.orNull}")
     }
+
+  /** Declared NOT NULL columns as implicit CHECK predicates — merged into
+    * every row-adding verb's constraint enforcement, so real nullability
+    * rides the exact machinery CHECK invariants already proved (validated
+    * pre-publish, surviving overwrite, time-travelable). IDENTITY columns
+    * are excluded: the check runs before the allocator fills them, and an
+    * allocated value is never NULL by construction.
+    */
+  private def notNullChecks(c: Commit): Map[String, String] =
+    c.notNull.filterNot(c.identity.contains)
+      .map(n => s"${n}_not_null" -> s"$n IS NOT NULL").toMap
+
+  /** The full enforcement set of a snapshot: named CHECK constraints plus
+    * the NOT NULL invariants. Every row-adding verb enforces THIS.
+    */
+  private def effectiveChecks(c: Commit): Map[String, String] =
+    c.constraints ++ notNullChecks(c)
 
   /** Add a named CHECK constraint (Delta's ALTER TABLE ADD CONSTRAINT):
     * validates the EXISTING snapshot first — one scan, short-circuiting at
@@ -1129,7 +1158,8 @@ object VersionedTable {
         s"${genRef.toSeq.sorted.mkString(", ")}; drop them first")
     val newMap = ((parent.nameMap - from) + (to -> phys))
       .filter { case (l, p) => l != p } // renaming back to the original drops the entry
-    parent.copy(mode = "rename", nameMap = newMap)
+    parent.copy(mode = "rename", nameMap = newMap,
+      notNull = parent.notNull.map(n => if (n == from) to else n).sorted)
   }
 
   /** TYPE WIDENING as a METADATA-ONLY commit (the public Delta 3.2+
@@ -1281,7 +1311,8 @@ object VersionedTable {
         nameMap = parent.nameMap - name,
         dropped = (parent.dropped :+ phys).distinct.sorted,
         generated = parent.generated - name,
-        defaults = parent.defaults - name)
+        defaults = parent.defaults - name,
+        notNull = parent.notNull.filterNot(_ == name))
   }
 
   /** GENERATED ALWAYS AS (the public Delta generated-columns shape): a
@@ -1662,7 +1693,13 @@ object VersionedTable {
             partitionCols = partitionCols, schemaDdl = Some(schema.toDDL),
             props = props, defaults = frozen, generated = generated,
             identity = identity.map { case (c, (st, sp)) => c -> ((st, sp, st)) },
-            constraints = constraints)))
+            constraints = constraints,
+            // REAL nullability (Delta's NOT NULL invariants): columns the
+            // CREATE declared non-nullable — CTAS inherits the query
+            // schema's nullability, exactly Delta's behavior — recorded in
+            // the manifest and enforced by every row-adding verb through
+            // the same hook CHECK constraints use ([[notNullChecks]])
+            notNull = schema.fields.filterNot(_.nullable).map(_.name).toSeq.sorted)))
           1L
         else findCommitVersion(root, commitId).getOrElse(
           sys.error(s"createTable: lost the v1 slot at $root to a concurrent creator"))
@@ -1707,7 +1744,7 @@ object VersionedTable {
         // CHECK constraints hold in BOTH modes (they are table properties,
         // surviving overwrite like Delta's) and are enforced on the
         // incoming LOGICAL batch before any data is written
-        preParent0.foreach(p => enforceConstraints(p.constraints, dfGen, "commit"))
+        preParent0.foreach(p => enforceConstraints(effectiveChecks(p), dfGen, "commit"))
         // IDENTITY columns allocate here (both modes — the spec is a table
         // property): explicit values are refused (GENERATED ALWAYS), the
         // batch gets a contiguous [next, next + step·count) range, and the
@@ -1874,6 +1911,7 @@ object VersionedTable {
                   nameMap = if (mode == "append")
                     parent.map(_.nameMap).getOrElse(Map.empty) else Map.empty,
                   constraints = parent.map(_.constraints).getOrElse(Map.empty),
+                  notNull = parent.map(_.notNull).getOrElse(Nil),
                   // overwrite rewrites the whole row set — retired slots
                   // are gone from every live file, so the names free up
                   dropped = if (mode == "append")
@@ -2119,6 +2157,18 @@ object VersionedTable {
       case DateType    => try Some(java.sql.Date.valueOf(v)) catch {
         case _: IllegalArgumentException => None
       }
+      // hive writes TIMESTAMP partition values as the SESSION-timezone
+      // string (Spark renders them via Cast-to-string when building the
+      // path) — parse with Spark's own reader and the same session zone,
+      // the exact inverse, yielding absolute micros regardless of zone
+      case TimestampType =>
+        val zone = java.time.ZoneId.of(
+          scala.util.Try(SparkSession.active.sessionState.conf.sessionLocalTimeZone)
+            .getOrElse("UTC"))
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+          org.apache.spark.unsafe.types.UTF8String.fromString(v), zone)
+          .map(us => org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .toJavaTimestamp(us))
       case _           => None
     }
   }
@@ -2250,6 +2300,12 @@ object VersionedTable {
                 val e = d.toLocalDate.toEpochDay
                 c -> (IntMM(e, e): MinMax)
               }
+            // TIMESTAMP path values index as epoch-micros envelopes (the
+            // statsCols contract), parsed with the session-zone reader
+            case TimestampType          =>
+              hivePartValue(TimestampType, v)
+                .flatMap(graft.io.VersionedRelation.tsMicros)
+                .map(us => c -> (IntMM(us, us): MinMax))
             case _                      => None
           }
         }
@@ -3477,7 +3533,8 @@ object VersionedTable {
         survivorsDir.filter(_ => dirBlooms.nonEmpty)
           .fold(keptBlooms)(d => keptBlooms + (d -> dirBlooms)),
         schemaDdl, deletes = cd, deleteKeys = cdk, nameMap = parent.nameMap,
-        constraints = parent.constraints, dropped = parent.dropped,
+        constraints = parent.constraints, notNull = parent.notNull,
+        dropped = parent.dropped,
         generated = parent.generated,
         nullCounts = survivorsDir.filter(_ => dirStats.nulls.nonEmpty)
           .fold(keptNulls)(d => keptNulls + (d -> dirStats.nulls)),
@@ -3570,7 +3627,7 @@ object VersionedTable {
         }
         // CHECK constraints are over LOGICAL names — validate the incoming
         // batch before any data is written or any dir classified
-        enforceConstraints(parent.constraints, updatesG, "mergeInto")
+        enforceConstraints(effectiveChecks(parent), updatesG, "mergeInto")
         val guarded = guardMergeBatchKeys(updPhys, physKeys, "mergeInto")
         // bounded scalar probe per key column; a dir must overlap EVERY
         // column's batch envelope to hold a matching tuple — intersect
@@ -3802,7 +3859,10 @@ object VersionedTable {
                            notMatchedInsertCond: Option[String] = None,
                            statsCols: Seq[String] = Nil,
                            bloomCols: Seq[String] = Nil,
-                           evolveSchema: Boolean = false): (Long, Int, Int) = {
+                           evolveSchema: Boolean = false,
+                           notMatchedBySourceDeleteCond: Option[String] = None,
+                           notMatchedBySourceBound: Option[(String, Long, Long)] = None)
+      : (Long, Int, Int) = {
     import org.apache.spark.sql.functions.{broadcast, col, expr, lit, struct, when}
     findCommitVersion(root, commitId) match {
       case Some(prior) => (prior, -1, -1) // retry of a committed merge
@@ -3844,9 +3904,28 @@ object VersionedTable {
                 "resurface; pick a different name, or compact/overwrite first")
             Some(evolvedSchema(parent.schemaDdl, srcPhys.schema))
           }
-        enforceConstraints(parent.constraints, sourceG, "mergeIntoConditional")
+        enforceConstraints(effectiveChecks(parent), sourceG, "mergeIntoConditional")
         val guarded = guardMergeBatch(srcPhys, physKey, "mergeIntoConditional")
-        val (hit, _) = rangeHitDirs(root, parent, guarded, physKey, "mergeIntoConditional")
+        // WHEN NOT MATCHED BY SOURCE (Delta's third clause family), in its
+        // RANGE-BOUNDED form only: target rows inside the mandatory bound
+        // with no source match (optionally AND <cond>) are deleted; rows
+        // outside the bound pass through by reference. The unbounded Delta
+        // form would make the rewrite O(table) — the one cost class every
+        // verb here refuses — so it refuses loudly with the bounded
+        // spelling (or replaceRange) as the guidance.
+        require(notMatchedBySourceDeleteCond.isEmpty || notMatchedBySourceBound.nonEmpty,
+          "mergeIntoConditional: WHEN NOT MATCHED BY SOURCE THEN DELETE requires " +
+            "a bounding range (notMatchedBySourceBound = (col, lo, hi)) — the " +
+            "unbounded form rewrites O(table), breaking the O(hit dirs) contract; " +
+            "bound it to the slice the source snapshot covers, or use replaceRange")
+        notMatchedBySourceBound.foreach { case (bc, lo, hi) =>
+          requireRangeBoundTypes(parent, physName(parent, bc), lo, hi,
+            "mergeIntoConditional (NOT MATCHED BY SOURCE bound)") }
+        def nmbsHitOf(c: Commit): Seq[String] = notMatchedBySourceBound
+          .map { case (bc, lo, hi) => planRange(root, bc, lo, hi, resolved = Some(c)) }
+          .getOrElse(Nil)
+        val (srcHit, _) = rangeHitDirs(root, parent, guarded, physKey, "mergeIntoConditional")
+        val hit = (srcHit ++ nmbsHitOf(parent)).distinct
         val v = parent.version + 1
         val dirName = attemptDirName("data", v, commitId)
         // one fixed column order for BOTH structs, so when(...) can pick
@@ -3868,8 +3947,26 @@ object VersionedTable {
             val joined = base.join(srcSide,
               base("tgt")(physKey) <=> srcSide("__graft_mk"), "left_outer")
             val matched = col("__graft_mk").isNotNull
+            // NOT MATCHED BY SOURCE delete: inside the bound, no source
+            // match, optional condition — NULL bound values never delete
+            // (coalesce false, SQL's conservative reading)
+            val nmbsDelete: org.apache.spark.sql.Column =
+              notMatchedBySourceBound match {
+                case None => lit(false)
+                case Some((bc, lo, hi)) =>
+                  val physB = physName(parent, bc)
+                  val dt = evolved.orElse(parent.schemaDdl
+                      .map(org.apache.spark.sql.types.StructType.fromDDL))
+                    .flatMap(_.fields.find(_.name == physB)).map(_.dataType)
+                  val cnd = notMatchedBySourceDeleteCond.map(expr).getOrElse(lit(true))
+                  org.apache.spark.sql.functions.coalesce(
+                    col("tgt")(physB) >= boundLit(dt, lo) &&
+                      col("tgt")(physB) <= boundLit(dt, hi) && cnd,
+                    lit(false))
+              }
             Some(joined
               .filter(!(matched && deleteC))
+              .filter(matched || !nmbsDelete)
               .select(when(matched && updateC, col("src")).otherwise(col("tgt")).as("r"))
               .select(cols.map(c => col(s"r.$c").as(c)): _*))
           }
@@ -3910,9 +4007,11 @@ object VersionedTable {
           "merge", commitId, "mergeIntoConditional",
           evolved.map(_.toDDL).orElse(parent.schemaDdl)
             .orElse(Some(srcPhys.schema.toDDL)),
-          (latest, newDirs) =>
-            rangeHitDirs(root, latest.copy(dirs = newDirs), guarded, physKey,
-              "mergeIntoConditional")._1)
+          (latest, newDirs) => {
+            val rebased = latest.copy(dirs = newDirs)
+            (rangeHitDirs(root, rebased, guarded, physKey,
+              "mergeIntoConditional")._1 ++ nmbsHitOf(rebased)).distinct
+          })
         (committed, hit.size, parent.dirs.size)
     }
   }
@@ -3976,7 +4075,7 @@ object VersionedTable {
         }
         // upserts take the CHECK gate (they ADD rows); tombstones only
         // remove, so they pass untested
-        enforceConstraints(parent.constraints, updatesG, "applyCdcBatch")
+        enforceConstraints(effectiveChecks(parent), updatesG, "applyCdcBatch")
         val gUpd = guardMergeBatch(updPhys, physKey, "applyCdcBatch")
         val gDel = deleteKeys.select(col(keyCol).as(physKey))
           .filter(when(col(physKey).isNull,
@@ -4188,6 +4287,7 @@ object VersionedTable {
                 parent.schemaDdl,
                 deletes = newDeletes, deleteKeys = newDeleteKeys,
                 nameMap = parent.nameMap, constraints = parent.constraints,
+                notNull = parent.notNull,
                 dropped = parent.dropped, generated = parent.generated,
                 nullCounts = parent.nullCounts, props = parent.props,
                 identity = parent.identity, dirLayouts = parent.dirLayouts,
@@ -4421,6 +4521,7 @@ object VersionedTable {
                 parent.schemaDdl,
                 deletes = newDeletes, deleteKeys = parent.deleteKeys,
                 nameMap = parent.nameMap, constraints = parent.constraints,
+                notNull = parent.notNull,
                 dropped = parent.dropped, generated = parent.generated,
                 nullCounts = parent.nullCounts, props = parent.props,
                 identity = parent.identity, dirLayouts = parent.dirLayouts,
@@ -4640,7 +4741,7 @@ object VersionedTable {
             s"replaceRange: batch schema ${got.toSeq.sorted} must equal the snapshot " +
               s"schema ${want.toSeq.sorted} (use commit(mode=append) for add-column evolution)")
         }
-        enforceConstraints(parent.constraints, batchG, "replaceRange")
+        enforceConstraints(effectiveChecks(parent), batchG, "replaceRange")
         val bdt = colTypeOf(parent.schemaDdl, phys)
         val inRange = col(phys) >= boundLit(bdt, lo) && col(phys) <= boundLit(bdt, hi)
         val stray = batchPhys.filter(col(phys).isNull || !inRange)
@@ -4738,7 +4839,7 @@ object VersionedTable {
         s"$op: SET changes '${f.name}' from ${f.dataType.sql} to ${got.sql}; " +
           "UPDATE is not schema evolution — cast the expression explicitly")
     }
-    enforceConstraints(parent.constraints, afterGen.filter(col(hitCol)), op)
+    enforceConstraints(effectiveChecks(parent), afterGen.filter(col(hitCol)), op)
     afterGen.drop(hitCol)
   }
 
@@ -5347,7 +5448,8 @@ object VersionedTable {
       tableSchema.fields.find(_.name == n).map(f => n -> f.dataType)).toMap
     if (types.size != (refCols ++ filterCols).distinct.size) return None
     def pathParseable(dt: DataType) =
-      dt == IntegerType || dt == LongType || dt == StringType || dt == DateType
+      dt == IntegerType || dt == LongType || dt == StringType ||
+        dt == DateType || dt == TimestampType
     def footerExact(dt: DataType) = dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType |
            TimestampType | TimestampNTZType => true
@@ -5394,9 +5496,11 @@ object VersionedTable {
     def asLong(v: Any): Long = v match {
       case i: Int => i.toLong; case l: Long => l
       case s: Short => s.toLong; case b: Byte => b.toLong
-      // path-sourced DATE values (footer-sourced dates are already
-      // internal epoch-day Ints) — ordered by epoch day
+      // path-sourced DATE/TIMESTAMP values (footer-sourced ones are
+      // already internal epoch-day Ints / epoch-micros Longs) — ordered
+      // by epoch day / epoch micros
       case other => VersionedRelation.epochDay(other)
+        .orElse(VersionedRelation.tsMicros(other))
         .getOrElse(sys.error(s"non-integral envelope value $other"))
     }
     def foldMM(a: Acc, col: String, lo: Any, hi: Any): Unit = {
@@ -6095,7 +6199,8 @@ object VersionedTable {
     if (keyFields.size != c.partitionCols.size)
       return Left("partition columns missing from the recorded schema")
     if (!keyFields.forall(f => f.dataType == IntegerType || f.dataType == LongType ||
-        f.dataType == StringType || f.dataType == DateType))
+        f.dataType == StringType || f.dataType == DateType ||
+        f.dataType == TimestampType))
       return Left("non-path-round-trippable partition key type")
     c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
       s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
@@ -6237,7 +6342,8 @@ object VersionedTable {
     if (keyFields.size != c.partitionCols.size)
       return Left("partition columns missing from the recorded schema")
     if (!keyFields.forall(f => f.dataType == IntegerType || f.dataType == LongType ||
-        f.dataType == StringType || f.dataType == DateType))
+        f.dataType == StringType || f.dataType == DateType ||
+        f.dataType == TimestampType))
       return Left("non-path-round-trippable partition key type")
     c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
       s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
@@ -6477,6 +6583,7 @@ object VersionedTable {
           .fold(parent.blooms)(d => parent.blooms + (d -> dirBlooms)),
         pinned.schemaDdl, deletes = newDeletes, deleteKeys = parent.deleteKeys,
         nameMap = parent.nameMap, constraints = parent.constraints,
+        notNull = parent.notNull,
         dropped = parent.dropped, generated = parent.generated,
         nullCounts = insertedDir.filter(_ => dirStats.nulls.nonEmpty)
           .fold(parent.nullCounts)(d => parent.nullCounts + (d -> dirStats.nulls)),
@@ -6520,7 +6627,8 @@ object VersionedTable {
       phys.fields.find(_.name == k))
     if (keyFields.size != c.partitionCols.size) return None
     if (!keyFields.forall(f => f.dataType == IntegerType || f.dataType == LongType ||
-        f.dataType == StringType || f.dataType == DateType)) return None
+        f.dataType == StringType || f.dataType == DateType ||
+        f.dataType == TimestampType)) return None
     c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
       s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
     var kept = c.dirs
@@ -6596,6 +6704,7 @@ object VersionedTable {
               target.stats, target.strStats, target.partitionCols, target.blooms,
               target.schemaDdl, deletes = target.deletes, deleteKeys = target.deleteKeys,
               nameMap = target.nameMap, constraints = target.constraints,
+              notNull = target.notNull,
               dropped = target.dropped, generated = target.generated,
               nullCounts = target.nullCounts, props = target.props,
               identity = target.identity, dirLayouts = target.dirLayouts,
@@ -6768,6 +6877,7 @@ object VersionedTable {
           else Map(dirName -> dirBlooms): Map[String, Seq[String]],
           parent.schemaDdl.orElse(Some(cur.schema.toDDL)),
           nameMap = parent.nameMap, constraints = parent.constraints,
+          notNull = parent.notNull,
           // the rewrite scanned under the post-drop manifest schema, so the
           // new files carry no retired slot — REORG PURGE: clear the set
           // and free the names for re-use
@@ -6960,7 +7070,8 @@ object VersionedTable {
           deleteKeys = c.deleteKeys.collect {
             case (sn, k) if setMap.contains(sn) => setMap(sn) -> k
           },
-          nameMap = c.nameMap, constraints = c.constraints, dropped = c.dropped,
+          nameMap = c.nameMap, constraints = c.constraints,
+          notNull = c.notNull, dropped = c.dropped,
           generated = c.generated,
           nullCounts = c.nullCounts.collect {
             case (d, v) if dirMap.contains(d) => dirMap(d) -> v

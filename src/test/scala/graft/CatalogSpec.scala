@@ -514,6 +514,57 @@ class CatalogSpec extends SparkSpec {
     assert(eRes.getMessage.contains("DROPPED"), eRes.getMessage)
   }
 
+  test("catalog: NOT NULL declared at CREATE records real nullability and refuses NULL writes") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.nn (id BIGINT NOT NULL, note STRING)")
+    val root = s"$warehouse/db/nn"
+    assert(VersionedTable.latestCommit(root).get.notNull == Seq("id"))
+    // DESCRIBE truthfulness: the V2 column view reports non-nullable
+    val tbl = spark.sessionState.catalogManager.catalog("gcat")
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.TableCatalog]
+      .loadTable(org.apache.spark.sql.connector.catalog.Identifier.of(
+        Array("db"), "nn"))
+    assert(!tbl.columns().find(_.name == "id").get.nullable)
+    assert(tbl.columns().find(_.name == "note").get.nullable)
+    // valid writes flow — including NULL in the column that ALLOWS it
+    spark.sql("INSERT INTO gcat.db.nn VALUES (1, 'a'), (2, NULL)")
+    assert(spark.table("gcat.db.nn").count() == 2L)
+    // NULL into the declared column refuses — loud, nothing committed
+    val vBefore = VersionedTable.latestCommit(root).get.version
+    val e = intercept[Exception](spark.sql(
+      "INSERT INTO gcat.db.nn VALUES (CAST(NULL AS BIGINT), 'x')"))
+    assert(e.getMessage.toLowerCase.matches("(?s).*(not.null|not_null|null).*"),
+      e.getMessage)
+    assert(VersionedTable.latestCommit(root).get.version == vBefore,
+      "refused insert must leave the log untouched")
+    assert(spark.table("gcat.db.nn").count() == 2L)
+    // the engine-level verbs enforce through the same gate as CHECKs
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val bad = spark.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(java.lang.Long.valueOf(3L), "y"),
+        org.apache.spark.sql.Row(null, "z")),
+      StructType(Seq(StructField("id", LongType), StructField("note", StringType))))
+    val e2 = intercept[Exception](
+      VersionedTable.commit(bad, root, "append", "nn-bad"))
+    assert(e2.getMessage.contains("id_not_null"), e2.getMessage)
+    assert(spark.table("gcat.db.nn").count() == 2L)
+    // UPDATE setting the declared column to NULL refuses too
+    val e3 = intercept[Exception](
+      spark.sql("UPDATE GRAFT '" + root + "' SET id = CAST(NULL AS BIGINT) " +
+        "WHERE id IN (1)"))
+    assert(e3.getMessage.contains("id_not_null"), e3.getMessage)
+    // rename carries the declaration to the new name
+    spark.sql("ALTER TABLE gcat.db.nn RENAME COLUMN id TO key")
+    assert(VersionedTable.latestCommit(root).get.notNull == Seq("key"))
+    val e4 = intercept[Exception](spark.sql(
+      "INSERT INTO gcat.db.nn VALUES (CAST(NULL AS BIGINT), 'x')"))
+    assert(e4 != null)
+    // dropping the column retires the declaration with it
+    spark.sql("ALTER TABLE gcat.db.nn DROP COLUMN key")
+    assert(VersionedTable.latestCommit(root).get.notNull.isEmpty)
+  }
+
   test("catalog: native SQL DELETE routes onto the manifest-pruned verbs") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.del (id BIGINT, grp STRING, v BIGINT) " +

@@ -472,6 +472,44 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.history(root).size == 4, "refused merges must not advance the log")
   }
 
+  test("VersionedTable.mergeIntoConditional: range-bounded NOT MATCHED BY SOURCE deletes inside the bound only; unbounded refuses") {
+    import spark.implicits._
+    val root = tmpDir("vt_nmbs")
+    VersionedTable.commit(Seq((1L, "a"), (5L, "b")).toDF("id", "s"), root, "append", "n1",
+      statsCols = Seq("id"))
+    VersionedTable.commit(Seq((10L, "c"), (12L, "d"), (15L, "e")).toDF("id", "s"),
+      root, "append", "n2", statsCols = Seq("id"))
+    VersionedTable.commit(Seq((20L, "f"), (25L, "g")).toDF("id", "s"), root, "append", "n3",
+      statsCols = Seq("id"))
+    // the unbounded Delta spelling refuses LOUDLY, log untouched
+    val e = intercept[IllegalArgumentException](VersionedTable.mergeIntoConditional(
+      spark, root, Seq((10L, "C2")).toDF("id", "s"), "id", "n-bad",
+      notMatchedBySourceDeleteCond = Some("true")))
+    assert(e.getMessage.contains("bounding range"), e.getMessage)
+    assert(VersionedTable.history(root).size == 3)
+    // bounded sync of band 2 ([10, 15]): source keeps 10 (updated) and 15,
+    // so 12 — unmatched inside the bound — deletes; bands 1/3 pass by
+    // reference even though they also hold source-free keys
+    val before = VersionedTable.history(root).last.dirs
+    val (v, hit, total) = VersionedTable.mergeIntoConditional(spark, root,
+      Seq((10L, "C2"), (15L, "E2")).toDF("id", "s"), "id", "n-apply",
+      notMatchedBySourceDeleteCond = Some("tgt.id IS NOT NULL"),
+      notMatchedBySourceBound = Some(("id", 10L, 15L)),
+      statsCols = Seq("id"))
+    assert(v == 4L && hit == 1 && total == 3, s"($v, $hit, $total)")
+    val after = VersionedTable.history(root).last
+    assert(after.dirs.count(before.contains) == 2, "out-of-bound dirs pass by reference")
+    val rows = VersionedTable.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "a"), (5L, "b"), (10L, "C2"), (15L, "E2"),
+      (20L, "f"), (25L, "g")), rows.toString)
+    // retry idempotent
+    assert(VersionedTable.mergeIntoConditional(spark, root,
+      Seq((10L, "X")).toDF("id", "s"), "id", "n-apply",
+      notMatchedBySourceBound = Some(("id", 10L, 15L))) == ((4L, -1, -1)))
+    assert(VersionedTable.history(root).size == 4)
+  }
+
   test("VersionedTable.mergeInto: string-keyed snapshot prunes via the strStats envelope") {
     import spark.implicits._
     val root = tmpDir("vt_merge_str")

@@ -194,6 +194,78 @@ class PartitionFilterSpec extends SparkSpec {
       == Seq(6L, 8L, 10L, 12L, 14L, 16L, 18L))
   }
 
+  test("partition filters: TIMESTAMP partition keys claim residual-free — keyed scan, epoch-micros-exact equality") {
+    warehouse
+    spark.sql("CREATE TABLE gpf.db.ts (id BIGINT, hr TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (hr) TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    // hour-bucket instants — the streaming landing-table layout; the path
+    // value carries an escaped space and colons
+    spark.sql("INSERT INTO gpf.db.ts SELECT id, " +
+      "TIMESTAMP '2024-03-01 00:00:00' + make_interval(0,0,0,0,CAST(id % 4 AS INT),0,0), " +
+      "id * 10 FROM range(0, 40)")
+    spark.sql("INSERT INTO gpf.db.ts SELECT 1000 + id, NULL, id FROM range(0, 3)")
+    check("SELECT id, v FROM gpf.db.ts WHERE hr = TIMESTAMP '2024-03-01 01:00:00'")
+    check("SELECT id, v FROM gpf.db.ts WHERE hr IN " +
+      "(TIMESTAMP '2024-03-01 00:00:00', TIMESTAMP '2024-03-01 02:00:00')")
+    check("SELECT id, v FROM gpf.db.ts WHERE hr IS NOT NULL")
+    check("SELECT id, v FROM gpf.db.ts WHERE hr IS NULL")
+    // TIMESTAMP keys are path-round-trippable (session-zone parse is the
+    // exact inverse of partitionBy's session-zone spelling): keyed batch
+    val q = spark.sql(
+      "SELECT id FROM gpf.db.ts WHERE hr = TIMESTAMP '2024-03-01 01:00:00'")
+    assert(q.queryExecution.executedPlan.toString.contains("GraftKeyedScan"),
+      q.queryExecution.executedPlan.toString.take(600))
+    assert(q.collect().map(_.getLong(0)).toSet
+      == (0L until 40L).filter(_ % 4 == 1).toSet)
+    // the java8API flavor (Instant literals) claims identically
+    spark.conf.set("spark.sql.datetime.java8API.enabled", "true")
+    try check("SELECT id, v FROM gpf.db.ts WHERE hr = TIMESTAMP '2024-03-01 01:00:00'")
+    finally spark.conf.set("spark.sql.datetime.java8API.enabled", "false")
+    // metadata aggregation composes: min/max over the TIMESTAMP key with
+    // zero data tasks (path-sourced micros)
+    val agg = spark.sql("SELECT min(hr), max(hr), count(*) FROM gpf.db.ts")
+    assert(agg.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      agg.queryExecution.executedPlan.toString.take(600))
+    val r = agg.head()
+    assert(r.getTimestamp(0).toString.startsWith("2024-03-01 00:00:00") &&
+      r.getTimestamp(1).toString.startsWith("2024-03-01 03:00:00") &&
+      r.getLong(2) == 43L, r.toString)
+  }
+
+  test("partition filters: row-level DML on a TIMESTAMP-partitioned table — delta and copy-on-write routes") {
+    warehouse
+    spark.sql("CREATE TABLE gpf.db.tsdml (id BIGINT, hr TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (hr)")
+    spark.sql("INSERT INTO gpf.db.tsdml SELECT id, " +
+      "TIMESTAMP '2024-03-01 00:00:00' + make_interval(0,0,0,0,CAST(id % 2 AS INT),0,0), " +
+      "id FROM range(0, 20)")
+    // merge-on-read UPDATE under a claimed TIMESTAMP predicate:
+    // post-images land back in the SAME hive layout (keyString's
+    // session-zone TIMESTAMP spelling — the round trip under test)
+    spark.sql("UPDATE gpf.db.tsdml SET v = v + 1000 " +
+      "WHERE hr = TIMESTAMP '2024-03-01 01:00:00'")
+    val rows = spark.table("gpf.db.tsdml").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2))).toSeq
+    assert(rows.count { case (id, h, v) =>
+      h.startsWith("2024-03-01 01:00:00") && v == id + 1000 } == 10, rows.toString)
+    assert(rows.count { case (id, h, v) =>
+      h.startsWith("2024-03-01 00:00:00") && v == id } == 10, rows.toString)
+    // copy-on-write DELETE rewrites only the matched partition
+    spark.sql("CREATE TABLE gpf.db.tsdml2 (id BIGINT, hr TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (hr) " +
+      "TBLPROPERTIES ('graft.dml.mode' = 'copy-on-write')")
+    spark.sql("INSERT INTO gpf.db.tsdml2 SELECT id, " +
+      "TIMESTAMP '2024-03-01 00:00:00' + make_interval(0,0,0,0,CAST(id % 2 AS INT),0,0), " +
+      "id FROM range(0, 20)")
+    spark.sql("DELETE FROM gpf.db.tsdml2 " +
+      "WHERE hr = TIMESTAMP '2024-03-01 00:00:00' AND v < 6")
+    val left = spark.table("gpf.db.tsdml2").collect()
+      .map(r => (r.getTimestamp(1).toString, r.getLong(2))).toSeq
+    assert(left.count(_._1.startsWith("2024-03-01 01:00:00")) == 10)
+    assert(left.filter(_._1.startsWith("2024-03-01 00:00:00")).map(_._2).sorted
+      == Seq(6L, 8L, 10L, 12L, 14L, 16L, 18L))
+  }
+
   test("partition filters: kill switch restores the residual Filter node") {
     warehouse
     spark.conf.set("spark.graft.partitionFilterPushdown", "false")
