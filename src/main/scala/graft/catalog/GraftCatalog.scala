@@ -281,6 +281,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // BEFORE the publish, so a statement mixing a valid property change
     // with an invalid structural change leaves the log untouched — no
     // partially-applied ALTER, and no multi-version statement.
+    // ADD CONSTRAINT validates the EXISTING rows against the attempt's
+    // parent snapshot; a structural change folded into the SAME statement
+    // (rename/drop/widen/add-column) would make that validation run
+    // against the pre-change shape — a constraint over a renamed column
+    // would validate old data then break every subsequent write, and a
+    // constraint over a column the statement itself adds would refuse a
+    // legitimate declaration. Refuse the mix up front, before any
+    // transform runs; two statements express the intent unambiguously.
+    locally {
+      val addsConstraint = changes.exists(_.isInstanceOf[TableChange.AddConstraint])
+      val structural = changes.exists {
+        case _: TableChange.RenameColumn | _: TableChange.DeleteColumn |
+             _: TableChange.UpdateColumnType | _: TableChange.AddColumn => true
+        case _ => false
+      }
+      require(!(addsConstraint && structural),
+        "GraftCatalog: ADD CONSTRAINT cannot share an ALTER statement with " +
+          "structural column changes (RENAME/DROP/ALTER TYPE/ADD COLUMN) — " +
+          "the constraint validates existing rows against the pre-change " +
+          "snapshot; run the structural change first, then ADD CONSTRAINT")
+    }
     val ops: Seq[VersionedTable.Commit => VersionedTable.Commit] = changes.map {
       case s: TableChange.SetProperty =>
         VersionedTable.setPropertiesOp(Map(s.property() -> s.value()))
@@ -760,7 +781,7 @@ class GraftTable(root: String, ident: Identifier, asOf: Option[Long],
     */
   private def deletePlanOf(filters: Array[sources.Filter])
       : Option[String => Unit] = {
-    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType}
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, TimestampType}
     if (asOf.nonEmpty || filters.isEmpty) return None
     val cols = filters.flatMap(_.references).distinct
     if (cols.length != 1) return None
@@ -768,13 +789,16 @@ class GraftTable(root: String, ident: Identifier, asOf: Option[Long],
     val dt = schema.fields.find(_.name == colName).map(_.dataType).getOrElse(return None)
     val integral = dt == LongType || dt == IntegerType
     val dateCol = dt == DateType
-    if (!integral && !dateCol && dt != StringType) return None
+    val tsCol = dt == TimestampType
+    if (!integral && !dateCol && !tsCol && dt != StringType) return None
     val (statsCols, bloomCols) = VersionedTable.indexedCols(root)
-    // DATE predicates route onto the range verb with epoch-day bounds
-    // (the statsCols contract): `DELETE WHERE d < DATE '...'` is the
-    // retention purge — envelope-covered dirs drop METADATA-ONLY
-    def epochDay(v: Any): Option[Long] = VersionedRelation.epochDay(v)
-    if (dateCol) {
+    // DATE/TIMESTAMP predicates route onto the range verb with
+    // epoch-day / epoch-micros bounds (the statsCols contract):
+    // `DELETE WHERE d < DATE '...'` / `WHERE ts < TIMESTAMP '...'` is
+    // the retention purge — envelope-covered dirs drop METADATA-ONLY
+    def epochDay(v: Any): Option[Long] =
+      if (tsCol) VersionedRelation.tsMicros(v) else VersionedRelation.epochDay(v)
+    if (dateCol || tsCol) {
       def rangeDelete(lo: Long, hi: Long): String => Unit = cid => {
         VersionedTable.deleteRange(spark, root, colName, lo, hi, cid,
           statsCols = statsCols, bloomCols = bloomCols)

@@ -938,7 +938,17 @@ object VersionedTable {
     * (rename/drop/widen/properties) and the atomic multi-change ALTER
     * ([[alterAtomic]]) commit through this helper, so "validate fully,
     * then publish exactly once" holds uniformly. Idempotent under
-    * commitId retry like every other verb.
+    * commitId retry like every other verb — with ONE documented
+    * weakening: a transform that is a semantic NO-OP (DROP CONSTRAINT IF
+    * EXISTS on an absent name) publishes nothing, so its commitId is
+    * never recorded, and a crash-retry AFTER an intervening commit
+    * re-executes the transform against the NEW parent (the no-op could
+    * now be a real drop). That is the correct reading of IF EXISTS — the
+    * retry observes the current state, exactly as re-issuing the
+    * statement would — and the alternative (a zero-delta marker version
+    * per no-op) would let idempotence probes flood history with
+    * meaningless versions. Verbs that must never re-execute publish a
+    * real delta and get the strong contract automatically.
     */
   private def metadataCommit(root: String, commitId: String,
                              f: Commit => Commit): Long =
@@ -970,6 +980,13 @@ object VersionedTable {
     * reference — throws before the publish, so a statement mixing a valid
     * property set with an invalid structural change leaves the log
     * UNTOUCHED (a partially-applied ALTER is worse than a refused one).
+    * COMPOSITION CONTRACT: [[addConstraintOp]] validates existing rows
+    * against the attempt's PARENT snapshot, not the folded intermediate —
+    * composers must not fold it after a structural change (rename, drop,
+    * widen, add-column) in the same statement; the DSv2 catalog refuses
+    * that mix up front ([[graft.catalog.GraftCatalog.alterTable]]), and a
+    * constraint referencing a column the fold itself introduced refuses
+    * inside enforcement (the column is absent from the parent's rows).
     * A HOMOGENEOUS statement keeps its changes' specific mode string
     * (`rename`/`dropcol`/`widen`/`properties` — Spark emits one
     * SetProperty change per key, so a plain multi-key SET TBLPROPERTIES
@@ -983,7 +1000,8 @@ object VersionedTable {
       val folded = ops.foldLeft(parent) { (c, op) =>
         val next = op(c); modes += next.mode; next
       }
-      if (modes.result().distinct.size == 1) folded
+      val ms = modes.result()
+      if (ms.distinct.size == 1) folded
       else folded.copy(mode = "alter")
     })
   }

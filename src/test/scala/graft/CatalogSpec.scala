@@ -295,12 +295,33 @@ class CatalogSpec extends SparkSpec {
     assert(version == v2, "failed mixed ALTER must leave the log untouched")
     assert(!VersionedTable.tableProperties(root).contains("d"),
       "the valid half of a refused ALTER must not publish")
-    // same guarantee when the refusal is shape-level (bare ADD COLUMN)
+    // same guarantee when the refusal is shape-level (ADD COLUMN NOT NULL)
     val e2 = intercept[Exception](cat.alterTable(ident,
       TableChange.setProperty("d", "4"),
-      TableChange.addColumn(Array("extra"), org.apache.spark.sql.types.LongType)))
-    assert(e2.getMessage.contains("ADD COLUMN"), e2.getMessage)
+      TableChange.addColumn(Array("extra"),
+        org.apache.spark.sql.types.LongType, false)))
+    assert(e2.getMessage.contains("NOT NULL"), e2.getMessage)
     assert(version == v2 && !VersionedTable.tableProperties(root).contains("d"))
+    // a VALID property + bare ADD COLUMN mix is one commit (the bare form
+    // is the metadata-only NULL-backfill widening)
+    cat.alterTable(ident,
+      TableChange.setProperty("e", "5"),
+      TableChange.addColumn(Array("extra"), org.apache.spark.sql.types.LongType))
+    assert(version == v2 + 1 && VersionedTable.latestCommit(root).get.mode == "alter")
+    assert(spark.table("gcat.db.alt").columns.contains("extra"))
+    // ADD CONSTRAINT cannot share a statement with a structural change —
+    // it validates existing rows against the PRE-change snapshot (r16
+    // ADVICE): refuse up front, log untouched
+    val v3 = version
+    val e3 = intercept[Exception](cat.alterTable(ident,
+      TableChange.renameColumn(Array("s"), "label"),
+      TableChange.addConstraint(
+        org.apache.spark.sql.connector.catalog.constraints.Constraint
+          .check("lbl_nn").predicateSql("label IS NOT NULL").build(), null)))
+    assert(e3.getMessage.contains("cannot share an ALTER statement"), e3.getMessage)
+    assert(version == v3, "refused constraint+structural mix must not publish")
+    assert(spark.table("gcat.db.alt").columns.contains("s"),
+      "the rename half of the refused statement must not apply")
     // ops fold in statement order: rename then property-on-new-name era,
     // and a single-change statement keeps its specific history mode
     spark.sql("ALTER TABLE gcat.db.alt UNSET TBLPROPERTIES ('b')")
@@ -512,6 +533,34 @@ class CatalogSpec extends SparkSpec {
     val eRes = intercept[Exception](spark.sql(
       "ALTER TABLE gcat.db.widen ADD COLUMN note STRING"))
     assert(eRes.getMessage.contains("DROPPED"), eRes.getMessage)
+  }
+
+  test("catalog: SQL DELETE under TIMESTAMP bounds routes onto deleteRange — the retention purge") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.tsdel (id BIGINT, ts TIMESTAMP, v BIGINT) " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'ts')")
+    // two commits with disjoint micros envelopes: an old day and a new day
+    spark.sql("INSERT INTO gcat.db.tsdel SELECT id, " +
+      "TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,CAST(id AS INT)), " +
+      "id FROM range(0, 10)")
+    spark.sql("INSERT INTO gcat.db.tsdel SELECT 100 + id, " +
+      "TIMESTAMP '2024-06-01 00:00:00' + make_interval(0,0,0,0,0,0,CAST(id AS INT)), " +
+      "id FROM range(0, 10)")
+    val root = s"$warehouse/db/tsdel"
+    val dirsBefore = VersionedTable.latestCommit(root).get.dirs.size
+    // `WHERE ts < TIMESTAMP ...` folds to micros bounds and routes onto
+    // deleteRange: the envelope-covered old-day dir drops METADATA-ONLY
+    spark.sql("DELETE FROM gcat.db.tsdel WHERE ts < TIMESTAMP '2024-03-01 00:00:00'")
+    val after = VersionedTable.latestCommit(root).get
+    assert(after.mode == "delete", after.mode)
+    assert(after.dirs.size == dirsBefore - 1,
+      s"covered dir must drop metadata-only: ${after.dirs.size} vs $dirsBefore")
+    assert(spark.table("gcat.db.tsdel").count() == 10L)
+    // an exact-instant equality delete routes too (micros-exact)
+    spark.sql("DELETE FROM gcat.db.tsdel WHERE ts = TIMESTAMP '2024-06-01 00:00:03'")
+    assert(spark.table("gcat.db.tsdel").count() == 9L)
+    assert(spark.table("gcat.db.tsdel").collect()
+      .forall(_.getTimestamp(1).toString != "2024-06-01 00:00:03.0"))
   }
 
   test("catalog: NOT NULL declared at CREATE records real nullability and refuses NULL writes") {
@@ -1034,10 +1083,11 @@ class CatalogSpec extends SparkSpec {
     val ed = intercept[Exception](
       spark.sql("ALTER TABLE gcat.db.ddl DROP COLUMN grp"))
     assert(chain(ed).contains("hive"), chain(ed))
-    // ADD COLUMN: write-driven evolution or the DEFAULT-bearing GRAFT form
-    val ea = intercept[Exception](
-      spark.sql("ALTER TABLE gcat.db.ddl ADD COLUMN extra BIGINT"))
-    assert(chain(ea).contains("schema-evolving"), chain(ea))
+    // bare ADD COLUMN: the metadata-only NULL-backfill widening (r17)
+    spark.sql("ALTER TABLE gcat.db.ddl ADD COLUMN extra BIGINT")
+    assert(VersionedTable.latestCommit(root).get.mode == "addcol")
+    assert(spark.sql("SELECT count(*) FROM gcat.db.ddl WHERE extra IS NULL")
+      .head().getLong(0) == spark.table("gcat.db.ddl").count())
     // a legal property SET is one metadata commit
     val vBefore = VersionedTable.latestVersion(root).get
     spark.sql("ALTER TABLE gcat.db.ddl SET TBLPROPERTIES ('a' = '1')")
