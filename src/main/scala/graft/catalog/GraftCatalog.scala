@@ -320,17 +320,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(ac.fieldNames().length == 1, "GraftCatalog: nested columns unsupported")
         // the ANSI ADD COLUMN ... DEFAULT shape — metadata-only, the
         // default freezes at declaration (addColumnWithDefault semantics).
-        // Shapes the manifest cannot record truthfully refuse rather than
-        // silently dropping the user's declaration:
-        require(ac.isNullable,
-          s"GraftCatalog: ADD COLUMN '${ac.fieldNames()(0)}' NOT NULL is not " +
-            "recorded — the added column is nullable in the manifest schema " +
-            "(declare a CHECK (col IS NOT NULL) constraint instead)")
+        // With NOT NULL, the declaration records truthfully: every
+        // pre-declaration row READS the (validated non-NULL) default and
+        // every write enforces the invariant — a NULL default refuses.
         require(ac.position() == null,
           s"GraftCatalog: ADD COLUMN ... FIRST/AFTER is unsupported — added " +
             "columns append at the end of the schema")
-        VersionedTable.addColumnWithDefaultOp(spark, ac.fieldNames()(0),
-          ac.dataType().sql, GraftCatalog.defaultSqlOf(ac.defaultValue()))
+        if (ac.isNullable)
+          VersionedTable.addColumnWithDefaultOp(spark, ac.fieldNames()(0),
+            ac.dataType().sql, GraftCatalog.defaultSqlOf(ac.defaultValue()))
+        else
+          VersionedTable.addColumnWithDefaultNotNullOp(spark, ac.fieldNames()(0),
+            ac.dataType().sql, GraftCatalog.defaultSqlOf(ac.defaultValue()))
       case ac: TableChange.AddColumn =>
         require(ac.fieldNames().length == 1, "GraftCatalog: nested columns unsupported")
         // the bare ANSI form — a pure-metadata schema widening with

@@ -1511,6 +1511,30 @@ object VersionedTable {
     }
   }
 
+  /** ADD COLUMN ... DEFAULT v NOT NULL — recordable truthfully because
+    * every row observes the declaration: pre-declaration rows READ the
+    * frozen (non-NULL, validated here) default, and every subsequent
+    * write enforces the invariant through the CHECK gate. A NULL default
+    * refuses up front — the backfill itself would violate the
+    * declaration. The bare NOT NULL form (no default) stays refused:
+    * existing rows would read NULL and disprove it.
+    */
+  def addColumnWithDefaultNotNullOp(spark: SparkSession, name: String,
+                                    sqlType: String, defaultSql: String)
+      : Commit => Commit = {
+    import org.apache.spark.sql.functions.expr
+    val dt = spark.sessionState.sqlParser.parseDataType(sqlType)
+    require(!spark.range(1)
+        .select(expr(s"CAST(($defaultSql) AS ${dt.sql})")).head().isNullAt(0),
+      s"addColumn: '$name' declares NOT NULL with a DEFAULT that evaluates to " +
+        s"NULL ('$defaultSql') — the backfill would violate the declaration")
+    val base = addColumnWithDefaultOp(spark, name, sqlType, defaultSql)
+    parent => {
+      val c = base(parent)
+      c.copy(notNull = (c.notNull :+ name).distinct.sorted)
+    }
+  }
+
   def addColumnWithDefaultOp(spark: SparkSession, name: String,
                              sqlType: String, defaultSql: String): Commit => Commit = {
     val dt = spark.sessionState.sqlParser.parseDataType(sqlType)

@@ -63,6 +63,8 @@ import graft.io.VersionedTable
   *       GROUP BY <key> SUM (c1 [, ...])
   *   REFRESH MATERIALIZED VIEW GRAFT '<mv>'
   *   MERGE GRAFT '<root>' ON <keyCol>[, <keyCol>]* FROM (<query>)
+  *     [WHEN NOT MATCHED BY SOURCE AND <col> BETWEEN <lo> AND <hi>
+  *      [AND <cond>] THEN DELETE]   — range-bounded slice sync
   *       — a composite ON list is the plain multi-key upsert; WHEN
   *         clauses below apply to the single-key form
   *       [WHEN MATCHED [AND <cond>] THEN DELETE]
@@ -151,6 +153,15 @@ object GraftSqlParser {
   private val whenInsertRe =
     """(?is).*\bWHEN\s+NOT\s+MATCHED\s+(?:AND\s+(.*?)\s+)?THEN\s+INSERT\b.*""".r
   private val evolutionRe = """(?is).*\bWITH\s+SCHEMA\s+EVOLUTION\b.*""".r
+  // WHEN NOT MATCHED BY SOURCE — the range-BOUNDED form only (mandatory
+  // `<col> BETWEEN <lo> AND <hi>`, integral bounds per the statsCols
+  // contract: raw value, epoch days for DATE, micros for TIMESTAMP); the
+  // unbounded Delta spelling parses and refuses with the bounded form as
+  // guidance (it would rewrite O(table))
+  private val whenNmbsRe =
+    """(?is).*\bWHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+AND\s+(\w+)\s+BETWEEN\s+(-?\d+)\s+AND\s+(-?\d+)\s*(?:AND\s+(.*?)\s+)?THEN\s+DELETE\b.*""".r
+  private val whenNmbsAnyRe =
+    """(?is).*\bWHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\b.*?\bTHEN\s+DELETE\b.*""".r
   private val alterRenameRe =
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*;?\s*""".r
   private val alterDropColRe =
@@ -503,8 +514,19 @@ object GraftSqlParser {
       val del = clauses match { case whenDeleteRe(c) => Some(Option(c)); case _ => None }
       val upd = clauses match { case whenUpdateRe(c) => Some(Option(c)); case _ => None }
       val ins = clauses match { case whenInsertRe(c) => Some(Option(c)); case _ => None }
+      val nmbs: Option[(String, Long, Long, Option[String])] = clauses match {
+        case whenNmbsRe(c, lo, hi, cond) =>
+          Some((c, lo.toLong, hi.toLong, Option(cond).map(_.trim)))
+        case whenNmbsAnyRe() => sys.error(
+          "MERGE GRAFT: WHEN NOT MATCHED BY SOURCE THEN DELETE requires a " +
+            "bounding range — spell it WHEN NOT MATCHED BY SOURCE AND <col> " +
+            "BETWEEN <lo> AND <hi> [AND <cond>] THEN DELETE (integral bounds: " +
+            "raw value, epoch days for DATE, micros for TIMESTAMP); the " +
+            "unbounded form would rewrite O(table)")
+        case _ => None
+      }
       val evolve = evolutionRe.matches(clauses)
-      val noClauses = del.isEmpty && upd.isEmpty && ins.isEmpty
+      val noClauses = del.isEmpty && upd.isEmpty && ins.isEmpty && nmbs.isEmpty
       // a composite ON list takes the plain-upsert multi-key path; the
       // clause forms stay single-key (their tgt/src conditions are
       // orthogonal to the key arity and land there when needed)
@@ -519,7 +541,9 @@ object GraftSqlParser {
           clause(del, whenAbsent = None, whenBare = Some("true")),
           clause(upd, whenAbsent = Some("false"), whenBare = None),
           clause(ins, whenAbsent = Some("false"), whenBare = None),
-          evolve))
+          evolve,
+          nmbsCond = nmbs.map(_._4.getOrElse("true")),
+          nmbsBound = nmbs.map(n => (n._1, n._2, n._3))))
     case updateRe(root, setList, where) =>
       val set = splitSetList(setList).toMap
       where match {
@@ -1029,7 +1053,10 @@ case class GraftMergeKeysCommand(root: String, keyCols: Seq[String],
 case class GraftMergeCommand(root: String, keyCol: String, sourceSql: String,
                              deleteCond: Option[String], updateCond: Option[String],
                              insertCond: Option[String],
-                             evolveSchema: Boolean) extends LeafRunnableCommand {
+                             evolveSchema: Boolean,
+                             nmbsCond: Option[String] = None,
+                             nmbsBound: Option[(String, Long, Long)] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("dirs_rewritten", IntegerType, nullable = false)(),
@@ -1042,7 +1069,8 @@ case class GraftMergeCommand(root: String, keyCol: String, sourceSql: String,
       spark.sql(sourceSql), keyCol, commitId,
       matchedDeleteCond = deleteCond, matchedUpdateCond = updateCond,
       notMatchedInsertCond = insertCond,
-      statsCols = statsCols, bloomCols = bloomCols, evolveSchema = evolveSchema)
+      statsCols = statsCols, bloomCols = bloomCols, evolveSchema = evolveSchema,
+      notMatchedBySourceDeleteCond = nmbsCond, notMatchedBySourceBound = nmbsBound)
     Seq(Row(v, rw, tot))
   }
 }

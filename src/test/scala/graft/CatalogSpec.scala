@@ -485,9 +485,16 @@ class CatalogSpec extends SparkSpec {
     val vBefore = VersionedTable.latestCommit(root).get.version
     spark.sql("ALTER TABLE gcat.db.ansi DROP CONSTRAINT IF EXISTS no_such")
     assert(VersionedTable.latestCommit(root).get.version == vBefore)
-    // shapes the manifest cannot record truthfully refuse loudly
+    // ADD COLUMN ... DEFAULT v NOT NULL records truthfully (r17): the
+    // backfill reads the validated non-NULL default, writes enforce
+    spark.sql("ALTER TABLE gcat.db.ansi ADD COLUMN y BIGINT NOT NULL DEFAULT 7")
+    val nnC = VersionedTable.latestCommit(root).get
+    assert(nnC.notNull.contains("y") && nnC.defaults.keySet.contains("y"))
+    assert(spark.sql("SELECT count(*) FROM gcat.db.ansi WHERE y = 7")
+      .head().getLong(0) == spark.table("gcat.db.ansi").count())
+    // ...but a NULL default under NOT NULL refuses up front
     val eNn = intercept[Exception](spark.sql(
-      "ALTER TABLE gcat.db.ansi ADD COLUMN y BIGINT NOT NULL DEFAULT 7"))
+      "ALTER TABLE gcat.db.ansi ADD COLUMN z STRING NOT NULL DEFAULT NULL"))
     assert(eNn.getMessage.contains("NOT NULL"), eNn.getMessage)
     // defaults whose frozen SQL is NOT a bare literal (FLOAT renders as
     // CAST('1.5' AS FLOAT), NULL as CAST(NULL AS STRING)) must leave the

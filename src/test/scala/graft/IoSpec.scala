@@ -508,6 +508,21 @@ class IoSpec extends SparkSpec {
       Seq((10L, "X")).toDF("id", "s"), "id", "n-apply",
       notMatchedBySourceBound = Some(("id", 10L, 15L))) == ((4L, -1, -1)))
     assert(VersionedTable.history(root).size == 4)
+    // the SQL spelling: bounded slice sync through MERGE GRAFT — source
+    // drops 15, so it deletes; 10 re-updates; out-of-bound rows untouched
+    spark.sql(s"MERGE GRAFT '$root' ON id FROM " +
+      "(SELECT CAST(10 AS BIGINT) AS id, 'C3' AS s) " +
+      "WHEN MATCHED THEN UPDATE " +
+      "WHEN NOT MATCHED BY SOURCE AND id BETWEEN 10 AND 15 THEN DELETE").collect()
+    val rows2 = VersionedTable.read(spark, root).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows2 == Seq((1L, "a"), (5L, "b"), (10L, "C3"),
+      (20L, "f"), (25L, "g")), rows2.toString)
+    // the unbounded Delta spelling refuses at parse with guidance
+    val eSql = intercept[Exception](spark.sql(s"MERGE GRAFT '$root' ON id FROM " +
+      "(SELECT CAST(10 AS BIGINT) AS id, 'X' AS s) " +
+      "WHEN NOT MATCHED BY SOURCE THEN DELETE"))
+    assert(eSql.getMessage.contains("bounding range"), eSql.getMessage)
   }
 
   test("VersionedTable.mergeInto: string-keyed snapshot prunes via the strStats envelope") {
