@@ -4530,6 +4530,51 @@ private[graft] object QueriesMedallionIo {
         |  (SELECT date_trunc('week', CAST(min(o_orderdate) AS DATE)) FROM orders)
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // S17 — TIMESTAMP_NTZ completes the typed partition-key family
+    // (INT/LONG/STRING/DATE/TIMESTAMP/NTZ): zone-free claims normalize to
+    // epoch micros (ntzMicros), path values round-trip through Spark's
+    // own NTZ reader with NO zone on either side, and the keyed scan
+    // plans with zero Filter nodes — the wall-clock-keyed layout (event
+    // time as recorded, no session-zone coupling) a multi-region 100 TB
+    // ingest prefers.
+    Q("versioned_partition_filter_ntz",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        Fixtures.once(s, dir, "vt_cat_pftn") {
+          rmrf(s"$wh/pftn")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.pftn")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_pftn_orders")
+          s.sql("CREATE TABLE gq.pftn.t (o_orderkey BIGINT, wk TIMESTAMP_NTZ, cents BIGINT) " +
+            "PARTITIONED BY (wk) TBLPROPERTIES ('graft.stats.columns' = 'o_orderkey')")
+          s.sql("INSERT INTO gq.pftn.t SELECT o_orderkey, " +
+            "CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS TIMESTAMP_NTZ), " +
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+            "FROM cat_pftn_orders")
+          java.lang.Boolean.TRUE
+        }
+        val ts0 = s.sql("SELECT min(wk) FROM gq.pftn.t").head()
+          .getAs[java.time.LocalDateTime](0)
+        val sel = s.table("gq.pftn.t")
+          .where(col("wk") === lit(ts0)).select("o_orderkey", "cents")
+        val plan = sel.queryExecution.executedPlan.toString
+        val filterNodes = "(?m)^[\\s:+\\-]*(?:\\*\\(\\d+\\) )?Filter\\b".r
+          .findAllIn(plan).length.toLong
+        val keyed = if (plan.contains("GraftKeyedScan")) 1L else 0L
+        sel
+          .withColumn("filter_nodes", lit(filterNodes))
+          .withColumn("keyed", lit(keyed))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |  CAST(0 AS BIGINT) AS filter_nodes, CAST(1 AS BIGINT) AS keyed
+        |FROM orders
+        |WHERE date_trunc('week', CAST(o_orderdate AS DATE)) =
+        |  (SELECT date_trunc('week', CAST(min(o_orderdate) AS DATE)) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin)),
+
     // S17 — DATE-partitioned row-level DML + metadata aggregation (r16):
     // the full lifecycle on the canonical day-partitioned layout —
     // copy-on-write UPDATE and DELETE under CLAIMED DATE predicates

@@ -76,10 +76,11 @@ private final class GraftAggReaderFactory extends PartitionReaderFactory {
         new GenericInternalRow(rows(i).map {
           case s: String => UTF8String.fromString(s): Any
           // path-sourced DATE group/aggregate values → internal epoch
-          // days; TIMESTAMP values → internal epoch micros
+          // days; TIMESTAMP/NTZ values → internal epoch micros
           case v => graft.io.VersionedRelation.epochDay(v)
             .map(_.toInt: Any)
             .orElse(graft.io.VersionedRelation.tsMicros(v).map(x => x: Any))
+            .orElse(graft.io.VersionedRelation.ntzMicros(v).map(x => x: Any))
             .getOrElse(v)
         })
       override def close(): Unit = ()

@@ -114,7 +114,8 @@ final class GraftKeyedScan(spark: SparkSession, private val root: String,
       case u: org.apache.spark.unsafe.types.UTF8String => u.toString
       case other =>
         graft.io.VersionedRelation.epochDay(other)
-          .orElse(graft.io.VersionedRelation.tsMicros(other)).getOrElse(other)
+          .orElse(graft.io.VersionedRelation.tsMicros(other))
+          .orElse(graft.io.VersionedRelation.ntzMicros(other)).getOrElse(other)
     }
     filters.foreach {
       case org.apache.spark.sql.sources.In(attr, values)
@@ -304,6 +305,7 @@ object GraftKeyedScan {
                   case i: Int => i.toLong; case lg: Long => lg
                   case other => graft.io.VersionedRelation.epochDay(other)
                     .orElse(graft.io.VersionedRelation.tsMicros(other))
+                    .orElse(graft.io.VersionedRelation.ntzMicros(other))
                     .getOrElse(sys.error(s"unexpected key value $other"))
                 }
                 if (desc) l(x) > l(y) else l(x) < l(y)

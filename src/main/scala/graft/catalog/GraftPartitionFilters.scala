@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, IsNull}
-import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, TimestampType}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 
 /** RESIDUAL-FREE partition predicates (the public Iceberg/Hive
   * semantics): [[GraftScanBuilder.pushFilters]] CLAIMS exact filter
@@ -58,6 +58,7 @@ private[graft] object GraftPartitionFilters {
                         v.isInstanceOf[java.time.LocalDate]
     case TimestampType => v.isInstanceOf[java.sql.Timestamp] ||
                           v.isInstanceOf[java.time.Instant]
+    case TimestampNTZType => v.isInstanceOf[java.time.LocalDateTime]
     case _           => false
   }
 
@@ -70,7 +71,8 @@ private[graft] object GraftPartitionFilters {
     */
   private def norm(v: Any): Any =
     graft.io.VersionedRelation.epochDay(v)
-      .orElse(graft.io.VersionedRelation.tsMicros(v)).getOrElse(v)
+      .orElse(graft.io.VersionedRelation.tsMicros(v))
+      .orElse(graft.io.VersionedRelation.ntzMicros(v)).getOrElse(v)
 
   /** Exact evaluation of every claimed filter against one key-value map
     * (LOGICAL column name → typed value, null = NULL partition). A

@@ -356,6 +356,13 @@ final class GraftCowWriterFactory(stagedAbs: String, rowSchema: StructType,
               .getFractionFormatter(java.time.ZoneId.of(
                 org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
               .format(row.getLong(i))
+          // NTZ spells zone-free: format the local datetime directly —
+          // the exact inverse of hivePartValue's NTZ parse
+          case org.apache.spark.sql.types.TimestampNTZType =>
+            org.apache.spark.sql.catalyst.util.TimestampFormatter
+              .getFractionFormatter(java.time.ZoneOffset.UTC)
+              .format(org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .microsToLocalDateTime(row.getLong(i)))
           case _ => row.getUTF8String(i).toString
         }
 

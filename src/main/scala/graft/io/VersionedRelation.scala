@@ -105,6 +105,19 @@ object VersionedRelation {
     case _                     => None
   }
 
+  /** The epoch-micros reading of a TIMESTAMP_NTZ literal (always
+    * `java.time.LocalDateTime` — NTZ has no java.sql flavor): the local
+    * datetime read AS IF UTC, exactly Spark's internal NTZ encoding, so
+    * claim normalization and path round trips stay zone-free like the
+    * type itself.
+    */
+  private[graft] def ntzMicros(v: Any): Option[Long] = v match {
+    case ldt: java.time.LocalDateTime =>
+      Some(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+        ldt.getNano / 1000L)
+    case _ => None
+  }
+
   private[graft] def asLong(v: Any): Option[Long] = v match {
     case l: Long => Some(l)
     case i: Int  => Some(i.toLong)
@@ -113,7 +126,7 @@ object VersionedRelation {
     // TIMESTAMP envelopes are epoch MICROS (the statsCols contract);
     // DATE envelopes are epoch DAYS (INT32 footers); both literal
     // flavors of each (java8API off/on) translate
-    case _ => tsMicros(v).orElse(epochDay(v))
+    case _ => tsMicros(v).orElse(ntzMicros(v)).orElse(epochDay(v))
   }
 
   /** Translate the pushable subset of `filters` into manifest range

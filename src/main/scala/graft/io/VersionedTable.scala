@@ -2211,6 +2211,14 @@ object VersionedTable {
           org.apache.spark.unsafe.types.UTF8String.fromString(v), zone)
           .map(us => org.apache.spark.sql.catalyst.util.DateTimeUtils
             .toJavaTimestamp(us))
+      // NTZ path values are the zone-free local datetime string — parse
+      // with Spark's own NTZ reader (no zone involved on either side)
+      case TimestampNTZType =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToTimestampWithoutTimeZone(
+            org.apache.spark.unsafe.types.UTF8String.fromString(v))
+          .map(us => org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .microsToLocalDateTime(us))
       case _           => None
     }
   }
@@ -2342,11 +2350,15 @@ object VersionedTable {
                 val e = d.toLocalDate.toEpochDay
                 c -> (IntMM(e, e): MinMax)
               }
-            // TIMESTAMP path values index as epoch-micros envelopes (the
-            // statsCols contract), parsed with the session-zone reader
+            // TIMESTAMP/NTZ path values index as epoch-micros envelopes
+            // (the statsCols contract)
             case TimestampType          =>
               hivePartValue(TimestampType, v)
                 .flatMap(graft.io.VersionedRelation.tsMicros)
+                .map(us => c -> (IntMM(us, us): MinMax))
+            case TimestampNTZType       =>
+              hivePartValue(TimestampNTZType, v)
+                .flatMap(graft.io.VersionedRelation.ntzMicros)
                 .map(us => c -> (IntMM(us, us): MinMax))
             case _                      => None
           }
@@ -5491,7 +5503,7 @@ object VersionedTable {
     if (types.size != (refCols ++ filterCols).distinct.size) return None
     def pathParseable(dt: DataType) =
       dt == IntegerType || dt == LongType || dt == StringType ||
-        dt == DateType || dt == TimestampType
+        dt == DateType || dt == TimestampType || dt == TimestampNTZType
     def footerExact(dt: DataType) = dt match {
       case ByteType | ShortType | IntegerType | LongType | DateType |
            TimestampType | TimestampNTZType => true
@@ -5543,6 +5555,7 @@ object VersionedTable {
       // by epoch day / epoch micros
       case other => VersionedRelation.epochDay(other)
         .orElse(VersionedRelation.tsMicros(other))
+        .orElse(VersionedRelation.ntzMicros(other))
         .getOrElse(sys.error(s"non-integral envelope value $other"))
     }
     def foldMM(a: Acc, col: String, lo: Any, hi: Any): Unit = {
@@ -6242,7 +6255,7 @@ object VersionedTable {
       return Left("partition columns missing from the recorded schema")
     if (!keyFields.forall(f => f.dataType == IntegerType || f.dataType == LongType ||
         f.dataType == StringType || f.dataType == DateType ||
-        f.dataType == TimestampType))
+        f.dataType == TimestampType || f.dataType == TimestampNTZType))
       return Left("non-path-round-trippable partition key type")
     c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
       s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
@@ -6385,7 +6398,7 @@ object VersionedTable {
       return Left("partition columns missing from the recorded schema")
     if (!keyFields.forall(f => f.dataType == IntegerType || f.dataType == LongType ||
         f.dataType == StringType || f.dataType == DateType ||
-        f.dataType == TimestampType))
+        f.dataType == TimestampType || f.dataType == TimestampNTZType))
       return Left("non-path-round-trippable partition key type")
     c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
       s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
@@ -6670,7 +6683,7 @@ object VersionedTable {
     if (keyFields.size != c.partitionCols.size) return None
     if (!keyFields.forall(f => f.dataType == IntegerType || f.dataType == LongType ||
         f.dataType == StringType || f.dataType == DateType ||
-        f.dataType == TimestampType)) return None
+        f.dataType == TimestampType || f.dataType == TimestampNTZType)) return None
     c.dirs.foreach(d => require(new File(dirPath(root, d)).isDirectory,
       s"snapshot v${c.version} references vacuumed dir ${dirPath(root, d)}"))
     var kept = c.dirs

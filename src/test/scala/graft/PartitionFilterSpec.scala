@@ -266,6 +266,44 @@ class PartitionFilterSpec extends SparkSpec {
       == Seq(6L, 8L, 10L, 12L, 14L, 16L, 18L))
   }
 
+  test("partition filters: TIMESTAMP_NTZ partition keys claim residual-free — zone-free round trip") {
+    warehouse
+    spark.sql("CREATE TABLE gpf.db.ntz (id BIGINT, hr TIMESTAMP_NTZ, v BIGINT) " +
+      "PARTITIONED BY (hr) TBLPROPERTIES ('graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gpf.db.ntz SELECT id, " +
+      "TIMESTAMP_NTZ '2024-03-01 00:00:00' + make_interval(0,0,0,0,CAST(id % 3 AS INT),0,0), " +
+      "id * 10 FROM range(0, 30)")
+    // = / IN / IS NOT NULL claim; NTZ literals arrive as LocalDateTime,
+    // path values parse zone-free — micros-exact equality either way
+    check("SELECT id, v FROM gpf.db.ntz WHERE hr = TIMESTAMP_NTZ '2024-03-01 01:00:00'")
+    check("SELECT id, v FROM gpf.db.ntz WHERE hr IN " +
+      "(TIMESTAMP_NTZ '2024-03-01 00:00:00', TIMESTAMP_NTZ '2024-03-01 02:00:00')")
+    check("SELECT id, v FROM gpf.db.ntz WHERE hr IS NOT NULL")
+    val q = spark.sql(
+      "SELECT id FROM gpf.db.ntz WHERE hr = TIMESTAMP_NTZ '2024-03-01 01:00:00'")
+    assert(q.queryExecution.executedPlan.toString.contains("GraftKeyedScan"),
+      q.queryExecution.executedPlan.toString.take(600))
+    assert(q.collect().map(_.getLong(0)).toSet
+      == (0L until 30L).filter(_ % 3 == 1).toSet)
+    // metadata aggregation: min/max over the NTZ key with zero data tasks (pre-DML: MOR debt rightly refuses the pushdown)
+    val agg = spark.sql("SELECT min(hr), max(hr), count(*) FROM gpf.db.ntz")
+    assert(agg.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      agg.queryExecution.executedPlan.toString.take(600))
+    val r = agg.head()
+    assert(r.getAs[java.time.LocalDateTime](0).toString.startsWith("2024-03-01T00:00") &&
+      r.getAs[java.time.LocalDateTime](1).toString.startsWith("2024-03-01T02:00") &&
+      r.getLong(2) == 30L, r.toString)
+    // row-level DML on the NTZ layout: survivors land back zone-free
+    spark.sql("UPDATE gpf.db.ntz SET v = v + 1000 " +
+      "WHERE hr = TIMESTAMP_NTZ '2024-03-01 02:00:00'")
+    val rows = spark.table("gpf.db.ntz").collect()
+      .map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1).toString,
+        r.getLong(2))).toSeq
+    assert(rows.count { case (id, h, v) =>
+      h.startsWith("2024-03-01T02:00") && v == id * 10 + 1000 } == 10, rows.toString)
+    assert(rows.count { case (_, h, _) => h.startsWith("2024-03-01T00:00") } == 10)
+  }
+
   test("partition filters: kill switch restores the residual Filter node") {
     warehouse
     spark.conf.set("spark.graft.partitionFilterPushdown", "false")
