@@ -3485,6 +3485,51 @@ private[graft] object QueriesMedallionIo {
         |  TRUE AS neg_refused
         |FROM o""".stripMargin)),
 
+    // S17 — atomic CTAS / RTAS through StagingTableCatalog (r17): without
+    // it, Spark runs CREATE OR REPLACE ... AS SELECT as DROP + non-atomic
+    // CTAS — destroying the commit log. Staged, the REPLACE lands as ONE
+    // history-preserving overwrite commit on the EXISTING log
+    // (`one_commit` pins vPost = vPre + 1) and time travel still reaches
+    // the pre-replace table (`pre_rows` counts it). The replaced content
+    // (a priority rollup) is what the oracle recomputes from the raw
+    // table — the daily "rebuild the serving aggregate in place" shape.
+    Q("versioned_replace_table",
+      (s, dir) => {
+        val (vPre, vPost, preRows) = Fixtures.once(s, dir, "vt_replace") {
+          val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+          s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+          s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+          rmrf(s"$wh/rpl")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.rpl")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_rpl_orders")
+          val m = rd(s, dir, "orders").agg(max(col("o_orderkey"))).head().getLong(0) / 2
+          s.sql("CREATE TABLE gq.rpl.t AS SELECT o_orderkey, o_orderpriority, " +
+            s"o_totalprice FROM cat_rpl_orders WHERE o_orderkey <= $m")
+          s.sql("INSERT INTO gq.rpl.t SELECT o_orderkey, o_orderpriority, " +
+            s"o_totalprice FROM cat_rpl_orders WHERE o_orderkey > $m")
+          val root = s"$wh/rpl/t"
+          val pre = graft.io.VersionedTable.latestCommit(root).get.version
+          s.sql("CREATE OR REPLACE TABLE gq.rpl.t AS " +
+            "SELECT o_orderpriority, count(*) AS n_orders, " +
+            "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents " +
+            "FROM cat_rpl_orders GROUP BY o_orderpriority")
+          val post = graft.io.VersionedTable.latestCommit(root).get.version
+          val preN = graft.io.VersionedTable.read(s, root, asOf = Some(pre)).count()
+          (java.lang.Long.valueOf(pre), java.lang.Long.valueOf(post),
+            java.lang.Long.valueOf(preN))
+        }
+        s.table("gq.rpl.t")
+          .withColumn("one_commit",
+            lit(vPost.longValue() == vPre.longValue() + 1))
+          .withColumn("pre_rows", lit(preRows.longValue()))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n_orders, " +
+        "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents, " +
+        "TRUE AS one_commit, " +
+        "(SELECT count(*) FROM orders) AS pre_rows " +
+        "FROM orders GROUP BY 1 ORDER BY 1")),
+
     // S17 — NOT NULL invariants (r16 judge item 4): `CREATE TABLE (c
     // BIGINT NOT NULL, ...)` records REAL nullability in the manifest
     // (Delta's NOT NULL invariants) and every row-adding verb enforces it

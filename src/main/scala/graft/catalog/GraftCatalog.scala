@@ -77,9 +77,53 @@ import graft.io.{VersionedRelation, VersionedTable}
   * (through the keyed batch) SPJ without any custom strategy.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
   private var catalogName: String = _
   private var warehouse: String = _
+
+  // ---- staged CTAS / RTAS (AtomicCreate/ReplaceTableAsSelectExec) ------
+  // Without StagingTableCatalog, Spark runs CREATE OR REPLACE ... AS
+  // SELECT as DROP + non-atomic CTAS — which for a versioned table
+  // DESTROYS the commit log (dropTable deletes the root recursively) and
+  // leaves a half-created table on failure. Staged, a REPLACE lands as
+  // ONE history-preserving overwrite commit on the EXISTING log: the
+  // swap is atomic (the OCC publish), time travel still reaches every
+  // pre-replace version, and a failed statement leaves the table exactly
+  // as it was (nothing persists before the publish). CTAS lands its data
+  // in the same single commit. Declared TBLPROPERTIES apply as one
+  // follow-up metadata commit (and `graft.stats.columns` /
+  // `graft.bloom.columns` already shape the data commit's index).
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val root = tableRoot(ident)
+    if (isTable(root)) throw new TableAlreadyExistsException(ident)
+    if (!nsDir(ident.namespace()).isDirectory)
+      throw new NoSuchNamespaceException(ident.namespace())
+    new GraftStagedTable(this, ident, root, info, replace = false, catalogName)
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val root = tableRoot(ident)
+    if (!isTable(root)) throw new NoSuchTableException(ident)
+    new GraftStagedTable(this, ident, root, info, replace = true, catalogName)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val root = tableRoot(ident)
+    if (!nsDir(ident.namespace()).isDirectory)
+      throw new NoSuchNamespaceException(ident.namespace())
+    new GraftStagedTable(this, ident, root, info, replace = isTable(root),
+      catalogName)
+  }
+
+  private[catalog] def stagedPartitionCols(
+      ts: Array[Transform]): Seq[String] = transformCols(ts)
 
   // ---- functions (the V2 FunctionCatalog surface, see GraftFunctions) --
 
@@ -1481,4 +1525,94 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
       }
     }
   }
+}
+
+/** The staged table behind atomic CTAS / RTAS
+  * ([[GraftCatalog.stageCreate]]/`stageReplace`/`stageCreateOrReplace`):
+  * the write DEFERS — `insert` stashes the incoming frame and runs no
+  * job — so nothing persists before `commitStagedChanges` publishes ONE
+  * overwrite commit through the standard OCC path. A REPLACE therefore
+  * lands on the EXISTING commit log: atomic swap, history preserved,
+  * time travel reaches every pre-replace version, abort is a true no-op.
+  * Parent-table invariants (CHECK constraints, NOT NULL) survive a
+  * REPLACE like every overwrite and enforce on the staged batch — a
+  * violating REPLACE refuses with the log untouched; drop them first to
+  * redefine away. Declared TBLPROPERTIES apply as one follow-up metadata
+  * commit (the index-shaping keys `graft.stats.columns` /
+  * `graft.bloom.columns` already shape the data commit itself).
+  */
+private[catalog] final class GraftStagedTable(catalog: GraftCatalog,
+    ident: Identifier, root: String,
+    info: org.apache.spark.sql.connector.catalog.TableInfo,
+    replace: Boolean, catalogName: String)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with SupportsWrite {
+
+  private val cols = info.columns()
+  // staged statements carry the QUERY's shape — column specs and
+  // constraints have no CTAS/RTAS spelling in Spark SQL; refuse
+  // defensively if an engine hands them over rather than dropping them
+  require(cols.forall(c => c.defaultValue() == null &&
+      c.generationExpression() == null && c.identityColumnSpec() == null),
+    "GraftCatalog: staged CREATE/REPLACE ... AS SELECT cannot declare " +
+      "column specs — CREATE the table first, then INSERT")
+  require(info.constraints() == null || info.constraints().isEmpty,
+    "GraftCatalog: staged CREATE/REPLACE ... AS SELECT cannot declare " +
+      "constraints — CREATE the table first, then ALTER/INSERT")
+
+  @volatile private var pending: Option[DataFrame] = None
+
+  override def name(): String = ident.toString
+  override def schema(): StructType = StructType(cols.map(c =>
+    org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+  override def partitioning(): Array[Transform] = info.partitions()
+  override def properties(): util.Map[String, String] = info.properties()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newWriteBuilder(winfo: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ignored: Boolean): Unit =
+              // DEFER the job to commitStagedChanges: nothing may persist
+              // before the publish, so abort stays a true no-op and a
+              // failed statement leaves the table exactly as it was
+              pending = Some(data)
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    val spark = SparkSession.active
+    val partitionCols = catalog.stagedPartitionCols(info.partitions())
+    val props = GraftCatalog.tableProps(info.properties())
+    def declared(key: String): Seq[String] = props.get(key)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val commitId = s"catalog-staged-${java.util.UUID.randomUUID().toString.take(12)}"
+    pending match {
+      case Some(data) =>
+        VersionedTable.commit(data, root, "overwrite", commitId,
+          statsCols = declared("graft.stats.columns").filter(data.columns.contains),
+          partitionCols = partitionCols,
+          bloomCols = declared("graft.bloom.columns").filter(data.columns.contains))
+      case None =>
+        // REPLACE TABLE without AS SELECT: redefine to EMPTY under the
+        // new shape — one overwrite commit, history preserved. A fresh
+        // CREATE without data is the plain declared-empty create.
+        if (replace)
+          VersionedTable.commit(
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[Row], schema()),
+            root, "overwrite", commitId, partitionCols = partitionCols)
+        else
+          VersionedTable.createTable(root, schema(), partitionCols, props, commitId)
+    }
+    if (props.nonEmpty && (pending.nonEmpty || replace))
+      VersionedTable.setTableProperties(root, props, s"$commitId-props")
+  }
+
+  override def abortStagedChanges(): Unit = () // nothing persisted pre-publish
 }

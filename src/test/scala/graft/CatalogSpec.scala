@@ -215,10 +215,10 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("gcat.db.c").count() == 5L)
     spark.sql("INSERT INTO gcat.db.c SELECT id, id * 2 FROM range(5, 8)")
     assert(spark.table("gcat.db.c").count() == 8L)
-    // VERSION AS OF: v1 is the pure-create commit (declared, empty), v2
-    // carries the CTAS rows — exactly the ledger shape DESCRIBE HISTORY shows
-    assert(spark.sql("SELECT * FROM gcat.db.c VERSION AS OF 1").count() == 0L)
-    assert(spark.sql("SELECT * FROM gcat.db.c VERSION AS OF 2").count() == 5L)
+    // VERSION AS OF: staged CTAS (r17) carries its rows IN the create
+    // commit — v1 holds the 5 CTAS rows, v2 the first INSERT's 8
+    assert(spark.sql("SELECT * FROM gcat.db.c VERSION AS OF 1").count() == 5L)
+    assert(spark.sql("SELECT * FROM gcat.db.c VERSION AS OF 2").count() == 8L)
     // TIMESTAMP AS OF now() resolves to the latest snapshot via the ledger
     val cnt = spark.sql(
       "SELECT count(*) FROM gcat.db.c TIMESTAMP AS OF current_timestamp()")
@@ -228,7 +228,7 @@ class CatalogSpec extends SparkSpec {
     spark.sql("INSERT OVERWRITE gcat.db.c SELECT id, id * 3 FROM range(0, 4)")
     assert(spark.table("gcat.db.c").count() == 4L)
     assert(spark.table("gcat.db.c").agg(sum("v")).head().getLong(0) == 18L)
-    assert(spark.sql("SELECT * FROM gcat.db.c VERSION AS OF 3").count() == 8L)
+    assert(spark.sql("SELECT * FROM gcat.db.c VERSION AS OF 2").count() == 8L)
   }
 
   test("catalog: ALTER TABLE properties / rename / drop column; SHOW + DROP TABLE") {
@@ -540,6 +540,44 @@ class CatalogSpec extends SparkSpec {
     val eRes = intercept[Exception](spark.sql(
       "ALTER TABLE gcat.db.widen ADD COLUMN note STRING"))
     assert(eRes.getMessage.contains("DROPPED"), eRes.getMessage)
+  }
+
+  test("catalog: staged CTAS/RTAS — CREATE OR REPLACE is one atomic history-preserving commit") {
+    warehouse
+    // CTAS through the staged path: data lands IN the create commit
+    spark.sql("CREATE TABLE gcat.db.rpl AS SELECT id, id * 2 AS v FROM range(0, 5)")
+    val root = s"$warehouse/db/rpl"
+    val v1 = VersionedTable.latestCommit(root).get.version
+    assert(spark.table("gcat.db.rpl").count() == 5L)
+    assert(VersionedTable.latestCommit(root).get.dirs.nonEmpty,
+      "staged CTAS must carry its data in the create commit")
+    // RTAS: new schema + new data as ONE commit on the SAME log — the
+    // pre-StagingTableCatalog behavior was DROP + recreate, which
+    // destroyed the commit log entirely
+    spark.sql("CREATE OR REPLACE TABLE gcat.db.rpl AS " +
+      "SELECT id AS k, concat('x', id) AS s FROM range(0, 3)")
+    val v2 = VersionedTable.latestCommit(root).get.version
+    assert(v2 == v1 + 1, "REPLACE must be ONE commit")
+    assert(spark.table("gcat.db.rpl").columns.toSeq == Seq("k", "s"))
+    assert(spark.table("gcat.db.rpl").count() == 3L)
+    // history preserved: time travel reaches the pre-replace table
+    val old = VersionedTable.read(spark, root, asOf = Some(v1))
+    assert(old.columns.toSeq == Seq("id", "v") && old.count() == 5L)
+    // a REPLACE whose query FAILS leaves the table exactly as it was
+    // (nothing persists before the publish)
+    val vOk = VersionedTable.latestCommit(root).get.version
+    intercept[Exception](spark.sql("CREATE OR REPLACE TABLE gcat.db.rpl AS " +
+      "SELECT assert_true(id < 1) AS x, id FROM range(0, 9)"))
+    assert(VersionedTable.latestCommit(root).get.version == vOk,
+      "failed staged REPLACE must leave the log untouched")
+    assert(spark.table("gcat.db.rpl").columns.toSeq == Seq("k", "s"))
+    // declared TBLPROPERTIES ride the staged statement
+    spark.sql("CREATE OR REPLACE TABLE gcat.db.rpl " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'k', 'team' = 'ops') AS " +
+      "SELECT id AS k, id * 3 AS w FROM range(0, 20)")
+    assert(VersionedTable.tableProperties(root).get("team").contains("ops"))
+    assert(VersionedTable.indexedCols(root)._1.contains("k"),
+      "stats declared in the staged statement must shape the data commit")
   }
 
   test("catalog: SQL DELETE under TIMESTAMP bounds routes onto deleteRange — the retention purge") {
