@@ -136,14 +136,20 @@ object GraftSqlParser {
     """(?is)\s*ANALYZE\s+GRAFT\s+'([^']+)'\s+NDV\s+BY\s*\(([^)]*)\)\s*;?\s*""".r
   private val deletePosRe =
     """(?is)\s*DELETE\s+GRAFT\s+'([^']+)'\s+POSITIONAL\s+WHERE\s+\((.*)\)\s*;?\s*""".r
+  // one WHERE-clause literal token: a DATE/TIMESTAMP-typed literal (the
+  // quoted body may carry spaces), a plain quoted string, or a bare token
+  private val litTok = """((?:DATE|TIMESTAMP)\s*'[^']*'|\S+|'[^']*')"""
+
   private val deleteInRe =
     """(?is)\s*DELETE\s+GRAFT\s+'([^']+)'\s+WHERE\s+(\w+)\s+IN\s*\(([^)]*)\)\s*;?\s*""".r
   private val deleteBetweenRe =
-    """(?is)\s*DELETE\s+GRAFT\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+(\S+|'[^']*')\s+AND\s+(\S+|'[^']*')\s*;?\s*""".r
+    ("""(?is)\s*DELETE\s+GRAFT\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+""" +
+      raw"""$litTok\s+AND\s+$litTok\s*;?\s*""").r
   private val updateRe =
     """(?is)\s*UPDATE\s+GRAFT\s+'([^']+)'\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*;?\s*""".r
   private val replaceRe =
-    """(?is)\s*REPLACE\s+GRAFT\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+(\S+|'[^']*')\s+AND\s+(\S+|'[^']*')\s+FROM\s+\((.*)\)\s*;?\s*""".r
+    ("""(?is)\s*REPLACE\s+GRAFT\s+'([^']+)'\s+WHERE\s+(\w+)\s+BETWEEN\s+""" +
+      raw"""$litTok\s+AND\s+$litTok\s+FROM\s+\((.*)\)\s*;?\s*""").r
   private val mergeRe =
     """(?is)\s*MERGE\s+GRAFT\s+'([^']+)'\s+ON\s+(\w+(?:\s*,\s*\w+)*)\s+FROM\s+\((.*)""".r
   private val whenDeleteRe =
@@ -246,17 +252,38 @@ object GraftSqlParser {
   }
   private val whereInRe = """(?is)\s*(\w+)\s+IN\s*\(([^)]*)\)\s*""".r
   private val whereBetweenRe =
-    """(?is)\s*(\w+)\s+BETWEEN\s+(\S+|'[^']*')\s+AND\s+(\S+|'[^']*')\s*""".r
+    ("""(?is)\s*(\w+)\s+BETWEEN\s+""" +
+      raw"""$litTok\s+AND\s+$litTok\s*""").r
 
   /** One SQL literal → Scala value: `'...'` is a string, anything else must
     * be an integral (range bounds and IN-lists are key/bound literals, not
     * expressions — the verbs validate the type against the snapshot schema).
     */
+  private val dateLitRe = """(?is)DATE\s*'([^']*)'""".r
+  private val tsLitRe = """(?is)TIMESTAMP\s*'([^']*)'""".r
+
+  /** One SQL literal → Scala value. Typed DATE/TIMESTAMP literals
+    * translate to the statsCols contract's integral forms — epoch DAYS
+    * for DATE, session-zone epoch MICROS for TIMESTAMP (the same reading
+    * the catalog SQL route gives them) — so `DELETE GRAFT ... WHERE d
+    * BETWEEN DATE '2024-01-01' AND DATE '2024-03-31'` is the retention
+    * purge without hand-computed epoch numbers.
+    */
   private def litValue(raw: String): Any = {
     val t = raw.trim
-    if (t.startsWith("'") && t.endsWith("'") && t.length >= 2)
-      t.substring(1, t.length - 1)
-    else t.toLong
+    t match {
+      case dateLitRe(d) => java.sql.Date.valueOf(d).toLocalDate.toEpochDay
+      case tsLitRe(ts) =>
+        val zone = java.time.ZoneId.of(scala.util.Try(
+          org.apache.spark.sql.SparkSession.active.sessionState.conf
+            .sessionLocalTimeZone).getOrElse("UTC"))
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+          org.apache.spark.unsafe.types.UTF8String.fromString(ts), zone)
+          .getOrElse(sys.error(s"GRAFT SQL: unparseable TIMESTAMP literal '$ts'"))
+      case _ if t.startsWith("'") && t.endsWith("'") && t.length >= 2 =>
+        t.substring(1, t.length - 1)
+      case _ => t.toLong
+    }
   }
 
   private def litList(raw: String): Seq[Any] =

@@ -2419,6 +2419,30 @@ class IoSpec extends SparkSpec {
     val em = intercept[Exception](
       spark.sql(s"DELETE GRAFT '$root2' WHERE k IN ('a', 1)").collect())
     assert(em.getMessage.contains("mixes"), em.getMessage)
+    // typed DATE/TIMESTAMP literals in WHERE clauses (r17): the literal
+    // translates to the statsCols contract's integral form — epoch days /
+    // session-zone micros — so the retention purge reads like SQL instead
+    // of hand-computed epoch numbers
+    val root3 = tmpDir("vt_sql_dml_date")
+    VersionedTable.commit(
+      spark.sql("SELECT id, date_add(DATE '2024-01-01', CAST(id AS INT)) AS d, " +
+        "TIMESTAMP '2024-01-01 00:00:00' + make_interval(0,0,0,0,CAST(id AS INT),0,0) AS ts " +
+        "FROM range(0, 10)"),
+      root3, "append", "dl1", statsCols = Seq("d", "ts"))
+    spark.sql(s"DELETE GRAFT '$root3' WHERE d BETWEEN DATE '2024-01-01' " +
+      "AND DATE '2024-01-03'").collect()
+    assert(VersionedTable.read(spark, root3).count() == 7L)
+    assert(VersionedTable.read(spark, root3).agg(min($"id")).head().getLong(0) == 3L)
+    spark.sql(s"DELETE GRAFT '$root3' WHERE ts BETWEEN " +
+      "TIMESTAMP '2024-01-01 08:00:00' AND TIMESTAMP '2024-01-01 09:00:00'").collect()
+    assert(VersionedTable.read(spark, root3).count() == 5L)
+    assert(VersionedTable.read(spark, root3).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(3L, 4L, 5L, 6L, 7L))
+    // UPDATE's BETWEEN shape takes the same literals
+    spark.sql(s"UPDATE GRAFT '$root3' SET id = id + 100 " +
+      "WHERE d BETWEEN DATE '2024-01-04' AND DATE '2024-01-05'").collect()
+    assert(VersionedTable.read(spark, root3).collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(5L, 6L, 7L, 103L, 104L))
   }
 
   test("VersionedTable.addGeneratedColumn: declared at create, materialized on every write, equality-enforced, partition-usable, no backfill") {
