@@ -3485,6 +3485,65 @@ private[graft] object QueriesMedallionIo {
         |  TRUE AS neg_refused
         |FROM o""".stripMargin)),
 
+    // S17 — CONVERT TO GRAFT (r17): adopt a pre-existing plain-parquet
+    // hive tree as a versioned table IN PLACE — v1 references the source
+    // directory BY REFERENCE (the clone machinery's external-refs), zero
+    // bytes moved at any size. The converted table then lives a normal
+    // life: an append lands under the root, ANALYZE retrofits the
+    // skipping index from the source's own footers, and a range read
+    // over the appended band prunes the external dir (scanned 1 of 2,
+    // driver-visible). v1_external pins the by-reference adoption;
+    // v1_rows pins time travel to the conversion snapshot. The oracle
+    // replays source + append from the raw table.
+    Q("versioned_convert",
+      (s, dir) => {
+        val (root, v1Rows, v1Ext, scanned, total) = Fixtures.once(s, dir, "vt_convert") {
+          val base = s"${System.getProperty("java.io.tmpdir")}/graft_convert_src_${dirTag(dir)}"
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_convert_${dirTag(dir)}"
+          rmrf(base); rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_orderpriority")
+          o.write.partitionBy("o_orderpriority").parquet(base)
+          s.sql(s"CONVERT GRAFT '$r' FROM '$base' " +
+            "PARTITIONED BY (o_orderpriority)").collect()
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          graft.io.VersionedTable.commit(
+            o.filter(col("o_orderkey") % 100 === 0)
+              .withColumn("o_orderkey", col("o_orderkey") + lit(mx)),
+            r, "append", "cv-extra", partitionCols = Seq("o_orderpriority"))
+          s.sql(s"ANALYZE GRAFT '$r' STATS BY (o_orderkey)").collect()
+          val v1 = graft.io.VersionedTable.read(s, r, asOf = Some(1L))
+          val hist1 = graft.io.VersionedTable.history(r).head
+          val kept = graft.io.VersionedTable.planRange(r, "o_orderkey",
+            mx + 1, Long.MaxValue)
+          (r, java.lang.Long.valueOf(v1.count()),
+            java.lang.Boolean.valueOf(hist1.mode == "convert"),
+            java.lang.Long.valueOf(kept.size.toLong),
+            java.lang.Long.valueOf(
+              graft.io.VersionedTable.latestCommit(r).get.dirs.size.toLong))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("v1_rows", lit(v1Rows.longValue()))
+          .withColumn("v1_convert", lit(v1Ext.booleanValue()))
+          .withColumn("scanned_dirs", lit(scanned.longValue()))
+          .withColumn("total_dirs", lit(total.longValue()))
+          .orderBy("o_orderpriority")
+      },
+      Some("""WITH m AS (SELECT max(o_orderkey) AS mx FROM orders),
+        |a AS (
+        |  SELECT o_orderkey, o_orderpriority FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + mx AS o_orderkey, o_orderpriority
+        |  FROM orders CROSS JOIN m WHERE o_orderkey % 100 = 0
+        |)
+        |SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  (SELECT count(*) FROM orders) AS v1_rows,
+        |  TRUE AS v1_convert,
+        |  CAST(1 AS BIGINT) AS scanned_dirs, CAST(2 AS BIGINT) AS total_dirs
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — atomic CTAS / RTAS through StagingTableCatalog (r17): without
     // it, Spark runs CREATE OR REPLACE ... AS SELECT as DROP + non-atomic
     // CTAS — destroying the commit log. Staged, the REPLACE lands as ONE

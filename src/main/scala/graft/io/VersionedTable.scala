@@ -7099,6 +7099,51 @@ object VersionedTable {
               asOf: Option[Long] = None): Long =
     cloneSnapshot(srcRoot, dstRoot, commitId, asOf, "clone", Map.empty)
 
+  /** CONVERT an existing plain-parquet directory tree into a versioned
+    * table IN PLACE (the public Delta `CONVERT TO DELTA` semantics,
+    * without the rewrite): version 1 references the source directory BY
+    * REFERENCE through the shallow-clone external-dir mechanics (reader
+    * feature `external-refs`), so conversion moves ZERO bytes at any
+    * size; a declared hive layout (`partitionCols`) recovers from the
+    * source's `k=v/` subpaths exactly as any snapshot scan would.
+    * Subsequent commits land under the table root and the external
+    * reference retires as the table diverges (compaction absorbs it);
+    * ANALYZE retrofits the skipping index from the source's own footers.
+    * The source directory becomes TABLE DATA on conversion — mutating it
+    * afterwards corrupts the table, exactly Delta's contract. Partition
+    * column types follow Spark's path-value inference (`k=3` reads INT)
+    * — declare and CAST downstream if a wider type is wanted. Idempotent
+    * under `commitId`; refuses a root that already has commits.
+    */
+  def convertFrom(spark: SparkSession, root: String, sourceDir: String,
+                  partitionCols: Seq[String] = Nil,
+                  commitId: String = "convert"): Long =
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => prior
+      case None =>
+        require(latestVersion(root).isEmpty,
+          s"convertFrom: $root already has commits — CONVERT creates once")
+        val abs = Paths.get(sourceDir).toAbsolutePath.normalize.toString
+        require(!abs.startsWith(Paths.get(root).toAbsolutePath.normalize.toString),
+          s"convertFrom: source $abs lies inside the table root — vacuum " +
+            "would treat it as orphaned staging debris; convert from a " +
+            "sibling path")
+        require(new File(abs).isDirectory, s"convertFrom: $abs is not a directory")
+        require(parquetFiles(abs).nonEmpty,
+          s"convertFrom: $abs holds no parquet files")
+        val schema = spark.read.parquet(abs).schema
+        partitionCols.foreach(p => require(schema.fieldNames.contains(p),
+          s"convertFrom: partition column '$p' did not surface from the " +
+            s"source layout (columns: ${schema.fieldNames.mkString(", ")})"))
+        Files.createDirectories(commitsDir(root))
+        if (publishIfAbsent(root, 1L, Commit(1L, commitId, "convert",
+            dirs = Seq(abs), partitionCols = partitionCols,
+            schemaDdl = Some(schema.toDDL))))
+          1L
+        else findCommitVersion(root, commitId).getOrElse(
+          sys.error(s"convertFrom: lost the v1 slot at $root to a concurrent creator"))
+    }
+
   private def cloneSnapshot(srcRoot: String, dstRoot: String, commitId: String,
                             asOf: Option[Long], mode: String,
                             extraProps: Map[String, String]): Long =

@@ -62,6 +62,7 @@ import graft.io.VersionedTable
   *   CREATE MATERIALIZED VIEW GRAFT '<mv>' FROM '<src>'
   *       GROUP BY <key> SUM (c1 [, ...])
   *   REFRESH MATERIALIZED VIEW GRAFT '<mv>'
+  *   CONVERT GRAFT '<root>' FROM '<dir>' [PARTITIONED BY (c1, ...)]
   *   MERGE GRAFT '<root>' ON <keyCol>[, <keyCol>]* FROM (<query>)
   *     [WHEN NOT MATCHED BY SOURCE AND <col> BETWEEN <lo> AND <hi>
   *      [AND <cond>] THEN DELETE]   — range-bounded slice sync
@@ -226,6 +227,8 @@ object GraftSqlParser {
   private val bloomByRe = """(?is).*\bBLOOM\s+BY\s*\(([^)]*)\).*""".r
   private val copyIntoRe =
     """(?is)\s*COPY\s+INTO\s+GRAFT\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+FORMAT\s+(\w+))?\s*;?\s*""".r
+  private val convertRe =
+    """(?is)\s*CONVERT\s+GRAFT\s+'([^']+)'\s+FROM\s+'([^']+)'(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val propPairRe = """\s*'([^']*)'\s*=\s*'([^']*)'\s*""".r
   private val propKeyRe = """\s*'([^']*)'\s*""".r
 
@@ -511,6 +514,10 @@ object GraftSqlParser {
         sums.split(",").map(_.trim).filter(_.nonEmpty).toSeq,
         Option(minmax).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)))
     case refreshMvRe(mv) => Some(GraftRefreshMatViewCommand(mv))
+    case convertRe(root, src, pcols) =>
+      Some(GraftConvertCommand(root, src,
+        Option(pcols).fold(Seq.empty[String])(
+          _.split(",").map(_.trim).filter(_.nonEmpty).toSeq)))
     case copyIntoRe(root, glob, fmt) =>
       Some(GraftCopyIntoCommand(root, glob, Option(fmt).getOrElse("parquet")))
     case insertIntoRe(root, src) => Some(GraftInsertCommand(root, src))
@@ -863,6 +870,25 @@ case class GraftAlterCommand(root: String, verb: String, name: String,
       case "addcol" => VersionedTable.addColumn(root, name, arg.get, commitId)
     }
     Seq(Row(v))
+  }
+}
+
+/** `CONVERT GRAFT '<root>' FROM '<dir>' [PARTITIONED BY (c1, ...)]` →
+  * [[VersionedTable.convertFrom]] — adopt an existing plain-parquet
+  * directory tree as version 1 BY REFERENCE (Delta's CONVERT TO DELTA,
+  * zero bytes moved); the declared hive layout recovers from the
+  * source's `k=v/` subpaths. Re-execution is idempotent (the commitId
+  * derives from the source path — one conversion per source).
+  */
+case class GraftConvertCommand(root: String, sourceDir: String,
+                               partitionCols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    val commitId = s"sql-convert-${java.security.MessageDigest.getInstance("MD5")
+      .digest(sourceDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)}"
+    Seq(Row(VersionedTable.convertFrom(spark, root, sourceDir, partitionCols, commitId)))
   }
 }
 

@@ -2445,6 +2445,52 @@ class IoSpec extends SparkSpec {
       == Seq(5L, 6L, 7L, 103L, 104L))
   }
 
+  test("VersionedTable.convertFrom: in-place adoption by reference, normal life after, compact absorbs the external ref") {
+    import spark.implicits._
+    val src = tmpDir("vt_convert_src")
+    val root = tmpDir("vt_convert_tbl")
+    (0L until 20L).map(i => (i, s"g${i % 2}", i * 10)).toDF("id", "grp", "v")
+      .write.mode("overwrite").partitionBy("grp").parquet(src)
+    // CONVERT: v1 references the source dir BY REFERENCE — zero bytes move
+    val v = spark.sql(s"CONVERT GRAFT '$root' FROM '$src' PARTITIONED BY (grp)")
+      .head().getLong(0)
+    assert(v == 1L)
+    val c1 = VersionedTable.latestCommit(root).get
+    assert(c1.mode == "convert" && c1.dirs == Seq(src) && c1.dirs.head.startsWith("/"))
+    assert(VersionedTable.read(spark, root).count() == 20L)
+    assert(VersionedTable.read(spark, root).filter($"grp" === "g1")
+      .agg(sum($"id")).head().getLong(0) == (1L until 20L by 2).sum)
+    // SQL re-execution is idempotent (commitId derives from the source path)
+    assert(spark.sql(s"CONVERT GRAFT '$root' FROM '$src' PARTITIONED BY (grp)")
+      .head().getLong(0) == 1L)
+    assert(VersionedTable.history(root).size == 1)
+    // normal life: append + DML land under the ROOT, the reference persists
+    VersionedTable.commit(Seq((100L, "g0", 1L)).toDF("id", "grp", "v")
+      .select("id", "v", "grp"), root, "append", "cv-a",
+      partitionCols = Seq("grp"))
+    assert(VersionedTable.read(spark, root).count() == 21L)
+    // compact absorbs the external reference — the table becomes
+    // self-contained and the source dir is no longer read
+    spark.sql(s"OPTIMIZE GRAFT '$root' TARGET 1").collect()
+    val cc = VersionedTable.latestCommit(root).get
+    assert(cc.dirs.forall(!_.startsWith("/")),
+      s"compact must retire external refs, got ${cc.dirs}")
+    assert(VersionedTable.read(spark, root).count() == 21L)
+    // refusals: existing commits, source inside the root, unknown
+    // partition column — all loud, nothing published
+    val e1 = intercept[Exception](VersionedTable.convertFrom(spark, root, src,
+      Seq("grp"), "cv-again"))
+    assert(e1.getMessage.contains("already has commits"), e1.getMessage)
+    val root2 = tmpDir("vt_convert_tbl2")
+    val e2 = intercept[Exception](VersionedTable.convertFrom(spark, root2,
+      s"$root2/data", Nil, "cv-in"))
+    assert(e2.getMessage.contains("inside the table root"), e2.getMessage)
+    val e3 = intercept[Exception](VersionedTable.convertFrom(spark, root2, src,
+      Seq("absent"), "cv-col"))
+    assert(e3.getMessage.contains("did not surface"), e3.getMessage)
+    assert(VersionedTable.latestVersion(root2).isEmpty)
+  }
+
   test("VersionedTable.addGeneratedColumn: declared at create, materialized on every write, equality-enforced, partition-usable, no backfill") {
     import spark.implicits._
     // CREATE TABLE form: declaration first, data later
