@@ -3485,6 +3485,45 @@ private[graft] object QueriesMedallionIo {
         |  TRUE AS neg_refused
         |FROM o""".stripMargin)),
 
+    // S17 — HIDDEN PARTITIONING (r17, Iceberg's transform partitioning):
+    // `PARTITIONED BY (years(ts), bucket(4, key))` desugars onto the
+    // generated-column machinery — each transform synthesizes a GENERATED
+    // column that materializes on every write and hive-partitions the
+    // table, so writers never handle the derivation and the partition
+    // layer sees plain typed keys (claims/SPJ/DML all apply). The probe
+    // groups by the synthesized year key (the oracle recomputes the
+    // derivation from the raw table) and pins that all 4 hash buckets
+    // materialized.
+    Q("versioned_hidden_partitioning",
+      (s, dir) => {
+        Fixtures.once(s, dir, "vt_hidden") {
+          val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+          s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+          s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+          rmrf(s"$wh/hp")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.hp")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_hp_orders")
+          s.sql("CREATE TABLE gq.hp.t (o_orderkey BIGINT, ts TIMESTAMP, cents BIGINT) " +
+            "PARTITIONED BY (years(ts), bucket(4, o_orderkey))")
+          s.sql("INSERT INTO gq.hp.t (o_orderkey, ts, cents) " +
+            "SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP), " +
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+            "FROM cat_hp_orders")
+          java.lang.Boolean.TRUE
+        }
+        val buckets = s.table("gq.hp.t")
+          .agg(countDistinct(col("o_orderkey_bucket"))).head().getLong(0)
+        s.table("gq.hp.t")
+          .groupBy("ts_year")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("buckets", lit(buckets))
+          .orderBy("ts_year")
+      },
+      Some("SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS ts_year, " +
+        "count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
+        "CAST(4 AS BIGINT) AS buckets " +
+        "FROM orders GROUP BY 1 ORDER BY 1")),
+
     // S17 — CONVERT TO GRAFT (r17): adopt a pre-existing plain-parquet
     // hive tree as a versioned table IN PLACE — v1 references the source
     // directory BY REFERENCE (the clone machinery's external-refs), zero

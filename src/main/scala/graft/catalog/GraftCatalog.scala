@@ -233,6 +233,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       t.references()(0).fieldNames().mkString(".")
     }
 
+  /** HIDDEN PARTITIONING (Iceberg's transform partitioning), desugared
+    * onto the engine's proven generated-column machinery: `PARTITIONED BY
+    * (days(ts))` synthesizes a GENERATED column `ts_day = CAST(
+    * date_trunc('DAY', ts) AS DATE)` and hive-partitions on it — the
+    * column materializes on EVERY write (a batch never supplies it, a
+    * disagreeing value refuses), partition claims/SPJ/DML see a plain
+    * typed key, and the user's raw-column predicates prune through the
+    * skipping index by declaring stats on the source column. Returns
+    * (partitionColName, generationSql, type) for a transform the desugar
+    * supports; identity transforms return None (they pass through).
+    */
+  private def hiddenPartition(t: Transform): Option[(String, String,
+      org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types.{DateType, IntegerType, TimestampType}
+    def col0: String = {
+      require(t.references().length == 1,
+        s"GraftCatalog: transform $t must reference exactly one column")
+      t.references()(0).fieldNames().mkString(".")
+    }
+    t.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "identity" => None
+      case "days" | "day" =>
+        Some((s"${col0}_day", s"CAST(date_trunc('DAY', $col0) AS DATE)", DateType))
+      case "hours" | "hour" =>
+        Some((s"${col0}_hour", s"date_trunc('HOUR', $col0)", TimestampType))
+      case "months" | "month" =>
+        Some((s"${col0}_month", s"CAST(date_trunc('MONTH', $col0) AS DATE)", DateType))
+      case "years" | "year" =>
+        Some((s"${col0}_year", s"year($col0)", IntegerType))
+      case "bucket" =>
+        val n = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(sys.error(s"GraftCatalog: bucket transform $t carries no " +
+          "bucket count literal"))
+        require(n >= 1, s"GraftCatalog: bucket($n, ...) needs n >= 1")
+        // Spark's Murmur3 hash — engine-stable, the same function a
+        // co-partitioned writer would use; pmod keeps the key in [0, n)
+        Some((s"${col0}_bucket", s"pmod(hash($col0), $n)", IntegerType))
+      case other => sys.error(
+        s"GraftCatalog: unsupported partition transform '$other' — supported: " +
+          "identity columns, days/hours/months/years(ts), bucket(n, col)")
+    }
+  }
+
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table = {
@@ -270,9 +316,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def createTable(ident: Identifier, info: TableInfo): Table = {
     val cols = info.columns()
+    // hidden partitioning desugars FIRST: each transform synthesizes a
+    // generated column, which then rides the ordinary spec'd create
+    val hidden: Seq[(String, String, org.apache.spark.sql.types.DataType)] =
+      info.partitions().toSeq.flatMap(hiddenPartition)
+    hidden.foreach { case (n, _, _) =>
+      require(!cols.exists(_.name() == n),
+        s"GraftCatalog: hidden-partition column '$n' collides with a declared " +
+          "column — rename one or partition on the column directly") }
     val specd = cols.exists(c => c.defaultValue() != null ||
       c.generationExpression() != null || c.identityColumnSpec() != null)
-    if (!specd && info.constraints().isEmpty)
+    if (!specd && info.constraints().isEmpty && hidden.isEmpty)
       return createTable(ident,
         StructType(cols.map(c =>
           org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable()))),
@@ -285,10 +339,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (!nsDir(ident.namespace()).isDirectory)
       throw new NoSuchNamespaceException(ident.namespace())
     val schema = StructType(cols.map(c =>
-      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable())))
+      org.apache.spark.sql.types.StructField(c.name(), c.dataType(), c.nullable()))
+      ++ hidden.map { case (n, _, dt) =>
+        org.apache.spark.sql.types.StructField(n, dt) })
     val defaults = cols.flatMap(c => Option(c.defaultValue()).map(d =>
       c.name() -> GraftCatalog.defaultSqlOf(d))).toMap
-    val generated = cols.flatMap(c =>
+    val generated0 = hidden.map { case (n, sql, _) => n -> sql }.toMap
+    val generated = generated0 ++ cols.flatMap(c =>
       Option(c.generationExpression()).map(c.name() -> _)).toMap
     val identity = cols.flatMap(c => Option(c.identityColumnSpec()).map { s =>
       require(!s.isAllowExplicitInsert,
@@ -305,8 +362,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "by this engine and will not be recorded as if they were")
     }.toMap
     val props = GraftCatalog.tableProps(info.properties())
+    val partCols = info.partitions().toSeq.map(t => hiddenPartition(t)
+      .map(_._1).getOrElse(t.references()(0).fieldNames().mkString(".")))
     VersionedTable.createTableWithSpecs(Some(SparkSession.active), root, schema,
-      transformCols(info.partitions()), props, defaults, generated, identity,
+      partCols, props, defaults, generated, identity,
       constraints,
       s"catalog-create-${java.util.UUID.randomUUID().toString.take(12)}")
     new GraftTable(root, ident, None, catalogName)

@@ -542,6 +542,52 @@ class CatalogSpec extends SparkSpec {
     assert(eRes.getMessage.contains("DROPPED"), eRes.getMessage)
   }
 
+  test("catalog: hidden partitioning — PARTITIONED BY (days(ts), bucket(n, id)) desugars onto generated columns") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.hp (id BIGINT, ts TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (days(ts), bucket(4, id)) " +
+      "TBLPROPERTIES ('graft.stats.columns' = 'ts')")
+    val root = s"$warehouse/db/hp"
+    val c1 = VersionedTable.latestCommit(root).get
+    assert(c1.partitionCols == Seq("ts_day", "id_bucket"), c1.partitionCols)
+    assert(c1.generated.keySet == Set("ts_day", "id_bucket"), c1.generated)
+    // writers name only the REAL columns — the hidden ones materialize
+    // (the analyzer pads the omitted generated columns, the engine drops
+    // the padding and computes; same contract as every GENERATED column)
+    spark.sql("INSERT INTO gcat.db.hp (id, ts, v) SELECT id, " +
+      "TIMESTAMP '2024-03-01 06:00:00' + make_interval(0,0,0,CAST(id % 3 AS INT),0,0,0), " +
+      "id * 10 FROM range(0, 30)")
+    assert(spark.table("gcat.db.hp").count() == 30L)
+    // the synthesized DATE key claims residual-free like any typed key
+    val q = spark.sql("SELECT id FROM gcat.db.hp WHERE ts_day = DATE '2024-03-02'")
+    assert(q.collect().map(_.getLong(0)).toSet == (0L until 30L).filter(_ % 3 == 1).toSet)
+    assert(!"(?m)^[\\s:+\\-]*(?:\\*\\(\\d+\\) )?Filter\\b".r
+      .findFirstIn(q.queryExecution.executedPlan.toString).isDefined,
+      q.queryExecution.executedPlan.toString.take(600))
+    // raw-timestamp predicates prune through the declared ts stats (the
+    // Iceberg promise, answered by the skipping index instead of
+    // transform-aware planning)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.hp " +
+      "WHERE ts >= TIMESTAMP '2024-03-03 00:00:00'").head().getLong(0) == 10L)
+    // bucket key: one value per pmod(hash(id), 4) — total re-derivable
+    val bk = spark.sql("SELECT id_bucket, count(*) AS n FROM gcat.db.hp " +
+      "GROUP BY id_bucket").collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    assert(bk.values.sum == 30L && bk.keys.forall(k => k >= 0 && k < 4), bk.toString)
+    // a batch carrying a DISAGREEING hidden value refuses (generated
+    // equality enforcement)
+    val bad = spark.sql("SELECT CAST(1000 AS BIGINT) AS id, " +
+      "TIMESTAMP '2024-03-01 00:00:00' AS ts, CAST(1 AS BIGINT) AS v, " +
+      "DATE '1999-01-01' AS ts_day, CAST(0 AS INT) AS id_bucket")
+    val e = intercept[Exception](
+      VersionedTable.commit(bad, root, "append", "hp-bad",
+        partitionCols = Seq("ts_day", "id_bucket")))
+    assert(e.getMessage.contains("disagrees"), e.getMessage)
+    // unsupported transform refuses with guidance
+    val e2 = intercept[Exception](spark.sql(
+      "CREATE TABLE gcat.db.hp2 (id BIGINT, s STRING) PARTITIONED BY (truncate(4, s))"))
+    assert(e2.getMessage.contains("unsupported partition transform"), e2.getMessage)
+  }
+
   test("catalog: staged CTAS/RTAS — CREATE OR REPLACE is one atomic history-preserving commit") {
     warehouse
     // CTAS through the staged path: data lands IN the create commit
