@@ -244,9 +244,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * (partitionColName, generationSql, type) for a transform the desugar
     * supports; identity transforms return None (they pass through).
     */
-  private def hiddenPartition(t: Transform): Option[(String, String,
-      org.apache.spark.sql.types.DataType)] = {
-    import org.apache.spark.sql.types.{DateType, IntegerType, TimestampType}
+  private def hiddenPartition(t: Transform,
+      colType: String => Option[org.apache.spark.sql.types.DataType])
+      : Option[(String, String, org.apache.spark.sql.types.DataType)] = {
+    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, TimestampType}
     def col0: String = {
       require(t.references().length == 1,
         s"GraftCatalog: transform $t must reference exactly one column")
@@ -273,9 +274,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         // Spark's Murmur3 hash — engine-stable, the same function a
         // co-partitioned writer would use; pmod keeps the key in [0, n)
         Some((s"${col0}_bucket", s"pmod(hash($col0), $n)", IntegerType))
+      case "truncate" =>
+        val w = t.arguments().collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_]
+              if l.value().isInstanceOf[Number] =>
+            l.value().asInstanceOf[Number].intValue()
+        }.getOrElse(sys.error(s"GraftCatalog: truncate transform $t carries " +
+          "no width literal"))
+        require(w >= 1, s"GraftCatalog: truncate($w, ...) needs width >= 1")
+        colType(col0) match {
+          case Some(StringType) =>
+            Some((s"${col0}_trunc", s"substring($col0, 1, $w)", StringType))
+          case Some(LongType) =>
+            // Iceberg's integral truncate: v - (v % W), pmod so negative
+            // values truncate DOWN like the spec requires
+            Some((s"${col0}_trunc", s"$col0 - pmod($col0, ${w}L)", LongType))
+          case Some(IntegerType) =>
+            Some((s"${col0}_trunc", s"$col0 - pmod($col0, $w)", IntegerType))
+          case other => sys.error(
+            s"GraftCatalog: truncate($w, $col0) supports STRING/INT/BIGINT " +
+              s"columns, got ${other.fold("an undeclared column")(_.sql)}")
+        }
       case other => sys.error(
         s"GraftCatalog: unsupported partition transform '$other' — supported: " +
-          "identity columns, days/hours/months/years(ts), bucket(n, col)")
+          "identity columns, days/hours/months/years(ts), bucket(n, col), " +
+          "truncate(w, col)")
     }
   }
 
@@ -318,8 +341,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val cols = info.columns()
     // hidden partitioning desugars FIRST: each transform synthesizes a
     // generated column, which then rides the ordinary spec'd create
+    def colTypeOf(n: String): Option[org.apache.spark.sql.types.DataType] =
+      cols.find(_.name() == n).map(_.dataType())
     val hidden: Seq[(String, String, org.apache.spark.sql.types.DataType)] =
-      info.partitions().toSeq.flatMap(hiddenPartition)
+      info.partitions().toSeq.flatMap(hiddenPartition(_, colTypeOf))
     hidden.foreach { case (n, _, _) =>
       require(!cols.exists(_.name() == n),
         s"GraftCatalog: hidden-partition column '$n' collides with a declared " +
@@ -362,7 +387,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           "by this engine and will not be recorded as if they were")
     }.toMap
     val props = GraftCatalog.tableProps(info.properties())
-    val partCols = info.partitions().toSeq.map(t => hiddenPartition(t)
+    val partCols = info.partitions().toSeq.map(t => hiddenPartition(t, colTypeOf)
       .map(_._1).getOrElse(t.references()(0).fieldNames().mkString(".")))
     VersionedTable.createTableWithSpecs(Some(SparkSession.active), root, schema,
       partCols, props, defaults, generated, identity,

@@ -582,9 +582,19 @@ class CatalogSpec extends SparkSpec {
       VersionedTable.commit(bad, root, "append", "hp-bad",
         partitionCols = Seq("ts_day", "id_bucket")))
     assert(e.getMessage.contains("disagrees"), e.getMessage)
-    // unsupported transform refuses with guidance
+    // truncate: string prefix and Iceberg's integral floor form
+    spark.sql("CREATE TABLE gcat.db.hp2 (id BIGINT, s STRING) " +
+      "PARTITIONED BY (truncate(2, s), truncate(10, id))")
+    val c2 = VersionedTable.latestCommit(s"$warehouse/db/hp2").get
+    assert(c2.partitionCols == Seq("s_trunc", "id_trunc"), c2.partitionCols)
+    spark.sql("INSERT INTO gcat.db.hp2 (id, s) VALUES (17, 'alpha'), (-3, 'alto'), (25, 'beta')")
+    val hp2 = spark.table("gcat.db.hp2").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSet
+    assert(hp2 == Set((17L, "al", 10L), (-3L, "al", -10L), (25L, "be", 20L)),
+      hp2.toString)
+    // a transform outside the supported set refuses with guidance
     val e2 = intercept[Exception](spark.sql(
-      "CREATE TABLE gcat.db.hp2 (id BIGINT, s STRING) PARTITIONED BY (truncate(4, s))"))
+      "CREATE TABLE gcat.db.hp3 (id BIGINT, s STRING) PARTITIONED BY (zorder(s))"))
     assert(e2.getMessage.contains("unsupported partition transform"), e2.getMessage)
   }
 
@@ -1155,7 +1165,7 @@ class CatalogSpec extends SparkSpec {
     assert(VersionedTable.latestCommit(s"$warehouse/db/ddlb").get
       .partitionCols == Seq("id_bucket"))
     val eb = intercept[Exception](spark.sql(
-      "CREATE TABLE gcat.db.ddlb2 (id BIGINT, s STRING) PARTITIONED BY (truncate(4, s))"))
+      "CREATE TABLE gcat.db.ddlb2 (id BIGINT, s STRING) PARTITIONED BY (zorder(s))"))
     assert(chain(eb).contains("unsupported partition transform"), chain(eb))
     spark.sql("CREATE TABLE gcat.db.ddl (id BIGINT, grp STRING, v BIGINT, vi INT) " +
       "PARTITIONED BY (grp) TBLPROPERTIES ('graft.stats.columns' = 'id')")
