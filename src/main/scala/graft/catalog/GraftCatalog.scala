@@ -122,8 +122,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       catalogName)
   }
 
-  private[catalog] def stagedPartitionCols(
-      ts: Array[Transform]): Seq[String] = transformCols(ts)
+  private[catalog] def stagedCreateWithSpecs(root: String, schema: StructType,
+      partitionCols: Seq[String], props: Map[String, String],
+      generated: Map[String, String], commitId: String): Unit = {
+    VersionedTable.createTableWithSpecs(Some(SparkSession.active), root,
+      schema, partitionCols, props, Map.empty, generated, Map.empty,
+      Map.empty, commitId)
+    ()
+  }
 
   // ---- functions (the V2 FunctionCatalog surface, see GraftFunctions) --
 
@@ -244,7 +250,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * (partitionColName, generationSql, type) for a transform the desugar
     * supports; identity transforms return None (they pass through).
     */
-  private def hiddenPartition(t: Transform,
+  private[catalog] def hiddenPartition(t: Transform,
       colType: String => Option[org.apache.spark.sql.types.DataType])
       : Option[(String, String, org.apache.spark.sql.types.DataType)] = {
     import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, TimestampType}
@@ -1671,11 +1677,38 @@ private[catalog] final class GraftStagedTable(catalog: GraftCatalog,
 
   override def commitStagedChanges(): Unit = {
     val spark = SparkSession.active
-    val partitionCols = catalog.stagedPartitionCols(info.partitions())
+    def colTypeOf(n: String): Option[org.apache.spark.sql.types.DataType] =
+      cols.find(_.name() == n).map(_.dataType())
+    // hidden partitioning in the staged statement desugars exactly like
+    // the plain CREATE path: transforms synthesize generated columns
+    val hidden: Seq[(String, String, org.apache.spark.sql.types.DataType)] =
+      info.partitions().toSeq.flatMap(catalog.hiddenPartition(_, colTypeOf))
+    val partitionCols = info.partitions().toSeq.map(t =>
+      catalog.hiddenPartition(t, colTypeOf).map(_._1)
+        .getOrElse(t.references()(0).fieldNames().mkString(".")))
     val props = GraftCatalog.tableProps(info.properties())
     def declared(key: String): Seq[String] = props.get(key)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val commitId = s"catalog-staged-${java.util.UUID.randomUUID().toString.take(12)}"
+    require(hidden.isEmpty || !replace,
+      "GraftCatalog: staged REPLACE cannot introduce hidden partitioning — " +
+        "the overwrite would need to redeclare generated columns over the " +
+        "existing log; CREATE a fresh table with the transform layout")
+    if (hidden.nonEmpty) {
+      // declare first (generated columns + transform layout as one
+      // metadata v1), then land the data as the first append — the
+      // engine materializes the synthesized keys from the declaration
+      catalog.stagedCreateWithSpecs(root,
+        StructType(schema().fields ++ hidden.map { case (n, _, dt) =>
+          org.apache.spark.sql.types.StructField(n, dt) }),
+        partitionCols, props,
+        hidden.map { case (n, sql, _) => n -> sql }.toMap, s"$commitId-create")
+      pending.foreach(data => VersionedTable.commit(data, root, "append", commitId,
+        statsCols = declared("graft.stats.columns").filter(data.columns.contains),
+        partitionCols = partitionCols,
+        bloomCols = declared("graft.bloom.columns").filter(data.columns.contains)))
+      return
+    }
     pending match {
       case Some(data) =>
         VersionedTable.commit(data, root, "overwrite", commitId,

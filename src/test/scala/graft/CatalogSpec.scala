@@ -596,6 +596,21 @@ class CatalogSpec extends SparkSpec {
     val e2 = intercept[Exception](spark.sql(
       "CREATE TABLE gcat.db.hp3 (id BIGINT, s STRING) PARTITIONED BY (zorder(s))"))
     assert(e2.getMessage.contains("unsupported partition transform"), e2.getMessage)
+    // staged CTAS carries the transform layout too: declared-then-append,
+    // synthesized keys materialized by the engine
+    spark.sql("CREATE TABLE gcat.db.hpc PARTITIONED BY (years(ts)) AS " +
+      "SELECT id, TIMESTAMP '2024-03-01 00:00:00' + " +
+      "make_interval(CAST(id % 2 AS INT),0,0,0,0,0,0) AS ts, id * 2 AS v " +
+      "FROM range(0, 10)")
+    val cc = VersionedTable.latestCommit(s"$warehouse/db/hpc").get
+    assert(cc.partitionCols == Seq("ts_year"), cc.partitionCols)
+    assert(spark.sql("SELECT count(*) FROM gcat.db.hpc WHERE ts_year = 2025")
+      .head().getLong(0) == 5L)
+    // staged REPLACE cannot introduce hidden partitioning — loud refusal
+    val e3 = intercept[Exception](spark.sql(
+      "CREATE OR REPLACE TABLE gcat.db.hpc PARTITIONED BY (days(ts)) AS " +
+        "SELECT TIMESTAMP '2024-01-01 00:00:00' AS ts, 1 AS v"))
+    assert(e3.getMessage.contains("staged REPLACE cannot introduce"), e3.getMessage)
   }
 
   test("catalog: staged CTAS/RTAS — CREATE OR REPLACE is one atomic history-preserving commit") {
