@@ -611,6 +611,17 @@ class CatalogSpec extends SparkSpec {
       "CREATE OR REPLACE TABLE gcat.db.hpc PARTITIONED BY (days(ts)) AS " +
         "SELECT TIMESTAMP '2024-01-01 00:00:00' AS ts, 1 AS v"))
     assert(e3.getMessage.contains("staged REPLACE cannot introduce"), e3.getMessage)
+    // row-level DML works on the hidden layout: the writers recompute the
+    // synthesized keys per row (compileRowGuards) and survivors land back
+    // under the transform-derived subpaths
+    spark.sql("UPDATE gcat.db.hp SET v = v + 10000 WHERE ts_day = DATE '2024-03-01'")
+    val upd = spark.table("gcat.db.hp").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert((0L until 30L).filter(_ % 3 == 0).forall(i => upd(i) == i * 10 + 10000),
+      upd.toString)
+    assert((0L until 30L).filter(_ % 3 != 0).forall(i => upd(i) == i * 10))
+    spark.sql("DELETE FROM gcat.db.hp WHERE ts_day = DATE '2024-03-03'")
+    assert(spark.table("gcat.db.hp").count() == 20L)
   }
 
   test("catalog: staged CTAS/RTAS — CREATE OR REPLACE is one atomic history-preserving commit") {
