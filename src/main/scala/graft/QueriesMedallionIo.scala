@@ -3513,16 +3513,80 @@ private[graft] object QueriesMedallionIo {
         }
         val buckets = s.table("gq.hp.t")
           .agg(countDistinct(col("o_orderkey_bucket"))).head().getLong(0)
+        // the Iceberg promise, driver-visible: a RAW ts range (the user
+        // never mentions ts_year) derives a ts_year >= 1996 claim and
+        // whole (year, bucket) key groups drop — groups_scanned counts
+        // the keyed scan's surviving InputPartitions from the plan,
+        // groups_total the table's distinct key tuples
+        val probe = s.table("gq.hp.t")
+          .where("ts >= TIMESTAMP '1996-01-01 00:00:00'")
+          .agg(sum(col("o_orderkey")))
+        val scanned = "groups=(\\d+)".r
+          .findFirstMatchIn(probe.queryExecution.executedPlan.toString)
+          .map(_.group(1).toLong).getOrElse(-1L)
+        val total = s.table("gq.hp.t")
+          .select("ts_year", "o_orderkey_bucket").distinct().count()
         s.table("gq.hp.t")
           .groupBy("ts_year")
           .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
           .withColumn("buckets", lit(buckets))
+          .withColumn("groups_scanned", lit(scanned))
+          .withColumn("groups_total", lit(total))
           .orderBy("ts_year")
       },
-      Some("SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS ts_year, " +
-        "count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum, " +
-        "CAST(4 AS BIGINT) AS buckets " +
-        "FROM orders GROUP BY 1 ORDER BY 1")),
+      Some("""WITH y AS (SELECT DISTINCT year(CAST(o_orderdate AS DATE)) AS yr FROM orders)
+        |SELECT CAST(year(CAST(o_orderdate AS DATE)) AS INT) AS ts_year,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  CAST(4 AS BIGINT) AS buckets,
+        |  CAST((SELECT count(*) FROM y WHERE yr >= 1996) * 4 AS BIGINT) AS groups_scanned,
+        |  CAST((SELECT count(*) FROM y) * 4 AS BIGINT) AS groups_total
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — PARTITION EVOLUTION TO A TRANSFORM LAYOUT (r18, Iceberg's
+    // headline spec evolution): a flat CTAS evolves to `days(ts)` then to
+    // `months(ts)` — each `ALTER GRAFT ... SET PARTITIONED BY (transform)`
+    // is ONE metadata commit (zero bytes moved) that synthesizes the
+    // generated key, flips the layout, records every existing dir under
+    // its old era, and auto-indexes the source column. Reads COMPUTE the
+    // synthesized keys for pre-evolution dirs (their value is fully
+    // determined by the row), so the month grouping below spans three
+    // layout eras (flat band, daily band, monthly band) and matches the
+    // oracle's replay of the whole table; `eras` pins that exactly the
+    // two PRE-monthly bands carry era records, `layout_ok` the evolved
+    // declaration itself.
+    Q("versioned_partition_evolution_hidden",
+      (s, dir) => {
+        val (root, layoutOk, eras) = Fixtures.once(s, dir, "vt_pevo_hidden") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_pevo_hidden_${dirTag(dir)}"
+          rmrf(r)
+          rd(s, dir, "orders").createOrReplaceTempView("pevo_orders")
+          val mx = rd(s, dir, "orders").agg(max(col("o_orderkey"))).head().getLong(0)
+          val (t1, t2) = (mx / 3, 2 * mx / 3)
+          def band(lo: String, hi: String) =
+            "SELECT o_orderkey, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) AS ts " +
+              s"FROM pevo_orders WHERE o_orderkey > $lo AND o_orderkey <= $hi"
+          s.sql(s"CREATE GRAFT '$r' AS (${band("-1", t1.toString)})").collect()
+          s.sql(s"ALTER GRAFT '$r' SET PARTITIONED BY (days(ts))").collect()
+          s.sql(s"INSERT INTO GRAFT '$r' FROM (${band(t1.toString, t2.toString)})").collect()
+          s.sql(s"ALTER GRAFT '$r' SET PARTITIONED BY (months(ts))").collect()
+          s.sql(s"INSERT INTO GRAFT '$r' FROM (${band(t2.toString, mx.toString)})").collect()
+          val c = graft.io.VersionedTable.latestCommit(r).get
+          (r, java.lang.Boolean.valueOf(
+            c.partitionCols == Seq("ts_month") &&
+              c.generated.contains("ts_month") && c.generated.contains("ts_day")),
+            java.lang.Long.valueOf(c.dirLayouts.size.toLong))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy(date_format(col("ts_month"), "yyyy-MM-dd").as("ts_month"))
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("layout_ok", lit(layoutOk.booleanValue()))
+          .withColumn("eras", lit(eras.longValue()))
+          .orderBy("ts_month")
+      },
+      Some("""SELECT strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS ts_month,
+        |  count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  TRUE AS layout_ok, CAST(2 AS BIGINT) AS eras
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // S17 — CONVERT TO GRAFT (r17): adopt a pre-existing plain-parquet
     // hive tree as a versioned table IN PLACE — v1 references the source
@@ -3593,7 +3657,7 @@ private[graft] object QueriesMedallionIo {
     // table — the daily "rebuild the serving aggregate in place" shape.
     Q("versioned_replace_table",
       (s, dir) => {
-        val (vPre, vPost, preRows) = Fixtures.once(s, dir, "vt_replace") {
+        val (vPre, vPost, preRows, midRows, hiddenOk) = Fixtures.once(s, dir, "vt_replace") {
           val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
           s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
           s.conf.set("spark.sql.catalog.gq.warehouse", wh)
@@ -3612,21 +3676,40 @@ private[graft] object QueriesMedallionIo {
             "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents " +
             "FROM cat_rpl_orders GROUP BY o_orderpriority")
           val post = graft.io.VersionedTable.latestCommit(root).get.version
+          // a staged REPLACE can also INTRODUCE hidden partitioning (r18):
+          // ONE overwrite commit redeclares the generated set + transform
+          // layout over the SAME log — both earlier eras stay reachable
+          s.sql("CREATE OR REPLACE TABLE gq.rpl.t PARTITIONED BY (days(ts)) AS " +
+            "SELECT o_orderpriority, CAST(CAST(o_orderdate AS DATE) AS TIMESTAMP) " +
+            "AS ts, o_orderkey FROM cat_rpl_orders")
+          val cHidden = graft.io.VersionedTable.latestCommit(root).get
+          val hiddenOk = cHidden.version == post + 1 &&
+            cHidden.partitionCols == Seq("ts_day") &&
+            cHidden.generated.contains("ts_day")
           val preN = graft.io.VersionedTable.read(s, root, asOf = Some(pre)).count()
+          val midN = graft.io.VersionedTable.read(s, root, asOf = Some(post)).count()
           (java.lang.Long.valueOf(pre), java.lang.Long.valueOf(post),
-            java.lang.Long.valueOf(preN))
+            java.lang.Long.valueOf(preN), java.lang.Long.valueOf(midN),
+            java.lang.Boolean.valueOf(hiddenOk))
         }
         s.table("gq.rpl.t")
+          .groupBy(date_format(col("ts_day"), "yyyy-MM-dd").as("ts_day"))
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("key_sum"))
           .withColumn("one_commit",
             lit(vPost.longValue() == vPre.longValue() + 1))
           .withColumn("pre_rows", lit(preRows.longValue()))
-          .orderBy("o_orderpriority")
+          .withColumn("mid_rows", lit(midRows.longValue()))
+          .withColumn("hidden_rtas", lit(hiddenOk.booleanValue()))
+          .orderBy("ts_day")
       },
-      Some("SELECT o_orderpriority, count(*) AS n_orders, " +
-        "CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents, " +
-        "TRUE AS one_commit, " +
-        "(SELECT count(*) FROM orders) AS pre_rows " +
-        "FROM orders GROUP BY 1 ORDER BY 1")),
+      Some("""SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS ts_day, count(*) AS n_orders,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  TRUE AS one_commit,
+        |  (SELECT count(*) FROM orders) AS pre_rows,
+        |  (SELECT count(DISTINCT o_orderpriority) FROM orders) AS mid_rows,
+        |  TRUE AS hidden_rtas
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // S17 — NOT NULL invariants (r16 judge item 4): `CREATE TABLE (c
     // BIGINT NOT NULL, ...)` records REAL nullability in the manifest

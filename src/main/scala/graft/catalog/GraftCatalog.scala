@@ -246,66 +246,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * column materializes on EVERY write (a batch never supplies it, a
     * disagreeing value refuses), partition claims/SPJ/DML see a plain
     * typed key, and the user's raw-column predicates prune through the
-    * skipping index by declaring stats on the source column. Returns
+    * skipping index (source columns are AUTO-indexed at CREATE — see
+    * [[GraftTransforms.autoIndexProps]]) and through transform-aware
+    * derived pruning (`GraftTransformFilters`). Returns
     * (partitionColName, generationSql, type) for a transform the desugar
-    * supports; identity transforms return None (they pass through).
+    * supports; identity transforms return None (they pass through). The
+    * desugar itself — including source-column type validation — is the
+    * shared [[GraftTransforms.desugar]], so the SQL parser's
+    * partition-evolution spelling derives identically.
     */
   private[catalog] def hiddenPartition(t: Transform,
       colType: String => Option[org.apache.spark.sql.types.DataType])
-      : Option[(String, String, org.apache.spark.sql.types.DataType)] = {
-    import org.apache.spark.sql.types.{DateType, IntegerType, LongType, StringType, TimestampType}
+      : Option[(String, String, org.apache.spark.sql.types.DataType)] =
+    hiddenPartitionSpec(t, colType).map(s => (s.name, s.sql, s.dataType))
+
+  private[catalog] def hiddenPartitionSpec(t: Transform,
+      colType: String => Option[org.apache.spark.sql.types.DataType])
+      : Option[GraftTransforms.Spec] = {
     def col0: String = {
       require(t.references().length == 1,
         s"GraftCatalog: transform $t must reference exactly one column")
       t.references()(0).fieldNames().mkString(".")
     }
-    t.name().toLowerCase(java.util.Locale.ROOT) match {
-      case "identity" => None
-      case "days" | "day" =>
-        Some((s"${col0}_day", s"CAST(date_trunc('DAY', $col0) AS DATE)", DateType))
-      case "hours" | "hour" =>
-        Some((s"${col0}_hour", s"date_trunc('HOUR', $col0)", TimestampType))
-      case "months" | "month" =>
-        Some((s"${col0}_month", s"CAST(date_trunc('MONTH', $col0) AS DATE)", DateType))
-      case "years" | "year" =>
-        Some((s"${col0}_year", s"year($col0)", IntegerType))
-      case "bucket" =>
-        val n = t.arguments().collectFirst {
-          case l: org.apache.spark.sql.connector.expressions.Literal[_]
-              if l.value().isInstanceOf[Number] =>
-            l.value().asInstanceOf[Number].intValue()
-        }.getOrElse(sys.error(s"GraftCatalog: bucket transform $t carries no " +
-          "bucket count literal"))
-        require(n >= 1, s"GraftCatalog: bucket($n, ...) needs n >= 1")
-        // Spark's Murmur3 hash — engine-stable, the same function a
-        // co-partitioned writer would use; pmod keeps the key in [0, n)
-        Some((s"${col0}_bucket", s"pmod(hash($col0), $n)", IntegerType))
-      case "truncate" =>
-        val w = t.arguments().collectFirst {
-          case l: org.apache.spark.sql.connector.expressions.Literal[_]
-              if l.value().isInstanceOf[Number] =>
-            l.value().asInstanceOf[Number].intValue()
-        }.getOrElse(sys.error(s"GraftCatalog: truncate transform $t carries " +
-          "no width literal"))
-        require(w >= 1, s"GraftCatalog: truncate($w, ...) needs width >= 1")
-        colType(col0) match {
-          case Some(StringType) =>
-            Some((s"${col0}_trunc", s"substring($col0, 1, $w)", StringType))
-          case Some(LongType) =>
-            // Iceberg's integral truncate: v - (v % W), pmod so negative
-            // values truncate DOWN like the spec requires
-            Some((s"${col0}_trunc", s"$col0 - pmod($col0, ${w}L)", LongType))
-          case Some(IntegerType) =>
-            Some((s"${col0}_trunc", s"$col0 - pmod($col0, $w)", IntegerType))
-          case other => sys.error(
-            s"GraftCatalog: truncate($w, $col0) supports STRING/INT/BIGINT " +
-              s"columns, got ${other.fold("an undeclared column")(_.sql)}")
-        }
-      case other => sys.error(
-        s"GraftCatalog: unsupported partition transform '$other' — supported: " +
-          "identity columns, days/hours/months/years(ts), bucket(n, col), " +
-          "truncate(w, col)")
+    val fn = t.name().toLowerCase(java.util.Locale.ROOT)
+    if (fn == "identity") return None
+    val arg = t.arguments().collectFirst {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.value().isInstanceOf[Number] =>
+        l.value().asInstanceOf[Number].intValue()
     }
+    GraftTransforms.desugar(fn, col0, arg, colType)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -349,8 +319,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // generated column, which then rides the ordinary spec'd create
     def colTypeOf(n: String): Option[org.apache.spark.sql.types.DataType] =
       cols.find(_.name() == n).map(_.dataType())
+    val hiddenSpecs: Seq[GraftTransforms.Spec] =
+      info.partitions().toSeq.flatMap(hiddenPartitionSpec(_, colTypeOf))
     val hidden: Seq[(String, String, org.apache.spark.sql.types.DataType)] =
-      info.partitions().toSeq.flatMap(hiddenPartition(_, colTypeOf))
+      hiddenSpecs.map(s => (s.name, s.sql, s.dataType))
     hidden.foreach { case (n, _, _) =>
       require(!cols.exists(_.name() == n),
         s"GraftCatalog: hidden-partition column '$n' collides with a declared " +
@@ -392,7 +364,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"${other.toDDL} — PRIMARY KEY/UNIQUE/FOREIGN KEY are not verified " +
           "by this engine and will not be recorded as if they were")
     }.toMap
-    val props = GraftCatalog.tableProps(info.properties())
+    // hidden-partitioned tables AUTO-index the transform SOURCE columns:
+    // raw `WHERE ts >= X` predicates must prune without the user knowing
+    // the layout (the Iceberg contract) — graft.stats.auto='false' opts out
+    val props = GraftTransforms.autoIndexProps(
+      GraftCatalog.tableProps(info.properties()), hiddenSpecs, colTypeOf)
     val partCols = info.partitions().toSeq.map(t => hiddenPartition(t, colTypeOf)
       .map(_._1).getOrElse(t.references()(0).fieldNames().mkString(".")))
     VersionedTable.createTableWithSpecs(Some(SparkSession.active), root, schema,
@@ -489,6 +465,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
             s"GraftCatalog: only CHECK constraints are enforceable here, got " +
               s"${other.toDDL}")
         }
+      case un: TableChange.UpdateColumnNullability =>
+        // ALTER COLUMN c DROP NOT NULL retires a CREATE-time/CTAS
+        // invariant metadata-only; SET NOT NULL validates existing rows
+        // first (the ADD CONSTRAINT discipline)
+        require(un.fieldNames().length == 1,
+          s"GraftCatalog: nested column nullability is unsupported " +
+            s"(${un.fieldNames().mkString(".")})")
+        VersionedTable.setColumnNullabilityOp(spark, root,
+          un.fieldNames()(0), un.nullable())
       case dc: TableChange.DropConstraint =>
         if (dc.ifExists) { parent: VersionedTable.Commit =>
           if (parent.constraints.contains(dc.name()))
@@ -1333,6 +1318,7 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
     // path-round-trippable key types. Everything else stays residual —
     // the envelope/bloom index remains advisory-only.
     claimed = Array.empty
+    var derived: Array[Filter] = Array.empty
     if (spark.conf.get("spark.graft.partitionFilterPushdown", "true") == "true") {
       pinnedSnap.filter(c => c.partitionCols.nonEmpty && c.dirLayouts.isEmpty)
         .foreach { c =>
@@ -1343,9 +1329,22 @@ class GraftScanBuilder(spark: SparkSession, root: String, asOf: Option[Long],
               .filter(f => c.partitionCols.contains(c.nameMap.getOrElse(f.name, f.name)))
               .map(f => f.name -> f.dataType).toMap
           claimed = filters.filter(GraftPartitionFilters.claimable(_, keyTypes))
+          // HIDDEN-PARTITIONING derived pruning: raw-source predicates
+          // (ts >= X over a days(ts) layout) derive partition-key bounds
+          // that prune key groups/files exactly — the raw filter itself
+          // stays residual (Spark keeps its Filter), so derivation is
+          // always sound. Rename-free snapshots only: the generation SQL
+          // names columns by their creation spelling.
+          if (c.nameMap.isEmpty && c.generated.nonEmpty)
+            derived = GraftTransformFilters.derive(
+              filters.filterNot(claimed.contains).toSeq, c.partitionCols,
+              c.generated, tableSchema,
+              java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone))
+              .toArray
         }
     }
     residual = filters.filterNot(claimed.contains)
+    claimed = claimed ++ derived
     residual
   }
 
@@ -1624,12 +1623,18 @@ class GraftWriteBuilder(root: String, info: LogicalWriteInfo)
   * overwrite commit through the standard OCC path. A REPLACE therefore
   * lands on the EXISTING commit log: atomic swap, history preserved,
   * time travel reaches every pre-replace version, abort is a true no-op.
-  * Parent-table invariants (CHECK constraints, NOT NULL) survive a
-  * REPLACE like every overwrite and enforce on the staged batch — a
-  * violating REPLACE refuses with the log untouched; drop them first to
-  * redefine away. Declared TBLPROPERTIES apply as one follow-up metadata
-  * commit (the index-shaping keys `graft.stats.columns` /
-  * `graft.bloom.columns` already shape the data commit itself).
+  * Parent-table CHECK constraints survive a REPLACE like every overwrite
+  * and enforce on the staged batch — a violating REPLACE refuses with the
+  * log untouched; drop them first to redefine away. NOT NULL invariants
+  * REDECLARE from the replacing query's schema (Delta's RTAS: new shape,
+  * new nullability), and a fresh CTAS inherits the query schema's
+  * nullability the same way. Hidden (transform) partition layouts ride
+  * both shapes: generated-column declaration + data publish as the SAME
+  * commit, so a failed query can never leave a phantom declared-empty
+  * table behind. Declared TBLPROPERTIES ride the SAME commit (merged
+  * over the table's existing properties; the index-shaping keys
+  * `graft.stats.columns` / `graft.bloom.columns` also shape the data
+  * commit itself).
   */
 private[catalog] final class GraftStagedTable(catalog: GraftCatalog,
     ident: Identifier, root: String,
@@ -1681,54 +1686,57 @@ private[catalog] final class GraftStagedTable(catalog: GraftCatalog,
       cols.find(_.name() == n).map(_.dataType())
     // hidden partitioning in the staged statement desugars exactly like
     // the plain CREATE path: transforms synthesize generated columns
-    val hidden: Seq[(String, String, org.apache.spark.sql.types.DataType)] =
-      info.partitions().toSeq.flatMap(catalog.hiddenPartition(_, colTypeOf))
+    val hiddenSpecs: Seq[GraftTransforms.Spec] =
+      info.partitions().toSeq.flatMap(catalog.hiddenPartitionSpec(_, colTypeOf))
     val partitionCols = info.partitions().toSeq.map(t =>
       catalog.hiddenPartition(t, colTypeOf).map(_._1)
         .getOrElse(t.references()(0).fieldNames().mkString(".")))
-    val props = GraftCatalog.tableProps(info.properties())
+    // hidden layouts auto-index their SOURCE columns (the Iceberg "users
+    // never think about the layout" contract; graft.stats.auto opts out)
+    val props = GraftTransforms.autoIndexProps(
+      GraftCatalog.tableProps(info.properties()), hiddenSpecs, colTypeOf)
     def declared(key: String): Seq[String] = props.get(key)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val commitId = s"catalog-staged-${java.util.UUID.randomUUID().toString.take(12)}"
-    require(hidden.isEmpty || !replace,
-      "GraftCatalog: staged REPLACE cannot introduce hidden partitioning — " +
-        "the overwrite would need to redeclare generated columns over the " +
-        "existing log; CREATE a fresh table with the transform layout")
-    if (hidden.nonEmpty) {
-      // declare first (generated columns + transform layout as one
-      // metadata v1), then land the data as the first append — the
-      // engine materializes the synthesized keys from the declaration
-      catalog.stagedCreateWithSpecs(root,
-        StructType(schema().fields ++ hidden.map { case (n, _, dt) =>
-          org.apache.spark.sql.types.StructField(n, dt) }),
-        partitionCols, props,
-        hidden.map { case (n, sql, _) => n -> sql }.toMap, s"$commitId-create")
-      pending.foreach(data => VersionedTable.commit(data, root, "append", commitId,
-        statsCols = declared("graft.stats.columns").filter(data.columns.contains),
-        partitionCols = partitionCols,
-        bloomCols = declared("graft.bloom.columns").filter(data.columns.contains)))
-      return
-    }
+    val generated = hiddenSpecs.map(s => s.name -> s.sql).toMap
     pending match {
       case Some(data) =>
+        // ONE commit carries declaration AND data — for a fresh CTAS the
+        // transform layout, generated specs, and the query schema's
+        // nullability (Delta's CTAS NOT NULL inheritance) publish with the
+        // rows; for a staged REPLACE the SAME overwrite commit redeclares
+        // the generated set over the existing log (transform layouts
+        // included), history preserved. A failed query therefore leaves
+        // NOTHING behind: the manifest publishes only after the data lands.
         VersionedTable.commit(data, root, "overwrite", commitId,
-          statsCols = declared("graft.stats.columns").filter(data.columns.contains),
+          statsCols = declared("graft.stats.columns")
+            .filter(c => data.columns.contains(c) ||
+              generated.keySet.contains(c)),
           partitionCols = partitionCols,
-          bloomCols = declared("graft.bloom.columns").filter(data.columns.contains))
+          bloomCols = declared("graft.bloom.columns").filter(data.columns.contains),
+          declareGenerated = generated,
+          declareNotNull = Some(schema().fields.filterNot(_.nullable)
+            .map(_.name).toSeq),
+          declareProps = props)
       case None =>
         // REPLACE TABLE without AS SELECT: redefine to EMPTY under the
         // new shape — one overwrite commit, history preserved. A fresh
-        // CREATE without data is the plain declared-empty create.
+        // CREATE without data is the plain declared-empty create (specs
+        // included when the layout is hidden).
         if (replace)
           VersionedTable.commit(
             spark.createDataFrame(
               spark.sparkContext.emptyRDD[Row], schema()),
-            root, "overwrite", commitId, partitionCols = partitionCols)
+            root, "overwrite", commitId, partitionCols = partitionCols,
+            declareGenerated = generated, declareProps = props)
+        else if (generated.nonEmpty)
+          catalog.stagedCreateWithSpecs(root,
+            StructType(schema().fields ++ hiddenSpecs.map(s =>
+              org.apache.spark.sql.types.StructField(s.name, s.dataType))),
+            partitionCols, props, generated, commitId)
         else
           VersionedTable.createTable(root, schema(), partitionCols, props, commitId)
     }
-    if (props.nonEmpty && (pending.nonEmpty || replace))
-      VersionedTable.setTableProperties(root, props, s"$commitId-props")
   }
 
   override def abortStagedChanges(): Unit = () // nothing persisted pre-publish

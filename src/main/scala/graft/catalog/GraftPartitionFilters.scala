@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions.{col, lit}
-import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull, IsNull}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, StringType, TimestampNTZType, TimestampType}
 
 /** RESIDUAL-FREE partition predicates (the public Iceberg/Hive
@@ -74,6 +74,23 @@ private[graft] object GraftPartitionFilters {
       .orElse(graft.io.VersionedRelation.tsMicros(v))
       .orElse(graft.io.VersionedRelation.ntzMicros(v)).getOrElse(v)
 
+  /** Total order over normalized key values — integral widths unify to
+    * long, temporals are already epoch longs after [[norm]], strings
+    * compare by UTF-8 bytes (Spark's own string order). A mixed-type
+    * comparison is a loud refusal: it means a derived/claimed literal
+    * and the path-parsed key disagree on type, which enforcement must
+    * never paper over.
+    */
+  private def cmp(a: Any, b: Any): Int = (norm(a), norm(b)) match {
+    case (x: Long, y: Long)     => java.lang.Long.compare(x, y)
+    case (x: Int, y: Int)       => Integer.compare(x, y)
+    case (x: Int, y: Long)      => java.lang.Long.compare(x.toLong, y)
+    case (x: Long, y: Int)      => java.lang.Long.compare(x, y.toLong)
+    case (x: String, y: String) => graft.io.VersionedTable.utf8Compare(x, y)
+    case (x, y) => sys.error(
+      s"partition filter comparison over incompatible values $x / $y")
+  }
+
   /** Exact evaluation of every claimed filter against one key-value map
     * (LOGICAL column name → typed value, null = NULL partition). A
     * referenced column absent from the map is a loud refusal, never a
@@ -91,6 +108,12 @@ private[graft] object GraftPartitionFilters {
         k != null && vs != null && vs.exists(x => x != null && norm(x) == norm(k))
       case IsNull(a)    => value(a) == null
       case IsNotNull(a) => value(a) != null
+      // range shapes carry DERIVED transform bounds (GraftTransformFilters)
+      // — never claimed residual-free, but enforced/pruned exactly here
+      case GreaterThan(a, v)        => val k = value(a); k != null && cmp(k, v) > 0
+      case GreaterThanOrEqual(a, v) => val k = value(a); k != null && cmp(k, v) >= 0
+      case LessThan(a, v)           => val k = value(a); k != null && cmp(k, v) < 0
+      case LessThanOrEqual(a, v)    => val k = value(a); k != null && cmp(k, v) <= 0
       case other        => sys.error(s"unclaimable filter reached enforcement: $other")
     }
   }
@@ -105,6 +128,10 @@ private[graft] object GraftPartitionFilters {
       if (nn.isEmpty) lit(false) else col(a).isin(nn: _*)
     case IsNull(a)    => col(a).isNull
     case IsNotNull(a) => col(a).isNotNull
+    case GreaterThan(a, v)        => col(a) > lit(v)
+    case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case LessThan(a, v)           => col(a) < lit(v)
+    case LessThanOrEqual(a, v)    => col(a) <= lit(v)
     case other        => sys.error(s"unclaimable filter reached enforcement: $other")
   }.reduce(_ && _)
 }

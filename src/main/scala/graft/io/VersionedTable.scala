@@ -862,10 +862,17 @@ object VersionedTable {
       // batch omits) must refuse with the constraint's name, not a raw
       // analyzer resolution error
       val bad = try batch.filter(expr(sql) === false).limit(1).collect()
-        catch { case e: org.apache.spark.sql.AnalysisException => sys.error(
-          s"$op: CHECK constraint '$name' ($sql) references columns the batch " +
-            s"does not carry — drop the constraint first, or supply the column " +
-            s"(${e.getMessage.linesIterator.nextOption().getOrElse("")})") }
+        catch { case e: org.apache.spark.sql.AnalysisException =>
+          // a NOT NULL invariant surfaces as a SYNTHESIZED '<col>_not_null'
+          // check — DROP CONSTRAINT cannot find it; point at the verb that
+          // actually retires it
+          val fix = if (name.endsWith("_not_null"))
+            s"ALTER COLUMN ${name.stripSuffix("_not_null")} DROP NOT NULL first"
+          else "drop the constraint first"
+          sys.error(
+            s"$op: CHECK constraint '$name' ($sql) references columns the batch " +
+              s"does not carry — $fix, or supply the column " +
+              s"(${e.getMessage.linesIterator.nextOption().getOrElse("")})") }
       require(bad.isEmpty,
         s"$op: CHECK constraint '$name' ($sql) violated by row ${bad.headOption.orNull}")
     }
@@ -913,6 +920,35 @@ object VersionedTable {
       read(spark, root, asOf = Some(parent.version)), "addConstraint")
     parent.copy(mode = "constraint",
       constraints = parent.constraints + (name -> sqlExpr))
+  }
+
+  /** The ALTER COLUMN ... SET/DROP NOT NULL snapshot transform
+    * ([[alterAtomic]]-composable) — the verb that makes a CREATE-time (or
+    * CTAS-inherited) NOT NULL invariant REMOVABLE: DROP NOT NULL is a
+    * metadata-only removal (no-op fold if the column never carried the
+    * invariant — nothing publishes); SET NOT NULL validates the parent
+    * snapshot first, exactly like ADD CONSTRAINT, so an existing NULL
+    * refuses before anything publishes.
+    */
+  def setColumnNullability(spark: SparkSession, root: String, name: String,
+                           nullable: Boolean, commitId: String): Long =
+    metadataCommit(root, commitId, setColumnNullabilityOp(spark, root, name, nullable))
+
+  def setColumnNullabilityOp(spark: SparkSession, root: String, name: String,
+                             nullable: Boolean): Commit => Commit = { parent =>
+    require(parent.schemaDdl.isEmpty || logicalCols(parent).contains(name),
+      s"setColumnNullability: unknown column '$name' " +
+        s"(snapshot columns: ${logicalCols(parent).mkString(", ")})")
+    if (nullable)
+      parent.copy(mode = "constraint",
+        notNull = parent.notNull.filterNot(_ == name))
+    else {
+      if (parent.dirs.nonEmpty)
+        enforceConstraints(Map(s"${name}_not_null" -> s"$name IS NOT NULL"),
+          read(spark, root, asOf = Some(parent.version)), "setColumnNullability")
+      parent.copy(mode = "constraint",
+        notNull = (parent.notNull :+ name).distinct.sorted)
+    }
   }
 
   /** Drop a named CHECK constraint — metadata-only, idempotent under
@@ -1123,6 +1159,102 @@ object VersionedTable {
           val v = parent.version + 1
           if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
               mode = "set-layout", partitionCols = newPhys, dirLayouts = eras)))
+            out = v
+        }
+        out
+    }
+  }
+
+  /** PARTITION EVOLUTION to a TRANSFORM layout (Iceberg's headline spec
+    * evolution — daily → hourly): `ALTER GRAFT ... SET PARTITIONED BY
+    * (hours(ts))` lands as ONE metadata commit that (a) synthesizes the
+    * transform's generated column (the same desugar every CREATE-time
+    * hidden layout uses — [[graft.catalog.GraftTransforms]]), (b) appends
+    * it to the snapshot schema, (c) flips `partitionCols`, (d) records
+    * every existing dir under its old era (`dirLayouts`), and (e)
+    * auto-indexes the transform source column. Zero bytes move: reads of
+    * pre-evolution dirs COMPUTE the synthesized key from its expression
+    * ([[alignTo]] — the value is fully determined by the row), new
+    * appends materialize it and land hive-partitioned on it, and time
+    * travel to pre-evolution versions keeps the old shape. Entries may
+    * mix transforms and plain columns; a plain re-layout (no transforms)
+    * is exactly [[setPartitionLayout]].
+    *
+    * Refusals: renamed tables (generation SQL binds creation-era names;
+    * compact/overwrite to normalize first), a synthesized name that
+    * collides with an existing column (unless it is ALREADY the same
+    * generated expression — re-evolving back is legal), and DROPPED-name
+    * resurrection (pre-drop files still hold the retired slot).
+    */
+  def evolvePartitionLayout(spark: SparkSession, root: String,
+                            entries: Seq[String], commitId: String): Long = {
+    import graft.catalog.GraftTransforms
+    val parsed = entries.map(GraftTransforms.parseEntry)
+    if (parsed.forall(_.isLeft))
+      return setPartitionLayout(root, parsed.collect { case Left(c) => c }, commitId)
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => prior
+      case None =>
+        var out = -1L
+        while (out < 0) {
+          val parent = latestCommit(root)
+            .getOrElse(sys.error(s"evolvePartitionLayout: no commits at $root"))
+          require(parent.schemaDdl.nonEmpty,
+            "evolvePartitionLayout: snapshot has no recorded schema")
+          require(parent.nameMap.isEmpty,
+            "evolvePartitionLayout: transform layouts need creation-era column " +
+              "names (this table has renames) — compact or overwrite first")
+          val schema = org.apache.spark.sql.types.StructType.fromDDL(parent.schemaDdl.get)
+          def colType(n: String) = schema.fields.find(_.name == n).map(_.dataType)
+          // desugar each entry: plain columns pass through, transforms
+          // synthesize (validated here — undeclared/ill-typed sources
+          // refuse before anything publishes)
+          val cols: Seq[(String, Option[GraftTransforms.Spec])] = parsed.map {
+            case Left(c) =>
+              require(schema.fieldNames.contains(c),
+                s"evolvePartitionLayout: unknown column '$c' " +
+                  s"(snapshot columns: ${schema.fieldNames.mkString(", ")})")
+              (c, None)
+            case Right((fn, src, arg)) =>
+              val spec = GraftTransforms.desugar(fn, src, arg, colType)
+                .getOrElse(sys.error(
+                  s"evolvePartitionLayout: '$fn' is the identity — spell the column plainly"))
+              (spec.name, Some(spec))
+          }
+          val newCols = cols.map(_._1)
+          require(newCols.distinct.size == newCols.size,
+            s"evolvePartitionLayout: duplicate key in ${newCols.mkString(", ")}")
+          require(newCols != parent.partitionCols,
+            s"evolvePartitionLayout: (${entries.mkString(", ")}) is already the layout")
+          val fresh = cols.collect { case (n, Some(s)) if !schema.fieldNames.contains(n) => (n, s) }
+          // a name that already exists must BE this generated expression
+          // (re-evolving to a previously-declared transform); anything
+          // else is a collision
+          cols.foreach {
+            case (n, Some(s)) if schema.fieldNames.contains(n) =>
+              require(parent.generated.get(n).contains(s.sql),
+                s"evolvePartitionLayout: synthesized key '$n' collides with an " +
+                  "existing column that is not the same generated expression")
+            case _ => ()
+          }
+          fresh.foreach { case (n, _) =>
+            require(!parent.dropped.contains(n),
+              s"evolvePartitionLayout: '$n' was DROPPED — pre-drop files still " +
+                "hold the retired slot; compact/overwrite first") }
+          fresh.foreach(f => spark.sessionState.sqlParser.parseExpression(f._2.sql))
+          val newSchema = org.apache.spark.sql.types.StructType(
+            schema.fields ++ fresh.map { case (n, s) =>
+              org.apache.spark.sql.types.StructField(n, s.dataType) })
+          val eras = parent.dirs.map(d => d -> layoutOf(parent, d)).toMap
+            .filter { case (_, lay) => lay != newCols }
+          val props = GraftTransforms.autoIndexProps(
+            parent.props, cols.flatMap(_._2), colType)
+          val v = parent.version + 1
+          if (publishIfAbsent(root, v, parent.copy(version = v, commitId = commitId,
+              mode = "set-layout", partitionCols = newCols, dirLayouts = eras,
+              schemaDdl = Some(newSchema.toDDL),
+              generated = parent.generated ++ fresh.map { case (n, s) => n -> s.sql },
+              props = props)))
             out = v
         }
         out
@@ -1750,8 +1882,25 @@ object VersionedTable {
 
   def commit(df: DataFrame, root: String, mode: String, commitId: String,
              statsCols: Seq[String] = Nil, partitionCols: Seq[String] = Nil,
-             bloomCols: Seq[String] = Nil): Long = {
+             bloomCols: Seq[String] = Nil,
+             declareGenerated: Map[String, String] = Map.empty,
+             declareNotNull: Option[Seq[String]] = None,
+             declareProps: Map[String, String] = Map.empty): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode: $mode")
+    // DECLARE-WITH-DATA (the atomic staged CTAS/RTAS shape): an overwrite
+    // commit may REDECLARE the generated-column set alongside its data —
+    // exactly how REPLACE redeclares the schema — so a hidden-partitioned
+    // CREATE/REPLACE ... AS SELECT publishes declaration + data as ONE
+    // commit (no phantom declared-empty table if the query fails), and
+    // `declareNotNull` seeds NOT NULL invariants for a FRESH table (CTAS
+    // inherits the query schema's nullability, Delta's behavior); on an
+    // existing table the parent's invariants survive like every overwrite.
+    require(declareGenerated.isEmpty || mode == "overwrite",
+      "commit: declareGenerated is an overwrite-redeclaration (CTAS/RTAS); " +
+        "appends inherit the snapshot's generated columns")
+    if (declareGenerated.nonEmpty)
+      declareGenerated.values.foreach(
+        df.sparkSession.sessionState.sqlParser.parseExpression)
     findCommitVersion(root, commitId) match {
       case Some(prior) => prior // retry of a committed write: no-op
       case None =>
@@ -1763,9 +1912,15 @@ object VersionedTable {
         // GENERATED columns materialize first (both modes — they are table
         // properties like constraints): a batch LACKING the column gets it
         // computed; a batch CARRYING it is enforced for equality, so a
-        // writer can never store a value the expression disagrees with
-        val dfGen0 = preParent0.map(_.generated).filter(_.nonEmpty)
-          .fold(df)(materializeGenerated(_, df, "commit"))
+        // writer can never store a value the expression disagrees with.
+        // A declare-with-data overwrite materializes its OWN declaration
+        // (the redeclared set replaces the parent's wholesale, like schema).
+        val effGenerated =
+          if (declareGenerated.nonEmpty) declareGenerated
+          else preParent0.map(_.generated).getOrElse(Map.empty)
+        val dfGen0 =
+          if (effGenerated.isEmpty) df
+          else materializeGenerated(effGenerated, df, "commit")
         // column DEFAULTS materialize next (append mode — an overwrite
         // batch defines its own values; the declaration itself survives
         // the overwrite when its column does, see the publish below): a batch
@@ -1785,8 +1940,19 @@ object VersionedTable {
           }
         // CHECK constraints hold in BOTH modes (they are table properties,
         // surviving overwrite like Delta's) and are enforced on the
-        // incoming LOGICAL batch before any data is written
-        preParent0.foreach(p => enforceConstraints(effectiveChecks(p), dfGen, "commit"))
+        // incoming LOGICAL batch before any data is written. A REPLACE
+        // that REDECLARES nullability (declareNotNull, the staged RTAS
+        // path) enforces ITS declaration instead of the parent's — the
+        // old schema's NOT NULL set may name columns the new shape
+        // dropped, exactly like the schema it rides in on.
+        preParent0.foreach { p =>
+          val checks = declareNotNull match {
+            case Some(nn) if mode == "overwrite" =>
+              effectiveChecks(p.copy(notNull = nn.sorted))
+            case _ => effectiveChecks(p)
+          }
+          enforceConstraints(checks, dfGen, "commit")
+        }
         // IDENTITY columns allocate here (both modes — the spec is a table
         // property): explicit values are refused (GENERATED ALWAYS), the
         // batch gets a contiguous [next, next + step·count) range, and the
@@ -1953,14 +2119,22 @@ object VersionedTable {
                   nameMap = if (mode == "append")
                     parent.map(_.nameMap).getOrElse(Map.empty) else Map.empty,
                   constraints = parent.map(_.constraints).getOrElse(Map.empty),
-                  notNull = parent.map(_.notNull).getOrElse(Nil),
+                  // a FRESH table seeds NOT NULL from the CTAS declaration;
+                  // a REPLACE redeclares it (new schema, new nullability —
+                  // Delta's RTAS); an overwrite WITHOUT a declaration
+                  // (INSERT OVERWRITE) keeps the table's invariants
+                  notNull = declareNotNull.map(_.sorted)
+                    .orElse(parent.map(_.notNull)).getOrElse(Nil),
                   // overwrite rewrites the whole row set — retired slots
                   // are gone from every live file, so the names free up
                   dropped = if (mode == "append")
                     parent.map(_.dropped).getOrElse(Nil) else Nil,
-                  generated = parent.map(_.generated).getOrElse(Map.empty),
+                  generated = if (declareGenerated.nonEmpty) declareGenerated
+                    else parent.map(_.generated).getOrElse(Map.empty),
                   nullCounts = nullCounts,
-                  props = parent.map(_.props).getOrElse(Map.empty),
+                  // declared TBLPROPERTIES (the staged CTAS/RTAS shape)
+                  // ride the SAME commit — merged over the table's own
+                  props = parent.map(_.props).getOrElse(Map.empty) ++ declareProps,
                   identity = committedIdentity(parent),
                   // the new dir is in the CURRENT layout (no entry); an
                   // overwrite replaces every dir, clearing the era registry
@@ -2928,7 +3102,7 @@ object VersionedTable {
           val target = c.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
           val dv = loadPosDv(spark, root, posSets)
           ds.map { d =>
-            alignTo(target, c.defaults)(
+            alignTo(target, c.defaults, c.generated)(
               spark.read.parquet(dirPath(root, d))
                 .filter(org.apache.spark.sql.functions.not(posDeletedCol(d, dv))))
           }.reduce(_.unionByName(_))
@@ -3028,7 +3202,8 @@ object VersionedTable {
     * schema, so old snapshots keep their old shape.
     */
   private def alignTo(target: Option[org.apache.spark.sql.types.StructType],
-                      defaults: Map[String, String] = Map.empty)
+                      defaults: Map[String, String] = Map.empty,
+                      generated: Map[String, String] = Map.empty)
                      (df: DataFrame): DataFrame = target match {
     case None => df
     case Some(t) =>
@@ -3036,10 +3211,15 @@ object VersionedTable {
       df.select(t.fields.map { f =>
         if (!df.columns.contains(f.name))
           // a file predating the column backfills its declared DEFAULT
-          // (the column-defaults feature); NULL otherwise — per input
-          // frame, so a post-declaration writer's explicit NULL is never
-          // confused with a missing slot
+          // (the column-defaults feature); a GENERATED column COMPUTES
+          // from its expression (partition evolution to a transform
+          // layout — pre-evolution dirs never stored the synthesized
+          // key, but its value is fully determined by the row); NULL
+          // otherwise — per input frame, so a post-declaration writer's
+          // explicit NULL is never confused with a missing slot
           defaults.get(f.name).map(d => expr(d).cast(f.dataType).as(f.name))
+            .orElse(generated.get(f.name)
+              .map(g => expr(g).cast(f.dataType).as(f.name)))
             .getOrElse(lit(null).cast(f.dataType).as(f.name))
         // hive partition-value inference may read `k=3` narrower than the
         // declared type (int vs the schema's bigint) — cast to the declared
@@ -3076,15 +3256,22 @@ object VersionedTable {
   private def scanCommitDirs(spark: SparkSession, root: String, c: Commit,
                              dirs: Seq[String]): DataFrame = {
     val groups = dirs.groupBy(d => layoutOf(c, d))
-    if (groups.size <= 1)
+    // a dir-group whose era differs from the CURRENT layout may predate a
+    // transform-evolution's synthesized column — those scans compute it
+    // (alignTo); current-era dirs always carry every generated column
+    def gensFor(lay: Seq[String]): Map[String, String] =
+      if (lay != c.partitionCols) c.generated else Map.empty
+    if (groups.size <= 1) {
+      val lay = groups.keys.headOption.getOrElse(c.partitionCols)
       scanDirs(spark, dirs.map(d => dirPath(root, d)),
-        groups.keys.headOption.getOrElse(c.partitionCols), c.schemaDdl, c.defaults)
-    else {
+        lay, c.schemaDdl, c.defaults, gensFor(lay))
+    } else {
       require(c.schemaDdl.nonEmpty,
         "mixed partition layouts require a recorded snapshot schema")
       groups.toSeq.sortBy(_._1.mkString(","))
         .map { case (lay, ds) =>
-          scanDirs(spark, ds.map(d => dirPath(root, d)), lay, c.schemaDdl, c.defaults)
+          scanDirs(spark, ds.map(d => dirPath(root, d)), lay, c.schemaDdl,
+            c.defaults, gensFor(lay))
         }
         .reduce(_.unionByName(_))
     }
@@ -3093,19 +3280,21 @@ object VersionedTable {
   private def scanDirs(spark: SparkSession, dirs: Seq[String],
                        partitionCols: Seq[String],
                        schemaDdl: Option[String] = None,
-                       defaults: Map[String, String] = Map.empty): DataFrame = {
+                       defaults: Map[String, String] = Map.empty,
+                       generated: Map[String, String] = Map.empty): DataFrame = {
     val target = schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
     if (dirs.isEmpty)
       // a fully-deleted snapshot: empty relation under the recorded schema
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         target.getOrElse(sys.error("empty snapshot with no recorded schema")))
-    else if (partitionCols.isEmpty && defaults.isEmpty)
+    else if (partitionCols.isEmpty && defaults.isEmpty && generated.isEmpty)
       target.map(t => spark.read.schema(t)).getOrElse(spark.read).parquet(dirs: _*)
     else
       // per-dir union: hive recovery for partitioned dirs, and — when the
-      // table declares column DEFAULTS — per-dir backfill (the flat
-      // schema-read path would fill NULL for pre-default dirs)
-      dirs.map(d => alignTo(target, defaults)(spark.read.parquet(d)))
+      // table declares column DEFAULTS (or evolution synthesized a
+      // generated key) — per-dir backfill/compute (the flat schema-read
+      // path would fill NULL for pre-declaration dirs)
+      dirs.map(d => alignTo(target, defaults, generated)(spark.read.parquet(d)))
         .reduce(_.unionByName(_))
   }
 
@@ -3160,7 +3349,7 @@ object VersionedTable {
           Some(spark.read.parquet(fs.map(f => s"$dp/$f"): _*))
         case (_, dp, Some(fs))  =>
           Some(spark.read.option("basePath", dp).parquet(fs.map(f => s"$dp/$f"): _*))
-      }.map(alignTo(target, c.defaults))
+      }.map(alignTo(target, c.defaults, c.generated))
       if (dfs.isEmpty) emptyScan else dfs.reduce(_.unionByName(_))
     }
   }
@@ -5304,7 +5493,7 @@ object VersionedTable {
                 if (posSets.isEmpty) raw
                 else raw.filter(org.apache.spark.sql.functions.not(
                   posDeletedCol(d, loadPosDv(spark, root, posSets))))
-              val df0 = alignTo(Some(physSchema), c.defaults)(posApplied)
+              val df0 = alignTo(Some(physSchema), c.defaults, c.generated)(posApplied)
               keySets.foldLeft(df0) { (acc, setName) =>
                 val kc = c.deleteKeys.getOrElse(setName, sys.error(
                   s"manifest references delete set $setName with no recorded key column"))

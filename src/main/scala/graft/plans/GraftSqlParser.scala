@@ -36,6 +36,7 @@ import graft.io.VersionedTable
   *   ALTER GRAFT '<root>' RENAME COLUMN <a> TO <b>
   *   ALTER GRAFT '<root>' DROP COLUMN <a>
   *   ALTER GRAFT '<root>' ALTER COLUMN <a> TYPE <sqlType>
+  *   ALTER GRAFT '<root>' ALTER COLUMN <a> SET | DROP NOT NULL
   *   ALTER GRAFT '<root>' ADD COLUMN <a> <type>              — NULL backfill
   *   ALTER GRAFT '<root>' ADD COLUMN <a> <type> DEFAULT (<expr>)
   *   ALTER GRAFT '<root>' ADD COLUMN <a> GENERATED ALWAYS AS (<expr>)
@@ -43,7 +44,10 @@ import graft.io.VersionedTable
   *       [(START WITH <n> STEP <n>)]
   *   ALTER GRAFT '<root>' ADD CONSTRAINT <name> CHECK (<expr>)
   *   ALTER GRAFT '<root>' DROP CONSTRAINT <name>
-  *   ALTER GRAFT '<root>' SET PARTITIONED BY (c1 [, ...]) — () = flat
+  *   ALTER GRAFT '<root>' SET PARTITIONED BY (c1 [, ...]) — () = flat;
+  *       transform entries (days/hours/months/years(ts), bucket(n, c),
+  *       truncate(w, c)) evolve to a HIDDEN layout: one metadata commit,
+  *       zero bytes moved, old dirs read under their era
   *   ALTER GRAFT '<root>' SET TBLPROPERTIES ('k' = 'v' [, ...])
   *   ALTER GRAFT '<root>' UNSET TBLPROPERTIES ('k' [, ...])
   *   ALTER GRAFT '<root>' CREATE BRANCH <name>
@@ -175,6 +179,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+DROP\s+COLUMN\s+(\w+)\s*;?\s*""".r
   private val alterTypeRe =
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+(\w+)\s*;?\s*""".r
+  private val alterNullabilityRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+ALTER\s+COLUMN\s+(\w+)\s+(SET|DROP)\s+NOT\s+NULL\s*;?\s*""".r
   private val alterAddIdentityRe =
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+ADD\s+COLUMN\s+(\w+)\s+GENERATED\s+ALWAYS\s+AS\s+IDENTITY(?:\s*\(\s*START\s+WITH\s+(-?\d+)\s+STEP\s+(-?\d+)\s*\))?\s*;?\s*""".r
   private val alterAddDefaultRe =
@@ -191,7 +197,9 @@ object GraftSqlParser {
   private val alterDropConstraintRe =
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+DROP\s+CONSTRAINT\s+(\w+)\s*;?\s*""".r
   private val alterSetLayoutRe =
-    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+SET\s+PARTITIONED\s+BY\s*\(([^)]*)\)\s*;?\s*""".r
+    // greedy body up to the LAST ')': transform entries nest parens —
+    // SET PARTITIONED BY (days(ts), bucket(4, id))
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+SET\s+PARTITIONED\s+BY\s*\((.*)\)\s*;?\s*""".r
   private val alterSetPropsRe =
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
   private val alterUnsetPropsRe =
@@ -464,6 +472,9 @@ object GraftSqlParser {
       Some(GraftAlterCommand(root, "rename", from, Some(to)))
     case alterDropColRe(root, c) => Some(GraftAlterCommand(root, "dropcol", c, None))
     case alterTypeRe(root, c, t) => Some(GraftAlterCommand(root, "widen", c, Some(t)))
+    case alterNullabilityRe(root, c, verb) =>
+      Some(GraftAlterCommand(root, "nullability", c,
+        Some(verb.toLowerCase(java.util.Locale.ROOT))))
     case alterAddIdentityRe(root, c, st, sp) =>
       // IDENTITY must match before the generic GENERATED ALWAYS AS (expr)
       // form — "IDENTITY" is not an expression
@@ -484,9 +495,10 @@ object GraftSqlParser {
       Some(GraftAlterCommand(root, "dropconstraint", n, None))
     case alterSetLayoutRe(root, cols) =>
       // must match before SET TBLPROPERTIES cannot collide (distinct
-      // keywords), but before any generic ALTER fallthrough; () = flat
-      Some(GraftAlterCommand(root, "setlayout",
-        cols.split(",").map(_.trim).filter(_.nonEmpty).mkString(","), None))
+      // keywords), but before any generic ALTER fallthrough; () = flat.
+      // The body passes RAW — transform entries (days(ts), bucket(4, id))
+      // carry nested commas the command splits paren-aware.
+      Some(GraftAlterCommand(root, "setlayout", cols.trim, None))
     case alterSetPropsRe(root, pairs) =>
       val kvs = pairs.split(",").map {
         case propPairRe(k, v) => k -> v
@@ -862,12 +874,23 @@ case class GraftAlterCommand(root: String, verb: String, name: String,
         VersionedTable.addIdentityColumn(root, name, st.toLong, sp.toLong, commitId)
       case "addconstraint" => VersionedTable.addConstraint(spark, root, name, arg.get, commitId)
       case "dropconstraint" => VersionedTable.dropConstraint(root, name, commitId)
-      case "setlayout" => VersionedTable.setPartitionLayout(root,
-        name.split(",").map(_.trim).filter(_.nonEmpty).toSeq, commitId)
+      case "setlayout" =>
+        // transform spellings (days(ts), bucket(n, c), ...) route through
+        // PARTITION EVOLUTION (generated-column desugar + era-preserving
+        // re-layout); plain column lists are the identity re-layout
+        val entries = graft.catalog.GraftTransforms.splitEntries(name)
+        if (entries.exists(_.contains("(")))
+          VersionedTable.evolvePartitionLayout(spark, root, entries, commitId)
+        else VersionedTable.setPartitionLayout(root, entries, commitId)
       case "adddefault" =>
         val Array(t, e) = arg.get.split("[|][|][|]", 2)
         VersionedTable.addColumnWithDefault(spark, root, name, t, e, commitId)
       case "addcol" => VersionedTable.addColumn(root, name, arg.get, commitId)
+      case "nullability" =>
+        // SET validates the snapshot (NULLs refuse pre-publish); DROP
+        // retires a CREATE-time/CTAS NOT NULL invariant metadata-only
+        VersionedTable.setColumnNullability(spark, root, name,
+          nullable = arg.contains("drop"), commitId)
     }
     Seq(Row(v))
   }

@@ -4181,4 +4181,54 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.latestCommit(root).get.partitionCols.isEmpty)
     assert(VersionedTable.read(spark, root).count() == 12L)
   }
+
+  test("GraftSqlParser: partition evolution to a TRANSFORM layout — flat → daily → hourly, zero rewrite") {
+    import spark.implicits._
+    val root = tmpDir("pevo6")
+    // 48 rows over two days, one per hour, written FLAT
+    val df = (0 until 48).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(
+        f"2024-03-${1 + i / 24}%02d ${i % 24}%02d:30:00"))).toDF("id", "ts")
+    VersionedTable.commit(df, root, "append", "p6-c1")
+    val vFlat = VersionedTable.latestCommit(root).get.version
+    // evolve to the HIDDEN daily layout: one metadata commit, the
+    // synthesized ts_day declared + generated + auto-indexed
+    spark.sql(s"ALTER GRAFT '$root' SET PARTITIONED BY (days(ts))").collect()
+    val cDay = VersionedTable.latestCommit(root).get
+    assert(cDay.version == vFlat + 1 && cDay.mode == "set-layout")
+    assert(cDay.partitionCols == Seq("ts_day") && cDay.generated.contains("ts_day"))
+    assert(cDay.props.get("graft.stats.columns").exists(_.contains("ts")))
+    // pre-evolution dirs never stored ts_day — reads COMPUTE it
+    val byDay = VersionedTable.read(spark, root).groupBy("ts_day").count()
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(byDay == Map("2024-03-01" -> 24L, "2024-03-02" -> 24L), byDay)
+    // a SQL append inherits the evolved layout and materializes the key
+    spark.sql(s"INSERT INTO GRAFT '$root' FROM (SELECT CAST(100 AS BIGINT) AS id, " +
+      "TIMESTAMP '2024-03-03 07:30:00' AS ts)").collect()
+    assert(VersionedTable.read(spark, root).where("ts_day = DATE '2024-03-03'")
+      .count() == 1L)
+    // daily → hourly (the Iceberg headline): ts_day REMAINS a generated
+    // data column; ts_hour becomes the key; old dirs keep their eras
+    spark.sql(s"ALTER GRAFT '$root' SET PARTITIONED BY (hours(ts))").collect()
+    val cHour = VersionedTable.latestCommit(root).get
+    assert(cHour.partitionCols == Seq("ts_hour") &&
+      cHour.generated.contains("ts_hour") && cHour.generated.contains("ts_day"))
+    assert(cHour.dirLayouts.nonEmpty, "old dirs must keep their era")
+    spark.sql(s"INSERT INTO GRAFT '$root' FROM (SELECT CAST(101 AS BIGINT) AS id, " +
+      "TIMESTAMP '2024-03-03 07:45:00' AS ts)").collect()
+    val hr = VersionedTable.read(spark, root)
+      .where("ts_hour = TIMESTAMP '2024-03-03 07:00:00'")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(hr == Set(100L, 101L), hr)
+    assert(VersionedTable.read(spark, root).count() == 50L)
+    // time travel: the flat era keeps its shape (no synthesized columns)
+    assert(VersionedTable.read(spark, root, asOf = Some(vFlat))
+      .columns.toSeq == Seq("id", "ts"))
+    // a mid-statement typo refuses without publishing
+    val vNow = VersionedTable.latestCommit(root).get.version
+    assert(intercept[Exception](spark.sql(
+      s"ALTER GRAFT '$root' SET PARTITIONED BY (days(nope))").collect())
+      .getMessage.contains("undeclared column"))
+    assert(VersionedTable.latestCommit(root).get.version == vNow)
+  }
 }
