@@ -4708,6 +4708,204 @@ private[graft] object QueriesMedallionIo {
         |  (SELECT date_trunc('week', CAST(min(o_orderdate) AS DATE)) FROM orders)
         |ORDER BY o_orderkey""".stripMargin)),
 
+    // S17 — RANGE predicates over partition keys claim residual-free
+    // (r18): every row of a partition shares its key value, so exact
+    // per-group evaluation of `wk >= DATE x` IS exact row semantics —
+    // Spark's Filter node disappears (filter_nodes = 0 on the keyed
+    // scan), and because nothing is residual, the metadata-aggregation
+    // tier now composes UNDER the range: `SELECT count(*) WHERE wk >=
+    // DATE x` plans as a GraftAggScan — ZERO data tasks for the
+    // canonical "count the last N days of the fact table" query at any
+    // scale. The probe reuses the week-partitioned fixture's layout.
+    Q("versioned_partition_filter_range",
+      (s, dir) => {
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_wh_${dirTag(dir)}"
+        s.conf.set("spark.sql.catalog.gq", "graft.catalog.GraftCatalog")
+        s.conf.set("spark.sql.catalog.gq.warehouse", wh)
+        Fixtures.once(s, dir, "vt_cat_pfr") {
+          rmrf(s"$wh/pfr")
+          s.sql("CREATE NAMESPACE IF NOT EXISTS gq.pfr")
+          rd(s, dir, "orders").createOrReplaceTempView("cat_pfr_orders")
+          s.sql("CREATE TABLE gq.pfr.t (o_orderkey BIGINT, wk DATE, cents BIGINT) " +
+            "PARTITIONED BY (wk)")
+          s.sql("INSERT INTO gq.pfr.t SELECT o_orderkey, " +
+            "CAST(date_trunc('week', CAST(o_orderdate AS DATE)) AS DATE), " +
+            "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) " +
+            "FROM cat_pfr_orders")
+          java.lang.Boolean.TRUE
+        }
+        val sel = s.table("gq.pfr.t")
+          .where(col("wk") >= lit(java.sql.Date.valueOf("1996-01-01")))
+          .groupBy(date_format(col("wk"), "yyyy-MM-dd").as("wk"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+        val plan = sel.queryExecution.executedPlan.toString
+        val filterNodes = "(?m)^[\\s:+\\-]*(?:\\*\\(\\d+\\) )?Filter\\b".r
+          .findAllIn(plan).length.toLong
+        val cnt = s.sql(
+          "SELECT count(*) FROM gq.pfr.t WHERE wk >= DATE '1996-01-01'")
+        val aggscan = if (cnt.queryExecution.executedPlan.toString
+          .contains("GraftAggScan")) 1L else 0L
+        sel
+          .withColumn("filter_nodes", lit(filterNodes))
+          .withColumn("aggscan", lit(aggscan))
+          .withColumn("range_n", lit(cnt.head().getLong(0)))
+          .orderBy("wk")
+      },
+      Some("""WITH w AS (SELECT strftime(date_trunc('week', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS wk,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders
+        |  WHERE date_trunc('week', CAST(o_orderdate AS DATE)) >= DATE '1996-01-01')
+        |SELECT wk, count(*) AS n, CAST(sum(cents) AS BIGINT) AS cents_sum,
+        |  CAST(0 AS BIGINT) AS filter_nodes, CAST(1 AS BIGINT) AS aggscan,
+        |  (SELECT count(*) FROM w) AS range_n
+        |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — WRITE ORDERED BY (r18; Iceberg's write sort order): the table
+    // declares an order policy once; every subsequent batch range-sorts by
+    // it, so each data file covers a DISJOINT slice of the order column
+    // and the per-file `_filestats` index prunes a narrow range to
+    // O(matching files) instead of every file of every surviving dir —
+    // the ingest-side twin of OPTIMIZE ZORDER, at one exchange per
+    // commit. `disjoint` pins the pairwise-disjoint envelope property of
+    // the ordered dir; `pruned` pins that a mid-range probe scans fewer
+    // files than exist. The grouped agg proves no row was lost or
+    // duplicated through the re-ordering.
+    Q("versioned_write_ordered",
+      (s, dir) => {
+        val (root, disjoint, pruned) = Fixtures.once(s, dir, "vt_wrord") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_wrord_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select(col("o_orderkey"),
+            (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0),
+            r, "append", "wo-seed", statsCols = Seq("o_orderkey"))
+          s.sql(s"ALTER GRAFT '$r' WRITE ORDERED BY (o_orderkey)").collect()
+          // the odd half arrives JUMBLED; AQE would rightly coalesce this
+          // small batch to one file — pin it off so the fixture shows the
+          // multi-file shape a production batch lands with
+          val ck = "spark.sql.adaptive.coalescePartitions.enabled"
+          val prev = s.conf.get(ck)
+          s.conf.set(ck, "false")
+          try graft.io.VersionedTable.commit(
+            o.filter(col("o_orderkey") % 2 === 1).repartition(8),
+            r, "append", "wo-odds", statsCols = Seq("o_orderkey"))
+          finally s.conf.set(ck, prev)
+          val hist = graft.io.VersionedTable.history(r)
+          val newDir = hist.last.dirs.filterNot(hist.head.dirs.contains).head
+          val envRe = """o_orderkey:\[(-?\d+),(-?\d+)\]""".r
+          val envs = graft.io.VersionedTable.describeFiles(s, r)
+            .filter(col("dir") === newDir).collect()
+            .flatMap(row => envRe.findFirstMatchIn(row.getString(4))
+              .map(m => (m.group(1).toLong, m.group(2).toLong)))
+            .sortBy(_._1)
+          val dj = envs.length >= 2 && envs.sliding(2).forall {
+            case Array((_, aHi), (bLo, _)) => aHi < bLo
+            case _ => true
+          }
+          val mx = o.agg(max(col("o_orderkey"))).head().getLong(0)
+          val (scanned, total) = graft.io.VersionedTable.planRangeFiles(
+            r, "o_orderkey", mx / 2, mx / 2 + 20)
+          (r, java.lang.Boolean.valueOf(dj),
+            java.lang.Boolean.valueOf(scanned < total))
+        }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy((col("o_orderkey") % 7).as("k"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+          .withColumn("disjoint", lit(disjoint.booleanValue()))
+          .withColumn("pruned", lit(pruned.booleanValue()))
+          .orderBy("k")
+      },
+      Some("""SELECT o_orderkey % 7 AS k, count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents_sum,
+        |  TRUE AS disjoint, TRUE AS pruned
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — time-based snapshot expiry (r18; Iceberg's
+    // expire_snapshots(older_than)): `VACUUM GRAFT ... OLDER THAN
+    // TIMESTAMP '<i>' [RETAIN n]` retires every version published before
+    // the instant, floored by RETAIN (latest always survives) and by tag
+    // immortality — manifests and storage drop in lockstep, so an expired
+    // version is loudly gone while a tagged one stays fully readable.
+    // The probe pins the surviving version set, the tagged snapshot's
+    // content, and the expired version's loud refusal.
+    Q("versioned_vacuum_expire",
+      (s, dir) => {
+        val (root, versions, taggedRows, expiredGone) =
+          Fixtures.once(s, dir, "vt_vacexp") {
+            val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_vacexp_${dirTag(dir)}"
+            rmrf(r)
+            val o = rd(s, dir, "orders").select(col("o_orderkey"),
+              col("o_orderpriority").as("prio"))
+            graft.io.VersionedTable.commit(o.filter(col("prio") === "1-URGENT"),
+              r, "append", "ve-1")
+            graft.io.VersionedTable.commit(o.filter(col("prio") === "2-HIGH"),
+              r, "overwrite", "ve-2")
+            graft.io.VersionedTable.createTag(r, "keep2", 2L)
+            graft.io.VersionedTable.commit(o.filter(col("prio") === "3-MEDIUM"),
+              r, "overwrite", "ve-3")
+            // past cutoff: everything survives, dry run reports nothing
+            require(s.sql(s"VACUUM GRAFT '$r' OLDER THAN TIMESTAMP " +
+              "'1970-01-02 00:00:00' DRY RUN").collect().isEmpty)
+            // future cutoff: only the RETAIN-1 floor (v3) + the tag (v2)
+            s.sql(s"VACUUM GRAFT '$r' OLDER THAN TIMESTAMP " +
+              "'2099-01-01 00:00:00'").collect()
+            val vs = graft.io.VersionedTable.history(r).map(_.version)
+            val tagged = graft.io.VersionedTable.read(s, r, asOf = Some(2L)).count()
+            val gone =
+              try { graft.io.VersionedTable.read(s, r, asOf = Some(1L)); false }
+              catch { case e: Exception => e.getMessage.contains("not in log") }
+            (r, vs.mkString(","), java.lang.Long.valueOf(tagged),
+              java.lang.Boolean.valueOf(gone))
+          }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("prio")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("versions", lit(versions))
+          .withColumn("tagged_rows", lit(taggedRows.longValue()))
+          .withColumn("expired_gone", lit(expiredGone.booleanValue()))
+          .orderBy("prio")
+      },
+      Some("""SELECT o_orderpriority AS prio, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  '2,3' AS versions,
+        |  (SELECT count(*) FROM orders WHERE o_orderpriority = '2-HIGH') AS tagged_rows,
+        |  TRUE AS expired_gone
+        |FROM orders WHERE o_orderpriority = '3-MEDIUM'
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — `files` METADATA TABLE (r18; Iceberg's files table): one row
+    // per live data file with bytes, footer row count and the
+    // skipping-index envelope — the debugging surface for skew, small
+    // files and "why didn't this predicate skip" at 100 TB, driver-side
+    // O(#files) listing with ZERO parquet footer opens (everything comes
+    // from the `_filestats` side files). Fixed repartition counts make
+    // the file census deterministic; row counts sum exactly to the
+    // snapshot, every file is sized and envelope-indexed.
+    Q("versioned_files_meta",
+      (s, dir) => {
+        val root = Fixtures.once(s, dir, "vt_filesmeta") {
+          val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_filesmeta_${dirTag(dir)}"
+          rmrf(r)
+          val o = rd(s, dir, "orders").select("o_orderkey", "o_custkey")
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0)
+            .repartition(3), r, "append", "fm-1", statsCols = Seq("o_orderkey"))
+          graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1)
+            .repartition(2), r, "append", "fm-2", statsCols = Seq("o_orderkey"))
+          r
+        }
+        graft.io.VersionedTable.describeFiles(s, root)
+          .agg(count(lit(1)).as("files"),
+            sum(col("rows")).as("row_sum"),
+            count(when(col("bytes") > 0L, 1)).as("sized"),
+            count(when(col("envelope").startsWith("o_orderkey:["), 1))
+              .as("indexed"),
+            countDistinct(col("dir")).as("dirs"))
+      },
+      Some("""SELECT CAST(5 AS BIGINT) AS files,
+        |  (SELECT count(*) FROM orders) AS row_sum,
+        |  CAST(5 AS BIGINT) AS sized, CAST(5 AS BIGINT) AS indexed,
+        |  CAST(2 AS BIGINT) AS dirs""".stripMargin)),
+
     // S17 — TIMESTAMP as a first-class partition-key type (r16 judge item
     // 5): the typed-claim family extends to TimestampType — claimed
     // literals normalize to epoch MICROS (tsMicros, the micros twin of

@@ -190,8 +190,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val root = tableRoot(ident)
     if (isTable(root)) return new GraftTable(root, ident, None, catalogName)
     // Iceberg-style METADATA TABLES: `SELECT * FROM cat.db.t.history` (and
-    // .detail/.partitions/.branches/.tags/.mor) — the identifier's name is
-    // the metadata kind and its namespace tail resolves to the base table.
+    // .detail/.partitions/.branches/.tags/.mor/.files) — the identifier's
+    // name is the metadata kind and its namespace tail resolves to the
+    // base table.
     // A REAL table always wins the name (checked above), so shadowing is
     // impossible.
     if (ident.namespace().nonEmpty &&
@@ -1110,12 +1111,13 @@ object GraftMetaTable {
   import org.apache.spark.sql.types.{LongType, StringType, StructField}
 
   val kinds: Set[String] =
-    Set("history", "detail", "partitions", "branches", "tags", "mor")
+    Set("history", "detail", "partitions", "branches", "tags", "mor", "files")
 
   def frame(s: SparkSession, root: String, kind: String): DataFrame = kind match {
     case "history"    => VersionedTable.describeHistory(s, root)
     case "detail"     => VersionedTable.describeDetail(s, root)
     case "partitions" => VersionedTable.showPartitions(s, root)
+    case "files"      => VersionedTable.describeFiles(s, root)
     case "branches" =>
       s.createDataFrame(
         java.util.Arrays.asList(

@@ -46,6 +46,17 @@ private[graft] object GraftPartitionFilters {
       vs.forall(v => v == null || typed(keyTypes(a), v))
     case IsNull(a)      => keyTypes.contains(a)
     case IsNotNull(a)   => keyTypes.contains(a)
+    // RANGE claims (r18): every row of a partition shares its key value,
+    // so exact per-group/per-file evaluation of a range bound IS exact
+    // row semantics — [[passes]]/[[toColumn]] compare long-normalized
+    // temporals and UTF-8-ordered strings, the same total order Spark's
+    // own comparison uses. Claiming a range removes Spark's Filter node
+    // AND unblocks metadata aggregation under range predicates
+    // (COUNT(*) WHERE day >= X composes into a zero-data-task plan).
+    case GreaterThan(a, v)        => keyTypes.contains(a) && v != null && typed(keyTypes(a), v)
+    case GreaterThanOrEqual(a, v) => keyTypes.contains(a) && v != null && typed(keyTypes(a), v)
+    case LessThan(a, v)           => keyTypes.contains(a) && v != null && typed(keyTypes(a), v)
+    case LessThanOrEqual(a, v)    => keyTypes.contains(a) && v != null && typed(keyTypes(a), v)
     case _              => false
   }
 

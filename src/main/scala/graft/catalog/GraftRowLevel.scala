@@ -190,6 +190,14 @@ object GraftCowScan {
     * the operation (requiredMetadataAttributes), filtered at runtime.
     */
   val DIR_COL = "_graft_dir"
+
+  /** The DST-safe TIMESTAMP partition-path spelling — identical to the
+    * `date_format` pattern `VersionedTable.dstSafePartitions` applies on
+    * every DataFrame-level hive write, so paths are byte-identical no
+    * matter which writer produced them.
+    */
+  val DstSafeTsFormat: java.time.format.DateTimeFormatter =
+    java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSSxxx")
 }
 
 /** Hadoop Configuration is not Serializable; this is the standard Writable
@@ -347,15 +355,19 @@ final class GraftCowWriterFactory(stagedAbs: String, rowSchema: StructType,
           // and the exact round trip of hivePartValue's Date.valueOf
           case org.apache.spark.sql.types.DateType =>
             java.time.LocalDate.ofEpochDay(row.getInt(i).toLong).toString
-          // session-zone fraction rendering — the SAME formatter Spark's
-          // Cast-to-string uses when partitionBy spells a TIMESTAMP path
-          // value, and the exact inverse of hivePartValue's session-zone
-          // parse (SQLConf.get carries the session zone into the task)
+          // OFFSET-SUFFIXED session-zone rendering — the DST-safe spelling
+          // every engine hive write uses (VersionedTable.dstSafePartitions):
+          // two distinct instants in a fall-back hour format identically
+          // as plain local strings, so the offset disambiguates; the parse
+          // side (hivePartValue / Spark's own inference) reads offsets
+          // exactly
           case org.apache.spark.sql.types.TimestampType =>
-            org.apache.spark.sql.catalyst.util.TimestampFormatter
-              .getFractionFormatter(java.time.ZoneId.of(
+            java.time.ZonedDateTime.ofInstant(
+              org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .microsToInstant(row.getLong(i)),
+              java.time.ZoneId.of(
                 org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone))
-              .format(row.getLong(i))
+              .format(GraftCowScan.DstSafeTsFormat)
           // NTZ spells zone-free: format the local datetime directly —
           // the exact inverse of hivePartValue's NTZ parse
           case org.apache.spark.sql.types.TimestampNTZType =>

@@ -58,7 +58,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
   * operation that touches old data, and it only deletes dirs unreferenced
   * by every RETAINED manifest.
   */
-object VersionedTable {
+object VersionedTable extends VersionedTableRefs {
 
   /** `stats`: per-dir min/max of integer columns, gathered at commit time —
     * the manifest-level data-skipping index (Iceberg-style). Keyed
@@ -132,7 +132,7 @@ object VersionedTable {
                           defaults: Map[String, String] = Map.empty,
                           notNull: Seq[String] = Nil)
 
-  private val mapper = new ObjectMapper()
+  private[io] val mapper = new ObjectMapper()
 
   /** Resolve a manifest data-dir / delete-set reference against the table
     * root. A reference starting with "/" is EXTERNAL — a SHALLOW CLONE's
@@ -160,7 +160,7 @@ object VersionedTable {
 
   private def commitsDir(root: String) = Paths.get(root, "_commits")
 
-  private def manifestPath(root: String, version: Long) =
+  private[io] def manifestPath(root: String, version: Long) =
     commitsDir(root).resolve(f"v$version%010d.json")
 
   private def writeJson(c: Commit): String = {
@@ -429,7 +429,7 @@ object VersionedTable {
     * replaces), so exactly one concurrent committer wins a slot. Returns
     * whether we won.
     */
-  private def publishIfAbsent(root: String, v: Long, c: Commit): Boolean = {
+  private[io] def publishIfAbsent(root: String, v: Long, c: Commit): Boolean = {
     val tmp = commitsDir(root).resolve(s".tmp-${java.util.UUID.randomUUID}")
     // the commit wall-time is stamped at PUBLISH (what TIMESTAMP AS OF
     // resolves against) — informational metadata, never part of any hash
@@ -563,6 +563,42 @@ object VersionedTable {
       StructField("mor_keys_pending", LongType, nullable = false))))
   }
 
+  /** Per-file inventory of a snapshot (Iceberg's `files` metadata table):
+    * one row per live data file with its byte size, its footer row count
+    * (from the dir's `_filestats` side file — NULL for pre-filestats or
+    * stats-less commits: unknown, never zero), and its skipping-index
+    * envelope rendered as a sorted `col:[min,max]` list (empty when the
+    * dir carries no index). Driver-side O(#files) directory listing +
+    * O(#dirs) side-file reads, zero parquet footer opens, zero Spark
+    * jobs — the debugging surface for skew, small files, and "why didn't
+    * this predicate skip" questions at any scale.
+    */
+  def describeFiles(spark: SparkSession, root: String,
+                    asOf: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.types._
+    val c = resolveSnapshot(root, asOf)
+    val rows = c.dirs.flatMap { d =>
+      val dp = dirPath(root, d)
+      val fs = readFileStats(dp).getOrElse(Map.empty)
+      val fr = readFileRows(dp)
+      parquetFiles(dp).map { rel =>
+        val env = fs.getOrElse(rel, Map.empty[String, MinMax]).toSeq.sortBy(_._1)
+          .map {
+            case (col, IntMM(mn, mx)) => s"$col:[$mn,$mx]"
+            case (col, StrMM(mn, mx)) => s"$col:[$mn,$mx]"
+          }.mkString(";")
+        org.apache.spark.sql.Row(d, rel, Files.size(Paths.get(dp, rel)),
+          fr.get(rel).map(java.lang.Long.valueOf).orNull, env)
+      }
+    }
+    spark.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("dir", StringType, nullable = false),
+      StructField("file", StringType, nullable = false),
+      StructField("bytes", LongType, nullable = false),
+      StructField("rows", LongType, nullable = true),
+      StructField("envelope", StringType, nullable = false))))
+  }
+
   /** The latest committed manifest with exactly ONE parse: list the log
     * dir, pick the last slot, parse it. Manifests are snapshot-complete
     * (each lists its full dir set and carries its stats/blooms/deletes),
@@ -586,7 +622,7 @@ object VersionedTable {
     * version (one parse, direct slot lookup). Fails loudly on an empty
     * log or a never-committed/vacuumed version.
     */
-  private def resolveSnapshot(root: String, asOf: Option[Long]): Commit = asOf match {
+  private[io] def resolveSnapshot(root: String, asOf: Option[Long]): Commit = asOf match {
     case None => latestCommit(root).getOrElse(sys.error(s"no commits at $root"))
     case Some(v) => commitAt(root, v)
       .getOrElse(sys.error(s"version $v not in log at $root"))
@@ -613,7 +649,7 @@ object VersionedTable {
     */
   private val ckptInterval = 10L
 
-  private def ckptFiles(root: String): Seq[java.nio.file.Path] = {
+  private[io] def ckptFiles(root: String): Seq[java.nio.file.Path] = {
     val d = commitsDir(root)
     if (!Files.isDirectory(d)) Seq.empty
     else {
@@ -651,7 +687,7 @@ object VersionedTable {
     }
   }
 
-  private def writeCheckpointAt(root: String, v: Long): Unit =
+  private[io] def writeCheckpointAt(root: String, v: Long): Unit =
     try {
       val target = commitsDir(root).resolve(f"ckpt-v$v%010d.json")
       if (!Files.exists(target)) {
@@ -1086,6 +1122,20 @@ object VersionedTable {
     kvs.get("graft.write.clusterByKeys").foreach(v =>
       require(v == "true" || v == "false",
         s"graft.write.clusterByKeys must be 'true' or 'false', got '$v'"))
+    kvs.get("graft.write.orderedBy").foreach { v =>
+      val cols = v.split(",").map(_.trim).filter(_.nonEmpty)
+      require(cols.nonEmpty,
+        s"graft.write.orderedBy must name >= 1 comma-separated columns, got '$v'")
+      // validate against the declared schema when one exists — a typo'd
+      // column must refuse at DDL, not at the first write
+      parent.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+        .foreach { sch =>
+          val missing = cols.filterNot(c => sch.fieldNames.contains(physName(parent, c)))
+          require(missing.isEmpty,
+            s"graft.write.orderedBy names unknown column(s) ${missing.mkString(", ")} " +
+              s"(schema: ${sch.fieldNames.mkString(", ")})")
+        }
+    }
     parent.copy(mode = "properties", props = parent.props ++ kvs)
   }
 
@@ -1880,6 +1930,31 @@ object VersionedTable {
     }
   }
 
+  /** DST-SAFE hive path rendering for TIMESTAMP partition keys: Spark's
+    * own writer renders a TIMESTAMP partition value as the SESSION-ZONE
+    * LOCAL string, so in a DST fall-back hour two DISTINCT instants
+    * format identically — they collapse into one path, and the
+    * path-derived read resurrects only one of them (silent value
+    * corruption). Every hive write in this engine therefore substitutes
+    * an OFFSET-SUFFIXED rendering (`2024-11-03 01:30:00.000000-05:00`)
+    * for TIMESTAMP keys before `partitionBy`: each instant carries its
+    * real offset, so the rendered local time is never ambiguous, and
+    * every consumer — [[hivePartValue]], Spark's own partition-value
+    * inference, the `alignTo` declared-type cast — parses offset-bearing
+    * strings exactly (zone-free NTZ and DATE keys never had the problem).
+    * The substitution changes ONLY the path spelling; the recorded
+    * schema, stats, and all value-space comparisons are untouched.
+    */
+  private def dstSafePartitions(df: DataFrame, partitionCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, date_format}
+    partitionCols.foldLeft(df) { (d, p) =>
+      if (d.columns.contains(p) &&
+          d.schema(p).dataType == org.apache.spark.sql.types.TimestampType)
+        d.withColumn(p, date_format(col(p), "yyyy-MM-dd HH:mm:ss.SSSSSSxxx"))
+      else d
+    }
+  }
+
   def commit(df: DataFrame, root: String, mode: String, commitId: String,
              statsCols: Seq[String] = Nil, partitionCols: Seq[String] = Nil,
              bloomCols: Seq[String] = Nil,
@@ -1994,10 +2069,35 @@ object VersionedTable {
         // runs.
         val clusterKeys = partitionCols.nonEmpty &&
           preParent0.exists(_.props.get("graft.write.clusterByKeys").contains("true"))
+        // opt-in write ORDERING ('graft.write.orderedBy' — Iceberg's WRITE
+        // ORDERED BY): range-partition + sort the batch by (partition keys,
+        // order columns) before the hive write, so each data file covers a
+        // DISJOINT range of the order columns and its footer/_filestats
+        // envelope is as tight as the data allows — the per-file skipping
+        // index then prunes a point/range predicate to O(matching files)
+        // instead of every file of every surviving dir. Costs ONE range
+        // exchange per commit (same class as clusterByKeys, which it
+        // subsumes: range partitioning also co-locates hive keys, so the
+        // small-file explosion is bounded at O(keys + tasks)). Declared as
+        // a table property: an ingest pipeline opts in once, every append
+        // inherits. Order columns resolve through the rename map like
+        // statsCols; a dropped/unknown column refuses loudly here.
+        val orderedBy = (preParent0.map(_.props).getOrElse(Map.empty) ++ declareProps)
+          .get("graft.write.orderedBy")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+        val physOrder = orderedBy.map(c => preParent.fold(c)(p => physName(p, c)))
+        physOrder.foreach(c => require(dfPhys.columns.contains(c),
+          s"commit: graft.write.orderedBy column '$c' is not in the batch " +
+            s"(columns: ${dfPhys.columns.mkString(", ")}); fix the property or the batch"))
         val dfOut =
-          if (clusterKeys) dfPhys.repartition(partitionCols.map(dfPhys.col): _*)
+          if (physOrder.nonEmpty) {
+            val rangeCols = (partitionCols ++ physOrder.filterNot(partitionCols.contains))
+              .map(dfPhys.col)
+            dfPhys.repartitionByRange(rangeCols: _*).sortWithinPartitions(rangeCols: _*)
+          }
+          else if (clusterKeys) dfPhys.repartition(partitionCols.map(dfPhys.col): _*)
           else dfPhys
-        var w = dfOut.write.mode("overwrite")
+        var w = dstSafePartitions(dfOut, partitionCols).write.mode("overwrite")
         if (partitionCols.nonEmpty) w = w.partitionBy(partitionCols: _*)
         w.parquet(s"$root/$dirName")
         val dirStats = gatherStats(df.sparkSession, s"$root/$dirName", physStats, dfPhys.schema)
@@ -3889,7 +3989,7 @@ object VersionedTable {
                 physKeys, "left_anti")
               .unionByName(guarded)
           }
-        var w = merged.write.mode("overwrite")
+        var w = dstSafePartitions(merged, parent.partitionCols).write.mode("overwrite")
         if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
         w.parquet(s"$root/$dirName")
         val dirStats = gatherStats(spark, s"$root/$dirName",
@@ -4232,7 +4332,7 @@ object VersionedTable {
             .select(cols.map(c => col(s"src.$c").as(c)): _*)
         }
         val survivors = matchedOrKept.fold(inserts)(_.unionByName(inserts))
-        var w = survivors.write.mode("overwrite")
+        var w = dstSafePartitions(survivors, parent.partitionCols).write.mode("overwrite")
         if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
         w.parquet(s"$root/$dirName")
         val survivorsDir: Option[String] =
@@ -4336,7 +4436,7 @@ object VersionedTable {
           else scanWithDeletes(spark, root, parent, hit)
             .join(org.apache.spark.sql.functions.broadcast(allKeys), Seq(physKey), "left_anti")
             .unionByName(gUpd)
-        var w = merged.write.mode("overwrite")
+        var w = dstSafePartitions(merged, parent.partitionCols).write.mode("overwrite")
         if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
         w.parquet(s"$root/$dirName")
         // a delete-only batch purging every hit row leaves zero survivors:
@@ -4428,7 +4528,7 @@ object VersionedTable {
             val base = scanWithDeletes(spark, root, parent, hit)
             val survivors = base.join(
               org.apache.spark.sql.functions.broadcast(guarded), physKeys, "left_anti")
-            var w = survivors.write.mode("overwrite")
+            var w = dstSafePartitions(survivors, parent.partitionCols).write.mode("overwrite")
             if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
             w.parquet(s"$root/$dirName")
             // all hit rows deleted → only zero-row part files → omit the
@@ -4905,7 +5005,7 @@ object VersionedTable {
           if (hit.isEmpty) None
           else {
             val base = scanWithDeletes(spark, root, parent, hit)
-            var w = base.filter(keep).write.mode("overwrite")
+            var w = dstSafePartitions(base.filter(keep), parent.partitionCols).write.mode("overwrite")
             if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
             w.parquet(s"$root/$dirName")
             val rows = dirRowCount(spark.sessionState.newHadoopConf(), s"$root/$dirName")
@@ -5003,7 +5103,7 @@ object VersionedTable {
           if (hit.isEmpty) batchPhys
           else scanWithDeletes(spark, root, parent, hit).filter(keep)
             .unionByName(batchPhys)
-        var w = survivors.write.mode("overwrite")
+        var w = dstSafePartitions(survivors, parent.partitionCols).write.mode("overwrite")
         if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
         w.parquet(s"$root/$dirName")
         val survivorsDir: Option[String] =
@@ -5142,7 +5242,7 @@ object VersionedTable {
                 Seq(keyCol), "left")
               .withColumn("__graft_upd", coalesce(col("__graft_upd"), lit(false)))
             val updated = applyUpdateSet(parent, marked, "__graft_upd", set, "updateWhere")
-            var w = toPhysicalDf(parent, updated).write.mode("overwrite")
+            var w = dstSafePartitions(toPhysicalDf(parent, updated), parent.partitionCols).write.mode("overwrite")
             if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
             w.parquet(s"$root/$dirName")
             // every hit row was MOR-hidden → zero-row rewrite → omit the dir
@@ -5204,7 +5304,7 @@ object VersionedTable {
               coalesce(col(colName) >= boundLit(bdt, lo) &&
                 col(colName) <= boundLit(bdt, hi), lit(false)))
             val updated = applyUpdateSet(parent, marked, "__graft_upd", set, "updateRange")
-            var w = toPhysicalDf(parent, updated).write.mode("overwrite")
+            var w = dstSafePartitions(toPhysicalDf(parent, updated), parent.partitionCols).write.mode("overwrite")
             if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
             w.parquet(s"$root/$dirName")
             val rows = dirRowCount(spark.sessionState.newHadoopConf(), s"$root/$dirName")
@@ -7105,7 +7205,7 @@ object VersionedTable {
           else cur.repartition(nFiles)
         val v = parent.version + 1
         val dirName = attemptDirName("data", v, commitId)
-        var w = df.write.mode("overwrite")
+        var w = dstSafePartitions(df, parent.partitionCols).write.mode("overwrite")
         if (parent.partitionCols.nonEmpty) w = w.partitionBy(parent.partitionCols: _*)
         w.parquet(s"$root/$dirName")
         val dirStats = gatherStats(spark, s"$root/$dirName",
@@ -7223,7 +7323,8 @@ object VersionedTable {
           else cur.repartition(targetFiles,
             parent.partitionCols.map(org.apache.spark.sql.functions.col): _*)
         val dirName = attemptDirName("data", parent.version + 1, commitId)
-        df.write.mode("overwrite").partitionBy(parent.partitionCols: _*)
+        dstSafePartitions(df, parent.partitionCols).write.mode("overwrite")
+          .partitionBy(parent.partitionCols: _*)
           .parquet(s"$root/$dirName")
         // every touched row already vector-deleted → zero-row output: omit
         // the file-less dir exactly as deleteWhere does
@@ -7333,7 +7434,7 @@ object VersionedTable {
           sys.error(s"convertFrom: lost the v1 slot at $root to a concurrent creator"))
     }
 
-  private def cloneSnapshot(srcRoot: String, dstRoot: String, commitId: String,
+  private[io] def cloneSnapshot(srcRoot: String, dstRoot: String, commitId: String,
                             asOf: Option[Long], mode: String,
                             extraProps: Map[String, String]): Long =
     findCommitVersion(dstRoot, commitId) match {
@@ -7374,316 +7475,5 @@ object VersionedTable {
             "shallow clone requires an empty destination"))
     }
 
-  // ---- branches & tags (named refs — the Iceberg ref model; WAP) --------
-
-  /** Storage root of branch `name` — a branch IS a table root nested under
-    * the main table, so every verb (read, append, merge, delete, compact,
-    * SQL statements, the TVFs) works on a branch by addressing this path.
-    */
-  def branchRoot(root: String, name: String): String = s"$root/_branches/$name"
-
-  private val refNameRe = "[A-Za-z0-9._-]{1,64}"
-
-  private def requireRefName(name: String, op: String): Unit =
-    require(name.matches(refNameRe),
-      s"$op: invalid ref name '$name' (allowed: letters, digits, '.', '_', '-'; max 64)")
-
-  /** CREATE BRANCH (the Iceberg branch ref / Delta-on-Databricks WAP
-    * pattern): fork the table at its latest (or pinned) version into an
-    * isolated writable lineage under [[branchRoot]]. Implementation is the
-    * shallow-clone mechanism — the branch's v1 references the source
-    * snapshot's dirs by absolute path, ZERO data copied at any table size
-    * — plus a recorded fork point (`graft.branch.base` property) that
-    * [[fastForward]] validates before publishing. Writes to the branch use
-    * the ordinary verbs against [[branchRoot]]; MAIN is never touched, and
-    * main's vacuum is BRANCH-AWARE (dirs a live branch references stay
-    * live), so the WAP audit window has no retention footgun. Idempotent
-    * under `commitId` retry; a branch name already in use is refused.
-    */
-  def createBranch(root: String, name: String, commitId: String,
-                   asOf: Option[Long] = None): Long = {
-    requireRefName(name, "createBranch")
-    val base = resolveSnapshot(root, asOf).version
-    cloneSnapshot(root, branchRoot(root, name), commitId, asOf, "branch",
-      Map("graft.branch.base" -> base.toString))
-  }
-
-  /** Branch names with a live log under this root, ascending. */
-  def listBranches(root: String): Seq[String] = {
-    val d = Paths.get(root, "_branches")
-    if (!Files.isDirectory(d)) Nil
-    else {
-      val s = Files.list(d)
-      try s.iterator().asScala.filter(Files.isDirectory(_))
-        .map(_.getFileName.toString)
-        .filter(n => Files.isDirectory(Paths.get(branchRoot(root, n), "_commits")))
-        .toSeq.sorted
-      finally s.close()
-    }
-  }
-
-  /** Drop a branch: its log and its branch-LOCAL data dirs die with it.
-    * Main never references branch-local storage (only [[fastForward]]
-    * moves dirs out, and it retires the branch afterwards), so dropping a
-    * diverged branch orphans nothing.
-    */
-  def dropBranch(root: String, name: String): Unit = {
-    requireRefName(name, "dropBranch")
-    val p = Paths.get(branchRoot(root, name))
-    if (Files.isDirectory(p)) {
-      val w = Files.walk(p)
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally w.close()
-    }
-  }
-
-  /** FAST-FORWARD publish (the WAP "publish" step; Iceberg's
-    * `fast_forward` procedure): land the branch's latest snapshot on MAIN
-    * as ONE commit — but only if main has not advanced past the fork
-    * point, the exact fast-forward condition (anything else is a merge,
-    * which this deliberately refuses: recreate the branch from the current
-    * snapshot and re-apply). Branch-LOCAL data dirs are MOVED into main's
-    * storage (same-volume rename — O(#dirs) metadata ops, zero bytes
-    * copied); dirs the branch still references inside main's storage map
-    * back to their root-relative names. The whole snapshot state — schema,
-    * rename map, constraints, generated/identity specs, properties, MOR
-    * coverage — publishes with it, minus the branch marker. The branch is
-    * retired after the publish (its manifests reference moved dirs).
-    *
-    * Idempotent under `commitId`: a crash between the dir moves and the
-    * publish retries cleanly (moved dirs are found at their destination);
-    * a crash between publish and branch retirement finishes the retirement
-    * on retry. A concurrent main writer beating the publish fails loudly —
-    * the moved dirs are unreferenced orphans vacuum's age-gated sweep
-    * reclaims. Returns the new main version.
-    */
-  def fastForward(root: String, name: String, commitId: String): Long = {
-    requireRefName(name, "fastForward")
-    val bq = branchRoot(root, name)
-    def retireIfPublished(prior: Long): Long = {
-      // finish a crashed retirement — but only if the live branch dir IS
-      // the published one (same fork point), never a later same-name branch
-      latestCommit(bq).foreach { bc =>
-        if (bc.props.get("graft.branch.base").exists(_.toLong == prior - 1))
-          dropBranch(root, name)
-      }
-      prior
-    }
-    findCommitVersion(root, commitId) match {
-      case Some(prior) => retireIfPublished(prior)
-      case None =>
-        val bc = latestCommit(bq).getOrElse(
-          sys.error(s"fastForward: no branch '$name' at $root"))
-        val base = bc.props.getOrElse("graft.branch.base", sys.error(
-          s"fastForward: $bq carries no graft.branch.base property — not a branch")).toLong
-        val mainLatest = latestVersion(root).getOrElse(0L)
-        require(mainLatest == base,
-          s"fastForward: main is at v$mainLatest but branch '$name' forked at v$base — " +
-            "not a fast-forward; recreate the branch from the current snapshot and re-apply")
-        if (bc.mode == "branch" && bc.version == 1L) {
-          // nothing was ever written on the branch: publishing would be a
-          // row-identical snapshot — retire the branch, main is already there
-          dropBranch(root, name)
-          return mainLatest
-        }
-        val absMain = Paths.get(root).toAbsolutePath.normalize.toString
-        def localize(ref: String): String =
-          if (ref.startsWith(absMain + "/")) ref.stripPrefix(absMain + "/")
-          else if (ref.startsWith("/")) ref // external elsewhere (branch of a clone)
-          else {
-            // branch-local: move into main storage under the same relative
-            // name (attempt-unique names make collisions impossible)
-            val src = Paths.get(bq, ref); val dst = Paths.get(root, ref)
-            if (Files.exists(src)) {
-              Files.createDirectories(dst.getParent)
-              Files.move(src, dst)
-            } else require(Files.isDirectory(dst),
-              s"fastForward: branch ref $ref missing from both branch and main storage")
-            ref
-          }
-        val dirMap = bc.dirs.map(d => d -> localize(d)).toMap
-        val setMap = bc.deletes.valuesIterator.flatten.toSeq.distinct
-          .map(sn => sn -> localize(sn)).toMap
-        val v = base + 1
-        val ff = bc.copy(version = v, commitId = commitId, mode = "fastforward",
-          dirs = bc.dirs.map(dirMap),
-          stats = bc.stats.collect { case (d, m) if dirMap.contains(d) => dirMap(d) -> m },
-          strStats = bc.strStats.collect { case (d, m) if dirMap.contains(d) => dirMap(d) -> m },
-          blooms = bc.blooms.collect { case (d, m) if dirMap.contains(d) => dirMap(d) -> m },
-          nullCounts = bc.nullCounts.collect { case (d, m) if dirMap.contains(d) => dirMap(d) -> m },
-          deletes = bc.deletes.map { case (d, sets) => dirMap(d) -> sets.map(setMap) },
-          deleteKeys = bc.deleteKeys.collect {
-            case (sn, k) if setMap.contains(sn) => setMap(sn) -> k
-          },
-          props = bc.props - "graft.branch.base")
-        if (publishIfAbsent(root, v, ff)) { dropBranch(root, name); v }
-        else findCommitVersion(root, commitId).map(retireIfPublished).getOrElse(
-          sys.error(s"fastForward: main advanced concurrently while publishing branch " +
-            s"'$name'; the moved dirs are orphans vacuum's age-gated sweep reclaims — " +
-            "recreate the branch from the current snapshot and re-apply"))
-    }
-  }
-
-  private def tagsDir(root: String) = Paths.get(root, "_tags")
-
-  /** CREATE TAG (Iceberg's immutable named ref): pin `version` under a
-    * human name. A tag makes the version IMMORTAL — vacuum keeps a tagged
-    * version's manifest and data dirs live however far retention advances
-    * — which is the audit/reproducibility contract ("the corpus release we
-    * trained v3 on") a bare version number cannot give, because untagged
-    * old versions age out. Re-creating an existing tag at the SAME version
-    * is a no-op; at a different version it refuses (tags are immutable —
-    * drop first). Publication is link-if-absent like a manifest: two
-    * racing creators resolve to exactly one winner, the loser re-validates.
-    */
-  def createTag(root: String, name: String, version: Long): Long = {
-    requireRefName(name, "createTag")
-    require(commitAt(root, version).isDefined,
-      s"createTag: version $version is not in the log at $root")
-    Files.createDirectories(tagsDir(root))
-    val target = tagsDir(root).resolve(s"$name.json")
-    val tmp = tagsDir(root).resolve(s".tmp-${java.util.UUID.randomUUID}")
-    Files.write(tmp, s"""{"version": $version}""".getBytes(StandardCharsets.UTF_8))
-    try { Files.createLink(target, tmp); version }
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        val existing = tagVersion(root, name)
-        require(existing == version,
-          s"createTag: tag '$name' already pins v$existing (tags are immutable refs — " +
-            "drop it first to retag)")
-        version
-    } finally Files.deleteIfExists(tmp)
-  }
-
-  /** The version a tag pins; unknown names refuse loudly. */
-  def tagVersion(root: String, name: String): Long = {
-    requireRefName(name, "tagVersion")
-    val p = tagsDir(root).resolve(s"$name.json")
-    require(Files.exists(p), s"tagVersion: no tag '$name' at $root " +
-      s"(tags: ${listTags(root).keys.toSeq.sorted.mkString(", ")})")
-    mapper.readTree(Files.readString(p)).get("version").asLong
-  }
-
-  /** Read the snapshot a tag pins — time travel by name. */
-  def readTag(spark: SparkSession, root: String, name: String): DataFrame =
-    read(spark, root, asOf = Some(tagVersion(root, name)))
-
-  def dropTag(root: String, name: String): Unit = {
-    requireRefName(name, "dropTag")
-    val p = tagsDir(root).resolve(s"$name.json")
-    require(Files.exists(p), s"dropTag: no tag '$name' at $root")
-    Files.delete(p)
-  }
-
-  /** All tags under this root: name → pinned version. */
-  def listTags(root: String): Map[String, Long] = {
-    val d = tagsDir(root)
-    if (!Files.isDirectory(d)) Map.empty
-    else {
-      val s = Files.list(d)
-      try s.iterator().asScala
-        .filter(p => p.getFileName.toString.endsWith(".json") &&
-          !p.getFileName.toString.startsWith("."))
-        .map { p =>
-          p.getFileName.toString.stripSuffix(".json") ->
-            mapper.readTree(Files.readString(p)).get("version").asLong
-        }.toMap
-      finally s.close()
-    }
-  }
-
-  /** Main-storage refs (root-relative) that live BRANCH manifests still
-    * reference — the set vacuum must keep alive (branch-aware sweep).
-    */
-  private def branchReferencedRefs(root: String): Set[String] = {
-    val absRoot = Paths.get(root).toAbsolutePath.normalize.toString
-    listBranches(root).iterator.flatMap { b =>
-      history(branchRoot(root, b)).iterator
-        .flatMap(c => c.dirs.iterator ++ c.deletes.valuesIterator.flatten)
-    }.collect {
-      case r if r.startsWith(absRoot + "/") => r.stripPrefix(absRoot + "/")
-    }.toSet
-  }
-
-  def vacuum(root: String, retainLast: Int,
-             orphanGraceMs: Long = 10 * 60 * 1000L,
-             dryRun: Boolean = false): Seq[String] = {
-    require(retainLast >= 1, "must retain at least the latest version")
-    val log = history(root)
-    // TAGGED versions are immortal ([[createTag]]): their manifests and
-    // storage stay live however far count-based retention advances
-    val tagged = listTags(root).values.toSet
-    val retained = (log.takeRight(retainLast) ++
-      log.filter(c => tagged.contains(c.version))).distinct
-    // BRANCH-AWARE: a live branch references main-storage dirs by absolute
-    // path (its clone-style v1); sweeping those out from under it would
-    // break every branch read — the clone caveat does NOT apply within a
-    // table's own ref tree
-    val branchRefs = branchReferencedRefs(root)
-    val everReferenced = log.flatMap(_.dirs).toSet ++
-      log.flatMap(_.deletes.values.flatten) ++ branchRefs
-    val cutoffMs = System.currentTimeMillis - orphanGraceMs
-    def youngOrphan(rel: String): Boolean =
-      !everReferenced.contains(rel) && {
-        val p = Paths.get(root, rel)
-        try Files.getLastModifiedTime(p).toMillis >= cutoffMs
-        catch { case _: java.io.IOException => true } // unreadable: keep
-      }
-    val live = retained.flatMap(_.dirs).toSet ++ branchRefs
-    val dataRoot = Paths.get(root, "data")
-    val onDisk =
-      if (!Files.isDirectory(dataRoot)) Seq.empty[String]
-      else {
-        val s = Files.list(dataRoot)
-        try s.iterator().asScala.filter(Files.isDirectory(_))
-          .map(p => s"data/${p.getFileName}").toSeq
-        finally s.close()
-      }
-    val dead = onDisk.filterNot(live.contains).filterNot(youngOrphan).sorted
-    if (!dryRun) dead.foreach { d =>
-      val w = Files.walk(Paths.get(root, d))
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally w.close()
-    }
-    // MOR delete sets sweep by the same rule: a set referenced by NO
-    // retained manifest (absorbed by compaction/rewrites, or orphaned by a
-    // crashed delete-mor) is reclaimed with the data dirs — subject to the
-    // same in-flight-writer age gate
-    val liveSets = retained.flatMap(_.deletes.values.flatten).toSet ++ branchRefs
-    // both vector kinds sweep identically: key sets under `deletes/`,
-    // positional vectors under `posdel/`
-    val deadSets = Seq("deletes", "posdel").flatMap { prefix =>
-      val delRoot = Paths.get(root, prefix)
-      if (!Files.isDirectory(delRoot)) Seq.empty[String]
-      else {
-        val st = Files.list(delRoot)
-        try st.iterator().asScala.filter(Files.isDirectory(_))
-          .map(p => s"$prefix/${p.getFileName}").filterNot(liveSets.contains)
-          .filterNot(youngOrphan).toSeq.sorted
-        finally st.close()
-      }
-    }
-    // DRY RUN (Delta's VACUUM ... DRY RUN): report exactly what a real
-    // sweep at these arguments would reclaim — same listing, same age
-    // gate — and touch NOTHING, manifests included
-    if (dryRun) return (dead ++ deadSets).map(d => s"$root/$d")
-    deadSets.foreach { d =>
-      val w = Files.walk(Paths.get(root, d))
-      try w.iterator().asScala.toSeq.reverse.foreach(Files.delete)
-      finally w.close()
-    }
-    // consolidate EVERY still-readable manifest into a checkpoint BEFORE
-    // dropping any: a commit older than the first interval checkpoint
-    // would otherwise lose its commitId record with its manifest, and a
-    // very late retry of it would double-apply instead of no-opping
-    log.lastOption.foreach(c => writeCheckpointAt(root, c.version))
-    log.dropRight(retainLast).filterNot(c => tagged.contains(c.version))
-      .foreach(c => Files.deleteIfExists(manifestPath(root, c.version)))
-    // keep only the LATEST commitId checkpoint: it is cumulative, so the
-    // older ones are strict subsets (and it deliberately outlives the
-    // manifests it indexed — a late retry of a long-vacuumed commit still
-    // resolves to a no-op instead of double-applying)
-    ckptFiles(root).dropRight(1).foreach(Files.deleteIfExists)
-    (dead ++ deadSets).map(d => s"$root/$d")
-  }
 }
+

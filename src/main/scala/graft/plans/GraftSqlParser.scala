@@ -23,6 +23,9 @@ import graft.io.VersionedTable
   *       [ZORDER BY (c1, c2 [, ...]) | CLUSTER BY (c1, c2 [, ...])]
   *   VACUUM GRAFT '<root>' [RETAIN <n>] [DRY RUN]
   *       — RETAIN omitted reads the graft.vacuum.retainLast TBLPROPERTY
+  *   VACUUM GRAFT '<root>' OLDER THAN TIMESTAMP '<instant>'
+  *       [RETAIN <n>] [DRY RUN] — time-based expiry: versions published
+  *       at-or-after the instant survive; RETAIN (default 1) floors it
   *   RESTORE GRAFT '<root>' TO VERSION <n> | TO TIMESTAMP '<instant>'
   *       | TO TAG <name>
   *   SHOW PARTITIONS GRAFT '<root>'
@@ -50,6 +53,10 @@ import graft.io.VersionedTable
   *       zero bytes moved, old dirs read under their era
   *   ALTER GRAFT '<root>' SET TBLPROPERTIES ('k' = 'v' [, ...])
   *   ALTER GRAFT '<root>' UNSET TBLPROPERTIES ('k' [, ...])
+  *   ALTER GRAFT '<root>' WRITE ORDERED BY (c1 [, ...]) — every
+  *       subsequent batch range-sorts by (partition keys, c1, ...) so
+  *       data files cover disjoint ranges and the per-file index prunes
+  *   ALTER GRAFT '<root>' WRITE UNORDERED
   *   ALTER GRAFT '<root>' CREATE BRANCH <name>
   *   ALTER GRAFT '<root>' DROP BRANCH <name>
   *   ALTER GRAFT '<root>' FAST FORWARD BRANCH <name>
@@ -58,8 +65,10 @@ import graft.io.VersionedTable
   *   SHOW BRANCHES GRAFT '<root>'
   *   SHOW TAGS GRAFT '<root>'
   *   SHOW TBLPROPERTIES GRAFT '<root>'
-  *   CREATE GRAFT '<root>' [PARTITIONED BY (c1 [, ...])]
+  *   CREATE GRAFT '<root>' [PARTITIONED BY (c1 | days(ts) | bucket(n, c) ...)]
   *       [STATS BY (c1 [, ...])] [BLOOM BY (c1 [, ...])] AS (<query>)
+  *       — transform entries declare a HIDDEN layout with the data in
+  *         ONE commit; their source columns auto-index
   *   INSERT INTO GRAFT '<root>' FROM (<query>)
   *   INSERT OVERWRITE GRAFT '<root>' FROM (<query>)
   *   COPY INTO GRAFT '<root>' FROM '<glob>' [FORMAT <fmt>]
@@ -118,6 +127,8 @@ object GraftSqlParser {
     """(?is)\s*DESCRIBE\s+DETAIL\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
   private val vacuumRe =
     """(?is)\s*VACUUM\s+GRAFT\s+'([^']+)'\s+RETAIN\s+(\d+)(\s+DRY\s+RUN)?\s*;?\s*""".r
+  private val vacuumOlderRe =
+    """(?is)\s*VACUUM\s+GRAFT\s+'([^']+)'\s+OLDER\s+THAN\s+TIMESTAMP\s+'([^']+)'(?:\s+RETAIN\s+(\d+))?(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val vacuumPropRe =
     """(?is)\s*VACUUM\s+GRAFT\s+'([^']+)'(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val optimizeRe =
@@ -204,6 +215,10 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+SET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
   private val alterUnsetPropsRe =
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+UNSET\s+TBLPROPERTIES\s*\(([^)]*)\)\s*;?\s*""".r
+  private val alterWriteOrderedRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+WRITE\s+ORDERED\s+BY\s*\(([^)]*)\)\s*;?\s*""".r
+  private val alterWriteUnorderedRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+WRITE\s+UNORDERED\s*;?\s*""".r
   private val showPropsRe =
     """(?is)\s*SHOW\s+TBLPROPERTIES\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
   private val alterCreateBranchRe =
@@ -231,6 +246,25 @@ object GraftSqlParser {
   private val createAsRe =
     """(?is)\s*CREATE\s+GRAFT\s+'([^']+)'(.*?)\s+AS\s+\((.*)\)\s*;?\s*""".r
   private val partByRe = """(?is).*\bPARTITIONED\s+BY\s*\(([^)]*)\).*""".r
+  /** Balanced-paren body of `<keyword> ( ... )` inside `s` — transform
+    * entries (`days(ts)`, `bucket(4, id)`) nest parens, which a regex
+    * character class cannot see.
+    */
+  private def balancedClause(s: String, keywordRe: String): Option[String] = {
+    ("(?is)\\b" + keywordRe + "\\s*\\(").r.findFirstMatchIn(s).flatMap { m =>
+      var depth = 1
+      var i = m.end
+      while (i < s.length && depth > 0) {
+        s.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ => ()
+        }
+        i += 1
+      }
+      if (depth == 0) Some(s.substring(m.end, i - 1)) else None
+    }
+  }
   private val statsByRe = """(?is).*\bSTATS\s+BY\s*\(([^)]*)\).*""".r
   private val bloomByRe = """(?is).*\bBLOOM\s+BY\s*\(([^)]*)\).*""".r
   private val copyIntoRe =
@@ -442,6 +476,14 @@ object GraftSqlParser {
     case describeRe(root) => Some(GraftDescribeHistoryCommand(root))
     case detailRe(root) => Some(GraftDescribeDetailCommand(root))
     case vacuumRe(root, n, dry) => Some(GraftVacuumCommand(root, Some(n.toInt), dry != null))
+    // time-based expiry (Iceberg's expire_snapshots older_than): commits
+    // published at-or-after the instant survive; RETAIN (default 1) is a
+    // count-based floor UNIONED in, so the latest version always survives
+    case vacuumOlderRe(root, ts, n, dry) =>
+      val ms = java.time.LocalDateTime.parse(ts.trim.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      Some(GraftVacuumCommand(root, Some(Option(n).map(_.toInt).getOrElse(1)),
+        dry != null, olderThanMs = Some(ms)))
     // RETAIN omitted: the retention POLICY lives with the table
     // (graft.vacuum.retainLast TBLPROPERTY), resolved at run time
     case vacuumPropRe(root, dry) => Some(GraftVacuumCommand(root, None, dry != null))
@@ -512,6 +554,18 @@ object GraftSqlParser {
         case other => sys.error(s"UNSET TBLPROPERTIES: malformed key '$other'")
       }.toSeq
       Some(GraftPropertiesCommand(root, set = Map.empty, unset = ks))
+    // Iceberg's write-order DDL, desugared onto the property registry —
+    // the commit path reads 'graft.write.orderedBy' and range-sorts every
+    // batch; the property transform validates the columns against the
+    // declared schema before publishing
+    case alterWriteOrderedRe(root, cols) =>
+      val cs = cols.split(",").map(_.trim).filter(_.nonEmpty)
+      if (cs.isEmpty) sys.error("WRITE ORDERED BY: empty column list")
+      Some(GraftPropertiesCommand(root,
+        set = Map("graft.write.orderedBy" -> cs.mkString(",")), unset = Nil))
+    case alterWriteUnorderedRe(root) =>
+      Some(GraftPropertiesCommand(root, set = Map.empty,
+        unset = Seq("graft.write.orderedBy")))
     case showPropsRe(root) => Some(GraftShowPropertiesCommand(root))
     case alterCreateBranchRe(root, name) => Some(GraftRefCommand(root, "createbranch", name, None))
     case alterDropBranchRe(root, name) => Some(GraftRefCommand(root, "dropbranch", name, None))
@@ -538,10 +592,14 @@ object GraftSqlParser {
     case createAsRe(root, clauses, src) =>
       def cols(m: Option[String]): Seq[String] =
         m.fold(Seq.empty[String])(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      val part = clauses match { case partByRe(cs) => Some(cs); case _ => None }
+      // balanced scan: PARTITIONED BY may carry transform entries whose
+      // own parens a regex class cannot match
+      val part = balancedClause(clauses, "PARTITIONED\\s+BY")
       val stats = clauses match { case statsByRe(cs) => Some(cs); case _ => None }
       val blooms = clauses match { case bloomByRe(cs) => Some(cs); case _ => None }
-      Some(GraftCreateAsCommand(root, cols(part), cols(stats), cols(blooms), src))
+      Some(GraftCreateAsCommand(root,
+        part.fold(Seq.empty[String])(graft.catalog.GraftTransforms.splitEntries),
+        cols(stats), cols(blooms), src))
     case mergeRe(root, key, tail) =>
       val (src, clauses) = splitBalanced(tail).getOrElse(
         sys.error("MERGE GRAFT: unbalanced parentheses around the FROM (<query>)"))
@@ -669,7 +727,9 @@ case class GraftDescribeDetailCommand(root: String) extends LeafRunnableCommand 
 }
 
 case class GraftVacuumCommand(root: String, retainLast: Option[Int],
-                              dryRun: Boolean = false) extends LeafRunnableCommand {
+                              dryRun: Boolean = false,
+                              olderThanMs: Option[Long] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("removed", StringType, nullable = false)())
 
@@ -680,7 +740,8 @@ case class GraftVacuumCommand(root: String, retainLast: Option[Int],
         .flatMap(_.toIntOption).getOrElse(sys.error(
           s"VACUUM GRAFT without RETAIN requires the graft.vacuum.retainLast " +
             s"table property on $root (ALTER GRAFT ... SET TBLPROPERTIES)")))
-    VersionedTable.vacuum(root, retain, dryRun = dryRun).map(Row(_))
+    VersionedTable.vacuum(root, retain, dryRun = dryRun,
+      olderThanMs = olderThanMs).map(Row(_))
   }
 }
 
@@ -1023,7 +1084,11 @@ case class GraftShowPartitionsCommand(root: String) extends LeafRunnableCommand 
   * from any query of the session's full SQL surface (including
   * `graft_table(...)` reads of other tables), declaring the hive layout
   * and the skipping index in the same statement the data lands with.
-  * Refuses an existing table (CREATE creates; INSERT INTO appends).
+  * PARTITIONED BY accepts HIDDEN transform entries (`days(ts)`,
+  * `bucket(n, col)`, ...): each desugars to a generated column declared
+  * WITH the data in the same single commit (the DSv2 staged-CTAS shape),
+  * and the transform source columns auto-index. Refuses an existing
+  * table (CREATE creates; INSERT INTO appends).
   */
 case class GraftCreateAsCommand(root: String, partitionCols: Seq[String],
                                 statsCols: Seq[String], bloomCols: Seq[String],
@@ -1032,11 +1097,32 @@ case class GraftCreateAsCommand(root: String, partitionCols: Seq[String],
     Seq(AttributeReference("version", LongType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
+    import graft.catalog.GraftTransforms
     require(VersionedTable.latestCommit(root).isEmpty,
       s"CREATE GRAFT: $root already has commits — use INSERT INTO GRAFT to append")
     val commitId = s"sql-create-${java.util.UUID.randomUUID().toString.take(12)}"
-    Seq(Row(VersionedTable.commit(spark.sql(sourceSql), root, "append", commitId,
-      statsCols = statsCols, partitionCols = partitionCols, bloomCols = bloomCols)))
+    val df = spark.sql(sourceSql)
+    def colType(n: String) = df.schema.fields.find(_.name == n).map(_.dataType)
+    val parsed = partitionCols.map(e => (e, GraftTransforms.parseEntry(e)))
+    val specs = parsed.collect { case (_, Right((fn, src, arg))) =>
+      GraftTransforms.desugar(fn, src, arg, colType).getOrElse(sys.error(
+        s"CREATE GRAFT: '$fn' is the identity — spell the column plainly")) }
+    val partCols = parsed.map {
+      case (e, Left(c)) => c
+      case (e, Right((fn, src, arg))) =>
+        GraftTransforms.desugar(fn, src, arg, colType).get.name
+    }
+    val autoStats = GraftTransforms
+      .autoIndexProps(Map.empty, specs, colType)
+      .get("graft.stats.columns").map(_.split(",").toSeq).getOrElse(Nil)
+    Seq(Row(VersionedTable.commit(df, root,
+      if (specs.nonEmpty) "overwrite" else "append", commitId,
+      statsCols = (statsCols ++ autoStats).distinct,
+      partitionCols = partCols, bloomCols = bloomCols,
+      declareGenerated = specs.map(s => s.name -> s.sql).toMap,
+      declareProps = if (autoStats.isEmpty) Map.empty
+        else Map("graft.stats.columns" -> (statsCols ++ autoStats).distinct
+          .mkString(",")))))
   }
 }
 

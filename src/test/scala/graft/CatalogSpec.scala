@@ -686,6 +686,43 @@ class CatalogSpec extends SparkSpec {
     assert(spark.table("gcat.db.hp").count() == 20L)
   }
 
+  test("catalog: RANGE predicates over partition keys claim residual-free and compose with agg pushdown") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.pfr (id BIGINT, d DATE, v BIGINT) PARTITIONED BY (d)")
+    spark.sql("INSERT INTO gcat.db.pfr SELECT id, " +
+      "DATE '2024-03-01' + make_interval(0,0,0,CAST(id % 6 AS INT),0,0,0), id " +
+      "FROM range(0, 60)")
+    // wk >= bound: Spark's Filter node DISAPPEARS (exact per-group
+    // enforcement replaces it) and only qualifying day groups scan
+    val q = spark.table("gcat.db.pfr").where("d >= DATE '2024-03-04'")
+      .select("id", "v")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!"(?m)^[\\s:+\\-]*(?:\\*\\(\\d+\\) )?Filter\\b".r
+      .findFirstIn(plan).isDefined, plan.take(600))
+    assert("groups=(\\d+)".r.findFirstMatchIn(plan).map(_.group(1).toInt)
+      .contains(3), plan.take(600)) // days 04,05,06 of 6
+    assert(q.collect().map(_.getLong(0)).toSet ==
+      (0L until 60L).filter(_ % 6 >= 3).toSet)
+    // strict bound excludes the boundary group entirely
+    val q2 = spark.table("gcat.db.pfr").where("d > DATE '2024-03-04'").select("id")
+    assert("groups=(\\d+)".r.findFirstMatchIn(
+      q2.queryExecution.executedPlan.toString).map(_.group(1).toInt).contains(2))
+    // residual-free range + metadata aggregation: count/min/max under the
+    // range plans as a GraftAggScan — ZERO data tasks
+    val agg = spark.sql("SELECT count(*) AS n, min(d) AS lo, max(d) AS hi " +
+      "FROM gcat.db.pfr WHERE d >= DATE '2024-03-04'")
+    assert(agg.queryExecution.executedPlan.toString.contains("GraftAggScan"),
+      agg.queryExecution.executedPlan.toString.take(600))
+    val r = agg.head()
+    assert(r.getLong(0) == 30L && r.getDate(1).toString == "2024-03-04" &&
+      r.getDate(2).toString == "2024-03-06", r.toString)
+    // BETWEEN (two claims) still exact
+    val bt = spark.table("gcat.db.pfr")
+      .where("d BETWEEN DATE '2024-03-02' AND DATE '2024-03-03'")
+      .agg(count(lit(1))).head().getLong(0)
+    assert(bt == 20L)
+  }
+
   test("catalog: hidden partitioning — raw-column predicates prune key groups (derived transform claims)") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.hpprune (id BIGINT, ts TIMESTAMP, v BIGINT) " +
@@ -1251,6 +1288,14 @@ class CatalogSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("rel-1", 4L)))
     val mor = spark.sql("SELECT key_sets, keys_pending FROM gcat.db.mt.mor").head()
     assert(mor.getLong(0) == 1L && mor.getLong(1) == 1L, mor.toString)
+    // files: the per-file inventory (Iceberg's files table) — row counts
+    // sum to the snapshot, every file sized, the indexed column's
+    // envelope rendered
+    val f = spark.sql("SELECT count(*), sum(rows), min(bytes), " +
+      "sum(CASE WHEN envelope LIKE 'id:%' THEN 1 ELSE 0 END) " +
+      "FROM gcat.db.mt.files").head()
+    assert(f.getLong(0) >= 2L && f.getLong(1) == 15L && f.getLong(2) > 0L &&
+      f.getLong(3) == f.getLong(0), f.toString)
     // a real table named like a kind would win — and a bogus kind refuses
     assert(intercept[Exception](spark.table("gcat.db.mt.nope").collect())
       .getMessage.nonEmpty)

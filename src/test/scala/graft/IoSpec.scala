@@ -4182,6 +4182,66 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 12L)
   }
 
+  test("GraftSqlParser: CREATE GRAFT with a transform layout — one commit, hidden keys, auto-index") {
+    import spark.implicits._
+    val root = tmpDir("ctashid")
+    (0 until 20).map(i => (i.toLong,
+      java.sql.Timestamp.valueOf(f"2024-0${1 + i % 3}%d-07 03:00:00")))
+      .toDF("id", "ts").createOrReplaceTempView("ctashid_src")
+    spark.sql(s"CREATE GRAFT '$root' PARTITIONED BY (months(ts), bucket(2, id)) " +
+      "AS (SELECT * FROM ctashid_src)").collect()
+    val c = VersionedTable.latestCommit(root).get
+    assert(c.version == 1L && c.dirs.nonEmpty, "declaration + data must be ONE commit")
+    assert(c.partitionCols == Seq("ts_month", "id_bucket"), c.partitionCols)
+    assert(c.generated.keySet == Set("ts_month", "id_bucket"), c.generated)
+    assert(c.props.get("graft.stats.columns").exists(s =>
+      s.contains("ts") && s.contains("id")), c.props)
+    val byMonth = VersionedTable.read(spark, root).groupBy("ts_month").count()
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1))).toMap
+    assert(byMonth == Map("2024-01-01" -> 7L, "2024-02-01" -> 7L, "2024-03-01" -> 6L),
+      byMonth)
+    // the index follows: a SQL append inherits layout + stats
+    spark.sql(s"INSERT INTO GRAFT '$root' FROM (SELECT CAST(100 AS BIGINT) AS id, " +
+      "TIMESTAMP '2024-04-07 03:00:00' AS ts)").collect()
+    assert(VersionedTable.read(spark, root).count() == 21L)
+    assert(VersionedTable.latestCommit(root).get.stats.size == 2,
+      "append must inherit the auto-declared stats index")
+  }
+
+  test("VersionedTable: TIMESTAMP partition keys survive a DST fall-back hour (offset-suffixed paths)") {
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val root = tmpDir("dstts")
+      // 05:30Z and 06:30Z both render as LOCAL "2024-11-03 01:30:00" in
+      // New York (EDT -04:00 vs EST -05:00 across the fall-back) — the
+      // exact collision Spark's plain session-zone path rendering cannot
+      // distinguish; the offset-suffixed spelling keeps them apart
+      val df = spark.sql(
+        "SELECT * FROM VALUES (CAST(1 AS BIGINT), TIMESTAMP '2024-11-03 05:30:00+00:00'), " +
+          "(CAST(2 AS BIGINT), TIMESTAMP '2024-11-03 06:30:00+00:00') AS t(id, ts)")
+      VersionedTable.commit(df, root, "append", "dst-c1", partitionCols = Seq("ts"))
+      // TWO distinct hive dirs (value authority is the path)
+      val attemptDir = new java.io.File(s"$root/data").listFiles()
+        .filter(_.isDirectory).head
+      val subdirs = attemptDir.listFiles().filter(_.isDirectory).map(_.getName).sorted
+      assert(subdirs.length == 2, subdirs.mkString(", "))
+      assert(subdirs.forall(s => s.contains("-04") || s.contains("-05")),
+        s"paths must carry offsets: ${subdirs.mkString(", ")}")
+      // read-back resurrects BOTH instants exactly from the paths
+      val back = VersionedTable.read(spark, root).collect()
+        .map(r => (r.getLong(0),
+          r.getTimestamp(1).toInstant.toString)).toMap
+      assert(back == Map(1L -> "2024-11-03T05:30:00Z", 2L -> "2024-11-03T06:30:00Z"),
+        back.toString)
+      // the residual-free claim still enforces exactly on the parsed values
+      val one = VersionedTable.read(spark, root)
+        .where("ts = TIMESTAMP '2024-11-03 06:30:00+00:00'")
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(one == Seq(2L), one.toString)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+  }
+
   test("GraftSqlParser: partition evolution to a TRANSFORM layout — flat → daily → hourly, zero rewrite") {
     import spark.implicits._
     val root = tmpDir("pevo6")
@@ -4230,5 +4290,115 @@ class IoSpec extends SparkSpec {
       s"ALTER GRAFT '$root' SET PARTITIONED BY (days(nope))").collect())
       .getMessage.contains("undeclared column"))
     assert(VersionedTable.latestCommit(root).get.version == vNow)
+  }
+
+  test("WRITE ORDERED BY: batches range-sort, per-file envelopes disjoint, point reads prune to O(1) files") {
+    val root = tmpDir("wrord")
+    VersionedTable.commit(
+      spark.sql("SELECT CAST(500 AS BIGINT) AS id, 'seed' AS s"),
+      root, "append", "w1", statsCols = Seq("id"))
+    // a typo'd column refuses at DDL (schema exists), publishing nothing
+    assert(intercept[Exception](spark.sql(
+      s"ALTER GRAFT '$root' WRITE ORDERED BY (nope)").collect())
+      .getMessage.contains("unknown column"))
+    spark.sql(s"ALTER GRAFT '$root' WRITE ORDERED BY (id)").collect()
+    assert(VersionedTable.tableProperties(root)
+      .get("graft.write.orderedBy").contains("id"))
+    // a JUMBLED batch: descending ids scattered across 8 input partitions —
+    // without the order policy every task's file would span ~the full range.
+    // AQE would rightly coalesce this tiny shuffle to ONE file (file count
+    // adapts to volume — the at-scale behavior); pin it off so the test
+    // sees the multi-file shape a real batch produces.
+    val jumbled = spark.range(0, 1000)
+      .select((lit(999L) - col("id")).as("id"),
+        concat(lit("v"), col("id")).as("s"))
+      .repartition(8)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prevCoalesce = spark.conf.get(coalesceKey)
+    spark.conf.set(coalesceKey, "false")
+    try VersionedTable.commit(jumbled, root, "append", "w2", statsCols = Seq("id"))
+    finally spark.conf.set(coalesceKey, prevCoalesce)
+    val c = VersionedTable.history(root).last
+    val newDir = c.dirs.filterNot(VersionedTable.history(root).head.dirs.contains)
+    assert(newDir.size == 1)
+    // per-file envelopes of the ordered dir are pairwise DISJOINT
+    val envRe = """id:\[(-?\d+),(-?\d+)\]""".r
+    val envs = VersionedTable.describeFiles(spark, root)
+      .filter(col("dir") === newDir.head).collect()
+      .map(r => envRe.findFirstMatchIn(r.getString(4)).getOrElse(
+        fail(s"file ${r.getString(1)} has no id envelope: ${r.getString(4)}")))
+      .map(m => (m.group(1).toLong, m.group(2).toLong)).sortBy(_._1)
+    // the range exchange spreads the batch over shuffle-partition files
+    // (4 in the test session)
+    assert(envs.length >= 3, s"range exchange should spread files, got ${envs.length}")
+    envs.sliding(2).foreach { case Array((_, aHi), (bLo, _)) =>
+      assert(aHi < bLo, s"envelopes overlap: ${envs.mkString(", ")}")
+    case _ => () }
+    // a point read prunes to O(1) files
+    val (scanned, total) = VersionedTable.planRangeFiles(root, "id", 250L, 250L)
+    assert(total >= envs.length + 1, s"fixture needs many files, got $total")
+    assert(scanned <= 1, s"ordered files must prune a point read: $scanned of $total")
+    // nothing lost, nothing duplicated
+    assert(VersionedTable.read(spark, root).count() == 1001L)
+    assert(VersionedTable.readRange(spark, root, "id", 250L, 250L)
+      .collect().map(_.getLong(0)).toSeq == Seq(250L))
+    // WRITE UNORDERED retires the policy; appends keep working
+    spark.sql(s"ALTER GRAFT '$root' WRITE UNORDERED").collect()
+    assert(!VersionedTable.tableProperties(root).contains("graft.write.orderedBy"))
+    VersionedTable.commit(
+      spark.sql("SELECT CAST(2000 AS BIGINT) AS id, 'post' AS s"),
+      root, "append", "w3")
+    assert(VersionedTable.read(spark, root).count() == 1002L)
+  }
+
+  test("VACUUM OLDER THAN TIMESTAMP: time-based expiry with a RETAIN floor, tags immortal, manifests in lockstep") {
+    val root = tmpDir("vacts")
+    def one(id: Long, mode: String, cid: String): Unit =
+      VersionedTable.commit(
+        spark.sql(s"SELECT CAST($id AS BIGINT) AS id"), root, mode, cid)
+    one(1L, "append", "v1")
+    one(2L, "overwrite", "v2")
+    VersionedTable.createTag(root, "keep2", 2L)
+    one(3L, "overwrite", "v3")
+    // a cutoff in the PAST retains everything — dry-run reports nothing
+    assert(spark.sql(s"VACUUM GRAFT '$root' OLDER THAN TIMESTAMP " +
+      "'1970-01-02 00:00:00' DRY RUN").collect().isEmpty)
+    assert(VersionedTable.history(root).map(_.version) == Seq(1L, 2L, 3L))
+    // a future cutoff expires everything the floor + tags don't hold:
+    // v3 (RETAIN 1) and v2 (tagged) survive; v1's manifest AND dir go
+    spark.sql(s"VACUUM GRAFT '$root' OLDER THAN TIMESTAMP " +
+      "'2099-01-01 00:00:00'").collect()
+    assert(VersionedTable.history(root).map(_.version) == Seq(2L, 3L))
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq
+      == Seq(3L))
+    // the tagged snapshot stays fully readable (manifest + storage)
+    assert(VersionedTable.read(spark, root, asOf = Some(2L))
+      .collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // v1 is gone for real
+    assert(intercept[Exception](
+      VersionedTable.read(spark, root, asOf = Some(1L)).collect())
+      .getMessage.contains("not in log"))
+  }
+
+  test("describeFiles: per-file inventory — bytes, rows, envelopes; sums match the table") {
+    val root = tmpDir("dfiles")
+    VersionedTable.commit(
+      spark.range(0, 100).selectExpr("id", "CAST(id % 7 AS STRING) AS s")
+        .repartition(4),
+      root, "append", "f1", statsCols = Seq("id"))
+    VersionedTable.commit(
+      spark.range(100, 150).selectExpr("id", "'x' AS s"),
+      root, "append", "f2")
+    val files = VersionedTable.describeFiles(spark, root).collect()
+    assert(files.length >= 5, s"4+1 input partitions → 5+ files, got ${files.length}")
+    assert(files.forall(_.getLong(2) > 0L), "every file has bytes")
+    // the indexed commit's files carry row counts + id envelopes; the
+    // stats-less commit's read NULL/empty — unknown, never zero
+    val (withStats, without) = files.partition(_.getString(4).startsWith("id:["))
+    assert(withStats.length >= 4 && without.nonEmpty)
+    assert(withStats.map(_.getLong(3)).sum == 100L,
+      "side-file row counts sum to the indexed commit's rows")
+    assert(without.forall(r => r.isNullAt(3) && r.getString(4).isEmpty))
+    assert(files.map(_.getString(0)).distinct.length == 2)
   }
 }
