@@ -4906,6 +4906,109 @@ private[graft] object QueriesMedallionIo {
         |  CAST(5 AS BIGINT) AS sized, CAST(5 AS BIGINT) AS indexed,
         |  CAST(2 AS BIGINT) AS dirs""".stripMargin)),
 
+    // S17 — CHERRY PICK BRANCH (r18; Iceberg's cherrypick_snapshot over
+    // the branch's whole delta): the WAP gap fast-forward leaves open —
+    // a branch whose audit window outlived main's next commit could only
+    // be recreated and re-applied. Append-only branch deltas COMMUTE with
+    // main appends, so the publish replays the branch's new dirs onto the
+    // CURRENT main snapshot as one commit (shape-validated: schema/
+    // layout/constraints must agree; divergence refuses as a merge).
+    // `ff_refused` pins that fast-forward correctly turns the same state
+    // away; the grouped agg pins that main's interleaved commit and the
+    // branch's rows BOTH survive, exactly once each.
+    Q("versioned_cherry_pick",
+      (s, dir) => {
+        val (root, ffRefused, mode, retired) =
+          Fixtures.once(s, dir, "vt_cherry") {
+            val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_cherry_${dirTag(dir)}"
+            rmrf(r)
+            val o = rd(s, dir, "orders").select(col("o_orderkey"),
+              col("o_orderpriority").as("prio"))
+            graft.io.VersionedTable.commit(o.filter(col("prio") === "1-URGENT"),
+              r, "append", "cp-1")
+            graft.io.VersionedTable.createBranch(r, "wap", "cp-b")
+            graft.io.VersionedTable.commit(o.filter(col("prio") === "2-HIGH"),
+              graft.io.VersionedTable.branchRoot(r, "wap"), "append", "cp-bw")
+            // main advances past the fork while the branch is in audit
+            graft.io.VersionedTable.commit(o.filter(col("prio") === "3-MEDIUM"),
+              r, "append", "cp-2")
+            val ffr =
+              try { graft.io.VersionedTable.fastForward(r, "wap", "cp-ff"); false }
+              catch { case e: Exception => e.getMessage.contains("not a fast-forward") }
+            s.sql(s"ALTER GRAFT '$r' CHERRY PICK BRANCH wap").collect()
+            (r, java.lang.Boolean.valueOf(ffr),
+              graft.io.VersionedTable.latestCommit(r).get.mode,
+              java.lang.Boolean.valueOf(
+                !graft.io.VersionedTable.listBranches(r).contains("wap")))
+          }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy("prio")
+          .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).as("key_sum"))
+          .withColumn("ff_refused", lit(ffRefused.booleanValue()))
+          .withColumn("mode", lit(mode))
+          .withColumn("branch_retired", lit(retired.booleanValue()))
+          .orderBy("prio")
+      },
+      Some("""SELECT o_orderpriority AS prio, count(*) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+        |  TRUE AS ff_refused, 'cherrypick' AS mode, TRUE AS branch_retired
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH', '3-MEDIUM')
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S17 — SORT COMPACTION (r18; Iceberg's rewrite_data_files sort
+    // strategy): a declared write order carries into OPTIMIZE — each
+    // append is internally sorted, but envelopes STRADDLE commits (the
+    // even half and the odd half each span the whole keyspace), so a
+    // point probe pre-compaction must open a file from every commit;
+    // compaction under graft.write.orderedBy range-sorts the whole
+    // snapshot and restores GLOBAL per-file disjointness (`disjoint`),
+    // after which a point probe opens exactly ONE file (`point_files`).
+    Q("versioned_sort_compact",
+      (s, dir) => {
+        val (root, disjoint, pointFiles) =
+          Fixtures.once(s, dir, "vt_sortcomp") {
+            val r = s"${System.getProperty("java.io.tmpdir")}/graft_versioned_sortcomp_${dirTag(dir)}"
+            rmrf(r)
+            val o = rd(s, dir, "orders").select(col("o_orderkey"),
+              (col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint").as("cents"))
+            graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 0),
+              r, "append", "sc-1", statsCols = Seq("o_orderkey"))
+            s.sql(s"ALTER GRAFT '$r' WRITE ORDERED BY (o_orderkey)").collect()
+            graft.io.VersionedTable.commit(o.filter(col("o_orderkey") % 2 === 1),
+              r, "append", "sc-2", statsCols = Seq("o_orderkey"))
+            graft.io.VersionedTable.compact(s, r, "sc-opt", targetFiles = 4,
+              statsCols = Seq("o_orderkey"))
+            val envRe = """o_orderkey:\[(-?\d+),(-?\d+)\]""".r
+            val envs = graft.io.VersionedTable.describeFiles(s, r).collect()
+              .flatMap(row => envRe.findFirstMatchIn(row.getString(4))
+                .map(m => (m.group(1).toLong, m.group(2).toLong)))
+              .sortBy(_._1)
+            val dj = envs.length >= 2 && envs.sliding(2).forall {
+              case Array((_, aHi), (bLo, _)) => aHi < bLo
+              case _ => true
+            }
+            // probe an EXISTING key (orderkeys are sparse — an absent
+            // value could fall in an inter-file gap and scan zero files)
+            val mid = o.agg(max(col("o_orderkey"))).head().getLong(0) / 2
+            val probeKey = o.filter(col("o_orderkey") <= mid)
+              .agg(max(col("o_orderkey"))).head().getLong(0)
+            (r, java.lang.Boolean.valueOf(dj), java.lang.Long.valueOf(
+              graft.io.VersionedTable.planRangeFiles(r, "o_orderkey",
+                probeKey, probeKey)._1.toLong))
+          }
+        graft.io.VersionedTable.read(s, root)
+          .groupBy((col("o_orderkey") % 5).as("k"))
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents_sum"))
+          .withColumn("disjoint", lit(disjoint.booleanValue()))
+          .withColumn("point_files", lit(pointFiles.longValue()))
+          .orderBy("k")
+      },
+      Some("""SELECT o_orderkey % 5 AS k, count(*) AS n,
+        |  CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents_sum,
+        |  TRUE AS disjoint, CAST(1 AS BIGINT) AS point_files
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S17 — TIMESTAMP as a first-class partition-key type (r16 judge item
     // 5): the typed-claim family extends to TimestampType — claimed
     // literals normalize to epoch MICROS (tsMicros, the micros twin of

@@ -7189,6 +7189,16 @@ object VersionedTable extends VersionedTableRefs {
               / targetFileBytes).toInt
           else targetFiles
         val cur = scanWithDeletes(spark, root, parent, parent.dirs)
+        // SORT-AWARE compaction (Iceberg's sort strategy): a declared
+        // write order (graft.write.orderedBy) carries into OPTIMIZE, so
+        // compaction restores the per-file disjointness that interleaved
+        // appends eroded — an explicit zorderBy still wins over the policy
+        val orderCols = parent.props.get("graft.write.orderedBy")
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil).map(physName(parent, _))
+        orderCols.foreach(c => require(cur.columns.contains(c),
+          s"compact: graft.write.orderedBy column '$c' is not in the snapshot " +
+            s"(columns: ${cur.columns.mkString(", ")}); fix the property first"))
         val df =
           if (zorderBy.nonEmpty) {
             import org.apache.spark.sql.functions.col
@@ -7198,6 +7208,12 @@ object VersionedTable extends VersionedTableRefs {
             withZValue(spark, cur, parent, zorderBy, curve)
               .repartitionByRange(nFiles, col("__graft_z"))
               .drop("__graft_z", "__graft_dims")
+          }
+          else if (orderCols.nonEmpty) {
+            import org.apache.spark.sql.functions.col
+            val rc = (parent.partitionCols ++
+              orderCols.filterNot(parent.partitionCols.contains)).map(col)
+            cur.repartitionByRange(nFiles, rc: _*).sortWithinPartitions(rc: _*)
           }
           else if (parent.partitionCols.nonEmpty)
             cur.repartition(nFiles,

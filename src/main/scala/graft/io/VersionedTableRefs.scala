@@ -165,6 +165,121 @@ private[io] trait VersionedTableRefs { this: VersionedTable.type =>
     }
   }
 
+  /** CHERRY-PICK publish (Iceberg's `cherrypick_snapshot`, generalized to
+    * the branch's whole delta): land an APPEND-ONLY branch's new rows on a
+    * main that HAS advanced past the fork point — the case [[fastForward]]
+    * deliberately refuses. Sound because appends commute: the branch's new
+    * dirs reference no pre-fork state, so replaying them onto any later
+    * main snapshot is exactly the commit an append made there directly —
+    * PROVIDED nothing else diverged, which is validated strictly:
+    *  - the branch dropped/rewrote no pre-fork dir (its absolute refs
+    *    still equal the fork snapshot's dir set) and added no deletion
+    *    vectors — anything else is a merge, refused;
+    *  - the table SHAPE is identical between branch and current main
+    *    (schema, rename map, dropped slots, partition layout, generated
+    *    specs, constraints, NOT NULL) — the rows were validated under the
+    *    branch's shape and must mean the same thing under main's;
+    *  - no IDENTITY columns (the branch allocated from the fork's ranges,
+    *    which a concurrent main append may have re-allocated — refused
+    *    loudly rather than publishing duplicate keys).
+    * Branch-local dirs MOVE into main storage (same-volume rename, zero
+    * bytes), the publish is one "cherrypick" commit appended to main's
+    * CURRENT snapshot under the standard OCC slot race (re-validating
+    * shape against the new parent on every retry), and the branch retires
+    * after the publish. Idempotent under `commitId`. Returns the new main
+    * version.
+    */
+  def cherryPick(root: String, name: String, commitId: String): Long = {
+    requireRefName(name, "cherryPick")
+    val bq = branchRoot(root, name)
+    def retireIfPublished(prior: Long): Long = {
+      // finish a crashed retirement — only for a branch forked BEFORE the
+      // published version (a later same-name branch has base >= prior)
+      latestCommit(bq).foreach { bc =>
+        if (bc.props.get("graft.branch.base").exists(_.toLong < prior))
+          dropBranch(root, name)
+      }
+      prior
+    }
+    findCommitVersion(root, commitId) match {
+      case Some(prior) => retireIfPublished(prior)
+      case None =>
+        val bc = latestCommit(bq).getOrElse(
+          sys.error(s"cherryPick: no branch '$name' at $root"))
+        val base = bc.props.getOrElse("graft.branch.base", sys.error(
+          s"cherryPick: $bq carries no graft.branch.base property — not a branch")).toLong
+        val fork = commitAt(root, base).getOrElse(sys.error(
+          s"cherryPick: fork-point manifest v$base was vacuumed at $root — " +
+            "cannot validate the branch is append-only; fast-forward a fresh branch instead"))
+        val absMain = Paths.get(root).toAbsolutePath.normalize.toString
+        def localized(ref: String): String =
+          if (ref.startsWith(absMain + "/")) ref.stripPrefix(absMain + "/") else ref
+        // append-only: every pre-fork dir still referenced, none rewritten
+        val preFork = bc.dirs.filter(_.startsWith("/")).map(localized)
+        require(preFork.toSet == fork.dirs.toSet,
+          s"cherryPick: branch '$name' dropped or rewrote pre-fork dirs " +
+            s"(${(fork.dirs.toSet -- preFork).mkString(", ")}) — not append-only; " +
+            "this is a merge: recreate the branch from the current snapshot and re-apply")
+        require(bc.deletes.map { case (d, s) => localized(d) -> s.map(localized) } ==
+            fork.deletes,
+          s"cherryPick: branch '$name' added deletion vectors — not append-only")
+        val newDirs = bc.dirs.filterNot(_.startsWith("/"))
+        if (newDirs.isEmpty) { dropBranch(root, name); return latestVersion(root).getOrElse(base) }
+        def shapeCheck(parent: Commit): Unit = {
+          require(parent.identity.isEmpty && bc.identity.isEmpty,
+            s"cherryPick: IDENTITY columns allocate from the fork point and may collide " +
+              "with main's advance — fast-forward only")
+          def same[A](what: String, a: A, b: A): Unit = require(a == b,
+            s"cherryPick: branch '$name' and main disagree on $what " +
+              s"(branch: $b, main: $a) — the branch rows were validated under a " +
+              "different table shape; recreate the branch and re-apply")
+          same("schema", parent.schemaDdl, bc.schemaDdl)
+          same("rename map", parent.nameMap, bc.nameMap)
+          same("dropped columns", parent.dropped, bc.dropped)
+          same("partition layout", parent.partitionCols, bc.partitionCols)
+          same("generated columns", parent.generated, bc.generated)
+          same("constraints", parent.constraints, bc.constraints)
+          same("NOT NULL set", parent.notNull.sorted, bc.notNull.sorted)
+        }
+        // move branch-local dirs into main storage (idempotent on retry:
+        // an already-moved dir is found at its destination)
+        newDirs.foreach { ref =>
+          val src = Paths.get(bq, ref); val dst = Paths.get(root, ref)
+          if (Files.exists(src)) {
+            Files.createDirectories(dst.getParent)
+            Files.move(src, dst)
+          } else require(Files.isDirectory(dst),
+            s"cherryPick: branch ref $ref missing from both branch and main storage")
+        }
+        var published = -1L
+        while (published < 0) {
+          val twin = findCommitVersion(root, commitId)
+          if (twin.isDefined) published = twin.get
+          else {
+            val parent = latestCommit(root).getOrElse(sys.error(
+              s"cherryPick: no commits at $root"))
+            shapeCheck(parent)
+            val v = parent.version + 1
+            val pick = parent.copy(version = v, commitId = commitId,
+              mode = "cherrypick", dirs = parent.dirs ++ newDirs,
+              stats = parent.stats ++
+                bc.stats.filter { case (d, _) => newDirs.contains(d) },
+              strStats = parent.strStats ++
+                bc.strStats.filter { case (d, _) => newDirs.contains(d) },
+              blooms = parent.blooms ++
+                bc.blooms.filter { case (d, _) => newDirs.contains(d) },
+              nullCounts = parent.nullCounts ++
+                bc.nullCounts.filter { case (d, _) => newDirs.contains(d) })
+            if (publishIfAbsent(root, v, pick)) published = v
+            // else: a concurrent commit took the slot — loop re-reads the
+            // new parent and re-validates the shape against it
+          }
+        }
+        dropBranch(root, name)
+        published
+    }
+  }
+
   private def tagsDir(root: String) = Paths.get(root, "_tags")
 
   /** CREATE TAG (Iceberg's immutable named ref): pin `version` under a

@@ -60,6 +60,8 @@ import graft.io.VersionedTable
   *   ALTER GRAFT '<root>' CREATE BRANCH <name>
   *   ALTER GRAFT '<root>' DROP BRANCH <name>
   *   ALTER GRAFT '<root>' FAST FORWARD BRANCH <name>
+  *   ALTER GRAFT '<root>' CHERRY PICK BRANCH <name> — publish an
+  *       append-only branch onto a main that advanced past the fork
   *   ALTER GRAFT '<root>' CREATE TAG <name> [AS OF VERSION <n>]
   *   ALTER GRAFT '<root>' DROP TAG <name>
   *   SHOW BRANCHES GRAFT '<root>'
@@ -227,6 +229,8 @@ object GraftSqlParser {
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+DROP\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
   private val alterFastForwardRe =
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+FAST\s+FORWARD\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
+  private val alterCherryPickRe =
+    """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+CHERRY\s+PICK\s+BRANCH\s+([\w.-]+)\s*;?\s*""".r
   private val alterCreateTagRe =
     """(?is)\s*ALTER\s+GRAFT\s+'([^']+)'\s+CREATE\s+TAG\s+([\w.-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""".r
   private val alterDropTagRe =
@@ -570,6 +574,7 @@ object GraftSqlParser {
     case alterCreateBranchRe(root, name) => Some(GraftRefCommand(root, "createbranch", name, None))
     case alterDropBranchRe(root, name) => Some(GraftRefCommand(root, "dropbranch", name, None))
     case alterFastForwardRe(root, name) => Some(GraftRefCommand(root, "fastforward", name, None))
+    case alterCherryPickRe(root, name) => Some(GraftRefCommand(root, "cherrypick", name, None))
     case alterCreateTagRe(root, name, v) =>
       Some(GraftRefCommand(root, "createtag", name, Option(v).map(_.toLong)))
     case alterDropTagRe(root, name) => Some(GraftRefCommand(root, "droptag", name, None))
@@ -1297,6 +1302,9 @@ case class GraftRefCommand(root: String, verb: String, name: String,
     case "fastforward" =>
       val cid = s"sql-ff-${java.util.UUID.randomUUID().toString.take(12)}"
       Seq(Row(name, VersionedTable.fastForward(root, name, cid)))
+    case "cherrypick" =>
+      val cid = s"sql-cp-${java.util.UUID.randomUUID().toString.take(12)}"
+      Seq(Row(name, VersionedTable.cherryPick(root, name, cid)))
     case "createtag" =>
       val v = version.getOrElse(VersionedTable.latestVersion(root).getOrElse(
         sys.error(s"CREATE TAG: no commits at $root")))

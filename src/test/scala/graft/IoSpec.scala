@@ -4380,6 +4380,81 @@ class IoSpec extends SparkSpec {
       .getMessage.contains("not in log"))
   }
 
+  test("compact honors graft.write.orderedBy: sort compaction restores per-file disjointness across commits") {
+    val root = tmpDir("sortcomp")
+    VersionedTable.commit(spark.range(0, 100).selectExpr("id", "'a' AS s"),
+      root, "append", "s1", statsCols = Seq("id"))
+    spark.sql(s"ALTER GRAFT '$root' WRITE ORDERED BY (id)").collect()
+    // a second commit OVERLAPPING the first: per-commit files are each
+    // sorted, but envelopes straddle commits — only compaction can
+    // restore global disjointness
+    VersionedTable.commit(spark.range(50, 150).selectExpr("id", "'b' AS s"),
+      root, "append", "s2", statsCols = Seq("id"))
+    VersionedTable.compact(spark, root, "sc1", targetFiles = 3,
+      statsCols = Seq("id"))
+    val c = VersionedTable.latestCommit(root).get
+    assert(c.mode == "compact" && c.dirs.size == 1)
+    val envRe = """id:\[(-?\d+),(-?\d+)\]""".r
+    val envs = VersionedTable.describeFiles(spark, root).collect()
+      .flatMap(r => envRe.findFirstMatchIn(r.getString(4))
+        .map(m => (m.group(1).toLong, m.group(2).toLong))).sortBy(_._1)
+    assert(envs.length == 3, s"targetFiles=3 → 3 files, got ${envs.length}")
+    envs.sliding(2).foreach { case Array((_, aHi), (bLo, _)) =>
+      assert(aHi < bLo, s"compacted envelopes overlap: ${envs.mkString(", ")}")
+    case _ => () }
+    // a point read now opens exactly one file; rows exact (50..99 doubled)
+    assert(VersionedTable.planRangeFiles(root, "id", 75L, 75L)._1 == 1)
+    assert(VersionedTable.read(spark, root).count() == 200L)
+    assert(VersionedTable.readRange(spark, root, "id", 75L, 75L).count() == 2L)
+  }
+
+  test("cherryPick: append-only branch publishes onto an ADVANCED main; divergence and identity refuse") {
+    val root = tmpDir("cherry")
+    def df(ids: Long*) = {
+      import spark.implicits._
+      ids.map(i => (i, s"r$i")).toDF("id", "s")
+    }
+    VersionedTable.commit(df(1L, 2L), root, "append", "c1")
+    VersionedTable.createBranch(root, "wap", "b1")
+    // the branch appends (audit writes land here)
+    VersionedTable.commit(df(10L, 11L), VersionedTable.branchRoot(root, "wap"),
+      "append", "bw1", statsCols = Seq("id"))
+    // MAIN advances past the fork — the exact case fastForward refuses
+    VersionedTable.commit(df(100L), root, "append", "c2")
+    assert(intercept[Exception](
+      VersionedTable.fastForward(root, "wap", "ff1"))
+      .getMessage.contains("not a fast-forward"))
+    // cherry-pick publishes the branch's delta as one commit
+    val v = spark.sql(s"ALTER GRAFT '$root' CHERRY PICK BRANCH wap").collect()
+      .head.getLong(1)
+    val c = VersionedTable.latestCommit(root).get
+    assert(c.version == v && c.mode == "cherrypick")
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 10L, 11L, 100L))
+    // the branch retired; its stats index rode along with the new dir
+    assert(!VersionedTable.listBranches(root).contains("wap"))
+    assert(c.stats.values.exists(_.contains("id")),
+      "branch append's stats must carry into the published manifest")
+    // main history is intact — the pre-pick snapshot still reads
+    assert(VersionedTable.read(spark, root, asOf = Some(v - 1))
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 100L))
+    // a DIVERGED branch (overwrite dropped the pre-fork dirs) refuses
+    VersionedTable.createBranch(root, "div", "b2")
+    VersionedTable.commit(df(500L), VersionedTable.branchRoot(root, "div"),
+      "overwrite", "bw2")
+    assert(intercept[Exception](
+      VersionedTable.cherryPick(root, "div", "cp2"))
+      .getMessage.contains("not append-only"))
+    // a branch that added DELETION VECTORS refuses too
+    VersionedTable.createBranch(root, "del", "b3")
+    VersionedTable.deleteWhereMor(spark, VersionedTable.branchRoot(root, "del"), {
+      import spark.implicits._; Seq(1L).toDF("id")
+    }, "id", "bd1")
+    assert(intercept[Exception](
+      VersionedTable.cherryPick(root, "del", "cp3"))
+      .getMessage.contains("deletion vectors"))
+  }
+
   test("describeFiles: per-file inventory — bytes, rows, envelopes; sums match the table") {
     val root = tmpDir("dfiles")
     VersionedTable.commit(
