@@ -1882,6 +1882,17 @@ object VersionedTable extends VersionedTableRefs {
     partitionCols.foreach(p => require(schema.fieldNames.contains(p),
       s"createTable: partition column '$p' is not in the declared schema " +
         s"(${schema.fieldNames.mkString(", ")})"))
+    // engine-interpreted properties validate at CREATE like at ALTER — a
+    // typo'd write-order column must refuse here, not at the first write
+    props.get("graft.write.orderedBy").foreach { v =>
+      val cs = v.split(",").map(_.trim).filter(_.nonEmpty)
+      require(cs.nonEmpty,
+        s"graft.write.orderedBy must name >= 1 comma-separated columns, got '$v'")
+      val missing = cs.filterNot(schema.fieldNames.contains)
+      require(missing.isEmpty,
+        s"createTable: graft.write.orderedBy names unknown column(s) " +
+          s"${missing.mkString(", ")} (schema: ${schema.fieldNames.mkString(", ")})")
+    }
     (defaults.keySet ++ generated.keySet ++ identity.keySet).foreach(c =>
       require(schema.fieldNames.contains(c),
         s"createTable: declared column spec for '$c', which is not in the schema"))

@@ -67,6 +67,7 @@ import graft.io.VersionedTable
   *   SHOW BRANCHES GRAFT '<root>'
   *   SHOW TAGS GRAFT '<root>'
   *   SHOW TBLPROPERTIES GRAFT '<root>'
+  *   SHOW FILES GRAFT '<root>' — per-file bytes/rows/envelope inventory
   *   CREATE GRAFT '<root>' [PARTITIONED BY (c1 | days(ts) | bucket(n, c) ...)]
   *       [STATS BY (c1 [, ...])] [BLOOM BY (c1 [, ...])] AS (<query>)
   *       — transform entries declare a HIDDEN layout with the data in
@@ -148,6 +149,8 @@ object GraftSqlParser {
     """(?is)\s*RESTORE\s+GRAFT\s+'([^']+)'\s+TO\s+TAG\s+([\w.-]+)\s*;?\s*""".r
   private val showPartitionsRe =
     """(?is)\s*SHOW\s+PARTITIONS\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
+  private val showFilesRe =
+    """(?is)\s*SHOW\s+FILES\s+GRAFT\s+'([^']+)'\s*;?\s*""".r
   private val analyzeRe =
     """(?is)\s*ANALYZE\s+GRAFT\s+'([^']+)'\s+STATS\s+BY\s*\(([^)]*)\)(?:\s+BLOOM\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val analyzeNdvRe =
@@ -389,7 +392,7 @@ object GraftSqlParser {
     """(?is)(\bGRAFT\s+)([A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+)""".r
   private val graftVerbHeadRe =
     ("""(?is)\s*(?:DESCRIBE\s+(?:HISTORY|DETAIL)|VACUUM|OPTIMIZE|RESTORE|""" +
-      """SHOW\s+(?:PARTITIONS|TBLPROPERTIES|BRANCHES|TAGS)|ANALYZE|DELETE|""" +
+      """SHOW\s+(?:PARTITIONS|TBLPROPERTIES|BRANCHES|TAGS|FILES)|ANALYZE|DELETE|""" +
       """UPDATE|REPLACE|MERGE|ALTER|INSERT\s+(?:INTO|OVERWRITE)|COPY\s+INTO|""" +
       """CREATE|REFRESH)\s+.*""").r
 
@@ -500,6 +503,7 @@ object GraftSqlParser {
       Some(GraftRestoreTimestampCommand(root, ms))
     case restoreTagRe(root, tag) => Some(GraftRestoreTagCommand(root, tag))
     case showPartitionsRe(root) => Some(GraftShowPartitionsCommand(root))
+    case showFilesRe(root) => Some(GraftShowFilesCommand(root))
     case analyzeRe(root, stats, blooms) =>
       def cs(x: String) = Option(x).fold(Seq.empty[String])(
         _.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -1081,6 +1085,25 @@ case class GraftShowPartitionsCommand(root: String) extends LeafRunnableCommand 
       }.mkString("/")
       Row(path, r.getInt(pcols.length))
     }
+  }
+}
+
+/** `SHOW FILES GRAFT '<root>'` — the `files` metadata table for
+  * path-rooted tables ([[VersionedTable.describeFiles]]): per live data
+  * file, its dir, byte size, footer row count (NULL when the commit
+  * carried no stats — unknown, never zero) and the skipping-index
+  * envelope. Driver-side O(#files) listing, zero parquet footer opens.
+  */
+case class GraftShowFilesCommand(root: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("dir", StringType, nullable = false)(),
+    AttributeReference("file", StringType, nullable = false)(),
+    AttributeReference("bytes", LongType, nullable = false)(),
+    AttributeReference("rows", LongType, nullable = true)(),
+    AttributeReference("envelope", StringType, nullable = false)())
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    VersionedTable.describeFiles(spark, root).collect().toSeq
   }
 }
 

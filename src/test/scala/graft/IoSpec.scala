@@ -4438,6 +4438,11 @@ class IoSpec extends SparkSpec {
     // main history is intact — the pre-pick snapshot still reads
     assert(VersionedTable.read(spark, root, asOf = Some(v - 1))
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 100L))
+    // the publish is append-SHAPED: CDC across it yields exactly the
+    // branch's rows as inserts (downstream incremental readers see a
+    // cherry-pick as the append it semantically is)
+    assert(VersionedTable.changesBetween(spark, root, v - 1, v)
+      .collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L))
     // a DIVERGED branch (overwrite dropped the pre-fork dirs) refuses
     VersionedTable.createBranch(root, "div", "b2")
     VersionedTable.commit(df(500L), VersionedTable.branchRoot(root, "div"),
@@ -4475,5 +4480,13 @@ class IoSpec extends SparkSpec {
       "side-file row counts sum to the indexed commit's rows")
     assert(without.forall(r => r.isNullAt(3) && r.getString(4).isEmpty))
     assert(files.map(_.getString(0)).distinct.length == 2)
+    // the SQL spelling returns the same census
+    assert(spark.sql(s"SHOW FILES GRAFT '$root'").count() == files.length.toLong)
+    // CREATE-time property validation: a typo'd write-order column
+    // refuses before v1 publishes
+    assert(intercept[Exception](VersionedTable.createTable(tmpDir("ordbad"),
+      org.apache.spark.sql.types.StructType.fromDDL("id BIGINT"), Nil,
+      Map("graft.write.orderedBy" -> "nope"), "cb1"))
+      .getMessage.contains("unknown column"))
   }
 }
