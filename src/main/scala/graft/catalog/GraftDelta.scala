@@ -462,8 +462,28 @@ final class GraftDeltaWrite(spark: SparkSession, root: String,
 
   override def distributionStrictlyRequired(): Boolean = false
 
-  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
-    Array.empty
+  /** WRITE ORDER: a declared `graft.write.orderedBy` carries into the
+    * delta writer's post-image/insert files — Spark adds a per-task sort
+    * by (partition keys, order columns), so DML-written files keep the
+    * tight per-file envelopes the ordered ingest established (global
+    * disjointness is compaction's job; a local sort costs no exchange).
+    * DELETEs write positions only — nothing to order.
+    */
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    if (verb == "delete" || info.schema().isEmpty) return Array.empty
+    val c = VersionedTable.latestCommit(root)
+    val order = c.flatMap(_.props.get("graft.write.orderedBy"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    if (order.isEmpty) Array.empty
+    else {
+      val partCols = c.map(_.partitionCols).getOrElse(Nil)
+      val fields = info.schema().fieldNames.toSet
+      (partCols ++ order.filterNot(partCols.contains)).filter(fields.contains)
+        .map(cn => Expressions.sort(Expressions.column(cn),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        .toArray
+    }
+  }
 
   override def toBatch: DeltaBatchWrite = new DeltaBatchWrite {
     private val scan = {

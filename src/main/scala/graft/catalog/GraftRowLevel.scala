@@ -228,9 +228,52 @@ final class GraftSerializableConf(@transient private var conf: Configuration)
   */
 final class GraftCowWrite(spark: SparkSession, root: String,
     op: GraftRowLevelOperation, info: LogicalWriteInfo, mode: String)
-    extends Write {
+    extends Write
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
 
   override def description(): String = s"GraftCowWrite $mode $root"
+
+  /** Write placement, OPT-IN like the engine path's: a table that declared
+    * 'graft.write.clusterByKeys' clusters its CoW rewrites by the hive
+    * keys (one file per key, not per (key, task)), and a declared
+    * `graft.write.orderedBy` adds a per-task sort so the rewritten
+    * region's files keep tight envelopes. Both ADVISORY — Spark may skip
+    * the exchange when the plan already satisfies it; correctness never
+    * depends on placement. Tables declaring neither keep their previous
+    * plans exactly (unspecified distribution, no sort).
+    */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution = {
+    val c = graft.io.VersionedTable.latestCommit(root)
+    val partCols = c.map(_.partitionCols).getOrElse(Nil)
+      .filter(info.schema().fieldNames.contains)
+    val optIn = c.exists(_.props.get("graft.write.clusterByKeys").contains("true"))
+    if (!optIn || partCols.isEmpty || info.schema().isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else org.apache.spark.sql.connector.distributions.Distributions.clustered(
+      partCols.map(col =>
+        org.apache.spark.sql.connector.expressions.Expressions.column(col):
+          org.apache.spark.sql.connector.expressions.Expression).toArray)
+  }
+
+  override def distributionStrictlyRequired(): Boolean = false
+
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    if (info.schema().isEmpty) return Array.empty
+    val c = graft.io.VersionedTable.latestCommit(root)
+    val order = c.flatMap(_.props.get("graft.write.orderedBy"))
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    if (order.isEmpty) Array.empty
+    else {
+      val partCols = c.map(_.partitionCols).getOrElse(Nil)
+      val fields = info.schema().fieldNames.toSet
+      (partCols ++ order.filterNot(partCols.contains)).filter(fields.contains)
+        .map(cn => org.apache.spark.sql.connector.expressions.Expressions.sort(
+          org.apache.spark.sql.connector.expressions.Expressions.column(cn),
+          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        .toArray
+    }
+  }
 
   override def toBatch: BatchWrite = new BatchWrite {
     private val scan = {

@@ -1301,6 +1301,27 @@ class CatalogSpec extends SparkSpec {
       .getMessage.nonEmpty)
   }
 
+  test("catalog: declared write order carries into row-level DML plans; typo refuses at CREATE") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.ord (id BIGINT, v BIGINT) " +
+      "TBLPROPERTIES ('graft.write.orderedBy' = 'id', 'graft.stats.columns' = 'id')")
+    spark.sql("INSERT INTO gcat.db.ord SELECT id, id FROM range(0, 100)")
+    // the DML write declares a sort requirement — Spark plans a Sort
+    // before the delta/CoW write, so DML-written files stay internally
+    // ordered (no exchange: ordering alone is a local sort)
+    val plan = spark.sql("EXPLAIN UPDATE gcat.db.ord SET v = v + 1 WHERE id >= 50")
+      .collect().head.getString(0)
+    assert(plan.contains("Sort ["), plan.take(1200))
+    spark.sql("UPDATE gcat.db.ord SET v = v + 1 WHERE id >= 50")
+    val got = spark.table("gcat.db.ord").selectExpr("sum(v)").head().getLong(0)
+    assert(got == (0L until 100L).sum + 50L, got.toString)
+    // the CREATE-time property validation runs on the catalog route too
+    assert(intercept[Exception](spark.sql(
+      "CREATE TABLE gcat.db.ordbad (id BIGINT) " +
+        "TBLPROPERTIES ('graft.write.orderedBy' = 'nope')"))
+      .getMessage.contains("unknown column"))
+  }
+
   test("catalog: spark.readStream.table streams the commit log — snapshot + deltas, exactly-once across restarts") {
     warehouse
     import org.apache.spark.sql.streaming.Trigger
