@@ -1119,6 +1119,9 @@ object VersionedTable extends VersionedTableRefs {
     kvs.get("graft.vacuum.retainLast").foreach(v =>
       require(v.toIntOption.exists(_ >= 1),
         s"graft.vacuum.retainLast must be an integer >= 1, got '$v'"))
+    kvs.get("graft.vacuum.olderThanDays").foreach(v =>
+      require(v.toDoubleOption.exists(_ > 0),
+        s"graft.vacuum.olderThanDays must be a positive number of days, got '$v'"))
     kvs.get("graft.write.clusterByKeys").foreach(v =>
       require(v == "true" || v == "false",
         s"graft.write.clusterByKeys must be 'true' or 'false', got '$v'"))

@@ -25,7 +25,9 @@ import graft.io.VersionedTable
   *       — RETAIN omitted reads the graft.vacuum.retainLast TBLPROPERTY
   *   VACUUM GRAFT '<root>' OLDER THAN TIMESTAMP '<instant>'
   *       [RETAIN <n>] [DRY RUN] — time-based expiry: versions published
-  *       at-or-after the instant survive; RETAIN (default 1) floors it
+  *       at-or-after the instant survive; RETAIN (default 1) floors it.
+  *       The RETAIN-less form also honors a declared
+  *       graft.vacuum.olderThanDays policy (resolved against NOW)
   *   RESTORE GRAFT '<root>' TO VERSION <n> | TO TIMESTAMP '<instant>'
   *       | TO TAG <name>
   *   SHOW PARTITIONS GRAFT '<root>'
@@ -743,14 +745,26 @@ case class GraftVacuumCommand(root: String, retainLast: Option[Int],
     Seq(AttributeReference("removed", StringType, nullable = false)())
 
   override def run(spark: SparkSession): Seq[Row] = {
-    // RETAIN-less form: the table's own declared retention policy
-    val retain = retainLast.getOrElse(
-      VersionedTable.tableProperties(root).get("graft.vacuum.retainLast")
-        .flatMap(_.toIntOption).getOrElse(sys.error(
-          s"VACUUM GRAFT without RETAIN requires the graft.vacuum.retainLast " +
-            s"table property on $root (ALTER GRAFT ... SET TBLPROPERTIES)")))
+    // RETAIN-less form: the table's own declared retention policy —
+    // count-based (graft.vacuum.retainLast), time-based
+    // (graft.vacuum.olderThanDays, resolved against NOW at each run),
+    // or both; either alone is a complete policy (the count floor
+    // defaults to 1 under a pure time policy, so the latest version
+    // always survives)
+    val props =
+      if (retainLast.isDefined && olderThanMs.isDefined) Map.empty[String, String]
+      else VersionedTable.tableProperties(root)
+    val policyOlder = olderThanMs.orElse(
+      props.get("graft.vacuum.olderThanDays").flatMap(_.toDoubleOption)
+        .map(d => System.currentTimeMillis - (d * 86400000L).toLong))
+    val retain = retainLast.orElse(
+      props.get("graft.vacuum.retainLast").flatMap(_.toIntOption))
+      .getOrElse(if (policyOlder.isDefined) 1 else sys.error(
+        s"VACUUM GRAFT without RETAIN requires the graft.vacuum.retainLast " +
+          s"or graft.vacuum.olderThanDays table property on $root " +
+          "(ALTER GRAFT ... SET TBLPROPERTIES)"))
     VersionedTable.vacuum(root, retain, dryRun = dryRun,
-      olderThanMs = olderThanMs).map(Row(_))
+      olderThanMs = policyOlder).map(Row(_))
   }
 }
 

@@ -4378,6 +4378,26 @@ class IoSpec extends SparkSpec {
     assert(intercept[Exception](
       VersionedTable.read(spark, root, asOf = Some(1L)).collect())
       .getMessage.contains("not in log"))
+    // POLICY form: graft.vacuum.olderThanDays makes the bare VACUUM a
+    // complete time policy (count floor defaults to 1). A century-wide
+    // window retains everything...
+    spark.sql(s"ALTER GRAFT '$root' SET TBLPROPERTIES " +
+      "('graft.vacuum.olderThanDays' = '36500')").collect()
+    assert(spark.sql(s"VACUUM GRAFT '$root' DRY RUN").collect().isEmpty)
+    // ...a near-zero window expires all that the floor + tags don't hold:
+    // two more overwrites advance the log, then everything but the
+    // tagged v2 and the latest version ages out
+    one(4L, "overwrite", "ve-4")
+    one(5L, "overwrite", "ve-5")
+    spark.sql(s"ALTER GRAFT '$root' SET TBLPROPERTIES " +
+      "('graft.vacuum.olderThanDays' = '0.0000001')").collect()
+    Thread.sleep(50) // let every commit age past the ~9 ms window
+    spark.sql(s"VACUUM GRAFT '$root'").collect()
+    val vs = VersionedTable.history(root).map(_.version)
+    val latest = VersionedTable.latestVersion(root).get
+    assert(vs == Seq(2L, latest), vs.toString)
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSeq
+      == Seq(5L))
   }
 
   test("compact honors graft.write.orderedBy: sort compaction restores per-file disjointness across commits") {
