@@ -753,6 +753,9 @@ case class GraftVacuumCommand(root: String, retainLast: Option[Int],
     // always survives)
     val props =
       if (retainLast.isDefined && olderThanMs.isDefined) Map.empty[String, String]
+      // a never-committed root has no property registry (and nothing to
+      // reclaim) — the explicit-RETAIN form must stay a no-op there
+      else if (VersionedTable.latestCommit(root).isEmpty) Map.empty[String, String]
       else VersionedTable.tableProperties(root)
     val policyOlder = olderThanMs.orElse(
       props.get("graft.vacuum.olderThanDays").flatMap(_.toDoubleOption)
