@@ -472,15 +472,16 @@ final class GraftDeltaWrite(spark: SparkSession, root: String,
   override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     if (verb == "delete" || info.schema().isEmpty) return Array.empty
     val c = VersionedTable.latestCommit(root)
-    val order = c.flatMap(_.props.get("graft.write.orderedBy"))
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val order = c.map(x => VersionedTable.writeOrderOf(x.props)).getOrElse(Nil)
     if (order.isEmpty) Array.empty
     else {
       val partCols = c.map(_.partitionCols).getOrElse(Nil)
       val fields = info.schema().fieldNames.toSet
-      (partCols ++ order.filterNot(partCols.contains)).filter(fields.contains)
-        .map(cn => Expressions.sort(Expressions.column(cn),
-          org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+      import org.apache.spark.sql.connector.expressions.SortDirection
+      (partCols.map((_, true)) ++ order.filterNot(o => partCols.contains(o._1)))
+        .filter(o => fields.contains(o._1))
+        .map { case (cn, asc) => Expressions.sort(Expressions.column(cn),
+          if (asc) SortDirection.ASCENDING else SortDirection.DESCENDING) }
         .toArray
     }
   }

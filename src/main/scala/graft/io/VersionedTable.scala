@@ -1099,6 +1099,26 @@ object VersionedTable extends VersionedTableRefs with VersionedTableIndex {
     * typo'd value would otherwise silently disable the behavior it
     * promises.
     */
+  /** Parse a `graft.write.orderedBy` value into (column, ascending)
+    * entries — the Iceberg sort-order spelling: `c1, c2 DESC, c3 ASC`
+    * (direction optional, ASC default, case-insensitive). The ONE parser
+    * every consumer (ingest, compaction, the DSv2 row-level writers, DDL
+    * validation) goes through, so a malformed entry refuses identically
+    * everywhere.
+    */
+  private[graft] def parseWriteOrder(v: String): Seq[(String, Boolean)] =
+    v.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map { e =>
+      val parts = e.split("\\s+")
+      require(parts.length <= 2 && (parts.length == 1 ||
+          parts(1).equalsIgnoreCase("asc") || parts(1).equalsIgnoreCase("desc")),
+        s"graft.write.orderedBy: malformed entry '$e' (expected '<col> [ASC|DESC]')")
+      (parts(0), parts.length < 2 || !parts(1).equalsIgnoreCase("desc"))
+    }
+
+  /** The declared write order of a snapshot, parsed; Nil when none. */
+  private[graft] def writeOrderOf(props: Map[String, String]): Seq[(String, Boolean)] =
+    props.get("graft.write.orderedBy").map(parseWriteOrder).getOrElse(Nil)
+
   def setPropertiesOp(kvs: Map[String, String]): Commit => Commit = { parent =>
     require(kvs.nonEmpty, "setTableProperties: empty property map")
     kvs.get("graft.autoCompact.minDirs").foreach(v =>
@@ -1126,7 +1146,7 @@ object VersionedTable extends VersionedTableRefs with VersionedTableIndex {
       require(v == "true" || v == "false",
         s"graft.write.clusterByKeys must be 'true' or 'false', got '$v'"))
     kvs.get("graft.write.orderedBy").foreach { v =>
-      val cols = v.split(",").map(_.trim).filter(_.nonEmpty)
+      val cols = parseWriteOrder(v).map(_._1)
       require(cols.nonEmpty,
         s"graft.write.orderedBy must name >= 1 comma-separated columns, got '$v'")
       // validate against the declared schema when one exists — a typo'd
@@ -1888,7 +1908,7 @@ object VersionedTable extends VersionedTableRefs with VersionedTableIndex {
     // engine-interpreted properties validate at CREATE like at ALTER — a
     // typo'd write-order column must refuse here, not at the first write
     props.get("graft.write.orderedBy").foreach { v =>
-      val cs = v.split(",").map(_.trim).filter(_.nonEmpty)
+      val cs = parseWriteOrder(v).map(_._1)
       require(cs.nonEmpty,
         s"graft.write.orderedBy must name >= 1 comma-separated columns, got '$v'")
       val missing = cs.filterNot(schema.fieldNames.contains)
@@ -2096,17 +2116,20 @@ object VersionedTable extends VersionedTableRefs with VersionedTableIndex {
         // a table property: an ingest pipeline opts in once, every append
         // inherits. Order columns resolve through the rename map like
         // statsCols; a dropped/unknown column refuses loudly here.
-        val orderedBy = (preParent0.map(_.props).getOrElse(Map.empty) ++ declareProps)
-          .get("graft.write.orderedBy")
-          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-        val physOrder = orderedBy.map(c => preParent.fold(c)(p => physName(p, c)))
-        physOrder.foreach(c => require(dfPhys.columns.contains(c),
+        val orderedBy = writeOrderOf(
+          preParent0.map(_.props).getOrElse(Map.empty) ++ declareProps)
+        val physOrder = orderedBy.map { case (c, asc) =>
+          (preParent.fold(c)(p => physName(p, c)), asc) }
+        physOrder.foreach { case (c, _) => require(dfPhys.columns.contains(c),
           s"commit: graft.write.orderedBy column '$c' is not in the batch " +
-            s"(columns: ${dfPhys.columns.mkString(", ")}); fix the property or the batch"))
+            s"(columns: ${dfPhys.columns.mkString(", ")}); fix the property or the batch") }
         val dfOut =
           if (physOrder.nonEmpty) {
-            val rangeCols = (partitionCols ++ physOrder.filterNot(partitionCols.contains))
-              .map(dfPhys.col)
+            // hive keys prefix the range key ascending; each order entry
+            // carries its declared direction (Iceberg's `c DESC` spelling)
+            val rangeCols = partitionCols.map(dfPhys.col) ++
+              physOrder.filterNot(o => partitionCols.contains(o._1))
+                .map { case (c, asc) => if (asc) dfPhys.col(c) else dfPhys.col(c).desc }
             dfPhys.repartitionByRange(rangeCols: _*).sortWithinPartitions(rangeCols: _*)
           }
           else if (clusterKeys) dfPhys.repartition(partitionCols.map(dfPhys.col): _*)
@@ -6745,12 +6768,11 @@ object VersionedTable extends VersionedTableRefs with VersionedTableIndex {
         // write order (graft.write.orderedBy) carries into OPTIMIZE, so
         // compaction restores the per-file disjointness that interleaved
         // appends eroded — an explicit zorderBy still wins over the policy
-        val orderCols = parent.props.get("graft.write.orderedBy")
-          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-          .getOrElse(Nil).map(physName(parent, _))
-        orderCols.foreach(c => require(cur.columns.contains(c),
+        val orderCols = writeOrderOf(parent.props)
+          .map { case (c, asc) => (physName(parent, c), asc) }
+        orderCols.foreach { case (c, _) => require(cur.columns.contains(c),
           s"compact: graft.write.orderedBy column '$c' is not in the snapshot " +
-            s"(columns: ${cur.columns.mkString(", ")}); fix the property first"))
+            s"(columns: ${cur.columns.mkString(", ")}); fix the property first") }
         val df =
           if (zorderBy.nonEmpty) {
             import org.apache.spark.sql.functions.col
@@ -6763,8 +6785,9 @@ object VersionedTable extends VersionedTableRefs with VersionedTableIndex {
           }
           else if (orderCols.nonEmpty) {
             import org.apache.spark.sql.functions.col
-            val rc = (parent.partitionCols ++
-              orderCols.filterNot(parent.partitionCols.contains)).map(col)
+            val rc = parent.partitionCols.map(col) ++
+              orderCols.filterNot(o => parent.partitionCols.contains(o._1))
+                .map { case (c, asc) => if (asc) col(c) else col(c).desc }
             cur.repartitionByRange(nFiles, rc: _*).sortWithinPartitions(rc: _*)
           }
           else if (parent.partitionCols.nonEmpty)
@@ -6892,14 +6915,14 @@ object VersionedTable extends VersionedTableRefs with VersionedTableIndex {
             // sort-aware like the full-table compact: a declared write
             // order range-sorts the rewritten slice (the hive columns
             // prefix the range key so same-partition rows co-locate)
-            val orderCols = parent.props.get("graft.write.orderedBy")
-              .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-              .getOrElse(Nil).map(physName(parent, _))
-              .filter(cur.columns.contains)
+            val orderCols = writeOrderOf(parent.props)
+              .map { case (c, asc) => (physName(parent, c), asc) }
+              .filter(o => cur.columns.contains(o._1))
             if (orderCols.nonEmpty) {
-              val rc = (parent.partitionCols ++
-                orderCols.filterNot(parent.partitionCols.contains))
-                .map(org.apache.spark.sql.functions.col)
+              import org.apache.spark.sql.functions.col
+              val rc = parent.partitionCols.map(col) ++
+                orderCols.filterNot(o => parent.partitionCols.contains(o._1))
+                  .map { case (c, asc) => if (asc) col(c) else col(c).desc }
               cur.repartitionByRange(targetFiles, rc: _*).sortWithinPartitions(rc: _*)
             }
             else cur.repartition(targetFiles,

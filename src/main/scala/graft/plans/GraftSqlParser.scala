@@ -55,9 +55,9 @@ import graft.io.VersionedTable
   *       zero bytes moved, old dirs read under their era
   *   ALTER GRAFT '<root>' SET TBLPROPERTIES ('k' = 'v' [, ...])
   *   ALTER GRAFT '<root>' UNSET TBLPROPERTIES ('k' [, ...])
-  *   ALTER GRAFT '<root>' WRITE ORDERED BY (c1 [, ...]) — every
-  *       subsequent batch range-sorts by (partition keys, c1, ...) so
-  *       data files cover disjoint ranges and the per-file index prunes
+  *   ALTER GRAFT '<root>' WRITE ORDERED BY (c1 [ASC|DESC] [, ...]) —
+  *       every subsequent batch range-sorts by (partition keys, c1, ...)
+  *       so data files cover disjoint ranges and the per-file index prunes
   *   ALTER GRAFT '<root>' WRITE UNORDERED
   *   ALTER GRAFT '<root>' CREATE BRANCH <name>
   *   ALTER GRAFT '<root>' DROP BRANCH <name>

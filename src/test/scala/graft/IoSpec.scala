@@ -4342,13 +4342,40 @@ class IoSpec extends SparkSpec {
     assert(VersionedTable.read(spark, root).count() == 1001L)
     assert(VersionedTable.readRange(spark, root, "id", 250L, 250L)
       .collect().map(_.getLong(0)).toSeq == Seq(250L))
+    // DESC direction (Iceberg's `c DESC` spelling): envelopes stay
+    // disjoint, the layout just runs the other way — and the per-file
+    // index prunes identically (envelopes are direction-agnostic)
+    spark.sql(s"ALTER GRAFT '$root' WRITE ORDERED BY (id DESC)").collect()
+    assert(VersionedTable.tableProperties(root)
+      .get("graft.write.orderedBy").contains("id DESC"))
+    spark.conf.set(coalesceKey, "false")
+    try VersionedTable.commit(
+      spark.range(2000, 3000).selectExpr("id", "'d' AS s").repartition(8),
+      root, "append", "w3", statsCols = Seq("id"))
+    finally spark.conf.set(coalesceKey, prevCoalesce)
+    val c3 = VersionedTable.history(root).last
+    val descDir = c3.dirs.filterNot(c.dirs.contains)
+    assert(descDir.size == 1)
+    val dEnvs = VersionedTable.describeFiles(spark, root)
+      .filter(col("dir") === descDir.head).collect()
+      .flatMap(r => envRe.findFirstMatchIn(r.getString(4))
+        .map(m => (m.group(1).toLong, m.group(2).toLong))).sortBy(_._1)
+    assert(dEnvs.length >= 3, dEnvs.length.toString)
+    dEnvs.sliding(2).foreach { case Array((_, aHi), (bLo, _)) =>
+      assert(aHi < bLo, s"DESC envelopes overlap: ${dEnvs.mkString(", ")}")
+    case _ => () }
+    assert(VersionedTable.planRangeFiles(root, "id", 2500L, 2500L)._1 == 1)
+    // a malformed direction refuses at DDL
+    assert(intercept[Exception](spark.sql(
+      s"ALTER GRAFT '$root' WRITE ORDERED BY (id sideways)").collect())
+      .getMessage.contains("malformed entry"))
     // WRITE UNORDERED retires the policy; appends keep working
     spark.sql(s"ALTER GRAFT '$root' WRITE UNORDERED").collect()
     assert(!VersionedTable.tableProperties(root).contains("graft.write.orderedBy"))
     VersionedTable.commit(
       spark.sql("SELECT CAST(2000 AS BIGINT) AS id, 'post' AS s"),
-      root, "append", "w3")
-    assert(VersionedTable.read(spark, root).count() == 1002L)
+      root, "append", "w4")
+    assert(VersionedTable.read(spark, root).count() == 2002L)
   }
 
   test("VACUUM OLDER THAN TIMESTAMP: time-based expiry with a RETAIN floor, tags immortal, manifests in lockstep") {
