@@ -4490,6 +4490,20 @@ class IoSpec extends SparkSpec {
     // cherry-pick as the append it semantically is)
     assert(VersionedTable.changesBetween(spark, root, v - 1, v)
       .collect().map(_.getLong(0)).sorted.toSeq == Seq(10L, 11L))
+    // main-side MOR deletes that landed AFTER the fork survive the
+    // publish untouched: the pick copies the CURRENT parent's coverage
+    // and only appends dirs, so main's row set composes exactly
+    VersionedTable.createBranch(root, "wap2", "b2a")
+    VersionedTable.commit(df(20L), VersionedTable.branchRoot(root, "wap2"),
+      "append", "bw2a")
+    VersionedTable.deleteWhereMor(spark, root, {
+      import spark.implicits._; Seq(100L).toDF("id")
+    }, "id", "md1")
+    val v2 = VersionedTable.cherryPick(root, "wap2", "cp2a")
+    assert(VersionedTable.latestCommit(root).get.version == v2)
+    assert(VersionedTable.read(spark, root).collect().map(_.getLong(0)).sorted
+      .toSeq == Seq(1L, 2L, 10L, 11L, 20L), "main's post-fork MOR delete of 100 " +
+        "must hold and the branch row must land")
     // a DIVERGED branch (overwrite dropped the pre-fork dirs) refuses
     VersionedTable.createBranch(root, "div", "b2")
     VersionedTable.commit(df(500L), VersionedTable.branchRoot(root, "div"),
