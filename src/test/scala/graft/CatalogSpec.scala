@@ -723,6 +723,39 @@ class CatalogSpec extends SparkSpec {
     assert(bt == 20L)
   }
 
+  test("catalog: WRITE ORDERED BY composes with hidden partitioning — day keys prefix, order column sorts within") {
+    warehouse
+    spark.sql("CREATE TABLE gcat.db.hpord (id BIGINT, ts TIMESTAMP, v BIGINT) " +
+      "PARTITIONED BY (days(ts)) " +
+      "TBLPROPERTIES ('graft.write.orderedBy' = 'id', 'graft.stats.columns' = 'id')")
+    val ck = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(ck)
+    spark.conf.set(ck, "false")
+    try spark.sql("INSERT INTO gcat.db.hpord (id, ts, v) SELECT id, " +
+      "TIMESTAMP '2024-05-01 00:00:00' + make_interval(0,0,0,CAST(id % 2 AS INT),0,0,0), " +
+      "id * 10 FROM range(0, 200)")
+    finally spark.conf.set(ck, prev)
+    val root = s"$warehouse/db/hpord"
+    // within each synthesized day dir, per-file id envelopes are disjoint
+    // (the generated key prefixes the range ascending, id sorts within)
+    val envRe = """id:\[(-?\d+),(-?\d+)\]""".r
+    val byDay = VersionedTable.describeFiles(spark, root).collect()
+      .groupBy(_.getString(1).split('/').find(_.startsWith("ts_day=")).getOrElse(""))
+    assert(byDay.keySet.filter(_.nonEmpty).size == 2, byDay.keySet.toString)
+    byDay.filter(_._1.nonEmpty).foreach { case (day, files) =>
+      val envs = files.flatMap(r => envRe.findFirstMatchIn(r.getString(4))
+        .map(m => (m.group(1).toLong, m.group(2).toLong))).sortBy(_._1)
+      assert(envs.length >= 2, s"$day should hold multiple files, got ${envs.length}")
+      envs.sliding(2).foreach { case Array((_, aHi), (bLo, _)) =>
+        assert(aHi < bLo, s"$day envelopes overlap: ${envs.mkString(", ")}")
+      case _ => () }
+    }
+    // raw-day prune + order prune compose: one day, O(1) files
+    val q = spark.table("gcat.db.hpord")
+      .where("ts >= TIMESTAMP '2024-05-02 00:00:00' AND id BETWEEN 101 AND 101")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(101L))
+  }
+
   test("catalog: hidden partitioning — raw-column predicates prune key groups (derived transform claims)") {
     warehouse
     spark.sql("CREATE TABLE gcat.db.hpprune (id BIGINT, ts TIMESTAMP, v BIGINT) " +
