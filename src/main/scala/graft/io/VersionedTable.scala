@@ -2091,18 +2091,22 @@ object VersionedTable extends VersionedTableRefs with VersionedTableIndex {
         // is a hint
         val nextV = latestVersion(root).map(_ + 1).getOrElse(1L)
         val dirName = attemptDirName("data", nextV, commitId)
-        // opt-in write clustering ('graft.write.clusterByKeys'): shuffle
-        // the batch by its partition keys before the hive write, so the
-        // dir lands O(keys) files instead of O(tasks × keys) — without it
-        // EVERY task holding a key value opens a file under that value's
-        // subdir (the classic unclustered-partitioned-write small-file
-        // explosion; the delta-DML writer already declares the same
-        // clustering via RequiresDistributionAndOrdering). Declared as a
-        // table property so an ingest pipeline opts in once; costs one
-        // exchange per commit, which at scale buys back whole compaction
-        // runs.
+        // write clustering — DEFAULT ON for partitioned commits (Iceberg's
+        // default write.distribution-mode=hash for partitioned tables):
+        // shuffle the batch by its partition keys before the hive write, so
+        // the dir lands O(keys) files instead of O(tasks × keys), and —
+        // just as important — the per-key file creation spreads over the
+        // shuffle's tasks instead of serializing inside whichever tasks
+        // hold the keys (a single-task source writing a days(ts) layout
+        // opened 2 405 parquet writers sequentially: ~40 s of one-core
+        // wall-clock for a 50 k-row batch, measured in ProfileEvoRead; the
+        // delta-DML writer already declares the same clustering via
+        // RequiresDistributionAndOrdering). Costs one narrow exchange per
+        // commit, which at scale buys back whole compaction runs; a
+        // pipeline whose batches arrive pre-clustered opts out once with
+        // 'graft.write.clusterByKeys' = 'false'.
         val clusterKeys = partitionCols.nonEmpty &&
-          preParent0.exists(_.props.get("graft.write.clusterByKeys").contains("true"))
+          !preParent0.exists(_.props.get("graft.write.clusterByKeys").contains("false"))
         // opt-in write ORDERING ('graft.write.orderedBy' — Iceberg's WRITE
         // ORDERED BY): range-partition + sort the batch by (partition keys,
         // order columns) before the hive write, so each data file covers a
@@ -2776,11 +2780,13 @@ object VersionedTable extends VersionedTableRefs with VersionedTableIndex {
           // the per-dir scan split costs nothing at scale.
           val target = c.schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
           val dv = loadPosDv(spark, root, posSets)
-          ds.map { d =>
-            alignTo(target, c.defaults, c.generated)(
-              spark.read.parquet(dirPath(root, d))
-                .filter(org.apache.spark.sql.functions.not(posDeletedCol(d, dv))))
-          }.reduce(_.unionByName(_))
+          withDriverListing(spark, ds.map(d => dirPath(root, d))) {
+            ds.map { d =>
+              alignTo(target, c.defaults, c.generated)(
+                spark.read.parquet(dirPath(root, d))
+                  .filter(org.apache.spark.sql.functions.not(posDeletedCol(d, dv))))
+            }.reduce(_.unionByName(_))
+          }
         }
       keySets.foldLeft(base) { (df, setName) =>
         val keyCol = c.deleteKeys.getOrElse(setName,
@@ -2952,6 +2958,34 @@ object VersionedTable extends VersionedTableRefs with VersionedTableIndex {
     }
   }
 
+  /** Run `body` (which eagerly constructs file-source relations — listing
+    * happens inside `DataFrameReader.parquet`) with Spark's distributed
+    * file-listing job DISABLED when every path lives on the LOCAL
+    * filesystem. Above `parallelPartitionDiscovery.threshold` (default 32)
+    * root paths/subdirectories, Spark launches one listing job whose task
+    * count equals the path count — on a hive tree with thousands of tiny
+    * partition dirs that is thousands of ~2 ms task launches to do ~50 µs
+    * of POSIX readdir each (measured: 5-6 s vs 0.4 s for a 2 405-dir era,
+    * ProfileEvoRead). On a REMOTE store (hdfs/s3/abfs) the distributed job
+    * is the right call — each list is a network RTT — so non-local paths
+    * keep Spark's default behaviour untouched.
+    */
+  private def withDriverListing[T](spark: SparkSession, paths: Seq[String])(body: => T): T = {
+    val local = paths.forall { p =>
+      val scheme = try new java.net.URI(p).getScheme catch { case _: Exception => null }
+      scheme == null || scheme == "file"
+    }
+    if (!local) return body
+    val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, Int.MaxValue.toString)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   private def scanDirs(spark: SparkSession, dirs: Seq[String],
                        partitionCols: Seq[String],
                        schemaDdl: Option[String] = None,
@@ -2963,14 +2997,18 @@ object VersionedTable extends VersionedTableRefs with VersionedTableIndex {
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
         target.getOrElse(sys.error("empty snapshot with no recorded schema")))
     else if (partitionCols.isEmpty && defaults.isEmpty && generated.isEmpty)
-      target.map(t => spark.read.schema(t)).getOrElse(spark.read).parquet(dirs: _*)
+      withDriverListing(spark, dirs) {
+        target.map(t => spark.read.schema(t)).getOrElse(spark.read).parquet(dirs: _*)
+      }
     else
       // per-dir union: hive recovery for partitioned dirs, and — when the
       // table declares column DEFAULTS (or evolution synthesized a
       // generated key) — per-dir backfill/compute (the flat schema-read
       // path would fill NULL for pre-declaration dirs)
-      dirs.map(d => alignTo(target, defaults, generated)(spark.read.parquet(d)))
-        .reduce(_.unionByName(_))
+      withDriverListing(spark, dirs) {
+        dirs.map(d => alignTo(target, defaults, generated)(spark.read.parquet(d)))
+          .reduce(_.unionByName(_))
+      }
   }
 
   /** [[scanDirs]] with FILE-level pruning inside each kept dir: the
@@ -3011,20 +3049,24 @@ object VersionedTable extends VersionedTableRefs with VersionedTableIndex {
         case (_, dp, Some(fs)) => fs.map(f => s"$dp/$f")
       }
       if (paths.isEmpty) emptyScan
-      else target.map(t => spark.read.schema(t)).getOrElse(spark.read).parquet(paths: _*)
+      else withDriverListing(spark, paths) {
+        target.map(t => spark.read.schema(t)).getOrElse(spark.read).parquet(paths: _*)
+      }
     } else {
       // at least one dir is hive-partitioned (its own era's layout): each
       // dir scans under ITS base path so partition values recover, flat
       // dirs (a pre/post-evolution era) scan plainly, and alignTo pins one
       // declared schema across eras
-      val dfs = parts.flatMap {
-        case (_, dp, None)      => Some(spark.read.parquet(dp))
-        case (_, _, Some(Nil))  => None
-        case (d, dp, Some(fs)) if layoutOf(c, d).isEmpty =>
-          Some(spark.read.parquet(fs.map(f => s"$dp/$f"): _*))
-        case (_, dp, Some(fs))  =>
-          Some(spark.read.option("basePath", dp).parquet(fs.map(f => s"$dp/$f"): _*))
-      }.map(alignTo(target, c.defaults, c.generated))
+      val dfs = withDriverListing(spark, parts.map(_._2)) {
+        parts.flatMap {
+          case (_, dp, None)      => Some(spark.read.parquet(dp))
+          case (_, _, Some(Nil))  => None
+          case (d, dp, Some(fs)) if layoutOf(c, d).isEmpty =>
+            Some(spark.read.parquet(fs.map(f => s"$dp/$f"): _*))
+          case (_, dp, Some(fs))  =>
+            Some(spark.read.option("basePath", dp).parquet(fs.map(f => s"$dp/$f"): _*))
+        }.map(alignTo(target, c.defaults, c.generated))
+      }
       if (dfs.isEmpty) emptyScan else dfs.reduce(_.unionByName(_))
     }
   }
